@@ -1,0 +1,104 @@
+"""Flagship pipeline — the reference's full /process chain, Ray-Data-first.
+
+Reference lifecycle (SURVEY §3.1): upload → quality → preprocess decision →
+classification (4 techniques + vote) → entity extraction → rule validation →
+assemble. Re-expressed as one streaming Dataset (SURVEY §7.1):
+
+    pages (url, warc_ts, html, text, lang)
+      → exact dedup by url (latest capture wins)          [shuffle: url]
+      → map_batches(extract_batch)       main-content extraction (M1/M2)
+      → map_batches(quality_batch)       quality transform (Q11-Q16)
+      → 3-technique classify + ML actor pool + vote fuse  (M8-M13)
+      → map_batches(entities_batch)      per-category extractors (M17-M26)
+      → map_batches(RulesStage)          compiled rule validators (T4/A7)
+      → [optional] bucket column + resume filter + partitioned parquet
+        + per-bucket manifests           (north_rule scale plumbing)
+
+Every stage is Arrow-in/Arrow-out; the html payload is projected away at the
+extraction stage so no binary bytes travel further than they must.
+"""
+
+from __future__ import annotations
+
+import os
+
+from documentai_ray.sources.pages import pages_dataset
+from documentai_ray.stages.classify import classify_pipeline
+from documentai_ray.stages.dedup import dedup_latest
+from documentai_ray.stages.extract import extract_batch
+from documentai_ray.stages.quality import quality_batch
+from documentai_ray.stages.rules import RulesStage, load_rules
+from documentai_ray.state import manifest as mf
+from documentai_ray.state.partitioning import add_bucket_column, detect_heavy_hosts
+
+_RULES_PATH = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "configs",
+                 "validation_rules", "purchase_order_rules.txt")
+)
+
+
+def rules_by_category() -> dict:
+    return {"purchase_order": load_rules(_RULES_PATH)}
+
+
+def flagship(
+    ds=None,
+    *,
+    sf_dir: str | None = None,
+    dedup: bool = True,
+    batch_size: int = 256,
+    ml_concurrency=(1, 4),
+    drop_word_boxes: bool = True,
+):
+    """Build the lazy flagship Dataset. Pass a pages Dataset or an sf_dir."""
+    if ds is None:
+        ds = pages_dataset(sf_dir)
+    if dedup:
+        ds = dedup_latest(ds, key="url", ts="warc_ts")
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=batch_size, zero_copy_batch=True)
+    if drop_word_boxes:
+        ds = ds.drop_columns(["word_boxes"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = classify_pipeline(ds, ml_concurrency=ml_concurrency, batch_size=batch_size)
+    ds = ds.map_batches(
+        RulesStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"rules_by_category": rules_by_category()},
+    )
+    return ds
+
+
+def run_to_parquet(
+    out_dir: str,
+    *,
+    sf_dir: str | None = None,
+    ds=None,
+    n_buckets: int = 16,
+    heavy_share: float = 0.10,
+    salt_k: int = 8,
+    **flagship_kwargs,
+) -> dict[int, dict]:
+    """Resumable partitioned run: bucket → skip completed → write → manifests.
+
+    Returns the manifest map. Calling it again after a partial failure only
+    processes buckets without a manifest.
+    """
+    if ds is None:
+        ds = pages_dataset(sf_dir)
+    heavy = detect_heavy_hosts(ds, share_threshold=heavy_share, salt_k=salt_k)
+    ds = add_bucket_column(ds, n_buckets, heavy)
+    done = mf.completed_buckets(out_dir)
+    ds = mf.filter_completed(ds, done)
+    out = flagship(ds, **flagship_kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    out.write_parquet(out_dir, partition_cols=["bucket"])
+    # Manifests are computed from what is ON DISK (read back, column-pruned)
+    # so a manifest never attests rows that failed to write.
+    import ray.data
+
+    written = ray.data.read_parquet(out_dir, columns=["bucket", "url", "text"])
+    manifests = mf.finalize_buckets(written, out_dir)
+    return manifests

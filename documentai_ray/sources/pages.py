@@ -1,0 +1,335 @@
+"""Deterministic Common-Crawl-style ``pages`` corpus (BASELINE.json input_hint).
+
+The sandbox testdata has no pages table, so the engine synthesizes one —
+purely and deterministically — from ``{sf_dir}/documents.parquet``
+(FIXTURES.md §1). Every derived value is a closed-form function of
+``doc_id``/``source``/``text`` so the DuckDB oracle SQL in
+``__ray_entry__.py`` can reconstruct the expected pipeline output
+independently.
+
+Schema: ``url:string, warc_ts:timestamp[us], html:binary,
+text:large_string (golden expected extraction), lang:string``.
+
+Row rules (mirrored in oracle SQL — keep in sync):
+
+- ``malformed``: ``doc_id % 97 == 0`` → invalid-UTF-8 payload, golden ``""``.
+- archetype ``doc_id % 5``:
+  0 article        → golden = document text
+  1 link farm      → golden = ""
+  2 purchase order → golden = "\\n".join(po_lines(doc_id))
+  3 report         → golden = document text
+  4 blank page     → golden = ""
+- host: ``heavy.example.com`` when ``doc_id % 3 == 0`` (deliberate ~33%
+  heavy-hitter host for salted-partitioning tests), else
+  ``{source}.example.com``.
+- url: ``https://{host}/p/{doc_id}`` (unique per doc).
+- warc_ts: ``2024-01-01T00:00:00 + doc_id * 60s``.
+- exact-dup rows: ``doc_id % 20 == 0`` adds a STALE capture of the same url
+  (warc_ts −1 day, blank-page payload) — exact dedup (latest wins) must drop
+  it or row counts/goldens mismatch.
+- near-dup rows (opt-in, ``with_near_dups=True``): ``doc_id % 50 == 7`` adds
+  ``{url}?amp=1`` whose content is the text with the first token replaced —
+  MinHash-LSH must pair it with its original.
+- PDF rows (opt-in, ``pdf_mode=True``): every payload is a MINIPDF layout
+  blob of the document text; golden = reading-order walk text.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from documentai_ray.functions import minipdf
+
+EPOCH = _dt.datetime(2024, 1, 1)
+HEAVY_HOST = "heavy.example.com"
+
+
+# ---------------------------------------------------------------------------
+# closed-form row attributes (keep in sync with oracle SQL)
+# ---------------------------------------------------------------------------
+
+def is_malformed(doc_id: int) -> bool:
+    return doc_id % 97 == 0
+
+
+def archetype(doc_id: int) -> int:
+    return doc_id % 5
+
+
+def host_for(doc_id: int, source: str) -> str:
+    return HEAVY_HOST if doc_id % 3 == 0 else f"{source}.example.com"
+
+
+def url_for(doc_id: int, source: str) -> str:
+    return f"https://{host_for(doc_id, source)}/p/{doc_id}"
+
+
+def warc_ts_for(doc_id: int) -> _dt.datetime:
+    return EPOCH + _dt.timedelta(seconds=60 * doc_id)
+
+
+def po_fields(doc_id: int) -> dict[str, str]:
+    """Deterministic purchase-order field values (golden entities)."""
+    qty = 100 + doc_id % 400
+    amount = qty * 500
+    return {
+        "po_number": f"PO-{10000 + doc_id}",
+        "po_date": f"{1 + doc_id % 28:02d}.{1 + doc_id % 12:02d}.2024",
+        "seller": f"GLOBAL TRADING COMPANY {doc_id % 7} LIMITED",
+        "buyer": f"ACME IMPORTS {doc_id % 5} LLC",
+        "goods": f"STEEL COILS GRADE {doc_id % 9}",
+        "quantity": f"{qty}.00",
+        "unit": "MT",
+        "currency": "USD",
+        "total_amount": f"{amount:,}.00",
+        "incoterms": "CFR SINGAPORE (INCOTERMS 2020)",
+    }
+
+
+def po_lines(doc_id: int) -> list[str]:
+    f = po_fields(doc_id)
+    return [
+        f"PO NUMBER: {f['po_number']} DATED {f['po_date']}",
+        f"SELLER: {f['seller']}",
+        f"BUYER: {f['buyer']}",
+        f"DESCRIPTION OF GOODS: {f['goods']}",
+        f"QUANTITY: {f['quantity']} {f['unit']} NET WEIGHT",
+        f"TOTAL AMOUNT: {f['currency']} {f['total_amount']}",
+        f"DELIVERY {f['incoterms']}",
+    ]
+
+
+def golden_text(doc_id: int, text: str) -> str:
+    if is_malformed(doc_id):
+        return ""
+    a = archetype(doc_id)
+    if a in (0, 3):
+        return text
+    if a == 2:
+        return "\n".join(po_lines(doc_id))
+    return ""
+
+
+def expected_category(doc_id: int) -> str:
+    """Expected classifier outcome by construction (oracle CASE)."""
+    if is_malformed(doc_id):
+        return "unclassified"
+    a = archetype(doc_id)
+    if a == 2:
+        return "purchase_order"
+    if a in (0, 3):
+        return "data_report"
+    return "unclassified"
+
+
+# ---------------------------------------------------------------------------
+# HTML templates (boilerplate must be stripped by the generic extractor)
+# ---------------------------------------------------------------------------
+
+_NAV = (
+    '<nav><a href="/">Home</a> <a href="/about">About us</a> '
+    '<a href="/contact">Contact</a></nav>'
+)
+_FOOTER = (
+    '<footer><div><a href="/privacy">Privacy policy</a> '
+    '<a href="/terms">Terms of service</a> '
+    '<a href="/subscribe">Subscribe to the newsletter</a></div></footer>'
+)
+_ASIDE = (
+    "<aside><ul>"
+    '<li><a href="/rel/1">Related story about data engines</a></li>'
+    '<li><a href="/rel/2">Another related story right here</a></li>'
+    "</ul></aside>"
+)
+
+
+def _html_article(doc_id: int, text: str) -> str:
+    return (
+        "<html><head><title>Article</title><style>body{margin:0}</style></head><body>"
+        f"{_NAV}<header><h1>Article {doc_id}</h1></header>"
+        f"<article><p>{text}</p></article>"
+        f"{_ASIDE}{_FOOTER}</body></html>"
+    )
+
+
+def _html_linkfarm(doc_id: int) -> str:
+    lis = "".join(
+        f'<li><a href="/cat/{doc_id}/{i}">Category listing number {i} with many entries</a></li>'
+        for i in range(12)
+    )
+    return (
+        "<html><head><title>Index</title></head><body>"
+        f'{_NAV}<div class="index"><ul>{lis}</ul><p>Browse all.</p></div>{_FOOTER}'
+        "</body></html>"
+    )
+
+
+def _html_po(doc_id: int) -> str:
+    f = po_fields(doc_id)
+    paras = "".join(f"<p>{ln}</p>" for ln in po_lines(doc_id))
+    # short table cells (<25 chars) exercise table traversal without joining
+    # the main content (each cell block falls under MIN_BLOCK_CHARS)
+    table = (
+        "<table>"
+        f"<tr><th>PO</th><td>{f['po_number']}</td></tr>"
+        f"<tr><th>QTY</th><td>{f['quantity']}</td></tr>"
+        f"<tr><th>CCY</th><td>{f['currency']}</td></tr>"
+        "</table>"
+    )
+    return (
+        "<html><head><title>PO</title></head><body>"
+        f"{_NAV}<header><h1>Purchase order</h1></header>"
+        f"<main>{paras}{table}</main>{_FOOTER}</body></html>"
+    )
+
+
+def _html_report(doc_id: int, text: str) -> str:
+    return (
+        "<html><head><title>Report</title></head><body>"
+        f"{_NAV}<header><h2>Quarterly report {doc_id}</h2></header>"
+        f'<main><div class="content"><p>{text}</p></div></main>'
+        f"{_ASIDE}{_FOOTER}</body></html>"
+    )
+
+
+def _html_blank(doc_id: int) -> str:
+    return (
+        "<html><head><title>.</title></head><body>"
+        '<div>&nbsp;</div><p>.</p></body></html>'
+    )
+
+
+def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False) -> bytes:
+    if is_malformed(doc_id):
+        return b"\xff\xfe\x00<html><body>truncat"
+    if pdf_mode:
+        payload, _ = minipdf.build_from_text(text, shuffle_key=doc_id)
+        return payload
+    a = archetype(doc_id)
+    if a == 0:
+        return _html_article(doc_id, text).encode("utf-8")
+    if a == 1:
+        return _html_linkfarm(doc_id).encode("utf-8")
+    if a == 2:
+        return _html_po(doc_id).encode("utf-8")
+    if a == 3:
+        return _html_report(doc_id, text).encode("utf-8")
+    return _html_blank(doc_id).encode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# corpus builders
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.large_binary()),
+        ("text", pa.large_string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def synth_pages_table(
+    sf_dir: str,
+    *,
+    with_dups: bool = True,
+    with_near_dups: bool = False,
+    pdf_mode: bool = False,
+    copies: int = 1,
+) -> pa.Table:
+    """Build the pages corpus as one Arrow table (small scales only).
+
+    ``copies > 1`` replicates the document set with shifted doc_ids
+    (``doc_id + c * 10_000_000``) to scale the corpus for benchmarks.
+    """
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    urls: list[str] = []
+    tss: list[_dt.datetime] = []
+    payloads: list[bytes] = []
+    goldens: list[str] = []
+    langs: list[str] = []
+
+    base_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    doc_langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+
+    for c in range(copies):
+        off = c * 10_000_000
+        for did, text, lang, source in zip(base_ids, texts, doc_langs, sources):
+            doc_id = did + off
+            url = url_for(doc_id, source)
+            ts = warc_ts_for(doc_id)
+            urls.append(url)
+            tss.append(ts)
+            payloads.append(payload_for(doc_id, text, pdf_mode=pdf_mode))
+            goldens.append(
+                text if pdf_mode and not is_malformed(doc_id)
+                else golden_text(doc_id, text)
+            )
+            if pdf_mode and not is_malformed(doc_id):
+                # golden for pdf_mode is the walk text, computed by construction
+                _, expected = minipdf.build_from_text(text, shuffle_key=doc_id)
+                goldens[-1] = expected
+            langs.append(lang)
+            if with_dups and doc_id % 20 == 0:
+                urls.append(url)
+                tss.append(ts - _dt.timedelta(days=1))
+                payloads.append(_html_blank(doc_id).encode("utf-8"))
+                goldens.append("")  # stale capture; dedup must drop this row
+                langs.append(lang)
+            if with_near_dups and doc_id % 50 == 7 and not is_malformed(doc_id):
+                toks = text.split()
+                toks[0] = "the"
+                near = " ".join(toks)
+                urls.append(url + "?amp=1")
+                tss.append(ts + _dt.timedelta(seconds=1))
+                payloads.append(_html_article(doc_id, near).encode("utf-8"))
+                goldens.append(near)
+                langs.append(lang)
+
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": pa.array(payloads, type=pa.large_binary()),
+            "text": pa.array(goldens, type=pa.large_string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def pages_dataset(sf_dir: str, *, num_blocks: int = 8, **kwargs):
+    """Pages corpus as a ``ray.data.Dataset`` split into ``num_blocks`` blocks.
+
+    At real scale this is ``ray.data.read_parquet`` over the crawl dump; the
+    synthesizer stands in for the dump in-sandbox. ``repartition`` without
+    shuffle just splits blocks so downstream stages parallelize.
+    """
+    import ray.data
+
+    table = synth_pages_table(sf_dir, **kwargs)
+    return ray.data.from_arrow(table).repartition(num_blocks)
+
+
+def write_pages_corpus(out_dir: str, sf_dir: str, *, shards: int = 8, **kwargs) -> str:
+    """Materialize the corpus to sharded Parquet (bench reads it back)."""
+    import os
+
+    table = synth_pages_table(sf_dir, **kwargs)
+    os.makedirs(out_dir, exist_ok=True)
+    n = table.num_rows
+    per = (n + shards - 1) // shards
+    for s in range(shards):
+        chunk = table.slice(s * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(out_dir, f"pages-{s:05d}.parquet"))
+    return out_dir

@@ -1,0 +1,225 @@
+"""Deduplication operators (SURVEY §2.8 + training-data-pipeline extensions).
+
+The reference has no dedup (its unit of work is one uploaded file); at
+Common-Crawl scale the pages table has url re-captures and near-duplicate
+content, so the engine provides:
+
+- ``dedup_latest``      exact dedup by key, latest-timestamp wins
+  (hash-partition shuffle on the key + per-group first — SURVEY §7.4).
+- ``dedup_exact_first`` exact content dedup: md5(content) groups, min-id wins.
+- MinHash + LSH near-dup (``minhash_batch`` → band explode →
+  ``groupby(band_key)`` → candidate pairs → Jaccard verify) — the
+  shingle→minhash→band→bucket pipeline from the MinHash/LSH literature
+  (Broder 1997; Leskovec-Rajaraman-Ullman ch.3).
+- SimHash (Charikar 2002) 64-bit fingerprints + Hamming-ball grouping.
+- n-gram Jaccard verification kernel (used by both LSH and as a standalone).
+
+Scale notes: minhash signatures are computed vectorized per batch (numpy
+universal hashing — no per-shingle Python hashing); the only all-to-all
+exchange is the tiny ``(band_id, band_hash, id)`` table, never the payload.
+Candidate verification joins text back via an id→text broadcast only at
+test scale; at 100 TB it would be a bucket-partitioned self-join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# 2^31-1: products a*x stay < 2^62, so (a*x+b) % p is exact in uint64
+_MERSENNE = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_latest(ds, key: str = "url", ts: str = "warc_ts"):
+    """Keep the latest capture per key. One shuffle, keyed on ``key``.
+
+    Keys are near-unique (dup rate is a few %), so there is no group skew;
+    the group fn is vectorized pandas (idxmax per group of 1-2 rows).
+    """
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 1:
+            return g
+        return g.loc[[g[ts].idxmax()]]
+
+    return ds.groupby(key).map_groups(latest, batch_format="pandas")
+
+
+def add_md5(ds, col: str = "text", out: str = "content_md5"):
+    """Vectorized-ish content hash column (md5 hex) for exact content dedup."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        hashes = [hashlib.md5(v.encode("utf-8") if isinstance(v, str) else v).hexdigest() for v in vals]
+        return batch.append_column(out, pa.array(hashes, type=pa.string()))
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+def dedup_exact_first(ds, id_col: str, content_col: str = "text"):
+    """Exact content dedup: group by md5(content), keep the min-id row."""
+    hashed = add_md5(ds, col=content_col)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[id_col].idxmin()]]
+
+    out = hashed.groupby("content_md5").map_groups(first, batch_format="pandas")
+    return out.drop_columns(["content_md5"])
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash (vectorized)
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word k-shingles (stable across runs)."""
+    toks = text.split()
+    if len(toks) < k:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in shingles),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+    return out
+
+
+def minhash_signature(text: str, perm_a: np.ndarray, perm_b: np.ndarray, k: int = 3) -> np.ndarray:
+    """num_perm MinHash values via universal hashing ((a*x+b) mod p) — one
+    vectorized numpy op over all shingles × permutations."""
+    h = _shingle_hashes(text, k)
+    if h.size == 0:
+        return np.full(perm_a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    x64 = h % np.uint64(_MERSENNE)
+    vals = (perm_a[:, None] * x64[None, :] + perm_b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def make_permutations(num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """Actor-pool stage: permutations built once per actor (SURVEY §2.4 T2
+    pattern), signatures appended per batch."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+        self.a, self.b = make_permutations(num_perm, seed)
+        self.k = shingle_k
+        self.num_perm = num_perm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [minhash_signature(t or "", self.a, self.b, self.k).tolist() for t in texts]
+        return batch.append_column("minhash", pa.array(sigs, type=pa.list_(pa.uint64())))
+
+
+def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16):
+    """MinHash-LSH: signature → band rows → groupby(band bucket) → pairs.
+
+    Returns a Dataset of candidate pairs ``(id_a, id_b)`` (id_a < id_b,
+    deduplicated). Only the (band_hash, id) projection is shuffled.
+    """
+    rows_per_band = num_perm // bands
+    sigged = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"num_perm": num_perm},
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, keys = [], []
+        ids = batch.column(id_col).to_pylist()
+        sigs = batch.column("minhash").to_pylist()
+        for i, sig in zip(ids, sigs):
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                digest = hashlib.md5(
+                    (str(b) + ":" + ",".join(map(str, chunk))).encode()
+                ).hexdigest()[:16]
+                ids_out.append(i)
+                keys.append(digest)
+        return pa.table({id_col: pa.array(ids_out), "band_key": pa.array(keys)})
+
+    bandrows = sigged.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                                 "id_b": pd.Series([], dtype=g[id_col].dtype)})
+        ids = sorted(g[id_col].tolist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i]); b.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cand = bandrows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Word-k-gram Jaccard similarity (verification kernel)."""
+    sa = set(map(tuple, _zip_ngrams(a, k)))
+    sb = set(map(tuple, _zip_ngrams(b, k)))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _zip_ngrams(text: str, k: int):
+    toks = text.split()
+    if len(toks) < k:
+        return [tuple(toks)] if toks else []
+    return [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (Charikar 2002)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in set(text.split()):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def add_simhash(ds, text_col: str = "text", out: str = "simhash"):
+    def f(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column(out, pa.array(vals, type=pa.uint64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,290 @@
+"""Per-category entity extraction (SURVEY §2.2 M17-M26).
+
+Rebuilt extractors (reference under /root/reference/):
+
+- ``extract_po``           purchase-order fields — PO number before DATED,
+  seller/buyer blocks, goods description, quantity+unit, currency+total,
+  incoterms (entity_extraction_updated/extractor/purchase_order.py:5-84, M17).
+- ``extract_generic``      common regexes: dates, amounts, numbers, emails,
+  phones (microservices/entity-extraction-service/app.py:781-829, M20).
+- ``detect_tables``        text→table detection: lines split on 2+ spaces /
+  tabs, runs of ≥2-column lines (app.py:831-851, M21).
+- ``autodetect_doc_type``  keyword-hit argmax (app.py:757-779, M22).
+- ``parse_goods_table``    proforma-invoice goods parser — header anchor then
+  ``rsplit(" ", 5)`` from the right: desc/hs/qty/unit/price/amount
+  (extractor/performa_invoice.py:43-65, M18).
+- ``match_entity_boxes``   entity↔word-box matcher: exact → consecutive
+  multi-word → substring match, merged bbox (app.py:890-966, M23) —
+  an in-row join of two lists living in the same row; zero shuffle.
+- ``validate_field_formats`` date/number/amount/email checks (app.py:853-888, M24).
+- ``completeness_score``   present/expected ratio + non-empty ratio
+  (app.py:969-999, M26).
+
+Dispatch by the ``category`` column inside one ``map_batches`` stage — the
+classification→extraction handoff that the reference does via a filesystem
+rendezvous (J1) collapses to an in-row column read here.
+
+All extractors are pure regex/string functions: deterministic, batch-looped
+(regex per document is inherently per-row), compiled once per worker at
+module import (T2 pattern).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pyarrow as pa
+
+from documentai_ray.functions.text import try_parse_number
+
+# -- purchase order (M17) ----------------------------------------------------
+
+_PO_RES = {
+    "po_number": re.compile(r"PO NUMBER:\s*(PO-\d+)"),
+    "po_date": re.compile(r"DATED\s+(\d{2}\.\d{2}\.\d{4})"),
+    "seller": re.compile(r"^SELLER:\s*(.+)$", re.MULTILINE),
+    "buyer": re.compile(r"^BUYER:\s*(.+)$", re.MULTILINE),
+    "goods": re.compile(r"^DESCRIPTION OF GOODS:\s*(.+)$", re.MULTILINE),
+    "qty_unit": re.compile(r"QUANTITY:\s*([\d,.]+)\s+([A-Z]{2,4})\b"),
+    "ccy_total": re.compile(r"TOTAL AMOUNT:\s*([A-Z]{3})\s+([\d,.]+)"),
+    "incoterms": re.compile(r"([A-Z]{3} [A-Z ]+\(INCOTERMS \d{4}\))"),
+}
+
+PO_FIELDS = [
+    "po_number", "po_date", "seller", "buyer", "goods",
+    "quantity", "unit", "currency", "total_amount", "incoterms",
+]
+
+
+def extract_po(text: str) -> dict[str, str]:
+    """Flat string→string entity dict (empty string when a field misses),
+    matching the reference's stringly-typed entity record (SURVEY §1.2)."""
+    out = {f: "" for f in PO_FIELDS}
+    m = _PO_RES["po_number"].search(text)
+    if m:
+        out["po_number"] = m.group(1)
+    m = _PO_RES["po_date"].search(text)
+    if m:
+        out["po_date"] = m.group(1)
+    for f in ("seller", "buyer", "goods"):
+        m = _PO_RES[f].search(text)
+        if m:
+            out[f] = m.group(1).strip()
+    m = _PO_RES["qty_unit"].search(text)
+    if m:
+        out["quantity"], out["unit"] = m.group(1), m.group(2)
+    m = _PO_RES["ccy_total"].search(text)
+    if m:
+        out["currency"], out["total_amount"] = m.group(1), m.group(2)
+    m = _PO_RES["incoterms"].search(text)
+    if m:
+        out["incoterms"] = m.group(1)
+    return out
+
+
+# -- generic extractor (M20) -------------------------------------------------
+
+_GENERIC_RES = {
+    "dates": re.compile(r"\b\d{2}[./-]\d{2}[./-]\d{4}\b"),
+    "amounts": re.compile(r"\b[A-Z]{3}\s+[\d,]+(?:\.\d{2})?\b"),
+    "numbers": re.compile(r"\b\d[\d,]*(?:\.\d+)?\b"),
+    "emails": re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.]+\b"),
+    "phones": re.compile(r"\+?\d[\d\s()-]{7,}\d"),
+}
+
+
+def extract_generic(text: str) -> dict[str, list[str]]:
+    return {name: rx.findall(text) for name, rx in _GENERIC_RES.items()}
+
+
+# -- text→table detection (M21) ---------------------------------------------
+
+_COLSPLIT = re.compile(r"\s{2,}|\t")
+
+
+def detect_tables(text: str) -> list[list[list[str]]]:
+    """Runs of ≥2 consecutive lines that split into ≥2 columns."""
+    tables: list[list[list[str]]] = []
+    run: list[list[str]] = []
+    for line in text.split("\n"):
+        cells = [c for c in _COLSPLIT.split(line.strip()) if c]
+        if len(cells) >= 2:
+            run.append(cells)
+        else:
+            if len(run) >= 2:
+                tables.append(run)
+            run = []
+    if len(run) >= 2:
+        tables.append(run)
+    return tables
+
+
+# -- keyword doc-type autodetect (M22) --------------------------------------
+
+DOC_TYPE_KEYWORDS = {
+    "purchase_order": ["po number", "incoterms", "net weight"],
+    "invoice": ["invoice", "hs code", "unit price"],
+    "report": ["report", "quarter", "summary"],
+}
+
+
+def autodetect_doc_type(text: str) -> str:
+    low = text.lower()
+    best, best_hits = "unknown", 0
+    for dt in sorted(DOC_TYPE_KEYWORDS):
+        hits = sum(low.count(kw) for kw in DOC_TYPE_KEYWORDS[dt])
+        if hits > best_hits:
+            best, best_hits = dt, hits
+    return best
+
+
+# -- proforma goods-table parser (M18) --------------------------------------
+
+_GOODS_HEADER = re.compile(r"DESCRIPTION\s+HS ?CODE\s+QTY\s+UNIT\s+PRICE\s+AMOUNT", re.I)
+
+
+def parse_goods_table(text: str) -> list[dict[str, str]]:
+    """Header-anchored rows; each row ``rsplit(" ", 5)`` from the right —
+    description may contain spaces, the 5 numeric-ish columns may not
+    (performa_invoice.py:56-64 semantics)."""
+    m = _GOODS_HEADER.search(text)
+    if not m:
+        return []
+    goods: list[dict[str, str]] = []
+    for line in text[m.end():].split("\n"):
+        line = line.strip()
+        if not line:
+            if goods:
+                break
+            continue
+        parts = line.rsplit(" ", 5)
+        if len(parts) != 6:
+            break
+        desc, hs, qty, unit, price, amount = parts
+        if try_parse_number(qty) is None or try_parse_number(amount) is None:
+            break
+        goods.append(
+            {"description": desc, "hs_code": hs, "quantity": qty,
+             "unit": unit, "unit_price": price, "amount": amount}
+        )
+    return goods
+
+
+# -- entity ↔ word-box matching (M23) ---------------------------------------
+
+def match_entity_boxes(
+    entities: dict[str, str], boxes: list[dict[str, Any]]
+) -> dict[str, dict[str, Any] | None]:
+    """Exact single-box → consecutive multi-word → substring matching with
+    bbox merge; first match wins (reference order, app.py:890-966)."""
+    out: dict[str, dict[str, Any] | None] = {}
+    texts = [b["text"] for b in boxes]
+    low = [t.lower() for t in texts]
+    for field, value in entities.items():
+        out[field] = None
+        if not value:
+            continue
+        val = value.strip().lower()
+        # 1) exact one-box match
+        for b, t in zip(boxes, low):
+            if t == val:
+                out[field] = dict(b)
+                break
+        if out[field] is not None:
+            continue
+        words = val.split()
+        if len(words) > 1:
+            # 2) consecutive multi-word run
+            for i in range(len(low) - len(words) + 1):
+                if low[i : i + len(words)] == words:
+                    out[field] = _merge_boxes(boxes[i : i + len(words)])
+                    break
+            if out[field] is not None:
+                continue
+        # 3) substring containment (value inside one box or box inside value)
+        for b, t in zip(boxes, low):
+            if val in t or (len(t) > 2 and t in val):
+                out[field] = dict(b)
+                break
+    return out
+
+
+def _merge_boxes(run: list[dict[str, Any]]) -> dict[str, Any]:
+    return {
+        "text": " ".join(b["text"] for b in run),
+        "page": run[0]["page"],
+        "x0": min(b["x0"] for b in run),
+        "y0": min(b["y0"] for b in run),
+        "x1": max(b["x1"] for b in run),
+        "y1": max(b["y1"] for b in run),
+        "conf": min(b["conf"] for b in run),
+    }
+
+
+# -- field-format validators (M24) + completeness (M26) ---------------------
+
+_FMT_RES = {
+    "date": re.compile(r"^\d{2}[./-]\d{2}[./-]\d{4}$"),
+    "amount": re.compile(r"^[\d,]+(?:\.\d+)?$"),
+    "email": re.compile(r"^[\w.+-]+@[\w-]+\.[\w.]+$"),
+    "currency": re.compile(r"^[A-Z]{3}$"),
+}
+
+
+def validate_field_formats(entities: dict[str, str]) -> dict[str, bool]:
+    checks = {}
+    for field, value in entities.items():
+        if not value:
+            checks[field] = False
+        elif "date" in field:
+            checks[field] = bool(_FMT_RES["date"].match(value))
+        elif field in ("total_amount", "quantity"):
+            checks[field] = bool(_FMT_RES["amount"].match(value))
+        elif field == "currency":
+            checks[field] = bool(_FMT_RES["currency"].match(value))
+        else:
+            checks[field] = True
+    return checks
+
+
+def completeness_score(entities: dict[str, str], expected_fields: list[str]) -> float:
+    if not expected_fields:
+        return 0.0
+    present = sum(1 for f in expected_fields if entities.get(f))
+    return present / len(expected_fields)
+
+
+# ---------------------------------------------------------------------------
+# batch stage: dispatch on category (J1 collapsed in-row)
+# ---------------------------------------------------------------------------
+
+def entities_batch(batch: pa.Table) -> pa.Table:
+    """Appends flat PO entity columns (empty for non-PO rows) plus
+    ``doc_type`` and ``completeness``. Keeps output columnar/flat so the
+    DuckDB oracle can compare column-by-column."""
+    texts = batch.column("text").to_pylist()
+    cats = (
+        batch.column("category").to_pylist()
+        if "category" in batch.column_names
+        else [autodetect_doc_type(t or "") for t in texts]
+    )
+    cols: dict[str, list] = {f: [] for f in PO_FIELDS}
+    doc_types: list[str] = []
+    completeness: list[float] = []
+    for text, cat in zip(texts, cats):
+        text = text or ""
+        if cat == "purchase_order":
+            ents = extract_po(text)
+        else:
+            ents = {f: "" for f in PO_FIELDS}
+        for f in PO_FIELDS:
+            cols[f].append(ents[f])
+        doc_types.append(autodetect_doc_type(text))
+        completeness.append(completeness_score(ents, PO_FIELDS))
+    out = batch
+    for f in PO_FIELDS:
+        out = out.append_column(f, pa.array(cols[f], pa.string()))
+    out = out.append_column("doc_type", pa.array(doc_types, pa.string()))
+    out = out.append_column("completeness", pa.array(completeness, pa.float64()))
+    return out

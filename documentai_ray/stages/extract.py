@@ -1,0 +1,203 @@
+"""Main-content extraction — the byte-identity-critical operator (SURVEY §2.2 M1/M2).
+
+Two payload paths behind one ``map_batches`` UDF, dispatched per row on the
+payload bytes:
+
+- **HTML** → DOM-heuristic main-content extraction: the document is segmented
+  into text blocks at block-level element boundaries; each block carries its
+  text length and link-text length; boilerplate is stripped with a
+  trafilatura/readability-style rule (semantic containers ``nav/header/
+  footer/aside`` dropped; short blocks dropped; high link-density blocks
+  dropped). This plays the role of the reference's native text extraction
+  ``page.get_text()`` joined with ``"\\n"``
+  (/root/reference/microservices/entity-extraction-service/app.py:515-533).
+- **MINIPDF binary** → page→block→line→span walk with reading-order sort
+  (reference layout walk, app.py:547-593), emitting word boxes.
+
+Canonical serialization (the spec that makes byte-identical output possible,
+SURVEY §7.5 risk 1): content blocks joined with ``"\\n"``; block text is
+whitespace-collapsed; no other normalization. Scores may be float-tolerant;
+text may not — this module contains no floating-point math on the text path.
+
+Row-level failure semantics: any per-row exception (bad UTF-8, truncated
+payload, codec error) becomes an error record (``text=""``,
+``error=<reason>``) and the job continues — mirroring the reference's
+convert-exception-to-error-row behavior (documentClassifier.py:888-896).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Any
+
+import pyarrow as pa
+
+from documentai_ray.functions import minipdf
+from documentai_ray.functions.text import collapse_ws
+
+# ---------------------------------------------------------------------------
+# HTML block segmentation
+# ---------------------------------------------------------------------------
+
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "h1", "h2", "h3", "h4", "h5",
+    "h6", "li", "ul", "ol", "table", "tr", "td", "th", "blockquote", "pre",
+    "nav", "header", "footer", "aside", "body", "form", "figure", "figcaption",
+}
+IGNORE_TAGS = {"script", "style", "noscript", "template", "head", "title", "svg"}
+STRIP_TAGS = {"nav", "header", "footer", "aside"}
+VOID_TAGS = {"br", "hr", "img", "meta", "link", "input"}
+
+MIN_BLOCK_CHARS = 25        # blocks shorter than this are boilerplate/headline noise
+MAX_LINK_DENSITY = 0.30     # blocks with more link text than this are navigation
+
+
+@dataclass
+class _Block:
+    parts: list[str] = field(default_factory=list)
+    link_parts: list[str] = field(default_factory=list)
+
+    def text(self) -> str:
+        return collapse_ws("".join(self.parts))
+
+    def link_chars(self) -> int:
+        return len(collapse_ws("".join(self.link_parts)))
+
+
+class _BlockParser(HTMLParser):
+    """Flat block segmentation with ancestor tracking (single pass)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block()
+        self._ignore_depth = 0
+        self._strip_depth = 0
+        self._link_depth = 0
+
+    # -- tag events ---------------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur.parts:
+            self.blocks.append(self._cur)
+            self._cur = _Block()
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in VOID_TAGS:
+            if tag == "br":
+                self._cur.parts.append(" ")
+            return
+        if tag in IGNORE_TAGS:
+            self._ignore_depth += 1
+            return
+        if tag in STRIP_TAGS:
+            self._strip_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        if tag in IGNORE_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in STRIP_TAGS:
+            self._strip_depth = max(0, self._strip_depth - 1)
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    # -- text events --------------------------------------------------------
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or self._strip_depth or not data:
+            return
+        self._cur.parts.append(data)
+        if self._link_depth:
+            self._cur.link_parts.append(data)
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._flush()
+
+
+def html_main_content(html_text: str) -> str:
+    """Extract main content from an HTML string per the canonical spec."""
+    parser = _BlockParser()
+    parser.feed(html_text)
+    parser.close()
+    out: list[str] = []
+    for b in parser.blocks:
+        t = b.text()
+        if len(t) < MIN_BLOCK_CHARS:
+            continue
+        if b.link_chars() / max(1, len(t)) > MAX_LINK_DENSITY:
+            continue
+        out.append(t)
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# batch UDF
+# ---------------------------------------------------------------------------
+
+WORD_BOX_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("text", pa.string()),
+            ("page", pa.int32()),
+            ("x0", pa.float32()),
+            ("y0", pa.float32()),
+            ("x1", pa.float32()),
+            ("y1", pa.float32()),
+            ("conf", pa.float32()),
+        ]
+    )
+)
+
+
+def extract_one(payload: bytes) -> tuple[str, str, str, list[dict[str, Any]]]:
+    """→ (text, payload_kind, error, word_boxes) for a single payload."""
+    try:
+        if minipdf.is_minipdf(payload):
+            text, boxes = minipdf.walk(payload)
+            return text, "pdf", "", boxes
+        html_text = payload.decode("utf-8")  # strict: bad bytes → error row
+        return html_main_content(html_text), "html", "", []
+    except Exception as exc:  # row-level degradation, never fail the block
+        return "", "error", f"{type(exc).__name__}: {exc}"[:200], []
+
+
+def extract_batch(batch: pa.Table, *, keep_payload: bool = False) -> pa.Table:
+    """Arrow-in/Arrow-out extraction over one batch.
+
+    The HTML parse is inherently per-document (a Python loop over the batch),
+    but everything around it is Arrow: zero-copy input, columnar output, and
+    the payload column is projected away on output (SURVEY §7.5 risk 3 —
+    avoid write amplification of multi-MB binary rows).
+    """
+    payloads = batch.column("html").to_pylist()
+    texts: list[str] = []
+    kinds: list[str] = []
+    errors: list[str] = []
+    boxes: list[list[dict[str, Any]]] = []
+    for p in payloads:
+        t, k, e, b = extract_one(p)
+        texts.append(t)
+        kinds.append(k)
+        errors.append(e)
+        boxes.append(b)
+    cols: dict[str, pa.Array] = {}
+    for name in batch.column_names:
+        if name == "html" and not keep_payload:
+            continue
+        if name == "text":  # input golden column, replaced by extracted text
+            continue
+        cols[name] = batch.column(name)
+    cols["text"] = pa.array(texts, type=pa.large_string())
+    cols["payload_kind"] = pa.array(kinds, type=pa.string())
+    cols["error"] = pa.array(errors, type=pa.string())
+    cols["word_boxes"] = pa.array(boxes, type=WORD_BOX_TYPE)
+    return pa.table(cols)

@@ -1,0 +1,96 @@
+"""Explicit url-hash partitioning with salted keys for skew-heavy hosts.
+
+North-rule requirement: partitioning / shuffle / skew handled explicitly.
+The reference's only answer to skew is hard caps (50 MB / 200 pages —
+SURVEY §4); at crawl scale one host can own 30-50 % of rows (the synthetic
+corpus deliberately gives ``heavy.example.com`` ~33 %).
+
+Design:
+
+- The *partition key* is the url's host — co-locating a host's pages is the
+  useful locality unit — EXCEPT for detected heavy hosts, whose key is
+  salted ``host#<crc32(url) % k>`` so one host spreads over ``k`` buckets.
+- The *bucket* is ``crc32(partition_key) % n_buckets`` — content-addressed,
+  independent of task count / parallelism, so a resume at different
+  parallelism still matches completed buckets (SURVEY §7.5 risk 7).
+- Heavy hosts are detected with a cheap partial-aggregation pre-pass
+  (per-batch host counts → tiny ``groupby(host).sum``), never a full
+  shuffle of the payload.
+"""
+
+from __future__ import annotations
+
+import zlib
+from urllib.parse import urlsplit
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def host_of(url: str) -> str:
+    return urlsplit(url).netloc
+
+
+def crc32_str(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def partition_key(url: str, heavy_hosts: dict[str, int]) -> str:
+    host = host_of(url)
+    k = heavy_hosts.get(host)
+    if not k:
+        return host
+    return f"{host}#{crc32_str(url) % k}"
+
+
+def bucket_of(url: str, n_buckets: int, heavy_hosts: dict[str, int]) -> int:
+    return crc32_str(partition_key(url, heavy_hosts)) % n_buckets
+
+
+def add_bucket_column(ds, n_buckets: int, heavy_hosts: dict[str, int]):
+    """Append ``bucket:int32`` from the url column (stateless map_batches)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        buckets = np.fromiter(
+            (bucket_of(u, n_buckets, heavy_hosts) for u in urls),
+            dtype=np.int32, count=len(urls),
+        )
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def detect_heavy_hosts(ds, *, share_threshold: float = 0.10, salt_k: int = 8) -> dict[str, int]:
+    """Pre-pass heavy-hitter detection via partial aggregation.
+
+    Per-batch host value_counts (tiny per-batch output: one row per distinct
+    host per batch) → small ``groupby(host).sum`` → hosts above
+    ``share_threshold`` of total rows get salt factor ``salt_k``.
+    Only (host, n) pairs are shuffled — never payloads.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = [host_of(u) for u in batch.column("url").to_pylist()]
+        vc = pd.Series(hosts).value_counts()
+        return pa.table(
+            {"host": pa.array(vc.index.tolist(), pa.string()),
+             "n": pa.array(vc.values, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.select_columns(["url"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # one row per distinct host — small by construction
+    )
+    total = int(counts["n"].sum())
+    if total == 0:
+        return {}
+    heavy = counts[counts["n"] / total >= share_threshold]
+    return {h: salt_k for h in heavy["host"].tolist()}
