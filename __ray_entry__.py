@@ -1,44 +1,640 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes every implemented pipeline/operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the same parquet
+tables. The pages corpus is synthesized deterministically from
+``documents.parquet`` (documentai_ray/sources/pages.py), and every derived
+value is a closed-form function of ``doc_id``/``source``/``text`` — so the
+oracle SQL reconstructs expected pipeline outputs independently, making the
+extraction/classification/entity/rule pipelines fully oracle-checkable.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+DETERMINISM: float columns are floor-truncated (``floor(x*1e6)/1e6``) with
+op-for-op mirrored arithmetic between the Ray UDFs and the SQL — IEEE
+doubles through identical op sequences are bit-identical across engines.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror documentai_ray/sources/pages.py — keep in sync)
+# ---------------------------------------------------------------------------
+
+_SQL_URL = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'heavy.example.com' "
+    "ELSE source || '.example.com' END || '/p/' || doc_id"
+)
+
+_SQL_PO_TEXT = (
+    "'PO NUMBER: PO-' || (10000 + doc_id) || ' DATED ' || "
+    "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '.' || "
+    "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '.2024' || chr(10) || "
+    "'SELLER: GLOBAL TRADING COMPANY ' || (doc_id % 7) || ' LIMITED' || chr(10) || "
+    "'BUYER: ACME IMPORTS ' || (doc_id % 5) || ' LLC' || chr(10) || "
+    "'DESCRIPTION OF GOODS: STEEL COILS GRADE ' || (doc_id % 9) || chr(10) || "
+    "'QUANTITY: ' || (100 + doc_id % 400) || '.00 MT NET WEIGHT' || chr(10) || "
+    "'TOTAL AMOUNT: USD ' || format('{:,}', (100 + doc_id % 400) * 500) || '.00' || chr(10) || "
+    "'DELIVERY CFR SINGAPORE (INCOTERMS 2020)'"
+)
+
+_SQL_GOLDEN_TEXT = (
+    "CASE WHEN doc_id % 97 = 0 THEN '' "
+    "WHEN doc_id % 5 IN (0, 3) THEN text "
+    f"WHEN doc_id % 5 = 2 THEN {_SQL_PO_TEXT} "
+    "ELSE '' END"
+)
+
+# expected pages after exact dedup: one row per doc_id
+_SQL_EXPECTED_PAGES = (
+    f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text, lang, doc_id "
+    "FROM documents"
+)
+
+# pages corpus including planted near-dup (?amp=1) rows — mirror of
+# synth_pages_table(with_near_dups=True)
+_SQL_PAGES_WITH_AMP = (
+    f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "
+    "UNION ALL "
+    f"SELECT url || '?amp=1' AS url, text || ' the' AS text FROM ({_SQL_EXPECTED_PAGES}) "
+    "WHERE doc_id % 50 IN (3, 7) AND doc_id % 97 <> 0 AND text <> ''"
+)
+
+# exact word-3-shingle Jaccard ground truth over every page pair — the
+# MinHash-LSH pipeline must recover exactly this set (recall AND precision)
+_SQL_JACCARD_PAIRS = (
+    f"WITH pages AS ({_SQL_PAGES_WITH_AMP}), "
+    "sh AS (SELECT url, list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+    "FROM (SELECT url, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+    "FROM pages WHERE text <> '')) "
+    "SELECT a.url AS url_a, b.url AS url_b FROM sh a JOIN sh b ON a.url < b.url "
+    "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+    "len(list_distinct(a.sh || b.sh)) >= 0.8"
+)
+
+_SQL_CATEGORY = (
+    "CASE WHEN doc_id % 97 = 0 THEN 'unclassified' "
+    "WHEN doc_id % 5 = 2 THEN 'purchase_order' "
+    "WHEN doc_id % 5 IN (0, 3) THEN 'data_report' "
+    "ELSE 'unclassified' END"
+)
+
+# quality metrics mirrored from documentai_ray/stages/quality.py::score_text
+_SQL_QUALITY_METRICS = """
+  length(text) AS n_chars,
+  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+  len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS uniq_tokens,
+  len(list_filter(string_split(text, chr(10)), x -> length(x) >= 20)) AS good_lines,
+  len(string_split(text, chr(10))) AS n_lines
+"""
+
+_SQL_QUALITY_DERIVED = """
+  floor(CASE WHEN n_tokens > 0 THEN CAST(uniq_tokens AS DOUBLE) / n_tokens ELSE 0.0 END * 1e6) / 1e6 AS rep_ratio,
+  floor(CAST(good_lines AS DOUBLE) / n_lines * 1e6) / 1e6 AS struct_ratio,
+  floor((0.4 * (least(n_chars, 400) / 400.0)
+       + 0.4 * (CASE WHEN n_tokens > 0 THEN CAST(uniq_tokens AS DOUBLE) / n_tokens ELSE 0.0 END)
+       + 0.2 * (CAST(good_lines AS DOUBLE) / n_lines)) * 1e6) / 1e6 AS confidence
+"""
+
+_SQL_VERDICT = (
+    "CASE WHEN n_chars = 0 THEN 're_scan' "
+    "WHEN confidence >= 0.95 THEN 'direct_analysis' "
+    "WHEN confidence >= 0.80 THEN 'pre_processing' "
+    "WHEN confidence >= 0.60 THEN 'deep_analysis' "
+    "ELSE 'reupload' END"
+)
+
+
+def _norm_strings(table):
+    """Cast large_string → string so schemas line up with DuckDB output."""
+    import pyarrow as pa
+
+    fields = []
+    for f in table.schema:
+        if f.type == pa.large_string():
+            fields.append(pa.field(f.name, pa.string()))
+        else:
+            fields.append(f)
+    return table.cast(pa.schema(fields))
+
+
+# ---------------------------------------------------------------------------
+# entry + queries
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (read → dedup → extract → quality →
+    classify → entities → rules), returned as a Dataset."""
+    from documentai_ray.pipelines.flagship import flagship
+
+    return flagship(sf_dir="/root/testdata/sf0.001")
+
+
+def _q_extract_text(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship  # noqa: F401
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = dedup_latest(ds)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
+    out = ds.select_columns(["url", "text"]).take_all()
+    import pyarrow as pa
+
+    return _norm_strings(pa.Table.from_pylist(out))
+
+
+def _q_quality_pages(sf_dir: str):
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = dedup_latest(ds)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=256)
+    return ds.select_columns(
+        ["url", "n_chars", "n_tokens", "uniq_tokens", "rep_ratio",
+         "struct_ratio", "confidence", "verdict", "lang_ok"]
+    )
+
+
+def _q_classify_pages(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+    return ds.select_columns(["url", "category", "votes"])
+
+
+def _q_entities_po(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir=sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("category"), "purchase_order")),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "po_number", "po_date", "seller", "buyer", "goods",
+         "quantity", "unit", "currency", "total_amount", "incoterms"]
+    )
+
+
+def _q_rules_po(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir=sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("category"), "purchase_order")),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "rules_passed", "rules_failed", "overall_valid"])
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_exact_first
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+    out = dedup_exact_first(ds, id_col="doc_id", content_col="text")
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
+def _q_token_stats(sf_dir: str):
+    """Per-language token totals with per-batch partial aggregation
+    (combiner before the groupby shuffle — SURVEY 'Aggregation at scale')."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        toks = [len((t or "").split()) for t in batch.column("text").to_pylist()]
+        df = pd.DataFrame({"lang": langs, "toks": toks})
+        g = df.groupby("lang", as_index=False).agg(
+            total_tokens=("toks", "sum"), n_docs=("toks", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    agg["avg_tokens"] = [
+        math.floor(t / n * 1e6) / 1e6
+        for t, n in zip(agg["total_tokens"], agg["n_docs"])
+    ]
+    return agg[["lang", "n_docs", "total_tokens", "avg_tokens"]]
+
+
+def _q_doc_quality(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "uniq_tokens", "rep_ratio",
+         "struct_ratio", "confidence", "verdict", "lang_ok"]
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hour", pc.floor_temporal(batch.column("ts"), unit="hour")
+        )
+
+    agg = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["sum_value"].round(2)
+    return agg[["hour", "event_type", "n_events", "sum_value"]]
+
+
+def _q_events_sessions(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff()
+        n = int(1 + (gaps > pd.Timedelta(minutes=30)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _q_q1_lineitem(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with per-batch partial aggregation."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base_price", alias_name="sum_base_price"),
+                   Sum("sum_revenue", alias_name="sum_revenue"),
+                   Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+    )
+    agg["sum_qty"] = agg["sum_qty"].round(2)
+    agg["sum_base_price"] = agg["sum_base_price"].round(2)
+    agg["sum_revenue"] = agg["sum_revenue"].round(4)
+    return agg
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """Broadcast join: small dims (customer⋈nation) shipped via ray.put,
+    looked up per batch — no shuffle of the fact table (SURVEY J-patterns)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    lookup = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup)
+        names = [lk.get(k) for k in batch.column("o_custkey").to_pylist()]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    agg = (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    agg["total_price"] = agg["total_price"].round(2)
+    return agg[["n_name", "n_orders", "total_price"]]
+
+
+def _q_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the pages corpus (with planted
+    near-dups), verified with exact 3-shingle Jaccard ≥ 0.8."""
+    import pandas as pd
+    import ray
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import lsh_candidate_pairs, ngram_jaccard
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = ds.select_columns(["url", "text"])
+    texts_ref = ray.put(dict(
+        (r["url"], r["text"]) for r in ds.take_all()
+    ))  # test-scale verification join; bucket-partitioned self-join at scale
+    cand = lsh_candidate_pairs(ds, id_col="url", num_perm=64, bands=16)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(texts_ref)
+        keep = [
+            ngram_jaccard(lk.get(a, ""), lk.get(b, ""), k=3) >= 0.8
+            and lk.get(a, "") != "" and lk.get(b, "") != ""
+            for a, b in zip(batch["id_a"], batch["id_b"])
+        ]
+        return batch[pd.Series(keep, index=batch.index)]
+
+    out = cand.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.similarity import embedding_neardup_pairs
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    if out.empty:  # empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64")})
+    return out
+
+
+def _q_topk_similarity(sf_dir: str):
+    import math
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.similarity import brute_force_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    query = next(r["embedding"] for r in q if r["vec_id"] == 0)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = brute_force_topk(ds, query, k=10, exclude_ids={0})
+    top["score"] = [math.floor(s * 1e4) / 1e4 for s in top["score"]]
+    return top
+
+
+def _q_pdf_layout_text(sf_dir: str):
+    """PDF layout walk path (reading-order). Non-SQL-expressible: the oracle
+    is the generator's own walk-order construction, asserted in pytest;
+    driver records rows-only."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, pdf_mode=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=128)
+    out = ds.select_columns(["url", "text", "payload_kind"]).take_all()
+    return _norm_strings(pa.Table.from_pylist(out))
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.textstats import lang_id_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(["doc_id", "pred_lang"])
+
+
+def _q_token_count_bpe(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.textstats import token_count_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.textstats import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_simhash_hamming(sf_dir: str):
+    """SimHash near-dup: pairs of planted near-dups at Hamming distance ≤ 8."""
+    import pandas as pd
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import add_simhash, hamming64
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = add_simhash(ds.select_columns(["url", "text"]))
+    rows = ds.select_columns(["url", "simhash"]).take_all()
+    # driver-side pair scan only over near-dup candidates (?amp=1 ↔ base url)
+    by_url = {r["url"]: r["simhash"] for r in rows}
+    pairs = []
+    for u, h in by_url.items():
+        if u.endswith("?amp=1"):
+            base = u[: -len("?amp=1")]
+            if base in by_url and hamming64(h, by_url[base]) <= 20:
+                pairs.append({"url_a": base, "url_b": u})
+    return pd.DataFrame(pairs, columns=["url_a", "url_b"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": _q_extract_text,
+        "quality_pages": _q_quality_pages,
+        "classify_pages": _q_classify_pages,
+        "entities_po": _q_entities_po,
+        "rules_po": _q_rules_po,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "token_stats": _q_token_stats,
+        "doc_quality": _q_doc_quality,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "q1_lineitem": _q_q1_lineitem,
+        "orders_by_nation": _q_orders_by_nation,
+        "minhash_neardup": _q_minhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
+        "topk_similarity": _q_topk_similarity,
+        "pdf_layout_text": _q_pdf_layout_text,
+        "lang_id": _q_lang_id,
+        "token_count_bpe": _q_token_count_bpe,
+        "fingerprint": _q_fingerprint,
+        "simhash_hamming": _q_simhash_hamming,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    quality_inner = (
+        f"SELECT url, {_SQL_QUALITY_METRICS.strip()}, lang FROM ({_SQL_EXPECTED_PAGES})"
+    )
+    return {
+        "extract_text": f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})",
+        "quality_pages": (
+            "SELECT url, n_chars, n_tokens, uniq_tokens, rep_ratio, struct_ratio, "
+            f"confidence, {_SQL_VERDICT} AS verdict, "
+            "lang IN ('en','de','fr','es') AS lang_ok FROM ("
+            f"SELECT url, n_chars, n_tokens, uniq_tokens, good_lines, n_lines, lang, "
+            f"{_SQL_QUALITY_DERIVED.strip()} FROM ({quality_inner}))"
+        ),
+        "classify_pages": (
+            f"SELECT {_SQL_URL} AS url, {_SQL_CATEGORY} AS category, "
+            "'4/4' AS votes FROM documents"
+        ),
+        "entities_po": (
+            f"SELECT {_SQL_URL} AS url, "
+            "'PO-' || (10000 + doc_id) AS po_number, "
+            "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '.' || "
+            "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '.2024' AS po_date, "
+            "'GLOBAL TRADING COMPANY ' || (doc_id % 7) || ' LIMITED' AS seller, "
+            "'ACME IMPORTS ' || (doc_id % 5) || ' LLC' AS buyer, "
+            "'STEEL COILS GRADE ' || (doc_id % 9) AS goods, "
+            "(100 + doc_id % 400) || '.00' AS quantity, "
+            "'MT' AS unit, 'USD' AS currency, "
+            "format('{:,}', (100 + doc_id % 400) * 500) || '.00' AS total_amount, "
+            "'CFR SINGAPORE (INCOTERMS 2020)' AS incoterms "
+            "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
+        ),
+        "rules_po": (
+            f"SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 400 < 200 THEN 8 ELSE 7 END AS rules_passed, "
+            "CASE WHEN doc_id % 400 < 200 THEN 0 ELSE 1 END AS rules_failed, "
+            "doc_id % 400 < 200 AS overall_valid "
+            "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
+        ),
+        "docs_exact_dedup": (
+            "SELECT doc_id, lang, source FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+        ),
+        "token_stats": (
+            "SELECT lang, count(*) AS n_docs, "
+            "sum(len(string_split(text, ' '))) AS total_tokens, "
+            "floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) * 1e6) / 1e6 "
+            "AS avg_tokens FROM documents GROUP BY lang"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, n_chars, n_tokens, uniq_tokens, rep_ratio, struct_ratio, "
+            f"confidence, {_SQL_VERDICT} AS verdict, "
+            "lang IN ('en','de','fr','es') AS lang_ok FROM ("
+            "SELECT doc_id, n_chars, n_tokens, uniq_tokens, good_lines, n_lines, lang, "
+            f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
+            f"SELECT doc_id, lang, {_SQL_QUALITY_METRICS.strip()} FROM documents))"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH gaps AS (SELECT user_id, ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+            "SELECT user_id, count(CASE WHEN gap IS NULL OR "
+            "gap > INTERVAL 30 MINUTE THEN 1 END) AS n_sessions "
+            "FROM gaps GROUP BY user_id"
+        ),
+        "q1_lineitem": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "minhash_neardup": _SQL_JACCARD_PAIRS,
+        "simhash_hamming": (
+            f"SELECT {_SQL_URL} AS url_a, {_SQL_URL} || '?amp=1' AS url_b "
+            "FROM documents WHERE doc_id % 50 IN (3, 7) AND doc_id % 97 <> 0"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+            "JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        ),
+        "topk_similarity": (
+            "WITH s AS (SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS c "
+            "FROM embeddings WHERE vec_id <> 0) "
+            "SELECT vec_id, floor(c * 1e4) / 1e4 AS score FROM s "
+            "ORDER BY c DESC, vec_id LIMIT 10"
+        ),
+        # pdf_layout_text, lang_id, token_count_bpe, fingerprint: rows-only
+        # (layout walk / heuristics not expressible in ANSI SQL)
+    }

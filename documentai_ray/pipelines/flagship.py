@@ -25,6 +25,7 @@ import os
 from documentai_ray.sources.pages import pages_dataset
 from documentai_ray.stages.classify import classify_pipeline
 from documentai_ray.stages.dedup import dedup_latest
+from documentai_ray.stages.entities import entities_batch
 from documentai_ray.stages.extract import extract_batch
 from documentai_ray.stages.quality import quality_batch
 from documentai_ray.stages.rules import RulesStage, load_rules
@@ -61,6 +62,7 @@ def flagship(
         ds = ds.drop_columns(["word_boxes"])
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = classify_pipeline(ds, ml_concurrency=ml_concurrency, batch_size=batch_size)
+    ds = ds.map_batches(entities_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
         RulesStage,
         batch_format="pyarrow",

@@ -27,9 +27,11 @@ Row rules (mirrored in oracle SQL — keep in sync):
 - exact-dup rows: ``doc_id % 20 == 0`` adds a STALE capture of the same url
   (warc_ts −1 day, blank-page payload) — exact dedup (latest wins) must drop
   it or row counts/goldens mismatch.
-- near-dup rows (opt-in, ``with_near_dups=True``): ``doc_id % 50 == 7`` adds
-  ``{url}?amp=1`` whose content is the text with the first token replaced —
-  MinHash-LSH must pair it with its original.
+- near-dup rows (opt-in, ``with_near_dups=True``): ``doc_id % 50 ∈ {3, 7}``
+  adds ``{url}?amp=1`` whose content is the original page's golden text plus
+  one trailing token (" the") — word-3-shingle Jaccard ≥ S/(S+1) ≈ 0.87 vs
+  its original, while distinct documents stay ≈ 0.3 — MinHash-LSH must pair
+  each near-dup with exactly its original at threshold 0.8.
 - PDF rows (opt-in, ``pdf_mode=True``): every payload is a MINIPDF layout
   blob of the document text; golden = reading-order walk text.
 """
@@ -286,15 +288,20 @@ def synth_pages_table(
                 payloads.append(_html_blank(doc_id).encode("utf-8"))
                 goldens.append("")  # stale capture; dedup must drop this row
                 langs.append(lang)
-            if with_near_dups and doc_id % 50 == 7 and not is_malformed(doc_id):
-                toks = text.split()
-                toks[0] = "the"
-                near = " ".join(toks)
-                urls.append(url + "?amp=1")
-                tss.append(ts + _dt.timedelta(seconds=1))
-                payloads.append(_html_article(doc_id, near).encode("utf-8"))
-                goldens.append(near)
-                langs.append(lang)
+            if with_near_dups and doc_id % 50 in (3, 7) and not is_malformed(doc_id):
+                g = golden_text(doc_id, text)
+                if g:
+                    near = g + " the"
+                    paras = "".join(f"<p>{ln}</p>" for ln in near.split("\n"))
+                    html = (
+                        "<html><head><title>amp</title></head><body>"
+                        f"{_NAV}<main>{paras}</main>{_FOOTER}</body></html>"
+                    )
+                    urls.append(url + "?amp=1")
+                    tss.append(ts + _dt.timedelta(seconds=1))
+                    payloads.append(html.encode("utf-8"))
+                    goldens.append(near)
+                    langs.append(lang)
 
     return pa.table(
         {

@@ -48,7 +48,7 @@ _PO_RES = {
     "goods": re.compile(r"^DESCRIPTION OF GOODS:\s*(.+)$", re.MULTILINE),
     "qty_unit": re.compile(r"QUANTITY:\s*([\d,.]+)\s+([A-Z]{2,4})\b"),
     "ccy_total": re.compile(r"TOTAL AMOUNT:\s*([A-Z]{3})\s+([\d,.]+)"),
-    "incoterms": re.compile(r"([A-Z]{3} [A-Z ]+\(INCOTERMS \d{4}\))"),
+    "incoterms": re.compile(r"\b([A-Z]{3} [A-Z ]+\(INCOTERMS \d{4}\))"),
 }
 
 PO_FIELDS = [

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (training-data-pipeline ops).
+
+- ``brute_force_topk`` — baseline ANN: per-batch float64 matmul of the block
+  against a broadcast query matrix (``ray.put`` once, read per task), then a
+  global merge of per-batch partial top-k — the classic "top-k is an
+  aggregation, not a sort" pattern: only k rows per batch reach the driver,
+  never a global sort.
+- ``embedding_neardup_pairs`` — near-duplicate pairs by cosine ≥ threshold,
+  blocked on a key column (e.g. ``label``) so the pairwise comparison is
+  per-group (``groupby().map_groups``) instead of a full cross join.
+- ``lsh_topk`` — scale path: random-hyperplane LSH (Charikar 2002) buckets
+  candidates; exact cosine re-rank within the probed buckets. At 10^12 rows
+  this bounds the scan to matching buckets; brute force stays the oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy-ish)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    lst = arr.to_pylist()
+    return np.asarray(lst, dtype=np.float64)
+
+
+def _cosine_scores(M: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / np.linalg.norm(q)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return Mn @ qn
+
+
+def brute_force_topk(ds, query: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_ids: set | None = None) -> pd.DataFrame:
+    """Exact cosine top-k. Per-batch partial top-k (vectorized argpartition)
+    → tiny driver-side heap merge. Returns (id, score) sorted desc, id asc."""
+    import ray
+
+    qref = ray.put(np.asarray(query, dtype=np.float64))
+    excl = exclude_ids or set()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        M = _as_matrix(batch.column(vec_col))
+        s = _cosine_scores(M, q)
+        if excl:
+            keep = ~np.isin(ids, list(excl))
+            ids, s = ids[keep], s[keep]
+        if len(s) > k:
+            part = np.argpartition(-s, k)[:k]
+            ids, s = ids[part], s[part]
+        return pa.table({id_col: pa.array(ids.tolist()),
+                         "score": pa.array(s.tolist(), pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, partials, key=lambda r: (-r["score"], r[id_col]))
+    return pd.DataFrame({id_col: [r[id_col] for r in top],
+                         "score": [r["score"] for r in top]})
+
+
+def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            block_col: str = "label"):
+    """Cosine-near-dup pairs within blocks: groupby(block) → per-group
+    normalized Gram matrix → upper-triangle threshold. Output
+    (id_a, id_b) with id_a < id_b."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        M = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        G = Mn @ Mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = G[iu, ju] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[hit]], "id_b": ids[ju[hit]]})
+
+    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: bucket = sign bits of (V @ H)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.H = rng.standard_normal((dim, n_bits))
+
+    def buckets(self, M: np.ndarray) -> np.ndarray:
+        bits = (M @ self.H) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk(ds, query: np.ndarray, k: int = 10, *, dim: int, n_bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_ids: set | None = None) -> pd.DataFrame:
+    """ANN via hyperplane-LSH bucket filter + exact re-rank of candidates.
+
+    Probes the query's bucket and all buckets at Hamming distance ≤ 1 (multi-
+    probe) — recall/speed trade-off documented in tests against brute force.
+    """
+    import ray
+
+    lsh = HyperplaneLSH(dim, n_bits)
+    q = np.asarray(query, dtype=np.float64)
+    qb = int(lsh.buckets(q[None, :])[0])
+    probe = {qb} | {qb ^ (1 << b) for b in range(n_bits)}
+    qref = ray.put(q)
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    excl = exclude_ids or set()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        M = _as_matrix(batch.column(vec_col))
+        b = lsh.buckets(M)
+        tbl = batch.append_column("bucket", pa.array(b, pa.int64()))
+        tbl = tbl.filter(pc.is_in(tbl.column("bucket"), value_set=probe_arr))
+        if tbl.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = np.asarray(tbl.column(id_col).to_pylist())
+        M2 = _as_matrix(tbl.column(vec_col))
+        s = _cosine_scores(M2, ray.get(qref))
+        if excl:
+            keep = ~np.isin(ids, list(excl))
+            ids, s = ids[keep], s[keep]
+        if len(s) > k:
+            part = np.argpartition(-s, k)[:k]
+            ids, s = ids[part], s[part]
+        return pa.table({id_col: pa.array(ids.tolist(), pa.int64()),
+                         "score": pa.array(s.tolist(), pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, partials, key=lambda r: (-r["score"], r[id_col]))
+    return pd.DataFrame({id_col: [r[id_col] for r in top],
+                         "score": [r["score"] for r in top]})

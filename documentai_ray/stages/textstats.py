@@ -1,0 +1,137 @@
+"""Text analysis operators for training-data pipelines.
+
+- language ID: character-n-gram/stopword heuristic (profiles compiled once
+  per worker — stateless-state T2 pattern);
+- token counting: whitespace tokens + a BPE-ish regex tokenizer
+  (GPT-2-style pre-tokenization pattern);
+- quality scoring: see stages/quality.py (shared);
+- document fingerprinting: Rabin-Karp-style rolling hash over the token
+  stream with content-defined anchors.
+
+All pure + deterministic; each has a `queries()` entry over `documents`.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+           "was", "with", "his", "they", "at", "be", "this", "from", "not"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit",
+           "auf", "für", "sie", "des", "dem", "zu", "den", "von", "im"},
+    "fr": {"le", "la", "les", "des", "est", "et", "un", "une", "dans", "que",
+           "pour", "qui", "sur", "pas", "avec", "au", "par", "ce"},
+    "es": {"el", "la", "los", "las", "es", "y", "un", "una", "en", "que",
+           "por", "con", "para", "del", "se", "no", "su", "al"},
+}
+
+_word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def lang_id(text: str) -> tuple[str, float]:
+    """Argmax stopword-hit ratio over language profiles; 'und' (undetermined)
+    when nothing matches. Deterministic tie-break by language code."""
+    toks = [t.lower() for t in _word_re.findall(text)]
+    if not toks:
+        return "und", 0.0
+    best, best_hits = "und", 0
+    for code in sorted(LANG_PROFILES):
+        hits = sum(1 for t in toks if t in LANG_PROFILES[code])
+        if hits > best_hits:
+            best, best_hits = code, hits
+    return best, best_hits / len(toks)
+
+
+def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    preds, confs = [], []
+    for t in batch.column(text_col).to_pylist():
+        p, c = lang_id(t or "")
+        preds.append(p)
+        confs.append(c)
+    out = batch.append_column("pred_lang", pa.array(preds, pa.string()))
+    return out.append_column("pred_lang_conf", pa.array(confs, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenization (contractions, words, numbers, punct runs)
+BPE_SPLIT_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def count_ws_tokens(text: str) -> int:
+    return len(text.split())
+
+
+def count_bpe_tokens(text: str) -> int:
+    return len(BPE_SPLIT_RE.findall(text))
+
+
+def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    ws = [count_ws_tokens(t or "") for t in texts]
+    bpe = [count_bpe_tokens(t or "") for t in texts]
+    out = batch.append_column("n_ws_tokens", pa.array(ws, pa.int64()))
+    return out.append_column("n_bpe_tokens", pa.array(bpe, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash, content-defined anchors)
+# ---------------------------------------------------------------------------
+
+_B = np.uint64(1000003)
+_MASK = np.uint64((1 << 64) - 1)
+
+
+def fingerprint(text: str, window: int = 4, keep_mod: int = 8) -> int:
+    """64-bit document fingerprint: rolling polynomial hash over tokens;
+    window-hashes whose value ≡ 0 (mod keep_mod) are anchors (winnowing-
+    style content-defined selection, Schleimer et al. 2003); the fingerprint
+    is the XOR of anchor hashes (order-insensitive → stable under
+    re-chunking). Empty text → 0."""
+    toks = text.split()
+    if not toks:
+        return 0
+    th = np.array(
+        [hash_token64(t) for t in toks], dtype=np.uint64
+    )
+    if len(th) < window:
+        h = np.uint64(0)
+        for v in th:
+            h = (h * _B + v) & _MASK
+        return int(h)
+    # rolling window hashes, vectorized via cumulative polynomial trick
+    out = np.uint64(0)
+    h = np.uint64(0)
+    power = np.uint64(1)
+    for _ in range(window - 1):
+        power = (power * _B) & _MASK
+    for i, v in enumerate(th):
+        h = (h * _B + v) & _MASK
+        if i >= window:
+            h = (h - th[i - window] * ((power * _B) & _MASK)) & _MASK
+        if i >= window - 1 and int(h) % keep_mod == 0:
+            out ^= h
+    return int(out)
+
+
+def hash_token64(t: str) -> np.uint64:
+    import hashlib
+
+    return np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little"))
+
+
+def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    fps = [fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
