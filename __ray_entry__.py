@@ -146,9 +146,9 @@ def _q_extract_text(sf_dir: str):
     from documentai_ray.stages.extract import extract_batch
 
     ds = pages_dataset(sf_dir)
-    ds = dedup_latest(ds)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
+    ds = dedup_latest(ds)  # post-extraction: shuffle moves text, not payload
     out = ds.select_columns(["url", "text"]).take_all()
     import pyarrow as pa
 
@@ -162,8 +162,8 @@ def _q_quality_pages(sf_dir: str):
     from documentai_ray.stages.quality import quality_batch
 
     ds = pages_dataset(sf_dir)
-    ds = dedup_latest(ds)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds)
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=256)
     return ds.select_columns(
         ["url", "n_chars", "n_tokens", "uniq_tokens", "rep_ratio",

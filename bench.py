@@ -1,0 +1,171 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query times.
+
+Headline: flagship end-to-end pipeline (read parquet pages → exact dedup →
+extract → quality → classify (4 techniques incl. ML actor pool) → entities →
+rules → write parquet) over a deterministic pages corpus derived from
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Usage:
+    python bench.py              # one timed run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes → throughput + scaling efficiency
+
+The pages corpus is materialized once under /tmp/graft_bench (sharded
+parquet) and the OS page cache is warmed with one untimed read, so timed
+runs measure compute + shuffle, not first-touch disk I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "4"))
+CORPUS_ROOT = "/tmp/graft_bench"
+
+
+def corpus_dir() -> str:
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    return os.path.join(CORPUS_ROOT, f"pages_{tag}_x{BENCH_COPIES}")
+
+
+def ensure_corpus() -> str:
+    """Materialize the pages corpus to sharded parquet (deterministic)."""
+    from documentai_ray.sources.pages import write_pages_corpus
+
+    d = corpus_dir()
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        write_pages_corpus(d, SF_DIR, shards=32, copies=BENCH_COPIES)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data
+
+    from documentai_ray.pipelines.flagship import flagship
+    from documentai_ray.stages.dedup import lsh_candidate_pairs
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.quality import quality_batch
+
+    pages_path = ensure_corpus()
+    # warm page cache (untimed)
+    n_rows = ray.data.read_parquet(pages_path).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # headline: flagship end-to-end to parquet
+    out_dir = os.path.join(CORPUS_ROOT, f"out_{NUM_CPUS}")
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def run_flagship():
+        ds = ray.data.read_parquet(pages_path)
+        res = flagship(ds, batch_size=256, ml_concurrency=(2, 8))
+        res.write_parquet(out_dir)
+        return None
+
+    timed("flagship_e2e", run_flagship)
+    headline = queries["flagship_e2e"]
+
+    def run_extract_only():
+        ds = ray.data.read_parquet(pages_path, columns=["url", "html", "lang"])
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                            batch_size=256, zero_copy_batch=True)
+        ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=256)
+        return ds.count()
+
+    timed("extract_quality", run_extract_only)
+
+    def run_minhash():
+        ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+        return lsh_candidate_pairs(ds.select_columns(["url", "text"]),
+                                   id_col="url").count()
+
+    timed("minhash_lsh", run_minhash)
+
+    def run_q1():
+        import __ray_entry__ as e
+
+        return e.queries()["q1_lineitem"](SF_DIR)
+
+    timed("q1_lineitem", run_q1)
+
+    result = {
+        "metric": "flagship_e2e_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": n_rows,
+        "docs_per_sec": round(n_rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Same job at two parallelism levels in fresh processes (the in-sandbox
+    stand-in for N- vs 4N-node clusters; see BASELINE.md)."""
+    lo, hi = 8, 32
+    ensure_corpus()  # build once so both runs read identical input
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "rows": r_hi["rows"],
+        "cpus": [lo, hi],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_benchmarks()))

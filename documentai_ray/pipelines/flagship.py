@@ -54,12 +54,17 @@ def flagship(
     """Build the lazy flagship Dataset. Pass a pages Dataset or an sf_dir."""
     if ds is None:
         ds = pages_dataset(sf_dir)
-    if dedup:
-        ds = dedup_latest(ds, key="url", ts="warc_ts")
+    # Extract FIRST, dedup after: extraction is per-capture (deterministic,
+    # so processing a to-be-discarded duplicate is merely ~dup-rate wasted
+    # compute), while dedup is a shuffle — running it post-extraction means
+    # the exchange moves extracted text (~10× smaller than the html payload),
+    # and the payload column never leaves the map stage that read it.
     ds = ds.map_batches(extract_batch, batch_format="pyarrow",
                         batch_size=batch_size, zero_copy_batch=True)
     if drop_word_boxes:
         ds = ds.drop_columns(["word_boxes"])
+    if dedup:
+        ds = dedup_latest(ds, key="url", ts="warc_ts")
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = classify_pipeline(ds, ml_concurrency=ml_concurrency, batch_size=batch_size)
     ds = ds.map_batches(entities_batch, batch_format="pyarrow", batch_size=batch_size)

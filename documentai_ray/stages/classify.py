@@ -192,9 +192,29 @@ class MLScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        if texts:
-            X = np.stack([featurize(t or "") for t in texts])
-            S = self.log_prior[None, :] + X @ self.log_like.T
+        n = len(texts)
+        if n:
+            # sparse scoring: score[i, c] = log_prior[c] + Σ_f log_like[c, f]
+            # over the doc's hashed features — no 32k-dim dense vectors
+            # (the dense matmul allocates 256 KB/doc; this is ~100 B/token)
+            rows: list[int] = []
+            feats: list[int] = []
+            for i, t in enumerate(texts):
+                toks = tokenize(clean_ml_text(t or ""))
+                prev = None
+                for tk in toks:
+                    rows.append(i)
+                    feats.append(hash_token(tk))
+                    if prev is not None:
+                        rows.append(i)
+                        feats.append(hash_token(prev + "_" + tk))
+                    prev = tk
+            S = np.tile(self.log_prior, (n, 1))
+            if rows:
+                r = np.asarray(rows, dtype=np.int64)
+                f = np.asarray(feats, dtype=np.int64)
+                for c in range(len(self.classes)):
+                    S[:, c] += np.bincount(r, weights=self.log_like[c, f], minlength=n)
             m = S.max(axis=1, keepdims=True)
             P = np.exp(S - m)
             P /= P.sum(axis=1, keepdims=True)

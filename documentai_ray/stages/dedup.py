@@ -37,19 +37,45 @@ _MERSENNE = (1 << 31) - 1
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def dedup_latest(ds, key: str = "url", ts: str = "warc_ts"):
-    """Keep the latest capture per key. One shuffle, keyed on ``key``.
+def _add_pkey(ds, col: str, num_partitions: int, out: str = "_pkey"):
+    """Hash-partition key column: ``crc32(col) % P``. P is bounded (≈2-4×
+    cores), so the downstream ``groupby(_pkey).map_groups`` sees few, large
+    groups — per-group Python overhead amortizes and the group body stays
+    vectorized pandas. (One ``map_groups`` call per *row-key* group is the
+    classic Ray Data anti-pattern: ~ms of overhead × millions of keys.)"""
+    import zlib
 
-    Keys are near-unique (dup rate is a few %), so there is no group skew;
-    the group fn is vectorized pandas (idxmax per group of 1-2 rows).
-    """
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch.column(col).to_pylist()
+        pk = np.fromiter(
+            (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
+            dtype=np.int32, count=len(keys),
+        )
+        return batch.append_column(out, pa.array(pk, pa.int32()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def dedup_latest(ds, key: str = "url", ts: str = "warc_ts",
+                 num_partitions: int = 64):
+    """Keep the latest capture per key.
+
+    One shuffle, hash-partitioned on ``crc32(key) % P`` (all captures of a
+    key land in one partition); within each partition a vectorized
+    ``sort_values + drop_duplicates(keep='last')``. Keys are near-unique
+    (dup rate a few %), so partitions are balanced. Ties on equal ``ts``
+    resolve to an arbitrary but single row (captures carry distinct
+    timestamps by contract)."""
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 1:
-            return g
-        return g.loc[[g[ts].idxmax()]]
+        g = g.sort_values([key, ts], kind="mergesort")
+        return g.drop_duplicates(subset=[key], keep="last").drop(columns=["_pkey"])
 
-    return ds.groupby(key).map_groups(latest, batch_format="pandas")
+    return (
+        _add_pkey(ds, key, num_partitions)
+        .groupby("_pkey")
+        .map_groups(latest, batch_format="pandas")
+    )
 
 
 def add_md5(ds, col: str = "text", out: str = "content_md5"):
@@ -63,15 +89,23 @@ def add_md5(ds, col: str = "text", out: str = "content_md5"):
     return ds.map_batches(h, batch_format="pyarrow")
 
 
-def dedup_exact_first(ds, id_col: str, content_col: str = "text"):
-    """Exact content dedup: group by md5(content), keep the min-id row."""
+def dedup_exact_first(ds, id_col: str, content_col: str = "text",
+                      num_partitions: int = 64):
+    """Exact content dedup: hash-partition by md5(content), keep the min-id
+    row per content hash (vectorized within each partition)."""
     hashed = add_md5(ds, col=content_col)
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[id_col].idxmin()]]
+        g = g.sort_values([ "content_md5", id_col], kind="mergesort")
+        return g.drop_duplicates(subset=["content_md5"], keep="first").drop(
+            columns=["_pkey", "content_md5"]
+        )
 
-    out = hashed.groupby("content_md5").map_groups(first, batch_format="pandas")
-    return out.drop_columns(["content_md5"])
+    return (
+        _add_pkey(hashed, "content_md5", num_partitions)
+        .groupby("_pkey")
+        .map_groups(first, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -128,12 +162,16 @@ class MinHashStage:
         return batch.append_column("minhash", pa.array(sigs, type=pa.list_(pa.uint64())))
 
 
-def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16):
-    """MinHash-LSH: signature → band rows → groupby(band bucket) → pairs.
+def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
+                        num_partitions: int = 64):
+    """MinHash-LSH: signature → band rows → hash-partitioned per-band
+    self-join → deduplicated candidate pairs ``(id_a, id_b)``, id_a < id_b.
 
-    Returns a Dataset of candidate pairs ``(id_a, id_b)`` (id_a < id_b,
-    deduplicated). Only the (band_hash, id) projection is shuffled.
-    """
+    Shuffle cost: only the tiny ``(band_key, id)`` projection moves (never
+    text), partitioned by ``crc32(band_key) % P`` so every band bucket lands
+    whole in one partition; the pair emission is one vectorized pandas
+    self-merge per partition; a second tiny shuffle on a pair-hash key
+    dedups pairs produced by multiple bands."""
     rows_per_band = num_perm // bands
     sigged = ds.map_batches(
         MinHashStage,
@@ -143,9 +181,9 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16)
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids_out, keys = [], []
         ids = batch.column(id_col).to_pylist()
         sigs = batch.column("minhash").to_pylist()
+        ids_out, keys = [], []
         for i, sig in zip(ids, sigs):
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -156,25 +194,44 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16)
                 keys.append(digest)
         return pa.table({id_col: pa.array(ids_out), "band_key": pa.array(keys)})
 
-    bandrows = sigged.map_batches(explode, batch_format="pyarrow")
+    bandrows = _add_pkey(
+        sigged.map_batches(explode, batch_format="pyarrow"),
+        "band_key", num_partitions,
+    )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
-                                 "id_b": pd.Series([], dtype=g[id_col].dtype)})
-        ids = sorted(g[id_col].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["band_key", id_col]]
+        # bound pathological buckets (a band value shared by thousands of
+        # ids would emit k² pairs — cap like the reference caps inputs)
+        sizes = g.groupby("band_key")["band_key"].transform("size")
+        g = g[sizes <= 200]
+        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
+        a, b = m[f"{id_col}_a"], m[f"{id_col}_b"]
+        m = m[a < b]
+        out = pd.DataFrame({"id_a": m[f"{id_col}_a"], "id_b": m[f"{id_col}_b"]})
+        return out.drop_duplicates()
 
-    cand = bandrows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = (
+        bandrows.groupby("_pkey")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pair_pkey"])
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions for x, y in zip(a, b)]
+        return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
+
+    return (
+        cand.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .groupby("_pair_pkey")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:

@@ -1,0 +1,117 @@
+"""Multimodal payload stages — opaque binary columns + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` cells with struct
+metadata (the payload-in-cell pattern of SURVEY §2.1 S1-S3). The decode
+kernels themselves are STUBBED (no cv2/PIL/ffmpeg in this environment —
+clearly marked below); everything Ray-side is real and tested: schema,
+actor-pool stage shape, batch sizing for wide binary rows, output layout.
+
+The reference analog is the image path: quality rasterizes pages to
+pixmaps (/root/reference/quality_analysis_updated/universal_analyzer.py:37),
+preprocessing decodes with cv2 (pre_processing_updated/preprocessing_ops.py),
+OCR consumes PIL images (entity_extraction_updated/extractor/base.py:11-17).
+
+Scale notes: binary payloads are MBs per row → stages here must run with
+small ``batch_size`` and blocks must stay modest (SURVEY §7.5 risk 3).
+``decode_stub=True`` swaps the real decoder for a deterministic fake that
+derives metadata from the bytes (so tests are hermetic); wiring a real
+decoder is replacing ONE function per modality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META_TYPE = pa.struct(
+    [("width", pa.int32()), ("height", pa.int32()), ("channels", pa.int32()),
+     ("format", pa.string())]
+)
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decoder — requires an image library not present in this
+    container. Plug in cv2.imdecode / PIL.Image.open here."""
+    raise NotImplementedError(
+        "image decoding requires cv2/PIL (not available in this environment); "
+        "use decode_stub=True for the deterministic fake"
+    )
+
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """Deterministic fake decode: derives a small 'pixel' array from the
+    payload bytes (md5-seeded) — stable shape (32, 32, 3)."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → feature-extract per batch.
+
+    ``__init__`` is where a real model/codec warms up (once per actor);
+    ``__call__`` appends ``img_meta`` (struct) and ``img_features``
+    (fixed-size list<float32>: channel means + std — a stand-in for a real
+    embedding head). Failure → error record, never a thrown batch."""
+
+    FEATURE_DIM = 6
+
+    def __init__(self, *, decode_stub: bool = True):
+        self._decode = _decode_image_stub if decode_stub else _decode_image_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, feats, errors = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                img = self._decode(payload)
+                h, w, c = img.shape
+                metas.append({"width": w, "height": h, "channels": c, "format": "stub"})
+                f = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1))])
+                feats.append([float(x) for x in f])
+                errors.append("")
+            except Exception as exc:
+                metas.append({"width": 0, "height": 0, "channels": 0, "format": ""})
+                feats.append([0.0] * self.FEATURE_DIM)
+                errors.append(f"{type(exc).__name__}"[:80])
+        out = batch.append_column("img_meta", pa.array(metas, IMAGE_META_TYPE))
+        out = out.append_column(
+            "img_features", pa.array(feats, pa.list_(pa.float32(), self.FEATURE_DIM))
+        )
+        return out.append_column("decode_error", pa.array(errors, pa.string()))
+
+
+class AudioFrameStage:
+    """Actor-pool stage: frame-sample an audio payload into fixed windows.
+
+    STUB: window 'energies' are derived deterministically from byte slices
+    (a real implementation would decode PCM and window it). Output:
+    ``frames`` = list<struct<start_ms:int64, energy:float64>>."""
+
+    FRAME_TYPE = pa.list_(pa.struct([("start_ms", pa.int64()), ("energy", pa.float64())]))
+
+    def __init__(self, frame_ms: int = 1000, bytes_per_frame: int = 256):
+        self.frame_ms = frame_ms
+        self.bpf = bytes_per_frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_frames = []
+        for payload in batch.column("payload").to_pylist():
+            frames = []
+            for i in range(0, len(payload), self.bpf):
+                chunk = payload[i : i + self.bpf]
+                energy = float(np.frombuffer(chunk, dtype=np.uint8).mean()) if chunk else 0.0
+                frames.append({"start_ms": (i // self.bpf) * self.frame_ms,
+                               "energy": energy})
+            all_frames.append(frames)
+        return batch.append_column("frames", pa.array(all_frames, self.FRAME_TYPE))
+
+
+def image_pipeline(ds, *, concurrency=(1, 4), batch_size: int = 32):
+    """Binary-payload Dataset → features. Small batch_size on purpose:
+    batch bytes ≈ batch_size × payload size must fit the worker heap."""
+    return ds.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs={"decode_stub": True},
+    )

@@ -1,0 +1,109 @@
+"""Salted url-hash partitioning, per-partition manifests, resume filter —
+the north-rule scale plumbing (SURVEY §7.4, §7.5 risk 7)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from documentai_ray.sources import pages
+from documentai_ray.state import manifest as mf
+from documentai_ray.state import partitioning as pt
+from tests.conftest import SF_SMOKE
+
+
+class TestPartitioning:
+    def test_partition_key_salting(self):
+        heavy = {"heavy.example.com": 8}
+        k1 = pt.partition_key("https://heavy.example.com/p/1", heavy)
+        k2 = pt.partition_key("https://heavy.example.com/p/2", heavy)
+        assert k1.startswith("heavy.example.com#")
+        salts = {
+            pt.partition_key(f"https://heavy.example.com/p/{i}", heavy)
+            for i in range(100)
+        }
+        assert len(salts) == 8  # spread over exactly k sub-keys
+        assert pt.partition_key("https://other.com/x", heavy) == "other.com"
+
+    def test_bucket_stability(self):
+        # content-addressed: independent of parallelism/task order
+        assert pt.bucket_of("https://a.com/x", 16, {}) == pt.bucket_of(
+            "https://a.com/x", 16, {})
+
+    def test_detect_heavy_hosts(self, ray_session):
+        ds = pages.pages_dataset(SF_SMOKE, with_dups=False)
+        heavy = pt.detect_heavy_hosts(ds, share_threshold=0.10, salt_k=8)
+        assert heavy == {"heavy.example.com": 8}
+
+    def test_salting_flattens_bucket_skew(self, ray_session):
+        import collections
+
+        ds = pages.pages_dataset(SF_SMOKE, with_dups=False)
+        urls = [r["url"] for r in ds.select_columns(["url"]).take_all()]
+        n_buckets = 16
+
+        def max_share(heavy):
+            c = collections.Counter(pt.bucket_of(u, n_buckets, heavy) for u in urls)
+            return max(c.values()) / len(urls)
+
+        unsalted = max_share({})          # heavy host → one bucket has ~1/3
+        salted = max_share({"heavy.example.com": 8})
+        assert unsalted > 0.30
+        assert salted < 0.20
+
+
+class TestManifests:
+    def test_atomic_write_and_read(self, tmp_path):
+        out = str(tmp_path)
+        mf.write_manifest(out, 3, rows=10, text_bytes=1234, digest=99)
+        assert mf.completed_buckets(out) == {3}
+        m = mf.read_manifests(out)[3]
+        assert m["rows"] == 10 and m["text_bytes"] == 1234
+
+    def test_torn_manifest_ignored(self, tmp_path):
+        out = str(tmp_path)
+        os.makedirs(os.path.join(out, "_manifests"))
+        with open(os.path.join(out, "_manifests", "bucket=7.json"), "w") as f:
+            f.write("{not json")
+        assert mf.completed_buckets(out) == set()
+
+
+class TestResumableRun:
+    def test_run_writes_manifests_and_resume_skips(self, ray_session, tmp_path):
+        from documentai_ray.pipelines.flagship import run_to_parquet
+
+        out = os.path.join(str(tmp_path), "out")
+        manifests = run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
+        assert len(manifests) == 8
+        total_rows = sum(m["rows"] for m in manifests.values())
+        docs = pages.synth_pages_table(SF_SMOKE, with_dups=False).num_rows
+        assert total_rows == docs  # dups removed, one row per url
+
+        # digests must be reproducible from disk (lineage check)
+        again = mf.read_manifests(out)
+        assert again == manifests
+
+        # resume: all buckets complete → zero new work, manifests unchanged
+        manifests2 = run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
+        assert {b: m["digest"] for b, m in manifests2.items()} == {
+            b: m["digest"] for b, m in manifests.items()
+        }
+
+    def test_partial_failure_resume(self, ray_session, tmp_path):
+        from documentai_ray.pipelines.flagship import run_to_parquet
+
+        out = os.path.join(str(tmp_path), "out")
+        run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
+        full = mf.read_manifests(out)
+        # simulate a failed bucket: drop its manifest and its files
+        victim = sorted(full)[0]
+        os.remove(os.path.join(out, "_manifests", f"bucket={victim}.json"))
+        shutil.rmtree(os.path.join(out, f"bucket={victim}"))
+        assert mf.completed_buckets(out) == set(full) - {victim}
+        # resume reprocesses ONLY the victim bucket; digest must match original
+        redone = run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
+        assert redone[victim]["digest"] == full[victim]["digest"]
+        assert redone[victim]["rows"] == full[victim]["rows"]

@@ -1,0 +1,64 @@
+"""Language-ID, token counting, fingerprinting tests."""
+
+from __future__ import annotations
+
+from documentai_ray.stages import textstats
+
+
+class TestLangId:
+    def test_real_sentences(self):
+        cases = {
+            "the quick brown fox is in the garden and it is happy": "en",
+            "der Hund ist nicht in dem Haus und die Katze ist auf dem Dach": "de",
+            "le chat est dans la maison et les enfants sont dans le jardin": "fr",
+            "el perro es grande y la casa es bonita en la ciudad": "es",
+        }
+        for text, want in cases.items():
+            got, conf = textstats.lang_id(text)
+            assert got == want, text
+            assert conf > 0.2
+
+    def test_undetermined(self):
+        assert textstats.lang_id("")[0] == "und"
+        assert textstats.lang_id("zzz qqq 123")[0] == "und"
+
+
+class TestTokenCounting:
+    def test_ws_tokens(self):
+        assert textstats.count_ws_tokens("a b  c\nd") == 4
+        assert textstats.count_ws_tokens("") == 0
+
+    def test_bpe_ish_tokens(self):
+        # contraction split + punctuation runs + numbers
+        n = textstats.count_bpe_tokens("it's 2024, really!")
+        # it + 's + " 2024" + "," + " really" + "!"
+        assert n == 6
+
+    def test_batch(self):
+        import pyarrow as pa
+
+        t = pa.table({"text": ["one two", ""]})
+        out = textstats.token_count_batch(t)
+        assert out.column("n_ws_tokens").to_pylist() == [2, 0]
+
+
+class TestFingerprint:
+    def test_deterministic_and_discriminative(self):
+        a = " ".join(f"tok{i}" for i in range(64))
+        b = " ".join(f"tok{i}" for i in range(64, 128))
+        assert textstats.fingerprint(a) == textstats.fingerprint(a)
+        assert textstats.fingerprint(a) != textstats.fingerprint(b)
+        assert textstats.fingerprint("") == 0
+
+    def test_short_text_path(self):
+        assert textstats.fingerprint("one two") == textstats.fingerprint("one two")
+        assert textstats.fingerprint("one two") != textstats.fingerprint("two one")
+
+    def test_local_perturbation_keeps_most_anchors(self):
+        base = " ".join(f"w{i}" for i in range(200))
+        mutated = base + " extra"
+        # winnowing-style anchors: a suffix edit must not change the
+        # fingerprint into something with no shared anchor structure —
+        # both fingerprints are XORs over window hashes, sharing most terms
+        fa, fb = textstats.fingerprint(base), textstats.fingerprint(mutated)
+        assert fa != 0 and fb != 0
