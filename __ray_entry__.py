@@ -148,7 +148,10 @@ def _q_extract_text(sf_dir: str):
     ds = pages_dataset(sf_dir)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256,
                         zero_copy_batch=True)
-    ds = dedup_latest(ds)  # post-extraction: shuffle moves text, not payload
+    # project to the dedup-relevant columns BEFORE the shuffle: the exchange
+    # moves (url, ts, text) only — never payload or word boxes
+    ds = ds.select_columns(["url", "warc_ts", "text"])
+    ds = dedup_latest(ds)
     out = ds.select_columns(["url", "text"]).take_all()
     import pyarrow as pa
 
@@ -163,6 +166,7 @@ def _q_quality_pages(sf_dir: str):
 
     ds = pages_dataset(sf_dir)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = ds.select_columns(["url", "warc_ts", "text", "lang"])
     ds = dedup_latest(ds)
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=256)
     return ds.select_columns(
@@ -513,6 +517,63 @@ def _q_simhash_hamming(sf_dir: str):
     return pd.DataFrame(pairs, columns=["url_a", "url_b"])
 
 
+def _q_category_summary(sf_dir: str):
+    """A5 analog: per-category roll-up (files/pages/avg-confidence shape of
+    the reference's pdf_summary, classification-service/app.py:366-421)."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    agg = (
+        flagship(sf_dir=sf_dir)
+        .groupby("category")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="total_chars"),
+                   Sum("confidence", alias_name="_conf_sum"))
+        .to_pandas()
+    )
+    agg["avg_confidence"] = [
+        math.floor(s / n * 1e6) / 1e6 for s, n in zip(agg["_conf_sum"], agg["n_docs"])
+    ]
+    return agg[["category", "n_docs", "total_chars", "avg_confidence"]]
+
+
+def _q_vote_distribution(sf_dir: str):
+    """A2 analog: confidence ("k/4") distribution across the corpus."""
+    from ray.data.aggregate import Count
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    return (
+        flagship(sf_dir=sf_dir)
+        .groupby(["category", "votes"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF-flat ANN top-10 (approximate — rows-only; recall vs brute force
+    is asserted in tests/test_dedup_similarity.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.similarity import IVFIndex, ivf_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    sample = np.asarray(tbl.column("embedding").to_pylist()[:512], dtype=np.float64)
+    query = np.asarray(
+        next(r["embedding"] for r in tbl.to_pylist() if r["vec_id"] == 0),
+        dtype=np.float64,
+    )
+    index = IVFIndex(nlist=16, nprobe=6).train(sample)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(ds, query, k=10, index=index, exclude_ids={0})[["vec_id"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -535,6 +596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "simhash_hamming": _q_simhash_hamming,
+        "category_summary": _q_category_summary,
+        "vote_distribution": _q_vote_distribution,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -635,6 +699,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, floor(c * 1e4) / 1e4 AS score FROM s "
             "ORDER BY c DESC, vec_id LIMIT 10"
         ),
-        # pdf_layout_text, lang_id, token_count_bpe, fingerprint: rows-only
-        # (layout walk / heuristics not expressible in ANSI SQL)
+        "category_summary": (
+            f"SELECT {_SQL_CATEGORY} AS category, count(*) AS n_docs, "
+            "sum(n_chars) AS total_chars, "
+            "floor(sum(confidence) / count(*) * 1e6) / 1e6 AS avg_confidence "
+            "FROM (SELECT doc_id, n_chars, "
+            f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
+            f"SELECT doc_id, {_SQL_QUALITY_METRICS.strip()} "
+            f"FROM ({_SQL_EXPECTED_PAGES}))) GROUP BY 1"
+        ),
+        "vote_distribution": (
+            f"SELECT {_SQL_CATEGORY} AS category, '4/4' AS votes, "
+            "count(*) AS n_docs FROM documents GROUP BY 1"
+        ),
+        # pdf_layout_text, lang_id, token_count_bpe, fingerprint, ann_ivf:
+        # rows-only (layout walk / heuristics / ANN not expressible in SQL)
     }

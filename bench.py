@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "4"))
+BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "32"))
 CORPUS_ROOT = "/tmp/graft_bench"
 
 
@@ -91,7 +91,7 @@ def run_benchmarks() -> dict:
 
     def run_flagship():
         ds = ray.data.read_parquet(pages_path)
-        res = flagship(ds, batch_size=256, ml_concurrency=(2, 8))
+        res = flagship(ds, batch_size=1024, ml_concurrency=(2, max(4, NUM_CPUS // 2)))
         res.write_parquet(out_dir)
         return None
 

@@ -47,8 +47,8 @@ def flagship(
     *,
     sf_dir: str | None = None,
     dedup: bool = True,
-    batch_size: int = 256,
-    ml_concurrency=(1, 4),
+    batch_size: int = 1024,
+    ml_concurrency=(1, 8),
     drop_word_boxes: bool = True,
 ):
     """Build the lazy flagship Dataset. Pass a pages Dataset or an sf_dir."""
@@ -68,13 +68,10 @@ def flagship(
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = classify_pipeline(ds, ml_concurrency=ml_concurrency, batch_size=batch_size)
     ds = ds.map_batches(entities_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(
-        RulesStage,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, 2),
-        fn_constructor_kwargs={"rules_by_category": rules_by_category()},
-    )
+    # RulesStage instance → stateless-task stage (compiled rules ship in the
+    # closure via cloudpickle; fuses with the entities task stage)
+    ds = ds.map_batches(RulesStage(rules_by_category()), batch_format="pyarrow",
+                        batch_size=batch_size)
     return ds
 
 

@@ -289,10 +289,23 @@ def fuse_votes(batch: pa.Table) -> pa.Table:
     return out.append_column("votes", pa.array(votes, pa.string()))
 
 
-def classify_pipeline(ds, *, ml_concurrency=(1, 4), batch_size: int = 512):
+class ClassifyStage:
+    """Fused 4-technique + vote stage: ONE actor pool holding all warm state
+    (compiled keyword/regex/token tables + the NB model). One pool instead
+    of three chained stages = one actor-startup barrier and no inter-stage
+    batch serialization — the pipeline-level analog of the reference running
+    all techniques per page inside one process (documentClassifier.py:847-926)."""
+
+    def __init__(self, config: dict[str, Any] | None = None,
+                 model_path: str | None = None):
+        self.three = ThreeTechniqueStage(config)
+        self.ml = MLScorer(model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return fuse_votes(self.ml(self.three(batch)))
+
+
+def classify_pipeline(ds, *, ml_concurrency=(1, 8), batch_size: int = 1024):
     """text-bearing Dataset → + technique columns + fused category/votes."""
-    ds = ds.map_batches(ThreeTechniqueStage, batch_format="pyarrow",
-                        concurrency=(1, 4), batch_size=batch_size)
-    ds = ds.map_batches(MLScorer, batch_format="pyarrow",
-                        concurrency=ml_concurrency, batch_size=batch_size)
-    return ds.map_batches(fuse_votes, batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(ClassifyStage, batch_format="pyarrow",
+                          concurrency=ml_concurrency, batch_size=batch_size)

@@ -35,6 +35,7 @@ import pyarrow as pa
 
 from documentai_ray.functions import minipdf
 from documentai_ray.functions.text import collapse_ws
+from documentai_ray.sources import office
 
 # ---------------------------------------------------------------------------
 # HTML block segmentation
@@ -158,12 +159,41 @@ WORD_BOX_TYPE = pa.list_(
 )
 
 
-def extract_one(payload: bytes) -> tuple[str, str, str, list[dict[str, Any]]]:
-    """→ (text, payload_kind, error, word_boxes) for a single payload."""
+# reference input caps: 50 MB/file (documentClassifier.py:1314)
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024
+
+
+def detect_page_type(word_count: int, image_count: int = 0,
+                     text_density: float = 0.0) -> str:
+    """Fast text-vs-image page detection (M5, documentClassifier.py:219-256):
+    >15 words → text; images present and <8 words → image; else by
+    text-density threshold 0.08."""
+    if word_count > 15:
+        return "text"
+    if image_count > 0 and word_count < 8:
+        return "image"
+    return "text" if text_density > 0.08 else "image"
+
+
+def extract_one(
+    payload: bytes, *, max_bytes: int = MAX_PAYLOAD_BYTES
+) -> tuple[str, str, str, list[dict[str, Any]]]:
+    """→ (text, payload_kind, error, word_boxes) for a single payload.
+
+    Dispatch by payload magic: MINIPDF → layout walk; PK-zip → DOCX/XLSX
+    parse (S4/S5); else UTF-8 HTML → main-content extraction. Oversized
+    payloads become error rows (the reference's hard input cap, O2)."""
     try:
+        if len(payload) > max_bytes:
+            raise ValueError(f"PayloadTooLarge: {len(payload)} > {max_bytes}")
         if minipdf.is_minipdf(payload):
             text, boxes = minipdf.walk(payload)
             return text, "pdf", "", boxes
+        kind = office.office_kind(payload)
+        if kind == "docx":
+            return office.read_docx_text(payload), "docx", "", []
+        if kind == "xlsx":
+            return office.read_xlsx_text(payload), "xlsx", "", []
         html_text = payload.decode("utf-8")  # strict: bad bytes → error row
         return html_main_content(html_text), "html", "", []
     except Exception as exc:  # row-level degradation, never fail the block

@@ -1,0 +1,142 @@
+"""Preprocessing decision + adaptive cleanup (SURVEY §2.2 M14-M16).
+
+- ``preprocess_decision`` — verdict → {needs_preprocessing, operations,
+  priority}: the reference's per-page decision matrix
+  (/root/reference/microservices/api-gateway/app.py:132-219 and
+  quality-service/app.py:52-126) re-targeted at the text-quality verdicts.
+- ``adaptive_preprocess`` — the image-cleanup chain
+  (pre_processing_updated/preprocessing_ops.py:4-46): conditional percentile
+  contrast stretch (< 0.13), black-point clamp (< 70 → 0), brightness ×1.05,
+  with the reference's revert-if-worse guard. Implemented in pure numpy on
+  grayscale arrays (cv2-only ops — CLAHE, fastNlMeansDenoising, Hough
+  deskew — are stubbed behind ``NotImplementedError`` hooks; the decision
+  plumbing and the numpy ops are real and tested).
+- ``group_pages`` — the page→output-PDF grouping (A4,
+  documentClassifier.py:1045-1080): consecutive same-category pages grouped,
+  capped at ``max_pages_per_pdf``, ``always_separate`` categories forced to
+  singleton groups. Ordered segmentation *within* a document — per-row over
+  the page list; never a global sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# verdict → (needs_preprocessing, operations, priority); mirrors the
+# reference's verdict branch (gateway app.py:348-392)
+_DECISION = {
+    "direct_analysis": (False, [], "none"),
+    "pre_processing": (True, ["contrast_stretch", "brightness"], "normal"),
+    "deep_analysis": (True, ["contrast_stretch", "black_point", "brightness"], "high"),
+    "reupload": (False, [], "reject"),
+    "re_scan": (False, [], "reject"),
+}
+
+
+def preprocess_decision(verdict: str) -> dict:
+    needs, ops, prio = _DECISION.get(verdict, (False, [], "unknown"))
+    return {"needs_preprocessing": needs, "operations": list(ops), "priority": prio}
+
+
+def decision_batch(batch: pa.Table) -> pa.Table:
+    verdicts = batch.column("verdict").to_pylist()
+    recs = [preprocess_decision(v) for v in verdicts]
+    out = batch.append_column(
+        "needs_preprocessing",
+        pa.array([r["needs_preprocessing"] for r in recs], pa.bool_()),
+    )
+    out = out.append_column(
+        "pp_operations",
+        pa.array([r["operations"] for r in recs], pa.list_(pa.string())),
+    )
+    return out.append_column(
+        "pp_priority", pa.array([r["priority"] for r in recs], pa.string())
+    )
+
+
+# ---------------------------------------------------------------------------
+# adaptive image preprocessing (numpy-real subset of preprocessing_ops.py)
+# ---------------------------------------------------------------------------
+
+def _contrast_of(img: np.ndarray) -> float:
+    return float(img.std()) / 255.0
+
+
+def percentile_stretch(img: np.ndarray, lo: float = 2.0, hi: float = 98.0) -> np.ndarray:
+    p_lo, p_hi = np.percentile(img, [lo, hi])
+    if p_hi <= p_lo:
+        return img
+    out = (img.astype(np.float64) - p_lo) * (255.0 / (p_hi - p_lo))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def black_point_clamp(img: np.ndarray, threshold: int = 70) -> np.ndarray:
+    out = img.copy()
+    out[out < threshold] = 0
+    return out
+
+
+def brightness_boost(img: np.ndarray, factor: float = 1.05) -> np.ndarray:
+    return np.clip(img.astype(np.float64) * factor, 0, 255).astype(np.uint8)
+
+
+def clahe(img: np.ndarray) -> np.ndarray:
+    """CLAHE requires cv2 — stub hook (preprocessing_ops.py uses
+    cv2.createCLAHE); wire cv2 here when available."""
+    raise NotImplementedError("CLAHE requires cv2 (not in this environment)")
+
+
+def deskew(img: np.ndarray) -> np.ndarray:
+    """Hough-based deskew requires cv2 — stub hook (±5° cap in reference)."""
+    raise NotImplementedError("deskew requires cv2 (not in this environment)")
+
+
+def adaptive_preprocess(img: np.ndarray) -> tuple[np.ndarray, list[str]]:
+    """Conditional op chain with the reference's revert-if-worse guard
+    (preprocessing_ops.py:4-46): each op applies only if its trigger metric
+    fires, and the whole result reverts if contrast got worse."""
+    applied: list[str] = []
+    out = img
+    if _contrast_of(out) < 0.13:
+        out = percentile_stretch(out)
+        applied.append("contrast_stretch")
+    if float(out.mean()) < 90.0:
+        out = brightness_boost(out)
+        applied.append("brightness")
+    dark_ratio = float((out < 70).mean())
+    if 0.0 < dark_ratio < 0.05:
+        out = black_point_clamp(out)
+        applied.append("black_point")
+    if applied and _contrast_of(out) < _contrast_of(img):
+        return img, []  # revert-if-worse
+    return out, applied
+
+
+# ---------------------------------------------------------------------------
+# page grouping (A4)
+# ---------------------------------------------------------------------------
+
+def group_pages(categories: list[str], *, max_pages_per_group: int = 25,
+                always_separate: tuple[str, ...] = ()) -> list[int]:
+    """Group ids for an ordered page-category sequence: consecutive pages of
+    the same category share a group, capped at ``max_pages_per_group``;
+    ``always_separate`` categories get singleton groups. Returns one group
+    id per page (ids increase in page order)."""
+    groups: list[int] = []
+    gid = -1
+    prev_cat: str | None = None
+    run = 0
+    for cat in categories:
+        new_group = (
+            cat != prev_cat
+            or cat in always_separate
+            or run >= max_pages_per_group
+        )
+        if new_group:
+            gid += 1
+            run = 0
+        groups.append(gid)
+        run += 1
+        prev_cat = cat
+    return groups

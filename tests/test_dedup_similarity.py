@@ -161,3 +161,39 @@ class TestSimilaritySearch:
         ds = ray_session.data.from_items(rows)
         out = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
         assert list(zip(out["id_a"], out["id_b"])) == [(0, 1)]
+
+
+class TestIvf:
+    def test_ivf_topk_recall_on_clustered_data(self, ray_session):
+        from documentai_ray.stages.similarity import (
+            IVFIndex,
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.RandomState(5)
+        q = rng.standard_normal(16)
+        rows = []
+        for i in range(10):
+            rows.append({"vec_id": i,
+                         "embedding": (q + 0.05 * rng.standard_normal(16)).tolist(),
+                         "label": 0})
+        for i in range(10, 400):
+            rows.append({"vec_id": i, "embedding": rng.standard_normal(16).tolist(),
+                         "label": 0})
+        M = np.asarray([r["embedding"] for r in rows])
+        ds = ray_session.data.from_items(rows)
+        index = IVFIndex(nlist=8, nprobe=3).train(M)
+        exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+        approx = set(ivf_topk(ds, q, k=10, index=index)["vec_id"])
+        # the planted cluster shares one centroid → near-perfect recall
+        assert len(exact & approx) >= 9
+
+    def test_ivf_deterministic(self):
+        from documentai_ray.stages.similarity import IVFIndex
+
+        rng = np.random.RandomState(2)
+        X = rng.standard_normal((100, 8))
+        c1 = IVFIndex(nlist=4).train(X).centroids
+        c2 = IVFIndex(nlist=4).train(X).centroids
+        assert (c1 == c2).all()
