@@ -574,6 +574,88 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, query, k=10, index=index, exclude_ids={0})[["vec_id"]]
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (60-min window, 15-min slide)."""
+    import ray.data
+
+    from documentai_ray.stages.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
+
+
+def _q_join_revenue(sf_dir: str):
+    """Partitioned hash join (both sides large): lineitem ⋈ orders on
+    orderkey → revenue per order priority."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"orderkey": batch.column("l_orderkey"), "revenue": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "o_orderpriority": batch.column("o_orderpriority")})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="orderkey")
+    agg = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].round(4)
+    return agg
+
+
+def _q_entities_table(sf_dir: str):
+    """HTML-table tag extraction (M19/LC analog): label→value dicts from the
+    PO pages' summary tables, straight off the raw html payload."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.entities import extract_table_tags
+
+    ds = pages_dataset(sf_dir)
+
+    def tags(batch: pa.Table) -> pa.Table:
+        urls, po, qty, ccy = [], [], [], []
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            try:
+                d = extract_table_tags(payload.decode("utf-8"))
+            except UnicodeDecodeError:
+                continue
+            if "PO" in d:
+                urls.append(u)
+                po.append(d.get("PO", ""))
+                qty.append(d.get("QTY", ""))
+                ccy.append(d.get("CCY", ""))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "tag_po": pa.array(po, pa.string()),
+                         "tag_qty": pa.array(qty, pa.string()),
+                         "tag_ccy": pa.array(ccy, pa.string())})
+
+    return ds.map_batches(tags, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -599,6 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "category_summary": _q_category_summary,
         "vote_distribution": _q_vote_distribution,
         "ann_ivf": _q_ann_ivf,
+        "events_sliding": _q_events_sliding,
+        "join_revenue": _q_join_revenue,
+        "entities_table": _q_entities_table,
     }
 
 
@@ -711,6 +796,22 @@ def oracle_sql() -> dict[str, str]:
         "vote_distribution": (
             f"SELECT {_SQL_CATEGORY} AS category, '4/4' AS votes, "
             "count(*) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "events_sliding": (
+            "SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) "
+            "AS window_start, event_type, count(*) AS n_events "
+            "FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) GROUP BY 1, 2"
+        ),
+        "join_revenue": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "entities_table": (
+            f"SELECT {_SQL_URL} AS url, 'PO-' || (10000 + doc_id) AS tag_po, "
+            "(100 + doc_id % 400) || '.00' AS tag_qty, 'USD' AS tag_ccy "
+            "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
         ),
         # pdf_layout_text, lang_id, token_count_bpe, fingerprint, ann_ivf:
         # rows-only (layout walk / heuristics / ANN not expressible in SQL)

@@ -32,6 +32,7 @@ module import (T2 pattern).
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 from typing import Any
 
 import pyarrow as pa
@@ -169,6 +170,69 @@ def parse_goods_table(text: str) -> list[dict[str, str]]:
              "unit": unit, "unit_price": price, "amount": amount}
         )
     return goods
+
+
+# -- HTML-table tag extraction (M19 analog) ---------------------------------
+
+class _TableParser(HTMLParser):
+    """Collects <table> rows as lists of cell texts (th/td)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tables: list[list[list[str]]] = []
+        self._in_table = 0
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self._in_table += 1
+            self.tables.append([])
+        elif tag == "tr" and self._in_table:
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+
+    def handle_endtag(self, tag):
+        if tag == "table":
+            self._in_table = max(0, self._in_table - 1)
+        elif tag == "tr" and self._row is not None:
+            if self.tables:
+                self.tables[-1].append(self._row)
+            self._row = None
+        elif tag in ("td", "th") and self._cell is not None:
+            if self._row is not None:
+                self._row.append(" ".join("".join(self._cell).split()))
+            self._cell = None
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def extract_html_tables(html_text: str) -> list[list[list[str]]]:
+    """All <table> row/cell texts in document order (whitespace-collapsed).
+
+    The direct ancestor is the reference's BeautifulSoup HTML-table walk for
+    LC tag extraction (entity_extraction_updated/extractor/lc_application.py:
+    14-68 via main.py's extract_entities_from_html_tables) — rebuilt on
+    stdlib HTMLParser."""
+    p = _TableParser()
+    p.feed(html_text)
+    p.close()
+    return p.tables
+
+
+def extract_table_tags(html_text: str) -> dict[str, str]:
+    """label→value dict from 2-column table rows (first cell = tag/label,
+    second = value) — the SWIFT-code tag-dict shape of the LC extractor
+    (entity_extraction_updated/main.py:8-12). First occurrence wins."""
+    out: dict[str, str] = {}
+    for table in extract_html_tables(html_text):
+        for row in table:
+            if len(row) >= 2 and row[0] and row[0] not in out:
+                out[row[0]] = row[1]
+    return out
 
 
 # -- entity ↔ word-box matching (M23) ---------------------------------------

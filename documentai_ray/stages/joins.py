@@ -1,0 +1,132 @@
+"""Join operators (SURVEY §2.5 — the reference has no relational joins; this
+is the engine-capability surface a user of a data engine expects).
+
+- ``broadcast_join`` — small side shipped once via ``ray.put``, looked up
+  per batch inside ``map_batches``: zero shuffle of the fact table. The
+  right pattern whenever one side fits in worker memory.
+- ``hash_join`` — both sides large: explicit partitioned hash join. Each
+  side gets ``pkey = crc32(key) % P``; the tagged union is grouped by pkey
+  and each partition does one vectorized ``pandas.merge``. This is the
+  portable bucket-join idiom (matching keys co-locate by construction).
+  Skew note: a hot key lands whole in one partition — salt hot keys into
+  sub-buckets and replicate the other side when profiling shows a heavy
+  hitter (same salting machinery as state/partitioning.py).
+- ``asof_join`` — per-key ordered as-of join via ``merge_asof`` inside
+  bucket partitions (both sides sorted within the partition).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(fact_ds, dim_df: pd.DataFrame, *, fact_key: str,
+                   dim_key: str, columns: list[str] | None = None):
+    """Left join fact→dim; dim must be driver-small. Returns fact columns +
+    requested dim columns (all dim columns by default)."""
+    import ray
+
+    cols = columns or [c for c in dim_df.columns if c != dim_key]
+    lookup_ref = ray.put(dim_df.set_index(dim_key)[cols])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = batch.column(fact_key).to_pylist()
+        sub = lk.reindex(keys)
+        out = batch
+        for c in cols:
+            out = out.append_column(c, pa.Array.from_pandas(sub[c].reset_index(drop=True)))
+        return out
+
+    return fact_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _tag_and_key(ds, key: str, side: str, all_cols: dict[str, pa.DataType],
+                 num_partitions: int):
+    """Project a side onto the union schema (missing cols null), add the
+    side tag and the bucket pkey."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, pa.Array] = {}
+        for name, typ in all_cols.items():
+            if name in batch.column_names:
+                cols[name] = batch.column(name).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        keys = batch.column(key).to_pylist()
+        pk = np.fromiter(
+            (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
+            dtype=np.int32, count=n,
+        )
+        cols["_side"] = pa.array([side] * n, pa.string())
+        cols["_pkey"] = pa.array(pk, pa.int32())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
+              how: str = "inner"):
+    """Partitioned hash join of two Datasets on a common key column ``on``.
+
+    Column-name collisions (other than the key) must be resolved upstream
+    (rename before joining) — the join output carries the union of columns.
+    """
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    all_cols: dict[str, pa.DataType] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        all_cols[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in all_cols and name != on:
+            raise ValueError(f"column collision: {name!r} (rename before join)")
+        all_cols.setdefault(name, typ)
+    lcols = [n for n in lschema.names]
+    rcols = [n for n in rschema.names if n != on]
+
+    tagged = _tag_and_key(left_ds, on, "l", all_cols, num_partitions).union(
+        _tag_and_key(right_ds, on, "r", all_cols, num_partitions)
+    )
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][lcols]
+        rg = g[g["_side"] == "r"][rcols + [on]]
+        out = lg.merge(rg, on=on, how=how)
+        return out
+
+    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
+              direction: str = "backward"):
+    """As-of join (nearest earlier right row per left row) per ``by`` key,
+    ordered by ``on`` — ``pd.merge_asof`` inside bucket partitions."""
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    all_cols: dict[str, pa.DataType] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        all_cols[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        if name not in (on, by) and name in all_cols:
+            raise ValueError(f"column collision: {name!r}")
+        all_cols.setdefault(name, typ)
+    lcols = list(lschema.names)
+    rcols = [n for n in rschema.names]
+
+    tagged = _tag_and_key(left_ds, by, "l", all_cols, num_partitions).union(
+        _tag_and_key(right_ds, by, "r", all_cols, num_partitions)
+    )
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][lcols].sort_values(on, kind="mergesort")
+        rg = g[g["_side"] == "r"][rcols].sort_values(on, kind="mergesort")
+        if lg.empty:
+            return lg
+        return pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
+
+    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")

@@ -1,0 +1,92 @@
+"""Window operators and join operators tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from documentai_ray.stages import joins, windows
+from documentai_ray.stages.entities import extract_html_tables, extract_table_tags
+
+
+def _ev(ts_min: float, typ: str = "a", user: int = 1):
+    return {"ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=ts_min),
+            "event_type": typ, "user_id": user, "value": 1.0}
+
+
+class TestWindows:
+    def test_tumbling(self, ray_session):
+        ds = ray_session.data.from_items([_ev(5), _ev(59), _ev(61), _ev(125, "b")])
+        out = windows.tumbling_window_agg(ds).to_pandas()
+        got = {(r.window_start.hour, r.event_type): r.n_events
+               for r in out.itertuples()}
+        assert got == {(0, "a"): 2, (1, "a"): 1, (2, "b"): 1}
+
+    def test_sliding_membership_count(self, ray_session):
+        # one event → member of exactly window/slide = 4 windows
+        ds = ray_session.data.from_items([_ev(31)])
+        out = windows.sliding_window_agg(ds, window_minutes=60,
+                                         slide_minutes=15).to_pandas()
+        assert len(out) == 4 and (out["n_events"] == 1).all()
+        starts = sorted(out["window_start"])
+        assert starts[-1] - starts[0] == pd.Timedelta(minutes=45)
+        # the latest window starts at the event's slide bucket (30 min)
+        assert starts[-1] == pd.Timestamp(2024, 1, 1, 0, 30)
+
+    def test_sessions(self, ray_session):
+        ds = ray_session.data.from_items(
+            [_ev(0), _ev(10), _ev(60), _ev(65), _ev(200)])
+        out = windows.session_windows(ds, gap_minutes=30).to_pandas()
+        assert out.iloc[0]["n_sessions"] == 3
+        assert out.iloc[0]["max_session_events"] == 2
+
+
+class TestJoins:
+    def test_hash_join_inner(self, ray_session):
+        left = ray_session.data.from_items(
+            [{"k": i % 3, "lv": i} for i in range(9)])
+        right = ray_session.data.from_items(
+            [{"k": 0, "rv": "zero"}, {"k": 1, "rv": "one"}])
+        out = joins.hash_join(left, right, on="k").to_pandas()
+        assert len(out) == 6  # k=2 rows dropped (inner)
+        assert set(out["rv"]) == {"zero", "one"}
+        assert set(out.columns) == {"k", "lv", "rv"}
+
+    def test_hash_join_collision_detection(self, ray_session):
+        a = ray_session.data.from_items([{"k": 1, "x": 1}])
+        b = ray_session.data.from_items([{"k": 1, "x": 2}])
+        with pytest.raises(ValueError, match="collision"):
+            joins.hash_join(a, b, on="k")
+
+    def test_broadcast_join(self, ray_session):
+        fact = ray_session.data.from_items([{"ck": 1, "v": 10}, {"ck": 2, "v": 20}])
+        dim = pd.DataFrame({"ck": [1, 2], "name": ["a", "b"]})
+        out = joins.broadcast_join(fact, dim, fact_key="ck", dim_key="ck").to_pandas()
+        assert dict(zip(out["v"], out["name"])) == {10: "a", 20: "b"}
+
+    def test_asof_join(self, ray_session):
+        quotes = ray_session.data.from_items(
+            [{"sym": "x", "t": 1, "px": 1.0}, {"sym": "x", "t": 5, "px": 2.0}])
+        trades = ray_session.data.from_items(
+            [{"sym": "x", "t": 3, "qty": 7}, {"sym": "x", "t": 6, "qty": 8}])
+        out = joins.asof_join(trades, quotes, on="t", by="sym").to_pandas()
+        out = out.sort_values("t")
+        assert out["px"].tolist() == [1.0, 2.0]
+
+
+class TestHtmlTables:
+    def test_table_rows(self):
+        html = ("<table><tr><th>PO</th><td>PO-1</td></tr>"
+                "<tr><th>QTY</th><td>5</td></tr></table>")
+        assert extract_html_tables(html) == [[["PO", "PO-1"], ["QTY", "5"]]]
+
+    def test_tag_dict_first_wins(self):
+        html = ("<table><tr><td>A</td><td>1</td></tr></table>"
+                "<table><tr><td>A</td><td>2</td><td>x</td></tr>"
+                "<tr><td>B</td><td>3</td></tr></table>")
+        assert extract_table_tags(html) == {"A": "1", "B": "3"}
+
+    def test_no_tables(self):
+        assert extract_table_tags("<p>hello</p>") == {}
