@@ -31,22 +31,22 @@ BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "32"))
 CORPUS_ROOT = "/tmp/graft_bench"
 
 
-def corpus_dir() -> str:
+def corpus_dir(copies: int | None = None) -> str:
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    return os.path.join(CORPUS_ROOT, f"pages_{tag}_x{BENCH_COPIES}")
+    return os.path.join(CORPUS_ROOT, f"pages_{tag}_x{copies or BENCH_COPIES}")
 
 
-def ensure_corpus() -> str:
+def ensure_corpus(copies: int | None = None) -> str:
     """Materialize the pages corpus to sharded parquet (deterministic)."""
     from documentai_ray.sources.pages import write_pages_corpus
 
-    d = corpus_dir()
+    d = corpus_dir(copies)
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
-        write_pages_corpus(d, SF_DIR, shards=32, copies=BENCH_COPIES)
+        write_pages_corpus(d, SF_DIR, shards=32, copies=copies or BENCH_COPIES)
         with open(marker, "w") as f:
             f.write("ok")
     return d
@@ -107,9 +107,14 @@ def run_benchmarks() -> dict:
 
     timed("extract_quality", run_extract_only)
 
+    # minhash runs on the ×1 corpus: the ×N replication makes every page an
+    # exact dup of N-1 others, which quadratically inflates the (correct)
+    # candidate-pair set and measures pair materialization, not LSH.
+    minhash_path = ensure_corpus(copies=1)
+
     def run_minhash():
-        ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
-        ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+        ds = ray.data.read_parquet(minhash_path, columns=["url", "html"])
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=1024)
         return lsh_candidate_pairs(ds.select_columns(["url", "text"]),
                                    id_col="url").count()
 

@@ -112,21 +112,47 @@ def dedup_exact_first(ds, id_col: str, content_col: str = "text",
 # shingling + MinHash (vectorized)
 # ---------------------------------------------------------------------------
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_SH_P1 = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio multipliers
+_SH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_P3 = np.uint64(0x165667B19E3779F9)
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:  # bounded per-worker cache (T2/T5 pattern)
+            _TOKEN_HASH_CACHE[tok] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct 64-bit hashes of word k-shingles (stable across runs)."""
+    """Distinct 64-bit hashes of word k-shingles.
+
+    Vectorized: each token is md5-hashed once (worker-local cache — corpus
+    vocabularies repeat heavily), then the k-shingle hash is a position-
+    weighted mix of k consecutive token hashes computed as one numpy
+    expression over the whole token array (no per-shingle string building).
+    """
     toks = text.split()
-    if len(toks) < k:
-        shingles = {" ".join(toks)} if toks else set()
-    else:
-        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    if not shingles:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    out = np.fromiter(
-        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in shingles),
-        dtype=np.uint64,
-        count=len(shingles),
-    )
-    return out
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    if len(th) < k:
+        h = np.uint64(0)
+        for i, v in enumerate(th):
+            h = h * _SH_P1 + v * (_SH_P2 if i % 2 else _SH_P3)
+        return np.array([h], dtype=np.uint64)
+    sh = th[: -(k - 1)] * _SH_P1 + th[1:-(k - 2)] * _SH_P2 if k == 3 else None
+    if k == 3:
+        sh = sh + th[2:] * _SH_P3
+    else:  # generic k
+        n = len(th) - k + 1
+        sh = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            sh = sh * _SH_P1 + th[j : j + n] * _SH_P2
+    return np.unique(sh)
 
 
 def minhash_signature(text: str, perm_a: np.ndarray, perm_b: np.ndarray, k: int = 3) -> np.ndarray:
