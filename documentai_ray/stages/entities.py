@@ -320,6 +320,28 @@ def completeness_score(entities: dict[str, str], expected_fields: list[str]) -> 
 
 
 # ---------------------------------------------------------------------------
+# extractor plugin registry (SURVEY §2.11 — the EXTRACTORS dict surface,
+# entity-extraction-service/app.py:50-55 / extractor/__init__.py get_extractor)
+# ---------------------------------------------------------------------------
+
+EXTRACTORS: dict[str, Any] = {
+    "purchase_order": extract_po,
+}
+
+
+def register_extractor(category: str, fn) -> None:
+    """User extension point: ``fn(text) -> dict[str, str]`` per category.
+    Registered extractors dispatch inside ``entities_batch`` by the
+    ``category`` column — registration must happen at import time on the
+    driver (the registry ships to workers in the UDF closure)."""
+    EXTRACTORS[category] = fn
+
+
+def get_extractor(category: str):
+    return EXTRACTORS.get(category)
+
+
+# ---------------------------------------------------------------------------
 # batch stage: dispatch on category (J1 collapsed in-row)
 # ---------------------------------------------------------------------------
 
@@ -338,8 +360,10 @@ def entities_batch(batch: pa.Table) -> pa.Table:
     completeness: list[float] = []
     for text, cat in zip(texts, cats):
         text = text or ""
-        if cat == "purchase_order":
-            ents = extract_po(text)
+        extractor = EXTRACTORS.get(cat)
+        if extractor is not None:
+            ents = {f: "" for f in PO_FIELDS}
+            ents.update(extractor(text))
         else:
             ents = {f: "" for f in PO_FIELDS}
         for f in PO_FIELDS:

@@ -37,13 +37,54 @@ Metric definitions over extracted text ``t``:
 
 from __future__ import annotations
 
+import os
 import re
 
 import pyarrow as pa
 
 from documentai_ray.functions.text import r6
 
-SUPPORTED_LANGS = ("en", "de", "fr", "es")
+_CONFIG_PATH = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "configs",
+                 "quality_config.yaml")
+)
+
+_DEFAULT_CONFIG = {
+    "weights": {"length": 0.4, "repetition": 0.4, "structure": 0.2},
+    "length": {"full_score_chars": 400},
+    "structure": {"good_line_min_chars": 20},
+    "verdicts": {"direct_analysis": 0.95, "pre_processing": 0.80,
+                 "deep_analysis": 0.60},
+    "supported_langs": ["en", "de", "fr", "es"],
+    "recommendations": {},
+}
+
+
+def load_quality_config(path: str | None = None) -> dict:
+    """User-extension surface (quality_config.yaml shape); falls back to
+    built-in defaults when yaml or the file is absent."""
+    p = path or _CONFIG_PATH
+    try:
+        import yaml
+
+        with open(p) as f:
+            cfg = yaml.safe_load(f)
+        return {**_DEFAULT_CONFIG, **(cfg or {})}
+    except (ImportError, OSError):
+        return dict(_DEFAULT_CONFIG)
+
+
+_CFG = load_quality_config()
+SUPPORTED_LANGS = tuple(_CFG["supported_langs"])
+_W_LEN = float(_CFG["weights"]["length"])
+_W_REP = float(_CFG["weights"]["repetition"])
+_W_STRUCT = float(_CFG["weights"]["structure"])
+_FULL_CHARS = int(_CFG["length"]["full_score_chars"])
+_GOOD_LINE = int(_CFG["structure"]["good_line_min_chars"])
+_V_DIRECT = float(_CFG["verdicts"]["direct_analysis"])
+_V_PREPROC = float(_CFG["verdicts"]["pre_processing"])
+_V_DEEP = float(_CFG["verdicts"]["deep_analysis"])
+
 _SPLIT_WS = re.compile(r"\s+")
 
 VERDICT_RE_SCAN = "re_scan"
@@ -51,6 +92,11 @@ VERDICT_DIRECT = "direct_analysis"
 VERDICT_PREPROC = "pre_processing"
 VERDICT_DEEP = "deep_analysis"
 VERDICT_REUPLOAD = "reupload"
+
+
+def recommendation_for(verdict: str) -> str:
+    """Per-verdict advice string (Q14 analog, quality_config.py:96-103)."""
+    return _CFG.get("recommendations", {}).get(verdict, "")
 
 
 def score_text(text: str, lang: str | None = None) -> dict:
@@ -62,17 +108,17 @@ def score_text(text: str, lang: str | None = None) -> dict:
     raw_rep = (uniq_tokens / n_tokens) if n_tokens > 0 else 0.0
     lines = text.split("\n")
     n_lines = len(lines)
-    good_lines = sum(1 for ln in lines if len(ln) >= 20)
+    good_lines = sum(1 for ln in lines if len(ln) >= _GOOD_LINE)
     raw_struct = good_lines / n_lines  # n_lines >= 1 always (split of "")
-    len_score = min(n_chars, 400) / 400.0
-    confidence = r6(0.4 * len_score + 0.4 * raw_rep + 0.2 * raw_struct)
+    len_score = min(n_chars, _FULL_CHARS) / float(_FULL_CHARS)
+    confidence = r6(_W_LEN * len_score + _W_REP * raw_rep + _W_STRUCT * raw_struct)
     if n_chars == 0:
         verdict = VERDICT_RE_SCAN
-    elif confidence >= 0.95:
+    elif confidence >= _V_DIRECT:
         verdict = VERDICT_DIRECT
-    elif confidence >= 0.80:
+    elif confidence >= _V_PREPROC:
         verdict = VERDICT_PREPROC
-    elif confidence >= 0.60:
+    elif confidence >= _V_DEEP:
         verdict = VERDICT_DEEP
     else:
         verdict = VERDICT_REUPLOAD
