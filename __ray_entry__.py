@@ -656,6 +656,43 @@ def _q_entities_table(sf_dir: str):
     return ds.map_batches(tags, batch_format="pyarrow")
 
 
+def _q_technique_stats(sf_dir: str):
+    """A8 analog: per-technique agreement with the fused category
+    (documentClassifier.py:1138-1288 technique performance stats).
+    Per-batch partial counts → tiny groupby."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+    techs = ["keyword", "regex", "tokenset", "ml"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch.column("category").to_pylist()
+        rows = []
+        for t in techs:
+            tv = batch.column(f"tech_{t}").to_pylist()
+            rows.append({"technique": t, "n_docs": len(cat),
+                         "n_agree": sum(a == b for a, b in zip(tv, cat))})
+        return pa.Table.from_pylist(rows)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("technique")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_agree", alias_name="n_agree"))
+        .to_pandas()
+    )
+    agg["agree_rate"] = [
+        math.floor(a / n * 1e6) / 1e6 for a, n in zip(agg["n_agree"], agg["n_docs"])
+    ]
+    return agg[["technique", "n_docs", "n_agree", "agree_rate"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -684,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
+        "technique_stats": _q_technique_stats,
     }
 
 
@@ -812,6 +850,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_SQL_URL} AS url, 'PO-' || (10000 + doc_id) AS tag_po, "
             "(100 + doc_id % 400) || '.00' AS tag_qty, 'USD' AS tag_ccy "
             "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
+        ),
+        "technique_stats": (
+            "SELECT technique, count(*) AS n_docs, count(*) AS n_agree, "
+            "floor(CAST(count(*) AS DOUBLE) / count(*) * 1e6) / 1e6 AS agree_rate "
+            "FROM documents CROSS JOIN (SELECT unnest(['keyword','ml','regex','tokenset']) "
+            "AS technique) GROUP BY technique"
         ),
         # pdf_layout_text, lang_id, token_count_bpe, fingerprint, ann_ivf:
         # rows-only (layout walk / heuristics / ANN not expressible in SQL)

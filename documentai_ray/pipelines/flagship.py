@@ -105,4 +105,36 @@ def run_to_parquet(
 
     written = ray.data.read_parquet(out_dir, columns=["bucket", "url", "text"])
     manifests = mf.finalize_buckets(written, out_dir)
+    write_job_metrics(out_dir)
     return manifests
+
+
+def write_job_metrics(out_dir: str) -> dict:
+    """Job-level metrics manifest (K3 analog — the reference's per-session
+    JSON log with stats, documentClassifier.py:1524-1541): verdict and
+    category distributions + total rows, aggregated from the written output
+    (small groupbys over two pruned columns) into ``_metrics.json``."""
+    import json
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(out_dir, columns=["verdict", "category"])
+    verdicts = {
+        r["verdict"]: r["n"]
+        for r in ds.groupby("verdict").aggregate(Count(alias_name="n")).take_all()
+    }
+    categories = {
+        r["category"]: r["n"]
+        for r in ds.groupby("category").aggregate(Count(alias_name="n")).take_all()
+    }
+    metrics = {
+        "rows": sum(verdicts.values()),
+        "verdict_distribution": verdicts,
+        "category_distribution": categories,
+    }
+    tmp = os.path.join(out_dir, "_metrics.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, sort_keys=True, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_metrics.json"))
+    return metrics
