@@ -67,9 +67,11 @@ def dedup_latest(ds, key: str = "url", ts: str = "warc_ts",
     resolve to an arbitrary but single row (captures carry distinct
     timestamps by contract)."""
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
+    def latest(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([key, ts], kind="mergesort")
-        return g.drop_duplicates(subset=[key], keep="last").drop(columns=["_pkey"])
+        out = g.drop_duplicates(subset=[key], keep="last").drop(columns=["_pkey"])
+        # emit Arrow so downstream pyarrow stages stay zero-copy
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         _add_pkey(ds, key, num_partitions)
