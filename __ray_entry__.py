@@ -693,6 +693,41 @@ def _q_technique_stats(sf_dir: str):
     return agg[["technique", "n_docs", "n_agree", "agree_rate"]]
 
 
+def _q_curate_corpus(sf_dir: str):
+    """Training-data curation: quality-filter the documents table (keep
+    confident, supported-language, long-enough docs) — the canonical
+    LLM-corpus quality-filtering op, built on the quality transform."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=512)
+
+    def keep(t):
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t.column("confidence"), 0.6),
+                    t.column("lang_ok")),
+            pc.greater_equal(t.column("n_chars"), 100),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "n_chars", "confidence"])
+
+
+def _q_top_orders(sf_dir: str):
+    """Global sort + limit (``ds.sort``): top-20 orders by total price,
+    orderkey as the deterministic tiebreak."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -722,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "technique_stats": _q_technique_stats,
+        "top_orders": _q_top_orders,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -856,6 +893,18 @@ def oracle_sql() -> dict[str, str]:
             "floor(CAST(count(*) AS DOUBLE) / count(*) * 1e6) / 1e6 AS agree_rate "
             "FROM documents CROSS JOIN (SELECT unnest(['keyword','ml','regex','tokenset']) "
             "AS technique) GROUP BY technique"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "curate_corpus": (
+            "SELECT doc_id, lang, n_chars, confidence FROM ("
+            "SELECT doc_id, lang, n_chars, "
+            "lang IN ('en','de','fr','es') AS lang_ok, "
+            f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
+            f"SELECT doc_id, lang, {_SQL_QUALITY_METRICS.strip()} FROM documents)) "
+            "WHERE confidence >= 0.6 AND lang_ok AND n_chars >= 100"
         ),
         # pdf_layout_text, lang_id, token_count_bpe, fingerprint, ann_ivf:
         # rows-only (layout walk / heuristics / ANN not expressible in SQL)

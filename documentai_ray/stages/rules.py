@@ -42,6 +42,9 @@ class Rule:
     rule_type: str
     text: str
     check: Callable[[str], bool]
+    # cross-field rules (validation_engine.py:225-255 date comparisons)
+    # get the whole entity dict as second argument
+    cross_check: Callable[[str, dict], bool] | None = None
 
 
 def _parse_date(value: str, fmt: str) -> bool:
@@ -52,9 +55,40 @@ def _parse_date(value: str, fmt: str) -> bool:
         return False
 
 
+_DATE_FORMATS = ("%d.%m.%Y", "%y%m%d", "%d/%m/%Y", "%Y-%m-%d")
+
+
+def _parse_any_date(value: str):
+    for fmt in _DATE_FORMATS:
+        try:
+            return _dt.datetime.strptime(value, fmt)
+        except ValueError:
+            continue
+    return None
+
+
 def compile_rule(field: str, sentence: str) -> Rule:
     s = sentence.strip()
     low = s.lower()
+    # cross-field date comparison (validation_engine.py:225-255):
+    # "... must be a date on or after the value of OTHER_FIELD"
+    m = re.search(r"must be a date (on or after|after|before) the value of (\w+)", low)
+    if m:
+        op, other = m.group(1), m.group(2).upper()
+
+        def cross(value: str, entities: dict, op=op, other=other) -> bool:
+            d1 = _parse_any_date(value or "")
+            d2 = _parse_any_date(
+                entities.get(other.lower(), entities.get(other, "")) or "")
+            if d1 is None or d2 is None:
+                return False
+            if op == "after":
+                return d1 > d2
+            if op == "before":
+                return d1 < d2
+            return d1 >= d2
+
+        return Rule(field, "cross_date", s, lambda v: True, cross)
     m = re.search(r"must match pattern (\S+)", s, re.I)
     if m:
         rx = re.compile(m.group(1))
@@ -117,7 +151,10 @@ def validate_entities(entities: dict[str, str], rules: list[Rule]) -> dict:
     passed = 0
     for r in rules:
         value = entities.get(r.field.lower(), entities.get(r.field, ""))
-        ok = bool(r.check(value))
+        if r.cross_check is not None:
+            ok = bool(r.cross_check(value, entities))
+        else:
+            ok = bool(r.check(value))
         passed += ok
         results.append({"field": r.field, "rule_type": r.rule_type, "passed": ok})
     return {

@@ -155,3 +155,38 @@ class TestRuleCompiler:
         f = {k.lower(): v for k, v in po_fields(250).items()}  # qty 350
         res = rules.validate_entities(f, rl)
         assert res["rules_passed"] == 7 and not res["overall_valid"]
+
+
+class TestLcRulesAndCrossField:
+    def test_lc_rules_compile(self):
+        rl = rules.load_rules("configs/validation_rules/lc_rules.txt")
+        assert len(rl) == 6
+        types = {r.field: r.rule_type for r in rl}
+        assert types["40A"] == "equals"
+        assert types["31C"] == "date"
+        assert types["31D"] == "cross_date"
+        assert types["32B"] == "currency_amount"
+
+    def test_lc_validation_pass(self):
+        rl = rules.load_rules("configs/validation_rules/lc_rules.txt")
+        ents = {"40a": "IRREVOCABLE", "31c": "240301", "31d": "240315",
+                "32b": "USD 125,000.00", "50": "APPLICANT CO", "59": "BENEFICIARY CO"}
+        res = rules.validate_entities(ents, rl)
+        assert res["overall_valid"], res
+
+    def test_cross_field_date_failure(self):
+        rl = rules.load_rules("configs/validation_rules/lc_rules.txt")
+        ents = {"40a": "IRREVOCABLE", "31c": "240315", "31d": "240301",
+                "32b": "USD 1", "50": "X", "59": "Y"}
+        res = rules.validate_entities(ents, rl)
+        assert res["rules_failed"] == 1  # 31D before 31C
+
+    def test_cross_field_missing_operand_fails(self):
+        r = rules.compile_rule("31D", "The value must be a date on or after the value of 31C")
+        assert r.cross_check("240315", {}) is False
+        assert r.cross_check("", {"31c": "240301"}) is False
+
+    def test_cross_field_mixed_formats(self):
+        r = rules.compile_rule("D2", "The value must be a date after the value of D1")
+        assert r.cross_check("16.03.2024", {"d1": "240315"}) is True
+        assert r.cross_check("14.03.2024", {"d1": "240315"}) is False
