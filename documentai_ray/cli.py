@@ -1,0 +1,66 @@
+"""Job entry point — the ``ray job submit`` surface of the engine.
+
+    ray job submit -- python -m documentai_ray.cli run \
+        --input /data/pages --output /data/out --buckets 256
+
+Runs the flagship pipeline over a Parquet pages directory with the full
+scale plumbing: heavy-host detection → salted url-hash bucketing → resume
+filter → extraction/quality/classification/entities/rules → partitioned
+parquet + per-bucket manifests + job metrics. Re-submitting after a failure
+resumes from the completed-bucket set.
+
+This module owns a Ray session ONLY when run as a script (guarded init);
+imported, it never touches the session (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def run(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(prog="documentai_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run the flagship pipeline")
+    runp.add_argument("--input", required=True, help="pages parquet dir/file")
+    runp.add_argument("--output", required=True, help="output dir")
+    runp.add_argument("--buckets", type=int, default=64)
+    runp.add_argument("--heavy-share", type=float, default=0.10)
+    runp.add_argument("--salt-k", type=int, default=8)
+    runp.add_argument("--batch-size", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        import ray.data
+
+        from documentai_ray.pipelines.flagship import run_to_parquet
+
+        ds = ray.data.read_parquet(args.input)
+        manifests = run_to_parquet(
+            args.output,
+            ds=ds,
+            n_buckets=args.buckets,
+            heavy_share=args.heavy_share,
+            salt_k=args.salt_k,
+            batch_size=args.batch_size,
+        )
+        summary = {
+            "buckets_completed": len(manifests),
+            "rows": sum(m["rows"] for m in manifests.values()),
+            "output": args.output,
+        }
+        return summary
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    print(json.dumps(run(sys.argv[1:])))

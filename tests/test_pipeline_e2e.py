@@ -118,3 +118,24 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             _decode_image_real(b"px")
+
+
+class TestCli:
+    def test_cli_run_resumable(self, ray_session, tmp_path):
+        import json
+        import os
+
+        from documentai_ray.cli import run as cli_run
+        from documentai_ray.sources.pages import write_pages_corpus
+
+        inp = os.path.join(str(tmp_path), "pages")
+        out = os.path.join(str(tmp_path), "out")
+        write_pages_corpus(inp, SF_SMOKE, shards=2)
+        summary = cli_run(["run", "--input", inp, "--output", out,
+                           "--buckets", "4"])
+        assert summary["buckets_completed"] == 4 and summary["rows"] > 0
+        assert os.path.exists(os.path.join(out, "_metrics.json"))
+        with open(os.path.join(out, "_metrics.json")) as f:
+            metrics = json.load(f)
+        assert metrics["rows"] == summary["rows"]
+        assert "purchase_order" in metrics["category_distribution"]
