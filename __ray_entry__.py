@@ -384,9 +384,10 @@ def _q_orders_by_nation(sf_dir: str):
     return agg[["n_name", "n_orders", "total_price"]]
 
 
-def _q_minhash_neardup(sf_dir: str):
-    """MinHash-LSH near-dup pairs over the pages corpus (with planted
-    near-dups), verified with exact 3-shingle Jaccard ≥ 0.8."""
+def _minhash_verified_pairs(sf_dir: str):
+    """Shared helper: (pages(url,text) Dataset, verified-pairs Dataset) for
+    the near-dup queries — LSH candidates verified with exact 3-shingle
+    Jaccard ≥ 0.8."""
     import pandas as pd
     import ray
 
@@ -411,8 +412,37 @@ def _q_minhash_neardup(sf_dir: str):
         ]
         return batch[pd.Series(keep, index=batch.index)]
 
-    out = cand.map_batches(verify, batch_format="pandas").to_pandas()
+    return ds, cand.map_batches(verify, batch_format="pandas")
+
+
+def _q_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the pages corpus (with planted
+    near-dups), verified with exact 3-shingle Jaccard ≥ 0.8."""
+    _, pairs = _minhash_verified_pairs(sf_dir)
+    out = pairs.to_pandas()
     return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+
+
+def _q_minhash_dedup_keep(sf_dir: str):
+    """Full near-dup dedup: verified pairs → distributed connected
+    components (min-label propagation) → keep one representative (min url)
+    per component. Output: surviving urls."""
+    from documentai_ray.stages.dedup import neardup_components
+    import pyarrow.compute as pc
+
+    pages, pairs = _minhash_verified_pairs(sf_dir)
+    # near-dup clusters here are tiny cliques: label propagation converges
+    # in ≤2 hops; 3 iterations adds one of margin (each iteration is a
+    # join+groupby round trip, so don't over-provision)
+    comp = neardup_components(pages.select_columns(["url"]), pairs,
+                              id_col="url", max_iters=3, num_partitions=16)
+
+    def survivors(batch):
+        return batch.filter(
+            pc.equal(batch.column("url"), batch.column("component"))
+        ).select(["url"])
+
+    return comp.map_batches(survivors, batch_format="pyarrow")
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -743,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_nation": _q_orders_by_nation,
         "minhash_neardup": _q_minhash_neardup,
+        "minhash_dedup_keep": _q_minhash_dedup_keep,
         "embedding_neardup": _q_embedding_neardup,
         "topk_similarity": _q_topk_similarity,
         "pdf_layout_text": _q_pdf_layout_text,
@@ -842,6 +873,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "minhash_neardup": _SQL_JACCARD_PAIRS,
+        # survivors = min-of-component; near-dup components in this corpus
+        # are cliques (every member pair exceeds the threshold), so the min
+        # node is exactly the one never appearing on the greater (url_b) side
+        "minhash_dedup_keep": (
+            f"WITH pairs AS ({_SQL_JACCARD_PAIRS}) "
+            f"SELECT url FROM ({_SQL_PAGES_WITH_AMP}) "
+            "WHERE url NOT IN (SELECT url_b FROM pairs)"
+        ),
         "simhash_hamming": (
             f"SELECT {_SQL_URL} AS url_a, {_SQL_URL} || '?amp=1' AS url_b "
             "FROM documents WHERE doc_id % 50 IN (3, 7) AND doc_id % 97 <> 0"

@@ -281,6 +281,67 @@ def _zip_ngrams(text: str, k: int):
 
 
 # ---------------------------------------------------------------------------
+# connected components over candidate pairs (cluster near-dups)
+# ---------------------------------------------------------------------------
+
+def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
+                       max_iters: int = 6, num_partitions: int = 32):
+    """Distributed min-label propagation: every node's label converges to
+    the minimum id of its connected component in ≤ diameter iterations
+    (clusters from near-dup pairs are shallow — ``max_iters`` bounds it).
+
+    Each iteration is one partitioned hash join (labels→edges) plus one
+    grouped min — no driver-side graph. Returns (id, component) where
+    ``component`` is the min id of the node's component. Survivor set for
+    dedup = rows with ``component == id``."""
+    import pandas as pd
+
+    from documentai_ray.stages.joins import hash_join
+
+    def to_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        return pa.table({"node": ids, "label": ids})
+
+    labels = ids_ds.map_batches(to_labels, batch_format="pyarrow")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        return pa.table({"node": pa.array(a + b), "nbr": pa.array(b + a)})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_iters):
+        # neighbor labels: join edges (keyed by nbr) to labels (keyed by node)
+        def ren(batch: pa.Table) -> pa.Table:
+            return pa.table({"join_key": batch.column("nbr"),
+                             "node": batch.column("node")})
+
+        def lab(batch: pa.Table) -> pa.Table:
+            return pa.table({"join_key": batch.column("node"),
+                             "label": batch.column("label")})
+
+        nbr_labels = hash_join(
+            edges.map_batches(ren, batch_format="pyarrow"),
+            labels.map_batches(lab, batch_format="pyarrow"),
+            on="join_key", num_partitions=num_partitions,
+        ).drop_columns(["join_key"])
+        merged = labels.union(nbr_labels)
+        labels = merged.groupby("node").aggregate(Min("label", alias_name="label"))
+        # materialize the small (node,label) table so the lazy plan doesn't
+        # re-execute the whole chain each iteration
+        labels = labels.materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column("node"),
+                         "component": batch.column("label")})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

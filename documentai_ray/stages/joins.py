@@ -93,11 +93,12 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
         _tag_and_key(right_ds, on, "r", all_cols, num_partitions)
     )
 
-    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def join_partition(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][rcols + [on]]
         out = lg.merge(rg, on=on, how=how)
-        return out
+        # emit Arrow so downstream unions/groupbys see homogeneous blocks
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
 
@@ -122,11 +123,13 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
         _tag_and_key(right_ds, by, "r", all_cols, num_partitions)
     )
 
-    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def join_partition(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == "l"][lcols].sort_values(on, kind="mergesort")
         rg = g[g["_side"] == "r"][rcols].sort_values(on, kind="mergesort")
         if lg.empty:
-            return lg
-        return pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
+            out = lg
+        else:
+            out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")

@@ -197,3 +197,29 @@ class TestIvf:
         c1 = IVFIndex(nlist=4).train(X).centroids
         c2 = IVFIndex(nlist=4).train(X).centroids
         assert (c1 == c2).all()
+
+
+class TestComponents:
+    def test_chain_transitivity(self, ray_session):
+        # chain a-b-c-d plus isolated e: all of a..d share component "a"
+        ids = ray_session.data.from_items(
+            [{"url": u} for u in ["a", "b", "c", "d", "e"]])
+        pairs = ray_session.data.from_items(
+            [{"id_a": "a", "id_b": "b"}, {"id_a": "b", "id_b": "c"},
+             {"id_a": "c", "id_b": "d"}])
+        from documentai_ray.stages.dedup import neardup_components
+
+        out = {r["url"]: r["component"]
+               for r in neardup_components(ids, pairs, max_iters=4).take_all()}
+        assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
+
+    def test_survivors_are_min_per_component(self, ray_session):
+        ids = ray_session.data.from_items([{"url": str(i)} for i in range(6)])
+        pairs = ray_session.data.from_items(
+            [{"id_a": "1", "id_b": "3"}, {"id_a": "3", "id_b": "5"},
+             {"id_a": "0", "id_b": "2"}])
+        from documentai_ray.stages.dedup import neardup_components
+
+        comp = neardup_components(ids, pairs, max_iters=4).to_pandas()
+        survivors = sorted(comp[comp["url"] == comp["component"]]["url"])
+        assert survivors == ["0", "1", "4"]
