@@ -139,3 +139,20 @@ class TestCli:
             metrics = json.load(f)
         assert metrics["rows"] == summary["rows"]
         assert "purchase_order" in metrics["category_distribution"]
+
+
+class TestPdfCorpusFlagship:
+    def test_pdf_mode_end_to_end(self, ray_session):
+        from documentai_ray.pipelines.flagship import flagship
+        from documentai_ray.sources.pages import pages_dataset, is_malformed
+
+        ds = pages_dataset(SF_SMOKE, with_dups=False, pdf_mode=True)
+        df = flagship(ds).to_pandas()
+        assert len(df) == 500
+        ok = df[df["payload_kind"] == "pdf"]
+        assert len(ok) == len(df) - df["payload_kind"].eq("error").sum()
+        # pdf corpus wraps document text → every parsed row classifies as
+        # data_report (vocab text), malformed rows as unclassified
+        assert (ok["category"] == "data_report").all()
+        errs = df[df["payload_kind"] == "error"]
+        assert all(is_malformed(_doc_id(u)) for u in errs["url"])
