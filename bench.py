@@ -53,10 +53,14 @@ def ensure_corpus(copies: int | None = None) -> str:
 
 
 def run_benchmarks() -> dict:
+    import logging
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
