@@ -748,6 +748,58 @@ def _q_curate_corpus(sf_dir: str):
         ["doc_id", "lang", "n_chars", "confidence"])
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split: multiplicative (Knuth) hash of
+    the id → stable 80/10/10 assignment, identical at any parallelism and
+    reproducible in SQL (no RNG state)."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    M = 2654435761
+    MOD = 1 << 32
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(M)) % np.uint64(MOD)
+        frac = h.astype(np.float64) / float(MOD)
+        split = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _q_top_tokens(sf_dir: str):
+    """Corpus token frequencies: per-batch Counter partials → groupby sum →
+    top-20 (count desc, token asc). The combiner keeps the shuffle at
+    one row per distinct token per batch."""
+    import collections
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split(" "))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    return agg.head(20).reset_index(drop=True)
+
+
 def _q_top_orders(sf_dir: str):
     """Global sort + limit (``ds.sort``): top-20 orders by total price,
     orderkey as the deterministic tiebreak."""
@@ -790,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
         "curate_corpus": _q_curate_corpus,
+        "split_assign": _q_split_assign,
+        "top_tokens": _q_top_tokens,
     }
 
 
@@ -936,6 +990,17 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "split_assign": (
+            "SELECT doc_id, CASE "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.8 THEN 'train' "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "top_tokens": (
+            "SELECT token, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 20"
         ),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("
