@@ -155,3 +155,23 @@ class TestCorpusByteIdentity:
             if pages.is_malformed(int(u.rsplit("/", 1)[1]))
         }
         assert errors == expected_err and len(errors) > 0
+
+
+class TestGoldenHtmlCorpus:
+    """Handwritten golden corpus pinning the canonical extraction spec
+    (tests/golden_html_cases.json) — byte-for-byte expected output."""
+
+    def test_all_golden_cases(self):
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "golden_html_cases.json")
+        with open(path) as f:
+            cases = json.load(f)
+        assert len(cases) >= 15
+        failures = []
+        for c in cases:
+            got = html_main_content(c["html"])
+            if got != c["expected"]:
+                failures.append((c["name"], got, c["expected"]))
+        assert not failures, failures
