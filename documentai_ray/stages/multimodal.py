@@ -82,6 +82,40 @@ class ImageFeatureStage:
         return out.append_column("decode_error", pa.array(errors, pa.string()))
 
 
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy (REAL, not a stub): index-map
+    sampling — the resize step of the image pipeline (the reference resizes
+    pixmaps /4 before metrics, universal_analyzer.py:39)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    cols = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode (stub) → resize → re-emit payload bytes +
+    new dims. Demonstrates the write-back-processed-payload path (K2)."""
+
+    def __init__(self, width: int = 16, height: int = 16, *, decode_stub: bool = True):
+        self.width, self.height = width, height
+        self._decode = _decode_image_stub if decode_stub else _decode_image_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, widths, heights = [], [], []
+        for p in batch.column("payload").to_pylist():
+            img = self._decode(p)
+            small = resize_nearest(img, self.width, self.height)
+            payloads.append(small.tobytes())
+            widths.append(small.shape[1])
+            heights.append(small.shape[0])
+        out = batch.set_column(
+            batch.column_names.index("payload"), "payload",
+            pa.array(payloads, pa.binary()),
+        )
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        return out.append_column("height", pa.array(heights, pa.int32()))
+
+
 class AudioFrameStage:
     """Actor-pool stage: frame-sample an audio payload into fixed windows.
 

@@ -156,3 +156,27 @@ class TestPdfCorpusFlagship:
         assert (ok["category"] == "data_report").all()
         errs = df[df["payload_kind"] == "error"]
         assert all(is_malformed(_doc_id(u)) for u in errs["url"])
+
+
+class TestResize:
+    def test_resize_nearest_exact(self):
+        import numpy as np
+
+        from documentai_ray.stages.multimodal import resize_nearest
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        out = resize_nearest(img, 2, 2)
+        assert out.tolist() == [[0, 2], [8, 10]]
+        up = resize_nearest(img, 8, 8)
+        assert up.shape == (8, 8) and up[0, 0] == 0 and up[-1, -1] == 15
+
+    def test_resize_stage(self, ray_session):
+        from documentai_ray.stages.multimodal import ImageResizeStage
+
+        import pyarrow as pa
+
+        stage = ImageResizeStage(width=8, height=8)
+        t = pa.table({"payload": pa.array([b"img-one", b"img-two"], pa.binary())})
+        out = stage(t)
+        assert out.column("width").to_pylist() == [8, 8]
+        assert all(len(p) == 8 * 8 * 3 for p in out.column("payload").to_pylist())
