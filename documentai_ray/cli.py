@@ -30,6 +30,13 @@ def run(argv: list[str] | None = None) -> dict:
     runp.add_argument("--heavy-share", type=float, default=0.10)
     runp.add_argument("--salt-k", type=int, default=8)
     runp.add_argument("--batch-size", type=int, default=1024)
+    # standalone-CLI analogs of the reference's classifier/quality entry
+    # points (documentClassifier.py:1693-1711, universal_analyzer.py:177-218)
+    for name in ("classify", "quality", "extract"):
+        s = sub.add_parser(name, help=f"run the {name} sub-pipeline")
+        s.add_argument("--input", required=True)
+        s.add_argument("--output", required=True)
+        s.add_argument("--batch-size", type=int, default=1024)
     args = p.parse_args(argv)
 
     import ray
@@ -40,23 +47,41 @@ def run(argv: list[str] | None = None) -> dict:
     try:
         import ray.data
 
-        from documentai_ray.pipelines.flagship import run_to_parquet
-
         ds = ray.data.read_parquet(args.input)
-        manifests = run_to_parquet(
-            args.output,
-            ds=ds,
-            n_buckets=args.buckets,
-            heavy_share=args.heavy_share,
-            salt_k=args.salt_k,
-            batch_size=args.batch_size,
-        )
-        summary = {
-            "buckets_completed": len(manifests),
-            "rows": sum(m["rows"] for m in manifests.values()),
-            "output": args.output,
-        }
-        return summary
+        if args.cmd == "run":
+            from documentai_ray.pipelines.flagship import run_to_parquet
+
+            manifests = run_to_parquet(
+                args.output,
+                ds=ds,
+                n_buckets=args.buckets,
+                heavy_share=args.heavy_share,
+                salt_k=args.salt_k,
+                batch_size=args.batch_size,
+            )
+            return {
+                "buckets_completed": len(manifests),
+                "rows": sum(m["rows"] for m in manifests.values()),
+                "output": args.output,
+            }
+
+        from documentai_ray.stages.extract import extract_batch
+
+        out = ds.map_batches(extract_batch, batch_format="pyarrow",
+                             batch_size=args.batch_size)
+        out = out.drop_columns(["word_boxes"])
+        if args.cmd in ("quality", "classify"):
+            from documentai_ray.stages.quality import quality_batch
+
+            out = out.map_batches(quality_batch, batch_format="pyarrow",
+                                  batch_size=args.batch_size)
+        if args.cmd == "classify":
+            from documentai_ray.stages.classify import classify_pipeline
+
+            out = classify_pipeline(out, batch_size=args.batch_size)
+        out.write_parquet(args.output)
+        return {"rows": ray.data.read_parquet(args.output).count(),
+                "output": args.output}
     finally:
         if owns_session:
             ray.shutdown()

@@ -71,7 +71,7 @@ def dedup_latest(ds, key: str = "url", ts: str = "warc_ts",
         g = g.sort_values([key, ts], kind="mergesort")
         out = g.drop_duplicates(subset=[key], keep="last").drop(columns=["_pkey"])
         # emit Arrow so downstream pyarrow stages stay zero-copy
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return (
         _add_pkey(ds, key, num_partitions)

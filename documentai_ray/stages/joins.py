@@ -98,7 +98,7 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
         rg = g[g["_side"] == "r"][rcols + [on]]
         out = lg.merge(rg, on=on, how=how)
         # emit Arrow so downstream unions/groupbys see homogeneous blocks
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
 
@@ -130,6 +130,6 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
             out = lg
         else:
             out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")

@@ -180,3 +180,24 @@ class TestResize:
         out = stage(t)
         assert out.column("width").to_pylist() == [8, 8]
         assert all(len(p) == 8 * 8 * 3 for p in out.column("payload").to_pylist())
+
+
+class TestCliSubcommands:
+    def test_extract_and_classify_subcommands(self, ray_session, tmp_path):
+        import os
+
+        from documentai_ray.cli import run as cli_run
+        from documentai_ray.sources.pages import write_pages_corpus
+
+        inp = os.path.join(str(tmp_path), "pages")
+        write_pages_corpus(inp, SF_SMOKE, shards=2)
+        out1 = os.path.join(str(tmp_path), "ex")
+        s1 = cli_run(["extract", "--input", inp, "--output", out1])
+        assert s1["rows"] > 0
+        out2 = os.path.join(str(tmp_path), "cl")
+        s2 = cli_run(["classify", "--input", inp, "--output", out2])
+        assert s2["rows"] == s1["rows"]
+        import ray.data
+
+        schema = ray.data.read_parquet(out2).schema()
+        assert {"category", "votes", "verdict"} <= set(schema.names)
