@@ -655,6 +655,42 @@ def _q_join_revenue(sf_dir: str):
     return agg
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join: each purchase event matched to the user's most recent
+    signup at-or-before it (bucketed ``merge_asof``; DuckDB ASOF JOIN
+    oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def split(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("event_type"), kind))
+            return t.drop_columns(["event_type"])
+        return f
+
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+
+    def signup_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "signup"))
+        return pa.table({"user_id": t.column("user_id"), "ts": t.column("ts"),
+                         "signup_ts": t.column("ts")})
+
+    signups = ev.map_batches(signup_prep, batch_format="pyarrow")
+    joined = asof_join(purchases.drop_columns([]), signups, on="ts", by="user_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("signup_ts")))
+        return t.select(["event_id", "user_id", "signup_ts"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_entities_table(sf_dir: str):
     """HTML-table tag extraction (M19/LC analog): label→value dicts from the
     PO pages' summary tables, straight off the raw html payload."""
@@ -837,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vote_distribution": _q_vote_distribution,
         "ann_ivf": _q_ann_ivf,
         "events_sliding": _q_events_sliding,
+        "events_asof": _q_events_asof,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "technique_stats": _q_technique_stats,
@@ -969,6 +1006,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) "
             "AS window_start, event_type, count(*) AS n_events "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) GROUP BY 1, 2"
+        ),
+        "events_asof": (
+            "SELECT p.event_id, p.user_id, s.ts AS signup_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+            "ON p.user_id = s.user_id AND p.ts >= s.ts"
         ),
         "join_revenue": (
             "SELECT o_orderpriority, count(*) AS n_items, "

@@ -94,7 +94,10 @@ def run_benchmarks() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def run_flagship():
-        ds = ray.data.read_parquet(pages_path)
+        # prune at the read: the corpus's golden 'text' column never leaves
+        # storage (extract_batch recomputes text from the payload)
+        ds = ray.data.read_parquet(pages_path,
+                                   columns=["url", "warc_ts", "html", "lang"])
         res = flagship(ds, batch_size=1024, ml_concurrency=(2, max(4, NUM_CPUS // 2)))
         res.write_parquet(out_dir)
         return None
