@@ -37,16 +37,26 @@ def corpus_dir(copies: int | None = None) -> str:
 
 
 def ensure_corpus(copies: int | None = None) -> str:
-    """Materialize the pages corpus to sharded parquet (deterministic)."""
-    from documentai_ray.sources.pages import write_pages_corpus
-
+    """Materialize the pages corpus to sharded parquet (deterministic).
+    Built as a Ray pipeline when a session is live (the corpus generator
+    is itself a map_batches stage); plain loop otherwise."""
     d = corpus_dir(copies)
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil
 
+        import ray
+
         shutil.rmtree(d, ignore_errors=True)
-        write_pages_corpus(d, SF_DIR, shards=32, copies=copies or BENCH_COPIES)
+        c = copies or BENCH_COPIES
+        if ray.is_initialized():
+            from documentai_ray.sources.pages import write_pages_corpus_distributed
+
+            write_pages_corpus_distributed(d, SF_DIR, copies=c)
+        else:
+            from documentai_ray.sources.pages import write_pages_corpus
+
+            write_pages_corpus(d, SF_DIR, shards=32, copies=c)
         with open(marker, "w") as f:
             f.write("ok")
     return d
@@ -152,7 +162,16 @@ def run_scaling() -> None:
     """Same job at two parallelism levels in fresh processes (the in-sandbox
     stand-in for N- vs 4N-node clusters; see BASELINE.md)."""
     lo, hi = 8, 32
-    ensure_corpus()  # build once so both runs read identical input
+    # build the corpus once (distributed) so both runs read identical input
+    import ray
+
+    ray.init(address="local", num_cpus=hi, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        ensure_corpus()
+        ensure_corpus(copies=1)
+    finally:
+        ray.shutdown()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

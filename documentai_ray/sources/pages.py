@@ -327,6 +327,83 @@ def pages_dataset(sf_dir: str, *, num_blocks: int = 8, **kwargs):
     return ray.data.from_arrow(table).repartition(num_blocks)
 
 
+def synth_pages_batch(batch: pa.Table, *, copies: int = 1,
+                      with_dups: bool = True, with_near_dups: bool = False,
+                      pdf_mode: bool = False) -> pa.Table:
+    """Distributed corpus synthesis: one documents batch → its page rows
+    (all ``copies``). Pure per-row derivation — no cross-row state — so the
+    generator itself scales as a ``map_batches`` stage instead of a
+    driver-side loop."""
+    urls: list[str] = []
+    tss: list[_dt.datetime] = []
+    payloads: list[bytes] = []
+    goldens: list[str] = []
+    langs: list[str] = []
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    doc_langs = batch.column("lang").to_pylist()
+    sources = batch.column("source").to_pylist()
+    for c in range(copies):
+        off = c * 10_000_000
+        for did, text, lang, source in zip(ids, texts, doc_langs, sources):
+            doc_id = did + off
+            urls.append(url_for(doc_id, source))
+            tss.append(warc_ts_for(doc_id))
+            payloads.append(payload_for(doc_id, text, pdf_mode=pdf_mode))
+            if pdf_mode and not is_malformed(doc_id):
+                _, expected = minipdf.build_from_text(text, shuffle_key=doc_id)
+                goldens.append(expected)
+            else:
+                goldens.append(golden_text(doc_id, text))
+            langs.append(lang)
+            if with_dups and doc_id % 20 == 0:
+                urls.append(urls[-1])
+                tss.append(tss[-1] - _dt.timedelta(days=1))
+                payloads.append(_html_blank(doc_id).encode("utf-8"))
+                goldens.append("")
+                langs.append(lang)
+            if with_near_dups and doc_id % 50 in (3, 7) and not is_malformed(doc_id):
+                g = golden_text(doc_id, text)
+                if g:
+                    near = g + " the"
+                    paras = "".join(f"<p>{ln}</p>" for ln in near.split("\n"))
+                    html = ("<html><head><title>amp</title></head><body>"
+                            f"{_NAV}<main>{paras}</main>{_FOOTER}</body></html>")
+                    urls.append(url_for(doc_id, source) + "?amp=1")
+                    tss.append(warc_ts_for(doc_id) + _dt.timedelta(seconds=1))
+                    payloads.append(html.encode("utf-8"))
+                    goldens.append(near)
+                    langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "html": pa.array(payloads, type=pa.large_binary()),
+            "text": pa.array(goldens, type=pa.large_string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def write_pages_corpus_distributed(out_dir: str, sf_dir: str, *, copies: int = 1,
+                                   **kwargs) -> str:
+    """Corpus materialization as a Ray pipeline: read documents → synthesize
+    page rows per batch → sharded parquet. Content-identical to
+    ``write_pages_corpus`` up to row order."""
+    import functools
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).repartition(32)
+    gen = functools.partial(synth_pages_batch, copies=copies, **kwargs)
+    pages = docs.map_batches(gen, batch_format="pyarrow", batch_size=256)
+    pages.write_parquet(out_dir)
+    return out_dir
+
+
 def write_pages_corpus(out_dir: str, sf_dir: str, *, shards: int = 8, **kwargs) -> str:
     """Materialize the corpus to sharded Parquet (bench reads it back)."""
     import os
