@@ -146,10 +146,9 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         for i, v in enumerate(th):
             h = h * _SH_P1 + v * (_SH_P2 if i % 2 else _SH_P3)
         return np.array([h], dtype=np.uint64)
-    sh = th[: -(k - 1)] * _SH_P1 + th[1:-(k - 2)] * _SH_P2 if k == 3 else None
-    if k == 3:
-        sh = sh + th[2:] * _SH_P3
-    else:  # generic k
+    if k == 3:  # fast path: one fused expression
+        sh = th[:-2] * _SH_P1 + th[1:-1] * _SH_P2 + th[2:] * _SH_P3
+    else:  # generic k: polynomial mix over the k offsets
         n = len(th) - k + 1
         sh = np.zeros(n, dtype=np.uint64)
         for j in range(k):
