@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "32"))
+BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "64"))
 CORPUS_ROOT = "/tmp/graft_bench"
 
 
