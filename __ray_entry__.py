@@ -445,6 +445,41 @@ def _q_minhash_dedup_keep(sf_dir: str):
     return comp.map_batches(survivors, batch_format="pyarrow")
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """Standalone blocked n-gram Jaccard: pairwise word-3-gram similarity
+    within ``source`` blocks (groupby → in-group vectorized pairwise),
+    pairs with J ≥ 0.5. Blocking bounds the quadratic comparison —
+    the exact-verification counterpart of the MinHash path."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.dedup import ngram_jaccard
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        texts = g["text"].tolist()
+        a, b, j = [], [], []
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                jac = ngram_jaccard(texts[i], texts[k], k=3)
+                if jac >= 0.5:
+                    a.append(ids[i]); b.append(ids[k]); j.append(jac)
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
+
+    out = ds.groupby("source").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty:
+        import pandas as pd
+
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64")})
+    return out
+
+
 def _q_embedding_neardup(sf_dir: str):
     import ray.data
 
@@ -862,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_dedup_keep": _q_minhash_dedup_keep,
+        "jaccard_pairs": _q_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "topk_similarity": _q_topk_similarity,
         "pdf_layout_text": _q_pdf_layout_text,
@@ -964,6 +1000,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "minhash_neardup": _SQL_JACCARD_PAIRS,
+        "jaccard_pairs": (
+            "WITH sh AS (SELECT doc_id, source, "
+            "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+            "FROM (SELECT doc_id, source, string_split(text, ' ') AS toks "
+            "FROM documents)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b "
+            "ON a.source = b.source AND a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+            "len(list_distinct(a.sh || b.sh)) >= 0.5"
+        ),
         # survivors = min-of-component; near-dup components in this corpus
         # are cliques (every member pair exceeds the threshold), so the min
         # node is exactly the one never appearing on the greater (url_b) side

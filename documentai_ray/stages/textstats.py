@@ -36,9 +36,26 @@ LANG_PROFILES: dict[str, set[str]] = {
 _word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
 
 
+# character-trigram profiles (top distinctive trigrams per language,
+# derived from common function-word patterns — the n-gram fallback when no
+# stopword hits, e.g. compound-heavy German text)
+CHAR_NGRAM_PROFILES: dict[str, set[str]] = {
+    "en": {"th", "he", "ing", "ion", "and", " th", "ed ", "er ", "ght", "wh"},
+    "de": {"sch", "ung", "ein", "ich", "der", "cht", "ße", "äu", "ö", "ü"},
+    "fr": {"eau", "oux", "ais", "ent", "qu", "é", "è", "ç", "aux", "oi"},
+    "es": {"ción", "los", "ente", "ñ", "ado", "ista", "mie", "á", "í", "ó"},
+}
+
+
+def _char_ngram_score(low: str, code: str) -> int:
+    return sum(low.count(g) for g in CHAR_NGRAM_PROFILES[code])
+
+
 def lang_id(text: str) -> tuple[str, float]:
-    """Argmax stopword-hit ratio over language profiles; 'und' (undetermined)
-    when nothing matches. Deterministic tie-break by language code."""
+    """Two-stage heuristic: argmax stopword-hit ratio over language
+    profiles; when no stopword matches at all, fall back to character-n-gram
+    profile scoring. 'und' (undetermined) when neither fires. Deterministic
+    tie-break by language code."""
     toks = [t.lower() for t in _word_re.findall(text)]
     if not toks:
         return "und", 0.0
@@ -47,7 +64,17 @@ def lang_id(text: str) -> tuple[str, float]:
         hits = sum(1 for t in toks if t in LANG_PROFILES[code])
         if hits > best_hits:
             best, best_hits = code, hits
-    return best, best_hits / len(toks)
+    if best != "und":
+        return best, best_hits / len(toks)
+    low = text.lower()
+    best_g, best_score = "und", 0
+    for code in sorted(CHAR_NGRAM_PROFILES):
+        s = _char_ngram_score(low, code)
+        if s > best_score:
+            best_g, best_score = code, s
+    if best_g == "und":
+        return "und", 0.0
+    return best_g, min(1.0, best_score / max(1, len(toks)))
 
 
 def lang_id_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:

@@ -62,3 +62,18 @@ class TestFingerprint:
         # both fingerprints are XORs over window hashes, sharing most terms
         fa, fb = textstats.fingerprint(base), textstats.fingerprint(mutated)
         assert fa != 0 and fb != 0
+
+
+class TestCharNgramFallback:
+    def test_german_compounds_without_stopwords(self):
+        got, conf = textstats.lang_id("Schifffahrtsgesellschaft Versicherungsschutz Entschuldigung")
+        assert got == "de" and conf > 0
+
+    def test_spanish_suffixes(self):
+        got, _ = textstats.lang_id("canción investigación organización")
+        assert got == "es"
+
+    def test_stopwords_take_priority(self):
+        # text with English stopwords but German-looking trigrams
+        got, _ = textstats.lang_id("the schnitzel and the sauerkraut of the haus")
+        assert got == "en"
