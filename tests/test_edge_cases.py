@@ -83,3 +83,20 @@ class TestBatchEdgeCases:
         out = ClassifyStage()(t)
         assert out.num_rows == 0
         assert "category" in out.column_names
+
+
+class TestWidePayloads:
+    def test_multi_megabyte_payload_processes_and_is_projected_away(self):
+        # memory-aware contract: a wide binary row parses, and the payload
+        # never travels past the extract stage
+        body = "word " * 400_000  # ~2 MB of text inside one paragraph
+        html = f"<html><body><p>{body.strip()}</p></body></html>".encode()
+        t = pa.table({
+            "url": ["big"],
+            "html": pa.array([html], pa.large_binary()),
+            "text": pa.array([""], pa.large_string()),
+        })
+        out = extract_batch(t)
+        assert "html" not in out.column_names
+        assert out.column("n_chars") if "n_chars" in out.column_names else True
+        assert len(out.column("text").to_pylist()[0]) > 1_000_000
