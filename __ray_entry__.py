@@ -462,12 +462,11 @@ def _q_jaccard_pairs(sf_dir: str):
         g = g.sort_values("doc_id")
         ids = g["doc_id"].tolist()
         texts = g["text"].tolist()
-        a, b, j = [], [], []
+        a, b = [], []
         for i in range(len(ids)):
             for k in range(i + 1, len(ids)):
-                jac = ngram_jaccard(texts[i], texts[k], k=3)
-                if jac >= 0.5:
-                    a.append(ids[i]); b.append(ids[k]); j.append(jac)
+                if ngram_jaccard(texts[i], texts[k], k=3) >= 0.5:
+                    a.append(ids[i]); b.append(ids[k])
         return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
                              "id_b": pd.Series(b, dtype="int64")})
 
