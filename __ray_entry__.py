@@ -427,15 +427,13 @@ def _q_minhash_dedup_keep(sf_dir: str):
     """Full near-dup dedup: verified pairs → distributed connected
     components (min-label propagation) → keep one representative (min url)
     per component. Output: surviving urls."""
-    from documentai_ray.stages.dedup import neardup_components
+    from documentai_ray.stages.dedup import neardup_components_auto
     import pyarrow.compute as pc
 
     pages, pairs = _minhash_verified_pairs(sf_dir)
-    # near-dup clusters here are tiny cliques: label propagation converges
-    # in ≤2 hops; 3 iterations adds one of margin (each iteration is a
-    # join+groupby round trip, so don't over-provision)
-    comp = neardup_components(pages.select_columns(["url"]), pairs,
-                              id_col="url", max_iters=3, num_partitions=16)
+    comp = neardup_components_auto(pages.select_columns(["url"]), pairs,
+                                   id_col="url", max_iters=3,
+                                   num_partitions=16)
 
     def survivors(batch):
         return batch.filter(

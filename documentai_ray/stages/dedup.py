@@ -340,6 +340,58 @@ def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
     return labels.map_batches(finish, batch_format="pyarrow")
 
 
+def neardup_components_auto(ids_ds, pairs_ds, *, id_col: str = "url",
+                            driver_limit: int = 1_000_000, **kwargs):
+    """Pick the component algorithm by candidate-set size.
+
+    Verified near-dup pairs are orders of magnitude fewer than corpus rows,
+    so when the pair count is provably small (≤ ``driver_limit``) a
+    driver-side union-find over just the pairs + a broadcast label map is
+    both faster and exactly equivalent; otherwise fall back to the fully
+    distributed min-label propagation (``neardup_components``). The
+    size check itself is one cheap ``count()``."""
+    import ray
+
+    n_pairs = pairs_ds.count()
+    if n_pairs > driver_limit:
+        return neardup_components(ids_ds, pairs_ds, id_col=id_col, **kwargs)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs_ds.take_all():
+        a, b = r["id_a"], r["id_b"]
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    # canonical component label = min member id (matches propagation result)
+    members: dict = {}
+    for v in parent:
+        members.setdefault(find(v), []).append(v)
+    label = {}
+    for root, vs in members.items():
+        m = min(vs)
+        for v in vs:
+            label[v] = m
+    label_ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lk = ray.get(label_ref)
+        ids = batch.column(id_col).to_pylist()
+        comp = [lk.get(i, i) for i in ids]
+        return pa.table({id_col: batch.column(id_col),
+                         "component": pa.array(comp)})
+
+    return ids_ds.map_batches(assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

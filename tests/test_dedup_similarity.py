@@ -223,3 +223,35 @@ class TestComponents:
         comp = neardup_components(ids, pairs, max_iters=4).to_pandas()
         survivors = sorted(comp[comp["url"] == comp["component"]]["url"])
         assert survivors == ["0", "1", "4"]
+
+
+class TestComponentsAuto:
+    def test_small_path_matches_distributed(self, ray_session):
+        from documentai_ray.stages.dedup import (
+            neardup_components,
+            neardup_components_auto,
+        )
+
+        ids = ray_session.data.from_items([{"url": str(i)} for i in range(8)])
+        pairs_rows = [{"id_a": "1", "id_b": "3"}, {"id_a": "3", "id_b": "5"},
+                      {"id_a": "5", "id_b": "7"}, {"id_a": "0", "id_b": "2"}]
+        pairs1 = ray_session.data.from_items(pairs_rows)
+        pairs2 = ray_session.data.from_items(pairs_rows)
+        small = {r["url"]: r["component"]
+                 for r in neardup_components_auto(ids, pairs1).take_all()}
+        ids2 = ray_session.data.from_items([{"url": str(i)} for i in range(8)])
+        dist = {r["url"]: r["component"]
+                for r in neardup_components(ids2, pairs2, max_iters=5).take_all()}
+        assert small == dist
+        assert small["7"] == "1" and small["2"] == "0" and small["4"] == "4"
+
+    def test_forced_distributed_path(self, ray_session):
+        from documentai_ray.stages.dedup import neardup_components_auto
+
+        ids = ray_session.data.from_items([{"url": "a"}, {"url": "b"}])
+        pairs = ray_session.data.from_items([{"id_a": "a", "id_b": "b"}])
+        out = {r["url"]: r["component"]
+               for r in neardup_components_auto(ids, pairs,
+                                                driver_limit=0,
+                                                max_iters=3).take_all()}
+        assert out == {"a": "a", "b": "a"}
