@@ -172,6 +172,13 @@ class RulesStage:
 
     def __init__(self, rules_by_category: dict[str, list[Rule]]):
         self.rules_by_category = rules_by_category
+        # only the columns rules actually reference leave Arrow — never the
+        # (large) text column
+        self.needed_fields = {
+            r.field.lower()
+            for rules in rules_by_category.values()
+            for r in rules
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cats = batch.column("category").to_pylist()
@@ -179,7 +186,8 @@ class RulesStage:
         field_cols = {
             name: batch.column(name).to_pylist()
             for name in batch.column_names
-            if batch.schema.field(name).type == pa.string()
+            if name in self.needed_fields
+            and batch.schema.field(name).type == pa.string()
         }
         passed, failed, valid = [], [], []
         for i in range(n):
