@@ -66,7 +66,12 @@ class KeywordClassifier:
     def classify(self, text: str) -> tuple[str, float]:
         if not text:
             return UNCLASSIFIED, 0.1
-        norm = normalize_alnum_lower(text)
+        return self.classify_normalized(normalize_alnum_lower(text))
+
+    def classify_normalized(self, norm: str) -> tuple[str, float]:
+        """Score a pre-normalized text (shared-tokenization fast path)."""
+        if not norm:
+            return UNCLASSIFIED, 0.1
         best_cat, best_score = UNCLASSIFIED, 0.0
         for cat in sorted(self.table):
             score = 0.0
@@ -116,7 +121,11 @@ class TokenSetClassifier:
     def classify(self, text: str) -> tuple[str, float]:
         if not text:
             return UNCLASSIFIED, 0.1
-        toks = set(tokenize(text))
+        return self.classify_tokenset(set(tokenize(text)))
+
+    def classify_tokenset(self, toks: set[str]) -> tuple[str, float]:
+        if not toks:
+            return UNCLASSIFIED, 0.1
         best_cat, best = UNCLASSIFIED, 0
         for cat in sorted(self.sets):
             n = len(toks & self.sets[cat])
@@ -294,7 +303,14 @@ class ClassifyStage:
     (compiled keyword/regex/token tables + the NB model). One pool instead
     of three chained stages = one actor-startup barrier and no inter-stage
     batch serialization — the pipeline-level analog of the reference running
-    all techniques per page inside one process (documentClassifier.py:847-926)."""
+    all techniques per page inside one process (documentClassifier.py:847-926).
+
+    Single tokenization pass per row: ``\\w+`` tokens are computed once and
+    shared by the token-set technique and the NB featurizer
+    (``tokenize(clean_ml_text(x)) == tokenize(x)`` — junk-char removal
+    replaces non-word chars with spaces, which the ``\\w+`` tokenizer
+    already ignores). Output is bit-identical to the unfused
+    ThreeTechniqueStage → MLScorer → fuse_votes chain (pinned by test)."""
 
     def __init__(self, config: dict[str, Any] | None = None,
                  model_path: str | None = None):
@@ -302,7 +318,63 @@ class ClassifyStage:
         self.ml = MLScorer(model_path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return fuse_votes(self.ml(self.three(batch)))
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        kw_c: list[str] = []; kw_f: list[float] = []
+        rx_c: list[str] = []; rx_f: list[float] = []
+        ts_c: list[str] = []; ts_f: list[float] = []
+        rows: list[int] = []
+        feats: list[int] = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            if not t:
+                kw_c.append(UNCLASSIFIED); kw_f.append(0.1)
+                rx_c.append(UNCLASSIFIED); rx_f.append(0.1)
+                ts_c.append(UNCLASSIFIED); ts_f.append(0.1)
+                continue
+            toks = tokenize(t)
+            c, f = self.three.kw.classify_normalized(normalize_alnum_lower(t))
+            kw_c.append(c); kw_f.append(f)
+            c, f = self.three.rx.classify(t)
+            rx_c.append(c); rx_f.append(f)
+            c, f = self.three.ts.classify_tokenset(set(toks))
+            ts_c.append(c); ts_f.append(f)
+            prev = None
+            for tk in toks:
+                rows.append(i)
+                feats.append(hash_token(tk))
+                if prev is not None:
+                    rows.append(i)
+                    feats.append(hash_token(prev + "_" + tk))
+                prev = tk
+        # NB scoring (same sparse path as MLScorer.__call__)
+        ml = self.ml
+        S = np.tile(ml.log_prior, (n, 1)) if n else np.zeros((0, len(ml.classes)))
+        if rows:
+            r = np.asarray(rows, dtype=np.int64)
+            f_ = np.asarray(feats, dtype=np.int64)
+            for c in range(len(ml.classes)):
+                S[:, c] += np.bincount(r, weights=ml.log_like[c, f_], minlength=n)
+        if n:
+            m = S.max(axis=1, keepdims=True)
+            P = np.exp(S - m)
+            P /= P.sum(axis=1, keepdims=True)
+            arg = S.argmax(axis=1)
+            ml_c = [ml.classes[a] if t else UNCLASSIFIED for a, t in zip(arg, texts)]
+            ml_f = [float(P[i, a]) if t else 0.1
+                    for i, (a, t) in enumerate(zip(arg, texts))]
+        else:
+            ml_c, ml_f = [], []
+        out = batch
+        out = out.append_column("tech_keyword", pa.array(kw_c, pa.string()))
+        out = out.append_column("tech_keyword_conf", pa.array(kw_f, pa.float64()))
+        out = out.append_column("tech_regex", pa.array(rx_c, pa.string()))
+        out = out.append_column("tech_regex_conf", pa.array(rx_f, pa.float64()))
+        out = out.append_column("tech_tokenset", pa.array(ts_c, pa.string()))
+        out = out.append_column("tech_tokenset_conf", pa.array(ts_f, pa.float64()))
+        out = out.append_column("tech_ml", pa.array(ml_c, pa.string()))
+        out = out.append_column("tech_ml_conf", pa.array(ml_f, pa.float64()))
+        return fuse_votes(out)
 
 
 def classify_pipeline(ds, *, ml_concurrency=(1, 8), batch_size: int = 1024):

@@ -87,3 +87,19 @@ class TestVoteFusion:
         ]
         assert out.column("tech_regex").to_pylist()[0] == "purchase_order"
         assert out.column("tech_tokenset").to_pylist()[0] == "purchase_order"
+
+
+class TestFusedStageEquivalence:
+    def test_fused_equals_unfused_chain(self):
+        from documentai_ray.sources.pages import pages_dataset  # noqa: F401
+        from documentai_ray.sources import pages as pg
+        from documentai_ray.stages.extract import extract_batch
+
+        t = pg.synth_pages_table("/root/testdata/sf0.001", with_dups=False)
+        extracted = extract_batch(t)
+        fused = classify.ClassifyStage()(extracted)
+        chain = classify.fuse_votes(classify.MLScorer()(classify.ThreeTechniqueStage()(extracted)))
+        for col in ["tech_keyword", "tech_regex", "tech_tokenset", "tech_ml",
+                    "category", "votes", "tech_keyword_conf", "tech_regex_conf",
+                    "tech_tokenset_conf", "tech_ml_conf"]:
+            assert fused.column(col).to_pylist() == chain.column(col).to_pylist(), col
