@@ -51,16 +51,22 @@ def decode(payload: bytes) -> list[dict[str, Any]]:
     return json.loads(payload[len(MAGIC):].decode("utf-8"))["pages"]
 
 
-def walk(payload: bytes, bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
+def walk(payload: bytes, bbox_scale: float = 2.0,
+         max_pages: int | None = None) -> tuple[str, list[dict[str, Any]]]:
     """Reading-order walk → ``(text, word_boxes)``.
 
     ``bbox_scale`` mirrors the reference's ×2 coordinate scale for frontend
-    overlay (entity-extraction-service/app.py:571-579).
-    """
+    overlay (entity-extraction-service/app.py:571-579). ``max_pages``
+    truncates the walk — ``max_pages=1`` is the reference's first-page-only
+    OCR semantics (extractor/base.py:11-14, SURVEY O3); the page cap
+    (≤200 pages, documentClassifier.py:1369) is the same knob."""
     pages = decode(payload)
     page_texts: list[str] = []
     boxes: list[dict[str, Any]] = []
-    for page in sorted(pages, key=lambda p: p["page_num"]):
+    ordered = sorted(pages, key=lambda p: p["page_num"])
+    if max_pages is not None:
+        ordered = ordered[:max_pages]
+    for page in ordered:
         block_texts: list[str] = []
         for block in sorted(page["blocks"], key=lambda b: (b["bbox"][1], b["bbox"][0])):
             line_texts: list[str] = []

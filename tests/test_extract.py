@@ -175,3 +175,15 @@ class TestGoldenHtmlCorpus:
             if got != c["expected"]:
                 failures.append((c["name"], got, c["expected"]))
         assert not failures, failures
+
+
+class TestPageCaps:
+    def test_first_page_only_and_page_cap(self):
+        text = " ".join(f"w{i}" for i in range(300))  # several pages
+        payload, full = minipdf.build_from_text(text)
+        all_text, all_boxes = minipdf.walk(payload)
+        assert all_text == full
+        first_text, first_boxes = minipdf.walk(payload, max_pages=1)
+        assert full.startswith(first_text) and len(first_text) < len(full)
+        assert all(b["page"] == 1 for b in first_boxes)
+        assert len(first_boxes) < len(all_boxes)
