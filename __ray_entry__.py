@@ -636,6 +636,67 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, query, k=10, index=index, exclude_ids={0})[["vec_id"]]
 
 
+def _q_q5_local_revenue(sf_dir: str):
+    """TPC-H-Q5-style composition: lineitem ⋈ orders ⋈ customer ⋈ supplier
+    ⋈ nation, filtered to lineitems whose customer and supplier share a
+    nation — all dimension sides broadcast (``ray.put`` maps), the fact
+    table streams through one ``map_batches``; only the tiny per-nation
+    partial aggregate shuffles."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def load(name, cols):
+        return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols).to_pandas()
+
+    orders = load("orders", ["o_orderkey", "o_custkey"])
+    customer = load("customer", ["c_custkey", "c_nationkey"])
+    supplier = load("supplier", ["s_suppkey", "s_nationkey"])
+    nation = load("nation", ["n_nationkey", "n_name"])
+
+    order_to_cnation = ray.put(dict(zip(
+        orders["o_orderkey"],
+        orders["o_custkey"].map(dict(zip(customer["c_custkey"], customer["c_nationkey"]))),
+    )))
+    supp_to_nation = ray.put(dict(zip(supplier["s_suppkey"], supplier["s_nationkey"])))
+    nation_name = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cn = ray.get(order_to_cnation)
+        sn = ray.get(supp_to_nation)
+        names = ray.get(nation_name)
+        df = batch.to_pandas()
+        df["cust_nation"] = df["l_orderkey"].map(cn)
+        df["supp_nation"] = df["l_suppkey"].map(sn)
+        df = df[df["cust_nation"] == df["supp_nation"]]
+        if df.empty:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64()),
+                             "n_items": pa.array([], pa.int64())})
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["n_name"] = df["cust_nation"].map(names)
+        g = df.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].round(4)
+    return agg[["n_name", "n_items", "revenue"]]
+
+
 def _q_events_sliding(sf_dir: str):
     """Sliding-window aggregate (60-min window, 15-min slide)."""
     import ray.data
@@ -892,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_nation": _q_orders_by_nation,
+        "q5_local_revenue": _q_q5_local_revenue,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_dedup_keep": _q_minhash_dedup_keep,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1045,6 +1107,15 @@ def oracle_sql() -> dict[str, str]:
         "vote_distribution": (
             f"SELECT {_SQL_CATEGORY} AS category, '4/4' AS votes, "
             "count(*) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "q5_local_revenue": (
+            "SELECT n_name, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_nationkey = s_nationkey GROUP BY n_name"
         ),
         "events_sliding": (
             "SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) "
