@@ -641,7 +641,9 @@ def _q_q5_local_revenue(sf_dir: str):
     ⋈ nation, filtered to lineitems whose customer and supplier share a
     nation — all dimension sides broadcast (``ray.put`` maps), the fact
     table streams through one ``map_batches``; only the tiny per-nation
-    partial aggregate shuffles."""
+    partial aggregate shuffles. (At a scale where ``orders`` stops being
+    broadcastable, swap the orders map for ``joins.hash_join`` — the
+    join_revenue query demonstrates that path.)"""
     import pandas as pd
     import pyarrow as pa
     import ray
