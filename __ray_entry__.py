@@ -26,37 +26,12 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _register_package_by_value() -> None:
-    """Make every ``documentai_ray`` module pickle BY VALUE.
+# Ray workers must not depend on this repo being importable from their own
+# sys.path (the driver may have initialised Ray from any cwd): ship all
+# documentai_ray UDF code by value inside task specs.
+import documentai_ray  # noqa: E402
 
-    The driver calls ``ray.init`` before importing this module, possibly
-    from a cwd where ``documentai_ray`` is not importable — in that case
-    Ray workers (which resolve by-reference pickles with their own
-    ``sys.path``) would fail with ModuleNotFoundError. Registering the
-    package for cloudpickle by-value serialization ships the UDF code
-    inside the task spec instead, removing the worker-import requirement
-    entirely. Third-party references (numpy, pyarrow, …) stay by-reference.
-    """
-    try:
-        from ray import cloudpickle
-    except ImportError:
-        return
-    import importlib
-    import pkgutil
-
-    import documentai_ray
-
-    for m in pkgutil.walk_packages(documentai_ray.__path__, "documentai_ray."):
-        importlib.import_module(m.name)
-    for name, mod in list(sys.modules.items()):
-        if name == "documentai_ray" or name.startswith("documentai_ray."):
-            try:
-                cloudpickle.register_pickle_by_value(mod)
-            except Exception:
-                pass
-
-
-_register_package_by_value()
+documentai_ray.register_for_ray_by_value()
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (mirror documentai_ray/sources/pages.py — keep in sync)

@@ -71,6 +71,9 @@ def run_benchmarks() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     logging.getLogger("ray").setLevel(logging.ERROR)
+    import documentai_ray
+
+    documentai_ray.register_for_ray_by_value()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -23,3 +23,29 @@ driver) is responsible for lifecycle.
 """
 
 __version__ = "0.1.0"
+
+
+def register_for_ray_by_value() -> None:
+    """Register every ``documentai_ray`` module for cloudpickle BY-VALUE
+    serialization: Ray workers then receive UDF code inside the task spec
+    and never need ``documentai_ray`` on their own ``sys.path`` (the driver
+    may have initialised Ray from an arbitrary cwd). Third-party references
+    (numpy, pyarrow, ray, …) remain by-reference. Idempotent."""
+    import importlib
+    import pkgutil
+    import sys
+
+    try:
+        from ray import cloudpickle
+    except ImportError:
+        return
+    import documentai_ray
+
+    for m in pkgutil.walk_packages(documentai_ray.__path__, "documentai_ray."):
+        importlib.import_module(m.name)
+    for name, mod in list(sys.modules.items()):
+        if name == "documentai_ray" or name.startswith("documentai_ray."):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass

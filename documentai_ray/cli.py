@@ -44,6 +44,9 @@ def run(argv: list[str] | None = None) -> dict:
     owns_session = not ray.is_initialized()
     if owns_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import documentai_ray
+
+    documentai_ray.register_for_ray_by_value()
     try:
         import ray.data
 
