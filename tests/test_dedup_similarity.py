@@ -255,3 +255,45 @@ class TestComponentsAuto:
                                                 driver_limit=0,
                                                 max_iters=3).take_all()}
         assert out == {"a": "a", "b": "a"}
+
+
+class TestSimhashBanding:
+    def test_guarantee_and_verification(self, ray_session):
+        # contract: any pair with hamming distance < bands (4) shares at
+        # least one exact 16-bit band -> MUST be found; reported pairs must
+        # satisfy the max_hamming bound; far pairs must not appear.
+        base = 0x0123_4567_89AB_CDEF
+        rows = [
+            {"id": "a", "simhash": base},
+            {"id": "b", "simhash": base ^ 0b101},          # d=2  -> must find
+            {"id": "c", "simhash": base ^ (1 << 63)},      # d=1  -> must find
+            {"id": "d", "simhash": base ^ 0xFFFF_FFFF_FFFF_0000},  # far
+        ]
+        ds = ray_session.data.from_items(rows)
+        pairs = dedup.simhash_candidate_pairs(ds, id_col="id",
+                                              max_hamming=3).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert ("a", "b") in got and ("a", "c") in got
+        assert all("d" not in p for p in got)
+
+    def test_planted_corpus_pairs_best_effort(self, ray_session):
+        from documentai_ray.sources.pages import pages_dataset
+        from documentai_ray.stages.extract import extract_batch
+
+        ds = pages_dataset(SF_SMOKE, with_dups=False, with_near_dups=True)
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+        ds = dedup.add_simhash(ds.select_columns(["url", "text"]))
+        hashes = {r["url"]: r["simhash"]
+                  for r in ds.select_columns(["url", "simhash"]).take_all()}
+        pairs = dedup.simhash_candidate_pairs(
+            ds.select_columns(["url", "simhash"]), id_col="url",
+            max_hamming=20).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # precision: every reported pair satisfies the bound
+        for a, b in got:
+            assert dedup.hamming64(hashes[a], hashes[b]) <= 20
+        # guarantee band: pairs closer than `bands` are always found
+        planted = {(u[: -len("?amp=1")], u) for u in hashes if u.endswith("?amp=1")}
+        guaranteed = {p for p in planted
+                      if dedup.hamming64(hashes[p[0]], hashes[p[1]]) < 4}
+        assert guaranteed <= got
