@@ -42,7 +42,11 @@ def _add_pkey(ds, col: str, num_partitions: int, out: str = "_pkey"):
     cores), so the downstream ``groupby(_pkey).map_groups`` sees few, large
     groups — per-group Python overhead amortizes and the group body stays
     vectorized pandas. (One ``map_groups`` call per *row-key* group is the
-    classic Ray Data anti-pattern: ~ms of overhead × millions of keys.)"""
+    classic Ray Data anti-pattern: ~ms of overhead × millions of keys.)
+
+    Sizing P at scale: a partition must fit one worker's heap, so choose
+    ``P ≈ max(cluster_cores × 2, total_rows / rows_per_worker)`` — the
+    single-node default (64) is NOT a constant to keep on a 256-node run."""
     import zlib
 
     def f(batch: pa.Table) -> pa.Table:

@@ -70,7 +70,11 @@ def embedding_neardup_pairs(ds, *, threshold: float = 0.95,
                             block_col: str = "label"):
     """Cosine-near-dup pairs within blocks: groupby(block) → per-group
     normalized Gram matrix → upper-triangle threshold. Output
-    (id_a, id_b) with id_a < id_b."""
+    (id_a, id_b) with id_a < id_b.
+
+    Scale contract: the block key must bound group size (the Gram matrix is
+    O(n²) per group). For unbounded corpora, block on an LSH/IVF bucket
+    (HyperplaneLSH / IVFIndex assignments) instead of a natural label."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         M = np.asarray(g[vec_col].tolist(), dtype=np.float64)

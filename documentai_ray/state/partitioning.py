@@ -94,10 +94,16 @@ def detect_heavy_hosts(ds, *, share_threshold: float = 0.10, salt_k: int = 8) ->
         .map_batches(partial, batch_format="pyarrow")
         .groupby("host")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # one row per distinct host — small by construction
     )
-    total = int(counts["n"].sum())
+    total = counts.sum("n") or 0  # scalar aggregate, no materialization
     if total == 0:
         return {}
-    heavy = counts[counts["n"] / total >= share_threshold]
+    cutoff = share_threshold * total
+
+    def only_heavy(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n"), cutoff))
+
+    # only hosts above the cutoff reach the driver — at crawl scale the
+    # distinct-host table has millions of rows, the heavy set a handful
+    heavy = counts.map_batches(only_heavy, batch_format="pyarrow").to_pandas()
     return {h: salt_k for h in heavy["host"].tolist()}
