@@ -395,32 +395,17 @@ def _q_orders_by_nation(sf_dir: str):
 def _minhash_verified_pairs(sf_dir: str):
     """Shared helper: (pages(url,text) Dataset, verified-pairs Dataset) for
     the near-dup queries — LSH candidates verified with exact 3-shingle
-    Jaccard ≥ 0.8."""
-    import pandas as pd
-    import ray
-
+    Jaccard ≥ 0.8 (broadcast or join-based verification auto-selected by
+    corpus size, dedup.verify_jaccard_pairs)."""
     from documentai_ray.sources.pages import pages_dataset
-    from documentai_ray.stages.dedup import lsh_candidate_pairs, ngram_jaccard
+    from documentai_ray.stages.dedup import lsh_candidate_pairs, verify_jaccard_pairs
     from documentai_ray.stages.extract import extract_batch
 
     ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
     ds = ds.select_columns(["url", "text"])
-    texts_ref = ray.put(dict(
-        (r["url"], r["text"]) for r in ds.take_all()
-    ))  # test-scale verification join; bucket-partitioned self-join at scale
     cand = lsh_candidate_pairs(ds, id_col="url", num_perm=64, bands=16)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(texts_ref)
-        keep = [
-            ngram_jaccard(lk.get(a, ""), lk.get(b, ""), k=3) >= 0.8
-            and lk.get(a, "") != "" and lk.get(b, "") != ""
-            for a, b in zip(batch["id_a"], batch["id_b"])
-        ]
-        return batch[pd.Series(keep, index=batch.index)]
-
-    return ds, cand.map_batches(verify, batch_format="pandas")
+    return ds, verify_jaccard_pairs(ds, cand, threshold=0.8)
 
 
 def _q_minhash_neardup(sf_dir: str):

@@ -344,6 +344,66 @@ def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
     return labels.map_batches(finish, batch_format="pyarrow")
 
 
+def verify_jaccard_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
+                         text_col: str = "text", threshold: float = 0.8,
+                         k: int = 3, broadcast_limit: int = 100_000,
+                         num_partitions: int = 64):
+    """Exact-Jaccard verification of candidate pairs.
+
+    Two physical plans, chosen by corpus size:
+
+    - ``count(texts) ≤ broadcast_limit``: id→text dict broadcast once via
+      ``ray.put``; verification is a pure map over the pair set.
+    - larger: fully distributed — two partitioned hash joins attach
+      ``text_a`` / ``text_b`` to the pair rows, then a vectorized batch
+      filter computes Jaccard. No driver materialization of texts.
+
+    Both paths return the identical pair set (id_a, id_b), empty texts
+    excluded."""
+    import ray
+
+    n_texts = texts_ds.count()
+
+    def jac_ok(ta: str, tb: str) -> bool:
+        return bool(ta) and bool(tb) and ngram_jaccard(ta, tb, k) >= threshold
+
+    if n_texts <= broadcast_limit:
+        lookup = ray.put({r[id_col]: r[text_col] for r in texts_ds.take_all()})
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(lookup)
+            keep = [jac_ok(lk.get(a, ""), lk.get(b, ""))
+                    for a, b in zip(batch["id_a"], batch["id_b"])]
+            return batch[pd.Series(keep, index=batch.index)]
+
+        return pairs_ds.map_batches(verify, batch_format="pandas")
+
+    from documentai_ray.stages.joins import hash_join
+
+    def side(col_id, col_text):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch.column(id_col),
+                             col_text: batch.column(text_col)})
+        return f
+
+    with_a = hash_join(
+        pairs_ds, texts_ds.map_batches(side("id_a", "text_a"), batch_format="pyarrow"),
+        on="id_a", num_partitions=num_partitions,
+    )
+    with_ab = hash_join(
+        with_a, texts_ds.map_batches(side("id_b", "text_b"), batch_format="pyarrow"),
+        on="id_b", num_partitions=num_partitions,
+    )
+
+    def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [jac_ok(ta or "", tb or "")
+                for ta, tb in zip(batch["text_a"], batch["text_b"])]
+        out = batch[pd.Series(keep, index=batch.index)]
+        return out[["id_a", "id_b"]]
+
+    return with_ab.map_batches(verify_joined, batch_format="pandas")
+
+
 def neardup_components_auto(ids_ds, pairs_ds, *, id_col: str = "url",
                             driver_limit: int = 1_000_000, **kwargs):
     """Pick the component algorithm by candidate-set size.

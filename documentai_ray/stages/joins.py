@@ -97,8 +97,11 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][rcols + [on]]
         out = lg.merge(rg, on=on, how=how)
-        # emit Arrow so downstream unions/groupbys see homogeneous blocks
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        # emit Arrow with the EXPLICIT union schema: empty partitions must
+        # not degrade to pandas-inferred null-typed columns
+        schema = pa.schema([(c, all_cols[c]) for c in out.columns])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
 
@@ -130,6 +133,8 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
             out = lg
         else:
             out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        schema = pa.schema([(c, all_cols[c]) for c in out.columns])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")

@@ -297,3 +297,31 @@ class TestSimhashBanding:
         guaranteed = {p for p in planted
                       if dedup.hamming64(hashes[p[0]], hashes[p[1]]) < 4}
         assert guaranteed <= got
+
+
+class TestVerifyPairsPaths:
+    def _fixtures(self, ray_session):
+        texts = ray_session.data.from_items([
+            {"url": "a", "text": "one two three four five six seven eight nine ten"},
+            {"url": "b", "text": "one two three four five six seven eight nine ten extra"},
+            {"url": "c", "text": "totally different words in this candidate document here"},
+            {"url": "d", "text": ""},
+        ])
+        pairs = ray_session.data.from_items([
+            {"id_a": "a", "id_b": "b"},   # J ~ 0.89 -> keep
+            {"id_a": "a", "id_b": "c"},   # J ~ 0    -> drop
+            {"id_a": "a", "id_b": "d"},   # empty    -> drop
+        ])
+        return texts, pairs
+
+    def test_broadcast_path(self, ray_session):
+        texts, pairs = self._fixtures(ray_session)
+        out = dedup.verify_jaccard_pairs(texts, pairs, threshold=0.8).to_pandas()
+        assert list(zip(out["id_a"], out["id_b"])) == [("a", "b")]
+
+    def test_join_path_equals_broadcast(self, ray_session):
+        texts, pairs = self._fixtures(ray_session)
+        out = dedup.verify_jaccard_pairs(texts, pairs, threshold=0.8,
+                                         broadcast_limit=0,
+                                         num_partitions=4).to_pandas()
+        assert list(zip(out["id_a"], out["id_b"])) == [("a", "b")]
