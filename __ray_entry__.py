@@ -332,12 +332,22 @@ def _q_q1_lineitem(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        # money in EXACT integer cents: float summation order differs
+        # between engines, and across ~10^5+ rows the drift exceeds any
+        # rounding grid — integer partial sums are order-independent.
+        # (int64 holds sums to ~9e18 ≈ 10^12 rows of 10^4-cent² values per
+        # partial; beyond that, widen to two-level partials.)
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        df["_rev_c2"] = price_c * (100 - disc_c)   # price_cents × pct → 1e-4 units
+        df["_base_c"] = price_c
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_revenue=("revenue", "sum"),
+            _base_c=("_base_c", "sum"),
+            _rev_c2=("_rev_c2", "sum"),
             n_rows=("l_quantity", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -346,15 +356,16 @@ def _q_q1_lineitem(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_base_price", alias_name="sum_base_price"),
-                   Sum("sum_revenue", alias_name="sum_revenue"),
+                   Sum("_base_c", alias_name="_base_c"),
+                   Sum("_rev_c2", alias_name="_rev_c2"),
                    Sum("n_rows", alias_name="n_rows"))
         .to_pandas()
     )
     agg["sum_qty"] = agg["sum_qty"].round(2)
-    agg["sum_base_price"] = agg["sum_base_price"].round(2)
-    agg["sum_revenue"] = agg["sum_revenue"].round(4)
-    return agg
+    agg["sum_base_price"] = agg["_base_c"] / 100.0
+    agg["sum_revenue"] = agg["_rev_c2"] / 10000.0
+    return agg[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_revenue", "n_rows"]]
 
 
 def _q_orders_by_nation(sf_dir: str):
@@ -667,28 +678,32 @@ def _q_q5_local_revenue(sf_dir: str):
         cn = ray.get(order_to_cnation)
         sn = ray.get(supp_to_nation)
         names = ray.get(nation_name)
+        import numpy as np
+
         df = batch.to_pandas()
         df["cust_nation"] = df["l_orderkey"].map(cn)
         df["supp_nation"] = df["l_suppkey"].map(sn)
         df = df[df["cust_nation"] == df["supp_nation"]]
         if df.empty:
             return pa.table({"n_name": pa.array([], pa.string()),
-                             "revenue": pa.array([], pa.float64()),
+                             "rev_c2": pa.array([], pa.int64()),
                              "n_items": pa.array([], pa.int64())})
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        df["rev_c2"] = price_c * (100 - disc_c)  # exact integer cents²
         df["n_name"] = df["cust_nation"].map(names)
         g = df.groupby("n_name", as_index=False).agg(
-            revenue=("revenue", "sum"), n_items=("revenue", "size"))
+            rev_c2=("rev_c2", "sum"), n_items=("rev_c2", "size"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"),
+        .aggregate(Sum("rev_c2", alias_name="_rev_c2"),
                    Sum("n_items", alias_name="n_items"))
         .to_pandas()
     )
-    agg["revenue"] = agg["revenue"].round(4)
+    agg["revenue"] = agg["_rev_c2"] / 10000.0
     return agg[["n_name", "n_items", "revenue"]]
 
 
@@ -718,11 +733,12 @@ def _q_join_revenue(sf_dir: str):
     )
 
     def li_prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        import numpy as np
 
-        rev = pc.multiply(batch.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return pa.table({"orderkey": batch.column("l_orderkey"), "revenue": rev})
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype("int64")
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100).astype("int64")
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "rev_c2": pa.array(price_c * (100 - disc_c), pa.int64())})
 
     li = li.map_batches(li_prep, batch_format="pyarrow")
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -736,11 +752,11 @@ def _q_join_revenue(sf_dir: str):
     joined = hash_join(li, orders, on="orderkey")
     agg = (
         joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_items"), Sum("rev_c2", alias_name="_rev_c2"))
         .to_pandas()
     )
-    agg["revenue"] = agg["revenue"].round(4)
-    return agg
+    agg["revenue"] = agg["_rev_c2"] / 10000.0  # exact integer-cents sum
+    return agg[["o_orderpriority", "n_items", "revenue"]]
 
 
 def _q_events_asof(sf_dir: str):
@@ -1043,9 +1059,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM gaps GROUP BY user_id"
         ),
         "q1_lineitem": (
+            # money summed in exact integer cents (mirrors the Ray side;
+            # float sum order differs between engines at scale)
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
-            "round(sum(l_extendedprice), 2) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+            "AS sum_base_price, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
+            "AS sum_revenue, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "orders_by_nation": (
@@ -1105,7 +1126,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q5_local_revenue": (
             "SELECT n_name, count(*) AS n_items, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
+            "AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN supplier ON l_suppkey = s_suppkey "
@@ -1125,7 +1148,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "join_revenue": (
             "SELECT o_orderpriority, count(*) AS n_items, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
+            "AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
