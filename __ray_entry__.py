@@ -388,18 +388,22 @@ def _q_orders_by_nation(sf_dir: str):
                                    columns=["o_custkey", "o_totalprice"])
 
     def attach(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         lk = ray.get(lookup)
         names = [lk.get(k) for k in batch.column("o_custkey").to_pylist()]
-        return batch.append_column("n_name", pa.array(names, pa.string()))
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype("int64")
+        out = batch.append_column("n_name", pa.array(names, pa.string()))
+        return out.append_column("_price_c", pa.array(cents, pa.int64()))
 
     agg = (
         orders.map_batches(attach, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Count(alias_name="n_orders"),
-                   Sum("o_totalprice", alias_name="total_price"))
+                   Sum("_price_c", alias_name="_price_c"))
         .to_pandas()
     )
-    agg["total_price"] = agg["total_price"].round(2)
+    agg["total_price"] = agg["_price_c"] / 100.0  # exact integer-cents sum
     return agg[["n_name", "n_orders", "total_price"]]
 
 
@@ -1070,7 +1074,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "orders_by_nation": (
-            "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price "
+            "SELECT n_name, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+            "AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
