@@ -243,7 +243,10 @@ def _q_token_stats(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         langs = batch.column("lang").to_pylist()
-        toks = [len((t or "").split()) for t in batch.column("text").to_pylist()]
+        # single-space split, empty pieces counted — exact mirror of the
+        # oracle's len(string_split(text, ' ')) (ADVICE r1: .split() with no
+        # arg diverges on runs of whitespace/tabs/newlines)
+        toks = [len((t or "").split(" ")) for t in batch.column("text").to_pylist()]
         df = pd.DataFrame({"lang": langs, "toks": toks})
         g = df.groupby("lang", as_index=False).agg(
             total_tokens=("toks", "sum"), n_docs=("toks", "size")
@@ -1037,8 +1040,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"
         ),
         "token_stats": (
+            # CAST: DuckDB sum() over ints is HUGEINT → float64 in pandas;
+            # the Ray side sums int64 (VERDICT r1 "What's wrong" #1)
             "SELECT lang, count(*) AS n_docs, "
-            "sum(len(string_split(text, ' '))) AS total_tokens, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
             "floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) * 1e6) / 1e6 "
             "AS avg_tokens FROM documents GROUP BY lang"
         ),
@@ -1119,7 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "category_summary": (
             f"SELECT {_SQL_CATEGORY} AS category, count(*) AS n_docs, "
-            "sum(n_chars) AS total_chars, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "floor(sum(confidence) / count(*) * 1e6) / 1e6 AS avg_confidence "
             "FROM (SELECT doc_id, n_chars, "
             f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
