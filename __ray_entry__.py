@@ -217,6 +217,18 @@ def _q_rules_po(sf_dir: str):
     return ds.select_columns(["url", "rules_passed", "rules_failed", "overall_valid"])
 
 
+def _q_preprocess_decision(sf_dir: str):
+    """M15 preprocess decision as emitted by the flagship chain (quality →
+    decision → classify): verdict → needs_preprocessing / operations /
+    priority (reference gateway app.py:132-219)."""
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+    return ds.select_columns(
+        ["url", "verdict", "needs_preprocessing", "pp_operations", "pp_priority"]
+    )
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -962,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "quality_pages": _q_quality_pages,
         "classify_pages": _q_classify_pages,
+        "preprocess_decision": _q_preprocess_decision,
         "entities_po": _q_entities_po,
         "rules_po": _q_rules_po,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -1013,6 +1026,22 @@ def oracle_sql() -> dict[str, str]:
         "classify_pages": (
             f"SELECT {_SQL_URL} AS url, {_SQL_CATEGORY} AS category, "
             "'4/4' AS votes FROM documents"
+        ),
+        "preprocess_decision": (
+            "SELECT url, verdict, "
+            "verdict IN ('pre_processing', 'deep_analysis') AS needs_preprocessing, "
+            "CASE verdict "
+            "WHEN 'pre_processing' THEN ['contrast_stretch', 'brightness'] "
+            "WHEN 'deep_analysis' THEN ['contrast_stretch', 'black_point', 'brightness'] "
+            "ELSE CAST([] AS VARCHAR[]) END AS pp_operations, "
+            "CASE verdict WHEN 'direct_analysis' THEN 'none' "
+            "WHEN 'pre_processing' THEN 'normal' "
+            "WHEN 'deep_analysis' THEN 'high' "
+            "ELSE 'reject' END AS pp_priority FROM ("
+            f"SELECT url, {_SQL_VERDICT} AS verdict FROM ("
+            "SELECT url, n_chars, "
+            f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
+            f"SELECT url, {_SQL_QUALITY_METRICS.strip()} FROM ({_SQL_EXPECTED_PAGES}))))"
         ),
         "entities_po": (
             f"SELECT {_SQL_URL} AS url, "

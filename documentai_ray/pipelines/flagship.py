@@ -27,6 +27,7 @@ from documentai_ray.stages.classify import classify_pipeline
 from documentai_ray.stages.dedup import dedup_latest
 from documentai_ray.stages.entities import entities_batch
 from documentai_ray.stages.extract import extract_batch
+from documentai_ray.stages.preprocess import decision_batch
 from documentai_ray.stages.quality import quality_batch
 from documentai_ray.stages.rules import RulesStage, load_rules
 from documentai_ray.state import manifest as mf
@@ -66,6 +67,10 @@ def flagship(
     if dedup:
         ds = dedup_latest(ds, key="url", ts="warc_ts")
     ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
+    # M15/M16 preprocess decision: verdict → {needs_preprocessing, ops,
+    # priority} (reference gateway app.py:132-219, :348-392 — the /process
+    # chain's quality → decision → classification ordering)
+    ds = ds.map_batches(decision_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = classify_pipeline(ds, ml_concurrency=ml_concurrency, batch_size=batch_size)
     ds = ds.map_batches(entities_batch, batch_format="pyarrow", batch_size=batch_size)
     # RulesStage instance → stateless-task stage (compiled rules ship in the

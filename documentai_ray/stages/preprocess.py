@@ -39,20 +39,25 @@ def preprocess_decision(verdict: str) -> dict:
     return {"needs_preprocessing": needs, "operations": list(ops), "priority": prio}
 
 
+_DECISION_KEYS = list(_DECISION)
+_DECISION_NEEDS = pa.array([_DECISION[k][0] for k in _DECISION_KEYS] + [False],
+                           pa.bool_())
+_DECISION_OPS = pa.array([_DECISION[k][1] for k in _DECISION_KEYS] + [[]],
+                         pa.list_(pa.string()))
+_DECISION_PRIO = pa.array([_DECISION[k][2] for k in _DECISION_KEYS] + ["unknown"],
+                          pa.string())
+
+
 def decision_batch(batch: pa.Table) -> pa.Table:
-    verdicts = batch.column("verdict").to_pylist()
-    recs = [preprocess_decision(v) for v in verdicts]
-    out = batch.append_column(
-        "needs_preprocessing",
-        pa.array([r["needs_preprocessing"] for r in recs], pa.bool_()),
-    )
-    out = out.append_column(
-        "pp_operations",
-        pa.array([r["operations"] for r in recs], pa.list_(pa.string())),
-    )
-    return out.append_column(
-        "pp_priority", pa.array([r["priority"] for r in recs], pa.string())
-    )
+    """Vectorized verdict→decision map: index_in against the 5-entry verdict
+    table, take from prebuilt lookup arrays (last slot = unknown fallback)."""
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(batch.column("verdict"), pa.array(_DECISION_KEYS))
+    idx = pc.fill_null(idx, len(_DECISION_KEYS))
+    out = batch.append_column("needs_preprocessing", pc.take(_DECISION_NEEDS, idx))
+    out = out.append_column("pp_operations", pc.take(_DECISION_OPS, idx))
+    return out.append_column("pp_priority", pc.take(_DECISION_PRIO, idx))
 
 
 # ---------------------------------------------------------------------------
