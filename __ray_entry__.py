@@ -54,10 +54,32 @@ _SQL_PO_TEXT = (
     "'DELIVERY CFR SINGAPORE (INCOTERMS 2020)'"
 )
 
+# invoice goods-row arithmetic (mirror sources/pages.py invoice_goods)
+_INV_Q1 = "(50 + doc_id % 100)"
+_INV_P1 = "(500 + doc_id % 50)"
+_INV_Q2 = "(20 + doc_id % 80)"
+_INV_P2 = "(30 + doc_id % 20)"
+
+_SQL_INV_TEXT = (
+    "'PROFORMA INVOICE NUMBER: INV-' || (20000 + doc_id) || ' DATED ' || "
+    "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '.' || "
+    "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '.2024' || chr(10) || "
+    "'SELLER: GLOBAL TRADING COMPANY ' || (doc_id % 7) || ' LIMITED' || chr(10) || "
+    "'BUYER: ACME IMPORTS ' || (doc_id % 5) || ' LLC' || chr(10) || "
+    "'DESCRIPTION HS CODE QTY UNIT PRICE AMOUNT' || chr(10) || "
+    f"'STEEL COILS GRADE ' || (doc_id % 9) || ' 7209.1' || (doc_id % 7) || ' ' || "
+    f"{_INV_Q1} || ' MT ' || {_INV_P1} || '.00 ' || ({_INV_Q1} * {_INV_P1}) || '.00' || chr(10) || "
+    f"'ALUMINIUM SHEETS TYPE ' || (doc_id % 4) || ' 7606.1' || (doc_id % 7) || ' ' || "
+    f"{_INV_Q2} || ' KG ' || {_INV_P2} || '.00 ' || ({_INV_Q2} * {_INV_P2}) || '.00' || chr(10) || "
+    f"'TOTAL AMOUNT: USD ' || ({_INV_Q1} * {_INV_P1} + {_INV_Q2} * {_INV_P2}) || '.00' || chr(10) || "
+    "'DELIVERY CIF ROTTERDAM (INCOTERMS 2020)'"
+)
+
 _SQL_GOLDEN_TEXT = (
     "CASE WHEN doc_id % 97 = 0 THEN '' "
     "WHEN doc_id % 5 IN (0, 3) THEN text "
     f"WHEN doc_id % 5 = 2 THEN {_SQL_PO_TEXT} "
+    f"WHEN doc_id % 10 = 4 THEN {_SQL_INV_TEXT} "
     "ELSE '' END"
 )
 
@@ -93,6 +115,7 @@ _SQL_CATEGORY = (
     "CASE WHEN doc_id % 97 = 0 THEN 'unclassified' "
     "WHEN doc_id % 5 = 2 THEN 'purchase_order' "
     "WHEN doc_id % 5 IN (0, 3) THEN 'data_report' "
+    "WHEN doc_id % 10 = 4 THEN 'invoice' "
     "ELSE 'unclassified' END"
 )
 
@@ -202,6 +225,25 @@ def _q_entities_po(sf_dir: str):
     return ds.select_columns(
         ["url", "po_number", "po_date", "seller", "buyer", "goods",
          "quantity", "unit", "currency", "total_amount", "incoterms"]
+    )
+
+
+def _q_entities_invoice(sf_dir: str):
+    """Proforma-invoice extraction (M18): flat fields + nested
+    ``goods_items: list<struct>`` parsed with the header-anchored
+    rsplit(" ", 5) goods-table parser (reference
+    entity_extraction_updated/extractor/performa_invoice.py:43-65)."""
+    from documentai_ray.pipelines.flagship import flagship
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir=sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("category"), "invoice")),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "inv_number", "inv_date", "seller", "buyer", "currency",
+         "total_amount", "incoterms", "goods_items"]
     )
 
 
@@ -976,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_pages": _q_classify_pages,
         "preprocess_decision": _q_preprocess_decision,
         "entities_po": _q_entities_po,
+        "entities_invoice": _q_entities_invoice,
         "rules_po": _q_rules_po,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "token_stats": _q_token_stats,
@@ -1056,6 +1099,28 @@ def oracle_sql() -> dict[str, str]:
             "format('{:,}', (100 + doc_id % 400) * 500) || '.00' AS total_amount, "
             "'CFR SINGAPORE (INCOTERMS 2020)' AS incoterms "
             "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
+        ),
+        "entities_invoice": (
+            f"SELECT {_SQL_URL} AS url, "
+            "'INV-' || (20000 + doc_id) AS inv_number, "
+            "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '.' || "
+            "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '.2024' AS inv_date, "
+            "'GLOBAL TRADING COMPANY ' || (doc_id % 7) || ' LIMITED' AS seller, "
+            "'ACME IMPORTS ' || (doc_id % 5) || ' LLC' AS buyer, "
+            "'USD' AS currency, "
+            f"({_INV_Q1} * {_INV_P1} + {_INV_Q2} * {_INV_P2}) || '.00' AS total_amount, "
+            "'CIF ROTTERDAM (INCOTERMS 2020)' AS incoterms, "
+            "[{'description': 'STEEL COILS GRADE ' || (doc_id % 9), "
+            "'hs_code': '7209.1' || (doc_id % 7), "
+            f"'quantity': CAST({_INV_Q1} AS VARCHAR), 'unit': 'MT', "
+            f"'unit_price': {_INV_P1} || '.00', "
+            f"'amount': ({_INV_Q1} * {_INV_P1}) || '.00'}}, "
+            "{'description': 'ALUMINIUM SHEETS TYPE ' || (doc_id % 4), "
+            "'hs_code': '7606.1' || (doc_id % 7), "
+            f"'quantity': CAST({_INV_Q2} AS VARCHAR), 'unit': 'KG', "
+            f"'unit_price': {_INV_P2} || '.00', "
+            f"'amount': ({_INV_Q2} * {_INV_P2}) || '.00'}}] AS goods_items "
+            "FROM documents WHERE doc_id % 10 = 4 AND doc_id % 97 <> 0"
         ),
         "rules_po": (
             f"SELECT {_SQL_URL} AS url, "

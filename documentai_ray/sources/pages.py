@@ -18,7 +18,8 @@ Row rules (mirrored in oracle SQL — keep in sync):
   1 link farm      → golden = ""
   2 purchase order → golden = "\\n".join(po_lines(doc_id))
   3 report         → golden = document text
-  4 blank page     → golden = ""
+  4 blank page     → golden = ""; EXCEPT ``doc_id % 10 == 4`` → proforma
+    invoice with a 2-row goods table, golden = "\\n".join(invoice_lines)
 - host: ``heavy.example.com`` when ``doc_id % 3 == 0`` (deliberate ~33%
   heavy-hitter host for salted-partitioning tests), else
   ``{source}.example.com``.
@@ -104,6 +105,61 @@ def po_lines(doc_id: int) -> list[str]:
     ]
 
 
+def is_invoice(doc_id: int) -> bool:
+    """Half of archetype 4 (``doc_id % 10 == 4``) carries a proforma
+    invoice instead of a blank page. Chosen so the invoice population is
+    disjoint from the exact-dup (%20==0) and near-dup (%50∈{3,7}) rows."""
+    return doc_id % 10 == 4
+
+
+def invoice_goods(doc_id: int) -> list[dict[str, str]]:
+    """Deterministic 2-row goods table (golden ``goods_items``); all-string
+    struct fields, mirroring the reference's stringly-typed goods rows
+    (entity_extraction_updated/extractor/performa_invoice.py:56-64)."""
+    q1, p1 = 50 + doc_id % 100, 500 + doc_id % 50
+    q2, p2 = 20 + doc_id % 80, 30 + doc_id % 20
+    return [
+        {"description": f"STEEL COILS GRADE {doc_id % 9}",
+         "hs_code": f"7209.1{doc_id % 7}", "quantity": str(q1), "unit": "MT",
+         "unit_price": f"{p1}.00", "amount": f"{q1 * p1}.00"},
+        {"description": f"ALUMINIUM SHEETS TYPE {doc_id % 4}",
+         "hs_code": f"7606.1{doc_id % 7}", "quantity": str(q2), "unit": "KG",
+         "unit_price": f"{p2}.00", "amount": f"{q2 * p2}.00"},
+    ]
+
+
+def invoice_fields(doc_id: int) -> dict[str, str]:
+    q1, p1 = 50 + doc_id % 100, 500 + doc_id % 50
+    q2, p2 = 20 + doc_id % 80, 30 + doc_id % 20
+    return {
+        "inv_number": f"INV-{20000 + doc_id}",
+        "inv_date": f"{1 + doc_id % 28:02d}.{1 + doc_id % 12:02d}.2024",
+        "seller": f"GLOBAL TRADING COMPANY {doc_id % 7} LIMITED",
+        "buyer": f"ACME IMPORTS {doc_id % 5} LLC",
+        "currency": "USD",
+        "total_amount": f"{q1 * p1 + q2 * p2}.00",
+        "incoterms": "CIF ROTTERDAM (INCOTERMS 2020)",
+    }
+
+
+def invoice_lines(doc_id: int) -> list[str]:
+    f = invoice_fields(doc_id)
+    rows = invoice_goods(doc_id)
+    return [
+        f"PROFORMA INVOICE NUMBER: {f['inv_number']} DATED {f['inv_date']}",
+        f"SELLER: {f['seller']}",
+        f"BUYER: {f['buyer']}",
+        "DESCRIPTION HS CODE QTY UNIT PRICE AMOUNT",
+        *(
+            f"{r['description']} {r['hs_code']} {r['quantity']} {r['unit']} "
+            f"{r['unit_price']} {r['amount']}"
+            for r in rows
+        ),
+        f"TOTAL AMOUNT: {f['currency']} {f['total_amount']}",
+        f"DELIVERY {f['incoterms']}",
+    ]
+
+
 def golden_text(doc_id: int, text: str) -> str:
     if is_malformed(doc_id):
         return ""
@@ -112,6 +168,8 @@ def golden_text(doc_id: int, text: str) -> str:
         return text
     if a == 2:
         return "\n".join(po_lines(doc_id))
+    if is_invoice(doc_id):
+        return "\n".join(invoice_lines(doc_id))
     return ""
 
 
@@ -124,6 +182,8 @@ def expected_category(doc_id: int) -> str:
         return "purchase_order"
     if a in (0, 3):
         return "data_report"
+    if is_invoice(doc_id):
+        return "invoice"
     return "unclassified"
 
 
@@ -197,6 +257,15 @@ def _html_report(doc_id: int, text: str) -> str:
     )
 
 
+def _html_invoice(doc_id: int) -> str:
+    paras = "".join(f"<p>{ln}</p>" for ln in invoice_lines(doc_id))
+    return (
+        "<html><head><title>Invoice</title></head><body>"
+        f"{_NAV}<header><h1>Proforma invoice</h1></header>"
+        f"<main>{paras}</main>{_FOOTER}</body></html>"
+    )
+
+
 def _html_blank(doc_id: int) -> str:
     return (
         "<html><head><title>.</title></head><body>"
@@ -219,6 +288,8 @@ def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False) -> bytes:
         return _html_po(doc_id).encode("utf-8")
     if a == 3:
         return _html_report(doc_id, text).encode("utf-8")
+    if is_invoice(doc_id):
+        return _html_invoice(doc_id).encode("utf-8")
     return _html_blank(doc_id).encode("utf-8")
 
 

@@ -84,6 +84,47 @@ def extract_po(text: str) -> dict[str, str]:
     return out
 
 
+# -- proforma invoice (M18 flat fields; goods table parsed separately) -------
+
+_INV_RES = {
+    "inv_number": re.compile(r"INVOICE NUMBER:\s*(INV-\d+)"),
+    "inv_date": re.compile(r"DATED\s+(\d{2}\.\d{2}\.\d{4})"),
+}
+
+INV_FIELDS = [
+    "inv_number", "inv_date", "seller", "buyer", "currency", "total_amount",
+    "incoterms",
+]
+
+# flat entity columns emitted by entities_batch: PO fields plus the
+# invoice-only extras (seller/buyer/currency/total_amount/incoterms are
+# shared column names between the two extractors)
+EXTRA_FIELDS = ["inv_number", "inv_date"]
+ALL_FLAT_FIELDS = PO_FIELDS + EXTRA_FIELDS
+
+
+def extract_invoice(text: str) -> dict[str, str]:
+    """Proforma-invoice flat fields (reference
+    entity_extraction_updated/extractor/performa_invoice.py:5-42 regex part;
+    the goods table goes through ``parse_goods_table``)."""
+    out = {f: "" for f in INV_FIELDS}
+    for f in ("inv_number", "inv_date"):
+        m = _INV_RES[f].search(text)
+        if m:
+            out[f] = m.group(1)
+    for f in ("seller", "buyer"):
+        m = _PO_RES[f].search(text)
+        if m:
+            out[f] = m.group(1).strip()
+    m = _PO_RES["ccy_total"].search(text)
+    if m:
+        out["currency"], out["total_amount"] = m.group(1), m.group(2)
+    m = _PO_RES["incoterms"].search(text)
+    if m:
+        out["incoterms"] = m.group(1)
+    return out
+
+
 # -- generic extractor (M20) -------------------------------------------------
 
 _GENERIC_RES = {
@@ -326,6 +367,16 @@ def completeness_score(entities: dict[str, str], expected_fields: list[str]) -> 
 
 EXTRACTORS: dict[str, Any] = {
     "purchase_order": extract_po,
+    "invoice": extract_invoice,
+}
+
+# categories whose documents carry a parseable goods table (M18)
+GOODS_CATEGORIES = {"invoice"}
+
+# per-category expected fields for the completeness score (M26)
+EXPECTED_BY_CATEGORY = {
+    "purchase_order": PO_FIELDS,
+    "invoice": INV_FIELDS,
 }
 
 
@@ -345,34 +396,49 @@ def get_extractor(category: str):
 # batch stage: dispatch on category (J1 collapsed in-row)
 # ---------------------------------------------------------------------------
 
+GOODS_STRUCT = pa.struct([
+    ("description", pa.string()), ("hs_code", pa.string()),
+    ("quantity", pa.string()), ("unit", pa.string()),
+    ("unit_price", pa.string()), ("amount", pa.string()),
+])
+
+
 def entities_batch(batch: pa.Table) -> pa.Table:
-    """Appends flat PO entity columns (empty for non-PO rows) plus
-    ``doc_type`` and ``completeness``. Keeps output columnar/flat so the
-    DuckDB oracle can compare column-by-column."""
+    """Appends flat entity columns (empty for rows whose category has no
+    registered extractor), a ``goods_items: list<struct>`` column (parsed
+    goods-table rows for GOODS_CATEGORIES, else []), plus ``doc_type`` and
+    ``completeness``. Keeps output columnar/flat so the DuckDB oracle can
+    compare column-by-column."""
     texts = batch.column("text").to_pylist()
     cats = (
         batch.column("category").to_pylist()
         if "category" in batch.column_names
         else [autodetect_doc_type(t or "") for t in texts]
     )
-    cols: dict[str, list] = {f: [] for f in PO_FIELDS}
+    cols: dict[str, list] = {f: [] for f in ALL_FLAT_FIELDS}
+    goods_items: list[list[dict[str, str]]] = []
     doc_types: list[str] = []
     completeness: list[float] = []
     for text, cat in zip(texts, cats):
         text = text or ""
         extractor = EXTRACTORS.get(cat)
+        ents = {f: "" for f in ALL_FLAT_FIELDS}
         if extractor is not None:
-            ents = {f: "" for f in PO_FIELDS}
             ents.update(extractor(text))
-        else:
-            ents = {f: "" for f in PO_FIELDS}
-        for f in PO_FIELDS:
+        for f in ALL_FLAT_FIELDS:
             cols[f].append(ents[f])
+        goods_items.append(
+            parse_goods_table(text) if cat in GOODS_CATEGORIES else []
+        )
         doc_types.append(autodetect_doc_type(text))
-        completeness.append(completeness_score(ents, PO_FIELDS))
+        completeness.append(
+            completeness_score(ents, EXPECTED_BY_CATEGORY.get(cat, PO_FIELDS))
+        )
     out = batch
-    for f in PO_FIELDS:
+    for f in ALL_FLAT_FIELDS:
         out = out.append_column(f, pa.array(cols[f], pa.string()))
+    out = out.append_column("goods_items",
+                            pa.array(goods_items, pa.list_(GOODS_STRUCT)))
     out = out.append_column("doc_type", pa.array(doc_types, pa.string()))
     out = out.append_column("completeness", pa.array(completeness, pa.float64()))
     return out

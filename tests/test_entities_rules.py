@@ -69,6 +69,34 @@ class TestGoodsTable:
         assert entities.parse_goods_table("random text") == []
 
 
+class TestInvoiceExtractor:
+    def test_golden_fields_roundtrip(self):
+        from documentai_ray.sources.pages import invoice_fields, invoice_goods, invoice_lines
+
+        for doc_id in (4, 14, 123454, 970004):
+            text = "\n".join(invoice_lines(doc_id))
+            assert entities.extract_invoice(text) == invoice_fields(doc_id)
+            assert entities.parse_goods_table(text) == invoice_goods(doc_id)
+
+    def test_dispatch_in_entities_batch(self):
+        import pyarrow as pa
+
+        from documentai_ray.sources.pages import invoice_goods, invoice_lines
+
+        batch = pa.table({
+            "text": pa.array(["\n".join(invoice_lines(24)), "no entities here"],
+                             pa.large_string()),
+            "category": pa.array(["invoice", "data_report"], pa.string()),
+        })
+        out = entities.entities_batch(batch)
+        assert out.column("inv_number").to_pylist() == ["INV-20024", ""]
+        gi = out.column("goods_items").to_pylist()
+        assert gi[0] == invoice_goods(24)
+        assert gi[1] == []
+        # completeness over INV_FIELDS for invoice rows
+        assert out.column("completeness").to_pylist()[0] == 1.0
+
+
 class TestEntityBoxMatching:
     def _boxes(self, text):
         payload, _ = minipdf.build_from_text(text)

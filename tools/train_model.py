@@ -18,7 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from documentai_ray.sources.pages import po_lines  # noqa: E402
+from documentai_ray.sources.pages import invoice_lines, po_lines  # noqa: E402
 from documentai_ray.stages.classify import save_model, train_nb  # noqa: E402
 
 VOCAB = [
@@ -39,6 +39,9 @@ def build_corpus(n_per_class: int = 400, seed: int = 7) -> list[tuple[str, str]]
     for i in range(n_per_class):
         doc_id = int(rng.randint(0, 1_000_000))
         samples.append(("\n".join(po_lines(doc_id)), "purchase_order"))
+    for i in range(n_per_class):
+        doc_id = int(rng.randint(0, 1_000_000))
+        samples.append(("\n".join(invoice_lines(doc_id)), "invoice"))
     return samples
 
 
