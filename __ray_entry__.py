@@ -271,6 +271,65 @@ def _q_preprocess_decision(sf_dir: str):
     )
 
 
+def _q_wordbox_match(sf_dir: str):
+    """M23 entity↔word-box matching end-to-end on the PDF path: PO docs laid
+    out as MINIPDF (line-preserving) → layout walk keeps ``word_boxes`` →
+    ``extract_po`` on the walk text → ``match_entity_boxes`` (exact /
+    consecutive-multi-word / substring, reference
+    entity-extraction-service/app.py:890-966) → matched bbox columns per
+    field. Oracle: the layout geometry's closed form (×2 walk scale,
+    x = 36 + Σ(6·len+4), y = 50 + 100·block + 12·line)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minipdf import build_from_lines
+    from documentai_ray.sources.pages import is_malformed, po_lines, url_for
+    from documentai_ray.stages.entities import extract_po, match_entity_boxes
+    from documentai_ray.stages.extract import extract_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for did, src in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("source").to_pylist()):
+            if did % 5 != 2 or is_malformed(did):
+                continue
+            urls.append(url_for(did, src))
+            payloads.append(build_from_lines(po_lines(did), shuffle_key=did)[0])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(payloads, pa.large_binary())})
+
+    ds = docs.map_batches(gen, batch_format="pyarrow", batch_size=256)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+
+    fields = ["po_number", "po_date", "seller", "buyer", "total_amount"]
+
+    def match(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {"url": batch.column("url").to_pylist()}
+        for f in fields:
+            for suf in ("page", "x0", "y0", "x1", "y1"):
+                cols[f"{f}_{suf}"] = []
+        for text, boxes in zip(batch.column("text").to_pylist(),
+                               batch.column("word_boxes").to_pylist()):
+            ents = extract_po(text)
+            matched = match_entity_boxes({f: ents[f] for f in fields}, boxes)
+            for f in fields:
+                b = matched[f]
+                cols[f"{f}_page"].append(b["page"] if b else None)
+                for suf in ("x0", "y0", "x1", "y1"):
+                    cols[f"{f}_{suf}"].append(b[suf] if b else None)
+        out = {"url": pa.array(cols["url"], pa.string())}
+        for f in fields:
+            out[f"{f}_page"] = pa.array(cols[f"{f}_page"], pa.int64())
+            for suf in ("x0", "y0", "x1", "y1"):
+                out[f"{f}_{suf}"] = pa.array(cols[f"{f}_{suf}"], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -1020,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entities_po": _q_entities_po,
         "entities_invoice": _q_entities_invoice,
         "rules_po": _q_rules_po,
+        "wordbox_match": _q_wordbox_match,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "token_stats": _q_token_stats,
         "doc_quality": _q_doc_quality,
@@ -1128,6 +1188,26 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 400 < 200 THEN 0 ELSE 1 END AS rules_failed, "
             "doc_id % 400 < 200 AS overall_valid "
             "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
+        ),
+        # closed-form layout geometry (minipdf.build_from_lines docstring):
+        # x = 36 + Σ_before(6·len+4), y = 50 + 100·block + 12·line, ×2 scale.
+        # L = len(po_number), A = len(total_amount) are the only variable widths.
+        "wordbox_match": (
+            f"SELECT {_SQL_URL} AS url, "
+            "1 AS po_number_page, 196.0 AS po_number_x0, 100.0 AS po_number_y0, "
+            "2 * (98 + 6 * L) AS po_number_x1, 120.0 AS po_number_y1, "
+            "1 AS po_date_page, 2 * (136 + 6 * L) AS po_date_x0, 100.0 AS po_date_y0, "
+            "2 * (136 + 6 * L) + 120.0 AS po_date_x1, 120.0 AS po_date_y1, "
+            "1 AS seller_page, 164.0 AS seller_x0, 124.0 AS seller_y0, "
+            "532.0 AS seller_x1, 144.0 AS seller_y1, "
+            "1 AS buyer_page, 152.0 AS buyer_x0, 148.0 AS buyer_y0, "
+            "356.0 AS buyer_x1, 168.0 AS buyer_y1, "
+            "1 AS total_amount_page, 276.0 AS total_amount_x0, 348.0 AS total_amount_y0, "
+            "2 * (138 + 6 * A) AS total_amount_x1, 368.0 AS total_amount_y1 "
+            "FROM (SELECT doc_id, source, "
+            "CAST(length('PO-' || (10000 + doc_id)) AS DOUBLE) AS L, "
+            "CAST(length(format('{:,}', (100 + doc_id % 400) * 500) || '.00') AS DOUBLE) AS A "
+            "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0)"
         ),
         "docs_exact_dedup": (
             "SELECT doc_id, lang, source FROM documents WHERE doc_id IN "

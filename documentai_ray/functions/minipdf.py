@@ -108,6 +108,28 @@ def build_from_text(
     """
     words = text.split()
     lines = [" ".join(words[i : i + words_per_line]) for i in range(0, len(words), words_per_line)]
+    return build_from_lines(lines, lines_per_block=lines_per_block,
+                            blocks_per_page=blocks_per_page,
+                            shuffle_key=shuffle_key)
+
+
+def build_from_lines(
+    lines: list[str],
+    *,
+    lines_per_block: int = 3,
+    blocks_per_page: int = 4,
+    shuffle_key: int = 0,
+) -> tuple[bytes, str]:
+    """Like ``build_from_text`` but one input line per layout line — the
+    input's line structure survives the walk (needed when downstream
+    MULTILINE regex extractors depend on line boundaries, e.g. the PO
+    extractor over word-box documents).
+
+    Geometry (the word-box oracle's closed form): block ``b`` starts at
+    ``y = 50 + 100·b`` (page-local), line ``li`` within it at ``+12·li``,
+    spans start at ``x = 36`` and each word advances ``6·len(word) + 4``;
+    span height 10. ``walk()`` scales all coordinates ×2.
+    """
     or_blocks: list[list[str]] = [
         lines[i : i + lines_per_block] for i in range(0, len(lines), lines_per_block)
     ]

@@ -97,6 +97,25 @@ class TestInvoiceExtractor:
         assert out.column("completeness").to_pylist()[0] == 1.0
 
 
+class TestWordBoxPipeline:
+    def test_po_fields_matched_to_layout_geometry(self):
+        """M23 end-to-end on the PDF path: line-preserving MINIPDF layout →
+        walk → extract_po → match_entity_boxes; bbox values follow the
+        documented closed-form geometry (×2 scale)."""
+        payload, _ = minipdf.build_from_lines(po_lines(12), shuffle_key=12)
+        text, boxes = minipdf.walk(payload)
+        ents = entities.extract_po(text)
+        m = entities.match_entity_boxes(
+            {f: ents[f] for f in ("po_number", "seller", "buyer")}, boxes)
+        assert m["po_number"] == {"text": "PO-10012", "page": 1, "x0": 196.0,
+                                  "y0": 100.0, "x1": 292.0, "y1": 120.0,
+                                  "conf": 1.0}
+        # multi-word consecutive-run match with merged bbox
+        assert m["seller"]["x0"] == 164.0 and m["seller"]["x1"] == 532.0
+        assert m["seller"]["y0"] == 124.0 and m["seller"]["y1"] == 144.0
+        assert m["buyer"]["x0"] == 152.0 and m["buyer"]["x1"] == 356.0
+
+
 class TestEntityBoxMatching:
     def _boxes(self, text):
         payload, _ = minipdf.build_from_text(text)
