@@ -680,27 +680,80 @@ def _q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+# SimHash screening radius for url-variant recaptures. 64-bit unigram
+# SimHash of a page vs the same page plus ONE trailing token measures 0-10
+# bits on this corpus (token-set deltas flip bits where the bit-vote margin
+# is small); 20 gives 2× headroom while staying far below the ~32-bit
+# expectation for unrelated pages. NOT a general near-dup radius: template
+# twins (two POs differing only in digits) measure as low as 4-5 bits, so a
+# corpus-wide Hamming ball at this radius needs an exact-similarity verify
+# behind it (the MinHash→Jaccard path; simhash_candidate_pairs is the
+# banded generator for that).
+SIMHASH_VARIANT_MAX_HAMMING = 20
+
+
 def _q_simhash_hamming(sf_dir: str):
-    """SimHash near-dup: pairs of planted near-dups at Hamming distance ≤ 8."""
-    import pandas as pd
+    """SimHash screen of url-variant recaptures (?amp=1 ↔ base url), fully
+    distributed: fingerprint per batch → partitioned hash join of the
+    variant side onto its base url → vectorized 64-bit popcount filter at
+    ``SIMHASH_VARIANT_MAX_HAMMING``. No driver-side materialization — the
+    only exchange moves (url, simhash) projections."""
+    import numpy as np
+    import pyarrow as pa
 
     from documentai_ray.sources.pages import pages_dataset
-    from documentai_ray.stages.dedup import add_simhash, hamming64
+    from documentai_ray.stages.dedup import add_simhash
     from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.joins import hash_join
 
     ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
-    ds = add_simhash(ds.select_columns(["url", "text"]))
-    rows = ds.select_columns(["url", "simhash"]).take_all()
-    # driver-side pair scan only over near-dup candidates (?amp=1 ↔ base url)
-    by_url = {r["url"]: r["simhash"] for r in rows}
-    pairs = []
-    for u, h in by_url.items():
-        if u.endswith("?amp=1"):
-            base = u[: -len("?amp=1")]
-            if base in by_url and hamming64(h, by_url[base]) <= 20:
-                pairs.append({"url_a": base, "url_b": u})
-    return pd.DataFrame(pairs, columns=["url_a", "url_b"])
+    ds = add_simhash(ds.select_columns(["url", "text"])).drop_columns(["text"])
+
+    suffix = "?amp=1"
+
+    def base_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(
+            pc.invert(pc.ends_with(batch.column("url"), pattern=suffix)))
+        return pa.table({"url_a": t.column("url"),
+                         "simhash_a": t.column("simhash")})
+
+    def amp_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.ends_with(batch.column("url"), pattern=suffix))
+        bases = [u[: -len(suffix)] for u in t.column("url").to_pylist()]
+        return pa.table({"url_a": pa.array(bases, pa.string()),
+                         "url_b": t.column("url"),
+                         "simhash_b": t.column("simhash")})
+
+    joined = hash_join(
+        ds.map_batches(base_side, batch_format="pyarrow"),
+        ds.map_batches(amp_side, batch_format="pyarrow"),
+        on="url_a",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.is_valid(batch.column("url_b")))
+        if t.num_rows == 0:
+            return pa.table({"url_a": pa.array([], pa.string()),
+                             "url_b": pa.array([], pa.string())})
+        ha = t.column("simhash_a").to_numpy().astype(np.uint64)
+        hb = t.column("simhash_b").to_numpy().astype(np.uint64)
+        x = ha ^ hb
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            dist += lut[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        keep = dist <= SIMHASH_VARIANT_MAX_HAMMING
+        return pa.table({"url_a": t.column("url_a").filter(pa.array(keep)),
+                         "url_b": t.column("url_b").filter(pa.array(keep))})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def _q_category_summary(sf_dir: str):

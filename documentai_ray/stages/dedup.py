@@ -142,14 +142,11 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     expression over the whole token array (no per-shingle string building).
     """
     toks = text.split()
-    if not toks:
+    if len(toks) < k:
+        # < k tokens → empty shingle set (matches ngram_jaccard / the SQL
+        # oracle's generate_series semantics; such rows can never pair)
         return np.empty(0, dtype=np.uint64)
     th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
-    if len(th) < k:
-        h = np.uint64(0)
-        for i, v in enumerate(th):
-            h = h * _SH_P1 + v * (_SH_P2 if i % 2 else _SH_P3)
-        return np.array([h], dtype=np.uint64)
     if k == 3:  # fast path: one fused expression
         sh = th[:-2] * _SH_P1 + th[1:-1] * _SH_P2 + th[2:] * _SH_P3
     else:  # generic k: polynomial mix over the k offsets
@@ -194,7 +191,7 @@ class MinHashStage:
 
 
 def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
-                        num_partitions: int = 64):
+                        num_partitions: int = 64, bucket_cap: int = 200):
     """MinHash-LSH: signature → band rows → hash-partitioned per-band
     self-join → deduplicated candidate pairs ``(id_a, id_b)``, id_a < id_b.
 
@@ -202,7 +199,17 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
     text), partitioned by ``crc32(band_key) % P`` so every band bucket lands
     whole in one partition; the pair emission is one vectorized pandas
     self-merge per partition; a second tiny shuffle on a pair-hash key
-    dedups pairs produced by multiple bands."""
+    dedups pairs produced by multiple bands.
+
+    Rows whose text produced NO shingles (empty / fewer than k tokens, i.e.
+    an all-max signature) are dropped before banding: they can never verify
+    at any Jaccard threshold, and at scale millions of empty docs would
+    otherwise share identical band buckets and emit O(n²) junk candidates
+    (ADVICE r1). ``bucket_cap`` bounds the k² pair blowup of a pathological
+    band bucket; a bucket larger than the cap is SKIPPED, which can drop
+    true pairs — the exact-recall contract holds only while genuine near-dup
+    clusters stay under the cap, so size it ≥ the largest expected cluster
+    (it is a knob, not a constant)."""
     rows_per_band = num_perm // bands
     sigged = ds.map_batches(
         MinHashStage,
@@ -210,12 +217,15 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
         concurrency=(1, 4),
         fn_constructor_kwargs={"num_perm": num_perm},
     )
+    _ALLMAX = np.iinfo(np.uint64).max
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         sigs = batch.column("minhash").to_pylist()
         ids_out, keys = [], []
         for i, sig in zip(ids, sigs):
+            if sig and sig[0] == _ALLMAX:  # shingle-less row: skip
+                continue
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 digest = hashlib.md5(
@@ -233,9 +243,10 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["band_key", id_col]]
         # bound pathological buckets (a band value shared by thousands of
-        # ids would emit k² pairs — cap like the reference caps inputs)
+        # ids would emit k² pairs — cap like the reference caps inputs);
+        # see bucket_cap contract in the docstring
         sizes = g.groupby("band_key")["band_key"].transform("size")
-        g = g[sizes <= 200]
+        g = g[sizes <= bucket_cap]
         m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
         a, b = m[f"{id_col}_a"], m[f"{id_col}_b"]
         m = m[a < b]
@@ -266,11 +277,14 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    """Word-k-gram Jaccard similarity (verification kernel)."""
+    """Word-k-gram Jaccard similarity (verification kernel).
+
+    Texts with fewer than ``k`` tokens have an EMPTY shingle set and can
+    never pair (similarity 0.0) — mirroring the SQL oracles'
+    ``generate_series(1, len - k + 1)`` semantics, where a short text
+    yields no shingles and drops out of the union (ADVICE r1)."""
     sa = set(map(tuple, _zip_ngrams(a, k)))
     sb = set(map(tuple, _zip_ngrams(b, k)))
-    if not sa and not sb:
-        return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
@@ -279,7 +293,7 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 def _zip_ngrams(text: str, k: int):
     toks = text.split()
     if len(toks) < k:
-        return [tuple(toks)] if toks else []
+        return []
     return [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 

@@ -15,7 +15,10 @@ class TestJaccardAndSignatures:
         a = "one two three four five six seven eight nine ten"
         assert dedup.ngram_jaccard(a, a) == 1.0
         assert dedup.ngram_jaccard(a, "") == 0.0
-        assert dedup.ngram_jaccard("", "") == 1.0
+        # short/empty texts have an empty shingle set and never pair —
+        # mirrors the SQL oracle's generate_series semantics (ADVICE r1)
+        assert dedup.ngram_jaccard("", "") == 0.0
+        assert dedup.ngram_jaccard("one two", "one two") == 0.0
         b = a + " eleven"
         j = dedup.ngram_jaccard(a, b)
         assert 0.8 < j < 1.0
