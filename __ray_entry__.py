@@ -419,19 +419,18 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_events_sessions(sf_dir: str):
-    import pandas as pd
+    """Gap-based sessionization via the bucketed vectorized path (all users
+    of a hash partition sessionized in one pandas pass — group count bounded
+    by P, not by user cardinality)."""
     import ray.data
+
+    from documentai_ray.stages.windows import session_windows
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff()
-        n = int(1 + (gaps > pd.Timedelta(minutes=30)).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return session_windows(ds, key_col="user_id", ts_col="ts",
+                           gap_minutes=30).select_columns(
+        ["user_id", "n_sessions"])
 
 
 def _q_q1_lineitem(sf_dir: str):
@@ -568,34 +567,20 @@ def _q_minhash_dedup_keep(sf_dir: str):
 
 
 def _q_jaccard_pairs(sf_dir: str):
-    """Standalone blocked n-gram Jaccard: pairwise word-3-gram similarity
-    within ``source`` blocks (groupby → in-group vectorized pairwise),
-    pairs with J ≥ 0.5. Blocking bounds the quadratic comparison —
-    the exact-verification counterpart of the MinHash path."""
+    """Standalone blocked n-gram Jaccard: exact pairwise word-3-gram
+    similarity ≥ 0.5 within ``source`` blocks, via the inverted-index
+    co-occurrence counter (``dedup.blocked_jaccard_pairs``) — only doc
+    pairs sharing ≥1 shingle are touched; no n²-per-block Python loop."""
     import pandas as pd
     import ray.data
 
-    from documentai_ray.stages.dedup import ngram_jaccard
+    from documentai_ray.stages.dedup import blocked_jaccard_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "text"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        texts = g["text"].tolist()
-        a, b = [], []
-        for i in range(len(ids)):
-            for k in range(i + 1, len(ids)):
-                if ngram_jaccard(texts[i], texts[k], k=3) >= 0.5:
-                    a.append(ids[i]); b.append(ids[k])
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64")})
-
-    out = ds.groupby("source").map_groups(pairs, batch_format="pandas").to_pandas()
+    out = blocked_jaccard_pairs(ds, id_col="doc_id", block_col="source",
+                                threshold=0.5, k=3).to_pandas()
     if out.empty:
-        import pandas as pd
-
         out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                             "id_b": pd.Series(dtype="int64")})
     return out
@@ -814,31 +799,30 @@ def _q_ann_ivf(sf_dir: str):
 
 
 def _q_q5_local_revenue(sf_dir: str):
-    """TPC-H-Q5-style composition: lineitem ⋈ orders ⋈ customer ⋈ supplier
-    ⋈ nation, filtered to lineitems whose customer and supplier share a
-    nation — all dimension sides broadcast (``ray.put`` maps), the fact
-    table streams through one ``map_batches``; only the tiny per-nation
-    partial aggregate shuffles. (At a scale where ``orders`` stops being
-    broadcastable, swap the orders map for ``joins.hash_join`` — the
-    join_revenue query demonstrates that path.)"""
+    """TPC-H-Q5-style composition: lineitem ⋈ orders via a partitioned
+    ``hash_join`` (BOTH fact-adjacent sides large — orders is 1.5B rows at
+    sf1000, never driver-broadcastable), with only the genuinely small
+    dims (customer/supplier/nation, ≤ O(10⁵) rows) broadcast as ``ray.put``
+    lookups inside ``map_batches``. After the join, rows filter to
+    cust_nation == supp_nation and pre-aggregate per batch, so only the
+    tiny per-nation partials shuffle into the final groupby."""
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
 
     def load(name, cols):
         return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols).to_pandas()
 
-    orders = load("orders", ["o_orderkey", "o_custkey"])
     customer = load("customer", ["c_custkey", "c_nationkey"])
     supplier = load("supplier", ["s_suppkey", "s_nationkey"])
     nation = load("nation", ["n_nationkey", "n_name"])
 
-    order_to_cnation = ray.put(dict(zip(
-        orders["o_orderkey"],
-        orders["o_custkey"].map(dict(zip(customer["c_custkey"], customer["c_nationkey"]))),
-    )))
+    cust_to_nation = ray.put(dict(zip(customer["c_custkey"], customer["c_nationkey"])))
     supp_to_nation = ray.put(dict(zip(supplier["s_suppkey"], supplier["s_nationkey"])))
     nation_name = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
@@ -847,30 +831,49 @@ def _q_q5_local_revenue(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        cn = ray.get(order_to_cnation)
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype("int64")
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100).astype("int64")
         sn = ray.get(supp_to_nation)
-        names = ray.get(nation_name)
-        import numpy as np
+        supp_nation = pa.array(
+            [sn.get(k, -1) for k in batch.column("l_suppkey").to_pylist()],
+            pa.int64())
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "supp_nation": supp_nation,
+                         "rev_c2": pa.array(price_c * (100 - disc_c), pa.int64())})
 
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cust_to_nation)
+        cust_nation = pa.array(
+            [cn.get(k, -2) for k in batch.column("o_custkey").to_pylist()],
+            pa.int64())
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "cust_nation": cust_nation})
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on="orderkey",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        df["cust_nation"] = df["l_orderkey"].map(cn)
-        df["supp_nation"] = df["l_suppkey"].map(sn)
         df = df[df["cust_nation"] == df["supp_nation"]]
         if df.empty:
             return pa.table({"n_name": pa.array([], pa.string()),
                              "rev_c2": pa.array([], pa.int64()),
                              "n_items": pa.array([], pa.int64())})
-        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
-        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
-        df["rev_c2"] = price_c * (100 - disc_c)  # exact integer cents²
+        names = ray.get(nation_name)
         df["n_name"] = df["cust_nation"].map(names)
         g = df.groupby("n_name", as_index=False).agg(
             rev_c2=("rev_c2", "sum"), n_items=("rev_c2", "size"))
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("rev_c2", alias_name="_rev_c2"),
                    Sum("n_items", alias_name="n_items"))
@@ -1317,7 +1320,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH sh AS (SELECT doc_id, source, "
             "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
             "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
-            "FROM (SELECT doc_id, source, string_split(text, ' ') AS toks "
+            "FROM (SELECT doc_id, source, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
             "FROM documents)) "
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b "
             "ON a.source = b.source AND a.doc_id < b.doc_id "

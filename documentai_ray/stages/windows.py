@@ -9,8 +9,11 @@ batch engine, so windows are expressed as deterministic batch transforms:
   windows containing it (vectorized per batch), then a tumbling groupby.
   The expansion happens map-side, so the shuffle carries
   (window_start, key) partials — never raw events times k.
-- ``session_windows``       — per-key gap-based sessionization inside
-  ``groupby(key).map_groups`` over ts-sorted groups.
+- ``session_windows``       — gap-based sessionization, bucketed: keys are
+  hash-partitioned (``crc32(key) % P``) and ALL keys in a partition are
+  sessionized in one vectorized pandas pass (sort + shift + cumsum) — one
+  ``map_groups`` call per partition, never per key (the per-row-key
+  ``map_groups`` anti-pattern costs ~ms × millions of users at scale).
 
 Ordering contract: none required across rows — every operator keys on
 values derived from the row itself (event time), per SURVEY §2.10's
@@ -81,20 +84,39 @@ def sliding_window_agg(ds, *, ts_col: str = "ts", key_col: str = "event_type",
 
 
 def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-                    gap_minutes: int = 30):
+                    gap_minutes: int = 30, num_partitions: int = 64):
     """Per key: number of sessions and max session length (events), with a
-    session break whenever the gap to the previous event exceeds ``gap``."""
+    session break whenever the gap to the previous event exceeds ``gap``.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].sort_values()
-        breaks = (ts.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
-        sizes = breaks.value_counts()
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "n_sessions": [int(breaks.max()) + 1 if len(g) else 0],
-                "max_session_events": [int(sizes.max())],
-            }
-        )
+    Physical plan: hash-partition on ``crc32(key) % P`` (all events of a key
+    co-locate), then ONE vectorized pass per partition sessionizes every
+    key at once — sort by (key, ts); a session starts at each key change or
+    over-gap timestamp; ``cumsum`` over the start mask yields session ids;
+    two grouped reductions produce counts and max sizes. Group count is
+    bounded by P, not by key cardinality."""
+    from documentai_ray.stages.dedup import _add_pkey
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        new_key = g[key_col].ne(g[key_col].shift())
+        start = new_key | (g[ts_col].diff() > gap)
+        sess_id = start.cumsum()
+        sizes = sess_id.groupby(sess_id, sort=False).size()
+        sess_key = g.loc[start.to_numpy(), key_col]
+        sess_key.index = pd.RangeIndex(1, len(sess_key) + 1)  # sess ids are 1-based
+        per_key = pd.DataFrame({key_col: sess_key, "size": sizes})
+        out = per_key.groupby(key_col, sort=False).agg(
+            n_sessions=("size", "size"), max_session_events=("size", "max")
+        ).reset_index()
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["max_session_events"] = out["max_session_events"].astype("int64")
+        return out
+
+    return (
+        _add_pkey(ds, key_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: sessions_partition(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+    )

@@ -23,6 +23,37 @@ class TestJaccardAndSignatures:
         j = dedup.ngram_jaccard(a, b)
         assert 0.8 < j < 1.0
 
+    def test_blocked_jaccard_pairs_matches_bruteforce(self):
+        """Inverted-index co-occurrence counter == brute-force pairwise
+        ngram_jaccard within blocks (exactness contract)."""
+        import itertools
+
+        import ray.data
+
+        rows = []
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base, base + " extra", "totally different words here now ok",
+                 base.replace("gamma", "mu"), "short", ""]
+        for blk in ("x", "y"):
+            for i, t in enumerate(texts):
+                rows.append({"doc_id": len(rows), "source": blk, "text": t})
+        ds = ray.data.from_items(rows)
+        got = dedup.blocked_jaccard_pairs(
+            ds, id_col="doc_id", block_col="source", threshold=0.5, k=3
+        ).to_pandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        want = set()
+        by_blk: dict = {}
+        for r in rows:
+            by_blk.setdefault(r["source"], []).append(r)
+        for blk_rows in by_blk.values():
+            for a, b in itertools.combinations(blk_rows, 2):
+                if dedup.ngram_jaccard(a["text"], b["text"], k=3) >= 0.5:
+                    want.add((min(a["doc_id"], b["doc_id"]),
+                              max(a["doc_id"], b["doc_id"])))
+        assert got_pairs == want
+        assert want  # non-trivial fixture
+
     def test_minhash_estimates_jaccard(self):
         a_txt = " ".join(f"w{i}" for i in range(100))
         b_txt = " ".join(f"w{i}" for i in range(90)) + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
