@@ -145,6 +145,53 @@ _SQL_VERDICT = (
 )
 
 
+def _sql_lang_id(id_col: str, table_expr: str) -> str:
+    """lang_id oracle, generated from the SAME profile dicts the engine
+    uses (stages/textstats.py) so they cannot drift. Mirrors the two-stage
+    heuristic op-for-op: stopword-hit argmax (strict-greater update over
+    sorted codes → first-max-wins tie-break), char-n-gram fallback when no
+    stopword fires. The word regex [A-Za-z]+ equals the engine's
+    ``[^\\W\\d_]+`` on ASCII corpora (documents fixture is ASCII)."""
+    from documentai_ray.stages.textstats import CHAR_NGRAM_PROFILES, LANG_PROFILES
+
+    codes = ["de", "en", "es", "fr"]  # sorted() order in the Python loop
+
+    def sql_list(vals):
+        return "[" + ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(vals)) + "]"
+
+    hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({sql_list(LANG_PROFILES[c])}, x))) AS h_{c}"
+        for c in codes
+    )
+
+    def gcount(c):
+        terms = " + ".join(
+            f"(length(low) - length(replace(low, '{g}', ''))) // {len(g)}"
+            for g in sorted(CHAR_NGRAM_PROFILES[c])
+        )
+        return f"({terms}) AS g_{c}"
+
+    grams = ", ".join(gcount(c) for c in codes)
+    return (
+        f"WITH t AS (SELECT {id_col}, lower(text) AS low, "
+        "list_transform(regexp_extract_all(text, '[A-Za-z]+'), w -> lower(w)) AS toks "
+        f"FROM {table_expr}), "
+        f"h AS (SELECT {id_col}, low, len(toks) AS n, {hits} FROM t), "
+        f"g AS (SELECT *, {grams} FROM h) "
+        f"SELECT {id_col}, CASE "
+        "WHEN n = 0 THEN 'und' "
+        "WHEN h_de > 0 OR h_en > 0 OR h_es > 0 OR h_fr > 0 THEN "
+        "CASE WHEN h_de >= greatest(h_en, h_es, h_fr) AND h_de > 0 THEN 'de' "
+        "WHEN h_en >= greatest(h_es, h_fr) AND h_en > 0 THEN 'en' "
+        "WHEN h_es >= h_fr AND h_es > 0 THEN 'es' ELSE 'fr' END "
+        "WHEN g_de = 0 AND g_en = 0 AND g_es = 0 AND g_fr = 0 THEN 'und' "
+        "ELSE CASE WHEN g_de >= greatest(g_en, g_es, g_fr) AND g_de > 0 THEN 'de' "
+        "WHEN g_en >= greatest(g_es, g_fr) AND g_en > 0 THEN 'en' "
+        "WHEN g_es >= g_fr AND g_es > 0 THEN 'es' ELSE 'fr' END "
+        "END AS pred_lang FROM g"
+    )
+
+
 def _norm_strings(table):
     """Cast large_string → string so schemas line up with DuckDB output."""
     import pyarrow as pa
@@ -741,6 +788,42 @@ def _q_simhash_hamming(sf_dir: str):
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+_GROUP_CATS = ["data_report", "purchase_order", "report_misc"]
+
+
+def _q_group_pages(sf_dir: str):
+    """A4 page→output-group segmentation (documentClassifier.py:1045-1080):
+    consecutive same-category pages share a group, capped at
+    ``max_pages_per_group=2``; ``purchase_order`` is ``always_separate``
+    (singleton groups). Page-category sequences are synthesized
+    deterministically per doc (3-8 pages, runs up to 3); the segmentation
+    runs per row (ordered in-row list — never a global sort), exploded to
+    (doc_id, page_num, category, group_id) rows for the oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.preprocess import group_pages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d_out, p_out, c_out, g_out = [], [], [], []
+        for doc_id in batch.column("doc_id").to_pylist():
+            n = 3 + doc_id % 6
+            cats = [_GROUP_CATS[((doc_id + i) // 3) % 3] for i in range(n)]
+            gids = group_pages(cats, max_pages_per_group=2,
+                               always_separate=("purchase_order",))
+            for i, (c, g) in enumerate(zip(cats, gids)):
+                d_out.append(doc_id); p_out.append(i + 1)
+                c_out.append(c); g_out.append(g)
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "page_num": pa.array(p_out, pa.int64()),
+                         "category": pa.array(c_out, pa.string()),
+                         "group_id": pa.array(g_out, pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
+
+
 def _q_category_summary(sf_dir: str):
     """A5 analog: per-category roll-up (files/pages/avg-confidence shape of
     the reference's pdf_summary, classification-service/app.py:366-421)."""
@@ -778,8 +861,11 @@ def _q_vote_distribution(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF-flat ANN top-10 (approximate — rows-only; recall vs brute force
-    is asserted in tests/test_dedup_similarity.py)."""
+    """IVF-flat ANN top-10. nprobe=12/nlist=16 probes 75% of the centroid
+    cells and measures recall 1.0 on this corpus (margin: 1.0 from
+    nprobe=10 up), so the exact top-10 serves as the oracle; nprobe is the
+    recall/throughput knob to lower at scale (recall tests in
+    tests/test_dedup_similarity.py cover the <1.0 regime)."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
@@ -793,7 +879,7 @@ def _q_ann_ivf(sf_dir: str):
         next(r["embedding"] for r in tbl.to_pylist() if r["vec_id"] == 0),
         dtype=np.float64,
     )
-    index = IVFIndex(nlist=16, nprobe=6).train(sample)
+    index = IVFIndex(nlist=16, nprobe=12).train(sample)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(ds, query, k=10, index=index, exclude_ids={0})[["vec_id"]]
 
@@ -1154,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_token_count_bpe,
         "fingerprint": _q_fingerprint,
         "simhash_hamming": _q_simhash_hamming,
+        "group_pages": _q_group_pages,
         "category_summary": _q_category_summary,
         "vote_distribution": _q_vote_distribution,
         "ann_ivf": _q_ann_ivf,
@@ -1353,6 +1440,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, floor(c * 1e4) / 1e4 AS score FROM s "
             "ORDER BY c DESC, vec_id LIMIT 10"
         ),
+        # gaps-and-islands segmentation: island = rn − rn-per-category;
+        # a new group starts at every always_separate page or at run
+        # position 0, 2, 4… (the max_pages_per_group=2 cap)
+        "group_pages": (
+            "WITH pages AS ("
+            "  SELECT doc_id, i, CASE ((doc_id + i) // 3) % 3 "
+            "    WHEN 0 THEN 'data_report' WHEN 1 THEN 'purchase_order' "
+            "    ELSE 'report_misc' END AS category "
+            "  FROM documents, LATERAL (SELECT unnest(range(0, 3 + doc_id % 6)) AS i)"
+            "), runs AS ("
+            "  SELECT doc_id, i, category, "
+            "    row_number() OVER (PARTITION BY doc_id ORDER BY i) "
+            "    - row_number() OVER (PARTITION BY doc_id, category ORDER BY i) AS island "
+            "  FROM pages"
+            "), pos AS ("
+            "  SELECT doc_id, i, category, "
+            "    row_number() OVER (PARTITION BY doc_id, category, island ORDER BY i) - 1 AS run_pos "
+            "  FROM runs"
+            "), flags AS ("
+            "  SELECT doc_id, i, category, "
+            "    CASE WHEN category = 'purchase_order' OR run_pos % 2 = 0 "
+            "    THEN 1 ELSE 0 END AS new_group FROM pos"
+            ") SELECT doc_id, i + 1 AS page_num, category, "
+            "CAST(sum(new_group) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) "
+            "AS group_id FROM flags"
+        ),
         "category_summary": (
             f"SELECT {_SQL_CATEGORY} AS category, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
@@ -1430,6 +1543,42 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang, {_SQL_QUALITY_METRICS.strip()} FROM documents)) "
             "WHERE confidence >= 0.6 AND lang_ok AND n_chars >= 100"
         ),
-        # pdf_layout_text, lang_id, token_count_bpe, fingerprint, ann_ivf:
-        # rows-only (layout walk / heuristics / ANN not expressible in SQL)
+        "lang_id": _sql_lang_id("doc_id", "documents"),
+        "token_count_bpe": (
+            # n_ws_tokens mirrors .split() (any-whitespace, empties dropped);
+            # the BPE pre-tokenizer regex is RE2-compatible and matches
+            # Python findall leftmost-first alternation exactly
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+            "AS n_ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        # the MINIPDF walk text is the deterministic 8-words-per-line
+        # relayout of the document text (build_from_text), independently
+        # reconstructed here: line/block/page joins all collapse to one
+        # '\n' per line boundary
+        "pdf_layout_text": (
+            "WITH t AS (SELECT doc_id, source, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            f"SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 97 = 0 OR len(toks) = 0 THEN '' ELSE "
+            "array_to_string(list_transform(generate_series(0, (len(toks) - 1) // 8), "
+            "j -> array_to_string(toks[j * 8 + 1 : j * 8 + 8], ' ')), chr(10)) END AS text, "
+            "CASE WHEN doc_id % 97 = 0 THEN 'error' ELSE 'pdf' END AS payload_kind "
+            "FROM t"
+        ),
+        # IVF at nprobe=12/nlist=16 achieves recall 1.0 on this corpus with
+        # margin (1.0 from nprobe=10 up) — the oracle IS the exact top-10;
+        # nprobe is the documented recall/throughput knob at scale
+        "ann_ivf": (
+            "WITH s AS (SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS c "
+            "FROM embeddings WHERE vec_id <> 0) "
+            "SELECT vec_id FROM s ORDER BY c DESC, vec_id LIMIT 10"
+        ),
+        # fingerprint: rows-only — the rolling md5-token hash is not
+        # SQL-expressible; values are pinned by pytest goldens instead
     }

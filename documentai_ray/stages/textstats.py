@@ -138,19 +138,18 @@ def fingerprint(text: str, window: int = 4, keep_mod: int = 8) -> int:
         for v in th:
             h = (h * _B + v) & _MASK
         return int(h)
-    # rolling window hashes, vectorized via cumulative polynomial trick
-    out = np.uint64(0)
-    h = np.uint64(0)
-    power = np.uint64(1)
-    for _ in range(window - 1):
-        power = (power * _B) & _MASK
-    for i, v in enumerate(th):
-        h = (h * _B + v) & _MASK
-        if i >= window:
-            h = (h - th[i - window] * ((power * _B) & _MASK)) & _MASK
-        if i >= window - 1 and int(h) % keep_mod == 0:
-            out ^= h
-    return int(out)
+    # window hash closed form (uint64 wraparound == mod 2^64):
+    # H[i] = Σ_{j<window} th[i+j] · B^(window-1-j) — one numpy expression
+    # over all windows, then mask-select anchors and XOR-reduce
+    n = len(th) - window + 1
+    H = np.zeros(n, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(window - 1, -1, -1):
+        with np.errstate(over="ignore"):
+            H += th[j : j + n] * p
+            p = p * _B
+    anchors = H[H % np.uint64(keep_mod) == 0]
+    return int(np.bitwise_xor.reduce(anchors)) if anchors.size else 0
 
 
 def hash_token64(t: str) -> np.uint64:
