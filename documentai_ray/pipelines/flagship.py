@@ -99,6 +99,9 @@ def run_to_parquet(
         ds = pages_dataset(sf_dir)
     heavy = detect_heavy_hosts(ds, share_threshold=heavy_share, salt_k=salt_k)
     ds = add_bucket_column(ds, n_buckets, heavy)
+    # drop partial outputs of crashed buckets (no manifest ⇒ untrusted)
+    # BEFORE reprocessing, or the rerun would append beside stale files
+    mf.clean_incomplete_buckets(out_dir)
     done = mf.completed_buckets(out_dir)
     ds = mf.filter_completed(ds, done)
     out = flagship(ds, **flagship_kwargs)

@@ -97,6 +97,34 @@ def read_manifests(out_dir: str) -> dict[int, dict]:
     return out
 
 
+def clean_incomplete_buckets(out_dir: str) -> list[int]:
+    """Delete ``bucket=<b>/`` output dirs that have NO manifest: these are
+    partial writes from a crashed run. Without this, a rerun reprocesses
+    the bucket and appends fresh UUID-named parquet files BESIDE the stale
+    partials, and ``finalize_buckets`` (which reads back what is on disk)
+    would attest a manifest with duplicated rows (ADVICE r1). The manifest
+    is written atomically AFTER the bucket's files, so manifest-present ⇒
+    files complete; manifest-absent ⇒ files untrusted. Returns the bucket
+    ids removed."""
+    import shutil
+
+    done = completed_buckets(out_dir)
+    removed: list[int] = []
+    if not os.path.isdir(out_dir):
+        return removed
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b not in done:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            removed.append(b)
+    return removed
+
+
 def filter_completed(ds, done: set[int]):
     """Drop rows of already-completed buckets (vectorized predicate)."""
     if not done:

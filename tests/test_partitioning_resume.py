@@ -107,3 +107,23 @@ class TestResumableRun:
         redone = run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
         assert redone[victim]["digest"] == full[victim]["digest"]
         assert redone[victim]["rows"] == full[victim]["rows"]
+
+    def test_crash_mid_write_leaves_partial_files(self, ray_session, tmp_path):
+        """A crash between write_parquet and the manifest leaves partial
+        parquet files in bucket=<b>/ with NO manifest; the rerun must
+        discard them (not append beside them) — same rows and digest as the
+        clean run (ADVICE r1 resume-duplication hazard)."""
+        from documentai_ray.pipelines.flagship import run_to_parquet
+
+        out = os.path.join(str(tmp_path), "out")
+        run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
+        full = mf.read_manifests(out)
+        # simulate the crash: manifest gone, PARTIAL FILES LEFT IN PLACE
+        victim = sorted(full)[0]
+        os.remove(os.path.join(out, "_manifests", f"bucket={victim}.json"))
+        bucket_dir = os.path.join(out, f"bucket={victim}")
+        files = sorted(os.listdir(bucket_dir))
+        assert files  # stale partials present
+        redone = run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
+        assert redone[victim]["rows"] == full[victim]["rows"]  # NOT doubled
+        assert redone[victim]["digest"] == full[victim]["digest"]
