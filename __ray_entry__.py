@@ -1088,6 +1088,70 @@ def _q_entities_table(sf_dir: str):
     return ds.map_batches(tags, batch_format="pyarrow")
 
 
+def _q_lc_tags(sf_dir: str):
+    """LC-application extraction (M19, full 34-SWIFT-code coverage) + LC
+    rule validation (T4): HTML-table walk keyed by normalized code cells
+    (reference lc_application.py:16-38), rule-covered tags validated
+    against configs/validation_rules/lc_rules.txt (40A/31C/31D incl. the
+    cross-field date rule/32B/50/59)."""
+    import os
+
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.entities import extract_lc_tags, lc_rule_field
+    from documentai_ray.stages.rules import load_rules, validate_entities
+
+    rules = load_rules(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "configs", "validation_rules", "lc_rules.txt"))
+    rule_fields = ("40A", "31C", "31D", "32B", "50", "59")
+
+    ds = pages_dataset(sf_dir)
+
+    def tags(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("url", "tag_40a", "tag_31c", "tag_31d",
+                                  "tag_32b", "tag_50", "tag_59", "n_tags",
+                                  "rules_passed", "rules_failed", "overall_valid")}
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            try:
+                d = extract_lc_tags(payload.decode("utf-8"))
+            except UnicodeDecodeError:
+                continue
+            if not d:
+                continue
+            ents = {lc_rule_field(c): v for c, v in d.items()}
+            res = validate_entities({f: ents.get(f, "") for f in rule_fields},
+                                    rules)
+            cols["url"].append(u)
+            cols["tag_40a"].append(ents.get("40A", ""))
+            cols["tag_31c"].append(ents.get("31C", ""))
+            cols["tag_31d"].append(ents.get("31D", ""))
+            cols["tag_32b"].append(ents.get("32B", ""))
+            cols["tag_50"].append(ents.get("50", ""))
+            cols["tag_59"].append(ents.get("59", ""))
+            cols["n_tags"].append(len(d))
+            cols["rules_passed"].append(res["rules_passed"])
+            cols["rules_failed"].append(res["rules_failed"])
+            cols["overall_valid"].append(res["overall_valid"])
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "tag_40a": pa.array(cols["tag_40a"], pa.string()),
+            "tag_31c": pa.array(cols["tag_31c"], pa.string()),
+            "tag_31d": pa.array(cols["tag_31d"], pa.string()),
+            "tag_32b": pa.array(cols["tag_32b"], pa.string()),
+            "tag_50": pa.array(cols["tag_50"], pa.string()),
+            "tag_59": pa.array(cols["tag_59"], pa.string()),
+            "n_tags": pa.array(cols["n_tags"], pa.int64()),
+            "rules_passed": pa.array(cols["rules_passed"], pa.int64()),
+            "rules_failed": pa.array(cols["rules_failed"], pa.int64()),
+            "overall_valid": pa.array(cols["overall_valid"], pa.bool_()),
+        })
+
+    return ds.map_batches(tags, batch_format="pyarrow")
+
+
 def _q_technique_stats(sf_dir: str):
     """A8 analog: per-technique agreement with the fused category
     (documentClassifier.py:1138-1288 technique performance stats).
@@ -1248,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
+        "lc_tags": _q_lc_tags,
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
         "curate_corpus": _q_curate_corpus,
@@ -1513,6 +1578,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_SQL_URL} AS url, 'PO-' || (10000 + doc_id) AS tag_po, "
             "(100 + doc_id % 400) || '.00' AS tag_qty, 'USD' AS tag_ccy "
             "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
+        ),
+        "lc_tags": (
+            f"SELECT {_SQL_URL} AS url, "
+            "'IRREVOCABLE' AS tag_40a, "
+            "'24' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || "
+            "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS tag_31c, "
+            "'25' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || "
+            "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS tag_31d, "
+            "'USD ' || (CASE WHEN doc_id % 4 = 1 THEN 0 "
+            "ELSE 1000 * (1 + doc_id % 50) END) || '.00' AS tag_32b, "
+            "'APPLICANT COMPANY ' || (doc_id % 5) AS tag_50, "
+            "'BENEFICIARY ' || (doc_id % 7) || ' CORP' AS tag_59, "
+            "34 AS n_tags, "
+            "CASE WHEN doc_id % 4 = 1 THEN 5 ELSE 6 END AS rules_passed, "
+            "CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS rules_failed, "
+            "doc_id % 4 <> 1 AS overall_valid "
+            "FROM documents WHERE doc_id % 10 = 9 AND doc_id % 97 <> 0"
         ),
         "technique_stats": (
             "SELECT technique, count(*) AS n_docs, count(*) AS n_agree, "

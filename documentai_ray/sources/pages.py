@@ -160,6 +160,57 @@ def invoice_lines(doc_id: int) -> list[str]:
     ]
 
 
+def is_lc(doc_id: int) -> bool:
+    """The other half of archetype 4 (``doc_id % 10 == 9``) carries an
+    LC-application page: a SWIFT-tag table whose cells are all shorter than
+    the extractor's MIN_BLOCK_CHARS, so the page's main content stays ""
+    (LC data lives in the table structure, not the prose — mirroring the
+    reference's table-OCR-only LC path)."""
+    return doc_id % 10 == 9
+
+
+def lc_tag_values(doc_id: int) -> dict[str, str]:
+    """Deterministic value per SWIFT code (golden LC entities). The six
+    rule-covered tags get semantically meaningful values (40A/31C/31D/32B/
+    50/59 per configs/validation_rules/lc_rules.txt — 32B fails the >0
+    amount rule for ``doc_id % 4 == 1`` docs); the rest get short marker
+    values. Every value < 25 chars (stays out of main content)."""
+    from documentai_ray.stages.entities import LC_ENTITY_CODES
+
+    mm, dd = 1 + doc_id % 12, 1 + doc_id % 28
+    amount = 0 if doc_id % 4 == 1 else 1000 * (1 + doc_id % 50)
+    special = {
+        "F-40A": "IRREVOCABLE",
+        "F-31C": f"24{mm:02d}{dd:02d}",
+        "F31D": f"25{mm:02d}{dd:02d}",
+        "F32B": f"USD {amount}.00",
+        "F50": f"APPLICANT COMPANY {doc_id % 5}",
+        "F59": f"BENEFICIARY {doc_id % 7} CORP",
+    }
+    out = {}
+    for code in LC_ENTITY_CODES:
+        out[code] = special.get(code, f"V{code}-{doc_id % 9}")
+    return out
+
+
+def _html_lc(doc_id: int) -> str:
+    """LC page: one SWIFT-tag table; alternating 3-cell (code|desc|value)
+    and 2-cell (code|value) rows, code cell lowercased on odd rows — both
+    row shapes and the code normalization are exercised."""
+    vals = lc_tag_values(doc_id)
+    rows = []
+    for i, (code, v) in enumerate(vals.items()):
+        shown = code.lower() if i % 2 else code
+        if i % 2:
+            rows.append(f"<tr><td>{shown}</td><td>{v}</td></tr>")
+        else:
+            rows.append(f"<tr><td>{shown}</td><td>Field {i}</td><td>{v}</td></tr>")
+    return (
+        "<html><head><title>LC</title></head><body>"
+        f"{_NAV}<table>{''.join(rows)}</table>{_FOOTER}</body></html>"
+    )
+
+
 def golden_text(doc_id: int, text: str) -> str:
     if is_malformed(doc_id):
         return ""
@@ -290,6 +341,8 @@ def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False) -> bytes:
         return _html_report(doc_id, text).encode("utf-8")
     if is_invoice(doc_id):
         return _html_invoice(doc_id).encode("utf-8")
+    if is_lc(doc_id):
+        return _html_lc(doc_id).encode("utf-8")
     return _html_blank(doc_id).encode("utf-8")
 
 

@@ -264,6 +264,43 @@ def extract_html_tables(html_text: str) -> list[list[list[str]]]:
     return p.tables
 
 
+# the 34 SWIFT-style LC field codes the reference extracts
+# (entity_extraction_updated/extractor/lc_application.py:8-12 ENTITY_CODES)
+LC_ENTITY_CODES = [
+    "F-40A", "F-23", "F-31C", "F40E", "F31D", "F51A", "F50", "F59", "F32B",
+    "F39A", "F39C", "F41A", "F42C", "F42A_2", "F42M", "F42P", "F43P", "F43T",
+    "F44A", "F44E", "F44F", "F44B", "F44C", "F44D", "F45A", "F46A", "F47A",
+    "F718", "F48", "F49", "F53A", "F78", "F57A", "F72",
+]
+
+_LC_NORM = {c.replace("-", "").replace(" ", "").lower(): c for c in LC_ENTITY_CODES}
+
+
+def lc_rule_field(code: str) -> str:
+    """Canonical code → rule-file field name: ``F-40A``/``F31D`` → ``40A``/
+    ``31D`` (configs/validation_rules/lc_rules.txt keys by bare tag)."""
+    return code.lstrip("F").lstrip("-")
+
+
+def extract_lc_tags(html_text: str) -> dict[str, str]:
+    """All 34 SWIFT codes from HTML tables — the reference's LC table walk
+    (lc_application.py:16-38): rows with ≥3 cells take cells[2] as the
+    value, 2-cell rows take cells[1]; the code cell matches any
+    ENTITY_CODE after stripping '-'/' ' and lowercasing; first occurrence
+    wins. Returns a dict keyed by the canonical code string."""
+    out: dict[str, str] = {}
+    for table in extract_html_tables(html_text):
+        for row in table:
+            if len(row) < 2:
+                continue
+            norm = row[0].replace("-", "").replace(" ", "").lower()
+            code = _LC_NORM.get(norm)
+            if code is None or code in out:
+                continue
+            out[code] = row[2] if len(row) >= 3 else row[1]
+    return out
+
+
 def extract_table_tags(html_text: str) -> dict[str, str]:
     """label→value dict from 2-column table rows (first cell = tag/label,
     second = value) — the SWIFT-code tag-dict shape of the LC extractor

@@ -116,6 +116,29 @@ class TestWordBoxPipeline:
         assert m["buyer"]["x0"] == 152.0 and m["buyer"]["x1"] == 356.0
 
 
+class TestLcExtractor:
+    def test_all_34_codes_both_row_shapes(self):
+        from documentai_ray.sources.pages import _html_lc, lc_tag_values
+
+        tags = entities.extract_lc_tags(_html_lc(29))
+        assert len(tags) == 34
+        assert tags == lc_tag_values(29)
+
+    def test_normalization_and_first_wins(self):
+        html = (
+            "<table>"
+            "<tr><td>f - 40a</td><td>desc</td><td>IRREVOCABLE</td></tr>"
+            "<tr><td>F-40A</td><td>LATER</td></tr>"
+            "<tr><td>F59</td><td>BENEF</td></tr>"
+            "<tr><td>NOTACODE</td><td>x</td></tr>"
+            "</table>"
+        )
+        tags = entities.extract_lc_tags(html)
+        assert tags == {"F-40A": "IRREVOCABLE", "F59": "BENEF"}
+        assert entities.lc_rule_field("F-40A") == "40A"
+        assert entities.lc_rule_field("F31D") == "31D"
+
+
 class TestEntityBoxMatching:
     def _boxes(self, text):
         payload, _ = minipdf.build_from_text(text)
