@@ -31,9 +31,21 @@ BENCH_COPIES = int(os.environ.get("GRAFT_BENCH_COPIES", "64"))
 CORPUS_ROOT = "/tmp/graft_bench"
 
 
+def _synth_version() -> str:
+    """Content hash of the corpus synthesizer — changing the page rules
+    (archetypes, goldens) auto-invalidates cached bench corpora."""
+    import hashlib
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "documentai_ray", "sources", "pages.py")
+    with open(p, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()[:8]
+
+
 def corpus_dir(copies: int | None = None) -> str:
     tag = os.path.basename(os.path.normpath(SF_DIR))
-    return os.path.join(CORPUS_ROOT, f"pages_{tag}_x{copies or BENCH_COPIES}")
+    return os.path.join(
+        CORPUS_ROOT, f"pages_{tag}_x{copies or BENCH_COPIES}_{_synth_version()}")
 
 
 def ensure_corpus(copies: int | None = None) -> str:
@@ -87,9 +99,17 @@ def run_benchmarks() -> dict:
     from documentai_ray.stages.extract import extract_batch
     from documentai_ray.stages.quality import quality_batch
 
+    # Corpus build churns workers and the object store; restart the Ray
+    # session after it so timed runs start from a clean executor.
     pages_path = ensure_corpus()
-    # warm page cache (untimed)
-    n_rows = ray.data.read_parquet(pages_path).count()
+    minhash_path = ensure_corpus(copies=1)
+    ray.shutdown()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    documentai_ray.register_for_ray_by_value()
+    # warm page cache (untimed) — full read, not a metadata-only count
+    n_rows = ray.data.read_parquet(pages_path).map_batches(
+        lambda b: b.select(["url"]), batch_format="pyarrow").count()
 
     queries: dict[str, float] = {}
 
@@ -111,7 +131,7 @@ def run_benchmarks() -> dict:
         # storage (extract_batch recomputes text from the payload)
         ds = ray.data.read_parquet(pages_path,
                                    columns=["url", "warc_ts", "html", "lang"])
-        res = flagship(ds, batch_size=1024, ml_concurrency=(2, max(4, NUM_CPUS // 2)))
+        res = flagship(ds, batch_size=1024)
         res.write_parquet(out_dir)
         return None
 
@@ -130,8 +150,6 @@ def run_benchmarks() -> dict:
     # minhash runs on the ×1 corpus: the ×N replication makes every page an
     # exact dup of N-1 others, which quadratically inflates the (correct)
     # candidate-pair set and measures pair materialization, not LSH.
-    minhash_path = ensure_corpus(copies=1)
-
     def run_minhash():
         ds = ray.data.read_parquet(minhash_path, columns=["url", "html"])
         ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=1024)

@@ -49,7 +49,7 @@ def flagship(
     sf_dir: str | None = None,
     dedup: bool = True,
     batch_size: int = 1024,
-    ml_concurrency=(1, 8),
+    ml_concurrency=None,
     drop_word_boxes: bool = True,
 ):
     """Build the lazy flagship Dataset. Pass a pages Dataset or an sf_dir."""

@@ -151,10 +151,22 @@ def featurize(text: str) -> np.ndarray:
     return v
 
 
-def hash_token(t: str) -> int:
-    import zlib
+_HASH_CACHE: dict[str, int] = {}
 
-    return zlib.crc32(t.encode("utf-8")) % HASH_DIM
+
+def hash_token(t: str) -> int:
+    """crc32 → hashed-feature index, with a bounded worker-local cache
+    (T2/T5 pattern): corpus vocabularies repeat heavily, so the cache turns
+    the per-occurrence encode+crc32 into one dict hit. Bigram keys live in
+    the same cache (bounded, so adversarial vocab can't grow it unbounded)."""
+    h = _HASH_CACHE.get(t)
+    if h is None:
+        import zlib
+
+        h = zlib.crc32(t.encode("utf-8")) % HASH_DIM
+        if len(_HASH_CACHE) < 1_000_000:
+            _HASH_CACHE[t] = h
+    return h
 
 
 def train_nb(samples: list[tuple[str, str]], alpha: float = 1.0) -> dict[str, np.ndarray]:
@@ -377,7 +389,31 @@ class ClassifyStage:
         return fuse_votes(out)
 
 
-def classify_pipeline(ds, *, ml_concurrency=(1, 8), batch_size: int = 1024):
-    """text-bearing Dataset → + technique columns + fused category/votes."""
+_TASK_STAGE: ClassifyStage | None = None
+
+
+def classify_batch_task(batch: pa.Table) -> pa.Table:
+    """Task-pool form of the fused classify stage: the warm state (compiled
+    tables + NB model) builds once per WORKER PROCESS on first call and is
+    reused across tasks — same load-once semantics as the actor pool, but
+    with no actor-startup barrier, and the stage fuses with its task-based
+    neighbors (read→extract→quality→classify→entities run as ONE operator).
+    Right whenever the model is process-cache-sized (this NB artifact is
+    <1 MB); switch to the actor pool (``ml_concurrency=...``) when the
+    model is GB-scale and the pool must be sized to memory (SURVEY T1)."""
+    global _TASK_STAGE
+    if _TASK_STAGE is None:
+        _TASK_STAGE = ClassifyStage()
+    return _TASK_STAGE(batch)
+
+
+def classify_pipeline(ds, *, ml_concurrency=None, batch_size: int = 1024):
+    """text-bearing Dataset → + technique columns + fused category/votes.
+
+    ``ml_concurrency=None`` (default) → task pool with per-worker warm
+    state; a tuple/int → actor pool of that size (for heavy models)."""
+    if ml_concurrency is None:
+        return ds.map_batches(classify_batch_task, batch_format="pyarrow",
+                              batch_size=batch_size)
     return ds.map_batches(ClassifyStage, batch_format="pyarrow",
                           concurrency=ml_concurrency, batch_size=batch_size)
