@@ -379,9 +379,16 @@ def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
     (clusters from near-dup pairs are shallow — ``max_iters`` bounds it).
 
     Each iteration is one partitioned hash join (labels→edges) plus one
-    grouped min — no driver-side graph. Returns (id, component) where
-    ``component`` is the min id of the node's component. Survivor set for
-    dedup = rows with ``component == id``."""
+    grouped min — no driver-side graph. Converged iterations are skipped:
+    after each round a tiny order-insensitive digest (sum of per-(node,
+    label) md5-int64s) is aggregated; an unchanged digest ⇒ no label moved
+    ⇒ fixed point (collision-masking probability ~2⁻⁶⁴ per changed pair),
+    so shallow graphs pay for their actual diameter, not ``max_iters``.
+    Returns (id, component) where ``component`` is the min id of the
+    node's component. Survivor set for dedup = rows with
+    ``component == id``."""
+    import hashlib as _hl
+
     import pandas as pd
 
     from documentai_ray.stages.joins import hash_join
@@ -399,8 +406,21 @@ def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
 
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
+    def digest_batch(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node").to_pylist()
+        labs = batch.column("label").to_pylist()
+        d = [int.from_bytes(_hl.md5(f"{n}\x00{l}".encode()).digest()[:8],
+                            "little", signed=True)
+             for n, l in zip(nodes, labs)]
+        return pa.table({"d": pa.array(d, pa.int64())})
+
+    def labels_digest(lab_ds) -> int:
+        agg = lab_ds.map_batches(digest_batch, batch_format="pyarrow").sum("d")
+        return int(agg) % (1 << 64) if agg is not None else 0
+
+    prev_digest: int | None = None
     for _ in range(max_iters):
         # neighbor labels: join edges (keyed by nbr) to labels (keyed by node)
         def ren(batch: pa.Table) -> pa.Table:
@@ -421,6 +441,10 @@ def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
         # materialize the small (node,label) table so the lazy plan doesn't
         # re-execute the whole chain each iteration
         labels = labels.materialize()
+        dg = labels_digest(labels)
+        if dg == prev_digest:
+            break  # fixed point: no label changed this round
+        prev_digest = dg
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({id_col: batch.column("node"),
