@@ -75,12 +75,26 @@ _SQL_INV_TEXT = (
     "'DELIVERY CIF ROTTERDAM (INCOTERMS 2020)'"
 )
 
+# planted technique-disagreement suffix (sources/pages.py AMBIGUOUS_PO_SUFFIX)
+_SQL_AMB_SUFFIX = (
+    "CASE WHEN doc_id % 20 = 12 THEN chr(10) || "
+    "'data query table row spark merge join scan filter sort group hash' "
+    "ELSE '' END"
+)
+
 _SQL_GOLDEN_TEXT = (
     "CASE WHEN doc_id % 97 = 0 THEN '' "
     "WHEN doc_id % 5 IN (0, 3) THEN text "
-    f"WHEN doc_id % 5 = 2 THEN {_SQL_PO_TEXT} "
+    f"WHEN doc_id % 5 = 2 THEN {_SQL_PO_TEXT} || {_SQL_AMB_SUFFIX} "
     f"WHEN doc_id % 10 = 4 THEN {_SQL_INV_TEXT} "
     "ELSE '' END"
+)
+
+# votes: planted ambiguous POs fuse at 2/4 (regex+tokenset defect), all
+# other classified docs at 4/4
+_SQL_VOTES = (
+    "CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = 2 AND doc_id % 20 = 12 "
+    "THEN '2/4' ELSE '4/4' END"
 )
 
 # expected pages after exact dedup: one row per doc_id
@@ -1336,7 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "classify_pages": (
             f"SELECT {_SQL_URL} AS url, {_SQL_CATEGORY} AS category, "
-            "'4/4' AS votes FROM documents"
+            f"{_SQL_VOTES} AS votes FROM documents"
         ),
         "preprocess_decision": (
             "SELECT url, verdict, "
@@ -1541,8 +1555,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_SQL_EXPECTED_PAGES}))) GROUP BY 1"
         ),
         "vote_distribution": (
-            f"SELECT {_SQL_CATEGORY} AS category, '4/4' AS votes, "
-            "count(*) AS n_docs FROM documents GROUP BY 1"
+            f"SELECT {_SQL_CATEGORY} AS category, {_SQL_VOTES} AS votes, "
+            "count(*) AS n_docs FROM documents GROUP BY 1, 2"
         ),
         "q5_local_revenue": (
             "SELECT n_name, count(*) AS n_items, "
@@ -1596,11 +1610,19 @@ def oracle_sql() -> dict[str, str]:
             "doc_id % 4 <> 1 AS overall_valid "
             "FROM documents WHERE doc_id % 10 = 9 AND doc_id % 97 <> 0"
         ),
+        # regex and tokenset disagree with the fused category exactly on the
+        # planted ambiguous POs — a broken technique changes these counts
         "technique_stats": (
-            "SELECT technique, count(*) AS n_docs, count(*) AS n_agree, "
-            "floor(CAST(count(*) AS DOUBLE) / count(*) * 1e6) / 1e6 AS agree_rate "
-            "FROM documents CROSS JOIN (SELECT unnest(['keyword','ml','regex','tokenset']) "
-            "AS technique) GROUP BY technique"
+            "WITH planted AS (SELECT count(*) AS p FROM documents "
+            "WHERE doc_id % 97 <> 0 AND doc_id % 5 = 2 AND doc_id % 20 = 12), "
+            "tot AS (SELECT count(*) AS n FROM documents) "
+            "SELECT technique, n AS n_docs, "
+            "CAST(n - CASE WHEN technique IN ('regex', 'tokenset') THEN p "
+            "ELSE 0 END AS BIGINT) AS n_agree, "
+            "floor(CAST(n - CASE WHEN technique IN ('regex', 'tokenset') THEN p "
+            "ELSE 0 END AS DOUBLE) / n * 1e6) / 1e6 AS agree_rate "
+            "FROM tot, planted, "
+            "(SELECT unnest(['keyword','ml','regex','tokenset']) AS technique)"
         ),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "

@@ -211,6 +211,21 @@ def _html_lc(doc_id: int) -> str:
     )
 
 
+# appended to every 20th PO page (doc_id % 20 == 12): enough data_report
+# signal to flip the regex and token-set techniques while keyword and ML
+# stay purchase_order → fused category purchase_order at "2/4". These
+# planted disagreement docs make the technique-agreement stats (A8) and
+# the vote distribution (A2) DISCRIMINATING oracles — a broken technique
+# changes the counts (VERDICT r1 "technique_stats oracle is weak").
+AMBIGUOUS_PO_SUFFIX = (
+    "data query table row spark merge join scan filter sort group hash"
+)
+
+
+def is_ambiguous_po(doc_id: int) -> bool:
+    return doc_id % 20 == 12  # always archetype 2 (12 % 5 == 2)
+
+
 def golden_text(doc_id: int, text: str) -> str:
     if is_malformed(doc_id):
         return ""
@@ -218,7 +233,10 @@ def golden_text(doc_id: int, text: str) -> str:
     if a in (0, 3):
         return text
     if a == 2:
-        return "\n".join(po_lines(doc_id))
+        base = "\n".join(po_lines(doc_id))
+        if is_ambiguous_po(doc_id):
+            base += "\n" + AMBIGUOUS_PO_SUFFIX
+        return base
     if is_invoice(doc_id):
         return "\n".join(invoice_lines(doc_id))
     return ""
@@ -282,7 +300,10 @@ def _html_linkfarm(doc_id: int) -> str:
 
 def _html_po(doc_id: int) -> str:
     f = po_fields(doc_id)
-    paras = "".join(f"<p>{ln}</p>" for ln in po_lines(doc_id))
+    lines = list(po_lines(doc_id))
+    if is_ambiguous_po(doc_id):
+        lines.append(AMBIGUOUS_PO_SUFFIX)
+    paras = "".join(f"<p>{ln}</p>" for ln in lines)
     # short table cells (<25 chars) exercise table traversal without joining
     # the main content (each cell block falls under MIN_BLOCK_CHARS)
     table = (
