@@ -111,6 +111,22 @@ def run_benchmarks() -> dict:
     n_rows = ray.data.read_parquet(pages_path).map_batches(
         lambda b: b.select(["url"]), batch_format="pyarrow").count()
 
+    # Untimed pipeline warmup over the ×1 corpus, fanned across 2×CPU
+    # blocks so EVERY worker process pays its import/module-load cost here:
+    # the timed runs then measure steady-state throughput (the regime a
+    # long-running crawl job is in), not cold python-worker startup.
+    def _warmup():
+        wout = os.path.join(CORPUS_ROOT, f"warmup_{NUM_CPUS}")
+        import shutil as _sh
+
+        _sh.rmtree(wout, ignore_errors=True)
+        ds = ray.data.read_parquet(minhash_path,
+                                   columns=["url", "warc_ts", "html", "lang"],
+                                   override_num_blocks=NUM_CPUS * 2)
+        flagship(ds, batch_size=1024).write_parquet(wout)
+
+    _warmup()
+
     queries: dict[str, float] = {}
 
     def timed(name: str, fn):
