@@ -1280,6 +1280,73 @@ def _q_top_tokens(sf_dir: str):
     return agg.head(20).reset_index(drop=True)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 13-gram rule): flag corpus docs
+    sharing any 13-gram with the benchmark set (here: docs with
+    ``doc_id % 31 == 5`` stand in for the benchmark). The benchmark n-gram
+    hash set broadcasts once; membership is vectorized per batch."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.curation import build_ngram_set, decontaminate
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    bench_texts = [t for i, t in zip(bench.column("doc_id").to_pylist(),
+                                     bench.column("text").to_pylist())
+                   if i % 31 == 5]
+    ngrams = build_ngram_set(bench_texts, n=13)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return decontaminate(ds, ngrams, n=13).select_columns(
+        ["doc_id", "contaminated"])
+
+
+def _q_sample_weighted(sf_dir: str):
+    """Deterministic domain-weighted sampling: per-source keep rates
+    (¼/½/¾/1 by source index mod 4) via a salted multiplicative hash —
+    parallelism-independent and SQL-reproducible."""
+    import ray.data
+
+    from documentai_ray.stages.curation import sample_by_source
+
+    rates = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(100)}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    return sample_by_source(ds, rates)
+
+
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition filters (Rae et al. 2021 Table A1):
+    duplicate-token fraction + top-2-gram fraction per doc, keep flag at
+    top2gram_frac ≤ 0.03."""
+    import ray.data
+
+    from documentai_ray.stages.curation import repetition_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow",
+                          batch_size=512).select_columns(
+        ["doc_id", "dup_token_frac", "top2gram_frac", "rep_keep"])
+
+
+def _q_redact_pii(sf_dir: str):
+    """Pattern redaction over the pages corpus: dates and currency amounts
+    in the extracted text replaced by placeholder tokens (compiled-regex
+    sub per row; PO/invoice pages actually change)."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.curation import redact_batch
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+    ds = ds.map_batches(redact_batch, batch_format="pyarrow", batch_size=256)
+    return ds.select_columns(["url", "redacted"])
+
+
 def _q_top_orders(sf_dir: str):
     """Global sort + limit (``ds.sort``): top-20 orders by total price,
     orderkey as the deterministic tiebreak."""
@@ -1329,6 +1396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lc_tags": _q_lc_tags,
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
+        "decontaminate": _q_decontaminate,
+        "sample_weighted": _q_sample_weighted,
+        "gopher_repetition": _q_gopher_repetition,
+        "redact_pii": _q_redact_pii,
         "curate_corpus": _q_curate_corpus,
         "split_assign": _q_split_assign,
         "top_tokens": _q_top_tokens,
@@ -1627,6 +1698,49 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "decontaminate": (
+            "WITH sh AS (SELECT doc_id, CASE WHEN len(toks) < 13 THEN [] "
+            "ELSE list_distinct(list_transform(generate_series(1, len(toks) - 12), "
+            "i -> array_to_string(toks[i : i + 12], ' '))) END AS s "
+            "FROM (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents)), "
+            "bench AS (SELECT list_distinct(flatten(list(s))) AS bs FROM sh "
+            "WHERE doc_id % 31 = 5) "
+            "SELECT doc_id, len(s) > 0 AND list_has_any(s, bs) AS contaminated "
+            "FROM sh CROSS JOIN bench"
+        ),
+        "sample_weighted": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "((doc_id * 2654435761 + 12345) % 4294967296) / 4294967296.0 < "
+            "(CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0"
+        ),
+        "gopher_repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t WHERE len(toks) >= 2), "
+            "c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2), "
+            "m AS (SELECT doc_id, max(n) AS top, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT t.doc_id, "
+            "CASE WHEN len(toks) < 2 THEN 0.0 ELSE "
+            "floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 1e6) / 1e6 "
+            "END AS dup_token_frac, "
+            "CASE WHEN len(toks) < 2 THEN 0.0 ELSE "
+            "floor(CAST(top AS DOUBLE) / tot * 1e6) / 1e6 END AS top2gram_frac, "
+            "CASE WHEN len(toks) < 2 THEN true ELSE "
+            "floor(CAST(top AS DOUBLE) / tot * 1e6) / 1e6 <= 0.03 END AS rep_keep "
+            "FROM t LEFT JOIN m ON t.doc_id = m.doc_id"
+        ),
+        # keep REDACT_PATTERNS (stages/curation.py) and these two
+        # regexp_replace calls in sync
+        "redact_pii": (
+            f"SELECT url, regexp_replace(regexp_replace(text, "
+            "'\\d{2}\\.\\d{2}\\.\\d{4}', '<DATE>', 'g'), "
+            "'[A-Z]{3} [\\d,]+\\.\\d{2}', '<AMT>', 'g') AS redacted "
+            f"FROM ({_SQL_EXPECTED_PAGES})"
         ),
         "split_assign": (
             "SELECT doc_id, CASE "
