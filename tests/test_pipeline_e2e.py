@@ -38,9 +38,18 @@ class TestFlagshipEndToEnd:
             assert row["text"] == pages.golden_text(did, by_id[did]), row["url"]
 
     def test_expected_categories_and_votes(self, flagship_df):
+        saw_planted = False
         for _, row in flagship_df.iterrows():
-            assert row["category"] == pages.expected_category(_doc_id(row["url"]))
-            assert row["votes"] == "4/4"
+            did = _doc_id(row["url"])
+            assert row["category"] == pages.expected_category(did)
+            # planted ambiguous POs (regex+tokenset defect to data_report)
+            # fuse at 2/4; everything else is unanimous
+            if pages.is_ambiguous_po(did) and not pages.is_malformed(did):
+                assert row["votes"] == "2/4", row["url"]
+                saw_planted = True
+            else:
+                assert row["votes"] == "4/4", row["url"]
+        assert saw_planted
 
     def test_po_entities_and_rules(self, flagship_df):
         po = flagship_df[flagship_df["category"] == "purchase_order"]
