@@ -1347,6 +1347,47 @@ def _q_redact_pii(sf_dir: str):
     return ds.select_columns(["url", "redacted"])
 
 
+def _q_image_quality(sf_dir: str):
+    """REAL pixel-metric chain (Q1-Q10 analogs on actual pixels): PNG
+    payloads decoded by the stdlib minipng codec, metrics in pure numpy.
+    Oracle columns derive from exact integer pixel sums with closed forms
+    per synthetic archetype; the convolution metrics (blur/sharpness/
+    noise) are pytest-pinned (tests/test_imaging.py)."""
+    import ray.data
+
+    from documentai_ray.sources.images import image_payload_batch
+    from documentai_ray.stages.imaging import ImageQualityStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(image_payload_batch, batch_format="pyarrow",
+                        batch_size=64)  # wide binary rows → small batches
+    ds = ds.map_batches(ImageQualityStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "width", "height", "brightness", "contrast",
+         "blank_ratio", "dark_ratio", "glare_ratio", "img_verdict"])
+
+
+def _q_image_preprocess(sf_dir: str):
+    """M14 adaptive preprocessing on REAL pixels: low-contrast pages get a
+    percentile stretch (120/136 → 0/255), blank pages record a no-op
+    stretch, everything else passes through — applied-ops list + processed
+    brightness, all closed-form per archetype."""
+    import ray.data
+
+    from documentai_ray.sources.images import image_payload_batch
+    from documentai_ray.stages.imaging import ImagePreprocessStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(image_payload_batch, batch_format="pyarrow",
+                        batch_size=64)
+    ds = ds.map_batches(ImagePreprocessStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "pp_ops", "new_brightness"])
+
+
 def _q_top_orders(sf_dir: str):
     """Global sort + limit (``ds.sort``): top-20 orders by total price,
     orderkey as the deterministic tiebreak."""
@@ -1396,6 +1437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lc_tags": _q_lc_tags,
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
+        "image_quality": _q_image_quality,
+        "image_preprocess": _q_image_preprocess,
         "decontaminate": _q_decontaminate,
         "sample_weighted": _q_sample_weighted,
         "gopher_repetition": _q_gopher_repetition,
@@ -1698,6 +1741,57 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        # synthetic image archetypes (sources/images.py): closed-form
+        # integer pixel sums per pattern; float ops mirror
+        # stages/imaging.exact_metrics op-for-op (s1/n, ·m, /255.0)
+        "image_quality": (
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS m, "
+            "64 + 8 * (doc_id % 5) AS w, 64 + 8 * (doc_id % 3) AS h, "
+            "40 + (doc_id % 6) * 10 AS fg, 200 + (doc_id % 5) * 10 AS bg "
+            "FROM documents), "
+            "s AS (SELECT doc_id, m, w, h, w * h AS n, "
+            "CASE m WHEN 0 THEN (w * h - (h // 8) * w) * 255 "
+            "WHEN 1 THEN w * h * 250 "
+            "WHEN 2 THEN (w * h // 2) * (fg + bg) "
+            "ELSE (w * h // 2) * 256 END AS s1, "
+            "CASE m WHEN 0 THEN (w * h - (h // 8) * w) * 65025 "
+            "WHEN 1 THEN w * h * 62500 "
+            "WHEN 2 THEN (w * h // 2) * (fg * fg + bg * bg) "
+            "ELSE (w * h // 2) * 32896 END AS s2, "
+            "CASE m WHEN 0 THEN w * h - (h // 8) * w "
+            "WHEN 1 THEN w * h ELSE 0 END AS blankpx, "
+            "CASE m WHEN 0 THEN (h // 8) * w "
+            "WHEN 2 THEN CASE WHEN fg < 64 THEN w * h // 2 ELSE 0 END "
+            "ELSE 0 END AS darkpx "
+            "FROM d) "
+            "SELECT doc_id, width, height, brightness, contrast, blank_ratio, "
+            "dark_ratio, glare_ratio, "
+            "CASE WHEN blank_ratio > 0.95 THEN 'blank' "
+            "WHEN contrast < 0.13 THEN 'low_contrast' ELSE 'ok' END AS img_verdict "
+            "FROM (SELECT doc_id, w AS width, h AS height, "
+            "(CAST(s1 AS DOUBLE) / n) / 255.0 AS brightness, "
+            "sqrt(CAST(s2 AS DOUBLE) / n - "
+            "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 255.0 AS contrast, "
+            "CAST(blankpx AS DOUBLE) / n AS blank_ratio, "
+            "CAST(darkpx AS DOUBLE) / n AS dark_ratio, "
+            "CAST(blankpx AS DOUBLE) / n AS glare_ratio FROM s)"
+        ),
+        "image_preprocess": (
+            # processed s1: only the low-contrast archetype actually
+            # changes pixels (stretch → half 0 / half 255)
+            "WITH d AS (SELECT doc_id, doc_id % 4 AS m, "
+            "64 + 8 * (doc_id % 5) AS w, 64 + 8 * (doc_id % 3) AS h, "
+            "40 + (doc_id % 6) * 10 AS fg, 200 + (doc_id % 5) * 10 AS bg "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CASE WHEN m IN (1, 3) THEN ['contrast_stretch'] "
+            "ELSE CAST([] AS VARCHAR[]) END AS pp_ops, "
+            "(CAST(CASE m WHEN 0 THEN (w * h - (h // 8) * w) * 255 "
+            "WHEN 1 THEN w * h * 250 "
+            "WHEN 2 THEN (w * h // 2) * (fg + bg) "
+            "ELSE (w * h // 2) * 255 END AS DOUBLE) / (w * h)) / 255.0 "
+            "AS new_brightness FROM d"
         ),
         "decontaminate": (
             "WITH sh AS (SELECT doc_id, CASE WHEN len(toks) < 13 THEN [] "

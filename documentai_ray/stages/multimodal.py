@@ -32,11 +32,17 @@ IMAGE_META_TYPE = pa.struct(
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decoder — requires an image library not present in this
-    container. Plug in cv2.imdecode / PIL.Image.open here."""
+    """Real decoder: grayscale PNG via the stdlib minipng codec
+    (functions/minipng.py) → (H, W, 1). Other formats (JPEG/TIFF) still
+    need cv2/PIL — plug cv2.imdecode / PIL.Image.open into this branch."""
+    from documentai_ray.functions import minipng
+
+    if minipng.is_png(payload):
+        img = minipng.decode_gray(payload)
+        return img[:, :, None]
     raise NotImplementedError(
-        "image decoding requires cv2/PIL (not available in this environment); "
-        "use decode_stub=True for the deterministic fake"
+        "non-PNG image decoding requires cv2/PIL (not available in this "
+        "environment); use decode_stub=True for the deterministic fake"
     )
 
 
