@@ -1,10 +1,13 @@
 """Multimodal payload stages — opaque binary columns + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` cells with struct
-metadata (the payload-in-cell pattern of SURVEY §2.1 S1-S3). The decode
-kernels themselves are STUBBED (no cv2/PIL/ffmpeg in this environment —
-clearly marked below); everything Ray-side is real and tested: schema,
-actor-pool stage shape, batch sizing for wide binary rows, output layout.
+metadata (the payload-in-cell pattern of SURVEY §2.1 S1-S3). Grayscale PNG
+decode is REAL (stdlib minipng codec, functions/minipng.py) — the imaging
+metric/preprocess stages (stages/imaging.py) run on actual pixels; other
+formats (JPEG/TIFF/audio/video) remain STUBBED (no cv2/PIL/ffmpeg in this
+environment — clearly marked below). Everything Ray-side is real and
+tested: schema, actor-pool stage shape, batch sizing for wide binary rows,
+output layout.
 
 The reference analog is the image path: quality rasterizes pages to
 pixmaps (/root/reference/quality_analysis_updated/universal_analyzer.py:37),

@@ -86,15 +86,81 @@ def brightness_boost(img: np.ndarray, factor: float = 1.05) -> np.ndarray:
     return np.clip(img.astype(np.float64) * factor, 0, 255).astype(np.uint8)
 
 
-def clahe(img: np.ndarray) -> np.ndarray:
-    """CLAHE requires cv2 — stub hook (preprocessing_ops.py uses
-    cv2.createCLAHE); wire cv2 here when available."""
-    raise NotImplementedError("CLAHE requires cv2 (not in this environment)")
+def clahe(img: np.ndarray, *, clip_limit: float = 2.0,
+          grid: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Contrast-limited adaptive histogram equalization in pure numpy
+    (Zuiderveld 1994 — the algorithm behind cv2.createCLAHE, which
+    preprocessing_ops.py:15 uses with the same clip/grid defaults):
+    per-tile clipped histogram → CDF mapping, bilinear interpolation of
+    the four surrounding tile mappings per pixel."""
+    h, w = img.shape
+    gy, gx = grid
+    th, tw = max(1, h // gy), max(1, w // gx)
+    # per-tile clipped-CDF lookup tables
+    luts = np.empty((gy, gx, 256), dtype=np.float64)
+    for ty in range(gy):
+        for tx in range(gx):
+            y0, x0 = ty * th, tx * tw
+            tile = img[y0 : h if ty == gy - 1 else y0 + th,
+                       x0 : w if tx == gx - 1 else x0 + tw]
+            hist = np.bincount(tile.ravel(), minlength=256).astype(np.float64)
+            limit = clip_limit * tile.size / 256.0
+            excess = np.maximum(hist - limit, 0.0).sum()
+            hist = np.minimum(hist, limit) + excess / 256.0
+            cdf = hist.cumsum()
+            cdf = cdf / cdf[-1] if cdf[-1] > 0 else cdf
+            luts[ty, tx] = cdf * 255.0
+    # bilinear interpolation between tile centers
+    ys = (np.arange(h) + 0.5) / th - 0.5
+    xs = (np.arange(w) + 0.5) / tw - 0.5
+    y0i = np.clip(np.floor(ys).astype(np.int64), 0, gy - 1)
+    x0i = np.clip(np.floor(xs).astype(np.int64), 0, gx - 1)
+    y1i = np.clip(y0i + 1, 0, gy - 1)
+    x1i = np.clip(x0i + 1, 0, gx - 1)
+    wy = np.clip(ys - y0i, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0i, 0.0, 1.0)[None, :]
+    v = img[np.newaxis].squeeze(0)
+    p00 = luts[y0i[:, None], x0i[None, :], v]
+    p01 = luts[y0i[:, None], x1i[None, :], v]
+    p10 = luts[y1i[:, None], x0i[None, :], v]
+    p11 = luts[y1i[:, None], x1i[None, :], v]
+    out = ((1 - wy) * ((1 - wx) * p00 + wx * p01)
+           + wy * ((1 - wx) * p10 + wx * p11))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
-def deskew(img: np.ndarray) -> np.ndarray:
-    """Hough-based deskew requires cv2 — stub hook (±5° cap in reference)."""
-    raise NotImplementedError("deskew requires cv2 (not in this environment)")
+def rotate_nearest(img: np.ndarray, angle_deg: float,
+                   fill: int = 255) -> np.ndarray:
+    """Nearest-neighbor rotation about the image center (pure numpy
+    inverse-map sampling); out-of-frame samples take ``fill``."""
+    import math
+
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = math.radians(angle_deg)
+    cos, sin = math.cos(th), math.sin(th)
+    yy, xx = np.mgrid[0:h, 0:w]
+    dy, dx = yy - cy, xx - cx
+    sy = np.rint(cy + dy * cos - dx * sin).astype(np.int64)
+    sx = np.rint(cx + dy * sin + dx * cos).astype(np.int64)
+    ok = (sy >= 0) & (sy < h) & (sx >= 0) & (sx < w)
+    out = np.full((h, w), fill, dtype=img.dtype)
+    out[ok] = img[sy[ok], sx[ok]]
+    return out
+
+
+def deskew(img: np.ndarray, *, max_deg: float = 5.0) -> np.ndarray:
+    """Estimate text-line skew (projection-profile method,
+    stages/imaging.estimate_skew) and rotate back, capped at ±``max_deg``
+    — the reference's ±5° deskew cap (preprocessing_ops.py:8-13)."""
+    from documentai_ray.stages.imaging import estimate_skew
+
+    angle = estimate_skew(img, max_deg=max_deg, step_deg=0.5)
+    if abs(angle) < 0.25:
+        return img
+    # estimate_skew returns a such that lines follow r(x) = r0 − x·tan(a);
+    # a +a rotation (this sampling convention) levels them
+    return rotate_nearest(img, angle)
 
 
 def adaptive_preprocess(img: np.ndarray) -> tuple[np.ndarray, list[str]]:

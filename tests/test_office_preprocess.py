@@ -100,11 +100,38 @@ class TestAdaptivePreprocess:
         assert preprocess.black_point_clamp(img, 70).max() == 0
         assert preprocess.brightness_boost(img).mean() > img.mean()
 
-    def test_cv2_hooks_stubbed(self):
-        with pytest.raises(NotImplementedError):
-            preprocess.clahe(np.zeros((4, 4), np.uint8))
-        with pytest.raises(NotImplementedError):
-            preprocess.deskew(np.zeros((4, 4), np.uint8))
+    def test_clahe_equalizes_low_contrast_gradient(self):
+        grad = np.clip(np.tile(np.linspace(110, 146, 64), (64, 1)),
+                       0, 255).astype(np.uint8)
+        out = preprocess.clahe(grad, clip_limit=40.0)
+        assert out.shape == grad.shape and out.dtype == np.uint8
+        assert out.std() > grad.std() * 1.5  # local contrast raised
+
+    def test_clahe_heavy_clipping_near_identity(self):
+        # clip_limit=2 on a 2-level image flattens the histogram toward
+        # uniform → mapping ≈ identity (the contract of the clip limit)
+        img = np.empty((64, 64), dtype=np.uint8)
+        img[:, :32] = 120
+        img[:, 32:] = 136
+        out = preprocess.clahe(img, clip_limit=2.0)
+        assert abs(float(out.std()) - float(img.std())) < 2.0
+
+    def test_deskew_levels_sheared_lines(self):
+        import math
+
+        from documentai_ray.stages.imaging import estimate_skew
+
+        h, w = 120, 120
+        for ang in (2.0, 4.0, -3.0):
+            sk = np.full((h, w), 255, np.uint8)
+            for x in range(w):
+                s = int(round(x * math.tan(math.radians(-ang))))
+                for r in range(10, h - 15, 20):
+                    rr = r + s
+                    if 0 <= rr < h:
+                        sk[rr, x] = 0
+            assert abs(estimate_skew(sk) - ang) <= 1.0
+            assert abs(estimate_skew(preprocess.deskew(sk))) <= 0.5
 
 
 class TestPageGrouping:
