@@ -1347,6 +1347,49 @@ def _q_redact_pii(sf_dir: str):
     return ds.select_columns(["url", "redacted"])
 
 
+def _q_topk_per_group(sf_dir: str):
+    """Grouped top-k (top-3 orders by price per order priority): map-side
+    partial top-k per key, hash-partitioned final selection — never a
+    global sort, never one group call per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype("int64")
+        return batch.append_column("_price_c", pa.array(c, pa.int64()))
+
+    out = grouped_topk(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col="o_orderpriority",
+        sort_cols=["_price_c", "o_orderkey"], ascending=[False, True], k=3,
+    ).to_pandas()
+    out["o_totalprice"] = out["_price_c"] / 100.0
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+
+
+def _q_median_quantity(sf_dir: str):
+    """Exact distributed median per group via integer histograms (shuffle
+    volume = keys × distinct values, not rows) — matches SQL median()
+    incl. even-count averaging."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_median_int
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_median_int(
+        ds, key_cols=["l_returnflag", "l_linestatus"], val_col="l_quantity",
+        out_col="median_qty")
+
+
 def _q_image_quality(sf_dir: str):
     """REAL pixel-metric chain (Q1-Q10 analogs on actual pixels): PNG
     payloads decoded by the stdlib minipng codec, metrics in pure numpy.
@@ -1437,6 +1480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lc_tags": _q_lc_tags,
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
+        "topk_per_group": _q_topk_per_group,
+        "median_quantity": _q_median_quantity,
         "image_quality": _q_image_quality,
         "image_preprocess": _q_image_preprocess,
         "decontaminate": _q_decontaminate,
@@ -1741,6 +1786,18 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "topk_per_group": (
+            "SELECT o_orderpriority, o_orderkey, "
+            "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0 "
+            "AS o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY round(o_totalprice * 100) DESC, o_orderkey) <= 3"
+        ),
+        "median_quantity": (
+            "SELECT l_returnflag, l_linestatus, "
+            "median(CAST(l_quantity AS BIGINT)) AS median_qty "
+            "FROM lineitem GROUP BY 1, 2"
         ),
         # synthetic image archetypes (sources/images.py): closed-form
         # integer pixel sums per pattern; float ops mirror

@@ -1,0 +1,88 @@
+"""Distributed aggregation shapes beyond plain groupby (SURVEY §2.6).
+
+- ``grouped_topk``       top-k rows per key: per-batch partial top-k (only
+  ≤ k rows per key per block survive to the shuffle), then the same
+  selection per hash partition — "top-k is an aggregation", the grouped
+  form of similarity.brute_force_topk's pattern.
+- ``grouped_median_int`` EXACT median per group for integer-valued
+  columns, with NO per-group gather: per-batch (key, value) count
+  partials → one small groupby sum → median read off the cumulative
+  histogram. Shuffle volume is bounded by keys × distinct values, not by
+  row count — the right shape when the value domain is small (quantities,
+  ratings, ages); for unbounded domains swap in a t-digest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_topk(ds, *, key_col: str, sort_cols: list[str],
+                 ascending: list[bool], k: int, num_partitions: int = 32):
+    """Top-k rows per key by ``sort_cols`` (include a unique tiebreak
+    column for determinism). Two-level: map-side partial top-k per key,
+    hash-partition on the key, final top-k per partition (vectorized
+    sort + groupby-head — never one map_groups call per key)."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(key_col, sort=False).head(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = select(batch.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return select(g.drop(columns=["_pkey"]))
+
+    return (
+        _add_pkey(partials, key_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def grouped_median_int(ds, *, key_cols: list[str], val_col: str,
+                       out_col: str = "median"):
+    """Exact per-group median of an integer-valued column via histogram
+    counts. Returns one row per key group with ``out_col`` (float64 —
+    even-count groups average the two middle values, matching SQL
+    ``median()``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = df.groupby(key_cols + ["_v"], as_index=False).size()
+        g = g.rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols + ["_v"])
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+
+    def median_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_v", kind="mergesort")
+        n = int(g["_n"].sum())
+        cum = g["_n"].cumsum().to_numpy()
+        vals = g["_v"].to_numpy()
+        if n % 2:
+            med = float(vals[np.searchsorted(cum, n // 2 + 1)])
+        else:
+            lo = float(vals[np.searchsorted(cum, n // 2)])
+            hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+            med = (lo + hi) / 2.0
+        out = {c: [g[c].iloc[0]] for c in g.columns if c not in ("_v", "_n")}
+        out[out_col] = [med]
+        return pd.DataFrame(out)
+
+    # the histogram is tiny (keys × distinct values); group count equals
+    # key-group count which is small by contract for a median-per-group op
+    return hist.groupby(key_cols).map_groups(median_of, batch_format="pandas")

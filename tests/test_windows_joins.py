@@ -90,3 +90,38 @@ class TestHtmlTables:
 
     def test_no_tables(self):
         assert extract_table_tags("<p>hello</p>") == {}
+
+
+class TestGroupedAggregates:
+    def test_grouped_topk_matches_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from documentai_ray.stages.aggregates import grouped_topk
+
+        rng_rows = [{"k": f"g{i % 5}", "v": (i * 37) % 101, "id": i}
+                    for i in range(500)]
+        ds = ray.data.from_items(rng_rows)
+        got = grouped_topk(ds, key_col="k", sort_cols=["v", "id"],
+                           ascending=[False, True], k=4).to_pandas()
+        df = pd.DataFrame(rng_rows)
+        want = (df.sort_values(["v", "id"], ascending=[False, True])
+                .groupby("k", sort=False).head(4))
+        assert (sorted(zip(got["k"], got["v"], got["id"]))
+                == sorted(zip(want["k"], want["v"], want["id"])))
+
+    def test_grouped_median_matches_statistics(self, ray_session):
+        import statistics
+
+        import ray.data
+
+        from documentai_ray.stages.aggregates import grouped_median_int
+
+        rows = [{"k": f"g{i % 3}", "v": (i * 13) % 29} for i in range(201)]
+        ds = ray.data.from_items(rows)
+        got = {r["k"]: r["m"] for r in
+               grouped_median_int(ds, key_cols=["k"], val_col="v",
+                                  out_col="m").take_all()}
+        for key in ("g0", "g1", "g2"):
+            vals = [r["v"] for r in rows if r["k"] == key]
+            assert got[key] == float(statistics.median(vals)), key
