@@ -175,13 +175,15 @@ def _fast_tokenize(html_text: str, parser: _BlockParser) -> None:
         if lt > pos:
             data = s[pos:lt]
             parser.handle_data(_html.unescape(data) if "&" in data else data)
-        if s.startswith("<!--", lt):
-            end = s.find("-->", lt + 4)
-            if end == -1:
-                raise _FastPathBail("unterminated comment")
-            pos = end + 3
-            continue
-        if s.startswith("<!", lt) or s.startswith("<?", lt):
+        # first-char dispatch (one index op instead of a startswith chain)
+        c1 = s[lt + 1] if lt + 1 < n else ""
+        if c1 == "!":
+            if s.startswith("<!--", lt):
+                end = s.find("-->", lt + 4)
+                if end == -1:
+                    raise _FastPathBail("unterminated comment")
+                pos = end + 3
+                continue
             if s.startswith("<![CDATA[", lt):
                 raise _FastPathBail("cdata section")
             end = s.find(">", lt + 2)
@@ -189,28 +191,37 @@ def _fast_tokenize(html_text: str, parser: _BlockParser) -> None:
                 raise _FastPathBail("unterminated decl")
             pos = end + 1
             continue
-        closing = s.startswith("</", lt)
+        if c1 == "?":
+            end = s.find(">", lt + 2)
+            if end == -1:
+                raise _FastPathBail("unterminated decl")
+            pos = end + 1
+            continue
+        closing = c1 == "/"
         name_start = lt + (2 if closing else 1)
         m = _TAGNAME_RE.match(s, name_start)
         if not m:
             raise _FastPathBail("invalid tag open")
         name = m.group(0).lower()
-        # quote-aware scan for the real tag end
+        # quote-aware scan for the real tag end: segment-wise str.find
+        # (C speed) instead of a per-character loop — a '>' inside a
+        # quoted attribute value never terminates the tag
         i = m.end()
-        quote = ""
-        while i < n:
-            c = s[i]
-            if quote:
-                if c == quote:
-                    quote = ""
-            elif c in "\"'":
-                quote = c
-            elif c == ">":
+        while True:
+            gt = s.find(">", i)
+            if gt == -1:
+                raise _FastPathBail("unterminated tag")
+            dq = s.find('"', i, gt)
+            sq = s.find("'", i, gt)
+            if dq == -1 and sq == -1:
                 break
-            i += 1
-        else:
-            raise _FastPathBail("unterminated tag")
-        self_closing = s[i - 1] == "/" and not quote
+            qpos = dq if (sq == -1 or (dq != -1 and dq < sq)) else sq
+            close = s.find(s[qpos], qpos + 1)
+            if close == -1:
+                raise _FastPathBail("unterminated attribute quote")
+            i = close + 1
+        i = gt
+        self_closing = s[i - 1] == "/"
         pos = i + 1
         if closing:
             parser.handle_endtag(name)
