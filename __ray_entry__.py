@@ -1347,6 +1347,71 @@ def _q_redact_pii(sf_dir: str):
     return ds.select_columns(["url", "redacted"])
 
 
+def _q_anti_join_customers(sf_dir: str):
+    """Partitioned ANTI join: customers with no order above 400k —
+    existence tests run as a vectorized isin per hash partition
+    (joins.hash_join how='anti'; matching keys co-locate by bucketing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment")})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), 400000.0))
+        return pa.table({"custkey": t.column("o_custkey")})
+
+    return hash_join(
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        orders.map_batches(big_orders, batch_format="pyarrow"),
+        on="custkey", how="anti",
+    )
+
+
+def _q_rollup_counts(sf_dir: str):
+    """Multi-level rollup (grouping sets): doc counts by (lang), (source)
+    and (lang, source) in ONE pass — the per-batch combiner emits partial
+    rows for every grouping level ('ALL' sentinel), so the shuffle carries
+    ≤ 3 × distinct-combination partials per batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for keep in ((True, False), (False, True), (True, True)):
+            g = df.copy()
+            if not keep[0]:
+                g["lang"] = "ALL"
+            if not keep[1]:
+                g["source"] = "ALL"
+            outs.append(g.groupby(["lang", "source"], as_index=False).size()
+                        .rename(columns={"size": "n"}))
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
 def _q_topk_per_group(sf_dir: str):
     """Grouped top-k (top-3 orders by price per order priority): map-side
     partial top-k per key, hash-partitioned final selection — never a
@@ -1480,6 +1545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lc_tags": _q_lc_tags,
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
+        "anti_join_customers": _q_anti_join_customers,
+        "rollup_counts": _q_rollup_counts,
         "topk_per_group": _q_topk_per_group,
         "median_quantity": _q_median_quantity,
         "image_quality": _q_image_quality,
@@ -1786,6 +1853,17 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "anti_join_customers": (
+            "SELECT c_custkey AS custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"
+        ),
+        "rollup_counts": (
+            "SELECT coalesce(lang, 'ALL') AS lang, "
+            "coalesce(source, 'ALL') AS source, count(*) AS n_docs "
+            "FROM documents GROUP BY GROUPING SETS "
+            "((lang), (source), (lang, source))"
         ),
         "topk_per_group": (
             "SELECT o_orderpriority, o_orderkey, "

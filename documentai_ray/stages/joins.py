@@ -74,6 +74,12 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
               how: str = "inner"):
     """Partitioned hash join of two Datasets on a common key column ``on``.
 
+    ``how``: ``inner`` / ``left`` (right columns null-filled) /
+    ``semi`` (left rows WITH a match, left columns only) /
+    ``anti`` (left rows WITHOUT a match, left columns only). All variants
+    share the same bucketed physical plan — matching keys co-locate, so
+    existence tests are a per-partition vectorized ``isin``.
+
     Column-name collisions (other than the key) must be resolved upstream
     (rename before joining) — the join output carries the union of columns.
     """
@@ -96,7 +102,11 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
     def join_partition(g: pd.DataFrame) -> pa.Table:
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][rcols + [on]]
-        out = lg.merge(rg, on=on, how=how)
+        if how in ("semi", "anti"):
+            mask = lg[on].isin(rg[on].unique())
+            out = lg[mask] if how == "semi" else lg[~mask]
+        else:
+            out = lg.merge(rg, on=on, how=how)
         # emit Arrow with the EXPLICIT union schema: empty partitions must
         # not degrade to pandas-inferred null-typed columns
         schema = pa.schema([(c, all_cols[c]) for c in out.columns])

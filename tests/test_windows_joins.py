@@ -125,3 +125,34 @@ class TestGroupedAggregates:
         for key in ("g0", "g1", "g2"):
             vals = [r["v"] for r in rows if r["k"] == key]
             assert got[key] == float(statistics.median(vals)), key
+
+
+class TestJoinVariants:
+    def _sides(self):
+        import ray.data
+
+        left = ray.data.from_items(
+            [{"k": i, "lv": f"L{i}"} for i in range(10)])
+        right = ray.data.from_items(
+            [{"k": i, "rv": f"R{i}"} for i in (2, 4, 6, 4)])  # dup key 4
+        return left, right
+
+    def test_semi_and_anti(self, ray_session):
+        from documentai_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        semi = hash_join(left, right, on="k", how="semi").to_pandas()
+        assert sorted(semi["k"]) == [2, 4, 6]       # no dup blowup
+        assert list(semi.columns) == ["k", "lv"]     # left columns only
+        left, right = self._sides()
+        anti = hash_join(left, right, on="k", how="anti").to_pandas()
+        assert sorted(anti["k"]) == [0, 1, 3, 5, 7, 8, 9]
+
+    def test_left_join_null_fill(self, ray_session):
+        from documentai_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        out = hash_join(left, right, on="k", how="left").to_pandas()
+        assert len(out) == 11  # 10 left rows + 1 extra for dup key 4
+        assert out[out["k"] == 3]["rv"].isna().all()
+        assert set(out[out["k"] == 4]["rv"]) == {"R4"}
