@@ -1347,6 +1347,47 @@ def _q_redact_pii(sf_dir: str):
     return ds.select_columns(["url", "redacted"])
 
 
+def _q_audio_frames(sf_dir: str):
+    """REAL audio path: deterministic square-wave WAVs (PCM-16 mono, stdlib
+    miniwav codec) → 1024-sample RMS frames. A ±A square wave has RMS
+    exactly A in every window — closed-form oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.miniwav import encode_pcm16
+    from documentai_ray.stages.multimodal import AudioFrameStage
+
+    N, SR = 4096, 8000
+
+    def gen(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch.column("doc_id").to_pylist():
+            amp = 1000 + did % 9000
+            half = (16 + did % 32) // 2
+            n = np.arange(N)
+            sig = np.where((n // half) % 2 == 0, amp, -amp).astype(np.int16)
+            payloads.append(encode_pcm16(sig, sample_rate=SR))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": pa.array(payloads, pa.large_binary())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = ds.map_batches(gen, batch_format="pyarrow", batch_size=128)
+    ds = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n_frames, rms = [], []
+        for fr in batch.column("frames").to_pylist():
+            n_frames.append(len(fr))
+            rms.append(fr[0]["energy"] if fr else 0.0)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_frames": pa.array(n_frames, pa.int64()),
+                         "frame_rms": pa.array(rms, pa.float64())})
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def _q_anti_join_customers(sf_dir: str):
     """Partitioned ANTI join: customers with no order above 400k —
     existence tests run as a vectorized isin per hash partition
@@ -1545,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lc_tags": _q_lc_tags,
         "technique_stats": _q_technique_stats,
         "top_orders": _q_top_orders,
+        "audio_frames": _q_audio_frames,
         "anti_join_customers": _q_anti_join_customers,
         "rollup_counts": _q_rollup_counts,
         "topk_per_group": _q_topk_per_group,
@@ -1853,6 +1895,10 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+        ),
+        "audio_frames": (
+            "SELECT doc_id, 4 AS n_frames, "
+            "CAST(1000 + doc_id % 9000 AS DOUBLE) AS frame_rms FROM documents"
         ),
         "anti_join_customers": (
             "SELECT c_custkey AS custkey, c_mktsegment FROM customer "

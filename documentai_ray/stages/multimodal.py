@@ -128,19 +128,40 @@ class ImageResizeStage:
 class AudioFrameStage:
     """Actor-pool stage: frame-sample an audio payload into fixed windows.
 
-    STUB: window 'energies' are derived deterministically from byte slices
-    (a real implementation would decode PCM and window it). Output:
+    WAV payloads decode for REAL (stdlib miniwav, PCM-16 mono) and window
+    energies are RMS over ``frame_samples``-sample frames; non-WAV payloads
+    fall back to the deterministic byte-slice stub (a real implementation
+    for compressed formats needs ffmpeg). Output:
     ``frames`` = list<struct<start_ms:int64, energy:float64>>."""
 
     FRAME_TYPE = pa.list_(pa.struct([("start_ms", pa.int64()), ("energy", pa.float64())]))
 
-    def __init__(self, frame_ms: int = 1000, bytes_per_frame: int = 256):
+    def __init__(self, frame_ms: int = 1000, bytes_per_frame: int = 256,
+                 frame_samples: int = 1024):
         self.frame_ms = frame_ms
         self.bpf = bytes_per_frame
+        self.frame_samples = frame_samples
+
+    def _frames_wav(self, payload: bytes) -> list[dict]:
+        from documentai_ray.functions import miniwav
+
+        samples, sr = miniwav.decode_pcm16(payload)
+        out = []
+        fs = self.frame_samples
+        for i in range(0, len(samples), fs):
+            chunk = samples[i : i + fs].astype(np.float64)
+            rms = float(np.sqrt((chunk * chunk).mean())) if chunk.size else 0.0
+            out.append({"start_ms": i * 1000 // sr, "energy": rms})
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from documentai_ray.functions import miniwav
+
         all_frames = []
         for payload in batch.column("payload").to_pylist():
+            if miniwav.is_wav(payload):
+                all_frames.append(self._frames_wav(payload))
+                continue
             frames = []
             for i in range(0, len(payload), self.bpf):
                 chunk = payload[i : i + self.bpf]

@@ -210,3 +210,34 @@ class TestCliSubcommands:
 
         schema = ray.data.read_parquet(out2).schema()
         assert {"category", "votes", "verdict"} <= set(schema.names)
+
+
+class TestMiniwav:
+    def test_roundtrip_and_rms_frames(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from documentai_ray.functions.miniwav import decode_pcm16, encode_pcm16, is_wav
+        from documentai_ray.stages.multimodal import AudioFrameStage
+
+        sig = np.where((np.arange(2048) // 8) % 2 == 0, 500, -500).astype(np.int16)
+        wav = encode_pcm16(sig, sample_rate=8000)
+        assert is_wav(wav) and not is_wav(b"nope")
+        back, sr = decode_pcm16(wav)
+        assert sr == 8000 and np.array_equal(back, sig)
+        st = AudioFrameStage(frame_samples=1024)
+        out = st(pa.table({"payload": pa.array([wav], pa.large_binary())}))
+        frames = out.column("frames").to_pylist()[0]
+        assert len(frames) == 2
+        assert all(f["energy"] == 500.0 for f in frames)  # |square| RMS exact
+        assert frames[1]["start_ms"] == 1024 * 1000 // 8000
+
+    def test_non_wav_falls_back_to_stub(self):
+        import pyarrow as pa
+
+        from documentai_ray.stages.multimodal import AudioFrameStage
+
+        st = AudioFrameStage(bytes_per_frame=4)
+        out = st(pa.table({"payload": pa.array([b"\x01\x02\x03\x04\x05"],
+                                               pa.large_binary())}))
+        assert len(out.column("frames").to_pylist()[0]) == 2
