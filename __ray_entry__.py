@@ -716,6 +716,12 @@ def _q_token_count_bpe(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
+    """Winnowing document fingerprint (rolling md5-token polynomial hash,
+    content-defined anchors, XOR-reduced). Emitted as SIGNED int64 (the
+    uint64 value wrapped) so both engines compare in a lossless dtype —
+    the oracle reconstructs the md5→LE64→window-hash→anchor→bit_xor chain
+    entirely in SQL (HUGEINT modular arithmetic)."""
+    import pyarrow as pa
     import ray.data
 
     from documentai_ray.stages.textstats import fingerprint_batch
@@ -723,7 +729,16 @@ def _q_fingerprint(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=512)
-    return ds.select_columns(["doc_id", "fingerprint"])
+
+    def signed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = batch.column("fingerprint").to_numpy().astype(np.uint64)
+        s = u.astype(np.int64)  # two's-complement wrap
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fingerprint": pa.array(s, pa.int64())})
+
+    return ds.map_batches(signed, batch_format="pyarrow")
 
 
 # SimHash screening radius for url-variant recaptures. 64-bit unigram
@@ -2072,6 +2087,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id <> 0) "
             "SELECT vec_id FROM s ORDER BY c DESC, vec_id LIMIT 10"
         ),
-        # fingerprint: rows-only — the rolling md5-token hash is not
-        # SQL-expressible; values are pinned by pytest goldens instead
+        "fingerprint": _sql_fingerprint(),
     }
+
+
+def _sql_fingerprint() -> str:
+    """Fingerprint oracle: the full md5-token → LE-uint64 → 4-token window
+    polynomial hash (mod 2⁶⁴ via HUGEINT) → %8 anchors → bit_xor chain in
+    SQL, mirrored from stages/textstats.py (B, window, keep_mod inline).
+    Verified bit-exact against the Python path over the whole corpus."""
+    pows = ", ".join(f"CAST({256 ** i} AS HUGEINT)" for i in range(8))
+    tok_hash = (
+        "list_sum(list_transform(generate_series(0, 7), i -> "
+        "(CAST(strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1 AS HUGEINT) * 16 "
+        "+ CAST(strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1 AS HUGEINT)) "
+        f"* [{pows}][i + 1]))"
+    )
+    B = 1000003
+    M = 1 << 64
+    bp = [pow(B, k, M) for k in range(4)]
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+        "FROM documents), "
+        "th AS (SELECT doc_id, len(toks) AS nt, "
+        f"list_transform(toks, tok -> {tok_hash}) AS hs FROM t), "
+        "f AS (SELECT doc_id, CASE "
+        "WHEN nt = 0 THEN CAST(0 AS HUGEINT) "
+        f"WHEN nt < 4 THEN list_reduce(hs, (a, b) -> (a * {B} + b) % CAST({M} AS HUGEINT)) "
+        "ELSE coalesce(list_aggregate(list_filter("
+        "list_transform(generate_series(1, nt - 3), i -> "
+        f"(hs[i] * CAST({bp[3]} AS HUGEINT) + hs[i+1] * CAST({bp[2]} AS HUGEINT) "
+        f"+ hs[i+2] * CAST({bp[1]} AS HUGEINT) + hs[i+3]) % CAST({M} AS HUGEINT)), "
+        "v -> v % 8 = 0), 'bit_xor'), CAST(0 AS HUGEINT)) END AS fp FROM th) "
+        f"SELECT doc_id, CAST(CASE WHEN fp >= CAST({1 << 63} AS HUGEINT) "
+        f"THEN fp - CAST({M} AS HUGEINT) ELSE fp END AS BIGINT) AS fingerprint "
+        "FROM f"
+    )
