@@ -71,7 +71,12 @@ def url_for(doc_id: int, source: str) -> str:
 
 
 def warc_ts_for(doc_id: int) -> _dt.datetime:
-    return EPOCH + _dt.timedelta(seconds=60 * doc_id)
+    """Capture timestamp: EPOCH + 60s·doc_id, wrapped at a ~95-year horizon
+    (datetime tops out at year 9999; bench corpora shift doc_ids by
+    copy·10⁷). Dedup correctness only needs ORDER among captures of the
+    same url — a url's captures share a doc_id, so the wrap never reorders
+    them (the stale dup is constructed at ts − 1 day)."""
+    return EPOCH + _dt.timedelta(seconds=60 * (doc_id % 50_000_000))
 
 
 def po_fields(doc_id: int) -> dict[str, str]:
