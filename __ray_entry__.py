@@ -1562,6 +1562,56 @@ def _q_top_orders(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
 
 
+def _extracted_pages_with_doc_id(sf_dir: str):
+    """Shared prefix for line-level queries: pages → extract → exact dedup
+    (latest capture per url) → non-empty docs with ``doc_id`` parsed back
+    from the url tail (``/p/<doc_id>``) so line order has an int64 total
+    order without a join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch.column("text"), ""))
+        ids = [int(u.rsplit("/", 1)[1]) for u in batch.column("url").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": batch.column("url").cast(pa.string()),
+                         "text": batch.column("text").cast(pa.large_string())})
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _q_line_dedup(sf_dir: str):
+    """Corpus-level exact line dedup (C4 §2.2 / CCNet §3.1): keep only the
+    first occurrence of every distinct line across the whole corpus (order
+    = (doc_id, line_idx)), reconstruct docs from surviving lines. The
+    winner shuffle moves 16 bytes/line (u64 line hash + packed i64 key) —
+    never line text; see stages/lines.py for the 100 TB plan."""
+    from documentai_ray.stages.lines import dedup_lines
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+    return dedup_lines(ds, num_partitions=16)
+
+
+def _q_c4_line_filter(sf_dir: str):
+    """C4-style per-line heuristics (Raffel et al. 2020 §2.2, re-targeted
+    at the synthetic corpus): drop lines with <5 words, containing '{',
+    or ending in ':'. Pure map stage over extracted pages."""
+    from documentai_ray.stages.lines import c4_line_filter_batch
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+    return ds.map_batches(c4_line_filter_batch, batch_format="pyarrow",
+                          batch_size=256).select_columns(
+        ["url", "clean_text", "n_lines_kept", "n_lines"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1615,6 +1665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "split_assign": _q_split_assign,
         "top_tokens": _q_top_tokens,
+        "line_dedup": _q_line_dedup,
+        "c4_line_filter": _q_c4_line_filter,
     }
 
 
@@ -2042,6 +2094,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        # first occurrence per distinct line = min (doc_id, line_idx); docs
+        # whose every line occurred earlier drop out (GROUP BY over kept
+        # lines ≡ the engine's inner-join rebuild)
+        "line_dedup": (
+            f"WITH d AS (SELECT doc_id, url, text FROM ({_SQL_EXPECTED_PAGES}) "
+            "WHERE text <> ''), "
+            "l AS (SELECT doc_id, url, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx, "
+            "len(string_split(text, chr(10))) AS n_total FROM d), "
+            "k AS (SELECT *, row_number() OVER "
+            "(PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l) "
+            "SELECT url, string_agg(line, chr(10) ORDER BY idx) AS text_dedup, "
+            "count(*) AS n_kept, any_value(n_total) AS n_total "
+            "FROM k WHERE rn = 1 GROUP BY doc_id, url"
+        ),
+        "c4_line_filter": (
+            f"WITH d AS (SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "
+            "WHERE text <> ''), "
+            "f AS (SELECT url, len(string_split(text, chr(10))) AS n_lines, "
+            "list_filter(string_split(text, chr(10)), l -> "
+            "len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5 "
+            "AND NOT contains(l, '{') AND NOT ends_with(l, ':')) AS kept FROM d) "
+            "SELECT url, array_to_string(kept, chr(10)) AS clean_text, "
+            "len(kept) AS n_lines_kept, n_lines FROM f"
         ),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("
