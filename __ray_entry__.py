@@ -1612,6 +1612,71 @@ def _q_c4_line_filter(sf_dir: str):
         ["url", "clean_text", "n_lines_kept", "n_lines"])
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace normalization (the CCNet/mC4 cleanup
+    pass). The corpus is ASCII, so deterministic 'messy' markers
+    (decomposed accents / tab-newline runs) are planted by doc_id — the
+    SQL oracle plants the identical markers and normalizes with DuckDB's
+    ``nfc_normalize``; NFC itself is the cross-engine standard."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import normalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if i % 3 == 1:
+                t = t + " nai\u0308ve fac\u0327ade"  # decomposed; NFC recomposes
+            elif i % 3 == 2:
+                t = "\t " + t + " \n\nout  "
+            out.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.large_string())})
+
+    ds = ds.map_batches(messy, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return ds.select_columns(["doc_id", "norm_text", "n_chars_raw",
+                              "n_chars_norm"])
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (window 32, stride 24) — RAG /
+    context-window prep. Map-only row explosion; chunk count and slice
+    bounds are integer math mirrored op-for-op in SQL."""
+    import functools
+
+    import ray.data
+
+    from documentai_ray.stages.curation import chunk_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(functools.partial(chunk_batch, window=32, stride=24),
+                          batch_format="pyarrow", batch_size=512)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing into 256-token training bins per source
+    shard (docs in doc_id order; over-budget docs capped to a full bin).
+    One bucketed shuffle + one ordered pass per partition; the oracle is
+    a recursive CTE stepping the same greedy recurrence."""
+    from documentai_ray.stages.curation import pack_sequences
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    out = pack_sequences(ds, budget=256, num_partitions=16)
+    return out.select_columns(["doc_id", "source", "n_tokens", "cost",
+                               "bin_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1667,6 +1732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "line_dedup": _q_line_dedup,
         "c4_line_filter": _q_c4_line_filter,
+        "normalize_text": _q_normalize_text,
+        "chunk_documents": _q_chunk_documents,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2120,6 +2188,49 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT contains(l, '{') AND NOT ends_with(l, ':')) AS kept FROM d) "
             "SELECT url, array_to_string(kept, chr(10)) AS clean_text, "
             "len(kept) AS n_lines_kept, n_lines FROM f"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, norm_text, n_chars_raw, "
+            "length(norm_text) AS n_chars_norm FROM ("
+            "SELECT doc_id, trim(regexp_replace(nfc_normalize(text), "
+            "'[ \\t\\n\\r]+', ' ', 'g'), ' ') AS norm_text, "
+            "length(text) AS n_chars_raw FROM ("
+            "SELECT doc_id, CASE "
+            "WHEN doc_id % 3 = 1 THEN text || ' nai' || chr(776) || "
+            "'ve fac' || chr(807) || 'ade' "
+            "WHEN doc_id % 3 = 2 THEN chr(9) || ' ' || text || ' ' || "
+            "chr(10) || chr(10) || 'out  ' "
+            "ELSE text END AS text FROM documents))"
+        ),
+        "chunk_documents": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "len(string_split(text, ' ')) AS n FROM documents), "
+            "k AS (SELECT doc_id, toks, n, unnest(range(0, "
+            "(CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END) + 1)) "
+            "AS chunk_id FROM t) "
+            "SELECT doc_id, chunk_id, "
+            "array_to_string(list_slice(toks, chunk_id * 24 + 1, "
+            "chunk_id * 24 + 32), ' ') AS chunk_text, "
+            "least(32, n - chunk_id * 24) AS chunk_tokens FROM k"
+        ),
+        # greedy packing recurrence stepped per (source, rn) chain
+        "pack_sequences": (
+            "WITH RECURSIVE d AS ("
+            "SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens, "
+            "least(len(string_split(text, ' ')), 256) AS cost, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+            "FROM documents), "
+            "r AS ("
+            "SELECT doc_id, source, n_tokens, cost, rn, "
+            "CAST(0 AS BIGINT) AS bin_id, cost AS cum FROM d WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT d.doc_id, d.source, d.n_tokens, d.cost, d.rn, "
+            "CASE WHEN r.cum + d.cost > 256 THEN r.bin_id + 1 "
+            "ELSE r.bin_id END AS bin_id, "
+            "CASE WHEN r.cum + d.cost > 256 THEN d.cost "
+            "ELSE r.cum + d.cost END AS cum "
+            "FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1) "
+            "SELECT doc_id, source, n_tokens, cost, bin_id FROM r"
         ),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("

@@ -19,13 +19,25 @@ expressed Ray-Data-first and DuckDB-oracle-checkable:
 - ``redact_batch``        pattern redaction (dates / currency amounts →
   placeholder tokens): compiled-regex sub per row, mirrored by
   ``regexp_replace(..., 'g')`` in the oracle.
+- ``normalize_batch``     NFC unicode normalization + ASCII-whitespace
+  collapse (the CCNet/mC4 text-cleanup pass) — mirrored by DuckDB
+  ``nfc_normalize`` + ``regexp_replace``.
+- ``chunk_batch``         overlapping token-window chunking (RAG /
+  context-window prep): map-only row explosion, integer-math chunk
+  count mirrored in SQL.
+- ``pack_sequences``      greedy sequential bin packing of docs into
+  fixed-token-budget training sequences per shard — one bucketed
+  shuffle, one ordered pass per partition; mirrored by a recursive-CTE
+  oracle.
 """
 
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from documentai_ray.stages.dedup import _shingle_hashes
@@ -152,6 +164,134 @@ REDACT_PATTERNS: list[tuple[str, str]] = [
 ]
 
 _REDACT_COMPILED = [(re.compile(p), repl) for p, repl in REDACT_PATTERNS]
+
+
+# ---------------------------------------------------------------------------
+# unicode + whitespace normalization
+# ---------------------------------------------------------------------------
+
+# ASCII whitespace only, deliberately: RE2 (the oracle's regex engine) has
+# ASCII \s while Python's str \s is unicode-aware — an explicit class keeps
+# the two engines bit-identical. NFC itself is the standard both utf8proc
+# (DuckDB nfc_normalize) and CPython unicodedata implement.
+_NORM_WS = re.compile(r"[ \t\n\r]+")
+
+
+def normalize_text(text: str) -> str:
+    """NFC-normalize, collapse ASCII whitespace runs to one space, trim."""
+    t = unicodedata.normalize("NFC", text)
+    return _NORM_WS.sub(" ", t).strip(" ")
+
+
+def normalize_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    norm = [normalize_text(t or "") for t in texts]
+    out = batch.append_column("norm_text", pa.array(norm, pa.large_string()))
+    out = out.append_column(
+        "n_chars_raw", pa.array([len(t or "") for t in texts], pa.int64()))
+    return out.append_column(
+        "n_chars_norm", pa.array([len(t) for t in norm], pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# overlapping token-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+def chunk_tokens(n: int, window: int, stride: int) -> int:
+    """Number of chunks for an n-token doc: 1 if it fits, else enough
+    stride steps that the last window reaches the end (integer math —
+    mirrored op-for-op by the SQL oracle)."""
+    if n <= window:
+        return 1
+    return (n - window + stride - 1) // stride + 1
+
+
+def chunk_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                text_col: str = "text", window: int = 32,
+                stride: int = 24) -> pa.Table:
+    """Explode docs into overlapping token-window chunks:
+    ``(doc_id, chunk_id, chunk_text, chunk_tokens)``. Tokens are the
+    single-space split (the corpus token contract; empties kept so the
+    SQL ``string_split`` mirror is exact). Map-only — chunking never
+    shuffles; downstream stages see a flat chunk table."""
+    ids_out: list[int] = []
+    cid_out: list[int] = []
+    txt_out: list[str] = []
+    ntok_out: list[int] = []
+    for did, t in zip(batch.column(id_col).to_pylist(),
+                      batch.column(text_col).to_pylist()):
+        toks = (t or "").split(" ")
+        n = len(toks)
+        for k in range(chunk_tokens(n, window, stride)):
+            s = k * stride
+            ids_out.append(did)
+            cid_out.append(k)
+            txt_out.append(" ".join(toks[s:s + window]))
+            ntok_out.append(min(window, n - s))
+    return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                     "chunk_id": pa.array(cid_out, pa.int64()),
+                     "chunk_text": pa.array(txt_out, pa.large_string()),
+                     "chunk_tokens": pa.array(ntok_out, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing (training-batch prep)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, *, group_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 256,
+                   num_partitions: int = 64):
+    """Greedy sequential bin packing of docs into fixed-token-budget
+    training sequences, independently per ``group_col`` (shard) in
+    ``id_col`` order: a doc opens a new bin iff adding it would exceed
+    ``budget``; docs longer than the budget are truncation-capped to one
+    full bin (``cost = min(n_tokens, budget)``).
+
+    Physical plan: one hash-partition shuffle on ``crc32(group) % P``
+    (all docs of a shard co-locate), then ONE ordered pass per partition
+    packs every shard at once — O(rows) with numpy array access, group
+    count bounded by P. Deterministic and parallelism-independent because
+    the scan order (group, id) is a total order. Returns
+    ``(doc_id, group, n_tokens, cost, bin_id)`` with ``bin_id`` local to
+    the group."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def cost_stage(batch: pa.Table) -> pa.Table:
+        ntok = [len((t or "").split(" "))
+                for t in batch.column(text_col).to_pylist()]
+        out = pa.table({id_col: batch.column(id_col),
+                        group_col: batch.column(group_col)})
+        out = out.append_column("n_tokens", pa.array(ntok, pa.int64()))
+        return out.append_column(
+            "cost", pa.array([min(n, budget) for n in ntok], pa.int64()))
+
+    def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, id_col], kind="mergesort")
+        costs = g["cost"].to_numpy()
+        groups = g[group_col].to_numpy()
+        bins = np.empty(len(g), np.int64)
+        cur = None
+        cum = 0
+        b = 0
+        for i in range(len(g)):
+            if groups[i] != cur:
+                cur, b, cum = groups[i], 0, costs[i]
+            elif cum + costs[i] > budget:
+                b += 1
+                cum = costs[i]
+            else:
+                cum += costs[i]
+            bins[i] = b
+        g = g.drop(columns=["_pkey"]).reset_index(drop=True)
+        g["bin_id"] = bins
+        return g
+
+    prepped = ds.map_batches(cost_stage, batch_format="pyarrow")
+    return (
+        _add_pkey(prepped, group_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(pack_partition, batch_format="pandas")
+    )
 
 
 def redact_text(text: str) -> str:
