@@ -1677,6 +1677,79 @@ def _q_pack_sequences(sf_dir: str):
                                "bin_id"])
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted index over the documents table: token → (df, sorted
+    postings). Shuffle carries the DISTINCT (token, doc) relation only;
+    posting lists built per token-hash bucket (group count bounded by P,
+    not vocabulary)."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import inverted_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return inverted_index(ds, num_partitions=16)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 terms by integer rarity score tf·10⁶//df (pure
+    integer math — bit-exact across engines, unlike float log idf).
+    df pass is distributed; the vocabulary-sized df table broadcasts
+    once via ray.put."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import tfidf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+def _q_canonical_url_dedup(sf_dir: str):
+    """Crawl-frontier URL canonicalization: collapse ?query/#fragment
+    variants (the planted ?amp=1 near-dup pages) to one row per canonical
+    URL, keeping the smallest variant + the variant count."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_canonical_url
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    return dedup_canonical_url(ds.select_columns(["url", "text"]),
+                               num_partitions=16)
+
+
+def _q_host_stats(sf_dir: str):
+    """Per-host crawl statistics (doc count + exact total chars) over the
+    deduped pages corpus — the skew-detection pass that feeds salted
+    partitioning (state/partitioning.py): the heavy host is visible as
+    one row with ~a third of the corpus."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    def host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({"host": pa.array([u.split("/")[2] for u in urls],
+                                          pa.string()),
+                         "n_chars": pa.array([len(t or "") for t in texts],
+                                             pa.int64())})
+
+    return (ds.map_batches(host, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1735,6 +1808,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
+        "inverted_index": _q_inverted_index,
+        "tfidf_topk": _q_tfidf_topk,
+        "canonical_url_dedup": _q_canonical_url_dedup,
+        "host_stats": _q_host_stats,
     }
 
 
@@ -2231,6 +2308,40 @@ def oracle_sql() -> dict[str, str]:
             "ELSE r.cum + d.cost END AS cum "
             "FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1) "
             "SELECT doc_id, source, n_tokens, cost, bin_id FROM r"
+        ),
+        "inverted_index": (
+            "SELECT token, count(*) AS df, "
+            "list(doc_id ORDER BY doc_id) AS postings FROM "
+            "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) GROUP BY token"
+        ),
+        "tfidf_topk": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS "
+            "token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, token), "
+            "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY token), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "tf.tf * 1000000 // df.df AS score_ppm, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * 1000000 // df.df DESC, tf.token) AS term_rank "
+            "FROM tf JOIN df USING (token)) "
+            "SELECT doc_id, term_rank, token, tf, df, score_ppm FROM s "
+            "WHERE term_rank <= 3"
+        ),
+        "canonical_url_dedup": (
+            f"WITH p AS ({_SQL_PAGES_WITH_AMP}), "
+            "c AS (SELECT url, text, "
+            "string_split(string_split(url, '#')[1], '?')[1] AS canonical_url "
+            "FROM p) "
+            "SELECT canonical_url, min(url) AS url, arg_min(text, url) AS text, "
+            "count(*) AS n_variants FROM c GROUP BY canonical_url"
+        ),
+        "host_stats": (
+            f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_docs, "
+            f"CAST(sum(length(text)) AS BIGINT) AS total_chars "
+            f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
         ),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("

@@ -114,6 +114,52 @@ def dedup_exact_first(ds, id_col: str, content_col: str = "text",
     )
 
 
+def canonicalize_url(url: str) -> str:
+    """Crawl URL canonicalization: strip the query string and fragment.
+    (Hosts in the synthetic corpus are already lowercase; a real crawl
+    adds host lowercasing + default-port stripping here.)"""
+    return url.split("?", 1)[0].split("#", 1)[0]
+
+
+def dedup_canonical_url(ds, *, url_col: str = "url", text_col: str = "text",
+                        num_partitions: int = 64):
+    """Collapse URL variants (``?utm=...``, ``?amp=1``, ``#section``) to
+    one row per canonical URL — the crawl-frontier dedup that runs BEFORE
+    content dedup. Keeps the lexicographically smallest variant (the bare
+    URL sorts before any ``?``-suffixed variant) and reports
+    ``n_variants``.
+
+    Same physical plan as ``dedup_latest``: one hash-partition shuffle on
+    ``crc32(canonical) % P``, vectorized first-per-group within each
+    partition. Returns ``(canonical_url, url, text, n_variants)``."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return batch.append_column(
+            "canonical_url",
+            pa.array([canonicalize_url(u) for u in urls], pa.string()))
+
+    def first(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["canonical_url", url_col], kind="mergesort")
+        agg = g.groupby("canonical_url", sort=False).agg(
+            url=(url_col, "first"), text=(text_col, "first"),
+            n_variants=(url_col, "size")).reset_index()
+        return pa.table({
+            "canonical_url": pa.array(agg["canonical_url"], pa.string()),
+            "url": pa.array(agg["url"], pa.string()),
+            "text": pa.array(agg["text"], pa.large_string()),
+            "n_variants": pa.array(agg["n_variants"].astype("int64"),
+                                   pa.int64())})
+
+    return (
+        _add_pkey(ds.map_batches(canon, batch_format="pyarrow"),
+                  "canonical_url", num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: first(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash (vectorized)
 # ---------------------------------------------------------------------------

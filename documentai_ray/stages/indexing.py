@@ -1,0 +1,154 @@
+"""Distributed text indexing: inverted index (postings) and TF-IDF.
+
+The two classic wide operations of a corpus indexer, expressed so the
+shuffles stay proportional to the DISTINCT (token, doc) relation, never
+the raw token stream:
+
+- ``inverted_index``  token → (df, sorted posting list). Map side emits
+  each (token, doc_id) pair ONCE per doc (per-doc set()), so the exchange
+  carries the distinct relation. The reduce side is bucketed by
+  ``crc32(token) % P`` — the posting lists of all tokens in a bucket are
+  built in one vectorized pandas pass, so group count is bounded by P,
+  not vocabulary size (the per-key ``map_groups`` anti-pattern noted in
+  ``dedup._add_pkey``).
+- ``tfidf_topk``      per-doc top-k terms by ``score_ppm =
+  tf · 10⁶ // df`` (integer rarity-weighted term frequency — a pure
+  integer-math rank that the SQL oracle reproduces bit-exactly; float
+  ``log`` idf would differ across libm implementations at the ulp level
+  and flip near-tie ranks). Document frequencies are computed in one
+  distributed pass and broadcast via ``ray.put`` — valid while the
+  vocabulary is broadcast-small (≤ ~10⁷ terms: a 100 MB dict). For
+  open-vocabulary corpora swap the broadcast for a hash_join of the
+  (doc, token, tf) relation against the df table on token — same
+  bucketed plan as ``joins.hash_join``; the rank step is unchanged.
+
+At 100 TB the posting lists themselves are the output bottleneck: cap
+them with ``max_postings`` (keep the first N doc_ids + the true df), the
+standard impact-ordered-index compromise.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pandas as pd
+import pyarrow as pa
+
+from documentai_ray.stages.dedup import _add_pkey
+
+
+def _explode_distinct(ds, id_col: str, text_col: str):
+    """One (token, id) row per DISTINCT token of each doc — single-space
+    split, the corpus token contract (empties kept)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        ids: list[int] = []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            for tok in set((t or "").split(" ")):
+                toks.append(tok)
+                ids.append(did)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         id_col: pa.array(ids, pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   num_partitions: int = 64, max_postings: int | None = None):
+    """Build ``(token, df, postings: list<int64>)`` — postings sorted
+    ascending, ``df`` always the TRUE document frequency even when
+    ``max_postings`` truncates the stored list."""
+
+    pairs = _explode_distinct(ds, id_col, text_col)
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        grouped = g.groupby("token", sort=False)[id_col]
+        tokens = list(grouped.groups.keys())
+        lists = [v.to_numpy() for _, v in grouped]
+        df = [len(v) for v in lists]
+        if max_postings is not None:
+            lists = [v[:max_postings] for v in lists]
+        return pa.table({"token": pa.array(tokens, pa.string()),
+                         "df": pa.array(df, pa.int64()),
+                         "postings": pa.array([v.tolist() for v in lists],
+                                              pa.list_(pa.int64()))})
+
+    return (
+        _add_pkey(pairs, "token", num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: build(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+    )
+
+
+def document_frequencies(ds, *, id_col: str = "doc_id",
+                         text_col: str = "text") -> dict[str, int]:
+    """Distributed df computation: distinct (token, doc) pairs →
+    ``groupby(token).count()``. Materializes only the (token, df) table —
+    vocabulary-sized, the broadcast-small side."""
+    from ray.data.aggregate import Count
+
+    pairs = _explode_distinct(ds, id_col, text_col)
+    out = pairs.groupby("token").aggregate(Count(alias_name="df")).to_pandas()
+    return dict(zip(out["token"], out["df"].astype(int)))
+
+
+class TfIdfTopK:
+    """Per-doc top-k terms by integer score ``tf · 10⁶ // df`` (ties →
+    token ascending). The df dict ships once per worker via the object
+    store ref, not per batch."""
+
+    def __init__(self, df_ref, *, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3):
+        import ray
+
+        self.df = ray.get(df_ref)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        ranks: list[int] = []
+        toks_out: list[str] = []
+        tf_out: list[int] = []
+        df_out: list[int] = []
+        score_out: list[int] = []
+        for did, t in zip(batch.column(self.id_col).to_pylist(),
+                          batch.column(self.text_col).to_pylist()):
+            tf = collections.Counter((t or "").split(" "))
+            scored = sorted(
+                ((-(c * 1_000_000 // self.df[tok]), tok, c) for tok, c in tf.items()),
+                key=lambda x: (x[0], x[1]),
+            )[: self.k]
+            for r, (neg, tok, c) in enumerate(scored, start=1):
+                ids.append(did)
+                ranks.append(r)
+                toks_out.append(tok)
+                tf_out.append(c)
+                df_out.append(self.df[tok])
+                score_out.append(-neg)
+        return pa.table({self.id_col: pa.array(ids, pa.int64()),
+                         "term_rank": pa.array(ranks, pa.int64()),
+                         "token": pa.array(toks_out, pa.string()),
+                         "tf": pa.array(tf_out, pa.int64()),
+                         "df": pa.array(df_out, pa.int64()),
+                         "score_ppm": pa.array(score_out, pa.int64())})
+
+
+def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3):
+    """Two-pass TF-IDF: distributed df → broadcast → map-side per-doc
+    top-k. See module docstring for the open-vocabulary join variant."""
+    import ray
+
+    df = document_frequencies(ds, id_col=id_col, text_col=text_col)
+    ref = ray.put(df)
+    return ds.map_batches(
+        TfIdfTopK, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"df_ref": ref, "id_col": id_col,
+                               "text_col": text_col, "k": k},
+    )

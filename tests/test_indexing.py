@@ -1,0 +1,73 @@
+"""Inverted index, TF-IDF top-k, canonical-URL dedup."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _docs_table():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a c", "b c", "c"], pa.large_string()),
+    })
+
+
+def test_inverted_index_postings(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.indexing import inverted_index
+
+    out = inverted_index(ray.data.from_arrow(_docs_table()),
+                         num_partitions=4).to_pandas()
+    out = out.set_index("token")
+    assert out.loc["a", "df"] == 1 and list(out.loc["a", "postings"]) == [1]
+    assert out.loc["b", "df"] == 2 and list(out.loc["b", "postings"]) == [1, 2]
+    assert out.loc["c", "df"] == 3 and list(out.loc["c", "postings"]) == [1, 2, 3]
+
+
+def test_inverted_index_max_postings(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.indexing import inverted_index
+
+    out = inverted_index(ray.data.from_arrow(_docs_table()),
+                         num_partitions=4, max_postings=2).to_pandas()
+    out = out.set_index("token")
+    # df stays TRUE even when the stored list is truncated
+    assert out.loc["c", "df"] == 3 and list(out.loc["c", "postings"]) == [1, 2]
+
+
+def test_tfidf_topk_rarity_wins(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.indexing import tfidf_topk
+
+    out = tfidf_topk(ray.data.from_arrow(_docs_table()), k=2).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("term_rank")
+    # doc 1: tf(a)=2,df=1 -> 2M ppm; tf(b)=1,df=2 -> 500k; tf(c)=1,df=3 -> 333333
+    assert list(d1["token"]) == ["a", "b"]
+    assert list(d1["score_ppm"]) == [2_000_000, 500_000]
+    d3 = out[out["doc_id"] == 3]
+    assert list(d3["token"]) == ["c"]
+    assert list(d3["score_ppm"]) == [333_333]
+
+
+def test_canonical_url_dedup(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_canonical_url
+
+    t = pa.table({
+        "url": pa.array(["http://x/p/1", "http://x/p/1?amp=1",
+                         "http://x/p/2#frag", "http://x/p/1?utm=z"],
+                        pa.string()),
+        "text": pa.array(["base", "amp", "two", "utm"], pa.large_string()),
+    })
+    out = dedup_canonical_url(ray.data.from_arrow(t),
+                              num_partitions=2).to_pandas()
+    out = out.set_index("canonical_url")
+    assert out.loc["http://x/p/1", "url"] == "http://x/p/1"
+    assert out.loc["http://x/p/1", "text"] == "base"
+    assert out.loc["http://x/p/1", "n_variants"] == 3
+    assert out.loc["http://x/p/2", "url"] == "http://x/p/2#frag"
+    assert out.loc["http://x/p/2", "n_variants"] == 1
