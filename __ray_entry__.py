@@ -159,6 +159,43 @@ _SQL_VERDICT = (
 )
 
 
+def _sql_kmeans(k: int = 4, iters: int = 2) -> str:
+    """Unrolled Lloyd's k-means oracle: one (assign, mean, centroid) CTE
+    trio per iteration, then a final assignment. Mirrors
+    stages/similarity.py::kmeans_fit op-for-op — first-k init, squared-L2
+    argmin with lowest-cid tie-break (list_distance's sqrt is monotone),
+    empty clusters keep the previous centroid via LEFT JOIN + coalesce."""
+    sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) "
+        f"AS cid, v FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})), "
+    )
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        sql += (
+            f"a{i} AS (SELECT vec_id, cid FROM ("
+            f"SELECT e.vec_id, {prev}.cid, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY list_distance(e.v, {prev}.v), "
+            f"{prev}.cid) AS rn FROM e CROSS JOIN {prev}) WHERE rn = 1), "
+            f"m{i} AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM ("
+            f"SELECT cid, dim, avg(val) AS mv FROM ("
+            f"SELECT a{i}.cid AS cid, unnest(e.v) AS val, "
+            f"unnest(range(1, len(e.v) + 1)) AS dim "
+            f"FROM a{i} JOIN e ON a{i}.vec_id = e.vec_id) "
+            f"GROUP BY cid, dim) GROUP BY cid), "
+            f"c{i} AS (SELECT {prev}.cid, coalesce(m{i}.nv, {prev}.v) AS v "
+            f"FROM {prev} LEFT JOIN m{i} ON {prev}.cid = m{i}.cid), "
+        )
+    sql += (
+        f"fin AS (SELECT e.vec_id, c{iters}.cid, row_number() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY list_distance(e.v, c{iters}.v), "
+        f"c{iters}.cid) AS rn FROM e CROSS JOIN c{iters}) "
+        "SELECT vec_id, cid AS cluster FROM fin WHERE rn = 1"
+    )
+    return sql
+
+
 def _sql_lang_id(id_col: str, table_expr: str) -> str:
     """lang_id oracle, generated from the SAME profile dicts the engine
     uses (stages/textstats.py) so they cannot drift. Mirrors the two-stage
@@ -1750,6 +1787,26 @@ def _q_host_stats(sf_dir: str):
                        Sum("n_chars", alias_name="total_chars")))
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (k=4, 2 iterations) over the embeddings
+    table — the canonical iterative algorithm: each iteration is one
+    streaming pass emitting k partial (sum, count) rows per batch; only
+    the k×(d+1) centroid state ever returns to the driver. Init = vectors
+    of the 4 smallest ids (deterministic; at 10¹² rows you'd init from a
+    pushdown-sampled shard instead of sort+limit). The oracle unrolls both
+    iterations in SQL with list_distance; assignments are integers, so
+    the ulp-level float drift between partial-sum orders never reaches
+    the compared columns (clusters are separated by construction)."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    C = kmeans_fit(ds, k=4, iters=2)
+    return kmeans_assign(ds, C)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1812,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_stats": _q_host_stats,
+        "kmeans_clusters": _q_kmeans_clusters,
     }
 
 
@@ -2343,6 +2401,7 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum(length(text)) AS BIGINT) AS total_chars "
             f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
         ),
+        "kmeans_clusters": _sql_kmeans(k=4, iters=2),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("
             "SELECT doc_id, lang, n_chars, "

@@ -221,3 +221,86 @@ def lsh_topk(ds, query: np.ndarray, k: int = 10, *, dim: int, n_bits: int = 8,
     top = heapq.nsmallest(k, partials, key=lambda r: (-r["score"], r[id_col]))
     return pd.DataFrame({id_col: [r[id_col] for r in top],
                          "score": [r["score"] for r in top]})
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's iterations over Dataset passes)
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd's k-means: the canonical iterative algorithm over
+    a Dataset, shaped so each iteration is ONE streaming pass.
+
+    - Init: the vectors of the ``k`` smallest ids (deterministic and
+      SQL-mirrorable — no RNG state to reproduce).
+    - Each iteration broadcasts the (k, d) centroid matrix via ``ray.put``
+      and runs ``map_batches``; every batch emits k partial rows
+      (cluster, vector sum, count) — the exchange back to the driver is
+      k×(d+1) floats per batch, never the data. The driver combines
+      partials and divides once (empty cluster keeps its previous
+      centroid).
+    - Assignment = argmin squared-L2 (expanded ‖x‖²-2x·c+‖c‖² matmul
+      form), ties to the lowest cluster id — the ordering DuckDB's
+      ``list_distance`` oracle reproduces (sqrt is monotone).
+
+    The input is ``materialize()``d first: k-means makes ``iters + 1``
+    passes over the SAME data, so pinning the blocks in the object store
+    is the correct trade (this is the documented exception to the
+    no-mid-pipeline-materialize rule — input reuse, not an intermediate).
+
+    Float contract: embeddings widen to float64 before any arithmetic;
+    partial-sum order differs from the oracle's ``avg`` by ~ulps, which
+    only matters for near-equidistant points (the synthetic clusters are
+    separated by construction).
+    """
+    import ray
+
+    mat = ds.materialize()
+    init = mat.sort(id_col).limit(k).to_pandas()
+    C = np.asarray(init[vec_col].tolist(), dtype=np.float64)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table, _ref=ref, _k=len(C)) -> pa.Table:
+            Cc = ray.get(_ref)
+            X = _as_matrix(batch.column(vec_col))
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ Cc.T
+                  + (Cc * Cc).sum(1)[None, :])
+            a = d2.argmin(axis=1)
+            sums = np.zeros_like(Cc)
+            counts = np.zeros(_k, np.int64)
+            np.add.at(sums, a, X)
+            np.add.at(counts, a, 1)
+            return pa.table({"cid": pa.array(range(_k), pa.int64()),
+                             "vsum": pa.array(sums.tolist(),
+                                              pa.list_(pa.float64())),
+                             "cnt": pa.array(counts, pa.int64())})
+
+        parts = mat.map_batches(partial, batch_format="pyarrow").to_pandas()
+        newC = C.copy()
+        for cid, g in parts.groupby("cid"):
+            cnt = int(g["cnt"].sum())
+            if cnt > 0:
+                newC[cid] = np.sum(np.asarray(g["vsum"].tolist()), axis=0) / cnt
+        C = newC
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Map-side final assignment: ``(id, cluster)`` per vector."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(ref)
+        X = _as_matrix(batch.column(vec_col))
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ Cc.T
+              + (Cc * Cc).sum(1)[None, :])
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         "cluster": pa.array(d2.argmin(axis=1), pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,51 @@
+"""Distributed Lloyd's k-means over a Dataset."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _blob_table():
+    rng = np.random.RandomState(7)
+    # two tight blobs far apart; ids 0..1 land one in each blob so the
+    # deterministic first-k init starts with one centroid per blob
+    a = rng.normal(0.0, 0.05, size=(20, 8)) + np.r_[np.ones(4), np.zeros(4)]
+    b = rng.normal(0.0, 0.05, size=(20, 8)) - np.r_[np.zeros(4), np.ones(4)]
+    vecs = np.empty((40, 8))
+    vecs[0::2] = a
+    vecs[1::2] = b
+    return pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+
+
+def test_kmeans_separates_blobs(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    ds = ray.data.from_arrow(_blob_table())
+    C = kmeans_fit(ds, k=2, iters=3)
+    assert C.shape == (2, 8)
+    out = kmeans_assign(ds, C).to_pandas().set_index("vec_id")["cluster"]
+    evens = set(out[out.index % 2 == 0])
+    odds = set(out[out.index % 2 == 1])
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.similarity import kmeans_fit
+
+    # 3 identical points, k=2: cluster 1 (init = same point) ties to
+    # cluster 0 on every assignment -> cluster 1 goes empty and must keep
+    # its previous centroid instead of dividing by zero
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]] * 3, pa.list_(pa.float32())),
+    })
+    C = kmeans_fit(ray.data.from_arrow(t), k=2, iters=2)
+    assert np.allclose(C, [[1.0, 2.0], [1.0, 2.0]])
