@@ -159,6 +159,19 @@ _SQL_VERDICT = (
 )
 
 
+def _sql_md5_le64(col: str) -> str:
+    """HUGEINT expression for the repo-standard u64 hash of a string
+    column: md5 hex → first 8 bytes little-endian (same construction the
+    fingerprint oracle uses, parameterized by column name)."""
+    pows = ", ".join(f"CAST({256 ** i} AS HUGEINT)" for i in range(8))
+    return (
+        "list_sum(list_transform(generate_series(0, 7), i -> "
+        f"(CAST(strpos('0123456789abcdef', substr(md5({col}), 2*i+1, 1)) - 1 AS HUGEINT) * 16 "
+        f"+ CAST(strpos('0123456789abcdef', substr(md5({col}), 2*i+2, 1)) - 1 AS HUGEINT)) "
+        f"* [{pows}][i + 1]))"
+    )
+
+
 def _sql_kmeans(k: int = 4, iters: int = 2) -> str:
     """Unrolled Lloyd's k-means oracle: one (assign, mean, centroid) CTE
     trio per iteration, then a final assignment. Mirrors
@@ -1807,6 +1820,54 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_assign(ds, C)
 
 
+def _q_video_frames(sf_dir: str):
+    """REAL video path: MPNG container (length-prefixed minipng PNG
+    frames, functions/minivideo.py) with deterministic constant-gray
+    frames g=(doc_id·7+f·13)%256; every 2nd frame is sampled and DECODED
+    (skipped frames are hopped over, never decoded), brightness as exact
+    integer ppm — closed-form construction oracle, the video analog of
+    audio_frames."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minivideo import encode_frames
+    from documentai_ray.stages.multimodal import VideoFrameSampleStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch.column("doc_id").to_pylist():
+            frames = [np.full((16, 16), (did * 7 + f * 13) % 256, np.uint8)
+                      for f in range(4 + did % 5)]
+            payloads.append(encode_frames(frames))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": pa.array(payloads, pa.large_binary())})
+
+    ds = ds.map_batches(gen, batch_format="pyarrow", batch_size=64)
+    ds = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4),
+                        fn_constructor_kwargs={"step": 2})
+    return ds
+
+
+def _q_kmv_distinct(sf_dir: str):
+    """KMV distinct-count sketch: corpus-wide distinct 3-shingle estimate
+    from the k=128 smallest md5-LE64 hashes — each batch ships ≤128
+    hashes, the estimator is pure integer math, and the oracle recomputes
+    the identical sketch in HUGEINT SQL (exact below k, (k-1)·2⁶⁴//h_k
+    above)."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import kmv_distinct_shingles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return kmv_distinct_shingles(ds, k=128)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1870,6 +1931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_stats": _q_host_stats,
         "kmeans_clusters": _q_kmeans_clusters,
+        "video_frames": _q_video_frames,
+        "kmv_distinct": _q_kmv_distinct,
     }
 
 
@@ -2402,6 +2465,31 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
+        "video_frames": (
+            "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n_frames "
+            "FROM documents), "
+            "f AS (SELECT doc_id, n_frames, "
+            "unnest(range(0, n_frames, 2)) AS frame_idx FROM d) "
+            "SELECT doc_id, n_frames, frame_idx, "
+            "(((doc_id * 7 + frame_idx * 13) % 256) * 1000000) // 255 "
+            "AS brightness_ppm FROM f"
+        ),
+        "kmv_distinct": (
+            "WITH t AS (SELECT list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "s AS (SELECT DISTINCT sh FROM (SELECT "
+            "unnest(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+            "FROM t)), "
+            f"h AS (SELECT {_sql_md5_le64('sh')} AS hv FROM s), "
+            "o AS (SELECT hv FROM h ORDER BY hv LIMIT 128), "
+            "a AS (SELECT count(*) AS m, max(hv) AS hk FROM o) "
+            "SELECT 128 AS k, m AS n_kept, "
+            "CAST(CASE WHEN m < 128 THEN CAST(m AS HUGEINT) "
+            "ELSE CAST(127 AS HUGEINT) * "
+            "CAST(18446744073709551616 AS HUGEINT) // hk END AS BIGINT) "
+            "AS est_distinct FROM a"
+        ),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("
             "SELECT doc_id, lang, n_chars, "

@@ -172,6 +172,47 @@ class AudioFrameStage:
         return batch.append_column("frames", pa.array(all_frames, self.FRAME_TYPE))
 
 
+class VideoFrameSampleStage:
+    """Actor-pool stage: sample every ``step``-th frame of an MPNG video
+    payload and decode it for REAL (stdlib minipng) — skipped frames are
+    never decoded, only hopped over in the container walk (the whole
+    point of sample-before-decode at 100 TB). Explodes one row per
+    sampled frame: ``(…, frame_idx, brightness)`` with brightness the
+    exact integer pixel mean in ppm of 255ths — integer math so the
+    construction oracle is bit-exact (same contract as image_quality).
+
+    Wide binary rows ⇒ callers should pass a SMALL ``batch_size``; a real
+    codec (ffmpeg) would slot in behind ``iter_frames`` unchanged."""
+
+    def __init__(self, step: int = 2, payload_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.step = step
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from documentai_ray.functions import minivideo
+
+        ids: list[int] = []
+        nf: list[int] = []
+        fidx: list[int] = []
+        bright: list[int] = []
+        for did, payload in zip(batch.column(self.id_col).to_pylist(),
+                                batch.column(self.payload_col).to_pylist()):
+            n = minivideo.frame_count(payload)
+            for i, frame in minivideo.iter_frames(payload, step=self.step):
+                ids.append(did)
+                nf.append(n)
+                fidx.append(i)
+                # exact: sum(pixels)·10⁶ // (npx·255) — no float division
+                s = int(frame.astype(np.int64).sum())
+                bright.append(s * 1_000_000 // (frame.size * 255))
+        return pa.table({self.id_col: pa.array(ids, pa.int64()),
+                         "n_frames": pa.array(nf, pa.int64()),
+                         "frame_idx": pa.array(fidx, pa.int64()),
+                         "brightness_ppm": pa.array(bright, pa.int64())})
+
+
 def image_pipeline(ds, *, concurrency=(1, 4), batch_size: int = 32):
     """Binary-payload Dataset → features. Small batch_size on purpose:
     batch bytes ≈ batch_size × payload size must fit the worker heap."""
