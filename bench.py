@@ -190,9 +190,40 @@ def run_benchmarks() -> dict:
         "num_cpus": NUM_CPUS,
         "rows": n_rows,
         "docs_per_sec": round(n_rows / headline, 1),
+        "cpu_calibration": _cpu_calibration(),
     }
     ray.shutdown()
     return result
+
+
+def _cpu_calibration() -> dict:
+    """Host-speed probe recorded alongside every benchmark: the sandbox VM
+    is multi-tenant, and 32 vCPUs have delivered anywhere from ~13 to ~32
+    cores of real parallel throughput across sessions — absolute seconds
+    are not comparable across runs without this. ``single_md5_s`` is a
+    fixed single-thread hash loop; ``par32_speedup`` is the aggregate
+    speedup of 32 concurrent copies (≈ effective usable cores)."""
+    import time as _time
+    from concurrent.futures import ProcessPoolExecutor
+
+    t = _time.time()
+    _calib_work(0)
+    single = _time.time() - t
+    t = _time.time()
+    with ProcessPoolExecutor(32) as ex:
+        list(ex.map(_calib_work, range(32)))
+    wall = _time.time() - t
+    return {"single_md5_s": round(single, 3),
+            "par32_speedup": round(single * 32 / wall, 1)}
+
+
+def _calib_work(_):
+    import hashlib
+
+    x = b"x" * 1000
+    for _i in range(200000):
+        x = hashlib.md5(x).digest()
+    return 1
 
 
 def run_scaling() -> None:
