@@ -1868,6 +1868,63 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct_shingles(ds, k=128)
 
 
+def _q_p95_quantity(sf_dir: str):
+    """Exact p95 per group via the bounded integer histogram (the
+    grouped_median generalization): shuffle carries keys × distinct
+    values, never rows; quantile = smallest value whose cumulative count
+    reaches ceil(0.95·n) — a closed form the SQL window mirror hits
+    exactly (no interpolation)."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_quantile_int
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_quantile_int(ds, key_cols=["l_returnflag", "l_linestatus"],
+                                val_col="l_quantity", q=0.95,
+                                out_col="p95_qty")
+
+
+def _q_users_per_event(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: batch-local pair dedup
+    → distributed pair-distinct → per-key count (both exchanges carry
+    only the (type, user) projection)."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_count_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, key_col="event_type",
+                                  val_col="user_id")
+
+
+def _q_events_rate_windows(sf_dir: str):
+    """Range join (the join type Ray Data lacks natively): events ×
+    overlapping 60-min rate windows starting every 45 min — each event
+    matches 1-2 windows. The interval side is broadcast-small; candidates
+    come from two vectorized searchsorted calls bounded by the max
+    interval length (stages/joins.py::interval_join)."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.joins import interval_join
+
+    base = pd.Timestamp("2024-01-01")
+    k = pd.RangeIndex(960)
+    iv = pd.DataFrame({
+        "interval_id": k.astype("int64"),
+        "start": base + pd.to_timedelta(k * 45, unit="m"),
+        "end": base + pd.to_timedelta(k * 45 + 60, unit="m"),
+        "rate_class": (k % 3).astype("int64"),
+    })
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+    out = interval_join(ds, iv, ts_col="ts", carry_cols=["rate_class"])
+    return out.select_columns(["event_id", "interval_id", "rate_class"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1933,6 +1990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
+        "p95_quantity": _q_p95_quantity,
+        "users_per_event": _q_users_per_event,
+        "events_rate_windows": _q_events_rate_windows,
     }
 
 
@@ -2465,6 +2525,31 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
+        "p95_quantity": (
+            "WITH c AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(l_quantity AS BIGINT) AS v, count(*) AS n FROM lineitem "
+            "GROUP BY 1, 2, 3), "
+            "w AS (SELECT l_returnflag, l_linestatus, v, "
+            "sum(n) OVER (PARTITION BY l_returnflag, l_linestatus "
+            "ORDER BY v) AS cum, "
+            "sum(n) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot "
+            "FROM c) "
+            "SELECT l_returnflag, l_linestatus, min(v) AS p95_qty FROM w "
+            "WHERE cum >= ceil(0.95 * tot) GROUP BY 1, 2"
+        ),
+        "users_per_event": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_rate_windows": (
+            "WITH iv AS (SELECT k AS interval_id, "
+            "TIMESTAMP '2024-01-01' + k * INTERVAL 45 MINUTE AS s, "
+            "TIMESTAMP '2024-01-01' + k * INTERVAL 45 MINUTE "
+            "+ INTERVAL 60 MINUTE AS e, k % 3 AS rate_class "
+            "FROM (SELECT unnest(range(0, 960)) AS k)) "
+            "SELECT ev.event_id, iv.interval_id, iv.rate_class "
+            "FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e"
+        ),
         "video_frames": (
             "WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS n_frames "
             "FROM documents), "

@@ -86,3 +86,68 @@ def grouped_median_int(ds, *, key_cols: list[str], val_col: str,
     # the histogram is tiny (keys × distinct values); group count equals
     # key-group count which is small by contract for a median-per-group op
     return hist.groupby(key_cols).map_groups(median_of, batch_format="pandas")
+
+
+def grouped_quantile_int(ds, *, key_cols: list[str], val_col: str,
+                         q: float, out_col: str = "quantile"):
+    """Exact discrete per-group quantile of an integer-valued column via
+    the same bounded histogram as ``grouped_median_int`` — the quantile is
+    the smallest value whose cumulative count reaches ``ceil(q·n)``
+    (a closed form the SQL oracle reproduces with a window cumsum; no
+    interpolation, so the result stays an exact int64). Same shuffle
+    contract: keys × distinct values, never row count."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = df.groupby(key_cols + ["_v"], as_index=False).size()
+        g = g.rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_cols + ["_v"])
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+
+    def quant_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_v", kind="mergesort")
+        n = int(g["_n"].sum())
+        cum = g["_n"].cumsum().to_numpy()
+        vals = g["_v"].to_numpy()
+        rank = math.ceil(q * n)
+        v = int(vals[np.searchsorted(cum, rank)])
+        out = {c: [g[c].iloc[0]] for c in g.columns if c not in ("_v", "_n")}
+        out[out_col] = [v]
+        return pd.DataFrame(out)
+
+    return hist.groupby(key_cols).map_groups(quant_of, batch_format="pandas")
+
+
+def grouped_count_distinct(ds, *, key_col: str, val_col: str,
+                           out_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT val) per key: batch-local dedup of
+    (key, val) pairs → distributed pair-distinct groupby → per-key count.
+    Both exchanges carry only the key/val projection; the first is
+    pre-combined per block so hot (key, val) pairs collapse before the
+    wire. For approximate cardinalities at lower shuffle cost see
+    ``sketches.kmv_distinct_shingles``."""
+    from ray.data.aggregate import Count
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = (
+        ds.map_batches(pair_distinct, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Count(alias_name="_c"))
+    )
+    return (
+        pairs.groupby(key_col)
+        .aggregate(Count(alias_name=out_col))
+    )

@@ -148,3 +148,68 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
                                     preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+
+
+def interval_join(ds, intervals: pd.DataFrame, *, ts_col: str = "ts",
+                  id_col: str = "interval_id", start_col: str = "start",
+                  end_col: str = "end", carry_cols: list[str] | None = None):
+    """Range join: match each row to EVERY interval containing its
+    timestamp (``start <= ts < end``), intervals may overlap — the join
+    type Ray Data lacks natively (VERDICT §custom-operators).
+
+    Physical plan: the interval table is the broadcast-small side
+    (calendars, rate windows, maintenance schedules — thousands of rows,
+    not billions), shipped once via ``ray.put`` sorted by start. Per batch
+    the candidate set for each ts is the start-index window
+    ``(ts - max_len, ts]`` found with two vectorized ``searchsorted``
+    calls — correct because no interval is longer than
+    ``max_len = max(end - start)`` — then the exact ``end > ts`` check
+    filters candidates. Cost is O(rows · max_overlap), never rows ×
+    intervals. A fact-sized interval side would instead bucket both sides
+    by coarse time epoch (the asof_join plan) — same output contract.
+    """
+    import ray
+
+    iv = intervals.sort_values(start_col, kind="mergesort").reset_index(drop=True)
+    carry = carry_cols or []
+    max_len = (iv[end_col] - iv[start_col]).max()
+    if hasattr(max_len, "to_timedelta64"):  # datetime intervals
+        max_len = max_len.to_timedelta64()
+    ref = ray.put({
+        "starts": iv[start_col].to_numpy(),
+        "ends": iv[end_col].to_numpy(),
+        "ids": iv[id_col].to_numpy(),
+        "carry": {c: iv[c].to_numpy() for c in carry},
+        "max_len": max_len,
+    })
+
+    def match(batch: pa.Table) -> pa.Table:
+        state = ray.get(ref)
+        starts, ends = state["starts"], state["ends"]
+        df = batch.to_pandas()
+        ts = df[ts_col].to_numpy()
+        hi = np.searchsorted(starts, ts, side="right")
+        lo = np.searchsorted(starts, ts - state["max_len"], side="right")
+        span = int((hi - lo).max()) if len(ts) else 0
+        row_idx_parts, iv_idx_parts = [], []
+        for j in range(span):
+            cand = hi - 1 - j
+            valid = cand >= lo
+            rows = np.nonzero(valid)[0]
+            cidx = cand[valid]
+            inside = ends[cidx] > ts[rows]
+            row_idx_parts.append(rows[inside])
+            iv_idx_parts.append(cidx[inside])
+        if row_idx_parts:
+            rows = np.concatenate(row_idx_parts)
+            ivs = np.concatenate(iv_idx_parts)
+        else:
+            rows = np.empty(0, np.int64)
+            ivs = np.empty(0, np.int64)
+        out = df.iloc[rows].reset_index(drop=True)
+        out[id_col] = state["ids"][ivs]
+        for c, vals in state["carry"].items():
+            out[c] = vals[ivs]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(match, batch_format="pyarrow")

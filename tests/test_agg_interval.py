@@ -1,0 +1,76 @@
+"""Grouped quantile, grouped count-distinct, interval (range) join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_grouped_quantile_int(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_quantile_int
+
+    t = pa.table({
+        "k": pa.array(["a"] * 10 + ["b"] * 4, pa.string()),
+        "v": pa.array(list(range(1, 11)) + [5, 5, 7, 100], pa.int64()),
+    })
+    out = grouped_quantile_int(ray.data.from_arrow(t), key_cols=["k"],
+                               val_col="v", q=0.95, out_col="p95").to_pandas()
+    out = out.set_index("k")["p95"]
+    # a: ceil(0.95*10)=10th of 1..10 -> 10 ; b: ceil(0.95*4)=4th -> 100
+    assert out.loc["a"] == 10
+    assert out.loc["b"] == 100
+
+
+def test_grouped_count_distinct(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_count_distinct
+
+    t = pa.table({
+        "k": pa.array(["x", "x", "x", "y", "y"], pa.string()),
+        "u": pa.array([1, 1, 2, 7, 7], pa.int64()),
+    })
+    out = grouped_count_distinct(ray.data.from_arrow(t), key_col="k",
+                                 val_col="u").to_pandas().set_index("k")
+    assert out.loc["x", "n_distinct"] == 2
+    assert out.loc["y", "n_distinct"] == 1
+
+
+def test_interval_join_overlapping(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.joins import interval_join
+
+    # intervals: [0,60) [45,105) [90,150) — ts=50 is in both 0 and 1
+    iv = pd.DataFrame({"interval_id": [0, 1, 2],
+                       "start": [0, 45, 90],
+                       "end": [60, 105, 150],
+                       "rate": [10, 20, 30]})
+    t = pa.table({"event_id": pa.array([1, 2, 3], pa.int64()),
+                  "ts": pa.array([50, 95, 149], pa.int64())})
+    out = interval_join(ray.data.from_arrow(t), iv, ts_col="ts",
+                        carry_cols=["rate"]).to_pandas()
+    got = sorted(zip(out["event_id"], out["interval_id"], out["rate"]))
+    assert got == [(1, 0, 10), (1, 1, 20), (2, 1, 20), (2, 2, 30), (3, 2, 30)]
+
+
+def test_interval_join_timestamps(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.joins import interval_join
+
+    base = pd.Timestamp("2024-01-01")
+    iv = pd.DataFrame({
+        "interval_id": [0, 1],
+        "start": [base, base + pd.Timedelta(minutes=45)],
+        "end": [base + pd.Timedelta(minutes=60),
+                base + pd.Timedelta(minutes=105)],
+    })
+    t = pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array([base + pd.Timedelta(minutes=50)],
+                                 pa.timestamp("us"))})
+    out = interval_join(ray.data.from_arrow(t), iv, ts_col="ts").to_pandas()
+    assert sorted(out["interval_id"]) == [0, 1]
