@@ -1925,6 +1925,78 @@ def _q_events_rate_windows(sf_dir: str):
     return out.select_columns(["event_id", "interval_id", "rate_class"])
 
 
+def _q_images_to_pdf(sf_dir: str):
+    """REAL images→PDF sink (K2): per doc, 1+doc_id%3 constant-gray PNG
+    pages → minipng decode → a genuine PDF 1.4 (real xref/XObject byte
+    layout, functions/pdfwrite.py). ``pdf_valid`` re-parses every xref
+    offset and round-trips the embedded pixels per row — the writer
+    validates its own output inside the pipeline; page counts are the
+    closed-form oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions import minipng
+    from documentai_ray.functions.pdfwrite import validate
+    from documentai_ray.stages.multimodal import ImagesToPdfStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        pages = []
+        for did in batch.column("doc_id").to_pylist():
+            pages.append([minipng.encode_gray(
+                np.full((12, 16), (did + 31 * p) % 256, np.uint8))
+                for p in range(1 + did % 3)])
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pages": pa.array(pages,
+                                           pa.list_(pa.large_binary()))})
+
+    ds = ds.map_batches(gen, batch_format="pyarrow", batch_size=64)
+    ds = ds.map_batches(ImagesToPdfStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+
+    def check(batch: pa.Table) -> pa.Table:
+        ok = []
+        for pdf in batch.column("pdf").to_pylist():
+            try:
+                validate(pdf)
+                ok.append(True)
+            except ValueError:
+                ok.append(False)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_pages": batch.column("n_pages"),
+                         "pdf_valid": pa.array(ok, pa.bool_())})
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def _q_base64_pages(sf_dir: str):
+    """K5 base64 emitter: binary payloads (here the utf-8 text bytes, so
+    the oracle can rebuild them) → standard-alphabet base64 column,
+    mirrored bit-exactly by DuckDB to_base64(encode(text))."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.multimodal import base64_emit_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "payload": pa.array([(t or "").encode("utf-8")
+                                 for t in batch.column("text").to_pylist()],
+                                pa.large_binary())})
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(base64_emit_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return ds.select_columns(["doc_id", "payload_b64"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -1993,6 +2065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p95_quantity": _q_p95_quantity,
         "users_per_event": _q_users_per_event,
         "events_rate_windows": _q_events_rate_windows,
+        "images_to_pdf": _q_images_to_pdf,
+        "base64_pages": _q_base64_pages,
     }
 
 
@@ -2540,6 +2614,14 @@ def oracle_sql() -> dict[str, str]:
         "users_per_event": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
             "FROM events GROUP BY event_type"
+        ),
+        "images_to_pdf": (
+            "SELECT doc_id, 1 + doc_id % 3 AS n_pages, true AS pdf_valid "
+            "FROM documents"
+        ),
+        "base64_pages": (
+            "SELECT doc_id, to_base64(encode(text)) AS payload_b64 "
+            "FROM documents"
         ),
         "events_rate_windows": (
             "WITH iv AS (SELECT k AS interval_id, "

@@ -172,6 +172,51 @@ class AudioFrameStage:
         return batch.append_column("frames", pa.array(all_frames, self.FRAME_TYPE))
 
 
+class ImagesToPdfStage:
+    """REAL images→PDF sink stage (K2): decode each row's PNG page
+    payloads (stdlib minipng) and re-bundle them into one genuine PDF 1.4
+    document per row (functions/pdfwrite.py — real xref/XObject layout,
+    validated by round-trip in tests). Output: ``pdf`` payload +
+    ``n_pages`` + ``pdf_bytes``.
+
+    Reference anchor: the gateway's images→PDF re-bundling endpoint
+    (img2pdf behind FastAPI); here it is a batch sink stage."""
+
+    def __init__(self, pages_col: str = "pages", out_col: str = "pdf"):
+        self.pages_col = pages_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from documentai_ray.functions import minipng
+        from documentai_ray.functions.pdfwrite import images_to_pdf
+
+        pdfs: list[bytes] = []
+        n_pages: list[int] = []
+        for pages in batch.column(self.pages_col).to_pylist():
+            imgs = [minipng.decode_gray(p) for p in pages]
+            pdfs.append(images_to_pdf(imgs))
+            n_pages.append(len(imgs))
+        batch = batch.drop_columns([self.pages_col])
+        out = batch.append_column(self.out_col,
+                                  pa.array(pdfs, pa.large_binary()))
+        out = out.append_column("n_pages", pa.array(n_pages, pa.int64()))
+        return out.append_column(
+            "pdf_bytes", pa.array([len(p) for p in pdfs], pa.int64()))
+
+
+def base64_emit_batch(batch: pa.Table, *, payload_col: str = "payload",
+                      out_col: str = "payload_b64") -> pa.Table:
+    """K5: standard-alphabet base64 emission of a binary payload column
+    (the reference returns page images base64-inline in its API
+    responses; here it is a column transform, mirrored bit-exactly by
+    DuckDB ``to_base64``)."""
+    import base64
+
+    vals = [base64.b64encode(p).decode("ascii")
+            for p in batch.column(payload_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(vals, pa.large_string()))
+
+
 class VideoFrameSampleStage:
     """Actor-pool stage: sample every ``step``-th frame of an MPNG video
     payload and decode it for REAL (stdlib minipng) — skipped frames are
