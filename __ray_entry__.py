@@ -1997,6 +1997,23 @@ def _q_base64_pages(sf_dir: str):
     return ds.select_columns(["doc_id", "payload_b64"])
 
 
+def _q_rasterize_pages(sf_dir: str):
+    """REAL S3 (pdf2image) analog: MINIPDF pages render to letter-size
+    grayscale pixels (every span bbox an ink rectangle), first page only.
+    Span boxes are disjoint 6·len×10 rectangles by construction, so
+    ink_px has the closed form 60·Σ len(word) over the first page's ≤96
+    words — the oracle; error payloads (doc_id%97) emit zeroed dims."""
+    import ray.data
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.multimodal import RasterizeStage
+
+    ds = pages_dataset(sf_dir, with_dups=False, pdf_mode=True)
+    ds = ds.map_batches(RasterizeStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+    return ds.select_columns(["url", "ink_px", "raster_w", "raster_h"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2067,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate_windows": _q_events_rate_windows,
         "images_to_pdf": _q_images_to_pdf,
         "base64_pages": _q_base64_pages,
+        "rasterize_pages": _q_rasterize_pages,
     }
 
 
@@ -2622,6 +2640,20 @@ def oracle_sql() -> dict[str, str]:
         "base64_pages": (
             "SELECT doc_id, to_base64(encode(text)) AS payload_b64 "
             "FROM documents"
+        ),
+        # first page holds <= 4 blocks x 3 lines x 8 words = 96 words;
+        # disjoint 6·len x 10 span boxes -> ink = 60·Σ len
+        "rasterize_pages": (
+            "WITH t AS (SELECT doc_id, source, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            f"SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 97 = 0 THEN 0 ELSE "
+            "coalesce(60 * list_sum(list_transform(toks[1:96], "
+            "w -> length(w))), 0) END AS ink_px, "
+            "CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 612 END AS raster_w, "
+            "CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 792 END AS raster_h "
+            "FROM t"
         ),
         "events_rate_windows": (
             "WITH iv AS (SELECT k AS interval_id, "

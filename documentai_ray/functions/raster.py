@@ -1,0 +1,49 @@
+"""MINIPDF page rasterizer — the REAL S3 (pdf2image) analog.
+
+The reference's pdf2image step renders the first PDF page to pixels for
+the OCR/quality path. Poppler isn't in this container, but MINIPDF's
+layout tree is exact geometry — rendering it is a deterministic numpy
+fill: every span bbox becomes an ink rectangle on a letter-size canvas.
+The output is a genuine grayscale page image that feeds the real image
+pipeline (minipng encode → imaging metrics), and because span boxes are
+disjoint by construction (build_from_lines geometry: 6·len × 10 boxes
+with 4 px x-gaps / 2 px y-gaps), the ink-pixel count has the closed form
+``60 · Σ len(word)`` over the page's words — the rasterizer's oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PAGE_W = 612  # letter @ 72 dpi, the pdf2image default
+PAGE_H = 792
+
+
+def rasterize_page(page: dict, *, width: int = PAGE_W,
+                   height: int = PAGE_H) -> np.ndarray:
+    """Render one MINIPDF page dict (unscaled coords) to uint8 grayscale:
+    255 background, 0 ink; boxes clipped to the canvas."""
+    img = np.full((height, width), 255, np.uint8)
+    for block in page["blocks"]:
+        for line in block["lines"]:
+            for span in line["spans"]:
+                x0, y0, x1, y1 = span["bbox"]
+                xa, ya = max(0, int(x0)), max(0, int(y0))
+                xb, yb = min(width, int(x1)), min(height, int(y1))
+                if xb > xa and yb > ya:
+                    img[ya:yb, xa:xb] = 0
+    return img
+
+
+def rasterize_first_page(payload: bytes, *, width: int = PAGE_W,
+                         height: int = PAGE_H) -> np.ndarray | None:
+    """First-page raster (the reference's ``pdf2image(..., last_page=1)``
+    truncation); ``None`` for non-MINIPDF payloads (error rows)."""
+    from documentai_ray.functions import minipdf
+
+    if not minipdf.is_minipdf(payload):
+        return None
+    pages = minipdf.decode(payload)
+    if not pages:
+        return None
+    return rasterize_page(pages[0], width=width, height=height)

@@ -172,6 +172,46 @@ class AudioFrameStage:
         return batch.append_column("frames", pa.array(all_frames, self.FRAME_TYPE))
 
 
+class RasterizeStage:
+    """REAL S3 path: MINIPDF payload → first-page grayscale raster
+    (functions/raster.py) → ink stats + optional PNG write-back so the
+    page can enter the image pipeline (minipng → imaging metrics).
+    Non-MINIPDF payloads (error rows) emit zeroed dims — the same
+    error-row contract as extraction."""
+
+    def __init__(self, payload_col: str = "html", emit_png: bool = False):
+        self.payload_col = payload_col
+        self.emit_png = emit_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from documentai_ray.functions import minipng
+        from documentai_ray.functions.raster import rasterize_first_page
+
+        ink: list[int] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        pngs: list[bytes] = []
+        for payload in batch.column(self.payload_col).to_pylist():
+            img = rasterize_first_page(payload)
+            if img is None:
+                ink.append(0)
+                ws.append(0)
+                hs.append(0)
+                pngs.append(b"")
+                continue
+            ink.append(int((img < 255).sum()))
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            pngs.append(minipng.encode_gray(img) if self.emit_png else b"")
+        batch = batch.drop_columns([self.payload_col])
+        out = batch.append_column("ink_px", pa.array(ink, pa.int64()))
+        out = out.append_column("raster_w", pa.array(ws, pa.int64()))
+        out = out.append_column("raster_h", pa.array(hs, pa.int64()))
+        if self.emit_png:
+            out = out.append_column("png", pa.array(pngs, pa.large_binary()))
+        return out
+
+
 class ImagesToPdfStage:
     """REAL images→PDF sink stage (K2): decode each row's PNG page
     payloads (stdlib minipng) and re-bundle them into one genuine PDF 1.4
