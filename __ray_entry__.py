@@ -2014,6 +2014,59 @@ def _q_rasterize_pages(sf_dir: str):
     return ds.select_columns(["url", "ink_px", "raster_w", "raster_h"])
 
 
+def _q_urgent_revenue(sf_dir: str):
+    """Bloom-prefiltered join: lineitem is pre-filtered against a
+    distributed bloom bitmap of URGENT orderkeys BEFORE the all-to-all
+    join exchange (the classic shuffle-volume reducer — the fact side
+    shrinks to matches + ~1% false positives, and the exact hash_join
+    removes the false positives, so the result is exact regardless of
+    filter error). Bitmap build is a batch-bitmap OR (sketch-sized state
+    only); output matches the plain-join oracle bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.stages.joins import (bloom_prefilter, build_bloom,
+                                             hash_join)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "o_orderpriority": batch.column("o_orderpriority")})
+
+    orders = orders.map_batches(urgent, batch_format="pyarrow")
+    bloom = build_bloom(orders.select_columns(["orderkey"]),
+                        key_col="orderkey", m_bits=1 << 20)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype("int64")
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100).astype("int64")
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "rev_c2": pa.array(price_c * (100 - disc_c), pa.int64())})
+
+    li = bloom_prefilter(li.map_batches(li_prep, batch_format="pyarrow"),
+                         bloom, key_col="orderkey")
+    joined = hash_join(li, orders, on="orderkey")
+    agg = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("rev_c2", alias_name="_rev_c2"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["_rev_c2"] / 10000.0  # exact integer-cents sum
+    return agg[["o_orderpriority", "n_items", "revenue"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2085,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_to_pdf": _q_images_to_pdf,
         "base64_pages": _q_base64_pages,
         "rasterize_pages": _q_rasterize_pages,
+        "urgent_revenue": _q_urgent_revenue,
     }
 
 
@@ -2339,6 +2393,15 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
             "AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "urgent_revenue": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' "
             "GROUP BY o_orderpriority"
         ),
         "entities_table": (

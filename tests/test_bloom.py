@@ -1,0 +1,45 @@
+"""Bloom-filter join prefilter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_bloom_no_false_negatives_and_filters(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.joins import bloom_prefilter, build_bloom
+
+    dim_keys = np.arange(0, 1000, 7, dtype=np.int64)          # 143 keys
+    dim = ray.data.from_arrow(pa.table({"k": pa.array(dim_keys, pa.int64())}))
+    bloom = build_bloom(dim, key_col="k", m_bits=1 << 14)
+    fact_keys = np.arange(5000, dtype=np.int64)
+    fact = ray.data.from_arrow(pa.table({"k": pa.array(fact_keys, pa.int64())}))
+    kept = bloom_prefilter(fact, bloom, key_col="k").to_pandas()["k"].to_numpy()
+    # every true member survives (bloom guarantees no false negatives)
+    assert np.isin(dim_keys, kept).all()
+    # and the filter actually filters (few false positives at 16K bits/143 keys)
+    assert len(kept) < 1000
+
+
+def test_bloom_prefiltered_join_is_exact(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.joins import (bloom_prefilter, build_bloom,
+                                             hash_join)
+
+    dim = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 5, 8], pa.int64()),
+        "tag": pa.array(["a", "b", "c"], pa.string())}))
+    fact = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(10)), pa.int64()),
+        "v": pa.array(list(range(10)), pa.int64())}))
+    bloom = build_bloom(dim.select_columns(["k"]), key_col="k",
+                        m_bits=1 << 10)
+    pre = bloom_prefilter(fact, bloom, key_col="k")
+    out = hash_join(pre, dim, on="k", num_partitions=4).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [2, 5, 8]
+    assert list(out["v"]) == [2, 5, 8]
+    assert list(out["tag"]) == ["a", "b", "c"]
