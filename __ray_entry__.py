@@ -2067,6 +2067,20 @@ def _q_urgent_revenue(sf_dir: str):
     return agg[["o_orderpriority", "n_items", "revenue"]]
 
 
+def _q_gopher_quality(sf_dir: str):
+    """The non-repetition half of the Gopher quality rules (Rae et al.
+    2021 Table A1): word-count bounds, mean word length in [3,10], symbol
+    ratio ≤ 0.1, bullet-line ratio ≤ 0.9 — all ratios integer ppm so the
+    SQL mirror is bit-exact. Runs over the extracted pages corpus."""
+    from documentai_ray.stages.curation import gopher_quality_batch
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+    return ds.map_batches(gopher_quality_batch, batch_format="pyarrow",
+                          batch_size=256).select_columns(
+        ["url", "n_words", "mean_word_len_ppm", "symbol_ppm",
+         "bullet_ppm", "gq_keep"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2139,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "base64_pages": _q_base64_pages,
         "rasterize_pages": _q_rasterize_pages,
         "urgent_revenue": _q_urgent_revenue,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -2394,6 +2409,28 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        "gopher_quality": (
+            f"WITH d AS (SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "
+            "WHERE text <> ''), "
+            "m AS (SELECT url, text, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks, "
+            "string_split(text, chr(10)) AS ls FROM d), "
+            "s AS (SELECT url, len(toks) AS n_words, "
+            "CASE WHEN len(toks) = 0 THEN 0 ELSE "
+            "list_sum(list_transform(toks, w -> length(w))) * 1000000 // len(toks) "
+            "END AS mean_word_len_ppm, "
+            "CASE WHEN len(toks) = 0 OR length(text) = 0 THEN 0 ELSE "
+            "length(regexp_replace(text, '[a-zA-Z0-9 ' || chr(10) || ']', '', 'g')) "
+            "* 1000000 // length(text) END AS symbol_ppm, "
+            "CASE WHEN len(toks) = 0 THEN 0 ELSE "
+            "len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*'))) "
+            "* 1000000 // len(ls) END AS bullet_ppm FROM m) "
+            "SELECT url, n_words, mean_word_len_ppm, symbol_ppm, bullet_ppm, "
+            "n_words BETWEEN 50 AND 100000 "
+            "AND mean_word_len_ppm BETWEEN 3000000 AND 10000000 "
+            "AND symbol_ppm <= 100000 AND bullet_ppm <= 900000 AS gq_keep "
+            "FROM s"
         ),
         "urgent_revenue": (
             "SELECT o_orderpriority, count(*) AS n_items, "

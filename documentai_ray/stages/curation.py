@@ -304,3 +304,56 @@ def redact_batch(batch: pa.Table, *, text_col: str = "text",
                  out_col: str = "redacted") -> pa.Table:
     red = [redact_text(t or "") for t in batch.column(text_col).to_pylist()]
     return batch.append_column(out_col, pa.array(red, pa.large_string()))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (the non-repetition half of Rae et al. 2021 A1)
+# ---------------------------------------------------------------------------
+
+_GQ_SYMBOLS = re.compile(r"[a-zA-Z0-9 \n]")  # removing KEEPS the symbols
+_WS_SPLIT = re.compile(r"\s+")
+
+GQ_MIN_WORDS = 50
+GQ_MAX_WORDS = 100_000
+GQ_MWL_MIN_PPM = 3_000_000   # mean word length in [3, 10]
+GQ_MWL_MAX_PPM = 10_000_000
+GQ_SYMBOL_MAX_PPM = 100_000  # symbol-to-char ratio <= 0.1
+GQ_BULLET_MAX_PPM = 900_000  # <= 90% bullet lines
+
+
+def gopher_quality(text: str) -> tuple[int, int, int, int, bool]:
+    """(n_words, mean_word_len_ppm, symbol_ppm, bullet_ppm, keep) — all
+    ratios as integer ppm (floor), so the SQL oracle is bit-exact."""
+    words = [w for w in _WS_SPLIT.split(text) if w]
+    n_words = len(words)
+    n_chars = len(text)
+    if n_words == 0:
+        return 0, 0, 0, 0, False
+    mwl = sum(len(w) for w in words) * 1_000_000 // n_words
+    sym = len(_GQ_SYMBOLS.sub("", text))
+    sym_ppm = sym * 1_000_000 // n_chars if n_chars else 0
+    lines = text.split("\n")
+    bull = sum(1 for l in lines if l.startswith(("-", "*")))
+    bull_ppm = bull * 1_000_000 // len(lines)
+    keep = (GQ_MIN_WORDS <= n_words <= GQ_MAX_WORDS
+            and GQ_MWL_MIN_PPM <= mwl <= GQ_MWL_MAX_PPM
+            and sym_ppm <= GQ_SYMBOL_MAX_PPM
+            and bull_ppm <= GQ_BULLET_MAX_PPM)
+    return n_words, mwl, sym_ppm, bull_ppm, keep
+
+
+def gopher_quality_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    cols: dict[str, list] = {"n_words": [], "mean_word_len_ppm": [],
+                             "symbol_ppm": [], "bullet_ppm": [],
+                             "gq_keep": []}
+    for t in batch.column(text_col).to_pylist():
+        nw, mwl, sym, bull, keep = gopher_quality(t or "")
+        cols["n_words"].append(nw)
+        cols["mean_word_len_ppm"].append(mwl)
+        cols["symbol_ppm"].append(sym)
+        cols["bullet_ppm"].append(bull)
+        cols["gq_keep"].append(keep)
+    out = batch
+    for name in ("n_words", "mean_word_len_ppm", "symbol_ppm", "bullet_ppm"):
+        out = out.append_column(name, pa.array(cols[name], pa.int64()))
+    return out.append_column("gq_keep", pa.array(cols["gq_keep"], pa.bool_()))

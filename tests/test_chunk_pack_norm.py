@@ -79,3 +79,19 @@ def test_pack_sequences_greedy(ray_session):
     assert out.loc[10, "cost"] == 10
     assert out.loc[10, "n_tokens"] == 25
     assert out.loc[10, "bin_id"] == 0
+
+
+def test_gopher_quality_rules():
+    from documentai_ray.stages.curation import gopher_quality
+
+    nw, mwl, sym, bull, keep = gopher_quality(" ".join(["word"] * 60))
+    assert (nw, mwl, sym, bull) == (60, 4_000_000, 0, 0)
+    assert keep
+    # too few words
+    assert gopher_quality("just a few words here")[4] is False
+    # bullet-heavy text fails the bullet ratio
+    heavy = "\n".join(["- item " + " ".join(["w"] * 10)] * 10)
+    nw2, _, _, bull2, keep2 = gopher_quality(heavy)
+    assert bull2 == 1_000_000 and keep2 is False
+    # empty text: all zeros, rejected
+    assert gopher_quality("") == (0, 0, 0, 0, False)
