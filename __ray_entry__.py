@@ -2081,6 +2081,23 @@ def _q_gopher_quality(sf_dir: str):
          "bullet_ppm", "gq_keep"])
 
 
+def _q_repeated_passages(sf_dir: str):
+    """Repeated-passage detection (the k-token-granular analog of Lee et
+    al. 2022 suffix-array substring dedup): every maximal token span
+    covered by 8-gram shingles occurring ≥2 times corpus-wide, marked in
+    every doc that contains it. Three key-projected exchanges (explode →
+    dup-set count → semi join), islands merged per doc bucket; grouping by
+    64-bit shingle hash ≡ grouping by shingle string modulo ~2⁻⁶⁴
+    collisions (the SQL oracle groups by the string)."""
+    import ray.data
+
+    from documentai_ray.stages.dedup import repeated_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return repeated_spans(ds, k=8, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2154,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_pages": _q_rasterize_pages,
         "urgent_revenue": _q_urgent_revenue,
         "gopher_quality": _q_gopher_quality,
+        "repeated_passages": _q_repeated_passages,
     }
 
 
@@ -2409,6 +2427,28 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
+        ),
+        # dup-shingle set over ALL positions (cross-doc AND within-doc),
+        # then gaps-and-islands merge of fixed-length spans per doc
+        "repeated_passages": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "p AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(toks) - 7)) - 1 AS pos, "
+            "unnest(list_transform(generate_series(1, len(toks) - 7), "
+            "i -> array_to_string(toks[i:i+7], ' '))) AS sh "
+            "FROM t WHERE len(toks) >= 8), "
+            "c AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2), "
+            "m AS (SELECT doc_id, pos FROM p WHERE sh IN (SELECT sh FROM c)), "
+            "w AS (SELECT doc_id, pos, CASE WHEN "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+            "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+            "THEN 1 ELSE 0 END AS brk FROM m), "
+            "g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id "
+            "ORDER BY pos) AS island FROM w) "
+            "SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end, "
+            "count(*) AS n_shingles FROM g GROUP BY doc_id, island"
         ),
         "gopher_quality": (
             f"WITH d AS (SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "

@@ -203,6 +203,22 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(sh)
 
 
+def _shingle_hashes_positional(text: str, k: int) -> np.ndarray:
+    """Like ``_shingle_hashes`` but POSITION-ALIGNED: element ``i`` is the
+    hash of tokens ``[i, i+k)``, duplicates kept, no sorting — the form
+    span-level operators (``repeated_spans``) need."""
+    toks = text.split()
+    if len(toks) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                     count=len(toks))
+    n = len(th) - k + 1
+    sh = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        sh = sh * _SH_P1 + th[j : j + n] * _SH_P2
+    return sh
+
+
 def minhash_signature(text: str, perm_a: np.ndarray, perm_b: np.ndarray, k: int = 3) -> np.ndarray:
     """num_perm MinHash values via universal hashing ((a*x+b) mod p) — one
     vectorized numpy op over all shingles × permutations."""
@@ -710,4 +726,98 @@ def simhash_candidate_pairs(ds, id_col: str, *, bands: int = 4,
         cand.map_batches(add_pair_pkey, batch_format="pyarrow")
         .groupby("_pair_pkey")
         .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repeated-passage detection (exact substring dedup at k-token granularity)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 8, min_count: int = 2, num_partitions: int = 64,
+                   idx_bits: int = 20):
+    """Find every maximal token span covered by k-gram shingles that occur
+    ≥ ``min_count`` times corpus-wide — the k-token-granular analog of
+    suffix-array exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a passage repeated
+    anywhere (across docs or within one) is marked in EVERY document that
+    contains it, as merged ``[span_start, span_end)`` token ranges.
+
+    Physical plan — three key-projected exchanges, no text ever shuffles:
+    1. EXPLODE: per doc, the position-aligned shingle-hash vector
+       (vectorized ``_shingle_hashes``) → ``(sh: u64, lkey = doc<<bits|pos)``.
+    2. DUP SET: ``groupby(sh).count() ≥ min_count`` (block-level
+       pre-combine collapses hot shingles before the wire).
+    3. MARK: semi hash-join of positions against the dup set on ``sh``.
+    4. MERGE: decode → bucket by doc → one vectorized pass per partition
+       merges overlapping/adjacent spans (sorted fixed-length intervals:
+       break where ``pos > prev_pos + k``), emitting
+       ``(doc_id, span_start, span_end, n_shingles)`` in token units.
+    """
+    from ray.data.aggregate import Count
+
+    from documentai_ray.stages.joins import hash_join
+
+    mask = (1 << idx_bits) - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh_out: list[np.ndarray] = []
+        key_out: list[np.ndarray] = []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            hs = _shingle_hashes_positional(t or "", k)
+            if hs.size:
+                sh_out.append(hs)
+                key_out.append((np.int64(did) << idx_bits)
+                               | np.arange(len(hs), dtype=np.int64))
+        if not sh_out:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "lkey": pa.array([], pa.int64())})
+        # int64 bit-reinterpret: groupby/join keys stay a native Arrow type
+        return pa.table({"sh": pa.array(np.concatenate(sh_out).view(np.int64),
+                                        pa.int64()),
+                         "lkey": pa.array(np.concatenate(key_out), pa.int64())})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    counts = pairs.groupby("sh").aggregate(Count(alias_name="_n"))
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater_equal(batch.column("_n"), min_count))
+        return batch.select(["sh"])
+
+    dup = counts.map_batches(dup_only, batch_format="pyarrow")
+    marked = hash_join(pairs, dup, on="sh", how="semi",
+                       num_partitions=num_partitions)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        lk = batch.column("lkey").to_numpy().astype(np.int64)
+        return pa.table({id_col: pa.array(lk >> idx_bits, pa.int64()),
+                         "pos": pa.array(lk & mask, pa.int64())})
+
+    def merge_islands(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        doc = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        brk = np.ones(len(g), bool)
+        if len(g) > 1:
+            brk[1:] = (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + k)
+        island = np.cumsum(brk)
+        df = pd.DataFrame({id_col: doc, "pos": pos, "_i": island})
+        out = df.groupby("_i", sort=False).agg(
+            **{id_col: (id_col, "first")},
+            span_start=("pos", "min"), span_end=("pos", "max"),
+            n_shingles=("pos", "size")).reset_index(drop=True)
+        out["span_end"] = out["span_end"] + k
+        for c in (id_col, "span_start", "span_end", "n_shingles"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        _add_pkey(marked.map_batches(decode, batch_format="pyarrow"),
+                  id_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: merge_islands(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
     )
