@@ -2098,6 +2098,21 @@ def _q_repeated_passages(sf_dir: str):
     return repeated_spans(ds, k=8, num_partitions=16)
 
 
+def _q_dedup_passages(sf_dir: str):
+    """Passage-removal half of substring dedup (Lee et al. 2022): cut
+    every span found by repeated_passages out of every doc (wholesale
+    removal policy), rebuilding token streams in a doc-bucketed pass;
+    unchanged docs pass through with 0 removed."""
+    import ray.data
+
+    from documentai_ray.stages.dedup import remove_repeated_spans, repeated_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    spans = repeated_spans(ds, k=8, num_partitions=16)
+    return remove_repeated_spans(ds, spans, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2172,6 +2187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_revenue": _q_urgent_revenue,
         "gopher_quality": _q_gopher_quality,
         "repeated_passages": _q_repeated_passages,
+        "dedup_passages": _q_dedup_passages,
     }
 
 
@@ -2449,6 +2465,37 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY pos) AS island FROM w) "
             "SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end, "
             "count(*) AS n_shingles FROM g GROUP BY doc_id, island"
+        ),
+        "dedup_passages": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "p AS (SELECT doc_id, "
+            "unnest(generate_series(1, len(toks) - 7)) - 1 AS pos, "
+            "unnest(list_transform(generate_series(1, len(toks) - 7), "
+            "i -> array_to_string(toks[i:i+7], ' '))) AS sh "
+            "FROM t WHERE len(toks) >= 8), "
+            "c AS (SELECT sh FROM p GROUP BY sh HAVING count(*) >= 2), "
+            "m AS (SELECT doc_id, pos FROM p WHERE sh IN (SELECT sh FROM c)), "
+            "w AS (SELECT doc_id, pos, CASE WHEN "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL "
+            "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8 "
+            "THEN 1 ELSE 0 END AS brk FROM m), "
+            "g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id "
+            "ORDER BY pos) AS island FROM w), "
+            "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e "
+            "FROM g GROUP BY doc_id, island), "
+            "tok AS (SELECT doc_id, unnest(toks) AS wd, "
+            "unnest(range(0, len(toks))) AS j FROM t), "
+            "kept AS (SELECT tok.doc_id, wd, j FROM tok WHERE NOT EXISTS ("
+            "SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id "
+            "AND tok.j >= sp.s AND tok.j < sp.e)), "
+            "agg AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY j) AS text_dedup, "
+            "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, coalesce(agg.text_dedup, '') AS text_dedup, "
+            "len(t.toks) - coalesce(agg.n_kept, 0) AS n_tokens_removed, "
+            "len(t.toks) AS n_tokens_total "
+            "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"
         ),
         "gopher_quality": (
             f"WITH d AS (SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "

@@ -821,3 +821,66 @@ def repeated_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
         .map_groups(lambda g: merge_islands(g.drop(columns=["_pkey"])),
                     batch_format="pandas")
     )
+
+
+def remove_repeated_spans(ds, spans_ds, *, id_col: str = "doc_id",
+                          text_col: str = "text", num_partitions: int = 64):
+    """Cut the spans found by ``repeated_spans`` out of every document —
+    the removal half of substring dedup (Lee et al. 2022 drop repeated
+    passages wholesale; a keep-one-canonical-copy policy would pass the
+    globally-first span through, same plumbing).
+
+    Same bucketed-union plan as ``lines.dedup_lines``: spans and docs are
+    padded onto one schema, hash-bucketed by doc, and one vectorized pass
+    per partition rebuilds each doc's token stream minus its covered
+    ranges. Returns ``(doc_id, text_dedup, n_tokens_removed,
+    n_tokens_total)`` for EVERY doc (unchanged docs pass through)."""
+
+    def pad_spans(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "_s": batch.column("span_start").cast(pa.int64()),
+            "_e": batch.column("span_end").cast(pa.int64()),
+            text_col: pa.array([None] * n, pa.large_string()),
+        })
+
+    def pad_docs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "_s": pa.array(np.full(n, -1), pa.int64()),
+            "_e": pa.array(np.full(n, -1), pa.int64()),
+            text_col: batch.column(text_col).cast(pa.large_string()),
+        })
+
+    tagged = spans_ds.map_batches(pad_spans, batch_format="pyarrow").union(
+        ds.map_batches(pad_docs, batch_format="pyarrow"))
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        spans = g[g["_s"] >= 0]
+        docs = g[g["_s"] < 0]
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for did, s, e in zip(spans[id_col], spans["_s"], spans["_e"]):
+            by_doc.setdefault(did, []).append((s, e))
+        ids, outs, nrem, ntot = [], [], [], []
+        for did, text in zip(docs[id_col], docs[text_col]):
+            toks = (text or "").split()
+            keep = np.ones(len(toks), bool)
+            for s, e in by_doc.get(did, ()):
+                keep[s:e] = False
+            ids.append(did)
+            outs.append(" ".join(t for t, k in zip(toks, keep) if k))
+            nrem.append(int((~keep).sum()))
+            ntot.append(len(toks))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "text_dedup": pa.array(outs, pa.large_string()),
+                         "n_tokens_removed": pa.array(nrem, pa.int64()),
+                         "n_tokens_total": pa.array(ntot, pa.int64())})
+
+    return (
+        _add_pkey(tagged, id_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: rebuild(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+    )

@@ -63,3 +63,25 @@ def test_repeated_spans_within_doc(ray_session):
     out = out.sort_values("span_start").reset_index(drop=True)
     assert list(out["span_start"]) == [0, 6]
     assert list(out["span_end"]) == [4, 10]
+
+
+def test_remove_repeated_spans(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.dedup import remove_repeated_spans, repeated_spans
+
+    text = "a b c d e f g h"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([text, text, "u v w x y z q r"], pa.large_string()),
+    })
+    ds = ray.data.from_arrow(t)
+    spans = repeated_spans(ds, k=4, num_partitions=2)
+    out = remove_repeated_spans(ds, spans, num_partitions=2).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    # duplicated docs lose everything; the unique doc is untouched
+    assert out.loc[1, "text_dedup"] == "" and out.loc[1, "n_tokens_removed"] == 8
+    assert out.loc[2, "text_dedup"] == ""
+    assert out.loc[3, "text_dedup"] == "u v w x y z q r"
+    assert out.loc[3, "n_tokens_removed"] == 0
+    assert out.loc[3, "n_tokens_total"] == 8
