@@ -2113,6 +2113,109 @@ def _q_dedup_passages(sf_dir: str):
     return remove_repeated_spans(ds, spans, num_partitions=16)
 
 
+def _q_json_props(sf_dir: str):
+    """Semi-structured column handling: events.props (JSON string) parsed
+    ONCE into a typed int64 column at the pipeline edge, then plain
+    columnar aggregation per event type — mirrored by DuckDB
+    json_extract."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from documentai_ray.stages.jsoncol import parse_json_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    ds = parse_json_column(ds, col="props", fields={"k": "int64"})
+    return (ds.groupby("event_type")
+            .aggregate(Count(alias_name="n"),
+                       Sum("k", alias_name="sum_k"),
+                       Max("k", alias_name="max_k")))
+
+
+def _q_customer_running(sf_dir: str):
+    """Window functions (row_number + running sum) — the per-key ordered
+    state Ray Data lacks natively, as a bucketed vectorized pass: every
+    customer's order sequence and cumulative spend in exact integer
+    cents."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import running_per_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype("int64")
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_custkey": batch.column("o_custkey"),
+                         "o_orderdate": batch.column("o_orderdate"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    out = running_per_key(ds.map_batches(prep, batch_format="pyarrow"),
+                          key_col="o_custkey",
+                          order_cols=["o_orderdate", "o_orderkey"],
+                          cum_col="cents", num_partitions=16,
+                          out_col="run_cents")
+    return out.select_columns(["o_orderkey", "o_custkey", "seq", "run_cents"])
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: exactly 5 docs per source,
+    chosen as the 5 smallest multiplicative-hash values (grouped_topk
+    composition — map-side partial top-k, so only ≤5 rows per source per
+    block reach the shuffle). Parallelism-independent; SQL mirrors the
+    hash in integer math."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hv = (ids * 2654435761 + 12345) % (1 << 32)
+        return batch.append_column("h", pa.array(hv, pa.int64()))
+
+    ds = ds.map_batches(h, batch_format="pyarrow")
+    return grouped_topk(ds, key_col="source", sort_cols=["h", "doc_id"],
+                        ascending=[True, True], k=5, num_partitions=16)
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot (wide aggregation): hour-of-day × event-type counts as
+    columns. Map-side crosstab partials collapse each block to ≤24 rows
+    before the shuffle; the final groupby sums per-type columns."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.windows import EVENT_TYPES
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.hour.astype("int64")
+        ct = pd.crosstab(df["hour"], df["event_type"])
+        ct = ct.reindex(columns=EVENT_TYPES, fill_value=0).reset_index()
+        cols = {"hour": pa.array(ct["hour"].astype("int64"), pa.int64())}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(ct[t].astype("int64"), pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hour")
+            .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                         for t in EVENT_TYPES]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2188,6 +2291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "repeated_passages": _q_repeated_passages,
         "dedup_passages": _q_dedup_passages,
+        "json_props": _q_json_props,
+        "customer_running": _q_customer_running,
+        "stratified_sample": _q_stratified_sample,
+        "events_pivot": _q_events_pivot,
     }
 
 
@@ -2465,6 +2572,38 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY pos) AS island FROM w) "
             "SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end, "
             "count(*) AS n_shingles FROM g GROUP BY doc_id, island"
+        ),
+        "json_props": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+            "AS sum_k, "
+            "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "customer_running": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(row_number() OVER w AS BIGINT) AS seq, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w "
+            "AS BIGINT) AS run_cents "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source, h FROM ("
+            "SELECT doc_id, source, "
+            "(doc_id * 2654435761 + 12345) % 4294967296 AS h, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY (doc_id * 2654435761 + 12345) % 4294967296, doc_id) "
+            "AS rn FROM documents) WHERE rn <= 5"
+        ),
+        "events_pivot": (
+            "SELECT CAST(hour(ts) AS BIGINT) AS hour, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view"))
+            + " FROM events GROUP BY 1"
         ),
         "dedup_passages": (
             "WITH t AS (SELECT doc_id, "

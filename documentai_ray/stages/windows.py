@@ -120,3 +120,35 @@ def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         .map_groups(lambda g: sessions_partition(g.drop(columns=["_pkey"])),
                     batch_format="pandas")
     )
+
+
+def running_per_key(ds, *, key_col: str, order_cols: list[str],
+                    cum_col: str, num_partitions: int = 64,
+                    seq_col: str = "seq", out_col: str = "running"):
+    """Window functions Ray Data lacks natively: per-key sequence number
+    (row_number) and running sum of ``cum_col``, ordered by
+    ``order_cols`` (include a unique tiebreak for determinism).
+
+    Same bucketed plan as sessionization: one hash-partition shuffle on
+    ``crc32(key) % P`` co-locates each key's rows, then ONE vectorized
+    pass per partition computes cumcount/cumsum for every key at once —
+    group count bounded by P, not key cardinality."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)[cum_col]
+        g[seq_col] = grp.cumcount().astype("int64") + 1
+        g[out_col] = grp.cumsum()
+        return g
+
+    return (
+        _add_pkey(ds, key_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: run(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+    )
+
+
+# the synthetic events corpus's closed type vocabulary (pivot column set)
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
