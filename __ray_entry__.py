@@ -2216,6 +2216,54 @@ def _q_events_pivot(sf_dir: str):
                          for t in EVENT_TYPES]))
 
 
+def _q_category_split_pdfs(sf_dir: str):
+    """K1 REAL: the reference's category-split writer — pages grouped by
+    the A4 segmentation (consecutive same-category, cap 2, purchase_order
+    always separate) and each group written as a GENUINE PDF (pdfwrite,
+    one rasterized page per group page), validated in-row by xref/pixel
+    round-trip. Output: one row per emitted PDF."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.pdfwrite import images_to_pdf, validate
+    from documentai_ray.stages.preprocess import group_pages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        d_out, g_out, c_out, n_out, ok_out = [], [], [], [], []
+        for doc_id in batch.column("doc_id").to_pylist():
+            n = 3 + doc_id % 6
+            cats = [_GROUP_CATS[((doc_id + i) // 3) % 3] for i in range(n)]
+            gids = group_pages(cats, max_pages_per_group=2,
+                               always_separate=("purchase_order",))
+            by_group: dict[int, list[int]] = {}
+            for i, g in enumerate(gids):
+                by_group.setdefault(g, []).append(i)
+            for g, pages in sorted(by_group.items()):
+                imgs = [np.full((12, 16), (doc_id + p * 17) % 256, np.uint8)
+                        for p in pages]
+                pdf = images_to_pdf(imgs)
+                try:
+                    ok = len(validate(pdf)) == len(pages)
+                except ValueError:
+                    ok = False
+                d_out.append(doc_id)
+                g_out.append(g)
+                c_out.append(cats[pages[0]])
+                n_out.append(len(pages))
+                ok_out.append(ok)
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "group_id": pa.array(g_out, pa.int64()),
+                         "category": pa.array(c_out, pa.string()),
+                         "n_pages": pa.array(n_out, pa.int64()),
+                         "pdf_valid": pa.array(ok_out, pa.bool_())})
+
+    return ds.map_batches(split, batch_format="pyarrow", batch_size=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2291,6 +2339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "repeated_passages": _q_repeated_passages,
         "dedup_passages": _q_dedup_passages,
+        "category_split_pdfs": _q_category_split_pdfs,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -2572,6 +2621,31 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY pos) AS island FROM w) "
             "SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end, "
             "count(*) AS n_shingles FROM g GROUP BY doc_id, island"
+        ),
+        "category_split_pdfs": (
+            "SELECT doc_id, group_id, min(category) AS category, "
+            "count(*) AS n_pages, true AS pdf_valid FROM ("
+            "WITH pages AS ("
+            "  SELECT doc_id, i, CASE ((doc_id + i) // 3) % 3 "
+            "    WHEN 0 THEN 'data_report' WHEN 1 THEN 'purchase_order' "
+            "    ELSE 'report_misc' END AS category "
+            "  FROM documents, LATERAL (SELECT unnest(range(0, 3 + doc_id % 6)) AS i)"
+            "), runs AS ("
+            "  SELECT doc_id, i, category, "
+            "    row_number() OVER (PARTITION BY doc_id ORDER BY i) "
+            "    - row_number() OVER (PARTITION BY doc_id, category ORDER BY i) AS island "
+            "  FROM pages"
+            "), pos AS ("
+            "  SELECT doc_id, i, category, "
+            "    row_number() OVER (PARTITION BY doc_id, category, island ORDER BY i) - 1 AS run_pos "
+            "  FROM runs"
+            "), flags AS ("
+            "  SELECT doc_id, i, category, "
+            "    CASE WHEN category = 'purchase_order' OR run_pos % 2 = 0 "
+            "    THEN 1 ELSE 0 END AS new_group FROM pos"
+            ") SELECT doc_id, category, "
+            "CAST(sum(new_group) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) "
+            "AS group_id FROM flags) GROUP BY doc_id, group_id"
         ),
         "json_props": (
             "SELECT event_type, count(*) AS n, "
