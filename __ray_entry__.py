@@ -2264,6 +2264,28 @@ def _q_category_split_pdfs(sf_dir: str):
     return ds.map_batches(split, batch_format="pyarrow", batch_size=256)
 
 
+def _q_bigram_lm(sf_dir: str):
+    """CCNet-style LM quality scoring with a corpus-fit bigram model: the
+    count fit is one distributed combiner pass, the vocabulary-sized
+    tables broadcast once, and the per-doc score is mean conditional
+    bigram probability in integer ppm (every division floors — bit-exact
+    oracle, no float log)."""
+    import ray
+    import ray.data
+
+    from documentai_ray.stages.textstats import (BigramScoreStage,
+                                                 fit_bigram_counts)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    counts = fit_bigram_counts(ds)
+    ref = ray.put(counts)
+    out = ds.map_batches(BigramScoreStage, batch_format="pyarrow",
+                         batch_size=512, concurrency=(1, 4),
+                         fn_constructor_kwargs={"counts_ref": ref})
+    return out.select_columns(["doc_id", "lm_score_ppm"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2340,6 +2362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_passages": _q_repeated_passages,
         "dedup_passages": _q_dedup_passages,
         "category_split_pdfs": _q_category_split_pdfs,
+        "bigram_lm": _q_bigram_lm,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -2646,6 +2669,29 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT doc_id, category, "
             "CAST(sum(new_group) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) "
             "AS group_id FROM flags) GROUP BY doc_id, group_id"
+        ),
+        "bigram_lm": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "uni AS (SELECT tok, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "GROUP BY tok), "
+            "bi AS (SELECT a, b, count(*) AS n FROM "
+            "(SELECT unnest(toks[1:len(toks)-1]) AS a, "
+            "unnest(toks[2:len(toks)]) AS b FROM t WHERE len(toks) >= 2) "
+            "GROUP BY a, b), "
+            "db AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a, "
+            "unnest(toks[2:len(toks)]) AS b, len(toks) AS nt FROM t "
+            "WHERE len(toks) >= 2), "
+            "sc AS (SELECT db.doc_id, "
+            "sum(coalesce(bi.n, 0) * 1000000 // uni.n) AS s, "
+            "any_value(nt) AS nt FROM db "
+            "JOIN uni ON db.a = uni.tok "
+            "LEFT JOIN bi ON db.a = bi.a AND db.b = bi.b "
+            "GROUP BY db.doc_id) "
+            "SELECT t.doc_id, "
+            "CAST(coalesce(sc.s // (sc.nt - 1), 0) AS BIGINT) AS lm_score_ppm "
+            "FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id"
         ),
         "json_props": (
             "SELECT event_type, count(*) AS n, "

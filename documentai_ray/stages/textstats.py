@@ -161,3 +161,78 @@ def hash_token64(t: str) -> np.uint64:
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     fps = [fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (distributed count fit -> broadcast score)
+# ---------------------------------------------------------------------------
+
+def fit_bigram_counts(ds, *, text_col: str = "text"):
+    """Distributed n-gram LM fit: per-batch Counter partials for unigrams
+    and bigrams → one small groupby sum each. Returns
+    ``(unigram: dict[str,int], bigram: dict[tuple,int])`` — vocabulary-
+    sized state, the broadcast-small side (a CCNet-style quality LM; for
+    open vocabularies shard the count tables by token hash and score via
+    join instead)."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: collections.Counter = collections.Counter()
+        bi: collections.Counter = collections.Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split(" ")
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        keys = [f"u\x00{k}" for k in uni] + [f"b\x00{a}\x00{c}" for a, c in bi]
+        vals = list(uni.values()) + list(bi.values())
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "n": pa.array(vals, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n", alias_name="n")).to_pandas())
+    unigram: dict[str, int] = {}
+    bigram: dict[tuple[str, str], int] = {}
+    for k, n in zip(agg["k"], agg["n"]):
+        parts = k.split("\x00")
+        if parts[0] == "u":
+            unigram[parts[1]] = int(n)
+        else:
+            bigram[(parts[1], parts[2])] = int(n)
+    return unigram, bigram
+
+
+def bigram_score_batch(batch: pa.Table, unigram: dict, bigram: dict, *,
+                       text_col: str = "text") -> pa.Table:
+    """Per-doc mean conditional bigram probability, integer ppm:
+    ``floor( Σ floor(n(a,b)·10⁶ / n(a)) / n_bigrams )`` — every division
+    floors, so DuckDB reproduces the score exactly (no float log:
+    cross-libm ulp drift would break near-ties; the ranking behavior is
+    the same)."""
+    scores: list[int] = []
+    for t in batch.column(text_col).to_pylist():
+        toks = (t or "").split(" ")
+        if len(toks) < 2:
+            scores.append(0)
+            continue
+        s = 0
+        for a, b in zip(toks, toks[1:]):
+            s += bigram.get((a, b), 0) * 1_000_000 // unigram[a]
+        scores.append(s // (len(toks) - 1))
+    return batch.append_column("lm_score_ppm", pa.array(scores, pa.int64()))
+
+
+class BigramScoreStage:
+    """Actor/task-pool scorer: the fitted count tables ship once via the
+    object store ref, not per batch."""
+
+    def __init__(self, counts_ref, text_col: str = "text"):
+        import ray
+
+        self.uni, self.bi = ray.get(counts_ref)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return bigram_score_batch(batch, self.uni, self.bi,
+                                  text_col=self.text_col)

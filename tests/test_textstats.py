@@ -77,3 +77,22 @@ class TestCharNgramFallback:
         # text with English stopwords but German-looking trigrams
         got, _ = textstats.lang_id("the schnitzel and the sauerkraut of the haus")
         assert got == "en"
+
+
+def test_bigram_lm_fit_and_score(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from documentai_ray.stages.textstats import (bigram_score_batch,
+                                                 fit_bigram_counts)
+
+    t = pa.table({"text": pa.array(["a b a b", "a b c"], pa.large_string())})
+    uni, bi = fit_bigram_counts(ray.data.from_arrow(t))
+    assert uni == {"a": 3, "b": 3, "c": 1}
+    assert bi == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    out = bigram_score_batch(t, uni, bi)
+    # doc 0: bigrams ab,ba,ab -> floor(3e6/3)+floor(1e6/3)+floor(3e6/3)
+    #        = 1000000+333333+1000000 = 2333333; //3 = 777777
+    assert out.column("lm_score_ppm").to_pylist()[0] == 777777
+    # doc 1: ab,bc -> 1000000 + 333333 = 1333333 // 2 = 666666
+    assert out.column("lm_score_ppm").to_pylist()[1] == 666666
