@@ -181,6 +181,19 @@ def run_benchmarks() -> dict:
 
     timed("q1_lineitem", run_q1)
 
+    # round-2 heavy corpus ops (each materializes its small result)
+    def run_named(name):
+        def f():
+            import __ray_entry__ as e
+
+            out = e.queries()[name](SF_DIR)
+            return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+        return f
+
+    timed("line_dedup", run_named("line_dedup"))
+    timed("repeated_passages", run_named("repeated_passages"))
+
     result = {
         "metric": "flagship_e2e_sec",
         "value": headline,
