@@ -788,8 +788,33 @@ def repeated_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return batch.select(["sh"])
 
     dup = counts.map_batches(dup_only, batch_format="pyarrow")
-    marked = hash_join(pairs, dup, on="sh", how="semi",
-                       num_partitions=num_partitions)
+
+    # Auto-select the mark plan (the verify_jaccard_pairs pattern): the dup
+    # set is usually tiny relative to the corpus (hot boilerplate), so
+    # broadcast it and semi-filter map-side — saves the join's two
+    # exchanges. Fall back to the distributed semi hash-join when the dup
+    # set is too large to broadcast (~40 MB at the default threshold).
+    dup_mat = dup.materialize()
+    if dup_mat.count() <= 5_000_000:
+        import ray
+
+        dup_arr = np.sort(dup_mat.to_pandas()["sh"].to_numpy())
+        ref = ray.put(dup_arr)
+
+        def semi_filter(batch: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            sh = batch.column("sh").to_numpy()
+            if len(arr) == 0:
+                keep = np.zeros(len(sh), bool)
+            else:
+                idx = np.clip(np.searchsorted(arr, sh), 0, len(arr) - 1)
+                keep = arr[idx] == sh
+            return batch.filter(pa.array(keep))
+
+        marked = pairs.map_batches(semi_filter, batch_format="pyarrow")
+    else:
+        marked = hash_join(pairs, dup_mat, on="sh", how="semi",
+                           num_partitions=num_partitions)
 
     def decode(batch: pa.Table) -> pa.Table:
         lk = batch.column("lkey").to_numpy().astype(np.int64)
