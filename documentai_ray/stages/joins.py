@@ -210,7 +210,19 @@ def interval_join(ds, intervals: pd.DataFrame, *, ts_col: str = "ts",
         out[id_col] = state["ids"][ivs]
         for c, vals in state["carry"].items():
             out[c] = vals[ivs]
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+        # explicit schema: empty match batches must not degrade to
+        # pandas-inferred null columns (hash_join's same rule)
+        def _atype(arr):
+            return (pa.string() if arr.dtype == object
+                    else pa.from_numpy_dtype(arr.dtype))
+
+        schema = pa.schema(
+            list(zip(batch.schema.names, batch.schema.types))
+            + [(id_col, _atype(state["ids"]))]
+            + [(c, _atype(v)) for c, v in state["carry"].items()])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(match, batch_format="pyarrow")
 
