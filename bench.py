@@ -222,12 +222,17 @@ def _cpu_calibration() -> dict:
     t = _time.time()
     _calib_work(0)
     single = _time.time() - t
-    t = _time.time()
     with ProcessPoolExecutor(32) as ex:
+        list(ex.map(_calib_noop, range(32)))  # warm the pool untimed
+        t = _time.time()
         list(ex.map(_calib_work, range(32)))
-    wall = _time.time() - t
+        wall = _time.time() - t
     return {"single_md5_s": round(single, 3),
             "par32_speedup": round(single * 32 / wall, 1)}
+
+
+def _calib_noop(_):
+    return 0
 
 
 def _calib_work(_):
