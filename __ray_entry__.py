@@ -172,6 +172,35 @@ def _sql_md5_le64(col: str) -> str:
     )
 
 
+def _sql_pagerank(iters: int = 2) -> str:
+    """Unrolled integer-ppm PageRank oracle over the deterministic 3-out
+    link graph dst ∈ {(i·7+1), (i·13+2), (i·31+3)} mod N — one
+    (contribution, update) CTE pair per iteration, mirroring
+    stages/graph.py::pagerank_int op-for-op (floor divisions included)."""
+    sql = (
+        "WITH nn AS (SELECT count(*) AS cnt FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst "
+        "FROM documents, nn UNION ALL "
+        "SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, nn "
+        "UNION ALL "
+        "SELECT doc_id, (doc_id * 31 + 3) % cnt FROM documents, nn), "
+        "r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r "
+        "FROM documents), "
+    )
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        sql += (
+            f"s{i} AS (SELECT e.dst AS node, sum({prev}.r // 3) AS s "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY e.dst), "
+            f"r{i} AS (SELECT {prev}.node, CAST(150000 + "
+            f"(850000 * coalesce(s{i}.s, 0)) // 1000000 AS BIGINT) AS r "
+            f"FROM {prev} LEFT JOIN s{i} ON {prev}.node = s{i}.node), "
+        )
+    sql = sql.rstrip(", ")
+    sql += f" SELECT node, r AS rank_ppm FROM r{iters}"
+    return sql
+
+
 def _sql_kmeans(k: int = 4, iters: int = 2) -> str:
     """Unrolled Lloyd's k-means oracle: one (assign, mean, centroid) CTE
     trio per iteration, then a final assignment. Mirrors
@@ -2286,6 +2315,37 @@ def _q_bigram_lm(sf_dir: str):
     return out.select_columns(["doc_id", "lm_score_ppm"])
 
 
+def _q_pagerank(sf_dir: str):
+    """Distributed PageRank (2 damped iterations) over the deterministic
+    3-out link graph on doc ids — the join-per-iteration graph shape:
+    edges ⋈ ranks, per-target contribution sum, left-join update (nodes
+    without in-edges fall to the base term). Integer-ppm arithmetic
+    throughout, so the unrolled SQL oracle is bit-exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import pagerank_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = list(ids) * 3
+        dst = (list((ids * 7 + 1) % n) + list((ids * 13 + 2) % n)
+               + list((ids * 31 + 3) % n))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id").cast(pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nd = docs.map_batches(nodes, batch_format="pyarrow")
+    return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2363,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passages": _q_dedup_passages,
         "category_split_pdfs": _q_category_split_pdfs,
         "bigram_lm": _q_bigram_lm,
+        "pagerank": _q_pagerank,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3063,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
+        "pagerank": _sql_pagerank(iters=2),
         "p95_quantity": (
             "WITH c AS (SELECT l_returnflag, l_linestatus, "
             "CAST(l_quantity AS BIGINT) AS v, count(*) AS n FROM lineitem "
