@@ -2346,6 +2346,28 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
 
 
+def _q_ocr_roundtrip(sf_dir: str):
+    """REAL OCR path (M3): MINIPDF pages render with the 5×7 bitfont →
+    PNG encode → PNG decode → matched-template recognition — two
+    independent real computations whose composition must reproduce the
+    first page's walk text BYTE-IDENTICALLY (error payloads → '').
+    The oracle is the closed-form first-page layout text."""
+    import ray.data
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.multimodal import RasterizeStage
+    from documentai_ray.stages.ocr import OcrStage
+
+    ds = pages_dataset(sf_dir, with_dups=False, pdf_mode=True)
+    ds = ds.map_batches(RasterizeStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4),
+                        fn_constructor_kwargs={"emit_png": True,
+                                               "glyphs": True})
+    ds = ds.map_batches(OcrStage, batch_format="pyarrow", batch_size=32,
+                        concurrency=(1, 4))
+    return ds.select_columns(["url", "ocr_text"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2424,6 +2446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "category_split_pdfs": _q_category_split_pdfs,
         "bigram_lm": _q_bigram_lm,
         "pagerank": _q_pagerank,
+        "ocr_roundtrip": _q_ocr_roundtrip,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3148,6 +3171,19 @@ def oracle_sql() -> dict[str, str]:
         "base64_pages": (
             "SELECT doc_id, to_base64(encode(text)) AS payload_b64 "
             "FROM documents"
+        ),
+        # OCR must reproduce the first page's walk text byte-identically:
+        # first min(96, n) tokens in lines of 8 joined by newlines
+        "ocr_roundtrip": (
+            "WITH t AS (SELECT doc_id, source, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            f"SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 97 = 0 OR len(toks) = 0 THEN '' ELSE "
+            "array_to_string(list_transform("
+            "generate_series(0, (least(len(toks), 96) - 1) // 8), "
+            "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
+            "chr(10)) END AS ocr_text FROM t"
         ),
         # first page holds <= 4 blocks x 3 lines x 8 words = 96 words;
         # disjoint 6·len x 10 span boxes -> ink = 60·Σ len

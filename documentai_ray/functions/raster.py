@@ -20,14 +20,25 @@ PAGE_H = 792
 
 
 def rasterize_page(page: dict, *, width: int = PAGE_W,
-                   height: int = PAGE_H) -> np.ndarray:
+                   height: int = PAGE_H, glyphs: bool = False) -> np.ndarray:
     """Render one MINIPDF page dict (unscaled coords) to uint8 grayscale:
-    255 background, 0 ink; boxes clipped to the canvas."""
+    255 background, 0 ink; boxes clipped to the canvas.
+
+    ``glyphs=False``: each span bbox is a filled rectangle (ink-count
+    oracle). ``glyphs=True``: each span's TEXT is drawn with the 5×7
+    bitfont at the span origin (6 px/char — exactly the layout's 6·len
+    span width), which is what the real OCR stage reads back."""
     img = np.full((height, width), 255, np.uint8)
+    if glyphs:
+        from documentai_ray.functions.bitfont import draw_text
+
     for block in page["blocks"]:
         for line in block["lines"]:
             for span in line["spans"]:
                 x0, y0, x1, y1 = span["bbox"]
+                if glyphs:
+                    draw_text(img, int(x0), int(y0) + 1, span["text"])
+                    continue
                 xa, ya = max(0, int(x0)), max(0, int(y0))
                 xb, yb = min(width, int(x1)), min(height, int(y1))
                 if xb > xa and yb > ya:
@@ -36,7 +47,8 @@ def rasterize_page(page: dict, *, width: int = PAGE_W,
 
 
 def rasterize_first_page(payload: bytes, *, width: int = PAGE_W,
-                         height: int = PAGE_H) -> np.ndarray | None:
+                         height: int = PAGE_H,
+                         glyphs: bool = False) -> np.ndarray | None:
     """First-page raster (the reference's ``pdf2image(..., last_page=1)``
     truncation); ``None`` for non-MINIPDF payloads (error rows)."""
     from documentai_ray.functions import minipdf
@@ -46,4 +58,5 @@ def rasterize_first_page(payload: bytes, *, width: int = PAGE_W,
     pages = minipdf.decode(payload)
     if not pages:
         return None
-    return rasterize_page(pages[0], width=width, height=height)
+    return rasterize_page(pages[0], width=width, height=height,
+                          glyphs=glyphs)

@@ -179,9 +179,11 @@ class RasterizeStage:
     Non-MINIPDF payloads (error rows) emit zeroed dims — the same
     error-row contract as extraction."""
 
-    def __init__(self, payload_col: str = "html", emit_png: bool = False):
+    def __init__(self, payload_col: str = "html", emit_png: bool = False,
+                 glyphs: bool = False):
         self.payload_col = payload_col
         self.emit_png = emit_png
+        self.glyphs = glyphs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from documentai_ray.functions import minipng
@@ -192,7 +194,7 @@ class RasterizeStage:
         hs: list[int] = []
         pngs: list[bytes] = []
         for payload in batch.column(self.payload_col).to_pylist():
-            img = rasterize_first_page(payload)
+            img = rasterize_first_page(payload, glyphs=self.glyphs)
             if img is None:
                 ink.append(0)
                 ws.append(0)
