@@ -2368,6 +2368,39 @@ def _q_ocr_roundtrip(sf_dir: str):
     return ds.select_columns(["url", "ocr_text"])
 
 
+def _q_ocr_classify(sf_dir: str):
+    """M11 OCR-path classification: the 4-technique vote runs over text
+    recovered by the REAL OCR chain (bitfont raster → PNG → template
+    match) instead of native extraction — the reference's scanned-page
+    branch. Walk text is plain report prose, so the closed form is
+    data_report 4/4 (unclassified for error pages); any OCR corruption
+    that touched keywords would break the vote and fail the oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.classify import classify_batch_task
+    from documentai_ray.stages.multimodal import RasterizeStage
+    from documentai_ray.stages.ocr import OcrStage
+
+    ds = pages_dataset(sf_dir, with_dups=False, pdf_mode=True)
+    ds = ds.map_batches(RasterizeStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4),
+                        fn_constructor_kwargs={"emit_png": True,
+                                               "glyphs": True})
+    ds = ds.map_batches(OcrStage, batch_format="pyarrow", batch_size=32,
+                        concurrency=(1, 4))
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"),
+                         "text": batch.column("ocr_text")})
+
+    ds = ds.map_batches(to_text, batch_format="pyarrow")
+    ds = ds.map_batches(classify_batch_task, batch_format="pyarrow",
+                        batch_size=256)
+    return ds.select_columns(["url", "category", "votes"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2447,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": _q_bigram_lm,
         "pagerank": _q_pagerank,
         "ocr_roundtrip": _q_ocr_roundtrip,
+        "ocr_classify": _q_ocr_classify,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3184,6 +3218,12 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(0, (least(len(toks), 96) - 1) // 8), "
             "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
             "chr(10)) END AS ocr_text FROM t"
+        ),
+        "ocr_classify": (
+            f"SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 97 = 0 THEN 'unclassified' "
+            "ELSE 'data_report' END AS category, '4/4' AS votes "
+            "FROM documents"
         ),
         # first page holds <= 4 blocks x 3 lines x 8 words = 96 words;
         # disjoint 6·len x 10 span boxes -> ink = 60·Σ len
