@@ -2401,6 +2401,44 @@ def _q_ocr_classify(sf_dir: str):
     return ds.select_columns(["url", "category", "votes"])
 
 
+def _q_office_extract(sf_dir: str):
+    """S4/S5 driver-level exercise: real DOCX / XLSX payloads (stdlib
+    zip+XML builders) flow through the extraction dispatch. Even docs are
+    DOCX (1-3 paragraphs); odd docs are XLSX with the 100-row cap binding
+    above 100 rows and a planted 1200-char row (doc_id%50==7) exercising
+    the 1000-char cap — all closed-form."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.sources import office
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        payloads: list[bytes] = []
+        for did in batch.column("doc_id").to_pylist():
+            if did % 2 == 0:
+                payloads.append(office.make_docx(
+                    [f"Paragraph {j} of doc {did}"
+                     for j in range(1 + did % 3)]))
+            elif did % 50 == 7:
+                payloads.append(office.make_xlsx([["x" * 1200]]))
+            else:
+                payloads.append(office.make_xlsx(
+                    [[f"r{i}d{did % 10}"] for i in range(2 + did % 150)]))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array([f"u{d}" for d in
+                                          batch.column("doc_id").to_pylist()],
+                                         pa.string()),
+                         "html": pa.array(payloads, pa.large_binary())})
+
+    ds = ds.map_batches(gen, batch_format="pyarrow", batch_size=128)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=128)
+    return ds.select_columns(["doc_id", "text", "payload_kind"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2481,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "ocr_roundtrip": _q_ocr_roundtrip,
         "ocr_classify": _q_ocr_classify,
+        "office_extract": _q_office_extract,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3218,6 +3257,18 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(0, (least(len(toks), 96) - 1) // 8), "
             "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
             "chr(10)) END AS ocr_text FROM t"
+        ),
+        "office_extract": (
+            "SELECT doc_id, CASE "
+            "WHEN doc_id % 2 = 0 THEN array_to_string(list_transform("
+            "generate_series(0, doc_id % 3), "
+            "j -> 'Paragraph ' || j || ' of doc ' || doc_id), chr(10)) "
+            "WHEN doc_id % 50 = 7 THEN repeat('x', 1000) "
+            "ELSE array_to_string(list_transform("
+            "generate_series(0, least(2 + doc_id % 150, 100) - 1), "
+            "i -> 'r' || i || 'd' || (doc_id % 10)), chr(10)) END AS text, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'xlsx' END "
+            "AS payload_kind FROM documents"
         ),
         "ocr_classify": (
             f"SELECT {_SQL_URL} AS url, "
