@@ -2439,6 +2439,44 @@ def _q_office_extract(sf_dir: str):
     return ds.select_columns(["doc_id", "text", "payload_kind"])
 
 
+def _q_generic_entities(sf_dir: str):
+    """M20 generic extractor over PO pages: dates / currency amounts /
+    number counts from the compiled regex battery — every value and count
+    closed-form from the PO archetype construction (the planted
+    technique-disagreement suffix adds words, never digits)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from documentai_ray.stages.entities import extract_generic
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [i % 5 == 2 and i % 97 != 0 for i in ids]
+        batch = batch.filter(pa.array(keep))
+        fd, fa, nd, na, nn, ne, np_ = [], [], [], [], [], [], []
+        for t in batch.column("text").to_pylist():
+            g = extract_generic(t or "")
+            fd.append(g["dates"][0] if g["dates"] else "")
+            fa.append(g["amounts"][0] if g["amounts"] else "")
+            nd.append(len(g["dates"]))
+            na.append(len(g["amounts"]))
+            nn.append(len(g["numbers"]))
+            ne.append(len(g["emails"]))
+            np_.append(len(g["phones"]))
+        return pa.table({"url": batch.column("url"),
+                         "first_date": pa.array(fd, pa.string()),
+                         "first_amount": pa.array(fa, pa.string()),
+                         "n_dates": pa.array(nd, pa.int64()),
+                         "n_amounts": pa.array(na, pa.int64()),
+                         "n_numbers": pa.array(nn, pa.int64()),
+                         "n_emails": pa.array(ne, pa.int64()),
+                         "n_phones": pa.array(np_, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2520,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_roundtrip": _q_ocr_roundtrip,
         "ocr_classify": _q_ocr_classify,
         "office_extract": _q_office_extract,
+        "generic_entities": _q_generic_entities,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3257,6 +3296,17 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(0, (least(len(toks), 96) - 1) // 8), "
             "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
             "chr(10)) END AS ocr_text FROM t"
+        ),
+        "generic_entities": (
+            f"SELECT {_SQL_URL} AS url, "
+            "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '.' || "
+            "lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '.2024' "
+            "AS first_date, "
+            "'USD ' || format('{:,}', (100 + doc_id % 400) * 500) || '.00' "
+            "AS first_amount, "
+            "1 AS n_dates, 1 AS n_amounts, 9 AS n_numbers, "
+            "0 AS n_emails, 0 AS n_phones "
+            "FROM documents WHERE doc_id % 5 = 2 AND doc_id % 97 <> 0"
         ),
         "office_extract": (
             "SELECT doc_id, CASE "
