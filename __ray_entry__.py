@@ -2477,6 +2477,27 @@ def _q_generic_entities(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def _q_layout_structure(sf_dir: str):
+    """T3-analog layout analysis over PIXELS: first-page raster → line
+    bands / word boxes / block grouping recovered from ink geometry alone
+    (never the source layout tree). Closed form: m = min(n_words, 96)
+    first-page words, ceil(m/8) lines, ceil(lines/3) blocks."""
+    import ray.data
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.multimodal import RasterizeStage
+    from documentai_ray.stages.ocr import LayoutAnalysisStage
+
+    ds = pages_dataset(sf_dir, with_dups=False, pdf_mode=True)
+    ds = ds.map_batches(RasterizeStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4),
+                        fn_constructor_kwargs={"emit_png": True,
+                                               "glyphs": True})
+    ds = ds.map_batches(LayoutAnalysisStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4))
+    return ds.select_columns(["url", "n_blocks", "n_lines", "n_words"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2559,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_classify": _q_ocr_classify,
         "office_extract": _q_office_extract,
         "generic_entities": _q_generic_entities,
+        "layout_structure": _q_layout_structure,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3296,6 +3318,18 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(0, (least(len(toks), 96) - 1) // 8), "
             "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
             "chr(10)) END AS ocr_text FROM t"
+        ),
+        "layout_structure": (
+            "WITH t AS (SELECT doc_id, source, "
+            "least(len(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')), 96) AS m FROM documents) "
+            f"SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 97 = 0 OR m = 0 THEN 0 "
+            "ELSE ((m + 7) // 8 + 2) // 3 END AS n_blocks, "
+            "CASE WHEN doc_id % 97 = 0 THEN 0 ELSE (m + 7) // 8 END "
+            "AS n_lines, "
+            "CASE WHEN doc_id % 97 = 0 THEN 0 ELSE m END AS n_words "
+            "FROM t"
         ),
         "generic_entities": (
             f"SELECT {_SQL_URL} AS url, "

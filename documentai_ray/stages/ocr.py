@@ -121,3 +121,53 @@ class OcrStage:
                                   pa.array(texts, pa.large_string()))
         return out.append_column("ocr_boxes",
                                  pa.array(all_boxes, self.BOX_TYPE))
+
+
+def layout_analysis(img: np.ndarray, *, block_gap: int = 40) -> dict:
+    """Document-layout analysis over PIXELS (the PPStructure-analog T3
+    path): text-line bands from ink-row islands, words from the glyph
+    walk, and blocks by grouping consecutive bands whose vertical gap is
+    below ``block_gap`` (the layout's intra-block line step is 12 px,
+    inter-block step 100 px). Returns counts + block boxes — recovered
+    from the raster alone, never from the source layout tree."""
+    text, boxes = ocr_image(img)
+    bands = sorted({(b["y0"], b["y1"]) for b in boxes})
+    n_blocks = 0
+    blocks: list[dict] = []
+    prev_y1 = None
+    for y0, y1 in bands:
+        if prev_y1 is None or y0 - prev_y1 > block_gap:
+            n_blocks += 1
+            blocks.append({"y0": y0, "y1": y1, "n_lines": 1})
+        else:
+            blocks[-1]["y1"] = y1
+            blocks[-1]["n_lines"] += 1
+        prev_y1 = y1
+    return {"n_blocks": n_blocks, "n_lines": len(bands),
+            "n_words": len(boxes), "blocks": blocks}
+
+
+class LayoutAnalysisStage:
+    """Actor-pool T3 analog: PNG page image → structural counts."""
+
+    def __init__(self, png_col: str = "png"):
+        self.png_col = png_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from documentai_ray.functions import minipng
+
+        nb, nl, nw = [], [], []
+        for payload in batch.column(self.png_col).to_pylist():
+            if not payload:
+                nb.append(0)
+                nl.append(0)
+                nw.append(0)
+                continue
+            lay = layout_analysis(minipng.decode_gray(payload))
+            nb.append(lay["n_blocks"])
+            nl.append(lay["n_lines"])
+            nw.append(lay["n_words"])
+        batch = batch.drop_columns([self.png_col])
+        out = batch.append_column("n_blocks", pa.array(nb, pa.int64()))
+        out = out.append_column("n_lines", pa.array(nl, pa.int64()))
+        return out.append_column("n_words", pa.array(nw, pa.int64()))

@@ -60,3 +60,16 @@ def test_ocr_stage_full_chain(ray_session):
     boxes = out.column("ocr_boxes").to_pylist()[0]
     assert [b["text"] for b in boxes] == ["hello", "world", "again"]
     assert boxes[0]["page"] == 1 and boxes[0]["x1"] > boxes[0]["x0"]
+
+
+def test_layout_analysis_structure():
+    from documentai_ray.stages.ocr import layout_analysis
+
+    # 25 words -> 4 lines of 8/8/8/1 -> blocks of 3+1 lines
+    text = " ".join(f"w{i}" for i in range(25))
+    lay = layout_analysis(_render(text))
+    assert lay["n_words"] == 25
+    assert lay["n_lines"] == 4
+    assert lay["n_blocks"] == 2
+    assert lay["blocks"][0]["n_lines"] == 3
+    assert lay["blocks"][1]["n_lines"] == 1
