@@ -2498,6 +2498,90 @@ def _q_layout_structure(sf_dir: str):
     return ds.select_columns(["url", "n_blocks", "n_lines", "n_words"])
 
 
+def _q_page_type_detect(sf_dir: str):
+    """M5 text-vs-image page detection: the 15-word / 8-word+images /
+    0.08-density decision tree over closed-form synthetic page stats that
+    sweep all three branches (wc=doc_id%25, images=doc_id%3,
+    density=(doc_id%20)/100)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.extract import detect_page_type
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        kinds = [detect_page_type(d % 25, d % 3, (d % 20) / 100.0)
+                 for d in batch.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "page_type": pa.array(kinds, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
+def _q_table_detect(sf_dir: str):
+    """M21 text→table detection (2+-space column split, ≥2-row runs) over
+    synthetic texts: docs with doc_id%4==0 carry only single-column lines
+    (no table), others a 3-column run of 2+doc_id%3 rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.entities import detect_tables
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        nt, nr = [], []
+        for d in batch.column("doc_id").to_pylist():
+            if d % 4 == 0:
+                text = "\n".join(f"single column {i}" for i in range(3))
+            else:
+                rows = [f"a{i}  b{i}  c{i}" for i in range(2 + d % 3)]
+                text = "\n".join(rows + ["just one column line"])
+            tables = detect_tables(text)
+            nt.append(len(tables))
+            nr.append(len(tables[0]) if tables else 0)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tables": pa.array(nt, pa.int64()),
+                         "n_rows_first": pa.array(nr, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
+def _q_field_validation(sf_dir: str):
+    """M24 field-format validators over planted valid/invalid values:
+    date format breaks for doc_id%3==0 (slash-year-first), amount for
+    %5==0 ('N/A'), currency for %7==0 (lowercase)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.entities import validate_field_formats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        date_ok, amount_ok, ccy_ok = [], [], []
+        for d in batch.column("doc_id").to_pylist():
+            fields = {
+                "po_date": "2024/01/01" if d % 3 == 0 else "01.01.2024",
+                "total_amount": "N/A" if d % 5 == 0 else "1,000.00",
+                "currency": "usd" if d % 7 == 0 else "USD",
+            }
+            checks = validate_field_formats(fields)
+            date_ok.append(checks["po_date"])
+            amount_ok.append(checks["total_amount"])
+            ccy_ok.append(checks["currency"])
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "date_ok": pa.array(date_ok, pa.bool_()),
+                         "amount_ok": pa.array(amount_ok, pa.bool_()),
+                         "currency_ok": pa.array(ccy_ok, pa.bool_())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2581,6 +2665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "office_extract": _q_office_extract,
         "generic_entities": _q_generic_entities,
         "layout_structure": _q_layout_structure,
+        "page_type_detect": _q_page_type_detect,
+        "table_detect": _q_table_detect,
+        "field_validation": _q_field_validation,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3318,6 +3405,24 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(0, (least(len(toks), 96) - 1) // 8), "
             "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
             "chr(10)) END AS ocr_text FROM t"
+        ),
+        "page_type_detect": (
+            "SELECT doc_id, CASE "
+            "WHEN doc_id % 25 > 15 THEN 'text' "
+            "WHEN doc_id % 3 > 0 AND doc_id % 25 < 8 THEN 'image' "
+            "WHEN (doc_id % 20) / 100.0 > 0.08 THEN 'text' "
+            "ELSE 'image' END AS page_type FROM documents"
+        ),
+        "table_detect": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS n_tables, "
+            "CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 2 + doc_id % 3 END "
+            "AS n_rows_first FROM documents"
+        ),
+        "field_validation": (
+            "SELECT doc_id, doc_id % 3 <> 0 AS date_ok, "
+            "doc_id % 5 <> 0 AS amount_ok, "
+            "doc_id % 7 <> 0 AS currency_ok FROM documents"
         ),
         "layout_structure": (
             "WITH t AS (SELECT doc_id, source, "
