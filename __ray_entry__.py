@@ -2582,6 +2582,25 @@ def _q_field_validation(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
 
 
+def _q_doc_type_autodetect(sf_dir: str):
+    """M22 keyword doc-type autodetect over extracted pages: PO pages hit
+    the purchase_order keyword set, invoices the invoice set, prose pages
+    fall to unknown — archetype-discriminating closed form."""
+    import pyarrow as pa
+
+    from documentai_ray.stages.entities import autodetect_doc_type
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+
+    def f(batch: pa.Table) -> pa.Table:
+        kinds = [autodetect_doc_type(t or "")
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"url": batch.column("url"),
+                         "doc_type": pa.array(kinds, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2668,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_type_detect": _q_page_type_detect,
         "table_detect": _q_table_detect,
         "field_validation": _q_field_validation,
+        "doc_type_autodetect": _q_doc_type_autodetect,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3405,6 +3425,16 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(0, (least(len(toks), 96) - 1) // 8), "
             "j -> array_to_string(toks[j * 8 + 1 : least(j * 8 + 8, 96)], ' ')), "
             "chr(10)) END AS ocr_text FROM t"
+        ),
+        # note: the non-empty filter in the Ray prefix drops malformed
+        # (empty-text) pages, so only archetype rows remain
+        "doc_type_autodetect": (
+            f"SELECT {_SQL_URL} AS url, CASE "
+            "WHEN doc_id % 5 = 2 THEN 'purchase_order' "
+            "WHEN doc_id % 10 = 4 THEN 'invoice' "
+            "ELSE 'unknown' END AS doc_type "
+            "FROM documents WHERE doc_id % 97 <> 0 "
+            "AND (doc_id % 5 IN (0, 2, 3) OR doc_id % 10 = 4)"
         ),
         "page_type_detect": (
             "SELECT doc_id, CASE "
