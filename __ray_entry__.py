@@ -201,6 +201,54 @@ def _sql_pagerank(iters: int = 2) -> str:
     return sql
 
 
+def _sql_pq(m: int = 4, k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled product-quantization oracle: the kmeans CTE trio per
+    subspace slice, all m final assignments joined on vec_id — mirrors
+    similarity.py::pq_fit/pq_encode op-for-op."""
+    sub = dim // m
+    sql = "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p = f"s{j}"
+        sql += (
+            f"e{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e), "
+            f"{p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS BIGINT) AS cid, v FROM (SELECT vec_id, v FROM e{j} "
+            f"ORDER BY vec_id LIMIT {k})), "
+        )
+        for i in range(1, iters + 1):
+            prev = f"{p}c{i - 1}"
+            sql += (
+                f"{p}a{i} AS (SELECT vec_id, cid FROM ("
+                f"SELECT e{j}.vec_id, {prev}.cid, row_number() OVER ("
+                f"PARTITION BY e{j}.vec_id ORDER BY "
+                f"list_distance(e{j}.v, {prev}.v), {prev}.cid) AS rn "
+                f"FROM e{j} CROSS JOIN {prev}) WHERE rn = 1), "
+                f"{p}m{i} AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM ("
+                f"SELECT cid, dim, avg(val) AS mv FROM ("
+                f"SELECT {p}a{i}.cid AS cid, unnest(e{j}.v) AS val, "
+                f"unnest(range(1, len(e{j}.v) + 1)) AS dim "
+                f"FROM {p}a{i} JOIN e{j} ON {p}a{i}.vec_id = e{j}.vec_id) "
+                f"GROUP BY cid, dim) GROUP BY cid), "
+                f"{p}c{i} AS (SELECT {prev}.cid, coalesce({p}m{i}.nv, {prev}.v) "
+                f"AS v FROM {prev} LEFT JOIN {p}m{i} "
+                f"ON {prev}.cid = {p}m{i}.cid), "
+            )
+        sql += (
+            f"fin{j} AS (SELECT vec_id, cid AS code_{j} FROM ("
+            f"SELECT e{j}.vec_id, {p}c{iters}.cid, row_number() OVER ("
+            f"PARTITION BY e{j}.vec_id ORDER BY "
+            f"list_distance(e{j}.v, {p}c{iters}.v), {p}c{iters}.cid) AS rn "
+            f"FROM e{j} CROSS JOIN {p}c{iters}) WHERE rn = 1), "
+        )
+    sql = sql.rstrip(", ")
+    joins = " ".join(f"JOIN fin{j} ON fin0.vec_id = fin{j}.vec_id"
+                     for j in range(1, m))
+    cols = ", ".join(f"fin{j}.code_{j}" for j in range(m))
+    sql += f" SELECT fin0.vec_id, {cols} FROM fin0 {joins}"
+    return sql
+
+
 def _sql_kmeans(k: int = 4, iters: int = 2) -> str:
     """Unrolled Lloyd's k-means oracle: one (assign, mean, centroid) CTE
     trio per iteration, then a final assignment. Mirrors
@@ -2601,6 +2649,24 @@ def _q_doc_type_autodetect(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product quantization (Jégou et al. 2011): 64-dim embeddings split
+    into 4 subspaces, a distributed Lloyd's fit per subspace (the kmeans
+    plan), then map-side encoding to 4 small codes — the ANN-at-scale
+    compression path (a 256-byte float32 vector becomes 4 bytes). The
+    oracle unrolls all four per-subspace fits in SQL and joins the final
+    assignments; integer code columns keep float drift out of the
+    compare."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import pq_encode, pq_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    books = pq_fit(ds, m=4, k=4, iters=2)
+    return pq_encode(ds, books)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2688,6 +2754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_detect": _q_table_detect,
         "field_validation": _q_field_validation,
         "doc_type_autodetect": _q_doc_type_autodetect,
+        "pq_codes": _q_pq_codes,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3389,6 +3456,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
         "pagerank": _sql_pagerank(iters=2),
+        "pq_codes": _sql_pq(m=4, k=4, iters=2, dim=64),
         "p95_quantity": (
             "WITH c AS (SELECT l_returnflag, l_linestatus, "
             "CAST(l_quantity AS BIGINT) AS v, count(*) AS n FROM lineitem "

@@ -304,3 +304,87 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
                          "cluster": pa.array(d2.argmin(axis=1), pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (embedding compression for ANN at scale)
+# ---------------------------------------------------------------------------
+
+def pq_fit(ds, *, m: int = 4, k: int = 4, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> list[np.ndarray]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` contiguous subspaces and run the SAME distributed
+    Lloyd's k-means (kmeans_fit's plan — per-batch partial sums, centroid
+    state only on the driver) independently in each subspace. At 10¹²
+    vectors the m fits share the one materialized pass structure; the
+    codebooks are m·k·(d/m) floats — always broadcast-small."""
+    import pyarrow as pa
+
+    mat = ds.materialize()
+    first = mat.sort(id_col).limit(k).to_pandas()
+    X0 = np.asarray(first[vec_col].tolist(), dtype=np.float64)
+    d = X0.shape[1]
+    assert d % m == 0, "dim must split evenly into m subspaces"
+    sub = d // m
+    books: list[np.ndarray] = []
+    for j in range(m):
+        C = X0[:, j * sub:(j + 1) * sub].copy()
+        for _ in range(iters):
+            import ray
+
+            ref = ray.put(C)
+
+            def partial(batch: pa.Table, _ref=ref, _j=j, _k=len(C)) -> pa.Table:
+                import ray as _ray
+
+                Cc = _ray.get(_ref)
+                M = _as_matrix(batch.column(vec_col))[:, _j * sub:(_j + 1) * sub]
+                d2 = ((M * M).sum(1)[:, None] - 2.0 * M @ Cc.T
+                      + (Cc * Cc).sum(1)[None, :])
+                a = d2.argmin(axis=1)
+                sums = np.zeros_like(Cc)
+                counts = np.zeros(_k, np.int64)
+                np.add.at(sums, a, M)
+                np.add.at(counts, a, 1)
+                return pa.table({"cid": pa.array(range(_k), pa.int64()),
+                                 "vsum": pa.array(sums.tolist(),
+                                                  pa.list_(pa.float64())),
+                                 "cnt": pa.array(counts, pa.int64())})
+
+            parts = mat.map_batches(partial, batch_format="pyarrow").to_pandas()
+            newC = C.copy()
+            for cid, g in parts.groupby("cid"):
+                cnt = int(g["cnt"].sum())
+                if cnt > 0:
+                    newC[cid] = np.sum(np.asarray(g["vsum"].tolist()),
+                                       axis=0) / cnt
+            C = newC
+        books.append(C)
+    return books
+
+
+def pq_encode(ds, codebooks: list[np.ndarray], *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Map-side encoding: each vector → m small codes (argmin squared-L2
+    per subspace, ties to the lowest code). Returns
+    ``(id, code_0..code_{m-1})`` — the 64-dim float32 vector compresses
+    to m bytes."""
+    import pyarrow as pa
+    import ray
+
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    ref = ray.put([np.asarray(c, np.float64) for c in codebooks])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        X = _as_matrix(batch.column(vec_col))
+        cols = {id_col: batch.column(id_col).cast(pa.int64())}
+        for j, C in enumerate(books):
+            M = X[:, j * sub:(j + 1) * sub]
+            d2 = ((M * M).sum(1)[:, None] - 2.0 * M @ C.T
+                  + (C * C).sum(1)[None, :])
+            cols[f"code_{j}"] = pa.array(d2.argmin(axis=1), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

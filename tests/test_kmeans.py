@@ -49,3 +49,30 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     })
     C = kmeans_fit(ray.data.from_arrow(t), k=2, iters=2)
     assert np.allclose(C, [[1.0, 2.0], [1.0, 2.0]])
+
+
+def test_pq_fit_encode_subspace_separation(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.similarity import pq_encode, pq_fit
+
+    rng = np.random.RandomState(11)
+    # 8-dim, m=2: first half clusters at ±1 on dims 0-3, second half at
+    # ±1 on dims 4-7, independently
+    n = 40
+    a = rng.randint(0, 2, n)
+    b = rng.randint(0, 2, n)
+    vecs = np.zeros((n, 8))
+    vecs[:, :4] = np.where(a[:, None] == 1, 1.0, -1.0)
+    vecs[:, 4:] = np.where(b[:, None] == 1, 1.0, -1.0)
+    vecs += rng.normal(0, 0.05, vecs.shape)
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    books = pq_fit(ds, m=2, k=2, iters=3)
+    assert len(books) == 2 and books[0].shape == (2, 4)
+    out = pq_encode(ds, books).to_pandas().set_index("vec_id").sort_index()
+    # codes must track the generating factors exactly (up to label swap)
+    for col, factor in (("code_0", a), ("code_1", b)):
+        codes = out[col].to_numpy()
+        assert (codes == factor).all() or (codes == 1 - factor).all()
