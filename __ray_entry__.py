@@ -2667,6 +2667,43 @@ def _q_pq_codes(sf_dir: str):
     return pq_encode(ds, books)
 
 
+def _q_jpeg_roundtrip(sf_dir: str):
+    """REAL JPEG path (minijpeg, baseline JFIF): constant-gray pages with
+    EVEN (c-128) offsets encode → decode EXACTLY (a constant block's only
+    nonzero coefficient is the DC; with an even level shift the quantize/
+    dequantize chain is lossless), so the decoded mean brightness has the
+    same exact-integer oracle as the PNG path. Odd offsets would round —
+    evenness is the planted closed-form contract, not a codec limit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minijpeg import (decode_gray_jpeg,
+                                                   encode_gray_jpeg)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        means = []
+        nbytes = []
+        for did in batch.column("doc_id").to_pylist():
+            c = 84 + 2 * (did % 45)  # even offset from 128, range 84-172
+            img = np.full((16, 24), c, np.uint8)
+            payload = encode_gray_jpeg(img)
+            back = decode_gray_jpeg(payload)
+            s = int(back.astype(np.int64).sum())
+            means.append(s * 1_000_000 // (back.size * 255))
+            nbytes.append(len(payload))
+        out = pa.table({"doc_id": batch.column("doc_id"),
+                        "brightness_ppm": pa.array(means, pa.int64())})
+        return out.append_column("jpeg_nonempty",
+                                 pa.array([n > 100 for n in nbytes],
+                                          pa.bool_()))
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2755,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_validation": _q_field_validation,
         "doc_type_autodetect": _q_doc_type_autodetect,
         "pq_codes": _q_pq_codes,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3503,6 +3541,11 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'unknown' END AS doc_type "
             "FROM documents WHERE doc_id % 97 <> 0 "
             "AND (doc_id % 5 IN (0, 2, 3) OR doc_id % 10 = 4)"
+        ),
+        "jpeg_roundtrip": (
+            "SELECT doc_id, "
+            "((84 + 2 * (doc_id % 45)) * 1000000) // 255 AS brightness_ppm, "
+            "true AS jpeg_nonempty FROM documents"
         ),
         "page_type_detect": (
             "SELECT doc_id, CASE "

@@ -1,0 +1,304 @@
+"""MINIJPEG — baseline JFIF grayscale codec (stdlib + numpy).
+
+Closes the last native-lib gap (S2's JPEG branch): a real ISO/IEC 10918
+baseline implementation — 8×8 DCT-II, Annex-K luminance quantization,
+zigzag, DC prediction, the spec's standard Huffman tables (K.3 DC / K.5
+AC), 0xFF byte stuffing, and full JFIF segment framing (SOI/APP0/DQT/
+SOF0/DHT/SOS/EOI). One component (grayscale), no subsampling.
+
+Honesty note: with no reference codec in this container, interop cannot
+be cross-checked in-sandbox; what IS verified: segment framing matches
+the spec constants byte-for-byte (tests), decode(encode(img)) round-trips
+within quantization error (PSNR-checked), and decode rejects malformed
+streams. The tables below are the public Annex-K constants.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 luminance quantization table (quality-50 base), raster order
+QTABLE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32).reshape(8, 8)
+
+# zigzag scan order (spec Figure 5): index i of the raster position
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+
+# Annex K.3: luminance DC — BITS (# codes per length 1..16) and values
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+# Annex K.5: luminance AC
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value → (code, length) per the spec's canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_ENC = _build_codes(DC_BITS, DC_VALS)
+_AC_ENC = _build_codes(AC_BITS, AC_VALS)
+
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, mantissa bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_gray_jpeg(img: np.ndarray) -> bytes:
+    """Grayscale uint8 (h, w) → baseline JFIF bytes."""
+    h, w = img.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+
+    bw = _BitWriter()
+    prev_dc = 0
+    zz = ZIGZAG
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            coef = _dct2(padded[by:by + 8, bx:bx + 8])
+            q = np.round(coef / QTABLE).astype(np.int64).ravel()[zz]
+            dc = int(q[0])
+            cat, bits = _magnitude(dc - prev_dc)
+            code, ln = _DC_ENC[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits, cat)
+            prev_dc = dc
+            run = 0
+            last_nz = int(np.nonzero(q[1:])[0][-1]) + 1 if (q[1:] != 0).any() else 0
+            for i in range(1, last_nz + 1):
+                v = int(q[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = _AC_ENC[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = _AC_ENC[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = _AC_ENC[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qt = bytes([0]) + bytes(int(QTABLE.ravel()[zz][i]) for i in range(64))
+    dht = (bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+           + b"")
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, qt)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, dht)
+    out += seg(0xFFC4, dht_ac)
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += struct.pack(">H", 0xFFD9)  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    enc = _build_codes(bits, vals)
+    return {(ln, code): val for val, (code, ln) in enc.items()}
+
+
+_DC_DEC = _build_decode(DC_BITS, DC_VALS)
+_AC_DEC = _build_decode(AC_BITS, AC_VALS)
+
+
+def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("bad huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bits >> (cat - 1):
+        return bits
+    return bits - (1 << cat) + 1
+
+
+def decode_gray_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF grayscale bytes → uint8 (h, w)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    h = w = None
+    qtab = None
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2:pos + ln]
+        if marker == 0xDB:
+            qtab = np.zeros(64, np.int64)
+            qtab[ZIGZAG] = np.frombuffer(body[1:65], np.uint8)
+            qtab = qtab.reshape(8, 8)
+        elif marker == 0xC0:
+            _, h, w, _ = struct.unpack_from(">BHHB", body, 0)
+        elif marker == 0xDA:
+            scan = payload[pos + ln:]
+            break
+        pos += ln
+    if h is None or qtab is None or scan is None:
+        raise ValueError("missing JFIF segments")
+    end = scan.rfind(b"\xff\xd9")
+    br = _BitReader(scan[:end if end >= 0 else len(scan)])
+    ph, pw = -h % 8, -w % 8
+    out = np.zeros((h + ph, w + pw), np.float64)
+    prev_dc = 0
+    inv_zz = np.argsort(ZIGZAG)
+    for by in range(0, h + ph, 8):
+        for bx in range(0, w + pw, 8):
+            q = np.zeros(64, np.int64)
+            cat = _read_huff(br, _DC_DEC)
+            prev_dc += _extend(br.read(cat) if cat else 0, cat)
+            q[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = _read_huff(br, _AC_DEC)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                cat = rs & 0x0F
+                if i > 63:
+                    raise ValueError("AC index overflow")
+                q[i] = _extend(br.read(cat), cat)
+                i += 1
+            coef = (q[inv_zz].reshape(8, 8)) * qtab
+            out[by:by + 8, bx:bx + 8] = _idct2(coef.astype(np.float64))
+    return np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"

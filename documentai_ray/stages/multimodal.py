@@ -35,16 +35,18 @@ IMAGE_META_TYPE = pa.struct(
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decoder: grayscale PNG via the stdlib minipng codec
-    (functions/minipng.py) → (H, W, 1). Other formats (JPEG/TIFF) still
-    need cv2/PIL — plug cv2.imdecode / PIL.Image.open into this branch."""
-    from documentai_ray.functions import minipng
+    """Real decoder: grayscale PNG via the stdlib minipng codec and
+    baseline JFIF grayscale via minijpeg (both functions/) → (H, W, 1).
+    TIFF still needs a native lib — plug cv2.imdecode into this branch."""
+    from documentai_ray.functions import minijpeg, minipng
 
     if minipng.is_png(payload):
         img = minipng.decode_gray(payload)
         return img[:, :, None]
+    if minijpeg.is_jpeg(payload):
+        return minijpeg.decode_gray_jpeg(payload)[:, :, None]
     raise NotImplementedError(
-        "non-PNG image decoding requires cv2/PIL (not available in this "
+        "TIFF/other image decoding requires cv2/PIL (not available in this "
         "environment); use decode_stub=True for the deterministic fake"
     )
 
