@@ -2704,6 +2704,33 @@ def _q_jpeg_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=64)
 
 
+def _q_tiff_roundtrip(sf_dir: str):
+    """REAL uncompressed-TIFF path (minitiff): row-gradient images encode
+    → decode LOSSLESSLY, so the exact pixel sum is the oracle (no
+    constant-block restriction — baseline TIFF is raw bytes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minitiff import (decode_gray_tiff,
+                                                   encode_gray_tiff)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        sums = []
+        for did in batch.column("doc_id").to_pylist():
+            rows = np.array([(did + y) % 256 for y in range(8)], np.uint8)
+            img = np.repeat(rows[:, None], 16, axis=1)
+            back = decode_gray_tiff(encode_gray_tiff(img))
+            sums.append(int(back.astype(np.int64).sum()))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "pixel_sum": pa.array(sums, pa.int64())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=128)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2793,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_type_autodetect": _q_doc_type_autodetect,
         "pq_codes": _q_pq_codes,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
+        "tiff_roundtrip": _q_tiff_roundtrip,
         "json_props": _q_json_props,
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
@@ -3546,6 +3574,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "((84 + 2 * (doc_id % 45)) * 1000000) // 255 AS brightness_ppm, "
             "true AS jpeg_nonempty FROM documents"
+        ),
+        "tiff_roundtrip": (
+            "SELECT doc_id, 16 * list_sum(list_transform("
+            "generate_series(0, 7), y -> (doc_id + y) % 256)) AS pixel_sum "
+            "FROM documents"
         ),
         "page_type_detect": (
             "SELECT doc_id, CASE "

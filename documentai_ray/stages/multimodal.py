@@ -35,19 +35,22 @@ IMAGE_META_TYPE = pa.struct(
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decoder: grayscale PNG via the stdlib minipng codec and
-    baseline JFIF grayscale via minijpeg (both functions/) → (H, W, 1).
-    TIFF still needs a native lib — plug cv2.imdecode into this branch."""
-    from documentai_ray.functions import minijpeg, minipng
+    """Real decoder: grayscale PNG (minipng), baseline JFIF JPEG
+    (minijpeg), and uncompressed grayscale TIFF (minitiff) → (H, W, 1) —
+    every baseline format decodes with stdlib codecs. Compressed TIFF /
+    exotic formats still need a native lib and raise from the codec."""
+    from documentai_ray.functions import minijpeg, minipng, minitiff
 
     if minipng.is_png(payload):
         img = minipng.decode_gray(payload)
         return img[:, :, None]
     if minijpeg.is_jpeg(payload):
         return minijpeg.decode_gray_jpeg(payload)[:, :, None]
+    if minitiff.is_tiff(payload):
+        return minitiff.decode_gray_tiff(payload)[:, :, None]
     raise NotImplementedError(
-        "TIFF/other image decoding requires cv2/PIL (not available in this "
-        "environment); use decode_stub=True for the deterministic fake"
+        "unknown image format (cv2/PIL would be needed); "
+        "use decode_stub=True for the deterministic fake"
     )
 
 

@@ -121,10 +121,12 @@ class TestStages:
         img = _decode_image_real(png_payload_for(5))
         w, h = image_dims(5)
         assert img.shape == (h, w, 1)
-        # JPEG now dispatches to the REAL minijpeg codec: malformed JPEG
-        # bytes are a codec error, not an unsupported format
+        # JPEG/TIFF now dispatch to REAL codecs: malformed bytes are codec
+        # errors, not unsupported formats
         with pytest.raises(ValueError):
             _decode_image_real(b"\xff\xd8\xff jpeg-ish")
-        # TIFF remains the native-gated hook
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             _decode_image_real(b"II*\x00 tiff-ish")
+        # truly unknown magic remains the native-lib hook
+        with pytest.raises(NotImplementedError):
+            _decode_image_real(b"BM bitmap-ish")

@@ -62,3 +62,35 @@ def test_decode_rejects_garbage():
         decode_gray_jpeg(b"garbage bytes")
     with pytest.raises(ValueError):
         decode_gray_jpeg(b"\xff\xd8truncated")
+
+
+def test_tiff_roundtrip_exact():
+    from documentai_ray.functions.minitiff import (decode_gray_tiff,
+                                                   encode_gray_tiff, is_tiff)
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (13, 21), np.uint8)
+    payload = encode_gray_tiff(img)
+    assert is_tiff(payload)
+    assert (decode_gray_tiff(payload) == img).all()  # lossless
+
+
+def test_tiff_rejects_compressed_and_garbage():
+    from documentai_ray.functions.minitiff import decode_gray_tiff
+
+    with pytest.raises(ValueError):
+        decode_gray_tiff(b"garbage")
+    with pytest.raises(ValueError):
+        decode_gray_tiff(b"MM\x00*big endian")
+
+
+def test_decode_dispatch_covers_all_three():
+    from documentai_ray.functions.minijpeg import encode_gray_jpeg
+    from documentai_ray.functions.minipng import encode_gray
+    from documentai_ray.functions.minitiff import encode_gray_tiff
+    from documentai_ray.stages.multimodal import _decode_image_real
+
+    img = np.full((8, 8), 77, np.uint8)
+    assert _decode_image_real(encode_gray(img)).shape == (8, 8, 1)
+    assert _decode_image_real(encode_gray_jpeg(img)).shape == (8, 8, 1)
+    assert (_decode_image_real(encode_gray_tiff(img))[:, :, 0] == img).all()
