@@ -129,3 +129,49 @@ def test_interval_join_matches_bruteforce(ts_vals, starts):
               for i, (s, e) in enumerate(zip(iv["start"], iv["end"]))
               if s <= tv < e}
     assert got == expect
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_psnr_fuzz(h, w, seed):
+    from documentai_ray.functions.minijpeg import (decode_gray_jpeg,
+                                                   encode_gray_jpeg)
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish content (JPEG's operating regime): low-freq ramp + noise
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.clip(128 + 40 * np.sin(y / 7.0) + 30 * np.cos(x / 9.0)
+                  + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
+    out = decode_gray_jpeg(encode_gray_jpeg(img))
+    assert out.shape == (h, w)
+    mse = ((img.astype(float) - out.astype(float)) ** 2).mean()
+    assert mse < 200  # PSNR > ~25 dB on smooth content
+
+
+@given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_tiff_roundtrip_lossless_fuzz(h, w, seed):
+    from documentai_ray.functions.minitiff import (decode_gray_tiff,
+                                                   encode_gray_tiff)
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w), np.uint8)
+    assert (decode_gray_tiff(encode_gray_tiff(img)) == img).all()
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=33,
+                                               max_codepoint=126),
+                        min_size=1, max_size=7),
+                min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_ocr_roundtrip_fuzz(words):
+    """Any printable-ASCII word sequence must survive render → OCR
+    byte-identically (within one page)."""
+    from documentai_ray.functions.minipdf import build_from_text
+    from documentai_ray.functions.raster import rasterize_first_page
+    from documentai_ray.stages.ocr import ocr_image
+
+    text = " ".join(words[:96])
+    payload, expected = build_from_text(text, shuffle_key=1)
+    got, _ = ocr_image(rasterize_first_page(payload, glyphs=True))
+    assert got == expected
