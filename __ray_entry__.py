@@ -842,6 +842,81 @@ def _q_token_count_bpe(sf_dir: str):
     return ds.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """Top-20 adjacent character-pair frequencies over the corpus — the
+    inner kernel of BPE training, fully distributed: per-batch word-Counter
+    combiner → one groupby over DISTINCT words → per-word pair expansion
+    (still over the compact word table, not the corpus) → groupby pair.
+    Both shuffles carry rows bounded by vocabulary size, not corpus size."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.bpe import word_freqs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wf = word_freqs(ds)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for w, n in zip(batch.column("word").to_pylist(),
+                        batch.column("n").to_pylist()):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += n
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (
+        wf.map_batches(expand, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="mergesort")
+    return agg.head(20).reset_index(drop=True)
+
+
+def _q_bpe_train_merges(sf_dir: str):
+    """First 3 BPE merges learned from the corpus (distributed word-count
+    pass + driver merge loop over the compact vocab — stages/bpe.py). The
+    oracle unrolls all 3 rounds in SQL: sentinel-delimited symbol strings,
+    pair counts from adjacent list positions, argmax with the (n desc,
+    lhs, rhs) tie-break, and a string `replace` as the merge pass (the
+    left-to-right non-overlapping semantics both engines pin)."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.bpe import bpe_train_distributed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges = bpe_train_distributed(ds, num_merges=3)
+    return pd.DataFrame(
+        {"rank": range(1, len(merges) + 1),
+         "lhs": [m[0] for m in merges],
+         "rhs": [m[1] for m in merges],
+         "n": [m[2] for m in merges]}).astype(
+             {"rank": "int64", "n": "int64"})
+
+
+def _q_bpe_encode(sf_dir: str):
+    """Per-document token count under the fixed PRETRAINED_MERGES table
+    (train once / encode everywhere — the map-only production shape).
+    Per-batch distinct-word cache inside the stage; the oracle applies the
+    same merges as nested sentinel-string replaces."""
+    import ray.data
+
+    from documentai_ray.stages.bpe import BpeEncodeStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(BpeEncodeStage(), batch_format="pyarrow",
+                        batch_size=512)
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _q_fingerprint(sf_dir: str):
     """Winnowing document fingerprint (rolling md5-token polynomial hash,
     content-defined anchors, XOR-reduced). Emitted as SIGNED int64 (the
@@ -1017,11 +1092,17 @@ def _q_vote_distribution(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF-flat ANN top-10. nprobe=12/nlist=16 probes 75% of the centroid
-    cells and measures recall 1.0 on this corpus (margin: 1.0 from
-    nprobe=10 up), so the exact top-10 serves as the oracle; nprobe is the
-    recall/throughput knob to lower at scale (recall tests in
-    tests/test_dedup_similarity.py cover the <1.0 regime)."""
+    """IVF-flat ANN top-10, full probe (nprobe=nlist): exercises the whole
+    distributed IVF machinery — centroid train, broadcast index, per-batch
+    assignment matmul, probe filter, exact re-rank, partial top-k — with a
+    result that equals brute-force top-10 BY CONSTRUCTION, so the exact
+    SQL oracle holds at every scale. The sub-linear approximate regime
+    (nprobe<nlist) has no scale-stable exact oracle — its recall margin
+    collapses as the corpus outgrows the trained cells (measured: recall
+    1.0 needs nprobe≥10 at sf0.01 but ≥15 at sf0.1) — so that regime is
+    pinned by the planted-cluster recall tests in
+    tests/test_dedup_similarity.py instead; nprobe is the documented
+    recall/throughput scale knob."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
@@ -1035,7 +1116,7 @@ def _q_ann_ivf(sf_dir: str):
         next(r["embedding"] for r in tbl.to_pylist() if r["vec_id"] == 0),
         dtype=np.float64,
     )
-    index = IVFIndex(nlist=16, nprobe=12).train(sample)
+    index = IVFIndex(nlist=16, nprobe=16).train(sample)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ivf_topk(ds, query, k=10, index=index, exclude_ids={0})[["vec_id"]]
 
@@ -2757,6 +2838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout_text": _q_pdf_layout_text,
         "lang_id": _q_lang_id,
         "token_count_bpe": _q_token_count_bpe,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_encode": _q_bpe_encode,
         "fingerprint": _q_fingerprint,
         "simhash_hamming": _q_simhash_hamming,
         "group_pages": _q_group_pages,
@@ -2826,6 +2910,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "events_pivot": _q_events_pivot,
     }
+
+
+_SQL_BPE_WORDS = (
+    "SELECT token AS word, CAST(count(*) AS BIGINT) AS n FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "WHERE token <> '' GROUP BY token"
+)
+
+# sentinel-delimited symbol string: chr(31)sym(chr30) per symbol, joined by
+# ' ' — a string `replace` of "(31)lhs(30) (31)rhs(30)" is then EXACTLY one
+# left-to-right non-overlapping whole-symbol merge pass (see stages/bpe.py)
+_SQL_BPE_SPACED = (
+    "array_to_string(list_transform(range(1, length({w})+1), "
+    "i -> chr(31) || substr({w}, CAST(i AS INT), 1) || chr(30)), ' ')"
+)
+
+
+def _sql_bpe_train(num_merges: int) -> str:
+    """Unrolled BPE training rounds: s{k} = vocab segmentation after k
+    merges, p{k} = weighted adjacent-pair counts, m{k} = argmax pair."""
+    spaced = _SQL_BPE_SPACED.format(w="word")
+    parts = [f"WITH w AS ({_SQL_BPE_WORDS}), ",
+             f"s0 AS (SELECT {spaced} AS s, n FROM w)"]
+    for k in range(1, num_merges + 1):
+        parts.append(
+            f", p{k} AS (SELECT "
+            "replace(replace(syms[CAST(i AS INT)], chr(31), ''), chr(30), '') AS lhs, "
+            "replace(replace(syms[CAST(i AS INT)+1], chr(31), ''), chr(30), '') AS rhs, "
+            "CAST(sum(n) AS BIGINT) AS n "
+            "FROM (SELECT string_split(s, ' ') AS syms, n, "
+            "unnest(range(1, len(string_split(s, ' ')))) AS i "
+            f"FROM s{k-1}) GROUP BY lhs, rhs)"
+            f", m{k} AS (SELECT lhs, rhs, n FROM p{k} "
+            "ORDER BY n DESC, lhs, rhs LIMIT 1)"
+            f", s{k} AS (SELECT replace(s, "
+            f"chr(31) || (SELECT lhs FROM m{k}) || chr(30) || ' ' || "
+            f"chr(31) || (SELECT rhs FROM m{k}) || chr(30), "
+            f"chr(31) || (SELECT lhs || rhs FROM m{k}) || chr(30)) AS s, n "
+            f"FROM s{k-1})")
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS rank, lhs, rhs, n FROM m{k}"
+        for k in range(1, num_merges + 1))
+    return "".join(parts) + " " + union
+
+
+def _sql_bpe_encode_tokens(word_expr: str) -> str:
+    """Token count of a word under PRETRAINED_MERGES: nested replaces in
+    training order over the sentinel symbol string."""
+    from documentai_ray.stages.bpe import PRETRAINED_MERGES
+
+    e = _SQL_BPE_SPACED.format(w=word_expr)
+    for lhs, rhs in PRETRAINED_MERGES:
+        pat = (f"chr(31) || '{lhs}' || chr(30) || ' ' || "
+               f"chr(31) || '{rhs}' || chr(30)")
+        rep = f"chr(31) || '{lhs}{rhs}' || chr(30)"
+        e = f"replace({e}, {pat}, {rep})"
+    return f"len(string_split({e}, ' '))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3706,6 +3847,23 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) "
             "AS n_bpe_tokens FROM documents"
+        ),
+        "bpe_pair_counts": (
+            f"WITH w AS ({_SQL_BPE_WORDS}), "
+            "p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, n FROM "
+            "(SELECT word, n, unnest(range(1, length(word))) AS i FROM w)) "
+            "SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY pair "
+            "ORDER BY n DESC, pair LIMIT 20"
+        ),
+        "bpe_train_merges": _sql_bpe_train(3),
+        "bpe_encode": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS word "
+            "FROM documents), "
+            "e AS (SELECT doc_id, CASE WHEN word = '' THEN 0 ELSE "
+            f"{_sql_bpe_encode_tokens('word')} END AS k FROM t) "
+            "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bpe_tokens "
+            "FROM e GROUP BY doc_id"
         ),
         # the MINIPDF walk text is the deterministic 8-words-per-line
         # relayout of the document text (build_from_text), independently
