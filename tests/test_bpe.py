@@ -123,3 +123,48 @@ class TestDistributed:
         ds = ray.data.from_items([{"text": "a b c d e"}])
         with pytest.raises(ValueError, match="max_vocab_rows"):
             bpe_train_distributed(ds, num_merges=1, max_vocab_rows=2)
+
+
+class TestProperties:
+    """Hypothesis fuzz for the two equivalence claims the SQL oracles
+    lean on (see stages/bpe.py module docstring)."""
+
+    def test_in_order_equals_rank_based_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="abc", min_size=0, max_size=12)
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(word, min_size=1, max_size=8), word)
+        def check(vocab_words, probe):
+            vocab = {w: i + 1 for i, w in enumerate(vocab_words) if w}
+            if not vocab:
+                return
+            merges = [(l, r) for l, r, _ in bpe_train(vocab, 6)]
+            ref = TestEncode()._rank_based
+            for w in list(vocab) + [probe]:
+                assert encode_word(w, merges) == ref(w, merges)
+
+        check()
+
+    def test_merge_pass_equals_sentinel_replace_fuzz(self):
+        """merge_syms == the oracle's string replace over the
+        chr(31)sym chr(30) sentinel encoding, including overlap and
+        whole-symbol boundary cases."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        sym = st.text(alphabet="ab", min_size=1, max_size=3)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(sym, min_size=0, max_size=8), sym, sym)
+        def check(syms, lhs, rhs):
+            s = " ".join(f"\x1f{x}\x1e" for x in syms)
+            pat = f"\x1f{lhs}\x1e \x1f{rhs}\x1e"
+            rep = f"\x1f{lhs}{rhs}\x1e"
+            via_replace = tuple(
+                t[1:-1] for t in s.replace(pat, rep).split(" ") if t)
+            assert via_replace == merge_syms(tuple(syms), lhs, rhs)
+
+        check()
