@@ -2812,6 +2812,108 @@ def _q_tiff_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow", batch_size=128)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental crawl dedup (CCNet per-snapshot pattern): new snapshot
+    (here: all documents) anti-joined by exact content hash against the
+    prior snapshot (docs with ``doc_id % 4 == 1``) — only rows whose text
+    never appeared before survive. The old side ships ONLY its md5 column
+    through one bucketed anti hash_join."""
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_against_snapshot
+
+    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source", "text"])
+    def old_rows(batch):
+        import numpy as np
+        import pyarrow as pa
+        ids = np.asarray(batch.column("doc_id").to_pylist())
+        return batch.filter(pa.array(ids % 4 == 1)).select(["text"])
+
+    old = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]).map_batches(
+        old_rows, batch_format="pyarrow")
+    return dedup_against_snapshot(new, old).select_columns(
+        ["doc_id", "source"])
+
+
+def _q_url_filter(sf_dir: str):
+    """Crawl-frontier URL filtering (UT1-blocklist style): drop blocked
+    hosts (the heavy host + every srcN host with N % 7 == 3 — the
+    blocklist itself is derived from the corpus' distinct sources, a
+    broadcast-small side) and query-string tracking variants (the planted
+    ?amp=1 pages). Pure map over the url column."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.sources.pages import HEAVY_HOST, pages_dataset
+    from documentai_ray.stages.curation import url_filter_batch
+
+    srcs = set(pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["source"]).column("source").to_pylist())
+    blocked = frozenset({HEAVY_HOST} | {
+        f"{s}.example.com" for s in srcs if int(s[3:]) % 7 == 3})
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.select_columns(["url"])
+    return ds.map_batches(
+        lambda b: url_filter_batch(b, blocked_hosts=blocked),
+        batch_format="pyarrow", batch_size=512)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup: distributed k-means (k=4, 2 iters — same fit the
+    kmeans_clusters oracle pins) then per-cluster cosine prune — a vector
+    is dropped iff a LOWER-id same-cluster vector sits at cosine ≥ 0.4
+    (margin to the nearest pair ~1e-4 vs ~1e-15 cross-engine drift, same
+    contract embedding_neardup relies on). One bounded exchange on the
+    cluster id; the oracle unrolls the fit and mirrors the prune as a
+    self-join."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import semdedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semdedup(ds, k=4, iters=2, threshold=0.4)
+
+
+def _q_shard_export(sf_dir: str):
+    """Deterministic training-shard export order: shard = knuth(id) % 16,
+    position = rank of (hash, id) within the shard — the reproducible
+    global shuffle a training-data writer needs (hash order IS the
+    shuffle; every shard is an independently resumable partition)."""
+    import ray.data
+
+    from documentai_ray.stages.curation import assign_shards
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return assign_shards(ds, n_shards=16)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+    bucket counts for the target set (docs with doc_id % 31 == 5 — the
+    decontaminate benchmark subset) and the raw corpus (two streaming
+    passes, each exchanging only 64-int partial bincounts), then a
+    map-side per-doc score Σ ((target[b]+1)·10⁶)//(raw[b]+1) over token
+    buckets — the integer-ratio analog of the log-likelihood ratio,
+    bit-exact in SQL."""
+    import ray.data
+
+    from documentai_ray.stages.curation import dsir_bucket_counts, dsir_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def target_mask(batch):
+        return [i % 31 == 5 for i in batch.column("doc_id").to_pylist()]
+
+    raw = dsir_bucket_counts(ds)
+    tgt = dsir_bucket_counts(ds, doc_filter=target_mask)
+    return dsir_score(ds, tgt, raw)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -2909,6 +3011,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running": _q_customer_running,
         "stratified_sample": _q_stratified_sample,
         "events_pivot": _q_events_pivot,
+        "incremental_dedup": _q_incremental_dedup,
+        "url_filter": _q_url_filter,
+        "semdedup": _q_semdedup,
+        "shard_export": _q_shard_export,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -3890,6 +3997,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id FROM s ORDER BY c DESC, vec_id LIMIT 10"
         ),
         "fingerprint": _sql_fingerprint(),
+        "incremental_dedup": (
+            "SELECT doc_id, source FROM documents WHERE md5(text) NOT IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 4 = 1)"
+        ),
+        "url_filter": (
+            f"WITH p AS (SELECT url FROM ({_SQL_PAGES_WITH_AMP})), "
+            "h AS (SELECT url, string_split(url, '/')[3] AS host FROM p), "
+            "f AS (SELECT url, host, coalesce(host = 'heavy.example.com' OR "
+            "(starts_with(host, 'src') AND TRY_CAST(substr("
+            "string_split(host, '.')[1], 4) AS INT) % 7 = 3), false) "
+            "AS blocked FROM h) "
+            "SELECT url, host, "
+            "CASE WHEN blocked OR contains(url, '?') THEN false "
+            "ELSE true END AS keep, "
+            "CASE WHEN blocked THEN 'blocked_host' "
+            "WHEN contains(url, '?') THEN 'query_string' "
+            "ELSE 'ok' END AS drop_reason FROM f"
+        ),
+        # prune rule mirrored as a self-join: drop iff ANY lower-id
+        # same-cluster vector sits at cosine >= 0.4 (nearest pair is
+        # ~1e-4 from the threshold vs ~1e-15 cross-engine drift)
+        "semdedup": (
+            f"WITH asg AS (SELECT vec_id, cluster FROM ({_sql_kmeans(4, 2)})), "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "j AS (SELECT a.vec_id, a.cluster, e.v FROM asg a "
+            "JOIN e ON a.vec_id = e.vec_id), "
+            "p AS (SELECT j1.vec_id, "
+            "bool_or(list_cosine_similarity(j1.v, j2.v) >= 0.4) AS hit "
+            "FROM j j1 JOIN j j2 ON j1.cluster = j2.cluster "
+            "AND j2.vec_id < j1.vec_id GROUP BY j1.vec_id) "
+            "SELECT j.vec_id, j.cluster, NOT coalesce(p.hit, false) AS keep "
+            "FROM j LEFT JOIN p ON j.vec_id = p.vec_id"
+        ),
+        "shard_export": (
+            "WITH k AS (SELECT doc_id, "
+            "(doc_id * 2654435761) % 4294967296 AS h FROM documents) "
+            "SELECT doc_id, CAST(h % 16 AS BIGINT) AS shard, "
+            "CAST(h AS BIGINT) AS h, "
+            "CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) "
+            "- 1 AS BIGINT) AS pos FROM k"
+        ),
+        # keep DSIR_BUCKETS (stages/curation.py) and the % 64 here in sync
+        "dsir_weights": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS tok FROM documents), "
+            f"b AS (SELECT doc_id, CAST({_sql_md5_le64('tok')} % 64 "
+            "AS BIGINT) AS bucket FROM tok), "
+            "raw AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket), "
+            "tgt AS (SELECT bucket, count(*) AS tc FROM b "
+            "WHERE doc_id % 31 = 5 GROUP BY bucket), "
+            "sc AS (SELECT raw.bucket, ((coalesce(tgt.tc, 0) + 1) * 1000000) "
+            "// (raw.rc + 1) AS s FROM raw LEFT JOIN tgt "
+            "ON raw.bucket = tgt.bucket), "
+            "agg AS (SELECT b.doc_id, sum(sc.s) AS tot FROM b "
+            "JOIN sc ON b.bucket = sc.bucket GROUP BY b.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(agg.tot, 0) AS BIGINT) "
+            "AS dsir_score_ppm FROM documents d "
+            "LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
     }
 
 

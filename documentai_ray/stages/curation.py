@@ -357,3 +357,158 @@ def gopher_quality_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table
     for name in ("n_words", "mean_word_len_ppm", "symbol_ppm", "bullet_ppm"):
         out = out.append_column(name, pa.array(cols[name], pa.int64()))
     return out.append_column("gq_keep", pa.array(cols["gq_keep"], pa.bool_()))
+
+
+# ---------------------------------------------------------------------------
+# URL filtering (crawl-frontier hygiene: blocklists + tracking variants)
+# ---------------------------------------------------------------------------
+
+def url_filter_batch(batch: pa.Table, *, blocked_hosts: frozenset,
+                     url_col: str = "url") -> pa.Table:
+    """Per-URL keep/drop decision for a crawl frontier — the UT1-blocklist
+    style pass every web pipeline runs before fetch/extract. Rules in
+    priority order (first hit wins):
+
+    1. host ∈ ``blocked_hosts``        → drop, reason ``blocked_host``
+    2. URL carries a query string      → drop, reason ``query_string``
+       (tracking/AMP variants; canonical dedup handles the survivors)
+    3. otherwise                       → keep, reason ``ok``
+
+    The blocklist broadcasts as a plain frozenset inside the UDF closure
+    (set size ≪ data; at 100 TB ship it via ``ray.put`` once and resolve
+    in a stage constructor — same shape as DecontaminateStage).
+    Appends ``host``, ``keep:bool``, ``drop_reason:string``.
+    """
+    urls = batch.column(url_col).to_pylist()
+    hosts, keeps, reasons = [], [], []
+    for u in urls:
+        host = u.split("/", 3)[2] if u.count("/") >= 2 else ""
+        hosts.append(host)
+        if host in blocked_hosts:
+            keeps.append(False)
+            reasons.append("blocked_host")
+        elif "?" in u:
+            keeps.append(False)
+            reasons.append("query_string")
+        else:
+            keeps.append(True)
+            reasons.append("ok")
+    return (batch.append_column("host", pa.array(hosts, pa.string()))
+            .append_column("keep", pa.array(keeps, pa.bool_()))
+            .append_column("drop_reason", pa.array(reasons, pa.string())))
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-shard export order
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def assign_shards(ds, *, n_shards: int = 16, id_col: str = "doc_id"):
+    """Deterministic global shuffle + shard assignment for training-data
+    export: shard = knuth_hash(id) % n_shards, position within the shard =
+    rank of (hash, id). The hash order IS the shuffle — reproducible,
+    parallelism-independent, and resumable per shard (each shard is an
+    independent output partition; a failed export rewrites only its shard).
+
+    Physical plan: map-side hash/shard columns, ONE bucketed exchange on
+    ``shard`` (group count = n_shards, bounded), one vectorized argsort per
+    shard partition. At 10¹² rows pick n_shards ≈ corpus_bytes / 1 GB and
+    sub-sort per shard via the same hash — never a global sort.
+    Returns ``(id, shard, h, pos)``.
+    """
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), np.uint64)
+        h = (ids * _KNUTH) % _M32
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "shard": pa.array((h % n_shards).astype(np.int64), pa.int64()),
+            "h": pa.array(h.astype(np.int64), pa.int64())})
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="mergesort").reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(order, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed-ngram importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+
+
+def _token_bucket(tok: str, n_buckets: int, _cache: dict = {}) -> int:
+    """Repo-standard md5-LE64 token hash → bucket, memoized per worker
+    (natural-language token sets are tiny relative to token counts)."""
+    b = _cache.get(tok)
+    if b is None:
+        from documentai_ray.stages.sketches import md5_le64
+        b = md5_le64(tok) % n_buckets
+        _cache[tok] = b
+    return b
+
+
+def dsir_bucket_counts(ds, *, text_col: str = "text",
+                       n_buckets: int = DSIR_BUCKETS,
+                       doc_filter=None):
+    """One streaming pass → length-``n_buckets`` token-count vector (the
+    hashed unigram feature counts of Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"). Each batch emits its
+    partial bincount (≤ n_buckets rows); the exchange is bucket-count
+    sized, never token sized. ``doc_filter(batch) -> bool mask`` restricts
+    to a target subset (e.g. the benchmark docs). Returns np.int64[B]."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        if doc_filter is not None:
+            mask = doc_filter(batch)
+            texts = [t for t, m in zip(texts, mask) if m]
+        counts = np.zeros(n_buckets, np.int64)
+        for t in texts:
+            for tok in (t or "").split():
+                counts[_token_bucket(tok, n_buckets)] += 1
+        return pa.table({"bucket": pa.array(range(n_buckets), pa.int64()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    out = np.zeros(n_buckets, np.int64)
+    out[agg["bucket"].to_numpy()] = agg["cnt"].to_numpy()
+    return out
+
+
+def dsir_score(ds, target_counts: np.ndarray, raw_counts: np.ndarray, *,
+               id_col: str = "doc_id", text_col: str = "text",
+               n_buckets: int = DSIR_BUCKETS):
+    """Per-document importance score: Σ_tokens score_ppm[bucket(token)]
+    where score_ppm[b] = ((target[b]+1)·10⁶) // (raw[b]+1) — the
+    Laplace-smoothed integer RATIO analog of DSIR's log-likelihood ratio
+    (monotone in the ratio per bucket; integer so the SQL oracle is
+    bit-exact — float logs would drift). The two count vectors are
+    broadcast-small (B ints) and ship in the UDF closure. Returns
+    ``(id, dsir_score_ppm)`` with 0 for token-less docs."""
+    score = ((np.asarray(target_counts, np.int64) + 1) * 1_000_000
+             // (np.asarray(raw_counts, np.int64) + 1))
+
+    def sc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        vals = []
+        for t in batch.column(text_col).to_pylist():
+            s = 0
+            for tok in (t or "").split():
+                s += int(score[_token_bucket(tok, n_buckets)])
+            vals.append(s)
+        return pa.table({id_col: ids,
+                         "dsir_score_ppm": pa.array(vals, pa.int64())})
+
+    return ds.map_batches(sc, batch_format="pyarrow")

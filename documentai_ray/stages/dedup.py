@@ -114,6 +114,29 @@ def dedup_exact_first(ds, id_col: str, content_col: str = "text",
     )
 
 
+def dedup_against_snapshot(new_ds, old_ds, *, content_col: str = "text",
+                           num_partitions: int = 64):
+    """Incremental crawl dedup (the CCNet/CC-per-snapshot pattern): keep
+    only the NEW-snapshot rows whose content does not already exist in
+    the PRIOR snapshot.
+
+    Physical plan: both sides get an md5 content-hash column map-side,
+    the old side is projected to ONLY its hash column (at 100 TB the
+    prior snapshot's hash table is ~3% of its text bytes), then one
+    bucketed anti ``hash_join`` on the hash — matching hashes co-locate,
+    the existence test is a per-partition vectorized ``isin``. Nothing
+    but (hash) ever shuffles for the old side; the new side shuffles its
+    projected columns once. Output = the new rows' original columns.
+    """
+    new_h = add_md5(new_ds, col=content_col)
+    old_h = add_md5(old_ds, col=content_col).select_columns(["content_md5"])
+    from documentai_ray.stages.joins import hash_join
+
+    kept = hash_join(new_h, old_h, on="content_md5",
+                     num_partitions=num_partitions, how="anti")
+    return kept.drop_columns(["content_md5"])
+
+
 def canonicalize_url(url: str) -> str:
     """Crawl URL canonicalization: strip the query string and fragment.
     (Hosts in the synthetic corpus are already lowercase; a real crawl

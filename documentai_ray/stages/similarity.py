@@ -388,3 +388,59 @@ def pq_encode(ds, codebooks: list[np.ndarray], *, id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup: k-means clusters + within-cluster cosine prune)
+# ---------------------------------------------------------------------------
+
+def semdedup(ds, *, k: int = 4, iters: int = 2, threshold: float = 0.4,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster embeddings with
+    k-means, then inside each cluster drop every vector that has a
+    LOWER-id neighbor at cosine ≥ ``threshold`` (the deterministic
+    keep-one-representative rule — no union-find needed, and exactly
+    mirrorable in SQL as a NOT EXISTS).
+
+    Physical plan: the distributed ``kmeans_fit`` (per-batch partial
+    sums; only k×(d+1) floats return to the driver), then ONE bucketed
+    exchange on the cluster id (group count = k, bounded), then a
+    vectorized per-cluster Gram matrix. The O(n²)-per-cluster compare is
+    the documented scale contract: at 10¹² rows raise k so clusters are
+    bounded (SemDeDup's own recipe) or sub-block clusters with the LSH
+    bucketer — the plan shape stays identical.
+
+    Returns ``(id, cluster, keep:bool)`` for every input vector.
+    """
+    import ray
+
+    C = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(np.asarray(C, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(ref)
+        X = _as_matrix(batch.column(vec_col))
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ Cc.T
+              + (Cc * Cc).sum(1)[None, :])
+        return pa.table({id_col: batch.column(id_col).cast(pa.int64()),
+                         vec_col: batch.column(vec_col),
+                         "cluster": pa.array(d2.argmin(axis=1), pa.int64())})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.asarray(g[vec_col].to_numpy()[order].tolist(), np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        G = Mn @ Mn.T
+        # strict lower triangle: G[i, j] for j < i = similarity to a
+        # smaller-id vector (ids sorted ascending)
+        keep = (np.tril(G, k=-1) >= threshold).sum(axis=1) == 0
+        return pd.DataFrame({id_col: ids.astype(np.int64),
+                             "cluster": g["cluster"].to_numpy()[order],
+                             "keep": keep})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pandas"))

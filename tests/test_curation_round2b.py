@@ -1,0 +1,150 @@
+"""Tests for the late-round-2 curation surface: incremental snapshot
+dedup, URL frontier filtering, SemDeDup, shard export, DSIR weights."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from documentai_ray.stages import curation
+
+
+class TestSnapshotDedup:
+    def test_anti_join_semantics(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.dedup import dedup_against_snapshot
+
+        new = ray.data.from_items([
+            {"doc_id": 0, "text": "alpha"},
+            {"doc_id": 1, "text": "beta"},
+            {"doc_id": 2, "text": "gamma"},
+            {"doc_id": 3, "text": "alpha"},   # same content as 0
+        ])
+        old = ray.data.from_items([{"text": "alpha"}, {"text": "delta"}])
+        out = dedup_against_snapshot(new, old, num_partitions=4).to_pandas()
+        # both alpha rows drop (content seen in the prior snapshot)
+        assert sorted(out["doc_id"]) == [1, 2]
+        assert sorted(out.columns) == ["doc_id", "text"]
+
+    def test_empty_old_keeps_everything(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.dedup import dedup_against_snapshot
+
+        new = ray.data.from_items([{"doc_id": i, "text": f"t{i}"}
+                                   for i in range(10)])
+        old = ray.data.from_items([{"text": "nothing-matches"}])
+        out = dedup_against_snapshot(new, old, num_partitions=4).to_pandas()
+        assert len(out) == 10
+
+
+class TestUrlFilter:
+    def test_rule_priority(self):
+        batch = pa.table({"url": [
+            "https://bad.example.com/p/1",          # blocked host
+            "https://bad.example.com/p/2?amp=1",    # blocked wins over query
+            "https://ok.example.com/p/3?utm=x",     # query string
+            "https://ok.example.com/p/4",           # keep
+        ]})
+        out = curation.url_filter_batch(
+            batch, blocked_hosts=frozenset({"bad.example.com"}))
+        assert out.column("keep").to_pylist() == [False, False, False, True]
+        assert out.column("drop_reason").to_pylist() == [
+            "blocked_host", "blocked_host", "query_string", "ok"]
+        assert out.column("host").to_pylist()[0] == "bad.example.com"
+
+
+class TestSemDeDup:
+    def test_keeps_one_per_tight_group(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.similarity import semdedup
+
+        rng = np.random.RandomState(7)
+        # two well-separated cluster centers; ids 0/1/2 are near-identical
+        # copies inside cluster A, ids 10/11 identical inside cluster B
+        a = rng.randn(8); a /= np.linalg.norm(a)
+        b = -a  # antipodal → different k-means cluster, cosine -1
+        rows = []
+        for i, eps in [(0, 0.0), (1, 1e-3), (2, 2e-3)]:
+            v = a + eps
+            rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()})
+        for i, eps in [(10, 0.0), (11, 1e-3)]:
+            v = b + eps
+            rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()})
+        ds = ray.data.from_items(rows)
+        out = semdedup(ds, k=2, iters=2, threshold=0.95).to_pandas()
+        keep = dict(zip(out["vec_id"], out["keep"]))
+        assert keep == {0: True, 1: False, 2: False, 10: True, 11: False}
+        # the two tight groups land in different clusters
+        cl = dict(zip(out["vec_id"], out["cluster"]))
+        assert cl[0] == cl[1] == cl[2]
+        assert cl[10] == cl[11]
+        assert cl[0] != cl[10]
+
+    def test_all_kept_below_threshold(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.similarity import semdedup
+
+        # orthogonal basis vectors: every cosine is 0 → nothing drops
+        rows = [{"vec_id": i, "embedding": np.eye(6)[i].tolist()}
+                for i in range(6)]
+        out = semdedup(ray.data.from_items(rows), k=2, iters=1,
+                       threshold=0.5).to_pandas()
+        assert out["keep"].all()
+        assert len(out) == 6
+
+
+class TestShardExport:
+    def test_positions_are_dense_and_deterministic(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_items([{"doc_id": i} for i in range(500)])
+        out = curation.assign_shards(ds, n_shards=8).to_pandas()
+        assert len(out) == 500
+        assert set(out["shard"]) <= set(range(8))
+        for s, g in out.groupby("shard"):
+            g = g.sort_values("pos")
+            assert list(g["pos"]) == list(range(len(g)))       # dense ranks
+            assert (np.diff(g["h"].to_numpy()) >= 0).all()     # hash order
+        # shard/pos must be independent of input partitioning
+        out2 = curation.assign_shards(
+            ray.data.from_items([{"doc_id": i} for i in range(500)])
+            .repartition(13), n_shards=8).to_pandas()
+        m1 = out.sort_values("doc_id")[["shard", "pos"]].to_numpy()
+        m2 = out2.sort_values("doc_id")[["shard", "pos"]].to_numpy()
+        assert (m1 == m2).all()
+
+
+class TestDsir:
+    def test_target_lookalikes_score_higher(self, ray_session):
+        import ray.data
+
+        rows = ([{"doc_id": i, "text": "math proof lemma theorem"}
+                 for i in range(0, 4)]          # target-like
+                + [{"doc_id": i, "text": "sports scores game recap"}
+                   for i in range(4, 40)])       # bulk
+        ds = ray.data.from_items(rows)
+
+        def mask(batch):
+            return [i < 4 for i in batch.column("doc_id").to_pylist()]
+
+        raw = curation.dsir_bucket_counts(ds)
+        tgt = curation.dsir_bucket_counts(ds, doc_filter=mask)
+        assert raw.sum() == 4 * 4 + 36 * 4
+        assert tgt.sum() == 16
+        out = curation.dsir_score(ds, tgt, raw).to_pandas()
+        s = dict(zip(out["doc_id"], out["dsir_score_ppm"]))
+        assert s[0] > s[10]          # target-like doc outranks bulk doc
+        assert s[0] == s[1]          # identical text → identical score
+
+    def test_empty_text_scores_zero(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": ""},
+                                  {"doc_id": 1, "text": "a"}])
+        raw = curation.dsir_bucket_counts(ds)
+        out = curation.dsir_score(ds, raw, raw).to_pandas()
+        assert dict(zip(out["doc_id"], out["dsir_score_ppm"]))[0] == 0
