@@ -2914,6 +2914,21 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_score(ds, tgt, raw)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters: tokens with frequency > n/(k+1), exact
+    counts, via two bounded passes (per-batch k-counter summaries, then
+    exact counting of the guaranteed-superset candidates) — the no-shuffle
+    alternative to a full token groupby. Integer threshold → no float
+    margin; the oracle is the plain GROUP BY ... HAVING mirror."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import heavy_hitter_tokens
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return heavy_hitter_tokens(ds, k=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3016,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "shard_export": _q_shard_export,
         "dsir_weights": _q_dsir_weights,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -4057,6 +4073,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(coalesce(agg.tot, 0) AS BIGINT) "
             "AS dsir_score_ppm FROM documents d "
             "LEFT JOIN agg ON d.doc_id = agg.doc_id"
+        ),
+        # keep k=30 in sync with _q_heavy_hitters
+        "heavy_hitters": (
+            "WITH tok AS (SELECT unnest(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '')) AS token "
+            "FROM documents), "
+            "tot AS (SELECT count(*) AS n FROM tok) "
+            "SELECT token, count(*) AS n_count FROM tok, tot "
+            "GROUP BY token, tot.n HAVING count(*) * 31 > tot.n"
         ),
     }
 

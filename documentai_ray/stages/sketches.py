@@ -73,3 +73,81 @@ def kmv_distinct_shingles(ds, *, text_col: str = "text", k: int = 128,
     return pa.table({"k": pa.array([k], pa.int64()),
                      "n_kept": pa.array([n_kept], pa.int64()),
                      "est_distinct": pa.array([est], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (two bounded passes, no token shuffle)
+# ---------------------------------------------------------------------------
+
+_MG_TOTAL_SENTINEL = "\x00__total__"
+
+
+def misra_gries(tokens, k: int) -> dict[str, int]:
+    """Classic Misra-Gries summary with k counters: every item with true
+    frequency > n/(k+1) is guaranteed a counter, and each counter
+    undercounts by at most n/(k+1) (Misra & Gries 1982)."""
+    counts: dict[str, int] = {}
+    for t in tokens:
+        if t in counts:
+            counts[t] += 1
+        elif len(counts) < k:
+            counts[t] = 1
+        else:
+            dead = [key for key in counts if counts[key] == 1]
+            for key in counts:
+                counts[key] -= 1
+            for key in dead:
+                del counts[key]
+    return counts
+
+
+def heavy_hitter_tokens(ds, *, text_col: str = "text", k: int = 30):
+    """Corpus tokens with frequency STRICTLY above n/(k+1) and their EXACT
+    counts — without ever shuffling the token stream.
+
+    Pass 1: each batch ships its k-counter Misra-Gries summary (≤ k+1
+    rows). Summing per-batch counters preserves the MG bound, so the
+    union of summary keys is a guaranteed SUPERSET of every true heavy
+    hitter — candidate recall is exact by construction, not probabilistic.
+    Pass 2: the candidate set broadcasts (≤ k × n_batches strings; at
+    10¹² docs insert a tree combine in pass 1 to keep it k-sized) and
+    each batch ships exact per-candidate counts; a vocabulary-bounded
+    groupby sums them and the integer filter ``cnt·(k+1) > n`` needs no
+    float margin. Returns ``(token, n_count)``.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column(text_col).to_pylist():
+            toks.extend((t or "").split())
+        mg = misra_gries(toks, k)
+        keys = list(mg) + [_MG_TOTAL_SENTINEL]
+        vals = [mg[t] for t in mg] + [len(toks)]
+        return pa.table({"token": pa.array(keys, pa.string()),
+                         "cnt": pa.array(vals, pa.int64())})
+
+    p1 = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = int(p1.loc[p1["token"] == _MG_TOTAL_SENTINEL, "cnt"].sum())
+    candidates = sorted(set(p1["token"]) - {_MG_TOTAL_SENTINEL})
+    cand_ref = ray.put(frozenset(candidates))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            for tok in (t or "").split():
+                if tok in cand:
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts), pa.string()),
+                         "cnt": pa.array(list(counts.values()), pa.int64())})
+
+    agg = (ds.map_batches(exact, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("cnt", alias_name="n_count")))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_count").to_pylist(), np.int64)
+        return batch.filter(pa.array(n * (k + 1) > total))
+
+    return agg.map_batches(keep, batch_format="pyarrow")

@@ -65,3 +65,41 @@ def test_kmv_distinct_shingles_ds(ray_session):
     out = kmv_distinct_shingles(ray.data.from_arrow(t), k=16)
     assert out.column("n_kept").to_pylist() == [3]
     assert out.column("est_distinct").to_pylist() == [3]
+
+
+class TestMisraGries:
+    def test_guarantee_on_skewed_stream(self):
+        from documentai_ray.stages.sketches import misra_gries
+
+        # zipf-ish: 'hot' is 40% of a 1000-token stream, 200 cold tokens
+        stream = (["hot"] * 400
+                  + [f"cold{i % 200}" for i in range(600)])
+        mg = misra_gries(stream, k=4)
+        assert "hot" in mg                       # f > n/(k+1) must survive
+        assert len(mg) <= 4
+        # counter undercounts by at most n/(k+1)
+        assert 400 - 1000 // 5 <= mg["hot"] <= 400
+
+    def test_exact_when_vocab_fits(self):
+        from documentai_ray.stages.sketches import misra_gries
+
+        mg = misra_gries(["a", "b", "a", "c", "a"], k=8)
+        assert mg == {"a": 3, "b": 1, "c": 1}
+
+    def test_heavy_hitter_pipeline_exact(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from documentai_ray.stages.sketches import heavy_hitter_tokens
+
+        rows = [{"text": "hot " * 5 + f"cold{i} rare{i}"} for i in range(300)]
+        ds = ray.data.from_items(rows).repartition(8)
+        out = heavy_hitter_tokens(ds, k=3).to_pandas()
+        true = collections.Counter()
+        for r in rows:
+            true.update(r["text"].split())
+        n = sum(true.values())
+        expect = {t: c for t, c in true.items() if c * 4 > n}
+        assert dict(zip(out["token"], out["n_count"])) == expect
+        assert expect == {"hot": 1500}           # the test is non-vacuous
