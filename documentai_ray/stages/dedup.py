@@ -610,6 +610,12 @@ def neardup_components_auto(ids_ds, pairs_ds, *, id_col: str = "url",
     size check itself is one cheap ``count()``."""
     import ray
 
+    # Materialize the pairs ONCE: they are consumed twice below (count +
+    # take_all / propagation joins), and without pinning, each consumption
+    # re-executes the whole upstream LSH+verify lineage. Verified near-dup
+    # pairs are orders of magnitude smaller than the corpus, so this is
+    # the legitimate small-side materialization, not a mid-pipeline spill.
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs > driver_limit:
         return neardup_components(ids_ds, pairs_ds, id_col=id_col, **kwargs)
