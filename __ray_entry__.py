@@ -721,7 +721,10 @@ def _minhash_verified_pairs(sf_dir: str):
 
     ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
     ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
-    ds = ds.select_columns(["url", "text"])
+    # materialize the (url, text) projection once: LSH, verification and
+    # the caller's id pass all re-consume it, and each unpinned
+    # consumption would re-run the extract chain over the corpus
+    ds = ds.select_columns(["url", "text"]).materialize()
     cand = lsh_candidate_pairs(ds, id_col="url", num_perm=64, bands=16)
     return ds, verify_jaccard_pairs(ds, cand, threshold=0.8)
 

@@ -553,9 +553,16 @@ def verify_jaccard_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
       filter computes Jaccard. No driver materialization of texts.
 
     Both paths return the identical pair set (id_a, id_b), empty texts
-    excluded."""
+    excluded.
+
+    The texts input is ``materialize()``d first — every plan below
+    consumes it more than once (count + broadcast take_all, or count +
+    two hash joins), and an unpinned lineage re-executes the upstream
+    extract chain per consumption (the kmeans_fit input-reuse exception
+    to the no-mid-pipeline-materialize rule)."""
     import ray
 
+    texts_ds = texts_ds.materialize()
     n_texts = texts_ds.count()
 
     def jac_ok(ta: str, tb: str) -> bool:
