@@ -790,7 +790,7 @@ def repeated_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
        break where ``pos > prev_pos + k``), emitting
        ``(doc_id, span_start, span_end, n_shingles)`` in token units.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from documentai_ray.stages.joins import hash_join
 
@@ -814,8 +814,23 @@ def repeated_spans(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                         pa.int64()),
                          "lkey": pa.array(np.concatenate(key_out), pa.int64())})
 
-    pairs = ds.map_batches(explode, batch_format="pyarrow")
-    counts = pairs.groupby("sh").aggregate(Count(alias_name="_n"))
+    # Pin the exploded (sh, lkey) table: both the dup-set count and the
+    # mark pass consume it, and an unpinned lineage re-shingles the whole
+    # corpus for the second consumer. ~16 B/token in the object store
+    # (spillable); re-exploding instead costs a full second tokenize+hash
+    # pass — pinning wins whenever the store can hold/spill the keys.
+    pairs = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # count exchange: project away lkey and pre-combine per block
+    # (np.unique) so the wire carries (sh, partial_n) — within-block
+    # repeats (boilerplate-heavy corpora) collapse before the shuffle
+    def precombine(batch: pa.Table) -> pa.Table:
+        sh, n = np.unique(batch.column("sh").to_numpy(), return_counts=True)
+        return pa.table({"sh": pa.array(sh, pa.int64()),
+                         "_n": pa.array(n.astype(np.int64), pa.int64())})
+
+    counts = (pairs.map_batches(precombine, batch_format="pyarrow")
+              .groupby("sh").aggregate(Sum("_n", alias_name="_n")))
 
     def dup_only(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
