@@ -94,8 +94,12 @@ def detect_heavy_hosts(ds, *, share_threshold: float = 0.10, salt_k: int = 8) ->
         .map_batches(partial, batch_format="pyarrow")
         .groupby("host")
         .aggregate(Sum("n", alias_name="n"))
+        # pin: the (host, n) table is consumed twice (total + heavy
+        # filter) and is bounded by distinct-host cardinality — without
+        # the pin each consumer re-runs the url pass over the corpus
+        .materialize()
     )
-    total = counts.sum("n") or 0  # scalar aggregate, no materialization
+    total = counts.sum("n") or 0
     if total == 0:
         return {}
     cutoff = share_threshold * total
