@@ -2932,6 +2932,72 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitter_tokens(ds, k=30)
 
 
+def _q_web_curation(sf_dir: str):
+    """END-TO-END web-corpus curation — the training-data counterpart of
+    the flagship extraction chain, composed from verified parts as ONE
+    streaming pipeline in the canonical order:
+
+        raw frontier (stale dups + ?amp variants)
+          → URL filter (blocklist + query-string rules; dropped rows'
+            html never leaves the read stage)
+          → main-content extraction
+          → exact dedup by url (latest capture wins)   [the only shuffle]
+          → drop empty extractions
+          → C4 line filter (docs with 0 surviving lines drop)
+          → deterministic train/val/test split
+
+    Output: (url, n_lines_kept, n_chars, split). The oracle composes the
+    same steps as CTEs over the golden-page closed forms."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from documentai_ray.sources.pages import HEAVY_HOST, pages_dataset
+    from documentai_ray.stages.curation import url_filter_batch
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.lines import c4_line_filter_batch
+
+    srcs = set(pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["source"]).column("source").to_pylist())
+    blocked = frozenset({HEAVY_HOST} | {
+        f"{s}.example.com" for s in srcs if int(s[3:]) % 7 == 3})
+
+    ds = pages_dataset(sf_dir, with_dups=True, with_near_dups=True)
+
+    def frontier(batch: pa.Table) -> pa.Table:
+        out = url_filter_batch(batch, blocked_hosts=blocked)
+        out = out.filter(out.column("keep"))
+        return out.drop_columns(["host", "keep", "drop_reason"])
+
+    ds = ds.map_batches(frontier, batch_format="pyarrow", batch_size=256)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    def lines_and_split(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.not_equal(batch.column("text"), ""))
+        batch = c4_line_filter_batch(batch)
+        batch = batch.filter(pc.greater(batch.column("n_lines_kept"), 0))
+        urls = batch.column("url").to_pylist()
+        ids = np.asarray([int(u.rsplit("/", 1)[1]) for u in urls], np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        frac = h.astype(np.float64) / float(1 << 32)
+        split = np.where(frac < 0.8, "train",
+                         np.where(frac < 0.9, "val", "test"))
+        n_chars = pa.array(
+            [len(t) for t in batch.column("clean_text").to_pylist()],
+            pa.int64())
+        return pa.table({"url": batch.column("url"),
+                         "n_lines_kept": batch.column("n_lines_kept"),
+                         "n_chars": n_chars,
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(lines_and_split, batch_format="pyarrow",
+                          batch_size=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3035,6 +3101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_export": _q_shard_export,
         "dsir_weights": _q_dsir_weights,
         "heavy_hitters": _q_heavy_hitters,
+        "web_curation": _q_web_curation,
     }
 
 
@@ -4085,6 +4152,29 @@ def oracle_sql() -> dict[str, str]:
             "tot AS (SELECT count(*) AS n FROM tok) "
             "SELECT token, count(*) AS n_count FROM tok, tot "
             "GROUP BY token, tot.n HAVING count(*) * 31 > tot.n"
+        ),
+# composed-CTE mirror of the web_curation chain: golden pages →
+        # host blocklist (amp variants never exist in the golden set; the
+        # engine's query-string rule removes them pre-extract) → empty
+        # drop → C4 line filter → knuth split on the url-embedded doc_id
+        "web_curation": (
+            f"WITH base AS ({_SQL_EXPECTED_PAGES}), "
+            "f AS (SELECT doc_id, url, text FROM base WHERE text <> '' "
+            "AND NOT coalesce(string_split(url, '/')[3] = 'heavy.example.com' "
+            "OR (starts_with(string_split(url, '/')[3], 'src') AND "
+            "TRY_CAST(substr(string_split(string_split(url, '/')[3], '.')[1], 4) "
+            "AS INT) % 7 = 3), false)), "
+            "c AS (SELECT doc_id, url, "
+            "list_filter(string_split(text, chr(10)), l -> "
+            "len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5 "
+            "AND NOT contains(l, '{') AND NOT ends_with(l, ':')) AS kept FROM f), "
+            "k AS (SELECT doc_id, url, array_to_string(kept, chr(10)) AS ct, "
+            "len(kept) AS n_lines_kept FROM c WHERE len(kept) > 0) "
+            "SELECT url, n_lines_kept, length(ct) AS n_chars, CASE "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.8 "
+            "THEN 'train' "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 "
+            "THEN 'val' ELSE 'test' END AS split FROM k"
         ),
     }
 
