@@ -148,3 +148,59 @@ class TestDsir:
         raw = curation.dsir_bucket_counts(ds)
         out = curation.dsir_score(ds, raw, raw).to_pandas()
         assert dict(zip(out["doc_id"], out["dsir_score_ppm"]))[0] == 0
+
+
+class TestParallelismInvariance:
+    """New operators must produce identical results at any partitioning —
+    the single-node stand-in for the N vs 4N cluster contract."""
+
+    def test_semdedup_partition_invariant(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from documentai_ray.stages.similarity import semdedup
+
+        rng = np.random.RandomState(3)
+        rows = [{"vec_id": i,
+                 "embedding": (v / np.linalg.norm(v)).tolist()}
+                for i, v in enumerate(rng.randn(60, 8))]
+
+        def run(parts):
+            ds = ray.data.from_items(rows).repartition(parts)
+            out = semdedup(ds, k=3, iters=2, threshold=0.6).to_pandas()
+            return out.sort_values("vec_id").reset_index(drop=True)
+
+        a, b = run(2), run(11)
+        assert (a[["vec_id", "cluster", "keep"]].to_numpy()
+                == b[["vec_id", "cluster", "keep"]].to_numpy()).all()
+
+    def test_heavy_hitters_partition_invariant(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.sketches import heavy_hitter_tokens
+
+        rows = [{"text": "hot " * 4 + f"cold{i % 37}"} for i in range(400)]
+
+        def run(parts):
+            ds = ray.data.from_items(rows).repartition(parts)
+            out = heavy_hitter_tokens(ds, k=5).to_pandas()
+            return sorted(zip(out["token"], out["n_count"]))
+
+        assert run(3) == run(16)
+
+    def test_dsir_partition_invariant(self, ray_session):
+        import ray.data
+
+        rows = [{"doc_id": i, "text": f"tok{i % 13} tok{i % 7} shared"}
+                for i in range(150)]
+
+        def run(parts):
+            ds = ray.data.from_items(rows).repartition(parts)
+            raw = curation.dsir_bucket_counts(ds)
+            tgt = curation.dsir_bucket_counts(
+                ds, doc_filter=lambda b: [i % 5 == 0 for i in
+                                          b.column("doc_id").to_pylist()])
+            out = curation.dsir_score(ds, tgt, raw).to_pandas()
+            return sorted(zip(out["doc_id"], out["dsir_score_ppm"]))
+
+        assert run(2) == run(9)
