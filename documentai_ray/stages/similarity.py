@@ -23,10 +23,26 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix (zero-copy-ish)."""
+    """list<float> column → (n, d) float64 matrix.
+
+    Fast path: reshape the flat Arrow values buffer (no per-element
+    Python objects — the hot path of every embedding op runs this per
+    batch). Falls back to ``to_pylist`` for ragged/null lists, which the
+    embedding contract excludes but tests may feed."""
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-    lst = arr.to_pylist()
-    return np.asarray(lst, dtype=np.float64)
+    try:
+        n = len(arr)
+        if n and arr.null_count == 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            if flat.size % n == 0:
+                d = flat.size // n
+                offsets = getattr(arr, "offsets", None)
+                if offsets is None or np.all(
+                        np.diff(offsets.to_numpy(zero_copy_only=False)) == d):
+                    return flat.reshape(n, d).astype(np.float64, copy=False)
+    except (pa.ArrowInvalid, ValueError, AttributeError):
+        pass
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _cosine_scores(M: np.ndarray, q: np.ndarray) -> np.ndarray:
