@@ -2998,6 +2998,24 @@ def _q_web_curation(sf_dir: str):
                           batch_size=256)
 
 
+def _q_mix_plan(sf_dir: str):
+    """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
+    (combiner pass bounded by source cardinality) + integer epoch/rate
+    math against a 2x-corpus token budget with weights (srcN: N%4+1).
+    Token = whitespace split, mirroring token_stats."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.curation import mix_plan
+
+    srcs = set(pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["source"]).column("source").to_pylist())
+    weights = {s: int(s[3:]) % 4 + 1 for s in srcs}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    return mix_plan(ds, weights, budget_factor=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -3102,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "heavy_hitters": _q_heavy_hitters,
         "web_curation": _q_web_curation,
+        "mix_plan": _q_mix_plan,
     }
 
 
@@ -4175,6 +4194,25 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' "
             "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 "
             "THEN 'val' ELSE 'test' END AS split FROM k"
+        ),
+# keep weights (N%4+1) and budget_factor=2 in sync with _q_mix_plan
+        "mix_plan": (
+            "WITH a AS (SELECT source, CAST(sum(len(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) "
+            "AS actual_tokens, CAST(substr(source, 4) AS INT) % 4 + 1 AS w "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT CAST(2 * sum(actual_tokens) AS BIGINT) AS budget, "
+            "CAST(sum(w) AS BIGINT) AS wsum FROM a), "
+            "p AS (SELECT source, actual_tokens, "
+            "budget * w // wsum AS target_tokens FROM a, t) "
+            "SELECT source, actual_tokens, target_tokens, "
+            "CASE WHEN actual_tokens = 0 THEN 0 ELSE "
+            "(target_tokens + actual_tokens - 1) // actual_tokens "
+            "END AS n_epochs, "
+            "CASE WHEN actual_tokens = 0 THEN 0 ELSE "
+            "target_tokens * 1000000 // ("
+            "(target_tokens + actual_tokens - 1) // actual_tokens "
+            "* actual_tokens) END AS rate_ppm FROM p"
         ),
     }
 

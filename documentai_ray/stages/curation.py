@@ -512,3 +512,59 @@ def dsir_score(ds, target_counts: np.ndarray, raw_counts: np.ndarray, *,
                          "dsir_score_ppm": pa.array(vals, pa.int64())})
 
     return ds.map_batches(sc, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# data-mixing planner (source-weighted token budgeting with epoch repeats)
+# ---------------------------------------------------------------------------
+
+def mix_plan(ds, weights: dict[str, int], *, budget_factor: int = 2,
+             source_col: str = "source", text_col: str = "text"):
+    """Training-mix plan (the Pile / DoReMi static-mix pattern): given
+    integer source weights and a token budget of ``budget_factor ×``
+    the corpus total, compute per source how many full epochs to repeat
+    it and the sampling rate that trims the final epoch to hit the
+    target exactly — all integer math (ppm rates), so the SQL oracle is
+    bit-exact.
+
+        target_s = budget · w_s // Σw
+        epochs_s = ceil(target_s / actual_s)
+        rate_ppm = target_s · 10⁶ // (epochs_s · actual_s)
+
+    One combiner pass (per-batch token counts per source — the exchange
+    is bounded by the source cardinality), one tiny groupby, plan math on
+    the driver. Returns one row per source present in the corpus:
+    ``(source, actual_tokens, target_tokens, n_epochs, rate_ppm)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s, t in zip(batch.column(source_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            counts[s] = counts.get(s, 0) + len((t or "").split())
+        return pa.table({source_col: pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(source_col).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    total = int(agg["n"].sum())
+    budget = budget_factor * total
+    wsum = sum(weights[s] for s in agg[source_col])
+    rows = []
+    for s, actual in zip(agg[source_col], agg["n"]):
+        actual = int(actual)
+        target = budget * weights[s] // wsum
+        if actual == 0:
+            rows.append((s, 0, target, 0, 0))
+            continue
+        epochs = -(-target // actual)
+        rate = target * 1_000_000 // (epochs * actual) if epochs else 0
+        rows.append((s, actual, target, epochs, rate))
+    rows.sort()
+    return pa.table({
+        source_col: pa.array([r[0] for r in rows], pa.string()),
+        "actual_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "target_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "n_epochs": pa.array([r[3] for r in rows], pa.int64()),
+        "rate_ppm": pa.array([r[4] for r in rows], pa.int64())})

@@ -204,3 +204,27 @@ class TestParallelismInvariance:
             return sorted(zip(out["doc_id"], out["dsir_score_ppm"]))
 
         assert run(2) == run(9)
+
+
+class TestMixPlan:
+    def test_budget_and_epoch_math(self, ray_session):
+        import ray.data
+
+        rows = ([{"source": "a", "text": "w " * 10} for _ in range(10)]   # 100 tok
+                + [{"source": "b", "text": "w " * 5} for _ in range(4)])  # 20 tok
+        out = curation.mix_plan(
+            ray.data.from_items(rows), {"a": 1, "b": 3},
+            budget_factor=2).to_pandas().set_index("source")
+        # budget = 240; targets: a=60, b=180
+        assert out.loc["a", "target_tokens"] == 60
+        assert out.loc["b", "target_tokens"] == 180
+        # a: 60/100 → 1 epoch at 600000 ppm; b: 180/20 → 9 epochs full rate
+        assert out.loc["a", "n_epochs"] == 1
+        assert out.loc["a", "rate_ppm"] == 600000
+        assert out.loc["b", "n_epochs"] == 9
+        assert out.loc["b", "rate_ppm"] == 1000000
+        # plan reproduces the target: epochs × actual × rate ≈ target
+        for s in ("a", "b"):
+            got = (out.loc[s, "n_epochs"] * out.loc[s, "actual_tokens"]
+                   * out.loc[s, "rate_ppm"]) // 1_000_000
+            assert abs(got - out.loc[s, "target_tokens"]) <= 1
