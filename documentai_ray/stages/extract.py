@@ -151,10 +151,21 @@ class _FastPathBail(Exception):
 
 _RAWTEXT_TAGS = {"script", "style"}
 _TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+# One C-level match per tag: optional close slash, tag name, quote-aware
+# body. Quotes only quote when they directly follow '=' (html.parser's
+# locatestarttagend rule) — a '>' inside such a value never terminates
+# the tag; a BARE quote elsewhere in the body fails the match → bail to
+# html.parser (whose tolerant recovery would end the tag at the first
+# '>', unlike a naive any-quote scan — caught by the 30k-case tag-soup
+# fuzz). Unterminated quote/tag likewise fails → bail. Terminates at the
+# first unquoted '>'.
+_FULLTAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"((?:[^>\"'=]|=\s*\"[^\"]*\"|=\s*'[^']*'|=)*)>")
 
 
 def _fast_tokenize(html_text: str, parser: _BlockParser) -> None:
-    """Positional HTML tokenizer ~5× faster than html.parser, driving the
+    """Positional HTML tokenizer ~10× faster than html.parser, driving the
     SAME handler (so block semantics are shared, not duplicated). Mirrors
     html.parser behavior for well-formed markup: lowercased tag names,
     quote-aware attribute scanning, comment/doctype/PI skipping, CDATA-mode
@@ -197,37 +208,17 @@ def _fast_tokenize(html_text: str, parser: _BlockParser) -> None:
                 raise _FastPathBail("unterminated decl")
             pos = end + 1
             continue
-        closing = c1 == "/"
-        name_start = lt + (2 if closing else 1)
-        m = _TAGNAME_RE.match(s, name_start)
-        if not m:
-            raise _FastPathBail("invalid tag open")
-        name = m.group(0).lower()
-        # quote-aware scan for the real tag end: segment-wise str.find
-        # (C speed) instead of a per-character loop — a '>' inside a
-        # quoted attribute value never terminates the tag
-        i = m.end()
-        while True:
-            gt = s.find(">", i)
-            if gt == -1:
-                raise _FastPathBail("unterminated tag")
-            dq = s.find('"', i, gt)
-            sq = s.find("'", i, gt)
-            if dq == -1 and sq == -1:
-                break
-            qpos = dq if (sq == -1 or (dq != -1 and dq < sq)) else sq
-            close = s.find(s[qpos], qpos + 1)
-            if close == -1:
-                raise _FastPathBail("unterminated attribute quote")
-            i = close + 1
-        i = gt
-        self_closing = s[i - 1] == "/"
-        pos = i + 1
-        if closing:
+        m = _FULLTAG_RE.match(s, lt)
+        if m is None:
+            raise _FastPathBail("invalid or unterminated tag")
+        name = m.group(2).lower()
+        gt = m.end() - 1
+        pos = m.end()
+        if m.group(1):
             parser.handle_endtag(name)
             continue
         parser.handle_starttag(name, [])
-        if self_closing:
+        if s[gt - 1] == "/":  # self-closing ('/' can't end a tag NAME)
             parser.handle_endtag(name)
             continue
         if name in _RAWTEXT_TAGS:

@@ -70,6 +70,14 @@ class TestEquivalence:
             "<script src='x.js'></script><p>After empty script, long enough text.</p>",
             "</p>stray close tag then <p>a normal paragraph long enough here.</p>",
             "<foo-bar>custom element text long enough to keep here</foo-bar>",
+            # bare quote inside a tag NOT following '=': html.parser ends
+            # the tag at the first '>' (quotes only quote after '='); the
+            # fast path must bail here, not treat 'q>z' as a quoted run —
+            # the naive any-quote scan silently dropped the "z'>" text
+            "&unknown;<a 'q>z'> trailing text long enough to keep here",
+            "<p>spaced attr <a b = 'y'>link text long enough here</a></p>",
+            "<a b=c'd>mid-value quote long enough paragraph here</a>",
+            "<a b=>empty unquoted value long enough text here</a>",
         ]
         for s in cases:
             assert html_main_content(s) == _extract_with_htmlparser(s), s
