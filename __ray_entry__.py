@@ -1961,6 +1961,46 @@ def _q_host_stats(sf_dir: str):
                        Sum("n_chars", alias_name="total_chars")))
 
 
+def _q_skew_join(sf_dir: str):
+    """Skew-aware partitioned join: attach per-host crawl stats (doc
+    count) to EVERY page. The dim side is host-cardinality (~1e8 hosts at
+    crawl scale — never driver-broadcastable), and the fact side is
+    skewed: ``heavy.example.com`` carries ~33% of rows, so a plain
+    bucketed join sends a third of the exchange into ONE reducer.
+    ``detect_heavy_hosts`` (share ≥ 10%) feeds ``salted_join``: the hot
+    host's fact rows spread over k=8 salt sub-buckets with its dim row
+    replicated into each — output is row-identical to the unsalted join
+    (the pytest pins that equality; this query pins values vs SQL).
+
+    The (url, host) projection is pinned once — it feeds three consumers
+    (skew detection, the dim aggregate, the join) and re-deriving it per
+    consumer would triple the synthesis pass (NOTES.md lazy-lineage
+    lesson)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.joins import salted_join
+    from documentai_ray.state.partitioning import detect_heavy_hosts
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=False)
+
+    def host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table({
+            "url": batch.column("url"),
+            "host": pa.array([u.split("/")[2] for u in urls], pa.string()),
+        })
+
+    fact = ds.select_columns(["url"]).map_batches(
+        host, batch_format="pyarrow").materialize()
+    heavy = detect_heavy_hosts(fact, share_threshold=0.10, salt_k=8)
+    dim = fact.groupby("host").aggregate(Count(alias_name="host_docs"))
+    out = salted_join(fact, dim, on="host", heavy_keys=heavy,
+                      num_partitions=32)
+    return out.select_columns(["url", "host", "host_docs"])
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (k=4, 2 iterations) over the embeddings
     table — the canonical iterative algorithm: each iteration is one
@@ -3081,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_stats": _q_host_stats,
+        "skew_join": _q_skew_join,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -3872,6 +3913,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_docs, "
             f"CAST(sum(length(text)) AS BIGINT) AS total_chars "
             f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
+        ),
+        "skew_join": (
+            f"WITH p AS (SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'heavy.example.com' "
+            "ELSE source || '.example.com' END AS host FROM documents), "
+            "h AS (SELECT host, count(*) AS host_docs FROM p GROUP BY host) "
+            "SELECT p.url, p.host, h.host_docs FROM p JOIN h USING (host)"
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
         "pagerank": _sql_pagerank(iters=2),

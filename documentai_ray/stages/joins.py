@@ -116,6 +116,104 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
     return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
 
 
+def salted_join(left_ds, right_ds, *, on: str, heavy_keys: dict,
+                num_partitions: int = 64, how: str = "inner"):
+    """Skew-aware partitioned hash join — the hot-key plan ``hash_join``'s
+    docstring prescribes, made concrete. ``heavy_keys`` maps each detected
+    hot key to its salt factor ``k`` (``state.partitioning.
+    detect_heavy_hosts`` is the matching detection pre-pass).
+
+    Physical plan: fact (left) rows carrying a hot key get a cycling
+    per-row salt in ``[0, k)``; the build (right) side REPLICATES each hot
+    row once per salt, so every ``(key, salt)`` sub-bucket holds the
+    complete build rows for its key and each fact row still joins exactly
+    once. Non-heavy keys use salt 0 on both sides. The output is
+    row-for-row identical to ``hash_join(how=...)`` — only partition
+    ROUTING changes: a key carrying a third of the exchange spreads over
+    ``k`` reducers instead of landing whole in one. Replication cost is
+    ``k × |heavy build rows|`` — the heavy set is a handful of keys by
+    construction, so the build side grows by O(k·|heavy|), not O(k·n).
+
+    Salt assignment is per-batch cycling (parallelism-dependent), but
+    salts only route rows — the join output is salt-invariant.
+
+    ``how``: ``inner`` / ``left`` / ``semi`` / ``anti`` (hash_join's
+    contracts; semi/anti are correct because every salt sub-bucket sees
+    the full build-row set for its key).
+    """
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    all_cols: dict[str, pa.DataType] = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        all_cols[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in all_cols and name != on:
+            raise ValueError(f"column collision: {name!r} (rename before join)")
+        all_cols.setdefault(name, typ)
+    lcols = list(lschema.names)
+    rcols = [n for n in rschema.names if n != on]
+    heavy = {k: max(int(v), 1) for k, v in heavy_keys.items()}
+
+    def _pk(key, salt: int) -> int:
+        return zlib.crc32(f"{key}\x1f{salt}".encode()) % num_partitions
+
+    def _project(batch: pa.Table, side: str) -> dict:
+        n = batch.num_rows
+        cols: dict[str, pa.Array] = {}
+        for name, typ in all_cols.items():
+            if name in batch.column_names:
+                cols[name] = batch.column(name).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        cols["_side"] = pa.array([side] * n, pa.string())
+        return cols
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = _project(batch, "l")
+        keys = batch.column(on).to_pylist()
+        pk = np.empty(len(keys), np.int32)
+        ctr: dict = {}
+        for i, kv in enumerate(keys):
+            kfac = heavy.get(kv)
+            if kfac:
+                s = ctr.get(kv, 0)
+                ctr[kv] = (s + 1) % kfac
+            else:
+                s = 0
+            pk[i] = _pk(kv, s)
+        cols["_pkey"] = pa.array(pk, pa.int32())
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = _project(batch, "r")
+        keys = batch.column(on).to_pylist()
+        take_idx: list[int] = []
+        pks: list[int] = []
+        for i, kv in enumerate(keys):
+            for s in range(heavy.get(kv, 1)):
+                take_idx.append(i)
+                pks.append(_pk(kv, s))
+        t = pa.table(cols).take(pa.array(take_idx, pa.int64()))
+        return t.append_column("_pkey", pa.array(pks, pa.int32()))
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def join_partition(g: pd.DataFrame) -> pa.Table:
+        lg = g[g["_side"] == "l"][lcols]
+        rg = g[g["_side"] == "r"][rcols + [on]]
+        if how in ("semi", "anti"):
+            mask = lg[on].isin(rg[on].unique())
+            out = lg[mask] if how == "semi" else lg[~mask]
+        else:
+            out = lg.merge(rg, on=on, how=how)
+        schema = pa.schema([(c, all_cols[c]) for c in out.columns])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+
+
 def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
               direction: str = "backward"):
     """As-of join (nearest earlier right row per left row) per ``by`` key,
