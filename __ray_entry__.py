@@ -346,6 +346,11 @@ def _norm_strings(table):
     return table.cast(pa.schema(fields))
 
 
+def _norm_strings_ds(ds):
+    """Streaming variant of ``_norm_strings`` (no driver materialization)."""
+    return ds.map_batches(_norm_strings, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # entry + queries
 # ---------------------------------------------------------------------------
@@ -375,6 +380,26 @@ def _q_extract_text(sf_dir: str):
     import pyarrow as pa
 
     return _norm_strings(pa.Table.from_pylist(out))
+
+
+def _q_charset_extract(sf_dir: str):
+    """Charset-sniffing extraction (WHATWG sniff order: BOM → strict
+    UTF-8 → meta charset → cp1252 fallback) over a corpus where pages
+    ship as UTF-8 / UTF-16-BOM / ISO-8859-1 / windows-1252 by
+    ``doc_id % 4`` — the legacy variants carry head-only non-ASCII bytes
+    that are invalid UTF-8, so only a decoder that actually honors the
+    BOM/meta-charset recovers the golden text (real Common Crawl is
+    ~5-10% legacy-encoded). Oracle: the encoding-independent golden."""
+    import functools
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, encodings=True)
+    ds = ds.map_batches(
+        functools.partial(extract_batch, charset_sniff=True),
+        batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+    return _norm_strings_ds(ds.select_columns(["url", "text"]))
 
 
 def _q_quality_pages(sf_dir: str):
@@ -3122,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "host_stats": _q_host_stats,
         "skew_join": _q_skew_join,
+        "charset_extract": _q_charset_extract,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -3913,6 +3939,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_docs, "
             f"CAST(sum(length(text)) AS BIGINT) AS total_chars "
             f"FROM ({_SQL_EXPECTED_PAGES}) GROUP BY host"
+        ),
+        "charset_extract": (
+            f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
+            "FROM documents"
         ),
         "skew_join": (
             f"WITH p AS (SELECT {_SQL_URL} AS url, "

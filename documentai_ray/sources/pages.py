@@ -350,7 +350,35 @@ def _html_blank(doc_id: int) -> str:
     )
 
 
-def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False) -> bytes:
+def _encode_variant(doc_id: int, html: str) -> bytes:
+    """Legacy-encoding variant (``encodings=True`` corpora): by
+    ``doc_id % 4`` the page ships as UTF-8 / UTF-16 (BOM) / ISO-8859-1
+    (``<meta charset>``) / windows-1252 (http-equiv). The legacy variants
+    inject a head-only marker containing a non-ASCII byte (``é`` 0xE9 /
+    ``€`` 0x80) that is INVALID UTF-8 — so a sniffing decoder must
+    actually take the meta-charset path, while the golden text is
+    untouched (head content never reaches the extraction). Non-ASCII
+    pages keep UTF-8 for the 8-bit variants (exact-roundtrip gate)."""
+    enc = doc_id % 4
+    if enc == 1:
+        return html.encode("utf-16")  # BOM-prefixed, any content
+    if enc == 2 and html.isascii():
+        h2 = html.replace(
+            "<head>",
+            '<head><meta charset="iso-8859-1"><title>Caf\xe9</title>', 1)
+        return h2.encode("latin-1")
+    if enc == 3 and html.isascii():
+        h2 = html.replace(
+            "<head>",
+            '<head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1252">'
+            "<title>caf€</title>", 1)
+        return h2.encode("cp1252")
+    return html.encode("utf-8")
+
+
+def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False,
+                encodings: bool = False) -> bytes:
     if is_malformed(doc_id):
         return b"\xff\xfe\x00<html><body>truncat"
     if pdf_mode:
@@ -358,18 +386,22 @@ def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False) -> bytes:
         return payload
     a = archetype(doc_id)
     if a == 0:
-        return _html_article(doc_id, text).encode("utf-8")
-    if a == 1:
-        return _html_linkfarm(doc_id).encode("utf-8")
-    if a == 2:
-        return _html_po(doc_id).encode("utf-8")
-    if a == 3:
-        return _html_report(doc_id, text).encode("utf-8")
-    if is_invoice(doc_id):
-        return _html_invoice(doc_id).encode("utf-8")
-    if is_lc(doc_id):
-        return _html_lc(doc_id).encode("utf-8")
-    return _html_blank(doc_id).encode("utf-8")
+        html = _html_article(doc_id, text)
+    elif a == 1:
+        html = _html_linkfarm(doc_id)
+    elif a == 2:
+        html = _html_po(doc_id)
+    elif a == 3:
+        html = _html_report(doc_id, text)
+    elif is_invoice(doc_id):
+        html = _html_invoice(doc_id)
+    elif is_lc(doc_id):
+        html = _html_lc(doc_id)
+    else:
+        html = _html_blank(doc_id)
+    if encodings:
+        return _encode_variant(doc_id, html)
+    return html.encode("utf-8")
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +425,7 @@ def synth_pages_table(
     with_dups: bool = True,
     with_near_dups: bool = False,
     pdf_mode: bool = False,
+    encodings: bool = False,
     copies: int = 1,
 ) -> pa.Table:
     """Build the pages corpus as one Arrow table (small scales only).
@@ -422,7 +455,8 @@ def synth_pages_table(
             ts = warc_ts_for(doc_id)
             urls.append(url)
             tss.append(ts)
-            payloads.append(payload_for(doc_id, text, pdf_mode=pdf_mode))
+            payloads.append(payload_for(doc_id, text, pdf_mode=pdf_mode,
+                                        encodings=encodings))
             goldens.append(
                 text if pdf_mode and not is_malformed(doc_id)
                 else golden_text(doc_id, text)

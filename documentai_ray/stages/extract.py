@@ -284,14 +284,56 @@ def detect_page_type(word_count: int, image_count: int = 0,
     return "text" if text_density > 0.08 else "image"
 
 
+_META_CHARSET_RE = re.compile(
+    rb'<meta[^>]+charset\s*=\s*["\']?([A-Za-z0-9_\-]+)', re.I)
+
+
+def sniff_decode(payload: bytes) -> tuple[str, str]:
+    """Charset-sniffing decode — real Common-Crawl payloads are NOT all
+    UTF-8 (~5-10% of the crawl is legacy-encoded). Detection order mirrors
+    the WHATWG encoding sniff: BOM (UTF-8/UTF-16) → strict UTF-8 →
+    ``<meta charset=…>`` / http-equiv in the first 2 KB → cp1252 fallback
+    (the browser default for undeclared legacy bytes) with latin-1 as the
+    never-fails last resort. Returns ``(text, encoding_label)``.
+
+    Opt-in via ``extract_batch(charset_sniff=True)``; the default path
+    stays strict-UTF-8 (bad bytes → error row) so the byte-identity
+    contract over known-UTF-8 corpora keeps its hard failure signal."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace"), "utf-8-sig"
+    if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
+        try:
+            return payload.decode("utf-16"), "utf-16"
+        except UnicodeDecodeError:
+            return payload.decode("utf-16", errors="replace"), "utf-16"
+    try:
+        return payload.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET_RE.search(payload[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "ignore").lower()
+        if name not in ("utf-8", "utf8"):  # utf-8 already failed strict
+            try:
+                return payload.decode(name), name
+            except (LookupError, UnicodeDecodeError):
+                pass
+    try:
+        return payload.decode("cp1252"), "cp1252"
+    except UnicodeDecodeError:
+        return payload.decode("latin-1"), "latin-1"
+
+
 def extract_one(
-    payload: bytes, *, max_bytes: int = MAX_PAYLOAD_BYTES
+    payload: bytes, *, max_bytes: int = MAX_PAYLOAD_BYTES,
+    charset_sniff: bool = False,
 ) -> tuple[str, str, str, list[dict[str, Any]]]:
     """→ (text, payload_kind, error, word_boxes) for a single payload.
 
     Dispatch by payload magic: MINIPDF → layout walk; PK-zip → DOCX/XLSX
-    parse (S4/S5); else UTF-8 HTML → main-content extraction. Oversized
-    payloads become error rows (the reference's hard input cap, O2)."""
+    parse (S4/S5); else UTF-8 HTML → main-content extraction (or
+    charset-sniffing decode when ``charset_sniff``). Oversized payloads
+    become error rows (the reference's hard input cap, O2)."""
     try:
         if len(payload) > max_bytes:
             raise ValueError(f"PayloadTooLarge: {len(payload)} > {max_bytes}")
@@ -303,13 +345,17 @@ def extract_one(
             return office.read_docx_text(payload), "docx", "", []
         if kind == "xlsx":
             return office.read_xlsx_text(payload), "xlsx", "", []
-        html_text = payload.decode("utf-8")  # strict: bad bytes → error row
+        if charset_sniff:
+            html_text, _enc = sniff_decode(payload)
+        else:
+            html_text = payload.decode("utf-8")  # strict: bad bytes → error row
         return html_main_content(html_text), "html", "", []
     except Exception as exc:  # row-level degradation, never fail the block
         return "", "error", f"{type(exc).__name__}: {exc}"[:200], []
 
 
-def extract_batch(batch: pa.Table, *, keep_payload: bool = False) -> pa.Table:
+def extract_batch(batch: pa.Table, *, keep_payload: bool = False,
+                  charset_sniff: bool = False) -> pa.Table:
     """Arrow-in/Arrow-out extraction over one batch.
 
     The HTML parse is inherently per-document (a Python loop over the batch),
@@ -323,7 +369,7 @@ def extract_batch(batch: pa.Table, *, keep_payload: bool = False) -> pa.Table:
     errors: list[str] = []
     boxes: list[list[dict[str, Any]]] = []
     for p in payloads:
-        t, k, e, b = extract_one(p)
+        t, k, e, b = extract_one(p, charset_sniff=charset_sniff)
         texts.append(t)
         kinds.append(k)
         errors.append(e)

@@ -1,0 +1,97 @@
+"""Charset-sniffing decode (WHATWG-style BOM → strict UTF-8 → meta
+charset → cp1252 fallback) and the legacy-encoding corpus variant."""
+
+from __future__ import annotations
+
+import pytest
+
+from documentai_ray.sources.pages import golden_text, payload_for
+from documentai_ray.stages.extract import extract_one, sniff_decode
+
+
+def test_bom_utf8():
+    t, enc = sniff_decode("﻿héllo".encode("utf-8-sig") or b"")
+    assert enc == "utf-8-sig"
+    # utf-8-sig encode puts the BOM first; sniff strips it
+    t2, _ = sniff_decode(b"\xef\xbb\xbfh\xc3\xa9llo")
+    assert t2 == "héllo"
+
+
+@pytest.mark.parametrize("codec", ["utf-16", "utf-16-le", "utf-16-be"])
+def test_utf16_boms(codec):
+    payload = "héllo wörld".encode("utf-16")  # platform-endian with BOM
+    t, enc = sniff_decode(payload)
+    assert (t, enc) == ("héllo wörld", "utf-16")
+
+
+def test_strict_utf8_first():
+    t, enc = sniff_decode("plain ascii".encode())
+    assert (t, enc) == ("plain ascii", "utf-8")
+    t, enc = sniff_decode("naïve café".encode("utf-8"))
+    assert (t, enc) == ("naïve café", "utf-8")
+
+
+def test_meta_charset_latin1():
+    raw = '<html><head><meta charset="iso-8859-1"></head>caf\xe9</html>'
+    t, enc = sniff_decode(raw.encode("latin-1"))
+    assert enc in ("iso-8859-1", "iso8859-1")
+    assert "café" in t
+
+
+def test_http_equiv_cp1252():
+    raw = ('<html><head><meta http-equiv="Content-Type" '
+           'content="text/html; charset=windows-1252"></head>caf€</html>')
+    t, enc = sniff_decode(raw.encode("cp1252"))
+    assert enc == "windows-1252"
+    assert "caf€" in t
+
+
+def test_no_meta_falls_back_cp1252():
+    t, enc = sniff_decode(b"smart \x93quotes\x94")
+    assert enc == "cp1252"
+    assert t == "smart “quotes”"
+
+
+def test_bad_meta_name_falls_through():
+    raw = b'<meta charset="no-such-codec">caf\xe9'
+    t, enc = sniff_decode(raw)
+    assert enc == "cp1252"
+    assert "café" in t
+
+
+@pytest.mark.parametrize("doc_id", list(range(0, 24)) + [97, 194, 14, 39])
+def test_encoded_corpus_extracts_golden(doc_id):
+    """Every encoding variant must extract to the SAME golden text the
+    plain-UTF-8 corpus produces — including the malformed row (97·k)."""
+    text = ("alpha beta gamma delta epsilon zeta eta theta " * 4).strip()
+    plain = extract_one(payload_for(doc_id, text), charset_sniff=True)[0]
+    enc_payload = payload_for(doc_id, text, encodings=True)
+    got = extract_one(enc_payload, charset_sniff=True)[0]
+    assert got == plain == golden_text(doc_id, text)
+
+
+def test_legacy_variants_are_really_non_utf8():
+    text = ("alpha beta gamma delta epsilon zeta eta theta " * 4).strip()
+    # doc_id 2 → latin-1 variant, doc_id 3 → cp1252 variant (both ASCII
+    # content + injected non-ASCII head marker that breaks strict UTF-8)
+    for doc_id in (2, 3):
+        p = payload_for(doc_id, text, encodings=True)
+        with pytest.raises(UnicodeDecodeError):
+            p.decode("utf-8")
+    # doc_id 1 → utf-16 with BOM
+    p = payload_for(1, text, encodings=True)
+    assert p.startswith((b"\xff\xfe", b"\xfe\xff"))
+
+
+def test_non_ascii_content_keeps_utf8_for_8bit_variants():
+    text = ("naïve café résumé " * 10).strip()  # not ASCII → can't pin 8-bit bytes
+    for doc_id in (10, 3):  # archetypes that embed the text
+        p = payload_for(doc_id, text, encodings=True)
+        if doc_id % 4 in (2, 3):
+            p.decode("utf-8")  # must still be valid UTF-8
+
+
+def test_strict_default_unchanged():
+    """charset_sniff defaults OFF: legacy bytes stay hard error rows."""
+    _, kind, err, _ = extract_one(b"caf\xe9 legacy")
+    assert kind == "error" and "UnicodeDecodeError" in err
