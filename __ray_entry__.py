@@ -2026,6 +2026,26 @@ def _q_skew_join(sf_dir: str):
     return out.select_columns(["url", "host", "host_docs"])
 
 
+def _q_host_template_strip(sf_dir: str):
+    """Per-host template-line removal (RefinedWeb "line-wise corrections"
+    / CCNet per-shard repeated-paragraph strip): lines on ≥ 1/4 of a
+    host's non-empty pages (host ≥ 5 such pages) are site chrome and are
+    stripped from every page of that host. The heavy host's repeated PO
+    chrome ("DELIVERY CFR …", "BUYER: …") crosses the threshold by
+    construction; unique body lines never do. Integer-exact share test
+    (4·n ≥ host_pages) so Ray and SQL agree bit-for-bit."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.lines import strip_host_templates
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+    return strip_host_templates(ds.select_columns(["url", "text"]),
+                                min_pages=5, share_num=1, share_den=4)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (k=4, 2 iterations) over the embeddings
     table — the canonical iterative algorithm: each iteration is one
@@ -3148,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "skew_join": _q_skew_join,
         "charset_extract": _q_charset_extract,
+        "host_template_strip": _q_host_template_strip,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -3943,6 +3964,25 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "host_template_strip": (
+            f"WITH d AS (SELECT url, string_split(url, '/')[3] AS host, "
+            f"text FROM ({_SQL_EXPECTED_PAGES}) WHERE text <> ''), "
+            "hp AS (SELECT host, count(*) AS hp FROM d GROUP BY host), "
+            "l AS (SELECT url, host, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx, "
+            "len(string_split(text, chr(10))) AS n_total FROM d), "
+            "lc AS (SELECT host, line, count(DISTINCT url) AS n "
+            "FROM l GROUP BY host, line), "
+            "t AS (SELECT lc.host, lc.line FROM lc JOIN hp USING (host) "
+            "WHERE hp >= 5 AND 4 * n >= hp), "
+            "k AS (SELECT l.url, l.line, l.idx, l.n_total FROM l "
+            "WHERE NOT EXISTS (SELECT 1 FROM t "
+            "WHERE t.host = l.host AND t.line = l.line)) "
+            "SELECT url, string_agg(line, chr(10) ORDER BY idx) AS "
+            "text_clean, count(*) AS n_kept, any_value(n_total) AS n_total "
+            "FROM k GROUP BY url"
         ),
         "skew_join": (
             f"WITH p AS (SELECT {_SQL_URL} AS url, "

@@ -70,6 +70,26 @@ def _tag_and_key(ds, key: str, side: str, all_cols: dict[str, pa.DataType],
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+_NULLABLE_INT_DTYPES = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
+
+
+def _group_df(g: pa.Table) -> pd.DataFrame:
+    """Arrow group → pandas WITHOUT int→float degradation.
+
+    The tagged union feeding a join partition null-fills each side's
+    missing columns, and a default ``to_pandas`` turns int64-with-nulls
+    into float64 — silently corrupting values above 2^53 (e.g. 64-bit
+    hash keys) before the final cast back to int64. Mapping integer
+    columns to pandas' nullable Int/UInt extension dtypes keeps them
+    exact end-to-end."""
+    return g.to_pandas(types_mapper=_NULLABLE_INT_DTYPES.get)
+
+
 def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
               how: str = "inner"):
     """Partitioned hash join of two Datasets on a common key column ``on``.
@@ -99,7 +119,8 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
         _tag_and_key(right_ds, on, "r", all_cols, num_partitions)
     )
 
-    def join_partition(g: pd.DataFrame) -> pa.Table:
+    def join_partition(gt: pa.Table) -> pa.Table:
+        g = _group_df(gt)
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][rcols + [on]]
         if how in ("semi", "anti"):
@@ -113,7 +134,7 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
         return pa.Table.from_pandas(out, schema=schema,
                                     preserve_index=False).replace_schema_metadata(None)
 
-    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pyarrow")
 
 
 def salted_join(left_ds, right_ds, *, on: str, heavy_keys: dict,
@@ -199,7 +220,8 @@ def salted_join(left_ds, right_ds, *, on: str, heavy_keys: dict,
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
 
-    def join_partition(g: pd.DataFrame) -> pa.Table:
+    def join_partition(gt: pa.Table) -> pa.Table:
+        g = _group_df(gt)
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][rcols + [on]]
         if how in ("semi", "anti"):
@@ -211,7 +233,7 @@ def salted_join(left_ds, right_ds, *, on: str, heavy_keys: dict,
         return pa.Table.from_pandas(out, schema=schema,
                                     preserve_index=False).replace_schema_metadata(None)
 
-    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
@@ -234,7 +256,8 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
         _tag_and_key(right_ds, by, "r", all_cols, num_partitions)
     )
 
-    def join_partition(g: pd.DataFrame) -> pa.Table:
+    def join_partition(gt: pa.Table) -> pa.Table:
+        g = _group_df(gt)
         lg = g[g["_side"] == "l"][lcols].sort_values(on, kind="mergesort")
         rg = g[g["_side"] == "r"][rcols].sort_values(on, kind="mergesort")
         if lg.empty:
@@ -245,7 +268,7 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, num_partitions: int = 32,
         return pa.Table.from_pandas(out, schema=schema,
                                     preserve_index=False).replace_schema_metadata(None)
 
-    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pandas")
+    return tagged.groupby("_pkey").map_groups(join_partition, batch_format="pyarrow")
 
 
 def interval_join(ds, intervals: pd.DataFrame, *, ts_col: str = "ts",

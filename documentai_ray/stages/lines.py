@@ -193,3 +193,186 @@ def c4_line_filter_batch(batch: pa.Table, *, text_col: str = "text",
     out = batch.append_column("clean_text", pa.array(clean, pa.large_string()))
     out = out.append_column("n_lines_kept", pa.array(nk, pa.int64()))
     return out.append_column("n_lines", pa.array(nt, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# host-template (boilerplate chrome) removal — RefinedWeb / CCNet style
+# ---------------------------------------------------------------------------
+
+def strip_host_templates(ds, *, min_pages: int = 5, share_num: int = 1,
+                         share_den: int = 4, url_col: str = "url",
+                         text_col: str = "text",
+                         broadcast_cap: int = 1_000_000,
+                         num_partitions: int = 16):
+    """Per-HOST template-line removal: a line occurring on at least
+    ``share_num/share_den`` of a host's non-empty pages (host must have
+    ≥ ``min_pages`` such pages) is template chrome — nav labels, legal
+    footers, per-site headers that survive main-content extraction — and
+    is stripped from EVERY page of that host (RefinedWeb §"line-wise
+    corrections"; CCNet strips per-shard repeated paragraphs the same
+    way). The share test is integer-exact: ``share_den·n ≥ share_num·hp``
+    (no float threshold to drift vs an oracle).
+
+    Returns ``(url, text_clean, n_kept, n_total)`` for every non-empty
+    input page with ≥ 1 surviving line.
+
+    Physical plan:
+      1. The ``(url, text)`` projection is pinned ONCE (three consumers —
+         page counts, pair counts, strip — would each re-run the upstream
+         lineage otherwise; NOTES.md lazy-lineage lesson).
+      2. Host page counts and distinct ``(host, lhash)`` page counts each
+         shuffle 16-byte projections with per-batch combiners — line TEXT
+         never crosses an exchange.
+      3. The two small tables hash_join on ``host`` (both are bounded by
+         host/boilerplate cardinality, not corpus rows) → template set.
+      4. Strip: if the template set fits (≤ ``broadcast_cap`` rows) it
+         ships once via ``ray.put`` and the strip is map-only (zero page
+         shuffle). Otherwise templates aggregate to per-host hash LISTS
+         and pages bucket-join them on host — one page exchange, which on
+         a host-partitioned crawl layout (the standard at 100 TB) is a
+         local no-op.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    def _i64(h: int) -> int:
+        # signed-int64 reinterpretation of the u64 line hash: Ray's
+        # multi-key groupby pickles uint64 columns into object-extension
+        # arrays (breaking the downstream pandas join); int64 sorts native
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    proj = ds.select_columns([url_col, text_col]).materialize()
+
+    def page_counts(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        cnt: dict[str, int] = {}
+        for u, t in zip(urls, texts):
+            if t:
+                h = u.split("/")[2]
+                cnt[h] = cnt.get(h, 0) + 1
+        return pa.table({"host": pa.array(list(cnt), pa.string()),
+                         "hp": pa.array(list(cnt.values()), pa.int64())})
+
+    host_pages = (proj.map_batches(page_counts, batch_format="pyarrow")
+                  .groupby("host").aggregate(Sum("hp", alias_name="hp")))
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        cnt: dict[tuple[str, int], int] = {}
+        for u, t in zip(urls, texts):
+            if not t:
+                continue
+            h = u.split("/")[2]
+            for lh in {_i64(line_hash64(l)) for l in t.split("\n")}:
+                k = (h, lh)
+                cnt[k] = cnt.get(k, 0) + 1
+        return pa.table({
+            "host": pa.array([k[0] for k in cnt], pa.string()),
+            "lhash": pa.array([k[1] for k in cnt], pa.int64()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    pairs = (proj.map_batches(pair_counts, batch_format="pyarrow")
+             .groupby(["host", "lhash"]).aggregate(Sum("n", alias_name="n")))
+
+    joined = hash_join(pairs, host_pages, on="host",
+                       num_partitions=num_partitions)
+
+    def is_template(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        hp = batch.column("hp").to_numpy()
+        keep = (hp >= min_pages) & (share_den * n >= share_num * hp)
+        return batch.filter(pa.array(keep)).select(["host", "lhash"])
+
+    templates = joined.map_batches(
+        is_template, batch_format="pyarrow").materialize()
+
+    def strip_with(lookup: dict) -> "pa.Table":
+        def f(batch: pa.Table) -> pa.Table:
+            urls = batch.column(url_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_u, out_t, out_k, out_n = [], [], [], []
+            for u, t in zip(urls, texts):
+                if not t:
+                    continue
+                h = u.split("/")[2]
+                tset = lookup.get(h)
+                lines = t.split("\n")
+                kept = (lines if not tset else
+                        [l for l in lines
+                         if _i64(line_hash64(l)) not in tset])
+                if kept:
+                    out_u.append(u)
+                    out_t.append("\n".join(kept))
+                    out_k.append(len(kept))
+                    out_n.append(len(lines))
+            return pa.table({
+                url_col: pa.array(out_u, pa.string()),
+                "text_clean": pa.array(out_t, pa.large_string()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "n_total": pa.array(out_n, pa.int64()),
+            })
+        return f
+
+    n_templates = templates.count()
+    if n_templates <= broadcast_cap:
+        lookup: dict[str, set] = {}
+        for row in templates.iter_rows():
+            lookup.setdefault(row["host"], set()).add(row["lhash"])
+        ref = ray.put(lookup)
+
+        def strip_bcast(batch: pa.Table) -> pa.Table:
+            return strip_with(ray.get(ref))(batch)
+
+        return proj.map_batches(strip_bcast, batch_format="pyarrow")
+
+    # large template set: per-host hash lists bucket-join onto pages
+    def to_list(g: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "host": pa.array([g["host"].iloc[0]], pa.string()),
+            "tset": pa.array([g["lhash"].astype("int64").tolist()],
+                             pa.list_(pa.int64())),
+        })
+
+    host_sets = templates.groupby("host").map_groups(
+        to_list, batch_format="pandas")
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return batch.append_column(
+            "host", pa.array([u.split("/")[2] for u in urls], pa.string()))
+
+    paged = proj.map_batches(add_host, batch_format="pyarrow")
+    joined_pages = hash_join(paged, host_sets, on="host", how="left",
+                             num_partitions=num_partitions)
+
+    def strip_joined(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        tsets = batch.column("tset").to_pylist()
+        out_u, out_t, out_k, out_n = [], [], [], []
+        for u, t, ts in zip(urls, texts, tsets):
+            if not t:
+                continue
+            tset = set(ts) if ts else None
+            lines = t.split("\n")
+            kept = (lines if not tset else
+                    [l for l in lines if _i64(line_hash64(l)) not in tset])
+            if kept:
+                out_u.append(u)
+                out_t.append("\n".join(kept))
+                out_k.append(len(kept))
+                out_n.append(len(lines))
+        return pa.table({
+            url_col: pa.array(out_u, pa.string()),
+            "text_clean": pa.array(out_t, pa.large_string()),
+            "n_kept": pa.array(out_k, pa.int64()),
+            "n_total": pa.array(out_n, pa.int64()),
+        })
+
+    return joined_pages.map_batches(strip_joined, batch_format="pyarrow")

@@ -73,3 +73,20 @@ def test_salted_join_column_collision_raises(ray_session):
     b = ray.data.from_items([{"k": "x", "v": 2}])
     with pytest.raises(ValueError, match="collision"):
         salted_join(a, b, on="k", heavy_keys={})
+
+
+def test_hash_join_preserves_big_int64(ray_session):
+    """Regression: the tagged-union null-fill used to degrade int64
+    columns to float64 in pandas, silently rounding values above 2^53."""
+    import ray.data
+
+    from documentai_ray.stages.joins import hash_join
+
+    big = [(1 << 62) + 12345678901234567 + i for i in range(4)]
+    left = ray.data.from_items(
+        [{"k": f"h{i % 2}", "lhash": big[i]} for i in range(4)])
+    right = ray.data.from_items(
+        [{"k": "h0", "w": (1 << 61) + 7}, {"k": "h1", "w": (1 << 61) + 9}])
+    out = hash_join(left, right, on="k", num_partitions=4).to_pandas()
+    assert sorted(out["lhash"].tolist()) == sorted(big)
+    assert set(out["w"].tolist()) == {(1 << 61) + 7, (1 << 61) + 9}
