@@ -2046,6 +2046,26 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_outlink_count(sf_dir: str):
+    """Outlink extraction (``<a href>`` parse + urljoin resolution,
+    http(s) only) over the pages corpus → per-page link counts. The
+    oracle is the template closed form: article/report pages carry
+    nav(3)+aside(2)+footer(3)=8 links, link farms 3+12+3=18, PO/invoice/
+    LC 6, blank 0 (no row), malformed pages decode-fail (no row). The
+    flat-map edge stream is the input the host link graph / pagerank
+    stage consumes at crawl scale."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import outlinks_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False)
+    edges = ds.select_columns(["url", "html"]).map_batches(
+        outlinks_batch, batch_format="pyarrow", batch_size=256)
+    return edges.groupby("url").aggregate(Count(alias_name="n_links"))
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means (k=4, 2 iterations) over the embeddings
     table — the canonical iterative algorithm: each iteration is one
@@ -3169,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": _q_skew_join,
         "charset_extract": _q_charset_extract,
         "host_template_strip": _q_host_template_strip,
+        "outlink_count": _q_outlink_count,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -3964,6 +3985,14 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "outlink_count": (
+            f"SELECT {_SQL_URL} AS url, CAST(CASE "
+            "WHEN doc_id % 5 IN (0, 3) THEN 8 "
+            "WHEN doc_id % 5 = 1 THEN 18 "
+            "ELSE 6 END AS BIGINT) AS n_links "
+            "FROM documents WHERE doc_id % 97 <> 0 "
+            "AND NOT (doc_id % 5 = 4 AND doc_id % 10 NOT IN (4, 9))"
         ),
         "host_template_strip": (
             f"WITH d AS (SELECT url, string_split(url, '/')[3] AS host, "

@@ -354,6 +354,60 @@ def extract_one(
         return "", "error", f"{type(exc).__name__}: {exc}"[:200], []
 
 
+_HREF_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
+
+
+def extract_outlinks(base_url: str, html_text: str) -> list[str]:
+    """Resolved absolute outlink URLs from ``<a href>`` tags: urljoin
+    against the page url (relative paths, ``../``, protocol-relative
+    ``//host/…`` all resolve), keep http(s) only — ``mailto:``,
+    ``javascript:`` and fragment-only hrefs drop. The edge list feeds the
+    host link graph (pagerank / crawl-frontier expansion)."""
+    from urllib.parse import urljoin
+
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html_text):
+        href = (m.group(2) or m.group(3) or m.group(4) or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        u = urljoin(base_url, href)
+        if u.startswith(("http://", "https://")):
+            out.append(u)
+    return out
+
+
+def outlinks_batch(batch: pa.Table, *, charset_sniff: bool = False) -> pa.Table:
+    """Flat-map: one output row per (page, outlink) edge —
+    ``(url, link, dst_host)``. Non-HTML payloads (PDF/office) and
+    undecodable pages emit no edges; pages with zero links emit no rows
+    (the downstream per-page/per-host aggregation defines their absence)."""
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    out_u: list[str] = []
+    out_l: list[str] = []
+    out_h: list[str] = []
+    for u, p in zip(urls, payloads):
+        if minipdf.is_minipdf(p) or office.office_kind(p):
+            continue
+        try:
+            if charset_sniff:
+                html_text, _ = sniff_decode(p)
+            else:
+                html_text = p.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        for link in extract_outlinks(u, html_text):
+            out_u.append(u)
+            out_l.append(link)
+            out_h.append(link.split("/")[2] if "//" in link[:8] else "")
+    return pa.table({
+        "url": pa.array(out_u, pa.string()),
+        "link": pa.array(out_l, pa.string()),
+        "dst_host": pa.array(out_h, pa.string()),
+    })
+
+
 def extract_batch(batch: pa.Table, *, keep_payload: bool = False,
                   charset_sniff: bool = False) -> pa.Table:
     """Arrow-in/Arrow-out extraction over one batch.

@@ -95,3 +95,56 @@ def test_strict_default_unchanged():
     """charset_sniff defaults OFF: legacy bytes stay hard error rows."""
     _, kind, err, _ = extract_one(b"caf\xe9 legacy")
     assert kind == "error" and "UnicodeDecodeError" in err
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction (href parse + urljoin resolution)
+# ---------------------------------------------------------------------------
+
+def test_outlink_resolution_rules():
+    from documentai_ray.stages.extract import extract_outlinks
+
+    base = "https://a.example.com/dir/page.html"
+    html = (
+        '<a href="/abs/path">x</a>'
+        '<a href="rel.html">x</a>'
+        '<a href="../up.html">x</a>'
+        '<a href="//other.example.com/p">x</a>'
+        '<a href="http://plain.example.com/q">x</a>'
+        '<a href="#frag">x</a>'
+        '<a href="mailto:a@b.c">x</a>'
+        '<a href="javascript:void(0)">x</a>'
+        "<a href='single-quoted'>x</a>"
+        "<a href=unquoted>x</a>"
+        '<a class="c" href="/after-attr">x</a>'
+    )
+    got = extract_outlinks(base, html)
+    assert got == [
+        "https://a.example.com/abs/path",
+        "https://a.example.com/dir/rel.html",
+        "https://a.example.com/up.html",
+        "https://other.example.com/p",
+        "http://plain.example.com/q",
+        "https://a.example.com/dir/single-quoted",
+        "https://a.example.com/dir/unquoted",
+        "https://a.example.com/after-attr",
+    ]
+
+
+def test_outlinks_batch_skips_undecodable_and_nonhtml():
+    import pyarrow as pa
+
+    from documentai_ray.functions import minipdf
+    from documentai_ray.stages.extract import outlinks_batch
+
+    pdf_payload, _ = minipdf.build_from_text("hello world", shuffle_key=1)
+    batch = pa.table({
+        "url": pa.array(["https://h/p/1", "https://h/p/2", "https://h/p/3"]),
+        "html": pa.array(
+            [b'<a href="/x">x</a>', b"\xff\xfe\x00bad", pdf_payload],
+            pa.large_binary()),
+    })
+    out = outlinks_batch(batch)
+    assert out.column("url").to_pylist() == ["https://h/p/1"]
+    assert out.column("link").to_pylist() == ["https://h/x"]
+    assert out.column("dst_host").to_pylist() == ["h"]
