@@ -2046,6 +2046,38 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_host_cap(sf_dir: str):
+    """Per-domain document cap (RefinedWeb-style domain-diversity
+    curation: no host may contribute more than K docs): keep the 5
+    longest extracted docs per host, ties broken by url. Runs on the
+    generic ``grouped_topk`` — map-side partial top-k per host, one
+    bounded key-hash exchange, never a global sort; the heavy host's 33%
+    share reduces to the same 5 rows as any other host."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.aggregates import grouped_topk
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    def host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "host": pa.array([u.split("/")[2] for u in urls], pa.string()),
+            "url": batch.column("url"),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        })
+
+    ds = ds.map_batches(host, batch_format="pyarrow")
+    return grouped_topk(ds, key_col="host", sort_cols=["n_chars", "url"],
+                        ascending=[False, True], k=5)
+
+
 def _q_outlink_count(sf_dir: str):
     """Outlink extraction (``<a href>`` parse + urljoin resolution,
     http(s) only) over the pages corpus → per-page link counts. The
@@ -3190,6 +3222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_extract": _q_charset_extract,
         "host_template_strip": _q_host_template_strip,
         "outlink_count": _q_outlink_count,
+        "host_cap": _q_host_cap,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -3985,6 +4018,13 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "host_cap": (
+            f"WITH p AS (SELECT url, string_split(url, '/')[3] AS host, "
+            f"length(text) AS n_chars FROM ({_SQL_EXPECTED_PAGES})), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY host "
+            "ORDER BY n_chars DESC, url) AS rn FROM p) "
+            "SELECT host, url, n_chars FROM r WHERE rn <= 5"
         ),
         "outlink_count": (
             f"SELECT {_SQL_URL} AS url, CAST(CASE "
