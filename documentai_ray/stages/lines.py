@@ -331,16 +331,23 @@ def strip_host_templates(ds, *, min_pages: int = 5, share_num: int = 1,
 
         return proj.map_batches(strip_bcast, batch_format="pyarrow")
 
-    # large template set: per-host hash lists bucket-join onto pages
-    def to_list(g: pd.DataFrame) -> pa.Table:
+    # large template set: per-host hash lists bucket-join onto pages.
+    # Lists build per hash-PARTITION (all hosts of a bucket in one
+    # vectorized groupby-agg pass), never one map_groups call per host
+    # key — group count is bounded by P, not host cardinality.
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def to_lists(g: pd.DataFrame) -> pa.Table:
+        agg = (g.groupby("host", sort=False)["lhash"]
+               .agg(lambda s: s.astype("int64").tolist()))
         return pa.table({
-            "host": pa.array([g["host"].iloc[0]], pa.string()),
-            "tset": pa.array([g["lhash"].astype("int64").tolist()],
-                             pa.list_(pa.int64())),
+            "host": pa.array(agg.index.tolist(), pa.string()),
+            "tset": pa.array(agg.tolist(), pa.list_(pa.int64())),
         })
 
-    host_sets = templates.groupby("host").map_groups(
-        to_list, batch_format="pandas")
+    host_sets = (_add_pkey(templates, "host", num_partitions)
+                 .groupby("_pkey")
+                 .map_groups(to_lists, batch_format="pandas"))
 
     def add_host(batch: pa.Table) -> pa.Table:
         urls = batch.column(url_col).to_pylist()
