@@ -2046,6 +2046,62 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Crawl-snapshot diff (the recrawl bookkeeping pass): FULL OUTER
+    join of the old snapshot (docs with ``doc_id % 4 == 1``) against the
+    new one (``doc_id % 3 != 0``; docs with ``doc_id % 5 == 0``
+    re-crawled with edited content) → per-doc status
+    added / removed / changed / unchanged. Both sides ship only
+    (doc_id, md5-hash) through the one bucketed exchange — text never
+    shuffles; the status CASE is a vectorized post-join map."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import hash_join
+
+    def snap(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            ids = np.asarray(batch.column("doc_id").to_pylist())
+            texts = batch.column("text").to_pylist()
+            if which == "old":
+                keep = ids % 4 == 1
+                h = [int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "little",
+                    signed=True) for t, k in zip(texts, keep) if k]
+                return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                                 "h_old": pa.array(h, pa.int64())})
+            keep = ids % 3 != 0
+            h = [int.from_bytes(
+                hashlib.md5((t + " v2" if i % 5 == 0 else t).encode())
+                .digest()[:8], "little", signed=True)
+                for i, t, k in zip(ids.tolist(), texts, keep) if k]
+            return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                             "h_new": pa.array(h, pa.int64())})
+        return f
+
+    read = lambda: ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"])
+    old = read().map_batches(snap("old"), batch_format="pyarrow")
+    new = read().map_batches(snap("new"), batch_format="pyarrow")
+    j = hash_join(old, new, on="doc_id", how="outer", num_partitions=32)
+
+    def status(batch: pa.Table) -> pa.Table:
+        ho, hn = batch.column("h_old"), batch.column("h_new")
+        st = pc.if_else(
+            pc.is_null(ho), pa.scalar("added"),
+            pc.if_else(pc.is_null(hn), pa.scalar("removed"),
+                       pc.if_else(pc.equal(ho, hn), pa.scalar("unchanged"),
+                                  pa.scalar("changed"))))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "status": st})
+
+    return j.map_batches(status, batch_format="pyarrow")
+
+
 def _q_host_cap(sf_dir: str):
     """Per-domain document cap (RefinedWeb-style domain-diversity
     curation: no host may contribute more than K docs): keep the 5
@@ -3223,6 +3279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_template_strip": _q_host_template_strip,
         "outlink_count": _q_outlink_count,
         "host_cap": _q_host_cap,
+        "snapshot_diff": _q_snapshot_diff,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -4018,6 +4075,19 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "snapshot_diff": (
+            "WITH old AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id % 4 = 1), "
+            "new AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN text || ' v2' ELSE text END AS text FROM documents "
+            "WHERE doc_id % 3 <> 0) "
+            "SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, "
+            "CASE WHEN old.doc_id IS NULL THEN 'added' "
+            "WHEN new.doc_id IS NULL THEN 'removed' "
+            "WHEN old.text = new.text THEN 'unchanged' "
+            "ELSE 'changed' END AS status "
+            "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"
         ),
         "host_cap": (
             f"WITH p AS (SELECT url, string_split(url, '/')[3] AS host, "

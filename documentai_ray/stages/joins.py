@@ -95,6 +95,8 @@ def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
     """Partitioned hash join of two Datasets on a common key column ``on``.
 
     ``how``: ``inner`` / ``left`` (right columns null-filled) /
+    ``outer`` (full outer — unmatched rows of EITHER side survive with the
+    other side's columns null) /
     ``semi`` (left rows WITH a match, left columns only) /
     ``anti`` (left rows WITHOUT a match, left columns only). All variants
     share the same bucketed physical plan — matching keys co-locate, so

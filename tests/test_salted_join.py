@@ -90,3 +90,20 @@ def test_hash_join_preserves_big_int64(ray_session):
     out = hash_join(left, right, on="k", num_partitions=4).to_pandas()
     assert sorted(out["lhash"].tolist()) == sorted(big)
     assert set(out["w"].tolist()) == {(1 << 61) + 7, (1 << 61) + 9}
+
+
+def test_hash_join_outer(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.joins import hash_join
+
+    left = ray.data.from_items(
+        [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    right = ray.data.from_items(
+        [{"k": "b", "w": 20}, {"k": "c", "w": 30}])
+    out = hash_join(left, right, on="k", how="outer",
+                    num_partitions=4).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["v"].tolist()[1] == 2 and pd.isna(out["v"].iloc[2])
+    assert out["w"].tolist()[1] == 20 and pd.isna(out["w"].iloc[0])
