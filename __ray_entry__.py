@@ -2046,6 +2046,51 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_curation_hostaware(sf_dir: str):
+    """End-to-end host-aware curation chain composing the round-2 web
+    ops as ONE streaming Dataset: extract → latest-capture dedup →
+    per-host template-line strip → per-domain cap (5 longest cleaned
+    docs per host) → deterministic Knuth-hash split. Exchanges: the
+    dedup sort, the 16-byte template-count shuffles, and one key-hash
+    top-k exchange — text crosses only the dedup exchange."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.aggregates import grouped_topk
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.lines import strip_host_templates
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+    stripped = strip_host_templates(ds.select_columns(["url", "text"]),
+                                    min_pages=5, share_num=1, share_den=4)
+
+    M, MOD = 2654435761, 1 << 32
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text_clean").to_pylist()
+        ids = np.array([int(u.rsplit("/", 1)[1]) for u in urls], np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(M)) % np.uint64(MOD)
+        frac = h.astype(np.float64) / float(MOD)
+        split = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val",
+                                                       "test"))
+        return pa.table({
+            "host": pa.array([u.split("/")[2] for u in urls], pa.string()),
+            "url": batch.column("url"),
+            "n_chars_clean": pa.array([len(t) for t in texts], pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    enriched = stripped.map_batches(enrich, batch_format="pyarrow")
+    return grouped_topk(enriched, key_col="host",
+                        sort_cols=["n_chars_clean", "url"],
+                        ascending=[False, True], k=5)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Crawl-snapshot diff (the recrawl bookkeeping pass): FULL OUTER
     join of the old snapshot (docs with ``doc_id % 4 == 1``) against the
@@ -3280,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlink_count": _q_outlink_count,
         "host_cap": _q_host_cap,
         "snapshot_diff": _q_snapshot_diff,
+        "curation_hostaware": _q_curation_hostaware,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -4075,6 +4121,32 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "curation_hostaware": (
+            f"WITH d AS (SELECT url, string_split(url, '/')[3] AS host, "
+            f"text, doc_id FROM ({_SQL_EXPECTED_PAGES}) WHERE text <> ''), "
+            "hp AS (SELECT host, count(*) AS hp FROM d GROUP BY host), "
+            "l AS (SELECT url, host, doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx "
+            "FROM d), "
+            "lc AS (SELECT host, line, count(DISTINCT url) AS n "
+            "FROM l GROUP BY host, line), "
+            "t AS (SELECT lc.host, lc.line FROM lc JOIN hp USING (host) "
+            "WHERE hp >= 5 AND 4 * n >= hp), "
+            "k AS (SELECT l.url, l.host, l.doc_id, l.line FROM l "
+            "WHERE NOT EXISTS (SELECT 1 FROM t "
+            "WHERE t.host = l.host AND t.line = l.line)), "
+            "c AS (SELECT url, host, any_value(doc_id) AS doc_id, "
+            "CAST(sum(length(line)) + count(*) - 1 AS BIGINT) AS "
+            "n_chars_clean FROM k GROUP BY url, host), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY host "
+            "ORDER BY n_chars_clean DESC, url) AS rn FROM c) "
+            "SELECT host, url, n_chars_clean, CASE "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.8 "
+            "THEN 'train' "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 "
+            "THEN 'val' ELSE 'test' END AS split FROM r WHERE rn <= 5"
         ),
         "snapshot_diff": (
             "WITH old AS (SELECT doc_id, text FROM documents "
