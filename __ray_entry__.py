@@ -2046,6 +2046,23 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_robots_filter(sf_dir: str):
+    """Crawl-compliance filtering: pages carrying
+    ``<meta name="robots" content="noindex">`` (planted on
+    ``doc_id % 11 == 5``) are dropped by a byte-level head scan BEFORE
+    any parse/extract cost; everything else passes through. Oracle: the
+    url set minus the noindex rule."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import robots_filter_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, robots=True)
+    ds = ds.select_columns(["url", "html"]).map_batches(
+        robots_filter_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(["url"])
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3326,6 +3343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": _q_host_cap,
         "snapshot_diff": _q_snapshot_diff,
         "curation_hostaware": _q_curation_hostaware,
+        "robots_filter": _q_robots_filter,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -4121,6 +4139,10 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "robots_filter": (
+            f"SELECT {_SQL_URL} AS url FROM documents "
+            "WHERE doc_id % 11 <> 5 OR doc_id % 97 = 0"
         ),
         "curation_hostaware": (
             f"WITH d AS (SELECT url, string_split(url, '/')[3] AS host, "

@@ -377,8 +377,15 @@ def _encode_variant(doc_id: int, html: str) -> bytes:
     return html.encode("utf-8")
 
 
+def is_noindex(doc_id: int) -> bool:
+    """``robots=True`` corpora: ``doc_id % 11 == 5`` pages carry
+    ``<meta name="robots" content="noindex">`` (head-only — golden text
+    unchanged); a compliant curation pipeline must drop them."""
+    return doc_id % 11 == 5
+
+
 def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False,
-                encodings: bool = False) -> bytes:
+                encodings: bool = False, robots: bool = False) -> bytes:
     if is_malformed(doc_id):
         return b"\xff\xfe\x00<html><body>truncat"
     if pdf_mode:
@@ -399,6 +406,9 @@ def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False,
         html = _html_lc(doc_id)
     else:
         html = _html_blank(doc_id)
+    if robots and is_noindex(doc_id):
+        html = html.replace(
+            "<head>", '<head><meta name="robots" content="noindex">', 1)
     if encodings:
         return _encode_variant(doc_id, html)
     return html.encode("utf-8")
@@ -426,6 +436,7 @@ def synth_pages_table(
     with_near_dups: bool = False,
     pdf_mode: bool = False,
     encodings: bool = False,
+    robots: bool = False,
     copies: int = 1,
 ) -> pa.Table:
     """Build the pages corpus as one Arrow table (small scales only).
@@ -456,7 +467,7 @@ def synth_pages_table(
             urls.append(url)
             tss.append(ts)
             payloads.append(payload_for(doc_id, text, pdf_mode=pdf_mode,
-                                        encodings=encodings))
+                                        encodings=encodings, robots=robots))
             goldens.append(
                 text if pdf_mode and not is_malformed(doc_id)
                 else golden_text(doc_id, text)

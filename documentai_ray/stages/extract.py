@@ -354,6 +354,41 @@ def extract_one(
         return "", "error", f"{type(exc).__name__}: {exc}"[:200], []
 
 
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*>", re.I)
+_ATTR_BYTES_RE = re.compile(
+    rb"([a-zA-Z\-]+)\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))")
+
+
+def robots_directives(payload: bytes) -> set[str]:
+    """Directives from ``<meta name="robots" content="…">`` in the first
+    4 KB (attribute order-insensitive, comma-separated, case-folded) —
+    no full decode needed, the scan runs on raw bytes. Returns e.g.
+    ``{"noindex", "nofollow"}``; empty set when no robots meta."""
+    out: set[str] = set()
+    for m in _META_TAG_RE.finditer(payload[:4096]):
+        attrs: dict[bytes, bytes] = {}
+        for a in _ATTR_BYTES_RE.finditer(m.group(0)):
+            attrs[a.group(1).lower()] = (a.group(3) or a.group(4)
+                                         or a.group(5) or b"")
+        if attrs.get(b"name", b"").strip().lower() == b"robots":
+            for tok in attrs.get(b"content", b"").split(b","):
+                t = tok.strip().lower().decode("ascii", "ignore")
+                if t:
+                    out.add(t)
+    return out
+
+
+def robots_filter_batch(batch: pa.Table,
+                        drop: tuple = ("noindex", "none")) -> pa.Table:
+    """Crawl-compliance filter: drop rows whose robots meta carries any
+    of ``drop`` (``none`` ≡ ``noindex,nofollow`` per the robots spec).
+    Byte-level scan over the payload column — runs BEFORE extraction so
+    dropped pages never pay the parse."""
+    payloads = batch.column("html").to_pylist()
+    mask = [not (robots_directives(p) & set(drop)) for p in payloads]
+    return batch.filter(pa.array(mask))
+
+
 _HREF_RE = re.compile(
     r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
 

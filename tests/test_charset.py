@@ -148,3 +148,40 @@ def test_outlinks_batch_skips_undecodable_and_nonhtml():
     assert out.column("url").to_pylist() == ["https://h/p/1"]
     assert out.column("link").to_pylist() == ["https://h/x"]
     assert out.column("dst_host").to_pylist() == ["h"]
+
+
+# ---------------------------------------------------------------------------
+# robots meta directives
+# ---------------------------------------------------------------------------
+
+def test_robots_directives_parsing():
+    from documentai_ray.stages.extract import robots_directives
+
+    assert robots_directives(
+        b'<head><meta name="robots" content="noindex, nofollow"></head>'
+    ) == {"noindex", "nofollow"}
+    # attribute order reversed + single quotes + case folding
+    assert robots_directives(
+        b"<meta content='NOINDEX' name='ROBOTS'>") == {"noindex"}
+    # other metas ignored; no robots meta -> empty
+    assert robots_directives(b'<meta charset="utf-8">') == set()
+    assert robots_directives(b"\xff\xfe\x00garbage") == set()
+
+
+def test_robots_filter_batch():
+    import pyarrow as pa
+
+    from documentai_ray.stages.extract import robots_filter_batch
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2", "u3", "u4"]),
+        "html": pa.array([
+            b"<html><head></head>ok</html>",
+            b'<html><head><meta name="robots" content="noindex"></head></html>',
+            b'<html><head><meta name="robots" content="none"></head></html>',
+            b'<html><head><meta name="robots" content="nofollow"></head></html>',
+        ], pa.large_binary()),
+    })
+    out = robots_filter_batch(batch)
+    # noindex and none drop; plain and nofollow-only pages stay
+    assert out.column("url").to_pylist() == ["u1", "u4"]
