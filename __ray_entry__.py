@@ -2046,6 +2046,18 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_page_meta(sf_dir: str):
+    """Page-metadata extraction: first ``<title>`` text per decodable
+    page (whitespace-collapsed). Oracle: the archetype→title closed form
+    of the corpus templates; malformed pages emit no row."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import page_meta_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False)
+    return ds.select_columns(["url", "html"]).map_batches(
+        page_meta_batch, batch_format="pyarrow", batch_size=512)
+
+
 def _q_robots_filter(sf_dir: str):
     """Crawl-compliance filtering: pages carrying
     ``<meta name="robots" content="noindex">`` (planted on
@@ -3344,6 +3356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "curation_hostaware": _q_curation_hostaware,
         "robots_filter": _q_robots_filter,
+        "page_meta": _q_page_meta,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -4143,6 +4156,17 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": (
             f"SELECT {_SQL_URL} AS url FROM documents "
             "WHERE doc_id % 11 <> 5 OR doc_id % 97 = 0"
+        ),
+        "page_meta": (
+            f"SELECT {_SQL_URL} AS url, CASE "
+            "WHEN doc_id % 5 = 0 THEN 'Article' "
+            "WHEN doc_id % 5 = 1 THEN 'Index' "
+            "WHEN doc_id % 5 = 2 THEN 'PO' "
+            "WHEN doc_id % 5 = 3 THEN 'Report' "
+            "WHEN doc_id % 10 = 4 THEN 'Invoice' "
+            "WHEN doc_id % 10 = 9 THEN 'LC' "
+            "ELSE '.' END AS title "
+            "FROM documents WHERE doc_id % 97 <> 0"
         ),
         "curation_hostaware": (
             f"WITH d AS (SELECT url, string_split(url, '/')[3] AS host, "

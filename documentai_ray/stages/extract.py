@@ -389,6 +389,35 @@ def robots_filter_batch(batch: pa.Table,
     return batch.filter(pa.array(mask))
 
 
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
+
+
+def page_meta_batch(batch: pa.Table, *,
+                    charset_sniff: bool = False) -> pa.Table:
+    """Page-metadata extraction (trafilatura-style): the FIRST
+    ``<title>`` text per page, whitespace-collapsed. Undecodable and
+    non-HTML payloads emit no row. Extend here for author/date meta."""
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    out_u: list[str] = []
+    out_t: list[str] = []
+    for u, p in zip(urls, payloads):
+        if minipdf.is_minipdf(p) or office.office_kind(p):
+            continue
+        try:
+            if charset_sniff:
+                html_text, _ = sniff_decode(p)
+            else:
+                html_text = p.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        m = _TITLE_RE.search(html_text)
+        out_u.append(u)
+        out_t.append(collapse_ws(m.group(1)) if m else "")
+    return pa.table({"url": pa.array(out_u, pa.string()),
+                     "title": pa.array(out_t, pa.string())})
+
+
 _HREF_RE = re.compile(
     r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
 

@@ -185,3 +185,21 @@ def test_robots_filter_batch():
     out = robots_filter_batch(batch)
     # noindex and none drop; plain and nofollow-only pages stay
     assert out.column("url").to_pylist() == ["u1", "u4"]
+
+
+def test_page_meta_title():
+    import pyarrow as pa
+
+    from documentai_ray.stages.extract import page_meta_batch
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2", "u3"]),
+        "html": pa.array([
+            b"<html><head><title>  A \n Title </title></head></html>",
+            b"<html><head></head>no title</html>",
+            b"\xff\xfe\x00bad",
+        ], pa.large_binary()),
+    })
+    out = page_meta_batch(batch)
+    assert out.column("url").to_pylist() == ["u1", "u2"]
+    assert out.column("title").to_pylist() == ["A Title", ""]
