@@ -2046,6 +2046,52 @@ def _q_host_template_strip(sf_dir: str):
                                 min_pages=5, share_num=1, share_den=4)
 
 
+def _q_warc_ingest(sf_dir: str):
+    """Real-container ingestion: the pages corpus serialized as 8
+    per-record-gzipped ``.warc.gz`` shards (Common Crawl's ISO-28500
+    layout), then read back with the shard-parallel WARC reader (one
+    parse task per shard — CC's parallelism unit) → extraction. Oracle:
+    the encoding-independent golden text, so a framing/envelope bug
+    anywhere in the WARC writer/reader chain surfaces as a text
+    mismatch. In production the shards are the INPUT; the synthesis here
+    only stands in for the crawl dump."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from documentai_ray.functions.warc import read_warc, write_warc
+    from documentai_ray.sources.pages import (payload_for, url_for,
+                                              warc_ts_for)
+    from documentai_ray.stages.extract import extract_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/warc_shards_{tag}"
+    n_shards = 8
+    paths = [os.path.join(d, f"shard-{i:02d}.warc.gz")
+             for i in range(n_shards)]
+    marker = os.path.join(d, f"_done_{docs.num_rows}")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        shards: list[list] = [[] for _ in range(n_shards)]
+        for did, text, src in zip(docs.column("doc_id").to_pylist(),
+                                  docs.column("text").to_pylist(),
+                                  docs.column("source").to_pylist()):
+            shards[did % n_shards].append(
+                (url_for(did, src), warc_ts_for(did), payload_for(did, text)))
+        for p, recs in zip(paths, shards):
+            write_warc(p, recs)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_warc(paths)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return _norm_strings_ds(ds.select_columns(["url", "text"]))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3357,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_hostaware": _q_curation_hostaware,
         "robots_filter": _q_robots_filter,
         "page_meta": _q_page_meta,
+        "warc_ingest": _q_warc_ingest,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -4156,6 +4203,10 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": (
             f"SELECT {_SQL_URL} AS url FROM documents "
             "WHERE doc_id % 11 <> 5 OR doc_id % 97 = 0"
+        ),
+        "warc_ingest": (
+            f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
+            "FROM documents"
         ),
         "page_meta": (
             f"SELECT {_SQL_URL} AS url, CASE "

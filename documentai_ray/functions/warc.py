@@ -1,0 +1,133 @@
+"""Minimal WARC/1.0 reader + writer (stdlib only) — Common Crawl's
+container format (ISO 28500). The engine's parquet pages tables stand in
+for a crawl dump in-sandbox; this module closes the loop to the REAL
+ingestion surface: ``.warc`` / ``.warc.gz`` shards → page rows.
+
+Format notes (what the reader honors):
+- A record = ``WARC/1.0\\r\\n`` + header lines (``Name: value``) + blank
+  line + ``Content-Length`` bytes of block + ``\\r\\n\\r\\n`` separator.
+- ``WARC-Type: response`` records carry an HTTP response as the block:
+  status line + HTTP headers + blank line + body. The page payload is the
+  body; the capture url/time come from ``WARC-Target-URI`` /
+  ``WARC-Date`` (ISO-8601).
+- ``.warc.gz`` shards are per-record gzip MEMBERS concatenated (the CC
+  layout, enabling record-level range reads); ``gzip.decompress`` of the
+  whole shard yields the plain concatenation, which is how the
+  shard-at-a-time reader consumes it.
+- Non-response records (warcinfo, request, metadata) are skipped.
+
+Scale contract: the unit of parallelism is the SHARD FILE (CC ships ~1 GB
+shards; one read task per shard), so ``read_warc`` distributes a path
+list and each task parses its shard sequentially — no cross-shard state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip as _gzip
+import io
+
+
+def _warc_date(ts: _dt.datetime) -> str:
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_warc_date(s: str) -> _dt.datetime:
+    return _dt.datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ")
+
+
+def build_record(url: str, ts: _dt.datetime, body: bytes, *,
+                 content_type: str = "text/html") -> bytes:
+    """One WARC response record (uncompressed bytes)."""
+    http = (b"HTTP/1.1 200 OK\r\n"
+            + f"Content-Type: {content_type}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body)
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(path: str, records, *, compress: bool | None = None) -> int:
+    """Write ``(url, ts, body)`` records as a WARC shard; ``.gz`` paths
+    (or ``compress=True``) gzip each record as its OWN member (the CC
+    layout). Returns the record count."""
+    if compress is None:
+        compress = path.endswith(".gz")
+    n = 0
+    with open(path, "wb") as f:
+        for url, ts, body in records:
+            raw = build_record(url, ts, body)
+            f.write(_gzip.compress(raw) if compress else raw)
+            n += 1
+    return n
+
+
+def iter_warc(blob: bytes):
+    """Yield ``(url, ts, body_bytes)`` for every response record in one
+    shard's bytes (transparently gunzips multi-member ``.gz`` blobs)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gzip.decompress(blob)  # concatenated members decompress whole
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if blob.startswith(b"\r\n", pos):  # inter-record separators
+            pos += 2
+            continue
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not blob.startswith(b"WARC/", pos):
+            break
+        headers: dict[str, str] = {}
+        lines = blob[pos:head_end].split(b"\r\n")[1:]
+        for ln in lines:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode("ascii", "ignore")] = (
+                v.strip().decode("utf-8", "replace"))
+        length = int(headers.get("content-length", "0"))
+        block = blob[head_end + 4: head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
+        # strip the HTTP envelope: body starts after its own blank line
+        http_end = block.find(b"\r\n\r\n")
+        body = block[http_end + 4:] if http_end >= 0 else block
+        yield url, ts, body
+
+
+def read_warc(paths: list[str], *, num_cpus: float = 0.5):
+    """Distributed WARC ingestion: one parse task per SHARD file (the CC
+    parallelism unit) → Dataset of ``(url, warc_ts, html)`` rows. The
+    shard list itself is tiny; payload bytes are read inside the tasks,
+    never on the driver."""
+    import pyarrow as pa
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[_dt.datetime] = []
+        bodies: list[bytes] = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                blob = f.read()
+            for url, ts, body in iter_warc(blob):
+                urls.append(url)
+                tss.append(ts)
+                bodies.append(body)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(bodies, pa.large_binary()),
+        })
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+    return ds.repartition(len(paths)).map_batches(
+        parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)

@@ -1,0 +1,57 @@
+"""WARC/1.0 reader-writer (functions/warc.py) — framing, gzip members,
+non-response skipping, and the shard-parallel Ray reader."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+from documentai_ray.functions.warc import (build_record, iter_warc,
+                                           read_warc, write_warc)
+
+TS = dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_roundtrip_plain_and_gz(tmp_path):
+    recs = [
+        ("https://h/p/1", TS, b"<html>one</html>"),
+        ("https://h/p/2", TS, b"\xff\xfe\x00 binary body \r\n\r\n tricky"),
+        ("https://h/p/3", TS, b""),
+    ]
+    for name in ("a.warc", "a.warc.gz"):
+        p = str(tmp_path / name)
+        assert write_warc(p, recs) == 3
+        got = list(iter_warc(open(p, "rb").read()))
+        assert got == recs
+
+
+def test_gz_is_per_record_members(tmp_path):
+    p = str(tmp_path / "m.warc.gz")
+    write_warc(p, [("u1", TS, b"x"), ("u2", TS, b"y")])
+    blob = open(p, "rb").read()
+    # two gzip magic headers -> two members (CC record-level layout)
+    assert blob.count(b"\x1f\x8b\x08") == 2
+    # each member is independently decompressible at its offset
+    second = blob.index(b"\x1f\x8b\x08", 3)
+    assert b"WARC-Target-URI: u2" in gzip.decompress(blob[second:])
+
+
+def test_non_response_records_skipped():
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\ninfo\r\n\r\n")
+    resp = build_record("https://h/p/9", TS, b"body")
+    got = list(iter_warc(info + resp))
+    assert got == [("https://h/p/9", TS, b"body")]
+
+
+def test_read_warc_distributed(ray_session, tmp_path):
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.warc.gz")
+        write_warc(p, [(f"https://h/p/{i}-{j}", TS, f"b{i}{j}".encode())
+                       for j in range(4)])
+        paths.append(p)
+    df = read_warc(paths).to_pandas().sort_values("url")
+    assert len(df) == 12
+    assert df.iloc[0].html == b"b00"
+    assert str(df.iloc[0].warc_ts) == "2024-01-02 03:04:05"
