@@ -2092,6 +2092,32 @@ def _q_warc_ingest(sf_dir: str):
     return _norm_strings_ds(ds.select_columns(["url", "text"]))
 
 
+def _q_wet_roundtrip(sf_dir: str):
+    """WET sink + source roundtrip: extract → latest-capture dedup →
+    distributed WET write (url-hash bucketed ``.warc.wet.gz`` shards,
+    per-record gzip members, atomic per-shard publish) → shard-parallel
+    WET read-back. Oracle: the golden (url, text) set — any framing or
+    encoding defect in the conversion-record chain breaks the match."""
+    import hashlib
+    import os
+
+    from documentai_ray.functions.warc import read_wet, write_wet_shards
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/wet_shards_{tag}"
+    manifest = write_wet_shards(ds, out_dir, num_shards=8)
+    paths = sorted(r["path"] for r in manifest.iter_rows())
+    return _norm_strings_ds(read_wet(paths).select_columns(["url", "text"]))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3404,6 +3430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
+        "wet_roundtrip": _q_wet_roundtrip,
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
@@ -4207,6 +4234,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "wet_roundtrip": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
         ),
         "page_meta": (
             f"SELECT {_SQL_URL} AS url, CASE "

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import gzip as _gzip
-import io
 
 
 def _warc_date(ts: _dt.datetime) -> str:
@@ -126,6 +125,119 @@ def read_warc(paths: list[str], *, num_cpus: float = 0.5):
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(bodies, pa.large_binary()),
+        })
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+    return ds.repartition(len(paths)).map_batches(
+        parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the format CC ships extraction in
+# ---------------------------------------------------------------------------
+
+def build_conversion_record(url: str, ts: _dt.datetime, text: str) -> bytes:
+    """One WET ``conversion`` record: the extracted plain text of a page
+    (UTF-8 body, no HTTP envelope) — the layout of CC's ``.warc.wet.gz``
+    shards."""
+    body = text.encode("utf-8")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode()
+    return head + body + b"\r\n\r\n"
+
+
+def iter_wet(blob: bytes):
+    """Yield ``(url, ts, text)`` from a WET shard (conversion records)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gzip.decompress(blob)
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        if blob.startswith(b"\r\n", pos):
+            pos += 2
+            continue
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not blob.startswith(b"WARC/", pos):
+            break
+        headers: dict[str, str] = {}
+        for ln in blob[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode("ascii", "ignore")] = (
+                v.strip().decode("utf-8", "replace"))
+        length = int(headers.get("content-length", "0"))
+        block = blob[head_end + 4: head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get("warc-type") != "conversion":
+            continue
+        yield (headers.get("warc-target-uri", ""),
+               _parse_warc_date(headers.get("warc-date",
+                                            "1970-01-01T00:00:00Z")),
+               block.decode("utf-8", "replace"))
+
+
+def write_wet_shards(ds, out_dir: str, *, num_shards: int = 8,
+                     url_col: str = "url", ts_col: str = "warc_ts",
+                     text_col: str = "text"):
+    """Distributed WET sink: rows hash-bucket by url into ``num_shards``
+    per-record-gzipped ``.warc.wet.gz`` shards, one write task per shard
+    (resume unit = shard file, same contract as the parquet writers).
+    Returns the shard paths."""
+    import os
+    import zlib as _zlib
+
+    import pyarrow as pa
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    os.makedirs(out_dir, exist_ok=True)
+    proj = ds.select_columns([url_col, ts_col, text_col])
+
+    def write_bucket(g) -> pa.Table:
+        b = int(g["_pkey"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{b:02d}.warc.wet.gz")
+        tmp = path + ".tmp"
+        g = g.sort_values(url_col, kind="mergesort")
+        with open(tmp, "wb") as f:
+            for u, ts, t in zip(g[url_col], g[ts_col], g[text_col]):
+                rec = build_conversion_record(u, ts.to_pydatetime(), t or "")
+                f.write(_gzip.compress(rec))
+        os.replace(tmp, path)  # atomic publish per shard
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(g)], pa.int64())})
+
+    return (_add_pkey(proj, url_col, num_shards)
+            .groupby("_pkey")
+            .map_groups(write_bucket, batch_format="pandas"))
+
+
+def read_wet(paths: list[str], *, num_cpus: float = 0.5):
+    """Distributed WET ingestion (mirror of ``read_warc``): one parse
+    task per shard → Dataset of ``(url, warc_ts, text)`` rows."""
+    import pyarrow as pa
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        tss: list[_dt.datetime] = []
+        texts: list[str] = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                blob = f.read()
+            for url, ts, text in iter_wet(blob):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(text)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "text": pa.array(texts, pa.string()),
         })
 
     ds = ray.data.from_items([{"path": p} for p in sorted(paths)])

@@ -55,3 +55,34 @@ def test_read_warc_distributed(ray_session, tmp_path):
     assert len(df) == 12
     assert df.iloc[0].html == b"b00"
     assert str(df.iloc[0].warc_ts) == "2024-01-02 03:04:05"
+
+
+def test_wet_roundtrip_records():
+    from documentai_ray.functions.warc import (build_conversion_record,
+                                               iter_wet)
+
+    recs = [("https://h/p/1", TS, "line one\nline two"),
+            ("https://h/p/2", TS, ""),
+            ("https://h/p/3", TS, "naïve café — unicode")]
+    blob = b"".join(build_conversion_record(*r) for r in recs)
+    assert list(iter_wet(blob)) == recs
+
+
+def test_wet_shard_write_read(ray_session, tmp_path):
+    import datetime as dt
+
+    import ray.data
+
+    from documentai_ray.functions.warc import read_wet, write_wet_shards
+
+    rows = [{"url": f"https://h/p/{i}",
+             "warc_ts": dt.datetime(2024, 1, 1, 0, i),
+             "text": f"doc {i}\nbody"} for i in range(20)]
+    ds = ray.data.from_items(rows).repartition(4)
+    manifest = write_wet_shards(ds, str(tmp_path / "wet"),
+                                num_shards=4).to_pandas()
+    assert manifest.n_records.sum() == 20
+    back = read_wet(manifest.path.tolist()).to_pandas()
+    assert len(back) == 20
+    got = dict(zip(back.url, back.text))
+    assert got["https://h/p/7"] == "doc 7\nbody"
