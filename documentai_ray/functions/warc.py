@@ -243,3 +243,36 @@ def read_wet(paths: list[str], *, num_cpus: float = 0.5):
     ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
     return ds.repartition(len(paths)).map_batches(
         parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)
+
+
+# ---------------------------------------------------------------------------
+# CDX-style record index (record-level random access into .warc.gz shards)
+# ---------------------------------------------------------------------------
+
+def write_warc_indexed(path: str, records) -> list[dict]:
+    """Write a ``.warc.gz`` shard AND return its CDX-style index:
+    one ``{url, offset, length}`` per record, where ``offset/length``
+    frame the record's own gzip member — the reason CC compresses
+    per-record: a fetcher range-reads exactly one member and gunzips it
+    without touching the rest of the shard."""
+    index: list[dict] = []
+    pos = 0
+    with open(path, "wb") as f:
+        for url, ts, body in records:
+            member = _gzip.compress(build_record(url, ts, body))
+            f.write(member)
+            index.append({"url": url, "offset": pos, "length": len(member)})
+            pos += len(member)
+    return index
+
+
+def fetch_record(path: str, offset: int, length: int):
+    """Random-access fetch of ONE record by its CDX entry: range-read the
+    gzip member, gunzip, parse. Returns ``(url, ts, body)``."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    recs = list(iter_warc(_gzip.decompress(member)))
+    if len(recs) != 1:
+        raise ValueError(f"index entry framed {len(recs)} records, want 1")
+    return recs[0]

@@ -86,3 +86,21 @@ def test_wet_shard_write_read(ray_session, tmp_path):
     assert len(back) == 20
     got = dict(zip(back.url, back.text))
     assert got["https://h/p/7"] == "doc 7\nbody"
+
+
+def test_cdx_index_random_access(tmp_path):
+    from documentai_ray.functions.warc import (fetch_record,
+                                               write_warc_indexed)
+
+    p = str(tmp_path / "i.warc.gz")
+    recs = [(f"https://h/p/{i}", TS, f"body {i}".encode() * (i + 1))
+            for i in range(10)]
+    idx = write_warc_indexed(p, recs)
+    assert len(idx) == 10
+    # fetch records out of order by byte range only
+    for i in (7, 0, 9, 3):
+        e = idx[i]
+        assert fetch_record(p, e["offset"], e["length"]) == recs[i]
+    # offsets tile the file exactly
+    import os
+    assert idx[-1]["offset"] + idx[-1]["length"] == os.path.getsize(p)
