@@ -33,6 +33,8 @@ import documentai_ray  # noqa: E402
 
 documentai_ray.register_for_ray_by_value()
 
+from documentai_ray.stages.sketches import HLL_ALPHA_PPM as _HLL_ALPHA_PPM  # noqa: E402
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (mirror documentai_ray/sources/pages.py — keep in sync)
 # ---------------------------------------------------------------------------
@@ -2368,6 +2370,24 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct_shingles(ds, k=128)
 
 
+def _q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count sketch over the same corpus-wide
+    3-shingle stream as kmv_distinct: per-batch register arrays merged by
+    a 1024-group max — register state is fixed-size no matter how much
+    data streams in, the scale advantage over KMV. Bit-exact oracle: the
+    harmonic sum is the integer Σ 2^(64-M_j) and the raw estimator is one
+    HUGEINT division (alpha in ppm shared from sketches.HLL_ALPHA_PPM);
+    the ln()-based small-range correction deliberately stays out of the
+    oracle surface (documented in hll_estimate_raw)."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import hll_distinct_shingles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return hll_distinct_shingles(ds)
+
+
 def _q_p95_quantity(sf_dir: str):
     """Exact p95 per group via the bounded integer histogram (the
     grouped_median generalization): shuffle carries keys × distinct
@@ -3434,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "video_frames": _q_video_frames,
         "kmv_distinct": _q_kmv_distinct,
+        "hll_distinct": _q_hll_distinct,
         "p95_quantity": _q_p95_quantity,
         "users_per_event": _q_users_per_event,
         "events_rate_windows": _q_events_rate_windows,
@@ -4495,6 +4516,32 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(127 AS HUGEINT) * "
             "CAST(18446744073709551616 AS HUGEINT) // hk END AS BIGINT) "
             "AS est_distinct FROM a"
+        ),
+        # HLL: bucket = low 10 hash bits, rho = leftmost-1 position of the
+        # 54-bit remainder (exact via length(bin(r)), no float log2);
+        # Σ 2^-M_j carried as the integer Σ 2^(64-M_j); alpha_ppm is the
+        # shared sketches.HLL_ALPHA_PPM constant. DISTINCT on shingles is
+        # a no-op for register state (duplicates can't raise a max).
+        "hll_distinct": (
+            "WITH t AS (SELECT list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "s AS (SELECT DISTINCT sh FROM (SELECT "
+            "unnest(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+            "FROM t)), "
+            f"h AS (SELECT {_sql_md5_le64('sh')} AS hv FROM s), "
+            "b AS (SELECT CAST(hv % 1024 AS BIGINT) AS bucket, "
+            "CAST(hv // 1024 AS UBIGINT) AS r FROM h), "
+            "rr AS (SELECT bucket, CASE WHEN r = 0 THEN 55 "
+            "ELSE 55 - length(bin(r)) END AS rho FROM b), "
+            "mx AS (SELECT bucket, max(rho) AS mrho FROM rr GROUP BY bucket), "
+            "a AS (SELECT count(*) AS npres, "
+            "sum(CAST(1 AS HUGEINT) << (64 - mrho)) AS s_present FROM mx) "
+            "SELECT 1024 AS m, CAST(1024 - npres AS BIGINT) AS n_zero, "
+            f"CAST(CAST({_HLL_ALPHA_PPM} AS HUGEINT) * 1048576 "
+            "* (CAST(1 AS HUGEINT) << 64) // (CAST(1000000 AS HUGEINT) "
+            "* (s_present + (1024 - npres) * (CAST(1 AS HUGEINT) << 64))) "
+            "AS BIGINT) AS est_raw FROM a"
         ),
         "curate_corpus": (
             "SELECT doc_id, lang, n_chars, confidence FROM ("

@@ -76,6 +76,98 @@ def kmv_distinct_shingles(ds, *, text_col: str = "text", k: int = 128,
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog distinct count (register-merge sketch, bit-exact oracle)
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                     # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+# alpha_m in ppm for m=1024 (Flajolet et al. 2007): the ONE shared
+# constant — __ray_entry__'s SQL oracle formats this same value, so the
+# Python estimator and the HUGEINT SQL mirror can never drift.
+HLL_ALPHA_PPM = 720541
+
+
+def hll_rho(r: int, p: int = HLL_P) -> int:
+    """Position of the leftmost 1-bit of the (64-p)-bit remainder
+    (1-indexed); r == 0 → 64-p+1. Pure integer (no float log2 — values
+    near 2^53 would round before flooring)."""
+    return (64 - p) + 1 - r.bit_length()
+
+
+def hll_estimate_raw(registers: np.ndarray, p: int = HLL_P,
+                     alpha_ppm: int = HLL_ALPHA_PPM) -> tuple[int, int]:
+    """(n_zero, raw estimate) from the m max-rho registers, exact integer
+    math end to end: the harmonic sum Σ 2^-M_j is kept as the integer
+    Σ 2^(64-M_j) (denominator 2^64 factored into the final division), so
+    DuckDB reproduces the identical value in HUGEINT arithmetic. The raw
+    estimator is the scale-stable contract; the small-range linear-count
+    correction (`hll_corrected`) involves ln() and stays a Python-side
+    convenience, not an oracle surface."""
+    m = 1 << p
+    assert len(registers) == m
+    n_zero = int((registers == 0).sum())
+    s_scaled = sum(1 << (64 - int(v)) for v in registers)
+    est = alpha_ppm * m * m * (1 << 64) // (10 ** 6 * s_scaled)
+    return n_zero, est
+
+
+def hll_corrected(registers: np.ndarray, p: int = HLL_P) -> int:
+    """User-facing estimate with the standard small-range correction:
+    linear counting m·ln(m/V) when the raw estimate ≤ 2.5m and zero
+    registers exist (Flajolet et al. 2007 §4)."""
+    import math
+
+    m = 1 << p
+    n_zero, est = hll_estimate_raw(registers, p)
+    if est <= 5 * m // 2 and n_zero > 0:
+        return int(round(m * math.log(m / n_zero)))
+    return est
+
+
+def hll_distinct_shingles(ds, *, text_col: str = "text", p: int = HLL_P,
+                          shingle: int = 3):
+    """Corpus-wide distinct 3-shingle HyperLogLog estimate. Returns a
+    one-row table ``(m, n_zero, est_raw)``.
+
+    Physical plan: each batch updates a local m-register array and emits
+    only its NON-ZERO registers as (bucket, rho) pairs (≤ m rows ≈ a few
+    KB per batch); a 1024-group ``groupby(bucket).max(rho)`` merges them
+    — register max-merge is associative/commutative, so the result is
+    identical at any parallelism and any combine-tree shape. Nothing
+    data-sized ever moves: this is the sketch to prefer over KMV when
+    the distinct count must keep streaming in (registers never grow),
+    vs KMV's exact-below-k behavior for small cardinalities.
+    """
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    mask = np.uint64(m - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.int64)
+        for t in batch.column(text_col).to_pylist():
+            for sh in _shingles(t or "", shingle):
+                h = md5_le64(sh)
+                b = h & int(mask)
+                rho = hll_rho(h >> p, p)
+                if rho > regs[b]:
+                    regs[b] = rho
+        nz = np.nonzero(regs)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "rho": pa.array(regs[nz], pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Max("rho", alias_name="mrho"))
+              .to_pandas())
+    regs = np.zeros(m, np.int64)
+    regs[merged["bucket"].to_numpy()] = merged["mrho"].to_numpy()
+    n_zero, est = hll_estimate_raw(regs, p)
+    return pa.table({"m": pa.array([m], pa.int64()),
+                     "n_zero": pa.array([n_zero], pa.int64()),
+                     "est_raw": pa.array([est], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters (two bounded passes, no token shuffle)
 # ---------------------------------------------------------------------------
 

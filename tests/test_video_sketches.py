@@ -103,3 +103,62 @@ class TestMisraGries:
         expect = {t: c for t, c in true.items() if c * 4 > n}
         assert dict(zip(out["token"], out["n_count"])) == expect
         assert expect == {"hot": 1500}           # the test is non-vacuous
+
+
+class TestHyperLogLog:
+    def test_rho_edges(self):
+        from documentai_ray.stages.sketches import hll_rho
+
+        assert hll_rho(0) == 55              # empty remainder: all 54 bits zero
+        assert hll_rho(1) == 54              # ...0001 → leading-zero run 53
+        assert hll_rho(1 << 53) == 1         # top bit set
+        assert hll_rho((1 << 53) - 1) == 2   # 53 ones: no float-log2 rounding
+        assert hll_rho((1 << 52) + 1) == 2
+
+    def test_estimate_within_hll_error(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.sketches import hll_distinct_shingles
+
+        # 2000 docs of 12 unique tokens each → known distinct 3-shingle count
+        rows = [{"text": " ".join(f"w{i}_{j}" for j in range(12))}
+                for i in range(2000)]
+        true_distinct = 2000 * 10
+        ds = ray.data.from_items(rows).repartition(8)
+        out = hll_distinct_shingles(ds).to_pandas()
+        est = int(out["est_raw"].iloc[0])
+        # standard error 1.04/sqrt(1024) ≈ 3.3%; allow 4 sigma
+        assert abs(est - true_distinct) < 0.13 * true_distinct
+        assert int(out["m"].iloc[0]) == 1024
+        assert int(out["n_zero"].iloc[0]) == 0   # 20k >> m: raw regime
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.sketches import hll_distinct_shingles
+
+        rows = [{"text": f"a{i} b{i} c{i} d{i}"} for i in range(500)]
+        outs = []
+        for parts in (2, 16):
+            ds = ray.data.from_items(rows).repartition(parts)
+            outs.append(hll_distinct_shingles(ds).to_pandas())
+        assert outs[0].equals(outs[1])       # register max-merge is associative
+
+    def test_small_range_correction(self):
+        import numpy as np
+
+        from documentai_ray.stages.sketches import (HLL_M, hll_corrected,
+                                                    hll_estimate_raw, hll_rho,
+                                                    md5_le64)
+
+        regs = np.zeros(HLL_M, np.int64)
+        items = [f"x{i}" for i in range(50)]
+        for it in items:
+            h = md5_le64(it)
+            b = h & (HLL_M - 1)
+            regs[b] = max(regs[b], hll_rho(h >> 10))
+        corrected = hll_corrected(regs)
+        # linear counting is near-exact at 50/1024 load
+        assert abs(corrected - 50) <= 2
+        _, raw = hll_estimate_raw(regs)
+        assert raw <= 5 * HLL_M // 2         # and the raw path chose correction
