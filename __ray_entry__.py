@@ -3199,6 +3199,33 @@ def _q_incremental_dedup(sf_dir: str):
         ["doc_id", "source"])
 
 
+def _q_bloom_dedup(sf_dir: str):
+    """Incremental dedup on the bloom-prefilter scale path: the prior
+    snapshot's u64 content hashes build a broadcast bitmap; new rows that
+    MISS it bypass the exchange (no false negatives), only hits + ~1% FPs
+    cross the exact anti-join on the FULL md5 (a bare 64-bit join key
+    would birthday-collide at 10¹² docs). Output is provably identical to
+    incremental_dedup's plain anti-join — same oracle."""
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_against_snapshot_bloom
+
+    new = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source", "text"])
+
+    def old_rows(batch):
+        import numpy as np
+        import pyarrow as pa
+        ids = np.asarray(batch.column("doc_id").to_pylist())
+        return batch.filter(pa.array(ids % 4 == 1)).select(["text"])
+
+    old = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]).map_batches(
+        old_rows, batch_format="pyarrow")
+    return dedup_against_snapshot_bloom(new, old).select_columns(
+        ["doc_id", "source"])
+
+
 def _q_url_filter(sf_dir: str):
     """Crawl-frontier URL filtering (UT1-blocklist style): drop blocked
     hosts (the heavy host + every srcN host with N % 7 == 3 — the
@@ -3485,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "events_pivot": _q_events_pivot,
         "incremental_dedup": _q_incremental_dedup,
+        "bloom_dedup": _q_bloom_dedup,
         "url_filter": _q_url_filter,
         "semdedup": _q_semdedup,
         "shard_export": _q_shard_export,
@@ -4606,6 +4634,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": _sql_fingerprint(),
         "incremental_dedup": (
+            "SELECT doc_id, source FROM documents WHERE md5(text) NOT IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 4 = 1)"
+        ),
+        # identical semantics by construction: the bloom path is exact
+        "bloom_dedup": (
             "SELECT doc_id, source FROM documents WHERE md5(text) NOT IN "
             "(SELECT md5(text) FROM documents WHERE doc_id % 4 = 1)"
         ),

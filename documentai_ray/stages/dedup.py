@@ -137,6 +137,77 @@ def dedup_against_snapshot(new_ds, old_ds, *, content_col: str = "text",
     return kept.drop_columns(["content_md5"])
 
 
+def dedup_against_snapshot_bloom(new_ds, old_ds, *, content_col: str = "text",
+                                 m_bits: int = 1 << 20,
+                                 num_partitions: int = 64):
+    """Bloom-prefiltered incremental dedup — the scale path for
+    :func:`dedup_against_snapshot` when the new snapshot dwarfs the prior
+    one's hash table.
+
+    Physical plan: the old side's u64 content hashes build a bloom bitmap
+    (per-batch bitmap OR-merge, sketch-sized state only — joins.py::
+    build_bloom), which ships once via ``ray.put``. The new side splits
+    map-side: rows whose hash MISSES the bloom are *definitely new*
+    (bloom has no false negatives) and bypass the exchange entirely; only
+    the hits (true dups + ~1% false positives at 10 bits/key) go through
+    the exact anti ``hash_join``, which removes the false positives — so
+    the union of both branches is EXACTLY the plain anti-join result
+    regardless of the filter's error rate.
+
+    Cost contract: the two branches each execute the new side's map
+    lineage (column-pruned read + hash + bitmap test, embarrassingly
+    parallel, no exchange) — the trade is a second map-side scan for an
+    all-to-all exchange that shrinks from |new| rows to |dups + FP| rows.
+    At a 10⁰-duplication crawl snapshot that's a ~50× shuffle-volume cut;
+    pick the plain path when the new snapshot is small enough that its
+    full shuffle is cheap.
+    """
+    import numpy as np
+
+    from documentai_ray.stages.joins import (_bloom_positions, bloom_prefilter,
+                                             build_bloom, hash_join)
+
+    # ONE md5 per row yields both keys: the full hex digest (the exact
+    # join key — at 10¹² docs a bare 64-bit key WOULD birthday-collide
+    # and silently drop genuinely-new rows) and its first-8-bytes-LE u64
+    # (sketches.md5_le64 construction) for the bloom's integer mixing.
+    def add_hashes(batch: pa.Table) -> pa.Table:
+        vals = batch.column(content_col).to_pylist()
+        digs = [hashlib.md5((v or "").encode("utf-8")).digest() for v in vals]
+        hs = np.fromiter((int.from_bytes(d[:8], "little") for d in digs),
+                         np.uint64, count=len(digs)).astype(np.int64)
+        return (batch.append_column("content_md5",
+                                    pa.array([d.hex() for d in digs],
+                                             pa.string()))
+                .append_column("content_h64", pa.array(hs, pa.int64())))
+
+    new_h = new_ds.map_batches(add_hashes, batch_format="pyarrow")
+    old_h = old_ds.map_batches(add_hashes, batch_format="pyarrow")
+    bloom = build_bloom(old_h.select_columns(["content_h64"]),
+                        key_col="content_h64", m_bits=m_bits)
+
+    import ray
+
+    ref = ray.put(np.packbits(bloom))
+
+    def definitely_new(batch: pa.Table) -> pa.Table:
+        bits = np.unpackbits(ray.get(ref)).astype(bool)
+        pos = _bloom_positions(batch.column("content_h64").to_numpy(),
+                               m_bits, 2)
+        mask = np.ones(batch.num_rows, bool)
+        for i in range(pos.shape[0]):
+            mask &= bits[pos[i]]
+        return batch.filter(pa.array(~mask))
+
+    misses = new_h.map_batches(definitely_new, batch_format="pyarrow")
+    hits = bloom_prefilter(new_h, bloom, key_col="content_h64")
+    survivors = hash_join(hits, old_h.select_columns(["content_md5"]),
+                          on="content_md5",
+                          num_partitions=num_partitions, how="anti")
+    return (misses.union(survivors)
+            .drop_columns(["content_md5", "content_h64"]))
+
+
 def canonicalize_url(url: str) -> str:
     """Crawl URL canonicalization: strip the query string and fragment.
     (Hosts in the synthetic corpus are already lowercase; a real crawl

@@ -43,3 +43,33 @@ def test_bloom_prefiltered_join_is_exact(ray_session):
     assert list(out["k"]) == [2, 5, 8]
     assert list(out["v"]) == [2, 5, 8]
     assert list(out["tag"]) == ["a", "b", "c"]
+
+
+def test_bloom_snapshot_dedup_matches_plain(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.dedup import (dedup_against_snapshot,
+                                             dedup_against_snapshot_bloom)
+
+    new = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc body {i % 60}"} for i in range(200)])
+    old = ray.data.from_items([{"text": f"doc body {j}"} for j in range(0, 60, 2)])
+    plain = dedup_against_snapshot(new, old).to_pandas()
+    bloom = dedup_against_snapshot_bloom(new, old).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "text"]].to_numpy()))
+    assert key(plain) == key(bloom)
+    assert len(plain) == 100                      # odd residues survive
+
+
+def test_bloom_snapshot_dedup_exact_under_heavy_fp(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_against_snapshot_bloom
+
+    # 64-bit bloom for 50 keys → FP rate near 1: the exact anti-join must
+    # still remove every false positive
+    new = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(300)])
+    old = ray.data.from_items([{"text": f"t{j}"} for j in range(50)])
+    out = dedup_against_snapshot_bloom(new, old, m_bits=64).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(50, 300))
