@@ -2149,6 +2149,41 @@ def _q_robots_filter(sf_dir: str):
     return ds.select_columns(["url"])
 
 
+def _q_robots_txt_rules(sf_dir: str):
+    """Host-side robots.txt compliance (RFC 9309, functions/robots.py):
+    per-host policies — synthesized deterministically from the corpus'
+    host names — are parsed by the real parser (group selection,
+    longest-match, allow-wins ties, empty-Disallow no-op, unknown keys)
+    and applied to every page URL as vectorized prefix masks. The heavy
+    host exercises agent-group fallback past a googlebot Disallow-all;
+    src-hosts exercise a 3-layer longest-match stack (/p/2 < /p/23 <
+    /p/234). Oracle: the matching CASE ladder in SQL."""
+    import pyarrow.parquet as pq
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.curation import robots_txt_gate
+
+    srcs = sorted(set(pq.read_table(f"{sf_dir}/documents.parquet",
+                                    columns=["source"])
+                      .column("source").to_pylist()))
+    robots = {"heavy.example.com":
+              "User-agent: googlebot\nDisallow: /\n\n"
+              "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"}
+    for s in srcs:
+        n = int(s[3:])
+        if n % 3 == 0:
+            robots[f"{s}.example.com"] = (
+                "# crawl policy\nUser-agent: *\nDisallow: /p/2\n"
+                "Allow: /p/23\nDisallow: /p/234\n"
+                "Sitemap: https://example.com/sitemap.xml\n")
+        elif n % 3 == 1:
+            robots[f"{s}.example.com"] = "User-agent: *\nDisallow:\n"
+        # n % 3 == 2: no robots.txt published → allow everything
+
+    ds = pages_dataset(sf_dir, with_dups=False).select_columns(["url"])
+    return robots_txt_gate(ds, robots)
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3475,6 +3510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "curation_hostaware": _q_curation_hostaware,
         "robots_filter": _q_robots_filter,
+        "robots_txt_rules": _q_robots_txt_rules,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4275,6 +4311,23 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "robots_txt_rules": (
+            # mirrors the deterministic per-host policies in the query:
+            # longest-match = the CASE ladder ordered longest pattern first
+            f"WITH p AS (SELECT {_SQL_URL} AS url, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'heavy.example.com' "
+            "ELSE source || '.example.com' END AS host, "
+            "'/p/' || doc_id AS path, source FROM documents) "
+            "SELECT url, host, CASE "
+            "WHEN host = 'heavy.example.com' THEN "
+            "(CASE WHEN path LIKE '/p/12%' THEN TRUE "
+            "WHEN path LIKE '/p/1%' THEN FALSE ELSE TRUE END) "
+            "WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN "
+            "(CASE WHEN path LIKE '/p/234%' THEN FALSE "
+            "WHEN path LIKE '/p/23%' THEN TRUE "
+            "WHEN path LIKE '/p/2%' THEN FALSE ELSE TRUE END) "
+            "ELSE TRUE END AS allowed FROM p"
         ),
         "robots_filter": (
             f"SELECT {_SQL_URL} AS url FROM documents "

@@ -1,0 +1,100 @@
+"""RFC 9309 robots.txt parser + gate stage."""
+
+from __future__ import annotations
+
+from documentai_ray.functions.robots import is_allowed, parse_robots_txt
+
+BASIC = """
+# comment
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+"""
+
+
+def test_longest_match_wins():
+    assert is_allowed(BASIC, "/public")
+    assert not is_allowed(BASIC, "/private/x")
+    assert is_allowed(BASIC, "/private/ok/page")      # longer Allow wins
+
+
+def test_tie_goes_to_allow():
+    txt = "User-agent: *\nDisallow: /a/\nAllow: /a/\n"
+    assert is_allowed(txt, "/a/x")
+
+
+def test_empty_disallow_matches_nothing():
+    assert is_allowed("User-agent: *\nDisallow:\n", "/anything")
+
+
+def test_group_selection_exact_vs_star():
+    txt = ("User-agent: googlebot\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /tmp\n")
+    assert not is_allowed(txt, "/x", agent="googlebot")
+    assert is_allowed(txt, "/x")                      # * group, /x not /tmp
+    assert not is_allowed(txt, "/tmp/y")
+
+
+def test_multiple_agents_share_group():
+    txt = "User-agent: a\nUser-agent: b\nDisallow: /d\n"
+    assert not is_allowed(txt, "/d", agent="a")
+    assert not is_allowed(txt, "/d", agent="b")
+    assert is_allowed(txt, "/d", agent="c")           # no * group → allow
+
+
+def test_new_group_after_rules():
+    txt = ("User-agent: a\nDisallow: /x\n"
+           "User-agent: *\nDisallow: /y\n")           # 2nd UA opens new group
+    assert is_allowed(txt, "/y", agent="a")
+    assert not is_allowed(txt, "/x", agent="a")
+    assert not is_allowed(txt, "/y")
+
+
+def test_wildcards_and_anchor():
+    txt = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /img*big\n"
+    assert not is_allowed(txt, "/docs/report.pdf")
+    assert is_allowed(txt, "/docs/report.pdfx")       # $ anchors the end
+    assert not is_allowed(txt, "/img/very/big")
+    assert is_allowed(txt, "/img/small")
+
+
+def test_case_insensitive_keys_and_agent():
+    txt = "USER-AGENT: MyBot\nDISALLOW: /z\n"
+    assert not is_allowed(txt, "/z/1", agent="mybot")
+
+
+def test_unknown_keys_ignored_but_break_header_run():
+    txt = ("User-agent: a\nCrawl-delay: 10\nDisallow: /q\n")
+    assert not is_allowed(txt, "/q", agent="a")
+
+
+def test_no_rules_allows_everything():
+    assert is_allowed("", "/x")
+    assert is_allowed("Sitemap: https://e.com/s.xml\n", "/x")
+
+
+def test_gate_stage_vectorized_vs_scalar(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import robots_txt_gate
+
+    robots = {"a.com": "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n",
+              "w.com": "User-agent: *\nDisallow: /*.pdf$\n"}
+    urls = ([f"https://a.com/p/{i}" for i in range(150)]
+            + ["https://b.com/p/7", "https://w.com/f/x.pdf",
+               "https://w.com/f/x.txt"])
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)})).repartition(4)
+    out = robots_txt_gate(ds, robots).to_pandas().set_index("url")
+    # vectorized prefix path == scalar matcher on every a.com row
+    for i in range(150):
+        path_ok = not str(i).startswith("1") or str(i).startswith("2") is False
+        expect = (not f"/p/{i}".startswith("/p/1")) or f"/p/{i}".startswith("/p/12")
+        assert out.loc[f"https://a.com/p/{i}", "allowed"] == expect, i
+    assert out.loc["https://b.com/p/7", "allowed"]          # unknown host
+    assert not out.loc["https://w.com/f/x.pdf", "allowed"]  # wildcard path
+    assert out.loc["https://w.com/f/x.txt", "allowed"]
+    # keep_only drops the blocked rows
+    kept = robots_txt_gate(ds, robots, keep_only=True).to_pandas()
+    assert set(kept["url"]) == set(out.index[out["allowed"]])
