@@ -2184,6 +2184,22 @@ def _q_robots_txt_rules(sf_dir: str):
     return robots_txt_gate(ds, robots)
 
 
+def _q_surt_keys(sf_dir: str):
+    """SURT canonical keys (the Common Crawl CDX sort key): reversed
+    comma-joined host labels + ')' + path?query-sorted, lowercased — the
+    key form that makes one domain a contiguous range. Runs over the
+    amp-variant page set so the query-string path is exercised; www/port
+    stripping pinned in pytest. Oracle: the same transform in SQL string
+    ops (single-param corpus: sorted == original, multi-param order
+    pinned in tests)."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import surt_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    return (ds.select_columns(["url"])
+            .map_batches(surt_batch, batch_format="pyarrow", batch_size=512))
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3511,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_hostaware": _q_curation_hostaware,
         "robots_filter": _q_robots_filter,
         "robots_txt_rules": _q_robots_txt_rules,
+        "surt_keys": _q_surt_keys,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4311,6 +4328,15 @@ def oracle_sql() -> dict[str, str]:
         "charset_extract": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "surt_keys": (
+            f"WITH p AS (SELECT url FROM ({_SQL_PAGES_WITH_AMP})), "
+            "h AS (SELECT url, string_split(url, '/')[3] AS host, "
+            "substr(url, 9 + length(string_split(url, '/')[3])) AS pathq "
+            "FROM p) "
+            "SELECT url, lower(array_to_string(list_reverse("
+            "string_split(host, '.')), ',') || ')' || pathq) AS surt_key "
+            "FROM h"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

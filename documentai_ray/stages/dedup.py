@@ -215,6 +215,47 @@ def canonicalize_url(url: str) -> str:
     return url.split("?", 1)[0].split("#", 1)[0]
 
 
+def surt(url: str) -> str:
+    """Sort-friendly URI Reordering Transform — the key form the Common
+    Crawl / Wayback CDX indexes sort by: reversed comma-joined host
+    labels, then ``)``, then path?query, all lowercased.
+
+    ``https://WWW.Example.com:443/A/b?z=1&a=2`` →
+    ``com,example)/a/b?a=2&z=1``. Rules: scheme dropped; host lowercased,
+    leading ``www.`` stripped, default ports (80/443) stripped,
+    non-default ports kept as ``:port`` after the reversed host; query
+    params sorted bytewise (the canonical total order that makes equal
+    resources adjacent); fragment dropped. Host-reversal is what makes a
+    RANGE SCAN over one domain a contiguous key range — the reason CDX
+    shards sort by SURT, and the natural range-partitioning key for a
+    per-domain pipeline stage."""
+    scheme, sep, rest = url.partition("://")
+    if not sep:
+        scheme, rest = "http", url
+    hostport, _, pathq = rest.partition("/")
+    host, _, port = hostport.partition(":")
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    default = {"http": "80", "https": "443"}.get(scheme.lower())
+    rev = ",".join(reversed(host.split(".")))
+    if port and port != default:
+        rev += ":" + port
+    pathq = "/" + pathq
+    pathq = pathq.partition("#")[0]
+    path, qmark, query = pathq.partition("?")
+    if qmark:
+        path = path + "?" + "&".join(sorted(query.split("&")))
+    return (rev + ")" + path).lower()
+
+
+def surt_batch(batch: pa.Table, *, url_col: str = "url",
+               out_col: str = "surt_key") -> pa.Table:
+    """Append the SURT key column (pure per-row string transform)."""
+    keys = [surt(u) for u in batch.column(url_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(keys, pa.string()))
+
+
 def dedup_canonical_url(ds, *, url_col: str = "url", text_col: str = "text",
                         num_partitions: int = 64):
     """Collapse URL variants (``?utm=...``, ``?amp=1``, ``#section``) to

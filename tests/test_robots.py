@@ -98,3 +98,14 @@ def test_gate_stage_vectorized_vs_scalar(ray_session):
     # keep_only drops the blocked rows
     kept = robots_txt_gate(ds, robots, keep_only=True).to_pandas()
     assert set(kept["url"]) == set(out.index[out["allowed"]])
+
+
+def test_surt_canonicalization_rules():
+    from documentai_ray.stages.dedup import surt
+
+    assert surt("https://WWW.Example.com:443/A/b?z=1&a=2") == \
+        "com,example)/a/b?a=2&z=1"
+    assert surt("http://sub.host.org:8080/x#frag") == "org,host,sub:8080)/x"
+    assert surt("http://a.com:80/") == "com,a)/"
+    assert surt("plain.com/p") == "com,plain)/p"          # schemeless → http
+    assert surt("https://b.net") == "net,b)/"             # no path
