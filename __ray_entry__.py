@@ -2200,6 +2200,35 @@ def _q_surt_keys(sf_dir: str):
             .map_batches(surt_batch, batch_format="pyarrow", batch_size=512))
 
 
+def _q_anchor_text(sf_dir: str):
+    """Anchor-text index (the classic link-graph enrichment signal):
+    flat-map (page, link, anchor) edges, per-batch pandas pre-combine,
+    then ONE (link, anchor)-keyed exchange summing partial counts — the
+    shuffle carries (link, anchor, partial_n), never the edge stream.
+    Oracle: the template closed form — every decodable page links
+    nav+footer (6 fixed paths), article/report add /rel/1-2, link farms
+    add 12 unique /cat/<id>/<i> targets."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import anchor_edges_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False)
+    edges = ds.select_columns(["url", "html"]).map_batches(
+        anchor_edges_batch, batch_format="pyarrow", batch_size=256)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.select(["link", "anchor"]).to_pandas()
+        n = df.value_counts(["link", "anchor"]).reset_index(name="n")
+        return pa.Table.from_pandas(n, preserve_index=False)
+
+    return (edges.map_batches(combine, batch_format="pyarrow")
+            .groupby(["link", "anchor"])
+            .aggregate(Sum("n", alias_name="n_refs")))
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3528,6 +3557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": _q_robots_filter,
         "robots_txt_rules": _q_robots_txt_rules,
         "surt_keys": _q_surt_keys,
+        "anchor_text": _q_anchor_text,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4337,6 +4367,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, lower(array_to_string(list_reverse("
             "string_split(host, '.')), ',') || ')' || pathq) AS surt_key "
             "FROM h"
+        ),
+        # keep-in-sync: mirrors sources/pages.py _NAV/_FOOTER/_ASIDE/
+        # _html_linkfarm anchor templates
+        "anchor_text": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN 'heavy.example.com' ELSE source || '.example.com' END "
+            "AS host FROM documents WHERE doc_id % 97 <> 0), "
+            "base AS (SELECT host, count(*) AS n FROM d GROUP BY host), "
+            "ar AS (SELECT host, count(*) AS n FROM d "
+            "WHERE doc_id % 5 IN (0, 3) GROUP BY host), "
+            "farm AS (SELECT doc_id, host FROM d WHERE doc_id % 5 = 1), "
+            "fixed(path, anchor) AS (VALUES ('/', 'Home'), "
+            "('/about', 'About us'), ('/contact', 'Contact'), "
+            "('/privacy', 'Privacy policy'), ('/terms', 'Terms of service'), "
+            "('/subscribe', 'Subscribe to the newsletter')), "
+            "rel(path, anchor) AS (VALUES "
+            "('/rel/1', 'Related story about data engines'), "
+            "('/rel/2', 'Another related story right here')) "
+            "SELECT 'https://' || b.host || f.path AS link, f.anchor, "
+            "CAST(b.n AS BIGINT) AS n_refs FROM base b, fixed f "
+            "UNION ALL "
+            "SELECT 'https://' || a.host || r.path, r.anchor, "
+            "CAST(a.n AS BIGINT) FROM ar a, rel r "
+            "UNION ALL "
+            "SELECT 'https://' || host || '/cat/' || doc_id || '/' || i, "
+            "'Category listing number ' || i || ' with many entries', "
+            "CAST(1 AS BIGINT) FROM farm, "
+            "(SELECT unnest(range(0, 12)) AS i)"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

@@ -441,6 +441,60 @@ def extract_outlinks(base_url: str, html_text: str) -> list[str]:
     return out
 
 
+_ANCHOR_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>",
+    re.I | re.S)
+_TAG_STRIP_RE = re.compile(r"<[^>]+>")
+
+
+def extract_anchor_edges(base_url: str, html_text: str) -> list:
+    """(resolved_link, anchor_text) pairs from ``<a href>…</a>`` — the
+    outlink walk plus the inner text (tags stripped, whitespace
+    collapsed), i.e. the raw stream behind the classic anchor-text index
+    search engines aggregate per target URL. Same keep/drop rules as
+    :func:`extract_outlinks` (urljoin resolution, http(s) only)."""
+    from urllib.parse import urljoin
+
+    out: list = []
+    for m in _ANCHOR_RE.finditer(html_text):
+        href = (m.group(2) or m.group(3) or m.group(4) or "").strip()
+        if not href or href.startswith("#"):
+            continue
+        u = urljoin(base_url, href)
+        if not u.startswith(("http://", "https://")):
+            continue
+        anchor = collapse_ws(_TAG_STRIP_RE.sub(" ", m.group(5)))
+        out.append((u, anchor))
+    return out
+
+
+def anchor_edges_batch(batch: pa.Table) -> pa.Table:
+    """Flat-map: one row per (page, link, anchor) edge. Same payload
+    gating as :func:`outlinks_batch` (non-HTML and undecodable pages
+    emit nothing)."""
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    out_u: list[str] = []
+    out_l: list[str] = []
+    out_a: list[str] = []
+    for u, p in zip(urls, payloads):
+        if minipdf.is_minipdf(p) or office.office_kind(p):
+            continue
+        try:
+            html_text = p.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        for link, anchor in extract_anchor_edges(u, html_text):
+            out_u.append(u)
+            out_l.append(link)
+            out_a.append(anchor)
+    return pa.table({
+        "url": pa.array(out_u, pa.string()),
+        "link": pa.array(out_l, pa.string()),
+        "anchor": pa.array(out_a, pa.string()),
+    })
+
+
 def outlinks_batch(batch: pa.Table, *, charset_sniff: bool = False) -> pa.Table:
     """Flat-map: one output row per (page, outlink) edge —
     ``(url, link, dst_host)``. Non-HTML payloads (PDF/office) and

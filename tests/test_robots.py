@@ -109,3 +109,17 @@ def test_surt_canonicalization_rules():
     assert surt("http://a.com:80/") == "com,a)/"
     assert surt("plain.com/p") == "com,plain)/p"          # schemeless → http
     assert surt("https://b.net") == "net,b)/"             # no path
+
+
+def test_anchor_edge_extraction_rules():
+    from documentai_ray.stages.extract import extract_anchor_edges
+
+    html = ('<a href="/x"><b>Bold</b>  link\ntext</a>'
+            '<a href="mailto:a@b">mail</a>'
+            '<a href=/rel>bare</a>'
+            '<a href="#frag">skip</a>'
+            '<a href="//cdn.net/y">proto-rel</a>')
+    edges = extract_anchor_edges("https://h.com/p/1", html)
+    assert edges == [("https://h.com/x", "Bold link text"),
+                     ("https://h.com/rel", "bare"),
+                     ("https://cdn.net/y", "proto-rel")]
