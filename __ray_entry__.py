@@ -2229,6 +2229,73 @@ def _q_anchor_text(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_refs")))
 
 
+def _q_sitemap_frontier(sf_dir: str):
+    """Crawl-frontier discovery composition: per-host sitemapindex →
+    child urlsets (real namespace-aware XML parse, broadcast body map
+    standing in for the fetch cache) → anti hash_join against the
+    already-crawled url set (only url hashes cross the exchange) →
+    robots.txt gate (keep_only) — the sitemap-proposes / robots-disposes
+    / index-dedups pipeline every recrawl runs. Sitemaps list each
+    host's even-doc pages (all already crawled, so the anti-join must
+    eliminate them) plus 3 phantom /new/<n> urls; robots blocks /new/2
+    on heavy + even-numbered src hosts. Oracle: the phantom closed
+    form."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.curation import robots_txt_gate, sitemap_expand
+    from documentai_ray.stages.joins import hash_join
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    ids = docs.column("doc_id").to_pylist()
+    sources = docs.column("source").to_pylist()
+    srcs = sorted(set(sources))
+    hosts = ["heavy.example.com"] + [f"{s}.example.com" for s in srcs]
+
+    def page_url(i: int, s: str) -> str:
+        host = "heavy.example.com" if i % 3 == 0 else f"{s}.example.com"
+        return f"https://{host}/p/{i}"
+
+    by_host: dict[str, list[str]] = {h: [] for h in hosts}
+    for i, s in zip(ids, sources):
+        if i % 2 == 0:
+            h = "heavy.example.com" if i % 3 == 0 else f"{s}.example.com"
+            by_host[h].append(page_url(i, s))
+
+    def urlset(entries):
+        rows = "".join(
+            f"<url><loc>{u}</loc><lastmod>{m}</lastmod></url>"
+            for u, m in entries)
+        return ('<?xml version="1.0"?><urlset '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{rows}</urlset>")
+
+    entry_rows, bodies = [], {}
+    for h in hosts:
+        crawled = [(u, "2024-01-01") for u in by_host[h]]
+        phantoms = [(f"https://{h}/new/{n}", f"2024-0{n + 1}-01")
+                    for n in range(3)]
+        c1, c2 = f"https://{h}/sm/1.xml", f"https://{h}/sm/2.xml"
+        bodies[c1] = urlset(crawled)
+        bodies[c2] = urlset(phantoms)
+        entry_rows.append({"host": h, "xml": (
+            '<?xml version="1.0"?><sitemapindex '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"<sitemap><loc>{c1}</loc></sitemap>"
+            f"<sitemap><loc>{c2}</loc></sitemap></sitemapindex>")})
+
+    robots = {h: "User-agent: *\nDisallow: /new/2\n" for h in hosts
+              if h == "heavy.example.com" or int(h.split(".")[0][3:]) % 2 == 0}
+
+    proposed = sitemap_expand(ray.data.from_items(entry_rows), bodies)
+    crawled_ds = pages_dataset(sf_dir, with_dups=False).select_columns(["url"])
+    fresh = hash_join(proposed, crawled_ds, on="url", how="anti")
+    gated = robots_txt_gate(fresh, robots, keep_only=True)
+    return gated.select_columns(["host", "url", "lastmod"])
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3558,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_txt_rules": _q_robots_txt_rules,
         "surt_keys": _q_surt_keys,
         "anchor_text": _q_anchor_text,
+        "sitemap_frontier": _q_sitemap_frontier,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4395,6 +4463,15 @@ def oracle_sql() -> dict[str, str]:
             "'Category listing number ' || i || ' with many entries', "
             "CAST(1 AS BIGINT) FROM farm, "
             "(SELECT unnest(range(0, 12)) AS i)"
+        ),
+        "sitemap_frontier": (
+            "WITH hosts AS (SELECT 'heavy.example.com' AS host, TRUE AS blk "
+            "UNION ALL SELECT DISTINCT source || '.example.com', "
+            "CAST(substr(source, 4) AS INT) % 2 = 0 FROM documents) "
+            "SELECT host, 'https://' || host || '/new/' || n AS url, "
+            "'2024-0' || (n + 1) || '-01' AS lastmod "
+            "FROM hosts, (SELECT unnest(range(0, 3)) AS n) "
+            "WHERE NOT (blk AND n = 2)"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

@@ -406,6 +406,52 @@ _KNUTH = 2654435761
 _M32 = 1 << 32
 
 
+def sitemap_expand(ds, sitemap_bodies: dict, *, host_col: str = "host",
+                   xml_col: str = "xml", max_depth: int = 4):
+    """Flat-map each host's entry sitemap into (host, url, lastmod) rows,
+    following ``<sitemapindex>`` references breadth-first up to
+    ``max_depth`` levels (cycle-safe: each loc visits once per host).
+
+    ``sitemap_bodies`` maps child sitemap URL → raw XML and broadcasts
+    via ``ray.put`` — in a live crawler the resolution step is a fetch;
+    here the bodies table stands in for the fetch cache. The expansion is
+    per-host-row independent, so it parallelizes as an ordinary
+    ``map_batches`` with no exchange."""
+    import ray
+
+    from documentai_ray.functions.sitemap import parse_sitemap
+
+    ref = ray.put(sitemap_bodies)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        bodies = ray.get(ref)
+        hosts_out, urls_out, mods_out = [], [], []
+        for host, xml in zip(batch.column(host_col).to_pylist(),
+                             batch.column(xml_col).to_pylist()):
+            seen: set[str] = set()
+            frontier = [(xml, 0)]
+            while frontier:
+                body, depth = frontier.pop()
+                kind, items = parse_sitemap(body)
+                if kind == "index":
+                    if depth >= max_depth:
+                        continue
+                    for loc in items:
+                        if loc not in seen and loc in bodies:
+                            seen.add(loc)
+                            frontier.append((bodies[loc], depth + 1))
+                else:
+                    for loc, lastmod in items:
+                        hosts_out.append(host)
+                        urls_out.append(loc)
+                        mods_out.append(lastmod)
+        return pa.table({"host": pa.array(hosts_out, pa.string()),
+                         "url": pa.array(urls_out, pa.string()),
+                         "lastmod": pa.array(mods_out, pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def robots_txt_gate(ds, robots_by_host: dict, *, url_col: str = "url",
                     agent: str = "*", keep_only: bool = False):
     """Host-side crawl compliance: evaluate every page URL against its
@@ -457,8 +503,13 @@ def robots_txt_gate(ds, robots_by_host: dict, *, url_col: str = "url",
                 dec = np.fromiter((pol.allowed(p) for p in sub), bool,
                                   count=len(sub))
             allowed[sel] = dec
-        out = (batch.append_column("host", pa.array(hosts, pa.string()))
-               .append_column("allowed", pa.array(allowed, pa.bool_())))
+        host_arr = pa.array(hosts, pa.string())
+        if "host" in batch.column_names:      # overwrite, never duplicate
+            batch = batch.set_column(batch.column_names.index("host"),
+                                     "host", host_arr)
+        else:
+            batch = batch.append_column("host", host_arr)
+        out = batch.append_column("allowed", pa.array(allowed, pa.bool_()))
         return out.filter(pa.array(allowed)) if keep_only else out
 
     return ds.map_batches(gate, batch_format="pyarrow")

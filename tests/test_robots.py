@@ -123,3 +123,45 @@ def test_anchor_edge_extraction_rules():
     assert edges == [("https://h.com/x", "Bold link text"),
                      ("https://h.com/rel", "bare"),
                      ("https://cdn.net/y", "proto-rel")]
+
+
+def test_sitemap_parse_kinds():
+    from documentai_ray.functions.sitemap import parse_sitemap
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    kind, urls = parse_sitemap(
+        f'<urlset {ns}><url><loc> https://a/x </loc>'
+        '<lastmod>2024-01-02</lastmod></url>'
+        '<url><loc>https://a/y</loc></url><url></url></urlset>')
+    assert kind == "urlset"
+    assert urls == [("https://a/x", "2024-01-02"), ("https://a/y", None)]
+    kind, locs = parse_sitemap(
+        f'<sitemapindex {ns}><sitemap><loc>https://a/s1.xml</loc>'
+        '</sitemap></sitemapindex>')
+    assert (kind, locs) == ("index", ["https://a/s1.xml"])
+    # no-namespace and prefixed variants parse identically
+    assert parse_sitemap('<urlset><url><loc>u</loc></url></urlset>')[1] == [("u", None)]
+    assert parse_sitemap(
+        '<s:urlset xmlns:s="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        '<s:url><s:loc>u</s:loc></s:url></s:urlset>')[1] == [("u", None)]
+    # malformed → empty proposals, not an exception
+    assert parse_sitemap("<urlset><url>")[1] == []
+    assert parse_sitemap("not xml at all")[1] == []
+
+
+def test_sitemap_expand_depth_and_cycles(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import sitemap_expand
+
+    idx = ('<sitemapindex><sitemap><loc>c1</loc></sitemap>'
+           '<sitemap><loc>self</loc></sitemap></sitemapindex>')
+    bodies = {
+        "c1": '<urlset><url><loc>https://h/a</loc></url></urlset>',
+        # a cycle: 'self' points back to an index referencing c1 + self
+        "self": idx,
+    }
+    ds = ray.data.from_arrow(pa.table({"host": ["h"], "xml": [idx]}))
+    out = sitemap_expand(ds, bodies).to_pandas()
+    assert sorted(out["url"]) == ["https://h/a"]      # cycle-safe, no dups
