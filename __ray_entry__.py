@@ -2296,6 +2296,44 @@ def _q_sitemap_frontier(sf_dir: str):
     return gated.select_columns(["host", "url", "lastmod"])
 
 
+def _q_recrawl_priority(sf_dir: str):
+    """Freshness-driven recrawl scheduling over synthesized capture
+    histories: each doc gets 1 + doc_id%4 captures; capture j's content
+    hash flips to a revision whenever (doc_id+j)%3 == 0 — a closed-form
+    mix of never-changed, sometimes-changed and always-changing urls.
+    The operator (curation.recrawl_priority) co-locates each url's
+    history with one crc32(url)%P exchange and computes change-rate ppm
+    + hot/warm/cold buckets in a single vectorized pass per partition.
+    Oracle: the same capture table + lag() window in SQL."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.sources.pages import url_for
+    from documentai_ray.stages.curation import recrawl_priority
+
+    def captures(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        urls, tss, hs = [], [], []
+        for i, t, s in zip(ids, texts, srcs):
+            for j in range(1 + i % 4):
+                urls.append(url_for(i, s))
+                tss.append(j)
+                body = (t or "") + f" rev{j}" if (i + j) % 3 == 0 else (t or "")
+                hs.append(hashlib.md5(body.encode("utf-8")).hexdigest())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "ts": pa.array(tss, pa.int64()),
+                         "content_hash": pa.array(hs, pa.string())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    caps = ds.map_batches(captures, batch_format="pyarrow", batch_size=256)
+    return recrawl_priority(caps)
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3626,6 +3664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_keys": _q_surt_keys,
         "anchor_text": _q_anchor_text,
         "sitemap_frontier": _q_sitemap_frontier,
+        "recrawl_priority": _q_recrawl_priority,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4472,6 +4511,26 @@ def oracle_sql() -> dict[str, str]:
             "'2024-0' || (n + 1) || '-01' AS lastmod "
             "FROM hosts, (SELECT unnest(range(0, 3)) AS n) "
             "WHERE NOT (blk AND n = 2)"
+        ),
+        "recrawl_priority": (
+            f"WITH caps AS (SELECT {_SQL_URL} AS url, j, "
+            "CASE WHEN (doc_id + j) % 3 = 0 THEN md5(text || ' rev' || j) "
+            "ELSE md5(text) END AS h "
+            "FROM documents, (SELECT unnest(range(0, 4)) AS j) "
+            "WHERE j <= doc_id % 4), "
+            "w AS (SELECT url, h, lag(h) OVER "
+            "(PARTITION BY url ORDER BY j) AS ph FROM caps), "
+            "a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_captures, "
+            "CAST(count(CASE WHEN ph IS NOT NULL AND h <> ph THEN 1 END) "
+            "AS BIGINT) AS n_changes FROM w GROUP BY url) "
+            "SELECT url, n_captures, n_changes, "
+            "CAST(CASE WHEN n_captures > 1 "
+            "THEN n_changes * 1000000 // (n_captures - 1) "
+            "ELSE 0 END AS BIGINT) AS change_ppm, "
+            "CASE WHEN n_captures > 1 AND "
+            "n_changes * 1000000 // (n_captures - 1) >= 500000 THEN 'hot' "
+            "WHEN n_changes > 0 THEN 'warm' ELSE 'cold' END "
+            "AS recrawl_bucket FROM a"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

@@ -406,6 +406,51 @@ _KNUTH = 2654435761
 _M32 = 1 << 32
 
 
+def recrawl_priority(ds, *, url_col: str = "url", ts_col: str = "ts",
+                     hash_col: str = "content_hash",
+                     num_partitions: int = 64, hot_ppm: int = 500_000):
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2003's
+    change-rate estimator, integer-ppm form): per URL, the fraction of
+    capture intervals whose content hash CHANGED decides how soon the
+    crawler should revisit.
+
+    Emits ``(url, n_captures, n_changes, change_ppm, recrawl_bucket)``
+    where ``change_ppm = n_changes·10⁶ // (n_captures−1)`` (0 for
+    single-capture urls) and the bucket is ``hot`` (≥ hot_ppm), ``cold``
+    (no observed change), else ``warm``.
+
+    Physical plan: ONE ``crc32(url) % P`` exchange co-locates each url's
+    capture history, then a single vectorized pass per partition handles
+    every url at once — sort by (url, ts); change mask =
+    ``hash != shift(hash)`` masked at url boundaries; two grouped
+    reductions. Group count is bounded by P, not by url cardinality
+    (same contract as windows.session_windows)."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([url_col, ts_col], kind="mergesort")
+        same_url = g[url_col].eq(g[url_col].shift())
+        changed = same_url & g[hash_col].ne(g[hash_col].shift())
+        agg = pd.DataFrame({url_col: g[url_col], "chg": changed})
+        out = agg.groupby(url_col, sort=False).agg(
+            n_captures=("chg", "size"), n_changes=("chg", "sum")
+        ).reset_index()
+        n, c = (out["n_captures"].to_numpy(np.int64),
+                out["n_changes"].to_numpy(np.int64))
+        ppm = np.where(n > 1, c * 10 ** 6 // np.maximum(n - 1, 1), 0)
+        out["n_captures"] = n
+        out["n_changes"] = c
+        out["change_ppm"] = ppm
+        out["recrawl_bucket"] = np.where(
+            ppm >= hot_ppm, "hot", np.where(c > 0, "warm", "cold"))
+        return out
+
+    return (_add_pkey(ds, url_col, num_partitions)
+            .groupby("_pkey")
+            .map_groups(lambda g: per_partition(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
 def sitemap_expand(ds, sitemap_bodies: dict, *, host_col: str = "host",
                    xml_col: str = "xml", max_depth: int = 4):
     """Flat-map each host's entry sitemap into (host, url, lastmod) rows,

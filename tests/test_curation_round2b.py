@@ -228,3 +228,28 @@ class TestMixPlan:
             got = (out.loc[s, "n_epochs"] * out.loc[s, "actual_tokens"]
                    * out.loc[s, "rate_ppm"]) // 1_000_000
             assert abs(got - out.loc[s, "target_tokens"]) <= 1
+
+
+def test_recrawl_priority_buckets(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import recrawl_priority
+
+    rows = []
+    # u1: 3 captures, all same → cold; u2: 3 captures, every interval
+    # changes → hot; u3: 3 captures, one change → warm (500000 ppm → hot
+    # boundary is >=, so 1/2 intervals = exactly 500000 → hot)
+    for j in range(3):
+        rows.append({"url": "u1", "ts": j, "content_hash": "a"})
+        rows.append({"url": "u2", "ts": j, "content_hash": f"b{j}"})
+        rows.append({"url": "u3", "ts": j, "content_hash": "c" if j < 2 else "d"})
+    rows.append({"url": "u4", "ts": 0, "content_hash": "e"})  # single → cold
+    out = recrawl_priority(ray.data.from_items(rows).repartition(4),
+                           num_partitions=8).to_pandas().set_index("url")
+    assert out.loc["u1", "recrawl_bucket"] == "cold"
+    assert out.loc["u2", "recrawl_bucket"] == "hot"
+    assert out.loc["u2", "change_ppm"] == 1_000_000
+    assert out.loc["u3", "recrawl_bucket"] == "hot"   # 500000 ppm, >= bar
+    assert out.loc["u4", "recrawl_bucket"] == "cold"
+    assert out.loc["u4", "n_captures"] == 1
