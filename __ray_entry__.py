@@ -2334,6 +2334,34 @@ def _q_recrawl_priority(sf_dir: str):
     return recrawl_priority(caps)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Approximate p50/p95/p99 of l_extendedprice (exact integer cents)
+    per returnflag via the mergeable HDR sketch (16 sub-buckets/octave,
+    ≤1/16 relative error by construction): sketch state is keys×buckets
+    regardless of value cardinality — the scale path past
+    grouped_quantile_int's keys×distinct-values histogram. Oracle: the
+    identical bucketing in SQL (length(bin()) bit-length, shift/mask
+    sub-bucket, window cumsum rank pick)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_quantile_sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("l_extendedprice").to_numpy() * 100
+                    ).astype("int64")
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "price_c": pa.array(c, pa.int64())})
+
+    return grouped_quantile_sketch(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_cols=["l_returnflag"], val_col="price_c")
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3665,6 +3693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": _q_anchor_text,
         "sitemap_frontier": _q_sitemap_frontier,
         "recrawl_priority": _q_recrawl_priority,
+        "price_quantiles": _q_price_quantiles,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4531,6 +4560,27 @@ def oracle_sql() -> dict[str, str]:
             "n_changes * 1000000 // (n_captures - 1) >= 500000 THEN 'hot' "
             "WHEN n_changes > 0 THEN 'warm' ELSE 'cold' END "
             "AS recrawl_bucket FROM a"
+        ),
+        "price_quantiles": (
+            "WITH v AS (SELECT l_returnflag, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem), "
+            "b AS (SELECT l_returnflag, CASE WHEN v < 16 THEN v "
+            "ELSE 16 * (length(bin(CAST(v AS UBIGINT))) - 4) "
+            "+ ((v >> (length(bin(CAST(v AS UBIGINT))) - 5)) & 15) END "
+            "AS idx FROM v), "
+            "h AS (SELECT l_returnflag, idx, count(*) AS n FROM b "
+            "GROUP BY l_returnflag, idx), "
+            "c AS (SELECT l_returnflag, idx, "
+            "sum(n) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum, "
+            "sum(n) OVER (PARTITION BY l_returnflag) AS tot FROM h), "
+            "q(q_ppm) AS (VALUES (500000), (950000), (990000)), "
+            "sel AS (SELECT c.l_returnflag, q.q_ppm, min(c.idx) AS bidx "
+            "FROM c, q WHERE c.cum >= "
+            "CAST(ceil(q.q_ppm / 1000000.0 * c.tot) AS BIGINT) "
+            "GROUP BY c.l_returnflag, q.q_ppm) "
+            "SELECT l_returnflag, q_ppm, CAST(CASE WHEN bidx < 32 THEN bidx "
+            "ELSE ((bidx % 16 + 17) << (bidx // 16 - 1)) - 1 END AS BIGINT) "
+            "AS est FROM sel"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

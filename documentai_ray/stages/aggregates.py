@@ -151,3 +151,83 @@ def grouped_count_distinct(ds, *, key_col: str, val_col: str,
         pairs.groupby(key_col)
         .aggregate(Count(alias_name=out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style mergeable quantile sketch (log2 octaves × 16 sub-buckets)
+# ---------------------------------------------------------------------------
+
+def hdr_bucket(v: np.ndarray) -> np.ndarray:
+    """HdrHistogram-style bucket index for positive int64 values: exact
+    below 16; above, 16 sub-buckets per octave → relative error ≤ 1/16.
+    idx = 16·(bitlen−4) + ((v >> (bitlen−5)) & 15); continuous at the
+    octave joins (idx == v for v ≤ 31). Integer-exact, so the SQL mirror
+    (length(bin(v)) for bitlen) lands in the identical bucket."""
+    v = v.astype(np.int64)
+    # vectorized bit_length via float exponent is unsafe near 2^53;
+    # np.frexp on int64→float64 rounds. Use the string-free integer way:
+    bl = np.zeros(len(v), np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (1 << shift)
+        bl[big] += shift
+        x[big] >>= shift
+    bl += (x > 0)
+    small = v < 16
+    idx = np.where(small, v, 16 * (bl - 4) + ((v >> np.maximum(bl - 5, 0)) & 15))
+    return idx.astype(np.int64)
+
+
+def hdr_bucket_upper(idx: np.ndarray) -> np.ndarray:
+    """Upper bound of each bucket (the sketch's reported quantile value):
+    idx itself below 32, else ((idx%16 + 17) << (idx//16 − 1)) − 1."""
+    idx = idx.astype(np.int64)
+    g = idx // 16
+    s = idx % 16
+    return np.where(idx < 32, idx, ((s + 17) << np.maximum(g - 1, 0)) - 1)
+
+
+def grouped_quantile_sketch(ds, *, key_cols: list[str], val_col: str,
+                            qs: tuple = (0.5, 0.95, 0.99)):
+    """Approximate per-group quantiles from a MERGEABLE bounded sketch —
+    the scale path when ``grouped_quantile_int``'s keys×distinct-values
+    histogram is too wide (e.g. prices/latencies with millions of
+    distinct values): the HDR bucketing caps state at keys × ~16/octave
+    buckets regardless of value cardinality, with a documented ≤ 1/16
+    relative-error contract (exact below 16).
+
+    Plan: per-batch bucket counts (vectorized) pre-combine, ONE
+    (key, bucket) exchange sums them, then per-key cumulative scan picks
+    the smallest bucket whose cumulative count reaches ceil(q·n) and
+    reports its upper bound. Returns (key_cols..., q_ppm, est) — q as
+    integer ppm so the SQL oracle needs no float equality."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_b"] = hdr_bucket(df[val_col].to_numpy())
+        g = df.groupby(key_cols + ["_b"], as_index=False).size()
+        g = g.rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_cols + ["_b"])
+            .aggregate(Sum("_n", alias_name="_n")))
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_b", kind="mergesort")
+        n = int(g["_n"].sum())
+        cum = g["_n"].cumsum().to_numpy()
+        idx = g["_b"].to_numpy(np.int64)
+        rows = []
+        for q in qs:
+            rank = math.ceil(q * n)
+            b = idx[np.searchsorted(cum, rank)]
+            rows.append({**{k: g[k].iloc[0] for k in key_cols},
+                         "q_ppm": int(round(q * 1e6)),
+                         "est": int(hdr_bucket_upper(np.array([b]))[0])})
+        return pd.DataFrame(rows)
+
+    return hist.groupby(key_cols).map_groups(quants, batch_format="pandas")

@@ -74,3 +74,35 @@ def test_interval_join_timestamps(ray_session):
                                  pa.timestamp("us"))})
     out = interval_join(ray.data.from_arrow(t), iv, ts_col="ts").to_pandas()
     assert sorted(out["interval_id"]) == [0, 1]
+
+
+def test_hdr_sketch_error_contract(ray_session):
+    import numpy as np
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_quantile_sketch
+
+    rng_vals = (np.arange(1, 20001) * 7919) % 1000003 + 1  # deterministic
+    rows = [{"k": "a", "v": int(v)} for v in rng_vals]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = grouped_quantile_sketch(ds, key_cols=["k"], val_col="v").to_pandas()
+    import math
+    for _, r in out.iterrows():
+        q = r["q_ppm"] / 1e6
+        exact = np.sort(rng_vals)[math.ceil(q * len(rng_vals)) - 1]
+        # sketch reports a bucket upper bound: est >= exact, within 1/16
+        assert exact <= r["est"] <= exact * (1 + 1 / 16) + 1, (q, exact, r["est"])
+
+
+def test_hdr_sketch_parallelism_invariant(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_quantile_sketch
+
+    rows = [{"k": chr(97 + i % 3), "v": (i * 37) % 5000 + 1} for i in range(3000)]
+    outs = []
+    for p in (2, 16):
+        ds = ray.data.from_items(rows).repartition(p)
+        df = grouped_quantile_sketch(ds, key_cols=["k"], val_col="v").to_pandas()
+        outs.append(df.sort_values(["k", "q_ppm"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
