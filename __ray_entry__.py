@@ -2362,6 +2362,34 @@ def _q_price_quantiles(sf_dir: str):
         key_cols=["l_returnflag"], val_col="price_c")
 
 
+def _q_fetch_waves(sf_dir: str):
+    """Politeness-constrained fetch scheduling: assign every frontier URL
+    a wave number = row_number within its host (ordered by url) so wave w
+    contains AT MOST ONE url per host — the per-host rate-limit batching
+    a crawler executes wave-by-wave. Pure composition of the bucketed
+    window stage (windows.running_per_key: one crc32(host)%P exchange,
+    vectorized cumcount per partition). Oracle: row_number() window."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.windows import running_per_key
+
+    ds = pages_dataset(sf_dir, with_dups=False).select_columns(["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = [u.split("/")[2] for u in urls]
+        ones = [1] * len(urls)
+        return pa.table({"url": batch.column("url"),
+                         "host": pa.array(hosts, pa.string()),
+                         "_one": pa.array(ones, pa.int64())})
+
+    out = running_per_key(ds.map_batches(add_host, batch_format="pyarrow"),
+                          key_col="host", order_cols=["url"], cum_col="_one",
+                          seq_col="wave", out_col="_run")
+    return out.select_columns(["url", "host", "wave"])
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3694,6 +3722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_frontier": _q_sitemap_frontier,
         "recrawl_priority": _q_recrawl_priority,
         "price_quantiles": _q_price_quantiles,
+        "fetch_waves": _q_fetch_waves,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4581,6 +4610,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, q_ppm, CAST(CASE WHEN bidx < 32 THEN bidx "
             "ELSE ((bidx % 16 + 17) << (bidx // 16 - 1)) - 1 END AS BIGINT) "
             "AS est FROM sel"
+        ),
+        "fetch_waves": (
+            f"WITH p AS (SELECT {_SQL_URL} AS url FROM documents), "
+            "h AS (SELECT url, string_split(url, '/')[3] AS host FROM p) "
+            "SELECT url, host, CAST(row_number() OVER "
+            "(PARTITION BY host ORDER BY url) AS BIGINT) AS wave FROM h"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:
