@@ -2390,6 +2390,24 @@ def _q_fetch_waves(sf_dir: str):
     return out.select_columns(["url", "host", "wave"])
 
 
+def _q_profile_columns(sf_dir: str):
+    """ANALYZE-style catalog stats over lineitem dimension-ish columns:
+    one streaming pass shipping only sketch-sized per-batch partials
+    (counts, native-domain min/max, KMV hash state); n_distinct is exact
+    below k=128 — the regime these columns live in — and the oracle
+    computes the true count(DISTINCT). min/max stringified only at the
+    driver so ordering is value-domain."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import profile_columns
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"])
+    return profile_columns(
+        ds, ["l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"])
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3723,6 +3741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": _q_recrawl_priority,
         "price_quantiles": _q_price_quantiles,
         "fetch_waves": _q_fetch_waves,
+        "profile_columns": _q_profile_columns,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4616,6 +4635,25 @@ def oracle_sql() -> dict[str, str]:
             "h AS (SELECT url, string_split(url, '/')[3] AS host FROM p) "
             "SELECT url, host, CAST(row_number() OVER "
             "(PARTITION BY host ORDER BY url) AS BIGINT) AS wave FROM h"
+        ),
+        "profile_columns": (
+            "SELECT 'l_returnflag' AS \"column\", CAST(count(*) AS BIGINT) "
+            "AS n_rows, CAST(count(*) - count(l_returnflag) AS BIGINT) "
+            "AS n_null, CAST(count(DISTINCT l_returnflag) AS BIGINT) "
+            "AS n_distinct, CAST(min(l_returnflag) AS VARCHAR) AS min_v, "
+            "CAST(max(l_returnflag) AS VARCHAR) AS max_v FROM lineitem "
+            "UNION ALL SELECT 'l_linestatus', count(*), "
+            "count(*) - count(l_linestatus), count(DISTINCT l_linestatus), "
+            "CAST(min(l_linestatus) AS VARCHAR), "
+            "CAST(max(l_linestatus) AS VARCHAR) FROM lineitem "
+            "UNION ALL SELECT 'l_quantity', count(*), "
+            "count(*) - count(l_quantity), count(DISTINCT l_quantity), "
+            "CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR), "
+            "CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR) FROM lineitem "
+            "UNION ALL SELECT 'l_linenumber', count(*), "
+            "count(*) - count(l_linenumber), count(DISTINCT l_linenumber), "
+            "CAST(CAST(min(l_linenumber) AS BIGINT) AS VARCHAR), "
+            "CAST(CAST(max(l_linenumber) AS BIGINT) AS VARCHAR) FROM lineitem"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

@@ -231,3 +231,82 @@ def grouped_quantile_sketch(ds, *, key_cols: list[str], val_col: str,
         return pd.DataFrame(rows)
 
     return hist.groupby(key_cols).map_groups(quants, batch_format="pandas")
+
+
+def profile_columns(ds, cols: list, *, kmv_k: int = 128):
+    """ANALYZE-style column profiling in ONE streaming pass: per column
+    ``(column, n_rows, n_null, n_distinct, min_v, max_v)``.
+
+    Each batch emits one sketch-sized row per profiled column — counts,
+    native-domain min/max, and its ≤ k smallest distinct md5-LE64 value
+    hashes (the KMV state) — and the driver merges the partials: counts
+    sum, min/max fold, hash union re-truncates to k. n_distinct is the
+    KMV estimate, EXACT whenever the true cardinality is below k (the
+    regime catalog stats usually live in; the estimate degrades gracefully
+    ~1/√(k−2) above). min/max stringify ONLY at the end, so ordering
+    happens in the value domain (never lexicographically on numbers);
+    float columns are better profiled via an integer mapping (cents) —
+    stringification of binary floats is representation-fragile."""
+    from documentai_ray.stages.sketches import kmv_estimate, md5_le64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # min/max ride in TYPED carrier columns (numeric vs string) so the
+        # partial stream has one fixed Arrow schema across heterogeneous
+        # profiled columns; numerics use a float64 carrier (exact for
+        # integers < 2^53 — catalog-stat domains)
+        rows = []
+        for c in cols:
+            col = batch.column(c)
+            vals = [v for v in col.to_pylist() if v is not None]
+            hs = {md5_le64(str(v)) for v in set(vals)}
+            arr = np.fromiter(hs, np.uint64, count=len(hs))
+            if len(arr) > kmv_k:
+                arr = np.partition(arr, kmv_k)[:kmv_k]
+            numeric = bool(vals) and isinstance(vals[0], (int, float))
+            rows.append({
+                "column": c,
+                "n_rows": batch.num_rows,
+                "n_null": batch.num_rows - len(vals),
+                "vmin_num": float(min(vals)) if vals and numeric else None,
+                "vmax_num": float(max(vals)) if vals and numeric else None,
+                "vmin_str": str(min(vals)) if vals and not numeric else None,
+                "vmax_str": str(max(vals)) if vals and not numeric else None,
+                "hashes": np.sort(arr).tolist(),
+            })
+        schema = pa.schema([("column", pa.string()), ("n_rows", pa.int64()),
+                            ("n_null", pa.int64()),
+                            ("vmin_num", pa.float64()),
+                            ("vmax_num", pa.float64()),
+                            ("vmin_str", pa.string()),
+                            ("vmax_str", pa.string()),
+                            ("hashes", pa.list_(pa.uint64()))])
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def render(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
+        return str(v)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for c in cols:
+        p = parts[parts["column"] == c]
+        nmins = [v for v in p["vmin_num"] if v is not None and v == v]
+        nmaxs = [v for v in p["vmax_num"] if v is not None and v == v]
+        smins = [v for v in p["vmin_str"] if v is not None]
+        smaxs = [v for v in p["vmax_str"] if v is not None]
+        merged = np.unique(np.concatenate(
+            [np.asarray(h, np.uint64) for h in p["hashes"]]
+        )) if len(p) else np.empty(0, np.uint64)
+        _, est = kmv_estimate(merged, kmv_k)
+        out.append({
+            "column": c,
+            "n_rows": int(p["n_rows"].sum()),
+            "n_null": int(p["n_null"].sum()),
+            "n_distinct": int(est),
+            "min_v": render(min(nmins)) if nmins else (min(smins) if smins else None),
+            "max_v": render(max(nmaxs)) if nmaxs else (max(smaxs) if smaxs else None),
+        })
+    return pa.Table.from_pylist(out)

@@ -106,3 +106,23 @@ def test_hdr_sketch_parallelism_invariant(ray_session):
         df = grouped_quantile_sketch(ds, key_cols=["k"], val_col="v").to_pandas()
         outs.append(df.sort_values(["k", "q_ppm"]).reset_index(drop=True))
     assert outs[0].equals(outs[1])
+
+
+def test_profile_columns_mixed_types_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import profile_columns
+
+    t = pa.table({
+        "s": pa.array(["b", "a", None, "c", "a"], pa.string()),
+        "n": pa.array([10, 2, 30, None, 2], pa.int64()),
+    })
+    out = profile_columns(ray.data.from_arrow(t).repartition(3),
+                          ["s", "n"]).to_pandas().set_index("column")
+    assert out.loc["s", "n_null"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert (out.loc["s", "min_v"], out.loc["s", "max_v"]) == ("a", "c")
+    # numeric min/max compared in value domain, not lexicographically
+    assert (out.loc["n", "min_v"], out.loc["n", "max_v"]) == ("2", "30")
+    assert out.loc["n", "n_null"] == 1 and out.loc["n", "n_distinct"] == 3
+    assert (out["n_rows"] == 5).all()
