@@ -2408,6 +2408,40 @@ def _q_profile_columns(sf_dir: str):
         ds, ["l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"])
 
 
+def _q_dead_letter(sf_dir: str):
+    """Dead-letter routing summary: the extraction stage's row-level
+    failure contract (any per-row exception → error record, job
+    continues) aggregated into the ops view a 100 TB run monitors —
+    per (source, error_kind) counts, error_kind = the exception class
+    prefix of the error column. The malformed corpus slice (%97) is the
+    planted failure population (strict-UTF-8 decode errors). Partial
+    counts pre-combine per batch; the exchange carries (source, kind,
+    n)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False)
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.select(["url", "error"]).to_pandas()
+        df = df[df["error"] != ""]
+        df["source"] = df["url"].str.split("/").str[2]
+        df["error_kind"] = df["error"].str.split(":").str[0]
+        g = (df.groupby(["source", "error_kind"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(extract_batch, batch_format="pyarrow",
+                           batch_size=256)
+            .map_batches(err_partial, batch_format="pyarrow")
+            .groupby(["source", "error_kind"])
+            .aggregate(Sum("n", alias_name="n_errors")))
+
+
 def _q_curation_hostaware(sf_dir: str):
     """End-to-end host-aware curation chain composing the round-2 web
     ops as ONE streaming Dataset: extract → latest-capture dedup →
@@ -3742,6 +3776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "fetch_waves": _q_fetch_waves,
         "profile_columns": _q_profile_columns,
+        "dead_letter": _q_dead_letter,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4654,6 +4689,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) - count(l_linenumber), count(DISTINCT l_linenumber), "
             "CAST(CAST(min(l_linenumber) AS BIGINT) AS VARCHAR), "
             "CAST(CAST(max(l_linenumber) AS BIGINT) AS VARCHAR) FROM lineitem"
+        ),
+        "dead_letter": (
+            "SELECT CASE WHEN doc_id % 3 = 0 THEN 'heavy.example.com' "
+            "ELSE source || '.example.com' END AS source, "
+            "'UnicodeDecodeError' AS error_kind, "
+            "CAST(count(*) AS BIGINT) AS n_errors FROM documents "
+            "WHERE doc_id % 97 = 0 GROUP BY 1"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:
