@@ -2120,6 +2120,33 @@ def _q_wet_roundtrip(sf_dir: str):
     return _norm_strings_ds(read_wet(paths).select_columns(["url", "text"]))
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL.gz sink + source roundtrip (the C4/Pile interchange layout):
+    extract → latest-capture dedup → url-hash bucketed byte-deterministic
+    .jsonl.gz shards (sort_keys, mtime=0, atomic per-shard publish) →
+    shard-parallel read-back. Oracle: the golden (url, text) set — any
+    serialization/escaping defect (unicode, newlines-in-text) breaks the
+    match."""
+    import hashlib
+
+    from documentai_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/jsonl_shards_{tag}"
+    manifest = write_jsonl_shards(ds.select_columns(["url", "text"]), out_dir,
+                                  num_shards=8)
+    paths = sorted(r["path"] for r in manifest.iter_rows())
+    return _norm_strings_ds(read_jsonl(paths).select_columns(["url", "text"]))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3777,6 +3804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_waves": _q_fetch_waves,
         "profile_columns": _q_profile_columns,
         "dead_letter": _q_dead_letter,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4721,6 +4749,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": (
             f"SELECT {_SQL_URL} AS url, {_SQL_GOLDEN_TEXT} AS text "
             "FROM documents"
+        ),
+        "jsonl_roundtrip": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

@@ -1,0 +1,72 @@
+"""Sharded ``.jsonl.gz`` sink + source — the de-facto interchange format
+for web-text training corpora (C4 / The Pile / RefinedWeb distribute as
+gzipped JSON-lines shards).
+
+Same distribution contract as the WET sink (functions/warc.py): rows
+hash-bucket by a key column into ``num_shards`` shard files, one write
+task per shard, ``os.replace`` atomic publish so a crashed writer leaves
+no half-visible shard (resume unit = shard file). Records serialize with
+``sort_keys`` + ``ensure_ascii=False`` and one ``\\n`` per record —
+byte-deterministic output for a given row set, so shard digests are
+reproducible across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+
+__all__ = ["write_jsonl_shards", "read_jsonl"]
+
+
+def write_jsonl_shards(ds, out_dir: str, *, num_shards: int = 8,
+                       key_col: str = "url", level: int = 6):
+    """Distributed JSONL sink. Returns a manifest Dataset of
+    ``(path, n_records)`` — one row per published shard."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(g) -> pa.Table:
+        b = int(g["_pkey"].iloc[0])
+        g = g.drop(columns=["_pkey"]).sort_values(key_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{b:02d}.jsonl.gz")
+        tmp = path + ".tmp"
+        # mtime=0 keeps the gzip container byte-deterministic too
+        with open(tmp, "wb") as raw, gzip.GzipFile(
+                fileobj=raw, mode="wb", compresslevel=level, mtime=0) as f:
+            for rec in g.to_dict(orient="records"):
+                f.write(json.dumps(rec, sort_keys=True,
+                                   ensure_ascii=False).encode("utf-8"))
+                f.write(b"\n")
+        os.replace(tmp, path)  # atomic publish per shard
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(g)], pa.int64())})
+
+    return (_add_pkey(ds, key_col, num_shards)
+            .groupby("_pkey")
+            .map_groups(write_bucket, batch_format="pandas"))
+
+
+def read_jsonl(paths: list, *, num_cpus: float = 0.5):
+    """Distributed JSONL ingestion: one parse task per shard file →
+    Dataset of the records (schema = union of keys, Arrow-inferred)."""
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch.column("path").to_pylist():
+            opener = gzip.open if p.endswith(".gz") else open
+            with opener(p, "rt", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rows.append(json.loads(line))
+        return pa.Table.from_pylist(rows)
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+    return ds.repartition(len(paths)).map_batches(
+        parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)

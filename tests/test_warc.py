@@ -104,3 +104,31 @@ def test_cdx_index_random_access(tmp_path):
     # offsets tile the file exactly
     import os
     assert idx[-1]["offset"] + idx[-1]["length"] == os.path.getsize(p)
+
+
+def test_jsonl_shards_deterministic_and_resumable(ray_session, tmp_path):
+    import gzip
+    import hashlib
+
+    import ray.data
+
+    from documentai_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    rows = [{"url": f"https://h/{i}", "text": f"line\nbreak é {i}"}
+            for i in range(100)]
+    digests = []
+    for run in (1, 2):
+        d = tmp_path / f"r{run}"
+        ds = ray.data.from_items(rows).repartition(4 if run == 1 else 7)
+        m = write_jsonl_shards(ds, str(d), num_shards=4).to_pandas()
+        assert int(m["n_records"].sum()) == 100
+        blob = b"".join(
+            (d / f"shard-{b:02d}.jsonl.gz").read_bytes() for b in range(4))
+        digests.append(hashlib.md5(blob).hexdigest())
+    # byte-identical shards across runs AND parallelism levels
+    assert digests[0] == digests[1]
+    back = read_jsonl(sorted(str(p) for p in (tmp_path / "r1").iterdir()))
+    df = back.to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+    expect = pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df[["url", "text"]], expect)
