@@ -2147,6 +2147,53 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return _norm_strings_ds(read_jsonl(paths).select_columns(["url", "text"]))
 
 
+def _q_cdx_fetch(sf_dir: str):
+    """CDX random-access path end-to-end: distributed indexed-WARC write
+    (url-hash bucketed shards whose write tasks EMIT their CDX index
+    rows), select a deterministic url subset (doc_id % 9 == 2 parsed
+    from the url), range-read exactly those records (one gzip member
+    each — never a shard scan), then extract. Oracle: the golden
+    (url, text) subset — a framing/offset defect anywhere in the
+    write→index→fetch chain breaks the match."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from documentai_ray.functions.warc import (fetch_record,
+                                               write_warc_shards_indexed)
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/cdx_shards_{tag}"
+    idx = write_warc_shards_indexed(
+        ds.select_columns(["url", "warc_ts", "html"]), out_dir, num_shards=8)
+
+    def want(batch: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1])
+               for u in batch.column("url").to_pylist()]
+        mask = pa.array([i % 9 == 2 for i in ids])
+        return batch.filter(mask)
+
+    def fetch_and_extract(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for p, off, ln in zip(batch.column("path").to_pylist(),
+                              batch.column("offset").to_pylist(),
+                              batch.column("length").to_pylist()):
+            u, _ts, body = fetch_record(p, off, ln)
+            urls.append(u)
+            htmls.append(body)
+        t = pa.table({"url": pa.array(urls, pa.string()),
+                      "html": pa.array(htmls, pa.large_binary())})
+        return extract_batch(t).select(["url", "text"])
+
+    sel = idx.map_batches(want, batch_format="pyarrow")
+    return _norm_strings_ds(sel.map_batches(fetch_and_extract,
+                                            batch_format="pyarrow",
+                                            batch_size=64))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3805,6 +3852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns": _q_profile_columns,
         "dead_letter": _q_dead_letter,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "cdx_fetch": _q_cdx_fetch,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4752,6 +4800,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
+        ),
+        "cdx_fetch": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "
+            "WHERE CAST(string_split(url, '/')[5] AS BIGINT) % 9 = 2"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

@@ -276,3 +276,43 @@ def fetch_record(path: str, offset: int, length: int):
     if len(recs) != 1:
         raise ValueError(f"index entry framed {len(recs)} records, want 1")
     return recs[0]
+
+
+def write_warc_shards_indexed(ds, out_dir: str, *, num_shards: int = 8,
+                              url_col: str = "url", ts_col: str = "warc_ts",
+                              body_col: str = "html"):
+    """Distributed indexed-WARC sink: url-hash bucketed ``.warc.gz``
+    shards (one write task per shard, atomic publish) that ALSO emit
+    their CDX index as the returned Dataset — ``(url, path, offset,
+    length)`` rows framing each record's own gzip member. The index is
+    the product: downstream consumers range-read single records without
+    scanning shards (the access pattern the CC per-record-gzip layout
+    exists for)."""
+    import os
+
+    import pyarrow as pa
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    os.makedirs(out_dir, exist_ok=True)
+    proj = ds.select_columns([url_col, ts_col, body_col])
+
+    def write_bucket(g) -> pa.Table:
+        b = int(g["_pkey"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{b:02d}.warc.gz")
+        tmp = path + ".tmp"
+        g = g.sort_values(url_col, kind="mergesort")
+        recs = ((u, ts.to_pydatetime(), body) for u, ts, body in
+                zip(g[url_col], g[ts_col], g[body_col]))
+        index = write_warc_indexed(tmp, recs)
+        os.replace(tmp, path)  # atomic publish per shard
+        return pa.table({
+            "url": pa.array([e["url"] for e in index], pa.string()),
+            "path": pa.array([path] * len(index), pa.string()),
+            "offset": pa.array([e["offset"] for e in index], pa.int64()),
+            "length": pa.array([e["length"] for e in index], pa.int64()),
+        })
+
+    return (_add_pkey(proj, url_col, num_shards)
+            .groupby("_pkey")
+            .map_groups(write_bucket, batch_format="pandas"))
