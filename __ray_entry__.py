@@ -2194,6 +2194,23 @@ def _q_cdx_fetch(sf_dir: str):
                                             batch_size=64))
 
 
+def _q_kcenter_select(sf_dir: str):
+    """Greedy k-center (farthest-point) coreset selection over the
+    embeddings table, k=4 — the diversity-coverage sampling op: one
+    streaming pass per round, each batch ships ONE candidate row, global
+    argmax ties to smallest id. Oracle: the greedy unrolled in SQL
+    (ORDER BY least(list_distance...) DESC, vec_id chains — sqrt is
+    monotone so L2 vs squared-L2 ordering agrees; margins ≫ ulp drift
+    per the kmeans float contract)."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import kcenter_select
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=4)
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3853,6 +3870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dead_letter": _q_dead_letter,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "cdx_fetch": _q_cdx_fetch,
+        "kcenter_select": _q_kcenter_select,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4804,6 +4822,25 @@ def oracle_sql() -> dict[str, str]:
         "cdx_fetch": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES}) "
             "WHERE CAST(string_split(url, '/')[5] AS BIGINT) % 9 = 2"
+        ),
+        "kcenter_select": (
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+            "s0 AS (SELECT vec_id, embedding AS c FROM e "
+            "ORDER BY vec_id LIMIT 1), "
+            "p1 AS (SELECT e.vec_id, e.embedding AS c FROM e, s0 "
+            "ORDER BY list_distance(e.embedding, s0.c) DESC, e.vec_id "
+            "LIMIT 1), "
+            "p2 AS (SELECT e.vec_id, e.embedding AS c FROM e, s0, p1 "
+            "ORDER BY least(list_distance(e.embedding, s0.c), "
+            "list_distance(e.embedding, p1.c)) DESC, e.vec_id LIMIT 1), "
+            "p3 AS (SELECT e.vec_id, e.embedding AS c FROM e, s0, p1, p2 "
+            "ORDER BY least(list_distance(e.embedding, s0.c), "
+            "list_distance(e.embedding, p1.c), "
+            "list_distance(e.embedding, p2.c)) DESC, e.vec_id LIMIT 1) "
+            "SELECT CAST(0 AS BIGINT) AS \"rank\", vec_id FROM s0 "
+            "UNION ALL SELECT 1, vec_id FROM p1 "
+            "UNION ALL SELECT 2, vec_id FROM p2 "
+            "UNION ALL SELECT 3, vec_id FROM p3"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

@@ -460,3 +460,56 @@ def semdedup(ds, *, k: int = 4, iters: int = 2, threshold: float = 0.4,
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cluster")
             .map_groups(prune, batch_format="pandas"))
+
+
+def kcenter_select(ds, *, k: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Greedy k-center (farthest-point) coreset selection — the
+    diversity-sampling curation op (Gonzalez 1985; 2-approx for the
+    k-center cover): pick the min-id vector, then k−1 times add the point
+    FARTHEST from the selected set. The selected ids are the maximally
+    spread sample a curation pipeline keeps when it wants coverage rather
+    than density.
+
+    Physical plan mirrors ``kmeans_fit``: the input materializes once
+    (k passes over the same data), each round broadcasts the (≤k, d)
+    selected matrix and runs one streaming ``map_batches`` where every
+    batch emits ONE candidate row (its farthest point) — the exchange is
+    k rows per batch, never the data. Determinism: distances in float64
+    expanded-matmul form, global argmax ties break to the SMALLEST id
+    (same float contract as kmeans_fit: synthetic margins ≫ cross-engine
+    ulp drift). Returns ``(rank, vec_id)`` — rank is selection order.
+    """
+    import ray
+
+    mat = ds.materialize()
+    first = mat.sort(id_col).limit(1).to_pandas()
+    sel_ids = [int(first[id_col].iloc[0])]
+    sel_vecs = np.asarray(first[vec_col].tolist(), dtype=np.float64)
+
+    for _ in range(k - 1):
+        ref = ray.put(sel_vecs)
+
+        def cand(batch: pa.Table, _ref=ref) -> pa.Table:
+            C = ray.get(_ref)
+            X = _as_matrix(batch.column(vec_col))
+            ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
+                  + (C * C).sum(1)[None, :]).min(axis=1)
+            order = np.lexsort((ids, -d2))        # max dist, then min id
+            b = order[0]
+            return pa.table({id_col: pa.array([int(ids[b])], pa.int64()),
+                             "d2": pa.array([float(d2[b])], pa.float64()),
+                             "vec": pa.array([X[b].tolist()],
+                                             pa.list_(pa.float64()))})
+
+        parts = mat.map_batches(cand, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["d2", id_col],
+                                  ascending=[False, True], kind="mergesort")
+        win = parts.iloc[0]
+        sel_ids.append(int(win[id_col]))
+        sel_vecs = np.vstack([sel_vecs, np.asarray(win["vec"], np.float64)])
+
+    import pyarrow as _pa
+    return _pa.table({"rank": _pa.array(range(k), _pa.int64()),
+                      id_col: _pa.array(sel_ids, _pa.int64())})

@@ -76,3 +76,32 @@ def test_pq_fit_encode_subspace_separation(ray_session):
     for col, factor in (("code_0", a), ("code_1", b)):
         codes = out[col].to_numpy()
         assert (codes == factor).all() or (codes == 1 - factor).all()
+
+
+def test_kcenter_greedy_bruteforce_equivalence(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.similarity import kcenter_select
+
+    rng = np.random.RandomState(7)
+    X = np.vstack([rng.randn(30, 8) * 0.1 + c
+                   for c in (np.zeros(8), np.ones(8) * 5,
+                             np.ones(8) * -5, np.eye(8)[0] * 9)])
+    ids = np.arange(len(X))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(X.tolist(),
+                                        pa.list_(pa.float64()))})
+    out = kcenter_select(ray.data.from_arrow(t).repartition(5),
+                         k=4).to_pandas()
+
+    # driver-side reference greedy
+    sel = [0]
+    for _ in range(3):
+        d2 = np.min(((X[:, None, :] - X[sel][None, :, :]) ** 2).sum(-1), 1)
+        best = np.lexsort((ids, -d2))[0]
+        sel.append(int(best))
+    assert out["vec_id"].tolist() == sel
+    # one pick per planted cluster: max coverage
+    assert len({int(i) // 30 for i in sel}) == 4
