@@ -2211,6 +2211,30 @@ def _q_kcenter_select(sf_dir: str):
     return kcenter_select(ds, k=4)
 
 
+def _q_zorder_keys(sf_dir: str):
+    """Z-order (Morton) clustering keys over (l_orderkey, l_partkey) low
+    16 bits — the multi-dimensional layout key a storage optimizer sorts
+    by so range scans on EITHER column touch few files. Map-only
+    vectorized bit interleave; oracle mirrors the interleave bit-for-bit
+    with a list_sum over generate_series."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import zorder_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey",
+                                        "l_linenumber"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        z = zorder_key(batch.column("l_orderkey").to_numpy(),
+                       batch.column("l_partkey").to_numpy())
+        return batch.append_column("zkey", pa.array(z, pa.int64()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3871,6 +3895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "cdx_fetch": _q_cdx_fetch,
         "kcenter_select": _q_kcenter_select,
+        "zorder_keys": _q_zorder_keys,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4841,6 +4866,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 1, vec_id FROM p1 "
             "UNION ALL SELECT 2, vec_id FROM p2 "
             "UNION ALL SELECT 3, vec_id FROM p3"
+        ),
+        "zorder_keys": (
+            "SELECT l_orderkey, l_partkey, l_linenumber, "
+            "CAST(list_sum(list_transform(generate_series(0, 15), i -> "
+            "(((l_orderkey >> i) & 1) << (2 * i)) "
+            "+ (((l_partkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) "
+            "AS zkey FROM lineitem"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

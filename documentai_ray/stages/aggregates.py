@@ -310,3 +310,19 @@ def profile_columns(ds, cols: list, *, kmv_k: int = 128):
             "max_v": render(max(nmaxs)) if nmaxs else (max(smaxs) if smaxs else None),
         })
     return pa.Table.from_pylist(out)
+
+
+def zorder_key(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Morton/Z-order interleave of two non-negative int columns
+    (``bits`` low bits each → one int64 key): sorting or range-
+    partitioning by this key co-locates rows that are close in BOTH
+    dimensions — the multi-column clustering trick behind Z-ordered data
+    layouts (Delta/Iceberg OPTIMIZE ZORDER). Pure integer bit math,
+    vectorized, and mirrored bit-for-bit by the SQL oracle."""
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    out = np.zeros(len(x), np.int64)
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out

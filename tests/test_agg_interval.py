@@ -126,3 +126,25 @@ def test_profile_columns_mixed_types_and_nulls(ray_session):
     assert (out.loc["n", "min_v"], out.loc["n", "max_v"]) == ("2", "30")
     assert out.loc["n", "n_null"] == 1 and out.loc["n", "n_distinct"] == 3
     assert (out["n_rows"] == 5).all()
+
+
+def test_zorder_locality_property():
+    import numpy as np
+
+    from documentai_ray.stages.aggregates import zorder_key
+
+    # interleave round-trips: de-interleave recovers both inputs
+    x = np.arange(0, 1000, 7)
+    y = (x * 13) % 1024
+    z = zorder_key(x, y)
+    xr = np.zeros_like(x)
+    yr = np.zeros_like(y)
+    for i in range(16):
+        xr |= ((z >> (2 * i)) & 1) << i
+        yr |= ((z >> (2 * i + 1)) & 1) << i
+    assert (xr == x).all() and (yr == y).all()
+    # locality: points in the same 4x4 cell share the key's high bits
+    z1 = zorder_key(np.array([8]), np.array([8]))[0]
+    z2 = zorder_key(np.array([9]), np.array([10]))[0]
+    z3 = zorder_key(np.array([8]), np.array([1000]))[0]
+    assert abs(z1 - z2) < abs(z1 - z3)
