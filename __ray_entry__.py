@@ -2235,6 +2235,74 @@ def _q_zorder_keys(sf_dir: str):
     return ds.map_batches(add_key, batch_format="pyarrow")
 
 
+def _q_merge_upsert(sf_dir: str):
+    """CDC MERGE over the document snapshot: a changelog of updates
+    (doc_id%3==0, ts=1, version=1) and deletes (doc_id%7==0, ts=2) is
+    applied to the base (ts=0, version=0) — one key-hash exchange, one
+    vectorized latest-wins-with-delete-priority pass per partition
+    (joins.merge_changelog). Expected state is the closed form: deleted
+    iff %7==0, else version = 1 iff %3==0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "version": pa.array([0] * n, pa.int64()),
+                         "ts": pa.array([0] * n, pa.int64()),
+                         "op": pa.array(["I"] * n, pa.string())})
+
+    def change_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        srcs = batch.column("source").to_pylist()
+        out = {"doc_id": [], "source": [], "version": [], "ts": [], "op": []}
+        for i, s in zip(ids, srcs):
+            if i % 3 == 0:
+                out["doc_id"].append(int(i)); out["source"].append(s)
+                out["version"].append(1); out["ts"].append(1)
+                out["op"].append("U")
+            if i % 7 == 0:
+                out["doc_id"].append(int(i)); out["source"].append(s)
+                out["version"].append(-1); out["ts"].append(2)
+                out["op"].append("D")
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "source": pa.array(out["source"], pa.string()),
+                         "version": pa.array(out["version"], pa.int64()),
+                         "ts": pa.array(out["ts"], pa.int64()),
+                         "op": pa.array(out["op"], pa.string())})
+
+    from documentai_ray.stages.joins import merge_changelog
+
+    changes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(change_rows, batch_format="pyarrow")
+    merged = merge_changelog(base.map_batches(base_rows,
+                                              batch_format="pyarrow"),
+                             changes, key_col="doc_id")
+    return merged.select_columns(["doc_id", "source", "version"])
+
+
+def _q_late_events(sf_dir: str):
+    """Watermark late-event routing: per-user watermark = max(ts) − 120
+    min (one groupby-max row per key), shipped back via a bucketed
+    hash_join; late = older than the watermark — the rows a streaming
+    engine diverts to the late side-output. Oracle: the same flag via a
+    max() window."""
+    import ray.data
+
+    from documentai_ray.stages.windows import route_late_events
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    out = route_late_events(ds)
+    return out.select_columns(["event_id", "user_id", "is_late"])
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3896,6 +3964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_fetch": _q_cdx_fetch,
         "kcenter_select": _q_kcenter_select,
         "zorder_keys": _q_zorder_keys,
+        "merge_upsert": _q_merge_upsert,
+        "late_events": _q_late_events,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4873,6 +4943,16 @@ def oracle_sql() -> dict[str, str]:
             "(((l_orderkey >> i) & 1) << (2 * i)) "
             "+ (((l_partkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) "
             "AS zkey FROM lineitem"
+        ),
+        "merge_upsert": (
+            "SELECT doc_id, source, CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
+            "ELSE 0 END AS BIGINT) AS version FROM documents "
+            "WHERE doc_id % 7 <> 0"
+        ),
+        "late_events": (
+            "SELECT event_id, user_id, "
+            "ts < max(ts) OVER (PARTITION BY user_id) "
+            "- INTERVAL 120 MINUTE AS is_late FROM events"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

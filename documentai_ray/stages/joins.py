@@ -416,3 +416,36 @@ def bloom_prefilter(ds, bloom: np.ndarray, *, key_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def merge_changelog(base_ds, changes_ds, *, key_col: str, ts_col: str = "ts",
+                    op_col: str = "op", num_partitions: int = 64):
+    """Apply a CDC changelog to a base snapshot — the lakehouse MERGE
+    primitive (upserts + deletes): for every key keep the row with the
+    HIGHEST ``ts`` across base ∪ changes (base rows carry their snapshot
+    ts; ties break deterministically toward the change row), then drop
+    keys whose winning op is a delete.
+
+    Physical plan: one ``crc32(key) % P`` exchange co-locates each key's
+    base row and its change history; per partition a single vectorized
+    pass (sort by key, ts desc, op — 'D' < 'I' < 'U' reversed so deletes
+    win ts ties; ``drop_duplicates`` first-per-key; filter op ≠ 'D')
+    resolves every key at once. Schemas must match on the carried
+    columns; ``op`` ∈ {'I','U','D'}."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    both = base_ds.union(changes_ds)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # op rank: deletes beat updates beat inserts at equal ts
+        rank = g[op_col].map({"D": 2, "U": 1, "I": 0}).fillna(0)
+        g = g.assign(_oprank=rank)
+        g = g.sort_values([key_col, ts_col, "_oprank"],
+                          ascending=[True, False, False], kind="mergesort")
+        g = g.drop_duplicates(subset=[key_col], keep="first")
+        return g[g[op_col] != "D"].drop(columns=["_oprank"])
+
+    return (_add_pkey(both, key_col, num_partitions)
+            .groupby("_pkey")
+            .map_groups(lambda g: resolve(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

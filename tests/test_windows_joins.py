@@ -156,3 +156,26 @@ class TestJoinVariants:
         assert len(out) == 11  # 10 left rows + 1 extra for dup key 4
         assert out[out["k"] == 3]["rv"].isna().all()
         assert set(out[out["k"] == 4]["rv"]) == {"R4"}
+
+
+def test_merge_changelog_semantics(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.joins import merge_changelog
+
+    base = ray.data.from_items([
+        {"k": 1, "v": "a", "ts": 0, "op": "I"},
+        {"k": 2, "v": "b", "ts": 0, "op": "I"},
+        {"k": 3, "v": "c", "ts": 0, "op": "I"},
+        {"k": 4, "v": "d", "ts": 5, "op": "I"},   # base NEWER than change
+    ])
+    changes = ray.data.from_items([
+        {"k": 2, "v": "b2", "ts": 1, "op": "U"},  # update wins
+        {"k": 3, "v": "",   "ts": 1, "op": "D"},  # delete
+        {"k": 3, "v": "c2", "ts": 1, "op": "U"},  # same ts as D → D wins
+        {"k": 4, "v": "d2", "ts": 1, "op": "U"},  # older than base → loses
+        {"k": 5, "v": "e",  "ts": 1, "op": "U"},  # upsert-new
+    ])
+    out = (merge_changelog(base, changes, key_col="k", num_partitions=8)
+           .to_pandas().sort_values("k"))
+    assert dict(zip(out["k"], out["v"])) == {1: "a", 2: "b2", 4: "d", 5: "e"}
