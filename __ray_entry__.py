@@ -2303,6 +2303,42 @@ def _q_late_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "is_late"])
 
 
+def _q_online_neardup(sf_dir: str):
+    """Online near-dup lookup against a SHARED MUTABLE LSH INDEX — the
+    one shape the Dataset API can't express (state written by the index
+    phase must be readable by later query batches), so it runs on
+    hash-sharded Ray actors (state/lsh_index.py): band keys route to the
+    shard that owns their bucket slice; adds and probes are batched RPCs.
+    Index = the base pages; queries = the planted ?amp=1 variants; LSH
+    candidates re-rank by exact Jaccard ≥ 0.8 (broadcast text maps —
+    documented small-side path). Oracle: each amp variant matches exactly
+    its original (the minhash_neardup recall/precision contract)."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.state.lsh_index import (build_lsh_index,
+                                                query_lsh_index,
+                                                verify_with_texts)
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.select_columns(["url", "text"]).materialize()
+
+    def is_amp(batch: pa.Table, want: bool) -> pa.Table:
+        mask = [u.endswith("?amp=1") == want
+                for u in batch.column("url").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    base = ds.map_batches(lambda b: is_amp(b, False), batch_format="pyarrow")
+    amps = ds.map_batches(lambda b: is_amp(b, True), batch_format="pyarrow")
+
+    shards = build_lsh_index(base, id_col="url")
+    cands = query_lsh_index(amps, shards, id_col="url")
+    imap = {r["url"]: r["text"] for r in base.iter_rows()}
+    qmap = {r["url"]: r["text"] for r in amps.iter_rows()}
+    out = verify_with_texts(cands, qmap, imap, threshold=0.8)
+    return out.select_columns(["query_id", "match_id"])
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -3966,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_keys": _q_zorder_keys,
         "merge_upsert": _q_merge_upsert,
         "late_events": _q_late_events,
+        "online_neardup": _q_online_neardup,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4953,6 +4990,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "ts < max(ts) OVER (PARTITION BY user_id) "
             "- INTERVAL 120 MINUTE AS is_late FROM events"
+        ),
+        "online_neardup": (
+            f"SELECT url || '?amp=1' AS query_id, url AS match_id "
+            f"FROM ({_SQL_EXPECTED_PAGES}) "
+            "WHERE doc_id % 50 IN (3, 7) AND doc_id % 97 <> 0 "
+            "AND text <> ''"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

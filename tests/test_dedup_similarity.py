@@ -359,3 +359,34 @@ class TestVerifyPairsPaths:
                                          broadcast_limit=0,
                                          num_partitions=4).to_pandas()
         assert list(zip(out["id_a"], out["id_b"])) == [("a", "b")]
+
+
+def test_online_lsh_index_matches_batch_candidates(ray_session):
+    import ray.data
+
+    from documentai_ray.state.lsh_index import (build_lsh_index,
+                                                query_lsh_index,
+                                                verify_with_texts)
+
+    base_rows = [{"url": f"u{i}", "text": " ".join(
+        f"tok{i}_{j}" for j in range(30))} for i in range(40)]
+    # queries: 5 near-dups of indexed docs (one appended token), 5 novel
+    q_rows = ([{"url": f"q{i}", "text": base_rows[i]["text"] + " extra"}
+               for i in range(5)]
+              + [{"url": f"n{i}", "text": " ".join(
+                  f"nov{i}_{j}" for j in range(30))} for i in range(5)]
+              + [{"url": "empty", "text": ""}])          # shingle-less: skipped
+    base = ray.data.from_items(base_rows).repartition(4)
+    qs = ray.data.from_items(q_rows).repartition(3)
+    shards = build_lsh_index(base, id_col="url", num_shards=3)
+    cands = query_lsh_index(qs, shards, id_col="url")
+    imap = {r["url"]: r["text"] for r in base_rows}
+    qmap = {r["url"]: r["text"] for r in q_rows}
+    out = verify_with_texts(cands, qmap, imap, threshold=0.8).to_pandas()
+    got = sorted(map(tuple, out[["query_id", "match_id"]].to_numpy()))
+    assert got == [(f"q{i}", f"u{i}") for i in range(5)]
+    # shard stats confirm the index is actually distributed
+    import ray as _ray
+    stats = _ray.get([s.stats.remote() for s in shards])
+    assert sum(s["n_buckets"] for s in stats) > 0
+    assert all(s["n_buckets"] > 0 for s in stats)
