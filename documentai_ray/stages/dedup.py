@@ -243,10 +243,40 @@ def surt(url: str) -> str:
         rev += ":" + port
     pathq = "/" + pathq
     pathq = pathq.partition("#")[0]
+    pathq = _normalize_pct(pathq)
     path, qmark, query = pathq.partition("?")
     if qmark:
         path = path + "?" + "&".join(sorted(query.split("&")))
     return (rev + ")" + path).lower()
+
+
+def _normalize_pct(s: str) -> str:
+    """Percent-encoding normalization (RFC 3986 §6.2.2): decode escapes
+    of UNRESERVED characters (%41 → A — equivalent URIs must get equal
+    SURT keys) and uppercase the hex of every other escape (%3a → %3A);
+    malformed escapes pass through untouched."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 2 < n + 1 and i + 3 <= n:
+            hx = s[i + 1:i + 3]
+            try:
+                v = int(hx, 16)
+            except ValueError:
+                out.append(c)
+                i += 1
+                continue
+            ch = chr(v)
+            if ch.isalnum() and ch.isascii() or ch in "-._~":
+                out.append(ch)
+            else:
+                out.append("%" + hx.upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def surt_batch(batch: pa.Table, *, url_col: str = "url",

@@ -165,3 +165,14 @@ def test_sitemap_expand_depth_and_cycles(ray_session):
     ds = ray.data.from_arrow(pa.table({"host": ["h"], "xml": [idx]}))
     out = sitemap_expand(ds, bodies).to_pandas()
     assert sorted(out["url"]) == ["https://h/a"]      # cycle-safe, no dups
+
+
+def test_surt_percent_normalization():
+    from documentai_ray.stages.dedup import surt
+
+    # unreserved escapes decode; reserved escapes uppercase; equivalent
+    # URIs get EQUAL keys
+    assert surt("https://a.com/%41bc%2Fd") == "com,a)/abc%2fd"
+    assert surt("https://a.com/Abc%2fd") == surt("https://a.com/%41bc%2Fd")
+    assert surt("https://a.com/x%zz") == "com,a)/x%zz"   # malformed untouched
+    assert surt("https://a.com/p%7E") == "com,a)/p~"
