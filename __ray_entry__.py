@@ -4991,11 +4991,22 @@ def oracle_sql() -> dict[str, str]:
             "ts < max(ts) OVER (PARTITION BY user_id) "
             "- INTERVAL 120 MINUTE AS is_late FROM events"
         ),
+        # the TRUE amp-side Jaccard pair set (same ground-truth machinery
+        # as minhash_neardup): at larger scales template-heavy pages make
+        # an amp variant a genuine >=0.8 match of MORE than its original,
+        # so a closed-form amp->original oracle is too narrow
         "online_neardup": (
-            f"SELECT url || '?amp=1' AS query_id, url AS match_id "
-            f"FROM ({_SQL_EXPECTED_PAGES}) "
-            "WHERE doc_id % 50 IN (3, 7) AND doc_id % 97 <> 0 "
-            "AND text <> ''"
+            f"WITH pages AS ({_SQL_PAGES_WITH_AMP}), "
+            "sh AS (SELECT url, list_distinct(list_transform("
+            "generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+            "FROM (SELECT url, list_filter(string_split_regex(text, "
+            "'\\s+'), x -> x <> '') AS toks FROM pages WHERE text <> '')) "
+            "SELECT q.url AS query_id, m.url AS match_id "
+            "FROM sh q JOIN sh m ON q.url LIKE '%?amp=1' "
+            "AND m.url NOT LIKE '%?amp=1' "
+            "WHERE CAST(len(list_intersect(q.sh, m.sh)) AS DOUBLE) / "
+            "len(list_distinct(q.sh || m.sh)) >= 0.8"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
