@@ -2339,6 +2339,59 @@ def _q_online_neardup(sf_dir: str):
     return out.select_columns(["query_id", "match_id"])
 
 
+def _q_fetch_schedule(sf_dir: str):
+    """Politeness-complete fetch schedule: per-host Crawl-delay parsed
+    from synthesized robots.txt by the REAL parser (group selection
+    incl. delay), waves from the bucketed per-host row_number, and
+    fetch_at_s = (wave−1) × delay — the actual timestamp plan a polite
+    crawler executes. Oracle: row_number window × the closed-form delay
+    rule (1 + N%4 s for srcN, 5 s for the heavy host)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from documentai_ray.functions.robots import parse_robots_txt
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.windows import running_per_key
+
+    srcs = sorted(set(pq.read_table(f"{sf_dir}/documents.parquet",
+                                    columns=["source"])
+                      .column("source").to_pylist()))
+    robots = {"heavy.example.com": "User-agent: *\nCrawl-delay: 5\n"}
+    for s in srcs:
+        n = int(s[3:])
+        robots[f"{s}.example.com"] = (
+            f"User-agent: *\nCrawl-delay: {1 + n % 4}\n")
+    delays = {h: int(parse_robots_txt(t).crawl_delay)
+              for h, t in robots.items()}
+    dref = ray.put(delays)
+
+    ds = pages_dataset(sf_dir, with_dups=False).select_columns(["url"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = [u.split("/")[2] for u in urls]
+        return pa.table({"url": batch.column("url"),
+                         "host": pa.array(hosts, pa.string()),
+                         "_one": pa.array([1] * len(urls), pa.int64())})
+
+    waved = running_per_key(ds.map_batches(add_host, batch_format="pyarrow"),
+                            key_col="host", order_cols=["url"],
+                            cum_col="_one", seq_col="wave", out_col="_run")
+
+    def schedule(batch: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        hosts = batch.column("host").to_pylist()
+        waves = batch.column("wave").to_pylist()
+        at = [int((w - 1) * d[h]) for h, w in zip(hosts, waves)]
+        return pa.table({"url": batch.column("url"),
+                         "host": batch.column("host"),
+                         "wave": batch.column("wave"),
+                         "fetch_at_s": pa.array(at, pa.int64())})
+
+    return waved.map_batches(schedule, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4003,6 +4056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": _q_merge_upsert,
         "late_events": _q_late_events,
         "online_neardup": _q_online_neardup,
+        "fetch_schedule": _q_fetch_schedule,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4922,6 +4976,19 @@ def oracle_sql() -> dict[str, str]:
             "'UnicodeDecodeError' AS error_kind, "
             "CAST(count(*) AS BIGINT) AS n_errors FROM documents "
             "WHERE doc_id % 97 = 0 GROUP BY 1"
+        ),
+        "fetch_schedule": (
+            f"WITH p AS (SELECT {_SQL_URL} AS url, source, doc_id "
+            "FROM documents), "
+            "h AS (SELECT url, CASE WHEN doc_id % 3 = 0 "
+            "THEN 'heavy.example.com' ELSE source || '.example.com' END "
+            "AS host, CASE WHEN doc_id % 3 = 0 THEN 5 "
+            "ELSE 1 + CAST(substr(source, 4) AS INT) % 4 END AS delay "
+            "FROM p), "
+            "w AS (SELECT url, host, delay, CAST(row_number() OVER "
+            "(PARTITION BY host ORDER BY url) AS BIGINT) AS wave FROM h) "
+            "SELECT url, host, wave, CAST((wave - 1) * delay AS BIGINT) "
+            "AS fetch_at_s FROM w"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

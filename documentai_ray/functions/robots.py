@@ -60,12 +60,15 @@ def _compile_rule(allow: bool, pattern: str) -> "_Rule | None":
 class RobotsPolicy:
     """Compiled rule set for one (host, agent) pair. ``prefix_rules``
     exposes the plain-prefix subset as (allow, pattern, length) tuples so
-    batch stages can vectorize the common case with str.startswith."""
+    batch stages can vectorize the common case with str.startswith.
+    ``crawl_delay`` is the group's ``Crawl-delay`` in seconds (None when
+    unspecified) — the de-facto extension most crawlers honor."""
 
-    def __init__(self, rules: list[_Rule]):
+    def __init__(self, rules: list[_Rule], crawl_delay: "float | None" = None):
         # pre-sort by (pattern length desc, allow desc): the FIRST match
         # in this order is the longest-match / tie-goes-to-allow winner
         self.rules = sorted(rules, key=lambda r: (-len(r.pattern), not r.allow))
+        self.crawl_delay = crawl_delay
 
     def allowed(self, path: str) -> bool:
         for r in self.rules:
@@ -84,6 +87,8 @@ def parse_robots_txt(text: str, agent: str = "*") -> RobotsPolicy:
     agent = agent.lower()
     exact_rules: list[_Rule] = []
     star_rules: list[_Rule] = []
+    exact_delay: "float | None" = None
+    star_delay: "float | None" = None
     cur_agents: list[str] = []
     in_group_header = True   # consecutive User-agent lines accumulate
 
@@ -108,12 +113,24 @@ def parse_robots_txt(text: str, agent: str = "*") -> RobotsPolicy:
                 exact_rules.append(rule)
             if "*" in cur_agents:
                 star_rules.append(rule)
+        elif key == "crawl-delay":
+            in_group_header = False
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if agent in cur_agents and agent != "*":
+                exact_delay = d
+            if "*" in cur_agents:
+                star_delay = d
         else:
-            # Sitemap/Crawl-delay/unknown: ends the UA header run but
-            # does not end the group's rule scope
+            # Sitemap/unknown: ends the UA header run but does not end
+            # the group's rule scope
             in_group_header = False
 
-    return RobotsPolicy(exact_rules if exact_rules else star_rules)
+    if exact_rules or exact_delay is not None:
+        return RobotsPolicy(exact_rules, exact_delay)
+    return RobotsPolicy(star_rules, star_delay)
 
 
 def is_allowed(robots_text: str, path: str, agent: str = "*") -> bool:

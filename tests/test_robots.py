@@ -176,3 +176,16 @@ def test_surt_percent_normalization():
     assert surt("https://a.com/Abc%2fd") == surt("https://a.com/%41bc%2Fd")
     assert surt("https://a.com/x%zz") == "com,a)/x%zz"   # malformed untouched
     assert surt("https://a.com/p%7E") == "com,a)/p~"
+
+
+def test_crawl_delay_parsing_and_group_selection():
+    from documentai_ray.functions.robots import parse_robots_txt
+
+    txt = ("User-agent: slowbot\nCrawl-delay: 30\n\n"
+           "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n")
+    assert parse_robots_txt(txt, "slowbot").crawl_delay == 30
+    assert parse_robots_txt(txt).crawl_delay == 2.5
+    assert parse_robots_txt(txt, "otherbot").crawl_delay == 2.5  # * fallback
+    assert parse_robots_txt("User-agent: *\nDisallow: /\n").crawl_delay is None
+    assert parse_robots_txt(
+        "User-agent: *\nCrawl-delay: nope\n").crawl_delay is None
