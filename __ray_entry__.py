@@ -2392,6 +2392,23 @@ def _q_fetch_schedule(sf_dir: str):
     return waved.map_batches(schedule, batch_format="pyarrow")
 
 
+def _q_users_sketch(sf_dir: str):
+    """Per-event-type distinct-user KMV sketch — the scale path past
+    exact COUNT(DISTINCT) per key (users_per_event shuffles every
+    distinct pair; this ships ≤ k=128 hashes per key per batch no matter
+    how many users exist). Exact below k per group; estimator above.
+    Oracle: the identical sketch per group via a row_number window +
+    HUGEINT division."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import grouped_kmv_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return grouped_kmv_distinct(ds, key_col="event_type",
+                                val_col="user_id", k=128)
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4057,6 +4074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "online_neardup": _q_online_neardup,
         "fetch_schedule": _q_fetch_schedule,
+        "users_sketch": _q_users_sketch,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -4989,6 +5007,20 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY host ORDER BY url) AS BIGINT) AS wave FROM h) "
             "SELECT url, host, wave, CAST((wave - 1) * delay AS BIGINT) "
             "AS fetch_at_s FROM w"
+        ),
+        "users_sketch": (
+            f"WITH h AS (SELECT DISTINCT event_type, "
+            f"{_sql_md5_le64('CAST(user_id AS VARCHAR)')} AS hv FROM events), "
+            "r AS (SELECT event_type, hv, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+            "o AS (SELECT event_type, hv FROM r WHERE rn <= 128), "
+            "a AS (SELECT event_type, count(*) AS m, max(hv) AS hk "
+            "FROM o GROUP BY event_type) "
+            "SELECT event_type, CAST(m AS BIGINT) AS n_kept, "
+            "CAST(CASE WHEN m < 128 THEN CAST(m AS HUGEINT) "
+            "ELSE CAST(127 AS HUGEINT) * "
+            "CAST(18446744073709551616 AS HUGEINT) // hk END AS BIGINT) "
+            "AS est_distinct FROM a"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

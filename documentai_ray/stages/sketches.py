@@ -243,3 +243,40 @@ def heavy_hitter_tokens(ds, *, text_col: str = "text", k: int = 30):
         return batch.filter(pa.array(n * (k + 1) > total))
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_kmv_distinct(ds, *, key_col: str, val_col: str, k: int = 128):
+    """Per-group distinct-count KMV sketch — the scale path past exact
+    ``COUNT(DISTINCT)`` per key (``aggregates.grouped_count_distinct``
+    shuffles every distinct (key, val) pair; this ships ≤ k hashes per
+    key per batch regardless of value cardinality). Exact below k per
+    group, ``(k−1)·2⁶⁴ // h_k`` above — the same integer estimator and
+    md5-LE64 hash as the corpus-wide sketch, so the SQL mirror is a
+    row_number window + one HUGEINT division per group.
+
+    Plan: per-batch per-key k-min distinct hashes (vectorized pandas
+    groupby), ONE (key, h) exchange of sketch rows, per-key merge =
+    union + re-truncate (associative). Returns
+    ``(key, n_kept, est_distinct)``."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df["h"] = [md5_le64(str(v)) for v in df[val_col]]
+        df = df.drop_duplicates([key_col, "h"])
+        df["h"] = df["h"].astype(np.uint64)
+        df = df.sort_values([key_col, "h"], kind="mergesort")
+        df = df.groupby(key_col, sort=False).head(k)
+        return pa.Table.from_pandas(df[[key_col, "h"]],
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy(np.uint64))
+        n_kept, est = kmv_estimate(hs, k)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n_kept": np.array([n_kept], np.int64),
+                             "est_distinct": np.array([est], np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(merge, batch_format="pandas"))

@@ -162,3 +162,34 @@ class TestHyperLogLog:
         assert abs(corrected - 50) <= 2
         _, raw = hll_estimate_raw(regs)
         assert raw <= 5 * HLL_M // 2         # and the raw path chose correction
+
+
+class TestGroupedKMV:
+    def test_exact_below_k_and_estimate_above(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.sketches import grouped_kmv_distinct
+
+        rows = ([{"k": "small", "v": i % 40} for i in range(500)]
+                + [{"k": "big", "v": i} for i in range(3000)])
+        ds = ray.data.from_items(rows).repartition(8)
+        out = (grouped_kmv_distinct(ds, key_col="k", val_col="v", k=128)
+               .to_pandas().set_index("k"))
+        assert out.loc["small", "est_distinct"] == 40      # exact below k
+        assert out.loc["small", "n_kept"] == 40
+        big = out.loc["big", "est_distinct"]
+        assert abs(big - 3000) < 0.3 * 3000                # ~1/sqrt(126) err
+        assert out.loc["big", "n_kept"] == 128
+
+    def test_parallelism_invariant(self, ray_session):
+        import ray.data
+
+        from documentai_ray.stages.sketches import grouped_kmv_distinct
+
+        rows = [{"k": chr(97 + i % 2), "v": i * 17} for i in range(1000)]
+        outs = []
+        for p in (2, 12):
+            ds = ray.data.from_items(rows).repartition(p)
+            outs.append(grouped_kmv_distinct(ds, key_col="k", val_col="v")
+                        .to_pandas().sort_values("k").reset_index(drop=True))
+        assert outs[0].equals(outs[1])
