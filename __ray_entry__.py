@@ -2409,6 +2409,32 @@ def _q_users_sketch(sf_dir: str):
                                 val_col="user_id", k=128)
 
 
+def _q_events_anomaly(sf_dir: str):
+    """Hourly event-count spike detection per event type in EXACT integer
+    arithmetic: |x−μ| > 3σ cross-multiplied to (xn−S)² > 9(nQ−S²) so no
+    float mean/std ever reaches the compared columns (windows.
+    flag_count_anomalies). Oracle: the same integer inequality over SQL
+    window sums."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import flag_count_anomalies
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        return pa.Table.from_pandas(df[["event_type", "hour"]],
+                                    preserve_index=False)
+
+    hours = ds.map_batches(add_hour, batch_format="pyarrow")
+    return flag_count_anomalies(hours, key_col="event_type",
+                                bucket_col="hour")
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4075,6 +4101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "online_neardup": _q_online_neardup,
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
+        "events_anomaly": _q_events_anomaly,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5021,6 +5048,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(127 AS HUGEINT) * "
             "CAST(18446744073709551616 AS HUGEINT) // hk END AS BIGINT) "
             "AS est_distinct FROM a"
+        ),
+        "events_anomaly": (
+            "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(count(*) AS BIGINT) AS x FROM events "
+            "GROUP BY event_type, hour), "
+            "w AS (SELECT event_type, hour, x, "
+            "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, "
+            "CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s, "
+            "CAST(sum(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS q "
+            "FROM c) "
+            "SELECT event_type, hour, x, "
+            "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
+            "> 9 * (n * q - s * s) AS is_spike FROM w"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

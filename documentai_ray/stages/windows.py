@@ -183,3 +183,64 @@ def route_late_events(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         return g.drop(columns=["_max_ts"])
 
     return joined.map_batches(flag, batch_format="pandas")
+
+
+def flag_count_anomalies(ds, *, key_col: str, bucket_col: str,
+                         sigma: int = 3):
+    """Spike detection over per-(key, bucket) event counts in EXACT
+    integer arithmetic: bucket b of key k is anomalous iff
+
+        (x_b·n − S) > 0  and  (x_b·n − S)² > sigma²·(n·Q − S²)
+
+    which is |x−μ| > sigma·σ cross-multiplied by n² — no float mean/std
+    ever materializes, so the flag is bit-identical in any engine (the
+    repo's integer-inequality pattern; a float z-score column would be
+    ulp-fragile). n, S, Q are the key's bucket count, Σx and Σx².
+
+    Plan: count per (key, bucket) (pre-combined), per-key (n, S, Q) via
+    a second tiny groupby, broadcast-joined back (keys ≪ data; swap in
+    hash_join past the broadcast budget). Emits counts + ``is_spike``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, bucket_col]).to_pandas()
+        g = (df.groupby([key_col, bucket_col], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(pair_counts, batch_format="pyarrow")
+              .groupby([key_col, bucket_col])
+              .aggregate(Sum("n", alias_name="x")))
+    counts = counts.materialize()      # consumed twice (stats + flag)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df["x"].astype("int64")
+        g = pd.DataFrame({key_col: df[key_col], "n": 1, "s": x, "q": x * x})
+        return pa.Table.from_pandas(
+            g.groupby(key_col, as_index=False).sum(), preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    stats = (counts.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby(key_col)
+             .aggregate(_Sum("n", alias_name="n"),
+                        _Sum("s", alias_name="s"),
+                        _Sum("q", alias_name="q")))
+    stat_map = {r[key_col]: (int(r["n"]), int(r["s"]), int(r["q"]))
+                for r in stats.iter_rows()}
+    ref = ray.put(stat_map)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        keys = batch.column(key_col).to_pylist()
+        xs = batch.column("x").to_pylist()
+        out = []
+        for k, x in zip(keys, xs):
+            n, s, q = sm[k]
+            d = x * n - s
+            out.append(d > 0 and d * d > sigma * sigma * (n * q - s * s))
+        return batch.append_column("is_spike", pa.array(out, pa.bool_()))
+
+    return counts.map_batches(flag, batch_format="pyarrow")
