@@ -2435,6 +2435,65 @@ def _q_events_anomaly(sf_dir: str):
                                 bucket_col="hour")
 
 
+def _q_lang_rebalance(sf_dir: str):
+    """Language-balanced corpus cap: keep the K=30 longest docs per
+    language — the rebalancing step multilingual corpora apply so
+    high-resource languages don't swamp the mix (same grouped_topk
+    physical plan as the per-domain cap: partial top-k per batch, one
+    key-hash exchange). Oracle: row_number window."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "n_chars": pa.array([len(t or "") for t in texts],
+                                             pa.int64())})
+
+    sized = ds.map_batches(measure, batch_format="pyarrow")
+    return grouped_topk(sized, key_col="lang",
+                        sort_cols=["n_chars", "doc_id"],
+                        ascending=[False, True], k=30)
+
+
+def _q_drop_funnel(sf_dir: str):
+    """Curation drop-funnel audit: every document tagged with the FIRST
+    rule that drops it (short → bad_lang → low_confidence → kept, the
+    curate_corpus rule set in fixed order) — the funnel report a corpus
+    run publishes so "why did my doc disappear" is answerable. Oracle:
+    the same CASE ladder over the mirrored quality SQL."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow",
+                        batch_size=512)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n_chars = np.asarray(t.column("n_chars").to_pylist())
+        lang_ok = np.asarray(t.column("lang_ok").to_pylist())
+        conf = np.asarray(t.column("confidence").to_pylist())
+        reason = np.where(n_chars < 100, "short",
+                          np.where(~lang_ok, "bad_lang",
+                                   np.where(conf < 0.6, "low_confidence",
+                                            "kept")))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "drop_reason": pa.array(reason.tolist(),
+                                                 pa.string())})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4102,6 +4161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "lang_rebalance": _q_lang_rebalance,
+        "drop_funnel": _q_drop_funnel,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5061,6 +5122,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "lang_rebalance": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY length(text) DESC, doc_id) AS rn FROM documents) "
+            "WHERE rn <= 30"
+        ),
+        "drop_funnel": (
+            "SELECT doc_id, CASE WHEN n_chars < 100 THEN 'short' "
+            "WHEN NOT lang_ok THEN 'bad_lang' "
+            "WHEN confidence < 0.6 THEN 'low_confidence' "
+            "ELSE 'kept' END AS drop_reason FROM ("
+            "SELECT doc_id, n_chars, "
+            "lang IN ('en','de','fr','es') AS lang_ok, "
+            f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
+            f"SELECT doc_id, lang, {_SQL_QUALITY_METRICS.strip()} "
+            "FROM documents))"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:
