@@ -70,6 +70,14 @@ class LSHIndexShard:
         return {"n_buckets": len(self.buckets),
                 "n_postings": sum(len(v) for v in self.buckets.values())}
 
+    def dump(self) -> tuple:
+        keys, ids = [], []
+        for k in sorted(self.buckets):
+            for i in self.buckets[k]:
+                keys.append(k)
+                ids.append(i)
+        return keys, ids
+
 
 def _shard_of(key: str, num_shards: int) -> int:
     return int(key[:8], 16) % num_shards
@@ -154,3 +162,42 @@ def verify_with_texts(cands_ds, query_texts: dict, index_texts: dict, *,
         return batch.filter(pa.array(mask))
 
     return cands_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def save_lsh_index(shards, out_dir: str) -> list:
+    """Persist the index: each shard dumps its postings to
+    ``shard-<i>.parquet`` (atomic publish). Shard i's file MUST reload
+    into actor i — the band-key → shard routing is positional."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    dumps = ray.get([s.dump.remote() for s in shards])
+    paths = []
+    for i, (keys, ids) in enumerate(dumps):
+        path = os.path.join(out_dir, f"shard-{i:02d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({"band_key": pa.array(keys, pa.string()),
+                                 "doc_id": pa.array(ids, pa.string())}), tmp)
+        os.replace(tmp, path)
+        paths.append(path)
+    return paths
+
+
+def load_lsh_index(out_dir: str):
+    """Rebuild the shard actors from a saved index directory (positional
+    shard files preserve the routing)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob(os.path.join(out_dir, "shard-*.parquet")))
+    shards = [LSHIndexShard.remote() for _ in paths]
+    ray.get([
+        shards[i].add.remote(t.column("band_key").to_pylist(),
+                             t.column("doc_id").to_pylist())
+        for i, t in ((i, pq.read_table(p)) for i, p in enumerate(paths))
+    ])
+    return shards

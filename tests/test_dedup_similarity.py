@@ -390,3 +390,26 @@ def test_online_lsh_index_matches_batch_candidates(ray_session):
     stats = _ray.get([s.stats.remote() for s in shards])
     assert sum(s["n_buckets"] for s in stats) > 0
     assert all(s["n_buckets"] > 0 for s in stats)
+
+
+def test_online_lsh_index_save_load_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from documentai_ray.state.lsh_index import (build_lsh_index,
+                                                load_lsh_index,
+                                                query_lsh_index,
+                                                save_lsh_index)
+
+    base_rows = [{"url": f"u{i}", "text": " ".join(
+        f"w{i}_{j}" for j in range(25))} for i in range(20)]
+    q_rows = [{"url": f"q{i}", "text": base_rows[i]["text"] + " tail"}
+              for i in range(6)]
+    base = ray.data.from_items(base_rows).repartition(3)
+    shards = build_lsh_index(base, id_col="url", num_shards=3)
+    save_lsh_index(shards, str(tmp_path / "idx"))
+    reloaded = load_lsh_index(str(tmp_path / "idx"))
+    qs = ray.data.from_items(q_rows).repartition(2)
+    a = query_lsh_index(qs, shards, id_col="url").to_pandas()
+    b = query_lsh_index(qs, reloaded, id_col="url").to_pandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy()))
+    assert key(a) == key(b) and len(a) > 0
