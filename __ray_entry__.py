@@ -1504,6 +1504,44 @@ def _q_split_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _q_cm_counts(sf_dir: str):
+    """Count-Min point-frequency estimates for the corpus' top-20 tokens:
+    the (4×1024) counter grid merges per-batch partials (sketch-sized
+    state, same contract as KMV/HLL), est = min over the 4 salted-hash
+    rows — never under the true count, over by ≤ εN. Oracle: the
+    identical grid and min-lookup in SQL. Complements Misra-Gries
+    (exact WHICH-is-heavy) with HOW-OFTEN-is-this for any token."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import (cm_estimate,
+                                                cm_sketch_tokens)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"]).materialize()
+    grid = cm_sketch_tokens(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split())
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n_true"))
+           .to_pandas())
+    agg = agg.sort_values(["n_true", "token"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    agg["cm_est"] = [cm_estimate(grid, t) for t in agg["token"]]
+    return agg
+
+
 def _q_top_tokens(sf_dir: str):
     """Corpus token frequencies: per-batch Counter partials → groupby sum →
     top-20 (count desc, token asc). The combiner keeps the shuffle at
@@ -4163,6 +4201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": _q_events_anomaly,
         "lang_rebalance": _q_lang_rebalance,
         "drop_funnel": _q_drop_funnel,
+        "cm_counts": _q_cm_counts,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5140,6 +5179,22 @@ def oracle_sql() -> dict[str, str]:
             f"{_SQL_QUALITY_DERIVED.strip()} FROM ("
             f"SELECT doc_id, lang, {_SQL_QUALITY_METRICS.strip()} "
             "FROM documents))"
+        ),
+        "cm_counts": (
+            "WITH toks AS (SELECT unnest(list_filter(string_split_regex("
+            "text, '\\s+'), x -> x <> '')) AS tok FROM documents), "
+            "top AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true "
+            "FROM toks GROUP BY tok ORDER BY n_true DESC, tok LIMIT 20), "
+            "b AS (SELECT i, CAST(list_sum(list_transform(generate_series(0, 7), j -> (CAST(strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || tok), 2*j+1, 1)) - 1 AS HUGEINT) * 16 + CAST(strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || tok), 2*j+2, 1)) - 1 AS HUGEINT)) * [CAST(1 AS HUGEINT), CAST(256 AS HUGEINT), CAST(65536 AS HUGEINT), CAST(16777216 AS HUGEINT), CAST(4294967296 AS HUGEINT), CAST(1099511627776 AS HUGEINT), CAST(281474976710656 AS HUGEINT), CAST(72057594037927936 AS HUGEINT)][j + 1])) % 1024 AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n FROM toks, "
+            "(SELECT unnest(range(0, 4)) AS i) GROUP BY 1, 2), "
+            "q AS (SELECT tok, n_true, i, "
+            "CAST(list_sum(list_transform(generate_series(0, 7), j -> (CAST(strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || tok), 2*j+1, 1)) - 1 AS HUGEINT) * 16 + CAST(strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR) || ':' || tok), 2*j+2, 1)) - 1 AS HUGEINT)) * [CAST(1 AS HUGEINT), CAST(256 AS HUGEINT), CAST(65536 AS HUGEINT), CAST(16777216 AS HUGEINT), CAST(4294967296 AS HUGEINT), CAST(1099511627776 AS HUGEINT), CAST(281474976710656 AS HUGEINT), CAST(72057594037927936 AS HUGEINT)][j + 1])) % 1024 AS BIGINT) AS bucket FROM top, "
+            "(SELECT unnest(range(0, 4)) AS i)) "
+            "SELECT q.tok AS token, q.n_true, "
+            "CAST(min(coalesce(b.n, 0)) AS BIGINT) AS cm_est "
+            "FROM q LEFT JOIN b ON q.i = b.i AND q.bucket = b.bucket "
+            "GROUP BY q.tok, q.n_true"
         ),
         "robots_txt_rules": (
             # mirrors the deterministic per-host policies in the query:

@@ -280,3 +280,59 @@ def grouped_kmv_distinct(ds, *, key_col: str, val_col: str, k: int = 128):
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key_col)
             .map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates, mergeable counter grid)
+# ---------------------------------------------------------------------------
+
+CM_W = 1024
+CM_D = 4
+
+
+def cm_buckets(token: str, d: int = CM_D, w: int = CM_W) -> list:
+    """The d row-buckets of a token: independent hashes via the repo
+    hash with a row-salt prefix (md5-LE64 of "<i>:<token>") mod w."""
+    return [md5_le64(f"{i}:{token}") % w for i in range(d)]
+
+
+def cm_sketch_tokens(ds, *, text_col: str = "text", d: int = CM_D,
+                     w: int = CM_W) -> np.ndarray:
+    """Build the (d, w) Count-Min counter grid over the corpus token
+    stream (Cormode & Muthukrishnan 2005): est(t) = min_i C[i][h_i(t)]
+    NEVER underestimates and overestimates by ≤ εN with prob 1−δ
+    (ε = e/w, δ = e^−d). Counter addition is associative, so each batch
+    ships only its non-zero counters as (row, bucket, n) triples
+    (≤ d·w rows ≈ KBs) and a bounded groupby-sum merges them — the same
+    sketch-sized-state contract as KMV/HLL. Complements Misra-Gries:
+    MG answers "which tokens are heavy" exactly; CM answers "how often
+    does THIS token occur" for any token without a second pass."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grid = np.zeros((d, w), np.int64)
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            counts.update((t or "").split())
+        for tok, n in counts.items():
+            for i, b in enumerate(cm_buckets(tok, d, w)):
+                grid[i, b] += n
+        rows, buckets = np.nonzero(grid)
+        return pa.table({"row": pa.array(rows, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "n": pa.array(grid[rows, buckets], pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["row", "bucket"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    grid = np.zeros((d, w), np.int64)
+    grid[merged["row"].to_numpy(), merged["bucket"].to_numpy()] = \
+        merged["n"].to_numpy()
+    return grid
+
+
+def cm_estimate(grid: np.ndarray, token: str) -> int:
+    d, w = grid.shape
+    return int(min(grid[i, b] for i, b in enumerate(cm_buckets(token, d, w))))

@@ -193,3 +193,38 @@ class TestGroupedKMV:
             outs.append(grouped_kmv_distinct(ds, key_col="k", val_col="v")
                         .to_pandas().sort_values("k").reset_index(drop=True))
         assert outs[0].equals(outs[1])
+
+
+class TestCountMin:
+    def test_never_underestimates_and_tight_for_heavy(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from documentai_ray.stages.sketches import (cm_estimate,
+                                                    cm_sketch_tokens)
+
+        rows = [{"text": "hot " * 50 + f"cold{i} cold{i+1}"}
+                for i in range(300)]
+        ds = ray.data.from_items(rows).repartition(6)
+        grid = cm_sketch_tokens(ds)
+        true = collections.Counter()
+        for r in rows:
+            true.update(r["text"].split())
+        for tok, n in list(true.items())[:50]:
+            est = cm_estimate(grid, tok)
+            assert est >= n                        # one-sided guarantee
+        n_total = sum(true.values())
+        # heavy token estimate within eN (e = e/w ~ 0.27% of 15600)
+        assert cm_estimate(grid, "hot") - true["hot"] <= 3 * n_total / 1024
+
+    def test_merge_parallelism_invariant(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from documentai_ray.stages.sketches import cm_sketch_tokens
+
+        rows = [{"text": f"a{i % 17} b{i % 5}"} for i in range(500)]
+        grids = [cm_sketch_tokens(ray.data.from_items(rows).repartition(p))
+                 for p in (2, 11)]
+        assert np.array_equal(grids[0], grids[1])
