@@ -4089,6 +4089,26 @@ def _q_web_curation(sf_dir: str):
                           batch_size=256)
 
 
+def _q_config_pipeline(sf_dir: str):
+    """The web-curation chain compiled from configs/pipelines/
+    web_curation.yaml by the declarative pipeline surface
+    (pipelines/declarative.py: named-stage registry, compile-time
+    validation, folds to ONE lazy Dataset) — a user re-orders or extends
+    curation without code, the reference's config-surface idea applied
+    to pipeline STRUCTURE. Must match the hand-composed web_curation
+    oracle exactly."""
+    import os
+
+    from documentai_ray.pipelines.declarative import load_yaml_pipeline
+    from documentai_ray.sources.pages import pages_dataset
+
+    run = load_yaml_pipeline(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs", "pipelines", "web_curation.yaml"))
+    ds = pages_dataset(sf_dir, with_dups=True, with_near_dups=True)
+    return run(ds, sf_dir)
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4202,6 +4222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rebalance": _q_lang_rebalance,
         "drop_funnel": _q_drop_funnel,
         "cm_counts": _q_cm_counts,
+        "config_pipeline": _q_config_pipeline,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5709,6 +5730,25 @@ def oracle_sql() -> dict[str, str]:
         # host blocklist (amp variants never exist in the golden set; the
         # engine's query-string rule removes them pre-extract) → empty
         # drop → C4 line filter → knuth split on the url-embedded doc_id
+        "config_pipeline": (
+            f"WITH base AS ({_SQL_EXPECTED_PAGES}), "
+            "f AS (SELECT doc_id, url, text FROM base WHERE text <> '' "
+            "AND NOT coalesce(string_split(url, '/')[3] = 'heavy.example.com' "
+            "OR (starts_with(string_split(url, '/')[3], 'src') AND "
+            "TRY_CAST(substr(string_split(string_split(url, '/')[3], '.')[1], 4) "
+            "AS INT) % 7 = 3), false)), "
+            "c AS (SELECT doc_id, url, "
+            "list_filter(string_split(text, chr(10)), l -> "
+            "len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5 "
+            "AND NOT contains(l, '{') AND NOT ends_with(l, ':')) AS kept FROM f), "
+            "k AS (SELECT doc_id, url, array_to_string(kept, chr(10)) AS ct, "
+            "len(kept) AS n_lines_kept FROM c WHERE len(kept) > 0) "
+            "SELECT url, n_lines_kept, length(ct) AS n_chars, CASE "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.8 "
+            "THEN 'train' "
+            "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 "
+            "THEN 'val' ELSE 'test' END AS split FROM k"
+        ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "
             "f AS (SELECT doc_id, url, text FROM base WHERE text <> '' "
