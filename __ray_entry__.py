@@ -4109,6 +4109,53 @@ def _q_config_pipeline(sf_dir: str):
     return run(ds, sf_dir)
 
 
+def _q_ivm_counts(sf_dir: str):
+    """Incremental view maintenance of per-source token totals: the base
+    aggregate plus SIGNED changelog deltas (deletes %7: −tokens; updates
+    %3: +2 tokens from an appended " extra extra") — the delta pass
+    touches only changed docs, never re-reads the base (aggregates.
+    ivm_delta_counts). Oracle: aggregate the post-change state directly
+    — delta maintenance must land on the identical totals."""
+    import pyarrow as pa
+    import ray.data
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        toks = [len((t or "").split(" ")) for t in
+                batch.column("text").to_pylist()]
+        return pa.table({"source": batch.column("source"),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    def delta_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        srcs = batch.column("source").to_pylist()
+        toks = [len((t or "").split(" ")) for t in
+                batch.column("text").to_pylist()]
+        out_s, out_d = [], []
+        for i, s, n in zip(ids, srcs, toks):
+            if i % 7 == 0:                      # delete: -old
+                out_s.append(s)
+                out_d.append(-n)
+            elif i % 3 == 0:                    # update: new - old = +2
+                out_s.append(s)
+                out_d.append(2)
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "delta": pa.array(out_d, pa.int64())})
+
+    from documentai_ray.stages.aggregates import ivm_delta_counts
+
+    changes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"]).map_batches(
+        delta_rows, batch_format="pyarrow")
+    return ivm_delta_counts(base.map_batches(base_rows,
+                                             batch_format="pyarrow"),
+                            changes, key_col="source", val_col="n_tokens")
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4223,6 +4270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drop_funnel": _q_drop_funnel,
         "cm_counts": _q_cm_counts,
         "config_pipeline": _q_config_pipeline,
+        "ivm_counts": _q_ivm_counts,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5748,6 +5796,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'train' "
             "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 "
             "THEN 'val' ELSE 'test' END AS split FROM k"
+        ),
+        # the post-change state aggregated directly: deletes %7 gone,
+        # updates %3 carry " extra extra" (+2 single-space tokens)
+        "ivm_counts": (
+            "SELECT source, CAST(sum(CASE WHEN doc_id % 3 = 0 "
+            "THEN len(string_split(text, ' ')) + 2 "
+            "ELSE len(string_split(text, ' ')) END) AS BIGINT) AS total "
+            "FROM documents WHERE doc_id % 7 <> 0 GROUP BY source"
         ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "

@@ -326,3 +326,36 @@ def zorder_key(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
         out |= ((x >> i) & 1) << (2 * i)
         out |= ((y >> i) & 1) << (2 * i + 1)
     return out
+
+
+def ivm_delta_counts(base_ds, changes_ds, *, key_col: str, val_col: str,
+                     out_col: str = "total"):
+    """Incremental view maintenance for a grouped SUM: the materialized
+    per-key totals of the BASE state plus the changelog's SIGNED deltas
+    (insert → +v, delete → −v_old, update → v_new − v_old) — the daily
+    10 TB delta updates the corpus-wide aggregate without re-reading the
+    100 TB base. Both inputs pre-combine per batch; one bounded
+    (key)-exchange sums base partials and deltas together. The result is
+    EXACTLY the aggregate of the post-change state (integer values), so
+    the oracle just aggregates the final state directly.
+
+    ``changes_ds`` rows carry ``(key, delta)`` already signed by the
+    caller (the CDC extractor knows old and new values)."""
+    from ray.data.aggregate import Sum
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        g = df.groupby(key_col, as_index=False)[val_col].sum()
+        g = g.rename(columns={val_col: "_d"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, "delta"]).to_pandas()
+        g = df.groupby(key_col, as_index=False)["delta"].sum()
+        g = g.rename(columns={"delta": "_d"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = base_ds.map_batches(base_partial, batch_format="pyarrow").union(
+        changes_ds.map_batches(delta_partial, batch_format="pyarrow"))
+    return (parts.groupby(key_col)
+            .aggregate(Sum("_d", alias_name=out_col)))
