@@ -4156,6 +4156,20 @@ def _q_ivm_counts(sf_dir: str):
                             changes, key_col="source", val_col="n_tokens")
 
 
+def _q_pseudonymize(sf_dir: str):
+    """Keyed-hash pseudonymization of the events export: user_id →
+    md5-LE64("s1:<id>") — stable (joinable) but unlinkable without the
+    salt, the structured-identifier complement of redact_pii. Oracle:
+    the identical keyed hash in HUGEINT SQL."""
+    import ray.data
+
+    from documentai_ray.stages.curation import pseudonymize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    return pseudonymize(ds, ["user_id"], salt="s1")
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4271,6 +4285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_counts": _q_cm_counts,
         "config_pipeline": _q_config_pipeline,
         "ivm_counts": _q_ivm_counts,
+        "pseudonymize": _q_pseudonymize,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5804,6 +5819,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN len(string_split(text, ' ')) + 2 "
             "ELSE len(string_split(text, ' ')) END) AS BIGINT) AS total "
             "FROM documents WHERE doc_id % 7 <> 0 GROUP BY source"
+        ),
+        # u64 reinterpreted as signed int64 (the engine stores int64):
+        # subtract 2^64 above the signed max
+        "pseudonymize": (
+            f"WITH h AS (SELECT event_id, "
+            f"{_sql_md5_le64(chr(39) + 's1:' + chr(39) + ' || CAST(user_id AS VARCHAR)')} AS hv "
+            "FROM events) "
+            "SELECT event_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT) "
+            "THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END "
+            "AS BIGINT) AS user_id_pseudo FROM h"
         ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "

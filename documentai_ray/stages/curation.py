@@ -722,3 +722,25 @@ def mix_plan(ds, weights: dict[str, int], *, budget_factor: int = 2,
         "target_tokens": pa.array([r[2] for r in rows], pa.int64()),
         "n_epochs": pa.array([r[3] for r in rows], pa.int64()),
         "rate_ppm": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def pseudonymize(ds, cols: list, *, salt: str, out_suffix: str = "_pseudo"):
+    """GDPR-style pseudonymization for exported datasets: replace
+    identifier columns with a KEYED hash (md5-LE64 of ``salt:value``) —
+    stable within an export (joins/groupbys still work) but unlinkable
+    to the raw id without the salt, which stays out of the output. The
+    deterministic complement of ``redact_text`` (free-text patterns):
+    this handles the STRUCTURED identifiers. Drops the original
+    columns."""
+    from documentai_ray.stages.sketches import md5_le64
+
+    def apply(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            vals = batch.column(c).to_pylist()
+            hs = np.fromiter((md5_le64(f"{salt}:{v}") for v in vals),
+                             np.uint64, count=len(vals)).astype(np.int64)
+            batch = batch.append_column(c + out_suffix,
+                                        pa.array(hs, pa.int64()))
+        return batch.drop_columns(cols)
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -253,3 +253,23 @@ def test_recrawl_priority_buckets(ray_session):
     assert out.loc["u3", "recrawl_bucket"] == "hot"   # 500000 ppm, >= bar
     assert out.loc["u4", "recrawl_bucket"] == "cold"
     assert out.loc["u4", "n_captures"] == 1
+
+
+def test_pseudonymize_stable_and_salted(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.curation import pseudonymize
+
+    rows = [{"eid": i, "user_id": i % 7} for i in range(50)]
+    a = pseudonymize(ray.data.from_items(rows), ["user_id"],
+                     salt="s1").to_pandas()
+    b = pseudonymize(ray.data.from_items(rows), ["user_id"],
+                     salt="s2").to_pandas()
+    # stable within a salt: same user → same pseudo-id (joins survive)
+    g = a.groupby(a["eid"] % 7)["user_id_pseudo"].nunique()
+    assert (g == 1).all()
+    assert a["user_id_pseudo"].nunique() == 7
+    # different salt → unlinkable mapping
+    merged = a.merge(b, on="eid")
+    assert (merged["user_id_pseudo_x"] != merged["user_id_pseudo_y"]).all()
+    assert "user_id" not in a.columns               # original dropped
