@@ -2532,6 +2532,35 @@ def _q_drop_funnel(sf_dir: str):
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def _q_tfrecord_roundtrip(sf_dir: str):
+    """TFRecord sink + source roundtrip (the TF-ecosystem shard
+    container, spec framing with masked CRC32C integrity — Castagnoli
+    table in numpy, RFC 3720 vector pinned in tests): extract →
+    latest-capture dedup → url-hash bucketed shards (atomic publish) →
+    CRC-VALIDATING shard-parallel read-back. Oracle: the golden
+    (url, text) set."""
+    import hashlib
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.sources.tfrecord import (read_tfrecord,
+                                                 write_tfrecord_shards)
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/tfrecord_shards_{tag}"
+    manifest = write_tfrecord_shards(ds.select_columns(["url", "text"]),
+                                     out_dir, num_shards=8)
+    paths = sorted(r["path"] for r in manifest.iter_rows())
+    return _norm_strings_ds(
+        read_tfrecord(paths).select_columns(["url", "text"]))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4286,6 +4315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "config_pipeline": _q_config_pipeline,
         "ivm_counts": _q_ivm_counts,
         "pseudonymize": _q_pseudonymize,
+        "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5364,6 +5394,9 @@ def oracle_sql() -> dict[str, str]:
             "AND m.url NOT LIKE '%?amp=1' "
             "WHERE CAST(len(list_intersect(q.sh, m.sh)) AS DOUBLE) / "
             "len(list_distinct(q.sh || m.sh)) >= 0.8"
+        ),
+        "tfrecord_roundtrip": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

@@ -132,3 +132,28 @@ def test_jsonl_shards_deterministic_and_resumable(ray_session, tmp_path):
     import pandas as pd
     expect = pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(df[["url", "text"]], expect)
+
+
+def test_tfrecord_crc_validation_rejects_corruption(ray_session, tmp_path):
+    import ray.data
+
+    from documentai_ray.sources.tfrecord import (iter_tfrecords,
+                                                 read_tfrecord,
+                                                 write_tfrecord_shards)
+
+    rows = [{"url": f"https://h/{i}", "text": f"t {i} é"} for i in range(40)]
+    m = write_tfrecord_shards(ray.data.from_items(rows), str(tmp_path),
+                              num_shards=2).to_pandas()
+    assert int(m["n_records"].sum()) == 40
+    paths = sorted(str(p) for p in tmp_path.iterdir())
+    back = read_tfrecord(paths).to_pandas().sort_values("url")
+    assert len(back) == 40 and set(back.columns) == {"url", "text"}
+    # flip one payload byte → the CRC check must fail loudly
+    blob = bytearray(open(paths[0], "rb").read())
+    blob[20] ^= 0xFF
+    import pytest
+    with pytest.raises(ValueError, match="crc mismatch"):
+        list(iter_tfrecords(bytes(blob)))
+    # truncation must also fail loudly
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_tfrecords(open(paths[0], "rb").read()[:-2]))
