@@ -4199,6 +4199,43 @@ def _q_pseudonymize(sf_dir: str):
     return pseudonymize(ds, ["user_id"], salt="s1")
 
 
+def _q_customer_order_counts(sf_dir: str):
+    """LEFT hash_join coverage: every customer joined to its
+    pre-aggregated order count — customers with no orders survive with
+    n_orders 0 (the non-vacuous null side; ~1/3 of TPC-H customers).
+    The order side pre-aggregates BEFORE the join so the exchange
+    carries one row per customer, not per order. Oracle: LEFT JOIN +
+    coalesce."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from documentai_ray.stages.joins import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    per_cust = (orders.groupby("o_custkey")
+                .aggregate(Count(alias_name="n_orders")))
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.column("o_custkey"),
+                         "n_orders": batch.column("n_orders")})
+
+    joined = hash_join(cust, per_cust.map_batches(rekey,
+                                                  batch_format="pyarrow"),
+                       on="c_custkey", how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.fill_null(batch.column("n_orders"), 0)
+        return batch.set_column(batch.column_names.index("n_orders"),
+                                "n_orders", pc.cast(n, pa.int64()))
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4316,6 +4353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_counts": _q_ivm_counts,
         "pseudonymize": _q_pseudonymize,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
+        "customer_order_counts": _q_customer_order_counts,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5862,6 +5900,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(CASE WHEN hv >= CAST(9223372036854775808 AS HUGEINT) "
             "THEN hv - CAST(18446744073709551616 AS HUGEINT) ELSE hv END "
             "AS BIGINT) AS user_id_pseudo FROM h"
+        ),
+        "customer_order_counts": (
+            "SELECT c.c_custkey, c.c_mktsegment, "
+            "CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders "
+            "FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n "
+            "FROM orders GROUP BY o_custkey) o "
+            "ON c.c_custkey = o.o_custkey"
         ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "
