@@ -2561,6 +2561,34 @@ def _q_tfrecord_roundtrip(sf_dir: str):
         read_tfrecord(paths).select_columns(["url", "text"]))
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source roundtrip (RFC 4180, QUOTE_ALL + CRLF so
+    embedded newlines/quotes in extracted text survive): extract →
+    latest-capture dedup → url-hash bucketed shards → shard-parallel
+    read-back. Oracle: the golden (url, text) set — any quoting defect
+    breaks the match on the first multi-line document."""
+    import hashlib
+
+    from documentai_ray.sources.jsonl import (read_csv_shards,
+                                              write_csv_shards)
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/csv_shards_{tag}"
+    manifest = write_csv_shards(ds.select_columns(["url", "text"]), out_dir,
+                                num_shards=8)
+    paths = sorted(r["path"] for r in manifest.iter_rows())
+    return _norm_strings_ds(
+        read_csv_shards(paths).select_columns(["url", "text"]))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4354,6 +4382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonymize": _q_pseudonymize,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "customer_order_counts": _q_customer_order_counts,
+        "csv_roundtrip": _q_csv_roundtrip,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5434,6 +5463,9 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(q.sh || m.sh)) >= 0.8"
         ),
         "tfrecord_roundtrip": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
+        ),
+        "csv_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
         ),
         "wet_roundtrip": (

@@ -70,3 +70,60 @@ def read_jsonl(paths: list, *, num_cpus: float = 0.5):
     ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
     return ds.repartition(len(paths)).map_batches(
         parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)
+
+
+def write_csv_shards(ds, out_dir: str, *, num_shards: int = 8,
+                     key_col: str = "url"):
+    """Distributed CSV sink, same contract as the jsonl sink (key-hash
+    bucketed shards, atomic publish, byte-deterministic): QUOTE_ALL +
+    ``\\r\\n`` line terminator per RFC 4180, so embedded newlines/quotes
+    in text columns round-trip exactly. Header row per shard."""
+    import csv
+    import io
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(g) -> pa.Table:
+        b = int(g["_pkey"].iloc[0])
+        g = g.drop(columns=["_pkey"]).sort_values(key_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{b:02d}.csv")
+        tmp = path + ".tmp"
+        buf = io.StringIO()
+        w = csv.writer(buf, quoting=csv.QUOTE_ALL, lineterminator="\r\n")
+        w.writerow(list(g.columns))
+        for rec in g.itertuples(index=False):
+            w.writerow(list(rec))
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue().encode("utf-8"))
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(g)], pa.int64())})
+
+    return (_add_pkey(ds, key_col, num_shards)
+            .groupby("_pkey")
+            .map_groups(write_bucket, batch_format="pandas"))
+
+
+def read_csv_shards(paths: list, *, num_cpus: float = 0.5):
+    """Distributed RFC 4180 CSV ingestion: one parse task per shard."""
+    import csv
+    import io
+
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch.column("path").to_pylist():
+            with open(p, "rb") as f:
+                text = f.read().decode("utf-8")
+            r = csv.reader(io.StringIO(text))
+            header = next(r)
+            for rec in r:
+                rows.append(dict(zip(header, rec)))
+        return pa.Table.from_pylist(rows)
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+    return ds.repartition(len(paths)).map_batches(
+        parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)

@@ -157,3 +157,20 @@ def test_tfrecord_crc_validation_rejects_corruption(ray_session, tmp_path):
     # truncation must also fail loudly
     with pytest.raises(ValueError, match="truncated"):
         list(iter_tfrecords(open(paths[0], "rb").read()[:-2]))
+
+
+def test_csv_shards_quote_newline_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from documentai_ray.sources.jsonl import read_csv_shards, write_csv_shards
+
+    rows = [{"url": f"https://h/{i}",
+             "text": f'line1\nline2 "quoted" ,comma é {i}'} for i in range(30)]
+    m = write_csv_shards(ray.data.from_items(rows), str(tmp_path),
+                         num_shards=3).to_pandas()
+    assert int(m["n_records"].sum()) == 30
+    back = (read_csv_shards(sorted(str(p) for p in tmp_path.iterdir()))
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    import pandas as pd
+    expect = pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["url", "text"]], expect)
