@@ -2589,6 +2589,57 @@ def _q_csv_roundtrip(sf_dir: str):
         read_csv_shards(paths).select_columns(["url", "text"]))
 
 
+def _q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather V2) sink + source roundtrip — the zero-copy
+    columnar interchange: readers memory-map record batches with no
+    parse step, the natural hand-off between Arrow-native engines.
+    Oracle: the golden (url, text) set."""
+    import hashlib
+
+    from documentai_ray.sources.jsonl import read_ipc_shards, write_ipc_shards
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/ipc_shards_{tag}"
+    manifest = write_ipc_shards(ds.select_columns(["url", "text"]), out_dir,
+                                num_shards=8)
+    paths = sorted(r["path"] for r in manifest.iter_rows())
+    return _norm_strings_ds(
+        read_ipc_shards(paths).select_columns(["url", "text"]))
+
+
+def _q_sorted_export(sf_dir: str):
+    """Range-partitioned sorted export of the SURT key space (the CDX
+    shard layout): explicit driver-chosen boundaries split the reversed-
+    host key space into 4 shards, each written key-sorted with atomic
+    publish — manifest (shard, n_rows, min_key, max_key) is the
+    binary-searchable index. Oracle: bucket = count of boundaries ≤ key
+    (string compare), group counts + min/max. Cross-shard global order
+    pinned in pytest by reading the shards back."""
+    import hashlib
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.curation import sorted_range_export
+    from documentai_ray.stages.dedup import surt_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False).select_columns(["url"])
+    keyed = ds.map_batches(surt_batch, batch_format="pyarrow",
+                           batch_size=512)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/sorted_export_{tag}"
+    bounds = ["com,example,src1", "com,example,src3",
+              "com,example,src6"]
+    return sorted_range_export(keyed, out_dir, key_col="surt_key",
+                               boundaries=bounds)
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4383,6 +4434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
         "customer_order_counts": _q_customer_order_counts,
         "csv_roundtrip": _q_csv_roundtrip,
+        "ipc_roundtrip": _q_ipc_roundtrip,
+        "sorted_export": _q_sorted_export,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -5467,6 +5520,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "csv_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
+        ),
+        "ipc_roundtrip": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
+        ),
+        "sorted_export": (
+            f"WITH p AS (SELECT {_SQL_URL} AS url FROM documents), "
+            "k AS (SELECT lower(array_to_string(list_reverse(string_split("
+            "string_split(url, '/')[3], '.')), ',') || ')' || "
+            "substr(url, 9 + length(string_split(url, '/')[3]))) AS key "
+            "FROM p), "
+            "b AS (SELECT key, CAST((key >= 'com,example,src1')::INT "
+            "+ (key >= 'com,example,src3')::INT "
+            "+ (key >= 'com,example,src6')::INT AS BIGINT) AS shard FROM k) "
+            "SELECT shard, CAST(count(*) AS BIGINT) AS n_rows, "
+            "min(key) AS min_key, max(key) AS max_key FROM b GROUP BY shard"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

@@ -127,3 +127,51 @@ def read_csv_shards(paths: list, *, num_cpus: float = 0.5):
     ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
     return ds.repartition(len(paths)).map_batches(
         parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)
+
+
+def write_ipc_shards(ds, out_dir: str, *, num_shards: int = 8,
+                     key_col: str = "url"):
+    """Arrow IPC (Feather V2) shard sink — the zero-copy columnar
+    interchange format: a reader memory-maps record batches without any
+    parse/decode step (the natural hand-off format between Arrow-native
+    engines). Same bucketed atomic-publish contract as the other
+    sinks."""
+    import pyarrow.ipc as ipc
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(g) -> pa.Table:
+        b = int(g["_pkey"].iloc[0])
+        g = g.drop(columns=["_pkey"]).sort_values(key_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{b:02d}.arrow")
+        tmp = path + ".tmp"
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        with ipc.new_file(tmp, t.schema) as w:
+            w.write_table(t)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(g)], pa.int64())})
+
+    return (_add_pkey(ds, key_col, num_shards)
+            .groupby("_pkey")
+            .map_groups(write_bucket, batch_format="pandas"))
+
+
+def read_ipc_shards(paths: list, *, num_cpus: float = 0.5):
+    """Distributed memory-mapped IPC ingestion: one zero-copy open per
+    shard."""
+    import pyarrow.ipc as ipc
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("path").to_pylist():
+            with ipc.open_file(pa.memory_map(p)) as r:
+                tables.append(r.read_all())
+        return pa.concat_tables(tables)
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+    return ds.repartition(len(paths)).map_batches(
+        parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)

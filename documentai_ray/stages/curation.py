@@ -744,3 +744,47 @@ def pseudonymize(ds, cols: list, *, salt: str, out_suffix: str = "_pseudo"):
         return batch.drop_columns(cols)
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def sorted_range_export(ds, out_dir: str, *, key_col: str,
+                        boundaries: list):
+    """Range-partitioned SORTED export — the CDX/index shard layout:
+    shard i holds exactly the keys in [b_{i-1}, b_i) for EXPLICIT,
+    driver-chosen boundaries (pick them from a quantile sketch of the
+    key column at scale), each shard written key-sorted, so every key in
+    shard i precedes every key in shard i+1 and a binary search over the
+    manifest finds any key's shard. Explicit boundaries — not Ray's
+    data-dependent sort splits — make the layout REPRODUCIBLE at any
+    parallelism (a resumable/diffable index build needs that).
+
+    One bounded exchange on the shard id; per shard: vectorized sort +
+    atomic parquet publish. Returns the manifest Dataset
+    ``(shard, n_rows, min_key, max_key)``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    bnd = list(boundaries)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        shard = np.searchsorted(np.array(bnd, dtype=object), keys,
+                                side="right")
+        return batch.append_column("_shard",
+                                   pa.array(shard.astype("int64"), pa.int64()))
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["_shard"].iloc[0])
+        g = g.drop(columns=["_shard"]).sort_values(key_col, kind="mergesort")
+        path = os.path.join(out_dir, f"part-{s:04d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [s], "n_rows": [len(g)],
+                             "min_key": [g[key_col].iloc[0]],
+                             "max_key": [g[key_col].iloc[-1]]})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(write_shard, batch_format="pandas"))

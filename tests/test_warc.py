@@ -174,3 +174,44 @@ def test_csv_shards_quote_newline_roundtrip(ray_session, tmp_path):
     import pandas as pd
     expect = pd.DataFrame(rows).sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(back[["url", "text"]], expect)
+
+
+def test_ipc_shards_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from documentai_ray.sources.jsonl import read_ipc_shards, write_ipc_shards
+
+    rows = [{"url": f"https://h/{i}", "text": f"body é\n{i}"} for i in range(25)]
+    m = write_ipc_shards(ray.data.from_items(rows), str(tmp_path),
+                         num_shards=3).to_pandas()
+    assert int(m["n_records"].sum()) == 25
+    back = (read_ipc_shards(sorted(str(p) for p in tmp_path.iterdir()))
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        back, pd.DataFrame(rows).sort_values("url").reset_index(drop=True))
+
+
+def test_sorted_export_global_order(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.curation import sorted_range_export
+
+    rows = [{"k": f"key{i:04d}", "v": i} for i in range(0, 400, 3)]
+    man = sorted_range_export(
+        ray.data.from_items(rows).repartition(5), str(tmp_path),
+        key_col="k", boundaries=["key0100", "key0200", "key0300"]
+    ).to_pandas().sort_values("shard")
+    assert man["shard"].tolist() == [0, 1, 2, 3]
+    # manifest ranges don't overlap and cover in order
+    assert (man["max_key"].to_numpy()[:-1] < man["min_key"].to_numpy()[1:]).all()
+    # shards are internally sorted AND globally ordered end-to-end
+    all_keys = []
+    for p in sorted(glob.glob(str(tmp_path / "part-*.parquet"))):
+        ks = pq.read_table(p).column("k").to_pylist()
+        assert ks == sorted(ks)
+        all_keys.extend(ks)
+    assert all_keys == sorted(k["k"] for k in rows)
