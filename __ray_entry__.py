@@ -4315,6 +4315,55 @@ def _q_customer_order_counts(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def _q_incremental_session(sf_dir: str):
+    """Multi-round incremental ingestion — the steady-state life of a
+    crawl pipeline: three snapshots arrive where EVERY round resends all
+    previously-seen documents (t0 = docs %4==1, t1 = %4∈{1,2}, t2 = all)
+    and each round keeps only content never seen before, then folds it
+    into the accumulated state (dedup_against_snapshot per round; state
+    materialized between rounds — the documented input-reuse exception).
+    Output: (doc_id, first_snapshot). Oracle: the %4 class closed form —
+    correct ONLY if every re-sent row is deduped in every later round,
+    so any state leak double-emits and breaks the row count."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_against_snapshot
+
+    def snapshot(mods: tuple):
+        def keep(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            ids = np.asarray(batch.column("doc_id").to_pylist())
+            return batch.filter(pa.array(np.isin(ids % 4, list(mods))))
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"]).map_batches(
+            keep, batch_format="pyarrow")
+
+    rounds = [snapshot((1,)), snapshot((1, 2)), snapshot((0, 1, 2, 3))]
+    state = None
+    outs = []
+    for i, snap in enumerate(rounds):
+        if state is None:
+            new = snap
+        else:
+            new = dedup_against_snapshot(snap, state)
+        new = new.map_batches(
+            lambda b, _i=i: b.append_column(
+                "first_snapshot",
+                pa.array([_i] * b.num_rows, pa.int64())),
+            batch_format="pyarrow").materialize()
+        outs.append(new)
+        kept = new.select_columns(["doc_id", "text"])
+        state = kept if state is None else state.union(kept).materialize()
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    return result.select_columns(["doc_id", "first_snapshot"])
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4436,6 +4485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "sorted_export": _q_sorted_export,
+        "incremental_session": _q_incremental_session,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -6007,6 +6057,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n "
             "FROM orders GROUP BY o_custkey) o "
             "ON c.c_custkey = o.o_custkey"
+        ),
+        # a doc is emitted at its snapshot class UNLESS its text already
+        # appeared in a STRICTLY earlier class (cross-doc text duplicates
+        # are real at sf0.1 — 4 docs — so the bare %4 closed form is too
+        # narrow; same lesson as online_neardup)
+        "incremental_session": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN 0 "
+            "WHEN doc_id % 4 = 2 THEN 1 ELSE 2 END AS cls, md5(text) AS h "
+            "FROM documents) "
+            "SELECT a.doc_id, CAST(a.cls AS BIGINT) AS first_snapshot "
+            "FROM d a WHERE NOT EXISTS (SELECT 1 FROM d b "
+            "WHERE b.h = a.h AND b.cls < a.cls)"
         ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "
