@@ -4364,6 +4364,30 @@ def _q_incremental_session(sf_dir: str):
     return result.select_columns(["doc_id", "first_snapshot"])
 
 
+def _q_f2_selfjoin(sf_dir: str):
+    """AMS F2 sketch over orders.o_custkey: estimates the self-join size
+    Σ f_k² (what a planner consults before a shuffle join) from d=8
+    integer counters — each batch ships one 8-vector, the lower median
+    of the squared merged counters is the estimate (integer end to end).
+    Oracle: the identical d counters + lower median in SQL, plus the
+    TRUE F2 for reference."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import ams_f2_sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"])
+    import pyarrow as pa
+
+    est = ams_f2_sketch(ds, key_col="o_custkey")
+
+    true_f2 = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                     columns=["o_custkey"])
+               .groupby("o_custkey").count().to_pandas())
+    tf2 = int((true_f2["count()"].to_numpy().astype("int64") ** 2).sum())
+    return est.append_column("true_f2", pa.array([tf2], pa.int64()))
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4486,6 +4510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": _q_ipc_roundtrip,
         "sorted_export": _q_sorted_export,
         "incremental_session": _q_incremental_session,
+        "f2_selfjoin": _q_f2_selfjoin,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -6069,6 +6094,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id, CAST(a.cls AS BIGINT) AS first_snapshot "
             "FROM d a WHERE NOT EXISTS (SELECT 1 FROM d b "
             "WHERE b.h = a.h AND b.cls < a.cls)"
+        ),
+        "f2_selfjoin": (
+            "WITH f AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY o_custkey), "
+            "z AS (SELECT j, CAST(sum(n * (CASE WHEN list_sum(list_transform(generate_series(0, 7), q -> (CAST(strpos('0123456789abcdef', substr(md5('ams' || j || ':' || CAST(o_custkey AS VARCHAR)), 2*q+1, 1)) - 1 AS HUGEINT) * 16 + CAST(strpos('0123456789abcdef', substr(md5('ams' || j || ':' || CAST(o_custkey AS VARCHAR)), 2*q+2, 1)) - 1 AS HUGEINT)) * [CAST(1 AS HUGEINT), CAST(256 AS HUGEINT), CAST(65536 AS HUGEINT), CAST(16777216 AS HUGEINT), CAST(4294967296 AS HUGEINT), CAST(1099511627776 AS HUGEINT), CAST(281474976710656 AS HUGEINT), CAST(72057594037927936 AS HUGEINT)][q + 1])) % 2 = 1 "
+            "THEN 1 ELSE -1 END)) AS BIGINT) AS z FROM f, "
+            "(SELECT unnest(range(0, 8)) AS j) GROUP BY j), "
+            "s AS (SELECT CAST(z AS HUGEINT) * z AS zz FROM z "
+            "ORDER BY zz LIMIT 4), "
+            "t AS (SELECT CAST(sum(CAST(n AS HUGEINT) * n) AS BIGINT) "
+            "AS true_f2 FROM f) "
+            "SELECT 8 AS d, CAST(max(zz) AS BIGINT) AS est_f2, "
+            "(SELECT true_f2 FROM t) AS true_f2 FROM s"
         ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "

@@ -336,3 +336,51 @@ def cm_sketch_tokens(ds, *, text_col: str = "text", d: int = CM_D,
 def cm_estimate(grid: np.ndarray, token: str) -> int:
     d, w = grid.shape
     return int(min(grid[i, b] for i, b in enumerate(cm_buckets(token, d, w))))
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (second frequency moment / self-join size estimation)
+# ---------------------------------------------------------------------------
+
+AMS_D = 8
+
+
+def ams_sign(row: int, key: str) -> int:
+    """±1 four-wise-ish sign for estimator row ``row`` — lowest bit of
+    the salted repo hash."""
+    return 1 if md5_le64(f"ams{row}:{key}") & 1 else -1
+
+
+def ams_f2_sketch(ds, *, key_col: str, d: int = AMS_D):
+    """F2 = Σ_k f_k² (the SELF-JOIN SIZE over ``key_col`` — the number a
+    join planner wants before committing to a shuffle) estimated by the
+    AMS sketch (Alon-Matias-Szegedy 1996): d independent counters
+    Z_j = Σ_k f_k·s_j(k); each Z_j² is an unbiased F2 estimate and the
+    LOWER MEDIAN of the d squares is the reported value — integers end
+    to end (signs from the salted repo hash, no float variance math), so
+    the SQL mirror lands bit-identically.
+
+    Plan: each batch pre-counts its keys once and ships ONE d-vector of
+    partial Z's (counter addition is associative — the same sketch-sized
+    exchange as KMV/HLL/CM); a d-row groupby-sum merges. Returns a
+    one-row table ``(d, est_f2)``."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter(batch.column(key_col).to_pylist())
+        z = np.zeros(d, np.int64)
+        for k, n in counts.items():
+            for j in range(d):
+                z[j] += n * ams_sign(j, str(k))
+        return pa.table({"j": pa.array(range(d), pa.int64()),
+                         "z": pa.array(z, pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("j").aggregate(Sum("z", alias_name="z"))
+              .to_pandas())
+    sq = np.sort((merged["z"].to_numpy(np.int64).astype(object)) ** 2)
+    est = int(sq[(d - 1) // 2])          # lower median, exact integer
+    return pa.table({"d": pa.array([d], pa.int64()),
+                     "est_f2": pa.array([est], pa.int64())})

@@ -228,3 +228,24 @@ class TestCountMin:
         grids = [cm_sketch_tokens(ray.data.from_items(rows).repartition(p))
                  for p in (2, 11)]
         assert np.array_equal(grids[0], grids[1])
+
+
+class TestAMSF2:
+    def test_unbiased_scale_and_invariance(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from documentai_ray.stages.sketches import ams_f2_sketch
+
+        # skewed keys: F2 dominated by the hot key
+        rows = ([{"k": "hot"}] * 300
+                + [{"k": f"c{i}"} for i in range(200)])
+        true_f2 = 300 * 300 + 200
+        outs = []
+        for p in (3, 13):
+            ds = ray.data.from_items(rows).repartition(p)
+            outs.append(ams_f2_sketch(ds, key_col="k").to_pandas())
+        assert outs[0].equals(outs[1])            # merge-invariant
+        est = int(outs[0]["est_f2"].iloc[0])
+        # d=8 lower-median is within a small constant factor on skew
+        assert true_f2 / 4 <= est <= true_f2 * 4
