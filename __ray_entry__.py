@@ -4388,6 +4388,35 @@ def _q_f2_selfjoin(sf_dir: str):
     return est.append_column("true_f2", pa.array([tf2], pa.int64()))
 
 
+def _q_winsorize(sf_dir: str):
+    """Group-wise winsorization of l_quantity per returnflag: clip to
+    the group's exact integer [p05, p95] (bounded histogram → broadcast
+    boundaries → vectorized clip) — the outlier-taming pass before
+    statistics feed a model. Oracle: window-cumsum quantile closed form
+    + least/greatest."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import winsorize_grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        return batch.set_column(batch.column_names.index("l_quantity"),
+                                "l_quantity", pa.array(q, pa.int64()))
+
+    out = winsorize_grouped(ds.map_batches(to_int, batch_format="pyarrow"),
+                            key_cols=["l_returnflag"],
+                            val_col="l_quantity")
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "l_returnflag", "clipped"])
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4511,6 +4540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_export": _q_sorted_export,
         "incremental_session": _q_incremental_session,
         "f2_selfjoin": _q_f2_selfjoin,
+        "winsorize": _q_winsorize,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -6107,6 +6137,22 @@ def oracle_sql() -> dict[str, str]:
             "AS true_f2 FROM f) "
             "SELECT 8 AS d, CAST(max(zz) AS BIGINT) AS est_f2, "
             "(SELECT true_f2 FROM t) AS true_f2 FROM s"
+        ),
+        "winsorize": (
+            "WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) "
+            "AS v, count(*) AS n FROM lineitem GROUP BY 1, 2), "
+            "w AS (SELECT l_returnflag, v, sum(n) OVER "
+            "(PARTITION BY l_returnflag ORDER BY v) AS cum, "
+            "sum(n) OVER (PARTITION BY l_returnflag) AS tot FROM c), "
+            "lo AS (SELECT l_returnflag, min(v) AS lo FROM w "
+            "WHERE cum >= ceil(0.05 * tot) GROUP BY 1), "
+            "hi AS (SELECT l_returnflag, min(v) AS hi FROM w "
+            "WHERE cum >= ceil(0.95 * tot) GROUP BY 1) "
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, "
+            "CAST(least(greatest(CAST(l.l_quantity AS BIGINT), lo.lo), "
+            "hi.hi) AS BIGINT) AS clipped "
+            "FROM lineitem l JOIN lo ON l.l_returnflag = lo.l_returnflag "
+            "JOIN hi ON l.l_returnflag = hi.l_returnflag"
         ),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "

@@ -359,3 +359,55 @@ def ivm_delta_counts(base_ds, changes_ds, *, key_col: str, val_col: str,
         changes_ds.map_batches(delta_partial, batch_format="pyarrow"))
     return (parts.groupby(key_col)
             .aggregate(Sum("_d", alias_name=out_col)))
+
+
+def winsorize_grouped(ds, *, key_cols: list[str], val_col: str,
+                      q_lo: float = 0.05, q_hi: float = 0.95,
+                      out_col: str = "clipped"):
+    """Group-wise winsorization: clip an integer column to its group's
+    exact [q_lo, q_hi] quantiles — the outlier-taming step before
+    length/price statistics feed a model. Two passes: the bounded
+    keys×distinct-values histogram yields both boundaries (same closed
+    form as grouped_quantile_int: smallest value whose cumulative count
+    reaches ceil(q·n)), the boundary table broadcasts (groups ≪ rows),
+    and the clip is one vectorized map. Appends ``out_col``; boundaries
+    and clipped values are integers, so the SQL mirror (window cumsum +
+    least/greatest) is exact."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = df.groupby(key_cols + ["_v"], as_index=False).size()
+        g = g.rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_cols + ["_v"])
+            .aggregate(Sum("_n", alias_name="_n")).to_pandas())
+
+    bounds: dict = {}
+    for key, g in hist.groupby(key_cols):
+        g = g.sort_values("_v", kind="mergesort")
+        n = int(g["_n"].sum())
+        cum = g["_n"].cumsum().to_numpy()
+        vals = g["_v"].to_numpy()
+        lo = int(vals[np.searchsorted(cum, math.ceil(q_lo * n))])
+        hi = int(vals[np.searchsorted(cum, math.ceil(q_hi * n))])
+        bounds[key if isinstance(key, tuple) else (key,)] = (lo, hi)
+    ref = ray.put(bounds)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        df = batch.to_pandas()
+        keys = list(zip(*(df[k] for k in key_cols)))
+        lo = np.array([b[k][0] for k in keys], np.int64)
+        hi = np.array([b[k][1] for k in keys], np.int64)
+        v = df[val_col].to_numpy().astype(np.int64)
+        df[out_col] = np.minimum(np.maximum(v, lo), hi)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
