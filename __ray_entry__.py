@@ -174,6 +174,45 @@ def _sql_md5_le64(col: str) -> str:
     )
 
 
+def _sql_hits(iters: int = 2) -> str:
+    """Unrolled integer-ppm HITS oracle over the same 3-out graph as
+    pagerank: per half-step a JOIN-groupby raw sum, a LEFT JOIN zero
+    fill, a global-sum rescale CTE (cross join) — mirroring
+    stages/graph.py::hits_int op-for-op incl. the floor division."""
+    sql = (
+        "WITH nn AS (SELECT count(*) AS cnt FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst "
+        "FROM documents, nn UNION ALL "
+        "SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, nn "
+        "UNION ALL "
+        "SELECT doc_id, (doc_id * 31 + 3) % cnt FROM documents, nn), "
+        "h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS s "
+        "FROM documents), "
+    )
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        for name, jsrc, jdst, feed in ((f"a{i}", "src", "dst", prev_h),
+                                       (f"h{i}", "dst", "src", f"a{i}")):
+            sql += (
+                f"{name}r AS (SELECT e.{jdst} AS node, sum({feed}.s) AS raw "
+                f"FROM e JOIN {feed} ON e.{jsrc} = {feed}.node "
+                f"GROUP BY e.{jdst}), "
+                f"{name}f AS (SELECT d.doc_id AS node, "
+                f"coalesce({name}r.raw, 0) AS raw FROM documents d "
+                f"LEFT JOIN {name}r ON d.doc_id = {name}r.node), "
+                f"{name}t AS (SELECT greatest(sum(raw), 1) AS t "
+                f"FROM {name}f), "
+                f"{name} AS (SELECT node, CAST(raw * 1000000 // t "
+                f"AS BIGINT) AS s FROM {name}f, {name}t), "
+            )
+        prev_h = f"h{i}"
+    sql = sql.rstrip(", ")
+    sql += (f" SELECT a{iters}.node, a{iters}.s AS auth_ppm, "
+            f"h{iters}.s AS hub_ppm FROM a{iters} "
+            f"JOIN h{iters} ON a{iters}.node = h{iters}.node")
+    return sql
+
+
 def _sql_pagerank(iters: int = 2) -> str:
     """Unrolled integer-ppm PageRank oracle over the deterministic 3-out
     link graph dst ∈ {(i·7+1), (i·13+2), (i·31+3)} mod N — one
@@ -4417,6 +4456,37 @@ def _q_winsorize(sf_dir: str):
                                "l_returnflag", "clipped"])
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities (2 iterations, integer-ppm L1 rescale)
+    over the deterministic 3-out doc graph — the link-analysis
+    complement of pagerank (graph.py::hits_int: join + zero-injected
+    groupby + scalar-rescale per half-step). Bit-exact unrolled SQL
+    oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import hits_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = list(ids) * 3
+        dst = (list((ids * 7 + 1) % n) + list((ids * 13 + 2) % n)
+               + list((ids * 31 + 3) % n))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id").cast(pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nd = docs.map_batches(nodes, batch_format="pyarrow")
+    return hits_int(e, nd, iters=2, num_partitions=16)
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4541,6 +4611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_session": _q_incremental_session,
         "f2_selfjoin": _q_f2_selfjoin,
         "winsorize": _q_winsorize,
+        "hits": _q_hits,
         "page_meta": _q_page_meta,
         "warc_ingest": _q_warc_ingest,
         "wet_roundtrip": _q_wet_roundtrip,
@@ -6154,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN lo ON l.l_returnflag = lo.l_returnflag "
             "JOIN hi ON l.l_returnflag = hi.l_returnflag"
         ),
+        "hits": _sql_hits(2),
         "web_curation": (
             f"WITH base AS ({_SQL_EXPECTED_PAGES}), "
             "f AS (SELECT doc_id, url, text FROM base WHERE text <> '' "
