@@ -27,9 +27,7 @@ import pyarrow as pa
 
 import ray
 
-from documentai_ray.stages.dedup import (MinHashStage, ngram_jaccard,
-                                         make_permutations,
-                                         minhash_signature)
+from documentai_ray.stages.dedup import MinHashStage, ngram_jaccard
 
 _ALLMAX = np.iinfo(np.uint64).max
 
