@@ -2679,6 +2679,31 @@ def _q_sorted_export(sf_dir: str):
                                boundaries=bounds)
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC sink + source roundtrip (the Hive/Trino lake format) — rounds
+    out the columnar interchange trio next to parquet and Arrow IPC.
+    Oracle: the golden (url, text) set."""
+    import hashlib
+
+    from documentai_ray.sources.jsonl import read_orc_shards, write_orc_shards
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/orc_shards_{tag}"
+    manifest = write_orc_shards(ds.select_columns(["url", "text"]), out_dir,
+                                num_shards=8)
+    paths = sorted(r["path"] for r in manifest.iter_rows())
+    return _norm_strings_ds(
+        read_orc_shards(paths).select_columns(["url", "text"]))
+
+
 def _q_page_meta(sf_dir: str):
     """Page-metadata extraction: first ``<title>`` text per decodable
     page (whitespace-collapsed). Oracle: the archetype→title closed form
@@ -4607,6 +4632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_customer_order_counts,
         "csv_roundtrip": _q_csv_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "sorted_export": _q_sorted_export,
         "incremental_session": _q_incremental_session,
         "f2_selfjoin": _q_f2_selfjoin,
@@ -5711,6 +5737,9 @@ def oracle_sql() -> dict[str, str]:
             "+ (key >= 'com,example,src6')::INT AS BIGINT) AS shard FROM k) "
             "SELECT shard, CAST(count(*) AS BIGINT) AS n_rows, "
             "min(key) AS min_key, max(key) AS max_key FROM b GROUP BY shard"
+        ),
+        "orc_roundtrip": (
+            f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"
         ),
         "wet_roundtrip": (
             f"SELECT url, text FROM ({_SQL_EXPECTED_PAGES})"

@@ -175,3 +175,44 @@ def read_ipc_shards(paths: list, *, num_cpus: float = 0.5):
     ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
     return ds.repartition(len(paths)).map_batches(
         parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)
+
+
+def write_orc_shards(ds, out_dir: str, *, num_shards: int = 8,
+                     key_col: str = "url"):
+    """ORC shard sink (the Hive/Trino lake format, via pyarrow.orc) —
+    same bucketed atomic-publish contract as the parquet/IPC sinks;
+    rounds out the columnar interchange trio (parquet / Arrow IPC /
+    ORC)."""
+    import pyarrow.orc as orc
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(g) -> pa.Table:
+        b = int(g["_pkey"].iloc[0])
+        g = g.drop(columns=["_pkey"]).sort_values(key_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{b:02d}.orc")
+        tmp = path + ".tmp"
+        orc.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n_records": pa.array([len(g)], pa.int64())})
+
+    return (_add_pkey(ds, key_col, num_shards)
+            .groupby("_pkey")
+            .map_groups(write_bucket, batch_format="pandas"))
+
+
+def read_orc_shards(paths: list, *, num_cpus: float = 0.5):
+    """Distributed ORC ingestion: one reader task per shard."""
+    import pyarrow.orc as orc
+    import ray.data
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [orc.read_table(p) for p in batch.column("path").to_pylist()])
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+    return ds.repartition(len(paths)).map_batches(
+        parse, batch_format="pyarrow", batch_size=1, num_cpus=num_cpus)
