@@ -4512,6 +4512,52 @@ def _q_hits(sf_dir: str):
     return hits_int(e, nd, iters=2, num_partitions=16)
 
 
+def _q_mix_assemble(sf_dir: str):
+    """EXECUTE the data-mixing plan: mix_plan's per-source (n_epochs,
+    rate_ppm) broadcasts, then one flat-map emits (doc_id, epoch) copies
+    kept iff md5-LE64("mix:<doc>:<epoch>") % 10⁶ < rate_ppm — the
+    deterministic per-copy sampling that lands each source on its token
+    target. Oracle: the plan CTEs + generate_series epochs + the same
+    hash rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from documentai_ray.stages.curation import mix_plan
+    from documentai_ray.stages.sketches import md5_le64
+
+    srcs = set(pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["source"]).column("source").to_pylist())
+    weights = {s: int(s[3:]) % 4 + 1 for s in srcs}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    plan = mix_plan(ds, weights, budget_factor=2).to_pandas()
+    pref = ray.put({r["source"]: (int(r["n_epochs"]), int(r["rate_ppm"]))
+                    for _, r in plan.iterrows()})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        p = ray.get(pref)
+        out_d, out_s, out_e = [], [], []
+        for d, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("source").to_pylist()):
+            epochs, rate = p[s]
+            for e in range(epochs):
+                if md5_le64(f"mix:{d}:{e}") % 1_000_000 < rate:
+                    out_d.append(d)
+                    out_s.append(s)
+                    out_e.append(e)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "source": pa.array(out_s, pa.string()),
+                         "epoch": pa.array(out_e, pa.int64())})
+
+    return docs.map_batches(assemble, batch_format="pyarrow",
+                            batch_size=512)
+
+
 def _q_mix_plan(sf_dir: str):
     """Data-mixing plan (Pile/DoReMi static mix): per-source token counts
     (combiner pass bounded by source cardinality) + integer epoch/rate
@@ -4633,6 +4679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "ipc_roundtrip": _q_ipc_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
+        "mix_assemble": _q_mix_assemble,
         "sorted_export": _q_sorted_export,
         "incremental_session": _q_incremental_session,
         "f2_selfjoin": _q_f2_selfjoin,
@@ -6275,6 +6322,26 @@ def oracle_sql() -> dict[str, str]:
             "THEN 'val' ELSE 'test' END AS split FROM k"
         ),
 # keep weights (N%4+1) and budget_factor=2 in sync with _q_mix_plan
+        "mix_assemble": (
+            "WITH a AS (SELECT source, CAST(sum(len(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) "
+            "AS actual, CAST(substr(source, 4) AS INT) % 4 + 1 AS w "
+            "FROM documents GROUP BY source), "
+            "t AS (SELECT CAST(2 * sum(actual) AS BIGINT) AS budget, "
+            "CAST(sum(w) AS BIGINT) AS wsum FROM a), "
+            "p AS (SELECT source, actual, budget * w // wsum AS target "
+            "FROM a, t), "
+            "pl AS (SELECT source, CASE WHEN actual = 0 THEN 0 ELSE "
+            "(target + actual - 1) // actual END AS n_epochs, "
+            "CASE WHEN actual = 0 THEN 0 ELSE target * 1000000 // "
+            "((target + actual - 1) // actual * actual) END AS rate_ppm "
+            "FROM p) "
+            "SELECT d.doc_id, d.source, CAST(e.e AS BIGINT) AS epoch "
+            "FROM documents d JOIN pl ON d.source = pl.source, "
+            "(SELECT unnest(range(0, 16)) AS e) e "
+            "WHERE e.e < pl.n_epochs AND "
+            f"list_sum(list_transform(generate_series(0, 7), q -> (CAST(strpos('0123456789abcdef', substr(md5('mix:' || d.doc_id || ':' || e.e), 2*q+1, 1)) - 1 AS HUGEINT) * 16 + CAST(strpos('0123456789abcdef', substr(md5('mix:' || d.doc_id || ':' || e.e), 2*q+2, 1)) - 1 AS HUGEINT)) * [CAST(1 AS HUGEINT), CAST(256 AS HUGEINT), CAST(65536 AS HUGEINT), CAST(16777216 AS HUGEINT), CAST(4294967296 AS HUGEINT), CAST(1099511627776 AS HUGEINT), CAST(281474976710656 AS HUGEINT), CAST(72057594037927936 AS HUGEINT)][q + 1])) % 1000000 < pl.rate_ppm"
+        ),
         "mix_plan": (
             "WITH a AS (SELECT source, CAST(sum(len(list_filter("
             "string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) "
