@@ -3714,6 +3714,36 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
 
 
+def _q_redirect_resolve(sf_dir: str):
+    """HTTP-redirect chain canonicalization via pointer doubling: every
+    url whose doc_id is not a multiple of 8 301-redirects to doc_id-1,
+    multiples of 8 are terminal — chains up to 7 hops, so 3 doubling
+    rounds (2³ ≥ 7) resolve every url to its final target in O(log L)
+    self-joins instead of O(L) sequential hops. The closed form the
+    oracle checks: final(i) = (i // 8) * 8."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import resolve_pointers
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def ptrs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        ptr = ids - (ids % 8 != 0)
+        return pa.table({"node": pa.array(ids, pa.int64()),
+                         "ptr": pa.array(ptr, pa.int64())})
+
+    resolved = resolve_pointers(
+        docs.map_batches(ptrs, batch_format="pyarrow"),
+        iters=3, num_partitions=16)
+    return resolved.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "final": b.column("ptr")}),
+        batch_format="pyarrow")
+
+
 def _q_ocr_roundtrip(sf_dir: str):
     """REAL OCR path (M3): MINIPDF pages render with the 5×7 bitfont →
     PNG encode → PNG decode → matched-template recognition — two
@@ -4705,6 +4735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "category_split_pdfs": _q_category_split_pdfs,
         "bigram_lm": _q_bigram_lm,
         "pagerank": _q_pagerank,
+        "redirect_resolve": _q_redirect_resolve,
         "ocr_roundtrip": _q_ocr_roundtrip,
         "ocr_classify": _q_ocr_classify,
         "office_extract": _q_office_extract,
@@ -5884,6 +5915,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
         "pagerank": _sql_pagerank(iters=2),
+        # closed form of the planted chain topology: i -> i-1 unless
+        # i % 8 == 0, so every chain ends at the floor multiple of 8
+        "redirect_resolve": (
+            "SELECT doc_id AS node, (doc_id // 8) * 8 AS final "
+            "FROM documents"
+        ),
         "pq_codes": _sql_pq(m=4, k=4, iters=2, dim=64),
         "p95_quantity": (
             "WITH c AS (SELECT l_returnflag, l_linestatus, "

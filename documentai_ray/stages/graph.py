@@ -160,3 +160,52 @@ def hits_int(edges_ds, nodes_ds, *, iters: int = 2,
     return hash_join(auths.map_batches(a_cols, batch_format="pyarrow"),
                      hubs.map_batches(h_cols, batch_format="pyarrow"),
                      on="node", num_partitions=num_partitions)
+
+
+def resolve_pointers(ptr_ds, *, iters: int, num_partitions: int = 32):
+    """Pointer doubling (parallel pointer jumping): resolve every node of
+    a functional graph ``node → ptr`` to the end of its chain in
+    O(log L) join rounds instead of O(L) sequential hops — the
+    transitive-resolution primitive behind HTTP-redirect canonicalization
+    (301 chains must collapse to the final URL before url-keyed dedup),
+    symlink/alias tables, and union-find path compression.
+
+    ``ptr_ds``: (node:int64, ptr:int64) with exactly one row per node;
+    terminals point at themselves (``ptr == node``). Each round replaces
+    ``ptr[v]`` with ``ptr[ptr[v]]``, doubling the distance covered, so
+    ``iters`` rounds resolve every chain of length ≤ 2**iters. Chains
+    longer than that remain partially resolved — size ``iters`` to
+    ⌈log2(max chain length)⌉; redirect chains are browser-capped (~20
+    hops) so iters=5 covers the web case.
+
+    Physical plan per round: ONE key-projected hash_join of the pointer
+    table against itself (left keyed by ptr, right by node) — shuffle
+    volume is 2 int64 columns × n rows, never the payload; the result is
+    materialized because the next round reads it twice (the documented
+    input-reuse exception, as in pagerank_int). Self-pointing terminals
+    join against themselves, so no row is ever lost. Returns
+    (node, ptr) with ptr = chain end."""
+    from documentai_ray.stages.joins import hash_join
+
+    cur = ptr_ds.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "ptr": b.column("ptr").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        left = cur.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "key": b.column("ptr")}),
+            batch_format="pyarrow")
+        right = cur.map_batches(
+            lambda b: pa.table({"key": b.column("node"),
+                                "nxt": b.column("ptr")}),
+            batch_format="pyarrow")
+        joined = hash_join(left, right, on="key",
+                           num_partitions=num_partitions)
+        cur = joined.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "ptr": b.column("nxt")}),
+            batch_format="pyarrow").materialize()
+
+    return cur

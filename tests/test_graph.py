@@ -46,3 +46,47 @@ def test_pagerank_sink_node_gets_base(ray_session):
     got = dict(zip(out["node"], out["rank_ppm"]))
     assert got[2] == 150_000
     assert got[0] == 150_000 + (850_000 * 2_000_000) // 1_000_000
+
+
+def _mk_ptr_table(ptr: dict[int, int]) -> pa.Table:
+    return pa.table({"node": pa.array(list(ptr.keys()), pa.int64()),
+                     "ptr": pa.array(list(ptr.values()), pa.int64())})
+
+
+def test_resolve_pointers_irregular_chains(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.graph import resolve_pointers
+
+    # forest with chain lengths 0..4 plus a fan-in (two nodes -> one hop)
+    ptr = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 5, 6: 5, 7: 5, 8: 6, 9: 8}
+    out = resolve_pointers(ray.data.from_arrow(_mk_ptr_table(ptr)),
+                           iters=3, num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["ptr"]))
+    want = {}
+    for n in ptr:
+        cur = n
+        while ptr[cur] != cur:
+            cur = ptr[cur]
+        want[n] = cur
+    assert got == want
+    assert len(out) == len(ptr)
+
+
+def test_resolve_pointers_exact_power_boundary(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.graph import resolve_pointers
+
+    # a single chain of length exactly 2**iters is fully resolved;
+    # length 2**iters + 1 is NOT (documented contract)
+    n = 9  # chain 8 -> 7 -> ... -> 0, lengths up to 8
+    ptr = {i: max(i - 1, 0) for i in range(n)}
+    ds = ray.data.from_arrow(_mk_ptr_table(ptr))
+    out3 = resolve_pointers(ds, iters=3, num_partitions=2).to_pandas()
+    got3 = dict(zip(out3["node"], out3["ptr"]))
+    assert got3[8] == 0 and got3[1] == 0
+    # with only 2 rounds (covers 4 hops) node 8 stops at 8-4=4
+    out2 = resolve_pointers(ds, iters=2, num_partitions=2).to_pandas()
+    got2 = dict(zip(out2["node"], out2["ptr"]))
+    assert got2[8] == 4 and got2[4] == 0
