@@ -3714,6 +3714,34 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
 
 
+def _q_triangle_count(sf_dir: str):
+    """Per-apex triangle counting over a deterministic web-ish link graph
+    (local band edges i→i+1, i→i+2 that close ~n triangles, plus a hash
+    jump i→(7i+1) mod n): oriented wedge enumeration via edge self-join,
+    closing-edge semi-join on the composite (b,c) key — each triangle
+    counted once at its smallest node. The oracle builds the identical
+    edge set in SQL and closes wedges with a 3-way self-join."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import triangle_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = list(ids) * 3
+        dst = (list((ids + 1) % n) + list((ids + 2) % n)
+               + list((ids * 7 + 1) % n))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return triangle_counts(docs.map_batches(edges, batch_format="pyarrow"),
+                           num_partitions=16)
+
+
 def _q_redirect_resolve(sf_dir: str):
     """HTTP-redirect chain canonicalization via pointer doubling: every
     url whose doc_id is not a multiple of 8 301-redirects to doc_id-1,
@@ -4736,6 +4764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": _q_bigram_lm,
         "pagerank": _q_pagerank,
         "redirect_resolve": _q_redirect_resolve,
+        "triangle_count": _q_triangle_count,
         "ocr_roundtrip": _q_ocr_roundtrip,
         "ocr_classify": _q_ocr_classify,
         "office_extract": _q_office_extract,
@@ -5920,6 +5949,25 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": (
             "SELECT doc_id AS node, (doc_id // 8) * 8 AS final "
             "FROM documents"
+        ),
+        # keep-in-sync: mirrors _q_triangle_count's edge generator
+        # (i -> i+1, i+2, 7i+1 mod n); wedge a<b<c closed by a 3-way
+        # self-join over the oriented-distinct edge set
+        "triangle_count": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "raw AS ("
+            "SELECT doc_id AS a, (doc_id + 1) % nn.n AS b "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id + 2) % nn.n "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id * 7 + 1) % nn.n "
+            "FROM documents, nn), "
+            "e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi "
+            "FROM raw WHERE a <> b), "
+            "w AS (SELECT e1.lo AS apex, e1.hi AS b, e2.hi AS c "
+            "FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi) "
+            "SELECT w.apex AS node, count(*) AS n_triangles "
+            "FROM w JOIN e ON e.lo = w.b AND e.hi = w.c GROUP BY 1"
         ),
         "pq_codes": _sql_pq(m=4, k=4, iters=2, dim=64),
         "p95_quantity": (

@@ -209,3 +209,88 @@ def resolve_pointers(ptr_ds, *, iters: int, num_partitions: int = 32):
             batch_format="pyarrow").materialize()
 
     return cur
+
+
+def triangle_counts(edges_ds, *, num_partitions: int = 32,
+                    id_bits: int = 31):
+    """Per-apex triangle counting via the oriented wedge join (the
+    node-iterator algorithm of Schank & Wagner 2005, expressed as two
+    Dataset joins): orient every undirected edge low→high (self-loops
+    dropped, duplicates removed), enumerate wedges (a,b,c) with
+    a < b < c by self-joining the oriented edge list on its low
+    endpoint, then keep the wedges whose closing edge (b,c) exists —
+    a semi-join against the edge set on a composite key. Each triangle
+    is counted exactly once, attributed to its smallest node (the apex).
+
+    Orientation bounds wedge blowup: a node's wedge count is
+    C(out_deg, 2) over HIGHER-id neighbours only, so a celebrity node
+    with d in-edges generates no wedges from its in-side (the standard
+    mitigation; orient by degree instead of id when skew profiling
+    demands it). Shuffle volume is int64 key projections throughout —
+    edges as (lo, hi), wedges as (bc_key, apex); node ids must fit
+    ``id_bits`` bits so the composite ``lo << id_bits | hi`` stays in
+    int64. Returns (node, n_triangles) for apexes with ≥ 1 triangle.
+    """
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    shift = np.int64(1 << id_bits)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        lo = np.minimum(s, d)[keep]
+        hi = np.maximum(s, d)[keep]
+        pk = ((lo * shift + hi) % num_partitions).astype(np.int32)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "_pkey": pa.array(pk, pa.int32())})
+
+    def distinct(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["lo", "hi"])
+        return pa.table({"lo": pa.array(df["lo"].to_numpy(), pa.int64()),
+                         "hi": pa.array(df["hi"].to_numpy(), pa.int64())})
+
+    # materialized: the oriented-distinct edge list feeds three scans
+    # (wedge left, wedge right, closing semi-join)
+    e = (edges_ds.map_batches(orient, batch_format="pyarrow")
+         .groupby("_pkey").map_groups(distinct, batch_format="pyarrow")
+         .materialize())
+
+    wedges = hash_join(
+        e.map_batches(lambda b: pa.table({"key": b.column("lo"),
+                                          "b": b.column("hi")}),
+                      batch_format="pyarrow"),
+        e.map_batches(lambda b: pa.table({"key": b.column("lo"),
+                                          "c": b.column("hi")}),
+                      batch_format="pyarrow"),
+        on="key", num_partitions=num_partitions)
+
+    def wedge_keys(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").to_numpy()
+        c = batch.column("c").to_numpy()
+        keep = b < c
+        return pa.table({
+            "key": pa.array(b[keep] * shift + c[keep], pa.int64()),
+            "apex": batch.column("key").to_numpy()[keep]})
+
+    closing = e.map_batches(
+        lambda b: pa.table({"key": pa.array(
+            b.column("lo").to_numpy() * shift + b.column("hi").to_numpy(),
+            pa.int64())}),
+        batch_format="pyarrow")
+
+    closed = hash_join(wedges.map_batches(wedge_keys,
+                                          batch_format="pyarrow"),
+                       closing, on="key",
+                       num_partitions=num_partitions, how="semi")
+
+    ones = closed.map_batches(
+        lambda b: pa.table({"node": pa.array(b.column("apex").to_numpy(),
+                                             pa.int64()),
+                            "one": pa.array(np.ones(len(b), np.int64))}),
+        batch_format="pyarrow")
+    return ones.groupby("node").aggregate(Sum("one",
+                                              alias_name="n_triangles"))

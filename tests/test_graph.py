@@ -90,3 +90,32 @@ def test_resolve_pointers_exact_power_boundary(ray_session):
     out2 = resolve_pointers(ds, iters=2, num_partitions=2).to_pandas()
     got2 = dict(zip(out2["node"], out2["ptr"]))
     assert got2[8] == 4 and got2[4] == 0
+
+
+def test_triangle_counts_known_graph(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, apexes 0,0,0,1) + pendant edge +
+    # duplicate/self-loop noise that the orient/distinct pass must drop
+    edges = [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (2, 3), (1, 3),
+             (3, 4), (2, 2), (0, 1)]
+    t = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    out = triangle_counts(ray.data.from_arrow(t),
+                          num_partitions=4).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {0: 3, 1: 1}
+
+
+def test_triangle_counts_no_triangles(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.graph import triangle_counts
+
+    t = pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 3], pa.int64())})
+    out = triangle_counts(ray.data.from_arrow(t),
+                          num_partitions=2).to_pandas()
+    assert len(out) == 0
