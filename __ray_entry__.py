@@ -3714,6 +3714,42 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
 
 
+def _q_fuzzy_hosts(sf_dir: str):
+    """Edit-distance fuzzy join: every doc's host string gets a planted
+    single-character deletion (at position doc_id % len), then is snapped
+    back to the canonical host vocabulary by minimum Levenshtein distance
+    (tie → lexicographically smallest, drop beyond dist 2). Physical
+    plan: distinct dirty-key projection → small vocabulary match →
+    broadcast lookup (stages/fuzzy.py's documented contract). Oracle:
+    DuckDB's levenshtein() with the identical argmin/tie-break window."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.fuzzy import fuzzy_match_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    sources = sorted(docs.unique("source"))
+    canon = ["heavy.example.com"] + [f"{s}.example.com" for s in sources]
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        out = []
+        for did, s in zip(ids, srcs):
+            host = ("heavy.example.com" if did % 3 == 0
+                    else f"{s}.example.com")
+            p = did % len(host)
+            out.append(host[:p] + host[p + 1:])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dirty": pa.array(out, pa.string())})
+
+    ds = docs.map_batches(dirty, batch_format="pyarrow")
+    out = fuzzy_match_join(ds, col="dirty", canon=canon, max_dist=2,
+                           matched_col="canon_host", num_partitions=8)
+    return out.select_columns(["doc_id", "dirty", "canon_host", "dist"])
+
+
 def _q_triangle_count(sf_dir: str):
     """Per-apex triangle counting over a deterministic web-ish link graph
     (local band edges i→i+1, i→i+2 that close ~n triangles, plus a hash
@@ -4765,6 +4801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
+        "fuzzy_hosts": _q_fuzzy_hosts,
         "ocr_roundtrip": _q_ocr_roundtrip,
         "ocr_classify": _q_ocr_classify,
         "office_extract": _q_office_extract,
@@ -5949,6 +5986,25 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": (
             "SELECT doc_id AS node, (doc_id // 8) * 8 AS final "
             "FROM documents"
+        ),
+        # keep-in-sync: mirrors _q_fuzzy_hosts' planted deletion
+        # (position doc_id % len, 0-based) and the argmin/tie-break
+        "fuzzy_hosts": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN 'heavy.example.com' "
+            "ELSE source || '.example.com' END AS host FROM documents), "
+            "t AS (SELECT doc_id, "
+            "substr(host, 1, CAST(doc_id % length(host) AS INT)) || "
+            "substr(host, CAST(doc_id % length(host) AS INT) + 2) "
+            "AS dirty FROM d), "
+            "c AS (SELECT DISTINCT source || '.example.com' AS chost "
+            "FROM documents UNION SELECT 'heavy.example.com'), "
+            "m AS (SELECT t.doc_id, t.dirty, c.chost, "
+            "levenshtein(t.dirty, c.chost) AS dist FROM t CROSS JOIN c), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY dist, chost) AS rn FROM m) "
+            "SELECT doc_id, dirty, chost AS canon_host, dist "
+            "FROM r WHERE rn = 1 AND dist <= 2"
         ),
         # keep-in-sync: mirrors _q_triangle_count's edge generator
         # (i -> i+1, i+2, 7i+1 mod n); wedge a<b<c closed by a 3-way
