@@ -3714,6 +3714,23 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
 
 
+def _q_ntile_split(sf_dir: str):
+    """Exact distributed NTILE(10) per language by document size — the
+    quantile-bucketed split labeling (size-decile stratification) done
+    with two bounded exchanges (histogram offsets + tie-group cumcount)
+    instead of a global sort. Matches SQL NTILE semantics exactly,
+    including the first n%k tiles getting the extra row."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_ntile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return grouped_ntile(ds, key_col="lang", val_col="n_chars",
+                         tiebreak_col="doc_id", k=10,
+                         num_partitions=16)
+
+
 def _q_fuzzy_hosts(sf_dir: str):
     """Edit-distance fuzzy join: every doc's host string gets a planted
     single-character deletion (at position doc_id % len), then is snapped
@@ -4802,6 +4819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
+        "ntile_split": _q_ntile_split,
         "ocr_roundtrip": _q_ocr_roundtrip,
         "ocr_classify": _q_ocr_classify,
         "office_extract": _q_office_extract,
@@ -5986,6 +6004,11 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": (
             "SELECT doc_id AS node, (doc_id // 8) * 8 AS final "
             "FROM documents"
+        ),
+        "ntile_split": (
+            "SELECT doc_id, lang, n_chars, "
+            "ntile(10) OVER (PARTITION BY lang "
+            "ORDER BY n_chars, doc_id) AS tile FROM documents"
         ),
         # keep-in-sync: mirrors _q_fuzzy_hosts' planted deletion
         # (position doc_id % len, 0-based) and the argmin/tie-break

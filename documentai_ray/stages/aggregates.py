@@ -411,3 +411,90 @@ def winsorize_grouped(ds, *, key_cols: list[str], val_col: str,
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def grouped_ntile(ds, *, key_col: str, val_col: str, tiebreak_col: str,
+                  k: int, out_col: str = "tile",
+                  num_partitions: int = 32):
+    """Exact distributed ``ntile(k) OVER (PARTITION BY key ORDER BY val,
+    tiebreak)`` — the quantile-bucketed split assignment (train/val/test
+    by size decile, latency band labeling) that naive plans compute with
+    a global per-partition sort.
+
+    Two bounded exchanges, no global sort:
+
+    1. histogram pass — per (key, val) counts (shuffle = keys × distinct
+       values, the grouped_median_int contract), collected to the driver
+       (bounded by the same contract) and turned into per-(key, val)
+       0-based rank OFFSETS + per-key totals, shipped via ``ray.put``;
+    2. tie-rank pass — rows bucket by hash(key, val) so each exact tie
+       group co-locates; one vectorized pandas sort+cumcount per
+       partition ranks WITHIN tie groups by ``tiebreak_col``.
+
+    rank = offset[key, val] + tie_rank; the tile then follows SQL NTILE
+    semantics exactly: the first ``n % k`` tiles get ``n // k + 1`` rows.
+    Integer ordering on ``val``; ``tiebreak_col`` must be unique per row
+    for deterministic output (SQL ntile with a non-unique ORDER BY is
+    nondeterministic — same caveat)."""
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = df.groupby([key_col, "_v"], as_index=False).size()
+        g = g.rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    offsets: dict[tuple, int] = {}
+    totals: dict = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        g = g.sort_values("_v", kind="mergesort")
+        cum = g["_n"].cumsum().to_numpy()
+        start = np.concatenate(([0], cum[:-1]))
+        for v, s in zip(g["_v"].to_numpy(), start):
+            offsets[(key, int(v))] = int(s)
+        totals[key] = int(cum[-1])
+    off_ref = ray.put((offsets, totals))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy()
+        pk = np.fromiter(
+            (zlib.crc32(f"{kk}|{vv}".encode()) % num_partitions
+             for kk, vv in zip(keys, vals)),
+            dtype=np.int32, count=len(keys))
+        return batch.append_column("_pkey", pa.array(pk))
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(off_ref)
+        g = g.sort_values([key_col, val_col, tiebreak_col],
+                          kind="mergesort")
+        tie = g.groupby([key_col, val_col], sort=False).cumcount().to_numpy()
+        base = np.fromiter(
+            (offs[(kk, int(vv))] for kk, vv in
+             zip(g[key_col], g[val_col])), dtype=np.int64, count=len(g))
+        n = np.fromiter((tots[kk] for kk in g[key_col]),
+                        dtype=np.int64, count=len(g))
+        r0 = base + tie
+        big = n % k
+        ceil = n // k + 1
+        split = big * ceil
+        in_big = r0 < split
+        tile = np.where(
+            in_big, r0 // np.maximum(ceil, 1) + 1,
+            big + (r0 - split) // np.maximum(n // k, 1) + 1)
+        g = g.drop(columns=["_pkey"])
+        g[out_col] = tile.astype("int64")
+        return g
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(rank_partition, batch_format="pandas"))
