@@ -2512,6 +2512,61 @@ def _q_events_anomaly(sf_dir: str):
                                 bucket_col="hour")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event streams — the LAG
+    window primitive (prev_type → next_type adjacency counts, ordered by
+    ts with event_id tiebreak). One key-hash exchange; each partition
+    pre-combines to ≤|types|² rows (windows.transitions_per_key).
+    Oracle: lag() OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    import ray.data
+
+    from documentai_ray.stages.windows import transitions_per_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return transitions_per_key(ds, key_col="user_id", ts_col="ts",
+                               type_col="event_type",
+                               tiebreak_col="event_id")
+
+
+def _q_funnel_conversion(sf_dir: str):
+    """Ordered multi-step funnel (view → click → purchase, strict time
+    order): per-user deepest completed prefix, aggregated to a depth
+    histogram. Per-partition vectorized step resolution (3 filtered
+    groupby-min + merge passes for ALL users at once), partial depth
+    counts pre-combined before the final tiny groupby
+    (windows.funnel_depth). Only high-value events (value ≥ 150) count
+    as funnel steps — the cutoff keeps every depth bucket populated
+    (otherwise the dense synthetic stream puts all users at depth 3 and
+    the check is vacuous). Oracle: chained min-ts subqueries."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.windows import funnel_depth
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+    ds = (ds.filter(expr="value >= 150")
+          .select_columns(["user_id", "ts", "event_type"]))
+    per_user = funnel_depth(ds, key_col="user_id", ts_col="ts",
+                            type_col="event_type",
+                            steps=("view", "click", "purchase"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = (df.groupby("depth", sort=False).size()
+               .rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (per_user.map_batches(partial, batch_format="pyarrow")
+            .groupby("depth").aggregate(Sum("n_users", alias_name="n_users")))
+
+
 def _q_lang_rebalance(sf_dir: str):
     """Language-balanced corpus cap: keep the K=30 longest docs per
     language — the rebalancing step multilingual corpora apply so
@@ -4779,6 +4834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "event_transitions": _q_event_transitions,
+        "funnel_conversion": _q_funnel_conversion,
         "lang_rebalance": _q_lang_rebalance,
         "drop_funnel": _q_drop_funnel,
         "cm_counts": _q_cm_counts,
@@ -5759,6 +5816,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "event_transitions": (
+            "SELECT prev_type, event_type AS next_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events) WHERE prev_type IS NOT NULL "
+            "GROUP BY prev_type, next_type"
+        ),
+        "funnel_conversion": (
+            "WITH f AS (SELECT * FROM events WHERE value >= 150), "
+            "s1 AS (SELECT user_id, min(ts) AS t1 FROM f "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM f e "
+            "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM f e "
+            "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+            "d AS (SELECT u.user_id, CAST(CASE "
+            "WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 "
+            "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS depth FROM (SELECT DISTINCT user_id FROM f) u "
+            "LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id) "
+            "SELECT depth, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM d GROUP BY depth"
         ),
         "lang_rebalance": (
             "SELECT doc_id, lang, n_chars FROM ("

@@ -244,3 +244,85 @@ def flag_count_anomalies(ds, *, key_col: str, bucket_col: str,
         return batch.append_column("is_spike", pa.array(out, pa.bool_()))
 
     return counts.map_batches(flag, batch_format="pyarrow")
+
+
+def transitions_per_key(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        tiebreak_col: str = "event_id",
+                        num_partitions: int = 64):
+    """Markov transition counts over per-key ordered event streams — the
+    LAG-window primitive: for every key, order its events by
+    (ts, tiebreak) and count each (previous type → next type) adjacency
+    across the whole corpus.  Equivalent SQL:
+    ``lag(type) OVER (PARTITION BY key ORDER BY ts, tiebreak)`` + groupby.
+
+    Physical plan: hash-partition on ``crc32(key) % P`` co-locates each
+    key's events; ONE vectorized pass per partition sorts (key, ts,
+    tiebreak), shifts, masks out key boundaries, and pre-combines to a
+    ≤|types|² partial per partition — so the final exchange carries
+    P × |types|² rows, never events."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col], kind="mergesort")
+        prev = g[type_col].shift()
+        same = g[key_col].eq(g[key_col].shift())
+        m = same.to_numpy()
+        out = pd.DataFrame({"prev_type": prev[m], "next_type": g[type_col][m]})
+        out = (out.groupby(["prev_type", "next_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _add_pkey(ds, key_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: partial(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def funnel_depth(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 steps: tuple = ("view", "click", "purchase"),
+                 num_partitions: int = 64):
+    """Ordered multi-step funnel: per key, the deepest prefix of ``steps``
+    completed in strict time order (step i+1 must occur at a ts STRICTLY
+    after the key's earliest completion of step i).  Emits one row per
+    key: (key, depth ∈ [0, len(steps)]).  Every key with ≥1 event is
+    emitted, depth 0 included.
+
+    Physical plan: one hash-partition exchange on ``crc32(key) % P``;
+    inside a partition each step is resolved for ALL keys at once with a
+    filtered groupby-min + merge (len(steps) vectorized passes), never a
+    per-key Python loop.  Emits |keys| rows; downstream aggregation
+    (depth histogram) pre-combines per partition."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        users = g[[key_col]].drop_duplicates().reset_index(drop=True)
+        depth = pd.Series(np.zeros(len(users), dtype="int64"))
+        prev_t = None  # per-user ts of the previous step's first completion
+        for i, step in enumerate(steps):
+            ev = g[g[type_col] == step][[key_col, ts_col]]
+            if prev_t is not None:
+                ev = ev.merge(prev_t, on=key_col)
+                ev = ev[ev[ts_col] > ev["_prev"]].drop(columns=["_prev"])
+            t = (ev.groupby(key_col, as_index=False)[ts_col].min()
+                 .rename(columns={ts_col: "_prev"}))
+            hit = users[key_col].isin(set(t[key_col]))
+            depth = depth.where(~(hit & (depth == i)), i + 1)
+            prev_t = t
+        return pd.DataFrame({key_col: users[key_col],
+                             "depth": depth.astype("int64")})
+
+    return (
+        _add_pkey(ds, key_col, num_partitions)
+        .groupby("_pkey")
+        .map_groups(lambda g: resolve(g.drop(columns=["_pkey"])),
+                    batch_format="pandas")
+    )

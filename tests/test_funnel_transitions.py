@@ -1,0 +1,80 @@
+"""Per-user ordered-event operators: LAG transitions and funnel depth."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from documentai_ray.stages.windows import funnel_depth, transitions_per_key
+
+
+def _ts(m: int) -> pd.Timestamp:
+    return pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
+
+
+class TestTransitions:
+    def test_counts_and_key_boundary(self, ray_session):
+        # user 1: a -> b -> b ; user 2: b -> a.  The boundary between
+        # users must NOT produce a (b, b) or (b, a) phantom transition.
+        rows = [
+            {"user_id": 1, "ts": _ts(0), "event_type": "a", "event_id": 1},
+            {"user_id": 1, "ts": _ts(1), "event_type": "b", "event_id": 2},
+            {"user_id": 1, "ts": _ts(2), "event_type": "b", "event_id": 3},
+            {"user_id": 2, "ts": _ts(0), "event_type": "b", "event_id": 4},
+            {"user_id": 2, "ts": _ts(1), "event_type": "a", "event_id": 5},
+        ]
+        out = transitions_per_key(ray_session.data.from_items(rows),
+                                  num_partitions=4).to_pandas()
+        got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+        assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "a"): 1}
+
+    def test_tiebreak_by_event_id(self, ray_session):
+        # same ts: order is decided by event_id, so a(1) -> b(2) -> c(3).
+        rows = [
+            {"user_id": 1, "ts": _ts(0), "event_type": "b", "event_id": 2},
+            {"user_id": 1, "ts": _ts(0), "event_type": "a", "event_id": 1},
+            {"user_id": 1, "ts": _ts(0), "event_type": "c", "event_id": 3},
+        ]
+        out = transitions_per_key(ray_session.data.from_items(rows),
+                                  num_partitions=2).to_pandas()
+        got = {(r.prev_type, r.next_type): r.n for r in out.itertuples()}
+        assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+class TestFunnel:
+    STEPS = ("view", "click", "purchase")
+
+    def _depths(self, ray_session, rows):
+        ds = ray_session.data.from_items(rows)
+        out = funnel_depth(ds, steps=self.STEPS, num_partitions=4).to_pandas()
+        return dict(zip(out["user_id"], out["depth"]))
+
+    def test_strict_order_required(self, ray_session):
+        # user 1 completes in order; user 2 clicks BEFORE viewing (depth 1);
+        # user 3 never views (depth 0).
+        rows = [
+            {"user_id": 1, "ts": _ts(0), "event_type": "view"},
+            {"user_id": 1, "ts": _ts(1), "event_type": "click"},
+            {"user_id": 1, "ts": _ts(2), "event_type": "purchase"},
+            {"user_id": 2, "ts": _ts(0), "event_type": "click"},
+            {"user_id": 2, "ts": _ts(1), "event_type": "view"},
+            {"user_id": 3, "ts": _ts(0), "event_type": "error"},
+        ]
+        assert self._depths(ray_session, rows) == {1: 3, 2: 1, 3: 0}
+
+    def test_same_ts_does_not_advance(self, ray_session):
+        # click at the SAME ts as the first view: strict > rejects it.
+        rows = [
+            {"user_id": 1, "ts": _ts(0), "event_type": "view"},
+            {"user_id": 1, "ts": _ts(0), "event_type": "click"},
+        ]
+        assert self._depths(ray_session, rows) == {1: 1}
+
+    def test_earliest_prior_step_is_anchor(self, ray_session):
+        # first view at t0; a click at t1 counts even though a LATER view
+        # exists at t2 (anchor is the EARLIEST completion of the prior step).
+        rows = [
+            {"user_id": 1, "ts": _ts(0), "event_type": "view"},
+            {"user_id": 1, "ts": _ts(1), "event_type": "click"},
+            {"user_id": 1, "ts": _ts(2), "event_type": "view"},
+        ]
+        assert self._depths(ray_session, rows) == {1: 2}
