@@ -2512,6 +2512,36 @@ def _q_events_anomaly(sf_dir: str):
                                 bucket_col="hour")
 
 
+def _q_grouped_regression(sf_dir: str):
+    """Per-group OLS sufficient statistics in exact integer arithmetic —
+    the corr/covar_pop/regr_slope aggregate family with no float crossing
+    the engine boundary (aggregates.grouped_linreg): quantity vs
+    extendedprice-cents per returnflag.  cov_num = n·Σxy−Σx·Σy,
+    var_num = n·Σxx−(Σx)², slope_q = trunc-division — bit-identical to
+    the HUGEINT-safe SQL mirror.  Domain bound n·max|x·y| < 2⁶³ holds
+    through sf0.1 (≈3.4e18); rescale y for bigger corpora (documented)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_linreg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        cents = np.rint(batch.column("l_extendedprice").to_numpy()
+                        * 100).astype("int64")
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "x": pa.array(q, pa.int64()),
+                         "y": pa.array(cents, pa.int64())})
+
+    return grouped_linreg(ds.map_batches(prep, batch_format="pyarrow"),
+                          key_col="l_returnflag", x_col="x", y_col="y")
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix over per-user event streams — the LAG
     window primitive (prev_type → next_type adjacency counts, ordered by
@@ -4834,6 +4864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "grouped_regression": _q_grouped_regression,
         "event_transitions": _q_event_transitions,
         "funnel_conversion": _q_funnel_conversion,
         "lang_rebalance": _q_lang_rebalance,
@@ -5816,6 +5847,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "grouped_regression": (
+            "WITH b AS (SELECT l_returnflag, "
+            "CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS y "
+            "FROM lineitem), "
+            "a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sum_x, "
+            "CAST(sum(y) AS BIGINT) AS sum_y, "
+            "CAST(sum(x * x) AS BIGINT) AS sum_xx, "
+            "CAST(sum(x * y) AS BIGINT) AS sum_xy "
+            "FROM b GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_xy, "
+            "CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS cov_num, "
+            "CAST(n * sum_xx - sum_x * sum_x AS BIGINT) AS var_num, "
+            "CAST(CASE WHEN n * sum_xx - sum_x * sum_x = 0 THEN 0 "
+            "ELSE (n * sum_xy - sum_x * sum_y) "
+            "// (n * sum_xx - sum_x * sum_x) END AS BIGINT) AS slope_q "
+            "FROM a"
         ),
         "event_transitions": (
             "SELECT prev_type, event_type AS next_type, "

@@ -498,3 +498,67 @@ def grouped_ntile(ds, *, key_col: str, val_col: str, tiebreak_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_pkey")
             .map_groups(rank_partition, batch_format="pandas"))
+
+
+def grouped_linreg(ds, *, key_col: str, x_col: str, y_col: str):
+    """Per-group ordinary-least-squares sufficient statistics in EXACT
+    integer arithmetic — the corr()/covar_pop()/regr_slope() family
+    without a float ever crossing an engine boundary.
+
+    Inputs must already be integer columns (scale money to cents etc.).
+    Per batch, a vectorized pandas groupby pre-combines to one partial
+    row per key: (n, sum_x, sum_y, sum_xx, sum_xy).  One tiny key
+    exchange sums the partials; a final map over the ≤|keys| rows emits
+    the cross-multiplied numerators
+
+        cov_num = n·Σxy − Σx·Σy        (= n² · covar_pop)
+        var_num = n·Σxx − (Σx)²        (= n² · var_pop(x))
+        slope_q = trunc(cov_num / var_num)
+
+    slope_q uses truncation-toward-zero division (SQL's integer ``//``),
+    NOT Python floor division — the two differ on negative covariance, and
+    the SQL mirror must land bit-identically.  Domain bound (documented,
+    like the other integer ops): n·max|x·y| and n·max(x²) must stay below
+    2⁶³ per group; rescale inputs when they don't."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = df[x_col].astype("int64")
+        y = df[y_col].astype("int64")
+        g = pd.DataFrame({key_col: df[key_col], "n": 1, "sum_x": x,
+                          "sum_y": y, "sum_xx": x * x, "sum_xy": x * y})
+        return pa.Table.from_pandas(
+            g.groupby(key_col, as_index=False).sum(), preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_xx", alias_name="sum_xx"),
+                      Sum("sum_xy", alias_name="sum_xy")))
+
+    def derive(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_pylist()
+        sx = batch.column("sum_x").to_pylist()
+        sy = batch.column("sum_y").to_pylist()
+        sxx = batch.column("sum_xx").to_pylist()
+        sxy = batch.column("sum_xy").to_pylist()
+        cov, var, slope = [], [], []
+        for ni, sxi, syi, sxxi, sxyi in zip(n, sx, sy, sxx, sxy):
+            c = ni * sxyi - sxi * syi
+            v = ni * sxxi - sxi * sxi
+            cov.append(c)
+            var.append(v)
+            if v == 0:
+                slope.append(0)
+            else:
+                q = abs(c) // abs(v)
+                slope.append(q if (c >= 0) == (v >= 0) else -q)
+        return (batch
+                .append_column("cov_num", pa.array(cov, pa.int64()))
+                .append_column("var_num", pa.array(var, pa.int64()))
+                .append_column("slope_q", pa.array(slope, pa.int64())))
+
+    return agg.map_batches(derive, batch_format="pyarrow")

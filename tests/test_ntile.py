@@ -50,3 +50,35 @@ def test_grouped_ntile_fewer_rows_than_tiles(ray_session):
         num_partitions=2).to_pandas().sort_values("id")
     want = _duck_ntile(df, 10).sort_values("id")
     assert list(out["tile"]) == list(want["tile"])
+
+
+class TestGroupedLinreg:
+    def test_exact_stats_and_trunc_slope(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_linreg
+        # key a: y = 3x exactly -> slope 3, cov/var exact
+        # key b: negative covariance with non-divisible ratio -> trunc
+        #        toward zero (Python floor would give a different value)
+        rows = ([{"k": "a", "x": x, "y": 3 * x} for x in (1, 2, 3, 4)]
+                + [{"k": "b", "x": 1, "y": 10}, {"k": "b", "x": 2, "y": 3}])
+        out = grouped_linreg(ray_session.data.from_items(rows),
+                             key_col="k", x_col="x", y_col="y").to_pandas()
+        a = out[out["k"] == "a"].iloc[0]
+        assert (a["n"], a["sum_x"], a["sum_y"]) == (4, 10, 30)
+        assert a["cov_num"] == 4 * 90 - 10 * 30  # n*Sxy - Sx*Sy = 60
+        assert a["var_num"] == 4 * 30 - 100      # 20
+        assert a["slope_q"] == 3
+        b = out[out["k"] == "b"].iloc[0]
+        # cov_num = 2*16 - 3*13 = -7, var_num = 2*5 - 9 = 1 -> slope -7
+        assert (b["cov_num"], b["var_num"], b["slope_q"]) == (-7, 1, -7)
+
+    def test_trunc_not_floor(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_linreg
+        # cov_num = -9, var_num = 6: trunc(-1.5) -> -1 (floor gives -2) —
+        # pins the SQL `//` parity choice on negative covariance.
+        rows = [{"k": "c", "x": 0, "y": 3}, {"k": "c", "x": 1, "y": 1},
+                {"k": "c", "x": 2, "y": 0}]
+        out = grouped_linreg(ray_session.data.from_items(rows),
+                             key_col="k", x_col="x", y_col="y").to_pandas()
+        r = out.iloc[0]
+        assert (r["cov_num"], r["var_num"]) == (-9, 6)
+        assert r["slope_q"] == -1
