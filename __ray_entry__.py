@@ -2512,6 +2512,57 @@ def _q_events_anomaly(sf_dir: str):
                                 bucket_col="hour")
 
 
+_SCD2_SEGMENTS = ("BRONZE", "SILVER", "GOLD", "PLATINUM", "TRIAL")
+
+
+def _q_scd2_join(sf_dir: str):
+    """SCD Type-2 effective-dated dimension join: each order picks the
+    customer-segment VERSION valid at its order date (valid_from ≤ date <
+    valid_to).  Because every key's versions tile time completely, this
+    is exactly a per-key backward as-of join — one bucketed exchange
+    (joins.asof_join), never a broadcast (the dimension is
+    customer-sized, i.e. fact-adjacent).  The versioned dimension is
+    synthesized deterministically from customer (3 versions per key with
+    custkey-derived boundaries); the oracle rebuilds it with
+    lead() OVER and joins on the interval."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.joins import asof_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        n = len(ck)
+        keys = np.repeat(ck, 3)
+        ver = np.tile(np.array([1, 2, 3], np.int64), n)
+        base = np.empty(3 * n, "datetime64[us]")
+        base[0::3] = np.datetime64("1992-01-01", "us")
+        base[1::3] = (np.datetime64("1996-01-01", "us")
+                      + (ck % 365).astype("timedelta64[D]").astype(
+                          "timedelta64[us]"))
+        base[2::3] = (np.datetime64("1999-01-01", "us")
+                      + ((ck * 7) % 365).astype("timedelta64[D]").astype(
+                          "timedelta64[us]"))
+        seg = np.array(_SCD2_SEGMENTS)[(keys + ver) % 5]
+        return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                         "o_orderdate": pa.array(base,
+                                                 pa.timestamp("us")),
+                         "version": pa.array(ver, pa.int64()),
+                         "segment": pa.array(seg, pa.string())})
+
+    dim = cust.map_batches(versions, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join(orders, dim, on="o_orderdate", by="o_custkey",
+                     direction="backward")
+
+
 def _q_grouped_regression(sf_dir: str):
     """Per-group OLS sufficient statistics in exact integer arithmetic —
     the corr/covar_pop/regr_slope aggregate family with no float crossing
@@ -4864,6 +4915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "scd2_join": _q_scd2_join,
         "grouped_regression": _q_grouped_regression,
         "event_transitions": _q_event_transitions,
         "funnel_conversion": _q_funnel_conversion,
@@ -5847,6 +5899,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "scd2_join": (
+            "WITH v AS ("
+            "SELECT c_custkey, CAST(1 AS BIGINT) AS version, "
+            "TIMESTAMP '1992-01-01' AS valid_from FROM customer "
+            "UNION ALL SELECT c_custkey, 2, "
+            "TIMESTAMP '1996-01-01' + INTERVAL (c_custkey % 365) DAY "
+            "FROM customer "
+            "UNION ALL SELECT c_custkey, 3, "
+            "TIMESTAMP '1999-01-01' + INTERVAL ((c_custkey * 7) % 365) DAY "
+            "FROM customer), "
+            "d AS (SELECT c_custkey, version, valid_from, "
+            "coalesce(lead(valid_from) OVER (PARTITION BY c_custkey "
+            "ORDER BY valid_from), TIMESTAMP '9999-01-01') AS valid_to, "
+            "CASE (c_custkey + version) % 5 WHEN 0 THEN 'BRONZE' WHEN 1 THEN 'SILVER' WHEN 2 THEN 'GOLD' WHEN 3 THEN 'PLATINUM' ELSE 'TRIAL' END AS segment FROM v) "
+            "SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, "
+            "d.version, d.segment FROM orders o JOIN d "
+            "ON o.o_custkey = d.c_custkey "
+            "AND o.o_orderdate >= d.valid_from "
+            "AND o.o_orderdate < d.valid_to"
         ),
         "grouped_regression": (
             "WITH b AS (SELECT l_returnflag, "

@@ -179,3 +179,23 @@ def test_merge_changelog_semantics(ray_session):
     out = (merge_changelog(base, changes, key_col="k", num_partitions=8)
            .to_pandas().sort_values("k"))
     assert dict(zip(out["k"], out["v"])) == {1: "a", 2: "b2", 4: "d", 5: "e"}
+
+
+class TestScd2Semantics:
+    def test_version_boundaries_inclusive_exclusive(self, ray_session):
+        # valid_from <= ts < valid_to: an order ON a version's start date
+        # takes the NEW version (backward as-of picks the latest <=).
+        import pandas as pd
+        from documentai_ray.stages.joins import asof_join
+        dim = ray_session.data.from_items([
+            {"k": 1, "ts": pd.Timestamp("2020-01-01"), "version": 1},
+            {"k": 1, "ts": pd.Timestamp("2020-06-01"), "version": 2},
+        ])
+        fact = ray_session.data.from_items([
+            {"oid": 10, "k": 1, "ts": pd.Timestamp("2020-05-31")},
+            {"oid": 11, "k": 1, "ts": pd.Timestamp("2020-06-01")},
+            {"oid": 12, "k": 1, "ts": pd.Timestamp("2020-06-02")},
+        ])
+        out = asof_join(fact, dim, on="ts", by="k").to_pandas()
+        got = dict(zip(out["oid"], out["version"]))
+        assert got == {10: 1, 11: 2, 12: 2}
