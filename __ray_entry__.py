@@ -2512,6 +2512,106 @@ def _q_events_anomaly(sf_dir: str):
                                 bucket_col="hour")
 
 
+def _q_gap_fill(sf_dir: str):
+    """Time-series gap fill: the per-type hourly series densified to the
+    full global hour grid — missing hours get n_events=0 and carry the
+    last observed hourly cents total forward (LOCF); hours before a
+    type's first observation stay NULL.  Physical plan: one exchange
+    aggregates (type, hour) cells with per-batch pre-combined partials;
+    the grid construction + LOCF run on the AGGREGATED cells only
+    (|types|·|hours| rows — bounded by the time span, not the corpus, a
+    documented size contract), vectorized via reindex + groupby-ffill.
+    Oracle: generate_series grid + last_value(... IGNORE NULLS) OVER."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        df["cents"] = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        g = (df.groupby(["event_type", "hour"], as_index=False)
+             .agg(n_events=("cents", "size"), cents=("cents", "sum")))
+        g["n_events"] = g["n_events"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "hour"])
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("cents", alias_name="cents")))
+
+    # aggregated cells are span-bounded (|types| x |hours|) — the one
+    # documented driver-side materialization, same contract as the
+    # anomaly stats broadcast.
+    from documentai_ray.stages.windows import gap_fill_locf
+
+    full = gap_fill_locf(cells.to_pandas(), key_col="event_type",
+                         bucket_col="hour", count_col="n_events",
+                         gauge_col="cents")
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(full, preserve_index=False))
+
+
+def _q_cube_counts(sf_dir: str):
+    """GROUPING SETS / CUBE(lang, source): counts and char totals at all
+    four aggregation levels with an 'ALL' sentinel on rolled-up axes.
+    Physical plan: ONE exchange aggregates the finest (lang, source)
+    cells (per-batch pre-combined partials); the cube expansion then runs
+    over the aggregated cells only (|langs|·|sources| rows — a flat-map
+    emitting each cell's 4 grouping-set projections plus a tiny second
+    groupby), never over the raw rows.  Oracle: GROUP BY CUBE +
+    coalesce."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["lang", "source"], as_index=False)
+             .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["total_chars"] = g["total_chars"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("total_chars", alias_name="total_chars")))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        sets = []
+        for roll_lang, roll_src in ((False, False), (False, True),
+                                    (True, False), (True, True)):
+            p = df.copy()
+            if roll_lang:
+                p["lang"] = "ALL"
+            if roll_src:
+                p["source"] = "ALL"
+            sets.append(p)
+        out = (pd.concat(sets, ignore_index=True)
+               .groupby(["lang", "source"], as_index=False).sum())
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the cell table is tiny (|langs|·|sources|); a second 2-key groupby
+    # merges the per-block expansions into exact cube cells.
+    return (cells.map_batches(expand, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_chars", alias_name="total_chars")))
+
+
 _SCD2_SEGMENTS = ("BRONZE", "SILVER", "GOLD", "PLATINUM", "TRIAL")
 
 
@@ -4915,6 +5015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "gap_fill": _q_gap_fill,
+        "cube_counts": _q_cube_counts,
         "scd2_join": _q_scd2_join,
         "grouped_regression": _q_grouped_regression,
         "event_transitions": _q_event_transitions,
@@ -5899,6 +6001,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "gap_fill": (
+            "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS cents FROM events GROUP BY event_type, hour), "
+            "span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM c), "
+            "grid AS (SELECT t.event_type, g.hour FROM "
+            "(SELECT DISTINCT event_type FROM events) t CROSS JOIN "
+            "(SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) "
+            "AS hour FROM span) g), "
+            "j AS (SELECT grid.event_type, grid.hour, "
+            "coalesce(c.n_events, 0) AS n_events, c.cents AS obs "
+            "FROM grid LEFT JOIN c "
+            "ON grid.event_type = c.event_type AND grid.hour = c.hour) "
+            "SELECT event_type, hour, n_events, "
+            "last_value(obs IGNORE NULLS) OVER (PARTITION BY event_type "
+            "ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cents FROM j"
+        ),
+        "cube_counts": (
+            "SELECT coalesce(lang, 'ALL') AS lang, "
+            "coalesce(source, 'ALL') AS source, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY CUBE (lang, source)"
         ),
         "scd2_join": (
             "WITH v AS ("

@@ -326,3 +326,25 @@ def funnel_depth(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         .map_groups(lambda g: resolve(g.drop(columns=["_pkey"])),
                     batch_format="pandas")
     )
+
+
+def gap_fill_locf(cells: pd.DataFrame, *, key_col: str, bucket_col: str,
+                  count_col: str, gauge_col: str,
+                  freq: str = "h") -> pd.DataFrame:
+    """Densify aggregated (key, time-bucket) cells to the full global
+    bucket grid: missing buckets get ``count_col``=0 and carry the last
+    observed ``gauge_col`` forward (LOCF); buckets before a key's first
+    observation stay NULL (nullable Int64).  Pure pandas on the
+    aggregated cells — span-bounded (|keys|·|buckets|), never the raw
+    rows; the caller owns the single aggregation exchange."""
+    df = cells.sort_values([key_col, bucket_col])
+    buckets = pd.date_range(df[bucket_col].min(), df[bucket_col].max(),
+                            freq=freq)
+    grid = pd.MultiIndex.from_product(
+        [sorted(df[key_col].unique()), buckets],
+        names=[key_col, bucket_col])
+    full = df.set_index([key_col, bucket_col]).reindex(grid).reset_index()
+    full[count_col] = full[count_col].fillna(0).astype("int64")
+    full[gauge_col] = (full.groupby(key_col)[gauge_col].ffill()
+                       .astype("Int64"))
+    return full

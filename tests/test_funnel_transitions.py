@@ -78,3 +78,23 @@ class TestFunnel:
             {"user_id": 1, "ts": _ts(2), "event_type": "view"},
         ]
         assert self._depths(ray_session, rows) == {1: 2}
+
+
+class TestGapFillLocf:
+    def test_gap_zero_locf_and_leading_null(self):
+        import pandas as pd
+        from documentai_ray.stages.windows import gap_fill_locf
+        h = lambda i: pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)
+        cells = pd.DataFrame({
+            "k": ["a", "a", "b"],
+            "hour": [h(0), h(2), h(2)],
+            "n": [5, 7, 1],
+            "g": [100, 200, 50],
+        })
+        out = gap_fill_locf(cells, key_col="k", bucket_col="hour",
+                            count_col="n", gauge_col="g")
+        assert len(out) == 6  # 2 keys x 3 hours
+        a1 = out[(out["k"] == "a") & (out["hour"] == h(1))].iloc[0]
+        assert a1["n"] == 0 and a1["g"] == 100  # gap: count 0, LOCF gauge
+        b0 = out[(out["k"] == "b") & (out["hour"] == h(0))].iloc[0]
+        assert b0["n"] == 0 and pd.isna(b0["g"])  # before first obs: NULL
