@@ -2512,6 +2512,95 @@ def _q_events_anomaly(sf_dir: str):
                                 bucket_col="hour")
 
 
+def _q_table_checksum(sf_dir: str):
+    """Order-independent cross-engine table digests — the data-validation
+    primitive for migrations/replication: per table, a wrapping mod-2⁶⁴
+    sum of the md5-LE64 hash of each row's canonical string.  Per-batch
+    partials carry the sum as (hi, lo) 2³²-split int64 columns so no
+    engine-side overflow is possible; one tiny groupby merges them and a
+    final map reassembles (hi·2³² + lo) mod 2⁶⁴ → signed int64 with
+    Python bignums.  Oracle: HUGEINT sum of the identical md5 expression
+    % 2⁶⁴, signed-reinterpreted."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    specs = {
+        "customer": (["c_custkey", "c_name", "c_mktsegment"], "customer"),
+        "orders": (["o_orderkey", "o_orderstatus", "o_orderpriority"],
+                   "orders"),
+        "nation": (["n_nationkey", "n_name"], "nation"),
+    }
+
+    def make_partial(tname: str, cols: list):
+        def partial(batch: pa.Table) -> pa.Table:
+            arrays = [batch.column(c).to_pylist() for c in cols]
+            total = 0
+            for vals in zip(*arrays):
+                s = tname + "|" + "|".join(str(v) for v in vals)
+                total = (total + md5_le64(s)) % (1 << 64)
+            return pa.table({"table_name": pa.array([tname], pa.string()),
+                             "n_rows": pa.array([batch.num_rows], pa.int64()),
+                             "hi": pa.array([total >> 32], pa.int64()),
+                             "lo": pa.array([total & 0xFFFFFFFF],
+                                            pa.int64())})
+        return partial
+
+    parts = None
+    for tname, (cols, fname) in specs.items():
+        ds = ray.data.read_parquet(f"{sf_dir}/{fname}.parquet",
+                                   columns=cols)
+        p = ds.map_batches(make_partial(tname, cols),
+                           batch_format="pyarrow")
+        parts = p if parts is None else parts.union(p)
+
+    agg = parts.groupby("table_name").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo"))
+
+    def derive(batch: pa.Table) -> pa.Table:
+        out = []
+        for hi, lo in zip(batch.column("hi").to_pylist(),
+                          batch.column("lo").to_pylist()):
+            v = ((hi << 32) + lo) % (1 << 64)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"table_name": batch.column("table_name"),
+                         "n_rows": batch.column("n_rows"),
+                         "checksum": pa.array(out, pa.int64())})
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def _q_string_agg_topdocs(sf_dir: str):
+    """Grouped ORDERED string aggregation (string_agg ... ORDER BY): per
+    source, the comma-joined list of its 5 smallest doc_ids.  Ordered
+    concat can't pre-combine across unordered partials, so the scale-safe
+    plan bounds the per-key row count FIRST (grouped_topk: map-side
+    partial top-k, one key exchange) and concatenates only the ≤k
+    surviving rows per key."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    top = grouped_topk(ds, key_col="source", sort_cols=["doc_id"],
+                       ascending=[True], k=5, num_partitions=16)
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "doc_list": [",".join(str(d) for d in g["doc_id"])],
+            "n_top": pd.array([len(g)], dtype="int64")})
+
+    return top.groupby("source").map_groups(concat, batch_format="pandas")
+
+
 def _q_gap_fill(sf_dir: str):
     """Time-series gap fill: the per-type hourly series densified to the
     full global hour grid — missing hours get n_events=0 and carry the
@@ -5015,6 +5104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "table_checksum": _q_table_checksum,
+        "string_agg_topdocs": _q_string_agg_topdocs,
         "gap_fill": _q_gap_fill,
         "cube_counts": _q_cube_counts,
         "scd2_join": _q_scd2_join,
@@ -6001,6 +6092,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "table_checksum": (
+            "WITH rows_c AS (SELECT 'customer' AS table_name, "
+            f"{_sql_md5_le64(chr(39) + 'customer|' + chr(39) + ' || CAST(c_custkey AS VARCHAR) || ' + chr(39) + '|' + chr(39) + ' || c_name || ' + chr(39) + '|' + chr(39) + ' || c_mktsegment')} AS hv FROM customer), "
+            "rows_o AS (SELECT 'orders' AS table_name, "
+            f"{_sql_md5_le64(chr(39) + 'orders|' + chr(39) + ' || CAST(o_orderkey AS VARCHAR) || ' + chr(39) + '|' + chr(39) + ' || o_orderstatus || ' + chr(39) + '|' + chr(39) + ' || o_orderpriority')} AS hv FROM orders), "
+            "rows_n AS (SELECT 'nation' AS table_name, "
+            f"{_sql_md5_le64(chr(39) + 'nation|' + chr(39) + ' || CAST(n_nationkey AS VARCHAR) || ' + chr(39) + '|' + chr(39) + ' || n_name')} AS hv FROM nation), "
+            "u AS (SELECT * FROM rows_c UNION ALL SELECT * FROM rows_o "
+            "UNION ALL SELECT * FROM rows_n), "
+            "a AS (SELECT table_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            "sum(hv) % CAST(18446744073709551616 AS HUGEINT) AS chk "
+            "FROM u GROUP BY table_name) "
+            "SELECT table_name, n_rows, "
+            "CAST(CASE WHEN chk >= CAST(9223372036854775808 AS HUGEINT) "
+            "THEN chk - CAST(18446744073709551616 AS HUGEINT) "
+            "ELSE chk END AS BIGINT) AS checksum FROM a"
+        ),
+        "string_agg_topdocs": (
+            "SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' "
+            "ORDER BY doc_id) AS doc_list, "
+            "CAST(count(*) AS BIGINT) AS n_top FROM ("
+            "SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 5 GROUP BY source"
         ),
         "gap_fill": (
             "WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, "

@@ -98,3 +98,17 @@ class TestGapFillLocf:
         assert a1["n"] == 0 and a1["g"] == 100  # gap: count 0, LOCF gauge
         b0 = out[(out["k"] == "b") & (out["hour"] == h(0))].iloc[0]
         assert b0["n"] == 0 and pd.isna(b0["g"])  # before first obs: NULL
+
+
+class TestTableChecksum:
+    def test_order_independent_and_content_sensitive(self, ray_session):
+        # the checksum must not depend on row order but must change when
+        # any row's content changes — the mod-2^64 wrapping sum contract.
+        from documentai_ray.stages.sketches import md5_le64
+        rows = ["t|1|a", "t|2|b", "t|3|c"]
+        fwd = sum(md5_le64(s) for s in rows) % (1 << 64)
+        rev = sum(md5_le64(s) for s in reversed(rows)) % (1 << 64)
+        assert fwd == rev
+        changed = sum(md5_le64(s) for s in ["t|1|a", "t|2|B", "t|3|c"]) \
+            % (1 << 64)
+        assert changed != fwd
