@@ -4150,6 +4150,39 @@ def _q_redirect_resolve(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_khop_frontier(sf_dir: str):
+    """k-hop BFS over the directed link graph (same deterministic edge
+    synthesis as triangle_count: i→i+1, i→i+2, i→7i+1 mod n): min hop
+    depth ≤ 3 from the doc_id ≡ 0 (mod 997) seed set — the
+    crawl-frontier-expansion / blast-radius primitive (graph.bfs_khop:
+    one key-projected hash_join + groupby-min per round).  Oracle:
+    WITH RECURSIVE level-by-level expansion + final min."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import bfs_khop
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = list(ids) * 3
+        dst = (list((ids + 1) % n) + list((ids + 2) % n)
+               + list((ids * 7 + 1) % n))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"node": pa.array(ids[ids % 997 == 0], pa.int64())})
+
+    return bfs_khop(docs.map_batches(edges, batch_format="pyarrow"),
+                    docs.map_batches(seeds, batch_format="pyarrow"),
+                    k=3, num_partitions=16)
+
+
 def _q_ocr_roundtrip(sf_dir: str):
     """REAL OCR path (M3): MINIPDF pages render with the 5×7 bitfont →
     PNG encode → PNG decode → matched-template recognition — two
@@ -5104,6 +5137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": _q_fetch_schedule,
         "users_sketch": _q_users_sketch,
         "events_anomaly": _q_events_anomaly,
+        "khop_frontier": _q_khop_frontier,
         "table_checksum": _q_table_checksum,
         "string_agg_topdocs": _q_string_agg_topdocs,
         "gap_fill": _q_gap_fill,
@@ -6092,6 +6126,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, hour, x, "
             "(x * n - s) > 0 AND (x * n - s) * (x * n - s) "
             "> 9 * (n * q - s * s) AS is_spike FROM w"
+        ),
+        "khop_frontier": (
+            "WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents), "
+            "e AS ("
+            "SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id + 2) % nn.n "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id * 7 + 1) % nn.n "
+            "FROM documents, nn), "
+            "bfs(node, depth) AS ("
+            "SELECT doc_id, 0 FROM documents WHERE doc_id % 997 = 0 "
+            "UNION ALL "
+            "SELECT e.dst, b.depth + 1 FROM bfs b "
+            "JOIN e ON b.node = e.src WHERE b.depth < 3) "
+            "SELECT node, CAST(min(depth) AS BIGINT) AS depth "
+            "FROM bfs GROUP BY node"
         ),
         "table_checksum": (
             "WITH rows_c AS (SELECT 'customer' AS table_name, "

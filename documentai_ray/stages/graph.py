@@ -294,3 +294,52 @@ def triangle_counts(edges_ds, *, num_partitions: int = 32,
         batch_format="pyarrow")
     return ones.groupby("node").aggregate(Sum("one",
                                               alias_name="n_triangles"))
+
+
+def bfs_khop(edges_ds, seeds_ds, *, k: int, num_partitions: int = 32):
+    """k-hop BFS frontier: minimum hop distance (≤ k) from a seed set
+    over a directed edge table — crawl-frontier expansion, blast-radius
+    queries, n-degree link neighborhoods.
+
+    ``edges_ds``: (src:int64, dst:int64); ``seeds_ds``: (node:int64).
+    Returns (node, depth) with depth = min hops from any seed, for every
+    node within k hops.
+
+    Physical plan per round: ONE key-projected hash_join of the current
+    frontier against the edge table (shuffle carries 2 int64 columns),
+    then a groupby-min dedups the next frontier.  No visited-set
+    anti-join is kept: the frontier at round d is the full ≤d-hop
+    neighborhood, so re-expansions are bounded by the neighborhood's own
+    edge count (the output size), and non-minimal depth candidates lose
+    the final groupby-min.  Rounds materialize (the documented
+    input-reuse exception, as in resolve_pointers)."""
+    from ray.data.aggregate import Min
+
+    from documentai_ray.stages.joins import hash_join
+
+    frontier = seeds_ds.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "depth": pa.array([0] * b.num_rows,
+                                              pa.int64())}),
+        batch_format="pyarrow").materialize()
+    levels = [frontier]
+
+    for d in range(1, k + 1):
+        left = frontier.map_batches(
+            lambda b: pa.table({"src": b.column("node")}),
+            batch_format="pyarrow")
+        joined = hash_join(left, edges_ds, on="src",
+                           num_partitions=num_partitions)
+        frontier = (joined.map_batches(
+            lambda b, _d=d: pa.table({"node": b.column("dst"),
+                                      "depth": pa.array(
+                                          [_d] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+            .groupby("node").aggregate(Min("depth", alias_name="depth"))
+            .materialize())
+        levels.append(frontier)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out.groupby("node").aggregate(Min("depth", alias_name="depth"))

@@ -119,3 +119,29 @@ def test_triangle_counts_no_triangles(ray_session):
     out = triangle_counts(ray.data.from_arrow(t),
                           num_partitions=2).to_pandas()
     assert len(out) == 0
+
+
+class TestBfsKhop:
+    def test_min_depth_and_reachability(self, ray_session):
+        from documentai_ray.stages.graph import bfs_khop
+        # 0->1->2->3->4 chain plus shortcut 0->2: node 2 is depth 1 (min
+        # wins over the 2-hop path); node 4 is beyond k=3; node 9 is
+        # disconnected and must not appear.
+        edges = ray_session.data.from_items(
+            [{"src": 0, "dst": 1}, {"src": 1, "dst": 2},
+             {"src": 2, "dst": 3}, {"src": 3, "dst": 4},
+             {"src": 0, "dst": 2}, {"src": 9, "dst": 9}])
+        seeds = ray_session.data.from_items([{"node": 0}])
+        out = bfs_khop(edges, seeds, k=3, num_partitions=4).to_pandas()
+        got = dict(zip(out["node"], out["depth"]))
+        assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+    def test_seed_stays_depth_zero_on_cycle(self, ray_session):
+        from documentai_ray.stages.graph import bfs_khop
+        # cycle 0->1->0: the seed is re-reached at depth 2 but min is 0.
+        edges = ray_session.data.from_items(
+            [{"src": 0, "dst": 1}, {"src": 1, "dst": 0}])
+        seeds = ray_session.data.from_items([{"node": 0}])
+        out = bfs_khop(edges, seeds, k=2, num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["depth"]))
+        assert got == {0: 0, 1: 1}
