@@ -823,6 +823,29 @@ def _q_minhash_dedup_keep(sf_dir: str):
     return comp.map_batches(survivors, batch_format="pyarrow")
 
 
+def _q_ppjoin_pairs(sf_dir: str):
+    """EXACT set-similarity join via prefix filtering (PPJoin family) —
+    deterministic-recall near-dup pairs, the LSH alternative with NO
+    probabilistic misses: md5-ordered shingle prefixes as candidate keys
+    (dedup.prefix_filter_pairs), exact-Jaccard verification.  Must equal
+    the full-pairwise ground truth EXACTLY — the same oracle
+    minhash_neardup uses, with recall guaranteed by construction here
+    rather than by band/row tuning."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import (prefix_filter_pairs,
+                                             verify_jaccard_pairs)
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = ds.select_columns(["url", "text"]).materialize()
+    cand = prefix_filter_pairs(ds, id_col="url", threshold=0.8,
+                               num_partitions=16)
+    out = verify_jaccard_pairs(ds, cand, threshold=0.8).to_pandas()
+    return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Standalone blocked n-gram Jaccard: exact pairwise word-3-gram
     similarity ≥ 0.5 within ``source`` blocks, via the inverted-index
@@ -5064,6 +5087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _q_orders_by_nation,
         "q5_local_revenue": _q_q5_local_revenue,
         "minhash_neardup": _q_minhash_neardup,
+        "ppjoin_pairs": _q_ppjoin_pairs,
         "minhash_dedup_keep": _q_minhash_dedup_keep,
         "jaccard_pairs": _q_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -5419,6 +5443,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "minhash_neardup": _SQL_JACCARD_PAIRS,
+        "ppjoin_pairs": _SQL_JACCARD_PAIRS,
         "jaccard_pairs": (
             "WITH sh AS (SELECT doc_id, source, "
             "list_distinct(list_transform(generate_series(1, len(toks) - 2), "

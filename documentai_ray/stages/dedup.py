@@ -1102,3 +1102,85 @@ def remove_repeated_spans(ds, spans_ds, *, id_col: str = "doc_id",
         .map_groups(lambda g: rebuild(g.drop(columns=["_pkey"])),
                     batch_format="pandas")
     )
+
+
+def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
+                        threshold: float = 0.8, k: int = 3,
+                        num_partitions: int = 64):
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family, Bayardo 2007 / Xiao 2008) — the
+    deterministic-recall alternative to MinHash-LSH: every pair with
+    word-k-shingle Jaccard ≥ ``threshold`` is guaranteed a shared
+    candidate key, no probabilistic misses.
+
+    Principle: order every record's shingle set by ONE global total
+    order; a record of size L needs only its first
+    ``p = L − ⌈t·L⌉ + 1`` shingles as candidate keys — two sets with
+    Jaccard ≥ t must intersect within those prefixes (pigeonhole on the
+    ≥ ⌈t·L⌉ shared elements).  We use md5-LE64 of the shingle as the
+    global order: engine-independent and one-pass (no corpus frequency
+    scan).  Frequency ordering (rarest first) is the classic
+    bucket-size OPTIMIZATION — it shrinks candidate buckets but needs a
+    counting pass; hash order keeps correctness and trades candidate
+    volume.  64-bit shingle-hash collisions can only ADD candidates
+    (exact verification removes them), never drop pairs.
+
+    Physical plan: map-side prefix explosion ships (tok:int64, id) —
+    never text; one hash-partition exchange co-locates each token's
+    bucket; a vectorized self-merge per partition emits candidate pairs
+    (id_a < id_b); a second tiny pair-hash exchange dedups.  NO bucket
+    cap: exactness forbids dropping (contrast lsh_candidate_pairs); a
+    pathological shared-boilerplate shingle is the documented risk and
+    frequency ordering the knob.  Returns the candidate pair Dataset —
+    verify with ``verify_jaccard_pairs`` for the final exact pair set."""
+    import math
+
+    from documentai_ray.stages.sketches import _shingles, md5_le64
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_tok = [], []
+        for i, t in zip(ids, texts):
+            hs = sorted({md5_le64(s) for s in _shingles(t or "", k)})
+            L = len(hs)
+            if L == 0:
+                continue
+            p = L - math.ceil(threshold * L) + 1
+            for h in hs[:p]:
+                out_id.append(i)
+                out_tok.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return pa.table({id_col: pa.array(out_id),
+                         "tok": pa.array(out_tok, pa.int64())})
+
+    tokrows = _add_pkey(ds.map_batches(explode_prefix,
+                                       batch_format="pyarrow"),
+                        "tok", num_partitions)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["tok", id_col]]
+        m = g.merge(g, on="tok", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = pd.DataFrame({"id_a": m[f"{id_col}_a"],
+                            "id_b": m[f"{id_col}_b"]})
+        return out.drop_duplicates()
+
+    cand = (tokrows.groupby("_pkey")
+            .map_groups(pairs_in_partition, batch_format="pandas"))
+
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
+              for x, y in zip(a, b)]
+        return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop_duplicates(subset=["id_a", "id_b"])
+                .drop(columns=["_pair_pkey"]))
+
+    return (cand.map_batches(add_pair_pkey, batch_format="pyarrow")
+            .groupby("_pair_pkey")
+            .map_groups(dedup_pairs, batch_format="pandas"))

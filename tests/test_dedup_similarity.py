@@ -413,3 +413,55 @@ def test_online_lsh_index_save_load_roundtrip(ray_session, tmp_path):
     b = query_lsh_index(qs, reloaded, id_col="url").to_pandas()
     key = lambda df: sorted(map(tuple, df.to_numpy()))
     assert key(a) == key(b) and len(a) > 0
+
+
+class TestPrefixFilterPairs:
+    def _brute(self, docs, t=0.8, k=3):
+        from documentai_ray.stages.sketches import _shingles
+        sets = {i: set(_shingles(txt, k)) for i, txt in docs.items()}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                    if j >= t:
+                        out.add((a, b))
+        return out
+
+    def test_equals_bruteforce_including_boundary(self, ray_session):
+        from documentai_ray.stages.dedup import (prefix_filter_pairs,
+                                                 verify_jaccard_pairs)
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = {
+            "u1": base,
+            "u2": base + " lambda",          # high-overlap near-dup
+            "u3": "one two three four five six seven eight nine ten",
+            "u4": base.replace("delta", "DELTA"),  # mid-overlap variant
+            "u5": "xx yy",                   # < k tokens: no shingles
+            "u6": base,                      # exact text dup of u1
+        }
+        rows = [{"url": u, "text": t} for u, t in docs.items()]
+        ds = ray_session.data.from_items(rows).materialize()
+        cand = prefix_filter_pairs(ds, id_col="url", threshold=0.8,
+                                   num_partitions=4)
+        got = {(r["id_a"], r["id_b"])
+               for r in verify_jaccard_pairs(
+                   ds, cand, threshold=0.8).iter_rows()}
+        assert got == self._brute(docs, t=0.8)
+        assert ("u1", "u6") in got  # sanity: the exact dup pair survives
+
+    def test_exact_threshold_pair_not_missed(self, ray_session):
+        # 8 shingles each, 8 shared of 10 union -> J = 0.8 exactly: the
+        # prefix bound must still produce the candidate (>= semantics).
+        from documentai_ray.stages.dedup import (prefix_filter_pairs,
+                                                 verify_jaccard_pairs)
+        a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 wA"     # shingles s1..s8
+        b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"     # differs in last token
+        ds = ray_session.data.from_items(
+            [{"url": "a", "text": a}, {"url": "b", "text": b}]).materialize()
+        got = {(r["id_a"], r["id_b"]) for r in verify_jaccard_pairs(
+            ds, prefix_filter_pairs(ds, id_col="url", threshold=0.7,
+                                    num_partitions=2),
+            threshold=0.7).iter_rows()}
+        assert got == self._brute({"a": a, "b": b}, t=0.7)
+        assert got  # non-vacuous: the boundary pair is present
