@@ -1309,6 +1309,41 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_band_join_balances(sf_dir: str):
+    """Numeric tolerance (band / ε) join — the non-equi join class a
+    naive plan can only express as a cross join: every (customer,
+    supplier) pair whose account balances are within $5.00.  Exercises
+    ``joins.band_join``: delta-width bucketing, right side replicated to
+    the 3 adjacent buckets so each qualifying pair meets exactly once,
+    ONE bucket-hash exchange, vectorized in-partition merge + exact
+    integer |diff| ≤ delta filter.  Balances compared in exact cents —
+    no float crosses the engine boundary."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.joins import band_join
+
+    def cents(src: str, dst: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            c = np.rint(batch.column(src).to_numpy() * 100).astype("int64")
+            return (batch.drop_columns([src])
+                    .append_column(dst, pa.array(c, pa.int64())))
+        return f
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cents("c_acctbal", "c_bal_c"), batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(cents("s_acctbal", "s_bal_c"), batch_format="pyarrow")
+
+    out = band_join(cust, supp, left_on="c_bal_c", right_on="s_bal_c",
+                    delta=500, num_partitions=32)
+    return out.select_columns(["c_custkey", "s_suppkey",
+                               "c_bal_c", "s_bal_c"])
+
+
 def _q_join_revenue(sf_dir: str):
     """Partitioned hash join (both sides large): lineitem ⋈ orders on
     orderkey → revenue per order priority."""
@@ -5106,6 +5141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
+        "band_join_balances": _q_band_join_balances,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5541,6 +5577,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "band_join_balances": (
+            "SELECT c_custkey, s_suppkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS c_bal_c, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS s_bal_c "
+            "FROM customer, supplier "
+            "WHERE abs(CAST(round(c_acctbal * 100) AS BIGINT) "
+            "- CAST(round(s_acctbal * 100) AS BIGINT)) <= 500"
         ),
         "join_revenue": (
             "SELECT o_orderpriority, count(*) AS n_items, "

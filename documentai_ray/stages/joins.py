@@ -449,3 +449,87 @@ def merge_changelog(base_ds, changes_ds, *, key_col: str, ts_col: str = "ts",
             .groupby("_pkey")
             .map_groups(lambda g: resolve(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
+              delta: int, num_partitions: int = 64):
+    """Numeric tolerance (band / ε) join: every (l, r) pair with
+    ``|l[left_on] − r[right_on]| ≤ delta`` — the non-equi join class
+    (similar prices, close balances, timestamps within a margin) that a
+    naive plan can only express as a cross join.
+
+    Values and ``delta`` must be integers (convert money to cents
+    upstream): the bucket arithmetic and the final compare then stay
+    exact in any engine — no float boundary divergence at ±delta.
+
+    Physical plan — bucket width = ``delta``, floor division (numpy and
+    Python ``//`` both floor, so negatives bucket consistently):
+
+    - left rows route to bucket ``v // delta`` ONCE;
+    - right rows replicate to the 3 adjacent buckets
+      ``v//delta − 1 … +1`` (distinct buckets, so a qualifying pair
+      meets EXACTLY once — |l−r| ≤ delta pins ``l``'s bucket inside
+      that neighborhood by floor monotonicity — and no pair-dedup
+      exchange is needed);
+    - ONE bucket-hash exchange co-locates candidates; each partition
+      does a vectorized ``merge`` on the bucket id plus the exact
+      ``|diff| ≤ delta`` filter.
+
+    Shuffle volume is |L| + 3·|R| key-projected rows — put the smaller
+    side on the RIGHT. Skew: a value-dense band lands in one partition;
+    shrink the effective width by pre-splitting values upstream (salt on
+    ``v // (delta/k)``) if profiling shows a hot band. Column names must
+    not collide across sides (rename upstream)."""
+    if delta <= 0:
+        raise ValueError("delta must be a positive integer")
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    all_cols: dict[str, pa.DataType] = dict(zip(lschema.names, lschema.types))
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in all_cols:
+            raise ValueError(f"column collision: {name!r} (rename before join)")
+        all_cols[name] = typ
+    lcols, rcols = list(lschema.names), list(rschema.names)
+
+    def tag(side: str, on: str, shifts: tuple[int, ...]):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch.column(on).to_numpy().astype(np.int64)
+            base = v // np.int64(delta)
+            parts = []
+            for sh in shifts:
+                b = base + np.int64(sh)
+                pk = np.fromiter(
+                    (zlib.crc32(str(x).encode()) % num_partitions
+                     for x in b.tolist()),
+                    dtype=np.int32, count=len(b))
+                cols: dict[str, pa.Array] = {}
+                for name, typ in all_cols.items():
+                    if name in batch.column_names:
+                        cols[name] = batch.column(name).cast(typ)
+                    else:
+                        cols[name] = pa.nulls(batch.num_rows, typ)
+                cols["_side"] = pa.array([side] * batch.num_rows, pa.string())
+                cols["_bucket"] = pa.array(b, pa.int64())
+                cols["_pkey"] = pa.array(pk, pa.int32())
+                parts.append(pa.table(cols))
+            return pa.concat_tables(parts)
+        return f
+
+    tagged = (left_ds.map_batches(tag("l", left_on, (0,)),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(tag("r", right_on, (-1, 0, 1)),
+                                          batch_format="pyarrow")))
+
+    def join_partition(gt: pa.Table) -> pa.Table:
+        g = _group_df(gt)
+        lg = g[g["_side"] == "l"][lcols + ["_bucket"]]
+        rg = g[g["_side"] == "r"][rcols + ["_bucket"]]
+        m = lg.merge(rg, on="_bucket").drop(columns=["_bucket"])
+        keep = (m[left_on] - m[right_on]).abs() <= delta
+        out = m[keep]
+        schema = pa.schema([(c, all_cols[c]) for c in out.columns])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    return tagged.groupby("_pkey").map_groups(join_partition,
+                                              batch_format="pyarrow")

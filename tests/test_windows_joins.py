@@ -199,3 +199,50 @@ class TestScd2Semantics:
         out = asof_join(fact, dim, on="ts", by="k").to_pandas()
         got = dict(zip(out["oid"], out["version"]))
         assert got == {10: 1, 11: 2, 12: 2}
+
+
+class TestBandJoin:
+    def _brute(self, lrows, rrows, delta):
+        return {(l["lid"], r["rid"]) for l in lrows for r in rrows
+                if abs(l["lv"] - r["rv"]) <= delta}
+
+    def test_equals_bruteforce_negatives_and_boundary(self, ray_session):
+        from documentai_ray.stages.joins import band_join
+        # values straddle 0 (floor-division bucketing on negatives) and
+        # include exact-boundary |diff| == delta pairs on both signs
+        lrows = [{"lid": i, "lv": v} for i, v in
+                 enumerate([-17, -10, -5, 0, 3, 5, 9, 10, 23, 100])]
+        rrows = [{"rid": i, "rv": v} for i, v in
+                 enumerate([-22, -15, -10, 0, 5, 8, 15, 95, 105, 200])]
+        L = ray_session.data.from_items(lrows)
+        R = ray_session.data.from_items(rrows)
+        out = band_join(L, R, left_on="lv", right_on="rv", delta=5,
+                        num_partitions=4).to_pandas()
+        got = set(zip(out["lid"], out["rid"]))
+        assert got == self._brute(lrows, rrows, 5)
+        # boundary pairs present: (-17) vs (-22) and 100 vs 95/105
+        assert (0, 0) in got and (9, 7) in got and (9, 8) in got
+
+    def test_each_pair_emitted_exactly_once(self, ray_session):
+        from documentai_ray.stages.joins import band_join
+        # equal values and cross-bucket-boundary values: the 3-copy
+        # replication must never double-emit a pair
+        lrows = [{"lid": i, "lv": v} for i, v in enumerate([10, 10, 14, 9])]
+        rrows = [{"rid": i, "rv": v} for i, v in enumerate([10, 14, 5])]
+        out = band_join(
+            ray_session.data.from_items(lrows),
+            ray_session.data.from_items(rrows),
+            left_on="lv", right_on="rv", delta=5, num_partitions=3,
+        ).to_pandas()
+        pairs = list(zip(out["lid"], out["rid"]))
+        assert len(pairs) == len(set(pairs))
+        assert set(pairs) == self._brute(lrows, rrows, 5)
+
+    def test_delta_validation_and_collision(self, ray_session):
+        import pytest
+        from documentai_ray.stages.joins import band_join
+        ds = ray_session.data.from_items([{"v": 1}])
+        with pytest.raises(ValueError):
+            band_join(ds, ds, left_on="v", right_on="v", delta=0)
+        with pytest.raises(ValueError):
+            band_join(ds, ds, left_on="v", right_on="v", delta=1)
