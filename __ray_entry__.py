@@ -1344,6 +1344,52 @@ def _q_band_join_balances(sf_dir: str):
                                "c_bal_c", "s_bal_c"])
 
 
+def _q_overlap_join_windows(sf_dir: str):
+    """Distributed interval-overlap join (range × range, NO equi-key,
+    both sides distributed): each order's active window
+    [orderdate, orderdate + orderkey%20 days] paired with every audit
+    window it intersects. Exercises ``joins.overlap_join``: fixed-grid
+    tiling (64-day tiles), each interval replicated to the tiles it
+    touches, pairs emitted only from the tile containing
+    max(starts) — one guard predicate instead of a pair-dedup exchange.
+    All endpoints in integer epoch days; audit windows derived
+    deterministically from supplier keys (every 10th supplier)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.joins import overlap_join
+
+    def orders_iv(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        d = batch.column("o_orderdate").to_numpy().astype(
+            "datetime64[us]").astype("int64") // 86_400_000_000
+        k = batch.column("o_orderkey").to_numpy().astype("int64")
+        return pa.table({"o_orderkey": pa.array(k, pa.int64()),
+                         "o_start": pa.array(d, pa.int64()),
+                         "o_end": pa.array(d + k % 20, pa.int64())})
+
+    def audit_iv(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        k = batch.column("s_suppkey").to_numpy().astype("int64")
+        k = k[k % 10 == 0]
+        s = 8035 + (k * 131) % 2300
+        return pa.table({"s_suppkey": pa.array(k, pa.int64()),
+                         "a_start": pa.array(s, pa.int64()),
+                         "a_end": pa.array(s + k % 30 + 5, pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_iv, batch_format="pyarrow")
+    audits = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(audit_iv, batch_format="pyarrow")
+
+    return overlap_join(orders, audits,
+                        left_start="o_start", left_end="o_end",
+                        right_start="a_start", right_end="a_end",
+                        tile=64, num_partitions=32)
+
+
 def _q_join_revenue(sf_dir: str):
     """Partitioned hash join (both sides large): lineitem ⋈ orders on
     orderkey → revenue per order priority."""
@@ -5142,6 +5188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_asof": _q_events_asof,
         "band_join_balances": _q_band_join_balances,
+        "overlap_join_windows": _q_overlap_join_windows,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5577,6 +5624,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "overlap_join_windows": (
+            "WITH L AS (SELECT o_orderkey, "
+            "CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS o_start, "
+            "CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) "
+            "+ o_orderkey % 20 AS o_end FROM orders), "
+            "R AS (SELECT s_suppkey, 8035 + (s_suppkey * 131) % 2300 AS a_start, "
+            "8035 + (s_suppkey * 131) % 2300 + s_suppkey % 30 + 5 AS a_end "
+            "FROM supplier WHERE s_suppkey % 10 = 0) "
+            "SELECT o_orderkey, o_start, o_end, s_suppkey, a_start, a_end "
+            "FROM L, R WHERE o_start <= a_end AND a_start <= o_end"
         ),
         "band_join_balances": (
             "SELECT c_custkey, s_suppkey, "

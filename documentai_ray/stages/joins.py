@@ -533,3 +533,101 @@ def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
 
     return tagged.groupby("_pkey").map_groups(join_partition,
                                               batch_format="pyarrow")
+
+
+def overlap_join(left_ds, right_ds, *, left_start: str, left_end: str,
+                 right_start: str, right_end: str, tile: int,
+                 num_partitions: int = 64):
+    """Interval-overlap join (range × range): every (l, r) pair whose
+    CLOSED intervals intersect — ``l.start ≤ r.end AND r.start ≤ l.end``
+    — with NO equi-key. The genuinely-non-equi sibling of ``band_join``
+    (which handles point-vs-point tolerance) and of ``interval_join``
+    (point-in-broadcast-interval): here BOTH sides are interval sets and
+    both are distributed.
+
+    Endpoints must be integers (epoch days / seconds / cents upstream):
+    tiling arithmetic and the overlap compare stay exact in any engine.
+
+    Physical plan — fixed grid of width ``tile``:
+
+    - each interval replicates to every tile it touches,
+      ``start//tile … end//tile`` (floor division, negatives included);
+    - overlapping intervals share the tile containing
+      ``max(l.start, r.start)`` (that point lies in both intervals), and
+      floor monotonicity makes that tile id exactly
+      ``max(l.start//tile, r.start//tile)`` — so each pair is emitted
+      ONLY from its owning tile: one guard predicate instead of a
+      pair-dedup exchange;
+    - ONE tile-hash exchange co-locates candidates; per partition a
+      vectorized merge on the tile id + overlap filter + owner guard.
+
+    Replication factor per row is ``length/tile + 1`` — pick ``tile``
+    near the typical interval length. Skew: one pathologically long
+    interval replicates everywhere (cap or split such rows upstream);
+    a tile crossed by many intervals is the hot-partition case — smaller
+    ``num_partitions`` granularity doesn't help, splitting the tile
+    (smaller ``tile``) does. Column names must not collide across sides
+    (rename upstream)."""
+    if tile <= 0:
+        raise ValueError("tile must be a positive integer")
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    all_cols: dict[str, pa.DataType] = dict(zip(lschema.names, lschema.types))
+    for name, typ in zip(rschema.names, rschema.types):
+        if name in all_cols:
+            raise ValueError(f"column collision: {name!r} (rename before join)")
+        all_cols[name] = typ
+    lcols, rcols = list(lschema.names), list(rschema.names)
+
+    def tag(side: str, start: str, end: str):
+        def f(batch: pa.Table) -> pa.Table:
+            s = batch.column(start).to_numpy().astype(np.int64)
+            e = batch.column(end).to_numpy().astype(np.int64)
+            if np.any(e < s):
+                raise ValueError("interval end < start")
+            t0 = s // np.int64(tile)
+            t1 = e // np.int64(tile)
+            reps = (t1 - t0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s)), reps)
+            # per-copy tile id: t0[row] + offset within the row's run
+            offs = np.arange(reps.sum()) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            tiles = t0[idx] + offs
+            pk = np.fromiter(
+                (zlib.crc32(str(x).encode()) % num_partitions
+                 for x in tiles.tolist()),
+                dtype=np.int32, count=len(tiles))
+            cols: dict[str, pa.Array] = {}
+            for name, typ in all_cols.items():
+                if name in batch.column_names:
+                    cols[name] = batch.column(name).take(
+                        pa.array(idx, pa.int64())).cast(typ)
+                else:
+                    cols[name] = pa.nulls(len(idx), typ)
+            cols["_side"] = pa.array([side] * len(idx), pa.string())
+            cols["_tile"] = pa.array(tiles, pa.int64())
+            cols["_pkey"] = pa.array(pk, pa.int32())
+            return pa.table(cols)
+        return f
+
+    tagged = (left_ds.map_batches(tag("l", left_start, left_end),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(tag("r", right_start, right_end),
+                                          batch_format="pyarrow")))
+
+    def join_partition(gt: pa.Table) -> pa.Table:
+        g = _group_df(gt)
+        lg = g[g["_side"] == "l"][lcols + ["_tile"]]
+        rg = g[g["_side"] == "r"][rcols + ["_tile"]]
+        m = lg.merge(rg, on="_tile")
+        ls, le = m[left_start], m[left_end]
+        rs, re = m[right_start], m[right_end]
+        owner = np.maximum(ls // tile, rs // tile)
+        keep = (ls <= re) & (rs <= le) & (m["_tile"] == owner)
+        out = m[keep].drop(columns=["_tile"])
+        schema = pa.schema([(c, all_cols[c]) for c in out.columns])
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    return tagged.groupby("_pkey").map_groups(join_partition,
+                                              batch_format="pyarrow")

@@ -246,3 +246,68 @@ class TestBandJoin:
             band_join(ds, ds, left_on="v", right_on="v", delta=0)
         with pytest.raises(ValueError):
             band_join(ds, ds, left_on="v", right_on="v", delta=1)
+
+
+class TestOverlapJoin:
+    def _brute(self, lrows, rrows):
+        return {(l["lid"], r["rid"]) for l in lrows for r in rrows
+                if l["ls"] <= r["re"] and r["rs"] <= l["le"]}
+
+    def test_equals_bruteforce_with_long_and_negative_intervals(
+            self, ray_session):
+        from documentai_ray.stages.joins import overlap_join
+        lrows = [
+            {"lid": 0, "ls": -25, "le": -20},   # fully negative
+            {"lid": 1, "ls": -3, "le": 4},      # straddles zero
+            {"lid": 2, "ls": 10, "le": 10},     # point interval
+            {"lid": 3, "ls": 0, "le": 95},      # spans many tiles
+            {"lid": 4, "ls": 50, "le": 52},
+        ]
+        rrows = [
+            {"rid": 0, "rs": -22, "re": -21},
+            {"rid": 1, "rs": 4, "re": 9},       # touches lid=1 at 4 only
+            {"rid": 2, "rs": 11, "re": 30},     # misses the point interval
+            {"rid": 3, "rs": 90, "re": 200},
+            {"rid": 4, "rs": 53, "re": 60},     # adjacent, NOT overlapping
+        ]
+        out = overlap_join(
+            ray_session.data.from_items(lrows),
+            ray_session.data.from_items(rrows),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            tile=10, num_partitions=4,
+        ).to_pandas()
+        got = set(zip(out["lid"], out["rid"]))
+        assert got == self._brute(lrows, rrows)
+        assert (1, 1) in got           # closed-endpoint touch counts
+        assert (2, 2) not in got       # 10 vs [11,30] does not
+        assert (4, 4) not in got       # adjacency is not overlap
+
+    def test_exactly_once_across_shared_tiles(self, ray_session):
+        # two long intervals sharing MANY tiles must pair exactly once
+        from documentai_ray.stages.joins import overlap_join
+        lrows = [{"lid": 0, "ls": 0, "le": 100}]
+        rrows = [{"rid": 0, "rs": 5, "re": 99},
+                 {"rid": 1, "rs": 95, "re": 300}]
+        out = overlap_join(
+            ray_session.data.from_items(lrows),
+            ray_session.data.from_items(rrows),
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            tile=7, num_partitions=3,
+        ).to_pandas()
+        pairs = list(zip(out["lid"], out["rid"]))
+        assert sorted(pairs) == [(0, 0), (0, 1)]
+
+    def test_validation(self, ray_session):
+        import pytest
+        from documentai_ray.stages.joins import overlap_join
+        ds = ray_session.data.from_items([{"s": 5, "e": 1}])
+        ds2 = ray_session.data.from_items([{"s2": 0, "e2": 1}])
+        with pytest.raises(ValueError):
+            overlap_join(ds, ds2, left_start="s", left_end="e",
+                         right_start="s2", right_end="e2", tile=0)
+        with pytest.raises(Exception):  # end < start raises in the task
+            overlap_join(ds, ds2, left_start="s", left_end="e",
+                         right_start="s2", right_end="e2",
+                         tile=4).materialize()
