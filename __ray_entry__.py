@@ -1309,6 +1309,37 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_pareto_parts(sf_dir: str):
+    """Distributed skyline (Pareto frontier): parts not dominated on
+    (minimize retail price, maximize size) — the multi-objective
+    reduction behind "cheapest for its quality tier" curation picks.
+    Exercises ``aggregates.pareto_frontier``: skylines compose, so a
+    map-side vectorized dominance pass keeps each block's frontier and
+    ONE final task reduces the (small) survivor union — no shuffle.
+    Exact ties all survive, matching the SQL NOT-EXISTS strict-clause
+    skyline; price compared in exact cents."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import pareto_frontier
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        c = np.rint(batch.column("p_retailprice").to_numpy() * 100
+                    ).astype("int64")
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "p_size": batch.column("p_size").cast(pa.int64()),
+            "price_c": pa.array(c, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_frontier(ds, maximize=["p_size"], minimize=["price_c"])
+
+
 def _q_band_join_balances(sf_dir: str):
     """Numeric tolerance (band / ε) join — the non-equi join class a
     naive plan can only express as a cross join: every (customer,
@@ -5189,6 +5220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "band_join_balances": _q_band_join_balances,
         "overlap_join_windows": _q_overlap_join_windows,
+        "pareto_parts": _q_pareto_parts,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5624,6 +5656,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "pareto_parts": (
+            "WITH P AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c FROM part) "
+            "SELECT * FROM P p WHERE NOT EXISTS (SELECT 1 FROM P q "
+            "WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size "
+            "AND (q.price_c < p.price_c OR q.p_size > p.p_size))"
         ),
         "overlap_join_windows": (
             "WITH L AS (SELECT o_orderkey, "

@@ -562,3 +562,51 @@ def grouped_linreg(ds, *, key_col: str, x_col: str, y_col: str):
                 .append_column("slope_q", pa.array(slope, pa.int64())))
 
     return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def pareto_frontier(ds, *, maximize: list[str], minimize: list[str]):
+    """Distributed skyline: the rows NOT dominated by any other row —
+    q dominates p when q is ≥ p on every objective (after sign-
+    normalizing ``minimize`` columns) and strictly better on at least
+    one. Identical points never dominate each other, so exact ties ALL
+    survive (matches the SQL ``NOT EXISTS`` strict-clause skyline).
+
+    The multi-objective reduction every curation run wants somewhere:
+    "cheapest for its quality" / "longest doc per unit of repetition".
+
+    Physical plan — skylines compose: the global skyline is a subset of
+    the union of per-block skylines, so (1) a map-side vectorized
+    dominance pass keeps only each block's frontier, (2) the surviving
+    union is coalesced into ONE task for the final pass. No shuffle at
+    all — the only exchange is the survivors' coalesce. SIZE CONTRACT:
+    the per-block-skyline union must fit one task (~O(log^{d−1} n) for
+    independent dims; adversarial all-incomparable data — e.g. points on
+    an anti-chain — degrades to the full input, at which point a skyline
+    is the wrong reduction). The in-block pass is O(n²·d) numpy
+    broadcasting — bound ``batch_size`` accordingly (default 1024)."""
+    cols = list(maximize) + list(minimize)
+
+    def _frontier(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        x = df[cols].to_numpy(dtype=np.int64, copy=True)
+        x[:, len(maximize):] *= -1          # minimize → maximize
+        ge = (x[:, None, :] >= x[None, :, :]).all(-1)
+        gt = (x[:, None, :] > x[None, :, :]).any(-1)
+        dominated = (ge & gt).any(axis=0)   # any q beats p
+        return df[~dominated]
+
+    def block(batch: pa.Table) -> pa.Table:
+        out = _frontier(batch.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    survivors = ds.map_batches(block, batch_format="pyarrow",
+                               batch_size=1024)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return _frontier(batch)
+
+    # one task sees the whole (small) survivor union: batch_size=None
+    # with a single block
+    return (survivors.repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

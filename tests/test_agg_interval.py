@@ -148,3 +148,46 @@ def test_zorder_locality_property():
     z2 = zorder_key(np.array([9]), np.array([10]))[0]
     z3 = zorder_key(np.array([8]), np.array([1000]))[0]
     assert abs(z1 - z2) < abs(z1 - z3)
+
+
+class TestParetoFrontier:
+    def _brute(self, rows):
+        # maximize a, minimize b
+        out = []
+        for p in rows:
+            dom = any((q["a"] >= p["a"] and q["b"] <= p["b"]) and
+                      (q["a"] > p["a"] or q["b"] < p["b"]) for q in rows)
+            if not dom:
+                out.append((p["i"]))
+        return set(out)
+
+    def test_equals_bruteforce_with_ties_and_duplicates(self, ray_session):
+        from documentai_ray.stages.aggregates import pareto_frontier
+        rows = [
+            {"i": 0, "a": 10, "b": 5},
+            {"i": 1, "a": 10, "b": 5},   # exact duplicate: BOTH survive
+            {"i": 2, "a": 10, "b": 6},   # dominated by 0/1 (same a, worse b)
+            {"i": 3, "a": 12, "b": 9},
+            {"i": 4, "a": 5, "b": 1},
+            {"i": 5, "a": 4, "b": 1},    # dominated by 4
+            {"i": 6, "a": 12, "b": 9},   # duplicate of 3
+            {"i": 7, "a": 3, "b": 0},
+        ]
+        ds = ray_session.data.from_items(rows)
+        got = set(pareto_frontier(
+            ds, maximize=["a"], minimize=["b"]).to_pandas()["i"])
+        assert got == self._brute(rows)
+        assert {0, 1, 3, 6} <= got   # both members of each tie pair
+
+    def test_blockwise_composition_matches_single_block(self, ray_session):
+        # many blocks (batch_size=8) must give the same frontier as one
+        import numpy as np
+        from documentai_ray.stages.aggregates import pareto_frontier
+        rng = np.random.default_rng(7)
+        rows = [{"i": i, "a": int(x), "b": int(y)} for i, (x, y) in
+                enumerate(zip(rng.integers(0, 50, 300),
+                              rng.integers(0, 50, 300)))]
+        ds = ray_session.data.from_items(rows).repartition(16)
+        got = set(pareto_frontier(
+            ds, maximize=["a"], minimize=["b"]).to_pandas()["i"])
+        assert got == self._brute(rows)
