@@ -1309,6 +1309,22 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_grouped_mode(sf_dir: str):
+    """Per-user dominant action: statistical MODE of event_type per
+    user_id, count ties broken toward the lexicographically smallest
+    type. Exercises ``aggregates.grouped_mode``: per-batch (key, value)
+    count pre-combine, ONE key-hash exchange bounded by
+    keys × distinct values, per-partition sum + single-sort argmax."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_mode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ds, key_col="user_id", val_col="event_type",
+                        num_partitions=32)
+
+
 def _q_pareto_parts(sf_dir: str):
     """Distributed skyline (Pareto frontier): parts not dominated on
     (minimize retail price, maximize size) — the multi-objective
@@ -5221,6 +5237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join_balances": _q_band_join_balances,
         "overlap_join_windows": _q_overlap_join_windows,
         "pareto_parts": _q_pareto_parts,
+        "grouped_mode": _q_grouped_mode,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5656,6 +5673,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "grouped_mode": (
+            "WITH c AS (SELECT user_id, event_type AS mode, "
+            "count(*) AS n FROM events GROUP BY user_id, event_type), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, mode ASC) AS rn FROM c) "
+            "SELECT user_id, mode, n FROM r WHERE rn = 1"
         ),
         "pareto_parts": (
             "WITH P AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, "

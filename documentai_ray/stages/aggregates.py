@@ -610,3 +610,39 @@ def pareto_frontier(ds, *, maximize: list[str], minimize: list[str]):
     # with a single block
     return (survivors.repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def grouped_mode(ds, *, key_col: str, val_col: str,
+                 num_partitions: int = 32):
+    """Statistical MODE per group — the most frequent value of
+    ``val_col`` for each ``key_col``, count ties broken toward the
+    SMALLEST value (deterministic, engine-independent).
+
+    Physical plan: per-batch vectorized ``(key, value) → partial count``
+    pre-combine, ONE key-hash exchange shipping at most
+    |keys × distinct values| rows per block (never raw rows), then a
+    per-partition sum + argmax read off a single sort. The classic
+    "dominant label per entity" reduction (a user's typical action, a
+    host's dominant language). Output: ``key_col, mode, n``."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        out = (df.groupby([key_col, val_col], sort=False)
+               .size().reset_index(name="_n"))
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    partials = _add_pkey(ds.map_batches(partial, batch_format="pyarrow"),
+                         key_col, num_partitions)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby([key_col, val_col], sort=False)["_n"]
+             .sum().reset_index())
+        c = c.sort_values([key_col, "_n", val_col],
+                          ascending=[True, False, True], kind="mergesort")
+        c = c.drop_duplicates(subset=[key_col], keep="first")
+        return c.rename(columns={val_col: "mode", "_n": "n"})
+
+    return (partials.groupby("_pkey")
+            .map_groups(lambda g: pick(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

@@ -191,3 +191,20 @@ class TestParetoFrontier:
         got = set(pareto_frontier(
             ds, maximize=["a"], minimize=["b"]).to_pandas()["i"])
         assert got == self._brute(rows)
+
+
+class TestGroupedMode:
+    def test_mode_with_ties_and_cross_block_counts(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_mode
+        # key 1: 'b' x3 beats 'a' x2; key 2: tie 2-2 -> smallest ('x');
+        # key 3: singleton
+        rows = ([{"k": 1, "v": "b"}] * 3 + [{"k": 1, "v": "a"}] * 2 +
+                [{"k": 2, "v": "y"}, {"k": 2, "v": "x"},
+                 {"k": 2, "v": "x"}, {"k": 2, "v": "y"}] +
+                [{"k": 3, "v": "z"}])
+        # repartition so per-key counts MUST merge across blocks
+        ds = ray_session.data.from_items(rows).repartition(5)
+        out = grouped_mode(ds, key_col="k", val_col="v",
+                           num_partitions=3).to_pandas()
+        got = {r.k: (r.mode, r.n) for r in out.itertuples()}
+        assert got == {1: ("b", 3), 2: ("x", 2), 3: ("z", 1)}
