@@ -1309,6 +1309,24 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: part pairs ordered together in ≥ 2
+    orders — frequently-bought-together / co-citation. Exercises
+    ``graph.cooccurrence_pairs``: one basket-hash exchange, per-basket
+    vectorized distinct + self-merge pair emission pre-combined to
+    per-partition pair counts, second exchange bounded by distinct
+    pairs (not pair instances), loud ``max_basket`` skew guard."""
+    import ray.data
+
+    from documentai_ray.stages.graph import cooccurrence_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(ds, basket_col="l_orderkey",
+                              item_col="l_partkey", min_support=2,
+                              num_partitions=32)
+
+
 def _q_grouped_mode(sf_dir: str):
     """Per-user dominant action: statistical MODE of event_type per
     user_id, count ties broken toward the lexicographically smallest
@@ -5238,6 +5256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_join_windows": _q_overlap_join_windows,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
+        "copurchase_pairs": _q_copurchase_pairs,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5673,6 +5692,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "copurchase_pairs": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "count(*) AS n FROM d a JOIN d b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "grouped_mode": (
             "WITH c AS (SELECT user_id, event_type AS mode, "

@@ -343,3 +343,68 @@ def bfs_khop(edges_ds, seeds_ds, *, k: int, num_partitions: int = 32):
     for lv in levels[1:]:
         out = out.union(lv)
     return out.groupby("node").aggregate(Min("depth", alias_name="depth"))
+
+
+def cooccurrence_pairs(ds, *, basket_col: str, item_col: str,
+                       min_support: int = 2, num_partitions: int = 32,
+                       max_basket: int = 10_000):
+    """Market-basket co-occurrence (bipartite projection): count, for
+    every unordered item pair, the baskets containing BOTH items; keep
+    pairs with support ≥ ``min_support``. The frequently-bought-together
+    / co-citation / co-occurring-token primitive.
+
+    Physical plan: ONE basket-hash exchange co-locates each basket's
+    (basket, item) rows — the projection, never payloads; per partition
+    a vectorized distinct + self-merge emits each basket's
+    ``m·(m−1)/2`` ordered pairs (item_a < item_b) and pre-combines them
+    to per-partition pair counts; a second exchange ships only those
+    partial counts (bounded by distinct pairs, not pair instances) for
+    the final sum + support filter.
+
+    Skew contract: a basket of m items contributes m²/2 pairs — one
+    viral basket can dominate a partition. ``max_basket`` REJECTS
+    baskets beyond the cap loudly (raise, not silent drop): at web
+    scale, cap-or-sample is an explicit upstream curation decision, not
+    something a join should decide silently."""
+    from documentai_ray.stages.dedup import _add_pkey
+    import pandas as pd
+
+    keyed = _add_pkey(ds.select_columns([basket_col, item_col]),
+                      basket_col, num_partitions)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[basket_col, item_col]].drop_duplicates()
+        sizes = g.groupby(basket_col, sort=False)[item_col].transform("size")
+        if (sizes > max_basket).any():
+            big = g.loc[sizes > max_basket, basket_col].iloc[0]
+            raise ValueError(
+                f"basket {big!r} exceeds max_basket={max_basket}; "
+                "cap or sample upstream")
+        m = g.merge(g, on=basket_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        out = (m.groupby([f"{item_col}_a", f"{item_col}_b"], sort=False)
+               .size().reset_index(name="_n"))
+        return out.rename(columns={f"{item_col}_a": "item_a",
+                                   f"{item_col}_b": "item_b"})
+
+    partials = (keyed.groupby("_pkey")
+                .map_groups(lambda g: pairs(g.drop(columns=["_pkey"])),
+                            batch_format="pandas"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["item_a", "item_b"], sort=False)["_n"]
+             .sum().reset_index(name="n"))
+        return c[c["n"] >= min_support]
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        import zlib
+        a = batch.column("item_a").to_pylist()
+        b = batch.column("item_b").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
+              for x, y in zip(a, b)]
+        return batch.append_column("_ppk", pa.array(pk, pa.int32()))
+
+    return (partials.map_batches(pair_key, batch_format="pyarrow")
+            .groupby("_ppk")
+            .map_groups(lambda g: finish(g.drop(columns=["_ppk"])),
+                        batch_format="pandas"))

@@ -145,3 +145,35 @@ class TestBfsKhop:
         out = bfs_khop(edges, seeds, k=2, num_partitions=2).to_pandas()
         got = dict(zip(out["node"], out["depth"]))
         assert got == {0: 0, 1: 1}
+
+
+class TestCooccurrencePairs:
+    def test_pair_counts_with_dups_and_support(self, ray_session):
+        from documentai_ray.stages.graph import cooccurrence_pairs
+        rows = [
+            # basket 1: items a,b,c (b listed twice -> distinct first)
+            {"bk": 1, "it": "a"}, {"bk": 1, "it": "b"},
+            {"bk": 1, "it": "b"}, {"bk": 1, "it": "c"},
+            # basket 2: a,b
+            {"bk": 2, "it": "a"}, {"bk": 2, "it": "b"},
+            # basket 3: a,c
+            {"bk": 3, "it": "a"}, {"bk": 3, "it": "c"},
+            # basket 4: singleton -> no pairs
+            {"bk": 4, "it": "z"},
+        ]
+        ds = ray_session.data.from_items(rows).repartition(4)
+        out = cooccurrence_pairs(ds, basket_col="bk", item_col="it",
+                                 min_support=2,
+                                 num_partitions=3).to_pandas()
+        got = {(r.item_a, r.item_b): r.n for r in out.itertuples()}
+        # (a,b): baskets 1,2; (a,c): baskets 1,3; (b,c): only basket 1
+        assert got == {("a", "b"): 2, ("a", "c"): 2}
+
+    def test_max_basket_guard_raises(self, ray_session):
+        import pytest
+        from documentai_ray.stages.graph import cooccurrence_pairs
+        rows = [{"bk": 1, "it": f"i{j}"} for j in range(12)]
+        ds = ray_session.data.from_items(rows)
+        with pytest.raises(Exception, match="max_basket"):
+            cooccurrence_pairs(ds, basket_col="bk", item_col="it",
+                               max_basket=10).materialize()
