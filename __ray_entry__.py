@@ -1309,6 +1309,27 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_kmv_intersect(sf_dir: str):
+    """Audience overlap via KMV θ-sketch INTERSECTION: estimated count
+    of users who both clicked AND purchased, without co-locating the
+    two sets — each side ships only its k smallest distinct user-hash
+    values, the combine is sketch algebra on ≤2k integers. Exercises
+    ``sketches.kmv_intersect_sets``; integer end to end, so the SQL
+    mirror (row_number θ, HUGEINT divisions) lands bit-identically."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import kmv_intersect_sets
+
+    def side(t):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        ).filter(expr=f"event_type == '{t}'")
+
+    return kmv_intersect_sets(side("click"), side("purchase"),
+                              val_col="user_id", k=64)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: part pairs ordered together in ≥ 2
     orders — frequently-bought-together / co-citation. Exercises
@@ -5257,6 +5278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
+        "kmv_intersect": _q_kmv_intersect,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5692,6 +5714,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "kmv_intersect": (
+            "WITH ha AS (SELECT DISTINCT "
+            + _sql_md5_le64("CAST(user_id AS VARCHAR)")
+            + " AS hv FROM events WHERE event_type = 'click'), "
+            "sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 64), "
+            "hb AS (SELECT DISTINCT "
+            + _sql_md5_le64("CAST(user_id AS VARCHAR)")
+            + " AS hv FROM events WHERE event_type = 'purchase'), "
+            "sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64), "
+            "u AS (SELECT DISTINCT hv FROM "
+            "(SELECT hv FROM sa UNION ALL SELECT hv FROM sb)), "
+            "o AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM u), "
+            "st AS (SELECT CASE WHEN (SELECT count(*) FROM u) >= 64 "
+            "THEN (SELECT hv FROM o WHERE rn = 64) "
+            "ELSE (SELECT max(hv) FROM u) END AS theta, "
+            "CASE WHEN (SELECT count(*) FROM u) >= 64 THEN 64 "
+            "ELSE (SELECT count(*) FROM u) END AS nu), "
+            "cm AS (SELECT count(*) AS c FROM sa, st "
+            "WHERE sa.hv <= st.theta AND sa.hv IN (SELECT hv FROM sb)), "
+            "eu AS (SELECT nu, CASE WHEN nu >= 64 "
+            "THEN CAST(63 AS HUGEINT) * "
+            "CAST(18446744073709551616 AS HUGEINT) // theta "
+            "ELSE CAST(nu AS HUGEINT) END AS est_union FROM st) "
+            "SELECT 64 AS k, CAST(nu AS BIGINT) AS n_union_kept, "
+            "CAST(c AS BIGINT) AS common, "
+            "CAST(est_union AS BIGINT) AS est_union, "
+            "CAST(CAST(c AS HUGEINT) * est_union // nu AS BIGINT) "
+            "AS est_intersect FROM eu, cm"
         ),
         "copurchase_pairs": (
             "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "

@@ -384,3 +384,52 @@ def ams_f2_sketch(ds, *, key_col: str, d: int = AMS_D):
     est = int(sq[(d - 1) // 2])          # lower median, exact integer
     return pa.table({"d": pa.array([d], pa.int64()),
                      "est_f2": pa.array([est], pa.int64())})
+
+
+def kmv_intersect_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
+    """KMV θ-sketch SET INTERSECTION estimate — |A ∩ B| distinct without
+    co-locating the sets (the audience-overlap / cross-corpus-overlap
+    question): each side keeps its k smallest distinct value hashes
+    (≤ k rows per block cross the wire, regardless of cardinality); the
+    driver-side combine is pure sketch algebra on ≤ 2k integers.
+
+    Estimator (Beyer et al. 2007 / theta-sketch intersection): θ = the
+    k-th smallest hash of the sketch UNION; below θ both sketches are
+    EXACT samples of their sets, so
+    ``|A∩B| ≈ |{h ≤ θ common to both}| · est_union / k``. When the
+    union sketch holds fewer than k hashes both sides were exact and
+    the result collapses to the exact intersection count. All integer
+    arithmetic (u64 hashes, floor division) — the SQL mirror lands
+    bit-identically. Returns one row
+    ``(k, n_union_kept, common, est_union, est_intersect)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = {md5_le64(str(v))
+              for v in batch.column(val_col).to_pylist()}
+        arr = np.unique(np.fromiter(hs, np.uint64, count=len(hs)))
+        if len(arr) > k:
+            arr = arr[:k]
+        return pa.table({"h": pa.array(arr, pa.uint64())})
+
+    def sketch(ds) -> np.ndarray:
+        parts = (ds.map_batches(partial, batch_format="pyarrow")
+                 .to_pandas()["h"].to_numpy().astype(np.uint64))
+        s = np.unique(parts)
+        return s[:k] if len(s) > k else s
+
+    sa, sb = sketch(ds_a), sketch(ds_b)
+    u = np.unique(np.concatenate([sa, sb]))
+    if len(u) >= k:
+        theta, nu = int(u[k - 1]), k
+        est_union = (k - 1) * U64 // theta
+    else:
+        theta, nu = int(u[-1]) if len(u) else 0, len(u)
+        est_union = len(u)          # both sides exact below k
+    common = np.intersect1d(sa, sb)
+    c = int((common <= np.uint64(theta)).sum()) if len(common) else 0
+    est_inter = c * est_union // nu if nu else 0
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "n_union_kept": pa.array([nu], pa.int64()),
+                     "common": pa.array([c], pa.int64()),
+                     "est_union": pa.array([int(est_union)], pa.int64()),
+                     "est_intersect": pa.array([int(est_inter)], pa.int64())})

@@ -249,3 +249,45 @@ class TestAMSF2:
         est = int(outs[0]["est_f2"].iloc[0])
         # d=8 lower-median is within a small constant factor on skew
         assert true_f2 / 4 <= est <= true_f2 * 4
+
+
+class TestKmvIntersect:
+    def test_exact_regime_equals_true_intersection(self, ray_session):
+        from documentai_ray.stages.sketches import kmv_intersect_sets
+        a = ray_session.data.from_items([{"v": i} for i in range(20)])
+        b = ray_session.data.from_items([{"v": i} for i in range(12, 40)])
+        out = kmv_intersect_sets(a, b, val_col="v", k=64).to_pandas()
+        r = out.iloc[0]
+        # union 40 < k: both sketches exact -> exact answers
+        assert r["n_union_kept"] == 40
+        assert r["est_union"] == 40
+        assert r["common"] == 8 and r["est_intersect"] == 8
+
+    def test_estimate_regime_accuracy_and_merge_invariance(
+            self, ray_session):
+        from documentai_ray.stages.sketches import kmv_intersect_sets
+        n, k = 3000, 128
+        a_vals = list(range(n))                    # 0..2999
+        b_vals = list(range(n // 2, n + n // 2))   # 1500..4499
+        A = ray_session.data.from_items(
+            [{"v": v} for v in a_vals]).repartition(7)
+        B = ray_session.data.from_items(
+            [{"v": v} for v in b_vals]).repartition(3)
+        out = kmv_intersect_sets(A, B, val_col="v", k=k).to_pandas().iloc[0]
+        # true: union 4500, intersection 1500; KMV rel error ~ 1/sqrt(k)
+        assert abs(out["est_union"] - 4500) / 4500 < 0.35
+        assert abs(out["est_intersect"] - 1500) / 1500 < 0.5
+        # parallelism invariance: different block layout, same sketch
+        out2 = kmv_intersect_sets(
+            ray_session.data.from_items([{"v": v} for v in a_vals]),
+            ray_session.data.from_items([{"v": v} for v in b_vals]),
+            val_col="v", k=k).to_pandas().iloc[0]
+        assert (out == out2).all()
+
+    def test_disjoint_sets_estimate_zero(self, ray_session):
+        from documentai_ray.stages.sketches import kmv_intersect_sets
+        a = ray_session.data.from_items([{"v": i} for i in range(500)])
+        b = ray_session.data.from_items(
+            [{"v": i} for i in range(10_000, 10_500)])
+        out = kmv_intersect_sets(a, b, val_col="v", k=32).to_pandas().iloc[0]
+        assert out["common"] == 0 and out["est_intersect"] == 0
