@@ -1309,6 +1309,23 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_mean_embedding(sf_dir: str):
+    """Per-label embedding centroid sufficient statistics — the class-
+    prototype computation behind cluster seeding / domain signatures.
+    Exercises ``similarity.grouped_centroid``: components quantized to
+    int64 BEFORE summing so the per-group sum is associative (bit-
+    identical at any parallelism / in any engine); one vectorized
+    np.add.at pass per block ships ≤ keys × dims partial rows, one tiny
+    exchange sums them."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import grouped_centroid
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return grouped_centroid(ds, key_col="label", vec_col="embedding")
+
+
 def _q_kmv_intersect(sf_dir: str):
     """Audience overlap via KMV θ-sketch INTERSECTION: estimated count
     of users who both clicked AND purchased, without co-locating the
@@ -5279,6 +5296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
         "kmv_intersect": _q_kmv_intersect,
+        "mean_embedding": _q_mean_embedding,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -5714,6 +5732,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "mean_embedding": (
+            "WITH u AS (SELECT label, "
+            "unnest(generate_series(1, len(embedding))) AS dim, "
+            "unnest(list_transform(embedding, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS q "
+            "FROM embeddings) "
+            "SELECT label, dim, CAST(sum(q) AS BIGINT) AS sum_q, "
+            "count(*) AS n FROM u GROUP BY label, dim"
         ),
         "kmv_intersect": (
             "WITH ha AS (SELECT DISTINCT "

@@ -513,3 +513,53 @@ def kcenter_select(ds, *, k: int = 4, id_col: str = "vec_id",
     import pyarrow as _pa
     return _pa.table({"rank": _pa.array(range(k), _pa.int64()),
                       id_col: _pa.array(sel_ids, _pa.int64())})
+
+
+def grouped_centroid(ds, *, key_col: str = "label",
+                     vec_col: str = "embedding", scale: int = 1_000_000,
+                     num_partitions: int = 8):
+    """Per-group embedding CENTROID sufficient statistics in exact
+    integer arithmetic — the class-prototype / cluster-seed / domain-
+    signature computation (mean vector per label). Float vector sums
+    depend on summation order across parallel blocks; quantizing each
+    component to ``round(x·scale)`` int64 FIRST makes the per-group sum
+    associative, so any engine and any block layout lands bit-identically
+    (the vector analog of grouped_linreg's integer partials).
+
+    Physical plan: per batch ONE vectorized pass — the (n, d) matrix is
+    quantized and summed per key (np.add.at on key codes) — shipping at
+    most |keys seen| × d partial rows per block, never raw vectors; one
+    tiny (key, dim)-hash exchange sums the partials. Output
+    ``(key_col, dim, sum_q, n)`` with dim 1-based; the consumer divides
+    (mean = sum_q / n / scale) in whatever numeric domain it wants."""
+    import pandas as pd
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _as_matrix(batch.column(vec_col))
+        q = np.rint(M * scale).astype(np.int64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(keys, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), np.int64)
+        np.add.at(sums, codes, q)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            key_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                            pa.int64()),
+            "sum_q": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby([key_col, "dim"], sort=False)[["sum_q", "n"]]
+                .sum().reset_index())
+
+    return (_add_pkey(partials, key_col, num_partitions)
+            .groupby("_pkey")
+            .map_groups(lambda g: combine(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

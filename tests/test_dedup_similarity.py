@@ -465,3 +465,30 @@ class TestPrefixFilterPairs:
             threshold=0.7).iter_rows()}
         assert got == self._brute({"a": a, "b": b}, t=0.7)
         assert got  # non-vacuous: the boundary pair is present
+
+
+class TestGroupedCentroid:
+    def test_matches_numpy_and_parallelism_invariant(self, ray_session):
+        import numpy as np
+        from documentai_ray.stages.similarity import grouped_centroid
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(40, 5)).astype(np.float32)
+        labels = (np.arange(40) % 3).astype(np.int64)
+        rows = [{"label": int(l), "embedding": v.tolist()}
+                for l, v in zip(labels, vecs)]
+
+        def run(nblocks):
+            ds = ray_session.data.from_items(rows).repartition(nblocks)
+            df = grouped_centroid(ds, key_col="label",
+                                  vec_col="embedding").to_pandas()
+            return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+        a, b = run(1), run(8)
+        assert (a == b).all().all()          # block-layout invariance
+        q = np.rint(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+        for lab in range(3):
+            sub = a[a["label"] == lab]
+            expect = q[labels == lab].sum(axis=0)
+            assert list(sub["sum_q"]) == list(expect)
+            assert set(sub["n"]) == {int((labels == lab).sum())}
+            assert list(sub["dim"]) == [1, 2, 3, 4, 5]
