@@ -4299,6 +4299,46 @@ def _q_fuzzy_hosts(sf_dir: str):
     return out.select_columns(["doc_id", "dirty", "canon_host", "dist"])
 
 
+def _q_symspell_pairs(sf_dir: str):
+    """Fully-distributed edit-distance ≤ 1 join via SymSpell deletion-
+    neighborhood hashing — the scale path past fuzzy_hosts'
+    distinct-set × vocabulary quadratic: every (dirty host, canonical
+    host) pair within one edit, both sides distributed, no broadcast.
+    Candidates = pairs sharing a deletion variant (complete for ed ≤ 1
+    by the deletion-intersection property), verified with the exact DP.
+    Same planted-deletion corpus as fuzzy_hosts, compared as DISTINCT
+    value pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.fuzzy import symspell_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        out = []
+        for did, s in zip(ids, srcs):
+            host = ("heavy.example.com" if did % 3 == 0
+                    else f"{s}.example.com")
+            p = did % len(host)
+            out.append(host[:p] + host[p + 1:])
+        return pa.table({"dirty": pa.array(out, pa.string())})
+
+    def canon(batch: pa.Table) -> pa.Table:
+        hosts = sorted({f"{s}.example.com"
+                        for s in batch.column("source").to_pylist()}
+                       | {"heavy.example.com"})
+        return pa.table({"canon": pa.array(hosts, pa.string())})
+
+    dirty_ds = docs.map_batches(dirty, batch_format="pyarrow")
+    canon_ds = docs.map_batches(canon, batch_format="pyarrow")
+    return symspell_join(dirty_ds, canon_ds, left_col="dirty",
+                         right_col="canon", num_partitions=16)
+
+
 def _q_triangle_count(sf_dir: str):
     """Per-apex triangle counting over a deterministic web-ish link graph
     (local band edges i→i+1, i→i+2 that close ~n triangles, plus a hash
@@ -5297,6 +5337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "kmv_intersect": _q_kmv_intersect,
         "mean_embedding": _q_mean_embedding,
+        "symspell_pairs": _q_symspell_pairs,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
         "lc_tags": _q_lc_tags,
@@ -6825,6 +6866,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY dist, chost) AS rn FROM m) "
             "SELECT doc_id, dirty, chost AS canon_host, dist "
             "FROM r WHERE rn = 1 AND dist <= 2"
+        ),
+        "symspell_pairs": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN 'heavy.example.com' "
+            "ELSE source || '.example.com' END AS host FROM documents), "
+            "t AS (SELECT DISTINCT "
+            "substr(host, 1, CAST(doc_id % length(host) AS INT)) || "
+            "substr(host, CAST(doc_id % length(host) AS INT) + 2) "
+            "AS dirty FROM d), "
+            "c AS (SELECT DISTINCT source || '.example.com' AS canon "
+            "FROM documents UNION SELECT 'heavy.example.com') "
+            "SELECT t.dirty, c.canon, "
+            "CAST(levenshtein(t.dirty, c.canon) AS BIGINT) AS dist "
+            "FROM t CROSS JOIN c WHERE levenshtein(t.dirty, c.canon) <= 1"
         ),
         # keep-in-sync: mirrors _q_triangle_count's edge generator
         # (i -> i+1, i+2, 7i+1 mod n); wedge a<b<c closed by a 3-way

@@ -39,3 +39,48 @@ def test_fuzzy_match_join_end_to_end(ray_session):
                            max_dist=1, num_partitions=4).to_pandas()
     got = {r.id: (r.canon, r.dist) for r in out.itertuples()}
     assert got == {1: ("apple", 1), 2: ("banana", 0), 3: ("cherry", 1)}
+
+
+class TestSymspellJoin:
+    def _brute(self, lefts, rights):
+        from documentai_ray.stages.fuzzy import levenshtein
+        return {(a, b, levenshtein(a, b)) for a in set(lefts)
+                for b in set(rights) if levenshtein(a, b) <= 1}
+
+    def test_equals_bruteforce_all_edit_kinds(self, ray_session):
+        from documentai_ray.stages.fuzzy import symspell_join
+        lefts = ["kitten", "kitte", "kittten", "mitten", "xyz",
+                 "kitten", ""]          # dup row + empty string
+        rights = ["kitten", "sitting", "mitten", "k", ""]
+        out = symspell_join(
+            ray_session.data.from_items([{"a": v} for v in lefts]),
+            ray_session.data.from_items([{"b": v} for v in rights]),
+            left_col="a", right_col="b", num_partitions=4,
+        ).to_pandas()
+        got = {(r.a, r.b, r.dist) for r in out.itertuples()}
+        assert got == self._brute(lefts, rights)
+        # the three edit kinds all present: exact, deletion, insertion,
+        # substitution
+        assert ("kitten", "kitten", 0) in got
+        assert ("kitte", "kitten", 1) in got      # insertion into left
+        assert ("kittten", "kitten", 1) in got    # deletion from left
+        assert ("mitten", "kitten", 1) in got     # substitution
+        # distance-2 shared-variant candidates must be verified away
+        assert all(d <= 1 for _, _, d in got)
+
+    def test_pair_deduped_across_shared_variants(self, ray_session):
+        # "ab" vs "ab": shares MANY variants (ab, a, b) -> exactly one row
+        from documentai_ray.stages.fuzzy import symspell_join
+        out = symspell_join(
+            ray_session.data.from_items([{"a": "ab"}, {"a": "ab"}]),
+            ray_session.data.from_items([{"b": "ab"}]),
+            left_col="a", right_col="b", num_partitions=3,
+        ).to_pandas()
+        assert len(out) == 1 and out.iloc[0]["dist"] == 0
+
+    def test_same_column_name_rejected(self, ray_session):
+        import pytest
+        from documentai_ray.stages.fuzzy import symspell_join
+        ds = ray_session.data.from_items([{"v": "x"}])
+        with pytest.raises(ValueError):
+            symspell_join(ds, ds, left_col="v", right_col="v")
