@@ -1493,6 +1493,159 @@ def _q_overlap_join_windows(sf_dir: str):
                         tile=64, num_partitions=32)
 
 
+def _q_q3_topn(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table plan: BUILDING-segment customers'
+    unshipped-revenue top 10 — a distributed SEMI join (orders filtered
+    by the customer segment WITHOUT carrying customer columns), a
+    partitioned hash join of the two fact tables, map-side partial
+    aggregation in exact cents, and a global sort+limit on the tiny
+    aggregated result. The multi-join planning pattern: semi joins for
+    EXISTS-style filters, inner joins only where columns are needed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    cutoff = np.datetime64("1995-03-15T00:00:00", "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy().astype("datetime64[us]")
+        keep = d < cutoff
+        t = batch.filter(pa.array(keep))
+        return pa.table({"c_custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "o_orderdate": t.column("o_orderdate"),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    orders = hash_join(orders, cust, on="c_custkey", how="semi",
+                       num_partitions=32).drop_columns(["c_custkey"]
+                                                       ).materialize()
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate").to_numpy().astype("datetime64[us]")
+        t = batch.filter(pa.array(d > cutoff))
+        price_c = np.rint(t.column("l_extendedprice").to_numpy() * 100
+                          ).astype("int64")
+        disc_c = np.rint(t.column("l_discount").to_numpy() * 100
+                         ).astype("int64")
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "rev_c2": pa.array(price_c * (100 - disc_c),
+                                            pa.int64())})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="o_orderkey", num_partitions=32)
+    agg = (joined.groupby("o_orderkey")
+           .aggregate(Sum("rev_c2", alias_name="_rev_c2")))
+    top = (agg.sort(["_rev_c2", "o_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    # re-attach the order attributes for the surviving 10 keys only
+    # (orders is materialized above: both consumers reuse its blocks)
+    keys = set(top["o_orderkey"].tolist())
+
+    def keep10(batch: pa.Table) -> pa.Table:
+        mask = [k in keys for k in batch.column("o_orderkey").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    attrs = (orders.map_batches(keep10, batch_format="pyarrow")
+             .to_pandas()[["o_orderkey", "o_orderdate", "o_orderpriority"]])
+    out = top.merge(attrs, on="o_orderkey")
+    out["revenue"] = out.pop("_rev_c2") / 10000.0
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts — the product-analytics staple: users
+    grouped by their FIRST event week, distinct-user counts per
+    (cohort_week, week_offset). Physical plan: per-batch distinct
+    (user, week) pre-combine shrinks the ONE user-hash exchange; each
+    partition then resolves ALL its users in one vectorized pass
+    (global distinct → per-user min → offsets → partial counts), and a
+    tiny (cohort, offset) exchange sums the partials — no join, and
+    distinctness is guaranteed where the key is co-located."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        wk = (batch.column("ts").to_numpy().astype("datetime64[us]")
+              .astype("int64") // (604_800 * 1_000_000))
+        # per-batch dedup shrinks the exchange; GLOBAL distinctness is
+        # established per user partition below (a batch-level dedup
+        # alone would double-count pairs that span blocks)
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                           "wk": wk}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(weeks, batch_format="pyarrow")
+
+    def per_partition(g):
+        import pandas as pd
+        g = g.drop_duplicates(subset=["user_id", "wk"])
+        first = g.groupby("user_id", sort=False)["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": first,
+                            "week_offset": g["wk"] - first})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().reset_index(name="_n"))
+
+    partials = (_add_pkey(pairs, "user_id", 32)
+                .groupby("_pkey")
+                .map_groups(lambda g: per_partition(
+                    g.drop(columns=["_pkey"])), batch_format="pandas"))
+    return (partials.groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("_n", alias_name="n_users")))
+
+
+def _q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day — running COUNT(DISTINCT)
+    without a quadratic window: distinct-per-day collapses to each
+    user's FIRST day (groupby-min, per-batch pre-combined), daily
+    new-user counts are a tiny aggregate, and the running sum over the
+    bounded day axis is a driver-side cumsum (days ≪ rows; the
+    documented small-axis exception)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    def days(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // (86_400 * 1_000_000))
+        df = (pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                            "d": d})
+              .groupby("user_id", sort=False)["d"].min().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    first = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id", "ts"])
+             .map_batches(days, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("d", alias_name="day")))
+    daily = (first.groupby("day").aggregate(Count(alias_name="new_users"))
+             .to_pandas().sort_values("day"))
+    daily["cum_users"] = daily["new_users"].cumsum()
+    return daily.reset_index(drop=True)
+
+
 def _q_join_revenue(sf_dir: str):
     """Partitioned hash join (both sides large): lineitem ⋈ orders on
     orderkey → revenue per order priority."""
@@ -5332,6 +5485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "band_join_balances": _q_band_join_balances,
         "overlap_join_windows": _q_overlap_join_windows,
+        "q3_topn": _q_q3_topn,
+        "retention_cohorts": _q_retention_cohorts,
+        "cumulative_users": _q_cumulative_users,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -5832,6 +5988,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM P p WHERE NOT EXISTS (SELECT 1 FROM P q "
             "WHERE q.price_c <= p.price_c AND q.p_size >= p.p_size "
             "AND (q.price_c < p.price_c OR q.p_size > p.p_size))"
+        ),
+        "q3_topn": (
+            "SELECT o_orderkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+            "/ 10000.0 AS revenue, o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, "
+            "o_orderkey LIMIT 10"
+        ),
+        "retention_cohorts": (
+            "WITH w AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cohort_week FROM w "
+            "GROUP BY user_id) "
+            "SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
+            "count(*) AS n_users FROM w JOIN f USING (user_id) "
+            "GROUP BY 1, 2"
+        ),
+        "cumulative_users": (
+            "WITH f AS (SELECT user_id, "
+            "min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS day "
+            "FROM events GROUP BY user_id), "
+            "c AS (SELECT day, count(*) AS new_users FROM f GROUP BY day) "
+            "SELECT day, new_users, "
+            "CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) "
+            "AS cum_users FROM c"
         ),
         "overlap_join_windows": (
             "WITH L AS (SELECT o_orderkey, "
