@@ -1616,6 +1616,85 @@ def _q_retention_cohorts(sf_dir: str):
             .aggregate(Sum("_n", alias_name="n_users")))
 
 
+def _q_type_share(sf_dir: str):
+    """Percent-of-total (the ratio_to_report window): each event type's
+    share of total event value, in exact integer ppm — share arithmetic
+    is where float division diverges across engines, so the grand total
+    is derived from the (tiny) grouped sums themselves and each share is
+    ``group_cents · 10⁶ // total_cents``. One pre-combined exchange; the
+    total needs no second pass over the data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value").to_numpy() * 100).astype("int64")
+        return pa.table({"event_type": batch.column("event_type"),
+                         "val_c": pa.array(c, pa.int64())})
+
+    grp = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "value"])
+           .map_batches(cents, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("val_c", alias_name="total_c"))
+           .to_pandas())
+    total = int(grp["total_c"].sum())
+    grp["share_ppm"] = grp["total_c"] * 1_000_000 // total
+    return grp[["event_type", "total_c", "share_ppm"]]
+
+
+def _q_bag_difference(sf_dir: str):
+    """Multiset EXCEPT ALL (bag difference with multiplicity): the
+    event-type stream MINUS its high-value (≥ $100) sub-stream — each
+    type survives ``count_all − count_high`` times. Exercises
+    ``curation``-style count algebra instead of row matching: per-side
+    per-batch value counts pre-combine, ONE value-hash exchange joins
+    the two count tables, survivors are re-exploded by ``np.repeat`` —
+    multiplicity arithmetic on aggregates, never an n×m row pairing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def counts(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            v = np.rint(batch.column("value").to_numpy() * 100
+                        ).astype("int64")
+            df = pd.DataFrame({"event_type":
+                               batch.column("event_type").to_pylist()})
+            if which == "right":
+                df = df[v >= 10_000]
+            out = (df.groupby("event_type", sort=False)
+                   .size().reset_index(name="_n"))
+            out["_side"] = which
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return f
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    both = (read().map_batches(counts("left"), batch_format="pyarrow")
+            .union(read().map_batches(counts("right"),
+                                      batch_format="pyarrow")))
+
+    def diff(g):
+        import pandas as pd
+        c = (g.pivot_table(index="event_type", columns="_side",
+                           values="_n", aggfunc="sum", fill_value=0)
+             .reindex(columns=["left", "right"], fill_value=0)
+             .reset_index())
+        n = (c["left"] - c["right"]).clip(lower=0).to_numpy()
+        return pd.DataFrame({"event_type":
+                             np.repeat(c["event_type"].to_numpy(), n)})
+
+    return (_add_pkey(both, "event_type", 8)
+            .groupby("_pkey")
+            .map_groups(lambda g: diff(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
 def _q_cumulative_users(sf_dir: str):
     """Cumulative distinct users per day — running COUNT(DISTINCT)
     without a quadratic window: distinct-per-day collapses to each
@@ -5488,6 +5567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_topn": _q_q3_topn,
         "retention_cohorts": _q_retention_cohorts,
         "cumulative_users": _q_cumulative_users,
+        "type_share": _q_type_share,
+        "bag_difference": _q_bag_difference,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6012,6 +6093,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
             "count(*) AS n_users FROM w JOIN f USING (user_id) "
             "GROUP BY 1, 2"
+        ),
+        "type_share": (
+            "WITH g AS (SELECT event_type, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS total_c "
+            "FROM events GROUP BY event_type) "
+            "SELECT event_type, CAST(total_c AS BIGINT) AS total_c, "
+            "CAST(CAST(total_c AS HUGEINT) * 1000000 "
+            "// CAST(sum(total_c) OVER () AS HUGEINT) AS BIGINT) "
+            "AS share_ppm FROM g"
+        ),
+        "bag_difference": (
+            "SELECT event_type FROM events "
+            "EXCEPT ALL "
+            "SELECT event_type FROM events "
+            "WHERE CAST(round(value * 100) AS BIGINT) >= 10000"
         ),
         "cumulative_users": (
             "WITH f AS (SELECT user_id, "
