@@ -1695,6 +1695,85 @@ def _q_bag_difference(sf_dir: str):
                         batch_format="pandas"))
 
 
+def _q_event_pairs_window(sf_dir: str):
+    """Windowed equi self-join: pairs of SAME-USER events within 600
+    seconds of each other — the temporal-proximity join behind burst /
+    co-click analysis. Exercises ``joins.band_join`` with its equi-key
+    extension: routing hash and in-partition merge both include
+    user_id, so only same-user rows pair and a hot time band splits
+    across users; the unordered pair is kept once via id_l < id_r (each
+    ordered combination meets exactly once by the band plan)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import band_join
+
+    def prep(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            s = (batch.column("ts").to_numpy().astype("datetime64[us]")
+                 .astype("int64") // 1_000_000)
+            return pa.table({f"id_{side}": batch.column("event_id"),
+                             f"user_{side}": batch.column("user_id"),
+                             f"ts_{side}": pa.array(s, pa.int64())})
+        return f
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    left = read().map_batches(prep("l"), batch_format="pyarrow")
+    right = read().map_batches(prep("r"), batch_format="pyarrow")
+    out = band_join(left, right, left_on="ts_l", right_on="ts_r",
+                    delta=600, num_partitions=32,
+                    left_by="user_l", right_by="user_r")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("id_l"), batch.column("id_r"))
+        t = batch.filter(keep)
+        return pa.table({"id_l": t.column("id_l"),
+                         "id_r": t.column("id_r"),
+                         "user_id": t.column("user_l")})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_path_rollup(sf_dir: str):
+    """Hierarchical path-prefix rollup — the URL-tree census a crawl
+    publishes (docs per /section, /section/lang, …): each doc's
+    4-level synthetic path contributes one count to every prefix
+    depth. Per-batch vectorized prefix construction + count pre-combine
+    keeps the ONE exchange bounded by DISTINCT prefixes (the leaf level
+    legitimately degenerates to one row per doc — the rollup's own
+    output size, documented, not a shuffle amplification)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch.column("doc_id").to_pylist()
+        src = batch.column("source").to_pylist()
+        lang = batch.column("lang").to_pylist()
+        rows_p, rows_d = [], []
+        for i, s, lg in zip(ids, src, lang):
+            p1 = f"/{s}"
+            p2 = f"{p1}/{lg}"
+            p3 = f"{p2}/{i % 10}"
+            p4 = f"{p3}/{i}"
+            rows_p += [p1, p2, p3, p4]
+            rows_d += [1, 2, 3, 4]
+        df = (pd.DataFrame({"depth": rows_d, "prefix": rows_p})
+              .groupby(["depth", "prefix"], sort=False)
+              .size().reset_index(name="_n"))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang"])
+    out = (ds.map_batches(prefixes, batch_format="pyarrow")
+           .groupby(["depth", "prefix"])
+           .aggregate(Sum("_n", alias_name="n")))
+    return out
+
+
 def _q_cumulative_users(sf_dir: str):
     """Cumulative distinct users per day — running COUNT(DISTINCT)
     without a quadratic window: distinct-per-day collapses to each
@@ -5569,6 +5648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": _q_cumulative_users,
         "type_share": _q_type_share,
         "bag_difference": _q_bag_difference,
+        "event_pairs_window": _q_event_pairs_window,
+        "path_rollup": _q_path_rollup,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6108,6 +6189,26 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT ALL "
             "SELECT event_type FROM events "
             "WHERE CAST(round(value * 100) AS BIGINT) >= 10000"
+        ),
+        "event_pairs_window": (
+            "SELECT a.event_id AS id_l, b.event_id AS id_r, "
+            "a.user_id FROM events a JOIN events b "
+            "ON a.user_id = b.user_id AND a.event_id < b.event_id "
+            "AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) "
+            "- CAST(floor(epoch(b.ts)) AS BIGINT)) <= 600"
+        ),
+        "path_rollup": (
+            "WITH p AS (SELECT source AS s1, lang AS s2, "
+            "CAST(doc_id % 10 AS VARCHAR) AS s3, "
+            "CAST(doc_id AS VARCHAR) AS s4 FROM documents), "
+            "u AS (SELECT 1 AS depth, '/' || s1 AS prefix FROM p "
+            "UNION ALL SELECT 2, '/' || s1 || '/' || s2 FROM p "
+            "UNION ALL SELECT 3, '/' || s1 || '/' || s2 || '/' || s3 "
+            "FROM p "
+            "UNION ALL SELECT 4, "
+            "'/' || s1 || '/' || s2 || '/' || s3 || '/' || s4 FROM p) "
+            "SELECT depth, prefix, count(*) AS n FROM u "
+            "GROUP BY depth, prefix"
         ),
         "cumulative_users": (
             "WITH f AS (SELECT user_id, "

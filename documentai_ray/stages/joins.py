@@ -452,7 +452,8 @@ def merge_changelog(base_ds, changes_ds, *, key_col: str, ts_col: str = "ts",
 
 
 def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
-              delta: int, num_partitions: int = 64):
+              delta: int, num_partitions: int = 64,
+              left_by: str | None = None, right_by: str | None = None):
     """Numeric tolerance (band / ε) join: every (l, r) pair with
     ``|l[left_on] − r[right_on]| ≤ delta`` — the non-equi join class
     (similar prices, close balances, timestamps within a margin) that a
@@ -479,9 +480,17 @@ def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
     side on the RIGHT. Skew: a value-dense band lands in one partition;
     shrink the effective width by pre-splitting values upstream (salt on
     ``v // (delta/k)``) if profiling shows a hot band. Column names must
-    not collide across sides (rename upstream)."""
+    not collide across sides (rename upstream).
+
+    ``left_by``/``right_by`` (both or neither) add an EQUI key on top of
+    the band — the windowed equi-join ("same user within ±delta
+    seconds"): the routing hash and the in-partition merge both include
+    the key, so only same-key rows ever pair and a hot time band splits
+    across keys instead of landing whole in one partition."""
     if delta <= 0:
         raise ValueError("delta must be a positive integer")
+    if (left_by is None) != (right_by is None):
+        raise ValueError("pass both left_by and right_by, or neither")
 
     lschema, rschema = left_ds.schema(), right_ds.schema()
     all_cols: dict[str, pa.DataType] = dict(zip(lschema.names, lschema.types))
@@ -491,16 +500,18 @@ def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
         all_cols[name] = typ
     lcols, rcols = list(lschema.names), list(rschema.names)
 
-    def tag(side: str, on: str, shifts: tuple[int, ...]):
+    def tag(side: str, on: str, by: str | None, shifts: tuple[int, ...]):
         def f(batch: pa.Table) -> pa.Table:
             v = batch.column(on).to_numpy().astype(np.int64)
             base = v // np.int64(delta)
+            bys = (batch.column(by).to_pylist() if by is not None
+                   else [""] * batch.num_rows)
             parts = []
             for sh in shifts:
                 b = base + np.int64(sh)
                 pk = np.fromiter(
-                    (zlib.crc32(str(x).encode()) % num_partitions
-                     for x in b.tolist()),
+                    (zlib.crc32(f"{y}|{x}".encode()) % num_partitions
+                     for x, y in zip(b.tolist(), bys)),
                     dtype=np.int32, count=len(b))
                 cols: dict[str, pa.Array] = {}
                 for name, typ in all_cols.items():
@@ -510,21 +521,24 @@ def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
                         cols[name] = pa.nulls(batch.num_rows, typ)
                 cols["_side"] = pa.array([side] * batch.num_rows, pa.string())
                 cols["_bucket"] = pa.array(b, pa.int64())
+                cols["_bykey"] = pa.array([str(y) for y in bys], pa.string())
                 cols["_pkey"] = pa.array(pk, pa.int32())
                 parts.append(pa.table(cols))
             return pa.concat_tables(parts)
         return f
 
-    tagged = (left_ds.map_batches(tag("l", left_on, (0,)),
+    tagged = (left_ds.map_batches(tag("l", left_on, left_by, (0,)),
                                   batch_format="pyarrow")
-              .union(right_ds.map_batches(tag("r", right_on, (-1, 0, 1)),
-                                          batch_format="pyarrow")))
+              .union(right_ds.map_batches(
+                  tag("r", right_on, right_by, (-1, 0, 1)),
+                  batch_format="pyarrow")))
 
     def join_partition(gt: pa.Table) -> pa.Table:
         g = _group_df(gt)
-        lg = g[g["_side"] == "l"][lcols + ["_bucket"]]
-        rg = g[g["_side"] == "r"][rcols + ["_bucket"]]
-        m = lg.merge(rg, on="_bucket").drop(columns=["_bucket"])
+        lg = g[g["_side"] == "l"][lcols + ["_bucket", "_bykey"]]
+        rg = g[g["_side"] == "r"][rcols + ["_bucket", "_bykey"]]
+        m = (lg.merge(rg, on=["_bucket", "_bykey"])
+             .drop(columns=["_bucket", "_bykey"]))
         keep = (m[left_on] - m[right_on]).abs() <= delta
         out = m[keep]
         schema = pa.schema([(c, all_cols[c]) for c in out.columns])

@@ -311,3 +311,31 @@ class TestOverlapJoin:
             overlap_join(ds, ds2, left_start="s", left_end="e",
                          right_start="s2", right_end="e2",
                          tile=4).materialize()
+
+
+class TestBandJoinBy:
+    def test_equi_key_restricts_pairs(self, ray_session):
+        from documentai_ray.stages.joins import band_join
+        lrows = [{"lid": 0, "lu": "a", "lv": 10},
+                 {"lid": 1, "lu": "b", "lv": 10},
+                 {"lid": 2, "lu": "a", "lv": 100}]
+        rrows = [{"rid": 0, "ru": "a", "rv": 12},
+                 {"rid": 1, "ru": "b", "rv": 13},
+                 {"rid": 2, "ru": "c", "rv": 10}]
+        out = band_join(
+            ray_session.data.from_items(lrows),
+            ray_session.data.from_items(rrows),
+            left_on="lv", right_on="rv", delta=5, num_partitions=3,
+            left_by="lu", right_by="ru").to_pandas()
+        got = set(zip(out["lid"], out["rid"]))
+        # same value-band but different key never pairs
+        assert got == {(0, 0), (1, 1)}
+
+    def test_by_args_must_come_together(self, ray_session):
+        import pytest
+        from documentai_ray.stages.joins import band_join
+        ds = ray_session.data.from_items([{"v": 1, "u": "x"}])
+        ds2 = ray_session.data.from_items([{"w": 1, "t": "x"}])
+        with pytest.raises(ValueError):
+            band_join(ds, ds2, left_on="v", right_on="w", delta=5,
+                      left_by="u")
