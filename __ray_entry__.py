@@ -1616,6 +1616,34 @@ def _q_retention_cohorts(sf_dir: str):
             .aggregate(Sum("_n", alias_name="n_users")))
 
 
+def _q_quantity_percentile(sf_dir: str):
+    """Per-row CDF position: each lineitem's quantity percent_rank
+    within its returnflag group, exact integer ppm. Exercises
+    ``aggregates.grouped_percent_rank``: rank() min-rank tie semantics
+    collapse the window to ONE histogram exchange (keys × distinct
+    values) + a broadcast lookup — rows never shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_percent_rank
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber"),
+                         "l_returnflag": batch.column("l_returnflag"),
+                         "qty": pa.array(q, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_percent_rank(ds, key_col="l_returnflag", val_col="qty")
+    return out.select_columns(["l_orderkey", "l_linenumber", "pct_ppm"])
+
+
 def _q_type_share(sf_dir: str):
     """Percent-of-total (the ratio_to_report window): each event type's
     share of total event value, in exact integer ppm — share arithmetic
@@ -5650,6 +5678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_difference": _q_bag_difference,
         "event_pairs_window": _q_event_pairs_window,
         "path_rollup": _q_path_rollup,
+        "quantity_percentile": _q_quantity_percentile,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6174,6 +6203,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
             "count(*) AS n_users FROM w JOIN f USING (user_id) "
             "GROUP BY 1, 2"
+        ),
+        "quantity_percentile": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CASE WHEN count(*) OVER (PARTITION BY l_returnflag) = 1 "
+            "THEN 0 ELSE "
+            "(rank() OVER (PARTITION BY l_returnflag "
+            "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
+            "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
+            "AS BIGINT) AS pct_ppm FROM lineitem"
         ),
         "type_share": (
             "WITH g AS (SELECT event_type, "

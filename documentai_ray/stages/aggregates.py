@@ -646,3 +646,57 @@ def grouped_mode(ds, *, key_col: str, val_col: str,
     return (partials.groupby("_pkey")
             .map_groups(lambda g: pick(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def grouped_percent_rank(ds, *, key_col: str, val_col: str,
+                         out_col: str = "pct_ppm"):
+    """Exact distributed ``percent_rank() OVER (PARTITION BY key ORDER
+    BY val)`` in integer ppm — the per-row CDF position (how extreme is
+    this row within its group) behind outlier screens and score
+    normalization. SQL ``percent_rank`` builds on ``rank()``: ties share
+    the MIN rank, so unlike ``grouped_ntile`` no tie-breaking pass is
+    needed — the whole window collapses to a histogram.
+
+    Physical plan: ONE (key, value)-count exchange (bounded by
+    keys × distinct values, the grouped_median_int contract); the
+    driver turns cumulative counts into per-(key, value) min-ranks,
+    ships them via ``ray.put``, and application is a pure per-batch
+    lookup — rows never shuffle. ``pct_ppm = (rank−1)·10⁶ // (n−1)``
+    (0 for single-row groups), integer end to end."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = (df.groupby([key_col, "_v"], as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g[[key_col, "_v", "_n"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    ppm: dict[tuple, int] = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        g = g.sort_values("_v", kind="mergesort")
+        cum = g["_n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        start = np.concatenate(([0], cum[:-1]))   # rank − 1 (min rank)
+        for v, s in zip(g["_v"].to_numpy(), start):
+            ppm[(key, int(v))] = (int(s) * 1_000_000 // (n - 1)
+                                  if n > 1 else 0)
+    ppm_ref = ray.put(ppm)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ppm_ref)
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy().astype(np.int64)
+        out = np.fromiter((lk[(kk, int(vv))]
+                           for kk, vv in zip(keys, vals)),
+                          dtype=np.int64, count=len(keys))
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -208,3 +208,21 @@ class TestGroupedMode:
                            num_partitions=3).to_pandas()
         got = {r.k: (r.mode, r.n) for r in out.itertuples()}
         assert got == {1: ("b", 3), 2: ("x", 2), 3: ("z", 1)}
+
+
+class TestGroupedPercentRank:
+    def test_min_rank_ties_and_single_row_group(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_percent_rank
+        rows = [
+            # key A: vals 10,10,20,30 -> ranks 1,1,3,4; n=4
+            {"k": "A", "i": 0, "v": 10}, {"k": "A", "i": 1, "v": 10},
+            {"k": "A", "i": 2, "v": 20}, {"k": "A", "i": 3, "v": 30},
+            # key B: single row -> 0
+            {"k": "B", "i": 4, "v": 99},
+        ]
+        ds = ray_session.data.from_items(rows).repartition(3)
+        out = grouped_percent_rank(ds, key_col="k",
+                                   val_col="v").to_pandas()
+        got = dict(zip(out["i"], out["pct_ppm"]))
+        assert got == {0: 0, 1: 0,
+                       2: 2 * 1_000_000 // 3, 3: 1_000_000, 4: 0}
