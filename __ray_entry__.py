@@ -1616,6 +1616,32 @@ def _q_retention_cohorts(sf_dir: str):
             .aggregate(Sum("_n", alias_name="n_users")))
 
 
+def _q_user_coverage(sf_dir: str):
+    """Active-time coverage per user: each event opens a 300-second
+    window; overlapping windows must not double-count, so the metric is
+    the UNION length of each user's intervals. Exercises
+    ``windows.interval_coverage`` — distributed gaps-and-islands: one
+    key-hash exchange, per-partition vectorized grouped-cummax island
+    merge, Σ(max end − min start) per island."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import interval_coverage
+
+    def iv(batch: pa.Table) -> pa.Table:
+        s = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // 1_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + 300, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"]
+                               ).map_batches(iv, batch_format="pyarrow")
+    return interval_coverage(ds, key_col="user_id", start_col="s",
+                             end_col="e", num_partitions=32)
+
+
 def _q_quantity_percentile(sf_dir: str):
     """Per-row CDF position: each lineitem's quantity percent_rank
     within its returnflag group, exact integer ppm. Exercises
@@ -5679,6 +5705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_window": _q_event_pairs_window,
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
+        "user_coverage": _q_user_coverage,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6203,6 +6230,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
             "count(*) AS n_users FROM w JOIN f USING (user_id) "
             "GROUP BY 1, 2"
+        ),
+        "user_coverage": (
+            "WITH iv AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            "CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e FROM events), "
+            "m AS (SELECT *, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS prev_max FROM iv), "
+            "g AS (SELECT *, CASE WHEN prev_max IS NULL "
+            "OR s > prev_max THEN 1 ELSE 0 END AS brk FROM m), "
+            "i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM g), "
+            "z AS (SELECT user_id, isl, max(e) - min(s) AS len "
+            "FROM i GROUP BY user_id, isl) "
+            "SELECT user_id, CAST(sum(len) AS BIGINT) AS covered "
+            "FROM z GROUP BY user_id"
         ),
         "quantity_percentile": (
             "SELECT l_orderkey, l_linenumber, "

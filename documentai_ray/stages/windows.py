@@ -348,3 +348,40 @@ def gap_fill_locf(cells: pd.DataFrame, *, key_col: str, bucket_col: str,
     full[gauge_col] = (full.groupby(key_col)[gauge_col].ffill()
                        .astype("Int64"))
     return full
+
+
+def interval_coverage(ds, *, key_col: str, start_col: str, end_col: str,
+                      num_partitions: int = 32):
+    """Total measure COVERED by a key's (possibly overlapping) intervals
+    — union length, the "active seconds" / uptime metric that double-
+    counts if you just sum durations. Classic gaps-and-islands, made
+    distributed: ONE key-hash exchange co-locates each key's intervals
+    (only the 3-column projection ships), then each partition resolves
+    ALL its keys in one vectorized pass — sort by (key, start, end),
+    per-key running max of end (grouped cummax, shifted), an island
+    starts where start > previous max, island id = cumsum of breaks,
+    covered = Σ per island (max end − min start). Half-open [start, end)
+    semantics: touching intervals merge, a zero-length interval adds 0.
+
+    Output: one row per key ``(key_col, covered)``."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col], kind="mergesort")
+        cummax = g.groupby(key_col, sort=False)[end_col].cummax()
+        prev_max = cummax.groupby(g[key_col], sort=False).shift(1)
+        brk = prev_max.isna() | (g[start_col] > prev_max)
+        island = brk.cumsum()          # globally increasing → per-key unique
+        isl = (g.assign(_isl=island)
+               .groupby([key_col, "_isl"], sort=False)
+               .agg(_s=(start_col, "min"), _e=(end_col, "max")))
+        isl["_len"] = isl["_e"] - isl["_s"]
+        out = (isl.reset_index().groupby(key_col, sort=False)["_len"]
+               .sum().reset_index(name="covered"))
+        return out
+
+    keyed = _add_pkey(ds.select_columns([key_col, start_col, end_col]),
+                      key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: cover(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

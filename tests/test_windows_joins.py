@@ -339,3 +339,23 @@ class TestBandJoinBy:
         with pytest.raises(ValueError):
             band_join(ds, ds2, left_on="v", right_on="w", delta=5,
                       left_by="u")
+
+
+class TestIntervalCoverage:
+    def test_overlap_touch_disjoint_duplicate(self, ray_session):
+        from documentai_ray.stages.windows import interval_coverage
+        rows = [
+            # user 1: [0,10) + [5,20) overlap -> 20; [20,25) touches ->
+            # merges (half-open) -> 25; [40,45) disjoint -> +5 = 30
+            {"u": 1, "s": 0, "e": 10}, {"u": 1, "s": 5, "e": 20},
+            {"u": 1, "s": 20, "e": 25}, {"u": 1, "s": 40, "e": 45},
+            # user 2: duplicate intervals count once
+            {"u": 2, "s": 100, "e": 200}, {"u": 2, "s": 100, "e": 200},
+            # user 3: contained interval adds nothing
+            {"u": 3, "s": 0, "e": 100}, {"u": 3, "s": 10, "e": 20},
+        ]
+        ds = ray_session.data.from_items(rows).repartition(4)
+        out = interval_coverage(ds, key_col="u", start_col="s",
+                                end_col="e", num_partitions=3).to_pandas()
+        got = dict(zip(out["u"], out["covered"]))
+        assert got == {1: 30, 2: 100, 3: 100}
