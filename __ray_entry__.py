@@ -1616,6 +1616,32 @@ def _q_retention_cohorts(sf_dir: str):
             .aggregate(Sum("_n", alias_name="n_users")))
 
 
+def _q_sliding_unique_users(sf_dir: str):
+    """Trailing-24h unique users, per hour — the live-audience metric.
+    Exercises ``windows.sliding_distinct_count``: instead of expanding
+    every (user, hour) pair 24× or running COUNT DISTINCT per window,
+    each user's observed hours open [h, h+24) intervals, islands merge
+    per user, and ±1 island-boundary deltas cumsum'd over the bounded
+    hour axis give the exact distinct count per hour."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import sliding_distinct_count
+
+    def hours(batch: pa.Table) -> pa.Table:
+        h = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // 3_600_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "hour": pa.array(h, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"]
+                               ).map_batches(hours, batch_format="pyarrow")
+    return sliding_distinct_count(ds, key_col="user_id",
+                                  bucket_col="hour", width=24,
+                                  num_partitions=32)
+
+
 def _q_user_coverage(sf_dir: str):
     """Active-time coverage per user: each event opens a 300-second
     window; overlapping windows must not double-count, so the metric is
@@ -5706,6 +5732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
         "user_coverage": _q_user_coverage,
+        "sliding_unique_users": _q_sliding_unique_users,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6230,6 +6257,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
             "count(*) AS n_users FROM w JOIN f USING (user_id) "
             "GROUP BY 1, 2"
+        ),
+        "sliding_unique_users": (
+            "WITH e AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events), "
+            "grid AS (SELECT unnest(generate_series("
+            "(SELECT min(h) FROM e), (SELECT max(h) FROM e))) AS hour) "
+            "SELECT grid.hour, count(DISTINCT e.user_id) AS n_distinct "
+            "FROM grid LEFT JOIN e ON e.h BETWEEN grid.hour - 23 "
+            "AND grid.hour GROUP BY grid.hour"
         ),
         "user_coverage": (
             "WITH iv AS (SELECT user_id, "

@@ -385,3 +385,67 @@ def interval_coverage(ds, *, key_col: str, start_col: str, end_col: str,
     return (keyed.groupby("_pkey")
             .map_groups(lambda g: cover(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def sliding_distinct_count(ds, *, key_col: str, bucket_col: str,
+                           width: int, num_partitions: int = 32
+                           ) -> pd.DataFrame:
+    """Distinct keys per TRAILING window — "unique users in the last 24
+    hours, per hour" — without expanding every (key, bucket) pair
+    ``width`` times and without a COUNT DISTINCT per window.
+
+    A key is active at bucket g iff it has an observation in
+    ``(g − width, g]``; equivalently each observed bucket b opens the
+    interval ``[b, b + width)``. Per key those intervals are merged into
+    islands (the interval_coverage trick), each island contributes a +1
+    delta at its start and a −1 at its (exclusive) end, and the running
+    sum of deltas over the bucket axis IS the distinct count — each key
+    counted once however many observations it has inside the window.
+
+    Physical plan: ONE key-hash exchange of the distinct (key, bucket)
+    projection; per-partition vectorized island merge → delta rows;
+    a tiny bucket exchange sums deltas (bounded by distinct buckets);
+    the final cumsum runs driver-side over the bounded bucket axis
+    (buckets ≪ rows — the documented small-axis exception). Returns a
+    pandas frame ``(bucket_col, n_distinct)`` for every bucket in
+    [min observed, max observed]."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[key_col, bucket_col]].drop_duplicates()
+        g = g.sort_values([key_col, bucket_col], kind="mergesort")
+        s = g[bucket_col].to_numpy()
+        e = s + width
+        cummax = (pd.Series(e).groupby(g[key_col].to_numpy(), sort=False)
+                  .cummax())
+        prev_max = cummax.groupby(g[key_col].to_numpy(), sort=False).shift(1)
+        brk = prev_max.isna().to_numpy() | (s > prev_max.to_numpy())
+        isl = np.cumsum(brk)
+        f = pd.DataFrame({"_isl": isl, "_s": s, "_e": e})
+        agg = f.groupby("_isl", sort=False).agg(
+            start=("_s", "min"), end=("_e", "max"))
+        out = pd.concat([
+            pd.DataFrame({bucket_col: agg["start"], "_d": 1}),
+            pd.DataFrame({bucket_col: agg["end"], "_d": -1}),
+        ])
+        return (out.groupby(bucket_col, sort=False)["_d"]
+                .sum().reset_index(name="_d"))
+
+    keyed = _add_pkey(ds.select_columns([key_col, bucket_col]),
+                      key_col, num_partitions)
+    dd = (keyed.groupby("_pkey")
+          .map_groups(lambda g: deltas(g.drop(columns=["_pkey"])),
+                      batch_format="pandas")
+          .groupby(bucket_col).aggregate(Sum("_d", alias_name="_d"))
+          ).to_pandas().sort_values(bucket_col)
+
+    lo = int(dd[bucket_col].min())
+    hi = int(dd[bucket_col].max()) - width   # max observed bucket
+    grid = pd.DataFrame({bucket_col: np.arange(lo, hi + 1)})
+    grid = grid.merge(dd, on=bucket_col, how="left").fillna({"_d": 0})
+    # deltas BEYOND the grid start never apply; all island starts are
+    # observed buckets ≥ lo, so the plain cumsum is exact
+    grid["n_distinct"] = grid["_d"].cumsum().astype("int64")
+    return grid[[bucket_col, "n_distinct"]]

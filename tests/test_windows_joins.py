@@ -359,3 +359,23 @@ class TestIntervalCoverage:
                                 end_col="e", num_partitions=3).to_pandas()
         got = dict(zip(out["u"], out["covered"]))
         assert got == {1: 30, 2: 100, 3: 100}
+
+
+class TestSlidingDistinctCount:
+    def test_matches_bruteforce_with_gap(self, ray_session):
+        from documentai_ray.stages.windows import sliding_distinct_count
+        # user 1 at buckets 0, 2 (merging windows); user 2 at 1;
+        # user 3 far later at 20 -> a genuine zero gap in between
+        rows = [{"u": 1, "b": 0}, {"u": 1, "b": 2}, {"u": 2, "b": 1},
+                {"u": 3, "b": 20}, {"u": 1, "b": 0}]   # dup observation
+        ds = ray_session.data.from_items(rows).repartition(3)
+        out = sliding_distinct_count(ds, key_col="u", bucket_col="b",
+                                     width=3, num_partitions=2)
+        got = dict(zip(out["b"], out["n_distinct"]))
+        brute = {}
+        obs = {(1, 0), (1, 2), (2, 1), (3, 20)}
+        for g in range(0, 21):
+            brute[g] = len({u for (u, b) in obs if g - 2 <= b <= g})
+        assert got == brute
+        assert got[10] == 0           # the gap really is zero
+        assert got[2] == 2 and got[4] == 1
