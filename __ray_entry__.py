@@ -1642,6 +1642,58 @@ def _q_sliding_unique_users(sf_dir: str):
                                   num_partitions=32)
 
 
+def _q_segment_digests(sf_dir: str):
+    """Merkle-style SEGMENT digests — the anti-entropy primitive behind
+    replica reconciliation: instead of one whole-table checksum
+    (table_checksum), a digest per key-range segment (custkey // 100)
+    so two replicas can binary-search WHICH ranges differ and resync
+    only those. Same wrapping mod-2⁶⁴ sum of md5-LE64 row hashes,
+    2³²-split (hi, lo) partials so no engine-side overflow, one
+    segment-keyed exchange, Python-bignum reassembly."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = batch.column("c_custkey").to_pylist()
+        names = batch.column("c_name").to_pylist()
+        segs = [k // 100 for k in keys]
+        acc: dict[int, list] = {}
+        for sg, k, nm in zip(segs, keys, names):
+            h = md5_le64(f"{k}|{nm}")
+            st = acc.setdefault(sg, [0, 0])
+            st[0] = (st[0] + h) % (1 << 64)
+            st[1] += 1
+        out = pd.DataFrame(
+            [(sg, st[1], st[0] >> 32, st[0] & 0xFFFFFFFF)
+             for sg, st in acc.items()],
+            columns=["segment", "n_rows", "hi", "lo"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("segment")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("hi", alias_name="hi"),
+                      Sum("lo", alias_name="lo")))
+
+    def derive(batch: pa.Table) -> pa.Table:
+        out = []
+        for hi, lo in zip(batch.column("hi").to_pylist(),
+                          batch.column("lo").to_pylist()):
+            v = ((hi << 32) + lo) % (1 << 64)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"segment": batch.column("segment"),
+                         "n_rows": batch.column("n_rows"),
+                         "digest": pa.array(out, pa.int64())})
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
 def _q_user_coverage(sf_dir: str):
     """Active-time coverage per user: each event opens a 300-second
     window; overlapping windows must not double-count, so the metric is
@@ -5733,6 +5785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentile": _q_quantity_percentile,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
+        "segment_digests": _q_segment_digests,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6257,6 +6310,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.cohort_week, w.wk - f.cohort_week AS week_offset, "
             "count(*) AS n_users FROM w JOIN f USING (user_id) "
             "GROUP BY 1, 2"
+        ),
+        "segment_digests": (
+            "WITH r AS (SELECT c_custkey // 100 AS segment, "
+            + _sql_md5_le64("CAST(c_custkey AS VARCHAR) || '|' || c_name")
+            + " AS hv FROM customer), "
+            "a AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_rows, "
+            "sum(hv) % CAST(18446744073709551616 AS HUGEINT) AS chk "
+            "FROM r GROUP BY segment) "
+            "SELECT segment, n_rows, "
+            "CAST(CASE WHEN chk >= CAST(9223372036854775808 AS HUGEINT) "
+            "THEN chk - CAST(18446744073709551616 AS HUGEINT) "
+            "ELSE chk END AS BIGINT) AS digest FROM a"
         ),
         "sliding_unique_users": (
             "WITH e AS (SELECT DISTINCT user_id, "

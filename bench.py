@@ -194,6 +194,7 @@ def run_benchmarks() -> dict:
     timed("line_dedup", run_named("line_dedup"))
     timed("repeated_passages", run_named("repeated_passages"))
     timed("web_curation", run_named("web_curation"))
+    timed("ppjoin_pairs", run_named("ppjoin_pairs"))
 
     result = {
         "metric": "flagship_e2e_sec",
