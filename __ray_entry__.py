@@ -3014,6 +3014,53 @@ def _q_merge_upsert(sf_dir: str):
     return merged.select_columns(["doc_id", "source", "version"])
 
 
+def _q_asof_snapshot(sf_dir: str):
+    """Time-travel read (AS OF version 1): reconstruct the table state
+    after the updates but BEFORE the deletes of merge_upsert's
+    changelog — the lakehouse MVCC query, expressed as the same
+    merge_changelog plan over changes filtered to ``ts ≤ 1``. The
+    version cutoff is a pure pre-merge filter: snapshot isolation falls
+    out of the changelog's own ordering, no extra state. Expected
+    state: every doc present (deletes are at ts 2), version 1 iff
+    doc_id % 3 == 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.joins import merge_changelog
+
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "source": batch.column("source"),
+                         "version": pa.array([0] * n, pa.int64()),
+                         "ts": pa.array([0] * n, pa.int64()),
+                         "op": pa.array(["I"] * n, pa.string())})
+
+    def change_rows_upto_v1(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), np.int64)
+        srcs = batch.column("source").to_pylist()
+        keep = ids % 3 == 0      # the ts=2 deletes are beyond the cutoff
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "source": pa.array([s for s, k in zip(srcs, keep) if k],
+                               pa.string()),
+            "version": pa.array([1] * int(keep.sum()), pa.int64()),
+            "ts": pa.array([1] * int(keep.sum()), pa.int64()),
+            "op": pa.array(["U"] * int(keep.sum()), pa.string())})
+
+    changes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(change_rows_upto_v1, batch_format="pyarrow")
+    merged = merge_changelog(base.map_batches(base_rows,
+                                              batch_format="pyarrow"),
+                             changes, key_col="doc_id")
+    return merged.select_columns(["doc_id", "source", "version"])
+
+
 def _q_late_events(sf_dir: str):
     """Watermark late-event routing: per-user watermark = max(ts) − 120
     min (one groupby-max row per key), shipped back via a bucketed
@@ -4873,6 +4920,42 @@ def _q_khop_frontier(sf_dir: str):
                     k=3, num_partitions=16)
 
 
+def _q_sssp_weighted(sf_dir: str):
+    """Bounded-round WEIGHTED shortest paths (Bellman-Ford, 3 rounds)
+    over the same link graph as khop_frontier, with deterministic edge
+    weights w = 1 + (src + dst) % 5 — min COST, not min hops: a 2-hop
+    path can undercut a heavy direct edge, which the oracle's
+    unrestricted ≤3-edge path expansion confirms. graph.sssp_bounded:
+    one key-projected join + monotone groupby-min fold per round."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import sssp_bounded
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("doc_id").to_numpy()
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(ids + 1) % n, (ids + 2) % n,
+                              (ids * 7 + 1) % n])
+        w = 1 + (src + dst) % 5
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    def seeds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"node": pa.array(ids[ids % 997 == 0], pa.int64())})
+
+    return sssp_bounded(docs.map_batches(edges, batch_format="pyarrow"),
+                        docs.map_batches(seeds, batch_format="pyarrow"),
+                        rounds=3, num_partitions=16)
+
+
 def _q_ocr_roundtrip(sf_dir: str):
     """REAL OCR path (M3): MINIPDF pages render with the 5×7 bitfont →
     PNG encode → PNG decode → matched-template recognition — two
@@ -5786,6 +5869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
+        "asof_snapshot": _q_asof_snapshot,
+        "sssp_weighted": _q_sssp_weighted,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -7047,6 +7132,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, CAST(min(depth) AS BIGINT) AS depth "
             "FROM bfs GROUP BY node"
         ),
+        "sssp_weighted": (
+            "WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents), "
+            "e AS ("
+            "SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id + 2) % nn.n "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id * 7 + 1) % nn.n "
+            "FROM documents, nn), "
+            "we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e), "
+            "sp(node, dist, hops) AS ("
+            "SELECT doc_id, 0, 0 FROM documents WHERE doc_id % 997 = 0 "
+            "UNION ALL "
+            "SELECT we.dst, s.dist + we.w, s.hops + 1 FROM sp s "
+            "JOIN we ON s.node = we.src WHERE s.hops < 3) "
+            "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
+            "FROM sp GROUP BY node"
+        ),
         "table_checksum": (
             "WITH rows_c AS (SELECT 'customer' AS table_name, "
             f"{_sql_md5_le64(chr(39) + 'customer|' + chr(39) + ' || CAST(c_custkey AS VARCHAR) || ' + chr(39) + '|' + chr(39) + ' || c_name || ' + chr(39) + '|' + chr(39) + ' || c_mktsegment')} AS hv FROM customer), "
@@ -7262,6 +7365,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
             "ELSE 0 END AS BIGINT) AS version FROM documents "
             "WHERE doc_id % 7 <> 0"
+        ),
+        "asof_snapshot": (
+            "SELECT doc_id, source, CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
+            "ELSE 0 END AS BIGINT) AS version FROM documents"
         ),
         "late_events": (
             "SELECT event_id, user_id, "

@@ -408,3 +408,48 @@ def cooccurrence_pairs(ds, *, basket_col: str, item_col: str,
             .groupby("_ppk")
             .map_groups(lambda g: finish(g.drop(columns=["_ppk"])),
                         batch_format="pandas"))
+
+
+def sssp_bounded(edges_ds, seeds_ds, *, rounds: int,
+                 num_partitions: int = 32):
+    """Bounded-round single-source(-set) shortest paths over WEIGHTED
+    directed edges — bfs_khop's cost-aware sibling (min hop count ≠ min
+    cost once weights differ: a 2-hop path can undercut a heavy direct
+    edge). Bellman-Ford relaxation, ``rounds`` iterations: exact for
+    every shortest path using ≤ ``rounds`` edges.
+
+    ``edges_ds``: (src, dst, w) int64, w ≥ 0; ``seeds_ds``: (node).
+    Returns (node, dist) = min path cost reachable within the round
+    budget. Physical plan per round: ONE key-projected hash_join of the
+    current distance table against the edges (3 int64 columns shuffle),
+    candidate dist = dist + w, then groupby-min folds candidates AND the
+    previous table (monotone: distances only decrease). Rounds
+    materialize — the documented input-reuse exception, as in
+    bfs_khop/resolve_pointers."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from documentai_ray.stages.joins import hash_join
+
+    dist = seeds_ds.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "dist": pa.array([0] * b.num_rows,
+                                             pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        left = dist.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "dist": b.column("dist")}),
+            batch_format="pyarrow")
+        joined = hash_join(left, edges_ds, on="src",
+                           num_partitions=num_partitions)
+        cand = joined.map_batches(
+            lambda b: pa.table({
+                "node": b.column("dst"),
+                "dist": pc.add(b.column("dist"), b.column("w"))}),
+            batch_format="pyarrow")
+        dist = (dist.union(cand)
+                .groupby("node").aggregate(Min("dist", alias_name="dist"))
+                .materialize())
+    return dist

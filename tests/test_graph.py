@@ -177,3 +177,38 @@ class TestCooccurrencePairs:
         with pytest.raises(Exception, match="max_basket"):
             cooccurrence_pairs(ds, basket_col="bk", item_col="it",
                                max_basket=10).materialize()
+
+
+class TestSsspBounded:
+    def test_two_hop_beats_heavy_direct_edge(self, ray_session):
+        from documentai_ray.stages.graph import sssp_bounded
+        edges = ray_session.data.from_items([
+            {"src": 0, "dst": 1, "w": 10},   # heavy direct
+            {"src": 0, "dst": 2, "w": 1},
+            {"src": 2, "dst": 1, "w": 1},    # 2-hop cost 2 wins
+            {"src": 1, "dst": 3, "w": 1},
+            {"src": 9, "dst": 0, "w": 7},    # edge INTO the seed: unused
+        ])
+        seeds = ray_session.data.from_items([{"node": 0}])
+        out = sssp_bounded(edges, seeds, rounds=3,
+                           num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == {0: 0, 2: 1, 1: 2, 3: 3}
+
+    def test_round_budget_limits_reach_and_cost(self, ray_session):
+        from documentai_ray.stages.graph import sssp_bounded
+        # chain 0-1-2-3-4 (w=1 each) plus a shortcut 0->4 of cost 10:
+        # rounds=2 can't see the cheap 4-hop chain, so 4 costs 10
+        edges = ray_session.data.from_items(
+            [{"src": i, "dst": i + 1, "w": 1} for i in range(4)]
+            + [{"src": 0, "dst": 4, "w": 10}])
+        seeds = ray_session.data.from_items([{"node": 0}])
+        out2 = sssp_bounded(edges, seeds, rounds=2,
+                            num_partitions=2).to_pandas()
+        got2 = dict(zip(out2["node"], out2["dist"]))
+        assert got2[4] == 10 and got2[2] == 2 and 3 not in got2 or got2.get(3) == 3
+        # with 4 rounds the chain wins
+        out4 = sssp_bounded(edges, seeds, rounds=4,
+                            num_partitions=2).to_pandas()
+        got4 = dict(zip(out4["node"], out4["dist"]))
+        assert got4[4] == 4
