@@ -3014,6 +3014,35 @@ def _q_merge_upsert(sf_dir: str):
     return merged.select_columns(["doc_id", "source", "version"])
 
 
+def _q_scd2_build(sf_dir: str):
+    """Build an SCD Type-2 dimension from the raw event stream — the
+    inverse of scd2_join's consumer side: per user, consecutive equal
+    event_type observations collapse into one [valid_from, valid_to)
+    range, a change closes the previous range, the latest stays open
+    (valid_to = 2100-01-01 epoch). Exercises ``windows.scd2_build``:
+    one key-hash exchange, all keys per partition resolved in one
+    vectorized change-mask pass; equal-ts ties resolve to the smallest
+    value globally because keys co-locate."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import scd2_build
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // 1_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t": pa.array(t, pa.int64()),
+                         "event_type": batch.column("event_type")})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]
+                               ).map_batches(prep, batch_format="pyarrow")
+    return scd2_build(ds, key_col="user_id", val_col="event_type",
+                      ts_col="t", open_end=4102444800,
+                      num_partitions=32)
+
+
 def _q_asof_snapshot(sf_dir: str):
     """Time-travel read (AS OF version 1): reconstruct the table state
     after the updates but BEFORE the deletes of merge_upsert's
@@ -5871,6 +5900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_digests": _q_segment_digests,
         "asof_snapshot": _q_asof_snapshot,
         "sssp_weighted": _q_sssp_weighted,
+        "scd2_build": _q_scd2_build,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -7369,6 +7399,21 @@ def oracle_sql() -> dict[str, str]:
         "asof_snapshot": (
             "SELECT doc_id, source, CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
             "ELSE 0 END AS BIGINT) AS version FROM documents"
+        ),
+        "scd2_build": (
+            "WITH o AS (SELECT user_id, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS t, "
+            "min(event_type) AS event_type FROM events "
+            "GROUP BY user_id, t), "
+            "s AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY t) AS pv FROM o), "
+            "st AS (SELECT user_id, t, event_type FROM s "
+            "WHERE pv IS NULL OR event_type <> pv), "
+            "r AS (SELECT user_id, event_type, t AS valid_from, "
+            "lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt "
+            "FROM st) "
+            "SELECT user_id, event_type, valid_from, "
+            "coalesce(nxt, 4102444800) AS valid_to FROM r"
         ),
         "late_events": (
             "SELECT event_id, user_id, "

@@ -449,3 +449,45 @@ def sliding_distinct_count(ds, *, key_col: str, bucket_col: str,
     # observed buckets ≥ lo, so the plain cumsum is exact
     grid["n_distinct"] = grid["_d"].cumsum().astype("int64")
     return grid[[bucket_col, "n_distinct"]]
+
+
+def scd2_build(ds, *, key_col: str, val_col: str, ts_col: str,
+               open_end: int, num_partitions: int = 32):
+    """BUILD an SCD Type-2 dimension from an observation stream — the
+    inverse of the scd2_join consumer: per key, consecutive equal
+    values collapse into one validity range ``[valid_from, valid_to)``;
+    a value change closes the previous range at the new observation's
+    timestamp; the latest range stays open until ``open_end``. Repeated
+    observations of the SAME value extend nothing (only changes
+    matter) — the classic change-data-capture compaction.
+
+    ONE key-hash exchange of the (key, ts, value) projection; each
+    partition resolves all its keys in one vectorized pass: sort by
+    (key, ts), a change mask (key boundary OR value ≠ previous) selects
+    range starts, ``valid_to`` = next range's start within the key
+    (vectorized shift), else ``open_end``. Simultaneous observations
+    (equal key AND ts) resolve deterministically to the SMALLEST value
+    — the keys are co-located, so the tie-break is global."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, val_col], kind="mergesort")
+        g = g.drop_duplicates(subset=[key_col, ts_col], keep="first")
+        key_change = g[key_col].ne(g[key_col].shift(1))
+        val_change = g[val_col].ne(g[val_col].shift(1))
+        start = key_change | val_change
+        s = g[start]
+        nxt_from = s[ts_col].shift(-1)
+        nxt_key = s[key_col].shift(-1)
+        valid_to = nxt_from.where(nxt_key.eq(s[key_col]),
+                                  other=open_end).astype("int64")
+        return pd.DataFrame({key_col: s[key_col],
+                             val_col: s[val_col],
+                             "valid_from": s[ts_col].astype("int64"),
+                             "valid_to": valid_to})
+
+    keyed = _add_pkey(ds.select_columns([key_col, ts_col, val_col]),
+                      key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: build(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

@@ -379,3 +379,23 @@ class TestSlidingDistinctCount:
         assert got == brute
         assert got[10] == 0           # the gap really is zero
         assert got[2] == 2 and got[4] == 1
+
+
+class TestScd2Build:
+    def test_collapse_changes_ties_and_open_range(self, ray_session):
+        from documentai_ray.stages.windows import scd2_build
+        rows = [
+            # user 1: a,a,b,b,a -> ranges a[0,5) b[5,20) a[20,END)
+            {"u": 1, "t": 0, "v": "a"}, {"u": 1, "t": 3, "v": "a"},
+            {"u": 1, "t": 5, "v": "b"}, {"u": 1, "t": 9, "v": "b"},
+            {"u": 1, "t": 20, "v": "a"},
+            # user 2: equal-ts tie -> smallest value wins ('x')
+            {"u": 2, "t": 7, "v": "y"}, {"u": 2, "t": 7, "v": "x"},
+        ]
+        ds = ray_session.data.from_items(rows).repartition(4)
+        out = scd2_build(ds, key_col="u", val_col="v", ts_col="t",
+                         open_end=999, num_partitions=3).to_pandas()
+        got = {(r.u, r.v, r.valid_from, r.valid_to)
+               for r in out.itertuples()}
+        assert got == {(1, "a", 0, 5), (1, "b", 5, 20), (1, "a", 20, 999),
+                       (2, "x", 7, 999)}
