@@ -1347,6 +1347,26 @@ def _q_kmv_intersect(sf_dir: str):
                               val_col="user_id", k=64)
 
 
+def _q_kmv_difference(sf_dir: str):
+    """Audience set DIFFERENCE via θ-sketch: estimated count of users
+    who clicked but never purchased (and vice versa), completing the
+    sketch set algebra (union / intersect / difference) — still no
+    co-location of the sets, ≤ k hashes per side per block. Exercises
+    ``sketches.kmv_difference_sets``; bit-identical SQL mirror."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import kmv_difference_sets
+
+    def side(t):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        ).filter(expr=f"event_type == '{t}'")
+
+    return kmv_difference_sets(side("click"), side("purchase"),
+                               val_col="user_id", k=64)
+
+
 def _q_copurchase_pairs(sf_dir: str):
     """Market-basket co-occurrence: part pairs ordered together in ≥ 2
     orders — frequently-bought-together / co-citation. Exercises
@@ -5905,6 +5925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
         "kmv_intersect": _q_kmv_intersect,
+        "kmv_difference": _q_kmv_difference,
         "mean_embedding": _q_mean_embedding,
         "symspell_pairs": _q_symspell_pairs,
         "join_revenue": _q_join_revenue,
@@ -6380,6 +6401,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(est_union AS BIGINT) AS est_union, "
             "CAST(CAST(c AS HUGEINT) * est_union // nu AS BIGINT) "
             "AS est_intersect FROM eu, cm"
+        ),
+        "kmv_difference": (
+            "WITH ha AS (SELECT DISTINCT "
+            + _sql_md5_le64("CAST(user_id AS VARCHAR)")
+            + " AS hv FROM events WHERE event_type = 'click'), "
+            "sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 64), "
+            "hb AS (SELECT DISTINCT "
+            + _sql_md5_le64("CAST(user_id AS VARCHAR)")
+            + " AS hv FROM events WHERE event_type = 'purchase'), "
+            "sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64), "
+            "u AS (SELECT DISTINCT hv FROM "
+            "(SELECT hv FROM sa UNION ALL SELECT hv FROM sb)), "
+            "o AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM u), "
+            "st AS (SELECT CASE WHEN (SELECT count(*) FROM u) >= 64 "
+            "THEN (SELECT hv FROM o WHERE rn = 64) "
+            "ELSE (SELECT max(hv) FROM u) END AS theta, "
+            "CASE WHEN (SELECT count(*) FROM u) >= 64 THEN 64 "
+            "ELSE (SELECT count(*) FROM u) END AS nu), "
+            "cm AS (SELECT count(*) AS c FROM sa, st "
+            "WHERE sa.hv <= st.theta AND sa.hv IN (SELECT hv FROM sb)), "
+            "ab AS (SELECT count(*) AS na FROM sa, st "
+            "WHERE sa.hv <= st.theta), "
+            "bb AS (SELECT count(*) AS nb FROM sb, st "
+            "WHERE sb.hv <= st.theta), "
+            "eu AS (SELECT nu, CASE WHEN nu >= 64 "
+            "THEN CAST(63 AS HUGEINT) * "
+            "CAST(18446744073709551616 AS HUGEINT) // theta "
+            "ELSE CAST(nu AS HUGEINT) END AS est_union FROM st) "
+            "SELECT 64 AS k, CAST(nu AS BIGINT) AS n_union_kept, "
+            "CAST(est_union AS BIGINT) AS est_union, "
+            "CAST(CAST(na - c AS HUGEINT) * est_union // nu AS BIGINT) "
+            "AS est_only_a, "
+            "CAST(CAST(nb - c AS HUGEINT) * est_union // nu AS BIGINT) "
+            "AS est_only_b FROM eu, cm, ab, bb"
         ),
         "copurchase_pairs": (
             "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "

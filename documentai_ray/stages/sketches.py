@@ -386,22 +386,9 @@ def ams_f2_sketch(ds, *, key_col: str, d: int = AMS_D):
                      "est_f2": pa.array([est], pa.int64())})
 
 
-def kmv_intersect_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
-    """KMV θ-sketch SET INTERSECTION estimate — |A ∩ B| distinct without
-    co-locating the sets (the audience-overlap / cross-corpus-overlap
-    question): each side keeps its k smallest distinct value hashes
-    (≤ k rows per block cross the wire, regardless of cardinality); the
-    driver-side combine is pure sketch algebra on ≤ 2k integers.
-
-    Estimator (Beyer et al. 2007 / theta-sketch intersection): θ = the
-    k-th smallest hash of the sketch UNION; below θ both sketches are
-    EXACT samples of their sets, so
-    ``|A∩B| ≈ |{h ≤ θ common to both}| · est_union / k``. When the
-    union sketch holds fewer than k hashes both sides were exact and
-    the result collapses to the exact intersection count. All integer
-    arithmetic (u64 hashes, floor division) — the SQL mirror lands
-    bit-identically. Returns one row
-    ``(k, n_union_kept, common, est_union, est_intersect)``."""
+def _kmv_side_sketch(ds, *, val_col: str, k: int) -> np.ndarray:
+    """One side's KMV sketch: the k smallest distinct md5-LE64 value
+    hashes, ≤ k rows per block crossing the wire."""
 
     def partial(batch: pa.Table) -> pa.Table:
         hs = {md5_le64(str(v))
@@ -411,13 +398,17 @@ def kmv_intersect_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
             arr = arr[:k]
         return pa.table({"h": pa.array(arr, pa.uint64())})
 
-    def sketch(ds) -> np.ndarray:
-        parts = (ds.map_batches(partial, batch_format="pyarrow")
-                 .to_pandas()["h"].to_numpy().astype(np.uint64))
-        s = np.unique(parts)
-        return s[:k] if len(s) > k else s
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()["h"].to_numpy().astype(np.uint64))
+    s = np.unique(parts)
+    return s[:k] if len(s) > k else s
 
-    sa, sb = sketch(ds_a), sketch(ds_b)
+
+def _kmv_combine(sa: np.ndarray, sb: np.ndarray, k: int) -> dict:
+    """θ-sketch algebra on two KMV sketches: θ = k-th of the union
+    sketch; below θ both sketches are exact samples, so common /
+    only-a / only-b counts scale by est_union/denominator. Collapses to
+    exact counts when the union holds < k. All integer."""
     u = np.unique(np.concatenate([sa, sb]))
     if len(u) >= k:
         theta, nu = int(u[k - 1]), k
@@ -425,11 +416,50 @@ def kmv_intersect_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
     else:
         theta, nu = int(u[-1]) if len(u) else 0, len(u)
         est_union = len(u)          # both sides exact below k
-    common = np.intersect1d(sa, sb)
-    c = int((common <= np.uint64(theta)).sum()) if len(common) else 0
-    est_inter = c * est_union // nu if nu else 0
+    th = np.uint64(theta)
+    common = int((np.intersect1d(sa, sb) <= th).sum())
+    a_below = int((sa <= th).sum())
+    b_below = int((sb <= th).sum())
+    scale = (lambda c: c * est_union // nu) if nu else (lambda c: 0)
+    return {"k": k, "nu": nu, "theta": theta, "common": common,
+            "est_union": int(est_union),
+            "est_intersect": scale(common),
+            "est_only_a": scale(a_below - common),
+            "est_only_b": scale(b_below - common)}
+
+
+def kmv_intersect_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
+    """KMV θ-sketch SET INTERSECTION estimate — |A ∩ B| distinct without
+    co-locating the sets (the audience-overlap / cross-corpus-overlap
+    question): each side keeps its k smallest distinct value hashes
+    (≤ k rows per block cross the wire, regardless of cardinality); the
+    driver-side combine is pure sketch algebra on ≤ 2k integers
+    (Beyer et al. 2007 / theta-sketch family; see ``_kmv_combine``).
+    Integer end to end — the SQL mirror lands bit-identically. Returns
+    one row ``(k, n_union_kept, common, est_union, est_intersect)``."""
+    st = _kmv_combine(_kmv_side_sketch(ds_a, val_col=val_col, k=k),
+                      _kmv_side_sketch(ds_b, val_col=val_col, k=k), k)
     return pa.table({"k": pa.array([k], pa.int64()),
-                     "n_union_kept": pa.array([nu], pa.int64()),
-                     "common": pa.array([c], pa.int64()),
-                     "est_union": pa.array([int(est_union)], pa.int64()),
-                     "est_intersect": pa.array([int(est_inter)], pa.int64())})
+                     "n_union_kept": pa.array([st["nu"]], pa.int64()),
+                     "common": pa.array([st["common"]], pa.int64()),
+                     "est_union": pa.array([st["est_union"]], pa.int64()),
+                     "est_intersect": pa.array([st["est_intersect"]],
+                                               pa.int64())})
+
+
+def kmv_difference_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
+    """KMV θ-sketch SET DIFFERENCE estimate — |A \\ B| (and |B \\ A|)
+    distinct, completing the sketch set algebra beside union and
+    intersection: below the shared θ both sketches are exact samples,
+    so the members of A's sketch NOT in B's estimate the difference at
+    the same scale factor. Exact when the union sketch holds < k.
+    Returns one row
+    ``(k, n_union_kept, est_union, est_only_a, est_only_b)``."""
+    st = _kmv_combine(_kmv_side_sketch(ds_a, val_col=val_col, k=k),
+                      _kmv_side_sketch(ds_b, val_col=val_col, k=k), k)
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "n_union_kept": pa.array([st["nu"]], pa.int64()),
+                     "est_union": pa.array([st["est_union"]], pa.int64()),
+                     "est_only_a": pa.array([st["est_only_a"]], pa.int64()),
+                     "est_only_b": pa.array([st["est_only_b"]],
+                                            pa.int64())})

@@ -291,3 +291,25 @@ class TestKmvIntersect:
             [{"v": i} for i in range(10_000, 10_500)])
         out = kmv_intersect_sets(a, b, val_col="v", k=32).to_pandas().iloc[0]
         assert out["common"] == 0 and out["est_intersect"] == 0
+
+
+class TestKmvDifference:
+    def test_exact_regime_differences(self, ray_session):
+        from documentai_ray.stages.sketches import kmv_difference_sets
+        a = ray_session.data.from_items([{"v": i} for i in range(20)])
+        b = ray_session.data.from_items([{"v": i} for i in range(12, 40)])
+        out = kmv_difference_sets(a, b, val_col="v", k=64).to_pandas()
+        r = out.iloc[0]
+        # exact: |A\B| = 12 (0..11), |B\A| = 20 (20..39)
+        assert r["est_only_a"] == 12 and r["est_only_b"] == 20
+        assert r["est_union"] == 40
+
+    def test_estimate_regime_reasonable(self, ray_session):
+        from documentai_ray.stages.sketches import kmv_difference_sets
+        A = ray_session.data.from_items([{"v": v} for v in range(3000)])
+        B = ray_session.data.from_items(
+            [{"v": v} for v in range(1500, 4500)])
+        r = kmv_difference_sets(A, B, val_col="v",
+                                k=128).to_pandas().iloc[0]
+        assert abs(r["est_only_a"] - 1500) / 1500 < 0.5
+        assert abs(r["est_only_b"] - 1500) / 1500 < 0.5
