@@ -2190,6 +2190,64 @@ def _q_curate_corpus(sf_dir: str):
         ["doc_id", "lang", "n_chars", "confidence"])
 
 
+def _q_group_split(sf_dir: str):
+    """Leakage-safe GROUP-aware fold assignment: every document of a
+    source lands in the same fold (fold = md5-LE64(source) % 5) — the
+    split a contamination-aware training pipeline needs (near-dup pages
+    of one host must never straddle train/test). Pure per-batch map,
+    deterministic at any parallelism; the SQL mirror reuses the
+    repo-standard md5 expression."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    def assign(batch: pa.Table) -> pa.Table:
+        folds = [md5_le64(s) % 5
+                 for s in batch.column("source").to_pylist()]
+        return batch.append_column("fold", pa.array(folds, pa.int64()))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
+def _q_schema_union(sf_dir: str):
+    """Schema-evolution read (UNION ALL BY NAME): an old snapshot
+    written before the ``source`` column existed (even doc_ids,
+    2 columns) unions with the evolved snapshot (odd doc_ids,
+    3 columns) — old rows null-filled. Exercises
+    ``schema.union_by_name``: ordered name-union schema, per-input
+    null-fill projection, conflicting types fail loudly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.schema import union_by_name
+
+    def old_snap(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                        pa.scalar(1)), pa.scalar(0))
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang")})
+
+    def new_snap(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                        pa.scalar(1)), pa.scalar(1))
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "source": t.column("source")})
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source"])
+    return union_by_name([
+        read().map_batches(old_snap, batch_format="pyarrow"),
+        read().map_batches(new_snap, batch_format="pyarrow")])
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/val/test split: multiplicative (Knuth) hash of
     the id → stable 80/10/10 assignment, identical at any parallelism and
@@ -5921,6 +5979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_snapshot": _q_asof_snapshot,
         "sssp_weighted": _q_sssp_weighted,
         "scd2_build": _q_scd2_build,
+        "group_split": _q_group_split,
+        "schema_union": _q_schema_union,
         "pareto_parts": _q_pareto_parts,
         "grouped_mode": _q_grouped_mode,
         "copurchase_pairs": _q_copurchase_pairs,
@@ -6922,6 +6982,18 @@ def oracle_sql() -> dict[str, str]:
             "'\\d{2}\\.\\d{2}\\.\\d{4}', '<DATE>', 'g'), "
             "'[A-Z]{3} [\\d,]+\\.\\d{2}', '<AMT>', 'g') AS redacted "
             f"FROM ({_SQL_EXPECTED_PAGES})"
+        ),
+        "group_split": (
+            "SELECT doc_id, source, "
+            f"CAST({_sql_md5_le64('source')} % 5 AS BIGINT) AS fold "
+            "FROM documents"
+        ),
+        "schema_union": (
+            "SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source "
+            "FROM documents WHERE doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE doc_id % 2 = 1"
         ),
         "split_assign": (
             "SELECT doc_id, CASE "

@@ -304,3 +304,23 @@ class TestSegmentDigests:
         diff = m[m["digest_a"] != m["digest_b"]]["segment"].tolist()
         assert diff == [keys[idx] // 100]
         assert (m["n_rows_a"] == m["n_rows_b"]).all()
+
+
+class TestUnionByName:
+    def test_null_fill_and_order(self, ray_session):
+        from documentai_ray.stages.schema import union_by_name
+        a = ray_session.data.from_items([{"id": 1, "x": "a"}])
+        b = ray_session.data.from_items([{"id": 2, "x": "b", "y": 9}])
+        out = union_by_name([a, b]).to_pandas().sort_values("id")
+        assert list(out.columns) == ["id", "x", "y"]
+        assert out.iloc[0]["y"] is None or str(out.iloc[0]["y"]) in (
+            "nan", "<NA>", "None")
+        assert out.iloc[1]["y"] == 9
+
+    def test_conflicting_types_raise(self, ray_session):
+        import pytest
+        from documentai_ray.stages.schema import union_by_name
+        a = ray_session.data.from_items([{"id": 1, "x": "a"}])
+        b = ray_session.data.from_items([{"id": 2, "x": 7}])
+        with pytest.raises(ValueError, match="conflicting"):
+            union_by_name([a, b])
