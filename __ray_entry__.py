@@ -1740,6 +1740,34 @@ def _q_user_coverage(sf_dir: str):
                              end_col="e", num_partitions=32)
 
 
+def _q_ks_drift(sf_dir: str):
+    """Two-sample KS drift check: do returned ('R') lineitems draw
+    their quantities from the same distribution as the rest? Exercises
+    ``aggregates.ks_statistic_int``: per-side value histograms (one
+    bounded exchange each), cross-multiplied integer CDF compare —
+    D = d_scaled / (n_a·n_b) with no float division crossing the
+    engine boundary."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import ks_statistic_int
+
+    def side(flag_eq: bool):
+        def prep(batch: pa.Table) -> pa.Table:
+            f = np.asarray(batch.column("l_returnflag").to_pylist())
+            keep = (f == "R") if flag_eq else (f != "R")
+            q = np.rint(batch.column("l_quantity").to_numpy()
+                        ).astype("int64")[keep]
+            return pa.table({"qty": pa.array(q, pa.int64())})
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity"],
+        ).map_batches(prep, batch_format="pyarrow")
+
+    return ks_statistic_int(side(True), side(False), val_col="qty")
+
+
 def _q_quantity_percentile(sf_dir: str):
     """Per-row CDF position: each lineitem's quantity percent_rank
     within its returnflag group, exact integer ppm. Exercises
@@ -5973,6 +6001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_window": _q_event_pairs_window,
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
+        "ks_drift": _q_ks_drift,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -6577,6 +6606,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM i GROUP BY user_id, isl) "
             "SELECT user_id, CAST(sum(len) AS BIGINT) AS covered "
             "FROM z GROUP BY user_id"
+        ),
+        "ks_drift": (
+            "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "
+            "count(*) AS c FROM lineitem WHERE l_returnflag = 'R' "
+            "GROUP BY 1), "
+            "b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "
+            "count(*) AS c FROM lineitem WHERE l_returnflag <> 'R' "
+            "GROUP BY 1), "
+            "u AS (SELECT v FROM a UNION SELECT v FROM b), "
+            "j AS (SELECT u.v, coalesce(a.c, 0) AS ca, "
+            "coalesce(b.c, 0) AS cb FROM u "
+            "LEFT JOIN a USING (v) LEFT JOIN b USING (v)), "
+            "w AS (SELECT v, sum(ca) OVER (ORDER BY v) AS fa, "
+            "sum(cb) OVER (ORDER BY v) AS fb FROM j), "
+            "t AS (SELECT (SELECT sum(c) FROM a) AS na, "
+            "(SELECT sum(c) FROM b) AS nb) "
+            "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
+            "CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_scaled "
+            "FROM w, t GROUP BY na, nb"
         ),
         "quantity_percentile": (
             "SELECT l_orderkey, l_linenumber, "

@@ -700,3 +700,45 @@ def grouped_percent_rank(ds, *, key_col: str, val_col: str,
         return batch.append_column(out_col, pa.array(out, pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def ks_statistic_int(ds_a, ds_b, *, val_col: str):
+    """Two-sample Kolmogorov–Smirnov statistic in EXACT integer
+    arithmetic — the distribution-drift detector a pipeline runs between
+    yesterday's and today's corpus (or between two strata):
+    ``D = max_v |F_a(v) − F_b(v)|`` over empirical CDFs. Float CDFs
+    divide; cross-multiplying instead —
+    ``D_scaled = max_v |cum_a(v)·n_b − cum_b(v)·n_a|`` — keeps every
+    compared value an integer (D = D_scaled / (n_a·n_b)), so any engine
+    lands bit-identically.
+
+    Physical plan: per side ONE value-histogram exchange (bounded by
+    distinct values — the grouped_median_int contract; for unbounded
+    domains bucket first); the CDF scan runs driver-side over the
+    bounded value axis. int64 domain: |cum| ≤ n, so n_a·n_b must stay
+    below 2⁶³ (fine to ~3·10⁹ rows per side; split hi/lo beyond).
+    Returns one row ``(n_a, n_b, d_scaled)``."""
+    from ray.data.aggregate import Sum
+
+    def hist(ds) -> pd.DataFrame:
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.select([val_col]).to_pandas()
+            g = (df.groupby(val_col, as_index=False).size()
+                 .rename(columns={"size": "_n"}))
+            return pa.Table.from_pandas(
+                g, preserve_index=False).replace_schema_metadata(None)
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(val_col).aggregate(Sum("_n", alias_name="_n"))
+                ).to_pandas()
+
+    ha, hb = hist(ds_a), hist(ds_b)
+    na, nb = int(ha["_n"].sum()), int(hb["_n"].sum())
+    m = (ha.rename(columns={"_n": "_ca"})
+         .merge(hb.rename(columns={"_n": "_cb"}), on=val_col, how="outer")
+         .fillna(0).sort_values(val_col))
+    fa = m["_ca"].cumsum().to_numpy().astype(np.int64)
+    fb = m["_cb"].cumsum().to_numpy().astype(np.int64)
+    d = int(np.abs(fa * nb - fb * na).max()) if len(m) else 0
+    return pa.table({"n_a": pa.array([na], pa.int64()),
+                     "n_b": pa.array([nb], pa.int64()),
+                     "d_scaled": pa.array([d], pa.int64())})

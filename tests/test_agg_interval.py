@@ -226,3 +226,26 @@ class TestGroupedPercentRank:
         got = dict(zip(out["i"], out["pct_ppm"]))
         assert got == {0: 0, 1: 0,
                        2: 2 * 1_000_000 // 3, 3: 1_000_000, 4: 0}
+
+
+class TestKsStatistic:
+    def test_identical_zero_disjoint_max(self, ray_session):
+        from documentai_ray.stages.aggregates import ks_statistic_int
+        mk = lambda vals: ray_session.data.from_items(
+            [{"v": x} for x in vals]).repartition(3)
+        same = [1, 2, 2, 3, 5, 8]
+        r = ks_statistic_int(mk(same), mk(same),
+                             val_col="v").to_pandas().iloc[0]
+        assert r["d_scaled"] == 0
+        # fully separated distributions: D = 1 -> d_scaled = n_a * n_b
+        r2 = ks_statistic_int(mk([1, 2, 3]), mk([10, 11, 12, 13]),
+                              val_col="v").to_pandas().iloc[0]
+        assert r2["d_scaled"] == 3 * 4
+
+    def test_known_small_case(self, ray_session):
+        from documentai_ray.stages.aggregates import ks_statistic_int
+        # a = {1,2}, b = {2,3}: CDFs at v=1: 1/2 vs 0 -> |1*2-0*2| = 2
+        a = ray_session.data.from_items([{"v": 1}, {"v": 2}])
+        b = ray_session.data.from_items([{"v": 2}, {"v": 3}])
+        r = ks_statistic_int(a, b, val_col="v").to_pandas().iloc[0]
+        assert (r["n_a"], r["n_b"], r["d_scaled"]) == (2, 2, 2)
