@@ -76,3 +76,19 @@ def test_declarative_matches_hand_composed(ray_session):
     key = lambda df: df.sort_values("url").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def test_declarative_new_stages_compile_and_run(ray_session):
+    from documentai_ray.pipelines.declarative import compile_pipeline
+    spec = {"pipeline": [
+        {"stage": "group_fold", "params": {"group_col": "g", "folds": 3}},
+        {"stage": "percent_rank",
+         "params": {"key_col": "g", "val_col": "v"}},
+    ]}
+    run = compile_pipeline(spec)
+    ds = ray_session.data.from_items(
+        [{"g": "a", "v": 1}, {"g": "a", "v": 2}, {"g": "b", "v": 5}])
+    out = run(ds, "/unused").to_pandas()
+    assert set(out.columns) == {"g", "v", "fold", "pct_ppm"}
+    assert set(out[out["g"] == "a"]["pct_ppm"]) == {0, 1_000_000}
+    assert out.groupby("g")["fold"].nunique().max() == 1
