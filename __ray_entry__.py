@@ -1740,6 +1740,36 @@ def _q_user_coverage(sf_dir: str):
                              end_col="e", num_partitions=32)
 
 
+def _q_quantity_dense_rank(sf_dir: str):
+    """dense_rank() of each lineitem's quantity within its returnflag
+    group — rank over distinct values, no gaps after ties; completes
+    the distributed rank-window family. Same collapsed plan as
+    quantity_percentile: one bounded histogram exchange + broadcast
+    lookup, rows never shuffle
+    (``aggregates.grouped_dense_rank``)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_dense_rank
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber"),
+                         "l_returnflag": batch.column("l_returnflag"),
+                         "qty": pa.array(q, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_dense_rank(ds, key_col="l_returnflag", val_col="qty")
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "dense_rank"])
+
+
 def _q_ks_drift(sf_dir: str):
     """Two-sample KS drift check: do returned ('R') lineitems draw
     their quantities from the same distribution as the rest? Exercises
@@ -6002,6 +6032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
         "ks_drift": _q_ks_drift,
+        "quantity_dense_rank": _q_quantity_dense_rank,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -6606,6 +6637,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM i GROUP BY user_id, isl) "
             "SELECT user_id, CAST(sum(len) AS BIGINT) AS covered "
             "FROM z GROUP BY user_id"
+        ),
+        "quantity_dense_rank": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(dense_rank() OVER (PARTITION BY l_returnflag "
+            "ORDER BY CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS dense_rank FROM lineitem"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

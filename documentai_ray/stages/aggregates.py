@@ -742,3 +742,47 @@ def ks_statistic_int(ds_a, ds_b, *, val_col: str):
     return pa.table({"n_a": pa.array([na], pa.int64()),
                      "n_b": pa.array([nb], pa.int64()),
                      "d_scaled": pa.array([d], pa.int64())})
+
+
+def grouped_dense_rank(ds, *, key_col: str, val_col: str,
+                       out_col: str = "dense_rank"):
+    """Exact distributed ``dense_rank() OVER (PARTITION BY key ORDER BY
+    val)`` — rank over DISTINCT values (no gaps after ties), completing
+    the rank-window family beside grouped_ntile (tiles),
+    grouped_percent_rank (CDF) and grouped_topk (selection). Same
+    collapsed physical plan as percent_rank: dense rank depends only on
+    the set of distinct values below, so ONE (key, value)-histogram
+    exchange + a driver-built broadcast lookup rank the rows in a pure
+    map — rows never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = (df.groupby([key_col, "_v"], as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g[[key_col, "_v", "_n"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    rank: dict[tuple, int] = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        for i, v in enumerate(sorted(g["_v"].tolist()), start=1):
+            rank[(key, int(v))] = i
+    rank_ref = ray.put(rank)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(rank_ref)
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy().astype(np.int64)
+        out = np.fromiter((lk[(kk, int(vv))]
+                           for kk, vv in zip(keys, vals)),
+                          dtype=np.int64, count=len(keys))
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

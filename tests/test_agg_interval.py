@@ -249,3 +249,16 @@ class TestKsStatistic:
         b = ray_session.data.from_items([{"v": 2}, {"v": 3}])
         r = ks_statistic_int(a, b, val_col="v").to_pandas().iloc[0]
         assert (r["n_a"], r["n_b"], r["d_scaled"]) == (2, 2, 2)
+
+
+class TestGroupedDenseRank:
+    def test_no_gaps_after_ties(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_dense_rank
+        rows = [{"k": "A", "i": 0, "v": 10}, {"k": "A", "i": 1, "v": 10},
+                {"k": "A", "i": 2, "v": 20}, {"k": "A", "i": 3, "v": 30},
+                {"k": "B", "i": 4, "v": 7}]
+        ds = ray_session.data.from_items(rows).repartition(3)
+        out = grouped_dense_rank(ds, key_col="k", val_col="v").to_pandas()
+        got = dict(zip(out["i"], out["dense_rank"]))
+        # dense: 10->1, 20->2 (not 3), 30->3
+        assert got == {0: 1, 1: 1, 2: 2, 3: 3, 4: 1}
