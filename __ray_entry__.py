@@ -846,6 +846,31 @@ def _q_ppjoin_pairs(sf_dir: str):
     return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
 
 
+def _q_containment_pairs(sf_dir: str):
+    """SET CONTAINMENT join (asymmetric near-dup): (sub, super) pairs
+    where ≥ 80% of sub's 3-shingles appear in super — quotation /
+    inclusion / template-wrapping detection, where Jaccard fails
+    because the container can be arbitrarily larger. Exercises
+    ``dedup.containment_candidate_pairs`` (sub side explodes only its
+    pigeonhole prefix, container side is the inverted index) +
+    ``verify_containment_pairs`` (integer ppm compare, inter/n_sub
+    emitted for value comparison)."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import (containment_candidate_pairs,
+                                             verify_containment_pairs)
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = ds.select_columns(["url", "text"]).materialize()
+    cand = containment_candidate_pairs(ds, id_col="url",
+                                       threshold_ppm=800_000,
+                                       num_partitions=16)
+    return verify_containment_pairs(ds, cand, id_col="url",
+                                    threshold_ppm=800_000)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Standalone blocked n-gram Jaccard: exact pairwise word-3-gram
     similarity ≥ 0.5 within ``source`` blocks, via the inverted-index
@@ -6003,6 +6028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_revenue": _q_q5_local_revenue,
         "minhash_neardup": _q_minhash_neardup,
         "ppjoin_pairs": _q_ppjoin_pairs,
+        "containment_pairs": _q_containment_pairs,
         "minhash_dedup_keep": _q_minhash_dedup_keep,
         "jaccard_pairs": _q_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -6386,6 +6412,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_neardup": _SQL_JACCARD_PAIRS,
         "ppjoin_pairs": _SQL_JACCARD_PAIRS,
+        "containment_pairs": (
+            f"WITH pages AS ({_SQL_PAGES_WITH_AMP}), "
+            "sh AS (SELECT url, "
+            "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh "
+            "FROM (SELECT url, list_filter(string_split_regex(text, "
+            "'\\s+'), x -> x <> '') AS toks FROM pages "
+            "WHERE text <> '')) "
+            "SELECT a.url AS id_sub, b.url AS id_super, "
+            "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter, "
+            "CAST(len(a.sh) AS BIGINT) AS n_sub "
+            "FROM sh a JOIN sh b ON a.url <> b.url "
+            "WHERE len(a.sh) > 0 AND "
+            "len(list_intersect(a.sh, b.sh)) * 1000000 >= "
+            "800000 * len(a.sh)"
+        ),
         "jaccard_pairs": (
             "WITH sh AS (SELECT doc_id, source, "
             "list_distinct(list_transform(generate_series(1, len(toks) - 2), "

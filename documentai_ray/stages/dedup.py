@@ -1184,3 +1184,121 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
     return (cand.map_batches(add_pair_pkey, batch_format="pyarrow")
             .groupby("_pair_pkey")
             .map_groups(dedup_pairs, batch_format="pandas"))
+
+
+def containment_candidate_pairs(ds, *, id_col: str = "url",
+                                text_col: str = "text",
+                                threshold_ppm: int = 800_000, k: int = 3,
+                                num_partitions: int = 64):
+    """Candidate pairs for SET CONTAINMENT ≥ t — the asymmetric sibling
+    of prefix_filter_pairs: find (sub, super) where
+    ``|S_sub ∩ S_super| ≥ t·|S_sub|`` (quotation / inclusion / boilerplate-
+    wrapping detection, where Jaccard fails because the container can be
+    arbitrarily larger).
+
+    Pigeonhole (any fixed subset works; md5 order keeps it
+    deterministic): if the container misses ALL of the sub's first
+    ``p = L − ceil(t·L) + 1`` shingle hashes, the intersection is at
+    most ``ceil(t·L) − 1`` — below threshold. So the SUB side explodes
+    only its p-prefix, while the CONTAINER side must explode ALL its
+    shingles (no length bound exists for an unknown container) — the
+    inverted-index volume, same contract as blocked_jaccard_pairs.
+    Shingle-less rows are skipped (cannot contain or be contained).
+    Returns (id_sub, id_super) candidates, id_sub ≠ id_super —
+    verify with ``verify_containment_pairs``."""
+    from documentai_ray.stages.sketches import _shingles, md5_le64
+
+    def explode(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_id, out_tok = [], []
+            for i, t in zip(ids, texts):
+                hs = sorted({md5_le64(s) for s in _shingles(t or "", k)})
+                L = len(hs)
+                if L == 0:
+                    continue
+                if which == "sub":
+                    need = -(-threshold_ppm * L // 1_000_000)  # ceil
+                    hs = hs[:L - need + 1]
+                for h in hs:
+                    out_id.append(i)
+                    out_tok.append(h - (1 << 64) if h >= (1 << 63) else h)
+            return pa.table({id_col: pa.array(out_id),
+                             "tok": pa.array(out_tok, pa.int64()),
+                             "side": pa.array([which] * len(out_id))})
+        return f
+
+    tokrows = _add_pkey(
+        ds.map_batches(explode("sub"), batch_format="pyarrow")
+        .union(ds.map_batches(explode("sup"), batch_format="pyarrow")),
+        "tok", num_partitions)
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g[g["side"] == "sub"][["tok", id_col]]
+        sup = g[g["side"] == "sup"][["tok", id_col]]
+        m = sub.merge(sup, on="tok", suffixes=("_sub", "_sup"))
+        m = m[m[f"{id_col}_sub"] != m[f"{id_col}_sup"]]
+        return (pd.DataFrame({"id_sub": m[f"{id_col}_sub"],
+                              "id_super": m[f"{id_col}_sup"]})
+                .drop_duplicates())
+
+    cand = (tokrows.groupby("_pkey")
+            .map_groups(lambda g: pairs_in_partition(
+                g.drop(columns=["_pkey"])), batch_format="pandas"))
+
+    def add_pair_pkey(batch: pa.Table) -> pa.Table:
+        import zlib
+        a = batch.column("id_sub").to_pylist()
+        b = batch.column("id_super").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
+              for x, y in zip(a, b)]
+        return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
+
+    return (cand.map_batches(add_pair_pkey, batch_format="pyarrow")
+            .groupby("_pair_pkey")
+            .map_groups(lambda g: g.drop_duplicates(
+                subset=["id_sub", "id_super"]).drop(
+                    columns=["_pair_pkey"]), batch_format="pandas"))
+
+
+def verify_containment_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
+                             text_col: str = "text",
+                             threshold_ppm: int = 800_000, k: int = 3,
+                             broadcast_limit: int = 100_000):
+    """Exact containment verification: keep (sub, super) where
+    ``inter · 10⁶ ≥ threshold_ppm · |S_sub|`` (integer compare — no
+    float at the boundary), emitting ``inter`` and ``n_sub`` for
+    engine-independent value comparison. Broadcast path only (pair sets
+    are candidate-bounded; swap in the hash-join plan of
+    verify_jaccard_pairs beyond ``broadcast_limit`` texts)."""
+    import ray
+
+    from documentai_ray.stages.sketches import _shingles
+
+    texts_ds = texts_ds.materialize()
+    if texts_ds.count() > broadcast_limit:
+        raise NotImplementedError(
+            "distributed verify path: join texts like verify_jaccard_pairs")
+    lookup = ray.put({r[id_col]: r[text_col]
+                      for r in texts_ds.take_all()})
+
+    def verify(batch: pd.DataFrame) -> pa.Table:
+        lk = ray.get(lookup)
+        rows = []
+        for a, b in zip(batch["id_sub"], batch["id_super"]):
+            sa = set(_shingles(lk.get(a, "") or "", k))
+            sb = set(_shingles(lk.get(b, "") or "", k))
+            if not sa:
+                continue
+            inter = len(sa & sb)
+            if inter * 1_000_000 >= threshold_ppm * len(sa):
+                rows.append((a, b, inter, len(sa)))
+        # explicit schema: empty partitions must not degrade to null types
+        return pa.table({
+            "id_sub": pa.array([r[0] for r in rows], pa.string()),
+            "id_super": pa.array([r[1] for r in rows], pa.string()),
+            "inter": pa.array([r[2] for r in rows], pa.int64()),
+            "n_sub": pa.array([r[3] for r in rows], pa.int64())})
+
+    return pairs_ds.map_batches(verify, batch_format="pandas")

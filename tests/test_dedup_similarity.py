@@ -492,3 +492,42 @@ class TestGroupedCentroid:
             assert list(sub["sum_q"]) == list(expect)
             assert set(sub["n"]) == {int((labels == lab).sum())}
             assert list(sub["dim"]) == [1, 2, 3, 4, 5]
+
+
+class TestContainmentPairs:
+    def _brute(self, docs, t_ppm=800_000, k=3):
+        from documentai_ray.stages.sketches import _shingles
+        sets = {i: set(_shingles(txt, k)) for i, txt in docs.items()}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a != b and sets[a]:
+                    inter = len(sets[a] & sets[b])
+                    if inter * 1_000_000 >= t_ppm * len(sets[a]):
+                        out.add((a, b, inter, len(sets[a])))
+        return out
+
+    def test_asymmetric_equals_bruteforce(self, ray_session):
+        from documentai_ray.stages.dedup import (
+            containment_candidate_pairs, verify_containment_pairs)
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = {
+            "sub": base,                              # contained in sup
+            "sup": base + " extra words wrap around the quoted body "
+                   "with much more content following here",
+            "other": "one two three four five six seven eight nine",
+            "tiny": "xx yy",                          # no shingles
+        }
+        ds = ray_session.data.from_items(
+            [{"url": u, "text": t} for u, t in docs.items()]).materialize()
+        cand = containment_candidate_pairs(ds, id_col="url",
+                                           threshold_ppm=800_000,
+                                           num_partitions=4)
+        got = {(r["id_sub"], r["id_super"], r["inter"], r["n_sub"])
+               for r in verify_containment_pairs(
+                   ds, cand, id_col="url",
+                   threshold_ppm=800_000).iter_rows()}
+        assert got == self._brute(docs)
+        subs = {(a, b) for a, b, _, _ in got}
+        assert ("sub", "sup") in subs      # containment found
+        assert ("sup", "sub") not in subs  # and it is NOT symmetric
