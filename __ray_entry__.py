@@ -1334,6 +1334,23 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
 
 
+def _q_rnn_pairs(sf_dir: str):
+    """Reciprocal nearest neighbors under max inner product: embedding
+    pairs that are each other's best match — the mutual-best filter of
+    entity resolution / semantic dedup. Exercises
+    ``similarity.mips_rnn_pairs``: int64-quantized exact dots (no
+    cosine division anywhere), smallest-id tie-break, per-batch block ×
+    corpus matmul against the broadcast matrix, one bounded self-join
+    of the n-row best-match table for mutuality."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import mips_rnn_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return mips_rnn_pairs(ds, id_col="vec_id", vec_col="embedding")
+
+
 def _q_mean_embedding(sf_dir: str):
     """Per-label embedding centroid sufficient statistics — the class-
     prototype computation behind cluster seeding / domain signatures.
@@ -6073,6 +6090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_intersect": _q_kmv_intersect,
         "kmv_difference": _q_kmv_difference,
         "mean_embedding": _q_mean_embedding,
+        "rnn_pairs": _q_rnn_pairs,
         "symspell_pairs": _q_symspell_pairs,
         "join_revenue": _q_join_revenue,
         "entities_table": _q_entities_table,
@@ -6525,6 +6543,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
             "ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "rnn_pairs": (
+            "WITH q AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) "
+            "AS qv FROM embeddings), "
+            "d AS (SELECT a.vec_id AS va, b.vec_id AS vb, "
+            "CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot "
+            "FROM q a JOIN q b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT va, vb, dot, row_number() OVER ("
+            "PARTITION BY va ORDER BY dot DESC, vb ASC) AS rn FROM d), "
+            "nn AS (SELECT va, vb, dot FROM r WHERE rn = 1) "
+            "SELECT a.va AS id_a, a.vb AS id_b, a.dot AS dot_ab "
+            "FROM nn a JOIN nn b ON a.vb = b.va AND b.vb = a.va "
+            "WHERE a.va < a.vb"
         ),
         "mean_embedding": (
             "WITH u AS (SELECT label, "
