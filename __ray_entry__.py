@@ -1868,6 +1868,49 @@ def _q_quantity_percentile(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "pct_ppm"])
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equal-width histogram of event values (20 bins) — the ANALYZE /
+    data-profiling primitive beside profile_columns' min/max/KMV: a
+    tiny global min/max aggregate fixes the domain, then binning is a
+    pure integer map ``(v − lo) · nbins // (hi − lo + 1)`` (exact in
+    any engine, last bin inclusive by construction) pre-combined per
+    batch into an exchange bounded by nbins."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    NBINS = 20
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value").to_numpy() * 100).astype("int64")
+        return pa.table({"val_c": pa.array(c, pa.int64())})
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    ).map_batches(cents, batch_format="pyarrow")
+
+    mm = read().aggregate(Min("val_c"), Max("val_c"))
+    lo, hi = int(mm["min(val_c)"]), int(mm["max(val_c)"])
+    span = hi - lo + 1
+
+    def binify(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        v = batch.column("val_c").to_numpy()
+        b = (v - lo) * NBINS // span
+        df = (pd.DataFrame({"bin": b, "v": v})
+              .groupby("bin", sort=False)
+              .agg(n=("v", "size"), lo_c=("v", "min"), hi_c=("v", "max"))
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (read().map_batches(binify, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("lo_c", alias_name="lo_c"),
+                       Max("hi_c", alias_name="hi_c")))
+
+
 def _q_type_share(sf_dir: str):
     """Percent-of-total (the ratio_to_report window): each event type's
     share of total event value, in exact integer ppm — share arithmetic
@@ -6071,6 +6114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": _q_cumulative_users,
         "type_share": _q_type_share,
         "bag_difference": _q_bag_difference,
+        "value_histogram": _q_value_histogram,
         "event_pairs_window": _q_event_pairs_window,
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
@@ -6745,6 +6789,15 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "value_histogram": (
+            "WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c "
+            "FROM events), "
+            "mm AS (SELECT min(c) AS lo, max(c) - min(c) + 1 AS span "
+            "FROM v) "
+            "SELECT (c - lo) * 20 // span AS bin, count(*) AS n, "
+            "min(c) AS lo_c, max(c) AS hi_c "
+            "FROM v, mm GROUP BY 1"
         ),
         "type_share": (
             "WITH g AS (SELECT event_type, "
