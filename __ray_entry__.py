@@ -2452,6 +2452,41 @@ def _q_cm_counts(sf_dir: str):
     return agg
 
 
+def _q_feature_hash(sf_dir: str):
+    """Feature hashing (the hashing trick): each document's tokens
+    bucketed by md5-LE64 % 16 into a fixed-width count vector — the
+    vocabulary-free featurization the warm ML classifier (M12) uses
+    internally, exposed as a standalone columnar op. Pure per-batch
+    map emitting (doc_id, bucket, n) rows for non-empty buckets; no
+    exchange at all (features are per-row)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    NB = 16
+
+    def hashfeat(batch: pa.Table) -> pa.Table:
+        ids_out, buckets, counts = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            acc: dict[int, int] = {}
+            for tok in (text or "").split():
+                b = md5_le64(tok) % NB
+                acc[b] = acc.get(b, 0) + 1
+            for b in sorted(acc):
+                ids_out.append(did)
+                buckets.append(b)
+                counts.append(acc[b])
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(hashfeat, batch_format="pyarrow")
+
+
 def _q_top_tokens(sf_dir: str):
     """Corpus token frequencies: per-batch Counter partials → groupby sum →
     top-20 (count desc, token asc). The combiner keeps the shuffle at
@@ -6155,6 +6190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "split_assign": _q_split_assign,
         "top_tokens": _q_top_tokens,
+        "feature_hash": _q_feature_hash,
         "line_dedup": _q_line_dedup,
         "c4_line_filter": _q_c4_line_filter,
         "normalize_text": _q_normalize_text,
@@ -7212,6 +7248,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.8 THEN 'train' "
             "WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "feature_hash": (
+            "WITH t AS (SELECT doc_id, "
+            "unnest(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> '')) AS tok FROM documents), "
+            f"h AS (SELECT doc_id, {_sql_md5_le64('tok')} % 16 AS bucket "
+            "FROM t) "
+            "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, "
+            "count(*) AS n FROM h GROUP BY doc_id, bucket"
         ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM "
