@@ -1812,6 +1812,23 @@ def _q_quantity_dense_rank(sf_dir: str):
                                "dense_rank"])
 
 
+def _q_global_index(sf_dir: str):
+    """zipWithIndex: assign every document a contiguous 0-based GLOBAL
+    index under ``ORDER BY (n_chars, doc_id)`` — the stable sample-id /
+    curriculum-position assignment, computed with NO global sort
+    (``aggregates.global_row_index``): one histogram exchange bounded
+    by distinct n_chars values + one tie-group exchange with a
+    vectorized cumcount; block layout never affects the result."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    out = global_row_index(ds, val_col="n_chars", tiebreak_col="doc_id")
+    return out.select_columns(["doc_id", "row_idx"])
+
+
 def _q_ks_drift(sf_dir: str):
     """Two-sample KS drift check: do returned ('R') lineitems draw
     their quantities from the same distribution as the rest? Exercises
@@ -6155,6 +6172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentile": _q_quantity_percentile,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
+        "global_index": _q_global_index,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -6797,6 +6815,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(dense_rank() OVER (PARTITION BY l_returnflag "
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
             "AS dense_rank FROM lineitem"
+        ),
+        "global_index": (
+            "SELECT doc_id, CAST(row_number() OVER "
+            "(ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS row_idx "
+            "FROM documents"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

@@ -786,3 +786,72 @@ def grouped_dense_rank(ds, *, key_col: str, val_col: str,
         return batch.append_column(out_col, pa.array(out, pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def global_row_index(ds, *, val_col: str, tiebreak_col: str,
+                     out_col: str = "row_idx", num_partitions: int = 32):
+    """zipWithIndex: a contiguous 0-based GLOBAL row index under
+    ``ORDER BY (val, tiebreak)`` — the stable-id assignment every
+    training-data pipeline needs before sharding/packing (sample ids,
+    curriculum positions, deterministic interleave order), computed
+    WITHOUT a global sort and independent of block layout.
+
+    The global rank decomposes exactly like ``grouped_ntile`` with one
+    degenerate (constant) key:
+
+    1. histogram pass — per-``val`` counts (ONE exchange bounded by the
+       number of DISTINCT values, the grouped_median_int contract — use
+       an integer-valued order column whose domain is bounded: lengths,
+       buckets, scores); the driver prefix-sums them into per-value
+       0-based rank offsets shipped via ``ray.put``;
+    2. tie-rank pass — rows bucket by hash(val) so each exact tie group
+       co-locates; one vectorized sort+cumcount per partition ranks
+       within tie groups by ``tiebreak_col`` (must be unique per row for
+       a deterministic total order).
+
+    ``row_idx = offset[val] + tie_rank``. Rows themselves shuffle once
+    (the tie-group exchange); nothing is ever gathered on the driver but
+    the bounded value histogram. Mirrors ``row_number() OVER (ORDER BY
+    val, tiebreak) - 1``."""
+    import zlib
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).to_numpy().astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"_v": pa.array(uniq, pa.int64()),
+                         "_n": pa.array(cnt, pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_v")
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    hist = hist.sort_values("_v", kind="mergesort")
+    cum = hist["_n"].cumsum().to_numpy()
+    start = np.concatenate(([0], cum[:-1]))
+    offsets = {int(v): int(s)
+               for v, s in zip(hist["_v"].to_numpy(), start)}
+    off_ref = ray.put(offsets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        vals = batch.column(val_col).to_numpy()
+        pk = np.fromiter(
+            (zlib.crc32(str(int(vv)).encode()) % num_partitions
+             for vv in vals),
+            dtype=np.int32, count=len(vals))
+        return batch.append_column("_pkey", pa.array(pk))
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values([val_col, tiebreak_col], kind="mergesort")
+        tie = g.groupby(val_col, sort=False).cumcount().to_numpy()
+        base = np.fromiter((offs[int(vv)] for vv in g[val_col]),
+                           dtype=np.int64, count=len(g))
+        g = g.drop(columns=["_pkey"])
+        g[out_col] = (base + tie).astype("int64")
+        return g
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(rank_partition, batch_format="pandas"))

@@ -82,3 +82,47 @@ class TestGroupedLinreg:
         r = out.iloc[0]
         assert (r["cov_num"], r["var_num"]) == (-9, 6)
         assert r["slope_q"] == -1
+
+
+def test_global_row_index_matches_row_number(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    rng = np.random.default_rng(11)
+    n = 307
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        # heavy duplication so tie groups span blocks
+        "v": rng.integers(0, 12, n).astype("int64"),
+    })
+    out = global_row_index(
+        ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(8),
+        val_col="v", tiebreak_col="id",
+        num_partitions=5).to_pandas().sort_values("id")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT id, row_number() OVER (ORDER BY v, id) - 1 AS row_idx "
+        "FROM t").df().sort_values("id")
+    assert list(out["row_idx"]) == list(want["row_idx"])
+    # contiguity: exactly 0..n-1, each once
+    assert sorted(out["row_idx"]) == list(range(n))
+
+
+def test_global_row_index_parallelism_invariant(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    df = pd.DataFrame({"id": np.arange(64, dtype="int64"),
+                       "v": (np.arange(64, dtype="int64") * 7) % 5})
+    outs = []
+    for blocks in (1, 9):
+        o = global_row_index(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(blocks),
+            val_col="v", tiebreak_col="id").to_pandas().sort_values("id")
+        outs.append(list(o["row_idx"]))
+    assert outs[0] == outs[1]
