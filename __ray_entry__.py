@@ -1829,6 +1829,80 @@ def _q_global_index(sf_dir: str):
     return out.select_columns(["doc_id", "row_idx"])
 
 
+def _q_record_linkage(sf_dir: str):
+    """Record linkage / entity resolution (Fellegi–Sunter shape): match
+    the customer master against a synthesized dirty CRM extract of
+    itself (deterministic per-row perturbations: custkey%3==0 drops the
+    name's last char, %3==1 upper-cases it, balance shifts by
+    custkey%7−3 cents). Blocking on (nationkey, mktsegment) bounds
+    candidate pairs; agreement weights — exact normalized name +40,
+    else edit-distance ≤ 1 +35, |balance diff| ≤ 3¢ +25 — keep pairs at
+    score ≥ 60. ONE block-key exchange, scoring fused into the join
+    partition (``stages/linkage.py``); the ≤1-edit comparator is the
+    O(len) single-pass check, not a DP matrix."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.linkage import blocked_linkage, within_edit1
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        names = batch.column("c_name").to_pylist()
+        nk = batch.column("c_nationkey").to_numpy()
+        seg = batch.column("c_mktsegment").to_pylist()
+        bal = np.rint(batch.column("c_acctbal").to_numpy() * 100
+                      ).astype("int64")
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "name_n": pa.array([n.lower() for n in names], pa.string()),
+            "bal": pa.array(bal, pa.int64()),
+            "block": pa.array([f"{k}|{s}" for k, s in zip(nk, seg)],
+                              pa.string()),
+        })
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        names = batch.column("c_name").to_pylist()
+        nk = batch.column("c_nationkey").to_numpy()
+        seg = batch.column("c_mktsegment").to_pylist()
+        bal = np.rint(batch.column("c_acctbal").to_numpy() * 100
+                      ).astype("int64")
+        dirty = [n[:-1] if k % 3 == 0 else (n.upper() if k % 3 == 1 else n)
+                 for k, n in zip(ck, names)]
+        return pa.table({
+            "crm_id": pa.array(ck + 1_000_000, pa.int64()),
+            "d_name_n": pa.array([n.lower() for n in dirty], pa.string()),
+            "d_bal": pa.array(bal + ck % 7 - 3, pa.int64()),
+            "block": pa.array([f"{k}|{s}" for k, s in zip(nk, seg)],
+                              pa.string()),
+        })
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    left = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols
+                                 ).map_batches(prep_left,
+                                               batch_format="pyarrow")
+    right = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols
+                                  ).map_batches(prep_right,
+                                                batch_format="pyarrow")
+
+    def scorer(pairs):
+        a = pairs["name_n"].to_numpy()
+        b = pairs["d_name_n"].to_numpy()
+        eq = a == b
+        score = np.where(eq, 40, 0).astype(np.int64)
+        # edit-distance path only for non-equal names (O(len) each)
+        for i in np.flatnonzero(~eq):
+            if within_edit1(a[i], b[i]):
+                score[i] += 35
+        close = np.abs(pairs["bal"].to_numpy()
+                       - pairs["d_bal"].to_numpy()) <= 3
+        return score + np.where(close, 25, 0)
+
+    return blocked_linkage(left, right, block_col="block", scorer=scorer,
+                           out_cols=["c_custkey", "crm_id"], threshold=60)
+
+
 def _q_ks_drift(sf_dir: str):
     """Two-sample KS drift check: do returned ('R') lineitems draw
     their quantities from the same distribution as the rest? Exercises
@@ -6173,6 +6247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
+        "record_linkage": _q_record_linkage,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -6820,6 +6895,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(row_number() OVER "
             "(ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS row_idx "
             "FROM documents"
+        ),
+        "record_linkage": (
+            "WITH dirty AS (SELECT c_custkey + 1000000 AS crm_id, "
+            "lower(CASE WHEN c_custkey % 3 = 0 "
+            "THEN substr(c_name, 1, len(c_name) - 1) "
+            "WHEN c_custkey % 3 = 1 THEN upper(c_name) "
+            "ELSE c_name END) AS d_name_n, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) + c_custkey % 7 - 3 "
+            "AS d_bal, c_nationkey, c_mktsegment FROM customer), "
+            "base AS (SELECT c_custkey, lower(c_name) AS name_n, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal, "
+            "c_nationkey, c_mktsegment FROM customer), "
+            "p AS (SELECT b.c_custkey, d.crm_id, "
+            "(CASE WHEN b.name_n = d.d_name_n THEN 40 "
+            "WHEN levenshtein(b.name_n, d.d_name_n) <= 1 THEN 35 "
+            "ELSE 0 END "
+            "+ CASE WHEN abs(b.bal - d.d_bal) <= 3 THEN 25 ELSE 0 END) "
+            "AS score FROM base b JOIN dirty d "
+            "ON b.c_nationkey = d.c_nationkey "
+            "AND b.c_mktsegment = d.c_mktsegment) "
+            "SELECT c_custkey, crm_id, CAST(score AS BIGINT) AS score "
+            "FROM p WHERE score >= 60"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

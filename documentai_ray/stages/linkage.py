@@ -1,0 +1,128 @@
+"""Record linkage / entity resolution: blocked candidate generation +
+agreement-weight scoring (the Fellegi–Sunter shape every master-data /
+dedup-across-sources pipeline runs; reference analog: the cross-source
+document identity matching the gateway performs by filename+hash —
+re-expressed as the general blocking/scoring join).
+
+``blocked_linkage`` is the physical plan; the scoring rule is a plain
+vectorized function over the candidate-pair frame, so any agreement
+model (exact / edit-distance / numeric-tolerance field comparators with
+integer weights) plugs in without touching the exchange.
+
+Physical plan — ONE block-key exchange, no cross join:
+
+- both sides project to their compare columns + the ``block`` column
+  and route by ``crc32(block) % P`` (union schema, side-tagged);
+- each partition does a vectorized pandas merge on the block value —
+  candidate pairs ONLY ever materialize inside the partition — then
+  scores the pair frame and keeps rows at ``score ≥ threshold``;
+- sub-threshold pairs never enter the object store (scoring is fused
+  into the join partition, not a post-filter over a materialized
+  pair dataset).
+
+Scale contract (documented, same family as band_join / ppjoin): the
+work per partition is Σ_b |L_b|·|R_b| over its blocks — the BLOCKING
+KEY is the scale knob. Pick keys whose blocks are bounded (multi-
+attribute blocks, rolling blocks); a hot block is a data-model problem
+the engine surfaces rather than silently grinding through.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def blocked_linkage(left_ds, right_ds, *, block_col: str, scorer,
+                    out_cols: list[str], threshold: int,
+                    num_partitions: int = 32):
+    """Score candidate pairs sharing ``block_col``; keep pairs with
+    ``scorer(pairs_df) >= threshold``.
+
+    ``scorer``: vectorized ``(pd.DataFrame) -> np.ndarray[int64]`` over
+    the merged candidate frame (left columns + right columns, block
+    column shared). Column names must not collide across sides (rename
+    upstream). Returns ``out_cols`` + ``score``.
+    """
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    all_cols: dict[str, pa.DataType] = dict(zip(lschema.names, lschema.types))
+    for name, typ in zip(rschema.names, rschema.types):
+        if name != block_col:
+            if name in all_cols:
+                raise ValueError(
+                    f"column collision: {name!r} (rename before linkage)")
+            all_cols[name] = typ
+    lcols = [c for c in lschema.names if c != block_col]
+    rcols = [c for c in rschema.names if c != block_col]
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            blocks = [str(b) for b in batch.column(block_col).to_pylist()]
+            pk = np.fromiter(
+                (zlib.crc32(b.encode()) % num_partitions for b in blocks),
+                dtype=np.int32, count=len(blocks))
+            cols: dict[str, pa.Array] = {
+                block_col: pa.array(blocks, pa.string())}
+            for name, typ in all_cols.items():
+                if name == block_col:
+                    continue
+                if name in batch.column_names:
+                    cols[name] = batch.column(name).cast(typ)
+                else:
+                    cols[name] = pa.nulls(batch.num_rows, typ)
+            cols["_side"] = pa.array([side] * batch.num_rows, pa.string())
+            cols["_pkey"] = pa.array(pk, pa.int32())
+            return pa.table(cols)
+        return f
+
+    tagged = (left_ds.map_batches(tag("l"), batch_format="pyarrow")
+              .union(right_ds.map_batches(tag("r"), batch_format="pyarrow")))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == "l"][[block_col] + lcols]
+        rf = g[g["_side"] == "r"][[block_col] + rcols]
+        if lf.empty or rf.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in out_cols + ["score"]})
+        pairs = lf.merge(rf, on=block_col, how="inner")
+        if pairs.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in out_cols + ["score"]})
+        score = np.asarray(scorer(pairs), dtype=np.int64)
+        keep = pairs.loc[score >= threshold, out_cols].copy()
+        keep["score"] = score[score >= threshold]
+        return keep.reset_index(drop=True)
+
+    return tagged.groupby("_pkey").map_groups(resolve, batch_format="pandas")
+
+
+def within_edit1(a: str, b: str) -> bool:
+    """O(len) check for Levenshtein distance ≤ 1 — the comparator a
+    linkage rule actually needs (full DP is O(n²) and computes a number
+    the threshold immediately collapses to a boolean). Equal strings
+    count (distance 0)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        # ≤ 1 substitution
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion into a: walk both, allow a single skip in b
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif not skipped:
+            skipped = True
+            j += 1
+        else:
+            return False
+    return True
