@@ -1903,6 +1903,57 @@ def _q_record_linkage(sf_dir: str):
                            out_cols=["c_custkey", "crm_id"], threshold=60)
 
 
+def _q_golden_record(sf_dir: str):
+    """Survivorship merge after linkage: per customer, 3 synthesized
+    observation versions with deterministic field gaps (name present
+    only in version custkey%3, segment in even-parity versions, balance
+    in versions ≠ 1) collapse to one golden record — per FIELD, the
+    latest non-null observation wins (per-row recency would let a newer
+    record's missing field erase an older value). One key-hash
+    exchange + a single vectorized groupby-last per partition
+    (``linkage.golden_record``)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.linkage import golden_record
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        names = batch.column("c_name").to_pylist()
+        segs = batch.column("c_mktsegment").to_pylist()
+        bal = np.rint(batch.column("c_acctbal").to_numpy() * 100
+                      ).astype("int64")
+        n = len(ck)
+        k3 = np.repeat(ck, 3)
+        v = np.tile(np.arange(3, dtype=np.int64), n)
+        name3 = [f"{names[i // 3]}/{v[i]}" if v[i] == ck[i // 3] % 3
+                 else None for i in range(3 * n)]
+        seg3 = [f"{segs[i // 3]}/{v[i]}" if (ck[i // 3] + v[i]) % 2 == 0
+                else None for i in range(3 * n)]
+        bal3 = pa.array([int(bal[i // 3] + v[i]) if v[i] != 1 else None
+                         for i in range(3 * n)], pa.int64())
+        return pa.table({"c_custkey": pa.array(k3, pa.int64()),
+                         "ver": pa.array(v, pa.int64()),
+                         "g_name": pa.array(name3, pa.string()),
+                         "g_seg": pa.array(seg3, pa.string()),
+                         "g_bal": bal3})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    ).map_batches(versions, batch_format="pyarrow")
+    out = golden_record(ds, key_col="c_custkey", order_col="ver",
+                        field_cols=["g_name", "g_seg", "g_bal"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("g_bal"), "g_bal",
+            batch.column("g_bal").cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_ks_drift(sf_dir: str):
     """Two-sample KS drift check: do returned ('R') lineitems draw
     their quantities from the same distribution as the rest? Exercises
@@ -6248,6 +6299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
         "record_linkage": _q_record_linkage,
+        "golden_record": _q_golden_record,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -6917,6 +6969,24 @@ def oracle_sql() -> dict[str, str]:
             "AND b.c_mktsegment = d.c_mktsegment) "
             "SELECT c_custkey, crm_id, CAST(score AS BIGINT) AS score "
             "FROM p WHERE score >= 60"
+        ),
+        "golden_record": (
+            "WITH v AS (SELECT c_custkey, t.v AS ver, "
+            "CASE WHEN t.v = c_custkey % 3 "
+            "THEN c_name || '/' || t.v END AS g_name, "
+            "CASE WHEN (c_custkey + t.v) % 2 = 0 "
+            "THEN c_mktsegment || '/' || t.v END AS g_seg, "
+            "CASE WHEN t.v <> 1 "
+            "THEN CAST(round(c_acctbal * 100) AS BIGINT) + t.v END "
+            "AS g_bal FROM customer, range(0, 3) t(v)) "
+            "SELECT c_custkey, "
+            "max_by(g_name, ver) FILTER (WHERE g_name IS NOT NULL) "
+            "AS g_name, "
+            "max_by(g_seg, ver) FILTER (WHERE g_seg IS NOT NULL) "
+            "AS g_seg, "
+            "max_by(g_bal, ver) FILTER (WHERE g_bal IS NOT NULL) "
+            "AS g_bal, "
+            "count(*) AS n_versions FROM v GROUP BY c_custkey"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

@@ -126,3 +126,48 @@ def within_edit1(a: str, b: str) -> bool:
         else:
             return False
     return True
+
+
+def golden_record(ds, *, key_col: str, order_col: str,
+                  field_cols: list[str], count_col: str = "n_versions",
+                  num_partitions: int = 32):
+    """Survivorship merge — build the GOLDEN RECORD per entity from its
+    matched/duplicate observations: for every field independently, keep
+    the value of the LATEST observation where that field is non-null
+    (the "most recent non-missing wins" rule master-data systems apply
+    after linkage; per-field recency beats per-row recency because a
+    newer record with a missing phone must not erase an older phone).
+
+    Physical plan: ONE key-hash exchange of the (key, order, fields)
+    projection; each partition resolves ALL its keys in one vectorized
+    pass — sort by (key, order), then a single ``groupby(key).last()``
+    (pandas ``last`` skips nulls per column, which IS the survivorship
+    rule) plus a size count. Ties on ``order_col`` resolve to the later
+    row under a (key, order, fields-as-tiebreak) stable sort only if
+    order values are unique per key — pass a unique version/timestamp.
+
+    When version fan-in per key is large (CDC firehoses), pre-combine
+    per batch first (survivorship is associative: latest-non-null of
+    latest-non-nulls) — documented optimization, not needed while
+    observations per key are bounded."""
+    import zlib
+
+    import ray.data  # noqa: F401
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        pk = np.fromiter(
+            (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
+            dtype=np.int32, count=len(keys))
+        return batch.append_column("_pkey", pa.array(pk))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        gb = g.groupby(key_col, sort=False)
+        out = gb[field_cols].last()          # last non-null per field
+        out[count_col] = gb.size()
+        return out.reset_index()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(resolve, batch_format="pandas"))

@@ -82,3 +82,40 @@ def test_blocked_linkage_column_collision_raises(ray_session):
         blocked_linkage(ray.data.from_arrow(t), ray.data.from_arrow(t),
                         block_col="block", scorer=lambda p: [0],
                         out_cols=["x"], threshold=0)
+
+
+def test_golden_record_per_field_latest_nonnull(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.linkage import golden_record
+
+    # key 1: newer row has NULL phone -> older phone must survive while
+    # the newer email wins; key 2: single row passes through.
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "ver": pa.array([0, 1, 2, 0], pa.int64()),
+        "phone": pa.array(["111", "222", None, "999"], pa.string()),
+        "email": pa.array([None, "a@x", "b@x", None], pa.string()),
+    })
+    out = golden_record(
+        ray.data.from_arrow(t).repartition(3), key_col="k",
+        order_col="ver", field_cols=["phone", "email"],
+        num_partitions=2).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["phone"]) == ["222", "999"]
+    assert list(out["email"]) == ["b@x", None]
+    assert list(out["n_versions"]) == [3, 1]
+
+
+def test_golden_record_all_null_field_stays_null(ray_session):
+    import ray.data
+
+    from documentai_ray.stages.linkage import golden_record
+
+    t = pa.table({
+        "k": pa.array([7, 7], pa.int64()),
+        "ver": pa.array([0, 1], pa.int64()),
+        "f": pa.array([None, None], pa.string()),
+    })
+    out = golden_record(ray.data.from_arrow(t), key_col="k",
+                        order_col="ver", field_cols=["f"]).to_pandas()
+    assert len(out) == 1 and out["f"].isna().all()
