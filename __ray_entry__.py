@@ -1954,6 +1954,42 @@ def _q_golden_record(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_cc_labels(sf_dir: str):
+    """Standalone connected components over an explicit edge table —
+    the general union-find-as-a-dataset-op (dedup clusters, account
+    graphs, citation components), exposed directly rather than inside
+    minhash_dedup_keep. Graph: star blocks of 8 customer keys (hub =
+    ⌊k/8⌋·8) plus a bridge from every hub with k%40==16 to member
+    k+13 of the next block — component diameter ≤ 4, so the
+    distributed min-label propagation (one key-projected hash join +
+    grouped min per round, digest early-exit;
+    ``dedup.neardup_components``) converges well inside its round
+    budget. Output: (c_custkey, component = min key reachable)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import neardup_components
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy()
+        m1 = k % 8 != 0
+        a = ((k[m1] // 8) * 8).astype("int64")
+        b = k[m1].astype("int64")
+        m2 = (k % 40 == 16) & (k + 13 <= maxk)
+        a2 = k[m2].astype("int64")
+        b2 = (k[m2] + 13).astype("int64")
+        return pa.table({"id_a": pa.array(np.concatenate([a, a2])),
+                         "id_b": pa.array(np.concatenate([b, b2]))})
+
+    edges = cust.map_batches(mkedges, batch_format="pyarrow")
+    return neardup_components(cust, edges, id_col="c_custkey")
+
+
 def _q_ks_drift(sf_dir: str):
     """Two-sample KS drift check: do returned ('R') lineitems draw
     their quantities from the same distribution as the rest? Exercises
@@ -6300,6 +6336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_index": _q_global_index,
         "record_linkage": _q_record_linkage,
         "golden_record": _q_golden_record,
+        "cc_labels": _q_cc_labels,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -6987,6 +7024,24 @@ def oracle_sql() -> dict[str, str]:
             "max_by(g_bal, ver) FILTER (WHERE g_bal IS NOT NULL) "
             "AS g_bal, "
             "count(*) AS n_versions FROM v GROUP BY c_custkey"
+        ),
+        "cc_labels": (
+            "WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m "
+            "FROM customer), "
+            "e0 AS (SELECT (c_custkey // 8) * 8 AS a, c_custkey AS b "
+            "FROM customer WHERE c_custkey % 8 <> 0 "
+            "UNION ALL "
+            "SELECT c_custkey AS a, c_custkey + 13 AS b "
+            "FROM customer, mx WHERE c_custkey % 40 = 16 "
+            "AND c_custkey + 13 <= m), "
+            "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), "
+            "r AS (SELECT c_custkey AS node, c_custkey AS reach "
+            "FROM customer "
+            "UNION "
+            "SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a) "
+            "SELECT node AS c_custkey, "
+            "CAST(min(reach) AS BIGINT) AS component "
+            "FROM r GROUP BY node"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "
