@@ -1990,6 +1990,43 @@ def _q_cc_labels(sf_dir: str):
     return neardup_components(cust, edges, id_col="c_custkey")
 
 
+def _q_dag_layers(sf_dir: str):
+    """Topological layering / critical-path depth over a DAG
+    (``graph.dag_layers``): which dependency wave does each node run
+    in. Deterministic DAG on customer keys — chain edges k→k+1 inside
+    blocks of 4 plus skip edges k→k+3 when k%9==2; every edge
+    increases the key, so acyclicity holds by construction and the
+    longest path is ≤ 7 edges (round budget 8 ⇒ exact). Max-relaxation
+    per round = one key-projected hash join + grouped max."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import dag_layers
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy()
+        m1 = (k % 4 != 3) & (k + 1 <= maxk)
+        m2 = (k % 9 == 2) & (k + 3 <= maxk)
+        src = np.concatenate([k[m1], k[m2]]).astype("int64")
+        dst = np.concatenate([k[m1] + 1, k[m2] + 3]).astype("int64")
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = cust.map_batches(mkedges, batch_format="pyarrow")
+    nodes = cust.map_batches(
+        lambda b: pa.table({"node": b.column("c_custkey")}),
+        batch_format="pyarrow")
+    out = dag_layers(edges, nodes, rounds=8)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("node"),
+                            "layer": b.column("layer")}),
+        batch_format="pyarrow")
+
+
 def _q_ks_drift(sf_dir: str):
     """Two-sample KS drift check: do returned ('R') lineitems draw
     their quantities from the same distribution as the rest? Exercises
@@ -6337,6 +6374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_linkage": _q_record_linkage,
         "golden_record": _q_golden_record,
         "cc_labels": _q_cc_labels,
+        "dag_layers": _q_dag_layers,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7041,6 +7079,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a) "
             "SELECT node AS c_custkey, "
             "CAST(min(reach) AS BIGINT) AS component "
+            "FROM r GROUP BY node"
+        ),
+        "dag_layers": (
+            "WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m "
+            "FROM customer), "
+            "e AS (SELECT c_custkey AS a, c_custkey + 1 AS b "
+            "FROM customer, mx "
+            "WHERE c_custkey % 4 <> 3 AND c_custkey + 1 <= m "
+            "UNION ALL "
+            "SELECT c_custkey AS a, c_custkey + 3 AS b "
+            "FROM customer, mx "
+            "WHERE c_custkey % 9 = 2 AND c_custkey + 3 <= m), "
+            "r AS (SELECT c_custkey AS node, 0 AS d FROM customer "
+            "UNION "
+            "SELECT e.b AS node, r.d + 1 AS d FROM r JOIN e "
+            "ON r.node = e.a) "
+            "SELECT node AS c_custkey, CAST(max(d) AS BIGINT) AS layer "
             "FROM r GROUP BY node"
         ),
         "ks_drift": (

@@ -666,8 +666,10 @@ def neardup_components(ids_ds, pairs_ds, *, id_col: str = "url",
         merged = labels.union(nbr_labels)
         labels = merged.groupby("node").aggregate(Min("label", alias_name="label"))
         # materialize the small (node,label) table so the lazy plan doesn't
-        # re-execute the whole chain each iteration
-        labels = labels.materialize()
+        # re-execute the whole chain each iteration; coalesce first so the
+        # loop state's block count stays pinned at num_partitions instead
+        # of compounding ~2x per round (see graph._bound_blocks)
+        labels = labels.repartition(num_partitions).materialize()
         dg = labels_digest(labels)
         if dg == prev_digest:
             break  # fixed point: no label changed this round

@@ -24,6 +24,21 @@ BASE_PPM = 150_000
 SCALE = 1_000_000
 
 
+def _bound_blocks(ds, n: int):
+    """Coalesce loop state to ≤ ``n`` blocks (split/merge, NO shuffle)
+    before materializing it for the next round.
+
+    Every iterative op in this family folds via union + groupby (or a
+    self-join), and both hash_join's map_groups and groupby emit a block
+    count proportional to their INPUT block count. Left unbounded, the
+    loop state's blocks compound ~2× per round (B_{r+1} ≈ 2·B_r + E) —
+    rows stay constant while task count grows exponentially, turning
+    constant per-round work into an exponential scheduling bill (measured:
+    48→112→240→496→1008 blocks over 5 rounds on a 150-row label table).
+    One metadata-cheap repartition per round pins the state at ``n``."""
+    return ds.repartition(n)
+
+
 def pagerank_int(edges_ds, nodes_ds, *, iters: int = 2, out_deg: int,
                  num_partitions: int = 32):
     """``edges_ds``: (src, dst) with every src having exactly ``out_deg``
@@ -73,7 +88,9 @@ def pagerank_int(edges_ds, nodes_ds, *, iters: int = 2, out_deg: int,
             return pa.table({"node": batch.column("node").cast(pa.int64()),
                              "rank_ppm": pa.array(new_r, pa.int64())})
 
-        ranks = sums.map_batches(update, batch_format="pyarrow").materialize()
+        ranks = _bound_blocks(
+            sums.map_batches(update, batch_format="pyarrow"),
+            num_partitions).materialize()
 
     return ranks
 
@@ -131,7 +148,8 @@ def hits_int(edges_ds, nodes_ds, *, iters: int = 2,
             batch_format="pyarrow")
         summed = (joined.map_batches(contrib, batch_format="pyarrow")
                   .union(zeros).groupby("node")
-                  .aggregate(Sum("c", alias_name="raw"))).materialize()
+                  .aggregate(Sum("c", alias_name="raw")))
+        summed = _bound_blocks(summed, num_partitions).materialize()
         total = int(summed.aggregate(Sum("raw", alias_name="t"))["t"])
         tref = ray.put(max(total, 1))
 
@@ -203,10 +221,12 @@ def resolve_pointers(ptr_ds, *, iters: int, num_partitions: int = 32):
             batch_format="pyarrow")
         joined = hash_join(left, right, on="key",
                            num_partitions=num_partitions)
-        cur = joined.map_batches(
-            lambda b: pa.table({"node": b.column("node"),
-                                "ptr": b.column("nxt")}),
-            batch_format="pyarrow").materialize()
+        cur = _bound_blocks(
+            joined.map_batches(
+                lambda b: pa.table({"node": b.column("node"),
+                                    "ptr": b.column("nxt")}),
+                batch_format="pyarrow"),
+            num_partitions).materialize()
 
     return cur
 
@@ -335,8 +355,8 @@ def bfs_khop(edges_ds, seeds_ds, *, k: int, num_partitions: int = 32):
                                       "depth": pa.array(
                                           [_d] * b.num_rows, pa.int64())}),
             batch_format="pyarrow")
-            .groupby("node").aggregate(Min("depth", alias_name="depth"))
-            .materialize())
+            .groupby("node").aggregate(Min("depth", alias_name="depth")))
+        frontier = _bound_blocks(frontier, num_partitions).materialize()
         levels.append(frontier)
 
     out = levels[0]
@@ -450,6 +470,53 @@ def sssp_bounded(edges_ds, seeds_ds, *, rounds: int,
                 "dist": pc.add(b.column("dist"), b.column("w"))}),
             batch_format="pyarrow")
         dist = (dist.union(cand)
-                .groupby("node").aggregate(Min("dist", alias_name="dist"))
-                .materialize())
+                .groupby("node").aggregate(Min("dist", alias_name="dist")))
+        dist = _bound_blocks(dist, num_partitions).materialize()
     return dist
+
+
+def dag_layers(edges_ds, nodes_ds, *, rounds: int,
+               num_partitions: int = 32):
+    """Topological LAYERING of a DAG: ``layer(v)`` = length of the
+    longest path ending at ``v`` (sources are layer 0) — the
+    scheduling-wave / critical-path-depth primitive (which jobs can run
+    in parallel wave k; how deep is the dependency chain). The
+    max-relaxation sibling of ``sssp_bounded``: exact once ``rounds`` ≥
+    the DAG's longest-path length (on a DAG the relaxation is monotone
+    non-decreasing and fixes after depth rounds; there are no cycles to
+    guard against).
+
+    ``edges_ds``: (src, dst) int64 with src → dst; ``nodes_ds``:
+    (node). Physical plan per round: ONE key-projected hash_join of the
+    current layer table against the edges (2 int64 columns shuffle),
+    candidate layer = layer + 1 at the destination, groupby-MAX folds
+    candidates and the previous table. Rounds materialize — the
+    documented input-reuse exception (bfs_khop / sssp_bounded)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from documentai_ray.stages.joins import hash_join
+
+    layer = nodes_ds.map_batches(
+        lambda b: pa.table({"node": b.column("node").cast(pa.int64()),
+                            "layer": pa.array([0] * b.num_rows,
+                                              pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        left = layer.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "layer": b.column("layer")}),
+            batch_format="pyarrow")
+        joined = hash_join(left, edges_ds, on="src",
+                           num_partitions=num_partitions)
+        cand = joined.map_batches(
+            lambda b: pa.table({
+                "node": b.column("dst"),
+                "layer": pc.add(b.column("layer"), 1)}),
+            batch_format="pyarrow")
+        layer = (layer.union(cand)
+                 .groupby("node").aggregate(Max("layer",
+                                                alias_name="layer")))
+        layer = _bound_blocks(layer, num_partitions).materialize()
+    return layer

@@ -212,3 +212,46 @@ class TestSsspBounded:
                             num_partitions=2).to_pandas()
         got4 = dict(zip(out4["node"], out4["dist"]))
         assert got4[4] == 4
+
+
+class TestDagLayers:
+    def test_longest_path_layer(self, ray_session):
+        from documentai_ray.stages.graph import dag_layers
+        # diamond + tail: 0->1->3, 0->2->3 with an extra hop 2->4->3
+        # longest path to 3 goes through the 3-edge branch.
+        edges = ray_session.data.from_items([
+            {"src": 0, "dst": 1}, {"src": 0, "dst": 2},
+            {"src": 1, "dst": 3}, {"src": 2, "dst": 4},
+            {"src": 4, "dst": 3},
+        ])
+        nodes = ray_session.data.from_items(
+            [{"node": i} for i in range(5)])
+        out = dag_layers(edges, nodes, rounds=4,
+                         num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["layer"]))
+        assert got == {0: 0, 1: 1, 2: 1, 4: 2, 3: 3}
+
+    def test_isolated_nodes_are_sources(self, ray_session):
+        from documentai_ray.stages.graph import dag_layers
+        edges = ray_session.data.from_items([{"src": 0, "dst": 1}])
+        nodes = ray_session.data.from_items(
+            [{"node": 0}, {"node": 1}, {"node": 9}])
+        out = dag_layers(edges, nodes, rounds=2,
+                         num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["layer"]))
+        assert got == {0: 0, 1: 1, 9: 0}
+
+    def test_insufficient_rounds_underestimate(self, ray_session):
+        from documentai_ray.stages.graph import dag_layers
+        # chain of 4 edges; rounds=2 caps the deepest node at 2
+        edges = ray_session.data.from_items(
+            [{"src": i, "dst": i + 1} for i in range(4)])
+        nodes = ray_session.data.from_items(
+            [{"node": i} for i in range(5)])
+        out = dag_layers(edges, nodes, rounds=2,
+                         num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["layer"]))
+        assert got[4] == 2          # truncated by the round budget
+        out4 = dag_layers(edges, nodes, rounds=4,
+                          num_partitions=2).to_pandas()
+        assert dict(zip(out4["node"], out4["layer"]))[4] == 4
