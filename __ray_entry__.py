@@ -4514,6 +4514,56 @@ def _q_profile_columns(sf_dir: str):
         ds, ["l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"])
 
 
+def _q_dq_audit(sf_dir: str):
+    """Declarative data-quality constraint suite (Deequ/dbt-test-style,
+    ``stages/dq.py``) over the orders table — the attest-before-trust
+    gate a 100 TB ingest runs ahead of every downstream consumer. Seven
+    checks spanning all four physical plans: row-scope checks
+    (NOT NULL / accepted domains / numeric range) fuse into ONE
+    streaming partial-counts pass; each uniqueness check is one
+    exchange bounded by the key's distinct count (violations =
+    count(*) − count(DISTINCT)); referential integrity ships
+    pre-combined child key counts through the partitioned anti
+    hash_join against customers in good standing (c_acctbal ≥ 0) —
+    negative-balance customers make the orphan count genuinely nonzero,
+    so the audit exercises real failures, not just all-green rows."""
+    import ray.data
+
+    from documentai_ray.stages.dq import (AcceptedValues, ForeignKey,
+                                          InRange, NotNull, Unique,
+                                          dq_report)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_totalprice"])
+
+    import pyarrow as pa
+
+    def good_standing(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.greater_equal(batch.column("c_acctbal"), 0.0)
+        return batch.filter(keep).select(["c_custkey"])
+
+    ref = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).map_batches(
+            good_standing, batch_format="pyarrow")
+
+    checks = [
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        Unique("o_custkey"),
+        AcceptedValues("o_orderstatus", ("O", "F", "P")),
+        AcceptedValues("o_orderpriority",
+                       ("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        InRange("o_totalprice", 0.01, 300000.0),
+        ForeignKey("o_custkey", "customer_good"),
+    ]
+    return dq_report(orders, checks,
+                     ref_datasets={"customer_good": (ref, "c_custkey")})
+
+
 def _q_dead_letter(sf_dir: str):
     """Dead-letter routing summary: the extraction stage's row-level
     failure contract (any per-row exception → error record, job
@@ -6375,6 +6425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_record": _q_golden_record,
         "cc_labels": _q_cc_labels,
         "dag_layers": _q_dag_layers,
+        "dq_audit": _q_dq_audit,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7097,6 +7148,32 @@ def oracle_sql() -> dict[str, str]:
             "ON r.node = e.a) "
             "SELECT node AS c_custkey, CAST(max(d) AS BIGINT) AS layer "
             "FROM r GROUP BY node"
+        ),
+        "dq_audit": (
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders), "
+            "v AS ("
+            "SELECT 'not_null:o_custkey' AS chk, "
+            "(SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS v "
+            "UNION ALL SELECT 'unique:o_orderkey', "
+            "(SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) "
+            "UNION ALL SELECT 'unique:o_custkey', "
+            "(SELECT count(*) - count(DISTINCT o_custkey) FROM orders) "
+            "UNION ALL SELECT 'accepted_values:o_orderstatus', "
+            "(SELECT count(*) FROM orders WHERE o_orderstatus IS NULL "
+            "OR o_orderstatus NOT IN ('O','F','P')) "
+            "UNION ALL SELECT 'accepted_values:o_orderpriority', "
+            "(SELECT count(*) FROM orders WHERE o_orderpriority IS NULL "
+            "OR o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')) "
+            "UNION ALL SELECT 'in_range:o_totalprice', "
+            "(SELECT count(*) FROM orders WHERE o_totalprice IS NULL "
+            "OR o_totalprice < 0.01 OR o_totalprice > 300000.0) "
+            "UNION ALL SELECT 'foreign_key:o_custkey->customer_good', "
+            "(SELECT count(*) FROM orders o LEFT JOIN "
+            "(SELECT DISTINCT c_custkey FROM customer "
+            "WHERE c_acctbal >= 0) c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_custkey IS NULL)) "
+            "SELECT v.chk AS \"check\", CAST(v.v AS BIGINT) AS violations, "
+            "n.t AS total_rows, v.v = 0 AS passed FROM v, n"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

@@ -1,0 +1,229 @@
+"""Declarative data-quality verification (Deequ/dbt-test-style).
+
+A production ingest of 100 TB of crawl-derived tables runs constraint
+suites before anything downstream trusts the data: completeness
+(NOT NULL), uniqueness of keys, accepted value domains, numeric ranges,
+and referential integrity. This module expresses such a suite as a list
+of small check objects and computes the WHOLE report with the minimum
+possible data movement:
+
+- All ROW-SCOPE checks (NotNull / AcceptedValues / InRange) fuse into
+  ONE streaming ``map_batches`` pass that emits per-batch partial
+  ``(check, violations, rows)`` counts — the exchange carries
+  n_checks × n_blocks tiny rows, never data.
+- ``Unique`` needs key co-location: per-batch ``value_counts`` partials
+  pre-combine before a single ``(key, c)`` exchange bounded by the
+  column's DISTINCT count; violations = Σ(c−1) (rows in excess of one
+  per key — exactly ``count(*) - count(DISTINCT col)``).
+- ``ForeignKey`` reuses the partitioned ``hash_join(how='anti')``: the
+  child side ships pre-combined distinct-key counts (bounded by distinct
+  keys, not rows), the reference side ships per-batch-distinct keys, and
+  orphan violations = Σc over the anti-join survivors. NULL child keys
+  are orphans by definition (they reference nothing).
+
+The report is a driver-small ``pyarrow.Table`` — one row per check —
+with integer-exact ``violations`` / ``total_rows`` so a SQL engine
+reproduces every number bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class NotNull:
+    col: str
+
+    @property
+    def name(self) -> str:
+        return f"not_null:{self.col}"
+
+
+@dataclass(frozen=True)
+class AcceptedValues:
+    col: str
+    values: tuple = field(default=())
+
+    @property
+    def name(self) -> str:
+        return f"accepted_values:{self.col}"
+
+
+@dataclass(frozen=True)
+class InRange:
+    """Violation when value < lo or value > hi (NULL also violates —
+    an unknown value cannot be attested in-range)."""
+    col: str
+    lo: float
+    hi: float
+
+    @property
+    def name(self) -> str:
+        return f"in_range:{self.col}"
+
+
+@dataclass(frozen=True)
+class Unique:
+    col: str
+
+    @property
+    def name(self) -> str:
+        return f"unique:{self.col}"
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    """Child rows whose ``col`` value does not appear in the reference
+    key set violate. The reference is passed to ``dq_report`` as a
+    Dataset; ``ref_label`` only names the check."""
+    col: str
+    ref_label: str
+
+    @property
+    def name(self) -> str:
+        return f"foreign_key:{self.col}->{self.ref_label}"
+
+
+def _row_scope_pass(ds, checks):
+    """ONE fused pass for every row-scope check: per-batch partials,
+    then a single tiny groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    names = [c.name for c in checks]
+    specs = list(checks)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_v = []
+        for c in specs:
+            col = batch.column(c.col)
+            if isinstance(c, NotNull):
+                v = col.null_count
+            elif pa.types.is_null(col.type):
+                # a block where every value is NULL infers type `null`;
+                # NULL violates both accepted-values and in-range
+                v = n
+            elif isinstance(c, AcceptedValues):
+                ok = pc.is_in(col, value_set=pa.array(list(c.values),
+                                                      col.type))
+                # NULL membership is null, not False — count non-True
+                s = pc.sum(ok.cast(pa.int64())).as_py()
+                v = n - (s or 0)
+            elif isinstance(c, InRange):
+                ok = pc.and_(pc.greater_equal(col, c.lo),
+                             pc.less_equal(col, c.hi))
+                s = pc.sum(ok.cast(pa.int64())).as_py()
+                v = n - (s or 0)
+            else:  # pragma: no cover
+                raise TypeError(f"not a row-scope check: {c!r}")
+            out_v.append(int(v))
+        return pa.table({
+            "check": pa.array(names, pa.string()),
+            "v": pa.array(out_v, pa.int64()),
+            "t": pa.array([n] * len(names), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("check")
+           .aggregate(Sum("v", alias_name="violations"),
+                      Sum("t", alias_name="total_rows")))
+    return agg.to_pandas()
+
+
+def _keyed_counts(ds, col: str):
+    """Per-batch pre-combined ``(k, c)`` value counts → one exchange
+    bounded by the column's distinct count. NULL keys participate under
+    a reserved sentinel string key."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col_a = batch.column(col)
+        keys = ["\x00null" if v is None else str(v)
+                for v in col_a.to_pylist()]
+        import collections
+        cnt = collections.Counter(keys)
+        return pa.table({"k": pa.array(list(cnt.keys()), pa.string()),
+                         "c": pa.array(list(cnt.values()), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("c", alias_name="c")))
+
+
+def _unique_counts(counts) -> tuple[int, int]:
+    """(violations, total) from a grouped (k, c) table: Σ(c−1), Σc."""
+    from ray.data.aggregate import Sum
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        return pa.table({"v": pa.array([int((c - 1).sum())], pa.int64()),
+                         "t": pa.array([int(c.sum())], pa.int64())})
+
+    res = counts.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("v", alias_name="v"), Sum("t", alias_name="t"))
+    return int(res["v"] or 0), int(res["t"] or 0)
+
+
+def _fk_counts(child_counts, ref_ds, ref_col: str,
+               num_partitions: int) -> tuple[int, int]:
+    """(orphan rows, total child rows). ``child_counts`` is the grouped
+    (k, c) table of the child key; the reference ships per-batch-distinct
+    stringified keys and the anti-join is the partitioned hash_join."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    def ref_keys(batch: pa.Table) -> pa.Table:
+        vals = batch.column(ref_col).to_pylist()
+        uniq = list({str(v) for v in vals if v is not None})
+        return pa.table({"k": pa.array(uniq, pa.string())})
+
+    refs = ref_ds.map_batches(ref_keys, batch_format="pyarrow")
+    child_mat = child_counts.materialize()  # read twice: total + anti
+    tot = child_mat.aggregate(Sum("c", alias_name="t"))
+    orphans = hash_join(child_mat, refs, on="k", how="anti",
+                        num_partitions=num_partitions)
+    v = orphans.aggregate(Sum("c", alias_name="v"))
+    return int(v["v"] or 0), int(tot["t"] or 0)
+
+
+def dq_report(ds, checks, *, ref_datasets: dict | None = None,
+              num_partitions: int = 32) -> pa.Table:
+    """Run a constraint suite over ``ds`` and return the report as a
+    driver-small Arrow table ``(check, violations, total_rows, passed)``
+    in the order the checks were declared.
+
+    ``ref_datasets`` maps a ForeignKey check's ``ref_label`` to
+    ``(ref_ds, ref_col)``.
+    """
+    row_checks = [c for c in checks
+                  if isinstance(c, (NotNull, AcceptedValues, InRange))]
+    results: dict[str, tuple[int, int]] = {}
+
+    if row_checks:
+        df = _row_scope_pass(ds, row_checks)
+        for _, r in df.iterrows():
+            results[r["check"]] = (int(r["violations"]),
+                                   int(r["total_rows"]))
+
+    for c in checks:
+        if isinstance(c, Unique):
+            results[c.name] = _unique_counts(_keyed_counts(ds, c.col))
+        elif isinstance(c, ForeignKey):
+            ref_ds, ref_col = (ref_datasets or {})[c.ref_label]
+            results[c.name] = _fk_counts(_keyed_counts(ds, c.col),
+                                         ref_ds, ref_col, num_partitions)
+
+    names = [c.name for c in checks]
+    v = np.array([results[n][0] for n in names], np.int64)
+    t = np.array([results[n][1] for n in names], np.int64)
+    return pa.table({
+        "check": pa.array(names, pa.string()),
+        "violations": pa.array(v),
+        "total_rows": pa.array(t),
+        "passed": pa.array((v == 0).tolist(), pa.bool_()),
+    })

@@ -1,0 +1,90 @@
+"""Declarative data-quality suite (stages/dq.py): every check type with
+planted violations, NULL semantics, and the empty-table edge."""
+
+import pyarrow as pa
+
+
+def _report_dict(tbl: pa.Table) -> dict:
+    d = tbl.to_pydict()
+    return {c: (v, t, p) for c, v, t, p in
+            zip(d["check"], d["violations"], d["total_rows"], d["passed"])}
+
+
+class TestRowScopeChecks:
+    def test_fused_pass_all_types(self, ray_session):
+        from documentai_ray.stages.dq import (AcceptedValues, InRange,
+                                              NotNull, dq_report)
+        ds = ray_session.data.from_items([
+            {"a": 1, "s": "x", "v": 5.0},
+            {"a": None, "s": "y", "v": 50.0},
+            {"a": 3, "s": "zz", "v": -1.0},
+            {"a": None, "s": None, "v": None},
+        ])
+        rep = _report_dict(dq_report(ds, [
+            NotNull("a"),
+            AcceptedValues("s", ("x", "y")),
+            InRange("v", 0.0, 10.0),
+        ]))
+        assert rep["not_null:a"] == (2, 4, False)
+        # 'zz' and NULL both violate the accepted domain
+        assert rep["accepted_values:s"] == (2, 4, False)
+        # -1.0 and 50.0 out of [0,10]; NULL cannot be attested in-range
+        assert rep["in_range:v"] == (3, 4, False)
+
+    def test_all_green(self, ray_session):
+        from documentai_ray.stages.dq import InRange, NotNull, dq_report
+        ds = ray_session.data.from_items(
+            [{"a": i, "v": float(i)} for i in range(10)])
+        rep = _report_dict(dq_report(ds, [NotNull("a"),
+                                          InRange("v", 0.0, 9.0)]))
+        assert rep["not_null:a"] == (0, 10, True)
+        assert rep["in_range:v"] == (0, 10, True)
+
+
+class TestUnique:
+    def test_excess_rows_counted(self, ray_session):
+        from documentai_ray.stages.dq import Unique, dq_report
+        # key 7 appears 3x, key 8 appears 2x -> violations = 2 + 1
+        ds = ray_session.data.from_items(
+            [{"k": 7}, {"k": 7}, {"k": 7}, {"k": 8}, {"k": 8}, {"k": 9}])
+        rep = _report_dict(dq_report(ds, [Unique("k")]))
+        assert rep["unique:k"] == (3, 6, False)
+
+    def test_nulls_group_together(self, ray_session):
+        from documentai_ray.stages.dq import Unique, dq_report
+        ds = ray_session.data.from_items(
+            [{"k": None}, {"k": None}, {"k": 1}])
+        rep = _report_dict(dq_report(ds, [Unique("k")]))
+        assert rep["unique:k"] == (1, 3, False)
+
+
+class TestForeignKey:
+    def test_orphans_and_null_child_keys(self, ray_session):
+        from documentai_ray.stages.dq import ForeignKey, dq_report
+        child = ray_session.data.from_items(
+            [{"fk": 1}, {"fk": 1}, {"fk": 2}, {"fk": 99}, {"fk": None}])
+        ref = ray_session.data.from_items([{"id": 1}, {"id": 2}, {"id": 3}])
+        rep = _report_dict(dq_report(
+            child, [ForeignKey("fk", "ref")],
+            ref_datasets={"ref": (ref, "id")}))
+        # 99 (1 row) + NULL (1 row) are orphans; both fk=1 rows match
+        assert rep["foreign_key:fk->ref"] == (2, 5, False)
+
+    def test_duplicate_ref_keys_are_fine(self, ray_session):
+        from documentai_ray.stages.dq import ForeignKey, dq_report
+        child = ray_session.data.from_items([{"fk": 1}, {"fk": 2}])
+        ref = ray_session.data.from_items([{"id": 1}, {"id": 1}, {"id": 2}])
+        rep = _report_dict(dq_report(
+            child, [ForeignKey("fk", "ref")],
+            ref_datasets={"ref": (ref, "id")}))
+        assert rep["foreign_key:fk->ref"] == (0, 2, True)
+
+
+class TestReportShape:
+    def test_declared_order_preserved(self, ray_session):
+        from documentai_ray.stages.dq import (NotNull, Unique, dq_report)
+        ds = ray_session.data.from_items([{"a": 1, "b": 2}])
+        tbl = dq_report(ds, [Unique("b"), NotNull("a")])
+        assert tbl.column("check").to_pylist() == ["unique:b", "not_null:a"]
+        assert tbl.schema.field("violations").type == pa.int64()
+        assert tbl.schema.field("passed").type == pa.bool_()
