@@ -4564,6 +4564,28 @@ def _q_dq_audit(sf_dir: str):
                      ref_datasets={"customer_good": (ref, "c_custkey")})
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity suppression over customer metadata
+    (``privacy.k_anonymize``): before attribute tables ship with a
+    corpus, quasi-identifier combinations that single out fewer than
+    k=10 individuals are suppressed to '*' (the QI here is
+    (nationkey, mktsegment) — re-identification comes from the JOIN of
+    harmless columns, not any one). ONE row exchange keyed by the QI
+    tuple hash; every equivalence class lands whole in one partition,
+    which sizes all its classes in a single vectorized
+    groupby-transform. At sf0.01 class sizes span 5–21, so both the
+    suppressed and the passing population are genuinely nonempty."""
+    import ray.data
+
+    from documentai_ray.stages.privacy import k_anonymize
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    return k_anonymize(cust, qi_cols=["c_nationkey", "c_mktsegment"],
+                       k=10)
+
+
 def _q_dead_letter(sf_dir: str):
     """Dead-letter routing summary: the extraction stage's row-level
     failure contract (any per-row exception → error record, job
@@ -6426,6 +6448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_labels": _q_cc_labels,
         "dag_layers": _q_dag_layers,
         "dq_audit": _q_dq_audit,
+        "k_anonymity": _q_k_anonymity,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7174,6 +7197,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c.c_custkey IS NULL)) "
             "SELECT v.chk AS \"check\", CAST(v.v AS BIGINT) AS violations, "
             "n.t AS total_rows, v.v = 0 AS passed FROM v, n"
+        ),
+        "k_anonymity": (
+            "WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment, "
+            "count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS n "
+            "FROM customer) "
+            "SELECT c_custkey, "
+            "CASE WHEN n >= 10 THEN CAST(c_nationkey AS VARCHAR) "
+            "ELSE '*' END AS c_nationkey_qi, "
+            "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
+            "AS c_mktsegment_qi, "
+            "n >= 10 AS k_anonymous FROM s"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

@@ -1,0 +1,94 @@
+"""Structured-data privacy: k-anonymity suppression.
+
+Text-level PII handling lives in curation.py (pattern redaction,
+deterministic pseudonymization). This module covers the STRUCTURED
+side: before metadata tables (user attributes, document provenance)
+ship with a training corpus, quasi-identifier combinations that
+single out fewer than k individuals must not survive — the classic
+re-identification vector is not any one column but the join of
+harmless-looking ones (Sweeney's zip/birthdate/sex result; public
+knowledge).
+
+``k_anonymize`` enforces k-anonymity by SUPPRESSION: every row whose
+quasi-identifier (QI) equivalence class has fewer than ``k`` members
+gets its QI values replaced with ``'*'`` (the class collapses into the
+suppressed pool); rows in classes of size ≥ k pass through unchanged.
+
+Physical plan — ONE row exchange, no join:
+rows hash-partition by crc32 of the QI tuple, so every equivalence
+class lands WHOLE in exactly one partition; the partition computes all
+its class sizes in a single vectorized groupby-transform and applies
+the suppression mask columnarly. The exchange carries only the QI
+columns plus whatever the caller kept (project upstream). Skew note:
+the suppressed classes are by definition small; a HOT class (huge n)
+lands whole in one partition but needs only a size count there — no
+pairwise work — so skew costs one partition's linear scan.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def k_anonymize(ds, *, qi_cols: list[str], k: int,
+                num_partitions: int = 64, suppressed: str = "*"):
+    """Return ``ds`` with each QI column ``c`` replaced by a string
+    column ``{c}_qi`` (value stringified, or ``suppressed`` when the
+    row's QI class has < k members) plus a ``k_anonymous`` bool column.
+    Non-QI columns pass through unchanged."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_pylist() for c in qi_cols]
+        pk = np.fromiter(
+            (zlib.crc32("\x1f".join(str(v) for v in row).encode())
+             % num_partitions for row in zip(*cols)),
+            dtype=np.int32, count=batch.num_rows)
+        return batch.append_column("_pkey", pa.array(pk, pa.int32()))
+
+    def suppress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_pkey"])
+        sizes = g.groupby(qi_cols, sort=False, dropna=False)[qi_cols[0]] \
+                 .transform("size")
+        ok = sizes.to_numpy() >= k
+        out = g.copy()
+        for c in qi_cols:
+            vals = g[c].astype(str).to_numpy(dtype=object)
+            vals[~ok] = suppressed
+            out[f"{c}_qi"] = vals
+        out = out.drop(columns=qi_cols)
+        out["k_anonymous"] = ok
+        return out
+
+    return (ds.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(suppress, batch_format="pandas"))
+
+
+def k_anonymity_audit(ds, *, qi_cols: list[str], k: int):
+    """Audit only — per-equivalence-class sizes without moving rows:
+    per-batch pre-combined (QI..., c) count partials, one exchange
+    bounded by the number of DISTINCT QI combinations. Returns
+    (qi_cols..., class_size, k_anonymous)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(qi_cols).to_pandas()
+        g = (df.groupby(qi_cols, sort=False, dropna=False)
+             .size().reset_index(name="c"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sizes = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(qi_cols).aggregate(Sum("c", alias_name="class_size")))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.column("class_size").to_numpy()
+        return batch.append_column(
+            "k_anonymous", pa.array((n >= k).tolist(), pa.bool_()))
+
+    return sizes.map_batches(flag, batch_format="pyarrow")
