@@ -4586,6 +4586,25 @@ def _q_k_anonymity(sf_dir: str):
                        k=10)
 
 
+def _q_diversity_index(sf_dir: str):
+    """Per-source language diversity of the documents table
+    (``aggregates.grouped_diversity``): exact integer-ppm Gini–Simpson
+    index 1 − Σ(c_i/n)² — the corpus-mix concentration check run
+    before a training mix ships (a source whose diversity ≈ 0 is
+    effectively monolingual; a crawl slice dominated by one domain
+    shows the same signature). Chosen over Shannon entropy because it
+    is rational: scale − (scale·Σc²) // n² reproduces bit-exactly in
+    SQL. Two bounded exchanges (distinct (source, lang) pairs, then
+    sources); rows never shuffle."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_diversity
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+    return grouped_diversity(docs, key_col="source", cat_col="lang")
+
+
 def _q_dead_letter(sf_dir: str):
     """Dead-letter routing summary: the extraction stage's row-level
     failure contract (any per-row exception → error record, job
@@ -6449,6 +6468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_layers": _q_dag_layers,
         "dq_audit": _q_dq_audit,
         "k_anonymity": _q_k_anonymity,
+        "diversity_index": _q_diversity_index,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7197,6 +7217,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c.c_custkey IS NULL)) "
             "SELECT v.chk AS \"check\", CAST(v.v AS BIGINT) AS violations, "
             "n.t AS total_rows, v.v = 0 AS passed FROM v, n"
+        ),
+        "diversity_index": (
+            "WITH c AS (SELECT source, lang, count(*) AS c "
+            "FROM documents GROUP BY source, lang), "
+            "a AS (SELECT source, CAST(sum(c) AS HUGEINT) AS n, "
+            "sum(CAST(c AS HUGEINT) * c) AS ss, count(*) AS k "
+            "FROM c GROUP BY source) "
+            "SELECT source, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(k AS BIGINT) AS n_cats, "
+            "CAST(1000000 - (1000000 * ss) // (n * n) AS BIGINT) "
+            "AS diversity_ppm FROM a"
         ),
         "k_anonymity": (
             "WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment, "

@@ -855,3 +855,70 @@ def global_row_index(ds, *, val_col: str, tiebreak_col: str,
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_pkey")
             .map_groups(rank_partition, batch_format="pandas"))
+
+
+def grouped_diversity(ds, *, key_col: str, cat_col: str,
+                      scale: int = 1_000_000):
+    """Gini–Simpson diversity index per key, exact in integer ppm —
+    the corpus-mix concentration metric ("is this source effectively
+    monolingual? is the training mix dominated by one domain?"):
+    ``diversity = 1 − Σ (c_i/n)²`` where c_i are the per-category
+    counts within the key. 0 = all mass on one category, → 1 = evenly
+    spread. Chosen over Shannon entropy because it is RATIONAL — the
+    whole computation stays in integers (``scale − (scale·Σc²) // n²``),
+    so any SQL engine reproduces it bit-exactly; entropy's log never
+    would.
+
+    Physical plan: per-batch (key, cat) count partials → one exchange
+    bounded by DISTINCT (key, cat) pairs → per-batch additive fold to
+    (key, n, Σc², k_cats) partials (additive because categories are
+    disjoint across the grouped rows) → one tiny exchange bounded by
+    keys. Rows never shuffle. Σc² is computed in Python ints (exact at
+    any magnitude); the int64 output contract holds while per-category
+    counts stay below ~3·10⁹ (c² < 2⁶³) — document-scale groups beyond
+    that want the count pre-bucketed.
+
+    Returns (key_col, n_rows, n_cats, diversity_ppm), all int64.
+    """
+    from ray.data.aggregate import Sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, cat_col]).to_pandas()
+        g = (df.groupby([key_col, cat_col], sort=False, dropna=False)
+             .size().reset_index(name="_gd_c"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    pairs = (ds.map_batches(pair_counts, batch_format="pyarrow")
+             .groupby([key_col, cat_col])
+             .aggregate(Sum("_gd_c", alias_name="_gd_c")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, "_gd_c"]).to_pandas()
+        # python-int squares: exact regardless of magnitude
+        df["_gd_ss"] = [int(v) * int(v) for v in df["_gd_c"]]
+        df["_gd_k"] = 1
+        g = df.groupby(key_col, sort=False, dropna=False).agg(
+            _gd_n=("_gd_c", "sum"), _gd_ss=("_gd_ss", "sum"),
+            _gd_k=("_gd_k", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    folded = (pairs.map_batches(fold, batch_format="pyarrow")
+              .groupby(key_col)
+              .aggregate(Sum("_gd_n", alias_name="n_rows"),
+                         Sum("_gd_ss", alias_name="ss"),
+                         Sum("_gd_k", alias_name="n_cats")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = [int(v) for v in batch.column("n_rows").to_pylist()]
+        ss = [int(v) for v in batch.column("ss").to_pylist()]
+        div = [scale - (scale * s) // (x * x) for x, s in zip(n, ss)]
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_rows": pa.array(n, pa.int64()),
+            "n_cats": batch.column("n_cats").cast(pa.int64()),
+            "diversity_ppm": pa.array(div, pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
