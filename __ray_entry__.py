@@ -4605,6 +4605,26 @@ def _q_diversity_index(sf_dir: str):
     return grouped_diversity(docs, key_col="source", cat_col="lang")
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-source length-anomaly flags over documents
+    (``aggregates.mad_outliers``): |n_chars − median| > 3·MAD, the
+    distribution-free outlier rule (mean/σ break down exactly when
+    outliers are present; median/MAD have 50% breakdown) — the
+    curation pass that catches documents anomalously long/short FOR
+    THEIR SOURCE. Doubled-unit integer arithmetic end to end (med×2,
+    MAD×4, rule ×4) so the SQL oracle reproduces every flag
+    bit-exactly; both medians read off ONE (source, n_chars)
+    histogram exchange; at sf0.01 ten documents genuinely flag."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import mad_outliers
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "n_chars"])
+    return mad_outliers(docs, key_col="source", val_col="n_chars",
+                        k_num=3, k_den=1)
+
+
 def _q_dead_letter(sf_dir: str):
     """Dead-letter routing summary: the extraction stage's row-level
     failure contract (any per-row exception → error record, job
@@ -6469,6 +6489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_audit": _q_dq_audit,
         "k_anonymity": _q_k_anonymity,
         "diversity_index": _q_diversity_index,
+        "mad_outliers": _q_mad_outliers,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7228,6 +7249,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(k AS BIGINT) AS n_cats, "
             "CAST(1000000 - (1000000 * ss) // (n * n) AS BIGINT) "
             "AS diversity_ppm FROM a"
+        ),
+        "mad_outliers": (
+            "WITH m AS (SELECT source, "
+            "CAST(2 * median(n_chars) AS BIGINT) AS med2 "
+            "FROM documents GROUP BY source), "
+            "d AS (SELECT doc.doc_id, doc.source, doc.n_chars, m.med2, "
+            "ABS(2 * doc.n_chars - m.med2) AS dd "
+            "FROM documents doc JOIN m USING (source)), "
+            "md AS (SELECT source, CAST(2 * median(dd) AS BIGINT) AS mad4 "
+            "FROM d GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars, d.med2 AS med_x2, "
+            "md.mad4 AS mad_x4, 2 * d.dd * 1 > 3 * md.mad4 AS is_outlier "
+            "FROM d JOIN md USING (source)"
         ),
         "k_anonymity": (
             "WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment, "

@@ -922,3 +922,99 @@ def grouped_diversity(ds, *, key_col: str, cat_col: str,
         })
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def _median2_weighted(vals: np.ndarray, counts: np.ndarray) -> int:
+    """2 × median of a weighted integer histogram (vals sorted asc) —
+    doubled so even-count medians (.5) stay integer."""
+    n = int(counts.sum())
+    cum = counts.cumsum()
+    if n % 2:
+        return 2 * int(vals[np.searchsorted(cum, n // 2 + 1)])
+    lo = int(vals[np.searchsorted(cum, n // 2)])
+    hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+    return lo + hi
+
+
+def mad_outliers(ds, *, key_col: str, val_col: str,
+                 k_num: int = 3, k_den: int = 1,
+                 flag_col: str = "is_outlier"):
+    """Robust per-key outlier flagging by the median-absolute-deviation
+    rule — flag rows where ``|v − median| > (k_num/k_den) · MAD`` — the
+    standard distribution-free anomaly test (mean/stddev break down
+    exactly when outliers are present; median/MAD have 50% breakdown).
+    The curation use: documents anomalously long/short FOR THEIR SOURCE.
+
+    Everything stays integer-exact via doubled units: ``med_x2 = 2·med``
+    is always integer (even-count medians average two integers),
+    deviations ``d = |2v − med_x2| = 2|v − med|`` are integer, and
+    ``mad_x4 = 2·median(d) = 4·MAD`` is integer — the flag test
+    ``2·d·k_den > k_num·mad_x4`` multiplies the rule by 4·k_den, so a
+    SQL engine reproduces every flag bit-exactly with no float anywhere.
+
+    Physical plan: ONE (key, v) count-histogram exchange bounded by
+    distinct (key, value) pairs (the grouped_median_int contract —
+    integer-valued columns with a bounded domain; bucket first for
+    unbounded ones); BOTH medians are read off the same collapsed
+    histogram inside one tiny map_groups (the deviation histogram is a
+    re-keying of the value histogram — rows are never touched twice);
+    the per-key (med_x2, mad_x4) table is driver-small by the same
+    contract and broadcasts via ``ray.put`` into a vectorized flagging
+    pass (swap for joins.hash_join at extreme key cardinality).
+
+    Returns the input rows + (med_x2, mad_x4, ``flag_col``).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = df.groupby([key_col, "_v"], as_index=False).size()
+        g = g.rename(columns={"size": "_n"})
+        return pa.Table.from_pandas(g[[key_col, "_v", "_n"]],
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_n", alias_name="_n")))
+
+    def stats_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_v", kind="mergesort")
+        vals = g["_v"].to_numpy()
+        cnts = g["_n"].to_numpy()
+        med2 = _median2_weighted(vals, cnts)
+        d = np.abs(2 * vals - med2)
+        # collapse duplicate deviations (v and its mirror share a d)
+        uniq, inv = np.unique(d, return_inverse=True)
+        dsum = np.zeros(len(uniq), np.int64)
+        np.add.at(dsum, inv, cnts)
+        mad4 = _median2_weighted(uniq, dsum)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "med_x2": [med2], "mad_x4": [mad4]})
+
+    stats = (hist.groupby(key_col)
+             .map_groups(stats_of, batch_format="pandas").to_pandas())
+    med_map = dict(zip(stats[key_col], stats["med_x2"].astype("int64")))
+    mad_map = dict(zip(stats[key_col], stats["mad_x4"].astype("int64")))
+    med_ref = ray.put(med_map)
+    mad_ref = ray.put(mad_map)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        meds = ray.get(med_ref)
+        mads = ray.get(mad_ref)
+        keys = batch.column(key_col).to_pylist()
+        v = batch.column(val_col).to_numpy().astype(np.int64)
+        med2 = np.fromiter((meds[k] for k in keys), np.int64,
+                           count=len(keys))
+        mad4 = np.fromiter((mads[k] for k in keys), np.int64,
+                           count=len(keys))
+        d = np.abs(2 * v - med2)
+        out = 2 * d * k_den > k_num * mad4
+        batch = batch.append_column("med_x2", pa.array(med2))
+        batch = batch.append_column("mad_x4", pa.array(mad4))
+        return batch.append_column(flag_col,
+                                   pa.array(out.tolist(), pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -25,3 +25,33 @@ class TestGroupedDiversity:
         ds = ray_session.data.from_items(rows)
         out = grouped_diversity(ds, key_col="k", cat_col="c").to_pandas()
         assert int(out["diversity_ppm"].iloc[0]) == 444445
+
+
+class TestMadOutliers:
+    def test_exact_flags(self, ray_session):
+        from documentai_ray.stages.aggregates import mad_outliers
+        # key A: values 10,10,10,10,100 -> med=10, d=|v-10|: 0,0,0,0,90
+        # MAD=0 -> mad_x4=0 -> 100 flags (2*180*1 > 3*0); the 10s don't.
+        # key B: 1..7 -> med=4, deviations 0..3 -> MAD=1.5? d=3,2,1,0,1,2,3
+        # sorted: 0,1,1,2,2,3,3 -> median(d)=2 -> MAD=1 (d is 2|v-med| ...
+        # careful: dd = 2|v-4| = 6,4,2,0,2,4,6 -> median(dd)=4 -> mad_x4=8
+        # flag: 2*dd > 3*8=24 -> dd>12 -> none flag.
+        rows = ([{"k": "A", "v": 10}] * 4 + [{"k": "A", "v": 100}]
+                + [{"k": "B", "v": i} for i in range(1, 8)])
+        ds = ray_session.data.from_items(rows).repartition(3)
+        out = mad_outliers(ds, key_col="k", val_col="v").to_pandas()
+        a = out[out["k"] == "A"]
+        assert set(a.loc[a["is_outlier"], "v"]) == {100}
+        assert (a["med_x2"] == 20).all() and (a["mad_x4"] == 0).all()
+        b = out[out["k"] == "B"]
+        assert not b["is_outlier"].any()
+        assert (b["med_x2"] == 8).all() and (b["mad_x4"] == 8).all()
+
+    def test_even_count_halves_stay_exact(self, ray_session):
+        from documentai_ray.stages.aggregates import mad_outliers
+        # values 1,2: med=1.5 -> med_x2=3; dd=|2v-3|=1,1 -> mad_x4=2
+        ds = ray_session.data.from_items(
+            [{"k": "A", "v": 1}, {"k": "A", "v": 2}])
+        out = mad_outliers(ds, key_col="k", val_col="v").to_pandas()
+        assert (out["med_x2"] == 3).all() and (out["mad_x4"] == 2).all()
+        assert not out["is_outlier"].any()
