@@ -4625,6 +4625,28 @@ def _q_mad_outliers(sf_dir: str):
                         k_num=3, k_den=1)
 
 
+def _q_unpivot_measures(sf_dir: str):
+    """Wide → long reshaping (``schema.unpivot`` — pandas melt / SQL
+    UNPIVOT): lineitem's four measure columns become
+    (l_orderkey, l_linenumber, measure, value) tall rows, 4× the input
+    row count, in a pure per-batch Arrow transform with ZERO exchange
+    — the layout the grouped/windowed ops downstream want. Cross-engine
+    value identity holds because the doubles are carried, never
+    recomputed."""
+    import ray.data
+
+    from documentai_ray.stages.schema import unpivot
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(li, id_cols=["l_orderkey", "l_linenumber"],
+                   value_cols=["l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"],
+                   var_name="measure", value_name="value")
+
+
 def _q_dead_letter(sf_dir: str):
     """Dead-letter routing summary: the extraction stage's row-level
     failure contract (any per-row exception → error record, job
@@ -6490,6 +6512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
+        "unpivot_measures": _q_unpivot_measures,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7249,6 +7272,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(k AS BIGINT) AS n_cats, "
             "CAST(1000000 - (1000000 * ss) // (n * n) AS BIGINT) "
             "AS diversity_ppm FROM a"
+        ),
+        "unpivot_measures": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+            "l_quantity AS value FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', l_extendedprice FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_discount', l_discount FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_tax', l_tax FROM lineitem"
         ),
         "mad_outliers": (
             "WITH m AS (SELECT source, "

@@ -45,3 +45,40 @@ def union_by_name(datasets: list):
         p = ds.map_batches(project, batch_format="pyarrow")
         out = p if out is None else out.union(p)
     return out
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """Wide → long reshaping (pandas ``melt`` / SQL ``UNPIVOT``): each
+    input row becomes ``len(value_cols)`` output rows
+    ``(id_cols..., variable, value)``. The write-side half of schema
+    reshaping beside ``union_by_name``'s read-side half — the step that
+    turns a metrics-wide table into the tall layout groupbys and
+    windowed ops want.
+
+    Pure per-batch Arrow transform, ZERO exchange and zero copies of
+    the id columns beyond the one concat: per measure column the batch
+    is projected to (ids..., literal variable, renamed value) and the k
+    projections concatenate — output row order is the deterministic
+    per-measure-then-row order, k·n rows per n-row batch. All value
+    columns must share one type (cast upstream; no silent coercion,
+    same contract as union_by_name)."""
+    if not value_cols:
+        raise ValueError("unpivot needs at least one value column")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        vtypes = {str(batch.column(c).type) for c in value_cols}
+        if len(vtypes) > 1:
+            raise ValueError(
+                f"value columns have conflicting types {sorted(vtypes)}; "
+                "cast upstream")
+        n = batch.num_rows
+        pieces = []
+        for c in value_cols:
+            cols = {ic: batch.column(ic) for ic in id_cols}
+            cols[var_name] = pa.array([c] * n, pa.string())
+            cols[value_name] = batch.column(c)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
