@@ -4647,6 +4647,38 @@ def _q_unpivot_measures(sf_dir: str):
                    var_name="measure", value_name="value")
 
 
+def _q_benford_audit(sf_dir: str):
+    """First-digit Benford audit of order amounts per priority class
+    (``dq.benford_audit``): the forensic screen for fabricated or
+    unit-corrupted numeric columns — natural multi-magnitude amounts
+    lead with 1 ~30% of the time, re-scaled or invented ones don't
+    (this corpus's price generator visibly doesn't: digits 5–9 are
+    starved, dev_ppm shows it). Amounts integerized to cents with the
+    house np.rint idiom; first digit via decimal-string head (no float
+    log10); ONE exchange bounded by 9 × keys; shares in integer ppm
+    against fixed Benford constants so SQL reproduces bit-exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dq import benford_audit
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy()
+                        * 100).astype("int64")
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(cents, pa.int64())})
+
+    return benford_audit(orders.map_batches(to_cents,
+                                            batch_format="pyarrow"),
+                         key_col="o_orderpriority", val_col="cents")
+
+
 def _q_dead_letter(sf_dir: str):
     """Dead-letter routing summary: the extraction stage's row-level
     failure contract (any per-row exception → error record, job
@@ -6513,6 +6545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
+        "benford_audit": _q_benford_audit,
         "user_coverage": _q_user_coverage,
         "sliding_unique_users": _q_sliding_unique_users,
         "segment_digests": _q_segment_digests,
@@ -7272,6 +7305,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(k AS BIGINT) AS n_cats, "
             "CAST(1000000 - (1000000 * ss) // (n * n) AS BIGINT) "
             "AS diversity_ppm FROM a"
+        ),
+        "benford_audit": (
+            "WITH v AS (SELECT o_orderpriority, "
+            "substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) "
+            "AS VARCHAR), 1, 1) AS digit FROM orders "
+            "WHERE round(o_totalprice * 100) > 0), "
+            "c AS (SELECT o_orderpriority, digit, count(*) AS c "
+            "FROM v GROUP BY o_orderpriority, digit), "
+            "n AS (SELECT o_orderpriority, sum(c) AS n FROM c "
+            "GROUP BY o_orderpriority), "
+            "b AS (SELECT * FROM (VALUES ('1', 301030), ('2', 176091), "
+            "('3', 124939), ('4', 96910), ('5', 79181), ('6', 66947), "
+            "('7', 57992), ('8', 51153), ('9', 45757)) "
+            "AS t(digit, benford_ppm)) "
+            "SELECT c.o_orderpriority, c.digit, "
+            "CAST(c.c AS BIGINT) AS n_values, "
+            "CAST((c.c * 1000000) // n.n AS BIGINT) AS share_ppm, "
+            "CAST(b.benford_ppm AS BIGINT) AS benford_ppm, "
+            "CAST(ABS((c.c * 1000000) // n.n - b.benford_ppm) AS BIGINT) "
+            "AS dev_ppm "
+            "FROM c JOIN n USING (o_orderpriority) JOIN b USING (digit)"
         ),
         "unpivot_measures": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "

@@ -227,3 +227,67 @@ def dq_report(ds, checks, *, ref_datasets: dict | None = None,
         "total_rows": pa.array(t),
         "passed": pa.array((v == 0).tolist(), pa.bool_()),
     })
+
+
+# Benford first-digit reference shares in ppm: round(log10(1 + 1/d) * 1e6).
+# Fixed integer constants so every engine agrees bit-exactly; the log only
+# ever ran once, offline, to derive them (public knowledge — Benford 1938).
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+               6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_audit(ds, *, key_col: str, val_col: str):
+    """First-digit (Benford) audit per key — the classic forensic /
+    data-quality screen for fabricated or unit-corrupted numeric
+    columns: naturally-occurring multi-magnitude amounts lead with 1
+    ~30% of the time; human-invented or re-scaled ones don't.
+
+    ``val_col`` must be positive int64 magnitudes (integerize money to
+    cents upstream); zero/negative values are excluded (Benford is a
+    positive-magnitude law). Emits one row per (key, observed digit):
+    ``(key, digit, n_values, share_ppm, benford_ppm, dev_ppm)`` with
+    ``share_ppm = (c·10⁶) // n`` integer-exact and ``dev_ppm`` the
+    absolute gap to the fixed reference constants — every number
+    reproducible bit-for-bit in SQL.
+
+    Physical plan: first digit via vectorized decimal-string head (no
+    float log10 — exact at magnitude boundaries), per-batch (key,
+    digit) count partials, ONE exchange bounded by 9 × keys, per-key
+    shares folded in a tiny map_groups (≤ 9 rows per group).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        v = df[val_col].astype("int64")
+        df = df[v > 0]
+        if not len(df):
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "digit": pa.array([], pa.string()),
+                             "_c": pa.array([], pa.int64())})
+        df["digit"] = df[val_col].astype("int64").astype(str).str[0]
+        g = (df.groupby([key_col, "digit"], sort=False)
+             .size().reset_index(name="_c"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "digit"])
+            .aggregate(Sum("_c", alias_name="_c")))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["_c"].sum())
+        c = g["_c"].astype("int64")
+        share = (c * 1_000_000) // n
+        bref = g["digit"].map(lambda d: BENFORD_PPM[int(d)]).astype("int64")
+        return pd.DataFrame({
+            key_col: g[key_col],
+            "digit": g["digit"],
+            "n_values": c,
+            "share_ppm": share,
+            "benford_ppm": bref,
+            "dev_ppm": (share - bref).abs(),
+        })
+
+    return hist.groupby(key_col).map_groups(finish, batch_format="pandas")

@@ -88,3 +88,35 @@ class TestReportShape:
         assert tbl.column("check").to_pylist() == ["unique:b", "not_null:a"]
         assert tbl.schema.field("violations").type == pa.int64()
         assert tbl.schema.field("passed").type == pa.bool_()
+
+
+class TestBenfordAudit:
+    def test_shares_and_deviation_exact(self, ray_session):
+        from documentai_ray.stages.dq import BENFORD_PPM, benford_audit
+        # key A: values 1x, 19x, 2x, 2xx -> digits 1,1,2,2
+        rows = [{"k": "A", "v": 10}, {"k": "A", "v": 199},
+                {"k": "A", "v": 25}, {"k": "A", "v": 250}]
+        ds = ray_session.data.from_items(rows).repartition(2)
+        out = benford_audit(ds, key_col="k", val_col="v").to_pandas()
+        got = {r["digit"]: (r["n_values"], r["share_ppm"], r["dev_ppm"])
+               for _, r in out.iterrows()}
+        assert got["1"] == (2, 500000, 500000 - BENFORD_PPM[1])
+        assert got["2"] == (2, 500000, 500000 - BENFORD_PPM[2])
+
+    def test_nonpositive_excluded(self, ray_session):
+        from documentai_ray.stages.dq import benford_audit
+        rows = [{"k": "A", "v": 0}, {"k": "A", "v": -5},
+                {"k": "A", "v": 7}]
+        ds = ray_session.data.from_items(rows)
+        out = benford_audit(ds, key_col="k", val_col="v").to_pandas()
+        assert len(out) == 1
+        assert out["digit"].iloc[0] == "7"
+        assert out["n_values"].iloc[0] == 1
+        assert out["share_ppm"].iloc[0] == 1000000
+
+    def test_constants_match_log_law(self):
+        import math
+        from documentai_ray.stages.dq import BENFORD_PPM
+        for d, ppm in BENFORD_PPM.items():
+            assert ppm == round(math.log10(1 + 1 / d) * 1_000_000)
+        assert sum(BENFORD_PPM.values()) == 1_000_000
