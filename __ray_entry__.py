@@ -213,6 +213,39 @@ def _sql_hits(iters: int = 2) -> str:
     return sql
 
 
+def _sql_pagerank_irregular(iters: int = 2) -> str:
+    """Unrolled integer-ppm PageRank oracle over the irregular
+    1–3-out graph (edge j exists when doc_id % 3 ≥ j), mirroring
+    graph.py::pagerank_int's degree-table path op-for-op: contribution
+    is ``r // deg`` with deg joined from the per-src count."""
+    sql = (
+        "WITH nn AS (SELECT count(*) AS cnt FROM documents), "
+        "e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % cnt AS dst "
+        "FROM documents, nn UNION ALL "
+        "SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, nn "
+        "WHERE doc_id % 3 >= 1 UNION ALL "
+        "SELECT doc_id, (doc_id * 31 + 3) % cnt FROM documents, nn "
+        "WHERE doc_id % 3 = 2), "
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "e2 AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)), "
+        "r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r "
+        "FROM documents), "
+    )
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        sql += (
+            f"s{i} AS (SELECT e2.dst AS node, sum({prev}.r // e2.deg) "
+            f"AS s FROM e2 JOIN {prev} ON e2.src = {prev}.node "
+            f"GROUP BY e2.dst), "
+            f"r{i} AS (SELECT {prev}.node, CAST(150000 + "
+            f"(850000 * coalesce(s{i}.s, 0)) // 1000000 AS BIGINT) AS r "
+            f"FROM {prev} LEFT JOIN s{i} ON {prev}.node = s{i}.node), "
+        )
+    sql = sql.rstrip(", ")
+    sql += f" SELECT node, r AS rank_ppm FROM r{iters}"
+    return sql
+
+
 def _sql_pagerank(iters: int = 2) -> str:
     """Unrolled integer-ppm PageRank oracle over the deterministic 3-out
     link graph dst ∈ {(i·7+1), (i·13+2), (i·31+3)} mod N — one
@@ -5401,6 +5434,43 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=3, num_partitions=16)
 
 
+def _q_pagerank_irregular(sf_dir: str):
+    """PageRank over an IRREGULAR out-degree graph (1–3 out-edges per
+    node, degree = 1 + doc_id % 3): exercises pagerank_int's
+    degree-table path — out-degrees computed once (src-count partials →
+    one exchange bounded by distinct src nodes), joined into the edge
+    table ONCE before the loop and materialized, contribution =
+    rank // deg per edge. Every node keeps ≥ 1 out-edge so no dangling
+    mass; integer-ppm throughout so the unrolled oracle is bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import pagerank_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src, dst = [ids], [(ids * 7 + 1) % n]
+        m1 = ids % 3 >= 1
+        src.append(ids[m1]); dst.append((ids[m1] * 13 + 2) % n)
+        m2 = ids % 3 == 2
+        src.append(ids[m2]); dst.append((ids[m2] * 31 + 3) % n)
+        return pa.table({
+            "src": pa.array(np.concatenate(src).astype("int64")),
+            "dst": pa.array(np.concatenate(dst).astype("int64"))})
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("doc_id").cast(pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    nd = docs.map_batches(nodes, batch_format="pyarrow")
+    return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
+
+
 def _q_ntile_split(sf_dir: str):
     """Exact distributed NTILE(10) per language by document size — the
     quantile-bucketed split labeling (size-decile stratification) done
@@ -6664,6 +6734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "category_split_pdfs": _q_category_split_pdfs,
         "bigram_lm": _q_bigram_lm,
         "pagerank": _q_pagerank,
+        "pagerank_irregular": _q_pagerank_irregular,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
@@ -8504,6 +8575,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
         "pagerank": _sql_pagerank(iters=2),
+        "pagerank_irregular": _sql_pagerank_irregular(iters=2),
         # closed form of the planted chain topology: i -> i-1 unless
         # i % 8 == 0, so every chain ends at the floor multiple of 8
         "redirect_resolve": (

@@ -53,12 +53,21 @@ def _bound_blocks(ds, n: int):
     return ds.repartition(n)
 
 
-def pagerank_int(edges_ds, nodes_ds, *, iters: int = 2, out_deg: int,
-                 num_partitions: int = 32):
-    """``edges_ds``: (src, dst) with every src having exactly ``out_deg``
-    edges (the regular-graph contract; for irregular graphs join an
-    out-degree table instead of the constant). ``nodes_ds``: (node).
-    Returns (node, rank_ppm) after ``iters`` damped iterations."""
+def pagerank_int(edges_ds, nodes_ds, *, iters: int = 2,
+                 out_deg: int | None = None, num_partitions: int = 32):
+    """``edges_ds``: (src, dst). ``nodes_ds``: (node). Returns
+    (node, rank_ppm) after ``iters`` damped iterations.
+
+    ``out_deg``: pass the constant when every src has exactly that many
+    edges (the regular-graph fast path — a literal column, no join);
+    pass ``None`` for irregular graphs and the out-degree table is
+    computed once (per-batch src-count partials → one exchange bounded
+    by distinct src nodes) and joined into the edge table ONCE before
+    the loop, materialized so iterations reuse it. Contribution is
+    ``rank // deg`` per edge either way. Dangling nodes (no out-edges)
+    simply contribute nothing — their mass is NOT redistributed, same
+    as the unrolled SQL mirror; add a virtual sink upstream if
+    redistribution semantics are wanted."""
     from ray.data.aggregate import Sum
 
     from documentai_ray.stages.joins import hash_join
@@ -70,19 +79,42 @@ def pagerank_int(edges_ds, nodes_ds, *, iters: int = 2, out_deg: int,
 
     ranks = nodes_ds.map_batches(init, batch_format="pyarrow")
 
-    for _ in range(iters):
-        # contributions: edges ⋈ ranks on src → (dst, r // out_deg)
-        tagged = edges_ds.map_batches(
+    if out_deg is None:
+        def deg_partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            s = pd.Series(batch.column("src").to_numpy())
+            g = s.value_counts()
+            return pa.table({"node": pa.array(g.index.to_numpy()
+                                              .astype("int64")),
+                             "_d": pa.array(g.to_numpy()
+                                            .astype("int64"))})
+
+        deg = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("_d", alias_name="deg")))
+        tagged_src = edges_ds.map_batches(
             lambda b: pa.table({"node": b.column("src").cast(pa.int64()),
                                 "dst": b.column("dst").cast(pa.int64())}),
             batch_format="pyarrow")
-        joined = hash_join(tagged, ranks, on="node",
+        edges_aug = hash_join(tagged_src, deg, on="node",
+                              num_partitions=num_partitions).materialize()
+    else:
+        edges_aug = edges_ds.map_batches(
+            lambda b: pa.table({"node": b.column("src").cast(pa.int64()),
+                                "dst": b.column("dst").cast(pa.int64()),
+                                "deg": pa.array([out_deg] * b.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow")
+
+    for _ in range(iters):
+        # contributions: edges ⋈ ranks on src → (dst, r // deg)
+        joined = hash_join(edges_aug, ranks, on="node",
                            num_partitions=num_partitions)
 
         def contrib(batch: pa.Table) -> pa.Table:
             r = batch.column("rank_ppm").to_numpy()
+            d = batch.column("deg").to_numpy()
             return pa.table({"node": batch.column("dst"),
-                             "c": pa.array(r // out_deg, pa.int64())})
+                             "c": pa.array(r // d, pa.int64())})
 
         # zero-row injection instead of a second join: every node
         # contributes a 0 so sink nodes survive the groupby with s=0 —

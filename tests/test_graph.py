@@ -255,3 +255,39 @@ class TestDagLayers:
         out4 = dag_layers(edges, nodes, rounds=4,
                           num_partitions=2).to_pandas()
         assert dict(zip(out4["node"], out4["layer"]))[4] == 4
+
+
+class TestPagerankIrregular:
+    def test_degree_table_path_matches_hand_calc(self, ray_session):
+        from documentai_ray.stages.graph import pagerank_int
+        # star: 0 -> 1, 0 -> 2 (deg 2); 1 -> 0 (deg 1); 2 dangling-ish
+        # has no out-edges (its mass vanishes, documented semantics).
+        edges = ray_session.data.from_items([
+            {"src": 0, "dst": 1}, {"src": 0, "dst": 2},
+            {"src": 1, "dst": 0},
+        ])
+        nodes = ray_session.data.from_items(
+            [{"node": 0}, {"node": 1}, {"node": 2}])
+        out = pagerank_int(edges, nodes, iters=1, out_deg=None,
+                           num_partitions=2).to_pandas()
+        got = dict(zip(out["node"], out["rank_ppm"]))
+        # r0 = 1e6 each. contributions: 0 sends 500000 to 1 and 2;
+        # 1 sends 1000000 to 0. update = 150000 + 850000*s // 1e6.
+        assert got == {0: 150000 + 850000, 1: 150000 + 425000,
+                       2: 150000 + 425000}
+
+    def test_constant_path_equals_degree_path_on_regular_graph(
+            self, ray_session):
+        from documentai_ray.stages.graph import pagerank_int
+        edges = ray_session.data.from_items(
+            [{"src": i, "dst": (i + 1) % 4} for i in range(4)]
+            + [{"src": i, "dst": (i + 2) % 4} for i in range(4)])
+        nodes = ray_session.data.from_items(
+            [{"node": i} for i in range(4)])
+        a = pagerank_int(edges, nodes, iters=2, out_deg=2,
+                         num_partitions=2).to_pandas()
+        b = pagerank_int(edges, nodes, iters=2, out_deg=None,
+                         num_partitions=2).to_pandas()
+        da = dict(zip(a["node"], a["rank_ppm"]))
+        db = dict(zip(b["node"], b["rank_ppm"]))
+        assert da == db
