@@ -275,7 +275,18 @@ def run_scaling() -> None:
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+        # PIN the leg to exactly ncpu physical cores: ray.init(num_cpus=N)
+        # only caps Ray's logical accounting — worker-internal native
+        # threads (Arrow kernels, numpy) happily spill onto the other
+        # idle cores, inflating the small leg's throughput and deflating
+        # the measured ratio (observed: an unpinned 8-CPU leg ran 14.3k
+        # docs/s on a quiet 32-core box — 1.6× its pinned speed — turning
+        # a ~0.9 efficiency into an apparent 0.56). An N-node vs 4N-node
+        # cluster gives each leg only its own cores; taskset is the
+        # single-box equivalent.
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}",
+               sys.executable, os.path.abspath(__file__)]
+        out = subprocess.run(cmd, env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
