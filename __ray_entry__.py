@@ -5471,6 +5471,26 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_rendezvous_shards(sf_dir: str):
+    """Rendezvous / highest-random-weight shard routing
+    (``partitioning.rendezvous_assign``): every doc goes to the shard
+    maximizing md5-LE64("{key}|{shard}") — the consistent-placement
+    rule where adding a shard moves only ~1/(K+1) of keys and removing
+    one moves only its own (mod-N would reshuffle everything). Pure
+    per-batch map over K=5 hash columns, ZERO exchange; deterministic
+    lexically-larger tie-break mirrored in the oracle's
+    ORDER BY h DESC, shard DESC."""
+    import ray.data
+
+    from documentai_ray.state.partitioning import rendezvous_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return rendezvous_assign(
+        docs, key_col="doc_id",
+        shards=["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"])
+
+
 def _q_ntile_split(sf_dir: str):
     """Exact distributed NTILE(10) per language by document size — the
     quantile-bucketed split labeling (size-decile stratification) done
@@ -6735,6 +6755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": _q_bigram_lm,
         "pagerank": _q_pagerank,
         "pagerank_irregular": _q_pagerank_irregular,
+        "rendezvous_shards": _q_rendezvous_shards,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
@@ -8576,6 +8597,17 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _sql_kmeans(k=4, iters=2),
         "pagerank": _sql_pagerank(iters=2),
         "pagerank_irregular": _sql_pagerank_irregular(iters=2),
+        "rendezvous_shards": (
+            "WITH s AS (SELECT unnest(['shard-a', 'shard-b', 'shard-c', "
+            "'shard-d', 'shard-e']) AS shard), "
+            "m AS (SELECT d.doc_id, s.shard, "
+            + _sql_md5_le64("CAST(d.doc_id AS VARCHAR) || '|' || s.shard")
+            + " AS h FROM documents d CROSS JOIN s), "
+            "r AS (SELECT doc_id, shard, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY h DESC, shard DESC) AS rn "
+            "FROM m) "
+            "SELECT doc_id, shard FROM r WHERE rn = 1"
+        ),
         # closed form of the planted chain topology: i -> i-1 unless
         # i % 8 == 0, so every chain ends at the floor multiple of 8
         "redirect_resolve": (

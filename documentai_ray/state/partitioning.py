@@ -111,3 +111,47 @@ def detect_heavy_hosts(ds, *, share_threshold: float = 0.10, salt_k: int = 8) ->
     # distinct-host table has millions of rows, the heavy set a handful
     heavy = counts.map_batches(only_heavy, batch_format="pyarrow").to_pandas()
     return {h: salt_k for h in heavy["host"].tolist()}
+
+
+def rendezvous_assign(ds, *, key_col: str, shards: list[str],
+                      out_col: str = "shard"):
+    """Rendezvous (highest-random-weight) shard assignment — the
+    sticky-routing primitive behind consistent cache/shard placement
+    (Thaler & Ravishankar 1996, public knowledge): each key goes to
+    ``argmax over shards of hash(key, shard)``. The property mod-N
+    hashing lacks: when a shard is ADDED only ~1/(K+1) of keys move
+    (exactly the keys whose new-shard hash wins), and when one is
+    REMOVED only its own keys move — everything else stays put, so a
+    resize never triggers a full re-shuffle of 100 TB of routed state.
+
+    Hash is the repo-standard md5-LE64 of ``"{key}|{shard}"``; argmax
+    ties (astronomically unlikely, but the rule must be total) break
+    toward the lexically larger shard name so the rule is deterministic
+    and SQL-mirrorable. Pure per-batch map over K hash columns — ZERO
+    exchange; K is the shard count, not data."""
+    import numpy as np
+    import pyarrow as pa
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    if not shards:
+        raise ValueError("rendezvous_assign needs at least one shard")
+    ordered = sorted(shards)  # later (larger) name wins ties via >=
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch.column(key_col).to_pylist()]
+        best = np.zeros(len(keys), dtype=object)
+        best_h = None
+        for sh in ordered:
+            h = np.fromiter((md5_le64(f"{k}|{sh}") for k in keys),
+                            dtype=np.uint64, count=len(keys))
+            if best_h is None:
+                best_h, best[:] = h, sh
+            else:
+                win = h >= best_h
+                best_h = np.where(win, h, best_h)
+                best[win] = sh
+        return batch.append_column(
+            out_col, pa.array([str(s) for s in best], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

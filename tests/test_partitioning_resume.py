@@ -127,3 +127,40 @@ class TestResumableRun:
         redone = run_to_parquet(out, sf_dir=SF_SMOKE, n_buckets=8)
         assert redone[victim]["rows"] == full[victim]["rows"]  # NOT doubled
         assert redone[victim]["digest"] == full[victim]["digest"]
+
+
+class TestRendezvousAssign:
+    def test_minimal_movement_on_shard_add(self, ray_session):
+        """THE rendezvous property: adding a shard moves ONLY the keys
+        the new shard wins; nobody else changes assignment."""
+        from documentai_ray.state.partitioning import rendezvous_assign
+        ds = ray_session.data.from_items(
+            [{"k": i} for i in range(300)])
+        before = rendezvous_assign(ds, key_col="k",
+                                   shards=["s0", "s1", "s2"]).to_pandas()
+        after = rendezvous_assign(ds, key_col="k",
+                                  shards=["s0", "s1", "s2", "s3"]).to_pandas()
+        b = dict(zip(before["k"], before["shard"]))
+        a = dict(zip(after["k"], after["shard"]))
+        moved = {k for k in b if a[k] != b[k]}
+        # every moved key moved TO the new shard, never between old ones
+        assert all(a[k] == "s3" for k in moved)
+        # and roughly 1/4 of keys move (exactly the s3-winners)
+        assert 0 < len(moved) < 150
+
+    def test_deterministic_and_exhaustive(self, ray_session):
+        from documentai_ray.state.partitioning import rendezvous_assign
+        ds = ray_session.data.from_items([{"k": i} for i in range(50)])
+        a = rendezvous_assign(ds, key_col="k",
+                              shards=["x", "y"]).to_pandas()
+        b = rendezvous_assign(ds, key_col="k",
+                              shards=["y", "x"]).to_pandas()  # order-free
+        assert dict(zip(a["k"], a["shard"])) == dict(zip(b["k"], b["shard"]))
+        assert set(a["shard"]) <= {"x", "y"}
+
+    def test_empty_shards_raise(self, ray_session):
+        import pytest
+        from documentai_ray.state.partitioning import rendezvous_assign
+        ds = ray_session.data.from_items([{"k": 1}])
+        with pytest.raises(ValueError):
+            rendezvous_assign(ds, key_col="k", shards=[])
