@@ -2187,6 +2187,59 @@ def _q_type_share(sf_dir: str):
     return grp[["event_type", "total_c", "share_ppm"]]
 
 
+def _q_bag_intersect(sf_dir: str):
+    """Multiset INTERSECT ALL (bag intersection with multiplicity) —
+    completes the bag algebra beside ``bag_difference``: the high-value
+    (≥ $50) event-type stream ∩ the even-user stream, each type
+    surviving ``min(count_left, count_right)`` times. Same count-algebra
+    plan: per-side pre-combined value counts, ONE value-hash exchange,
+    survivors re-exploded by ``np.repeat`` — multiplicity arithmetic on
+    aggregates, never an n×m row pairing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def counts(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            v = np.rint(batch.column("value").to_numpy() * 100
+                        ).astype("int64")
+            u = batch.column("user_id").to_numpy()
+            df = pd.DataFrame({"event_type":
+                               batch.column("event_type").to_pylist()})
+            df = df[v >= 5_000] if which == "left" else df[u % 2 == 0]
+            out = (df.groupby("event_type", sort=False)
+                   .size().reset_index(name="_n"))
+            out["_side"] = which
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                           .replace_schema_metadata(None)
+        return f
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value", "user_id"])
+    both = (read().map_batches(counts("left"), batch_format="pyarrow")
+            .union(read().map_batches(counts("right"),
+                                      batch_format="pyarrow")))
+
+    def isect(g):
+        import pandas as pd
+        c = (g.pivot_table(index="event_type", columns="_side",
+                           values="_n", aggfunc="sum", fill_value=0)
+             .reindex(columns=["left", "right"], fill_value=0)
+             .reset_index())
+        n = np.minimum(c["left"].to_numpy(), c["right"].to_numpy())
+        return pd.DataFrame({"event_type":
+                             np.repeat(c["event_type"].to_numpy(), n)})
+
+    return (_add_pkey(both, "event_type", 8)
+            .groupby("_pkey")
+            .map_groups(lambda g: isect(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
 def _q_bag_difference(sf_dir: str):
     """Multiset EXCEPT ALL (bag difference with multiplicity): the
     event-type stream MINUS its high-value (≥ $100) sub-stream — each
@@ -6756,6 +6809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_irregular": _q_pagerank_irregular,
         "rendezvous_shards": _q_rendezvous_shards,
+        "bag_intersect": _q_bag_intersect,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
@@ -7498,6 +7552,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(total_c AS HUGEINT) * 1000000 "
             "// CAST(sum(total_c) OVER () AS HUGEINT) AS BIGINT) "
             "AS share_ppm FROM g"
+        ),
+        "bag_intersect": (
+            "SELECT event_type FROM events "
+            "WHERE round(value * 100) >= 5000 "
+            "INTERSECT ALL "
+            "SELECT event_type FROM events WHERE user_id % 2 = 0"
         ),
         "bag_difference": (
             "SELECT event_type FROM events "
