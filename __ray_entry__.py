@@ -5544,6 +5544,37 @@ def _q_rendezvous_shards(sf_dir: str):
         shards=["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"])
 
 
+def _q_weighted_median(sf_dir: str):
+    """Revenue-weighted median quantity per return flag
+    (``aggregates.grouped_weighted_median_int``): the quantity at which
+    half of each flag's extended-price revenue sits at or below — the
+    distribution summary a plain median misstates whenever weight and
+    value correlate. Lower-median rule (smallest v with 2·cumw ≥ W),
+    integer-exact end to end (weights in cents); ONE exchange bounded
+    by flags × 50 distinct quantities."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_weighted_median_int
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        c = np.rint(batch.column("l_extendedprice").to_numpy()
+                    * 100).astype("int64")
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "qty": pa.array(q), "cents": pa.array(c)})
+
+    return grouped_weighted_median_int(
+        li.map_batches(prep, batch_format="pyarrow"),
+        key_col="l_returnflag", val_col="qty", weight_col="cents",
+        out_col="wmedian_qty")
+
+
 def _q_ntile_split(sf_dir: str):
     """Exact distributed NTILE(10) per language by document size — the
     quantile-bucketed split labeling (size-decile stratification) done
@@ -6810,6 +6841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_irregular": _q_pagerank_irregular,
         "rendezvous_shards": _q_rendezvous_shards,
         "bag_intersect": _q_bag_intersect,
+        "weighted_median": _q_weighted_median,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
@@ -7552,6 +7584,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(total_c AS HUGEINT) * 1000000 "
             "// CAST(sum(total_c) OVER () AS HUGEINT) AS BIGINT) "
             "AS share_ppm FROM g"
+        ),
+        "weighted_median": (
+            "WITH h AS (SELECT l_returnflag, "
+            "CAST(round(l_quantity) AS BIGINT) AS v, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w "
+            "FROM lineitem GROUP BY l_returnflag, v), "
+            "c AS (SELECT l_returnflag, v, "
+            "sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            "sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM h) "
+            "SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_qty "
+            "FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag"
         ),
         "bag_intersect": (
             "SELECT event_type FROM events "

@@ -1018,3 +1018,49 @@ def mad_outliers(ds, *, key_col: str, val_col: str,
                                    pa.array(out.tolist(), pa.bool_()))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_weighted_median_int(ds, *, key_col: str, val_col: str,
+                                weight_col: str, out_col: str = "wmedian"):
+    """Exact per-key WEIGHTED lower median of an integer-valued column:
+    the smallest v whose cumulative weight reaches half the key's total
+    (``2·cumw(v) ≥ W``) — "the quantity at which half the revenue sits
+    at or below". The lower-median rule (rather than interpolation) is
+    chosen because it is closed over the value domain and integer-exact,
+    so a SQL window mirror reproduces it bit-for-bit.
+
+    Same physical plan as grouped_median_int with counts generalized to
+    weight sums: per-batch (key, v, Σw) partials → ONE exchange bounded
+    by keys × distinct values → the median read off the cumulative
+    weight histogram per key group (tiny map_groups, group count =
+    keys). Weights must be non-negative int64; rows with zero weight
+    can never be selected unless they share a value with weighted rows
+    (they add nothing to cumw).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col, weight_col]).to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        df["_w"] = df[weight_col].astype("int64")
+        if (df["_w"] < 0).any():
+            raise ValueError(f"negative weight in {weight_col!r}")
+        g = (df.groupby([key_col, "_v"], as_index=False)["_w"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_w", alias_name="_w")))
+
+    def median_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_v", kind="mergesort")
+        w = g["_w"].to_numpy().astype("int64")
+        total = int(w.sum())
+        cum = w.cumsum()
+        idx = int(np.searchsorted(2 * cum, total))
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             out_col: [int(g["_v"].to_numpy()[idx])]})
+
+    return hist.groupby(key_col).map_groups(median_of,
+                                            batch_format="pandas")

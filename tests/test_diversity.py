@@ -55,3 +55,33 @@ class TestMadOutliers:
         out = mad_outliers(ds, key_col="k", val_col="v").to_pandas()
         assert (out["med_x2"] == 3).all() and (out["mad_x4"] == 2).all()
         assert not out["is_outlier"].any()
+
+
+class TestGroupedWeightedMedian:
+    def test_weight_pulls_median(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_weighted_median_int
+        # values 1,2,3 with weights 1,1,10 -> W=12, half=6 -> first v
+        # with 2*cumw >= 12 is 3 (cumw: 1,2,12). Plain median would be 2.
+        rows = [{"k": "A", "v": 1, "w": 1}, {"k": "A", "v": 2, "w": 1},
+                {"k": "A", "v": 3, "w": 10}]
+        ds = ray_session.data.from_items(rows).repartition(2)
+        out = grouped_weighted_median_int(
+            ds, key_col="k", val_col="v", weight_col="w").to_pandas()
+        assert int(out["wmedian"].iloc[0]) == 3
+
+    def test_equal_weights_match_lower_median(self, ray_session):
+        from documentai_ray.stages.aggregates import grouped_weighted_median_int
+        rows = [{"k": "A", "v": i, "w": 1} for i in (1, 2, 3, 4)]
+        ds = ray_session.data.from_items(rows)
+        out = grouped_weighted_median_int(
+            ds, key_col="k", val_col="v", weight_col="w").to_pandas()
+        # even count, lower-median rule: 2*cum(2)=4 >= 4 -> v=2
+        assert int(out["wmedian"].iloc[0]) == 2
+
+    def test_negative_weight_raises(self, ray_session):
+        import pytest
+        from documentai_ray.stages.aggregates import grouped_weighted_median_int
+        ds = ray_session.data.from_items([{"k": "A", "v": 1, "w": -1}])
+        with pytest.raises(Exception, match="negative weight"):
+            grouped_weighted_median_int(
+                ds, key_col="k", val_col="v", weight_col="w").to_pandas()
