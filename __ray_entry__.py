@@ -5544,6 +5544,22 @@ def _q_rendezvous_shards(sf_dir: str):
         shards=["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"])
 
 
+def _q_posexplode_tokens(sf_dir: str):
+    """Positional token explode (``schema.posexplode_tokens`` — Spark's
+    posexplode over the repo-standard whitespace tokenization): each
+    document becomes one (doc_id, pos, token) row per token, pos
+    1-based in document order — the layout positional n-gram,
+    co-occurrence and index builds start from. Pure per-batch pandas
+    explode + vectorized offset arithmetic, ZERO exchange."""
+    import ray.data
+
+    from documentai_ray.stages.schema import posexplode_tokens
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return posexplode_tokens(docs, id_cols=["doc_id"], text_col="text")
+
+
 def _q_weighted_median(sf_dir: str):
     """Revenue-weighted median quantity per return flag
     (``aggregates.grouped_weighted_median_int``): the quantity at which
@@ -6842,6 +6858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_shards": _q_rendezvous_shards,
         "bag_intersect": _q_bag_intersect,
         "weighted_median": _q_weighted_median,
+        "posexplode_tokens": _q_posexplode_tokens,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
@@ -7584,6 +7601,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(total_c AS HUGEINT) * 1000000 "
             "// CAST(sum(total_c) OVER () AS HUGEINT) AS BIGINT) "
             "AS share_ppm FROM g"
+        ),
+        "posexplode_tokens": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents) "
+            "SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) "
+            "AS pos, unnest(toks) AS token FROM t"
         ),
         "weighted_median": (
             "WITH h AS (SELECT l_returnflag, "

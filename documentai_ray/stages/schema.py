@@ -82,3 +82,41 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def posexplode_tokens(ds, *, id_cols: list[str], text_col: str,
+                      pos_col: str = "pos", token_col: str = "token"):
+    """Positional explode of a whitespace-tokenized text column: each
+    row becomes one ``(id_cols..., pos, token)`` row per token, pos
+    1-based in document order — the third reshaping surface beside
+    ``unpivot`` (columns → rows) and ``union_by_name`` (schemas), and
+    the layout positional n-gram / co-occurrence / index builds start
+    from. Tokenization is the repo-standard whitespace rule
+    (``\\s+`` split, empties dropped — the exact semantics the
+    quality/token-stats oracles already mirror).
+
+    Pure per-batch transform, ZERO exchange: pandas ``str.split`` +
+    ``explode`` (C paths) with a vectorized groupby-cumcount for the
+    positions; rows with empty/NULL text emit nothing."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+        df = batch.select(id_cols + [text_col]).to_pandas()
+        df["_toks"] = df[text_col].fillna("").str.split()
+        df = df.drop(columns=[text_col])
+        out = df.explode("_toks", ignore_index=True)
+        out = out[out["_toks"].notna()].reset_index(drop=True)
+        # positions, fully vectorized: global arange minus each row's
+        # start offset, +1 for 1-based (explode preserves source order)
+        n_per = df["_toks"].str.len().fillna(0).astype(np.int64).to_numpy()
+        total = int(n_per.sum())
+        starts = np.repeat(np.concatenate([[0], n_per.cumsum()[:-1]]),
+                           n_per)
+        out[pos_col] = (np.arange(total, dtype=np.int64) - starts + 1)
+        out = out.rename(columns={"_toks": token_col})
+        return pa.Table.from_pandas(out[id_cols + [pos_col, token_col]],
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -29,3 +29,25 @@ class TestUnpivot:
         ds = ray_session.data.from_items([{"id": 1}])
         with pytest.raises(ValueError):
             unpivot(ds, id_cols=["id"], value_cols=[])
+
+
+class TestPosexplodeTokens:
+    def test_positions_and_order(self, ray_session):
+        from documentai_ray.stages.schema import posexplode_tokens
+        ds = ray_session.data.from_items([
+            {"id": 1, "t": "a  b\tc"},
+            {"id": 2, "t": " x "},
+            {"id": 3, "t": ""},
+            {"id": 4, "t": None},
+        ])
+        out = posexplode_tokens(ds, id_cols=["id"],
+                                text_col="t").to_pandas()
+        got = sorted(map(tuple, out[["id", "pos", "token"]].to_numpy()))
+        assert got == [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x")]
+
+    def test_empty_batch(self, ray_session):
+        from documentai_ray.stages.schema import posexplode_tokens
+        ds = ray_session.data.from_items([{"id": 1, "t": ""}])
+        out = posexplode_tokens(ds, id_cols=["id"],
+                                text_col="t").to_pandas()
+        assert len(out) == 0
