@@ -2116,6 +2116,36 @@ def _q_quantity_percentile(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "pct_ppm"])
 
 
+def _q_quantity_cume_dist(sf_dir: str):
+    """Per-row inclusive CDF position: each lineitem quantity's
+    cume_dist within its linestatus group, exact integer ppm.
+    Exercises ``aggregates.grouped_cume_dist`` — the inclusive sibling
+    of percent_rank (fraction of the group at or BELOW the value, ties
+    share their peer group's cumulative count): ONE histogram exchange
+    bounded by keys × distinct values + a broadcast lookup, rows never
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_cume_dist
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber"),
+                         "l_linestatus": batch.column("l_linestatus"),
+                         "qty": pa.array(q, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_linestatus",
+                 "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_cume_dist(ds, key_col="l_linestatus", val_col="qty")
+    return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
+
+
 def _q_value_histogram(sf_dir: str):
     """Equal-width histogram of event values (20 bins) — the ANALYZE /
     data-profiling primitive beside profile_columns' min/max/KMV: a
@@ -6723,6 +6753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_window": _q_event_pairs_window,
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
+        "quantity_cume_dist": _q_quantity_cume_dist,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
@@ -7583,6 +7614,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "quantity_cume_dist": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(count(*) OVER (PARTITION BY l_linestatus "
+            "ORDER BY CAST(round(l_quantity) AS BIGINT)) * 1000000 "
+            "// count(*) OVER (PARTITION BY l_linestatus) "
+            "AS BIGINT) AS cume_ppm FROM lineitem"
         ),
         "value_histogram": (
             "WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c "

@@ -702,6 +702,58 @@ def grouped_percent_rank(ds, *, key_col: str, val_col: str,
     return ds.map_batches(attach, batch_format="pyarrow")
 
 
+def grouped_cume_dist(ds, *, key_col: str, val_col: str,
+                      out_col: str = "cume_ppm"):
+    """Exact distributed ``cume_dist() OVER (PARTITION BY key ORDER BY
+    val)`` in integer ppm — the inclusive-CDF sibling of
+    ``grouped_percent_rank``: the fraction of the group at or BELOW this
+    row's value (ties all share the cumulative count of their peer
+    group), the form quantile cutoffs and "top x% of the group" filters
+    want. ``cume_ppm = cum_count(v' ≤ v)·10⁶ // n`` — always in
+    (0, 10⁶], 10⁶ for the group maximum, never 0 (every row counts
+    itself), where percent_rank is 0 at the minimum and needs an n=1
+    special case; cume_dist needs none.
+
+    Identical physical plan: ONE (key, value)-count exchange bounded by
+    keys × distinct values, driver cumulative scan, ``ray.put``
+    broadcast, pure per-batch lookup — rows never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = (df.groupby([key_col, "_v"], as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g[[key_col, "_v", "_n"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    ppm: dict[tuple, int] = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        g = g.sort_values("_v", kind="mergesort")
+        cum = g["_n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for v, c in zip(g["_v"].to_numpy(), cum):
+            ppm[(key, int(v))] = int(c) * 1_000_000 // n
+    ppm_ref = ray.put(ppm)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ppm_ref)
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy().astype(np.int64)
+        out = np.fromiter((lk[(kk, int(vv))]
+                           for kk, vv in zip(keys, vals)),
+                          dtype=np.int64, count=len(keys))
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def ks_statistic_int(ds_a, ds_b, *, val_col: str):
     """Two-sample Kolmogorov–Smirnov statistic in EXACT integer
     arithmetic — the distribution-drift detector a pipeline runs between

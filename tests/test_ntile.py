@@ -126,3 +126,51 @@ def test_global_row_index_parallelism_invariant(ray_session):
             val_col="v", tiebreak_col="id").to_pandas().sort_values("id")
         outs.append(list(o["row_idx"]))
     assert outs[0] == outs[1]
+
+
+def test_grouped_cume_dist_ties_and_bounds(ray_session):
+    """cume_dist: peers share the inclusive cumulative count, the group
+    maximum lands exactly at 10^6, and a singleton group is 10^6 with
+    no special case (count-itself semantics)."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_cume_dist
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype="int64"),
+        "key": ["a", "a", "a", "a", "a", "b"],
+        "v": np.array([1, 2, 2, 2, 9, 5], dtype="int64"),
+    })
+    out = (grouped_cume_dist(
+        ray.data.from_arrow(pa.Table.from_pandas(df)),
+        key_col="key", val_col="v")
+        .to_pandas().sort_values("id"))
+    # group a (n=5): v=1 -> 1/5, v=2 ties -> 4/5 each, v=9 -> 5/5
+    assert list(out["cume_ppm"]) == [
+        200_000, 800_000, 800_000, 800_000, 1_000_000, 1_000_000]
+
+
+def test_grouped_cume_dist_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_cume_dist
+
+    rng = np.random.default_rng(11)
+    n = 311
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "key": rng.choice(["x", "y", "z"], n),
+        "v": rng.integers(0, 12, n).astype("int64"),
+    })
+    out = (grouped_cume_dist(
+        ray.data.from_arrow(pa.Table.from_pandas(df)),
+        key_col="key", val_col="v")
+        .to_pandas().sort_values("id"))
+    want = duckdb.sql(
+        "SELECT id, count(*) OVER (PARTITION BY key ORDER BY v) "
+        "* 1000000 // count(*) OVER (PARTITION BY key) AS cume_ppm "
+        "FROM df ORDER BY id").df()
+    assert list(out["cume_ppm"]) == list(want["cume_ppm"])
