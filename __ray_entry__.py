@@ -5574,6 +5574,40 @@ def _q_rendezvous_shards(sf_dir: str):
         shards=["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"])
 
 
+def _q_skipgram_pairs(sf_dir: str):
+    """word2vec-style windowed co-occurrence counts
+    (``textstats.skipgram_pair_counts``): ordered (left, right) token
+    pairs at distance ≤ 3 within a document, counted corpus-wide —
+    per-batch fully vectorized shift-and-mask pairing pre-combined into
+    (pair, n) partials, ONE exchange bounded by distinct pairs (never
+    token count), Zipf tail pruned at n ≥ 3 post-exchange."""
+    import ray.data
+
+    from documentai_ray.stages.textstats import skipgram_pair_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return skipgram_pair_counts(docs, text_col="text", window=3,
+                                min_count=3)
+
+
+def _q_collocation_lift(sf_dir: str):
+    """Collocation mining via integer-ppm lift (the log-free PMI,
+    ``textstats.collocation_lift``): for adjacent bigrams with ≥ 5
+    occurrences, ``lift_ppm = c_ab·T·10⁶ // (c_a·c_b)`` — how much more
+    often the pair occurs than token independence predicts. Bigram
+    counts ride the skipgram exchange (window=1); unigram counts are a
+    vocab-bounded exchange broadcast via ray.put; arithmetic is Python
+    bigint / HUGEINT so the SQL mirror is bit-exact."""
+    import ray.data
+
+    from documentai_ray.stages.textstats import collocation_lift
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return collocation_lift(docs, text_col="text", min_pair=5)
+
+
 def _q_posexplode_tokens(sf_dir: str):
     """Positional token explode (``schema.posexplode_tokens`` — Spark's
     posexplode over the repo-standard whitespace tokenization): each
@@ -6890,6 +6924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bag_intersect": _q_bag_intersect,
         "weighted_median": _q_weighted_median,
         "posexplode_tokens": _q_posexplode_tokens,
+        "skipgram_pairs": _q_skipgram_pairs,
+        "collocation_lift": _q_collocation_lift,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
         "fuzzy_hosts": _q_fuzzy_hosts,
@@ -7646,6 +7682,38 @@ def oracle_sql() -> dict[str, str]:
             "x -> x <> '') AS toks FROM documents) "
             "SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) "
             "AS pos, unnest(toks) AS token FROM t"
+        ),
+        "skipgram_pairs": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos, "
+            "unnest(toks) AS tok FROM t) "
+            "SELECT a.tok AS left_tok, b.tok AS right_tok, "
+            "count(*) AS n FROM p a JOIN p b ON a.doc_id = b.doc_id "
+            "AND b.pos > a.pos AND b.pos <= a.pos + 3 "
+            "GROUP BY 1, 2 HAVING count(*) >= 3"
+        ),
+        "collocation_lift": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos, "
+            "unnest(toks) AS tok FROM t), "
+            "u AS (SELECT tok, count(*) AS c FROM p GROUP BY tok), "
+            "tot AS (SELECT count(*) AS t FROM p), "
+            "b AS (SELECT a.tok AS l, b2.tok AS r, count(*) AS c_ab "
+            "FROM p a JOIN p b2 ON a.doc_id = b2.doc_id "
+            "AND b2.pos = a.pos + 1 GROUP BY 1, 2 "
+            "HAVING count(*) >= 5) "
+            "SELECT b.l AS left_tok, b.r AS right_tok, "
+            "CAST(b.c_ab AS BIGINT) AS n_pair, "
+            "CAST(CAST(b.c_ab AS HUGEINT) * tot.t * 1000000 "
+            "// (CAST(ul.c AS HUGEINT) * ur.c) AS BIGINT) AS lift_ppm "
+            "FROM b CROSS JOIN tot "
+            "JOIN u ul ON ul.tok = b.l JOIN u ur ON ur.tok = b.r"
         ),
         "weighted_median": (
             "WITH h AS (SELECT l_returnflag, "

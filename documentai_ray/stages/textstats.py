@@ -236,3 +236,127 @@ class BigramScoreStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return bigram_score_batch(batch, self.uni, self.bi,
                                   text_col=self.text_col)
+
+
+# ---------------------------------------------------------------------------
+# windowed co-occurrence (skip-gram pairs) and collocation lift
+# ---------------------------------------------------------------------------
+
+def skipgram_pair_counts(ds, *, text_col: str = "text", window: int = 3,
+                         min_count: int = 1):
+    """word2vec-style skip-gram pair counting: for every token position
+    i, the ordered pairs ``(tok[i], tok[i+d])`` for d = 1..window within
+    the same document, counted corpus-wide — the co-occurrence table
+    embedding trainers, collocation miners and PMI scorers start from.
+    Tokenization is the repo-standard whitespace rule (``\\s+`` split,
+    empties dropped — the posexplode_tokens semantics).
+
+    Physical plan: per-batch fully vectorized pairing (one flat token
+    array + a repeated doc index; pairs at shift d keep only positions
+    whose doc index matches — no per-row Python loop), pre-combined into
+    per-batch (left, right, n) partials, then ONE exchange bounded by
+    DISTINCT ordered pairs (≤ vocab², in practice Zipf-bounded), never
+    by token count. ``min_count`` prunes the long tail after the
+    exchange. Returns a Dataset ``(left_tok, right_tok, n)``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_per = (pa.table({"t": batch.column(text_col)})
+                    .to_pandas()["t"].fillna("").str.split())
+        lens = toks_per.str.len().fillna(0).astype(np.int64).to_numpy()
+        total = int(lens.sum())
+        empty = pa.table({"left_tok": pa.array([], pa.string()),
+                          "right_tok": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if total == 0:
+            return empty
+        flat = np.fromiter((tok for lst in toks_per for tok in lst),
+                           dtype=object, count=total)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        ls, rs = [], []
+        for d in range(1, window + 1):
+            if total <= d:
+                break
+            same = doc_idx[:-d] == doc_idx[d:]
+            ls.append(flat[:-d][same])
+            rs.append(flat[d:][same])
+        if not ls:
+            return empty
+        pdf = pd.DataFrame({"left_tok": np.concatenate(ls),
+                            "right_tok": np.concatenate(rs)})
+        g = (pdf.groupby(["left_tok", "right_tok"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["left_tok", "right_tok"])
+           .aggregate(Sum("n", alias_name="n")))
+    if min_count > 1:
+        def prune(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.filter(
+                pc.greater_equal(batch.column("n"), min_count))
+        out = out.map_batches(prune, batch_format="pyarrow")
+    return out
+
+
+def collocation_lift(ds, *, text_col: str = "text", min_pair: int = 5):
+    """Collocation mining via integer-ppm lift — the log-free PMI: for
+    each adjacent bigram (a, b), ``lift = P(ab) / (P(a)·P(b))`` tells
+    how much more often the pair occurs than independence predicts
+    (lift ≫ 1 marks multi-word expressions; ≈ 1 marks chance
+    adjacency). Computed as ``lift_ppm = c_ab · T · 10⁶ //
+    (c_a · c_b)`` with T = total tokens — pure integer arithmetic
+    (Python bigints / HUGEINT in SQL), so every value reproduces
+    bit-for-bit where a float log2 PMI never would.
+
+    Physical plan: bigram counts via ``skipgram_pair_counts(window=1)``
+    (one exchange bounded by distinct bigrams); unigram counts via one
+    vocab-bounded exchange, collected and broadcast via ``ray.put``
+    (vocab fits driver memory by the bigram-LM contract — for open
+    vocabularies swap the attach for a hash_join on the count TABLES,
+    still never on rows). Returns ``(left_tok, right_tok, n_pair,
+    lift_ppm)`` for pairs with ``n_pair >= min_pair``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        toks_per = (pa.table({"t": batch.column(text_col)})
+                    .to_pandas()["t"].fillna("").str.split())
+        flat = pd.Series([tok for lst in toks_per for tok in lst],
+                         dtype=object)
+        if flat.empty:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = flat.value_counts()
+        return pa.table({"tok": pa.array(g.index, pa.string()),
+                         "n": pa.array(g.to_numpy(), pa.int64())})
+
+    uni = (ds.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    counts = {t: int(n) for t, n in zip(uni["tok"], uni["n"])}
+    total = sum(counts.values())
+    uni_ref = ray.put((counts, total))
+
+    pairs = skipgram_pair_counts(ds, text_col=text_col, window=1,
+                                 min_count=min_pair)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk, tot = ray.get(uni_ref)
+        l = batch.column("left_tok").to_pylist()
+        r = batch.column("right_tok").to_pylist()
+        n = batch.column("n").to_pylist()
+        lift = [int(c) * tot * 1_000_000 // (lk[a] * lk[b])
+                for a, b, c in zip(l, r, n)]
+        return pa.table({"left_tok": batch.column("left_tok"),
+                         "right_tok": batch.column("right_tok"),
+                         "n_pair": pa.array([int(x) for x in n], pa.int64()),
+                         "lift_ppm": pa.array(lift, pa.int64())})
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
