@@ -4702,6 +4702,37 @@ def _q_k_anonymity(sf_dir: str):
                        k=10)
 
 
+def _q_l_diversity(sf_dir: str):
+    """l-diversity suppression over customer metadata
+    (``privacy.l_diversify``) — k-anonymity's homogeneity-attack
+    complement: a QI class whose members all share the SAME sensitive
+    value (here the account-in-arrears flag) leaks it regardless of
+    class size, so classes carrying < 2 distinct sensitive values get
+    their QI suppressed to '*'. Same ONE-row-exchange plan as
+    k_anonymity (classes co-locate whole, per-partition vectorized
+    nunique-transform); at sf0.01 ~9% of balances are negative, so
+    all-nonnegative classes genuinely fail while mixed ones pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.privacy import l_diversify
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_nationkey": batch.column("c_nationkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "bal_neg": pc.less(batch.column("c_acctbal"), 0.0)})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return l_diversify(cust, qi_cols=["c_nationkey", "c_mktsegment"],
+                       sensitive_col="bal_neg", l=2)
+
+
 def _q_diversity_index(sf_dir: str):
     """Per-source language diversity of the documents table
     (``aggregates.grouped_diversity``): exact integer-ppm Gini–Simpson
@@ -6797,6 +6828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_layers": _q_dag_layers,
         "dq_audit": _q_dq_audit,
         "k_anonymity": _q_k_anonymity,
+        "l_diversity": _q_l_diversity,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7622,6 +7654,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "l_diversity": (
+            "WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment, "
+            "c_acctbal < 0 AS bal_neg FROM customer), "
+            "d AS (SELECT c_nationkey, c_mktsegment, "
+            "count(DISTINCT bal_neg) AS ld FROM s GROUP BY 1, 2) "
+            "SELECT c_custkey, bal_neg, "
+            "CASE WHEN ld >= 2 THEN CAST(c_nationkey AS VARCHAR) "
+            "ELSE '*' END AS c_nationkey_qi, "
+            "CASE WHEN ld >= 2 THEN c_mktsegment ELSE '*' END "
+            "AS c_mktsegment_qi, "
+            "ld >= 2 AS l_diverse "
+            "FROM s JOIN d USING (c_nationkey, c_mktsegment)"
         ),
         "ks_drift": (
             "WITH a AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

@@ -92,3 +92,94 @@ def k_anonymity_audit(ds, *, qi_cols: list[str], k: int):
             "k_anonymous", pa.array((n >= k).tolist(), pa.bool_()))
 
     return sizes.map_batches(flag, batch_format="pyarrow")
+
+def l_diversify(ds, *, qi_cols: list[str], sensitive_col: str, l: int,
+                num_partitions: int = 64, suppressed: str = "*"):
+    """l-diversity suppression — k-anonymity's stricter sibling: a QI
+    class where every member shares the SAME sensitive value leaks that
+    value even when the class is large (homogeneity attack;
+    Machanavajjhala et al. 2006, public knowledge). Rows whose QI class
+    carries fewer than ``l`` DISTINCT sensitive values get their QI
+    columns suppressed to ``'*'``; diverse classes pass through.
+
+    Same physical plan as ``k_anonymize`` — ONE row exchange keyed by
+    crc32 of the QI tuple co-locates each class whole, then the
+    partition computes per-class ``nunique(sensitive)`` in one
+    vectorized groupby-transform (a hot class costs one linear scan,
+    never pairwise work). Emits ``{c}_qi`` string columns plus an
+    ``l_diverse`` bool; non-QI columns (including the sensitive one)
+    pass through unchanged."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_pylist() for c in qi_cols]
+        pk = np.fromiter(
+            (zlib.crc32("\x1f".join(str(v) for v in row).encode())
+             % num_partitions for row in zip(*cols)),
+            dtype=np.int32, count=batch.num_rows)
+        return batch.append_column("_pkey", pa.array(pk, pa.int32()))
+
+    def suppress(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_pkey"])
+        ldiv = g.groupby(qi_cols, sort=False, dropna=False)[sensitive_col] \
+                .transform("nunique")
+        ok = ldiv.to_numpy() >= l
+        out = g.copy()
+        for c in qi_cols:
+            vals = g[c].astype(str).to_numpy(dtype=object)
+            vals[~ok] = suppressed
+            out[f"{c}_qi"] = vals
+        out = out.drop(columns=qi_cols)
+        out["l_diverse"] = ok
+        return out
+
+    return (ds.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(suppress, batch_format="pandas"))
+
+
+def l_diversity_audit(ds, *, qi_cols: list[str], sensitive_col: str,
+                      l: int):
+    """Audit only — per-QI-class size AND distinct-sensitive-value
+    count without moving rows: ONE exchange of per-batch (QI...,
+    sensitive, c) count partials bounded by distinct (QI, sensitive)
+    combinations, folded per class into ``(class_size, l_distinct,
+    l_diverse)`` — class_size is the sum of counts, l_distinct the
+    number of surviving (QI, sensitive) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(qi_cols + [sensitive_col]).to_pandas()
+        g = (df.groupby(qi_cols + [sensitive_col], sort=False,
+                        dropna=False).size().reset_index(name="c"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    per_sv = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(qi_cols + [sensitive_col])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(qi_cols, sort=False, dropna=False)
+             .agg(class_size=("c", "sum"), l_distinct=("c", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    # second tiny exchange bounded by distinct QI combos: the per_sv
+    # table already fits the aggregate contract, but distinct sensitive
+    # values of one class may span blocks — re-key by QI before folding.
+    from ray.data.aggregate import Sum as _Sum
+    folded = (per_sv.map_batches(fold, batch_format="pyarrow")
+              .groupby(qi_cols)
+              .aggregate(_Sum("class_size", alias_name="class_size"),
+                         _Sum("l_distinct", alias_name="l_distinct")))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch.column("l_distinct").to_numpy()
+        return batch.append_column(
+            "l_diverse", pa.array((n >= l).tolist(), pa.bool_()))
+
+    return folded.map_batches(flag, batch_format="pyarrow")

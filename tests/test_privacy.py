@@ -62,3 +62,54 @@ class TestKAnonymityAudit:
                for _, r in out.iterrows()}
         assert got == {(1, "A"): (5, True), (1, "B"): (2, False),
                        (2, "A"): (3, True)}
+
+
+class TestLDiversity:
+    def test_homogeneous_class_suppressed_even_when_large(self,
+                                                          ray_session):
+        """The k-anonymity blind spot: a class of 8 rows all sharing
+        the sensitive value is k-anonymous at k=8 yet leaks — l=2
+        suppresses it; a size-3 mixed class passes."""
+        from documentai_ray.stages.privacy import l_diversify
+        rows = ([{"id": i, "g": 1, "s": "x"} for i in range(8)]
+                + [{"id": 8, "g": 2, "s": "x"},
+                   {"id": 9, "g": 2, "s": "y"},
+                   {"id": 10, "g": 2, "s": "x"}])
+        ds = ray_session.data.from_items(rows).repartition(3)
+        out = (l_diversify(ds, qi_cols=["g"], sensitive_col="s", l=2)
+               .to_pandas().sort_values("id"))
+        assert list(out["l_diverse"]) == [False] * 8 + [True] * 3
+        assert set(out["g_qi"][:8]) == {"*"}
+        assert set(out["g_qi"][8:]) == {"2"}
+        # sensitive column itself passes through unsuppressed
+        assert list(out["s"]) == ["x"] * 8 + ["x", "y", "x"]
+
+    def test_cross_block_distinct_counting(self, ray_session):
+        """A class whose two sensitive values live in different input
+        blocks still counts as diverse (co-location by QI hash)."""
+        from documentai_ray.stages.privacy import l_diversify
+        rows = [{"id": 0, "g": 7, "s": "a"}, {"id": 1, "g": 7, "s": "b"}]
+        ds = ray_session.data.from_items(rows).repartition(2)
+        out = l_diversify(ds, qi_cols=["g"], sensitive_col="s",
+                          l=2).to_pandas()
+        assert list(out["l_diverse"]) == [True, True]
+
+    def test_rejects_bad_l(self, ray_session):
+        import pytest
+        from documentai_ray.stages.privacy import l_diversify
+        with pytest.raises(ValueError):
+            l_diversify(ray_session.data.from_items([{"g": 1, "s": 1}]),
+                        qi_cols=["g"], sensitive_col="s", l=0)
+
+
+class TestLDiversityAudit:
+    def test_audit_counts_exact(self, ray_session):
+        from documentai_ray.stages.privacy import l_diversity_audit
+        rows = ([{"g": 1, "s": "a"}] * 4 + [{"g": 1, "s": "b"}]
+                + [{"g": 2, "s": "a"}] * 3)
+        ds = ray_session.data.from_items(rows).repartition(4)
+        out = l_diversity_audit(ds, qi_cols=["g"], sensitive_col="s",
+                                l=2).to_pandas()
+        got = {r["g"]: (r["class_size"], r["l_distinct"], r["l_diverse"])
+               for _, r in out.iterrows()}
+        assert got == {1: (5, 2, True), 2: (3, 1, False)}
