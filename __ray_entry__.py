@@ -2146,6 +2146,36 @@ def _q_quantity_cume_dist(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
 
 
+def _q_log2_p99(sf_dir: str):
+    """Bounded-state p99 per key (``sketches.log2_quantile_sketch``):
+    order totals bucketed by octave (floor(log2) via exact np.frexp),
+    ONE exchange of keys × ≤64 bucket counts no matter the value
+    distribution — the DDSketch trade: the answer is the interval
+    [2^b, 2^(b+1)−1] with guaranteed ≤2× relative error, where the
+    exact-histogram quantile ops pay an exchange bounded by distinct
+    values. Integer rank rule cum·100 ≥ 99·n mirrors the SQL
+    bit-exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import log2_quantile_sketch
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("o_totalprice").to_numpy() * 100
+                    ).astype("int64")
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(c, pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return log2_quantile_sketch(orders, key_col="o_orderpriority",
+                                val_col="cents", q_pct=99)
+
+
 def _q_value_histogram(sf_dir: str):
     """Equal-width histogram of event values (20 bins) — the ANALYZE /
     data-profiling primitive beside profile_columns' min/max/KMV: a
@@ -6819,6 +6849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": _q_path_rollup,
         "quantity_percentile": _q_quantity_percentile,
         "quantity_cume_dist": _q_quantity_cume_dist,
+        "log2_p99": _q_log2_p99,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
@@ -7695,6 +7726,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "log2_p99": (
+            "WITH v AS (SELECT o_orderpriority AS k, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders), "
+            "h AS (SELECT k, length(bin(c)) - 1 AS b, count(*) AS n "
+            "FROM v GROUP BY 1, 2), "
+            "w AS (SELECT k, b, n, "
+            "sum(n) OVER (PARTITION BY k ORDER BY b) AS cum, "
+            "sum(n) OVER (PARTITION BY k) AS tot FROM h) "
+            "SELECT k AS o_orderpriority, CAST(tot AS BIGINT) AS n, "
+            "CAST(min(b) AS BIGINT) AS q_bucket, "
+            "(CAST(1 AS BIGINT) << CAST(min(b) AS INT)) AS q_lo, "
+            "(CAST(1 AS BIGINT) << (CAST(min(b) AS INT) + 1)) - 1 "
+            "AS q_hi "
+            "FROM w WHERE cum * 100 >= 99 * tot GROUP BY k, tot"
         ),
         "quantity_cume_dist": (
             "SELECT l_orderkey, l_linenumber, "

@@ -463,3 +463,62 @@ def kmv_difference_sets(ds_a, ds_b, *, val_col: str, k: int = 64):
                      "est_only_a": pa.array([st["est_only_a"]], pa.int64()),
                      "est_only_b": pa.array([st["est_only_b"]],
                                             pa.int64())})
+
+
+def log2_quantile_sketch(ds, *, key_col: str, val_col: str,
+                         q_pct: int = 99):
+    """DDSketch-style bounded quantile summary per key: bucket every
+    positive integer value by ``floor(log2(v))`` (64 buckets cover the
+    whole int64 domain — the sketch size is FIXED no matter the value
+    distribution, unlike the exact-histogram quantile ops whose
+    exchange is bounded by distinct values), then read the q-th
+    percentile off the cumulative bucket counts. The answer is an
+    INTERVAL ``[2^b, 2^(b+1)-1]`` — a guaranteed relative error ≤ 2×,
+    the trade the sketch makes for its O(keys × 64) state; tighter
+    error wants more buckets per octave (same plan, finer bucket fn).
+
+    Rank rule: the target bucket is the first whose inclusive
+    cumulative count reaches ``ceil(q·n/100)`` (integer test
+    ``cum·100 ≥ q·n`` — no float), matching the SQL mirror bit-exactly.
+
+    Physical plan: per-batch (key, bucket) count partials (bucket via
+    ``np.frexp`` — exact for v < 2⁵³, no log-boundary misrounding) →
+    ONE exchange bounded by keys × 64 → driver cumulative fold.
+    Contract: values must be ≥ 1 (raise otherwise — clamp or shift
+    upstream; zero/negative have no octave)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if not 1 <= q_pct <= 100:
+        raise ValueError(f"q_pct must be in [1, 100], got {q_pct}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        v = df[val_col].to_numpy().astype(np.int64)
+        if len(v) and v.min() < 1:
+            raise ValueError("log2_quantile_sketch requires values >= 1")
+        # frexp: v = m * 2^e with m in [0.5, 1) -> floor(log2 v) = e - 1
+        _, e = np.frexp(v.astype(np.float64))
+        df["_b"] = (e - 1).astype(np.int64)
+        g = (df.groupby([key_col, "_b"], as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g[[key_col, "_b", "_n"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_b"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    rows = []
+    for key, g in hist.groupby(key_col, sort=False):
+        g = g.sort_values("_b", kind="mergesort")
+        cum = g["_n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        hit = np.nonzero(cum * 100 >= q_pct * n)[0][0]
+        b = int(g["_b"].to_numpy()[hit])
+        rows.append((key, n, b, 1 << b, (1 << (b + 1)) - 1))
+    out = pd.DataFrame(rows, columns=[key_col, "n", "q_bucket",
+                                      "q_lo", "q_hi"])
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -313,3 +313,36 @@ class TestKmvDifference:
                                 k=128).to_pandas().iloc[0]
         assert abs(r["est_only_a"] - 1500) / 1500 < 0.5
         assert abs(r["est_only_b"] - 1500) / 1500 < 0.5
+
+
+def test_log2_quantile_sketch_exact_buckets(ray_session):
+    """Octave boundaries are exact (powers of two land in their own
+    bucket, v=2^k-1 in the one below) and the rank rule is inclusive
+    ceil(q*n/100)."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import log2_quantile_sketch
+
+    rows = ([{"k": "a", "v": 8}] * 99 + [{"k": "a", "v": 1024}]
+            + [{"k": "b", "v": 7}, {"k": "b", "v": 8}])
+    out = log2_quantile_sketch(
+        ray_session.data.from_items(rows).repartition(4),
+        key_col="k", val_col="v", q_pct=99).to_pandas()
+    got = {r["k"]: (r["n"], r["q_bucket"], r["q_lo"], r["q_hi"])
+           for _, r in out.iterrows()}
+    # a: n=100, rank ceil(99) = 99 -> still in bucket 3 ([8,15])
+    assert got["a"] == (100, 3, 8, 15)
+    # b: n=2, rank ceil(1.98) = 2 -> v=8, bucket 3 (7 is bucket 2)
+    assert got["b"] == (2, 3, 8, 15)
+
+
+def test_log2_quantile_sketch_rejects_nonpositive(ray_session):
+    import pytest
+
+    from documentai_ray.stages.sketches import log2_quantile_sketch
+
+    ds = ray_session.data.from_items([{"k": "a", "v": 0}])
+    with pytest.raises(Exception):
+        log2_quantile_sketch(ds, key_col="k", val_col="v")
+    with pytest.raises(ValueError):
+        log2_quantile_sketch(ds, key_col="k", val_col="v", q_pct=0)
