@@ -5615,6 +5615,41 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_kcore_nodes(sf_dir: str):
+    """k-core decomposition (``graph.kcore_nodes``): iterative peeling
+    of degree-<k nodes until fixpoint — the dense-backbone screen one
+    degree pass cannot compute because peeling CASCADES (removing a
+    pendant drops its neighbor below k next round). Graph: per block of
+    6 consecutive customer keys, a triangle (b0-b1-b2) with a pendant
+    chain b2-b3-b4-b5 — the 2-core is exactly the triangles and the
+    peel takes 3 cascading rounds by construction. Per round: one
+    degree groupby + two key-projected semi hash_joins; the live node
+    count is a monotone fixed-point witness (early exit)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import kcore_nodes
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    n_full = (cust.count() // 6) * 6
+
+    def edges(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_custkey").to_numpy().astype("int64")
+        c = c[c <= n_full]
+        r = (c - 1) % 6
+        src1 = c[r <= 4]
+        src2 = c[r == 2]
+        return pa.table({
+            "src": pa.array(np.concatenate([src1, src2]), pa.int64()),
+            "dst": pa.array(np.concatenate([src1 + 1, src2 - 2]),
+                            pa.int64())})
+
+    e = cust.map_batches(edges, batch_format="pyarrow")
+    return kcore_nodes(e, k=2, rounds=6)
+
+
 def _q_rendezvous_shards(sf_dir: str):
     """Rendezvous / highest-random-weight shard routing
     (``partitioning.rendezvous_assign``): every doc goes to the shard
@@ -6860,6 +6895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_audit": _q_dq_audit,
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
+        "kcore_nodes": _q_kcore_nodes,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7685,6 +7721,34 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "kcore_nodes": (
+            "WITH base AS (SELECT c_custkey AS c, "
+            "(c_custkey - 1) % 6 AS r FROM customer "
+            "WHERE c_custkey <= 6 * ((SELECT count(*) FROM customer) "
+            "// 6)), "
+            "one AS (SELECT c AS src, c + 1 AS dst FROM base "
+            "WHERE r <= 4 "
+            "UNION ALL SELECT c, c - 2 FROM base WHERE r = 2), "
+            "e0 AS (SELECT src, dst FROM one "
+            "UNION ALL SELECT dst, src FROM one), "
+            "d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY 1), "
+            "s1 AS (SELECT src AS n FROM d1 WHERE c >= 2), "
+            "e1 AS (SELECT e.src, e.dst FROM e0 e "
+            "JOIN s1 a ON e.src = a.n JOIN s1 b ON e.dst = b.n), "
+            "d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY 1), "
+            "s2 AS (SELECT src AS n FROM d2 WHERE c >= 2), "
+            "e2 AS (SELECT e.src, e.dst FROM e1 e "
+            "JOIN s2 a ON e.src = a.n JOIN s2 b ON e.dst = b.n), "
+            "d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY 1), "
+            "s3 AS (SELECT src AS n FROM d3 WHERE c >= 2), "
+            "e3 AS (SELECT e.src, e.dst FROM e2 e "
+            "JOIN s3 a ON e.src = a.n JOIN s3 b ON e.dst = b.n), "
+            "d4 AS (SELECT src, count(*) AS c FROM e3 GROUP BY 1), "
+            "s4 AS (SELECT src AS n FROM d4 WHERE c >= 2), "
+            "e4 AS (SELECT e.src, e.dst FROM e3 e "
+            "JOIN s4 a ON e.src = a.n JOIN s4 b ON e.dst = b.n) "
+            "SELECT src AS node, count(*) AS deg FROM e4 GROUP BY 1"
         ),
         "l_diversity": (
             "WITH s AS (SELECT c_custkey, c_nationkey, c_mktsegment, "

@@ -578,3 +578,80 @@ def dag_layers(edges_ds, nodes_ds, *, rounds: int,
             break  # fixed point: relaxation is monotone, so done
         prev_witness = w
     return layer
+
+
+def kcore_nodes(edges_ds, *, k: int, rounds: int,
+                num_partitions: int = 32):
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node of degree < k (with its edges) until none remains — the
+    surviving subgraph is the k-core, the classic "dense backbone"
+    screen (link-graph spam cores, co-purchase communities, collab
+    clusters). Peeling cascades: removing a pendant node can drop its
+    neighbor below k next round, so one degree pass is NOT enough.
+
+    ``edges_ds``: undirected edge list (src:int64, dst:int64), each
+    edge given ONCE, no self-loops / multi-edges (symmetrized
+    internally). Returns (node, deg) for k-core members with deg = the
+    node's degree INSIDE the core.
+
+    Physical plan per round: one degree groupby (exchange bounded by
+    live nodes) + two semi hash_joins restricting the live edge set to
+    surviving endpoints (key-projected — 2 int64 columns move). The
+    live node count is monotone DECREASING, so its count is a
+    sufficient fixed-point witness (the `_relax_witness` argument):
+    the loop exits as soon as a round removes nobody. ``rounds`` caps
+    the budget; if the cascade is deeper than ``rounds`` the result is
+    the (documented) partial peel — choose rounds ≥ the longest pendant
+    chain. Blocks re-bounded per round (`_bound_blocks`)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from documentai_ray.stages.joins import hash_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def sym(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").cast(pa.int64())
+        d = batch.column("dst").cast(pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([s.combine_chunks(),
+                                     d.combine_chunks()]),
+            "dst": pa.concat_arrays([d.combine_chunks(),
+                                     s.combine_chunks()])})
+
+    live = (edges_ds.map_batches(sym, batch_format="pyarrow")
+            .materialize())
+    prev_nodes = -1
+
+    for _ in range(rounds):
+        deg = live.groupby("src").aggregate(Count())
+        survivors = deg.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("src").filter(
+                    pc.greater_equal(b.column("count()"), k))}),
+            batch_format="pyarrow").materialize()
+        n_nodes = survivors.count()
+        if n_nodes == prev_nodes:
+            break  # nobody removed -> fixpoint
+        prev_nodes = n_nodes
+        if n_nodes == 0:
+            live = live.limit(0)
+            break
+        keep_src = survivors.map_batches(
+            lambda b: pa.table({"src": b.column("node")}),
+            batch_format="pyarrow")
+        keep_dst = survivors.map_batches(
+            lambda b: pa.table({"dst": b.column("node")}),
+            batch_format="pyarrow")
+        live = hash_join(live, keep_src, on="src", how="semi",
+                         num_partitions=num_partitions)
+        live = hash_join(live, keep_dst, on="dst", how="semi",
+                         num_partitions=num_partitions)
+        live = _bound_blocks(live, num_partitions).materialize()
+
+    deg = live.groupby("src").aggregate(Count())
+    return deg.map_batches(
+        lambda b: pa.table({"node": b.column("src"),
+                            "deg": b.column("count()").cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -291,3 +291,45 @@ class TestPagerankIrregular:
         da = dict(zip(a["node"], a["rank_ppm"]))
         db = dict(zip(b["node"], b["rank_ppm"]))
         assert da == db
+
+
+class TestKCore:
+    def _edges(self, ray_session, pairs):
+        import pyarrow as pa
+        return ray_session.data.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], pa.int64())}))
+
+    def test_pendant_chain_peels_cascade(self, ray_session):
+        """Triangle 0-1-2 with pendant chain 2-3-4-5: one degree pass
+        removes only node 5; the cascade must continue until the
+        triangle alone remains."""
+        from documentai_ray.stages.graph import kcore_nodes
+        e = self._edges(ray_session, [(0, 1), (1, 2), (2, 0),
+                                      (2, 3), (3, 4), (4, 5)])
+        out = kcore_nodes(e, k=2, rounds=5).to_pandas()
+        got = dict(zip(out["node"], out["deg"]))
+        assert got == {0: 2, 1: 2, 2: 2}
+
+    def test_rounds_truncation_contract(self, ray_session):
+        """rounds=1 performs exactly one peel: node 5 gone, node 4 left
+        at degree 1 (the documented partial-peel semantics)."""
+        from documentai_ray.stages.graph import kcore_nodes
+        e = self._edges(ray_session, [(0, 1), (1, 2), (2, 0),
+                                      (2, 3), (3, 4), (4, 5)])
+        out = kcore_nodes(e, k=2, rounds=1).to_pandas()
+        got = dict(zip(out["node"], out["deg"]))
+        assert got == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1}
+
+    def test_whole_graph_dissolves(self, ray_session):
+        from documentai_ray.stages.graph import kcore_nodes
+        e = self._edges(ray_session, [(0, 1), (1, 2)])  # path: no 2-core
+        out = kcore_nodes(e, k=2, rounds=4).to_pandas()
+        assert len(out) == 0
+
+    def test_rejects_bad_k(self, ray_session):
+        import pytest
+        from documentai_ray.stages.graph import kcore_nodes
+        with pytest.raises(ValueError):
+            kcore_nodes(self._edges(ray_session, [(0, 1)]), k=0,
+                        rounds=1)
