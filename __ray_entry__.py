@@ -2146,6 +2146,37 @@ def _q_quantity_cume_dist(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
 
 
+def _q_target_encode(sf_dir: str):
+    """Smoothed target encoding of market segment by account balance
+    (``aggregates.target_encode_int``): each category becomes the
+    smoothed mean of its target, ``(sum_c + m·prior) // (n_c + m)`` —
+    rare categories shrink toward the global mean with pseudo-count
+    weight m=10. Balance shifted to cents + 100000 so everything is
+    non-negative and floor division is unambiguous cross-engine. ONE
+    exchange bounded by distinct categories + ray.put broadcast attach;
+    rows never shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import target_encode_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = (np.rint(batch.column("c_acctbal").to_numpy() * 100)
+             .astype("int64") + 100_000)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment"),
+                         "bal_shifted": pa.array(c, pa.int64())})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = target_encode_int(cust, cat_col="c_mktsegment",
+                            target_col="bal_shifted", m=10)
+    return out.select_columns(["c_custkey", "c_mktsegment", "enc"])
+
+
 def _q_log2_p99(sf_dir: str):
     """Bounded-state p99 per key (``sketches.log2_quantile_sketch``):
     order totals bucketed by octave (floor(log2) via exact np.frexp),
@@ -6885,6 +6916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentile": _q_quantity_percentile,
         "quantity_cume_dist": _q_quantity_cume_dist,
         "log2_p99": _q_log2_p99,
+        "target_encode": _q_target_encode,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
@@ -7790,6 +7822,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "target_encode": (
+            "WITH t AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS b "
+            "FROM customer), "
+            "g AS (SELECT c_mktsegment, sum(b) AS s, count(*) AS n "
+            "FROM t GROUP BY 1), "
+            "p AS (SELECT sum(s) // sum(n) AS prior FROM g) "
+            "SELECT t.c_custkey, t.c_mktsegment, "
+            "CAST((g.s + 10 * p.prior) // (g.n + 10) AS BIGINT) AS enc "
+            "FROM t JOIN g USING (c_mktsegment) CROSS JOIN p"
         ),
         "log2_p99": (
             "WITH v AS (SELECT o_orderpriority AS k, "

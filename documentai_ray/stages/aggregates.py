@@ -1116,3 +1116,56 @@ def grouped_weighted_median_int(ds, *, key_col: str, val_col: str,
 
     return hist.groupby(key_col).map_groups(median_of,
                                             batch_format="pandas")
+
+
+def target_encode_int(ds, *, cat_col: str, target_col: str, m: int = 10,
+                      out_col: str = "enc"):
+    """Smoothed target encoding — the ML-prep categorical featurizer:
+    each category is replaced by the smoothed mean of the target,
+    ``enc = (sum_c + m·prior) // (n_c + m)`` with ``prior = total_sum //
+    total_n`` — rare categories shrink toward the global mean (m is the
+    pseudo-count weight), frequent ones dominate their own evidence.
+    Pure integer floor arithmetic end to end so the SQL mirror is
+    bit-exact; callers must shift the target to be non-negative first
+    (floor vs truncation divergence on negatives is the classic
+    cross-engine trap, same contract as the median/MAD ops).
+
+    Physical plan: per-batch (cat, sum, n) partials → ONE exchange
+    bounded by distinct categories → driver computes prior + per-cat
+    encodings → ``ray.put`` broadcast, per-batch lookup attach. Rows
+    never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([cat_col, target_col]).to_pandas()
+        g = (df.groupby(cat_col, as_index=False)[target_col]
+             .agg(["sum", "size"]).reset_index(drop=True))
+        g.columns = [cat_col, "_s", "_n"]
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(cat_col)
+           .aggregate(Sum("_s", alias_name="_s"),
+                      Sum("_n", alias_name="_n"))).to_pandas()
+    total_s = int(agg["_s"].sum())
+    total_n = int(agg["_n"].sum())
+    if total_n == 0:
+        raise ValueError("target_encode_int: empty input")
+    if int(agg["_s"].min()) < 0:
+        raise ValueError("target_encode_int requires a non-negative "
+                         "target (shift upstream)")
+    prior = total_s // total_n
+    enc = {c: (int(s) + m * prior) // (int(n) + m)
+           for c, s, n in zip(agg[cat_col], agg["_s"], agg["_n"])}
+    enc_ref = ray.put(enc)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(enc_ref)
+        cats = batch.column(cat_col).to_pylist()
+        out = np.fromiter((lk[c] for c in cats), dtype=np.int64,
+                          count=len(cats))
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

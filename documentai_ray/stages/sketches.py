@@ -475,7 +475,10 @@ def log2_quantile_sketch(ds, *, key_col: str, val_col: str,
     percentile off the cumulative bucket counts. The answer is an
     INTERVAL ``[2^b, 2^(b+1)-1]`` — a guaranteed relative error ≤ 2×,
     the trade the sketch makes for its O(keys × 64) state; tighter
-    error wants more buckets per octave (same plan, finer bucket fn).
+    error wants more buckets per octave — that finer variant exists as
+    ``aggregates.grouped_quantile_sketch`` (HDR 16-sub-bucket octaves,
+    ≤ 1/16 relative error); this one is the SQL-mirrorable coarse form
+    (``length(bin(v))−1`` IS the bucket fn, so the oracle is exact).
 
     Rank rule: the target bucket is the first whose inclusive
     cumulative count reaches ``ceil(q·n/100)`` (integer test

@@ -262,3 +262,32 @@ class TestGroupedDenseRank:
         got = dict(zip(out["i"], out["dense_rank"]))
         # dense: 10->1, 20->2 (not 3), 30->3
         assert got == {0: 1, 1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_target_encode_smoothing_exact(ray_session):
+    """Rare category (1 row) shrinks hard toward the prior; frequent
+    category stays near its own mean; arithmetic floor-exact."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import target_encode_int
+
+    rows = [{"cat": "big", "t": 100}] * 20 + [{"cat": "rare", "t": 900}]
+    out = (target_encode_int(
+        ray_session.data.from_items(rows).repartition(4),
+        cat_col="cat", target_col="t", m=10)
+        .to_pandas())
+    # prior = (2000 + 900) // 21 = 138
+    # big:  (2000 + 10*138) // 30 = 3380 // 30 = 112
+    # rare: (900 + 10*138) // 11 = 2280 // 11 = 207
+    got = dict(zip(out["cat"], out["enc"]))
+    assert got == {"big": 112, "rare": 207}
+
+
+def test_target_encode_rejects_negative_target(ray_session):
+    import pytest
+
+    from documentai_ray.stages.aggregates import target_encode_int
+
+    ds = ray_session.data.from_items([{"cat": "a", "t": -5}])
+    with pytest.raises(ValueError):
+        target_encode_int(ds, cat_col="cat", target_col="t")
