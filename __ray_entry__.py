@@ -2146,6 +2146,33 @@ def _q_quantity_cume_dist(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
 
 
+def _q_waterfill_budget(sf_dir: str):
+    """Max-min fair crawl-budget allocation
+    (``curation.waterfill_allocate``): per-user event counts are the
+    demands; a global budget of exactly 3/5 of total demand is split by
+    progressive water-filling — keys whose demand fits under the fair
+    share are fully satisfied, the rest split the remainder evenly with
+    the deterministic (demand, key)-order +1 rule for the integer
+    leftover. Exact closed form prefix + d·(n−k+1) ≤ B, integer end to
+    end; ONE exchange bounded by distinct users, driver fill over the
+    key-bounded table."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import waterfill_allocate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("user_id"),
+                         "one": pa.array([1] * batch.num_rows,
+                                         pa.int64())})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"]
+                               ).map_batches(prep, batch_format="pyarrow")
+    return waterfill_allocate(ev, key_col="user_id", demand_col="one",
+                              budget_num=3, budget_den=5)
+
+
 def _q_target_encode(sf_dir: str):
     """Smoothed target encoding of market segment by account balance
     (``aggregates.target_encode_int``): each category becomes the
@@ -6917,6 +6944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_cume_dist": _q_quantity_cume_dist,
         "log2_p99": _q_log2_p99,
         "target_encode": _q_target_encode,
+        "waterfill_budget": _q_waterfill_budget,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
@@ -7822,6 +7850,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "waterfill_budget": (
+            "WITH d AS (SELECT user_id, count(*) AS dem FROM events "
+            "GROUP BY 1), "
+            "o AS (SELECT user_id, dem, "
+            "row_number() OVER (ORDER BY dem, user_id) AS rn, "
+            "coalesce(sum(dem) OVER (ORDER BY dem, user_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS pfx, count(*) OVER () AS n, sum(dem) OVER () AS tot "
+            "FROM d), "
+            "b AS (SELECT tot * 3 // 5 AS bud FROM o LIMIT 1), "
+            "s AS (SELECT o.*, bud, "
+            "(pfx + dem * (n - rn + 1)) <= bud AS sat "
+            "FROM o CROSS JOIN b), "
+            "j AS (SELECT coalesce(min(rn), "
+            "(SELECT max(rn) FROM s) + 1) AS j0 FROM s WHERE NOT sat), "
+            "r AS (SELECT CASE WHEN j0 > (SELECT max(rn) FROM s) "
+            "THEN 0 ELSE (SELECT bud - pfx FROM s WHERE rn = j0) END "
+            "AS rem, (SELECT max(rn) FROM s) - j0 + 1 AS m FROM j), "
+            "a AS (SELECT user_id, dem, "
+            "CASE WHEN rn < j0 THEN dem "
+            "ELSE rem // m + CASE WHEN rn - j0 < rem % m "
+            "THEN 1 ELSE 0 END END AS alloc "
+            "FROM s CROSS JOIN j CROSS JOIN r) "
+            "SELECT user_id, CAST(dem AS BIGINT) AS demand, "
+            "CAST(alloc AS BIGINT) AS alloc, alloc = dem AS satisfied "
+            "FROM a"
         ),
         "target_encode": (
             "WITH t AS (SELECT c_custkey, c_mktsegment, "

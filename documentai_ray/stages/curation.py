@@ -788,3 +788,68 @@ def sorted_range_export(ds, out_dir: str, *, key_col: str,
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("_shard")
             .map_groups(write_shard, batch_format="pandas"))
+
+
+def waterfill_allocate(ds, *, key_col: str, demand_col: str,
+                       budget_num: int = 3, budget_den: int = 5):
+    """Max-min fair (water-filling) budget allocation — the crawl
+    scheduler's fairness primitive: given per-key demand (fetches a
+    host wants, samples a source requests), split a global budget so
+    that no key can gain without a smaller-allocation key losing.
+    Progressive filling: demands sorted ascending; a key whose demand
+    fits under the current fair share is fully satisfied, the rest
+    split what remains evenly — ``base = rem // m`` each, the first
+    ``rem % m`` of them (in (demand, key) order, so the rule is total
+    and deterministic) getting +1. Budget is expressed as the exact
+    fraction ``budget_num/budget_den`` of TOTAL demand so the op is
+    scale-free and the SQL mirror needs no out-of-band constant.
+
+    Exact integer arithmetic end to end: key k (1-based in sorted
+    order) is satisfied iff ``prefix_{k−1} + d_k·(n−k+1) ≤ B`` — the
+    classic closed form, floor-safe because everything is a product or
+    prefix sum.
+
+    Physical plan: per-batch (key, demand) sum partials → ONE exchange
+    bounded by distinct keys → driver sort + fill over the key-bounded
+    table (the same read-off-the-tiny-aggregate shape as the histogram
+    quantile ops). Returns (key, demand, alloc, satisfied)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, demand_col]).to_pandas()
+        g = (df.groupby(key_col, as_index=False)[demand_col].sum()
+             .rename(columns={demand_col: "_d"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    dem = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).aggregate(Sum("_d", alias_name="_d"))
+           ).to_pandas()
+    if len(dem) and int(dem["_d"].min()) < 0:
+        raise ValueError("waterfill_allocate requires non-negative "
+                         "demand")
+    dem = dem.sort_values([ "_d", key_col],
+                          kind="mergesort").reset_index(drop=True)
+    total = int(dem["_d"].sum())
+    budget = total * budget_num // budget_den
+    n = len(dem)
+    alloc = np.zeros(n, dtype=np.int64)
+    rem, m = budget, n
+    for i in range(n):
+        d = int(dem["_d"].iloc[i])
+        if d * m <= rem:           # fully satisfied under fair share
+            alloc[i] = d
+            rem -= d
+            m -= 1
+        else:                       # water level reached: split evenly
+            base, extra = rem // m, rem % m
+            alloc[i:] = base
+            alloc[i:i + extra] += 1
+            break
+    out = pd.DataFrame({key_col: dem[key_col],
+                        "demand": dem["_d"].astype("int64"),
+                        "alloc": alloc,
+                        "satisfied": alloc == dem["_d"].to_numpy()})
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

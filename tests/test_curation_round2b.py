@@ -324,3 +324,59 @@ class TestUnionByName:
         b = ray_session.data.from_items([{"id": 2, "x": 7}])
         with pytest.raises(ValueError, match="conflicting"):
             union_by_name([a, b])
+
+
+class TestWaterfill:
+    def test_progressive_fill_exact(self, ray_session):
+        """Demands 1,2,10,10 with budget 3/5*23 = 13: host with d=1
+        satisfied, d=2 satisfied, the two d=10 split rem=10 as 5+5."""
+        from documentai_ray.stages.curation import waterfill_allocate
+        rows = ([{"k": "w", "d": 1}, {"k": "x", "d": 2}]
+                + [{"k": "y", "d": 10}, {"k": "z", "d": 10}])
+        out = waterfill_allocate(
+            ray_session.data.from_items(rows).repartition(3),
+            key_col="k", demand_col="d").to_pandas()
+        got = {r["k"]: (r["demand"], r["alloc"], r["satisfied"])
+               for _, r in out.iterrows()}
+        assert got == {"w": (1, 1, True), "x": (2, 2, True),
+                       "y": (10, 5, False), "z": (10, 5, False)}
+
+    def test_integer_leftover_goes_to_first_in_order(self, ray_session):
+        """rem % m = 1 extra unit lands on the lexically/demand-first
+        capped key — the deterministic tie rule."""
+        from documentai_ray.stages.curation import waterfill_allocate
+        # total=15, budget=9; all three d=5: nobody satisfied
+        # (5*3=15 > 9), base=3, extra=0 -> 3,3,3.
+        rows = [{"k": c, "d": 5} for c in "abc"]
+        out = waterfill_allocate(
+            ray_session.data.from_items(rows),
+            key_col="k", demand_col="d").to_pandas()
+        assert dict(zip(out["k"], out["alloc"])) == {
+            "a": 3, "b": 3, "c": 3}
+        # total=16, budget=9 with demands 5,5,6: base=3, extra=0 for
+        # m=3? 16*3//5 = 9; j0=1 (5*3=15>9): rem=9, base=3 extra=0.
+        rows = [{"k": "a", "d": 5}, {"k": "b", "d": 5},
+                {"k": "c", "d": 6}]
+        out = waterfill_allocate(
+            ray_session.data.from_items(rows),
+            key_col="k", demand_col="d").to_pandas()
+        assert dict(zip(out["k"], out["alloc"])) == {
+            "a": 3, "b": 3, "c": 3}
+        # demands 1,5,5, budget 6*...: total=11, budget=6; d=1
+        # satisfied (1*3=3<=6); rem=5 over m=2: base=2, extra=1 ->
+        # a(first capped in (demand,key) order) gets 3, b gets 2.
+        rows = [{"k": "z", "d": 1}, {"k": "a", "d": 5},
+                {"k": "b", "d": 5}]
+        out = waterfill_allocate(
+            ray_session.data.from_items(rows),
+            key_col="k", demand_col="d").to_pandas()
+        assert dict(zip(out["k"], out["alloc"])) == {
+            "z": 1, "a": 3, "b": 2}
+
+    def test_rejects_negative_demand(self, ray_session):
+        import pytest
+        from documentai_ray.stages.curation import waterfill_allocate
+        with pytest.raises(ValueError):
+            waterfill_allocate(
+                ray_session.data.from_items([{"k": "a", "d": -1}]),
+                key_col="k", demand_col="d")
