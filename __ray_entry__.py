@@ -981,6 +981,27 @@ def _q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "pred_lang"])
 
 
+def _q_lang_kappa(sf_dir: str):
+    """Cohen's kappa between the stored ``lang`` label and the
+    ``lang_id`` prediction (``aggregates.cohens_kappa_int``) — the
+    chance-corrected model-vs-annotation agreement eval (raw accuracy
+    rewards majority-class parroting; kappa subtracts what the
+    marginals alone would agree on). Integer ppm with explicit
+    trunc-toward-zero division (the SQL ``//`` semantics). ONE
+    confusion-cell exchange bounded by |langs|²."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import cohens_kappa_int
+    from documentai_ray.stages.textstats import lang_id_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return cohens_kappa_int(ds, col_a="lang", col_b="pred_lang")
+
+
 def _q_token_count_bpe(sf_dir: str):
     import ray.data
 
@@ -2144,6 +2165,33 @@ def _q_quantity_cume_dist(sf_dir: str):
     ).map_batches(prep, batch_format="pyarrow")
     out = grouped_cume_dist(ds, key_col="l_linestatus", val_col="qty")
     return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
+
+
+def _q_rank_auc(sf_dir: str):
+    """Exact ROC-AUC in integer ppm (``aggregates.rank_auc_int``):
+    does quantity rank returned lineitems above kept ones? Rank-based
+    Mann–Whitney identity with the tie term kept integral in doubled
+    units (u2 = Σ p·(2·cumneg + q)) — the threshold-free score eval a
+    float trapezoid can't reproduce bit-exactly. ONE exchange bounded
+    by distinct score values, driver cumulative scan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.aggregates import rank_auc_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({
+            "qty": pa.array(v, pa.int64()),
+            "returned": pc.equal(batch.column("l_returnflag"), "R")})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return rank_auc_int(ds, score_col="qty", label_col="returned")
 
 
 def _q_waterfill_budget(sf_dir: str):
@@ -6918,6 +6966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_similarity": _q_topk_similarity,
         "pdf_layout_text": _q_pdf_layout_text,
         "lang_id": _q_lang_id,
+        "lang_kappa": _q_lang_kappa,
         "token_count_bpe": _q_token_count_bpe,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_train_merges": _q_bpe_train_merges,
@@ -6945,6 +6994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log2_p99": _q_log2_p99,
         "target_encode": _q_target_encode,
         "waterfill_budget": _q_waterfill_budget,
+        "rank_auc": _q_rank_auc,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
@@ -7850,6 +7900,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "rank_auc": (
+            "WITH s AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "
+            "(l_returnflag = 'R') AS lab FROM lineitem), "
+            "h AS (SELECT v, "
+            "sum(CASE WHEN lab THEN 1 ELSE 0 END) AS p, "
+            "sum(CASE WHEN lab THEN 0 ELSE 1 END) AS q "
+            "FROM s GROUP BY 1), "
+            "w AS (SELECT v, p, q, coalesce(sum(q) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS cq FROM h), "
+            "t AS (SELECT sum(p) AS np, sum(q) AS nq, "
+            "sum(p * (2 * cq + q)) AS u2 FROM w) "
+            "SELECT CAST(np AS BIGINT) AS n_pos, "
+            "CAST(nq AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2, "
+            "CAST(u2 * 1000000 // (2 * np * nq) AS BIGINT) AS auc_ppm "
+            "FROM t"
         ),
         "waterfill_budget": (
             "WITH d AS (SELECT user_id, count(*) AS dem FROM events "
@@ -9357,6 +9424,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE confidence >= 0.6 AND lang_ok AND n_chars >= 100"
         ),
         "lang_id": _sql_lang_id("doc_id", "documents"),
+        "lang_kappa": (
+            "WITH pred AS (" + _sql_lang_id("doc_id", "documents")
+            + "), "
+            "pairs AS (SELECT d.lang AS a, p.pred_lang AS b "
+            "FROM documents d JOIN pred p USING (doc_id)), "
+            "cm AS (SELECT a, b, count(*) AS n FROM pairs "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT sum(n) AS n FROM cm), "
+            "diag AS (SELECT coalesce(sum(n), 0) AS d FROM cm "
+            "WHERE a = b), "
+            "ra AS (SELECT a AS lab, sum(n) AS r FROM cm GROUP BY 1), "
+            "cb AS (SELECT b AS lab, sum(n) AS c FROM cm GROUP BY 1), "
+            "pe AS (SELECT coalesce(sum(ra.r * cb.c), 0) AS e "
+            "FROM ra JOIN cb USING (lab)) "
+            "SELECT CAST(tot.n AS BIGINT) AS n, "
+            "CAST(diag.d AS BIGINT) AS n_agree, "
+            "CAST(pe.e AS BIGINT) AS e_sum, "
+            "CAST((tot.n * diag.d - pe.e) * 1000000 "
+            "// (tot.n * tot.n - pe.e) AS BIGINT) AS kappa_ppm "
+            "FROM tot, diag, pe"
+        ),
         "token_count_bpe": (
             # n_ws_tokens mirrors .split() (any-whitespace, empties dropped);
             # the BPE pre-tokenizer regex is RE2-compatible and matches

@@ -1169,3 +1169,96 @@ def target_encode_int(ds, *, cat_col: str, target_col: str, m: int = 10,
         return batch.append_column(out_col, pa.array(out, pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def rank_auc_int(ds, *, score_col: str, label_col: str):
+    """Exact ROC-AUC of an integer score against a boolean label, in
+    integer ppm — THE threshold-free eval for a quality/relevance score
+    ("does the score rank positives above negatives?"), computed
+    rank-based: AUC = [#(pos > neg) + ½·#(pos = neg)] / (n_pos·n_neg),
+    the Mann–Whitney U identity. Doubled units keep the tie term
+    integral: ``u2 = Σ_v p(v)·(2·cumneg_before(v) + q(v))`` and
+    ``auc_ppm = u2·10⁶ // (2·n_pos·n_neg)`` — pure integer end to end,
+    so the SQL window mirror is bit-exact (a float trapezoid AUC never
+    is).
+
+    Physical plan: per-batch (score, n_pos, n_neg) count partials → ONE
+    exchange bounded by distinct score values (grouped_median_int
+    contract — bucket unbounded scores first) → driver cumulative scan.
+    Returns one row (n_pos, n_neg, u2, auc_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([score_col, label_col]).to_pandas()
+        v = df[score_col].astype("int64")
+        lab = df[label_col].astype(bool)
+        g = (pd.DataFrame({"v": v, "_p": lab.astype("int64"),
+                           "_q": (~lab).astype("int64")})
+             .groupby("v", as_index=False).sum())
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("_p", alias_name="_p"),
+                       Sum("_q", alias_name="_q"))).to_pandas()
+    hist = hist.sort_values("v", kind="mergesort")
+    p = hist["_p"].to_numpy()
+    q = hist["_q"].to_numpy()
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("rank_auc_int needs both classes present")
+    cq_before = np.concatenate(([0], q.cumsum()[:-1]))
+    u2 = int((p * (2 * cq_before + q)).sum())
+    auc_ppm = u2 * 1_000_000 // (2 * n_pos * n_neg)
+    return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                     "n_neg": pa.array([n_neg], pa.int64()),
+                     "u2": pa.array([u2], pa.int64()),
+                     "auc_ppm": pa.array([auc_ppm], pa.int64())})
+
+
+def cohens_kappa_int(ds, *, col_a: str, col_b: str):
+    """Cohen's kappa in integer ppm — chance-corrected agreement
+    between two categorical labelings of the same rows (annotator vs
+    model, two classifier techniques, stored label vs prediction):
+    ``kappa = (p_o − p_e) / (1 − p_e)`` cleared of denominators to
+    ``(n·Σdiag − ΣR_i·C_i)·10⁶ / (n² − ΣR_i·C_i)`` — every term an
+    exact integer (raw accuracy Σdiag/n rewards majority-class
+    parroting; kappa subtracts the agreement the marginals alone would
+    produce). The final division TRUNCATES toward zero (kappa can be
+    negative and SQL ``//`` truncates where Python floors — the one
+    cross-engine arithmetic divergence, handled here).
+
+    Physical plan: per-batch (a, b) confusion-cell count partials →
+    ONE exchange bounded by |A|·|B| cells → driver margin fold.
+    Returns one row (n, n_agree, e_sum, kappa_ppm); raises when the
+    chance term saturates (n² = e_sum: a degenerate single-marginal
+    labeling has no chance-corrected signal)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([col_a, col_b]).to_pandas()
+        g = (df.groupby([col_a, col_b], as_index=False, dropna=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    cm = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([col_a, col_b])
+          .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    n = int(cm["_n"].sum())
+    n_agree = int(cm.loc[cm[col_a] == cm[col_b], "_n"].sum())
+    ra = cm.groupby(col_a)["_n"].sum()
+    cb = cm.groupby(col_b)["_n"].sum()
+    labs = ra.index.union(cb.index)
+    e_sum = int(sum(int(ra.get(l, 0)) * int(cb.get(l, 0)) for l in labs))
+    den = n * n - e_sum
+    if den == 0:
+        raise ValueError("cohens_kappa_int: degenerate marginals "
+                         "(chance agreement saturates)")
+    num = (n * n_agree - e_sum) * 1_000_000
+    kappa_ppm = abs(num) // den * (1 if num >= 0 else -1)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "n_agree": pa.array([n_agree], pa.int64()),
+                     "e_sum": pa.array([e_sum], pa.int64()),
+                     "kappa_ppm": pa.array([kappa_ppm], pa.int64())})

@@ -291,3 +291,83 @@ def test_target_encode_rejects_negative_target(ray_session):
     ds = ray_session.data.from_items([{"cat": "a", "t": -5}])
     with pytest.raises(ValueError):
         target_encode_int(ds, cat_col="cat", target_col="t")
+
+
+def test_rank_auc_hand_computed(ray_session):
+    """Positives at {3,3,5}, negatives at {1,3}: pairs pos>neg = 4,
+    ties = 2 -> u2 = 2*4+2 = 10, auc = 10/12 -> 833_333 ppm."""
+    from documentai_ray.stages.aggregates import rank_auc_int
+
+    rows = [{"v": 3, "y": True}, {"v": 3, "y": True},
+            {"v": 5, "y": True}, {"v": 1, "y": False},
+            {"v": 3, "y": False}]
+    out = rank_auc_int(ray_session.data.from_items(rows).repartition(3),
+                       score_col="v", label_col="y").to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "n_pos": 3, "n_neg": 2, "u2": 10, "auc_ppm": 833_333}
+
+
+def test_rank_auc_perfect_and_inverted(ray_session):
+    from documentai_ray.stages.aggregates import rank_auc_int
+
+    rows = [{"v": 10, "y": True}, {"v": 1, "y": False}]
+    out = rank_auc_int(ray_session.data.from_items(rows),
+                       score_col="v", label_col="y").to_pandas()
+    assert int(out["auc_ppm"][0]) == 1_000_000
+    rows = [{"v": 1, "y": True}, {"v": 10, "y": False}]
+    out = rank_auc_int(ray_session.data.from_items(rows),
+                       score_col="v", label_col="y").to_pandas()
+    assert int(out["auc_ppm"][0]) == 0
+
+
+def test_rank_auc_needs_both_classes(ray_session):
+    import pytest
+
+    from documentai_ray.stages.aggregates import rank_auc_int
+
+    ds = ray_session.data.from_items([{"v": 1, "y": True}])
+    with pytest.raises(ValueError):
+        rank_auc_int(ds, score_col="v", label_col="y")
+
+
+def test_cohens_kappa_hand_computed(ray_session):
+    """Classic 2x2: a/a=20, a/b=5, b/a=10, b/b=15, n=50.
+    p_o=35/50; e = 25*30 + 25*20 = 1250; kappa =
+    (50*35-1250)*1e6 // (2500-1250) = 400_000."""
+    from documentai_ray.stages.aggregates import cohens_kappa_int
+
+    rows = ([{"x": "a", "y": "a"}] * 20 + [{"x": "a", "y": "b"}] * 5
+            + [{"x": "b", "y": "a"}] * 10 + [{"x": "b", "y": "b"}] * 15)
+    out = cohens_kappa_int(
+        ray_session.data.from_items(rows).repartition(4),
+        col_a="x", col_b="y").to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "n": 50, "n_agree": 35, "e_sum": 1250, "kappa_ppm": 400_000}
+
+
+def test_cohens_kappa_negative_truncates_toward_zero(ray_session):
+    """Systematic disagreement -> negative kappa; division must
+    truncate (SQL semantics), not floor."""
+    from documentai_ray.stages.aggregates import cohens_kappa_int
+
+    # x=a <-> y=b and x=b <-> y=a, but unbalanced so truncation bites:
+    rows = ([{"x": "a", "y": "b"}] * 3 + [{"x": "b", "y": "a"}] * 2
+            + [{"x": "a", "y": "a"}] * 1)
+    # cm: (a,b)=3 (b,a)=2 (a,a)=1; n=6, agree=1
+    # ra: a=4, b=2 ; cb: a=3, b=3 ; e = 4*3 + 2*3 = 18
+    # num = (6*1 - 18)*1e6 = -12e6 ; den = 36-18 = 18
+    # trunc(-12e6/18) = -666_666 (floor would give -666_667)
+    out = cohens_kappa_int(ray_session.data.from_items(rows),
+                           col_a="x", col_b="y").to_pandas()
+    assert int(out["kappa_ppm"][0]) == -666_666
+
+
+def test_cohens_kappa_degenerate_raises(ray_session):
+    import pytest
+
+    from documentai_ray.stages.aggregates import cohens_kappa_int
+
+    rows = [{"x": "a", "y": "a"}] * 4
+    with pytest.raises(ValueError):
+        cohens_kappa_int(ray_session.data.from_items(rows),
+                         col_a="x", col_b="y")
