@@ -2167,6 +2167,33 @@ def _q_quantity_cume_dist(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
 
 
+def _q_gini_gain(sf_dir: str):
+    """Decision-stump feature score (``aggregates.gini_gain_int``):
+    exact integer-ppm Gini impurity gain of the binary split
+    "quantity ≥ 26" over the 3-class return flag — the CART
+    feature-selection primitive, chosen over information gain because
+    Gini is rational (one cleared division in bigint/HUGEINT, bit-exact
+    in SQL; entropy's log never is). ONE exchange bounded by
+    2 × |labels| cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import gini_gain_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({
+            "hi_qty": pa.array((q >= 26).tolist(), pa.bool_()),
+            "flag": batch.column("l_returnflag")})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return gini_gain_int(ds, split_col="hi_qty", label_col="flag")
+
+
 def _q_rank_auc(sf_dir: str):
     """Exact ROC-AUC in integer ppm (``aggregates.rank_auc_int``):
     does quantity rank returned lineitems above kept ones? Rank-based
@@ -6995,6 +7022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": _q_target_encode,
         "waterfill_budget": _q_waterfill_budget,
         "rank_auc": _q_rank_auc,
+        "gini_gain": _q_gini_gain,
         "ks_drift": _q_ks_drift,
         "quantity_dense_rank": _q_quantity_dense_rank,
         "global_index": _q_global_index,
@@ -7900,6 +7928,29 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(round(l_quantity) AS BIGINT)) - 1) * 1000000 "
             "// (count(*) OVER (PARTITION BY l_returnflag) - 1) END "
             "AS BIGINT) AS pct_ppm FROM lineitem"
+        ),
+        "gini_gain": (
+            "WITH s AS (SELECT "
+            "(CAST(round(l_quantity) AS BIGINT) >= 26) AS side, "
+            "l_returnflag AS lab FROM lineitem), "
+            "cm AS (SELECT side, lab, count(*) AS c FROM s "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT sum(c) AS n, "
+            "sum(CASE WHEN side THEN c ELSE 0 END) AS nl, "
+            "sum(CASE WHEN NOT side THEN c ELSE 0 END) AS nr FROM cm), "
+            "p AS (SELECT sum(cc * cc) AS sp FROM "
+            "(SELECT lab, sum(c) AS cc FROM cm GROUP BY 1)), "
+            "l AS (SELECT coalesce(sum(c * c), 0) AS sl FROM cm "
+            "WHERE side), "
+            "r AS (SELECT coalesce(sum(c * c), 0) AS sr FROM cm "
+            "WHERE NOT side) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(nl AS BIGINT) AS n_left, "
+            "CAST(nr AS BIGINT) AS n_right, "
+            "CAST(1000000 * ((n * n - sp) * nl * nr "
+            "- (nl * nl - sl) * n * nr - (nr * nr - sr) * n * nl) "
+            "// (n * n * nl * nr) AS BIGINT) AS gain_ppm "
+            "FROM t, p, l, r"
         ),
         "rank_auc": (
             "WITH s AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, "

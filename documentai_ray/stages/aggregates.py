@@ -1262,3 +1262,54 @@ def cohens_kappa_int(ds, *, col_a: str, col_b: str):
                      "n_agree": pa.array([n_agree], pa.int64()),
                      "e_sum": pa.array([e_sum], pa.int64()),
                      "kappa_ppm": pa.array([kappa_ppm], pa.int64())})
+
+
+def gini_gain_int(ds, *, split_col: str, label_col: str):
+    """Exact Gini impurity gain of a BINARY split over a categorical
+    label, in integer ppm — the decision-stump feature score ("how much
+    does knowing split_col purify the labels?"), the feature-selection
+    primitive CART-style trainers evaluate thousands of times. Chosen
+    over information gain because Gini is RATIONAL: with parent counts
+    ``Sp = Σc²`` (and SL/SR per side) the gain clears to one division,
+    ``gain_ppm = 10⁶·[(n²−Sp)·n_L·n_R − (n_L²−SL)·n·n_R −
+    (n_R²−SR)·n·n_L] // (n²·n_L·n_R)`` — Python bigints here, HUGEINT
+    in the SQL mirror, bit-identical (entropy's log never is).
+    Non-negative by Jensen, so floor-vs-trunc never diverges.
+
+    Physical plan: per-batch (side, label) count partials → ONE
+    exchange bounded by 2 × |labels| cells → driver arithmetic.
+    Returns one row (n, n_left, n_right, gain_ppm); raises when either
+    side is empty (a non-split has no gain)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([split_col, label_col]).to_pandas()
+        g = (df.groupby([split_col, label_col], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    cm = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([split_col, label_col])
+          .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    left = cm[cm[split_col].astype(bool)]
+    right = cm[~cm[split_col].astype(bool)]
+    n_l = int(left["_n"].sum())
+    n_r = int(right["_n"].sum())
+    if n_l == 0 or n_r == 0:
+        raise ValueError("gini_gain_int: both split sides must be "
+                         "non-empty")
+    n = n_l + n_r
+    parent = cm.groupby(label_col)["_n"].sum()
+    sp = int((parent.astype(object) ** 2).sum())
+    sl = int((left.groupby(label_col)["_n"].sum().astype(object)
+              ** 2).sum())
+    sr = int((right.groupby(label_col)["_n"].sum().astype(object)
+              ** 2).sum())
+    num = ((n * n - sp) * n_l * n_r - (n_l * n_l - sl) * n * n_r
+           - (n_r * n_r - sr) * n * n_l)
+    gain_ppm = 1_000_000 * num // (n * n * n_l * n_r)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "n_left": pa.array([n_l], pa.int64()),
+                     "n_right": pa.array([n_r], pa.int64()),
+                     "gain_ppm": pa.array([gain_ppm], pa.int64())})

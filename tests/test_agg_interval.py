@@ -371,3 +371,37 @@ def test_cohens_kappa_degenerate_raises(ray_session):
     with pytest.raises(ValueError):
         cohens_kappa_int(ray_session.data.from_items(rows),
                          col_a="x", col_b="y")
+
+
+def test_gini_gain_perfect_split(ray_session):
+    """Split perfectly separates two balanced classes: parent gini 1/2,
+    children pure -> gain = 500_000 ppm exactly."""
+    from documentai_ray.stages.aggregates import gini_gain_int
+
+    rows = ([{"s": True, "y": "a"}] * 5 + [{"s": False, "y": "b"}] * 5)
+    out = gini_gain_int(ray_session.data.from_items(rows).repartition(3),
+                        split_col="s", label_col="y").to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "n": 10, "n_left": 5, "n_right": 5, "gain_ppm": 500_000}
+
+
+def test_gini_gain_useless_split_is_zero(ray_session):
+    """Split independent of the label -> zero gain (Jensen equality)."""
+    from documentai_ray.stages.aggregates import gini_gain_int
+
+    rows = ([{"s": True, "y": "a"}] * 2 + [{"s": True, "y": "b"}] * 2
+            + [{"s": False, "y": "a"}] * 3 + [{"s": False, "y": "b"}] * 3)
+    out = gini_gain_int(ray_session.data.from_items(rows),
+                        split_col="s", label_col="y").to_pandas()
+    assert int(out["gain_ppm"][0]) == 0
+
+
+def test_gini_gain_rejects_empty_side(ray_session):
+    import pytest
+
+    from documentai_ray.stages.aggregates import gini_gain_int
+
+    rows = [{"s": True, "y": "a"}, {"s": True, "y": "b"}]
+    with pytest.raises(ValueError):
+        gini_gain_int(ray_session.data.from_items(rows),
+                      split_col="s", label_col="y")
