@@ -5803,6 +5803,23 @@ def _q_rendezvous_shards(sf_dir: str):
         shards=["shard-a", "shard-b", "shard-c", "shard-d", "shard-e"])
 
 
+def _q_kwic_snippets(sf_dir: str):
+    """KWIC concordance (``indexing.kwic_snippets``): every exact-token
+    occurrence of 'merge' in the documents corpus becomes one
+    (doc_id, pos, snippet) row with a ±3-token context window clamped
+    at document edges — the search-result snippet surface. ZERO
+    exchange; vectorized token scan, Python assembly only on the
+    sparse hits."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import kwic_snippets
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return kwic_snippets(docs, id_cols=["doc_id"], text_col="text",
+                         keyword="merge", before=3, after=3)
+
+
 def _q_skipgram_pairs(sf_dir: str):
     """word2vec-style windowed co-occurrence counts
     (``textstats.skipgram_pair_counts``): ordered (left, right) token
@@ -7162,6 +7179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": _q_weighted_median,
         "posexplode_tokens": _q_posexplode_tokens,
         "skipgram_pairs": _q_skipgram_pairs,
+        "kwic_snippets": _q_kwic_snippets,
         "collocation_lift": _q_collocation_lift,
         "redirect_resolve": _q_redirect_resolve,
         "triangle_count": _q_triangle_count,
@@ -8053,6 +8071,18 @@ def oracle_sql() -> dict[str, str]:
             "x -> x <> '') AS toks FROM documents) "
             "SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) "
             "AS pos, unnest(toks) AS token FROM t"
+        ),
+        "kwic_snippets": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, toks, "
+            "CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos, "
+            "unnest(toks) AS tok FROM t) "
+            "SELECT doc_id, pos, "
+            "array_to_string(list_slice(toks, greatest(pos - 3, 1), "
+            "least(pos + 3, len(toks))), ' ') AS snippet "
+            "FROM p WHERE tok = 'merge'"
         ),
         "skipgram_pairs": (
             "WITH t AS (SELECT doc_id, "

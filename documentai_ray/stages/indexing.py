@@ -152,3 +152,62 @@ def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
         fn_constructor_kwargs={"df_ref": ref, "id_col": id_col,
                                "text_col": text_col, "k": k},
     )
+
+
+def kwic_snippets(ds, *, id_cols: list[str], text_col: str,
+                  keyword: str, before: int = 3, after: int = 3):
+    """KWIC (keyword-in-context) concordance — the search-result
+    snippet extractor: every occurrence of ``keyword`` (exact token
+    match under the repo-standard whitespace rule) becomes one
+    ``(id_cols..., pos, snippet)`` row, ``pos`` the 1-based token
+    position and ``snippet`` the space-joined window of ``before``
+    tokens left and ``after`` right (clamped at document edges).
+
+    Pure per-batch transform, ZERO exchange: token explode reuses the
+    posexplode layout (flat token array + doc index + positions, all
+    vectorized); only the MATCHES pay Python-level snippet joins, so
+    per-batch cost is O(tokens) scan + O(hits · window) assembly — the
+    right trade for sparse keywords (for dense ones the snippet column
+    itself is the output bottleneck, not the assembly)."""
+    import numpy as np
+
+    if before < 0 or after < 0:
+        raise ValueError("before/after must be >= 0")
+
+    def snip(batch: pa.Table) -> pa.Table:
+        toks_per = (batch.select([text_col]).to_pandas()[text_col]
+                    .fillna("").str.split())
+        lens = toks_per.str.len().fillna(0).astype(np.int64).to_numpy()
+        total = int(lens.sum())
+        ids = {c: batch.column(c).to_pylist() for c in id_cols}
+        empty = pa.table(
+            {**{c: pa.array([], batch.schema.field(c).type)
+                for c in id_cols},
+             "pos": pa.array([], pa.int64()),
+             "snippet": pa.array([], pa.string())})
+        if total == 0:
+            return empty
+        flat = np.fromiter((t for lst in toks_per for t in lst),
+                           dtype=object, count=total)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        starts = np.repeat(
+            np.concatenate(([0], lens.cumsum()[:-1])), lens)
+        pos0 = np.arange(total, dtype=np.int64) - starts  # 0-based
+        hits = np.nonzero(flat == keyword)[0]
+        if len(hits) == 0:
+            return empty
+        out_ids = {c: [ids[c][doc_idx[h]] for h in hits]
+                   for c in id_cols}
+        snippets = []
+        for h in hits:
+            d, p = doc_idx[h], pos0[h]
+            lo = starts[h] + max(0, p - before)
+            hi = min(starts[h] + lens[d], h + after + 1)
+            snippets.append(" ".join(flat[lo:hi]))
+        return pa.table(
+            {**{c: pa.array(out_ids[c], batch.schema.field(c).type)
+                for c in id_cols},
+             "pos": pa.array((pos0[hits] + 1).tolist(), pa.int64()),
+             "snippet": pa.array(snippets, pa.string())})
+
+    return ds.map_batches(snip, batch_format="pyarrow")

@@ -71,3 +71,43 @@ def test_canonical_url_dedup(ray_session):
     assert out.loc["http://x/p/1", "n_variants"] == 3
     assert out.loc["http://x/p/2", "url"] == "http://x/p/2#frag"
     assert out.loc["http://x/p/2", "n_variants"] == 1
+
+
+class TestKwic:
+    def test_window_clamps_at_edges(self, ray_session):
+        from documentai_ray.stages.indexing import kwic_snippets
+        import pyarrow as pa
+        docs = pa.table({"id": pa.array([1, 2], pa.int64()),
+                         "text": pa.array(
+                             ["hit b c d e", "a b c d hit", ],
+                             pa.string())})
+        out = (kwic_snippets(ray_session.data.from_arrow(docs),
+                             id_cols=["id"], text_col="text",
+                             keyword="hit", before=3, after=3)
+               .to_pandas().sort_values("id"))
+        assert list(out["pos"]) == [1, 5]
+        assert list(out["snippet"]) == ["hit b c d", "b c d hit"]
+
+    def test_multiple_hits_and_misses(self, ray_session):
+        from documentai_ray.stages.indexing import kwic_snippets
+        import pyarrow as pa
+        docs = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                         "text": pa.array(
+                             ["x hit y hit z", "no match here", None],
+                             pa.string())})
+        out = (kwic_snippets(ray_session.data.from_arrow(docs),
+                             id_cols=["id"], text_col="text",
+                             keyword="hit", before=1, after=1)
+               .to_pandas().sort_values("pos"))
+        assert list(out["id"]) == [1, 1]
+        assert list(out["pos"]) == [2, 4]
+        assert list(out["snippet"]) == ["x hit y", "y hit z"]
+
+    def test_rejects_negative_window(self, ray_session):
+        import pytest
+        from documentai_ray.stages.indexing import kwic_snippets
+        with pytest.raises(ValueError):
+            kwic_snippets(ray_session.data.from_items([{"id": 1,
+                                                        "text": "a"}]),
+                          id_cols=["id"], text_col="text",
+                          keyword="a", before=-1)
