@@ -5748,6 +5748,47 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_coordinated_sample(sf_dir: str):
+    """Coordinated sampling across tables
+    (``partitioning.coordinated_sample``): orders AND lineitems each
+    keep rows whose join key's md5 starts with '0'/'1'/'2' (≈18.75 %) —
+    the SAME deterministic rule on the SAME key, so referential
+    integrity survives: every sampled order keeps ALL its line items
+    (independent per-table sampling would keep only p² of joinable
+    pairs and break FK completeness). Revenue per priority over the
+    coordinated slice: two ZERO-exchange filters, one partitioned
+    hash_join, one 5-group aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.stages.joins import hash_join
+    from documentai_ray.state.partitioning import coordinated_sample
+
+    orders = coordinated_sample(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority"]),
+        key_col="o_orderkey")
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        rc = np.rint(batch.column("l_extendedprice").to_numpy() * 100
+                     ).astype("int64")
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "rc": pa.array(rc, pa.int64())})
+
+    line = coordinated_sample(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_extendedprice"]
+                              ).map_batches(prep_line,
+                                            batch_format="pyarrow"),
+        key_col="o_orderkey")
+    j = hash_join(line, orders, on="o_orderkey", num_partitions=32)
+    return (j.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_items"),
+                       Sum("rc", alias_name="rev_c")))
+
+
 def _q_kcore_nodes(sf_dir: str):
     """k-core decomposition (``graph.kcore_nodes``): iterative peeling
     of degree-<k nodes until fixpoint — the dense-backbone screen one
@@ -7051,6 +7092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
         "kcore_nodes": _q_kcore_nodes,
+        "coordinated_sample": _q_coordinated_sample,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7877,6 +7919,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "coordinated_sample": (
+            "WITH so AS (SELECT o_orderkey, o_orderpriority FROM orders "
+            "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) "
+            "IN ('0', '1', '2')), "
+            "sl AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS rc "
+            "FROM lineitem "
+            "WHERE substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) "
+            "IN ('0', '1', '2')) "
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "CAST(sum(rc) AS BIGINT) AS rev_c "
+            "FROM so JOIN sl ON so.o_orderkey = sl.l_orderkey "
+            "GROUP BY 1"
         ),
         "kcore_nodes": (
             "WITH base AS (SELECT c_custkey AS c, "

@@ -164,3 +164,51 @@ class TestRendezvousAssign:
         ds = ray_session.data.from_items([{"k": 1}])
         with pytest.raises(ValueError):
             rendezvous_assign(ds, key_col="k", shards=[])
+
+
+class TestCoordinatedSample:
+    def test_join_of_samples_is_sample_of_join(self, ray_session):
+        """The defining identity: sampling parent and child with the
+        same rule on the same key preserves every kept parent's
+        children exactly."""
+        import pandas as pd
+        import ray.data
+
+        from documentai_ray.state.partitioning import coordinated_sample
+
+        parents = [{"k": i, "p": f"p{i}"} for i in range(200)]
+        children = [{"k": i % 200, "c": j} for j, i in
+                    enumerate(range(600))]
+        sp = coordinated_sample(ray_session.data.from_items(parents),
+                                key_col="k").to_pandas()
+        sc = coordinated_sample(ray_session.data.from_items(children),
+                                key_col="k").to_pandas()
+        # identical key sets survive on both sides
+        assert set(sp["k"]) == set(sc["k"].unique())
+        # and every kept parent keeps ALL its children (3 each here)
+        full = pd.DataFrame(children)
+        for k in sp["k"]:
+            assert (sc["k"] == k).sum() == (full["k"] == k).sum()
+
+    def test_deterministic_and_parallelism_independent(self,
+                                                       ray_session):
+        from documentai_ray.state.partitioning import coordinated_sample
+
+        rows = [{"k": i} for i in range(500)]
+        outs = []
+        for p in (1, 8):
+            ds = ray_session.data.from_items(rows).repartition(p)
+            outs.append(sorted(coordinated_sample(
+                ds, key_col="k").to_pandas()["k"]))
+        assert outs[0] == outs[1] and len(outs[0]) > 0
+
+    def test_rejects_bad_accept(self, ray_session):
+        import pytest
+
+        from documentai_ray.state.partitioning import coordinated_sample
+
+        ds = ray_session.data.from_items([{"k": 1}])
+        with pytest.raises(ValueError):
+            coordinated_sample(ds, key_col="k", accept_hex="xyz")
+        with pytest.raises(ValueError):
+            coordinated_sample(ds, key_col="k", accept_hex="")
