@@ -5748,6 +5748,29 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_subsequence_counts(sf_dir: str):
+    """Order-preserving subsequence motif counting
+    (``windows.subsequence_counts``): per user, how many distinct
+    index-increasing ways the event stream spells view→click→purchase
+    — the path-multiplicity signal behind path-weighted attribution
+    (funnels only answer "converted or not"). Linear DP vectorized
+    across all keys of a partition (k levels of per-key exclusive
+    cumsums, no per-key Python loop); ONE 4-column row exchange; the
+    (ts, event_id) order is total so the nested-window SQL mirror is
+    bit-exact."""
+    import ray.data
+
+    from documentai_ray.stages.windows import subsequence_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return subsequence_counts(
+        ev, key_col="user_id", ts_col="ts", tie_col="event_id",
+        type_col="event_type",
+        pattern=["view", "click", "purchase"])
+
+
 def _q_coordinated_sample(sf_dir: str):
     """Coordinated sampling across tables
     (``partitioning.coordinated_sample``): orders AND lineitems each
@@ -7093,6 +7116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": _q_l_diversity,
         "kcore_nodes": _q_kcore_nodes,
         "coordinated_sample": _q_coordinated_sample,
+        "subsequence_counts": _q_subsequence_counts,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7919,6 +7943,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "subsequence_counts": (
+            "WITH l1 AS (SELECT user_id, ts, event_id, event_type, "
+            "coalesce(sum(CASE WHEN event_type = 'view' THEN 1 "
+            "ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS c1 FROM events), "
+            "l2 AS (SELECT *, coalesce(sum(CASE WHEN event_type = "
+            "'click' THEN c1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS c2 FROM l1) "
+            "SELECT user_id, CAST(coalesce(sum(CASE WHEN event_type = "
+            "'purchase' THEN c2 ELSE 0 END), 0) AS BIGINT) AS n_seq "
+            "FROM l2 GROUP BY user_id"
         ),
         "coordinated_sample": (
             "WITH so AS (SELECT o_orderkey, o_orderpriority FROM orders "

@@ -399,3 +399,52 @@ class TestScd2Build:
                for r in out.itertuples()}
         assert got == {(1, "a", 0, 5), (1, "b", 5, 20), (1, "a", 20, 999),
                        (2, "x", 7, 999)}
+
+
+class TestSubsequenceCounts:
+    def test_hand_computed_dp(self, ray_session):
+        """Stream A A B A B C for one user, pattern A,B,C:
+        ways = pairs (A..B) before each C: AB pairs = A1B1, A1B2,
+        A2B1, A2B2, A3B2 = 5 -> n_seq = 5."""
+        from documentai_ray.stages.windows import subsequence_counts
+        types = ["A", "A", "B", "A", "B", "C"]
+        rows = [{"u": 1, "ts": i, "id": i, "t": t}
+                for i, t in enumerate(types)]
+        out = subsequence_counts(
+            ray_session.data.from_items(rows).repartition(2),
+            key_col="u", ts_col="ts", tie_col="id", type_col="t",
+            pattern=["A", "B", "C"]).to_pandas()
+        assert list(out["n_seq"]) == [5]
+
+    def test_strictly_increasing_positions_and_zeros(self, ray_session):
+        from documentai_ray.stages.windows import subsequence_counts
+        # C before any A/B never counts; user 2 has no match at all
+        rows = ([{"u": 1, "ts": 0, "id": 0, "t": "C"},
+                 {"u": 1, "ts": 1, "id": 1, "t": "A"},
+                 {"u": 1, "ts": 2, "id": 2, "t": "B"},
+                 {"u": 1, "ts": 3, "id": 3, "t": "C"}]
+                + [{"u": 2, "ts": 0, "id": 4, "t": "B"}])
+        out = (subsequence_counts(
+            ray_session.data.from_items(rows),
+            key_col="u", ts_col="ts", tie_col="id", type_col="t",
+            pattern=["A", "B", "C"]).to_pandas().sort_values("u"))
+        assert list(out["n_seq"]) == [1, 0]
+
+    def test_single_step_pattern_is_count(self, ray_session):
+        from documentai_ray.stages.windows import subsequence_counts
+        rows = [{"u": 1, "ts": i, "id": i, "t": "X"} for i in range(4)]
+        out = subsequence_counts(
+            ray_session.data.from_items(rows),
+            key_col="u", ts_col="ts", tie_col="id", type_col="t",
+            pattern=["X"]).to_pandas()
+        assert list(out["n_seq"]) == [4]
+
+    def test_rejects_empty_pattern(self, ray_session):
+        import pytest
+        from documentai_ray.stages.windows import subsequence_counts
+        with pytest.raises(ValueError):
+            subsequence_counts(
+                ray_session.data.from_items([{"u": 1, "ts": 0,
+                                              "id": 0, "t": "A"}]),
+                key_col="u", ts_col="ts", tie_col="id", type_col="t",
+                pattern=[])
