@@ -5748,6 +5748,25 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of document lengths
+    (``aggregates.quantile_normalize_int``): each doc's n_chars is
+    replaced by the GLOBAL length at the same within-source quantile —
+    the calibration step before mixing per-source quality scores whose
+    raw scales differ. Rank-exact integer mapping (smallest global w
+    with cum_g(w)·n_s ≥ cum_s(v)·n_g); ONE (source, value) histogram
+    exchange serves both CDFs; rows never shuffle."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import quantile_normalize_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "n_chars"])
+    out = quantile_normalize_int(docs, key_col="source",
+                                 val_col="n_chars")
+    return out.select_columns(["doc_id", "source", "n_chars", "norm_v"])
+
+
 def _q_subsequence_counts(sf_dir: str):
     """Order-preserving subsequence motif counting
     (``windows.subsequence_counts``): per user, how many distinct
@@ -7117,6 +7136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore_nodes,
         "coordinated_sample": _q_coordinated_sample,
         "subsequence_counts": _q_subsequence_counts,
+        "quantile_normalize": _q_quantile_normalize,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7943,6 +7963,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "quantile_normalize": (
+            "WITH h AS (SELECT source AS s, n_chars AS v, count(*) "
+            "AS c FROM documents GROUP BY 1, 2), "
+            "cs AS (SELECT s, v, "
+            "sum(c) OVER (PARTITION BY s ORDER BY v) AS cum_s, "
+            "sum(c) OVER (PARTITION BY s) AS n_s FROM h), "
+            "gg AS (SELECT v, sum(c) AS c FROM h GROUP BY 1), "
+            "cg AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum_g, "
+            "sum(c) OVER () AS n_g FROM gg), "
+            "m AS (SELECT cs.s, cs.v, min(cg.v) AS w FROM cs "
+            "JOIN cg ON cg.cum_g * cs.n_s >= cs.cum_s * cg.n_g "
+            "GROUP BY 1, 2) "
+            "SELECT d.doc_id, d.source, d.n_chars, "
+            "CAST(m.w AS BIGINT) AS norm_v FROM documents d "
+            "JOIN m ON m.s = d.source AND m.v = d.n_chars"
         ),
         "subsequence_counts": (
             "WITH l1 AS (SELECT user_id, ts, event_id, event_type, "

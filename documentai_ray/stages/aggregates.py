@@ -1313,3 +1313,66 @@ def gini_gain_int(ds, *, split_col: str, label_col: str):
                      "n_left": pa.array([n_l], pa.int64()),
                      "n_right": pa.array([n_r], pa.int64()),
                      "gain_ppm": pa.array([gain_ppm], pa.int64())})
+
+
+def quantile_normalize_int(ds, *, key_col: str, val_col: str,
+                           out_col: str = "norm_v"):
+    """Cross-group quantile normalization — the score-calibration op
+    run before comparing or mixing per-source scores whose raw scales
+    differ (one crawl source's "length 400" may sit at the same
+    quantile as another's "length 2000"): each row's value is replaced
+    by the GLOBAL value at the same quantile position, computed
+    rank-exactly with no float CDF — the mapped value is the smallest
+    global w with ``cum_g(w)·n_s ≥ cum_s(v)·n_g`` (inclusive ranks,
+    cross-multiplied integer test), so a single-group input maps to
+    itself identically and the SQL non-equi-join mirror is bit-exact.
+
+    Physical plan: ONE (key, value) count exchange (bounded by
+    keys × distinct values) serves BOTH the per-key CDFs and the
+    global CDF (the global histogram is the key-marginal of the same
+    table); the driver builds the (key, v) → w map via one vectorized
+    searchsorted per key and broadcasts it via ``ray.put``; application
+    is a per-batch lookup — rows never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, val_col]).to_pandas()
+        df["_v"] = df[val_col].astype("int64")
+        g = (df.groupby([key_col, "_v"], as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g[[key_col, "_v", "_n"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, "_v"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    glob = (hist.groupby("_v", as_index=False)["_n"].sum()
+            .sort_values("_v", kind="mergesort"))
+    gv = glob["_v"].to_numpy()
+    gcum = glob["_n"].cumsum().to_numpy()
+    n_g = int(gcum[-1])
+
+    mapping: dict[tuple, int] = {}
+    for key, g in hist.groupby(key_col, sort=False):
+        g = g.sort_values("_v", kind="mergesort")
+        cum_s = g["_n"].cumsum().to_numpy()
+        n_s = int(cum_s[-1])
+        # smallest global index with gcum * n_s >= cum_s * n_g
+        idx = np.searchsorted(gcum * n_s, cum_s * n_g, side="left")
+        for v, i in zip(g["_v"].to_numpy(), idx):
+            mapping[(key, int(v))] = int(gv[i])
+    map_ref = ray.put(mapping)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(map_ref)
+        keys = batch.column(key_col).to_pylist()
+        vals = batch.column(val_col).to_numpy().astype(np.int64)
+        out = np.fromiter((lk[(kk, int(vv))]
+                           for kk, vv in zip(keys, vals)),
+                          dtype=np.int64, count=len(keys))
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

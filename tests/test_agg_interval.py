@@ -405,3 +405,35 @@ def test_gini_gain_rejects_empty_side(ray_session):
     with pytest.raises(ValueError):
         gini_gain_int(ray_session.data.from_items(rows),
                       split_col="s", label_col="y")
+
+
+def test_quantile_normalize_single_group_is_identity(ray_session):
+    from documentai_ray.stages.aggregates import quantile_normalize_int
+
+    rows = [{"k": "a", "v": v} for v in [3, 1, 4, 1, 5, 9, 2, 6]]
+    out = quantile_normalize_int(
+        ray_session.data.from_items(rows).repartition(3),
+        key_col="k", val_col="v").to_pandas()
+    assert list(out["norm_v"]) == list(out["v"])
+
+
+def test_quantile_normalize_maps_scales_together(ray_session):
+    """Group a = {1,2,3,4}, group b = {10,20,30,40}: same shape at
+    10x scale. b's values map to the global value at the same
+    quantile; hand-check b=10 (rank 1/4 in b) -> smallest global w
+    with cum_g(w)*4 >= 1*8 i.e. cum_g >= 2 -> w = 2."""
+    from documentai_ray.stages.aggregates import quantile_normalize_int
+
+    rows = ([{"k": "a", "v": v} for v in [1, 2, 3, 4]]
+            + [{"k": "b", "v": v} for v in [10, 20, 30, 40]])
+    out = (quantile_normalize_int(
+        ray_session.data.from_items(rows).repartition(2),
+        key_col="k", val_col="v").to_pandas()
+        .sort_values(["k", "v"]))
+    got = list(zip(out["k"], out["v"], out["norm_v"]))
+    # global sorted: 1,2,3,4,10,20,30,40 (cum 1..8)
+    # a: ranks 1-4 of 4 -> need cum_g >= 2,4,6,8 -> 2,4,20,40
+    # b: same quantiles -> identical mapping
+    assert got == [("a", 1, 2), ("a", 2, 4), ("a", 3, 20),
+                   ("a", 4, 40), ("b", 10, 2), ("b", 20, 4),
+                   ("b", 30, 20), ("b", 40, 40)]
