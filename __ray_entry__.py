@@ -5748,6 +5748,36 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal Rank Fusion (``indexing.rrf_fuse``): parts ranked by
+    retail price AND by size, fused as Σ 10⁹ // (60 + rank) — the
+    standard incomparable-scores ranking combiner (BM25 + cosine in a
+    search stack), kept integer-exact by flooring each term so near-tie
+    fused orders can't flip across libms. One bounded histogram
+    exchange per ranking + broadcast min-rank maps; global top-20 as a
+    per-batch partial top-N aggregation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.indexing import rrf_fuse
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pc_ = np.rint(batch.column("p_retailprice").to_numpy() * 100
+                      ).astype("int64")
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "price_c": pa.array(pc_, pa.int64()),
+            "size_v": batch.column("p_size").cast(pa.int64())})
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return rrf_fuse(parts, id_col="p_partkey",
+                    score_cols=["price_c", "size_v"], k=60, top_n=20)
+
+
 def _q_quantile_normalize(sf_dir: str):
     """Cross-source quantile normalization of document lengths
     (``aggregates.quantile_normalize_int``): each doc's n_chars is
@@ -7137,6 +7167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coordinated_sample": _q_coordinated_sample,
         "subsequence_counts": _q_subsequence_counts,
         "quantile_normalize": _q_quantile_normalize,
+        "rrf_fusion": _q_rrf_fusion,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7963,6 +7994,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "rrf_fusion": (
+            "WITH s AS (SELECT p_partkey, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, "
+            "CAST(p_size AS BIGINT) AS size_v FROM part), "
+            "r AS (SELECT p_partkey, "
+            "rank() OVER (ORDER BY price_c DESC) AS rank_price_c, "
+            "rank() OVER (ORDER BY size_v DESC) AS rank_size_v "
+            "FROM s) "
+            "SELECT p_partkey, "
+            "CAST(rank_price_c AS BIGINT) AS rank_price_c, "
+            "CAST(rank_size_v AS BIGINT) AS rank_size_v, "
+            "CAST(1000000000 // (60 + rank_price_c) "
+            "+ 1000000000 // (60 + rank_size_v) AS BIGINT) AS rrf "
+            "FROM r ORDER BY rrf DESC, p_partkey LIMIT 20"
         ),
         "quantile_normalize": (
             "WITH h AS (SELECT source AS s, n_chars AS v, count(*) "

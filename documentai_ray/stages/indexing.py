@@ -211,3 +211,79 @@ def kwic_snippets(ds, *, id_cols: list[str], text_col: str,
              "snippet": pa.array(snippets, pa.string())})
 
     return ds.map_batches(snip, batch_format="pyarrow")
+
+
+def rrf_fuse(ds, *, id_col: str, score_cols: list[str], k: int = 60,
+             top_n: int = 20, out_col: str = "rrf"):
+    """Reciprocal Rank Fusion — the standard way to combine rankings
+    whose raw scores are incomparable (BM25 + embedding cosine, price +
+    recency): each ranking contributes ``1/(k + rank)`` and the fused
+    order is by the sum (Cormack et al. 2009, public knowledge). Kept
+    integer-exact by flooring EACH term at 10⁹ scale —
+    ``rrf = Σ 10⁹ // (k + rank_i)`` — so the SQL mirror reproduces the
+    fused order bit-for-bit (a float 1/(k+r) sum can flip near-ties
+    across libms). Ranks are SQL ``rank()`` min-rank-with-ties,
+    DESCENDING (higher score = rank 1).
+
+    Physical plan: one value-count histogram exchange PER ranking
+    (bounded by that column's distinct values — the percent_rank
+    contract), driver turns cumulative counts into min-ranks and
+    broadcasts the maps via ``ray.put``; per-batch attach computes the
+    fused score, and the global top-N is an aggregation (per-batch
+    partial top-N, ≤ N rows per block to the driver). Ties in rrf
+    break by ascending id, so the result is total. Returns an Arrow
+    table (id, rank cols..., rrf) of the top N."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    if k < 1 or top_n < 1:
+        raise ValueError("k and top_n must be >= 1")
+
+    maps = []
+    for col in score_cols:
+        def partial(batch: pa.Table, _c=col) -> pa.Table:
+            df = batch.select([_c]).to_pandas()
+            g = (df.groupby(_c, as_index=False).size()
+                 .rename(columns={"size": "_n", _c: "_v"}))
+            return pa.Table.from_pandas(
+                g, preserve_index=False).replace_schema_metadata(None)
+
+        hist = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("_v")
+                .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+        hist = hist.sort_values("_v", ascending=False,
+                                kind="mergesort")
+        cum = hist["_n"].cumsum().to_numpy()
+        start = [1] + (cum[:-1] + 1).tolist()   # min rank, desc order
+        maps.append({v: int(r) for v, r in
+                     zip(hist["_v"].tolist(), start)})
+    maps_ref = ray.put(maps)
+
+    rank_cols = [f"rank_{c}" for c in score_cols]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lks = ray.get(maps_ref)
+        out = {id_col: batch.column(id_col)}
+        rrf = None
+        for col, rc, lk in zip(score_cols, rank_cols, lks):
+            vals = batch.column(col).to_pylist()
+            r = np.fromiter((lk[v] for v in vals), dtype=np.int64,
+                            count=len(vals))
+            out[rc] = pa.array(r, pa.int64())
+            term = 1_000_000_000 // (k + r)
+            rrf = term if rrf is None else rrf + term
+        out[out_col] = pa.array(rrf, pa.int64())
+        tbl = pa.table(out)
+        df = tbl.to_pandas().sort_values(
+            [out_col, id_col], ascending=[False, True],
+            kind="mergesort").head(top_n)          # partial top-N
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    cand = ds.map_batches(attach, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values([out_col, id_col],
+                            ascending=[False, True],
+                            kind="mergesort").head(top_n)
+    return pa.Table.from_pandas(
+        cand, preserve_index=False).replace_schema_metadata(None)

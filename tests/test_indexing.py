@@ -111,3 +111,48 @@ class TestKwic:
                                                         "text": "a"}]),
                           id_cols=["id"], text_col="text",
                           keyword="a", before=-1)
+
+
+class TestRRF:
+    def test_fusion_beats_single_list_winner(self, ray_session):
+        """Item best on one list but terrible on the other loses to a
+        consistently-good item — the point of RRF."""
+        import duckdb
+        import pandas as pd
+        from documentai_ray.stages.indexing import rrf_fuse
+        rows = [
+            {"id": 1, "a": 100, "b": 1},    # 1st on a, last on b
+            {"id": 2, "a": 90, "b": 90},    # 2nd on both
+            {"id": 3, "a": 1, "b": 100},    # last on a, 1st on b
+            {"id": 4, "a": 50, "b": 50},
+        ]
+        out = rrf_fuse(ray_session.data.from_items(rows).repartition(2),
+                       id_col="id", score_cols=["a", "b"], k=60,
+                       top_n=4).to_pandas()
+        assert list(out["id"])[0] == 2    # consistent beats specialists
+        df = pd.DataFrame(rows)
+        want = duckdb.sql(
+            "SELECT id, 1000000000 // (60 + rank() OVER (ORDER BY a "
+            "DESC)) + 1000000000 // (60 + rank() OVER (ORDER BY b "
+            "DESC)) AS rrf FROM df ORDER BY rrf DESC, id").df()
+        assert list(out["id"]) == list(want["id"])
+        assert list(out["rrf"]) == list(want["rrf"])
+
+    def test_min_rank_ties_and_id_tiebreak(self, ray_session):
+        from documentai_ray.stages.indexing import rrf_fuse
+        rows = [{"id": i, "a": 7, "b": 7} for i in range(5)]
+        out = rrf_fuse(ray_session.data.from_items(rows),
+                       id_col="id", score_cols=["a", "b"],
+                       top_n=3).to_pandas()
+        # all tied at rank 1 on both lists -> id ascending wins
+        assert list(out["id"]) == [0, 1, 2]
+        assert len(set(out["rrf"])) == 1
+
+    def test_rejects_bad_params(self, ray_session):
+        import pytest
+        from documentai_ray.stages.indexing import rrf_fuse
+        ds = ray_session.data.from_items([{"id": 1, "a": 1}])
+        with pytest.raises(ValueError):
+            rrf_fuse(ds, id_col="id", score_cols=["a"], k=0)
+        with pytest.raises(ValueError):
+            rrf_fuse(ds, id_col="id", score_cols=["a"], top_n=0)
