@@ -5748,6 +5748,35 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_impute_mode(sf_dir: str):
+    """Group-mode imputation (``dq.impute_group_mode``): customers
+    whose segment is 'missing' (deterministically: custkey % 20 == 0)
+    get their NATION's modal segment (smallest-value tie-break from
+    grouped_mode) — the standard categorical repair after a dq_audit
+    flags NULLs; group mode beats global mode exactly when the column
+    correlates with the grouping. Mode table rides one bounded
+    exchange; data rows never shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.dq import impute_group_mode
+
+    def knock_out(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        seg = batch.column("c_mktsegment").to_pylist()
+        seg = [None if k % 20 == 0 else s for k, s in zip(ck, seg)]
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_nationkey": batch.column("c_nationkey"),
+                         "seg": pa.array(seg, pa.string())})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).map_batches(knock_out, batch_format="pyarrow")
+    return impute_group_mode(cust, key_col="c_nationkey", val_col="seg")
+
+
 def _q_rrf_fusion(sf_dir: str):
     """Reciprocal Rank Fusion (``indexing.rrf_fuse``): parts ranked by
     retail price AND by size, fused as Σ 10⁹ // (60 + rank) — the
@@ -7168,6 +7197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subsequence_counts": _q_subsequence_counts,
         "quantile_normalize": _q_quantile_normalize,
         "rrf_fusion": _q_rrf_fusion,
+        "impute_mode": _q_impute_mode,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -7994,6 +8024,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "impute_mode": (
+            "WITH base AS (SELECT c_custkey, c_nationkey, "
+            "CASE WHEN c_custkey % 20 = 0 THEN NULL "
+            "ELSE c_mktsegment END AS seg FROM customer), "
+            "m AS (SELECT c_nationkey, seg AS mode_seg FROM "
+            "(SELECT c_nationkey, seg, "
+            "row_number() OVER (PARTITION BY c_nationkey "
+            "ORDER BY count(*) DESC, seg) AS rn "
+            "FROM base WHERE seg IS NOT NULL GROUP BY 1, 2) "
+            "WHERE rn = 1) "
+            "SELECT b.c_custkey, b.c_nationkey, "
+            "coalesce(b.seg, m.mode_seg) AS seg, "
+            "b.seg IS NULL AS was_imputed "
+            "FROM base b LEFT JOIN m USING (c_nationkey)"
         ),
         "rrf_fusion": (
             "WITH s AS (SELECT p_partkey, "

@@ -291,3 +291,50 @@ def benford_audit(ds, *, key_col: str, val_col: str):
         })
 
     return hist.groupby(key_col).map_groups(finish, batch_format="pandas")
+
+
+def impute_group_mode(ds, *, key_col: str, val_col: str,
+                      flag_col: str = "was_imputed",
+                      num_partitions: int = 32):
+    """Mode imputation per group — the standard categorical repair
+    after a dq_audit flags NULLs: each missing ``val_col`` is filled
+    with its GROUP's most frequent non-missing value (a customer's
+    missing segment becomes their nation's modal segment — the group
+    mode beats the global mode exactly when the column correlates with
+    the grouping). Tie-break toward the smallest value, inherited from
+    ``aggregates.grouped_mode``, so the repair is deterministic and
+    engine-independent. Groups with NO observed value at all keep NULL
+    (flagged but unfilled — inventing a value there is a lie).
+
+    Physical plan: the mode table rides grouped_mode's bounded
+    exchange (|keys × distinct values| partials, never rows), then
+    ships driver → ``ray.put`` → per-batch vectorized fill; the data
+    rows themselves never shuffle. Adds ``{flag_col}`` (bool: row was
+    missing) and replaces ``val_col`` with the filled column."""
+    import ray
+
+    from documentai_ray.stages.aggregates import grouped_mode
+
+    def observed(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(val_col)))
+
+    modes = grouped_mode(ds.map_batches(observed,
+                                        batch_format="pyarrow"),
+                         key_col=key_col, val_col=val_col,
+                         num_partitions=num_partitions).to_pandas()
+    lookup = dict(zip(modes[key_col], modes["mode"]))
+    lk_ref = ray.put(lookup)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lk_ref)
+        vals = batch.column(val_col).to_pylist()
+        keys = batch.column(key_col).to_pylist()
+        missing = [v is None for v in vals]
+        filled = [lk.get(k) if m else v
+                  for v, k, m in zip(vals, keys, missing)]
+        out = batch.drop_columns([val_col])
+        out = out.append_column(val_col, pa.array(
+            filled, batch.schema.field(val_col).type))
+        return out.append_column(flag_col, pa.array(missing, pa.bool_()))
+
+    return ds.map_batches(fill, batch_format="pyarrow")

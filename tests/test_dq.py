@@ -120,3 +120,31 @@ class TestBenfordAudit:
         for d, ppm in BENFORD_PPM.items():
             assert ppm == round(math.log10(1 + 1 / d) * 1_000_000)
         assert sum(BENFORD_PPM.values()) == 1_000_000
+
+
+class TestImputeMode:
+    def test_fill_uses_group_mode_with_tiebreak(self, ray_session):
+        from documentai_ray.stages.dq import impute_group_mode
+        rows = [
+            {"id": 0, "g": 1, "v": "x"}, {"id": 1, "g": 1, "v": "x"},
+            {"id": 2, "g": 1, "v": "y"}, {"id": 3, "g": 1, "v": None},
+            # group 2: tie between 'a' and 'b' -> smallest ('a') wins
+            {"id": 4, "g": 2, "v": "b"}, {"id": 5, "g": 2, "v": "a"},
+            {"id": 6, "g": 2, "v": None},
+        ]
+        out = (impute_group_mode(
+            ray_session.data.from_items(rows).repartition(3),
+            key_col="g", val_col="v").to_pandas().sort_values("id"))
+        assert list(out["v"]) == ["x", "x", "y", "x", "b", "a", "a"]
+        assert list(out["was_imputed"]) == [False, False, False, True,
+                                            False, False, True]
+
+    def test_group_with_no_observations_keeps_null(self, ray_session):
+        from documentai_ray.stages.dq import impute_group_mode
+        rows = [{"id": 0, "g": 9, "v": None},
+                {"id": 1, "g": 8, "v": "z"}]
+        out = (impute_group_mode(ray_session.data.from_items(rows),
+                                 key_col="g", val_col="v")
+               .to_pandas().sort_values("id"))
+        assert out["v"].iloc[0] is None or out["v"].isna().iloc[0]
+        assert bool(out["was_imputed"].iloc[0]) is True
