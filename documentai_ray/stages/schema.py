@@ -120,3 +120,54 @@ def posexplode_tokens(ds, *, id_cols: list[str], text_col: str,
                        .replace_schema_metadata(None)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def delta_varint_size(ds, *, val_col: str):
+    """Storage-layout advisor: exact byte cost of the column under
+    sorted delta + LEB128-varint encoding vs raw int64 — the question
+    a table-layout tool answers before choosing a sort key ("dates
+    sorted delta-encode to ~1 byte/row; the same column unsorted costs
+    8"). Encoding model: first value 8 bytes, then each row stores
+    varint(v − prev) over the SORTED order, duplicates costing the
+    1-byte zero delta; varint length = (bit_length(d) + 6) // 7.
+
+    Physical plan: ONE (value, count) histogram exchange bounded by
+    distinct values (the grouped_median_int contract — the degenerate
+    all-distinct case makes the histogram row-sized; bucket first for
+    near-unique columns), then a driver scan over the distinct axis:
+    each distinct value pays one real delta, its duplicates pay 1 byte
+    each — no per-row work anywhere. Returns one row
+    (n, raw_bytes, delta_bytes, ratio_ppm)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([val_col]).to_pandas()
+        g = (df.groupby(val_col, as_index=False).size()
+             .rename(columns={"size": "_n", val_col: "_v"}))
+        g["_v"] = g["_v"].astype("int64")
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_v")
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    if hist.empty:
+        raise ValueError("delta_varint_size: empty input")
+    hist = hist.sort_values("_v", kind="mergesort")
+    vs = hist["_v"].to_numpy()
+    cs = hist["_n"].to_numpy()
+    n = int(cs.sum())
+    bytes_total = 8 + int(cs[0]) - 1          # first value + its dups
+    prev = int(vs[0])
+    for v, c in zip(vs[1:].tolist(), cs[1:].tolist()):
+        d = v - prev
+        bytes_total += (d.bit_length() + 6) // 7 + (int(c) - 1)
+        prev = v
+    raw = n * 8
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "raw_bytes": pa.array([raw], pa.int64()),
+        "delta_bytes": pa.array([bytes_total], pa.int64()),
+        "ratio_ppm": pa.array([bytes_total * 1_000_000 // raw],
+                              pa.int64())})

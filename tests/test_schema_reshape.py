@@ -51,3 +51,33 @@ class TestPosexplodeTokens:
         out = posexplode_tokens(ds, id_cols=["id"],
                                 text_col="t").to_pandas()
         assert len(out) == 0
+
+
+class TestDeltaVarint:
+    def test_hand_computed_bytes(self, ray_session):
+        """Values [10, 10, 10, 138, 20000]: first costs 8, two dups
+        cost 1 each, delta 128 costs 2 (8 bits -> 2 varint bytes),
+        delta 19862 costs 3 (15 bits)."""
+        from documentai_ray.stages.schema import delta_varint_size
+        rows = [{"v": x} for x in [10, 10, 10, 138, 20000]]
+        out = delta_varint_size(
+            ray_session.data.from_items(rows).repartition(3),
+            val_col="v").to_pandas()
+        assert out.iloc[0].to_dict() == {
+            "n": 5, "raw_bytes": 40, "delta_bytes": 8 + 1 + 1 + 2 + 3,
+            "ratio_ppm": 15 * 1_000_000 // 40}
+
+    def test_order_insensitive_and_empty_raises(self, ray_session):
+        import pytest
+        from documentai_ray.stages.schema import delta_varint_size
+        a = [{"v": x} for x in [5, 1, 3]]
+        b = [{"v": x} for x in [3, 5, 1]]
+        ra = delta_varint_size(ray_session.data.from_items(a),
+                               val_col="v").to_pandas()
+        rb = delta_varint_size(ray_session.data.from_items(b),
+                               val_col="v").to_pandas()
+        assert ra.equals(rb)
+        with pytest.raises(Exception):
+            delta_varint_size(
+                ray_session.data.from_items([{"v": 1}]).filter(
+                    lambda r: False), val_col="v")
