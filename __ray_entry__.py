@@ -5748,6 +5748,41 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_supplier_percentile(sf_dir: str):
+    """Cross-table empirical CDF scoring
+    (``aggregates.crosstable_percentile_int``): each supplier's balance
+    placed within the CUSTOMER balance distribution in exact integer
+    ppm — the benchmark-against-reference-population op. ONE histogram
+    exchange over the reference, driver fold broadcast, probe scored by
+    vectorized searchsorted; probe rows never shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import crosstable_percentile_int
+
+    def cents(col_in, col_key, key_name):
+        def f(batch: pa.Table) -> pa.Table:
+            c = np.rint(batch.column(col_in).to_numpy() * 100
+                        ).astype("int64")
+            return pa.table({key_name: batch.column(col_key),
+                             "bal_c": pa.array(c, pa.int64())})
+        return f
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+    ).map_batches(cents("c_acctbal", "c_custkey", "c_custkey"),
+                  batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_acctbal"],
+    ).map_batches(cents("s_acctbal", "s_suppkey", "s_suppkey"),
+                  batch_format="pyarrow")
+    return crosstable_percentile_int(cust, supp, ref_val_col="bal_c",
+                                     probe_val_col="bal_c")
+
+
 def _q_delta_varint(sf_dir: str):
     """Storage-layout advisor (``schema.delta_varint_size``): exact
     byte cost of order dates under sorted delta + LEB128 varint vs raw
@@ -7225,6 +7260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "impute_mode": _q_impute_mode,
         "delta_varint": _q_delta_varint,
+        "supplier_percentile": _q_supplier_percentile,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -8051,6 +8087,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "supplier_percentile": (
+            "WITH ch AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) "
+            "AS v, count(*) AS c FROM customer GROUP BY 1), "
+            "cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM ch), "
+            "n AS (SELECT count(*) AS n FROM customer), "
+            "s AS (SELECT s_suppkey, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c "
+            "FROM supplier) "
+            "SELECT s.s_suppkey, s.bal_c, "
+            "CAST(coalesce(cc.cum, 0) * 1000000 // n.n AS BIGINT) "
+            "AS pct_ppm "
+            "FROM s ASOF LEFT JOIN cc ON cc.v <= s.bal_c CROSS JOIN n"
         ),
         "delta_varint": (
             "WITH v AS (SELECT CAST(epoch_us(o_orderdate) "

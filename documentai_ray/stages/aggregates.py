@@ -1376,3 +1376,53 @@ def quantile_normalize_int(ds, *, key_col: str, val_col: str,
         return batch.append_column(out_col, pa.array(out, pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def crosstable_percentile_int(ref_ds, probe_ds, *, ref_val_col: str,
+                              probe_val_col: str,
+                              out_col: str = "pct_ppm"):
+    """Cross-table empirical CDF position: each probe row's value is
+    scored by WHERE IT SITS in a REFERENCE population (supplier
+    balances ranked within the customer-balance distribution; a new
+    source's doc lengths within the trusted corpus's) — the
+    benchmark-against-population op, in exact integer ppm:
+    ``pct = count(ref ≤ v) · 10⁶ // n_ref`` (inclusive, 0 for values
+    below the reference minimum).
+
+    Physical plan: ONE (value, count) histogram exchange over the
+    REFERENCE (bounded by its distinct values), driver cumulative
+    fold broadcast via ``ray.put``, probe side scored per batch by
+    one vectorized searchsorted — probe rows never shuffle and the
+    reference never ships row-wise."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([ref_val_col]).to_pandas()
+        g = (df.groupby(ref_val_col, as_index=False).size()
+             .rename(columns={"size": "_n", ref_val_col: "_v"}))
+        g["_v"] = g["_v"].astype("int64")
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ref_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_v")
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    if hist.empty:
+        raise ValueError("crosstable_percentile_int: empty reference")
+    hist = hist.sort_values("_v", kind="mergesort")
+    vs = hist["_v"].to_numpy()
+    cum = hist["_n"].cumsum().to_numpy()
+    n_ref = int(cum[-1])
+    cdf_ref = ray.put((vs, cum, n_ref))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v_arr, c_arr, n = ray.get(cdf_ref)
+        pv = batch.column(probe_val_col).to_numpy().astype(np.int64)
+        idx = np.searchsorted(v_arr, pv, side="right")  # count <= v
+        cle = np.where(idx > 0, c_arr[np.maximum(idx - 1, 0)], 0)
+        ppm = cle.astype(object) * 1_000_000 // n
+        return batch.append_column(
+            out_col, pa.array(ppm.astype(np.int64), pa.int64()))
+
+    return probe_ds.map_batches(score, batch_format="pyarrow")

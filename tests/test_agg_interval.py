@@ -437,3 +437,32 @@ def test_quantile_normalize_maps_scales_together(ray_session):
     assert got == [("a", 1, 2), ("a", 2, 4), ("a", 3, 20),
                    ("a", 4, 40), ("b", 10, 2), ("b", 20, 4),
                    ("b", 30, 20), ("b", 40, 40)]
+
+
+def test_crosstable_percentile_inclusive_and_below_min(ray_session):
+    """Reference {10,20,20,30}: probe 5 -> 0, 10 -> 1/4, 20 -> 3/4
+    (inclusive of ties), 30 and 99 -> 10^6."""
+    from documentai_ray.stages.aggregates import crosstable_percentile_int
+
+    ref = ray_session.data.from_items(
+        [{"v": x} for x in [10, 20, 20, 30]]).repartition(2)
+    probe = ray_session.data.from_items(
+        [{"id": i, "v": x} for i, x in
+         enumerate([5, 10, 20, 30, 99])])
+    out = (crosstable_percentile_int(ref, probe, ref_val_col="v",
+                                     probe_val_col="v")
+           .to_pandas().sort_values("id"))
+    assert list(out["pct_ppm"]) == [0, 250_000, 750_000,
+                                    1_000_000, 1_000_000]
+
+
+def test_crosstable_percentile_empty_reference_raises(ray_session):
+    import pytest
+
+    from documentai_ray.stages.aggregates import crosstable_percentile_int
+
+    ref = ray_session.data.from_items([{"v": 1}]).filter(lambda r: False)
+    probe = ray_session.data.from_items([{"v": 1}])
+    with pytest.raises(Exception):
+        crosstable_percentile_int(ref, probe, ref_val_col="v",
+                                  probe_val_col="v")
