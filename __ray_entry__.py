@@ -5748,6 +5748,25 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_longest_streak(sf_dir: str):
+    """Longest same-type event streak per user
+    (``windows.longest_streak``): value-change islands — the
+    engagement-streak / repeated-failure-run metric a plain groupby
+    can't see; run ids are cumsums of change-points, vectorized across
+    all keys of a partition. ONE 4-column row exchange; (ts, event_id)
+    total order mirrors the SQL row_number-difference trick
+    bit-exactly."""
+    import ray.data
+
+    from documentai_ray.stages.windows import longest_streak
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return longest_streak(ev, key_col="user_id", ts_col="ts",
+                          tie_col="event_id", type_col="event_type")
+
+
 def _q_supplier_percentile(sf_dir: str):
     """Cross-table empirical CDF scoring
     (``aggregates.crosstable_percentile_int``): each supplier's balance
@@ -7261,6 +7280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_mode": _q_impute_mode,
         "delta_varint": _q_delta_varint,
         "supplier_percentile": _q_supplier_percentile,
+        "longest_streak": _q_longest_streak,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -8087,6 +8107,17 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "longest_streak": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn, "
+            "row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) AS rnt FROM events), "
+            "l AS (SELECT user_id, count(*) AS len FROM o "
+            "GROUP BY user_id, event_type, rn - rnt) "
+            "SELECT user_id, CAST(max(len) AS BIGINT) AS longest "
+            "FROM l GROUP BY user_id"
         ),
         "supplier_percentile": (
             "WITH ch AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) "

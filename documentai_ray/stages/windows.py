@@ -544,3 +544,41 @@ def subsequence_counts(ds, *, key_col: str, ts_col: str, tie_col: str,
     return (keyed.groupby("_pkey")
             .map_groups(lambda g: count(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def longest_streak(ds, *, key_col: str, ts_col: str, tie_col: str,
+                   type_col: str, out_col: str = "longest",
+                   num_partitions: int = 32):
+    """Longest same-value run per key — the max-run summary missing
+    from the islands family (sessions = gap islands, coverage = overlap
+    islands; this is VALUE-CHANGE islands): the longest streak of
+    identical ``type_col`` in (ts, tie) order per key, the
+    engagement-streak / repeated-failure-run metric. A plain groupby
+    can't see runs; the vectorized trick is the run id = cumsum of
+    change-points, computed per key with no per-key Python loop.
+
+    ONE row exchange co-locates each key (4-column projection); per
+    partition: sort, per-key change-point cumsum, (key, run) size,
+    per-key max. Returns (key, longest) — keys with any events have
+    longest ≥ 1."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        new_key = (g[key_col] != g[key_col].shift()).to_numpy()
+        new_val = (g[type_col] != g[type_col].shift()).to_numpy()
+        run_id = np.cumsum(new_key | new_val)
+        g = g.assign(_run=run_id)
+        lens = (g.groupby([key_col, "_run"], sort=False)
+                .size().reset_index(name="_len"))
+        out = (lens.groupby(key_col, sort=False)["_len"].max()
+               .reset_index(name=out_col))
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    keyed = _add_pkey(
+        ds.select_columns([key_col, ts_col, tie_col, type_col]),
+        key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: runs(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

@@ -448,3 +448,27 @@ class TestSubsequenceCounts:
                                               "id": 0, "t": "A"}]),
                 key_col="u", ts_col="ts", tie_col="id", type_col="t",
                 pattern=[])
+
+
+class TestLongestStreak:
+    def test_runs_split_on_change_points(self, ray_session):
+        from documentai_ray.stages.windows import longest_streak
+        types = ["A", "A", "B", "A", "A", "A", "B", "B"]
+        rows = [{"u": 1, "ts": i, "id": i, "t": t}
+                for i, t in enumerate(types)]
+        rows += [{"u": 2, "ts": 0, "id": 100, "t": "Z"}]
+        out = (longest_streak(
+            ray_session.data.from_items(rows).repartition(3),
+            key_col="u", ts_col="ts", tie_col="id", type_col="t")
+            .to_pandas().sort_values("u"))
+        assert list(out["longest"]) == [3, 1]
+
+    def test_streak_never_crosses_keys(self, ray_session):
+        """Same type back-to-back across two users is two runs of 1."""
+        from documentai_ray.stages.windows import longest_streak
+        rows = [{"u": 1, "ts": 0, "id": 0, "t": "X"},
+                {"u": 2, "ts": 1, "id": 1, "t": "X"}]
+        out = longest_streak(ray_session.data.from_items(rows),
+                             key_col="u", ts_col="ts", tie_col="id",
+                             type_col="t").to_pandas()
+        assert list(out["longest"]) == [1, 1]
