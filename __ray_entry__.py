@@ -5748,6 +5748,37 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_nest_tokens(sf_dir: str):
+    """Explode→nest round trip (``schema.nest_list`` — the inverse of
+    posexplode_tokens and the fourth reshaping surface): documents
+    explode to (doc_id, pos, token) rows, then nest_list gathers each
+    doc's tokens back into ONE ordered list cell; the query certifies
+    the round trip by emitting the re-joined normalized text, which
+    must equal the whitespace-normalized original. ONE co-locating
+    exchange, per-partition vectorized groupby-agg(list) — never one
+    map_groups per key."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.schema import nest_list, posexplode_tokens
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    toks = posexplode_tokens(docs, id_cols=["doc_id"], text_col="text")
+    nested = nest_list(toks, key_cols=["doc_id"], order_cols=["pos"],
+                       val_col="token", out_col="tokens")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        toks_col = batch.column("tokens").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array([len(t) for t in toks_col], pa.int64()),
+            "text_norm": pa.array([" ".join(t) for t in toks_col],
+                                  pa.string())})
+
+    return nested.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_longest_streak(sf_dir: str):
     """Longest same-type event streak per user
     (``windows.longest_streak``): value-change islands — the
@@ -7281,6 +7312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_varint": _q_delta_varint,
         "supplier_percentile": _q_supplier_percentile,
         "longest_streak": _q_longest_streak,
+        "nest_tokens": _q_nest_tokens,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -8107,6 +8139,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "nest_tokens": (
+            "WITH t AS (SELECT doc_id, "
+            "list_filter(string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "array_to_string(toks, ' ') AS text_norm "
+            "FROM t WHERE len(toks) > 0"
         ),
         "longest_streak": (
             "WITH o AS (SELECT user_id, event_type, "

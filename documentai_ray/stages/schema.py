@@ -171,3 +171,36 @@ def delta_varint_size(ds, *, val_col: str):
         "delta_bytes": pa.array([bytes_total], pa.int64()),
         "ratio_ppm": pa.array([bytes_total * 1_000_000 // raw],
                               pa.int64())})
+
+
+def nest_list(ds, *, key_cols: list[str], order_cols: list[str],
+              val_col: str, out_col: str = "items",
+              num_partitions: int = 32):
+    """Collect-list re-nesting — the INVERSE of ``posexplode_tokens``
+    and the fourth reshaping surface (explode: rows→more rows, unpivot:
+    cols→rows, union_by_name: schemas; this: rows→nested column): all
+    of a key's values gathered into ONE ``list`` cell in ``order_cols``
+    order — the layout per-document models want after token- or
+    chunk-level stages ran row-wise (SQL ``list(v ORDER BY ...)``).
+
+    ONE row exchange co-locates each key (projection only), then each
+    partition nests ALL its keys in one vectorized pandas
+    sort + groupby-agg(list) pass — never one map_groups call per key.
+    Order inside the list is total (include a unique tiebreak in
+    ``order_cols``), so the result is parallelism-independent."""
+    import pandas as pd
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def nest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + order_cols, kind="mergesort")
+        out = (g.groupby(key_cols, sort=False)[val_col]
+               .agg(list).reset_index(name=out_col))
+        return out
+
+    keyed = _add_pkey(ds.select_columns(key_cols + order_cols
+                                        + [val_col]),
+                      key_cols[0], num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: nest(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

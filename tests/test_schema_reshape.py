@@ -81,3 +81,31 @@ class TestDeltaVarint:
             delta_varint_size(
                 ray_session.data.from_items([{"v": 1}]).filter(
                     lambda r: False), val_col="v")
+
+
+class TestNestList:
+    def test_order_total_and_cross_block(self, ray_session):
+        """Values arrive shuffled across blocks; the nested list must
+        come back in order_cols order, per key."""
+        from documentai_ray.stages.schema import nest_list
+        rows = [{"k": 1, "o": 3, "v": "c"}, {"k": 1, "o": 1, "v": "a"},
+                {"k": 2, "o": 1, "v": "z"}, {"k": 1, "o": 2, "v": "b"}]
+        out = (nest_list(
+            ray_session.data.from_items(rows).repartition(4),
+            key_cols=["k"], order_cols=["o"], val_col="v",
+            out_col="items").to_pandas().sort_values("k"))
+        assert list(out["items"]) == [["a", "b", "c"], ["z"]]
+
+    def test_roundtrip_with_posexplode(self, ray_session):
+        from documentai_ray.stages.schema import (nest_list,
+                                                  posexplode_tokens)
+        import pyarrow as pa
+        docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": pa.array(["x  y\tz", "solo"],
+                                          pa.string())})
+        toks = posexplode_tokens(ray_session.data.from_arrow(docs),
+                                 id_cols=["doc_id"], text_col="text")
+        out = (nest_list(toks, key_cols=["doc_id"], order_cols=["pos"],
+                         val_col="token", out_col="tokens")
+               .to_pandas().sort_values("doc_id"))
+        assert list(out["tokens"]) == [["x", "y", "z"], ["solo"]]
