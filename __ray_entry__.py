@@ -5748,6 +5748,23 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_tvd_drift(sf_dir: str):
+    """Per-source language-mix drift vs the corpus
+    (``aggregates.tvd_drift_int``): total variation distance between
+    each source's language distribution and the global one, exact
+    integer ppm via cross-multiplication — the categorical sibling of
+    ks_drift (KS needs an ordered domain; TVD doesn't), with absent
+    categories contributing their full global mass (the zero-cell term
+    skewed sources need). ONE exchange bounded by sources × langs."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import tvd_drift_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+    return tvd_drift_int(docs, key_col="source", cat_col="lang")
+
+
 def _q_nest_tokens(sf_dir: str):
     """Explode→nest round trip (``schema.nest_list`` — the inverse of
     posexplode_tokens and the fourth reshaping surface): documents
@@ -7313,6 +7330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_percentile": _q_supplier_percentile,
         "longest_streak": _q_longest_streak,
         "nest_tokens": _q_nest_tokens,
+        "tvd_drift": _q_tvd_drift,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -8139,6 +8157,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "tvd_drift": (
+            "WITH c AS (SELECT source, lang, count(*) AS c "
+            "FROM documents GROUP BY 1, 2), "
+            "s AS (SELECT source, sum(c) AS ns FROM c GROUP BY 1), "
+            "g AS (SELECT lang, sum(c) AS cg FROM c GROUP BY 1), "
+            "t AS (SELECT sum(cg) AS ng FROM g), "
+            "u AS (SELECT s.source, g.lang, coalesce(c.c, 0) AS cs, "
+            "g.cg, s.ns, t.ng FROM s CROSS JOIN g "
+            "LEFT JOIN c ON c.source = s.source AND c.lang = g.lang "
+            "CROSS JOIN t) "
+            "SELECT source, CAST(max(ns) AS BIGINT) AS n, "
+            "CAST(1000000 * sum(abs(CAST(cs AS HUGEINT) * ng "
+            "- CAST(cg AS HUGEINT) * ns)) "
+            "// (2 * max(ns) * max(CAST(ng AS HUGEINT))) AS BIGINT) "
+            "AS tvd_ppm FROM u GROUP BY source"
         ),
         "nest_tokens": (
             "WITH t AS (SELECT doc_id, "

@@ -1426,3 +1426,48 @@ def crosstable_percentile_int(ref_ds, probe_ds, *, ref_val_col: str,
             out_col, pa.array(ppm.astype(np.int64), pa.int64()))
 
     return probe_ds.map_batches(score, batch_format="pyarrow")
+
+
+def tvd_drift_int(ds, *, key_col: str, cat_col: str):
+    """Per-key categorical drift vs the corpus: total variation
+    distance between each key's category distribution and the GLOBAL
+    one, in exact integer ppm — the categorical sibling of the KS
+    drift op (KS needs an ordered domain; TVD doesn't). TVD = ½·Σ|p_i −
+    q_i| is rational, so cross-multiplying clears every float:
+    ``tvd_ppm = 10⁶·Σ_cat |c_{k,cat}·n_g − c_{g,cat}·n_k| //
+    (2·n_k·n_g)`` — bit-exact in HUGEINT where an entropy/χ² drift
+    score never is. Categories absent from a key still contribute
+    their global mass (the zero-cell term — dropping it understates
+    drift exactly for the most-skewed keys).
+
+    ONE exchange of per-batch (key, cat) count partials bounded by
+    keys × categories; driver fold over the tiny grid. Returns
+    (key, n, tvd_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, cat_col]).to_pandas()
+        g = (df.groupby([key_col, cat_col], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    cm = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([key_col, cat_col])
+          .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    if cm.empty:
+        raise ValueError("tvd_drift_int: empty input")
+    grid = (cm.pivot_table(index=key_col, columns=cat_col,
+                           values="_n", fill_value=0, aggfunc="sum"))
+    gc = grid.sum(axis=0).astype(object)          # global per category
+    n_g = int(gc.sum())
+    rows = []
+    for key, r in grid.iterrows():
+        n_k = int(r.sum())
+        dev = sum(abs(int(ck) * n_g - int(cg) * n_k)
+                  for ck, cg in zip(r.to_numpy(), gc.to_numpy()))
+        rows.append((key, n_k,
+                     1_000_000 * dev // (2 * n_k * n_g)))
+    out = pd.DataFrame(rows, columns=[key_col, "n", "tvd_ppm"])
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -466,3 +466,29 @@ def test_crosstable_percentile_empty_reference_raises(ray_session):
     with pytest.raises(Exception):
         crosstable_percentile_int(ref, probe, ref_val_col="v",
                                   probe_val_col="v")
+
+
+def test_tvd_drift_hand_computed_with_zero_cell(ray_session):
+    """Key a = {x:3, y:1}, key b = {y:4}: global = {x:3, y:5}, n_g=8.
+    a (n=4): |3*8-3*4| + |1*8-5*4| = 12+12 = 24 -> 24e6//(2*4*8)
+    = 375_000. b (n=4): |0*8-3*4| + |4*8-5*4| = 12+12 -> 375_000
+    (the x zero-cell term contributes)."""
+    from documentai_ray.stages.aggregates import tvd_drift_int
+
+    rows = ([{"k": "a", "c": "x"}] * 3 + [{"k": "a", "c": "y"}]
+            + [{"k": "b", "c": "y"}] * 4)
+    out = tvd_drift_int(
+        ray_session.data.from_items(rows).repartition(3),
+        key_col="k", cat_col="c").to_pandas()
+    got = {r["k"]: (r["n"], r["tvd_ppm"]) for _, r in out.iterrows()}
+    assert got == {"a": (4, 375_000), "b": (4, 375_000)}
+
+
+def test_tvd_drift_identical_distribution_is_zero(ray_session):
+    from documentai_ray.stages.aggregates import tvd_drift_int
+
+    rows = ([{"k": k, "c": c} for k in ("p", "q")
+             for c in ("x", "x", "y")])
+    out = tvd_drift_int(ray_session.data.from_items(rows),
+                        key_col="k", cat_col="c").to_pandas()
+    assert list(out["tvd_ppm"]) == [0, 0]
