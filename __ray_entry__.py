@@ -5748,6 +5748,24 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_backtest_mae(sf_dir: str):
+    """Seasonal-naive forecast backtest (``windows.seasonal_naive_mae``):
+    MAE of predicting each event type's hourly volume with the same
+    hour yesterday — the baseline every forecasting model must beat and
+    the day-over-day predictability metric. Exact integer error sums,
+    pairs only where both hours observed; the hourly aggregate rides
+    ONE bounded exchange and the 24h-lag join runs over the tiny
+    series table."""
+    import ray.data
+
+    from documentai_ray.stages.windows import seasonal_naive_mae
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return seasonal_naive_mae(ev, ts_col="ts", key_col="event_type",
+                              season_hours=24)
+
+
 def _q_tvd_drift(sf_dir: str):
     """Per-source language-mix drift vs the corpus
     (``aggregates.tvd_drift_int``): total variation distance between
@@ -7331,6 +7349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak": _q_longest_streak,
         "nest_tokens": _q_nest_tokens,
         "tvd_drift": _q_tvd_drift,
+        "backtest_mae": _q_backtest_mae,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -8157,6 +8176,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "backtest_mae": (
+            "WITH h AS (SELECT event_type, "
+            "date_trunc('hour', ts) AS w, count(*) AS n FROM events "
+            "GROUP BY 1, 2) "
+            "SELECT a.event_type, count(*) AS n_pairs, "
+            "CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err, "
+            "CAST(sum(abs(a.n - b.n)) // count(*) AS BIGINT) AS mae "
+            "FROM h a JOIN h b ON a.event_type = b.event_type "
+            "AND b.w = a.w - INTERVAL 24 HOURS GROUP BY 1"
         ),
         "tvd_drift": (
             "WITH c AS (SELECT source, lang, count(*) AS c "

@@ -582,3 +582,43 @@ def longest_streak(ds, *, key_col: str, ts_col: str, tie_col: str,
     return (keyed.groupby("_pkey")
             .map_groups(lambda g: runs(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def seasonal_naive_mae(ds, *, ts_col: str, key_col: str,
+                       season_hours: int = 24):
+    """Forecast-eval backtest: the mean absolute error of the
+    SEASONAL-NAIVE predictor (ŷ_t = y_{t−season}) over the per-key
+    hourly count series — the baseline every real forecasting model
+    must beat, and the capacity-planning sanity metric ("how
+    predictable is this stream day-over-day?"). Exact integers: counts
+    are ints, the error sum is an int, and MAE floors once at the end.
+    Pairs exist only where BOTH hours were observed (an absent hour is
+    no observation, not zero — the join semantics, mirrored in SQL).
+
+    Physical plan: the hourly aggregate rides ONE pre-combined
+    (hour, key) exchange bounded by hours × keys (the tumbling-window
+    contract); the lag join runs driver-side over that tiny series
+    table. Returns (key, n_pairs, sum_abs_err, mae)."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("seasonal_naive_mae: empty input")
+    lag = hourly.copy()
+    lag["_w"] = lag["_w"] + pd.Timedelta(hours=season_hours)
+    j = hourly.merge(lag, on=["_w", key_col], suffixes=("", "_prev"))
+    j["_err"] = (j["_n"] - j["_n_prev"]).abs()
+    out = (j.groupby(key_col, sort=False)
+           .agg(n_pairs=("_err", "size"), sum_abs_err=("_err", "sum"))
+           .reset_index())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["sum_abs_err"] = out["sum_abs_err"].astype("int64")
+    out["mae"] = (out["sum_abs_err"] // out["n_pairs"]).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -472,3 +472,24 @@ class TestLongestStreak:
                              key_col="u", ts_col="ts", tie_col="id",
                              type_col="t").to_pandas()
         assert list(out["longest"]) == [1, 1]
+
+
+class TestSeasonalNaiveMae:
+    def test_hand_computed_and_missing_hours(self, ray_session):
+        """Counts: h0=3, h24=5, h48=5; pairs (h24,h0)->|5-3|=2 and
+        (h48,h24)->0 => sum 2, mae 1. An isolated hour with no
+        counterpart 24h earlier forms no pair."""
+        import pandas as pd
+        from documentai_ray.stages.windows import seasonal_naive_mae
+        base = pd.Timestamp("2024-03-01")
+        rows = []
+        for h, n in ((0, 3), (24, 5), (48, 5), (7, 2)):  # h=7 isolated
+            for i in range(n):
+                rows.append({"ts": base + pd.Timedelta(hours=h,
+                                                       seconds=i),
+                             "k": "t"})
+        out = seasonal_naive_mae(
+            ray_session.data.from_items(rows).repartition(3),
+            ts_col="ts", key_col="k").to_pandas()
+        assert out.iloc[0].to_dict() == {
+            "k": "t", "n_pairs": 2, "sum_abs_err": 2, "mae": 1}
