@@ -1119,13 +1119,18 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
     order; a record of size L needs only its first
     ``p = L − ⌈t·L⌉ + 1`` shingles as candidate keys — two sets with
     Jaccard ≥ t must intersect within those prefixes (pigeonhole on the
-    ≥ ⌈t·L⌉ shared elements).  We use md5-LE64 of the shingle as the
-    global order: engine-independent and one-pass (no corpus frequency
-    scan).  Frequency ordering (rarest first) is the classic
-    bucket-size OPTIMIZATION — it shrinks candidate buckets but needs a
-    counting pass; hash order keeps correctness and trades candidate
-    volume.  64-bit shingle-hash collisions can only ADD candidates
-    (exact verification removes them), never drop pairs.
+    ≥ ⌈t·L⌉ shared elements).  The order is ascending
+    ``_shingle_hashes`` value (token-cached md5 + fused numpy mix —
+    the minhash path's vectorized hasher; ANY fixed total order is
+    valid, so the cheap one wins: the previous per-shingle md5 loop
+    was the whole-query hot spot).  Frequency ordering (rarest first)
+    is the classic bucket-size OPTIMIZATION — it shrinks candidate
+    buckets but needs a counting pass; hash order keeps correctness
+    and trades candidate volume.  Hash collisions are SAFE for recall:
+    shared shingles still share a hash and distinct ones can only
+    merge, so J_hash ≥ J_true and every true pair keeps its prefix
+    guarantee — collisions only ADD candidates, which exact
+    verification removes.
 
     Physical plan: map-side prefix explosion ships (tok:int64, id) —
     never text; one hash-partition exchange co-locates each token's
@@ -1137,23 +1142,24 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
     verify with ``verify_jaccard_pairs`` for the final exact pair set."""
     import math
 
-    from documentai_ray.stages.sketches import _shingles, md5_le64
-
     def explode_prefix(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_id, out_tok = [], []
+        out_id: list = []
+        per_tok: list = []
         for i, t in zip(ids, texts):
-            hs = sorted({md5_le64(s) for s in _shingles(t or "", k)})
+            hs = _shingle_hashes(t or "", k)   # sorted unique uint64
             L = len(hs)
             if L == 0:
                 continue
             p = L - math.ceil(threshold * L) + 1
-            for h in hs[:p]:
-                out_id.append(i)
-                out_tok.append(h - (1 << 64) if h >= (1 << 63) else h)
+            out_id.extend([i] * p)
+            per_tok.append(hs[:p])
+        toks = (np.concatenate(per_tok) if per_tok
+                else np.empty(0, np.uint64))
         return pa.table({id_col: pa.array(out_id),
-                         "tok": pa.array(out_tok, pa.int64())})
+                         "tok": pa.array(toks.view(np.int64),
+                                         pa.int64())})
 
     tokrows = _add_pkey(ds.map_batches(explode_prefix,
                                        batch_format="pyarrow"),
@@ -1198,8 +1204,10 @@ def containment_candidate_pairs(ds, *, id_col: str = "url",
     wrapping detection, where Jaccard fails because the container can be
     arbitrarily larger).
 
-    Pigeonhole (any fixed subset works; md5 order keeps it
-    deterministic): if the container misses ALL of the sub's first
+    Pigeonhole (any fixed subset works; ascending ``_shingle_hashes``
+    order keeps it deterministic — the vectorized token-cached hasher,
+    same collision-safety argument as prefix_filter_pairs): if the
+    container misses ALL of the sub's first
     ``p = L − ceil(t·L) + 1`` shingle hashes, the intersection is at
     most ``ceil(t·L) − 1`` — below threshold. So the SUB side explodes
     only its p-prefix, while the CONTAINER side must explode ALL its
@@ -1208,26 +1216,27 @@ def containment_candidate_pairs(ds, *, id_col: str = "url",
     Shingle-less rows are skipped (cannot contain or be contained).
     Returns (id_sub, id_super) candidates, id_sub ≠ id_super —
     verify with ``verify_containment_pairs``."""
-    from documentai_ray.stages.sketches import _shingles, md5_le64
-
     def explode(which: str):
         def f(batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
-            out_id, out_tok = [], []
+            out_id: list = []
+            per_tok: list = []
             for i, t in zip(ids, texts):
-                hs = sorted({md5_le64(s) for s in _shingles(t or "", k)})
+                hs = _shingle_hashes(t or "", k)  # sorted unique u64
                 L = len(hs)
                 if L == 0:
                     continue
                 if which == "sub":
                     need = -(-threshold_ppm * L // 1_000_000)  # ceil
                     hs = hs[:L - need + 1]
-                for h in hs:
-                    out_id.append(i)
-                    out_tok.append(h - (1 << 64) if h >= (1 << 63) else h)
+                out_id.extend([i] * len(hs))
+                per_tok.append(hs)
+            toks = (np.concatenate(per_tok) if per_tok
+                    else np.empty(0, np.uint64))
             return pa.table({id_col: pa.array(out_id),
-                             "tok": pa.array(out_tok, pa.int64()),
+                             "tok": pa.array(toks.view(np.int64),
+                                             pa.int64()),
                              "side": pa.array([which] * len(out_id))})
         return f
 
