@@ -1108,7 +1108,8 @@ def remove_repeated_spans(ds, spans_ds, *, id_col: str = "doc_id",
 
 def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
                         threshold: float = 0.8, k: int = 3,
-                        num_partitions: int = 64):
+                        num_partitions: int = 64,
+                        freq_order: bool = True):
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family, Bayardo 2007 / Xiao 2008) — the
     deterministic-recall alternative to MinHash-LSH: every pair with
@@ -1136,13 +1137,47 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
     never text; one hash-partition exchange co-locates each token's
     bucket; a vectorized self-merge per partition emits candidate pairs
     (id_a < id_b); a second tiny pair-hash exchange dedups.  NO bucket
-    cap: exactness forbids dropping (contrast lsh_candidate_pairs); a
-    pathological shared-boilerplate shingle is the documented risk and
-    frequency ordering the knob.  Returns the candidate pair Dataset —
+    cap: exactness forbids dropping (contrast lsh_candidate_pairs).
+
+    ``freq_order=True`` (default) implements the classic AllPairs
+    optimization: a cheap document-frequency pre-pass (per-batch
+    distinct-shingle partials → one exchange bounded by distinct
+    shingles) and prefixes take each doc's RAREST shingles first —
+    on boilerplate-heavy corpora this collapses the hot buckets the
+    hash order suffers (measured here: 3.5M → far fewer candidate
+    pairs; the hottest bucket was a 1.5k-doc template shingle). The
+    df table broadcasts via ``ray.put`` (vocabulary-sized — for open
+    vocabularies hash_join the df onto the exploded tokens instead).
+    Any fixed total order preserves exactness; (df, hash) is total
+    because the hash breaks ties. Returns the candidate pair Dataset —
     verify with ``verify_jaccard_pairs`` for the final exact pair set."""
     import math
 
+    import ray
+    from ray.data.aggregate import Sum
+
+    df_ref = None
+    if freq_order:
+        def df_partial(batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            per = [_shingle_hashes(t or "", k) for t in texts]
+            per = [h for h in per if len(h)]
+            toks = (np.concatenate(per) if per
+                    else np.empty(0, np.uint64))
+            return pa.table({"_t": pa.array(toks.view(np.int64),
+                                            pa.int64()),
+                             "_c": pa.array(np.ones(len(toks),
+                                                    np.int64),
+                                            pa.int64())})
+
+        dfs = (ds.map_batches(df_partial, batch_format="pyarrow")
+               .groupby("_t").aggregate(Sum("_c", alias_name="_c"))
+               ).to_pandas()
+        df_ref = ray.put(dict(zip(dfs["_t"].astype("int64"),
+                                  dfs["_c"].astype("int64"))))
+
     def explode_prefix(batch: pa.Table) -> pa.Table:
+        lk = ray.get(df_ref) if df_ref is not None else None
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         out_id: list = []
@@ -1153,6 +1188,12 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
             if L == 0:
                 continue
             p = L - math.ceil(threshold * L) + 1
+            if lk is not None:
+                signed = hs.view(np.int64)
+                freq = np.fromiter((lk[int(h)] for h in signed),
+                                   dtype=np.int64, count=L)
+                order = np.lexsort((signed, freq))  # (df asc, hash asc)
+                hs = hs[order]
             out_id.extend([i] * p)
             per_tok.append(hs[:p])
         toks = (np.concatenate(per_tok) if per_tok
