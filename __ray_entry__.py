@@ -5748,6 +5748,35 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_skew_histogram(sf_dir: str):
+    """Group-size histogram over orders-per-customer
+    (``aggregates.key_size_histogram``): the skew-diagnosis picture a
+    shuffle planner reads before choosing partitioning. Two bounded
+    exchanges — per-key counts pre-combined, then counts-of-counts."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import key_size_histogram
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    return key_size_histogram(orders, key_col="o_custkey")
+
+
+def _q_gini_orders(sf_dir: str):
+    """Order-volume concentration over customers
+    (``aggregates.gini_concentration_int``): exact integer-ppm Gini of
+    rows-per-key — the one-number skew summary (0 even, → 10⁶ one key
+    owns all). Closed form Σ(2i−n−1)x_i over ascending sizes; ONE
+    per-key count exchange + driver fold."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import gini_concentration_int
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    return gini_concentration_int(orders, key_col="o_custkey")
+
+
 def _q_backtest_mae(sf_dir: str):
     """Seasonal-naive forecast backtest (``windows.seasonal_naive_mae``):
     MAE of predicting each event type's hourly volume with the same
@@ -7350,6 +7379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nest_tokens": _q_nest_tokens,
         "tvd_drift": _q_tvd_drift,
         "backtest_mae": _q_backtest_mae,
+        "skew_histogram": _q_skew_histogram,
+        "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
         "unpivot_measures": _q_unpivot_measures,
@@ -8176,6 +8207,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "skew_histogram": (
+            "WITH s AS (SELECT o_custkey, count(*) AS n FROM orders "
+            "GROUP BY 1) "
+            "SELECT n AS size, count(*) AS n_keys FROM s GROUP BY 1"
+        ),
+        "gini_orders": (
+            "WITH s AS (SELECT count(*) AS x FROM orders "
+            "GROUP BY o_custkey), "
+            "r AS (SELECT CAST(x AS HUGEINT) AS x, "
+            "row_number() OVER (ORDER BY x) AS i, "
+            "count(*) OVER () AS n, sum(x) OVER () AS tot FROM s) "
+            "SELECT CAST(max(n) AS BIGINT) AS n_keys, "
+            "CAST(max(tot) AS BIGINT) AS total, "
+            "CAST(1000000 * sum((2 * i - n - 1) * x) "
+            "// (max(n) * max(CAST(tot AS HUGEINT))) AS BIGINT) "
+            "AS gini_ppm FROM r"
         ),
         "backtest_mae": (
             "WITH h AS (SELECT event_type, "

@@ -1471,3 +1471,73 @@ def tvd_drift_int(ds, *, key_col: str, cat_col: str):
     out = pd.DataFrame(rows, columns=[key_col, "n", "tvd_ppm"])
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def key_size_histogram(ds, *, key_col: str):
+    """Skew diagnosis: the histogram of GROUP SIZES for a key column —
+    (size, n_keys) — the first thing a shuffle planner looks at before
+    choosing partitioning (a long tail of size-1 keys wants hash
+    partitioning; a 30%-of-rows head key wants salting; see
+    ``partitioning.detect_heavy_hosts``). Two bounded exchanges: per-key
+    counts (pre-combined per batch), then counts-of-counts (bounded by
+    distinct sizes — tiny by construction)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col]).to_pandas()
+        g = (df.groupby(key_col, as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    sizes = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).aggregate(Sum("_n", alias_name="_n")))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["_n"]).to_pandas()
+        g = (df.groupby("_n", as_index=False).size()
+             .rename(columns={"_n": "size", "size": "n_keys"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return (sizes.map_batches(size_partial, batch_format="pyarrow")
+            .groupby("size").aggregate(Sum("n_keys",
+                                           alias_name="n_keys")))
+
+
+def gini_concentration_int(ds, *, key_col: str):
+    """Concentration of rows over keys as an exact integer-ppm Gini
+    coefficient — the one-number skew summary next to
+    ``key_size_histogram``'s full picture: 0 = perfectly even,
+    → 10⁶ = one key owns everything (a crawl where one host is 30% of
+    rows shows immediately). Closed form over ascending sizes
+    ``x_1 ≤ … ≤ x_n``: ``G = Σ(2i − n − 1)·x_i / (n·Σx)`` — every term
+    an integer, mirrored in HUGEINT SQL bit-exactly. Ties are
+    order-independent in this form (equal x under symmetric weights),
+    so no tiebreak is needed.
+
+    ONE per-key count exchange (pre-combined), then a driver fold over
+    the key-bounded size table. Returns (n_keys, total, gini_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col]).to_pandas()
+        g = (df.groupby(key_col, as_index=False).size()
+             .rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    sizes = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key_col).aggregate(Sum("_n", alias_name="_n"))
+             ).to_pandas()
+    if sizes.empty:
+        raise ValueError("gini_concentration_int: empty input")
+    x = np.sort(sizes["_n"].to_numpy().astype(np.int64))
+    n = len(x)
+    total = int(x.sum())
+    i = np.arange(1, n + 1, dtype=object)
+    num = int(((2 * i - n - 1) * x.astype(object)).sum())
+    gini_ppm = 1_000_000 * num // (n * total)
+    return pa.table({"n_keys": pa.array([n], pa.int64()),
+                     "total": pa.array([total], pa.int64()),
+                     "gini_ppm": pa.array([gini_ppm], pa.int64())})

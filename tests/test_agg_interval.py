@@ -492,3 +492,32 @@ def test_tvd_drift_identical_distribution_is_zero(ray_session):
     out = tvd_drift_int(ray_session.data.from_items(rows),
                         key_col="k", cat_col="c").to_pandas()
     assert list(out["tvd_ppm"]) == [0, 0]
+
+
+def test_key_size_histogram_exact(ray_session):
+    from documentai_ray.stages.aggregates import key_size_histogram
+
+    rows = ([{"k": "a"}] * 3 + [{"k": "b"}] * 3 + [{"k": "c"}] * 1)
+    out = key_size_histogram(
+        ray_session.data.from_items(rows).repartition(4),
+        key_col="k").to_pandas()
+    got = dict(zip(out["size"], out["n_keys"]))
+    assert got == {3: 2, 1: 1}
+
+
+def test_gini_concentration_bounds(ray_session):
+    from documentai_ray.stages.aggregates import gini_concentration_int
+
+    # perfectly even: gini 0
+    rows = [{"k": c} for c in "abcd" for _ in range(5)]
+    out = gini_concentration_int(ray_session.data.from_items(rows),
+                                 key_col="k").to_pandas()
+    assert int(out["gini_ppm"][0]) == 0
+    # extreme: sizes 1,1,1,97 -> G = sum((2i-n-1)x_i)/(n*tot)
+    # = (-3*1 -1*1 +1*1 +3*97)/(4*100) = 288/400 -> 720_000 ppm
+    rows = ([{"k": "a"}] + [{"k": "b"}] + [{"k": "c"}]
+            + [{"k": "d"}] * 97)
+    out = gini_concentration_int(
+        ray_session.data.from_items(rows).repartition(3),
+        key_col="k").to_pandas()
+    assert int(out["gini_ppm"][0]) == 720_000
