@@ -5748,6 +5748,22 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_trend_flips(sf_dir: str):
+    """Series volatility as direction-change counts
+    (``windows.trend_flips``): per event type, how often the hourly
+    volume series flips rise↔fall — the thrash statistic level-based
+    anomaly flags miss; plateaus (zero diffs) neither continue nor
+    break a trend. Bounded hourly exchange + tiny series scan; SQL
+    double-lag mirror."""
+    import ray.data
+
+    from documentai_ray.stages.windows import trend_flips
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return trend_flips(ev, ts_col="ts", key_col="event_type")
+
+
 def _q_skew_histogram(sf_dir: str):
     """Group-size histogram over orders-per-customer
     (``aggregates.key_size_histogram``): the skew-diagnosis picture a
@@ -7380,6 +7396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tvd_drift": _q_tvd_drift,
         "backtest_mae": _q_backtest_mae,
         "skew_histogram": _q_skew_histogram,
+        "trend_flips": _q_trend_flips,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8207,6 +8224,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "trend_flips": (
+            "WITH h AS (SELECT event_type AS k, "
+            "date_trunc('hour', ts) AS w, count(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT k, w, "
+            "n - lag(n) OVER (PARTITION BY k ORDER BY w) AS d FROM h), "
+            "nz AS (SELECT k, w, CASE WHEN d > 0 THEN 1 ELSE -1 END "
+            "AS s FROM d WHERE d IS NOT NULL AND d <> 0), "
+            "f AS (SELECT k, s, "
+            "lag(s) OVER (PARTITION BY k ORDER BY w) AS ps FROM nz), "
+            "c AS (SELECT k, count(*) FILTER (WHERE s * ps = -1) "
+            "AS n_flips FROM f GROUP BY k), "
+            "o AS (SELECT k, count(*) AS n_obs FROM h GROUP BY k) "
+            "SELECT o.k AS event_type, CAST(o.n_obs AS BIGINT) "
+            "AS n_obs, CAST(coalesce(c.n_flips, 0) AS BIGINT) "
+            "AS n_flips FROM o LEFT JOIN c USING (k)"
         ),
         "skew_histogram": (
             "WITH s AS (SELECT o_custkey, count(*) AS n FROM orders "

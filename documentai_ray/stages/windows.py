@@ -622,3 +622,43 @@ def seasonal_naive_mae(ds, *, ts_col: str, key_col: str,
     out["mae"] = (out["sum_abs_err"] // out["n_pairs"]).astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def trend_flips(ds, *, ts_col: str, key_col: str,
+                out_col: str = "n_flips"):
+    """Volatility of a per-key hourly count series as the number of
+    DIRECTION CHANGES (rise→fall or fall→rise) — the shape statistic
+    level-based anomaly flags miss: a series can stay in range while
+    thrashing. Zero diffs are skipped (a plateau neither continues nor
+    breaks a trend), so a flip is two consecutive NONZERO diffs with
+    opposite signs — the convention the SQL double-lag mirror
+    reproduces exactly. Diffs run over OBSERVED hours in order (an
+    absent hour is no observation).
+
+    The hourly aggregate rides ONE pre-combined (hour, key) exchange
+    bounded by hours × keys; the flip scan is a driver/vectorized pass
+    over that tiny series. Returns (key, n_obs, n_flips)."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("trend_flips: empty input")
+    hourly = hourly.sort_values([key_col, "_w"], kind="mergesort")
+    rows = []
+    for key, g in hourly.groupby(key_col, sort=False):
+        n = g["_n"].to_numpy()
+        d = np.diff(n)
+        s = np.sign(d[d != 0])
+        flips = int((s[1:] * s[:-1] == -1).sum()) if len(s) > 1 else 0
+        rows.append((key, len(n), flips))
+    out = pd.DataFrame(rows, columns=[key_col, "n_obs", out_col])
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out[out_col] = out[out_col].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

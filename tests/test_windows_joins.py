@@ -493,3 +493,37 @@ class TestSeasonalNaiveMae:
             ts_col="ts", key_col="k").to_pandas()
         assert out.iloc[0].to_dict() == {
             "k": "t", "n_pairs": 2, "sum_abs_err": 2, "mae": 1}
+
+
+class TestTrendFlips:
+    def test_plateaus_skipped_and_flips_counted(self, ray_session):
+        """Hourly counts 1,3,3,2,4: diffs +2,0,-1,+2 -> nonzero signs
+        +,-,+ -> 2 flips; plateau ignored."""
+        import pandas as pd
+        from documentai_ray.stages.windows import trend_flips
+        base = pd.Timestamp("2024-05-01")
+        rows = []
+        for h, n in enumerate([1, 3, 3, 2, 4]):
+            for i in range(n):
+                rows.append({"ts": base + pd.Timedelta(hours=h,
+                                                       seconds=i),
+                             "k": "t"})
+        out = trend_flips(ray_session.data.from_items(rows)
+                          .repartition(3),
+                          ts_col="ts", key_col="k").to_pandas()
+        assert out.iloc[0].to_dict() == {"k": "t", "n_obs": 5,
+                                         "n_flips": 2}
+
+    def test_monotone_series_has_zero_flips(self, ray_session):
+        import pandas as pd
+        from documentai_ray.stages.windows import trend_flips
+        base = pd.Timestamp("2024-05-01")
+        rows = []
+        for h, n in enumerate([1, 2, 4, 8]):
+            for i in range(n):
+                rows.append({"ts": base + pd.Timedelta(hours=h,
+                                                       seconds=i),
+                             "k": "m"})
+        out = trend_flips(ray_session.data.from_items(rows),
+                          ts_col="ts", key_col="k").to_pandas()
+        assert int(out["n_flips"][0]) == 0
