@@ -5748,6 +5748,23 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_user_features(sf_dir: str):
+    """Feature-matrix builder (``windows.user_feature_matrix``): one
+    wide row per user — event count, per-type counts over the closed
+    vocabulary, first/last activity, active span, value sum in cents —
+    the churn/propensity model input, built in ONE fused pass
+    (per-batch pre-combined partials, a single key exchange; no
+    per-feature passes or joins)."""
+    import ray.data
+
+    from documentai_ray.stages.windows import user_feature_matrix
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+    return user_feature_matrix(ev)
+
+
 def _q_trend_flips(sf_dir: str):
     """Series volatility as direction-change counts
     (``windows.trend_flips``): per event type, how often the hourly
@@ -7397,6 +7414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backtest_mae": _q_backtest_mae,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
+        "user_features": _q_user_features,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8224,6 +8242,21 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "user_features": (
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(min(epoch_us(ts)) AS BIGINT) AS first_us, "
+            "CAST(max(epoch_us(ts)) AS BIGINT) AS last_us, "
+            "CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 "
+            "AS BIGINT) AS span_s, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') "
+            "AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_c FROM events GROUP BY user_id"
         ),
         "trend_flips": (
             "WITH h AS (SELECT event_type AS k, "

@@ -662,3 +662,63 @@ def trend_flips(ds, *, ts_col: str, key_col: str,
     out[out_col] = out[out_col].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def user_feature_matrix(ds, *, key_col: str = "user_id",
+                        ts_col: str = "ts", type_col: str = "event_type",
+                        value_col: str = "value",
+                        type_vocab: list[str] = EVENT_TYPES):
+    """Feature-matrix builder — the ML-prep fan-in that turns an event
+    stream into ONE wide row per entity (counts, per-type counts over a
+    closed vocabulary, first/last timestamps, active span, value sum in
+    cents): the input every churn/propensity model starts from. The
+    whole matrix is ONE fused pass: per-batch pandas groupby emits
+    partial rows (count/min/max/sums pre-combined per block), a single
+    key exchange sums them — no per-feature passes, no joins between
+    feature pipelines.
+
+    Types outside ``type_vocab`` count toward ``n_events`` but get no
+    per-type column (closed-vocabulary contract, as events_pivot).
+    Returns (key, n_events, first_us, last_us, span_s,
+    n_<type>..., value_c)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    tcols = [f"n_{t}" for t in type_vocab]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, ts_col, type_col,
+                           value_col]).to_pandas()
+        df["_us"] = df[ts_col].astype("int64")
+        df["_vc"] = np.rint(df[value_col].to_numpy() * 100
+                            ).astype("int64")
+        g = df.groupby(key_col)
+        out = g.agg(n_events=(ts_col, "size"), first_us=("_us", "min"),
+                    last_us=("_us", "max"), value_c=("_vc", "sum"))
+        ct = pd.crosstab(df[key_col], df[type_col])  # one C pass
+        for t, c in zip(type_vocab, tcols):
+            out[c] = (ct[t].reindex(out.index, fill_value=0)
+                      if t in ct.columns else 0)
+        out = out.reset_index()
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    aggs = ([Sum("n_events", alias_name="n_events"),
+             Min("first_us", alias_name="first_us"),
+             Max("last_us", alias_name="last_us"),
+             Sum("value_c", alias_name="value_c")]
+            + [Sum(c, alias_name=c) for c in tcols])
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col).aggregate(*aggs))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        span = ((batch.column("last_us").to_numpy()
+                 - batch.column("first_us").to_numpy())
+                // 1_000_000)
+        cols = {c: batch.column(c) for c in batch.column_names}
+        cols["span_s"] = pa.array(span, pa.int64())
+        for c in ["n_events", "value_c"] + tcols:
+            cols[c] = pa.array(
+                batch.column(c).to_numpy().astype("int64"), pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -527,3 +527,30 @@ class TestTrendFlips:
         out = trend_flips(ray_session.data.from_items(rows),
                           ts_col="ts", key_col="k").to_pandas()
         assert int(out["n_flips"][0]) == 0
+
+
+class TestUserFeatureMatrix:
+    def test_fused_features_exact(self, ray_session):
+        import pandas as pd
+        from documentai_ray.stages.windows import user_feature_matrix
+        base = pd.Timestamp("2024-06-01")
+        rows = [
+            {"user_id": 1, "ts": base, "event_type": "view",
+             "value": 1.50},
+            {"user_id": 1, "ts": base + pd.Timedelta(seconds=90),
+             "event_type": "click", "value": 0.25},
+            {"user_id": 1, "ts": base + pd.Timedelta(seconds=30),
+             "event_type": "view", "value": 2.00},
+            {"user_id": 2, "ts": base, "event_type": "weird",
+             "value": 9.99},
+        ]
+        out = (user_feature_matrix(
+            ray_session.data.from_items(rows).repartition(3))
+            .to_pandas().sort_values("user_id"))
+        u1 = out.iloc[0]
+        assert (u1["n_events"], u1["n_view"], u1["n_click"],
+                u1["span_s"], u1["value_c"]) == (3, 2, 1, 90, 375)
+        u2 = out.iloc[1]
+        # unknown type counts toward n_events, no per-type column
+        assert (u2["n_events"], u2["n_view"], u2["n_click"],
+                u2["value_c"]) == (1, 0, 0, 999)
