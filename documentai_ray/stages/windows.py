@@ -688,7 +688,10 @@ def user_feature_matrix(ds, *, key_col: str = "user_id",
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, ts_col, type_col,
                            value_col]).to_pandas()
-        df["_us"] = df[ts_col].astype("int64")
+        # normalize the unit BEFORE integer math: parquet carries us,
+        # but in-memory paths can carry s/ns (the span would silently
+        # mis-scale by 10^6 either way)
+        df["_us"] = df[ts_col].astype("datetime64[us]").astype("int64")
         df["_vc"] = np.rint(df[value_col].to_numpy() * 100
                             ).astype("int64")
         g = df.groupby(key_col)
