@@ -5748,6 +5748,27 @@ def _q_pagerank_irregular(sf_dir: str):
     return pagerank_int(e, nd, iters=2, out_deg=None, num_partitions=16)
 
 
+def _q_windowed_paths(sf_dir: str):
+    """Time-bounded path counting (``windows.windowed_path_counts``):
+    per user, distinct view→click→purchase paths where each step
+    follows within 600 s (strictly later second) — the attribution
+    counter unbounded subsequence counting overstates when old context
+    should expire. Each DP level's windowed per-key prefix sum is one
+    global composite-key searchsorted + cumsum difference (no per-key
+    loop); SQL mirror is the stacked RANGE 600 PRECEDING AND 1
+    PRECEDING frame."""
+    import ray.data
+
+    from documentai_ray.stages.windows import windowed_path_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return windowed_path_counts(
+        ev, key_col="user_id", ts_col="ts", type_col="event_type",
+        pattern=["view", "click", "purchase"], window_s=600)
+
+
 def _q_user_features(sf_dir: str):
     """Feature-matrix builder (``windows.user_feature_matrix``): one
     wide row per user — event count, per-type counts over the closed
@@ -7415,6 +7436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
+        "windowed_paths": _q_windowed_paths,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8242,6 +8264,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN n >= 10 THEN c_mktsegment ELSE '*' END "
             "AS c_mktsegment_qi, "
             "n >= 10 AS k_anonymous FROM s"
+        ),
+        "windowed_paths": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s, "
+            "event_type FROM events), "
+            "l1 AS (SELECT *, coalesce(sum(CASE WHEN event_type = "
+            "'view' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY s RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING), "
+            "0) AS w1 FROM e), "
+            "l2 AS (SELECT *, coalesce(sum(CASE WHEN event_type = "
+            "'click' THEN w1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY s RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING), "
+            "0) AS w2 FROM l1) "
+            "SELECT user_id, CAST(coalesce(sum(CASE WHEN event_type = "
+            "'purchase' THEN w2 ELSE 0 END), 0) AS BIGINT) AS n_paths "
+            "FROM l2 GROUP BY user_id"
         ),
         "user_features": (
             "SELECT user_id, count(*) AS n_events, "

@@ -725,3 +725,63 @@ def user_feature_matrix(ds, *, key_col: str = "user_id",
         return pa.table(cols)
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def windowed_path_counts(ds, *, key_col: str, ts_col: str,
+                         type_col: str, pattern: list[str],
+                         window_s: int, num_partitions: int = 32,
+                         out_col: str = "n_paths"):
+    """Time-bounded path counting — ``subsequence_counts`` with a
+    clock: per key, how many ways the stream spells ``pattern`` where
+    EACH consecutive step happens within ``window_s`` seconds of the
+    previous (strictly later second) — the attribution counter that
+    unbounded subsequence counting overstates whenever old context
+    should expire. Granularity is whole seconds: a step at second s
+    extends steps at seconds [s − window_s, s − 1].
+
+    Same DP as subsequence_counts, but each level needs a WINDOWED
+    per-key prefix sum, not a running one. Vectorized without a
+    per-key loop via a composite sort key ``user_idx·2³⁵ + second``:
+    one global ``np.searchsorted`` pair per level finds every row's
+    [lo, hi) window inside its own key block (the key stride separates
+    blocks, so a window reaching before a key's first event clamps to
+    the block start for free), and the windowed sum is a difference of
+    global cumsums. k levels ⇒ k vectorized sweeps.
+
+    ONE row exchange co-locates keys; SQL mirror is the stacked
+    ``RANGE BETWEEN W PRECEDING AND 1 PRECEDING`` frame over epoch
+    seconds. int64 contract as subsequence_counts. Returns
+    (key, n_paths), zeros included."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    if len(pattern) < 1:
+        raise ValueError("pattern must have at least one step")
+    if window_s < 1:
+        raise ValueError("window_s must be >= 1")
+
+    STRIDE = np.int64(1) << np.int64(35)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        secs = (g[ts_col].astype("datetime64[us]").astype("int64")
+                // 1_000_000).to_numpy()
+        uidx = (g[key_col] != g[key_col].shift()).to_numpy().cumsum()
+        kk = uidx.astype(np.int64) * STRIDE + secs
+        cur = (g[type_col] == pattern[0]).to_numpy("int64")
+        for step in pattern[1:]:
+            cum = np.concatenate(([0], np.cumsum(cur)))
+            hi = np.searchsorted(kk, kk, side="left")          # < s
+            lo = np.searchsorted(kk, kk - window_s, side="left")
+            win = cum[hi] - cum[lo]
+            cur = np.where(g[type_col] == step, win, 0)
+        g = g.assign(_c=cur)
+        out = (g.groupby(key_col, sort=False)["_c"].sum()
+               .reset_index(name=out_col))
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    keyed = _add_pkey(ds.select_columns([key_col, ts_col, type_col]),
+                      key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: count(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))

@@ -554,3 +554,67 @@ class TestUserFeatureMatrix:
         # unknown type counts toward n_events, no per-type column
         assert (u2["n_events"], u2["n_view"], u2["n_click"],
                 u2["value_c"]) == (1, 0, 0, 999)
+
+
+class TestWindowedPathCounts:
+    def _rows(self, spec):
+        import pandas as pd
+        base = pd.Timestamp("2024-07-01")
+        return [{"u": u, "ts": base + pd.Timedelta(seconds=s), "t": t}
+                for u, s, t in spec]
+
+    def test_window_expires_old_context(self, ray_session):
+        """A at t=0 expires for the B at t=700 (window 600); the A at
+        t=200 still reaches it. Exactly one full path."""
+        from documentai_ray.stages.windows import windowed_path_counts
+        rows = self._rows([(1, 0, "A"), (1, 200, "A"),
+                           (1, 700, "B"), (1, 900, "C")])
+        out = windowed_path_counts(
+            ray_session.data.from_items(rows).repartition(2),
+            key_col="u", ts_col="ts", type_col="t",
+            pattern=["A", "B", "C"], window_s=600).to_pandas()
+        assert list(out["n_paths"]) == [1]
+
+    def test_same_second_does_not_chain(self, ray_session):
+        """Strictly-later-second rule: A and B in the same second do
+        not pair."""
+        from documentai_ray.stages.windows import windowed_path_counts
+        rows = self._rows([(1, 5, "A"), (1, 5, "B"), (1, 6, "C")])
+        out = windowed_path_counts(
+            ray_session.data.from_items(rows),
+            key_col="u", ts_col="ts", type_col="t",
+            pattern=["A", "B", "C"], window_s=600).to_pandas()
+        assert list(out["n_paths"]) == [0]
+
+    def test_matches_unbounded_when_window_huge(self, ray_session):
+        """With a huge window (and distinct seconds) the count equals
+        subsequence_counts' unbounded DP."""
+        from documentai_ray.stages.windows import (subsequence_counts,
+                                                   windowed_path_counts)
+        spec = [(1, i * 10, t) for i, t in
+                enumerate(["A", "A", "B", "A", "B", "C"])]
+        rows = self._rows(spec)
+        win = windowed_path_counts(
+            ray_session.data.from_items(rows),
+            key_col="u", ts_col="ts", type_col="t",
+            pattern=["A", "B", "C"], window_s=10**6).to_pandas()
+        rows2 = [{"u": u, "ts": s, "id": i, "t": t}
+                 for i, (u, s, t) in enumerate(spec)]
+        unb = subsequence_counts(
+            ray_session.data.from_items(rows2),
+            key_col="u", ts_col="ts", tie_col="id", type_col="t",
+            pattern=["A", "B", "C"]).to_pandas()
+        assert list(win["n_paths"]) == list(unb["n_seq"]) == [5]
+
+    def test_rejects_bad_params(self, ray_session):
+        import pytest
+        from documentai_ray.stages.windows import windowed_path_counts
+        ds = ray_session.data.from_items(
+            self._rows([(1, 0, "A")]))
+        with pytest.raises(ValueError):
+            windowed_path_counts(ds, key_col="u", ts_col="ts",
+                                 type_col="t", pattern=[], window_s=10)
+        with pytest.raises(ValueError):
+            windowed_path_counts(ds, key_col="u", ts_col="ts",
+                                 type_col="t", pattern=["A"],
+                                 window_s=0)
