@@ -1002,6 +1002,27 @@ def _q_lang_kappa(sf_dir: str):
     return cohens_kappa_int(ds, col_a="lang", col_b="pred_lang")
 
 
+def _q_lang_prf(sf_dir: str):
+    """Per-class precision/recall/F1 of the lang_id prediction against
+    the stored label (``aggregates.classification_prf_int``) — the
+    class-level eval completing rank_auc (ranking) and lang_kappa
+    (agreement): WHERE does the model fail. F1's harmonic mean clears
+    to one integer division (2·tp·10⁶ // (2·tp+fp+fn)), so all three
+    metrics are bit-exact in the nested lang_id SQL mirror. ONE
+    confusion-cell exchange."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import classification_prf_int
+    from documentai_ray.stages.textstats import lang_id_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return classification_prf_int(ds, true_col="lang",
+                                  pred_col="pred_lang")
+
+
 def _q_token_count_bpe(sf_dir: str):
     import ray.data
 
@@ -7382,6 +7403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_layout_text": _q_pdf_layout_text,
         "lang_id": _q_lang_id,
         "lang_kappa": _q_lang_kappa,
+        "lang_prf": _q_lang_prf,
         "token_count_bpe": _q_token_count_bpe,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_train_merges": _q_bpe_train_merges,
@@ -10104,6 +10126,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE confidence >= 0.6 AND lang_ok AND n_chars >= 100"
         ),
         "lang_id": _sql_lang_id("doc_id", "documents"),
+        "lang_prf": (
+            "WITH pred AS (" + _sql_lang_id("doc_id", "documents")
+            + "), "
+            "p AS (SELECT d.lang AS t, pr.pred_lang AS y "
+            "FROM documents d JOIN pred pr USING (doc_id)), "
+            "labs AS (SELECT DISTINCT t AS lab FROM p "
+            "UNION SELECT DISTINCT y FROM p), "
+            "m AS (SELECT lab, "
+            "(SELECT count(*) FROM p WHERE t = lab AND y = lab) AS tp, "
+            "(SELECT count(*) FROM p WHERE t <> lab AND y = lab) "
+            "AS fp, "
+            "(SELECT count(*) FROM p WHERE t = lab AND y <> lab) "
+            "AS fn FROM labs) "
+            "SELECT lab AS label, CAST(tp AS BIGINT) AS tp, "
+            "CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, "
+            "CAST(CASE WHEN tp + fp = 0 THEN 0 "
+            "ELSE tp * 1000000 // (tp + fp) END AS BIGINT) "
+            "AS precision_ppm, "
+            "CAST(CASE WHEN tp + fn = 0 THEN 0 "
+            "ELSE tp * 1000000 // (tp + fn) END AS BIGINT) "
+            "AS recall_ppm, "
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 "
+            "ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END "
+            "AS BIGINT) AS f1_ppm FROM m"
+        ),
         "lang_kappa": (
             "WITH pred AS (" + _sql_lang_id("doc_id", "documents")
             + "), "

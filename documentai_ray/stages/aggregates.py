@@ -1541,3 +1541,53 @@ def gini_concentration_int(ds, *, key_col: str):
     return pa.table({"n_keys": pa.array([n], pa.int64()),
                      "total": pa.array([total], pa.int64()),
                      "gini_ppm": pa.array([gini_ppm], pa.int64())})
+
+
+def classification_prf_int(ds, *, true_col: str, pred_col: str):
+    """Per-class precision / recall / F1 in integer ppm — the
+    class-level eval completing the trio (rank_auc = ranking quality,
+    cohens_kappa = overall chance-corrected agreement, this = WHERE the
+    model fails): every metric is a ratio of confusion-matrix counts,
+    and F1's harmonic mean clears to one division —
+    ``f1_ppm = 2·tp·10⁶ // (2·tp + fp + fn)`` — so all three are
+    bit-exact in SQL. Classes appearing only in predictions (or only
+    in truth) still get a row: precision with tp+fp = 0 is reported 0
+    (no predictions to be wrong about — the lenient convention,
+    documented), likewise recall with tp+fn = 0.
+
+    ONE confusion-cell exchange bounded by |true| × |pred| labels;
+    driver margin fold. Returns (label, tp, fp, fn, precision_ppm,
+    recall_ppm, f1_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([true_col, pred_col]).to_pandas()
+        g = (df.groupby([true_col, pred_col], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    cm = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([true_col, pred_col])
+          .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    labels = sorted(set(cm[true_col]) | set(cm[pred_col]))
+    rows = []
+    for lab in labels:
+        tp = int(cm.loc[(cm[true_col] == lab)
+                        & (cm[pred_col] == lab), "_n"].sum())
+        fp = int(cm.loc[(cm[true_col] != lab)
+                        & (cm[pred_col] == lab), "_n"].sum())
+        fn = int(cm.loc[(cm[true_col] == lab)
+                        & (cm[pred_col] != lab), "_n"].sum())
+        prec = tp * 1_000_000 // (tp + fp) if tp + fp else 0
+        rec = tp * 1_000_000 // (tp + fn) if tp + fn else 0
+        f1 = (2 * tp * 1_000_000 // (2 * tp + fp + fn)
+              if 2 * tp + fp + fn else 0)
+        rows.append((lab, tp, fp, fn, prec, rec, f1))
+    out = pd.DataFrame(rows, columns=["label", "tp", "fp", "fn",
+                                      "precision_ppm", "recall_ppm",
+                                      "f1_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

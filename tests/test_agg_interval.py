@@ -521,3 +521,40 @@ def test_gini_concentration_bounds(ray_session):
         ray_session.data.from_items(rows).repartition(3),
         key_col="k").to_pandas()
     assert int(out["gini_ppm"][0]) == 720_000
+
+
+def test_classification_prf_hand_computed(ray_session):
+    """true/pred: (a,a)x3 (a,b)x1 (b,b)x2 (b,a)x2 (c,a)x1.
+    a: tp=3 fp=3 fn=1 -> P=500000 R=750000 F1=2*3e6//10=600000
+    b: tp=2 fp=1 fn=2 -> P=666666 R=500000 F1=4e6//7=571428
+    c: tp=0 fp=0 fn=1 -> all-zero precision, recall 0, f1 0."""
+    from documentai_ray.stages.aggregates import classification_prf_int
+
+    rows = ([{"t": "a", "y": "a"}] * 3 + [{"t": "a", "y": "b"}]
+            + [{"t": "b", "y": "b"}] * 2 + [{"t": "b", "y": "a"}] * 2
+            + [{"t": "c", "y": "a"}])
+    out = classification_prf_int(
+        ray_session.data.from_items(rows).repartition(3),
+        true_col="t", pred_col="y").to_pandas().set_index("label")
+    assert (out.loc["a", ["tp", "fp", "fn", "precision_ppm",
+                          "recall_ppm", "f1_ppm"]].tolist()
+            == [3, 3, 1, 500_000, 750_000, 600_000])
+    assert (out.loc["b", ["tp", "fp", "fn", "precision_ppm",
+                          "recall_ppm", "f1_ppm"]].tolist()
+            == [2, 1, 2, 666_666, 500_000, 571_428])
+    assert (out.loc["c", ["tp", "fp", "fn", "precision_ppm",
+                          "recall_ppm", "f1_ppm"]].tolist()
+            == [0, 0, 1, 0, 0, 0])
+
+
+def test_classification_prf_pred_only_label(ray_session):
+    """A label that exists only in predictions still gets a row."""
+    from documentai_ray.stages.aggregates import classification_prf_int
+
+    rows = [{"t": "x", "y": "ghost"}, {"t": "x", "y": "x"}]
+    out = classification_prf_int(ray_session.data.from_items(rows),
+                                 true_col="t",
+                                 pred_col="y").to_pandas()
+    assert set(out["label"]) == {"x", "ghost"}
+    g = out.set_index("label").loc["ghost"]
+    assert (g["tp"], g["fp"], g["fn"]) == (0, 1, 0)
