@@ -5807,6 +5807,43 @@ def _q_user_features(sf_dir: str):
     return user_feature_matrix(ev)
 
 
+def _q_user_ledger(sf_dir: str):
+    """Floor-clamped running ledger (``windows.clamped_ledger_int``):
+    per user, ordered by (ts, event_id), credits add round(value·100)
+    cents and purchase/error debits subtract them but the balance never
+    drops below zero — an overdraw is absorbed at the floor, so the
+    forgiven deficit shifts every later balance (NOT a plain sum). The
+    sequential recurrence b=max(0, b+d) clears to the Skorokhod
+    reflection closed form b_n = A_n − min(0, min A_k): two vectorized
+    grouped scans (cumsum + cummin), ONE co-locating exchange. SQL
+    mirror stacks a running SUM and a running MIN window."""
+    import ray.data
+
+    from documentai_ray.stages.windows import clamped_ledger_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+    return clamped_ledger_int(ev)
+
+
+def _q_cusum_alarms(sf_dir: str):
+    """CUSUM changepoint monitor (``windows.cusum_alarms_int``): per
+    event type, S = max(0, S + (hourly_count − k)) with self-calibrated
+    target k = floor(mean)+1 and alarm line h = 3k — sustained upshifts
+    ramp S past h while one-hour spikes decay, the drift detector plain
+    threshold alerts miss. Same reflection closed form as user_ledger
+    over the tiny pre-combined (hour, key) series; at sf0.1 some keys
+    alarm and some never do, so the oracle discriminates."""
+    import ray.data
+
+    from documentai_ray.stages.windows import cusum_alarms_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return cusum_alarms_int(ev)
+
+
 def _q_trend_flips(sf_dir: str):
     """Series volatility as direction-change counts
     (``windows.trend_flips``): per event type, how often the hourly
@@ -7459,6 +7496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
         "windowed_paths": _q_windowed_paths,
+        "user_ledger": _q_user_ledger,
+        "cusum_alarms": _q_cusum_alarms,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8302,6 +8341,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(coalesce(sum(CASE WHEN event_type = "
             "'purchase' THEN w2 ELSE 0 END), 0) AS BIGINT) AS n_paths "
             "FROM l2 GROUP BY user_id"
+        ),
+        "user_ledger": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) * "
+            "(CASE WHEN event_type IN ('purchase', 'error') "
+            "THEN -1 ELSE 1 END) AS d FROM events), "
+            "r AS (SELECT user_id, ts, event_id, d, "
+            "sum(d) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS a FROM e), "
+            "m AS (SELECT *, least(min(a) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), 0) AS mn, "
+            "coalesce(least(min(a) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0), 0) AS mn_prev FROM r), "
+            "b AS (SELECT user_id, a - mn AS bal, "
+            "CASE WHEN a < mn_prev THEN 1 ELSE 0 END AS cl, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM m) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(CASE WHEN rn = 1 THEN bal END) AS BIGINT) "
+            "AS final_c, CAST(max(bal) AS BIGINT) AS peak_c, "
+            "CAST(sum(cl) AS BIGINT) AS n_clamps "
+            "FROM b GROUP BY user_id"
+        ),
+        "cusum_alarms": (
+            "WITH hr AS (SELECT event_type AS ky, "
+            "date_trunc('hour', ts) AS w, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "p AS (SELECT ky, CAST(sum(n) // count(*) + 1 AS BIGINT) "
+            "AS kk FROM hr GROUP BY ky), "
+            "d AS (SELECT hr.ky, hr.w, hr.n, p.kk, 3 * p.kk AS hh, "
+            "hr.n - p.kk AS d FROM hr JOIN p ON hr.ky = p.ky), "
+            "r AS (SELECT *, sum(d) OVER (PARTITION BY ky ORDER BY w) "
+            "AS a FROM d), "
+            "m AS (SELECT *, least(min(a) OVER (PARTITION BY ky "
+            "ORDER BY w), 0) AS mn FROM r), "
+            "s AS (SELECT ky, n, kk, hh, w, a - mn AS s FROM m) "
+            "SELECT ky AS event_type, CAST(count(*) AS BIGINT) "
+            "AS n_obs, CAST(min(kk) AS BIGINT) AS k, "
+            "CAST(min(hh) AS BIGINT) AS h, "
+            "CAST(sum(CASE WHEN s >= hh THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_alarms, CAST(max(s) AS BIGINT) AS max_s, "
+            "CAST(coalesce(min(CASE WHEN s >= hh THEN "
+            "epoch_us(w) // 1000000 END), -1) AS BIGINT) "
+            "AS first_alarm_s FROM s GROUP BY ky"
         ),
         "user_features": (
             "SELECT user_id, count(*) AS n_events, "

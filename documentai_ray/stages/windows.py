@@ -785,3 +785,129 @@ def windowed_path_counts(ds, *, key_col: str, ts_col: str,
     return (keyed.groupby("_pkey")
             .map_groups(lambda g: count(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def clamped_ledger_int(ds, *, key_col: str = "user_id",
+                       ts_col: str = "ts", tie_col: str = "event_id",
+                       type_col: str = "event_type",
+                       value_col: str = "value",
+                       debit_types: tuple = ("purchase", "error"),
+                       num_partitions: int = 32):
+    """Floor-clamped running ledger — per key, ordered by (ts, tie),
+    credits add ``round(value·100)`` cents and debits subtract them,
+    but the balance can never go below zero: a debit that would
+    overdraw is absorbed down to the floor (prepaid-account / lost-
+    backorder / token-bucket semantics — NOT a plain sum, because the
+    forgiven deficit is gone forever and every later balance shifts).
+
+    The recurrence b_n = max(0, b_{n-1} + d_n) looks sequential but has
+    a closed form (Skorokhod reflection at zero):
+    ``b_n = A_n − min(0, min_{k≤n} A_k)`` with A the plain running sum.
+    So the whole ledger is two vectorized grouped scans (cumsum +
+    cummin — both C-level pandas kernels), no per-row loop, no per-key
+    Python. A clamp happens at exactly the rows where the running min
+    makes a NEW low below zero (A_n < min(0, min_{k<n} A_k)), which the
+    same scan yields for free.
+
+    ONE co-locating exchange (crc32(key) % P); each partition ledgers
+    all its keys in one pandas pass. Returns per key:
+    (key, n_events, final_c, peak_c, n_clamps) — final balance, peak
+    balance ever held, and how many debits hit the floor. All int64
+    cents; SQL mirror is two stacked window functions (running SUM +
+    running MIN) plus a filtered count."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def ledger(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        sign = np.where(g[type_col].isin(debit_types), -1, 1)
+        g = g.assign(_d=cents * sign)
+        gb = g.groupby(key_col, sort=False)
+        a = gb["_d"].cumsum()
+        g = g.assign(_a=a)
+        m = np.minimum(g.groupby(key_col, sort=False)["_a"].cummin(), 0)
+        bal = a - m
+        # previous row's floor (0 at each key's first row): a NEW low
+        # below it means this debit was clamped
+        m_prev = m.groupby(g[key_col], sort=False).shift(1).fillna(0)
+        clamped = (a < m_prev).astype("int64")
+        g = g.assign(_bal=bal, _cl=clamped)
+        out = (g.groupby(key_col, sort=False)
+               .agg(n_events=("_d", "size"), final_c=("_bal", "last"),
+                    peak_c=("_bal", "max"), n_clamps=("_cl", "sum"))
+               .reset_index())
+        for c in ["n_events", "final_c", "peak_c", "n_clamps"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    keyed = _add_pkey(
+        ds.select_columns([key_col, ts_col, tie_col, type_col, value_col]),
+        key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: ledger(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
+def cusum_alarms_int(ds, *, key_col: str = "event_type",
+                     ts_col: str = "ts", k_extra: int = 1,
+                     h_mult: int = 3):
+    """CUSUM changepoint monitor over per-key hourly volumes — the
+    sequential drift detector threshold alerts miss: S_n =
+    max(0, S_{n−1} + (x_n − k)) accumulates only sustained excess over
+    the target rate k, so a one-hour spike decays but a persistent
+    upshift ramps S past the alarm line h. Same Skorokhod reflection
+    closed form as clamped_ledger_int — S_n = A_n − min(0, min_{k≤n}
+    A_k) over the drift-adjusted running sum — so the "sequential"
+    statistic is two vectorized grouped scans.
+
+    Per key the target is self-calibrated: k = floor(mean hourly
+    count) + ``k_extra`` (strictly above the mean so S returns to zero
+    under steady load), alarm line h = ``h_mult·k``. The series runs
+    over OBSERVED hours in order (absent hour = no observation), the
+    trend_flips convention. The hourly aggregate rides ONE pre-combined
+    (hour, key) exchange bounded by hours × keys; the reflection is a
+    vectorized pass over that tiny series.
+
+    Returns (key, n_obs, k, h, n_alarms, max_s, first_alarm_s) — hours
+    with S ≥ h, the peak statistic, and the first alarm hour as epoch
+    seconds (−1 when no alarm). All int64; SQL mirror stacks running
+    SUM + running MIN windows over the hourly CTE."""
+    from ray.data.aggregate import Count
+
+    if k_extra < 0 or h_mult < 1:
+        raise ValueError("cusum_alarms_int: k_extra >= 0, h_mult >= 1")
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("cusum_alarms_int: empty input")
+    hourly = hourly.sort_values([key_col, "_w"], kind="mergesort")
+    gb0 = hourly.groupby(key_col, sort=False)["_n"]
+    k = (gb0.transform("sum") // gb0.transform("size") + k_extra)
+    h = h_mult * k
+    hourly = hourly.assign(_k=k, _h=h, _d=hourly["_n"] - k)
+    a = hourly.groupby(key_col, sort=False)["_d"].cumsum()
+    hourly = hourly.assign(_a=a)
+    m = np.minimum(
+        hourly.groupby(key_col, sort=False)["_a"].cummin(), 0)
+    s = a - m
+    alarm = s >= h
+    ws = (hourly["_w"].astype("datetime64[us]").astype("int64")
+          // 1_000_000)
+    hourly = hourly.assign(_s=s, _al=alarm.astype("int64"),
+                           _aw=np.where(alarm, ws, np.int64(2**62)))
+    out = (hourly.groupby(key_col, sort=False)
+           .agg(n_obs=("_n", "size"), k=("_k", "first"),
+                h=("_h", "first"), n_alarms=("_al", "sum"),
+                max_s=("_s", "max"), first_alarm_s=("_aw", "min"))
+           .reset_index())
+    out.loc[out["first_alarm_s"] == 2**62, "first_alarm_s"] = -1
+    for c in ["n_obs", "k", "h", "n_alarms", "max_s", "first_alarm_s"]:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -618,3 +618,141 @@ class TestWindowedPathCounts:
             windowed_path_counts(ds, key_col="u", ts_col="ts",
                                  type_col="t", pattern=["A"],
                                  window_s=0)
+
+
+class TestClampedLedger:
+    def _rows(self, spec):
+        import pandas as pd
+        base = pd.Timestamp("2024-07-01")
+        return [{"user_id": u, "ts": base + pd.Timedelta(seconds=s),
+                 "event_id": i, "event_type": t, "value": v}
+                for i, (u, s, t, v) in enumerate(spec)]
+
+    def test_hand_computed_clamp(self, ray_session):
+        """credit 1.00 -> 100c; purchase 2.50 overdraws -> floor 0
+        (150c forgiven forever); credit 0.50 -> 50; error 0.30 -> 20.
+        Plain sum would say -130; the ledger says 20."""
+        from documentai_ray.stages.windows import clamped_ledger_int
+        rows = self._rows([(1, 0, "view", 1.00),
+                           (1, 10, "purchase", 2.50),
+                           (1, 20, "signup", 0.50),
+                           (1, 30, "error", 0.30)])
+        out = clamped_ledger_int(
+            ray_session.data.from_items(rows).repartition(2),
+            num_partitions=4).to_pandas()
+        r = out.iloc[0]
+        assert (r["n_events"], r["final_c"], r["peak_c"],
+                r["n_clamps"]) == (4, 20, 100, 1)
+
+    def test_exact_zero_is_not_a_clamp(self, ray_session):
+        """A debit landing exactly on 0 forgives nothing."""
+        from documentai_ray.stages.windows import clamped_ledger_int
+        rows = self._rows([(1, 0, "view", 1.00),
+                           (1, 10, "purchase", 1.00)])
+        out = clamped_ledger_int(
+            ray_session.data.from_items(rows)).to_pandas()
+        assert (out.iloc[0]["final_c"], out.iloc[0]["n_clamps"]) == (0, 0)
+
+    def test_tie_broken_by_event_id(self, ray_session):
+        """Same-ts rows order by event_id: debit(id=0) before
+        credit(id=1) clamps; the reverse order would not."""
+        from documentai_ray.stages.windows import clamped_ledger_int
+        rows = self._rows([(1, 5, "purchase", 1.00),
+                           (1, 5, "view", 1.00)])
+        out = clamped_ledger_int(
+            ray_session.data.from_items(rows)).to_pandas()
+        assert (out.iloc[0]["final_c"], out.iloc[0]["n_clamps"]) == (100, 1)
+
+    def test_matches_sequential_reference(self, ray_session):
+        """Vectorized reflection == the per-row sequential recurrence
+        on a multi-user shuffled corpus."""
+        import numpy as np
+        from documentai_ray.stages.windows import clamped_ledger_int
+        rng = np.random.default_rng(7)
+        spec = [(int(rng.integers(0, 5)), int(rng.integers(0, 1000)),
+                 ["view", "purchase", "error", "signup"][
+                     int(rng.integers(0, 4))],
+                 float(rng.integers(1, 500)) / 100)
+                for _ in range(200)]
+        rows = self._rows(spec)
+        out = (clamped_ledger_int(
+            ray_session.data.from_items(rows).repartition(5),
+            num_partitions=3)
+            .to_pandas().set_index("user_id").sort_index())
+        byu = {}
+        for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+            d = round(r["value"] * 100)
+            if r["event_type"] in ("purchase", "error"):
+                d = -d
+            b, peak, cl, n = byu.get(r["user_id"], (0, 0, 0, 0))
+            nb = b + d
+            if nb < 0:
+                nb, cl = 0, cl + 1
+            byu[r["user_id"]] = (nb, max(peak, nb), cl, n + 1)
+        for u, (b, peak, cl, n) in byu.items():
+            r = out.loc[u]
+            assert (r["n_events"], r["final_c"], r["peak_c"],
+                    r["n_clamps"]) == (n, b, peak, cl)
+
+
+class TestCusumAlarms:
+    def _events(self, counts, typ="click", base_h=0):
+        """One synthetic event stream whose hourly volumes are
+        ``counts`` starting at hour ``base_h``."""
+        import pandas as pd
+        base = pd.Timestamp("2024-07-01")
+        rows = []
+        for h, n in enumerate(counts):
+            for j in range(n):
+                rows.append({"ts": base + pd.Timedelta(
+                    hours=base_h + h, seconds=j),
+                    "event_type": typ})
+        return rows
+
+    def test_sustained_shift_alarms_spike_does_not(self, ray_session):
+        """20 quiet hours (2/h) then 10 shifted hours (12/h): mean 5.33
+        -> k=6, h=18; S ramps 6,12,18 and first alarms on the THIRD
+        shifted hour, then stays over the line (8 alarm hours, peak
+        S=60). A lone spike with the same instantaneous excess (below
+        h) would decay instead -- see test_single_spike_decays."""
+        import pandas as pd
+        from documentai_ray.stages.windows import cusum_alarms_int
+        rows = self._events([2] * 20 + [12] * 10)
+        out = cusum_alarms_int(
+            ray_session.data.from_items(rows).repartition(4)).to_pandas()
+        r = out.iloc[0]
+        base = pd.Timestamp("2024-07-01")
+        want_first = int((base + pd.Timedelta(hours=22)).timestamp())
+        assert (r["n_obs"], r["k"], r["h"], r["n_alarms"], r["max_s"],
+                r["first_alarm_s"]) == (30, 6, 18, 8, 60, want_first)
+
+    def test_single_spike_decays(self, ray_session):
+        """Nine hours of 2 plus one spike of 8: k=3, h=9; the spike
+        contributes S=5 < h and decays -- no alarm, first_alarm_s=-1."""
+        from documentai_ray.stages.windows import cusum_alarms_int
+        rows = self._events([2, 2, 2, 2, 8, 2, 2, 2, 2, 2])
+        out = cusum_alarms_int(
+            ray_session.data.from_items(rows)).to_pandas()
+        r = out.iloc[0]
+        assert (r["k"], r["h"], r["n_alarms"], r["max_s"],
+                r["first_alarm_s"]) == (3, 9, 0, 5, -1)
+
+    def test_per_key_independent_calibration(self, ray_session):
+        """Two keys with different baselines get different (k, h)."""
+        from documentai_ray.stages.windows import cusum_alarms_int
+        rows = (self._events([2] * 6, "a")
+                + self._events([10] * 6, "b"))
+        out = (cusum_alarms_int(ray_session.data.from_items(rows))
+               .to_pandas().set_index("event_type"))
+        assert out.loc["a", "k"] == 3 and out.loc["b", "k"] == 11
+        assert int(out.loc["a", "n_alarms"]) == 0
+        assert int(out.loc["b", "n_alarms"]) == 0
+
+    def test_rejects_bad_params(self, ray_session):
+        import pytest
+        from documentai_ray.stages.windows import cusum_alarms_int
+        ds = ray_session.data.from_items(self._events([1]))
+        with pytest.raises(ValueError):
+            cusum_alarms_int(ds, k_extra=-1)
+        with pytest.raises(ValueError):
+            cusum_alarms_int(ds, h_mult=0)
