@@ -5844,6 +5844,58 @@ def _q_cusum_alarms(sf_dir: str):
     return cusum_alarms_int(ev)
 
 
+def _q_mann_kendall(sf_dir: str):
+    """Mann–Kendall trend statistic (``windows.mann_kendall_int``):
+    per event type, S = Σ sgn(x_j − x_i) over all time-ordered hourly
+    pairs — monotone-drift score immune to outlier magnitude, where a
+    least-squares slope is dominated by one spike. Completes the trend
+    family (trend_flips = thrash, cusum_alarms = level shifts). One
+    pre-combined hourly exchange; the bounded-series pair count is a
+    chunked (K, T, T) broadcast; SQL mirror is the within-key
+    self-join on a.w < b.w."""
+    import ray.data
+
+    from documentai_ray.stages.windows import mann_kendall_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return mann_kendall_int(ev)
+
+
+def _q_lag_coactivity(sf_dir: str):
+    """Lagged co-activity (``windows.lag_coactivity_int``): for every
+    ordered event-type pair, the integer cross-correlation dot
+    Σ n_a(t)·n_b(t+ℓ) over lags 0..6 h and its argmax (smallest lag
+    wins ties) — "errors lead purchase drops by 2 hours" is a lag peak
+    the same-hour join can't see. One hourly exchange; the sweep is
+    L+1 K×K matmuls on the dense zero-filled series (missing hour IS
+    zero events, so dense zeros are exact)."""
+    import ray.data
+
+    from documentai_ray.stages.windows import lag_coactivity_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return lag_coactivity_int(ev, max_lag_h=6)
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth (``textstats.vocab_growth``):
+    distinct whitespace tokens within each doubling corpus prefix
+    (doc_id < 2^k) — K nested COUNT DISTINCTs collapsed to ONE pass
+    via first occurrences: vocab(k) = #{tokens with min(doc_id) <
+    2^k} = a cumulative bit_length(min_id) histogram. Token→min-id
+    exchange bounded by distinct tokens; only ≤64-row histograms
+    reach the driver on both axes."""
+    import ray.data
+
+    from documentai_ray.stages.textstats import vocab_growth
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return vocab_growth(ds)
+
+
 def _q_trend_flips(sf_dir: str):
     """Series volatility as direction-change counts
     (``windows.trend_flips``): per event type, how often the hourly
@@ -7498,6 +7550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_paths": _q_windowed_paths,
         "user_ledger": _q_user_ledger,
         "cusum_alarms": _q_cusum_alarms,
+        "mann_kendall": _q_mann_kendall,
+        "lag_coactivity": _q_lag_coactivity,
+        "vocab_growth": _q_vocab_growth,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8386,6 +8441,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(min(CASE WHEN s >= hh THEN "
             "epoch_us(w) // 1000000 END), -1) AS BIGINT) "
             "AS first_alarm_s FROM s GROUP BY ky"
+        ),
+        "mann_kendall": (
+            "WITH h AS (SELECT event_type AS ky, "
+            "date_trunc('hour', ts) AS w, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "p AS (SELECT a.ky, "
+            "CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_conc, "
+            "CAST(sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_disc "
+            "FROM h a JOIN h b ON a.ky = b.ky AND a.w < b.w "
+            "GROUP BY a.ky), "
+            "o AS (SELECT ky, CAST(count(*) AS BIGINT) AS n_obs "
+            "FROM h GROUP BY ky) "
+            "SELECT o.ky AS event_type, o.n_obs, "
+            "coalesce(p.n_conc, 0) AS n_conc, "
+            "coalesce(p.n_disc, 0) AS n_disc, "
+            "coalesce(p.n_conc, 0) - coalesce(p.n_disc, 0) AS s_stat, "
+            "CAST(sign(coalesce(p.n_conc, 0) - coalesce(p.n_disc, 0)) "
+            "AS BIGINT) AS trend FROM o LEFT JOIN p USING (ky)"
+        ),
+        "lag_coactivity": (
+            "WITH h AS (SELECT event_type AS ky, "
+            "date_trunc('hour', ts) AS w, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "k AS (SELECT DISTINCT ky FROM h), "
+            "lags AS (SELECT * FROM generate_series(0, 6) AS t(lag)), "
+            "grid AS (SELECT k1.ky AS key_a, k2.ky AS key_b, lags.lag "
+            "FROM k k1, k k2, lags WHERE k1.ky <> k2.ky), "
+            "dots AS (SELECT g.key_a, g.key_b, g.lag, "
+            "CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS dot "
+            "FROM grid g LEFT JOIN h a ON a.ky = g.key_a "
+            "LEFT JOIN h b ON b.ky = g.key_b "
+            "AND b.w = a.w + g.lag * INTERVAL 1 HOUR GROUP BY 1, 2, 3), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY key_a, "
+            "key_b ORDER BY dot DESC, lag ASC) AS rn FROM dots), "
+            "z AS (SELECT key_a, key_b, dot AS lag0_dot FROM dots "
+            "WHERE lag = 0) "
+            "SELECT r.key_a, r.key_b, CAST(r.lag AS BIGINT) "
+            "AS best_lag, r.dot AS best_dot, z.lag0_dot "
+            "FROM r JOIN z USING (key_a, key_b) WHERE rn = 1"
+        ),
+        "vocab_growth": (
+            "WITH tok AS (SELECT u.token, min(d.doc_id) AS mid "
+            "FROM documents d, "
+            "unnest(string_split(d.text, ' ')) AS u(token) "
+            "WHERE u.token <> '' GROUP BY u.token), "
+            "tb AS (SELECT CASE WHEN mid = 0 THEN 0 "
+            "ELSE length(bin(mid)) END AS b, count(*) AS n "
+            "FROM tok GROUP BY 1), "
+            "db AS (SELECT CASE WHEN doc_id = 0 THEN 0 "
+            "ELSE length(bin(doc_id)) END AS b, count(*) AS n "
+            "FROM documents GROUP BY 1), "
+            "ks AS (SELECT * FROM generate_series(0, 63) AS t(k) "
+            "WHERE k <= (SELECT max(b) FROM db)) "
+            "SELECT CAST(ks.k AS BIGINT) AS k, "
+            "CAST((SELECT coalesce(sum(n), 0) FROM db "
+            "WHERE db.b <= ks.k) AS BIGINT) AS prefix_docs, "
+            "CAST((SELECT coalesce(sum(n), 0) FROM tb "
+            "WHERE tb.b <= ks.k) AS BIGINT) AS vocab FROM ks"
         ),
         "user_features": (
             "SELECT user_id, count(*) AS n_events, "

@@ -360,3 +360,87 @@ def collocation_lift(ds, *, text_col: str = "text", min_pair: int = 5):
                          "lift_ppm": pa.array(lift, pa.int64())})
 
     return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def vocab_growth(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Heaps'-law vocabulary growth curve — distinct whitespace tokens
+    seen within each DOUBLING prefix of the corpus (docs with id < 2^k)
+    — the tokenizer-sizing / dedup-health curve: sub-linear growth is
+    healthy natural text, near-linear growth screams unique-id noise or
+    unbounded junk vocab, and a flat tail says more data buys no new
+    words. Naively this is K running COUNT DISTINCTs over nested
+    prefixes; it collapses to ONE pass because membership in prefix k
+    depends only on each token's FIRST occurrence: vocab(k) = #{tokens
+    with min(doc_id) < 2^k} — a histogram of bit_length(min_id) plus a
+    cumulative sum.
+
+    Physical plan: per-batch (token → min id) partials (one pandas
+    groupby per batch), ONE exchange bounded by distinct tokens, a Min
+    fold, then the ≤64-bucket bit-length histogram; doc counts per
+    prefix come from the same bit-length trick on ids alone. Buckets
+    use exact float64 frexp (ids < 2^53 — 10^12 docs is 2^40, fine),
+    never log2-rounding. Empty tokens from consecutive spaces are
+    dropped (the ``split(' ')`` convention shared with top_tokens).
+
+    Returns (k, prefix_docs, vocab) for k = 0..bit_length(max_id), all
+    int64; SQL mirrors the histogram with length(bin(min_id)) — the
+    log2_quantile_sketch bucket function — plus a running-sum window.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    def bit_length(x: np.ndarray) -> np.ndarray:
+        _, e = np.frexp(np.maximum(x.astype("float64"), 0.0))
+        return e.astype("int64")  # frexp exp == bit_length for ints
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        toks, tid = [], []
+        for i, t in zip(ids, texts):
+            ts = [w for w in (t or "").split(" ") if w]
+            toks.extend(ts)
+            tid.extend([i] * len(ts))
+        df = pd.DataFrame({"token": toks, "_mid": tid})
+        out = df.groupby("token", sort=False)["_mid"].min().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def id_hist_partial(batch: pa.Table) -> pa.Table:
+        b = bit_length(batch.column(id_col).to_numpy())
+        h = np.bincount(b)
+        return pa.table({"_b": pa.array(np.arange(len(h)), pa.int64()),
+                         "_n": pa.array(h, pa.int64())})
+
+    def mid_hist_partial(batch: pa.Table) -> pa.Table:
+        b = bit_length(batch.column("_mid").to_numpy())
+        h = np.bincount(b)
+        return pa.table({"_b": pa.array(np.arange(len(h)), pa.int64()),
+                         "_n": pa.array(h, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    # first-occurrence ids stay distributed (vocab on a junk-heavy
+    # corpus approaches corpus size); only ≤64-row histograms fold to
+    # the driver on BOTH axes
+    th = (ds.select_columns([id_col, text_col])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("token")
+          .aggregate(Min("_mid", alias_name="_mid"))
+          .map_batches(mid_hist_partial, batch_format="pyarrow")
+          .groupby("_b").aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    if th.empty:
+        raise ValueError("vocab_growth: empty input")
+    dh = (ds.select_columns([id_col])
+          .map_batches(id_hist_partial, batch_format="pyarrow")
+          .groupby("_b").aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    kmax = int(dh["_b"].max())
+    tok_hist = np.zeros(kmax + 1, dtype="int64")
+    tok_hist[th["_b"].to_numpy()] = th["_n"].to_numpy()
+    doc_hist = np.zeros(kmax + 1, dtype="int64")
+    doc_hist[dh["_b"].to_numpy()] = dh["_n"].to_numpy()
+    out = pd.DataFrame({
+        "k": np.arange(kmax + 1, dtype="int64"),
+        "prefix_docs": np.cumsum(doc_hist).astype("int64"),
+        "vocab": np.cumsum(tok_hist).astype("int64")})
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -911,3 +911,132 @@ def cusum_alarms_int(ds, *, key_col: str = "event_type",
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def mann_kendall_int(ds, *, key_col: str = "event_type",
+                     ts_col: str = "ts", max_obs: int = 4096):
+    """Mann–Kendall trend statistic over per-key hourly volumes — the
+    nonparametric answer to "is this series drifting?" that completes
+    the trend family: trend_flips counts thrash, cusum_alarms_int
+    catches sustained level shifts, this scores MONOTONE tendency:
+    S = Σ_{i<j} sgn(x_j − x_i) over all time-ordered pairs, immune to
+    outlier magnitude (a 100× spike contributes the same ±1 as a +1
+    blip) where a least-squares slope is dominated by it.
+
+    The hourly aggregate rides ONE pre-combined (hour, key) exchange
+    bounded by hours × keys; the pairwise count runs on that tiny
+    series, vectorized across keys at once: keys are pivoted into a
+    dense (K, T) NaN-padded matrix and the full pair comparison is a
+    (K, T, T) broadcast, chunked over key blocks so memory stays under
+    ~16 MB per block regardless of K. Series length is bounded by the
+    calendar (T ≤ hours in span, enforced ≤ ``max_obs``), so the T²
+    term is a documented constant, not a data-scaled blowup.
+
+    Returns per key: (key, n_obs, n_conc, n_disc, s_stat, trend) with
+    trend = sgn(S) ∈ {-1, 0, 1}. All int64, bit-exact in SQL (the
+    mirror is a within-key self-join on a.w < b.w summing sign cases).
+    """
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("mann_kendall_int: empty input")
+    hourly = hourly.sort_values([key_col, "_w"], kind="mergesort")
+    sizes = hourly.groupby(key_col, sort=False).size()
+    t = int(sizes.max())
+    if t > max_obs:
+        raise ValueError(
+            f"mann_kendall_int: series length {t} exceeds max_obs="
+            f"{max_obs}; widen the window unit or raise the bound")
+    keys = sizes.index.to_numpy()
+    k = len(keys)
+    # dense (K, T) with NaN padding; per-key block size keeps the
+    # (block, T, T) comparison tensor ~16 MB however many keys exist
+    arr = np.full((k, t), np.nan)
+    pos = hourly.groupby(key_col, sort=False).cumcount().to_numpy()
+    row = np.repeat(np.arange(k), sizes.to_numpy())
+    arr[row, pos] = hourly["_n"].to_numpy()
+    upper = np.triu(np.ones((t, t), dtype=bool), 1)
+    blk = max(1, (16 << 20) // (t * t))
+    conc = np.zeros(k, dtype="int64")
+    disc = np.zeros(k, dtype="int64")
+    for s in range(0, k, blk):
+        a = arr[s:s + blk]
+        with np.errstate(invalid="ignore"):
+            gt = (a[:, None, :] > a[:, :, None]) & upper
+            lt = (a[:, None, :] < a[:, :, None]) & upper
+        conc[s:s + blk] = gt.sum(axis=(1, 2))
+        disc[s:s + blk] = lt.sum(axis=(1, 2))
+    s_stat = conc - disc
+    out = pd.DataFrame({
+        key_col: keys, "n_obs": sizes.to_numpy().astype("int64"),
+        "n_conc": conc, "n_disc": disc, "s_stat": s_stat,
+        "trend": np.sign(s_stat).astype("int64")})
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)
+
+
+def lag_coactivity_int(ds, *, key_col: str = "event_type",
+                       ts_col: str = "ts", max_lag_h: int = 24):
+    """Lagged co-activity between per-key hourly series — for every
+    ordered pair (a, b) of keys, the unnormalized cross-correlation
+    dot_ℓ = Σ_t n_a(t)·n_b(t+ℓ) over lags ℓ = 0..``max_lag_h`` and the
+    lag that maximizes it (smallest lag wins ties): "errors lead
+    purchase drops by 2 hours" is a lag-2 peak the same-hour join
+    can't see. Integer products of integer counts — bit-exact in SQL.
+
+    ONE pre-combined (hour, key) exchange; the lag sweep runs on the
+    tiny dense matrix: keys pivot to (K, T) int64 with zero fill
+    (a missing hour IS zero events, so dense zeros are exact, and the
+    SQL mirror's inner join drops the same zero products), then each
+    lag is one K×K matmul — L+1 BLAS calls total, no per-pair loop.
+
+    Returns (key_a, key_b, best_lag, best_dot, lag0_dot) for all
+    ordered pairs a ≠ b. Lags beyond the span contribute empty sums
+    (dot 0); an all-zero sweep reports best_lag 0."""
+    from ray.data.aggregate import Count
+
+    if max_lag_h < 0:
+        raise ValueError("lag_coactivity_int: max_lag_h >= 0")
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("lag_coactivity_int: empty input")
+    w = hourly["_w"].astype("datetime64[us]").astype("int64").to_numpy()
+    h = (w - w.min()) // 3_600_000_000
+    keys = np.sort(hourly[key_col].unique())
+    kidx = {kv: i for i, kv in enumerate(keys)}
+    k, t = len(keys), int(h.max()) + 1
+    dense = np.zeros((k, t), dtype="int64")
+    dense[hourly[key_col].map(kidx).to_numpy(), h] = \
+        hourly["_n"].to_numpy()
+    best_dot = np.zeros((k, k), dtype="int64")
+    best_lag = np.zeros((k, k), dtype="int64")
+    lag0 = dense @ dense.T
+    for lag in range(0, max_lag_h + 1):
+        if lag >= t:
+            break
+        d = (dense[:, :t - lag] @ dense[:, lag:].T if lag
+             else lag0)
+        better = d > best_dot  # strict: earliest lag keeps ties
+        best_dot[better] = d[better]
+        best_lag[better] = lag
+    a, b = np.nonzero(~np.eye(k, dtype=bool))
+    out = pd.DataFrame({
+        "key_a": keys[a], "key_b": keys[b],
+        "best_lag": best_lag[a, b], "best_dot": best_dot[a, b],
+        "lag0_dot": lag0[a, b]})
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

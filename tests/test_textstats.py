@@ -96,3 +96,39 @@ def test_bigram_lm_fit_and_score(ray_session):
     assert out.column("lm_score_ppm").to_pylist()[0] == 777777
     # doc 1: ab,bc -> 1000000 + 333333 = 1333333 // 2 = 666666
     assert out.column("lm_score_ppm").to_pylist()[1] == 666666
+
+
+class TestVocabGrowth:
+    def _docs(self, spec):
+        return [{"doc_id": i, "text": t} for i, t in spec]
+
+    def test_hand_computed_curve(self, ray_session):
+        """min-ids a:1 b:1 c:2 d:5 -> vocab at doubling prefixes
+        0,2,3,4; doc prefixes 0,1,2,3."""
+        from documentai_ray.stages.textstats import vocab_growth
+        ds = ray_session.data.from_items(
+            self._docs([(1, "a b"), (2, "b c"), (5, "d")])).repartition(2)
+        out = vocab_growth(ds).to_pandas()
+        assert list(out["k"]) == [0, 1, 2, 3]
+        assert list(out["prefix_docs"]) == [0, 1, 2, 3]
+        assert list(out["vocab"]) == [0, 2, 3, 4]
+
+    def test_doc_id_zero_and_empty_tokens(self, ray_session):
+        """id 0 lands in the k=0 prefix (id < 1); consecutive spaces
+        emit no empty token."""
+        from documentai_ray.stages.textstats import vocab_growth
+        ds = ray_session.data.from_items(
+            self._docs([(0, "z  z"), (1, "")]))
+        out = vocab_growth(ds).to_pandas()
+        assert list(out["k"]) == [0, 1]
+        assert list(out["prefix_docs"]) == [1, 2]
+        assert list(out["vocab"]) == [1, 1]
+
+    def test_first_occurrence_not_count(self, ray_session):
+        """A token repeated in a LATER doc does not grow the curve --
+        membership is by first occurrence only."""
+        from documentai_ray.stages.textstats import vocab_growth
+        ds = ray_session.data.from_items(
+            self._docs([(1, "w"), (4, "w w w")])).repartition(2)
+        out = vocab_growth(ds).to_pandas()
+        assert list(out["vocab"]) == [0, 1, 1, 1]

@@ -756,3 +756,87 @@ class TestCusumAlarms:
             cusum_alarms_int(ds, k_extra=-1)
         with pytest.raises(ValueError):
             cusum_alarms_int(ds, h_mult=0)
+
+
+class TestMannKendall:
+    def _events(self, counts, typ="click"):
+        import pandas as pd
+        base = pd.Timestamp("2024-07-01")
+        return [{"ts": base + pd.Timedelta(hours=h, seconds=j),
+                 "event_type": typ}
+                for h, n in enumerate(counts) for j in range(n)]
+
+    def test_monotone_and_tied_series(self, ray_session):
+        """[1,2,3] -> all 3 pairs concordant, S=3; [2,2] -> all tied,
+        S=0, trend 0."""
+        from documentai_ray.stages.windows import mann_kendall_int
+        rows = (self._events([1, 2, 3], "up")
+                + self._events([2, 2], "flat"))
+        out = (mann_kendall_int(
+            ray_session.data.from_items(rows).repartition(3))
+            .to_pandas().set_index("event_type"))
+        up = out.loc["up"]
+        assert (up["n_obs"], up["n_conc"], up["n_disc"], up["s_stat"],
+                up["trend"]) == (3, 3, 0, 3, 1)
+        fl = out.loc["flat"]
+        assert (fl["s_stat"], fl["trend"], fl["n_conc"]) == (0, 0, 0)
+
+    def test_outlier_magnitude_irrelevant(self, ray_session):
+        """S of [1,2,1000,3] equals S of [1,2,4,3] -- sign-only."""
+        from documentai_ray.stages.windows import mann_kendall_int
+        rows = (self._events([1, 2, 1000, 3], "spiky")
+                + self._events([1, 2, 4, 3], "mild"))
+        out = (mann_kendall_int(ray_session.data.from_items(rows))
+               .to_pandas().set_index("event_type"))
+        assert out.loc["spiky", "s_stat"] == out.loc["mild", "s_stat"] == 4
+
+    def test_series_bound_enforced(self, ray_session):
+        import pytest
+        from documentai_ray.stages.windows import mann_kendall_int
+        rows = self._events([1, 1, 1])
+        with pytest.raises(ValueError):
+            mann_kendall_int(ray_session.data.from_items(rows),
+                             max_obs=2)
+
+
+class TestLagCoactivity:
+    def _events(self, spec):
+        import pandas as pd
+        base = pd.Timestamp("2024-07-01")
+        return [{"ts": base + pd.Timedelta(hours=h, seconds=j),
+                 "event_type": typ}
+                for typ, counts in spec
+                for h, n in enumerate(counts) for j in range(n)]
+
+    def test_lead_lag_peak(self, ray_session):
+        """a fires at t0, b at t1: (a,b) peaks at lag 1 with dot 25;
+        (b,a) never co-occurs at any non-negative lag -> 0 at lag 0."""
+        from documentai_ray.stages.windows import lag_coactivity_int
+        rows = self._events([("a", [5, 0, 0]), ("b", [0, 5, 0])])
+        out = (lag_coactivity_int(
+            ray_session.data.from_items(rows).repartition(2),
+            max_lag_h=2)
+            .to_pandas().set_index(["key_a", "key_b"]))
+        ab = out.loc[("a", "b")]
+        assert (ab["best_lag"], ab["best_dot"], ab["lag0_dot"]) == (1, 25, 0)
+        ba = out.loc[("b", "a")]
+        assert (ba["best_lag"], ba["best_dot"]) == (0, 0)
+
+    def test_tie_prefers_smallest_lag(self, ray_session):
+        """Constant co-activity: lag 0 dot 2 beats lag 1 dot 1; equal
+        dots would also keep the smaller lag (strict > update)."""
+        from documentai_ray.stages.windows import lag_coactivity_int
+        rows = self._events([("a", [1, 1]), ("b", [1, 1])])
+        out = (lag_coactivity_int(ray_session.data.from_items(rows),
+                                  max_lag_h=5)
+               .to_pandas().set_index(["key_a", "key_b"]))
+        assert (out.loc[("a", "b"), "best_lag"],
+                out.loc[("a", "b"), "best_dot"]) == (0, 2)
+
+    def test_rejects_negative_lag(self, ray_session):
+        import pytest
+        from documentai_ray.stages.windows import lag_coactivity_int
+        rows = self._events([("a", [1])])
+        with pytest.raises(ValueError):
+            lag_coactivity_int(ray_session.data.from_items(rows),
+                               max_lag_h=-1)
