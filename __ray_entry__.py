@@ -5976,6 +5976,68 @@ def _q_tvd_drift(sf_dir: str):
     return tvd_drift_int(docs, key_col="source", cat_col="lang")
 
 
+def _q_chi2_independence(sf_dir: str):
+    """Pearson χ² decomposition (``aggregates.chi2_independence_int``)
+    over the source × lang contingency grid, per-cell integer ppm —
+    completes the drift family (tvd = L1, ks = sup, χ² = variance-
+    weighted L2 that amplifies rare-cell deviations). Zero-observed
+    cells still contribute their (r·c)² evidence. ONE exchange bounded
+    by sources × langs."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import chi2_independence_int
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+    return chi2_independence_int(docs, key_col="source", cat_col="lang")
+
+
+def _q_readability(sf_dir: str):
+    """Flesch reading-ease in integer ppm
+    (``textstats.readability_batch``): sentence-length × syllable-
+    weight score from regex run counts (words=[a-z]+ runs,
+    sentences=[.!?]+ runs, syllables=[aeiouy]+ runs, clamped), each
+    ratio floored at milli precision — completes the text-quality
+    family (gopher gates junk, quality scores structure, this grades
+    how hard fluent text reads). Pure per-row map, zero exchange."""
+    import ray.data
+
+    from documentai_ray.stages.textstats import readability_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(readability_batch, batch_format="pyarrow")
+
+
+def _q_clustering_coeff(sf_dir: str):
+    """Global transitivity (``graph.clustering_coefficient``):
+    3·triangles/wedges in exact ppm over the same deterministic web-ish
+    link graph as triangle_count — the one-number clumpiness score (a
+    spam link-farm shows as a transitivity spike). Wedges fold as a
+    distributed Σ C(d,2) over the degree exchange; only scalars reach
+    the driver."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import clustering_coefficient
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = list(ids) * 3
+        dst = (list((ids + 1) % n) + list((ids + 2) % n)
+               + list((ids * 7 + 1) % n))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return clustering_coefficient(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        num_partitions=16)
+
+
 def _q_nest_tokens(sf_dir: str):
     """Explode→nest round trip (``schema.nest_list`` — the inverse of
     posexplode_tokens and the fourth reshaping surface): documents
@@ -7553,6 +7615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": _q_mann_kendall,
         "lag_coactivity": _q_lag_coactivity,
         "vocab_growth": _q_vocab_growth,
+        "chi2_independence": _q_chi2_independence,
+        "readability": _q_readability,
+        "clustering_coeff": _q_clustering_coeff,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8441,6 +8506,62 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(min(CASE WHEN s >= hh THEN "
             "epoch_us(w) // 1000000 END), -1) AS BIGINT) "
             "AS first_alarm_s FROM s GROUP BY ky"
+        ),
+        "chi2_independence": (
+            "WITH c AS (SELECT source, lang, "
+            "CAST(count(*) AS HUGEINT) AS o FROM documents "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT source, sum(o) AS rk FROM c GROUP BY 1), "
+            "l AS (SELECT lang, sum(o) AS ck FROM c GROUP BY 1), "
+            "nn AS (SELECT sum(o) AS n FROM c), "
+            "grid AS (SELECT r.source, l.lang, r.rk, l.ck, "
+            "coalesce(c.o, 0) AS o FROM r CROSS JOIN l "
+            "LEFT JOIN c ON c.source = r.source AND c.lang = l.lang) "
+            "SELECT g.source, g.lang, CAST(g.o AS BIGINT) AS n_obs, "
+            "CAST(1000000 * (g.o * nn.n - g.rk * g.ck) "
+            "* (g.o * nn.n - g.rk * g.ck) // "
+            "(nn.n * g.rk * g.ck) AS BIGINT) AS contrib_ppm "
+            "FROM grid g, nn"
+        ),
+        "readability": (
+            "WITH a AS (SELECT doc_id, "
+            "greatest(1, len(regexp_extract_all(lower(text), "
+            "'[a-z]+'))) AS w, "
+            "greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s, "
+            "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y0 "
+            "FROM documents), "
+            "b AS (SELECT doc_id, w, s, greatest(w, y0) AS y FROM a) "
+            "SELECT doc_id, CAST(w AS BIGINT) AS n_words, "
+            "CAST(s AS BIGINT) AS n_sents, CAST(y AS BIGINT) AS n_syll, "
+            "CAST(206835000 - 1015 * (1000 * w // s) "
+            "- 84600 * (1000 * y // w) AS BIGINT) AS flesch_ppm FROM b"
+        ),
+        "clustering_coeff": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "raw AS ("
+            "SELECT doc_id AS a, (doc_id + 1) % nn.n AS b "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id + 2) % nn.n "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id * 7 + 1) % nn.n "
+            "FROM documents, nn), "
+            "e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) "
+            "AS hi FROM raw WHERE a <> b), "
+            "w AS (SELECT e1.lo AS apex, e1.hi AS b, e2.hi AS c "
+            "FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n_tri FROM w "
+            "JOIN e ON e.lo = w.b AND e.hi = w.c), "
+            "d AS (SELECT node, count(*) AS dg FROM "
+            "(SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) "
+            "GROUP BY node), "
+            "wg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges "
+            "FROM d), "
+            "ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) "
+            "SELECT wg.n_nodes, ec.n_edges, wg.n_wedges, t.n_tri "
+            "AS n_triangles, CAST(CASE WHEN wg.n_wedges = 0 THEN 0 "
+            "ELSE 3 * t.n_tri * 1000000 // wg.n_wedges END AS BIGINT) "
+            "AS clustering_ppm FROM wg, ec, t"
         ),
         "mann_kendall": (
             "WITH h AS (SELECT event_type AS ky, "

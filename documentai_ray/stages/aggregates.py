@@ -1591,3 +1591,57 @@ def classification_prf_int(ds, *, true_col: str, pred_col: str):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def chi2_independence_int(ds, *, key_col: str, cat_col: str):
+    """Pearson χ² independence decomposition over a contingency grid,
+    in exact integer ppm — completes the drift-test family: tvd_drift
+    is the L1 view, ks_drift the sup view on ordered domains, this is
+    the classic variance-weighted view that amplifies deviations in
+    RARE cells (a 10-count surplus in a 20-expected cell screams where
+    TVD barely moves). χ² itself is irrational only through division:
+    with E = r·c/N each cell's term (O − E)²/E = (O·N − r·c)²/(N·r·c)
+    is rational, so the statistic is DEFINED here as the sum of
+    per-cell floors ``contrib_ppm = 10⁶·(O·N − r·c)² // (N·r·c)`` —
+    deterministic, bit-exact in SQL HUGEINT (the (O·N − r·c)² term
+    needs N ≲ 10⁹ to stay under 128 bits in the mirror; the Python
+    side is arbitrary-precision int).
+
+    Cells observed ZERO times still get rows — their (r·c)²-driven
+    term is exactly the evidence an absent combination contributes,
+    and dropping them understates dependence most where it is
+    strongest. ONE exchange of per-batch (key, cat) count partials
+    bounded by keys × categories; the grid fold is driver-side over
+    that tiny frame. Returns (key, cat, n_obs, contrib_ppm) for every
+    grid cell."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, cat_col]).to_pandas()
+        g = (df.groupby([key_col, cat_col], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    cm = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([key_col, cat_col])
+          .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    if cm.empty:
+        raise ValueError("chi2_independence_int: empty input")
+    grid = cm.pivot_table(index=key_col, columns=cat_col,
+                          values="_n", fill_value=0, aggfunc="sum")
+    n = int(grid.to_numpy().sum())
+    rows = []
+    for key, r in grid.iterrows():
+        rk = int(r.sum())
+        for cat, o in r.items():
+            ck = int(grid[cat].sum())
+            o = int(o)
+            contrib = 10**6 * (o * n - rk * ck) ** 2 // (n * rk * ck)
+            rows.append((key, cat, o, contrib))
+    out = pd.DataFrame(rows, columns=[key_col, cat_col, "n_obs",
+                                      "contrib_ppm"])
+    for c in ["n_obs", "contrib_ppm"]:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -444,3 +444,46 @@ def vocab_growth(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         "vocab": np.cumsum(tok_hist).astype("int64")})
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+_SENT_RE = re.compile(r"[.!?]+")
+_WORD_RE = re.compile(r"[a-z]+")
+_VOWEL_RE = re.compile(r"[aeiouy]+")
+
+
+def readability_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Flesch reading-ease in exact integer ppm — the classic
+    sentence-length × syllable-weight readability score, completing
+    the text-quality family (gopher rules gate junk, quality_pages
+    scores structure, this grades HOW HARD fluent text reads). The
+    206.835 − 1.015·(words/sent) − 84.6·(syll/word) formula clears to
+    integers by flooring each ratio at milli precision:
+    ``f_ppm = 206835·10³ − 1015·(10³·w // s) − 84600·(10³·y // w)``.
+
+    Counting conventions (ASCII contract, mirrored verbatim in SQL):
+    words = runs of [a-z] in the lowercased text; sentences = runs of
+    [.!?]; syllables = runs of [aeiouy] in the lowercased text (the
+    standard vowel-group approximation, counted corpus-side not
+    per-word — identical arithmetic both sides); each denominator
+    clamps ≥ 1 and syllables clamp ≥ words (every word has a vowel
+    nucleus — 'rhythm'-like consonant words count 1, matching the
+    classic heuristic). Pure per-row map, zero exchange. Emits
+    (id, n_words, n_sents, n_syll, flesch_ppm); scores can go
+    negative on run-on jargon — that is the scale working."""
+    ids = batch.column(id_col).to_pylist()
+    out_w, out_s, out_y, out_f = [], [], [], []
+    for t in batch.column(text_col).to_pylist():
+        t = t or ""
+        low = t.lower()
+        w = max(1, len(_WORD_RE.findall(low)))
+        s = max(1, len(_SENT_RE.findall(t)))
+        y = max(w, len(_VOWEL_RE.findall(low)))
+        f = 206835 * 1000 - 1015 * (1000 * w // s) \
+            - 84600 * (1000 * y // w)
+        out_w.append(w); out_s.append(s); out_y.append(y); out_f.append(f)
+    return pa.table({id_col: pa.array(ids),
+                     "n_words": pa.array(out_w, pa.int64()),
+                     "n_sents": pa.array(out_s, pa.int64()),
+                     "n_syll": pa.array(out_y, pa.int64()),
+                     "flesch_ppm": pa.array(out_f, pa.int64())})

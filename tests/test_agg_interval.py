@@ -558,3 +558,43 @@ def test_classification_prf_pred_only_label(ray_session):
     assert set(out["label"]) == {"x", "ghost"}
     g = out.set_index("label").loc["ghost"]
     assert (g["tp"], g["fp"], g["fn"]) == (0, 1, 0)
+
+
+class TestChi2Independence:
+    def _ds(self, ray_session, spec):
+        rows = [{"k": k, "c": c} for k, c, n in spec for _ in range(n)]
+        return ray_session.data.from_items(rows).repartition(3)
+
+    def test_symmetric_2x2(self, ray_session):
+        """9/1 vs 1/10 splits: every cell's (O·N − r·c)² = 6400, so all
+        four contribs are 3.2e6 ppm and the total is the true chi2
+        12.8."""
+        from documentai_ray.stages.aggregates import chi2_independence_int
+        out = chi2_independence_int(
+            self._ds(ray_session, [("A", "x", 9), ("A", "y", 1),
+                                   ("B", "x", 1), ("B", "y", 9)]),
+            key_col="k", cat_col="c").to_pandas()
+        assert len(out) == 4
+        assert set(out["contrib_ppm"]) == {3_200_000}
+        assert out["contrib_ppm"].sum() == 12_800_000
+
+    def test_zero_cell_gets_a_row(self, ray_session):
+        """(A, y) never observed: its row exists with o=0 and contrib
+        1e6·(r·c)² // (N·r·c) = 500000."""
+        from documentai_ray.stages.aggregates import chi2_independence_int
+        out = (chi2_independence_int(
+            self._ds(ray_session, [("A", "x", 2), ("B", "x", 1),
+                                   ("B", "y", 1)]),
+            key_col="k", cat_col="c")
+            .to_pandas().set_index(["k", "c"]))
+        ay = out.loc[("A", "y")]
+        assert (ay["n_obs"], ay["contrib_ppm"]) == (0, 500_000)
+
+    def test_independent_grid_is_zero(self, ray_session):
+        """Perfectly proportional grid -> every contrib 0."""
+        from documentai_ray.stages.aggregates import chi2_independence_int
+        out = chi2_independence_int(
+            self._ds(ray_session, [("A", "x", 2), ("A", "y", 4),
+                                   ("B", "x", 1), ("B", "y", 2)]),
+            key_col="k", cat_col="c").to_pandas()
+        assert set(out["contrib_ppm"]) == {0}

@@ -333,3 +333,43 @@ class TestKCore:
         with pytest.raises(ValueError):
             kcore_nodes(self._edges(ray_session, [(0, 1)]), k=0,
                         rounds=1)
+
+
+class TestClusteringCoefficient:
+    def _edges(self, ray_session, pairs):
+        import pyarrow as pa
+        t = pa.table({"src": pa.array([a for a, b in pairs], pa.int64()),
+                      "dst": pa.array([b for a, b in pairs], pa.int64())})
+        import ray
+        return ray.data.from_arrow(t)
+
+    def test_triangle_is_one(self, ray_session):
+        from documentai_ray.stages.graph import clustering_coefficient
+        out = clustering_coefficient(
+            self._edges(ray_session, [(0, 1), (1, 2), (0, 2)]),
+            num_partitions=4).to_pandas().iloc[0]
+        assert (out["n_nodes"], out["n_edges"], out["n_wedges"],
+                out["n_triangles"], out["clustering_ppm"]) \
+            == (3, 3, 3, 1, 1_000_000)
+
+    def test_star_is_zero_with_wedges(self, ray_session):
+        """A 3-star has 3 wedges and no triangle -> 0 ppm (not a
+        division error)."""
+        from documentai_ray.stages.graph import clustering_coefficient
+        out = clustering_coefficient(
+            self._edges(ray_session, [(0, 1), (0, 2), (0, 3)]),
+            num_partitions=4).to_pandas().iloc[0]
+        assert (out["n_wedges"], out["n_triangles"],
+                out["clustering_ppm"]) == (3, 0, 0)
+
+    def test_duplicates_and_reversals_dedupe(self, ray_session):
+        """Each triangle edge given twice in both directions plus a
+        self-loop: identical result to the clean triangle."""
+        from documentai_ray.stages.graph import clustering_coefficient
+        pairs = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0),
+                 (0, 1), (2, 2)]
+        out = clustering_coefficient(
+            self._edges(ray_session, pairs),
+            num_partitions=4).to_pandas().iloc[0]
+        assert (out["n_edges"], out["n_triangles"],
+                out["clustering_ppm"]) == (3, 1, 1_000_000)

@@ -132,3 +132,37 @@ class TestVocabGrowth:
             self._docs([(1, "w"), (4, "w w w")])).repartition(2)
         out = vocab_growth(ds).to_pandas()
         assert list(out["vocab"]) == [0, 1, 1, 1]
+
+
+class TestReadability:
+    def _score(self, ray_session, text):
+        from documentai_ray.stages.textstats import readability_batch
+        ds = ray_session.data.from_items([{"doc_id": 1, "text": text}])
+        return (ds.map_batches(readability_batch, batch_format="pyarrow")
+                .to_pandas().iloc[0])
+
+    def test_simple_prose(self, ray_session):
+        """6 words / 2 sentences / 6 vowel groups -> 119.19 Flesch."""
+        r = self._score(ray_session, "The cat sat. The dog ran.")
+        assert (r["n_words"], r["n_sents"], r["n_syll"]) == (6, 2, 6)
+        assert r["flesch_ppm"] == 119_190_000
+
+    def test_clamps(self, ray_session):
+        """Empty text clamps every count to 1; a vowel-free word
+        clamps syllables up to the word count."""
+        r = self._score(ray_session, "")
+        assert (r["n_words"], r["n_sents"], r["n_syll"]) == (1, 1, 1)
+        assert r["flesch_ppm"] == 206_835_000 - 1_015_000 - 84_600_000
+        r2 = self._score(ray_session, "tsktsk.")
+        assert (r2["n_words"], r2["n_syll"]) == (1, 1)
+
+    def test_harder_text_scores_lower(self, ray_session):
+        """A long multisyllabic single sentence scores far below
+        simple two-sentence prose."""
+        easy = self._score(ray_session, "The cat sat. The dog ran.")
+        hard = self._score(
+            ray_session,
+            "Notwithstanding considerable organizational heterogeneity "
+            "the international standardization community deliberately "
+            "prioritized interoperability over implementation")
+        assert hard["flesch_ppm"] < easy["flesch_ppm"]
