@@ -6038,6 +6038,57 @@ def _q_clustering_coeff(sf_dir: str):
         num_partitions=16)
 
 
+def _q_unique_prefix(sf_dir: str):
+    """Shortest distinguishing prefix per distinct part name
+    (``indexing.shortest_unique_prefix``): the prefix-index sizing
+    primitive — answer depends only on lexicographic neighbours, made
+    distributed-exact WITHOUT a global sort by first-char bucketing
+    (cross-bucket LCP is exactly 0); in-bucket neighbour LCPs are one
+    padded char-matrix cumprod pass. Strict-prefix strings cap at
+    their own length."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import shortest_unique_prefix
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_name"])
+    return shortest_unique_prefix(part, col="p_name")
+
+
+def _q_soundex_blocking(sf_dir: str):
+    """Phonetic blocking census (``fuzzy.soundex_blocking``): distinct
+    part names grouped by simplified American Soundex (letter + 3
+    class digits, runs collapsed, zeros dropped) — the sound-alike
+    blocking key symspell's edit distance misses; counts size the
+    candidate blocks before quadratic comparison. SQL mirror chains
+    seven fixed-pattern regexp_replace calls because RE2 has no
+    backreferences."""
+    import ray.data
+
+    from documentai_ray.stages.fuzzy import soundex_blocking
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_name"])
+    return soundex_blocking(part, col="p_name")
+
+
+def _q_zonemap_prune(sf_dir: str):
+    """Zone-map pruning audit (``indexing.zonemap_prune``): with
+    64-row buckets on doc_id and the band 1500 ≤ n_chars ≤ 3000, how
+    many buckets a min/max zone map skips and what the surviving scan
+    wastes — measures whether re-sorting on n_chars would pay
+    (zorder_keys plans layouts; this scores the current one). One
+    bucket-bounded exchange, scalars to the driver."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import zonemap_prune
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return zonemap_prune(docs, id_col="doc_id", val_col="n_chars",
+                         bucket_size=64, lo=1500, hi=3000)
+
+
 def _q_nest_tokens(sf_dir: str):
     """Explode→nest round trip (``schema.nest_list`` — the inverse of
     posexplode_tokens and the fourth reshaping surface): documents
@@ -7618,6 +7669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": _q_chi2_independence,
         "readability": _q_readability,
         "clustering_coeff": _q_clustering_coeff,
+        "unique_prefix": _q_unique_prefix,
+        "soundex_blocking": _q_soundex_blocking,
+        "zonemap_prune": _q_zonemap_prune,
         "gini_orders": _q_gini_orders,
         "diversity_index": _q_diversity_index,
         "mad_outliers": _q_mad_outliers,
@@ -8506,6 +8560,65 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(min(CASE WHEN s >= hh THEN "
             "epoch_us(w) // 1000000 END), -1) AS BIGINT) "
             "AS first_alarm_s FROM s GROUP BY ky"
+        ),
+        "unique_prefix": (
+            "WITH d AS (SELECT DISTINCT p_name AS name FROM part), "
+            "nb AS (SELECT name, lag(name) OVER (ORDER BY name) AS pv, "
+            "lead(name) OVER (ORDER BY name) AS nx FROM d), "
+            "g AS (SELECT * FROM generate_series(1, 64) t(p)), "
+            "lp AS (SELECT nb.name, "
+            "coalesce((SELECT max(g.p) FROM g WHERE g.p <= "
+            "least(len(nb.name), len(nb.pv)) AND "
+            "substr(nb.name, 1, g.p) = substr(nb.pv, 1, g.p)), 0) "
+            "AS l1, "
+            "coalesce((SELECT max(g.p) FROM g WHERE g.p <= "
+            "least(len(nb.name), len(nb.nx)) AND "
+            "substr(nb.name, 1, g.p) = substr(nb.nx, 1, g.p)), 0) "
+            "AS l2 FROM nb) "
+            "SELECT name AS p_name, CAST(CASE WHEN len(name) = 0 "
+            "THEN 0 ELSE least(len(name), 1 + greatest(l1, l2)) END "
+            "AS BIGINT) AS plen FROM lp"
+        ),
+        "soundex_blocking": (
+            "WITH c AS (SELECT p_name AS name, count(*) AS nr "
+            "FROM part GROUP BY 1), "
+            "s0 AS (SELECT name, nr, regexp_replace(upper(name), "
+            "'[^A-Z]', '', 'g') AS up FROM c), "
+            "s1 AS (SELECT name, nr, up, translate(up, "
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            "'01230120022455012623010202') AS dg FROM s0), "
+            "s2 AS (SELECT name, nr, up, "
+            "regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(dg, '00+', '0', 'g'), '11+', '1', 'g'), "
+            "'22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'), "
+            "'55+', '5', 'g'), '66+', '6', 'g') AS cl FROM s1), "
+            "s3 AS (SELECT name, nr, CASE WHEN up = '' THEN '' ELSE "
+            "substr(up, 1, 1) || substr(replace(substr(cl, 2), "
+            "'0', '') || '000', 1, 3) END AS code FROM s2) "
+            "SELECT code, CAST(count(*) AS BIGINT) AS n_names, "
+            "CAST(sum(nr) AS BIGINT) AS n_rows FROM s3 GROUP BY code"
+        ),
+        "zonemap_prune": (
+            "WITH z AS (SELECT doc_id // 64 AS b, min(n_chars) AS mn, "
+            "max(n_chars) AS mx, count(*) AS n, "
+            "sum(CASE WHEN n_chars BETWEEN 1500 AND 3000 THEN 1 "
+            "ELSE 0 END) AS m FROM documents GROUP BY 1), "
+            "f AS (SELECT count(*) AS n_buckets, "
+            "sum(CASE WHEN mx < 1500 OR mn > 3000 THEN 1 ELSE 0 END) "
+            "AS n_pruned, sum(n) AS n_rows, "
+            "sum(CASE WHEN mx < 1500 OR mn > 3000 THEN 0 ELSE n END) "
+            "AS n_scanned, sum(m) AS n_matched FROM z) "
+            "SELECT CAST(n_buckets AS BIGINT) AS n_buckets, "
+            "CAST(n_pruned AS BIGINT) AS n_pruned, "
+            "CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(n_scanned AS BIGINT) AS n_scanned, "
+            "CAST(n_matched AS BIGINT) AS n_matched, "
+            "CAST(1000000 * n_pruned // n_buckets AS BIGINT) "
+            "AS prune_ppm, "
+            "CAST(CASE WHEN n_scanned = 0 THEN 0 ELSE 1000000 * "
+            "(n_scanned - n_matched) // n_scanned END AS BIGINT) "
+            "AS waste_ppm FROM f"
         ),
         "chi2_independence": (
             "WITH c AS (SELECT source, lang, "

@@ -22,6 +22,8 @@ not implemented here.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -205,3 +207,60 @@ def symspell_join(left_ds, right_ds, *, left_col: str, right_col: str,
             .groupby("_ppk")
             .map_groups(lambda g: verify(g.drop(columns=["_ppk"])),
                         batch_format="pandas"))
+
+
+# American Soundex letter classes (simplified: no h/w separator rule —
+# the variant every SQL dialect implements); A=0 ... Z=2, vowels/h/w 0
+_SOUNDEX_MAP = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "01230120022455012623010202")
+_NON_ALPHA = re.compile(r"[^A-Z]")
+_RUNS = re.compile(r"(.)\1+")
+
+
+def soundex(name: str) -> str:
+    """Simplified American Soundex: letter + 3 digits. Uppercase,
+    strip non-alpha, map letters to class digits, collapse adjacent
+    equal digits (so a second letter sharing the first letter's class
+    merges into its run and is skipped — PFISTER → P236), drop the
+    first run's digit, drop zeros, pad/truncate to 3. Empty input →
+    ''. Deliberately omits the full standard's h/w-separator rule so
+    the SQL mirror is seven chained fixed-pattern regexp_replace calls
+    (RE2 has no backreferences) with bit-identical output."""
+    up = _NON_ALPHA.sub("", name.upper())
+    if not up:
+        return ""
+    digits = up.translate(_SOUNDEX_MAP)
+    collapsed = _RUNS.sub(r"\1", digits)
+    tail = collapsed[1:].replace("0", "")
+    return up[0] + (tail + "000")[:3]
+
+
+def soundex_blocking(ds, *, col: str):
+    """Phonetic blocking census — group distinct strings by their
+    Soundex code and count collisions: the classic cheap blocking key
+    for name-matching record linkage (symspell_join catches typos at
+    edit distance; Soundex catches SMITH/SMYTH-style sound-alike
+    variants edit distance misses, and this census sizes the candidate
+    blocks before anyone runs the quadratic comparisons). Per-batch
+    distinct (code, name) partials → one (code, name) exchange →
+    a tiny per-code fold. Returns (code, n_names, n_rows) — distinct
+    strings sharing the code, and total rows carrying them."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        names = batch.column(col).to_pylist()
+        df = pd.DataFrame({"name": names})
+        df["code"] = [soundex(n or "") for n in names]
+        g = (df.groupby(["code", "name"], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    per_name = (ds.select_columns([col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(["code", "name"])
+                .aggregate(Sum("_n", alias_name="_n")))
+    return (per_name.groupby("code")
+            .aggregate(Count(alias_name="n_names"),
+                       Sum("_n", alias_name="n_rows")))

@@ -287,3 +287,118 @@ def rrf_fuse(ds, *, id_col: str, score_cols: list[str], k: int = 60,
                             kind="mergesort").head(top_n)
     return pa.Table.from_pandas(
         cand, preserve_index=False).replace_schema_metadata(None)
+
+
+def shortest_unique_prefix(ds, *, col: str):
+    """Shortest distinguishing prefix per distinct string — the
+    prefix-index sizing primitive (autocomplete, router tables, key
+    truncation: "how many leading bytes must a shard key keep before
+    collisions vanish?"). The answer depends ONLY on each string's two
+    lexicographic neighbours: plen = min(len, 1 + max(lcp(prev),
+    lcp(next))) — a string that is a strict prefix of another caps at
+    its own length (it can never be unique; the cap is the standard
+    convention), an empty string reports 0.
+
+    Distributed exactness without a global sort: strings in different
+    FIRST-CHARACTER buckets have LCP exactly 0, so co-locating by
+    first char makes every in-bucket neighbour computation complete —
+    no block-boundary fix-up a range-partitioned sort would need.
+    (Scale path under one-char skew: recurse — level-k buckets answer
+    every string whose plen > k exactly, and only strings answered
+    ≤ k need the level-(k−1) pass; first-char is the k=1 base case.)
+    Inside a bucket the LCP is one vectorized pass: names sort, pad to
+    a fixed-width char matrix, and consecutive-row cumprod-equality
+    gives every neighbour LCP at once — the '\\0' padding makes
+    prefix-of pairs stop exactly at the shorter length. Exchange
+    carries distinct (bucket, name) only. Returns (name, plen)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        names = batch.column(col).to_pylist()
+        b = [ord(n[0]) if n else -1 for n in names]
+        return pa.table({col: pa.array(names, pa.string()),
+                         "_b": pa.array(b, pa.int64())})
+
+    distinct = (ds.select_columns([col])
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .groupby(["_b", col]).aggregate(Count(alias_name="_n")))
+
+    def prefixes(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(g[col].tolist())
+        n = len(names)
+        lens = np.array([len(s) for s in names], dtype="int64")
+        if n == 1:
+            plen = np.minimum(lens, 1)
+        else:
+            L = int(lens.max())
+            mat = np.array(names, dtype=f"U{L}").view("U1") \
+                    .reshape(n, L)
+            eq = mat[1:] == mat[:-1]
+            lcp = np.cumprod(eq, axis=1).sum(axis=1).astype("int64")
+            mx = np.zeros(n, dtype="int64")
+            mx[:-1] = lcp
+            mx[1:] = np.maximum(mx[1:], lcp)
+            plen = np.minimum(lens, 1 + mx)
+            plen[lens == 0] = 0
+        return pd.DataFrame({col: names, "plen": plen})
+
+    return (distinct.groupby("_b")
+            .map_groups(lambda g: prefixes(g.drop(columns=["_b", "_n"])),
+                        batch_format="pandas"))
+
+
+def zonemap_prune(ds, *, id_col: str, val_col: str,
+                  bucket_size: int = 64, lo: int, hi: int):
+    """Zone-map pruning audit — for a fixed physical bucketing
+    (``id // bucket_size`` ~ a row group) and a band predicate
+    ``lo ≤ val ≤ hi``, how many buckets a min/max zone map would skip
+    and how many rows the surviving scan touches vs actually match —
+    the number that tells you whether re-sorting the table on
+    ``val_col`` is worth it (zorder_keys plans the layout; this
+    measures what the CURRENT layout wastes). One exchange bounded by
+    buckets, each carrying pre-combined (min, max, count, matched);
+    scalars fold on the driver. Returns one row (n_buckets, n_pruned,
+    n_rows, n_scanned, n_matched, prune_ppm, waste_ppm) — waste_ppm is
+    the scanned-but-unmatched share of scanned rows."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    if bucket_size < 1 or lo > hi:
+        raise ValueError("zonemap_prune: bucket_size >= 1 and lo <= hi")
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        v = batch.column(val_col).to_numpy()
+        return pa.table({
+            "_b": pa.array(ids // bucket_size, pa.int64()),
+            "_v": pa.array(v.astype("int64"), pa.int64()),
+            "_m": pa.array(((v >= lo) & (v <= hi)).astype("int64"),
+                           pa.int64())})
+
+    z = (ds.select_columns([id_col, val_col])
+         .map_batches(add, batch_format="pyarrow")
+         .groupby("_b")
+         .aggregate(Min("_v", alias_name="mn"),
+                    Max("_v", alias_name="mx"),
+                    Count(alias_name="n"),
+                    Sum("_m", alias_name="m"))).to_pandas()
+    if z.empty:
+        raise ValueError("zonemap_prune: empty input")
+    pruned = (z["mx"] < lo) | (z["mn"] > hi)
+    n_buckets = len(z)
+    n_pruned = int(pruned.sum())
+    n_rows = int(z["n"].sum())
+    n_scanned = int(z.loc[~pruned, "n"].sum())
+    n_matched = int(z["m"].sum())
+    out = pd.DataFrame([{
+        "n_buckets": n_buckets, "n_pruned": n_pruned,
+        "n_rows": n_rows, "n_scanned": n_scanned,
+        "n_matched": n_matched,
+        "prune_ppm": 10**6 * n_pruned // n_buckets,
+        "waste_ppm": (10**6 * (n_scanned - n_matched) // n_scanned
+                      if n_scanned else 0)}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)

@@ -84,3 +84,28 @@ class TestSymspellJoin:
         ds = ray_session.data.from_items([{"v": "x"}])
         with pytest.raises(ValueError):
             symspell_join(ds, ds, left_col="v", right_col="v")
+
+
+class TestSoundex:
+    def test_known_codes(self):
+        from documentai_ray.stages.fuzzy import soundex
+        assert soundex("Robert") == soundex("Rupert") == "R163"
+        assert soundex("Smith") == soundex("Smyth") == "S530"
+        assert soundex("PFISTER") == "P236"  # 2nd letter merges into 1st run
+        assert soundex("Tymczak") == "T522"  # vowel separates equal classes
+        assert soundex("Honeyman") == "H555"
+        assert soundex("") == "" and soundex("123") == ""
+
+    def test_blocking_census(self, ray_session):
+        """Smith x2 and Smyth share S530 (2 names, 3 rows); Robert is
+        alone in R163."""
+        from documentai_ray.stages.fuzzy import soundex_blocking
+        ds = ray_session.data.from_items(
+            [{"n": x} for x in ["Smith", "Smith", "Smyth", "Robert"]]
+        ).repartition(2)
+        out = (soundex_blocking(ds, col="n").to_pandas()
+               .set_index("code"))
+        assert (out.loc["S530", "n_names"],
+                out.loc["S530", "n_rows"]) == (2, 3)
+        assert (out.loc["R163", "n_names"],
+                out.loc["R163", "n_rows"]) == (1, 1)

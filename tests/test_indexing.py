@@ -156,3 +156,55 @@ class TestRRF:
             rrf_fuse(ds, id_col="id", score_cols=["a"], k=0)
         with pytest.raises(ValueError):
             rrf_fuse(ds, id_col="id", score_cols=["a"], top_n=0)
+
+
+class TestShortestUniquePrefix:
+    def _run(self, ray_session, names):
+        from documentai_ray.stages.indexing import shortest_unique_prefix
+        ds = ray_session.data.from_items(
+            [{"name": n} for n in names]).repartition(2)
+        out = shortest_unique_prefix(ds, col="name").to_pandas()
+        return dict(zip(out["name"], out["plen"]))
+
+    def test_neighbour_lcp_and_strict_prefix_cap(self, ray_session):
+        """car|cart share 3 chars; car is a strict prefix so it caps
+        at its own length; dog is unique at one char."""
+        got = self._run(ray_session, ["car", "cart", "dog"])
+        assert got == {"car": 3, "cart": 4, "dog": 1}
+
+    def test_cross_bucket_is_one(self, ray_session):
+        """Different first chars -> LCP 0 -> plen 1, and duplicates
+        collapse before the computation."""
+        got = self._run(ray_session, ["apple", "banana", "banana"])
+        assert got == {"apple": 1, "banana": 1}
+
+    def test_empty_string_and_one_char(self, ray_session):
+        got = self._run(ray_session, ["", "a", "ab"])
+        assert got == {"": 0, "a": 1, "ab": 2}
+
+
+class TestZonemapPrune:
+    def test_hand_computed_band(self, ray_session):
+        """ids 0..127, val=10*id, buckets of 64: bucket 0 (max 630)
+        prunes under [700, 900]; 21 of 64 scanned rows match."""
+        from documentai_ray.stages.indexing import zonemap_prune
+        ds = ray_session.data.from_items(
+            [{"i": i, "v": 10 * i} for i in range(128)]).repartition(3)
+        out = zonemap_prune(ds, id_col="i", val_col="v",
+                            bucket_size=64, lo=700, hi=900) \
+            .to_pandas().iloc[0]
+        assert (out["n_buckets"], out["n_pruned"], out["n_rows"],
+                out["n_scanned"], out["n_matched"]) == (2, 1, 128, 64, 21)
+        assert out["prune_ppm"] == 500_000
+        assert out["waste_ppm"] == 1_000_000 * (64 - 21) // 64
+
+    def test_rejects_bad_params(self, ray_session):
+        import pytest
+        from documentai_ray.stages.indexing import zonemap_prune
+        ds = ray_session.data.from_items([{"i": 1, "v": 1}])
+        with pytest.raises(ValueError):
+            zonemap_prune(ds, id_col="i", val_col="v",
+                          bucket_size=0, lo=0, hi=1)
+        with pytest.raises(ValueError):
+            zonemap_prune(ds, id_col="i", val_col="v",
+                          bucket_size=8, lo=5, hi=4)
