@@ -174,6 +174,15 @@ def _sql_md5_le64(col: str) -> str:
     )
 
 
+def _sql_hex_slice16(hexcol: str, i: int) -> str:
+    """BIGINT expression for the i-th 16-bit slice of a precomputed md5
+    hex column (chars [4i, 4i+4)) — the count-min row-hash convention
+    (sketches.countmin_cols): ONE md5 per token, d disjoint slices."""
+    return ("(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexcol}, {4 * i + j + 1}, 1))"
+        f" - 1) * {16 ** (3 - j)}" for j in range(4)) + ")")
+
+
 def _sql_hits(iters: int = 2) -> str:
     """Unrolled integer-ppm HITS oracle over the same 3-out graph as
     pagerank: per half-step a JOIN-groupby raw sum, a LEFT JOIN zero
@@ -7577,6 +7586,125 @@ def _q_mix_plan(sf_dir: str):
     return mix_plan(ds, weights, budget_factor=2)
 
 
+def _q_kendall_tau(sf_dir: str):
+    """Kendall concordance between quantity and discount-cents per
+    returnflag (``aggregates.grouped_kendall_int``) — rank correlation
+    WITHOUT the O(n²) pair scan: both columns have tiny value domains
+    (50 × 11), so every row-pair comparison is determined by the joint
+    histogram and C/D/tie pair counts are cell-product sums over ≤550
+    cells per group.  ONE bounded histogram exchange; the n² pairs
+    never materialize anywhere.  Full tie decomposition (Tx, Ty, Txy;
+    the P = C+D+Tx+Ty−Txy identity is asserted engine-side) plus
+    tau_a_ppm with trunc-toward-zero division (SQL ``//``).  Mirror:
+    HUGEINT histogram self-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_kendall_int
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        dc = np.rint(batch.column("l_discount").to_numpy() * 100
+                     ).astype("int64")
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "x": pa.array(q, pa.int64()),
+                         "y": pa.array(dc, pa.int64())})
+
+    return grouped_kendall_int(ds.map_batches(prep, batch_format="pyarrow"),
+                               key_col="l_returnflag", x_col="x", y_col="y")
+
+
+def _q_max_concurrency(sf_dir: str):
+    """Peak simultaneous open intervals per user — each event opens a
+    window of floor(value) seconds (floor, not round: the corpus has
+    exact-half values like x.50 where numpy's banker's rounding and
+    SQL's half-away-from-zero round() diverge); the statistic is the
+    maximum overlap DEPTH (``windows.max_concurrency``), the load metric
+    user_coverage's union length deliberately erases (ten nested
+    windows cover like one but stack depth 10).  Boundary sweep made
+    distributed: one user-hash exchange, per-partition +1/−1 explode +
+    grouped cumsum + grouped max for ALL users at once.  Half-open
+    [s, e): at equal t the −1 sorts first, so touching intervals never
+    overlap and zero-length intervals (value < 1 floors to 0 — the
+    corpus has them) contribute depth 0.  Mirror: UNION ALL boundary rows +
+    running SUM window + MAX."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import max_concurrency
+
+    def iv(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        s = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // 1_000_000)
+        dur = np.floor(batch.column("value").to_numpy()).astype("int64")
+        return pa.table({"user_id": batch.column("user_id"),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + dur, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"]
+                               ).map_batches(iv, batch_format="pyarrow")
+    return max_concurrency(ds, key_col="user_id", start_col="s",
+                           end_col="e", num_partitions=32)
+
+
+def _q_countmin_estimate(sf_dir: str):
+    """Count-min sketch frequency estimates for the exact top-20 corpus
+    tokens (``sketches.countmin_cells`` / ``countmin_estimate``): the
+    fixed-size (4×256 counters) mergeable frequency summary whose point
+    estimate is ALWAYS ≥ the true count — the one-sided contract the
+    output exposes as over_est = cms_est − n_true ≥ 0 per probe (256
+    columns against thousands of distinct tokens guarantees collisions,
+    so the overestimates are genuinely nonzero and the oracle
+    discriminates).  One md5 per token addresses all 4 rows (disjoint
+    16-bit hex slices), so the SQL mirror carves the same nibbles from
+    the same hex.  Physical plan: map-side token Counter → per-batch
+    (row, col) partials → ONE exchange bounded by d·w = 1024 cells;
+    exact probe counts ride the top_tokens combiner plan.  Token =
+    single-space split, empties counted (the top_tokens convention)."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.sketches import (countmin_cells,
+                                                countmin_estimate)
+
+    D, W = 4, 256
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split(" "))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    exact = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("token")
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas()
+             .sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort")
+             .head(20).reset_index(drop=True))
+    cells = countmin_cells(ds, text_col="text", d=D, w=W)
+    exact["cms_est"] = countmin_estimate(cells, exact["token"].tolist(),
+                                         d=D, w=W)
+    exact["cms_est"] = exact["cms_est"].astype("int64")
+    exact["over_est"] = (exact["cms_est"] - exact["n"]).astype("int64")
+    assert (exact["over_est"] >= 0).all(), \
+        "count-min one-sided contract violated"
+    return exact.rename(columns={"n": "n_true"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -7832,6 +7960,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "web_curation": _q_web_curation,
         "mix_plan": _q_mix_plan,
+        "kendall_tau": _q_kendall_tau,
+        "max_concurrency": _q_max_concurrency,
+        "countmin_estimate": _q_countmin_estimate,
     }
 
 
@@ -10880,6 +11011,89 @@ def oracle_sql() -> dict[str, str]:
             "target_tokens * 1000000 // ("
             "(target_tokens + actual_tokens - 1) // actual_tokens "
             "* actual_tokens) END AS rate_ppm FROM p"
+        ),
+        # joint-histogram self-join: every O(n²) row-pair comparison is
+        # determined by its (x, y) cells, so C/D are Σ c_i·c_j over ≤550
+        # cell pairs per group (HUGEINT — counts² exceed 2⁶³ past sf10)
+        "kendall_tau": (
+            "WITH j AS (SELECT l_returnflag, "
+            "CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS y, "
+            "CAST(count(*) AS HUGEINT) AS c "
+            "FROM lineitem GROUP BY 1, 2, 3), "
+            "cd AS (SELECT a.l_returnflag AS g, "
+            "coalesce(SUM(CASE WHEN a.x < b.x AND a.y < b.y "
+            "THEN a.c * b.c END), 0) AS conc, "
+            "coalesce(SUM(CASE WHEN a.x < b.x AND a.y > b.y "
+            "THEN a.c * b.c END), 0) AS disc "
+            "FROM j a JOIN j b ON a.l_returnflag = b.l_returnflag "
+            "GROUP BY 1), "
+            "mx AS (SELECT l_returnflag AS g, x, SUM(c) AS cx FROM j "
+            "GROUP BY 1, 2), "
+            "tx AS (SELECT g, SUM(cx * (cx - 1) // 2) AS tied_x FROM mx "
+            "GROUP BY 1), "
+            "my AS (SELECT l_returnflag AS g, y, SUM(c) AS cy FROM j "
+            "GROUP BY 1, 2), "
+            "ty AS (SELECT g, SUM(cy * (cy - 1) // 2) AS tied_y FROM my "
+            "GROUP BY 1), "
+            "nz AS (SELECT l_returnflag AS g, SUM(c) AS n, "
+            "SUM(c * (c - 1) // 2) AS tied_xy FROM j GROUP BY 1) "
+            "SELECT nz.g AS l_returnflag, CAST(nz.n AS BIGINT) AS n, "
+            "CAST(cd.conc AS BIGINT) AS concordant, "
+            "CAST(cd.disc AS BIGINT) AS discordant, "
+            "CAST(tx.tied_x AS BIGINT) AS tied_x, "
+            "CAST(ty.tied_y AS BIGINT) AS tied_y, "
+            "CAST(nz.tied_xy AS BIGINT) AS tied_xy, "
+            "CAST((cd.conc - cd.disc) * 1000000 "
+            "// (nz.n * (nz.n - 1) // 2) AS BIGINT) AS tau_a_ppm "
+            "FROM nz JOIN cd ON nz.g = cd.g JOIN tx ON nz.g = tx.g "
+            "JOIN ty ON nz.g = ty.g"
+        ),
+        # boundary sweep: −1 sorts before +1 at equal t (half-open
+        # intervals — touching never overlap); equal (t, d) runs are
+        # permutation-invariant for the running MAX, so the ROWS frame
+        # is deterministic where it matters
+        "max_concurrency": (
+            "WITH iv AS (SELECT user_id, "
+            "epoch_us(ts) // 1000000 AS s, "
+            "epoch_us(ts) // 1000000 + CAST(floor(value) AS BIGINT) AS e "
+            "FROM events), "
+            "b AS (SELECT user_id, s AS t, 1 AS d FROM iv "
+            "UNION ALL SELECT user_id, e AS t, -1 AS d FROM iv), "
+            "r AS (SELECT user_id, SUM(d) OVER (PARTITION BY user_id "
+            "ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run FROM b), "
+            "pk AS (SELECT user_id, MAX(run) AS peak FROM r GROUP BY 1), "
+            "nn AS (SELECT user_id, count(*) AS n_intervals FROM iv "
+            "GROUP BY 1) "
+            "SELECT nn.user_id, CAST(nn.n_intervals AS BIGINT) "
+            "AS n_intervals, CAST(pk.peak AS BIGINT) AS peak "
+            "FROM nn JOIN pk USING (user_id)"
+        ),
+        # one md5 per DISTINCT token; cells fold occurrence counts through
+        # the 4 disjoint 16-bit hex slices % 256; estimate = min over rows
+        "countmin_estimate": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            "ex AS (SELECT t, count(*) AS n FROM tok GROUP BY t), "
+            "hx AS (SELECT t, n, md5(t) AS h FROM ex), "
+            "cells AS ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS i, {_sql_hex_slice16('h', i)} % 256 AS col, "
+                "SUM(n) AS c FROM hx GROUP BY 2" for i in range(4))
+            + "), "
+            "top AS (SELECT t, n, md5(t) AS h FROM ex "
+            "ORDER BY n DESC, t LIMIT 20), "
+            "pr AS ("
+            + " UNION ALL ".join(
+                f"SELECT t, n, {i} AS i, "
+                f"{_sql_hex_slice16('h', i)} % 256 AS col FROM top"
+                for i in range(4))
+            + ") "
+            "SELECT pr.t AS token, CAST(pr.n AS BIGINT) AS n_true, "
+            "CAST(MIN(cells.c) AS BIGINT) AS cms_est, "
+            "CAST(MIN(cells.c) - pr.n AS BIGINT) AS over_est "
+            "FROM pr JOIN cells ON pr.i = cells.i AND pr.col = cells.col "
+            "GROUP BY pr.t, pr.n"
         ),
     }
 

@@ -1645,3 +1645,81 @@ def chi2_independence_int(ds, *, key_col: str, cat_col: str):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def grouped_kendall_int(ds, *, key_col: str, x_col: str, y_col: str):
+    """Kendall concordance decomposition per group, in EXACT integers —
+    the tie-aware rank-correlation primitive (tau) computed WITHOUT
+    comparing the O(n²) row pairs: when x and y have small value
+    domains, every pairwise comparison between rows is determined by
+    their (x, y) joint-histogram cells, so concordant/discordant/tied
+    pair counts are sums of c_i·c_j over cell pairs — per group that is
+    ≤(|X|·|Y|)² cell products over a histogram that already fits on the
+    driver, never n² row comparisons.  Complements ``grouped_linreg``
+    (moment correlation) and ``mann_kendall_int`` (single-series TIME
+    concordance): this is cross-sectional two-COLUMN concordance with
+    the full tie decomposition.
+
+    Inputs must be integer columns with bounded domains (document the
+    bound at the call site; quantity×discount-cents here is ≤550 cells).
+
+    Per group, with P = n(n−1)/2 total pairs:
+        concordant C = Σ_{cells i<j, x_i<x_j, y_i<y_j} c_i·c_j
+        discordant D = Σ_{cells i<j, x_i<x_j, y_i>y_j} c_i·c_j
+        tied_x  Tx = Σ_x cx(cx−1)/2   (pairs sharing x, incl. both-tied)
+        tied_y  Ty = Σ_y cy(cy−1)/2
+        tied_xy Txy = Σ_cell c(c−1)/2
+        identity  P = C + D + Tx + Ty − Txy   (asserted)
+        tau_a_ppm = trunc(10⁶·(C−D) / P)      (SQL ``//`` trunc, can be <0)
+
+    Physical plan: per-batch (key, x, y) count partials → ONE exchange
+    bounded by |keys|·|X|·|Y| cells → vectorized numpy outer-comparison
+    fold on the driver-side histogram.  Python bigints make the cell
+    products exact at any n; the SQL mirror is a histogram self-join in
+    HUGEINT."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, x_col, y_col]).to_pandas()
+        g = (df.groupby([key_col, x_col, y_col], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key_col, x_col, y_col])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+    if hist.empty:
+        raise ValueError("grouped_kendall_int: empty input")
+
+    rows = []
+    for key, g in hist.groupby(key_col, sort=True):
+        x = g[x_col].to_numpy().astype(object)   # object → Python ints,
+        y = g[y_col].to_numpy().astype(object)   # products never overflow
+        c = g["_n"].to_numpy().astype(object)
+        n = int(c.sum())
+        pairs = n * (n - 1) // 2
+        cc = c[:, None] * c[None, :]
+        xl = x[:, None] < x[None, :]
+        conc = int(cc[xl & (y[:, None] < y[None, :])].sum())
+        disc = int(cc[xl & (y[:, None] > y[None, :])].sum())
+        tx = int(sum(v * (v - 1) // 2
+                     for v in g.groupby(x_col)["_n"].sum().astype(object)))
+        ty = int(sum(v * (v - 1) // 2
+                     for v in g.groupby(y_col)["_n"].sum().astype(object)))
+        txy = int(sum(int(v) * (int(v) - 1) // 2 for v in c))
+        assert pairs == conc + disc + tx + ty - txy, \
+            "grouped_kendall_int: pair identity violated"
+        if pairs == 0:
+            raise ValueError("grouped_kendall_int: group of size 1 has "
+                             "no pairs")
+        num = (conc - disc) * 1_000_000
+        tau_a_ppm = abs(num) // pairs * (1 if num >= 0 else -1)
+        rows.append((key, n, conc, disc, tx, ty, txy, tau_a_ppm))
+
+    out = pd.DataFrame(rows, columns=[key_col, "n", "concordant",
+                                      "discordant", "tied_x", "tied_y",
+                                      "tied_xy", "tau_a_ppm"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out

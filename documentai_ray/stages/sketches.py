@@ -525,3 +525,65 @@ def log2_quantile_sketch(ds, *, key_col: str, val_col: str,
                                       "q_lo", "q_hi"])
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def countmin_cols(token: str, d: int = 4, w: int = 256) -> list[int]:
+    """The d column indices of a token in the count-min sketch: ONE md5,
+    d disjoint 16-bit hex slices (chars [4i, 4i+4)), each % w.  One hash
+    per token on BOTH engines — the SQL mirror carves the same nibbles
+    out of the same md5 hex, so cells land bit-identically.  d ≤ 8
+    (md5 has eight 16-bit slices); w ≤ 65536."""
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return [int(h[4 * i:4 * i + 4], 16) % w for i in range(d)]
+
+
+def countmin_cells(ds, *, text_col: str = "text", d: int = 4,
+                   w: int = 256) -> "pd.DataFrame":
+    """Build a count-min sketch over the corpus token stream (tokens =
+    single-space split, empties counted — the top_tokens convention).
+
+    The CMS is the mergeable fixed-size frequency summary: d·w counters
+    regardless of vocabulary, point estimate = min over d rows of the
+    addressed cells, ALWAYS ≥ the true count (only collisions inflate,
+    nothing decrements).  Physical plan: per-batch token Counter →
+    hash each DISTINCT token once → (row, col) partial counts (≤ d·w
+    rows per batch, the map-side combine) → ONE exchange bounded by
+    d·w cells total.  Returns the cell table as a small pandas frame
+    ``(row, col, c)`` — the sketch itself, 4·256 ints here, broadcast-
+    free driver state."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = collections.Counter()
+        for t in batch.column(text_col).to_pylist():
+            cnt.update((t or "").split(" "))
+        cells: dict[tuple[int, int], int] = {}
+        for tok, n in cnt.items():
+            for i, col in enumerate(countmin_cols(tok, d, w)):
+                k = (i, col)
+                cells[k] = cells.get(k, 0) + n
+        rows = sorted(cells)
+        return pa.table({
+            "row": pa.array([r for r, _ in rows], pa.int64()),
+            "col": pa.array([c for _, c in rows], pa.int64()),
+            "c": pa.array([cells[k] for k in rows], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["row", "col"])
+            .aggregate(Sum("c", alias_name="c"))).to_pandas()
+
+
+def countmin_estimate(cells: "pd.DataFrame", tokens: list[str], *,
+                      d: int = 4, w: int = 256) -> list[int]:
+    """Point-estimate each token's count from the cell table: min over
+    the d addressed counters.  Guaranteed ≥ the true count (the CMS
+    one-sided error contract — asserted by the oracle query, which
+    reports over_est = estimate − exact ≥ 0 per probe)."""
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[cells["row"].to_numpy(), cells["col"].to_numpy()] = \
+        cells["c"].to_numpy()
+    return [int(min(grid[i, col]
+                    for i, col in enumerate(countmin_cols(tok, d, w))))
+            for tok in tokens]

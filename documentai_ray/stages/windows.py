@@ -1040,3 +1040,52 @@ def lag_coactivity_int(ds, *, key_col: str = "event_type",
         "lag0_dot": lag0[a, b]})
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def max_concurrency(ds, *, key_col: str, start_col: str, end_col: str,
+                    num_partitions: int = 32):
+    """Peak number of SIMULTANEOUSLY open intervals per key — the
+    max-overlap-depth statistic (peak concurrent sessions, peak open
+    connections) that ``interval_coverage``'s union length deliberately
+    erases: ten nested windows and ten disjoint ones can cover the same
+    measure but have depths 10 vs 1.
+
+    Classic boundary sweep, made distributed the same way as
+    interval_coverage: ONE key-hash exchange co-locates each key's
+    intervals (3-column projection only), then each partition resolves
+    ALL its keys in one vectorized pass — explode every interval into
+    (+1 at start, −1 at end) boundary rows (map-side 2×, still bounded),
+    sort by (key, t, delta) so at equal t the −1 sorts FIRST (half-open
+    [start, end): touching intervals never overlap), per-key running
+    cumsum, per-key max.  Equal (t, delta) runs are permutation-
+    invariant for the running max (each step adds the same delta), so
+    the sort is deterministic where it matters and the SQL window
+    mirror (SUM OVER ORDER BY t, delta ROWS UNBOUNDED PRECEDING, then
+    MAX) lands identically.  Zero-length intervals contribute depth 0
+    by the same tie rule.
+
+    Output: one row per key ``(key_col, n_intervals, peak)``."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[[key_col, start_col]].rename(columns={start_col: "_t"})
+        s["_d"] = 1
+        e = g[[key_col, end_col]].rename(columns={end_col: "_t"})
+        e["_d"] = -1
+        b = pd.concat([s, e], ignore_index=True)
+        b = b.sort_values([key_col, "_t", "_d"], kind="mergesort")
+        run = b.groupby(key_col, sort=False)["_d"].cumsum()
+        peak = (run.groupby(b[key_col], sort=False).max()
+                .rename("peak").reset_index())
+        n = (g.groupby(key_col, sort=False).size()
+             .rename("n_intervals").reset_index())
+        out = n.merge(peak, on=key_col)
+        out["n_intervals"] = out["n_intervals"].astype("int64")
+        out["peak"] = out["peak"].astype("int64")
+        return out
+
+    keyed = _add_pkey(ds.select_columns([key_col, start_col, end_col]),
+                      key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: sweep(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
