@@ -7586,6 +7586,101 @@ def _q_mix_plan(sf_dir: str):
     return mix_plan(ds, weights, budget_factor=2)
 
 
+def _q_attribution_credit(sf_dir: str):
+    """Linear multi-touch attribution (``windows.attribution_linear``):
+    each purchase splits 10⁶ ppm of credit equally (floor per
+    conversion) among the user's non-purchase events in the strict
+    half-open hour before it — the budget question (WHICH channels
+    earned the conversions) the funnel family's ordered-completion
+    counts don't answer.  One user-hash exchange; each partition
+    resolves all users with two searchsorted calls + prefix sums + the
+    range-add delta trick — no per-conversion loop.  Mirror: window
+    join + per-conversion count + floor-divided credit sum."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import attribution_linear
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = (batch.column("ts").to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts_us": pa.array(us, pa.int64()),
+                         "event_type": batch.column("event_type")})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]
+                               ).map_batches(to_us, batch_format="pyarrow")
+    return attribution_linear(ds, key_col="user_id", ts_col="ts_us",
+                              type_col="event_type",
+                              conversion_type="purchase",
+                              window=3_600_000_000, num_partitions=32)
+
+
+def _q_fd_error(sf_dir: str):
+    """Approximate-FD discovery scores (``dq.fd_g3_error``): the g3
+    error — minimum deletions for lhs→rhs to hold — for three candidate
+    dependencies across three tables (custkey→orderpriority,
+    partkey→returnflag, user→event_type).  dq_audit asserts declared
+    constraints; this RANKS undeclared ones by how far they are from
+    true, the TANE-style profiling primitive.  Per FD: pair-count
+    exchange bounded by distinct (lhs, rhs), per-lhs MAX, per-block
+    scalar folds — the pair table never reaches the driver.  Mirror:
+    n − Σ max per lhs, per table."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.dq import fd_g3_error
+
+    fds = [
+        ("orders_cust_to_priority", "orders.parquet",
+         "o_custkey", "o_orderpriority"),
+        ("lineitem_part_to_flag", "lineitem.parquet",
+         "l_partkey", "l_returnflag"),
+        ("events_user_to_type", "events.parquet",
+         "user_id", "event_type"),
+    ]
+    out = []
+    for name, table, lhs, rhs in fds:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}", columns=[lhs, rhs])
+        row = fd_g3_error(ds, lhs_col=lhs, rhs_col=rhs)
+        row.insert(0, "fd", name)
+        out.append(row)
+    return pd.concat(out, ignore_index=True)
+
+
+def _q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary rate against a reference
+    vocabulary built from the ``doc_id % 10 == 0`` slice
+    (``textstats.build_vocab_distributed`` + ``oov_rate``) — the
+    tokenizer-coverage eval.  The vocab is a distributed distinct
+    (bounded by |V|, Heaps' law), ships ONCE via ray.put, and
+    membership is one hash-based np.isin per batch over the flattened
+    token array with reduceat per-doc folds — zero exchange on the
+    scoring pass, no per-token Python.  Slice docs score 0 by
+    construction (their tokens define the vocab); the rest
+    discriminate.  Mirror: anti-join of unnested tokens vs the slice
+    vocab CTE."""
+    import ray
+    import ray.data
+
+    from documentai_ray.stages.textstats import (build_vocab_distributed,
+                                                 oov_rate)
+
+    import pyarrow as pa
+
+    def slice_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    vocab = build_vocab_distributed(
+        ds.map_batches(slice_only, batch_format="pyarrow"),
+        text_col="text")
+    return oov_rate(ds, ray.put(vocab), id_col="doc_id", text_col="text")
+
+
 def _q_kendall_tau(sf_dir: str):
     """Kendall concordance between quantity and discount-cents per
     returnflag (``aggregates.grouped_kendall_int``) — rank correlation
@@ -7963,6 +8058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": _q_kendall_tau,
         "max_concurrency": _q_max_concurrency,
         "countmin_estimate": _q_countmin_estimate,
+        "attribution_credit": _q_attribution_credit,
+        "fd_error": _q_fd_error,
+        "oov_rate": _q_oov_rate,
     }
 
 
@@ -11011,6 +11109,49 @@ def oracle_sql() -> dict[str, str]:
             "target_tokens * 1000000 // ("
             "(target_tokens + actual_tokens - 1) // actual_tokens "
             "* actual_tokens) END AS rate_ppm FROM p"
+        ),
+        # strict half-open hour window [c.ts − 1h, c.ts); floor-divided
+        # credit per conversion, summed per touch type
+        "attribution_credit": (
+            "WITH conv AS (SELECT event_id AS cid, user_id, ts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "tch AS (SELECT c.cid, e.event_type FROM events e "
+            "JOIN conv c ON e.user_id = c.user_id "
+            "AND e.event_type <> 'purchase' "
+            "AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts < c.ts), "
+            "k AS (SELECT cid, count(*) AS kk FROM tch GROUP BY 1) "
+            "SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_touches, "
+            "CAST(SUM(1000000 // k.kk) AS BIGINT) AS credit_ppm "
+            "FROM tch t JOIN k USING (cid) GROUP BY 1"
+        ),
+        # g3 = n − Σ_lhs max_rhs count: minimum deletions for lhs→rhs
+        "fd_error": " UNION ALL ".join(
+            f"SELECT '{name}' AS fd, n, n_keep, n - n_keep AS g3_err, "
+            "(n - n_keep) * 1000000 // n AS g3_ppm FROM "
+            f"(SELECT (SELECT count(*) FROM {tbl}) AS n, "
+            "(SELECT CAST(SUM(mx) AS BIGINT) FROM "
+            f"(SELECT MAX(c) AS mx FROM (SELECT {lhs}, {rhs}, "
+            f"count(*) AS c FROM {tbl} GROUP BY 1, 2) GROUP BY {lhs})) "
+            "AS n_keep)"
+            for name, tbl, lhs, rhs in [
+                ("orders_cust_to_priority", "orders",
+                 "o_custkey", "o_orderpriority"),
+                ("lineitem_part_to_flag", "lineitem",
+                 "l_partkey", "l_returnflag"),
+                ("events_user_to_type", "events",
+                 "user_id", "event_type")]),
+        # anti-join of unnested tokens vs the slice vocab
+        "oov_rate": (
+            "WITH ref AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+            "AS tok FROM documents WHERE doc_id % 10 = 0), "
+            "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+            "FROM documents), "
+            "j AS (SELECT tk.doc_id, CASE WHEN r.tok IS NULL THEN 1 "
+            "ELSE 0 END AS o FROM tk LEFT JOIN ref r USING (tok)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(o) AS BIGINT) AS n_oov, "
+            "CAST(SUM(o) * 1000000 // count(*) AS BIGINT) AS oov_ppm "
+            "FROM j GROUP BY 1"
         ),
         # joint-histogram self-join: every O(n²) row-pair comparison is
         # determined by its (x, y) cells, so C/D are Σ c_i·c_j over ≤550

@@ -338,3 +338,56 @@ def impute_group_mode(ds, *, key_col: str, val_col: str,
         return out.append_column(flag_col, pa.array(missing, pa.bool_()))
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def fd_g3_error(ds, *, lhs_col: str, rhs_col: str):
+    """Approximate-functional-dependency discovery score: the g3 error
+    of ``lhs → rhs`` — the minimum number of rows you must DELETE for
+    the dependency to hold exactly, ``n − Σ_lhs max_rhs count(lhs,
+    rhs)`` (Kivinen–Mannila; the standard profiling measure TANE-style
+    FD miners rank candidates by).  dq_audit asserts declared
+    constraints; this MEASURES how far an undeclared one is from true.
+
+    Fully distributed — the pair table never reaches the driver: per-
+    batch (lhs, rhs) count partials → exchange bounded by distinct
+    pairs → per-lhs MAX (second bounded exchange) → each side folds to
+    per-block scalar partials and only ≤|blocks| rows hit the driver.
+    g3_ppm uses floor division (non-negative, so floor ≡ trunc ≡ SQL
+    ``//``).
+
+    Returns one row: (n, n_keep, g3_err, g3_ppm)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([lhs_col, rhs_col]).to_pandas()
+        g = (df.groupby([lhs_col, rhs_col], as_index=False)
+             .size().rename(columns={"size": "_n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby([lhs_col, rhs_col])
+             .aggregate(Sum("_n", alias_name="_n")))
+
+    def fold_n(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({"_s": pa.array(
+            [_pc.sum(batch.column("_n")).as_py() or 0], pa.int64())})
+
+    def fold_keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({"_s": pa.array(
+            [_pc.sum(batch.column("_mx")).as_py() or 0], pa.int64())})
+
+    n = int(pairs.map_batches(fold_n, batch_format="pyarrow")
+            .to_pandas()["_s"].sum())
+    keep = int(pairs.groupby(lhs_col)
+               .aggregate(Max("_n", alias_name="_mx"))
+               .map_batches(fold_keep, batch_format="pyarrow")
+               .to_pandas()["_s"].sum())
+    if n == 0:
+        raise ValueError("fd_g3_error: empty input")
+    err = n - keep
+    return pd.DataFrame({"n": [n], "n_keep": [keep], "g3_err": [err],
+                         "g3_ppm": [err * 1_000_000 // n]}).astype("int64")

@@ -487,3 +487,54 @@ def readability_batch(batch: pa.Table, *, id_col: str = "doc_id",
                      "n_sents": pa.array(out_s, pa.int64()),
                      "n_syll": pa.array(out_y, pa.int64()),
                      "flesch_ppm": pa.array(out_f, pa.int64())})
+
+
+def build_vocab_distributed(ds, *, text_col: str = "text") -> np.ndarray:
+    """Distinct tokens of a (usually filtered) corpus slice, as a sorted
+    numpy unicode array ready to broadcast — one exchange bounded by the
+    vocabulary (Heaps' law keeps |V| ≪ corpus; see vocab_growth).
+    Token = single-space split, empties counted (top_tokens convention)."""
+    import collections
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t in batch.column(text_col).to_pylist():
+            seen.update((t or "").split(" "))
+        return pa.table({"token": pa.array(sorted(seen), pa.string())})
+
+    toks = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").count().to_pandas())
+    return np.sort(toks["token"].to_numpy().astype("U"))
+
+
+def oov_rate(ds, vocab_ref, *, id_col: str = "doc_id",
+             text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against a broadcast reference
+    vocabulary — the tokenizer-coverage eval (how much of each document
+    a fixed vocab fails to cover).  The vocab ships ONCE via ``ray.put``
+    (pass the object ref); each batch flattens its tokens to one array,
+    one hash-based ``np.isin`` answers membership for every token of
+    every doc at once, and ``np.add.reduceat`` folds per-doc counts —
+    no per-token Python in the hot path.  oov_ppm floors (non-negative).
+    Pure map, zero exchange."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.array([len(tk) for tk in toks], dtype="int64")
+        flat = np.array([w for tk in toks for w in tk], dtype="U")
+        oov = ~np.isin(flat, vocab)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_oov = (np.add.reduceat(oov.astype("int64"), starts)
+                 if len(flat) else np.zeros(0, dtype="int64"))
+        n_oov = np.where(lens > 0, n_oov, 0)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "oov_ppm": pa.array(n_oov * 1_000_000 // np.maximum(lens, 1),
+                                pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1089,3 +1089,81 @@ def max_concurrency(ds, *, key_col: str, start_col: str, end_col: str,
     return (keyed.groupby("_pkey")
             .map_groups(lambda g: sweep(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def attribution_linear(ds, *, key_col: str, ts_col: str, type_col: str,
+                       conversion_type: str, window: int,
+                       credit_unit: int = 1_000_000,
+                       num_partitions: int = 32):
+    """Linear multi-touch attribution — every conversion looks BACK at
+    its preceding touchpoints (non-conversion events of the same key
+    with ts in the half-open window ``[conv_ts − window, conv_ts)``,
+    strict on the right so same-timestamp events never self-credit) and
+    splits ``credit_unit`` equally among them, floor division per
+    conversion (``credit_unit // k``, the SQL ``//``).  The funnel family
+    counts ordered completions; attribution answers the budget question
+    — WHICH channel types earned the conversions.
+
+    Distributed plan: ONE key-hash exchange, then each partition
+    resolves ALL its keys in one vectorized pass with NO per-conversion
+    loop: sort by (key, ts), composite key = key_code·SHIFT + rel_ts so
+    a single ``np.searchsorted`` pair finds every conversion's window
+    [lo, hi) (the left target clamps at rel 0, so windows never leak
+    into a neighbouring key's range); touch counts are prefix-sum
+    differences; per-row credit is the classic range-add trick (+q at
+    lo, −q at hi, cumsum), collected only on touch rows.  Partials
+    pre-combine to ≤|types| rows per partition before a tiny final
+    groupby.  SHIFT·max_key_code must stay below 2⁶³ — asserted; raise
+    ``num_partitions`` if a partition ever holds too many keys.
+
+    Output: one row per touch event type ``(type_col, n_touches,
+    credit_ppm)`` where n_touches counts (touch, conversion) pairs."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        t = g[ts_col].to_numpy().astype("int64")
+        rel = t - int(t.min()) if len(t) else t
+        codes = pd.factorize(g[key_col], sort=False)[0].astype("int64")
+        shift = int(rel.max()) + window + 2 if len(rel) else 1
+        assert codes.max(initial=0) < (2**62) // max(shift, 1), \
+            "attribution_linear: composite key overflow — raise " \
+            "num_partitions"
+        comp = codes * shift + rel
+        is_touch = (g[type_col] != conversion_type).to_numpy()
+        pref = np.concatenate([[0], np.cumsum(is_touch)])
+        cpos = np.flatnonzero(~is_touch)
+        lo = np.searchsorted(comp, codes[cpos] * shift
+                             + np.maximum(rel[cpos] - window, 0), "left")
+        hi = np.searchsorted(comp, comp[cpos], "left")
+        k = pref[hi] - pref[lo]
+        live = k > 0
+        q = np.zeros(len(cpos), dtype="int64")
+        q[live] = credit_unit // k[live]
+        credit_d = np.zeros(len(g) + 1, dtype="int64")
+        np.add.at(credit_d, lo[live], q[live])
+        np.add.at(credit_d, hi[live], -q[live])
+        count_d = np.zeros(len(g) + 1, dtype="int64")
+        np.add.at(count_d, lo[live], 1)
+        np.add.at(count_d, hi[live], -1)
+        row_credit = np.cumsum(credit_d)[:len(g)]
+        row_count = np.cumsum(count_d)[:len(g)]
+        out = (pd.DataFrame({type_col: g[type_col].to_numpy()[is_touch],
+                             "n_touches": row_count[is_touch],
+                             "credit_ppm": row_credit[is_touch]})
+               .groupby(type_col, as_index=False).sum())
+        out = out[out["n_touches"] > 0]
+        out["n_touches"] = out["n_touches"].astype("int64")
+        out["credit_ppm"] = out["credit_ppm"].astype("int64")
+        return out
+
+    keyed = _add_pkey(ds.select_columns([key_col, ts_col, type_col]),
+                      key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: attribute(g.drop(columns=["_pkey"])),
+                        batch_format="pandas")
+            .groupby(type_col)
+            .aggregate(Sum("n_touches", alias_name="n_touches"),
+                       Sum("credit_ppm", alias_name="credit_ppm")))
