@@ -7586,6 +7586,92 @@ def _q_mix_plan(sf_dir: str):
     return mix_plan(ds, weights, budget_factor=2)
 
 
+def _q_changepoint_localize(sf_dir: str):
+    """Binary segmentation's first split per event type
+    (``windows.changepoint_binary_int``): the hour t* maximizing the
+    between-segment term S1²/n1 + S2²/n2 of the hourly-count series —
+    WHERE the level moved, where cusum_alarms only says THAT it moved.
+    Defined on the milli-floored integer score so both engines rank the
+    identical integer (fraction denominators vary with t); argmax ties
+    break toward the smallest t.  ONE pre-combined (hour, key) exchange;
+    the split scan folds the bounded series driver-side.  Mirror:
+    running-sum windows + HUGEINT score + row_number pick."""
+    import ray.data
+
+    from documentai_ray.stages.windows import changepoint_binary_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return changepoint_binary_int(ev)
+
+
+def _q_bloom_semijoin(sf_dir: str):
+    """Bloom-pushdown semi-join audit (``sketches.bloom_build_bits`` /
+    ``bloom_semijoin_stats``): the BUILDING-segment customer keys fold
+    into a 4096-bit bloom filter (one exchange bounded by m positions),
+    the filter broadcasts ONCE via ray.put, and the orders fact side is
+    screened with a vectorized distinct-key lookup — the pushdown
+    pattern for when the build side's exact key set is too big to
+    broadcast but its m-bit summary isn't.  The exact key set rides
+    along precisely to MEASURE the summary: n_fp and the false-positive
+    rate over true negatives in ppm (4096 bits vs ~thousands of keys
+    keeps fp genuinely nonzero at sf≥0.01, so the oracle
+    discriminates); the no-false-negative contract is asserted
+    engine-side.  One md5 per distinct key, kh=3 disjoint 16-bit hex
+    slices (the countmin convention) — the SQL mirror carves the same
+    nibbles."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from documentai_ray.stages.sketches import (bloom_build_bits,
+                                                bloom_semijoin_stats)
+
+    M, KH = 4096, 3
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+
+    def building_only(batch):
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.equal(batch.column("c_mktsegment"), "BUILDING"))
+
+    small = cust.map_batches(building_only, batch_format="pyarrow")
+    bits = bloom_build_bits(small, key_col="c_custkey", m=M, kh=KH)
+    truth = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "=", "BUILDING")]
+    ).column("c_custkey").to_numpy()
+    fact = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+    return bloom_semijoin_stats(fact, key_col="o_custkey",
+                                bits_ref=ray.put(bits),
+                                truth_ref=ray.put(truth), m=M, kh=KH)
+
+
+def _q_ngram_novelty(sf_dir: str):
+    """Per-document 3-gram novelty (``textstats.ngram_novelty``): the
+    fraction of each doc's distinct shingles first seen in the corpus
+    at this doc_id — the repetition-between-documents curation signal
+    at per-doc granularity (the corpus deliberately plants exact and
+    near duplicates, which score ~0 here).  A distinct n-gram is novel
+    exactly where its min(doc_id) lands, so novel counts come from the
+    min table grouped by its own value — no join back to the pair
+    stream; the only big exchange is the corpus-ngram (ngram, id)
+    shuffle, the MinHash band-shuffle cost class.  Docs join their
+    denominator via a distributed left hash join (zero-ngram docs keep
+    rows, ppm 0).  Shingles are the dedup convention."""
+    import ray.data
+
+    from documentai_ray.stages.textstats import ngram_novelty
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ngram_novelty(ds, id_col="doc_id", text_col="text", n=3)
+
+
 def _q_attribution_credit(sf_dir: str):
     """Linear multi-touch attribution (``windows.attribution_linear``):
     each purchase splits 10⁶ ppm of credit equally (floor per
@@ -8061,6 +8147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_credit": _q_attribution_credit,
         "fd_error": _q_fd_error,
         "oov_rate": _q_oov_rate,
+        "changepoint_localize": _q_changepoint_localize,
+        "bloom_semijoin": _q_bloom_semijoin,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -11109,6 +11198,86 @@ def oracle_sql() -> dict[str, str]:
             "target_tokens * 1000000 // ("
             "(target_tokens + actual_tokens - 1) // actual_tokens "
             "* actual_tokens) END AS rate_ppm FROM p"
+        ),
+        # milli-floored integer score = both engines rank the identical
+        # integer; argmax ties toward smallest t via row_number
+        "changepoint_localize": (
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+            "count(*) AS c FROM events GROUP BY 1, 2), "
+            "p AS (SELECT event_type, hr, c, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i, "
+            "SUM(c) OVER (PARTITION BY event_type ORDER BY hr "
+            "ROWS UNBOUNDED PRECEDING) AS s1, "
+            "count(*) OVER (PARTITION BY event_type) AS tt, "
+            "SUM(c) OVER (PARTITION BY event_type) AS stot FROM h), "
+            "sc AS (SELECT event_type, i AS t, tt, s1, stot - s1 AS s2, "
+            "1000 * (CAST(s1 AS HUGEINT) * s1 * (tt - i) "
+            "+ CAST(stot - s1 AS HUGEINT) * (stot - s1) * i) "
+            "// (CAST(i AS HUGEINT) * (tt - i)) AS score_milli "
+            "FROM p WHERE i < tt), "
+            "pick AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY score_milli DESC, t ASC) AS rn FROM sc) "
+            "SELECT pk.event_type, CAST(pk.tt AS BIGINT) AS n_obs, "
+            "CAST(pk.t AS BIGINT) AS split_idx, "
+            "CAST(epoch_us(p2.hr) // 1000000 AS BIGINT) AS split_hour_s, "
+            "CAST(1000 * pk.s1 // pk.t AS BIGINT) AS mean_l_milli, "
+            "CAST(1000 * pk.s2 // (pk.tt - pk.t) AS BIGINT) "
+            "AS mean_r_milli, "
+            "CAST(pk.score_milli AS BIGINT) AS score_milli "
+            "FROM pick pk JOIN p p2 ON p2.event_type = pk.event_type "
+            "AND p2.i = pk.t + 1 WHERE pk.rn = 1"
+        ),
+        # candidate = all 3 addressed bits set (HAVING count(*) = 3: op
+        # emits exactly 3 rows per order; bits is distinct so each row
+        # joins at most once, duplicated positions included)
+        "bloom_semijoin": (
+            "WITH sm AS (SELECT c_custkey, "
+            "md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer "
+            "WHERE c_mktsegment = 'BUILDING'), "
+            "bits AS (SELECT DISTINCT b FROM ("
+            + " UNION ALL ".join(
+                f"SELECT {_sql_hex_slice16('h', i)} % 4096 AS b FROM sm"
+                for i in range(3))
+            + ")), "
+            "oh AS (SELECT o_orderkey, "
+            "md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders), "
+            "op AS ("
+            + " UNION ALL ".join(
+                f"SELECT o_orderkey, {_sql_hex_slice16('h', i)} % 4096 "
+                "AS b FROM oh" for i in range(3))
+            + "), "
+            "cand AS (SELECT o_orderkey FROM op JOIN bits USING (b) "
+            "GROUP BY o_orderkey HAVING count(*) = 3), "
+            "tru AS (SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM sm)) "
+            "SELECT CAST(nf AS BIGINT) AS n_fact, "
+            "CAST(nc AS BIGINT) AS n_candidates, "
+            "CAST(nt AS BIGINT) AS n_true, "
+            "CAST(nc - nt AS BIGINT) AS n_fp, "
+            "CAST(CASE WHEN nf - nt > 0 THEN "
+            "(nc - nt) * 1000000 // (nf - nt) ELSE 0 END AS BIGINT) "
+            "AS fp_ppm FROM "
+            "(SELECT (SELECT count(*) FROM orders) AS nf, "
+            "(SELECT count(*) FROM cand) AS nc, "
+            "(SELECT count(*) FROM tru) AS nt)"
+        ),
+        # a distinct n-gram is novel exactly where its min(doc_id) lands
+        "ngram_novelty": (
+            "WITH sh AS (SELECT doc_id, "
+            "list_distinct(list_transform(generate_series(1, "
+            "len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || "
+            "toks[i+2])) AS sh FROM (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') "
+            "AS toks FROM documents)), "
+            "g AS (SELECT doc_id, unnest(sh) AS ngram FROM sh), "
+            "mn AS (SELECT ngram, min(doc_id) AS mid FROM g GROUP BY 1), "
+            "nv AS (SELECT mid AS doc_id, count(*) AS n_novel FROM mn "
+            "GROUP BY 1) "
+            "SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_ngrams, "
+            "CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel, "
+            "CAST(coalesce(nv.n_novel, 0) * 1000000 "
+            "// greatest(len(s.sh), 1) AS BIGINT) AS novelty_ppm "
+            "FROM sh s LEFT JOIN nv USING (doc_id)"
         ),
         # strict half-open hour window [c.ts − 1h, c.ts); floor-divided
         # credit per conversion, summed per touch type

@@ -587,3 +587,79 @@ def countmin_estimate(cells: "pd.DataFrame", tokens: list[str], *,
     return [int(min(grid[i, col]
                     for i, col in enumerate(countmin_cols(tok, d, w))))
             for tok in tokens]
+
+
+def bloom_positions(key: str, m: int = 4096, kh: int = 3) -> list[int]:
+    """The kh bloom-filter bit positions of a string key: ONE md5, kh
+    disjoint 16-bit hex slices (the countmin_cols convention), each
+    % m.  kh ≤ 8; m ≤ 65536 so every slice covers the range."""
+    h = hashlib.md5(key.encode("utf-8")).hexdigest()
+    return [int(h[4 * i:4 * i + 4], 16) % m for i in range(kh)]
+
+
+def bloom_build_bits(ds, *, key_col: str, m: int = 4096,
+                     kh: int = 3) -> np.ndarray:
+    """Distributed bloom-filter build over a (small) key side: each
+    batch hashes its DISTINCT keys and emits set bit positions, one
+    exchange bounded by m distinct positions, driver folds to a numpy
+    bool array of m bits — the broadcastable pushdown filter.  Keys are
+    stringified (CAST AS VARCHAR in the mirror) so int and string key
+    columns hash identically across engines."""
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set[int] = set()
+        for k in np.unique(batch.column(key_col).to_numpy()):
+            seen.update(bloom_positions(str(k), m, kh))
+        return pa.table({"b": pa.array(sorted(seen), pa.int64())})
+
+    pos = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("b").count().to_pandas())
+    bits = np.zeros(m, dtype=bool)
+    bits[pos["b"].to_numpy()] = True
+    return bits
+
+
+def bloom_semijoin_stats(fact_ds, *, key_col: str, bits_ref, truth_ref,
+                         m: int = 4096, kh: int = 3):
+    """Bloom-pushdown semi-join audit: filter the fact side through the
+    broadcast bloom bits (candidate = ALL kh addressed bits set — no
+    false negatives, only collisions pass spuriously) and measure the
+    filter against the exact key set: n_fact / n_candidates / n_true /
+    n_fp and the false-positive rate over true negatives in ppm.  This
+    is the join-pushdown pattern for when the build side's exact key
+    set is too big to broadcast but its m-bit summary isn't; the exact
+    set rides along here precisely to MEASURE what the summary costs.
+
+    Per batch: hash DISTINCT keys once, vectorized lookup, per-batch
+    scalar partials → driver sum (≤|blocks| rows).  Engine asserts the
+    no-false-negative contract."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        truth = ray.get(truth_ref)
+        keys = batch.column(key_col).to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        member = np.array(
+            [all(bits[p] for p in bloom_positions(str(k), m, kh))
+             for k in uniq], dtype=bool)[inv]
+        istrue = np.isin(keys, truth)
+        assert bool(np.all(member[istrue])), \
+            "bloom false negative — broken filter"
+        return pa.table({
+            "n_fact": pa.array([len(keys)], pa.int64()),
+            "n_candidates": pa.array([int(member.sum())], pa.int64()),
+            "n_true": pa.array([int(istrue.sum())], pa.int64())})
+
+    agg = (fact_ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().sum())
+    n_fact = int(agg["n_fact"])
+    n_cand = int(agg["n_candidates"])
+    n_true = int(agg["n_true"])
+    n_fp = n_cand - n_true
+    n_neg = n_fact - n_true
+    import pandas as pd
+    return pd.DataFrame({
+        "n_fact": [n_fact], "n_candidates": [n_cand],
+        "n_true": [n_true], "n_fp": [n_fp],
+        "fp_ppm": [n_fp * 1_000_000 // n_neg if n_neg else 0],
+    }).astype("int64")

@@ -538,3 +538,77 @@ def oov_rate(ds, vocab_ref, *, id_col: str = "doc_id",
                                 pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def ngram_novelty(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, num_partitions: int = 64):
+    """Per-document n-gram NOVELTY: the fraction of each doc's distinct
+    n-grams that occur for the FIRST time in the corpus when docs are
+    read in id order — the repetition-between-documents curation signal
+    at per-doc granularity (vocab_growth plots the corpus curve;
+    decontaminate flags overlap with a fixed benchmark; this scores
+    every document against everything BEFORE it).  Boilerplate-heavy
+    docs score near 0, fresh prose near 10⁶.
+
+    The trick that keeps it one pass: a distinct n-gram is novel in
+    EXACTLY the doc where its min(doc_id) lands, so per-doc novel
+    counts are just the min-table grouped by its own value — no
+    ngram→doc join back.  Shingles are the dedup convention (whitespace
+    tokens, space-joined windows, per-doc distinct; <n tokens → no
+    shingles).
+
+    Physical plan: map emits per-doc distinct (ngram, id) pairs [the
+    one corpus-ngram-sized exchange — same cost class as the MinHash
+    band shuffle] + a per-doc (id, n_ngrams) side stream with NO
+    exchange; groupby(ngram).min → groupby(min_id).count → distributed
+    left hash-join against the side stream (docs with zero novel or
+    zero ngrams keep rows).  Output: (id, n_ngrams, n_novel,
+    novelty_ppm), ppm floored, 0 when the doc has no ngrams."""
+    from ray.data.aggregate import Count, Min
+
+    from documentai_ray.stages.joins import hash_join
+
+    def shingles(text: str) -> set[str]:
+        toks = (text or "").split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            for g in shingles(t):
+                ids.append(did)
+                grams.append(g)
+        return pa.table({"ngram": pa.array(grams, pa.string()),
+                         "_id": pa.array(ids, pa.int64())})
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        counts = [len(shingles(t))
+                  for t in batch.column(text_col).to_pylist()]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_ngrams": pa.array(counts, pa.int64())})
+
+    novel = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("ngram")
+             .aggregate(Min("_id", alias_name="_min_id"))
+             .groupby("_min_id")
+             .aggregate(Count(alias_name="n_novel"))
+             .map_batches(lambda b: b.rename_columns([id_col, "n_novel"]),
+                          batch_format="pyarrow"))
+    docs = ds.map_batches(per_doc, batch_format="pyarrow")
+    joined = hash_join(docs, novel, on=id_col, how="left",
+                       num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nn = pc.fill_null(batch.column("n_novel"), 0)
+        ng = batch.column("n_ngrams")
+        ppm = (nn.to_numpy(zero_copy_only=False) * 1_000_000
+               // np.maximum(ng.to_numpy(), 1))
+        return pa.table({id_col: batch.column(id_col),
+                         "n_ngrams": ng,
+                         "n_novel": pc.cast(nn, pa.int64()),
+                         "novelty_ppm": pa.array(ppm, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

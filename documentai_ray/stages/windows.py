@@ -1167,3 +1167,74 @@ def attribution_linear(ds, *, key_col: str, ts_col: str, type_col: str,
             .groupby(type_col)
             .aggregate(Sum("n_touches", alias_name="n_touches"),
                        Sum("credit_ppm", alias_name="credit_ppm")))
+
+
+def changepoint_binary_int(ds, *, key_col: str = "event_type",
+                           ts_col: str = "ts"):
+    """Single-changepoint LOCALIZATION per key — binary segmentation's
+    first split: the hour t* that maximizes the between-segment term
+    B(t) = S1²/n1 + S2²/n2 of the hourly-count series (equivalently,
+    the split with the largest SSE reduction; S²/n is constant in t).
+    cusum_alarms DETECTS that a sustained shift happened and when the
+    statistic crossed the line; this answers WHERE the level actually
+    moved, the estimator binary segmentation recurses on.
+
+    Exactness: scores are fractions with t-dependent denominators, so
+    the op is DEFINED on the milli-floored integer score
+    ``score_milli(t) = 1000·(S1²·n2 + S2²·n1) // (n1·n2)`` (Python
+    bigints; HUGEINT in SQL) with argmax ties broken toward the
+    smallest t — both engines rank the identical integer.  Series runs
+    over OBSERVED hours in order (the trend_flips convention).
+
+    Physical plan: ONE pre-combined (hour, key) exchange bounded by
+    hours × keys; the T−1 split scan is a prefix-sum fold over that
+    tiny series on the driver (the kendall/kappa pattern — only the
+    bounded histogram ever leaves the cluster).
+
+    Returns per key: (key, n_obs, split_idx [1-based size of the left
+    segment], split_hour_s [epoch seconds of the first right-segment
+    hour], mean_l_milli, mean_r_milli, score_milli).  Keys with a
+    single observed hour have no split and raise."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("changepoint_binary_int: empty input")
+    hourly = hourly.sort_values([key_col, "_w"], kind="mergesort")
+
+    rows = []
+    for key, g in hourly.groupby(key_col, sort=True):
+        c = [int(v) for v in g["_n"]]
+        tt = len(c)
+        if tt < 2:
+            raise ValueError(
+                f"changepoint_binary_int: key {key!r} has a single "
+                "observed hour — no split exists")
+        stot = sum(c)
+        best = None
+        s1 = 0
+        for t in range(1, tt):
+            s1 += c[t - 1]
+            s2 = stot - s1
+            n2 = tt - t
+            score = 1000 * (s1 * s1 * n2 + s2 * s2 * t) // (t * n2)
+            if best is None or score > best[0]:
+                best = (score, t, s1, s2)
+        score, t, s1, s2 = best
+        hr = (g["_w"].iloc[t].to_datetime64().astype("datetime64[us]")
+              .astype("int64")) // 1_000_000
+        rows.append((key, tt, t, int(hr), 1000 * s1 // t,
+                     1000 * s2 // (tt - t), score))
+
+    out = pd.DataFrame(rows, columns=[key_col, "n_obs", "split_idx",
+                                      "split_hour_s", "mean_l_milli",
+                                      "mean_r_milli", "score_milli"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
