@@ -7586,6 +7586,67 @@ def _q_mix_plan(sf_dir: str):
     return mix_plan(ds, weights, budget_factor=2)
 
 
+def _q_seasonality_strength(sf_dir: str):
+    """Hour-of-day seasonality strength per event type
+    (``windows.seasonality_strength_int``): one-way ANOVA eta² of the
+    hourly-count series grouped by hour of day, exact integer ppm — the
+    within-day STRUCTURE question (crawl-rate shaping, peak-hour
+    budgeting) where trend/cusum/changepoint ask about drift ALONG
+    time.  Balance comes free (whole-day window, dense zeros), which
+    clears every fraction: num = 24·ΣS_h² − S², den = 24D·Σc² − S² —
+    and zero cells contribute nothing, so the observed (hour, key)
+    histogram suffices without materializing the grid.  Mirror:
+    HUGEINT folds over the hourly CTE + a 24-row hour-of-day grid for
+    peak/trough."""
+    import ray.data
+
+    from documentai_ray.stages.windows import seasonality_strength_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return seasonality_strength_int(ev)
+
+
+def _q_theil_sen(sf_dir: str):
+    """Theil–Sen robust trend slope per event type
+    (``windows.theil_sen_int``): the median pairwise slope of the
+    hourly series in doubled-milli units — the MAGNITUDE companion to
+    mann_kendall's direction-only S, immune to the outlier hours OLS
+    chases.  Slopes are trunc-milli by definition (SQL ``//``) so both
+    engines rank identical integers; x = epoch hours so missing hours
+    stretch dx.  One (hour, key) exchange (calendar-bounded), numpy
+    triangle fold.  Mirror: within-key self-join + the doubled-median
+    row_number pick."""
+    import ray.data
+
+    from documentai_ray.stages.windows import theil_sen_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return theil_sen_int(ev)
+
+
+def _q_interarrival_stats(sf_dir: str):
+    """Inter-arrival gap distribution per event type
+    (``windows.interarrival_stats``): min / doubled-median / max of
+    consecutive gaps in whole seconds, ordered by (ts, event_id) — the
+    evidence behind every session-threshold and rate-limit choice
+    (events_sessions ASSUMES a cutoff; this measures the gap
+    distribution it should come from).  One key-hash exchange, one
+    vectorized grouped-shift diff for ALL keys per partition,
+    per-key gap-value histograms summed in a second tiny exchange so
+    the median is exact (the grouped_median_int plan).  Mirror: lag()
+    window + the doubled-median row_number pick."""
+    import ray.data
+
+    from documentai_ray.stages.windows import interarrival_stats
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "event_id"])
+    return interarrival_stats(ev)
+
+
 def _q_changepoint_localize(sf_dir: str):
     """Binary segmentation's first split per event type
     (``windows.changepoint_binary_int``): the hour t* maximizing the
@@ -8150,6 +8211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_localize": _q_changepoint_localize,
         "bloom_semijoin": _q_bloom_semijoin,
         "ngram_novelty": _q_ngram_novelty,
+        "seasonality_strength": _q_seasonality_strength,
+        "theil_sen": _q_theil_sen,
+        "interarrival_stats": _q_interarrival_stats,
     }
 
 
@@ -11198,6 +11262,84 @@ def oracle_sql() -> dict[str, str]:
             "target_tokens * 1000000 // ("
             "(target_tokens + actual_tokens - 1) // actual_tokens "
             "* actual_tokens) END AS rate_ppm FROM p"
+        ),
+        # balanced ANOVA: num = 24·ΣS_h² − S², den = 24D·Σc² − S²; zero
+        # cells contribute nothing so the observed histogram suffices
+        "seasonality_strength": (
+            "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+            "count(*) AS c FROM events GROUP BY 1, 2), "
+            "b AS (SELECT CAST(date_diff('day', "
+            "date_trunc('day', min(ts)), date_trunc('day', max(ts))) + 1 "
+            "AS BIGINT) AS days FROM events), "
+            "agg AS (SELECT event_type, SUM(c) AS s, "
+            "SUM(CAST(c AS HUGEINT) * c) AS sc2 FROM hc GROUP BY 1), "
+            "shh AS (SELECT event_type, CAST(hour(hr) AS BIGINT) AS h, "
+            "SUM(c) AS v FROM hc GROUP BY 1, 2), "
+            "grid AS (SELECT k.event_type, g.h FROM "
+            "(SELECT DISTINCT event_type FROM events) k, "
+            "(SELECT unnest(range(24)) AS h) g), "
+            "dns AS (SELECT grid.event_type, grid.h, "
+            "coalesce(shh.v, 0) AS v FROM grid LEFT JOIN shh "
+            "ON grid.event_type = shh.event_type AND grid.h = shh.h), "
+            "s2 AS (SELECT event_type, SUM(CAST(v AS HUGEINT) * v) "
+            "AS ssh2 FROM dns GROUP BY 1), "
+            "pk AS (SELECT event_type, h, v, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY v DESC, h ASC) AS rmax, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY v ASC, h ASC) AS rmin FROM dns) "
+            "SELECT a.event_type, b.days, CAST(a.s AS BIGINT) AS s_total, "
+            "CAST(1000000 * (24 * s2.ssh2 - CAST(a.s AS HUGEINT) * a.s) "
+            "// (24 * b.days * a.sc2 - CAST(a.s AS HUGEINT) * a.s) "
+            "AS BIGINT) AS eta2_ppm, "
+            "CAST(pmax.h AS BIGINT) AS peak_hour, "
+            "CAST(1000000 * pmax.v // a.s AS BIGINT) AS peak_share_ppm, "
+            "CAST(pmin.h AS BIGINT) AS trough_hour "
+            "FROM agg a, b, s2, pk pmax, pk pmin "
+            "WHERE s2.event_type = a.event_type "
+            "AND pmax.event_type = a.event_type AND pmax.rmax = 1 "
+            "AND pmin.event_type = a.event_type AND pmin.rmin = 1"
+        ),
+        # trunc-milli slopes (SQL //), doubled-unit median pick
+        "theil_sen": (
+            "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+            "count(*) AS c FROM events GROUP BY 1, 2), "
+            "x AS (SELECT event_type, epoch_us(hr) // 3600000000 AS x, "
+            "CAST(c AS BIGINT) AS c FROM hc), "
+            "p AS (SELECT a.event_type, b.c - a.c AS dy, b.x - a.x AS dx "
+            "FROM x a JOIN x b ON a.event_type = b.event_type "
+            "AND b.x > a.x), "
+            "sl AS (SELECT event_type, CASE WHEN dy >= 0 THEN "
+            "(1000 * dy) // dx ELSE -((1000 * (-dy)) // dx) END AS s "
+            "FROM p), "
+            "r AS (SELECT event_type, s, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY s) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM sl), "
+            "obs AS (SELECT event_type, count(*) AS n_obs FROM x "
+            "GROUP BY 1) "
+            "SELECT r.event_type, CAST(obs.n_obs AS BIGINT) AS n_obs, "
+            "CAST(any_value(r.n) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 "
+            "THEN 2 * s WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1) "
+            "THEN s ELSE 0 END) AS BIGINT) AS slope_med_x2_milli "
+            "FROM r JOIN obs USING (event_type) "
+            "GROUP BY r.event_type, obs.n_obs"
+        ),
+        # gap seconds floor (positive → ≡ trunc); doubled-unit median
+        "interarrival_stats": (
+            "WITH g AS (SELECT event_type, (epoch_us(ts) - "
+            "epoch_us(lag(ts) OVER (PARTITION BY event_type "
+            "ORDER BY ts, event_id))) // 1000000 AS gap FROM events), "
+            "gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL), "
+            "r AS (SELECT event_type, gap, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY gap) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM gg) "
+            "SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_gaps, "
+            "CAST(min(gap) AS BIGINT) AS min_gap_s, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_s, "
+            "CAST(SUM(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 "
+            "THEN 2 * gap WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1) "
+            "THEN gap ELSE 0 END) AS BIGINT) AS med_gap_x2_s "
+            "FROM r GROUP BY event_type"
         ),
         # milli-floored integer score = both engines rank the identical
         # integer; argmax ties toward smallest t via row_number

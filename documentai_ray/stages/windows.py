@@ -1238,3 +1238,191 @@ def changepoint_binary_int(ds, *, key_col: str = "event_type",
     for col in out.columns[1:]:
         out[col] = out[col].astype("int64")
     return out
+
+
+def seasonality_strength_int(ds, *, key_col: str = "event_type",
+                             ts_col: str = "ts"):
+    """Hour-of-day seasonality strength per key — one-way ANOVA eta² =
+    SS_between / SS_total of the hourly-count series grouped by hour of
+    day, in exact integer ppm.  The design is BALANCED by construction
+    (the window is whole calendar days covering the data, dense zeros
+    counted, so every hour-of-day has exactly D = days slots), which is
+    what clears the fractions: n·Σ_h S_h²/n_h − S² = 24·ΣS_h² − S² and
+    n·Σc² − S² = 24D·Σc² − S², both integers, and — the free lunch —
+    neither needs the dense grid materialized: zero cells contribute 0
+    to Σc² and to every S_h, so the OBSERVED (hour, key) histogram
+    suffices.  eta² ∈ [0, 1] by Cauchy–Schwarz, so floor ≡ trunc.
+
+    trend/cusum/changepoint ask about drift along time; this asks about
+    structure WITHIN the day (crawl-rate shaping, peak-hour budgeting).
+
+    ONE pre-combined (hour, key) exchange bounded by hours × keys;
+    24-value driver folds.  Returns per key: (key, days, s_total,
+    eta2_ppm, peak_hour, peak_share_ppm, trough_hour) — peak/trough
+    over all 24 hours-of-day (absent → 0), smallest-hour ties."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("seasonality_strength_int: empty input")
+    hrs = hourly["_w"].astype("datetime64[us]")
+    d0 = hrs.min().normalize()
+    d1 = hrs.max().normalize()
+    days = (d1 - d0).days + 1
+    hourly = hourly.assign(_h=hrs.dt.hour.astype("int64"))
+
+    rows = []
+    for key, g in hourly.groupby(key_col, sort=True):
+        c = [int(v) for v in g["_n"]]
+        s = sum(c)
+        sc2 = sum(v * v for v in c)
+        sh = [0] * 24
+        for h, v in zip(g["_h"], c):
+            sh[int(h)] += v
+        ssh2 = sum(v * v for v in sh)
+        den = 24 * days * sc2 - s * s
+        if den == 0:
+            raise ValueError(
+                f"seasonality_strength_int: constant series for {key!r}")
+        eta2 = 1_000_000 * (24 * ssh2 - s * s) // den
+        peak = max(range(24), key=lambda h: (sh[h], -h))
+        trough = min(range(24), key=lambda h: (sh[h], h))
+        rows.append((key, days, s, eta2, peak,
+                     1_000_000 * sh[peak] // s, trough))
+
+    out = pd.DataFrame(rows, columns=[key_col, "days", "s_total",
+                                      "eta2_ppm", "peak_hour",
+                                      "peak_share_ppm", "trough_hour"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _median2(sorted_vals: np.ndarray) -> int:
+    """2 × median of a sorted integer array (doubled-unit convention)."""
+    n = len(sorted_vals)
+    if n % 2:
+        return 2 * int(sorted_vals[n // 2])
+    return int(sorted_vals[n // 2 - 1]) + int(sorted_vals[n // 2])
+
+
+def theil_sen_int(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+                  max_obs: int = 4096):
+    """Theil–Sen robust trend slope per key, in exact doubled-milli
+    units — the MAGNITUDE companion to mann_kendall's direction-only S:
+    the median of all pairwise slopes (c_j − c_i)/(x_j − x_i) over the
+    hourly-count series, immune to outlier hours the OLS slope chases.
+    Slopes are DEFINED trunc-milli (sign · 1000|dy| // dx, the SQL
+    ``//``) so both engines rank identical integers, and the median is
+    the repo's doubled-unit convention (even counts stay integer).
+    x = epoch hours, so a gap of k missing hours counts k in dx.
+
+    ONE pre-combined (hour, key) exchange bounded by hours × keys
+    (documented calendar bound: T ≤ ``max_obs`` per key — raises
+    beyond, the mann_kendall contract); the T² pair fold is a
+    vectorized numpy triangle per key on the driver histogram.
+
+    Returns per key: (key, n_obs, n_pairs, slope_med_x2_milli)."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("theil_sen_int: empty input")
+    hourly = hourly.sort_values([key_col, "_w"], kind="mergesort")
+    x_all = (hourly["_w"].astype("datetime64[us]").astype("int64")
+             // 3_600_000_000)
+
+    rows = []
+    for key, g in hourly.groupby(key_col, sort=True):
+        x = x_all.loc[g.index].to_numpy()
+        c = g["_n"].to_numpy().astype("int64")
+        t = len(c)
+        if t < 2:
+            raise ValueError(f"theil_sen_int: key {key!r} has a single "
+                             "observed hour")
+        if t > max_obs:
+            raise ValueError("theil_sen_int: series longer than max_obs "
+                             "— raise the bound knowingly (T² pairs)")
+        dy = c[None, :] - c[:, None]
+        dx = x[None, :] - x[:, None]
+        iu = np.triu_indices(t, k=1)
+        dy, dx = dy[iu], dx[iu]
+        slope = np.sign(dy) * (1000 * np.abs(dy) // dx)
+        slope.sort()
+        rows.append((key, t, len(slope), _median2(slope)))
+
+    out = pd.DataFrame(rows, columns=[key_col, "n_obs", "n_pairs",
+                                      "slope_med_x2_milli"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def interarrival_stats(ds, *, key_col: str = "event_type",
+                       ts_col: str = "ts", tie_col: str = "event_id",
+                       num_partitions: int = 32):
+    """Inter-arrival gap distribution per key — the evidence behind
+    every session-threshold and rate-limit choice (sessions ASSUME a
+    gap cutoff; this reports the actual gap quantiles): consecutive
+    gaps in whole seconds, ordered by (ts, tie), per key.  min / max /
+    doubled-unit median (even counts stay integer).
+
+    ONE key-hash exchange co-locates each key's events (3-column
+    projection); each partition diffs ALL its keys in one vectorized
+    pass (sort + grouped shift — no per-key loop), pre-combines to a
+    per-key gap-value histogram, and a second tiny exchange sums
+    histograms so the median is exact over the full key (the
+    grouped_median_int plan).  Gap seconds floor (µs // 10⁶ of the
+    difference — positive, so floor ≡ trunc ≡ SQL date-diff)."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        t = g[ts_col].astype("datetime64[us]").astype("int64")
+        prev = t.groupby(g[key_col], sort=False).shift(1)
+        ok = prev.notna()
+        gap = ((t[ok] - prev[ok].astype("int64")) // 1_000_000)
+        out = (pd.DataFrame({key_col: g[key_col][ok], "_gap": gap})
+               .groupby([key_col, "_gap"], as_index=False).size()
+               .rename(columns={"size": "_n"}))
+        out["_gap"] = out["_gap"].astype("int64")
+        out["_n"] = out["_n"].astype("int64")
+        return out
+
+    keyed = _add_pkey(ds.select_columns([key_col, ts_col, tie_col]),
+                      key_col, num_partitions)
+    hist = (keyed.groupby("_pkey")
+            .map_groups(lambda g: gaps(g.drop(columns=["_pkey"])),
+                        batch_format="pandas")
+            .groupby([key_col, "_gap"])
+            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
+
+    from documentai_ray.stages.aggregates import _median2_weighted
+
+    rows = []
+    for key, g in hist.groupby(key_col, sort=True):
+        g = g.sort_values("_gap", kind="mergesort")
+        vals = g["_gap"].to_numpy().astype("int64")
+        cnts = g["_n"].to_numpy().astype("int64")
+        rows.append((key, int(cnts.sum()), int(vals[0]), int(vals[-1]),
+                     _median2_weighted(vals, cnts)))
+
+    out = pd.DataFrame(rows, columns=[key_col, "n_gaps", "min_gap_s",
+                                      "max_gap_s", "med_gap_x2_s"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
