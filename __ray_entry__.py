@@ -7947,6 +7947,76 @@ def _q_countmin_estimate(sf_dir: str):
     return exact.rename(columns={"n": "n_true"})
 
 
+def _q_acf_lag(sf_dir: str):
+    """Hourly-series autocorrelation at lags 1 and 24 per event type
+    (``windows.acf_lag_int``): the PERIODICITY detector the trend
+    family can't see — mann_kendall/theil_sen score monotone drift,
+    seasonality_strength scores hour-of-day bucket structure; ACF(24)
+    measures whether the series actually REPEATS at day scale (phase
+    included) and ACF(1) how sticky adjacent hours are.  Dense global
+    hour grid (zeros counted: absence is a measurement), mean-centered
+    products cleared to integers by y_t = n·x_t − S, trunc-toward-zero
+    ppm.  ONE bounded (hour, key) exchange.  Mirror: generate_series
+    hour grid + lag() windows + HUGEINT folds + sign-split division."""
+    import ray.data
+
+    from documentai_ray.stages.windows import acf_lag_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return acf_lag_int(ev, lags=(1, 24))
+
+
+def _q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test of the dense hourly series per event
+    type (``windows.runs_test_int``): the LEVEL-CLUSTERING question —
+    do above-median and below-median hours arrive in long blocks
+    (bursty regimes) or alternate?  trend_flips counts direction
+    thrash, cusum catches sustained shifts; this scores the run
+    structure against its exact expectation E[R] = 1 + 2n₁n₂/(n₁+n₂)
+    (rational → exact ppm).  Ties at the doubled-unit median drop (the
+    classic convention).  Same single bounded exchange.  Mirror:
+    dense grid + doubled-median row_number pick + lag() change count."""
+    import ray.data
+
+    from documentai_ray.stages.windows import runs_test_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return runs_test_int(ev)
+
+
+def _q_frequent_triples(sf_dir: str):
+    """A-priori frequent 3-itemsets over order baskets
+    (``graph.frequent_triples``): part triples ordered together in ≥ 2
+    orders — the market-basket level above copurchase_pairs, where
+    naive enumeration dies (m³/6 candidates per basket) and the
+    a-priori principle starts paying: a cheap distributed item-support
+    pass prunes the combination base BEFORE any triple materializes,
+    the surviving item set broadcasts ONCE via ray.put, baskets
+    co-locate on one hash exchange, and each partition emits triples
+    for all its baskets grouped BY SIZE in one numpy gather (no
+    per-basket loop).  Second exchange bounded by distinct candidate
+    triples.  Mirror: distinct-pair CTE three-way self-join."""
+    import ray.data
+
+    from documentai_ray.stages.graph import frequent_triples
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    out = frequent_triples(ds, basket_col="l_orderkey",
+                           item_col="l_partkey", min_support=2,
+                           num_partitions=32).to_pandas()
+    if out.shape[1] == 0:
+        # Dataset.to_pandas drops schema on zero rows; at high sf the
+        # support-2 triple set is legitimately empty — keep the columns
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ["item_a", "item_b", "item_c", "n"]})
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8214,6 +8284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonality_strength": _q_seasonality_strength,
         "theil_sen": _q_theil_sen,
         "interarrival_stats": _q_interarrival_stats,
+        "acf_lag": _q_acf_lag,
+        "runs_test": _q_runs_test,
+        "frequent_triples": _q_frequent_triples,
     }
 
 
@@ -11546,6 +11619,93 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(cells.c) - pr.n AS BIGINT) AS over_est "
             "FROM pr JOIN cells ON pr.i = cells.i AND pr.col = cells.col "
             "GROUP BY pr.t, pr.n"
+        ),
+        # dense global hour grid (zeros counted); y = n·x − S clears the
+        # mean; trunc-toward-zero ppm via sign split (DuckDB // truncates)
+        "acf_lag": (
+            "WITH span AS (SELECT date_trunc('hour', min(ts)) AS h0, "
+            "date_trunc('hour', max(ts)) AS h1 FROM events), "
+            "hc AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+            "count(*) AS c FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT k.event_type, g.hr FROM "
+            "(SELECT DISTINCT event_type FROM events) k, "
+            "(SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) "
+            "AS hr FROM span) g), "
+            "d AS (SELECT grid.event_type, grid.hr, "
+            "coalesce(hc.c, 0) AS c FROM grid LEFT JOIN hc "
+            "ON grid.event_type = hc.event_type AND grid.hr = hc.hr), "
+            "st AS (SELECT event_type, count(*) AS n, SUM(c) AS s "
+            "FROM d GROUP BY 1), "
+            "y AS (SELECT d.event_type, d.hr, "
+            "CAST(st.n AS HUGEINT) * d.c - st.s AS y, st.n FROM d "
+            "JOIN st USING (event_type)), "
+            "l AS (SELECT event_type, n, y, "
+            "lag(y, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y1, "
+            "lag(y, 24) OVER (PARTITION BY event_type ORDER BY hr) AS y24 "
+            "FROM y), "
+            "agg AS (SELECT event_type, any_value(n) AS n, "
+            "SUM(y * y) AS den, SUM(y * y1) AS n1, SUM(y * y24) AS n24 "
+            "FROM l GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n_obs, "
+            "CAST(CASE WHEN n1 >= 0 THEN 1000000 * n1 // den "
+            "ELSE -((1000000 * (-n1)) // den) END AS BIGINT) AS acf1_ppm, "
+            "CAST(CASE WHEN n24 >= 0 THEN 1000000 * n24 // den "
+            "ELSE -((1000000 * (-n24)) // den) END AS BIGINT) AS acf24_ppm "
+            "FROM agg"
+        ),
+        # dense grid + doubled-median pick; ties at the median DROP
+        # (classic runs-test convention); R = 1 + sign changes
+        "runs_test": (
+            "WITH span AS (SELECT date_trunc('hour', min(ts)) AS h0, "
+            "date_trunc('hour', max(ts)) AS h1 FROM events), "
+            "hc AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+            "count(*) AS c FROM events GROUP BY 1, 2), "
+            "grid AS (SELECT k.event_type, g.hr FROM "
+            "(SELECT DISTINCT event_type FROM events) k, "
+            "(SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) "
+            "AS hr FROM span) g), "
+            "d AS (SELECT grid.event_type, grid.hr, "
+            "coalesce(hc.c, 0) AS c FROM grid LEFT JOIN hc "
+            "ON grid.event_type = hc.event_type AND grid.hr = hc.hr), "
+            "r AS (SELECT event_type, c, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY c) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM d), "
+            "med AS (SELECT event_type, CAST(any_value(n) AS BIGINT) "
+            "AS n_obs, CAST(SUM(CASE WHEN n % 2 = 1 AND rn = (n + 1) // 2 "
+            "THEN 2 * c WHEN n % 2 = 0 AND rn IN (n // 2, n // 2 + 1) "
+            "THEN c ELSE 0 END) AS BIGINT) AS med2 FROM r GROUP BY 1), "
+            "k AS (SELECT d.event_type, d.hr, "
+            "CASE WHEN 2 * d.c > m.med2 THEN 1 ELSE 0 END AS s "
+            "FROM d JOIN med m USING (event_type) "
+            "WHERE 2 * d.c <> m.med2), "
+            "ch AS (SELECT event_type, s, lag(s) OVER "
+            "(PARTITION BY event_type ORDER BY hr) AS ps FROM k), "
+            "agg AS (SELECT event_type, count(*) AS nk, SUM(s) AS n1, "
+            "1 + SUM(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 "
+            "ELSE 0 END) AS runs FROM ch GROUP BY 1) "
+            "SELECT m.event_type, m.n_obs, m.med2 AS med_x2, "
+            "CAST(a.n1 AS BIGINT) AS n_above, "
+            "CAST(a.nk - a.n1 AS BIGINT) AS n_below, "
+            "CAST(a.runs AS BIGINT) AS n_runs, "
+            "CAST(1000000 + 2000000 * a.n1 * (a.nk - a.n1) // a.nk "
+            "AS BIGINT) AS exp_runs_ppm, "
+            "CAST(CASE WHEN a.runs * a.nk < a.nk + "
+            "2 * a.n1 * (a.nk - a.n1) THEN 1 ELSE 0 END AS BIGINT) "
+            "AS clustered "
+            "FROM med m JOIN agg a USING (event_type)"
+        ),
+        # a-priori is a pure optimization: the 3-way distinct-pair
+        # self-join IS the semantics (item prune changes nothing)
+        "frequent_triples": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem) "
+            "SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "c.l_partkey AS item_c, count(*) AS n FROM d a "
+            "JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "JOIN d c ON b.l_orderkey = c.l_orderkey "
+            "AND b.l_partkey < c.l_partkey "
+            "GROUP BY 1, 2, 3 HAVING count(*) >= 2"
         ),
     }
 

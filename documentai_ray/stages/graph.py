@@ -732,3 +732,121 @@ def clustering_coefficient(edges_ds, *, num_partitions: int = 32,
         "n_wedges": pa.array([n_wedges], pa.int64()),
         "n_triangles": pa.array([n_tri], pa.int64()),
         "clustering_ppm": pa.array([ppm], pa.int64())})
+
+
+def frequent_triples(ds, *, basket_col: str, item_col: str,
+                     min_support: int = 2, num_partitions: int = 32,
+                     max_basket: int = 128, max_freq_items: int = 5_000_000):
+    """A-priori frequent 3-itemsets — the market-basket level above
+    ``cooccurrence_pairs``: for every unordered item TRIPLE, the number
+    of baskets containing all three, kept at support ≥ ``min_support``.
+    The triple is where naive enumeration dies (m items → m³/6
+    candidates per basket) and where the a-priori principle starts
+    paying: an item in a frequent triple must itself be frequent, so a
+    cheap item-support pass prunes the per-basket combination base
+    BEFORE any triple is ever materialized.
+
+    Physical plan: (1) item supports over DISTINCT (basket, item) —
+    one pair exchange + one item-bounded exchange; the surviving item
+    set ships ONCE via ``ray.put`` (bounded by ``max_freq_items``, the
+    loud guard — at web scale a frequent-item table that doesn't fit a
+    broadcast means min_support is set wrong). (2) one basket-hash
+    exchange co-locates baskets; per partition the filtered baskets are
+    grouped BY SIZE and each size class emits all its baskets' triples
+    in one fancy-index (B, C(L,3), 3) numpy gather — no per-basket
+    Python loop — pre-combined to per-partition triple counts.
+    (3) a second exchange ships only those partials (bounded by
+    distinct candidate triples) for the final sum + support filter.
+
+    Skew contract: a basket of m frequent items contributes C(m,3)
+    triples; ``max_basket`` REJECTS larger baskets loudly (cap-or-
+    sample is an upstream curation decision, not a silent join-side
+    drop)."""
+    import zlib
+    from itertools import combinations
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    proj = ds.select_columns([basket_col, item_col])
+    sup = (proj.groupby([basket_col, item_col]).aggregate(
+               Count(alias_name="_d"))
+           .groupby(item_col).aggregate(Count(alias_name="_sup")))
+    freq_tbl = sup.filter(
+        expr=f"_sup >= {int(min_support)}").to_pandas()
+    if freq_tbl.empty:
+        # no frequent items at all → no triples (empty to_pandas loses
+        # the schema, so build the typed empty result explicitly)
+        import ray.data
+        return ray.data.from_pandas(pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ["item_a", "item_b", "item_c", "n"]}))
+    if len(freq_tbl) > max_freq_items:
+        raise ValueError(
+            f"frequent_triples: {len(freq_tbl)} frequent items exceed "
+            f"max_freq_items={max_freq_items}; raise min_support")
+    freq_ref = ray.put(np.sort(freq_tbl[item_col].to_numpy()))
+
+    keyed = _add_pkey(proj, basket_col, num_partitions)
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"item_a": pd.Series([], dtype="int64"),
+                              "item_b": pd.Series([], dtype="int64"),
+                              "item_c": pd.Series([], dtype="int64"),
+                              "_n": pd.Series([], dtype="int64")})
+        g = g[[basket_col, item_col]].drop_duplicates()
+        freq = ray.get(freq_ref)
+        g = g[np.isin(g[item_col].to_numpy(), freq)]
+        if g.empty:
+            return empty
+        g = g.sort_values([basket_col, item_col], kind="mergesort")
+        items = g[item_col].to_numpy()
+        _, starts, counts = np.unique(g[basket_col].to_numpy(),
+                                      return_index=True,
+                                      return_counts=True)
+        if (counts > max_basket).any():
+            big = g[basket_col].to_numpy()[starts[counts > max_basket][0]]
+            raise ValueError(
+                f"frequent_triples: basket {big!r} has "
+                f"{int(counts.max())} frequent items > max_basket="
+                f"{max_basket}; cap or sample upstream")
+        outs = []
+        for size in np.unique(counts):
+            ln = int(size)
+            if ln < 3:
+                continue
+            st = starts[counts == size]
+            mat = items[st[:, None] + np.arange(ln)]
+            idx = np.array(list(combinations(range(ln), 3)))
+            outs.append(mat[:, idx].reshape(-1, 3))
+        if not outs:
+            return empty
+        arr = np.concatenate(outs)
+        df = pd.DataFrame(arr, columns=["item_a", "item_b", "item_c"])
+        return (df.groupby(["item_a", "item_b", "item_c"], sort=False)
+                .size().reset_index(name="_n"))
+
+    partials = (keyed.groupby("_pkey")
+                .map_groups(lambda g: triples(g.drop(columns=["_pkey"])),
+                            batch_format="pandas"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["item_a", "item_b", "item_c"], sort=False)["_n"]
+             .sum().reset_index(name="n"))
+        return c[c["n"] >= min_support]
+
+    def triple_key(batch: pa.Table) -> pa.Table:
+        a = batch.column("item_a").to_pylist()
+        b = batch.column("item_b").to_pylist()
+        c = batch.column("item_c").to_pylist()
+        pk = [zlib.crc32(f"{x}|{y}|{z}".encode()) % num_partitions
+              for x, y, z in zip(a, b, c)]
+        return batch.append_column("_ppk", pa.array(pk, pa.int32()))
+
+    return (partials.map_batches(triple_key, batch_format="pyarrow")
+            .groupby("_ppk")
+            .map_groups(lambda g: finish(g.drop(columns=["_ppk"])),
+                        batch_format="pandas"))

@@ -1426,3 +1426,140 @@ def interarrival_stats(ds, *, key_col: str = "event_type",
     for col in out.columns[1:]:
         out[col] = out[col].astype("int64")
     return out
+
+
+def _dense_hourly_matrix(ds, *, key_col: str, ts_col: str,
+                         max_obs: int) -> tuple:
+    """Shared dense-series builder for the whole-grid statistics
+    (acf_lag_int, runs_test_int): per-key hourly counts laid on the
+    GLOBAL hour grid [floor_hour(min ts), floor_hour(max ts)] with
+    explicit zeros — absence IS a measurement for autocorrelation and
+    runs (a silent gap reads as activity continuing, which is exactly
+    the error these statistics exist to catch).
+
+    ONE pre-combined (hour, key) exchange bounded by hours × keys; the
+    dense (K, H) int64 matrix is a driver-side fold over that bounded
+    histogram (H ≤ ``max_obs`` enforced with the standard loud raise —
+    the calendar bounds it, not the data size).  Returns
+    (sorted key array, H, (K, H) count matrix)."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("dense hourly series: empty input")
+    t = hourly["_w"].astype("datetime64[us]").astype("int64")
+    h0 = int(t.min())
+    off = ((t - h0) // 3_600_000_000).to_numpy()
+    h = int(off.max()) + 1
+    if h > max_obs:
+        raise ValueError(
+            f"dense hourly series: span {h} hours exceeds max_obs="
+            f"{max_obs}; widen the window unit or raise the bound")
+    keys = np.sort(hourly[key_col].unique())
+    kpos = {k: i for i, k in enumerate(keys)}
+    mat = np.zeros((len(keys), h), dtype="int64")
+    rows = hourly[key_col].map(kpos).to_numpy()
+    mat[rows, off] = hourly["_n"].to_numpy()
+    return keys, h, mat
+
+
+def acf_lag_int(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+                lags: tuple = (1, 24), max_obs: int = 8784):
+    """Autocorrelation of the dense hourly series per key at fixed
+    lags, exact integer ppm — the PERIODICITY detector the trend family
+    can't see: mann_kendall/theil_sen score monotone drift,
+    seasonality_strength scores hour-of-day structure via ANOVA
+    buckets; ACF(24) measures whether the series actually REPEATS at
+    day scale (and ACF(1) how sticky adjacent hours are), phase and
+    all, which bucket variance analysis erases.
+
+    Exactness: with n = H (grid length) and S = Σx, the mean-centered
+    products clear to integers via y_t = n·x_t − S:
+    acf(k) = Σ_{t<n−k} y_t·y_{t+k} / Σ y_t², both integer sums
+    (the usual biased estimator up to the common n² factor, which
+    cancels).  Reported as trunc-toward-zero ppm (SQL ``//`` truncates;
+    sign split keeps both engines identical on negative numerators).
+    Python-int folds — the numerator times 10⁶ can clear int64.
+
+    Physical plan: the ONE bounded (hour, key) exchange of
+    ``_dense_hourly_matrix``; everything after runs on K × H ≤
+    keys × calendar-hours integers driver-side.  Raises on a constant
+    series (den = 0: acf undefined)."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    for k in lags:
+        if not 0 < k < h:
+            raise ValueError(f"acf_lag_int: lag {k} outside series "
+                             f"length {h}")
+    recs = []
+    for i, key in enumerate(keys):
+        x = [int(v) for v in mat[i]]
+        s = sum(x)
+        y = [h * v - s for v in x]
+        den = sum(v * v for v in y)
+        if den == 0:
+            raise ValueError(f"acf_lag_int: constant series for {key!r}")
+        row = [key, h]
+        for k in lags:
+            num = sum(a * b for a, b in zip(y[:-k], y[k:]))
+            ppm = (1_000_000 * num // den if num >= 0
+                   else -((1_000_000 * -num) // den))
+            row.append(ppm)
+        recs.append(tuple(row))
+    cols = [key_col, "n_obs"] + [f"acf{k}_ppm" for k in lags]
+    out = pd.DataFrame(recs, columns=cols)
+    for col in cols[1:]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def runs_test_int(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+                  max_obs: int = 8784):
+    """Wald–Wolfowitz runs test of the dense hourly series against its
+    own median, exact integers — the LEVEL-CLUSTERING question none of
+    the trend family asks: trend_flips counts direction thrash,
+    mann_kendall scores monotone drift; this asks whether
+    above-median and below-median hours arrive in long blocks (bursty
+    regimes, R far below expectation) or alternate (R above).
+
+    Classic construction: binarize each hour against the doubled-unit
+    median of the DENSE series (zeros included), DROP hours exactly at
+    the median (the standard runs-test convention — a tie is neither
+    side), count runs R = 1 + sign changes over the kept subsequence.
+    E[R] = 1 + 2·n₁·n₂/(n₁+n₂) is rational → exact ppm (all positive,
+    floor ≡ trunc); ``clustered`` = [R·(n₁+n₂) < (n₁+n₂) + 2·n₁·n₂]
+    compares against the UN-truncated expectation — integer-exact.
+
+    Same single bounded exchange as acf_lag_int; driver folds on the
+    calendar-bounded series.  Raises when every hour ties the median
+    (n₁+n₂ = 0: no runs to count)."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    recs = []
+    for i, key in enumerate(keys):
+        x = mat[i]
+        med2 = _median2(np.sort(x))
+        kept = x[2 * x != med2]
+        if kept.size == 0:
+            raise ValueError(
+                f"runs_test_int: every hour ties the median for {key!r}")
+        signs = (2 * kept > med2)
+        n1 = int(signs.sum())
+        n2 = int(kept.size) - n1
+        runs = 1 + int((signs[1:] != signs[:-1]).sum())
+        nk = n1 + n2
+        exp_ppm = 1_000_000 + (2_000_000 * n1 * n2) // nk
+        clustered = int(runs * nk < nk + 2 * n1 * n2)
+        recs.append((key, h, med2, n1, n2, runs, exp_ppm, clustered))
+    out = pd.DataFrame(recs, columns=[key_col, "n_obs", "med_x2",
+                                      "n_above", "n_below", "n_runs",
+                                      "exp_runs_ppm", "clustered"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
