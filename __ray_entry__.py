@@ -8017,6 +8017,84 @@ def _q_frequent_triples(sf_dir: str):
     return out
 
 
+def _q_haar_energy(sf_dir: str):
+    """Haar wavelet energy decomposition of the hourly series per event
+    type (``windows.haar_energy_int``): AT WHICH TIMESCALE does the
+    variance live — level 1 = hour-to-hour jitter, level 5 = 16–32 h ≈
+    daily structure, level 9 = 256 h regime shifts — the multi-scale
+    question acf (one lag) and seasonality (one grouping) can't answer
+    in one pass.  Dyadic truncation to m = 2^⌊log₂H⌋ leading hours is
+    the documented contract; the unnormalized-Haar Parseval identity
+    m·Σx² − A² = Σ_l E_l·(m/2^l) holds in INTEGERS and is asserted
+    per key, so every share_ppm is exact.  ONE bounded (hour, key)
+    exchange.  Mirror: a generated 13-level pairwise-CTE pyramid with
+    HAVING count(*)=2 terminating the fold exactly at the top."""
+    import ray.data
+
+    from documentai_ray.stages.windows import haar_energy_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return haar_energy_int(ev)
+
+
+def _q_ewma_backtest(sf_dir: str):
+    """Dyadic-EWMA one-step forecast backtest per event type
+    (``windows.ewma_backtest_int``): MAE of predicting each hour from
+    the 8 trailing hours with halving weights 2⁷…2⁰ — the LOCAL-
+    MOMENTUM predictor, the complement of seasonal_naive_mae's
+    same-hour-yesterday periodicity bet; comparing the two MAEs says
+    which signal the series actually carries.  Mersenne denominator
+    2⁸−1 keeps every error integer (err = |255·x_t − Σ 2^{8−k}·x_{t−k}|);
+    first 8 hours skipped (no full history).  Same single bounded
+    exchange; one vectorized shift-and-add across all keys.  Mirror:
+    8 lag() terms over the dense grid."""
+    import ray.data
+
+    from documentai_ray.stages.windows import ewma_backtest_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return ewma_backtest_int(ev, window=8)
+
+
+def _q_url_templates(sf_dir: str):
+    """URL template census over the outlink stream
+    (``extract.url_template_batch``): collapse every digit run in the
+    link path?query to ``{n}`` and count instances per (host, template)
+    — the crawl-frontier signal behind trap detection, pattern dedup
+    and budgeting (a template with 10⁹ instances and near-identical
+    content is a calendar trap; a flat page set isn't).  Anchor edges
+    flat-map → one pyarrow regex kernel per batch → per-batch pandas
+    pre-combine → ONE exchange bounded by distinct (host, template),
+    never the edge stream.  Oracle: the template closed form (6 fixed
+    nav/footer paths per decodable page, /rel/{n} ×2 on article/report
+    pages, /cat/{n}/{n} ×12 on link-farm pages)."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import (anchor_edges_batch,
+                                               url_template_batch)
+
+    ds = pages_dataset(sf_dir, with_dups=False)
+    edges = ds.select_columns(["url", "html"]).map_batches(
+        anchor_edges_batch, batch_format="pyarrow", batch_size=256)
+    tmpl = edges.map_batches(url_template_batch, batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["host", "template"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return (tmpl.map_batches(combine, batch_format="pyarrow")
+            .groupby(["host", "template"])
+            .aggregate(Sum("n", alias_name="n_links")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8287,6 +8365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_lag": _q_acf_lag,
         "runs_test": _q_runs_test,
         "frequent_triples": _q_frequent_triples,
+        "haar_energy": _q_haar_energy,
+        "ewma_backtest": _q_ewma_backtest,
+        "url_templates": _q_url_templates,
     }
 
 
@@ -8345,6 +8426,75 @@ def _sql_bpe_encode_tokens(word_expr: str) -> str:
         rep = f"chr(31) || '{lhs}{rhs}' || chr(30)"
         e = f"replace({e}, {pat}, {rep})"
     return f"len(string_split({e}, ' '))"
+
+
+# dense global hour grid over events — shared by the dense-series
+# statistics (acf_lag / runs_test inline the same text; haar / ewma
+# build on this constant)
+_SQL_DENSE_GRID = (
+    "span AS (SELECT date_trunc('hour', min(ts)) AS h0, "
+    "date_trunc('hour', max(ts)) AS h1 FROM events), "
+    "hc AS (SELECT event_type, date_trunc('hour', ts) AS hr, "
+    "count(*) AS c FROM events GROUP BY 1, 2), "
+    "grid AS (SELECT k.event_type, g.hr FROM "
+    "(SELECT DISTINCT event_type FROM events) k, "
+    "(SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) "
+    "AS hr FROM span) g), "
+    "dd AS (SELECT grid.event_type, grid.hr, coalesce(hc.c, 0) AS c "
+    "FROM grid LEFT JOIN hc ON grid.event_type = hc.event_type "
+    "AND grid.hr = hc.hr)"
+)
+
+# Haar pyramid: 13 generated pairwise levels; HAVING count(*) = 2 keeps
+# only FULL pairs, so the fold terminates exactly at level L = log2(m)
+# (the lone top row can never half-pair into a spurious level); m is a
+# nested-CASE power of 2 — no float log anywhere
+_H_LEVELS = 13
+_SQL_HAAR = (
+    "WITH " + _SQL_DENSE_GRID + ", "
+    "cnt AS (SELECT count(DISTINCT hr) AS n FROM grid), "
+    "mm AS (SELECT CASE "
+    + " ".join(f"WHEN n >= {1 << k} THEN {1 << k}"
+               for k in range(_H_LEVELS, 0, -1))
+    + " END AS m FROM cnt), "
+    "lv0 AS (SELECT t.event_type, t.i, CAST(t.c AS HUGEINT) AS a, mm.m "
+    "FROM (SELECT event_type, hr, c, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY hr) - 1 AS i FROM dd) t, mm "
+    "WHERE t.i < mm.m), "
+    + ", ".join(
+        f"lv{l} AS (SELECT event_type, m, i // 2 AS i, SUM(a) AS a, "
+        f"SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS d "
+        f"FROM lv{l - 1} GROUP BY 1, 2, 3 HAVING count(*) = 2)"
+        for l in range(1, _H_LEVELS + 1))
+    + ", en AS ("
+    + " UNION ALL ".join(
+        f"SELECT event_type, m, {l} AS level, SUM(d * d) AS e "
+        f"FROM lv{l} GROUP BY 1, 2"
+        for l in range(1, _H_LEVELS + 1))
+    + "), sc AS (SELECT event_type, m, level, "
+    "e * (m // (1 << level)) AS es FROM en), "
+    "tot AS (SELECT event_type, SUM(es) AS t FROM sc GROUP BY 1) "
+    "SELECT sc.event_type, CAST(sc.m AS BIGINT) AS n_used, "
+    "CAST(sc.level AS BIGINT) AS level, CAST(sc.es AS BIGINT) "
+    "AS e_scaled, CAST(1000000 * sc.es // tot.t AS BIGINT) AS share_ppm "
+    "FROM sc JOIN tot ON sc.event_type = tot.event_type"
+)
+
+# dyadic-EWMA backtest: 8 lag terms, Mersenne 255 denominator
+_SQL_EWMA = (
+    "WITH " + _SQL_DENSE_GRID + ", "
+    "r AS (SELECT event_type, hr, c, row_number() OVER "
+    "(PARTITION BY event_type ORDER BY hr) AS i FROM dd), "
+    "p AS (SELECT event_type, i, 255 * c - ("
+    + " + ".join(f"{1 << (8 - k)} * lag(c, {k}) OVER w"
+                 for k in range(1, 9))
+    + ") AS errn FROM r WINDOW w AS "
+    "(PARTITION BY event_type ORDER BY i)) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval, "
+    "CAST(SUM(abs(errn)) AS BIGINT) AS sae_scaled, "
+    "CAST(1000 * SUM(abs(errn)) // (255 * count(*)) AS BIGINT) "
+    "AS mae_milli FROM p WHERE i > 8 GROUP BY 1"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11706,6 +11856,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN d c ON b.l_orderkey = c.l_orderkey "
             "AND b.l_partkey < c.l_partkey "
             "GROUP BY 1, 2, 3 HAVING count(*) >= 2"
+        ),
+        "haar_energy": _SQL_HAAR,
+        "ewma_backtest": _SQL_EWMA,
+        # keep-in-sync: mirrors sources/pages.py anchor templates (same
+        # closed form as anchor_text, digit runs collapsed to {n})
+        "url_templates": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+            "THEN 'heavy.example.com' ELSE source || '.example.com' END "
+            "AS host FROM documents WHERE doc_id % 97 <> 0), "
+            "base AS (SELECT host, count(*) AS n FROM d GROUP BY host), "
+            "ar AS (SELECT host, count(*) AS n FROM d "
+            "WHERE doc_id % 5 IN (0, 3) GROUP BY host), "
+            "farm AS (SELECT host, count(*) AS n FROM d "
+            "WHERE doc_id % 5 = 1 GROUP BY host), "
+            "fixed(t) AS (VALUES ('/'), ('/about'), ('/contact'), "
+            "('/privacy'), ('/terms'), ('/subscribe')) "
+            "SELECT b.host, f.t AS template, CAST(b.n AS BIGINT) "
+            "AS n_links FROM base b, fixed f "
+            "UNION ALL SELECT a.host, '/rel/{n}', CAST(2 * a.n AS BIGINT) "
+            "FROM ar a "
+            "UNION ALL SELECT fm.host, '/cat/{n}/{n}', "
+            "CAST(12 * fm.n AS BIGINT) FROM farm fm"
         ),
     }
 

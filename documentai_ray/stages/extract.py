@@ -558,3 +558,23 @@ def extract_batch(batch: pa.Table, *, keep_payload: bool = False,
     cols["error"] = pa.array(errors, type=pa.string())
     cols["word_boxes"] = pa.array(boxes, type=WORD_BOX_TYPE)
     return pa.table(cols)
+
+
+def url_template_batch(batch: pa.Table, *, url_col: str = "link") -> pa.Table:
+    """Vectorized URL → (host, template) map for template mining: the
+    crawl-side pattern that turns a link stream into its URL SHAPE
+    census (``/cat/{n}/{n}`` vs ``/p/{n}`` vs ``/about``) — the signal
+    behind trap detection, dedup-by-pattern and frontier budgeting
+    (a template with 10⁹ instances and identical content is a trap; a
+    flat page set isn't).  Host = authority label, template = path +
+    query with every digit run collapsed to ``{n}`` — one pyarrow regex
+    kernel, no Python per row."""
+    import pyarrow.compute as pc
+
+    urls = batch.column(url_col)
+    # strip scheme: chars after '://'; host = up to first '/'; rest = path?query
+    tail = pc.replace_substring_regex(urls, r"^[a-z]+://", "")
+    host = pc.replace_substring_regex(tail, r"/.*$", "")
+    path = pc.replace_substring_regex(tail, r"^[^/]*", "")
+    tmpl = pc.replace_substring_regex(path, r"[0-9]+", "{n}")
+    return pa.table({"host": host, "template": tmpl})

@@ -1563,3 +1563,99 @@ def runs_test_int(ds, *, key_col: str = "event_type", ts_col: str = "ts",
     for col in out.columns[1:]:
         out[col] = out[col].astype("int64")
     return out
+
+
+def haar_energy_int(ds, *, key_col: str = "event_type",
+                    ts_col: str = "ts", max_obs: int = 8784):
+    """Unnormalized Haar wavelet energy decomposition of the dense
+    hourly series per key, exact integers — the MULTI-SCALE variance
+    question nothing else in the series family asks: AT WHICH TIMESCALE
+    does the variance live?  acf probes one lag at a time,
+    seasonality_strength one fixed grouping; the Haar pyramid splits
+    the total centered energy into per-octave detail energies (level 1
+    = hour-to-hour jitter, level 5 = 16–32 h ≈ daily structure, level 9
+    = 256 h regime shifts) in one pass.
+
+    Exactness: the series is truncated to the leading m = 2^L samples
+    (L = ⌊log₂ H⌋ — a dyadic window is what makes the pyramid total;
+    the truncation is the documented contract).  With unnormalized
+    pairwise sums/differences a_l, d_l the Parseval identity
+    m·Σx² − A² = Σ_l E_l·(m/2^l), E_l = Σ d_l², holds in INTEGERS —
+    asserted per key — so each level's share_ppm = 10⁶·E_l·(m/2^l) // T
+    is exact (floor ≡ trunc: all terms ≥ 0).
+
+    Same ONE bounded (hour, key) exchange as the other dense-grid
+    statistics; the pyramid folds driver-side in Python ints (no
+    overflow at any scale).  Returns one row per (key, level):
+    (key, n_used, level, e_scaled, share_ppm).  Raises on a constant
+    dyadic window (T = 0: no energy to decompose)."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    lmax = h.bit_length() - 1
+    m = 1 << lmax
+    if m < 2:
+        raise ValueError("haar_energy_int: need at least 2 grid hours")
+    recs = []
+    for i, key in enumerate(keys):
+        cur = [int(v) for v in mat[i, :m]]
+        a_tot = sum(cur)
+        x2 = sum(v * v for v in cur)
+        total = m * x2 - a_tot * a_tot
+        if total == 0:
+            raise ValueError(
+                f"haar_energy_int: constant dyadic window for {key!r}")
+        scaled = []
+        for lvl in range(1, lmax + 1):
+            nxt, e = [], 0
+            for j in range(0, len(cur), 2):
+                d = cur[j] - cur[j + 1]
+                nxt.append(cur[j] + cur[j + 1])
+                e += d * d
+            scaled.append(e * (m >> lvl))
+            cur = nxt
+        assert sum(scaled) == total, "Haar Parseval identity violated"
+        for lvl, es in enumerate(scaled, 1):
+            recs.append((key, m, lvl, es, 1_000_000 * es // total))
+    out = pd.DataFrame(recs, columns=[key_col, "n_used", "level",
+                                      "e_scaled", "share_ppm"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def ewma_backtest_int(ds, *, key_col: str = "event_type",
+                      ts_col: str = "ts", window: int = 8,
+                      max_obs: int = 8784):
+    """One-step forecast backtest of a dyadic-weight trailing smoother
+    over the dense hourly series, exact integers — the short-memory
+    companion to seasonal_naive_mae's same-hour-yesterday predictor:
+    that one bets on periodicity, this one on local momentum
+    (prediction for hour t = Σ_{k=1..W} 2^{W−k}·x_{t−k} / (2^W − 1),
+    the truncated-EWMA whose halving weights make the denominator the
+    Mersenne constant 2^W − 1 and every error integer-exact when kept
+    in 255ths: err_t = |255·x_t − Σ 2^{W−k}·x_{t−k}|).
+
+    The first W hours have no full history and are skipped (documented:
+    n_eval = H − W).  Same single bounded exchange; the backtest is one
+    vectorized numpy shift-and-add across ALL keys at once.  Returns
+    (key, n_eval, sae_scaled, mae_milli) — sae_scaled in units of 2^W − 1 — with
+    mae_milli = 1000·sae // (255·n_eval) — floor ≡ trunc (all ≥ 0)."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    if h <= window:
+        raise ValueError(
+            f"ewma_backtest_int: grid span {h} <= window {window}")
+    denom = (1 << window) - 1
+    pred = np.zeros((mat.shape[0], h - window), dtype="int64")
+    for k in range(1, window + 1):
+        pred += (1 << (window - k)) * mat[:, window - k:h - k]
+    err = np.abs(denom * mat[:, window:] - pred)
+    sae = err.sum(axis=1)
+    n_eval = h - window
+    out = pd.DataFrame({
+        key_col: keys,
+        "n_eval": np.full(len(keys), n_eval, dtype="int64"),
+        "sae_scaled": sae.astype("int64"),
+        "mae_milli": (1000 * sae) // (denom * n_eval)})
+    out["mae_milli"] = out["mae_milli"].astype("int64")
+    return out
