@@ -8095,6 +8095,99 @@ def _q_url_templates(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_links")))
 
 
+def _q_conversion_lag(sf_dir: str):
+    """Funnel timing per user (``windows.conversion_lag``): whole
+    seconds from the user's FIRST signup to their first purchase
+    strictly after it — the metric LTV windows and re-engagement
+    deadlines are set from; funnel_conversion counts WHO converts,
+    attribution_credit says WHICH touches earn it, this measures HOW
+    LONG it takes.  Read-side type prefilter (nothing else shuffles),
+    ONE user-hash exchange, two vectorized groupby-min passes per
+    partition.  Mirror: first-signup CTE + strict-after min-purchase
+    join + epoch // 10⁶."""
+    import ray.data
+
+    from documentai_ray.stages.windows import conversion_lag
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return conversion_lag(ev, from_type="signup", to_type="purchase",
+                          num_partitions=32)
+
+
+def _q_q17_decorrelated(sf_dir: str):
+    """TPC-H Q17-style correlated aggregate, decorrelated: revenue
+    locked in small-quantity line items (quantity below 20% of the
+    part's own average) — the canonical subquery-per-row pattern
+    rewritten as per-part stats + a partitioned hash_join back onto
+    the fact, with the threshold kept EXACT in integers:
+    q < 0.2·(Σq/n) ⟺ 5·q·n < Σq (no float average anywhere).
+    Per-part (Σq, n) folds on one part-bounded exchange; the fact
+    re-joins on the same key (both sides large → ``joins.hash_join``,
+    not a broadcast); one scalar fold.  Mirror: the same inequality
+    verbatim."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy()
+                          * 100).astype("int64")
+        return pa.table({"partkey": batch.column("l_partkey"),
+                         "qty": pa.array(q, pa.int64()),
+                         "price_c": pa.array(price_c, pa.int64())})
+
+    fact = li.map_batches(prep, batch_format="pyarrow")
+    stats = (fact.groupby("partkey")
+             .aggregate(Sum("qty", alias_name="sq"),
+                        Count(alias_name="np")))
+    joined = hash_join(fact, stats, on="partkey")
+
+    def small(batch: pa.Table) -> pa.Table:
+        qty = batch.column("qty").to_numpy()
+        sq = batch.column("sq").to_numpy()
+        n = batch.column("np").to_numpy()
+        keep = 5 * qty * n < sq
+        price = batch.column("price_c").to_numpy()[keep]
+        return pa.table({"n_small": pa.array([int(keep.sum())], pa.int64()),
+                         "rev_c": pa.array([int(price.sum())], pa.int64())})
+
+    out = (joined.map_batches(small, batch_format="pyarrow")
+           .aggregate(Sum("n_small", alias_name="n_small"),
+                      Sum("rev_c", alias_name="revenue_cents")))
+    import pandas as pd
+    return pd.DataFrame([{"n_small": int(out["n_small"]),
+                          "revenue_cents": int(out["revenue_cents"])}])
+
+
+def _q_relational_division(sf_dir: str):
+    """Relational DIVISION (``joins.relational_division``): customers
+    with orders in EVERY priority class — the classic for-all operator
+    the inner/semi/anti family can't express without double negation,
+    done by counting: distinct (customer, priority) pairs fold on one
+    bounded exchange, a key qualifies iff its distinct-value count
+    equals the global divisor count (a scalar; the divisor set never
+    ships).  Mirror: HAVING count(DISTINCT) = scalar subquery."""
+    import ray.data
+
+    from documentai_ray.stages.joins import relational_division
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+    return relational_division(orders, key_col="o_custkey",
+                               div_col="o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8368,6 +8461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy": _q_haar_energy,
         "ewma_backtest": _q_ewma_backtest,
         "url_templates": _q_url_templates,
+        "conversion_lag": _q_conversion_lag,
+        "q17_decorrelated": _q_q17_decorrelated,
+        "relational_division": _q_relational_division,
     }
 
 
@@ -11878,6 +11974,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM ar a "
             "UNION ALL SELECT fm.host, '/cat/{n}/{n}', "
             "CAST(12 * fm.n AS BIGINT) FROM farm fm"
+        ),
+        # strict-after first purchase; lag floors whole seconds (≥ 0)
+        "conversion_lag": (
+            "WITH s AS (SELECT user_id, min(ts) AS ts0 FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS ts1 FROM events e "
+            "JOIN s ON e.user_id = s.user_id AND e.ts > s.ts0 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT s.user_id, CAST((epoch_us(p.ts1) - epoch_us(s.ts0)) "
+            "// 1000000 AS BIGINT) AS lag_s FROM s JOIN p USING (user_id)"
+        ),
+        # q < 0.2·avg ⟺ 5·q·n < Σq — no float average anywhere
+        "q17_decorrelated": (
+            "WITH f AS (SELECT l_partkey, "
+            "CAST(round(l_quantity) AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c "
+            "FROM lineitem), "
+            "a AS (SELECT l_partkey, SUM(qty) AS sq, count(*) AS n "
+            "FROM f GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_small, "
+            "CAST(SUM(f.price_c) AS BIGINT) AS revenue_cents "
+            "FROM f JOIN a ON f.l_partkey = a.l_partkey "
+            "WHERE 5 * f.qty * a.n < a.sq"
+        ),
+        "relational_division": (
+            "SELECT o_custkey FROM orders GROUP BY 1 "
+            "HAVING count(DISTINCT o_orderpriority) = "
+            "(SELECT count(DISTINCT o_orderpriority) FROM orders)"
         ),
     }
 

@@ -645,3 +645,30 @@ def overlap_join(left_ds, right_ds, *, left_start: str, left_end: str,
 
     return tagged.groupby("_pkey").map_groups(join_partition,
                                               batch_format="pyarrow")
+
+
+def relational_division(ds, *, key_col: str, div_col: str):
+    """Relational DIVISION — keys related to ALL distinct divisor
+    values ("customers who ordered in EVERY priority class", "hosts
+    seen in EVERY crawl wave"): the classic for-all operator the join
+    family (inner/semi/anti) can't express without a double negation.
+
+    Set-containment made distributed-cheap by counting instead of
+    subtracting: distinct (key, value) pairs fold on ONE exchange
+    bounded by keys × values, the per-key distinct-value count on a
+    second exchange bounded by keys, and a key qualifies iff its count
+    equals the GLOBAL distinct-value count (a scalar — the divisor set
+    itself never ships anywhere).  The anti-join formulation
+    (key × divisor MINUS pairs) would materialize the cross product;
+    this never builds it."""
+    from ray.data.aggregate import Count
+
+    total = (ds.select_columns([div_col])
+             .groupby(div_col).count().count())
+    if total == 0:
+        raise ValueError("relational_division: empty divisor set")
+    pairs = (ds.select_columns([key_col, div_col])
+             .groupby([key_col, div_col]).aggregate(Count(alias_name="_d")))
+    per_key = pairs.groupby(key_col).aggregate(Count(alias_name="_nv"))
+    return (per_key.filter(expr=f"_nv >= {int(total)}")
+            .select_columns([key_col]))

@@ -1659,3 +1659,55 @@ def ewma_backtest_int(ds, *, key_col: str = "event_type",
         "mae_milli": (1000 * sae) // (denom * n_eval)})
     out["mae_milli"] = out["mae_milli"].astype("int64")
     return out
+
+
+def conversion_lag(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   from_type: str = "signup", to_type: str = "purchase",
+                   num_partitions: int = 32):
+    """First-touch conversion lag per user: seconds from the user's
+    FIRST ``from_type`` event to their first ``to_type`` event strictly
+    after it — the funnel-TIMING metric the funnel family leaves out
+    (funnel_conversion counts who converts, attribution says which
+    touches earn it; this measures HOW LONG conversion takes, the
+    number LTV windows and re-engagement deadlines are set from).
+    Users who never convert after their first touch emit no row — the
+    denominator lives in funnel_conversion, by design.
+
+    ONE key-hash exchange of the (key, ts, type) projection filtered
+    to the two event types AT THE READ-side map (everything else never
+    shuffles); each partition resolves ALL its users in two vectorized
+    groupby-min passes (no per-user loop).  Lag floors to whole
+    seconds (non-negative, so floor ≡ trunc ≡ SQL epoch diff //)."""
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.or_(pc.equal(batch.column(type_col), from_type),
+                      pc.equal(batch.column(type_col), to_type))
+        return batch.filter(mask)
+
+    keyed = _add_pkey(
+        ds.select_columns([key_col, ts_col, type_col])
+        .map_batches(prefilter, batch_format="pyarrow"),
+        key_col, num_partitions)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[ts_col].astype("datetime64[us]").astype("int64")
+        src = g[g[type_col] == from_type]
+        first = t[src.index].groupby(src[key_col], sort=False).min()
+        dst = g[g[type_col] == to_type].copy()
+        dst["_t"] = t[dst.index]
+        dst["_t0"] = dst[key_col].map(first)
+        dst = dst[dst["_t0"].notna() & (dst["_t"] > dst["_t0"])]
+        if dst.empty:
+            return pd.DataFrame({key_col: pd.Series([], dtype=g[key_col].dtype),
+                                 "lag_s": pd.Series([], dtype="int64")})
+        conv = dst.groupby(key_col, sort=False).agg(
+            _t=("_t", "min"), _t0=("_t0", "first")).reset_index()
+        conv["lag_s"] = ((conv["_t"] - conv["_t0"].astype("int64"))
+                         // 1_000_000).astype("int64")
+        return conv[[key_col, "lag_s"]]
+
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: resolve(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
