@@ -8188,6 +8188,151 @@ def _q_relational_division(sf_dir: str):
                                div_col="o_orderpriority")
 
 
+def _q_t_closeness(sf_dir: str):
+    """t-closeness audit over customer metadata
+    (``privacy.t_closeness_audit``): completes the privacy trio —
+    k-anonymity bounds class size, l-diversity bounds distinct
+    sensitive values, this bounds the DISTRIBUTION gap: a class that's
+    99% in-arrears against a 9% global base rate leaks membership
+    regardless of size or diversity.  TVD is rational → exact ppm via
+    Σ|c_v·N − g_v·m| / (2mN) with absent values contributing g_v·m off
+    the observed histogram (no dense grid).  ONE (QI, sensitive)
+    exchange + one QI-hash exchange, all classes per partition folded
+    vectorized.  t = 0.1 (100000 ppm)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.privacy import t_closeness_audit
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": batch.column("c_nationkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "bal_neg": pc.less(batch.column("c_acctbal"), 0.0)})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return t_closeness_audit(
+        cust, qi_cols=["c_nationkey", "c_mktsegment"],
+        sensitive_col="bal_neg", t_ppm=100_000, num_partitions=32)
+
+
+def _q_orders_all_ontime(sf_dir: str):
+    """Universal child predicate per order (the SLA fill-rate
+    pattern): orders where EVERY line item shipped within 30 days of
+    the order date, rolled up per priority — relational_division's
+    sibling on a CONDITION over join children rather than a divisor
+    set.  ``joins.hash_join`` co-locates each order's lines, the
+    all-pass flag is one vectorized groupby-min per partition, and
+    only (priority, flag) partials cross the second exchange.
+    Orders with no line items drop on the inner join (both engines,
+    documented).  Mirror: min(CASE) per order + priority rollup."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "ship_d": batch.column("l_shipdate")
+                         .cast(pa.date32()).cast(pa.int32())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "order_d": batch.column("o_orderdate")
+                         .cast(pa.date32()).cast(pa.int32()),
+                         "pri": batch.column("o_orderpriority")})
+
+    joined = hash_join(li.map_batches(li_prep, batch_format="pyarrow"),
+                       orders.map_batches(o_prep, batch_format="pyarrow"),
+                       on="orderkey")
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_ok"] = (df["ship_d"] - df["order_d"] <= 30).astype("int64")
+        g = (df.groupby("orderkey", sort=False)
+             .agg(pri=("pri", "first"), ontime=("_ok", "min"))
+             .reset_index())
+        out = (g.groupby("pri", sort=False)
+               .agg(n_orders=("ontime", "size"),
+                    n_all_ontime=("ontime", "sum")).reset_index())
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (joined.map_batches(per_order, batch_format="pyarrow")
+           .groupby("pri")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("n_all_ontime", alias_name="n_all_ontime"))
+           ).to_pandas()
+    agg = agg.rename(columns={"pri": "o_orderpriority"})
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    agg["n_all_ontime"] = agg["n_all_ontime"].astype("int64")
+    agg["ontime_ppm"] = (1_000_000 * agg["n_all_ontime"]
+                         // agg["n_orders"]).astype("int64")
+    return agg
+
+
+def _q_minmax_scale(sf_dir: str):
+    """Per-key min-max feature scaling in exact ppm — the affine
+    member of the featurizer family (target_encode handles categorical,
+    quantile_normalize rank; this is the plain (v − min)/(max − min)
+    every feature pipeline starts with), exact because value cents are
+    integers: scaled_ppm = 10⁶·(v_c − lo) // (hi − lo).  Per-key
+    (lo, hi) folds on one bounded exchange and broadcasts in a closure
+    (|keys| rows); the scaling pass is one vectorized map, zero
+    further exchange.  Raises on a constant key (hi = lo: scale
+    undefined).  Mirror: min/max CTE join + the same floor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("value").to_numpy() * 100).astype("int64")
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "vc": pa.array(v, pa.int64())})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    mm = (ev.groupby("event_type")
+          .aggregate(Min("vc", alias_name="lo"),
+                     Max("vc", alias_name="hi"))).to_pandas()
+    if (mm["hi"] == mm["lo"]).any():
+        bad = mm.loc[mm["hi"] == mm["lo"], "event_type"].iloc[0]
+        raise ValueError(f"minmax_scale: constant value for {bad!r}")
+    lo = dict(zip(mm["event_type"], mm["lo"].astype("int64")))
+    hi = dict(zip(mm["event_type"], mm["hi"].astype("int64")))
+
+    def scale(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = batch.column("event_type").to_pandas()
+        v = batch.column("vc").to_numpy()
+        l = k.map(lo).to_numpy()
+        h = k.map(hi).to_numpy()
+        s = (1_000_000 * (v - l)) // (h - l)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "scaled_ppm": pa.array(s, pa.int64())})
+
+    return ev.map_batches(scale, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8464,6 +8609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag": _q_conversion_lag,
         "q17_decorrelated": _q_q17_decorrelated,
         "relational_division": _q_relational_division,
+        "t_closeness": _q_t_closeness,
+        "orders_all_ontime": _q_orders_all_ontime,
+        "minmax_scale": _q_minmax_scale,
     }
 
 
@@ -12002,6 +12150,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey FROM orders GROUP BY 1 "
             "HAVING count(DISTINCT o_orderpriority) = "
             "(SELECT count(DISTINCT o_orderpriority) FROM orders)"
+        ),
+        # TVD over the observed histogram; absent values contribute
+        # g_v·m via the dense 2-value grid (bool sensitive)
+        "t_closeness": (
+            "WITH b AS (SELECT c_nationkey, c_mktsegment, "
+            "(c_acctbal < 0) AS bal_neg FROM customer), "
+            "g AS (SELECT bal_neg, count(*) AS gv FROM b GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM b), "
+            "cs AS (SELECT c_nationkey, c_mktsegment, bal_neg, "
+            "count(*) AS cv FROM b GROUP BY 1, 2, 3), "
+            "m AS (SELECT c_nationkey, c_mktsegment, SUM(cv) AS m "
+            "FROM cs GROUP BY 1, 2), "
+            "grid AS (SELECT m.c_nationkey, m.c_mktsegment, g.bal_neg, "
+            "g.gv, m.m FROM m, g), "
+            "d AS (SELECT grid.c_nationkey, grid.c_mktsegment, "
+            "grid.bal_neg, grid.gv, grid.m, coalesce(cs.cv, 0) AS cv "
+            "FROM grid LEFT JOIN cs ON grid.c_nationkey = cs.c_nationkey "
+            "AND grid.c_mktsegment = cs.c_mktsegment "
+            "AND grid.bal_neg = cs.bal_neg), "
+            "tv AS (SELECT c_nationkey, c_mktsegment, any_value(m) AS m, "
+            "SUM(abs(CAST(cv AS HUGEINT) * nn.n "
+            "- CAST(gv AS HUGEINT) * m)) AS s, any_value(nn.n) AS n "
+            "FROM d, nn GROUP BY 1, 2) "
+            "SELECT c_nationkey, c_mktsegment, CAST(m AS BIGINT) "
+            "AS class_size, CAST(1000000 * s // (2 * m * n) AS BIGINT) "
+            "AS tvd_ppm, (1000000 * s // (2 * m * n)) <= 100000 "
+            "AS t_close FROM tv"
+        ),
+        # min(CASE) per order = the for-all flag; no-lineitem orders
+        # drop on the inner join (both engines)
+        "orders_all_ontime": (
+            "WITH j AS (SELECT o_orderkey, "
+            "any_value(o_orderpriority) AS o_orderpriority, "
+            "min(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY "
+            "THEN 1 ELSE 0 END) AS ontime FROM orders "
+            "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1) "
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS n_orders, CAST(SUM(ontime) AS BIGINT) AS n_all_ontime, "
+            "CAST(1000000 * SUM(ontime) // count(*) AS BIGINT) "
+            "AS ontime_ppm FROM j GROUP BY 1"
+        ),
+        # cents are integers → the affine scale is exact ppm
+        "minmax_scale": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS vc FROM events), "
+            "mm AS (SELECT event_type, min(vc) AS lo, max(vc) AS hi "
+            "FROM c GROUP BY 1) "
+            "SELECT c.event_id, c.event_type, "
+            "CAST(1000000 * (c.vc - mm.lo) // (mm.hi - mm.lo) AS BIGINT) "
+            "AS scaled_ppm FROM c JOIN mm USING (event_type)"
         ),
     }
 

@@ -183,3 +183,83 @@ def l_diversity_audit(ds, *, qi_cols: list[str], sensitive_col: str,
             "l_diverse", pa.array((n >= l).tolist(), pa.bool_()))
 
     return folded.map_batches(flag, batch_format="pyarrow")
+
+
+def t_closeness_audit(ds, *, qi_cols: list[str], sensitive_col: str,
+                      t_ppm: int, num_partitions: int = 32):
+    """t-closeness audit — the DISTRIBUTION-level member of the privacy
+    trio (Li et al. 2007, public knowledge): k-anonymity bounds class
+    SIZE, l-diversity bounds distinct sensitive VALUES, but a class can
+    pass both while its sensitive distribution still leaks (99%
+    in-arrears in a class vs 9% globally tells an attacker plenty).
+    t-closeness requires each QI class's sensitive distribution to sit
+    within total-variation distance t of the GLOBAL distribution.
+
+    TVD is rational, so the audit is exact integer ppm: with class
+    histogram c_v (size m), global histogram g_v (size N),
+    TVD = Σ_v |c_v·N − g_v·m| / (2·m·N) — and values ABSENT from the
+    class contribute exactly g_v·m, so the observed (QI, sensitive)
+    histogram plus the tiny global histogram suffice (the seasonality
+    free-lunch: no dense grid materialized):
+    Σ_v |…| = Σ_{v∈class} |c_v·N − g_v·m| + (N − Σ_{v∈class} g_v)·m.
+
+    Physical plan: ONE exchange of per-batch (QI…, sensitive, c) count
+    partials bounded by distinct (QI, sensitive) combos; the global
+    histogram folds from that same table (driver-side, ≤ |values|
+    rows); a second QI-hash exchange co-locates each class's histogram
+    rows and ALL classes in a partition fold in one vectorized pandas
+    pass.  Returns (qi…, class_size, tvd_ppm, t_close) — floor ≡ trunc
+    (every term ≥ 0)."""
+    import zlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(qi_cols + [sensitive_col]).to_pandas()
+        g = (df.groupby(qi_cols + [sensitive_col], sort=False,
+                        dropna=False).size().reset_index(name="c"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    per_sv = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(qi_cols + [sensitive_col])
+              .aggregate(Sum("c", alias_name="c")))
+
+    glob = (per_sv.groupby(sensitive_col)
+            .aggregate(Sum("c", alias_name="gv"))).to_pandas()
+    gmap = dict(zip(glob[sensitive_col], glob["gv"].astype("int64")))
+    n_total = int(glob["gv"].sum())
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        key = df[qi_cols].astype(str).agg("|".join, axis=1)
+        pk = key.map(lambda s: zlib.crc32(s.encode()) % num_partitions)
+        return pa.Table.from_pandas(
+            df.assign(_pkey=pk.astype("int32")),
+            preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["gv"] = g[sensitive_col].map(gmap).astype("int64")
+        grp = g.groupby(qi_cols, sort=False, dropna=False)
+        m = grp["c"].transform("sum").astype("int64")
+        term = (g["c"].astype("int64") * n_total - g["gv"] * m).abs()
+        agg = pd.DataFrame({
+            "_t1": term, "_gv": g["gv"], "_m": m})
+        for c in qi_cols:
+            agg[c] = g[c]
+        out = (agg.groupby(qi_cols, sort=False, dropna=False)
+               .agg(_t1=("_t1", "sum"), _gvs=("_gv", "sum"),
+                    class_size=("_m", "first")).reset_index())
+        s = out["_t1"] + (n_total - out["_gvs"]) * out["class_size"]
+        out["tvd_ppm"] = (1_000_000 * s
+                          // (2 * out["class_size"] * n_total))
+        out["t_close"] = out["tvd_ppm"] <= t_ppm
+        out["class_size"] = out["class_size"].astype("int64")
+        out["tvd_ppm"] = out["tvd_ppm"].astype("int64")
+        return out[qi_cols + ["class_size", "tvd_ppm", "t_close"]]
+
+    return (per_sv.map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("_pkey")
+            .map_groups(lambda g: fold(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
