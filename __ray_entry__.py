@@ -8333,6 +8333,164 @@ def _q_minmax_scale(sf_dir: str):
     return ev.map_batches(scale, batch_format="pyarrow")
 
 
+def _q_markov_kstep(sf_dir: str):
+    """k-step Markov forecast over user event streams
+    (``windows.markov_kstep_int``): where does the process concentrate
+    after 4 hops from a uniform start — the FORWARD question
+    event_transitions' adjacency census doesn't answer, with the
+    finite horizon + per-step trunc-ppm fold standing in for the
+    (irrational) stationary distribution so both engines land on the
+    identical integers.  Transition census rides transitions_per_key's
+    exchanges; the fold runs on the ≤|types|² matrix.  Mirror: k
+    generated left-join CTEs applying the same sum-then-floor step."""
+    import ray.data
+
+    from documentai_ray.stages.windows import markov_kstep_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return markov_kstep_int(ev, steps=4)
+
+
+def _q_rfm_segments(sf_dir: str):
+    """RFM segmentation of purchasers (the classic CRM featurizer):
+    recency (days since last purchase, vs corpus max ts), frequency
+    (purchase count), monetary (whole dollars) — each quintile-ranked
+    1..5 (1 = best) with the DETERMINISTIC rank rule
+    q = 1 + 5·rank // n on a (metric, user_id) total order, because
+    SQL ntile() on ties is order-dependent where row_number is not.
+    Metrics are day/dollar-granular BY DEFINITION — that is standard
+    RFM practice and what keeps ``aggregates.global_row_index``'s
+    value histogram bounded (days ≤ span, dollars ≤ price cap) so the
+    rank assignment never global-sorts.  One purchase-filtered user
+    exchange + three bounded-histogram rank passes.  Mirror:
+    row_number() windows with the same tiebreak."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        v = np.rint(b.column("value").to_numpy() * 100).astype("int64")
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "t_us": t, "cents": pa.array(v, pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Max("t_us", alias_name="last_us"),
+                           Count(alias_name="frequency"),
+                           Sum("cents", alias_name="monetary_c")))
+    t_max = int(per_user.max("last_us"))
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        last = batch.column("last_us").to_numpy()
+        rec_d = (t_max - last) // 86_400_000_000
+        mon_d = batch.column("monetary_c").to_numpy() // 100
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "recency_d": pa.array(rec_d.astype("int64"), pa.int64()),
+            "frequency": batch.column("frequency").cast(pa.int64()),
+            "monetary_d": pa.array(mon_d.astype("int64"), pa.int64()),
+            "neg_f": pa.array((-batch.column("frequency").to_numpy())
+                              .astype("int64"), pa.int64()),
+            "neg_m": pa.array((-mon_d).astype("int64"), pa.int64())})
+
+    m = per_user.map_batches(metrics, batch_format="pyarrow")
+    n_users = m.count()
+    m = global_row_index(m, val_col="recency_d", tiebreak_col="user_id",
+                         out_col="_ri_r")
+    m = global_row_index(m, val_col="neg_f", tiebreak_col="user_id",
+                         out_col="_ri_f")
+    m = global_row_index(m, val_col="neg_m", tiebreak_col="user_id",
+                         out_col="_ri_m")
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        def q(col):
+            return (1 + 5 * batch.column(col).to_numpy()
+                    // n_users).astype("int64")
+        rq, fq, mq = q("_ri_r"), q("_ri_f"), q("_ri_m")
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "recency_d": batch.column("recency_d"),
+            "frequency": batch.column("frequency"),
+            "monetary_d": batch.column("monetary_d"),
+            "r_q": pa.array(rq, pa.int64()),
+            "f_q": pa.array(fq, pa.int64()),
+            "m_q": pa.array(mq, pa.int64()),
+            "rfm_code": pa.array(100 * rq + 10 * fq + mq, pa.int64())})
+
+    return m.map_batches(buckets, batch_format="pyarrow")
+
+
+def _q_revenue_share(sf_dir: str):
+    """Ratio-to-parent rollup (the report-share window family):
+    order revenue per nation with share-of-region and share-of-global
+    in exact ppm — orders join customer on the partitioned
+    ``joins.hash_join`` (both fact-sized at scale; the round-1 verdict
+    retired the orders-dict broadcast for exactly this shape), nation
+    and region ride as a 25-row closure lookup, shares fold on the
+    25-row driver frame.  Mirror: two-level join + HUGEINT share."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("o_totalprice").to_numpy()
+                    * 100).astype("int64")
+        return pa.table({"custkey": batch.column("o_custkey"),
+                         "cents": pa.array(c, pa.int64())})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("c_custkey"),
+                         "nationkey": batch.column("c_nationkey")})
+
+    joined = hash_join(orders.map_batches(o_prep, batch_format="pyarrow"),
+                       cust.map_batches(c_prep, batch_format="pyarrow"),
+                       on="custkey")
+    per_nation = (joined.groupby("nationkey")
+                  .aggregate(Sum("cents", alias_name="revenue_cents"))
+                  ).to_pandas()
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    df = (per_nation.merge(nat, left_on="nationkey",
+                           right_on="n_nationkey")
+          .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    df["revenue_cents"] = df["revenue_cents"].astype("int64")
+    reg_tot = df.groupby("r_name")["revenue_cents"].transform("sum")
+    glob_tot = int(df["revenue_cents"].sum())
+    # 25-row driver fold in Python ints: 10⁶·cents clears int64 at sf ≥ 1
+    df["share_region_ppm"] = pd.array(
+        [1_000_000 * int(r) // int(t)
+         for r, t in zip(df["revenue_cents"], reg_tot)], dtype="int64")
+    df["share_global_ppm"] = pd.array(
+        [1_000_000 * int(r) // glob_tot
+         for r in df["revenue_cents"]], dtype="int64")
+    return df[["n_name", "r_name", "revenue_cents",
+               "share_region_ppm", "share_global_ppm"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8612,6 +8770,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness": _q_t_closeness,
         "orders_all_ontime": _q_orders_all_ontime,
         "minmax_scale": _q_minmax_scale,
+        "markov_kstep": _q_markov_kstep,
+        "rfm_segments": _q_rfm_segments,
+        "revenue_share": _q_revenue_share,
     }
 
 
@@ -8722,6 +8883,31 @@ _SQL_HAAR = (
     "CAST(sc.level AS BIGINT) AS level, CAST(sc.es AS BIGINT) "
     "AS e_scaled, CAST(1000000 * sc.es // tot.t AS BIGINT) AS share_ppm "
     "FROM sc JOIN tot ON sc.event_type = tot.event_type"
+)
+
+# k-step Markov fold: trunc-ppm rows, per-step sum-then-floor — the
+# truncation order IS the op definition; left joins keep zero-inflow
+# types alive
+_MK_STEPS = 4
+_SQL_MARKOV = (
+    "WITH tr AS (SELECT prev, next, count(*) AS n FROM "
+    "(SELECT event_type AS next, lag(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+    "WHERE prev IS NOT NULL GROUP BY 1, 2), "
+    "rs AS (SELECT prev, SUM(n) AS tot FROM tr GROUP BY 1), "
+    "p AS (SELECT tr.prev, tr.next, 1000000 * tr.n // rs.tot AS p "
+    "FROM tr JOIN rs USING (prev)), "
+    "t AS (SELECT DISTINCT event_type AS et FROM events), "
+    "tc AS (SELECT count(*) AS tn FROM t), "
+    "v0 AS (SELECT et, 1000000 // tn AS v FROM t, tc), "
+    + ", ".join(
+        f"v{k} AS (SELECT t.et, coalesce(SUM(v{k - 1}.v * p.p), 0) "
+        f"// 1000000 AS v FROM t LEFT JOIN p ON p.next = t.et "
+        f"LEFT JOIN v{k - 1} ON v{k - 1}.et = p.prev GROUP BY 1)"
+        for k in range(1, _MK_STEPS + 1))
+    + " SELECT v0.et AS event_type, CAST(v0.v AS BIGINT) AS p0_ppm, "
+    f"CAST(v{_MK_STEPS}.v AS BIGINT) AS pk_ppm "
+    f"FROM v0 JOIN v{_MK_STEPS} USING (et)"
 )
 
 # dyadic-EWMA backtest: 8 lag terms, Mersenne 255 denominator
@@ -12200,6 +12386,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.event_type, "
             "CAST(1000000 * (c.vc - mm.lo) // (mm.hi - mm.lo) AS BIGINT) "
             "AS scaled_ppm FROM c JOIN mm USING (event_type)"
+        ),
+        "markov_kstep": _SQL_MARKOV,
+        # quintiles via the deterministic 1 + 5·row_number//n rule on a
+        # (metric, user_id) total order — ntile() tie handling is
+        # order-dependent, row_number with the tiebreak is not
+        "rfm_segments": (
+            "WITH p AS (SELECT user_id, epoch_us(ts) AS t_us, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase'), "
+            "u AS (SELECT user_id, max(t_us) AS last_us, "
+            "count(*) AS freq, SUM(cents) AS mon_c FROM p GROUP BY 1), "
+            "tm AS (SELECT max(last_us) AS t_max FROM u), "
+            "m AS (SELECT user_id, (t_max - last_us) // 86400000000 "
+            "AS recency_d, freq AS frequency, mon_c // 100 AS monetary_d "
+            "FROM u, tm), "
+            "nn AS (SELECT count(*) AS n FROM m), "
+            "r AS (SELECT m.*, "
+            "row_number() OVER (ORDER BY recency_d, user_id) - 1 AS ri_r, "
+            "row_number() OVER (ORDER BY frequency DESC, user_id) - 1 "
+            "AS ri_f, "
+            "row_number() OVER (ORDER BY monetary_d DESC, user_id) - 1 "
+            "AS ri_m FROM m) "
+            "SELECT user_id, CAST(recency_d AS BIGINT) AS recency_d, "
+            "CAST(frequency AS BIGINT) AS frequency, "
+            "CAST(monetary_d AS BIGINT) AS monetary_d, "
+            "CAST(1 + 5 * ri_r // nn.n AS BIGINT) AS r_q, "
+            "CAST(1 + 5 * ri_f // nn.n AS BIGINT) AS f_q, "
+            "CAST(1 + 5 * ri_m // nn.n AS BIGINT) AS m_q, "
+            "CAST(100 * (1 + 5 * ri_r // nn.n) "
+            "+ 10 * (1 + 5 * ri_f // nn.n) "
+            "+ (1 + 5 * ri_m // nn.n) AS BIGINT) AS rfm_code "
+            "FROM r, nn"
+        ),
+        # two-level ratio-to-parent: HUGEINT clears 10⁶·cents at any sf
+        "revenue_share": (
+            "WITH oc AS (SELECT c_nationkey AS nationkey, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS revenue_cents FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1), "
+            "j AS (SELECT n_name, r_name, revenue_cents FROM oc "
+            "JOIN nation ON n_nationkey = nationkey "
+            "JOIN region ON r_regionkey = n_regionkey), "
+            "rt AS (SELECT r_name, SUM(revenue_cents) AS reg_tot "
+            "FROM j GROUP BY 1), "
+            "gt AS (SELECT SUM(revenue_cents) AS glob_tot FROM j) "
+            "SELECT n_name, r_name, "
+            "CAST(revenue_cents AS BIGINT) AS revenue_cents, "
+            "CAST(1000000 * CAST(revenue_cents AS HUGEINT) // rt.reg_tot "
+            "AS BIGINT) AS share_region_ppm, "
+            "CAST(1000000 * CAST(revenue_cents AS HUGEINT) // gt.glob_tot "
+            "AS BIGINT) AS share_global_ppm "
+            "FROM j JOIN rt USING (r_name), gt"
         ),
     }
 

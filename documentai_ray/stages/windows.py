@@ -1711,3 +1711,61 @@ def conversion_lag(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return (keyed.groupby("_pkey")
             .map_groups(lambda g: resolve(g.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def markov_kstep_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     tiebreak_col: str = "event_id", steps: int = 4,
+                     num_partitions: int = 64):
+    """k-step Markov forecast from the per-key transition counts —
+    the FORWARD question event_transitions' adjacency census doesn't
+    answer: starting from a uniform state mix, where does the process
+    concentrate after k hops?  (The k-step distribution is the finite-
+    horizon stand-in for the stationary distribution, which is
+    irrational in general — a fixed k with per-step truncation is what
+    both engines can reproduce bit-exactly.)
+
+    Arithmetic contract: transition probabilities are trunc-ppm
+    p_ij = 10⁶·n_ij // n_i (all ≥ 0 so floor ≡ trunc), the start
+    vector is 10⁶ // T per type (T types; Σ may undershoot 10⁶ by the
+    floor remainder — documented), and each step is
+    v'_j = (Σ_i v_i·p_ij) // 10⁶ — sum THEN floor, exactly once per
+    step.  The truncation order IS the op definition; the SQL mirror
+    applies the identical fold through k generated CTEs.
+
+    Physical plan: the transition census rides
+    ``transitions_per_key``'s exchanges (events shuffle once, partials
+    are ≤ P·|types|²); the k-step fold runs on the ≤|types|² matrix
+    driver-side.  Returns (type, p0_ppm, pk_ppm).  Raises if a type
+    ever receives mass but has no outgoing row (n_i = 0: its column
+    would silently leak mass)."""
+    tr = transitions_per_key(
+        ds, key_col=key_col, ts_col=ts_col, type_col=type_col,
+        tiebreak_col=tiebreak_col, num_partitions=num_partitions
+    ).to_pandas()
+    if tr.empty:
+        raise ValueError("markov_kstep_int: no transitions")
+    types = sorted(set(tr["prev_type"]) | set(tr["next_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    tn = len(types)
+    n = [[0] * tn for _ in range(tn)]
+    for p_, nx, c in tr.itertuples(index=False):
+        n[idx[p_]][idx[nx]] = int(c)
+    row = [sum(r) for r in n]
+    p = [[(1_000_000 * n[i][j] // row[i]) if row[i] else 0
+          for j in range(tn)] for i in range(tn)]
+    v0 = [1_000_000 // tn] * tn
+    v = list(v0)
+    for _ in range(steps):
+        if any(v[i] and not row[i] for i in range(tn)):
+            bad = types[next(i for i in range(tn)
+                             if v[i] and not row[i])]
+            raise ValueError(
+                f"markov_kstep_int: type {bad!r} holds mass but has no "
+                "outgoing transitions (absorbing leak)")
+        v = [sum(v[i] * p[i][j] for i in range(tn)) // 1_000_000
+             for j in range(tn)]
+    out = pd.DataFrame({type_col: types,
+                        "p0_ppm": pd.array(v0, dtype="int64"),
+                        "pk_ppm": pd.array(v, dtype="int64")})
+    return out
