@@ -8491,6 +8491,75 @@ def _q_revenue_share(sf_dir: str):
                "share_region_ppm", "share_global_ppm"]]
 
 
+_BM25_QUERIES = {
+    "q_rare": ["dup", "merge"],
+    "q_exec": ["window", "sort", "scan"],
+    "q_cust": ["customer", "order", "dup"],
+}
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Integer-exact BM25 retrieval (``indexing.bm25_topk``): top-5
+    docs per fixed query under the Okapi shape — tf saturation
+    (k₁ = 6/5) and length normalization (b = 3/4) cleared to the exact
+    rational 22·tf·L / (10·tf·L + 3·L + 9·dl·N), weighted by the
+    RATIONAL idf 10⁶·(N−df+1)//(df+1) (log idf is irrational; libm ulp
+    noise would flip near-tie ranks across engines) — the two scoring
+    behaviors tfidf_topk's raw tf·10⁶//df deliberately lacks.  Pass 1
+    folds (N, L, per-term df) through one P·(|terms|+1)-row exchange;
+    pass 2 is map-side flat-token scan with Python-int exact division
+    on the sparse hits only; grouped_topk selects.  Mirror: the same
+    cleared fractions over unnest + VALUES query table + row_number."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return bm25_topk(ds, queries=_BM25_QUERIES, k=5)
+
+
+def _q_dispersion_index(sf_dir: str):
+    """Fano factor of the dense hourly series per event type
+    (``windows.dispersion_index_int``): the POISSON question the series
+    family doesn't ask — acf/runs/haar score time structure, this
+    scores the count distribution against the var = mean yardstick
+    (D ≫ 1: the same total arriving in clumps; D < 1: rate-limited
+    regularity).  n·Σx² − S² clears the variance to integers, so
+    D is rational → exact floor ppm, and ``overdispersed`` compares
+    the UN-truncated sides.  Dense zeros counted (dropping empty hours
+    biases D down exactly when burstiness is highest).  One bounded
+    (hour, key) exchange.  Mirror: dense grid + HUGEINT sums."""
+    import ray.data
+
+    from documentai_ray.stages.windows import dispersion_index_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return dispersion_index_int(ev)
+
+
+def _q_leadlag_beta(sf_dir: str):
+    """Lead–lag regression slope of purchases on clicks k hours earlier
+    at lags 0..3 (``windows.leadlag_beta_int``): the CENTERED
+    complement to lag_coactivity's raw dot — two busy series co-move
+    trivially through their shared baseline, so the uncentered sum
+    peaks wherever volume is high; removing full-series means (the
+    acf_lag_int convention, x̃ = n·x − S clearing every fraction)
+    leaves the signed "extra purchases per extra click, k hours later".
+    One bounded exchange; |lags| dot products on two calendar-bounded
+    vectors.  Mirror: dense grid + hr-join + lead() windows +
+    sign-split division."""
+    import ray.data
+
+    from documentai_ray.stages.windows import leadlag_beta_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return leadlag_beta_int(ev, x_type="click", y_type="purchase",
+                            lags=(0, 1, 2, 3))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8773,6 +8842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_kstep": _q_markov_kstep,
         "rfm_segments": _q_rfm_segments,
         "revenue_share": _q_revenue_share,
+        "bm25_topk": _q_bm25_topk,
+        "dispersion_index": _q_dispersion_index,
+        "leadlag_beta": _q_leadlag_beta,
     }
 
 
@@ -12388,6 +12460,82 @@ def oracle_sql() -> dict[str, str]:
             "AS scaled_ppm FROM c JOIN mm USING (event_type)"
         ),
         "markov_kstep": _SQL_MARKOV,
+        # BM25 with every fraction cleared: saturation 22·tf·L /
+        # (10·tf·L + 3·L + 9·dl·N), rational idf 10⁶·(N−df+1)//(df+1)
+        "bm25_topk": (
+            "WITH dl AS (SELECT doc_id, "
+            "len(string_split(text, ' ')) AS dl FROM documents), "
+            "st AS (SELECT count(*) AS n, SUM(dl) AS l FROM dl), "
+            "qt AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{qid}', '{t}')"
+                        for qid, ts in sorted(_BM25_QUERIES.items())
+                        for t in ts)
+            + ") AS v(query_id, t)), "
+            "terms AS (SELECT DISTINCT t FROM qt), "
+            "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT tok.doc_id, tok.t, count(*) AS tf FROM tok "
+            "JOIN terms USING (t) GROUP BY 1, 2), "
+            "df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok "
+            "JOIN terms USING (t) GROUP BY 1), "
+            "sc AS (SELECT qt.query_id, tf.doc_id, "
+            "SUM((1000000 * (st.n - df.df + 1) // (df.df + 1)) "
+            "* (22 * CAST(tf.tf AS HUGEINT) * st.l) "
+            "// (10 * CAST(tf.tf AS HUGEINT) * st.l + 3 * st.l "
+            "+ 9 * CAST(dl.dl AS HUGEINT) * st.n)) AS score "
+            "FROM qt JOIN tf ON tf.t = qt.t JOIN df ON df.t = qt.t "
+            "JOIN dl ON dl.doc_id = tf.doc_id, st GROUP BY 1, 2), "
+            "r AS (SELECT query_id, doc_id, score, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk "
+            "FROM sc WHERE score > 0) "
+            "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, "
+            "CAST(score AS BIGINT) AS score_ppm FROM r WHERE rnk <= 5"
+        ),
+        # Fano factor: n·Σx² − S² clears the variance; the flag
+        # compares the un-truncated sides
+        "dispersion_index": (
+            "WITH " + _SQL_DENSE_GRID + ", "
+            "st AS (SELECT event_type, count(*) AS n, SUM(c) AS s, "
+            "SUM(CAST(c AS HUGEINT) * c) AS q FROM dd GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n_obs, "
+            "CAST(s AS BIGINT) AS total, "
+            "CAST(1000000 * (n * q - CAST(s AS HUGEINT) * s) "
+            "// (CAST(n AS HUGEINT) * s) AS BIGINT) AS dispersion_ppm, "
+            "(n * q - CAST(s AS HUGEINT) * s) > (CAST(n AS HUGEINT) * s) "
+            "AS overdispersed FROM st"
+        ),
+        # centered lead-lag slope: full-series-mean centering (the acf
+        # convention), lead() windows, sign-split trunc division
+        "leadlag_beta": (
+            "WITH " + _SQL_DENSE_GRID + ", "
+            "st AS (SELECT event_type, count(*) AS n, SUM(c) AS s "
+            "FROM dd GROUP BY 1), "
+            "xs AS (SELECT dd.hr, st.n, "
+            "CAST(st.n AS HUGEINT) * dd.c - st.s AS x FROM dd "
+            "JOIN st USING (event_type) WHERE dd.event_type = 'click'), "
+            "ys AS (SELECT dd.hr, "
+            "CAST(st.n AS HUGEINT) * dd.c - st.s AS y FROM dd "
+            "JOIN st USING (event_type) "
+            "WHERE dd.event_type = 'purchase'), "
+            "j AS (SELECT xs.hr, xs.n, xs.x, ys.y FROM xs "
+            "JOIN ys USING (hr)), "
+            "w AS (SELECT n, x, y AS y0, "
+            "lead(y, 1) OVER (ORDER BY hr) AS y1, "
+            "lead(y, 2) OVER (ORDER BY hr) AS y2, "
+            "lead(y, 3) OVER (ORDER BY hr) AS y3 FROM j), "
+            "agg AS (SELECT any_value(n) AS n, SUM(x * x) AS den, "
+            "SUM(x * y0) AS n0, SUM(x * y1) AS n1, SUM(x * y2) AS n2, "
+            "SUM(x * y3) AS n3 FROM w), "
+            "u AS (SELECT 0 AS lg, n, n0 AS num, den FROM agg "
+            "UNION ALL SELECT 1, n, n1, den FROM agg "
+            "UNION ALL SELECT 2, n, n2, den FROM agg "
+            "UNION ALL SELECT 3, n, n3, den FROM agg) "
+            "SELECT CAST(lg AS BIGINT) AS \"lag\", "
+            "CAST(n AS BIGINT) AS n_obs, "
+            "CAST(CASE WHEN num >= 0 THEN 1000000 * num // den "
+            "ELSE -((1000000 * (-num)) // den) END AS BIGINT) "
+            "AS beta_ppm FROM u"
+        ),
         # quintiles via the deterministic 1 + 5·row_number//n rule on a
         # (metric, user_id) total order — ntile() tie handling is
         # order-dependent, row_number with the tiebreak is not

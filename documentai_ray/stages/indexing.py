@@ -402,3 +402,127 @@ def zonemap_prune(ds, *, id_col: str, val_col: str,
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
+
+
+def bm25_topk(ds, *, queries: dict[str, list[str]],
+              id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+    """Integer-exact BM25 retrieval: top-k docs per query under the
+    Okapi scoring shape — tf SATURATION (a 10th occurrence is worth
+    less than a 2nd) and LENGTH NORMALIZATION (a match in a short doc
+    outranks the same tf in a long one) — the two behaviors
+    ``tfidf_topk``'s raw rarity score tf·10⁶//df deliberately lacks.
+
+    Arithmetic contract (every fraction cleared, both engines land on
+    identical integers):
+
+    - k₁ = 6/5, b = 3/4 (the standard 1.2/0.75 as exact rationals);
+      with dl = per-doc token count (repo single-space rule, empties
+      kept), N docs, L total tokens (avdl = L/N kept as a ratio), the
+      saturation term clears to ``22·tf·L / (10·tf·L + 3·L + 9·dl·N)``.
+    - idf is the RATIONAL variant ``idf_ppm = 10⁶·(N − df + 1) //
+      (df + 1)`` — monotone in rarity like Robertson's log idf but
+      exactly representable (log is irrational; libm ulp differences
+      would flip near-tie ranks across engines).  The +1 smoothing
+      stands in for the classic +0.5 to stay integral.
+    - per-term contribution = ``idf_ppm · 22·tf·L // (10·tf·L + 3·L +
+      9·dl·N)`` (ONE floor per matched term), summed per (query, doc);
+      only score > 0 rows rank.  Ties → doc_id ascending.
+
+    Physical plan: pass 1 folds (N, L, df per query term) from
+    per-batch partials through ONE exchange bounded by P·(|terms|+1)
+    rows; the ≤|terms| df table ships in a closure.  Pass 2 is
+    map-side: flat-token scan (the kwic layout) + bincount per term;
+    only the sparse (doc, term) HITS pay Python-int exact division
+    (idf·22·tf·L clears int64 at corpus scale, so the hit loop is
+    deliberately object-int — exactness over fake vectorization).
+    Only positive (query, doc, score) rows leave the map; the final
+    top-k is ``grouped_topk``'s partial-then-partitioned selection.
+    At 10¹² docs the broadcast-small side is the per-term stats (a few
+    rows), never the corpus."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.aggregates import grouped_topk
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    if not terms:
+        raise ValueError("bm25_topk: no query terms")
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.select([text_col]).to_pandas()[text_col].fillna("")
+        toks_per = texts.str.split(" ")
+        lens = toks_per.str.len().astype("int64")
+        rows_t = ["\x00stats"]
+        rows_a = [int(len(texts))]
+        rows_b = [int(lens.sum())]
+        tok_sets = [set(t) for t in toks_per]
+        for t in terms:
+            rows_t.append(t)
+            rows_a.append(sum(1 for s in tok_sets if t in s))
+            rows_b.append(0)
+        return pa.table({"_t": pa.array(rows_t, pa.string()),
+                         "_a": pa.array(rows_a, pa.int64()),
+                         "_b": pa.array(rows_b, pa.int64())})
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow")
+          .groupby("_t")
+          .aggregate(Sum("_a", alias_name="a"),
+                     Sum("_b", alias_name="b"))).to_pandas()
+    srow = st[st["_t"] == "\x00stats"]
+    n_docs = int(srow["a"].iloc[0])
+    total_len = int(srow["b"].iloc[0])
+    df = {t: int(a) for t, a in zip(st["_t"], st["a"])
+          if t != "\x00stats"}
+    idf = {t: 1_000_000 * (n_docs - d + 1) // (d + 1)
+           for t, d in df.items() if d > 0}
+    qlist = sorted(queries.items())
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.select([text_col]).to_pandas()[text_col].fillna("")
+        toks_per = texts.str.split(" ")
+        lens = toks_per.str.len().astype("int64").to_numpy()
+        nb = len(texts)
+        total = int(lens.sum())
+        ids = batch.column(id_col).to_numpy()
+        flat = np.fromiter((t for lst in toks_per for t in lst),
+                           dtype=object, count=total)
+        doc_idx = np.repeat(np.arange(nb, dtype=np.int64), lens)
+        tf = {}
+        for t in terms:
+            hits = doc_idx[flat == t]
+            if len(hits):
+                tf[t] = dict(zip(*[a.tolist() for a in
+                                   np.unique(hits, return_counts=True)]))
+        q_out, d_out, s_out = [], [], []
+        for qid, qterms in qlist:
+            acc: dict[int, int] = {}
+            for t in qterms:
+                w = idf.get(t)
+                if w is None:
+                    continue
+                for di, c in tf.get(t, {}).items():
+                    dl = int(lens[di])
+                    contrib = (w * 22 * c * total_len
+                               // (10 * c * total_len + 3 * total_len
+                                   + 9 * dl * n_docs))
+                    acc[di] = acc.get(di, 0) + contrib
+            for di, s in acc.items():
+                if s > 0:
+                    q_out.append(qid)
+                    d_out.append(int(ids[di]))
+                    s_out.append(s)
+        return pa.table({"query_id": pa.array(q_out, pa.string()),
+                         id_col: pa.array(d_out, pa.int64()),
+                         "score_ppm": pa.array(s_out, pa.int64())})
+
+    top = grouped_topk(ds.map_batches(score, batch_format="pyarrow"),
+                       key_col="query_id",
+                       sort_cols=["score_ppm", id_col],
+                       ascending=[False, True], k=k).to_pandas()
+    top = top.sort_values(["query_id", "score_ppm", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    for c in (id_col, "score_ppm", "rank"):
+        top[c] = top[c].astype("int64")
+    return top[["query_id", "rank", id_col, "score_ppm"]] \
+        .reset_index(drop=True)

@@ -1769,3 +1769,97 @@ def markov_kstep_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                         "p0_ppm": pd.array(v0, dtype="int64"),
                         "pk_ppm": pd.array(v, dtype="int64")})
     return out
+
+
+def dispersion_index_int(ds, *, key_col: str = "event_type",
+                         ts_col: str = "ts", max_obs: int = 8784):
+    """Index of dispersion (Fano factor) of the dense hourly series per
+    key, exact integer ppm — the POISSON question none of the series
+    family asks: acf/runs/haar score time STRUCTURE, this scores the
+    count DISTRIBUTION against the Poisson yardstick var = mean
+    (D ≈ 1: memoryless arrivals; D ≫ 1: overdispersed/bursty — the
+    same total events arriving in clumps; D < 1: regular/underdispersed,
+    rate-limited or scheduled traffic).
+
+    Exactness: population variance over the dense grid clears to
+    integers via n·Σx² − S² (≥ 0 by Cauchy–Schwarz), so
+    D = var/mean = (n·Σx² − S²)/(n·S) is rational →
+    ``dispersion_ppm = 10⁶·(n·Σx² − S²) // (n·S)`` exact floor (all
+    terms ≥ 0), and ``overdispersed`` compares the UN-truncated sides
+    (n·Σx² − S² > n·S).  Zeros are counted (absence is a measurement —
+    dropping empty hours would bias D down exactly when burstiness is
+    highest).
+
+    Physical plan: the ONE bounded (hour, key) exchange of
+    ``_dense_hourly_matrix``; the fold is three sums per key on the
+    K × H ≤ keys × calendar-hours matrix driver-side.  Every present
+    key has S ≥ 1, so the ratio is always defined."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    recs = []
+    for i, key in enumerate(keys):
+        x = [int(v) for v in mat[i]]
+        s = sum(x)
+        q = sum(v * v for v in x)
+        num = h * q - s * s
+        den = h * s
+        recs.append((key, h, s, 1_000_000 * num // den, num > den))
+    out = pd.DataFrame(recs, columns=[key_col, "n_obs", "total",
+                                      "dispersion_ppm", "overdispersed"])
+    for c in ("n_obs", "total", "dispersion_ppm"):
+        out[c] = out[c].astype("int64")
+    out["overdispersed"] = out["overdispersed"].astype(bool)
+    return out
+
+
+def leadlag_beta_int(ds, *, x_type: str = "click", y_type: str = "purchase",
+                     key_col: str = "event_type", ts_col: str = "ts",
+                     lags: tuple = (0, 1, 2, 3), max_obs: int = 8784):
+    """Lead–lag regression slope between two keys' dense hourly series,
+    exact integer ppm: for each lag k, the slope of response y on
+    predictor x shifted k hours earlier —
+    β_k = Σ_{t<n−k} x̃_t·ỹ_{t+k} / Σ x̃² with FULL-series mean
+    centering (the acf_lag_int convention: x̃_t = n·x_t − Sx clears
+    every fraction; the n² factors cancel in the ratio).
+
+    The question is the CENTERED complement to ``lag_coactivity_int``'s
+    raw dot: two busy series co-move trivially through their shared
+    baseline rate — the uncentered Σ n_a(t)·n_b(t+ℓ) peaks wherever
+    volume is high.  Removing the means leaves "extra y per extra x, k
+    hours later", signed: β > 0 at k = 2 reads "clicks lead purchases
+    by two hours"; β < 0 reads suppression.  trunc-toward-zero ppm with
+    the sign split (SQL ``//`` truncates).
+
+    Same single bounded exchange (``_dense_hourly_matrix``); the sweep
+    is |lags| dot products on two length-H integer vectors driver-side.
+    Raises if either key is absent or the predictor is constant
+    (β undefined)."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    kpos = {k: i for i, k in enumerate(keys)}
+    for t in (x_type, y_type):
+        if t not in kpos:
+            raise ValueError(f"leadlag_beta_int: key {t!r} absent")
+    for k in lags:
+        if not 0 <= k < h:
+            raise ValueError(f"leadlag_beta_int: lag {k} outside series "
+                             f"length {h}")
+    x = [int(v) for v in mat[kpos[x_type]]]
+    y = [int(v) for v in mat[kpos[y_type]]]
+    sx, sy = sum(x), sum(y)
+    xc = [h * v - sx for v in x]
+    yc = [h * v - sy for v in y]
+    den = sum(v * v for v in xc)
+    if den == 0:
+        raise ValueError(
+            f"leadlag_beta_int: constant predictor series {x_type!r}")
+    recs = []
+    for k in lags:
+        num = sum(a * b for a, b in zip(xc[: h - k if k else None], yc[k:]))
+        ppm = (1_000_000 * num // den if num >= 0
+               else -((1_000_000 * -num) // den))
+        recs.append((int(k), h, ppm))
+    out = pd.DataFrame(recs, columns=["lag", "n_obs", "beta_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
