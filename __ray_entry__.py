@@ -8560,6 +8560,79 @@ def _q_leadlag_beta(sf_dir: str):
                             lags=(0, 1, 2, 3))
 
 
+def _q_km_survival(sf_dir: str):
+    """Kaplan–Meier user-survival curve (``windows.km_survival_int``):
+    the survival-analysis question the engagement family doesn't ask —
+    retention_cohorts counts who returns in week k, but "what fraction
+    is still alive at day d" needs CENSORING: users still active near
+    the horizon haven't died, and counting them dead or immortal
+    biases the curve.  Lifetime = whole days first→last event; death
+    observed iff the user went quiet ≥ 7 days before corpus max;
+    30-day window, per-step trunc-ppm product fold (the markov_kstep
+    discipline; deaths past day 29 invisible — the haar truncation
+    analogue).  The gap is HOUR-granular (6 h): the synthetic month
+    keeps every user active into the final days, so a day-scale gap
+    observes zero deaths and the fold never exercises.  ONE user
+    exchange + a ≤ 2·horizon histogram.  Mirror: 30 generated CTEs
+    applying the identical fold."""
+    import ray.data
+
+    from documentai_ray.stages.windows import km_survival_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return km_survival_int(ev, horizon_days=30, censor_gap_hours=6)
+
+
+def _q_mrr_eval(sf_dir: str):
+    """Reciprocal-rank evaluation of the bm25_topk ranking against
+    AND-relevance (doc contains EVERY query term) — the rank-POSITION
+    metric the eval family lacks: rank_auc scores pairwise order,
+    lang_prf set overlap, cohens_kappa agreement; none says "how far
+    down is the first right answer".  rr_ppm = 10⁶ // first relevant
+    rank (0 when none lands in the top-k); MRR is the mean of the
+    column.  The candidate set is ≤ |queries|·k rows, so relevance
+    needs one pruned corpus scan filtered to candidate ids (the
+    index-free fetch) — nothing else materializes.  Mirror: the bm25
+    CTE chain + per-(q,doc) matched-term counts vs |q|."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.indexing import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    top = bm25_topk(ds, queries=_BM25_QUERIES, k=5)
+    cand = set(int(d) for d in top["doc_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("doc_id"),
+                     value_set=pa.array(sorted(cand), pa.int64()))
+        return batch.filter(m)
+
+    toksets = {}
+    for row in (ds.map_batches(pick, batch_format="pyarrow")
+                .take_all()):
+        toksets[int(row["doc_id"])] = set((row["text"] or "").split(" "))
+
+    recs = []
+    for qid, terms in sorted(_BM25_QUERIES.items()):
+        need = set(terms)
+        rows = top[top["query_id"] == qid].sort_values("rank")
+        rel = [int(r) for r, d in zip(rows["rank"], rows["doc_id"])
+               if need <= toksets[int(d)]]
+        first = min(rel) if rel else 0
+        recs.append((qid, len(rel), first,
+                     1_000_000 // first if first else 0))
+    out = pd.DataFrame(recs, columns=["query_id", "n_rel",
+                                      "first_rank", "rr_ppm"])
+    for c in ("n_rel", "first_rank", "rr_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8845,6 +8918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "dispersion_index": _q_dispersion_index,
         "leadlag_beta": _q_leadlag_beta,
+        "km_survival": _q_km_survival,
+        "mrr_eval": _q_mrr_eval,
     }
 
 
@@ -8980,6 +9055,70 @@ _SQL_MARKOV = (
     + " SELECT v0.et AS event_type, CAST(v0.v AS BIGINT) AS p0_ppm, "
     f"CAST(v{_MK_STEPS}.v AS BIGINT) AS pk_ppm "
     f"FROM v0 JOIN v{_MK_STEPS} USING (et)"
+)
+
+# shared BM25 CTE chain (bm25_topk + mrr_eval): cleared-fraction
+# saturation × rational idf, positive scores ranked per query
+_SQL_BM25_CORE = (
+    "dl AS (SELECT doc_id, "
+    "len(string_split(text, ' ')) AS dl FROM documents), "
+    "st AS (SELECT count(*) AS n, SUM(dl) AS l FROM dl), "
+    "qt AS (SELECT * FROM (VALUES "
+    + ", ".join(f"('{qid}', '{t}')"
+                for qid, ts in sorted(_BM25_QUERIES.items())
+                for t in ts)
+    + ") AS v(query_id, t)), "
+    "terms AS (SELECT DISTINCT t FROM qt), "
+    "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "tf AS (SELECT tok.doc_id, tok.t, count(*) AS tf FROM tok "
+    "JOIN terms USING (t) GROUP BY 1, 2), "
+    "df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok "
+    "JOIN terms USING (t) GROUP BY 1), "
+    "sc AS (SELECT qt.query_id, tf.doc_id, "
+    "SUM((1000000 * (st.n - df.df + 1) // (df.df + 1)) "
+    "* (22 * CAST(tf.tf AS HUGEINT) * st.l) "
+    "// (10 * CAST(tf.tf AS HUGEINT) * st.l + 3 * st.l "
+    "+ 9 * CAST(dl.dl AS HUGEINT) * st.n)) AS score "
+    "FROM qt JOIN tf ON tf.t = qt.t JOIN df ON df.t = qt.t "
+    "JOIN dl ON dl.doc_id = tf.doc_id, st GROUP BY 1, 2), "
+    "r AS (SELECT query_id, doc_id, score, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk "
+    "FROM sc WHERE score > 0)"
+)
+
+# Kaplan-Meier: 30 generated CTEs apply the per-step trunc-ppm product
+# s_d = s_{d-1}*(n_d - d_d) // n_d (carried unchanged when n_d = 0)
+_KM_H = 30
+_SQL_KM = (
+    "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, "
+    "max(epoch_us(ts)) AS l FROM events GROUP BY 1), "
+    "mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+    "lt AS (SELECT (l - f) // 86400000000 AS ld, "
+    "(mx.m - l) >= 21600000000 AS obs FROM u, mx), "
+    f"dd AS (SELECT unnest(generate_series(0, {_KM_H - 1})) AS day), "
+    "g AS (SELECT dd.day, "
+    "count(*) FILTER (WHERE lt.ld >= dd.day) AS atrisk, "
+    "count(*) FILTER (WHERE lt.obs AND lt.ld = dd.day) AS deaths "
+    "FROM dd, lt GROUP BY 1), "
+    "s0 AS (SELECT CASE WHEN atrisk > 0 THEN "
+    "1000000 * (atrisk - deaths) // atrisk ELSE 1000000 END AS s "
+    "FROM g WHERE day = 0), "
+    + ", ".join(
+        f"s{d} AS (SELECT CASE WHEN g.atrisk > 0 THEN "
+        f"s{d - 1}.s * (g.atrisk - g.deaths) // g.atrisk "
+        f"ELSE s{d - 1}.s END AS s FROM g, s{d - 1} WHERE g.day = {d})"
+        for d in range(1, _KM_H))
+    + " " + " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS day, "
+        "CAST(g.atrisk AS BIGINT) AS at_risk, "
+        "CAST(g.deaths AS BIGINT) AS deaths, "
+        "CAST(CASE WHEN g.atrisk > 0 THEN "
+        "1000000 * g.deaths // g.atrisk ELSE 0 END AS BIGINT) "
+        "AS hazard_ppm, "
+        f"CAST(s{d}.s AS BIGINT) AS s_ppm FROM g, s{d} "
+        f"WHERE g.day = {d}"
+        for d in range(_KM_H))
 )
 
 # dyadic-EWMA backtest: 8 lag terms, Mersenne 255 denominator
@@ -12463,34 +12602,31 @@ def oracle_sql() -> dict[str, str]:
         # BM25 with every fraction cleared: saturation 22·tf·L /
         # (10·tf·L + 3·L + 9·dl·N), rational idf 10⁶·(N−df+1)//(df+1)
         "bm25_topk": (
-            "WITH dl AS (SELECT doc_id, "
-            "len(string_split(text, ' ')) AS dl FROM documents), "
-            "st AS (SELECT count(*) AS n, SUM(dl) AS l FROM dl), "
-            "qt AS (SELECT * FROM (VALUES "
-            + ", ".join(f"('{qid}', '{t}')"
-                        for qid, ts in sorted(_BM25_QUERIES.items())
-                        for t in ts)
-            + ") AS v(query_id, t)), "
-            "terms AS (SELECT DISTINCT t FROM qt), "
-            "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
-            "FROM documents), "
-            "tf AS (SELECT tok.doc_id, tok.t, count(*) AS tf FROM tok "
-            "JOIN terms USING (t) GROUP BY 1, 2), "
-            "df AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok "
-            "JOIN terms USING (t) GROUP BY 1), "
-            "sc AS (SELECT qt.query_id, tf.doc_id, "
-            "SUM((1000000 * (st.n - df.df + 1) // (df.df + 1)) "
-            "* (22 * CAST(tf.tf AS HUGEINT) * st.l) "
-            "// (10 * CAST(tf.tf AS HUGEINT) * st.l + 3 * st.l "
-            "+ 9 * CAST(dl.dl AS HUGEINT) * st.n)) AS score "
-            "FROM qt JOIN tf ON tf.t = qt.t JOIN df ON df.t = qt.t "
-            "JOIN dl ON dl.doc_id = tf.doc_id, st GROUP BY 1, 2), "
-            "r AS (SELECT query_id, doc_id, score, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk "
-            "FROM sc WHERE score > 0) "
+            "WITH " + _SQL_BM25_CORE + " "
             "SELECT query_id, CAST(rnk AS BIGINT) AS \"rank\", doc_id, "
             "CAST(score AS BIGINT) AS score_ppm FROM r WHERE rnk <= 5"
         ),
+        # AND-relevance: matched-distinct-term count per (q, doc)
+        # equals |q|; first relevant rank → 10⁶ // rank
+        "mrr_eval": (
+            "WITH " + _SQL_BM25_CORE + ", "
+            "qn AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY 1), "
+            "tm AS (SELECT qt.query_id, tf.doc_id, count(*) AS nmatch "
+            "FROM qt JOIN tf ON tf.t = qt.t GROUP BY 1, 2), "
+            "rel AS (SELECT r.query_id, r.rnk FROM r "
+            "JOIN tm ON tm.query_id = r.query_id "
+            "AND tm.doc_id = r.doc_id "
+            "JOIN qn ON qn.query_id = r.query_id "
+            "WHERE r.rnk <= 5 AND tm.nmatch = qn.nt) "
+            "SELECT q.query_id, "
+            "CAST(count(rel.rnk) AS BIGINT) AS n_rel, "
+            "CAST(coalesce(min(rel.rnk), 0) AS BIGINT) AS first_rank, "
+            "CAST(CASE WHEN min(rel.rnk) IS NULL THEN 0 "
+            "ELSE 1000000 // min(rel.rnk) END AS BIGINT) AS rr_ppm "
+            "FROM (SELECT DISTINCT query_id FROM qt) q "
+            "LEFT JOIN rel ON rel.query_id = q.query_id GROUP BY 1"
+        ),
+        "km_survival": _SQL_KM,
         # Fano factor: n·Σx² − S² clears the variance; the flag
         # compares the un-truncated sides
         "dispersion_index": (

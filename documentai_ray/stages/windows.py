@@ -1863,3 +1863,97 @@ def leadlag_beta_int(ds, *, x_type: str = "click", y_type: str = "purchase",
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def km_survival_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                    horizon_days: int = 30, censor_gap_hours: int = 6,
+                    num_partitions: int = 64):
+    """Kaplan–Meier survival curve over user lifetimes, exact integer
+    ppm — the survival-analysis question none of the engagement family
+    asks: retention_cohorts counts who RETURNS in week k,
+    events_sessions cuts activity into visits, but neither estimates
+    "what fraction of users are still alive at day d" under CENSORING
+    — users still active at the horizon haven't died, and counting
+    them as either dead or immortal biases the curve (the exact error
+    KM exists to fix).
+
+    Definitions (each a documented contract):
+    - lifetime_d = (last_ts − first_ts) // 1 day, per user (whole
+      days; single-event users live 0 days);
+    - a death is OBSERVED iff the user's last event precedes the
+      corpus max ts by ≥ ``censor_gap_hours`` (they went quiet with
+      room to have returned; hour-granular because the corpus ships
+      a synthetic month where every user stays active to the final
+      days — a day-scale gap would observe nothing); later users are
+      CENSORED at their lifetime;
+    - at day d: at_risk n_d = #{lifetime ≥ d} (censored users count
+      while they last — the KM point), deaths d_d = #{observed ∧
+      lifetime = d};
+    - the curve is the per-step trunc-ppm fold (the markov_kstep
+      discipline: the truncation order IS the op): s_{−1} = 10⁶,
+      s_d = s_{d−1}·(n_d − d_d) // n_d, carried unchanged when
+      n_d = 0.  Deaths past ``horizon_days`` are invisible (the haar
+      dyadic-truncation analogue — a fixed step count is what both
+      engines can generate).
+
+    Physical plan: ONE key-hash exchange for per-user (min, max) ts
+    (bounded by users), the corpus max folded as a scalar, then a
+    ≤ horizon×2 histogram of (lifetime-day-capped, observed) and the
+    30-step fold driver-side.  Emits (day, at_risk, deaths,
+    hazard_ppm, s_ppm) for day 0..horizon−1."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Max, Min
+
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: batch.column(key_col), "t_us": t})
+
+    t = ds.map_batches(prep, batch_format="pyarrow")
+    t_max = int(t.max("t_us"))
+    per_user = (t.groupby(key_col)
+                .aggregate(Min("t_us", alias_name="f"),
+                           Max("t_us", alias_name="l")))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy()
+        l = batch.column("l").to_numpy()
+        ld = (l - f) // day_us
+        obs = (t_max - l) >= censor_gap_hours * 3_600_000_000
+        # cap at horizon: lifetimes ≥ horizon stay at risk through every
+        # step and their deaths are invisible — fold obs=False for them
+        capped = np.minimum(ld, horizon_days)
+        o = obs & (ld < horizon_days)
+        df = pd.DataFrame({"_ld": capped, "_obs": o})
+        g = df.groupby(["_ld", "_obs"], as_index=False).size()
+        return pa.table({"_ld": pa.array(g["_ld"], pa.int64()),
+                         "_obs": pa.array(g["_obs"], pa.bool_()),
+                         "_n": pa.array(g["size"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    h = (per_user.map_batches(hist, batch_format="pyarrow")
+         .groupby(["_ld", "_obs"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+    if h.empty:
+        raise ValueError("km_survival_int: no users")
+    lifet = h["_ld"].to_numpy()
+    obs = h["_obs"].to_numpy()
+    cnt = h["n"].to_numpy()
+    recs = []
+    s = 1_000_000
+    for d in range(horizon_days):
+        at_risk = int(cnt[lifet >= d].sum())
+        deaths = int(cnt[(lifet == d) & obs].sum())
+        if at_risk > 0:
+            s = s * (at_risk - deaths) // at_risk
+            hz = 1_000_000 * deaths // at_risk
+        else:
+            hz = 0
+        recs.append((d, at_risk, deaths, hz, s))
+    out = pd.DataFrame(recs, columns=["day", "at_risk", "deaths",
+                                      "hazard_ppm", "s_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
