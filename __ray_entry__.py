@@ -8633,6 +8633,168 @@ def _q_mrr_eval(sf_dir: str):
     return out
 
 
+def _q_decayed_leaderboard(sf_dir: str):
+    """Freshness-weighted top-10 users (``windows.decayed_sum_topk``):
+    Σ 10⁶ // 2^age_days per user — the leaderboard a plain count gets
+    wrong (a user active yesterday outranks one with twice the events
+    three weeks ago).  The half-life is DYADIC so every weight is an
+    exact shift (e^{−λt} is irrational; the ewma_backtest discipline);
+    weights vanish past day 19 (10⁶ < 2²⁰).  Vectorized shift +
+    per-batch pre-combine, ONE user-bounded exchange, partial top-k.
+    Mirror: SUM(1000000 // (1 << age)) + row_number."""
+    import ray.data
+
+    from documentai_ray.stages.windows import decayed_sum_topk
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return decayed_sum_topk(ev, key_col="user_id", k=10)
+
+
+def _q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the irregular link graph as Kendall
+    concordance over edge endpoints (in-deg(src) vs in-deg(dst)) — the
+    MIXING question the rest of the graph family doesn't ask:
+    pagerank scores importance, clustering_coeff local closure,
+    kcore peeling depth; this asks whether well-linked pages link TO
+    well-linked pages (assortative, tau > 0) or to obscure ones
+    (disassortative) — the hub-wiring signature.  tau_a with the full
+    tie decomposition rides ``grouped_kendall_int``'s joint-histogram
+    plan (in-degrees have a tiny domain — Poisson-ish around 2 — so
+    pair counts are cell products, never edge² comparisons).  In-deg
+    table from ONE dst-bounded exchange, stitched to edges by two
+    partitioned hash_joins (deg 0 for never-cited sources).  Mirror:
+    UNION edge generator + histogram self-join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_kendall_int
+    from documentai_ray.stages.joins import hash_join
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src, dst = [ids], [(ids * 7 + 1) % n]
+        m1 = ids % 3 >= 1
+        src.append(ids[m1]); dst.append((ids[m1] * 13 + 2) % n)
+        m2 = ids % 3 == 2
+        src.append(ids[m2]); dst.append((ids[m2] * 31 + 3) % n)
+        return pa.table({
+            "src": pa.array(np.concatenate(src).astype("int64")),
+            "dst": pa.array(np.concatenate(dst).astype("int64"))})
+
+    e = docs.map_batches(edges, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    ind = (e.groupby("dst").aggregate(Count(alias_name="deg")))
+
+    def as_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("dst"),
+                         "deg_src": batch.column("deg").cast(pa.int64())})
+
+    def as_dst(batch: pa.Table) -> pa.Table:
+        return pa.table({"dst": batch.column("dst"),
+                         "deg_dst": batch.column("deg").cast(pa.int64())})
+
+    j1 = hash_join(e, ind.map_batches(as_src, batch_format="pyarrow"),
+                   on="src", how="left")
+    j2 = hash_join(j1, ind.map_batches(as_dst, batch_format="pyarrow"),
+                   on="dst", how="left")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        x = pc.fill_null(batch.column("deg_src"), 0)
+        y = pc.fill_null(batch.column("deg_dst"), 0)
+        return pa.table({"g": pa.array(["all"] * len(batch)),
+                         "x": x.cast(pa.int64()), "y": y.cast(pa.int64())})
+
+    return grouped_kendall_int(
+        j2.map_batches(prep, batch_format="pyarrow"),
+        key_col="g", x_col="x", y_col="y")
+
+
+def _q_ndcg_eval(sf_dir: str):
+    """nDCG@5 of the bm25_topk ranking under AND-relevance — the
+    FULL-LIST companion to mrr_eval's first-hit position: MRR is blind
+    to everything after the first relevant result; nDCG credits every
+    relevant doc, discounted by depth.  The discount is the RATIONAL
+    harmonic 10⁶ // (1 + rank) (log₂ discounts are irrational — same
+    reasoning as bm25's idf), so dcg, the ideal idcg (all R relevant
+    docs packed at the top, R from one corpus-bounded count), and
+    ndcg_ppm = 10⁶·dcg // idcg are exact integers.  Costs the bm25
+    chain + one pruned AND-count scan.  Mirror: shared _SQL_BM25_CORE
+    + generate_series ideal fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.indexing import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    top = bm25_topk(ds, queries=_BM25_QUERIES, k=5)
+    qlist = sorted(_BM25_QUERIES.items())
+
+    def rel_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.select(["text"]).to_pandas()["text"].fillna("")
+        sets = [set(t.split(" ")) for t in texts]
+        ids = batch.column("doc_id").to_numpy()
+        qs, ds_, fl = [], [], []
+        for qid, terms in qlist:
+            need = set(terms)
+            for i, s in enumerate(sets):
+                if need <= s:
+                    qs.append(qid)
+                    ds_.append(int(ids[i]))
+                    fl.append(1)
+        return pa.table({"query_id": pa.array(qs, pa.string()),
+                         "doc_id": pa.array(ds_, pa.int64()),
+                         "_one": pa.array(fl, pa.int64())})
+
+    rel = (ds.map_batches(rel_partial, batch_format="pyarrow")
+           .groupby("query_id")
+           .aggregate(Sum("_one", alias_name="n_rel_total"))).to_pandas()
+    n_rel = dict(zip(rel["query_id"], rel["n_rel_total"].astype(int)))
+    # relevance FLAGS only for the ≤ |queries|·k candidates (the total
+    # count above is the only corpus-wide fact; materializing all
+    # relevant pairs would scale with the corpus)
+    cand = set(int(d) for d in top["doc_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.is_in(batch.column("doc_id"),
+                     value_set=pa.array(sorted(cand), pa.int64()))
+        return batch.filter(m)
+
+    rel_pairs = set()
+    for row in (ds.map_batches(pick, batch_format="pyarrow")
+                .map_batches(rel_partial, batch_format="pyarrow")
+                .take_all()):
+        rel_pairs.add((row["query_id"], int(row["doc_id"])))
+
+    recs = []
+    for qid, _terms in qlist:
+        rows = top[top["query_id"] == qid]
+        dcg = sum(1_000_000 // (1 + int(r))
+                  for r, d in zip(rows["rank"], rows["doc_id"])
+                  if (qid, int(d)) in rel_pairs)
+        r_tot = n_rel.get(qid, 0)
+        idcg = sum(1_000_000 // (1 + s)
+                   for s in range(1, min(r_tot, 5) + 1))
+        recs.append((qid, r_tot, dcg, idcg,
+                     1_000_000 * dcg // idcg if idcg else 0))
+    out = pd.DataFrame(recs, columns=["query_id", "n_rel_total",
+                                      "dcg_ppm", "idcg_ppm", "ndcg_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -8920,6 +9082,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leadlag_beta": _q_leadlag_beta,
         "km_survival": _q_km_survival,
         "mrr_eval": _q_mrr_eval,
+        "decayed_leaderboard": _q_decayed_leaderboard,
+        "degree_assortativity": _q_degree_assortativity,
+        "ndcg_eval": _q_ndcg_eval,
     }
 
 
@@ -12627,6 +12792,89 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN rel ON rel.query_id = q.query_id GROUP BY 1"
         ),
         "km_survival": _SQL_KM,
+        # dyadic halving weights: 1 << age is exact where e^{-λt} isn't
+        "decayed_leaderboard": (
+            "WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+            "w AS (SELECT user_id, 1000000 // (1 << least("
+            "(mx.m - epoch_us(ts)) // 86400000000, 30)) AS w "
+            "FROM events, mx), "
+            "s AS (SELECT user_id, SUM(w) AS score_ppm FROM w "
+            "GROUP BY 1), "
+            "r AS (SELECT user_id, score_ppm, row_number() OVER "
+            "(ORDER BY score_ppm DESC, user_id) AS rnk FROM s) "
+            "SELECT CAST(rnk AS BIGINT) AS \"rank\", user_id, "
+            "CAST(score_ppm AS BIGINT) AS score_ppm FROM r "
+            "WHERE rnk <= 10"
+        ),
+        # Kendall over edge-endpoint in-degrees: histogram self-join,
+        # single group; // truncates toward zero = the engine rule
+        "degree_assortativity": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst "
+            "FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id * 13 + 2) % nn.n "
+            "FROM documents, nn WHERE doc_id % 3 >= 1 "
+            "UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n "
+            "FROM documents, nn WHERE doc_id % 3 = 2), "
+            "ind AS (SELECT dst AS node, count(*) AS deg FROM e "
+            "GROUP BY 1), "
+            "p AS (SELECT coalesce(i1.deg, 0) AS x, "
+            "coalesce(i2.deg, 0) AS y FROM e "
+            "LEFT JOIN ind i1 ON i1.node = e.src "
+            "LEFT JOIN ind i2 ON i2.node = e.dst), "
+            "j AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c FROM p "
+            "GROUP BY 1, 2), "
+            "cd AS (SELECT coalesce(SUM(CASE WHEN a.x < b.x AND "
+            "a.y < b.y THEN a.c * b.c END), 0) AS conc, "
+            "coalesce(SUM(CASE WHEN a.x < b.x AND a.y > b.y "
+            "THEN a.c * b.c END), 0) AS disc FROM j a, j b), "
+            "mx2 AS (SELECT x, SUM(c) AS cx FROM j GROUP BY 1), "
+            "tx AS (SELECT SUM(cx * (cx - 1) // 2) AS tied_x FROM mx2), "
+            "my2 AS (SELECT y, SUM(c) AS cy FROM j GROUP BY 1), "
+            "ty AS (SELECT SUM(cy * (cy - 1) // 2) AS tied_y FROM my2), "
+            "nz AS (SELECT SUM(c) AS n, SUM(c * (c - 1) // 2) "
+            "AS tied_xy FROM j) "
+            "SELECT 'all' AS g, CAST(nz.n AS BIGINT) AS n, "
+            "CAST(cd.conc AS BIGINT) AS concordant, "
+            "CAST(cd.disc AS BIGINT) AS discordant, "
+            "CAST(tx.tied_x AS BIGINT) AS tied_x, "
+            "CAST(ty.tied_y AS BIGINT) AS tied_y, "
+            "CAST(nz.tied_xy AS BIGINT) AS tied_xy, "
+            "CAST((cd.conc - cd.disc) * 1000000 "
+            "// (nz.n * (nz.n - 1) // 2) AS BIGINT) AS tau_a_ppm "
+            "FROM nz, cd, tx, ty"
+        ),
+        # harmonic discount 10⁶ // (1+rank); ideal fold closed-form
+        "ndcg_eval": (
+            "WITH " + _SQL_BM25_CORE + ", "
+            "qn AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY 1), "
+            "tm AS (SELECT qt.query_id, tf.doc_id, count(*) AS nmatch "
+            "FROM qt JOIN tf ON tf.t = qt.t GROUP BY 1, 2), "
+            "relall AS (SELECT tm.query_id, tm.doc_id FROM tm "
+            "JOIN qn USING (query_id) WHERE tm.nmatch = qn.nt), "
+            "rtot AS (SELECT query_id, count(*) AS rt FROM relall "
+            "GROUP BY 1), "
+            "dc AS (SELECT r.query_id, SUM(1000000 // (1 + r.rnk)) AS d "
+            "FROM r JOIN relall ON relall.query_id = r.query_id "
+            "AND relall.doc_id = r.doc_id WHERE r.rnk <= 5 GROUP BY 1), "
+            "fin AS (SELECT q.query_id, coalesce(rtot.rt, 0) AS rt, "
+            "coalesce(dc.d, 0) AS d "
+            "FROM (SELECT DISTINCT query_id FROM qt) q "
+            "LEFT JOIN rtot USING (query_id) "
+            "LEFT JOIN dc USING (query_id)), "
+            "fi2 AS (SELECT query_id, rt, d, CASE least(rt, 5) "
+            + " ".join(
+                f"WHEN {i} THEN "
+                f"{sum(1_000_000 // (1 + s) for s in range(1, i + 1))}"
+                for i in range(5))
+            + f" ELSE {sum(1_000_000 // (1 + s) for s in range(1, 6))} "
+            "END AS ic FROM fin) "
+            "SELECT query_id, CAST(rt AS BIGINT) AS n_rel_total, "
+            "CAST(d AS BIGINT) AS dcg_ppm, "
+            "CAST(ic AS BIGINT) AS idcg_ppm, "
+            "CAST(CASE WHEN ic > 0 THEN 1000000 * d // ic ELSE 0 END "
+            "AS BIGINT) AS ndcg_ppm FROM fi2"
+        ),
         # Fano factor: n·Σx² − S² clears the variance; the flag
         # compares the un-truncated sides
         "dispersion_index": (
