@@ -8795,6 +8795,188 @@ def _q_ndcg_eval(sf_dir: str):
     return out
 
 
+def _q_seasonal_anomaly(sf_dir: str):
+    """Hour-of-day-conditioned spikes (``windows.seasonal_anomaly_int``)
+    — the SEASONAL complement to events_anomaly's global 3σ: a 3 a.m.
+    burst sits inside the global band (nights are quiet; daytime drags
+    the mean up) while being ten sigma against other 3 a.m. hours.
+    Each hour competes only with its own hod peer group; the test is
+    the same cross-multiplied integer inequality
+    (m_h·x − S_h)² > 9·(m_h·Q_h − S_h²), conditioned.  Emits only the
+    bounded alert set.  One (hour, key) exchange.  Mirror: dense grid
+    + extract(hour) peer sums + the identical inequality."""
+    import ray.data
+
+    from documentai_ray.stages.windows import seasonal_anomaly_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return seasonal_anomaly_int(ev)
+
+
+def _q_did_estimator(sf_dir: str):
+    """Difference-in-differences over purchase spend: treatment = the
+    Knuth-hash coin (split_assign's convention — deterministic,
+    parallelism-independent, SQL-reproducible where RNG isn't), period
+    split at the integer midpoint of purchase timestamps, outcome =
+    value cents.  Cell means are TRUNC MILLI-CENTS (1000·Σc // n, one
+    floor per cell — the defined contract; clearing the 4-cell
+    difference to a single fraction needs the n₁₁n₁₀n₀₁n₀₀ product,
+    which overflows for nothing gained), did_mc = (m₁₁−m₁₀)−(m₀₁−m₀₀).
+    ONE exchange bounded by 4·P partial cells.  Mirror: identical
+    CASE-pivoted fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("event_type"), "purchase"))
+        ids = b.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        c = np.rint(b.column("value").to_numpy() * 100).astype("int64")
+        return pa.table({
+            "treat": pa.array(h < np.uint64(1 << 31)),
+            "t_us": t, "cents": pa.array(c, pa.int64())})
+
+    p = ev.map_batches(prep, batch_format="pyarrow")
+    t_min, t_max = int(p.min("t_us")), int(p.max("t_us"))
+    mid = (t_min + t_max) // 2
+
+    def cell(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "treat": batch.column("treat"),
+            "post": pc.greater_equal(batch.column("t_us"),
+                                     pa.scalar(mid, pa.int64())),
+            "cents": batch.column("cents")})
+
+    g = (p.map_batches(cell, batch_format="pyarrow")
+         .groupby(["treat", "post"])
+         .aggregate(Sum("cents", alias_name="s"),
+                    Count(alias_name="n"))).to_pandas()
+    if len(g) != 4:
+        raise ValueError(f"did_estimator: expected 4 cells, got {len(g)}")
+    cells = {(bool(t), bool(po)): (int(s), int(n))
+             for t, po, s, n in zip(g["treat"], g["post"], g["s"], g["n"])}
+    mm = {k: 1000 * s // n for k, (s, n) in cells.items()}
+    did = ((mm[(True, True)] - mm[(True, False)])
+           - (mm[(False, True)] - mm[(False, False)]))
+    out = pd.DataFrame([{
+        "n_ctrl_pre": cells[(False, False)][1],
+        "n_ctrl_post": cells[(False, True)][1],
+        "n_treat_pre": cells[(True, False)][1],
+        "n_treat_post": cells[(True, True)][1],
+        "m_ctrl_pre_mc": mm[(False, False)],
+        "m_ctrl_post_mc": mm[(False, True)],
+        "m_treat_pre_mc": mm[(True, False)],
+        "m_treat_post_mc": mm[(True, True)],
+        "did_mc": did}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_laspeyres_index(sf_dir: str):
+    """Laspeyres price index across the shipdate midpoint — the
+    index-number family none of the 290 queries touch: what the BASE
+    period's basket costs at CURRENT prices, over parts traded in both
+    periods.  Per part, base value v₀ = Σprice_c (exact: p̄₀·q₀ is the
+    sum itself) and repriced value v₁ = s₁·q₀ // q₁ (current unit
+    price × base quantity, ONE floor per part — the defined contract);
+    index_ppm = 10⁶·Σv₁ // Σv₀.  (partkey, period) sums cross ONE
+    exchange bounded by parts×2; the part-level pivot co-locates via
+    the bucketed-pkey pattern; only per-partition (n, Σv₀, Σv₁)
+    partials reach the driver.  Mirror: period self-join + identical
+    HUGEINT per-part floor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice"])
+
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy() // day_us)
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        c = np.rint(batch.column("l_extendedprice").to_numpy()
+                    * 100).astype("int64")
+        return pa.table({"partkey": batch.column("l_partkey"),
+                         "dd": pa.array(d, pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "pc": pa.array(c, pa.int64())})
+
+    d = li.map_batches(prep, batch_format="pyarrow")
+    d_min, d_max = int(d.min("dd")), int(d.max("dd"))
+    mid = (d_min + d_max) // 2
+
+    def cell(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        return pa.table({
+            "partkey": batch.column("partkey"),
+            "post": pc_.greater_equal(batch.column("dd"),
+                                      pa.scalar(mid, pa.int64())),
+            "q": batch.column("q"), "pc": batch.column("pc")})
+
+    g = (d.map_batches(cell, batch_format="pyarrow")
+         .groupby(["partkey", "post"])
+         .aggregate(Sum("q", alias_name="q"),
+                    Sum("pc", alias_name="s")))
+
+    def pivot(gdf: pd.DataFrame) -> pd.DataFrame:
+        pre = gdf[~gdf["post"]].set_index("partkey")
+        post = gdf[gdf["post"]].set_index("partkey")
+        common = pre.index.intersection(post.index)
+        if len(common) == 0:
+            return pd.DataFrame({"n": pd.array([0], dtype="int64"),
+                                 "v0": pd.array([0], dtype="int64"),
+                                 "v1": pd.array([0], dtype="int64")})
+        q0 = pre.loc[common, "q"].astype(object)
+        s0 = pre.loc[common, "s"].astype(object)
+        q1 = post.loc[common, "q"].astype(object)
+        s1 = post.loc[common, "s"].astype(object)
+        v1 = int(sum(int(a) * int(b) // int(cq)
+                     for a, b, cq in zip(s1, q0, q1)))
+        return pd.DataFrame({"n": pd.array([len(common)], dtype="int64"),
+                             "v0": pd.array([int(s0.sum())], dtype="int64"),
+                             "v1": pd.array([v1], dtype="int64")})
+
+    parts = (_add_pkey(g, "partkey", 32)
+             .groupby("_pkey")
+             .map_groups(lambda x: pivot(x.drop(columns=["_pkey"])),
+                         batch_format="pandas"))
+    tot = parts.aggregate(Sum("n", alias_name="n"),
+                          Sum("v0", alias_name="v0"),
+                          Sum("v1", alias_name="v1"))
+    n, v0, v1 = int(tot["n"]), int(tot["v0"]), int(tot["v1"])
+    if v0 == 0:
+        raise ValueError("laspeyres_index: empty base period")
+    out = pd.DataFrame([{
+        "n_parts": n, "base_value_cents": v0,
+        "repriced_value_cents": v1,
+        "laspeyres_ppm": 1_000_000 * v1 // v0}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9085,6 +9267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_leaderboard": _q_decayed_leaderboard,
         "degree_assortativity": _q_degree_assortativity,
         "ndcg_eval": _q_ndcg_eval,
+        "seasonal_anomaly": _q_seasonal_anomaly,
+        "did_estimator": _q_did_estimator,
+        "laspeyres_index": _q_laspeyres_index,
     }
 
 
@@ -12843,6 +13028,78 @@ def oracle_sql() -> dict[str, str]:
             "CAST((cd.conc - cd.disc) * 1000000 "
             "// (nz.n * (nz.n - 1) // 2) AS BIGINT) AS tau_a_ppm "
             "FROM nz, cd, tx, ty"
+        ),
+        # hod-conditioned 3σ: same cross-multiplied inequality as
+        # events_anomaly, peer group = same hour-of-day on the grid
+        "seasonal_anomaly": (
+            "WITH " + _SQL_DENSE_GRID + ", "
+            "hd AS (SELECT event_type, hr, c, "
+            "extract(hour FROM hr) AS hod FROM dd), "
+            "st AS (SELECT event_type, hod, count(*) AS m, "
+            "SUM(c) AS s, SUM(CAST(c AS HUGEINT) * c) AS q "
+            "FROM hd GROUP BY 1, 2) "
+            "SELECT hd.event_type, hd.hr, CAST(hd.c AS BIGINT) AS c "
+            "FROM hd JOIN st ON hd.event_type = st.event_type "
+            "AND hd.hod = st.hod "
+            "WHERE (st.m * CAST(hd.c AS HUGEINT) - st.s) "
+            "* (st.m * CAST(hd.c AS HUGEINT) - st.s) "
+            "> 9 * (st.m * st.q - CAST(st.s AS HUGEINT) * st.s)"
+        ),
+        # trunc milli-cent cell means (one floor per cell); Knuth-hash
+        # treatment coin, integer-midpoint period split
+        "did_estimator": (
+            "WITH p AS (SELECT "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS treat, "
+            "epoch_us(ts) AS t, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events "
+            "WHERE event_type = 'purchase'), "
+            "md AS (SELECT (min(t) + max(t)) // 2 AS mid FROM p), "
+            "g AS (SELECT treat, t >= md.mid AS post, SUM(c) AS s, "
+            "count(*) AS n FROM p, md GROUP BY 1, 2), "
+            "m AS (SELECT treat, post, n, 1000 * s // n AS mm FROM g) "
+            "SELECT "
+            "CAST(max(CASE WHEN NOT treat AND NOT post THEN n END) "
+            "AS BIGINT) AS n_ctrl_pre, "
+            "CAST(max(CASE WHEN NOT treat AND post THEN n END) "
+            "AS BIGINT) AS n_ctrl_post, "
+            "CAST(max(CASE WHEN treat AND NOT post THEN n END) "
+            "AS BIGINT) AS n_treat_pre, "
+            "CAST(max(CASE WHEN treat AND post THEN n END) "
+            "AS BIGINT) AS n_treat_post, "
+            "CAST(max(CASE WHEN NOT treat AND NOT post THEN mm END) "
+            "AS BIGINT) AS m_ctrl_pre_mc, "
+            "CAST(max(CASE WHEN NOT treat AND post THEN mm END) "
+            "AS BIGINT) AS m_ctrl_post_mc, "
+            "CAST(max(CASE WHEN treat AND NOT post THEN mm END) "
+            "AS BIGINT) AS m_treat_pre_mc, "
+            "CAST(max(CASE WHEN treat AND post THEN mm END) "
+            "AS BIGINT) AS m_treat_post_mc, "
+            "CAST((max(CASE WHEN treat AND post THEN mm END) "
+            "- max(CASE WHEN treat AND NOT post THEN mm END)) "
+            "- (max(CASE WHEN NOT treat AND post THEN mm END) "
+            "- max(CASE WHEN NOT treat AND NOT post THEN mm END)) "
+            "AS BIGINT) AS did_mc FROM m"
+        ),
+        # base value is exact (p̄₀·q₀ = Σprice); repriced value floors
+        # once per part — identical HUGEINT floor in the mirror
+        "laspeyres_index": (
+            "WITH d AS (SELECT l_partkey, "
+            "epoch_us(l_shipdate) // 86400000000 AS dd, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc "
+            "FROM lineitem), "
+            "md AS (SELECT (min(dd) + max(dd)) // 2 AS mid FROM d), "
+            "g AS (SELECT l_partkey, dd >= md.mid AS post, "
+            "SUM(q) AS q, SUM(pc) AS s FROM d, md GROUP BY 1, 2), "
+            "b AS (SELECT g0.l_partkey, g0.s AS s0, "
+            "CAST(g1.s AS HUGEINT) * g0.q // g1.q AS v1 "
+            "FROM g g0 JOIN g g1 ON g0.l_partkey = g1.l_partkey "
+            "AND NOT g0.post AND g1.post) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(s0) AS BIGINT) AS base_value_cents, "
+            "CAST(SUM(v1) AS BIGINT) AS repriced_value_cents, "
+            "CAST(1000000 * SUM(v1) // SUM(s0) AS BIGINT) "
+            "AS laspeyres_ppm FROM b"
         ),
         # harmonic discount 10⁶ // (1+rank); ideal fold closed-form
         "ndcg_eval": (

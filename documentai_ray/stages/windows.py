@@ -2018,3 +2018,67 @@ def decayed_sum_topk(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     top["rank"] = np.arange(1, len(top) + 1, dtype="int64")
     top["score_ppm"] = top["score_ppm"].astype("int64")
     return top[["rank", key_col, "score_ppm"]]
+
+
+def seasonal_anomaly_int(ds, *, key_col: str = "event_type",
+                         ts_col: str = "ts", max_obs: int = 8784):
+    """Hour-of-day-conditioned spike detection, exact integers — the
+    SEASONAL complement to ``flag_count_anomalies``' global 3σ rule:
+    a 3 a.m. burst can sit well inside the global band (nights are
+    quiet, the global mean is dragged up by daytime) while being ten
+    sigma against other 3 a.m. hours; conversely a big-but-normal noon
+    count trips a global detector.  Each hour competes only with its
+    OWN hour-of-day peer group.
+
+    Per (key, hod) peer group over the dense grid (m_h hours, sum S_h,
+    sum-of-squares Q_h), the |x − μ_h| > 3σ_h test cross-multiplies to
+    the integer inequality (m_h·x − S_h)² > 9·(m_h·Q_h − S_h²) — the
+    flag_count_anomalies discipline, conditioned.  Peer groups of one
+    (0 = 0) never flag in both engines.  Emits ONLY the anomalous
+    hours (key, hr, c) — the bounded alert set, not the grid.
+
+    Same single bounded (hour, key) exchange (``_dense_hourly_matrix``);
+    the per-hod folds are vectorized over the K × H matrix
+    driver-side."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    # hod of grid position t: grid origin hod folds from the data via
+    # the first hour's timestamp — recover it from a tiny re-aggregate
+    # is wasteful; instead _dense_hourly_matrix's contract pins grid
+    # slot 0 at floor_hour(min ts), so recompute its hod from one
+    # bounded pass
+    from ray.data.aggregate import Min
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        t = pc.floor_temporal(batch.column(ts_col), unit="hour")
+        return pa.table({"_h": t.cast(pa.timestamp("us")).cast(pa.int64())})
+
+    h0 = int(ds.map_batches(to_hour, batch_format="pyarrow").min("_h"))
+    hod0 = (h0 // 3_600_000_000) % 24
+    hods = (hod0 + np.arange(h)) % 24
+    out_k, out_hr, out_c = [], [], []
+    for i, key in enumerate(keys):
+        x = mat[i].astype(object)
+        for hd in range(24):
+            m = hods == hd
+            mh = int(m.sum())
+            if mh == 0:
+                continue
+            xs = x[m]
+            s = int(xs.sum())
+            q = int(sum(int(v) * int(v) for v in xs))
+            var_t = mh * q - s * s
+            lhs = (mh * xs - s)
+            flag = np.array([int(v) * int(v) > 9 * var_t for v in lhs])
+            idx = np.nonzero(m)[0][flag]
+            for t in idx:
+                out_k.append(key)
+                out_hr.append(h0 + int(t) * 3_600_000_000)
+                out_c.append(int(mat[i][t]))
+    out = pd.DataFrame({key_col: out_k,
+                        "hr": pd.to_datetime(np.array(out_hr,
+                                                      dtype="int64"),
+                                             unit="us"),
+                        "c": pd.array(out_c, dtype="int64")})
+    return out.sort_values([key_col, "hr"],
+                           kind="mergesort").reset_index(drop=True)
