@@ -8977,6 +8977,153 @@ def _q_laspeyres_index(sf_dir: str):
     return out
 
 
+def _q_ab_conversion(sf_dir: str):
+    """2×2 A/B experiment readout with an EXACT significance flag —
+    the hypothesis-test step did_estimator's point estimate and
+    chi2_independence's grid audit both stop short of: arms from the
+    Knuth-hash coin, conversion = user has a high-value purchase
+    (≥ 150 — funnel_conversion's cutoff, keeping the rate off the
+    boundary), and the χ² test cross-multiplied so NO float ever
+    decides: significant ⟺ 10⁶·N·(ad−bc)² > 3841459·n₁·n₀·(a+c)·(b+d)
+    (χ²₍₀.₀₅,1₎ = 3.841459 as the exact rational contract constant;
+    chi2_milli reported with one floor).  Per-user conversion folds
+    through ONE user exchange; cells are a 4-row aggregate.
+    Mirror: identical HUGEINT inequality."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Max("conv", alias_name="conv"))).to_pandas()
+    ids = per_user["user_id"].to_numpy()
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    treat = h < np.uint64(1 << 31)
+    conv = per_user["conv"].to_numpy() > 0
+    a = int((treat & conv).sum())        # converted treated
+    b = int((treat & ~conv).sum())
+    c = int((~treat & conv).sum())
+    d = int((~treat & ~conv).sum())
+    n1, n0 = a + b, c + d
+    det = a * d - b * c
+    den = n1 * n0 * (a + c) * (b + d)
+    chi2_milli = 1000 * (n1 + n0) * det * det // den if den else 0
+    sig = (1_000_000 * (n1 + n0) * det * det > 3_841_459 * den
+           if den else False)
+    out = pd.DataFrame([{
+        "n_treat": n1, "n_ctrl": n0, "conv_treat": a, "conv_ctrl": c,
+        "rate_treat_ppm": 1_000_000 * a // n1,
+        "rate_ctrl_ppm": 1_000_000 * c // n0,
+        "uplift_ppm": 1_000_000 * a // n1 - 1_000_000 * c // n0,
+        "chi2_milli": chi2_milli, "significant": sig}])
+    for col in out.columns[:-1]:
+        out[col] = out[col].astype("int64")
+    out["significant"] = out["significant"].astype(bool)
+    return out
+
+
+def _q_assoc_rules(sf_dir: str):
+    """Directional association rules from the co-purchase relation —
+    the RULE step copurchase_pairs' symmetric support stops short of:
+    support says dup-bought-together; only confidence says WHICH WAY
+    to recommend (conf(a→b) = P(b|a) differs from conf(b→a) exactly
+    when the items' popularities differ), and lift vs the consequent's
+    base rate separates genuine affinity from 'b is just popular'.
+    conf_ppm = 10⁶·supp(ab) // supp(a); lift_ppm = 10⁶·supp(ab)·B //
+    (supp(a)·supp(b)) with B = distinct baskets — each ONE floor.
+    Pair supports ride ``cooccurrence_pairs``' bounded plan; item
+    supports are one item-bounded exchange stitched to BOTH rule
+    directions by two partitioned hash_joins (never an item-table
+    broadcast).  Mirror: distinct-pair self-join + the same floors."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from documentai_ray.stages.graph import cooccurrence_pairs
+    from documentai_ray.stages.joins import hash_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    # the distinct (basket, item) relation feeds pair supports, item
+    # supports AND the basket count — materialize it ONCE (bounded
+    # projection, never payloads) instead of re-running the scan+
+    # distinct lineage three times
+    dist = (ds.map_batches(dedup, batch_format="pyarrow")
+            .groupby(["l_orderkey", "l_partkey"])
+            .aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])).materialize()
+    pairs = cooccurrence_pairs(dist, basket_col="l_orderkey",
+                               item_col="l_partkey", min_support=2,
+                               num_partitions=32)
+    supp = (dist.groupby("l_partkey")
+            .aggregate(Count(alias_name="supp")))
+    n_baskets = (dist.groupby("l_orderkey")
+                 .aggregate(Count(alias_name="_n"))).count()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        a = batch.column("item_a").to_numpy()
+        b = batch.column("item_b").to_numpy()
+        n = batch.column("n").to_numpy()
+        return pa.table({
+            "antecedent": pa.array(np.concatenate([a, b]), pa.int64()),
+            "consequent": pa.array(np.concatenate([b, a]), pa.int64()),
+            "supp_ab": pa.array(np.concatenate([n, n]).astype("int64"),
+                                pa.int64())})
+
+    rules = pairs.map_batches(both_dirs, batch_format="pyarrow")
+
+    def s_ante(batch: pa.Table) -> pa.Table:
+        return pa.table({"antecedent": batch.column("l_partkey"),
+                         "supp_a": batch.column("supp").cast(pa.int64())})
+
+    def s_cons(batch: pa.Table) -> pa.Table:
+        return pa.table({"consequent": batch.column("l_partkey"),
+                         "supp_b": batch.column("supp").cast(pa.int64())})
+
+    j = hash_join(rules, supp.map_batches(s_ante, batch_format="pyarrow"),
+                  on="antecedent")
+    j = hash_join(j, supp.map_batches(s_cons, batch_format="pyarrow"),
+                  on="consequent")
+
+    def score(batch: pa.Table) -> pa.Table:
+        sab = batch.column("supp_ab").to_numpy()
+        sa = batch.column("supp_a").to_numpy()
+        sb = batch.column("supp_b").to_numpy()
+        conf = 1_000_000 * sab // sa
+        lift = 1_000_000 * sab * n_baskets // (sa * sb)
+        return pa.table({
+            "antecedent": batch.column("antecedent"),
+            "consequent": batch.column("consequent"),
+            "supp_ab": batch.column("supp_ab"),
+            "supp_a": batch.column("supp_a"),
+            "conf_ppm": pa.array(conf.astype("int64"), pa.int64()),
+            "lift_ppm": pa.array(lift.astype("int64"), pa.int64())})
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9270,6 +9417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_anomaly": _q_seasonal_anomaly,
         "did_estimator": _q_did_estimator,
         "laspeyres_index": _q_laspeyres_index,
+        "ab_conversion": _q_ab_conversion,
+        "assoc_rules": _q_assoc_rules,
     }
 
 
@@ -13079,6 +13228,64 @@ def oracle_sql() -> dict[str, str]:
             "- (max(CASE WHEN NOT treat AND post THEN mm END) "
             "- max(CASE WHEN NOT treat AND NOT post THEN mm END)) "
             "AS BIGINT) AS did_mc FROM m"
+        ),
+        # cross-multiplied χ² significance: no float ever decides;
+        # χ²₍₀.₀₅,1₎ = 3.841459 as the exact rational constant
+        "ab_conversion": (
+            "WITH u AS (SELECT user_id, max(CASE WHEN event_type = "
+            "'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT (user_id * 2654435761) % 4294967296 "
+            "< 2147483648 AS treat, conv FROM u), "
+            "cells AS (SELECT "
+            "count(*) FILTER (WHERE treat AND conv = 1) AS a, "
+            "count(*) FILTER (WHERE treat AND conv = 0) AS b, "
+            "count(*) FILTER (WHERE NOT treat AND conv = 1) AS c, "
+            "count(*) FILTER (WHERE NOT treat AND conv = 0) AS d "
+            "FROM t), "
+            "x AS (SELECT a, b, c, d, a + b AS n1, c + d AS n0, "
+            "CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS det, "
+            "CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) "
+            "AS den FROM cells) "
+            "SELECT CAST(n1 AS BIGINT) AS n_treat, "
+            "CAST(n0 AS BIGINT) AS n_ctrl, "
+            "CAST(a AS BIGINT) AS conv_treat, "
+            "CAST(c AS BIGINT) AS conv_ctrl, "
+            "CAST(1000000 * a // n1 AS BIGINT) AS rate_treat_ppm, "
+            "CAST(1000000 * c // n0 AS BIGINT) AS rate_ctrl_ppm, "
+            "CAST(1000000 * a // n1 - 1000000 * c // n0 AS BIGINT) "
+            "AS uplift_ppm, "
+            "CAST(CASE WHEN den = 0 THEN 0 ELSE "
+            "1000 * (n1 + n0) * det * det // den END AS BIGINT) "
+            "AS chi2_milli, "
+            "CASE WHEN den = 0 THEN FALSE ELSE "
+            "1000000 * (n1 + n0) * det * det > 3841459 * den END "
+            "AS significant FROM x"
+        ),
+        # directional rules: conf(a→b) ≠ conf(b→a) exactly when
+        # popularities differ; lift vs the consequent's base rate
+        "assoc_rules": (
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "p AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, "
+            "count(*) AS n FROM d a JOIN d b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
+            "s AS (SELECT l_partkey, count(*) AS supp FROM d "
+            "GROUP BY 1), "
+            "bb AS (SELECT count(DISTINCT l_orderkey) AS nb FROM d), "
+            "r AS (SELECT item_a AS antecedent, item_b AS consequent, "
+            "n FROM p UNION ALL SELECT item_b, item_a, n FROM p) "
+            "SELECT r.antecedent, r.consequent, "
+            "CAST(r.n AS BIGINT) AS supp_ab, "
+            "CAST(sa.supp AS BIGINT) AS supp_a, "
+            "CAST(1000000 * r.n // sa.supp AS BIGINT) AS conf_ppm, "
+            "CAST(1000000 * CAST(r.n AS HUGEINT) * bb.nb "
+            "// (CAST(sa.supp AS HUGEINT) * sb.supp) AS BIGINT) "
+            "AS lift_ppm "
+            "FROM r JOIN s sa ON sa.l_partkey = r.antecedent "
+            "JOIN s sb ON sb.l_partkey = r.consequent, bb"
         ),
         # base value is exact (p̄₀·q₀ = Σprice); repriced value floors
         # once per part — identical HUGEINT floor in the mirror
