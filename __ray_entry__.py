@@ -9124,6 +9124,203 @@ def _q_assoc_rules(sf_dir: str):
     return j.map_batches(score, batch_format="pyarrow")
 
 
+def _q_logrank_test(sf_dir: str):
+    """Log-rank test between Knuth-coin survival arms
+    (``windows.logrank_test_int``) — the A/B of survival:
+    ab_conversion compares end-state rates and km_survival draws one
+    pooled curve, but "does the treatment arm die SLOWER" needs the
+    whole time axis under censoring (two arms with identical death
+    totals differ if one front-loads its deaths — invisible to a rate
+    test).  Per-day trunc-ppm hypergeometric terms (one floor per day;
+    clearing across days needs Πn_d), O₁ exact, cross-multiplied χ²
+    significance.  A PLAIN SUM over days — no generated CTEs needed.
+    One user exchange + a ≤ 4·horizon histogram."""
+    import ray.data
+
+    from documentai_ray.stages.windows import logrank_test_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return logrank_test_int(ev, horizon_days=30, censor_gap_hours=6)
+
+
+def _q_uplift_deciles(sf_dir: str):
+    """Heterogeneous-treatment readout: conversion uplift per ACTIVITY
+    decile — ab_conversion's single number hides who responds (heavy
+    users may convert regardless; the uplift lives in the middle
+    deciles), which is the question targeting budgets hang on.  Users
+    rank by (event count desc, user_id) through
+    ``aggregates.global_row_index`` (the rfm_segments discipline:
+    row_number is tie-deterministic where ntile isn't; the count
+    domain is bounded so the rank never global-sorts), decile =
+    1 + 10·rank // n; per decile the Knuth arms' conversion rates and
+    uplift in exact ppm.  One user exchange + one bounded-histogram
+    rank pass + a 10×4 fold.  Mirror: row_number + identical floors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+    n_users = per_user.count()
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_n", pa.array((-batch.column("n_ev").to_numpy())
+                              .astype("int64"), pa.int64()))
+
+    ranked = global_row_index(
+        per_user.map_batches(neg, batch_format="pyarrow"),
+        val_col="neg_n", tiebreak_col="user_id", out_col="_ri")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        treat = h < np.uint64(1 << 31)
+        dec = 1 + 10 * batch.column("_ri").to_numpy() // n_users
+        conv = batch.column("conv").to_numpy() > 0
+        df = pd.DataFrame({"decile": dec.astype("int64"),
+                           "t": treat, "c": conv})
+        g = df.groupby(["decile", "t"], as_index=False).agg(
+            n=("c", "size"), conv=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    g = (ranked.map_batches(cells, batch_format="pyarrow")
+         .groupby(["decile", "t"])
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("conv", alias_name="conv"))).to_pandas()
+    recs = []
+    for d in sorted(g["decile"].unique()):
+        gt = g[(g["decile"] == d) & g["t"]]
+        gc = g[(g["decile"] == d) & ~g["t"]]
+        nt = int(gt["n"].sum())
+        nc = int(gc["n"].sum())
+        ct = int(gt["conv"].sum())
+        cc = int(gc["conv"].sum())
+        rt = 1_000_000 * ct // nt if nt else 0
+        rc = 1_000_000 * cc // nc if nc else 0
+        recs.append((int(d), nt, ct, nc, cc, rt, rc, rt - rc))
+    out = pd.DataFrame(recs, columns=[
+        "decile", "n_treat", "conv_treat", "n_ctrl", "conv_ctrl",
+        "rate_treat_ppm", "rate_ctrl_ppm", "uplift_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_paasche_index(sf_dir: str):
+    """Paasche price index — Laspeyres' mirror twin (CURRENT basket at
+    base prices in the denominator): Laspeyres asks what the OLD
+    basket costs now and overstates inflation when buyers substitute
+    away from items whose price rose; Paasche reprices the NEW basket
+    and understates it — the gap between the two IS the substitution
+    effect, which is why index shops publish both.  Numerator Σs₁ is
+    EXACT (no division); denominator floors once per part
+    (s₀·q₁ // q₀ under HUGEINT).  Same bounded plan as
+    laspeyres_index.  Mirror: period self-join with the mirrored
+    floor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy() // day_us)
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        c = np.rint(batch.column("l_extendedprice").to_numpy()
+                    * 100).astype("int64")
+        return pa.table({"partkey": batch.column("l_partkey"),
+                         "dd": pa.array(d, pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "pc": pa.array(c, pa.int64())})
+
+    d = li.map_batches(prep, batch_format="pyarrow")
+    d_min, d_max = int(d.min("dd")), int(d.max("dd"))
+    mid = (d_min + d_max) // 2
+
+    def cell(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        return pa.table({
+            "partkey": batch.column("partkey"),
+            "post": pc_.greater_equal(batch.column("dd"),
+                                      pa.scalar(mid, pa.int64())),
+            "q": batch.column("q"), "pc": batch.column("pc")})
+
+    g = (d.map_batches(cell, batch_format="pyarrow")
+         .groupby(["partkey", "post"])
+         .aggregate(Sum("q", alias_name="q"),
+                    Sum("pc", alias_name="s")))
+
+    def pivot(gdf: pd.DataFrame) -> pd.DataFrame:
+        pre = gdf[~gdf["post"]].set_index("partkey")
+        post = gdf[gdf["post"]].set_index("partkey")
+        common = pre.index.intersection(post.index)
+        if len(common) == 0:
+            return pd.DataFrame({"n": pd.array([0], dtype="int64"),
+                                 "v1": pd.array([0], dtype="int64"),
+                                 "v0": pd.array([0], dtype="int64")})
+        q0 = pre.loc[common, "q"].astype(object)
+        s0 = pre.loc[common, "s"].astype(object)
+        q1 = post.loc[common, "q"].astype(object)
+        s1 = post.loc[common, "s"].astype(object)
+        v0 = int(sum(int(a) * int(b) // int(cq)
+                     for a, b, cq in zip(s0, q1, q0)))
+        return pd.DataFrame({"n": pd.array([len(common)], dtype="int64"),
+                             "v1": pd.array([int(s1.sum())],
+                                            dtype="int64"),
+                             "v0": pd.array([v0], dtype="int64")})
+
+    parts = (_add_pkey(g, "partkey", 32)
+             .groupby("_pkey")
+             .map_groups(lambda x: pivot(x.drop(columns=["_pkey"])),
+                         batch_format="pandas"))
+    tot = parts.aggregate(Sum("n", alias_name="n"),
+                          Sum("v0", alias_name="v0"),
+                          Sum("v1", alias_name="v1"))
+    n, v0, v1 = int(tot["n"]), int(tot["v0"]), int(tot["v1"])
+    if v0 == 0:
+        raise ValueError("paasche_index: empty repriced base")
+    out = pd.DataFrame([{
+        "n_parts": n, "current_value_cents": v1,
+        "repriced_base_cents": v0,
+        "paasche_ppm": 1_000_000 * v1 // v0}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9419,6 +9616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "laspeyres_index": _q_laspeyres_index,
         "ab_conversion": _q_ab_conversion,
         "assoc_rules": _q_assoc_rules,
+        "logrank_test": _q_logrank_test,
+        "uplift_deciles": _q_uplift_deciles,
+        "paasche_index": _q_paasche_index,
     }
 
 
@@ -13286,6 +13486,101 @@ def oracle_sql() -> dict[str, str]:
             "AS lift_ppm "
             "FROM r JOIN s sa ON sa.l_partkey = r.antecedent "
             "JOIN s sb ON sb.l_partkey = r.consequent, bb"
+        ),
+        # plain sum over days: per-day trunc-ppm hypergeometric terms,
+        # exact O₁, cross-multiplied χ² — no sequential fold
+        "logrank_test": (
+            "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, "
+            "max(epoch_us(ts)) AS l FROM events GROUP BY 1), "
+            "mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+            "lt AS (SELECT (l - f) // 86400000000 AS ld, "
+            "((mx.m - l) >= 21600000000 AND "
+            "(l - f) // 86400000000 < 30) AS obs, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr "
+            "FROM u, mx), "
+            "dd AS (SELECT unnest(generate_series(0, 29)) AS day), "
+            "g AS (SELECT dd.day, "
+            "count(*) FILTER (WHERE ld >= day AND tr) AS n1, "
+            "count(*) FILTER (WHERE ld >= day AND NOT tr) AS n0, "
+            "count(*) FILTER (WHERE ld = day AND obs AND tr) AS d1, "
+            "count(*) FILTER (WHERE ld = day AND obs AND NOT tr) AS d0 "
+            "FROM dd, lt GROUP BY 1), "
+            "agg AS (SELECT SUM(d1) AS o1, "
+            "SUM(CASE WHEN n1 + n0 > 0 THEN "
+            "1000000 * n1 * (d1 + d0) // (n1 + n0) ELSE 0 END) AS e1, "
+            "SUM(CASE WHEN n1 + n0 > 1 THEN "
+            "1000000 * CAST(n1 AS HUGEINT) * n0 * (d1 + d0) "
+            "* ((n1 + n0) - (d1 + d0)) "
+            "// (CAST(n1 + n0 AS HUGEINT) * (n1 + n0) * (n1 + n0 - 1)) "
+            "ELSE 0 END) AS v FROM g), "
+            "tot AS (SELECT count(*) FILTER (WHERE tr) AS nt, "
+            "count(*) FILTER (WHERE NOT tr) AS nc FROM lt) "
+            "SELECT CAST(nt AS BIGINT) AS n_treat, "
+            "CAST(nc AS BIGINT) AS n_ctrl, CAST(o1 AS BIGINT) AS o1, "
+            "CAST(e1 AS BIGINT) AS e1_ppm, CAST(v AS BIGINT) AS v_ppm, "
+            "CAST(CASE WHEN v > 0 THEN "
+            "(CAST(1000000 * o1 - e1 AS HUGEINT) * (1000000 * o1 - e1)) "
+            "// (1000 * v) ELSE 0 END AS BIGINT) AS logrank_milli, "
+            "CASE WHEN v > 0 THEN "
+            "(CAST(1000000 * o1 - e1 AS HUGEINT) * (1000000 * o1 - e1)) "
+            "> 3841459 * v ELSE FALSE END AS significant "
+            "FROM agg, tot"
+        ),
+        # activity deciles via the deterministic 1 + 10·row_number//n
+        # rule; per-decile Knuth-arm conversion rates
+        "uplift_deciles": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM u), "
+            "r AS (SELECT user_id, conv, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr, "
+            "row_number() OVER (ORDER BY n_ev DESC, user_id) - 1 "
+            "AS ri FROM u), "
+            "d AS (SELECT 1 + 10 * ri // nn.n AS decile, tr, conv "
+            "FROM r, nn), "
+            "g AS (SELECT decile, "
+            "count(*) FILTER (WHERE tr) AS nt, "
+            "SUM(conv) FILTER (WHERE tr) AS ct, "
+            "count(*) FILTER (WHERE NOT tr) AS nc, "
+            "SUM(conv) FILTER (WHERE NOT tr) AS cc "
+            "FROM d GROUP BY 1), "
+            "f AS (SELECT decile, coalesce(nt, 0) AS nt, "
+            "coalesce(ct, 0) AS ct, coalesce(nc, 0) AS nc, "
+            "coalesce(cc, 0) AS cc FROM g) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(nt AS BIGINT) AS n_treat, "
+            "CAST(ct AS BIGINT) AS conv_treat, "
+            "CAST(nc AS BIGINT) AS n_ctrl, "
+            "CAST(cc AS BIGINT) AS conv_ctrl, "
+            "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
+            "AS BIGINT) AS rate_treat_ppm, "
+            "CAST(CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
+            "AS BIGINT) AS rate_ctrl_ppm, "
+            "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
+            "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
+            "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # Paasche: numerator Σs₁ exact; denominator floors the
+        # MIRRORED way (s₀·q₁ // q₀)
+        "paasche_index": (
+            "WITH d AS (SELECT l_partkey, "
+            "epoch_us(l_shipdate) // 86400000000 AS dd, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc "
+            "FROM lineitem), "
+            "md AS (SELECT (min(dd) + max(dd)) // 2 AS mid FROM d), "
+            "g AS (SELECT l_partkey, dd >= md.mid AS post, "
+            "SUM(q) AS q, SUM(pc) AS s FROM d, md GROUP BY 1, 2), "
+            "b AS (SELECT g0.l_partkey, g1.s AS s1, "
+            "CAST(g0.s AS HUGEINT) * g1.q // g0.q AS v0 "
+            "FROM g g0 JOIN g g1 ON g0.l_partkey = g1.l_partkey "
+            "AND NOT g0.post AND g1.post) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(s1) AS BIGINT) AS current_value_cents, "
+            "CAST(SUM(v0) AS BIGINT) AS repriced_base_cents, "
+            "CAST(1000000 * SUM(CAST(s1 AS HUGEINT)) // SUM(v0) "
+            "AS BIGINT) AS paasche_ppm FROM b"
         ),
         # base value is exact (p̄₀·q₀ = Σprice); repriced value floors
         # once per part — identical HUGEINT floor in the mirror

@@ -2082,3 +2082,102 @@ def seasonal_anomaly_int(ds, *, key_col: str = "event_type",
                         "c": pd.array(out_c, dtype="int64")})
     return out.sort_values([key_col, "hr"],
                            kind="mergesort").reset_index(drop=True)
+
+
+def logrank_test_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     horizon_days: int = 30, censor_gap_hours: int = 6,
+                     hash_mult: int = 2654435761):
+    """Log-rank test between two survival arms, exact integers — the
+    A/B of survival: ab_conversion compares END-STATE rates and
+    km_survival draws one pooled curve, but "does the treatment arm
+    die SLOWER" needs the whole time axis compared under censoring —
+    two arms with identical 30-day death totals differ if one front-
+    loads its deaths, which a rate test cannot see and the log-rank
+    statistic exists to catch.
+
+    Same subject contract as ``km_survival_int`` (lifetime in whole
+    days, death observed iff quiet ≥ ``censor_gap_hours`` before the
+    corpus max); arms from the Knuth-hash coin on the key (the
+    split_assign convention).  Per day d with n₁/n₀ at risk and d_d
+    pooled deaths, the hypergeometric terms are per-day TRUNC-ppm (one
+    floor per day — the fractions have different denominators n_d, so
+    a common clearing would need Πn_d):
+      E₁ += 10⁶·n₁·d_d // n_d
+      V  += 10⁶·n₁·n₀·d_d·(n_d − d_d) // (n_d²·(n_d − 1)),  n_d > 1
+    O₁ = Σd₁ exactly.  statistic_milli = (10⁶·O₁ − E₁)² // (1000·V);
+    significant ⟺ (10⁶·O₁ − E₁)² > 3841459·V (χ²₍₀.₀₅,1₎ as the exact
+    rational constant, the ab_conversion discipline).  Unlike the KM
+    curve this is a PLAIN SUM over days — no sequential fold, so the
+    mirror needs no generated CTEs.
+
+    ONE key exchange for per-user (min, max), a ≤ 2·2·horizon
+    histogram, driver fold."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Max, Min, Sum
+
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: batch.column(key_col), "t_us": t})
+
+    t = ds.map_batches(prep, batch_format="pyarrow")
+    t_max = int(t.max("t_us"))
+    per_user = (t.groupby(key_col)
+                .aggregate(Min("t_us", alias_name="f"),
+                           Max("t_us", alias_name="l")))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy()
+        l = batch.column("l").to_numpy()
+        ids = batch.column(key_col).to_numpy()
+        ld = np.minimum((l - f) // day_us, horizon_days)
+        obs = ((t_max - l) >= censor_gap_hours * 3_600_000_000) \
+            & (ld < horizon_days)
+        h = (ids.astype(np.uint64) * np.uint64(hash_mult)) \
+            % np.uint64(1 << 32)
+        treat = h < np.uint64(1 << 31)
+        df = pd.DataFrame({"_ld": ld, "_obs": obs, "_tr": treat})
+        g = df.groupby(["_ld", "_obs", "_tr"], as_index=False).size()
+        return pa.table({"_ld": pa.array(g["_ld"], pa.int64()),
+                         "_obs": pa.array(g["_obs"], pa.bool_()),
+                         "_tr": pa.array(g["_tr"], pa.bool_()),
+                         "_n": pa.array(g["size"], pa.int64())})
+
+    h = (per_user.map_batches(hist, batch_format="pyarrow")
+         .groupby(["_ld", "_obs", "_tr"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+    if h.empty:
+        raise ValueError("logrank_test_int: no users")
+    lifet = h["_ld"].to_numpy()
+    obs = h["_obs"].to_numpy()
+    tr = h["_tr"].to_numpy()
+    cnt = h["n"].to_numpy()
+    o1 = 0
+    e1_ppm = 0
+    v_ppm = 0
+    for d in range(horizon_days):
+        n1 = int(cnt[(lifet >= d) & tr].sum())
+        n0 = int(cnt[(lifet >= d) & ~tr].sum())
+        d1 = int(cnt[(lifet == d) & obs & tr].sum())
+        d0 = int(cnt[(lifet == d) & obs & ~tr].sum())
+        nd, dd = n1 + n0, d1 + d0
+        o1 += d1
+        if nd > 0:
+            e1_ppm += 1_000_000 * n1 * dd // nd
+        if nd > 1:
+            v_ppm += (1_000_000 * n1 * n0 * dd * (nd - dd)
+                      // (nd * nd * (nd - 1)))
+    num = (1_000_000 * o1 - e1_ppm) ** 2
+    stat_milli = num // (1000 * v_ppm) if v_ppm else 0
+    sig = num > 3_841_459 * v_ppm if v_ppm else False
+    n_t = int(cnt[tr].sum())
+    n_c = int(cnt[~tr].sum())
+    out = pd.DataFrame([{
+        "n_treat": n_t, "n_ctrl": n_c, "o1": o1, "e1_ppm": e1_ppm,
+        "v_ppm": v_ppm, "logrank_milli": stat_milli,
+        "significant": bool(sig)}])
+    for c in out.columns[:-1]:
+        out[c] = out[c].astype("int64")
+    out["significant"] = out["significant"].astype(bool)
+    return out
