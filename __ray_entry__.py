@@ -9321,6 +9321,98 @@ def _q_paasche_index(sf_dir: str):
     return out
 
 
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_orderstatus"),      # key → anything: holds
+    ("o_custkey", "o_orderstatus"),       # fails where a customer mixes
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _q_fd_mine(sf_dir: str):
+    """Functional-dependency DISCOVERY over a candidate list — the
+    mining side of fd_error's single-FD check (profiling asks "which
+    dependencies hold?" before anyone can assert one): for each
+    candidate A→B, violations = |distinct(A,B)| − |distinct(A)| (zero
+    ⟺ every A value maps to one B), with the key column as the planted
+    true positive.  ONE pass emits per-batch distinct (pair, a, b)
+    projections; two bounded exchanges (distinct pairs, then per-pair
+    lhs counts); the per-pair fold is a ≤|candidates| driver frame.
+    Mirror: generated UNION of distinct-count subqueries."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cols = sorted({c for p in _FD_CANDIDATES for c in p})
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for i, (a, b) in enumerate(_FD_CANDIDATES):
+            d = df[[a, b]].drop_duplicates()
+            outs.append(pd.DataFrame({
+                "_pair": i,
+                "_a": d[a].astype(str), "_b": d[b].astype(str)}))
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    per_lhs = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby(["_pair", "_a", "_b"])
+               .aggregate(Count(alias_name="_c"))
+               .groupby(["_pair", "_a"])
+               .aggregate(Count(alias_name="n_b")))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("_pair").agg(
+            n_lhs=("_a", "size"), n_pairs=("n_b", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    tot = (per_lhs.map_batches(fold, batch_format="pyarrow")
+           .groupby("_pair")
+           .aggregate(Sum("n_lhs", alias_name="n_lhs"),
+                      Sum("n_pairs", alias_name="n_pairs"))).to_pandas()
+    tot = tot.sort_values("_pair")
+    recs = []
+    for _p, nl, np_ in zip(tot["_pair"], tot["n_lhs"], tot["n_pairs"]):
+        a, b = _FD_CANDIDATES[int(_p)]
+        recs.append((a, b, int(nl), int(np_), int(np_ - nl),
+                     bool(np_ == nl)))
+    out = pd.DataFrame(recs, columns=["lhs", "rhs", "n_lhs", "n_pairs",
+                                      "violations", "holds"])
+    for c in ("n_lhs", "n_pairs", "violations"):
+        out[c] = out[c].astype("int64")
+    out["holds"] = out["holds"].astype(bool)
+    return out
+
+
+def _q_bounce_rate(sf_dir: str):
+    """Bounce rate by landing event type
+    (``windows.bounce_rate_int``) — the landing-quality readout
+    events_sessions' per-user counts can't give: a session opening
+    with an error bounces for a different reason than one opening with
+    a view, and fixing the wrong one wastes the sprint.  Standard
+    bucketed sessionize (30-min strict gap, event_id tiebreak making
+    "first of session" well-defined under simultaneous events), per-
+    partition (landing, n, bounced) partials, |types|-bounded final
+    exchange.  Mirror: lag-window session ids + first_value."""
+    import ray.data
+
+    from documentai_ray.stages.windows import bounce_rate_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return bounce_rate_int(ev, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9619,6 +9711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logrank_test": _q_logrank_test,
         "uplift_deciles": _q_uplift_deciles,
         "paasche_index": _q_paasche_index,
+        "fd_mine": _q_fd_mine,
+        "bounce_rate": _q_bounce_rate,
     }
 
 
@@ -13486,6 +13580,44 @@ def oracle_sql() -> dict[str, str]:
             "AS lift_ppm "
             "FROM r JOIN s sa ON sa.l_partkey = r.antecedent "
             "JOIN s sb ON sb.l_partkey = r.consequent, bb"
+        ),
+        # generated UNION of distinct-count probes; violations =
+        # |distinct(A,B)| − |distinct(A)|
+        "fd_mine": " UNION ALL ".join(
+            f"SELECT '{a}' AS lhs, '{b}' AS rhs, "
+            f"CAST((SELECT count(*) FROM (SELECT DISTINCT {a} "
+            f"FROM orders)) AS BIGINT) AS n_lhs, "
+            f"CAST((SELECT count(*) FROM (SELECT DISTINCT {a}, {b} "
+            f"FROM orders)) AS BIGINT) AS n_pairs, "
+            f"CAST((SELECT count(*) FROM (SELECT DISTINCT {a}, {b} "
+            f"FROM orders)) - (SELECT count(*) FROM (SELECT DISTINCT "
+            f"{a} FROM orders)) AS BIGINT) AS violations, "
+            f"(SELECT count(*) FROM (SELECT DISTINCT {a}, {b} "
+            f"FROM orders)) = (SELECT count(*) FROM (SELECT DISTINCT "
+            f"{a} FROM orders)) AS holds"
+            for a, b in _FD_CANDIDATES),
+        # lag-window session ids + deterministic first_value landing
+        "bounce_rate": (
+            "WITH o AS (SELECT user_id, ts, event_type, event_id, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS NULL OR ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS st FROM events), "
+            "s AS (SELECT user_id, event_type, ts, event_id, "
+            "SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "fv AS (SELECT user_id, sid, first_value(event_type) OVER "
+            "(PARTITION BY user_id, sid ORDER BY ts, event_id) AS ft "
+            "FROM s), "
+            "per AS (SELECT user_id, sid, any_value(ft) AS landing, "
+            "count(*) AS n FROM fv GROUP BY 1, 2), "
+            "g AS (SELECT landing AS landing_type, count(*) "
+            "AS n_sessions, count(*) FILTER (WHERE n = 1) AS n_bounced "
+            "FROM per GROUP BY 1) "
+            "SELECT landing_type, CAST(n_sessions AS BIGINT) "
+            "AS n_sessions, CAST(n_bounced AS BIGINT) AS n_bounced, "
+            "CAST(1000000 * n_bounced // n_sessions AS BIGINT) "
+            "AS bounce_ppm FROM g"
         ),
         # plain sum over days: per-day trunc-ppm hypergeometric terms,
         # exact O₁, cross-multiplied χ² — no sequential fold

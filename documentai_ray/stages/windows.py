@@ -2181,3 +2181,68 @@ def logrank_test_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         out[c] = out[c].astype("int64")
     out["significant"] = out["significant"].astype(bool)
     return out
+
+
+def bounce_rate_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    tiebreak_col: str = "event_id",
+                    gap_minutes: int = 30, num_partitions: int = 64):
+    """Bounce rate by LANDING event type: sessionize (the
+    ``session_windows`` gap rule — break when the gap to the previous
+    event strictly exceeds ``gap_minutes``), then group sessions by
+    their FIRST event's type and report how many ended after a single
+    event — the landing-page quality readout session counts alone
+    can't give (a session that opens with an error bounces for a
+    different reason than one that opens with a view, and fixing the
+    wrong one wastes the sprint).
+
+    Determinism: simultaneous events order by ``tiebreak_col``, so
+    "first of the session" is well-defined where (key, ts) alone
+    isn't.  bounce_ppm = 10⁶·n_bounced // n_sessions, exact.
+
+    Physical plan: the standard bucketed sessionize — ONE key-hash
+    exchange, one vectorized (sort + shift + cumsum) pass per
+    partition for ALL keys, per-partition (landing_type, n, bounced)
+    partials, then a tiny |types|-bounded exchange."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak_col],
+                          kind="mergesort")
+        new_key = g[key_col].ne(g[key_col].shift())
+        start = new_key | (g[ts_col].diff() > gap)
+        sess_id = start.cumsum()
+        sizes = sess_id.groupby(sess_id, sort=False).size()
+        landing = g.loc[start.to_numpy(), type_col].reset_index(drop=True)
+        per_sess = pd.DataFrame({
+            "landing_type": landing,
+            "_one": 1,
+            "_bounced": (sizes.to_numpy() == 1).astype("int64")})
+        out = per_sess.groupby("landing_type", as_index=False).agg(
+            n_sessions=("_one", "sum"), n_bounced=("_bounced", "sum"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_bounced"] = out["n_bounced"].astype("int64")
+        return out
+
+    agg = (_add_pkey(ds, key_col, num_partitions)
+           .groupby("_pkey")
+           .map_groups(lambda g: partial(g.drop(columns=["_pkey"])),
+                       batch_format="pandas")
+           .groupby("landing_type")
+           .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                      Sum("n_bounced", alias_name="n_bounced")))
+
+    def rate(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_sessions").to_numpy()
+        b = batch.column("n_bounced").to_numpy()
+        return pa.table({
+            "landing_type": batch.column("landing_type"),
+            "n_sessions": batch.column("n_sessions").cast(pa.int64()),
+            "n_bounced": batch.column("n_bounced").cast(pa.int64()),
+            "bounce_ppm": pa.array(1_000_000 * b // n, pa.int64())})
+
+    return agg.map_batches(rate, batch_format="pyarrow")
