@@ -9413,6 +9413,73 @@ def _q_bounce_rate(sf_dir: str):
     return bounce_rate_int(ev, gap_minutes=30)
 
 
+def _q_rank_overlap(sf_dir: str):
+    """Ranking-STABILITY audit: how much do the top-20 token lists of
+    two Knuth-split corpus halves agree — the reproducibility question
+    behind every 'top terms' dashboard (if two random halves disagree,
+    the list is noise, not signal), which per-item drift tests
+    (tvd/ks) can't answer because rank lists weight the TOP.  Depth-
+    weighted agreement is RBO with the persistence DYADIC (p = 1/2, the
+    decayed_leaderboard discipline): rbo_ppm = Σ_{d=1..20}
+    10⁶·overlap@d // (d·2^d), one floor per depth (identical lists
+    score 999980, not 10⁶ — the truncation residue, documented);
+    jaccard@20 rides along as the unweighted check.  Token counts per
+    half cross ONE vocab-bounded exchange; the 20-row lists rank
+    driver-side with the (count desc, token) tiebreak.  Mirror:
+    FILTER-split counts + row_number + a depth grid join."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column("doc_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        half = (h < np.uint64(1 << 31))
+        texts = batch.select(["text"]).to_pandas()["text"].fillna("")
+        toks = texts.str.split(" ")
+        lens = toks.str.len().astype("int64").to_numpy()
+        flat = np.fromiter((t for lst in toks for t in lst),
+                           dtype=object, count=int(lens.sum()))
+        hrep = np.repeat(half, lens)
+        df = pd.DataFrame({"token": flat, "_h": hrep})
+        g = df.groupby(["token", "_h"], as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "_n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    g = (ds.map_batches(counts, batch_format="pyarrow")
+         .groupby(["token", "_h"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+
+    def top20(half: bool) -> list[str]:
+        sub = g[g["_h"] == half].sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort")
+        return list(sub["token"].head(20))
+
+    a, b = top20(True), top20(False)
+    sa, sb = set(a), set(b)
+    rbo = 0
+    for d in range(1, 21):
+        ov = len(set(a[:d]) & set(b[:d]))
+        rbo += 1_000_000 * ov // (d * (1 << d))
+    out = pd.DataFrame([{
+        "k": 20,
+        "overlap_at_5": len(set(a[:5]) & set(b[:5])),
+        "overlap_at_20": len(sa & sb),
+        "jaccard20_ppm": 1_000_000 * len(sa & sb) // len(sa | sb),
+        "rbo_ppm": rbo}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9713,6 +9780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paasche_index": _q_paasche_index,
         "fd_mine": _q_fd_mine,
         "bounce_rate": _q_bounce_rate,
+        "rank_overlap": _q_rank_overlap,
     }
 
 
@@ -13580,6 +13648,40 @@ def oracle_sql() -> dict[str, str]:
             "AS lift_ppm "
             "FROM r JOIN s sa ON sa.l_partkey = r.antecedent "
             "JOIN s sb ON sb.l_partkey = r.consequent, bb"
+        ),
+        # dyadic RBO: one floor per depth; identical lists score
+        # 999980 (the truncation residue), never 10⁶
+        "rank_overlap": (
+            "WITH tok AS (SELECT (doc_id * 2654435761) % 4294967296 "
+            "< 2147483648 AS h, unnest(string_split(text, ' ')) "
+            "AS token FROM documents), "
+            "c AS (SELECT h, token, count(*) AS n FROM tok "
+            "GROUP BY 1, 2), "
+            "ra AS (SELECT token, row_number() OVER "
+            "(ORDER BY n DESC, token) AS r FROM c WHERE h), "
+            "rb AS (SELECT token, row_number() OVER "
+            "(ORDER BY n DESC, token) AS r FROM c WHERE NOT h), "
+            "ta AS (SELECT token, r FROM ra WHERE r <= 20), "
+            "tb AS (SELECT token, r FROM rb WHERE r <= 20), "
+            "j AS (SELECT ta.r AS raa, tb.r AS rbb FROM ta "
+            "JOIN tb USING (token)), "
+            "dd AS (SELECT unnest(generate_series(1, 20)) AS d), "
+            "ov AS (SELECT d, count(*) FILTER (WHERE raa <= d "
+            "AND rbb <= d) AS o FROM dd LEFT JOIN j ON TRUE "
+            "GROUP BY 1), "
+            "rbo AS (SELECT SUM(1000000 * o // (d * (1 << d))) AS rbo "
+            "FROM ov), "
+            "inter AS (SELECT count(*) AS i FROM j), "
+            "uni AS (SELECT count(DISTINCT token) AS u FROM "
+            "(SELECT token FROM ta UNION ALL SELECT token FROM tb)), "
+            "o5 AS (SELECT count(*) AS o FROM j "
+            "WHERE raa <= 5 AND rbb <= 5) "
+            "SELECT CAST(20 AS BIGINT) AS k, "
+            "CAST(o5.o AS BIGINT) AS overlap_at_5, "
+            "CAST(inter.i AS BIGINT) AS overlap_at_20, "
+            "CAST(1000000 * inter.i // uni.u AS BIGINT) "
+            "AS jaccard20_ppm, CAST(rbo.rbo AS BIGINT) AS rbo_ppm "
+            "FROM rbo, inter, uni, o5"
         ),
         # generated UNION of distinct-count probes; violations =
         # |distinct(A,B)| − |distinct(A)|
