@@ -9480,6 +9480,198 @@ def _q_rank_overlap(sf_dir: str):
     return out
 
 
+def _q_chain_index(sf_dir: str):
+    """Chained Laspeyres across shipdate quarters — how real CPIs
+    link: a fixed-base index drifts as the basket ages (laspeyres_index
+    measures exactly once across one midpoint), so statistical offices
+    re-base every period and MULTIPLY the links.  Quarter k vs k−1
+    links on parts traded in both (v₀ = Σs_{k−1} exact, v₁ floors once
+    per part — the laspeyres_index contract), then the chain is the
+    sequential trunc-ppm product c_k = c_{k−1}·link_k // 10⁶ (the
+    markov_kstep discipline).  One (part, quarter) exchange, bucketed
+    per-part pivot, per-partition (k, n, v₀, v₁) partials, 3-row
+    driver fold.  Mirror: VALUES-join links + 3 chained CTEs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice"])
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy() // day_us)
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        c = np.rint(batch.column("l_extendedprice").to_numpy()
+                    * 100).astype("int64")
+        return pa.table({"partkey": batch.column("l_partkey"),
+                         "dd": pa.array(d, pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "pc": pa.array(c, pa.int64())})
+
+    d = li.map_batches(prep, batch_format="pyarrow")
+    d_min, d_max = int(d.min("dd")), int(d.max("dd"))
+    span1 = d_max - d_min + 1
+
+    def cell(batch: pa.Table) -> pa.Table:
+        dd = batch.column("dd").to_numpy()
+        qk = (dd - d_min) * 4 // span1
+        return pa.table({"partkey": batch.column("partkey"),
+                         "qk": pa.array(qk.astype("int64"), pa.int64()),
+                         "q": batch.column("q"),
+                         "pc": batch.column("pc")})
+
+    g = (d.map_batches(cell, batch_format="pyarrow")
+         .groupby(["partkey", "qk"])
+         .aggregate(Sum("q", alias_name="q"),
+                    Sum("pc", alias_name="s")))
+
+    def links(gdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for k in (1, 2, 3):
+            pre = gdf[gdf["qk"] == k - 1].set_index("partkey")
+            post = gdf[gdf["qk"] == k].set_index("partkey")
+            common = pre.index.intersection(post.index)
+            v0 = int(pre.loc[common, "s"].astype(object).sum()) \
+                if len(common) else 0
+            v1 = int(sum(int(s1) * int(q0) // int(q1) for s1, q0, q1
+                         in zip(post.loc[common, "s"],
+                                pre.loc[common, "q"],
+                                post.loc[common, "q"]))) \
+                if len(common) else 0
+            recs.append((k, len(common), v0, v1))
+        out = pd.DataFrame(recs, columns=["k", "n", "v0", "v1"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    tot = (_add_pkey(g, "partkey", 32)
+           .groupby("_pkey")
+           .map_groups(lambda x: links(x.drop(columns=["_pkey"])),
+                       batch_format="pandas")
+           .groupby("k")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("v0", alias_name="v0"),
+                      Sum("v1", alias_name="v1"))).to_pandas()
+    tot = tot.sort_values("k")
+    recs = []
+    chain = 1_000_000
+    for k, n, v0, v1 in zip(tot["k"], tot["n"], tot["v0"], tot["v1"]):
+        if int(v0) == 0:
+            raise ValueError(f"chain_index: empty base for link {k}")
+        link = 1_000_000 * int(v1) // int(v0)
+        chain = chain * link // 1_000_000
+        recs.append((int(k), int(n), link, chain))
+    out = pd.DataFrame(recs, columns=["link", "n_parts", "link_ppm",
+                                      "chain_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of customer revenue by decile — the CURVE behind
+    gini_orders' single number (two populations can share a Gini while
+    concentrating in different tails; budget and fairness decisions
+    read the curve, not the scalar).  Customers rank ASCENDING by
+    whole-dollar revenue (the rfm_segments trick: the dollar domain is
+    bounded so ``global_row_index``'s histogram broadcast stays small
+    where raw cents wouldn't; custkey tiebreak), decile =
+    1 + 10·rank // n; per decile the EXACT cent sum, share and
+    cumulative share in ppm (floors on the 10-row driver frame only).
+    One customer exchange + one bounded-histogram rank pass.
+    Mirror: row_number over (dollars, custkey) + identical floors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("o_totalprice").to_numpy()
+                    * 100).astype("int64")
+        return pa.table({"custkey": batch.column("o_custkey"),
+                         "cents": pa.array(c, pa.int64())})
+
+    per_cust = (orders.map_batches(prep, batch_format="pyarrow")
+                .groupby("custkey")
+                .aggregate(Sum("cents", alias_name="cents")))
+    n_cust = per_cust.count()
+
+    def dollars(batch: pa.Table) -> pa.Table:
+        d = batch.column("cents").to_numpy() // 100
+        return batch.append_column(
+            "rev_d", pa.array(d.astype("int64"), pa.int64()))
+
+    ranked = global_row_index(
+        per_cust.map_batches(dollars, batch_format="pyarrow"),
+        val_col="rev_d", tiebreak_col="custkey", out_col="_ri")
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        dec = 1 + 10 * batch.column("_ri").to_numpy() // n_cust
+        return pa.table({"decile": pa.array(dec.astype("int64"),
+                                            pa.int64()),
+                         "cents": batch.column("cents")})
+
+    g = (ranked.map_batches(bucket, batch_format="pyarrow")
+         .groupby("decile")
+         .aggregate(Sum("cents", alias_name="cents"))).to_pandas()
+    g = g.sort_values("decile")
+    total = int(g["cents"].astype(object).sum())
+    recs, cum = [], 0
+    for dec, c in zip(g["decile"], g["cents"]):
+        cum += int(c)
+        recs.append((int(dec), int(c), 1_000_000 * int(c) // total,
+                     1_000_000 * cum // total))
+    out = pd.DataFrame(recs, columns=["decile", "revenue_cents",
+                                      "share_ppm", "cum_share_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_rmst_summary(sf_dir: str):
+    """Survival summary scalars over the km_survival fold: RMST
+    (restricted mean survival time — the AREA under the 30-day curve,
+    in ppm·days: the 'average user-days alive per user' number a
+    retention budget multiplies) and the median survival day (first
+    day the curve drops below 500000 ppm; −1 = not reached inside the
+    window — the standard censoring-honest answer, NOT a guess).
+    Derived driver-side from the same one-exchange fold.  Mirror:
+    the km_survival CTE chain wrapped in one aggregate."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.windows import km_survival_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    km = km_survival_int(ev, horizon_days=30, censor_gap_hours=6)
+    rmst = int(km["s_ppm"].astype(object).sum())
+    below = km[km["s_ppm"] < 500_000]
+    med = int(below["day"].iloc[0]) if len(below) else -1
+    out = pd.DataFrame([{
+        "horizon_days": 30,
+        "rmst_ppm_days": rmst,
+        "median_day": med,
+        "s_end_ppm": int(km["s_ppm"].iloc[-1])}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9781,6 +9973,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_mine": _q_fd_mine,
         "bounce_rate": _q_bounce_rate,
         "rank_overlap": _q_rank_overlap,
+        "chain_index": _q_chain_index,
+        "lorenz_deciles": _q_lorenz_deciles,
+        "rmst_summary": _q_rmst_summary,
     }
 
 
@@ -13794,6 +13989,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # quarterly links + sequential trunc-ppm chain (3 chained CTEs)
+        "chain_index": (
+            "WITH d AS (SELECT l_partkey, "
+            "epoch_us(l_shipdate) // 86400000000 AS dd, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc "
+            "FROM lineitem), "
+            "md AS (SELECT min(dd) AS lo, max(dd) AS hi FROM d), "
+            "g AS (SELECT l_partkey, "
+            "(dd - md.lo) * 4 // (md.hi - md.lo + 1) AS qk, "
+            "SUM(q) AS q, SUM(pc) AS s FROM d, md GROUP BY 1, 2), "
+            "lk AS (SELECT kk.k, count(*) AS n, SUM(g0.s) AS v0, "
+            "SUM(CAST(g1.s AS HUGEINT) * g0.q // g1.q) AS v1 "
+            "FROM (VALUES (1), (2), (3)) kk(k) "
+            "JOIN g g0 ON g0.qk = kk.k - 1 "
+            "JOIN g g1 ON g1.l_partkey = g0.l_partkey "
+            "AND g1.qk = kk.k GROUP BY 1), "
+            "l AS (SELECT k, n, 1000000 * v1 // v0 AS lp FROM lk), "
+            "c1 AS (SELECT lp AS c FROM l WHERE k = 1), "
+            "c2 AS (SELECT c1.c * l.lp // 1000000 AS c FROM l, c1 "
+            "WHERE k = 2), "
+            "c3 AS (SELECT c2.c * l.lp // 1000000 AS c FROM l, c2 "
+            "WHERE k = 3) "
+            "SELECT CAST(l.k AS BIGINT) AS link, "
+            "CAST(l.n AS BIGINT) AS n_parts, "
+            "CAST(l.lp AS BIGINT) AS link_ppm, "
+            "CAST(CASE l.k WHEN 1 THEN c1.c WHEN 2 THEN c2.c "
+            "ELSE c3.c END AS BIGINT) AS chain_ppm "
+            "FROM l, c1, c2, c3"
+        ),
+        # curve behind the Gini scalar: dollar-rank deciles, exact
+        # cent sums, ppm floors on the 10-row frame only
+        "lorenz_deciles": (
+            "WITH u AS (SELECT o_custkey, "
+            "SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM u), "
+            "r AS (SELECT cents, row_number() OVER "
+            "(ORDER BY cents // 100, o_custkey) - 1 AS ri FROM u), "
+            "d AS (SELECT 1 + 10 * ri // nn.n AS decile, cents "
+            "FROM r, nn), "
+            "g AS (SELECT decile, SUM(cents) AS c FROM d GROUP BY 1), "
+            "t AS (SELECT SUM(c) AS tot FROM g), "
+            "f AS (SELECT decile, c, SUM(c) OVER (ORDER BY decile "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM g) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(c AS BIGINT) AS revenue_cents, "
+            "CAST(1000000 * c // t.tot AS BIGINT) AS share_ppm, "
+            "CAST(1000000 * cum // t.tot AS BIGINT) AS cum_share_ppm "
+            "FROM f, t"
+        ),
+        # area under the KM curve + censoring-honest median day
+        "rmst_summary": (
+            "SELECT CAST(30 AS BIGINT) AS horizon_days, "
+            "CAST(SUM(s_ppm) AS BIGINT) AS rmst_ppm_days, "
+            "CAST(coalesce(min(day) FILTER (WHERE s_ppm < 500000), -1) "
+            "AS BIGINT) AS median_day, "
+            "CAST(min(s_ppm) FILTER (WHERE day = 29) AS BIGINT) "
+            "AS s_end_ppm FROM (" + _SQL_KM + ") kmrows"
         ),
         # Paasche: numerator Σs₁ exact; denominator floors the
         # MIRRORED way (s₀·q₁ // q₀)
