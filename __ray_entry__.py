@@ -9672,6 +9672,188 @@ def _q_rmst_summary(sf_dir: str):
     return out
 
 
+def _q_q10_returns(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: revenue lost to 'R'
+    returns per customer, top-20 — the 3-join + top-k reporting shape
+    (filtered fact → orders → customer + broadcast nation) the
+    relational suite (q1/q3/q5/q17) didn't yet exercise end-to-end
+    with a grouped top-k on the joined result.  Revenue EXACT in
+    cent·percent units: rev_c4 = Σ round(ep·100)·(100 − round(d·100))
+    per line, summed per customer, ONE floor to cents at the end.
+    Both fact joins are partitioned ``hash_join``s (the round-1
+    verdict's no-orders-broadcast rule); nation is the 25-row closure.
+    Top-20 via grouped_topk on a constant group.  Mirror: same units,
+    same floor, row_number tiebreak."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.aggregates import grouped_topk
+    from documentai_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        ep = np.rint(b.column("l_extendedprice").to_numpy()
+                     * 100).astype("int64")
+        dc = np.rint(b.column("l_discount").to_numpy()
+                     * 100).astype("int64")
+        return pa.table({"orderkey": b.column("l_orderkey"),
+                         "rev_c4": pa.array(ep * (100 - dc), pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "custkey": batch.column("o_custkey")})
+
+    j = hash_join(li.map_batches(l_prep, batch_format="pyarrow"),
+                  orders.map_batches(o_prep, batch_format="pyarrow"),
+                  on="orderkey")
+    per_cust = (j.groupby("custkey")
+                .aggregate(Sum("rev_c4", alias_name="rev_c4")))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("c_custkey"),
+                         "c_name": batch.column("c_name"),
+                         "nationkey": batch.column("c_nationkey")})
+
+    j2 = hash_join(per_cust,
+                   cust.map_batches(c_prep, batch_format="pyarrow"),
+                   on="custkey")
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        return batch.append_column(
+            "_g", pa.array(np.zeros(len(batch), dtype="int64")))
+
+    top = grouped_topk(j2.map_batches(const_key, batch_format="pyarrow"),
+                       key_col="_g", sort_cols=["rev_c4", "custkey"],
+                       ascending=[False, True], k=20).to_pandas()
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    top = top.merge(nat, left_on="nationkey", right_on="n_nationkey")
+    top = top.sort_values(["rev_c4", "custkey"],
+                          ascending=[False, True], kind="mergesort")
+    top["revenue_cents"] = (top["rev_c4"].astype(object) // 100) \
+        .astype("int64")
+    top["rank"] = pd.array(range(1, len(top) + 1), dtype="int64")
+    top["custkey"] = top["custkey"].astype("int64")
+    return top[["rank", "custkey", "c_name", "n_name",
+                "revenue_cents"]].reset_index(drop=True)
+
+
+def _q_q8_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: of all revenue that region-0
+    CUSTOMERS spend, what fraction flows to SUPPLIERS of nation 1,
+    per order-year — the 4-way join + ratio-within-group showcase
+    (lineitem ⋈ supplier-nation ⋈ orders-year ⋈ customer-nation-region)
+    where both fact joins are partitioned hash_joins and both dims are
+    25-row closures.  Exact cent·percent units per line; the share
+    floors ONCE per year on the ≤|years| driver frame:
+    share_ppm = 10⁶·Σ_target // Σ_all.  Mirror: same joins, CASE'd
+    numerator, HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg0_nations = set(
+        nat.loc[nat["n_regionkey"] == 0, "n_nationkey"].astype(int))
+    sup = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_nation = dict(zip(sup["s_suppkey"].astype(int),
+                          sup["s_nationkey"].astype(int)))
+    cust_nation = None  # customer is fact-sized: joined, not broadcast
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        ep = np.rint(batch.column("l_extendedprice").to_numpy()
+                     * 100).astype("int64")
+        dc = np.rint(batch.column("l_discount").to_numpy()
+                     * 100).astype("int64")
+        sk = batch.column("l_suppkey").to_numpy()
+        tgt = np.fromiter((sup_nation.get(int(s), -1) == 1 for s in sk),
+                          dtype=bool, count=len(sk))
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "rev_c4": pa.array(ep * (100 - dc), pa.int64()),
+                         "is_target": pa.array(tgt)})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        yr = pc.year(batch.column("o_orderdate")).cast(pa.int64())
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "custkey": batch.column("o_custkey"),
+                         "o_year": yr})
+
+    j = hash_join(li.map_batches(l_prep, batch_format="pyarrow"),
+                  orders.map_batches(o_prep, batch_format="pyarrow"),
+                  on="orderkey")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        nk = batch.column("c_nationkey").to_numpy()
+        inr = np.fromiter((int(v) in reg0_nations for v in nk),
+                          dtype=bool, count=len(nk))
+        b = batch.filter(pa.array(inr))
+        return pa.table({"custkey": b.column("c_custkey")})
+
+    j2 = hash_join(j, cust.map_batches(c_prep, batch_format="pyarrow"),
+                   on="custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["o_year", "rev_c4", "is_target"]).to_pandas()
+        df["tgt_c4"] = df["rev_c4"].where(df["is_target"], 0)
+        g = df.groupby("o_year", as_index=False).agg(
+            total_c4=("rev_c4", "sum"), target_c4=("tgt_c4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (j2.map_batches(partial, batch_format="pyarrow")
+         .groupby("o_year")
+         .aggregate(Sum("total_c4", alias_name="total_c4"),
+                    Sum("target_c4", alias_name="target_c4"))).to_pandas()
+    g = g.sort_values("o_year")
+    out = pd.DataFrame({
+        "o_year": g["o_year"].astype("int64"),
+        "total_c4": g["total_c4"].astype("int64"),
+        "target_c4": g["target_c4"].astype("int64"),
+        "share_ppm": pd.array(
+            [1_000_000 * int(t) // int(a)
+             for t, a in zip(g["target_c4"], g["total_c4"])],
+            dtype="int64")})
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -9976,6 +10158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chain_index": _q_chain_index,
         "lorenz_deciles": _q_lorenz_deciles,
         "rmst_summary": _q_rmst_summary,
+        "q10_returns": _q_q10_returns,
+        "q8_market_share": _q_q8_market_share,
     }
 
 
@@ -13989,6 +14173,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # cent·percent units per line, ONE floor to cents per customer
+        "q10_returns": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "AS rev_c4 FROM lineitem WHERE l_returnflag = 'R'), "
+            "pc AS (SELECT o_custkey AS custkey, SUM(rev_c4) AS rev_c4 "
+            "FROM l JOIN orders ON o_orderkey = l_orderkey GROUP BY 1), "
+            "r AS (SELECT custkey, rev_c4, row_number() OVER "
+            "(ORDER BY rev_c4 DESC, custkey) AS rnk FROM pc) "
+            "SELECT CAST(rnk AS BIGINT) AS \"rank\", custkey, c_name, "
+            "n_name, CAST(rev_c4 // 100 AS BIGINT) AS revenue_cents "
+            "FROM r JOIN customer ON c_custkey = custkey "
+            "JOIN nation ON n_nationkey = c_nationkey WHERE rnk <= 20"
+        ),
+        # 4-way join, CASE'd numerator, one floor per year
+        "q8_market_share": (
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+            "AS rev_c4, s_nationkey = 1 AS is_target FROM lineitem "
+            "JOIN supplier ON s_suppkey = l_suppkey), "
+            "o AS (SELECT o_orderkey, o_custkey, "
+            "year(o_orderdate) AS o_year FROM orders), "
+            "c AS (SELECT c_custkey FROM customer "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "WHERE n_regionkey = 0), "
+            "j AS (SELECT o.o_year, l.rev_c4, l.is_target FROM l "
+            "JOIN o ON o.o_orderkey = l.l_orderkey "
+            "JOIN c ON c.c_custkey = o.o_custkey) "
+            "SELECT CAST(o_year AS BIGINT) AS o_year, "
+            "CAST(SUM(rev_c4) AS BIGINT) AS total_c4, "
+            "CAST(SUM(CASE WHEN is_target THEN rev_c4 ELSE 0 END) "
+            "AS BIGINT) AS target_c4, "
+            "CAST(1000000 * SUM(CASE WHEN is_target THEN "
+            "CAST(rev_c4 AS HUGEINT) ELSE 0 END) // SUM(rev_c4) "
+            "AS BIGINT) AS share_ppm FROM j GROUP BY 1"
         ),
         # quarterly links + sequential trunc-ppm chain (3 chained CTEs)
         "chain_index": (
