@@ -9854,6 +9854,129 @@ def _q_q8_market_share(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_pinball_eval(sf_dir: str):
+    """Quantile (pinball) loss of the hour-of-day median predictor —
+    the ASYMMETRIC loss the MAE backtests (backtest_mae /
+    ewma_backtest / seasonal variants) can't express: a capacity
+    planner who under-provisions pays 9× what over-provisioning costs,
+    which is exactly the q = 0.9 pinball weighting; q = 0.5 rides
+    along (pinball@0.5 ≡ MAE/2, the consistency anchor).  Predictor =
+    per (type, hour-of-day) DOUBLED-UNIT median of the dense hourly
+    counts (sum-of-middles, the repo's even-count convention);
+    residual d = 2·x − m2 keeps everything integer, loss reported in
+    d20 units (20× the real loss: ×2 doubling ×10 clearing q):
+    pinball90_d20 = Σ(9·d if d ≥ 0 else −d), pinball50_d20 = Σ5·|d|.
+    One bounded (hour, key) exchange; folds on the K×H matrix.
+    Mirror: row_number middles + the identical piecewise sum."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.windows import _dense_hourly_matrix
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    keys, h, mat = _dense_hourly_matrix(
+        ev, key_col="event_type", ts_col="ts", max_obs=8784)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        t = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table({"_h": t.cast(pa.timestamp("us")).cast(pa.int64())})
+
+    h0 = int(ev.map_batches(to_hour, batch_format="pyarrow").min("_h"))
+    hods = ((h0 // 3_600_000_000) + np.arange(h)) % 24
+    recs = []
+    for i, key in enumerate(keys):
+        x = mat[i]
+        p50 = 0
+        p90 = 0
+        for hd in range(24):
+            sel = np.sort(x[hods == hd])
+            m = len(sel)
+            if m == 0:
+                continue
+            m2 = int(sel[(m - 1) // 2]) + int(sel[m // 2])
+            d = 2 * sel.astype("int64") - m2
+            p50 += int(5 * np.abs(d).sum())
+            p90 += int(np.where(d >= 0, 9 * d, -d).sum())
+        recs.append((key, h, p50, p90))
+    out = pd.DataFrame(recs, columns=["event_type", "n_obs",
+                                      "pinball50_d20", "pinball90_d20"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_cohort_ltv(sf_dir: str):
+    """Cohort LTV accumulation — the MONEY dimension
+    retention_cohorts' distinct-user counts deliberately erase: users
+    grouped by first-event week (the retention convention), purchase
+    revenue per (cohort_week, week_offset) and its running total —
+    the curve a payback-period decision reads ("cohort X recovers
+    acquisition cost by week k").  One user-hash exchange co-locates
+    each user's events; per partition a vectorized pass finds first
+    weeks and purchase offsets for ALL users; only (cohort, offset,
+    cents) partials cross the second tiny exchange; the cumulative
+    fold runs on the ≤cohorts×offsets driver frame.  Mirror:
+    min-week join + window cumsum."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        wk = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 604_800_000_000)
+        c = np.rint(batch.column("value").to_numpy() * 100).astype("int64")
+        is_p = pc.equal(batch.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "wk": pa.array(wk.astype("int64"), pa.int64()),
+                         "cents": pa.array(np.where(is_p, c, 0),
+                                           pa.int64()),
+                         "is_p": pa.array(is_p)})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["wk"].min().rename("cw")
+        p = g[g["is_p"]].merge(first, left_on="user_id",
+                               right_index=True)
+        p["week_offset"] = p["wk"] - p["cw"]
+        out = (p.groupby(["cw", "week_offset"], as_index=False)
+               ["cents"].sum())
+        out = out.rename(columns={"cw": "cohort_week",
+                                  "cents": "revenue_cents"})
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    g = (_add_pkey(ev.map_batches(prep, batch_format="pyarrow"),
+                   "user_id", 64)
+         .groupby("_pkey")
+         .map_groups(lambda x: partial(x.drop(columns=["_pkey"])),
+                     batch_format="pandas")
+         .groupby(["cohort_week", "week_offset"])
+         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+         ).to_pandas()
+    g = g.sort_values(["cohort_week", "week_offset"])
+    g["cum_revenue_cents"] = (g.groupby("cohort_week")["revenue_cents"]
+                              .cumsum())
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10160,6 +10283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmst_summary": _q_rmst_summary,
         "q10_returns": _q_q10_returns,
         "q8_market_share": _q_q8_market_share,
+        "pinball_eval": _q_pinball_eval,
+        "cohort_ltv": _q_cohort_ltv,
     }
 
 
@@ -14173,6 +14298,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # doubled-unit sum-of-middles medians per (type, hod); d20
+        # units clear both the doubling and the q = 9/10 weights
+        "pinball_eval": (
+            "WITH " + _SQL_DENSE_GRID + ", "
+            "hd AS (SELECT event_type, hr, c, "
+            "extract(hour FROM hr) AS hod FROM dd), "
+            "rk AS (SELECT event_type, hod, c, row_number() OVER "
+            "(PARTITION BY event_type, hod ORDER BY c) AS rn, "
+            "count(*) OVER (PARTITION BY event_type, hod) AS m "
+            "FROM hd), "
+            "w AS (SELECT event_type, hod, "
+            "SUM(CASE WHEN rn = (m + 1) // 2 THEN c ELSE 0 END) "
+            "+ SUM(CASE WHEN rn = m // 2 + 1 THEN c ELSE 0 END) AS m2 "
+            "FROM rk GROUP BY 1, 2), "
+            "l AS (SELECT hd.event_type, 2 * hd.c - w.m2 AS d FROM hd "
+            "JOIN w ON hd.event_type = w.event_type "
+            "AND hd.hod = w.hod) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs, "
+            "CAST(SUM(5 * abs(d)) AS BIGINT) AS pinball50_d20, "
+            "CAST(SUM(CASE WHEN d >= 0 THEN 9 * d ELSE -d END) "
+            "AS BIGINT) AS pinball90_d20 FROM l GROUP BY 1"
+        ),
+        # retention's first-week convention + window cumsum
+        "cohort_ltv": (
+            "WITH w AS (SELECT user_id, "
+            "epoch_us(ts) // 604800000000 AS wk, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1), "
+            "p AS (SELECT f.cw AS cohort_week, w.wk - f.cw "
+            "AS week_offset, SUM(w.c) AS revenue_cents FROM w "
+            "JOIN f USING (user_id) WHERE w.event_type = 'purchase' "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(cohort_week AS BIGINT) AS cohort_week, "
+            "CAST(week_offset AS BIGINT) AS week_offset, "
+            "CAST(revenue_cents AS BIGINT) AS revenue_cents, "
+            "CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week "
+            "ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cum_revenue_cents FROM p"
         ),
         # cent·percent units per line, ONE floor to cents per customer
         "q10_returns": (
