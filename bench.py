@@ -195,6 +195,11 @@ def run_benchmarks() -> dict:
     timed("repeated_passages", run_named("repeated_passages"))
     timed("web_curation", run_named("web_curation"))
     timed("ppjoin_pairs", run_named("ppjoin_pairs"))
+    # round-2 new-family representatives: retrieval scoring (two-pass
+    # stats + map-side sparse-hit scoring + grouped top-k) and survival
+    # (user exchange + histogram + 30-step fold)
+    timed("bm25_topk", run_named("bm25_topk"))
+    timed("km_survival", run_named("km_survival"))
 
     result = {
         "metric": "flagship_e2e_sec",
