@@ -9977,6 +9977,147 @@ def _q_cohort_ltv(sf_dir: str):
     return g.reset_index(drop=True)
 
 
+def _q_post_stratify(sf_dir: str):
+    """Post-stratification weights — the survey-calibration step every
+    sample-based dashboard needs before quoting population numbers: a
+    10% Knuth-coin sample of customers won't hit every market segment
+    at exactly 10%, so per-segment weights w = n_pop/n_samp correct
+    the imbalance (the estimator Σ w·y over the sample is then
+    segment-exact).  weight_ppm = 10⁶·n_pop // n_samp, loud raise on
+    an unsampled segment (silent zero would bias every downstream
+    estimate).  ONE pass, one segment-bounded exchange carrying both
+    the population and conditional sample counts.  Mirror: FILTER
+    counts + the same floor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("c_custkey").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        samp = h < np.uint64((1 << 32) // 10)
+        return pa.table({"c_mktsegment": batch.column("c_mktsegment"),
+                         "_one": pa.array(np.ones(len(ids), "int64")),
+                         "_s": pa.array(samp.astype("int64"), pa.int64())})
+
+    g = (cust.map_batches(prep, batch_format="pyarrow")
+         .groupby("c_mktsegment")
+         .aggregate(Sum("_one", alias_name="n_pop"),
+                    Sum("_s", alias_name="n_samp"))).to_pandas()
+    g = g.sort_values("c_mktsegment")
+    if (g["n_samp"] == 0).any():
+        bad = g.loc[g["n_samp"] == 0, "c_mktsegment"].iloc[0]
+        raise ValueError(f"post_stratify: segment {bad!r} unsampled")
+    g["weight_ppm"] = pd.array(
+        [1_000_000 * int(p) // int(s)
+         for p, s in zip(g["n_pop"], g["n_samp"])], dtype="int64")
+    for c in ("n_pop", "n_samp"):
+        g[c] = g[c].astype("int64")
+    return g.reset_index(drop=True)
+
+
+def _q_lincoln_petersen(sf_dir: str):
+    """Mark–recapture population estimate (Lincoln–Petersen) — the
+    two-independent-samples size estimator behind overlap-based
+    census tricks (how many distinct users does the full log hold,
+    given two cheap subsamples?): draw two INDEPENDENT Knuth-coin
+    samples (different odd multipliers), N̂ = n₁·n₂ // m where m is
+    the overlap — exact integers, loud raise on zero overlap.  The
+    err_ppm column against the true count is the point: the driver-
+    checked row demonstrates the estimator lands near truth on real
+    data without ever counting the population in the sample path.
+    ONE pass, a 4-counter fold.  Mirror: same coins, same floor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    TH = (1 << 32) // 5  # 20% coins → overlap ≈ 4% of N, stable
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("c_custkey").to_numpy().astype(np.uint64)
+        a = (ids * np.uint64(2654435761)) % np.uint64(1 << 32) \
+            < np.uint64(TH)
+        b = (ids * np.uint64(2246822519)) % np.uint64(1 << 32) \
+            < np.uint64(TH)
+        return pa.table({
+            "_n": pa.array(np.ones(len(ids), "int64")),
+            "_a": pa.array(a.astype("int64"), pa.int64()),
+            "_b": pa.array(b.astype("int64"), pa.int64()),
+            "_m": pa.array((a & b).astype("int64"), pa.int64())})
+
+    t = (cust.map_batches(prep, batch_format="pyarrow")
+         .aggregate(Sum("_n", alias_name="n"),
+                    Sum("_a", alias_name="a"),
+                    Sum("_b", alias_name="b"),
+                    Sum("_m", alias_name="m")))
+    n, a, b, m = (int(t["n"]), int(t["a"]), int(t["b"]), int(t["m"]))
+    if m == 0:
+        raise ValueError("lincoln_petersen: zero overlap")
+    est = a * b // m
+    out = pd.DataFrame([{
+        "n1": a, "n2": b, "m_both": m, "n_true": n, "n_est": est,
+        "err_ppm": 1_000_000 * abs(est - n) // n}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_german_tank(sf_dir: str):
+    """Serial-number (German-tank) population estimate: from a 10%
+    Knuth sample of order keys, N̂ = max + max//k − 1 — the
+    minimum-variance unbiased estimator when serials run 1..N, and
+    the third member of the estimation family (post_stratify
+    calibrates shares, Lincoln–Petersen uses overlap, this uses
+    ORDER STRUCTURE: dense ids leak their own count).  err measured
+    against the true max key.  ONE pass, a 3-counter fold.
+    Mirror: same coin, same closed form."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("o_orderkey").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        samp = h < np.uint64((1 << 32) // 10)
+        kk = ids.astype("int64")
+        return pa.table({
+            "_k": pa.array(samp.astype("int64"), pa.int64()),
+            "_mx": pa.array(np.where(samp, kk, np.int64(-1)), pa.int64()),
+            "_tmx": pa.array(kk, pa.int64())})
+
+    agg = (orders.map_batches(prep, batch_format="pyarrow")
+           .aggregate(Sum("_k", alias_name="k"),
+                      Max("_mx", alias_name="mx"),
+                      Max("_tmx", alias_name="tmx")))
+    k, mx, tmx = int(agg["k"]), int(agg["mx"]), int(agg["tmx"])
+    if k == 0:
+        raise ValueError("german_tank: empty sample")
+    est = mx + mx // k - 1
+    out = pd.DataFrame([{
+        "k": k, "sample_max": mx, "max_true": tmx, "n_est": est,
+        "err_ppm": 1_000_000 * abs(est - tmx) // tmx}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10285,6 +10426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": _q_q8_market_share,
         "pinball_eval": _q_pinball_eval,
         "cohort_ltv": _q_cohort_ltv,
+        "post_stratify": _q_post_stratify,
+        "lincoln_petersen": _q_lincoln_petersen,
+        "german_tank": _q_german_tank,
     }
 
 
@@ -14298,6 +14442,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # calibration weights: FILTER counts + one floor per segment
+        "post_stratify": (
+            "SELECT c_mktsegment, "
+            "CAST(count(*) AS BIGINT) AS n_pop, "
+            "CAST(count(*) FILTER (WHERE (c_custkey * 2654435761) "
+            "% 4294967296 < 429496729) AS BIGINT) AS n_samp, "
+            "CAST(1000000 * count(*) // count(*) FILTER "
+            "(WHERE (c_custkey * 2654435761) % 4294967296 "
+            "< 429496729) AS BIGINT) AS weight_ppm "
+            "FROM customer GROUP BY 1"
+        ),
+        # two independent Knuth coins; N̂ = n1·n2 // m
+        "lincoln_petersen": (
+            "WITH t AS (SELECT "
+            "(c_custkey * 2654435761) % 4294967296 < 858993459 AS a, "
+            "(c_custkey * 2246822519) % 4294967296 < 858993459 AS b "
+            "FROM customer), "
+            "g AS (SELECT count(*) AS n, "
+            "count(*) FILTER (WHERE a) AS n1, "
+            "count(*) FILTER (WHERE b) AS n2, "
+            "count(*) FILTER (WHERE a AND b) AS m FROM t) "
+            "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "CAST(m AS BIGINT) AS m_both, CAST(n AS BIGINT) AS n_true, "
+            "CAST(n1 * n2 // m AS BIGINT) AS n_est, "
+            "CAST(1000000 * abs(n1 * n2 // m - n) // n AS BIGINT) "
+            "AS err_ppm FROM g"
+        ),
+        # serial-number MVUE: N̂ = max + max//k − 1
+        "german_tank": (
+            "WITH s AS (SELECT o_orderkey FROM orders WHERE "
+            "(o_orderkey * 2654435761) % 4294967296 < 429496729), "
+            "g AS (SELECT count(*) AS k, max(o_orderkey) AS mx FROM s), "
+            "t AS (SELECT max(o_orderkey) AS tmx FROM orders) "
+            "SELECT CAST(k AS BIGINT) AS k, "
+            "CAST(mx AS BIGINT) AS sample_max, "
+            "CAST(tmx AS BIGINT) AS max_true, "
+            "CAST(mx + mx // k - 1 AS BIGINT) AS n_est, "
+            "CAST(1000000 * abs(mx + mx // k - 1 - tmx) // tmx "
+            "AS BIGINT) AS err_ppm FROM g, t"
         ),
         # doubled-unit sum-of-middles medians per (type, hod); d20
         # units clear both the doubling and the q = 9/10 weights
