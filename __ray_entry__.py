@@ -10118,6 +10118,98 @@ def _q_german_tank(sf_dir: str):
     return out
 
 
+def _q_fifo_cogs(sf_dir: str):
+    """FIFO cost basis of returned stock per part — inventory
+    accounting, the family the ledger ops (user_ledger /
+    customer_running) don't touch: treat non-'R' lines as BUYS in
+    shipdate order and the part's 'R' quantity as the SELL; FIFO
+    consumes the earliest buys first, so the cost of goods returned
+    differs from the weighted-average basis exactly when prices
+    drift — the FIFO-vs-WAVG gap IS the holding-gain signal auditors
+    look for.
+
+    The sequential queue has a CLOSED FORM (no recursion): with buys
+    ordered by (shipdate, orderkey, linenumber) and B_{i−1} the
+    cumulative quantity before buy i, consumed_i = clamp(S − B_{i−1},
+    0, q_i).  Cost per buy floors once: consumed·price_c // q_i (unit
+    price is a fraction; ONE trunc per consumed line is the
+    contract).  WAVG basis floors once per part: S·Σprice_c // Σq.
+    Oversold parts (S > ΣQ) consume everything — documented.  One
+    (part)-hash exchange, vectorized cumsum+clip per partition, only
+    per-part result rows ship.  Mirror: window cumsum + GREATEST/
+    LEAST + identical floors.  Emits parts with S > 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber",
+                 "l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_returnflag"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ep = np.rint(batch.column("l_extendedprice").to_numpy()
+                     * 100).astype("int64")
+        d = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+             .cast(pa.int64()))
+        return pa.table({
+            "partkey": batch.column("l_partkey"),
+            "orderkey": batch.column("l_orderkey"),
+            "linenumber": batch.column("l_linenumber"),
+            "sd": d,
+            "q": batch.column("l_quantity").cast(pa.int64()),
+            "pc": pa.array(ep, pa.int64()),
+            "is_r": pa.array(
+                (batch.column("l_returnflag").to_numpy(
+                    zero_copy_only=False) == "R"))})
+
+    def fifo(g: pd.DataFrame) -> pd.DataFrame:
+        sells = (g[g["is_r"]].groupby("partkey")["q"].sum()
+                 .rename("s"))
+        buys = g[~g["is_r"]].merge(sells, left_on="partkey",
+                                   right_index=True)
+        if buys.empty:
+            return pd.DataFrame({
+                "partkey": pd.array([], dtype="int64"),
+                "sold_qty": pd.array([], dtype="int64"),
+                "fifo_cogs_cents": pd.array([], dtype="int64"),
+                "wavg_cogs_cents": pd.array([], dtype="int64")})
+        buys = buys.sort_values(["partkey", "sd", "orderkey",
+                                 "linenumber"], kind="mergesort")
+        grp = buys.groupby("partkey", sort=False)
+        cum = grp["q"].cumsum()
+        before = cum - buys["q"]
+        consumed = np.clip(buys["s"] - before, 0, buys["q"])
+        cost = [int(c) * int(p) // int(q) if c > 0 else 0
+                for c, p, q in zip(consumed, buys["pc"], buys["q"])]
+        buys = buys.assign(_cons=consumed, _cost=cost)
+        agg = grp.agg(s=("s", "first"), qsum=("q", "sum"),
+                      psum=("pc", "sum")).reset_index()
+        costs = (buys.groupby("partkey", sort=False)["_cost"].sum()
+                 .reset_index())
+        out = agg.merge(costs, on="partkey")
+        out["sold_qty"] = out["s"].astype("int64")
+        out["fifo_cogs_cents"] = out["_cost"].astype("int64")
+        out["wavg_cogs_cents"] = pd.array(
+            [min(int(s), int(qq)) * int(p) // int(qq)
+             for s, qq, p in zip(out["s"], out["qsum"], out["psum"])],
+            dtype="int64")
+        out["partkey"] = out["partkey"].astype("int64")
+        return out[["partkey", "sold_qty", "fifo_cogs_cents",
+                    "wavg_cogs_cents"]]
+
+    return (_add_pkey(li.map_batches(prep, batch_format="pyarrow"),
+                      "partkey", 64)
+            .groupby("_pkey")
+            .map_groups(lambda x: fifo(x.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10429,6 +10521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "post_stratify": _q_post_stratify,
         "lincoln_petersen": _q_lincoln_petersen,
         "german_tank": _q_german_tank,
+        "fifo_cogs": _q_fifo_cogs,
     }
 
 
@@ -14442,6 +14535,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # FIFO via the closed form: cumsum window + GREATEST/LEAST
+        # clamp, one floor per consumed buy line
+        "fifo_cogs": (
+            "WITH b0 AS (SELECT l_partkey, l_orderkey, l_linenumber, "
+            "l_shipdate, CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc "
+            "FROM lineitem WHERE l_returnflag <> 'R'), "
+            "s AS (SELECT l_partkey, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS s FROM lineitem "
+            "WHERE l_returnflag = 'R' GROUP BY 1), "
+            "b AS (SELECT b0.l_partkey, b0.q, b0.pc, s.s, "
+            "SUM(b0.q) OVER (PARTITION BY b0.l_partkey "
+            "ORDER BY b0.l_shipdate, b0.l_orderkey, b0.l_linenumber "
+            "ROWS UNBOUNDED PRECEDING) - b0.q AS bef "
+            "FROM b0 JOIN s ON s.l_partkey = b0.l_partkey), "
+            "c AS (SELECT l_partkey, s, q, pc, "
+            "GREATEST(CAST(0 AS BIGINT), LEAST(q, s - bef)) AS cons "
+            "FROM b) "
+            "SELECT l_partkey AS partkey, "
+            "CAST(any_value(s) AS BIGINT) AS sold_qty, "
+            "CAST(SUM(CASE WHEN cons > 0 THEN cons * pc // q "
+            "ELSE 0 END) AS BIGINT) AS fifo_cogs_cents, "
+            "CAST(LEAST(any_value(s), SUM(q)) * SUM(pc) // SUM(q) "
+            "AS BIGINT) AS wavg_cogs_cents FROM c GROUP BY 1"
         ),
         # calibration weights: FILTER counts + one floor per segment
         "post_stratify": (
