@@ -10210,6 +10210,34 @@ def _q_fifo_cogs(sf_dir: str):
                         batch_format="pandas"))
 
 
+def _q_capture_diff(sf_dir: str):
+    """Page-change detection between the earliest and latest capture
+    of each multi-captured url — the CHANGE measurement the dedup
+    family deliberately erases (dedup_latest keeps one winner;
+    recrawl_priority guesses from age; this op reads what actually
+    changed): per url with ≥ 2 captures, distinct-LINE set difference
+    (n_added / n_removed / n_common) and
+    change_ppm = 10⁶·(added+removed) // |union| — the recrawl-value
+    signal a freshness scheduler feeds on.
+
+    Physical plan: extract → project (url, warc_ts, text) → ONE
+    url-hash exchange; per partition a vectorized capture-count
+    prefilter keeps only multi-capture urls (5% by construction)
+    before any Python-level set work.  Oracle: the corpus plants the
+    stale capture as a BLANK page one day earlier, so earliest = ∅
+    lines and latest = the golden text — the closed-form census
+    pattern (url_templates)."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import capture_line_diff
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return capture_line_diff(
+        ds.select_columns(["url", "warc_ts", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10522,6 +10550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lincoln_petersen": _q_lincoln_petersen,
         "german_tank": _q_german_tank,
         "fifo_cogs": _q_fifo_cogs,
+        "capture_diff": _q_capture_diff,
     }
 
 
@@ -14535,6 +14564,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # closed-form census: the stale capture is a planted BLANK page
+        # one day earlier, so earliest = {''} and latest = golden lines
+        "capture_diff": (
+            f"WITH e AS ({_SQL_EXPECTED_PAGES}), "
+            "d AS (SELECT url, text FROM e WHERE doc_id % 20 = 0), "
+            "l AS (SELECT url, "
+            "list_distinct(string_split(text, chr(10))) AS late FROM d) "
+            "SELECT url, "
+            "CAST(len(list_filter(late, x -> x <> '')) AS BIGINT) "
+            "AS n_added, "
+            "CAST(CASE WHEN list_contains(late, '') THEN 0 ELSE 1 END "
+            "AS BIGINT) AS n_removed, "
+            "CAST(CASE WHEN list_contains(late, '') THEN 1 ELSE 0 END "
+            "AS BIGINT) AS n_common, "
+            "CAST(1000000 * (len(list_filter(late, x -> x <> '')) "
+            "+ CASE WHEN list_contains(late, '') THEN 0 ELSE 1 END) "
+            "// (len(late) + CASE WHEN list_contains(late, '') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS change_ppm FROM l"
         ),
         # FIFO via the closed form: cumsum window + GREATEST/LEAST
         # clamp, one floor per consumed buy line

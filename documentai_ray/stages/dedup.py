@@ -1354,3 +1354,44 @@ def verify_containment_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
             "n_sub": pa.array([r[3] for r in rows], pa.int64())})
 
     return pairs_ds.map_batches(verify, batch_format="pandas")
+
+
+def capture_line_diff(ds, *, url_col: str = "url", ts_col: str = "warc_ts",
+                      text_col: str = "text", num_partitions: int = 32):
+    """Earliest-vs-latest capture line diff per multi-captured url —
+    the CHANGE measurement the dedup family deliberately erases
+    (``dedup_latest`` keeps one winner; this reads what changed):
+    distinct-line set difference (n_added / n_removed / n_common) and
+    change_ppm = 10⁶·(added+removed) // |union| — the recrawl-value
+    signal a freshness scheduler feeds on.
+
+    ONE url-hash exchange of the (url, ts, text) projection; per
+    partition a vectorized capture-count prefilter keeps only
+    multi-capture urls before any Python-level set work, and only the
+    earliest/latest pair is compared (middle captures are invisible —
+    the endpoints ARE the contract)."""
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(url_col)[ts_col].transform("size")
+        g = g[counts >= 2]
+        recs = []
+        for url, sub in g.groupby(url_col, sort=False):
+            sub = sub.sort_values(ts_col, kind="mergesort")
+            early = set((sub[text_col].iloc[0] or "").split("\n"))
+            late = set((sub[text_col].iloc[-1] or "").split("\n"))
+            a = len(late - early)
+            r = len(early - late)
+            u = len(late | early)
+            recs.append((url, a, r, len(late & early),
+                         1_000_000 * (a + r) // u))
+        out = pd.DataFrame(recs, columns=[url_col, "n_added",
+                                          "n_removed", "n_common",
+                                          "change_ppm"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (_add_pkey(ds, url_col, num_partitions)
+            .groupby("_pkey")
+            .map_groups(lambda x: diff(x.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
