@@ -10238,6 +10238,113 @@ def _q_capture_diff(sf_dir: str):
         ds.select_columns(["url", "warc_ts", "text"]))
 
 
+def _trunc_ppm(num: int, den: int) -> int:
+    return 1_000_000 * num // den
+
+
+def _score_label_hist(sf_dir: str):
+    """Shared (score, label) bounded histogram for the threshold-eval
+    pair (rank_auc's conventions: score = quantity 1..50, label =
+    returned 'R') — ONE exchange bounded by |scores|×2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({
+            "qty": pa.array(v, pa.int64()),
+            "returned": pc.equal(batch.column("l_returnflag"), "R")})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return (ds.groupby(["qty", "returned"])
+            .aggregate(Count(alias_name="n"))).to_pandas()
+
+
+def _q_youden_threshold(sf_dir: str):
+    """Operating-point selection by Youden's J — the decision AUC
+    refuses to make: rank_auc says HOW WELL quantity ranks returns,
+    but a filter needs ONE threshold, and J = TPR − FPR picks the
+    point where the classifier beats chance by the most (the
+    sensitivity+specificity−1 maximizer).  Classifier: positive ⟺
+    score ≥ t, candidates = distinct scores; per candidate
+    tpr_ppm = 10⁶·tp // P and fpr_ppm = 10⁶·fp // N (one floor each —
+    the contract), J = tpr − fpr, ties → SMALLEST threshold (the more
+    sensitive operating point).  Same bounded histogram exchange as
+    rank_auc; the sweep is a cumulative scan over ≤|scores| rows.
+    Mirror: histogram + window sums + ORDER BY LIMIT 1."""
+    import pandas as pd
+
+    h = _score_label_hist(sf_dir)
+    g = h.pivot_table(index="qty", columns="returned", values="n",
+                      aggfunc="sum", fill_value=0).sort_index(
+        ascending=False)
+    pos = g[True].to_numpy() if True in g else 0 * g.iloc[:, 0].to_numpy()
+    neg = g[False].to_numpy() if False in g else 0 * g.iloc[:, 0].to_numpy()
+    p_tot, n_tot = int(pos.sum()), int(neg.sum())
+    best = None
+    cum_p = cum_n = 0
+    for t, tp_add, fp_add in zip(g.index, pos, neg):
+        cum_p += int(tp_add)
+        cum_n += int(fp_add)
+        tpr = _trunc_ppm(cum_p, p_tot)
+        fpr = _trunc_ppm(cum_n, n_tot)
+        j = tpr - fpr
+        cand = (j, -int(t), cum_p, cum_n, tpr, fpr)
+        if best is None or cand[:2] > best[:2]:
+            best = cand
+    j, negt, tp, fp, tpr, fpr = best
+    t = -negt
+    out = pd.DataFrame([{
+        "threshold": t, "tp": tp, "fp": fp,
+        "fn": p_tot - tp, "tn": n_tot - fp,
+        "tpr_ppm": tpr, "fpr_ppm": fpr, "youden_ppm": j}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_average_precision(sf_dir: str):
+    """Average precision (PR-curve area) under the BLOCK tie contract
+    — the eval for imbalanced problems where ROC flatters (rank_auc's
+    denominator P·N barely moves when negatives dominate; AP weights
+    by precision, which collapses): scores sweep DESCENDING in
+    distinct-value blocks (ties are physical — every equal score is
+    the same operating point, so precision is measured at each block
+    END, the pessimistic tie convention), contribution per block
+    floors once: 10⁶·rel_b·cumpos_b // (cumtot_b·R).  Same bounded
+    histogram exchange.  Mirror: window sums + identical per-block
+    floor."""
+    import pandas as pd
+
+    h = _score_label_hist(sf_dir)
+    g = h.pivot_table(index="qty", columns="returned", values="n",
+                      aggfunc="sum", fill_value=0).sort_index(
+        ascending=False)
+    pos = g[True].to_numpy()
+    neg = g[False].to_numpy()
+    r_tot = int(pos.sum())
+    ap = 0
+    cum_p = cum_t = 0
+    for tp_add, fp_add in zip(pos, neg):
+        rel = int(tp_add)
+        cum_p += rel
+        cum_t += rel + int(fp_add)
+        ap += 1_000_000 * rel * cum_p // (cum_t * r_tot)
+    out = pd.DataFrame([{
+        "n_pos": r_tot,
+        "n_neg": int(neg.sum()),
+        "ap_ppm": ap}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10551,6 +10658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "german_tank": _q_german_tank,
         "fifo_cogs": _q_fifo_cogs,
         "capture_diff": _q_capture_diff,
+        "youden_threshold": _q_youden_threshold,
+        "average_precision": _q_average_precision,
     }
 
 
@@ -14564,6 +14673,46 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # J = TPR − FPR per candidate threshold; ties → smallest t
+        "youden_threshold": (
+            "WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS "
+            "qty, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS p, SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) "
+            "AS ng FROM lineitem GROUP BY 1), "
+            "tot AS (SELECT SUM(p) AS pt, SUM(ng) AS nt FROM t), "
+            "c AS (SELECT qty, SUM(p) OVER (ORDER BY qty DESC "
+            "ROWS UNBOUNDED PRECEDING) AS tp, SUM(ng) OVER "
+            "(ORDER BY qty DESC ROWS UNBOUNDED PRECEDING) AS fp "
+            "FROM t), "
+            "j AS (SELECT qty, tp, fp, tot.pt, tot.nt, "
+            "1000000 * tp // tot.pt AS tpr, "
+            "1000000 * fp // tot.nt AS fpr FROM c, tot) "
+            "SELECT CAST(qty AS BIGINT) AS threshold, "
+            "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+            "CAST(pt - tp AS BIGINT) AS fn, "
+            "CAST(nt - fp AS BIGINT) AS tn, "
+            "CAST(tpr AS BIGINT) AS tpr_ppm, "
+            "CAST(fpr AS BIGINT) AS fpr_ppm, "
+            "CAST(tpr - fpr AS BIGINT) AS youden_ppm "
+            "FROM j ORDER BY tpr - fpr DESC, qty ASC LIMIT 1"
+        ),
+        # block-tie AP: precision at each distinct-score block end,
+        # one floor per block
+        "average_precision": (
+            "WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS "
+            "qty, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS p, SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) "
+            "AS ng FROM lineitem GROUP BY 1), "
+            "c AS (SELECT qty, p, SUM(p) OVER w AS cum_p, "
+            "SUM(p + ng) OVER w AS cum_t FROM t WINDOW w AS "
+            "(ORDER BY qty DESC ROWS UNBOUNDED PRECEDING)), "
+            "tot AS (SELECT SUM(p) AS r, SUM(ng) AS nneg FROM t) "
+            "SELECT CAST(tot.r AS BIGINT) AS n_pos, "
+            "CAST(tot.nneg AS BIGINT) AS n_neg, "
+            "CAST(SUM(1000000 * CAST(c.p AS HUGEINT) * c.cum_p "
+            "// (CAST(c.cum_t AS HUGEINT) * tot.r)) AS BIGINT) "
+            "AS ap_ppm FROM c, tot GROUP BY tot.r, tot.nneg"
         ),
         # closed-form census: the stale capture is a planted BLANK page
         # one day earlier, so earliest = {''} and latest = golden lines
