@@ -10345,6 +10345,90 @@ def _q_average_precision(sf_dir: str):
     return out
 
 
+def _q_xmr_alarms(sf_dir: str):
+    """XmR control-chart alarms (``windows.xmr_alarms_int``) — the
+    THIRD spike rule: the 3σ band (events_anomaly) inflates under slow
+    drift and hides spikes; the hod band (seasonal_anomaly) needs a
+    daily cycle; XmR scales its limit with the MOVING RANGE
+    MR̄ = mean |x_t − x_{t−1}|, so drift-dominated series still alarm
+    on sharp jumps and noisy-but-stationary ones don't false-alarm.
+    x̄ ± 2.66·MR̄ with the Shewhart constant kept RATIONAL (266/100),
+    cross-multiplied: flag ⟺ 100·(m−1)·|m·x − S| > 266·m·ΣMR.
+    One bounded exchange; emits only alarms.  Mirror: lag() moving
+    ranges + the identical inequality."""
+    import ray.data
+
+    from documentai_ray.stages.windows import xmr_alarms_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return xmr_alarms_int(ev)
+
+
+def _q_tukey_outliers(sf_dir: str):
+    """Boxplot (Tukey-fence) outlier census per returnflag — the
+    third outlier RULE next to 3σ (mean-based, wrecked by the very
+    outliers it hunts) and MAD (median-based z): the 1.5·IQR fence is
+    what every boxplot draws, and on integer quantities it is exactly
+    representable — hinges via Tukey's median-of-halves (both halves
+    include the middle row when m is odd), DOUBLED units for the
+    hinges (sum-of-middles) and ×4 units for the fences
+    (lo₄ = 2·q1₂ − 3·(q3₂ − q1₂)); a value x is an outlier iff
+    4x < lo₄ or 4x > hi₄, counted from the bounded histogram.  ONE
+    (flag, value) exchange (the grouped_median_int contract).
+    Mirror: row_number rank picks + the same ×4 arithmetic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"flag": batch.column("l_returnflag"),
+                         "v": pa.array(v, pa.int64())})
+
+    h = (li.map_batches(prep, batch_format="pyarrow")
+         .groupby(["flag", "v"])
+         .aggregate(Count(alias_name="n"))).to_pandas()
+
+    def pick(vals, cnts, rank):  # 1-based rank in the sorted expansion
+        cum = 0
+        for v, c in zip(vals, cnts):
+            cum += c
+            if cum >= rank:
+                return int(v)
+        raise AssertionError("rank out of range")
+
+    recs = []
+    for flag, g in h.groupby("flag", sort=True):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy()
+        cnts = g["n"].astype(int).to_numpy()
+        m = int(cnts.sum())
+        k = (m + 1) // 2            # half size (middle included if odd)
+        q1_2 = pick(vals, cnts, (k + 1) // 2) \
+            + pick(vals, cnts, k // 2 + 1)
+        off = m // 2
+        q3_2 = pick(vals, cnts, off + (k + 1) // 2) \
+            + pick(vals, cnts, off + k // 2 + 1)
+        lo4 = 2 * q1_2 - 3 * (q3_2 - q1_2)
+        hi4 = 2 * q3_2 + 3 * (q3_2 - q1_2)
+        n_lo = int(cnts[4 * vals < lo4].sum())
+        n_hi = int(cnts[4 * vals > hi4].sum())
+        recs.append((flag, m, q1_2, q3_2, lo4, hi4, n_lo, n_hi))
+    out = pd.DataFrame(recs, columns=[
+        "flag", "n", "q1_x2", "q3_x2", "fence_lo_x4", "fence_hi_x4",
+        "n_out_lo", "n_out_hi"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10660,6 +10744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "capture_diff": _q_capture_diff,
         "youden_threshold": _q_youden_threshold,
         "average_precision": _q_average_precision,
+        "xmr_alarms": _q_xmr_alarms,
+        "tukey_outliers": _q_tukey_outliers,
     }
 
 
@@ -14673,6 +14759,55 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # XmR: limit scales with the mean moving range; 2.66 kept
+        # rational (266/100); cross-multiplied inequality
+        "xmr_alarms": (
+            "WITH " + _SQL_DENSE_GRID + ", "
+            "lg AS (SELECT event_type, abs(c - lag(c) OVER "
+            "(PARTITION BY event_type ORDER BY hr)) AS d FROM dd), "
+            "mr AS (SELECT event_type, SUM(d) AS mrsum FROM lg "
+            "GROUP BY 1), "
+            "st AS (SELECT event_type, count(*) AS m, SUM(c) AS s "
+            "FROM dd GROUP BY 1) "
+            "SELECT dd.event_type, dd.hr, CAST(dd.c AS BIGINT) AS c "
+            "FROM dd JOIN st USING (event_type) "
+            "JOIN mr USING (event_type) "
+            "WHERE 100 * (st.m - 1) "
+            "* abs(st.m * CAST(dd.c AS HUGEINT) - st.s) "
+            "> 266 * st.m * CAST(mr.mrsum AS HUGEINT)"
+        ),
+        # Tukey hinges (median-of-halves) in doubled units; fences in
+        # ×4 units; outliers counted, not emitted
+        "tukey_outliers": (
+            "WITH r AS (SELECT l_returnflag AS flag, "
+            "CAST(round(l_quantity) AS BIGINT) AS v, "
+            "row_number() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_quantity) AS rn FROM lineitem), "
+            "m AS (SELECT flag, count(*) AS m FROM r GROUP BY 1), "
+            "q AS (SELECT r.flag, "
+            "SUM(CASE WHEN rn = (((m.m + 1) // 2) + 1) // 2 "
+            "THEN v ELSE 0 END) "
+            "+ SUM(CASE WHEN rn = ((m.m + 1) // 2) // 2 + 1 "
+            "THEN v ELSE 0 END) AS q1_2, "
+            "SUM(CASE WHEN rn = m.m // 2 + (((m.m + 1) // 2) + 1) // 2 "
+            "THEN v ELSE 0 END) "
+            "+ SUM(CASE WHEN rn = m.m // 2 + ((m.m + 1) // 2) // 2 + 1 "
+            "THEN v ELSE 0 END) AS q3_2 "
+            "FROM r JOIN m USING (flag) GROUP BY 1), "
+            "f AS (SELECT flag, q1_2, q3_2, "
+            "2 * q1_2 - 3 * (q3_2 - q1_2) AS lo4, "
+            "2 * q3_2 + 3 * (q3_2 - q1_2) AS hi4 FROM q) "
+            "SELECT f.flag, CAST(m.m AS BIGINT) AS n, "
+            "CAST(f.q1_2 AS BIGINT) AS q1_x2, "
+            "CAST(f.q3_2 AS BIGINT) AS q3_x2, "
+            "CAST(f.lo4 AS BIGINT) AS fence_lo_x4, "
+            "CAST(f.hi4 AS BIGINT) AS fence_hi_x4, "
+            "CAST((SELECT count(*) FROM r WHERE r.flag = f.flag "
+            "AND 4 * r.v < f.lo4) AS BIGINT) AS n_out_lo, "
+            "CAST((SELECT count(*) FROM r WHERE r.flag = f.flag "
+            "AND 4 * r.v > f.hi4) AS BIGINT) AS n_out_hi "
+            "FROM f JOIN m USING (flag)"
         ),
         # J = TPR − FPR per candidate threshold; ties → smallest t
         "youden_threshold": (

@@ -2246,3 +2246,50 @@ def bounce_rate_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
             "bounce_ppm": pa.array(1_000_000 * b // n, pa.int64())})
 
     return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def xmr_alarms_int(ds, *, key_col: str = "event_type", ts_col: str = "ts",
+                   max_obs: int = 8784):
+    """XmR (individuals / moving-range) control chart over the dense
+    hourly series, exact integers — the SPC classic and the THIRD
+    spike rule next to the 3σ band (events_anomaly) and the hod-peer
+    band (seasonal_anomaly): the XmR limit scales with the MOVING
+    RANGE MR̄ = mean |x_t − x_{t−1}| instead of the global σ, so a
+    series whose variance comes from slow drift (inflating σ, hiding
+    spikes) still alarms on sharp hour-to-hour jumps — and a noisy-
+    but-stationary series doesn't false-alarm on its own wiggle.
+
+    Classic limits x̄ ± 2.66·MR̄ with the Shewhart constant kept
+    RATIONAL (266/100 — the convention's own two-decimal definition),
+    cross-multiplied so no float decides:
+    flag t ⟺ 100·(m−1)·|m·x_t − S| > 266·m·ΣMR.
+    Emits only the alarm rows (key, hr, c).  Raises on a single-hour
+    series (MR undefined).  Same ONE bounded (hour, key) exchange."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+    if h < 2:
+        raise ValueError("xmr_alarms_int: need at least 2 hours")
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        t = pc.floor_temporal(batch.column(ts_col), unit="hour")
+        return pa.table({"_h": t.cast(pa.timestamp("us")).cast(pa.int64())})
+
+    h0 = int(ds.map_batches(to_hour, batch_format="pyarrow").min("_h"))
+    out_k, out_hr, out_c = [], [], []
+    for i, key in enumerate(keys):
+        x = [int(v) for v in mat[i]]
+        s = sum(x)
+        mrsum = sum(abs(a - b) for a, b in zip(x[1:], x[:-1]))
+        lhs_scale = 100 * (h - 1)
+        rhs = 266 * h * mrsum
+        for t, v in enumerate(x):
+            if lhs_scale * abs(h * v - s) > rhs:
+                out_k.append(key)
+                out_hr.append(h0 + t * 3_600_000_000)
+                out_c.append(v)
+    out = pd.DataFrame({key_col: out_k,
+                        "hr": pd.to_datetime(
+                            np.array(out_hr, dtype="int64"), unit="us"),
+                        "c": pd.array(out_c, dtype="int64")})
+    return out.sort_values([key_col, "hr"],
+                           kind="mergesort").reset_index(drop=True)
