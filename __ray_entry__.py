@@ -10429,6 +10429,129 @@ def _q_tukey_outliers(sf_dir: str):
     return out
 
 
+def _q_mase_eval(sf_dir: str):
+    """Scaled forecast error (``windows.naive_mase``): backtest_mae's
+    raw seasonal-naive MAE divided by the in-sample one-step naive MAE
+    — Hyndman's MASE, the unit-free grade that makes forecast error
+    comparable ACROSS series (a raw MAE of 40 is great on a volatile
+    stream and terrible on a flat one; mase_ppm < 10⁶ means same-hour-
+    yesterday beats repeat-last-hour).  Both error sums exact integers
+    over observed-hour pairs, the ratio clears both means in ONE floor
+    (10⁶·sae₂₄·n₁ // (sae₁·n₂₄)).  Same ONE bounded (hour, type)
+    exchange as backtest_mae.  Mirror: two lag self-joins + the
+    identical floor under HUGEINT."""
+    import ray.data
+
+    from documentai_ray.stages.windows import naive_mase
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return naive_mase(ev, ts_col="ts", key_col="event_type",
+                      season_hours=24)
+
+
+def _q_qini_auuc(sf_dir: str):
+    """Qini curve + AUUC over the activity ranking — the AREA reading
+    of uplift_deciles: per-decile uplift says WHERE the response
+    lives, but choosing a targeting CUTOFF needs the cumulative view
+    (treat the top-k deciles; how many incremental conversions vs
+    random targeting?).  Same plan as uplift_deciles (Knuth arms, one
+    user exchange, ``global_row_index`` activity rank, decile =
+    1 + 10·rank // n), then the cumulative fold per decile d:
+
+        qini_d  = Ct_d − Cc_d·Nt_d // Nc_d      (ONE floor, counts ≥ 0)
+        auuc_d  = Σ_{e≤d} qini_e                 (exact)
+        rand_d  = sign-split d·qini₁₀ // 10      (the random diagonal)
+        gain_d  = qini_d − rand_d
+
+    qini₁₀ can be negative (control may out-convert), so rand_d floors
+    on |qini₁₀| and re-signs — Python floor and DuckDB trunc agree only
+    on non-negative operands (the sign-split discipline).  10-row
+    driver fold over the 40-cell aggregate.  Mirror: the uplift_deciles
+    CTE + window cumsums + identical floors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+    n_users = per_user.count()
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_n", pa.array((-batch.column("n_ev").to_numpy())
+                              .astype("int64"), pa.int64()))
+
+    ranked = global_row_index(
+        per_user.map_batches(neg, batch_format="pyarrow"),
+        val_col="neg_n", tiebreak_col="user_id", out_col="_ri")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        treat = h < np.uint64(1 << 31)
+        dec = 1 + 10 * batch.column("_ri").to_numpy() // n_users
+        conv = batch.column("conv").to_numpy() > 0
+        df = pd.DataFrame({"decile": dec.astype("int64"),
+                           "t": treat, "c": conv})
+        g = df.groupby(["decile", "t"], as_index=False).agg(
+            n=("c", "size"), conv=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (ranked.map_batches(cells, batch_format="pyarrow")
+         .groupby(["decile", "t"])
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("conv", alias_name="conv"))).to_pandas()
+
+    cum = {"nt": 0, "ct": 0, "nc": 0, "cc": 0}
+    pre = []
+    for d in sorted(g["decile"].unique()):
+        gt = g[(g["decile"] == d) & g["t"]]
+        gc = g[(g["decile"] == d) & ~g["t"]]
+        cum["nt"] += int(gt["n"].sum())
+        cum["ct"] += int(gt["conv"].sum())
+        cum["nc"] += int(gc["n"].sum())
+        cum["cc"] += int(gc["conv"].sum())
+        qini = (cum["ct"] - cum["cc"] * cum["nt"] // cum["nc"]
+                if cum["nc"] > 0 else cum["ct"])
+        pre.append((int(d), cum["nt"], cum["ct"], cum["nc"],
+                    cum["cc"], qini))
+    q10 = pre[-1][5]
+    recs, auuc = [], 0
+    for d, nt, ct, nc, cc, qini in pre:
+        auuc += qini
+        rand = ((d * q10) // 10 if q10 >= 0
+                else -((d * (-q10)) // 10))
+        recs.append((d, nt, ct, nc, cc, qini, auuc, rand,
+                     qini - rand))
+    out = pd.DataFrame(recs, columns=[
+        "decile", "cum_n_treat", "cum_conv_treat", "cum_n_ctrl",
+        "cum_conv_ctrl", "qini", "auuc_cum", "rand_base", "gain"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10509,6 +10632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nest_tokens": _q_nest_tokens,
         "tvd_drift": _q_tvd_drift,
         "backtest_mae": _q_backtest_mae,
+        "mase_eval": _q_mase_eval,
+        "qini_auuc": _q_qini_auuc,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -11866,6 +11991,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(abs(a.n - b.n)) // count(*) AS BIGINT) AS mae "
             "FROM h a JOIN h b ON a.event_type = b.event_type "
             "AND b.w = a.w - INTERVAL 24 HOURS GROUP BY 1"
+        ),
+        # MASE: seasonal-naive MAE scaled by one-step naive MAE, both
+        # means cleared in one floor; observed-hour join semantics at
+        # both lags
+        "mase_eval": (
+            "WITH h AS (SELECT event_type, "
+            "date_trunc('hour', ts) AS w, count(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT a.event_type, count(*) AS n24, "
+            "sum(abs(a.n - b.n)) AS sae24 "
+            "FROM h a JOIN h b ON a.event_type = b.event_type "
+            "AND b.w = a.w - INTERVAL 24 HOURS GROUP BY 1), "
+            "o AS (SELECT a.event_type, count(*) AS n1, "
+            "sum(abs(a.n - b.n)) AS sae1 "
+            "FROM h a JOIN h b ON a.event_type = b.event_type "
+            "AND b.w = a.w - INTERVAL 1 HOUR GROUP BY 1) "
+            "SELECT s.event_type, "
+            "CAST(n24 AS BIGINT) AS n_pairs_season, "
+            "CAST(sae24 AS BIGINT) AS sae_season, "
+            "CAST(n1 AS BIGINT) AS n_pairs_naive, "
+            "CAST(sae1 AS BIGINT) AS sae_naive, "
+            "CAST(CASE WHEN sae1 * n24 > 0 THEN "
+            "1000000 * CAST(sae24 AS HUGEINT) * n1 "
+            "// (CAST(sae1 AS HUGEINT) * n24) ELSE 0 END AS BIGINT) "
+            "AS mase_ppm "
+            "FROM s JOIN o ON s.event_type = o.event_type"
         ),
         "tvd_drift": (
             "WITH c AS (SELECT source, lang, count(*) AS c "
@@ -14759,6 +14910,50 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END "
             "- CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END "
             "AS BIGINT) AS uplift_ppm FROM f"
+        ),
+        # Qini/AUUC: cumulative fold over the uplift_deciles cells;
+        # qini floors once (counts >= 0), the random diagonal is
+        # sign-split because qini_10 may be negative
+        "qini_auuc": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM u), "
+            "r AS (SELECT user_id, conv, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr, "
+            "row_number() OVER (ORDER BY n_ev DESC, user_id) - 1 "
+            "AS ri FROM u), "
+            "d AS (SELECT 1 + 10 * ri // nn.n AS decile, tr, conv "
+            "FROM r, nn), "
+            "g AS (SELECT decile, "
+            "count(*) FILTER (WHERE tr) AS nt, "
+            "coalesce(SUM(conv) FILTER (WHERE tr), 0) AS ct, "
+            "count(*) FILTER (WHERE NOT tr) AS nc, "
+            "coalesce(SUM(conv) FILTER (WHERE NOT tr), 0) AS cc "
+            "FROM d GROUP BY 1), "
+            "c AS (SELECT decile, SUM(nt) OVER w AS cnt, "
+            "SUM(ct) OVER w AS cct, SUM(nc) OVER w AS cnc, "
+            "SUM(cc) OVER w AS ccc FROM g "
+            "WINDOW w AS (ORDER BY decile)), "
+            "q AS (SELECT decile, cnt, cct, cnc, ccc, "
+            "CASE WHEN cnc > 0 THEN cct - ccc * cnt // cnc "
+            "ELSE cct END AS qini FROM c), "
+            "ql AS (SELECT qini AS q10 FROM q "
+            "ORDER BY decile DESC LIMIT 1), "
+            "f AS (SELECT q.*, SUM(qini) OVER (ORDER BY decile) "
+            "AS auuc, CASE WHEN ql.q10 >= 0 "
+            "THEN (decile * ql.q10) // 10 "
+            "ELSE -((decile * (-ql.q10)) // 10) END AS rand_base "
+            "FROM q, ql) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "CAST(cnt AS BIGINT) AS cum_n_treat, "
+            "CAST(cct AS BIGINT) AS cum_conv_treat, "
+            "CAST(cnc AS BIGINT) AS cum_n_ctrl, "
+            "CAST(ccc AS BIGINT) AS cum_conv_ctrl, "
+            "CAST(qini AS BIGINT) AS qini, "
+            "CAST(auuc AS BIGINT) AS auuc_cum, "
+            "CAST(rand_base AS BIGINT) AS rand_base, "
+            "CAST(qini - rand_base AS BIGINT) AS gain FROM f"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality

@@ -624,6 +624,68 @@ def seasonal_naive_mae(ds, *, ts_col: str, key_col: str,
                    .replace_schema_metadata(None)
 
 
+def naive_mase(ds, *, ts_col: str, key_col: str,
+               season_hours: int = 24):
+    """MASE (mean absolute SCALED error) of the seasonal-naive
+    predictor over the per-key hourly count series — the unit-free
+    forecast grade backtest_mae can't give: a raw MAE of 40 is
+    meaningless without knowing how volatile the series is, so
+    Hyndman's MASE divides the forecast MAE by the IN-SAMPLE one-step
+    naive MAE (ŷ_t = y_{t−1}); < 1 means the seasonal forecast beats
+    the drift floor, > 1 means yesterday's-same-hour is WORSE than
+    just repeating the last hour.  Both error sums are exact integers
+    over OBSERVED-hour pairs (an absent hour is no observation — the
+    backtest_mae join semantics, applied at lag ``season_hours`` for
+    the numerator and lag 1 for the denominator), and the ratio clears
+    both means in one floor:
+
+        mase_ppm = 10⁶ · sae_season · n_naive // (sae_naive · n_season)
+
+    (0 when either denominator term is 0 — a constant series has no
+    scale to measure against).
+
+    Physical plan: the hourly aggregate rides ONE pre-combined
+    (hour, key) exchange bounded by hours × keys; both lag joins run
+    driver-side over that tiny series table.  Returns (key,
+    n_pairs_season, sae_season, n_pairs_naive, sae_naive, mase_ppm)."""
+    from ray.data.aggregate import Count
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("naive_mase: empty input")
+
+    def lag_errors(lag_h: int) -> pd.DataFrame:
+        lag = hourly.copy()
+        lag["_w"] = lag["_w"] + pd.Timedelta(hours=lag_h)
+        j = hourly.merge(lag, on=["_w", key_col],
+                         suffixes=("", "_prev"))
+        j["_err"] = (j["_n"] - j["_n_prev"]).abs()
+        return (j.groupby(key_col, sort=False)
+                .agg(n=("_err", "size"), sae=("_err", "sum"))
+                .reset_index())
+
+    s = lag_errors(season_hours).rename(
+        columns={"n": "n_pairs_season", "sae": "sae_season"})
+    o = lag_errors(1).rename(
+        columns={"n": "n_pairs_naive", "sae": "sae_naive"})
+    out = s.merge(o, on=key_col, how="inner")
+    num = out["sae_season"].astype(object) * out["n_pairs_naive"]
+    den = out["sae_naive"].astype(object) * out["n_pairs_season"]
+    out["mase_ppm"] = [
+        int(1_000_000 * a // b) if b > 0 else 0
+        for a, b in zip(num, den)]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)
+
+
 def trend_flips(ds, *, ts_col: str, key_col: str,
                 out_col: str = "n_flips"):
     """Volatility of a per-key hourly count series as the number of
