@@ -10552,6 +10552,135 @@ def _q_qini_auuc(sf_dir: str):
     return out
 
 
+def _q_calibration_bins(sf_dir: str):
+    """Probability CALIBRATION — the eval axis the discrimination ops
+    (rank_auc, youden_threshold, average_precision) can't see: a score
+    can rank perfectly yet lie about the probabilities (say 90% when
+    35% convert), and any system that THRESHOLDS on the raw score or
+    multiplies it into an expected value needs the reliability
+    diagram, not the ROC.  The score is the deterministic activity
+    heuristic p_ppm = clamp((n_ev − 40)·20000, 0, 10⁶) vs the actual
+    purchase≥150 conversion; fixed-width bins b = min(9, p // 10⁵),
+    per bin:
+
+        conf_ppm = Σp // n          (mean claimed probability)
+        acc_ppm  = 10⁶·conv // n    (observed rate)
+        gap_ppm  = |acc − conf|     (of the two FLOORED values — the
+                                     deterministic convention)
+        brier_sum = Σ (p − 10⁶·y)²  (exact; the Brier numerator)
+
+    and the scalar ECE rides every row: ece_ppm = Σ n_b·gap_b // N
+    (one floor).  ONE user exchange + ONE 10-cell bin exchange of
+    4-integer partials.  Mirror: identical CASE bins + FILTER sums +
+    the same floors under HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_ev = batch.column("n_ev").to_numpy().astype("int64")
+        p = np.clip((n_ev - 40) * 20_000, 0, 1_000_000)
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        sq = (p - 1_000_000 * y) ** 2
+        return pa.table({
+            "bin": pa.array(np.minimum(9, p // 100_000), pa.int64()),
+            "_n": pa.array(np.ones_like(p), pa.int64()),
+            "_conv": pa.array(y, pa.int64()),
+            "_p": pa.array(p, pa.int64()),
+            "_sq": pa.array(sq, pa.int64())})
+
+    g = (per_user.map_batches(score, batch_format="pyarrow")
+         .groupby("bin")
+         .aggregate(Sum("_n", alias_name="n"),
+                    Sum("_conv", alias_name="n_conv"),
+                    Sum("_p", alias_name="sum_p"),
+                    Sum("_sq", alias_name="brier_sum"))).to_pandas()
+    g = g.sort_values("bin").reset_index(drop=True)
+    n_total = int(g["n"].sum())
+    g["conf_ppm"] = [int(sp) // int(n)
+                     for sp, n in zip(g["sum_p"], g["n"])]
+    g["acc_ppm"] = [1_000_000 * int(c) // int(n)
+                    for c, n in zip(g["n_conv"], g["n"])]
+    g["gap_ppm"] = (g["acc_ppm"] - g["conf_ppm"]).abs()
+    ece = int((g["n"] * g["gap_ppm"]).sum()) // n_total
+    g["ece_ppm"] = ece
+    out = g[["bin", "n", "n_conv", "conf_ppm", "acc_ppm", "gap_ppm",
+             "brier_sum", "ece_ppm"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_srm_check(sf_dir: str):
+    """Sample-ratio-mismatch guardrail — the experiment-HEALTH check
+    every arm-comparison op in this repo (ab_conversion, uplift,
+    logrank, did) silently assumes: if the 50/50 Knuth assignment
+    doesn't hold in the observed data (a bucketing bug, a bot filter
+    that correlates with the coin), every downstream uplift number is
+    garbage, and the industry-standard tripwire is a χ² of the arm
+    counts against the design ratio.  With E = N/2 the statistic
+    collapses to χ² = (n_t − n_c)²/N — exact integer numerator, ONE
+    floor at milli precision — and the flag cross-multiplies against
+    the χ²₁ 5% critical value: (n_t − n_c)²·10⁶ > 3841459·N (the
+    logrank_test discipline).  Scalars only; the user exchange is the
+    plan's single shuffle.  Mirror: the same coin + cross-multiplied
+    inequality."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ray.data.aggregate import Count
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="_cnt"))
+
+    def arms(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = (h < np.uint64(1 << 31)).astype("int64")
+        return pa.table({"_t": pa.array(t, pa.int64()),
+                         "_c": pa.array(1 - t, pa.int64())})
+
+    g = (users.map_batches(arms, batch_format="pyarrow")
+         .aggregate(Sum("_t", alias_name="nt"),
+                    Sum("_c", alias_name="nc")))
+    nt = int(g["nt"])
+    nc = int(g["nc"])
+    n = nt + nc
+    d = nt - nc
+    chi2_milli = 1000 * d * d // n
+    flag = d * d * 1_000_000 > 3_841_459 * n
+    out = pd.DataFrame([{
+        "n_treat": nt, "n_ctrl": nc, "delta": d,
+        "chi2_milli": chi2_milli, "srm_flag": bool(flag)}])
+    for c in ("n_treat", "n_ctrl", "delta", "chi2_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10634,6 +10763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backtest_mae": _q_backtest_mae,
         "mase_eval": _q_mase_eval,
         "qini_auuc": _q_qini_auuc,
+        "calibration_bins": _q_calibration_bins,
+        "srm_check": _q_srm_check,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -14954,6 +15085,48 @@ def oracle_sql() -> dict[str, str]:
             "CAST(auuc AS BIGINT) AS auuc_cum, "
             "CAST(rand_base AS BIGINT) AS rand_base, "
             "CAST(qini - rand_base AS BIGINT) AS gain FROM f"
+        ),
+        # reliability bins over the deterministic activity score;
+        # gap of the two FLOORED ppm values; ECE floors once over N
+        "calibration_bins": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "s AS (SELECT greatest(0, least(1000000, "
+            "(n_ev - 40) * 20000)) AS p, conv FROM u), "
+            "b AS (SELECT least(9, p // 100000) AS bin, "
+            "count(*) AS n, SUM(conv) AS n_conv, SUM(p) AS sum_p, "
+            "SUM((p - 1000000 * conv) * (p - 1000000 * conv)) "
+            "AS brier_sum FROM s GROUP BY 1), "
+            "c AS (SELECT bin, n, n_conv, brier_sum, "
+            "sum_p // n AS conf_ppm, "
+            "1000000 * n_conv // n AS acc_ppm FROM b), "
+            "e AS (SELECT SUM(n * abs(acc_ppm - conf_ppm)) "
+            "// SUM(n) AS ece FROM c) "
+            "SELECT CAST(bin AS BIGINT) AS bin, "
+            "CAST(n AS BIGINT) AS n, CAST(n_conv AS BIGINT) AS n_conv, "
+            "CAST(conf_ppm AS BIGINT) AS conf_ppm, "
+            "CAST(acc_ppm AS BIGINT) AS acc_ppm, "
+            "CAST(abs(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm, "
+            "CAST(brier_sum AS BIGINT) AS brier_sum, "
+            "CAST(e.ece AS BIGINT) AS ece_ppm FROM c, e"
+        ),
+        # SRM: chi-square of the Knuth arms vs the 50/50 design,
+        # collapsed to (nt-nc)^2/N; cross-multiplied 5% critical value
+        "srm_check": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "a AS (SELECT count(*) FILTER (WHERE "
+            "(user_id * 2654435761) % 4294967296 < 2147483648) AS nt, "
+            "count(*) FILTER (WHERE "
+            "(user_id * 2654435761) % 4294967296 >= 2147483648) AS nc "
+            "FROM u) "
+            "SELECT CAST(nt AS BIGINT) AS n_treat, "
+            "CAST(nc AS BIGINT) AS n_ctrl, "
+            "CAST(nt - nc AS BIGINT) AS delta, "
+            "CAST(1000 * (nt - nc) * (nt - nc) // (nt + nc) "
+            "AS BIGINT) AS chi2_milli, "
+            "(nt - nc) * (nt - nc) * 1000000 > 3841459 * (nt + nc) "
+            "AS srm_flag FROM a"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
