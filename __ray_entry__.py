@@ -10681,6 +10681,166 @@ def _q_srm_check(sf_dir: str):
     return out
 
 
+def _q_ips_policy_eval(sf_dir: str):
+    """Off-policy evaluation — the counterfactual question the A/B ops
+    can't answer: ab_conversion grades the arms that RAN; this grades a
+    NEW targeting policy (treat iff n_ev ≥ 66) from the same logs
+    without deploying it.  The Knuth coin is the logged behavior policy
+    with propensity exactly 1/2 for every user, so the IPS estimator's
+    weights are the exact rational 2 and everything stays integer:
+
+        ips_ppm    = 2·10⁶ · Σ y·match // n        (Horvitz-Thompson)
+        snips_ppm  = 10⁶ · Σ y·match // Σ match    (self-normalized —
+                     the 2s cancel; 0-guarded when no user matches)
+        logged_ppm = 10⁶ · Σ y // n                (behavior baseline)
+
+    match = [coin arm == policy arm]; n_match is the effective-sample
+    diagnostic every OPE report carries (IPS variance blows up as it
+    shrinks).  ONE user exchange, scalar partials only.  Mirror: the
+    same coin + CASE policy + identical floors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        logged = (h < np.uint64(1 << 31)).astype("int64")
+        pol = (batch.column("n_ev").to_numpy() >= 66).astype("int64")
+        match = (logged == pol).astype("int64")
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        return pa.table({
+            "_n": pa.array(np.ones_like(match), pa.int64()),
+            "_y": pa.array(y, pa.int64()),
+            "_m": pa.array(match, pa.int64()),
+            "_my": pa.array(match * y, pa.int64())})
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .aggregate(Sum("_n", alias_name="n"),
+                    Sum("_y", alias_name="y"),
+                    Sum("_m", alias_name="m"),
+                    Sum("_my", alias_name="my")))
+    n, y, m, my = (int(g["n"]), int(g["y"]), int(g["m"]),
+                   int(g["my"]))
+    out = pd.DataFrame([{
+        "n": n, "n_match": m, "n_match_conv": my,
+        "logged_ppm": 1_000_000 * y // n,
+        "ips_ppm": 2_000_000 * my // n,
+        "snips_ppm": 1_000_000 * my // m if m > 0 else 0}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_label_shift(sf_dir: str):
+    """Black-box label-shift estimation (BBSE) — the drift family's
+    missing half: tvd/ks/chi2 DETECT that a segment differs; this
+    QUANTIFIES the new label prior using only a frozen classifier's
+    confusion rates, the estimator behind every "how much did the
+    positive rate move in production?" dashboard where target labels
+    are unavailable.  Source = Knuth-true users; target = Knuth-false
+    users with ≥ 12 purchases (a label-correlated segment, so the
+    prior genuinely shifts); classifier ŷ = (n_ev ≥ 66), label
+    y = converts.  BBSE inverts the 2×2 confusion:
+
+        q = (μ − fpr)/(tpr − fpr)
+
+    cleared to ONE sign-split floor: with P = TP+FN, N = FP+TN,
+    num = P·(m1·N − FP·m), den = m·(TP·N − FP·P),
+    est_prior_ppm = sign(num·den) · (10⁶·|num| // |den|) (0 when den
+    is 0 — a chance-level classifier can't see the shift).  The true
+    target prior rides along, making the estimator's error visible.
+    ONE user exchange, 8 scalar partials.  Mirror: identical counts +
+    the same sign-split CASE under HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        purch = pc.equal(batch.column("event_type"), "purchase")
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64()),
+                         "purch": purch.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv"),
+                           Sum("purch", alias_name="np")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        src = h < np.uint64(1 << 31)
+        tgt = (~src) & (batch.column("np").to_numpy() >= 12)
+        yh = batch.column("n_ev").to_numpy() >= 66
+        y = batch.column("conv").to_numpy() > 0
+        def n(mask):
+            return pa.array(mask.astype("int64"), pa.int64())
+        return pa.table({
+            "_tp": n(src & y & yh), "_fn": n(src & y & ~yh),
+            "_fp": n(src & ~y & yh), "_tn": n(src & ~y & ~yh),
+            "_m": n(tgt), "_m1": n(tgt & yh), "_t1": n(tgt & y)})
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .aggregate(*[Sum(c, alias_name=c.lstrip("_")) for c in
+                      ("_tp", "_fn", "_fp", "_tn", "_m", "_m1",
+                       "_t1")]))
+    tp, fn, fp, tn, m, m1, t1 = (int(g[k]) for k in
+                                 ("tp", "fn", "fp", "tn", "m", "m1",
+                                  "t1"))
+    p_src, n_src = tp + fn, fp + tn
+    num = p_src * (m1 * n_src - fp * m)
+    den = m * (tp * n_src - fp * p_src)
+    if den == 0:
+        est = 0
+    else:
+        s = 1 if (num >= 0) == (den > 0) else -1
+        est = s * (1_000_000 * abs(num) // abs(den))
+    out = pd.DataFrame([{
+        "n_src": p_src + n_src, "tp": tp, "fp": fp, "fn": fn,
+        "tn": tn, "n_tgt": m, "m1": m1,
+        "mu_ppm": 1_000_000 * m1 // m if m else 0,
+        "tpr_ppm": 1_000_000 * tp // p_src if p_src else 0,
+        "fpr_ppm": 1_000_000 * fp // n_src if n_src else 0,
+        "est_prior_ppm": est,
+        "true_prior_ppm": 1_000_000 * t1 // m if m else 0}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10765,6 +10925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qini_auuc": _q_qini_auuc,
         "calibration_bins": _q_calibration_bins,
         "srm_check": _q_srm_check,
+        "ips_policy_eval": _q_ips_policy_eval,
+        "label_shift": _q_label_shift,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -15127,6 +15289,68 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS chi2_milli, "
             "(nt - nc) * (nt - nc) * 1000000 > 3841459 * (nt + nc) "
             "AS srm_flag FROM a"
+        ),
+        # IPS/SNIPS off-policy estimate: propensity exactly 1/2 ->
+        # rational weight 2; match = logged coin == policy arm
+        "ips_policy_eval": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "c AS (SELECT conv AS y, CASE WHEN "
+            "((user_id * 2654435761) % 4294967296 < 2147483648) "
+            "= (n_ev >= 66) THEN 1 ELSE 0 END AS m FROM u), "
+            "a AS (SELECT count(*) AS n, SUM(y) AS y, SUM(m) AS m, "
+            "SUM(y * m) AS my FROM c) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(m AS BIGINT) AS n_match, "
+            "CAST(my AS BIGINT) AS n_match_conv, "
+            "CAST(1000000 * y // n AS BIGINT) AS logged_ppm, "
+            "CAST(2000000 * my // n AS BIGINT) AS ips_ppm, "
+            "CAST(CASE WHEN m > 0 THEN 1000000 * my // m ELSE 0 END "
+            "AS BIGINT) AS snips_ppm FROM a"
+        ),
+        # BBSE: confusion-rate inversion cleared to one sign-split
+        # floor; target = coin-false users with >= 12 purchases
+        "label_shift": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS y, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS np "
+            "FROM events GROUP BY 1), "
+            "f AS (SELECT (user_id * 2654435761) % 4294967296 "
+            "< 2147483648 AS src, np >= 12 AS seg, n_ev >= 66 AS yh, "
+            "y = 1 AS yy FROM u), "
+            "a AS (SELECT "
+            "count(*) FILTER (WHERE src AND yy AND yh) AS tp, "
+            "count(*) FILTER (WHERE src AND yy AND NOT yh) AS fn, "
+            "count(*) FILTER (WHERE src AND NOT yy AND yh) AS fp, "
+            "count(*) FILTER (WHERE src AND NOT yy AND NOT yh) AS tn, "
+            "count(*) FILTER (WHERE NOT src AND seg) AS m, "
+            "count(*) FILTER (WHERE NOT src AND seg AND yh) AS m1, "
+            "count(*) FILTER (WHERE NOT src AND seg AND yy) AS t1 "
+            "FROM f), "
+            "b AS (SELECT *, tp + fn AS p, fp + tn AS nn, "
+            "CAST(tp + fn AS HUGEINT) * (m1 * CAST(fp + tn AS HUGEINT) "
+            "- CAST(fp AS HUGEINT) * m) AS num, "
+            "CAST(m AS HUGEINT) * (CAST(tp AS HUGEINT) * (fp + tn) "
+            "- CAST(fp AS HUGEINT) * (tp + fn)) AS den FROM a) "
+            "SELECT CAST(p + nn AS BIGINT) AS n_src, "
+            "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+            "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
+            "CAST(m AS BIGINT) AS n_tgt, CAST(m1 AS BIGINT) AS m1, "
+            "CAST(CASE WHEN m > 0 THEN 1000000 * m1 // m ELSE 0 END "
+            "AS BIGINT) AS mu_ppm, "
+            "CAST(CASE WHEN p > 0 THEN 1000000 * tp // p ELSE 0 END "
+            "AS BIGINT) AS tpr_ppm, "
+            "CAST(CASE WHEN nn > 0 THEN 1000000 * fp // nn ELSE 0 END "
+            "AS BIGINT) AS fpr_ppm, "
+            "CAST(CASE WHEN den = 0 THEN 0 "
+            "WHEN (num >= 0) = (den > 0) "
+            "THEN 1000000 * abs(num) // abs(den) "
+            "ELSE -(1000000 * abs(num) // abs(den)) END AS BIGINT) "
+            "AS est_prior_ppm, "
+            "CAST(CASE WHEN m > 0 THEN 1000000 * t1 // m ELSE 0 END "
+            "AS BIGINT) AS true_prior_ppm FROM b"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
