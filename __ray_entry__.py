@@ -10841,6 +10841,115 @@ def _q_label_shift(sf_dir: str):
     return out
 
 
+def _q_conformal_interval(sf_dir: str):
+    """Split-conformal 90% interval for the hourly forecast
+    (``windows.conformal_backtest``): backtest_mae/mase_eval grade the
+    POINT error; an alerting threshold needs "how far off can the
+    forecast be at 90% confidence", and split conformal answers it
+    distribution-free — k-th smallest calibration nonconformity with
+    the finite-sample rank k = (9·n_cal+18)//10 (⌈(n+1)·0.9⌉ exact),
+    Knuth epoch-hour coin as the calibration split, held-out coverage
+    floored once to ppm.  Same ONE bounded (hour, type) exchange as
+    the other backtests.  Mirror: lag self-join + the same coin +
+    row_number rank pick + FILTER coverage count."""
+    import ray.data
+
+    from documentai_ray.stages.windows import conformal_backtest
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return conformal_backtest(ev, ts_col="ts", key_col="event_type",
+                              season_hours=24)
+
+
+def _q_cohort_payback(sf_dir: str):
+    """CAC payback day per signup cohort — the DECISION scalar
+    cohort_ltv's running curve feeds: finance doesn't read the curve,
+    it asks "on which day does cohort X's cumulative purchase revenue
+    cross its acquisition cost?" (constant CAC 30000¢/user — the
+    knob's value is arbitrary, the fold isn't).  Same one user-hash
+    exchange as cohort_ltv (first-event day per user found per
+    partition, vectorized), but partials carry BOTH the per-(cohort,
+    day-offset) revenue cents AND the cohort's user count (sentinel
+    offset −1), so the payback fold is a cumsum + first-crossing scan
+    over the ≤cohorts×days driver frame: payback_day = min offset
+    with cum ≥ 30000·n_users, −1 if the cohort never pays back.
+    Revenue is exact integer cents (the money-sum lesson).  Mirror:
+    min-day join + window cumsum + min(off) FILTER crossing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        dd = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        c = np.rint(batch.column("value").to_numpy() * 100) \
+            .astype("int64")
+        is_p = pc.equal(batch.column("event_type"),
+                        "purchase").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "dd": pa.array(dd.astype("int64"), pa.int64()),
+                         "cents": pa.array(np.where(is_p, c, 0),
+                                           pa.int64()),
+                         "is_p": pa.array(is_p)})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["dd"].min().rename("fd")
+        users = first.reset_index()
+        users["cohort_week"] = users["fd"] // 7
+        uc = (users.groupby("cohort_week", as_index=False)
+              .agg(n=("user_id", "size")))
+        uc["off"] = -1
+        uc["cents"] = 0
+        p = g[g["is_p"]].merge(first, left_on="user_id",
+                               right_index=True)
+        p["cohort_week"] = p["fd"] // 7
+        p["off"] = p["dd"] - p["fd"]
+        pr = (p.groupby(["cohort_week", "off"], as_index=False)
+              ["cents"].sum())
+        pr["n"] = 0
+        out = pd.concat([uc[["cohort_week", "off", "cents", "n"]],
+                         pr[["cohort_week", "off", "cents", "n"]]],
+                        ignore_index=True)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    g = (_add_pkey(ev.map_batches(prep, batch_format="pyarrow"),
+                   "user_id", 64)
+         .groupby("_pkey")
+         .map_groups(lambda x: partial(x.drop(columns=["_pkey"])),
+                     batch_format="pandas")
+         .groupby(["cohort_week", "off"])
+         .aggregate(Sum("cents", alias_name="cents"),
+                    Sum("n", alias_name="n"))).to_pandas()
+    recs = []
+    for cw, sub in g.groupby("cohort_week", sort=True):
+        n_users = int(sub.loc[sub["off"] == -1, "n"].sum())
+        rev = (sub[sub["off"] >= 0].sort_values("off"))
+        cum = rev["cents"].cumsum()
+        total = int(rev["cents"].sum())
+        cac = 30000 * n_users
+        crossed = rev.loc[cum >= cac, "off"]
+        payback = int(crossed.iloc[0]) if len(crossed) else -1
+        recs.append((int(cw), n_users, total, cac, payback))
+    out = pd.DataFrame(recs, columns=[
+        "cohort_week", "n_users", "total_revenue_cents", "cac_cents",
+        "payback_day"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -10927,6 +11036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srm_check": _q_srm_check,
         "ips_policy_eval": _q_ips_policy_eval,
         "label_shift": _q_label_shift,
+        "conformal_interval": _q_conformal_interval,
+        "cohort_payback": _q_cohort_payback,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -15351,6 +15462,67 @@ def oracle_sql() -> dict[str, str]:
             "AS est_prior_ppm, "
             "CAST(CASE WHEN m > 0 THEN 1000000 * t1 // m ELSE 0 END "
             "AS BIGINT) AS true_prior_ppm FROM b"
+        ),
+        # split conformal: epoch-hour Knuth coin calibration split,
+        # finite-sample rank (9n+18)//10 clamped, held-out coverage
+        "conformal_interval": (
+            "WITH h AS (SELECT event_type, "
+            "date_trunc('hour', ts) AS w, count(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT a.event_type, a.w, abs(a.n - b.n) AS s, "
+            "(CAST(epoch_ms(a.w) AS BIGINT) // 3600000 * 2654435761) "
+            "% 4294967296 < 2147483648 AS cal "
+            "FROM h a JOIN h b ON a.event_type = b.event_type "
+            "AND b.w = a.w - INTERVAL 24 HOURS), "
+            "c AS (SELECT event_type, count(*) AS n_cal FROM p "
+            "WHERE cal GROUP BY 1), "
+            "k AS (SELECT event_type, n_cal, "
+            "least((9 * n_cal + 18) // 10, n_cal) AS k FROM c), "
+            "r AS (SELECT event_type, s, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY s) AS rn FROM p "
+            "WHERE cal), "
+            "q AS (SELECT k.event_type, k.n_cal, k.k, r.s AS thr "
+            "FROM k JOIN r ON r.event_type = k.event_type "
+            "AND r.rn = k.k), "
+            "cov AS (SELECT q.event_type, max(q.n_cal) AS n_cal, "
+            "max(q.k) AS k, max(q.thr) AS thr, count(*) AS n_test, "
+            "count(*) FILTER (WHERE p.s <= q.thr) AS n_cov "
+            "FROM q JOIN p ON p.event_type = q.event_type "
+            "AND NOT p.cal GROUP BY 1) "
+            "SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal, "
+            "CAST(n_test AS BIGINT) AS n_test, CAST(k AS BIGINT) AS k, "
+            "CAST(thr AS BIGINT) AS threshold, "
+            "CAST(n_cov AS BIGINT) AS n_covered, "
+            "CAST(1000000 * n_cov // n_test AS BIGINT) "
+            "AS coverage_ppm FROM cov"
+        ),
+        # payback: min-day join + window cumsum + first CAC crossing;
+        # cohorts that never pay back coalesce to -1
+        "cohort_payback": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS dd, "
+            "event_type, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events), "
+            "f AS (SELECT user_id, min(dd) AS fd FROM e GROUP BY 1), "
+            "u AS (SELECT fd // 7 AS cw, count(*) AS n_users FROM f "
+            "GROUP BY 1), "
+            "p AS (SELECT f.fd // 7 AS cw, e.dd - f.fd AS off, "
+            "SUM(e.cents) AS rev FROM e JOIN f USING (user_id) "
+            "WHERE e.event_type = 'purchase' GROUP BY 1, 2), "
+            "c AS (SELECT cw, off, SUM(rev) OVER "
+            "(PARTITION BY cw ORDER BY off) AS cum FROM p), "
+            "pb AS (SELECT c.cw, min(c.off) AS pd FROM c "
+            "JOIN u ON u.cw = c.cw WHERE c.cum >= 30000 * u.n_users "
+            "GROUP BY 1), "
+            "t AS (SELECT cw, SUM(rev) AS total FROM p GROUP BY 1) "
+            "SELECT CAST(u.cw AS BIGINT) AS cohort_week, "
+            "CAST(u.n_users AS BIGINT) AS n_users, "
+            "CAST(coalesce(t.total, 0) AS BIGINT) "
+            "AS total_revenue_cents, "
+            "CAST(30000 * u.n_users AS BIGINT) AS cac_cents, "
+            "CAST(coalesce(pb.pd, -1) AS BIGINT) AS payback_day "
+            "FROM u LEFT JOIN t ON t.cw = u.cw "
+            "LEFT JOIN pb ON pb.cw = u.cw"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality

@@ -686,6 +686,75 @@ def naive_mase(ds, *, ts_col: str, key_col: str,
                    .replace_schema_metadata(None)
 
 
+def conformal_backtest(ds, *, ts_col: str, key_col: str,
+                       season_hours: int = 24):
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster — the uncertainty the point-error ops (backtest_mae,
+    naive_mase) can't give: an alerting system needs "how far off can
+    this forecast be at 90% confidence", and split conformal answers
+    it DISTRIBUTION-FREE: rank the calibration-half nonconformity
+    scores s = |y_t − y_{t−season}| and take the k-th smallest with
+    k = ⌈(n_cal+1)·0.9⌉ (the finite-sample-valid rank, computed as the
+    exact integer (9·n_cal+18)//10 and clamped to n_cal); the marginal
+    coverage guarantee P(s_test ≤ q) ≥ 0.9 then holds by
+    exchangeability alone, and the held-out half measures it.
+
+    Calibration/test split is the Knuth coin on the EPOCH-HOUR index
+    (deterministic, parallelism-independent).  Pairs exist only where
+    both hours were observed (the backtest_mae join semantics).  Keys
+    with an empty calibration or test half are dropped.  Coverage
+    floors once: 10⁶·n_cov // n_test.
+
+    Physical plan: the hourly aggregate rides ONE pre-combined
+    (hour, key) exchange bounded by hours × keys; the lag join, rank
+    pick and coverage count run driver-side over that tiny series
+    table.  Returns (key, n_cal, n_test, k, threshold, n_covered,
+    coverage_ppm)."""
+    from ray.data.aggregate import Count
+
+    if key_col == "k":
+        raise ValueError("conformal_backtest: key_col 'k' collides "
+                         "with the rank output column")
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_w", pc.floor_temporal(batch.column(ts_col), unit="hour"))
+
+    hourly = (ds.map_batches(add_window, batch_format="pyarrow")
+              .groupby(["_w", key_col])
+              .aggregate(Count(alias_name="_n"))).to_pandas()
+    if hourly.empty:
+        raise ValueError("conformal_backtest: empty input")
+    lag = hourly.copy()
+    lag["_w"] = lag["_w"] + pd.Timedelta(hours=season_hours)
+    j = hourly.merge(lag, on=["_w", key_col], suffixes=("", "_prev"))
+    j["_s"] = (j["_n"] - j["_n_prev"]).abs()
+    hh = (j["_w"].astype("datetime64[ns]").astype("int64").to_numpy()
+          // 3_600_000_000_000)
+    coin = (hh.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32)
+    j["_cal"] = coin < np.uint64(1 << 31)
+    rows = []
+    for key, g in j.groupby(key_col, sort=True):
+        cal = np.sort(g.loc[g["_cal"], "_s"].to_numpy())
+        test = g.loc[~g["_cal"], "_s"].to_numpy()
+        n_cal, n_test = len(cal), len(test)
+        if n_cal == 0 or n_test == 0:
+            continue
+        k = min((9 * n_cal + 18) // 10, n_cal)
+        thr = int(cal[k - 1])
+        n_cov = int((test <= thr).sum())
+        rows.append((key, n_cal, n_test, k, thr, n_cov,
+                     1_000_000 * n_cov // n_test))
+    out = pd.DataFrame(rows, columns=[
+        key_col, "n_cal", "n_test", "k", "threshold", "n_covered",
+        "coverage_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False) \
+                   .replace_schema_metadata(None)
+
+
 def trend_flips(ds, *, ts_col: str, key_col: str,
                 out_col: str = "n_flips"):
     """Volatility of a per-key hourly count series as the number of
