@@ -10950,6 +10950,129 @@ def _q_cohort_payback(sf_dir: str):
     return out
 
 
+def _q_bootstrap_ci(sf_dir: str):
+    """Deterministic multiplier-bootstrap CI for mean quantity — the
+    resampling-INFERENCE family: every point estimate in this repo is
+    exact, but "mean 25.5" without an interval can't tell a real move
+    from noise, and the classical bootstrap is the distribution-free
+    way to get one.  The distributed form is the MULTIPLIER bootstrap
+    (each row gets an independent integer weight with mean 1 per
+    replicate — no global resample pass), and determinism comes from
+    drawing the weight's two Bernoulli(1/2) components from hash
+    bits:  k = (rid·32 + b) mod 1048573,
+    h = k·2654435761 mod 2³², w = ((h>>30)&1) + ((h>>31)&1)
+    ∈ {0,1,2} (mean 1, variance ½ — a valid multiplier law; rid =
+    8·orderkey + linenumber is the stable row id, the prime
+    pre-reduction keeps every product in int64 at any scale, and the
+    bits are the TOP two — the low bits of a multiplicative hash are
+    constant across keys that differ by a multiple of 4, which made
+    every row in a replicate share one weight until this used the
+    high end).  Each of
+    the B=32 replicate means floors once (10⁶·Σwv // Σw); the CI is
+    the RANK-PICKED 2nd and 31st of the sorted replicate means (the
+    ~94% interval 32 replicates can support — more replicates is a
+    knob, not a design change).  Per-batch partials are 32 (Σwv, Σw)
+    pairs, so the exchange is 32 rows × blocks regardless of data
+    size.  Mirror: generate_series(0,31) cross join + identical hash
+    arithmetic + row_number rank picks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    B = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rid = (8 * batch.column("l_orderkey").to_numpy()
+               + batch.column("l_linenumber").to_numpy()) \
+            .astype("int64")
+        v = np.rint(batch.column("l_quantity").to_numpy()) \
+            .astype("int64")
+        b = np.arange(B, dtype="int64")
+        k = (rid[:, None] * 32 + b[None, :]) % 1048573
+        h = (k.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        w = (((h >> np.uint64(30)) & np.uint64(1))
+             + ((h >> np.uint64(31)) & np.uint64(1))).astype("int64")
+        return pa.table({
+            "b": pa.array(b, pa.int64()),
+            "swv": pa.array((w * v[:, None]).sum(axis=0), pa.int64()),
+            "sw": pa.array(w.sum(axis=0), pa.int64()),
+            "sv": pa.array(np.full(B, int(v.sum()), dtype="int64"),
+                           pa.int64()),
+            "n": pa.array(np.full(B, len(v), dtype="int64"),
+                          pa.int64())})
+
+    g = (li.map_batches(partial, batch_format="pyarrow")
+         .groupby("b")
+         .aggregate(Sum("swv", alias_name="swv"),
+                    Sum("sw", alias_name="sw"),
+                    Sum("sv", alias_name="sv"),
+                    Sum("n", alias_name="n"))).to_pandas()
+    means = sorted(int(1_000_000 * swv // sw) if sw > 0 else 0
+                   for swv, sw in zip(g["swv"], g["sw"]))
+    n = int(g["n"].iloc[0])
+    sv = int(g["sv"].iloc[0])
+    out = pd.DataFrame([{
+        "n": n, "n_reps": B,
+        "mean_ppm": 1_000_000 * sv // n,
+        "ci_lo_ppm": means[1], "ci_hi_ppm": means[B - 2]}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_jackknife_sources(sf_dir: str):
+    """Leave-one-source-out influence — the ROBUSTNESS check next to
+    bootstrap_ci's sampling noise: a corpus metric (English share)
+    that looks healthy can be propped up by a single source, and the
+    jackknife answers "which source moves the number most if it
+    vanished" EXACTLY from the per-source totals (no resampling —
+    deletion statistics have a closed form):
+
+        share_wo_ppm  = 10⁶·(E − e_s) // (N − n_s)
+        influence_ppm = share_wo_ppm − share_full_ppm
+
+    (one floor each; the full-corpus share rides every row for
+    context).  ONE source-bounded exchange of (n, n_en) partials.
+    Mirror: FILTER sums + window totals + identical floors."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        en = pc.equal(batch.column("lang"), "en").cast(pa.int64())
+        ones = pa.array([1] * len(batch), pa.int64())
+        return pa.table({"source": batch.column("source"),
+                         "_n": ones, "_en": en})
+
+    g = (docs.map_batches(prep, batch_format="pyarrow")
+         .groupby("source")
+         .aggregate(Sum("_n", alias_name="n_docs"),
+                    Sum("_en", alias_name="n_en"))).to_pandas()
+    g = g.sort_values("source").reset_index(drop=True)
+    N = int(g["n_docs"].sum())
+    E = int(g["n_en"].sum())
+    full = 1_000_000 * E // N
+    g["share_full_ppm"] = full
+    g["share_wo_ppm"] = [
+        1_000_000 * (E - int(e)) // (N - int(n)) if N > int(n) else 0
+        for e, n in zip(g["n_en"], g["n_docs"])]
+    g["influence_ppm"] = g["share_wo_ppm"] - full
+    for c in g.columns[1:]:
+        g[c] = g[c].astype("int64")
+    return g
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -11038,6 +11161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_shift": _q_label_shift,
         "conformal_interval": _q_conformal_interval,
         "cohort_payback": _q_cohort_payback,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "jackknife_sources": _q_jackknife_sources,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -15523,6 +15648,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(pb.pd, -1) AS BIGINT) AS payback_day "
             "FROM u LEFT JOIN t ON t.cw = u.cw "
             "LEFT JOIN pb ON pb.cw = u.cw"
+        ),
+        # multiplier bootstrap: two hash bits per (row, replicate) give
+        # w in {0,1,2} mean 1; rank-picked 2nd/31st replicate means
+        "bootstrap_ci": (
+            "WITH r AS (SELECT 8 * l_orderkey + l_linenumber AS rid, "
+            "CAST(round(l_quantity) AS BIGINT) AS v FROM lineitem), "
+            "bb AS (SELECT unnest(generate_series(0, 31)) AS b), "
+            "w AS (SELECT bb.b, r.v, "
+            "(((r.rid * 32 + bb.b) % 1048573) * 2654435761) "
+            "% 4294967296 AS h FROM r, bb), "
+            "m AS (SELECT b, "
+            "SUM((((h // 1073741824) % 2) + ((h // 2147483648) % 2)) "
+            "* v) AS swv, "
+            "SUM(((h // 1073741824) % 2) + ((h // 2147483648) % 2)) "
+            "AS sw FROM w GROUP BY 1), "
+            "mm AS (SELECT CASE WHEN sw > 0 "
+            "THEN 1000000 * swv // sw ELSE 0 END AS m FROM m), "
+            "rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn "
+            "FROM mm), "
+            "t AS (SELECT count(*) AS n, SUM(v) AS sv FROM r) "
+            "SELECT CAST(t.n AS BIGINT) AS n, "
+            "CAST(32 AS BIGINT) AS n_reps, "
+            "CAST(1000000 * t.sv // t.n AS BIGINT) AS mean_ppm, "
+            "(SELECT CAST(m AS BIGINT) FROM rk WHERE rn = 2) "
+            "AS ci_lo_ppm, "
+            "(SELECT CAST(m AS BIGINT) FROM rk WHERE rn = 31) "
+            "AS ci_hi_ppm FROM t"
+        ),
+        # jackknife: closed-form deletion statistics from per-source
+        # totals; influence vs the full-corpus share
+        "jackknife_sources": (
+            "WITH c AS (SELECT source, count(*) AS n_docs, "
+            "count(*) FILTER (WHERE lang = 'en') AS n_en "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT SUM(n_docs) AS nn, SUM(n_en) AS ee FROM c) "
+            "SELECT c.source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(n_en AS BIGINT) AS n_en, "
+            "CAST(1000000 * ee // nn AS BIGINT) AS share_full_ppm, "
+            "CAST(CASE WHEN nn > n_docs THEN "
+            "1000000 * (ee - n_en) // (nn - n_docs) ELSE 0 END "
+            "AS BIGINT) AS share_wo_ppm, "
+            "CAST(CASE WHEN nn > n_docs THEN "
+            "1000000 * (ee - n_en) // (nn - n_docs) ELSE 0 END "
+            "- 1000000 * ee // nn AS BIGINT) AS influence_ppm "
+            "FROM c, t"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
