@@ -11073,6 +11073,171 @@ def _q_jackknife_sources(sf_dir: str):
     return g
 
 
+def _q_emd_hourly(sf_dir: str):
+    """1-D Wasserstein (earth-mover) distance between the weekday and
+    weekend hour-of-day profiles per event type — the distribution
+    distance WITH GEOMETRY that the drift family lacks: TVD/χ² treat
+    hours as unordered labels, so a profile shifted by 1 hour and one
+    shifted by 12 score the same; EMD on the ordered 24-bin domain is
+    Σ|CDF diff| and prices the shift in HOURS MOVED PER UNIT MASS.
+    Cross-multiplied exact: emd_milli = 1000·Σ_h |CA_h·N_B −
+    CB_h·N_A| // (N_A·N_B) (one floor; 0 when either class is empty).
+    Weekday/weekend from pure epoch-day arithmetic ((dd+4) mod 7 ∈
+    {0,6} = Sunday/Saturday — no engine calendar builtins, so both
+    sides share one convention).  ONE exchange bounded by
+    types×2×24.  Mirror: dense grid + window cumsum + the identical
+    HUGEINT fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        dd = us // 86_400_000_000
+        hod = (us // 3_600_000_000) % 24
+        cls = (((dd + 4) % 7 == 0) | ((dd + 4) % 7 == 6)) \
+            .astype("int64")
+        df = pd.DataFrame({"event_type":
+                           batch.column("event_type").to_pandas(),
+                           "cls": cls, "hod": hod.astype("int64")})
+        g = df.groupby(["event_type", "cls", "hod"],
+                       as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "_n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    g = (ev.map_batches(prep, batch_format="pyarrow")
+         .groupby(["event_type", "cls", "hod"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+    recs = []
+    for et, sub in g.groupby("event_type", sort=True):
+        a = np.zeros(24, dtype="int64")
+        b = np.zeros(24, dtype="int64")
+        for _, r in sub.iterrows():
+            (a if r["cls"] == 0 else b)[int(r["hod"])] = int(r["n"])
+        na, nb = int(a.sum()), int(b.sum())
+        if na > 0 and nb > 0:
+            ca, cb = a.cumsum(), b.cumsum()
+            s = sum(abs(int(x) * nb - int(y) * na)
+                    for x, y in zip(ca, cb))
+            emd = 1000 * s // (na * nb)
+        else:
+            emd = 0
+        recs.append((et, na, nb, emd))
+    out = pd.DataFrame(recs, columns=[
+        "event_type", "n_weekday", "n_weekend", "emd_milli"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_price_elasticity(sf_dir: str):
+    """Arc price elasticity of demand per part across the shipdate
+    halves — the demand-economics readout the index family stops short
+    of: laspeyres/paasche say prices rose; a buyer wants to know
+    whether QUANTITY responded, and the midpoint (arc) formula is the
+    textbook two-period estimate.  With unit value p_i = R_i/Q_i the
+    whole expression clears to integers:
+
+        e = [(Q₁−Q₀)/(Q₁+Q₀)] / [(p₁−p₀)/(p₁+p₀)]
+          = (Q₁−Q₀)·(R₁Q₀ + R₀Q₁) / [(Q₁+Q₀)·(R₁Q₀ − R₀Q₁)]
+
+    floored once at ppm with the FULL sign-split (numerator and
+    denominator each carry a sign — Python floors, DuckDB truncates).
+    Parts missing a period or with an unchanged unit value (den = 0)
+    drop — no elasticity is measurable there.  The (part, period)
+    aggregate rides ONE exchange; the per-part fold is bucketed
+    (``_add_pkey``) with Python-int arithmetic because R·Q²-scale
+    products overflow int64 at large SF.  Mirror: midpoint-split sums
+    + self-join + the identical HUGEINT sign-split."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        dd = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        q = batch.column("l_quantity").to_numpy().astype("int64")
+        rc = np.rint(batch.column("l_extendedprice").to_numpy()
+                     * 100).astype("int64")
+        return pa.table({"pk": batch.column("l_partkey"),
+                         "dd": pa.array(dd.astype("int64"), pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "rc": pa.array(rc, pa.int64())})
+
+    # the span scan re-reads ONLY the shipdate column (the documented
+    # double-consumption rule: re-read a pruned source, don't pin)
+    sd = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_shipdate"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        dd = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        return pa.table({"dd": pa.array(dd.astype("int64"),
+                                        pa.int64())})
+
+    mm = sd.map_batches(days, batch_format="pyarrow") \
+        .aggregate(Min("dd"), Max("dd"))
+    mid = (int(mm["min(dd)"]) + int(mm["max(dd)"])) // 2
+    d = li.map_batches(prep, batch_format="pyarrow")
+
+    def label(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        post = (batch.column("dd").to_numpy() >= mid).astype("int64")
+        return pa.table({"pk": batch.column("pk"),
+                         "post": pa.array(post, pa.int64()),
+                         "q": batch.column("q"),
+                         "rc": batch.column("rc")})
+
+    agg = (d.map_batches(label, batch_format="pyarrow")
+           .groupby(["pk", "post"])
+           .aggregate(Sum("q", alias_name="q"),
+                      Sum("rc", alias_name="rc")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for pk, sub in g.groupby("pk", sort=False):
+            if len(sub) != 2:
+                continue
+            s = sub.set_index("post")
+            q0, r0 = int(s.loc[0, "q"]), int(s.loc[0, "rc"])
+            q1, r1 = int(s.loc[1, "q"]), int(s.loc[1, "rc"])
+            den = (q1 + q0) * (r1 * q0 - r0 * q1)
+            if den == 0:
+                continue
+            num = (q1 - q0) * (r1 * q0 + r0 * q1)
+            sgn = 1 if (num >= 0) == (den > 0) else -1
+            e = sgn * (1_000_000 * abs(num) // abs(den))
+            recs.append((int(pk), q0, q1, r0, r1, e))
+        out = pd.DataFrame(recs, columns=[
+            "partkey", "q0", "q1", "r0_cents", "r1_cents",
+            "elasticity_ppm"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (_add_pkey(agg, "pk", 64)
+            .groupby("_pkey")
+            .map_groups(lambda x: fold(x.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -11163,6 +11328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_payback": _q_cohort_payback,
         "bootstrap_ci": _q_bootstrap_ci,
         "jackknife_sources": _q_jackknife_sources,
+        "emd_hourly": _q_emd_hourly,
+        "price_elasticity": _q_price_elasticity,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -15693,6 +15860,71 @@ def oracle_sql() -> dict[str, str]:
             "1000000 * (ee - n_en) // (nn - n_docs) ELSE 0 END "
             "- 1000000 * ee // nn AS BIGINT) AS influence_ppm "
             "FROM c, t"
+        ),
+        # EMD = sum |CDF diff| over the ordered 24-hour domain,
+        # cross-multiplied; weekday/weekend via (dd+4)%7 arithmetic
+        "emd_hourly": (
+            "WITH e AS (SELECT event_type, "
+            "epoch_us(ts) // 86400000000 AS dd, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hod FROM events), "
+            "c AS (SELECT event_type, CASE WHEN (dd + 4) % 7 IN (0, 6) "
+            "THEN 1 ELSE 0 END AS cls, hod, count(*) AS n FROM e "
+            "GROUP BY 1, 2, 3), "
+            "grid AS (SELECT t.event_type, cc.cls, h.hod FROM "
+            "(SELECT DISTINCT event_type FROM e) t, "
+            "(VALUES (0), (1)) cc(cls), "
+            "(SELECT unnest(generate_series(0, 23)) AS hod) h), "
+            "d AS (SELECT grid.event_type, grid.cls, grid.hod, "
+            "coalesce(c.n, 0) AS n FROM grid LEFT JOIN c "
+            "USING (event_type, cls, hod)), "
+            "cum AS (SELECT event_type, cls, hod, SUM(n) OVER "
+            "(PARTITION BY event_type, cls ORDER BY hod) AS cn "
+            "FROM d), "
+            "tot AS (SELECT event_type, "
+            "SUM(CASE WHEN cls = 0 THEN n ELSE 0 END) AS na, "
+            "SUM(CASE WHEN cls = 1 THEN n ELSE 0 END) AS nb "
+            "FROM d GROUP BY 1), "
+            "x AS (SELECT c0.event_type, "
+            "SUM(abs(CAST(c0.cn AS HUGEINT) * t.nb "
+            "- CAST(c1.cn AS HUGEINT) * t.na)) AS s, "
+            "max(t.na) AS na, max(t.nb) AS nb "
+            "FROM cum c0 JOIN cum c1 ON c0.event_type = c1.event_type "
+            "AND c0.hod = c1.hod AND c0.cls = 0 AND c1.cls = 1 "
+            "JOIN tot t ON t.event_type = c0.event_type GROUP BY 1) "
+            "SELECT event_type, CAST(na AS BIGINT) AS n_weekday, "
+            "CAST(nb AS BIGINT) AS n_weekend, "
+            "CAST(CASE WHEN na > 0 AND nb > 0 THEN "
+            "1000 * s // (CAST(na AS HUGEINT) * nb) ELSE 0 END "
+            "AS BIGINT) AS emd_milli FROM x"
+        ),
+        # arc elasticity cleared to integers; midpoint split mirrors
+        # laspeyres; full sign-split floor; den=0 parts drop
+        "price_elasticity": (
+            "WITH d AS (SELECT l_partkey AS pk, "
+            "epoch_us(l_shipdate) // 86400000000 AS dd, "
+            "CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS rc "
+            "FROM lineitem), "
+            "md AS (SELECT (min(dd) + max(dd)) // 2 AS mid FROM d), "
+            "g AS (SELECT pk, CASE WHEN dd >= md.mid THEN 1 ELSE 0 END "
+            "AS post, SUM(q) AS q, SUM(rc) AS rc FROM d, md "
+            "GROUP BY 1, 2), "
+            "w AS (SELECT g0.pk, g0.q AS q0, g0.rc AS r0, "
+            "g1.q AS q1, g1.rc AS r1 FROM g g0 JOIN g g1 "
+            "ON g0.pk = g1.pk AND g0.post = 0 AND g1.post = 1), "
+            "x AS (SELECT pk, q0, q1, r0, r1, "
+            "CAST(q1 - q0 AS HUGEINT) * (CAST(r1 AS HUGEINT) * q0 "
+            "+ CAST(r0 AS HUGEINT) * q1) AS num, "
+            "CAST(q1 + q0 AS HUGEINT) * (CAST(r1 AS HUGEINT) * q0 "
+            "- CAST(r0 AS HUGEINT) * q1) AS den FROM w) "
+            "SELECT CAST(pk AS BIGINT) AS partkey, "
+            "CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1, "
+            "CAST(r0 AS BIGINT) AS r0_cents, "
+            "CAST(r1 AS BIGINT) AS r1_cents, "
+            "CAST(CASE WHEN (num >= 0) = (den > 0) "
+            "THEN 1000000 * abs(num) // abs(den) "
+            "ELSE -(1000000 * abs(num) // abs(den)) END AS BIGINT) "
+            "AS elasticity_ppm FROM x WHERE den <> 0"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
