@@ -11238,6 +11238,211 @@ def _q_price_elasticity(sf_dir: str):
                         batch_format="pandas"))
 
 
+def _q_permutation_test(sf_dir: str):
+    """Re-randomization (permutation) p-value for the arm conversion
+    gap — the ASSUMPTION-FREE significance check next to the
+    parametric ones (logrank's χ², srm's critical value): under the
+    null the coin labels are exchangeable, so re-flipping them B=32
+    times and counting how often the re-randomized gap is at least as
+    extreme IS the p-value, no distribution assumed.  Replicate b
+    re-coins each user from hash bit 31 of k·2654435761 with
+    k = (uid·32 + b) mod 1048573 (the bootstrap_ci discipline: TOP
+    bit, prime pre-reduction).  All comparisons are exact
+    cross-multiplications: with A = ct·nc − cc·nt and D = nt·nc,
+    |gap_b| ≥ |gap_obs| ⟺ |A_b|·D_obs ≥ |A_obs|·D_b (D > 0), so no
+    replicate ever floors.  p uses the standard add-one rule:
+    p_ppm = 10⁶·(n_extreme + 1) // (B + 1).  Per-batch partials are
+    32×4 counts; ONE user exchange.  Mirror: generate_series cross
+    join + identical hash + HUGEINT cross-multiplied FILTER."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+    B = 32
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy().astype("int64")
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        h0 = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        obs = (h0 < np.uint64(1 << 31)).astype("int64")
+        b = np.arange(B, dtype="int64")
+        k = (ids[:, None] * 32 + b[None, :]) % 1048573
+        h = (k.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = ((h >> np.uint64(31)) & np.uint64(1)).astype("int64")
+        rep = pa.table({
+            "b": pa.array(b, pa.int64()),
+            "nt": pa.array(t.sum(axis=0), pa.int64()),
+            "ct": pa.array((t * y[:, None]).sum(axis=0), pa.int64()),
+            "n": pa.array(np.full(B, len(y), dtype="int64"),
+                          pa.int64()),
+            "cy": pa.array(np.full(B, int(y.sum()), dtype="int64"),
+                           pa.int64()),
+            "ont": pa.array(np.full(B, int(obs.sum()),
+                                    dtype="int64"), pa.int64()),
+            "oct": pa.array(np.full(B, int((obs * y).sum()),
+                                    dtype="int64"), pa.int64())})
+        return rep
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .groupby("b")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("nt", "ct", "n", "cy", "ont", "oct")])
+         ).to_pandas()
+    n = int(g["n"].iloc[0])
+    cy = int(g["cy"].iloc[0])
+    ont, octv = int(g["ont"].iloc[0]), int(g["oct"].iloc[0])
+    onc, occ = n - ont, cy - octv
+    a_obs = octv * onc - occ * ont
+    d_obs = ont * onc
+    n_ext = 0
+    for nt, ct in zip(g["nt"], g["ct"]):
+        nt, ct = int(nt), int(ct)
+        nc, cc = n - nt, cy - ct
+        a_b, d_b = ct * nc - cc * nt, nt * nc
+        if d_b == 0 or abs(a_b) * d_obs >= abs(a_obs) * d_b:
+            n_ext += 1
+    sgn = 1 if a_obs >= 0 else -1
+    gap = sgn * (1_000_000 * abs(a_obs) // d_obs) if d_obs else 0
+    out = pd.DataFrame([{
+        "n": n, "b_reps": B, "obs_gap_ppm": gap,
+        "n_extreme": n_ext,
+        "p_ppm": 1_000_000 * (n_ext + 1) // (B + 1)}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_cuped_adjust(sf_dir: str):
+    """CUPED variance reduction — the technique every mature
+    experimentation platform applies before reading an uplift: the
+    arm gap is noisy because users differ hugely in baseline
+    behavior, and regressing the metric on a PRE-EXPOSURE covariate
+    (here: each user's first-15-day event count, unaffected by
+    assignment by construction) removes the explained variance:
+
+        θ        = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²
+        adj gap  = (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c)
+
+    cleared to integers: θ_ppm = sign-split 10⁶·(n·Σxy − Σx·Σy) //
+    (n·Σx² − (Σx)²); the arm means and the covariate gap each floor
+    once at ppm; the correction composes two floored values
+    (θ_ppm·xgap_ppm // 10⁶, sign-split) — a documented double-floor,
+    mirrored op-for-op.  If the coin is truly random the covariate
+    gap is small and adj ≈ raw; a lopsided segment moves it — which
+    is exactly what the number is for.  ONE user exchange, 7 scalar
+    partials.  Mirror: identical sums + the same three sign-split
+    floors under HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    # pre-period boundary: first 15 days of the corpus span (the
+    # pruned-column re-read rule)
+    sd = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        dd = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        return pa.table({"dd": pa.array(dd.astype("int64"),
+                                        pa.int64())})
+
+    d0 = int(sd.map_batches(days, batch_format="pyarrow").min("dd"))
+    cut = d0 + 15
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dd = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        pre = (dd < cut).astype("int64")
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64()),
+                         "pre": pa.array(pre, pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Max("conv", alias_name="y"),
+                           Sum("pre", alias_name="x")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = (h < np.uint64(1 << 31)).astype("int64")
+        x = batch.column("x").to_numpy().astype("int64")
+        y = (batch.column("y").to_numpy() > 0).astype("int64")
+        one = np.ones_like(x)
+        return pa.table({
+            "n": pa.array(one, pa.int64()),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+            "sxx": pa.array(x * x, pa.int64()),
+            "nt": pa.array(t, pa.int64()),
+            "ct": pa.array(t * y, pa.int64()),
+            "xt": pa.array(t * x, pa.int64())})
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("n", "sx", "sy", "sxy", "sxx", "nt", "ct",
+                       "xt")]))
+    n, sx, sy, sxy, sxx = (int(g[k]) for k in
+                           ("n", "sx", "sy", "sxy", "sxx"))
+    nt, ct, xt = int(g["nt"]), int(g["ct"]), int(g["xt"])
+    nc, cc, xc = n - nt, sy - ct, sx - xt
+
+    def ssfloor(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    theta = ssfloor(n * sxy - sx * sy, n * sxx - sx * sx)
+    uplift = (1_000_000 * ct // nt if nt else 0) \
+        - (1_000_000 * cc // nc if nc else 0)
+    xgap = ssfloor(xt * nc - xc * nt, nt * nc)
+    corr_num = theta * xgap
+    s = 1 if corr_num >= 0 else -1
+    corr = s * (abs(corr_num) // 1_000_000)
+    out = pd.DataFrame([{
+        "n": n, "n_treat": nt, "theta_ppm": theta,
+        "uplift_ppm": uplift, "xgap_ppm": xgap,
+        "correction_ppm": corr,
+        "adj_uplift_ppm": uplift - corr}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -11330,6 +11535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jackknife_sources": _q_jackknife_sources,
         "emd_hourly": _q_emd_hourly,
         "price_elasticity": _q_price_elasticity,
+        "permutation_test": _q_permutation_test,
+        "cuped_adjust": _q_cuped_adjust,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -15925,6 +16132,97 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1000000 * abs(num) // abs(den) "
             "ELSE -(1000000 * abs(num) // abs(den)) END AS BIGINT) "
             "AS elasticity_ppm FROM x WHERE den <> 0"
+        ),
+        # permutation p: 32 hash re-coins (top bit, prime reduction),
+        # cross-multiplied extremeness, add-one rule
+        "permutation_test": (
+            "WITH u AS (SELECT user_id, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS y FROM events GROUP BY 1), "
+            "t AS (SELECT count(*) AS n, SUM(y) AS cy, "
+            "count(*) FILTER (WHERE (user_id * 2654435761) "
+            "% 4294967296 < 2147483648) AS ont, "
+            "coalesce(SUM(y) FILTER (WHERE (user_id * 2654435761) "
+            "% 4294967296 < 2147483648), 0) AS octv FROM u), "
+            "bb AS (SELECT unnest(generate_series(0, 31)) AS b), "
+            "r AS (SELECT bb.b, count(*) FILTER (WHERE "
+            "(((u.user_id * 32 + bb.b) % 1048573) * 2654435761) "
+            "% 4294967296 >= 2147483648) AS nt, "
+            "coalesce(SUM(u.y) FILTER (WHERE "
+            "(((u.user_id * 32 + bb.b) % 1048573) * 2654435761) "
+            "% 4294967296 >= 2147483648), 0) AS ct "
+            "FROM u, bb GROUP BY 1), "
+            "e AS (SELECT count(*) FILTER (WHERE "
+            "nt * (t.n - nt) = 0 OR "
+            "abs(CAST(ct AS HUGEINT) * (t.n - nt) "
+            "- (t.cy - ct) * nt) "
+            "* (CAST(t.ont AS HUGEINT) * (t.n - t.ont)) >= "
+            "abs(CAST(t.octv AS HUGEINT) * (t.n - t.ont) "
+            "- (t.cy - t.octv) * t.ont) "
+            "* (CAST(nt AS HUGEINT) * (t.n - nt))) AS n_ext "
+            "FROM r, t) "
+            "SELECT CAST(t.n AS BIGINT) AS n, "
+            "CAST(32 AS BIGINT) AS b_reps, "
+            "CAST(CASE WHEN t.ont * (t.n - t.ont) = 0 THEN 0 "
+            "WHEN CAST(t.octv AS HUGEINT) * (t.n - t.ont) "
+            "- (t.cy - t.octv) * t.ont >= 0 THEN "
+            "1000000 * abs(CAST(t.octv AS HUGEINT) * (t.n - t.ont) "
+            "- (t.cy - t.octv) * t.ont) "
+            "// (CAST(t.ont AS HUGEINT) * (t.n - t.ont)) ELSE "
+            "-(1000000 * abs(CAST(t.octv AS HUGEINT) * (t.n - t.ont) "
+            "- (t.cy - t.octv) * t.ont) "
+            "// (CAST(t.ont AS HUGEINT) * (t.n - t.ont))) END "
+            "AS BIGINT) AS obs_gap_ppm, "
+            "CAST(e.n_ext AS BIGINT) AS n_extreme, "
+            "CAST(1000000 * (e.n_ext + 1) // 33 AS BIGINT) AS p_ppm "
+            "FROM t, e"
+        ),
+        # CUPED: cleared theta, ppm arm means, documented double-floor
+        # correction, all sign-split
+        "cuped_adjust": (
+            "WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) + 15 "
+            "AS cut FROM events), "
+            "u AS (SELECT user_id, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS y, "
+            "SUM(CASE WHEN epoch_us(ts) // 86400000000 < d0.cut "
+            "THEN 1 ELSE 0 END) AS x FROM events, d0 GROUP BY 1), "
+            "a AS (SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+            "SUM(x * y) AS sxy, SUM(x * x) AS sxx, "
+            "count(*) FILTER (WHERE (user_id * 2654435761) "
+            "% 4294967296 < 2147483648) AS nt, "
+            "coalesce(SUM(y) FILTER (WHERE (user_id * 2654435761) "
+            "% 4294967296 < 2147483648), 0) AS ct, "
+            "coalesce(SUM(x) FILTER (WHERE (user_id * 2654435761) "
+            "% 4294967296 < 2147483648), 0) AS xt FROM u), "
+            "b AS (SELECT n, nt, "
+            "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy "
+            "AS tnum, "
+            "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx "
+            "AS tden, "
+            "(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END) "
+            "- (CASE WHEN n - nt > 0 THEN "
+            "1000000 * (sy - ct) // (n - nt) ELSE 0 END) AS uplift, "
+            "CAST(xt AS HUGEINT) * (n - nt) "
+            "- CAST(sx - xt AS HUGEINT) * nt AS gnum, "
+            "CAST(nt AS HUGEINT) * (n - nt) AS gden FROM a), "
+            "c AS (SELECT n, nt, uplift, "
+            "CASE WHEN tden = 0 THEN 0 WHEN tnum >= 0 THEN "
+            "1000000 * tnum // tden ELSE "
+            "-(1000000 * (-tnum) // tden) END AS theta, "
+            "CASE WHEN gden = 0 THEN 0 WHEN gnum >= 0 THEN "
+            "1000000 * gnum // gden ELSE "
+            "-(1000000 * (-gnum) // gden) END AS xgap FROM b), "
+            "f AS (SELECT *, CASE WHEN theta * xgap >= 0 THEN "
+            "(theta * xgap) // 1000000 ELSE "
+            "-((-(theta * xgap)) // 1000000) END AS corr FROM c) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(nt AS BIGINT) AS n_treat, "
+            "CAST(theta AS BIGINT) AS theta_ppm, "
+            "CAST(uplift AS BIGINT) AS uplift_ppm, "
+            "CAST(xgap AS BIGINT) AS xgap_ppm, "
+            "CAST(corr AS BIGINT) AS correction_ppm, "
+            "CAST(uplift - corr AS BIGINT) AS adj_uplift_ppm FROM f"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
