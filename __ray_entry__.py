@@ -11443,6 +11443,186 @@ def _q_cuped_adjust(sf_dir: str):
     return out
 
 
+def _q_rdd_jump(sf_dir: str):
+    """Sharp regression-discontinuity at the activity cutoff — the
+    quasi-experimental family's second member (did_estimator compares
+    groups over time; RDD reads the causal jump off a THRESHOLD RULE):
+    when a treatment switches exactly at x = 66 events, users just
+    below and just above are exchangeable, so the outcome gap between
+    the two side-local regression intercepts AT the cutoff estimates
+    the effect.  Local-linear on each side within bandwidth 20
+    (u = x−66 ∈ [−20,−1] left, [0,19] right), the grouped_regression
+    integer contract: den = n·Σuu − (Σu)² (non-negative by
+    Cauchy-Schwarz), intercept num = Σy·Σuu − Σu·Σuy, slope num =
+    n·Σuy − Σu·Σy, each sign-split floored once to ppm;
+    jump = a_R − a_L.  On the synthetic corpus conversion is smooth
+    in activity, so the jump reads ≈ 0 — the placebo the estimator
+    should produce.  ONE user exchange, 2×5 scalar partials.
+    Mirror: FILTER sums + identical sign-split floors under
+    HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_ev").to_numpy().astype("int64")
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        u = x - 66
+        left = (u >= -20) & (u <= -1)
+        right = (u >= 0) & (u <= 19)
+        cols = {}
+        for tag, m in (("l", left), ("r", right)):
+            uu = u[m]
+            yy = y[m]
+            cols[f"n_{tag}"] = int(m.sum())
+            cols[f"su_{tag}"] = int(uu.sum())
+            cols[f"sy_{tag}"] = int(yy.sum())
+            cols[f"suy_{tag}"] = int((uu * yy).sum())
+            cols[f"suu_{tag}"] = int((uu * uu).sum())
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in cols.items()})
+
+    names = [f"{s}_{t}" for t in ("l", "r")
+             for s in ("n", "su", "sy", "suy", "suu")]
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .aggregate(*[Sum(c, alias_name=c) for c in names]))
+
+    def ssfloor(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    vals = {}
+    for tag in ("l", "r"):
+        n, su, sy, suy, suu = (int(g[f"{s}_{tag}"]) for s in
+                               ("n", "su", "sy", "suy", "suu"))
+        den = n * suu - su * su
+        vals[f"n_{tag}"] = n
+        vals[f"a_{tag}"] = ssfloor(sy * suu - su * suy, den)
+        vals[f"b_{tag}"] = ssfloor(n * suy - su * sy, den)
+    out = pd.DataFrame([{
+        "n_left": vals["n_l"], "n_right": vals["n_r"],
+        "a_left_ppm": vals["a_l"], "b_left_ppm": vals["b_l"],
+        "a_right_ppm": vals["a_r"], "b_right_ppm": vals["b_r"],
+        "jump_ppm": vals["a_r"] - vals["a_l"]}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_kitagawa_decomp(sf_dir: str):
+    """Kitagawa/Oaxaca mix-vs-rate decomposition — the BI question no
+    drift test answers: the corpus purchase share moved between the
+    shipdate halves, but WHY — did the hour-of-day MIX shift toward
+    segments that always purchase less, or did the within-segment
+    RATES drop?  With segment s ∈ hod//6 (4 buckets), period counts
+    c_i,s (events) and p_i,s (purchases), w = c/N and r = p/c, each
+    segment's three terms clear to single sign-split floors:
+
+        mix_s   = (w₁−w₀)·r₀  = (c₁N₀−c₀N₁)·p₀ / (N₁N₀c₀)
+        rate_s  = w₀·(r₁−r₀)  = (p₁c₀−p₀c₁) / (N₀c₁)
+        inter_s = (w₁−w₀)(r₁−r₀)
+                = (c₁N₀−c₀N₁)(p₁c₀−p₀c₁) / (N₀N₁c₁c₀)
+
+    Σ_s(mix+rate+inter) equals the total share change up to the
+    flooring residue (documented; the identity is exact in rationals).
+    Periods split at the event-span midpoint (the laspeyres
+    convention).  ONE exchange bounded by 4×2 cells.  Mirror: FILTER
+    sums + totals cross join + the identical three sign-split CASEs
+    under HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    sd = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        dd = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        return pa.table({"dd": pa.array(dd.astype("int64"),
+                                        pa.int64())})
+
+    mm = sd.map_batches(days, batch_format="pyarrow") \
+        .aggregate(Min("dd"), Max("dd"))
+    mid = (int(mm["min(dd)"]) + int(mm["max(dd)"])) // 2
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        us = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy())
+        dd = us // 86_400_000_000
+        seg = (us // 3_600_000_000) % 24 // 6
+        per = (dd >= mid).astype("int64")
+        p = pc.equal(batch.column("event_type"),
+                     "purchase").to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        return pa.table({"seg": pa.array(seg.astype("int64"),
+                                         pa.int64()),
+                         "per": pa.array(per, pa.int64()),
+                         "_c": pa.array(np.ones_like(per), pa.int64()),
+                         "_p": pa.array(p, pa.int64())})
+
+    g = (ev.map_batches(prep, batch_format="pyarrow")
+         .groupby(["seg", "per"])
+         .aggregate(Sum("_c", alias_name="c"),
+                    Sum("_p", alias_name="p"))).to_pandas()
+    n0 = int(g.loc[g["per"] == 0, "c"].sum())
+    n1 = int(g.loc[g["per"] == 1, "c"].sum())
+
+    def ssfloor(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    recs = []
+    for seg in sorted(g["seg"].unique()):
+        r0 = g[(g["seg"] == seg) & (g["per"] == 0)]
+        r1 = g[(g["seg"] == seg) & (g["per"] == 1)]
+        c0 = int(r0["c"].sum())
+        p0 = int(r0["p"].sum())
+        c1 = int(r1["c"].sum())
+        p1 = int(r1["p"].sum())
+        wnum = c1 * n0 - c0 * n1
+        rnum = p1 * c0 - p0 * c1
+        recs.append((int(seg), c0, p0, c1, p1,
+                     ssfloor(wnum * p0, n1 * n0 * c0),
+                     ssfloor(rnum, n0 * c1),
+                     ssfloor(wnum * rnum, n0 * n1 * c1 * c0)))
+    out = pd.DataFrame(recs, columns=[
+        "seg", "c0", "p0", "c1", "p1", "mix_ppm", "rate_ppm",
+        "inter_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -11537,6 +11717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_elasticity": _q_price_elasticity,
         "permutation_test": _q_permutation_test,
         "cuped_adjust": _q_cuped_adjust,
+        "rdd_jump": _q_rdd_jump,
+        "kitagawa_decomp": _q_kitagawa_decomp,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -11990,6 +12172,17 @@ _SQL_EWMA = (
     "CAST(1000 * SUM(abs(errn)) // (255 * count(*)) AS BIGINT) "
     "AS mae_milli FROM p WHERE i > 8 GROUP BY 1"
 )
+
+
+def _sql_ss(num: str, den: str) -> str:
+    """Sign-split trunc-ppm division fragment: Python floors and
+    DuckDB truncates on negatives, so every possibly-negative division
+    routes through abs() with an explicit re-sign (the repo-wide
+    discipline)."""
+    return (f"CASE WHEN {den} = 0 THEN 0 "
+            f"WHEN ({num} >= 0) = ({den} > 0) "
+            f"THEN 1000000 * abs({num}) // abs({den}) "
+            f"ELSE -(1000000 * abs({num}) // abs({den})) END")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -16223,6 +16416,99 @@ def oracle_sql() -> dict[str, str]:
             "CAST(xgap AS BIGINT) AS xgap_ppm, "
             "CAST(corr AS BIGINT) AS correction_ppm, "
             "CAST(uplift - corr AS BIGINT) AS adj_uplift_ppm FROM f"
+        ),
+        # sharp RDD: side-local OLS intercepts at the cutoff,
+        # grouped_regression contract, jump = a_R - a_L
+        "rdd_jump": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS y FROM events GROUP BY 1), "
+            "v AS (SELECT n_ev - 66 AS ux, y FROM u), "
+            "a AS (SELECT "
+            "count(*) FILTER (WHERE ux BETWEEN -20 AND -1) AS nl, "
+            "coalesce(SUM(ux) FILTER (WHERE ux BETWEEN -20 AND -1), 0)"
+            " AS sul, "
+            "coalesce(SUM(y) FILTER (WHERE ux BETWEEN -20 AND -1), 0)"
+            " AS syl, "
+            "coalesce(SUM(ux * y) FILTER "
+            "(WHERE ux BETWEEN -20 AND -1), 0) AS suyl, "
+            "coalesce(SUM(ux * ux) FILTER "
+            "(WHERE ux BETWEEN -20 AND -1), 0) AS suul, "
+            "count(*) FILTER (WHERE ux BETWEEN 0 AND 19) AS nr, "
+            "coalesce(SUM(ux) FILTER (WHERE ux BETWEEN 0 AND 19), 0)"
+            " AS sur, "
+            "coalesce(SUM(y) FILTER (WHERE ux BETWEEN 0 AND 19), 0)"
+            " AS syr, "
+            "coalesce(SUM(ux * y) FILTER "
+            "(WHERE ux BETWEEN 0 AND 19), 0) AS suyr, "
+            "coalesce(SUM(ux * ux) FILTER "
+            "(WHERE ux BETWEEN 0 AND 19), 0) AS suur FROM v), "
+            "b AS (SELECT nl, nr, "
+            "CAST(nl AS HUGEINT) * suul - CAST(sul AS HUGEINT) * sul "
+            "AS denl, "
+            "CAST(syl AS HUGEINT) * suul - CAST(sul AS HUGEINT) * suyl"
+            " AS anl, "
+            "CAST(nl AS HUGEINT) * suyl - CAST(sul AS HUGEINT) * syl "
+            "AS bnl, "
+            "CAST(nr AS HUGEINT) * suur - CAST(sur AS HUGEINT) * sur "
+            "AS denr, "
+            "CAST(syr AS HUGEINT) * suur - CAST(sur AS HUGEINT) * suyr"
+            " AS anr, "
+            "CAST(nr AS HUGEINT) * suyr - CAST(sur AS HUGEINT) * syr "
+            "AS bnr FROM a), "
+            "c AS (SELECT nl, nr, "
+            + _sql_ss("anl", "denl") + " AS al, "
+            + _sql_ss("bnl", "denl") + " AS bl, "
+            + _sql_ss("anr", "denr") + " AS ar, "
+            + _sql_ss("bnr", "denr") + " AS br FROM b) "
+            "SELECT CAST(nl AS BIGINT) AS n_left, "
+            "CAST(nr AS BIGINT) AS n_right, "
+            "CAST(al AS BIGINT) AS a_left_ppm, "
+            "CAST(bl AS BIGINT) AS b_left_ppm, "
+            "CAST(ar AS BIGINT) AS a_right_ppm, "
+            "CAST(br AS BIGINT) AS b_right_ppm, "
+            "CAST(ar - al AS BIGINT) AS jump_ppm FROM c"
+        ),
+        # Kitagawa: per-segment mix / rate / interaction terms, each a
+        # single sign-split floor; midpoint period split
+        "kitagawa_decomp": (
+            "WITH md AS (SELECT (min(epoch_us(ts) // 86400000000) "
+            "+ max(epoch_us(ts) // 86400000000)) // 2 AS mid "
+            "FROM events), "
+            "e AS (SELECT (epoch_us(ts) // 3600000000) % 24 // 6 "
+            "AS seg, CASE WHEN epoch_us(ts) // 86400000000 >= md.mid "
+            "THEN 1 ELSE 0 END AS per, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+            "AS pp FROM events, md), "
+            "g AS (SELECT seg, per, count(*) AS c, SUM(pp) AS p "
+            "FROM e GROUP BY 1, 2), "
+            "t AS (SELECT "
+            "SUM(CASE WHEN per = 0 THEN c ELSE 0 END) AS n0, "
+            "SUM(CASE WHEN per = 1 THEN c ELSE 0 END) AS n1 FROM g), "
+            "w AS (SELECT s.seg, coalesce(g0.c, 0) AS c0, "
+            "coalesce(g0.p, 0) AS p0, coalesce(g1.c, 0) AS c1, "
+            "coalesce(g1.p, 0) AS p1, t.n0, t.n1 "
+            "FROM (SELECT DISTINCT seg FROM g) s "
+            "LEFT JOIN g g0 ON g0.seg = s.seg AND g0.per = 0 "
+            "LEFT JOIN g g1 ON g1.seg = s.seg AND g1.per = 1 "
+            "CROSS JOIN t), "
+            "x AS (SELECT seg, c0, p0, c1, p1, "
+            "CAST(c1 AS HUGEINT) * n0 - CAST(c0 AS HUGEINT) * n1 "
+            "AS wnum, "
+            "CAST(p1 AS HUGEINT) * c0 - CAST(p0 AS HUGEINT) * c1 "
+            "AS rnum, "
+            "CAST(n1 AS HUGEINT) * n0 * c0 AS dmix, "
+            "CAST(n0 AS HUGEINT) * c1 AS drate, "
+            "CAST(n0 AS HUGEINT) * n1 * c1 * c0 AS dinter FROM w) "
+            "SELECT CAST(seg AS BIGINT) AS seg, "
+            "CAST(c0 AS BIGINT) AS c0, CAST(p0 AS BIGINT) AS p0, "
+            "CAST(c1 AS BIGINT) AS c1, CAST(p1 AS BIGINT) AS p1, "
+            "CAST(" + _sql_ss("wnum * p0", "dmix") + " AS BIGINT) "
+            "AS mix_ppm, "
+            "CAST(" + _sql_ss("rnum", "drate") + " AS BIGINT) "
+            "AS rate_ppm, "
+            "CAST(" + _sql_ss("wnum * rnum", "dinter") + " AS BIGINT) "
+            "AS inter_ppm FROM x"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
