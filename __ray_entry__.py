@@ -11623,6 +11623,204 @@ def _q_kitagawa_decomp(sf_dir: str):
     return out
 
 
+def _q_spillover_exposure(sf_dir: str):
+    """Interference / network-effect readout — the SUTVA check the A/B
+    ops silently assume away: if treated users influence their
+    neighbors, control is contaminated and every uplift number lies;
+    the standard diagnostic is conversion BY TREATED-NEIGHBOR COUNT.
+    The user graph is id-adjacency (u±1, u±2 — ids are contiguous by
+    construction; a user's neighborhood is its 4 nearest ids), and
+    existence is a real distributed check: each user emits 4 probe
+    rows, an inner ``hash_join`` against the user set keeps probes
+    whose neighbor exists, the Knuth coin of the SURVIVING neighbor id
+    is a pure function (computed post-join — no coin column ever
+    ships), and edge users (< 4 neighbors) drop for a clean 0..4
+    domain.  Under the null (the coin can't cause spillover) the five
+    rates should be flat — the placebo shape.  Exchanges: one user
+    groupby + one bucketed join + one 5-row rollup.  Mirror: IN-list
+    self-join + identical coin + the same n=4 filter."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Max("conv", alias_name="conv")))
+
+    def probes(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype("int64")
+        y = batch.column("conv").to_numpy().astype("int64")
+        offs = np.array([-2, -1, 1, 2], dtype="int64")
+        nbr = (u[:, None] + offs[None, :]).ravel()
+        return pa.table({"nbr": pa.array(nbr, pa.int64()),
+                         "uid": pa.array(np.repeat(u, 4), pa.int64()),
+                         "y": pa.array(np.repeat(y, 4), pa.int64())})
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"nbr": batch.column("user_id")})
+
+    joined = hash_join(
+        per_user.map_batches(probes, batch_format="pyarrow"),
+        per_user.map_batches(ids_only, batch_format="pyarrow"),
+        on="nbr", how="semi")
+
+    def coin(batch: pa.Table) -> pa.Table:
+        nbr = batch.column("nbr").to_numpy().astype("int64")
+        h = (nbr.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = (h < np.uint64(1 << 31)).astype("int64")
+        return pa.table({"uid": batch.column("uid"),
+                         "y": batch.column("y"),
+                         "_t": pa.array(t, pa.int64())})
+
+    g = (joined.map_batches(coin, batch_format="pyarrow")
+         .groupby("uid")
+         .aggregate(Count(alias_name="nn"),
+                    Max("y", alias_name="y"),
+                    Sum("_t", alias_name="expo")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        df = df[df["nn"] == 4]
+        out = (df.groupby("expo", as_index=False)
+               .agg(n_users=("y", "size"), n_conv=("y", "sum")))
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    f = (g.map_batches(cells, batch_format="pyarrow")
+         .groupby("expo")
+         .aggregate(Sum("n_users", alias_name="n_users"),
+                    Sum("n_conv", alias_name="n_conv"))).to_pandas()
+    f = f.sort_values("expo").reset_index(drop=True)
+    f = f.rename(columns={"expo": "exposure"})
+    f["rate_ppm"] = [1_000_000 * int(c) // int(n)
+                     for c, n in zip(f["n_conv"], f["n_users"])]
+    for c in f.columns:
+        f[c] = f[c].astype("int64")
+    return f
+
+
+def _q_mh_stratified(sf_dir: str):
+    """Mantel-Haenszel stratified uplift — the Simpson's-paradox guard
+    the crude arm gap lacks: if arm balance varies across activity
+    strata (a bucketing bug, a targeting rule), the crude difference
+    mixes the effect with the mix, and MH pools the WITHIN-stratum
+    differences with the classic nt·nc/n weights.  Strata are the
+    activity deciles (the uplift_deciles rank discipline).  Integer
+    contract — three documented flooring layers, mirrored op-for-op:
+
+        term_s = ss(10⁶·(ct·nc − cc·nt) / n_s)   (per-stratum RD·w)
+        w_s    = 10⁶·nt·nc // n_s                (per-stratum weight)
+        mh     = ss(10⁶·Σterm / Σw)
+
+    The Knuth coin is independent of activity, so crude ≈ MH here (the
+    placebo); the pinned hand case plants real confounding and shows
+    the crude estimate flipping sign while MH reads the true 0.  ONE
+    user exchange + the 40-cell decile rollup.  Mirror: the
+    uplift_deciles CTE + per-stratum sign-split SUMs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+    n_users = per_user.count()
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_n", pa.array((-batch.column("n_ev").to_numpy())
+                              .astype("int64"), pa.int64()))
+
+    ranked = global_row_index(
+        per_user.map_batches(neg, batch_format="pyarrow"),
+        val_col="neg_n", tiebreak_col="user_id", out_col="_ri")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = (h < np.uint64(1 << 31)).astype("int64")
+        dec = 1 + 10 * batch.column("_ri").to_numpy() // n_users
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        df = pd.DataFrame({"s": dec.astype("int64"),
+                           "nt": t, "ct": t * y,
+                           "nc": 1 - t, "cc": (1 - t) * y})
+        g = df.groupby("s", as_index=False).sum()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (ranked.map_batches(cells, batch_format="pyarrow")
+         .groupby("s")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("nt", "ct", "nc", "cc")])).to_pandas()
+
+    def ssfloor(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    NT, CT = int(g["nt"].sum()), int(g["ct"].sum())
+    NC, CC = int(g["nc"].sum()), int(g["cc"].sum())
+    crude = (1_000_000 * CT // NT if NT else 0) \
+        - (1_000_000 * CC // NC if NC else 0)
+    sum_t, sum_w = 0, 0
+    for _, r in g.iterrows():
+        nt, ct, nc, cc = (int(r[k]) for k in ("nt", "ct", "nc", "cc"))
+        ns = nt + nc
+        if ns == 0:
+            continue
+        sum_t += ssfloor(ct * nc - cc * nt, ns)
+        sum_w += 1_000_000 * nt * nc // ns
+    mh = ssfloor(sum_t, sum_w)
+    out = pd.DataFrame([{
+        "n": NT + NC, "n_strata": len(g),
+        "crude_uplift_ppm": crude, "mh_uplift_ppm": mh,
+        "gap_ppm": crude - mh}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -11719,6 +11917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_adjust": _q_cuped_adjust,
         "rdd_jump": _q_rdd_jump,
         "kitagawa_decomp": _q_kitagawa_decomp,
+        "spillover_exposure": _q_spillover_exposure,
+        "mh_stratified": _q_mh_stratified,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -16509,6 +16709,66 @@ def oracle_sql() -> dict[str, str]:
             "AS rate_ppm, "
             "CAST(" + _sql_ss("wnum * rnum", "dinter") + " AS BIGINT) "
             "AS inter_ppm FROM x"
+        ),
+        # spillover: id-adjacency neighbors via IN-list self-join,
+        # coin of the surviving neighbor, interior users only
+        "spillover_exposure": (
+            "WITH u AS (SELECT user_id, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS y FROM events GROUP BY 1), "
+            "p AS (SELECT a.user_id AS uid, a.y, b.user_id AS nbr "
+            "FROM u a JOIN u b ON b.user_id IN "
+            "(a.user_id - 2, a.user_id - 1, a.user_id + 1, "
+            "a.user_id + 2)), "
+            "g AS (SELECT uid, max(y) AS y, count(*) AS nn, "
+            "SUM(CASE WHEN (nbr * 2654435761) % 4294967296 "
+            "< 2147483648 THEN 1 ELSE 0 END) AS expo FROM p "
+            "GROUP BY 1), "
+            "f AS (SELECT expo, count(*) AS n_users, SUM(y) AS n_conv "
+            "FROM g WHERE nn = 4 GROUP BY 1) "
+            "SELECT CAST(expo AS BIGINT) AS exposure, "
+            "CAST(n_users AS BIGINT) AS n_users, "
+            "CAST(n_conv AS BIGINT) AS n_conv, "
+            "CAST(1000000 * n_conv // n_users AS BIGINT) AS rate_ppm "
+            "FROM f"
+        ),
+        # MH: per-stratum sign-split RD terms + nt*nc/n weights pooled
+        # over the activity deciles; crude gap rides along
+        "mh_stratified": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM u), "
+            "r AS (SELECT user_id, conv, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr, "
+            "row_number() OVER (ORDER BY n_ev DESC, user_id) - 1 "
+            "AS ri FROM u), "
+            "d AS (SELECT 1 + 10 * ri // nn.n AS s, tr, conv "
+            "FROM r, nn), "
+            "g AS (SELECT s, count(*) FILTER (WHERE tr) AS nt, "
+            "coalesce(SUM(conv) FILTER (WHERE tr), 0) AS ct, "
+            "count(*) FILTER (WHERE NOT tr) AS nc, "
+            "coalesce(SUM(conv) FILTER (WHERE NOT tr), 0) AS cc "
+            "FROM d GROUP BY 1), "
+            "a AS (SELECT SUM(nt) AS bnt, SUM(ct) AS bct, "
+            "SUM(nc) AS bnc, SUM(cc) AS bcc, count(*) AS ns, "
+            "SUM(CASE WHEN nt + nc > 0 THEN "
+            + _sql_ss("CAST(ct AS HUGEINT) * nc "
+                      "- CAST(cc AS HUGEINT) * nt", "nt + nc")
+            + " ELSE 0 END) AS sum_t, "
+            "SUM(CASE WHEN nt + nc > 0 THEN "
+            "1000000 * CAST(nt AS HUGEINT) * nc // (nt + nc) "
+            "ELSE 0 END) AS sum_w FROM g), "
+            "b AS (SELECT bnt + bnc AS n, ns, "
+            "(CASE WHEN bnt > 0 THEN 1000000 * bct // bnt ELSE 0 END) "
+            "- (CASE WHEN bnc > 0 THEN 1000000 * bcc // bnc "
+            "ELSE 0 END) AS crude, "
+            + _sql_ss("sum_t", "sum_w") + " AS mh FROM a) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(ns AS BIGINT) AS n_strata, "
+            "CAST(crude AS BIGINT) AS crude_uplift_ppm, "
+            "CAST(mh AS BIGINT) AS mh_uplift_ppm, "
+            "CAST(crude - mh AS BIGINT) AS gap_ppm FROM b"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
