@@ -11821,6 +11821,129 @@ def _q_mh_stratified(sf_dir: str):
     return out
 
 
+def _q_ipf_raking(sf_dir: str):
+    """Two-margin survey raking (iterative proportional fitting) —
+    post_stratify's big sibling: one-margin weights fix ONE
+    imbalance, but a sample skewed on source AND lang jointly needs
+    the cross-classified calibration every survey shop runs.  The
+    Knuth doc-coin half-sample calibrates to the full corpus's
+    (source, lang) margins in two unrolled IPF steps, each a single
+    floor:
+
+        w₁(s)    = 10⁶·R_s // m_s            (row step: source margin)
+        w₂(s,l)  = w₁(s)·10⁶·C_l // T_l      (col step: lang margin,
+                   T_l = Σ_s n_sl·w₁(s) the current weighted total)
+
+    After the col step the weighted lang margins match C_l up to
+    flooring residue while source margins drift slightly — the classic
+    IPF alternation, frozen at 2 steps so the mirror is two chained
+    CTEs.  Only sampled cells emit.  Exchanges bounded by
+    sources×langs (both full and sample counts ride one pass).
+    Mirror: identical chained floors under HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        samp = (h < np.uint64(1 << 31)).astype("int64")
+        ones = np.ones(len(ids), dtype="int64")
+        return pa.table({"source": batch.column("source"),
+                         "lang": batch.column("lang"),
+                         "_n": pa.array(ones, pa.int64()),
+                         "_s": pa.array(samp, pa.int64())})
+
+    g = (docs.map_batches(prep, batch_format="pyarrow")
+         .groupby(["source", "lang"])
+         .aggregate(Sum("_n", alias_name="n_full"),
+                    Sum("_s", alias_name="n_samp"))).to_pandas()
+    rs = g.groupby("source")["n_full"].sum().to_dict()      # R_s
+    cl = g.groupby("lang")["n_full"].sum().to_dict()        # C_l
+    ms = g.groupby("source")["n_samp"].sum().to_dict()      # m_s
+    g = g[g["n_samp"] > 0].copy()
+    g["w1"] = [1_000_000 * int(rs[s]) // int(ms[s])
+               for s in g["source"]]
+    tl = {}
+    for _, r in g.iterrows():
+        tl[r["lang"]] = tl.get(r["lang"], 0) \
+            + int(r["n_samp"]) * int(r["w1"])
+    g["w2_ppm"] = [int(w1) * 1_000_000 * int(cl[l]) // tl[l]
+                   for w1, l in zip(g["w1"], g["lang"])]
+    out = (g[["source", "lang", "n_samp", "w2_ppm"]]
+           .sort_values(["source", "lang"]).reset_index(drop=True))
+    out["n_samp"] = out["n_samp"].astype("int64")
+    out["w2_ppm"] = out["w2_ppm"].astype("int64")
+    return out
+
+
+def _q_term_dispersion(sf_dir: str):
+    """Gries' DP corpus dispersion for the top-10 tokens — the lexical
+    statistic frequency hides: two terms with equal counts can be
+    evenly spread or dumped in one source, and downstream IDF/quality
+    decisions differ (a bursty term is topical or boilerplate, not
+    general vocabulary).  DP = ½·Σ_s |observed share − expected
+    share|, expected = each source's share of ALL tokens; exact via
+    cross-multiplication with O = Σo_s (term count) and V = Σv_s
+    (all tokens):
+
+        dp_ppm = 10⁶ · Σ_s |o_s·V − v_s·O| // (2·V·O)
+
+    one floor.  0 = perfectly proportional, →1 = one-source burst.
+    ONE (token, source) exchange bounded by vocab×sources; the top-10
+    pick and the 20-source fold run on the driver.  Token = the
+    top_tokens single-space-split convention.  Mirror: unnest counts
+    + window totals + the identical HUGEINT fold."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        c: collections.Counter = collections.Counter()
+        for s, t in zip(srcs, texts):
+            for tok in (t or "").split(" "):
+                c[(s, tok)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "token": pa.array([k[1] for k in ks], pa.string()),
+            "_n": pa.array(list(c.values()), pa.int64())})
+
+    g = (docs.map_batches(partial, batch_format="pyarrow")
+         .groupby(["source", "token"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+    v_s = g.groupby("source")["n"].sum().to_dict()
+    V = sum(int(x) for x in v_s.values())
+    totals = (g.groupby("token", as_index=False)["n"].sum()
+              .sort_values(["n", "token"], ascending=[False, True],
+                           kind="mergesort").head(10))
+    recs = []
+    for tok, O in zip(totals["token"], totals["n"]):
+        O = int(O)
+        sub = g[g["token"] == tok].set_index("source")["n"].to_dict()
+        s_abs = sum(abs(int(sub.get(s, 0)) * V - int(v) * O)
+                    for s, v in v_s.items())
+        recs.append((tok, O, 1_000_000 * s_abs // (2 * V * O)))
+    out = pd.DataFrame(recs, columns=["token", "n_total", "dp_ppm"])
+    out["n_total"] = out["n_total"].astype("int64")
+    out["dp_ppm"] = out["dp_ppm"].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -11919,6 +12042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kitagawa_decomp": _q_kitagawa_decomp,
         "spillover_exposure": _q_spillover_exposure,
         "mh_stratified": _q_mh_stratified,
+        "ipf_raking": _q_ipf_raking,
+        "term_dispersion": _q_term_dispersion,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -16769,6 +16894,53 @@ def oracle_sql() -> dict[str, str]:
             "CAST(crude AS BIGINT) AS crude_uplift_ppm, "
             "CAST(mh AS BIGINT) AS mh_uplift_ppm, "
             "CAST(crude - mh AS BIGINT) AS gap_ppm FROM b"
+        ),
+        # IPF raking: row floor then col floor, two chained CTEs;
+        # only sampled cells emit
+        "ipf_raking": (
+            "WITH c AS (SELECT source, lang, count(*) AS n_full, "
+            "count(*) FILTER (WHERE (doc_id * 2654435761) "
+            "% 4294967296 < 2147483648) AS n_samp "
+            "FROM documents GROUP BY 1, 2), "
+            "r AS (SELECT source, SUM(n_full) AS rs, "
+            "SUM(n_samp) AS ms FROM c GROUP BY 1), "
+            "l AS (SELECT lang, SUM(n_full) AS cl FROM c GROUP BY 1), "
+            "w1 AS (SELECT c.source, c.lang, c.n_samp, "
+            "CASE WHEN r.ms > 0 THEN 1000000 * r.rs // r.ms "
+            "ELSE 0 END AS w1 FROM c JOIN r USING (source) "
+            "WHERE c.n_samp > 0), "
+            "t AS (SELECT lang, SUM(n_samp * w1) AS tl FROM w1 "
+            "GROUP BY 1) "
+            "SELECT w1.source, w1.lang, "
+            "CAST(n_samp AS BIGINT) AS n_samp, "
+            "CAST(CAST(w1 AS HUGEINT) * 1000000 * l.cl // t.tl "
+            "AS BIGINT) AS w2_ppm "
+            "FROM w1 JOIN l USING (lang) JOIN t USING (lang)"
+        ),
+        # Gries DP over the top-10 tokens: |obs - expected| source
+        # shares cross-multiplied, halved denominator
+        "term_dispersion": (
+            "WITH tk AS (SELECT source, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS token "
+            "FROM documents), "
+            "c AS (SELECT source, token, count(*) AS n FROM tk "
+            "GROUP BY 1, 2), "
+            "vs AS (SELECT source, SUM(n) AS v FROM c GROUP BY 1), "
+            "vv AS (SELECT SUM(v) AS vt FROM vs), "
+            "tt AS (SELECT token, SUM(n) AS o FROM c GROUP BY 1), "
+            "top AS (SELECT token, o FROM tt "
+            "ORDER BY o DESC, token LIMIT 10), "
+            "x AS (SELECT top.token, top.o, vs.source, vs.v, "
+            "coalesce(c.n, 0) AS osn FROM top CROSS JOIN vs "
+            "LEFT JOIN c ON c.token = top.token "
+            "AND c.source = vs.source), "
+            "f AS (SELECT token, max(o) AS o, "
+            "SUM(abs(CAST(osn AS HUGEINT) * vv.vt "
+            "- CAST(v AS HUGEINT) * o)) AS s, "
+            "max(vv.vt) AS vt FROM x, vv GROUP BY 1) "
+            "SELECT token, CAST(o AS BIGINT) AS n_total, "
+            "CAST(1000000 * s // (2 * CAST(vt AS HUGEINT) * o) "
+            "AS BIGINT) AS dp_ppm FROM f"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
