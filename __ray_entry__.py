@@ -11944,6 +11944,116 @@ def _q_term_dispersion(sf_dir: str):
     return out
 
 
+def _q_chain_ladder(sf_dir: str):
+    """Chain-ladder run-off triangle — the actuarial RESERVING family:
+    every cohort op so far reads what HAS happened; a finance close
+    needs what's STILL COMING ("orders placed last month have only
+    shipped their first tranche — project the tail").  Cohort = order
+    month (order_dd//30), development = shipping delay bucketed to
+    months AFTER filtering to 0 ≤ delay_days ≤ 119 (filter-then-bucket
+    is load-bearing: Python floors and DuckDB truncates on negative
+    days, and the synthetic dates do go negative).  With CAL =
+    max(i+j) the calendar frontier, cohort i's observed age is
+    J_i = min(3, CAL − i); development factors pool all cohorts that
+    reached j+1:
+
+        f_j_ppm = 10⁶·Σ_i C_{i,j+1} // Σ_i C_{i,j}   (i ≤ CAL−j−1)
+
+    and each immature cohort chains its latest cumulative through the
+    remaining factors with the markov_kstep trunc discipline
+    (u ← u·f // 10⁶ per step).  ibnr = ultimate − latest is the
+    revenue still to ship.  Physical plan: ONE partitioned hash_join
+    (lineitem→orders, the join_revenue pattern) + ONE
+    (cohort, delay) exchange bounded by months×4; the triangle fold
+    is a driver pass over ≤ months×4 cells.  Mirror: identical join +
+    window cumulative + 3 factor scalars + the unrolled trunc
+    chain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice"])
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        odd = (batch.column("o_orderdate").cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        return pa.table({"ok": batch.column("o_orderkey"),
+                         "odd": pa.array(odd.astype("int64"),
+                                         pa.int64())})
+
+    def lprep(batch: pa.Table) -> pa.Table:
+        sdd = (batch.column("l_shipdate").cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        rc = np.rint(batch.column("l_extendedprice").to_numpy()
+                     * 100).astype("int64")
+        return pa.table({"ok": batch.column("l_orderkey"),
+                         "sdd": pa.array(sdd.astype("int64"),
+                                         pa.int64()),
+                         "rc": pa.array(rc, pa.int64())})
+
+    joined = hash_join(li.map_batches(lprep, batch_format="pyarrow"),
+                       orders.map_batches(oprep,
+                                          batch_format="pyarrow"),
+                       on="ok", how="inner")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        sdd = batch.column("sdd").to_numpy()
+        odd = batch.column("odd").to_numpy()
+        rc = batch.column("rc").to_numpy()
+        delay_days = sdd - odd
+        keep = (delay_days >= 0) & (delay_days <= 119)
+        i = (odd[keep] // 30).astype("int64")
+        j = (delay_days[keep] // 30).astype("int64")
+        df = pd.DataFrame({"i": i, "j": j, "rc": rc[keep]})
+        g = df.groupby(["i", "j"], as_index=False)["rc"].sum()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (joined.map_batches(cells, batch_format="pyarrow")
+         .groupby(["i", "j"])
+         .aggregate(Sum("rc", alias_name="rc"))).to_pandas()
+    cal = int((g["i"] + g["j"]).max())
+    # cumulative C[i][j] with missing cells as 0
+    cum: dict[int, list[int]] = {}
+    for i in sorted(g["i"].unique()):
+        sub = g[g["i"] == i].set_index("j")["rc"].to_dict()
+        run, row = 0, []
+        for j in range(4):
+            run += int(sub.get(j, 0))
+            row.append(run)
+        cum[int(i)] = row
+    f = []
+    for j in range(3):
+        num = sum(r[j + 1] for i, r in cum.items() if i <= cal - j - 1)
+        den = sum(r[j] for i, r in cum.items() if i <= cal - j - 1)
+        f.append(1_000_000 * num // den if den > 0 else 1_000_000)
+    recs = []
+    for i, row in sorted(cum.items()):
+        age = min(3, cal - i)
+        latest = row[age]
+        ult = latest
+        for j in range(age, 3):
+            ult = ult * f[j] // 1_000_000
+        recs.append((i, age, latest, ult, ult - latest))
+    out = pd.DataFrame(recs, columns=[
+        "cohort_month", "age", "latest_cum_cents", "ultimate_cents",
+        "ibnr_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12044,6 +12154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mh_stratified": _q_mh_stratified,
         "ipf_raking": _q_ipf_raking,
         "term_dispersion": _q_term_dispersion,
+        "chain_ladder": _q_chain_ladder,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -16941,6 +17052,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(o AS BIGINT) AS n_total, "
             "CAST(1000000 * s // (2 * CAST(vt AS HUGEINT) * o) "
             "AS BIGINT) AS dp_ppm FROM f"
+        ),
+        # chain ladder: filter-then-bucket delays, window cumulative,
+        # pooled factors, unrolled trunc chain per immature cohort
+        "chain_ladder": (
+            "WITH o AS (SELECT o_orderkey AS ok, "
+            "epoch_us(o_orderdate) // 86400000000 AS odd FROM orders), "
+            "l AS (SELECT l_orderkey AS ok, "
+            "epoch_us(l_shipdate) // 86400000000 AS sdd, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS rc "
+            "FROM lineitem), "
+            "jx AS (SELECT l.sdd - o.odd AS dd, o.odd, l.rc "
+            "FROM l JOIN o USING (ok)), "
+            "cell AS (SELECT odd // 30 AS i, dd // 30 AS j, "
+            "SUM(rc) AS rc FROM jx WHERE dd BETWEEN 0 AND 119 "
+            "GROUP BY 1, 2), "
+            "cal AS (SELECT max(i + j) AS cal FROM cell), "
+            "grid AS (SELECT ii.i, jj.j FROM "
+            "(SELECT DISTINCT i FROM cell) ii, "
+            "(SELECT unnest(generate_series(0, 3)) AS j) jj), "
+            "dense AS (SELECT grid.i, grid.j, coalesce(cell.rc, 0) "
+            "AS rc FROM grid LEFT JOIN cell USING (i, j)), "
+            "cm AS (SELECT i, j, SUM(rc) OVER "
+            "(PARTITION BY i ORDER BY j) AS c FROM dense), "
+            "fr AS (SELECT cur.j AS j, CASE WHEN SUM(cur.c) > 0 THEN "
+            "1000000 * SUM(nx.c) // SUM(cur.c) ELSE 1000000 END AS fp "
+            "FROM cm cur JOIN cm nx ON nx.i = cur.i "
+            "AND nx.j = cur.j + 1 CROSS JOIN cal "
+            "WHERE cur.j <= 2 AND cur.i <= cal.cal - cur.j - 1 "
+            "GROUP BY 1), "
+            "fg AS (SELECT jj.j, coalesce(fr.fp, 1000000) AS fp FROM "
+            "(SELECT unnest(generate_series(0, 2)) AS j) jj "
+            "LEFT JOIN fr USING (j)), "
+            "fx AS (SELECT "
+            "max(CASE WHEN j = 0 THEN fp END) AS f0, "
+            "max(CASE WHEN j = 1 THEN fp END) AS f1, "
+            "max(CASE WHEN j = 2 THEN fp END) AS f2 FROM fg), "
+            "lat AS (SELECT cm.i, least(3, cal.cal - cm.i) AS age, "
+            "CAST(cm.c AS HUGEINT) AS c FROM cm CROSS JOIN cal "
+            "WHERE cm.j = least(3, cal.cal - cm.i)), "
+            "ult AS (SELECT i, age, c AS latest, CASE age "
+            "WHEN 3 THEN c "
+            "WHEN 2 THEN c * f2 // 1000000 "
+            "WHEN 1 THEN ((c * f1 // 1000000) * f2) // 1000000 "
+            "ELSE ((((c * f0 // 1000000) * f1) // 1000000) * f2) "
+            "// 1000000 END AS u FROM lat CROSS JOIN fx) "
+            "SELECT CAST(i AS BIGINT) AS cohort_month, "
+            "CAST(age AS BIGINT) AS age, "
+            "CAST(latest AS BIGINT) AS latest_cum_cents, "
+            "CAST(u AS BIGINT) AS ultimate_cents, "
+            "CAST(u - latest AS BIGINT) AS ibnr_cents FROM ult"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
