@@ -12054,6 +12054,95 @@ def _q_chain_ladder(sf_dir: str):
     return out
 
 
+def _q_fe_panel(sf_dir: str):
+    """Pooled vs fixed-effects (within) slope over the customer×month
+    revenue panel — the panel-econometrics readout grouped_regression
+    can't give: the pooled slope of revenue on time mixes the real
+    within-customer trend with COMPOSITION (big spenders entering or
+    leaving the panel), and the within estimator demeans per customer
+    to remove every time-invariant customer effect.  Integer
+    contract: pooled is the grouped_regression formula on totals (one
+    sign-split floor); within needs per-group rationals
+    (Σxy_i − Σx_iΣy_i/n_i), so each group's numerator and denominator
+    term floors once at micro precision
+
+        t_i = ss(10⁶·(n_iΣxy_i − Σx_iΣy_i) / n_i)
+        d_i = 10⁶·(n_iΣxx_i − (Σx_i)²) // n_i        (non-negative)
+
+    and β_within = ss(10⁶·Σt // Σd) — the MH-style documented layered
+    flooring, mirrored op-for-op.  gap = pooled − within is the
+    composition bias.  Exchanges: one (customer, month) rollup + one
+    customer rollup of 5 sums; scalars to the driver.  Mirror:
+    two-level GROUP BY + the identical _sql_ss floors under
+    HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = (batch.column("o_orderdate").cast(pa.timestamp("us"))
+             .cast(pa.int64()).to_numpy() // 86_400_000_000 // 30)
+        yc = np.rint(batch.column("o_totalprice").to_numpy() * 100) \
+            .astype("int64")
+        return pa.table({"cust": batch.column("o_custkey"),
+                         "m": pa.array(m.astype("int64"), pa.int64()),
+                         "y": pa.array(yc, pa.int64())})
+
+    panel = (orders.map_batches(prep, batch_format="pyarrow")
+             .groupby(["cust", "m"])
+             .aggregate(Sum("y", alias_name="y")))
+
+    def sums(batch: pa.Table) -> pa.Table:
+        x = batch.column("m").to_numpy().astype("int64")
+        y = batch.column("y").to_numpy().astype("int64")
+        one = np.ones_like(x)
+        return pa.table({"cust": batch.column("cust"),
+                         "n": pa.array(one, pa.int64()),
+                         "sx": pa.array(x, pa.int64()),
+                         "sy": pa.array(y, pa.int64()),
+                         "sxy": pa.array(x * y, pa.int64()),
+                         "sxx": pa.array(x * x, pa.int64())})
+
+    g = (panel.map_batches(sums, batch_format="pyarrow")
+         .groupby("cust")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("n", "sx", "sy", "sxy", "sxx")])).to_pandas()
+
+    def ss(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    N = int(g["n"].sum())
+    SX, SY = int(g["sx"].sum()), int(g["sy"].sum())
+    SXY, SXX = int(g["sxy"].sum()), int(g["sxx"].sum())
+    pooled = ss(N * SXY - SX * SY, N * SXX - SX * SX)
+    sum_t, sum_d = 0, 0
+    for _, r in g.iterrows():
+        n, sx, sy, sxy, sxx = (int(r[k]) for k in
+                               ("n", "sx", "sy", "sxy", "sxx"))
+        wn = n * sxy - sx * sy
+        wd = n * sxx - sx * sx
+        st = 1 if wn >= 0 else -1
+        sum_t += st * (1_000_000 * abs(wn) // n)
+        sum_d += 1_000_000 * wd // n
+    within = ss(sum_t, sum_d)
+    out = pd.DataFrame([{
+        "n_obs": N, "n_groups": len(g),
+        "pooled_slope_ppm": pooled, "within_slope_ppm": within,
+        "gap_ppm": pooled - within}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12155,6 +12244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipf_raking": _q_ipf_raking,
         "term_dispersion": _q_term_dispersion,
         "chain_ladder": _q_chain_ladder,
+        "fe_panel": _q_fe_panel,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -17102,6 +17192,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(latest AS BIGINT) AS latest_cum_cents, "
             "CAST(u AS BIGINT) AS ultimate_cents, "
             "CAST(u - latest AS BIGINT) AS ibnr_cents FROM ult"
+        ),
+        # FE panel: per-group micro-floored within terms vs the pooled
+        # totals slope; gap = composition bias
+        "fe_panel": (
+            "WITH p AS (SELECT o_custkey AS cust, "
+            "epoch_us(o_orderdate) // 86400000000 // 30 AS m, "
+            "CAST(SUM(round(o_totalprice * 100)) AS BIGINT) AS y "
+            "FROM orders GROUP BY 1, 2), "
+            "g AS (SELECT cust, count(*) AS n, SUM(m) AS sx, "
+            "SUM(y) AS sy, SUM(m * y) AS sxy, SUM(m * m) AS sxx "
+            "FROM p GROUP BY 1), "
+            "w AS (SELECT cust, n, sx, sy, sxy, sxx, "
+            "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy "
+            "AS wn, "
+            "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx "
+            "AS wd FROM g), "
+            "a AS (SELECT SUM(n) AS nn, SUM(sx) AS tsx, "
+            "SUM(sy) AS tsy, SUM(sxy) AS tsxy, SUM(sxx) AS tsxx, "
+            "count(*) AS ng, "
+            "SUM(CASE WHEN wn >= 0 THEN 1000000 * wn // n "
+            "ELSE -(1000000 * (-wn) // n) END) AS sum_t, "
+            "SUM(1000000 * wd // n) AS sum_d FROM w), "
+            "b AS (SELECT nn, ng, "
+            + _sql_ss("CAST(nn AS HUGEINT) * tsxy "
+                      "- CAST(tsx AS HUGEINT) * tsy",
+                      "CAST(nn AS HUGEINT) * tsxx "
+                      "- CAST(tsx AS HUGEINT) * tsx")
+            + " AS pooled, "
+            + _sql_ss("sum_t", "sum_d") + " AS within FROM a) "
+            "SELECT CAST(nn AS BIGINT) AS n_obs, "
+            "CAST(ng AS BIGINT) AS n_groups, "
+            "CAST(pooled AS BIGINT) AS pooled_slope_ppm, "
+            "CAST(within AS BIGINT) AS within_slope_ppm, "
+            "CAST(pooled - within AS BIGINT) AS gap_ppm FROM b"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
