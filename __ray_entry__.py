@@ -12143,6 +12143,146 @@ def _q_fe_panel(sf_dir: str):
     return out
 
 
+def _q_matching_att(sf_dir: str):
+    """Nearest-neighbor matching ATT — the causal family's
+    non-parametric member (rdd needs a threshold rule, did needs two
+    periods, cuped needs linearity; matching just needs overlap):
+    each treated user is compared to control users at the NEAREST
+    activity level, with replacement, so the treated-vs-control gap
+    is read at like-for-like activity.  The covariate domain is
+    bounded (n_ev ∈ a few hundred values), so matching is exact on
+    the (x, arm) HISTOGRAM — no per-user pairing ever materializes:
+
+        r_c(v)   = 10⁶·conv_c(v) // n_c(v)     (floor per ctrl value)
+        match(x) = argmin_v |x−v|, tie → the SMALLER v (documented)
+        att_ppm  = ss(10⁶·CT − Σ_x n_t(x)·r_c(match(x)) / N_t)
+
+    The naive (unmatched) diff rides along — their gap is the
+    selection bias matching removed.  ONE (x, arm) exchange bounded
+    by the activity domain; the nearest-value fold runs over ≤
+    domain² driver cells.  Mirror: histogram + row_number nearest
+    join + identical floors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = (h < np.uint64(1 << 31)).astype("int64")
+        x = batch.column("n_ev").to_numpy().astype("int64")
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        df = pd.DataFrame({"x": x, "t": t, "n": 1, "c": y})
+        g = df.groupby(["x", "t"], as_index=False).sum()
+        for col in g.columns:
+            g[col] = g[col].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .groupby(["x", "t"])
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("c", alias_name="c"))).to_pandas()
+    tr = g[g["t"] == 1].set_index("x")[["n", "c"]]
+    ct = g[g["t"] == 0].set_index("x")[["n", "c"]]
+    NT, CT = int(tr["n"].sum()), int(tr["c"].sum())
+    NC, CC = int(ct["n"].sum()), int(ct["c"].sum())
+    cvals = sorted(ct.index)
+    rc = {v: 1_000_000 * int(ct.loc[v, "c"]) // int(ct.loc[v, "n"])
+          for v in cvals}
+
+    def match(x: int) -> int:
+        return min(cvals, key=lambda v: (abs(x - v), v))
+
+    def ss(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    msum = sum(int(tr.loc[x, "n"]) * rc[match(int(x))]
+               for x in tr.index)
+    att = ss(1_000_000 * CT - msum, 1_000_000 * NT)
+    naive = (1_000_000 * CT // NT if NT else 0) \
+        - (1_000_000 * CC // NC if NC else 0)
+    out = pd.DataFrame([{
+        "n_treat": NT, "n_ctrl": NC, "att_ppm": att,
+        "naive_diff_ppm": naive, "bias_removed_ppm": naive - att}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_eb_shrink(sf_dir: str):
+    """Empirical-Bayes (add-k) shrinkage of per-source English share
+    toward the corpus mean — the small-segment dashboard fix: a
+    source with 3 docs and 3 English reads a meaningless 100%, and
+    ranking segments by raw rate always crowns the tiny ones; pulling
+    each rate toward the global mean with prior strength k = 50
+    pseudo-docs is the standard remedy, and with the rational mean
+    E/N the whole shrunken rate clears to ONE floor:
+
+        shrunk = (e_s + k·E/N)/(n_s + k)
+               = 10⁶·(e_s·N + k·E) // (N·(n_s + k))
+
+    raw rides along; move_ppm = shrunk − raw is the applied
+    correction (small segments move a lot, big ones barely).  ONE
+    source-bounded exchange.  Mirror: identical floor under
+    HUGEINT."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        en = pc.equal(batch.column("lang"), "en").cast(pa.int64())
+        ones = pa.array([1] * len(batch), pa.int64())
+        return pa.table({"source": batch.column("source"),
+                         "_n": ones, "_en": en})
+
+    g = (docs.map_batches(prep, batch_format="pyarrow")
+         .groupby("source")
+         .aggregate(Sum("_n", alias_name="n_docs"),
+                    Sum("_en", alias_name="n_en"))).to_pandas()
+    g = g.sort_values("source").reset_index(drop=True)
+    N = int(g["n_docs"].sum())
+    E = int(g["n_en"].sum())
+    K = 50
+    g["raw_ppm"] = [1_000_000 * int(e) // int(n)
+                    for e, n in zip(g["n_en"], g["n_docs"])]
+    g["shrunk_ppm"] = [
+        1_000_000 * (int(e) * N + K * E) // (N * (int(n) + K))
+        for e, n in zip(g["n_en"], g["n_docs"])]
+    g["move_ppm"] = g["shrunk_ppm"] - g["raw_ppm"]
+    for c in g.columns[1:]:
+        g[c] = g[c].astype("int64")
+    return g
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12245,6 +12385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_dispersion": _q_term_dispersion,
         "chain_ladder": _q_chain_ladder,
         "fe_panel": _q_fe_panel,
+        "matching_att": _q_matching_att,
+        "eb_shrink": _q_eb_shrink,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -17226,6 +17368,59 @@ def oracle_sql() -> dict[str, str]:
             "CAST(pooled AS BIGINT) AS pooled_slope_ppm, "
             "CAST(within AS BIGINT) AS within_slope_ppm, "
             "CAST(pooled - within AS BIGINT) AS gap_ppm FROM b"
+        ),
+        # matching on the bounded (x, arm) histogram: nearest ctrl
+        # value (tie -> smaller), per-value rate floors, final ss
+        "matching_att": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "v AS (SELECT n_ev AS x, (user_id * 2654435761) "
+            "% 4294967296 < 2147483648 AS t, conv FROM u), "
+            "h AS (SELECT x, t, count(*) AS n, SUM(conv) AS c "
+            "FROM v GROUP BY 1, 2), "
+            "tr AS (SELECT x, n, c FROM h WHERE t), "
+            "ctl AS (SELECT x, n, c, 1000000 * c // n AS rc "
+            "FROM h WHERE NOT t), "
+            "m AS (SELECT tr.x, tr.n, ctl.rc, row_number() OVER "
+            "(PARTITION BY tr.x ORDER BY abs(tr.x - ctl.x), ctl.x) "
+            "AS rn FROM tr CROSS JOIN ctl), "
+            "mm AS (SELECT x, n, rc FROM m WHERE rn = 1), "
+            "tot AS (SELECT coalesce(SUM(tr.n), 0) AS nt, "
+            "coalesce(SUM(tr.c), 0) AS ct FROM tr), "
+            "ctot AS (SELECT coalesce(SUM(n), 0) AS nc, "
+            "coalesce(SUM(c), 0) AS cc FROM ctl), "
+            "s AS (SELECT coalesce(SUM(CAST(n AS HUGEINT) * rc), 0) "
+            "AS msum FROM mm), "
+            "f AS (SELECT nt, ct, nc, cc, msum, "
+            + _sql_ss("1000000 * CAST(ct AS HUGEINT) - msum",
+                      "1000000 * CAST(nt AS HUGEINT)")
+            + " AS att, "
+            "(CASE WHEN nt > 0 THEN 1000000 * ct // nt ELSE 0 END) "
+            "- (CASE WHEN nc > 0 THEN 1000000 * cc // nc ELSE 0 END) "
+            "AS naive FROM tot, ctot, s) "
+            "SELECT CAST(nt AS BIGINT) AS n_treat, "
+            "CAST(nc AS BIGINT) AS n_ctrl, "
+            "CAST(att AS BIGINT) AS att_ppm, "
+            "CAST(naive AS BIGINT) AS naive_diff_ppm, "
+            "CAST(naive - att AS BIGINT) AS bias_removed_ppm FROM f"
+        ),
+        # add-k shrinkage toward the rational corpus mean, one floor
+        "eb_shrink": (
+            "WITH c AS (SELECT source, count(*) AS n_docs, "
+            "count(*) FILTER (WHERE lang = 'en') AS n_en "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT SUM(n_docs) AS nn, SUM(n_en) AS ee FROM c) "
+            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(n_en AS BIGINT) AS n_en, "
+            "CAST(1000000 * n_en // n_docs AS BIGINT) AS raw_ppm, "
+            "CAST(1000000 * (CAST(n_en AS HUGEINT) * nn + 50 * ee) "
+            "// (CAST(nn AS HUGEINT) * (n_docs + 50)) AS BIGINT) "
+            "AS shrunk_ppm, "
+            "CAST(1000000 * (CAST(n_en AS HUGEINT) * nn + 50 * ee) "
+            "// (CAST(nn AS HUGEINT) * (n_docs + 50)) "
+            "- 1000000 * n_en // n_docs AS BIGINT) AS move_ppm "
+            "FROM c, t"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
