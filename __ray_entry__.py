@@ -12283,6 +12283,129 @@ def _q_eb_shrink(sf_dir: str):
     return g
 
 
+def _q_yule_q(sf_dir: str):
+    """Yule's Q per source — the bounded EFFECT SIZE the association
+    family lacks: chi2_independence says the (lang, length) link is
+    significant, but significance scales with n (every link is
+    "significant" at corpus size); Q = (ad − bc)/(ad + bc) ∈ [−1, 1]
+    is the odds-ratio transform that reads the same at any n, and
+    it's fully rational — ONE sign-split floor:
+
+        q_ppm = ss(10⁶·(ad − bc) / (ad + bc))    (0 when ad+bc = 0)
+
+    over the per-source 2×2 of (lang = en) × (n_chars ≥ 300, the
+    corpus median cut).  ONE source-bounded exchange of 4 cell
+    counts.  Mirror: FILTER cells + the identical _sql_ss floor under
+    HUGEINT."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        en = pc.equal(batch.column("lang"), "en") \
+            .to_numpy(zero_copy_only=False)
+        lg = batch.column("n_chars").to_numpy() >= 300
+
+        def n(mask):
+            return pa.array(mask.astype("int64"), pa.int64())
+
+        return pa.table({"source": batch.column("source"),
+                         "_a": n(en & lg), "_b": n(en & ~lg),
+                         "_c": n(~en & lg), "_d": n(~en & ~lg)})
+
+    g = (docs.map_batches(prep, batch_format="pyarrow")
+         .groupby("source")
+         .aggregate(*[Sum(c, alias_name=c.lstrip("_")) for c in
+                      ("_a", "_b", "_c", "_d")])).to_pandas()
+    g = g.sort_values("source").reset_index(drop=True)
+
+    def q(a, b, c, d):
+        num = a * d - b * c
+        den = a * d + b * c
+        if den == 0:
+            return 0
+        s = 1 if num >= 0 else -1
+        return s * (1_000_000 * abs(num) // den)
+
+    g["q_ppm"] = [q(int(a), int(b), int(c), int(d))
+                  for a, b, c, d in zip(g["a"], g["b"], g["c"],
+                                        g["d"])]
+    for c in g.columns[1:]:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+def _q_kish_neff(sf_dir: str):
+    """Kish effective sample size of the IPF raking weights — the
+    price tag survey calibration always carries: raking
+    (``ipf_raking``) fixes the margins but UNEQUAL weights inflate
+    variance, and Kish's n_eff = (Σw)²/Σw² says how many
+    equal-weight observations the weighted sample is actually worth
+    (deff = n/n_eff > 1 is the inflation factor).  With the cell
+    weights in ppm the ratio's 10⁶ scales cancel exactly:
+
+        n_eff_milli = 1000·S₁² // S₂      (S₁ = Σn·w, S₂ = Σn·w²)
+        deff_milli  = 1000·n·S₂ // S₁²
+
+    Same bounded (source, lang) exchange as ipf_raking; the weight
+    fold reuses its two chained floors verbatim.  Mirror: the
+    ipf_raking CTEs + the two HUGEINT ratios."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "lang"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        samp = (h < np.uint64(1 << 31)).astype("int64")
+        ones = np.ones(len(ids), dtype="int64")
+        return pa.table({"source": batch.column("source"),
+                         "lang": batch.column("lang"),
+                         "_n": pa.array(ones, pa.int64()),
+                         "_s": pa.array(samp, pa.int64())})
+
+    g = (docs.map_batches(prep, batch_format="pyarrow")
+         .groupby(["source", "lang"])
+         .aggregate(Sum("_n", alias_name="n_full"),
+                    Sum("_s", alias_name="n_samp"))).to_pandas()
+    rs = g.groupby("source")["n_full"].sum().to_dict()
+    cl = g.groupby("lang")["n_full"].sum().to_dict()
+    ms = g.groupby("source")["n_samp"].sum().to_dict()
+    g = g[g["n_samp"] > 0].copy()
+    g["w1"] = [1_000_000 * int(rs[s]) // int(ms[s])
+               for s in g["source"]]
+    tl = {}
+    for _, r in g.iterrows():
+        tl[r["lang"]] = tl.get(r["lang"], 0) \
+            + int(r["n_samp"]) * int(r["w1"])
+    g["w2"] = [int(w1) * 1_000_000 * int(cl[l]) // tl[l]
+               for w1, l in zip(g["w1"], g["lang"])]
+    n = int(g["n_samp"].sum())
+    s1 = int((g["n_samp"] * g["w2"]).sum())
+    s2 = sum(int(ns) * int(w) * int(w)
+             for ns, w in zip(g["n_samp"], g["w2"]))
+    out = pd.DataFrame([{
+        "n_samp": n,
+        "n_eff_milli": 1000 * s1 * s1 // s2,
+        "deff_milli": 1000 * n * s2 // (s1 * s1)}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12387,6 +12510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fe_panel": _q_fe_panel,
         "matching_att": _q_matching_att,
         "eb_shrink": _q_eb_shrink,
+        "yule_q": _q_yule_q,
+        "kish_neff": _q_kish_neff,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -17421,6 +17546,54 @@ def oracle_sql() -> dict[str, str]:
             "// (CAST(nn AS HUGEINT) * (n_docs + 50)) "
             "- 1000000 * n_en // n_docs AS BIGINT) AS move_ppm "
             "FROM c, t"
+        ),
+        # Yule's Q: odds-ratio effect size, one sign-split floor
+        "yule_q": (
+            "WITH c AS (SELECT source, "
+            "count(*) FILTER (WHERE lang = 'en' AND n_chars >= 300) "
+            "AS a, "
+            "count(*) FILTER (WHERE lang = 'en' AND n_chars < 300) "
+            "AS b, "
+            "count(*) FILTER (WHERE lang <> 'en' AND n_chars >= 300) "
+            "AS c, "
+            "count(*) FILTER (WHERE lang <> 'en' AND n_chars < 300) "
+            "AS d FROM documents GROUP BY 1), "
+            "x AS (SELECT source, a, b, c, d, "
+            "CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS num, "
+            "CAST(a AS HUGEINT) * d + CAST(b AS HUGEINT) * c AS den "
+            "FROM c) "
+            "SELECT source, CAST(a AS BIGINT) AS a, "
+            "CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c, "
+            "CAST(d AS BIGINT) AS d, "
+            "CAST(" + _sql_ss("num", "den") + " AS BIGINT) AS q_ppm "
+            "FROM x"
+        ),
+        # Kish n_eff over the IPF weights: the ppm scales cancel in
+        # (S1)^2/S2; deff is its reciprocal times n
+        "kish_neff": (
+            "WITH c AS (SELECT source, lang, count(*) AS n_full, "
+            "count(*) FILTER (WHERE (doc_id * 2654435761) "
+            "% 4294967296 < 2147483648) AS n_samp "
+            "FROM documents GROUP BY 1, 2), "
+            "r AS (SELECT source, SUM(n_full) AS rs, "
+            "SUM(n_samp) AS ms FROM c GROUP BY 1), "
+            "l AS (SELECT lang, SUM(n_full) AS cl FROM c GROUP BY 1), "
+            "w1 AS (SELECT c.source, c.lang, c.n_samp, "
+            "CASE WHEN r.ms > 0 THEN 1000000 * r.rs // r.ms "
+            "ELSE 0 END AS w1 FROM c JOIN r USING (source) "
+            "WHERE c.n_samp > 0), "
+            "t AS (SELECT lang, SUM(n_samp * w1) AS tl FROM w1 "
+            "GROUP BY 1), "
+            "w2 AS (SELECT w1.n_samp, "
+            "CAST(w1.w1 AS HUGEINT) * 1000000 * l.cl // t.tl AS w "
+            "FROM w1 JOIN l USING (lang) JOIN t USING (lang)), "
+            "s AS (SELECT SUM(n_samp) AS n, "
+            "SUM(CAST(n_samp AS HUGEINT) * w) AS s1, "
+            "SUM(CAST(n_samp AS HUGEINT) * w * w) AS s2 FROM w2) "
+            "SELECT CAST(n AS BIGINT) AS n_samp, "
+            "CAST(1000 * s1 * s1 // s2 AS BIGINT) AS n_eff_milli, "
+            "CAST(1000 * n * s2 // (s1 * s1) AS BIGINT) "
+            "AS deff_milli FROM s"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
