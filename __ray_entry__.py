@@ -12406,6 +12406,138 @@ def _q_kish_neff(sf_dir: str):
     return out
 
 
+def _q_cochran_armitage(sf_dir: str):
+    """Cochran-Armitage trend test — the ORDERED-groups question the
+    drift family can't pose: chi2_independence asks "do conversion
+    rates differ across activity deciles AT ALL", but the monotone
+    question ("does conversion RISE with activity") concentrates all
+    the power on one degree of freedom, and CA is its exact test.
+    With decile scores x_i, sizes n_i, successes r_i, everything
+    clears to integers:
+
+        T  = n·Σx_i·r_i − R·Σx_i·n_i
+        B  = n·Σx_i²·n_i − (Σx_i·n_i)²
+        χ² = n·T² / (R·(n−R)·B)     → chi2_milli, one floor
+
+    flag: n·T²·10⁶ > 3841459·R(n−R)·B (the logrank cross-multiply
+    discipline); trend_sign carries T's direction.  Magnitude bound
+    n·T² ≲ 100·n⁵ stays inside HUGEINT through n ≈ 10⁷ users
+    (documented).  ONE user exchange + the 10-row decile fold.
+    Mirror: the uplift_deciles rank CTE + the identical fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+    n_users = per_user.count()
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_n", pa.array((-batch.column("n_ev").to_numpy())
+                              .astype("int64"), pa.int64()))
+
+    ranked = global_row_index(
+        per_user.map_batches(neg, batch_format="pyarrow"),
+        val_col="neg_n", tiebreak_col="user_id", out_col="_ri")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        dec = 1 + 10 * batch.column("_ri").to_numpy() // n_users
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        df = pd.DataFrame({"x": dec.astype("int64"), "n": 1, "r": y})
+        g = df.groupby("x", as_index=False).sum()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (ranked.map_batches(cells, batch_format="pyarrow")
+         .groupby("x")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("r", alias_name="r"))).to_pandas()
+    n = int(g["n"].sum())
+    R = int(g["r"].sum())
+    sxr = sum(int(x) * int(r) for x, r in zip(g["x"], g["r"]))
+    sxn = sum(int(x) * int(m) for x, m in zip(g["x"], g["n"]))
+    sxxn = sum(int(x) * int(x) * int(m)
+               for x, m in zip(g["x"], g["n"]))
+    T = n * sxr - R * sxn
+    B = n * sxxn - sxn * sxn
+    den = R * (n - R) * B
+    chi2 = 1000 * n * T * T // den if den > 0 else 0
+    sig = n * T * T * 1_000_000 > 3_841_459 * den if den > 0 \
+        else False
+    out = pd.DataFrame([{
+        "n": n, "r": R, "trend_sign": (T > 0) - (T < 0),
+        "chi2_milli": chi2, "significant": bool(sig)}])
+    for c in ("n", "r", "trend_sign", "chi2_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_cost_threshold(sf_dir: str):
+    """Profit-maximizing operating point — the BUSINESS sibling of
+    youden_threshold: J weighs sensitivity and specificity equally,
+    but a review queue where a caught return is worth 3× a wasted
+    review wants argmax (3·TP − FP), an INTEGER objective needing no
+    flooring at all during the sweep.  Candidates are the distinct
+    scores (positive ⟺ qty ≥ t), ties take the SMALLEST threshold
+    (the youden discipline); the chosen point reports its exact
+    confusion and profit, with the all-positive baseline profit
+    riding along (a threshold must beat classifying everything
+    positive, or the queue is pointless).  Same bounded histogram
+    exchange as rank_auc/youden.  Mirror: window sums + ORDER BY
+    LIMIT 1."""
+    import pandas as pd
+
+    h = _score_label_hist(sf_dir)
+    g = h.pivot_table(index="qty", columns="returned", values="n",
+                      aggfunc="sum", fill_value=0).sort_index(
+        ascending=False)
+    pos = g[True].to_numpy() if True in g.columns else 0 * g.iloc[:, 0]
+    neg = g[False].to_numpy() if False in g.columns \
+        else 0 * g.iloc[:, 0]
+    p_tot, n_tot = int(pos.sum()), int(neg.sum())
+    best = None
+    cum_tp = cum_fp = 0
+    for qty, tp_add, fp_add in zip(g.index, pos, neg):
+        cum_tp += int(tp_add)
+        cum_fp += int(fp_add)
+        profit = 3 * cum_tp - cum_fp
+        cand = (profit, int(qty), cum_tp, cum_fp)
+        # max profit; tie -> smallest threshold (qty ASC at same
+        # profit == later in this descending sweep, so >= keeps it)
+        if best is None or profit >= best[0]:
+            best = cand
+    profit, t, tp, fp = best
+    out = pd.DataFrame([{
+        "threshold": t, "tp": tp, "fp": fp,
+        "fn": p_tot - tp, "tn": n_tot - fp,
+        "profit": profit,
+        "profit_all": 3 * p_tot - n_tot}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12512,6 +12644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eb_shrink": _q_eb_shrink,
         "yule_q": _q_yule_q,
         "kish_neff": _q_kish_neff,
+        "cochran_armitage": _q_cochran_armitage,
+        "cost_threshold": _q_cost_threshold,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -17594,6 +17728,57 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1000 * s1 * s1 // s2 AS BIGINT) AS n_eff_milli, "
             "CAST(1000 * n * s2 // (s1 * s1) AS BIGINT) "
             "AS deff_milli FROM s"
+        ),
+        # CA trend: one-df ordered-proportions test, fully cleared
+        "cochran_armitage": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM u), "
+            "rk AS (SELECT conv, row_number() OVER "
+            "(ORDER BY n_ev DESC, user_id) - 1 AS ri FROM u), "
+            "d AS (SELECT 1 + 10 * ri // nn.n AS x, conv "
+            "FROM rk, nn), "
+            "gg AS (SELECT x, count(*) AS m, SUM(conv) AS rr "
+            "FROM d GROUP BY 1), "
+            "a AS (SELECT SUM(m) AS n, SUM(rr) AS rt, "
+            "SUM(x * rr) AS sxr, SUM(x * m) AS sxn, "
+            "SUM(x * x * m) AS sxxn FROM gg), "
+            "b AS (SELECT n, rt, "
+            "CAST(n AS HUGEINT) * sxr - CAST(rt AS HUGEINT) * sxn "
+            "AS t, "
+            "CAST(n AS HUGEINT) * sxxn - CAST(sxn AS HUGEINT) * sxn "
+            "AS bb FROM a), "
+            "c AS (SELECT n, rt, t, "
+            "CAST(rt AS HUGEINT) * (n - rt) * bb AS den FROM b) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST(rt AS BIGINT) AS r, "
+            "CAST(CASE WHEN t > 0 THEN 1 WHEN t < 0 THEN -1 "
+            "ELSE 0 END AS BIGINT) AS trend_sign, "
+            "CAST(CASE WHEN den > 0 THEN 1000 * n * t * t // den "
+            "ELSE 0 END AS BIGINT) AS chi2_milli, "
+            "CASE WHEN den > 0 THEN "
+            "n * t * t * 1000000 > 3841459 * den ELSE FALSE END "
+            "AS significant FROM c"
+        ),
+        # profit argmax over the descending score sweep; integer
+        # objective, smallest threshold on ties
+        "cost_threshold": (
+            "WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS "
+            "qty, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS p, SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) "
+            "AS ng FROM lineitem GROUP BY 1), "
+            "tot AS (SELECT SUM(p) AS pt, SUM(ng) AS nt FROM t), "
+            "c AS (SELECT qty, SUM(p) OVER (ORDER BY qty DESC "
+            "ROWS UNBOUNDED PRECEDING) AS tp, SUM(ng) OVER "
+            "(ORDER BY qty DESC ROWS UNBOUNDED PRECEDING) AS fp "
+            "FROM t) "
+            "SELECT CAST(qty AS BIGINT) AS threshold, "
+            "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+            "CAST(tot.pt - tp AS BIGINT) AS fn, "
+            "CAST(tot.nt - fp AS BIGINT) AS tn, "
+            "CAST(3 * tp - fp AS BIGINT) AS profit, "
+            "CAST(3 * tot.pt - tot.nt AS BIGINT) AS profit_all "
+            "FROM c, tot ORDER BY 3 * tp - fp DESC, qty ASC LIMIT 1"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
