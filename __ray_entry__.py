@@ -12538,6 +12538,59 @@ def _q_cost_threshold(sf_dir: str):
     return out
 
 
+def _q_anomaly_ensemble(sf_dir: str):
+    """Detector-consensus alerts (``windows.anomaly_ensemble_int``):
+    the alert-fatigue fix production monitoring actually runs — each
+    spike rule in this repo has a known blind spot (events_anomaly's
+    global 3σ inflates under drift, xmr_alarms under-reacts when the
+    jump inflates its own moving range, seasonal_anomaly needs a real
+    daily cycle), so an hour pages only when ≥ 2 of the 3 UPWARD
+    rules agree, with the individual votes exposed.  Same bounded
+    dense-grid exchange as the single rules.  Mirror: the dense grid
+    + the three cross-multiplied inequalities + a votes filter."""
+    import ray.data
+
+    from documentai_ray.stages.windows import anomaly_ensemble_int
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return anomaly_ensemble_int(ev)
+
+
+def _q_attribution_decay(sf_dir: str):
+    """Time-decay multi-touch attribution
+    (``windows.attribution_time_decay``): attribution_credit's equal
+    split ignores RECENCY — a touch 5 minutes before the purchase
+    deserves more than one 55 minutes before — and the decay is
+    dyadic so everything stays exact: 6 ten-minute buckets across the
+    hour window, bucket-k weight 2^(5−k), one floor per touch
+    (10⁶·w // Σw per conversion).  The per-(conversion, touch) weight
+    structure dissolves into 6 range-adds per conversion (the
+    attribution_linear searchsorted pass, generalized) — no pair loop.
+    Mirror: window join + the identical (diff−1)//600s bucket rule +
+    per-conversion weight sums + the same floor."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import attribution_time_decay
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = (batch.column("ts").to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts_us": pa.array(us, pa.int64()),
+                         "event_type": batch.column("event_type")})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]
+                               ).map_batches(to_us,
+                                             batch_format="pyarrow")
+    return attribution_time_decay(
+        ds, key_col="user_id", ts_col="ts_us", type_col="event_type",
+        conversion_type="purchase", window=3_600_000_000,
+        bucket=600_000_000, num_partitions=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12646,6 +12699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kish_neff": _q_kish_neff,
         "cochran_armitage": _q_cochran_armitage,
         "cost_threshold": _q_cost_threshold,
+        "anomaly_ensemble": _q_anomaly_ensemble,
+        "attribution_decay": _q_attribution_decay,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -17779,6 +17834,64 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 * tp - fp AS BIGINT) AS profit, "
             "CAST(3 * tot.pt - tot.nt AS BIGINT) AS profit_all "
             "FROM c, tot ORDER BY 3 * tp - fp DESC, qty ASC LIMIT 1"
+        ),
+        # 2-of-3 detector consensus on the dense grid; upward
+        # breaches only, votes exposed
+        "anomaly_ensemble": (
+            "WITH " + _SQL_DENSE_GRID + ", "
+            "st AS (SELECT event_type, count(*) AS m, SUM(c) AS s, "
+            "SUM(c * c) AS q FROM dd GROUP BY 1), "
+            "lg AS (SELECT event_type, abs(c - lag(c) OVER "
+            "(PARTITION BY event_type ORDER BY hr)) AS d FROM dd), "
+            "mr AS (SELECT event_type, SUM(d) AS mrsum FROM lg "
+            "GROUP BY 1), "
+            "hh AS (SELECT event_type, hr, c, "
+            "(epoch_us(hr) // 3600000000) % 24 AS hod FROM dd), "
+            "hstat AS (SELECT event_type, hod, count(*) AS mh, "
+            "SUM(c) AS sh, SUM(c * c) AS qh FROM hh GROUP BY 1, 2), "
+            "v AS (SELECT hh.event_type, hh.hr, hh.c, "
+            "CASE WHEN st.m * hh.c - st.s > 0 AND "
+            "(st.m * CAST(hh.c AS HUGEINT) - st.s) "
+            "* (st.m * hh.c - st.s) "
+            "> 9 * (st.m * CAST(st.q AS HUGEINT) "
+            "- CAST(st.s AS HUGEINT) * st.s) THEN 1 ELSE 0 END AS vg, "
+            "CASE WHEN st.m * hh.c - st.s > 0 AND "
+            "100 * (st.m - 1) * (st.m * CAST(hh.c AS HUGEINT) - st.s) "
+            "> 266 * st.m * CAST(mr.mrsum AS HUGEINT) "
+            "THEN 1 ELSE 0 END AS vx, "
+            "CASE WHEN h.mh * hh.c - h.sh > 0 AND "
+            "(h.mh * CAST(hh.c AS HUGEINT) - h.sh) "
+            "* (h.mh * hh.c - h.sh) "
+            "> 9 * (h.mh * CAST(h.qh AS HUGEINT) "
+            "- CAST(h.sh AS HUGEINT) * h.sh) THEN 1 ELSE 0 END AS vh "
+            "FROM hh JOIN st USING (event_type) "
+            "JOIN mr USING (event_type) "
+            "JOIN hstat h ON h.event_type = hh.event_type "
+            "AND h.hod = hh.hod) "
+            "SELECT event_type, hr, CAST(c AS BIGINT) AS c, "
+            "CAST(vg AS BIGINT) AS vote_global, "
+            "CAST(vx AS BIGINT) AS vote_xmr, "
+            "CAST(vh AS BIGINT) AS vote_hod, "
+            "CAST(vg + vx + vh AS BIGINT) AS votes FROM v "
+            "WHERE vg + vx + vh >= 2"
+        ),
+        # dyadic time-decay attribution: (diff-1)//600s bucket,
+        # weight 2^(5-k), one floor per touch
+        "attribution_decay": (
+            "WITH conv AS (SELECT event_id AS cid, user_id, ts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "tch AS (SELECT c.cid, e.event_type, "
+            "(epoch_us(c.ts) - epoch_us(e.ts) - 1) // 600000000 AS k "
+            "FROM events e JOIN conv c ON e.user_id = c.user_id "
+            "AND e.event_type <> 'purchase' "
+            "AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts < c.ts), "
+            "w AS (SELECT cid, event_type, "
+            "CAST(1 AS BIGINT) << (5 - k) AS wt FROM tch), "
+            "sw AS (SELECT cid, SUM(wt) AS swt FROM w GROUP BY 1) "
+            "SELECT w.event_type, "
+            "CAST(count(*) AS BIGINT) AS n_touches, "
+            "CAST(SUM(1000000 * w.wt // sw.swt) AS BIGINT) "
+            "AS credit_ppm FROM w JOIN sw USING (cid) GROUP BY 1"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality

@@ -686,6 +686,172 @@ def naive_mase(ds, *, ts_col: str, key_col: str,
                    .replace_schema_metadata(None)
 
 
+def anomaly_ensemble_int(ds, *, key_col: str = "event_type",
+                         ts_col: str = "ts", max_obs: int = 8784):
+    """Detector-consensus spike alerts — the alert-fatigue fix: each
+    single rule has a known blind spot (the global 3σ band inflates
+    under drift, XmR under-reacts when the jump itself inflates the
+    moving range, the hod band needs a real daily cycle), so
+    production alerting demands AGREEMENT: an hour pages only when
+    ≥ 2 of the 3 rules vote.  All three votes are the UPWARD breach
+    (spike consensus — a quiet hour is not a page), each in the
+    existing cross-multiplied integer form over the same dense grid:
+
+        global: m·x − S > 0  ∧ (m·x−S)² > 9·(m·Q − S²)
+        xmr:    m·x − S > 0  ∧ 100(m−1)(m·x−S) > 266·m·ΣMR
+        hod:    m_h·x − S_h > 0 ∧ (m_h·x−S_h)² > 9·(m_h·Q_h − S_h²)
+
+    Emits ONLY hours with votes ≥ 2 (the bounded alert set), with the
+    three votes exposed so the consumer sees WHICH detectors agreed.
+    Same single bounded (hour, key) exchange; per-key folds vectorize
+    over the K × H driver matrix."""
+    keys, h, mat = _dense_hourly_matrix(
+        ds, key_col=key_col, ts_col=ts_col, max_obs=max_obs)
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        t = pc.floor_temporal(batch.column(ts_col), unit="hour")
+        return pa.table({"_h": t.cast(pa.timestamp("us"))
+                        .cast(pa.int64())})
+
+    h0 = int(ds.map_batches(to_hour, batch_format="pyarrow").min("_h"))
+    hod0 = (h0 // 3_600_000_000) % 24
+    hods = (hod0 + np.arange(h)) % 24
+    rows = []
+    for i, key in enumerate(keys):
+        x = mat[i].astype(object)
+        m = h
+        s = int(x.sum())
+        q = int(sum(int(v) * int(v) for v in x))
+        var_g = m * q - s * s
+        mrsum = int(np.abs(np.diff(mat[i])).sum())
+        # hod stats
+        hstat = {}
+        for hd in range(24):
+            msk = hods == hd
+            mh = int(msk.sum())
+            if mh == 0:
+                continue
+            xs = x[msk]
+            sh = int(xs.sum())
+            qh = int(sum(int(v) * int(v) for v in xs))
+            hstat[hd] = (mh, sh, mh * qh - sh * sh)
+        for t_idx in range(h):
+            c = int(mat[i][t_idx])
+            lhs_g = m * c - s
+            vg = 1 if (lhs_g > 0 and lhs_g * lhs_g > 9 * var_g) else 0
+            vx = 1 if (lhs_g > 0 and 100 * (m - 1) * lhs_g
+                       > 266 * m * mrsum) else 0
+            mh, sh, var_h = hstat[int(hods[t_idx])]
+            lhs_h = mh * c - sh
+            vh = 1 if (lhs_h > 0 and lhs_h * lhs_h > 9 * var_h) else 0
+            votes = vg + vx + vh
+            if votes >= 2:
+                rows.append((key, h0 + t_idx * 3_600_000_000, c,
+                             vg, vx, vh, votes))
+    out = pd.DataFrame(rows, columns=[
+        key_col, "hr", "c", "vote_global", "vote_xmr", "vote_hod",
+        "votes"])
+    out["hr"] = pd.to_datetime(out["hr"].astype("int64"), unit="us")
+    for col in ("c", "vote_global", "vote_xmr", "vote_hod", "votes"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values([key_col, "hr"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def attribution_time_decay(ds, *, key_col: str, ts_col: str,
+                           type_col: str, conversion_type: str,
+                           window: int, bucket: int,
+                           credit_unit: int = 1_000_000,
+                           num_partitions: int = 32):
+    """Time-decay multi-touch attribution — the other industry
+    standard next to ``attribution_linear``: a touch 5 minutes before
+    the purchase deserves more credit than one 55 minutes before, and
+    the dyadic decay keeps it exact: the window splits into
+    ``window // bucket`` decay buckets (k = 0 nearest the conversion),
+    a bucket-k touch weighs 2^(B−1−k) (B buckets, integer powers of
+    two — no float decay constant), and each conversion's
+    ``credit_unit`` splits proportionally with ONE floor per touch:
+    credit = credit_unit·w // Σw.
+
+    Bucket rule: touch ∈ [conv − (k+1)·bucket, conv − k·bucket) ⟺
+    k = (conv_ts − touch_ts − 1) // bucket — half-open on the right
+    everywhere, so same-timestamp events never self-credit (the
+    attribution_linear contract).
+
+    Distributed plan: the attribution_linear partition pass,
+    generalized — per bucket k a searchsorted boundary pair turns the
+    per-(conversion, touch) weights into B range-adds, so no per-pair
+    loop ever runs.  Output: (type_col, n_touches, credit_ppm)."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    n_buckets = window // bucket
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        t = g[ts_col].to_numpy().astype("int64")
+        rel = t - int(t.min()) if len(t) else t
+        codes = pd.factorize(g[key_col], sort=False)[0].astype("int64")
+        shift = int(rel.max()) + window + 2 if len(rel) else 1
+        assert codes.max(initial=0) < (2**62) // max(shift, 1), \
+            "attribution_time_decay: composite key overflow — raise " \
+            "num_partitions"
+        comp = codes * shift + rel
+        is_touch = (g[type_col] != conversion_type).to_numpy()
+        pref = np.concatenate([[0], np.cumsum(is_touch)])
+        cpos = np.flatnonzero(~is_touch)
+        # bucket boundaries: k spans [conv-(k+1)b, conv-kb)
+        lo_k, hi_k, n_k = [], [], []
+        for k in range(n_buckets):
+            lo = np.searchsorted(
+                comp, codes[cpos] * shift
+                + np.maximum(rel[cpos] - (k + 1) * bucket, 0), "left")
+            hi = np.searchsorted(
+                comp, codes[cpos] * shift
+                + np.maximum(rel[cpos] - k * bucket, 0), "left")
+            # clamp hi at the conversion itself for k = 0
+            if k == 0:
+                hi = np.minimum(hi, np.searchsorted(comp, comp[cpos],
+                                                    "left"))
+            lo_k.append(lo)
+            hi_k.append(hi)
+            n_k.append(pref[hi] - pref[lo])
+        sw = np.zeros(len(cpos), dtype="int64")
+        for k in range(n_buckets):
+            sw += n_k[k] * (1 << (n_buckets - 1 - k))
+        credit_d = np.zeros(len(g) + 1, dtype="int64")
+        count_d = np.zeros(len(g) + 1, dtype="int64")
+        for k in range(n_buckets):
+            live = (n_k[k] > 0) & (sw > 0)
+            q = np.zeros(len(cpos), dtype="int64")
+            q[live] = (credit_unit * (1 << (n_buckets - 1 - k))) \
+                // sw[live]
+            np.add.at(credit_d, lo_k[k][live], q[live])
+            np.add.at(credit_d, hi_k[k][live], -q[live])
+            np.add.at(count_d, lo_k[k][live], 1)
+            np.add.at(count_d, hi_k[k][live], -1)
+        row_credit = np.cumsum(credit_d)[:len(g)]
+        row_count = np.cumsum(count_d)[:len(g)]
+        out = (pd.DataFrame({type_col: g[type_col].to_numpy()[is_touch],
+                             "n_touches": row_count[is_touch],
+                             "credit_ppm": row_credit[is_touch]})
+               .groupby(type_col, as_index=False).sum())
+        out = out[out["n_touches"] > 0]
+        out["n_touches"] = out["n_touches"].astype("int64")
+        out["credit_ppm"] = out["credit_ppm"].astype("int64")
+        return out
+
+    keyed = _add_pkey(ds.select_columns([key_col, ts_col, type_col]),
+                      key_col, num_partitions)
+    return (keyed.groupby("_pkey")
+            .map_groups(lambda g: attribute(g.drop(columns=["_pkey"])),
+                        batch_format="pandas")
+            .groupby(type_col)
+            .aggregate(Sum("n_touches", alias_name="n_touches"),
+                       Sum("credit_ppm", alias_name="credit_ppm")))
+
+
 def conformal_backtest(ds, *, ts_col: str, key_col: str,
                        season_hours: int = 24):
     """Split-conformal prediction interval for the seasonal-naive
