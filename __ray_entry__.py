@@ -12591,6 +12591,118 @@ def _q_attribution_decay(sf_dir: str):
         bucket=600_000_000, num_partitions=32)
 
 
+def _q_exposure_fairness(sf_dir: str):
+    """Ranking-exposure fairness audit — the question retrieval eval
+    (ndcg/mrr) never asks: a ranker can be accurate AND starve a
+    source group, because user attention decays with rank; position
+    exposure here is the harmonic 10⁶ // r (the ndcg discount
+    discipline — exact integers, no log), over the top-100 docs by
+    (n_chars DESC, doc_id) — the deterministic relevance stand-in.
+    Per source group in the top-k:
+
+        exp_share_ppm  = 10⁶·Σ_{r∈g} (10⁶//r) // Σ_r (10⁶//r)
+        item_share_ppm = 10⁶·n_g // k
+        disparity_ppm  = exp_share − item_share
+
+    (> 0: the group's items cluster at the TOP of the list — it gets
+    more attention than its item count earns; the equal-exposure
+    baseline is item share by construction).  Top-k is a global
+    sort+limit (the top_orders pattern, k bounded); the fold is a
+    k-row driver pass.  Mirror: row_number + identical floors."""
+    import pandas as pd
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"])
+    k = 100
+    top = (docs.sort(["n_chars", "doc_id"], descending=[True, False])
+           .limit(k).to_pandas())
+    top["rank"] = range(1, len(top) + 1)
+    top["w"] = [1_000_000 // r for r in top["rank"]]
+    total_w = int(top["w"].sum())
+    n = len(top)
+    g = (top.groupby("source", as_index=False)
+         .agg(n_topk=("rank", "size"), exposure=("w", "sum")))
+    g = g.sort_values("source").reset_index(drop=True)
+    g["exp_share_ppm"] = [1_000_000 * int(e) // total_w
+                          for e in g["exposure"]]
+    g["item_share_ppm"] = [1_000_000 * int(m) // n
+                           for m in g["n_topk"]]
+    g["disparity_ppm"] = g["exp_share_ppm"] - g["item_share_ppm"]
+    for c in g.columns[1:]:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+def _q_qte_quantiles(sf_dir: str):
+    """Quantile treatment effects — the DISTRIBUTIONAL causal readout
+    the mean-based ops (ab_conversion, cuped) can't see: a treatment
+    can leave the mean flat while fattening the tail (heavy buyers
+    spend more, light buyers less), and the QTE reads the arm gap at
+    each quantile.  Purchase values in exact cents per Knuth arm, the
+    p95_quantity rank discipline (smallest value whose cumulative
+    count reaches ⌈p·n⌉ — no interpolation) at p ∈ {25, 50, 75, 90}:
+
+        qte_cents(p) = v_treat(p) − v_ctrl(p)
+
+    ONE exchange bounded by distinct cents × 2; the four rank picks
+    are a driver scan over that bounded histogram.  Mirror: histogram
+    + window cumsum + the same ⌈p·n⌉ pick."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(batch.column("event_type"),
+                     "purchase").to_numpy(zero_copy_only=False)
+        ids = batch.column("user_id").to_numpy()[m]
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        t = (h < np.uint64(1 << 31)).astype("int64")
+        c = np.rint(batch.column("value").to_numpy()[m] * 100) \
+            .astype("int64")
+        df = pd.DataFrame({"cents": c, "t": t, "n": 1})
+        g = df.groupby(["cents", "t"], as_index=False).sum()
+        for col in g.columns:
+            g[col] = g[col].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    g = (ev.map_batches(prep, batch_format="pyarrow")
+         .groupby(["cents", "t"])
+         .aggregate(Sum("n", alias_name="n"))).to_pandas()
+
+    def pick(arm: int, p_num: int, p_den: int) -> int:
+        sub = g[g["t"] == arm].sort_values("cents")
+        n = int(sub["n"].sum())
+        rank = -(-p_num * n // p_den)  # ceil(p*n)
+        cum = 0
+        for v, c in zip(sub["cents"], sub["n"]):
+            cum += int(c)
+            if cum >= rank:
+                return int(v)
+        raise AssertionError("rank out of range")
+
+    recs = []
+    for p in (25, 50, 75, 90):
+        vt = pick(1, p, 100)
+        vc = pick(0, p, 100)
+        recs.append((p, vt, vc, vt - vc))
+    out = pd.DataFrame(recs, columns=[
+        "p_pct", "v_treat_cents", "v_ctrl_cents", "qte_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12701,6 +12813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_threshold": _q_cost_threshold,
         "anomaly_ensemble": _q_anomaly_ensemble,
         "attribution_decay": _q_attribution_decay,
+        "exposure_fairness": _q_exposure_fairness,
+        "qte_quantiles": _q_qte_quantiles,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -17892,6 +18006,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_touches, "
             "CAST(SUM(1000000 * w.wt // sw.swt) AS BIGINT) "
             "AS credit_ppm FROM w JOIN sw USING (cid) GROUP BY 1"
+        ),
+        # harmonic exposure share vs item share over the top-100
+        "exposure_fairness": (
+            "WITH r AS (SELECT source, row_number() OVER "
+            "(ORDER BY n_chars DESC, doc_id) AS rnk FROM documents "
+            "QUALIFY rnk <= 100), "
+            "t AS (SELECT source, count(*) AS n_topk, "
+            "SUM(1000000 // rnk) AS exposure FROM r GROUP BY 1), "
+            "tot AS (SELECT SUM(exposure) AS tw, SUM(n_topk) AS n "
+            "FROM t) "
+            "SELECT source, CAST(n_topk AS BIGINT) AS n_topk, "
+            "CAST(exposure AS BIGINT) AS exposure, "
+            "CAST(1000000 * exposure // tot.tw AS BIGINT) "
+            "AS exp_share_ppm, "
+            "CAST(1000000 * n_topk // tot.n AS BIGINT) "
+            "AS item_share_ppm, "
+            "CAST(1000000 * exposure // tot.tw "
+            "- 1000000 * n_topk // tot.n AS BIGINT) AS disparity_ppm "
+            "FROM t, tot"
+        ),
+        # QTE: per-arm exact histogram quantiles at ceil(p*n)
+        "qte_quantiles": (
+            "WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) "
+            "AS cents, (user_id * 2654435761) % 4294967296 "
+            "< 2147483648 AS t FROM events "
+            "WHERE event_type = 'purchase'), "
+            "h AS (SELECT cents, t, count(*) AS n FROM p "
+            "GROUP BY 1, 2), "
+            "c AS (SELECT cents, t, SUM(n) OVER "
+            "(PARTITION BY t ORDER BY cents) AS cum, "
+            "SUM(n) OVER (PARTITION BY t) AS tot FROM h), "
+            "q AS (SELECT pp.p, c.t, min(c.cents) AS v "
+            "FROM (VALUES (25), (50), (75), (90)) pp(p) "
+            "JOIN c ON c.cum >= (pp.p * c.tot + 99) // 100 "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(q.p AS BIGINT) AS p_pct, "
+            "CAST(max(CASE WHEN t THEN v END) AS BIGINT) "
+            "AS v_treat_cents, "
+            "CAST(max(CASE WHEN NOT t THEN v END) AS BIGINT) "
+            "AS v_ctrl_cents, "
+            "CAST(max(CASE WHEN t THEN v END) "
+            "- max(CASE WHEN NOT t THEN v END) AS BIGINT) "
+            "AS qte_cents FROM q GROUP BY 1"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
