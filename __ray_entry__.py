@@ -12703,6 +12703,96 @@ def _q_qte_quantiles(sf_dir: str):
     return out
 
 
+def _q_newsvendor_stock(sf_dir: str):
+    """Newsvendor optimal stock — stochastic inventory OPTIMIZATION,
+    not description: the quantile family reports the demand
+    distribution; a buyer must pick ONE stock level s balancing
+    underage cost cu = 3 (lost margin per unit short) against overage
+    co = 1 (holding cost per unit over), and the newsvendor solution
+    is the critical fractile cu/(cu+co) = 3/4 — stock = smallest
+    demand value whose cumulative count reaches ⌈3n/4⌉ (the
+    p95_quantity rank discipline).  The expected cost is EXACT on the
+    demand histogram (Σ n_d·(co·(s−d)⁺ + cu·(d−s)⁺), integer), and
+    the MEDIAN stock's cost rides along — the gap is what the
+    fractile optimization buys over the naive mid pick (cost_opt ≤
+    cost_med by construction, pinned).  Per l_returnflag; ONE
+    bounded (flag, qty) histogram exchange, folds driver-side.
+    Mirror: window cumsum picks + a histogram cross join for the two
+    exact cost sums."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    CU, CO = 3, 1
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("l_quantity").to_numpy()) \
+            .astype("int64")
+        return pa.table({"flag": batch.column("l_returnflag"),
+                         "d": pa.array(v, pa.int64())})
+
+    h = (li.map_batches(prep, batch_format="pyarrow")
+         .groupby(["flag", "d"])
+         .aggregate(Count(alias_name="n"))).to_pandas()
+    recs = []
+    for flag, sub in h.groupby("flag", sort=True):
+        sub = sub.sort_values("d")
+        d = sub["d"].to_numpy()
+        n = sub["n"].to_numpy().astype("int64")
+        tot = int(n.sum())
+
+        def stock_at(num: int, den: int) -> int:
+            rank = (num * tot + den - 1) // den
+            cum = 0
+            for v, c in zip(d, n):
+                cum += int(c)
+                if cum >= rank:
+                    return int(v)
+            raise AssertionError("rank out of range")
+
+        def cost_at(s: int) -> int:
+            over = np.maximum(s - d, 0)
+            under = np.maximum(d - s, 0)
+            return int((n * (CO * over + CU * under)).sum())
+
+        s_opt = stock_at(CU, CU + CO)
+        s_med = stock_at(1, 2)
+        recs.append((flag, tot, s_opt, cost_at(s_opt), s_med,
+                     cost_at(s_med)))
+    out = pd.DataFrame(recs, columns=[
+        "flag", "n", "stock_opt", "cost_opt", "stock_median",
+        "cost_median"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_competing_risks(sf_dir: str):
+    """Aalen-Johansen cumulative incidence
+    (``windows.competing_risks_int``): the two-cause exit question
+    km_survival can't pose — a user who goes quiet either exits
+    CONVERTED (last event a purchase) or ABANDONS, and per-cause
+    1−KM overestimates both because a cause-1 exit removes the user
+    from cause-2 risk; AJ shares s_{d−1}/n_d correctly.  Same
+    lifetime/censoring contract as km_survival, per-step trunc fold
+    carrying (s, cif1, cif2).  ONE key-hash exchange; ≤ horizon×3
+    histogram.  Mirror: row_number last-event + the generated 30-step
+    3-accumulator CTE chain."""
+    import ray.data
+
+    from documentai_ray.stages.windows import competing_risks_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return competing_risks_int(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12815,6 +12905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_decay": _q_attribution_decay,
         "exposure_fairness": _q_exposure_fairness,
         "qte_quantiles": _q_qte_quantiles,
+        "newsvendor_stock": _q_newsvendor_stock,
+        "competing_risks": _q_competing_risks,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -13249,6 +13341,54 @@ _SQL_KM = (
         "1000000 * g.deaths // g.atrisk ELSE 0 END AS BIGINT) "
         "AS hazard_ppm, "
         f"CAST(s{d}.s AS BIGINT) AS s_ppm FROM g, s{d} "
+        f"WHERE g.day = {d}"
+        for d in range(_KM_H))
+)
+
+# Aalen-Johansen: the KM chain with THREE carried accumulators
+# (s, cif1, cif2); cause from the row_number last event
+_SQL_CIF = (
+    "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, "
+    "max(epoch_us(ts)) AS l FROM events GROUP BY 1), "
+    "le AS (SELECT user_id, event_type FROM "
+    "(SELECT user_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1), "
+    "mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+    "lt AS (SELECT (u.l - u.f) // 86400000000 AS ld, "
+    "(mx.m - u.l) >= 21600000000 AS obs, "
+    "CASE WHEN le.event_type = 'purchase' THEN 1 ELSE 2 END AS cz "
+    "FROM u JOIN le USING (user_id), mx), "
+    f"dd AS (SELECT unnest(generate_series(0, {_KM_H - 1})) AS day), "
+    "g AS (SELECT dd.day, "
+    "count(*) FILTER (WHERE lt.ld >= dd.day) AS atrisk, "
+    "count(*) FILTER (WHERE lt.obs AND lt.ld = dd.day AND lt.cz = 1) "
+    "AS d1, "
+    "count(*) FILTER (WHERE lt.obs AND lt.ld = dd.day AND lt.cz = 2) "
+    "AS d2 FROM dd, lt GROUP BY 1), "
+    "c0 AS (SELECT CASE WHEN atrisk > 0 THEN "
+    "1000000 * (atrisk - d1 - d2) // atrisk ELSE 1000000 END AS s, "
+    "CASE WHEN atrisk > 0 THEN 1000000 * d1 // atrisk ELSE 0 END "
+    "AS c1, "
+    "CASE WHEN atrisk > 0 THEN 1000000 * d2 // atrisk ELSE 0 END "
+    "AS c2 FROM g WHERE day = 0), "
+    + ", ".join(
+        f"c{d} AS (SELECT CASE WHEN g.atrisk > 0 THEN "
+        f"c{d - 1}.s * (g.atrisk - g.d1 - g.d2) // g.atrisk "
+        f"ELSE c{d - 1}.s END AS s, "
+        f"c{d - 1}.c1 + CASE WHEN g.atrisk > 0 THEN "
+        f"c{d - 1}.s * g.d1 // g.atrisk ELSE 0 END AS c1, "
+        f"c{d - 1}.c2 + CASE WHEN g.atrisk > 0 THEN "
+        f"c{d - 1}.s * g.d2 // g.atrisk ELSE 0 END AS c2 "
+        f"FROM g, c{d - 1} WHERE g.day = {d})"
+        for d in range(1, _KM_H))
+    + " " + " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS day, "
+        "CAST(g.atrisk AS BIGINT) AS at_risk, "
+        "CAST(g.d1 AS BIGINT) AS d1, CAST(g.d2 AS BIGINT) AS d2, "
+        f"CAST(c{d}.s AS BIGINT) AS s_ppm, "
+        f"CAST(c{d}.c1 AS BIGINT) AS cif1_ppm, "
+        f"CAST(c{d}.c2 AS BIGINT) AS cif2_ppm FROM g, c{d} "
         f"WHERE g.day = {d}"
         for d in range(_KM_H))
 )
@@ -18050,6 +18190,38 @@ def oracle_sql() -> dict[str, str]:
             "- max(CASE WHEN NOT t THEN v END) AS BIGINT) "
             "AS qte_cents FROM q GROUP BY 1"
         ),
+        # newsvendor: critical-fractile rank picks + exact histogram
+        # cost sums at both stock levels
+        "newsvendor_stock": (
+            "WITH h AS (SELECT l_returnflag AS flag, "
+            "CAST(round(l_quantity) AS BIGINT) AS d, count(*) AS n "
+            "FROM lineitem GROUP BY 1, 2), "
+            "t AS (SELECT flag, SUM(n) AS tot FROM h GROUP BY 1), "
+            "c AS (SELECT flag, d, n, SUM(n) OVER "
+            "(PARTITION BY flag ORDER BY d) AS cum FROM h), "
+            "so AS (SELECT c.flag, min(c.d) AS s FROM c "
+            "JOIN t USING (flag) "
+            "WHERE c.cum >= (3 * t.tot + 3) // 4 GROUP BY 1), "
+            "sm AS (SELECT c.flag, min(c.d) AS s FROM c "
+            "JOIN t USING (flag) "
+            "WHERE c.cum >= (t.tot + 1) // 2 GROUP BY 1), "
+            "xo AS (SELECT h.flag, SUM(h.n * "
+            "(1 * greatest(so.s - h.d, 0) "
+            "+ 3 * greatest(h.d - so.s, 0))) AS cost FROM h "
+            "JOIN so USING (flag) GROUP BY 1), "
+            "xm AS (SELECT h.flag, SUM(h.n * "
+            "(1 * greatest(sm.s - h.d, 0) "
+            "+ 3 * greatest(h.d - sm.s, 0))) AS cost FROM h "
+            "JOIN sm USING (flag) GROUP BY 1) "
+            "SELECT t.flag, CAST(t.tot AS BIGINT) AS n, "
+            "CAST(so.s AS BIGINT) AS stock_opt, "
+            "CAST(xo.cost AS BIGINT) AS cost_opt, "
+            "CAST(sm.s AS BIGINT) AS stock_median, "
+            "CAST(xm.cost AS BIGINT) AS cost_median "
+            "FROM t JOIN so USING (flag) JOIN sm USING (flag) "
+            "JOIN xo USING (flag) JOIN xm USING (flag)"
+        ),
+        "competing_risks": _SQL_CIF,
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
         "xmr_alarms": (

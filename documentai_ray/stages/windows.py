@@ -2256,6 +2256,99 @@ def km_survival_int(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return out
 
 
+def competing_risks_int(ds, *, key_col: str = "user_id",
+                        ts_col: str = "ts", type_col: str = "event_type",
+                        tiebreak_col: str = "event_id",
+                        cause1_type: str = "purchase",
+                        horizon_days: int = 30,
+                        censor_gap_hours: int = 6,
+                        num_partitions: int = 64):
+    """Aalen-Johansen cumulative incidence under COMPETING risks — the
+    two-cause question km_survival can't pose: a user who goes quiet
+    either exits CONVERTED (last event a purchase — cause 1) or
+    ABANDONS (cause 2), and running one-cause KM per cause
+    overestimates both (a cause-1 exit removes the user from cause-2
+    risk, which "censoring them" ignores — the classic 1−KM bias).
+    The AJ estimator shares risk correctly:
+
+        s_d      = s_{d−1}·(n_d − d1_d − d2_d) // n_d     (overall KM)
+        cif_k(d) = cif_k(d−1) + s_{d−1}·dk_d // n_d
+
+    (per-step trunc — the km/markov discipline; both carried
+    unchanged when n_d = 0).  cif1 + cif2 + s conserves 10⁶ up to the
+    documented per-step truncation loss.  Lifetime / censoring follow
+    km_survival_int verbatim; the exit CAUSE is the user's LAST event
+    type (ties by ``tiebreak_col``).
+
+    Physical plan: ONE key-hash exchange; each partition resolves all
+    its users with one sort + groupby-last pass; the ≤ horizon×3
+    histogram folds driver-side.  Emits (day, at_risk, d1, d2, s_ppm,
+    cif1_ppm, cif2_ppm)."""
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        return pa.table({key_col: batch.column(key_col), "t_us": t,
+                         type_col: batch.column(type_col),
+                         tiebreak_col: batch.column(tiebreak_col)})
+
+    t = ds.map_batches(prep, batch_format="pyarrow")
+    t_max = int(t.max("t_us"))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "t_us", tiebreak_col],
+                          kind="mergesort")
+        f = g.groupby(key_col)["t_us"].min()
+        last = g.groupby(key_col).tail(1).set_index(key_col)
+        ld = (last["t_us"] - f) // day_us
+        obs = (t_max - last["t_us"]) \
+            >= censor_gap_hours * 3_600_000_000
+        cause = np.where(last[type_col] == cause1_type, 1, 2)
+        capped = np.minimum(ld.to_numpy(), horizon_days)
+        o = obs.to_numpy() & (ld.to_numpy() < horizon_days)
+        c = np.where(o, cause, 0)
+        out = (pd.DataFrame({"_ld": capped, "_c": c})
+               .groupby(["_ld", "_c"], as_index=False).size()
+               .rename(columns={"size": "_n"}))
+        for col in out.columns:
+            out[col] = out[col].astype("int64")
+        return out
+
+    h = (_add_pkey(t, key_col, num_partitions)
+         .groupby("_pkey")
+         .map_groups(lambda g: per_user(g.drop(columns=["_pkey"])),
+                     batch_format="pandas")
+         .groupby(["_ld", "_c"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+    if h.empty:
+        raise ValueError("competing_risks_int: no users")
+    lifet = h["_ld"].to_numpy()
+    cause = h["_c"].to_numpy()
+    cnt = h["n"].to_numpy()
+    recs = []
+    s, c1, c2 = 1_000_000, 0, 0
+    for d in range(horizon_days):
+        at_risk = int(cnt[lifet >= d].sum())
+        d1 = int(cnt[(lifet == d) & (cause == 1)].sum())
+        d2 = int(cnt[(lifet == d) & (cause == 2)].sum())
+        if at_risk > 0:
+            c1 = c1 + s * d1 // at_risk
+            c2 = c2 + s * d2 // at_risk
+            s = s * (at_risk - d1 - d2) // at_risk
+        recs.append((d, at_risk, d1, d2, s, c1, c2))
+    out = pd.DataFrame(recs, columns=[
+        "day", "at_risk", "d1", "d2", "s_ppm", "cif1_ppm",
+        "cif2_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def decayed_sum_topk(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                      k: int = 10, max_age_days: int = 30):
     """Time-decayed leaderboard: per key, the halving-decay activity
