@@ -12793,6 +12793,216 @@ def _q_competing_risks(sf_dir: str):
     return competing_risks_int(ev)
 
 
+def _q_sequential_looks(sf_dir: str):
+    """Group-sequential A/B monitoring — the peeking problem made
+    explicit: reading the arm χ² once a week and stopping at the
+    first 3.84 crossing inflates false positives several-fold, so
+    sequential designs spend the α across looks; this runs the 5
+    interim looks with the Bonferroni boundary (χ²₁ at α/5 = 0.01,
+    the fixed constant 6634897 ppm — conservative but assumption-free,
+    the same fixed-decimal convention as 3841459).  Look k uses only
+    events in the first k/5 of the corpus day span (users enter as
+    they first act); per look the 2×2 χ² is fully cleared:
+
+        χ² = n·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))   → milli, 1 floor
+
+    Emits one row per look (n, conv, chi2_milli, crossed) — the
+    monitoring table itself.  ONE pass building (user, look-of-first-
+    conv...) is wrong — conversion status must be AS OF the look, so
+    the exchange carries per-user (first_day, conv_day_or_never) and
+    the 5 looks fold from that bounded table.  Mirror: per-look
+    FILTER counts + identical HUGEINT fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dd = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0))) \
+            .to_numpy(zero_copy_only=False)
+        big = np.int64(1 << 40)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "dd": pa.array(dd.astype("int64"), pa.int64()),
+            "cd": pa.array(np.where(conv, dd, big).astype("int64"),
+                           pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Min("dd", alias_name="fd"),
+                           Min("cd", alias_name="cd")))
+
+    # look cuts from the corpus event-day span (pruned re-read, the
+    # documented double-consumption rule)
+    sd = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        dd = (batch.column("ts").cast(pa.timestamp("us"))
+              .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        return pa.table({"dd": pa.array(dd.astype("int64"),
+                                        pa.int64())})
+
+    mm = sd.map_batches(days, batch_format="pyarrow") \
+        .aggregate(Min("dd"), Max("dd"))
+    d0, d1 = int(mm["min(dd)"]), int(mm["max(dd)"])
+    span = d1 - d0 + 1
+    cuts = [d0 + (span * k + 4) // 5 - 1 for k in range(1, 6)]
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        hh = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        tr = hh < np.uint64(1 << 31)
+        fd = batch.column("fd").to_numpy()
+        cd = batch.column("cd").to_numpy()
+        rows = []
+        for k, cut in enumerate(cuts, start=1):
+            inn = fd <= cut
+            y = cd <= cut
+            rows.append((k, int((inn & tr & y).sum()),
+                         int((inn & tr & ~y).sum()),
+                         int((inn & ~tr & y).sum()),
+                         int((inn & ~tr & ~y).sum())))
+        arr = np.array(rows, dtype="int64")
+        return pa.table({"look": pa.array(arr[:, 0], pa.int64()),
+                         "a": pa.array(arr[:, 1], pa.int64()),
+                         "b": pa.array(arr[:, 2], pa.int64()),
+                         "c": pa.array(arr[:, 3], pa.int64()),
+                         "d": pa.array(arr[:, 4], pa.int64())})
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .groupby("look")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("a", "b", "c", "d")])).to_pandas()
+    g = g.sort_values("look")
+    CRIT = 6_634_897  # chi2_1 at alpha/5 = 0.01, ppm
+    recs = []
+    for _, r in g.iterrows():
+        k, a, b, c, d = (int(r[x]) for x in
+                         ("look", "a", "b", "c", "d"))
+        n = a + b + c + d
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        num = a * d - b * c
+        chi2 = 1000 * n * num * num // den if den > 0 else 0
+        crossed = (n * num * num * 1_000_000 > CRIT * den) \
+            if den > 0 else False
+        recs.append((k, n, a + c, chi2, bool(crossed)))
+    out = pd.DataFrame(recs, columns=[
+        "look", "n", "n_conv", "chi2_milli", "crossed"])
+    for col in ("look", "n", "n_conv", "chi2_milli"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _q_holm_bonferroni(sf_dir: str):
+    """Holm step-down correction across FIVE arm metrics — the
+    multiple-comparisons discipline a metrics dashboard needs: test
+    conversion AND error rate AND click rate AND repeat-purchase AND
+    activity against the arms and the chance of SOME false positive
+    balloons; plain Bonferroni divides α by 5 everywhere, Holm
+    spends it adaptively (largest χ² faces α/5, the next α/4, …)
+    and still controls FWER.  All comparisons cross-multiply against
+    the fixed χ²₁ ppm constants {3841459, 5023886, 5731305, 6238804,
+    6634897} (α/1..α/5 at α = 0.05 — the 3841459 fixed-decimal
+    convention); rejection stops at the first failure (step-down).
+    Per metric the 2×2 χ² is fully cleared (one milli floor for
+    display).  ONE user exchange carrying 5 binary flags.  Mirror:
+    FILTER counts + the identical ordered CASE chain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        et = batch.column("event_type")
+        conv = pc.and_(pc.equal(et, "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "conv": conv.cast(pa.int64()),
+            "err": pc.equal(et, "error").cast(pa.int64()),
+            "clk": pc.equal(et, "click").cast(pa.int64()),
+            "pur": pc.equal(et, "purchase").cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv"),
+                           Max("err", alias_name="err"),
+                           Max("clk", alias_name="clk"),
+                           Sum("pur", alias_name="np")))
+    names = ["converted", "any_error", "any_click", "repeat_buyer",
+             "high_activity"]
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch.column("user_id").to_numpy()
+        hh = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        tr = hh < np.uint64(1 << 31)
+        ys = [batch.column("conv").to_numpy() > 0,
+              batch.column("err").to_numpy() > 0,
+              batch.column("clk").to_numpy() > 0,
+              batch.column("np").to_numpy() >= 12,
+              batch.column("n_ev").to_numpy() >= 66]
+        rows = [(name, int((tr & y).sum()), int((tr & ~y).sum()),
+                 int((~tr & y).sum()), int((~tr & ~y).sum()))
+                for name, y in zip(names, ys)]
+        return pa.table({
+            "metric": pa.array([r[0] for r in rows], pa.string()),
+            "a": pa.array([r[1] for r in rows], pa.int64()),
+            "b": pa.array([r[2] for r in rows], pa.int64()),
+            "c": pa.array([r[3] for r in rows], pa.int64()),
+            "d": pa.array([r[4] for r in rows], pa.int64())})
+
+    g = (per_user.map_batches(cells, batch_format="pyarrow")
+         .groupby("metric")
+         .aggregate(*[Sum(c, alias_name=c) for c in
+                      ("a", "b", "c", "d")])).to_pandas()
+    CRITS = [3_841_459, 5_023_886, 5_731_305, 6_238_804, 6_634_897]
+    stats = []
+    for _, r in g.iterrows():
+        name = r["metric"]
+        a, b, c, d = (int(r[x]) for x in ("a", "b", "c", "d"))
+        n = a + b + c + d
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        num = a * d - b * c
+        chi2 = 1000 * n * num * num // den if den > 0 else 0
+        stats.append((name, n, chi2, n * num * num, den))
+    # step-down: largest chi2 faces the strictest threshold
+    stats.sort(key=lambda r: (-r[2], r[0]))
+    recs, alive = [], True
+    for i, (name, n, chi2, lhs, den) in enumerate(stats):
+        crit = CRITS[len(stats) - 1 - i]
+        passes = den > 0 and lhs * 1_000_000 > crit * den
+        rejected = alive and passes
+        if not passes:
+            alive = False
+        recs.append((name, i + 1, chi2, crit, bool(rejected)))
+    out = pd.DataFrame(recs, columns=[
+        "metric", "rank", "chi2_milli", "crit_ppm", "rejected"])
+    for col in ("rank", "chi2_milli", "crit_ppm"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -12907,6 +13117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qte_quantiles": _q_qte_quantiles,
         "newsvendor_stock": _q_newsvendor_stock,
         "competing_risks": _q_competing_risks,
+        "sequential_looks": _q_sequential_looks,
+        "holm_bonferroni": _q_holm_bonferroni,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -18222,6 +18434,92 @@ def oracle_sql() -> dict[str, str]:
             "JOIN xo USING (flag) JOIN xm USING (flag)"
         ),
         "competing_risks": _SQL_CIF,
+        # 5 interim looks on the corpus-day grid, Bonferroni boundary
+        "sequential_looks": (
+            "WITH sp AS (SELECT min(epoch_us(ts) // 86400000000) "
+            "AS d0, max(epoch_us(ts) // 86400000000) AS d1 "
+            "FROM events), "
+            "u AS (SELECT user_id, "
+            "min(epoch_us(ts) // 86400000000) AS fd, "
+            "min(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN epoch_us(ts) // 86400000000 "
+            "ELSE 1099511627776 END) AS cd, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr "
+            "FROM events GROUP BY 1, 4), "
+            "lk AS (SELECT k, sp.d0 + ((sp.d1 - sp.d0 + 1) * k + 4) "
+            "// 5 - 1 AS cut FROM "
+            "(SELECT unnest(generate_series(1, 5)) AS k), sp), "
+            "g AS (SELECT lk.k AS look, "
+            "count(*) FILTER (WHERE u.fd <= lk.cut AND u.tr "
+            "AND u.cd <= lk.cut) AS a, "
+            "count(*) FILTER (WHERE u.fd <= lk.cut AND u.tr "
+            "AND u.cd > lk.cut) AS b, "
+            "count(*) FILTER (WHERE u.fd <= lk.cut AND NOT u.tr "
+            "AND u.cd <= lk.cut) AS c, "
+            "count(*) FILTER (WHERE u.fd <= lk.cut AND NOT u.tr "
+            "AND u.cd > lk.cut) AS d FROM lk, u GROUP BY 1), "
+            "f AS (SELECT look, a + b + c + d AS n, a + c AS conv, "
+            "CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS num, "
+            "CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) "
+            "AS den FROM g) "
+            "SELECT CAST(look AS BIGINT) AS look, "
+            "CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS n_conv, "
+            "CAST(CASE WHEN den > 0 THEN "
+            "1000 * n * num * num // den ELSE 0 END AS BIGINT) "
+            "AS chi2_milli, "
+            "CASE WHEN den > 0 THEN "
+            "n * num * num * 1000000 > 6634897 * den ELSE FALSE END "
+            "AS crossed FROM f"
+        ),
+        # Holm step-down over 5 metrics: ordered crits, min-pass scan
+        "holm_bonferroni": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv, "
+            "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS err, "
+            "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS clk, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS np, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr "
+            "FROM events GROUP BY 1, 7), "
+            "m AS (SELECT 'converted' AS metric, conv = 1 AS y, tr "
+            "FROM u UNION ALL "
+            "SELECT 'any_error', err = 1, tr FROM u UNION ALL "
+            "SELECT 'any_click', clk = 1, tr FROM u UNION ALL "
+            "SELECT 'repeat_buyer', np >= 12, tr FROM u UNION ALL "
+            "SELECT 'high_activity', n_ev >= 66, tr FROM u), "
+            "g AS (SELECT metric, "
+            "count(*) FILTER (WHERE tr AND y) AS a, "
+            "count(*) FILTER (WHERE tr AND NOT y) AS b, "
+            "count(*) FILTER (WHERE NOT tr AND y) AS c, "
+            "count(*) FILTER (WHERE NOT tr AND NOT y) AS d "
+            "FROM m GROUP BY 1), "
+            "f AS (SELECT metric, a + b + c + d AS n, "
+            "CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS num, "
+            "CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) "
+            "AS den FROM g), "
+            "s AS (SELECT metric, CASE WHEN den > 0 THEN "
+            "1000 * n * num * num // den ELSE 0 END AS chi2, "
+            "n * num * num AS lhs, den, row_number() OVER "
+            "(ORDER BY CASE WHEN den > 0 THEN "
+            "1000 * n * num * num // den ELSE 0 END DESC, metric) "
+            "AS rnk FROM f), "
+            "p AS (SELECT metric, rnk, chi2, CASE rnk "
+            "WHEN 1 THEN 6634897 WHEN 2 THEN 6238804 "
+            "WHEN 3 THEN 5731305 WHEN 4 THEN 5023886 "
+            "ELSE 3841459 END AS crit, "
+            "den > 0 AND lhs * 1000000 > (CASE rnk "
+            "WHEN 1 THEN 6634897 WHEN 2 THEN 6238804 "
+            "WHEN 3 THEN 5731305 WHEN 4 THEN 5023886 "
+            "ELSE 3841459 END) * den AS pass FROM s) "
+            "SELECT metric, CAST(rnk AS BIGINT) AS rank, "
+            "CAST(chi2 AS BIGINT) AS chi2_milli, "
+            "CAST(crit AS BIGINT) AS crit_ppm, "
+            "min(CASE WHEN pass THEN 1 ELSE 0 END) OVER "
+            "(ORDER BY rnk ROWS UNBOUNDED PRECEDING) = 1 AS rejected "
+            "FROM p"
+        ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
         "xmr_alarms": (
