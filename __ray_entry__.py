@@ -13003,6 +13003,120 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis k-sample rank test — the K-GROUP location
+    question the two-sample family can't pose: rank_auc scores how
+    well quantity separates TWO outcomes, cochran_armitage needs
+    ORDERED groups; "do the three return-flag populations draw
+    quantity from the same distribution" is unordered and k-ary, and
+    KW is its rank test.  Everything clears to integers with DOUBLED
+    midranks (ties land on half-integers, so work in half-units, the
+    doubled-units discipline): for value v with cl strictly-smaller
+    rows and nv equal rows, R'_v = 2·cl + nv + 1, per group
+    R'_j = Σ nv_j·R'_v (invariant Σ_j R'_j = n·(n+1), pinned).  The
+    statistic in quarter-cleared form, ONE floor per group (the
+    shared contract):
+
+        S       = Σ_j R'_j² // n_j
+        h_milli = max(0, (3000·S − 3000·n·(n+1)²) // (n·(n+1)))
+
+    (3/(n(n+1))·ΣR'²/n − 3(n+1) is the classic 12/(n(n+1))·ΣR²/n
+    form after the doubling; ties left uncorrected — the correction
+    only shrinks the denominator, documented).  Significance at 5%
+    on chi²₂ cross-multiplies the SHARED floored S so both engines
+    flag identically: 3·10⁶·S − 3·10⁶·n(n+1)² > 5991465·n(n+1).
+    Magnitude: R'_j² ≲ 4n⁴ ≈ 5·10²³ at sf1 — HUGEINT territory,
+    documented.  ONE bounded (qty, flag) histogram exchange (the
+    rank_auc discipline); the ≤150-cell fold is driver-side.
+    Mirror: histogram CTE + window cumsum midranks + the identical
+    floors under HUGEINT."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({
+            "qty": pa.array(v, pa.int64()),
+            "flag": batch.column("l_returnflag")})
+
+    from documentai_ray.stages.aggregates import kruskal_wallis_int
+
+    h = (ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_returnflag"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["qty", "flag"])
+         .aggregate(Count(alias_name="n"))).to_pandas()
+    out = kruskal_wallis_int(h, val_col="qty", grp_col="flag")
+    return out[["flag", "n_grp", "rsum2", "h_milli", "significant"]]
+
+
+def _q_fleiss_kappa(sf_dir: str):
+    """Fleiss' kappa over the FOUR classifier techniques — the
+    multi-rater agreement readout the surface lacks: lang_kappa is
+    Cohen's kappa (exactly 2 raters), technique_stats scores each
+    technique against the FUSED verdict (which the techniques
+    themselves produced — circular as an agreement measure); Fleiss
+    asks how much the 4 independent raters agree with EACH OTHER
+    beyond chance.  With n items, r = 4 raters, per-item category
+    counts n_ij, S = Σ_ij n_ij², category totals C_j, T = Σ_j C_j²,
+    M = n·r, everything is rational:
+
+        P̄        = (S − M)/(M·(r−1))      → pbar_ppm, one floor
+        P̄e       = T/M²                    → pe_ppm, one floor
+        κ        = [M(S−M) − 3T] / [3(M²−T)] → kappa_milli,
+                   trunc-toward-zero (the SQL ``//`` on a possibly
+                   negative numerator — matched exactly)
+
+    Per-item Σ_j n_ij² needs no per-row Python: it equals the number
+    of ORDERED technique pairs that agree, so 16 vectorized
+    column-pair comparisons per batch; C_j is a category-bounded
+    Counter.  ONE |cats|-bounded exchange.  Mirror: the planted
+    closed-form census (ambiguous POs split 2 purchase_order /
+    2 data_report — verified against the live tech columns — all
+    other rows unanimous) + the identical integer fold."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    techs = ["tech_keyword", "tech_regex", "tech_tokenset", "tech_ml"]
+    ds = flagship(sf_dir=sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {t: batch.column(t).to_pandas() for t in techs}
+        c = collections.Counter()
+        for t in techs:
+            c.update(cols[t].tolist())
+        s_item = 0
+        for a in techs:
+            for b in techs:
+                s_item += int((cols[a] == cols[b]).sum())
+        cats = sorted(c)
+        return pa.table({
+            "cat": pa.array(cats + ["__s"], pa.string()),
+            "c": pa.array([c[k] for k in cats] + [s_item], pa.int64())})
+
+    from documentai_ray.stages.aggregates import fleiss_kappa_int
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("cat")
+           .aggregate(Sum("c", alias_name="c"))).to_pandas()
+    s = int(agg.loc[agg["cat"] == "__s", "c"].iloc[0])
+    cj = agg[agg["cat"] != "__s"]
+    out = pd.DataFrame([fleiss_kappa_int(
+        s, dict(zip(cj["cat"], cj["c"])))])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -13119,6 +13233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "competing_risks": _q_competing_risks,
         "sequential_looks": _q_sequential_looks,
         "holm_bonferroni": _q_holm_bonferroni,
+        "kruskal_wallis": _q_kruskal_wallis,
+        "fleiss_kappa": _q_fleiss_kappa,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -18519,6 +18635,71 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN pass THEN 1 ELSE 0 END) OVER "
             "(ORDER BY rnk ROWS UNBOUNDED PRECEDING) = 1 AS rejected "
             "FROM p"
+        ),
+        # doubled midranks from the value histogram; one floor per
+        # group on R'^2/n_j; chi2_2 crit cross-multiplied in micro
+        "kruskal_wallis": (
+            "WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS "
+            "qty, l_returnflag AS flag, count(*) AS n FROM lineitem "
+            "GROUP BY 1, 2), "
+            "v AS (SELECT qty, SUM(n) AS nv FROM t GROUP BY 1), "
+            "c AS (SELECT qty, 2 * (SUM(nv) OVER (ORDER BY qty "
+            "ROWS UNBOUNDED PRECEDING) - nv) + nv + 1 AS rp FROM v), "
+            "g AS (SELECT t.flag, SUM(t.n) AS n_grp, "
+            "SUM(CAST(t.n AS HUGEINT) * c.rp) AS rsum2 "
+            "FROM t JOIN c USING (qty) GROUP BY 1), "
+            "s AS (SELECT SUM(n_grp) AS n, "
+            "SUM(CAST(rsum2 AS HUGEINT) * rsum2 // n_grp) AS sq "
+            "FROM g), "
+            "f AS (SELECT n, 3000 * sq - 3000 * CAST(n AS HUGEINT) "
+            "* (n + 1) * (n + 1) AS num, "
+            "3000000 * sq - 3000000 * CAST(n AS HUGEINT) * (n + 1) "
+            "* (n + 1) > 5991465 * CAST(n AS HUGEINT) * (n + 1) "
+            "AS sig FROM s) "
+            "SELECT g.flag, CAST(g.n_grp AS BIGINT) AS n_grp, "
+            "CAST(g.rsum2 AS BIGINT) AS rsum2, "
+            "CAST(CASE WHEN f.num < 0 THEN 0 ELSE "
+            "f.num // (CAST(f.n AS HUGEINT) * (f.n + 1)) END "
+            "AS BIGINT) AS h_milli, f.sig AS significant "
+            "FROM g, f"
+        ),
+        # planted 4-rater census: ambiguous POs 2 purchase_order +
+        # 2 data_report, all other rows unanimous; trunc-to-zero kappa
+        "fleiss_kappa": (
+            "WITH d AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = 2 THEN "
+            "CASE WHEN doc_id % 20 = 12 THEN 2 ELSE 4 END "
+            "ELSE 0 END AS n_po, "
+            "CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 IN (0, 3) "
+            "THEN 4 WHEN doc_id % 97 <> 0 AND doc_id % 5 = 2 "
+            "AND doc_id % 20 = 12 THEN 2 ELSE 0 END AS n_rep, "
+            "CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 <> 2 "
+            "AND doc_id % 5 <> 0 AND doc_id % 5 <> 3 "
+            "AND doc_id % 10 = 4 THEN 4 ELSE 0 END AS n_inv "
+            "FROM documents), "
+            "e AS (SELECT doc_id, n_po, n_rep, n_inv, "
+            "4 - n_po - n_rep - n_inv AS n_unc FROM d), "
+            "a AS (SELECT count(*) AS n, "
+            "SUM(n_po * n_po + n_rep * n_rep + n_inv * n_inv "
+            "+ n_unc * n_unc) AS s, "
+            "SUM(n_po) AS cpo, SUM(n_rep) AS crep, "
+            "SUM(n_inv) AS cinv, SUM(n_unc) AS cunc FROM e), "
+            "b AS (SELECT n, s, 4 * n AS m, "
+            "CAST(cpo AS HUGEINT) * cpo + CAST(crep AS HUGEINT) "
+            "* crep + CAST(cinv AS HUGEINT) * cinv "
+            "+ CAST(cunc AS HUGEINT) * cunc AS t FROM a), "
+            "f AS (SELECT n, s, m, t, "
+            "CAST(m AS HUGEINT) * (s - m) - 3 * t AS num, "
+            "3 * (CAST(m AS HUGEINT) * m - t) AS den FROM b) "
+            "SELECT CAST(n AS BIGINT) AS n_items, "
+            "CAST(s AS BIGINT) AS s_sq, "
+            "CAST(1000000 * CAST(s - m AS HUGEINT) // (3 * m) "
+            "AS BIGINT) AS pbar_ppm, "
+            "CAST(1000000 * t // (CAST(m AS HUGEINT) * m) "
+            "AS BIGINT) AS pe_ppm, "
+            "CAST(CASE WHEN den = 0 THEN 1000 "
+            "ELSE 1000 * num // den END AS BIGINT) AS kappa_milli "
+            "FROM f"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality

@@ -1723,3 +1723,72 @@ def grouped_kendall_int(ds, *, key_col: str, x_col: str, y_col: str):
     for col in out.columns[1:]:
         out[col] = out[col].astype("int64")
     return out
+
+
+def kruskal_wallis_int(hist: pd.DataFrame, *, val_col: str,
+                       grp_col: str, n_col: str = "n") -> pd.DataFrame:
+    """Integer Kruskal-Wallis fold over a (value, group) → count
+    histogram.  Doubled midranks R'_v = 2·cl_v + nv_v + 1 (half-unit
+    ties stay integral); per group R'_j = Σ n_vj·R'_v with the
+    invariant Σ_j R'_j = n·(n+1) asserted.  Statistic with ONE floor
+    per group (the cross-engine contract — DuckDB mirrors the same
+    ``//``): S = Σ_j R'_j² // n_j, h_milli = max(0,
+    (3000·S − 3000·n(n+1)²) // (n(n+1))).  The uncorrected H is
+    corrected-H scaled by the tie factor C ∈ (0,1] so it is never
+    negative, but the per-group floor losses (< k) can push the
+    floored numerator a hair below zero near H = 0 — hence the
+    clamp.  5% significance on chi²_{k−1} cross-multiplies the
+    SHARED S in micro units so both engines flag identically.
+    Returns one row per group (n_grp, rsum2) + the scalar h_milli /
+    significant repeated on every row."""
+    crit_micro = {1: 3_841_459, 2: 5_991_465, 3: 7_814_728,
+                  4: 9_487_729, 5: 11_070_498}
+    v = hist.groupby(val_col, as_index=False)[n_col].sum() \
+            .sort_values(val_col)
+    v["cl"] = v[n_col].cumsum().shift(fill_value=0)
+    rp = {q: 2 * int(c) + int(m) + 1
+          for q, c, m in zip(v[val_col], v["cl"], v[n_col])}
+    h = hist.copy()
+    h["_w"] = [int(m) * rp[q] for q, m in zip(h[val_col], h[n_col])]
+    g = h.groupby(grp_col, as_index=False).agg(
+        n_grp=(n_col, "sum"), rsum2=("_w", "sum"))
+    n = int(g["n_grp"].sum())
+    assert int(g["rsum2"].sum()) == n * (n + 1), \
+        "kruskal_wallis_int: doubled-rank sum invariant violated"
+    s = int(sum(int(r) * int(r) // int(m)
+                for r, m in zip(g["rsum2"], g["n_grp"])))
+    num = 3000 * s - 3000 * n * (n + 1) * (n + 1)
+    h_milli = 0 if num < 0 else num // (n * (n + 1))
+    crit = crit_micro[len(g) - 1]
+    sig = (3_000_000 * s - 3_000_000 * n * (n + 1) * (n + 1)
+           > crit * n * (n + 1))
+    out = g.copy()
+    out["h_milli"] = h_milli
+    out["significant"] = bool(sig)
+    for c in ("n_grp", "rsum2", "h_milli"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def fleiss_kappa_int(s_sq: int, cat_counts: dict) -> dict:
+    """Integer Fleiss-kappa fold from the two sufficient statistics:
+    s_sq = Σ_items Σ_cats n_ij² and per-category rating totals C_j
+    (r raters is implied by M = Σ C_j = n·r; this repo's caller has
+    r = 4).  kappa = [M(S−M) − (r−1)T] / [(r−1)(M²−T)] with
+    T = Σ C_j², truncated toward zero at milli (matching SQL ``//``
+    on a signed numerator); degenerate den=0 (every rating in one
+    category) reports the perfect-agreement 1000 by convention."""
+    m = sum(int(c) for c in cat_counts.values())
+    n = m // 4
+    t = sum(int(c) * int(c) for c in cat_counts.values())
+    num = m * (int(s_sq) - m) - 3 * t
+    den = 3 * (m * m - t)
+    if den == 0:
+        kappa = 1000
+    else:
+        kappa = (abs(num) * 1000 // den) * (1 if num >= 0 else -1)
+    return {
+        "n_items": n, "s_sq": int(s_sq),
+        "pbar_ppm": 1_000_000 * (int(s_sq) - m) // (3 * m),
+        "pe_ppm": 1_000_000 * t // (m * m),
+        "kappa_milli": kappa}
