@@ -13003,6 +13003,103 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _bm25_top_rel(sf_dir: str):
+    """Shared (query_id → [(rank, rel), ...]) scaffold for the
+    position-weighted IR-eval pair: bm25_topk ranking + AND-relevance
+    flags fetched ONLY for the ≤ |queries|·k candidate docs (the
+    mrr_eval discipline — one pruned corpus scan, nothing
+    corpus-sized materializes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.indexing import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    top = bm25_topk(ds, queries=_BM25_QUERIES, k=5)
+    cand = set(int(d) for d in top["doc_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column("doc_id"),
+                     value_set=pa.array(sorted(cand), pa.int64()))
+        return batch.filter(m)
+
+    toksets = {}
+    for row in (ds.map_batches(pick, batch_format="pyarrow")
+                .take_all()):
+        toksets[int(row["doc_id"])] = set((row["text"] or "").split(" "))
+
+    per_q = {}
+    for qid, terms in sorted(_BM25_QUERIES.items()):
+        need = set(terms)
+        rows = top[top["query_id"] == qid]
+        per_q[qid] = sorted(
+            (int(r), int(need <= toksets.get(int(d), set())))
+            for r, d in zip(rows["rank"], rows["doc_id"]))
+    return per_q
+
+
+def _q_rbp_eval(sf_dir: str):
+    """Rank-biased precision (p = 1/2) of the bm25_topk ranking —
+    the PERSISTENCE model the eval family lacks: nDCG's harmonic
+    discount is a convention, MRR stops at the first hit; RBP models
+    a user who inspects rank r with probability p^(r−1) and scores
+    Σ (1−p)·p^(r−1)·rel_r.  With the dyadic p = 1/2 (the
+    rank_overlap / decayed_leaderboard discipline) the weight at
+    rank r is exactly 10⁶ // 2^r ppm — and 10⁶ is divisible by 2⁵,
+    so the top-5 sum has ZERO flooring loss: a fully relevant list
+    reads exactly 968750 (the 31/32 truncation-at-k residue, not a
+    rounding artifact).  Costs the shared bm25 chain + the pruned
+    candidate fetch.  Mirror: _SQL_BM25_CORE + the relevance CTE +
+    bit-shift weights."""
+    import pandas as pd
+
+    per_q = _bm25_top_rel(sf_dir)
+    recs = []
+    for qid, rr in sorted(per_q.items()):
+        n_rel = sum(f for _, f in rr)
+        rbp = sum(1_000_000 // (1 << r) for r, f in rr if f)
+        recs.append((qid, n_rel, rbp))
+    out = pd.DataFrame(recs, columns=["query_id", "n_rel_topk",
+                                      "rbp_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_err_eval(sf_dir: str):
+    """Expected reciprocal rank (cascade model) of the bm25_topk
+    ranking — the DIMINISHING-RETURNS metric nDCG/RBP structurally
+    can't express: their discounts are static per rank, so the 3rd
+    relevant doc earns the same as if it were the only one; ERR's
+    cascade user STOPS at each relevant doc with probability R, so
+    every relevant doc above r shrinks r's credit.  With the dyadic
+    stop probability R = 1/2 for relevant docs (0 otherwise), the
+    term at rank r with j relevant docs above it is
+    10⁶ // (r · 2^(j+1)) ppm — one floor per term, the contract —
+    and err_ppm is their sum (all-relevant top-5 pins 688541).
+    Same shared scaffold as rbp_eval.  Mirror: _SQL_BM25_CORE +
+    window-counted prior relevance + identical floors."""
+    import pandas as pd
+
+    per_q = _bm25_top_rel(sf_dir)
+    recs = []
+    for qid, rr in sorted(per_q.items()):
+        n_rel = sum(f for _, f in rr)
+        err, j = 0, 0
+        for r, f in rr:
+            if f:
+                err += 1_000_000 // (r * (1 << (j + 1)))
+                j += 1
+        recs.append((qid, n_rel, err))
+    out = pd.DataFrame(recs, columns=["query_id", "n_rel_topk",
+                                      "err_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_kruskal_wallis(sf_dir: str):
     """Kruskal-Wallis k-sample rank test — the K-GROUP location
     question the two-sample family can't pose: rank_auc scores how
@@ -13235,6 +13332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holm_bonferroni": _q_holm_bonferroni,
         "kruskal_wallis": _q_kruskal_wallis,
         "fleiss_kappa": _q_fleiss_kappa,
+        "rbp_eval": _q_rbp_eval,
+        "err_eval": _q_err_eval,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -18700,6 +18799,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN den = 0 THEN 1000 "
             "ELSE 1000 * num // den END AS BIGINT) AS kappa_milli "
             "FROM f"
+        ),
+        # dyadic persistence weights 1e6 >> rnk (exact: 2^5 | 1e6)
+        "rbp_eval": (
+            "WITH " + _SQL_BM25_CORE + ", "
+            "qn AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY 1), "
+            "tm AS (SELECT qt.query_id, tf.doc_id, count(*) AS nmatch "
+            "FROM qt JOIN tf ON tf.t = qt.t GROUP BY 1, 2), "
+            "relall AS (SELECT tm.query_id, tm.doc_id FROM tm "
+            "JOIN qn USING (query_id) WHERE tm.nmatch = qn.nt), "
+            "rr AS (SELECT r.query_id, r.rnk, "
+            "CASE WHEN relall.doc_id IS NULL THEN 0 ELSE 1 END AS rel "
+            "FROM r LEFT JOIN relall ON relall.query_id = r.query_id "
+            "AND relall.doc_id = r.doc_id WHERE r.rnk <= 5), "
+            "ag AS (SELECT query_id, SUM(rel) AS n_rel, "
+            "SUM(rel * (1000000 // (CAST(1 AS BIGINT) << rnk))) "
+            "AS rbp FROM rr GROUP BY 1) "
+            "SELECT q.query_id, "
+            "CAST(coalesce(ag.n_rel, 0) AS BIGINT) AS n_rel_topk, "
+            "CAST(coalesce(ag.rbp, 0) AS BIGINT) AS rbp_ppm "
+            "FROM (SELECT DISTINCT query_id FROM qt) q "
+            "LEFT JOIN ag USING (query_id)"
+        ),
+        # cascade model: credit 1e6 // (rnk * 2^(j+1)), j = relevant
+        # docs ranked above; one floor per term
+        "err_eval": (
+            "WITH " + _SQL_BM25_CORE + ", "
+            "qn AS (SELECT query_id, count(*) AS nt FROM qt GROUP BY 1), "
+            "tm AS (SELECT qt.query_id, tf.doc_id, count(*) AS nmatch "
+            "FROM qt JOIN tf ON tf.t = qt.t GROUP BY 1, 2), "
+            "relall AS (SELECT tm.query_id, tm.doc_id FROM tm "
+            "JOIN qn USING (query_id) WHERE tm.nmatch = qn.nt), "
+            "rr AS (SELECT r.query_id, r.rnk, "
+            "CASE WHEN relall.doc_id IS NULL THEN 0 ELSE 1 END AS rel "
+            "FROM r LEFT JOIN relall ON relall.query_id = r.query_id "
+            "AND relall.doc_id = r.doc_id WHERE r.rnk <= 5), "
+            "jj AS (SELECT query_id, rnk, rel, "
+            "coalesce(SUM(rel) OVER (PARTITION BY query_id "
+            "ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS jprev FROM rr), "
+            "ag AS (SELECT query_id, SUM(rel) AS n_rel, "
+            "SUM(CASE WHEN rel = 1 THEN 1000000 // "
+            "(rnk * (CAST(1 AS BIGINT) << (jprev + 1))) "
+            "ELSE 0 END) AS err FROM jj GROUP BY 1) "
+            "SELECT q.query_id, "
+            "CAST(coalesce(ag.n_rel, 0) AS BIGINT) AS n_rel_topk, "
+            "CAST(coalesce(ag.err, 0) AS BIGINT) AS err_ppm "
+            "FROM (SELECT DISTINCT query_id FROM qt) q "
+            "LEFT JOIN ag USING (query_id)"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
