@@ -13003,6 +13003,155 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_species_richness(sf_dir: str):
+    """Chao1 vocabulary-richness + Good-Turing sample coverage — the
+    HOW-MUCH-IS-MISSING question the frequency family can't pose:
+    top_tokens / vocab_growth describe the vocabulary you SAW,
+    hll/kmv estimate the distinct count of the stream you HAVE; a
+    corpus curator choosing whether more crawling buys new vocabulary
+    needs the unseen estimate, and the singleton/doubleton counts
+    carry it.  With f1 singletons, f2 doubletons, S_obs distinct
+    tokens, N total tokens, both estimators are rational:
+
+        chao1        = S_obs + f1·(f1−1) // (2·(f2+1))
+                       (the bias-corrected form — defined even at
+                        f2 = 0, one floor)
+        coverage_ppm = 10⁶·(N − f1) // N
+                       (Turing: the chance the NEXT token is one
+                        you've seen)
+
+    Tokens are the non-empty whitespace split (the quality_pages
+    convention).  Pipeline: Counter partials → vocab-bounded token
+    groupby → per-batch freq-of-freq partials → a ≤|distinct freqs|
+    exchange; the driver fold touches only (freq, count) rows —
+    nothing vocab-sized reaches the driver.  Mirror: unnest +
+    two GROUP BYs + FILTER counts."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split())
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    tf = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("token")
+          .aggregate(Sum("n", alias_name="n")))
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter(batch.column("n").to_pylist())
+        return pa.table({
+            "freq": pa.array(list(c.keys()), pa.int64()),
+            "n_tokens": pa.array(list(c.values()), pa.int64()),
+            "mass": pa.array([k * v for k, v in c.items()],
+                             pa.int64())})
+
+    ff = (tf.map_batches(freq_partial, batch_format="pyarrow")
+          .groupby("freq")
+          .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                     Sum("mass", alias_name="mass"))).to_pandas()
+    s_obs = int(ff["n_tokens"].sum())
+    n = int(ff["mass"].sum())
+    f1 = int(ff.loc[ff["freq"] == 1, "n_tokens"].sum())
+    f2 = int(ff.loc[ff["freq"] == 2, "n_tokens"].sum())
+    out = pd.DataFrame([{
+        "n_tokens": n, "vocab": s_obs, "f1": f1, "f2": f2,
+        "chao1": s_obs + f1 * (f1 - 1) // (2 * (f2 + 1)),
+        "coverage_ppm": 1_000_000 * (n - f1) // n}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_brier_decomp(sf_dir: str):
+    """Murphy decomposition of the Brier score — the WHY behind
+    calibration_bins' ECE: the Brier score alone can't say whether a
+    forecaster is bad because it LIES about probabilities
+    (reliability) or because it can't SEPARATE outcomes (resolution);
+    Murphy splits it exactly as Brier = REL − RES + UNC when
+    forecasts are grouped by their EXACT value — and the activity
+    heuristic p = clamp((n_ev−40)·20000, 0, 10⁶) takes ≤ 51 discrete
+    values, so the exact-value grouping (NOT calibration_bins'
+    10-wide bins) makes the identity hold in rationals.  In ppm²
+    sums, with level counts n_k, conversions c_k, totals N, C:
+
+        brier_sum = Σ_k [(n_k−c_k)·p² + c_k·(p−10⁶)²]      (exact)
+        rel_sum   = Σ_k (n_k·p − 10⁶·c_k)² // n_k          (1 floor/level)
+        res_sum   = Σ_k 10¹²·(c_k·N − n_k·C)² // (n_k·N²)  (1 floor/level)
+        unc       = 10¹²·C·(N−C) // N                       (1 floor)
+
+    each reported as a per-user mean (// N), with gap_ppm2 =
+    brier − (rel − res + unc) riding along as the floor-noise
+    residual (0 on clean hand cases, |gap| bounded by the per-level
+    floor losses).  (c_k·N)²·10¹² ≲ 10³⁶ at 10⁶ users — HUGEINT,
+    documented.  ONE user exchange + ONE ≤51-level exchange.
+    Mirror: the calibration_bins user CTE + GROUP BY exact p +
+    identical floors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        conv = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater_equal(batch.column("value"),
+                                        pa.scalar(150.0)))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "conv": conv.cast(pa.int64())})
+
+    per_user = (ev.map_batches(prep, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Count(alias_name="n_ev"),
+                           Max("conv", alias_name="conv")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_ev = batch.column("n_ev").to_numpy().astype("int64")
+        p = np.clip((n_ev - 40) * 20_000, 0, 1_000_000)
+        y = (batch.column("conv").to_numpy() > 0).astype("int64")
+        return pa.table({
+            "p": pa.array(p, pa.int64()),
+            "_n": pa.array(np.ones_like(p), pa.int64()),
+            "_c": pa.array(y, pa.int64())})
+
+    g = (per_user.map_batches(score, batch_format="pyarrow")
+         .groupby("p")
+         .aggregate(Sum("_n", alias_name="n"),
+                    Sum("_c", alias_name="c"))).to_pandas()
+    nn = int(g["n"].sum())
+    cc = int(g["c"].sum())
+    brier = rel = res = 0
+    for p, nk, ck in zip(g["p"], g["n"], g["c"]):
+        p, nk, ck = int(p), int(nk), int(ck)
+        brier += (nk - ck) * p * p + ck * (p - 1_000_000) ** 2
+        rel += (nk * p - 1_000_000 * ck) ** 2 // nk
+        res += (10 ** 12 * (ck * nn - nk * cc) ** 2) // (nk * nn * nn)
+    unc = 10 ** 12 * cc * (nn - cc) // nn
+    b, r1, r2, u = brier // nn, rel // nn, res // nn, unc // nn
+    out = pd.DataFrame([{
+        "n_users": nn, "n_levels": len(g),
+        "brier_ppm2": b, "rel_ppm2": r1, "res_ppm2": r2,
+        "unc_ppm2": u, "gap_ppm2": b - (r1 - r2 + u)}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _bm25_top_rel(sf_dir: str):
     """Shared (query_id → [(rank, rel), ...]) scaffold for the
     position-weighted IR-eval pair: bm25_topk ranking + AND-relevance
@@ -13334,6 +13483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fleiss_kappa": _q_fleiss_kappa,
         "rbp_eval": _q_rbp_eval,
         "err_eval": _q_err_eval,
+        "species_richness": _q_species_richness,
+        "brier_decomp": _q_brier_decomp,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -18847,6 +18998,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(ag.err, 0) AS BIGINT) AS err_ppm "
             "FROM (SELECT DISTINCT query_id FROM qt) q "
             "LEFT JOIN ag USING (query_id)"
+        ),
+        # Chao1 bias-corrected + Turing coverage from the
+        # freq-of-freq counts; whitespace tokens, empties dropped
+        "species_richness": (
+            "WITH tok AS (SELECT unnest(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT t, count(*) AS n FROM tok GROUP BY 1), "
+            "a AS (SELECT count(*) AS s_obs, SUM(n) AS n, "
+            "count(*) FILTER (WHERE n = 1) AS f1, "
+            "count(*) FILTER (WHERE n = 2) AS f2 FROM tf) "
+            "SELECT CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(s_obs AS BIGINT) AS vocab, "
+            "CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, "
+            "CAST(s_obs + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT) "
+            "AS chao1, "
+            "CAST(1000000 * (n - f1) // n AS BIGINT) AS coverage_ppm "
+            "FROM a"
+        ),
+        # Murphy split at EXACT forecast levels; per-level floors on
+        # REL/RES, HUGEINT for the 1e12-scaled squares
+        "brier_decomp": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "s AS (SELECT greatest(0, least(1000000, "
+            "(n_ev - 40) * 20000)) AS p, conv FROM u), "
+            "l AS (SELECT p, count(*) AS n, SUM(conv) AS c "
+            "FROM s GROUP BY 1), "
+            "t AS (SELECT SUM(n) AS nn, SUM(c) AS cc FROM l), "
+            "f AS (SELECT "
+            "SUM((l.n - l.c) * CAST(l.p AS HUGEINT) * l.p "
+            "+ l.c * CAST(l.p - 1000000 AS HUGEINT) "
+            "* (l.p - 1000000)) AS brier, "
+            "SUM(CAST(l.n * l.p - 1000000 * l.c AS HUGEINT) "
+            "* (l.n * l.p - 1000000 * l.c) // l.n) AS rel, "
+            "SUM(1000000000000 * CAST(l.c * t.nn - l.n * t.cc "
+            "AS HUGEINT) * (l.c * t.nn - l.n * t.cc) "
+            "// (l.n * CAST(t.nn AS HUGEINT) * t.nn)) AS res, "
+            "count(*) AS n_levels FROM l, t GROUP BY ALL), "
+            "m AS (SELECT t.nn, f.n_levels, "
+            "f.brier // t.nn AS b, f.rel // t.nn AS r1, "
+            "f.res // t.nn AS r2, "
+            "(1000000000000 * CAST(t.cc AS HUGEINT) * (t.nn - t.cc) "
+            "// t.nn) // t.nn AS u FROM f, t) "
+            "SELECT CAST(nn AS BIGINT) AS n_users, "
+            "CAST(n_levels AS BIGINT) AS n_levels, "
+            "CAST(b AS BIGINT) AS brier_ppm2, "
+            "CAST(r1 AS BIGINT) AS rel_ppm2, "
+            "CAST(r2 AS BIGINT) AS res_ppm2, "
+            "CAST(u AS BIGINT) AS unc_ppm2, "
+            "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality
