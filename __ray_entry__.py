@@ -13003,6 +13003,106 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_max_drawdown(sf_dir: str):
+    """Maximum drawdown of cumulative NET revenue — the PATH-risk
+    readout the level ops can't see: cohort_ltv and customer_running
+    sum flows, trend ops fit slopes, but "how deep under its own
+    high-water mark did the book go, and for how long" is a statement
+    about the running-max PATH.  Gross revenue only rises, so the
+    series is net flow: per ship-day Σ ±cents(l_extendedprice) with
+    returns (l_returnflag = 'R') negative.  Exact integer fold over
+    the ≤|days| daily series: cum_t, runmax_t, dd_t = runmax − cum;
+
+        max_drawdown_cents, trough_day = argmax dd (EARLIEST on ties)
+        peak_cents = the high-water mark standing at the trough
+        underwater_max_run = longest consecutive OBSERVED-day stretch
+                             with dd > 0 (no calendar densification —
+                             the observed-row sequence is the
+                             contract)
+
+    ONE bounded (day) exchange of per-batch partial sums; the ~2.4k-
+    row fold is driver-side.  Mirror: window cumsum/max + FILTER-min
+    trough + gaps-and-islands run length."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        cents = np.rint(batch.column("l_extendedprice").to_numpy()
+                        * 100).astype("int64")
+        sign = (batch.column("l_returnflag").to_pandas() == "R") \
+            .to_numpy()
+        day = batch.column("l_shipdate").to_pandas().dt.floor("D")
+        return pa.table({
+            "day": pa.Array.from_pandas(day),
+            "net": pa.array(np.where(sign, -cents, cents), pa.int64())})
+
+    g = (ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate", "l_extendedprice", "l_returnflag"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("day")
+         .aggregate(Sum("net", alias_name="net"))).to_pandas()
+    g = g.sort_values("day").reset_index(drop=True)
+    cum = rm = 0
+    best = None          # (dd, day, peak)
+    run = best_run = 0
+    for day, net in zip(g["day"], g["net"]):
+        cum += int(net)
+        rm = max(rm, cum)
+        dd = rm - cum
+        if best is None or dd > best[0]:
+            best = (dd, day, rm)
+        run = run + 1 if dd > 0 else 0
+        best_run = max(best_run, run)
+    out = pd.DataFrame([{
+        "n_days": len(g), "final_cents": cum,
+        "max_drawdown_cents": best[0], "trough_day": best[1],
+        "peak_cents": best[2], "underwater_max_run": best_run}])
+    for c in ("n_days", "final_cents", "max_drawdown_cents",
+              "peak_cents", "underwater_max_run"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction over the deterministic web-ish
+    link graph (the triangle_count edge set: i→i+1, i→i+2,
+    i→(7i+1) mod n) — the FORECAST the triangle family only audits:
+    triangle_count counts wedges that DID close, clustering_coeff
+    scores the closure rate; "which missing links have the most
+    shared neighbors" ranks the wedges most likely to close next
+    (the classic triadic-closure baseline).  Runs
+    ``graph.common_neighbor_predict``: the wedge fan-out rides
+    cooccurrence_pairs (middle node = basket of its distinct
+    neighbors), adjacency removal is marker rows on the SAME pair
+    exchange (no join), and the k-row answer is a global sort+limit.
+    Top-20 by (cn desc, a, b).  Mirror: UNION ALL edge census +
+    self-join wedges + NOT EXISTS + ORDER BY LIMIT."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import common_neighbor_predict
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    n = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = list(ids) * 3
+        dst = (list((ids + 1) % n) + list((ids + 2) % n)
+               + list((ids * 7 + 1) % n))
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return common_neighbor_predict(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        top_k=20, num_partitions=16)
+
+
 def _q_species_richness(sf_dir: str):
     """Chao1 vocabulary-richness + Good-Turing sample coverage — the
     HOW-MUCH-IS-MISSING question the frequency family can't pose:
@@ -13485,6 +13585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "err_eval": _q_err_eval,
         "species_richness": _q_species_richness,
         "brier_decomp": _q_brier_decomp,
+        "max_drawdown": _q_max_drawdown,
+        "link_predict": _q_link_predict,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19050,6 +19152,61 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # net-flow path: window cumsum/runmax, earliest-trough FILTER,
+        # gaps-and-islands underwater run over observed days
+        "max_drawdown": (
+            "WITH d AS (SELECT date_trunc('day', l_shipdate) AS day, "
+            "SUM(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END "
+            "* CAST(round(l_extendedprice * 100) AS BIGINT)) AS net "
+            "FROM lineitem GROUP BY 1), "
+            "c0 AS (SELECT day, SUM(net) OVER "
+            "(ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum FROM d), "
+            "c AS (SELECT day, cum, greatest(MAX(cum) OVER "
+            "(ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS rm "
+            "FROM c0), "
+            "m AS (SELECT day, cum, rm, rm - cum AS dd, "
+            "row_number() OVER (ORDER BY day) "
+            "- row_number() OVER (PARTITION BY (rm - cum > 0) "
+            "ORDER BY day) AS island FROM c), "
+            "mx AS (SELECT MAX(dd) AS maxdd FROM m), "
+            "tr AS (SELECT min(day) AS trough_day FROM m, mx "
+            "WHERE m.dd = mx.maxdd), "
+            "uw AS (SELECT coalesce(MAX(cnt), 0) AS run FROM "
+            "(SELECT count(*) AS cnt FROM m WHERE dd > 0 "
+            "GROUP BY island)), "
+            "fin AS (SELECT count(*) AS n_days, "
+            "SUM(net) AS final_cents FROM d) "
+            "SELECT CAST(fin.n_days AS BIGINT) AS n_days, "
+            "CAST(fin.final_cents AS BIGINT) AS final_cents, "
+            "CAST(mx.maxdd AS BIGINT) AS max_drawdown_cents, "
+            "tr.trough_day, "
+            "CAST((SELECT rm FROM m WHERE m.day = tr.trough_day) "
+            "AS BIGINT) AS peak_cents, "
+            "CAST(uw.run AS BIGINT) AS underwater_max_run "
+            "FROM fin, mx, tr, uw"
+        ),
+        # identical deterministic edge census; wedges by middle-node
+        # self-join; NOT EXISTS removes closed pairs
+        "link_predict": (
+            "WITH nn AS (SELECT count(*) AS n FROM documents), "
+            "e0 AS (SELECT doc_id AS s, (doc_id + 1) % nn.n AS d "
+            "FROM documents, nn UNION ALL "
+            "SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn "
+            "UNION ALL SELECT doc_id, (doc_id * 7 + 1) % nn.n "
+            "FROM documents, nn), "
+            "und AS (SELECT DISTINCT least(s, d) AS a, "
+            "greatest(s, d) AS b FROM e0 WHERE s <> d), "
+            "sym AS (SELECT a AS m, b AS x FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "w AS (SELECT e1.x AS a, e2.x AS b, count(*) AS cn "
+            "FROM sym e1 JOIN sym e2 ON e1.m = e2.m AND e1.x < e2.x "
+            "GROUP BY 1, 2), "
+            "nw AS (SELECT w.a, w.b, w.cn FROM w WHERE NOT EXISTS "
+            "(SELECT 1 FROM und WHERE und.a = w.a AND und.b = w.b)) "
+            "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+            "CAST(cn AS BIGINT) AS cn FROM nw "
+            "ORDER BY cn DESC, a, b LIMIT 20"
         ),
         # XmR: limit scales with the mean moving range; 2.66 kept
         # rational (266/100); cross-multiplied inequality

@@ -850,3 +850,82 @@ def frequent_triples(ds, *, basket_col: str, item_col: str,
             .groupby("_ppk")
             .map_groups(lambda g: finish(g.drop(columns=["_ppk"])),
                         batch_format="pandas"))
+
+
+def common_neighbor_predict(edges_ds, *, top_k: int = 20,
+                            num_partitions: int = 16,
+                            max_degree: int = 10_000):
+    """Common-neighbor link prediction: for every NON-adjacent node
+    pair at distance 2, count the shared neighbors (the triadic-closure
+    score — the open wedges triangle_count refuses to close) and return
+    the top-k candidates by (cn desc, a, b).
+
+    Physical plan: symmetrize + drop self-loops (map-only), then the
+    wedge fan-out IS a basket projection — each middle node is a basket
+    of its distinct neighbors — so ``cooccurrence_pairs`` does the
+    heavy lifting (one middle-hash exchange, vectorized per-basket
+    self-merge, per-partition pre-combine; its ``max_basket`` cap is
+    the hub guard here, surfaced as ``max_degree``).  Adjacent pairs
+    are removed WITHOUT a join: undirected edges ride the same pair
+    exchange as (cn=0, adj=1) marker rows, one groupby folds
+    (Σcn, max adj), and the filter keeps adj = 0.  The k-row result is
+    a global sort+limit (the top_orders pattern, k bounded).
+
+    Partitioning assumption: wedge count per middle is C(deg, 2) —
+    a hub beyond ``max_degree`` raises loudly (cap upstream), the
+    cooccurrence_pairs skew contract."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Sum
+
+    def sym(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        s = batch.column("src").to_numpy()
+        d = batch.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, s]), pa.int64())})
+
+    sym_ds = edges_ds.map_batches(sym, batch_format="pyarrow")
+    wedges = cooccurrence_pairs(sym_ds, basket_col="src",
+                                item_col="dst", min_support=1,
+                                num_partitions=num_partitions,
+                                max_basket=max_degree)
+
+    def wedge_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        return pa.table({
+            "a": batch.column("item_a"),
+            "b": batch.column("item_b"),
+            "cn": batch.column("n"),
+            "adj": pa.array(
+                np.zeros(batch.num_rows, dtype="int64"), pa.int64())})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        s = batch.column("src").to_numpy()
+        d = batch.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        z = np.zeros(len(s), dtype="int64")
+        return pa.table({
+            "a": pa.array(np.minimum(s, d), pa.int64()),
+            "b": pa.array(np.maximum(s, d), pa.int64()),
+            "cn": pa.array(z, pa.int64()),
+            "adj": pa.array(z + 1, pa.int64())})
+
+    both = (wedges.map_batches(wedge_rows, batch_format="pyarrow")
+            .union(edges_ds.map_batches(edge_rows,
+                                        batch_format="pyarrow")))
+    def keep_open(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.equal(batch.column("adj"), 0)).select(["a", "b", "cn"])
+
+    return (both.groupby(["a", "b"])
+            .aggregate(Sum("cn", alias_name="cn"),
+                       Max("adj", alias_name="adj"))
+            .map_batches(keep_open, batch_format="pyarrow")
+            .sort(["cn", "a", "b"], descending=[True, False, False])
+            .limit(top_k))
