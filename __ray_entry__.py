@@ -13003,6 +13003,118 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_friedman_test(sf_dir: str):
+    """Friedman within-block rank test — the REPEATED-MEASURES
+    question kruskal_wallis can't pose: KW pools independent samples,
+    but "do the five event types differ in per-USER activity" must
+    rank WITHIN each user (users differ wildly in total volume — a
+    between-user pooling would measure user size, not type
+    preference).  Each user is a block: their k per-type counts
+    (absent types = 0) rank 1..k with DOUBLED midranks; per-type
+    sums R'_j feed ``aggregates.friedman_int`` (S = ΣR'_j² exact —
+    uniform block membership needs NO per-group floor, unlike KW).
+    Distribution: ONE (user,type) count exchange, then user-hash
+    partitions rank ALL their users in one vectorized pandas pass
+    (pivot + rank(axis=1)·2 — the sessionize discipline, groups
+    bounded by P not by user count) and ship k-row partials.
+    Mirror: user×type grid via CROSS JOIN + LEFT JOIN, doubled
+    midranks as 2·rank + tie-count − 1 windows, identical fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.stages.aggregates import friedman_int
+    from documentai_ray.stages.dedup import _add_pkey
+
+    counts = (ray.data.read_parquet(
+                  f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type"])
+              .groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="cnt")))
+    types = sorted(counts.groupby("event_type")
+                   .aggregate(Count(alias_name="_n"))
+                   .to_pandas()["event_type"])
+
+    def rank_block(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index="user_id", columns="event_type",
+                             values="cnt", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=types, fill_value=0)
+        r2 = (wide.rank(axis=1, method="average") * 2).astype("int64")
+        return pd.DataFrame({
+            "event_type": types,
+            "rsum2": [int(r2[t].sum()) for t in types],
+            "nu": len(wide)})
+
+    keyed = _add_pkey(counts, "user_id", 16)
+    g = (keyed.groupby("_pkey")
+         .map_groups(lambda d: rank_block(d.drop(columns=["_pkey"])),
+                     batch_format="pandas")
+         .groupby("event_type")
+         .aggregate(Sum("rsum2", alias_name="rsum2"),
+                    Sum("nu", alias_name="nu"))).to_pandas()
+    n = int(g["nu"].sum()) // len(types)
+    chi2, sig = friedman_int(dict(zip(g["event_type"], g["rsum2"])), n)
+    out = g[["event_type", "rsum2"]].copy()
+    out["n_users"] = n
+    out["chi2_milli"] = chi2
+    out["significant"] = sig
+    for c in ("rsum2", "n_users", "chi2_milli"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_mcnemar_test(sf_dir: str):
+    """McNemar's paired test on the keyword-vs-regex techniques —
+    the PAIRED question the independence family can't pose:
+    chi2_independence compares unpaired populations, but two
+    classifiers judged on the SAME pages share every item, and only
+    the DISCORDANT pairs carry information: b = keyword matches the
+    fused consensus where regex doesn't, c = the reverse; the
+    marginal-homogeneity statistic is (b−c)²/(b+c), already integer:
+
+        chi2_milli  = 1000·(b−c)² // (b+c)      (0 when b+c = 0)
+        significant = (b−c)²·10⁶ > 3841459·(b+c)
+
+    (consensus = the fused 4-vote verdict — the production reference
+    for "which technique deviates more".)  The planted corpus makes
+    every discordance one-sided: ambiguous POs vote keyword=PO=fused,
+    regex=data_report, so b = |ambiguous|, c = 0, chi2 = 1000·b.
+    In-row compares, single-row partials, ONE 4-cell fold.  Mirror:
+    the planted closed-form census."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch.column("category").to_pandas()
+        kw = batch.column("tech_keyword").to_pandas() == cat
+        rx = batch.column("tech_regex").to_pandas() == cat
+        return pa.table({
+            "a": pa.array([int((kw & rx).sum())], pa.int64()),
+            "b": pa.array([int((kw & ~rx).sum())], pa.int64()),
+            "c": pa.array([int((~kw & rx).sum())], pa.int64()),
+            "d": pa.array([int((~kw & ~rx).sum())], pa.int64())})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .sum(["a", "b", "c", "d"]))
+    a, b, c, d = (int(g["sum(a)"]), int(g["sum(b)"]),
+                  int(g["sum(c)"]), int(g["sum(d)"]))
+    chi2 = 1000 * (b - c) * (b - c) // (b + c) if b + c else 0
+    sig = (b - c) * (b - c) * 1_000_000 > 3_841_459 * (b + c)
+    out = pd.DataFrame([{
+        "n_items": a + b + c + d, "both_agree": a, "kw_only": b,
+        "rx_only": c, "neither": d, "chi2_milli": chi2,
+        "significant": bool(sig)}])
+    for col in out.columns[:-1]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
 def _q_max_drawdown(sf_dir: str):
     """Maximum drawdown of cumulative NET revenue — the PATH-risk
     readout the level ops can't see: cohort_ltv and customer_running
@@ -13587,6 +13699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brier_decomp": _q_brier_decomp,
         "max_drawdown": _q_max_drawdown,
         "link_predict": _q_link_predict,
+        "friedman_test": _q_friedman_test,
+        "mcnemar_test": _q_mcnemar_test,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19152,6 +19266,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # user x type grid, doubled midranks 2*rank + ties - 1, exact
+        # S fold (uniform blocks need no per-group floor)
+        "friedman_test": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+            "FROM events GROUP BY 1, 2), "
+            "u AS (SELECT DISTINCT user_id FROM events), "
+            "t AS (SELECT DISTINCT event_type FROM events), "
+            "grid AS (SELECT u.user_id, t.event_type, "
+            "coalesce(c.cnt, 0) AS cnt FROM u CROSS JOIN t "
+            "LEFT JOIN c ON c.user_id = u.user_id "
+            "AND c.event_type = t.event_type), "
+            "r AS (SELECT user_id, event_type, "
+            "2 * rank() OVER (PARTITION BY user_id ORDER BY cnt) "
+            "+ count(*) OVER (PARTITION BY user_id, cnt) - 1 AS rp "
+            "FROM grid), "
+            "g AS (SELECT event_type, SUM(rp) AS rsum2 FROM r "
+            "GROUP BY 1), "
+            "s AS (SELECT SUM(CAST(rsum2 AS HUGEINT) * rsum2) AS sq, "
+            "(SELECT count(*) FROM u) AS n, "
+            "(SELECT count(*) FROM t) AS k FROM g), "
+            "f AS (SELECT n, k, 3000 * sq - 3000 * "
+            "CAST(n AS HUGEINT) * n * k * (k + 1) * (k + 1) AS num, "
+            "CASE k - 1 WHEN 1 THEN 3841459 WHEN 2 THEN 5991465 "
+            "WHEN 3 THEN 7814728 WHEN 4 THEN 9487729 "
+            "ELSE 11070498 END AS crit FROM s) "
+            "SELECT g.event_type, CAST(g.rsum2 AS BIGINT) AS rsum2, "
+            "CAST(f.n AS BIGINT) AS n_users, "
+            "CAST(CASE WHEN f.num < 0 THEN 0 ELSE f.num // "
+            "(CAST(f.n AS HUGEINT) * f.k * (f.k + 1)) END AS BIGINT) "
+            "AS chi2_milli, "
+            "1000 * f.num > f.crit * CAST(f.n AS HUGEINT) * f.k "
+            "* (f.k + 1) AS significant FROM g, f"
+        ),
+        # planted one-sided discordance census: b = ambiguous POs
+        # (keyword follows the fused verdict, regex defects), c = 0
+        "mcnemar_test": (
+            "WITH d AS (SELECT count(*) AS n, count(*) FILTER "
+            "(WHERE doc_id % 97 <> 0 AND doc_id % 5 = 2 "
+            "AND doc_id % 20 = 12) AS b FROM documents) "
+            "SELECT CAST(n AS BIGINT) AS n_items, "
+            "CAST(n - b AS BIGINT) AS both_agree, "
+            "CAST(b AS BIGINT) AS kw_only, "
+            "CAST(0 AS BIGINT) AS rx_only, "
+            "CAST(0 AS BIGINT) AS neither, "
+            "CAST(CASE WHEN b > 0 THEN 1000 * b ELSE 0 END AS BIGINT) "
+            "AS chi2_milli, "
+            "b * b * 1000000 > 3841459 * b AS significant FROM d"
         ),
         # net-flow path: window cumsum/runmax, earliest-trough FILTER,
         # gaps-and-islands underwater run over observed days

@@ -1792,3 +1792,31 @@ def fleiss_kappa_int(s_sq: int, cat_counts: dict) -> dict:
         "pbar_ppm": 1_000_000 * (int(s_sq) - m) // (3 * m),
         "pe_ppm": 1_000_000 * t // (m * m),
         "kappa_milli": kappa}
+
+
+def friedman_int(rsum2_by_grp: dict, n_blocks: int) -> tuple:
+    """Integer Friedman fold from per-treatment DOUBLED within-block
+    rank sums R'_j (blocks of size k each ranked 1..k with midrank
+    ties doubled to stay integral; invariant Σ_j R'_j = n·k·(k+1)
+    asserted).  Because every treatment appears in every block the
+    group sizes are uniform and S = Σ_j R'_j² needs NO per-group
+    floor — one exact division:
+
+        chi2_milli = (3000·S − 3000·n²·k·(k+1)²) // (n·k·(k+1))
+
+    (the 12/(nk(k+1))·ΣR² − 3n(k+1) classic after doubling; within-
+    block tie correction omitted — it only shrinks the denominator).
+    5% significance on chi²_{k−1} cross-multiplies S in micro so both
+    engines flag identically.  Returns (chi2_milli, significant)."""
+    crit_micro = {1: 3_841_459, 2: 5_991_465, 3: 7_814_728,
+                  4: 9_487_729, 5: 11_070_498}
+    n = int(n_blocks)
+    k = len(rsum2_by_grp)
+    s = sum(int(r) * int(r) for r in rsum2_by_grp.values())
+    assert sum(int(r) for r in rsum2_by_grp.values()) \
+        == n * k * (k + 1), "friedman_int: doubled-rank sum invariant"
+    num = 3000 * s - 3000 * n * n * k * (k + 1) * (k + 1)
+    chi2 = 0 if num < 0 else num // (n * k * (k + 1))
+    sig = (3_000_000 * s - 3_000_000 * n * n * k * (k + 1) * (k + 1)
+           > crit_micro[k - 1] * n * k * (k + 1))
+    return chi2, bool(sig)
