@@ -13003,6 +13003,121 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U with tie-corrected normal significance — the
+    INFERENCE layer rank_auc deliberately lacks: AUC = U/(n₁n₂) says
+    HOW WELL quantity ranks returns, but not whether the separation
+    beats chance at this sample size; the U test is that answer, and
+    every piece is rational.  Doubled midranks (the kruskal_wallis
+    discipline): U' = R'₊ − n₁(n₁+1) is the DOUBLED U, the centered
+    statistic D = U' − n₁n₂ = 2(U − μ), and with the tie cubic
+    T₃ = Σ(t³−t),
+
+        var12     = n₁n₂·(n(n−1)(n+1) − T₃) // (n(n−1))
+                    (12·Var(U), ONE shared floor)
+        z2_milli  = 3000·D² // var12
+        sig       = 3·10⁶·D² > 3841459·var12
+                    (z² vs the chi²₁ 5% bound, exact on the shared
+                     var12)
+
+    D ≤ n₁n₂ keeps 3·10⁶·D² ≲ 2·10³² at sf1 — HUGEINT, documented.
+    All-tied corpora have var12 = 0 → z2 = 0, not significant (the
+    guard).  Same ONE bounded (qty, returned) histogram exchange as
+    rank_auc/youden.  Mirror: histogram + window midranks +
+    identical HUGEINT fold."""
+    import pandas as pd
+
+    h = _score_label_hist(sf_dir)
+    v = h.groupby("qty", as_index=False)["n"].sum().sort_values("qty")
+    v["cl"] = v["n"].cumsum().shift(fill_value=0)
+    rp = {q: 2 * int(c) + int(m) + 1
+          for q, c, m in zip(v["qty"], v["cl"], v["n"])}
+    t3 = sum(int(m) ** 3 - int(m) for m in v["n"])
+    pos = h[h["returned"]]
+    neg = h[~h["returned"]]
+    n1 = int(pos["n"].sum())
+    n2 = int(neg["n"].sum())
+    n = n1 + n2
+    rsum2 = sum(int(m) * rp[q] for q, m in zip(pos["qty"], pos["n"]))
+    u2 = rsum2 - n1 * (n1 + 1)
+    d = u2 - n1 * n2
+    var12 = n1 * n2 * (n * (n - 1) * (n + 1) - t3) // (n * (n - 1))
+    if var12 > 0:
+        z2 = 3000 * d * d // var12
+        sig = 3_000_000 * d * d > 3_841_459 * var12
+    else:
+        z2, sig = 0, False
+    out = pd.DataFrame([{
+        "n_pos": n1, "n_neg": n2, "u2": u2, "t3": t3,
+        "var12": var12, "z2_milli": z2, "significant": bool(sig)}])
+    for c in out.columns[:-1]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_kr20_reliability(sf_dir: str):
+    """Kuder-Richardson 20 (Cronbach's α for binary items) over the
+    four technique-agreement indicators — the INTERNAL-CONSISTENCY
+    question the agreement family hasn't asked: fleiss_kappa scores
+    raters against each other, mcnemar_test compares two of them,
+    but "do the four indicators measure ONE underlying thing"
+    (page classifiability) is reliability, and with binary items
+    x_ui = [technique i matched the fused verdict on page u] every
+    term clears to integers: item totals c_i, page totals X_u,
+
+        V = n·ΣX² − (ΣX)²          (n²·the total-score variance)
+        S = Σ_i c_i·(n − c_i)      (n²·Σ p_i·q_i)
+        α = k/(k−1) · (V − S)/V    → alpha_milli, trunc-toward-zero
+
+    (V = 0 — every page the same total — reads 1000 by convention.)
+    The planted corpus makes α CLOSED-FORM: only ambiguous POs
+    defect, and both defectors (regex, tokenset) defect on the SAME
+    pages, so S = 2b(n−b), V = 4b(n−b), α = (4/3)·(1/2) = 2/3 →
+    exactly 666 at every scale — the perfectly-correlated-defectors
+    signature, pinned.  ΣX and ΣX² are single-row per-batch
+    partials; ONE 4-integer fold.  Mirror: the census closed form."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    techs = ["tech_keyword", "tech_regex", "tech_tokenset", "tech_ml"]
+    ds = flagship(sf_dir=sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch.column("category").to_pandas()
+        x = sum((batch.column(t).to_pandas() == cat).astype(int)
+                for t in techs)
+        cols = {"n": [batch.num_rows],
+                "sx": [int(x.sum())], "sxx": [int((x * x).sum())]}
+        for t in techs:
+            cols[f"c_{t[5:]}"] = [
+                int((batch.column(t).to_pandas() == cat).sum())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .sum(["n", "sx", "sxx"] + [f"c_{t[5:]}" for t in techs]))
+    n = int(g["sum(n)"])
+    sx = int(g["sum(sx)"])
+    sxx = int(g["sum(sxx)"])
+    cs = [int(g[f"sum(c_{t[5:]})"]) for t in techs]
+    v = n * sxx - sx * sx
+    s = sum(c * (n - c) for c in cs)
+    if v == 0:
+        alpha = 1000
+    else:
+        num = 4 * (v - s)
+        den = 3 * v
+        alpha = (abs(num) * 1000 // den) * (1 if num >= 0 else -1)
+    out = pd.DataFrame([{
+        "n_pages": n, "k_items": 4, "sum_pq_n2": s,
+        "var_n2": v, "alpha_milli": alpha}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_friedman_test(sf_dir: str):
     """Friedman within-block rank test — the REPEATED-MEASURES
     question kruskal_wallis can't pose: KW pools independent samples,
@@ -13701,6 +13816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict": _q_link_predict,
         "friedman_test": _q_friedman_test,
         "mcnemar_test": _q_mcnemar_test,
+        "mann_whitney": _q_mann_whitney,
+        "kr20_reliability": _q_kr20_reliability,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19266,6 +19383,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # doubled midranks on the value histogram; one shared floor
+        # in var12; chi2_1 cross-multiply on the shared var12
+        "mann_whitney": (
+            "WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS "
+            "qty, l_returnflag = 'R' AS pos, count(*) AS n "
+            "FROM lineitem GROUP BY 1, 2), "
+            "v AS (SELECT qty, SUM(n) AS nv FROM t GROUP BY 1), "
+            "c AS (SELECT qty, 2 * (SUM(nv) OVER (ORDER BY qty "
+            "ROWS UNBOUNDED PRECEDING) - nv) + nv + 1 AS rp FROM v), "
+            "t3 AS (SELECT SUM(nv * nv * nv - nv) AS t3 FROM v), "
+            "g AS (SELECT SUM(CASE WHEN t.pos THEN t.n ELSE 0 END) "
+            "AS n1, SUM(CASE WHEN t.pos THEN 0 ELSE t.n END) AS n2, "
+            "SUM(CASE WHEN t.pos THEN CAST(t.n AS HUGEINT) * c.rp "
+            "ELSE 0 END) AS rs FROM t JOIN c USING (qty)), "
+            "f AS (SELECT n1, n2, t3.t3, "
+            "rs - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2, "
+            "n1 + n2 AS n FROM g, t3), "
+            "h AS (SELECT n1, n2, t3, u2, "
+            "u2 - CAST(n1 AS HUGEINT) * n2 AS d, "
+            "CAST(n1 AS HUGEINT) * n2 * (CAST(n AS HUGEINT) "
+            "* (n - 1) * (n + 1) - t3) // (CAST(n AS HUGEINT) "
+            "* (n - 1)) AS var12 FROM f) "
+            "SELECT CAST(n1 AS BIGINT) AS n_pos, "
+            "CAST(n2 AS BIGINT) AS n_neg, CAST(u2 AS BIGINT) AS u2, "
+            "CAST(t3 AS BIGINT) AS t3, "
+            "CAST(var12 AS BIGINT) AS var12, "
+            "CAST(CASE WHEN var12 > 0 THEN 3000 * d * d // var12 "
+            "ELSE 0 END AS BIGINT) AS z2_milli, "
+            "CASE WHEN var12 > 0 THEN "
+            "3000000 * d * d > 3841459 * var12 ELSE FALSE END "
+            "AS significant FROM h"
+        ),
+        # closed-form census: both defectors defect on the SAME
+        # pages -> S = 2b(n-b), V = 4b(n-b), alpha = 2/3 exactly
+        "kr20_reliability": (
+            "WITH d AS (SELECT count(*) AS n, count(*) FILTER "
+            "(WHERE doc_id % 97 <> 0 AND doc_id % 5 = 2 "
+            "AND doc_id % 20 = 12) AS b FROM documents) "
+            "SELECT CAST(n AS BIGINT) AS n_pages, "
+            "CAST(4 AS BIGINT) AS k_items, "
+            "CAST(2 * b * (n - b) AS BIGINT) AS sum_pq_n2, "
+            "CAST(4 * b * (n - b) AS BIGINT) AS var_n2, "
+            "CAST(CASE WHEN b = 0 OR b = n THEN 1000 ELSE 666 END "
+            "AS BIGINT) AS alpha_milli FROM d"
         ),
         # user x type grid, doubled midranks 2*rank + ties - 1, exact
         # S fold (uniform blocks need no per-group floor)
