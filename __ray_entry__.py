@@ -13003,6 +13003,140 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_selectivity_audit(sf_dir: str):
+    """Attribute-value-independence (AVI) selectivity audit — the
+    QUERY-PLANNER statistic the profiling family lacks:
+    profile_columns gives per-column stats, fd_mine finds exact
+    dependencies, but a cost-based optimizer multiplies single-column
+    selectivities (the AVI assumption) and the interesting question
+    is WHERE that lie is worst.  For the three lineitem predicates
+    return (l_returnflag = 'R'), bigqty (qty ≥ 30), lsF
+    (l_linestatus = 'F'), each pair/triple row reports
+
+        actual_ppm = 10⁶·c_combo // n           (one floor)
+        avi_ppm    = 10⁶·Πc_i // n^k            (one floor)
+        diff_ppm   = actual − avi   (signed; ≈0 ⟺ independent)
+
+    This corpus draws all three columns independently, so the audit
+    READS ≈0 everywhere (|diff| ≲ 10² ppm sampling noise at sf0.01 —
+    a verified-independence finding is still a finding: the planner
+    may multiply); the hand test plants a fully dependent corpus
+    where AVI under-estimates 4× .  Πc_i ≤ n³ ~ 10²⁰ at sf1 —
+    HUGEINT, documented.  ONE scan of 8 FILTER counters; no
+    exchange beyond the scalar partials.  Mirror: the same FILTER
+    counts + identical floors."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        r = pc.equal(batch.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False)
+        q = np.rint(batch.column("l_quantity").to_numpy()) >= 30
+        f = pc.equal(batch.column("l_linestatus"), "F").to_numpy(
+            zero_copy_only=False)
+        vals = [batch.num_rows, int(r.sum()), int(q.sum()),
+                int(f.sum()), int((r & q).sum()), int((r & f).sum()),
+                int((q & f).sum()), int((r & q & f).sum())]
+        names = ["n", "c_r", "c_q", "c_f", "c_rq", "c_rf", "c_qf",
+                 "c_rqf"]
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in zip(names, vals)})
+
+    g = (ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_linestatus"])
+         .map_batches(partial, batch_format="pyarrow")
+         .sum(["n", "c_r", "c_q", "c_f", "c_rq", "c_rf", "c_qf",
+               "c_rqf"]))
+    n = int(g["sum(n)"])
+    c = {k: int(g[f"sum({k})"]) for k in
+         ["c_r", "c_q", "c_f", "c_rq", "c_rf", "c_qf", "c_rqf"]}
+    combos = [
+        ("return&bigqty", c["c_rq"], c["c_r"] * c["c_q"], n * n),
+        ("return&lsF", c["c_rf"], c["c_r"] * c["c_f"], n * n),
+        ("bigqty&lsF", c["c_qf"], c["c_q"] * c["c_f"], n * n),
+        ("return&bigqty&lsF", c["c_rqf"],
+         c["c_r"] * c["c_q"] * c["c_f"], n * n * n)]
+    recs = []
+    for name, actual, prod, den in combos:
+        a_ppm = 1_000_000 * actual // n
+        avi = 1_000_000 * prod // den
+        recs.append((name, n, a_ppm, avi, a_ppm - avi))
+    out = pd.DataFrame(recs, columns=["pred", "n_rows", "actual_ppm",
+                                      "avi_ppm", "diff_ppm"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _q_yule_k(sf_dir: str):
+    """Yule's characteristic K + Simpson repeat rate — the
+    LENGTH-INVARIANT lexical-diversity constants the richness family
+    doesn't give: vocab/TTR shrinks as any corpus grows (Heaps), so
+    two corpora of different sizes can't be compared on it;
+    Yule's K and Simpson's repeat probability are (asymptotically)
+    length-free, and both are pure functions of the SAME
+    frequency-of-frequency exchange species_richness ships:
+
+        S2          = Σ_m m²·V_m  (= Σ_tokens freq² — computed as
+                      Σ m·mass_m, mass already on the exchange)
+        yule_k_milli = 10⁷·(S2 − N) // N²       (K ≈ 100-200 for
+                       natural text; milli-K, one floor)
+        simpson_ppm  = 10⁶·(S2 − N) // (N·(N−1))  (the chance two
+                       tokens drawn WITHOUT replacement coincide)
+
+    10⁷·S2 ≲ 10⁷·N·max_f — HUGEINT at web scale, documented.
+    Mirror: unnest + two GROUP BYs + the identical fold."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split())
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    tf = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("token")
+          .aggregate(Sum("n", alias_name="n")))
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter(batch.column("n").to_pylist())
+        return pa.table({
+            "freq": pa.array(list(c.keys()), pa.int64()),
+            "n_tokens": pa.array(list(c.values()), pa.int64()),
+            "mass": pa.array([k * v for k, v in c.items()],
+                             pa.int64())})
+
+    ff = (tf.map_batches(freq_partial, batch_format="pyarrow")
+          .groupby("freq")
+          .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                     Sum("mass", alias_name="mass"))).to_pandas()
+    s_obs = int(ff["n_tokens"].sum())
+    n = int(ff["mass"].sum())
+    s2 = int(sum(int(m) * int(ms)
+                 for m, ms in zip(ff["freq"], ff["mass"])))
+    out = pd.DataFrame([{
+        "n_tokens": n, "vocab": s_obs, "s2": s2,
+        "yule_k_milli": 10_000_000 * (s2 - n) // (n * n),
+        "simpson_ppm": 1_000_000 * (s2 - n) // (n * (n - 1))}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_mann_whitney(sf_dir: str):
     """Mann-Whitney U with tie-corrected normal significance — the
     INFERENCE layer rank_auc deliberately lacks: AUC = U/(n₁n₂) says
@@ -13818,6 +13952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcnemar_test": _q_mcnemar_test,
         "mann_whitney": _q_mann_whitney,
         "kr20_reliability": _q_kr20_reliability,
+        "selectivity_audit": _q_selectivity_audit,
+        "yule_k": _q_yule_k,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19383,6 +19519,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # one FILTER-count scan; AVI product vs actual, one floor each
+        "selectivity_audit": (
+            "WITH a AS (SELECT count(*) AS n, "
+            "count(*) FILTER (WHERE l_returnflag = 'R') AS cr, "
+            "count(*) FILTER (WHERE round(l_quantity) >= 30) AS cq, "
+            "count(*) FILTER (WHERE l_linestatus = 'F') AS cf, "
+            "count(*) FILTER (WHERE l_returnflag = 'R' "
+            "AND round(l_quantity) >= 30) AS crq, "
+            "count(*) FILTER (WHERE l_returnflag = 'R' "
+            "AND l_linestatus = 'F') AS crf, "
+            "count(*) FILTER (WHERE round(l_quantity) >= 30 "
+            "AND l_linestatus = 'F') AS cqf, "
+            "count(*) FILTER (WHERE l_returnflag = 'R' "
+            "AND round(l_quantity) >= 30 AND l_linestatus = 'F') "
+            "AS crqf FROM lineitem), "
+            "u AS (SELECT 'return&bigqty' AS pred, n, crq AS act, "
+            "CAST(cr AS HUGEINT) * cq AS prod, "
+            "CAST(n AS HUGEINT) * n AS den FROM a "
+            "UNION ALL SELECT 'return&lsF', n, crf, "
+            "CAST(cr AS HUGEINT) * cf, CAST(n AS HUGEINT) * n FROM a "
+            "UNION ALL SELECT 'bigqty&lsF', n, cqf, "
+            "CAST(cq AS HUGEINT) * cf, CAST(n AS HUGEINT) * n FROM a "
+            "UNION ALL SELECT 'return&bigqty&lsF', n, crqf, "
+            "CAST(cr AS HUGEINT) * cq * cf, "
+            "CAST(n AS HUGEINT) * n * n FROM a) "
+            "SELECT pred, CAST(n AS BIGINT) AS n_rows, "
+            "CAST(1000000 * act // n AS BIGINT) AS actual_ppm, "
+            "CAST(1000000 * prod // den AS BIGINT) AS avi_ppm, "
+            "CAST(1000000 * act // n - 1000000 * prod // den "
+            "AS BIGINT) AS diff_ppm FROM u"
+        ),
+        # S2 = sum m*mass over the freq-of-freq table; milli-K and
+        # without-replacement repeat probability, one floor each
+        "yule_k": (
+            "WITH tok AS (SELECT unnest(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT t, count(*) AS n FROM tok GROUP BY 1), "
+            "a AS (SELECT count(*) AS s_obs, SUM(n) AS n, "
+            "SUM(CAST(n AS HUGEINT) * n) AS s2 FROM tf) "
+            "SELECT CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(s_obs AS BIGINT) AS vocab, "
+            "CAST(s2 AS BIGINT) AS s2, "
+            "CAST(10000000 * (s2 - n) // (CAST(n AS HUGEINT) * n) "
+            "AS BIGINT) AS yule_k_milli, "
+            "CAST(1000000 * (s2 - n) // (CAST(n AS HUGEINT) "
+            "* (n - 1)) AS BIGINT) AS simpson_ppm FROM a"
         ),
         # doubled midranks on the value histogram; one shared floor
         # in var12; chi2_1 cross-multiply on the shared var12
