@@ -13003,6 +13003,194 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+def _q_page_trend(sf_dir: str):
+    """Page's L test for ORDERED within-block trend — the cell that
+    completes the rank-test matrix: kruskal_wallis (independent,
+    unordered), cochran_armitage (independent, ordered), friedman
+    (blocked, unordered) — Page is blocked AND ordered: "does
+    per-user activity RISE across the four quarters of the corpus
+    month", ranking each user's quarter counts WITHIN the user
+    (volume-free) and concentrating all power on the monotone
+    alternative Friedman dilutes over k−1 df.  Quarters are the
+    deterministic time buckets j = 1 + min(k−1,
+    (t − t₀)·k // (span+1)) from the global min/max; doubled
+    midranks (the friedman discipline) make L' = Σ j·R'_j integer
+    with E[L'] = n·k(k+1)²/2 (always integral — k(k+1)² is even)
+    and 36·Var(L') = n·k²(k+1)(k²−1):
+
+        z2_milli = 36000·D² // (n·k²(k+1)(k²−1)),  D = L' − E[L']
+        sig      = 36·10⁶·D² > 3841459·n·k²(k+1)(k²−1)
+        trend_sign = sign(D)  (+1 = later quarters rank higher)
+
+    (within-block ties uncorrected — the KW/friedman convention.)
+    ONE (user, bucket) count exchange + user-hash partitions ranking
+    vectorized; k-row partials.  Mirror: bucket CTE + the friedman
+    grid/midrank windows + the identical fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    k = 4
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t_us": t})
+
+    t = ev.map_batches(to_us, batch_format="pyarrow")
+    t0 = int(t.min("t_us"))
+    t1 = int(t.max("t_us"))
+    span = t1 - t0 + 1
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        tu = batch.column("t_us").to_numpy()
+        j = 1 + np.minimum(k - 1, (tu - t0) * k // span)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "bucket": pa.array(j, pa.int64())})
+
+    counts = (t.map_batches(bucket, batch_format="pyarrow")
+              .groupby(["user_id", "bucket"])
+              .aggregate(Count(alias_name="cnt")))
+    buckets = list(range(1, k + 1))
+
+    def rank_block(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index="user_id", columns="bucket",
+                             values="cnt", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=buckets, fill_value=0)
+        r2 = (wide.rank(axis=1, method="average") * 2).astype("int64")
+        return pd.DataFrame({
+            "bucket": buckets,
+            "rsum2": [int(r2[b].sum()) for b in buckets],
+            "nu": len(wide)})
+
+    keyed = _add_pkey(counts, "user_id", 16)
+    g = (keyed.groupby("_pkey")
+         .map_groups(lambda d: rank_block(d.drop(columns=["_pkey"])),
+                     batch_format="pandas")
+         .groupby("bucket")
+         .aggregate(Sum("rsum2", alias_name="rsum2"),
+                    Sum("nu", alias_name="nu"))).to_pandas()
+    g = g.sort_values("bucket").reset_index(drop=True)
+    n = int(g["nu"].sum()) // k
+    l2 = int(sum(int(b) * int(r) for b, r in zip(g["bucket"],
+                                                 g["rsum2"])))
+    d = l2 - n * k * (k + 1) * (k + 1) // 2
+    den = n * k * k * (k + 1) * (k * k - 1)
+    z2 = 36_000 * d * d // den
+    sig = 36_000_000 * d * d > 3_841_459 * den
+    out = g[["bucket", "rsum2"]].copy()
+    out["n_users"] = n
+    out["l2"] = l2
+    out["z2_milli"] = z2
+    out["trend_sign"] = (d > 0) - (d < 0)
+    out["significant"] = bool(sig)
+    for c in ("bucket", "rsum2", "n_users", "l2", "z2_milli",
+              "trend_sign"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_survival_cindex(sf_dir: str):
+    """Harrell's concordance index — the MODEL-EVAL layer the
+    survival family lacks: km_survival describes the population
+    curve, competing_risks splits it by cause, but "does per-user
+    activity PREDICT who goes quiet sooner" scores a risk score
+    against censored outcomes, and no ROC applies (rank_auc needs
+    uncensored labels).  Conventions shared verbatim with
+    km_survival: lifetime T = whole days first→last event, death
+    observed iff the user went quiet ≥ 6 h before corpus max; risk
+    score S = the user's event count.  The pair contract:
+
+        comparable: (T_i < T_j ∧ E_i=1) ∨ (T_i = T_j ∧ E_i=1 ∧ E_j=0)
+        credit:     2 if S_i > S_j, 1 if S_i = S_j (doubled units)
+        c_index_ppm = 10⁶·c2 // comp2   (one floor; 500000 = chance)
+
+    Physical plan: ONE user exchange → a bounded (T, E, S) histogram
+    (≤ days×2×|scores|) → an O(cells·|scores|) suffix-cumulative
+    fold driver-side — NO pair enumeration anywhere distributed.
+    The oracle is deliberately a DIFFERENT algorithm (the direct
+    quadratic pair join DuckDB can afford at test scale), so the
+    suffix fold is checked against first principles rather than a
+    mirror of itself."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    day_us = 86_400_000_000
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t_us": t})
+
+    t = ev.map_batches(to_us, batch_format="pyarrow")
+    t_max = int(t.max("t_us"))
+    per_user = (t.groupby("user_id")
+                .aggregate(Min("t_us", alias_name="f"),
+                           Max("t_us", alias_name="l"),
+                           Count(alias_name="s")))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy()
+        l = batch.column("l").to_numpy()
+        s = batch.column("s").to_numpy().astype("int64")
+        td = (l - f) // day_us
+        e = ((t_max - l) >= 6 * 3_600_000_000).astype("int64")
+        df = pd.DataFrame({"t": td.astype("int64"), "e": e, "s": s,
+                           "n": 1})
+        g = df.groupby(["t", "e", "s"], as_index=False)["n"].sum()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+    h = (per_user.map_batches(cells, batch_format="pyarrow")
+         .groupby(["t", "e", "s"])
+         .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    scores = np.sort(h["s"].unique())
+    idx = {v: i for i, v in enumerate(scores)}
+    suffix = np.zeros(len(scores), dtype=object)   # counts with T > t
+    c2 = comp2 = 0
+    for tt in sorted(h["t"].unique(), reverse=True):
+        at_t = h[h["t"] == tt]
+        cens = np.zeros(len(scores), dtype=object)
+        for _, r in at_t[at_t["e"] == 0].iterrows():
+            cens[idx[int(r["s"])]] += int(r["n"])
+        suf_prefix = np.cumsum(suffix)
+        cen_prefix = np.cumsum(cens)
+        suf_tot = int(suf_prefix[-1]) if len(scores) else 0
+        cen_tot = int(cen_prefix[-1]) if len(scores) else 0
+        for _, r in at_t[at_t["e"] == 1].iterrows():
+            si, ni = idx[int(r["s"])], int(r["n"])
+            lower = int(suf_prefix[si - 1]) if si else 0
+            equal = int(suffix[si])
+            c_lower = int(cen_prefix[si - 1]) if si else 0
+            c_equal = int(cens[si])
+            c2 += ni * (2 * (lower + c_lower) + equal + c_equal)
+            comp2 += ni * 2 * (suf_tot + cen_tot)
+        for _, r in at_t.iterrows():
+            suffix[idx[int(r["s"])]] += int(r["n"])
+    out = pd.DataFrame([{
+        "n_users": int(h["n"].sum()),
+        "n_events": int(h.loc[h["e"] == 1, "n"].sum()),
+        "comp2": comp2, "c2": c2,
+        "c_index_ppm": 1_000_000 * c2 // comp2 if comp2 else 0}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_selectivity_audit(sf_dir: str):
     """Attribute-value-independence (AVI) selectivity audit — the
     QUERY-PLANNER statistic the profiling family lacks:
@@ -13954,6 +14142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kr20_reliability": _q_kr20_reliability,
         "selectivity_audit": _q_selectivity_audit,
         "yule_k": _q_yule_k,
+        "page_trend": _q_page_trend,
+        "survival_cindex": _q_survival_cindex,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19519,6 +19709,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # deterministic quarter buckets + friedman grid/midranks;
+        # L' fold with 36*Var cross-multiply
+        "page_trend": (
+            "WITH tt AS (SELECT min(epoch_us(ts)) AS t0, "
+            "max(epoch_us(ts)) AS t1 FROM events), "
+            "b AS (SELECT user_id, 1 + least(3, "
+            "(epoch_us(ts) - tt.t0) * 4 // (tt.t1 - tt.t0 + 1)) "
+            "AS bucket FROM events, tt), "
+            "c AS (SELECT user_id, bucket, count(*) AS cnt FROM b "
+            "GROUP BY 1, 2), "
+            "u AS (SELECT DISTINCT user_id FROM events), "
+            "ks AS (SELECT unnest(generate_series(1, 4)) AS bucket), "
+            "grid AS (SELECT u.user_id, ks.bucket, "
+            "coalesce(c.cnt, 0) AS cnt FROM u CROSS JOIN ks "
+            "LEFT JOIN c ON c.user_id = u.user_id "
+            "AND c.bucket = ks.bucket), "
+            "r AS (SELECT user_id, bucket, "
+            "2 * rank() OVER (PARTITION BY user_id ORDER BY cnt) "
+            "+ count(*) OVER (PARTITION BY user_id, cnt) - 1 AS rp "
+            "FROM grid), "
+            "g AS (SELECT bucket, SUM(rp) AS rsum2 FROM r GROUP BY 1), "
+            "s AS (SELECT SUM(bucket * CAST(rsum2 AS HUGEINT)) AS l2, "
+            "(SELECT count(*) FROM u) AS n FROM g), "
+            "f AS (SELECT n, l2, l2 - CAST(n AS HUGEINT) * 4 * 25 // 2 "
+            "AS d, CAST(n AS HUGEINT) * 16 * 5 * 15 AS den FROM s) "
+            "SELECT g.bucket, CAST(g.rsum2 AS BIGINT) AS rsum2, "
+            "CAST(f.n AS BIGINT) AS n_users, "
+            "CAST(f.l2 AS BIGINT) AS l2, "
+            "CAST(36000 * f.d * f.d // f.den AS BIGINT) AS z2_milli, "
+            "CAST(CASE WHEN f.d > 0 THEN 1 WHEN f.d < 0 THEN -1 "
+            "ELSE 0 END AS BIGINT) AS trend_sign, "
+            "36000000 * f.d * f.d > 3841459 * f.den AS significant "
+            "FROM g, f"
+        ),
+        # DIFFERENT algorithm on purpose: the direct quadratic pair
+        # join over per-user (T, E, S) rows, affordable at test scale
+        "survival_cindex": (
+            "WITH mx AS (SELECT max(epoch_us(ts)) AS tm FROM events), "
+            "u AS (SELECT user_id, "
+            "(max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 "
+            "AS t, count(*) AS s, "
+            "CASE WHEN (SELECT tm FROM mx) - max(epoch_us(ts)) "
+            ">= 21600000000 THEN 1 ELSE 0 END AS e "
+            "FROM events GROUP BY 1), "
+            "p AS (SELECT a.s AS sa, b.s AS sb FROM u a JOIN u b "
+            "ON a.user_id <> b.user_id AND ((a.t < b.t AND a.e = 1) "
+            "OR (a.t = b.t AND a.e = 1 AND b.e = 0))), "
+            "f AS (SELECT count(*) AS comp, "
+            "SUM(CASE WHEN sa > sb THEN 2 WHEN sa = sb THEN 1 "
+            "ELSE 0 END) AS c2 FROM p), "
+            "n AS (SELECT count(*) AS n_users, SUM(e) AS n_events "
+            "FROM u) "
+            "SELECT CAST(n.n_users AS BIGINT) AS n_users, "
+            "CAST(n.n_events AS BIGINT) AS n_events, "
+            "CAST(2 * f.comp AS BIGINT) AS comp2, "
+            "CAST(coalesce(f.c2, 0) AS BIGINT) AS c2, "
+            "CAST(CASE WHEN f.comp > 0 THEN "
+            "1000000 * coalesce(f.c2, 0) // (2 * f.comp) ELSE 0 END "
+            "AS BIGINT) AS c_index_ppm FROM f, n"
         ),
         # one FILTER-count scan; AVI product vs actual, one floor each
         "selectivity_audit": (
