@@ -13003,6 +13003,107 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+_CONFORMANCE_MODEL = [
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("purchase", "view"),
+]
+
+
+def _q_cochran_q(sf_dir: str):
+    """Cochran's Q over the four technique-agreement indicators —
+    the k-RATER marginal-homogeneity test that closes the agreement
+    suite: mcnemar_test compares TWO techniques' error rates,
+    fleiss_kappa scores agreement beyond chance, kr20 scores
+    reliability — Q asks "do the FOUR techniques have different
+    marginal agreement rates at all", the k-sample McNemar.  With
+    binary items x_ui, item totals C_j, page totals X_u, S = ΣC_j:
+
+        Q = (k−1)·[k·ΣC_j² − S²] / [k·S − ΣX_u²]
+        q_milli = 1000·num // den, trunc (num ≥ 0 by Cauchy-Schwarz)
+        sig: num·10⁶ > 7814728·den   (chi²₃ at 5%)
+
+    The planted corpus collapses Q to a CLOSED FORM: only ambiguous
+    POs defect and both defectors defect together, so
+    num = 3·(4·ΣC² − S²) = 12b² and den = 4b — Q = 3b exactly, and
+    significance is literally "are there ≥ 3 ambiguous pages"
+    (3b·10⁶ > 7814728 ⟺ b ≥ 3), pinned.  Same single-row partials
+    as kr20 (ONE 6-integer fold).  Mirror: the census closed form
+    kept in general Q shape."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    techs = ["tech_keyword", "tech_regex", "tech_tokenset", "tech_ml"]
+    ds = flagship(sf_dir=sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch.column("category").to_pandas()
+        x = sum((batch.column(t).to_pandas() == cat).astype(int)
+                for t in techs)
+        cols = {"n": [batch.num_rows], "sxx": [int((x * x).sum())]}
+        for t in techs:
+            cols[f"c_{t[5:]}"] = [
+                int((batch.column(t).to_pandas() == cat).sum())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .sum(["n", "sxx"] + [f"c_{t[5:]}" for t in techs]))
+    n = int(g["sum(n)"])
+    sxx = int(g["sum(sxx)"])
+    cs = [int(g[f"sum(c_{t[5:]})"]) for t in techs]
+    s = sum(cs)
+    num = 3 * (4 * sum(c * c for c in cs) - s * s)
+    den = 4 * s - sxx
+    q = 1000 * num // den if den > 0 else 0
+    sig = num * 1_000_000 > 7_814_728 * den if den > 0 else False
+    out = pd.DataFrame([{
+        "n_pages": n, "c_keyword": cs[0], "c_regex": cs[1],
+        "c_tokenset": cs[2], "c_ml": cs[3],
+        "q_milli": q, "significant": bool(sig)}])
+    for col in out.columns[:-1]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _q_conformance_check(sf_dir: str):
+    """Process-mining log conformance — the REFERENCE-MODEL judgment
+    event_transitions refuses to make: the transition matrix says
+    what users DO, conformance says how much of it the designed
+    funnel (signup→view→click→purchase with view loops and
+    click/purchase returns) ALLOWS.  Every observed (prev → next)
+    adjacency (per user, ordered by ts with event_id tiebreak — the
+    transitions_per_key contract) is judged against the 6-edge
+    model; output is the judged transition matrix plus the log
+    fitness scalar conformance_ppm = 10⁶·Σ allowed n // Σ n (one
+    floor) riding every row.  Transitions into/out of 'error' are
+    off-model by design — the corpus guarantees a nonzero violation
+    mass.  Costs ONE key-hash exchange of ≤ P·|types|² partials.
+    Mirror: lag() window + the literal IN list."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.windows import transitions_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"])
+    g = transitions_per_key(ev).to_pandas()
+    allowed = set(_CONFORMANCE_MODEL)
+    g["allowed"] = [
+        (p, x) in allowed
+        for p, x in zip(g["prev_type"], g["next_type"])]
+    total = int(g["n"].sum())
+    ok = int(g.loc[g["allowed"], "n"].sum())
+    g["conformance_ppm"] = 1_000_000 * ok // total if total else 0
+    g = g.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    for c in ("n", "conformance_ppm"):
+        g[c] = g[c].astype("int64")
+    return g[["prev_type", "next_type", "n", "allowed",
+              "conformance_ppm"]]
+
+
 def _q_page_trend(sf_dir: str):
     """Page's L test for ORDERED within-block trend — the cell that
     completes the rank-test matrix: kruskal_wallis (independent,
@@ -14144,6 +14245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yule_k": _q_yule_k,
         "page_trend": _q_page_trend,
         "survival_cindex": _q_survival_cindex,
+        "cochran_q": _q_cochran_q,
+        "conformance_check": _q_conformance_check,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19709,6 +19812,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # census closed form kept in general Q shape: C = (n, n-b,
+        # n-b, n), num = 12b^2, den = 4b -> Q = 3b exactly
+        "cochran_q": (
+            "WITH d AS (SELECT count(*) AS n, count(*) FILTER "
+            "(WHERE doc_id % 97 <> 0 AND doc_id % 5 = 2 "
+            "AND doc_id % 20 = 12) AS b FROM documents) "
+            "SELECT CAST(n AS BIGINT) AS n_pages, "
+            "CAST(n AS BIGINT) AS c_keyword, "
+            "CAST(n - b AS BIGINT) AS c_regex, "
+            "CAST(n - b AS BIGINT) AS c_tokenset, "
+            "CAST(n AS BIGINT) AS c_ml, "
+            "CAST(CASE WHEN b > 0 THEN "
+            "1000 * 12 * b * b // (4 * b) ELSE 0 END AS BIGINT) "
+            "AS q_milli, "
+            "CASE WHEN b > 0 THEN "
+            "12 * b * b * 1000000 > 7814728 * 4 * b "
+            "ELSE FALSE END AS significant FROM d"
+        ),
+        # lag() adjacency + literal edge list; fitness scalar rides
+        # every row
+        "conformance_check": (
+            "WITH t AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "g AS (SELECT prev AS prev_type, event_type AS next_type, "
+            "count(*) AS n FROM t WHERE prev IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT prev_type, next_type, n, "
+            "prev_type || '>' || next_type IN ("
+            + ", ".join(f"'{a}>{b}'" for a, b in _CONFORMANCE_MODEL)
+            + ") AS allowed FROM g), "
+            "tot AS (SELECT SUM(n) AS t, SUM(CASE WHEN allowed "
+            "THEN n ELSE 0 END) AS ok FROM j) "
+            "SELECT prev_type, next_type, CAST(n AS BIGINT) AS n, "
+            "allowed, CAST(1000000 * tot.ok // tot.t AS BIGINT) "
+            "AS conformance_ppm FROM j, tot"
         ),
         # deterministic quarter buckets + friedman grid/midranks;
         # L' fold with 36*Var cross-multiply
