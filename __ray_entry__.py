@@ -13003,6 +13003,153 @@ def _q_holm_bonferroni(sf_dir: str):
     return out
 
 
+_RAKE_STOPWORDS = ["the", "a", "and", "of", "is", "to", "in"]
+
+
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup audit — the STORAGE-dedup
+    primitive the document-level family can't see: docs_exact_dedup
+    kills whole-document duplicates and minhash finds near-dup
+    DOCUMENTS, but backup/blob stores (LBFS, restic, borg) dedup
+    SUB-document chunks whose boundaries are content-defined — a
+    token whose hash ≡ 0 (mod 16) ends a chunk, so an edit
+    invalidates only the chunks it touches while fixed blocking
+    shifts every later boundary.  Runs ``dedup.cdc_chunk_stats``
+    (per-batch pre-combined, ONE distinct-chunk-bounded exchange)
+    and folds the corpus readout:
+
+        dedup_ratio_ppm = 10⁶·(total_chars − distinct_chars)
+                          // total_chars
+
+    — the fraction of stored bytes a chunk store would NOT write
+    again.  The template-heavy corpus (PO/invoice archetypes differ
+    only in planted numbers) guarantees shared chunks, asserted
+    nonzero.  Mirror: token islands via shifted-cumsum windows +
+    string_agg + the md5-LE64 expression."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.dedup import cdc_chunk_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    n_docs = ds.count()
+    g = cdc_chunk_stats(ds).to_pandas()
+    total_chunks = int(g["n"].sum())
+    distinct_chunks = len(g)
+    total_chars = int((g["n"] * g["chars"]).sum())
+    distinct_chars = int(g["chars"].sum())
+    out = pd.DataFrame([{
+        "n_docs": n_docs, "total_chunks": total_chunks,
+        "distinct_chunks": distinct_chunks,
+        "total_chars": total_chars,
+        "distinct_chars": distinct_chars,
+        "dedup_ratio_ppm": (1_000_000
+                            * (total_chars - distinct_chars)
+                            // total_chars if total_chars else 0)}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_rake_keyphrases(sf_dir: str):
+    """RAKE keyphrase extraction — the PHRASE-level salience op the
+    token family lacks: top_tokens/tfidf_topk score single tokens,
+    collocation_lift scores fixed bigrams, but "which multi-word
+    phrases characterize the corpus" wants stopword-delimited
+    candidate phrases scored by their words' degree/frequency ratio
+    (RAKE: a word appearing in long phrases earns degree ≫
+    frequency).  Contracts:
+
+        phrase      = maximal run of non-stopword tokens (single-
+                      space join), per document
+        freq(w)     = occurrences of w across all phrase instances
+        deg(w)      = Σ phrase length over w's occurrences
+        score(w)    = 10⁶·deg(w) // freq(w)    (one floor per word)
+        score(phr)  = Σ_w score(w)  (per occurrence, repeats count)
+
+    Top-20 by (score desc, phrase asc).  Physical plan: per-batch
+    phrase extraction (the top_tokens Counter discipline) → ONE
+    vocab-bounded word-stat exchange broadcast back via ray.put
+    (stopword-free vocab is small by construction — documented) →
+    phrase-count exchange → global sort+limit.  Mirror: island
+    windows + per-token deg/freq joins + identical floors."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    stops = set(_RAKE_STOPWORDS)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def phrases_of(t: str):
+        cur = []
+        for tok in (t or "").split():
+            if tok in stops:
+                if cur:
+                    yield cur
+                    cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            yield cur
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        freq = collections.Counter()
+        deg = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            for ph in phrases_of(t):
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += len(ph)
+        ws = list(freq.keys())
+        return pa.table({
+            "w": pa.array(ws, pa.string()),
+            "freq": pa.array([freq[w] for w in ws], pa.int64()),
+            "deg": pa.array([deg[w] for w in ws], pa.int64())})
+
+    wstats = (ds.map_batches(word_partial, batch_format="pyarrow")
+              .groupby("w")
+              .aggregate(Sum("freq", alias_name="freq"),
+                         Sum("deg", alias_name="deg"))).to_pandas()
+    wscore = {w: 1_000_000 * int(d) // int(f)
+              for w, f, d in zip(wstats["w"], wstats["freq"],
+                                 wstats["deg"])}
+    ref = ray.put(wscore)
+
+    def phrase_partial(batch: pa.Table) -> pa.Table:
+        sc = ray.get(ref)
+        c = collections.Counter()
+        score = {}
+        for t in batch.column("text").to_pylist():
+            for ph in phrases_of(t):
+                s = " ".join(ph)
+                c[s] += 1
+                if s not in score:
+                    score[s] = sum(sc[w] for w in ph)
+        ps = list(c.keys())
+        return pa.table({
+            "phrase": pa.array(ps, pa.string()),
+            "n": pa.array([c[p] for p in ps], pa.int64()),
+            "score_ppm": pa.array([score[p] for p in ps], pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    out = (ds.map_batches(phrase_partial, batch_format="pyarrow")
+           .groupby("phrase")
+           .aggregate(Sum("n", alias_name="n"),
+                      Max("score_ppm", alias_name="score_ppm"))
+           .sort(["score_ppm", "phrase"], descending=[True, False])
+           .limit(20)).to_pandas()
+    for c in ("n", "score_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["phrase", "n", "score_ppm"]]
+
+
 _CONFORMANCE_MODEL = [
     ("signup", "view"), ("view", "view"), ("view", "click"),
     ("click", "view"), ("click", "purchase"), ("purchase", "view"),
@@ -14247,6 +14394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_cindex": _q_survival_cindex,
         "cochran_q": _q_cochran_q,
         "conformance_check": _q_conformance_check,
+        "cdc_chunks": _q_cdc_chunks,
+        "rake_keyphrases": _q_rake_keyphrases,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19812,6 +19961,73 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # token islands by boundary-hash shifted cumsum; distinct
+        # (key, chars) pairs carry the stored-bytes side
+        "cdc_chunks": (
+            "WITH d AS (SELECT doc_id, list_filter("
+            "string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "t AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, "
+            "unnest(toks) AS tok FROM d), "
+            "h AS (SELECT doc_id, i, tok, "
+            + _sql_md5_le64("tok") + " % 16 = 0 AS b FROM t), "
+            "isl AS (SELECT doc_id, i, tok, coalesce(SUM(CASE WHEN b "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS island FROM h), "
+            "ch AS (SELECT doc_id, island, "
+            "string_agg(tok, ' ' ORDER BY i) AS chunk FROM isl "
+            "GROUP BY 1, 2), "
+            "ck AS (SELECT " + _sql_md5_le64("chunk") + " AS key, "
+            "length(chunk) AS chars FROM ch), "
+            "a AS (SELECT count(*) AS total_chunks, "
+            "coalesce(SUM(chars), 0) AS total_chars FROM ck), "
+            "b2 AS (SELECT count(*) AS distinct_chunks, "
+            "coalesce(SUM(chars), 0) AS distinct_chars "
+            "FROM (SELECT DISTINCT key, chars FROM ck)), "
+            "nd AS (SELECT count(*) AS n_docs FROM documents) "
+            "SELECT CAST(nd.n_docs AS BIGINT) AS n_docs, "
+            "CAST(a.total_chunks AS BIGINT) AS total_chunks, "
+            "CAST(b2.distinct_chunks AS BIGINT) AS distinct_chunks, "
+            "CAST(a.total_chars AS BIGINT) AS total_chars, "
+            "CAST(b2.distinct_chars AS BIGINT) AS distinct_chars, "
+            "CAST(CASE WHEN a.total_chars > 0 THEN 1000000 "
+            "* (a.total_chars - b2.distinct_chars) // a.total_chars "
+            "ELSE 0 END AS BIGINT) AS dedup_ratio_ppm "
+            "FROM a, b2, nd"
+        ),
+        # stopword islands; per-word deg/freq floors; phrase score
+        # summed per instance, MAX over identical strings
+        "rake_keyphrases": (
+            "WITH d AS (SELECT doc_id, list_filter("
+            "string_split_regex(coalesce(text, ''), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "t AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, "
+            "unnest(toks) AS tok FROM d), "
+            "s AS (SELECT doc_id, i, tok, tok IN ("
+            + ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+            + ") AS stop FROM t), "
+            "isl AS (SELECT doc_id, i, tok, stop, "
+            "coalesce(SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS island FROM s), "
+            "pw AS (SELECT doc_id, island, i, tok, count(*) OVER "
+            "(PARTITION BY doc_id, island) AS plen FROM isl "
+            "WHERE NOT stop), "
+            "ws AS (SELECT tok, count(*) AS freq, SUM(plen) AS deg "
+            "FROM pw GROUP BY 1), "
+            "wsc AS (SELECT tok, 1000000 * deg // freq AS wscore "
+            "FROM ws), "
+            "pi AS (SELECT pw.doc_id, pw.island, "
+            "string_agg(pw.tok, ' ' ORDER BY pw.i) AS phrase, "
+            "SUM(wsc.wscore) AS score FROM pw "
+            "JOIN wsc ON wsc.tok = pw.tok GROUP BY 1, 2), "
+            "pg AS (SELECT phrase, count(*) AS n, MAX(score) AS sc "
+            "FROM pi GROUP BY 1) "
+            "SELECT phrase, CAST(n AS BIGINT) AS n, "
+            "CAST(sc AS BIGINT) AS score_ppm FROM pg "
+            "ORDER BY sc DESC, phrase LIMIT 20"
         ),
         # census closed form kept in general Q shape: C = (n, n-b,
         # n-b, n), num = 12b^2, den = 4b -> Q = 3b exactly

@@ -1395,3 +1395,69 @@ def capture_line_diff(ds, *, url_col: str = "url", ts_col: str = "warc_ts",
             .groupby("_pkey")
             .map_groups(lambda x: diff(x.drop(columns=["_pkey"])),
                         batch_format="pandas"))
+
+
+def cdc_chunk_stats(ds, *, text_col: str = "text", mod: int = 16):
+    """Token-level content-defined chunking (the restic/borg/LBFS
+    storage-dedup primitive, on the repo's token axis): a chunk
+    boundary falls AFTER every token whose md5-LE64 hash ≡ 0
+    (mod ``mod``), so boundaries depend only on local content —
+    insert a paragraph and every untouched chunk keeps its identity,
+    which fixed-size blocking cannot do.  Expected chunk length is
+    ``mod`` tokens; chunk key = md5-LE64 of the single-space token
+    join (the token axis makes whitespace normalization part of the
+    contract).
+
+    Emits one row per DISTINCT chunk (key, chars, n occurrences);
+    keys live in the shifted signed-i64 domain (md5 − 2⁶³).
+    Per-batch partials pre-combine duplicate chunks, the ONE
+    exchange is bounded by distinct chunks, and a worker-local
+    token-hash cache (the T5 discipline) amortizes the md5s."""
+    import hashlib
+
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    cache: dict[str, bool] = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+        agg = collections.Counter()
+        chars = {}
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            if not toks:
+                continue
+            cur = []
+            segs = []
+            for tok in toks:
+                cur.append(tok)
+                b = cache.get(tok)
+                if b is None:
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8],
+                        "little")
+                    b = h % mod == 0
+                    if len(cache) < 1_000_000:
+                        cache[tok] = b
+                if b:
+                    segs.append(" ".join(cur))
+                    cur = []
+            if cur:
+                segs.append(" ".join(cur))
+            for s in segs:
+                k = int.from_bytes(
+                    hashlib.md5(s.encode()).digest()[:8], "little")
+                k -= 1 << 63          # signed i64 domain
+                agg[k] += 1
+                chars[k] = len(s)
+        keys = list(agg.keys())
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "chars": pa.array([chars[k] for k in keys], pa.int64()),
+            "n": pa.array([agg[k] for k in keys], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("chars", alias_name="chars")))
