@@ -12905,22 +12905,85 @@ def _q_sequential_looks(sf_dir: str):
     return out
 
 
-def _q_holm_bonferroni(sf_dir: str):
-    """Holm step-down correction across FIVE arm metrics — the
-    multiple-comparisons discipline a metrics dashboard needs: test
-    conversion AND error rate AND click rate AND repeat-purchase AND
-    activity against the arms and the chance of SOME false positive
-    balloons; plain Bonferroni divides α by 5 everywhere, Holm
-    spends it adaptively (largest χ² faces α/5, the next α/4, …)
-    and still controls FWER.  All comparisons cross-multiply against
-    the fixed χ²₁ ppm constants {3841459, 5023886, 5731305, 6238804,
-    6634897} (α/1..α/5 at α = 0.05 — the 3841459 fixed-decimal
-    convention); rejection stops at the first failure (step-down).
-    Per metric the 2×2 χ² is fully cleared (one milli floor for
-    display).  ONE user exchange carrying 5 binary flags.  Mirror:
-    FILTER counts + the identical ordered CASE chain."""
-    import numpy as np
+def _q_rle_advisor(sf_dir: str):
+    """RLE/dictionary encoding advisor under a candidate sort key —
+    the layout question delta_varint answers for integers, asked for
+    the LOW-CARDINALITY string columns: if the table were sorted by
+    (ship-day, column), how many runs would each flag column
+    collapse to, and does run-length or dictionary encoding win?
+    The layout is histogram-computable with NO row order anywhere:
+    within a day the column is sorted, so runs-in-day = distinct
+    values that day, and a day boundary merges exactly when
+    max(day_i) = min(day_{i+1}) over the OBSERVED-day sequence:
+
+        n_runs     = Σ_day k_day − Σ_adjacent [max_i = min_{i+1}]
+        raw_bytes  = n           (1-byte codes)
+        rle_bytes  = 5·n_runs    (1-byte value + 4-byte run length)
+        dict_bytes = 8·k + (n·bits(k) + 7) // 8,
+                     bits(k) = max(1, bit_length(k−1))
+        best       = min bytes, ties by label asc (dict<raw<rle)
+
+    ONE (col, day, value) histogram exchange (≤ days×|values|×2);
+    the fold is driver-side.  Mirror: per-day distinct/min/max +
+    lag() boundary windows, UNION ALL per column."""
     import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    cols = ["l_returnflag", "l_linestatus"]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch.column("l_shipdate").to_pandas().dt.floor("D")
+        outs = []
+        for c in cols:
+            outs.append(pa.table({
+                "col": pa.array([c] * batch.num_rows, pa.string()),
+                "day": pa.Array.from_pandas(day),
+                "val": batch.column(c)}))
+        return pa.concat_tables(outs)
+
+    h = (ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_shipdate"] + cols)
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby(["col", "day", "val"])
+         .aggregate(Count(alias_name="n"))).to_pandas()
+    recs = []
+    for c in cols:
+        g = h[h["col"] == c]
+        n = int(g["n"].sum())
+        k = g["val"].nunique()
+        per_day = g.groupby("day").agg(
+            kd=("val", "nunique"), mn=("val", "min"),
+            mx=("val", "max")).sort_index()
+        runs = int(per_day["kd"].sum())
+        merged = sum(1 for prev_mx, mn in zip(per_day["mx"][:-1],
+                                              per_day["mn"][1:])
+                     if prev_mx == mn)
+        runs -= merged
+        bits = max(1, (k - 1).bit_length())
+        raw_b = n
+        rle_b = 5 * runs
+        dict_b = 8 * k + (n * bits + 7) // 8
+        best = min([("dict", dict_b), ("raw", raw_b), ("rle", rle_b)],
+                   key=lambda t: (t[1], t[0]))[0]
+        recs.append((c, n, k, runs, raw_b, rle_b, dict_b, best))
+    out = pd.DataFrame(recs, columns=[
+        "col", "n", "n_distinct", "n_runs", "raw_bytes", "rle_bytes",
+        "dict_bytes", "best"])
+    for col in out.columns[1:-1]:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _arm_metric_stats(sf_dir: str):
+    """Shared 5-metric × 2-arm 2×2 census for the multiple-testing
+    pair (holm_bonferroni / bh_fdr): ONE user exchange carrying the
+    five binary flags, Knuth-hash arms, fully-cleared per-metric χ²
+    pieces.  Returns [(metric, n, chi2_milli, lhs, den)] with
+    lhs = n·(ad−bc)² for the cross-multiplied comparisons."""
+    import numpy as np
     import pyarrow as pa
     import ray.data
     from ray.data.aggregate import Count, Max, Sum
@@ -12976,7 +13039,6 @@ def _q_holm_bonferroni(sf_dir: str):
          .groupby("metric")
          .aggregate(*[Sum(c, alias_name=c) for c in
                       ("a", "b", "c", "d")])).to_pandas()
-    CRITS = [3_841_459, 5_023_886, 5_731_305, 6_238_804, 6_634_897]
     stats = []
     for _, r in g.iterrows():
         name = r["metric"]
@@ -12986,6 +13048,56 @@ def _q_holm_bonferroni(sf_dir: str):
         num = a * d - b * c
         chi2 = 1000 * n * num * num // den if den > 0 else 0
         stats.append((name, n, chi2, n * num * num, den))
+    return stats
+
+
+def _q_bh_fdr(sf_dir: str):
+    """Benjamini-Hochberg step-UP across the same five arm metrics —
+    the FDR sibling holm_bonferroni deliberately isn't: Holm controls
+    the chance of ANY false positive (step-DOWN: reject until the
+    first failure), BH controls the expected FALSE-DISCOVERY RATE
+    and walks the other way — find the LARGEST rank i whose χ²
+    clears its own threshold and reject EVERYTHING at or above it,
+    so a middle metric that fails its own bar is still rejected when
+    a weaker metric below it passes (the semantic difference, pinned
+    in the kernel test).  Thresholds are χ²₁ at α·i/m, the fixed ppm
+    constants {6634897, 5411894, 4709292, 4217885, 3841459} for
+    ranks 1..5 (rank 1 = largest χ²); every comparison
+    cross-multiplies the cleared n(ad−bc)² pieces.  Shares
+    ``_arm_metric_stats`` (ONE user exchange) with holm.  Mirror:
+    the identical CASE chain + a window MAX of the passing ranks."""
+    import pandas as pd
+
+    from documentai_ray.stages.aggregates import bh_stepup_int
+
+    stats = _arm_metric_stats(sf_dir)
+    recs = bh_stepup_int(stats)
+    out = pd.DataFrame(recs, columns=[
+        "metric", "rank", "chi2_milli", "crit_ppm", "rejected"])
+    for col in ("rank", "chi2_milli", "crit_ppm"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def _q_holm_bonferroni(sf_dir: str):
+    """Holm step-down correction across FIVE arm metrics — the
+    multiple-comparisons discipline a metrics dashboard needs: test
+    conversion AND error rate AND click rate AND repeat-purchase AND
+    activity against the arms and the chance of SOME false positive
+    balloons; plain Bonferroni divides α by 5 everywhere, Holm
+    spends it adaptively (largest χ² faces α/5, the next α/4, …)
+    and still controls FWER.  All comparisons cross-multiply against
+    the fixed χ²₁ ppm constants {3841459, 5023886, 5731305, 6238804,
+    6634897} (α/1..α/5 at α = 0.05 — the 3841459 fixed-decimal
+    convention); rejection stops at the first failure (step-down).
+    Per metric the 2×2 χ² is fully cleared (one milli floor for
+    display).  ONE user exchange carrying 5 binary flags (shared
+    via ``_arm_metric_stats`` with bh_fdr).  Mirror: FILTER counts
+    + the identical ordered CASE chain."""
+    import pandas as pd
+
+    stats = _arm_metric_stats(sf_dir)
+    CRITS = [3_841_459, 5_023_886, 5_731_305, 6_238_804, 6_634_897]
     # step-down: largest chi2 faces the strictest threshold
     stats.sort(key=lambda r: (-r[2], r[0]))
     recs, alive = [], True
@@ -14396,6 +14508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformance_check": _q_conformance_check,
         "cdc_chunks": _q_cdc_chunks,
         "rake_keyphrases": _q_rake_keyphrases,
+        "bh_fdr": _q_bh_fdr,
+        "rle_advisor": _q_rle_advisor,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -19962,6 +20076,91 @@ def oracle_sql() -> dict[str, str]:
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
         ),
+        # same cleared-chi2 chain as holm; step-UP via window MAX of
+        # passing ranks; chi2_1 crits at alpha*i/m
+        "bh_fdr": (
+            "WITH u AS (SELECT user_id, count(*) AS n_ev, "
+            "max(CASE WHEN event_type = 'purchase' AND value >= 150 "
+            "THEN 1 ELSE 0 END) AS conv, "
+            "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS err, "
+            "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS clk, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS np, "
+            "(user_id * 2654435761) % 4294967296 < 2147483648 AS tr "
+            "FROM events GROUP BY 1, 7), "
+            "m AS (SELECT 'converted' AS metric, conv = 1 AS y, tr "
+            "FROM u UNION ALL "
+            "SELECT 'any_error', err = 1, tr FROM u UNION ALL "
+            "SELECT 'any_click', clk = 1, tr FROM u UNION ALL "
+            "SELECT 'repeat_buyer', np >= 12, tr FROM u UNION ALL "
+            "SELECT 'high_activity', n_ev >= 66, tr FROM u), "
+            "g AS (SELECT metric, "
+            "count(*) FILTER (WHERE tr AND y) AS a, "
+            "count(*) FILTER (WHERE tr AND NOT y) AS b, "
+            "count(*) FILTER (WHERE NOT tr AND y) AS c, "
+            "count(*) FILTER (WHERE NOT tr AND NOT y) AS d "
+            "FROM m GROUP BY 1), "
+            "f AS (SELECT metric, a + b + c + d AS n, "
+            "CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS num, "
+            "CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) "
+            "AS den FROM g), "
+            "s AS (SELECT metric, CASE WHEN den > 0 THEN "
+            "1000 * n * num * num // den ELSE 0 END AS chi2, "
+            "n * num * num AS lhs, den, row_number() OVER "
+            "(ORDER BY CASE WHEN den > 0 THEN "
+            "1000 * n * num * num // den ELSE 0 END DESC, metric) "
+            "AS rnk FROM f), "
+            "p AS (SELECT metric, rnk, chi2, CASE rnk "
+            "WHEN 1 THEN 6634897 WHEN 2 THEN 5411894 "
+            "WHEN 3 THEN 4709292 WHEN 4 THEN 4217885 "
+            "ELSE 3841459 END AS crit, "
+            "den > 0 AND lhs * 1000000 > (CASE rnk "
+            "WHEN 1 THEN 6634897 WHEN 2 THEN 5411894 "
+            "WHEN 3 THEN 4709292 WHEN 4 THEN 4217885 "
+            "ELSE 3841459 END) * den AS pass FROM s), "
+            "q AS (SELECT metric, rnk, chi2, crit, "
+            "max(CASE WHEN pass THEN rnk ELSE 0 END) OVER () "
+            "AS istar FROM p) "
+            "SELECT metric, CAST(rnk AS BIGINT) AS rank, "
+            "CAST(chi2 AS BIGINT) AS chi2_milli, "
+            "CAST(crit AS BIGINT) AS crit_ppm, "
+            "rnk <= istar AS rejected FROM q"
+        ),
+        # per-day distinct/min/max histogram + lag boundary merges;
+        # byte models and the (bytes, label) arg-min
+        "rle_advisor": " UNION ALL ".join(
+            "SELECT '" + c + "' AS col, CAST(s.n AS BIGINT) AS n, "
+            "CAST(s.k AS BIGINT) AS n_distinct, "
+            "CAST(r.runs AS BIGINT) AS n_runs, "
+            "CAST(s.n AS BIGINT) AS raw_bytes, "
+            "CAST(5 * r.runs AS BIGINT) AS rle_bytes, "
+            "CAST(8 * s.k + (s.n * (CASE WHEN s.k <= 2 THEN 1 "
+            "WHEN s.k <= 4 THEN 2 WHEN s.k <= 8 THEN 3 "
+            "WHEN s.k <= 16 THEN 4 WHEN s.k <= 32 THEN 5 "
+            "WHEN s.k <= 64 THEN 6 WHEN s.k <= 128 THEN 7 "
+            "ELSE 8 END) + 7) // 8 AS BIGINT) AS dict_bytes, "
+            "CASE WHEN 8 * s.k + (s.n * (CASE WHEN s.k <= 2 THEN 1 "
+            "WHEN s.k <= 4 THEN 2 WHEN s.k <= 8 THEN 3 "
+            "WHEN s.k <= 16 THEN 4 WHEN s.k <= 32 THEN 5 "
+            "WHEN s.k <= 64 THEN 6 WHEN s.k <= 128 THEN 7 "
+            "ELSE 8 END) + 7) // 8 <= s.n AND 8 * s.k + (s.n * "
+            "(CASE WHEN s.k <= 2 THEN 1 WHEN s.k <= 4 THEN 2 "
+            "WHEN s.k <= 8 THEN 3 WHEN s.k <= 16 THEN 4 "
+            "WHEN s.k <= 32 THEN 5 WHEN s.k <= 64 THEN 6 "
+            "WHEN s.k <= 128 THEN 7 ELSE 8 END) + 7) // 8 "
+            "<= 5 * r.runs THEN 'dict' "
+            "WHEN s.n <= 5 * r.runs THEN 'raw' ELSE 'rle' END "
+            "AS best FROM "
+            "(SELECT count(*) AS n, count(DISTINCT " + c + ") AS k "
+            "FROM lineitem) s, "
+            "(SELECT SUM(kd) - SUM(m) AS runs FROM "
+            "(SELECT kd, CASE WHEN lag(mx) OVER (ORDER BY day) = mn "
+            "THEN 1 ELSE 0 END AS m FROM "
+            "(SELECT date_trunc('day', l_shipdate) AS day, "
+            "count(DISTINCT " + c + ") AS kd, min(" + c + ") AS mn, "
+            "max(" + c + ") AS mx FROM lineitem GROUP BY 1))) r"
+            for c in ("l_returnflag", "l_linestatus")),
         # token islands by boundary-hash shifted cumsum; distinct
         # (key, chars) pairs carry the stored-bytes side
         "cdc_chunks": (

@@ -1820,3 +1820,29 @@ def friedman_int(rsum2_by_grp: dict, n_blocks: int) -> tuple:
     sig = (3_000_000 * s - 3_000_000 * n * n * k * (k + 1) * (k + 1)
            > crit_micro[k - 1] * n * k * (k + 1))
     return chi2, bool(sig)
+
+
+BH_CRITS_M5 = [6_634_897, 5_411_894, 4_709_292, 4_217_885, 3_841_459]
+
+
+def bh_stepup_int(stats: list) -> list:
+    """Benjamini-Hochberg step-UP fold over cleared χ² pieces:
+    ``stats`` rows are (metric, n, chi2_milli, lhs, den) with
+    lhs = n·(ad−bc)² so every threshold comparison cross-multiplies
+    exactly (lhs·10⁶ > crit·den).  Rank 1 = largest χ² (ties by
+    metric name — the holm convention); rank i faces the χ²₁
+    critical value at α·i/m (``BH_CRITS_M5`` for m = 5).  The
+    step-UP: i* = the LARGEST passing rank, and every rank ≤ i* is
+    rejected — including ranks that fail their own bar (the exact
+    point where BH differs from Holm's stop-at-first-failure).
+    Returns (metric, rank, chi2_milli, crit_ppm, rejected) rows."""
+    assert len(stats) == len(BH_CRITS_M5), \
+        "bh_stepup_int: crit table is m=5"
+    rows = sorted(stats, key=lambda r: (-r[2], r[0]))
+    passes = [den > 0 and lhs * 1_000_000 > crit * den
+              for (_, _, _, lhs, den), crit in zip(rows, BH_CRITS_M5)]
+    i_star = max((i + 1 for i, p in enumerate(passes) if p),
+                 default=0)
+    return [(name, i + 1, chi2, crit, i + 1 <= i_star)
+            for i, ((name, _, chi2, _, _), crit)
+            in enumerate(zip(rows, BH_CRITS_M5))]
