@@ -12905,6 +12905,127 @@ def _q_sequential_looks(sf_dir: str):
     return out
 
 
+def _q_wilcoxon_signed(sf_dir: str):
+    """Wilcoxon signed-rank test — the PAIRED location test the
+    two-sample family lacks: mann_whitney compares independent
+    populations, but "did each user's activity CHANGE from the first
+    half of the month to the second" pairs every user with itself,
+    and the signed-rank statistic uses the magnitude ordering of the
+    per-user differences d_u = n₂ − n₁ (zeros dropped — the classic
+    convention).  Doubled midranks of |d| keep ties integral;
+    W'₊ = Σ_{d>0} R' is the doubled positive-rank sum with
+    E[W'₊] = n(n+1)/2 (integer), and clearing Var by 12 absorbs the
+    tie cubic exactly:
+
+        var12   = 2n(n+1)(2n+1) − T₃          (exact, NO floor)
+        z2_milli = 12000·D² // var12,  D = W'₊ − n(n+1)/2
+        sig      = 12·10⁶·D² > 3841459·var12
+
+    ONE user exchange (two conditional counts), then a bounded
+    diff histogram; the fold is driver-side.  Mirror: half-split
+    FILTER counts + midrank windows + the identical fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t_us": t})
+
+    t = ev.map_batches(to_us, batch_format="pyarrow")
+    t0 = int(t.min("t_us"))
+    t1 = int(t.max("t_us"))
+    t_mid = (t0 + t1 + 1) // 2
+
+    def halves(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        tu = batch.column("t_us").to_numpy()
+        first = (tu < t_mid).astype("int64")
+        return pa.table({"user_id": batch.column("user_id"),
+                         "n1": pa.array(first, pa.int64()),
+                         "n2": pa.array(1 - first, pa.int64())})
+
+    per_user = (t.map_batches(halves, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Sum("n1", alias_name="n1"),
+                           Sum("n2", alias_name="n2")))
+
+    def dhist(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = (batch.column("n2").to_numpy()
+             - batch.column("n1").to_numpy())
+        df = pd.DataFrame({"d": d[d != 0], "n": 1})
+        g = df.groupby("d", as_index=False)["n"].sum()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    h = (per_user.map_batches(dhist, batch_format="pyarrow")
+         .groupby("d")
+         .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    h["ad"] = h["d"].abs()
+    v = h.groupby("ad", as_index=False)["n"].sum().sort_values("ad")
+    v["cl"] = v["n"].cumsum().shift(fill_value=0)
+    rp = {a: 2 * int(c) + int(m) + 1
+          for a, c, m in zip(v["ad"], v["cl"], v["n"])}
+    t3 = sum(int(m) ** 3 - int(m) for m in v["n"])
+    n = int(h["n"].sum())
+    w2 = int(sum(int(m) * rp[int(a)]
+                 for d, a, m in zip(h["d"], h["ad"], h["n"])
+                 if int(d) > 0))
+    dd = w2 - n * (n + 1) // 2
+    var12 = 2 * n * (n + 1) * (2 * n + 1) - t3
+    if var12 > 0:
+        z2 = 12_000 * dd * dd // var12
+        sig = 12_000_000 * dd * dd > 3_841_459 * var12
+    else:
+        z2, sig = 0, False
+    out = pd.DataFrame([{
+        "n_nonzero": n, "w2_pos": w2, "t3": t3, "var12": var12,
+        "z2_milli": z2,
+        "shift_sign": (dd > 0) - (dd < 0),
+        "significant": bool(sig)}])
+    for c in out.columns[:-1]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _q_nelson_aalen(sf_dir: str):
+    """Nelson-Aalen cumulative hazard — the SUM companion to
+    km_survival's product: KM multiplies survival factors (one
+    pessimistic floor per step compounds), NA adds hazard increments
+    Σ d_k/n_k, the estimator actuaries integrate risk over and the
+    one whose increments are additive across strata.  Same lifetime
+    / 6 h-censoring / 30-day-horizon contracts as km_survival
+    (shared kernel ``windows.km_survival_int`` supplies the
+    (day, at_risk, deaths, hazard_ppm) table); the NA layer is the
+    running sum of the per-day hazard floors:
+
+        cumhaz_ppm_d = Σ_{k ≤ d} 10⁶·deaths_k // at_risk_k
+
+    — floors SUM here rather than compound, so (unlike the KM chain)
+    the mirror needs NO recursive CTE, just a window cumsum: the
+    structural difference between the two estimators is visible in
+    the two oracles' shapes.  Cost: identical to km_survival."""
+    import ray.data
+
+    from documentai_ray.stages.windows import km_survival_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    km = km_survival_int(ev, horizon_days=30, censor_gap_hours=6)
+    km = km.sort_values("day").reset_index(drop=True)
+    km["cumhaz_ppm"] = km["hazard_ppm"].cumsum().astype("int64")
+    return km[["day", "at_risk", "deaths", "hazard_ppm",
+               "cumhaz_ppm"]]
+
+
 def _q_rle_advisor(sf_dir: str):
     """RLE/dictionary encoding advisor under a candidate sort key —
     the layout question delta_varint answers for integers, asked for
@@ -14510,6 +14631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rake_keyphrases": _q_rake_keyphrases,
         "bh_fdr": _q_bh_fdr,
         "rle_advisor": _q_rle_advisor,
+        "wilcoxon_signed": _q_wilcoxon_signed,
+        "nelson_aalen": _q_nelson_aalen,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -20075,6 +20198,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(r2 AS BIGINT) AS res_ppm2, "
             "CAST(u AS BIGINT) AS unc_ppm2, "
             "CAST(b - (r1 - r2 + u) AS BIGINT) AS gap_ppm2 FROM m"
+        ),
+        # half-split per-user diffs, zeros dropped; doubled midranks
+        # on |d|; var12 = 2n(n+1)(2n+1) - T3 exact, no floor
+        "wilcoxon_signed": (
+            "WITH tt AS (SELECT min(epoch_us(ts)) AS t0, "
+            "max(epoch_us(ts)) AS t1 FROM events), "
+            "u AS (SELECT user_id, "
+            "count(*) FILTER (WHERE epoch_us(ts) >= "
+            "(tt.t0 + tt.t1 + 1) // 2) "
+            "- count(*) FILTER (WHERE epoch_us(ts) < "
+            "(tt.t0 + tt.t1 + 1) // 2) AS d "
+            "FROM events, tt GROUP BY 1, tt.t0, tt.t1), "
+            "nz AS (SELECT d, abs(d) AS ad FROM u WHERE d <> 0), "
+            "v AS (SELECT ad, count(*) AS nv FROM nz GROUP BY 1), "
+            "c AS (SELECT ad, 2 * (SUM(nv) OVER (ORDER BY ad "
+            "ROWS UNBOUNDED PRECEDING) - nv) + nv + 1 AS rp FROM v), "
+            "t3 AS (SELECT coalesce(SUM(nv * nv * nv - nv), 0) "
+            "AS t3, coalesce(SUM(nv), 0) AS n FROM v), "
+            "w AS (SELECT coalesce(SUM(c.rp), 0) AS w2 FROM nz "
+            "JOIN c USING (ad) WHERE nz.d > 0), "
+            "f AS (SELECT t3.n, w.w2, t3.t3, "
+            "w.w2 - t3.n * (t3.n + 1) // 2 AS dd, "
+            "2 * CAST(t3.n AS HUGEINT) * (t3.n + 1) * (2 * t3.n + 1) "
+            "- t3.t3 AS var12 FROM w, t3) "
+            "SELECT CAST(n AS BIGINT) AS n_nonzero, "
+            "CAST(w2 AS BIGINT) AS w2_pos, "
+            "CAST(t3 AS BIGINT) AS t3, "
+            "CAST(var12 AS BIGINT) AS var12, "
+            "CAST(CASE WHEN var12 > 0 THEN "
+            "12000 * CAST(dd AS HUGEINT) * dd // var12 ELSE 0 END "
+            "AS BIGINT) AS z2_milli, "
+            "CAST(CASE WHEN dd > 0 THEN 1 WHEN dd < 0 THEN -1 "
+            "ELSE 0 END AS BIGINT) AS shift_sign, "
+            "CASE WHEN var12 > 0 THEN 12000000 "
+            "* CAST(dd AS HUGEINT) * dd > 3841459 * var12 "
+            "ELSE FALSE END AS significant FROM f"
+        ),
+        # the km day histogram WITHOUT the recursive chain — NA's
+        # floors SUM, so a window cumsum is the whole mirror
+        "nelson_aalen": (
+            "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS f, "
+            "max(epoch_us(ts)) AS l FROM events GROUP BY 1), "
+            "mx AS (SELECT max(epoch_us(ts)) AS m FROM events), "
+            "lt AS (SELECT (l - f) // 86400000000 AS ld, "
+            "(mx.m - l) >= 21600000000 AS obs FROM u, mx), "
+            "dd AS (SELECT unnest(generate_series(0, 29)) AS day), "
+            "g AS (SELECT dd.day, "
+            "count(*) FILTER (WHERE lt.ld >= dd.day) AS atrisk, "
+            "count(*) FILTER (WHERE lt.obs AND lt.ld = dd.day) "
+            "AS deaths FROM dd, lt GROUP BY 1), "
+            "h AS (SELECT day, atrisk, deaths, "
+            "CASE WHEN atrisk > 0 THEN 1000000 * deaths // atrisk "
+            "ELSE 0 END AS hz FROM g) "
+            "SELECT CAST(day AS BIGINT) AS day, "
+            "CAST(atrisk AS BIGINT) AS at_risk, "
+            "CAST(deaths AS BIGINT) AS deaths, "
+            "CAST(hz AS BIGINT) AS hazard_ppm, "
+            "CAST(SUM(hz) OVER (ORDER BY day "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_ppm "
+            "FROM h"
         ),
         # same cleared-chi2 chain as holm; step-UP via window MAX of
         # passing ranks; chi2_1 crits at alpha*i/m
