@@ -14493,6 +14493,110 @@ def _q_fleiss_kappa(sf_dir: str):
     return out
 
 
+def _q_copeland_rank(sf_dir: str):
+    """Copeland/Condorcet pairwise-majority ranking — SOCIAL CHOICE
+    over aggregates, a family the surface lacks: top_tokens and
+    heavy_hitters rank by a single global count, but "which event
+    type do the DAYS prefer" treats each calendar day as a voter
+    whose ballot is its own count profile, and pairwise majority is
+    robust to the one mega-day a global sum lets dominate (the
+    exact failure plurality voting has and Condorcet methods fix).
+    Day a prefers type x to y iff count_x > count_y that day (equal
+    counts abstain — NOT half a win); beats(x,y) = #days preferring
+    x; support = Σ beats (the Borda count under strict rankings);
+    copeland = #pairwise wins − #pairwise losses; a Condorcet winner
+    has copeland = k−1, and a majority CYCLE — the phenomenon the
+    family exists to expose — flattens copeland across candidates
+    (pinned rock-paper-scissors hand case in the kernel tests).
+
+    Physical plan: per-batch (day, type) count partials → ONE
+    exchange bounded by days×|types| (≈ 31×6 — tiny), pairwise fold
+    driver-side in ``aggregates.copeland_int``.  Mirror: the
+    days×types grid (cross join + coalesce 0), a self-join on day
+    for beats, a second self-join on the transposed pair for the
+    sign sum."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.aggregates import copeland_int
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = (batch.column("ts").cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        df = pd.DataFrame({"day": day,
+                           "event_type": batch.column("event_type")
+                           .to_pylist(), "n": 1})
+        g = df.groupby(["day", "event_type"], as_index=False)["n"].sum()
+        return pa.table({"day": pa.array(g["day"], pa.int64()),
+                         "event_type": pa.array(g["event_type"],
+                                                pa.large_string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    cell = (ev.map_batches(daily, batch_format="pyarrow")
+            .groupby(["day", "event_type"])
+            .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    return copeland_int(cell, voter_col="day", cand_col="event_type",
+                        n_col="n")
+
+
+def _q_dm_test(sf_dir: str):
+    """Diebold-Mariano forecast-comparison test — the PAIRWISE judge
+    the forecast-eval family lacks: mase_eval and backtest_mae score
+    ONE forecaster against a scale, but "is the seasonal-naive
+    BETTER than the naive, or just lucky" compares two loss series
+    on the SAME days, and DM is the published test for exactly that
+    (Diebold & Mariano 1995).  Daily event totals on the gap-filled
+    calendar; forecaster A = lag-1 naive, B = lag-7 seasonal naive;
+    loss = |error| (integer — no squaring blow-up), eval days where
+    both are defined.  With d_t = |e_A| − |e_B|, S = Σd, Q = Σd²:
+
+        DM² = n·S² / (n·Q − S²)      (exact integer ratio)
+        z2_milli = 1000·n·S² // (n·Q − S²)
+        significant ⟺ 10⁶·n·S² > 3841459·(n·Q − S²)   (χ²₁ exact)
+
+    better_sign = sign(S) (+1 → seasonal wins).  h=1 small-sample
+    variant: plain variance of d, no HAC window — the classic
+    one-step-loss form.  ONE day-histogram exchange (≤ 31 cells),
+    fold in ``aggregates.dm_test_int``; mirror = calendar
+    generate_series + lag windows + identical fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.aggregates import dm_test_int
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = (batch.column("ts").cast(pa.timestamp("us"))
+               .cast(pa.int64()).to_numpy() // 86_400_000_000)
+        df = pd.DataFrame({"day": day, "n": 1})
+        g = df.groupby("day", as_index=False)["n"].sum()
+        return pa.table({"day": pa.array(g["day"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    h = (ev.map_batches(daily, batch_format="pyarrow")
+         .groupby("day")
+         .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    d0, d1 = int(h["day"].min()), int(h["day"].max())
+    full = {int(d): int(n) for d, n in zip(h["day"], h["n"])}
+    y = [full.get(d, 0) for d in range(d0, d1 + 1)]
+    r = dm_test_int(y, season=7)
+    out = pd.DataFrame([r])
+    for c in out.columns[:-1]:
+        out[c] = out[c].astype("int64")
+    out["significant"] = out["significant"].astype(bool)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_text": _q_extract_text,
@@ -14633,6 +14737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_advisor": _q_rle_advisor,
         "wilcoxon_signed": _q_wilcoxon_signed,
         "nelson_aalen": _q_nelson_aalen,
+        "copeland_rank": _q_copeland_rank,
+        "dm_test": _q_dm_test,
         "skew_histogram": _q_skew_histogram,
         "trend_flips": _q_trend_flips,
         "user_features": _q_user_features,
@@ -20258,6 +20364,76 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(hz) OVER (ORDER BY day "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_ppm "
             "FROM h"
+        ),
+        # days×types grid + day self-join for beats + transposed
+        # pair join for the copeland sign sum — no floors anywhere
+        "copeland_rank": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+            "event_type FROM events), "
+            "c AS (SELECT day, event_type, count(*) AS n "
+            "FROM e GROUP BY 1, 2), "
+            "dd AS (SELECT DISTINCT day FROM e), "
+            "tt AS (SELECT DISTINCT event_type FROM e), "
+            "g AS (SELECT dd.day, tt.event_type, "
+            "coalesce(c.n, 0) AS n FROM dd CROSS JOIN tt "
+            "LEFT JOIN c ON c.day = dd.day "
+            "AND c.event_type = tt.event_type), "
+            "p AS (SELECT a.event_type AS ca, b.event_type AS cb, "
+            "count(*) FILTER (WHERE a.n > b.n) AS beats "
+            "FROM g a JOIN g b ON a.day = b.day "
+            "AND a.event_type <> b.event_type GROUP BY 1, 2), "
+            "m AS (SELECT p.ca AS event_type, "
+            "SUM(p.beats) AS support, "
+            "SUM(CASE WHEN p.beats > q.beats THEN 1 "
+            "WHEN p.beats < q.beats THEN -1 ELSE 0 END) AS copeland, "
+            "SUM(CASE WHEN p.beats > q.beats THEN 1 ELSE 0 END) "
+            "AS wins FROM p JOIN p q ON p.ca = q.cb AND p.cb = q.ca "
+            "GROUP BY 1), "
+            "k AS (SELECT count(*) AS k FROM tt) "
+            "SELECT event_type, "
+            "CAST(row_number() OVER (ORDER BY copeland DESC, "
+            "support DESC, event_type) AS BIGINT) AS rank, "
+            "CAST(support AS BIGINT) AS support, "
+            "CAST(copeland AS BIGINT) AS copeland, "
+            "wins = k.k - 1 AS is_condorcet FROM m, k"
+        ),
+        # gap-filled calendar + lag(1)/lag(7) windows; the DM fold
+        # cross-multiplies n·S² against n·Q − S² exactly
+        "dm_test": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day "
+            "FROM events), "
+            "c AS (SELECT day, count(*) AS n FROM e GROUP BY 1), "
+            "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e), "
+            "g AS (SELECT unnest(generate_series(b.d0, b.d1)) "
+            "AS day FROM b), "
+            "y AS (SELECT g.day, coalesce(c.n, 0) AS n "
+            "FROM g LEFT JOIN c USING (day)), "
+            "l AS (SELECT day, n, lag(n, 1) OVER (ORDER BY day) "
+            "AS p1, lag(n, 7) OVER (ORDER BY day) AS p7 FROM y), "
+            "d AS (SELECT abs(n - p1) AS e1, abs(n - p7) AS e2, "
+            "abs(n - p1) - abs(n - p7) AS dt FROM l "
+            "WHERE p7 IS NOT NULL), "
+            "f AS (SELECT count(*) AS ne, "
+            "coalesce(SUM(e1), 0) AS l1, coalesce(SUM(e2), 0) AS l2, "
+            "coalesce(SUM(dt), 0) AS s, "
+            "coalesce(SUM(CAST(dt AS HUGEINT) * dt), 0) AS q FROM d), "
+            "b2 AS (SELECT d1 - d0 + 1 AS nd FROM b) "
+            "SELECT CAST(b2.nd AS BIGINT) AS n_days, "
+            "CAST(f.ne AS BIGINT) AS n_eval, "
+            "CAST(f.l1 AS BIGINT) AS loss_naive, "
+            "CAST(f.l2 AS BIGINT) AS loss_seasonal, "
+            "CAST(f.s AS BIGINT) AS s_d, "
+            "CAST(f.q AS BIGINT) AS q_d, "
+            "CAST(CASE WHEN f.ne * f.q - CAST(f.s AS HUGEINT) * f.s "
+            "> 0 THEN 1000 * f.ne * CAST(f.s AS HUGEINT) * f.s "
+            "// (f.ne * f.q - CAST(f.s AS HUGEINT) * f.s) "
+            "ELSE 0 END AS BIGINT) AS z2_milli, "
+            "CAST(CASE WHEN f.s > 0 THEN 1 WHEN f.s < 0 THEN -1 "
+            "ELSE 0 END AS BIGINT) AS better_sign, "
+            "CASE WHEN f.ne * f.q - CAST(f.s AS HUGEINT) * f.s > 0 "
+            "THEN 1000000 * f.ne * CAST(f.s AS HUGEINT) * f.s "
+            "> 3841459 * (f.ne * f.q - CAST(f.s AS HUGEINT) * f.s) "
+            "ELSE FALSE END AS significant FROM f, b2"
         ),
         # same cleared-chi2 chain as holm; step-UP via window MAX of
         # passing ranks; chi2_1 crits at alpha*i/m

@@ -1846,3 +1846,92 @@ def bh_stepup_int(stats: list) -> list:
     return [(name, i + 1, chi2, crit, i + 1 <= i_star)
             for i, ((name, _, chi2, _, _), crit)
             in enumerate(zip(rows, BH_CRITS_M5))]
+
+
+def copeland_int(counts: pd.DataFrame, *, voter_col: str,
+                 cand_col: str, n_col: str = "n") -> pd.DataFrame:
+    """Pairwise-majority (Condorcet/Copeland) fold over a
+    (voter, candidate) → count ballot table — social choice over
+    aggregates: each voter "prefers" candidate a to b iff its count
+    for a strictly exceeds its count for b (equal counts express no
+    preference, so a tie is NOT half a win — the abstention
+    convention).  Missing (voter, candidate) cells count 0.
+
+        beats(a,b)  = #voters with n_a > n_b          (integers)
+        support(a)  = Σ_{b≠a} beats(a,b)   — under strict complete
+                      rankings this IS the Borda count
+        copeland(a) = Σ_{b≠a} sign(beats(a,b) − beats(b,a))
+
+    A Condorcet winner (beats every opponent outright) has
+    copeland = k−1; a majority CYCLE (rock-paper-scissors profiles)
+    shows up as every candidate at the same copeland score — the
+    phenomenon Borda alone cannot represent, pinned in the tests.
+    Rank orders by (copeland desc, support desc, candidate) — the
+    Borda tie-break is the standard Copeland refinement.  All
+    integer; no floors anywhere."""
+    piv = counts.pivot_table(index=voter_col, columns=cand_col,
+                             values=n_col, fill_value=0,
+                             aggfunc="sum")
+    cands = sorted(piv.columns)
+    mat = {c: piv[c].to_numpy() for c in cands}
+    beats = {(a, b): int((mat[a] > mat[b]).sum())
+             for a in cands for b in cands if a != b}
+    rows = []
+    for a in cands:
+        sup = sum(beats[(a, b)] for b in cands if b != a)
+        cop = sum((beats[(a, b)] > beats[(b, a)])
+                  - (beats[(a, b)] < beats[(b, a)])
+                  for b in cands if b != a)
+        wins = sum(beats[(a, b)] > beats[(b, a)]
+                   for b in cands if b != a)
+        rows.append((a, sup, cop, wins == len(cands) - 1))
+    out = pd.DataFrame(rows, columns=[cand_col, "support",
+                                      "copeland", "is_condorcet"])
+    out = out.sort_values(["copeland", "support", cand_col],
+                          ascending=[False, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1)
+    for c in ("support", "copeland", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[[cand_col, "rank", "support", "copeland",
+                "is_condorcet"]]
+
+
+def dm_test_int(y: list, *, season: int = 7) -> dict:
+    """Diebold-Mariano forecast-comparison fold over a gap-filled
+    daily series ``y`` (Python ints, index = consecutive days):
+    forecaster A is the NAIVE lag-1, forecaster B the SEASONAL
+    naive lag-``season``; loss is absolute error (integer — the
+    whole point: |e| needs no squaring blow-up and stays exact).
+    Evaluation days t = season..n−1 (both forecasts defined).
+
+        d_t = |y_t − y_{t−1}| − |y_t − y_{t−season}|
+        S = Σd,  Q = Σd²,  n = #eval days
+        DM² = d̄² / (σ̂²_d / n) = n·S² / (n·Q − S²)     (exact ratio)
+        z2_milli = 1000·n·S² // (n·Q − S²)             (one floor)
+        significant ⟺ 10⁶·n·S² > 3841459·(n·Q − S²)    (χ²₁, exact)
+
+    better_sign = sign(S): +1 means the naive loss is larger (the
+    seasonal forecaster wins), −1 the reverse, 0 a dead heat.  The
+    h=1 small-sample variant (plain variance of d, no HAC window) —
+    the published test statistic for one-step losses."""
+    n_days = len(y)
+    s = q = l1 = l2 = 0
+    n = 0
+    for t in range(season, n_days):
+        e1 = abs(int(y[t]) - int(y[t - 1]))
+        e2 = abs(int(y[t]) - int(y[t - season]))
+        d = e1 - e2
+        s += d
+        q += d * d
+        l1 += e1
+        l2 += e2
+        n += 1
+    den = n * q - s * s
+    z2 = 1000 * n * s * s // den if den > 0 else 0
+    sig = 1_000_000 * n * s * s > 3_841_459 * den if den > 0 else False
+    return {"n_days": n_days, "n_eval": n, "loss_naive": l1,
+            "loss_seasonal": l2, "s_d": s, "q_d": q,
+            "z2_milli": z2,
+            "better_sign": (s > 0) - (s < 0),
+            "significant": bool(sig)}
