@@ -1935,3 +1935,63 @@ def dm_test_int(y: list, *, season: int = 7) -> dict:
             "z2_milli": z2,
             "better_sign": (s > 0) - (s < 0),
             "significant": bool(sig)}
+
+
+def mood_scale_int(hist: pd.DataFrame, *, val_col: str = "v",
+                   grp_col: str = "tr", n_col: str = "n") -> dict:
+    """Mood's two-sample SCALE test fold over a (value, group) →
+    count histogram — the dispersion companion to the Mann-Whitney
+    location test: two arms can share a median while one swings far
+    wider, and a location test scores that 0 by construction.
+    Mood's statistic sums squared deviations of the ranks from the
+    center, so extreme ranks (either end!) testify and middling
+    ranks don't.  Doubled midranks R'_v = 2·cl + nv + 1 keep ties
+    integral; the per-individual score
+
+        t_v = (R'_v − (N+1))²          (integer — doubled center
+                                        2·(N+1)/2 is exactly N+1)
+
+    is 4× the classic (R − (N+1)/2)².  With T = Σ_{group1} n·t,
+    ST = Σ_all n·t, SQ = Σ_all n·t², conditional-on-ties moments:
+
+        E[T]   = n₁·ST / N
+        Var[T] = n₁·n₂·(N·SQ − ST²) / (N²·(N−1))
+        D      = N·T − n₁·ST                    (integer, exact)
+        z²     = D²·(N−1) / (n₁·n₂·(N·SQ − ST²))
+        z2_milli = 1000·(N−1)·D² // den         (one floor)
+        significant ⟺ 10⁶·(N−1)·D² > 3841459·den    (χ²₁ exact)
+
+    scale_sign = sign(D): +1 means group 1's ranks sit FURTHER from
+    the center — it is the more dispersed arm.  Everything in Python
+    ints (t ~ N², SQ ~ N⁵ — past int64 at ~5k subjects); the SQL
+    mirror's HUGEINT envelope holds to N ≈ 8k subjects, documented
+    at the call site.  No relation to Mood's MEDIAN test (a 2×2 χ²
+    on median splits) — this is the 1954 squared-rank-deviation
+    scale statistic."""
+    v = hist.groupby(val_col, as_index=False)[n_col].sum() \
+            .sort_values(val_col)
+    v["cl"] = v[n_col].cumsum().shift(fill_value=0)
+    n_all = int(v[n_col].sum())
+    rp = {q: 2 * int(c) + int(m) + 1
+          for q, c, m in zip(v[val_col], v["cl"], v[n_col])}
+    t_of = {q: (r - (n_all + 1)) ** 2 for q, r in rp.items()}
+    st = sq = t1 = n1 = n2 = 0
+    for q, g, m in zip(hist[val_col], hist[grp_col], hist[n_col]):
+        t = t_of[q]
+        m = int(m)
+        st += m * t
+        sq += m * t * t
+        if g:
+            t1 += m * t
+            n1 += m
+        else:
+            n2 += m
+    d = n_all * t1 - n1 * st
+    den = n1 * n2 * (n_all * sq - st * st)
+    z2 = 1000 * (n_all - 1) * d * d // den if den > 0 else 0
+    sig = (1_000_000 * (n_all - 1) * d * d > 3_841_459 * den
+           if den > 0 else False)
+    return {"n_treat": n1, "n_ctrl": n2, "t_treat": t1,
+            "st_all": st, "z2_milli": z2,
+            "scale_sign": (d > 0) - (d < 0),
+            "significant": bool(sig)}

@@ -2683,3 +2683,114 @@ def xmr_alarms_int(ds, *, key_col: str = "event_type", ts_col: str = "ts",
                         "c": pd.array(out_c, dtype="int64")})
     return out.sort_values([key_col, "hr"],
                            kind="mergesort").reset_index(drop=True)
+
+
+def stratified_logrank_int(ds, *, key_col: str = "user_id",
+                           ts_col: str = "ts", horizon_days: int = 30,
+                           censor_gap_hours: int = 6, strata_mod: int = 3,
+                           hash_mult: int = 2654435761):
+    """STRATIFIED log-rank test — the confounder-adjusted member of
+    the survival suite: ``logrank_test_int`` compares two arms
+    pooled, but when a stratifying factor (cohort, platform, region)
+    shifts BOTH the hazard and the arm mix, the pooled test sees a
+    difference that is really composition (the survival edition of
+    the Simpson reversal ``mh_stratified`` guards against for
+    rates).  The stratified statistic computes the hypergeometric
+    O−E and V WITHIN each stratum — each stratum has its own risk
+    sets, so its own daily denominators — and pools by SUMMING:
+
+        O₁ = Σ_s Σ_d d₁      (exact)
+        E₁ = Σ_s Σ_d 10⁶·n₁·d // n        (one floor per (s,d))
+        V  = Σ_s Σ_d 10⁶·n₁·n₀·d·(n−d) // (n²(n−1))
+        statistic_milli = (10⁶·O₁ − E₁)² // (1000·V)
+        significant ⟺ (10⁶·O₁ − E₁)² > 3841459·V      (χ²₁ exact)
+
+    Subject contracts shared verbatim with km/logrank (whole-day
+    lifetimes, quiet ≥ ``censor_gap_hours`` before corpus max =
+    observed death, Knuth-hash coin arms); strata are
+    ``key % strata_mod`` — deterministic and independent of the
+    multiplicative-hash arm coin (low-order residue vs high-order
+    hash bits, the split_assign discipline).  Still a PLAIN SUM over
+    the (stratum, day) grid — no sequential fold, no recursion in
+    the mirror.  ONE key exchange, a ≤ strata·2·2·horizon histogram,
+    driver fold.  Returns one row PER STRATUM (stratum, n_treat,
+    n_ctrl, o1, e1_ppm, v_ppm) with the pooled statistic repeated on
+    every row (the kruskal_wallis row-shape convention)."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Max, Min, Sum
+
+    day_us = 86_400_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key_col: batch.column(key_col), "t_us": t})
+
+    t = ds.map_batches(prep, batch_format="pyarrow")
+    t_max = int(t.max("t_us"))
+    per_user = (t.groupby(key_col)
+                .aggregate(Min("t_us", alias_name="f"),
+                           Max("t_us", alias_name="l")))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        f = batch.column("f").to_numpy()
+        l = batch.column("l").to_numpy()
+        ids = batch.column(key_col).to_numpy()
+        ld = np.minimum((l - f) // day_us, horizon_days)
+        obs = ((t_max - l) >= censor_gap_hours * 3_600_000_000) \
+            & (ld < horizon_days)
+        h = (ids.astype(np.uint64) * np.uint64(hash_mult)) \
+            % np.uint64(1 << 32)
+        treat = h < np.uint64(1 << 31)
+        st = ids.astype(np.int64) % strata_mod
+        df = pd.DataFrame({"_st": st, "_ld": ld, "_obs": obs,
+                           "_tr": treat})
+        g = df.groupby(["_st", "_ld", "_obs", "_tr"],
+                       as_index=False).size()
+        return pa.table({"_st": pa.array(g["_st"], pa.int64()),
+                         "_ld": pa.array(g["_ld"], pa.int64()),
+                         "_obs": pa.array(g["_obs"], pa.bool_()),
+                         "_tr": pa.array(g["_tr"], pa.bool_()),
+                         "_n": pa.array(g["size"], pa.int64())})
+
+    h = (per_user.map_batches(hist, batch_format="pyarrow")
+         .groupby(["_st", "_ld", "_obs", "_tr"])
+         .aggregate(Sum("_n", alias_name="n"))).to_pandas()
+    if h.empty:
+        raise ValueError("stratified_logrank_int: no users")
+    rows = []
+    o1_tot = e1_tot = v_tot = 0
+    for s in sorted(h["_st"].unique()):
+        hs = h[h["_st"] == s]
+        lifet = hs["_ld"].to_numpy()
+        obs = hs["_obs"].to_numpy()
+        tr = hs["_tr"].to_numpy()
+        cnt = hs["n"].to_numpy()
+        o1 = e1 = v = 0
+        for d in range(horizon_days):
+            n1 = int(cnt[(lifet >= d) & tr].sum())
+            n0 = int(cnt[(lifet >= d) & ~tr].sum())
+            d1 = int(cnt[(lifet == d) & obs & tr].sum())
+            d0 = int(cnt[(lifet == d) & obs & ~tr].sum())
+            nd, dd = n1 + n0, d1 + d0
+            o1 += d1
+            if nd > 0:
+                e1 += 1_000_000 * n1 * dd // nd
+            if nd > 1:
+                v += (1_000_000 * n1 * n0 * dd * (nd - dd)
+                      // (nd * nd * (nd - 1)))
+        rows.append({"stratum": int(s),
+                     "n_treat": int(cnt[tr].sum()),
+                     "n_ctrl": int(cnt[~tr].sum()),
+                     "o1": o1, "e1_ppm": e1, "v_ppm": v})
+        o1_tot += o1
+        e1_tot += e1
+        v_tot += v
+    num = (1_000_000 * o1_tot - e1_tot) ** 2
+    stat = num // (1000 * v_tot) if v_tot else 0
+    sig = num > 3_841_459 * v_tot if v_tot else False
+    out = pd.DataFrame(rows)
+    out["logrank_milli"] = stat
+    out["significant"] = bool(sig)
+    for c in out.columns[:-1]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("stratum").reset_index(drop=True)
