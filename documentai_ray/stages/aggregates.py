@@ -1995,3 +1995,83 @@ def mood_scale_int(hist: pd.DataFrame, *, val_col: str = "v",
             "st_all": st, "z2_milli": z2,
             "scale_sign": (d > 0) - (d < 0),
             "significant": bool(sig)}
+
+
+def dhondt_int(votes: list, seats: int) -> pd.DataFrame:
+    """D'Hondt highest-averages apportionment — PROPORTIONAL seat
+    allocation, a family the surface lacks: top_tokens ranks and
+    copeland_int orders pairwise, but "split a fixed house of S
+    seats proportionally to vote counts" is its own problem with two
+    classical method families (highest averages here; largest
+    remainder in ``hamilton_int``), and their disagreements — the
+    large-party bias of D'Hondt, the Alabama paradox Hamilton is
+    famous for — are pinned phenomena, not implementation details.
+
+    Each party p with v_p votes owns quotients v_p/d for divisors
+    d = 1..S; the S largest quotients across all parties each seat
+    one member.  Quotient ordering is EXACT: with L = lcm(1..S),
+    v_p/d_1 > v_q/d_2  ⟺  v_p·(L/d_1) > v_q·(L/d_2) — every key is
+    an integer because d | L, so no floats and no floors anywhere.
+    Equal quotients (the 4/2 = 2/1 profile, pinned) break by larger
+    raw votes then party name ascending — the published convention.
+
+    ``votes`` is [(party, v)] with integer v ≥ 0; returns one row
+    per party [party, votes, seats] (int64), sorted by
+    (seats desc, votes desc, party)."""
+    import math
+    lcm = math.lcm(*range(1, seats + 1))
+    quot = [(int(v) * (lcm // d), int(v), str(p), d)
+            for p, v in votes for d in range(1, seats + 1)]
+    quot.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    won: dict = {str(p): 0 for p, _ in votes}
+    for _, _, p, _ in quot[:seats]:
+        won[p] += 1
+    out = pd.DataFrame(
+        [(p, int(v), won[str(p)]) for p, v in votes],
+        columns=["party", "votes", "seats"])
+    out = out.sort_values(["seats", "votes", "party"],
+                          ascending=[False, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    for c in ("votes", "seats"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def hamilton_int(votes: list, seats: int) -> pd.DataFrame:
+    """Hamilton (largest-remainder, Hare quota) apportionment — the
+    OTHER classical method family next to ``dhondt_int``'s highest
+    averages.  With T = Σ votes, party p's exact quota is v_p·S/T;
+    it first receives base = v_p·S // T seats, and the R = S − Σbase
+    leftover seats go to the largest remainders v_p·S mod T — every
+    quantity an exact integer, no floors beyond the quota's own
+    floor division (which IS the method).  Remainder ties break by
+    larger votes then party name ascending.
+
+    The defining pathology — the ALABAMA PARADOX, a party LOSING a
+    seat when the house grows because its remainder rank slips — is
+    pinned in the tests with the 5/3/1 profile (C seats 1 of 4 but
+    0 of 5); divisor methods are immune by construction, which is
+    exactly why both families are worth shipping side by side.
+
+    Returns one row per party [party, votes, base_seats, remainder,
+    seats] (int64), sorted by (seats desc, votes desc, party)."""
+    total = sum(int(v) for _, v in votes)
+    if total == 0:
+        return pd.DataFrame(columns=["party", "votes", "base_seats",
+                                     "remainder", "seats"])
+    rows = [(str(p), int(v), int(v) * seats // total,
+             int(v) * seats % total) for p, v in votes]
+    leftover = seats - sum(b for _, _, b, _ in rows)
+    ranked = sorted(rows, key=lambda t: (-t[3], -t[1], t[0]))
+    bonus = {p: 1 if i < leftover else 0
+             for i, (p, _, _, _) in enumerate(ranked)}
+    out = pd.DataFrame(
+        [(p, v, b, r, b + bonus[p]) for p, v, b, r in rows],
+        columns=["party", "votes", "base_seats", "remainder",
+                 "seats"])
+    out = out.sort_values(["seats", "votes", "party"],
+                          ascending=[False, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    for c in ("votes", "base_seats", "remainder", "seats"):
+        out[c] = out[c].astype("int64")
+    return out
