@@ -2075,3 +2075,98 @@ def hamilton_int(votes: list, seats: int) -> pd.DataFrame:
     for c in ("votes", "base_seats", "remainder", "seats"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def pivotal_by_size_int(weights: list, quota: int) -> dict:
+    """Coalition enumeration for the weighted-voting POWER-INDEX
+    family (Banzhaf, Shapley-Shubik): for every player i and every
+    coalition S ⊆ P∖{i}, i is PIVOTAL iff w(S) < quota ≤ w(S)+w_i.
+    Returns {player: counts[s]} where counts[s] is the number of
+    pivotal coalitions of size s = |S| (0..k−1) — the one table both
+    indices read (Banzhaf sums it flat, Shapley-Shubik weighs size s
+    by s!·(k−1−s)!).  Exhaustive over 2^k masks — players are the
+    handful of event TYPES (k ≈ 5 → 32 coalitions), never rows; the
+    k ≤ 20 guard documents the envelope."""
+    names = [str(n) for n, _ in weights]
+    w = [int(x) for _, x in weights]
+    k = len(w)
+    assert k <= 20, "pivotal_by_size_int: 2^k enumeration, k<=20"
+    counts = {n: [0] * max(k, 1) for n in names}
+    for mask in range(1 << k):
+        wsum = 0
+        sz = 0
+        for j in range(k):
+            if mask >> j & 1:
+                wsum += w[j]
+                sz += 1
+        for i in range(k):
+            if not (mask >> i & 1) and wsum < quota <= wsum + w[i]:
+                counts[names[i]][sz] += 1
+    return counts
+
+
+def banzhaf_int(weights: list, quota: int = None) -> pd.DataFrame:
+    """Banzhaf power index over the weighted voting game (players,
+    integer weights, quota; default quota = strict majority
+    T//2 + 1): swings_i = #coalitions i turns from losing to
+    winning; power_ppm = 10⁶·swings_i // Σswings (ONE floor).  The
+    family's whole point is that voting POWER is not proportional
+    to weight — the classic (50,49,1)@51 profile gives 49 votes the
+    SAME power as 1 vote (both 200000 ppm), pinned in the tests.
+    Flags: is_dummy (zero swings — weight without power), is_veto
+    (no coalition wins without i: w(P∖{i}) < quota).  All integers;
+    exhaustive over 2^k coalitions of event TYPES (k ≈ 5)."""
+    total = sum(int(v) for _, v in weights)
+    if quota is None:
+        quota = total // 2 + 1
+    counts = pivotal_by_size_int(weights, quota)
+    sw = {n: sum(c) for n, c in counts.items()}
+    tot_sw = sum(sw.values())
+    rows = [(str(n), int(v), sw[str(n)],
+             1_000_000 * sw[str(n)] // tot_sw if tot_sw else 0,
+             sw[str(n)] == 0, total - int(v) < quota)
+            for n, v in weights]
+    out = pd.DataFrame(rows, columns=["party", "weight", "swings",
+                                      "power_ppm", "is_dummy",
+                                      "is_veto"])
+    out = out.sort_values(["swings", "weight", "party"],
+                          ascending=[False, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    for c in ("weight", "swings", "power_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def shapley_shubik_int(weights: list, quota: int = None) \
+        -> pd.DataFrame:
+    """Shapley-Shubik power index — the ORDERING companion to
+    Banzhaf's coalition count: ss_i = #orderings of all k players
+    in which i is the pivot (the one whose arrival pushes the
+    running weight past quota), out of k! total.  From the shared
+    pivotal-by-size table: ss_num_i = Σ_s s!·(k−1−s)!·counts_i[s]
+    — exact integers (k ≈ 5 → k! = 120), Σ ss_num = k! whenever a
+    winning coalition exists; ss_ppm = 10⁶·ss_num // k! (ONE
+    floor).  Banzhaf and Shapley-Shubik RANK players identically
+    but weigh them differently — (50,49,1)@51 reads 3/5,1/5,1/5
+    under Banzhaf and 4/6,1/6,1/6 here, both pinned."""
+    import math
+    total = sum(int(v) for _, v in weights)
+    if quota is None:
+        quota = total // 2 + 1
+    k = len(weights)
+    counts = pivotal_by_size_int(weights, quota)
+    kfact = math.factorial(k)
+    rows = []
+    for n, v in weights:
+        num = sum(math.factorial(s) * math.factorial(k - 1 - s) * c
+                  for s, c in enumerate(counts[str(n)]))
+        rows.append((str(n), int(v), num,
+                     1_000_000 * num // kfact))
+    out = pd.DataFrame(rows, columns=["party", "weight", "ss_num",
+                                      "ss_ppm"])
+    out = out.sort_values(["ss_num", "weight", "party"],
+                          ascending=[False, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    for c in ("weight", "ss_num", "ss_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
