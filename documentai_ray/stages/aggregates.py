@@ -2170,3 +2170,121 @@ def shapley_shubik_int(weights: list, quota: int = None) \
     for c in ("weight", "ss_num", "ss_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def iv_wald_int(cells: dict) -> dict:
+    """Wald/IV LATE estimator — exact integer contract.
+
+    ``cells`` maps z ∈ {0,1} → (n, sum_d, sum_y).  With the two
+    encouragement cells (n1,d1,y1) / (n0,d0,y0):
+
+        itt_y_ppm   = ss(10⁶·(y1·n0 − y0·n1) / (n1·n0))
+        itt_d_ppm   = ss(10⁶·(d1·n0 − d0·n1) / (n1·n0))   (first stage)
+        late_ppm    = ss(10⁶·(y1·n0 − y0·n1) / (d1·n0 − d0·n1))
+
+    The LATE ratio clears BOTH per-cell means in one cross-multiplied
+    floor — (ȳ1−ȳ0)/(d̄1−d̄0) = (y1·n0 − y0·n1)/(d1·n0 − d0·n1) —
+    so perfect compliance (d1 = n1, d0 = 0) makes late == itt_y
+    EXACTLY, and one-sided 50% compliance doubles it (both pinned).
+    weak_instrument ⟺ |itt_d_ppm| < 100 000 (first stage under
+    10 pp — a transparent ppm analogue of the F>10 folk rule);
+    a ZERO first stage clamps late to 0 and flags weak (the ratio
+    is undefined — no division happens)."""
+    n1, d1, y1 = (int(v) for v in cells.get(1, (0, 0, 0)))
+    n0, d0, y0 = (int(v) for v in cells.get(0, (0, 0, 0)))
+
+    def ss(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    den_n = n1 * n0
+    num_y = y1 * n0 - y0 * n1
+    num_d = d1 * n0 - d0 * n1
+    itt_y = ss(num_y, den_n)
+    itt_d = ss(num_d, den_n)
+    late = ss(num_y, num_d)
+    return {"n_encouraged": n1, "n_control": n0,
+            "takeup_enc": d1, "takeup_ctl": d0,
+            "conv_enc": y1, "conv_ctl": y0,
+            "itt_y_ppm": itt_y, "first_stage_ppm": itt_d,
+            "late_ppm": late,
+            "weak_instrument": abs(itt_d) < 100_000}
+
+
+#: χ² 95% critical values ×10⁶ for df = 1..10 (shared with the SQL
+#: mirrors — both engines compare against the SAME micro constants).
+CHI2_CRIT_MICRO = [0, 3841459, 5991465, 7814728, 9487729, 11070498,
+                   12591587, 14067140, 15507313, 16918978, 18307038]
+
+
+def meta_fixed_int(strata: list) -> pd.DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis of per-stratum
+    risk differences + Cochran's Q heterogeneity + Higgins' I² —
+    exact integer contract, every floor documented:
+
+        d_ppm   = ss(10⁶·(ct·nc − cc·nt) / (nt·nc))       (1 floor)
+        v_ppm2  = 10¹²·ct·(nt−ct) // nt³
+                + 10¹²·cc·(nc−cc) // nc³                   (2 floors)
+        w       = 10¹² // v_ppm2                           (1 floor)
+        pooled  = Σ w·d // Σ w  (sign-split, NO extra scale —
+                  w·d/w is already in ppm)                 (1 floor)
+        Q_scaled = Σ w·d² − (Σ w·d)² // Σ w   (≈ 10¹²·Q, 1 floor)
+        q_milli = Q_scaled // 10⁹, clamped at 0            (1 floor)
+        i2_ppm  = 10⁶·(q_milli − 1000·df) // q_milli, clamp 0
+        heterogeneous ⟺ 1000·q_milli > CHI2_CRIT_MICRO[df]
+
+    Strata with an empty arm or ZERO variance (all-or-none cells —
+    w would be infinite) are EXCLUDED from the pool and df; their
+    rows still emit with w_scaled = 0 (pinned).  Identical strata
+    collapse Q to exactly 0 (Σw·d = d·Σw makes the computational
+    form vanish with no flooring residue — pinned); one flipped
+    stratum blows Q past the χ²_df bar.  HUGEINT envelope: nt³·10¹²
+    ≤ 3.4e21 at nt = 1500; (Σw·d)² ≤ ~2.5e37 at k = 5 strata with
+    |d| ≤ 10⁶ — inside HUGEINT, documented at the mirror.
+
+    ``strata``: list of (label, nt, ct, nc, cc) sorted by label."""
+    def ss(num: int, den: int) -> int:
+        if den == 0:
+            return 0
+        s = 1 if (num >= 0) == (den > 0) else -1
+        return s * (1_000_000 * abs(num) // abs(den))
+
+    per = []
+    for label, nt, ct, nc, cc in strata:
+        nt, ct, nc, cc = int(nt), int(ct), int(nc), int(cc)
+        d = ss(ct * nc - cc * nt, nt * nc)
+        if nt == 0 or nc == 0:
+            per.append((label, nt, ct, nc, cc, d, 0))
+            continue
+        v = (10**12 * ct * (nt - ct)) // nt**3 \
+            + (10**12 * cc * (nc - cc)) // nc**3
+        w = 10**12 // v if v > 0 else 0
+        per.append((label, nt, ct, nc, cc, d, w))
+    used = [(d, w) for *_, d, w in per if w > 0]
+    sw = sum(w for _, w in used)
+    s1 = sum(w * d for d, w in used)
+    sq = sum(w * d * d for d, w in used)
+    if sw > 0:
+        sign = 1 if s1 >= 0 else -1
+        pooled = sign * (abs(s1) // sw)
+    else:
+        pooled = 0
+    q_scaled = sq - (s1 * s1 // sw if sw > 0 else 0)
+    q_milli = max(0, q_scaled) // 10**9
+    df = max(0, len(used) - 1)
+    i2 = (1_000_000 * (q_milli - 1000 * df) // q_milli
+          if q_milli > 1000 * df else 0)
+    het = (df >= 1 and df <= 10
+           and 1000 * q_milli > CHI2_CRIT_MICRO[df])
+    rows = [{"stratum": label, "nt": nt, "ct": ct, "nc": nc,
+             "cc": cc, "d_ppm": d, "w_scaled": w,
+             "pooled_ppm": pooled, "q_milli": q_milli,
+             "i2_ppm": i2, "df": df, "heterogeneous": het}
+            for label, nt, ct, nc, cc, d, w in per]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c not in ("stratum", "heterogeneous"):
+            out[c] = out[c].astype("int64")
+    return out
