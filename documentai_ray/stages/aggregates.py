@@ -2288,3 +2288,89 @@ def meta_fixed_int(strata: list) -> pd.DataFrame:
         if c not in ("stratum", "heterogeneous"):
             out[c] = out[c].astype("int64")
     return out
+
+
+def erlang_b_int(a_micro: int, servers: int = 10) -> pd.DataFrame:
+    """Erlang-B blocking probability chain — TELETRAFFIC capacity
+    planning as exact chained floors (the km_survival discipline:
+    sequential folds keep ONE floor per step and both engines replay
+    the identical chain).  Offered load a (micro-erlangs); for
+    c = 1..servers:
+
+        b_0 = 10⁶
+        b_c = 10⁶·A·b_{c−1} // (c·10¹² + A·b_{c−1})     (1 floor/step)
+
+    which is the classic recursion B_c = a·B_{c−1}/(c + a·B_{c−1})
+    in ppm.  At a = 1 erlang the first three steps are EXACT with
+    zero flooring residue — B₁ = 1/2, B₂ = 1/5, B₃ = 1/16 (500000
+    / 200000 / 62500 ppm, pinned) because each numerator divides
+    its denominator; B₄ = 1/65 is the first step that floors
+    (15384 ppm), and from there both engines replay the identical
+    floored chain.  a = 0 kills every step; blocking is
+    monotone non-increasing in c (more servers never block more —
+    pinned).  carried_micro = A·(10⁶ − b_c) // 10⁶ (1 floor);
+    meets_sla ⟺ b_c < 10 000 ppm (1% blocking, the classic GoS
+    bar).  Envelope: 10⁶·A·b ≤ 10¹⁸·A_erlang — HUGEINT-safe to
+    ~10¹⁹ micro-erlangs, far past any hourly event peak."""
+    A = int(a_micro)
+    rows = []
+    b = 10**6
+    for c in range(1, int(servers) + 1):
+        num = 10**6 * A * b
+        den = c * 10**12 + A * b
+        b = num // den if den > 0 else 0
+        rows.append({"servers": c, "a_micro": A,
+                     "blocking_ppm": b,
+                     "carried_micro": A * (10**6 - b) // 10**6,
+                     "meets_sla": b < 10_000})
+    out = pd.DataFrame(rows)
+    for c in ("servers", "a_micro", "blocking_ppm", "carried_micro"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+#: WSPT priority weights for the TPC-H order priority vocabulary —
+#: shared with the SQL mirror; 60 = lcm(1..5) clears every weight so
+#: the Smith-ratio p/w orders EXACTLY via the integer key p·(60//w).
+WSPT_WEIGHTS = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3,
+                "4-NOT SPECIFIED": 2, "5-LOW": 1}
+
+
+def wspt_objective_int(jobs: list) -> pd.DataFrame:
+    """Smith's-rule (WSPT) single-machine schedule objective — exact
+    integers, driver kernel for hand pins (the distributed query
+    computes the same numbers via bucketed prefix sums).
+
+    ``jobs``: (p, w, tiebreak) with w ∈ 1..5.  WSPT order = ascending
+    key p·(60//w) (ties by tiebreak) — EXACT Smith-ratio order, no
+    floats, no floors; completion C_j = running Σp; objective
+    Σ w_j·C_j is MINIMAL over all orders (Smith 1956, the adjacent-
+    exchange argument — equal ratios are exchange-invariant, pinned).
+    FIFO baseline = tiebreak order.  Returns one row per weight class
+    with wct under both orders + globals repeated."""
+    by_wspt = sorted(jobs, key=lambda j: (j[0] * (60 // j[1]), j[2]))
+    by_fifo = sorted(jobs, key=lambda j: j[2])
+
+    def fold(order):
+        run, per = 0, {}
+        for p, w, _ in order:
+            run += p
+            per[w] = per.get(w, 0) + w * run
+        return per
+
+    wspt, fifo = fold(by_wspt), fold(by_fifo)
+    tot_w, tot_f = sum(wspt.values()), sum(fifo.values())
+    imp = (1_000_000 * (tot_f - tot_w) // tot_f) if tot_f > 0 else 0
+    stats = {}
+    for p, w, _ in jobs:
+        n, sp = stats.get(w, (0, 0))
+        stats[w] = (n + 1, sp + p)
+    rows = [{"w": w, "n_jobs": n, "sum_p": sp,
+             "wct_wspt": wspt.get(w, 0), "wct_fifo": fifo.get(w, 0),
+             "total_wspt": tot_w, "total_fifo": tot_f,
+             "improvement_ppm": imp}
+            for w, (n, sp) in sorted(stats.items())]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
