@@ -2374,3 +2374,63 @@ def wspt_objective_int(jobs: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def position_auction_int(bids: list, ctrs: list) -> pd.DataFrame:
+    """GSP vs VCG position-auction settlement — AUCTION THEORY as
+    exact integers, the non-cooperative companion of the
+    banzhaf/shapley cooperative batch (Edelman-Ostrovsky-Schwarz
+    2007 / Varian 2007 position auctions).
+
+    ``bids``: (name, bid) integer bids; ``ctrs``: strictly
+    decreasing positive slot click rates (per mille).  Rank bids
+    desc, ties by name asc.  For slot i (1-based), with b_j the
+    j-th ranked bid (0 past the field) and c_j the slot CTRs
+    (c_{S+1} = 0):
+
+        gsp_pay_i = c_i · b_{i+1}                 (next-price rule)
+        vcg_pay_i = Σ_{j≥i} (c_j − c_{j+1}) · b_{j+1}   (externality)
+
+    Both are PURE integer products/sums — no floors anywhere except
+    the final overcharge_ppm = 10⁶·(R_gsp − R_vcg) // R_gsp, whose
+    numerator is provably nonneg: c_i·b_{i+1} = Σ_{j≥i}
+    (c_j − c_{j+1})·b_{i+1} ≥ Σ_{j≥i} (c_j − c_{j+1})·b_{j+1}
+    term-by-term since bids descend — GSP payment dominates VCG in
+    EVERY slot, with equality at the last slot (both read
+    c_S·b_{S+1}) and in the single-slot case, where both collapse
+    to Vickrey's second price.  Truthful-bidding utility under VCG
+    is nonneg: c_i·b_i ≥ vcg_pay_i (same telescoping).  Only
+    filled slots emit (slot i needs an i-th bidder); a slot whose
+    next bid is past the field pays 0 under both rules."""
+    ranked = sorted(bids, key=lambda x: (-x[1], x[0]))
+    S = min(len(ctrs), len(ranked))
+    c = list(ctrs[:S]) + [0]
+    b = [v for _, v in ranked]
+
+    def nxt(j):  # b_{j+1}, 0 past the field (j is 1-based slot)
+        return b[j] if j < len(b) else 0
+
+    vcg_suffix = 0
+    vcg = {}
+    for i in range(S, 0, -1):
+        vcg_suffix += (c[i - 1] - c[i]) * nxt(i)
+        vcg[i] = vcg_suffix
+    rows = []
+    for i in range(1, S + 1):
+        gsp = c[i - 1] * nxt(i)
+        rows.append({"slot": i, "ctr_permille": c[i - 1],
+                     "bidder": ranked[i - 1][0],
+                     "bid_micro": ranked[i - 1][1],
+                     "next_bid_micro": nxt(i),
+                     "gsp_pay": gsp, "vcg_pay": vcg[i]})
+    out = pd.DataFrame(rows)
+    rg, rv = int(out["gsp_pay"].sum()), int(out["vcg_pay"].sum())
+    out["gsp_revenue"] = rg
+    out["vcg_revenue"] = rv
+    out["overcharge_ppm"] = (1_000_000 * (rg - rv) // rg
+                             if rg > 0 else 0)
+    out["gsp_dominates"] = out["gsp_pay"] >= out["vcg_pay"]
+    for col in out.columns:
+        if col not in ("bidder", "gsp_dominates"):
+            out[col] = out[col].astype("int64")
+    return out
