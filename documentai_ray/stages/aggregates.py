@@ -2434,3 +2434,112 @@ def position_auction_int(bids: list, ctrs: list) -> pd.DataFrame:
         if col not in ("bidder", "gsp_dominates"):
             out[col] = out[col].astype("int64")
     return out
+
+
+def _ss_scaled(num: int, den: int, scale: int) -> int:
+    """Sign-split trunc division at an explicit scale (Python floors,
+    DuckDB truncates on negatives — the repo-wide discipline)."""
+    if den == 0:
+        return 0
+    s = 1 if (num >= 0) == (den > 0) else -1
+    return s * (scale * abs(num) // abs(den))
+
+
+def nash_2x2_int(A: list, B: list) -> pd.DataFrame:
+    """Nash equilibria of a 2×2 bimatrix game — NON-COOPERATIVE
+    game theory, the solution-concept complement of the cooperative
+    (banzhaf/shapley) and mechanism-design (gsp/vcg) batches.
+
+    ``A``/``B``: 2×2 integer payoff matrices (row / column player).
+    Pure NE at (i, j) ⟺ A[i][j] ≥ A[1−i][j] AND B[i][j] ≥
+    B[i][1−j] (weak best responses — ties admit multiple NE).  The
+    interior mixed equilibrium makes the OPPONENT indifferent:
+
+        p·dB = B11 − B10,  dB = B00 − B01 − B10 + B11
+        q·dA = A11 − A01,  dA = A00 − A10 − A01 + A11
+
+    (p = row's weight on action 0, q = column's) — EXACT rationals,
+    interior ⟺ 0 < num/den < 1 checked on the integers, one nonneg
+    floor each when interior (the fraction is then in (0,1) so
+    |num| ≤ |den| and no sign-split is needed); non-interior games
+    report 0/0 with mixed_interior = False.  The classic trio is
+    pinned in the tests: matching pennies (0 pure, p = q = 1/2
+    exact), prisoner's dilemma (1 pure, no interior mixed), battle
+    of the sexes (2 pure + p = 2/3, q = 1/3) — and their
+    equilibrium counts 1/1/3 are all ODD (Wilson 1971, generic
+    games).  One row per cell, globals repeated (the kruskal
+    row-shape convention)."""
+    def pure(i, j):
+        return (A[i][j] >= A[1 - i][j]) and (B[i][j] >= B[i][1 - j])
+
+    dB = B[0][0] - B[0][1] - B[1][0] + B[1][1]
+    num_p = B[1][1] - B[1][0]
+    dA = A[0][0] - A[1][0] - A[0][1] + A[1][1]
+    num_q = A[1][1] - A[0][1]
+
+    def interior(num, den):
+        return (den > 0 and 0 < num < den) \
+            or (den < 0 and den < num < 0)
+
+    ok = interior(num_p, dB) and interior(num_q, dA)
+    p = 1_000_000 * abs(num_p) // abs(dB) if ok else 0
+    q = 1_000_000 * abs(num_q) // abs(dA) if ok else 0
+    n_pure = sum(pure(i, j) for i in (0, 1) for j in (0, 1))
+    rows = [{"row_action": i, "col_action": j,
+             "a_pay": A[i][j], "b_pay": B[i][j],
+             "is_pure_ne": pure(i, j), "n_pure_ne": n_pure,
+             "p_mixed_ppm": p, "q_mixed_ppm": q,
+             "mixed_interior": ok}
+            for i in (0, 1) for j in (0, 1)]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c not in ("is_pure_ne", "mixed_interior"):
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def zerosum_value_int(A: list) -> pd.DataFrame:
+    """Value of a 2×2 zero-sum game — von Neumann's minimax, the
+    third leg of the game-theory suite (cooperative → mechanism →
+    non-cooperative → ZERO-SUM).  ``A``: 2×2 integer payoffs to
+    the row player.
+
+    maximin = max_i min_j A[i][j]; minimax = min_j max_i A[i][j];
+    maximin ≤ minimax ALWAYS, with equality ⟺ a saddle point
+    (pure value, zero flooring).  Without a saddle the mixed value
+    is the EXACT rational
+
+        v = (A00·A11 − A01·A10) / D,   D = A00 + A11 − A01 − A10
+        p = (A11 − A10)/D,  q = (A11 − A01)/D
+
+    (D ≠ 0 whenever no saddle exists), reported as ONE sign-split
+    milli floor — v can be negative, p/q are interior so nonneg
+    floors suffice — and the minimax theorem maximin ≤ v ≤ minimax
+    is pinned.  Saddle games report the pure value exactly
+    (value_milli = 1000·maximin) with p/q degenerate at the
+    saddle's row/column (ties → action 0)."""
+    mins = [min(A[i]) for i in (0, 1)]
+    maxs = [max(A[0][j], A[1][j]) for j in (0, 1)]
+    maximin, minimax = max(mins), min(maxs)
+    saddle = maximin == minimax
+    if saddle:
+        v_milli = 1000 * maximin
+        p = 1_000_000 if mins[0] == maximin else 0
+        q = 1_000_000 if maxs[0] == minimax else 0
+    else:
+        D = A[0][0] + A[1][1] - A[0][1] - A[1][0]
+        v_milli = _ss_scaled(A[0][0] * A[1][1] - A[0][1] * A[1][0],
+                             D, 1000)
+        p = _ss_scaled(A[1][1] - A[1][0], D, 1_000_000)
+        q = _ss_scaled(A[1][1] - A[0][1], D, 1_000_000)
+    out = pd.DataFrame([{
+        "a00": A[0][0], "a01": A[0][1],
+        "a10": A[1][0], "a11": A[1][1],
+        "maximin_milli": 1000 * maximin,
+        "minimax_milli": 1000 * minimax,
+        "has_saddle": saddle, "value_milli": v_milli,
+        "p_row_ppm": p, "q_col_ppm": q}])
+    for c in out.columns:
+        if c != "has_saddle":
+            out[c] = out[c].astype("int64")
+    return out
