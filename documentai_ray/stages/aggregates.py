@@ -2543,3 +2543,84 @@ def zerosum_value_int(A: list) -> pd.DataFrame:
         if c != "has_saddle":
             out[c] = out[c].astype("int64")
     return out
+
+
+def system_reliability_int(rel: list) -> pd.DataFrame:
+    """Series / parallel system reliability — RELIABILITY
+    ENGINEERING as exact HUGEINT-style products with ONE final
+    floor each.  ``rel``: (name, r_ppm) component reliabilities.
+
+        series   = Π r_i            // 10⁶⁽ⁿ⁻¹⁾
+        parallel = (10⁶ⁿ − Π f_i)   // 10⁶⁽ⁿ⁻¹⁾,   f_i = 10⁶ − r_i
+
+    The parallel form uses the COMPLEMENT-NUMERATOR (not
+    10⁶ − Πf//10⁶⁽ⁿ⁻¹⁾, which can differ by 1 ppm when the product
+    has flooring residue) precisely so the k-of-n bridge identities
+    in ``koon_reliability_int`` are EXACT: 1-of-n == parallel and
+    n-of-n == series, same flooring, bit for bit.  Weakest-link law
+    pinned: series ≤ min r_i (a chain is its weakest link);
+    dually parallel ≥ max r_i.  Two fair coins read 250000 /
+    750000 exactly.  Envelope: Π ≤ 10⁶ⁿ = 10³⁰ at n = 5 — Python
+    ints are unbounded, the SQL mirror's HUGEINT holds to n ≤ 6."""
+    comps = sorted(rel)
+    n = len(comps)
+    scale = 10 ** (6 * (n - 1))
+    pr = pf = 1
+    for _, r in comps:
+        pr *= r
+        pf *= 10**6 - r
+    series = pr // scale
+    parallel = (10 ** (6 * n) - pf) // scale
+    rmin = min(r for _, r in comps)
+    rows = [{"component": name, "r_ppm": r, "f_ppm": 10**6 - r,
+             "series_ppm": series, "parallel_ppm": parallel,
+             "is_weakest": r == rmin}
+            for name, r in comps]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c not in ("component", "is_weakest"):
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def koon_reliability_int(rel: list) -> pd.DataFrame:
+    """k-out-of-n system reliability for EVERY k = 1..n — the
+    redundancy family's full ladder, exhaustive over 2ⁿ component
+    states (the banzhaf bitmask discipline: n is the HANDFUL of
+    event types, 2⁵ = 32 states, never rows):
+
+        R(k) = Σ_{|S| ≥ k}  Π_{i∈S} r_i · Π_{i∉S} f_i  // 10⁶⁽ⁿ⁻¹⁾
+
+    ONE floor per k, on the exact subset-sum numerator.  The ladder
+    BRIDGES the two classical compositions exactly — R(1) ==
+    parallel and R(n) == series of ``system_reliability_int``, same
+    flooring (the reason that kernel's parallel uses the
+    complement-numerator form) — and is monotone non-increasing in
+    k (demanding more working components never helps).  Textbook
+    pins: majority-of-three fair coins reads EXACTLY 500000;
+    triple-modular-redundancy at r = 0.9 reads EXACTLY 972000
+    (3·0.81·0.1 + 0.729 — the canonical TMR improvement).
+    Envelope: Σ over 2ⁿ masks of products ≤ 2ⁿ·10⁶ⁿ ≈ 3·10³¹ at
+    n = 5 — HUGEINT-safe in the mirror to n ≤ 6."""
+    comps = sorted(rel)
+    n = len(comps)
+    scale = 10 ** (6 * (n - 1))
+    sums = [0] * (n + 1)  # sums[b] = Σ products over masks of b bits
+    for mask in range(1 << n):
+        prod, bits = 1, 0
+        for idx, (_, r) in enumerate(comps):
+            if (mask >> idx) & 1:
+                prod *= r
+                bits += 1
+            else:
+                prod *= 10**6 - r
+        sums[bits] += prod
+    rows = []
+    for k in range(1, n + 1):
+        num = sum(sums[k:])
+        rows.append({"k": k, "n_components": n,
+                     "r_koon_ppm": num // scale})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
