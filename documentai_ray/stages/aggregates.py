@@ -2624,3 +2624,80 @@ def koon_reliability_int(rel: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def luhn_sum_int(num: int, shift: int = 0) -> int:
+    """Luhn mod-10 weighted digit sum (ISO/IEC 7812) — exact
+    integers.  Digit at position i from the RIGHT is doubled when
+    (i + shift) is odd, with the classic subtract-9 fold back to a
+    single digit.  ``shift=0`` scores a number as-is; ``shift=1``
+    scores it as the PREFIX of a number about to receive a check
+    digit (appending shifts every digit one position left)."""
+    s, i = 0, 0
+    n = int(num)
+    while n > 0:
+        d = n % 10
+        if (i + shift) % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+        n //= 10
+        i += 1
+    return s
+
+
+def luhn_valid_int(num: int) -> bool:
+    """A number is Luhn-valid ⟺ its weighted digit sum ≡ 0 mod 10.
+    Detects EVERY single-digit substitution and every adjacent
+    transposition EXCEPT 09↔90 — the algorithm's one documented
+    blind spot, pinned in the tests."""
+    return luhn_sum_int(num) % 10 == 0
+
+
+def luhn_check_digit_int(num: int) -> int:
+    """The digit cd making 10·num + cd Luhn-valid:
+    (10 − S₁) mod 10 with S₁ the shift-1 sum (appending moves every
+    existing digit into the next parity class)."""
+    return (10 - luhn_sum_int(num, shift=1) % 10) % 10
+
+
+#: Hamming(7,4) layout: positions 1..7 = p1 p2 d3 p4 d2 d1 d0,
+#: parity bits at the powers of two, each covering the positions
+#: whose index has that bit set.  Shared with the SQL mirror.
+def hamming74_int(nibble: int, err_pos: int,
+                  err_pos2: int = 0) -> dict:
+    """Hamming(7,4) encode → single-bit corrupt → syndrome decode,
+    exact integers (CODING THEORY: the 1950 single-error-correcting
+    code).  ``nibble`` ∈ 0..15 (d3 d2 d1 d0), ``err_pos`` ∈ 0..7
+    (0 = clean channel, 1..7 = flip that codeword position).
+
+    Parities (even): p1 = d3⊕d2⊕d0, p2 = d3⊕d1⊕d0,
+    p4 = d2⊕d1⊕d0.  The syndrome s = s4s2s1 recomputed from the
+    received word IS the error position in binary — Hamming's
+    defining trick — so every single-bit error is corrected and
+    decode returns the original nibble EXACTLY (exhaustive 16×8
+    pin in the tests).  A DOUBLE error mis-corrects (syndrome
+    points at the XOR of the two positions) — the SEC code's
+    documented failure mode, also pinned."""
+    d0, d1 = nibble & 1, (nibble >> 1) & 1
+    d2, d3 = (nibble >> 2) & 1, (nibble >> 3) & 1
+    p1 = d3 ^ d2 ^ d0
+    p2 = d3 ^ d1 ^ d0
+    p4 = d2 ^ d1 ^ d0
+    bits = {1: p1, 2: p2, 3: d3, 4: p4, 5: d2, 6: d1, 7: d0}
+    recv = dict(bits)
+    if err_pos:
+        recv[err_pos] ^= 1
+    if err_pos2:
+        recv[err_pos2] ^= 1
+    s1 = recv[1] ^ recv[3] ^ recv[5] ^ recv[7]
+    s2 = recv[2] ^ recv[3] ^ recv[6] ^ recv[7]
+    s4 = recv[4] ^ recv[5] ^ recv[6] ^ recv[7]
+    syndrome = 4 * s4 + 2 * s2 + s1
+    if syndrome:
+        recv[syndrome] ^= 1
+    decoded = 8 * recv[3] + 4 * recv[5] + 2 * recv[6] + recv[7]
+    codeword = sum(bits[p] << (7 - p) for p in range(1, 8))
+    return {"codeword": codeword, "syndrome": syndrome,
+            "decoded": decoded}
