@@ -2701,3 +2701,81 @@ def hamming74_int(nibble: int, err_pos: int,
     codeword = sum(bits[p] << (7 - p) for p in range(1, 8))
     return {"codeword": codeword, "syndrome": syndrome,
             "decoded": decoded}
+
+
+def sir_epidemic_int(beta_ppm: int, gamma_ppm: int, i0_ppm: int,
+                     steps: int = 24) -> pd.DataFrame:
+    """Discrete Kermack-McKendrick SIR epidemic (1927) on a ppm
+    population — POPULATION DYNAMICS as an exact chained integer
+    fold (the km_survival / erlang_blocking sequential discipline:
+    fixed, data-INdependent length, so a recursive SQL mirror is
+    honest).  Per step, with S, I, R in ppm of the population:
+
+        new_inf = beta * S * I // 1e12     (one floor)
+        recov   = gamma * I // 1e6         (one floor)
+        S' = S - new_inf;  I' = I + new_inf - recov;  R' = R + recov
+
+    Both updates are TRANSFERS, so S + I + R == 1e6 EXACTLY at every
+    step — conservation is bit-exact by construction, not
+    approximate (pinned).  new_inf <= S (since beta*I <= 1e12) and
+    recov <= I, so every compartment stays nonneg with no clamp.
+    Max product beta*S*I <= 1e18 < int64 max; the mirror still casts
+    HUGEINT for headroom.  Classical structure pinned in tests:
+    geometric decay at beta = 0 (chain replay of floors), epidemic
+    threshold (I monotone DOWN when beta*S0 < gamma*1e6, i.e.
+    R_eff < 1), epidemic peak-and-decline above threshold, S
+    non-increasing / R non-decreasing always."""
+    s, i, r = 1_000_000 - i0_ppm, i0_ppm, 0
+    rows = [(0, s, i, r)]
+    for t in range(1, steps + 1):
+        new_inf = beta_ppm * s * i // 1_000_000_000_000
+        recov = gamma_ppm * i // 1_000_000
+        s -= new_inf
+        i += new_inf - recov
+        r += recov
+        rows.append((t, s, i, r))
+    out = pd.DataFrame(rows, columns=["t", "s_ppm", "i_ppm",
+                                      "r_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lotka_volterra_int(a_ppm: int, b_ppm: int, c_ppm: int,
+                       d_ppm: int, x0_ppm: int, y0_ppm: int,
+                       steps: int = 24) -> pd.DataFrame:
+    """Discrete Lotka-Volterra predator-prey dynamics (1925/26) —
+    the two-species companion of the SIR fold.  Per step, prey x
+    and predator y in ppm:
+
+        growth     = a * x // 1e6          (one floor)
+        predation  = b * x * y // 1e12     (one floor)
+        starvation = c * y // 1e6          (one floor)
+        conversion = d * x * y // 1e12     (one floor)
+        x' = max(0, x + growth - predation)
+        y' = max(0, y - starvation + conversion)
+
+    The explicit max(0, .) clamp is the discrete-Euler honesty tax
+    (a big step can overshoot through zero — extinction absorbs,
+    pinned); mirrored as greatest(0, .).  The interior equilibrium
+    survives the integer arithmetic exactly when it is
+    representable: with a = b, c = d and x = y = 1e6, growth ==
+    predation and starvation == conversion term by term, so the
+    fixed point is EXACT and eternal (pinned).  Decoupled pins at
+    b = d = 0: prey grows by floored geometric steps, predator
+    decays likewise — both chains replayed floor-for-floor in the
+    tests."""
+    x, y = x0_ppm, y0_ppm
+    rows = [(0, x, y)]
+    for t in range(1, steps + 1):
+        growth = a_ppm * x // 1_000_000
+        predation = b_ppm * x * y // 1_000_000_000_000
+        starvation = c_ppm * y // 1_000_000
+        conversion = d_ppm * x * y // 1_000_000_000_000
+        x = max(0, x + growth - predation)
+        y = max(0, y - starvation + conversion)
+        rows.append((t, x, y))
+    out = pd.DataFrame(rows, columns=["t", "prey_ppm", "pred_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
