@@ -2779,3 +2779,93 @@ def lotka_volterra_int(a_ppm: int, b_ppm: int, c_ppm: int,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def johnson_flowshop_int(jobs: list) -> pd.DataFrame:
+    """Johnson's rule for the 2-machine flowshop (1954) — the
+    makespan-optimal sequencing theorem, exact integers.  ``jobs``
+    is [(name, p1, p2), ...]; Johnson's order runs jobs with
+    p1 < p2 FIRST ascending p1, then jobs with p1 >= p2 descending
+    p2 (ties by name) — provably minimizing C_max, pinned by brute
+    force over all n! orders in the tests.  Completion times are
+    the classic recurrences C1_i = C1_{i-1} + p1_i and
+    C2_i = max(C2_{i-1}, C1_i) + p2_i; a SQL mirror avoids the fold
+    via the prefix/suffix closed form
+    C2_j = max_{i<=j}(sum_{k<=i} p1_k + sum_{i<=k<=j} p2_k) —
+    algebraically identical (both sides integer, zero floors).
+    The alphabetical (FIFO) makespan rides along; Johnson <= FIFO
+    by the optimality theorem."""
+    def key(j):
+        name, p1, p2 = j
+        return (0, p1, name) if p1 < p2 else (1, -p2, name)
+
+    seq = sorted(jobs, key=key)
+
+    def fold(order):
+        c1 = c2 = 0
+        rows = []
+        for name, p1, p2 in order:
+            c1 += p1
+            c2 = max(c2, c1) + p2
+            rows.append((name, p1, p2, c1, c2))
+        return rows
+
+    rows = fold(seq)
+    makespan = rows[-1][4]
+    fifo = fold(sorted(jobs, key=lambda j: j[0]))[-1][4]
+    out = pd.DataFrame(
+        [(i + 1, *r, makespan, fifo)
+         for i, r in enumerate(rows)],
+        columns=["pos", "job", "p1", "p2", "c1", "c2",
+                 "makespan", "fifo_makespan"])
+    for c in out.columns:
+        if c != "job":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+#: Fixed 5-task CPM activity network over the alphabetically-ordered
+#: task names (A=1st..E=5th): edges A->C, B->C, A->D, C->E, D->E.
+#: Shared with the SQL mirror; the four source-to-sink paths are
+#: A-C-E, B-C-E, A-D-E and (B has only the C route).
+CPM_EDGES = [(0, 2), (1, 2), (0, 3), (2, 4), (3, 4)]
+
+
+def critical_path_int(tasks: list, durations: list) -> pd.DataFrame:
+    """Critical Path Method (Kelley-Walker 1959) on the fixed 5-task
+    network ``CPM_EDGES`` — PROJECT SCHEDULING, exact integers:
+    forward pass ES_j = max over predecessors (ES_i + d_i) (longest
+    path — dag_layers counts depth, CPM weighs it), project duration
+    T = max over sinks of ES + d, backward pass LS_i = min over
+    successors LS_j − d_i (sinks: T − d), slack = LS − ES.  The
+    classical theorems pinned: slack >= 0 everywhere, the zero-slack
+    tasks form a source-to-sink chain realizing T (at least one
+    critical path ALWAYS exists), and T equals the explicit max over
+    the enumerated path sums.  Zero floors — pure max/min/plus
+    algebra both engines replay exactly."""
+    n = len(tasks)
+    preds = [[i for i, j in CPM_EDGES if j == k] for k in range(n)]
+    succs = [[j for i, j in CPM_EDGES if i == k] for k in range(n)]
+    es = [0] * n
+    for k in range(n):  # tasks are topologically ordered
+        if preds[k]:
+            es[k] = max(es[i] + durations[i] for i in preds[k])
+    total = max(es[k] + durations[k]
+                for k in range(n) if not succs[k])
+    ls = [0] * n
+    for k in range(n - 1, -1, -1):
+        if succs[k]:
+            ls[k] = min(ls[j] for j in succs[k]) - durations[k]
+        else:
+            ls[k] = total - durations[k]
+    out = pd.DataFrame({
+        "task": tasks,
+        "duration": durations,
+        "es": es,
+        "ls": ls,
+        "slack": [ls[k] - es[k] for k in range(n)],
+        "critical": [ls[k] == es[k] for k in range(n)],
+        "project_duration": total})
+    for c in ("duration", "es", "ls", "slack", "project_duration"):
+        out[c] = out[c].astype("int64")
+    return out
