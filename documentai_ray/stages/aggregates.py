@@ -2869,3 +2869,62 @@ def critical_path_int(tasks: list, durations: list) -> pd.DataFrame:
     for c in ("duration", "es", "ls", "slack", "project_duration"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def pythagorean_wins_int(teams: list) -> pd.DataFrame:
+    """Bill James' Pythagorean expectation — SPORTS ANALYTICS,
+    exact rationals: a team scoring S and allowing A is expected to
+    win S² / (S² + A²) of its games (exponent 2, the classical
+    form).  ``teams`` is [(name, scored, allowed), ...] in integer
+    cents; pyth_ppm and actual share cost ONE floor each.  The
+    family's identities pinned in tests: S == A reads exactly
+    500000, A == 0 reads exactly 10⁶, the estimate is SCALE
+    INVARIANT (doubling both S and A multiplies numerator and
+    denominator by exactly 4, so even the floor residue is
+    unchanged), and the canonical 100-vs-50 instance reads exactly
+    800000.  Envelope: 10⁶·S² at S ~ 10¹² cents is ~10³⁰ — HUGEINT
+    in the mirror, documented there."""
+    rows = []
+    for name, s, a in teams:
+        denom = s * s + a * a
+        pyth = 1_000_000 * s * s // denom if denom else 500_000
+        actual = 1_000_000 * s // (s + a) if s + a else 500_000
+        rows.append((name, s, a, pyth, actual, pyth - actual))
+    out = pd.DataFrame(rows, columns=[
+        "team", "scored_cents", "allowed_cents", "pyth_ppm",
+        "actual_ppm", "luck_ppm"])
+    for c in out.columns:
+        if c != "team":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def log5_matchup_int(ratings: list) -> pd.DataFrame:
+    """Bill James' log5 rule == the Bradley-Terry pairwise model:
+    a p_a team beats a p_b team with probability
+    p_a(1-p_b) / (p_a(1-p_b) + p_b(1-p_a)).  ``ratings`` is
+    [(name, p_ppm), ...]; one floor per ordered pair (a < b by
+    name).  The model's defining identities pinned in tests:
+    p_a == p_b reads exactly 500000; against a league-average
+    opponent (p_b = 1/2) the matchup probability is p_a EXACTLY
+    (numerator p_a·5e5, denominator 5e5·10⁶ — zero floor residue);
+    the complement p_ab + p_ba ∈ {10⁶ - 1, 10⁶} (the two floor
+    remainders sum to 0 or the denominator — never more than 1 ppm
+    of drift); and p_a > p_b ⇒ p_ab > 500000 (monotone).  A doubly
+    degenerate pair (both 0 or both 10⁶) reads 500000 by the same
+    convention both engines share."""
+    rows = []
+    rs = sorted(ratings)
+    for i in range(len(rs)):
+        for j in range(i + 1, len(rs)):
+            (na, pa), (nb, pb) = rs[i], rs[j]
+            num = pa * (1_000_000 - pb)
+            den = num + pb * (1_000_000 - pa)
+            p = 1_000_000 * num // den if den else 500_000
+            rows.append((na, nb, pa, pb, p))
+    out = pd.DataFrame(rows, columns=[
+        "team_a", "team_b", "p_a_ppm", "p_b_ppm", "log5_ppm"])
+    for c in out.columns:
+        if c not in ("team_a", "team_b"):
+            out[c] = out[c].astype("int64")
+    return out
