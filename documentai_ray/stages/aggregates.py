@@ -2928,3 +2928,85 @@ def log5_matchup_int(ratings: list) -> pd.DataFrame:
         if c not in ("team_a", "team_b"):
             out[c] = out[c].astype("int64")
     return out
+
+
+def _ballot_ranks(cell: pd.DataFrame, voter_col: str, cand_col: str,
+                  n_col: str) -> tuple:
+    """Strict complete per-voter rankings from a (voter, cand, n)
+    census: missing cells count 0, order by (n desc, name asc) — a
+    deterministic tie-break BOTH engines share (copeland_int
+    abstains on ties instead; Borda/IRV need strict ballots).
+    Returns (pivot DataFrame voters x candidates, candidate
+    list)."""
+    cands = sorted(cell[cand_col].unique())
+    pivot = (cell.pivot_table(index=voter_col, columns=cand_col,
+                              values=n_col, aggfunc="sum",
+                              fill_value=0)
+             .reindex(columns=cands, fill_value=0))
+    return pivot, cands
+
+
+def borda_int(cell: pd.DataFrame, *, voter_col: str, cand_col: str,
+              n_col: str) -> pd.DataFrame:
+    """Borda count (1770) over strict ballots: rank r (1 = first)
+    earns k − r points, summed across voters; plurality (first-
+    place) tallies ride along because the two rules famously
+    DISAGREE (pinned on the canonical divergence profile).  The
+    classical guarantee pinned beside it: a Condorcet winner is
+    NEVER Borda-last.  Zero floors — pure integer point sums."""
+    pivot, cands = _ballot_ranks(cell, voter_col, cand_col, n_col)
+    k = len(cands)
+    points = {c: 0 for c in cands}
+    firsts = {c: 0 for c in cands}
+    for _, row in pivot.iterrows():
+        order = sorted(cands, key=lambda c: (-row[c], c))
+        for r, c in enumerate(order):
+            points[c] += k - 1 - r
+        firsts[order[0]] += 1
+    out = pd.DataFrame({
+        "candidate": cands,
+        "borda_points": [points[c] for c in cands],
+        "plurality_votes": [firsts[c] for c in cands]})
+    out = out.sort_values(["borda_points", "candidate"],
+                          ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["borda_rank"] = range(1, len(out) + 1)
+    for c in out.columns:
+        if c != "candidate":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def irv_int(cell: pd.DataFrame, *, voter_col: str, cand_col: str,
+            n_col: str) -> pd.DataFrame:
+    """Instant-runoff voting over the same strict ballots: each
+    round tallies first choices among the REMAINING candidates,
+    eliminates the minimum (ties by name asc), and repeats — k − 1
+    rounds, then the survivor's final (unanimous-by-construction)
+    tally.  The elimination order is data-dependent but the round
+    COUNT is k − 1, fixed by the candidate census — so a SQL mirror
+    of chained per-round CTEs is honest.  IRV's canonical
+    pathologies are pinned in tests: it defeats a Condorcet winner
+    on Condorcet's own profile, and the textbook monotonicity
+    violation (ranking a candidate HIGHER makes them lose) is
+    exhibited verbatim.  Zero floors."""
+    pivot, cands = _ballot_ranks(cell, voter_col, cand_col, n_col)
+    remaining = list(cands)
+    rows = []
+    rnd = 1
+    while len(remaining) > 1:
+        tally = {c: 0 for c in remaining}
+        for _, row in pivot.iterrows():
+            first = min(remaining, key=lambda c: (-row[c], c))
+            tally[first] += 1
+        out_c = min(remaining, key=lambda c: (tally[c], c))
+        rows.append((rnd, out_c, tally[out_c], False))
+        remaining.remove(out_c)
+        rnd += 1
+    winner = remaining[0]
+    rows.append((rnd, winner, len(pivot), True))
+    out = pd.DataFrame(rows, columns=["round", "candidate",
+                                      "votes", "is_winner"])
+    for c in ("round", "votes"):
+        out[c] = out[c].astype("int64")
+    return out
