@@ -3010,3 +3010,81 @@ def irv_int(cell: pd.DataFrame, *, voter_col: str, cand_col: str,
     for c in ("round", "votes"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def erlang_c_int(a_micro: int, servers: int = 10) -> pd.DataFrame:
+    """Erlang-C delay probability — the DELAY system completing
+    erlang_b_int's LOSS system: blocked callers WAIT instead of
+    vanishing, and the probability of waiting is
+
+        C_c = c·B_c / (c − a·(1 − B_c))        (c > a, else certain)
+
+    computed as exact chained floors on top of the replayed B
+    chain: denom_micro = c·10⁶ − a·(10⁶ − B_ppm) // 10⁶ (1 floor),
+    C_ppm = c·10⁶·B_ppm // denom_micro (1 floor), clamped to 10⁶
+    for unstable c·10⁶ ≤ a (a queue slower than its arrivals waits
+    with certainty).  avg_wait_milli_s = 3000·C_ppm //
+    (c·10⁶ − a_micro) for stable rows (3 s hold time — the same
+    constant the census uses), 0-clamped otherwise.  The classical
+    structure pinned in tests: C ≥ B ALWAYS (a delayed call is at
+    least as likely as a lost one — the loss/delay inequality),
+    the single-server M/M/1 identity P(wait) = ρ holding within
+    ≤ 2 ppm floor drift for stable loads (a = 1 erlang is the
+    unstable BOUNDARY and clamps instead — the pin lives at
+    a < 1), monotone non-increasing in c, and the unstable
+    clamp."""
+    base = erlang_b_int(a_micro, servers)
+    A = int(a_micro)
+    rows = []
+    for _, r in base.iterrows():
+        c, b = int(r["servers"]), int(r["blocking_ppm"])
+        if c * 10**6 <= A:
+            cw, wait = 10**6, 0
+        else:
+            denom = c * 10**6 - A * (10**6 - b) // 10**6
+            cw = min(10**6, c * 10**6 * b // denom)
+            wait = 3000 * cw // (c * 10**6 - A)
+        rows.append({"servers": c, "a_micro": A,
+                     "blocking_ppm": b, "wait_prob_ppm": cw,
+                     "avg_wait_milli_s": wait,
+                     "stable": c * 10**6 > A})
+    out = pd.DataFrame(rows)
+    for c in ("servers", "a_micro", "blocking_ppm",
+              "wait_prob_ppm", "avg_wait_milli_s"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def mm1_metrics_int(rho_ppm: int) -> pd.DataFrame:
+    """M/M/1 queue closed forms (3 s service) — the single-server
+    laws every queueing course opens with, exact rationals of the
+    utilization ρ:
+
+        l_milli      = 1000·ρ // (10⁶ − ρ)          (L = ρ/(1−ρ))
+        lq_milli     = 1000·ρ² // (10⁶·(10⁶ − ρ))   (Lq = ρ²/(1−ρ))
+        w_milli_s    = 3·10⁹ // (10⁶ − ρ)           (W = h/(1−ρ))
+        wq_milli_s   = 3000·ρ // (10⁶ − ρ)          (Wq = ρh/(1−ρ))
+        p_gt10_ppm   = ρ¹¹ as 10 chained ppm floors (P(N > 10))
+
+    one floor each (the power chain one per step).  ρ = 1/2 is the
+    dyadic textbook row — L = 1.000, Lq = 0.500, W = 6.000 s,
+    Wq = 3.000 s, EXACT (pinned); W = Wq + 3000 exactly whenever
+    (10⁶ − ρ) | residues cancel — pinned as W − Wq == 3000 for the
+    dyadic case and W ≥ Wq + 2999 generally (floor drift ≤ 1).
+    ρ ≥ 10⁶ raises — an unstable M/M/1 has no stationary law."""
+    r = int(rho_ppm)
+    if r >= 10**6:
+        raise ValueError("unstable: rho >= 1")
+    p = r
+    for _ in range(10):
+        p = p * r // 10**6
+    out = pd.DataFrame([{
+        "rho_ppm": r,
+        "l_milli": 1000 * r // (10**6 - r),
+        "lq_milli": 1000 * r * r // (10**6 * (10**6 - r)),
+        "w_milli_s": 3 * 10**9 // (10**6 - r),
+        "wq_milli_s": 3000 * r // (10**6 - r),
+        "p_gt10_ppm": p}])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
