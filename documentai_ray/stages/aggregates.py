@@ -3088,3 +3088,120 @@ def mm1_metrics_int(rho_ppm: int) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _anova_floors(groups: list) -> tuple:
+    """Shared one-way ANOVA integer fold over per-group moment
+    triples [(n_i, S_i, Q_i)] (count, sum, sum-of-squares in integer
+    units).  The sums-of-squares clear to integers with ONE floor per
+    group plus one grand floor (the cross-engine contract — DuckDB
+    mirrors the same ``//``):
+
+        SSW = Q − Σ_i (S_i² // n_i)        (k floors)
+        SST = Q − S² // N                  (1 floor)
+        SSB = max(0, SST − SSW)
+
+    True SSB ≥ 0 always (the variance decomposition), but the k
+    per-group floor losses can push the floored difference a hair
+    below zero near SSB = 0 — hence the clamp (the kruskal_wallis_int
+    lesson).  F = (SSB/(k−1)) / (SSW/(N−k)) lands as ONE more floor
+    at milli; the degenerate SSW == 0 reports the certainty cap 10⁹
+    when SSB > 0 (groups are distinct constants — infinite F) and 0
+    when SSB == 0 too (every value identical).  eta² = SSB/SST at
+    ppm, one floor.  Envelope: 1000·SSB·N ≲ 1000·N²·c²_max ~ 4·10³⁵
+    at N = 10¹², c = 2·10⁴ cents — HUGEINT in the mirror.  Location
+    invariance is EXACT including floor residue: shifting every
+    value by d moves S_i to S_i + d·n_i, and (S_i + d·n_i)² // n_i
+    = S_i² // n_i + 2·d·S_i + d²·n_i exactly (the added terms are
+    divisible by n_i), so SSW/SST/SSB/F never move — pinned in
+    tests."""
+    k = len(groups)
+    nn = sum(n for n, _, _ in groups)
+    ss = sum(s for _, s, _ in groups)
+    qq = sum(q for _, _, q in groups)
+    sw = sum(s * s // n for n, s, _ in groups)
+    ssw = qq - sw
+    sst = qq - ss * ss // nn
+    ssb = sst - ssw
+    if ssb < 0:
+        ssb = 0
+    if ssw > 0 and k > 1:
+        f_milli = 1000 * ssb * (nn - k) // (ssw * (k - 1))
+    else:
+        f_milli = 1_000_000_000 if ssb > 0 else 0
+    eta2 = 1_000_000 * ssb // sst if sst > 0 else 0
+    return ssb, ssw, sst, f_milli, eta2
+
+
+def anova_oneway_int(moments: list) -> pd.DataFrame:
+    """One-way fixed-effects ANOVA (Fisher 1925) — the PARAMETRIC
+    variance-decomposition test the rank matrix (KW / Friedman /
+    Page / Cochran-Armitage) deliberately avoids: it partitions the
+    total sum of squares of the raw values (not ranks) into between-
+    group and within-group parts and compares their mean squares.
+    ``moments`` is [(name, n_i, S_i, Q_i)] in integer cents; the
+    whole fold is ``_anova_floors``'s k + 2 floors plus one
+    mean-cents floor per group.  Returns one row per group (n_grp,
+    sum_cents, mean_cents) with the scalar ssb_c2 / ssw_c2 / f_milli
+    / eta2_ppm repeated on every row (the kruskal_wallis_int output
+    shape)."""
+    ssb, ssw, _sst, f_milli, eta2 = _anova_floors(
+        [(n, s, q) for _, n, s, q in moments])
+    rows = [(name, n, s, s // n) for name, n, s, q in moments]
+    out = pd.DataFrame(rows, columns=[
+        "grp", "n_grp", "sum_cents", "mean_cents"])
+    out["ssb_c2"] = ssb
+    out["ssw_c2"] = ssw
+    out["f_milli"] = f_milli
+    out["eta2_ppm"] = eta2
+    for c in out.columns:
+        if c != "grp":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("grp").reset_index(drop=True)
+
+
+def brown_forsythe_int(hist: pd.DataFrame, *, grp_col: str,
+                       val_col: str, n_col: str = "n") -> pd.DataFrame:
+    """Brown-Forsythe test (1974) — Levene's dispersion test with
+    the MEDIAN center, the parametric-family companion ANOVA can't
+    replace: ANOVA asks whether group MEANS differ, Brown-Forsythe
+    runs the same F machinery on absolute deviations from each
+    group's median, asking whether group SPREADS differ (the classic
+    differential pair is pinned in tests: equal-mean unequal-spread
+    groups give ANOVA F ≈ 0 and BF F large).  Ties and even counts
+    stay integral with DOUBLED units: med2 = lo + hi (the two middle
+    order statistics; equal when n is odd), z = |2·value − med2| —
+    so z is exact and the fold is ``_anova_floors`` on the z
+    moments, zero extra flooring.  Works from the bounded
+    (group, value) → count histogram (the matching_att /
+    kruskal_wallis census discipline); the medians come from window
+    cumsums over that histogram, never from row order.  Location
+    invariance is EXACT (med2 shifts by 2d, every z unchanged).
+    Returns one row per group (n_grp, med2, sum_zdev) with
+    ssb_z2 / ssw_z2 / bf_milli repeated."""
+    rows = []
+    for grp, g in hist.groupby(grp_col):
+        g = g.sort_values(val_col)
+        ns = g[n_col].astype(int).to_numpy()
+        vs = g[val_col].astype(int).to_numpy()
+        nt = int(ns.sum())
+        cum = ns.cumsum()
+        lo = int(vs[int(np.searchsorted(cum, (nt + 1) // 2))])
+        hi = int(vs[int(np.searchsorted(cum, nt // 2 + 1))])
+        med2 = lo + hi
+        z = np.abs(2 * vs - med2)
+        sz = int((ns * z).sum())
+        qz = int((ns.astype(object) * (z.astype(object) ** 2)).sum())
+        rows.append((grp, nt, med2, sz, qz))
+    ssb, ssw, _sst, bf_milli, _eta2 = _anova_floors(
+        [(n, sz, qz) for _, n, _, sz, qz in rows])
+    out = pd.DataFrame(
+        [(g, n, m, sz) for g, n, m, sz, _ in rows],
+        columns=["grp", "n_grp", "med2_cents", "sum_zdev"])
+    out["ssb_z2"] = ssb
+    out["ssw_z2"] = ssw
+    out["bf_milli"] = bf_milli
+    for c in out.columns:
+        if c != "grp":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("grp").reset_index(drop=True)
