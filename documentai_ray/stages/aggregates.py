@@ -3205,3 +3205,100 @@ def brown_forsythe_int(hist: pd.DataFrame, *, grp_col: str,
         if c != "grp":
             out[c] = out[c].astype("int64")
     return out.sort_values("grp").reset_index(drop=True)
+
+
+def h_g_index_fold(df: pd.DataFrame) -> pd.DataFrame:
+    """BIBLIOMETRICS fold: Hirsch's h-index (2005), Egghe's g-index
+    (2006) and the i10 count per author, computed from the bounded
+    (author, citations) → count histogram — never from row order and
+    never by materializing one row per paper.  Level algebra (cit
+    levels t descending, within author): m(t) = Σ papers with cit ≥
+    t, S(t) = their citation sum.  h = max_t min(t, m(t)) — equal to
+    the classic "largest k with c_(k) ≥ k" because min(t, m(t)) = v
+    forces c_(v) ≥ v, and t = c_(h) realizes h.  g = largest g with
+    (top-g citation sum) ≥ g²: within a level's range the top-g sum
+    is S − (m − g)·t, so g_level = ⌊(t + √(t² + 4(S − t·m)))/2⌋
+    clamped to m; the discriminant is ≥ t² because S ≥ t·m, and the
+    float sqrt is integer-corrected by exact fixup passes.  The
+    formula is exact ONLY inside the level's own rank range
+    (m_prev, m] — below it the removed papers are worth ≥ t each, so
+    S − (m − g)·t OVERestimates and the candidate must be DISCARDED
+    (every g lands in exactly one level's range, where it is scored
+    exactly, so the max over in-range candidates is the true g —
+    the off-by-one this guard fixes was caught by the cross-check
+    oracle on real data).  The
+    theorem g ≥ h (Egghe) and the zero-cited-paper law (h fixed, g
+    non-decreasing) are pinned in tests against a brute-force
+    ranked-cumsum oracle — the SQL mirror deliberately uses THAT
+    other algorithm (row_number + cumsum windows), making the query
+    a first-principles cross-check rather than a mirror of itself."""
+    df = df.sort_values(["author", "cit"],
+                        ascending=[True, False]).reset_index(drop=True)
+    df["w"] = df["cit"] * df["n"]
+    grp = df.groupby("author", sort=False)
+    m = grp["n"].cumsum().to_numpy()
+    cit = df["cit"].to_numpy()
+    n = df["n"].to_numpy()
+    s = (grp[["w"]].cumsum()["w"]).to_numpy()
+    a = s - cit * m
+    disc = cit * cit + 4 * a
+    r = np.floor(np.sqrt(disc.astype("float64"))).astype("int64")
+    for _ in range(3):   # exact integer correction of the float root
+        over = r * r > disc
+        under = (r + 1) * (r + 1) <= disc
+        if not (over.any() or under.any()):
+            break
+        r = np.where(over, r - 1, np.where(under, r + 1, r))
+    assert not ((r * r > disc) | ((r + 1) * (r + 1) <= disc)).any()
+    h_cand = np.minimum(cit, m)
+    g_cand = np.minimum((cit + r) // 2, m)
+    g_cand = np.where(g_cand > m - n, g_cand, 0)
+    out = pd.DataFrame({
+        "author": df["author"],
+        "_h": h_cand, "_g": g_cand,
+        "_n": n, "_w": df["w"],
+        "_i10": np.where(cit >= 10, n, 0)})
+    agg = out.groupby("author", as_index=False).agg(
+        n_papers=("_n", "sum"), total_cits=("_w", "sum"),
+        h_index=("_h", "max"), g_index=("_g", "max"),
+        i10=("_i10", "sum"))
+    for c in agg.columns:
+        if c != "author":
+            agg[c] = agg[c].astype("int64")
+    return agg
+
+
+def acceptance_sampling_int(p_rows: list, *, n: int = 10, c: int = 2,
+                            lot: int = 1000) -> pd.DataFrame:
+    """Dodge-Romig single-sampling acceptance plan — STATISTICAL
+    QUALITY CONTROL's lot-disposition face, which the control-chart
+    suite (cusum_alarms, xmr_alarms) doesn't cover: inspect n items
+    from the lot, accept iff defects ≤ c.  At lot quality p (milli),
+    P(accept) = Σ_{d≤c} C(n,d) p^d q^(n−d) / 1000^n — EXACT integer
+    binomials (math.comb, q = 1000 − p), one ppm floor per row;
+    1000^10 = 10³⁰ and the largest term ≤ 45·10³⁰ sit inside
+    HUGEINT (~1.7·10³⁸) with room, which is why the contract fixes
+    per-MILLE quality and n = 10 (ppm quality at n = 10 would need
+    10⁶⁰).  AOQ = p·Pa (the rectifying-inspection outgoing quality,
+    one floor) and ATI = n + (1 − Pa)(N − n) at N = ``lot`` (one
+    floor) ride along.  ``p_rows`` is [(p_milli, is_observed)].
+    The OC curve's laws pinned in tests: Pa(0) = 10⁶ EXACTLY,
+    strictly decreasing in p, and the dyadic p = 1/2 row reads
+    exactly ⌊56·10⁶/1024⌋ = 54687 ppm (the three binomial terms
+    collapse to (1+10+45)/2¹⁰).  Mirror: the same three explicit
+    product terms per row under HUGEINT."""
+    import math
+    rows = []
+    for p, obs in p_rows:
+        q = 1000 - p
+        num = sum(math.comb(n, d) * p ** d * q ** (n - d)
+                  for d in range(c + 1))
+        pa = 1_000_000 * num // 1000 ** n
+        aoq = p * pa // 1000
+        ati = 1000 * n + (lot - n) * (1_000_000 - pa) // 1000
+        rows.append((p, bool(obs), pa, aoq, ati))
+    out = pd.DataFrame(rows, columns=[
+        "p_milli", "is_observed", "pa_ppm", "aoq_ppm", "ati_milli"])
+    for col in ("p_milli", "pa_ppm", "aoq_ppm", "ati_milli"):
+        out[col] = out[col].astype("int64")
+    return out
