@@ -3302,3 +3302,102 @@ def acceptance_sampling_int(p_rows: list, *, n: int = 10, c: int = 2,
     for col in ("p_milli", "pa_ppm", "aoq_ppm", "ati_milli"):
         out[col] = out[col].astype("int64")
     return out
+
+
+def loan_amortization_int(p_cents: int, *, i_ppm: int = 10_000,
+                          n: int = 12) -> pd.DataFrame:
+    """Level-payment loan amortization — CONSUMER FINANCE's founding
+    schedule, a family the surface lacked (chain_ladder reserves,
+    fifo_cogs costs inventory, but nothing prices money over time):
+    a principal P at monthly rate i for n months pays the annuity
+    A = P·i·(1+i)ⁿ / ((1+i)ⁿ − 1), and the schedule splits each
+    payment into interest (on the running balance) and principal.
+    Integer contract: the accumulation factor f = (1+i)ⁿ is an
+    n-step ppm chain (one floor per step — the mm1/erlang chain
+    discipline), A = P·i·f // (10⁶·(f − 10⁶)) one more floor, each
+    month's interest = balance·i // 10⁶ one floor, and the LAST
+    payment settles the exact residual (balance + interest) so the
+    final balance is 0 EXACTLY and Σ principal == P exactly — the
+    two invariants pinned in tests, beside a Fraction cross-check
+    of A (the 12 chain floors cost ≤ 12 ppm of f, cents-scale
+    drift) and the zero-rate edge (A = P // n, remainder in the
+    last payment).  Mirror: the same two WITH RECURSIVE chains of
+    data-independent length (12 power steps, 12 schedule steps)."""
+    if i_ppm == 0:
+        rows = []
+        bal = p_cents
+        for m in range(1, n + 1):
+            princ = p_cents // n if m < n else bal
+            bal -= princ
+            rows.append((m, princ, 0, princ, bal))
+    else:
+        f = 1_000_000
+        for _ in range(n):
+            f = f * (1_000_000 + i_ppm) // 1_000_000
+        a = p_cents * i_ppm * f // (1_000_000 * (f - 1_000_000))
+        rows = []
+        bal = p_cents
+        for m in range(1, n + 1):
+            intr = bal * i_ppm // 1_000_000
+            if m < n:
+                pay, princ = a, a - intr
+            else:
+                pay, princ = bal + intr, bal
+            bal -= princ
+            rows.append((m, pay, intr, princ, bal))
+    out = pd.DataFrame(rows, columns=[
+        "month", "payment_cents", "interest_cents",
+        "principal_cents", "balance_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def nw_transport_int(supplies: list, demands: list) -> pd.DataFrame:
+    """Northwest-corner initial solution of the balanced
+    TRANSPORTATION PROBLEM — classical OR's tableau opener, a family
+    the surface lacked (optimal_assignment matches 1:1, waterfill
+    allocates a single budget; moving Σ supply across a supply ×
+    demand tableau is neither): walk from the NW cell, allocate
+    min(remaining supply, remaining demand), advance the exhausted
+    side (both on a tie — degenerate zero cells are skipped, so the
+    positive-cell set is convention-independent).  ``supplies`` and
+    ``demands`` are [(name, qty)] with EQUAL totals (asserted).
+    The fold has a CLOSED FORM the mirror uses instead — the
+    interval-overlap identity alloc(i,j) = max(0, min(CS_i, CD_j) −
+    max(CS_{i−1}, CD_{j−1})) on the cumulative totals — making the
+    query a two-algorithm cross-check (walk vs overlap), pinned
+    cell-for-cell on seeded draws in tests.  Unit cost is
+    |i − j| + 1 (tableau band distance); positive cells number at
+    most m + n − 1 (the basic-solution theorem, pinned).  Zero
+    floors anywhere.  Returns positive cells + the total cost
+    repeated on every row."""
+    assert sum(q for _, q in supplies) == sum(q for _, q in demands)
+    m, n = len(supplies), len(demands)
+    i = j = 0
+    s_rem = [int(q) for _, q in supplies]
+    d_rem = [int(q) for _, q in demands]
+    cells = []
+    while i < m and j < n:
+        a = min(s_rem[i], d_rem[j])
+        if a > 0:
+            cells.append((i, j, a))
+        s_rem[i] -= a
+        d_rem[j] -= a
+        if s_rem[i] == 0 and i < m - 1:
+            i += 1
+        elif d_rem[j] == 0:
+            j += 1
+        else:
+            i += 1  # last supply row, drain remaining demands
+    total = sum(a * (abs(i - j) + 1) for i, j, a in cells)
+    out = pd.DataFrame(
+        [(supplies[i][0], demands[j][0], i + 1, j + 1, a,
+          abs(i - j) + 1, a * (abs(i - j) + 1), total)
+         for i, j, a in cells],
+        columns=["src", "dst", "src_pos", "dst_pos", "alloc",
+                 "unit_cost", "cell_cost", "total_cost"])
+    for c in out.columns:
+        if c not in ("src", "dst"):
+            out[c] = out[c].astype("int64")
+    return out
