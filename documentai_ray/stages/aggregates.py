@@ -3401,3 +3401,82 @@ def nw_transport_int(supplies: list, demands: list) -> pd.DataFrame:
         if c not in ("src", "dst"):
             out[c] = out[c].astype("int64")
     return out
+
+
+def hardy_weinberg_int(n_dom: int, n_het: int, n_rec: int) -> pd.DataFrame:
+    """Hardy-Weinberg equilibrium test (1908) — POPULATION GENETICS,
+    a family the surface lacked: chi2_independence tests a 2-way
+    table, but HWE asks a one-sample question with an ESTIMATED null
+    (are genotype frequencies the p², 2pq, q² of their own allele
+    counts?) and owns two constants of its own.  Inputs are genotype
+    counts (dominant-homozygote, heterozygote, recessive); allele
+    counts n_A = 2·n_dom + n_het, n_a = 2·n_rec + n_het.  The χ²
+    uses the classical CLOSED FORM χ² = N·(4·n_dom·n_rec − n_het²)²
+    / (n_A²·n_a²) — pinned ALGEBRAICALLY equal to Σ(O−E)²/E by a
+    Fraction sweep in tests — as ONE milli floor; Wright's
+    inbreeding coefficient F = 1 − 2N·n_het/(n_A·n_a) as one more
+    (the divided term is non-negative, so floor == trunc — no
+    sign-split needed), with the identity χ² = N·F² checked at
+    Fraction exactness in tests.  The 5% flag cross-multiplies in
+    micro units: 10⁶·N·K² < 3841459·n_A²·n_a².  Monomorphic lots
+    (n_A or n_a = 0) report χ² = 0, F = 0, in-equilibrium by
+    convention — stated, not hidden.  Envelope: 1000·N·K² ≲
+    1.6·10⁴·N⁵ caps N at ~5·10⁶ subjects inside HUGEINT —
+    documented; the census is user-bounded."""
+    nn = n_dom + n_het + n_rec
+    n_a_ = 2 * n_dom + n_het
+    n_b = 2 * n_rec + n_het
+    if n_a_ == 0 or n_b == 0 or nn == 0:
+        chi2, f, ok = 0, 0, True
+        p = 1_000_000 if (n_a_ > 0) else 0
+    else:
+        k = 4 * n_dom * n_rec - n_het * n_het
+        chi2 = 1000 * nn * k * k // (n_a_ * n_a_ * n_b * n_b)
+        f = 1000 - 2000 * nn * n_het // (n_a_ * n_b)
+        ok = 1_000_000 * nn * k * k < 3_841_459 * n_a_ * n_a_ * n_b * n_b
+        p = 1_000_000 * n_a_ // (2 * nn)
+    out = pd.DataFrame([{
+        "n_subjects": nn, "n_dom": n_dom, "n_het": n_het,
+        "n_rec": n_rec, "p_ppm": p, "chi2_milli": chi2,
+        "f_milli": f, "hw_ok": bool(ok)}])
+    for c in out.columns:
+        if c != "hw_ok":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def portfolio_minvar_int(n: int, sx: int, sy: int, sxx: int,
+                         syy: int, sxy: int) -> pd.DataFrame:
+    """Two-asset minimum-variance portfolio (Markowitz 1952) —
+    PORTFOLIO THEORY's closed-form cornerstone, a family the surface
+    lacked (leadlag_beta regresses one series on another; choosing
+    the weight that minimizes combined variance is the allocation
+    question).  All second moments clear by n²: V_x = n·Σx² − (Σx)²,
+    V_y likewise, C = n·Σxy − Σx·Σy (exact integers), and the
+    optimal weight w* = (V_y − C)/(V_x + V_y − 2C) lands as ONE
+    sign-split ppm floor (the numerator CAN be negative — shorting
+    asset x — and the denominator is n²·Var(x−y) ≥ 0, zero iff
+    x − y is constant, which reports the 500000 convention).  The
+    portfolio variance at the floored weight, P = (w²V_x +
+    (10⁶−w)²V_y + 2w(10⁶−w)C) // 10¹², is non-negative for ANY
+    integer w because it is 10¹²·n²·σ²_p(w/10⁶) — a true variance —
+    so the floor never needs a sign split (stated, because the
+    cross term alone can be negative).  Theorems pinned in tests:
+    w = 500000 exactly for symmetric assets, w = V_y/(V_x+V_y) for
+    uncorrelated ones, P ≤ min(V_x, V_y) (diversification never
+    hurts at the minimum), and discrete optimality P(w) ≤ P(w ±
+    1000 ppm) on seeded draws.  Mirror: the same moments and floors
+    under HUGEINT."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    c = n * sxy - sx * sy
+    den = vx + vy - 2 * c
+    w = 500_000 if den == 0 else _ss_scaled(vy - c, den, 1_000_000)
+    port = (w * w * vx + (1_000_000 - w) * (1_000_000 - w) * vy
+            + 2 * w * (1_000_000 - w) * c) // 10 ** 12
+    out = pd.DataFrame([{
+        "n_hours": n, "var_x_n2": vx, "var_y_n2": vy,
+        "cov_xy_n2": c, "w_min_ppm": w, "port_var_n2": port}])
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
