@@ -3480,3 +3480,88 @@ def portfolio_minvar_int(n: int, sx: int, sy: int, sxx: int,
     for col in out.columns:
         out[col] = out[col].astype("int64")
     return out
+
+
+def naive_bayes_int(cells: pd.DataFrame, *, v_h: int = 24,
+                    v_v: int = 10) -> pd.DataFrame:
+    """Naive Bayes classification with EXACT integer scores —
+    GENERATIVE classification, a family the engine-side ML stage
+    (TF-IDF+LR actor pool) covers only approximately and no oracle
+    query covered at all: resubstitution-classify every (hour,
+    value-bucket) cell by the class maximizing prior × the two
+    Laplace-smoothed likelihoods.  ``cells`` is the bounded
+    (cls, h, v) → count census (≤ |classes|·24·10 cells — the whole
+    training set and test grid in ONE exchange; marginals are sums
+    over it).  The score contract is the FLOORED canonical integer
+    q = 10¹²·n_c·(n_ch+1)·(n_cv+1) // ((n_c+V_h)·(n_c+V_v)) — both
+    engines floor identically, so the argmax (ties by class name)
+    is deterministic cross-engine; with small-count data the
+    rational gap between distinct classes is ≥ 1/(den·den') and the
+    10¹² scale cannot flip it (pinned by a Fraction argmax sweep in
+    tests).  Envelope: 10¹²·n³ caps per-class counts at ~5·10⁸
+    inside HUGEINT — documented.  Returns the confusion matrix
+    (actual, predicted, n_events) with accuracy_ppm repeated."""
+    nc = cells.groupby("cls")["n"].sum().to_dict()
+    nh = cells.groupby(["cls", "h"])["n"].sum().to_dict()
+    nv = cells.groupby(["cls", "v"])["n"].sum().to_dict()
+    classes = sorted(nc)
+    pred = {}
+    for h, v in sorted({(h, v) for h, v in
+                        zip(cells["h"], cells["v"])}):
+        best = None
+        for c in classes:
+            num = nc[c] * (nh.get((c, h), 0) + 1) \
+                * (nv.get((c, v), 0) + 1)
+            den = (nc[c] + v_h) * (nc[c] + v_v)
+            q = 10 ** 12 * num // den
+            if best is None or q > best[0]:
+                best = (q, c)
+        pred[(h, v)] = best[1]
+    conf = {}
+    for cls, h, v, n in zip(cells["cls"], cells["h"], cells["v"],
+                            cells["n"]):
+        key = (cls, pred[(h, v)])
+        conf[key] = conf.get(key, 0) + int(n)
+    total = sum(conf.values())
+    hits = sum(n for (a, p), n in conf.items() if a == p)
+    acc = 1_000_000 * hits // total if total else 0
+    out = pd.DataFrame(
+        [(a, p, n, acc) for (a, p), n in sorted(conf.items())],
+        columns=["actual", "predicted", "n_events", "accuracy_ppm"])
+    for c in ("n_events", "accuracy_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lin_ccc_int(n: int, sx: int, sy: int, sxx: int, syy: int,
+                sxy: int) -> pd.DataFrame:
+    """Lin's concordance correlation coefficient (1989) — the
+    CONTINUOUS-measurement member the agreement suite lacked
+    (Cohen / Fleiss / McNemar / Cochran's Q / KR-20 are all
+    categorical): two methods measuring the same subjects agree at
+    CCC = 2·Cov / (Var_x + Var_y + (mean_x − mean_y)²), which
+    punishes both scatter AND the location/scale shifts plain
+    correlation forgives.  Everything clears by n²: V_x, V_y, C as
+    usual and the mean-shift term is exactly (Σx − Σy)², so the
+    whole statistic is ONE sign-split ppm floor (negative CCC =
+    systematic discordance).  Degenerate den = 0 (both series the
+    same constant) reports perfect agreement 10⁶ by convention.
+    Identities pinned in tests: x == y reads EXACTLY 10⁶ (num ==
+    den, zero floor residue); a pure shift y = x + d reads exactly
+    ⌊10⁶·2V/(2V + n²d²)⌋ (the penalty formula); symmetry
+    CCC(x,y) == CCC(y,x) bit-exact; |CCC| ≤ 10⁶ (Cauchy-Schwarz
+    through the shift term).  Mirror: the same moments under
+    HUGEINT."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    c = n * sxy - sx * sy
+    d2 = (sx - sy) * (sx - sy)
+    den = vx + vy + d2
+    ccc = 1_000_000 if den == 0 else _ss_scaled(2 * c, den,
+                                                1_000_000)
+    out = pd.DataFrame([{
+        "n_hours": n, "var_x_n2": vx, "var_y_n2": vy,
+        "cov_xy_n2": c, "dmean2_n2": d2, "ccc_ppm": ccc}])
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
