@@ -3565,3 +3565,79 @@ def lin_ccc_int(n: int, sx: int, sy: int, sxx: int, syy: int,
     for col in out.columns:
         out[col] = out[col].astype("int64")
     return out
+
+
+def engset_int(m_sources: int, alpha_micro: int,
+               servers: int = 10) -> pd.DataFrame:
+    """Engset blocking (1918) — the FINITE-SOURCE member completing
+    the teletraffic ladder (Erlang-B assumes infinitely many
+    callers; a crawl fleet has exactly M workers, and a busy worker
+    can't offer new load): with per-idle-source intensity α, the
+    time congestion follows the Erlang-like recursion
+
+        E_0 = 1
+        E_i = (M−i+1)·α·E_{i−1} / (i + (M−i+1)·α·E_{i−1})
+
+    (derived from the truncated binomial state law T_i =
+    T_{i−1}·(M−i+1)·α/i in the kernel's own docstring — not taken
+    on faith), replayed as the erlang_b_int chain discipline: ONE
+    ppm floor per step, X = (M−i+1)·α_micro·E'_ppm then E_ppm =
+    10⁶·X // (i·10¹² + X), with E = 0 exactly once i > M (more
+    servers than sources NEVER block — the structural zero, not a
+    convention).  The infinite-source Erlang-B chain at the same
+    total offered load A = M·α rides along in erlangb_ppm, because
+    the family's defining theorem is the comparison: FINITE sources
+    block LESS (busy sources stop offering), pinned exactly in
+    Fraction arithmetic and within floor drift on the chain, along
+    with M → ∞ convergence to Erlang-B and monotone decrease in
+    c."""
+    a2 = m_sources * alpha_micro
+    rows = []
+    e = 10**6
+    b = 10**6
+    for c in range(1, int(servers) + 1):
+        coef = (m_sources - c + 1) * alpha_micro
+        if coef <= 0:
+            e = 0
+        else:
+            x = coef * e
+            e = 10**6 * x // (c * 10**12 + x)
+        numb = 10**6 * a2 * b
+        denb = c * 10**12 + a2 * b
+        b = numb // denb if denb > 0 else 0
+        rows.append({"servers": c, "m_sources": m_sources,
+                     "alpha_micro": alpha_micro,
+                     "engset_ppm": e, "erlangb_ppm": b})
+    out = pd.DataFrame(rows)
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def kelly_int(p_ppm: int, odds_milli: list) -> pd.DataFrame:
+    """Kelly criterion (1956) — BET SIZING, a family the surface
+    lacked (cost_threshold picks an operating point, newsvendor
+    stocks one period; "what FRACTION of the bankroll to stake at
+    odds b when the win probability is p" is neither): f* =
+    (b·p − q)/b, the log-growth-optimal stake, fully rational so
+    the whole table is exact integers.  Per odds row: edge =
+    (b_milli·p_ppm − 1000·q_ppm) // 1000 and kelly = the same
+    numerator // b_milli — both SIGN-SPLIT truncations (a negative
+    edge is the famous 'no bet' region, bet = false).  The famous
+    pins: fair coin at even odds (p = 1/2, b = 1) stakes EXACTLY 0;
+    the textbook p = 0.6, b = 1 stakes exactly 20%; f < p always
+    (never stake more than your win probability at positive q);
+    monotone in both p and b."""
+    q = 1_000_000 - p_ppm
+    rows = []
+    for b in odds_milli:
+        num = b * p_ppm - 1000 * q
+        edge = _ss_scaled(num, 1000, 1)
+        kelly = _ss_scaled(num, b, 1)
+        rows.append({"odds_milli": b, "p_ppm": p_ppm,
+                     "edge_ppm": edge, "kelly_ppm": kelly,
+                     "bet": kelly > 0})
+    out = pd.DataFrame(rows)
+    for col in ("odds_milli", "p_ppm", "edge_ppm", "kelly_ppm"):
+        out[col] = out[col].astype("int64")
+    return out
