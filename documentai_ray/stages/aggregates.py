@@ -3641,3 +3641,71 @@ def kelly_int(p_ppm: int, odds_milli: list) -> pd.DataFrame:
     for col in ("odds_milli", "p_ppm", "edge_ppm", "kelly_ppm"):
         out[col] = out[col].astype("int64")
     return out
+
+
+def airport_game_int(costs: list) -> pd.DataFrame:
+    """Airport-game Shapley value (Littlechild-Owen 1973) —
+    COOPERATIVE COST ALLOCATION, a family the surface lacked:
+    banzhaf_power and shapley_shubik measure VOTING power, but
+    "players share a runway each needs a different length of; who
+    pays what" is the cost-sharing question, and the airport game
+    is the rare cooperative game whose Shapley value has a CLOSED
+    FORM: sort requirements c₁ ≤ … ≤ cₙ (ties by name), split each
+    increment d_j = c_j − c_{j−1} equally among the n − j + 1
+    players who need it, φ_i = Σ_{j≤i} d_j // (n−j+1).  One floor
+    per increment (computed once, shared by all payers of that
+    increment); the flooring residue c_n − Σφ is reported as
+    unallocated_cents — honest accounting, never hidden.  Axioms
+    pinned in tests: efficiency up to the reported residue (exact
+    on evenly-divisible instances), the dummy axiom (zero
+    requirement pays zero), symmetry (equal requirements pay
+    equal), stand-alone rationality φ_i ≤ c_i (each increment is
+    shared, never inflated), and monotonicity φ_i ≤ φ_{i+1}.
+    Mirror: sorted CTE + lag increments + a j ≤ i window sum — no
+    recursion."""
+    rows = sorted((int(c), str(nm)) for nm, c in costs)
+    n = len(rows)
+    shares = []
+    prev = 0
+    for j, (c, _nm) in enumerate(rows):
+        shares.append((c - prev) // (n - j))
+        prev = c
+    out_rows = [(nm, i + 1, c, sum(shares[: i + 1]))
+                for i, (c, nm) in enumerate(rows)]
+    residue = (rows[-1][0] if rows else 0) - sum(
+        (n - j) * s for j, s in enumerate(shares))
+    out = pd.DataFrame(out_rows, columns=[
+        "player", "rank_pos", "cost_cents", "phi_cents"])
+    out["total_allocated"] = sum(out["phi_cents"])
+    out["unallocated_cents"] = residue
+    for c in out.columns:
+        if c != "player":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def stoploss_layers_int(hist: list, layers: list,
+                        n_total: int) -> pd.DataFrame:
+    """Excess-of-loss layer pricing — REINSURANCE actuarial math, a
+    family the surface lacked (chain_ladder reserves what already
+    happened; a layer premium prices what MIGHT): the pure premium
+    of layer (d, d+w] is E[min(w, (X−d)⁺)], an exact integer sum
+    over the bounded value histogram, floored ONCE per layer to a
+    per-event expectation.  ``hist`` is [(cents, n)], ``layers``
+    [(attach, width)].  The family's defining identity is LAYER
+    ADDITIVITY — contiguous layers covering [0, top] sum to
+    E[min(X, top)] EXACTLY before the per-layer floor (pinned in
+    tests as an exact equality on the raw sums, and within one
+    cent per layer after flooring) — alongside monotone decrease
+    in the attachment point and the empty-layer zero."""
+    rows = []
+    for d, w in layers:
+        tot = sum(n * min(w, max(0, c - d)) for c, n in hist)
+        rows.append((d, w, tot,
+                     tot // n_total if n_total else 0))
+    out = pd.DataFrame(rows, columns=[
+        "attach_cents", "width_cents", "layer_loss_cents",
+        "premium_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
