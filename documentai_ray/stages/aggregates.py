@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3706,6 +3708,128 @@ def stoploss_layers_int(hist: list, layers: list,
     out = pd.DataFrame(rows, columns=[
         "attach_cents", "width_cents", "layer_loss_cents",
         "premium_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def mg1_pk_int(hist: list, rho_permille: list) -> pd.DataFrame:
+    """Pollaczek-Khinchine mean-wait formula (1930) — the M/G/1
+    rung of the teletraffic ladder, the one that makes the SERVICE
+    DISTRIBUTION itself the data: mm1/erlang_b/erlang_c/engset all
+    assume exponential service, but PK prices a GENERAL service law
+    through its first two moments, Wq = ρ·E[S²] / (2(1−ρ)·E[S]) —
+    and here the service law IS the empirical value histogram
+    (cents read as milliseconds), so the corpus's own variance sets
+    the queue.  Exact integer contract: n, S1 = Σc·n, S2 = Σc²·n
+    are exact sums over the bounded histogram; per grid utilization
+    r‰, wq_pk_micro = 1000·r·S2 // (2·(1000−r)·S1) — ONE floor,
+    all-positive so floor == trunc (stated).  Carried beside it,
+    the SAME formula under the two textbook laws at the same mean:
+    exponential (E[S²] = 2E[S]², wq_exp = 1000·r·S1 //
+    ((1000−r)·n)) and deterministic (E[S²] = E[S]², wq_det = half
+    of exp) — the family's defining VARIANCE-MATTERS theorem,
+    deterministic service waits exactly HALF the exponential wait
+    (pre-floor exact; post-floor wq_exp − 2·wq_det ∈ {0,1}, pinned)
+    and the empirical wait sits wherever the squared coefficient of
+    variation puts it: Wq = (1+cs²)/2 · Wq_exp (the PK blend,
+    pinned in Fractions).  scv_ppm = 10⁶(n·S2 − S1²) // S1² (≥ 0
+    by Cauchy-Schwarz, so floor == trunc) and the INSPECTION
+    PARADOX column lbias_ppm = 10⁶·n·S2 // S1² — the length-biased
+    mean over the mean, ≥ 10⁶ always, and == scv_ppm + 10⁶ EXACTLY
+    post-floor (adding an exact multiple of the denominator
+    commutes with the floor — pinned).  Degenerate all-zero
+    service: every wait 0, scv 0, lbias 10⁶ (convention, stated).
+    Unstable r ≥ 1000 raises.  Envelope: 10⁶·n·S2 ≤ 10⁶·n²·c²max
+    caps n at ~2·10¹¹ events inside HUGEINT — documented."""
+    n = sum(int(m) for _, m in hist)
+    s1 = sum(int(c) * int(m) for c, m in hist)
+    s2 = sum(int(c) * int(c) * int(m) for c, m in hist)
+    rows = []
+    for r in rho_permille:
+        r = int(r)
+        if r >= 1000:
+            raise ValueError(f"unstable utilization {r} permille")
+        if s1 == 0:
+            rows.append((r, 0, 0, 0, 0, 1_000_000))
+            continue
+        wq_pk = 1000 * r * s2 // (2 * (1000 - r) * s1)
+        wq_exp = 1000 * r * s1 // ((1000 - r) * n)
+        wq_det = 1000 * r * s1 // (2 * (1000 - r) * n)
+        scv = 1_000_000 * (n * s2 - s1 * s1) // (s1 * s1)
+        lbias = 1_000_000 * n * s2 // (s1 * s1)
+        rows.append((r, wq_pk, wq_exp, wq_det, scv, lbias))
+    out = pd.DataFrame(rows, columns=[
+        "rho_permille", "wq_pk_micro", "wq_exp_micro",
+        "wq_det_micro", "scv_ppm", "lbias_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# CRR design constants (u = 5/4, d = 4/5, r = 0, N = 10 steps):
+# risk-neutral q = (1-d)/(u-d) = 4/9; terminal price S_k =
+# S0·(25/16)^(k-5) = S0·25^k·16^(10-k) / P_DEN; weight numerators
+# W_k = C(10,k)·4^k·5^(10-k) over 9^10.  Σ W_k = 9^10 and the
+# MARTINGALE identity Σ W_k·25^k·16^(10-k) = 180^10 = 9^10·P_DEN
+# (so E[S_T] = S0 exactly — r = 0 makes the price a martingale)
+# are both re-derived and asserted in tests, never trusted.
+_CRR_N = 10
+_CRR_PDEN = 25 ** 5 * 16 ** 5
+_CRR_DEN = 9 ** 10 * _CRR_PDEN
+_CRR_GRID = [(k,
+              math.comb(10, k) * 4 ** k * 5 ** (10 - k),
+              25 ** k * 16 ** (10 - k)) for k in range(11)]
+
+
+def crr_option_int(s0_cents: int,
+                   moneyness: list = ((1, 2), (3, 4), (1, 1),
+                                      (5, 4), (2, 1))) -> pd.DataFrame:
+    """Cox-Ross-Rubinstein binomial option pricing (1979) —
+    DERIVATIVES VALUATION, a family the surface lacked:
+    loan_amortization prices credit, kelly_fraction sizes bets,
+    portfolio_minvar allocates, newsvendor_stock stocks one period
+    — but none values a CONTINGENT CLAIM, the right (not duty) to
+    trade at a strike.  The CRR lattice with RATIONAL design
+    u = 5/4, d = 4/5, r = 0 has risk-neutral q = (1−d)/(u−d) = 4/9
+    exactly, so the 10-step European call/put is EXACT INTEGER
+    arithmetic end to end: terminal prices S0·25^k·16^(10−k)/P and
+    weights C(10,k)·4^k·5^(10−k)/9¹⁰ give call_raw(K) =
+    Σ W_k·max(S0·25^k·16^(10−k) − K·P, 0), floored ONCE by
+    D = 9¹⁰·P per option.  The family's defining no-arbitrage
+    theorem, PUT-CALL PARITY, holds BIT-EXACT post-floor:
+    call_raw − put_raw = (S0 − K)·D exactly (martingale
+    Σ W_k·25^k·16^(10−k) = 180¹⁰ = 9¹⁰·P), and adding an exact
+    multiple of the denominator commutes with the floor, so
+    call_cents − put_cents == S0 − K on every row — carried as the
+    parity_gap == 0 column (the engset make-it-VISIBLE discipline).
+    Also pinned: zero-strike call == S0 exactly (the martingale
+    made flesh), deep-OTM call == 0 with put == K − S0 exactly,
+    monotonicity and convexity in K (in Fractions), and
+    time_value = call − intrinsic ≥ 0 (C ≥ (S0−K)⁺ pre-floor
+    because C − P = S0 − K with P ≥ 0).  Strikes are a MONEYNESS
+    grid (num, den) → K = num·S0 // den.  Envelope: per-term
+    W·payoff ≤ 8·10⁸·S0·25¹⁰ keeps S0 ≤ ~10¹⁴ cents inside
+    HUGEINT — no practical cap.  Mirror: the fixed (k, weight,
+    price-power) design grid as VALUES literals (the
+    acceptance_sampling discipline) × the moneyness grid, HUGEINT
+    throughout."""
+    s0 = int(s0_cents)
+    rows = []
+    for num, den in moneyness:
+        k_strike = int(num) * s0 // int(den)
+        call_raw = sum(w * max(s0 * pw - k_strike * _CRR_PDEN, 0)
+                       for _, w, pw in _CRR_GRID)
+        put_raw = sum(w * max(k_strike * _CRR_PDEN - s0 * pw, 0)
+                      for _, w, pw in _CRR_GRID)
+        call = call_raw // _CRR_DEN
+        put = put_raw // _CRR_DEN
+        intrinsic = max(s0 - k_strike, 0)
+        rows.append((k_strike, call, put, intrinsic,
+                     call - intrinsic, call - put - (s0 - k_strike)))
+    out = pd.DataFrame(rows, columns=[
+        "strike_cents", "call_cents", "put_cents",
+        "intrinsic_cents", "time_value_cents", "parity_gap"])
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
