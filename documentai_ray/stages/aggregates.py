@@ -3833,3 +3833,106 @@ def crr_option_int(s0_cents: int,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _ols_centered(ys: list) -> tuple:
+    """Shared exact-integer OLS core for the regression-diagnostics
+    pair (durbin_watson_int / cooks_distance_int): regress y_t on
+    the CENTERED DOUBLED time index x_t = 2t − (n−1) (integers,
+    Σx = 0 by symmetry — the orthogonal-design trick that keeps
+    every cleared quantity small enough for the HUGEINT mirror).
+    With Σx = 0: slope = Sxy/Sxx, intercept = Sy/n, and the
+    residual cleared by L = n·Sxx is the exact integer
+    E_t = L·y_t − Sxx·Sy − n·x_t·Sxy; the leverage cleared by the
+    same L is H_t = Sxx + n·x_t² (h_t = 1/n + x_t²/Sxx).  ΣH = 2L
+    EXACTLY (Σh = p = 2, the hat-matrix trace law — pinned in
+    tests).  Requires n ≥ 3 (n = 2 fits every point exactly and
+    puts leverage at 1, so 1 − h divides by zero)."""
+    n = len(ys)
+    if n < 3:
+        raise ValueError(f"need >= 3 points, got {n}")
+    ys = [int(y) for y in ys]
+    xs = [2 * t - (n - 1) for t in range(n)]
+    sxx = sum(x * x for x in xs)
+    sy = sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    big_l = n * sxx
+    es = [big_l * y - sxx * sy - n * x * sxy
+          for x, y in zip(xs, ys)]
+    hs = [sxx + n * x * x for x in xs]
+    return n, big_l, es, hs
+
+
+def durbin_watson_int(ys: list) -> pd.DataFrame:
+    """Durbin-Watson statistic (1950) — REGRESSION DIAGNOSTICS, a
+    family the surface lacked: acf_lag autocorrelates a raw series
+    and grouped_regression fits lines, but the founding question of
+    econometric diagnostics is about the RESIDUALS of a fit — "is
+    what the trend line leaves behind still serially correlated?"
+    DW = Σ(e_t − e_{t−1})² / Σe_t² on the exact cleared residuals
+    E_t of the centered-design OLS (``_ols_centered``); the common
+    clearing factor cancels, so dw_milli = 1000·ΣΔE² // ΣE² is ONE
+    non-negative floor (floor == trunc, stated).  The lag-1
+    residual autocorrelation rho1_milli = 1000·ΣE_tE_{t−1} // ΣE²
+    rides along as a SIGN-SPLIT truncation (the repo-wide
+    discipline).  The family's defining expansion ΣΔE² = 2ΣE² −
+    2ΣE_tE_{t−1} − E_0² − E_{n−1}² (which is why DW ≈ 2(1 − ρ₁))
+    is pinned EXACTLY on the integers in tests, with 0 ≤ dw ≤ 4000,
+    the positive-autocorrelation step series reading dw < 2000, the
+    alternating series reading dw > 2000, and the PERFECT-FIT
+    convention (every residual 0 → dw = 2000, rho1 = 0 — the
+    no-autocorrelation null, stated)."""
+    n, _, es, _ = _ols_centered(ys)
+    se2 = sum(e * e for e in es)
+    sd2 = sum((a - b) * (a - b) for a, b in zip(es[1:], es))
+    sep = sum(a * b for a, b in zip(es[1:], es))
+    if se2 == 0:
+        dw, rho = 2000, 0
+    else:
+        dw = 1000 * sd2 // se2
+        rho = ((1000 * sep // se2) if sep >= 0
+               else -(1000 * (-sep) // se2))
+    out = pd.DataFrame([(n, dw, rho)],
+                       columns=["n_days", "dw_milli", "rho1_milli"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def cooks_distance_int(ys: list) -> pd.DataFrame:
+    """Cook's distance (1977) — the INFLUENCE face of the
+    regression-diagnostics pair: Durbin-Watson audits the residual
+    SEQUENCE, Cook asks which single observation, if deleted, would
+    move the fitted line most: D_i = e_i²·h_i / (p·s²·(1−h_i)²)
+    with p = 2 and s² = Σe²/(n−2).  On the cleared integers of
+    ``_ols_centered`` (E_i = L·e_i, H_i = L·h_i) every clearing
+    factor cancels into the EXACT rational D_i = E_i²·H_i·(n−2)·L
+    / (2·ΣE²·(L−H_i)²), floored ONCE per point at per-MILLE —
+    per-mille (not ppm) is the documented contract because the
+    numerator already carries E²·H·n·L and the extra 10³ headroom
+    is what keeps daily counts up to ~3·10⁶ inside HUGEINT (the
+    acceptance_sampling envelope discipline).  All terms
+    non-negative (H_i < L whenever n ≥ 3 — proved in the kernel:
+    n·x² < (n−1)·Sxx since Sxx = n(n²−1)/3), so floor == trunc.
+    leverage_ppm = 10⁶·H_i // L rides along with the hat-trace law
+    ΣH = 2L exact, end-point maximality, and symmetry pinned;
+    influential = n·cook_milli > 4000 (the classical D > 4/n
+    screen, made integer).  Perfect fit → every D = 0 (stated)."""
+    n, big_l, es, hs = _ols_centered(ys)
+    se2 = sum(e * e for e in es)
+    rows = []
+    for t, (y, e, h) in enumerate(zip(ys, es, hs)):
+        lev = 1_000_000 * h // big_l
+        if se2 == 0:
+            cook = 0
+        else:
+            cook = (1000 * e * e * h * (n - 2) * big_l
+                    // (2 * se2 * (big_l - h) * (big_l - h)))
+        rows.append((t, int(y), lev, cook,
+                     1 if n * cook > 4000 else 0))
+    out = pd.DataFrame(rows, columns=[
+        "day_idx", "n_count", "leverage_ppm", "cook_milli",
+        "influential"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
