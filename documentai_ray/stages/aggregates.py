@@ -3936,3 +3936,108 @@ def cooks_distance_int(ys: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def buhlmann_int(groups: list) -> pd.DataFrame:
+    """Bühlmann credibility (1967) — ACTUARIAL EXPERIENCE RATING, a
+    family the surface lacked: chain_ladder RESERVES claims,
+    stoploss_layers PRICES layers, eb_shrink shrinks rates toward a
+    Beta prior — but ratemaking's founding question is the BLEND,
+    "how much should this risk class's own experience count against
+    the collective book?", and Bühlmann's answer Z = n/(n + k) with
+    k = (within variance)/(variance of hypothetical means) is the
+    linear-Bayes cornerstone the whole credibility literature
+    builds on.  ``groups`` is [(name, n, Σcents, Σcents²)].  Exact
+    integer contract built on the ANOVA floor discipline (one floor
+    per group for SSW, one grand floor for SST, SSB clamped ≥ 0 —
+    the anova_oneway conventions verbatim): v̂_milli =
+    1000·SSW // (N−K); the between-means estimator clears to
+    â = N·(SSB(N−K) − SSW(K−1)) / ((N−K)(N² − Σnᵢ²)) — the
+    unbiased Bühlmann-Straub â with n₀ = (N² − Σnᵢ²)/(N(K−1)), the
+    (K−1)'s cancelling — floored at milli and CLAMPED at zero
+    (zero_cred = 1 flags the clamp; clamping makes the floor/trunc
+    divergence on negatives immaterial — both land ≤ 0 and the
+    clamp takes them to 0, stated).  Then per class
+    z_ppm = 10⁶·nᵢ·â // (nᵢ·â + v̂) — one floor on the FLOORED
+    estimators (the declared chain; a Fraction replay of the exact
+    chain pins the implementation) — and the credibility premium
+    premium_milli = (z·1000·Sᵢ·N + (10⁶−z)·1000·S·nᵢ) //
+    (10⁶·nᵢ·N), one floor, provably between the individual and
+    collective means (pre-floor; within 1 post-floor, pinned).
+    Laws pinned: Z ∈ [0, 10⁶], Z monotone in nᵢ at shared
+    estimators, â = 0 → every Z = 0 and premium == collective
+    mean, zero WITHIN variance → Z = 10⁶ exactly and premium ==
+    individual mean.  Degenerate all-constant corpus: Z = 0
+    (stated).  Envelope: z·10³·Sᵢ·N ≤ 6·10³⁷ caps the book at
+    ~10¹² rows inside HUGEINT — documented.  Requires N > K ≥ 2
+    and at least two nonempty classes."""
+    ks = sorted((str(nm), int(n), int(s), int(q))
+                for nm, n, s, q in groups)
+    kk = len(ks)
+    nn = sum(n for _, n, _, _ in ks)
+    ss = sum(s for _, _, s, _ in ks)
+    qq = sum(q for _, _, _, q in ks)
+    sn2 = sum(n * n for _, n, _, _ in ks)
+    if kk < 2 or nn <= kk or nn * nn == sn2:
+        raise ValueError("need >= 2 nonempty classes and N > K")
+    ssw = qq - sum(s * s // n for _, n, s, _ in ks)
+    sst = qq - ss * ss // nn
+    ssb = max(0, sst - ssw)
+    v_milli = 1000 * ssw // (nn - kk)
+    a_num = nn * (ssb * (nn - kk) - ssw * (kk - 1))
+    a_den = (nn - kk) * (nn * nn - sn2)
+    a_milli = max(0, (1000 * a_num // a_den) if a_num >= 0
+                  else -(1000 * (-a_num) // a_den))
+    zero_cred = 1 if a_num <= 0 else 0
+    rows = []
+    for nm, n, s, _ in ks:
+        den = n * a_milli + v_milli
+        z = 1_000_000 * n * a_milli // den if den > 0 else 0
+        prem = ((z * 1000 * s * nn + (1_000_000 - z) * 1000
+                 * ss * n) // (1_000_000 * n * nn))
+        rows.append((nm, n, 1000 * s // n, z, prem,
+                     v_milli, a_milli, zero_cred))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "n_grp", "mean_milli", "z_ppm",
+        "premium_milli", "v_milli", "a_milli", "zero_cred"])
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def littlewood_int(counts: list, fares: list) -> pd.DataFrame:
+    """Littlewood's rule (1972) — REVENUE MANAGEMENT, a family the
+    surface lacked: newsvendor_stock stocks ONE product against
+    demand, but yield management's founding result allocates ONE
+    capacity between TWO fare classes — protect y seats for the
+    late-booking high fare f1 and sell the rest low at f2, where
+    y* = max{y : f1·P(D ≥ y) > f2} on the EMPIRICAL high-fare
+    demand distribution.  ZERO floors: the whole statistic is
+    integer comparisons — f1·#{days with demand ≥ y} > n·f2 — and
+    the kernel takes the ORDER-STATISTIC closed form
+    y* = d₍ᵢ₎ with i = n·f2 // f1 + 1 (the i-th LARGEST daily
+    count; i > n → protect 0), PROVEN equal to the grid definition
+    in tests by brute force — while the SQL mirror deliberately
+    walks the first-principles grid (max qualifying y over
+    0..max(d)), so the query is a genuine two-algorithm
+    cross-check (the h_index discipline).  tail_days = #{d ≥ y*}
+    and margin = f1·tail_days − n·f2 ride along as the visible
+    certificate (margin > 0 whenever y* > 0).  Laws pinned:
+    f2 → 0 protects the maximum observed demand, f2 ≥ f1 protects
+    nothing, monotone non-increasing in f2, and the tie case."""
+    ds = sorted((int(c) for c in counts), reverse=True)
+    n = len(ds)
+    rows = []
+    for f1, f2 in fares:
+        f1, f2 = int(f1), int(f2)
+        i = n * f2 // f1 + 1
+        y = ds[i - 1] if i <= n else 0
+        tail = sum(1 for d in ds if d >= y)
+        rows.append((f1, f2, y, tail, f1 * tail - n * f2))
+    out = pd.DataFrame(rows, columns=[
+        "f1_cents", "f2_cents", "protect_level", "tail_days",
+        "margin"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
