@@ -4041,3 +4041,135 @@ def littlewood_int(counts: list, fares: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def double_auction_int(bid_hist: list, ask_hist: list) -> pd.DataFrame:
+    """Walrasian k-double-auction clearing — TWO-SIDED MARKET
+    MICROSTRUCTURE, a family the surface lacked: gsp_auction and
+    vcg_payments price ONE seller's slots, nw_transport moves flow
+    over a fixed tableau, but "n buyers meet m sellers, who trades
+    and at what price" is the market-clearing question, and the
+    k-double auction's answer is the Walrasian crossing.  Inputs
+    are BOUNDED-DOMAIN price histograms [(cents, n)] — bids (AM
+    event values) and asks (PM event values) — so the whole clear
+    is cumsum algebra over the value domain, never a row sort.
+    The engine computes k* = max_p min(D(p), S(p)) over the ask-
+    value candidate grid (D = #bids ≥ p step-falls at bids, S =
+    #asks ≤ p step-rises at asks, so the first price attaining the
+    max-min is an ask value — stated), while the SQL mirror uses
+    the PREFIX definition k* = max{k : b₍ₖ₎ ≥ s₍ₖ₎} on rank-joined
+    sorted books — the two are EQUAL (b₍ₖ₎ ≥ p ≥ s₍ₖ₎ for any p in
+    the crossing interval gives min(D,S) ≥ k, and conversely
+    min(D(p),S(p)) ≥ m exhibits m crossing pairs), a theorem pinned
+    by brute force in tests, making the query a genuine
+    two-algorithm cross-check (the h_index discipline).  Marginal
+    prices b₍ₖ₎/s₍ₖ₎ are order statistics off the histogram
+    cumsums (the brown_forsythe discipline), the midpoint floors
+    once, and gains = Σ top-k bids − Σ bottom-k asks is exact
+    integer partial sums with the boundary-cell correction.
+    Pinned: individual rationality s₍ₖ₎ ≤ mid ≤ b₍ₖ₎, prefix-
+    surplus maximality (gains are the max over all prefix sizes,
+    and every traded pair has b ≥ s), the no-trade market (all
+    bids below all asks → all-zero row, stated convention), and
+    the tie-heavy book.  ZERO floors except the midpoint."""
+    import numpy as np
+
+    bh = sorted((int(c), int(n)) for c, n in bid_hist)
+    ah = sorted((int(c), int(n)) for c, n in ask_hist)
+    if not bh or not ah:
+        return _da_row(0, 0, 0, 0, 0)
+    bc = np.array([c for c, _ in bh], dtype=object)
+    bn = np.array([n for _, n in bh], dtype=object)
+    ac = np.array([c for c, _ in ah], dtype=object)
+    an = np.array([n for _, n in ah], dtype=object)
+    b_tail = np.cumsum(bn[::-1])[::-1]       # #bids >= bc[i]
+    a_head = np.cumsum(an)                   # #asks <= ac[i]
+    # D(p) at each ask candidate p = ac[j]: #bids >= p
+    idx = np.searchsorted(bc, ac, side="left")
+    d_at = np.where(idx < len(bc), b_tail[np.minimum(idx, len(bc) - 1)], 0)
+    kk = 0
+    for j in range(len(ac)):
+        kk = max(kk, min(int(d_at[j]), int(a_head[j])))
+    if kk == 0:
+        return _da_row(0, 0, 0, 0, 0)
+    # k-th largest bid / k-th smallest ask via cumsum crossings
+    cs_b = np.cumsum(bn[::-1])               # from top of book
+    ib = int(np.searchsorted(cs_b, kk, side="left"))
+    b_k = int(bc[::-1][ib])
+    top_sum = (sum(int(c) * int(n) for c, n in
+                   zip(bc[::-1][:ib + 1], bn[::-1][:ib + 1]))
+               - (int(cs_b[ib]) - kk) * b_k)
+    ia = int(np.searchsorted(a_head, kk, side="left"))
+    s_k = int(ac[ia])
+    bot_sum = (sum(int(c) * int(n) for c, n in
+                   zip(ac[:ia + 1], an[:ia + 1]))
+               - (int(a_head[ia]) - kk) * s_k)
+    return _da_row(kk, b_k, s_k, (b_k + s_k) // 2,
+                   top_sum - bot_sum)
+
+
+def _da_row(k, b, s, m, g) -> pd.DataFrame:
+    out = pd.DataFrame([(k, b, s, m, g)], columns=[
+        "n_trades", "buyer_marginal_cents", "seller_marginal_cents",
+        "mid_price_cents", "gains_cents"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def secretary_int(counts: list) -> pd.DataFrame:
+    """Secretary-problem optimal stopping (the 1/e rule, exact) —
+    OPTIMAL STOPPING, a family the surface lacked: every scheduler
+    on the surface (wspt, johnson, critical_path) sees all its jobs
+    up front, but the secretary problem decides IRREVOCABLY online:
+    observe the first r−1 of n values, then take the first one
+    that beats everything seen.  The optimal cutoff maximizes
+    φ(r) = ((r−1)/n)·Σ_{j=r}^n 1/(j−1)  (φ(1) = 1/n), and clearing
+    the harmonic tail by L = lcm(1..n−1) makes the argmax EXACT
+    integer comparison: K(r) = (r−1)·Σ_{j=r}^n L//(j−1) for r ≥ 2,
+    K(1) = L (each L//(j−1) is exact by construction of L); ties
+    break to the smallest r (stated).  phi_ppm = 10⁶·K(r*) //
+    (n·L), one floor.  lcm (not factorial) is what keeps the
+    mirror inside HUGEINT to n ≈ 85 observations (lcm(1..n) ~ eⁿ
+    vs n! — the envelope, documented); the corpus has 30 days.
+    The rule then RUNS on the actual day-ordered sequence: pick
+    the first day t ≥ r* whose count STRICTLY beats the running
+    prefix max (strictness stated — ties are not 'relatively
+    best'), else the forced last day; is_max reports whether the
+    picked VALUE equals the global max.  Pinned: the classical
+    n = 30 cutoff r* = 12 with φ ≈ 0.3787 (Fraction-checked), the
+    n → e asymptotics bracket (φ(r*) ≥ 1/e − 1/n), brute-force
+    Fraction argmax equality on every n ≤ 40, policy hand cases
+    including the forced-last-day and all-descending sequences,
+    and the n = 2 edge (φ = 1/2 at both cutoffs, tie to r = 1)."""
+    ds = [int(c) for c in counts]
+    n = len(ds)
+    if n < 2:
+        raise ValueError("need >= 2 observations")
+    big_l = math.lcm(*range(1, n))
+    tails = [0] * (n + 2)
+    for j in range(n, 1, -1):                # suffix sums of L//(j-1)
+        tails[j] = tails[j + 1] + big_l // (j - 1)
+    keys = {1: big_l}
+    for r in range(2, n + 1):
+        keys[r] = (r - 1) * tails[r]
+    r_star = max(range(1, n + 1), key=lambda r: (keys[r], -r))
+    phi_ppm = 1_000_000 * keys[r_star] // (n * big_l)
+    picked = n - 1                            # forced last day
+    run_max = None
+    for t in range(n):
+        if t >= r_star - 1 and run_max is not None and ds[t] > run_max:
+            picked = t
+            break
+        if r_star == 1 and t == 0:
+            picked = 0
+            break
+        run_max = ds[t] if run_max is None else max(run_max, ds[t])
+    out = pd.DataFrame([(n, r_star, phi_ppm, picked, ds[picked],
+                         1 if ds[picked] == max(ds) else 0)],
+                       columns=["n_days", "r_star", "phi_ppm",
+                                "picked_day", "picked_value",
+                                "is_max"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
