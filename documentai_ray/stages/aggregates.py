@@ -4173,3 +4173,115 @@ def secretary_int(counts: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def erdos_gallai_int(degree_hist: list, kmax: int) -> pd.DataFrame:
+    """Erdős-Gallai graphicality test (1960) — DEGREE-SEQUENCE
+    REALIZABILITY, a family the surface lacked: clustering_coeff,
+    degree_assortativity and kcore_nodes MEASURE a graph that
+    exists, but "could these degrees be a simple graph at all" is
+    the inverse question, and Erdős-Gallai answers it with n
+    inequalities: Σ_{i≤k} d₍ᵢ₎ ≤ k(k−1) + Σ_{i>k} min(d᎐ᵢ, k) for
+    every k (degrees sorted desc) plus even total.  ``degree_hist``
+    is the BOUNDED histogram [(degree, count)] (the corpus instance
+    is per-user distinct-type degrees ≤ 5, so the whole test is
+    six-cell cumsum algebra); only k ≤ s = max{i : d₍ᵢ₎ ≥ i} can
+    fail (for k > s the LHS ≤ k·d₍ₖ₎ < k·k ≤ RHS — the classical
+    reduction, which is why the fixed k ≤ kmax grid with
+    kmax ≥ max degree is COMPLETE for bounded-degree instances,
+    stated), so the output is one row per k in 1..kmax with exact
+    lhs / rhs / slack, beside the parity check and the overall
+    verdict.  Top-k sums and the tail Σ min(d, k) use the
+    double_auction boundary-cell split — take whole cells from the
+    top, split the crossing cell, then tail-min = Σ_{d≤k} d·m′ +
+    k·Σ_{d>k} m′ on the remainder.  The THEOREM itself (EG ⟺
+    Havel-Hakimi realizability) is pinned in tests by brute force
+    over hundreds of random sequences — the check is not assumed,
+    it is exercised against an actual realizer.  ZERO floors."""
+    cells = sorted(((int(d), int(m)) for d, m in degree_hist),
+                   reverse=True)
+    n = sum(m for _, m in cells)
+    total = sum(d * m for d, m in cells)
+    parity_ok = 1 if total % 2 == 0 else 0
+    rows = []
+    all_ok = parity_ok
+    for k in range(1, int(kmax) + 1):
+        # top-k sum with boundary split
+        taken, lhs = 0, 0
+        tail = []                      # (d, m) left after the top-k
+        for d, m in cells:
+            if taken >= k:
+                tail.append((d, m))
+                continue
+            use = min(m, k - taken)
+            lhs += d * use
+            taken += use
+            if use < m:
+                tail.append((d, m - use))
+        tailmin = sum(min(d, k) * m for d, m in tail)
+        rhs = k * (k - 1) + tailmin
+        slack = rhs - lhs
+        if slack < 0:
+            all_ok = 0
+        rows.append((k, lhs, rhs, slack))
+    out = pd.DataFrame(rows, columns=["k", "lhs", "rhs", "slack"])
+    out["n_nodes"] = n
+    out["sum_degrees"] = total
+    out["parity_ok"] = parity_ok
+    out["graphical"] = all_ok
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def record_values_int(ys: list) -> pd.DataFrame:
+    """Record-value statistics (Rényi 1962) — RECORDS THEORY, the
+    extreme-value family's discrete heart, which the surface
+    lacked: trend_flips counts direction changes and mann_kendall
+    scores monotonicity, but "how many times did the running
+    maximum get beaten" is the records question, with the founding
+    exchangeability theorem E[#records] = H_n = Σ 1/j for
+    continuous iid — verified in tests by EXHAUSTIVE ENUMERATION
+    over all 120 permutations of 5 distinct values (mean record
+    count == H₅ in Fractions), not just cited.  Upper records
+    strictly beat the prefix max (day 1 is a record; ties are NOT
+    records — stated, and why the integer-count corpus sits below
+    the continuous H_n benchmark), lower records mirror it, and
+    the up(y) == down(−y) symmetry is pinned.  The benchmark and
+    its variance clear by L = lcm(1..n) (the secretary_stop
+    discipline): H_n = A/L with A = Σ L//j exact,
+    expected_milli = 1000·A // L one floor, and
+    Var = H_n − H_n⁽²⁾ = (A·L − B)/L² with B = Σ (L//j)² —
+    var_milli = 1000·(A·L − B) // L², one floor, non-negative
+    (1/j ≥ 1/j²).  first_max_day = first day attaining the global
+    max (0-based).  Pinned: monotone sequences read n and 1,
+    constants read 1 and 1, and both floors replay in Fractions."""
+    ds = [int(y) for y in ys]
+    n = len(ds)
+    if n < 1:
+        raise ValueError("need >= 1 observation")
+    up, dn = 1, 1
+    mx, mn = ds[0], ds[0]
+    first_max = 0
+    for t in range(1, n):
+        if ds[t] > mx:
+            up += 1
+            mx = ds[t]
+            first_max = t
+        if ds[t] < mn:
+            dn += 1
+            mn = ds[t]
+    if ds[first_max] != max(ds):           # never beaten day 0
+        first_max = 0
+    big_l = math.lcm(*range(1, n + 1))
+    a = sum(big_l // j for j in range(1, n + 1))
+    b = sum((big_l // j) ** 2 for j in range(1, n + 1))
+    out = pd.DataFrame([(n, up, dn, first_max,
+                         1000 * a // big_l,
+                         1000 * (a * big_l - b) // (big_l * big_l))],
+                       columns=["n_days", "records_up",
+                                "records_down", "first_max_day",
+                                "expected_milli", "var_milli"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
