@@ -4285,3 +4285,98 @@ def record_values_int(ys: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def ballot_walk_int(a_counts: list, b_counts: list) -> pd.DataFrame:
+    """Bertrand ballot probability + lead-time statistics of the
+    two-type daily race — FLUCTUATION THEORY, a family the surface
+    lacked: mann_kendall and page_trend score MONOTONE drift, but
+    fluctuation theory asks about the WALK — who led, for how
+    long, when was the last tie — the questions Feller's ballot/
+    arcsine chapter owns.  S_t = Σ_{d≤t}(a_d − b_d) over the day
+    grid (1-based; the notional S_0 = 0 start means last_tie_day
+    = 0 when the walk never re-ties — stated); lead/tie day counts
+    partition n exactly (pinned), extremes and the final lead ride
+    along, and the famous closed form — Bertrand 1887: in a random
+    ordering of A votes against B (A > B), P(winner leads
+    THROUGHOUT) = (A − B)/(A + B) — is evaluated on the corpus
+    totals as one ppm floor, and the theorem itself is pinned by
+    EXHAUSTIVE ENUMERATION over small ballots (every interleaving
+    counted, fraction == the closed form in Fractions), never
+    cited on faith.  ZERO floors except the ballot ppm."""
+    a = [int(v) for v in a_counts]
+    b = [int(v) for v in b_counts]
+    if len(a) != len(b):
+        raise ValueError("day grids must align")
+    n = len(a)
+    s = 0
+    lead_a = lead_b = ties = last_tie = 0
+    mx = mn = 0
+    for t in range(1, n + 1):
+        s += a[t - 1] - b[t - 1]
+        if s > 0:
+            lead_a += 1
+        elif s < 0:
+            lead_b += 1
+        else:
+            ties += 1
+            last_tie = t
+        mx = max(mx, s)
+        mn = min(mn, s)
+    ta, tb = sum(a), sum(b)
+    ballot = (1_000_000 * abs(ta - tb) // (ta + tb)
+              if ta + tb > 0 else 0)
+    out = pd.DataFrame([(n, lead_a, lead_b, ties, last_tie,
+                         mx, mn, s, ballot)],
+                       columns=["n_days", "lead_a_days",
+                                "lead_b_days", "tie_days",
+                                "last_tie_day", "max_lead",
+                                "min_lead", "final_lead",
+                                "ballot_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def backlog_dam_int(ys: list, ratios: list) -> pd.DataFrame:
+    """Lindley backlog / Moran dam recursion (1952/1954) — STORAGE
+    THEORY, a family the surface lacked: mm1 and mg1_queue price
+    STATIONARY waits under stochastic assumptions, but the dam
+    model asks what THIS sequence of daily inflows does to a
+    finite-rate server: B_d = max(0, B_{d−1} + y_d − c), the
+    founding recursion of queueing's sample-path half.  Capacity
+    grid c = r%·(mean daily volume) (mean floored once, each c
+    floored once).  The engine does NOT walk the recursion: it
+    uses the REFLECTION DUALITY B_t = W_t − min(0, min_{j≤t} W_j)
+    on the cumulative net-input walk W (Lindley's identity, the
+    fluctuation theorem of queueing), fully vectorized — while the
+    SQL mirror walks the raw recursion as a recursive CTE, so the
+    query is a genuine two-algorithm cross-check AND a proof of
+    the identity on real data; the equivalence is additionally
+    pinned on seeded draws against a step-by-step Python replay.
+    Pinned laws: c ≥ max inflow → identically zero backlog,
+    c = 0 → B_n = total inflow, backlog pointwise non-increasing
+    in capacity, and congested-day accounting.  ZERO floors beyond
+    the two capacity floors."""
+    import numpy as np
+
+    y = [int(v) for v in ys]
+    n = len(y)
+    if n == 0:
+        raise ValueError("need >= 1 day")
+    mean = sum(y) // n
+    rows = []
+    for r in ratios:
+        c = int(r) * mean // 100
+        w = np.cumsum(np.array(y, dtype=object) - c)
+        runmin = np.minimum.accumulate(np.minimum(w, 0))
+        bt = w - runmin
+        rows.append((int(r), c, int(bt[-1]),
+                     int(max(bt.max(), 0)),
+                     int((bt > 0).sum())))
+    out = pd.DataFrame(rows, columns=[
+        "ratio_pct", "capacity", "final_backlog", "max_backlog",
+        "congested_days"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
