@@ -4380,3 +4380,128 @@ def backlog_dam_int(ys: list, ratios: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def stochastic_dominance_int(a_hist: list, b_hist: list) -> pd.DataFrame:
+    """First- and second-order stochastic dominance verdicts —
+    DECISION THEORY UNDER RISK, a family the surface lacked:
+    ks_drift measures the DISTANCE between two empirical
+    distributions, but dominance is an ORDERING — "would every
+    expected-utility maximizer (FSD: any increasing u; SSD: any
+    increasing concave u) prefer A?" — the Rothschild-Stiglitz
+    question distance can't answer.  Pure cumsum algebra over the
+    merged bounded value domain, cross-multiplied by the sample
+    sizes so every comparison is exact integers, ZERO floors:
+    FSD(A ≥ B) ⟺ n_B·cumA(x) ≤ n_A·cumB(x) at every merged grid
+    point, and SSD integrates the CDFs stepwise (I_i = Σ cum_j ·
+    gap_j; between grid points the CDF gap is constant so the
+    integral is linear and extremes sit AT grid points — why the
+    grid check is complete, stated; the x→∞ tail adds zero because
+    both CDFs are 1 beyond the merged max, which is also why the
+    mean ordering μ_A ≥ μ_B is implied rather than separately
+    required).  Margins are SIGNED maxima of the cross-multiplied
+    gaps (≤ 0 ⟺ weak dominance holds; identical distributions
+    dominate each other weakly with margin 0 — stated).  Pinned:
+    FSD ⟹ SSD on every seeded draw, FSD ⟹ cross-multiplied mean
+    ordering, a downward shift is FSD-dominated, and the classic
+    mean-preserving spread ({5,5} vs {4,6}: SSD holds, FSD fails)
+    — Rothschild-Stiglitz made a hand case."""
+    am = {int(c): int(n) for c, n in a_hist}
+    bm = {int(c): int(n) for c, n in b_hist}
+    na, nb = sum(am.values()), sum(bm.values())
+    if na == 0 or nb == 0:
+        raise ValueError("both samples must be nonempty")
+    xs = sorted(set(am) | set(bm))
+    ca = cb = 0
+    ia = ib = 0                 # integrated CDFs up to current x
+    fsd_ab = fsd_ba = ssd_ab = ssd_ba = None
+    prev = None
+    for x in xs:
+        if prev is not None:
+            gap = x - prev
+            ia += ca * gap
+            ib += cb * gap
+        s_ab = nb * ia - na * ib          # <= 0 iff SSD(A>=B) so far
+        ssd_ab = s_ab if ssd_ab is None else max(ssd_ab, s_ab)
+        ssd_ba = -s_ab if ssd_ba is None else max(ssd_ba, -s_ab)
+        ca += am.get(x, 0)
+        cb += bm.get(x, 0)
+        f_ab = nb * ca - na * cb          # <= 0 iff FSD(A>=B) so far
+        fsd_ab = f_ab if fsd_ab is None else max(fsd_ab, f_ab)
+        fsd_ba = -f_ab if fsd_ba is None else max(fsd_ba, -f_ab)
+        prev = x
+    # final integral point (x = merged max) for SSD
+    s_ab = nb * ia - na * ib
+    ssd_ab = max(ssd_ab, s_ab)
+    ssd_ba = max(ssd_ba, -s_ab)
+    # ... plus the full-line value, which equals the mean gap and
+    # is reached AT the max grid point after the last cum update:
+    # integrate one more virtual step of width 0 — already covered.
+    out = pd.DataFrame([(na, nb,
+                         1 if fsd_ab <= 0 else 0,
+                         1 if fsd_ba <= 0 else 0,
+                         1 if ssd_ab <= 0 else 0,
+                         1 if ssd_ba <= 0 else 0,
+                         fsd_ab, fsd_ba, ssd_ab, ssd_ba)],
+                       columns=["n_a", "n_b", "fsd_ab", "fsd_ba",
+                                "ssd_ab", "ssd_ba",
+                                "fsd_margin_ab", "fsd_margin_ba",
+                                "ssd_margin_ab", "ssd_margin_ba"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def myerson_reserve_int(hist: list) -> pd.DataFrame:
+    """Empirical revenue-maximizing posted price — MONOPOLY PRICING
+    a family the surface lacked: price_elasticity REGRESSES demand
+    on price, gsp/vcg price slots given bids, but "what single
+    posted price maximizes revenue against this empirical demand
+    curve" is Myerson's monopoly problem with the data as the
+    distribution: r* = argmax r·#{v ≥ r}.  On a step demand curve
+    the revenue r·tail(r) is linear-increasing in r between
+    observed values, so the argmax sits AT an observed value (the
+    candidate restriction, stated and pinned by brute force over
+    EVERY integer price); ties break to the smallest price
+    (stated).  Output carries three POLICY rows — optimal, mean
+    (one floor), lower-median (order statistic off the cumsums) —
+    so the optimality gap is VISIBLE (the engset discipline):
+    revenue_optimal ≥ both, pinned.  share_served_ppm is the one
+    other floor.  Pinned: the uniform 1..10 hand case (revenue 30
+    tie at r ∈ {5,6} → 5), brute-force argmax equality on 30
+    seeded draws, and optimal-beats-benchmarks on every draw."""
+    cells = sorted((int(c), int(n)) for c, n in hist)
+    ntot = sum(n for _, n in cells)
+    if ntot == 0:
+        raise ValueError("empty histogram")
+    total = sum(c * n for c, n in cells)
+    # tails via desc cumsum; candidates are the observed values
+    best_r, best_rev, best_tail = 0, -1, 0
+    tail = ntot
+    for c, n in cells:
+        rev = c * tail
+        if rev > best_rev or (rev == best_rev and c < best_r):
+            best_r, best_rev, best_tail = c, rev, tail
+        tail -= n
+    mean_p = total // ntot
+    half = (ntot + 1) // 2
+    cum = 0
+    med_p = cells[-1][0]
+    for c, n in cells:
+        cum += n
+        if cum >= half:
+            med_p = c
+            break
+    rows = []
+    for name, p in (("optimal", best_r), ("mean", mean_p),
+                    ("median", med_p)):
+        t = sum(n for c, n in cells if c >= p)
+        rows.append((name, p, t, p * t,
+                     1_000_000 * t // ntot))
+    out = pd.DataFrame(rows, columns=[
+        "policy", "price_cents", "buyers_served", "revenue_cents",
+        "share_served_ppm"])
+    for c in out.columns:
+        if c != "policy":
+            out[c] = out[c].astype("int64")
+    return out
