@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import numpy as np
 import pandas as pd
@@ -4504,4 +4505,151 @@ def myerson_reserve_int(hist: list) -> pd.DataFrame:
     for c in out.columns:
         if c != "policy":
             out[c] = out[c].astype("int64")
+    return out
+
+
+def _cea_int(caps: list, budget: int) -> dict:
+    """Constrained-equal-awards integer waterfill: min(cap, level)
+    with the waterfill_allocate base//m + first-(rem%m)-get-+1
+    remainder discipline in (cap, name) order — total, deterministic,
+    and Σ awards == budget EXACTLY (budget ≤ Σ caps required)."""
+    rows = sorted((int(c), str(nm)) for nm, c in caps)
+    out = {}
+    rem, m = int(budget), len(rows)
+    for i, (c, nm) in enumerate(rows):
+        if c * m <= rem:
+            out[nm] = c
+            rem -= c
+            m -= 1
+        else:
+            base, extra = rem // m, rem % m
+            for j, (c2, nm2) in enumerate(rows[i:]):
+                out[nm2] = base + (1 if j < extra else 0)
+            return out
+    return out
+
+
+def talmud_split_int(claims: list, pcts: list) -> pd.DataFrame:
+    """The Talmud bankruptcy rule (Aumann-Maschler 1985) — CLAIMS
+    PROBLEMS, a family the surface lacked: airport_game shares a
+    COST by the Shapley closed form, waterfill_budget splits a
+    budget max-min fair, but "an estate smaller than the claims
+    against it" is the 2000-year-old division puzzle whose Mishnah
+    table (claims 100/200/300 vs estates 100/200/300) stumped
+    commentators until Aumann-Maschler showed every row is the
+    nucleolus of the induced game, computable as CONTESTED GARMENT
+    consistency: for E ≤ C/2, constrained equal awards on the
+    HALF-claims; for E > C/2, the self-dual image award = c −
+    T(C−E) (so self-duality holds BY CONSTRUCTION on that branch,
+    and both branches agree at E = C/2 — pinned).  Exact integer
+    contract: everything runs in DOUBLED units (the brown_forsythe
+    doubling discipline) so half-claims are the integer c_i and the
+    doubled estate is 2E; the CEA waterfill reuses the
+    waterfill_allocate remainder discipline, making Σ awards ==
+    2E EXACT with no floor anywhere except E = pct·C // 100 and
+    the reporting column award_cents = award_x2 // 2.  Pinned: the
+    FULL Mishnah table in doubled units ((67,67,66) / (100,150,
+    150) / (100,200,300) — the small-estate equal-division law
+    reads max−min ≤ 1, the middle row is the famous (50,75,75),
+    E = C/2 reads exactly the half-claims), the contested-garment
+    ¼–¾ split on claims (100,50) with E = 100, self-duality
+    T(E) + T(C−E) == c exact on seeded draws, order preservation
+    UP TO the one-unit remainder rule (the first rem%m creditors
+    in ascending-claim order take the +1, so a smaller claim can
+    exceed a larger by exactly 1 doubled unit — stated, pinned),
+    and 0 ≤ award_x2 ≤ 2·claim."""
+    cs = sorted((str(nm), int(c)) for nm, c in claims)
+    big_c = sum(c for _, c in cs)
+    rows = []
+    for pct in pcts:
+        estate = int(pct) * big_c // 100
+        if 2 * estate <= big_c:
+            aw = _cea_int([(nm, c) for nm, c in cs], 2 * estate)
+        else:
+            dual = _cea_int([(nm, c) for nm, c in cs],
+                            2 * (big_c - estate))
+            aw = {nm: 2 * c - dual[nm] for nm, c in cs}
+        for nm, c in cs:
+            rows.append((int(pct), estate, nm, c, aw[nm],
+                         aw[nm] // 2))
+    out = pd.DataFrame(rows, columns=[
+        "estate_pct", "estate_cents", "event_type", "claim_cents",
+        "award_x2", "award_cents"])
+    for c in out.columns:
+        if c != "event_type":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def adjusted_winner_int(items: list) -> pd.DataFrame:
+    """Adjusted Winner (Brams-Taylor 1996) — EQUITABLE ALLOCATION,
+    the goods-division face of fair division (talmud_split divides
+    a deficit; AW divides GOODS between two players so that both
+    end with the SAME share of their own valuations): assign each
+    item to its higher (cross-multiplied normalized) valuer, then
+    transfer items from the richer side in increasing efficiency-
+    ratio order, splitting exactly one pivot item.  Integer
+    contract: values a_i (player A) and b_i (player B) with totals
+    TA, TB; normalized comparisons cross-multiply (a_i·TB vs
+    b_i·TA — ties to A, stated), the equity gap is the exact
+    integer U = SA·TB − SB·TA, a full transfer of item i moves U
+    by exactly −(a_i·TB + b_i·TA), and the pivot fraction
+    x = U_left/(a_i·TB + b_i·TA) ∈ (0,1) is the ONE ppm floor in
+    the whole op.  Items worth zero to both players carry no
+    weight and stay put (stated).  The THEOREMS are pinned in
+    Fractions: post-transfer equitability is EXACT pre-floor,
+    envy-freeness (each player ends ≥ 1/2 of own total — Brams-
+    Taylor's guarantee for 2 players), transfers happen in ratio
+    order (efficiency/Pareto), the floored fraction replays, and
+    the symmetric-swap law AW(a,b) mirrors AW(b,a)."""
+    its = [(str(nm), int(a), int(b)) for nm, a, b in items]
+    ta = sum(a for _, a, _ in its)
+    tb = sum(b for _, _, b in its)
+    if ta == 0 or tb == 0:
+        raise ValueError("both players need positive total value")
+    holder = {nm: ("A" if a * tb >= b * ta else "B")
+              for nm, a, b in its}
+    sa = sum(a for nm, a, _ in its if holder[nm] == "A")
+    sb = sum(b for nm, _, b in its if holder[nm] == "B")
+    u = sa * tb - sb * ta
+    frac = {nm: (0 if holder[nm] == "A" else 1_000_000)
+            for nm, _, _ in its}
+    if u != 0:
+        rich = "A" if u > 0 else "B"
+        gap = abs(u)
+        # rich side's items, increasing own-advantage ratio; items
+        # worthless to both move nothing and stay put
+        cand = [(nm, a, b) for nm, a, b in its
+                if holder[nm] == rich and a * tb + b * ta > 0]
+        # ratio order a_i/b_i (rich = A) — the tb/ta factors cancel
+        # in the ORDERING, so the comparator is the pure integer
+        # cross-multiplication a_j·b_i < a_i·b_j (which also sorts
+        # b = 0 "infinite" ratios last with no sentinel); ties by
+        # name.  The SQL mirror ranks by the identical comparator.
+        if rich == "A":
+            cand.sort(key=lambda t: ((0, Fraction(t[1], t[2]))
+                                     if t[2] else (1, 0), t[0]))
+        else:
+            cand.sort(key=lambda t: ((0, Fraction(t[2], t[1]))
+                                     if t[1] else (1, 0), t[0]))
+        for nm, a, b in cand:
+            w = a * tb + b * ta
+            if gap >= w:               # full transfer
+                gap -= w
+                frac[nm] = 1_000_000 if rich == "A" else 0
+                if gap == 0:
+                    break
+            else:                      # pivot: the ONE ppm floor
+                x = 1_000_000 * gap // w
+                frac[nm] = x if rich == "A" else 1_000_000 - x
+                break
+    rows = [(nm, a, b, holder[nm], frac[nm]) for nm, a, b in its]
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "a_value", "b_value", "init_holder",
+        "frac_to_b_ppm"])
+    out["total_a"] = ta
+    out["total_b"] = tb
+    for c in ("a_value", "b_value", "frac_to_b_ppm", "total_a",
+              "total_b"):
+        out[c] = out[c].astype("int64")
     return out
