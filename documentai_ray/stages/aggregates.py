@@ -4653,3 +4653,112 @@ def adjusted_winner_int(items: list) -> pd.DataFrame:
               "total_b"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def kalman_level_int(ys: list, q_ppm: int, r_ppm: int) -> pd.DataFrame:
+    """1-D Kalman filter, local-level model (Kalman 1960) — STATE
+    ESTIMATION, a family the surface lacked: ewma_backtest smooths
+    with a FIXED gain, but the Kalman filter derives its gain from
+    the variance bookkeeping P, and the gain ADAPTS — large while
+    uncertain, settling toward the Riccati fixed point.  Exact
+    floored-chain contract (the mm1/erlang/loan chain discipline,
+    one documented floor per quantity per step, replayed
+    identically by the recursive-CTE mirror): with variances in
+    ppm units and state in milli-counts, from x₁ = 1000·y₁,
+    P₁ = 10⁶ (stated inits):  P⁻ = P + Q;
+    K = 10⁶·P⁻ // (P⁻ + R);  x ← x + K·(1000·y − x) trunc'd
+    toward zero (SIGN-SPLIT — the innovation is signed, the
+    repo-wide discipline);  P ← (10⁶ − K)·P⁻ // 10⁶.  Pinned:
+    R = 0 reads K = 10⁶ exactly and the filter tracks the
+    observation bit-exactly; Q = 0 with P₁ = 0 reads K = 0 and the
+    estimate never moves; the gain STABILIZES (floored Riccati
+    reaches a fixed point: |K_t − K_{t−1}| ≤ 1 after burn-in; the
+    exact continuous fixed point solves P² + PQ − RQ = 0, and with
+    R = 1e6 the steady gain EQUALS the steady filtered variance,
+    K* = P* = (−Q + √(Q² + 4RQ))/2R — for Q = ¼R that is
+    (−1+√17)/8 = 0.3903882…, and the floored chain lands within
+    one ppm of ⌊10⁶K*⌋ = 390388 — the chain pins that bracket,
+    never the irrational); P is non-increasing from the high start
+    (within
+    the one-ppm floor jitter); the estimate stays a convex
+    combination of past data (within 1 milli of the observed
+    range); and a three-step hand replay is checked digit for
+    digit."""
+    y = [int(v) for v in ys]
+    n = len(y)
+    if n == 0:
+        raise ValueError("need >= 1 observation")
+    q, r = int(q_ppm), int(r_ppm)
+    x, p = 1000 * y[0], 1_000_000
+    rows = [(0, y[0], x, 0, p)]
+    for t in range(1, n):
+        p_pred = p + q
+        k = 1_000_000 * p_pred // (p_pred + r)
+        d = 1000 * y[t] - x
+        x = x + (k * d // 1_000_000 if d >= 0
+                 else -(k * (-d) // 1_000_000))
+        p = (1_000_000 - k) * p_pred // 1_000_000
+        rows.append((t, y[t], x, k, p))
+    out = pd.DataFrame(rows, columns=[
+        "day_idx", "n_count", "x_milli", "k_ppm", "p_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def colley_rank_int(counts: list, names: list) -> pd.DataFrame:
+    """Colley-matrix rating (Colley 2002, the BCS rating) — LEAST-
+    SQUARES SPORTS RATING, a family the surface lacked: log5 and
+    pythagorean_wins rate teams from win PROBABILITY models, but
+    Colley solves a LINEAR SYSTEM — (2I + G)r = 1 + (w − l)/2 —
+    whose bias-free property is structural: the all-ones row sums
+    force mean(r) = 1/2 EXACTLY regardless of results (row sums of
+    C are 2 because the game counts cancel, so 2·Σr = Σb = 3 —
+    derived in this docstring and pinned as the exact integer
+    identity Σ(adj(C)·b₂)ᵢ == 3·det(C)).  Games: each hour, each
+    pair of the three types plays; strictly larger hourly count
+    wins, ties are NO GAME (stated).  Exact Cramer arithmetic on
+    the reused ``linalg.mat3_det`` / ``mat3_adj_dot`` (the
+    leontief_io discipline) with b DOUBLED so b₂ = 2 + w − l is
+    integer; rating_ppm = 10⁶·(adj·b₂)ᵢ // (2·det), SIGN-SPLIT
+    for safety though Colley ratings live in (0,1).  Pinned: the
+    no-games corpus reads exactly 500000 each, the
+    beats-everyone team ranks first, ratings match a Fraction
+    Gaussian solve on 30 seeded draws, the mean identity on every
+    draw, and relabel symmetry."""
+    from documentai_ray.stages.linalg import mat3_adj_dot, mat3_det
+
+    g = [[0] * 3 for _ in range(3)]
+    w = [0] * 3
+    for row in counts:
+        cs = [int(v) for v in row]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if cs[i] > cs[j]:
+                    g[i][j] += 1
+                    g[j][i] += 1
+                    w[i] += 1
+                elif cs[j] > cs[i]:
+                    g[i][j] += 1
+                    g[j][i] += 1
+                    w[j] += 1
+    t = [sum(g[i]) for i in range(3)]
+    losses = [t[i] - w[i] for i in range(3)]
+    c = [[(2 + t[i]) if i == j else -g[i][j] for j in range(3)]
+         for i in range(3)]
+    b2 = [2 + w[i] - losses[i] for i in range(3)]
+    det = mat3_det(c)
+    ys = mat3_adj_dot(c, b2)
+    assert sum(ys) == 3 * det          # the mean-1/2 theorem, exact
+    rows = []
+    for i in range(3):
+        num = 1_000_000 * ys[i]
+        den = 2 * det
+        rating = num // den if num >= 0 else -((-num) // den)
+        rows.append((str(names[i]), t[i], w[i], losses[i], rating))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "games", "wins", "losses", "rating_ppm"])
+    for col in out.columns:
+        if col != "event_type":
+            out[col] = out[col].astype("int64")
+    return out
