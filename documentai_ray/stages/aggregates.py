@@ -4762,3 +4762,105 @@ def colley_rank_int(counts: list, names: list) -> pd.DataFrame:
         if col != "event_type":
             out[col] = out[col].astype("int64")
     return out
+
+
+def hash_occupancy_int(bucket4096: list, n_users: int,
+                       d_grid: list = (64, 256, 1024, 4096)
+                       ) -> pd.DataFrame:
+    """Birthday-collision occupancy audit of the Knuth
+    multiplicative hash — OCCUPANCY THEORY, a family the surface
+    lacked: users_sketch/hll/kmv ESTIMATE cardinality, but "how
+    evenly does a hash spread U keys over D buckets, against the
+    birthday-problem benchmark E[colliding pairs] = C(U,2)/D" is
+    the occupancy question.  ``bucket4096`` is the (h % 4096,
+    distinct-user count) census with h = (id·2654435761) mod 2³²
+    (Knuth's golden-ratio multiplier — exact integers both
+    engines); every coarser grid level divides 4096, so
+    (h % 4096) % D == h % D and ONE bounded exchange serves the
+    whole grid (stated — the reason the grid is powers of 4).
+    Observed colliding pairs Σ C(m_b, 2) are exact integers;
+    expected_milli = 1000·U(U−1) // (2D) is one floor;
+    ratio_ppm = 10⁶·2D·obs // (U(U−1)) the other.  max_load rides
+    along.  Pinned: the textbook birthday numbers (U = 23,
+    D = 365 reads expected 693 milli-pairs — the 0.507-collision
+    classroom fact in pair form), the perfectly-uniform census
+    (obs = D·C(U/D, 2) exactly, ratio = 10⁶·(U−D)/(U−1) // 1),
+    the all-in-one-bucket extreme (ratio = 10⁶·D·(…)), and exact
+    replays.  Envelope: id·2654435761 caps ids at ~3.4·10⁹ inside
+    BIGINT in the mirror — documented."""
+    cells = {int(b): int(m) for b, m in bucket4096}
+    u = int(n_users)
+    if u < 2:
+        raise ValueError("need >= 2 users")
+    rows = []
+    for d in d_grid:
+        d = int(d)
+        agg = {}
+        for b, m in cells.items():
+            agg[b % d] = agg.get(b % d, 0) + m
+        obs = sum(m * (m - 1) // 2 for m in agg.values())
+        exp_milli = 1000 * u * (u - 1) // (2 * d)
+        ratio = 1_000_000 * 2 * d * obs // (u * (u - 1))
+        rows.append((d, u, obs, exp_milli, ratio,
+                     max(agg.values())))
+    out = pd.DataFrame(rows, columns=[
+        "d_buckets", "n_users", "colliding_pairs",
+        "expected_milli", "ratio_ppm", "max_load"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _conway_l(a: str, b: str) -> int:
+    """Conway leading number L(A,B) = Σ_k 2^(k−1)·[last k of A ==
+    first k of B] — the overlap algebra behind Penney's game."""
+    n = len(a)
+    return sum(2 ** (k - 1) for k in range(1, n + 1)
+               if a[n - k:] == b[:k])
+
+
+def penney_game_int(bits: list) -> pd.DataFrame:
+    """Penney's game pattern odds (Conway's algorithm) —
+    NONTRANSITIVE GAMES, a family the surface lacked: every rating
+    op on the surface (colley, log5, copeland) presumes a
+    meaningful total order, but Penney's game is the canonical
+    proof that 'beats' need not be transitive: for EVERY 3-flip
+    pattern the response (¬b₂, b₁, b₂) wins with probability
+    > 1/2, so the beating relation cycles.  The exact win odds
+    come from Conway's leading numbers — odds(B first) =
+    (L(A,A) − L(A,B)) : (L(B,B) − L(B,A)) with L(X,Y) =
+    Σ 2^(k−1)·[suffix_k(X) = prefix_k(Y)] — an unproven-looking
+    magic formula which the tests VERIFY against a first-
+    principles Markov absorption solve in Fractions for all 56
+    ordered pattern pairs, plus the famous 7/8 (THH over HHH),
+    3/4 and 2/3 classics.  Data enters as the daily-count PARITY
+    stream: first_day = first 0-based day index whose trailing 3
+    parities spell the pattern (−1 = never, stated).  One ppm
+    floor per row.  beats_half certifies the nontransitivity on
+    every row."""
+    bs = [int(v) % 2 for v in bits]
+    n = len(bs)
+    pats = [format(i, "03b") for i in range(8)]
+    rows = []
+    for p in pats:
+        killer = ("1" if p[1] == "0" else "0") + p[0] + p[1]
+        laa = _conway_l(p, p)
+        lab = _conway_l(p, killer)
+        lbb = _conway_l(killer, killer)
+        lba = _conway_l(killer, p)
+        num = laa - lab
+        den = (laa - lab) + (lbb - lba)
+        win = 1_000_000 * num // den
+        first = -1
+        for t in range(2, n):
+            if f"{bs[t - 2]}{bs[t - 1]}{bs[t]}" == p:
+                first = t
+                break
+        rows.append((p, killer, first, win,
+                     1 if 2 * num > den else 0))
+    out = pd.DataFrame(rows, columns=[
+        "pattern", "killer", "first_day", "win_ppm",
+        "beats_half"])
+    for c in ("first_day", "win_ppm", "beats_half"):
+        out[c] = out[c].astype("int64")
+    return out
