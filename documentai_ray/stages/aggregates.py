@@ -4864,3 +4864,97 @@ def penney_game_int(bits: list) -> pd.DataFrame:
     for c in ("first_day", "win_ppm", "beats_half"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def logistic_map_int(x0_ppm: int, r_grid_milli: list,
+                     steps: int = 60) -> pd.DataFrame:
+    """Floored logistic map x ← r·x·(1−x) (May 1976) — DISCRETE
+    DYNAMICAL SYSTEMS / CHAOS, a family the surface lacked:
+    sir_epidemic and lotka_volterra iterate population MODELS to
+    their equilibria, but the logistic map is THE object where the
+    same one-liner runs fixed point → 2-cycle → 4-cycle → chaos as
+    r climbs, and the floored chain makes every regime an EXACT
+    integer question: x′_ppm = r_milli·x·(10⁶ − x) // 10⁹, one
+    floor per step (the mm1/erlang chain discipline), 60 steps per
+    r.  Period detection is EXACT equality (a floored map that has
+    converged repeats bit-for-bit): smallest p ∈ {1,2,4,8} with
+    x_T == x_{T−p}, else 0 = no short cycle (the floored-chaos
+    caveat: any finite-state map ultimately cycles, but not within
+    these lags — stated).  Pinned: r = 2.5 lands EXACTLY on the
+    algebraic fixed point 1 − 1/r = 600000 ppm (the fixed point is
+    floor-invariant: 2500·600000·400000 // 10⁹ = 600000, checked
+    in-kernel), r = 3.2 reads period 2 with the cycle bracketing
+    the algebraic pair (513044, 799455) within 3 ppm, r = 3.9
+    reads period 0 AND sensitive dependence (two starts 1 ppm
+    apart separate by > 10⁵ within 60 steps — Lorenz's butterfly
+    as an assertion).  Mirror: recursive CTE carrying the 8-lag
+    ring as columns."""
+    rows = []
+    for r in r_grid_milli:
+        r = int(r)
+        x = int(x0_ppm)
+        hist = []
+        for _ in range(int(steps)):
+            hist.append(x)
+            x = r * x * (1_000_000 - x) // 1_000_000_000
+        hist.append(x)
+        period = 0
+        for p in (1, 2, 4, 8):
+            if hist[-1] == hist[-1 - p]:
+                period = p
+                break
+        rows.append((r, int(x0_ppm), x, period))
+    out = pd.DataFrame(rows, columns=[
+        "r_milli", "x0_ppm", "x_final_ppm", "period"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def cf_convergents_int(p: int, q: int) -> pd.DataFrame:
+    """Continued-fraction convergents of the measured ratio p/q —
+    DIOPHANTINE APPROXIMATION, a family the surface lacked: the
+    surface measures plenty of ratios (shares, rates, indexes) but
+    never asks the number-theoretic question "what is the BEST
+    simple fraction for this measurement?", which continued
+    fractions answer optimally: the convergents hᵢ/kᵢ from the
+    Euclid quotients aᵢ (h recurrence hᵢ = aᵢh₍ᵢ₋₁₎ + h₍ᵢ₋₂₎) are
+    EXACTLY the best rational approximations OF THE SECOND KIND —
+    from step 1 on, no fraction h′/k′ with k′ ≤ k makes |k′x − h′|
+    smaller (the classical theorem; first-kind |x − h/k|
+    optimality can fail at the 0th convergent, which is why the
+    statement is the second-kind one) — verified in tests by brute
+    force over every smaller denominator rather than cited.  ZERO floors — pure Euclid.  side =
+    sign(h·q − p·k) records the famous alternation (convergents
+    straddle the target, even index below, odd above, last one
+    exact = 0 — pinned), and the last convergent equals p/q in
+    lowest terms (Euclid's gcd, pinned).  Fibonacci-ratio inputs
+    (all-ones quotients, the golden-ratio worst case of the
+    theory) and the [3; 7, 16] expansion of 355/113 are hand
+    pins.  Mirror: a recursive-CTE Euclid carrying (remainders,
+    h-pair, k-pair)."""
+    p, q = int(p), int(q)
+    if q <= 0 or p < 0:
+        raise ValueError("need p >= 0, q > 0")
+    r0, r1 = p, q
+    hm2, hm1 = 0, 1       # h_{-2}=0? standard: h_{-1}=1, h_{-2}=0
+    km2, km1 = 1, 0
+    rows = []
+    i = 0
+    a, r0, r1 = r0 // r1, r1, r0 % r1
+    while True:
+        h = a * hm1 + hm2
+        k = a * km1 + km2
+        d = h * q - p * k
+        rows.append((i, a, h, k, (d > 0) - (d < 0)))
+        if r1 == 0:
+            break
+        hm2, hm1 = hm1, h
+        km2, km1 = km1, k
+        a, r0, r1 = r0 // r1, r1, r0 % r1
+        i += 1
+    out = pd.DataFrame(rows, columns=[
+        "step", "a_quot", "num", "den", "side"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
