@@ -4958,3 +4958,105 @@ def cf_convergents_int(p: int, q: int) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def bullwhip_int(demand: list, grid: list) -> pd.DataFrame:
+    """Bullwhip-effect variance amplification (Lee-Padmanabhan-
+    Whang 1997 / Chen et al. 2000) — SUPPLY-CHAIN DYNAMICS, a
+    family the surface lacked: backlog_dam asks what a demand
+    sequence does to a fixed-rate server, but the bullwhip asks
+    what an ORDERING POLICY does to the demand signal itself — the
+    order-up-to policy with a p-day moving-average forecast and
+    lead L places orders o_t = d_t + L·(MA_t − MA_{t−1}), and the
+    ratio Var(o)/Var(d) measures the amplification that whipsaws
+    upstream suppliers.  Exact integer contract: clear the moving
+    average by p — O_t = p·d_t + L·(S_t − S_{t−1}) on rolling sums
+    S, compare against D_t = p·d_t on the SAME support
+    t ∈ {p+1..n} (stated; clearing both sides by p leaves the
+    ratio untouched), variances cleared by m², ONE ppm floor per
+    grid cell.  Constant demand ⟹ VD = VO = 0, read as exactly
+    10⁶ (no amplification — the convention is safe because
+    constant d forces constant o, stated).  Pinned: LINEAR demand
+    reads exactly 10⁶ (the MA difference is constant, so o = d +
+    const and the variances agree bit-for-bit — the policy
+    amplifies VARIABILITY, not trend), a demand step amplifies
+    (> 10⁶) and more lead amplifies more on that step, and exact
+    integer replays on seeded draws."""
+    d = [int(v) for v in demand]
+    n = len(d)
+    rows = []
+    for ell, p in grid:
+        ell, p = int(ell), int(p)
+        if n < p + 2:
+            raise ValueError("series shorter than window + 2")
+        s = [sum(d[t - p + 1:t + 1]) for t in range(p - 1, n)]
+        # s[i] = rolling sum ending at day index i + p - 1
+        big_o = [p * d[t] + ell * (s[t - p + 1] - s[t - p])
+                 for t in range(p, n)]
+        big_d = [p * d[t] for t in range(p, n)]
+        m = n - p
+        vd = m * sum(x * x for x in big_d) - sum(big_d) ** 2
+        vo = m * sum(x * x for x in big_o) - sum(big_o) ** 2
+        bw = 1_000_000 * vo // vd if vd > 0 else 1_000_000
+        rows.append((ell, p, m, vd, vo, bw))
+    out = pd.DataFrame(rows, columns=[
+        "l_days", "p_days", "m_support", "var_d_x", "var_o_x",
+        "bullwhip_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def necklace_count_int(bits: list, k: int = 7) -> pd.DataFrame:
+    """Binary-necklace census under rotation (Burnside/Pólya) —
+    COUNTING UNDER SYMMETRY, a family the surface lacked: the
+    n-gram ops (subsequence_counts, ngram_novelty) count patterns
+    as written, but two weekly on/off patterns that are rotations
+    of each other are the SAME cyclic schedule, and Burnside's
+    lemma counts the distinct classes exactly: #necklaces =
+    (1/k)·Σ_{d|k} φ(d)·2^(k/d) — an integer BECAUSE the lemma
+    says so (the divisibility is itself pinned for every k ≤ 16,
+    and the k = 7 total is the classic 20).  The corpus's daily
+    parity stream is cut into its k-day windows, each canonicalized
+    to its lexicographically-least rotation (idempotence and
+    rotation-invariance pinned), and the observed distinct
+    necklaces are reported against the Burnside total.  ZERO
+    floors except the coverage ppm."""
+    bs = [int(v) % 2 for v in bits]
+    k = int(k)
+    n = len(bs)
+    if n < k:
+        raise ValueError("stream shorter than the window")
+
+    def phi(m: int) -> int:
+        out, x, f = m, m, 2
+        while f * f <= x:
+            if x % f == 0:
+                while x % f == 0:
+                    x //= f
+                out -= out // f
+            f += 1
+        if x > 1:
+            out -= out // x
+        return out
+
+    total2 = sum(phi(dd) * 2 ** (k // dd)
+                 for dd in range(1, k + 1) if k % dd == 0)
+    assert total2 % k == 0               # Burnside's divisibility
+    possible = total2 // k
+    raws = set()
+    necks = set()
+    for t in range(k - 1, n):
+        w = "".join(str(b) for b in bs[t - k + 1:t + 1])
+        raws.add(w)
+        necks.add(min(w[i:] + w[:i] for i in range(k)))
+    out = pd.DataFrame([(n - k + 1, len(raws), len(necks),
+                         possible,
+                         1_000_000 * len(necks) // possible)],
+                       columns=["n_windows", "distinct_raw",
+                                "distinct_necklaces",
+                                "necklaces_possible",
+                                "coverage_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
