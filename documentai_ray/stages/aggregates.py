@@ -5060,3 +5060,98 @@ def necklace_count_int(bits: list, k: int = 7) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def wardrop_poa_int(a1: int, a2: int, scenarios: list) -> pd.DataFrame:
+    """Wardrop equilibrium + price of anarchy on a two-route
+    network (Pigou 1920 / Wardrop 1952 / Roughgarden-Tardos 2002)
+    — CONGESTION GAMES, a family the surface lacked: nash_2x2 and
+    zerosum_value solve MATRIX games, but selfish ROUTING is the
+    game where the players are a continuum of flow and the
+    strategy is a path: with linear latencies l₁ = a₁ + b₁f,
+    l₂ = a₂ + b₂(1−f) (f = fraction on route 1), the equilibrium
+    equalizes latencies — f_eq = (a₂ + b₂ − a₁)/(b₁ + b₂), clamped
+    to a corner when one route dominates — while the social
+    optimum equalizes MARGINAL costs (a + 2bf), and the ratio of
+    their total costs is the price of anarchy, ≤ 4/3 for linear
+    latencies — the Roughgarden-Tardos theorem, pinned on seeded
+    draws AND achieved exactly by Pigou's example (a₁ = c, b₁ = 0
+    vs a₂ = 0, b₂ = c reads PoA = 4/3 bit-exactly).  Exact
+    integer contract: f clears by D = b₁ + b₂ (fN ∈ [0, D]), the
+    optimum by 2D, total costs clear to EQ = C_eq·D² and
+    OPT = C_opt·4D² (both exact integers), poa_ppm = 4·10⁶·EQ //
+    OPT is ONE floor, and the equilibrium CERTIFICATE rides along
+    as latency_gap = l₁N − l₂N == 0 whenever f is interior
+    (the engset visible-theorem discipline).  Degenerate
+    b₁ = b₂ = 0: both routes constant — all flow takes the
+    cheaper, PoA = 10⁶ (stated)."""
+    a1, a2 = int(a1), int(a2)
+    rows = []
+    for b1, b2 in scenarios:
+        b1, b2 = int(b1), int(b2)
+        d = b1 + b2
+        if d == 0:
+            # both routes constant: all flow takes the cheaper
+            # (ties take route 2 — stated), selfish == optimal
+            rows.append((b1, b2, a1, a2,
+                         1_000_000 if a1 < a2 else 0,
+                         1_000_000, a1 - a2))
+            continue
+        fn = max(0, min(d, a2 + b2 - a1))
+        l1n = a1 * d + b1 * fn
+        l2n = a2 * d + b2 * (d - fn)
+        eq = fn * l1n + (d - fn) * l2n          # C_eq * D^2
+        gn = max(0, min(2 * d, a2 + 2 * b2 - a1))
+        opt = (gn * (2 * d * a1 + b1 * gn)
+               + (2 * d - gn) * (2 * d * a2 + b2 * (2 * d - gn)))
+        poa = 4 * 1_000_000 * eq // opt if opt > 0 else 1_000_000
+        rows.append((b1, b2, a1, a2, 1_000_000 * fn // d, poa,
+                     l1n - l2n))
+    out = pd.DataFrame(rows, columns=[
+        "b1", "b2", "a1_cents", "a2_cents", "f_eq_ppm", "poa_ppm",
+        "latency_gap"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def group_testing_int(p_ppm: int, k_grid: list) -> pd.DataFrame:
+    """Dorfman pooled-testing design (1943) — GROUP TESTING, a
+    family the surface lacked: acceptance_sampling disposes of a
+    LOT from a sample, but pooling asks the design question that
+    made wartime syphilis screening (and COVID lab pooling)
+    tractable — test k specimens as one pool, retest individually
+    only on a positive, for an expected per-person cost of
+    1/k + 1 − (1−p)^k tests.  Exact floored contract: the pool-
+    negative probability (1−p)^k runs as a ppm POWER CHAIN (one
+    floor per step — the erlang/mm1 chain discipline, mirrored by
+    a recursive CTE), the cost adds 10⁶//k (one floor) and the
+    chain's complement; best_k marks the grid argmin (ties to the
+    smaller pool, stated).  Pinned: the Dorfman regime boundary —
+    pooling HELPS (cost < 10⁶) for small p and is USELESS for
+    p ≳ 31% (1 − (1−p)^k < ... every k ≥ 2 costs over one test
+    per person — both directions asserted), the textbook p = 1%
+    optimum k = 11, cost → 10⁶//k + (k·p-ish) small-p behaviour
+    via a Fraction bracket (the chain floors drift the power DOWN
+    by ≤ k ppm, so the floored cost sits within k+1 ppm above the
+    exact rational — stated and pinned), and monotone: the chain
+    power strictly decreases in k for p > 0."""
+    p = int(p_ppm)
+    rows = []
+    for k in k_grid:
+        k = int(k)
+        if k < 2:
+            raise ValueError("pool size must be >= 2")
+        pw = 1_000_000
+        for _ in range(k):
+            pw = pw * (1_000_000 - p) // 1_000_000
+        cost = 1_000_000 // k + (1_000_000 - pw)
+        rows.append((k, pw, cost))
+    out = pd.DataFrame(rows, columns=[
+        "k_pool", "neg_pool_ppm", "cost_ppm"])
+    best = out.loc[out["cost_ppm"].idxmin(), "k_pool"]
+    out["best_k"] = (out["k_pool"] == best).astype("int64")
+    out["saves"] = (out["cost_ppm"] < 1_000_000).astype("int64")
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
