@@ -5155,3 +5155,103 @@ def group_testing_int(p_ppm: int, k_grid: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def bond_duration_int(face_cents: int) -> pd.DataFrame:
+    """Macaulay duration + convexity of a 12-month coupon bond at
+    1%/month yield — FIXED-INCOME RISK, a family the surface
+    lacked: loan_amortization SCHEDULES cash flows and crr_option
+    prices contingency, but "how much does this bond's price move
+    when rates move" is the duration question, and on a RATIONAL
+    yield the whole term structure is exact integers: v^t =
+    100^t·101^(12−t)/101¹², so price numerator PVN = Σ CF_t·
+    100^t·101^(12−t), duration = Σt·CF·w / ΣCF·w (one milli
+    floor) and convexity_milli = 1000·Σt(t+1)·CF·w // ΣCF·w —
+    the MACAULAY-style curvature (the modified version divides by
+    (1+i)², a constant factor both engines could apply; it is
+    omitted because the extra 10⁴/10201 rational pushes the
+    numerator past HUGEINT at real faces — the overflow was caught
+    live by the mirror, and the convention is stated rather than
+    squeezed).  Four bonds ride in one output so
+    the THEOREMS are visible rows (the engset discipline): the
+    ZERO-coupon bond's duration is EXACTLY its maturity (12000
+    milli — the defining fact of duration), and the PAR THEOREM —
+    coupon rate == yield ⟺ price == face — holds BIT-EXACT
+    (PVN == face·101¹², asserted in-kernel, price_ppm_of_face ==
+    10⁶ on the par row) with the discount (½%) row strictly below
+    par and the premium (2%) row strictly above.  Coupon rows'
+    duration < maturity, monotone decreasing in the coupon
+    (heavier early cash flows).  Envelope: 10⁶·PVN ≈ 2·10³⁷ keeps
+    the face under ~10⁸ cents inside HUGEINT — documented.
+    Mirror: the 100^t·101^(12−t) weights as builder-computed
+    design literals (the acceptance_sampling discipline)."""
+    face = int(face_cents)
+    n = 12
+    w = [100 ** t * 101 ** (n - t) for t in range(n + 1)]
+    full = 101 ** n
+    rows = []
+    for name, coup in (("zero", 0), ("discount", face // 200),
+                       ("par", face // 100), ("premium", face // 50)):
+        cfs = [coup] * n
+        cfs[n - 1] += face
+        pvn = sum(cf * w[t + 1] for t, cf in enumerate(cfs))
+        dn = sum((t + 1) * cf * w[t + 1] for t, cf in enumerate(cfs))
+        cn = sum((t + 1) * (t + 2) * cf * w[t + 1]
+                 for t, cf in enumerate(cfs))
+        if coup == face // 100 and face % 100 == 0:
+            assert pvn == face * full        # the par theorem
+        rows.append((name, coup,
+                     1_000_000 * pvn // (face * full),
+                     1000 * dn // pvn,
+                     1000 * cn // pvn))
+    out = pd.DataFrame(rows, columns=[
+        "bond", "coupon_cents", "price_ppm_of_face",
+        "duration_milli", "convexity_milli"])
+    for c in out.columns:
+        if c != "bond":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def linkage_diseq_int(n: int, n_a: int, n_b: int,
+                      n_ab: int) -> pd.DataFrame:
+    """Two-locus linkage disequilibrium — POPULATION GENETICS'
+    second rung (hardy_weinberg tests ONE locus against its own
+    allele frequencies; LD asks whether TWO loci travel together):
+    D = p_AB − p_A·p_B (Lewontin 1964's D′ normalizes by the
+    maximum |D| the margins allow; Hill-Robertson 1968's r² is the
+    squared correlation — and r², unlike r, needs NO square root,
+    which is why it is the integer-exact member).  Cleared by n²:
+    DN = n·n_AB − n_A·n_B exact signed integer; D′ divides by
+    Dmax⁺ = min(n_A·n_b̄, n_ā·n_B) when DN > 0 and
+    Dmax⁻ = min(n_A·n_B, n_ā·n_b̄) when DN < 0 (sign-split, the
+    repo discipline); r²_ppm = 10⁶·DN² // (n_A·n_ā·n_B·n_b̄).
+    Monomorphic margins make every measure 0 with the flag set
+    (stated).  Pinned: perfect coupling (AB and ab only) reads D′
+    and r² EXACTLY 10⁶; an exact product table reads DN = 0;
+    allele relabel flips DN's sign bit-exactly while |D′| and r²
+    are invariant; r² ≤ 10⁶ (Cauchy-Schwarz on the 2×2) and
+    r²_ppm ≤ dprime_ppm + 1 (|r| ≤ |D′|).  Envelope: 10⁶·DN² ~
+    10⁶n⁴ caps the cohort at ~3·10⁸ subjects inside HUGEINT —
+    documented."""
+    n, n_a, n_b, n_ab = int(n), int(n_a), int(n_b), int(n_ab)
+    na_, nb_ = n - n_a, n - n_b
+    dn = n * n_ab - n_a * n_b
+    mono = 1 if (n_a in (0, n) or n_b in (0, n)) else 0
+    if mono:
+        dp = r2 = 0
+    else:
+        dmax = (min(n_a * nb_, na_ * n_b) if dn > 0
+                else min(n_a * n_b, na_ * nb_))
+        dp = (0 if dn == 0 else
+              (1_000_000 * dn // dmax if dn > 0
+               else -(1_000_000 * (-dn) // dmax)))
+        r2 = 1_000_000 * dn * dn // (n_a * na_ * n_b * nb_)
+    out = pd.DataFrame([(n, n_a, n_b, n_ab, dn, dp, r2, mono)],
+                       columns=["n_users", "n_a_even", "n_b_even",
+                                "n_both_even", "d_x",
+                                "dprime_ppm", "r2_ppm",
+                                "monomorphic"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
