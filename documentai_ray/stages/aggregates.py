@@ -5255,3 +5255,88 @@ def linkage_diseq_int(n: int, n_a: int, n_b: int,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def index_coincidence_int(census: list, k_grid: list) -> pd.DataFrame:
+    """Friedman's index of coincidence (1922) — CLASSICAL
+    CRYPTANALYSIS, a family the surface lacked: lang_id and yule_k
+    fingerprint text statistically, but the IC is codebreaking's
+    founding statistic — the probability two randomly drawn letters
+    match, Σn(n−1)/(N(N−1)) — and its KEY-LENGTH test splits the
+    text into k positional streams (per document, positions of the
+    KEPT letters mod k — the normalization is [a-z] only,
+    lowercased, stated): at the true period the streams are
+    monoalphabetic and the IC jumps.  ``census`` is [(k, stream,
+    letter_ord, n)] from ONE bounded exchange (≤ k·k·26 cells per
+    k).  Contract: per-stream ic_ppm = 10⁶·Σn(n−1) //
+    (N_r(N_r−1)) (one floor; streams with N_r < 2 contribute 0 —
+    stated), then ic_avg_ppm = Σ_r ic_r // k (the second,
+    documented floor layer).  Pinned: a single repeated letter
+    reads 10⁶ exactly, the uniform 26-letter census reads the
+    (N/26−1)/(N−1) closed form exactly, and the Vigenère demo —
+    'abc' repeated 100× reads IC = 331103 ppm at k = 1 (exact:
+    3·9900/89700) but EXACTLY 10⁶ at k = 3, the period detection
+    that broke polyalphabetics."""
+    from collections import defaultdict
+
+    cnt = defaultdict(lambda: defaultdict(lambda: defaultdict(int)))
+    for k, r, ch, n in census:
+        cnt[int(k)][int(r)][int(ch)] += int(n)
+    rows = []
+    for k in k_grid:
+        k = int(k)
+        tot_ic = 0
+        n_chars = 0
+        for r in range(k):
+            ns = cnt[k][r].values()
+            nr = sum(ns)
+            n_chars += nr
+            if nr >= 2:
+                tot_ic += (1_000_000 * sum(n * (n - 1) for n in ns)
+                           // (nr * (nr - 1)))
+        rows.append((k, n_chars, tot_ic // k))
+    out = pd.DataFrame(rows, columns=["k_len", "n_chars",
+                                      "ic_avg_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lpt_makespan_int(jobs: list, m_grid: list) -> pd.DataFrame:
+    """LPT multiprocessor scheduling + Graham's certificate (1966/
+    1969) — APPROXIMATION ALGORITHMS WITH GUARANTEES, a family the
+    surface lacked: wspt_schedule and johnson_flowshop are EXACT
+    optima for their single/two-machine models, but multiprocessor
+    makespan is NP-hard and the honest object is a heuristic WITH
+    a proven certificate: longest-processing-time greedy (jobs
+    sorted desc, each to the least-loaded machine, ties to the
+    lowest index — stated) satisfies Graham's per-instance bound
+    makespan ≤ total/m + (1 − 1/m)·max_job, carried as the exact
+    integer slack m·makespan ≤ total + (m−1)·max_job (graham_slack
+    ≥ 0 on EVERY instance — the visible certificate, engset
+    discipline), and the a-priori ratio LPT/OPT ≤ 4/3 − 1/(3m) is
+    pinned against brute-force optima on small instances.  Lower
+    bounds lb = max(⌈total/m⌉, max_job) ride along with
+    ratio_vs_lb_ppm = 10⁶·makespan // lb, the op's one floor.
+    Equal jobs balance perfectly (pinned)."""
+    js = sorted((int(v) for v in jobs), reverse=True)
+    total = sum(js)
+    mx = js[0] if js else 0
+    rows = []
+    for m in m_grid:
+        m = int(m)
+        loads = [0] * m
+        for j in js:
+            i = loads.index(min(loads))
+            loads[i] += j
+        mk = max(loads) if loads else 0
+        lb = max((total + m - 1) // m, mx)
+        rows.append((m, mk, (total + m - 1) // m, mx,
+                     total + (m - 1) * mx - m * mk,
+                     1_000_000 * mk // lb if lb else 1_000_000))
+    out = pd.DataFrame(rows, columns=[
+        "m_machines", "makespan", "lb_avg", "lb_max",
+        "graham_slack", "ratio_vs_lb_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
