@@ -5340,3 +5340,154 @@ def lpt_makespan_int(jobs: list, m_grid: list) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def periodogram_int(census, periods=(2, 3, 4, 6)):
+    """Exact integer Schuster periodogram over an hourly count series
+    — SPECTRAL ANALYSIS as exact arithmetic.  ``census`` is the
+    bounded 12-cell exchange ``[(residue mod 12, total count)]``; the
+    ordinate at period p needs only the residue-class sums
+    S_r = Σ_{t ≡ r (mod p)} x_t because the complex exponential
+    e^{-2πit/p} depends on t only through t mod p, so
+    X(1/p) = Σ_r S_r ω^r for ω = e^{-2πi/p} — EXACT for the four
+    periods whose roots of unity live in Z[i] (p = 2, 4: Gaussian
+    integers) or Z[ω₃]/2 (p = 3, 6: Eisenstein halves, cleared by
+    reporting 4·|X|², always an integer):
+
+        p=2: 4|X|² = 4(S0−S1)²
+        p=4: 4|X|² = 4[(S0−S2)² + (S3−S1)²]
+        p=3: 4|X|² = (2S0−S1−S2)² + 3(S2−S1)²
+        p=6: 4|X|² = (2S0+S1−S2−2S3−S4+S5)² + 3(S4+S5−S1−S2)²
+
+    Convention stated honestly: this is the periodogram ordinate at
+    frequency 1/p over the ENTIRE series (absent hours contribute 0
+    and so never need densifying); it coincides with the orthogonal
+    DFT bin only when p divides the series length — no division by N
+    is ever taken, so the value is exact either way.  ``is_peak``
+    marks the argmax row (ties → smaller period).  Arithmetic is
+    Python int end-to-end; the mirror's HUGEINT squares cap the safe
+    envelope at residue-sum differences ~1.3e19 — documented, far
+    beyond any per-hour event census here."""
+    s12 = [0] * 12
+    for r, n in census:
+        s12[int(r) % 12] += int(n)
+    rows = []
+    for p in periods:
+        p = int(p)
+        s = [sum(s12[j] for j in range(12) if j % p == r)
+             for r in range(p)]
+        if p == 2:
+            pw = 4 * (s[0] - s[1]) ** 2
+        elif p == 4:
+            pw = 4 * ((s[0] - s[2]) ** 2 + (s[3] - s[1]) ** 2)
+        elif p == 3:
+            pw = ((2 * s[0] - s[1] - s[2]) ** 2
+                  + 3 * (s[2] - s[1]) ** 2)
+        elif p == 6:
+            pw = ((2 * s[0] + s[1] - s[2] - 2 * s[3] - s[4]
+                   + s[5]) ** 2
+                  + 3 * (s[4] + s[5] - s[1] - s[2]) ** 2)
+        else:  # pragma: no cover - guarded by the fixed grid
+            raise ValueError(f"period {p} has no exact root table")
+        rows.append((p, pw))
+    best = min(range(len(rows)),
+               key=lambda i: (-rows[i][1], rows[i][0]))
+    out = pd.DataFrame(
+        [(p, pw, 1 if i == best else 0)
+         for i, (p, pw) in enumerate(rows)],
+        columns=["period", "power_x4", "is_peak"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def maxflow_mincut_int(s_caps, mid_caps, t_caps):
+    """Max flow = min cut on the layered s → regions → segments → t
+    network, with LP DUALITY AS THE VISIBLE THEOREM.  ``s_caps[r]``
+    (r = 0..4), ``mid_caps[(r, g)]`` and ``t_caps[g]`` (g = 0..4) are
+    non-negative integer capacities; zero/absent means no edge.
+
+    Two INDEPENDENT computations ride in one row: ``max_flow`` from
+    Edmonds-Karp augmenting paths (BFS shortest augmenting, integral
+    by the integrality theorem) and ``min_cut`` from brute-force
+    enumeration of all 2¹⁰ source-side masks (bit r = region r on the
+    source side, bit 5+g = segment g) — the mirror enumerates the
+    SAME 1024 cuts in SQL, so the oracle's agreement with the Ray
+    side's augmenting-path flow IS max-flow/min-cut duality checked
+    per instance.  ``duality_gap = min_cut − max_flow`` is computed,
+    not assumed, and asserted 0 in-kernel; ``cut_mask`` is the argmin
+    mask (ties → smallest mask), ``n_cut_edges`` counts the
+    positive-capacity edges crossing it, and ``total_supply`` =
+    Σ s_caps rides along as the visible upper bound."""
+    import collections
+
+    S, T = 0, 11
+
+    def cap_of(u, v):
+        if u == S and 1 <= v <= 5:
+            return int(s_caps.get(v - 1, 0))
+        if 1 <= u <= 5 and 6 <= v <= 10:
+            return int(mid_caps.get((u - 1, v - 6), 0))
+        if 6 <= u <= 10 and v == T:
+            return int(t_caps.get(u - 6, 0))
+        return 0
+
+    cap = {}
+    for u in range(12):
+        for v in range(12):
+            c = cap_of(u, v)
+            if c > 0:
+                cap[(u, v)] = cap.get((u, v), 0) + c
+                cap.setdefault((v, u), 0)
+    flow = 0
+    while True:
+        parent = {S: None}
+        q = collections.deque([S])
+        while q and T not in parent:
+            u = q.popleft()
+            for (a, b), c in cap.items():
+                if a == u and b not in parent and c > 0:
+                    parent[b] = u
+                    q.append(b)
+        if T not in parent:
+            break
+        path, v = [], T
+        while parent[v] is not None:
+            path.append((parent[v], v))
+            v = parent[v]
+        aug = min(cap[e] for e in path)
+        for (a, b) in path:
+            cap[(a, b)] -= aug
+            cap[(b, a)] += aug
+        flow += aug
+
+    best_cut, best_mask, best_edges = None, None, 0
+    for mask in range(1 << 10):
+        cut, edges = 0, 0
+        for r in range(5):
+            c = int(s_caps.get(r, 0))
+            if c and not (mask >> r) & 1:
+                cut += c
+                edges += 1
+        for (r, g), c in mid_caps.items():
+            c = int(c)
+            if c and (mask >> r) & 1 and not (mask >> (5 + g)) & 1:
+                cut += c
+                edges += 1
+        for g in range(5):
+            c = int(t_caps.get(g, 0))
+            if c and (mask >> (5 + g)) & 1:
+                cut += c
+                edges += 1
+        if best_cut is None or cut < best_cut:
+            best_cut, best_mask, best_edges = cut, mask, edges
+    assert best_cut == flow, (best_cut, flow)
+    out = pd.DataFrame([(flow, best_cut, best_cut - flow, best_mask,
+                         best_edges,
+                         sum(int(v) for v in s_caps.values()))],
+                       columns=["max_flow", "min_cut", "duality_gap",
+                                "cut_mask", "n_cut_edges",
+                                "total_supply"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
