@@ -612,3 +612,54 @@ def ngram_novelty(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          "novelty_ppm": pa.array(ppm, pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stringology: smallest period / border (KMP), LZ78 complexity
+# ---------------------------------------------------------------------------
+
+def smallest_period(s: str) -> int:
+    """Smallest (weak) period of ``s`` — the least p ≥ 1 with
+    s[i] = s[i+p] for every valid i, equivalently n − border(n) where
+    border(n) is the longest proper border from the KMP failure
+    function.  The KMP route is O(n); the mirror uses the equivalent
+    naive definition min{p : s[1..n−p] = s[p+1..n]} directly (their
+    equality is the classical border/period duality, cross-checked in
+    tests).  Empty string → 0 by convention."""
+    n = len(s)
+    if n == 0:
+        return 0
+    fail = [0] * n
+    k = 0
+    for i in range(1, n):
+        while k and s[i] != s[k]:
+            k = fail[k - 1]
+        if s[i] == s[k]:
+            k += 1
+        fail[i] = k
+    return n - fail[n - 1]
+
+
+def lz78_phrases(s: str) -> int:
+    """LZ78 phrase count of ``s`` — the Lempel-Ziv complexity proxy:
+    parse left to right, each phrase = (longest dictionary prefix of
+    the remainder) + one symbol, the new phrase joining the
+    dictionary.  The dictionary is prefix-closed by construction (every
+    phrase extends an earlier one), so greedy longest-prefix match is
+    the LZ78 parse.  A final incomplete phrase (input exhausted while
+    still inside a dictionary word) counts as a phrase — the classical
+    convention, stated because the mirror must share it.  O(n) via a
+    trie walk."""
+    trie: dict = {}
+    c = 0
+    node = trie
+    for ch in s:
+        if ch in node:
+            node = node[ch]
+        else:
+            node[ch] = {}
+            c += 1
+            node = trie
+    if node is not trie:  # incomplete final phrase
+        c += 1
+    return c
