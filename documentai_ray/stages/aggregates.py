@@ -5491,3 +5491,141 @@ def maxflow_mincut_int(s_caps, mid_caps, t_caps):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def spanning_trees_int(sup_census, cust_census):
+    """Weighted spanning-tree count of the complete region graph by
+    the MATRIX-TREE THEOREM (Kirchhoff 1847), with the theorem itself
+    checked per instance: edge weight w(a,b) = 1 + (sup_a·cust_b +
+    sup_b·cust_a) mod 97 (the mod folds census products into [1, 97]
+    so the determinant stays in BIGINT at any scale — design choice
+    stated; w ≥ 1 keeps K₅ support complete), the reduced 4×4
+    Laplacian determinant is computed by fraction-free BAREISS
+    elimination (pivots positive because the reduced Laplacian of a
+    connected graph is positive definite), and the kernel ALSO sums
+    Π w over all 5³ = 125 spanning trees by Prüfer decode — their
+    difference ``prufer_gap`` is COMPUTED, asserted 0, and shipped as
+    the visible certificate.  ``n_trees_unit`` is the unit-weight
+    det, which Cayley's formula pins at 5³ = 125 (asserted).  Mirror:
+    the 24-term Leibniz expansion of the same reduced Laplacian."""
+    sup = [int(sup_census.get(r, 0)) for r in range(5)]
+    cust = [int(cust_census.get(r, 0)) for r in range(5)]
+    w = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            w[(a, b)] = 1 + (sup[a] * cust[b] + sup[b] * cust[a]) % 97
+
+    def wt(a, b):
+        return w[(min(a, b), max(a, b))]
+
+    def reduced_det(weight_fn):
+        m = [[0] * 4 for _ in range(4)]
+        for i in range(1, 5):
+            for j in range(1, 5):
+                if i == j:
+                    m[i - 1][j - 1] = sum(weight_fn(i, b)
+                                          for b in range(5) if b != i)
+                else:
+                    m[i - 1][j - 1] = -weight_fn(i, j)
+        a = [row[:] for row in m]
+        prev = 1
+        for k in range(3):
+            assert a[k][k] != 0  # PD reduced Laplacian: never fires
+            for i in range(k + 1, 4):
+                for j in range(k + 1, 4):
+                    a[i][j] = (a[i][j] * a[k][k]
+                               - a[i][k] * a[k][j]) // prev
+            prev = a[k][k]
+        return a[3][3]
+
+    det_w = reduced_det(wt)
+    det_u = reduced_det(lambda a, b: 1)
+    assert det_u == 5 ** 3  # Cayley
+
+    # Prüfer brute force: every sequence in {0..4}^3 is one tree
+    brute = 0
+    for s0 in range(5):
+        for s1 in range(5):
+            for s2 in range(5):
+                seq = [s0, s1, s2]
+                deg = [1] * 5
+                for v in seq:
+                    deg[v] += 1
+                edges, prod = [], 1
+                for v in seq:
+                    leaf = min(u for u in range(5) if deg[u] == 1)
+                    edges.append((leaf, v))
+                    deg[leaf] -= 1
+                    deg[v] -= 1
+                rest = [u for u in range(5) if deg[u] == 1]
+                edges.append((rest[0], rest[1]))
+                for (a, b) in edges:
+                    prod *= wt(a, b)
+                brute += prod
+    gap = det_w - brute
+    assert gap == 0, (det_w, brute)
+    out = pd.DataFrame([(5, 10, det_w, det_u, gap)],
+                       columns=["n_nodes", "n_edges", "tree_weight",
+                                "n_trees_unit", "prufer_gap"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def knapsack_dp_int(items, capacity):
+    """0/1 knapsack exact DP with its two classical certificates —
+    COMBINATORIAL OPTIMIZATION BY EXACT DP, the pseudo-polynomial
+    counterpart to lpt_makespan's bounded greedy.  ``items`` =
+    [(key, weight ≥ 1, value ≥ 0)]; DP over capacities 0..W in key
+    order gives ``opt_value``; the DANTZIG LP BOUND (sort by exact
+    value/weight ratio desc, tie → smaller key; fill whole items to
+    the break item, then the fractional remainder, ONE milli floor)
+    rides as lp_bound_milli with lp_slack_milli = lp_bound_milli −
+    1000·opt ≥ 0 (the relaxation theorem, computed not assumed), and
+    the ½-APPROXIMATION theorem max(greedy, best single) ≥ OPT/2
+    ships as half_slack = 2·max(greedy_value, best_single) − opt ≥ 0.
+    Ratio sorting by double is exact here (value < 2⁵³/weight —
+    distinct rationals with these bounds never collide in float64;
+    the mirror sorts the same way)."""
+    from fractions import Fraction
+
+    items = [(int(k), max(1, int(w)), int(v)) for k, w, v in items]
+    items.sort()
+    W = int(capacity)
+    dp = [0] * (W + 1)
+    for _, w, v in items:
+        for c in range(W, w - 1, -1):
+            if dp[c - w] + v > dp[c]:
+                dp[c] = dp[c - w] + v
+    opt = dp[W]
+
+    by_ratio = sorted(items,
+                      key=lambda t: (-Fraction(t[2], t[1]), t[0]))
+    rem, greedy = W, 0
+    for _, w, v in by_ratio:
+        if w <= rem:
+            greedy += v
+            rem -= w
+    cumw = cumv = 0
+    lp_milli = None
+    for _, w, v in by_ratio:
+        if cumw + w > W:
+            lp_milli = (1000 * cumv
+                        + 1000 * v * (W - cumw) // w)
+            break
+        cumw += w
+        cumv += v
+    if lp_milli is None:
+        lp_milli = 1000 * cumv
+    best_single = max([v for _, w, v in items if w <= W],
+                      default=0)
+    out = pd.DataFrame(
+        [(len(items), W, opt, greedy, best_single, lp_milli,
+          lp_milli - 1000 * opt,
+          2 * max(greedy, best_single) - opt)],
+        columns=["n_items", "capacity", "opt_value", "greedy_value",
+                 "best_single", "lp_bound_milli", "lp_slack_milli",
+                 "half_slack"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
