@@ -5629,3 +5629,86 @@ def knapsack_dp_int(items, capacity):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def mdp_value_iter_int(g_milli):
+    """Floored VALUE ITERATION on the 5-state recrawl MDP —
+    SEQUENTIAL DECISION MAKING, a family the surface lacked: the
+    iterative ops relax a map to ITS OWN fixed point (pagerank,
+    logistic_map); an MDP relaxes to the fixed point of a MAX over
+    actions, and Bellman optimality is the visible theorem.  States
+    s = 0..4 are staleness levels; wait earns (4−s)·1000 milli and
+    decays s → min(s+1, 4); crawl earns ``g_milli`` and resets to 0;
+    discount 9/10 applied as ONE floor 9·V // 10 per backup (values
+    stay ≥ 0 so floor == trunc and the mirror's // agrees — stated).
+    From V = 0 the floored operator is monotone nondecreasing and
+    bounded, so it converges to the least fixed point EXACTLY; the
+    kernel iterates to bit-exact convergence, asserts it within 200
+    sweeps (the mirror runs exactly 200 — identical because a fixed
+    point stays fixed), and re-computes the Bellman residual
+    post-hoc as the shipped certificate.  Tie → wait (action 0),
+    stated."""
+    G = int(g_milli)
+    assert G >= 0
+    V = [0] * 5
+    for it in range(201):
+        NV = []
+        for s in range(5):
+            wait = (4 - s) * 1000 + 9 * V[min(s + 1, 4)] // 10
+            crawl = G + 9 * V[0] // 10
+            NV.append(max(wait, crawl))
+        if NV == V:
+            break
+        V = NV
+    assert it < 200, "value iteration failed to converge"
+    rows = []
+    for s in range(5):
+        wait = (4 - s) * 1000 + 9 * V[min(s + 1, 4)] // 10
+        crawl = G + 9 * V[0] // 10
+        rows.append((s, V[s], 1 if crawl > wait else 0,
+                     V[s] - max(wait, crawl)))
+    out = pd.DataFrame(rows, columns=["state", "v_milli",
+                                      "best_action",
+                                      "bellman_residual"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def heat_diffusion_int(census, steps=10):
+    """Explicit finite-difference heat equation on the 24-hour RING
+    — NUMERICAL PDE as exact integer arithmetic, a family the
+    surface lacked: the series ops read or score the diurnal profile;
+    diffusion EVOLVES it, and scaling the initial condition by 4^T
+    makes every step's averaging u'_i = (u_{i−1} + 2u_i + u_{i+1})/4
+    an EXACT division (each u at step t is a multiple of 4^(T−t),
+    asserted in-kernel — so floor-vs-trunc semantics never matter
+    and the mirror's // agrees bit for bit).  Two theorems ride as
+    columns: MASS CONSERVATION (total_mass0 = Σ u_0 and mass_drift =
+    Σ u_T/4^T − Σ u_0 — exactly 0 because each step's exact average
+    preserves the sum) and, in tests, the MAXIMUM PRINCIPLE (the
+    range never grows).  u10_milli = 1000·u_T // 4^T is the op's one
+    floor.  ``census`` = [(hour 0..23, count)]."""
+    T = int(steps)
+    u0 = [0] * 24
+    for h, n in census:
+        u0[int(h) % 24] += int(n)
+    scale = 4 ** T
+    u = [x * scale for x in u0]
+    for _ in range(T):
+        nxt = []
+        for i in range(24):
+            tot = u[(i - 1) % 24] + 2 * u[i] + u[(i + 1) % 24]
+            assert tot % 4 == 0
+            nxt.append(tot // 4)
+        u = nxt
+    mass0 = sum(u0)
+    drift = sum(u) // scale - mass0 if sum(u) % scale == 0 else None
+    assert sum(u) % scale == 0 and drift == 0, "mass not conserved"
+    rows = [(i, u0[i], 1000 * u[i] // scale, mass0, 0)
+            for i in range(24)]
+    out = pd.DataFrame(rows, columns=["hour", "u0", "u10_milli",
+                                      "total_mass0", "mass_drift"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
