@@ -5712,3 +5712,46 @@ def heat_diffusion_int(census, steps=10):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def lis_erdos_szekeres_int(values):
+    """Longest nondecreasing + longest strictly-decreasing subsequence
+    of an integer series, with the ERDŐS–SZEKERES/DILWORTH certificate
+    — PERMUTATION COMBINATORICS, a family the surface lacked:
+    kendall_tau counts inversions pairwise and runs_test counts
+    maximal runs; the LIS is the global order statistic (Ulam's
+    problem).  Patience sorting gives both lengths in O(n log n); the
+    mirror runs the O(n²) DP — two DIFFERENT algorithms agreeing is
+    the check.  The certificate: labelling each element with the
+    length of the longest nondecreasing subsequence ending there,
+    same-label elements are pairwise strictly decreasing, so
+    lis_nondec · lds_strict ≥ n — es_slack = lis·lds − n ≥ 0 is
+    COMPUTED and shipped (the theorem as a column; brute-force
+    pinned in tests)."""
+    import bisect
+
+    xs = [int(v) for v in values]
+    n = len(xs)
+    tails = []
+    for x in xs:
+        k = bisect.bisect_right(tails, x)
+        if k == len(tails):
+            tails.append(x)
+        else:
+            tails[k] = x
+    lis = len(tails)
+    tails = []
+    for x in xs:  # strictly decreasing == strictly increasing of -x
+        k = bisect.bisect_left(tails, -x)
+        if k == len(tails):
+            tails.append(-x)
+        else:
+            tails[k] = -x
+    lds = len(tails)
+    assert lis * lds >= n
+    out = pd.DataFrame([(n, lis, lds, lis * lds - n)],
+                       columns=["n_periods", "lis_nondec",
+                                "lds_strict", "es_slack"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -663,3 +663,23 @@ def lz78_phrases(s: str) -> int:
     if node is not trie:  # incomplete final phrase
         c += 1
     return c
+
+
+def token_edit_distance(a: list, b: list) -> int:
+    """Levenshtein distance between two token sequences (unit
+    insert/delete/substitute costs) — classic row DP, O(|a|·|b|).
+    The mirror computes the same rows through the prefix-min closed
+    form row[j] = min_{k≤j}(base[k] + (j−k)) with base[k] =
+    min(prev[k]+1, prev[k−1]+cost_k), which unrolls the sequential
+    in-row dependency into list lambdas; the two recurrences are
+    equivalent (the horizontal +1 chain telescopes) and their
+    agreement is cross-checked corpus-wide in tests."""
+    n, m = len(a), len(b)
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[m]
