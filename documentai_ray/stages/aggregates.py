@@ -5755,3 +5755,159 @@ def lis_erdos_szekeres_int(values):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def buzen_network_int(loads, n_jobs=6):
+    """Gordon–Newell CLOSED queueing network solved by BUZEN'S
+    CONVOLUTION (1973) — the teletraffic family's missing member:
+    mm1/mg1/erlang/engset are OPEN systems; a closed network
+    circulates a fixed population N and its stationary law is
+    product-form with normalization G(N) = Σ_{Σn_i=N} Π t_i^{n_i},
+    an INTEGER for integer relative loads t_i.  Buzen's DP
+    G_m(n) = G_{m-1}(n) + t_m·G_m(n−1) computes it in O(MN) — and
+    the kernel ALSO enumerates every composition of N over M
+    stations and asserts the brute-force sum equals the DP (the
+    algorithm's correctness checked per instance, the maxflow
+    discipline).  Shipped per station: util_ppm = 10⁶·t_i·G(N−1) //
+    G(N) (≤ 10⁶ by the bottleneck law t_i·X ≤ 1, asserted) and
+    nbar_milli = 10³·Σ_k t_i^k·G(N−k) // G(N) (ONE floor — the
+    numerator is summed exactly first); the JOBS-CONSERVATION
+    identity Σ_i Σ_k t_i^k G(N−k) = N·G(N) is EXACT pre-floor and
+    ships as conservation_gap = 0, computed in both engines."""
+    from itertools import combinations
+
+    t = [int(x) for x in loads]
+    M, N = len(t), int(n_jobs)
+    assert all(x >= 1 for x in t)
+    G = [1] + [0] * N          # G_0(n) = [n == 0]
+    for m in range(M):
+        for n in range(1, N + 1):
+            G[n] = G[n] + t[m] * G[n - 1]
+        # note: in-place forward scan IS the convolution recurrence
+
+    # brute force: stars-and-bars enumeration of all compositions
+    brute = 0
+    for bars in combinations(range(N + M - 1), M - 1):
+        prev, prod = -1, 1
+        parts = []
+        for b in bars:
+            parts.append(b - prev - 1)
+            prev = b
+        parts.append(N + M - 1 - prev - 1)
+        for ti, ni in zip(t, parts):
+            prod *= ti ** ni
+        brute += prod
+    assert brute == G[N], (brute, G[N])
+
+    # G(N-k) needs the full G table: recompute per k via the same DP
+    def g_of(n):
+        gg = [1] + [0] * n
+        for m in range(M):
+            for j in range(1, n + 1):
+                gg[j] = gg[j] + t[m] * gg[j - 1]
+        return gg[n]
+
+    Gk = [g_of(k) for k in range(N + 1)]  # Gk[k] = G(k)
+    assert Gk[N] == G[N]
+    total = 0
+    rows = []
+    for i, ti in enumerate(t):
+        num_nbar = sum(ti ** k * Gk[N - k] for k in range(1, N + 1))
+        total += num_nbar
+        util = 1_000_000 * ti * Gk[N - 1] // Gk[N]
+        assert util <= 1_000_000  # bottleneck law
+        rows.append((i, ti, util, 1000 * num_nbar // Gk[N]))
+    gap = total - N * Gk[N]
+    assert gap == 0, gap
+    out = pd.DataFrame(
+        [(s, ti, u, nb, Gk[N - 1], Gk[N], 0)
+         for (s, ti, u, nb) in rows],
+        columns=["station", "t_load", "util_ppm", "nbar_milli",
+                 "g_nm1", "g_n", "conservation_gap"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def tsp_heldkarp_int(weights):
+    """Exact TSP on the 5-region complete graph — EXACT
+    COMBINATORIAL OPTIMIZATION over tours, the knapsack_dp
+    discipline on a permutation space: lpt bounded a greedy,
+    knapsack DP'd subsets; Held–Karp (1962) DPs subsets × endpoints.
+    ``weights[(a, b)]`` for a < b.  The kernel runs Held–Karp AND
+    enumerates all (5−1)!/2 = 12 distinct tours, asserting equality
+    (algorithm correctness per instance); the mirror enumerates the
+    same 24 fixed-start permutations in SQL.  Two classical lower
+    bounds ride as computed columns: the DEGREE bound
+    Σ_v(two cheapest edges at v) ≤ 2·OPT (slack ×2, exact) and the
+    1-TREE bound MST(V∖{0}) + two cheapest edges at 0 ≤ OPT (the
+    MST found by brute force over the 4² = 16 Prüfer trees)."""
+    from itertools import permutations
+
+    def w(a, b):
+        return int(weights[(min(a, b), max(a, b))])
+
+    # Held–Karp over subsets of {1..4}, start/end at 0
+    best_dp = None
+    dp = {}
+    for j in range(1, 5):
+        dp[(1 << j, j)] = w(0, j)
+    for size in range(2, 5):
+        for sub in range(16):
+            S = [j + 1 for j in range(4) if sub >> j & 1]
+            if len(S) != size:
+                continue
+            mask = sum(1 << j for j in S)
+            for j in S:
+                prev_mask = mask ^ (1 << j)
+                dp[(mask, j)] = min(
+                    dp[(prev_mask, k)] + w(k, j)
+                    for k in S if k != j)
+    full = 0b11110
+    best_dp = min(dp[(full, j)] + w(j, 0) for j in range(1, 5))
+
+    best_brute = None
+    for perm in permutations(range(1, 5)):
+        cost = w(0, perm[0]) + sum(
+            w(perm[i], perm[i + 1]) for i in range(3)) + w(perm[3], 0)
+        if best_brute is None or cost < best_brute:
+            best_brute = cost
+    assert best_dp == best_brute, (best_dp, best_brute)
+
+    # degree bound: sum over v of its two cheapest incident edges
+    deg2 = 0
+    for v in range(5):
+        inc = sorted(w(v, u) for u in range(5) if u != v)
+        deg2 += inc[0] + inc[1]
+    assert deg2 <= 2 * best_dp
+
+    # 1-tree: MST over {1..4} by Prüfer brute force + 2 cheapest at 0
+    mst = None
+    for s0 in range(4):
+        for s1 in range(4):
+            seq = [s0, s1]
+            deg = [1] * 4
+            for v in seq:
+                deg[v] += 1
+            cost = 0
+            dd = deg[:]
+            for v in seq:
+                leaf = min(u for u in range(4) if dd[u] == 1)
+                cost += w(leaf + 1, v + 1)
+                dd[leaf] -= 1
+                dd[v] -= 1
+            rest = [u for u in range(4) if dd[u] == 1]
+            cost += w(rest[0] + 1, rest[1] + 1)
+            if mst is None or cost < mst:
+                mst = cost
+    at0 = sorted(w(0, u) for u in range(1, 5))
+    onetree = mst + at0[0] + at0[1]
+    assert onetree <= best_dp
+    out = pd.DataFrame(
+        [(best_dp, 12, 2 * best_dp - deg2, onetree,
+          best_dp - onetree)],
+        columns=["opt_cost", "n_tours", "degree_slack_x2",
+                 "onetree_lb", "onetree_slack"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
