@@ -5911,3 +5911,37 @@ def tsp_heldkarp_int(weights):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def ffd_binpack_int(sizes, capacity):
+    """FIRST-FIT DECREASING bin packing — the approximation family's
+    other canonical member (lpt_makespan bounds makespan; FFD bounds
+    bin count, with Dósa's tight FFD ≤ 11/9·OPT + 6/9 pinned against
+    brute-force optima in tests).  Items sorted descending (ties
+    keep input order — stable sort, stated), each placed in the
+    FIRST bin with room, new bin if none.  The size lower bound
+    lb = ⌈total/cap⌉ ships with slack = n_bins − lb ≥ 0 COMPUTED,
+    plus waste = n_bins·cap − total ≥ 0; items larger than the
+    capacity are rejected (asserted — the query's size domain makes
+    them impossible, stated)."""
+    szs = [int(s) for s in sizes]
+    cap = int(capacity)
+    assert all(1 <= s <= cap for s in szs)
+    bins = []
+    for s in sorted(szs, reverse=True):
+        for i, b in enumerate(bins):
+            if b + s <= cap:
+                bins[i] = b + s
+                break
+        else:
+            bins.append(s)
+    total = sum(szs)
+    lb = -(-total // cap) if szs else 0
+    out = pd.DataFrame(
+        [(len(szs), cap, len(bins), lb, len(bins) - lb,
+          len(bins) * cap - total)],
+        columns=["n_items", "capacity", "n_bins_ffd", "lb_size",
+                 "lb_slack", "waste"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -683,3 +683,28 @@ def token_edit_distance(a: list, b: list) -> int:
                          prev[j - 1] + (a[i - 1] != b[j - 1]))
         prev = cur
     return prev[m]
+
+
+# CRC-8 (poly 0x07, init 0, MSB-first, no reflection / final xor) —
+# table generated once at import (T2 discipline)
+CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    CRC8_TABLE.append(_c)
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8/SMBUS of ``data`` — POLYNOMIAL CODES over GF(2), the
+    coding family's division-residue member (hamming74 is a block
+    parity code; Luhn a decimal checksum).  Table-driven MSB-first:
+    crc' = T[crc XOR byte].  The defining algebraic property — the
+    residue of (message ‖ crc) is 0 — and exhaustive ≤8-bit
+    burst-error detection are pinned in tests; the mirror replays
+    the same table walk in a recursive CTE with the 256-entry table
+    as a generated list literal."""
+    c = 0
+    for b in data:
+        c = CRC8_TABLE[c ^ b]
+    return c
