@@ -5945,3 +5945,61 @@ def ffd_binpack_int(sizes, capacity):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def huffman_cost_int(letter_census):
+    """Optimal prefix-code cost by HUFFMAN'S GREEDY (1952) — SOURCE
+    CODING, a family the surface lacked: lz_complexity measures a
+    UNIVERSAL parse; Huffman is the optimal KNOWN-statistics code,
+    and its total cost Σ w_i·len_i equals the sum of the internal
+    node weights created by the merges — a tie-break-invariant
+    integer (every Huffman tree is optimal, so the total is
+    well-defined even though depth profiles differ; stated), which
+    is what lets the mirror carry only a sorted weight multiset.
+    OPTIMALITY is pinned against brute force over ALL binary code
+    trees on small alphabets, and the Shannon bound
+    H ≤ cost/W < H+1 is pinned in floats.  Zero-count letters are
+    excluded (stated); a 1-symbol alphabet costs 0 by the merge
+    definition (no merge happens — the degenerate convention,
+    stated).  Shipped: the cost, the fixed-length baseline
+    W·⌈log₂n⌉ and savings_ppm = 10⁶·cost // fixed (ONE floor)."""
+    ws = sorted(int(n) for _, n in letter_census if int(n) > 0)
+    n = len(ws)
+    total_w = sum(ws)
+    heap = ws[:]
+    cost = 0
+    while len(heap) > 1:
+        heap.sort()
+        a, b = heap[0], heap[1]
+        heap = heap[2:] + [a + b]
+        cost += a + b
+    fixed_bits = 0 if n <= 1 else (n - 1).bit_length()
+    fixed = total_w * fixed_bits
+    out = pd.DataFrame(
+        [(n, total_w, cost, fixed,
+          1_000_000 * cost // fixed if fixed else 0)],
+        columns=["n_symbols", "total_weight", "huffman_cost",
+                 "fixed_cost", "savings_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def coupon_collector_micro(n_types, completion_draws):
+    """COUPON-COLLECTOR occupancy arithmetic: expected draws to see
+    all n types is n·H_n; the micro chain Σ_k ⌊10⁶·n / k⌋ floors
+    once per harmonic term (the group_testing discipline — drift
+    DOWN by < n micro vs the exact rational, bracketed in tests).
+    ratio_ppm = 10¹²·observed // expected_micro compares the
+    corpus's actual completion time against the theory."""
+    n = int(n_types)
+    obs = int(completion_draws)
+    exp_micro = sum(1_000_000 * n // k for k in range(1, n + 1))
+    out = pd.DataFrame(
+        [(n, obs, exp_micro,
+          10 ** 12 * obs // exp_micro if exp_micro else 0)],
+        columns=["n_types", "completion_draws", "expected_micro",
+                 "ratio_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
