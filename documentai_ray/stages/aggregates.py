@@ -6003,3 +6003,40 @@ def coupon_collector_micro(n_types, completion_draws):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+BATCHER8 = [(0, 1), (2, 3), (4, 5), (6, 7),
+            (0, 2), (1, 3), (4, 6), (5, 7),
+            (1, 2), (5, 6),
+            (0, 4), (1, 5), (2, 6), (3, 7),
+            (2, 4), (3, 5),
+            (1, 2), (3, 4), (5, 6)]
+
+
+def batcher_sort_int(values):
+    """Batcher ODD-EVEN MERGESORT network on 8 wires — SORTING
+    NETWORKS / data-oblivious parallel algorithms, a family the
+    surface lacked: every other sort here is data-dependent; a
+    network is a FIXED sequence of 19 compare-exchange gates whose
+    correctness on ALL inputs follows from the 0-1 PRINCIPLE
+    (correct on all 2⁸ binary vectors ⇒ correct on everything —
+    pinned EXHAUSTIVELY in tests).  Ships one row per wire with the
+    input and output values, the per-instance is_sorted certificate
+    (computed by scanning the output, not assumed), and the gate
+    count.  The mirror replays the identical gate list as generated
+    chained least/greatest CTEs."""
+    v = [int(x) for x in values]
+    assert len(v) == 8
+    inp = v[:]
+    for (a, b) in BATCHER8:
+        if v[a] > v[b]:
+            v[a], v[b] = v[b], v[a]
+    ok = 1 if all(v[i] <= v[i + 1] for i in range(7)) else 0
+    assert ok == 1
+    out = pd.DataFrame(
+        [(i, inp[i], v[i], ok, len(BATCHER8)) for i in range(8)],
+        columns=["wire", "in_value", "out_value", "is_sorted",
+                 "n_comparators"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -708,3 +708,36 @@ def crc8(data: bytes) -> int:
     for b in data:
         c = CRC8_TABLE[c ^ b]
     return c
+
+
+def bwt_runs(s: str):
+    """Burrows–Wheeler transform + run count — COMPRESSED INDEXING,
+    the modern-stringology family member (string_period is classical
+    combinatorics on words; the BWT's run count r is THE parameter
+    of FM-indexes/r-indexes, and repetitive text collapses to few
+    runs).  Full rotation sort with '$' sentinel (byte order '$' <
+    letters matches DuckDB's binary collation — stated).  Returns
+    (bwt, runs).  INVERTIBILITY (LF mapping) and the permutation
+    property are pinned in tests; the mirror rebuilds the same
+    rotations with list lambdas."""
+    rots = sorted(s[i:] + s[:i] for i in range(len(s)))
+    b = "".join(r[-1] for r in rots)
+    runs = 1 + sum(1 for i in range(1, len(b))
+                   if b[i] != b[i - 1]) if b else 0
+    return b, runs
+
+
+def bwt_inverse(b: str) -> str:
+    """Inverse BWT via LF mapping (test-side witness of
+    invertibility; assumes exactly one '$' sentinel that sorts
+    first)."""
+    n = len(b)
+    order = sorted(range(n), key=lambda i: (b[i], i))
+    out, i = [], order[b.index("$")] if "$" in b else 0
+    # standard: start from the row whose last char is '$'
+    i = order[b.index("$")]
+    for _ in range(n):
+        out.append(b[i])
+        i = order[i]
+    s = "".join(out)
+    return s
