@@ -6040,3 +6040,97 @@ def batcher_sort_int(values):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+VITERBI_W = [[3, 1], [1, 3]]   # sticky transition weights
+VITERBI_E = [[3, 1], [1, 3]]   # emission weights E[state][obs]
+
+
+def viterbi_decode_int(obs):
+    """Exact MAX-PRODUCT Viterbi decoding of a 2-state HMM over the
+    hourly parity observations — PROBABILISTIC GRAPHICAL MODELS, a
+    family the surface lacked: naive_bayes scores i.i.d. features
+    and markov_kstep folds a chain forward; Viterbi finds the single
+    best LATENT PATH, and integer weights (sticky 3/1 transitions,
+    3/1 emissions — design constants shared with the mirror) make
+    every score an exact integer (≤ 3·9²³ < 2¹²⁸, HUGEINT envelope
+    stated).  Ties → lower state index, stated.  The carry-the-path
+    trick (each state drags its argmax path string) replaces
+    backtracking — what lets the mirror be ONE forward recursive
+    CTE.  Certificates: the decoded score ≥ both constant paths'
+    scores, COMPUTED and shipped as flags; exhaustive optimality
+    over all 2^T paths pinned in tests at T = 8."""
+    T = len(obs)
+    obs = [int(o) & 1 for o in obs]
+    if T == 0:
+        return pd.DataFrame(columns=[
+            "t", "obs", "state", "n_switches", "beats_const0",
+            "beats_const1"]).astype("int64")
+    v = [VITERBI_E[s][obs[0]] for s in range(2)]
+    path = ["0", "1"]
+    for t in range(1, T):
+        nv, np_ = [], []
+        for s in range(2):
+            cand = [v[sp] * VITERBI_W[sp][s] for sp in range(2)]
+            sp = 0 if cand[0] >= cand[1] else 1  # tie -> lower
+            nv.append(cand[sp] * VITERBI_E[s][obs[t]])
+            np_.append(path[sp] + str(s))
+        v, path = nv, np_
+    best = 0 if v[0] >= v[1] else 1
+    dec = [int(c) for c in path[best]]
+
+    def score(states):
+        sc = VITERBI_E[states[0]][obs[0]]
+        for t in range(1, T):
+            sc *= VITERBI_W[states[t - 1]][states[t]] \
+                * VITERBI_E[states[t]][obs[t]]
+        return sc
+
+    sc_best = v[best]
+    assert sc_best == score(dec)
+    b0 = 1 if sc_best >= score([0] * T) else 0
+    b1 = 1 if sc_best >= score([1] * T) else 0
+    assert b0 == 1 and b1 == 1
+    sw = sum(1 for t in range(1, T) if dec[t] != dec[t - 1])
+    out = pd.DataFrame(
+        [(t, obs[t], dec[t], sw, b0, b1) for t in range(T)],
+        columns=["t", "obs", "state", "n_switches", "beats_const0",
+                 "beats_const1"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def rule90_ring_int(bits, steps=8):
+    """Elementary cellular automaton RULE 90 on the 24-cell ring —
+    ADDITIVE CA, a family the surface lacked: heat_diffusion evolves
+    a LINEAR (averaging) grid; rule 90 is the GF(2) linear one
+    (cell' = left XOR right), so SUPERPOSITION holds exactly
+    (CA(a⊕b) = CA(a)⊕CA(b), pinned in tests along with the
+    Pascal-triangle single-seed evolution).  The ring state is ONE
+    24-bit integer; a step is two rotates and an xor — identical in
+    both engines.  The visible theorem: after ANY step, every
+    reachable state has EVEN weight (each cell feeds exactly two
+    neighbours, so the new total parity XORs every bit twice) —
+    even_weight is COMPUTED on the evolved state and asserted."""
+    n = 24
+    m = 0
+    for i, b in enumerate(bits):
+        if int(b) & 1:
+            m |= 1 << i
+    m0 = m
+    mask = (1 << n) - 1
+    for _ in range(int(steps)):
+        left = ((m << 1) & mask) | (m >> (n - 1))
+        right = (m >> 1) | ((m & 1) << (n - 1))
+        m = left ^ right
+    even = 1 if bin(m).count("1") % 2 == 0 else 0
+    if steps >= 1:
+        assert even == 1
+    out = pd.DataFrame(
+        [(i, (m0 >> i) & 1, (m >> i) & 1, even)
+         for i in range(n)],
+        columns=["cell", "bit0", "bit_t", "even_weight"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
