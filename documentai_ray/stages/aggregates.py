@@ -6134,3 +6134,111 @@ def rule90_ring_int(bits, steps=8):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+MR_BASES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+
+
+def miller_rabin_int(candidates):
+    """Deterministic MILLER-RABIN primality over the corpus-derived
+    odd candidates — COMPUTATIONAL NUMBER THEORY, a family the
+    surface lacked (cf_convergents is Diophantine approximation;
+    this is modular arithmetic): the 12 bases 2..37 are a proven
+    deterministic witness set for every n < 3.3·10²⁴ (Sorenson &
+    Webster), far above any corpus-derived candidate — stated.
+    Per candidate: strong-probable-prime test to every base
+    (n−1 = d·2^s; pass iff a^d ≡ 1 or a^(d·2^j) ≡ −1 for some
+    j < s), is_prime = all bases pass, plus small_factor = the
+    least PROPER divisor < 1000 (0 if none) as the cross-checkable
+    certificate: is_prime = 1 forces small_factor = 0, and every
+    composite with a small factor is caught by both routes
+    (agreement asserted in-kernel; exhaustive sieve pin < 3·10⁴
+    plus random draws < 10⁹ in tests — both far inside the proven
+    deterministic range).  Mirror: recursive square-and-multiply
+    modpow + the squaring chain per (candidate, base)."""
+    rows = []
+    for n in candidates:
+        n = int(n)
+        assert n % 2 == 1 and n > 37
+        d, s = n - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            s += 1
+        passes = 0
+        for a in MR_BASES:
+            x = pow(a % n, d, n)
+            ok = x == 1 or x == n - 1
+            for _ in range(s - 1):
+                if ok:
+                    break
+                x = x * x % n
+                if x == n - 1:
+                    ok = True
+            passes += 1 if ok else 0
+        is_prime = 1 if passes == len(MR_BASES) else 0
+        small = 0
+        for f in range(2, min(1000, n)):
+            if n % f == 0:
+                small = f
+                break
+        if is_prime:
+            assert small == 0
+        if small:
+            assert is_prime == 0
+        rows.append((n, is_prime, passes, small))
+    out = pd.DataFrame(rows, columns=["n", "is_prime",
+                                      "n_sprp_bases",
+                                      "small_factor"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def konig_matching_int(edges):
+    """Maximum bipartite matching = minimum vertex cover — KÖNIG'S
+    THEOREM (1931) as the oracle, the bipartite sibling of
+    maxflow_mincut's LP duality: ``edges`` ⊆ {0..4}×{0..4} (left =
+    regions, right = segments).  The kernel computes the matching by
+    Hungarian augmenting paths AND the min cover by brute force over
+    all 2¹⁰ vertex subsets (tie → smallest mask, bits 0-4 left /
+    5-9 right); the mirror enumerates the SAME subsets in SQL —
+    agreement per instance IS König's theorem.  konig_gap is
+    COMPUTED and asserted 0."""
+    edges = sorted(set((int(a), int(b)) for a, b in edges))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    match_r = {}
+
+    def augment(a, seen):
+        for b in adj.get(a, []):
+            if b in seen:
+                continue
+            seen.add(b)
+            if b not in match_r or augment(match_r[b], seen):
+                match_r[b] = a
+                return True
+        return False
+
+    matching = 0
+    for a in sorted(adj):
+        if augment(a, set()):
+            matching += 1
+
+    best, best_mask = None, None
+    for mask in range(1 << 10):
+        if all((mask >> a) & 1 or (mask >> (5 + b)) & 1
+               for a, b in edges):
+            size = bin(mask).count("1")
+            if best is None or size < best:
+                best, best_mask = size, mask
+    gap = best - matching
+    assert gap == 0, (best, matching)
+    out = pd.DataFrame(
+        [(matching, best, gap, best_mask, len(edges))],
+        columns=["max_matching", "min_cover", "konig_gap",
+                 "cover_mask", "n_edges"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
