@@ -6242,3 +6242,119 @@ def konig_matching_int(edges):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def convex_hull_int(points):
+    """Planar convex hull over the corpus-derived integer points —
+    COMPUTATIONAL GEOMETRY, a family the surface lacked entirely
+    (spatial_knn/grid_spatial_join bucket coordinates, no geometric
+    structure): Andrew's monotone chain (1979) builds the hull in
+    O(n log n), and every vertex flag is cross-certified against
+    the EXTREME-POINT characterization p is a vertex iff
+    p ∉ conv(S∖{p}) — by Carathéodory in the plane, iff no closed
+    NON-DEGENERATE triangle of other points contains p and p lies
+    on no closed segment between two other points (the degenerate
+    cases: duplicates removed up front, collinear runs caught by
+    the segment test).  diam2 = max squared distance over ALL
+    distinct pairs — equal to the vertex-pair maximum because the
+    diameter of a set is attained at extreme points (stated), so
+    the mirror needs no hull ORDER at all; the chain==brute
+    agreement is asserted per instance, shoelace area2 == 0 iff
+    hull_size <= 2 likewise.  Mirror: the same brute
+    characterization as EXISTS over segment pairs and signed-area
+    triple tests."""
+    pts = sorted(set((int(x), int(y)) for x, y in points))
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) \
+            - (a[1] - o[1]) * (b[0] - o[0])
+
+    if len(pts) <= 2:
+        hull = list(pts)
+    else:
+        lower = []
+        for p in pts:
+            while len(lower) >= 2 and \
+                    cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        upper = []
+        for p in reversed(pts):
+            while len(upper) >= 2 and \
+                    cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        hull = lower[:-1] + upper[:-1]
+    hset = set(hull)
+
+    from itertools import combinations
+    for p in pts:
+        others = [q for q in pts if q != p]
+        notv = False
+        for q, r in combinations(others, 2):
+            if cross(q, r, p) == 0 and \
+                    (p[0] - q[0]) * (p[0] - r[0]) \
+                    + (p[1] - q[1]) * (p[1] - r[1]) <= 0:
+                notv = True
+                break
+        if not notv:
+            for q, r, s in combinations(others, 3):
+                if cross(q, r, s) == 0:
+                    continue
+                d1 = cross(q, r, p)
+                d2 = cross(r, s, p)
+                d3 = cross(s, q, p)
+                neg = d1 < 0 or d2 < 0 or d3 < 0
+                pos = d1 > 0 or d2 > 0 or d3 > 0
+                if not (neg and pos):
+                    notv = True
+                    break
+        assert (p in hset) == (not notv), p
+
+    area2 = abs(sum(hull[i][0] * hull[(i + 1) % len(hull)][1]
+                    - hull[(i + 1) % len(hull)][0] * hull[i][1]
+                    for i in range(len(hull)))) if hull else 0
+    assert (area2 == 0) == (len(hull) <= 2)
+    diam2 = max(((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                 for a in pts for b in pts), default=0)
+    if len(pts) > 1:
+        vd = max((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                 for a in hull for b in hull)
+        assert vd == diam2
+
+    out = pd.DataFrame(
+        [(x, y, 1 if (x, y) in hset else 0, len(hull), diam2,
+          len(pts)) for x, y in pts],
+        columns=["x", "y", "is_vertex", "hull_size", "diam2",
+                 "n_distinct"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def josephus_int(k, n_max=40):
+    """The JOSEPHUS elimination circle for every n = 1..n_max at
+    corpus-derived step k — COMBINATORIAL ELIMINATION RECURRENCES,
+    a family the surface lacked (secretary_stop is optimal
+    stopping; this is exact survivor position): J(1) = 0,
+    J(n) = (J(n-1) + k) mod n, and the kernel SIMULATES the actual
+    circle (pop every k-th, 0-indexed) for every n asserting the
+    recurrence per instance — the algorithm and its closed
+    recurrence cross-certify.  The k = 2 bit-rotation closed form
+    J(2^m + l) = 2l is pinned in tests.  Mirror: ONE forward
+    recursive CTE on the recurrence."""
+    k = int(k)
+    assert k >= 1
+    rows, j = [], 0
+    for n in range(1, n_max + 1):
+        j = 0 if n == 1 else (j + k) % n
+        people, idx = list(range(n)), 0
+        while len(people) > 1:
+            idx = (idx + k - 1) % len(people)
+            people.pop(idx)
+        assert people[0] == j, (n, k, people[0], j)
+        rows.append((n, j, k))
+    out = pd.DataFrame(rows, columns=["n", "survivor", "k"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
