@@ -6358,3 +6358,98 @@ def josephus_int(k, n_max=40):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _next_prime_2mod3(x):
+    """Least prime p >= x with p % 3 == 2 (so gcd(3, p-1) = 1 and
+    e = 3 is a valid RSA exponent) — shared derivation, stated."""
+    p = max(int(x), 5)
+    while True:
+        if p % 3 == 2 and all(p % f for f in range(2, int(p ** 0.5) + 1)):
+            return p
+        p += 1
+
+
+def rsa_crt_int(seed_p, seed_q, messages):
+    """Toy RSA round-trip with CRT decryption — PUBLIC-KEY
+    CRYPTOGRAPHY, a family the surface lacked (index_coincidence is
+    classical-cipher cryptanalysis; luhn/crc/hamming are checksums
+    and channel codes; nothing here was asymmetric): p, q = least
+    primes >= the corpus seeds with p ≡ 2 (mod 3) — the congruence
+    guarantees gcd(3, p−1) = 1 so e = 3 is valid, and makes the
+    private exponent a CLOSED FORM d = (2φ+1)/3 if φ ≡ 1 (mod 3)
+    else (φ+1)/3 (φ = (p−1)(q−1) is never ≡ 0: both engines use
+    the same formula, stated).  Per message m < n: c = m³ mod n,
+    decrypt TWICE — directly m' = c^d mod n, and by CRT/Garner
+    (m_p = c^(d mod p−1) mod p, m_q likewise, q_inv = q^(p−2) mod p
+    by Fermat, m = m_q + q·((q_inv·(m_p − m_q)) mod p)) — Euler's
+    theorem says both give m back, asserted per message
+    (roundtrip_ok, crt_agree COMPUTED).  Mirror: the same
+    next-prime search and modpow chains in recursive SQL."""
+    p = _next_prime_2mod3(seed_p)
+    q = _next_prime_2mod3(seed_q)
+    if q == p:
+        q = _next_prime_2mod3(p + 1)
+    n, phi = p * q, (p - 1) * (q - 1)
+    assert phi % 3 != 0
+    d = (2 * phi + 1) // 3 if phi % 3 == 1 else (phi + 1) // 3
+    assert (3 * d) % phi == 1
+    q_inv = pow(q, p - 2, p)
+    assert (q_inv * q) % p == 1
+    rows = []
+    for i, m in enumerate(messages):
+        m = int(m) % n
+        c = pow(m, 3, n)
+        md = pow(c, d, n)
+        mp = pow(c, d % (p - 1), p)
+        mq = pow(c, d % (q - 1), q)
+        mcrt = mq + q * ((q_inv * (mp - mq)) % p)
+        assert md == m, (m, md)
+        assert mcrt == md
+        rows.append((i, m, c, p, q, n, d,
+                     1 if md == m else 0,
+                     1 if mcrt == md else 0))
+    out = pd.DataFrame(rows, columns=["i", "m", "c", "p", "q", "n",
+                                      "d", "roundtrip_ok",
+                                      "crt_agree"])
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def simpson_cubic_int(a, b, c, d):
+    """Composite Simpson quadrature of the corpus-seeded cubic
+    f(t) = a·t³ + b·t² + c·t + d over [0, 24] with 8 panels
+    (h = 3, so h/3 = 1 and the rule is the INTEGER weighted sum
+    1,4,2,...,4,1) — NUMERICAL QUADRATURE, a family the surface
+    lacked (heat_diffusion evolves a PDE; nothing integrated):
+    Simpson's error term carries f⁗, so on a cubic the rule is
+    EXACT — simpson == the closed-form integral
+    a·24⁴/4 + b·24³/3 + c·24²/2 + d·24 (all integer because
+    4 | 24⁴·... design choice), asserted.  The trapezoid rule is
+    NOT exact, and Euler–Maclaurin says its error on a cubic is
+    EXACTLY h²/12·(f′(24) − f′(0)) (the f‴ term cancels — f‴ is
+    constant): trap_gap = 2T − 2I == 2·(1296a + 36b) asserted,
+    carried doubled to stay integral.  Mirror: the same integer
+    arithmetic over generate_series."""
+    a, b, c, d = int(a), int(b), int(c), int(d)
+
+    def f(t):
+        return a * t ** 3 + b * t ** 2 + c * t + d
+
+    simpson = sum(w * f(3 * i) for i, w in enumerate(
+        [1, 4, 2, 4, 2, 4, 2, 4, 1]))
+    exact = a * 24 ** 4 // 4 + b * 24 ** 3 // 3 \
+        + c * 24 ** 2 // 2 + d * 24
+    twice_trap = 3 * sum(w * f(3 * i) for i, w in enumerate(
+        [1, 2, 2, 2, 2, 2, 2, 2, 1]))
+    assert simpson == exact
+    trap_gap = twice_trap - 2 * exact
+    assert trap_gap == 2 * (1296 * a + 36 * b)
+    out = pd.DataFrame(
+        [(a, b, c, d, simpson, exact, twice_trap, trap_gap)],
+        columns=["a", "b", "c", "d", "simpson", "exact_integral",
+                 "twice_trap", "trap_gap"])
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
