@@ -6453,3 +6453,125 @@ def simpson_cubic_int(a, b, c, d):
     for col in out.columns:
         out[col] = out[col].astype("int64")
     return out
+
+
+RAMSEY_EDGES = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+RAMSEY_EIDX = {e: k for k, e in enumerate(RAMSEY_EDGES)}
+RAMSEY_TRIS = [(i, j, k) for i in range(6) for j in range(i + 1, 6)
+               for k in range(j + 1, 6)]
+
+
+def ramsey_k6_int(bits):
+    """Two-coloring of K6's 15 edges from the corpus parity census —
+    RAMSEY THEORY, a family the surface lacked (necklace_count is
+    symmetry counting; this is unavoidable-structure): R(3,3) = 6
+    says EVERY 2-coloring contains a monochromatic triangle, and
+    GOODMAN (1959) sharpens it — at least 2 of the 20 triangles are
+    mono, via the angle identity #mono = 20 − ½·Σ_v r_v(5−r_v)
+    (each bichromatic triangle has exactly two bichromatic angles;
+    the sum is always even) — the identity is COMPUTED per instance
+    and asserted, and the bound is verified EXHAUSTIVELY: the
+    kernel minimizes mono count over ALL 2¹⁵ colorings and asserts
+    the minimum is exactly 2 (attained), the mirror re-runs the
+    same 32768-coloring sweep in SQL.  Output: one row per
+    triangle + the census coloring's mono total, the Goodman
+    formula value, and the global minimum."""
+    bits = [int(b) & 1 for b in bits]
+    assert len(bits) == 15
+
+    def mono_count(bb):
+        c = 0
+        for i, j, k in RAMSEY_TRIS:
+            e1 = bb[RAMSEY_EIDX[(i, j)]]
+            e2 = bb[RAMSEY_EIDX[(i, k)]]
+            e3 = bb[RAMSEY_EIDX[(j, k)]]
+            if e1 == e2 == e3:
+                c += 1
+        return c
+
+    total = mono_count(bits)
+    rdeg = [sum(bits[RAMSEY_EIDX[(min(v, u), max(v, u))]]
+                for u in range(6) if u != v) for v in range(6)]
+    ang = sum(r * (5 - r) for r in rdeg)
+    assert ang % 2 == 0
+    formula = 20 - ang // 2
+    assert formula == total
+    assert total >= 2
+
+    gmin = min(mono_count([(m >> e) & 1 for e in range(15)])
+               for m in range(1 << 15))
+    assert gmin == 2
+
+    rows = []
+    for i, j, k in RAMSEY_TRIS:
+        e1 = bits[RAMSEY_EIDX[(i, j)]]
+        e2 = bits[RAMSEY_EIDX[(i, k)]]
+        e3 = bits[RAMSEY_EIDX[(j, k)]]
+        rows.append((i, j, k, 1 if e1 == e2 == e3 else 0,
+                     total, formula, gmin))
+    out = pd.DataFrame(rows, columns=["i", "j", "k", "mono",
+                                      "mono_total", "mono_formula",
+                                      "min_all_colorings"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SHAMIR_P = 103
+
+
+def shamir_shares_int(secret, a1, a2):
+    """Shamir (3, 6) secret sharing over GF(103) — SECRET SHARING /
+    polynomial interpolation, a family the surface lacked (rsa_crt
+    is public-key; this is information-theoretic): the degree-2
+    polynomial f(x) = s + a1·x + a2·x² mod p evaluated at x = 1..6
+    gives 6 shares; EVERY 3-subset (all C(6,3) = 20 of them)
+    reconstructs s by Lagrange interpolation at 0 — asserted per
+    subset (the THRESHOLD property), and PERFECT SECRECY is
+    verified exhaustively for the pair (1, 2): for every candidate
+    secret s' in GF(p) the 3×3 Vandermonde system through the two
+    shares and f(0) = s' has exactly one solution, so two shares
+    reveal NOTHING (asserted over all 103 candidates).  Mirror:
+    the same Lagrange sum with inverses found by the list brute
+    z·a ≡ 1 (p is tiny, stated)."""
+    p = SHAMIR_P
+    s, a1, a2 = int(secret) % p, int(a1) % p, int(a2) % p
+
+    def f(x):
+        return (s + a1 * x + a2 * x * x) % p
+
+    shares = {x: f(x) for x in range(1, 7)}
+
+    from itertools import combinations
+    rows = []
+    for xs in combinations(range(1, 7), 3):
+        rec = 0
+        for xi in xs:
+            num, den = 1, 1
+            for xj in xs:
+                if xj != xi:
+                    num = num * xj % p
+                    den = den * (xj - xi) % p
+            rec = (rec + shares[xi] * num
+                   * pow(den % p, p - 2, p)) % p
+        assert rec == s, (xs, rec, s)
+        rows.append((xs[0], xs[1], xs[2], shares[xs[0]],
+                     shares[xs[1]], shares[xs[2]], rec, s,
+                     1 if rec == s else 0))
+
+    # perfect secrecy at the pair (1, 2): every candidate secret is
+    # consistent with exactly one degree-2 polynomial
+    for sp in range(p):
+        sols = 0
+        for b1 in range(p):
+            b2 = (shares[1] - sp - b1) % p
+            if (sp + b1 * 2 + b2 * 4) % p == shares[2]:
+                sols += 1
+        assert sols == 1, sp
+
+    out = pd.DataFrame(rows, columns=["x1", "x2", "x3", "y1", "y2",
+                                      "y3", "recovered", "secret",
+                                      "ok"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
