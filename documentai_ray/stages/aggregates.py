@@ -6575,3 +6575,196 @@ def shamir_shares_int(secret, a1, a2):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def twosat_int(clauses):
+    """2-SAT over 8 variables — SATISFIABILITY / complexity theory,
+    a family the surface lacked (konig_cover is duality,
+    maxflow_mincut is LP; this is the tractable face of SAT):
+    clauses are (a, sa, b, sb) meaning (x_a = sa) OR (x_b = sb).
+    The kernel decides satisfiability TWICE — by the
+    Aspvall-Plass-Tarjan implication-graph SCC criterion (linear
+    time; x and NOT-x in one strongly connected component iff
+    unsatisfiable) with Tarjan's algorithm implemented directly,
+    AND by the exhaustive 2^8 assignment sweep — and asserts the
+    two verdicts agree; the SCC-derived assignment (reverse
+    topological component order) is checked against every clause
+    when satisfiable.  The EMITTED certificate is sweep-canonical
+    so the SQL mirror can re-derive it without Tarjan: the
+    assignment mask maximizing #satisfied clauses, ties -> smallest
+    mask (a satisfying assignment whenever one exists, and the
+    exact MAX-2-SAT optimum otherwise).  Output: one row per
+    clause with its satisfied-under-canonical-mask flag plus the
+    global (satisfiable, n_sat_assignments, max_satisfiable,
+    canonical_mask) columns."""
+    n = 8
+    m = len(clauses)
+    clauses = [(int(a) % n, int(sa) & 1, int(b) % n, int(sb) & 1)
+               for a, sa, b, sb in clauses]
+
+    # --- implication graph: node 2v = (x_v true), 2v+1 = (x_v false)
+    def lit_node(v, s):
+        return 2 * v + (0 if s else 1)
+
+    adj = [[] for _ in range(2 * n)]
+    for a, sa, b, sb in clauses:
+        # (a=sa) OR (b=sb): not(a=sa) -> (b=sb), not(b=sb) -> (a=sa)
+        adj[lit_node(a, 1 - sa)].append(lit_node(b, sb))
+        adj[lit_node(b, 1 - sb)].append(lit_node(a, sa))
+
+    # Tarjan SCC (iterative)
+    index = [None] * (2 * n)
+    low = [0] * (2 * n)
+    on_stack = [False] * (2 * n)
+    comp = [-1] * (2 * n)
+    stack, counter, ncomp = [], [0], [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] is None:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp[w] = ncomp[0]
+                        low[w] = low[v]
+                        if w == v:
+                            break
+                    ncomp[0] += 1
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in range(2 * n):
+        if index[v] is None:
+            strongconnect(v)
+
+    scc_sat = all(comp[2 * v] != comp[2 * v + 1] for v in range(n))
+    if scc_sat:
+        # Tarjan numbers components in REVERSE topological order, so
+        # x_v = (comp[x_v] < comp[not x_v]) is the standard assignment
+        scc_assign = [1 if comp[2 * v] < comp[2 * v + 1] else 0
+                      for v in range(n)]
+        for a, sa, b, sb in clauses:
+            assert scc_assign[a] == sa or scc_assign[b] == sb
+
+    # --- exhaustive sweep (the mirror's route)
+    best_cnt, best_mask, n_sat = -1, -1, 0
+    for mask in range(1 << n):
+        cnt = 0
+        for a, sa, b, sb in clauses:
+            if ((mask >> a) & 1) == sa or ((mask >> b) & 1) == sb:
+                cnt += 1
+        if cnt == m:
+            n_sat += 1
+        if cnt > best_cnt:
+            best_cnt, best_mask = cnt, mask
+    sweep_sat = n_sat > 0
+    assert scc_sat == sweep_sat
+    assert sweep_sat == (best_cnt == m)
+
+    rows = []
+    for idx, (a, sa, b, sb) in enumerate(clauses):
+        sat_flag = 1 if (((best_mask >> a) & 1) == sa
+                         or ((best_mask >> b) & 1) == sb) else 0
+        rows.append((idx, a, sa, b, sb, sat_flag,
+                     1 if sweep_sat else 0, n_sat, best_cnt,
+                     best_mask))
+    out = pd.DataFrame(rows, columns=["clause", "a", "sa", "b",
+                                      "sb", "sat_under_canonical",
+                                      "satisfiable",
+                                      "n_sat_assignments",
+                                      "max_satisfiable",
+                                      "canonical_mask"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+NIM_MAX_HEAP = 15
+
+
+def nim_grundy_int(positions):
+    """Sprague-Grundy values of 3-heap Nim — COMBINATORIAL GAME
+    THEORY, a family the surface lacked (zerosum_value is von
+    Neumann matrix games, penney_game is nontransitive odds; this
+    is the additive theory of perfect-information games): the
+    kernel computes grundy(a,b,c) for ALL (max+1)^3 positions by
+    the mex recursion over the move graph (reduce any one heap),
+    then asserts BOUTON 1901 exhaustively — grundy == a XOR b XOR c
+    everywhere, and P-positions (previous-player wins, grundy 0)
+    are exactly the zero-XOR positions.  Per input position it
+    emits the DP grundy value, the XOR, the P/N verdict, and the
+    lexicographically first winning move (heap index 1..3 and the
+    new size — the move to XOR 0 that Bouton's proof constructs),
+    (-1, -1) at P-positions where every move loses.  The mirror
+    re-derives everything from the XOR closed form (bit ops +
+    the CASE chain for the first reducible heap) — theorem vs
+    game-tree DP, cross-certified per instance."""
+    mx = NIM_MAX_HEAP
+    grundy = {}
+    for a in range(mx + 1):
+        for b in range(mx + 1):
+            for c in range(mx + 1):
+                opts = set()
+                for na in range(a):
+                    opts.add(grundy[(na, b, c)])
+                for nb in range(b):
+                    opts.add(grundy[(a, nb, c)])
+                for nc in range(c):
+                    opts.add(grundy[(a, b, nc)])
+                g = 0
+                while g in opts:
+                    g += 1
+                grundy[(a, b, c)] = g
+                assert g == a ^ b ^ c, (a, b, c, g)
+
+    rows = []
+    for i, (a, b, c) in enumerate(positions):
+        a, b, c = int(a) % (mx + 1), int(b) % (mx + 1), \
+            int(c) % (mx + 1)
+        g = grundy[(a, b, c)]
+        x = a ^ b ^ c
+        assert g == x
+        if x == 0:
+            mh, ms = -1, -1
+            # every move leaves a nonzero XOR (P-position): spot-check
+            for na in range(a):
+                assert na ^ b ^ c != 0
+        else:
+            mh, ms = -1, -1
+            for h, (own, others) in enumerate(
+                    [(a, b ^ c), (b, a ^ c), (c, a ^ b)], start=1):
+                if others < own:
+                    mh, ms = h, others
+                    break
+            assert mh != -1  # Bouton: some heap has high bit of x
+            nt = [a, b, c]
+            nt[mh - 1] = ms
+            assert nt[0] ^ nt[1] ^ nt[2] == 0
+        rows.append((i, a, b, c, g, x, 1 if x == 0 else 0, mh, ms))
+    out = pd.DataFrame(rows, columns=["pos", "a", "b", "c",
+                                      "grundy", "xor_value",
+                                      "is_p_position",
+                                      "win_move_heap",
+                                      "win_move_newsize"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
