@@ -6768,3 +6768,131 @@ def nim_grundy_int(positions):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+PARTITION_NMAX = 40
+
+
+def partition_numbers_int(hour_mods):
+    """Integer-partition counts p(n) — PARTITION THEORY, a family
+    the surface lacked (necklace_count counts orbits, josephus is
+    an elimination recurrence; this is additive combinatorics'
+    central function): the kernel computes p(0..40) TWICE — by the
+    parts-DP (unbounded coin-style fold) and by EULER's pentagonal
+    number theorem p(n) = Σ_k (−1)^{k−1} [p(n−k(3k−1)/2) +
+    p(n−k(3k+1)/2)] — and asserts the two tables agree entry-wise;
+    EULER's distinct-equals-odd identity (partitions into distinct
+    parts == partitions into odd parts) is verified for every
+    n ≤ 40 by two further independent DPs.  Input: (h, n) pairs
+    with n ≤ 40; output one row per hour with p(n).  The mirror
+    re-runs the PENTAGONAL recurrence as a recursive list-carrying
+    CTE — DP vs theorem, one route per engine."""
+    N = PARTITION_NMAX
+
+    dp = [0] * (N + 1)
+    dp[0] = 1
+    for part in range(1, N + 1):
+        for i in range(part, N + 1):
+            dp[i] += dp[i - part]
+
+    pp = [0] * (N + 1)
+    pp[0] = 1
+    for n in range(1, N + 1):
+        s, k = 0, 1
+        while True:
+            g1 = k * (3 * k - 1) // 2
+            if g1 > n:
+                break
+            sign = 1 if k % 2 == 1 else -1
+            term = pp[n - g1]
+            g2 = k * (3 * k + 1) // 2
+            if g2 <= n:
+                term += pp[n - g2]
+            s += sign * term
+            k += 1
+        pp[n] = s
+    assert pp == dp, "pentagonal recurrence != parts DP"
+
+    dq = [0] * (N + 1)          # distinct parts (0/1 each)
+    dq[0] = 1
+    for part in range(1, N + 1):
+        for i in range(N, part - 1, -1):
+            dq[i] += dq[i - part]
+    do_ = [0] * (N + 1)         # odd parts, unbounded
+    do_[0] = 1
+    for part in range(1, N + 1, 2):
+        for i in range(part, N + 1):
+            do_[i] += do_[i - part]
+    assert dq == do_, "Euler distinct != odd"
+
+    rows = [(int(h), int(n), dp[int(n)], dq[int(n)])
+            for h, n in hour_mods]
+    out = pd.DataFrame(rows, columns=["h", "n", "p_n",
+                                      "p_distinct"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+FOUR_SQ_NMAX = 200
+
+
+def four_squares_int(hour_mods):
+    """Sums of four squares — ADDITIVE NUMBER THEORY / theta-series
+    arithmetic, a family the surface lacked (miller_rabin is
+    multiplicative, rsa_crt is congruential; this is representation
+    counting): the kernel enumerates the FULL signed lattice grid
+    [−14,14]^4 (707k points) with one vectorized bincount, giving
+    r4(n) = #{(a,b,c,d) ∈ Z^4 : Σ a_i² = n} for every n ≤ 200, and
+    asserts JACOBI's theorem exhaustively — r4(n) = 8·σ'(n) with
+    σ'(n) the sum of divisors NOT divisible by 4 — for all
+    1 ≤ n ≤ 200 (the theorem verified in full, not sampled);
+    LAGRANGE's four-square theorem rides along as r4(n) > 0
+    everywhere, witnessed per input row by the lexicographically
+    smallest 0 ≤ a ≤ b ≤ c ≤ d representation.  The mirror
+    re-enumerates the same signed grid in SQL (group-by-sum) and
+    reads the witness off the ordered-quadruple join — enumeration
+    vs enumeration, with the 8·σ' identity visible cross-engine as
+    the r4/sigma_no4 column pair."""
+    N = FOUR_SQ_NMAX
+    B = math.isqrt(N)
+    r = np.arange(-B, B + 1)
+    sq = r * r
+    g = (sq[:, None, None, None] + sq[None, :, None, None]
+         + sq[None, None, :, None] + sq[None, None, None, :])
+    counts = np.bincount(g.ravel(), minlength=4 * B * B + 1)
+
+    def sigma_no4(n):
+        return sum(d for d in range(1, n + 1)
+                   if n % d == 0 and d % 4 != 0)
+
+    for n in range(1, N + 1):
+        assert counts[n] == 8 * sigma_no4(n), n
+        assert counts[n] > 0  # Lagrange
+
+    def witness(n):
+        # range bounds keep every remainder non-negative
+        for a in range(math.isqrt(n // 4) + 1):
+            ra = n - a * a
+            for b in range(a, math.isqrt(ra) + 1):
+                rb = ra - b * b
+                for c_ in range(b, math.isqrt(rb) + 1):
+                    rc = rb - c_ * c_
+                    d = math.isqrt(rc)
+                    if d * d == rc and d >= c_:
+                        return a, b, c_, d
+        raise AssertionError(n)
+
+    rows = []
+    for h, n in hour_mods:
+        n = int(n)
+        wa, wb, wc, wd = witness(n)
+        assert wa * wa + wb * wb + wc * wc + wd * wd == n
+        rows.append((int(h), n, int(counts[n]),
+                     0 if n == 0 else sigma_no4(n),
+                     wa, wb, wc, wd))
+    out = pd.DataFrame(rows, columns=["h", "n", "r4", "sigma_no4",
+                                      "wa", "wb", "wc", "wd"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
