@@ -6896,3 +6896,145 @@ def four_squares_int(hour_mods):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def permutation_cycles_int(perm):
+    """Cycle structure of a permutation — SYMMETRIC-GROUP structure
+    theory, a family the surface lacked (necklace_count applies
+    Burnside to a fixed cyclic action; this analyses a DATA-DERIVED
+    group element): cycle decomposition (canonical min-element
+    labels), the element's ORDER as the lcm of cycle lengths —
+    certified by π^order == id via binary composition AND
+    π^(order/prime) != id for every prime dividing the order (true
+    minimality, not just an upper bound) — and the SIGN computed by
+    two theorems at once, (−1)^inversions and (−1)^(n − #cycles),
+    asserted equal (both sides of the sign-homomorphism
+    well-definedness).  The mirror walks orbits with a recursive
+    CTE, counts inversions by self-join, and folds lcm over the
+    distinct cycle lengths with list_reduce — independent routes
+    to every column."""
+    n = len(perm)
+    perm = [int(x) for x in perm]
+    assert sorted(perm) == list(range(n)), "not a bijection"
+
+    seen = [False] * n
+    cyc_min = [0] * n
+    cyc_len = [0] * n
+    lengths = []
+    for s in range(n):
+        if seen[s]:
+            continue
+        orbit, cur = [], s
+        while not seen[cur]:
+            seen[cur] = True
+            orbit.append(cur)
+            cur = perm[cur]
+        assert cur == s  # closed orbit
+        lengths.append(len(orbit))
+        m = min(orbit)
+        for v in orbit:
+            cyc_min[v] = m
+            cyc_len[v] = len(orbit)
+    n_cycles = len(lengths)
+
+    order = 1
+    for ln in lengths:
+        order = order * ln // math.gcd(order, ln)
+
+    def compose(f, g):
+        return [f[g[i]] for i in range(n)]
+
+    def perm_pow(k):
+        res, base = list(range(n)), perm[:]
+        while k:
+            if k & 1:
+                res = compose(base, res)
+            base = compose(base, base)
+            k >>= 1
+        return res
+
+    ident = list(range(n))
+    assert perm_pow(order) == ident
+    rem, pr = order, 2
+    primes = set()
+    while rem > 1:
+        if rem % pr == 0:
+            primes.add(pr)
+            while rem % pr == 0:
+                rem //= pr
+        pr += 1
+    for pr in primes:
+        assert perm_pow(order // pr) != ident  # minimality
+
+    n_inv = sum(1 for i in range(n) for j in range(i + 1, n)
+                if perm[i] > perm[j])
+    sign_inv = 1 if n_inv % 2 == 0 else -1
+    sign_cyc = 1 if (n - n_cycles) % 2 == 0 else -1
+    assert sign_inv == sign_cyc
+
+    rows = [(h, perm[h], cyc_min[h], cyc_len[h], n_cycles, n_inv,
+             sign_inv, order) for h in range(n)]
+    out = pd.DataFrame(rows, columns=["h", "pi", "cycle_min",
+                                      "cycle_len", "n_cycles",
+                                      "n_inversions", "sign",
+                                      "perm_order"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _next_odd_prime(s):
+    v = max(int(s), 3)
+    while True:
+        if all(v % f for f in range(2, math.isqrt(v) + 1)):
+            return v
+        v += 1
+
+
+def legendre_reciprocity_int(seed_pairs):
+    """Quadratic reciprocity on corpus-seeded odd-prime pairs —
+    MULTIPLICATIVE number theory's crown theorem, a family the
+    surface lacked (miller_rabin decides primality; this computes
+    the Legendre SYMBOL): for each pair p ≠ q the kernel evaluates
+    (p|q) and (q|p) THREE independent ways — Euler's criterion
+    a^((m−1)/2) mod m, GAUSS's lemma (−1)^#{k ≤ (m−1)/2 :
+    ak mod m > m/2}, and the solvability DEFINITION (∃x: x² ≡ a) —
+    asserts all three agree, then asserts the reciprocity law
+    (p|q)(q|p) = (−1)^(((p−1)/2)((q−1)/2)) per pair.  The mirror
+    takes the definitional route only (EXISTS over x² mod m — no
+    modpow CTE needed) plus the same next-prime trial-division
+    search, so the law is visible cross-engine as the
+    product/predicted column pair."""
+    rows = []
+    for i, (s1, s2) in enumerate(seed_pairs):
+        p = _next_odd_prime(int(s1) % 500 + 3)
+        q = _next_odd_prime(int(s2) % 500 + 3)
+        if q == p:
+            q = _next_odd_prime(p + 1)
+
+        def leg_euler(a, m):
+            r = pow(a % m, (m - 1) // 2, m)
+            assert r in (1, m - 1)
+            return 1 if r == 1 else -1
+
+        def leg_gauss(a, m):
+            cnt = sum(1 for k in range(1, (m - 1) // 2 + 1)
+                      if (a * k) % m > m // 2)
+            return -1 if cnt % 2 else 1
+
+        def leg_def(a, m):
+            return (1 if any(x * x % m == a % m
+                             for x in range(1, m)) else -1)
+
+        lp, lq = leg_euler(p, q), leg_euler(q, p)
+        assert lp == leg_gauss(p, q) == leg_def(p, q)
+        assert lq == leg_gauss(q, p) == leg_def(q, p)
+        pred = -1 if ((p - 1) // 2) * ((q - 1) // 2) % 2 else 1
+        assert lp * lq == pred  # the reciprocity law, per pair
+        rows.append((i, p, q, lp, lq, lp * lq, pred))
+    out = pd.DataFrame(rows, columns=["pair", "p", "q", "leg_pq",
+                                      "leg_qp", "product",
+                                      "predicted"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
