@@ -7038,3 +7038,159 @@ def legendre_reciprocity_int(seed_pairs):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+ISING_N = 12
+
+
+def ising_ring_int(census_mask):
+    """Domain-wall census of the n=12 Ising ring — STATISTICAL
+    MECHANICS / transfer matrices, a family the surface lacked
+    (heat_diffusion evolves the dynamics; this counts the
+    equilibrium ensemble): N(k) = # spin configurations with
+    exactly k unequal adjacent pairs, computed by FULL 2^12
+    enumeration and asserted against the closed form N(k) =
+    2·C(n,k) for even k, 0 for odd k (walls pair up on a cycle);
+    the partition polynomial Z(x) = Σ_k N(k)·x^k is then evaluated
+    at every integer x = 0..12 through the actual TRANSFER MATRIX
+    — trace of [[1,x],[x,1]]^n by binary integer matrix power —
+    and asserted equal to the enumeration sum (13 points pin a
+    degree-12 polynomial identity; the eigenvalue closed form
+    (1+x)^n + (1−x)^n is asserted as a third route).  The corpus
+    enters as the 12-bit hour-parity mask whose own wall count is
+    reported.  Mirror: SQL re-enumerates the 4096 configs with
+    bit_count/xor/rotate, factorials for the closed form, and
+    exact small-integer powers for Z."""
+    n = ISING_N
+    mask = int(census_mask) & ((1 << n) - 1)
+
+    def walls(m):
+        rot = ((m >> 1) | ((m & 1) << (n - 1))) & ((1 << n) - 1)
+        return bin(m ^ rot).count("1")
+
+    counts = [0] * (n + 1)
+    for m in range(1 << n):
+        counts[walls(m)] += 1
+
+    for k in range(n + 1):
+        closed = 2 * math.comb(n, k) if k % 2 == 0 else 0
+        assert counts[k] == closed, (k, counts[k], closed)
+
+    def mat_mul(A, B):
+        return [[A[0][0] * B[0][0] + A[0][1] * B[1][0],
+                 A[0][0] * B[0][1] + A[0][1] * B[1][1]],
+                [A[1][0] * B[0][0] + A[1][1] * B[1][0],
+                 A[1][0] * B[0][1] + A[1][1] * B[1][1]]]
+
+    def transfer_trace(x):
+        res = [[1, 0], [0, 1]]
+        base = [[1, x], [x, 1]]
+        e = n
+        while e:
+            if e & 1:
+                res = mat_mul(res, base)
+            base = mat_mul(base, base)
+            e >>= 1
+        return res[0][0] + res[1][1]
+
+    rows = []
+    cw = walls(mask)
+    for k in range(n + 1):
+        z_poly = sum(counts[j] * k ** j for j in range(n + 1))
+        z_trace = transfer_trace(k)
+        assert z_poly == z_trace
+        assert z_trace == (1 + k) ** n + (1 - k) ** n  # eigenvalues
+        rows.append((k, counts[k],
+                     2 * math.comb(n, k) if k % 2 == 0 else 0,
+                     z_poly, z_trace, mask, cw))
+    out = pd.DataFrame(rows, columns=["k", "n_configs", "n_closed",
+                                      "z_poly", "z_trace",
+                                      "census_mask",
+                                      "census_walls"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+GAUSS_MAX_STEPS = 60
+
+
+def _floor_div(t, d):
+    """Floor division for positive d, written so the SQL mirror
+    (whose // truncates toward zero) can replicate it with a sign
+    split."""
+    if t >= 0:
+        return t // d
+    return -((-t + d - 1) // d)
+
+
+def gauss_lattice_int(triples):
+    """Gauss/Lagrange reduction of 2-D integer lattice bases —
+    LATTICE REDUCTION / geometry of numbers, a family the surface
+    lacked (convex_hull is point-set geometry; this is the
+    algorithmic theory of quadratic forms, the 2-D case of LLL):
+    each (s, t, u) seeds the basis v1 = (1, s), v2 = (t, 1+st+u)
+    whose determinant is 1+u BY CONSTRUCTION (nonzero, closed
+    form — stated).  The kernel runs the classical reduction loop
+    (swap-shorter-first, subtract the rounded projection
+    μ = ⌊(2·dot+n1)/(2·n1)⌋ — round-half-up via floor division,
+    so μ=0 ⟺ −n1 ≤ 2·dot < n1) to a Lagrange-reduced basis, then
+    certifies: |det| preserved; u1 is the EXACT shortest nonzero
+    lattice vector by exhaustive search over the coefficient box
+    [−5,5]² (for a reduced basis the minimum sits at coefficients
+    in {−1,0,1} — the box is overkill, stated); and HERMITE's
+    bound λ1² ≤ (2/√3)·|det| in the exact integer form
+    3·λ1⁴ ≤ 4·det².  Sign-canonicalized (lex-positive vectors).
+    Mirror: the same loop as a bounded recursive CTE with the
+    sign-split floor division, same box search."""
+    rows = []
+    for i, (s, t, u) in enumerate(triples):
+        s, t, u = int(s), int(t), int(u)
+        v1 = (1, s)
+        v2 = (t, 1 + s * t + u)
+        det0 = v1[0] * v2[1] - v1[1] * v2[0]
+        assert det0 == 1 + u != 0
+
+        def nrm(v):
+            return v[0] * v[0] + v[1] * v[1]
+
+        steps = 0
+        while True:
+            if nrm(v1) > nrm(v2):
+                v1, v2 = v2, v1
+            n1 = nrm(v1)
+            dot = v1[0] * v2[0] + v1[1] * v2[1]
+            mu = _floor_div(2 * dot + n1, 2 * n1)
+            if mu == 0:
+                break
+            v2 = (v2[0] - mu * v1[0], v2[1] - mu * v1[1])
+            steps += 1
+            assert steps < GAUSS_MAX_STEPS
+
+        def canon(v):
+            if v[0] < 0 or (v[0] == 0 and v[1] < 0):
+                return (-v[0], -v[1])
+            return v
+
+        v1, v2 = canon(v1), canon(v2)
+        n1, n2 = nrm(v1), nrm(v2)
+        dot = v1[0] * v2[0] + v1[1] * v2[1]
+        assert n1 <= n2 and 2 * abs(dot) <= n1  # Lagrange-reduced
+        det = v1[0] * v2[1] - v1[1] * v2[0]
+        assert abs(det) == abs(det0)
+
+        mn = min(nrm((x * v1[0] + y * v2[0], x * v1[1] + y * v2[1]))
+                 for x in range(-5, 6) for y in range(-5, 6)
+                 if (x, y) != (0, 0))
+        assert mn == n1  # u1 attains the lattice minimum
+        assert 3 * n1 * n1 <= 4 * det * det  # Hermite gamma_2
+
+        rows.append((i, s, t, u, v1[0], v1[1], v2[0], v2[1],
+                     n1, n2, dot, abs(det), mn))
+    out = pd.DataFrame(rows, columns=["inst", "s", "t", "u",
+                                      "a1", "b1", "a2", "b2",
+                                      "n1", "n2", "dot12",
+                                      "det_abs", "min_norm_box"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
