@@ -7194,3 +7194,167 @@ def gauss_lattice_int(triples):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+DFA_N_STATES = 10
+
+
+def dfa_minimize_int(delta0, delta1, accept):
+    """DFA minimization — AUTOMATA THEORY, a family the surface
+    lacked (string_period / bwt_runs are combinatorics on words;
+    this is the machine side of Kleene's theorem): a 10-state
+    binary-alphabet DFA (start 0) is minimized TWO independent
+    ways — MOORE's partition refinement (split classes by
+    successor-class signature until stable) and the MYHILL-NERODE
+    table-filling closure (distinguishable := accept-disagreeing
+    pairs, closed backwards under the transition relation) — and
+    the two equivalences are asserted identical on reachable
+    states; the refinement's stability and the table's fixpoint
+    are each certified per call.  Output: per state its
+    reachability, canonical class label (min member), class size,
+    accept bit, and the global minimized-state count.  Mirror:
+    recursive-CTE reachability + the table-filling fixpoint (SQL
+    takes the Myhill-Nerode route only)."""
+    n = DFA_N_STATES
+    delta0 = [int(x) % n for x in delta0]
+    delta1 = [int(x) % n for x in delta1]
+    accept = [int(x) & 1 for x in accept]
+    assert len(delta0) == len(delta1) == len(accept) == n
+
+    # reachability from start 0
+    reach = [False] * n
+    frontier = [0]
+    reach[0] = True
+    while frontier:
+        s = frontier.pop()
+        for t in (delta0[s], delta1[s]):
+            if not reach[t]:
+                reach[t] = True
+                frontier.append(t)
+    R = [s for s in range(n) if reach[s]]
+
+    # Moore refinement over reachable states
+    cls = {s: accept[s] for s in R}
+    while True:
+        sig = {s: (cls[s], cls[delta0[s]], cls[delta1[s]])
+               for s in R}
+        uniq = sorted(set(sig.values()))
+        new = {s: uniq.index(sig[s]) for s in R}
+        if all(((new[p] == new[q]) == (cls[p] == cls[q]))
+               for p in R for q in R):
+            cls = new
+            break
+        cls = new
+    # stability certificate: signatures constant within classes
+    for p in R:
+        for q in R:
+            if cls[p] == cls[q]:
+                assert accept[p] == accept[q]
+                assert cls[delta0[p]] == cls[delta0[q]]
+                assert cls[delta1[p]] == cls[delta1[q]]
+
+    # Myhill-Nerode table filling (independent route)
+    dist = set()
+    for p in R:
+        for q in R:
+            if accept[p] != accept[q]:
+                dist.add((p, q))
+    changed = True
+    while changed:
+        changed = False
+        for p in R:
+            for q in R:
+                if (p, q) in dist:
+                    continue
+                if ((delta0[p], delta0[q]) in dist
+                        or (delta1[p], delta1[q]) in dist):
+                    dist.add((p, q))
+                    dist.add((q, p))
+                    changed = True
+    for p in R:
+        for q in R:
+            assert ((p, q) not in dist) == (cls[p] == cls[q]), \
+                (p, q)
+
+    label = {c: min(s for s in R if cls[s] == c)
+             for c in set(cls.values())}
+    n_classes = len(label)
+    rows = []
+    for s in range(n):
+        if reach[s]:
+            lab = label[cls[s]]
+            size = sum(1 for t in R if cls[t] == cls[s])
+        else:
+            lab, size = -1, 0
+        rows.append((s, 1 if reach[s] else 0, lab, size,
+                     accept[s], n_classes))
+    out = pd.DataFrame(rows, columns=["state", "reachable",
+                                      "class_label", "class_size",
+                                      "accept", "n_classes"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+PELL_YMAX = 2500
+
+
+def pell_equation_int(seeds):
+    """Fundamental solutions of Pell's equation x² − d·y² = 1 —
+    QUADRATIC DIOPHANTINE EQUATIONS, a family the surface lacked
+    (cf_convergents does Diophantine APPROXIMATION; Pell is the
+    equation Lagrange solved WITH those continued fractions): each
+    seed maps to a nonsquare d ∈ [2,31] (single bump past the
+    squares 4/9/16/25 — sufficient since 5/10/17/26 are nonsquare,
+    stated); the kernel expands √d's periodic continued fraction
+    by the exact (m, q, a) integer recurrence, walks convergents
+    h/k until h² − d·k² = 1 (Lagrange's theorem guarantees arrival
+    by period 2ℓ), asserts MINIMALITY by brute sweep over every
+    smaller y, and asserts the GROUP LAW — (x² + d·y², 2xy) is
+    again a solution — per instance.  d ≤ 31 keeps the worst
+    fundamental y at 1820 (d = 29), inside the sweep bound
+    (stated).  Output: (inst, d, x, y, period, x2, y2).  Mirror:
+    pure brute minimal-y search (ORDER BY y LIMIT 1) — CF route vs
+    search route, cross-certified."""
+    rows = []
+    for i, s in enumerate(seeds):
+        d = int(s) % 29 + 2            # 2..30
+        if d in (4, 9, 16, 25):
+            d += 1
+        a0 = math.isqrt(d)
+        assert a0 * a0 != d
+
+        # continued fraction of sqrt(d): m,q,a recurrence
+        m, q, a = 0, 1, a0
+        h0, h1 = 1, a0
+        k0, k1 = 0, 1
+        period = 0
+        x = y = None
+        for _ in range(200):
+            if h1 * h1 - d * k1 * k1 == 1:
+                x, y = h1, k1
+                break
+            m = a * q - m
+            q = (d - m * m) // q
+            a = (a0 + m) // q
+            period += 1
+            h0, h1 = h1, a * h1 + h0
+            k0, k1 = k1, a * k1 + k0
+        assert x is not None and y is not None
+
+        # minimality: no smaller y works (brute, both engines' floor)
+        for yy in range(1, y):
+            t = 1 + d * yy * yy
+            r = math.isqrt(t)
+            assert r * r != t
+        assert y <= PELL_YMAX
+
+        x2, y2 = x * x + d * y * y, 2 * x * y
+        assert x2 * x2 - d * y2 * y2 == 1  # group law
+        assert period >= 0
+        rows.append((i, d, x, y, x2, y2))
+    out = pd.DataFrame(rows, columns=["inst", "d", "x", "y",
+                                      "x2", "y2"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
