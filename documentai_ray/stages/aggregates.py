@@ -7358,3 +7358,106 @@ def pell_equation_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def three_distance_int(p, q, n):
+    """The three-distance (Steinhaus) theorem on rational rotations
+    — EQUIDISTRIBUTION THEORY, a family the surface lacked
+    (dft_period finds cycles; this is the fine structure of the
+    orbit {k·p mod q}): the first n multiples of p modulo q,
+    sorted, partition the circle [0,q) into n gaps taking AT MOST
+    THREE distinct lengths, and when three occur the largest is
+    the SUM of the other two — both asserted per instance (the
+    theorem, not a sample), with p reduced so gcd(p', q) = 1 keeps
+    points distinct (p' = p//g, stated; n ≤ q forced by n mod q).
+    Output: one row per gap position with the gap value, plus the
+    distinct-gap census columns.  Mirror: SQL sort + wraparound
+    lag differences + distinct-gap aggregation."""
+    p, q, n = int(p), int(q), int(n)
+    assert q >= 2
+    g = math.gcd(p, q)
+    p1 = (p // g) if g else 1
+    if math.gcd(p1, q) != 1:      # p = 0, or gcd(p/g, q) > 1
+        p1 = 1                    # (e.g. p = 12, q = 18)
+    n1 = n % q
+    if n1 == 0:
+        n1 = 1
+    pts = sorted((k * p1) % q for k in range(n1))
+    assert len(set(pts)) == n1    # gcd(p1, q) = 1 keeps distinct
+    gaps = [pts[(i + 1) % n1] - pts[i] + (q if i == n1 - 1 else 0)
+            for i in range(n1)]
+    assert sum(gaps) == q
+    dis = sorted(set(gaps))
+    assert 1 <= len(dis) <= 3     # Steinhaus
+    if len(dis) == 3:
+        assert dis[2] == dis[0] + dis[1]
+    rows = []
+    for i in range(n1):
+        rows.append((i, pts[i], gaps[i], len(dis), dis[0],
+                     dis[-1], p1, q, n1))
+    out = pd.DataFrame(rows, columns=["idx", "point", "gap",
+                                      "n_distinct_gaps",
+                                      "gap_min", "gap_max",
+                                      "p_reduced", "q", "n_points"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+ZECK_FIBS = []
+_a, _b = 1, 2
+while _a <= 10 ** 6:
+    ZECK_FIBS.append(_a)
+    _a, _b = _b, _a + _b
+
+
+def zeckendorf_int(values):
+    """Zeckendorf representation — NUMERATION SYSTEMS, a family
+    the surface lacked (huffman_code is optimal coding,
+    delta_varint is wire format; this is the arithmetic of
+    non-standard positional systems): every n ≥ 1 is UNIQUELY a
+    sum of non-consecutive Fibonacci numbers (F2=1, F3=2, …); the
+    kernel computes the greedy representation, asserts the
+    non-adjacency invariant, asserts the sum, and for n ≤ 300
+    certifies UNIQUENESS exhaustively — enumerating ALL subsets of
+    Fibonacci numbers ≤ n and counting non-adjacent ones summing
+    to n (exactly 1, Zeckendorf's theorem verified, not cited);
+    the digit-count column is the 'Fibonacci weight' and the
+    LEKKERKERKER average rides in tests.  Output: one row per
+    (value, term).  Mirror: greedy via recursive CTE over the same
+    Fibonacci list."""
+    rows = []
+    for i, v in enumerate(values):
+        v = int(v)
+        assert v >= 1
+        rem = v
+        terms = []
+        for f in reversed(ZECK_FIBS):
+            if f <= rem:
+                terms.append(f)
+                rem -= f
+        assert rem == 0
+        assert sum(terms) == v
+        idxs = [ZECK_FIBS.index(t) for t in terms]
+        assert all(idxs[j] - idxs[j + 1] >= 2
+                   for j in range(len(idxs) - 1))  # non-adjacent
+
+        if v <= 300:
+            fits = [f for f in ZECK_FIBS if f <= v]
+            cnt = 0
+            for m in range(1 << len(fits)):
+                sel = [j for j in range(len(fits)) if (m >> j) & 1]
+                if any(sel[t + 1] - sel[t] == 1
+                       for t in range(len(sel) - 1)):
+                    continue
+                if sum(fits[j] for j in sel) == v:
+                    cnt += 1
+            assert cnt == 1       # uniqueness, exhaustively
+
+        for rank, t in enumerate(terms):
+            rows.append((i, v, rank, t, len(terms)))
+    out = pd.DataFrame(rows, columns=["inst", "value", "rank",
+                                      "term", "n_terms"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
