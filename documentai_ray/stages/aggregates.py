@@ -7461,3 +7461,113 @@ def zeckendorf_int(values):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+STIRLING_NMAX = 12
+
+
+def stirling_bell_int(n_census):
+    """Stirling set-partition numbers S(n,k) and Bell numbers —
+    ENUMERATIVE SET-PARTITION combinatorics, a family the surface
+    lacked (partition_numbers counts INTEGER partitions — a
+    different object): the kernel builds the full triangle to
+    n = 12 by the recurrence S(n,k) = k·S(n−1,k) + S(n−1,k−1),
+    asserts the EXPLICIT inclusion-exclusion formula
+    S(n,k) = (1/k!)·Σ_j (−1)^j C(k,j)(k−j)^n entry-wise (the
+    divisibility by k! certified en route), asserts Bell numbers
+    BOTH as row sums and via the Aitken/Bell-triangle recurrence
+    B(n+1) = Σ_k C(n,k)B(k), and certifies S(6,·) by EXHAUSTIVE
+    enumeration of all 203 set partitions of a 6-set (restricted
+    growth strings).  Output: the triangle row for the
+    census-selected n (7 ≤ n ≤ 12).  Mirror: the explicit formula
+    + factorial Bell sum — formula route vs recurrence route."""
+    N = STIRLING_NMAX
+    S = [[0] * (N + 1) for _ in range(N + 1)]
+    S[0][0] = 1
+    for n in range(1, N + 1):
+        for k in range(1, n + 1):
+            S[n][k] = k * S[n - 1][k] + S[n - 1][k - 1]
+
+    for n in range(N + 1):
+        for k in range(n + 1):
+            acc = sum((-1) ** j * math.comb(k, j) * (k - j) ** n
+                      for j in range(k + 1))
+            fk = math.factorial(k)
+            assert acc % fk == 0
+            assert S[n][k] == acc // fk, (n, k)
+
+    bell = [sum(S[n]) for n in range(N + 1)]
+    # Aitken triangle route
+    bt = [1]
+    for n in range(N):
+        bt.append(sum(math.comb(n, k) * bt_k
+                      for k, bt_k in enumerate(bt[:n + 1])))
+        assert bt[n + 1] == bell[n + 1]
+
+    # exhaustive: restricted growth strings over a 6-set
+    def rgs_count():
+        by_blocks = {}
+
+        def rec(prefix, mx):
+            if len(prefix) == 6:
+                b = mx + 1
+                by_blocks[b] = by_blocks.get(b, 0) + 1
+                return
+            for v in range(mx + 2):
+                rec(prefix + [v], max(mx, v))
+
+        rec([0], 0)
+        return by_blocks
+
+    byb = rgs_count()
+    assert sum(byb.values()) == bell[6] == 203
+    for k in range(1, 7):
+        assert byb.get(k, 0) == S[6][k]
+
+    n_sel = int(n_census) % 6 + 7          # 7..12
+    rows = [(n_sel, k, S[n_sel][k], bell[n_sel])
+            for k in range(n_sel + 1)]
+    out = pd.DataFrame(rows, columns=["n", "k", "stirling",
+                                      "bell"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def derangements_int(hour_mods):
+    """Derangement counts — INCLUSION-EXCLUSION, a family the
+    surface lacked as an explicit object (the sieve is implicit in
+    several ops; here it IS the op): D(n) computed by THREE routes
+    — the two-term recurrence D(n) = (n−1)(D(n−1)+D(n−2)), the
+    one-term D(n) = n·D(n−1) + (−1)^n, and the inclusion-exclusion
+    sum Σ_k (−1)^k n!/k! — all asserted equal for every n ≤ 12,
+    plus an EXHAUSTIVE certificate at n = 6 (exactly 265 of the
+    720 permutations are fixed-point-free, counted by actual
+    enumeration).  Input: (h, n) pairs; output per hour D(n) and
+    n!.  Mirror: the inclusion-exclusion route only (factorials +
+    alternating sum) — sieve vs recurrence, cross-certified."""
+    N = 12
+    D = [1, 0]
+    for n in range(2, N + 1):
+        D.append((n - 1) * (D[n - 1] + D[n - 2]))
+    for n in range(1, N + 1):
+        assert D[n] == n * D[n - 1] + (-1) ** n
+    for n in range(N + 1):
+        ie = sum((-1) ** k * math.factorial(n) // math.factorial(k)
+                 for k in range(n + 1))
+        assert D[n] == ie, n
+
+    # exhaustive at n=6
+    from itertools import permutations
+    cnt = sum(1 for p in permutations(range(6))
+              if all(p[i] != i for i in range(6)))
+    assert cnt == D[6] == 265
+
+    rows = [(int(h), int(n) % (N + 1), D[int(n) % (N + 1)],
+             math.factorial(int(n) % (N + 1)))
+            for h, n in hour_mods]
+    out = pd.DataFrame(rows, columns=["h", "n", "derangements",
+                                      "n_factorial"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
