@@ -7571,3 +7571,140 @@ def derangements_int(hour_mods):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+POLYA_DRAWS = 8
+
+
+def polya_urn_int(r0, b0):
+    """Pólya urn exchangeability — URN MODELS / exchangeable
+    sequences, a family the surface lacked (absorbing_chain is
+    Markov with fixed transitions; the urn's reinforcement makes
+    the PATH matter — except, by de Finetti-flavoured magic, it
+    doesn't): starting from (r, b) with unit reinforcement, the
+    kernel runs the ACTUAL urn dynamics along every one of the 2^8
+    draw sequences (numerator = product of the counts drawn at
+    each step over the common rising-factorial denominator
+    (r+b)^(8 rising)) and asserts EXCHANGEABILITY by enumeration —
+    every sequence with the same red count k has the identical
+    probability numerator seq_num(k) = r^(k rising)·b^(8−k rising)
+    — and the MARTINGALE property of the red fraction in exact
+    cross-multiplied integers: Σ_k C(8,k)·seq_num(k)·(r+k)·(r+b)
+    == r·(r+b+8)·denominator.  Output: one row per k.  Mirror:
+    the rising-factorial closed forms via list_product (products
+    < 2^53 keep doubles exact — stated)."""
+    n = POLYA_DRAWS
+    r0, b0 = int(r0), int(b0)
+    assert r0 >= 1 and b0 >= 1
+
+    def rising(a, m):
+        out = 1
+        for t in range(m):
+            out *= a + t
+        return out
+
+    denom = rising(r0 + b0, n)
+
+    seq_num = {}
+    for m in range(1 << n):
+        r, b = r0, b0
+        num = 1
+        k = 0
+        for step in range(n):
+            if (m >> step) & 1:          # draw red
+                num *= r
+                r += 1
+                k += 1
+            else:
+                num *= b
+                b += 1
+        if k in seq_num:
+            assert seq_num[k] == num     # exchangeability
+        else:
+            seq_num[k] = num
+
+    for k in range(n + 1):
+        assert seq_num[k] == rising(r0, k) * rising(b0, n - k)
+
+    # martingale of the red fraction, cross-multiplied
+    lhs = sum(math.comb(n, k) * seq_num[k] * (r0 + k)
+              for k in range(n + 1)) * (r0 + b0)
+    rhs = r0 * (r0 + b0 + n) * denom
+    assert lhs == rhs
+
+    total = sum(math.comb(n, k) * seq_num[k] for k in range(n + 1))
+    assert total == denom                # probabilities sum to 1
+
+    rows = [(k, seq_num[k], math.comb(n, k),
+             math.comb(n, k) * seq_num[k], denom, r0, b0)
+            for k in range(n + 1)]
+    out = pd.DataFrame(rows, columns=["k", "seq_num", "n_seqs",
+                                      "prob_num", "denom",
+                                      "r0", "b0"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def dyck_catalan_int(hour_mods):
+    """Catalan numbers — CATALAN STRUCTURES / the reflection
+    principle as an enumeration identity, a family the surface
+    lacked as an explicit object (ballot_walk applies Bertrand to
+    one data walk; this certifies the counting theory): C_n for
+    n ≤ 10 computed FOUR ways in-kernel — lattice-path DP (paths
+    staying ≥ 0), the closed form C(2n,n)/(n+1) with the
+    divisibility certified, the reflection principle
+    C(2n,n) − C(2n,n+1), and Segner's convolution recurrence —
+    all asserted equal, plus the EXHAUSTIVE n = 6 certificate
+    (exactly 132 of the 4096 12-step walks are Dyck).  Output:
+    (h, n, catalan, central_binom) per census hour.  Mirror: the
+    closed form and reflection difference (factorial arithmetic
+    only)."""
+    N = 10
+    # lattice-path DP: f[h] = walks of current length ending at h
+    cat_dp = []
+    for n in range(N + 1):
+        f = [0] * (n + 2)
+        f[0] = 1
+        for _ in range(2 * n):
+            g = [0] * (n + 2)
+            for h in range(n + 1):
+                if f[h]:
+                    if h + 1 <= n + 1:
+                        g[h + 1] += f[h]
+                    if h - 1 >= 0:
+                        g[h - 1] += f[h]
+            f = g
+        cat_dp.append(f[0])
+
+    for n in range(N + 1):
+        cb = math.comb(2 * n, n)
+        assert cb % (n + 1) == 0
+        closed = cb // (n + 1)
+        refl = cb - math.comb(2 * n, n + 1)
+        assert cat_dp[n] == closed == refl, n
+    for n in range(N):                   # Segner
+        assert cat_dp[n + 1] == sum(cat_dp[i] * cat_dp[n - i]
+                                    for i in range(n + 1))
+
+    cnt = 0
+    for m in range(1 << 12):             # exhaustive n = 6
+        h = 0
+        ok = True
+        for s in range(12):
+            h += 1 if (m >> s) & 1 else -1
+            if h < 0:
+                ok = False
+                break
+        if ok and h == 0:
+            cnt += 1
+    assert cnt == cat_dp[6] == 132
+
+    rows = [(int(h), int(n) % (N + 1), cat_dp[int(n) % (N + 1)],
+             math.comb(2 * (int(n) % (N + 1)), int(n) % (N + 1)))
+            for h, n in hour_mods]
+    out = pd.DataFrame(rows, columns=["h", "n", "catalan",
+                                      "central_binom"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
