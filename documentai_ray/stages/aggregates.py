@@ -7708,3 +7708,132 @@ def dyck_catalan_int(hour_mods):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+SANDPILE_N = 10
+
+
+def sandpile_abelian_int(chips):
+    """Abelian sandpile stabilization on the 10-node path with
+    open boundary — CHIP-FIRING / self-organized criticality, a
+    family the surface lacked (rule90_ca is a synchronous linear
+    CA; chip-firing is ASYNCHRONOUS and nonlinear, and its
+    headline theorem is that asynchrony doesn't matter): a node
+    with ≥ 2 chips fires, sending one chip to each neighbour
+    (boundary chips fall off the ends into the sink).  The kernel
+    stabilizes the census configuration THREE ways — always-fire-
+    lowest-index, always-fire-highest-index, and fully parallel
+    rounds — and asserts Dhar's ABELIAN property: identical stable
+    configuration AND identical per-node odometer (fire counts)
+    under all three orders.  Conservation is certified: initial
+    total = stable total + odometer-weighted boundary loss.
+    Output: per node (node, initial, stable, fires).  Mirror: the
+    lowest-index schedule replayed as a recursive list-carrying
+    CTE."""
+    n = SANDPILE_N
+    init = [int(c) for c in chips]
+    assert len(init) == n and all(c >= 0 for c in init)
+
+    def stabilize(order):
+        l = init[:]
+        fires = [0] * n
+        while True:
+            unstable = [i for i in range(n) if l[i] >= 2]
+            if not unstable:
+                break
+            if order == "low":
+                targets = [unstable[0]]
+            elif order == "high":
+                targets = [unstable[-1]]
+            else:                        # parallel round
+                targets = unstable
+            for i in targets:
+                l[i] -= 2
+                fires[i] += 1
+                if i > 0:
+                    l[i - 1] += 1
+                if i < n - 1:
+                    l[i + 1] += 1
+        return l, fires
+
+    stable, fires = stabilize("low")
+    s2, f2 = stabilize("high")
+    s3, f3 = stabilize("parallel")
+    assert stable == s2 == s3            # Dhar: abelian
+    assert fires == f2 == f3
+    assert all(c in (0, 1) for c in stable)
+
+    # conservation: chips lost only at the two boundary nodes,
+    # one per firing there
+    assert sum(init) == sum(stable) + fires[0] + fires[n - 1]
+
+    rows = [(i, init[i], stable[i], fires[i]) for i in range(n)]
+    out = pd.DataFrame(rows, columns=["node", "initial", "stable",
+                                      "fires"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def totient_moebius_int(hour_mods):
+    """Euler φ and Möbius μ with the classical identities —
+    ARITHMETIC FUNCTIONS / MÖBIUS INVERSION, a family the surface
+    lacked (miller_rabin decides, legendre_reciprocity evaluates
+    symbols; this is the algebra of multiplicative functions):
+    for each census n ≤ 120 the kernel computes φ TWICE (the
+    factorization product n·∏(1−1/p) in exact integers and the
+    gcd-count definition), μ from the factorization, and asserts
+    per n: GAUSS's identity Σ_{d|n} φ(d) = n, the Möbius column
+    sum Σ_{d|n} μ(d) = [n=1], and the INVERSION
+    φ(n) = Σ_{d|n} μ(d)·(n/d).  Output: (h, n, phi, mu,
+    n_divisors).  Mirror: φ by gcd-count, μ by squarefree trial
+    division — definitional routes only."""
+    rows = []
+    for h, n in hour_mods:
+        n = int(n)
+        assert 1 <= n <= 120
+
+        fac = {}
+        m, p = n, 2
+        while m > 1:
+            while m % p == 0:
+                fac[p] = fac.get(p, 0) + 1
+                m //= p
+            p += 1
+        phi = n
+        for p in fac:
+            phi = phi // p * (p - 1)
+        phi_def = sum(1 for k in range(1, n + 1)
+                      if math.gcd(k, n) == 1)
+        assert phi == phi_def
+
+        mu = 0 if any(e >= 2 for e in fac.values()) \
+            else (-1) ** len(fac)
+
+        divs = [d for d in range(1, n + 1) if n % d == 0]
+
+        def phi_of(d):
+            return sum(1 for k in range(1, d + 1)
+                       if math.gcd(k, d) == 1)
+
+        def mu_of(d):
+            f = {}
+            mm, pp = d, 2
+            while mm > 1:
+                while mm % pp == 0:
+                    f[pp] = f.get(pp, 0) + 1
+                    mm //= pp
+                pp += 1
+            return 0 if any(e >= 2 for e in f.values()) \
+                else (-1) ** len(f)
+
+        assert sum(phi_of(d) for d in divs) == n        # Gauss
+        assert sum(mu_of(d) for d in divs) == (1 if n == 1 else 0)
+        assert phi == sum(mu_of(d) * (n // d) for d in divs)
+
+        rows.append((int(h), n, phi, mu, len(divs)))
+    out = pd.DataFrame(rows, columns=["h", "n", "phi", "mu",
+                                      "n_divisors"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
