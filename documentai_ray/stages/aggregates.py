@@ -7837,3 +7837,178 @@ def totient_moebius_int(hour_mods):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def discrete_log_int(seed_pairs):
+    """Discrete logarithms in (Z/p)* — COMPUTATIONAL GROUP THEORY,
+    a family the surface lacked (rsa_crt exponentiates; this
+    INVERTS exponentiation): for each census pair a prime
+    p ≤ ~211, its SMALLEST primitive root g (order p−1 certified
+    via the prime factors of p−1, and every smaller candidate
+    certified non-primitive by brute order), a target
+    a ∈ [2, p−1], and x = log_g(a) computed by BABY-STEP
+    GIANT-STEP (m = ⌈√(p−1)⌉ table + giant strides with the
+    Fermat inverse) AND by brute power walk — asserted equal, and
+    g^x ≡ a (mod p) re-asserted.  Output: (inst, p, g, a, x, m).
+    Mirror: the brute walk only, powers via one recursive CTE over
+    (inst, candidate-g) pairs — BSGS vs exhaustion."""
+    rows = []
+    for i, (s1, s2) in enumerate(seed_pairs):
+        p = _next_odd_prime(int(s1) % 200 + 5)
+
+        # prime factors of p-1
+        fac = set()
+        m0 = p - 1
+        f = 2
+        while f * f <= m0:
+            while m0 % f == 0:
+                fac.add(f)
+                m0 //= f
+            f += 1
+        if m0 > 1:
+            fac.add(m0)
+
+        def order(g):
+            k, v = 1, g % p
+            while v != 1:
+                v = v * g % p
+                k += 1
+            return k
+
+        g = None
+        for cand in range(2, p):
+            if all(pow(cand, (p - 1) // q, p) != 1 for q in fac):
+                g = cand
+                break
+            assert order(cand) < p - 1   # certified non-primitive
+        assert g is not None and order(g) == p - 1
+
+        a = int(s2) % (p - 2) + 2        # 2..p-1
+
+        # baby-step giant-step
+        m = math.isqrt(p - 1)
+        if m * m < p - 1:
+            m += 1
+        baby = {}
+        v = 1
+        for j in range(m):
+            baby.setdefault(v, j)
+            v = v * g % p
+        ginv_m = pow(pow(g, m, p), p - 2, p)   # Fermat inverse
+        x = None
+        cur = a % p
+        for q in range(m + 1):
+            if cur in baby:
+                x = q * m + baby[cur]
+                break
+            cur = cur * ginv_m % p
+        assert x is not None
+        assert pow(g, x, p) == a % p
+        assert 0 <= x < p - 1
+
+        # brute cross-check (the mirror's route)
+        k, v = 0, 1
+        while v != a % p:
+            v = v * g % p
+            k += 1
+            assert k < p
+        assert k == x
+
+        rows.append((i, p, g, a, x, m))
+    out = pd.DataFrame(rows, columns=["inst", "p", "g", "a", "x",
+                                      "m"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _partitions_of(n):
+    """All partitions of n as decreasing tuples, lexicographically
+    decreasing — the canonical rank order BOTH engines use."""
+    out = []
+
+    def rec(rem, mx, acc):
+        if rem == 0:
+            out.append(tuple(acc))
+            return
+        for part in range(min(rem, mx), 0, -1):
+            rec(rem - part, part, acc + [part])
+
+    rec(n, n, [])
+    return out
+
+
+HOOK_N = 7
+HOOK_PARTITIONS = _partitions_of(HOOK_N)
+
+
+def hook_lengths_int(sel_census):
+    """Standard Young tableaux via the FRAME-ROBINSON-THRALL hook
+    length formula — ALGEBRAIC COMBINATORICS / representation
+    theory of S_n, a family the surface lacked: for every
+    partition λ ⊢ 7 the kernel computes f^λ = 7!/∏hooks (the
+    divisibility certified), verifies it by EXHAUSTIVE SYT
+    enumeration (backtracking over column-strict fillings), and
+    asserts the RSK identity Σ_λ (f^λ)² = 7! = 5040 — the
+    dimensions of the irreducible S_7 representations squaring to
+    the group order, verified not cited.  Output: one row per
+    partition (rank, shape digits, hook product, f, the RSK sum,
+    and the census-selected flag).  Mirror: the hook formula from
+    the SAME canonical partition list shipped as literal rows,
+    hooks re-derived in SQL from arm + leg lengths."""
+    n = HOOK_N
+    parts = HOOK_PARTITIONS
+
+    def hooks(lam):
+        conj = [sum(1 for r in lam if r > j)
+                for j in range(lam[0])]
+        hs = []
+        for i, ln in enumerate(lam):
+            for j in range(ln):
+                hs.append((ln - j) + (conj[j] - i) - 1)
+        return hs
+
+    def count_syt(lam):
+        rows_fill = [0] * len(lam)
+
+        def rec(v):
+            if v > n:
+                return 1
+            tot = 0
+            for r in range(len(lam)):
+                if rows_fill[r] < lam[r] and \
+                        (r == 0 or rows_fill[r] < rows_fill[r - 1]):
+                    rows_fill[r] += 1
+                    tot += rec(v + 1)
+                    rows_fill[r] -= 1
+            return tot
+
+        return rec(1)
+
+    fs = []
+    for lam in parts:
+        hs = hooks(lam)
+        prod = 1
+        for h_ in hs:
+            prod *= h_
+        fact = math.factorial(n)
+        assert fact % prod == 0
+        f = fact // prod
+        assert f == count_syt(lam), lam   # enumeration certificate
+        fs.append((lam, prod, f))
+
+    rsk = sum(f * f for _, _, f in fs)
+    assert rsk == math.factorial(n)       # RSK / Burnside
+
+    sel = int(sel_census) % len(parts)
+    rows = []
+    for rank, (lam, prod, f) in enumerate(fs):
+        shape_digits = int("".join(str(x) for x in lam))
+        rows.append((rank, shape_digits, len(lam), prod, f, rsk,
+                     1 if rank == sel else 0))
+    out = pd.DataFrame(rows, columns=["rank", "shape", "n_rows",
+                                      "hook_product", "f_lambda",
+                                      "rsk_sum", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
