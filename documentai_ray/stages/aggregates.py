@@ -8113,3 +8113,101 @@ def collatz_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def turan_extremal_int(bits):
+    """Turán's theorem on K6 — EXTREMAL GRAPH THEORY, a family the
+    surface lacked (ramsey_k6 colors ALL edges and asks for
+    unavoidable structure; Turán asks how many edges a graph can
+    CARRY while avoiding a triangle): the census bits select a
+    6-vertex graph; the kernel counts its edges and triangles,
+    then verifies Turán EXHAUSTIVELY — sweeping ALL 2^15 graphs,
+    the maximum edge count among triangle-free ones is exactly
+    ⌊6²/4⌋ = 9, attained (K_{3,3}) — and asserts the contrapositive
+    on the instance (≥ 10 edges ⟹ a triangle exists).  Output:
+    one row per K6 edge slot with membership and
+    triangle-participation count, plus the global census/extremal
+    columns.  Mirror: the same 32768-graph sweep in SQL over the
+    shared edge/triangle constants."""
+    bits = [int(b) & 1 for b in bits]
+    assert len(bits) == 15
+
+    def tri_count(bb):
+        c = 0
+        for i, j, k in RAMSEY_TRIS:
+            if (bb[RAMSEY_EIDX[(i, j)]] and bb[RAMSEY_EIDX[(i, k)]]
+                    and bb[RAMSEY_EIDX[(j, k)]]):
+                c += 1
+        return c
+
+    n_edges = sum(bits)
+    n_tri = tri_count(bits)
+
+    best = -1
+    for m in range(1 << 15):
+        bb = [(m >> e) & 1 for e in range(15)]
+        if tri_count(bb) == 0:
+            s = sum(bb)
+            if s > best:
+                best = s
+    assert best == 9                      # Turán, exhaustively
+    if n_edges >= 10:
+        assert n_tri >= 1                 # contrapositive
+
+    per_edge_tri = [0] * 15
+    for i, j, k in RAMSEY_TRIS:
+        es = [RAMSEY_EIDX[(i, j)], RAMSEY_EIDX[(i, k)],
+              RAMSEY_EIDX[(j, k)]]
+        if all(bits[e] for e in es):
+            for e in es:
+                per_edge_tri[e] += 1
+
+    rows = []
+    for e, (i, j) in enumerate(RAMSEY_EDGES):
+        rows.append((e, i, j, bits[e], per_edge_tri[e], n_edges,
+                     n_tri, 9, best))
+    out = pd.DataFrame(rows, columns=["edge", "i", "j", "present",
+                                      "in_triangles", "n_edges",
+                                      "n_triangles", "turan_bound",
+                                      "max_trianglefree_edges"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+GOLDBACH_MAX = 202
+
+
+def goldbach_int(seeds):
+    """Goldbach representation counts — ADDITIVE PRIME NUMBER
+    THEORY, a family the surface lacked (four_squares is additive
+    over squares; this is the binary Goldbach question, VERIFIED
+    on the whole working range): for every even n in [4, 202] the
+    kernel asserts r(n) = #{p ≤ q prime : p + q = n} ≥ 1
+    (exhaustive range verification, not just the census rows);
+    per census row it emits r(n) and the minimal prime witness.
+    Mirror: prime pairs by trial-division joins — sieve vs
+    join."""
+    def is_prime(v):
+        return v >= 2 and all(v % f for f in
+                              range(2, math.isqrt(v) + 1))
+
+    primes = [v for v in range(2, GOLDBACH_MAX) if is_prime(v)]
+
+    def reps(n):
+        return [(p, n - p) for p in primes
+                if p <= n - p and is_prime(n - p)]
+
+    for n in range(4, GOLDBACH_MAX + 1, 2):
+        assert len(reps(n)) >= 1          # Goldbach on the range
+
+    rows = []
+    for i, s in enumerate(seeds):
+        n = 2 * (int(s) % 100 + 2)        # 4..202 even
+        rr = reps(n)
+        rows.append((i, n, len(rr), rr[0][0], rr[0][1]))
+    out = pd.DataFrame(rows, columns=["inst", "n", "n_reps",
+                                      "min_p", "max_q"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
