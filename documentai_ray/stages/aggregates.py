@@ -8211,3 +8211,130 @@ def goldbach_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def graeco_latin_int(a_seed, b_seed):
+    """Orthogonal (Graeco-)Latin squares of order 5 — DESIGN
+    THEORY, a family the surface lacked (konig_cover is matching
+    duality; designs are the combinatorics of balanced incidence):
+    the cyclic squares L_c[i][j] = i + c·j (mod 5) are Latin for
+    every c ∈ {1..4} (5 is prime so c is invertible — stated), and
+    L_a ⊥ L_b iff a ≠ b; the kernel verifies BOTH facts
+    EXHAUSTIVELY — Latinity for every c, orthogonality (all 25
+    ordered pairs distinct) for every a ≠ b, and the FAILURE of
+    orthogonality for every a = b — then emits the census-selected
+    pair (a ≠ b forced by construction).  The classical
+    application rides along: the 25 (row, column, letter, greek)
+    cells form a net where every pair of 'coordinates' determines
+    the cell.  Output: 25 cell rows.  Mirror: the same
+    construction + COUNT(DISTINCT) orthogonality re-check."""
+    n = 5
+    for c in range(1, n):
+        sq = [[(i + c * j) % n for j in range(n)] for i in range(n)]
+        for i in range(n):
+            assert len(set(sq[i])) == n                  # rows
+            assert len(set(sq[r][i] for r in range(n))) == n
+    for a in range(1, n):
+        for b in range(1, n):
+            pairs = {((i + a * j) % n, (i + b * j) % n)
+                     for i in range(n) for j in range(n)}
+            if a != b:
+                assert len(pairs) == 25                  # orthogonal
+            else:
+                assert len(pairs) == 5                   # degenerate
+
+    a = int(a_seed) % 4 + 1
+    b = int(b_seed) % 4 + 1
+    if b == a:
+        b = b % 4 + 1
+    assert a != b
+
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            l1 = (i + a * j) % n
+            l2 = (i + b * j) % n
+            rows.append((i, j, l1, l2, 5 * l1 + l2, a, b))
+    out = pd.DataFrame(rows, columns=["i", "j", "latin", "greek",
+                                      "pair_code", "a", "b"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+BIRKHOFF_PERMS = []
+def _bk_perms():
+    from itertools import permutations
+    return [list(p) for p in permutations(range(4))]
+BIRKHOFF_PERMS = _bk_perms()
+
+
+def birkhoff_int(weights):
+    """Birkhoff-von Neumann decomposition of an integer doubly
+    stochastic matrix — POLYTOPE DECOMPOSITION, a family the
+    surface lacked (optimal_assignment finds ONE best permutation;
+    Birkhoff writes the whole matrix as a sum of them): the 4×4
+    matrix is BUILT as a census-weighted sum of four fixed
+    permutation matrices (doubly-balanced by construction), then
+    DECOMPOSED from scratch by the greedy algorithm — each round
+    picks the lexicographically smallest of the 24 permutations
+    whose support lies in the positive entries (one EXISTS by
+    Birkhoff/Hall — asserted, not cited) and subtracts its
+    bottleneck weight.  Termination at zero, exact reconstruction,
+    and weight-sum conservation are asserted.  Output: one row per
+    extraction round (perm rank in S4 lex order, its one-line
+    digits, weight, remaining mass).  Mirror: the same greedy
+    replayed as a recursive CTE over the 24 literal
+    permutations."""
+    ws = [int(w) % 9 + 1 for w in weights]
+    assert len(ws) == 4
+    build = [BIRKHOFF_PERMS[0], BIRKHOFF_PERMS[9],
+             BIRKHOFF_PERMS[16], BIRKHOFF_PERMS[23]]
+    M = [[0] * 4 for _ in range(4)]
+    for w, pm in zip(ws, build):
+        for i in range(4):
+            M[i][pm[i]] += w
+    S = sum(ws)
+    for i in range(4):
+        assert sum(M[i]) == S
+        assert sum(M[r][i] for r in range(4)) == S
+
+    rows = []
+    rnd = 0
+    remaining = 4 * S
+    while any(M[i][j] for i in range(4) for j in range(4)):
+        pick = None
+        for rank, pm in enumerate(BIRKHOFF_PERMS):
+            if all(M[i][pm[i]] > 0 for i in range(4)):
+                pick = (rank, pm)
+                break
+        assert pick is not None          # Birkhoff / Hall
+        rank, pm = pick
+        w = min(M[i][pm[i]] for i in range(4))
+        for i in range(4):
+            M[i][pm[i]] -= w
+        remaining -= 4 * w
+        digits = int("".join(str(d) for d in pm))
+        rows.append((rnd, rank, digits, w, remaining))
+        rnd += 1
+        assert rnd <= 24
+
+    # reconstruction check
+    R = [[0] * 4 for _ in range(4)]
+    for _, rank, _, w, _ in rows:
+        pm = BIRKHOFF_PERMS[rank]
+        for i in range(4):
+            R[i][pm[i]] += w
+    M2 = [[0] * 4 for _ in range(4)]
+    for w, pm in zip(ws, build):
+        for i in range(4):
+            M2[i][pm[i]] += w
+    assert R == M2
+    assert sum(r[3] for r in rows) == S
+
+    out = pd.DataFrame(rows, columns=["round", "perm_rank",
+                                      "perm_digits", "weight",
+                                      "remaining"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
