@@ -8338,3 +8338,120 @@ def birkhoff_int(weights):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# Sperner: side-3 triangulation of a triangle, barycentric
+# vertices (i, j, k), i+j+k = 3.  Corners fixed, edge vertices
+# restricted, the single interior vertex free.
+SPERNER_VERTS = [(i, j, 3 - i - j) for i in range(4)
+                 for j in range(4 - i)]
+SPERNER_VIDX = {v: n for n, v in enumerate(SPERNER_VERTS)}
+SPERNER_TRIS = []
+for i in range(3):
+    for j in range(3 - i):
+        k = 3 - i - j
+        SPERNER_TRIS.append((SPERNER_VIDX[(i + 1, j, k - 1)],
+                             SPERNER_VIDX[(i, j + 1, k - 1)],
+                             SPERNER_VIDX[(i, j, k)]))
+        if k >= 2 and i + j <= 2:
+            SPERNER_TRIS.append((SPERNER_VIDX[(i + 1, j, k - 1)],
+                                 SPERNER_VIDX[(i, j + 1, k - 1)],
+                                 SPERNER_VIDX[(i + 1, j + 1,
+                                               k - 2)]))
+
+
+def _sperner_labeling(choice):
+    """Decode a choice index 0..191 into an admissible Sperner
+    labeling: 6 binary edge choices + 1 ternary interior choice."""
+    labels = {}
+    labels[(3, 0, 0)] = 0
+    labels[(0, 3, 0)] = 1
+    labels[(0, 0, 3)] = 2
+    c = int(choice)
+    # edge 0-1 (k = 0): two interior points, labels in {0, 1}
+    for t, v in enumerate([(2, 1, 0), (1, 2, 0)]):
+        labels[v] = (c >> t) & 1
+    # edge 0-2 (j = 0): labels in {0, 2}
+    for t, v in enumerate([(2, 0, 1), (1, 0, 2)]):
+        labels[v] = 0 if (c >> (2 + t)) & 1 == 0 else 2
+    # edge 1-2 (i = 0): labels in {1, 2}
+    for t, v in enumerate([(0, 2, 1), (0, 1, 2)]):
+        labels[v] = 1 if (c >> (4 + t)) & 1 == 0 else 2
+    labels[(1, 1, 1)] = (c >> 6) % 3
+    return [labels[v] for v in SPERNER_VERTS]
+
+
+def sperner_lemma_int(choice_census):
+    """SPERNER's lemma on the side-3 triangulated triangle —
+    TOPOLOGICAL COMBINATORICS (the combinatorial Brouwer), a
+    family the surface lacked: corners labeled 0/1/2, each edge
+    vertex restricted to its edge's endpoint labels, the interior
+    vertex free — the kernel enumerates ALL 192 admissible
+    labelings and asserts EVERY one has an ODD number (hence ≥ 1)
+    of rainbow cells among the 9 small triangles — the lemma
+    verified in full, not cited.  The census picks the emitted
+    labeling.  Output: one row per small triangle with its three
+    labels and rainbow flag, plus global (n_rainbow, n_labelings,
+    n_even_labelings = 0).  Mirror: the same decode arithmetic
+    over shared vertex/triangle constants + the same 192-sweep in
+    SQL."""
+    n_even = 0
+    for c in range(192):
+        lab = _sperner_labeling(c)
+        nr = sum(1 for a, b, d in SPERNER_TRIS
+                 if {lab[a], lab[b], lab[d]} == {0, 1, 2})
+        assert nr % 2 == 1 and nr >= 1, c
+        if nr % 2 == 0:
+            n_even += 1
+    assert n_even == 0
+
+    sel = int(choice_census) % 192
+    lab = _sperner_labeling(sel)
+    rows = []
+    n_rainbow = sum(1 for a, b, d in SPERNER_TRIS
+                    if {lab[a], lab[b], lab[d]} == {0, 1, 2})
+    for t, (a, b, d) in enumerate(SPERNER_TRIS):
+        rb = 1 if {lab[a], lab[b], lab[d]} == {0, 1, 2} else 0
+        rows.append((t, lab[a], lab[b], lab[d], rb, n_rainbow,
+                     sel, 192, 0))
+    out = pd.DataFrame(rows, columns=["tri", "l1", "l2", "l3",
+                                      "rainbow", "n_rainbow",
+                                      "choice", "n_labelings",
+                                      "n_even_labelings"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def egz_zerosum_int(values):
+    """The Erdős-Ginzburg-Ziv theorem for n = 5 — ZERO-SUM
+    COMBINATORICS, a family the surface lacked (ramsey_k6 is
+    unavoidable structure in colorings; EGZ is unavoidable
+    structure in SUMS): any 9 integers contain 5 whose sum is
+    divisible by 5.  The kernel verifies the theorem EXHAUSTIVELY
+    over ALL C(13,4) = 715 residue multisets (each with its 126
+    five-subsets — the full hypothesis space, not a sample), then
+    reports for the census 9-tuple the number of zero-sum
+    5-subsets and the lexicographically first witness.  Output:
+    one row per position with membership flag.  Mirror: the 126
+    subsets of the census tuple by 5-fold ordered join, count +
+    lex-min witness."""
+    from itertools import combinations, combinations_with_replacement
+
+    for ms in combinations_with_replacement(range(5), 9):
+        ok = any(sum(ss) % 5 == 0 for ss in combinations(ms, 5))
+        assert ok, ms                     # EGZ, exhaustively
+
+    vals = [int(v) % 5 for v in values]
+    assert len(vals) == 9
+    zs = [idx for idx in combinations(range(9), 5)
+          if sum(vals[i] for i in idx) % 5 == 0]
+    assert zs                             # the theorem, applied
+    witness = min(zs)
+    rows = [(i, vals[i], 1 if i in witness else 0, len(zs))
+            for i in range(9)]
+    out = pd.DataFrame(rows, columns=["pos", "residue", "in_witness",
+                                      "n_zero_subsets"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
