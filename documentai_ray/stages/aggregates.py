@@ -8455,3 +8455,113 @@ def egz_zerosum_int(values):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+WILSON_MAX = 200
+
+
+def wilson_theorem_int(seeds):
+    """Wilson's theorem as a primality CRITERION — FACTORIAL
+    CONGRUENCES, a family the surface lacked (miller_rabin is a
+    probabilistic strong test; Wilson is the exact classical
+    characterization): (n−1)! ≡ −1 (mod n) iff n is prime — the
+    kernel verifies BOTH directions EXHAUSTIVELY for every
+    2 ≤ n ≤ 200 (primes hit −1; composites n > 4 hit 0, and the
+    lone exception n = 4 hits 2 — the full trichotomy asserted,
+    with trial division as the independent primality route), then
+    reports the census rows.  Output: (inst, n, wilson_residue,
+    is_prime).  Mirror: the factorial-mod chain as a recursive
+    CTE per instance + trial-division primality."""
+    def is_prime(v):
+        return v >= 2 and all(v % f for f in
+                              range(2, math.isqrt(v) + 1))
+
+    def wilson_res(n):
+        r = 1
+        for t in range(2, n):
+            r = r * t % n
+        return r
+
+    for n in range(2, WILSON_MAX + 1):
+        w = wilson_res(n)
+        if is_prime(n):
+            assert w == n - 1            # -1 mod n
+        elif n == 4:
+            assert w == 2                # the classical exception
+        else:
+            assert w == 0                # composite > 4
+
+    rows = []
+    for i, s in enumerate(seeds):
+        n = int(s) % 199 + 2             # 2..200
+        rows.append((i, n, wilson_res(n), 1 if is_prime(n) else 0))
+    out = pd.DataFrame(rows, columns=["inst", "n",
+                                      "wilson_residue",
+                                      "is_prime"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lucas_binomial_int(seed_pairs):
+    """Lucas' theorem — COMBINATORIAL CONGRUENCES, a family the
+    surface lacked: C(m, r) mod p equals the product of the
+    digitwise binomials in base p.  For each census pair the
+    kernel takes p ∈ {2,3,5,7}, m, r ≤ m, computes C(m,r) mod p
+    DIRECTLY (exact big-integer binomial, m ≤ 400) and by the
+    LUCAS digit product, asserts them equal — and additionally
+    asserts Kummer's theorem: the exact power of p dividing
+    C(m,r) equals the number of CARRIES when adding r and m−r in
+    base p (computed independently from the factorial valuation
+    by Legendre's formula).  Output: (inst, p, m, r, binom_mod,
+    lucas_prod, carries, p_valuation).  Mirror: the digit product
+    via base-p digit extraction + a small digit-binomial lookup,
+    the valuation by Legendre's floor sums."""
+    PS = [2, 3, 5, 7]
+    rows = []
+    for i, (s1, s2) in enumerate(seed_pairs):
+        p = PS[int(s1) % 4]
+        m = int(s1) % 400 + 1
+        r = int(s2) % (m + 1)
+
+        direct = math.comb(m, r) % p
+
+        lucas = 1
+        mm, rr = m, r
+        while mm or rr:
+            dm, dr = mm % p, rr % p
+            lucas = lucas * (math.comb(dm, dr) if dr <= dm
+                             else 0) % p
+            mm //= p
+            rr //= p
+        assert lucas == direct
+
+        # carries when adding r and (m-r) in base p
+        carries = 0
+        carry = 0
+        aa, bb = r, m - r
+        while aa or bb or carry:
+            d = aa % p + bb % p + carry
+            carry = 1 if d >= p else 0
+            carries += carry
+            aa //= p
+            bb //= p
+
+        def legendre_val(x):
+            v, q = 0, p
+            while q <= x:
+                v += x // q
+                q *= p
+            return v
+
+        val = legendre_val(m) - legendre_val(r) - legendre_val(m - r)
+        assert val == carries            # Kummer
+        assert (direct == 0) == (val >= 1)
+
+        rows.append((i, p, m, r, direct, lucas, carries, val))
+    out = pd.DataFrame(rows, columns=["inst", "p", "m", "r",
+                                      "binom_mod", "lucas_prod",
+                                      "carries", "p_valuation"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
