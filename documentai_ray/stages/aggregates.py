@@ -8565,3 +8565,107 @@ def lucas_binomial_int(seed_pairs):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+EULERIAN_NMAX = 8
+
+
+def eulerian_numbers_int(n_census):
+    """Eulerian numbers A(n,k) — PERMUTATION STATISTICS, a family
+    the surface lacked (permutation_cycles analyses ONE data
+    permutation; Eulerian numbers enumerate a statistic over ALL
+    of S_n): the kernel builds the triangle to n = 8 by the
+    recurrence A(n,k) = (k+1)A(n−1,k) + (n−k)A(n−1,k−1), asserts
+    the EXPLICIT alternating formula Σ_j (−1)^j C(n+1,j)(k+1−j)^n
+    entry-wise, WORPITZKY's identity x^n = Σ_k A(n,k)·C(x+k, n)
+    at every x = 0..n (n+1 points pin the degree-n polynomial),
+    row sums = n!, the reversal symmetry A(n,k) = A(n,n−1−k), and
+    the n = 6 row by EXHAUSTIVE descent census over all 720
+    permutations.  The census selects the emitted row n ∈ [5,8].
+    Mirror: the explicit formula only."""
+    N = EULERIAN_NMAX
+    A = [[0] * (N + 1) for _ in range(N + 1)]
+    A[0][0] = 1
+    for n in range(1, N + 1):
+        for k in range(n):
+            A[n][k] = ((k + 1) * A[n - 1][k]
+                       + (n - k) * (A[n - 1][k - 1] if k else 0))
+
+    for n in range(1, N + 1):
+        for k in range(n):
+            ex = sum((-1) ** j * math.comb(n + 1, j)
+                     * (k + 1 - j) ** n for j in range(k + 2))
+            assert A[n][k] == ex, (n, k)
+        assert sum(A[n][:n]) == math.factorial(n)
+        for k in range(n):
+            assert A[n][k] == A[n][n - 1 - k]
+        for x in range(n + 1):
+            w = sum(A[n][k] * math.comb(x + k, n)
+                    for k in range(n))
+            assert w == x ** n           # Worpitzky
+
+    from itertools import permutations
+    census6 = [0] * 6
+    for pm in permutations(range(6)):
+        d = sum(1 for i in range(5) if pm[i] > pm[i + 1])
+        census6[d] += 1
+    assert census6 == A[6][:6]           # enumeration certificate
+
+    n_sel = int(n_census) % 4 + 5        # 5..8
+    rows = [(n_sel, k, A[n_sel][k], math.factorial(n_sel))
+            for k in range(n_sel)]
+    out = pd.DataFrame(rows, columns=["n", "k", "eulerian",
+                                      "row_sum"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def permanent_ryser_int(bits):
+    """The matrix PERMANENT via Ryser's formula — PERMANENT
+    COMPUTATION / #P counting, a family the surface lacked
+    (_sql_det3 and leontief_io do determinants; the permanent is
+    the sign-free sibling whose computation is #P-hard, and Ryser
+    1963 is still the best general algorithm): the census bits
+    form a 4×4 0/1 matrix; the kernel computes perm(A) by BRUTE
+    sum over all 24 permutations AND by Ryser's inclusion-
+    exclusion (−1)^n Σ_{S⊆cols} (−1)^{|S|} ∏_i (row-sum over S),
+    asserts them equal, and asserts the combinatorial meaning —
+    perm(A) counts the perfect matchings of the bipartite graph,
+    re-counted independently by recursive matching enumeration.
+    Output: one row per cell plus the global (permanent, n_ones).
+    Mirror: Ryser's 16-subset sweep in SQL."""
+    bits = [int(b) & 1 for b in bits]
+    assert len(bits) == 16
+    a = [[bits[4 * i + j] for j in range(4)] for i in range(4)]
+
+    from itertools import permutations
+    brute = sum(a[0][p[0]] * a[1][p[1]] * a[2][p[2]] * a[3][p[3]]
+                for p in permutations(range(4)))
+
+    ryser = 0
+    for S in range(16):
+        pr = 1
+        for i in range(4):
+            pr *= sum(a[i][j] for j in range(4) if (S >> j) & 1)
+        ryser += (-1) ** bin(S).count("1") * pr
+    ryser *= (-1) ** 4
+    assert ryser == brute
+
+    def match_count(i, used):
+        if i == 4:
+            return 1
+        return sum(match_count(i + 1, used | (1 << j))
+                   for j in range(4)
+                   if a[i][j] and not (used >> j) & 1)
+
+    assert match_count(0, 0) == brute    # matchings route
+
+    n_ones = sum(bits)
+    rows = [(i, j, a[i][j], brute, n_ones)
+            for i in range(4) for j in range(4)]
+    out = pd.DataFrame(rows, columns=["i", "j", "a", "permanent",
+                                      "n_ones"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
