@@ -8669,3 +8669,168 @@ def permanent_ryser_int(bits):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _gauss_binom(n, k, q):
+    num = den = 1
+    for i in range(k):
+        num *= q ** (n - i) - 1
+        den *= q ** (i + 1) - 1
+    assert num % den == 0
+    return num // den
+
+
+def gaussian_binomial_int(q_census):
+    """Gaussian binomial coefficients — q-ANALOGS / finite
+    geometry, a family the surface lacked: [4 k]_q computed by the
+    product formula (divisibility certified) AND the q-Pascal
+    recurrence [n k] = [n−1 k−1] + q^k·[n−1 k], asserted equal for
+    every n ≤ 4, k, q ∈ {2, 3, 5}; at q = 2 the values are the
+    SUBSPACE COUNTS of F_2^4, verified by EXHAUSTIVE enumeration —
+    all 2^15 nonzero-vector subsets swept for XOR-closure, closed
+    sets counted by dimension, (1, 15, 35, 15, 1) recovered by
+    counting, not citation; the q → 1 degeneration to Pascal is
+    asserted via the recurrence.  The census picks a second
+    modulus q_c ∈ {2, 3, 5} for the reported column.  Output:
+    (k, gauss_q2, subspace_count, binom, q_c, gauss_qc).  Mirror:
+    the product formula in exact SQL integers."""
+    for q in (2, 3, 5):
+        G = {(0, 0): 1}
+        for n in range(1, 5):
+            for k in range(n + 1):
+                G[(n, k)] = (G.get((n - 1, k - 1), 0)
+                             + q ** k * G.get((n - 1, k), 0))
+        for n in range(5):
+            for k in range(n + 1):
+                assert G[(n, k)] == _gauss_binom(n, k, q), (n, k, q)
+    # q = 1 recurrence degenerates to Pascal
+    G1 = {(0, 0): 1}
+    for n in range(1, 5):
+        for k in range(n + 1):
+            G1[(n, k)] = (G1.get((n - 1, k - 1), 0)
+                          + G1.get((n - 1, k), 0))
+    for k in range(5):
+        assert G1[(4, k)] == math.comb(4, k)
+
+    # exhaustive subspace census of F_2^4: subsets of the 15
+    # nonzero vectors (+ 0), closed under XOR
+    by_dim = [0] * 5
+    for m in range(1 << 15):
+        vecs = [v + 1 for v in range(15) if (m >> v) & 1]
+        vs = set(vecs) | {0}
+        if all((a ^ b) in vs for a in vs for b in vs):
+            size = len(vs)
+            dim = size.bit_length() - 1
+            assert 1 << dim == size      # closed => power of 2
+            by_dim[dim] += 1
+    assert by_dim == [_gauss_binom(4, k, 2) for k in range(5)]
+    assert by_dim == [1, 15, 35, 15, 1]
+
+    qc = (2, 3, 5)[int(q_census) % 3]
+    rows = [(k, _gauss_binom(4, k, 2), by_dim[k],
+             math.comb(4, k), qc, _gauss_binom(4, k, qc))
+            for k in range(5)]
+    out = pd.DataFrame(rows, columns=["k", "gauss_q2",
+                                      "subspace_count", "binom",
+                                      "q_c", "gauss_qc"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def domino_tilings_int(sel_census):
+    """Domino tilings of m×n grids — DIMER STATISTICS, a family
+    the surface lacked (debruijn ops count k-mer graph structure;
+    dimers are statistical mechanics' matching model): T(m, n) for
+    m ≤ 4, n ≤ 8 by PROFILE transfer DP (column-by-column over
+    2^m broken-profile states), certified against the classical
+    linear recurrences — T(1,·) = [n even], T(2,·) = Fibonacci,
+    T(3, even) with T(n) = 4T(n−2) − T(n−4), T(4,·) with
+    T(n) = T(n−1) + 5T(n−2) + T(n−3) − T(n−4) — and the 4×4 = 36
+    value verified by EXHAUSTIVE tiling enumeration (recursive
+    first-empty-cell placement).  The census flags one (m, n).
+    Output: 32 rows (m, n, tilings, selected).  Mirror: the four
+    recurrences as recursive CTEs."""
+    def profile_dp(m, n):
+        # dp over columns; state = bitmask of cells protruding
+        # into the next column
+        cur = {0: 1}
+        for _ in range(n):
+            nxt = {}
+
+            def fill(row, protr_in, protr_out, ways):
+                if row == m:
+                    nxt[protr_out] = nxt.get(protr_out, 0) + ways
+                    return
+                if (protr_in >> row) & 1:       # already filled
+                    fill(row + 1, protr_in, protr_out, ways)
+                    return
+                # horizontal domino -> protrudes
+                fill(row + 1, protr_in, protr_out | (1 << row),
+                     ways)
+                # vertical domino with the cell below
+                if (row + 1 < m
+                        and not (protr_in >> (row + 1)) & 1):
+                    fill(row + 2, protr_in, protr_out, ways)
+
+            for st, w in cur.items():
+                fill(0, st, 0, w)
+            cur = nxt
+        return cur.get(0, 0)
+
+    T = {(m, n): profile_dp(m, n)
+         for m in range(1, 5) for n in range(1, 9)}
+
+    for n in range(1, 9):
+        assert T[(1, n)] == (1 if n % 2 == 0 else 0)
+    fib = [1, 1]
+    for n in range(1, 9):
+        fib.append(fib[-1] + fib[-2])
+        assert T[(2, n)] == fib[n]
+    for n in range(1, 9):
+        if n % 2 == 1:
+            assert T[(3, n)] == 0
+    assert T[(3, 2)] == 3 and T[(3, 4)] == 11
+    for n in range(5, 9):
+        if n % 2 == 0:
+            assert T[(3, n)] == 4 * T[(3, n - 2)] - T[(3, n - 4)]
+    t4 = {0: 1, 1: 1, 2: 5, 3: 11}
+    for n in range(1, 9):
+        if n >= 4:
+            t4[n] = (t4[n - 1] + 5 * t4[n - 2] + t4[n - 3]
+                     - t4[n - 4])
+        assert T[(4, n)] == t4[n], n
+
+    # exhaustive 4x4 enumeration
+    def enum_tilings():
+        grid = [[False] * 4 for _ in range(4)]
+
+        def rec():
+            for i in range(4):
+                for j in range(4):
+                    if not grid[i][j]:
+                        total = 0
+                        if j + 1 < 4 and not grid[i][j + 1]:
+                            grid[i][j] = grid[i][j + 1] = True
+                            total += rec()
+                            grid[i][j] = grid[i][j + 1] = False
+                        if i + 1 < 4 and not grid[i + 1][j]:
+                            grid[i][j] = grid[i + 1][j] = True
+                            total += rec()
+                            grid[i][j] = grid[i + 1][j] = False
+                        return total
+            return 1
+
+        return rec()
+
+    assert enum_tilings() == T[(4, 4)] == 36
+
+    sel = int(sel_census) % 32
+    rows = []
+    for idx, ((m, n), t) in enumerate(sorted(T.items())):
+        rows.append((m, n, t, 1 if idx == sel else 0))
+    out = pd.DataFrame(rows, columns=["m", "n", "tilings",
+                                      "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
