@@ -8834,3 +8834,135 @@ def domino_tilings_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def picks_theorem_int(points):
+    """PICK's theorem on the census lattice polygon — LATTICE-POINT
+    GEOMETRY, a family the surface lacked (convex_hull finds the
+    shape; Pick COUNTS with it): the convex hull of the census
+    points is a lattice polygon with 2A = 2I + B − 2; the kernel
+    computes the doubled area by the shoelace formula, boundary
+    lattice points as Σ gcd(|Δx|, |Δy|) over hull edges, interior
+    points by BRUTE lattice scan of the bounding box (point-in-
+    convex-polygon by uniform cross-product sign), and asserts
+    Pick's identity EXACTLY — shoelace vs counting, the theorem
+    verified on the instance, with degenerate hulls (< 3 vertices)
+    reported with zero area and the identity skipped (stated).
+    Output: one row per hull vertex (LEX-sorted — polygon order is
+    an internal detail both engines avoid exposing) plus the global
+    (area2, B, I, pick_check) columns.  Mirror: the same hull walk is NOT
+    replayed — the mirror re-derives the hull by the order-free
+    extreme-point characterization (as convex_hull does), then the
+    same shoelace/gcd/scan arithmetic."""
+    pts = sorted(set((int(x), int(y)) for x, y in points))
+    # Andrew monotone chain
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    if len(pts) >= 3:
+        lower = []
+        for p_ in pts:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1],
+                                            p_) <= 0:
+                lower.pop()
+            lower.append(p_)
+        upper = []
+        for p_ in reversed(pts):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1],
+                                            p_) <= 0:
+                upper.pop()
+            upper.append(p_)
+        hull = lower[:-1] + upper[:-1]
+    else:
+        hull = pts[:]
+
+    n = len(hull)
+    if n >= 3:
+        a2 = sum(hull[i][0] * hull[(i + 1) % n][1]
+                 - hull[(i + 1) % n][0] * hull[i][1]
+                 for i in range(n))
+        assert a2 > 0                     # ccw hull
+        B = sum(math.gcd(abs(hull[(i + 1) % n][0] - hull[i][0]),
+                         abs(hull[(i + 1) % n][1] - hull[i][1]))
+                for i in range(n))
+        xs = [p_[0] for p_ in hull]
+        ys = [p_[1] for p_ in hull]
+        Icnt = 0
+        Bcnt = 0
+        for x in range(min(xs), max(xs) + 1):
+            for y in range(min(ys), max(ys) + 1):
+                crs = [cross(hull[i], hull[(i + 1) % n], (x, y))
+                       for i in range(n)]
+                if all(c > 0 for c in crs):
+                    Icnt += 1
+                elif all(c >= 0 for c in crs):
+                    Bcnt += 1
+        assert Bcnt == B                  # gcd count == scan
+        assert 2 * Icnt + B - 2 == a2     # PICK
+        I = Icnt
+    else:
+        a2 = 0
+        B = len(hull)
+        I = 0
+
+    hull_sorted = sorted(hull)            # lex order: the output
+    rows = [(i, hull_sorted[i][0], hull_sorted[i][1], n, a2, B, I,
+             1 if (n < 3 or 2 * I + B - 2 == a2) else 0)
+            for i in range(n)]
+    out = pd.DataFrame(rows, columns=["v", "x", "y", "hull_size",
+                                      "area2", "boundary_pts",
+                                      "interior_pts",
+                                      "pick_check"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# exact Bernoulli numbers B0..B6 (B1 = +1/2 convention NOT used;
+# classical B1 = -1/2): as (num, den)
+BERNOULLI = [(1, 1), (-1, 2), (1, 6), (0, 1), (-1, 30), (0, 1),
+             (1, 42)]
+
+
+def faulhaber_int(hour_mods):
+    """FAULHABER's formula — BERNOULLI-NUMBER SUMMATION, a family
+    the surface lacked: Σ_{k=1}^{n} k^m for m ≤ 6 computed
+    directly AND by the closed form
+    (1/(m+1))·Σ_j C(m+1, j)·B_j·n^(m+1−j) with the B1 = +1/2
+    convention (which makes the formula sum 1..n rather than
+    0..n−1 — stated), the two asserted equal in EXACT Fraction
+    arithmetic (the result certified integral) for every census n
+    ≤ 500 and every m ≤ 6 — plus Nicomachus' identity
+    Σk³ = (Σk)² asserted per n.  n ≤ 500 keeps Σk⁶ inside int64 —
+    but NOT inside double's 2^53 (500⁶ = 1.6e16), so the mirror
+    multiplies integers rather than calling pow (the one-ulp
+    rounding was caught by selfcheck).  Output:
+    (h, n, m, power_sum).  Mirror: the direct sum by
+    generate_series — closed form vs summation, one route per
+    engine."""
+    from fractions import Fraction
+
+    rows = []
+    for h, n in hour_mods:
+        n = int(n) % 500 + 1
+        direct = {m: sum(k ** m for k in range(1, n + 1))
+                  for m in range(7)}
+        for m in range(7):
+            s = Fraction(0)
+            for j in range(m + 1):
+                bn, bd = BERNOULLI[j]
+                if j == 1:
+                    bn = -bn              # B1 -> +1/2 convention
+                s += (math.comb(m + 1, j) * Fraction(bn, bd)
+                      * Fraction(n) ** (m + 1 - j))
+            s /= (m + 1)
+            assert s.denominator == 1     # integrality certified
+            assert int(s) == direct[m], (n, m)
+        assert direct[3] == direct[1] ** 2    # Nicomachus
+        for m in range(7):
+            rows.append((int(h), n, m, direct[m]))
+    out = pd.DataFrame(rows, columns=["h", "n", "m", "power_sum"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
