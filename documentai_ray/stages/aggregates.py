@@ -8966,3 +8966,143 @@ def faulhaber_int(hour_mods):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def percolation_3x3_int(bits):
+    """Site percolation on the 3×3 grid — PERCOLATION /
+    connectivity statistics, a family the surface lacked
+    (cc_labels labels ONE graph; percolation asks how often
+    connectivity HAPPENS across a configuration ensemble): the
+    kernel sweeps ALL 2^9 site configurations, counting those
+    where an open top-row site reaches an open bottom-row site
+    through 4-neighbor open paths (BFS per config — the exact
+    finite-size percolation count, computed not cited), then
+    reports the census configuration's per-cell reachability,
+    cluster structure (min-index labels), and flag.  Output: 9
+    cell rows + global (percolates, n_perc_configs, n_open,
+    n_clusters).  Mirror: the same 512-config sweep as a
+    recursive (config, cell) closure in SQL + a min-label closure
+    for the census clusters."""
+    bits = [int(b) & 1 for b in bits]
+    assert len(bits) == 9
+
+    def neighbors(c):
+        r, col = divmod(c, 3)
+        out = []
+        if r > 0:
+            out.append(c - 3)
+        if r < 2:
+            out.append(c + 3)
+        if col > 0:
+            out.append(c - 1)
+        if col < 2:
+            out.append(c + 1)
+        return out
+
+    def percolates(bb):
+        reach = set(c for c in (0, 1, 2) if bb[c])
+        frontier = list(reach)
+        while frontier:
+            c = frontier.pop()
+            for nb in neighbors(c):
+                if bb[nb] and nb not in reach:
+                    reach.add(nb)
+                    frontier.append(nb)
+        return any(c in reach for c in (6, 7, 8)), reach
+
+    n_perc = 0
+    for m in range(512):
+        bb = [(m >> c) & 1 for c in range(9)]
+        if percolates(bb)[0]:
+            n_perc += 1
+
+    perc, reach = percolates(bits)
+    # cluster labels: min open index reachable within the config
+    label = {}
+    for c in range(9):
+        if not bits[c]:
+            continue
+        comp = {c}
+        frontier = [c]
+        while frontier:
+            x = frontier.pop()
+            for nb in neighbors(x):
+                if bits[nb] and nb not in comp:
+                    comp.add(nb)
+                    frontier.append(nb)
+        label[c] = min(comp)
+    n_clusters = len(set(label.values()))
+    n_open = sum(bits)
+
+    rows = [(c, bits[c], 1 if c in reach else 0,
+             label.get(c, -1), 1 if perc else 0, n_perc, n_open,
+             n_clusters) for c in range(9)]
+    out = pd.DataFrame(rows, columns=["cell", "open",
+                                      "reach_from_top",
+                                      "cluster_label",
+                                      "percolates",
+                                      "n_perc_configs", "n_open",
+                                      "n_clusters"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+K4_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+K4_PAIRINGS = [((0, 1), (2, 3)), ((0, 2), (1, 3)),
+               ((0, 3), (1, 2))]
+
+
+def chinese_postman_int(weights):
+    """The Chinese Postman (route inspection) problem on K4 — ARC
+    ROUTING, a family the surface lacked (tsp_heldkarp visits
+    VERTICES; the postman must traverse every EDGE): all four K4
+    vertices have odd degree 3, so the classical solution adds a
+    minimum-weight T-join — here a perfect matching on the four
+    odd vertices priced by SHORTEST-PATH distances.  The kernel
+    runs Floyd-Warshall (fixpoint asserted: one more relaxation
+    round changes nothing), enumerates ALL three pairings
+    (exhaustive by the size of the problem), and certifies
+    tour = total edge weight + min pairing cost with
+    dist(u,v) ≤ w(u,v) asserted per edge.  Output: one row per
+    pairing with its cost and minimality flag, plus globals.
+    Mirror: 4-node shortest paths by explicit ≤ 3-edge path
+    enumeration, same three pairings."""
+    w = {}
+    ws = [int(x) % 9 + 1 for x in weights]
+    assert len(ws) == 6
+    for (u, v), x in zip(K4_EDGES, ws):
+        w[(u, v)] = w[(v, u)] = x
+
+    INF = 10 ** 9
+    d = [[0 if i == j else w.get((i, j), INF) for j in range(4)]
+         for i in range(4)]
+    for k in range(4):
+        for i in range(4):
+            for j in range(4):
+                d[i][j] = min(d[i][j], d[i][k] + d[k][j])
+    for k in range(4):                   # fixpoint certificate
+        for i in range(4):
+            for j in range(4):
+                assert d[i][j] <= d[i][k] + d[k][j]
+    for (u, v), x in zip(K4_EDGES, ws):
+        assert d[u][v] <= x
+
+    total = sum(ws)
+    costs = [d[a][b] + d[c][e]
+             for (a, b), (c, e) in K4_PAIRINGS]
+    best = min(costs)
+    tour = total + best
+
+    rows = []
+    for pid, (((a, b), (c, e)), cost) in enumerate(
+            zip(K4_PAIRINGS, costs)):
+        rows.append((pid, a, b, c, e, cost,
+                     1 if cost == best else 0, total, tour))
+    out = pd.DataFrame(rows, columns=["pairing", "p1a", "p1b",
+                                      "p2a", "p2b", "cost",
+                                      "is_min", "total_w",
+                                      "tour_cost"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
