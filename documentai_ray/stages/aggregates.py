@@ -9106,3 +9106,138 @@ def chinese_postman_int(weights):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# the 24 rotations of the cube as face permutations; faces:
+# 0=U, 1=D, 2=F, 3=B, 4=L, 5=R
+def _cube_rotations():
+    def compose(p, q):
+        return tuple(p[q[i]] for i in range(6))
+
+    # generators: 90-degree turns about the vertical and a
+    # horizontal axis
+    rz = (0, 1, 5, 4, 2, 3)      # U D F B L R -> U D R L F B
+    rx = (2, 3, 1, 0, 4, 5)      # roll forward: U->F, F->D, ...
+    seen = {tuple(range(6))}
+    frontier = [tuple(range(6))]
+    while frontier:
+        g = frontier.pop()
+        for r in (rz, rx):
+            h = compose(r, g)
+            if h not in seen:
+                seen.add(h)
+                frontier.append(h)
+    return sorted(seen)
+
+
+CUBE_ROTS = _cube_rotations()
+
+
+def cube_colorings_int(c_census):
+    """Face colorings of the cube up to rotation — PÓLYA
+    ENUMERATION ON A NONABELIAN GROUP, a family the surface
+    lacked (necklace_count applies Burnside to the CYCLIC group;
+    the cube's rotation group of order 24 is the classic
+    nonabelian showcase): the kernel first builds the 24 rotations
+    by generator closure and asserts the group axioms hold
+    (closure, inverses, order 24), then counts distinct c-colorings
+    for c ∈ {2, 3, 4} TWICE — by EXHAUSTIVE orbit counting over
+    all c^6 colorings (canonical = min over the orbit) and by
+    BURNSIDE Σ_g c^cycles(g) / 24 (the divisibility by 24
+    certified) — asserted equal; the famous 3-color value 57 is
+    pinned.  The census selects the reported c.  Output: one row
+    per rotation with its face-cycle count, plus the global
+    columns.  Mirror: Burnside's sum from the SAME rotation
+    table shipped as literals, plus c^6 totals."""
+    rots = CUBE_ROTS
+    assert len(rots) == 24
+    rset = set(rots)
+    ident = tuple(range(6))
+    assert ident in rset
+    for g in rots:                       # inverses in the set
+        inv = tuple(g.index(i) for i in range(6))
+        assert inv in rset
+
+    def cycles(g):
+        seen, n = set(), 0
+        for s in range(6):
+            if s in seen:
+                continue
+            n += 1
+            cur = s
+            while cur not in seen:
+                seen.add(cur)
+                cur = g[cur]
+        return n
+
+    cyc = [cycles(g) for g in rots]
+
+    counts = {}
+    for c in (2, 3, 4):
+        burn = sum(c ** k for k in cyc)
+        assert burn % 24 == 0
+        burn //= 24
+
+        orbits = set()
+        for m in range(c ** 6):
+            col = tuple((m // c ** f) % c for f in range(6))
+            canon = min(tuple(col[g[f]] for f in range(6))
+                        for g in rots)
+            orbits.add(canon)
+        assert len(orbits) == burn, c
+        counts[c] = burn
+    assert counts[3] == 57               # the classic value
+    assert counts[2] == 10
+
+    csel = (2, 3, 4)[int(c_census) % 3]
+    rows = [(i, cyc[i], csel, counts[csel], counts[2], counts[3],
+             counts[4]) for i in range(24)]
+    out = pd.DataFrame(rows, columns=["rot", "n_cycles", "c_sel",
+                                      "count_sel", "count_c2",
+                                      "count_c3", "count_c4"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def fibonacci_gcd_int(seed_pairs):
+    """The Fibonacci GCD theorem — DIVISIBILITY SEQUENCES, a
+    family the surface lacked: gcd(F_m, F_n) = F_gcd(m, n) — the
+    strong-divisibility property that makes (F_n) the canonical
+    divisibility sequence.  The kernel verifies it EXHAUSTIVELY
+    for ALL 1 ≤ m, n ≤ 30 (900 pairs), along with F_d | F_n
+    whenever d | n and the Catalan identity
+    F_n² − F_{n−r}·F_{n+r} = (−1)^{n−r}·F_r² for every n, r ≤ 15,
+    then reports the census pairs.  Output: (inst, m, n, fib_m,
+    fib_n, g, fib_g, gcd_fib).  Mirror: Fibonacci by recursive
+    CTE + DuckDB gcd — identity visible as the fib_g/gcd_fib
+    column pair."""
+    F = [0, 1]
+    for i in range(2, 62):
+        F.append(F[-1] + F[-2])
+
+    for m in range(1, 31):
+        for n in range(1, 31):
+            assert math.gcd(F[m], F[n]) == F[math.gcd(m, n)]
+    for n in range(1, 31):
+        for d in range(1, n + 1):
+            if n % d == 0:
+                assert F[n] % F[d] == 0
+    for n in range(1, 16):
+        for r in range(0, n + 1):
+            lhs = F[n] ** 2 - F[n - r] * F[n + r]
+            assert lhs == (-1) ** (n - r) * F[r] ** 2
+
+    rows = []
+    for i, (s1, s2) in enumerate(seed_pairs):
+        m = int(s1) % 60 + 1
+        n = int(s2) % 60 + 1
+        g = math.gcd(m, n)
+        rows.append((i, m, n, F[m], F[n], g, F[g],
+                     math.gcd(F[m], F[n])))
+    out = pd.DataFrame(rows, columns=["inst", "m", "n", "fib_m",
+                                      "fib_n", "g", "fib_g",
+                                      "gcd_fib"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
