@@ -9241,3 +9241,106 @@ def fibonacci_gcd_int(seed_pairs):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def frobenius_coin_int(s1, s2):
+    """The Frobenius coin problem for two coprime denominations —
+    NUMERICAL SEMIGROUPS, a family the surface lacked: the kernel
+    derives a coprime census pair (a, b), sweeps representability
+    n = ax + by EXHAUSTIVELY over [0, ab], and asserts all three
+    classical results — the Frobenius number g = ab − a − b
+    (largest non-representable), SYLVESTER's count
+    (a−1)(b−1)/2 of non-representables, and the SYMMETRY n is
+    representable ⟺ g − n is not (for 0 ≤ n ≤ g) — by counting,
+    not citation.  Output: one row per non-representable n plus
+    the global columns.  Mirror: representability by EXISTS over
+    the x-multiples (constant-bounded), same closed-form
+    columns."""
+    a = int(s1) % 15 + 2
+    b = int(s2) % 15 + 2
+    while math.gcd(a, b) != 1:
+        b += 1
+
+    g = a * b - a - b
+
+    def representable(n):
+        return any((n - a * x) % b == 0
+                   for x in range(n // a + 1))
+
+    nonrep = [n for n in range(a * b + 1) if not representable(n)]
+    assert max(nonrep) == g              # Frobenius / McNugget
+    assert len(nonrep) == (a - 1) * (b - 1) // 2   # Sylvester
+    for n in range(g + 1):               # symmetry
+        assert representable(n) == (not representable(g - n))
+
+    rows = [(i, n, a, b, g, len(nonrep))
+            for i, n in enumerate(nonrep)]
+    out = pd.DataFrame(rows, columns=["idx", "n_nonrep", "a", "b",
+                                      "frobenius", "n_count"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def stern_brocot_int(s1, s2):
+    """Stern-Brocot descent to a census fraction — MEDIANT TREES /
+    Farey structure, a family the surface lacked (cf_convergents
+    walks Euclid; the Stern-Brocot tree is the BINARY-SEARCH face
+    of the same arithmetic): starting from 0/1 and 1/1 the kernel
+    descends by mediants to the reduced target p/q ∈ (0, 1),
+    asserting at EVERY step the tree's unimodular invariant
+    r_p·l_q − l_p·r_q = 1 (neighbouring fractions are Farey
+    neighbours) and that the mediant stays strictly between; on
+    arrival the mediant IS the target in lowest terms (arrival
+    certified by Stern-Brocot completeness), and the total path
+    length equals (Σ continued-fraction coefficients of p/q) − 1
+    — asserted against an independent Euclid expansion.  Output:
+    one row per step.  Mirror: the same descent as a recursive
+    CTE."""
+    p0 = int(s1) % 50 + 1
+    q0 = int(s2) % 50 + 2
+    p = p0 % q0
+    if p == 0:
+        p = 1
+    g = math.gcd(p, q0)
+    p, q = p // g, q0 // g
+    assert 0 < p < q and math.gcd(p, q) == 1
+
+    lp, lq, rp, rq = 0, 1, 1, 1
+    rows = []
+    step = 0
+    while True:
+        assert rp * lq - lp * rq == 1    # unimodularity
+        mp, mq = lp + rp, lq + rq
+        # strictly between
+        assert lp * mq < mp * lq and mp * rq < rp * mq
+        if mp * q == p * mq:
+            d = 0
+            rows.append((step, d, lp, lq, rp, rq, mp, mq, p, q))
+            break
+        elif p * mq < mp * q:            # target < mediant: left
+            d = -1
+            rows.append((step, d, lp, lq, rp, rq, mp, mq, p, q))
+            rp, rq = mp, mq
+        else:
+            d = 1
+            rows.append((step, d, lp, lq, rp, rq, mp, mq, p, q))
+            lp, lq = mp, mq
+        step += 1
+        assert step < 200
+
+    # path length vs continued fraction of p/q
+    cf = []
+    x, y = p, q
+    while y:
+        cf.append(x // y)
+        x, y = y, x % y
+    # p/q in (0,1): cf = [0; a1, ..., ak]; rows INCLUDING the
+    # arrival mediant number sum(a_i) - 1 (classical)
+    assert len(rows) == sum(cf) - 1
+    out = pd.DataFrame(rows, columns=["step", "dir", "lp", "lq",
+                                      "rp", "rq", "mp", "mq",
+                                      "p", "q"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
