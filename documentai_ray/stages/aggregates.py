@@ -9344,3 +9344,107 @@ def stern_brocot_int(s1, s2):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+VDW_APS = [(a, d) for d in range(1, 5) for a in range(1, 10)
+           if a + 2 * d <= 9]
+
+
+def van_der_waerden_int(bits):
+    """Van der Waerden W(3,2) = 9 — ARITHMETIC RAMSEY THEORY, a
+    family the surface lacked (ramsey_k6 colors graph edges; vdW
+    colors the INTEGERS and asks for monochromatic arithmetic
+    progressions): the kernel verifies BOTH halves exhaustively —
+    every one of the 2^9 two-colorings of {1..9} contains a
+    monochromatic 3-term AP (the upper bound), and the count of
+    AP-free 2-colorings of {1..8} is strictly positive (the
+    lower bound: 9 is tight), both computed by full sweeps over
+    the 16 (resp. 12) APs.  The census coloring's own mono-AP
+    census is reported.  Output: one row per 3-AP in {1..9} with
+    its census-mono flag, plus the global columns.  Mirror: the
+    same two sweeps + per-AP flags in SQL over the shared AP
+    list."""
+    bits = [int(b) & 1 for b in bits]
+    assert len(bits) == 9                # color of 1..9
+
+    def color(bb, x):
+        return bb[x - 1]
+
+    def mono_aps(bb, nmax):
+        out = []
+        for a, d in VDW_APS:
+            if a + 2 * d <= nmax:
+                if (color(bb, a) == color(bb, a + d)
+                        == color(bb, a + 2 * d)):
+                    out.append((a, d))
+        return out
+
+    for m in range(512):
+        bb = [(m >> i) & 1 for i in range(9)]
+        assert mono_aps(bb, 9), m        # upper: every coloring
+
+    n_valid_8 = 0
+    for m in range(256):
+        bb = [(m >> i) & 1 for i in range(8)] + [0]
+        if not mono_aps(bb, 8):
+            n_valid_8 += 1
+    assert n_valid_8 > 0                 # lower: 9 is tight
+
+    mono = set(mono_aps(bits, 9))
+    rows = [(a, d, 1 if (a, d) in mono else 0, len(mono),
+             n_valid_8) for a, d in VDW_APS]
+    out = pd.DataFrame(rows, columns=["a", "d", "mono", "n_mono",
+                                      "n_apfree_8"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _kaprekar_step(v):
+    ds = sorted(f"{v:04d}")
+    asc = int("".join(ds))
+    desc = int("".join(reversed(ds)))
+    return desc - asc
+
+
+def kaprekar_6174_int(seeds):
+    """Kaprekar's constant — DIGIT DYNAMICS, a family the surface
+    lacked (collatz iterates arithmetic; Kaprekar iterates the
+    DECIMAL REPRESENTATION): the routine v ↦ desc(v) − asc(v) on
+    4-digit strings reaches 6174 within 7 steps from EVERY
+    starting value with at least two distinct digits — verified
+    EXHAUSTIVELY over all 10000 values in-kernel (repdigits
+    collapse to 0, also verified); 6174 is the unique nonzero
+    fixed point (asserted by the same sweep).  Census seed
+    trajectories are reported step by step.  Output: (inst, step,
+    value).  Mirror: the iteration as a recursive CTE with the
+    digit sort done by a 4-wire least/greatest comparator
+    network."""
+    for v in range(10000):
+        ds = f"{v:04d}"
+        if len(set(ds)) == 1:
+            assert _kaprekar_step(v) == 0
+            continue
+        cur, steps = v, 0
+        while cur != 6174:
+            cur = _kaprekar_step(cur)
+            steps += 1
+            assert steps <= 7, v
+    assert _kaprekar_step(6174) == 6174  # fixed point
+
+    rows = []
+    for i, s in enumerate(seeds):
+        v = int(s) % 10000
+        while len(set(f"{v:04d}")) == 1:
+            v = (v + 1) % 10000          # dodge repdigits; 9999
+            # needs TWO bumps (-> 0000 -> 0001), the one loop case
+        cur, step = v, 0
+        rows.append((i, 0, v))
+        while cur != 6174:
+            cur = _kaprekar_step(cur)
+            step += 1
+            rows.append((i, step, cur))
+    out = pd.DataFrame(rows, columns=["inst", "step", "value"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
