@@ -9448,3 +9448,111 @@ def kaprekar_6174_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def magic_squares_int(sel_census):
+    """Order-3 magic squares — MAGIC CONFIGURATIONS, a family the
+    surface lacked: the kernel enumerates ALL 9! arrangements of
+    1..9 and finds exactly EIGHT magic squares (rows, columns and
+    both diagonals summing to 15 — the Lo Shu and its dihedral
+    orbit), asserting the classical structure on every one: the
+    center is always 5, the corners are always even, and the 8
+    squares form one orbit under the dihedral group (closure
+    checked).  The census selects one square by lexicographic
+    rank.  Output: 9 cell rows of the selected square plus global
+    columns.  Mirror: SQL enumerates row-triples summing to 15
+    and joins them under the distinctness/column/diagonal
+    constraints, ranks the 8 survivors lexicographically."""
+    from itertools import permutations
+
+    squares = []
+    for pm in permutations(range(1, 10)):
+        g = pm
+        ok = all(sum(g[r * 3:(r + 1) * 3]) == 15 for r in range(3))
+        ok = ok and all(g[c] + g[c + 3] + g[c + 6] == 15
+                        for c in range(3))
+        ok = ok and g[0] + g[4] + g[8] == 15 \
+            and g[2] + g[4] + g[6] == 15
+        if ok:
+            squares.append(g)
+    assert len(squares) == 8
+    for g in squares:
+        assert g[4] == 5
+        assert all(g[i] % 2 == 0 for i in (0, 2, 6, 8))
+
+    # dihedral closure: rotations/reflections of the first stay
+    # inside the set
+    def rot(g):
+        return (g[6], g[3], g[0], g[7], g[4], g[1], g[8], g[5],
+                g[2])
+
+    def refl(g):
+        return (g[2], g[1], g[0], g[5], g[4], g[3], g[8], g[7],
+                g[6])
+
+    orbit = set()
+    cur = squares[0]
+    for _ in range(4):
+        orbit.add(cur)
+        orbit.add(refl(cur))
+        cur = rot(cur)
+    assert orbit == set(squares)
+
+    squares.sort()
+    sel = int(sel_census) % 8
+    g = squares[sel]
+    rows = [(i, i // 3, i % 3, g[i], sel, 8) for i in range(9)]
+    out = pd.DataFrame(rows, columns=["cell", "r", "col", "value",
+                                      "sel_rank", "n_squares"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+PYTH_CMAX = 100
+
+
+def pythagorean_triples_int(sel_census):
+    """Primitive Pythagorean triples with c ≤ 100 — DIOPHANTINE
+    PARAMETRIZATION, a family the surface lacked (pell_equation
+    solves ONE quadratic; Euclid's formula parametrizes ALL
+    solutions of a²+b²=c²): the kernel finds the primitives TWICE
+    — by exhaustive sweep (a ≤ b < c ≤ 100, gcd(a,b) = 1) and by
+    EUCLID's m²−n², 2mn, m²+n² over coprime opposite-parity
+    m > n — and asserts the two SETS are identical (the
+    parametrization is complete and non-redundant, verified not
+    cited).  The census flags one triple by rank.  Output: one
+    row per primitive (a < b normalized).  Mirror: the sweep
+    route only + same ranking."""
+    sweep = set()
+    for a in range(1, PYTH_CMAX):
+        for b in range(a, PYTH_CMAX):
+            c2 = a * a + b * b
+            c = math.isqrt(c2)
+            if c * c == c2 and c <= PYTH_CMAX \
+                    and math.gcd(a, b) == 1:
+                sweep.add((a, b, c))
+
+    euclid = set()
+    m = 2
+    while m * m + 1 <= PYTH_CMAX:
+        for n in range(1, m):
+            if (m - n) % 2 == 1 and math.gcd(m, n) == 1:
+                c = m * m + n * n
+                if c <= PYTH_CMAX:
+                    a, b = m * m - n * n, 2 * m * n
+                    if a > b:
+                        a, b = b, a
+                    euclid.add((a, b, c))
+        m += 1
+    assert sweep == euclid               # completeness, both ways
+
+    tri = sorted(sweep)
+    sel = int(sel_census) % len(tri)
+    rows = [(i, a, b, c, 1 if i == sel else 0, len(tri))
+            for i, (a, b, c) in enumerate(tri)]
+    out = pd.DataFrame(rows, columns=["rank", "a", "b", "c",
+                                      "selected", "n_primitives"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
