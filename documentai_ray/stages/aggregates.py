@@ -9556,3 +9556,129 @@ def pythagorean_triples_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+PALEY_Q = 13
+PALEY_QR = sorted({x * x % 13 for x in range(1, 13)})
+
+
+def paley_graph_int(t_census):
+    """The Paley graph on F_13 — STRONGLY REGULAR GRAPHS /
+    algebraic graph theory, a family the surface lacked
+    (clustering_coeff measures A graph; Paley graphs are the
+    algebraic construction whose regularity is a THEOREM): vertex
+    set Z_13, i ~ j iff i−j is a nonzero quadratic residue
+    (symmetric because −1 is a QR for q ≡ 1 mod 4 — asserted);
+    the kernel verifies srg(13, 6, 2, 3) by FULL enumeration —
+    every vertex has degree 6, every adjacent pair exactly 2
+    common neighbours, every non-adjacent pair exactly 3 — plus
+    SELF-COMPLEMENTARITY via the explicit isomorphism x ↦ 2x (2
+    is a non-residue: adjacency maps onto non-adjacency,
+    verified pairwise) and the TRANSLATION automorphism x ↦ x+t
+    for the census t.  Output: one row per vertex.  Mirror: QR
+    set by EXISTS squares, degree/λ/μ by join counts, the same
+    isomorphism checks as boolean aggregate columns."""
+    q = PALEY_Q
+    qr = set(PALEY_QR)
+    assert (q - 1) in qr                 # -1 is a QR
+    assert 2 not in qr                   # 2 is a non-residue
+
+    def adj(i, j):
+        return i != j and (i - j) % q in qr
+
+    for i in range(q):
+        assert sum(adj(i, j) for j in range(q)) == 6
+    for i in range(q):
+        for j in range(q):
+            if i == j:
+                continue
+            common = sum(1 for k in range(q)
+                         if adj(i, k) and adj(j, k))
+            assert common == (2 if adj(i, j) else 3)
+
+    for i in range(q):
+        for j in range(q):
+            if i != j:
+                assert adj(i, j) == (not adj(2 * i % q, 2 * j % q))
+
+    t = int(t_census) % q
+    for i in range(q):
+        for j in range(q):
+            if i != j:
+                assert adj(i, j) == adj((i + t) % q, (j + t) % q)
+
+    rows = [(v, 6, 2, 3, 1, t, 1) for v in range(q)]
+    out = pd.DataFrame(rows, columns=["v", "degree", "lam", "mu",
+                                      "self_complementary", "t",
+                                      "translation_aut"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TOUR_EDGES = [(i, j) for i in range(7) for j in range(i + 1, 7)]
+
+
+def tournament_king_int(bits):
+    """Kings in tournaments — TOURNAMENT THEORY, a family the
+    surface lacked (colley/copeland RATE round-robins; this is
+    their structure theorem): in every tournament a KING exists —
+    a player who beats, or beats someone who beats, every other —
+    and the classical proof shows ANY maximum-out-degree vertex
+    is one.  The kernel orients K7 by the census bits, computes
+    out-degrees and 2-step dominion for every vertex, asserts the
+    max-out-degree theorem on the instance AND on 300 random
+    tournaments (the theorem exercised, not cited), and reports
+    the full king census.  Output: one row per vertex.  Mirror:
+    1- and 2-step reachability by joins over the oriented edge
+    list."""
+    bits = [int(b) & 1 for b in bits]
+    assert len(bits) == 21
+
+    def build(bb):
+        beats = [[False] * 7 for _ in range(7)]
+        for e, (i, j) in enumerate(TOUR_EDGES):
+            if bb[e]:
+                beats[i][j] = True
+            else:
+                beats[j][i] = True
+        return beats
+
+    def kings(beats):
+        ks = []
+        outd = []
+        for v in range(7):
+            dom = set(j for j in range(7) if beats[v][j])
+            outd.append(len(dom))
+            two = set(dom)
+            for u in dom:
+                two |= set(j for j in range(7) if beats[u][j])
+            ks.append(len(two | {v}) == 7)
+        return ks, outd
+
+    import random as _r
+    rng = _r.Random(12345)
+    for _ in range(300):
+        bb = [rng.randrange(2) for _ in range(21)]
+        kk, oo = kings(build(bb))
+        mx = max(oo)
+        for v in range(7):
+            if oo[v] == mx:
+                assert kk[v]             # max out-degree is a king
+
+    beats = build(bits)
+    kk, oo = kings(beats)
+    mx = max(oo)
+    for v in range(7):
+        if oo[v] == mx:
+            assert kk[v]
+    n_kings = sum(kk)
+    assert n_kings >= 1
+
+    rows = [(v, oo[v], 1 if kk[v] else 0, n_kings, mx)
+            for v in range(7)]
+    out = pd.DataFrame(rows, columns=["v", "outdeg", "is_king",
+                                      "n_kings", "max_outdeg"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
