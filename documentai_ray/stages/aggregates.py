@@ -9863,3 +9863,97 @@ def wythoff_game_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def six_queens_int(sel_census):
+    """The 6-queens problem — CONSTRAINT ENUMERATION, a family the
+    surface lacked as an explicit object (optimal_assignment
+    optimizes one matching; n-queens counts ALL constraint-
+    satisfying configurations): the kernel enumerates all 6!
+    column permutations, finds EXACTLY FOUR solutions (the known
+    n = 6 count), asserts the solution set is closed under the
+    dihedral symmetries of the board (one orbit — the four
+    solutions are reflections/rotations of one another), and
+    reports the census-selected solution.  Output: one row per
+    queen.  Mirror: the permutation join with diagonal
+    constraints, ranked lexicographically."""
+    from itertools import permutations
+
+    sols = []
+    for pm in permutations(range(6)):
+        if all(abs(pm[i] - pm[j]) != j - i
+               for i in range(6) for j in range(i + 1, 6)):
+            sols.append(pm)
+    assert len(sols) == 4                # the classical count
+
+    def rot(p):
+        # (r, c) -> (c, 5 - r): new[c] = 5 - r
+        out = [0] * 6
+        for r, c in enumerate(p):
+            out[c] = 5 - r
+        return tuple(out)
+
+    def refl(p):
+        return tuple(5 - c for c in p)
+
+    orbit = set()
+    cur = sols[0]
+    for _ in range(4):
+        orbit.add(cur)
+        orbit.add(refl(cur))
+        cur = rot(cur)
+    assert orbit == set(sols)            # one dihedral orbit
+
+    sols.sort()
+    sel = int(sel_census) % 4
+    p = sols[sel]
+    rows = [(r, p[r], sel, 4) for r in range(6)]
+    out = pd.DataFrame(rows, columns=["row_", "col", "sel_rank",
+                                      "n_solutions"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TAXICAB_MAX = 20000
+
+
+def taxicab_1729_int(sel_census):
+    """Ramanujan's taxicab number — DIOPHANTINE COINCIDENCES, a
+    family the surface lacked (four_squares counts
+    representations; taxicab numbers are where counts COLLIDE):
+    the kernel sweeps all sums a³ + b³ (a ≤ b) up to 20000,
+    collects every number with at least TWO distinct
+    representations, and asserts that the SMALLEST is 1729 =
+    1³+12³ = 9³+10³ — Hardy's anecdote verified by exhaustion,
+    not retold.  All such numbers ≤ 20000 are reported with their
+    two smallest representations; the census flags one.  Output:
+    one row per taxicab-like number.  Mirror: double cube join +
+    HAVING count ≥ 2 + per-number min/max representation
+    extraction."""
+    reps = {}
+    a = 1
+    while a ** 3 * 2 <= TAXICAB_MAX:
+        b = a
+        while a ** 3 + b ** 3 <= TAXICAB_MAX:
+            reps.setdefault(a ** 3 + b ** 3, []).append((a, b))
+            b += 1
+        a += 1
+    taxi = sorted((n, rr) for n, rr in reps.items()
+                  if len(rr) >= 2)
+    assert taxi[0][0] == 1729
+    assert sorted(taxi[0][1]) == [(1, 12), (9, 10)]
+
+    sel = int(sel_census) % len(taxi)
+    rows = []
+    for i, (n, rr) in enumerate(taxi):
+        rr = sorted(rr)
+        (a1, b1), (a2, b2) = rr[0], rr[1]
+        rows.append((i, n, a1, b1, a2, b2, len(rr),
+                     1 if i == sel else 0, len(taxi)))
+    out = pd.DataFrame(rows, columns=["rank", "n", "a1", "b1",
+                                      "a2", "b2", "n_reps",
+                                      "selected", "n_taxicabs"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
