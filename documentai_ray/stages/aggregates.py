@@ -9957,3 +9957,115 @@ def taxicab_1729_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _arith_deriv(n):
+    if n <= 1:
+        return 0
+    d, m, p = 0, n, 2
+    while m > 1:
+        while m % p == 0:
+            d += n // p
+            m //= p
+        p += 1
+        if p * p > m and m > 1:
+            d += n // m
+            break
+    return d
+
+
+def arith_derivative_int(seeds):
+    """The arithmetic derivative — ARITHMETIC CALCULUS, a family
+    the surface lacked: n' defined by p' = 1 on primes and the
+    LEIBNIZ rule (ab)' = a'b + ab'; the kernel computes n' by the
+    logarithmic formula n·Σ e_p/p (exact integers) and verifies
+    the Leibniz rule EXHAUSTIVELY over the full 60×60 grid of
+    pairs — the rule holds for ALL pairs, not just coprime ones
+    (verified, a fact many references get wrong) — plus p' = 1
+    for every prime ≤ 200, (p^p)' = p^p for p ∈ {2, 3, 5} (the
+    fixed-point family), and 1' = 0' = 0.  Census rows reported.
+    Output: (inst, n, deriv, is_prime).  Mirror: n' as the sum
+    over prime divisors of multiplicity × n/p by trial-division
+    joins."""
+    for a in range(60):
+        for b in range(60):
+            assert _arith_deriv(a * b) == (_arith_deriv(a) * b
+                                           + a * _arith_deriv(b))
+
+    def is_prime(v):
+        return v >= 2 and all(v % f for f in
+                              range(2, math.isqrt(v) + 1))
+
+    for p in range(2, 201):
+        if is_prime(p):
+            assert _arith_deriv(p) == 1
+    for p in (2, 3, 5):
+        assert _arith_deriv(p ** p) == p ** p
+    assert _arith_deriv(0) == 0 and _arith_deriv(1) == 0
+
+    rows = []
+    for i, s in enumerate(seeds):
+        n = int(s) % 1000 + 1
+        rows.append((i, n, _arith_deriv(n),
+                     1 if is_prime(n) else 0))
+    out = pd.DataFrame(rows, columns=["inst", "n", "deriv",
+                                      "is_prime"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+PERFECT_MAX = 10000
+
+
+def perfect_numbers_int(sel_census):
+    """Perfect numbers and the Euclid-Euler structure — ALIQUOT
+    THEORY, a family the surface lacked: the kernel sweeps
+    σ(n) over ALL n ≤ 10000 and asserts the perfect set is
+    EXACTLY {6, 28, 496, 8128}, that each equals
+    2^(p−1)·(2^p − 1) with 2^p − 1 a Mersenne PRIME (the
+    Euclid-Euler correspondence verified instance by instance),
+    and counts abundant/deficient populations (the abundancy
+    census).  Census flags one perfect number and reports its
+    aliquot chain start.  Output: one row per perfect number
+    plus population columns.  Mirror: σ by divisor join over the
+    four known values + the population counts by the same sweep
+    in SQL."""
+    sigma = [0] * (PERFECT_MAX + 1)
+    for d in range(1, PERFECT_MAX + 1):
+        for m in range(d, PERFECT_MAX + 1, d):
+            sigma[m] += d
+    perfect = [n for n in range(1, PERFECT_MAX + 1)
+               if sigma[n] == 2 * n]
+    assert perfect == [6, 28, 496, 8128]
+
+    def is_prime(v):
+        return v >= 2 and all(v % f for f in
+                              range(2, math.isqrt(v) + 1))
+
+    for n in perfect:
+        p = 2
+        while True:
+            m = (1 << p) - 1
+            if (1 << (p - 1)) * m == n:
+                assert is_prime(m)       # Euclid-Euler
+                break
+            p += 1
+            assert p < 20
+
+    n_abundant = sum(1 for n in range(1, PERFECT_MAX + 1)
+                     if sigma[n] > 2 * n)
+    n_deficient = sum(1 for n in range(1, PERFECT_MAX + 1)
+                      if sigma[n] < 2 * n)
+    assert n_abundant + n_deficient + 4 == PERFECT_MAX
+
+    sel = int(sel_census) % 4
+    rows = [(i, n, sigma[n] - n, 1 if i == sel else 0,
+             n_abundant, n_deficient) for i, n in
+            enumerate(perfect)]
+    out = pd.DataFrame(rows, columns=["rank", "n", "aliquot_sum",
+                                      "selected", "n_abundant",
+                                      "n_deficient"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
