@@ -10069,3 +10069,113 @@ def perfect_numbers_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+CF_N = 6
+
+
+def chung_feller_int(sel_census):
+    """The Chung-Feller theorem — EQUIDISTRIBUTION PHENOMENA, a
+    family the surface lacked (dyck_catalan counts the k = 0
+    class; Chung-Feller says EVERY class is the same size): among
+    the C(12,6) = 924 bridges (6 up-steps, 6 down-steps), the
+    number with exactly 2k steps below the axis is the CATALAN
+    number 132 for EVERY k ∈ 0..6 — verified by exhaustive
+    enumeration and classification of all 924 bridges (the
+    uniform split 924 = 7 × 132, counted not cited).  The census
+    selects a bridge by rank; its profile is reported.  Output:
+    one row per step of the selected bridge plus global columns.
+    Mirror: the same enumeration in SQL (bitmask sweep,
+    partial-sum classification via a step-prefix expression)."""
+    n = CF_N
+    from itertools import combinations
+
+    by_k = [0] * (n + 1)
+    bridges = []
+    for ups in combinations(range(2 * n), n):
+        s = 0
+        below = 0
+        for t in range(2 * n):
+            step = 1 if t in ups else -1
+            # a step is "below" if it starts or ends below 0
+            ns = s + step
+            if s < 0 or ns < 0:
+                below += 1
+            s = ns
+        assert s == 0
+        assert below % 2 == 0
+        by_k[below // 2] += 1
+        bridges.append(ups)
+    assert all(c == 132 for c in by_k)   # Chung-Feller
+    assert sum(by_k) == 924
+
+    sel = int(sel_census) % len(bridges)
+    ups = bridges[sel]                   # lexicographic by combo
+    s = 0
+    rows = []
+    below = 0
+    for t in range(2 * n):
+        step = 1 if t in ups else -1
+        ns = s + step
+        if s < 0 or ns < 0:
+            below += 1
+        rows.append((t, step, ns))
+        s = ns
+    rows = [(t, st, pr, below // 2, sel, 132) for t, st, pr in rows]
+    out = pd.DataFrame(rows, columns=["t", "step", "prefix",
+                                      "k_below", "sel_rank",
+                                      "catalan_per_class"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def cycle_lemma_int(sel_census):
+    """The cycle lemma (Dvoretzky-Motzkin) — a family the surface
+    lacked (ballot_walk is Bertrand's probability; the cycle
+    lemma is the BIJECTIVE engine behind it): every arrangement
+    of seven +1s and six −1s has EXACTLY ONE cyclic rotation
+    whose partial sums are all positive — verified EXHAUSTIVELY
+    over all C(13,7) = 1716 arrangements × 13 rotations (22308
+    checks; the count of good rotations is asserted to be
+    exactly 1 for every single arrangement).  The census selects
+    an arrangement; its unique good rotation is reported.
+    Output: one row per position of the selected arrangement.
+    Mirror: the rotation sweep for the selected arrangement plus
+    the global exhaustive count re-asserted as a column
+    (total good rotations across all arrangements = 1716)."""
+    m = 13
+    from itertools import combinations
+
+    arrs = list(combinations(range(m), 7))
+    total_good = 0
+    good_of = {}
+    for ups in arrs:
+        seq = [1 if i in ups else -1 for i in range(m)]
+        goods = []
+        for r in range(m):
+            s = 0
+            ok = True
+            for t in range(m):
+                s += seq[(r + t) % m]
+                if s <= 0:
+                    ok = False
+                    break
+            if ok:
+                goods.append(r)
+        assert len(goods) == 1, ups      # the lemma, per instance
+        good_of[ups] = goods[0]
+        total_good += 1
+    assert total_good == 1716
+
+    sel = int(sel_census) % len(arrs)
+    ups = arrs[sel]
+    seq = [1 if i in ups else -1 for i in range(m)]
+    g = good_of[ups]
+    rows = [(i, seq[i], g, sel, 1716) for i in range(m)]
+    out = pd.DataFrame(rows, columns=["pos", "step",
+                                      "good_rotation", "sel_rank",
+                                      "n_arrangements"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
