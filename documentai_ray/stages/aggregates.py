@@ -10179,3 +10179,106 @@ def cycle_lemma_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def egyptian_fractions_int(s1, s2):
+    """Greedy Egyptian fraction decomposition — EGYPTIAN
+    FRACTIONS, a family the surface lacked (cf_convergents
+    approximates; Fibonacci-Sylvester DECOMPOSES exactly): the
+    census fraction p/q (p ≤ 3 keeps every denominator inside
+    int64 — the greedy's doubly-exponential blowup is the reason
+    for the cap, stated) is split into unit fractions by the
+    greedy rule d = ⌈q/p⌉; the kernel asserts TERMINATION in ≤ p
+    steps (the greedy numerator strictly decreases — Fibonacci's
+    1202 argument, checked per step), strictly increasing
+    denominators, and EXACTNESS by Fraction reassembly.  Output:
+    one row per unit fraction.  Mirror: the greedy as a recursive
+    CTE with ceil division (q + p − 1) // p."""
+    from fractions import Fraction
+
+    p = int(s1) % 3 + 1                  # 1..3
+    q0 = int(s2) % 48 + 3                # 3..50
+    g = math.gcd(p, q0)
+    p1, q = p // g, q0 // g
+    if p1 >= q:                          # keep it a proper fraction
+        p1, q = 1, q0
+    target = Fraction(p1, q)
+
+    rows = []
+    num, den = p1, q
+    step = 0
+    prev_d = 0
+    while num > 0:
+        d = (den + num - 1) // num       # ceil
+        rows.append((step, d))
+        assert d > prev_d                # strictly increasing
+        prev_d = d
+        new_num = num * d - den
+        assert 0 <= new_num < num        # Fibonacci's descent
+        num, den = new_num, den * d
+        step += 1
+        assert step <= 3
+    assert sum(Fraction(1, d) for _, d in rows) == target
+
+    out = pd.DataFrame([(s, d, p1, q, len(rows))
+                        for s, d in rows],
+                       columns=["step", "denom", "p", "q",
+                                "n_terms"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _ackermann(m, n, memo=None):
+    if memo is None:
+        memo = {}
+    key = (m, n)
+    if key in memo:
+        return memo[key]
+    if m == 0:
+        v = n + 1
+    elif n == 0:
+        v = _ackermann(m - 1, 1, memo)
+    else:
+        v = _ackermann(m - 1, _ackermann(m, n - 1, memo), memo)
+    memo[key] = v
+    return v
+
+
+def ackermann_int(seeds):
+    """The Ackermann function — RECURSION THEORY / fast-growing
+    hierarchies, a family the surface lacked: the kernel runs the
+    ACTUAL double recursion (memoized) for m ≤ 3 and asserts the
+    closed forms level by level — A(0,n) = n+1, A(1,n) = n+2,
+    A(2,n) = 2n+3, A(3,n) = 2^(n+3) − 3 — for n ≤ 20 at m ≤ 2
+    and n ≤ 8 at m = 3 (A(3,8) already expands ~2000 nested
+    calls; the recursion limit is raised locally because the
+    call DEPTH of A(3,n) is itself exponential — exactly the
+    point of Ackermann: no primitive recursive bound, stated).
+    Census rows report (m, n) pairs with the same caps.  Output:
+    (inst, m, n, value).  Mirror: the closed forms (the recursion
+    is the kernel's half of the cross-check)."""
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(50000)
+    try:
+        for n in range(21):
+            memo = {}
+            assert _ackermann(0, n, memo) == n + 1
+            assert _ackermann(1, n, memo) == n + 2
+            assert _ackermann(2, n, memo) == 2 * n + 3
+        for n in range(9):
+            assert _ackermann(3, n, {}) == 2 ** (n + 3) - 3
+
+        rows = []
+        for i, (s1, s2) in enumerate(seeds):
+            m = int(s1) % 4
+            n = int(s2) % (9 if m == 3 else 21)
+            rows.append((i, m, n, _ackermann(m, n)))
+    finally:
+        sys.setrecursionlimit(old_limit)
+    out = pd.DataFrame(rows, columns=["inst", "m", "n", "value"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
