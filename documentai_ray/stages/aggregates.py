@@ -10282,3 +10282,91 @@ def ackermann_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+TM_LEN = 512
+
+
+def thue_morse_int(start_census):
+    """The Thue-Morse word — COMBINATORICS ON WORDS at its
+    historical origin (string_period is Fine-Wilf, bwt_runs is
+    modern indexing; Thue 1906/1912 FOUNDED the field with this
+    word): the kernel builds the 512-prefix TWICE — by the
+    bit-parity formula t(n) = popcount(n) mod 2 and by iterating
+    the morphism 0→01, 1→10 — asserts the two agree, then
+    verifies CUBE-FREENESS exhaustively on the prefix (no block
+    xxx at ANY position and length — Thue's theorem checked by
+    brute force, ~29k window comparisons) plus the
+    overlap-squares structure t(2n) = t(n), t(2n+1) = 1 − t(n)
+    per index.  A census window is reported.  Output: 24 rows
+    (off, n, bit, popcount).  Mirror: bit_count parity."""
+    # route 1: parity
+    tm = [bin(n).count("1") % 2 for n in range(TM_LEN)]
+    # route 2: morphism
+    w = [0]
+    while len(w) < TM_LEN:
+        w = [b for x in w for b in ((0, 1) if x == 0 else (1, 0))]
+    assert w[:TM_LEN] == tm
+
+    for n in range(TM_LEN // 2):
+        assert tm[2 * n] == tm[n]
+        assert tm[2 * n + 1] == 1 - tm[n]
+
+    s = "".join(map(str, tm))
+    for ln in range(1, TM_LEN // 3 + 1):
+        for i in range(TM_LEN - 3 * ln + 1):
+            assert not (s[i:i + ln] == s[i + ln:i + 2 * ln]
+                        == s[i + 2 * ln:i + 3 * ln]), (i, ln)
+
+    start = int(start_census) % (TM_LEN - 24)
+    rows = [(off, start + off, tm[start + off],
+             bin(start + off).count("1")) for off in range(24)]
+    out = pd.DataFrame(rows, columns=["off", "n", "bit",
+                                      "popcount"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+LSYS_STEPS = 24
+
+
+def lindenmayer_int(sel_census):
+    """Lindenmayer's algae system — L-SYSTEMS / morphism growth,
+    a family the surface lacked: A → AB, B → A iterated from A;
+    the kernel runs the ACTUAL rewriting for 24 steps (final
+    word length 121393) and asserts the growth laws —
+    len(step k) = F(k+2), #A = F(k+1), #B = F(k) (Fibonacci,
+    per step), and the self-similarity word(k) = word(k−1) +
+    word(k−2) for k ≥ 2 (checked by actual concatenation each
+    step).  Output: one row per step with the counts; the census
+    flags one step.  Mirror: the Fibonacci recurrence (the
+    rewriting is the kernel's half)."""
+    F = [0, 1]
+    for i in range(2, LSYS_STEPS + 3):
+        F.append(F[-1] + F[-2])
+
+    words = ["A"]
+    rows = []
+    for k in range(LSYS_STEPS + 1):
+        wrd = words[k]
+        na = wrd.count("A")
+        nb = wrd.count("B")
+        assert len(wrd) == F[k + 2]
+        assert na == F[k + 1]
+        assert nb == F[k]
+        if k >= 2:
+            assert wrd == words[k - 1] + words[k - 2]
+        rows.append((k, len(wrd), na, nb))
+        if k < LSYS_STEPS:
+            words.append("".join("AB" if ch == "A" else "A"
+                                 for ch in wrd))
+
+    sel = int(sel_census) % (LSYS_STEPS + 1)
+    rows = [(k, ln, na, nb, 1 if k == sel else 0)
+            for k, ln, na, nb in rows]
+    out = pd.DataFrame(rows, columns=["step", "length", "n_a",
+                                      "n_b", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
