@@ -10474,3 +10474,128 @@ def debruijn_sequence_int(start_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _bulg_step(parts):
+    new = [p - 1 for p in parts if p > 1]
+    new.append(len(parts))
+    return tuple(sorted(new, reverse=True))
+
+
+def bulgarian_solitaire_int(seed):
+    """Bulgarian solitaire — PARTITION DYNAMICS, a family the
+    surface lacked (partition_numbers COUNTS partitions; this
+    ITERATES on them): take one card from every pile and stack
+    the removed cards as a new pile.  For n = 15 = T(5)
+    triangular, BRANDT's theorem says every start reaches the
+    staircase (5,4,3,2,1) and stays — the kernel verifies it
+    EXHAUSTIVELY over ALL 176 partitions of 15 (each trajectory
+    followed to the fixed point, cycle-freedom asserted by a
+    visited-set bound), asserts the staircase is a fixed point,
+    and reports the census start's trajectory.  Output: one row
+    per step of the census trajectory (partition digits, pile
+    count).  Mirror: the iteration as a recursive CTE on a
+    sorted-list state."""
+    staircase = (5, 4, 3, 2, 1)
+    assert _bulg_step(staircase) == staircase
+
+    all_parts = [tuple(sorted(pp, reverse=True))
+                 for pp in _partitions_of(15)]
+    assert len(all_parts) == 176
+    for start in all_parts:
+        cur = start
+        for _ in range(200):
+            if cur == staircase:
+                break
+            cur = _bulg_step(cur)
+        assert cur == staircase, start   # Brandt, exhaustively
+
+    sel = int(seed) % 176
+    start = sorted(all_parts)[sel]
+    rows = []
+    cur = start
+    step = 0
+    while True:
+        digits = int("".join(f"{p}" for p in cur)) \
+            if all(p <= 9 for p in cur) else -1
+        rows.append((step, digits, len(cur), sel))
+        if cur == staircase:
+            break
+        cur = _bulg_step(cur)
+        step += 1
+        assert step < 200
+    out = pd.DataFrame(rows, columns=["step", "partition_digits",
+                                      "n_piles", "sel_rank"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def puzzle_parity_int(seed):
+    """8-puzzle solvability — PUZZLE GROUP THEORY / parity
+    invariants, a family the surface lacked: the kernel runs a
+    FULL BFS from the solved state over all slide moves and
+    asserts the reachable set is EXACTLY the 181440 = 9!/2
+    even-permutation configurations (the parity theorem verified
+    by exhaustion: reachability ⟺ even inversion count of the
+    tile sequence ignoring the blank), then classifies the
+    census configuration.  Output: one row per cell of the census
+    configuration plus (solvable, n_reachable).  Mirror: the
+    inversion-parity formula + the closed-form count (the BFS is
+    the kernel's half)."""
+    solved = (1, 2, 3, 4, 5, 6, 7, 8, 0)
+
+    def nbrs(state):
+        z = state.index(0)
+        r, c = divmod(z, 3)
+        out = []
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < 3 and 0 <= nc < 3:
+                t = nr * 3 + nc
+                ls = list(state)
+                ls[z], ls[t] = ls[t], ls[z]
+                out.append(tuple(ls))
+        return out
+
+    seen = {solved}
+    frontier = [solved]
+    while frontier:
+        nxt = []
+        for s in frontier:
+            for q in nbrs(s):
+                if q not in seen:
+                    seen.add(q)
+                    nxt.append(q)
+        frontier = nxt
+    assert len(seen) == 181440           # 9!/2
+
+    def even_parity(state):
+        tiles = [x for x in state if x != 0]
+        inv = sum(1 for i in range(8) for j in range(i + 1, 8)
+                  if tiles[i] > tiles[j])
+        return inv % 2 == 0
+
+    from itertools import permutations
+    for s in seen:
+        assert even_parity(s)
+    n_even = sum(1 for pm in permutations(range(9))
+                 if even_parity(pm))
+    assert n_even == 181440              # the classes coincide
+
+    # census configuration: the seed-th permutation in lex order
+    sel = int(seed) % 362880
+    pm = None
+    for i, cand in enumerate(permutations(range(9))):
+        if i == sel:
+            pm = cand
+            break
+    solvable = 1 if even_parity(pm) else 0
+    assert (pm in seen) == bool(solvable)
+
+    rows = [(i, pm[i], solvable, 181440, sel) for i in range(9)]
+    out = pd.DataFrame(rows, columns=["cell", "tile", "solvable",
+                                      "n_reachable", "sel_rank"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
