@@ -10599,3 +10599,110 @@ def puzzle_parity_int(seed):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def hadamard_sylvester_int(sel_census):
+    """Sylvester Hadamard matrices — HADAMARD MATRICES / extremal
+    determinants, a family the surface lacked: H8 built by tensor
+    doubling from [[1,1],[1,−1]], asserted equal to the bit
+    closed form H[i][j] = (−1)^popcount(i AND j), ORTHOGONALITY
+    verified exhaustively (H·Hᵀ = 8·I, all 64 inner products),
+    and the determinant computed by fraction-free BAREISS
+    elimination and asserted |det| = 8^4 = 4096 — the HADAMARD
+    BOUND attained with equality (the defining extremal property,
+    computed not cited); the same checks at order 4 (|det| = 16).
+    Output: one row per H8 entry with the census-selected row
+    flagged.  Mirror: the bit closed form + orthogonality by join
+    sums + the closed-form determinant magnitude."""
+    def sylvester(k):
+        H = [[1]]
+        for _ in range(k):
+            H = [r + r for r in H] + [r + [-x for x in r]
+                                      for r in H]
+        return H
+
+    for k, n in ((2, 4), (3, 8)):
+        H = sylvester(k)
+        for i in range(n):
+            for j in range(n):
+                assert H[i][j] == (-1) ** bin(i & j).count("1")
+        for i in range(n):
+            for j in range(n):
+                dot = sum(H[i][t] * H[j][t] for t in range(n))
+                assert dot == (n if i == j else 0)
+        # Bareiss fraction-free determinant
+        M = [row[:] for row in H]
+        prev = 1
+        for r in range(n - 1):
+            if M[r][r] == 0:
+                for rr in range(r + 1, n):
+                    if M[rr][r] != 0:
+                        M[r], M[rr] = M[rr], M[r]
+                        for c in range(n):
+                            M[r][c] = -M[r][c]
+                        break
+            for i2 in range(r + 1, n):
+                for j2 in range(r + 1, n):
+                    M[i2][j2] = (M[i2][j2] * M[r][r]
+                                 - M[i2][r] * M[r][j2]) // prev
+                M[i2][r] = 0
+            prev = M[r][r]
+        det = M[n - 1][n - 1]
+        assert abs(det) == n ** (n // 2)   # Hadamard bound tight
+
+    H8 = sylvester(3)
+    sel = int(sel_census) % 8
+    rows = [(i, j, H8[i][j], 1 if i == sel else 0, 4096)
+            for i in range(8) for j in range(8)]
+    out = pd.DataFrame(rows, columns=["i", "j", "entry",
+                                      "sel_row", "abs_det"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def descartes_circles_int(sel_census):
+    """The Descartes circle theorem and the integer Apollonian
+    gasket — CIRCLE PACKINGS, a family the surface lacked: four
+    mutually tangent circles' curvatures satisfy
+    (k1+k2+k3+k4)² = 2(k1²+k2²+k3²+k4²); the kernel verifies the
+    identity on the ROOT quadruple (−1, 2, 2, 3) and then GROWS
+    the gasket by the reflection k4' = 2(k1+k2+k3) − k4 for three
+    levels (45 quadruples), asserting at every node the Descartes
+    identity EXACTLY and integrality — the closure of integer
+    Apollonian packings, verified not cited.  The census selects
+    a node.  Output: one row per generated quadruple.  Mirror:
+    the same reflection recursion as a recursive CTE with the
+    identity re-checked as a column."""
+    def desc_ok(q):
+        k1, k2, k3, k4 = q
+        return ((k1 + k2 + k3 + k4) ** 2
+                == 2 * (k1 ** 2 + k2 ** 2 + k3 ** 2 + k4 ** 2))
+
+    root = (-1, 2, 2, 3)
+    assert desc_ok(root)
+
+    quads = [(0, root)]
+    frontier = [root]
+    for level in range(1, 4):
+        nxt = []
+        for q in frontier:
+            for pos in range(4):
+                others = [q[i] for i in range(4) if i != pos]
+                newk = 2 * sum(others) - q[pos]
+                nq = tuple(sorted(others + [newk]))
+                assert desc_ok(nq), nq   # the theorem, per node
+                nxt.append(nq)
+                quads.append((level, nq))
+        frontier = nxt
+    assert len(quads) == 1 + 4 + 16 + 64
+
+    sel = int(sel_census) % len(quads)
+    rows = [(i, lv, q[0], q[1], q[2], q[3],
+             1 if i == sel else 0) for i, (lv, q) in
+            enumerate(quads)]
+    out = pd.DataFrame(rows, columns=["idx", "level", "k1", "k2",
+                                      "k3", "k4", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
