@@ -10706,3 +10706,111 @@ def descartes_circles_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+CLASS_DISCS = [-3, -4, -7, -8, -11, -15, -20, -23, -47, -163]
+
+
+def class_numbers_int(sel_census):
+    """Class numbers of imaginary quadratic discriminants by
+    REDUCED-FORM enumeration — BINARY QUADRATIC FORMS / class
+    field theory's doorstep, a family the surface lacked: for
+    each discriminant D < 0 the reduced forms (a, b, c) with
+    b² − 4ac = D, −a < b ≤ a ≤ c, and b ≥ 0 when a = c or a = |b|,
+    are in bijection with ideal classes (Gauss); the kernel
+    enumerates them EXHAUSTIVELY (a ≤ √(|D|/3) bounds the sweep)
+    and asserts the classical table — h(−3) = h(−4) = h(−7) =
+    h(−8) = h(−11) = 1, h(−15) = h(−20) = 2, h(−23) = 3,
+    h(−47) = 5, and the HEEGNER value h(−163) = 1 (the reason
+    e^(π√163) is almost an integer — counted, not cited).  The
+    census selects a discriminant; its reduced forms are
+    reported.  Output: one row per reduced form of the selected
+    discriminant.  Mirror: the same bounded enumeration by
+    joins."""
+    known = {-3: 1, -4: 1, -7: 1, -8: 1, -11: 1, -15: 2,
+             -20: 2, -23: 3, -47: 5, -163: 1}
+
+    def reduced_forms(D):
+        out = []
+        amax = math.isqrt(-D // 3) + 1
+        for a in range(1, amax + 1):
+            for b in range(-a + 1, a + 1):
+                num = b * b - D
+                if num % (4 * a):
+                    continue
+                c = num // (4 * a)
+                if c < a:
+                    continue
+                if (a == c or a == abs(b)) and b < 0:
+                    continue
+                if a == c and b < 0:
+                    continue
+                out.append((a, b, c))
+        return sorted(out)
+
+    for D, h in known.items():
+        forms = reduced_forms(D)
+        assert len(forms) == h, (D, forms)
+        for a, b, c in forms:
+            assert b * b - 4 * a * c == D
+
+    sel = CLASS_DISCS[int(sel_census) % len(CLASS_DISCS)]
+    forms = reduced_forms(sel)
+    rows = [(i, sel, a, b, c, len(forms))
+            for i, (a, b, c) in enumerate(forms)]
+    out = pd.DataFrame(rows, columns=["idx", "disc", "a", "b",
+                                      "c", "class_number"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SUMFREE_N = 10
+
+
+def sum_free_sets_int(sel_census):
+    """Maximum sum-free subsets of {1..10} — ADDITIVE
+    COMBINATORICS, a family the surface lacked (egz_zerosum is
+    zero-sum structure; sum-free sets are its avoidance dual): a
+    set is sum-free iff no x + y = z within it (x = y allowed);
+    the kernel sweeps ALL 2^10 subsets, computes the maximum
+    sum-free size — exactly ⌈10/2⌉ = 5 — counts the maximum
+    achievers, and certifies the two classical extremal witnesses
+    (the odds {1,3,5,7,9} and the top half {6..10}) are among
+    them.  The census subset is classified.  Output: one row per
+    element with membership plus global columns.  Mirror: the
+    same 1024-subset sweep in SQL."""
+    n = SUMFREE_N
+
+    def sum_free(mask):
+        els = [v for v in range(1, n + 1) if (mask >> (v - 1)) & 1]
+        s = set(els)
+        return not any((x + y) in s for x in els for y in els
+                       if x <= y)
+
+    best = 0
+    n_best = 0
+    for m in range(1 << n):
+        if sum_free(m):
+            sz = bin(m).count("1")
+            if sz > best:
+                best, n_best = sz, 1
+            elif sz == best:
+                n_best += 1
+    assert best == 5
+    odds = sum(1 << (v - 1) for v in (1, 3, 5, 7, 9))
+    top = sum(1 << (v - 1) for v in (6, 7, 8, 9, 10))
+    assert sum_free(odds) and sum_free(top)
+
+    cm = int(sel_census) % 1024
+    is_sf = 1 if sum_free(cm) else 0
+    sz = bin(cm).count("1")
+    rows = [(v, (cm >> (v - 1)) & 1, is_sf, sz, best, n_best)
+            for v in range(1, n + 1)]
+    out = pd.DataFrame(rows, columns=["v", "member",
+                                      "census_sum_free",
+                                      "census_size", "max_size",
+                                      "n_max_sets"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
