@@ -10814,3 +10814,130 @@ def sum_free_sets_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+PP_BOXES = [(1, 1, 1), (2, 2, 1), (2, 2, 2), (3, 2, 2),
+            (3, 3, 2), (3, 3, 3)]
+
+
+def plane_partitions_int(sel_census):
+    """Plane partitions in a box — MACMAHON's THEOREM, a family
+    the surface lacked (partition_numbers is 1-D; plane
+    partitions stack in 2-D and MacMahon's 1912 box formula
+    ∏ (i+j+k−1)/(i+j+k−2) counts them): the kernel counts plane
+    partitions in the r×s×t box TWICE for six boxes — by
+    EXHAUSTIVE enumeration of weakly-decreasing r×s matrices
+    with entries ≤ t (rows and columns both monotone) and by the
+    triple product formula (computed in exact integers via
+    numerator/denominator accumulation, divisibility certified)
+    — and asserts the two agree, pinning PP(2,2,2) = 20 and
+    PP(3,3,3) = 980.  The census selects a box.  Output: one row
+    per box with both counts.  Mirror: the product formula (the
+    enumeration is the kernel's half)."""
+    from itertools import product as iproduct
+
+    def brute(r, s, t):
+        cnt = 0
+        for mat in iproduct(range(t + 1), repeat=r * s):
+            ok = True
+            for i in range(r):
+                for j in range(s):
+                    v = mat[i * s + j]
+                    if j + 1 < s and v < mat[i * s + j + 1]:
+                        ok = False
+                        break
+                    if i + 1 < r and v < mat[(i + 1) * s + j]:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                cnt += 1
+        return cnt
+
+    def macmahon(r, s, t):
+        num = den = 1
+        for i in range(1, r + 1):
+            for j in range(1, s + 1):
+                for k in range(1, t + 1):
+                    num *= i + j + k - 1
+                    den *= i + j + k - 2
+        assert num % den == 0
+        return num // den
+
+    counts = {}
+    for (r, s, t) in PP_BOXES:
+        b = brute(r, s, t)
+        m = macmahon(r, s, t)
+        assert b == m, (r, s, t)
+        counts[(r, s, t)] = b
+    assert counts[(2, 2, 2)] == 20
+    assert counts[(3, 3, 3)] == 980
+
+    sel = int(sel_census) % len(PP_BOXES)
+    rows = [(i, r, s, t, counts[(r, s, t)], 1 if i == sel else 0)
+            for i, (r, s, t) in enumerate(PP_BOXES)]
+    out = pd.DataFrame(rows, columns=["idx", "r", "s", "t",
+                                      "n_pp", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+DELANNOY_N = 8
+
+
+def delannoy_numbers_int(sel_census):
+    """Delannoy numbers — KING-MOVE LATTICE PATHS, a family the
+    surface lacked (dyck_catalan walks ±1 steps; Delannoy paths
+    also step diagonally): D(m,n) counts paths (0,0) → (m,n) with
+    steps E, N, NE; the kernel builds the table to 8×8 by the
+    recurrence D = D(m−1,n) + D(m,n−1) + D(m−1,n−1), asserts the
+    SUM formula Σ_k C(m,k)·C(n,k)·2^k entry-wise, the central
+    values 1, 3, 13, 63, 321, 1683, 8989, 48639, and D(2,2) = 13
+    by EXHAUSTIVE path enumeration (all step sequences walked).
+    Output: the census-selected row of the table.  Mirror: the
+    sum formula."""
+    N = DELANNOY_N
+    D = [[0] * (N + 1) for _ in range(N + 1)]
+    for m in range(N + 1):
+        for n in range(N + 1):
+            if m == 0 or n == 0:
+                D[m][n] = 1
+            else:
+                D[m][n] = (D[m - 1][n] + D[m][n - 1]
+                           + D[m - 1][n - 1])
+
+    for m in range(N + 1):
+        for n in range(N + 1):
+            sf = sum(math.comb(m, k) * math.comb(n, k) * 2 ** k
+                     for k in range(min(m, n) + 1))
+            assert D[m][n] == sf
+
+    central = [D[k][k] for k in range(8)]
+    assert central == [1, 3, 13, 63, 321, 1683, 8989, 48639]
+
+    def brute22():
+        cnt = 0
+        stack = [(0, 0)]
+        while stack:
+            x, y = stack.pop()
+            if (x, y) == (2, 2):
+                cnt += 1
+                continue
+            if x < 2:
+                stack.append((x + 1, y))
+            if y < 2:
+                stack.append((x, y + 1))
+            if x < 2 and y < 2:
+                stack.append((x + 1, y + 1))
+        return cnt
+
+    assert brute22() == D[2][2] == 13
+
+    m_sel = int(sel_census) % (N + 1)
+    rows = [(m_sel, n, D[m_sel][n]) for n in range(N + 1)]
+    out = pd.DataFrame(rows, columns=["m", "n", "delannoy"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
