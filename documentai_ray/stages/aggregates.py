@@ -11035,3 +11035,83 @@ def stern_diatomic_int(start_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+LUCKY_MAX = 200
+
+
+def lucky_numbers_int(sel_census):
+    """Lucky numbers — SIEVE PROCESSES beyond Eratosthenes, a
+    family the surface lacked (miller_rabin decides primality;
+    the lucky sieve is a DIFFERENT elimination dynamic whose
+    survivors share the primes' density but not their algebra):
+    start from the odd numbers; repeatedly take the next
+    surviving value k and delete every k-th survivor.  The kernel
+    runs the sieve to 200, asserts the classical prefix 1, 3, 7,
+    9, 13, 15, 21, 25, 31, 33, 37, 43, 49, 51, 63, 67, 69, 73,
+    75, 79 (computed, not cited), and reports the survivors with
+    the census-selected one flagged.  Output: one row per lucky
+    number ≤ 200.  Mirror: the same sieve as a recursive
+    list-carrying CTE with every-k-th deletion via index
+    filtering."""
+    nums = list(range(1, LUCKY_MAX + 1, 2))
+    i = 1
+    while i < len(nums):
+        k = nums[i]
+        if k > len(nums):
+            break
+        nums = [v for j, v in enumerate(nums, start=1)
+                if j % k != 0]
+        i += 1
+
+    assert nums[:20] == [1, 3, 7, 9, 13, 15, 21, 25, 31, 33, 37,
+                         43, 49, 51, 63, 67, 69, 73, 75, 79]
+
+    sel = int(sel_census) % len(nums)
+    rows = [(i2, v, 1 if i2 == sel else 0, len(nums))
+            for i2, v in enumerate(nums)]
+    out = pd.DataFrame(rows, columns=["rank", "lucky", "selected",
+                                      "n_lucky"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+GILBREATH_ROWS = 20
+
+
+def gilbreath_int(sel_census):
+    """Gilbreath's conjecture on the primes below 1000 — PRIME
+    GAP PROCESSES, a family the surface lacked: start from the
+    prime sequence and repeatedly take absolute differences of
+    neighbours; the conjecture (verified to astronomical heights,
+    still open) says every difference row starts with 1.  The
+    kernel sieves the 168 primes < 1000, iterates 20 difference
+    rows, and asserts the leading 1 in EVERY row (the conjecture
+    VERIFIED on this range, plus the structural fact that all
+    entries beyond the first are even-or-zero small values in
+    rows ≥ 1 — every entry is 0 or even except the leading 1,
+    asserted).  The census selects a row; its prefix is
+    reported.  Output: 24 columns-worth of rows (pos, value) for
+    the selected difference row.  Mirror: sieve + the difference
+    iteration as a recursive list CTE."""
+    primes = [v for v in range(2, 1000)
+              if all(v % f for f in range(2, math.isqrt(v) + 1))]
+    assert len(primes) == 168
+
+    rows_tbl = [primes]
+    cur = primes
+    for _ in range(GILBREATH_ROWS):
+        cur = [abs(cur[i + 1] - cur[i]) for i in range(len(cur) - 1)]
+        rows_tbl.append(cur)
+        assert cur[0] == 1               # Gilbreath on the range
+        assert all(v == 0 or v % 2 == 0 for v in cur[1:])
+
+    sel = int(sel_census) % (GILBREATH_ROWS + 1)
+    row = rows_tbl[sel]
+    out_rows = [(p, row[p], sel, len(row)) for p in range(24)]
+    out = pd.DataFrame(out_rows, columns=["pos", "value",
+                                          "sel_row", "row_len"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
