@@ -11115,3 +11115,94 @@ def gilbreath_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def newton_identities_int(seeds):
+    """Newton's identities — SYMMETRIC FUNCTION THEORY, a family
+    the surface lacked: for the monic quartic with census integer
+    roots r1..r4, the kernel computes the elementary symmetric
+    polynomials e1..e4 (Vieta, by explicit expansion) and the
+    power sums p1..p8 (direct summation), then asserts NEWTON's
+    identities p_k = e1·p_{k−1} − e2·p_{k−2} + e3·p_{k−3} −
+    e4·p_{k−4} (with the k ≤ 4 boundary terms k·e_k) for every
+    k ≤ 8 — the fundamental bridge between the two symmetric
+    bases, verified in exact integers.  Output: one row per k
+    with p_k and the recurrence's right-hand side.  Mirror: both
+    sides recomputed from the same roots."""
+    r = [int(s) % 19 - 9 for s in seeds]   # roots in [-9, 9]
+    assert len(r) == 4
+    e1 = sum(r)
+    e2 = sum(r[i] * r[j] for i in range(4) for j in range(i + 1, 4))
+    e3 = sum(r[i] * r[j] * r[k]
+             for i in range(4) for j in range(i + 1, 4)
+             for k in range(j + 1, 4))
+    e4 = r[0] * r[1] * r[2] * r[3]
+    E = [None, e1, e2, e3, e4]
+
+    p = {0: 4}
+    for k in range(1, 9):
+        p[k] = sum(x ** k for x in r)
+
+    rhs = {}
+    for k in range(1, 9):
+        if k <= 4:
+            # p_k = sum_{i<k} (-1)^(i-1) e_i p_{k-i}
+            #       + (-1)^(k-1) k e_k
+            acc = sum((-1) ** (i - 1) * E[i] * p[k - i]
+                      for i in range(1, k)) \
+                + (-1) ** (k - 1) * k * E[k]
+        else:
+            acc = sum((-1) ** (i - 1) * E[i] * p[k - i]
+                      for i in range(1, 5))
+        rhs[k] = acc
+        assert p[k] == rhs[k], k
+
+    rows = [(k, p[k], rhs[k], e1, e2, e3, e4)
+            for k in range(1, 9)]
+    out = pd.DataFrame(rows, columns=["k", "p_k", "newton_rhs",
+                                      "e1", "e2", "e3", "e4"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def cubic_discriminant_int(seeds):
+    """Cubic discriminants — ELIMINATION THEORY, a family the
+    surface lacked (_sql_det3 does determinants; the discriminant
+    is the resultant's square-free shadow): for the monic cubic
+    with census integer roots r1, r2, r3 the kernel computes the
+    coefficients by Vieta, evaluates the classical formula
+    Δ = 18bcd − 4b³d + b²c² − 4c³ − 27d² (monic a = 1, with
+    b = −e1, c = e2, d = −e3), AND the root-product definition
+    Δ = ∏_{i<j} (r_i − r_j)², asserting them EQUAL exactly — and
+    the sign law: Δ = 0 iff a repeated root, Δ > 0 iff three
+    distinct (real) roots.  Output: one row per instance.
+    Mirror: both routes recomputed from the same roots."""
+    rows = []
+    for idx in range(0, len(seeds) - 2, 3):
+        r1 = int(seeds[idx]) % 13 - 6
+        r2 = int(seeds[idx + 1]) % 13 - 6
+        r3 = int(seeds[idx + 2]) % 13 - 6
+        b = -(r1 + r2 + r3)
+        c = r1 * r2 + r1 * r3 + r2 * r3
+        d = -(r1 * r2 * r3)
+        disc_formula = (18 * b * c * d - 4 * b ** 3 * d
+                        + b ** 2 * c ** 2 - 4 * c ** 3
+                        - 27 * d ** 2)
+        disc_roots = ((r1 - r2) ** 2 * (r1 - r3) ** 2
+                      * (r2 - r3) ** 2)
+        assert disc_formula == disc_roots
+        distinct = len({r1, r2, r3})
+        if distinct == 3:
+            assert disc_formula > 0
+        else:
+            assert disc_formula == 0
+        rows.append((idx // 3, r1, r2, r3, b, c, d,
+                     disc_formula, disc_roots))
+    out = pd.DataFrame(rows, columns=["inst", "r1", "r2", "r3",
+                                      "b", "c", "d",
+                                      "disc_formula",
+                                      "disc_roots"])
+    for c2 in out.columns:
+        out[c2] = out[c2].astype("int64")
+    return out
