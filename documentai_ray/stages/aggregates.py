@@ -11206,3 +11206,85 @@ def cubic_discriminant_int(seeds):
     for c2 in out.columns:
         out[c2] = out[c2].astype("int64")
     return out
+
+
+PISANO_MMAX = 20
+
+
+def pisano_periods_int(sel_census):
+    """Pisano periods — PERIODICITY OF LINEAR RECURRENCES MOD m,
+    a family the surface lacked (fibonacci_gcd is divisibility of
+    the VALUES; Pisano is the periodicity of the REDUCTIONS): the
+    kernel computes π(m) for every 2 ≤ m ≤ 20 by ACTUAL cycle
+    detection (walk (F_k, F_{k+1}) mod m until (0, 1) recurs),
+    asserts the classical table (π(2) = 3, π(3) = 8, π(10) = 60,
+    …), and verifies the CRT multiplicativity
+    π(mn) = lcm(π(m), π(n)) for every coprime pair in range —
+    the structure theorem exercised, not cited.  Output: one row
+    per modulus with the census-selected one flagged.  Mirror:
+    the same cycle walk as a recursive CTE per modulus."""
+    def pisano(m):
+        a, b = 0, 1
+        k = 0
+        while True:
+            a, b = b, (a + b) % m
+            k += 1
+            if (a, b) == (0, 1):
+                return k
+
+    known = {2: 3, 3: 8, 4: 6, 5: 20, 6: 24, 7: 16, 8: 12,
+             9: 24, 10: 60, 11: 10, 12: 24, 13: 28, 14: 48,
+             15: 40, 16: 24, 17: 36, 18: 24, 19: 18, 20: 60}
+    pi = {m: pisano(m) for m in range(2, PISANO_MMAX + 1)}
+    assert pi == known
+
+    for m in range(2, PISANO_MMAX + 1):
+        for n2 in range(2, PISANO_MMAX + 1):
+            if math.gcd(m, n2) == 1 and m * n2 <= PISANO_MMAX:
+                assert pi[m * n2] == (pi[m] * pi[n2]
+                                      // math.gcd(pi[m], pi[n2]))
+
+    sel = int(sel_census) % 19 + 2
+    rows = [(m, pi[m], 1 if m == sel else 0)
+            for m in range(2, PISANO_MMAX + 1)]
+    out = pd.DataFrame(rows, columns=["m", "pisano", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+CONWAY_N = 1024
+
+
+def conway_sequence_int(start_census):
+    """Conway's $10,000 sequence a(n) = a(a(n−1)) + a(n−a(n−1)) —
+    NESTED (meta-Fibonacci) RECURRENCES, a family the surface
+    lacked: the kernel builds 1024 terms from a(1) = a(2) = 1 and
+    asserts the EXACT structural theorems — a(2^k) = 2^(k−1) for
+    every k (the sequence is exactly half at powers of two),
+    slow growth a(n+1) − a(n) ∈ {0, 1} everywhere, monotonicity,
+    and the bounds n/2 ≤ a(n) ≤ n — the properties Conway's
+    prize concerned, verified on the range.  A census window is
+    reported.  Output: 24 rows (off, n, a_n, delta).  Mirror:
+    the recurrence as a recursive list CTE."""
+    a = [0, 1, 1]
+    for n in range(3, CONWAY_N + 1):
+        a.append(a[a[n - 1]] + a[n - a[n - 1]])
+
+    for k in range(1, 11):
+        if 2 ** k <= CONWAY_N:
+            assert a[2 ** k] == 2 ** (k - 1)
+    for n in range(2, CONWAY_N):
+        d = a[n + 1] - a[n]
+        assert d in (0, 1)
+    for n in range(1, CONWAY_N + 1):
+        assert n <= 2 * a[n] and a[n] <= n
+
+    start = int(start_census) % (CONWAY_N - 25) + 1
+    rows = [(off, start + off, a[start + off],
+             a[start + off + 1] - a[start + off])
+            for off in range(24)]
+    out = pd.DataFrame(rows, columns=["off", "n", "a_n", "delta"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
