@@ -11288,3 +11288,114 @@ def conway_sequence_int(start_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def golomb_ruler_int(sel_census):
+    """Optimal Golomb rulers — SIDON SETS IN Z, a family the
+    surface lacked (sum_free_sets forbids x+y = z; Golomb rulers
+    forbid REPEATED DIFFERENCES): the kernel verifies by
+    EXHAUSTION that the optimal order-4 ruler has length 6 (no
+    4-mark ruler of length ≤ 5 has all C(4,2) differences
+    distinct; at length 6 exactly {0,1,4,6} and its mirror
+    {0,2,5,6} work) and the optimal order-5 ruler has length 11
+    (sweep over all 5-subsets of 0..11, the known rulers
+    recovered), with perfection noted: order 4 at length 6
+    measures EVERY distance 1..6 (a perfect ruler — asserted).
+    Output: one row per optimal ruler found, census-flagged.
+    Mirror: the same subset sweeps via bitmask joins."""
+    from itertools import combinations
+
+    def is_ruler(marks):
+        difs = [b - a for a, b in combinations(marks, 2)]
+        return len(set(difs)) == len(difs)
+
+    # order 4: nothing of length <= 5
+    for L in range(1, 6):
+        found = [m for m in combinations(range(L + 1), 4)
+                 if 0 in m and L in m and is_ruler(m)]
+        assert not found, L
+    r4 = [m for m in combinations(range(7), 4)
+          if 0 in m and 6 in m and is_ruler(m)]
+    assert sorted(r4) == [(0, 1, 4, 6), (0, 2, 5, 6)]
+    # perfection: all distances 1..6 measured
+    for m in r4:
+        difs = {b - a for a, b in combinations(m, 2)}
+        assert difs == set(range(1, 7))
+
+    for L in range(7, 11):
+        found = [m for m in combinations(range(L + 1), 5)
+                 if 0 in m and L in m and is_ruler(m)]
+        assert not found, L
+    r5 = [m for m in combinations(range(12), 5)
+          if 0 in m and 11 in m and is_ruler(m)]
+    assert (0, 1, 4, 9, 11) in r5
+    assert (0, 2, 7, 8, 11) in r5
+    assert len(r5) == 4                  # two rulers + mirrors
+
+    rulers = [(4, 6, m) for m in sorted(r4)] \
+        + [(5, 11, m + (0,) * 0) for m in sorted(r5)]
+    sel = int(sel_census) % len(rulers)
+    rows = []
+    for i, (order, length, m) in enumerate(rulers):
+        mm = list(m) + [-1] * (5 - len(m))
+        rows.append((i, order, length, mm[0], mm[1], mm[2],
+                     mm[3], mm[4], 1 if i == sel else 0))
+    out = pd.DataFrame(rows, columns=["idx", "order_", "length",
+                                      "m0", "m1", "m2", "m3",
+                                      "m4", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def langford_pairs_int(sel_census):
+    """Langford pairings — SEQUENCE DESIGNS, a family the surface
+    lacked: arrange 1,1,2,2,…,n,n so the two copies of k sit
+    exactly k apart; solutions exist iff n ≡ 0 or 3 (mod 4).  The
+    kernel verifies BOTH directions exhaustively for n ≤ 5:
+    L(2,3) has exactly 2 sequences (231213 and its reversal),
+    L(2,4) exactly 2 (41312432 + reversal), and n = 1, 2, 5 have
+    NONE (the parity obstruction observed by counting, not
+    cited).  Output: one row per (n, count) plus the solutions of
+    the census-selected solvable n.  Mirror: the same backtracking
+    expressed as position joins."""
+    def count_langford(n):
+        sols = []
+
+        def rec(seq, k):
+            if k == 0:
+                sols.append(tuple(seq))
+                return
+            for p in range(2 * n - k - 1):
+                if seq[p] == 0 and seq[p + k + 1] == 0:
+                    seq[p] = seq[p + k + 1] = k
+                    rec(seq, k - 1)
+                    seq[p] = seq[p + k + 1] = 0
+
+        rec([0] * (2 * n), n)
+        return sols
+
+    counts = {}
+    sols_by_n = {}
+    for n in range(1, 6):
+        s = count_langford(n)
+        counts[n] = len(s)
+        sols_by_n[n] = sorted(s)
+    assert counts == {1: 0, 2: 0, 3: 2, 4: 2, 5: 0}
+    assert tuple([2, 3, 1, 2, 1, 3]) in sols_by_n[3]
+    assert tuple([4, 1, 3, 1, 2, 4, 3, 2]) in sols_by_n[4]
+
+    sel_n = 3 if int(sel_census) % 2 == 0 else 4
+    rows = []
+    for n in range(1, 6):
+        rows.append((n, counts[n], 1 if n == sel_n else 0, -1,
+                     0))
+    for si, s in enumerate(sols_by_n[sel_n]):
+        digits = int("".join(map(str, s)))
+        rows.append((sel_n, counts[sel_n], 1, si, digits))
+    out = pd.DataFrame(rows, columns=["n", "n_solutions",
+                                      "selected", "sol_idx",
+                                      "sol_digits"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
