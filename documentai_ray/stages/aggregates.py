@@ -11399,3 +11399,125 @@ def langford_pairs_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+JUG_MAX = 12
+
+
+def water_jugs_int(s1, s2):
+    """The two-jug measuring problem — STATE-SPACE REACHABILITY,
+    a family the surface lacked (puzzle_parity classifies by an
+    invariant; the jug problem's invariant is the gcd): with jugs
+    of capacities a and b (fill / empty / pour moves) the
+    measurable amounts are EXACTLY the multiples of gcd(a, b) up
+    to max(a, b) — the kernel verifies this by running the ACTUAL
+    BFS for EVERY capacity pair 1 ≤ a, b ≤ 12 (144 state-space
+    searches, both inclusions checked against the gcd
+    characterization), then reports the census pair's reachable
+    amounts.  Output: one row per measurable amount.  Mirror:
+    the gcd characterization (the BFS is the kernel's half)."""
+    def measurable(a, b):
+        seen = {(0, 0)}
+        frontier = [(0, 0)]
+        while frontier:
+            x, y = frontier.pop()
+            nxt = [(a, y), (x, b), (0, y), (x, 0)]
+            t = min(x, b - y)
+            nxt.append((x - t, y + t))
+            t = min(y, a - x)
+            nxt.append((x + t, y - t))
+            for s in nxt:
+                if s not in seen:
+                    seen.add(s)
+                    frontier.append(s)
+        return {x for x, y in seen} | {y for x, y in seen}
+
+    for a in range(1, JUG_MAX + 1):
+        for b in range(1, JUG_MAX + 1):
+            g = math.gcd(a, b)
+            want = {k for k in range(0, max(a, b) + 1)
+                    if k % g == 0}
+            assert measurable(a, b) == want, (a, b)
+
+    a = int(s1) % JUG_MAX + 1
+    b = int(s2) % JUG_MAX + 1
+    g = math.gcd(a, b)
+    amounts = sorted(k for k in range(0, max(a, b) + 1)
+                     if k % g == 0)
+    rows = [(i, v, a, b, g, len(amounts))
+            for i, v in enumerate(amounts)]
+    out = pd.DataFrame(rows, columns=["idx", "amount", "a", "b",
+                                      "g", "n_amounts"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def friendship_graphs_int(sel_census):
+    """The friendship theorem on small orders — a family the
+    surface lacked (paley_graph is strong regularity; Erdős-
+    Rényi-Sós 1966 says a graph where every two vertices share
+    EXACTLY ONE common friend is a windmill): the kernel sweeps
+    ALL graphs on 5 vertices (2^10) and on 6 vertices (2^15),
+    asserting that the friendship graphs on 5 vertices are
+    EXACTLY the 15 labelings of the bowtie (two triangles sharing
+    a hub) and that NO friendship graph exists on 6 vertices
+    (windmills have odd order — the parity face of the theorem,
+    observed by exhaustion).  The census flags one bowtie
+    labeling.  Output: one row per 5-vertex friendship graph
+    (edge mask + hub).  Mirror: the same sweeps in SQL."""
+    def pairs(n):
+        return [(i, j) for i in range(n) for j in range(i + 1, n)]
+
+    def friendship(n, mask, prs):
+        eidx = {e: k for k, e in enumerate(prs)}
+
+        def adj(i, j):
+            if i == j:
+                return False
+            e = (min(i, j), max(i, j))
+            return (mask >> eidx[e]) & 1 == 1
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                common = sum(1 for k in range(n)
+                             if adj(i, k) and adj(j, k))
+                if common != 1:
+                    return False
+        return True
+
+    p5 = pairs(5)
+    wins = [m for m in range(1 << 10) if friendship(5, m, p5)]
+    assert len(wins) == 15               # bowtie labelings
+
+    # hub = the vertex of degree 4
+    hubs = []
+    for m in wins:
+        deg = [0] * 5
+        for k, (i, j) in enumerate(p5):
+            if (m >> k) & 1:
+                deg[i] += 1
+                deg[j] += 1
+        assert sorted(deg) == [2, 2, 2, 2, 4]
+        hubs.append(deg.index(4))
+
+    p6 = pairs(6)
+    none6 = [m for m in range(1 << 15) if friendship(6, m, p6)]
+    assert none6 == []                   # even order: none
+
+    sel = int(sel_census) % 15
+    rows = []
+    for i, m in enumerate(sorted(wins)):
+        deg = [0] * 5
+        for k, (a, b) in enumerate(p5):
+            if (m >> k) & 1:
+                deg[a] += 1
+                deg[b] += 1
+        rows.append((i, m, deg.index(4), 1 if i == sel else 0,
+                     15, 0))
+    out = pd.DataFrame(rows, columns=["idx", "edge_mask", "hub",
+                                      "selected", "n_order5",
+                                      "n_order6"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
