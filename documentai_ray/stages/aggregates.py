@@ -11521,3 +11521,95 @@ def friendship_graphs_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+HERON_PMAX = 50
+
+
+def heronian_triangles_int(sel_census):
+    """Heronian triangles — INTEGER GEOMETRY beyond right angles,
+    a family the surface lacked (pythagorean_triples demands a
+    right angle; Heron only demands integer AREA): the kernel
+    sweeps all triangles a ≤ b ≤ c < a+b with perimeter ≤ 50,
+    keeps those where 16A² = (a+b+c)(−a+b+c)(a−b+c)(a+b−c) is a
+    perfect square whose root is divisible by 4 (⟺ integer
+    area — the parity subtlety stated), asserts the classics —
+    (3,4,5) area 6, (5,5,6) and (5,5,8) both area 12 (the famous
+    isoperimetric near-twins), (9,10,17) area 36 — and that every
+    Pythagorean triple in range reappears (right triangles are
+    Heronian).  Output: one row per Heronian triangle, census
+    flagged.  Mirror: the same sweep with the same integer
+    square test."""
+    tri = []
+    for a in range(1, HERON_PMAX):
+        for b in range(a, HERON_PMAX):
+            for c_ in range(b, min(a + b, HERON_PMAX - a - b + 1)):
+                if a + b + c_ > HERON_PMAX:
+                    continue
+                q = ((a + b + c_) * (-a + b + c_) * (a - b + c_)
+                     * (a + b - c_))
+                r = math.isqrt(q)
+                if r * r == q and r % 4 == 0 and r > 0:
+                    tri.append((a, b, c_, r // 4))
+
+    d = {(a, b, c_): ar for a, b, c_, ar in tri}
+    assert d[(3, 4, 5)] == 6
+    assert d[(5, 5, 6)] == 12
+    assert d[(5, 5, 8)] == 12
+    assert d[(9, 10, 17)] == 36
+    for (a, b, c_) in [(3, 4, 5), (6, 8, 10), (5, 12, 13),
+                      (9, 12, 15), (8, 15, 17)]:
+        assert (a, b, c_) in d           # right triangles included
+
+    tri.sort()
+    sel = int(sel_census) % len(tri)
+    rows = [(i, a, b, c_, ar, 1 if i == sel else 0, len(tri))
+            for i, (a, b, c_, ar) in enumerate(tri)]
+    out = pd.DataFrame(rows, columns=["idx", "a", "b", "c",
+                                      "area", "selected",
+                                      "n_heronian"])
+    for c2 in out.columns:
+        out[c2] = out[c2].astype("int64")
+    return out
+
+
+PERRIN_MAX = 200
+
+
+def perrin_test_int(seeds):
+    """The Perrin primality phenomenon — LINEAR-RECURRENCE
+    PRIMALITY TESTS, a family the surface lacked (miller_rabin is
+    Fermat-flavoured; Perrin's P(n) = P(n−2) + P(n−3) with
+    P(0..2) = 3, 0, 2 satisfies p | P(p) for every prime): the
+    kernel verifies BOTH directions on the range — p | P(p) for
+    ALL primes ≤ 200, and NO composite ≤ 200 passes (the smallest
+    Perrin pseudoprime is 271441, far above — stated), computing
+    P(n) mod n by the recurrence so no bignum is needed.  Census
+    rows classified.  Output: (inst, n, perrin_mod_n, is_prime,
+    passes).  Mirror: the mod-n recurrence as a recursive CTE
+    per instance."""
+    def is_prime(v):
+        return v >= 2 and all(v % f for f in
+                              range(2, math.isqrt(v) + 1))
+
+    def perrin_mod(n):
+        a, b, c_ = 3 % n, 0, 2 % n
+        for _ in range(n):
+            a, b, c_ = b, c_, (a + b) % n
+        return a                          # P(n) mod n
+
+    for n in range(2, PERRIN_MAX + 1):
+        passes = perrin_mod(n) == 0
+        assert passes == is_prime(n), n
+
+    rows = []
+    for i, s in enumerate(seeds):
+        n = int(s) % 199 + 2
+        pm = perrin_mod(n)
+        rows.append((i, n, pm, 1 if is_prime(n) else 0,
+                     1 if pm == 0 else 0))
+    out = pd.DataFrame(rows, columns=["inst", "n", "perrin_mod_n",
+                                      "is_prime", "passes"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
