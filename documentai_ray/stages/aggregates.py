@@ -11613,3 +11613,92 @@ def perrin_test_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+CATALAN_PMAX = 10 ** 6
+
+
+def catalan_mihailescu_int(sel_census):
+    """Consecutive perfect powers — EXPONENTIAL DIOPHANTINE
+    EQUATIONS, a family the surface lacked (pell_equation is
+    quadratic; Catalan's conjecture, Mihăilescu's theorem 2002,
+    says 8 and 9 are the ONLY consecutive perfect powers): the
+    kernel enumerates EVERY perfect power a^b ≤ 10^6 (b ≥ 2,
+    a ≥ 2), sorts them, and asserts that the only adjacent pair
+    at distance 1 is (8, 9) — the theorem verified on the range
+    by exhaustion.  The census selects a window of the
+    perfect-power sequence.  Output: 24 rows (off, power,
+    next_power, gap, is_catalan_pair).  Mirror: the same
+    enumeration by bounded joins."""
+    powers = set()
+    a = 2
+    while a * a <= CATALAN_PMAX:
+        v = a * a
+        while v <= CATALAN_PMAX:
+            powers.add(v)
+            v *= a
+        a += 1
+    ps = sorted(powers)
+
+    catalan_pairs = [(x, y) for x, y in zip(ps, ps[1:])
+                     if y - x == 1]
+    assert catalan_pairs == [(8, 9)]     # Mihailescu on the range
+
+    start = int(sel_census) % (len(ps) - 25)
+    rows = [(off, ps[start + off], ps[start + off + 1],
+             ps[start + off + 1] - ps[start + off],
+             1 if ps[start + off + 1] - ps[start + off] == 1
+             else 0) for off in range(24)]
+    out = pd.DataFrame(rows, columns=["off", "power",
+                                      "next_power", "gap",
+                                      "is_catalan_pair"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SYLVESTER_N = 6
+
+
+def sylvester_sequence_int(sel_census):
+    """Sylvester's sequence — GREEDY UNIT-FRACTION SERIES, a
+    family the surface lacked (egyptian_fractions decomposes
+    GIVEN targets; Sylvester's 2, 3, 7, 43, 1807, … is the
+    canonical infinite greedy object): a(n+1) = a(n)² − a(n) + 1;
+    the kernel builds terms through a(6) = 10650056950807 (the
+    int64 ceiling — a(7) overflows, stated), asserts the exact
+    TELESCOPING identity Σ_{i≤n} 1/a_i = (a_{n+1} − 2)/
+    (a_{n+1} − 1) in Fraction arithmetic per n, the doubly-
+    exponential growth a(n+1) > a(n)² − a(n), and pairwise
+    COPRIMALITY of all terms (each new term ≡ 1 mod every
+    predecessor — checked).  Output: one row per term with the
+    cleared partial-sum fraction.  Mirror: the recurrence as a
+    recursive CTE with the closed-form partial sums."""
+    from fractions import Fraction
+
+    a = [2]
+    for _ in range(SYLVESTER_N):
+        a.append(a[-1] * a[-1] - a[-1] + 1)
+    assert a[:5] == [2, 3, 7, 43, 1807]
+    assert a[6] == 10650056950807
+
+    psum = Fraction(0)
+    rows = []
+    for n in range(SYLVESTER_N):
+        psum += Fraction(1, a[n])
+        expect = Fraction(a[n + 1] - 2, a[n + 1] - 1)
+        assert psum == expect            # telescoping, exact
+        rows.append((n, a[n], a[n + 1] - 2, a[n + 1] - 1))
+    for i in range(len(a)):
+        for j in range(i + 1, len(a)):
+            assert math.gcd(a[i], a[j]) == 1
+            assert a[j] % a[i] == 1
+
+    sel = int(sel_census) % SYLVESTER_N
+    rows = [(n, t, pn, pdn, 1 if n == sel else 0)
+            for n, t, pn, pdn in rows]
+    out = pd.DataFrame(rows, columns=["n", "term", "psum_num",
+                                      "psum_den", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
