@@ -11702,3 +11702,93 @@ def sylvester_sequence_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+KOLAKOSKI_N = 200
+
+
+def kolakoski_int(start_census):
+    """The Kolakoski sequence — SELF-REFERENTIAL SEQUENCES, a
+    family the surface lacked (conway_sequence nests by VALUES;
+    Kolakoski's 1,2,2,1,1,2,… IS its own run-length encoding):
+    the kernel generates 200 terms by the pointer construction
+    (run i has length seq[i], values alternate 1/2), then
+    VERIFIES the self-description — the run-length encoding of
+    the generated prefix is asserted equal to the prefix of the
+    sequence itself (the defining fixed-point property, checked
+    on the range, with the boundary run dropped as possibly
+    incomplete — stated).  A census window is reported.  Output:
+    24 rows (off, n, value).  Mirror: the same pointer
+    construction as a recursive list CTE."""
+    seq = [1, 2, 2]
+    k = 2                                # 0-indexed run pointer
+    while len(seq) < KOLAKOSKI_N + 30:
+        nxt = 3 - seq[-1]
+        run = seq[k]
+        seq.extend([nxt] * run)
+        k += 1
+    seq = seq[:KOLAKOSKI_N + 30]
+
+    # self-description: RLE of the prefix equals the sequence
+    rle = []
+    i = 0
+    while i < KOLAKOSKI_N:
+        j = i
+        while j < KOLAKOSKI_N and seq[j] == seq[i]:
+            j += 1
+        rle.append(j - i)
+        i = j
+    rle = rle[:-1]                       # last run may be cut
+    assert rle == seq[:len(rle)]         # the fixed point
+    assert set(seq[:KOLAKOSKI_N]) == {1, 2}
+
+    start = int(start_census) % (KOLAKOSKI_N - 24)
+    rows = [(off, start + off, seq[start + off])
+            for off in range(24)]
+    out = pd.DataFrame(rows, columns=["off", "n", "value"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def ducci_int(seeds):
+    """Ducci's four-number game — CYCLIC DIFFERENCE DYNAMICS, a
+    family the surface lacked (gilbreath differences the primes
+    once per row; Ducci iterates |a−b| around a CYCLE, and for
+    tuple length 4 — a power of two — EVERY start reaches
+    (0,0,0,0)): the kernel verifies the theorem EXHAUSTIVELY over
+    ALL 16^4 = 65536 tuples with entries < 16 (every trajectory
+    followed to zero, the classical ≤ ~20-step bound observed),
+    then reports the census tuple's full trajectory.  Output:
+    one row per step.  Mirror: the trajectory as a recursive
+    CTE."""
+    def step(t):
+        return (abs(t[0] - t[1]), abs(t[1] - t[2]),
+                abs(t[2] - t[3]), abs(t[3] - t[0]))
+
+    max_steps = 0
+    for m in range(16 ** 4):
+        t = (m & 15, (m >> 4) & 15, (m >> 8) & 15, (m >> 12) & 15)
+        s = 0
+        while t != (0, 0, 0, 0):
+            t = step(t)
+            s += 1
+            assert s <= 30
+        max_steps = max(max_steps, s)
+    assert max_steps <= 20
+
+    t = tuple(int(s) % 100 for s in seeds[:4])
+    rows = []
+    s = 0
+    while True:
+        rows.append((s, t[0], t[1], t[2], t[3], max_steps))
+        if t == (0, 0, 0, 0):
+            break
+        t = step(t)
+        s += 1
+        assert s < 40
+    out = pd.DataFrame(rows, columns=["step", "a", "b", "c", "d",
+                                      "max_steps_sub16"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
