@@ -11792,3 +11792,120 @@ def ducci_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def _to_negabinary(n):
+    if n == 0:
+        return [0]
+    ds = []
+    while n != 0:
+        d = n % 2
+        if d < 0:
+            d += 2
+        ds.append(d)
+        n = (n - d) // -2
+    return ds                            # little-endian
+
+
+def negabinary_int(seeds):
+    """Negabinary representation — NEGATIVE-BASE NUMERATION, a
+    family the surface lacked (zeckendorf changes the DIGIT
+    WEIGHTS; base −2 changes their SIGNS, representing every
+    integer — negative ones included — with digits 0/1 and NO
+    sign bit): the kernel converts each census value v and −v,
+    asserts the round trip Σ d_i·(−2)^i = n exactly, digits
+    ∈ {0,1}, and UNIQUENESS exhaustively for |n| ≤ 256 (all
+    bounded digit strings enumerated — distinct values, every
+    target hit once).  Output: one row per (instance, digit).
+    Mirror: the conversion as a recursive CTE with the
+    floor-corrected digit rule (stated)."""
+    # uniqueness: all 12-digit strings give distinct values and
+    # cover [-1365, 682] fully... check the window [-256, 256]
+    vals = {}
+    for m in range(1 << 12):
+        v = sum(((m >> i) & 1) * (-2) ** i for i in range(12))
+        assert v not in vals or vals[v] == m
+        if v in vals:
+            assert vals[v] == m
+        vals[v] = m
+    for n in range(-256, 257):
+        assert n in vals                 # coverage
+    # distinctness: 4096 strings -> 4096 values
+    assert len(vals) == 4096
+
+    rows = []
+    inst = 0
+    for s in seeds:
+        for sign in (1, -1):
+            n = sign * (int(s) % 200 + 1)
+            ds = _to_negabinary(n)
+            assert sum(d * (-2) ** i
+                       for i, d in enumerate(ds)) == n
+            assert set(ds) <= {0, 1}
+            for pos, d in enumerate(ds):
+                rows.append((inst, n, pos, d, len(ds)))
+            inst += 1
+    out = pd.DataFrame(rows, columns=["inst", "n", "pos", "digit",
+                                      "n_digits"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _to_balanced_ternary(n):
+    if n == 0:
+        return [0]
+    ds = []
+    while n != 0:
+        d = n % 3
+        if d == 2:
+            d = -1
+        ds.append(d)
+        n = (n - d) // 3
+    return ds
+
+
+def balanced_ternary_int(seeds):
+    """Balanced ternary — SIGNED-DIGIT NUMERATION (Knuth's
+    'prettiest number system'), a family the surface lacked:
+    digits −1, 0, 1 with weights 3^i represent every integer,
+    negation is digitwise, and truncation rounds to NEAREST: the
+    kernel converts census values ±v, asserts round trips,
+    digitwise negation (digits of −n are the negated digits of
+    n — checked), and uniqueness exhaustively for |n| ≤ 364 (all
+    3^6 strings distinct, the window covered).  Output: one row
+    per (instance, digit).  Mirror: the conversion recursion with
+    the 2 → −1 digit correction."""
+    vals = {}
+    for m in range(3 ** 6):
+        ds = []
+        mm = m
+        for _ in range(6):
+            ds.append(mm % 3 - 1)
+            mm //= 3
+        v = sum(d * 3 ** i for i, d in enumerate(ds))
+        assert v not in vals
+        vals[v] = ds
+    assert len(vals) == 729
+    for n in range(-364, 365):
+        assert n in vals
+
+    rows = []
+    inst = 0
+    for s in seeds:
+        v = int(s) % 300 + 1
+        dpos = _to_balanced_ternary(v)
+        dneg = _to_balanced_ternary(-v)
+        assert dneg == [-d for d in dpos]          # negation law
+        for n, ds in ((v, dpos), (-v, dneg)):
+            assert sum(d * 3 ** i
+                       for i, d in enumerate(ds)) == n
+            assert set(ds) <= {-1, 0, 1}
+            for pos, d in enumerate(ds):
+                rows.append((inst, n, pos, d, len(ds)))
+            inst += 1
+    out = pd.DataFrame(rows, columns=["inst", "n", "pos", "digit",
+                                      "n_digits"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
