@@ -11909,3 +11909,85 @@ def balanced_ternary_int(seeds):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+HAPPY_CYCLE = (4, 16, 37, 58, 89, 145, 42, 20)
+
+
+def happy_numbers_int(seeds):
+    """Happy numbers — DIGIT-SQUARE DYNAMICS, a family the
+    surface lacked (kaprekar sorts and subtracts; the happy map
+    squares digits): iterating n ↦ Σ digit², EVERY positive
+    integer reaches either 1 (happy) or the unique 8-cycle
+    4 → 16 → 37 → 58 → 89 → 145 → 42 → 20 → 4 — the kernel
+    verifies the dichotomy EXHAUSTIVELY for all n ≤ 1000 (every
+    trajectory lands in {1} ∪ cycle), asserts the cycle is
+    genuinely an 8-cycle of the map, and counts the happy
+    population (143 of the first 1000 — computed).  Census
+    trajectories reported.  Output: (inst, step, value, is_happy).
+    Mirror: the trajectory recursion with cycle detection by
+    membership."""
+    def dsq(n):
+        s = 0
+        while n:
+            s += (n % 10) ** 2
+            n //= 10
+        return s
+
+    for i, v in enumerate(HAPPY_CYCLE):
+        assert dsq(v) == HAPPY_CYCLE[(i + 1) % 8]
+
+    def classify(n):
+        while n != 1 and n not in HAPPY_CYCLE:
+            n = dsq(n)
+        return n == 1
+
+    n_happy = sum(1 for n in range(1, 1001) if classify(n))
+    assert n_happy == 143
+
+    rows = []
+    for i, s in enumerate(seeds):
+        n = int(s) % 1000 + 1
+        happy = classify(n)
+        cur, step = n, 0
+        while True:
+            rows.append((i, step, cur, 1 if happy else 0))
+            if cur == 1 or cur in HAPPY_CYCLE:
+                break
+            cur = dsq(cur)
+            step += 1
+            assert step < 50
+    out = pd.DataFrame(rows, columns=["inst", "step", "value",
+                                      "is_happy"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def armstrong_numbers_int(sel_census):
+    """Armstrong (narcissistic) numbers — DIGIT-POWER FIXED
+    POINTS, a family the surface lacked: n equals the sum of its
+    k-th-power digits (k = digit count); the kernel sweeps ALL
+    n < 10^5 and asserts the complete list — 1..9, 153, 370, 371,
+    407, 1634, 8208, 9474, 54748, 92727, 93084 — by computation
+    (notably NO 2-digit Armstrong number exists, checked).
+    Output: one row per Armstrong number, census flagged.
+    Mirror: the same sweep with digit-power arithmetic."""
+    arm = []
+    for n in range(1, 10 ** 5):
+        ds = str(n)
+        k = len(ds)
+        if sum(int(ch) ** k for ch in ds) == n:
+            arm.append(n)
+    assert arm == [1, 2, 3, 4, 5, 6, 7, 8, 9, 153, 370, 371,
+                   407, 1634, 8208, 9474, 54748, 92727, 93084]
+    assert not any(10 <= a <= 99 for a in arm)
+
+    sel = int(sel_census) % len(arm)
+    rows = [(i, v, len(str(v)), 1 if i == sel else 0, len(arm))
+            for i, v in enumerate(arm)]
+    out = pd.DataFrame(rows, columns=["idx", "n", "k", "selected",
+                                      "n_armstrong"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
