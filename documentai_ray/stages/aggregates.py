@@ -11991,3 +11991,90 @@ def armstrong_numbers_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def square_triangular_int(sel_census):
+    """Square-triangular numbers — SIMULTANEOUS FIGURATE NUMBERS,
+    a family the surface lacked (pell_equation solves x²−dy² = 1
+    abstractly; here Pell DRIVES a concrete enumeration): N is
+    both a square and a triangular number iff it comes from a
+    solution of x² − 2y² = ±1, giving the recurrence
+    N_{k+1} = 34·N_k − N_{k−1} + 2.  The kernel finds ALL
+    square-triangular numbers ≤ 10^9 by EXHAUSTIVE isqrt sweep
+    over triangular numbers (both characterizations tested
+    per value) and asserts the list equals the recurrence's
+    output — 0, 1, 36, 1225, 41616, 1413721, 48024900 — plus the
+    square/triangular index pair per entry.  Output: one row per
+    value with its square root and triangular index.  Mirror:
+    the recurrence + per-row isqrt verification."""
+    found = []
+    t = 0
+    k = 0
+    while True:
+        t = k * (k + 1) // 2
+        if t > 10 ** 9:
+            break
+        r = math.isqrt(t)
+        if r * r == t:
+            found.append((t, r, k))
+        k += 1
+
+    rec = [0, 1]
+    while True:
+        nxt = 34 * rec[-1] - rec[-2] + 2
+        if nxt > 10 ** 9:
+            break
+        rec.append(nxt)
+    assert [v for v, _, _ in found] == rec
+    assert rec == [0, 1, 36, 1225, 41616, 1413721, 48024900]
+
+    sel = int(sel_census) % len(found)
+    rows = [(i, v, r, k, 1 if i == sel else 0)
+            for i, (v, r, k) in enumerate(found)]
+    out = pd.DataFrame(rows, columns=["idx", "n", "sqrt_n",
+                                      "tri_index", "selected"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+AMICABLE_MAX = 10000
+
+
+def amicable_pairs_int(sel_census):
+    """Amicable pairs below 10000 — ALIQUOT PAIR STRUCTURE, a
+    family the surface lacked (perfect_numbers are the FIXED
+    points of the aliquot map s(n) = σ(n) − n; amicable pairs are
+    its 2-CYCLES): the kernel sieves σ and asserts the complete
+    classical list — (220, 284), (1184, 1210), (2620, 2924),
+    (5020, 5564), (6232, 6368) — by exhaustion, with s(s(a)) = a
+    and a ≠ s(a) certified per pair (genuine 2-cycles, not fixed
+    points).  Output: one row per pair, census flagged.  Mirror:
+    the same divisor-sum join sweep."""
+    sig = [0] * (AMICABLE_MAX * 2 + 1)
+    for d in range(1, AMICABLE_MAX * 2 + 1):
+        for m in range(d, AMICABLE_MAX * 2 + 1, d):
+            sig[m] += d
+
+    def s(n):
+        return sig[n] - n
+
+    pairs = []
+    for a in range(2, AMICABLE_MAX + 1):
+        b = s(a)
+        if a < b <= AMICABLE_MAX and s(b) == a:
+            pairs.append((a, b))
+    assert pairs == [(220, 284), (1184, 1210), (2620, 2924),
+                     (5020, 5564), (6232, 6368)]
+    for a, b in pairs:
+        assert s(s(a)) == a and s(a) != a
+
+    sel = int(sel_census) % len(pairs)
+    rows = [(i, a, b, s(a), s(b), 1 if i == sel else 0,
+             len(pairs)) for i, (a, b) in enumerate(pairs)]
+    out = pd.DataFrame(rows, columns=["idx", "a", "b", "s_a",
+                                      "s_b", "selected",
+                                      "n_pairs"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
