@@ -12078,3 +12078,77 @@ def amicable_pairs_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def vampire_numbers_int(sel_census):
+    """Vampire numbers — DIGIT-PERMUTATION FACTORIZATIONS, a
+    family the surface lacked: a 4-digit n is a vampire if
+    n = a·b with two 2-digit fangs whose digits together are a
+    permutation of n's (not both fangs ending in 0); the kernel
+    sweeps ALL 2-digit fang pairs and asserts the complete list —
+    1260, 1395, 1435, 1530, 1827, 2187, 6880 — with fangs per
+    entry, by computation.  Output: one row per vampire number,
+    census flagged.  Mirror: the fang join with sorted-digit
+    multiset comparison."""
+    vamps = {}
+    for a in range(10, 100):
+        for b in range(a, 100):
+            n = a * b
+            if not 1000 <= n <= 9999:
+                continue
+            if a % 10 == 0 and b % 10 == 0:
+                continue
+            if sorted(str(a) + str(b)) == sorted(str(n)):
+                vamps.setdefault(n, (a, b))
+    ns = sorted(vamps)
+    assert ns == [1260, 1395, 1435, 1530, 1827, 2187, 6880]
+
+    sel = int(sel_census) % len(ns)
+    rows = [(i, n, vamps[n][0], vamps[n][1],
+             1 if i == sel else 0, len(ns))
+            for i, n in enumerate(ns)]
+    out = pd.DataFrame(rows, columns=["idx", "n", "fang1",
+                                      "fang2", "selected",
+                                      "n_vampires"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def kaprekar_numbers_int(sel_census):
+    """Kaprekar numbers — SQUARE-SPLIT IDENTITIES, a family the
+    surface lacked (kaprekar iterates 6174's routine; Kaprekar
+    NUMBERS are the unrelated split-sum fixed points): n is
+    Kaprekar if n² split into a right part of d digits (d =
+    digits of n) and a left part sums back to n (right part
+    nonzero allowed per the classical convention, left may be 0
+    for n = 1): the kernel sweeps n ≤ 1000 over ALL split points
+    and asserts the classical list 1, 9, 45, 55, 99, 297, 703,
+    999 — including the celebrity 297² = 88209, 88 + 209 = 297.
+    Output: one row per Kaprekar number with its split, census
+    flagged.  Mirror: the same sweep with integer split
+    arithmetic."""
+    kap = {}
+    for n in range(1, 1001):
+        sq = n * n
+        s = str(sq)
+        for cut in range(1, len(s) + 1):
+            left = int(s[:-cut]) if cut < len(s) else 0
+            right = int(s[-cut:])
+            if right > 0 and left + right == n:
+                kap.setdefault(n, (left, right))
+                break
+    ns = sorted(kap)
+    assert ns == [1, 9, 45, 55, 99, 297, 703, 999]
+    assert kap[297] == (88, 209)
+
+    sel = int(sel_census) % len(ns)
+    rows = [(i, n, n * n, kap[n][0], kap[n][1],
+             1 if i == sel else 0, len(ns))
+            for i, n in enumerate(ns)]
+    out = pd.DataFrame(rows, columns=["idx", "n", "square",
+                                      "left", "right", "selected",
+                                      "n_kaprekar"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
