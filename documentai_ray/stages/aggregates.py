@@ -12152,3 +12152,81 @@ def kaprekar_numbers_int(sel_census):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def automorphic_numbers_int(sel_census):
+    """Automorphic numbers — TERMINAL-DIGIT FIXED POINTS, a
+    family the surface lacked (armstrong is digit-power sums;
+    automorphic n has n² ENDING in n, the discrete shadow of the
+    2-adic idempotents): the kernel sweeps all n < 10^5 and
+    asserts the complete list 1, 5, 6, 25, 76, 376, 625, 9376,
+    90625 — and the COMPLEMENT LAW: the two k-digit automorphic
+    numbers (beyond trivial 1) sum to 10^k + 1 (5+6 = 11,
+    25+76 = 101, 376+625 = 1001 — the idempotent pairing e and
+    1−e, verified where both exist).  Output: one row per
+    automorphic number, census flagged.  Mirror: the sweep with
+    modulus arithmetic."""
+    auto = []
+    for n in range(1, 10 ** 5):
+        k = len(str(n))
+        if (n * n) % 10 ** k == n:
+            auto.append(n)
+    assert auto == [1, 5, 6, 25, 76, 376, 625, 9376, 90625]
+    by_k = {}
+    for n in auto[1:]:
+        by_k.setdefault(len(str(n)), []).append(n)
+    for k, vs in by_k.items():
+        if len(vs) == 2:
+            assert vs[0] + vs[1] == 10 ** k + 1
+
+    sel = int(sel_census) % len(auto)
+    rows = [(i, n, len(str(n)), (n * n) % 10 ** len(str(n)),
+             1 if i == sel else 0, len(auto))
+            for i, n in enumerate(auto)]
+    out = pd.DataFrame(rows, columns=["idx", "n", "k",
+                                      "square_tail", "selected",
+                                      "n_automorphic"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def harshad_numbers_int(seeds):
+    """Harshad (Niven) numbers — DIGIT-SUM DIVISIBILITY, a family
+    the surface lacked: n divisible by its digit sum; the kernel
+    classifies ALL n ≤ 1000, computes the longest consecutive
+    Harshad run on the range (the opening 1..10 is a 10-run; the
+    kernel finds the true maximum by sweep, not assumption), and
+    reports census classifications.  Output: (inst, n, digit_sum,
+    is_harshad) plus the global longest-run columns.  Mirror: the
+    same classification + a gaps-and-islands run census in
+    SQL."""
+    def dsum(n):
+        return sum(int(c) for c in str(n))
+
+    har = [n for n in range(1, 1001) if n % dsum(n) == 0]
+    hs = set(har)
+    best_len, best_start = 0, 0
+    run, start = 0, 1
+    for n in range(1, 1001):
+        if n in hs:
+            if run == 0:
+                start = n
+            run += 1
+            if run > best_len:
+                best_len, best_start = run, start
+        else:
+            run = 0
+    assert best_len == 10 and best_start == 1   # the opening run
+
+    rows = []
+    for i, s in enumerate(seeds):
+        n = int(s) % 1000 + 1
+        rows.append((i, n, dsum(n), 1 if n in hs else 0,
+                     best_len, best_start))
+    out = pd.DataFrame(rows, columns=["inst", "n", "digit_sum",
+                                      "is_harshad", "max_run",
+                                      "max_run_start"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
