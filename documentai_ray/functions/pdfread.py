@@ -1,0 +1,464 @@
+"""Real-`%PDF-` text extraction — the S1/M1 real-format loop (VERDICT r2 #2).
+
+The reference's core PDF path is ``fitz.open`` + ``page.get_text()`` joined
+with ``"\\n"`` across pages
+(/root/reference/microservices/entity-extraction-service/app.py:515-533) and
+the layout walk ``page.get_text("dict")`` → blocks → lines → spans
+(app.py:547-593). PyMuPDF is not in this container, so this module is a
+from-scratch parser for the PDF 1.4 subset the engine itself writes
+(`functions/pdfwrite.py`) plus the common constructs of simple real-world
+files: uncompressed or `/FlateDecode` content streams, literal and hex
+strings, the full text-positioning operator set (`BT/ET`, `Tf`, `Td`, `TD`,
+`TL`, `T*`, `Tm`, `Tj`, `TJ`, `'`, `"`).
+
+Extraction semantics (the canonical spec, mirroring the reference's
+get_text page order):
+
+- pages in `/Root → /Pages → /Kids` order (fallback: `/Type /Page` objects
+  in object-number order when the trailer is damaged);
+- within a page, text runs are grouped into LINES by their y start
+  coordinate (runs within 1.0 unit share a line) and lines are sorted
+  top-first (descending y — PDF user space is y-up); runs within a line
+  sort by x and join with a single space;
+- lines join with ``"\\n"``; pages join with ``"\\n"`` (one separator per
+  page boundary, M1 semantics).
+
+Any structural damage (no objects, no pages, bad stream) raises
+``ValueError`` — the extract stage converts that to an error row
+(documentClassifier.py:888-896 semantics).
+
+Word boxes: one box per whitespace-separated word, advance approximated at
+0.6·font_size per character (Helvetica-average metric; the writer embeds no
+width tables). Coordinates are emitted top-left-origin and ×2-scaled like
+the MINIPDF walk (app.py:571-579 frontend overlay parity). Boxes are
+positional aids — the byte-identity contract is on the TEXT only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any
+
+MAGIC = b"%PDF-"
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_WS = b"\x00\t\n\x0c\r "
+
+
+def is_pdf(payload: bytes) -> bool:
+    return payload[: len(MAGIC)] == MAGIC
+
+
+# ---------------------------------------------------------------------------
+# object scan
+# ---------------------------------------------------------------------------
+
+def _skip_ws(buf: bytes, pos: int) -> int:
+    n = len(buf)
+    while pos < n and buf[pos] in _WS:
+        pos += 1
+    return pos
+
+
+def _match_dict(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Balanced ``<< … >>`` scan (string-aware). Returns (dict_bytes, end)."""
+    assert buf[pos:pos + 2] == b"<<"
+    depth = 0
+    i = pos
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if buf[i:i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif buf[i:i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return buf[pos:i], i
+        elif c == 0x28:  # '(' literal string — skip with escapes
+            i += 1
+            nest = 1
+            while i < n and nest:
+                if buf[i] == 0x5C:
+                    i += 2
+                    continue
+                if buf[i] == 0x28:
+                    nest += 1
+                elif buf[i] == 0x29:
+                    nest -= 1
+                i += 1
+        else:
+            i += 1
+    raise ValueError("unterminated dictionary")
+
+
+def parse_objects(pdf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Sequential tolerant object scan → ``{num: (dict_bytes, stream|None)}``.
+
+    Sequential (not finditer over the whole file) so binary stream bodies
+    can never be misread as object headers: after each `stream` keyword the
+    scan jumps `/Length` bytes. Indirect `/Length n 0 R` falls back to an
+    `endstream` search."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(pdf)
+    while True:
+        m = _OBJ_RE.search(pdf, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        i = _skip_ws(pdf, m.end())
+        dct = b""
+        stream: bytes | None = None
+        if pdf[i:i + 2] == b"<<":
+            dct, i = _match_dict(pdf, i)
+            j = _skip_ws(pdf, i)
+            if pdf[j:j + 6] == b"stream":
+                j += 6
+                if pdf[j:j + 2] == b"\r\n":
+                    j += 2
+                elif pdf[j:j + 1] == b"\n":
+                    j += 1
+                lm = re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", dct)
+                if lm:
+                    ln = int(lm.group(1))
+                    stream = pdf[j:j + ln]
+                    i = j + ln
+                else:  # indirect /Length — tolerate by scanning
+                    end = pdf.find(b"endstream", j)
+                    if end == -1:
+                        raise ValueError("unterminated stream")
+                    stream = pdf[j:end].rstrip(b"\r\n")
+                    i = end
+        end = pdf.find(b"endobj", i)
+        if end == -1:
+            break
+        objects[num] = (dct, stream)
+        pos = end + 6
+        if pos >= n:
+            break
+    if not objects:
+        raise ValueError("no PDF objects found")
+    return objects
+
+
+def _ref_list(dct: bytes, key: bytes) -> list[int]:
+    """Object numbers from ``/Key [a 0 R b 0 R …]`` or ``/Key a 0 R``."""
+    m = re.search(key + rb"\s*\[([^\]]*)\]", dct)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
+    m = re.search(key + rb"\s+(\d+)\s+0\s+R", dct)
+    return [int(m.group(1))] if m else []
+
+
+def page_content_streams(pdf: bytes) -> list[bytes]:
+    """Decoded content-stream bytes per page, in document page order."""
+    objects = parse_objects(pdf)
+    page_ids: list[int] = []
+    root_ids = []
+    tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
+    if tm and int(tm.group(1)) in objects:
+        root_ids = _ref_list(objects[int(tm.group(1))][0], rb"/Pages")
+    kids: list[int] = []
+    if root_ids and root_ids[0] in objects:
+        stack = [root_ids[0]]
+        while stack:  # walk the page tree (handles nested /Pages nodes)
+            nid = stack.pop(0)
+            dct = objects.get(nid, (b"", None))[0]
+            if b"/Type /Pages" in dct or b"/Type/Pages" in dct:
+                stack = _ref_list(dct, rb"/Kids") + stack
+            else:
+                kids.append(nid)
+    if kids:
+        page_ids = kids
+    else:  # damaged trailer: every /Type /Page object, object order
+        page_ids = sorted(
+            num for num, (dct, _s) in objects.items()
+            if re.search(rb"/Type\s*/Page\b", dct))
+    if not page_ids:
+        raise ValueError("no pages")
+    out: list[bytes] = []
+    for pid in page_ids:
+        dct = objects.get(pid, (b"", None))[0]
+        parts: list[bytes] = []
+        for cid in _ref_list(dct, rb"/Contents"):
+            cdct, cstream = objects.get(cid, (b"", None))
+            if cstream is None:
+                continue
+            if re.search(rb"/Filter\s*/FlateDecode\b", cdct):
+                try:
+                    cstream = zlib.decompress(cstream)
+                except zlib.error as exc:
+                    raise ValueError(f"bad FlateDecode stream: {exc}")
+            parts.append(cstream)
+        out.append(b"\n".join(parts))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# content-stream tokenizer + text assembly
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\x00\t\n\x0c\r /\[\]<>(){}%]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _parse_literal_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """``(...)`` with nesting + escapes → raw bytes, per ISO 32000 §7.3.4.2."""
+    assert buf[pos] == 0x28
+    out = bytearray()
+    i = pos + 1
+    nest = 1
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray([e])
+                i += 1
+                while i < n and len(oct_digits) < 3 and 0x30 <= buf[i] <= 0x37:
+                    oct_digits.append(buf[i])
+                    i += 1
+                out.append(int(bytes(oct_digits), 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: char stands for itself
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            nest += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            nest -= 1
+            if nest == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated literal string")
+
+
+def _parse_hex_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    end = buf.find(b">", pos + 1)
+    if end == -1:
+        raise ValueError("unterminated hex string")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", buf[pos + 1:end])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), end + 1
+
+
+def tokenize_content(stream: bytes):
+    """Yield ``("num", float) | ("str", bytes) | ("name", bytes) |
+    ("arr", list) | ("op", bytes)`` tokens from a content stream."""
+    i = 0
+    n = len(stream)
+    arr_stack: list[list[Any]] = []
+
+    def emit(tok):
+        if arr_stack:
+            arr_stack[-1].append(tok)
+            return None
+        return tok
+
+    while i < n:
+        c = stream[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # % comment → end of line
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if c == 0x5B:  # [
+            arr_stack.append([])
+            i += 1
+            continue
+        if c == 0x5D:  # ]
+            arr = arr_stack.pop() if arr_stack else []
+            t = emit(("arr", arr))
+            if t:
+                yield t
+            i += 1
+            continue
+        if c == 0x28:  # (
+            s, i = _parse_literal_string(stream, i)
+            t = emit(("str", s))
+            if t:
+                yield t
+            continue
+        if c == 0x3C:  # < — hex string (<< never appears in content text ops)
+            if stream[i:i + 2] == b"<<":
+                # inline dict (e.g. BDC property lists) — skip balanced
+                _d, i = _match_dict(stream, i)
+                continue
+            s, i = _parse_hex_string(stream, i)
+            t = emit(("str", s))
+            if t:
+                yield t
+            continue
+        if c == 0x2F:  # /Name
+            m = _NAME_RE.match(stream, i)
+            t = emit(("name", m.group(0)))
+            if t:
+                yield t
+            i = m.end()
+            continue
+        m = _NUM_RE.match(stream, i)
+        if m:
+            t = emit(("num", float(m.group(0))))
+            if t:
+                yield t
+            i = m.end()
+            continue
+        m = _OP_RE.match(stream, i)
+        if m:
+            yield ("op", m.group(0))
+            i = m.end()
+            continue
+        i += 1  # unknown byte — tolerate
+
+
+def text_runs(stream: bytes) -> list[tuple[float, float, float, str]]:
+    """Execute the text-positioning subset → ``[(x, y, size, text)]`` runs."""
+    runs: list[tuple[float, float, float, str]] = []
+    stack: list[Any] = []
+    x = y = 0.0
+    lx = ly = 0.0     # line matrix origin (Td is relative to line start)
+    size = 12.0
+    leading = 0.0
+    in_text = False
+
+    def show(raw: bytes) -> None:
+        text = raw.decode("utf-8", errors="replace")
+        if text:
+            runs.append((x, y, size, text))
+
+    for kind, val in tokenize_content(stream):
+        if kind != "op":
+            stack.append((kind, val))
+            continue
+        op = val
+        try:
+            if op == b"BT":
+                in_text = True
+                x = y = lx = ly = 0.0
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
+                size = float(stack[-1][1])
+            elif op == b"TL" and stack and stack[-1][0] == "num":
+                leading = float(stack[-1][1])
+            elif op == b"Td" and len(stack) >= 2:
+                lx += float(stack[-2][1])
+                ly += float(stack[-1][1])
+                x, y = lx, ly
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1][1])
+                lx += float(stack[-2][1])
+                ly += float(stack[-1][1])
+                x, y = lx, ly
+            elif op == b"Tm" and len(stack) >= 6:
+                lx = float(stack[-2][1])
+                ly = float(stack[-1][1])
+                x, y = lx, ly
+            elif op == b"T*":
+                ly -= leading
+                x, y = lx, ly
+            elif op == b"Tj" and in_text and stack and stack[-1][0] == "str":
+                show(stack[-1][1])
+            elif op == b"'" and in_text and stack and stack[-1][0] == "str":
+                ly -= leading
+                x, y = lx, ly
+                show(stack[-1][1])
+            elif op == b'"' and in_text and stack and stack[-1][0] == "str":
+                ly -= leading
+                x, y = lx, ly
+                show(stack[-1][1])
+            elif op == b"TJ" and in_text and stack and stack[-1][0] == "arr":
+                parts = [e[1] for e in stack[-1][1] if e[0] == "str"]
+                show(b"".join(parts))
+        finally:
+            stack.clear()
+    return runs
+
+
+PAGE_H_DEFAULT = 792.0
+_Y_TOL = 1.0
+
+
+def assemble_page_text(
+    runs: list[tuple[float, float, float, str]],
+    *, page_height: float = PAGE_H_DEFAULT, bbox_scale: float = 2.0,
+) -> tuple[str, list[dict[str, Any]]]:
+    """Reading-order assembly: group runs into lines by y, top-first."""
+    if not runs:
+        return "", []
+    ordered = sorted(runs, key=lambda r: (-r[1], r[0]))
+    lines: list[list[tuple[float, float, float, str]]] = []
+    for r in ordered:
+        if lines and abs(lines[-1][0][1] - r[1]) <= _Y_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    texts: list[str] = []
+    boxes: list[dict[str, Any]] = []
+    for line in lines:
+        texts.append(" ".join(r[3] for r in line))
+        for rx, ry, rsize, rtext in line:
+            cx = rx
+            for word in rtext.split(" "):
+                w = 0.6 * rsize * len(word)
+                if word:
+                    boxes.append({
+                        "text": word,
+                        "x0": cx * bbox_scale,
+                        "y0": (page_height - ry - rsize) * bbox_scale,
+                        "x1": (cx + w) * bbox_scale,
+                        "y1": (page_height - ry) * bbox_scale,
+                        "conf": 1.0,
+                    })
+                cx += w + 0.6 * rsize  # word + single-space advance
+    return "\n".join(texts), boxes
+
+
+def extract_text(pdf: bytes, *, max_pages: int | None = None,
+                 bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
+    """``%PDF-`` payload → ``(text, word_boxes)`` per the canonical spec.
+
+    Raises ``ValueError`` on structural damage (caller degrades to an
+    error row). ``max_pages`` mirrors the reference's page cap
+    (documentClassifier.py:1369)."""
+    if not is_pdf(pdf):
+        raise ValueError("not a PDF payload")
+    streams = page_content_streams(pdf)
+    if max_pages is not None:
+        streams = streams[:max_pages]
+    page_texts: list[str] = []
+    boxes: list[dict[str, Any]] = []
+    for page_num, stream in enumerate(streams, start=1):
+        text, pboxes = assemble_page_text(text_runs(stream),
+                                          bbox_scale=bbox_scale)
+        page_texts.append(text)
+        for b in pboxes:
+            b["page"] = page_num
+        boxes.extend(pboxes)
+    return "\n".join(page_texts), boxes

@@ -1,4 +1,5 @@
-"""Real ISO-32000 PDF writer for the images→PDF sink (K2).
+"""Real ISO-32000 PDF writer for the images→PDF sink (K2) and the
+text-document path (S1/M1 real-format loop).
 
 The reference's images→PDF endpoint re-bundles page images into one PDF
 (`img2pdf` behind its FastAPI surface). `img2pdf`/PIL aren't in this
@@ -7,6 +8,15 @@ GENUINE PDF 1.4 file any conforming viewer opens: one page per grayscale
 image, each page an uncompressed 8-bit /DeviceGray Image XObject drawn
 1:1 via a `cm` matrix, with a correct xref table (byte-exact offsets)
 and trailer. Deterministic output: same images → same bytes.
+
+`text_to_pdf` is the TEXT counterpart: genuine PDF 1.4 text objects
+(`BT /F1 12 Tf x y Td (…) Tj ET`, uncompressed content streams,
+Helvetica base font) — one text-showing run per layout line, emitted in
+ROTATED stream order so an extractor only reproduces the document if its
+reading-order sort (by position, not stream order) is correct. Paired
+with `functions/pdfread.py`, this closes the real-`%PDF-` extraction
+loop the reference runs through `fitz.open` + `page.get_text()`
+(/root/reference/microservices/entity-extraction-service/app.py:515-533).
 
 `validate()` re-parses the xref and checks every object really starts at
 its recorded offset, and round-trips the raw image bytes back out — the
@@ -64,6 +74,99 @@ def images_to_pdf(images: list[np.ndarray]) -> bytes:
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objs) + 1, xref_at))
     return bytes(out)
+
+
+PAGE_W, PAGE_H = 612, 792          # US-Letter, the reference's default raster
+TEXT_X, TEXT_TOP, LEADING = 72, 720, 14
+FONT_SIZE = 12
+
+
+def escape_pdf_string(s: str) -> bytes:
+    """Literal-string escaping per ISO 32000 §7.3.4.2: backslash, parens;
+    non-Latin-1 code points ship as octal-escaped UTF-8 bytes (the parser
+    reverses both)."""
+    out = bytearray()
+    for b in s.encode("utf-8"):
+        if b in (0x5C, 0x28, 0x29):  # \ ( )
+            out += b"\\" + bytes([b])
+        elif 32 <= b < 127 or b in (0x0A, 0x0D, 0x09):
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    return bytes(out)
+
+
+def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
+                shuffle_key: int = 0, compress: bool = False) -> bytes:
+    """Text lines → genuine PDF 1.4, one `Tj` run per line.
+
+    Line ``i`` of a page sits at ``(72, 720 − 14·i)`` in PDF user space
+    (origin bottom-left). The per-page emission order of the `BT…ET`
+    blocks is rotated by ``shuffle_key + page_index`` — stream order ≠
+    reading order, so `pdfread.extract_text` must sort by position.
+    ``compress=True`` deflates content streams (`/Filter /FlateDecode`)
+    to exercise the parser's inflate path. Deterministic bytes."""
+    import zlib
+
+    page_lines = [lines[i:i + lines_per_page]
+                  for i in range(0, len(lines), lines_per_page)] or [[]]
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"")  # 1: catalog placeholder
+    add(b"")  # 2: pages placeholder
+    font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    kid_ids: list[int] = []
+    for pi, plines in enumerate(page_lines):
+        chunks: list[bytes] = []
+        for li, line in enumerate(plines):
+            y = TEXT_TOP - LEADING * li
+            chunks.append(b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+                          % (FONT_SIZE, TEXT_X, y, escape_pdf_string(line)))
+        rot = (shuffle_key + pi) % max(1, len(chunks))
+        chunks = chunks[rot:] + chunks[:rot]
+        content = b"\n".join(chunks)
+        if compress:
+            data = zlib.compress(content, 6)
+            ct_id = add(b"<< /Length %d /Filter /FlateDecode >>\n"
+                        b"stream\n%s\nendstream" % (len(data), data))
+        else:
+            ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                        % (len(content), content))
+        pg_id = add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+            b" /Resources << /Font << /F1 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (PAGE_W, PAGE_H, font_id, ct_id))
+        kid_ids.append(pg_id)
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+               % (b" ".join(b"%d 0 R" % k for k in kid_ids), len(kid_ids)))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: list[int] = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def wrap_text_lines(text: str, *, words_per_line: int = 8) -> list[str]:
+    """The deterministic text→lines layout shared by the PDF fixture and
+    its oracle: whitespace-split words, 8 per line (same wrap as
+    `minipdf.build_from_text`, so the SQL mirror is the same relayout)."""
+    words = text.split()
+    return [" ".join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line)]
 
 
 def validate(pdf: bytes) -> list[np.ndarray]:

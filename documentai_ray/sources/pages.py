@@ -385,9 +385,18 @@ def is_noindex(doc_id: int) -> bool:
 
 
 def payload_for(doc_id: int, text: str, *, pdf_mode: bool = False,
-                encodings: bool = False, robots: bool = False) -> bytes:
+                real_pdf: bool = False, encodings: bool = False,
+                robots: bool = False) -> bytes:
     if is_malformed(doc_id):
+        if real_pdf:  # structurally-damaged real PDF → error row
+            return b"%PDF-1.4\n%%corrupt: no objects follow\n"
         return b"\xff\xfe\x00<html><body>truncat"
+    if real_pdf:
+        # genuine %PDF-1.4 bytes (text objects; rotated stream order so
+        # extraction must reading-order-sort; odd docs FlateDecode-compressed)
+        from documentai_ray.functions.pdfwrite import text_to_pdf, wrap_text_lines
+        return text_to_pdf(wrap_text_lines(text), shuffle_key=doc_id,
+                           compress=doc_id % 2 == 1)
     if pdf_mode:
         payload, _ = minipdf.build_from_text(text, shuffle_key=doc_id)
         return payload
@@ -435,6 +444,7 @@ def synth_pages_table(
     with_dups: bool = True,
     with_near_dups: bool = False,
     pdf_mode: bool = False,
+    real_pdf: bool = False,
     encodings: bool = False,
     robots: bool = False,
     copies: int = 1,
@@ -467,15 +477,21 @@ def synth_pages_table(
             urls.append(url)
             tss.append(ts)
             payloads.append(payload_for(doc_id, text, pdf_mode=pdf_mode,
+                                        real_pdf=real_pdf,
                                         encodings=encodings, robots=robots))
             goldens.append(
-                text if pdf_mode and not is_malformed(doc_id)
+                text if (pdf_mode or real_pdf) and not is_malformed(doc_id)
                 else golden_text(doc_id, text)
             )
             if pdf_mode and not is_malformed(doc_id):
                 # golden for pdf_mode is the walk text, computed by construction
                 _, expected = minipdf.build_from_text(text, shuffle_key=doc_id)
                 goldens[-1] = expected
+            elif real_pdf and not is_malformed(doc_id):
+                # golden for real-PDF mode: the deterministic 8-words/line
+                # relayout (same wrap as pdf_mode — shared oracle SQL)
+                from documentai_ray.functions.pdfwrite import wrap_text_lines
+                goldens[-1] = "\n".join(wrap_text_lines(text))
             langs.append(lang)
             if with_dups and doc_id % 20 == 0:
                 urls.append(url)

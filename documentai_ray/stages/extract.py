@@ -34,7 +34,7 @@ from typing import Any
 
 import pyarrow as pa
 
-from documentai_ray.functions import minipdf
+from documentai_ray.functions import minipdf, pdfread
 from documentai_ray.functions.text import collapse_ws
 from documentai_ray.sources import office
 
@@ -330,15 +330,21 @@ def extract_one(
 ) -> tuple[str, str, str, list[dict[str, Any]]]:
     """→ (text, payload_kind, error, word_boxes) for a single payload.
 
-    Dispatch by payload magic: MINIPDF → layout walk; PK-zip → DOCX/XLSX
-    parse (S4/S5); else UTF-8 HTML → main-content extraction (or
-    charset-sniffing decode when ``charset_sniff``). Oversized payloads
-    become error rows (the reference's hard input cap, O2)."""
+    Dispatch by payload magic: MINIPDF → layout walk; ``%PDF-`` → real-PDF
+    content-stream parse (functions/pdfread.py — the reference's
+    ``fitz.open`` + ``get_text()`` path, entity-extraction-service/
+    app.py:515-533); PK-zip → DOCX/XLSX parse (S4/S5); else UTF-8 HTML →
+    main-content extraction (or charset-sniffing decode when
+    ``charset_sniff``). Oversized payloads become error rows (the
+    reference's hard input cap, O2)."""
     try:
         if len(payload) > max_bytes:
             raise ValueError(f"PayloadTooLarge: {len(payload)} > {max_bytes}")
         if minipdf.is_minipdf(payload):
             text, boxes = minipdf.walk(payload)
+            return text, "pdf", "", boxes
+        if pdfread.is_pdf(payload):
+            text, boxes = pdfread.extract_text(payload)
             return text, "pdf", "", boxes
         kind = office.office_kind(payload)
         if kind == "docx":
@@ -402,7 +408,7 @@ def page_meta_batch(batch: pa.Table, *,
     out_u: list[str] = []
     out_t: list[str] = []
     for u, p in zip(urls, payloads):
-        if minipdf.is_minipdf(p) or office.office_kind(p):
+        if minipdf.is_minipdf(p) or pdfread.is_pdf(p) or office.office_kind(p):
             continue
         try:
             if charset_sniff:
@@ -478,7 +484,7 @@ def anchor_edges_batch(batch: pa.Table) -> pa.Table:
     out_l: list[str] = []
     out_a: list[str] = []
     for u, p in zip(urls, payloads):
-        if minipdf.is_minipdf(p) or office.office_kind(p):
+        if minipdf.is_minipdf(p) or pdfread.is_pdf(p) or office.office_kind(p):
             continue
         try:
             html_text = p.decode("utf-8")
@@ -506,7 +512,7 @@ def outlinks_batch(batch: pa.Table, *, charset_sniff: bool = False) -> pa.Table:
     out_l: list[str] = []
     out_h: list[str] = []
     for u, p in zip(urls, payloads):
-        if minipdf.is_minipdf(p) or office.office_kind(p):
+        if minipdf.is_minipdf(p) or pdfread.is_pdf(p) or office.office_kind(p):
             continue
         try:
             if charset_sniff:
