@@ -216,6 +216,40 @@ def _html_lc(doc_id: int) -> str:
     )
 
 
+def lc_pixel_page_png(doc_id: int) -> bytes:
+    """The LC application as a PAGE IMAGE (PNG): the same SWIFT-tag table
+    the HTML fixture plants (`_html_lc`), laid out as a pixel table —
+    code column at x=36, description column (3-cell rows only) at x=150,
+    value column at x=300, one 12-px-spaced text band per tag row, drawn
+    with the 5×7 bitfont. Odd rows lowercase the shown code and drop the
+    description cell, mirroring the HTML fixture's two row shapes. The
+    pixel path (OCR → band/column cells → tag dict) must recover exactly
+    `lc_tag_values(doc_id)` from these pixels — the reference's
+    PPStructureV3 table-OCR-over-images route
+    (entity_extraction_updated/extractor/lc_application.py:40-41)."""
+    from documentai_ray.functions import minipng
+    from documentai_ray.functions.raster import rasterize_page
+
+    vals = lc_tag_values(doc_id)
+    lines = []
+    y = 30.0
+    for i, (code, v) in enumerate(vals.items()):
+        shown = code.lower() if i % 2 else code
+        spans = [{"bbox": [36.0, y, 36.0 + 6.0 * len(shown), y + 10.0],
+                  "text": shown}]
+        if i % 2 == 0:
+            d = f"FIELD {i}"
+            spans.append({"bbox": [150.0, y, 150.0 + 6.0 * len(d), y + 10.0],
+                          "text": d})
+        spans.append({"bbox": [300.0, y, 300.0 + 6.0 * len(v), y + 10.0],
+                      "text": v})
+        lines.append({"bbox": [36.0, y, 460.0, y + 10.0], "spans": spans})
+        y += 12.0
+    page = {"page_num": 1,
+            "blocks": [{"bbox": [36.0, 30.0, 460.0, y], "lines": lines}]}
+    return minipng.encode_gray(rasterize_page(page, glyphs=True))
+
+
 # appended to every 20th PO page (doc_id % 20 == 12): enough data_report
 # signal to flip the regex and token-set techniques while keyword and ML
 # stay purchase_order → fused category purchase_order at "2/4". These

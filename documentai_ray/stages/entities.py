@@ -282,22 +282,33 @@ def lc_rule_field(code: str) -> str:
     return code.lstrip("F").lstrip("-")
 
 
+def lc_tags_from_rows(rows, out: dict[str, str] | None = None) -> dict[str, str]:
+    """SWIFT-tag dict from row/cell grids — the shared core of the HTML
+    and PIXEL table paths (lc_application.py:16-38 semantics): rows with
+    ≥3 cells take cells[2] as the value, 2-cell rows take cells[1]; the
+    code cell matches any ENTITY_CODE after stripping '-'/' ' and
+    lowercasing; first occurrence wins."""
+    if out is None:
+        out = {}
+    for row in rows:
+        if len(row) < 2:
+            continue
+        norm = row[0].replace("-", "").replace(" ", "").lower()
+        code = _LC_NORM.get(norm)
+        if code is None or code in out:
+            continue
+        out[code] = row[2] if len(row) >= 3 else row[1]
+    return out
+
+
 def extract_lc_tags(html_text: str) -> dict[str, str]:
     """All 34 SWIFT codes from HTML tables — the reference's LC table walk
-    (lc_application.py:16-38): rows with ≥3 cells take cells[2] as the
-    value, 2-cell rows take cells[1]; the code cell matches any
-    ENTITY_CODE after stripping '-'/' ' and lowercasing; first occurrence
-    wins. Returns a dict keyed by the canonical code string."""
+    (lc_application.py:16-38). Returns a dict keyed by the canonical code
+    string; cell-grid → tag-dict logic shared with the pixel-OCR path via
+    :func:`lc_tags_from_rows`."""
     out: dict[str, str] = {}
     for table in extract_html_tables(html_text):
-        for row in table:
-            if len(row) < 2:
-                continue
-            norm = row[0].replace("-", "").replace(" ", "").lower()
-            code = _LC_NORM.get(norm)
-            if code is None or code in out:
-                continue
-            out[code] = row[2] if len(row) >= 3 else row[1]
+        lc_tags_from_rows(table, out)
     return out
 
 

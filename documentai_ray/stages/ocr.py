@@ -123,6 +123,37 @@ class OcrStage:
                                  pa.array(all_boxes, self.BOX_TYPE))
 
 
+def table_cells_from_boxes(boxes: list[dict], *,
+                           col_gap: int = 24) -> list[list[str]]:
+    """Pixel-domain table-structure recovery (the PPStructureV3 table-OCR
+    analog, M19's other half — reference
+    entity_extraction_updated/extractor/lc_application.py:40-41 runs
+    table OCR over page IMAGES): word boxes → row/cell grid.
+
+    Rows = OCR text bands (boxes sharing a ``y0``); within a row, a
+    horizontal whitespace run ≥ ``col_gap`` px splits cells (intra-cell
+    word gaps are ≤ ~11 px — one blank space glyph plus scan slack —
+    while column gutters are ≥ 70 px in any sane table layout). Cell
+    text joins words with single spaces. Returns rows top-to-bottom,
+    cells left-to-right — the same ``list[list[str]]`` shape as the
+    HTML-table walk (`entities.extract_html_tables`), so the downstream
+    tag-dict logic is SHARED between the HTML and pixel paths."""
+    by_row: dict[int, list[dict]] = {}
+    for b in boxes:
+        by_row.setdefault(int(b["y0"]), []).append(b)
+    rows: list[list[str]] = []
+    for y in sorted(by_row):
+        ws = sorted(by_row[y], key=lambda b: b["x0"])
+        groups: list[list[dict]] = [[ws[0]]]
+        for b in ws[1:]:
+            if b["x0"] - groups[-1][-1]["x1"] >= col_gap:
+                groups.append([b])
+            else:
+                groups[-1].append(b)
+        rows.append([" ".join(w["text"] for w in g) for g in groups])
+    return rows
+
+
 def layout_analysis(img: np.ndarray, *, block_gap: int = 40) -> dict:
     """Document-layout analysis over PIXELS (the PPStructure-analog T3
     path): text-line bands from ink-row islands, words from the glyph
