@@ -725,6 +725,12 @@ def verify_jaccard_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
 
     from documentai_ray.stages.joins import hash_join
 
+    # hash_join derives its union schema from Dataset.schema() — pandas-
+    # block inputs (map_groups(batch_format="pandas") lineages) report
+    # numpy dtypes there, not Arrow types; one pass-through arrow batch
+    # normalizes the block format so the join schema is well-typed
+    pairs_ds = pairs_ds.map_batches(lambda t: t, batch_format="pyarrow")
+
     def side(col_id, col_text):
         def f(batch: pa.Table) -> pa.Table:
             return pa.table({col_id: batch.column(id_col),
@@ -1109,7 +1115,8 @@ def remove_repeated_spans(ds, spans_ds, *, id_col: str = "doc_id",
 def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
                         threshold: float = 0.8, k: int = 3,
                         num_partitions: int = 64,
-                        freq_order: bool = True):
+                        freq_order: bool | str = "auto",
+                        max_broadcast_vocab: int = 2_000_000):
     """EXACT set-similarity self-join via prefix filtering (the
     PPJoin/AllPairs family, Bayardo 2007 / Xiao 2008) — the
     deterministic-recall alternative to MinHash-LSH: every pair with
@@ -1139,15 +1146,23 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
     (id_a < id_b); a second tiny pair-hash exchange dedups.  NO bucket
     cap: exactness forbids dropping (contrast lsh_candidate_pairs).
 
-    ``freq_order=True`` (default) implements the classic AllPairs
-    optimization: a cheap document-frequency pre-pass (per-batch
-    distinct-shingle partials → one exchange bounded by distinct
-    shingles) and prefixes take each doc's RAREST shingles first —
-    on boilerplate-heavy corpora this collapses the hot buckets the
-    hash order suffers (measured here: 3.5M → far fewer candidate
-    pairs; the hottest bucket was a 1.5k-doc template shingle). The
-    df table broadcasts via ``ray.put`` (vocabulary-sized — for open
-    vocabularies hash_join the df onto the exploded tokens instead).
+    ``freq_order`` implements the classic AllPairs optimization: a cheap
+    document-frequency pre-pass (per-batch distinct-shingle partials →
+    one exchange bounded by distinct shingles) and prefixes take each
+    doc's RAREST shingles first — on boilerplate-heavy corpora this
+    collapses the hot buckets the hash order suffers (measured here:
+    3.5M → far fewer candidate pairs; the hottest bucket was a 1.5k-doc
+    template shingle). The df table broadcasts via ``ray.put``
+    (vocabulary-sized) — which is only safe for BOUNDED vocabularies, so
+    the default ``freq_order="auto"`` MEASURES the distinct-shingle
+    count with a distributed ``Dataset.count()`` (the vocab never
+    reaches the driver) and drops to hash order above
+    ``max_broadcast_vocab``: for threshold t the hash-order prefix ships
+    only ~(1−t)·L tokens per doc with zero extra exchanges, which beats
+    a full-explode df hash-join (2 extra exchanges over ALL shingles) on
+    open-vocabulary corpora; the trade is candidate volume, which exact
+    verification absorbs. ``freq_order=True`` forces the broadcast
+    (caller asserts a bounded vocab), ``False`` forces hash order.
     Any fixed total order preserves exactness; (df, hash) is total
     because the hash breaks ties. Returns the candidate pair Dataset —
     verify with ``verify_jaccard_pairs`` for the final exact pair set."""
@@ -1170,11 +1185,16 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
                                                     np.int64),
                                             pa.int64())})
 
-        dfs = (ds.map_batches(df_partial, batch_format="pyarrow")
-               .groupby("_t").aggregate(Sum("_c", alias_name="_c"))
-               ).to_pandas()
-        df_ref = ray.put(dict(zip(dfs["_t"].astype("int64"),
-                                  dfs["_c"].astype("int64"))))
+        df_agg = (ds.map_batches(df_partial, batch_format="pyarrow")
+                  .groupby("_t").aggregate(Sum("_c", alias_name="_c")))
+        if freq_order == "auto":
+            df_agg = df_agg.materialize()  # one distributed pass: count + reuse
+            if df_agg.count() > max_broadcast_vocab:
+                df_agg = None  # open vocabulary: never driver-materialize it
+        if df_agg is not None:
+            dfs = df_agg.to_pandas()
+            df_ref = ray.put(dict(zip(dfs["_t"].astype("int64"),
+                                      dfs["_c"].astype("int64"))))
 
     def explode_prefix(batch: pa.Table) -> pa.Table:
         lk = ray.get(df_ref) if df_ref is not None else None
