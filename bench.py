@@ -42,17 +42,19 @@ def _synth_version() -> str:
         return hashlib.md5(f.read()).hexdigest()[:8]
 
 
-def corpus_dir(copies: int | None = None) -> str:
+def corpus_dir(copies: int | None = None, mode: str = "") -> str:
     tag = os.path.basename(os.path.normpath(SF_DIR))
     return os.path.join(
-        CORPUS_ROOT, f"pages_{tag}_x{copies or BENCH_COPIES}_{_synth_version()}")
+        CORPUS_ROOT,
+        f"pages_{tag}{'_' + mode if mode else ''}"
+        f"_x{copies or BENCH_COPIES}_{_synth_version()}")
 
 
-def ensure_corpus(copies: int | None = None) -> str:
+def ensure_corpus(copies: int | None = None, **kwargs) -> str:
     """Materialize the pages corpus to sharded parquet (deterministic).
     Built as a Ray pipeline when a session is live (the corpus generator
     is itself a map_batches stage); plain loop otherwise."""
-    d = corpus_dir(copies)
+    d = corpus_dir(copies, mode="_".join(sorted(k for k, v in kwargs.items() if v)))
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil
@@ -64,11 +66,11 @@ def ensure_corpus(copies: int | None = None) -> str:
         if ray.is_initialized():
             from documentai_ray.sources.pages import write_pages_corpus_distributed
 
-            write_pages_corpus_distributed(d, SF_DIR, copies=c)
+            write_pages_corpus_distributed(d, SF_DIR, copies=c, **kwargs)
         else:
             from documentai_ray.sources.pages import write_pages_corpus
 
-            write_pages_corpus(d, SF_DIR, shards=32, copies=c)
+            write_pages_corpus(d, SF_DIR, shards=32, copies=c, **kwargs)
         with open(marker, "w") as f:
             f.write("ok")
     return d
@@ -103,6 +105,7 @@ def run_benchmarks() -> dict:
     # session after it so timed runs start from a clean executor.
     pages_path = ensure_corpus()
     minhash_path = ensure_corpus(copies=1)
+    pdf_path = ensure_corpus(copies=16, pdf_mode=True)
     ray.shutdown()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -162,6 +165,21 @@ def run_benchmarks() -> dict:
         return ds.count()
 
     timed("extract_quality", run_extract_only)
+
+    # word-box enrichment cost delta (VERDICT r2 #6): the same flagship
+    # chain over a PDF-mode corpus (rows carry real word boxes), with and
+    # without the entity-bbox enrichment + box plumbing
+    def run_flagship_pdf(with_boxes: bool):
+        def f():
+            ds = ray.data.read_parquet(
+                pdf_path, columns=["url", "warc_ts", "html", "lang"])
+            return flagship(ds, batch_size=1024, dedup=False,
+                            with_entity_boxes=with_boxes).count()
+
+        return f
+
+    timed("flagship_pdf", run_flagship_pdf(False))
+    timed("flagship_boxes", run_flagship_pdf(True))
 
     # minhash runs on the ×1 corpus: the ×N replication makes every page an
     # exact dup of N-1 others, which quadratically inflates the (correct)

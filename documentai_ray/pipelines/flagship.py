@@ -51,8 +51,19 @@ def flagship(
     batch_size: int = 1024,
     ml_concurrency=None,
     drop_word_boxes: bool = True,
+    with_entity_boxes: bool = False,
 ):
-    """Build the lazy flagship Dataset. Pass a pages Dataset or an sf_dir."""
+    """Build the lazy flagship Dataset. Pass a pages Dataset or an sf_dir.
+
+    ``with_entity_boxes=True`` is the reference's runtime bbox enrichment
+    (entity-extraction-service/app.py:571-579): ``word_boxes`` survive the
+    extract stage, ride the chain to the entities stage, and each
+    extracted PO field gains flat ``{field}_{page,x0,y0,x1,y1}`` columns;
+    the raw box list is then dropped (the bbox columns are the output).
+    Cost: the box structs travel the dedup exchange — bench entry
+    ``flagship_boxes`` records the delta vs the plain flagship."""
+    if with_entity_boxes:
+        drop_word_boxes = False
     if ds is None:
         ds = pages_dataset(sf_dir)
     # Extract FIRST, dedup after: extraction is per-capture (deterministic,
@@ -73,6 +84,12 @@ def flagship(
     ds = ds.map_batches(decision_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = classify_pipeline(ds, ml_concurrency=ml_concurrency, batch_size=batch_size)
     ds = ds.map_batches(entities_batch, batch_format="pyarrow", batch_size=batch_size)
+    if with_entity_boxes:
+        from documentai_ray.stages.entities import match_boxes_batch
+
+        ds = ds.map_batches(match_boxes_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+        ds = ds.drop_columns(["word_boxes"])
     # RulesStage instance → stateless-task stage (compiled rules ship in the
     # closure via cloudpickle; fuses with the entities task stage)
     ds = ds.map_batches(RulesStage(rules_by_category()), batch_format="pyarrow",

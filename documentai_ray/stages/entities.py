@@ -451,6 +451,45 @@ GOODS_STRUCT = pa.struct([
 ])
 
 
+BOX_MATCH_FIELDS = ("po_number", "po_date", "seller", "buyer", "total_amount")
+
+
+def match_boxes_batch(batch: pa.Table,
+                      fields: tuple = BOX_MATCH_FIELDS) -> pa.Table:
+    """Entity-bbox enrichment over an entities_batch output that still
+    carries ``word_boxes`` (the reference's runtime enrichment of
+    extracted fields with PDF-span coordinates,
+    entity-extraction-service/app.py:571-579): per row, match each
+    extracted field value against the word boxes
+    (:func:`match_entity_boxes`) and append flat
+    ``{field}_{page,x0,y0,x1,y1}`` columns (null when unmatched or the
+    row has no boxes). Arrow-in/Arrow-out; existing columns untouched."""
+    boxes_col = batch.column("word_boxes").to_pylist()
+    vals = {f: batch.column(f).to_pylist() for f in fields}
+    cols: dict[str, list] = {}
+    for f in fields:
+        cols[f"{f}_page"] = []
+        for suf in ("x0", "y0", "x1", "y1"):
+            cols[f"{f}_{suf}"] = []
+    for i, boxes in enumerate(boxes_col):
+        ents = {f: vals[f][i] for f in fields}
+        matched = (match_entity_boxes(ents, boxes) if boxes
+                   else {f: None for f in fields})
+        for f in fields:
+            b = matched[f]
+            cols[f"{f}_page"].append(b["page"] if b else None)
+            for suf in ("x0", "y0", "x1", "y1"):
+                cols[f"{f}_{suf}"].append(b[suf] if b else None)
+    out = batch
+    for f in fields:
+        out = out.append_column(f"{f}_page",
+                                pa.array(cols[f"{f}_page"], pa.int64()))
+        for suf in ("x0", "y0", "x1", "y1"):
+            out = out.append_column(
+                f"{f}_{suf}", pa.array(cols[f"{f}_{suf}"], pa.float64()))
+    return out
+
+
 def entities_batch(batch: pa.Table) -> pa.Table:
     """Appends flat entity columns (empty for rows whose category has no
     registered extractor), a ``goods_items: list<struct>`` column (parsed
