@@ -7304,7 +7304,7 @@ def pell_equation_int(seeds):
     QUADRATIC DIOPHANTINE EQUATIONS, a family the surface lacked
     (cf_convergents does Diophantine APPROXIMATION; Pell is the
     equation Lagrange solved WITH those continued fractions): each
-    seed maps to a nonsquare d ∈ [2,31] (single bump past the
+    seed maps to a nonsquare d ∈ [2,30] (single bump past the
     squares 4/9/16/25 — sufficient since 5/10/17/26 are nonsquare,
     stated); the kernel expands √d's periodic continued fraction
     by the exact (m, q, a) integer recurrence, walks convergents
