@@ -1,0 +1,3295 @@
+"""Driver query functions (part 1/6) — split out of ``__ray_entry__.py``."""
+from __future__ import annotations
+
+from documentai_ray.queries._helpers import *  # noqa: F401,F403
+
+
+
+
+def _q_extract_text(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship  # noqa: F401
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256,
+                        zero_copy_batch=True)
+    # project to the dedup-relevant columns BEFORE the shuffle: the exchange
+    # moves (url, ts, text) only — never payload or word boxes
+    ds = ds.select_columns(["url", "warc_ts", "text"])
+    ds = dedup_latest(ds)
+    out = ds.select_columns(["url", "text"]).take_all()
+    import pyarrow as pa
+
+    return _norm_strings(pa.Table.from_pylist(out))
+
+
+def _q_charset_extract(sf_dir: str):
+    """Charset-sniffing extraction (WHATWG sniff order: BOM → strict
+    UTF-8 → meta charset → cp1252 fallback) over a corpus where pages
+    ship as UTF-8 / UTF-16-BOM / ISO-8859-1 / windows-1252 by
+    ``doc_id % 4`` — the legacy variants carry head-only non-ASCII bytes
+    that are invalid UTF-8, so only a decoder that actually honors the
+    BOM/meta-charset recovers the golden text (real Common Crawl is
+    ~5-10% legacy-encoded). Oracle: the encoding-independent golden."""
+    import functools
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, encodings=True)
+    ds = ds.map_batches(
+        functools.partial(extract_batch, charset_sniff=True),
+        batch_format="pyarrow", batch_size=256, zero_copy_batch=True)
+    return _norm_strings_ds(ds.select_columns(["url", "text"]))
+
+
+def _q_quality_pages(sf_dir: str):
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = ds.select_columns(["url", "warc_ts", "text", "lang"])
+    ds = dedup_latest(ds)
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=256)
+    return ds.select_columns(
+        ["url", "n_chars", "n_tokens", "uniq_tokens", "rep_ratio",
+         "struct_ratio", "confidence", "verdict", "lang_ok"]
+    )
+
+
+def _q_classify_pages(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+    return ds.select_columns(["url", "category", "votes"])
+
+
+def _q_entities_po(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir=sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("category"), "purchase_order")),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "po_number", "po_date", "seller", "buyer", "goods",
+         "quantity", "unit", "currency", "total_amount", "incoterms"]
+    )
+
+
+def _q_entities_invoice(sf_dir: str):
+    """Proforma-invoice extraction (M18): flat fields + nested
+    ``goods_items: list<struct>`` parsed with the header-anchored
+    rsplit(" ", 5) goods-table parser (reference
+    entity_extraction_updated/extractor/performa_invoice.py:43-65)."""
+    from documentai_ray.pipelines.flagship import flagship
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir=sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("category"), "invoice")),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["url", "inv_number", "inv_date", "seller", "buyer", "currency",
+         "total_amount", "incoterms", "goods_items"]
+    )
+
+
+def _q_rules_po(sf_dir: str):
+    from documentai_ray.pipelines.flagship import flagship
+    import pyarrow.compute as pc
+
+    ds = flagship(sf_dir=sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("category"), "purchase_order")),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["url", "rules_passed", "rules_failed", "overall_valid"])
+
+
+def _q_preprocess_decision(sf_dir: str):
+    """M15 preprocess decision as emitted by the flagship chain (quality →
+    decision → classify): verdict → needs_preprocessing / operations /
+    priority (reference gateway app.py:132-219)."""
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+    return ds.select_columns(
+        ["url", "verdict", "needs_preprocessing", "pp_operations", "pp_priority"]
+    )
+
+
+def _q_wordbox_match(sf_dir: str):
+    """M23 entity↔word-box matching end-to-end on the PDF path: PO docs laid
+    out as MINIPDF (line-preserving) → layout walk keeps ``word_boxes`` →
+    ``extract_po`` on the walk text → ``match_entity_boxes`` (exact /
+    consecutive-multi-word / substring, reference
+    entity-extraction-service/app.py:890-966) → matched bbox columns per
+    field. Oracle: the layout geometry's closed form (×2 walk scale,
+    x = 36 + Σ(6·len+4), y = 50 + 100·block + 12·line)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minipdf import build_from_lines
+    from documentai_ray.sources.pages import is_malformed, po_lines, url_for
+    from documentai_ray.stages.entities import extract_po, match_entity_boxes
+    from documentai_ray.stages.extract import extract_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for did, src in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("source").to_pylist()):
+            if did % 5 != 2 or is_malformed(did):
+                continue
+            urls.append(url_for(did, src))
+            payloads.append(build_from_lines(po_lines(did), shuffle_key=did)[0])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(payloads, pa.large_binary())})
+
+    ds = docs.map_batches(gen, batch_format="pyarrow", batch_size=256)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+
+    fields = ["po_number", "po_date", "seller", "buyer", "total_amount"]
+
+    def match(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {"url": batch.column("url").to_pylist()}
+        for f in fields:
+            for suf in ("page", "x0", "y0", "x1", "y1"):
+                cols[f"{f}_{suf}"] = []
+        for text, boxes in zip(batch.column("text").to_pylist(),
+                               batch.column("word_boxes").to_pylist()):
+            ents = extract_po(text)
+            matched = match_entity_boxes({f: ents[f] for f in fields}, boxes)
+            for f in fields:
+                b = matched[f]
+                cols[f"{f}_page"].append(b["page"] if b else None)
+                for suf in ("x0", "y0", "x1", "y1"):
+                    cols[f"{f}_{suf}"].append(b[suf] if b else None)
+        out = {"url": pa.array(cols["url"], pa.string())}
+        for f in fields:
+            out[f"{f}_page"] = pa.array(cols[f"{f}_page"], pa.int64())
+            for suf in ("x0", "y0", "x1", "y1"):
+                out[f"{f}_{suf}"] = pa.array(cols[f"{f}_{suf}"], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def _q_flagship_boxes(sf_dir: str):
+    """Flagship-with-boxes variant (VERDICT r2 #6): the FULL flagship
+    chain (extract → quality → decision → classify → entities → rules)
+    with ``with_entity_boxes=True`` — word_boxes survive to the entities
+    stage and every extracted PO field gains matched bbox columns
+    (reference runtime enrichment, app.py:571-579). Same PO-MINIPDF
+    corpus and closed-form geometry oracle as ``wordbox_match``, plus the
+    fused category (the chain must still classify these as
+    purchase_order for the PO extractor to fire at all)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minipdf import build_from_lines
+    from documentai_ray.pipelines.flagship import flagship
+    from documentai_ray.sources.pages import is_malformed, po_lines, url_for
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for did, src in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("source").to_pylist()):
+            if did % 5 != 2 or is_malformed(did):
+                continue
+            urls.append(url_for(did, src))
+            payloads.append(build_from_lines(po_lines(did), shuffle_key=did)[0])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(payloads, pa.large_binary())})
+
+    ds = docs.map_batches(gen, batch_format="pyarrow", batch_size=256)
+    out = flagship(ds, dedup=False, with_entity_boxes=True, batch_size=256)
+    cols = ["url", "category"]
+    for f in ("po_number", "po_date", "seller", "buyer", "total_amount"):
+        cols += [f"{f}_page", f"{f}_x0", f"{f}_y0", f"{f}_x1", f"{f}_y1"]
+    return out.select_columns(cols)
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.dedup import dedup_exact_first
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+    out = dedup_exact_first(ds, id_col="doc_id", content_col="text")
+    return out.select_columns(["doc_id", "lang", "source"])
+
+
+def _q_token_stats(sf_dir: str):
+    """Per-language token totals with per-batch partial aggregation
+    (combiner before the groupby shuffle — SURVEY 'Aggregation at scale')."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        # single-space split, empty pieces counted — exact mirror of the
+        # oracle's len(string_split(text, ' ')) (ADVICE r1: .split() with no
+        # arg diverges on runs of whitespace/tabs/newlines)
+        toks = [len((t or "").split(" ")) for t in batch.column("text").to_pylist()]
+        df = pd.DataFrame({"lang": langs, "toks": toks})
+        g = df.groupby("lang", as_index=False).agg(
+            total_tokens=("toks", "sum"), n_docs=("toks", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    agg["avg_tokens"] = [
+        math.floor(t / n * 1e6) / 1e6
+        for t, n in zip(agg["total_tokens"], agg["n_docs"])
+    ]
+    return agg[["lang", "n_docs", "total_tokens", "avg_tokens"]]
+
+
+def _q_doc_quality(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "uniq_tokens", "rep_ratio",
+         "struct_ratio", "confidence", "verdict", "lang_ok"]
+    )
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hour", pc.floor_temporal(batch.column("ts"), unit="hour")
+        )
+
+    agg = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["sum_value"].round(2)
+    return agg[["hour", "event_type", "n_events", "sum_value"]]
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization via the bucketed vectorized path (all users
+    of a hash partition sessionized in one pandas pass — group count bounded
+    by P, not by user cardinality)."""
+    import ray.data
+
+    from documentai_ray.stages.windows import session_windows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return session_windows(ds, key_col="user_id", ts_col="ts",
+                           gap_minutes=30).select_columns(
+        ["user_id", "n_sessions"])
+
+
+def _q_q1_lineitem(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with per-batch partial aggregation."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        # money in EXACT integer cents: float summation order differs
+        # between engines, and across ~10^5+ rows the drift exceeds any
+        # rounding grid — integer partial sums are order-independent.
+        # (int64 holds sums to ~9e18 ≈ 10^12 rows of 10^4-cent² values per
+        # partial; beyond that, widen to two-level partials.)
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        df["_rev_c2"] = price_c * (100 - disc_c)   # price_cents × pct → 1e-4 units
+        df["_base_c"] = price_c
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            _base_c=("_base_c", "sum"),
+            _rev_c2=("_rev_c2", "sum"),
+            n_rows=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("_base_c", alias_name="_base_c"),
+                   Sum("_rev_c2", alias_name="_rev_c2"),
+                   Sum("n_rows", alias_name="n_rows"))
+        .to_pandas()
+    )
+    agg["sum_qty"] = agg["sum_qty"].round(2)
+    agg["sum_base_price"] = agg["_base_c"] / 100.0
+    agg["sum_revenue"] = agg["_rev_c2"] / 10000.0
+    return agg[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_revenue", "n_rows"]]
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """Broadcast join: small dims (customer⋈nation) shipped via ray.put,
+    looked up per batch — no shuffle of the fact table (SURVEY J-patterns)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    # broadcast as an index-keyed Series: lookups are one vectorized
+    # reindex per batch, not a per-element dict .get loop (VERDICT r2 #7)
+    lookup = ray.put(pd.Series(dim["n_name"].to_numpy(),
+                               index=dim["c_custkey"].to_numpy()))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lk = ray.get(lookup)
+        names = lk.reindex(batch.column("o_custkey").to_numpy()).to_numpy()
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype("int64")
+        out = batch.append_column("n_name", pa.array(names, pa.string()))
+        return out.append_column("_price_c", pa.array(cents, pa.int64()))
+
+    agg = (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("_price_c", alias_name="_price_c"))
+        .to_pandas()
+    )
+    agg["total_price"] = agg["_price_c"] / 100.0  # exact integer-cents sum
+    return agg[["n_name", "n_orders", "total_price"]]
+
+
+def _q_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-dup pairs over the pages corpus (with planted
+    near-dups), verified with exact 3-shingle Jaccard ≥ 0.8."""
+    _, pairs = _minhash_verified_pairs(sf_dir)
+    out = pairs.to_pandas()
+    return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+
+
+def _q_minhash_dedup_keep(sf_dir: str):
+    """Full near-dup dedup: verified pairs → distributed connected
+    components (min-label propagation) → keep one representative (min url)
+    per component. Output: surviving urls."""
+    from documentai_ray.stages.dedup import neardup_components_auto
+    import pyarrow.compute as pc
+
+    pages, pairs = _minhash_verified_pairs(sf_dir)
+    comp = neardup_components_auto(pages.select_columns(["url"]), pairs,
+                                   id_col="url", max_iters=3,
+                                   num_partitions=16)
+
+    def survivors(batch):
+        return batch.filter(
+            pc.equal(batch.column("url"), batch.column("component"))
+        ).select(["url"])
+
+    return comp.map_batches(survivors, batch_format="pyarrow")
+
+
+def _q_ppjoin_pairs(sf_dir: str):
+    """EXACT set-similarity join via prefix filtering (PPJoin family) —
+    deterministic-recall near-dup pairs, the LSH alternative with NO
+    probabilistic misses: md5-ordered shingle prefixes as candidate keys
+    (dedup.prefix_filter_pairs), exact-Jaccard verification.  Must equal
+    the full-pairwise ground truth EXACTLY — the same oracle
+    minhash_neardup uses, with recall guaranteed by construction here
+    rather than by band/row tuning."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import (prefix_filter_pairs,
+                                             verify_jaccard_pairs)
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = ds.select_columns(["url", "text"]).materialize()
+    cand = prefix_filter_pairs(ds, id_col="url", threshold=0.8,
+                               num_partitions=16)
+    out = verify_jaccard_pairs(ds, cand, threshold=0.8).to_pandas()
+    return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+
+
+def _q_containment_pairs(sf_dir: str):
+    """SET CONTAINMENT join (asymmetric near-dup): (sub, super) pairs
+    where ≥ 80% of sub's 3-shingles appear in super — quotation /
+    inclusion / template-wrapping detection, where Jaccard fails
+    because the container can be arbitrarily larger. Exercises
+    ``dedup.containment_candidate_pairs`` (sub side explodes only its
+    pigeonhole prefix, container side is the inverted index) +
+    ``verify_containment_pairs`` (integer ppm compare, inter/n_sub
+    emitted for value comparison)."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import (containment_candidate_pairs,
+                                             verify_containment_pairs)
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    ds = ds.select_columns(["url", "text"]).materialize()
+    cand = containment_candidate_pairs(ds, id_col="url",
+                                       threshold_ppm=800_000,
+                                       num_partitions=16)
+    return verify_containment_pairs(ds, cand, id_col="url",
+                                    threshold_ppm=800_000)
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    """Standalone blocked n-gram Jaccard: exact pairwise word-3-gram
+    similarity ≥ 0.5 within ``source`` blocks, via the inverted-index
+    co-occurrence counter (``dedup.blocked_jaccard_pairs``) — only doc
+    pairs sharing ≥1 shingle are touched; no n²-per-block Python loop."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.dedup import blocked_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    out = blocked_jaccard_pairs(ds, id_col="doc_id", block_col="source",
+                                threshold=0.5, k=3).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64")})
+    return out
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.similarity import embedding_neardup_pairs
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(ds, threshold=0.4).to_pandas()
+    if out.empty:  # empty Dataset loses its schema through to_pandas
+        out = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                            "id_b": pd.Series(dtype="int64")})
+    return out
+
+
+def _q_topk_similarity(sf_dir: str):
+    import math
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.similarity import brute_force_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    query = next(r["embedding"] for r in q if r["vec_id"] == 0)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = brute_force_topk(ds, query, k=10, exclude_ids={0})
+    top["score"] = [math.floor(s * 1e4) / 1e4 for s in top["score"]]
+    return top
+
+
+def _q_pdf_layout_text(sf_dir: str):
+    """PDF layout walk path (reading-order). Non-SQL-expressible: the oracle
+    is the generator's own walk-order construction, asserted in pytest;
+    driver records rows-only."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, pdf_mode=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=128)
+    out = ds.select_columns(["url", "text", "payload_kind"]).take_all()
+    return _norm_strings(pa.Table.from_pylist(out))
+
+
+def _q_real_pdf_extract(sf_dir: str):
+    """Real-``%PDF-`` extraction path (S1/M1 real-format loop, VERDICT r2
+    #2): payloads are GENUINE PDF 1.4 bytes (text objects, rotated stream
+    order, half FlateDecode-compressed — functions/pdfwrite.text_to_pdf),
+    extracted by the from-scratch content-stream parser
+    (functions/pdfread.py). The oracle reconstructs the deterministic
+    8-words-per-line relayout in SQL (same wrap as pdf_layout_text);
+    malformed docs (%97) ship structurally-damaged PDFs → error rows."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, real_pdf=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=128)
+    out = ds.select_columns(["url", "text", "payload_kind"]).take_all()
+    return _norm_strings(pa.Table.from_pylist(out))
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.textstats import lang_id_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(["doc_id", "pred_lang"])
+
+
+def _q_lang_kappa(sf_dir: str):
+    """Cohen's kappa between the stored ``lang`` label and the
+    ``lang_id`` prediction (``aggregates.cohens_kappa_int``) — the
+    chance-corrected model-vs-annotation agreement eval (raw accuracy
+    rewards majority-class parroting; kappa subtracts what the
+    marginals alone would agree on). Integer ppm with explicit
+    trunc-toward-zero division (the SQL ``//`` semantics). ONE
+    confusion-cell exchange bounded by |langs|²."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import cohens_kappa_int
+    from documentai_ray.stages.textstats import lang_id_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return cohens_kappa_int(ds, col_a="lang", col_b="pred_lang")
+
+
+def _q_lang_prf(sf_dir: str):
+    """Per-class precision/recall/F1 of the lang_id prediction against
+    the stored label (``aggregates.classification_prf_int``) — the
+    class-level eval completing rank_auc (ranking) and lang_kappa
+    (agreement): WHERE does the model fail. F1's harmonic mean clears
+    to one integer division (2·tp·10⁶ // (2·tp+fp+fn)), so all three
+    metrics are bit-exact in the nested lang_id SQL mirror. ONE
+    confusion-cell exchange."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import classification_prf_int
+    from documentai_ray.stages.textstats import lang_id_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return classification_prf_int(ds, true_col="lang",
+                                  pred_col="pred_lang")
+
+
+def _q_token_count_bpe(sf_dir: str):
+    import ray.data
+
+    from documentai_ray.stages.textstats import token_count_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=512)
+    return ds.select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    """Top-20 adjacent character-pair frequencies over the corpus — the
+    inner kernel of BPE training, fully distributed: per-batch word-Counter
+    combiner → one groupby over DISTINCT words → per-word pair expansion
+    (still over the compact word table, not the corpus) → groupby pair.
+    Both shuffles carry rows bounded by vocabulary size, not corpus size."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.bpe import word_freqs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wf = word_freqs(ds)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for w, n in zip(batch.column("word").to_pylist(),
+                        batch.column("n").to_pylist()):
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += n
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (
+        wf.map_batches(expand, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="mergesort")
+    return agg.head(20).reset_index(drop=True)
+
+
+def _q_bpe_train_merges(sf_dir: str):
+    """First 3 BPE merges learned from the corpus (distributed word-count
+    pass + driver merge loop over the compact vocab — stages/bpe.py). The
+    oracle unrolls all 3 rounds in SQL: sentinel-delimited symbol strings,
+    pair counts from adjacent list positions, argmax with the (n desc,
+    lhs, rhs) tie-break, and a string `replace` as the merge pass (the
+    left-to-right non-overlapping semantics both engines pin)."""
+    import pandas as pd
+    import ray.data
+
+    from documentai_ray.stages.bpe import bpe_train_distributed
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges = bpe_train_distributed(ds, num_merges=3)
+    return pd.DataFrame(
+        {"rank": range(1, len(merges) + 1),
+         "lhs": [m[0] for m in merges],
+         "rhs": [m[1] for m in merges],
+         "n": [m[2] for m in merges]}).astype(
+             {"rank": "int64", "n": "int64"})
+
+
+def _q_bpe_encode(sf_dir: str):
+    """Per-document token count under the fixed PRETRAINED_MERGES table
+    (train once / encode everywhere — the map-only production shape).
+    Per-batch distinct-word cache inside the stage; the oracle applies the
+    same merges as nested sentinel-string replaces."""
+    import ray.data
+
+    from documentai_ray.stages.bpe import BpeEncodeStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(BpeEncodeStage(), batch_format="pyarrow",
+                        batch_size=512)
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _q_fingerprint(sf_dir: str):
+    """Winnowing document fingerprint (rolling md5-token polynomial hash,
+    content-defined anchors, XOR-reduced). Emitted as SIGNED int64 (the
+    uint64 value wrapped) so both engines compare in a lossless dtype —
+    the oracle reconstructs the md5→LE64→window-hash→anchor→bit_xor chain
+    entirely in SQL (HUGEINT modular arithmetic)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.textstats import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=512)
+
+    def signed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = batch.column("fingerprint").to_numpy().astype(np.uint64)
+        s = u.astype(np.int64)  # two's-complement wrap
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fingerprint": pa.array(s, pa.int64())})
+
+    return ds.map_batches(signed, batch_format="pyarrow")
+
+
+def _q_simhash_hamming(sf_dir: str):
+    """SimHash screen of url-variant recaptures (?amp=1 ↔ base url), fully
+    distributed: fingerprint per batch → partitioned hash join of the
+    variant side onto its base url → vectorized 64-bit popcount filter at
+    ``SIMHASH_VARIANT_MAX_HAMMING``. No driver-side materialization — the
+    only exchange moves (url, simhash) projections."""
+    import numpy as np
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import add_simhash
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.joins import hash_join
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = add_simhash(ds.select_columns(["url", "text"])).drop_columns(["text"])
+
+    suffix = "?amp=1"
+
+    def base_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(
+            pc.invert(pc.ends_with(batch.column("url"), pattern=suffix)))
+        return pa.table({"url_a": t.column("url"),
+                         "simhash_a": t.column("simhash")})
+
+    def amp_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.ends_with(batch.column("url"), pattern=suffix))
+        bases = [u[: -len(suffix)] for u in t.column("url").to_pylist()]
+        return pa.table({"url_a": pa.array(bases, pa.string()),
+                         "url_b": t.column("url"),
+                         "simhash_b": t.column("simhash")})
+
+    joined = hash_join(
+        ds.map_batches(base_side, batch_format="pyarrow"),
+        ds.map_batches(amp_side, batch_format="pyarrow"),
+        on="url_a",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.is_valid(batch.column("url_b")))
+        if t.num_rows == 0:
+            return pa.table({"url_a": pa.array([], pa.string()),
+                             "url_b": pa.array([], pa.string())})
+        ha = t.column("simhash_a").to_numpy().astype(np.uint64)
+        hb = t.column("simhash_b").to_numpy().astype(np.uint64)
+        x = ha ^ hb
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            dist += lut[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        keep = dist <= SIMHASH_VARIANT_MAX_HAMMING
+        return pa.table({"url_a": t.column("url_a").filter(pa.array(keep)),
+                         "url_b": t.column("url_b").filter(pa.array(keep))})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def _q_group_pages(sf_dir: str):
+    """A4 page→output-group segmentation (documentClassifier.py:1045-1080):
+    consecutive same-category pages share a group, capped at
+    ``max_pages_per_group=2``; ``purchase_order`` is ``always_separate``
+    (singleton groups). Page-category sequences are synthesized
+    deterministically per doc (3-8 pages, runs up to 3); the segmentation
+    runs per row (ordered in-row list — never a global sort), exploded to
+    (doc_id, page_num, category, group_id) rows for the oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.preprocess import group_pages
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d_out, p_out, c_out, g_out = [], [], [], []
+        for doc_id in batch.column("doc_id").to_pylist():
+            n = 3 + doc_id % 6
+            cats = [_GROUP_CATS[((doc_id + i) // 3) % 3] for i in range(n)]
+            gids = group_pages(cats, max_pages_per_group=2,
+                               always_separate=("purchase_order",))
+            for i, (c, g) in enumerate(zip(cats, gids)):
+                d_out.append(doc_id); p_out.append(i + 1)
+                c_out.append(c); g_out.append(g)
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "page_num": pa.array(p_out, pa.int64()),
+                         "category": pa.array(c_out, pa.string()),
+                         "group_id": pa.array(g_out, pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=512)
+
+
+def _q_category_summary(sf_dir: str):
+    """A5 analog: per-category roll-up (files/pages/avg-confidence shape of
+    the reference's pdf_summary, classification-service/app.py:366-421)."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    agg = (
+        flagship(sf_dir=sf_dir)
+        .groupby("category")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="total_chars"),
+                   Sum("confidence", alias_name="_conf_sum"))
+        .to_pandas()
+    )
+    agg["avg_confidence"] = [
+        math.floor(s / n * 1e6) / 1e6 for s, n in zip(agg["_conf_sum"], agg["n_docs"])
+    ]
+    return agg[["category", "n_docs", "total_chars", "avg_confidence"]]
+
+
+def _q_vote_distribution(sf_dir: str):
+    """A2 analog: confidence ("k/4") distribution across the corpus."""
+    from ray.data.aggregate import Count
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    return (
+        flagship(sf_dir=sf_dir)
+        .groupby(["category", "votes"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF-flat ANN top-10, full probe (nprobe=nlist): exercises the whole
+    distributed IVF machinery — centroid train, broadcast index, per-batch
+    assignment matmul, probe filter, exact re-rank, partial top-k — with a
+    result that equals brute-force top-10 BY CONSTRUCTION, so the exact
+    SQL oracle holds at every scale. The sub-linear approximate regime
+    (nprobe<nlist) has no scale-stable exact oracle — its recall margin
+    collapses as the corpus outgrows the trained cells (measured: recall
+    1.0 needs nprobe≥10 at sf0.01 but ≥15 at sf0.1) — so that regime is
+    pinned by the planted-cluster recall tests in
+    tests/test_dedup_similarity.py instead; nprobe is the documented
+    recall/throughput scale knob."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.similarity import IVFIndex, ivf_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    sample = np.asarray(tbl.column("embedding").to_pylist()[:512], dtype=np.float64)
+    query = np.asarray(
+        next(r["embedding"] for r in tbl.to_pylist() if r["vec_id"] == 0),
+        dtype=np.float64,
+    )
+    index = IVFIndex(nlist=16, nprobe=16).train(sample)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(ds, query, k=10, index=index, exclude_ids={0})[["vec_id"]]
+
+
+def _q_q5_local_revenue(sf_dir: str):
+    """TPC-H-Q5-style composition: lineitem ⋈ orders via a partitioned
+    ``hash_join`` (BOTH fact-adjacent sides large — orders is 1.5B rows at
+    sf1000, never driver-broadcastable), with only the genuinely small
+    dims (customer/supplier/nation, ≤ O(10⁵) rows) broadcast as ``ray.put``
+    lookups inside ``map_batches``. After the join, rows filter to
+    cust_nation == supp_nation and pre-aggregate per batch, so only the
+    tiny per-nation partials shuffle into the final groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    def load(name, cols):
+        return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols).to_pandas()
+
+    customer = load("customer", ["c_custkey", "c_nationkey"])
+    supplier = load("supplier", ["s_suppkey", "s_nationkey"])
+    nation = load("nation", ["n_nationkey", "n_name"])
+
+    # index-keyed Series broadcasts → vectorized reindex per batch instead
+    # of per-element dict .get loops in the hottest map stage (VERDICT r2 #7)
+    cust_to_nation = ray.put(pd.Series(customer["c_nationkey"].to_numpy(),
+                                       index=customer["c_custkey"].to_numpy()))
+    supp_to_nation = ray.put(pd.Series(supplier["s_nationkey"].to_numpy(),
+                                       index=supplier["s_suppkey"].to_numpy()))
+    nation_name = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype("int64")
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100).astype("int64")
+        sn = ray.get(supp_to_nation)
+        supp_nation = pa.array(
+            sn.reindex(batch.column("l_suppkey").to_numpy())
+            .fillna(-1).astype("int64").to_numpy(), pa.int64())
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "supp_nation": supp_nation,
+                         "rev_c2": pa.array(price_c * (100 - disc_c), pa.int64())})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cust_to_nation)
+        cust_nation = pa.array(
+            cn.reindex(batch.column("o_custkey").to_numpy())
+            .fillna(-2).astype("int64").to_numpy(), pa.int64())
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "cust_nation": cust_nation})
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on="orderkey",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["cust_nation"] == df["supp_nation"]]
+        if df.empty:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "rev_c2": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64())})
+        names = ray.get(nation_name)
+        df["n_name"] = df["cust_nation"].map(names)
+        g = df.groupby("n_name", as_index=False).agg(
+            rev_c2=("rev_c2", "sum"), n_items=("rev_c2", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c2", alias_name="_rev_c2"),
+                   Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["_rev_c2"] / 10000.0
+    return agg[["n_name", "n_items", "revenue"]]
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (60-min window, 15-min slide)."""
+    import ray.data
+
+    from documentai_ray.stages.windows import sliding_window_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    return sliding_window_agg(ds, window_minutes=60, slide_minutes=15)
+
+
+def _q_rnn_pairs(sf_dir: str):
+    """Reciprocal nearest neighbors under max inner product: embedding
+    pairs that are each other's best match — the mutual-best filter of
+    entity resolution / semantic dedup. Exercises
+    ``similarity.mips_rnn_pairs``: int64-quantized exact dots (no
+    cosine division anywhere), smallest-id tie-break, per-batch block ×
+    corpus matmul against the broadcast matrix, one bounded self-join
+    of the n-row best-match table for mutuality."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import mips_rnn_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return mips_rnn_pairs(ds, id_col="vec_id", vec_col="embedding")
+
+
+def _q_mean_embedding(sf_dir: str):
+    """Per-label embedding centroid sufficient statistics — the class-
+    prototype computation behind cluster seeding / domain signatures.
+    Exercises ``similarity.grouped_centroid``: components quantized to
+    int64 BEFORE summing so the per-group sum is associative (bit-
+    identical at any parallelism / in any engine); one vectorized
+    np.add.at pass per block ships ≤ keys × dims partial rows, one tiny
+    exchange sums them."""
+    import ray.data
+
+    from documentai_ray.stages.similarity import grouped_centroid
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return grouped_centroid(ds, key_col="label", vec_col="embedding")
+
+
+def _q_kmv_intersect(sf_dir: str):
+    """Audience overlap via KMV θ-sketch INTERSECTION: estimated count
+    of users who both clicked AND purchased, without co-locating the
+    two sets — each side ships only its k smallest distinct user-hash
+    values, the combine is sketch algebra on ≤2k integers. Exercises
+    ``sketches.kmv_intersect_sets``; integer end to end, so the SQL
+    mirror (row_number θ, HUGEINT divisions) lands bit-identically."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import kmv_intersect_sets
+
+    def side(t):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        ).filter(expr=f"event_type == '{t}'")
+
+    return kmv_intersect_sets(side("click"), side("purchase"),
+                              val_col="user_id", k=64)
+
+
+def _q_kmv_difference(sf_dir: str):
+    """Audience set DIFFERENCE via θ-sketch: estimated count of users
+    who clicked but never purchased (and vice versa), completing the
+    sketch set algebra (union / intersect / difference) — still no
+    co-location of the sets, ≤ k hashes per side per block. Exercises
+    ``sketches.kmv_difference_sets``; bit-identical SQL mirror."""
+    import ray.data
+
+    from documentai_ray.stages.sketches import kmv_difference_sets
+
+    def side(t):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        ).filter(expr=f"event_type == '{t}'")
+
+    return kmv_difference_sets(side("click"), side("purchase"),
+                               val_col="user_id", k=64)
+
+
+def _q_copurchase_pairs(sf_dir: str):
+    """Market-basket co-occurrence: part pairs ordered together in ≥ 2
+    orders — frequently-bought-together / co-citation. Exercises
+    ``graph.cooccurrence_pairs``: one basket-hash exchange, per-basket
+    vectorized distinct + self-merge pair emission pre-combined to
+    per-partition pair counts, second exchange bounded by distinct
+    pairs (not pair instances), loud ``max_basket`` skew guard."""
+    import ray.data
+
+    from documentai_ray.stages.graph import cooccurrence_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(ds, basket_col="l_orderkey",
+                              item_col="l_partkey", min_support=2,
+                              num_partitions=32)
+
+
+def _q_grouped_mode(sf_dir: str):
+    """Per-user dominant action: statistical MODE of event_type per
+    user_id, count ties broken toward the lexicographically smallest
+    type. Exercises ``aggregates.grouped_mode``: per-batch (key, value)
+    count pre-combine, ONE key-hash exchange bounded by
+    keys × distinct values, per-partition sum + single-sort argmax."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_mode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ds, key_col="user_id", val_col="event_type",
+                        num_partitions=32)
+
+
+def _q_pareto_parts(sf_dir: str):
+    """Distributed skyline (Pareto frontier): parts not dominated on
+    (minimize retail price, maximize size) — the multi-objective
+    reduction behind "cheapest for its quality tier" curation picks.
+    Exercises ``aggregates.pareto_frontier``: skylines compose, so a
+    map-side vectorized dominance pass keeps each block's frontier and
+    ONE final task reduces the (small) survivor union — no shuffle.
+    Exact ties all survive, matching the SQL NOT-EXISTS strict-clause
+    skyline; price compared in exact cents."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import pareto_frontier
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        c = np.rint(batch.column("p_retailprice").to_numpy() * 100
+                    ).astype("int64")
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "p_size": batch.column("p_size").cast(pa.int64()),
+            "price_c": pa.array(c, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_frontier(ds, maximize=["p_size"], minimize=["price_c"])
+
+
+def _q_band_join_balances(sf_dir: str):
+    """Numeric tolerance (band / ε) join — the non-equi join class a
+    naive plan can only express as a cross join: every (customer,
+    supplier) pair whose account balances are within $5.00.  Exercises
+    ``joins.band_join``: delta-width bucketing, right side replicated to
+    the 3 adjacent buckets so each qualifying pair meets exactly once,
+    ONE bucket-hash exchange, vectorized in-partition merge + exact
+    integer |diff| ≤ delta filter.  Balances compared in exact cents —
+    no float crosses the engine boundary."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.joins import band_join
+
+    def cents(src: str, dst: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            c = np.rint(batch.column(src).to_numpy() * 100).astype("int64")
+            return (batch.drop_columns([src])
+                    .append_column(dst, pa.array(c, pa.int64())))
+        return f
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cents("c_acctbal", "c_bal_c"), batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(cents("s_acctbal", "s_bal_c"), batch_format="pyarrow")
+
+    out = band_join(cust, supp, left_on="c_bal_c", right_on="s_bal_c",
+                    delta=500, num_partitions=32)
+    return out.select_columns(["c_custkey", "s_suppkey",
+                               "c_bal_c", "s_bal_c"])
+
+
+def _q_overlap_join_windows(sf_dir: str):
+    """Distributed interval-overlap join (range × range, NO equi-key,
+    both sides distributed): each order's active window
+    [orderdate, orderdate + orderkey%20 days] paired with every audit
+    window it intersects. Exercises ``joins.overlap_join``: fixed-grid
+    tiling (64-day tiles), each interval replicated to the tiles it
+    touches, pairs emitted only from the tile containing
+    max(starts) — one guard predicate instead of a pair-dedup exchange.
+    All endpoints in integer epoch days; audit windows derived
+    deterministically from supplier keys (every 10th supplier)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.joins import overlap_join
+
+    def orders_iv(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        d = batch.column("o_orderdate").to_numpy().astype(
+            "datetime64[us]").astype("int64") // 86_400_000_000
+        k = batch.column("o_orderkey").to_numpy().astype("int64")
+        return pa.table({"o_orderkey": pa.array(k, pa.int64()),
+                         "o_start": pa.array(d, pa.int64()),
+                         "o_end": pa.array(d + k % 20, pa.int64())})
+
+    def audit_iv(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        k = batch.column("s_suppkey").to_numpy().astype("int64")
+        k = k[k % 10 == 0]
+        s = 8035 + (k * 131) % 2300
+        return pa.table({"s_suppkey": pa.array(k, pa.int64()),
+                         "a_start": pa.array(s, pa.int64()),
+                         "a_end": pa.array(s + k % 30 + 5, pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(orders_iv, batch_format="pyarrow")
+    audits = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    ).map_batches(audit_iv, batch_format="pyarrow")
+
+    return overlap_join(orders, audits,
+                        left_start="o_start", left_end="o_end",
+                        right_start="a_start", right_end="a_end",
+                        tile=64, num_partitions=32)
+
+
+def _q_q3_topn(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table plan: BUILDING-segment customers'
+    unshipped-revenue top 10 — a distributed SEMI join (orders filtered
+    by the customer segment WITHOUT carrying customer columns), a
+    partitioned hash join of the two fact tables, map-side partial
+    aggregation in exact cents, and a global sort+limit on the tiny
+    aggregated result. The multi-join planning pattern: semi joins for
+    EXISTS-style filters, inner joins only where columns are needed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    cutoff = np.datetime64("1995-03-15T00:00:00", "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'").select_columns(["c_custkey"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy().astype("datetime64[us]")
+        keep = d < cutoff
+        t = batch.filter(pa.array(keep))
+        return pa.table({"c_custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "o_orderdate": t.column("o_orderdate"),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(o_prep, batch_format="pyarrow")
+    orders = hash_join(orders, cust, on="c_custkey", how="semi",
+                       num_partitions=32).drop_columns(["c_custkey"]
+                                                       ).materialize()
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate").to_numpy().astype("datetime64[us]")
+        t = batch.filter(pa.array(d > cutoff))
+        price_c = np.rint(t.column("l_extendedprice").to_numpy() * 100
+                          ).astype("int64")
+        disc_c = np.rint(t.column("l_discount").to_numpy() * 100
+                         ).astype("int64")
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "rev_c2": pa.array(price_c * (100 - disc_c),
+                                            pa.int64())})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = hash_join(li, orders, on="o_orderkey", num_partitions=32)
+    agg = (joined.groupby("o_orderkey")
+           .aggregate(Sum("rev_c2", alias_name="_rev_c2")))
+    top = (agg.sort(["_rev_c2", "o_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    # re-attach the order attributes for the surviving 10 keys only
+    # (orders is materialized above: both consumers reuse its blocks)
+    keys = set(top["o_orderkey"].tolist())
+
+    def keep10(batch: pa.Table) -> pa.Table:
+        mask = [k in keys for k in batch.column("o_orderkey").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    attrs = (orders.map_batches(keep10, batch_format="pyarrow")
+             .to_pandas()[["o_orderkey", "o_orderdate", "o_orderpriority"]])
+    out = top.merge(attrs, on="o_orderkey")
+    out["revenue"] = out.pop("_rev_c2") / 10000.0
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts — the product-analytics staple: users
+    grouped by their FIRST event week, distinct-user counts per
+    (cohort_week, week_offset). Physical plan: per-batch distinct
+    (user, week) pre-combine shrinks the ONE user-hash exchange; each
+    partition then resolves ALL its users in one vectorized pass
+    (global distinct → per-user min → offsets → partial counts), and a
+    tiny (cohort, offset) exchange sums the partials — no join, and
+    distinctness is guaranteed where the key is co-located."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        wk = (batch.column("ts").to_numpy().astype("datetime64[us]")
+              .astype("int64") // (604_800 * 1_000_000))
+        # per-batch dedup shrinks the exchange; GLOBAL distinctness is
+        # established per user partition below (a batch-level dedup
+        # alone would double-count pairs that span blocks)
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                           "wk": wk}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(weeks, batch_format="pyarrow")
+
+    def per_partition(g):
+        import pandas as pd
+        g = g.drop_duplicates(subset=["user_id", "wk"])
+        first = g.groupby("user_id", sort=False)["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": first,
+                            "week_offset": g["wk"] - first})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().reset_index(name="_n"))
+
+    partials = (_add_pkey(pairs, "user_id", 32)
+                .groupby("_pkey")
+                .map_groups(lambda g: per_partition(
+                    g.drop(columns=["_pkey"])), batch_format="pandas"))
+    return (partials.groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("_n", alias_name="n_users")))
+
+
+def _q_sliding_unique_users(sf_dir: str):
+    """Trailing-24h unique users, per hour — the live-audience metric.
+    Exercises ``windows.sliding_distinct_count``: instead of expanding
+    every (user, hour) pair 24× or running COUNT DISTINCT per window,
+    each user's observed hours open [h, h+24) intervals, islands merge
+    per user, and ±1 island-boundary deltas cumsum'd over the bounded
+    hour axis give the exact distinct count per hour."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import sliding_distinct_count
+
+    def hours(batch: pa.Table) -> pa.Table:
+        h = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // 3_600_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "hour": pa.array(h, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"]
+                               ).map_batches(hours, batch_format="pyarrow")
+    return sliding_distinct_count(ds, key_col="user_id",
+                                  bucket_col="hour", width=24,
+                                  num_partitions=32)
+
+
+def _q_segment_digests(sf_dir: str):
+    """Merkle-style SEGMENT digests — the anti-entropy primitive behind
+    replica reconciliation: instead of one whole-table checksum
+    (table_checksum), a digest per key-range segment (custkey // 100)
+    so two replicas can binary-search WHICH ranges differ and resync
+    only those. Same wrapping mod-2⁶⁴ sum of md5-LE64 row hashes,
+    2³²-split (hi, lo) partials so no engine-side overflow, one
+    segment-keyed exchange, Python-bignum reassembly."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        keys = batch.column("c_custkey").to_pylist()
+        names = batch.column("c_name").to_pylist()
+        segs = [k // 100 for k in keys]
+        acc: dict[int, list] = {}
+        for sg, k, nm in zip(segs, keys, names):
+            h = md5_le64(f"{k}|{nm}")
+            st = acc.setdefault(sg, [0, 0])
+            st[0] = (st[0] + h) % (1 << 64)
+            st[1] += 1
+        out = pd.DataFrame(
+            [(sg, st[1], st[0] >> 32, st[0] & 0xFFFFFFFF)
+             for sg, st in acc.items()],
+            columns=["segment", "n_rows", "hi", "lo"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("segment")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("hi", alias_name="hi"),
+                      Sum("lo", alias_name="lo")))
+
+    def derive(batch: pa.Table) -> pa.Table:
+        out = []
+        for hi, lo in zip(batch.column("hi").to_pylist(),
+                          batch.column("lo").to_pylist()):
+            v = ((hi << 32) + lo) % (1 << 64)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({"segment": batch.column("segment"),
+                         "n_rows": batch.column("n_rows"),
+                         "digest": pa.array(out, pa.int64())})
+
+    return agg.map_batches(derive, batch_format="pyarrow")
+
+
+def _q_user_coverage(sf_dir: str):
+    """Active-time coverage per user: each event opens a 300-second
+    window; overlapping windows must not double-count, so the metric is
+    the UNION length of each user's intervals. Exercises
+    ``windows.interval_coverage`` — distributed gaps-and-islands: one
+    key-hash exchange, per-partition vectorized grouped-cummax island
+    merge, Σ(max end − min start) per island."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.windows import interval_coverage
+
+    def iv(batch: pa.Table) -> pa.Table:
+        s = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // 1_000_000)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + 300, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"]
+                               ).map_batches(iv, batch_format="pyarrow")
+    return interval_coverage(ds, key_col="user_id", start_col="s",
+                             end_col="e", num_partitions=32)
+
+
+def _q_quantity_dense_rank(sf_dir: str):
+    """dense_rank() of each lineitem's quantity within its returnflag
+    group — rank over distinct values, no gaps after ties; completes
+    the distributed rank-window family. Same collapsed plan as
+    quantity_percentile: one bounded histogram exchange + broadcast
+    lookup, rows never shuffle
+    (``aggregates.grouped_dense_rank``)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_dense_rank
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber"),
+                         "l_returnflag": batch.column("l_returnflag"),
+                         "qty": pa.array(q, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_dense_rank(ds, key_col="l_returnflag", val_col="qty")
+    return out.select_columns(["l_orderkey", "l_linenumber",
+                               "dense_rank"])
+
+
+def _q_global_index(sf_dir: str):
+    """zipWithIndex: assign every document a contiguous 0-based GLOBAL
+    index under ``ORDER BY (n_chars, doc_id)`` — the stable sample-id /
+    curriculum-position assignment, computed with NO global sort
+    (``aggregates.global_row_index``): one histogram exchange bounded
+    by distinct n_chars values + one tie-group exchange with a
+    vectorized cumcount; block layout never affects the result."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import global_row_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    out = global_row_index(ds, val_col="n_chars", tiebreak_col="doc_id")
+    return out.select_columns(["doc_id", "row_idx"])
+
+
+def _q_record_linkage(sf_dir: str):
+    """Record linkage / entity resolution (Fellegi–Sunter shape): match
+    the customer master against a synthesized dirty CRM extract of
+    itself (deterministic per-row perturbations: custkey%3==0 drops the
+    name's last char, %3==1 upper-cases it, balance shifts by
+    custkey%7−3 cents). Blocking on (nationkey, mktsegment) bounds
+    candidate pairs; agreement weights — exact normalized name +40,
+    else edit-distance ≤ 1 +35, |balance diff| ≤ 3¢ +25 — keep pairs at
+    score ≥ 60. ONE block-key exchange, scoring fused into the join
+    partition (``stages/linkage.py``); the ≤1-edit comparator is the
+    O(len) single-pass check, not a DP matrix."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.linkage import blocked_linkage, within_edit1
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        names = batch.column("c_name").to_pylist()
+        nk = batch.column("c_nationkey").to_numpy()
+        seg = batch.column("c_mktsegment").to_pylist()
+        bal = np.rint(batch.column("c_acctbal").to_numpy() * 100
+                      ).astype("int64")
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "name_n": pa.array([n.lower() for n in names], pa.string()),
+            "bal": pa.array(bal, pa.int64()),
+            "block": pa.array([f"{k}|{s}" for k, s in zip(nk, seg)],
+                              pa.string()),
+        })
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        names = batch.column("c_name").to_pylist()
+        nk = batch.column("c_nationkey").to_numpy()
+        seg = batch.column("c_mktsegment").to_pylist()
+        bal = np.rint(batch.column("c_acctbal").to_numpy() * 100
+                      ).astype("int64")
+        dirty = [n[:-1] if k % 3 == 0 else (n.upper() if k % 3 == 1 else n)
+                 for k, n in zip(ck, names)]
+        return pa.table({
+            "crm_id": pa.array(ck + 1_000_000, pa.int64()),
+            "d_name_n": pa.array([n.lower() for n in dirty], pa.string()),
+            "d_bal": pa.array(bal + ck % 7 - 3, pa.int64()),
+            "block": pa.array([f"{k}|{s}" for k, s in zip(nk, seg)],
+                              pa.string()),
+        })
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    left = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols
+                                 ).map_batches(prep_left,
+                                               batch_format="pyarrow")
+    right = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=cols
+                                  ).map_batches(prep_right,
+                                                batch_format="pyarrow")
+
+    def scorer(pairs):
+        a = pairs["name_n"].to_numpy()
+        b = pairs["d_name_n"].to_numpy()
+        eq = a == b
+        score = np.where(eq, 40, 0).astype(np.int64)
+        # edit-distance path only for non-equal names (O(len) each)
+        for i in np.flatnonzero(~eq):
+            if within_edit1(a[i], b[i]):
+                score[i] += 35
+        close = np.abs(pairs["bal"].to_numpy()
+                       - pairs["d_bal"].to_numpy()) <= 3
+        return score + np.where(close, 25, 0)
+
+    return blocked_linkage(left, right, block_col="block", scorer=scorer,
+                           out_cols=["c_custkey", "crm_id"], threshold=60)
+
+
+def _q_golden_record(sf_dir: str):
+    """Survivorship merge after linkage: per customer, 3 synthesized
+    observation versions with deterministic field gaps (name present
+    only in version custkey%3, segment in even-parity versions, balance
+    in versions ≠ 1) collapse to one golden record — per FIELD, the
+    latest non-null observation wins (per-row recency would let a newer
+    record's missing field erase an older value). One key-hash
+    exchange + a single vectorized groupby-last per partition
+    (``linkage.golden_record``)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.linkage import golden_record
+
+    def versions(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        names = batch.column("c_name").to_pylist()
+        segs = batch.column("c_mktsegment").to_pylist()
+        bal = np.rint(batch.column("c_acctbal").to_numpy() * 100
+                      ).astype("int64")
+        n = len(ck)
+        k3 = np.repeat(ck, 3)
+        v = np.tile(np.arange(3, dtype=np.int64), n)
+        name3 = [f"{names[i // 3]}/{v[i]}" if v[i] == ck[i // 3] % 3
+                 else None for i in range(3 * n)]
+        seg3 = [f"{segs[i // 3]}/{v[i]}" if (ck[i // 3] + v[i]) % 2 == 0
+                else None for i in range(3 * n)]
+        bal3 = pa.array([int(bal[i // 3] + v[i]) if v[i] != 1 else None
+                         for i in range(3 * n)], pa.int64())
+        return pa.table({"c_custkey": pa.array(k3, pa.int64()),
+                         "ver": pa.array(v, pa.int64()),
+                         "g_name": pa.array(name3, pa.string()),
+                         "g_seg": pa.array(seg3, pa.string()),
+                         "g_bal": bal3})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    ).map_batches(versions, batch_format="pyarrow")
+    out = golden_record(ds, key_col="c_custkey", order_col="ver",
+                        field_cols=["g_name", "g_seg", "g_bal"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("g_bal"), "g_bal",
+            batch.column("g_bal").cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_cc_labels(sf_dir: str):
+    """Standalone connected components over an explicit edge table —
+    the general union-find-as-a-dataset-op (dedup clusters, account
+    graphs, citation components), exposed directly rather than inside
+    minhash_dedup_keep. Graph: star blocks of 8 customer keys (hub =
+    ⌊k/8⌋·8) plus a bridge from every hub with k%40==16 to member
+    k+13 of the next block — component diameter ≤ 4, so the
+    distributed min-label propagation (one key-projected hash join +
+    grouped min per round, digest early-exit;
+    ``dedup.neardup_components``) converges well inside its round
+    budget. Output: (c_custkey, component = min key reachable)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import neardup_components
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy()
+        m1 = k % 8 != 0
+        a = ((k[m1] // 8) * 8).astype("int64")
+        b = k[m1].astype("int64")
+        m2 = (k % 40 == 16) & (k + 13 <= maxk)
+        a2 = k[m2].astype("int64")
+        b2 = (k[m2] + 13).astype("int64")
+        return pa.table({"id_a": pa.array(np.concatenate([a, a2])),
+                         "id_b": pa.array(np.concatenate([b, b2]))})
+
+    edges = cust.map_batches(mkedges, batch_format="pyarrow")
+    return neardup_components(cust, edges, id_col="c_custkey")
+
+
+def _q_dag_layers(sf_dir: str):
+    """Topological layering / critical-path depth over a DAG
+    (``graph.dag_layers``): which dependency wave does each node run
+    in. Deterministic DAG on customer keys — chain edges k→k+1 inside
+    blocks of 4 plus skip edges k→k+3 when k%9==2; every edge
+    increases the key, so acyclicity holds by construction and the
+    longest path is ≤ 7 edges (round budget 8 ⇒ exact). Max-relaxation
+    per round = one key-projected hash join + grouped max."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.graph import dag_layers
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy()
+        m1 = (k % 4 != 3) & (k + 1 <= maxk)
+        m2 = (k % 9 == 2) & (k + 3 <= maxk)
+        src = np.concatenate([k[m1], k[m2]]).astype("int64")
+        dst = np.concatenate([k[m1] + 1, k[m2] + 3]).astype("int64")
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = cust.map_batches(mkedges, batch_format="pyarrow")
+    nodes = cust.map_batches(
+        lambda b: pa.table({"node": b.column("c_custkey")}),
+        batch_format="pyarrow")
+    out = dag_layers(edges, nodes, rounds=8)
+    return out.map_batches(
+        lambda b: pa.table({"c_custkey": b.column("node"),
+                            "layer": b.column("layer")}),
+        batch_format="pyarrow")
+
+
+def _q_ks_drift(sf_dir: str):
+    """Two-sample KS drift check: do returned ('R') lineitems draw
+    their quantities from the same distribution as the rest? Exercises
+    ``aggregates.ks_statistic_int``: per-side value histograms (one
+    bounded exchange each), cross-multiplied integer CDF compare —
+    D = d_scaled / (n_a·n_b) with no float division crossing the
+    engine boundary."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import ks_statistic_int
+
+    def side(flag_eq: bool):
+        def prep(batch: pa.Table) -> pa.Table:
+            f = np.asarray(batch.column("l_returnflag").to_pylist())
+            keep = (f == "R") if flag_eq else (f != "R")
+            q = np.rint(batch.column("l_quantity").to_numpy()
+                        ).astype("int64")[keep]
+            return pa.table({"qty": pa.array(q, pa.int64())})
+        return ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity"],
+        ).map_batches(prep, batch_format="pyarrow")
+
+    return ks_statistic_int(side(True), side(False), val_col="qty")
+
+
+def _q_quantity_percentile(sf_dir: str):
+    """Per-row CDF position: each lineitem's quantity percent_rank
+    within its returnflag group, exact integer ppm. Exercises
+    ``aggregates.grouped_percent_rank``: rank() min-rank tie semantics
+    collapse the window to ONE histogram exchange (keys × distinct
+    values) + a broadcast lookup — rows never shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_percent_rank
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber"),
+                         "l_returnflag": batch.column("l_returnflag"),
+                         "qty": pa.array(q, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_percent_rank(ds, key_col="l_returnflag", val_col="qty")
+    return out.select_columns(["l_orderkey", "l_linenumber", "pct_ppm"])
+
+
+def _q_quantity_cume_dist(sf_dir: str):
+    """Per-row inclusive CDF position: each lineitem quantity's
+    cume_dist within its linestatus group, exact integer ppm.
+    Exercises ``aggregates.grouped_cume_dist`` — the inclusive sibling
+    of percent_rank (fraction of the group at or BELOW the value, ties
+    share their peer group's cumulative count): ONE histogram exchange
+    bounded by keys × distinct values + a broadcast lookup, rows never
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_cume_dist
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_linenumber": batch.column("l_linenumber"),
+                         "l_linestatus": batch.column("l_linestatus"),
+                         "qty": pa.array(q, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_linestatus",
+                 "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = grouped_cume_dist(ds, key_col="l_linestatus", val_col="qty")
+    return out.select_columns(["l_orderkey", "l_linenumber", "cume_ppm"])
+
+
+def _q_gini_gain(sf_dir: str):
+    """Decision-stump feature score (``aggregates.gini_gain_int``):
+    exact integer-ppm Gini impurity gain of the binary split
+    "quantity ≥ 26" over the 3-class return flag — the CART
+    feature-selection primitive, chosen over information gain because
+    Gini is rational (one cleared division in bigint/HUGEINT, bit-exact
+    in SQL; entropy's log never is). ONE exchange bounded by
+    2 × |labels| cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import gini_gain_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({
+            "hi_qty": pa.array((q >= 26).tolist(), pa.bool_()),
+            "flag": batch.column("l_returnflag")})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return gini_gain_int(ds, split_col="hi_qty", label_col="flag")
+
+
+def _q_rank_auc(sf_dir: str):
+    """Exact ROC-AUC in integer ppm (``aggregates.rank_auc_int``):
+    does quantity rank returned lineitems above kept ones? Rank-based
+    Mann–Whitney identity with the tie term kept integral in doubled
+    units (u2 = Σ p·(2·cumneg + q)) — the threshold-free score eval a
+    float trapezoid can't reproduce bit-exactly. ONE exchange bounded
+    by distinct score values, driver cumulative scan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.aggregates import rank_auc_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.rint(batch.column("l_quantity").to_numpy()).astype("int64")
+        return pa.table({
+            "qty": pa.array(v, pa.int64()),
+            "returned": pc.equal(batch.column("l_returnflag"), "R")})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_returnflag"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return rank_auc_int(ds, score_col="qty", label_col="returned")
+
+
+def _q_waterfill_budget(sf_dir: str):
+    """Max-min fair crawl-budget allocation
+    (``curation.waterfill_allocate``): per-user event counts are the
+    demands; a global budget of exactly 3/5 of total demand is split by
+    progressive water-filling — keys whose demand fits under the fair
+    share are fully satisfied, the rest split the remainder evenly with
+    the deterministic (demand, key)-order +1 rule for the integer
+    leftover. Exact closed form prefix + d·(n−k+1) ≤ B, integer end to
+    end; ONE exchange bounded by distinct users, driver fill over the
+    key-bounded table."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import waterfill_allocate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch.column("user_id"),
+                         "one": pa.array([1] * batch.num_rows,
+                                         pa.int64())})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"]
+                               ).map_batches(prep, batch_format="pyarrow")
+    return waterfill_allocate(ev, key_col="user_id", demand_col="one",
+                              budget_num=3, budget_den=5)
+
+
+def _q_target_encode(sf_dir: str):
+    """Smoothed target encoding of market segment by account balance
+    (``aggregates.target_encode_int``): each category becomes the
+    smoothed mean of its target, ``(sum_c + m·prior) // (n_c + m)`` —
+    rare categories shrink toward the global mean with pseudo-count
+    weight m=10. Balance shifted to cents + 100000 so everything is
+    non-negative and floor division is unambiguous cross-engine. ONE
+    exchange bounded by distinct categories + ray.put broadcast attach;
+    rows never shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import target_encode_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = (np.rint(batch.column("c_acctbal").to_numpy() * 100)
+             .astype("int64") + 100_000)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment"),
+                         "bal_shifted": pa.array(c, pa.int64())})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = target_encode_int(cust, cat_col="c_mktsegment",
+                            target_col="bal_shifted", m=10)
+    return out.select_columns(["c_custkey", "c_mktsegment", "enc"])
+
+
+def _q_log2_p99(sf_dir: str):
+    """Bounded-state p99 per key (``sketches.log2_quantile_sketch``):
+    order totals bucketed by octave (floor(log2) via exact np.frexp),
+    ONE exchange of keys × ≤64 bucket counts no matter the value
+    distribution — the DDSketch trade: the answer is the interval
+    [2^b, 2^(b+1)−1] with guaranteed ≤2× relative error, where the
+    exact-histogram quantile ops pay an exchange bounded by distinct
+    values. Integer rank rule cum·100 ≥ 99·n mirrors the SQL
+    bit-exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import log2_quantile_sketch
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("o_totalprice").to_numpy() * 100
+                    ).astype("int64")
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "cents": pa.array(c, pa.int64())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return log2_quantile_sketch(orders, key_col="o_orderpriority",
+                                val_col="cents", q_pct=99)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Equal-width histogram of event values (20 bins) — the ANALYZE /
+    data-profiling primitive beside profile_columns' min/max/KMV: a
+    tiny global min/max aggregate fixes the domain, then binning is a
+    pure integer map ``(v − lo) · nbins // (hi − lo + 1)`` (exact in
+    any engine, last bin inclusive by construction) pre-combined per
+    batch into an exchange bounded by nbins."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    NBINS = 20
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value").to_numpy() * 100).astype("int64")
+        return pa.table({"val_c": pa.array(c, pa.int64())})
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    ).map_batches(cents, batch_format="pyarrow")
+
+    mm = read().aggregate(Min("val_c"), Max("val_c"))
+    lo, hi = int(mm["min(val_c)"]), int(mm["max(val_c)"])
+    span = hi - lo + 1
+
+    def binify(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        v = batch.column("val_c").to_numpy()
+        b = (v - lo) * NBINS // span
+        df = (pd.DataFrame({"bin": b, "v": v})
+              .groupby("bin", sort=False)
+              .agg(n=("v", "size"), lo_c=("v", "min"), hi_c=("v", "max"))
+              .reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (read().map_batches(binify, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("lo_c", alias_name="lo_c"),
+                       Max("hi_c", alias_name="hi_c")))
+
+
+def _q_type_share(sf_dir: str):
+    """Percent-of-total (the ratio_to_report window): each event type's
+    share of total event value, in exact integer ppm — share arithmetic
+    is where float division diverges across engines, so the grand total
+    is derived from the (tiny) grouped sums themselves and each share is
+    ``group_cents · 10⁶ // total_cents``. One pre-combined exchange; the
+    total needs no second pass over the data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("value").to_numpy() * 100).astype("int64")
+        return pa.table({"event_type": batch.column("event_type"),
+                         "val_c": pa.array(c, pa.int64())})
+
+    grp = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "value"])
+           .map_batches(cents, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("val_c", alias_name="total_c"))
+           .to_pandas())
+    total = int(grp["total_c"].sum())
+    grp["share_ppm"] = grp["total_c"] * 1_000_000 // total
+    return grp[["event_type", "total_c", "share_ppm"]]
+
+
+def _q_bag_intersect(sf_dir: str):
+    """Multiset INTERSECT ALL (bag intersection with multiplicity) —
+    completes the bag algebra beside ``bag_difference``: the high-value
+    (≥ $50) event-type stream ∩ the even-user stream, each type
+    surviving ``min(count_left, count_right)`` times. Same count-algebra
+    plan: per-side pre-combined value counts, ONE value-hash exchange,
+    survivors re-exploded by ``np.repeat`` — multiplicity arithmetic on
+    aggregates, never an n×m row pairing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def counts(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            v = np.rint(batch.column("value").to_numpy() * 100
+                        ).astype("int64")
+            u = batch.column("user_id").to_numpy()
+            df = pd.DataFrame({"event_type":
+                               batch.column("event_type").to_pylist()})
+            df = df[v >= 5_000] if which == "left" else df[u % 2 == 0]
+            out = (df.groupby("event_type", sort=False)
+                   .size().reset_index(name="_n"))
+            out["_side"] = which
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                           .replace_schema_metadata(None)
+        return f
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value", "user_id"])
+    both = (read().map_batches(counts("left"), batch_format="pyarrow")
+            .union(read().map_batches(counts("right"),
+                                      batch_format="pyarrow")))
+
+    def isect(g):
+        import pandas as pd
+        c = (g.pivot_table(index="event_type", columns="_side",
+                           values="_n", aggfunc="sum", fill_value=0)
+             .reindex(columns=["left", "right"], fill_value=0)
+             .reset_index())
+        n = np.minimum(c["left"].to_numpy(), c["right"].to_numpy())
+        return pd.DataFrame({"event_type":
+                             np.repeat(c["event_type"].to_numpy(), n)})
+
+    return (_add_pkey(both, "event_type", 8)
+            .groupby("_pkey")
+            .map_groups(lambda g: isect(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
+def _q_bag_difference(sf_dir: str):
+    """Multiset EXCEPT ALL (bag difference with multiplicity): the
+    event-type stream MINUS its high-value (≥ $100) sub-stream — each
+    type survives ``count_all − count_high`` times. Exercises
+    ``curation``-style count algebra instead of row matching: per-side
+    per-batch value counts pre-combine, ONE value-hash exchange joins
+    the two count tables, survivors are re-exploded by ``np.repeat`` —
+    multiplicity arithmetic on aggregates, never an n×m row pairing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.dedup import _add_pkey
+
+    def counts(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            v = np.rint(batch.column("value").to_numpy() * 100
+                        ).astype("int64")
+            df = pd.DataFrame({"event_type":
+                               batch.column("event_type").to_pylist()})
+            if which == "right":
+                df = df[v >= 10_000]
+            out = (df.groupby("event_type", sort=False)
+                   .size().reset_index(name="_n"))
+            out["_side"] = which
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return f
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    both = (read().map_batches(counts("left"), batch_format="pyarrow")
+            .union(read().map_batches(counts("right"),
+                                      batch_format="pyarrow")))
+
+    def diff(g):
+        import pandas as pd
+        c = (g.pivot_table(index="event_type", columns="_side",
+                           values="_n", aggfunc="sum", fill_value=0)
+             .reindex(columns=["left", "right"], fill_value=0)
+             .reset_index())
+        n = (c["left"] - c["right"]).clip(lower=0).to_numpy()
+        return pd.DataFrame({"event_type":
+                             np.repeat(c["event_type"].to_numpy(), n)})
+
+    return (_add_pkey(both, "event_type", 8)
+            .groupby("_pkey")
+            .map_groups(lambda g: diff(g.drop(columns=["_pkey"])),
+                        batch_format="pandas"))
+
+
+def _q_event_pairs_window(sf_dir: str):
+    """Windowed equi self-join: pairs of SAME-USER events within 600
+    seconds of each other — the temporal-proximity join behind burst /
+    co-click analysis. Exercises ``joins.band_join`` with its equi-key
+    extension: routing hash and in-partition merge both include
+    user_id, so only same-user rows pair and a hot time band splits
+    across users; the unordered pair is kept once via id_l < id_r (each
+    ordered combination meets exactly once by the band plan)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import band_join
+
+    def prep(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            s = (batch.column("ts").to_numpy().astype("datetime64[us]")
+                 .astype("int64") // 1_000_000)
+            return pa.table({f"id_{side}": batch.column("event_id"),
+                             f"user_{side}": batch.column("user_id"),
+                             f"ts_{side}": pa.array(s, pa.int64())})
+        return f
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    left = read().map_batches(prep("l"), batch_format="pyarrow")
+    right = read().map_batches(prep("r"), batch_format="pyarrow")
+    out = band_join(left, right, left_on="ts_l", right_on="ts_r",
+                    delta=600, num_partitions=32,
+                    left_by="user_l", right_by="user_r")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("id_l"), batch.column("id_r"))
+        t = batch.filter(keep)
+        return pa.table({"id_l": t.column("id_l"),
+                         "id_r": t.column("id_r"),
+                         "user_id": t.column("user_l")})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_path_rollup(sf_dir: str):
+    """Hierarchical path-prefix rollup — the URL-tree census a crawl
+    publishes (docs per /section, /section/lang, …): each doc's
+    4-level synthetic path contributes one count to every prefix
+    depth. Per-batch vectorized prefix construction + count pre-combine
+    keeps the ONE exchange bounded by DISTINCT prefixes (the leaf level
+    legitimately degenerates to one row per doc — the rollup's own
+    output size, documented, not a shuffle amplification)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = batch.column("doc_id").to_pylist()
+        src = batch.column("source").to_pylist()
+        lang = batch.column("lang").to_pylist()
+        rows_p, rows_d = [], []
+        for i, s, lg in zip(ids, src, lang):
+            p1 = f"/{s}"
+            p2 = f"{p1}/{lg}"
+            p3 = f"{p2}/{i % 10}"
+            p4 = f"{p3}/{i}"
+            rows_p += [p1, p2, p3, p4]
+            rows_d += [1, 2, 3, 4]
+        df = (pd.DataFrame({"depth": rows_d, "prefix": rows_p})
+              .groupby(["depth", "prefix"], sort=False)
+              .size().reset_index(name="_n"))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang"])
+    out = (ds.map_batches(prefixes, batch_format="pyarrow")
+           .groupby(["depth", "prefix"])
+           .aggregate(Sum("_n", alias_name="n")))
+    return out
+
+
+def _q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day — running COUNT(DISTINCT)
+    without a quadratic window: distinct-per-day collapses to each
+    user's FIRST day (groupby-min, per-batch pre-combined), daily
+    new-user counts are a tiny aggregate, and the running sum over the
+    bounded day axis is a driver-side cumsum (days ≪ rows; the
+    documented small-axis exception)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    def days(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = (batch.column("ts").to_numpy().astype("datetime64[us]")
+             .astype("int64") // (86_400 * 1_000_000))
+        df = (pd.DataFrame({"user_id": batch.column("user_id").to_numpy(),
+                            "d": d})
+              .groupby("user_id", sort=False)["d"].min().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    first = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id", "ts"])
+             .map_batches(days, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("d", alias_name="day")))
+    daily = (first.groupby("day").aggregate(Count(alias_name="new_users"))
+             .to_pandas().sort_values("day"))
+    daily["cum_users"] = daily["new_users"].cumsum()
+    return daily.reset_index(drop=True)
+
+
+def _q_join_revenue(sf_dir: str):
+    """Partitioned hash join (both sides large): lineitem ⋈ orders on
+    orderkey → revenue per order priority."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype("int64")
+        disc_c = np.rint(batch.column("l_discount").to_numpy() * 100).astype("int64")
+        return pa.table({"orderkey": batch.column("l_orderkey"),
+                         "rev_c2": pa.array(price_c * (100 - disc_c), pa.int64())})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderpriority"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": batch.column("o_orderkey"),
+                         "o_orderpriority": batch.column("o_orderpriority")})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="orderkey")
+    agg = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("rev_c2", alias_name="_rev_c2"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["_rev_c2"] / 10000.0  # exact integer-cents sum
+    return agg[["o_orderpriority", "n_items", "revenue"]]
+
+
+def _q_events_asof(sf_dir: str):
+    """As-of join: each purchase event matched to the user's most recent
+    signup at-or-before it (bucketed ``merge_asof``; DuckDB ASOF JOIN
+    oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def split(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("event_type"), kind))
+            return t.drop_columns(["event_type"])
+        return f
+
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+
+    def signup_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "signup"))
+        return pa.table({"user_id": t.column("user_id"), "ts": t.column("ts"),
+                         "signup_ts": t.column("ts")})
+
+    signups = ev.map_batches(signup_prep, batch_format="pyarrow")
+    joined = asof_join(purchases.drop_columns([]), signups, on="ts", by="user_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("signup_ts")))
+        return t.select(["event_id", "user_id", "signup_ts"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_entities_table(sf_dir: str):
+    """HTML-table tag extraction (M19/LC analog): label→value dicts from the
+    PO pages' summary tables, straight off the raw html payload."""
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.entities import extract_table_tags
+
+    ds = pages_dataset(sf_dir)
+
+    def tags(batch: pa.Table) -> pa.Table:
+        urls, po, qty, ccy = [], [], [], []
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            try:
+                d = extract_table_tags(payload.decode("utf-8"))
+            except UnicodeDecodeError:
+                continue
+            if "PO" in d:
+                urls.append(u)
+                po.append(d.get("PO", ""))
+                qty.append(d.get("QTY", ""))
+                ccy.append(d.get("CCY", ""))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "tag_po": pa.array(po, pa.string()),
+                         "tag_qty": pa.array(qty, pa.string()),
+                         "tag_ccy": pa.array(ccy, pa.string())})
+
+    return ds.map_batches(tags, batch_format="pyarrow")
+
+
+def _q_lc_tags(sf_dir: str):
+    """LC-application extraction (M19, full 34-SWIFT-code coverage) + LC
+    rule validation (T4): HTML-table walk keyed by normalized code cells
+    (reference lc_application.py:16-38), rule-covered tags validated
+    against configs/validation_rules/lc_rules.txt (40A/31C/31D incl. the
+    cross-field date rule/32B/50/59)."""
+    import os
+
+    import pyarrow as pa
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.entities import extract_lc_tags, lc_rule_field
+    from documentai_ray.stages.rules import load_rules, validate_entities
+
+    rules = load_rules(os.path.join(_REPO_ROOT,
+                                    "configs", "validation_rules", "lc_rules.txt"))
+    rule_fields = ("40A", "31C", "31D", "32B", "50", "59")
+
+    ds = pages_dataset(sf_dir)
+
+    def tags(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("url", "tag_40a", "tag_31c", "tag_31d",
+                                  "tag_32b", "tag_50", "tag_59", "n_tags",
+                                  "rules_passed", "rules_failed", "overall_valid")}
+        for u, payload in zip(batch.column("url").to_pylist(),
+                              batch.column("html").to_pylist()):
+            try:
+                d = extract_lc_tags(payload.decode("utf-8"))
+            except UnicodeDecodeError:
+                continue
+            if not d:
+                continue
+            ents = {lc_rule_field(c): v for c, v in d.items()}
+            res = validate_entities({f: ents.get(f, "") for f in rule_fields},
+                                    rules)
+            cols["url"].append(u)
+            cols["tag_40a"].append(ents.get("40A", ""))
+            cols["tag_31c"].append(ents.get("31C", ""))
+            cols["tag_31d"].append(ents.get("31D", ""))
+            cols["tag_32b"].append(ents.get("32B", ""))
+            cols["tag_50"].append(ents.get("50", ""))
+            cols["tag_59"].append(ents.get("59", ""))
+            cols["n_tags"].append(len(d))
+            cols["rules_passed"].append(res["rules_passed"])
+            cols["rules_failed"].append(res["rules_failed"])
+            cols["overall_valid"].append(res["overall_valid"])
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "tag_40a": pa.array(cols["tag_40a"], pa.string()),
+            "tag_31c": pa.array(cols["tag_31c"], pa.string()),
+            "tag_31d": pa.array(cols["tag_31d"], pa.string()),
+            "tag_32b": pa.array(cols["tag_32b"], pa.string()),
+            "tag_50": pa.array(cols["tag_50"], pa.string()),
+            "tag_59": pa.array(cols["tag_59"], pa.string()),
+            "n_tags": pa.array(cols["n_tags"], pa.int64()),
+            "rules_passed": pa.array(cols["rules_passed"], pa.int64()),
+            "rules_failed": pa.array(cols["rules_failed"], pa.int64()),
+            "overall_valid": pa.array(cols["overall_valid"], pa.bool_()),
+        })
+
+    return ds.map_batches(tags, batch_format="pyarrow")
+
+
+def _q_lc_tags_ocr(sf_dir: str):
+    """M19 completion (VERDICT r2 #3) — LC tags recovered from PIXELS:
+    rasterized LC page (bitfont glyphs) → internal OCR word boxes →
+    band/column segmentation → cell grid (`ocr.table_cells_from_boxes`)
+    → 34-code tag dict (`entities.lc_tags_from_rows`, logic shared with
+    the HTML path) → lc_rules validation. Mirrors the reference's
+    PPStructureV3 table-OCR-over-images route
+    (extractor/lc_application.py:40-41). The oracle is the same
+    closed-form SQL as `lc_tags` — the pixel path must produce the
+    SAME tag dict the HTML path produces for the same planted doc."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.sources.pages import lc_pixel_page_png, url_for
+    from documentai_ray.stages.entities import lc_rule_field, lc_tags_from_rows
+    from documentai_ray.stages.ocr import OcrStage, table_cells_from_boxes
+    from documentai_ray.stages.rules import load_rules, validate_entities
+
+    rules = load_rules(os.path.join(_REPO_ROOT,
+                                    "configs", "validation_rules", "lc_rules.txt"))
+    rule_fields = ("40A", "31C", "31D", "32B", "50", "59")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((did % 10 == 9) & (did % 97 != 0)))
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        return pa.table({
+            "url": pa.array([url_for(d, s) for d, s in zip(ids, srcs)],
+                            pa.string()),
+            "png": pa.array([lc_pixel_page_png(d) for d in ids],
+                            pa.large_binary()),
+        })
+
+    # render (task stage, small batches: wide binary rows) → OCR actor pool
+    ds = ds.map_batches(render, batch_format="pyarrow", batch_size=32)
+    ds = ds.map_batches(OcrStage("png"), batch_format="pyarrow",
+                        batch_size=32, concurrency=2)
+
+    def tags(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("url", "tag_40a", "tag_31c", "tag_31d",
+                                  "tag_32b", "tag_50", "tag_59", "n_tags",
+                                  "rules_passed", "rules_failed",
+                                  "overall_valid")}
+        for u, boxes in zip(batch.column("url").to_pylist(),
+                            batch.column("ocr_boxes").to_pylist()):
+            d = lc_tags_from_rows(table_cells_from_boxes(boxes))
+            if not d:
+                continue
+            ents = {lc_rule_field(c): v for c, v in d.items()}
+            res = validate_entities({f: ents.get(f, "") for f in rule_fields},
+                                    rules)
+            cols["url"].append(u)
+            cols["tag_40a"].append(ents.get("40A", ""))
+            cols["tag_31c"].append(ents.get("31C", ""))
+            cols["tag_31d"].append(ents.get("31D", ""))
+            cols["tag_32b"].append(ents.get("32B", ""))
+            cols["tag_50"].append(ents.get("50", ""))
+            cols["tag_59"].append(ents.get("59", ""))
+            cols["n_tags"].append(len(d))
+            cols["rules_passed"].append(res["rules_passed"])
+            cols["rules_failed"].append(res["rules_failed"])
+            cols["overall_valid"].append(res["overall_valid"])
+        return pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "tag_40a": pa.array(cols["tag_40a"], pa.string()),
+            "tag_31c": pa.array(cols["tag_31c"], pa.string()),
+            "tag_31d": pa.array(cols["tag_31d"], pa.string()),
+            "tag_32b": pa.array(cols["tag_32b"], pa.string()),
+            "tag_59": pa.array(cols["tag_59"], pa.string()),
+            "tag_50": pa.array(cols["tag_50"], pa.string()),
+            "n_tags": pa.array(cols["n_tags"], pa.int64()),
+            "rules_passed": pa.array(cols["rules_passed"], pa.int64()),
+            "rules_failed": pa.array(cols["rules_failed"], pa.int64()),
+            "overall_valid": pa.array(cols["overall_valid"], pa.bool_()),
+        })
+
+    return ds.map_batches(tags, batch_format="pyarrow")
+
+
+def _q_error_census(sf_dir: str):
+    """Error-row lineage audit (VERDICT r2 #10): the extract stage converts
+    bad payloads to error rows instead of failing the block
+    (stages/extract.py row-degradation; reference
+    documentClassifier.py:888-896) — this query pins that contract
+    end-to-end by counting rows per (payload_kind, reason) over TWO
+    corpora with planted malformed payloads: the HTML corpus (%97 docs
+    ship invalid UTF-8 → UnicodeDecodeError) and the real-PDF corpus
+    (%97 docs ship structurally-damaged %PDF bytes → ValueError).
+    Per-batch partial counts → one tiny (kind, reason) exchange."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.extract import extract_batch
+
+    html = pages_dataset(sf_dir, with_dups=False)
+    pdf = pages_dataset(sf_dir, with_dups=False, real_pdf=True)
+
+    def census(batch: pa.Table) -> pa.Table:
+        out = extract_batch(batch)
+        kinds = out.column("payload_kind").to_pylist()
+        errors = out.column("error").to_pylist()
+        counts: dict[tuple, int] = {}
+        for k, e in zip(kinds, errors):
+            reason = e.split(":", 1)[0] if e else "ok"
+            counts[(k, reason)] = counts.get((k, reason), 0) + 1
+        ks = sorted(counts)
+        return pa.table({
+            "payload_kind": pa.array([k for k, _ in ks], pa.string()),
+            "reason": pa.array([r for _, r in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64()),
+        })
+
+    ds = html.union(pdf).map_batches(census, batch_format="pyarrow",
+                                     batch_size=512)
+    return (ds.groupby(["payload_kind", "reason"])
+            .aggregate(Sum("n", alias_name="n_rows")))
+
+
+def _q_technique_stats(sf_dir: str):
+    """A8 analog: per-technique agreement with the fused category
+    (documentClassifier.py:1138-1288 technique performance stats).
+    Per-batch partial counts → tiny groupby."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from documentai_ray.pipelines.flagship import flagship
+
+    ds = flagship(sf_dir=sf_dir)
+    techs = ["keyword", "regex", "tokenset", "ml"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch.column("category").to_pylist()
+        rows = []
+        for t in techs:
+            tv = batch.column(f"tech_{t}").to_pylist()
+            rows.append({"technique": t, "n_docs": len(cat),
+                         "n_agree": sum(a == b for a, b in zip(tv, cat))})
+        return pa.Table.from_pylist(rows)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("technique")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_agree", alias_name="n_agree"))
+        .to_pandas()
+    )
+    agg["agree_rate"] = [
+        math.floor(a / n * 1e6) / 1e6 for a, n in zip(agg["n_agree"], agg["n_docs"])
+    ]
+    return agg[["technique", "n_docs", "n_agree", "agree_rate"]]
+
+
+def _q_curate_corpus(sf_dir: str):
+    """Training-data curation: quality-filter the documents table (keep
+    confident, supported-language, long-enough docs) — the canonical
+    LLM-corpus quality-filtering op, built on the quality transform."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.quality import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=512)
+
+    def keep(t):
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t.column("confidence"), 0.6),
+                    t.column("lang_ok")),
+            pc.greater_equal(t.column("n_chars"), 100),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "n_chars", "confidence"])
+
+
+def _q_group_split(sf_dir: str):
+    """Leakage-safe GROUP-aware fold assignment: every document of a
+    source lands in the same fold (fold = md5-LE64(source) % 5) — the
+    split a contamination-aware training pipeline needs (near-dup pages
+    of one host must never straddle train/test). Pure per-batch map,
+    deterministic at any parallelism; the SQL mirror reuses the
+    repo-standard md5 expression."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    def assign(batch: pa.Table) -> pa.Table:
+        folds = [md5_le64(s) % 5
+                 for s in batch.column("source").to_pylist()]
+        return batch.append_column("fold", pa.array(folds, pa.int64()))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+
+def _q_schema_union(sf_dir: str):
+    """Schema-evolution read (UNION ALL BY NAME): an old snapshot
+    written before the ``source`` column existed (even doc_ids,
+    2 columns) unions with the evolved snapshot (odd doc_ids,
+    3 columns) — old rows null-filled. Exercises
+    ``schema.union_by_name``: ordered name-union schema, per-input
+    null-fill projection, conflicting types fail loudly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.schema import union_by_name
+
+    def old_snap(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                        pa.scalar(1)), pa.scalar(0))
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang")})
+
+    def new_snap(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"),
+                                        pa.scalar(1)), pa.scalar(1))
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang"),
+                         "source": t.column("source")})
+
+    read = lambda: ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source"])
+    return union_by_name([
+        read().map_batches(old_snap, batch_format="pyarrow"),
+        read().map_batches(new_snap, batch_format="pyarrow")])
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split: multiplicative (Knuth) hash of
+    the id → stable 80/10/10 assignment, identical at any parallelism and
+    reproducible in SQL (no RNG state)."""
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    M = 2654435761
+    MOD = 1 << 32
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(M)) % np.uint64(MOD)
+        frac = h.astype(np.float64) / float(MOD)
+        split = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _q_cm_counts(sf_dir: str):
+    """Count-Min point-frequency estimates for the corpus' top-20 tokens:
+    the (4×1024) counter grid merges per-batch partials (sketch-sized
+    state, same contract as KMV/HLL), est = min over the 4 salted-hash
+    rows — never under the true count, over by ≤ εN. Oracle: the
+    identical grid and min-lookup in SQL. Complements Misra-Gries
+    (exact WHICH-is-heavy) with HOW-OFTEN-is-this for any token."""
+    import collections
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import (cm_estimate,
+                                                cm_sketch_tokens)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"]).materialize()
+    grid = cm_sketch_tokens(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split())
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n_true"))
+           .to_pandas())
+    agg = agg.sort_values(["n_true", "token"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    agg["cm_est"] = [cm_estimate(grid, t) for t in agg["token"]]
+    return agg
+
+
+def _q_feature_hash(sf_dir: str):
+    """Feature hashing (the hashing trick): each document's tokens
+    bucketed by md5-LE64 % 16 into a fixed-width count vector — the
+    vocabulary-free featurization the warm ML classifier (M12) uses
+    internally, exposed as a standalone columnar op. Pure per-batch
+    map emitting (doc_id, bucket, n) rows for non-empty buckets; no
+    exchange at all (features are per-row)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.sketches import md5_le64
+
+    NB = 16
+
+    def hashfeat(batch: pa.Table) -> pa.Table:
+        ids_out, buckets, counts = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            acc: dict[int, int] = {}
+            for tok in (text or "").split():
+                b = md5_le64(tok) % NB
+                acc[b] = acc.get(b, 0) + 1
+            for b in sorted(acc):
+                ids_out.append(did)
+                buckets.append(b)
+                counts.append(acc[b])
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(hashfeat, batch_format="pyarrow")
+
+
+def _q_top_tokens(sf_dir: str):
+    """Corpus token frequencies: per-batch Counter partials → groupby sum →
+    top-20 (count desc, token asc). The combiner keeps the shuffle at
+    one row per distinct token per batch."""
+    import collections
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for t in batch.column("text").to_pylist():
+            c.update((t or "").split(" "))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    return agg.head(20).reset_index(drop=True)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 13-gram rule): flag corpus docs
+    sharing any 13-gram with the benchmark set (here: docs with
+    ``doc_id % 31 == 5`` stand in for the benchmark). The benchmark n-gram
+    hash set broadcasts once; membership is vectorized per batch."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from documentai_ray.stages.curation import build_ngram_set, decontaminate
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    bench_texts = [t for i, t in zip(bench.column("doc_id").to_pylist(),
+                                     bench.column("text").to_pylist())
+                   if i % 31 == 5]
+    ngrams = build_ngram_set(bench_texts, n=13)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return decontaminate(ds, ngrams, n=13).select_columns(
+        ["doc_id", "contaminated"])
+
+
+def _q_sample_weighted(sf_dir: str):
+    """Deterministic domain-weighted sampling: per-source keep rates
+    (¼/½/¾/1 by source index mod 4) via a salted multiplicative hash —
+    parallelism-independent and SQL-reproducible."""
+    import ray.data
+
+    from documentai_ray.stages.curation import sample_by_source
+
+    rates = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(100)}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    return sample_by_source(ds, rates)
+
+
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition filters (Rae et al. 2021 Table A1):
+    duplicate-token fraction + top-2-gram fraction per doc, keep flag at
+    top2gram_frac ≤ 0.03."""
+    import ray.data
+
+    from documentai_ray.stages.curation import repetition_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow",
+                          batch_size=512).select_columns(
+        ["doc_id", "dup_token_frac", "top2gram_frac", "rep_keep"])
+
+
+def _q_redact_pii(sf_dir: str):
+    """Pattern redaction over the pages corpus: dates and currency amounts
+    in the extracted text replaced by placeholder tokens (compiled-regex
+    sub per row; PO/invoice pages actually change)."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.curation import redact_batch
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+    ds = ds.map_batches(redact_batch, batch_format="pyarrow", batch_size=256)
+    return ds.select_columns(["url", "redacted"])
+
+
+def _q_audio_frames(sf_dir: str):
+    """REAL audio path: deterministic square-wave WAVs (PCM-16 mono, stdlib
+    miniwav codec) → 1024-sample RMS frames. A ±A square wave has RMS
+    exactly A in every window — closed-form oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.miniwav import encode_pcm16
+    from documentai_ray.stages.multimodal import AudioFrameStage
+
+    N, SR = 4096, 8000
+
+    def gen(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch.column("doc_id").to_pylist():
+            amp = 1000 + did % 9000
+            half = (16 + did % 32) // 2
+            n = np.arange(N)
+            sig = np.where((n // half) % 2 == 0, amp, -amp).astype(np.int16)
+            payloads.append(encode_pcm16(sig, sample_rate=SR))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": pa.array(payloads, pa.large_binary())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = ds.map_batches(gen, batch_format="pyarrow", batch_size=128)
+    ds = ds.map_batches(AudioFrameStage, batch_format="pyarrow",
+                        batch_size=128, concurrency=(1, 4))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n_frames, rms = [], []
+        for fr in batch.column("frames").to_pylist():
+            n_frames.append(len(fr))
+            rms.append(fr[0]["energy"] if fr else 0.0)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_frames": pa.array(n_frames, pa.int64()),
+                         "frame_rms": pa.array(rms, pa.float64())})
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_anti_join_customers(sf_dir: str):
+    """Partitioned ANTI join: customers with no order above 400k —
+    existence tests run as a vectorized isin per hash partition
+    (joins.hash_join how='anti'; matching keys co-locate by bucketing)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from documentai_ray.stages.joins import hash_join
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment")})
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), 400000.0))
+        return pa.table({"custkey": t.column("o_custkey")})
+
+    return hash_join(
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        orders.map_batches(big_orders, batch_format="pyarrow"),
+        on="custkey", how="anti",
+    )
+
+
+def _q_rollup_counts(sf_dir: str):
+    """Multi-level rollup (grouping sets): doc counts by (lang), (source)
+    and (lang, source) in ONE pass — the per-batch combiner emits partial
+    rows for every grouping level ('ALL' sentinel), so the shuffle carries
+    ≤ 3 × distinct-combination partials per batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        outs = []
+        for keep in ((True, False), (False, True), (True, True)):
+            g = df.copy()
+            if not keep[0]:
+                g["lang"] = "ALL"
+            if not keep[1]:
+                g["source"] = "ALL"
+            outs.append(g.groupby(["lang", "source"], as_index=False).size()
+                        .rename(columns={"size": "n"}))
+        out = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+def _q_topk_per_group(sf_dir: str):
+    """Grouped top-k (top-3 orders by price per order priority): map-side
+    partial top-k per key, hash-partitioned final selection — never a
+    global sort, never one group call per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype("int64")
+        return batch.append_column("_price_c", pa.array(c, pa.int64()))
+
+    out = grouped_topk(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col="o_orderpriority",
+        sort_cols=["_price_c", "o_orderkey"], ascending=[False, True], k=3,
+    ).to_pandas()
+    out["o_totalprice"] = out["_price_c"] / 100.0
+    return out[["o_orderpriority", "o_orderkey", "o_totalprice"]]
+
+
+def _q_median_quantity(sf_dir: str):
+    """Exact distributed median per group via integer histograms (shuffle
+    volume = keys × distinct values, not rows) — matches SQL median()
+    incl. even-count averaging."""
+    import ray.data
+
+    from documentai_ray.stages.aggregates import grouped_median_int
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return grouped_median_int(
+        ds, key_cols=["l_returnflag", "l_linestatus"], val_col="l_quantity",
+        out_col="median_qty")
+
+
+def _q_image_quality(sf_dir: str):
+    """REAL pixel-metric chain (Q1-Q10 analogs on actual pixels): PNG
+    payloads decoded by the stdlib minipng codec, metrics in pure numpy.
+    Oracle columns derive from exact integer pixel sums with closed forms
+    per synthetic archetype; the convolution metrics (blur/sharpness/
+    noise) are pytest-pinned (tests/test_imaging.py)."""
+    import ray.data
+
+    from documentai_ray.sources.images import image_payload_batch
+    from documentai_ray.stages.imaging import ImageQualityStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(image_payload_batch, batch_format="pyarrow",
+                        batch_size=64)  # wide binary rows → small batches
+    ds = ds.map_batches(ImageQualityStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "width", "height", "brightness", "contrast",
+         "blank_ratio", "dark_ratio", "glare_ratio", "img_verdict"])
+
+
+def _q_image_preprocess(sf_dir: str):
+    """M14 adaptive preprocessing on REAL pixels: low-contrast pages get a
+    percentile stretch (120/136 → 0/255), blank pages record a no-op
+    stretch, everything else passes through — applied-ops list + processed
+    brightness, all closed-form per archetype."""
+    import ray.data
+
+    from documentai_ray.sources.images import image_payload_batch
+    from documentai_ray.stages.imaging import ImagePreprocessStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.map_batches(image_payload_batch, batch_format="pyarrow",
+                        batch_size=64)
+    ds = ds.map_batches(ImagePreprocessStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "pp_ops", "new_brightness"])
+
+
+def _q_top_orders(sf_dir: str):
+    """Global sort + limit (``ds.sort``): top-20 orders by total price,
+    orderkey as the deterministic tiebreak."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+def _q_line_dedup(sf_dir: str):
+    """Corpus-level exact line dedup (C4 §2.2 / CCNet §3.1): keep only the
+    first occurrence of every distinct line across the whole corpus (order
+    = (doc_id, line_idx)), reconstruct docs from surviving lines. The
+    winner shuffle moves 16 bytes/line (u64 line hash + packed i64 key) —
+    never line text; see stages/lines.py for the 100 TB plan."""
+    from documentai_ray.stages.lines import dedup_lines
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+    return dedup_lines(ds, num_partitions=16)
+
+
+def _q_c4_line_filter(sf_dir: str):
+    """C4-style per-line heuristics (Raffel et al. 2020 §2.2, re-targeted
+    at the synthetic corpus): drop lines with <5 words, containing '{',
+    or ending in ':'. Pure map stage over extracted pages."""
+    from documentai_ray.stages.lines import c4_line_filter_batch
+
+    ds = _extracted_pages_with_doc_id(sf_dir)
+    return ds.map_batches(c4_line_filter_batch, batch_format="pyarrow",
+                          batch_size=256).select_columns(
+        ["url", "clean_text", "n_lines_kept", "n_lines"])
+
+
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace normalization (the CCNet/mC4 cleanup
+    pass). The corpus is ASCII, so deterministic 'messy' markers
+    (decomposed accents / tab-newline runs) are planted by doc_id — the
+    SQL oracle plants the identical markers and normalizes with DuckDB's
+    ``nfc_normalize``; NFC itself is the cross-engine standard."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.stages.curation import normalize_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if i % 3 == 1:
+                t = t + " nai\u0308ve fac\u0327ade"  # decomposed; NFC recomposes
+            elif i % 3 == 2:
+                t = "\t " + t + " \n\nout  "
+            out.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.large_string())})
+
+    ds = ds.map_batches(messy, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_batch, batch_format="pyarrow",
+                        batch_size=512)
+    return ds.select_columns(["doc_id", "norm_text", "n_chars_raw",
+                              "n_chars_norm"])
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (window 32, stride 24) — RAG /
+    context-window prep. Map-only row explosion; chunk count and slice
+    bounds are integer math mirrored op-for-op in SQL."""
+    import functools
+
+    import ray.data
+
+    from documentai_ray.stages.curation import chunk_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(functools.partial(chunk_batch, window=32, stride=24),
+                          batch_format="pyarrow", batch_size=512)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing into 256-token training bins per source
+    shard (docs in doc_id order; over-budget docs capped to a full bin).
+    One bucketed shuffle + one ordered pass per partition; the oracle is
+    a recursive CTE stepping the same greedy recurrence."""
+    from documentai_ray.stages.curation import pack_sequences
+
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    out = pack_sequences(ds, budget=256, num_partitions=16)
+    return out.select_columns(["doc_id", "source", "n_tokens", "cost",
+                               "bin_id"])
+
+
+def _q_inverted_index(sf_dir: str):
+    """Inverted index over the documents table: token → (df, sorted
+    postings). Shuffle carries the DISTINCT (token, doc) relation only;
+    posting lists built per token-hash bucket (group count bounded by P,
+    not vocabulary)."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import inverted_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return inverted_index(ds, num_partitions=16)
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 terms by integer rarity score tf·10⁶//df (pure
+    integer math — bit-exact across engines, unlike float log idf).
+    df pass is distributed; the vocabulary-sized df table broadcasts
+    once via ray.put."""
+    import ray.data
+
+    from documentai_ray.stages.indexing import tfidf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
+def _q_canonical_url_dedup(sf_dir: str):
+    """Crawl-frontier URL canonicalization: collapse ?query/#fragment
+    variants (the planted ?amp=1 near-dup pages) to one row per canonical
+    URL, keeping the smallest variant + the variant count."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_canonical_url
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    return dedup_canonical_url(ds.select_columns(["url", "text"]),
+                               num_partitions=16)
+
+
+def _q_host_stats(sf_dir: str):
+    """Per-host crawl statistics (doc count + exact total chars) over the
+    deduped pages corpus — the skew-detection pass that feeds salted
+    partitioning (state/partitioning.py): the heavy host is visible as
+    one row with ~a third of the corpus."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+
+    def host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table({"host": pa.array([u.split("/")[2] for u in urls],
+                                          pa.string()),
+                         "n_chars": pa.array([len(t or "") for t in texts],
+                                             pa.int64())})
+
+    return (ds.map_batches(host, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars")))
+
+
+def _q_skew_join(sf_dir: str):
+    """Skew-aware partitioned join: attach per-host crawl stats (doc
+    count) to EVERY page. The dim side is host-cardinality (~1e8 hosts at
+    crawl scale — never driver-broadcastable), and the fact side is
+    skewed: ``heavy.example.com`` carries ~33% of rows, so a plain
+    bucketed join sends a third of the exchange into ONE reducer.
+    ``detect_heavy_hosts`` (share ≥ 10%) feeds ``salted_join``: the hot
+    host's fact rows spread over k=8 salt sub-buckets with its dim row
+    replicated into each — output is row-identical to the unsalted join
+    (the pytest pins that equality; this query pins values vs SQL).
+
+    The (url, host) projection is pinned once — it feeds three consumers
+    (skew detection, the dim aggregate, the join) and re-deriving it per
+    consumer would triple the synthesis pass (NOTES.md lazy-lineage
+    lesson)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.joins import salted_join
+    from documentai_ray.state.partitioning import detect_heavy_hosts
+
+    ds = pages_dataset(sf_dir, with_dups=False, with_near_dups=False)
+
+    def host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table({
+            "url": batch.column("url"),
+            "host": pa.array([u.split("/")[2] for u in urls], pa.string()),
+        })
+
+    fact = ds.select_columns(["url"]).map_batches(
+        host, batch_format="pyarrow").materialize()
+    heavy = detect_heavy_hosts(fact, share_threshold=0.10, salt_k=8)
+    dim = fact.groupby("host").aggregate(Count(alias_name="host_docs"))
+    out = salted_join(fact, dim, on="host", heavy_keys=heavy,
+                      num_partitions=32)
+    return out.select_columns(["url", "host", "host_docs"])
+
+
+def _q_host_template_strip(sf_dir: str):
+    """Per-host template-line removal (RefinedWeb "line-wise corrections"
+    / CCNet per-shard repeated-paragraph strip): lines on ≥ 1/4 of a
+    host's non-empty pages (host ≥ 5 such pages) are site chrome and are
+    stripped from every page of that host. The heavy host's repeated PO
+    chrome ("DELIVERY CFR …", "BUYER: …") crosses the threshold by
+    construction; unique body lines never do. Integer-exact share test
+    (4·n ≥ host_pages) so Ray and SQL agree bit-for-bit."""
+    from documentai_ray.sources.pages import pages_dataset
+    from documentai_ray.stages.dedup import dedup_latest
+    from documentai_ray.stages.extract import extract_batch
+    from documentai_ray.stages.lines import strip_host_templates
+
+    ds = pages_dataset(sf_dir)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=256)
+    ds = dedup_latest(ds.select_columns(["url", "warc_ts", "text"]))
+    return strip_host_templates(ds.select_columns(["url", "text"]),
+                                min_pages=5, share_num=1, share_den=4)
+
+
+def _q_warc_ingest(sf_dir: str):
+    """Real-container ingestion: the pages corpus serialized as 8
+    per-record-gzipped ``.warc.gz`` shards (Common Crawl's ISO-28500
+    layout), then read back with the shard-parallel WARC reader (one
+    parse task per shard — CC's parallelism unit) → extraction. Oracle:
+    the encoding-independent golden text, so a framing/envelope bug
+    anywhere in the WARC writer/reader chain surfaces as a text
+    mismatch. In production the shards are the INPUT; the synthesis here
+    only stands in for the crawl dump."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from documentai_ray.functions.warc import read_warc, write_warc
+    from documentai_ray.sources.pages import (payload_for, url_for,
+                                              warc_ts_for)
+    from documentai_ray.stages.extract import extract_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/warc_shards_{tag}"
+    n_shards = 8
+    paths = [os.path.join(d, f"shard-{i:02d}.warc.gz")
+             for i in range(n_shards)]
+    marker = os.path.join(d, f"_done_{docs.num_rows}")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        shards: list[list] = [[] for _ in range(n_shards)]
+        for did, text, src in zip(docs.column("doc_id").to_pylist(),
+                                  docs.column("text").to_pylist(),
+                                  docs.column("source").to_pylist()):
+            shards[did % n_shards].append(
+                (url_for(did, src), warc_ts_for(did), payload_for(did, text)))
+        for p, recs in zip(paths, shards):
+            write_warc(p, recs)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_warc(paths)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return _norm_strings_ds(ds.select_columns(["url", "text"]))
+
+__all__ = ['_q_extract_text', '_q_charset_extract', '_q_quality_pages', '_q_classify_pages', '_q_entities_po', '_q_entities_invoice', '_q_rules_po', '_q_preprocess_decision', '_q_wordbox_match', '_q_flagship_boxes', '_q_docs_exact_dedup', '_q_token_stats', '_q_doc_quality', '_q_events_hourly', '_q_events_sessions', '_q_q1_lineitem', '_q_orders_by_nation', '_q_minhash_neardup', '_q_minhash_dedup_keep', '_q_ppjoin_pairs', '_q_containment_pairs', '_q_jaccard_pairs', '_q_embedding_neardup', '_q_topk_similarity', '_q_pdf_layout_text', '_q_real_pdf_extract', '_q_lang_id', '_q_lang_kappa', '_q_lang_prf', '_q_token_count_bpe', '_q_bpe_pair_counts', '_q_bpe_train_merges', '_q_bpe_encode', '_q_fingerprint', '_q_simhash_hamming', '_q_group_pages', '_q_category_summary', '_q_vote_distribution', '_q_ann_ivf', '_q_q5_local_revenue', '_q_events_sliding', '_q_rnn_pairs', '_q_mean_embedding', '_q_kmv_intersect', '_q_kmv_difference', '_q_copurchase_pairs', '_q_grouped_mode', '_q_pareto_parts', '_q_band_join_balances', '_q_overlap_join_windows', '_q_q3_topn', '_q_retention_cohorts', '_q_sliding_unique_users', '_q_segment_digests', '_q_user_coverage', '_q_quantity_dense_rank', '_q_global_index', '_q_record_linkage', '_q_golden_record', '_q_cc_labels', '_q_dag_layers', '_q_ks_drift', '_q_quantity_percentile', '_q_quantity_cume_dist', '_q_gini_gain', '_q_rank_auc', '_q_waterfill_budget', '_q_target_encode', '_q_log2_p99', '_q_value_histogram', '_q_type_share', '_q_bag_intersect', '_q_bag_difference', '_q_event_pairs_window', '_q_path_rollup', '_q_cumulative_users', '_q_join_revenue', '_q_events_asof', '_q_entities_table', '_q_lc_tags', '_q_lc_tags_ocr', '_q_error_census', '_q_technique_stats', '_q_curate_corpus', '_q_group_split', '_q_schema_union', '_q_split_assign', '_q_cm_counts', '_q_feature_hash', '_q_top_tokens', '_q_decontaminate', '_q_sample_weighted', '_q_gopher_repetition', '_q_redact_pii', '_q_audio_frames', '_q_anti_join_customers', '_q_rollup_counts', '_q_topk_per_group', '_q_median_quantity', '_q_image_quality', '_q_image_preprocess', '_q_top_orders', '_q_line_dedup', '_q_c4_line_filter', '_q_normalize_text', '_q_chunk_documents', '_q_pack_sequences', '_q_inverted_index', '_q_tfidf_topk', '_q_canonical_url_dedup', '_q_host_stats', '_q_skew_join', '_q_host_template_strip', '_q_warc_ingest']

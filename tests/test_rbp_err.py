@@ -39,15 +39,20 @@ def test_fold_arithmetic_pins(ray_session, tmp_path, monkeypatch):
     ERR's cascade halves rank 3's credit for the rank-1 hit
     (500000 + 1e6 // (3·4) = 583333); the all-relevant list pins the
     documented 968750 / 688541 totals."""
+    import sys
+
     import __ray_entry__ as entrymod
 
     profiles = {
         "gap": {"q": [(1, 1), (2, 0), (3, 1)]},
         "full": {"q": [(r, 1) for r in range(1, 6)]},
     }
+    # patch the helper in the module where the query fns RESOLVE it (the
+    # queries live in documentai_ray/queries/ since the monolith split)
     for name, per_q in profiles.items():
-        monkeypatch.setattr(entrymod, "_bm25_top_rel",
-                            lambda sf, _p=per_q: _p)
+        for fn in (entrymod._q_rbp_eval, entrymod._q_err_eval):
+            monkeypatch.setattr(sys.modules[fn.__module__], "_bm25_top_rel",
+                                lambda sf, _p=per_q: _p)
         rbp = entrymod._q_rbp_eval("unused").set_index("query_id")
         err = entrymod._q_err_eval("unused").set_index("query_id")
         if name == "gap":
