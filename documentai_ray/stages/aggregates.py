@@ -1595,10638 +1595,20 @@ def classification_prf_int(ds, *, true_col: str, pred_col: str):
     return pa.Table.from_pandas(out, preserve_index=False) \
                    .replace_schema_metadata(None)
 
-
-def chi2_independence_int(ds, *, key_col: str, cat_col: str):
-    """Pearson χ² independence decomposition over a contingency grid,
-    in exact integer ppm — completes the drift-test family: tvd_drift
-    is the L1 view, ks_drift the sup view on ordered domains, this is
-    the classic variance-weighted view that amplifies deviations in
-    RARE cells (a 10-count surplus in a 20-expected cell screams where
-    TVD barely moves). χ² itself is irrational only through division:
-    with E = r·c/N each cell's term (O − E)²/E = (O·N − r·c)²/(N·r·c)
-    is rational, so the statistic is DEFINED here as the sum of
-    per-cell floors ``contrib_ppm = 10⁶·(O·N − r·c)² // (N·r·c)`` —
-    deterministic, bit-exact in SQL HUGEINT (the (O·N − r·c)² term
-    needs N ≲ 10⁹ to stay under 128 bits in the mirror; the Python
-    side is arbitrary-precision int).
-
-    Cells observed ZERO times still get rows — their (r·c)²-driven
-    term is exactly the evidence an absent combination contributes,
-    and dropping them understates dependence most where it is
-    strongest. ONE exchange of per-batch (key, cat) count partials
-    bounded by keys × categories; the grid fold is driver-side over
-    that tiny frame. Returns (key, cat, n_obs, contrib_ppm) for every
-    grid cell."""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([key_col, cat_col]).to_pandas()
-        g = (df.groupby([key_col, cat_col], as_index=False)
-             .size().rename(columns={"size": "_n"}))
-        return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
-
-    cm = (ds.map_batches(partial, batch_format="pyarrow")
-          .groupby([key_col, cat_col])
-          .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
-    if cm.empty:
-        raise ValueError("chi2_independence_int: empty input")
-    grid = cm.pivot_table(index=key_col, columns=cat_col,
-                          values="_n", fill_value=0, aggfunc="sum")
-    n = int(grid.to_numpy().sum())
-    rows = []
-    for key, r in grid.iterrows():
-        rk = int(r.sum())
-        for cat, o in r.items():
-            ck = int(grid[cat].sum())
-            o = int(o)
-            contrib = 10**6 * (o * n - rk * ck) ** 2 // (n * rk * ck)
-            rows.append((key, cat, o, contrib))
-    out = pd.DataFrame(rows, columns=[key_col, cat_col, "n_obs",
-                                      "contrib_ppm"])
-    for c in ["n_obs", "contrib_ppm"]:
-        out[c] = out[c].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False) \
-                   .replace_schema_metadata(None)
-
-
-def grouped_kendall_int(ds, *, key_col: str, x_col: str, y_col: str):
-    """Kendall concordance decomposition per group, in EXACT integers —
-    the tie-aware rank-correlation primitive (tau) computed WITHOUT
-    comparing the O(n²) row pairs: when x and y have small value
-    domains, every pairwise comparison between rows is determined by
-    their (x, y) joint-histogram cells, so concordant/discordant/tied
-    pair counts are sums of c_i·c_j over cell pairs — per group that is
-    ≤(|X|·|Y|)² cell products over a histogram that already fits on the
-    driver, never n² row comparisons.  Complements ``grouped_linreg``
-    (moment correlation) and ``mann_kendall_int`` (single-series TIME
-    concordance): this is cross-sectional two-COLUMN concordance with
-    the full tie decomposition.
-
-    Inputs must be integer columns with bounded domains (document the
-    bound at the call site; quantity×discount-cents here is ≤550 cells).
-
-    Per group, with P = n(n−1)/2 total pairs:
-        concordant C = Σ_{cells i<j, x_i<x_j, y_i<y_j} c_i·c_j
-        discordant D = Σ_{cells i<j, x_i<x_j, y_i>y_j} c_i·c_j
-        tied_x  Tx = Σ_x cx(cx−1)/2   (pairs sharing x, incl. both-tied)
-        tied_y  Ty = Σ_y cy(cy−1)/2
-        tied_xy Txy = Σ_cell c(c−1)/2
-        identity  P = C + D + Tx + Ty − Txy   (asserted)
-        tau_a_ppm = trunc(10⁶·(C−D) / P)      (SQL ``//`` trunc, can be <0)
-
-    Physical plan: per-batch (key, x, y) count partials → ONE exchange
-    bounded by |keys|·|X|·|Y| cells → vectorized numpy outer-comparison
-    fold on the driver-side histogram.  Python bigints make the cell
-    products exact at any n; the SQL mirror is a histogram self-join in
-    HUGEINT."""
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([key_col, x_col, y_col]).to_pandas()
-        g = (df.groupby([key_col, x_col, y_col], as_index=False)
-             .size().rename(columns={"size": "_n"}))
-        return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
-
-    hist = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby([key_col, x_col, y_col])
-            .aggregate(Sum("_n", alias_name="_n"))).to_pandas()
-    if hist.empty:
-        raise ValueError("grouped_kendall_int: empty input")
-
-    rows = []
-    for key, g in hist.groupby(key_col, sort=True):
-        x = g[x_col].to_numpy().astype(object)   # object → Python ints,
-        y = g[y_col].to_numpy().astype(object)   # products never overflow
-        c = g["_n"].to_numpy().astype(object)
-        n = int(c.sum())
-        pairs = n * (n - 1) // 2
-        cc = c[:, None] * c[None, :]
-        xl = x[:, None] < x[None, :]
-        conc = int(cc[xl & (y[:, None] < y[None, :])].sum())
-        disc = int(cc[xl & (y[:, None] > y[None, :])].sum())
-        tx = int(sum(v * (v - 1) // 2
-                     for v in g.groupby(x_col)["_n"].sum().astype(object)))
-        ty = int(sum(v * (v - 1) // 2
-                     for v in g.groupby(y_col)["_n"].sum().astype(object)))
-        txy = int(sum(int(v) * (int(v) - 1) // 2 for v in c))
-        assert pairs == conc + disc + tx + ty - txy, \
-            "grouped_kendall_int: pair identity violated"
-        if pairs == 0:
-            raise ValueError("grouped_kendall_int: group of size 1 has "
-                             "no pairs")
-        num = (conc - disc) * 1_000_000
-        tau_a_ppm = abs(num) // pairs * (1 if num >= 0 else -1)
-        rows.append((key, n, conc, disc, tx, ty, txy, tau_a_ppm))
-
-    out = pd.DataFrame(rows, columns=[key_col, "n", "concordant",
-                                      "discordant", "tied_x", "tied_y",
-                                      "tied_xy", "tau_a_ppm"])
-    for col in out.columns[1:]:
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def kruskal_wallis_int(hist: pd.DataFrame, *, val_col: str,
-                       grp_col: str, n_col: str = "n") -> pd.DataFrame:
-    """Integer Kruskal-Wallis fold over a (value, group) → count
-    histogram.  Doubled midranks R'_v = 2·cl_v + nv_v + 1 (half-unit
-    ties stay integral); per group R'_j = Σ n_vj·R'_v with the
-    invariant Σ_j R'_j = n·(n+1) asserted.  Statistic with ONE floor
-    per group (the cross-engine contract — DuckDB mirrors the same
-    ``//``): S = Σ_j R'_j² // n_j, h_milli = max(0,
-    (3000·S − 3000·n(n+1)²) // (n(n+1))).  The uncorrected H is
-    corrected-H scaled by the tie factor C ∈ (0,1] so it is never
-    negative, but the per-group floor losses (< k) can push the
-    floored numerator a hair below zero near H = 0 — hence the
-    clamp.  5% significance on chi²_{k−1} cross-multiplies the
-    SHARED S in micro units so both engines flag identically.
-    Returns one row per group (n_grp, rsum2) + the scalar h_milli /
-    significant repeated on every row."""
-    crit_micro = {1: 3_841_459, 2: 5_991_465, 3: 7_814_728,
-                  4: 9_487_729, 5: 11_070_498}
-    v = hist.groupby(val_col, as_index=False)[n_col].sum() \
-            .sort_values(val_col)
-    v["cl"] = v[n_col].cumsum().shift(fill_value=0)
-    rp = {q: 2 * int(c) + int(m) + 1
-          for q, c, m in zip(v[val_col], v["cl"], v[n_col])}
-    h = hist.copy()
-    h["_w"] = [int(m) * rp[q] for q, m in zip(h[val_col], h[n_col])]
-    g = h.groupby(grp_col, as_index=False).agg(
-        n_grp=(n_col, "sum"), rsum2=("_w", "sum"))
-    n = int(g["n_grp"].sum())
-    assert int(g["rsum2"].sum()) == n * (n + 1), \
-        "kruskal_wallis_int: doubled-rank sum invariant violated"
-    s = int(sum(int(r) * int(r) // int(m)
-                for r, m in zip(g["rsum2"], g["n_grp"])))
-    num = 3000 * s - 3000 * n * (n + 1) * (n + 1)
-    h_milli = 0 if num < 0 else num // (n * (n + 1))
-    crit = crit_micro[len(g) - 1]
-    sig = (3_000_000 * s - 3_000_000 * n * (n + 1) * (n + 1)
-           > crit * n * (n + 1))
-    out = g.copy()
-    out["h_milli"] = h_milli
-    out["significant"] = bool(sig)
-    for c in ("n_grp", "rsum2", "h_milli"):
-        out[c] = out[c].astype("int64")
-    return out.reset_index(drop=True)
-
-
-def fleiss_kappa_int(s_sq: int, cat_counts: dict) -> dict:
-    """Integer Fleiss-kappa fold from the two sufficient statistics:
-    s_sq = Σ_items Σ_cats n_ij² and per-category rating totals C_j
-    (r raters is implied by M = Σ C_j = n·r; this repo's caller has
-    r = 4).  kappa = [M(S−M) − (r−1)T] / [(r−1)(M²−T)] with
-    T = Σ C_j², truncated toward zero at milli (matching SQL ``//``
-    on a signed numerator); degenerate den=0 (every rating in one
-    category) reports the perfect-agreement 1000 by convention."""
-    m = sum(int(c) for c in cat_counts.values())
-    n = m // 4
-    t = sum(int(c) * int(c) for c in cat_counts.values())
-    num = m * (int(s_sq) - m) - 3 * t
-    den = 3 * (m * m - t)
-    if den == 0:
-        kappa = 1000
-    else:
-        kappa = (abs(num) * 1000 // den) * (1 if num >= 0 else -1)
-    return {
-        "n_items": n, "s_sq": int(s_sq),
-        "pbar_ppm": 1_000_000 * (int(s_sq) - m) // (3 * m),
-        "pe_ppm": 1_000_000 * t // (m * m),
-        "kappa_milli": kappa}
-
-
-def friedman_int(rsum2_by_grp: dict, n_blocks: int) -> tuple:
-    """Integer Friedman fold from per-treatment DOUBLED within-block
-    rank sums R'_j (blocks of size k each ranked 1..k with midrank
-    ties doubled to stay integral; invariant Σ_j R'_j = n·k·(k+1)
-    asserted).  Because every treatment appears in every block the
-    group sizes are uniform and S = Σ_j R'_j² needs NO per-group
-    floor — one exact division:
-
-        chi2_milli = (3000·S − 3000·n²·k·(k+1)²) // (n·k·(k+1))
-
-    (the 12/(nk(k+1))·ΣR² − 3n(k+1) classic after doubling; within-
-    block tie correction omitted — it only shrinks the denominator).
-    5% significance on chi²_{k−1} cross-multiplies S in micro so both
-    engines flag identically.  Returns (chi2_milli, significant)."""
-    crit_micro = {1: 3_841_459, 2: 5_991_465, 3: 7_814_728,
-                  4: 9_487_729, 5: 11_070_498}
-    n = int(n_blocks)
-    k = len(rsum2_by_grp)
-    s = sum(int(r) * int(r) for r in rsum2_by_grp.values())
-    assert sum(int(r) for r in rsum2_by_grp.values()) \
-        == n * k * (k + 1), "friedman_int: doubled-rank sum invariant"
-    num = 3000 * s - 3000 * n * n * k * (k + 1) * (k + 1)
-    chi2 = 0 if num < 0 else num // (n * k * (k + 1))
-    sig = (3_000_000 * s - 3_000_000 * n * n * k * (k + 1) * (k + 1)
-           > crit_micro[k - 1] * n * k * (k + 1))
-    return chi2, bool(sig)
-
-
-BH_CRITS_M5 = [6_634_897, 5_411_894, 4_709_292, 4_217_885, 3_841_459]
-
-
-def bh_stepup_int(stats: list) -> list:
-    """Benjamini-Hochberg step-UP fold over cleared χ² pieces:
-    ``stats`` rows are (metric, n, chi2_milli, lhs, den) with
-    lhs = n·(ad−bc)² so every threshold comparison cross-multiplies
-    exactly (lhs·10⁶ > crit·den).  Rank 1 = largest χ² (ties by
-    metric name — the holm convention); rank i faces the χ²₁
-    critical value at α·i/m (``BH_CRITS_M5`` for m = 5).  The
-    step-UP: i* = the LARGEST passing rank, and every rank ≤ i* is
-    rejected — including ranks that fail their own bar (the exact
-    point where BH differs from Holm's stop-at-first-failure).
-    Returns (metric, rank, chi2_milli, crit_ppm, rejected) rows."""
-    assert len(stats) == len(BH_CRITS_M5), \
-        "bh_stepup_int: crit table is m=5"
-    rows = sorted(stats, key=lambda r: (-r[2], r[0]))
-    passes = [den > 0 and lhs * 1_000_000 > crit * den
-              for (_, _, _, lhs, den), crit in zip(rows, BH_CRITS_M5)]
-    i_star = max((i + 1 for i, p in enumerate(passes) if p),
-                 default=0)
-    return [(name, i + 1, chi2, crit, i + 1 <= i_star)
-            for i, ((name, _, chi2, _, _), crit)
-            in enumerate(zip(rows, BH_CRITS_M5))]
-
-
-def copeland_int(counts: pd.DataFrame, *, voter_col: str,
-                 cand_col: str, n_col: str = "n") -> pd.DataFrame:
-    """Pairwise-majority (Condorcet/Copeland) fold over a
-    (voter, candidate) → count ballot table — social choice over
-    aggregates: each voter "prefers" candidate a to b iff its count
-    for a strictly exceeds its count for b (equal counts express no
-    preference, so a tie is NOT half a win — the abstention
-    convention).  Missing (voter, candidate) cells count 0.
-
-        beats(a,b)  = #voters with n_a > n_b          (integers)
-        support(a)  = Σ_{b≠a} beats(a,b)   — under strict complete
-                      rankings this IS the Borda count
-        copeland(a) = Σ_{b≠a} sign(beats(a,b) − beats(b,a))
-
-    A Condorcet winner (beats every opponent outright) has
-    copeland = k−1; a majority CYCLE (rock-paper-scissors profiles)
-    shows up as every candidate at the same copeland score — the
-    phenomenon Borda alone cannot represent, pinned in the tests.
-    Rank orders by (copeland desc, support desc, candidate) — the
-    Borda tie-break is the standard Copeland refinement.  All
-    integer; no floors anywhere."""
-    piv = counts.pivot_table(index=voter_col, columns=cand_col,
-                             values=n_col, fill_value=0,
-                             aggfunc="sum")
-    cands = sorted(piv.columns)
-    mat = {c: piv[c].to_numpy() for c in cands}
-    beats = {(a, b): int((mat[a] > mat[b]).sum())
-             for a in cands for b in cands if a != b}
-    rows = []
-    for a in cands:
-        sup = sum(beats[(a, b)] for b in cands if b != a)
-        cop = sum((beats[(a, b)] > beats[(b, a)])
-                  - (beats[(a, b)] < beats[(b, a)])
-                  for b in cands if b != a)
-        wins = sum(beats[(a, b)] > beats[(b, a)]
-                   for b in cands if b != a)
-        rows.append((a, sup, cop, wins == len(cands) - 1))
-    out = pd.DataFrame(rows, columns=[cand_col, "support",
-                                      "copeland", "is_condorcet"])
-    out = out.sort_values(["copeland", "support", cand_col],
-                          ascending=[False, False, True],
-                          kind="mergesort").reset_index(drop=True)
-    out["rank"] = np.arange(1, len(out) + 1)
-    for c in ("support", "copeland", "rank"):
-        out[c] = out[c].astype("int64")
-    return out[[cand_col, "rank", "support", "copeland",
-                "is_condorcet"]]
-
-
-def dm_test_int(y: list, *, season: int = 7) -> dict:
-    """Diebold-Mariano forecast-comparison fold over a gap-filled
-    daily series ``y`` (Python ints, index = consecutive days):
-    forecaster A is the NAIVE lag-1, forecaster B the SEASONAL
-    naive lag-``season``; loss is absolute error (integer — the
-    whole point: |e| needs no squaring blow-up and stays exact).
-    Evaluation days t = season..n−1 (both forecasts defined).
-
-        d_t = |y_t − y_{t−1}| − |y_t − y_{t−season}|
-        S = Σd,  Q = Σd²,  n = #eval days
-        DM² = d̄² / (σ̂²_d / n) = n·S² / (n·Q − S²)     (exact ratio)
-        z2_milli = 1000·n·S² // (n·Q − S²)             (one floor)
-        significant ⟺ 10⁶·n·S² > 3841459·(n·Q − S²)    (χ²₁, exact)
-
-    better_sign = sign(S): +1 means the naive loss is larger (the
-    seasonal forecaster wins), −1 the reverse, 0 a dead heat.  The
-    h=1 small-sample variant (plain variance of d, no HAC window) —
-    the published test statistic for one-step losses."""
-    n_days = len(y)
-    s = q = l1 = l2 = 0
-    n = 0
-    for t in range(season, n_days):
-        e1 = abs(int(y[t]) - int(y[t - 1]))
-        e2 = abs(int(y[t]) - int(y[t - season]))
-        d = e1 - e2
-        s += d
-        q += d * d
-        l1 += e1
-        l2 += e2
-        n += 1
-    den = n * q - s * s
-    z2 = 1000 * n * s * s // den if den > 0 else 0
-    sig = 1_000_000 * n * s * s > 3_841_459 * den if den > 0 else False
-    return {"n_days": n_days, "n_eval": n, "loss_naive": l1,
-            "loss_seasonal": l2, "s_d": s, "q_d": q,
-            "z2_milli": z2,
-            "better_sign": (s > 0) - (s < 0),
-            "significant": bool(sig)}
-
-
-def mood_scale_int(hist: pd.DataFrame, *, val_col: str = "v",
-                   grp_col: str = "tr", n_col: str = "n") -> dict:
-    """Mood's two-sample SCALE test fold over a (value, group) →
-    count histogram — the dispersion companion to the Mann-Whitney
-    location test: two arms can share a median while one swings far
-    wider, and a location test scores that 0 by construction.
-    Mood's statistic sums squared deviations of the ranks from the
-    center, so extreme ranks (either end!) testify and middling
-    ranks don't.  Doubled midranks R'_v = 2·cl + nv + 1 keep ties
-    integral; the per-individual score
-
-        t_v = (R'_v − (N+1))²          (integer — doubled center
-                                        2·(N+1)/2 is exactly N+1)
-
-    is 4× the classic (R − (N+1)/2)².  With T = Σ_{group1} n·t,
-    ST = Σ_all n·t, SQ = Σ_all n·t², conditional-on-ties moments:
-
-        E[T]   = n₁·ST / N
-        Var[T] = n₁·n₂·(N·SQ − ST²) / (N²·(N−1))
-        D      = N·T − n₁·ST                    (integer, exact)
-        z²     = D²·(N−1) / (n₁·n₂·(N·SQ − ST²))
-        z2_milli = 1000·(N−1)·D² // den         (one floor)
-        significant ⟺ 10⁶·(N−1)·D² > 3841459·den    (χ²₁ exact)
-
-    scale_sign = sign(D): +1 means group 1's ranks sit FURTHER from
-    the center — it is the more dispersed arm.  Everything in Python
-    ints (t ~ N², SQ ~ N⁵ — past int64 at ~5k subjects); the SQL
-    mirror's HUGEINT envelope holds to N ≈ 8k subjects, documented
-    at the call site.  No relation to Mood's MEDIAN test (a 2×2 χ²
-    on median splits) — this is the 1954 squared-rank-deviation
-    scale statistic."""
-    v = hist.groupby(val_col, as_index=False)[n_col].sum() \
-            .sort_values(val_col)
-    v["cl"] = v[n_col].cumsum().shift(fill_value=0)
-    n_all = int(v[n_col].sum())
-    rp = {q: 2 * int(c) + int(m) + 1
-          for q, c, m in zip(v[val_col], v["cl"], v[n_col])}
-    t_of = {q: (r - (n_all + 1)) ** 2 for q, r in rp.items()}
-    st = sq = t1 = n1 = n2 = 0
-    for q, g, m in zip(hist[val_col], hist[grp_col], hist[n_col]):
-        t = t_of[q]
-        m = int(m)
-        st += m * t
-        sq += m * t * t
-        if g:
-            t1 += m * t
-            n1 += m
-        else:
-            n2 += m
-    d = n_all * t1 - n1 * st
-    den = n1 * n2 * (n_all * sq - st * st)
-    z2 = 1000 * (n_all - 1) * d * d // den if den > 0 else 0
-    sig = (1_000_000 * (n_all - 1) * d * d > 3_841_459 * den
-           if den > 0 else False)
-    return {"n_treat": n1, "n_ctrl": n2, "t_treat": t1,
-            "st_all": st, "z2_milli": z2,
-            "scale_sign": (d > 0) - (d < 0),
-            "significant": bool(sig)}
-
-
-def dhondt_int(votes: list, seats: int) -> pd.DataFrame:
-    """D'Hondt highest-averages apportionment — PROPORTIONAL seat
-    allocation, a family the surface lacks: top_tokens ranks and
-    copeland_int orders pairwise, but "split a fixed house of S
-    seats proportionally to vote counts" is its own problem with two
-    classical method families (highest averages here; largest
-    remainder in ``hamilton_int``), and their disagreements — the
-    large-party bias of D'Hondt, the Alabama paradox Hamilton is
-    famous for — are pinned phenomena, not implementation details.
-
-    Each party p with v_p votes owns quotients v_p/d for divisors
-    d = 1..S; the S largest quotients across all parties each seat
-    one member.  Quotient ordering is EXACT: with L = lcm(1..S),
-    v_p/d_1 > v_q/d_2  ⟺  v_p·(L/d_1) > v_q·(L/d_2) — every key is
-    an integer because d | L, so no floats and no floors anywhere.
-    Equal quotients (the 4/2 = 2/1 profile, pinned) break by larger
-    raw votes then party name ascending — the published convention.
-
-    ``votes`` is [(party, v)] with integer v ≥ 0; returns one row
-    per party [party, votes, seats] (int64), sorted by
-    (seats desc, votes desc, party)."""
-    import math
-    lcm = math.lcm(*range(1, seats + 1))
-    quot = [(int(v) * (lcm // d), int(v), str(p), d)
-            for p, v in votes for d in range(1, seats + 1)]
-    quot.sort(key=lambda t: (-t[0], -t[1], t[2]))
-    won: dict = {str(p): 0 for p, _ in votes}
-    for _, _, p, _ in quot[:seats]:
-        won[p] += 1
-    out = pd.DataFrame(
-        [(p, int(v), won[str(p)]) for p, v in votes],
-        columns=["party", "votes", "seats"])
-    out = out.sort_values(["seats", "votes", "party"],
-                          ascending=[False, False, True],
-                          kind="mergesort").reset_index(drop=True)
-    for c in ("votes", "seats"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def hamilton_int(votes: list, seats: int) -> pd.DataFrame:
-    """Hamilton (largest-remainder, Hare quota) apportionment — the
-    OTHER classical method family next to ``dhondt_int``'s highest
-    averages.  With T = Σ votes, party p's exact quota is v_p·S/T;
-    it first receives base = v_p·S // T seats, and the R = S − Σbase
-    leftover seats go to the largest remainders v_p·S mod T — every
-    quantity an exact integer, no floors beyond the quota's own
-    floor division (which IS the method).  Remainder ties break by
-    larger votes then party name ascending.
-
-    The defining pathology — the ALABAMA PARADOX, a party LOSING a
-    seat when the house grows because its remainder rank slips — is
-    pinned in the tests with the 5/3/1 profile (C seats 1 of 4 but
-    0 of 5); divisor methods are immune by construction, which is
-    exactly why both families are worth shipping side by side.
-
-    Returns one row per party [party, votes, base_seats, remainder,
-    seats] (int64), sorted by (seats desc, votes desc, party)."""
-    total = sum(int(v) for _, v in votes)
-    if total == 0:
-        return pd.DataFrame(columns=["party", "votes", "base_seats",
-                                     "remainder", "seats"])
-    rows = [(str(p), int(v), int(v) * seats // total,
-             int(v) * seats % total) for p, v in votes]
-    leftover = seats - sum(b for _, _, b, _ in rows)
-    ranked = sorted(rows, key=lambda t: (-t[3], -t[1], t[0]))
-    bonus = {p: 1 if i < leftover else 0
-             for i, (p, _, _, _) in enumerate(ranked)}
-    out = pd.DataFrame(
-        [(p, v, b, r, b + bonus[p]) for p, v, b, r in rows],
-        columns=["party", "votes", "base_seats", "remainder",
-                 "seats"])
-    out = out.sort_values(["seats", "votes", "party"],
-                          ascending=[False, False, True],
-                          kind="mergesort").reset_index(drop=True)
-    for c in ("votes", "base_seats", "remainder", "seats"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def pivotal_by_size_int(weights: list, quota: int) -> dict:
-    """Coalition enumeration for the weighted-voting POWER-INDEX
-    family (Banzhaf, Shapley-Shubik): for every player i and every
-    coalition S ⊆ P∖{i}, i is PIVOTAL iff w(S) < quota ≤ w(S)+w_i.
-    Returns {player: counts[s]} where counts[s] is the number of
-    pivotal coalitions of size s = |S| (0..k−1) — the one table both
-    indices read (Banzhaf sums it flat, Shapley-Shubik weighs size s
-    by s!·(k−1−s)!).  Exhaustive over 2^k masks — players are the
-    handful of event TYPES (k ≈ 5 → 32 coalitions), never rows; the
-    k ≤ 20 guard documents the envelope."""
-    names = [str(n) for n, _ in weights]
-    w = [int(x) for _, x in weights]
-    k = len(w)
-    assert k <= 20, "pivotal_by_size_int: 2^k enumeration, k<=20"
-    counts = {n: [0] * max(k, 1) for n in names}
-    for mask in range(1 << k):
-        wsum = 0
-        sz = 0
-        for j in range(k):
-            if mask >> j & 1:
-                wsum += w[j]
-                sz += 1
-        for i in range(k):
-            if not (mask >> i & 1) and wsum < quota <= wsum + w[i]:
-                counts[names[i]][sz] += 1
-    return counts
-
-
-def banzhaf_int(weights: list, quota: int = None) -> pd.DataFrame:
-    """Banzhaf power index over the weighted voting game (players,
-    integer weights, quota; default quota = strict majority
-    T//2 + 1): swings_i = #coalitions i turns from losing to
-    winning; power_ppm = 10⁶·swings_i // Σswings (ONE floor).  The
-    family's whole point is that voting POWER is not proportional
-    to weight — the classic (50,49,1)@51 profile gives 49 votes the
-    SAME power as 1 vote (both 200000 ppm), pinned in the tests.
-    Flags: is_dummy (zero swings — weight without power), is_veto
-    (no coalition wins without i: w(P∖{i}) < quota).  All integers;
-    exhaustive over 2^k coalitions of event TYPES (k ≈ 5)."""
-    total = sum(int(v) for _, v in weights)
-    if quota is None:
-        quota = total // 2 + 1
-    counts = pivotal_by_size_int(weights, quota)
-    sw = {n: sum(c) for n, c in counts.items()}
-    tot_sw = sum(sw.values())
-    rows = [(str(n), int(v), sw[str(n)],
-             1_000_000 * sw[str(n)] // tot_sw if tot_sw else 0,
-             sw[str(n)] == 0, total - int(v) < quota)
-            for n, v in weights]
-    out = pd.DataFrame(rows, columns=["party", "weight", "swings",
-                                      "power_ppm", "is_dummy",
-                                      "is_veto"])
-    out = out.sort_values(["swings", "weight", "party"],
-                          ascending=[False, False, True],
-                          kind="mergesort").reset_index(drop=True)
-    for c in ("weight", "swings", "power_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def shapley_shubik_int(weights: list, quota: int = None) \
-        -> pd.DataFrame:
-    """Shapley-Shubik power index — the ORDERING companion to
-    Banzhaf's coalition count: ss_i = #orderings of all k players
-    in which i is the pivot (the one whose arrival pushes the
-    running weight past quota), out of k! total.  From the shared
-    pivotal-by-size table: ss_num_i = Σ_s s!·(k−1−s)!·counts_i[s]
-    — exact integers (k ≈ 5 → k! = 120), Σ ss_num = k! whenever a
-    winning coalition exists; ss_ppm = 10⁶·ss_num // k! (ONE
-    floor).  Banzhaf and Shapley-Shubik RANK players identically
-    but weigh them differently — (50,49,1)@51 reads 3/5,1/5,1/5
-    under Banzhaf and 4/6,1/6,1/6 here, both pinned."""
-    import math
-    total = sum(int(v) for _, v in weights)
-    if quota is None:
-        quota = total // 2 + 1
-    k = len(weights)
-    counts = pivotal_by_size_int(weights, quota)
-    kfact = math.factorial(k)
-    rows = []
-    for n, v in weights:
-        num = sum(math.factorial(s) * math.factorial(k - 1 - s) * c
-                  for s, c in enumerate(counts[str(n)]))
-        rows.append((str(n), int(v), num,
-                     1_000_000 * num // kfact))
-    out = pd.DataFrame(rows, columns=["party", "weight", "ss_num",
-                                      "ss_ppm"])
-    out = out.sort_values(["ss_num", "weight", "party"],
-                          ascending=[False, False, True],
-                          kind="mergesort").reset_index(drop=True)
-    for c in ("weight", "ss_num", "ss_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def iv_wald_int(cells: dict) -> dict:
-    """Wald/IV LATE estimator — exact integer contract.
-
-    ``cells`` maps z ∈ {0,1} → (n, sum_d, sum_y).  With the two
-    encouragement cells (n1,d1,y1) / (n0,d0,y0):
-
-        itt_y_ppm   = ss(10⁶·(y1·n0 − y0·n1) / (n1·n0))
-        itt_d_ppm   = ss(10⁶·(d1·n0 − d0·n1) / (n1·n0))   (first stage)
-        late_ppm    = ss(10⁶·(y1·n0 − y0·n1) / (d1·n0 − d0·n1))
-
-    The LATE ratio clears BOTH per-cell means in one cross-multiplied
-    floor — (ȳ1−ȳ0)/(d̄1−d̄0) = (y1·n0 − y0·n1)/(d1·n0 − d0·n1) —
-    so perfect compliance (d1 = n1, d0 = 0) makes late == itt_y
-    EXACTLY, and one-sided 50% compliance doubles it (both pinned).
-    weak_instrument ⟺ |itt_d_ppm| < 100 000 (first stage under
-    10 pp — a transparent ppm analogue of the F>10 folk rule);
-    a ZERO first stage clamps late to 0 and flags weak (the ratio
-    is undefined — no division happens)."""
-    n1, d1, y1 = (int(v) for v in cells.get(1, (0, 0, 0)))
-    n0, d0, y0 = (int(v) for v in cells.get(0, (0, 0, 0)))
-
-    def ss(num: int, den: int) -> int:
-        if den == 0:
-            return 0
-        s = 1 if (num >= 0) == (den > 0) else -1
-        return s * (1_000_000 * abs(num) // abs(den))
-
-    den_n = n1 * n0
-    num_y = y1 * n0 - y0 * n1
-    num_d = d1 * n0 - d0 * n1
-    itt_y = ss(num_y, den_n)
-    itt_d = ss(num_d, den_n)
-    late = ss(num_y, num_d)
-    return {"n_encouraged": n1, "n_control": n0,
-            "takeup_enc": d1, "takeup_ctl": d0,
-            "conv_enc": y1, "conv_ctl": y0,
-            "itt_y_ppm": itt_y, "first_stage_ppm": itt_d,
-            "late_ppm": late,
-            "weak_instrument": abs(itt_d) < 100_000}
-
-
-#: χ² 95% critical values ×10⁶ for df = 1..10 (shared with the SQL
-#: mirrors — both engines compare against the SAME micro constants).
-CHI2_CRIT_MICRO = [0, 3841459, 5991465, 7814728, 9487729, 11070498,
-                   12591587, 14067140, 15507313, 16918978, 18307038]
-
-
-def meta_fixed_int(strata: list) -> pd.DataFrame:
-    """Fixed-effect (inverse-variance) meta-analysis of per-stratum
-    risk differences + Cochran's Q heterogeneity + Higgins' I² —
-    exact integer contract, every floor documented:
-
-        d_ppm   = ss(10⁶·(ct·nc − cc·nt) / (nt·nc))       (1 floor)
-        v_ppm2  = 10¹²·ct·(nt−ct) // nt³
-                + 10¹²·cc·(nc−cc) // nc³                   (2 floors)
-        w       = 10¹² // v_ppm2                           (1 floor)
-        pooled  = Σ w·d // Σ w  (sign-split, NO extra scale —
-                  w·d/w is already in ppm)                 (1 floor)
-        Q_scaled = Σ w·d² − (Σ w·d)² // Σ w   (≈ 10¹²·Q, 1 floor)
-        q_milli = Q_scaled // 10⁹, clamped at 0            (1 floor)
-        i2_ppm  = 10⁶·(q_milli − 1000·df) // q_milli, clamp 0
-        heterogeneous ⟺ 1000·q_milli > CHI2_CRIT_MICRO[df]
-
-    Strata with an empty arm or ZERO variance (all-or-none cells —
-    w would be infinite) are EXCLUDED from the pool and df; their
-    rows still emit with w_scaled = 0 (pinned).  Identical strata
-    collapse Q to exactly 0 (Σw·d = d·Σw makes the computational
-    form vanish with no flooring residue — pinned); one flipped
-    stratum blows Q past the χ²_df bar.  HUGEINT envelope: nt³·10¹²
-    ≤ 3.4e21 at nt = 1500; (Σw·d)² ≤ ~2.5e37 at k = 5 strata with
-    |d| ≤ 10⁶ — inside HUGEINT, documented at the mirror.
-
-    ``strata``: list of (label, nt, ct, nc, cc) sorted by label."""
-    def ss(num: int, den: int) -> int:
-        if den == 0:
-            return 0
-        s = 1 if (num >= 0) == (den > 0) else -1
-        return s * (1_000_000 * abs(num) // abs(den))
-
-    per = []
-    for label, nt, ct, nc, cc in strata:
-        nt, ct, nc, cc = int(nt), int(ct), int(nc), int(cc)
-        d = ss(ct * nc - cc * nt, nt * nc)
-        if nt == 0 or nc == 0:
-            per.append((label, nt, ct, nc, cc, d, 0))
-            continue
-        v = (10**12 * ct * (nt - ct)) // nt**3 \
-            + (10**12 * cc * (nc - cc)) // nc**3
-        w = 10**12 // v if v > 0 else 0
-        per.append((label, nt, ct, nc, cc, d, w))
-    used = [(d, w) for *_, d, w in per if w > 0]
-    sw = sum(w for _, w in used)
-    s1 = sum(w * d for d, w in used)
-    sq = sum(w * d * d for d, w in used)
-    if sw > 0:
-        sign = 1 if s1 >= 0 else -1
-        pooled = sign * (abs(s1) // sw)
-    else:
-        pooled = 0
-    q_scaled = sq - (s1 * s1 // sw if sw > 0 else 0)
-    q_milli = max(0, q_scaled) // 10**9
-    df = max(0, len(used) - 1)
-    i2 = (1_000_000 * (q_milli - 1000 * df) // q_milli
-          if q_milli > 1000 * df else 0)
-    het = (df >= 1 and df <= 10
-           and 1000 * q_milli > CHI2_CRIT_MICRO[df])
-    rows = [{"stratum": label, "nt": nt, "ct": ct, "nc": nc,
-             "cc": cc, "d_ppm": d, "w_scaled": w,
-             "pooled_ppm": pooled, "q_milli": q_milli,
-             "i2_ppm": i2, "df": df, "heterogeneous": het}
-            for label, nt, ct, nc, cc, d, w in per]
-    out = pd.DataFrame(rows)
-    for c in out.columns:
-        if c not in ("stratum", "heterogeneous"):
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def erlang_b_int(a_micro: int, servers: int = 10) -> pd.DataFrame:
-    """Erlang-B blocking probability chain — TELETRAFFIC capacity
-    planning as exact chained floors (the km_survival discipline:
-    sequential folds keep ONE floor per step and both engines replay
-    the identical chain).  Offered load a (micro-erlangs); for
-    c = 1..servers:
-
-        b_0 = 10⁶
-        b_c = 10⁶·A·b_{c−1} // (c·10¹² + A·b_{c−1})     (1 floor/step)
-
-    which is the classic recursion B_c = a·B_{c−1}/(c + a·B_{c−1})
-    in ppm.  At a = 1 erlang the first three steps are EXACT with
-    zero flooring residue — B₁ = 1/2, B₂ = 1/5, B₃ = 1/16 (500000
-    / 200000 / 62500 ppm, pinned) because each numerator divides
-    its denominator; B₄ = 1/65 is the first step that floors
-    (15384 ppm), and from there both engines replay the identical
-    floored chain.  a = 0 kills every step; blocking is
-    monotone non-increasing in c (more servers never block more —
-    pinned).  carried_micro = A·(10⁶ − b_c) // 10⁶ (1 floor);
-    meets_sla ⟺ b_c < 10 000 ppm (1% blocking, the classic GoS
-    bar).  Envelope: 10⁶·A·b ≤ 10¹⁸·A_erlang — HUGEINT-safe to
-    ~10¹⁹ micro-erlangs, far past any hourly event peak."""
-    A = int(a_micro)
-    rows = []
-    b = 10**6
-    for c in range(1, int(servers) + 1):
-        num = 10**6 * A * b
-        den = c * 10**12 + A * b
-        b = num // den if den > 0 else 0
-        rows.append({"servers": c, "a_micro": A,
-                     "blocking_ppm": b,
-                     "carried_micro": A * (10**6 - b) // 10**6,
-                     "meets_sla": b < 10_000})
-    out = pd.DataFrame(rows)
-    for c in ("servers", "a_micro", "blocking_ppm", "carried_micro"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-#: WSPT priority weights for the TPC-H order priority vocabulary —
-#: shared with the SQL mirror; 60 = lcm(1..5) clears every weight so
-#: the Smith-ratio p/w orders EXACTLY via the integer key p·(60//w).
-WSPT_WEIGHTS = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3,
-                "4-NOT SPECIFIED": 2, "5-LOW": 1}
-
-
-def wspt_objective_int(jobs: list) -> pd.DataFrame:
-    """Smith's-rule (WSPT) single-machine schedule objective — exact
-    integers, driver kernel for hand pins (the distributed query
-    computes the same numbers via bucketed prefix sums).
-
-    ``jobs``: (p, w, tiebreak) with w ∈ 1..5.  WSPT order = ascending
-    key p·(60//w) (ties by tiebreak) — EXACT Smith-ratio order, no
-    floats, no floors; completion C_j = running Σp; objective
-    Σ w_j·C_j is MINIMAL over all orders (Smith 1956, the adjacent-
-    exchange argument — equal ratios are exchange-invariant, pinned).
-    FIFO baseline = tiebreak order.  Returns one row per weight class
-    with wct under both orders + globals repeated."""
-    by_wspt = sorted(jobs, key=lambda j: (j[0] * (60 // j[1]), j[2]))
-    by_fifo = sorted(jobs, key=lambda j: j[2])
-
-    def fold(order):
-        run, per = 0, {}
-        for p, w, _ in order:
-            run += p
-            per[w] = per.get(w, 0) + w * run
-        return per
-
-    wspt, fifo = fold(by_wspt), fold(by_fifo)
-    tot_w, tot_f = sum(wspt.values()), sum(fifo.values())
-    imp = (1_000_000 * (tot_f - tot_w) // tot_f) if tot_f > 0 else 0
-    stats = {}
-    for p, w, _ in jobs:
-        n, sp = stats.get(w, (0, 0))
-        stats[w] = (n + 1, sp + p)
-    rows = [{"w": w, "n_jobs": n, "sum_p": sp,
-             "wct_wspt": wspt.get(w, 0), "wct_fifo": fifo.get(w, 0),
-             "total_wspt": tot_w, "total_fifo": tot_f,
-             "improvement_ppm": imp}
-            for w, (n, sp) in sorted(stats.items())]
-    out = pd.DataFrame(rows)
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def position_auction_int(bids: list, ctrs: list) -> pd.DataFrame:
-    """GSP vs VCG position-auction settlement — AUCTION THEORY as
-    exact integers, the non-cooperative companion of the
-    banzhaf/shapley cooperative batch (Edelman-Ostrovsky-Schwarz
-    2007 / Varian 2007 position auctions).
-
-    ``bids``: (name, bid) integer bids; ``ctrs``: strictly
-    decreasing positive slot click rates (per mille).  Rank bids
-    desc, ties by name asc.  For slot i (1-based), with b_j the
-    j-th ranked bid (0 past the field) and c_j the slot CTRs
-    (c_{S+1} = 0):
-
-        gsp_pay_i = c_i · b_{i+1}                 (next-price rule)
-        vcg_pay_i = Σ_{j≥i} (c_j − c_{j+1}) · b_{j+1}   (externality)
-
-    Both are PURE integer products/sums — no floors anywhere except
-    the final overcharge_ppm = 10⁶·(R_gsp − R_vcg) // R_gsp, whose
-    numerator is provably nonneg: c_i·b_{i+1} = Σ_{j≥i}
-    (c_j − c_{j+1})·b_{i+1} ≥ Σ_{j≥i} (c_j − c_{j+1})·b_{j+1}
-    term-by-term since bids descend — GSP payment dominates VCG in
-    EVERY slot, with equality at the last slot (both read
-    c_S·b_{S+1}) and in the single-slot case, where both collapse
-    to Vickrey's second price.  Truthful-bidding utility under VCG
-    is nonneg: c_i·b_i ≥ vcg_pay_i (same telescoping).  Only
-    filled slots emit (slot i needs an i-th bidder); a slot whose
-    next bid is past the field pays 0 under both rules."""
-    ranked = sorted(bids, key=lambda x: (-x[1], x[0]))
-    S = min(len(ctrs), len(ranked))
-    c = list(ctrs[:S]) + [0]
-    b = [v for _, v in ranked]
-
-    def nxt(j):  # b_{j+1}, 0 past the field (j is 1-based slot)
-        return b[j] if j < len(b) else 0
-
-    vcg_suffix = 0
-    vcg = {}
-    for i in range(S, 0, -1):
-        vcg_suffix += (c[i - 1] - c[i]) * nxt(i)
-        vcg[i] = vcg_suffix
-    rows = []
-    for i in range(1, S + 1):
-        gsp = c[i - 1] * nxt(i)
-        rows.append({"slot": i, "ctr_permille": c[i - 1],
-                     "bidder": ranked[i - 1][0],
-                     "bid_micro": ranked[i - 1][1],
-                     "next_bid_micro": nxt(i),
-                     "gsp_pay": gsp, "vcg_pay": vcg[i]})
-    out = pd.DataFrame(rows)
-    rg, rv = int(out["gsp_pay"].sum()), int(out["vcg_pay"].sum())
-    out["gsp_revenue"] = rg
-    out["vcg_revenue"] = rv
-    out["overcharge_ppm"] = (1_000_000 * (rg - rv) // rg
-                             if rg > 0 else 0)
-    out["gsp_dominates"] = out["gsp_pay"] >= out["vcg_pay"]
-    for col in out.columns:
-        if col not in ("bidder", "gsp_dominates"):
-            out[col] = out[col].astype("int64")
-    return out
-
-
-def _ss_scaled(num: int, den: int, scale: int) -> int:
-    """Sign-split trunc division at an explicit scale (Python floors,
-    DuckDB truncates on negatives — the repo-wide discipline)."""
-    if den == 0:
-        return 0
-    s = 1 if (num >= 0) == (den > 0) else -1
-    return s * (scale * abs(num) // abs(den))
-
-
-def nash_2x2_int(A: list, B: list) -> pd.DataFrame:
-    """Nash equilibria of a 2×2 bimatrix game — NON-COOPERATIVE
-    game theory, the solution-concept complement of the cooperative
-    (banzhaf/shapley) and mechanism-design (gsp/vcg) batches.
-
-    ``A``/``B``: 2×2 integer payoff matrices (row / column player).
-    Pure NE at (i, j) ⟺ A[i][j] ≥ A[1−i][j] AND B[i][j] ≥
-    B[i][1−j] (weak best responses — ties admit multiple NE).  The
-    interior mixed equilibrium makes the OPPONENT indifferent:
-
-        p·dB = B11 − B10,  dB = B00 − B01 − B10 + B11
-        q·dA = A11 − A01,  dA = A00 − A10 − A01 + A11
-
-    (p = row's weight on action 0, q = column's) — EXACT rationals,
-    interior ⟺ 0 < num/den < 1 checked on the integers, one nonneg
-    floor each when interior (the fraction is then in (0,1) so
-    |num| ≤ |den| and no sign-split is needed); non-interior games
-    report 0/0 with mixed_interior = False.  The classic trio is
-    pinned in the tests: matching pennies (0 pure, p = q = 1/2
-    exact), prisoner's dilemma (1 pure, no interior mixed), battle
-    of the sexes (2 pure + p = 2/3, q = 1/3) — and their
-    equilibrium counts 1/1/3 are all ODD (Wilson 1971, generic
-    games).  One row per cell, globals repeated (the kruskal
-    row-shape convention)."""
-    def pure(i, j):
-        return (A[i][j] >= A[1 - i][j]) and (B[i][j] >= B[i][1 - j])
-
-    dB = B[0][0] - B[0][1] - B[1][0] + B[1][1]
-    num_p = B[1][1] - B[1][0]
-    dA = A[0][0] - A[1][0] - A[0][1] + A[1][1]
-    num_q = A[1][1] - A[0][1]
-
-    def interior(num, den):
-        return (den > 0 and 0 < num < den) \
-            or (den < 0 and den < num < 0)
-
-    ok = interior(num_p, dB) and interior(num_q, dA)
-    p = 1_000_000 * abs(num_p) // abs(dB) if ok else 0
-    q = 1_000_000 * abs(num_q) // abs(dA) if ok else 0
-    n_pure = sum(pure(i, j) for i in (0, 1) for j in (0, 1))
-    rows = [{"row_action": i, "col_action": j,
-             "a_pay": A[i][j], "b_pay": B[i][j],
-             "is_pure_ne": pure(i, j), "n_pure_ne": n_pure,
-             "p_mixed_ppm": p, "q_mixed_ppm": q,
-             "mixed_interior": ok}
-            for i in (0, 1) for j in (0, 1)]
-    out = pd.DataFrame(rows)
-    for c in out.columns:
-        if c not in ("is_pure_ne", "mixed_interior"):
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def zerosum_value_int(A: list) -> pd.DataFrame:
-    """Value of a 2×2 zero-sum game — von Neumann's minimax, the
-    third leg of the game-theory suite (cooperative → mechanism →
-    non-cooperative → ZERO-SUM).  ``A``: 2×2 integer payoffs to
-    the row player.
-
-    maximin = max_i min_j A[i][j]; minimax = min_j max_i A[i][j];
-    maximin ≤ minimax ALWAYS, with equality ⟺ a saddle point
-    (pure value, zero flooring).  Without a saddle the mixed value
-    is the EXACT rational
-
-        v = (A00·A11 − A01·A10) / D,   D = A00 + A11 − A01 − A10
-        p = (A11 − A10)/D,  q = (A11 − A01)/D
-
-    (D ≠ 0 whenever no saddle exists), reported as ONE sign-split
-    milli floor — v can be negative, p/q are interior so nonneg
-    floors suffice — and the minimax theorem maximin ≤ v ≤ minimax
-    is pinned.  Saddle games report the pure value exactly
-    (value_milli = 1000·maximin) with p/q degenerate at the
-    saddle's row/column (ties → action 0)."""
-    mins = [min(A[i]) for i in (0, 1)]
-    maxs = [max(A[0][j], A[1][j]) for j in (0, 1)]
-    maximin, minimax = max(mins), min(maxs)
-    saddle = maximin == minimax
-    if saddle:
-        v_milli = 1000 * maximin
-        p = 1_000_000 if mins[0] == maximin else 0
-        q = 1_000_000 if maxs[0] == minimax else 0
-    else:
-        D = A[0][0] + A[1][1] - A[0][1] - A[1][0]
-        v_milli = _ss_scaled(A[0][0] * A[1][1] - A[0][1] * A[1][0],
-                             D, 1000)
-        p = _ss_scaled(A[1][1] - A[1][0], D, 1_000_000)
-        q = _ss_scaled(A[1][1] - A[0][1], D, 1_000_000)
-    out = pd.DataFrame([{
-        "a00": A[0][0], "a01": A[0][1],
-        "a10": A[1][0], "a11": A[1][1],
-        "maximin_milli": 1000 * maximin,
-        "minimax_milli": 1000 * minimax,
-        "has_saddle": saddle, "value_milli": v_milli,
-        "p_row_ppm": p, "q_col_ppm": q}])
-    for c in out.columns:
-        if c != "has_saddle":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def system_reliability_int(rel: list) -> pd.DataFrame:
-    """Series / parallel system reliability — RELIABILITY
-    ENGINEERING as exact HUGEINT-style products with ONE final
-    floor each.  ``rel``: (name, r_ppm) component reliabilities.
-
-        series   = Π r_i            // 10⁶⁽ⁿ⁻¹⁾
-        parallel = (10⁶ⁿ − Π f_i)   // 10⁶⁽ⁿ⁻¹⁾,   f_i = 10⁶ − r_i
-
-    The parallel form uses the COMPLEMENT-NUMERATOR (not
-    10⁶ − Πf//10⁶⁽ⁿ⁻¹⁾, which can differ by 1 ppm when the product
-    has flooring residue) precisely so the k-of-n bridge identities
-    in ``koon_reliability_int`` are EXACT: 1-of-n == parallel and
-    n-of-n == series, same flooring, bit for bit.  Weakest-link law
-    pinned: series ≤ min r_i (a chain is its weakest link);
-    dually parallel ≥ max r_i.  Two fair coins read 250000 /
-    750000 exactly.  Envelope: Π ≤ 10⁶ⁿ = 10³⁰ at n = 5 — Python
-    ints are unbounded, the SQL mirror's HUGEINT holds to n ≤ 6."""
-    comps = sorted(rel)
-    n = len(comps)
-    scale = 10 ** (6 * (n - 1))
-    pr = pf = 1
-    for _, r in comps:
-        pr *= r
-        pf *= 10**6 - r
-    series = pr // scale
-    parallel = (10 ** (6 * n) - pf) // scale
-    rmin = min(r for _, r in comps)
-    rows = [{"component": name, "r_ppm": r, "f_ppm": 10**6 - r,
-             "series_ppm": series, "parallel_ppm": parallel,
-             "is_weakest": r == rmin}
-            for name, r in comps]
-    out = pd.DataFrame(rows)
-    for c in out.columns:
-        if c not in ("component", "is_weakest"):
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def koon_reliability_int(rel: list) -> pd.DataFrame:
-    """k-out-of-n system reliability for EVERY k = 1..n — the
-    redundancy family's full ladder, exhaustive over 2ⁿ component
-    states (the banzhaf bitmask discipline: n is the HANDFUL of
-    event types, 2⁵ = 32 states, never rows):
-
-        R(k) = Σ_{|S| ≥ k}  Π_{i∈S} r_i · Π_{i∉S} f_i  // 10⁶⁽ⁿ⁻¹⁾
-
-    ONE floor per k, on the exact subset-sum numerator.  The ladder
-    BRIDGES the two classical compositions exactly — R(1) ==
-    parallel and R(n) == series of ``system_reliability_int``, same
-    flooring (the reason that kernel's parallel uses the
-    complement-numerator form) — and is monotone non-increasing in
-    k (demanding more working components never helps).  Textbook
-    pins: majority-of-three fair coins reads EXACTLY 500000;
-    triple-modular-redundancy at r = 0.9 reads EXACTLY 972000
-    (3·0.81·0.1 + 0.729 — the canonical TMR improvement).
-    Envelope: Σ over 2ⁿ masks of products ≤ 2ⁿ·10⁶ⁿ ≈ 3·10³¹ at
-    n = 5 — HUGEINT-safe in the mirror to n ≤ 6."""
-    comps = sorted(rel)
-    n = len(comps)
-    scale = 10 ** (6 * (n - 1))
-    sums = [0] * (n + 1)  # sums[b] = Σ products over masks of b bits
-    for mask in range(1 << n):
-        prod, bits = 1, 0
-        for idx, (_, r) in enumerate(comps):
-            if (mask >> idx) & 1:
-                prod *= r
-                bits += 1
-            else:
-                prod *= 10**6 - r
-        sums[bits] += prod
-    rows = []
-    for k in range(1, n + 1):
-        num = sum(sums[k:])
-        rows.append({"k": k, "n_components": n,
-                     "r_koon_ppm": num // scale})
-    out = pd.DataFrame(rows)
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def luhn_sum_int(num: int, shift: int = 0) -> int:
-    """Luhn mod-10 weighted digit sum (ISO/IEC 7812) — exact
-    integers.  Digit at position i from the RIGHT is doubled when
-    (i + shift) is odd, with the classic subtract-9 fold back to a
-    single digit.  ``shift=0`` scores a number as-is; ``shift=1``
-    scores it as the PREFIX of a number about to receive a check
-    digit (appending shifts every digit one position left)."""
-    s, i = 0, 0
-    n = int(num)
-    while n > 0:
-        d = n % 10
-        if (i + shift) % 2 == 1:
-            d *= 2
-            if d > 9:
-                d -= 9
-        s += d
-        n //= 10
-        i += 1
-    return s
-
-
-def luhn_valid_int(num: int) -> bool:
-    """A number is Luhn-valid ⟺ its weighted digit sum ≡ 0 mod 10.
-    Detects EVERY single-digit substitution and every adjacent
-    transposition EXCEPT 09↔90 — the algorithm's one documented
-    blind spot, pinned in the tests."""
-    return luhn_sum_int(num) % 10 == 0
-
-
-def luhn_check_digit_int(num: int) -> int:
-    """The digit cd making 10·num + cd Luhn-valid:
-    (10 − S₁) mod 10 with S₁ the shift-1 sum (appending moves every
-    existing digit into the next parity class)."""
-    return (10 - luhn_sum_int(num, shift=1) % 10) % 10
-
-
-#: Hamming(7,4) layout: positions 1..7 = p1 p2 d3 p4 d2 d1 d0,
-#: parity bits at the powers of two, each covering the positions
-#: whose index has that bit set.  Shared with the SQL mirror.
-def hamming74_int(nibble: int, err_pos: int,
-                  err_pos2: int = 0) -> dict:
-    """Hamming(7,4) encode → single-bit corrupt → syndrome decode,
-    exact integers (CODING THEORY: the 1950 single-error-correcting
-    code).  ``nibble`` ∈ 0..15 (d3 d2 d1 d0), ``err_pos`` ∈ 0..7
-    (0 = clean channel, 1..7 = flip that codeword position).
-
-    Parities (even): p1 = d3⊕d2⊕d0, p2 = d3⊕d1⊕d0,
-    p4 = d2⊕d1⊕d0.  The syndrome s = s4s2s1 recomputed from the
-    received word IS the error position in binary — Hamming's
-    defining trick — so every single-bit error is corrected and
-    decode returns the original nibble EXACTLY (exhaustive 16×8
-    pin in the tests).  A DOUBLE error mis-corrects (syndrome
-    points at the XOR of the two positions) — the SEC code's
-    documented failure mode, also pinned."""
-    d0, d1 = nibble & 1, (nibble >> 1) & 1
-    d2, d3 = (nibble >> 2) & 1, (nibble >> 3) & 1
-    p1 = d3 ^ d2 ^ d0
-    p2 = d3 ^ d1 ^ d0
-    p4 = d2 ^ d1 ^ d0
-    bits = {1: p1, 2: p2, 3: d3, 4: p4, 5: d2, 6: d1, 7: d0}
-    recv = dict(bits)
-    if err_pos:
-        recv[err_pos] ^= 1
-    if err_pos2:
-        recv[err_pos2] ^= 1
-    s1 = recv[1] ^ recv[3] ^ recv[5] ^ recv[7]
-    s2 = recv[2] ^ recv[3] ^ recv[6] ^ recv[7]
-    s4 = recv[4] ^ recv[5] ^ recv[6] ^ recv[7]
-    syndrome = 4 * s4 + 2 * s2 + s1
-    if syndrome:
-        recv[syndrome] ^= 1
-    decoded = 8 * recv[3] + 4 * recv[5] + 2 * recv[6] + recv[7]
-    codeword = sum(bits[p] << (7 - p) for p in range(1, 8))
-    return {"codeword": codeword, "syndrome": syndrome,
-            "decoded": decoded}
-
-
-def sir_epidemic_int(beta_ppm: int, gamma_ppm: int, i0_ppm: int,
-                     steps: int = 24) -> pd.DataFrame:
-    """Discrete Kermack-McKendrick SIR epidemic (1927) on a ppm
-    population — POPULATION DYNAMICS as an exact chained integer
-    fold (the km_survival / erlang_blocking sequential discipline:
-    fixed, data-INdependent length, so a recursive SQL mirror is
-    honest).  Per step, with S, I, R in ppm of the population:
-
-        new_inf = beta * S * I // 1e12     (one floor)
-        recov   = gamma * I // 1e6         (one floor)
-        S' = S - new_inf;  I' = I + new_inf - recov;  R' = R + recov
-
-    Both updates are TRANSFERS, so S + I + R == 1e6 EXACTLY at every
-    step — conservation is bit-exact by construction, not
-    approximate (pinned).  new_inf <= S (since beta*I <= 1e12) and
-    recov <= I, so every compartment stays nonneg with no clamp.
-    Max product beta*S*I <= 1e18 < int64 max; the mirror still casts
-    HUGEINT for headroom.  Classical structure pinned in tests:
-    geometric decay at beta = 0 (chain replay of floors), epidemic
-    threshold (I monotone DOWN when beta*S0 < gamma*1e6, i.e.
-    R_eff < 1), epidemic peak-and-decline above threshold, S
-    non-increasing / R non-decreasing always."""
-    s, i, r = 1_000_000 - i0_ppm, i0_ppm, 0
-    rows = [(0, s, i, r)]
-    for t in range(1, steps + 1):
-        new_inf = beta_ppm * s * i // 1_000_000_000_000
-        recov = gamma_ppm * i // 1_000_000
-        s -= new_inf
-        i += new_inf - recov
-        r += recov
-        rows.append((t, s, i, r))
-    out = pd.DataFrame(rows, columns=["t", "s_ppm", "i_ppm",
-                                      "r_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def lotka_volterra_int(a_ppm: int, b_ppm: int, c_ppm: int,
-                       d_ppm: int, x0_ppm: int, y0_ppm: int,
-                       steps: int = 24) -> pd.DataFrame:
-    """Discrete Lotka-Volterra predator-prey dynamics (1925/26) —
-    the two-species companion of the SIR fold.  Per step, prey x
-    and predator y in ppm:
-
-        growth     = a * x // 1e6          (one floor)
-        predation  = b * x * y // 1e12     (one floor)
-        starvation = c * y // 1e6          (one floor)
-        conversion = d * x * y // 1e12     (one floor)
-        x' = max(0, x + growth - predation)
-        y' = max(0, y - starvation + conversion)
-
-    The explicit max(0, .) clamp is the discrete-Euler honesty tax
-    (a big step can overshoot through zero — extinction absorbs,
-    pinned); mirrored as greatest(0, .).  The interior equilibrium
-    survives the integer arithmetic exactly when it is
-    representable: with a = b, c = d and x = y = 1e6, growth ==
-    predation and starvation == conversion term by term, so the
-    fixed point is EXACT and eternal (pinned).  Decoupled pins at
-    b = d = 0: prey grows by floored geometric steps, predator
-    decays likewise — both chains replayed floor-for-floor in the
-    tests."""
-    x, y = x0_ppm, y0_ppm
-    rows = [(0, x, y)]
-    for t in range(1, steps + 1):
-        growth = a_ppm * x // 1_000_000
-        predation = b_ppm * x * y // 1_000_000_000_000
-        starvation = c_ppm * y // 1_000_000
-        conversion = d_ppm * x * y // 1_000_000_000_000
-        x = max(0, x + growth - predation)
-        y = max(0, y - starvation + conversion)
-        rows.append((t, x, y))
-    out = pd.DataFrame(rows, columns=["t", "prey_ppm", "pred_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def johnson_flowshop_int(jobs: list) -> pd.DataFrame:
-    """Johnson's rule for the 2-machine flowshop (1954) — the
-    makespan-optimal sequencing theorem, exact integers.  ``jobs``
-    is [(name, p1, p2), ...]; Johnson's order runs jobs with
-    p1 < p2 FIRST ascending p1, then jobs with p1 >= p2 descending
-    p2 (ties by name) — provably minimizing C_max, pinned by brute
-    force over all n! orders in the tests.  Completion times are
-    the classic recurrences C1_i = C1_{i-1} + p1_i and
-    C2_i = max(C2_{i-1}, C1_i) + p2_i; a SQL mirror avoids the fold
-    via the prefix/suffix closed form
-    C2_j = max_{i<=j}(sum_{k<=i} p1_k + sum_{i<=k<=j} p2_k) —
-    algebraically identical (both sides integer, zero floors).
-    The alphabetical (FIFO) makespan rides along; Johnson <= FIFO
-    by the optimality theorem."""
-    def key(j):
-        name, p1, p2 = j
-        return (0, p1, name) if p1 < p2 else (1, -p2, name)
-
-    seq = sorted(jobs, key=key)
-
-    def fold(order):
-        c1 = c2 = 0
-        rows = []
-        for name, p1, p2 in order:
-            c1 += p1
-            c2 = max(c2, c1) + p2
-            rows.append((name, p1, p2, c1, c2))
-        return rows
-
-    rows = fold(seq)
-    makespan = rows[-1][4]
-    fifo = fold(sorted(jobs, key=lambda j: j[0]))[-1][4]
-    out = pd.DataFrame(
-        [(i + 1, *r, makespan, fifo)
-         for i, r in enumerate(rows)],
-        columns=["pos", "job", "p1", "p2", "c1", "c2",
-                 "makespan", "fifo_makespan"])
-    for c in out.columns:
-        if c != "job":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-#: Fixed 5-task CPM activity network over the alphabetically-ordered
-#: task names (A=1st..E=5th): edges A->C, B->C, A->D, C->E, D->E.
-#: Shared with the SQL mirror; the four source-to-sink paths are
-#: A-C-E, B-C-E, A-D-E and (B has only the C route).
-CPM_EDGES = [(0, 2), (1, 2), (0, 3), (2, 4), (3, 4)]
-
-
-def critical_path_int(tasks: list, durations: list) -> pd.DataFrame:
-    """Critical Path Method (Kelley-Walker 1959) on the fixed 5-task
-    network ``CPM_EDGES`` — PROJECT SCHEDULING, exact integers:
-    forward pass ES_j = max over predecessors (ES_i + d_i) (longest
-    path — dag_layers counts depth, CPM weighs it), project duration
-    T = max over sinks of ES + d, backward pass LS_i = min over
-    successors LS_j − d_i (sinks: T − d), slack = LS − ES.  The
-    classical theorems pinned: slack >= 0 everywhere, the zero-slack
-    tasks form a source-to-sink chain realizing T (at least one
-    critical path ALWAYS exists), and T equals the explicit max over
-    the enumerated path sums.  Zero floors — pure max/min/plus
-    algebra both engines replay exactly."""
-    n = len(tasks)
-    preds = [[i for i, j in CPM_EDGES if j == k] for k in range(n)]
-    succs = [[j for i, j in CPM_EDGES if i == k] for k in range(n)]
-    es = [0] * n
-    for k in range(n):  # tasks are topologically ordered
-        if preds[k]:
-            es[k] = max(es[i] + durations[i] for i in preds[k])
-    total = max(es[k] + durations[k]
-                for k in range(n) if not succs[k])
-    ls = [0] * n
-    for k in range(n - 1, -1, -1):
-        if succs[k]:
-            ls[k] = min(ls[j] for j in succs[k]) - durations[k]
-        else:
-            ls[k] = total - durations[k]
-    out = pd.DataFrame({
-        "task": tasks,
-        "duration": durations,
-        "es": es,
-        "ls": ls,
-        "slack": [ls[k] - es[k] for k in range(n)],
-        "critical": [ls[k] == es[k] for k in range(n)],
-        "project_duration": total})
-    for c in ("duration", "es", "ls", "slack", "project_duration"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def pythagorean_wins_int(teams: list) -> pd.DataFrame:
-    """Bill James' Pythagorean expectation — SPORTS ANALYTICS,
-    exact rationals: a team scoring S and allowing A is expected to
-    win S² / (S² + A²) of its games (exponent 2, the classical
-    form).  ``teams`` is [(name, scored, allowed), ...] in integer
-    cents; pyth_ppm and actual share cost ONE floor each.  The
-    family's identities pinned in tests: S == A reads exactly
-    500000, A == 0 reads exactly 10⁶, the estimate is SCALE
-    INVARIANT (doubling both S and A multiplies numerator and
-    denominator by exactly 4, so even the floor residue is
-    unchanged), and the canonical 100-vs-50 instance reads exactly
-    800000.  Envelope: 10⁶·S² at S ~ 10¹² cents is ~10³⁰ — HUGEINT
-    in the mirror, documented there."""
-    rows = []
-    for name, s, a in teams:
-        denom = s * s + a * a
-        pyth = 1_000_000 * s * s // denom if denom else 500_000
-        actual = 1_000_000 * s // (s + a) if s + a else 500_000
-        rows.append((name, s, a, pyth, actual, pyth - actual))
-    out = pd.DataFrame(rows, columns=[
-        "team", "scored_cents", "allowed_cents", "pyth_ppm",
-        "actual_ppm", "luck_ppm"])
-    for c in out.columns:
-        if c != "team":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def log5_matchup_int(ratings: list) -> pd.DataFrame:
-    """Bill James' log5 rule == the Bradley-Terry pairwise model:
-    a p_a team beats a p_b team with probability
-    p_a(1-p_b) / (p_a(1-p_b) + p_b(1-p_a)).  ``ratings`` is
-    [(name, p_ppm), ...]; one floor per ordered pair (a < b by
-    name).  The model's defining identities pinned in tests:
-    p_a == p_b reads exactly 500000; against a league-average
-    opponent (p_b = 1/2) the matchup probability is p_a EXACTLY
-    (numerator p_a·5e5, denominator 5e5·10⁶ — zero floor residue);
-    the complement p_ab + p_ba ∈ {10⁶ - 1, 10⁶} (the two floor
-    remainders sum to 0 or the denominator — never more than 1 ppm
-    of drift); and p_a > p_b ⇒ p_ab > 500000 (monotone).  A doubly
-    degenerate pair (both 0 or both 10⁶) reads 500000 by the same
-    convention both engines share."""
-    rows = []
-    rs = sorted(ratings)
-    for i in range(len(rs)):
-        for j in range(i + 1, len(rs)):
-            (na, pa), (nb, pb) = rs[i], rs[j]
-            num = pa * (1_000_000 - pb)
-            den = num + pb * (1_000_000 - pa)
-            p = 1_000_000 * num // den if den else 500_000
-            rows.append((na, nb, pa, pb, p))
-    out = pd.DataFrame(rows, columns=[
-        "team_a", "team_b", "p_a_ppm", "p_b_ppm", "log5_ppm"])
-    for c in out.columns:
-        if c not in ("team_a", "team_b"):
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def _ballot_ranks(cell: pd.DataFrame, voter_col: str, cand_col: str,
-                  n_col: str) -> tuple:
-    """Strict complete per-voter rankings from a (voter, cand, n)
-    census: missing cells count 0, order by (n desc, name asc) — a
-    deterministic tie-break BOTH engines share (copeland_int
-    abstains on ties instead; Borda/IRV need strict ballots).
-    Returns (pivot DataFrame voters x candidates, candidate
-    list)."""
-    cands = sorted(cell[cand_col].unique())
-    pivot = (cell.pivot_table(index=voter_col, columns=cand_col,
-                              values=n_col, aggfunc="sum",
-                              fill_value=0)
-             .reindex(columns=cands, fill_value=0))
-    return pivot, cands
-
-
-def borda_int(cell: pd.DataFrame, *, voter_col: str, cand_col: str,
-              n_col: str) -> pd.DataFrame:
-    """Borda count (1770) over strict ballots: rank r (1 = first)
-    earns k − r points, summed across voters; plurality (first-
-    place) tallies ride along because the two rules famously
-    DISAGREE (pinned on the canonical divergence profile).  The
-    classical guarantee pinned beside it: a Condorcet winner is
-    NEVER Borda-last.  Zero floors — pure integer point sums."""
-    pivot, cands = _ballot_ranks(cell, voter_col, cand_col, n_col)
-    k = len(cands)
-    points = {c: 0 for c in cands}
-    firsts = {c: 0 for c in cands}
-    for _, row in pivot.iterrows():
-        order = sorted(cands, key=lambda c: (-row[c], c))
-        for r, c in enumerate(order):
-            points[c] += k - 1 - r
-        firsts[order[0]] += 1
-    out = pd.DataFrame({
-        "candidate": cands,
-        "borda_points": [points[c] for c in cands],
-        "plurality_votes": [firsts[c] for c in cands]})
-    out = out.sort_values(["borda_points", "candidate"],
-                          ascending=[False, True],
-                          kind="mergesort").reset_index(drop=True)
-    out["borda_rank"] = range(1, len(out) + 1)
-    for c in out.columns:
-        if c != "candidate":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def irv_int(cell: pd.DataFrame, *, voter_col: str, cand_col: str,
-            n_col: str) -> pd.DataFrame:
-    """Instant-runoff voting over the same strict ballots: each
-    round tallies first choices among the REMAINING candidates,
-    eliminates the minimum (ties by name asc), and repeats — k − 1
-    rounds, then the survivor's final (unanimous-by-construction)
-    tally.  The elimination order is data-dependent but the round
-    COUNT is k − 1, fixed by the candidate census — so a SQL mirror
-    of chained per-round CTEs is honest.  IRV's canonical
-    pathologies are pinned in tests: it defeats a Condorcet winner
-    on Condorcet's own profile, and the textbook monotonicity
-    violation (ranking a candidate HIGHER makes them lose) is
-    exhibited verbatim.  Zero floors."""
-    pivot, cands = _ballot_ranks(cell, voter_col, cand_col, n_col)
-    remaining = list(cands)
-    rows = []
-    rnd = 1
-    while len(remaining) > 1:
-        tally = {c: 0 for c in remaining}
-        for _, row in pivot.iterrows():
-            first = min(remaining, key=lambda c: (-row[c], c))
-            tally[first] += 1
-        out_c = min(remaining, key=lambda c: (tally[c], c))
-        rows.append((rnd, out_c, tally[out_c], False))
-        remaining.remove(out_c)
-        rnd += 1
-    winner = remaining[0]
-    rows.append((rnd, winner, len(pivot), True))
-    out = pd.DataFrame(rows, columns=["round", "candidate",
-                                      "votes", "is_winner"])
-    for c in ("round", "votes"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def erlang_c_int(a_micro: int, servers: int = 10) -> pd.DataFrame:
-    """Erlang-C delay probability — the DELAY system completing
-    erlang_b_int's LOSS system: blocked callers WAIT instead of
-    vanishing, and the probability of waiting is
-
-        C_c = c·B_c / (c − a·(1 − B_c))        (c > a, else certain)
-
-    computed as exact chained floors on top of the replayed B
-    chain: denom_micro = c·10⁶ − a·(10⁶ − B_ppm) // 10⁶ (1 floor),
-    C_ppm = c·10⁶·B_ppm // denom_micro (1 floor), clamped to 10⁶
-    for unstable c·10⁶ ≤ a (a queue slower than its arrivals waits
-    with certainty).  avg_wait_milli_s = 3000·C_ppm //
-    (c·10⁶ − a_micro) for stable rows (3 s hold time — the same
-    constant the census uses), 0-clamped otherwise.  The classical
-    structure pinned in tests: C ≥ B ALWAYS (a delayed call is at
-    least as likely as a lost one — the loss/delay inequality),
-    the single-server M/M/1 identity P(wait) = ρ holding within
-    ≤ 2 ppm floor drift for stable loads (a = 1 erlang is the
-    unstable BOUNDARY and clamps instead — the pin lives at
-    a < 1), monotone non-increasing in c, and the unstable
-    clamp."""
-    base = erlang_b_int(a_micro, servers)
-    A = int(a_micro)
-    rows = []
-    for _, r in base.iterrows():
-        c, b = int(r["servers"]), int(r["blocking_ppm"])
-        if c * 10**6 <= A:
-            cw, wait = 10**6, 0
-        else:
-            denom = c * 10**6 - A * (10**6 - b) // 10**6
-            cw = min(10**6, c * 10**6 * b // denom)
-            wait = 3000 * cw // (c * 10**6 - A)
-        rows.append({"servers": c, "a_micro": A,
-                     "blocking_ppm": b, "wait_prob_ppm": cw,
-                     "avg_wait_milli_s": wait,
-                     "stable": c * 10**6 > A})
-    out = pd.DataFrame(rows)
-    for c in ("servers", "a_micro", "blocking_ppm",
-              "wait_prob_ppm", "avg_wait_milli_s"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def mm1_metrics_int(rho_ppm: int) -> pd.DataFrame:
-    """M/M/1 queue closed forms (3 s service) — the single-server
-    laws every queueing course opens with, exact rationals of the
-    utilization ρ:
-
-        l_milli      = 1000·ρ // (10⁶ − ρ)          (L = ρ/(1−ρ))
-        lq_milli     = 1000·ρ² // (10⁶·(10⁶ − ρ))   (Lq = ρ²/(1−ρ))
-        w_milli_s    = 3·10⁹ // (10⁶ − ρ)           (W = h/(1−ρ))
-        wq_milli_s   = 3000·ρ // (10⁶ − ρ)          (Wq = ρh/(1−ρ))
-        p_gt10_ppm   = ρ¹¹ as 10 chained ppm floors (P(N > 10))
-
-    one floor each (the power chain one per step).  ρ = 1/2 is the
-    dyadic textbook row — L = 1.000, Lq = 0.500, W = 6.000 s,
-    Wq = 3.000 s, EXACT (pinned); W = Wq + 3000 exactly whenever
-    (10⁶ − ρ) | residues cancel — pinned as W − Wq == 3000 for the
-    dyadic case and W ≥ Wq + 2999 generally (floor drift ≤ 1).
-    ρ ≥ 10⁶ raises — an unstable M/M/1 has no stationary law."""
-    r = int(rho_ppm)
-    if r >= 10**6:
-        raise ValueError("unstable: rho >= 1")
-    p = r
-    for _ in range(10):
-        p = p * r // 10**6
-    out = pd.DataFrame([{
-        "rho_ppm": r,
-        "l_milli": 1000 * r // (10**6 - r),
-        "lq_milli": 1000 * r * r // (10**6 * (10**6 - r)),
-        "w_milli_s": 3 * 10**9 // (10**6 - r),
-        "wq_milli_s": 3000 * r // (10**6 - r),
-        "p_gt10_ppm": p}])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _anova_floors(groups: list) -> tuple:
-    """Shared one-way ANOVA integer fold over per-group moment
-    triples [(n_i, S_i, Q_i)] (count, sum, sum-of-squares in integer
-    units).  The sums-of-squares clear to integers with ONE floor per
-    group plus one grand floor (the cross-engine contract — DuckDB
-    mirrors the same ``//``):
-
-        SSW = Q − Σ_i (S_i² // n_i)        (k floors)
-        SST = Q − S² // N                  (1 floor)
-        SSB = max(0, SST − SSW)
-
-    True SSB ≥ 0 always (the variance decomposition), but the k
-    per-group floor losses can push the floored difference a hair
-    below zero near SSB = 0 — hence the clamp (the kruskal_wallis_int
-    lesson).  F = (SSB/(k−1)) / (SSW/(N−k)) lands as ONE more floor
-    at milli; the degenerate SSW == 0 reports the certainty cap 10⁹
-    when SSB > 0 (groups are distinct constants — infinite F) and 0
-    when SSB == 0 too (every value identical).  eta² = SSB/SST at
-    ppm, one floor.  Envelope: 1000·SSB·N ≲ 1000·N²·c²_max ~ 4·10³⁵
-    at N = 10¹², c = 2·10⁴ cents — HUGEINT in the mirror.  Location
-    invariance is EXACT including floor residue: shifting every
-    value by d moves S_i to S_i + d·n_i, and (S_i + d·n_i)² // n_i
-    = S_i² // n_i + 2·d·S_i + d²·n_i exactly (the added terms are
-    divisible by n_i), so SSW/SST/SSB/F never move — pinned in
-    tests."""
-    k = len(groups)
-    nn = sum(n for n, _, _ in groups)
-    ss = sum(s for _, s, _ in groups)
-    qq = sum(q for _, _, q in groups)
-    sw = sum(s * s // n for n, s, _ in groups)
-    ssw = qq - sw
-    sst = qq - ss * ss // nn
-    ssb = sst - ssw
-    if ssb < 0:
-        ssb = 0
-    if ssw > 0 and k > 1:
-        f_milli = 1000 * ssb * (nn - k) // (ssw * (k - 1))
-    else:
-        f_milli = 1_000_000_000 if ssb > 0 else 0
-    eta2 = 1_000_000 * ssb // sst if sst > 0 else 0
-    return ssb, ssw, sst, f_milli, eta2
-
-
-def anova_oneway_int(moments: list) -> pd.DataFrame:
-    """One-way fixed-effects ANOVA (Fisher 1925) — the PARAMETRIC
-    variance-decomposition test the rank matrix (KW / Friedman /
-    Page / Cochran-Armitage) deliberately avoids: it partitions the
-    total sum of squares of the raw values (not ranks) into between-
-    group and within-group parts and compares their mean squares.
-    ``moments`` is [(name, n_i, S_i, Q_i)] in integer cents; the
-    whole fold is ``_anova_floors``'s k + 2 floors plus one
-    mean-cents floor per group.  Returns one row per group (n_grp,
-    sum_cents, mean_cents) with the scalar ssb_c2 / ssw_c2 / f_milli
-    / eta2_ppm repeated on every row (the kruskal_wallis_int output
-    shape)."""
-    ssb, ssw, _sst, f_milli, eta2 = _anova_floors(
-        [(n, s, q) for _, n, s, q in moments])
-    rows = [(name, n, s, s // n) for name, n, s, q in moments]
-    out = pd.DataFrame(rows, columns=[
-        "grp", "n_grp", "sum_cents", "mean_cents"])
-    out["ssb_c2"] = ssb
-    out["ssw_c2"] = ssw
-    out["f_milli"] = f_milli
-    out["eta2_ppm"] = eta2
-    for c in out.columns:
-        if c != "grp":
-            out[c] = out[c].astype("int64")
-    return out.sort_values("grp").reset_index(drop=True)
-
-
-def brown_forsythe_int(hist: pd.DataFrame, *, grp_col: str,
-                       val_col: str, n_col: str = "n") -> pd.DataFrame:
-    """Brown-Forsythe test (1974) — Levene's dispersion test with
-    the MEDIAN center, the parametric-family companion ANOVA can't
-    replace: ANOVA asks whether group MEANS differ, Brown-Forsythe
-    runs the same F machinery on absolute deviations from each
-    group's median, asking whether group SPREADS differ (the classic
-    differential pair is pinned in tests: equal-mean unequal-spread
-    groups give ANOVA F ≈ 0 and BF F large).  Ties and even counts
-    stay integral with DOUBLED units: med2 = lo + hi (the two middle
-    order statistics; equal when n is odd), z = |2·value − med2| —
-    so z is exact and the fold is ``_anova_floors`` on the z
-    moments, zero extra flooring.  Works from the bounded
-    (group, value) → count histogram (the matching_att /
-    kruskal_wallis census discipline); the medians come from window
-    cumsums over that histogram, never from row order.  Location
-    invariance is EXACT (med2 shifts by 2d, every z unchanged).
-    Returns one row per group (n_grp, med2, sum_zdev) with
-    ssb_z2 / ssw_z2 / bf_milli repeated."""
-    rows = []
-    for grp, g in hist.groupby(grp_col):
-        g = g.sort_values(val_col)
-        ns = g[n_col].astype(int).to_numpy()
-        vs = g[val_col].astype(int).to_numpy()
-        nt = int(ns.sum())
-        cum = ns.cumsum()
-        lo = int(vs[int(np.searchsorted(cum, (nt + 1) // 2))])
-        hi = int(vs[int(np.searchsorted(cum, nt // 2 + 1))])
-        med2 = lo + hi
-        z = np.abs(2 * vs - med2)
-        sz = int((ns * z).sum())
-        qz = int((ns.astype(object) * (z.astype(object) ** 2)).sum())
-        rows.append((grp, nt, med2, sz, qz))
-    ssb, ssw, _sst, bf_milli, _eta2 = _anova_floors(
-        [(n, sz, qz) for _, n, _, sz, qz in rows])
-    out = pd.DataFrame(
-        [(g, n, m, sz) for g, n, m, sz, _ in rows],
-        columns=["grp", "n_grp", "med2_cents", "sum_zdev"])
-    out["ssb_z2"] = ssb
-    out["ssw_z2"] = ssw
-    out["bf_milli"] = bf_milli
-    for c in out.columns:
-        if c != "grp":
-            out[c] = out[c].astype("int64")
-    return out.sort_values("grp").reset_index(drop=True)
-
-
-def h_g_index_fold(df: pd.DataFrame) -> pd.DataFrame:
-    """BIBLIOMETRICS fold: Hirsch's h-index (2005), Egghe's g-index
-    (2006) and the i10 count per author, computed from the bounded
-    (author, citations) → count histogram — never from row order and
-    never by materializing one row per paper.  Level algebra (cit
-    levels t descending, within author): m(t) = Σ papers with cit ≥
-    t, S(t) = their citation sum.  h = max_t min(t, m(t)) — equal to
-    the classic "largest k with c_(k) ≥ k" because min(t, m(t)) = v
-    forces c_(v) ≥ v, and t = c_(h) realizes h.  g = largest g with
-    (top-g citation sum) ≥ g²: within a level's range the top-g sum
-    is S − (m − g)·t, so g_level = ⌊(t + √(t² + 4(S − t·m)))/2⌋
-    clamped to m; the discriminant is ≥ t² because S ≥ t·m, and the
-    float sqrt is integer-corrected by exact fixup passes.  The
-    formula is exact ONLY inside the level's own rank range
-    (m_prev, m] — below it the removed papers are worth ≥ t each, so
-    S − (m − g)·t OVERestimates and the candidate must be DISCARDED
-    (every g lands in exactly one level's range, where it is scored
-    exactly, so the max over in-range candidates is the true g —
-    the off-by-one this guard fixes was caught by the cross-check
-    oracle on real data).  The
-    theorem g ≥ h (Egghe) and the zero-cited-paper law (h fixed, g
-    non-decreasing) are pinned in tests against a brute-force
-    ranked-cumsum oracle — the SQL mirror deliberately uses THAT
-    other algorithm (row_number + cumsum windows), making the query
-    a first-principles cross-check rather than a mirror of itself."""
-    df = df.sort_values(["author", "cit"],
-                        ascending=[True, False]).reset_index(drop=True)
-    df["w"] = df["cit"] * df["n"]
-    grp = df.groupby("author", sort=False)
-    m = grp["n"].cumsum().to_numpy()
-    cit = df["cit"].to_numpy()
-    n = df["n"].to_numpy()
-    s = (grp[["w"]].cumsum()["w"]).to_numpy()
-    a = s - cit * m
-    disc = cit * cit + 4 * a
-    r = np.floor(np.sqrt(disc.astype("float64"))).astype("int64")
-    for _ in range(3):   # exact integer correction of the float root
-        over = r * r > disc
-        under = (r + 1) * (r + 1) <= disc
-        if not (over.any() or under.any()):
-            break
-        r = np.where(over, r - 1, np.where(under, r + 1, r))
-    assert not ((r * r > disc) | ((r + 1) * (r + 1) <= disc)).any()
-    h_cand = np.minimum(cit, m)
-    g_cand = np.minimum((cit + r) // 2, m)
-    g_cand = np.where(g_cand > m - n, g_cand, 0)
-    out = pd.DataFrame({
-        "author": df["author"],
-        "_h": h_cand, "_g": g_cand,
-        "_n": n, "_w": df["w"],
-        "_i10": np.where(cit >= 10, n, 0)})
-    agg = out.groupby("author", as_index=False).agg(
-        n_papers=("_n", "sum"), total_cits=("_w", "sum"),
-        h_index=("_h", "max"), g_index=("_g", "max"),
-        i10=("_i10", "sum"))
-    for c in agg.columns:
-        if c != "author":
-            agg[c] = agg[c].astype("int64")
-    return agg
-
-
-def acceptance_sampling_int(p_rows: list, *, n: int = 10, c: int = 2,
-                            lot: int = 1000) -> pd.DataFrame:
-    """Dodge-Romig single-sampling acceptance plan — STATISTICAL
-    QUALITY CONTROL's lot-disposition face, which the control-chart
-    suite (cusum_alarms, xmr_alarms) doesn't cover: inspect n items
-    from the lot, accept iff defects ≤ c.  At lot quality p (milli),
-    P(accept) = Σ_{d≤c} C(n,d) p^d q^(n−d) / 1000^n — EXACT integer
-    binomials (math.comb, q = 1000 − p), one ppm floor per row;
-    1000^10 = 10³⁰ and the largest term ≤ 45·10³⁰ sit inside
-    HUGEINT (~1.7·10³⁸) with room, which is why the contract fixes
-    per-MILLE quality and n = 10 (ppm quality at n = 10 would need
-    10⁶⁰).  AOQ = p·Pa (the rectifying-inspection outgoing quality,
-    one floor) and ATI = n + (1 − Pa)(N − n) at N = ``lot`` (one
-    floor) ride along.  ``p_rows`` is [(p_milli, is_observed)].
-    The OC curve's laws pinned in tests: Pa(0) = 10⁶ EXACTLY,
-    strictly decreasing in p, and the dyadic p = 1/2 row reads
-    exactly ⌊56·10⁶/1024⌋ = 54687 ppm (the three binomial terms
-    collapse to (1+10+45)/2¹⁰).  Mirror: the same three explicit
-    product terms per row under HUGEINT."""
-    import math
-    rows = []
-    for p, obs in p_rows:
-        q = 1000 - p
-        num = sum(math.comb(n, d) * p ** d * q ** (n - d)
-                  for d in range(c + 1))
-        pa = 1_000_000 * num // 1000 ** n
-        aoq = p * pa // 1000
-        ati = 1000 * n + (lot - n) * (1_000_000 - pa) // 1000
-        rows.append((p, bool(obs), pa, aoq, ati))
-    out = pd.DataFrame(rows, columns=[
-        "p_milli", "is_observed", "pa_ppm", "aoq_ppm", "ati_milli"])
-    for col in ("p_milli", "pa_ppm", "aoq_ppm", "ati_milli"):
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def loan_amortization_int(p_cents: int, *, i_ppm: int = 10_000,
-                          n: int = 12) -> pd.DataFrame:
-    """Level-payment loan amortization — CONSUMER FINANCE's founding
-    schedule, a family the surface lacked (chain_ladder reserves,
-    fifo_cogs costs inventory, but nothing prices money over time):
-    a principal P at monthly rate i for n months pays the annuity
-    A = P·i·(1+i)ⁿ / ((1+i)ⁿ − 1), and the schedule splits each
-    payment into interest (on the running balance) and principal.
-    Integer contract: the accumulation factor f = (1+i)ⁿ is an
-    n-step ppm chain (one floor per step — the mm1/erlang chain
-    discipline), A = P·i·f // (10⁶·(f − 10⁶)) one more floor, each
-    month's interest = balance·i // 10⁶ one floor, and the LAST
-    payment settles the exact residual (balance + interest) so the
-    final balance is 0 EXACTLY and Σ principal == P exactly — the
-    two invariants pinned in tests, beside a Fraction cross-check
-    of A (the 12 chain floors cost ≤ 12 ppm of f, cents-scale
-    drift) and the zero-rate edge (A = P // n, remainder in the
-    last payment).  Mirror: the same two WITH RECURSIVE chains of
-    data-independent length (12 power steps, 12 schedule steps)."""
-    if i_ppm == 0:
-        rows = []
-        bal = p_cents
-        for m in range(1, n + 1):
-            princ = p_cents // n if m < n else bal
-            bal -= princ
-            rows.append((m, princ, 0, princ, bal))
-    else:
-        f = 1_000_000
-        for _ in range(n):
-            f = f * (1_000_000 + i_ppm) // 1_000_000
-        a = p_cents * i_ppm * f // (1_000_000 * (f - 1_000_000))
-        rows = []
-        bal = p_cents
-        for m in range(1, n + 1):
-            intr = bal * i_ppm // 1_000_000
-            if m < n:
-                pay, princ = a, a - intr
-            else:
-                pay, princ = bal + intr, bal
-            bal -= princ
-            rows.append((m, pay, intr, princ, bal))
-    out = pd.DataFrame(rows, columns=[
-        "month", "payment_cents", "interest_cents",
-        "principal_cents", "balance_cents"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def nw_transport_int(supplies: list, demands: list) -> pd.DataFrame:
-    """Northwest-corner initial solution of the balanced
-    TRANSPORTATION PROBLEM — classical OR's tableau opener, a family
-    the surface lacked (optimal_assignment matches 1:1, waterfill
-    allocates a single budget; moving Σ supply across a supply ×
-    demand tableau is neither): walk from the NW cell, allocate
-    min(remaining supply, remaining demand), advance the exhausted
-    side (both on a tie — degenerate zero cells are skipped, so the
-    positive-cell set is convention-independent).  ``supplies`` and
-    ``demands`` are [(name, qty)] with EQUAL totals (asserted).
-    The fold has a CLOSED FORM the mirror uses instead — the
-    interval-overlap identity alloc(i,j) = max(0, min(CS_i, CD_j) −
-    max(CS_{i−1}, CD_{j−1})) on the cumulative totals — making the
-    query a two-algorithm cross-check (walk vs overlap), pinned
-    cell-for-cell on seeded draws in tests.  Unit cost is
-    |i − j| + 1 (tableau band distance); positive cells number at
-    most m + n − 1 (the basic-solution theorem, pinned).  Zero
-    floors anywhere.  Returns positive cells + the total cost
-    repeated on every row."""
-    assert sum(q for _, q in supplies) == sum(q for _, q in demands)
-    m, n = len(supplies), len(demands)
-    i = j = 0
-    s_rem = [int(q) for _, q in supplies]
-    d_rem = [int(q) for _, q in demands]
-    cells = []
-    while i < m and j < n:
-        a = min(s_rem[i], d_rem[j])
-        if a > 0:
-            cells.append((i, j, a))
-        s_rem[i] -= a
-        d_rem[j] -= a
-        if s_rem[i] == 0 and i < m - 1:
-            i += 1
-        elif d_rem[j] == 0:
-            j += 1
-        else:
-            i += 1  # last supply row, drain remaining demands
-    total = sum(a * (abs(i - j) + 1) for i, j, a in cells)
-    out = pd.DataFrame(
-        [(supplies[i][0], demands[j][0], i + 1, j + 1, a,
-          abs(i - j) + 1, a * (abs(i - j) + 1), total)
-         for i, j, a in cells],
-        columns=["src", "dst", "src_pos", "dst_pos", "alloc",
-                 "unit_cost", "cell_cost", "total_cost"])
-    for c in out.columns:
-        if c not in ("src", "dst"):
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def hardy_weinberg_int(n_dom: int, n_het: int, n_rec: int) -> pd.DataFrame:
-    """Hardy-Weinberg equilibrium test (1908) — POPULATION GENETICS,
-    a family the surface lacked: chi2_independence tests a 2-way
-    table, but HWE asks a one-sample question with an ESTIMATED null
-    (are genotype frequencies the p², 2pq, q² of their own allele
-    counts?) and owns two constants of its own.  Inputs are genotype
-    counts (dominant-homozygote, heterozygote, recessive); allele
-    counts n_A = 2·n_dom + n_het, n_a = 2·n_rec + n_het.  The χ²
-    uses the classical CLOSED FORM χ² = N·(4·n_dom·n_rec − n_het²)²
-    / (n_A²·n_a²) — pinned ALGEBRAICALLY equal to Σ(O−E)²/E by a
-    Fraction sweep in tests — as ONE milli floor; Wright's
-    inbreeding coefficient F = 1 − 2N·n_het/(n_A·n_a) as one more
-    (the divided term is non-negative, so floor == trunc — no
-    sign-split needed), with the identity χ² = N·F² checked at
-    Fraction exactness in tests.  The 5% flag cross-multiplies in
-    micro units: 10⁶·N·K² < 3841459·n_A²·n_a².  Monomorphic lots
-    (n_A or n_a = 0) report χ² = 0, F = 0, in-equilibrium by
-    convention — stated, not hidden.  Envelope: 1000·N·K² ≲
-    1.6·10⁴·N⁵ caps N at ~5·10⁶ subjects inside HUGEINT —
-    documented; the census is user-bounded."""
-    nn = n_dom + n_het + n_rec
-    n_a_ = 2 * n_dom + n_het
-    n_b = 2 * n_rec + n_het
-    if n_a_ == 0 or n_b == 0 or nn == 0:
-        chi2, f, ok = 0, 0, True
-        p = 1_000_000 if (n_a_ > 0) else 0
-    else:
-        k = 4 * n_dom * n_rec - n_het * n_het
-        chi2 = 1000 * nn * k * k // (n_a_ * n_a_ * n_b * n_b)
-        f = 1000 - 2000 * nn * n_het // (n_a_ * n_b)
-        ok = 1_000_000 * nn * k * k < 3_841_459 * n_a_ * n_a_ * n_b * n_b
-        p = 1_000_000 * n_a_ // (2 * nn)
-    out = pd.DataFrame([{
-        "n_subjects": nn, "n_dom": n_dom, "n_het": n_het,
-        "n_rec": n_rec, "p_ppm": p, "chi2_milli": chi2,
-        "f_milli": f, "hw_ok": bool(ok)}])
-    for c in out.columns:
-        if c != "hw_ok":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def portfolio_minvar_int(n: int, sx: int, sy: int, sxx: int,
-                         syy: int, sxy: int) -> pd.DataFrame:
-    """Two-asset minimum-variance portfolio (Markowitz 1952) —
-    PORTFOLIO THEORY's closed-form cornerstone, a family the surface
-    lacked (leadlag_beta regresses one series on another; choosing
-    the weight that minimizes combined variance is the allocation
-    question).  All second moments clear by n²: V_x = n·Σx² − (Σx)²,
-    V_y likewise, C = n·Σxy − Σx·Σy (exact integers), and the
-    optimal weight w* = (V_y − C)/(V_x + V_y − 2C) lands as ONE
-    sign-split ppm floor (the numerator CAN be negative — shorting
-    asset x — and the denominator is n²·Var(x−y) ≥ 0, zero iff
-    x − y is constant, which reports the 500000 convention).  The
-    portfolio variance at the floored weight, P = (w²V_x +
-    (10⁶−w)²V_y + 2w(10⁶−w)C) // 10¹², is non-negative for ANY
-    integer w because it is 10¹²·n²·σ²_p(w/10⁶) — a true variance —
-    so the floor never needs a sign split (stated, because the
-    cross term alone can be negative).  Theorems pinned in tests:
-    w = 500000 exactly for symmetric assets, w = V_y/(V_x+V_y) for
-    uncorrelated ones, P ≤ min(V_x, V_y) (diversification never
-    hurts at the minimum), and discrete optimality P(w) ≤ P(w ±
-    1000 ppm) on seeded draws.  Mirror: the same moments and floors
-    under HUGEINT."""
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    c = n * sxy - sx * sy
-    den = vx + vy - 2 * c
-    w = 500_000 if den == 0 else _ss_scaled(vy - c, den, 1_000_000)
-    port = (w * w * vx + (1_000_000 - w) * (1_000_000 - w) * vy
-            + 2 * w * (1_000_000 - w) * c) // 10 ** 12
-    out = pd.DataFrame([{
-        "n_hours": n, "var_x_n2": vx, "var_y_n2": vy,
-        "cov_xy_n2": c, "w_min_ppm": w, "port_var_n2": port}])
-    for col in out.columns:
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def naive_bayes_int(cells: pd.DataFrame, *, v_h: int = 24,
-                    v_v: int = 10) -> pd.DataFrame:
-    """Naive Bayes classification with EXACT integer scores —
-    GENERATIVE classification, a family the engine-side ML stage
-    (TF-IDF+LR actor pool) covers only approximately and no oracle
-    query covered at all: resubstitution-classify every (hour,
-    value-bucket) cell by the class maximizing prior × the two
-    Laplace-smoothed likelihoods.  ``cells`` is the bounded
-    (cls, h, v) → count census (≤ |classes|·24·10 cells — the whole
-    training set and test grid in ONE exchange; marginals are sums
-    over it).  The score contract is the FLOORED canonical integer
-    q = 10¹²·n_c·(n_ch+1)·(n_cv+1) // ((n_c+V_h)·(n_c+V_v)) — both
-    engines floor identically, so the argmax (ties by class name)
-    is deterministic cross-engine; with small-count data the
-    rational gap between distinct classes is ≥ 1/(den·den') and the
-    10¹² scale cannot flip it (pinned by a Fraction argmax sweep in
-    tests).  Envelope: 10¹²·n³ caps per-class counts at ~5·10⁸
-    inside HUGEINT — documented.  Returns the confusion matrix
-    (actual, predicted, n_events) with accuracy_ppm repeated."""
-    nc = cells.groupby("cls")["n"].sum().to_dict()
-    nh = cells.groupby(["cls", "h"])["n"].sum().to_dict()
-    nv = cells.groupby(["cls", "v"])["n"].sum().to_dict()
-    classes = sorted(nc)
-    pred = {}
-    for h, v in sorted({(h, v) for h, v in
-                        zip(cells["h"], cells["v"])}):
-        best = None
-        for c in classes:
-            num = nc[c] * (nh.get((c, h), 0) + 1) \
-                * (nv.get((c, v), 0) + 1)
-            den = (nc[c] + v_h) * (nc[c] + v_v)
-            q = 10 ** 12 * num // den
-            if best is None or q > best[0]:
-                best = (q, c)
-        pred[(h, v)] = best[1]
-    conf = {}
-    for cls, h, v, n in zip(cells["cls"], cells["h"], cells["v"],
-                            cells["n"]):
-        key = (cls, pred[(h, v)])
-        conf[key] = conf.get(key, 0) + int(n)
-    total = sum(conf.values())
-    hits = sum(n for (a, p), n in conf.items() if a == p)
-    acc = 1_000_000 * hits // total if total else 0
-    out = pd.DataFrame(
-        [(a, p, n, acc) for (a, p), n in sorted(conf.items())],
-        columns=["actual", "predicted", "n_events", "accuracy_ppm"])
-    for c in ("n_events", "accuracy_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def lin_ccc_int(n: int, sx: int, sy: int, sxx: int, syy: int,
-                sxy: int) -> pd.DataFrame:
-    """Lin's concordance correlation coefficient (1989) — the
-    CONTINUOUS-measurement member the agreement suite lacked
-    (Cohen / Fleiss / McNemar / Cochran's Q / KR-20 are all
-    categorical): two methods measuring the same subjects agree at
-    CCC = 2·Cov / (Var_x + Var_y + (mean_x − mean_y)²), which
-    punishes both scatter AND the location/scale shifts plain
-    correlation forgives.  Everything clears by n²: V_x, V_y, C as
-    usual and the mean-shift term is exactly (Σx − Σy)², so the
-    whole statistic is ONE sign-split ppm floor (negative CCC =
-    systematic discordance).  Degenerate den = 0 (both series the
-    same constant) reports perfect agreement 10⁶ by convention.
-    Identities pinned in tests: x == y reads EXACTLY 10⁶ (num ==
-    den, zero floor residue); a pure shift y = x + d reads exactly
-    ⌊10⁶·2V/(2V + n²d²)⌋ (the penalty formula); symmetry
-    CCC(x,y) == CCC(y,x) bit-exact; |CCC| ≤ 10⁶ (Cauchy-Schwarz
-    through the shift term).  Mirror: the same moments under
-    HUGEINT."""
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    c = n * sxy - sx * sy
-    d2 = (sx - sy) * (sx - sy)
-    den = vx + vy + d2
-    ccc = 1_000_000 if den == 0 else _ss_scaled(2 * c, den,
-                                                1_000_000)
-    out = pd.DataFrame([{
-        "n_hours": n, "var_x_n2": vx, "var_y_n2": vy,
-        "cov_xy_n2": c, "dmean2_n2": d2, "ccc_ppm": ccc}])
-    for col in out.columns:
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def engset_int(m_sources: int, alpha_micro: int,
-               servers: int = 10) -> pd.DataFrame:
-    """Engset blocking (1918) — the FINITE-SOURCE member completing
-    the teletraffic ladder (Erlang-B assumes infinitely many
-    callers; a crawl fleet has exactly M workers, and a busy worker
-    can't offer new load): with per-idle-source intensity α, the
-    time congestion follows the Erlang-like recursion
-
-        E_0 = 1
-        E_i = (M−i+1)·α·E_{i−1} / (i + (M−i+1)·α·E_{i−1})
-
-    (derived from the truncated binomial state law T_i =
-    T_{i−1}·(M−i+1)·α/i in the kernel's own docstring — not taken
-    on faith), replayed as the erlang_b_int chain discipline: ONE
-    ppm floor per step, X = (M−i+1)·α_micro·E'_ppm then E_ppm =
-    10⁶·X // (i·10¹² + X), with E = 0 exactly once i > M (more
-    servers than sources NEVER block — the structural zero, not a
-    convention).  The infinite-source Erlang-B chain at the same
-    total offered load A = M·α rides along in erlangb_ppm, because
-    the family's defining theorem is the comparison: FINITE sources
-    block LESS (busy sources stop offering), pinned exactly in
-    Fraction arithmetic and within floor drift on the chain, along
-    with M → ∞ convergence to Erlang-B and monotone decrease in
-    c."""
-    a2 = m_sources * alpha_micro
-    rows = []
-    e = 10**6
-    b = 10**6
-    for c in range(1, int(servers) + 1):
-        coef = (m_sources - c + 1) * alpha_micro
-        if coef <= 0:
-            e = 0
-        else:
-            x = coef * e
-            e = 10**6 * x // (c * 10**12 + x)
-        numb = 10**6 * a2 * b
-        denb = c * 10**12 + a2 * b
-        b = numb // denb if denb > 0 else 0
-        rows.append({"servers": c, "m_sources": m_sources,
-                     "alpha_micro": alpha_micro,
-                     "engset_ppm": e, "erlangb_ppm": b})
-    out = pd.DataFrame(rows)
-    for col in out.columns:
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def kelly_int(p_ppm: int, odds_milli: list) -> pd.DataFrame:
-    """Kelly criterion (1956) — BET SIZING, a family the surface
-    lacked (cost_threshold picks an operating point, newsvendor
-    stocks one period; "what FRACTION of the bankroll to stake at
-    odds b when the win probability is p" is neither): f* =
-    (b·p − q)/b, the log-growth-optimal stake, fully rational so
-    the whole table is exact integers.  Per odds row: edge =
-    (b_milli·p_ppm − 1000·q_ppm) // 1000 and kelly = the same
-    numerator // b_milli — both SIGN-SPLIT truncations (a negative
-    edge is the famous 'no bet' region, bet = false).  The famous
-    pins: fair coin at even odds (p = 1/2, b = 1) stakes EXACTLY 0;
-    the textbook p = 0.6, b = 1 stakes exactly 20%; f < p always
-    (never stake more than your win probability at positive q);
-    monotone in both p and b."""
-    q = 1_000_000 - p_ppm
-    rows = []
-    for b in odds_milli:
-        num = b * p_ppm - 1000 * q
-        edge = _ss_scaled(num, 1000, 1)
-        kelly = _ss_scaled(num, b, 1)
-        rows.append({"odds_milli": b, "p_ppm": p_ppm,
-                     "edge_ppm": edge, "kelly_ppm": kelly,
-                     "bet": kelly > 0})
-    out = pd.DataFrame(rows)
-    for col in ("odds_milli", "p_ppm", "edge_ppm", "kelly_ppm"):
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def airport_game_int(costs: list) -> pd.DataFrame:
-    """Airport-game Shapley value (Littlechild-Owen 1973) —
-    COOPERATIVE COST ALLOCATION, a family the surface lacked:
-    banzhaf_power and shapley_shubik measure VOTING power, but
-    "players share a runway each needs a different length of; who
-    pays what" is the cost-sharing question, and the airport game
-    is the rare cooperative game whose Shapley value has a CLOSED
-    FORM: sort requirements c₁ ≤ … ≤ cₙ (ties by name), split each
-    increment d_j = c_j − c_{j−1} equally among the n − j + 1
-    players who need it, φ_i = Σ_{j≤i} d_j // (n−j+1).  One floor
-    per increment (computed once, shared by all payers of that
-    increment); the flooring residue c_n − Σφ is reported as
-    unallocated_cents — honest accounting, never hidden.  Axioms
-    pinned in tests: efficiency up to the reported residue (exact
-    on evenly-divisible instances), the dummy axiom (zero
-    requirement pays zero), symmetry (equal requirements pay
-    equal), stand-alone rationality φ_i ≤ c_i (each increment is
-    shared, never inflated), and monotonicity φ_i ≤ φ_{i+1}.
-    Mirror: sorted CTE + lag increments + a j ≤ i window sum — no
-    recursion."""
-    rows = sorted((int(c), str(nm)) for nm, c in costs)
-    n = len(rows)
-    shares = []
-    prev = 0
-    for j, (c, _nm) in enumerate(rows):
-        shares.append((c - prev) // (n - j))
-        prev = c
-    out_rows = [(nm, i + 1, c, sum(shares[: i + 1]))
-                for i, (c, nm) in enumerate(rows)]
-    residue = (rows[-1][0] if rows else 0) - sum(
-        (n - j) * s for j, s in enumerate(shares))
-    out = pd.DataFrame(out_rows, columns=[
-        "player", "rank_pos", "cost_cents", "phi_cents"])
-    out["total_allocated"] = sum(out["phi_cents"])
-    out["unallocated_cents"] = residue
-    for c in out.columns:
-        if c != "player":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def stoploss_layers_int(hist: list, layers: list,
-                        n_total: int) -> pd.DataFrame:
-    """Excess-of-loss layer pricing — REINSURANCE actuarial math, a
-    family the surface lacked (chain_ladder reserves what already
-    happened; a layer premium prices what MIGHT): the pure premium
-    of layer (d, d+w] is E[min(w, (X−d)⁺)], an exact integer sum
-    over the bounded value histogram, floored ONCE per layer to a
-    per-event expectation.  ``hist`` is [(cents, n)], ``layers``
-    [(attach, width)].  The family's defining identity is LAYER
-    ADDITIVITY — contiguous layers covering [0, top] sum to
-    E[min(X, top)] EXACTLY before the per-layer floor (pinned in
-    tests as an exact equality on the raw sums, and within one
-    cent per layer after flooring) — alongside monotone decrease
-    in the attachment point and the empty-layer zero."""
-    rows = []
-    for d, w in layers:
-        tot = sum(n * min(w, max(0, c - d)) for c, n in hist)
-        rows.append((d, w, tot,
-                     tot // n_total if n_total else 0))
-    out = pd.DataFrame(rows, columns=[
-        "attach_cents", "width_cents", "layer_loss_cents",
-        "premium_cents"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def mg1_pk_int(hist: list, rho_permille: list) -> pd.DataFrame:
-    """Pollaczek-Khinchine mean-wait formula (1930) — the M/G/1
-    rung of the teletraffic ladder, the one that makes the SERVICE
-    DISTRIBUTION itself the data: mm1/erlang_b/erlang_c/engset all
-    assume exponential service, but PK prices a GENERAL service law
-    through its first two moments, Wq = ρ·E[S²] / (2(1−ρ)·E[S]) —
-    and here the service law IS the empirical value histogram
-    (cents read as milliseconds), so the corpus's own variance sets
-    the queue.  Exact integer contract: n, S1 = Σc·n, S2 = Σc²·n
-    are exact sums over the bounded histogram; per grid utilization
-    r‰, wq_pk_micro = 1000·r·S2 // (2·(1000−r)·S1) — ONE floor,
-    all-positive so floor == trunc (stated).  Carried beside it,
-    the SAME formula under the two textbook laws at the same mean:
-    exponential (E[S²] = 2E[S]², wq_exp = 1000·r·S1 //
-    ((1000−r)·n)) and deterministic (E[S²] = E[S]², wq_det = half
-    of exp) — the family's defining VARIANCE-MATTERS theorem,
-    deterministic service waits exactly HALF the exponential wait
-    (pre-floor exact; post-floor wq_exp − 2·wq_det ∈ {0,1}, pinned)
-    and the empirical wait sits wherever the squared coefficient of
-    variation puts it: Wq = (1+cs²)/2 · Wq_exp (the PK blend,
-    pinned in Fractions).  scv_ppm = 10⁶(n·S2 − S1²) // S1² (≥ 0
-    by Cauchy-Schwarz, so floor == trunc) and the INSPECTION
-    PARADOX column lbias_ppm = 10⁶·n·S2 // S1² — the length-biased
-    mean over the mean, ≥ 10⁶ always, and == scv_ppm + 10⁶ EXACTLY
-    post-floor (adding an exact multiple of the denominator
-    commutes with the floor — pinned).  Degenerate all-zero
-    service: every wait 0, scv 0, lbias 10⁶ (convention, stated).
-    Unstable r ≥ 1000 raises.  Envelope: 10⁶·n·S2 ≤ 10⁶·n²·c²max
-    caps n at ~2·10¹¹ events inside HUGEINT — documented."""
-    n = sum(int(m) for _, m in hist)
-    s1 = sum(int(c) * int(m) for c, m in hist)
-    s2 = sum(int(c) * int(c) * int(m) for c, m in hist)
-    rows = []
-    for r in rho_permille:
-        r = int(r)
-        if r >= 1000:
-            raise ValueError(f"unstable utilization {r} permille")
-        if s1 == 0:
-            rows.append((r, 0, 0, 0, 0, 1_000_000))
-            continue
-        wq_pk = 1000 * r * s2 // (2 * (1000 - r) * s1)
-        wq_exp = 1000 * r * s1 // ((1000 - r) * n)
-        wq_det = 1000 * r * s1 // (2 * (1000 - r) * n)
-        scv = 1_000_000 * (n * s2 - s1 * s1) // (s1 * s1)
-        lbias = 1_000_000 * n * s2 // (s1 * s1)
-        rows.append((r, wq_pk, wq_exp, wq_det, scv, lbias))
-    out = pd.DataFrame(rows, columns=[
-        "rho_permille", "wq_pk_micro", "wq_exp_micro",
-        "wq_det_micro", "scv_ppm", "lbias_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-# CRR design constants (u = 5/4, d = 4/5, r = 0, N = 10 steps):
-# risk-neutral q = (1-d)/(u-d) = 4/9; terminal price S_k =
-# S0·(25/16)^(k-5) = S0·25^k·16^(10-k) / P_DEN; weight numerators
-# W_k = C(10,k)·4^k·5^(10-k) over 9^10.  Σ W_k = 9^10 and the
-# MARTINGALE identity Σ W_k·25^k·16^(10-k) = 180^10 = 9^10·P_DEN
-# (so E[S_T] = S0 exactly — r = 0 makes the price a martingale)
-# are both re-derived and asserted in tests, never trusted.
-_CRR_N = 10
-_CRR_PDEN = 25 ** 5 * 16 ** 5
-_CRR_DEN = 9 ** 10 * _CRR_PDEN
-_CRR_GRID = [(k,
-              math.comb(10, k) * 4 ** k * 5 ** (10 - k),
-              25 ** k * 16 ** (10 - k)) for k in range(11)]
-
-
-def crr_option_int(s0_cents: int,
-                   moneyness: list = ((1, 2), (3, 4), (1, 1),
-                                      (5, 4), (2, 1))) -> pd.DataFrame:
-    """Cox-Ross-Rubinstein binomial option pricing (1979) —
-    DERIVATIVES VALUATION, a family the surface lacked:
-    loan_amortization prices credit, kelly_fraction sizes bets,
-    portfolio_minvar allocates, newsvendor_stock stocks one period
-    — but none values a CONTINGENT CLAIM, the right (not duty) to
-    trade at a strike.  The CRR lattice with RATIONAL design
-    u = 5/4, d = 4/5, r = 0 has risk-neutral q = (1−d)/(u−d) = 4/9
-    exactly, so the 10-step European call/put is EXACT INTEGER
-    arithmetic end to end: terminal prices S0·25^k·16^(10−k)/P and
-    weights C(10,k)·4^k·5^(10−k)/9¹⁰ give call_raw(K) =
-    Σ W_k·max(S0·25^k·16^(10−k) − K·P, 0), floored ONCE by
-    D = 9¹⁰·P per option.  The family's defining no-arbitrage
-    theorem, PUT-CALL PARITY, holds BIT-EXACT post-floor:
-    call_raw − put_raw = (S0 − K)·D exactly (martingale
-    Σ W_k·25^k·16^(10−k) = 180¹⁰ = 9¹⁰·P), and adding an exact
-    multiple of the denominator commutes with the floor, so
-    call_cents − put_cents == S0 − K on every row — carried as the
-    parity_gap == 0 column (the engset make-it-VISIBLE discipline).
-    Also pinned: zero-strike call == S0 exactly (the martingale
-    made flesh), deep-OTM call == 0 with put == K − S0 exactly,
-    monotonicity and convexity in K (in Fractions), and
-    time_value = call − intrinsic ≥ 0 (C ≥ (S0−K)⁺ pre-floor
-    because C − P = S0 − K with P ≥ 0).  Strikes are a MONEYNESS
-    grid (num, den) → K = num·S0 // den.  Envelope: per-term
-    W·payoff ≤ 8·10⁸·S0·25¹⁰ keeps S0 ≤ ~10¹⁴ cents inside
-    HUGEINT — no practical cap.  Mirror: the fixed (k, weight,
-    price-power) design grid as VALUES literals (the
-    acceptance_sampling discipline) × the moneyness grid, HUGEINT
-    throughout."""
-    s0 = int(s0_cents)
-    rows = []
-    for num, den in moneyness:
-        k_strike = int(num) * s0 // int(den)
-        call_raw = sum(w * max(s0 * pw - k_strike * _CRR_PDEN, 0)
-                       for _, w, pw in _CRR_GRID)
-        put_raw = sum(w * max(k_strike * _CRR_PDEN - s0 * pw, 0)
-                      for _, w, pw in _CRR_GRID)
-        call = call_raw // _CRR_DEN
-        put = put_raw // _CRR_DEN
-        intrinsic = max(s0 - k_strike, 0)
-        rows.append((k_strike, call, put, intrinsic,
-                     call - intrinsic, call - put - (s0 - k_strike)))
-    out = pd.DataFrame(rows, columns=[
-        "strike_cents", "call_cents", "put_cents",
-        "intrinsic_cents", "time_value_cents", "parity_gap"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _ols_centered(ys: list) -> tuple:
-    """Shared exact-integer OLS core for the regression-diagnostics
-    pair (durbin_watson_int / cooks_distance_int): regress y_t on
-    the CENTERED DOUBLED time index x_t = 2t − (n−1) (integers,
-    Σx = 0 by symmetry — the orthogonal-design trick that keeps
-    every cleared quantity small enough for the HUGEINT mirror).
-    With Σx = 0: slope = Sxy/Sxx, intercept = Sy/n, and the
-    residual cleared by L = n·Sxx is the exact integer
-    E_t = L·y_t − Sxx·Sy − n·x_t·Sxy; the leverage cleared by the
-    same L is H_t = Sxx + n·x_t² (h_t = 1/n + x_t²/Sxx).  ΣH = 2L
-    EXACTLY (Σh = p = 2, the hat-matrix trace law — pinned in
-    tests).  Requires n ≥ 3 (n = 2 fits every point exactly and
-    puts leverage at 1, so 1 − h divides by zero)."""
-    n = len(ys)
-    if n < 3:
-        raise ValueError(f"need >= 3 points, got {n}")
-    ys = [int(y) for y in ys]
-    xs = [2 * t - (n - 1) for t in range(n)]
-    sxx = sum(x * x for x in xs)
-    sy = sum(ys)
-    sxy = sum(x * y for x, y in zip(xs, ys))
-    big_l = n * sxx
-    es = [big_l * y - sxx * sy - n * x * sxy
-          for x, y in zip(xs, ys)]
-    hs = [sxx + n * x * x for x in xs]
-    return n, big_l, es, hs
-
-
-def durbin_watson_int(ys: list) -> pd.DataFrame:
-    """Durbin-Watson statistic (1950) — REGRESSION DIAGNOSTICS, a
-    family the surface lacked: acf_lag autocorrelates a raw series
-    and grouped_regression fits lines, but the founding question of
-    econometric diagnostics is about the RESIDUALS of a fit — "is
-    what the trend line leaves behind still serially correlated?"
-    DW = Σ(e_t − e_{t−1})² / Σe_t² on the exact cleared residuals
-    E_t of the centered-design OLS (``_ols_centered``); the common
-    clearing factor cancels, so dw_milli = 1000·ΣΔE² // ΣE² is ONE
-    non-negative floor (floor == trunc, stated).  The lag-1
-    residual autocorrelation rho1_milli = 1000·ΣE_tE_{t−1} // ΣE²
-    rides along as a SIGN-SPLIT truncation (the repo-wide
-    discipline).  The family's defining expansion ΣΔE² = 2ΣE² −
-    2ΣE_tE_{t−1} − E_0² − E_{n−1}² (which is why DW ≈ 2(1 − ρ₁))
-    is pinned EXACTLY on the integers in tests, with 0 ≤ dw ≤ 4000,
-    the positive-autocorrelation step series reading dw < 2000, the
-    alternating series reading dw > 2000, and the PERFECT-FIT
-    convention (every residual 0 → dw = 2000, rho1 = 0 — the
-    no-autocorrelation null, stated)."""
-    n, _, es, _ = _ols_centered(ys)
-    se2 = sum(e * e for e in es)
-    sd2 = sum((a - b) * (a - b) for a, b in zip(es[1:], es))
-    sep = sum(a * b for a, b in zip(es[1:], es))
-    if se2 == 0:
-        dw, rho = 2000, 0
-    else:
-        dw = 1000 * sd2 // se2
-        rho = ((1000 * sep // se2) if sep >= 0
-               else -(1000 * (-sep) // se2))
-    out = pd.DataFrame([(n, dw, rho)],
-                       columns=["n_days", "dw_milli", "rho1_milli"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def cooks_distance_int(ys: list) -> pd.DataFrame:
-    """Cook's distance (1977) — the INFLUENCE face of the
-    regression-diagnostics pair: Durbin-Watson audits the residual
-    SEQUENCE, Cook asks which single observation, if deleted, would
-    move the fitted line most: D_i = e_i²·h_i / (p·s²·(1−h_i)²)
-    with p = 2 and s² = Σe²/(n−2).  On the cleared integers of
-    ``_ols_centered`` (E_i = L·e_i, H_i = L·h_i) every clearing
-    factor cancels into the EXACT rational D_i = E_i²·H_i·(n−2)·L
-    / (2·ΣE²·(L−H_i)²), floored ONCE per point at per-MILLE —
-    per-mille (not ppm) is the documented contract because the
-    numerator already carries E²·H·n·L and the extra 10³ headroom
-    is what keeps daily counts up to ~3·10⁶ inside HUGEINT (the
-    acceptance_sampling envelope discipline).  All terms
-    non-negative (H_i < L whenever n ≥ 3 — proved in the kernel:
-    n·x² < (n−1)·Sxx since Sxx = n(n²−1)/3), so floor == trunc.
-    leverage_ppm = 10⁶·H_i // L rides along with the hat-trace law
-    ΣH = 2L exact, end-point maximality, and symmetry pinned;
-    influential = n·cook_milli > 4000 (the classical D > 4/n
-    screen, made integer).  Perfect fit → every D = 0 (stated)."""
-    n, big_l, es, hs = _ols_centered(ys)
-    se2 = sum(e * e for e in es)
-    rows = []
-    for t, (y, e, h) in enumerate(zip(ys, es, hs)):
-        lev = 1_000_000 * h // big_l
-        if se2 == 0:
-            cook = 0
-        else:
-            cook = (1000 * e * e * h * (n - 2) * big_l
-                    // (2 * se2 * (big_l - h) * (big_l - h)))
-        rows.append((t, int(y), lev, cook,
-                     1 if n * cook > 4000 else 0))
-    out = pd.DataFrame(rows, columns=[
-        "day_idx", "n_count", "leverage_ppm", "cook_milli",
-        "influential"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def buhlmann_int(groups: list) -> pd.DataFrame:
-    """Bühlmann credibility (1967) — ACTUARIAL EXPERIENCE RATING, a
-    family the surface lacked: chain_ladder RESERVES claims,
-    stoploss_layers PRICES layers, eb_shrink shrinks rates toward a
-    Beta prior — but ratemaking's founding question is the BLEND,
-    "how much should this risk class's own experience count against
-    the collective book?", and Bühlmann's answer Z = n/(n + k) with
-    k = (within variance)/(variance of hypothetical means) is the
-    linear-Bayes cornerstone the whole credibility literature
-    builds on.  ``groups`` is [(name, n, Σcents, Σcents²)].  Exact
-    integer contract built on the ANOVA floor discipline (one floor
-    per group for SSW, one grand floor for SST, SSB clamped ≥ 0 —
-    the anova_oneway conventions verbatim): v̂_milli =
-    1000·SSW // (N−K); the between-means estimator clears to
-    â = N·(SSB(N−K) − SSW(K−1)) / ((N−K)(N² − Σnᵢ²)) — the
-    unbiased Bühlmann-Straub â with n₀ = (N² − Σnᵢ²)/(N(K−1)), the
-    (K−1)'s cancelling — floored at milli and CLAMPED at zero
-    (zero_cred = 1 flags the clamp; clamping makes the floor/trunc
-    divergence on negatives immaterial — both land ≤ 0 and the
-    clamp takes them to 0, stated).  Then per class
-    z_ppm = 10⁶·nᵢ·â // (nᵢ·â + v̂) — one floor on the FLOORED
-    estimators (the declared chain; a Fraction replay of the exact
-    chain pins the implementation) — and the credibility premium
-    premium_milli = (z·1000·Sᵢ·N + (10⁶−z)·1000·S·nᵢ) //
-    (10⁶·nᵢ·N), one floor, provably between the individual and
-    collective means (pre-floor; within 1 post-floor, pinned).
-    Laws pinned: Z ∈ [0, 10⁶], Z monotone in nᵢ at shared
-    estimators, â = 0 → every Z = 0 and premium == collective
-    mean, zero WITHIN variance → Z = 10⁶ exactly and premium ==
-    individual mean.  Degenerate all-constant corpus: Z = 0
-    (stated).  Envelope: z·10³·Sᵢ·N ≤ 6·10³⁷ caps the book at
-    ~10¹² rows inside HUGEINT — documented.  Requires N > K ≥ 2
-    and at least two nonempty classes."""
-    ks = sorted((str(nm), int(n), int(s), int(q))
-                for nm, n, s, q in groups)
-    kk = len(ks)
-    nn = sum(n for _, n, _, _ in ks)
-    ss = sum(s for _, _, s, _ in ks)
-    qq = sum(q for _, _, _, q in ks)
-    sn2 = sum(n * n for _, n, _, _ in ks)
-    if kk < 2 or nn <= kk or nn * nn == sn2:
-        raise ValueError("need >= 2 nonempty classes and N > K")
-    ssw = qq - sum(s * s // n for _, n, s, _ in ks)
-    sst = qq - ss * ss // nn
-    ssb = max(0, sst - ssw)
-    v_milli = 1000 * ssw // (nn - kk)
-    a_num = nn * (ssb * (nn - kk) - ssw * (kk - 1))
-    a_den = (nn - kk) * (nn * nn - sn2)
-    a_milli = max(0, (1000 * a_num // a_den) if a_num >= 0
-                  else -(1000 * (-a_num) // a_den))
-    zero_cred = 1 if a_num <= 0 else 0
-    rows = []
-    for nm, n, s, _ in ks:
-        den = n * a_milli + v_milli
-        z = 1_000_000 * n * a_milli // den if den > 0 else 0
-        prem = ((z * 1000 * s * nn + (1_000_000 - z) * 1000
-                 * ss * n) // (1_000_000 * n * nn))
-        rows.append((nm, n, 1000 * s // n, z, prem,
-                     v_milli, a_milli, zero_cred))
-    out = pd.DataFrame(rows, columns=[
-        "event_type", "n_grp", "mean_milli", "z_ppm",
-        "premium_milli", "v_milli", "a_milli", "zero_cred"])
-    for c in out.columns:
-        if c != "event_type":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def littlewood_int(counts: list, fares: list) -> pd.DataFrame:
-    """Littlewood's rule (1972) — REVENUE MANAGEMENT, a family the
-    surface lacked: newsvendor_stock stocks ONE product against
-    demand, but yield management's founding result allocates ONE
-    capacity between TWO fare classes — protect y seats for the
-    late-booking high fare f1 and sell the rest low at f2, where
-    y* = max{y : f1·P(D ≥ y) > f2} on the EMPIRICAL high-fare
-    demand distribution.  ZERO floors: the whole statistic is
-    integer comparisons — f1·#{days with demand ≥ y} > n·f2 — and
-    the kernel takes the ORDER-STATISTIC closed form
-    y* = d₍ᵢ₎ with i = n·f2 // f1 + 1 (the i-th LARGEST daily
-    count; i > n → protect 0), PROVEN equal to the grid definition
-    in tests by brute force — while the SQL mirror deliberately
-    walks the first-principles grid (max qualifying y over
-    0..max(d)), so the query is a genuine two-algorithm
-    cross-check (the h_index discipline).  tail_days = #{d ≥ y*}
-    and margin = f1·tail_days − n·f2 ride along as the visible
-    certificate (margin > 0 whenever y* > 0).  Laws pinned:
-    f2 → 0 protects the maximum observed demand, f2 ≥ f1 protects
-    nothing, monotone non-increasing in f2, and the tie case."""
-    ds = sorted((int(c) for c in counts), reverse=True)
-    n = len(ds)
-    rows = []
-    for f1, f2 in fares:
-        f1, f2 = int(f1), int(f2)
-        i = n * f2 // f1 + 1
-        y = ds[i - 1] if i <= n else 0
-        tail = sum(1 for d in ds if d >= y)
-        rows.append((f1, f2, y, tail, f1 * tail - n * f2))
-    out = pd.DataFrame(rows, columns=[
-        "f1_cents", "f2_cents", "protect_level", "tail_days",
-        "margin"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def double_auction_int(bid_hist: list, ask_hist: list) -> pd.DataFrame:
-    """Walrasian k-double-auction clearing — TWO-SIDED MARKET
-    MICROSTRUCTURE, a family the surface lacked: gsp_auction and
-    vcg_payments price ONE seller's slots, nw_transport moves flow
-    over a fixed tableau, but "n buyers meet m sellers, who trades
-    and at what price" is the market-clearing question, and the
-    k-double auction's answer is the Walrasian crossing.  Inputs
-    are BOUNDED-DOMAIN price histograms [(cents, n)] — bids (AM
-    event values) and asks (PM event values) — so the whole clear
-    is cumsum algebra over the value domain, never a row sort.
-    The engine computes k* = max_p min(D(p), S(p)) over the ask-
-    value candidate grid (D = #bids ≥ p step-falls at bids, S =
-    #asks ≤ p step-rises at asks, so the first price attaining the
-    max-min is an ask value — stated), while the SQL mirror uses
-    the PREFIX definition k* = max{k : b₍ₖ₎ ≥ s₍ₖ₎} on rank-joined
-    sorted books — the two are EQUAL (b₍ₖ₎ ≥ p ≥ s₍ₖ₎ for any p in
-    the crossing interval gives min(D,S) ≥ k, and conversely
-    min(D(p),S(p)) ≥ m exhibits m crossing pairs), a theorem pinned
-    by brute force in tests, making the query a genuine
-    two-algorithm cross-check (the h_index discipline).  Marginal
-    prices b₍ₖ₎/s₍ₖ₎ are order statistics off the histogram
-    cumsums (the brown_forsythe discipline), the midpoint floors
-    once, and gains = Σ top-k bids − Σ bottom-k asks is exact
-    integer partial sums with the boundary-cell correction.
-    Pinned: individual rationality s₍ₖ₎ ≤ mid ≤ b₍ₖ₎, prefix-
-    surplus maximality (gains are the max over all prefix sizes,
-    and every traded pair has b ≥ s), the no-trade market (all
-    bids below all asks → all-zero row, stated convention), and
-    the tie-heavy book.  ZERO floors except the midpoint."""
-    import numpy as np
-
-    bh = sorted((int(c), int(n)) for c, n in bid_hist)
-    ah = sorted((int(c), int(n)) for c, n in ask_hist)
-    if not bh or not ah:
-        return _da_row(0, 0, 0, 0, 0)
-    bc = np.array([c for c, _ in bh], dtype=object)
-    bn = np.array([n for _, n in bh], dtype=object)
-    ac = np.array([c for c, _ in ah], dtype=object)
-    an = np.array([n for _, n in ah], dtype=object)
-    b_tail = np.cumsum(bn[::-1])[::-1]       # #bids >= bc[i]
-    a_head = np.cumsum(an)                   # #asks <= ac[i]
-    # D(p) at each ask candidate p = ac[j]: #bids >= p
-    idx = np.searchsorted(bc, ac, side="left")
-    d_at = np.where(idx < len(bc), b_tail[np.minimum(idx, len(bc) - 1)], 0)
-    kk = 0
-    for j in range(len(ac)):
-        kk = max(kk, min(int(d_at[j]), int(a_head[j])))
-    if kk == 0:
-        return _da_row(0, 0, 0, 0, 0)
-    # k-th largest bid / k-th smallest ask via cumsum crossings
-    cs_b = np.cumsum(bn[::-1])               # from top of book
-    ib = int(np.searchsorted(cs_b, kk, side="left"))
-    b_k = int(bc[::-1][ib])
-    top_sum = (sum(int(c) * int(n) for c, n in
-                   zip(bc[::-1][:ib + 1], bn[::-1][:ib + 1]))
-               - (int(cs_b[ib]) - kk) * b_k)
-    ia = int(np.searchsorted(a_head, kk, side="left"))
-    s_k = int(ac[ia])
-    bot_sum = (sum(int(c) * int(n) for c, n in
-                   zip(ac[:ia + 1], an[:ia + 1]))
-               - (int(a_head[ia]) - kk) * s_k)
-    return _da_row(kk, b_k, s_k, (b_k + s_k) // 2,
-                   top_sum - bot_sum)
-
-
-def _da_row(k, b, s, m, g) -> pd.DataFrame:
-    out = pd.DataFrame([(k, b, s, m, g)], columns=[
-        "n_trades", "buyer_marginal_cents", "seller_marginal_cents",
-        "mid_price_cents", "gains_cents"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def secretary_int(counts: list) -> pd.DataFrame:
-    """Secretary-problem optimal stopping (the 1/e rule, exact) —
-    OPTIMAL STOPPING, a family the surface lacked: every scheduler
-    on the surface (wspt, johnson, critical_path) sees all its jobs
-    up front, but the secretary problem decides IRREVOCABLY online:
-    observe the first r−1 of n values, then take the first one
-    that beats everything seen.  The optimal cutoff maximizes
-    φ(r) = ((r−1)/n)·Σ_{j=r}^n 1/(j−1)  (φ(1) = 1/n), and clearing
-    the harmonic tail by L = lcm(1..n−1) makes the argmax EXACT
-    integer comparison: K(r) = (r−1)·Σ_{j=r}^n L//(j−1) for r ≥ 2,
-    K(1) = L (each L//(j−1) is exact by construction of L); ties
-    break to the smallest r (stated).  phi_ppm = 10⁶·K(r*) //
-    (n·L), one floor.  lcm (not factorial) is what keeps the
-    mirror inside HUGEINT to n ≈ 85 observations (lcm(1..n) ~ eⁿ
-    vs n! — the envelope, documented); the corpus has 30 days.
-    The rule then RUNS on the actual day-ordered sequence: pick
-    the first day t ≥ r* whose count STRICTLY beats the running
-    prefix max (strictness stated — ties are not 'relatively
-    best'), else the forced last day; is_max reports whether the
-    picked VALUE equals the global max.  Pinned: the classical
-    n = 30 cutoff r* = 12 with φ ≈ 0.3787 (Fraction-checked), the
-    n → e asymptotics bracket (φ(r*) ≥ 1/e − 1/n), brute-force
-    Fraction argmax equality on every n ≤ 40, policy hand cases
-    including the forced-last-day and all-descending sequences,
-    and the n = 2 edge (φ = 1/2 at both cutoffs, tie to r = 1)."""
-    ds = [int(c) for c in counts]
-    n = len(ds)
-    if n < 2:
-        raise ValueError("need >= 2 observations")
-    big_l = math.lcm(*range(1, n))
-    tails = [0] * (n + 2)
-    for j in range(n, 1, -1):                # suffix sums of L//(j-1)
-        tails[j] = tails[j + 1] + big_l // (j - 1)
-    keys = {1: big_l}
-    for r in range(2, n + 1):
-        keys[r] = (r - 1) * tails[r]
-    r_star = max(range(1, n + 1), key=lambda r: (keys[r], -r))
-    phi_ppm = 1_000_000 * keys[r_star] // (n * big_l)
-    picked = n - 1                            # forced last day
-    run_max = None
-    for t in range(n):
-        if t >= r_star - 1 and run_max is not None and ds[t] > run_max:
-            picked = t
-            break
-        if r_star == 1 and t == 0:
-            picked = 0
-            break
-        run_max = ds[t] if run_max is None else max(run_max, ds[t])
-    out = pd.DataFrame([(n, r_star, phi_ppm, picked, ds[picked],
-                         1 if ds[picked] == max(ds) else 0)],
-                       columns=["n_days", "r_star", "phi_ppm",
-                                "picked_day", "picked_value",
-                                "is_max"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def erdos_gallai_int(degree_hist: list, kmax: int) -> pd.DataFrame:
-    """Erdős-Gallai graphicality test (1960) — DEGREE-SEQUENCE
-    REALIZABILITY, a family the surface lacked: clustering_coeff,
-    degree_assortativity and kcore_nodes MEASURE a graph that
-    exists, but "could these degrees be a simple graph at all" is
-    the inverse question, and Erdős-Gallai answers it with n
-    inequalities: Σ_{i≤k} d₍ᵢ₎ ≤ k(k−1) + Σ_{i>k} min(d᎐ᵢ, k) for
-    every k (degrees sorted desc) plus even total.  ``degree_hist``
-    is the BOUNDED histogram [(degree, count)] (the corpus instance
-    is per-user distinct-type degrees ≤ 5, so the whole test is
-    six-cell cumsum algebra); only k ≤ s = max{i : d₍ᵢ₎ ≥ i} can
-    fail (for k > s the LHS ≤ k·d₍ₖ₎ < k·k ≤ RHS — the classical
-    reduction, which is why the fixed k ≤ kmax grid with
-    kmax ≥ max degree is COMPLETE for bounded-degree instances,
-    stated), so the output is one row per k in 1..kmax with exact
-    lhs / rhs / slack, beside the parity check and the overall
-    verdict.  Top-k sums and the tail Σ min(d, k) use the
-    double_auction boundary-cell split — take whole cells from the
-    top, split the crossing cell, then tail-min = Σ_{d≤k} d·m′ +
-    k·Σ_{d>k} m′ on the remainder.  The THEOREM itself (EG ⟺
-    Havel-Hakimi realizability) is pinned in tests by brute force
-    over hundreds of random sequences — the check is not assumed,
-    it is exercised against an actual realizer.  ZERO floors."""
-    cells = sorted(((int(d), int(m)) for d, m in degree_hist),
-                   reverse=True)
-    n = sum(m for _, m in cells)
-    total = sum(d * m for d, m in cells)
-    parity_ok = 1 if total % 2 == 0 else 0
-    rows = []
-    all_ok = parity_ok
-    for k in range(1, int(kmax) + 1):
-        # top-k sum with boundary split
-        taken, lhs = 0, 0
-        tail = []                      # (d, m) left after the top-k
-        for d, m in cells:
-            if taken >= k:
-                tail.append((d, m))
-                continue
-            use = min(m, k - taken)
-            lhs += d * use
-            taken += use
-            if use < m:
-                tail.append((d, m - use))
-        tailmin = sum(min(d, k) * m for d, m in tail)
-        rhs = k * (k - 1) + tailmin
-        slack = rhs - lhs
-        if slack < 0:
-            all_ok = 0
-        rows.append((k, lhs, rhs, slack))
-    out = pd.DataFrame(rows, columns=["k", "lhs", "rhs", "slack"])
-    out["n_nodes"] = n
-    out["sum_degrees"] = total
-    out["parity_ok"] = parity_ok
-    out["graphical"] = all_ok
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def record_values_int(ys: list) -> pd.DataFrame:
-    """Record-value statistics (Rényi 1962) — RECORDS THEORY, the
-    extreme-value family's discrete heart, which the surface
-    lacked: trend_flips counts direction changes and mann_kendall
-    scores monotonicity, but "how many times did the running
-    maximum get beaten" is the records question, with the founding
-    exchangeability theorem E[#records] = H_n = Σ 1/j for
-    continuous iid — verified in tests by EXHAUSTIVE ENUMERATION
-    over all 120 permutations of 5 distinct values (mean record
-    count == H₅ in Fractions), not just cited.  Upper records
-    strictly beat the prefix max (day 1 is a record; ties are NOT
-    records — stated, and why the integer-count corpus sits below
-    the continuous H_n benchmark), lower records mirror it, and
-    the up(y) == down(−y) symmetry is pinned.  The benchmark and
-    its variance clear by L = lcm(1..n) (the secretary_stop
-    discipline): H_n = A/L with A = Σ L//j exact,
-    expected_milli = 1000·A // L one floor, and
-    Var = H_n − H_n⁽²⁾ = (A·L − B)/L² with B = Σ (L//j)² —
-    var_milli = 1000·(A·L − B) // L², one floor, non-negative
-    (1/j ≥ 1/j²).  first_max_day = first day attaining the global
-    max (0-based).  Pinned: monotone sequences read n and 1,
-    constants read 1 and 1, and both floors replay in Fractions."""
-    ds = [int(y) for y in ys]
-    n = len(ds)
-    if n < 1:
-        raise ValueError("need >= 1 observation")
-    up, dn = 1, 1
-    mx, mn = ds[0], ds[0]
-    first_max = 0
-    for t in range(1, n):
-        if ds[t] > mx:
-            up += 1
-            mx = ds[t]
-            first_max = t
-        if ds[t] < mn:
-            dn += 1
-            mn = ds[t]
-    if ds[first_max] != max(ds):           # never beaten day 0
-        first_max = 0
-    big_l = math.lcm(*range(1, n + 1))
-    a = sum(big_l // j for j in range(1, n + 1))
-    b = sum((big_l // j) ** 2 for j in range(1, n + 1))
-    out = pd.DataFrame([(n, up, dn, first_max,
-                         1000 * a // big_l,
-                         1000 * (a * big_l - b) // (big_l * big_l))],
-                       columns=["n_days", "records_up",
-                                "records_down", "first_max_day",
-                                "expected_milli", "var_milli"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def ballot_walk_int(a_counts: list, b_counts: list) -> pd.DataFrame:
-    """Bertrand ballot probability + lead-time statistics of the
-    two-type daily race — FLUCTUATION THEORY, a family the surface
-    lacked: mann_kendall and page_trend score MONOTONE drift, but
-    fluctuation theory asks about the WALK — who led, for how
-    long, when was the last tie — the questions Feller's ballot/
-    arcsine chapter owns.  S_t = Σ_{d≤t}(a_d − b_d) over the day
-    grid (1-based; the notional S_0 = 0 start means last_tie_day
-    = 0 when the walk never re-ties — stated); lead/tie day counts
-    partition n exactly (pinned), extremes and the final lead ride
-    along, and the famous closed form — Bertrand 1887: in a random
-    ordering of A votes against B (A > B), P(winner leads
-    THROUGHOUT) = (A − B)/(A + B) — is evaluated on the corpus
-    totals as one ppm floor, and the theorem itself is pinned by
-    EXHAUSTIVE ENUMERATION over small ballots (every interleaving
-    counted, fraction == the closed form in Fractions), never
-    cited on faith.  ZERO floors except the ballot ppm."""
-    a = [int(v) for v in a_counts]
-    b = [int(v) for v in b_counts]
-    if len(a) != len(b):
-        raise ValueError("day grids must align")
-    n = len(a)
-    s = 0
-    lead_a = lead_b = ties = last_tie = 0
-    mx = mn = 0
-    for t in range(1, n + 1):
-        s += a[t - 1] - b[t - 1]
-        if s > 0:
-            lead_a += 1
-        elif s < 0:
-            lead_b += 1
-        else:
-            ties += 1
-            last_tie = t
-        mx = max(mx, s)
-        mn = min(mn, s)
-    ta, tb = sum(a), sum(b)
-    ballot = (1_000_000 * abs(ta - tb) // (ta + tb)
-              if ta + tb > 0 else 0)
-    out = pd.DataFrame([(n, lead_a, lead_b, ties, last_tie,
-                         mx, mn, s, ballot)],
-                       columns=["n_days", "lead_a_days",
-                                "lead_b_days", "tie_days",
-                                "last_tie_day", "max_lead",
-                                "min_lead", "final_lead",
-                                "ballot_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def backlog_dam_int(ys: list, ratios: list) -> pd.DataFrame:
-    """Lindley backlog / Moran dam recursion (1952/1954) — STORAGE
-    THEORY, a family the surface lacked: mm1 and mg1_queue price
-    STATIONARY waits under stochastic assumptions, but the dam
-    model asks what THIS sequence of daily inflows does to a
-    finite-rate server: B_d = max(0, B_{d−1} + y_d − c), the
-    founding recursion of queueing's sample-path half.  Capacity
-    grid c = r%·(mean daily volume) (mean floored once, each c
-    floored once).  The engine does NOT walk the recursion: it
-    uses the REFLECTION DUALITY B_t = W_t − min(0, min_{j≤t} W_j)
-    on the cumulative net-input walk W (Lindley's identity, the
-    fluctuation theorem of queueing), fully vectorized — while the
-    SQL mirror walks the raw recursion as a recursive CTE, so the
-    query is a genuine two-algorithm cross-check AND a proof of
-    the identity on real data; the equivalence is additionally
-    pinned on seeded draws against a step-by-step Python replay.
-    Pinned laws: c ≥ max inflow → identically zero backlog,
-    c = 0 → B_n = total inflow, backlog pointwise non-increasing
-    in capacity, and congested-day accounting.  ZERO floors beyond
-    the two capacity floors."""
-    import numpy as np
-
-    y = [int(v) for v in ys]
-    n = len(y)
-    if n == 0:
-        raise ValueError("need >= 1 day")
-    mean = sum(y) // n
-    rows = []
-    for r in ratios:
-        c = int(r) * mean // 100
-        w = np.cumsum(np.array(y, dtype=object) - c)
-        runmin = np.minimum.accumulate(np.minimum(w, 0))
-        bt = w - runmin
-        rows.append((int(r), c, int(bt[-1]),
-                     int(max(bt.max(), 0)),
-                     int((bt > 0).sum())))
-    out = pd.DataFrame(rows, columns=[
-        "ratio_pct", "capacity", "final_backlog", "max_backlog",
-        "congested_days"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def stochastic_dominance_int(a_hist: list, b_hist: list) -> pd.DataFrame:
-    """First- and second-order stochastic dominance verdicts —
-    DECISION THEORY UNDER RISK, a family the surface lacked:
-    ks_drift measures the DISTANCE between two empirical
-    distributions, but dominance is an ORDERING — "would every
-    expected-utility maximizer (FSD: any increasing u; SSD: any
-    increasing concave u) prefer A?" — the Rothschild-Stiglitz
-    question distance can't answer.  Pure cumsum algebra over the
-    merged bounded value domain, cross-multiplied by the sample
-    sizes so every comparison is exact integers, ZERO floors:
-    FSD(A ≥ B) ⟺ n_B·cumA(x) ≤ n_A·cumB(x) at every merged grid
-    point, and SSD integrates the CDFs stepwise (I_i = Σ cum_j ·
-    gap_j; between grid points the CDF gap is constant so the
-    integral is linear and extremes sit AT grid points — why the
-    grid check is complete, stated; the x→∞ tail adds zero because
-    both CDFs are 1 beyond the merged max, which is also why the
-    mean ordering μ_A ≥ μ_B is implied rather than separately
-    required).  Margins are SIGNED maxima of the cross-multiplied
-    gaps (≤ 0 ⟺ weak dominance holds; identical distributions
-    dominate each other weakly with margin 0 — stated).  Pinned:
-    FSD ⟹ SSD on every seeded draw, FSD ⟹ cross-multiplied mean
-    ordering, a downward shift is FSD-dominated, and the classic
-    mean-preserving spread ({5,5} vs {4,6}: SSD holds, FSD fails)
-    — Rothschild-Stiglitz made a hand case."""
-    am = {int(c): int(n) for c, n in a_hist}
-    bm = {int(c): int(n) for c, n in b_hist}
-    na, nb = sum(am.values()), sum(bm.values())
-    if na == 0 or nb == 0:
-        raise ValueError("both samples must be nonempty")
-    xs = sorted(set(am) | set(bm))
-    ca = cb = 0
-    ia = ib = 0                 # integrated CDFs up to current x
-    fsd_ab = fsd_ba = ssd_ab = ssd_ba = None
-    prev = None
-    for x in xs:
-        if prev is not None:
-            gap = x - prev
-            ia += ca * gap
-            ib += cb * gap
-        s_ab = nb * ia - na * ib          # <= 0 iff SSD(A>=B) so far
-        ssd_ab = s_ab if ssd_ab is None else max(ssd_ab, s_ab)
-        ssd_ba = -s_ab if ssd_ba is None else max(ssd_ba, -s_ab)
-        ca += am.get(x, 0)
-        cb += bm.get(x, 0)
-        f_ab = nb * ca - na * cb          # <= 0 iff FSD(A>=B) so far
-        fsd_ab = f_ab if fsd_ab is None else max(fsd_ab, f_ab)
-        fsd_ba = -f_ab if fsd_ba is None else max(fsd_ba, -f_ab)
-        prev = x
-    # final integral point (x = merged max) for SSD
-    s_ab = nb * ia - na * ib
-    ssd_ab = max(ssd_ab, s_ab)
-    ssd_ba = max(ssd_ba, -s_ab)
-    # ... plus the full-line value, which equals the mean gap and
-    # is reached AT the max grid point after the last cum update:
-    # integrate one more virtual step of width 0 — already covered.
-    out = pd.DataFrame([(na, nb,
-                         1 if fsd_ab <= 0 else 0,
-                         1 if fsd_ba <= 0 else 0,
-                         1 if ssd_ab <= 0 else 0,
-                         1 if ssd_ba <= 0 else 0,
-                         fsd_ab, fsd_ba, ssd_ab, ssd_ba)],
-                       columns=["n_a", "n_b", "fsd_ab", "fsd_ba",
-                                "ssd_ab", "ssd_ba",
-                                "fsd_margin_ab", "fsd_margin_ba",
-                                "ssd_margin_ab", "ssd_margin_ba"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def myerson_reserve_int(hist: list) -> pd.DataFrame:
-    """Empirical revenue-maximizing posted price — MONOPOLY PRICING
-    a family the surface lacked: price_elasticity REGRESSES demand
-    on price, gsp/vcg price slots given bids, but "what single
-    posted price maximizes revenue against this empirical demand
-    curve" is Myerson's monopoly problem with the data as the
-    distribution: r* = argmax r·#{v ≥ r}.  On a step demand curve
-    the revenue r·tail(r) is linear-increasing in r between
-    observed values, so the argmax sits AT an observed value (the
-    candidate restriction, stated and pinned by brute force over
-    EVERY integer price); ties break to the smallest price
-    (stated).  Output carries three POLICY rows — optimal, mean
-    (one floor), lower-median (order statistic off the cumsums) —
-    so the optimality gap is VISIBLE (the engset discipline):
-    revenue_optimal ≥ both, pinned.  share_served_ppm is the one
-    other floor.  Pinned: the uniform 1..10 hand case (revenue 30
-    tie at r ∈ {5,6} → 5), brute-force argmax equality on 30
-    seeded draws, and optimal-beats-benchmarks on every draw."""
-    cells = sorted((int(c), int(n)) for c, n in hist)
-    ntot = sum(n for _, n in cells)
-    if ntot == 0:
-        raise ValueError("empty histogram")
-    total = sum(c * n for c, n in cells)
-    # tails via desc cumsum; candidates are the observed values
-    best_r, best_rev, best_tail = 0, -1, 0
-    tail = ntot
-    for c, n in cells:
-        rev = c * tail
-        if rev > best_rev or (rev == best_rev and c < best_r):
-            best_r, best_rev, best_tail = c, rev, tail
-        tail -= n
-    mean_p = total // ntot
-    half = (ntot + 1) // 2
-    cum = 0
-    med_p = cells[-1][0]
-    for c, n in cells:
-        cum += n
-        if cum >= half:
-            med_p = c
-            break
-    rows = []
-    for name, p in (("optimal", best_r), ("mean", mean_p),
-                    ("median", med_p)):
-        t = sum(n for c, n in cells if c >= p)
-        rows.append((name, p, t, p * t,
-                     1_000_000 * t // ntot))
-    out = pd.DataFrame(rows, columns=[
-        "policy", "price_cents", "buyers_served", "revenue_cents",
-        "share_served_ppm"])
-    for c in out.columns:
-        if c != "policy":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def _cea_int(caps: list, budget: int) -> dict:
-    """Constrained-equal-awards integer waterfill: min(cap, level)
-    with the waterfill_allocate base//m + first-(rem%m)-get-+1
-    remainder discipline in (cap, name) order — total, deterministic,
-    and Σ awards == budget EXACTLY (budget ≤ Σ caps required)."""
-    rows = sorted((int(c), str(nm)) for nm, c in caps)
-    out = {}
-    rem, m = int(budget), len(rows)
-    for i, (c, nm) in enumerate(rows):
-        if c * m <= rem:
-            out[nm] = c
-            rem -= c
-            m -= 1
-        else:
-            base, extra = rem // m, rem % m
-            for j, (c2, nm2) in enumerate(rows[i:]):
-                out[nm2] = base + (1 if j < extra else 0)
-            return out
-    return out
-
-
-def talmud_split_int(claims: list, pcts: list) -> pd.DataFrame:
-    """The Talmud bankruptcy rule (Aumann-Maschler 1985) — CLAIMS
-    PROBLEMS, a family the surface lacked: airport_game shares a
-    COST by the Shapley closed form, waterfill_budget splits a
-    budget max-min fair, but "an estate smaller than the claims
-    against it" is the 2000-year-old division puzzle whose Mishnah
-    table (claims 100/200/300 vs estates 100/200/300) stumped
-    commentators until Aumann-Maschler showed every row is the
-    nucleolus of the induced game, computable as CONTESTED GARMENT
-    consistency: for E ≤ C/2, constrained equal awards on the
-    HALF-claims; for E > C/2, the self-dual image award = c −
-    T(C−E) (so self-duality holds BY CONSTRUCTION on that branch,
-    and both branches agree at E = C/2 — pinned).  Exact integer
-    contract: everything runs in DOUBLED units (the brown_forsythe
-    doubling discipline) so half-claims are the integer c_i and the
-    doubled estate is 2E; the CEA waterfill reuses the
-    waterfill_allocate remainder discipline, making Σ awards ==
-    2E EXACT with no floor anywhere except E = pct·C // 100 and
-    the reporting column award_cents = award_x2 // 2.  Pinned: the
-    FULL Mishnah table in doubled units ((67,67,66) / (100,150,
-    150) / (100,200,300) — the small-estate equal-division law
-    reads max−min ≤ 1, the middle row is the famous (50,75,75),
-    E = C/2 reads exactly the half-claims), the contested-garment
-    ¼–¾ split on claims (100,50) with E = 100, self-duality
-    T(E) + T(C−E) == c exact on seeded draws, order preservation
-    UP TO the one-unit remainder rule (the first rem%m creditors
-    in ascending-claim order take the +1, so a smaller claim can
-    exceed a larger by exactly 1 doubled unit — stated, pinned),
-    and 0 ≤ award_x2 ≤ 2·claim."""
-    cs = sorted((str(nm), int(c)) for nm, c in claims)
-    big_c = sum(c for _, c in cs)
-    rows = []
-    for pct in pcts:
-        estate = int(pct) * big_c // 100
-        if 2 * estate <= big_c:
-            aw = _cea_int([(nm, c) for nm, c in cs], 2 * estate)
-        else:
-            dual = _cea_int([(nm, c) for nm, c in cs],
-                            2 * (big_c - estate))
-            aw = {nm: 2 * c - dual[nm] for nm, c in cs}
-        for nm, c in cs:
-            rows.append((int(pct), estate, nm, c, aw[nm],
-                         aw[nm] // 2))
-    out = pd.DataFrame(rows, columns=[
-        "estate_pct", "estate_cents", "event_type", "claim_cents",
-        "award_x2", "award_cents"])
-    for c in out.columns:
-        if c != "event_type":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def adjusted_winner_int(items: list) -> pd.DataFrame:
-    """Adjusted Winner (Brams-Taylor 1996) — EQUITABLE ALLOCATION,
-    the goods-division face of fair division (talmud_split divides
-    a deficit; AW divides GOODS between two players so that both
-    end with the SAME share of their own valuations): assign each
-    item to its higher (cross-multiplied normalized) valuer, then
-    transfer items from the richer side in increasing efficiency-
-    ratio order, splitting exactly one pivot item.  Integer
-    contract: values a_i (player A) and b_i (player B) with totals
-    TA, TB; normalized comparisons cross-multiply (a_i·TB vs
-    b_i·TA — ties to A, stated), the equity gap is the exact
-    integer U = SA·TB − SB·TA, a full transfer of item i moves U
-    by exactly −(a_i·TB + b_i·TA), and the pivot fraction
-    x = U_left/(a_i·TB + b_i·TA) ∈ (0,1) is the ONE ppm floor in
-    the whole op.  Items worth zero to both players carry no
-    weight and stay put (stated).  The THEOREMS are pinned in
-    Fractions: post-transfer equitability is EXACT pre-floor,
-    envy-freeness (each player ends ≥ 1/2 of own total — Brams-
-    Taylor's guarantee for 2 players), transfers happen in ratio
-    order (efficiency/Pareto), the floored fraction replays, and
-    the symmetric-swap law AW(a,b) mirrors AW(b,a)."""
-    its = [(str(nm), int(a), int(b)) for nm, a, b in items]
-    ta = sum(a for _, a, _ in its)
-    tb = sum(b for _, _, b in its)
-    if ta == 0 or tb == 0:
-        raise ValueError("both players need positive total value")
-    holder = {nm: ("A" if a * tb >= b * ta else "B")
-              for nm, a, b in its}
-    sa = sum(a for nm, a, _ in its if holder[nm] == "A")
-    sb = sum(b for nm, _, b in its if holder[nm] == "B")
-    u = sa * tb - sb * ta
-    frac = {nm: (0 if holder[nm] == "A" else 1_000_000)
-            for nm, _, _ in its}
-    if u != 0:
-        rich = "A" if u > 0 else "B"
-        gap = abs(u)
-        # rich side's items, increasing own-advantage ratio; items
-        # worthless to both move nothing and stay put
-        cand = [(nm, a, b) for nm, a, b in its
-                if holder[nm] == rich and a * tb + b * ta > 0]
-        # ratio order a_i/b_i (rich = A) — the tb/ta factors cancel
-        # in the ORDERING, so the comparator is the pure integer
-        # cross-multiplication a_j·b_i < a_i·b_j (which also sorts
-        # b = 0 "infinite" ratios last with no sentinel); ties by
-        # name.  The SQL mirror ranks by the identical comparator.
-        if rich == "A":
-            cand.sort(key=lambda t: ((0, Fraction(t[1], t[2]))
-                                     if t[2] else (1, 0), t[0]))
-        else:
-            cand.sort(key=lambda t: ((0, Fraction(t[2], t[1]))
-                                     if t[1] else (1, 0), t[0]))
-        for nm, a, b in cand:
-            w = a * tb + b * ta
-            if gap >= w:               # full transfer
-                gap -= w
-                frac[nm] = 1_000_000 if rich == "A" else 0
-                if gap == 0:
-                    break
-            else:                      # pivot: the ONE ppm floor
-                x = 1_000_000 * gap // w
-                frac[nm] = x if rich == "A" else 1_000_000 - x
-                break
-    rows = [(nm, a, b, holder[nm], frac[nm]) for nm, a, b in its]
-    out = pd.DataFrame(rows, columns=[
-        "event_type", "a_value", "b_value", "init_holder",
-        "frac_to_b_ppm"])
-    out["total_a"] = ta
-    out["total_b"] = tb
-    for c in ("a_value", "b_value", "frac_to_b_ppm", "total_a",
-              "total_b"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def kalman_level_int(ys: list, q_ppm: int, r_ppm: int) -> pd.DataFrame:
-    """1-D Kalman filter, local-level model (Kalman 1960) — STATE
-    ESTIMATION, a family the surface lacked: ewma_backtest smooths
-    with a FIXED gain, but the Kalman filter derives its gain from
-    the variance bookkeeping P, and the gain ADAPTS — large while
-    uncertain, settling toward the Riccati fixed point.  Exact
-    floored-chain contract (the mm1/erlang/loan chain discipline,
-    one documented floor per quantity per step, replayed
-    identically by the recursive-CTE mirror): with variances in
-    ppm units and state in milli-counts, from x₁ = 1000·y₁,
-    P₁ = 10⁶ (stated inits):  P⁻ = P + Q;
-    K = 10⁶·P⁻ // (P⁻ + R);  x ← x + K·(1000·y − x) trunc'd
-    toward zero (SIGN-SPLIT — the innovation is signed, the
-    repo-wide discipline);  P ← (10⁶ − K)·P⁻ // 10⁶.  Pinned:
-    R = 0 reads K = 10⁶ exactly and the filter tracks the
-    observation bit-exactly; Q = 0 with P₁ = 0 reads K = 0 and the
-    estimate never moves; the gain STABILIZES (floored Riccati
-    reaches a fixed point: |K_t − K_{t−1}| ≤ 1 after burn-in; the
-    exact continuous fixed point solves P² + PQ − RQ = 0, and with
-    R = 1e6 the steady gain EQUALS the steady filtered variance,
-    K* = P* = (−Q + √(Q² + 4RQ))/2R — for Q = ¼R that is
-    (−1+√17)/8 = 0.3903882…, and the floored chain lands within
-    one ppm of ⌊10⁶K*⌋ = 390388 — the chain pins that bracket,
-    never the irrational); P is non-increasing from the high start
-    (within
-    the one-ppm floor jitter); the estimate stays a convex
-    combination of past data (within 1 milli of the observed
-    range); and a three-step hand replay is checked digit for
-    digit."""
-    y = [int(v) for v in ys]
-    n = len(y)
-    if n == 0:
-        raise ValueError("need >= 1 observation")
-    q, r = int(q_ppm), int(r_ppm)
-    x, p = 1000 * y[0], 1_000_000
-    rows = [(0, y[0], x, 0, p)]
-    for t in range(1, n):
-        p_pred = p + q
-        k = 1_000_000 * p_pred // (p_pred + r)
-        d = 1000 * y[t] - x
-        x = x + (k * d // 1_000_000 if d >= 0
-                 else -(k * (-d) // 1_000_000))
-        p = (1_000_000 - k) * p_pred // 1_000_000
-        rows.append((t, y[t], x, k, p))
-    out = pd.DataFrame(rows, columns=[
-        "day_idx", "n_count", "x_milli", "k_ppm", "p_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def colley_rank_int(counts: list, names: list) -> pd.DataFrame:
-    """Colley-matrix rating (Colley 2002, the BCS rating) — LEAST-
-    SQUARES SPORTS RATING, a family the surface lacked: log5 and
-    pythagorean_wins rate teams from win PROBABILITY models, but
-    Colley solves a LINEAR SYSTEM — (2I + G)r = 1 + (w − l)/2 —
-    whose bias-free property is structural: the all-ones row sums
-    force mean(r) = 1/2 EXACTLY regardless of results (row sums of
-    C are 2 because the game counts cancel, so 2·Σr = Σb = 3 —
-    derived in this docstring and pinned as the exact integer
-    identity Σ(adj(C)·b₂)ᵢ == 3·det(C)).  Games: each hour, each
-    pair of the three types plays; strictly larger hourly count
-    wins, ties are NO GAME (stated).  Exact Cramer arithmetic on
-    the reused ``linalg.mat3_det`` / ``mat3_adj_dot`` (the
-    leontief_io discipline) with b DOUBLED so b₂ = 2 + w − l is
-    integer; rating_ppm = 10⁶·(adj·b₂)ᵢ // (2·det), SIGN-SPLIT
-    for safety though Colley ratings live in (0,1).  Pinned: the
-    no-games corpus reads exactly 500000 each, the
-    beats-everyone team ranks first, ratings match a Fraction
-    Gaussian solve on 30 seeded draws, the mean identity on every
-    draw, and relabel symmetry."""
-    from documentai_ray.stages.linalg import mat3_adj_dot, mat3_det
-
-    g = [[0] * 3 for _ in range(3)]
-    w = [0] * 3
-    for row in counts:
-        cs = [int(v) for v in row]
-        for i in range(3):
-            for j in range(i + 1, 3):
-                if cs[i] > cs[j]:
-                    g[i][j] += 1
-                    g[j][i] += 1
-                    w[i] += 1
-                elif cs[j] > cs[i]:
-                    g[i][j] += 1
-                    g[j][i] += 1
-                    w[j] += 1
-    t = [sum(g[i]) for i in range(3)]
-    losses = [t[i] - w[i] for i in range(3)]
-    c = [[(2 + t[i]) if i == j else -g[i][j] for j in range(3)]
-         for i in range(3)]
-    b2 = [2 + w[i] - losses[i] for i in range(3)]
-    det = mat3_det(c)
-    ys = mat3_adj_dot(c, b2)
-    assert sum(ys) == 3 * det          # the mean-1/2 theorem, exact
-    rows = []
-    for i in range(3):
-        num = 1_000_000 * ys[i]
-        den = 2 * det
-        rating = num // den if num >= 0 else -((-num) // den)
-        rows.append((str(names[i]), t[i], w[i], losses[i], rating))
-    out = pd.DataFrame(rows, columns=[
-        "event_type", "games", "wins", "losses", "rating_ppm"])
-    for col in out.columns:
-        if col != "event_type":
-            out[col] = out[col].astype("int64")
-    return out
-
-
-def hash_occupancy_int(bucket4096: list, n_users: int,
-                       d_grid: list = (64, 256, 1024, 4096)
-                       ) -> pd.DataFrame:
-    """Birthday-collision occupancy audit of the Knuth
-    multiplicative hash — OCCUPANCY THEORY, a family the surface
-    lacked: users_sketch/hll/kmv ESTIMATE cardinality, but "how
-    evenly does a hash spread U keys over D buckets, against the
-    birthday-problem benchmark E[colliding pairs] = C(U,2)/D" is
-    the occupancy question.  ``bucket4096`` is the (h % 4096,
-    distinct-user count) census with h = (id·2654435761) mod 2³²
-    (Knuth's golden-ratio multiplier — exact integers both
-    engines); every coarser grid level divides 4096, so
-    (h % 4096) % D == h % D and ONE bounded exchange serves the
-    whole grid (stated — the reason the grid is powers of 4).
-    Observed colliding pairs Σ C(m_b, 2) are exact integers;
-    expected_milli = 1000·U(U−1) // (2D) is one floor;
-    ratio_ppm = 10⁶·2D·obs // (U(U−1)) the other.  max_load rides
-    along.  Pinned: the textbook birthday numbers (U = 23,
-    D = 365 reads expected 693 milli-pairs — the 0.507-collision
-    classroom fact in pair form), the perfectly-uniform census
-    (obs = D·C(U/D, 2) exactly, ratio = 10⁶·(U−D)/(U−1) // 1),
-    the all-in-one-bucket extreme (ratio = 10⁶·D·(…)), and exact
-    replays.  Envelope: id·2654435761 caps ids at ~3.4·10⁹ inside
-    BIGINT in the mirror — documented."""
-    cells = {int(b): int(m) for b, m in bucket4096}
-    u = int(n_users)
-    if u < 2:
-        raise ValueError("need >= 2 users")
-    rows = []
-    for d in d_grid:
-        d = int(d)
-        agg = {}
-        for b, m in cells.items():
-            agg[b % d] = agg.get(b % d, 0) + m
-        obs = sum(m * (m - 1) // 2 for m in agg.values())
-        exp_milli = 1000 * u * (u - 1) // (2 * d)
-        ratio = 1_000_000 * 2 * d * obs // (u * (u - 1))
-        rows.append((d, u, obs, exp_milli, ratio,
-                     max(agg.values())))
-    out = pd.DataFrame(rows, columns=[
-        "d_buckets", "n_users", "colliding_pairs",
-        "expected_milli", "ratio_ppm", "max_load"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _conway_l(a: str, b: str) -> int:
-    """Conway leading number L(A,B) = Σ_k 2^(k−1)·[last k of A ==
-    first k of B] — the overlap algebra behind Penney's game."""
-    n = len(a)
-    return sum(2 ** (k - 1) for k in range(1, n + 1)
-               if a[n - k:] == b[:k])
-
-
-def penney_game_int(bits: list) -> pd.DataFrame:
-    """Penney's game pattern odds (Conway's algorithm) —
-    NONTRANSITIVE GAMES, a family the surface lacked: every rating
-    op on the surface (colley, log5, copeland) presumes a
-    meaningful total order, but Penney's game is the canonical
-    proof that 'beats' need not be transitive: for EVERY 3-flip
-    pattern the response (¬b₂, b₁, b₂) wins with probability
-    > 1/2, so the beating relation cycles.  The exact win odds
-    come from Conway's leading numbers — odds(B first) =
-    (L(A,A) − L(A,B)) : (L(B,B) − L(B,A)) with L(X,Y) =
-    Σ 2^(k−1)·[suffix_k(X) = prefix_k(Y)] — an unproven-looking
-    magic formula which the tests VERIFY against a first-
-    principles Markov absorption solve in Fractions for all 56
-    ordered pattern pairs, plus the famous 7/8 (THH over HHH),
-    3/4 and 2/3 classics.  Data enters as the daily-count PARITY
-    stream: first_day = first 0-based day index whose trailing 3
-    parities spell the pattern (−1 = never, stated).  One ppm
-    floor per row.  beats_half certifies the nontransitivity on
-    every row."""
-    bs = [int(v) % 2 for v in bits]
-    n = len(bs)
-    pats = [format(i, "03b") for i in range(8)]
-    rows = []
-    for p in pats:
-        killer = ("1" if p[1] == "0" else "0") + p[0] + p[1]
-        laa = _conway_l(p, p)
-        lab = _conway_l(p, killer)
-        lbb = _conway_l(killer, killer)
-        lba = _conway_l(killer, p)
-        num = laa - lab
-        den = (laa - lab) + (lbb - lba)
-        win = 1_000_000 * num // den
-        first = -1
-        for t in range(2, n):
-            if f"{bs[t - 2]}{bs[t - 1]}{bs[t]}" == p:
-                first = t
-                break
-        rows.append((p, killer, first, win,
-                     1 if 2 * num > den else 0))
-    out = pd.DataFrame(rows, columns=[
-        "pattern", "killer", "first_day", "win_ppm",
-        "beats_half"])
-    for c in ("first_day", "win_ppm", "beats_half"):
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def logistic_map_int(x0_ppm: int, r_grid_milli: list,
-                     steps: int = 60) -> pd.DataFrame:
-    """Floored logistic map x ← r·x·(1−x) (May 1976) — DISCRETE
-    DYNAMICAL SYSTEMS / CHAOS, a family the surface lacked:
-    sir_epidemic and lotka_volterra iterate population MODELS to
-    their equilibria, but the logistic map is THE object where the
-    same one-liner runs fixed point → 2-cycle → 4-cycle → chaos as
-    r climbs, and the floored chain makes every regime an EXACT
-    integer question: x′_ppm = r_milli·x·(10⁶ − x) // 10⁹, one
-    floor per step (the mm1/erlang chain discipline), 60 steps per
-    r.  Period detection is EXACT equality (a floored map that has
-    converged repeats bit-for-bit): smallest p ∈ {1,2,4,8} with
-    x_T == x_{T−p}, else 0 = no short cycle (the floored-chaos
-    caveat: any finite-state map ultimately cycles, but not within
-    these lags — stated).  Pinned: r = 2.5 lands EXACTLY on the
-    algebraic fixed point 1 − 1/r = 600000 ppm (the fixed point is
-    floor-invariant: 2500·600000·400000 // 10⁹ = 600000, checked
-    in-kernel), r = 3.2 reads period 2 with the cycle bracketing
-    the algebraic pair (513044, 799455) within 3 ppm, r = 3.9
-    reads period 0 AND sensitive dependence (two starts 1 ppm
-    apart separate by > 10⁵ within 60 steps — Lorenz's butterfly
-    as an assertion).  Mirror: recursive CTE carrying the 8-lag
-    ring as columns."""
-    rows = []
-    for r in r_grid_milli:
-        r = int(r)
-        x = int(x0_ppm)
-        hist = []
-        for _ in range(int(steps)):
-            hist.append(x)
-            x = r * x * (1_000_000 - x) // 1_000_000_000
-        hist.append(x)
-        period = 0
-        for p in (1, 2, 4, 8):
-            if hist[-1] == hist[-1 - p]:
-                period = p
-                break
-        rows.append((r, int(x0_ppm), x, period))
-    out = pd.DataFrame(rows, columns=[
-        "r_milli", "x0_ppm", "x_final_ppm", "period"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def cf_convergents_int(p: int, q: int) -> pd.DataFrame:
-    """Continued-fraction convergents of the measured ratio p/q —
-    DIOPHANTINE APPROXIMATION, a family the surface lacked: the
-    surface measures plenty of ratios (shares, rates, indexes) but
-    never asks the number-theoretic question "what is the BEST
-    simple fraction for this measurement?", which continued
-    fractions answer optimally: the convergents hᵢ/kᵢ from the
-    Euclid quotients aᵢ (h recurrence hᵢ = aᵢh₍ᵢ₋₁₎ + h₍ᵢ₋₂₎) are
-    EXACTLY the best rational approximations OF THE SECOND KIND —
-    from step 1 on, no fraction h′/k′ with k′ ≤ k makes |k′x − h′|
-    smaller (the classical theorem; first-kind |x − h/k|
-    optimality can fail at the 0th convergent, which is why the
-    statement is the second-kind one) — verified in tests by brute
-    force over every smaller denominator rather than cited.  ZERO floors — pure Euclid.  side =
-    sign(h·q − p·k) records the famous alternation (convergents
-    straddle the target, even index below, odd above, last one
-    exact = 0 — pinned), and the last convergent equals p/q in
-    lowest terms (Euclid's gcd, pinned).  Fibonacci-ratio inputs
-    (all-ones quotients, the golden-ratio worst case of the
-    theory) and the [3; 7, 16] expansion of 355/113 are hand
-    pins.  Mirror: a recursive-CTE Euclid carrying (remainders,
-    h-pair, k-pair)."""
-    p, q = int(p), int(q)
-    if q <= 0 or p < 0:
-        raise ValueError("need p >= 0, q > 0")
-    r0, r1 = p, q
-    hm2, hm1 = 0, 1       # h_{-2}=0? standard: h_{-1}=1, h_{-2}=0
-    km2, km1 = 1, 0
-    rows = []
-    i = 0
-    a, r0, r1 = r0 // r1, r1, r0 % r1
-    while True:
-        h = a * hm1 + hm2
-        k = a * km1 + km2
-        d = h * q - p * k
-        rows.append((i, a, h, k, (d > 0) - (d < 0)))
-        if r1 == 0:
-            break
-        hm2, hm1 = hm1, h
-        km2, km1 = km1, k
-        a, r0, r1 = r0 // r1, r1, r0 % r1
-        i += 1
-    out = pd.DataFrame(rows, columns=[
-        "step", "a_quot", "num", "den", "side"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def bullwhip_int(demand: list, grid: list) -> pd.DataFrame:
-    """Bullwhip-effect variance amplification (Lee-Padmanabhan-
-    Whang 1997 / Chen et al. 2000) — SUPPLY-CHAIN DYNAMICS, a
-    family the surface lacked: backlog_dam asks what a demand
-    sequence does to a fixed-rate server, but the bullwhip asks
-    what an ORDERING POLICY does to the demand signal itself — the
-    order-up-to policy with a p-day moving-average forecast and
-    lead L places orders o_t = d_t + L·(MA_t − MA_{t−1}), and the
-    ratio Var(o)/Var(d) measures the amplification that whipsaws
-    upstream suppliers.  Exact integer contract: clear the moving
-    average by p — O_t = p·d_t + L·(S_t − S_{t−1}) on rolling sums
-    S, compare against D_t = p·d_t on the SAME support
-    t ∈ {p+1..n} (stated; clearing both sides by p leaves the
-    ratio untouched), variances cleared by m², ONE ppm floor per
-    grid cell.  Constant demand ⟹ VD = VO = 0, read as exactly
-    10⁶ (no amplification — the convention is safe because
-    constant d forces constant o, stated).  Pinned: LINEAR demand
-    reads exactly 10⁶ (the MA difference is constant, so o = d +
-    const and the variances agree bit-for-bit — the policy
-    amplifies VARIABILITY, not trend), a demand step amplifies
-    (> 10⁶) and more lead amplifies more on that step, and exact
-    integer replays on seeded draws."""
-    d = [int(v) for v in demand]
-    n = len(d)
-    rows = []
-    for ell, p in grid:
-        ell, p = int(ell), int(p)
-        if n < p + 2:
-            raise ValueError("series shorter than window + 2")
-        s = [sum(d[t - p + 1:t + 1]) for t in range(p - 1, n)]
-        # s[i] = rolling sum ending at day index i + p - 1
-        big_o = [p * d[t] + ell * (s[t - p + 1] - s[t - p])
-                 for t in range(p, n)]
-        big_d = [p * d[t] for t in range(p, n)]
-        m = n - p
-        vd = m * sum(x * x for x in big_d) - sum(big_d) ** 2
-        vo = m * sum(x * x for x in big_o) - sum(big_o) ** 2
-        bw = 1_000_000 * vo // vd if vd > 0 else 1_000_000
-        rows.append((ell, p, m, vd, vo, bw))
-    out = pd.DataFrame(rows, columns=[
-        "l_days", "p_days", "m_support", "var_d_x", "var_o_x",
-        "bullwhip_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def necklace_count_int(bits: list, k: int = 7) -> pd.DataFrame:
-    """Binary-necklace census under rotation (Burnside/Pólya) —
-    COUNTING UNDER SYMMETRY, a family the surface lacked: the
-    n-gram ops (subsequence_counts, ngram_novelty) count patterns
-    as written, but two weekly on/off patterns that are rotations
-    of each other are the SAME cyclic schedule, and Burnside's
-    lemma counts the distinct classes exactly: #necklaces =
-    (1/k)·Σ_{d|k} φ(d)·2^(k/d) — an integer BECAUSE the lemma
-    says so (the divisibility is itself pinned for every k ≤ 16,
-    and the k = 7 total is the classic 20).  The corpus's daily
-    parity stream is cut into its k-day windows, each canonicalized
-    to its lexicographically-least rotation (idempotence and
-    rotation-invariance pinned), and the observed distinct
-    necklaces are reported against the Burnside total.  ZERO
-    floors except the coverage ppm."""
-    bs = [int(v) % 2 for v in bits]
-    k = int(k)
-    n = len(bs)
-    if n < k:
-        raise ValueError("stream shorter than the window")
-
-    def phi(m: int) -> int:
-        out, x, f = m, m, 2
-        while f * f <= x:
-            if x % f == 0:
-                while x % f == 0:
-                    x //= f
-                out -= out // f
-            f += 1
-        if x > 1:
-            out -= out // x
-        return out
-
-    total2 = sum(phi(dd) * 2 ** (k // dd)
-                 for dd in range(1, k + 1) if k % dd == 0)
-    assert total2 % k == 0               # Burnside's divisibility
-    possible = total2 // k
-    raws = set()
-    necks = set()
-    for t in range(k - 1, n):
-        w = "".join(str(b) for b in bs[t - k + 1:t + 1])
-        raws.add(w)
-        necks.add(min(w[i:] + w[:i] for i in range(k)))
-    out = pd.DataFrame([(n - k + 1, len(raws), len(necks),
-                         possible,
-                         1_000_000 * len(necks) // possible)],
-                       columns=["n_windows", "distinct_raw",
-                                "distinct_necklaces",
-                                "necklaces_possible",
-                                "coverage_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def wardrop_poa_int(a1: int, a2: int, scenarios: list) -> pd.DataFrame:
-    """Wardrop equilibrium + price of anarchy on a two-route
-    network (Pigou 1920 / Wardrop 1952 / Roughgarden-Tardos 2002)
-    — CONGESTION GAMES, a family the surface lacked: nash_2x2 and
-    zerosum_value solve MATRIX games, but selfish ROUTING is the
-    game where the players are a continuum of flow and the
-    strategy is a path: with linear latencies l₁ = a₁ + b₁f,
-    l₂ = a₂ + b₂(1−f) (f = fraction on route 1), the equilibrium
-    equalizes latencies — f_eq = (a₂ + b₂ − a₁)/(b₁ + b₂), clamped
-    to a corner when one route dominates — while the social
-    optimum equalizes MARGINAL costs (a + 2bf), and the ratio of
-    their total costs is the price of anarchy, ≤ 4/3 for linear
-    latencies — the Roughgarden-Tardos theorem, pinned on seeded
-    draws AND achieved exactly by Pigou's example (a₁ = c, b₁ = 0
-    vs a₂ = 0, b₂ = c reads PoA = 4/3 bit-exactly).  Exact
-    integer contract: f clears by D = b₁ + b₂ (fN ∈ [0, D]), the
-    optimum by 2D, total costs clear to EQ = C_eq·D² and
-    OPT = C_opt·4D² (both exact integers), poa_ppm = 4·10⁶·EQ //
-    OPT is ONE floor, and the equilibrium CERTIFICATE rides along
-    as latency_gap = l₁N − l₂N == 0 whenever f is interior
-    (the engset visible-theorem discipline).  Degenerate
-    b₁ = b₂ = 0: both routes constant — all flow takes the
-    cheaper, PoA = 10⁶ (stated)."""
-    a1, a2 = int(a1), int(a2)
-    rows = []
-    for b1, b2 in scenarios:
-        b1, b2 = int(b1), int(b2)
-        d = b1 + b2
-        if d == 0:
-            # both routes constant: all flow takes the cheaper
-            # (ties take route 2 — stated), selfish == optimal
-            rows.append((b1, b2, a1, a2,
-                         1_000_000 if a1 < a2 else 0,
-                         1_000_000, a1 - a2))
-            continue
-        fn = max(0, min(d, a2 + b2 - a1))
-        l1n = a1 * d + b1 * fn
-        l2n = a2 * d + b2 * (d - fn)
-        eq = fn * l1n + (d - fn) * l2n          # C_eq * D^2
-        gn = max(0, min(2 * d, a2 + 2 * b2 - a1))
-        opt = (gn * (2 * d * a1 + b1 * gn)
-               + (2 * d - gn) * (2 * d * a2 + b2 * (2 * d - gn)))
-        poa = 4 * 1_000_000 * eq // opt if opt > 0 else 1_000_000
-        rows.append((b1, b2, a1, a2, 1_000_000 * fn // d, poa,
-                     l1n - l2n))
-    out = pd.DataFrame(rows, columns=[
-        "b1", "b2", "a1_cents", "a2_cents", "f_eq_ppm", "poa_ppm",
-        "latency_gap"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def group_testing_int(p_ppm: int, k_grid: list) -> pd.DataFrame:
-    """Dorfman pooled-testing design (1943) — GROUP TESTING, a
-    family the surface lacked: acceptance_sampling disposes of a
-    LOT from a sample, but pooling asks the design question that
-    made wartime syphilis screening (and COVID lab pooling)
-    tractable — test k specimens as one pool, retest individually
-    only on a positive, for an expected per-person cost of
-    1/k + 1 − (1−p)^k tests.  Exact floored contract: the pool-
-    negative probability (1−p)^k runs as a ppm POWER CHAIN (one
-    floor per step — the erlang/mm1 chain discipline, mirrored by
-    a recursive CTE), the cost adds 10⁶//k (one floor) and the
-    chain's complement; best_k marks the grid argmin (ties to the
-    smaller pool, stated).  Pinned: the Dorfman regime boundary —
-    pooling HELPS (cost < 10⁶) for small p and is USELESS for
-    p ≳ 31% (1 − (1−p)^k < ... every k ≥ 2 costs over one test
-    per person — both directions asserted), the textbook p = 1%
-    optimum k = 11, cost → 10⁶//k + (k·p-ish) small-p behaviour
-    via a Fraction bracket (the chain floors drift the power DOWN
-    by ≤ k ppm, so the floored cost sits within k+1 ppm above the
-    exact rational — stated and pinned), and monotone: the chain
-    power strictly decreases in k for p > 0."""
-    p = int(p_ppm)
-    rows = []
-    for k in k_grid:
-        k = int(k)
-        if k < 2:
-            raise ValueError("pool size must be >= 2")
-        pw = 1_000_000
-        for _ in range(k):
-            pw = pw * (1_000_000 - p) // 1_000_000
-        cost = 1_000_000 // k + (1_000_000 - pw)
-        rows.append((k, pw, cost))
-    out = pd.DataFrame(rows, columns=[
-        "k_pool", "neg_pool_ppm", "cost_ppm"])
-    best = out.loc[out["cost_ppm"].idxmin(), "k_pool"]
-    out["best_k"] = (out["k_pool"] == best).astype("int64")
-    out["saves"] = (out["cost_ppm"] < 1_000_000).astype("int64")
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def bond_duration_int(face_cents: int) -> pd.DataFrame:
-    """Macaulay duration + convexity of a 12-month coupon bond at
-    1%/month yield — FIXED-INCOME RISK, a family the surface
-    lacked: loan_amortization SCHEDULES cash flows and crr_option
-    prices contingency, but "how much does this bond's price move
-    when rates move" is the duration question, and on a RATIONAL
-    yield the whole term structure is exact integers: v^t =
-    100^t·101^(12−t)/101¹², so price numerator PVN = Σ CF_t·
-    100^t·101^(12−t), duration = Σt·CF·w / ΣCF·w (one milli
-    floor) and convexity_milli = 1000·Σt(t+1)·CF·w // ΣCF·w —
-    the MACAULAY-style curvature (the modified version divides by
-    (1+i)², a constant factor both engines could apply; it is
-    omitted because the extra 10⁴/10201 rational pushes the
-    numerator past HUGEINT at real faces — the overflow was caught
-    live by the mirror, and the convention is stated rather than
-    squeezed).  Four bonds ride in one output so
-    the THEOREMS are visible rows (the engset discipline): the
-    ZERO-coupon bond's duration is EXACTLY its maturity (12000
-    milli — the defining fact of duration), and the PAR THEOREM —
-    coupon rate == yield ⟺ price == face — holds BIT-EXACT
-    (PVN == face·101¹², asserted in-kernel, price_ppm_of_face ==
-    10⁶ on the par row) with the discount (½%) row strictly below
-    par and the premium (2%) row strictly above.  Coupon rows'
-    duration < maturity, monotone decreasing in the coupon
-    (heavier early cash flows).  Envelope: 10⁶·PVN ≈ 2·10³⁷ keeps
-    the face under ~10⁸ cents inside HUGEINT — documented.
-    Mirror: the 100^t·101^(12−t) weights as builder-computed
-    design literals (the acceptance_sampling discipline)."""
-    face = int(face_cents)
-    n = 12
-    w = [100 ** t * 101 ** (n - t) for t in range(n + 1)]
-    full = 101 ** n
-    rows = []
-    for name, coup in (("zero", 0), ("discount", face // 200),
-                       ("par", face // 100), ("premium", face // 50)):
-        cfs = [coup] * n
-        cfs[n - 1] += face
-        pvn = sum(cf * w[t + 1] for t, cf in enumerate(cfs))
-        dn = sum((t + 1) * cf * w[t + 1] for t, cf in enumerate(cfs))
-        cn = sum((t + 1) * (t + 2) * cf * w[t + 1]
-                 for t, cf in enumerate(cfs))
-        if coup == face // 100 and face % 100 == 0:
-            assert pvn == face * full        # the par theorem
-        rows.append((name, coup,
-                     1_000_000 * pvn // (face * full),
-                     1000 * dn // pvn,
-                     1000 * cn // pvn))
-    out = pd.DataFrame(rows, columns=[
-        "bond", "coupon_cents", "price_ppm_of_face",
-        "duration_milli", "convexity_milli"])
-    for c in out.columns:
-        if c != "bond":
-            out[c] = out[c].astype("int64")
-    return out
-
-
-def linkage_diseq_int(n: int, n_a: int, n_b: int,
-                      n_ab: int) -> pd.DataFrame:
-    """Two-locus linkage disequilibrium — POPULATION GENETICS'
-    second rung (hardy_weinberg tests ONE locus against its own
-    allele frequencies; LD asks whether TWO loci travel together):
-    D = p_AB − p_A·p_B (Lewontin 1964's D′ normalizes by the
-    maximum |D| the margins allow; Hill-Robertson 1968's r² is the
-    squared correlation — and r², unlike r, needs NO square root,
-    which is why it is the integer-exact member).  Cleared by n²:
-    DN = n·n_AB − n_A·n_B exact signed integer; D′ divides by
-    Dmax⁺ = min(n_A·n_b̄, n_ā·n_B) when DN > 0 and
-    Dmax⁻ = min(n_A·n_B, n_ā·n_b̄) when DN < 0 (sign-split, the
-    repo discipline); r²_ppm = 10⁶·DN² // (n_A·n_ā·n_B·n_b̄).
-    Monomorphic margins make every measure 0 with the flag set
-    (stated).  Pinned: perfect coupling (AB and ab only) reads D′
-    and r² EXACTLY 10⁶; an exact product table reads DN = 0;
-    allele relabel flips DN's sign bit-exactly while |D′| and r²
-    are invariant; r² ≤ 10⁶ (Cauchy-Schwarz on the 2×2) and
-    r²_ppm ≤ dprime_ppm + 1 (|r| ≤ |D′|).  Envelope: 10⁶·DN² ~
-    10⁶n⁴ caps the cohort at ~3·10⁸ subjects inside HUGEINT —
-    documented."""
-    n, n_a, n_b, n_ab = int(n), int(n_a), int(n_b), int(n_ab)
-    na_, nb_ = n - n_a, n - n_b
-    dn = n * n_ab - n_a * n_b
-    mono = 1 if (n_a in (0, n) or n_b in (0, n)) else 0
-    if mono:
-        dp = r2 = 0
-    else:
-        dmax = (min(n_a * nb_, na_ * n_b) if dn > 0
-                else min(n_a * n_b, na_ * nb_))
-        dp = (0 if dn == 0 else
-              (1_000_000 * dn // dmax if dn > 0
-               else -(1_000_000 * (-dn) // dmax)))
-        r2 = 1_000_000 * dn * dn // (n_a * na_ * n_b * nb_)
-    out = pd.DataFrame([(n, n_a, n_b, n_ab, dn, dp, r2, mono)],
-                       columns=["n_users", "n_a_even", "n_b_even",
-                                "n_both_even", "d_x",
-                                "dprime_ppm", "r2_ppm",
-                                "monomorphic"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def index_coincidence_int(census: list, k_grid: list) -> pd.DataFrame:
-    """Friedman's index of coincidence (1922) — CLASSICAL
-    CRYPTANALYSIS, a family the surface lacked: lang_id and yule_k
-    fingerprint text statistically, but the IC is codebreaking's
-    founding statistic — the probability two randomly drawn letters
-    match, Σn(n−1)/(N(N−1)) — and its KEY-LENGTH test splits the
-    text into k positional streams (per document, positions of the
-    KEPT letters mod k — the normalization is [a-z] only,
-    lowercased, stated): at the true period the streams are
-    monoalphabetic and the IC jumps.  ``census`` is [(k, stream,
-    letter_ord, n)] from ONE bounded exchange (≤ k·k·26 cells per
-    k).  Contract: per-stream ic_ppm = 10⁶·Σn(n−1) //
-    (N_r(N_r−1)) (one floor; streams with N_r < 2 contribute 0 —
-    stated), then ic_avg_ppm = Σ_r ic_r // k (the second,
-    documented floor layer).  Pinned: a single repeated letter
-    reads 10⁶ exactly, the uniform 26-letter census reads the
-    (N/26−1)/(N−1) closed form exactly, and the Vigenère demo —
-    'abc' repeated 100× reads IC = 331103 ppm at k = 1 (exact:
-    3·9900/89700) but EXACTLY 10⁶ at k = 3, the period detection
-    that broke polyalphabetics."""
-    from collections import defaultdict
-
-    cnt = defaultdict(lambda: defaultdict(lambda: defaultdict(int)))
-    for k, r, ch, n in census:
-        cnt[int(k)][int(r)][int(ch)] += int(n)
-    rows = []
-    for k in k_grid:
-        k = int(k)
-        tot_ic = 0
-        n_chars = 0
-        for r in range(k):
-            ns = cnt[k][r].values()
-            nr = sum(ns)
-            n_chars += nr
-            if nr >= 2:
-                tot_ic += (1_000_000 * sum(n * (n - 1) for n in ns)
-                           // (nr * (nr - 1)))
-        rows.append((k, n_chars, tot_ic // k))
-    out = pd.DataFrame(rows, columns=["k_len", "n_chars",
-                                      "ic_avg_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def lpt_makespan_int(jobs: list, m_grid: list) -> pd.DataFrame:
-    """LPT multiprocessor scheduling + Graham's certificate (1966/
-    1969) — APPROXIMATION ALGORITHMS WITH GUARANTEES, a family the
-    surface lacked: wspt_schedule and johnson_flowshop are EXACT
-    optima for their single/two-machine models, but multiprocessor
-    makespan is NP-hard and the honest object is a heuristic WITH
-    a proven certificate: longest-processing-time greedy (jobs
-    sorted desc, each to the least-loaded machine, ties to the
-    lowest index — stated) satisfies Graham's per-instance bound
-    makespan ≤ total/m + (1 − 1/m)·max_job, carried as the exact
-    integer slack m·makespan ≤ total + (m−1)·max_job (graham_slack
-    ≥ 0 on EVERY instance — the visible certificate, engset
-    discipline), and the a-priori ratio LPT/OPT ≤ 4/3 − 1/(3m) is
-    pinned against brute-force optima on small instances.  Lower
-    bounds lb = max(⌈total/m⌉, max_job) ride along with
-    ratio_vs_lb_ppm = 10⁶·makespan // lb, the op's one floor.
-    Equal jobs balance perfectly (pinned)."""
-    js = sorted((int(v) for v in jobs), reverse=True)
-    total = sum(js)
-    mx = js[0] if js else 0
-    rows = []
-    for m in m_grid:
-        m = int(m)
-        loads = [0] * m
-        for j in js:
-            i = loads.index(min(loads))
-            loads[i] += j
-        mk = max(loads) if loads else 0
-        lb = max((total + m - 1) // m, mx)
-        rows.append((m, mk, (total + m - 1) // m, mx,
-                     total + (m - 1) * mx - m * mk,
-                     1_000_000 * mk // lb if lb else 1_000_000))
-    out = pd.DataFrame(rows, columns=[
-        "m_machines", "makespan", "lb_avg", "lb_max",
-        "graham_slack", "ratio_vs_lb_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def periodogram_int(census, periods=(2, 3, 4, 6)):
-    """Exact integer Schuster periodogram over an hourly count series
-    — SPECTRAL ANALYSIS as exact arithmetic.  ``census`` is the
-    bounded 12-cell exchange ``[(residue mod 12, total count)]``; the
-    ordinate at period p needs only the residue-class sums
-    S_r = Σ_{t ≡ r (mod p)} x_t because the complex exponential
-    e^{-2πit/p} depends on t only through t mod p, so
-    X(1/p) = Σ_r S_r ω^r for ω = e^{-2πi/p} — EXACT for the four
-    periods whose roots of unity live in Z[i] (p = 2, 4: Gaussian
-    integers) or Z[ω₃]/2 (p = 3, 6: Eisenstein halves, cleared by
-    reporting 4·|X|², always an integer):
-
-        p=2: 4|X|² = 4(S0−S1)²
-        p=4: 4|X|² = 4[(S0−S2)² + (S3−S1)²]
-        p=3: 4|X|² = (2S0−S1−S2)² + 3(S2−S1)²
-        p=6: 4|X|² = (2S0+S1−S2−2S3−S4+S5)² + 3(S4+S5−S1−S2)²
-
-    Convention stated honestly: this is the periodogram ordinate at
-    frequency 1/p over the ENTIRE series (absent hours contribute 0
-    and so never need densifying); it coincides with the orthogonal
-    DFT bin only when p divides the series length — no division by N
-    is ever taken, so the value is exact either way.  ``is_peak``
-    marks the argmax row (ties → smaller period).  Arithmetic is
-    Python int end-to-end; the mirror's HUGEINT squares cap the safe
-    envelope at residue-sum differences ~1.3e19 — documented, far
-    beyond any per-hour event census here."""
-    s12 = [0] * 12
-    for r, n in census:
-        s12[int(r) % 12] += int(n)
-    rows = []
-    for p in periods:
-        p = int(p)
-        s = [sum(s12[j] for j in range(12) if j % p == r)
-             for r in range(p)]
-        if p == 2:
-            pw = 4 * (s[0] - s[1]) ** 2
-        elif p == 4:
-            pw = 4 * ((s[0] - s[2]) ** 2 + (s[3] - s[1]) ** 2)
-        elif p == 3:
-            pw = ((2 * s[0] - s[1] - s[2]) ** 2
-                  + 3 * (s[2] - s[1]) ** 2)
-        elif p == 6:
-            pw = ((2 * s[0] + s[1] - s[2] - 2 * s[3] - s[4]
-                   + s[5]) ** 2
-                  + 3 * (s[4] + s[5] - s[1] - s[2]) ** 2)
-        else:  # pragma: no cover - guarded by the fixed grid
-            raise ValueError(f"period {p} has no exact root table")
-        rows.append((p, pw))
-    best = min(range(len(rows)),
-               key=lambda i: (-rows[i][1], rows[i][0]))
-    out = pd.DataFrame(
-        [(p, pw, 1 if i == best else 0)
-         for i, (p, pw) in enumerate(rows)],
-        columns=["period", "power_x4", "is_peak"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def maxflow_mincut_int(s_caps, mid_caps, t_caps):
-    """Max flow = min cut on the layered s → regions → segments → t
-    network, with LP DUALITY AS THE VISIBLE THEOREM.  ``s_caps[r]``
-    (r = 0..4), ``mid_caps[(r, g)]`` and ``t_caps[g]`` (g = 0..4) are
-    non-negative integer capacities; zero/absent means no edge.
-
-    Two INDEPENDENT computations ride in one row: ``max_flow`` from
-    Edmonds-Karp augmenting paths (BFS shortest augmenting, integral
-    by the integrality theorem) and ``min_cut`` from brute-force
-    enumeration of all 2¹⁰ source-side masks (bit r = region r on the
-    source side, bit 5+g = segment g) — the mirror enumerates the
-    SAME 1024 cuts in SQL, so the oracle's agreement with the Ray
-    side's augmenting-path flow IS max-flow/min-cut duality checked
-    per instance.  ``duality_gap = min_cut − max_flow`` is computed,
-    not assumed, and asserted 0 in-kernel; ``cut_mask`` is the argmin
-    mask (ties → smallest mask), ``n_cut_edges`` counts the
-    positive-capacity edges crossing it, and ``total_supply`` =
-    Σ s_caps rides along as the visible upper bound."""
-    import collections
-
-    S, T = 0, 11
-
-    def cap_of(u, v):
-        if u == S and 1 <= v <= 5:
-            return int(s_caps.get(v - 1, 0))
-        if 1 <= u <= 5 and 6 <= v <= 10:
-            return int(mid_caps.get((u - 1, v - 6), 0))
-        if 6 <= u <= 10 and v == T:
-            return int(t_caps.get(u - 6, 0))
-        return 0
-
-    cap = {}
-    for u in range(12):
-        for v in range(12):
-            c = cap_of(u, v)
-            if c > 0:
-                cap[(u, v)] = cap.get((u, v), 0) + c
-                cap.setdefault((v, u), 0)
-    flow = 0
-    while True:
-        parent = {S: None}
-        q = collections.deque([S])
-        while q and T not in parent:
-            u = q.popleft()
-            for (a, b), c in cap.items():
-                if a == u and b not in parent and c > 0:
-                    parent[b] = u
-                    q.append(b)
-        if T not in parent:
-            break
-        path, v = [], T
-        while parent[v] is not None:
-            path.append((parent[v], v))
-            v = parent[v]
-        aug = min(cap[e] for e in path)
-        for (a, b) in path:
-            cap[(a, b)] -= aug
-            cap[(b, a)] += aug
-        flow += aug
-
-    best_cut, best_mask, best_edges = None, None, 0
-    for mask in range(1 << 10):
-        cut, edges = 0, 0
-        for r in range(5):
-            c = int(s_caps.get(r, 0))
-            if c and not (mask >> r) & 1:
-                cut += c
-                edges += 1
-        for (r, g), c in mid_caps.items():
-            c = int(c)
-            if c and (mask >> r) & 1 and not (mask >> (5 + g)) & 1:
-                cut += c
-                edges += 1
-        for g in range(5):
-            c = int(t_caps.get(g, 0))
-            if c and (mask >> (5 + g)) & 1:
-                cut += c
-                edges += 1
-        if best_cut is None or cut < best_cut:
-            best_cut, best_mask, best_edges = cut, mask, edges
-    assert best_cut == flow, (best_cut, flow)
-    out = pd.DataFrame([(flow, best_cut, best_cut - flow, best_mask,
-                         best_edges,
-                         sum(int(v) for v in s_caps.values()))],
-                       columns=["max_flow", "min_cut", "duality_gap",
-                                "cut_mask", "n_cut_edges",
-                                "total_supply"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def spanning_trees_int(sup_census, cust_census):
-    """Weighted spanning-tree count of the complete region graph by
-    the MATRIX-TREE THEOREM (Kirchhoff 1847), with the theorem itself
-    checked per instance: edge weight w(a,b) = 1 + (sup_a·cust_b +
-    sup_b·cust_a) mod 97 (the mod folds census products into [1, 97]
-    so the determinant stays in BIGINT at any scale — design choice
-    stated; w ≥ 1 keeps K₅ support complete), the reduced 4×4
-    Laplacian determinant is computed by fraction-free BAREISS
-    elimination (pivots positive because the reduced Laplacian of a
-    connected graph is positive definite), and the kernel ALSO sums
-    Π w over all 5³ = 125 spanning trees by Prüfer decode — their
-    difference ``prufer_gap`` is COMPUTED, asserted 0, and shipped as
-    the visible certificate.  ``n_trees_unit`` is the unit-weight
-    det, which Cayley's formula pins at 5³ = 125 (asserted).  Mirror:
-    the 24-term Leibniz expansion of the same reduced Laplacian."""
-    sup = [int(sup_census.get(r, 0)) for r in range(5)]
-    cust = [int(cust_census.get(r, 0)) for r in range(5)]
-    w = {}
-    for a in range(5):
-        for b in range(a + 1, 5):
-            w[(a, b)] = 1 + (sup[a] * cust[b] + sup[b] * cust[a]) % 97
-
-    def wt(a, b):
-        return w[(min(a, b), max(a, b))]
-
-    def reduced_det(weight_fn):
-        m = [[0] * 4 for _ in range(4)]
-        for i in range(1, 5):
-            for j in range(1, 5):
-                if i == j:
-                    m[i - 1][j - 1] = sum(weight_fn(i, b)
-                                          for b in range(5) if b != i)
-                else:
-                    m[i - 1][j - 1] = -weight_fn(i, j)
-        a = [row[:] for row in m]
-        prev = 1
-        for k in range(3):
-            assert a[k][k] != 0  # PD reduced Laplacian: never fires
-            for i in range(k + 1, 4):
-                for j in range(k + 1, 4):
-                    a[i][j] = (a[i][j] * a[k][k]
-                               - a[i][k] * a[k][j]) // prev
-            prev = a[k][k]
-        return a[3][3]
-
-    det_w = reduced_det(wt)
-    det_u = reduced_det(lambda a, b: 1)
-    assert det_u == 5 ** 3  # Cayley
-
-    # Prüfer brute force: every sequence in {0..4}^3 is one tree
-    brute = 0
-    for s0 in range(5):
-        for s1 in range(5):
-            for s2 in range(5):
-                seq = [s0, s1, s2]
-                deg = [1] * 5
-                for v in seq:
-                    deg[v] += 1
-                edges, prod = [], 1
-                for v in seq:
-                    leaf = min(u for u in range(5) if deg[u] == 1)
-                    edges.append((leaf, v))
-                    deg[leaf] -= 1
-                    deg[v] -= 1
-                rest = [u for u in range(5) if deg[u] == 1]
-                edges.append((rest[0], rest[1]))
-                for (a, b) in edges:
-                    prod *= wt(a, b)
-                brute += prod
-    gap = det_w - brute
-    assert gap == 0, (det_w, brute)
-    out = pd.DataFrame([(5, 10, det_w, det_u, gap)],
-                       columns=["n_nodes", "n_edges", "tree_weight",
-                                "n_trees_unit", "prufer_gap"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def knapsack_dp_int(items, capacity):
-    """0/1 knapsack exact DP with its two classical certificates —
-    COMBINATORIAL OPTIMIZATION BY EXACT DP, the pseudo-polynomial
-    counterpart to lpt_makespan's bounded greedy.  ``items`` =
-    [(key, weight ≥ 1, value ≥ 0)]; DP over capacities 0..W in key
-    order gives ``opt_value``; the DANTZIG LP BOUND (sort by exact
-    value/weight ratio desc, tie → smaller key; fill whole items to
-    the break item, then the fractional remainder, ONE milli floor)
-    rides as lp_bound_milli with lp_slack_milli = lp_bound_milli −
-    1000·opt ≥ 0 (the relaxation theorem, computed not assumed), and
-    the ½-APPROXIMATION theorem max(greedy, best single) ≥ OPT/2
-    ships as half_slack = 2·max(greedy_value, best_single) − opt ≥ 0.
-    Ratio sorting by double is exact here (value < 2⁵³/weight —
-    distinct rationals with these bounds never collide in float64;
-    the mirror sorts the same way)."""
-    from fractions import Fraction
-
-    items = [(int(k), max(1, int(w)), int(v)) for k, w, v in items]
-    items.sort()
-    W = int(capacity)
-    dp = [0] * (W + 1)
-    for _, w, v in items:
-        for c in range(W, w - 1, -1):
-            if dp[c - w] + v > dp[c]:
-                dp[c] = dp[c - w] + v
-    opt = dp[W]
-
-    by_ratio = sorted(items,
-                      key=lambda t: (-Fraction(t[2], t[1]), t[0]))
-    rem, greedy = W, 0
-    for _, w, v in by_ratio:
-        if w <= rem:
-            greedy += v
-            rem -= w
-    cumw = cumv = 0
-    lp_milli = None
-    for _, w, v in by_ratio:
-        if cumw + w > W:
-            lp_milli = (1000 * cumv
-                        + 1000 * v * (W - cumw) // w)
-            break
-        cumw += w
-        cumv += v
-    if lp_milli is None:
-        lp_milli = 1000 * cumv
-    best_single = max([v for _, w, v in items if w <= W],
-                      default=0)
-    out = pd.DataFrame(
-        [(len(items), W, opt, greedy, best_single, lp_milli,
-          lp_milli - 1000 * opt,
-          2 * max(greedy, best_single) - opt)],
-        columns=["n_items", "capacity", "opt_value", "greedy_value",
-                 "best_single", "lp_bound_milli", "lp_slack_milli",
-                 "half_slack"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def mdp_value_iter_int(g_milli):
-    """Floored VALUE ITERATION on the 5-state recrawl MDP —
-    SEQUENTIAL DECISION MAKING, a family the surface lacked: the
-    iterative ops relax a map to ITS OWN fixed point (pagerank,
-    logistic_map); an MDP relaxes to the fixed point of a MAX over
-    actions, and Bellman optimality is the visible theorem.  States
-    s = 0..4 are staleness levels; wait earns (4−s)·1000 milli and
-    decays s → min(s+1, 4); crawl earns ``g_milli`` and resets to 0;
-    discount 9/10 applied as ONE floor 9·V // 10 per backup (values
-    stay ≥ 0 so floor == trunc and the mirror's // agrees — stated).
-    From V = 0 the floored operator is monotone nondecreasing and
-    bounded, so it converges to the least fixed point EXACTLY; the
-    kernel iterates to bit-exact convergence, asserts it within 200
-    sweeps (the mirror runs exactly 200 — identical because a fixed
-    point stays fixed), and re-computes the Bellman residual
-    post-hoc as the shipped certificate.  Tie → wait (action 0),
-    stated."""
-    G = int(g_milli)
-    assert G >= 0
-    V = [0] * 5
-    for it in range(201):
-        NV = []
-        for s in range(5):
-            wait = (4 - s) * 1000 + 9 * V[min(s + 1, 4)] // 10
-            crawl = G + 9 * V[0] // 10
-            NV.append(max(wait, crawl))
-        if NV == V:
-            break
-        V = NV
-    assert it < 200, "value iteration failed to converge"
-    rows = []
-    for s in range(5):
-        wait = (4 - s) * 1000 + 9 * V[min(s + 1, 4)] // 10
-        crawl = G + 9 * V[0] // 10
-        rows.append((s, V[s], 1 if crawl > wait else 0,
-                     V[s] - max(wait, crawl)))
-    out = pd.DataFrame(rows, columns=["state", "v_milli",
-                                      "best_action",
-                                      "bellman_residual"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def heat_diffusion_int(census, steps=10):
-    """Explicit finite-difference heat equation on the 24-hour RING
-    — NUMERICAL PDE as exact integer arithmetic, a family the
-    surface lacked: the series ops read or score the diurnal profile;
-    diffusion EVOLVES it, and scaling the initial condition by 4^T
-    makes every step's averaging u'_i = (u_{i−1} + 2u_i + u_{i+1})/4
-    an EXACT division (each u at step t is a multiple of 4^(T−t),
-    asserted in-kernel — so floor-vs-trunc semantics never matter
-    and the mirror's // agrees bit for bit).  Two theorems ride as
-    columns: MASS CONSERVATION (total_mass0 = Σ u_0 and mass_drift =
-    Σ u_T/4^T − Σ u_0 — exactly 0 because each step's exact average
-    preserves the sum) and, in tests, the MAXIMUM PRINCIPLE (the
-    range never grows).  u10_milli = 1000·u_T // 4^T is the op's one
-    floor.  ``census`` = [(hour 0..23, count)]."""
-    T = int(steps)
-    u0 = [0] * 24
-    for h, n in census:
-        u0[int(h) % 24] += int(n)
-    scale = 4 ** T
-    u = [x * scale for x in u0]
-    for _ in range(T):
-        nxt = []
-        for i in range(24):
-            tot = u[(i - 1) % 24] + 2 * u[i] + u[(i + 1) % 24]
-            assert tot % 4 == 0
-            nxt.append(tot // 4)
-        u = nxt
-    mass0 = sum(u0)
-    drift = sum(u) // scale - mass0 if sum(u) % scale == 0 else None
-    assert sum(u) % scale == 0 and drift == 0, "mass not conserved"
-    rows = [(i, u0[i], 1000 * u[i] // scale, mass0, 0)
-            for i in range(24)]
-    out = pd.DataFrame(rows, columns=["hour", "u0", "u10_milli",
-                                      "total_mass0", "mass_drift"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def lis_erdos_szekeres_int(values):
-    """Longest nondecreasing + longest strictly-decreasing subsequence
-    of an integer series, with the ERDŐS–SZEKERES/DILWORTH certificate
-    — PERMUTATION COMBINATORICS, a family the surface lacked:
-    kendall_tau counts inversions pairwise and runs_test counts
-    maximal runs; the LIS is the global order statistic (Ulam's
-    problem).  Patience sorting gives both lengths in O(n log n); the
-    mirror runs the O(n²) DP — two DIFFERENT algorithms agreeing is
-    the check.  The certificate: labelling each element with the
-    length of the longest nondecreasing subsequence ending there,
-    same-label elements are pairwise strictly decreasing, so
-    lis_nondec · lds_strict ≥ n — es_slack = lis·lds − n ≥ 0 is
-    COMPUTED and shipped (the theorem as a column; brute-force
-    pinned in tests)."""
-    import bisect
-
-    xs = [int(v) for v in values]
-    n = len(xs)
-    tails = []
-    for x in xs:
-        k = bisect.bisect_right(tails, x)
-        if k == len(tails):
-            tails.append(x)
-        else:
-            tails[k] = x
-    lis = len(tails)
-    tails = []
-    for x in xs:  # strictly decreasing == strictly increasing of -x
-        k = bisect.bisect_left(tails, -x)
-        if k == len(tails):
-            tails.append(-x)
-        else:
-            tails[k] = -x
-    lds = len(tails)
-    assert lis * lds >= n
-    out = pd.DataFrame([(n, lis, lds, lis * lds - n)],
-                       columns=["n_periods", "lis_nondec",
-                                "lds_strict", "es_slack"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def buzen_network_int(loads, n_jobs=6):
-    """Gordon–Newell CLOSED queueing network solved by BUZEN'S
-    CONVOLUTION (1973) — the teletraffic family's missing member:
-    mm1/mg1/erlang/engset are OPEN systems; a closed network
-    circulates a fixed population N and its stationary law is
-    product-form with normalization G(N) = Σ_{Σn_i=N} Π t_i^{n_i},
-    an INTEGER for integer relative loads t_i.  Buzen's DP
-    G_m(n) = G_{m-1}(n) + t_m·G_m(n−1) computes it in O(MN) — and
-    the kernel ALSO enumerates every composition of N over M
-    stations and asserts the brute-force sum equals the DP (the
-    algorithm's correctness checked per instance, the maxflow
-    discipline).  Shipped per station: util_ppm = 10⁶·t_i·G(N−1) //
-    G(N) (≤ 10⁶ by the bottleneck law t_i·X ≤ 1, asserted) and
-    nbar_milli = 10³·Σ_k t_i^k·G(N−k) // G(N) (ONE floor — the
-    numerator is summed exactly first); the JOBS-CONSERVATION
-    identity Σ_i Σ_k t_i^k G(N−k) = N·G(N) is EXACT pre-floor and
-    ships as conservation_gap = 0, computed in both engines."""
-    from itertools import combinations
-
-    t = [int(x) for x in loads]
-    M, N = len(t), int(n_jobs)
-    assert all(x >= 1 for x in t)
-    G = [1] + [0] * N          # G_0(n) = [n == 0]
-    for m in range(M):
-        for n in range(1, N + 1):
-            G[n] = G[n] + t[m] * G[n - 1]
-        # note: in-place forward scan IS the convolution recurrence
-
-    # brute force: stars-and-bars enumeration of all compositions
-    brute = 0
-    for bars in combinations(range(N + M - 1), M - 1):
-        prev, prod = -1, 1
-        parts = []
-        for b in bars:
-            parts.append(b - prev - 1)
-            prev = b
-        parts.append(N + M - 1 - prev - 1)
-        for ti, ni in zip(t, parts):
-            prod *= ti ** ni
-        brute += prod
-    assert brute == G[N], (brute, G[N])
-
-    # G(N-k) needs the full G table: recompute per k via the same DP
-    def g_of(n):
-        gg = [1] + [0] * n
-        for m in range(M):
-            for j in range(1, n + 1):
-                gg[j] = gg[j] + t[m] * gg[j - 1]
-        return gg[n]
-
-    Gk = [g_of(k) for k in range(N + 1)]  # Gk[k] = G(k)
-    assert Gk[N] == G[N]
-    total = 0
-    rows = []
-    for i, ti in enumerate(t):
-        num_nbar = sum(ti ** k * Gk[N - k] for k in range(1, N + 1))
-        total += num_nbar
-        util = 1_000_000 * ti * Gk[N - 1] // Gk[N]
-        assert util <= 1_000_000  # bottleneck law
-        rows.append((i, ti, util, 1000 * num_nbar // Gk[N]))
-    gap = total - N * Gk[N]
-    assert gap == 0, gap
-    out = pd.DataFrame(
-        [(s, ti, u, nb, Gk[N - 1], Gk[N], 0)
-         for (s, ti, u, nb) in rows],
-        columns=["station", "t_load", "util_ppm", "nbar_milli",
-                 "g_nm1", "g_n", "conservation_gap"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def tsp_heldkarp_int(weights):
-    """Exact TSP on the 5-region complete graph — EXACT
-    COMBINATORIAL OPTIMIZATION over tours, the knapsack_dp
-    discipline on a permutation space: lpt bounded a greedy,
-    knapsack DP'd subsets; Held–Karp (1962) DPs subsets × endpoints.
-    ``weights[(a, b)]`` for a < b.  The kernel runs Held–Karp AND
-    enumerates all (5−1)!/2 = 12 distinct tours, asserting equality
-    (algorithm correctness per instance); the mirror enumerates the
-    same 24 fixed-start permutations in SQL.  Two classical lower
-    bounds ride as computed columns: the DEGREE bound
-    Σ_v(two cheapest edges at v) ≤ 2·OPT (slack ×2, exact) and the
-    1-TREE bound MST(V∖{0}) + two cheapest edges at 0 ≤ OPT (the
-    MST found by brute force over the 4² = 16 Prüfer trees)."""
-    from itertools import permutations
-
-    def w(a, b):
-        return int(weights[(min(a, b), max(a, b))])
-
-    # Held–Karp over subsets of {1..4}, start/end at 0
-    best_dp = None
-    dp = {}
-    for j in range(1, 5):
-        dp[(1 << j, j)] = w(0, j)
-    for size in range(2, 5):
-        for sub in range(16):
-            S = [j + 1 for j in range(4) if sub >> j & 1]
-            if len(S) != size:
-                continue
-            mask = sum(1 << j for j in S)
-            for j in S:
-                prev_mask = mask ^ (1 << j)
-                dp[(mask, j)] = min(
-                    dp[(prev_mask, k)] + w(k, j)
-                    for k in S if k != j)
-    full = 0b11110
-    best_dp = min(dp[(full, j)] + w(j, 0) for j in range(1, 5))
-
-    best_brute = None
-    for perm in permutations(range(1, 5)):
-        cost = w(0, perm[0]) + sum(
-            w(perm[i], perm[i + 1]) for i in range(3)) + w(perm[3], 0)
-        if best_brute is None or cost < best_brute:
-            best_brute = cost
-    assert best_dp == best_brute, (best_dp, best_brute)
-
-    # degree bound: sum over v of its two cheapest incident edges
-    deg2 = 0
-    for v in range(5):
-        inc = sorted(w(v, u) for u in range(5) if u != v)
-        deg2 += inc[0] + inc[1]
-    assert deg2 <= 2 * best_dp
-
-    # 1-tree: MST over {1..4} by Prüfer brute force + 2 cheapest at 0
-    mst = None
-    for s0 in range(4):
-        for s1 in range(4):
-            seq = [s0, s1]
-            deg = [1] * 4
-            for v in seq:
-                deg[v] += 1
-            cost = 0
-            dd = deg[:]
-            for v in seq:
-                leaf = min(u for u in range(4) if dd[u] == 1)
-                cost += w(leaf + 1, v + 1)
-                dd[leaf] -= 1
-                dd[v] -= 1
-            rest = [u for u in range(4) if dd[u] == 1]
-            cost += w(rest[0] + 1, rest[1] + 1)
-            if mst is None or cost < mst:
-                mst = cost
-    at0 = sorted(w(0, u) for u in range(1, 5))
-    onetree = mst + at0[0] + at0[1]
-    assert onetree <= best_dp
-    out = pd.DataFrame(
-        [(best_dp, 12, 2 * best_dp - deg2, onetree,
-          best_dp - onetree)],
-        columns=["opt_cost", "n_tours", "degree_slack_x2",
-                 "onetree_lb", "onetree_slack"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def ffd_binpack_int(sizes, capacity):
-    """FIRST-FIT DECREASING bin packing — the approximation family's
-    other canonical member (lpt_makespan bounds makespan; FFD bounds
-    bin count, with Dósa's tight FFD ≤ 11/9·OPT + 6/9 pinned against
-    brute-force optima in tests).  Items sorted descending (ties
-    keep input order — stable sort, stated), each placed in the
-    FIRST bin with room, new bin if none.  The size lower bound
-    lb = ⌈total/cap⌉ ships with slack = n_bins − lb ≥ 0 COMPUTED,
-    plus waste = n_bins·cap − total ≥ 0; items larger than the
-    capacity are rejected (asserted — the query's size domain makes
-    them impossible, stated)."""
-    szs = [int(s) for s in sizes]
-    cap = int(capacity)
-    assert all(1 <= s <= cap for s in szs)
-    bins = []
-    for s in sorted(szs, reverse=True):
-        for i, b in enumerate(bins):
-            if b + s <= cap:
-                bins[i] = b + s
-                break
-        else:
-            bins.append(s)
-    total = sum(szs)
-    lb = -(-total // cap) if szs else 0
-    out = pd.DataFrame(
-        [(len(szs), cap, len(bins), lb, len(bins) - lb,
-          len(bins) * cap - total)],
-        columns=["n_items", "capacity", "n_bins_ffd", "lb_size",
-                 "lb_slack", "waste"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def huffman_cost_int(letter_census):
-    """Optimal prefix-code cost by HUFFMAN'S GREEDY (1952) — SOURCE
-    CODING, a family the surface lacked: lz_complexity measures a
-    UNIVERSAL parse; Huffman is the optimal KNOWN-statistics code,
-    and its total cost Σ w_i·len_i equals the sum of the internal
-    node weights created by the merges — a tie-break-invariant
-    integer (every Huffman tree is optimal, so the total is
-    well-defined even though depth profiles differ; stated), which
-    is what lets the mirror carry only a sorted weight multiset.
-    OPTIMALITY is pinned against brute force over ALL binary code
-    trees on small alphabets, and the Shannon bound
-    H ≤ cost/W < H+1 is pinned in floats.  Zero-count letters are
-    excluded (stated); a 1-symbol alphabet costs 0 by the merge
-    definition (no merge happens — the degenerate convention,
-    stated).  Shipped: the cost, the fixed-length baseline
-    W·⌈log₂n⌉ and savings_ppm = 10⁶·cost // fixed (ONE floor)."""
-    ws = sorted(int(n) for _, n in letter_census if int(n) > 0)
-    n = len(ws)
-    total_w = sum(ws)
-    heap = ws[:]
-    cost = 0
-    while len(heap) > 1:
-        heap.sort()
-        a, b = heap[0], heap[1]
-        heap = heap[2:] + [a + b]
-        cost += a + b
-    fixed_bits = 0 if n <= 1 else (n - 1).bit_length()
-    fixed = total_w * fixed_bits
-    out = pd.DataFrame(
-        [(n, total_w, cost, fixed,
-          1_000_000 * cost // fixed if fixed else 0)],
-        columns=["n_symbols", "total_weight", "huffman_cost",
-                 "fixed_cost", "savings_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def coupon_collector_micro(n_types, completion_draws):
-    """COUPON-COLLECTOR occupancy arithmetic: expected draws to see
-    all n types is n·H_n; the micro chain Σ_k ⌊10⁶·n / k⌋ floors
-    once per harmonic term (the group_testing discipline — drift
-    DOWN by < n micro vs the exact rational, bracketed in tests).
-    ratio_ppm = 10¹²·observed // expected_micro compares the
-    corpus's actual completion time against the theory."""
-    n = int(n_types)
-    obs = int(completion_draws)
-    exp_micro = sum(1_000_000 * n // k for k in range(1, n + 1))
-    out = pd.DataFrame(
-        [(n, obs, exp_micro,
-          10 ** 12 * obs // exp_micro if exp_micro else 0)],
-        columns=["n_types", "completion_draws", "expected_micro",
-                 "ratio_ppm"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-BATCHER8 = [(0, 1), (2, 3), (4, 5), (6, 7),
-            (0, 2), (1, 3), (4, 6), (5, 7),
-            (1, 2), (5, 6),
-            (0, 4), (1, 5), (2, 6), (3, 7),
-            (2, 4), (3, 5),
-            (1, 2), (3, 4), (5, 6)]
-
-
-def batcher_sort_int(values):
-    """Batcher ODD-EVEN MERGESORT network on 8 wires — SORTING
-    NETWORKS / data-oblivious parallel algorithms, a family the
-    surface lacked: every other sort here is data-dependent; a
-    network is a FIXED sequence of 19 compare-exchange gates whose
-    correctness on ALL inputs follows from the 0-1 PRINCIPLE
-    (correct on all 2⁸ binary vectors ⇒ correct on everything —
-    pinned EXHAUSTIVELY in tests).  Ships one row per wire with the
-    input and output values, the per-instance is_sorted certificate
-    (computed by scanning the output, not assumed), and the gate
-    count.  The mirror replays the identical gate list as generated
-    chained least/greatest CTEs."""
-    v = [int(x) for x in values]
-    assert len(v) == 8
-    inp = v[:]
-    for (a, b) in BATCHER8:
-        if v[a] > v[b]:
-            v[a], v[b] = v[b], v[a]
-    ok = 1 if all(v[i] <= v[i + 1] for i in range(7)) else 0
-    assert ok == 1
-    out = pd.DataFrame(
-        [(i, inp[i], v[i], ok, len(BATCHER8)) for i in range(8)],
-        columns=["wire", "in_value", "out_value", "is_sorted",
-                 "n_comparators"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-VITERBI_W = [[3, 1], [1, 3]]   # sticky transition weights
-VITERBI_E = [[3, 1], [1, 3]]   # emission weights E[state][obs]
-
-
-def viterbi_decode_int(obs):
-    """Exact MAX-PRODUCT Viterbi decoding of a 2-state HMM over the
-    hourly parity observations — PROBABILISTIC GRAPHICAL MODELS, a
-    family the surface lacked: naive_bayes scores i.i.d. features
-    and markov_kstep folds a chain forward; Viterbi finds the single
-    best LATENT PATH, and integer weights (sticky 3/1 transitions,
-    3/1 emissions — design constants shared with the mirror) make
-    every score an exact integer (≤ 3·9²³ < 2¹²⁸, HUGEINT envelope
-    stated).  Ties → lower state index, stated.  The carry-the-path
-    trick (each state drags its argmax path string) replaces
-    backtracking — what lets the mirror be ONE forward recursive
-    CTE.  Certificates: the decoded score ≥ both constant paths'
-    scores, COMPUTED and shipped as flags; exhaustive optimality
-    over all 2^T paths pinned in tests at T = 8."""
-    T = len(obs)
-    obs = [int(o) & 1 for o in obs]
-    if T == 0:
-        return pd.DataFrame(columns=[
-            "t", "obs", "state", "n_switches", "beats_const0",
-            "beats_const1"]).astype("int64")
-    v = [VITERBI_E[s][obs[0]] for s in range(2)]
-    path = ["0", "1"]
-    for t in range(1, T):
-        nv, np_ = [], []
-        for s in range(2):
-            cand = [v[sp] * VITERBI_W[sp][s] for sp in range(2)]
-            sp = 0 if cand[0] >= cand[1] else 1  # tie -> lower
-            nv.append(cand[sp] * VITERBI_E[s][obs[t]])
-            np_.append(path[sp] + str(s))
-        v, path = nv, np_
-    best = 0 if v[0] >= v[1] else 1
-    dec = [int(c) for c in path[best]]
-
-    def score(states):
-        sc = VITERBI_E[states[0]][obs[0]]
-        for t in range(1, T):
-            sc *= VITERBI_W[states[t - 1]][states[t]] \
-                * VITERBI_E[states[t]][obs[t]]
-        return sc
-
-    sc_best = v[best]
-    assert sc_best == score(dec)
-    b0 = 1 if sc_best >= score([0] * T) else 0
-    b1 = 1 if sc_best >= score([1] * T) else 0
-    assert b0 == 1 and b1 == 1
-    sw = sum(1 for t in range(1, T) if dec[t] != dec[t - 1])
-    out = pd.DataFrame(
-        [(t, obs[t], dec[t], sw, b0, b1) for t in range(T)],
-        columns=["t", "obs", "state", "n_switches", "beats_const0",
-                 "beats_const1"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def rule90_ring_int(bits, steps=8):
-    """Elementary cellular automaton RULE 90 on the 24-cell ring —
-    ADDITIVE CA, a family the surface lacked: heat_diffusion evolves
-    a LINEAR (averaging) grid; rule 90 is the GF(2) linear one
-    (cell' = left XOR right), so SUPERPOSITION holds exactly
-    (CA(a⊕b) = CA(a)⊕CA(b), pinned in tests along with the
-    Pascal-triangle single-seed evolution).  The ring state is ONE
-    24-bit integer; a step is two rotates and an xor — identical in
-    both engines.  The visible theorem: after ANY step, every
-    reachable state has EVEN weight (each cell feeds exactly two
-    neighbours, so the new total parity XORs every bit twice) —
-    even_weight is COMPUTED on the evolved state and asserted."""
-    n = 24
-    m = 0
-    for i, b in enumerate(bits):
-        if int(b) & 1:
-            m |= 1 << i
-    m0 = m
-    mask = (1 << n) - 1
-    for _ in range(int(steps)):
-        left = ((m << 1) & mask) | (m >> (n - 1))
-        right = (m >> 1) | ((m & 1) << (n - 1))
-        m = left ^ right
-    even = 1 if bin(m).count("1") % 2 == 0 else 0
-    if steps >= 1:
-        assert even == 1
-    out = pd.DataFrame(
-        [(i, (m0 >> i) & 1, (m >> i) & 1, even)
-         for i in range(n)],
-        columns=["cell", "bit0", "bit_t", "even_weight"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-MR_BASES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
-
-
-def miller_rabin_int(candidates):
-    """Deterministic MILLER-RABIN primality over the corpus-derived
-    odd candidates — COMPUTATIONAL NUMBER THEORY, a family the
-    surface lacked (cf_convergents is Diophantine approximation;
-    this is modular arithmetic): the 12 bases 2..37 are a proven
-    deterministic witness set for every n < 3.3·10²⁴ (Sorenson &
-    Webster), far above any corpus-derived candidate — stated.
-    Per candidate: strong-probable-prime test to every base
-    (n−1 = d·2^s; pass iff a^d ≡ 1 or a^(d·2^j) ≡ −1 for some
-    j < s), is_prime = all bases pass, plus small_factor = the
-    least PROPER divisor < 1000 (0 if none) as the cross-checkable
-    certificate: is_prime = 1 forces small_factor = 0, and every
-    composite with a small factor is caught by both routes
-    (agreement asserted in-kernel; exhaustive sieve pin < 3·10⁴
-    plus random draws < 10⁹ in tests — both far inside the proven
-    deterministic range).  Mirror: recursive square-and-multiply
-    modpow + the squaring chain per (candidate, base)."""
-    rows = []
-    for n in candidates:
-        n = int(n)
-        assert n % 2 == 1 and n > 37
-        d, s = n - 1, 0
-        while d % 2 == 0:
-            d //= 2
-            s += 1
-        passes = 0
-        for a in MR_BASES:
-            x = pow(a % n, d, n)
-            ok = x == 1 or x == n - 1
-            for _ in range(s - 1):
-                if ok:
-                    break
-                x = x * x % n
-                if x == n - 1:
-                    ok = True
-            passes += 1 if ok else 0
-        is_prime = 1 if passes == len(MR_BASES) else 0
-        small = 0
-        for f in range(2, min(1000, n)):
-            if n % f == 0:
-                small = f
-                break
-        if is_prime:
-            assert small == 0
-        if small:
-            assert is_prime == 0
-        rows.append((n, is_prime, passes, small))
-    out = pd.DataFrame(rows, columns=["n", "is_prime",
-                                      "n_sprp_bases",
-                                      "small_factor"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def konig_matching_int(edges):
-    """Maximum bipartite matching = minimum vertex cover — KÖNIG'S
-    THEOREM (1931) as the oracle, the bipartite sibling of
-    maxflow_mincut's LP duality: ``edges`` ⊆ {0..4}×{0..4} (left =
-    regions, right = segments).  The kernel computes the matching by
-    Hungarian augmenting paths AND the min cover by brute force over
-    all 2¹⁰ vertex subsets (tie → smallest mask, bits 0-4 left /
-    5-9 right); the mirror enumerates the SAME subsets in SQL —
-    agreement per instance IS König's theorem.  konig_gap is
-    COMPUTED and asserted 0."""
-    edges = sorted(set((int(a), int(b)) for a, b in edges))
-    adj = {}
-    for a, b in edges:
-        adj.setdefault(a, []).append(b)
-
-    match_r = {}
-
-    def augment(a, seen):
-        for b in adj.get(a, []):
-            if b in seen:
-                continue
-            seen.add(b)
-            if b not in match_r or augment(match_r[b], seen):
-                match_r[b] = a
-                return True
-        return False
-
-    matching = 0
-    for a in sorted(adj):
-        if augment(a, set()):
-            matching += 1
-
-    best, best_mask = None, None
-    for mask in range(1 << 10):
-        if all((mask >> a) & 1 or (mask >> (5 + b)) & 1
-               for a, b in edges):
-            size = bin(mask).count("1")
-            if best is None or size < best:
-                best, best_mask = size, mask
-    gap = best - matching
-    assert gap == 0, (best, matching)
-    out = pd.DataFrame(
-        [(matching, best, gap, best_mask, len(edges))],
-        columns=["max_matching", "min_cover", "konig_gap",
-                 "cover_mask", "n_edges"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def convex_hull_int(points):
-    """Planar convex hull over the corpus-derived integer points —
-    COMPUTATIONAL GEOMETRY, a family the surface lacked entirely
-    (spatial_knn/grid_spatial_join bucket coordinates, no geometric
-    structure): Andrew's monotone chain (1979) builds the hull in
-    O(n log n), and every vertex flag is cross-certified against
-    the EXTREME-POINT characterization p is a vertex iff
-    p ∉ conv(S∖{p}) — by Carathéodory in the plane, iff no closed
-    NON-DEGENERATE triangle of other points contains p and p lies
-    on no closed segment between two other points (the degenerate
-    cases: duplicates removed up front, collinear runs caught by
-    the segment test).  diam2 = max squared distance over ALL
-    distinct pairs — equal to the vertex-pair maximum because the
-    diameter of a set is attained at extreme points (stated), so
-    the mirror needs no hull ORDER at all; the chain==brute
-    agreement is asserted per instance, shoelace area2 == 0 iff
-    hull_size <= 2 likewise.  Mirror: the same brute
-    characterization as EXISTS over segment pairs and signed-area
-    triple tests."""
-    pts = sorted(set((int(x), int(y)) for x, y in points))
-
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) \
-            - (a[1] - o[1]) * (b[0] - o[0])
-
-    if len(pts) <= 2:
-        hull = list(pts)
-    else:
-        lower = []
-        for p in pts:
-            while len(lower) >= 2 and \
-                    cross(lower[-2], lower[-1], p) <= 0:
-                lower.pop()
-            lower.append(p)
-        upper = []
-        for p in reversed(pts):
-            while len(upper) >= 2 and \
-                    cross(upper[-2], upper[-1], p) <= 0:
-                upper.pop()
-            upper.append(p)
-        hull = lower[:-1] + upper[:-1]
-    hset = set(hull)
-
-    from itertools import combinations
-    for p in pts:
-        others = [q for q in pts if q != p]
-        notv = False
-        for q, r in combinations(others, 2):
-            if cross(q, r, p) == 0 and \
-                    (p[0] - q[0]) * (p[0] - r[0]) \
-                    + (p[1] - q[1]) * (p[1] - r[1]) <= 0:
-                notv = True
-                break
-        if not notv:
-            for q, r, s in combinations(others, 3):
-                if cross(q, r, s) == 0:
-                    continue
-                d1 = cross(q, r, p)
-                d2 = cross(r, s, p)
-                d3 = cross(s, q, p)
-                neg = d1 < 0 or d2 < 0 or d3 < 0
-                pos = d1 > 0 or d2 > 0 or d3 > 0
-                if not (neg and pos):
-                    notv = True
-                    break
-        assert (p in hset) == (not notv), p
-
-    area2 = abs(sum(hull[i][0] * hull[(i + 1) % len(hull)][1]
-                    - hull[(i + 1) % len(hull)][0] * hull[i][1]
-                    for i in range(len(hull)))) if hull else 0
-    assert (area2 == 0) == (len(hull) <= 2)
-    diam2 = max(((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
-                 for a in pts for b in pts), default=0)
-    if len(pts) > 1:
-        vd = max((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
-                 for a in hull for b in hull)
-        assert vd == diam2
-
-    out = pd.DataFrame(
-        [(x, y, 1 if (x, y) in hset else 0, len(hull), diam2,
-          len(pts)) for x, y in pts],
-        columns=["x", "y", "is_vertex", "hull_size", "diam2",
-                 "n_distinct"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def josephus_int(k, n_max=40):
-    """The JOSEPHUS elimination circle for every n = 1..n_max at
-    corpus-derived step k — COMBINATORIAL ELIMINATION RECURRENCES,
-    a family the surface lacked (secretary_stop is optimal
-    stopping; this is exact survivor position): J(1) = 0,
-    J(n) = (J(n-1) + k) mod n, and the kernel SIMULATES the actual
-    circle (pop every k-th, 0-indexed) for every n asserting the
-    recurrence per instance — the algorithm and its closed
-    recurrence cross-certify.  The k = 2 bit-rotation closed form
-    J(2^m + l) = 2l is pinned in tests.  Mirror: ONE forward
-    recursive CTE on the recurrence."""
-    k = int(k)
-    assert k >= 1
-    rows, j = [], 0
-    for n in range(1, n_max + 1):
-        j = 0 if n == 1 else (j + k) % n
-        people, idx = list(range(n)), 0
-        while len(people) > 1:
-            idx = (idx + k - 1) % len(people)
-            people.pop(idx)
-        assert people[0] == j, (n, k, people[0], j)
-        rows.append((n, j, k))
-    out = pd.DataFrame(rows, columns=["n", "survivor", "k"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _next_prime_2mod3(x):
-    """Least prime p >= x with p % 3 == 2 (so gcd(3, p-1) = 1 and
-    e = 3 is a valid RSA exponent) — shared derivation, stated."""
-    p = max(int(x), 5)
-    while True:
-        if p % 3 == 2 and all(p % f for f in range(2, int(p ** 0.5) + 1)):
-            return p
-        p += 1
-
-
-def rsa_crt_int(seed_p, seed_q, messages):
-    """Toy RSA round-trip with CRT decryption — PUBLIC-KEY
-    CRYPTOGRAPHY, a family the surface lacked (index_coincidence is
-    classical-cipher cryptanalysis; luhn/crc/hamming are checksums
-    and channel codes; nothing here was asymmetric): p, q = least
-    primes >= the corpus seeds with p ≡ 2 (mod 3) — the congruence
-    guarantees gcd(3, p−1) = 1 so e = 3 is valid, and makes the
-    private exponent a CLOSED FORM d = (2φ+1)/3 if φ ≡ 1 (mod 3)
-    else (φ+1)/3 (φ = (p−1)(q−1) is never ≡ 0: both engines use
-    the same formula, stated).  Per message m < n: c = m³ mod n,
-    decrypt TWICE — directly m' = c^d mod n, and by CRT/Garner
-    (m_p = c^(d mod p−1) mod p, m_q likewise, q_inv = q^(p−2) mod p
-    by Fermat, m = m_q + q·((q_inv·(m_p − m_q)) mod p)) — Euler's
-    theorem says both give m back, asserted per message
-    (roundtrip_ok, crt_agree COMPUTED).  Mirror: the same
-    next-prime search and modpow chains in recursive SQL."""
-    p = _next_prime_2mod3(seed_p)
-    q = _next_prime_2mod3(seed_q)
-    if q == p:
-        q = _next_prime_2mod3(p + 1)
-    n, phi = p * q, (p - 1) * (q - 1)
-    assert phi % 3 != 0
-    d = (2 * phi + 1) // 3 if phi % 3 == 1 else (phi + 1) // 3
-    assert (3 * d) % phi == 1
-    q_inv = pow(q, p - 2, p)
-    assert (q_inv * q) % p == 1
-    rows = []
-    for i, m in enumerate(messages):
-        m = int(m) % n
-        c = pow(m, 3, n)
-        md = pow(c, d, n)
-        mp = pow(c, d % (p - 1), p)
-        mq = pow(c, d % (q - 1), q)
-        mcrt = mq + q * ((q_inv * (mp - mq)) % p)
-        assert md == m, (m, md)
-        assert mcrt == md
-        rows.append((i, m, c, p, q, n, d,
-                     1 if md == m else 0,
-                     1 if mcrt == md else 0))
-    out = pd.DataFrame(rows, columns=["i", "m", "c", "p", "q", "n",
-                                      "d", "roundtrip_ok",
-                                      "crt_agree"])
-    for col in out.columns:
-        out[col] = out[col].astype("int64")
-    return out
-
-
-def simpson_cubic_int(a, b, c, d):
-    """Composite Simpson quadrature of the corpus-seeded cubic
-    f(t) = a·t³ + b·t² + c·t + d over [0, 24] with 8 panels
-    (h = 3, so h/3 = 1 and the rule is the INTEGER weighted sum
-    1,4,2,...,4,1) — NUMERICAL QUADRATURE, a family the surface
-    lacked (heat_diffusion evolves a PDE; nothing integrated):
-    Simpson's error term carries f⁗, so on a cubic the rule is
-    EXACT — simpson == the closed-form integral
-    a·24⁴/4 + b·24³/3 + c·24²/2 + d·24 (all integer because
-    4 | 24⁴·... design choice), asserted.  The trapezoid rule is
-    NOT exact, and Euler–Maclaurin says its error on a cubic is
-    EXACTLY h²/12·(f′(24) − f′(0)) (the f‴ term cancels — f‴ is
-    constant): trap_gap = 2T − 2I == 2·(1296a + 36b) asserted,
-    carried doubled to stay integral.  Mirror: the same integer
-    arithmetic over generate_series."""
-    a, b, c, d = int(a), int(b), int(c), int(d)
-
-    def f(t):
-        return a * t ** 3 + b * t ** 2 + c * t + d
-
-    simpson = sum(w * f(3 * i) for i, w in enumerate(
-        [1, 4, 2, 4, 2, 4, 2, 4, 1]))
-    exact = a * 24 ** 4 // 4 + b * 24 ** 3 // 3 \
-        + c * 24 ** 2 // 2 + d * 24
-    twice_trap = 3 * sum(w * f(3 * i) for i, w in enumerate(
-        [1, 2, 2, 2, 2, 2, 2, 2, 1]))
-    assert simpson == exact
-    trap_gap = twice_trap - 2 * exact
-    assert trap_gap == 2 * (1296 * a + 36 * b)
-    out = pd.DataFrame(
-        [(a, b, c, d, simpson, exact, twice_trap, trap_gap)],
-        columns=["a", "b", "c", "d", "simpson", "exact_integral",
-                 "twice_trap", "trap_gap"])
-    for col in out.columns:
-        out[col] = out[col].astype("int64")
-    return out
-
-
-RAMSEY_EDGES = [(i, j) for i in range(6) for j in range(i + 1, 6)]
-RAMSEY_EIDX = {e: k for k, e in enumerate(RAMSEY_EDGES)}
-RAMSEY_TRIS = [(i, j, k) for i in range(6) for j in range(i + 1, 6)
-               for k in range(j + 1, 6)]
-
-
-def ramsey_k6_int(bits):
-    """Two-coloring of K6's 15 edges from the corpus parity census —
-    RAMSEY THEORY, a family the surface lacked (necklace_count is
-    symmetry counting; this is unavoidable-structure): R(3,3) = 6
-    says EVERY 2-coloring contains a monochromatic triangle, and
-    GOODMAN (1959) sharpens it — at least 2 of the 20 triangles are
-    mono, via the angle identity #mono = 20 − ½·Σ_v r_v(5−r_v)
-    (each bichromatic triangle has exactly two bichromatic angles;
-    the sum is always even) — the identity is COMPUTED per instance
-    and asserted, and the bound is verified EXHAUSTIVELY: the
-    kernel minimizes mono count over ALL 2¹⁵ colorings and asserts
-    the minimum is exactly 2 (attained), the mirror re-runs the
-    same 32768-coloring sweep in SQL.  Output: one row per
-    triangle + the census coloring's mono total, the Goodman
-    formula value, and the global minimum."""
-    bits = [int(b) & 1 for b in bits]
-    assert len(bits) == 15
-
-    def mono_count(bb):
-        c = 0
-        for i, j, k in RAMSEY_TRIS:
-            e1 = bb[RAMSEY_EIDX[(i, j)]]
-            e2 = bb[RAMSEY_EIDX[(i, k)]]
-            e3 = bb[RAMSEY_EIDX[(j, k)]]
-            if e1 == e2 == e3:
-                c += 1
-        return c
-
-    total = mono_count(bits)
-    rdeg = [sum(bits[RAMSEY_EIDX[(min(v, u), max(v, u))]]
-                for u in range(6) if u != v) for v in range(6)]
-    ang = sum(r * (5 - r) for r in rdeg)
-    assert ang % 2 == 0
-    formula = 20 - ang // 2
-    assert formula == total
-    assert total >= 2
-
-    gmin = min(mono_count([(m >> e) & 1 for e in range(15)])
-               for m in range(1 << 15))
-    assert gmin == 2
-
-    rows = []
-    for i, j, k in RAMSEY_TRIS:
-        e1 = bits[RAMSEY_EIDX[(i, j)]]
-        e2 = bits[RAMSEY_EIDX[(i, k)]]
-        e3 = bits[RAMSEY_EIDX[(j, k)]]
-        rows.append((i, j, k, 1 if e1 == e2 == e3 else 0,
-                     total, formula, gmin))
-    out = pd.DataFrame(rows, columns=["i", "j", "k", "mono",
-                                      "mono_total", "mono_formula",
-                                      "min_all_colorings"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-SHAMIR_P = 103
-
-
-def shamir_shares_int(secret, a1, a2):
-    """Shamir (3, 6) secret sharing over GF(103) — SECRET SHARING /
-    polynomial interpolation, a family the surface lacked (rsa_crt
-    is public-key; this is information-theoretic): the degree-2
-    polynomial f(x) = s + a1·x + a2·x² mod p evaluated at x = 1..6
-    gives 6 shares; EVERY 3-subset (all C(6,3) = 20 of them)
-    reconstructs s by Lagrange interpolation at 0 — asserted per
-    subset (the THRESHOLD property), and PERFECT SECRECY is
-    verified exhaustively for the pair (1, 2): for every candidate
-    secret s' in GF(p) the 3×3 Vandermonde system through the two
-    shares and f(0) = s' has exactly one solution, so two shares
-    reveal NOTHING (asserted over all 103 candidates).  Mirror:
-    the same Lagrange sum with inverses found by the list brute
-    z·a ≡ 1 (p is tiny, stated)."""
-    p = SHAMIR_P
-    s, a1, a2 = int(secret) % p, int(a1) % p, int(a2) % p
-
-    def f(x):
-        return (s + a1 * x + a2 * x * x) % p
-
-    shares = {x: f(x) for x in range(1, 7)}
-
-    from itertools import combinations
-    rows = []
-    for xs in combinations(range(1, 7), 3):
-        rec = 0
-        for xi in xs:
-            num, den = 1, 1
-            for xj in xs:
-                if xj != xi:
-                    num = num * xj % p
-                    den = den * (xj - xi) % p
-            rec = (rec + shares[xi] * num
-                   * pow(den % p, p - 2, p)) % p
-        assert rec == s, (xs, rec, s)
-        rows.append((xs[0], xs[1], xs[2], shares[xs[0]],
-                     shares[xs[1]], shares[xs[2]], rec, s,
-                     1 if rec == s else 0))
-
-    # perfect secrecy at the pair (1, 2): every candidate secret is
-    # consistent with exactly one degree-2 polynomial
-    for sp in range(p):
-        sols = 0
-        for b1 in range(p):
-            b2 = (shares[1] - sp - b1) % p
-            if (sp + b1 * 2 + b2 * 4) % p == shares[2]:
-                sols += 1
-        assert sols == 1, sp
-
-    out = pd.DataFrame(rows, columns=["x1", "x2", "x3", "y1", "y2",
-                                      "y3", "recovered", "secret",
-                                      "ok"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def twosat_int(clauses):
-    """2-SAT over 8 variables — SATISFIABILITY / complexity theory,
-    a family the surface lacked (konig_cover is duality,
-    maxflow_mincut is LP; this is the tractable face of SAT):
-    clauses are (a, sa, b, sb) meaning (x_a = sa) OR (x_b = sb).
-    The kernel decides satisfiability TWICE — by the
-    Aspvall-Plass-Tarjan implication-graph SCC criterion (linear
-    time; x and NOT-x in one strongly connected component iff
-    unsatisfiable) with Tarjan's algorithm implemented directly,
-    AND by the exhaustive 2^8 assignment sweep — and asserts the
-    two verdicts agree; the SCC-derived assignment (reverse
-    topological component order) is checked against every clause
-    when satisfiable.  The EMITTED certificate is sweep-canonical
-    so the SQL mirror can re-derive it without Tarjan: the
-    assignment mask maximizing #satisfied clauses, ties -> smallest
-    mask (a satisfying assignment whenever one exists, and the
-    exact MAX-2-SAT optimum otherwise).  Output: one row per
-    clause with its satisfied-under-canonical-mask flag plus the
-    global (satisfiable, n_sat_assignments, max_satisfiable,
-    canonical_mask) columns."""
-    n = 8
-    m = len(clauses)
-    clauses = [(int(a) % n, int(sa) & 1, int(b) % n, int(sb) & 1)
-               for a, sa, b, sb in clauses]
-
-    # --- implication graph: node 2v = (x_v true), 2v+1 = (x_v false)
-    def lit_node(v, s):
-        return 2 * v + (0 if s else 1)
-
-    adj = [[] for _ in range(2 * n)]
-    for a, sa, b, sb in clauses:
-        # (a=sa) OR (b=sb): not(a=sa) -> (b=sb), not(b=sb) -> (a=sa)
-        adj[lit_node(a, 1 - sa)].append(lit_node(b, sb))
-        adj[lit_node(b, 1 - sb)].append(lit_node(a, sa))
-
-    # Tarjan SCC (iterative)
-    index = [None] * (2 * n)
-    low = [0] * (2 * n)
-    on_stack = [False] * (2 * n)
-    comp = [-1] * (2 * n)
-    stack, counter, ncomp = [], [0], [0]
-
-    def strongconnect(v0):
-        work = [(v0, 0)]
-        while work:
-            v, pi = work.pop()
-            if pi == 0:
-                index[v] = low[v] = counter[0]
-                counter[0] += 1
-                stack.append(v)
-                on_stack[v] = True
-            recurse = False
-            for i in range(pi, len(adj[v])):
-                w = adj[v][i]
-                if index[w] is None:
-                    work.append((v, i + 1))
-                    work.append((w, 0))
-                    recurse = True
-                    break
-                elif on_stack[w]:
-                    low[v] = min(low[v], index[w])
-            if not recurse:
-                if low[v] == index[v]:
-                    while True:
-                        w = stack.pop()
-                        on_stack[w] = False
-                        comp[w] = ncomp[0]
-                        low[w] = low[v]
-                        if w == v:
-                            break
-                    ncomp[0] += 1
-                if work:
-                    pv = work[-1][0]
-                    low[pv] = min(low[pv], low[v])
-
-    for v in range(2 * n):
-        if index[v] is None:
-            strongconnect(v)
-
-    scc_sat = all(comp[2 * v] != comp[2 * v + 1] for v in range(n))
-    if scc_sat:
-        # Tarjan numbers components in REVERSE topological order, so
-        # x_v = (comp[x_v] < comp[not x_v]) is the standard assignment
-        scc_assign = [1 if comp[2 * v] < comp[2 * v + 1] else 0
-                      for v in range(n)]
-        for a, sa, b, sb in clauses:
-            assert scc_assign[a] == sa or scc_assign[b] == sb
-
-    # --- exhaustive sweep (the mirror's route)
-    best_cnt, best_mask, n_sat = -1, -1, 0
-    for mask in range(1 << n):
-        cnt = 0
-        for a, sa, b, sb in clauses:
-            if ((mask >> a) & 1) == sa or ((mask >> b) & 1) == sb:
-                cnt += 1
-        if cnt == m:
-            n_sat += 1
-        if cnt > best_cnt:
-            best_cnt, best_mask = cnt, mask
-    sweep_sat = n_sat > 0
-    assert scc_sat == sweep_sat
-    assert sweep_sat == (best_cnt == m)
-
-    rows = []
-    for idx, (a, sa, b, sb) in enumerate(clauses):
-        sat_flag = 1 if (((best_mask >> a) & 1) == sa
-                         or ((best_mask >> b) & 1) == sb) else 0
-        rows.append((idx, a, sa, b, sb, sat_flag,
-                     1 if sweep_sat else 0, n_sat, best_cnt,
-                     best_mask))
-    out = pd.DataFrame(rows, columns=["clause", "a", "sa", "b",
-                                      "sb", "sat_under_canonical",
-                                      "satisfiable",
-                                      "n_sat_assignments",
-                                      "max_satisfiable",
-                                      "canonical_mask"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-NIM_MAX_HEAP = 15
-
-
-def nim_grundy_int(positions):
-    """Sprague-Grundy values of 3-heap Nim — COMBINATORIAL GAME
-    THEORY, a family the surface lacked (zerosum_value is von
-    Neumann matrix games, penney_game is nontransitive odds; this
-    is the additive theory of perfect-information games): the
-    kernel computes grundy(a,b,c) for ALL (max+1)^3 positions by
-    the mex recursion over the move graph (reduce any one heap),
-    then asserts BOUTON 1901 exhaustively — grundy == a XOR b XOR c
-    everywhere, and P-positions (previous-player wins, grundy 0)
-    are exactly the zero-XOR positions.  Per input position it
-    emits the DP grundy value, the XOR, the P/N verdict, and the
-    lexicographically first winning move (heap index 1..3 and the
-    new size — the move to XOR 0 that Bouton's proof constructs),
-    (-1, -1) at P-positions where every move loses.  The mirror
-    re-derives everything from the XOR closed form (bit ops +
-    the CASE chain for the first reducible heap) — theorem vs
-    game-tree DP, cross-certified per instance."""
-    mx = NIM_MAX_HEAP
-    grundy = {}
-    for a in range(mx + 1):
-        for b in range(mx + 1):
-            for c in range(mx + 1):
-                opts = set()
-                for na in range(a):
-                    opts.add(grundy[(na, b, c)])
-                for nb in range(b):
-                    opts.add(grundy[(a, nb, c)])
-                for nc in range(c):
-                    opts.add(grundy[(a, b, nc)])
-                g = 0
-                while g in opts:
-                    g += 1
-                grundy[(a, b, c)] = g
-                assert g == a ^ b ^ c, (a, b, c, g)
-
-    rows = []
-    for i, (a, b, c) in enumerate(positions):
-        a, b, c = int(a) % (mx + 1), int(b) % (mx + 1), \
-            int(c) % (mx + 1)
-        g = grundy[(a, b, c)]
-        x = a ^ b ^ c
-        assert g == x
-        if x == 0:
-            mh, ms = -1, -1
-            # every move leaves a nonzero XOR (P-position): spot-check
-            for na in range(a):
-                assert na ^ b ^ c != 0
-        else:
-            mh, ms = -1, -1
-            for h, (own, others) in enumerate(
-                    [(a, b ^ c), (b, a ^ c), (c, a ^ b)], start=1):
-                if others < own:
-                    mh, ms = h, others
-                    break
-            assert mh != -1  # Bouton: some heap has high bit of x
-            nt = [a, b, c]
-            nt[mh - 1] = ms
-            assert nt[0] ^ nt[1] ^ nt[2] == 0
-        rows.append((i, a, b, c, g, x, 1 if x == 0 else 0, mh, ms))
-    out = pd.DataFrame(rows, columns=["pos", "a", "b", "c",
-                                      "grundy", "xor_value",
-                                      "is_p_position",
-                                      "win_move_heap",
-                                      "win_move_newsize"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PARTITION_NMAX = 40
-
-
-def partition_numbers_int(hour_mods):
-    """Integer-partition counts p(n) — PARTITION THEORY, a family
-    the surface lacked (necklace_count counts orbits, josephus is
-    an elimination recurrence; this is additive combinatorics'
-    central function): the kernel computes p(0..40) TWICE — by the
-    parts-DP (unbounded coin-style fold) and by EULER's pentagonal
-    number theorem p(n) = Σ_k (−1)^{k−1} [p(n−k(3k−1)/2) +
-    p(n−k(3k+1)/2)] — and asserts the two tables agree entry-wise;
-    EULER's distinct-equals-odd identity (partitions into distinct
-    parts == partitions into odd parts) is verified for every
-    n ≤ 40 by two further independent DPs.  Input: (h, n) pairs
-    with n ≤ 40; output one row per hour with p(n).  The mirror
-    re-runs the PENTAGONAL recurrence as a recursive list-carrying
-    CTE — DP vs theorem, one route per engine."""
-    N = PARTITION_NMAX
-
-    dp = [0] * (N + 1)
-    dp[0] = 1
-    for part in range(1, N + 1):
-        for i in range(part, N + 1):
-            dp[i] += dp[i - part]
-
-    pp = [0] * (N + 1)
-    pp[0] = 1
-    for n in range(1, N + 1):
-        s, k = 0, 1
-        while True:
-            g1 = k * (3 * k - 1) // 2
-            if g1 > n:
-                break
-            sign = 1 if k % 2 == 1 else -1
-            term = pp[n - g1]
-            g2 = k * (3 * k + 1) // 2
-            if g2 <= n:
-                term += pp[n - g2]
-            s += sign * term
-            k += 1
-        pp[n] = s
-    assert pp == dp, "pentagonal recurrence != parts DP"
-
-    dq = [0] * (N + 1)          # distinct parts (0/1 each)
-    dq[0] = 1
-    for part in range(1, N + 1):
-        for i in range(N, part - 1, -1):
-            dq[i] += dq[i - part]
-    do_ = [0] * (N + 1)         # odd parts, unbounded
-    do_[0] = 1
-    for part in range(1, N + 1, 2):
-        for i in range(part, N + 1):
-            do_[i] += do_[i - part]
-    assert dq == do_, "Euler distinct != odd"
-
-    rows = [(int(h), int(n), dp[int(n)], dq[int(n)])
-            for h, n in hour_mods]
-    out = pd.DataFrame(rows, columns=["h", "n", "p_n",
-                                      "p_distinct"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-FOUR_SQ_NMAX = 200
-
-
-def four_squares_int(hour_mods):
-    """Sums of four squares — ADDITIVE NUMBER THEORY / theta-series
-    arithmetic, a family the surface lacked (miller_rabin is
-    multiplicative, rsa_crt is congruential; this is representation
-    counting): the kernel enumerates the FULL signed lattice grid
-    [−14,14]^4 (707k points) with one vectorized bincount, giving
-    r4(n) = #{(a,b,c,d) ∈ Z^4 : Σ a_i² = n} for every n ≤ 200, and
-    asserts JACOBI's theorem exhaustively — r4(n) = 8·σ'(n) with
-    σ'(n) the sum of divisors NOT divisible by 4 — for all
-    1 ≤ n ≤ 200 (the theorem verified in full, not sampled);
-    LAGRANGE's four-square theorem rides along as r4(n) > 0
-    everywhere, witnessed per input row by the lexicographically
-    smallest 0 ≤ a ≤ b ≤ c ≤ d representation.  The mirror
-    re-enumerates the same signed grid in SQL (group-by-sum) and
-    reads the witness off the ordered-quadruple join — enumeration
-    vs enumeration, with the 8·σ' identity visible cross-engine as
-    the r4/sigma_no4 column pair."""
-    N = FOUR_SQ_NMAX
-    B = math.isqrt(N)
-    r = np.arange(-B, B + 1)
-    sq = r * r
-    g = (sq[:, None, None, None] + sq[None, :, None, None]
-         + sq[None, None, :, None] + sq[None, None, None, :])
-    counts = np.bincount(g.ravel(), minlength=4 * B * B + 1)
-
-    def sigma_no4(n):
-        return sum(d for d in range(1, n + 1)
-                   if n % d == 0 and d % 4 != 0)
-
-    for n in range(1, N + 1):
-        assert counts[n] == 8 * sigma_no4(n), n
-        assert counts[n] > 0  # Lagrange
-
-    def witness(n):
-        # range bounds keep every remainder non-negative
-        for a in range(math.isqrt(n // 4) + 1):
-            ra = n - a * a
-            for b in range(a, math.isqrt(ra) + 1):
-                rb = ra - b * b
-                for c_ in range(b, math.isqrt(rb) + 1):
-                    rc = rb - c_ * c_
-                    d = math.isqrt(rc)
-                    if d * d == rc and d >= c_:
-                        return a, b, c_, d
-        raise AssertionError(n)
-
-    rows = []
-    for h, n in hour_mods:
-        n = int(n)
-        wa, wb, wc, wd = witness(n)
-        assert wa * wa + wb * wb + wc * wc + wd * wd == n
-        rows.append((int(h), n, int(counts[n]),
-                     0 if n == 0 else sigma_no4(n),
-                     wa, wb, wc, wd))
-    out = pd.DataFrame(rows, columns=["h", "n", "r4", "sigma_no4",
-                                      "wa", "wb", "wc", "wd"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def permutation_cycles_int(perm):
-    """Cycle structure of a permutation — SYMMETRIC-GROUP structure
-    theory, a family the surface lacked (necklace_count applies
-    Burnside to a fixed cyclic action; this analyses a DATA-DERIVED
-    group element): cycle decomposition (canonical min-element
-    labels), the element's ORDER as the lcm of cycle lengths —
-    certified by π^order == id via binary composition AND
-    π^(order/prime) != id for every prime dividing the order (true
-    minimality, not just an upper bound) — and the SIGN computed by
-    two theorems at once, (−1)^inversions and (−1)^(n − #cycles),
-    asserted equal (both sides of the sign-homomorphism
-    well-definedness).  The mirror walks orbits with a recursive
-    CTE, counts inversions by self-join, and folds lcm over the
-    distinct cycle lengths with list_reduce — independent routes
-    to every column."""
-    n = len(perm)
-    perm = [int(x) for x in perm]
-    assert sorted(perm) == list(range(n)), "not a bijection"
-
-    seen = [False] * n
-    cyc_min = [0] * n
-    cyc_len = [0] * n
-    lengths = []
-    for s in range(n):
-        if seen[s]:
-            continue
-        orbit, cur = [], s
-        while not seen[cur]:
-            seen[cur] = True
-            orbit.append(cur)
-            cur = perm[cur]
-        assert cur == s  # closed orbit
-        lengths.append(len(orbit))
-        m = min(orbit)
-        for v in orbit:
-            cyc_min[v] = m
-            cyc_len[v] = len(orbit)
-    n_cycles = len(lengths)
-
-    order = 1
-    for ln in lengths:
-        order = order * ln // math.gcd(order, ln)
-
-    def compose(f, g):
-        return [f[g[i]] for i in range(n)]
-
-    def perm_pow(k):
-        res, base = list(range(n)), perm[:]
-        while k:
-            if k & 1:
-                res = compose(base, res)
-            base = compose(base, base)
-            k >>= 1
-        return res
-
-    ident = list(range(n))
-    assert perm_pow(order) == ident
-    rem, pr = order, 2
-    primes = set()
-    while rem > 1:
-        if rem % pr == 0:
-            primes.add(pr)
-            while rem % pr == 0:
-                rem //= pr
-        pr += 1
-    for pr in primes:
-        assert perm_pow(order // pr) != ident  # minimality
-
-    n_inv = sum(1 for i in range(n) for j in range(i + 1, n)
-                if perm[i] > perm[j])
-    sign_inv = 1 if n_inv % 2 == 0 else -1
-    sign_cyc = 1 if (n - n_cycles) % 2 == 0 else -1
-    assert sign_inv == sign_cyc
-
-    rows = [(h, perm[h], cyc_min[h], cyc_len[h], n_cycles, n_inv,
-             sign_inv, order) for h in range(n)]
-    out = pd.DataFrame(rows, columns=["h", "pi", "cycle_min",
-                                      "cycle_len", "n_cycles",
-                                      "n_inversions", "sign",
-                                      "perm_order"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _next_odd_prime(s):
-    v = max(int(s), 3)
-    while True:
-        if all(v % f for f in range(2, math.isqrt(v) + 1)):
-            return v
-        v += 1
-
-
-def legendre_reciprocity_int(seed_pairs):
-    """Quadratic reciprocity on corpus-seeded odd-prime pairs —
-    MULTIPLICATIVE number theory's crown theorem, a family the
-    surface lacked (miller_rabin decides primality; this computes
-    the Legendre SYMBOL): for each pair p ≠ q the kernel evaluates
-    (p|q) and (q|p) THREE independent ways — Euler's criterion
-    a^((m−1)/2) mod m, GAUSS's lemma (−1)^#{k ≤ (m−1)/2 :
-    ak mod m > m/2}, and the solvability DEFINITION (∃x: x² ≡ a) —
-    asserts all three agree, then asserts the reciprocity law
-    (p|q)(q|p) = (−1)^(((p−1)/2)((q−1)/2)) per pair.  The mirror
-    takes the definitional route only (EXISTS over x² mod m — no
-    modpow CTE needed) plus the same next-prime trial-division
-    search, so the law is visible cross-engine as the
-    product/predicted column pair."""
-    rows = []
-    for i, (s1, s2) in enumerate(seed_pairs):
-        p = _next_odd_prime(int(s1) % 500 + 3)
-        q = _next_odd_prime(int(s2) % 500 + 3)
-        if q == p:
-            q = _next_odd_prime(p + 1)
-
-        def leg_euler(a, m):
-            r = pow(a % m, (m - 1) // 2, m)
-            assert r in (1, m - 1)
-            return 1 if r == 1 else -1
-
-        def leg_gauss(a, m):
-            cnt = sum(1 for k in range(1, (m - 1) // 2 + 1)
-                      if (a * k) % m > m // 2)
-            return -1 if cnt % 2 else 1
-
-        def leg_def(a, m):
-            return (1 if any(x * x % m == a % m
-                             for x in range(1, m)) else -1)
-
-        lp, lq = leg_euler(p, q), leg_euler(q, p)
-        assert lp == leg_gauss(p, q) == leg_def(p, q)
-        assert lq == leg_gauss(q, p) == leg_def(q, p)
-        pred = -1 if ((p - 1) // 2) * ((q - 1) // 2) % 2 else 1
-        assert lp * lq == pred  # the reciprocity law, per pair
-        rows.append((i, p, q, lp, lq, lp * lq, pred))
-    out = pd.DataFrame(rows, columns=["pair", "p", "q", "leg_pq",
-                                      "leg_qp", "product",
-                                      "predicted"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-ISING_N = 12
-
-
-def ising_ring_int(census_mask):
-    """Domain-wall census of the n=12 Ising ring — STATISTICAL
-    MECHANICS / transfer matrices, a family the surface lacked
-    (heat_diffusion evolves the dynamics; this counts the
-    equilibrium ensemble): N(k) = # spin configurations with
-    exactly k unequal adjacent pairs, computed by FULL 2^12
-    enumeration and asserted against the closed form N(k) =
-    2·C(n,k) for even k, 0 for odd k (walls pair up on a cycle);
-    the partition polynomial Z(x) = Σ_k N(k)·x^k is then evaluated
-    at every integer x = 0..12 through the actual TRANSFER MATRIX
-    — trace of [[1,x],[x,1]]^n by binary integer matrix power —
-    and asserted equal to the enumeration sum (13 points pin a
-    degree-12 polynomial identity; the eigenvalue closed form
-    (1+x)^n + (1−x)^n is asserted as a third route).  The corpus
-    enters as the 12-bit hour-parity mask whose own wall count is
-    reported.  Mirror: SQL re-enumerates the 4096 configs with
-    bit_count/xor/rotate, factorials for the closed form, and
-    exact small-integer powers for Z."""
-    n = ISING_N
-    mask = int(census_mask) & ((1 << n) - 1)
-
-    def walls(m):
-        rot = ((m >> 1) | ((m & 1) << (n - 1))) & ((1 << n) - 1)
-        return bin(m ^ rot).count("1")
-
-    counts = [0] * (n + 1)
-    for m in range(1 << n):
-        counts[walls(m)] += 1
-
-    for k in range(n + 1):
-        closed = 2 * math.comb(n, k) if k % 2 == 0 else 0
-        assert counts[k] == closed, (k, counts[k], closed)
-
-    def mat_mul(A, B):
-        return [[A[0][0] * B[0][0] + A[0][1] * B[1][0],
-                 A[0][0] * B[0][1] + A[0][1] * B[1][1]],
-                [A[1][0] * B[0][0] + A[1][1] * B[1][0],
-                 A[1][0] * B[0][1] + A[1][1] * B[1][1]]]
-
-    def transfer_trace(x):
-        res = [[1, 0], [0, 1]]
-        base = [[1, x], [x, 1]]
-        e = n
-        while e:
-            if e & 1:
-                res = mat_mul(res, base)
-            base = mat_mul(base, base)
-            e >>= 1
-        return res[0][0] + res[1][1]
-
-    rows = []
-    cw = walls(mask)
-    for k in range(n + 1):
-        z_poly = sum(counts[j] * k ** j for j in range(n + 1))
-        z_trace = transfer_trace(k)
-        assert z_poly == z_trace
-        assert z_trace == (1 + k) ** n + (1 - k) ** n  # eigenvalues
-        rows.append((k, counts[k],
-                     2 * math.comb(n, k) if k % 2 == 0 else 0,
-                     z_poly, z_trace, mask, cw))
-    out = pd.DataFrame(rows, columns=["k", "n_configs", "n_closed",
-                                      "z_poly", "z_trace",
-                                      "census_mask",
-                                      "census_walls"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-GAUSS_MAX_STEPS = 60
-
-
-def _floor_div(t, d):
-    """Floor division for positive d, written so the SQL mirror
-    (whose // truncates toward zero) can replicate it with a sign
-    split."""
-    if t >= 0:
-        return t // d
-    return -((-t + d - 1) // d)
-
-
-def gauss_lattice_int(triples):
-    """Gauss/Lagrange reduction of 2-D integer lattice bases —
-    LATTICE REDUCTION / geometry of numbers, a family the surface
-    lacked (convex_hull is point-set geometry; this is the
-    algorithmic theory of quadratic forms, the 2-D case of LLL):
-    each (s, t, u) seeds the basis v1 = (1, s), v2 = (t, 1+st+u)
-    whose determinant is 1+u BY CONSTRUCTION (nonzero, closed
-    form — stated).  The kernel runs the classical reduction loop
-    (swap-shorter-first, subtract the rounded projection
-    μ = ⌊(2·dot+n1)/(2·n1)⌋ — round-half-up via floor division,
-    so μ=0 ⟺ −n1 ≤ 2·dot < n1) to a Lagrange-reduced basis, then
-    certifies: |det| preserved; u1 is the EXACT shortest nonzero
-    lattice vector by exhaustive search over the coefficient box
-    [−5,5]² (for a reduced basis the minimum sits at coefficients
-    in {−1,0,1} — the box is overkill, stated); and HERMITE's
-    bound λ1² ≤ (2/√3)·|det| in the exact integer form
-    3·λ1⁴ ≤ 4·det².  Sign-canonicalized (lex-positive vectors).
-    Mirror: the same loop as a bounded recursive CTE with the
-    sign-split floor division, same box search."""
-    rows = []
-    for i, (s, t, u) in enumerate(triples):
-        s, t, u = int(s), int(t), int(u)
-        v1 = (1, s)
-        v2 = (t, 1 + s * t + u)
-        det0 = v1[0] * v2[1] - v1[1] * v2[0]
-        assert det0 == 1 + u != 0
-
-        def nrm(v):
-            return v[0] * v[0] + v[1] * v[1]
-
-        steps = 0
-        while True:
-            if nrm(v1) > nrm(v2):
-                v1, v2 = v2, v1
-            n1 = nrm(v1)
-            dot = v1[0] * v2[0] + v1[1] * v2[1]
-            mu = _floor_div(2 * dot + n1, 2 * n1)
-            if mu == 0:
-                break
-            v2 = (v2[0] - mu * v1[0], v2[1] - mu * v1[1])
-            steps += 1
-            assert steps < GAUSS_MAX_STEPS
-
-        def canon(v):
-            if v[0] < 0 or (v[0] == 0 and v[1] < 0):
-                return (-v[0], -v[1])
-            return v
-
-        v1, v2 = canon(v1), canon(v2)
-        n1, n2 = nrm(v1), nrm(v2)
-        dot = v1[0] * v2[0] + v1[1] * v2[1]
-        assert n1 <= n2 and 2 * abs(dot) <= n1  # Lagrange-reduced
-        det = v1[0] * v2[1] - v1[1] * v2[0]
-        assert abs(det) == abs(det0)
-
-        mn = min(nrm((x * v1[0] + y * v2[0], x * v1[1] + y * v2[1]))
-                 for x in range(-5, 6) for y in range(-5, 6)
-                 if (x, y) != (0, 0))
-        assert mn == n1  # u1 attains the lattice minimum
-        assert 3 * n1 * n1 <= 4 * det * det  # Hermite gamma_2
-
-        rows.append((i, s, t, u, v1[0], v1[1], v2[0], v2[1],
-                     n1, n2, dot, abs(det), mn))
-    out = pd.DataFrame(rows, columns=["inst", "s", "t", "u",
-                                      "a1", "b1", "a2", "b2",
-                                      "n1", "n2", "dot12",
-                                      "det_abs", "min_norm_box"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-DFA_N_STATES = 10
-
-
-def dfa_minimize_int(delta0, delta1, accept):
-    """DFA minimization — AUTOMATA THEORY, a family the surface
-    lacked (string_period / bwt_runs are combinatorics on words;
-    this is the machine side of Kleene's theorem): a 10-state
-    binary-alphabet DFA (start 0) is minimized TWO independent
-    ways — MOORE's partition refinement (split classes by
-    successor-class signature until stable) and the MYHILL-NERODE
-    table-filling closure (distinguishable := accept-disagreeing
-    pairs, closed backwards under the transition relation) — and
-    the two equivalences are asserted identical on reachable
-    states; the refinement's stability and the table's fixpoint
-    are each certified per call.  Output: per state its
-    reachability, canonical class label (min member), class size,
-    accept bit, and the global minimized-state count.  Mirror:
-    recursive-CTE reachability + the table-filling fixpoint (SQL
-    takes the Myhill-Nerode route only)."""
-    n = DFA_N_STATES
-    delta0 = [int(x) % n for x in delta0]
-    delta1 = [int(x) % n for x in delta1]
-    accept = [int(x) & 1 for x in accept]
-    assert len(delta0) == len(delta1) == len(accept) == n
-
-    # reachability from start 0
-    reach = [False] * n
-    frontier = [0]
-    reach[0] = True
-    while frontier:
-        s = frontier.pop()
-        for t in (delta0[s], delta1[s]):
-            if not reach[t]:
-                reach[t] = True
-                frontier.append(t)
-    R = [s for s in range(n) if reach[s]]
-
-    # Moore refinement over reachable states
-    cls = {s: accept[s] for s in R}
-    while True:
-        sig = {s: (cls[s], cls[delta0[s]], cls[delta1[s]])
-               for s in R}
-        uniq = sorted(set(sig.values()))
-        new = {s: uniq.index(sig[s]) for s in R}
-        if all(((new[p] == new[q]) == (cls[p] == cls[q]))
-               for p in R for q in R):
-            cls = new
-            break
-        cls = new
-    # stability certificate: signatures constant within classes
-    for p in R:
-        for q in R:
-            if cls[p] == cls[q]:
-                assert accept[p] == accept[q]
-                assert cls[delta0[p]] == cls[delta0[q]]
-                assert cls[delta1[p]] == cls[delta1[q]]
-
-    # Myhill-Nerode table filling (independent route)
-    dist = set()
-    for p in R:
-        for q in R:
-            if accept[p] != accept[q]:
-                dist.add((p, q))
-    changed = True
-    while changed:
-        changed = False
-        for p in R:
-            for q in R:
-                if (p, q) in dist:
-                    continue
-                if ((delta0[p], delta0[q]) in dist
-                        or (delta1[p], delta1[q]) in dist):
-                    dist.add((p, q))
-                    dist.add((q, p))
-                    changed = True
-    for p in R:
-        for q in R:
-            assert ((p, q) not in dist) == (cls[p] == cls[q]), \
-                (p, q)
-
-    label = {c: min(s for s in R if cls[s] == c)
-             for c in set(cls.values())}
-    n_classes = len(label)
-    rows = []
-    for s in range(n):
-        if reach[s]:
-            lab = label[cls[s]]
-            size = sum(1 for t in R if cls[t] == cls[s])
-        else:
-            lab, size = -1, 0
-        rows.append((s, 1 if reach[s] else 0, lab, size,
-                     accept[s], n_classes))
-    out = pd.DataFrame(rows, columns=["state", "reachable",
-                                      "class_label", "class_size",
-                                      "accept", "n_classes"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PELL_YMAX = 2500
-
-
-def pell_equation_int(seeds):
-    """Fundamental solutions of Pell's equation x² − d·y² = 1 —
-    QUADRATIC DIOPHANTINE EQUATIONS, a family the surface lacked
-    (cf_convergents does Diophantine APPROXIMATION; Pell is the
-    equation Lagrange solved WITH those continued fractions): each
-    seed maps to a nonsquare d ∈ [2,30] (single bump past the
-    squares 4/9/16/25 — sufficient since 5/10/17/26 are nonsquare,
-    stated); the kernel expands √d's periodic continued fraction
-    by the exact (m, q, a) integer recurrence, walks convergents
-    h/k until h² − d·k² = 1 (Lagrange's theorem guarantees arrival
-    by period 2ℓ), asserts MINIMALITY by brute sweep over every
-    smaller y, and asserts the GROUP LAW — (x² + d·y², 2xy) is
-    again a solution — per instance.  d ≤ 31 keeps the worst
-    fundamental y at 1820 (d = 29), inside the sweep bound
-    (stated).  Output: (inst, d, x, y, period, x2, y2).  Mirror:
-    pure brute minimal-y search (ORDER BY y LIMIT 1) — CF route vs
-    search route, cross-certified."""
-    rows = []
-    for i, s in enumerate(seeds):
-        d = int(s) % 29 + 2            # 2..30
-        if d in (4, 9, 16, 25):
-            d += 1
-        a0 = math.isqrt(d)
-        assert a0 * a0 != d
-
-        # continued fraction of sqrt(d): m,q,a recurrence
-        m, q, a = 0, 1, a0
-        h0, h1 = 1, a0
-        k0, k1 = 0, 1
-        period = 0
-        x = y = None
-        for _ in range(200):
-            if h1 * h1 - d * k1 * k1 == 1:
-                x, y = h1, k1
-                break
-            m = a * q - m
-            q = (d - m * m) // q
-            a = (a0 + m) // q
-            period += 1
-            h0, h1 = h1, a * h1 + h0
-            k0, k1 = k1, a * k1 + k0
-        assert x is not None and y is not None
-
-        # minimality: no smaller y works (brute, both engines' floor)
-        for yy in range(1, y):
-            t = 1 + d * yy * yy
-            r = math.isqrt(t)
-            assert r * r != t
-        assert y <= PELL_YMAX
-
-        x2, y2 = x * x + d * y * y, 2 * x * y
-        assert x2 * x2 - d * y2 * y2 == 1  # group law
-        assert period >= 0
-        rows.append((i, d, x, y, x2, y2))
-    out = pd.DataFrame(rows, columns=["inst", "d", "x", "y",
-                                      "x2", "y2"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def three_distance_int(p, q, n):
-    """The three-distance (Steinhaus) theorem on rational rotations
-    — EQUIDISTRIBUTION THEORY, a family the surface lacked
-    (dft_period finds cycles; this is the fine structure of the
-    orbit {k·p mod q}): the first n multiples of p modulo q,
-    sorted, partition the circle [0,q) into n gaps taking AT MOST
-    THREE distinct lengths, and when three occur the largest is
-    the SUM of the other two — both asserted per instance (the
-    theorem, not a sample), with p reduced so gcd(p', q) = 1 keeps
-    points distinct (p' = p//g, stated; n ≤ q forced by n mod q).
-    Output: one row per gap position with the gap value, plus the
-    distinct-gap census columns.  Mirror: SQL sort + wraparound
-    lag differences + distinct-gap aggregation."""
-    p, q, n = int(p), int(q), int(n)
-    assert q >= 2
-    g = math.gcd(p, q)
-    p1 = (p // g) if g else 1
-    if math.gcd(p1, q) != 1:      # p = 0, or gcd(p/g, q) > 1
-        p1 = 1                    # (e.g. p = 12, q = 18)
-    n1 = n % q
-    if n1 == 0:
-        n1 = 1
-    pts = sorted((k * p1) % q for k in range(n1))
-    assert len(set(pts)) == n1    # gcd(p1, q) = 1 keeps distinct
-    gaps = [pts[(i + 1) % n1] - pts[i] + (q if i == n1 - 1 else 0)
-            for i in range(n1)]
-    assert sum(gaps) == q
-    dis = sorted(set(gaps))
-    assert 1 <= len(dis) <= 3     # Steinhaus
-    if len(dis) == 3:
-        assert dis[2] == dis[0] + dis[1]
-    rows = []
-    for i in range(n1):
-        rows.append((i, pts[i], gaps[i], len(dis), dis[0],
-                     dis[-1], p1, q, n1))
-    out = pd.DataFrame(rows, columns=["idx", "point", "gap",
-                                      "n_distinct_gaps",
-                                      "gap_min", "gap_max",
-                                      "p_reduced", "q", "n_points"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-ZECK_FIBS = []
-_a, _b = 1, 2
-while _a <= 10 ** 6:
-    ZECK_FIBS.append(_a)
-    _a, _b = _b, _a + _b
-
-
-def zeckendorf_int(values):
-    """Zeckendorf representation — NUMERATION SYSTEMS, a family
-    the surface lacked (huffman_code is optimal coding,
-    delta_varint is wire format; this is the arithmetic of
-    non-standard positional systems): every n ≥ 1 is UNIQUELY a
-    sum of non-consecutive Fibonacci numbers (F2=1, F3=2, …); the
-    kernel computes the greedy representation, asserts the
-    non-adjacency invariant, asserts the sum, and for n ≤ 300
-    certifies UNIQUENESS exhaustively — enumerating ALL subsets of
-    Fibonacci numbers ≤ n and counting non-adjacent ones summing
-    to n (exactly 1, Zeckendorf's theorem verified, not cited);
-    the digit-count column is the 'Fibonacci weight' and the
-    LEKKERKERKER average rides in tests.  Output: one row per
-    (value, term).  Mirror: greedy via recursive CTE over the same
-    Fibonacci list."""
-    rows = []
-    for i, v in enumerate(values):
-        v = int(v)
-        assert v >= 1
-        rem = v
-        terms = []
-        for f in reversed(ZECK_FIBS):
-            if f <= rem:
-                terms.append(f)
-                rem -= f
-        assert rem == 0
-        assert sum(terms) == v
-        idxs = [ZECK_FIBS.index(t) for t in terms]
-        assert all(idxs[j] - idxs[j + 1] >= 2
-                   for j in range(len(idxs) - 1))  # non-adjacent
-
-        if v <= 300:
-            fits = [f for f in ZECK_FIBS if f <= v]
-            cnt = 0
-            for m in range(1 << len(fits)):
-                sel = [j for j in range(len(fits)) if (m >> j) & 1]
-                if any(sel[t + 1] - sel[t] == 1
-                       for t in range(len(sel) - 1)):
-                    continue
-                if sum(fits[j] for j in sel) == v:
-                    cnt += 1
-            assert cnt == 1       # uniqueness, exhaustively
-
-        for rank, t in enumerate(terms):
-            rows.append((i, v, rank, t, len(terms)))
-    out = pd.DataFrame(rows, columns=["inst", "value", "rank",
-                                      "term", "n_terms"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-STIRLING_NMAX = 12
-
-
-def stirling_bell_int(n_census):
-    """Stirling set-partition numbers S(n,k) and Bell numbers —
-    ENUMERATIVE SET-PARTITION combinatorics, a family the surface
-    lacked (partition_numbers counts INTEGER partitions — a
-    different object): the kernel builds the full triangle to
-    n = 12 by the recurrence S(n,k) = k·S(n−1,k) + S(n−1,k−1),
-    asserts the EXPLICIT inclusion-exclusion formula
-    S(n,k) = (1/k!)·Σ_j (−1)^j C(k,j)(k−j)^n entry-wise (the
-    divisibility by k! certified en route), asserts Bell numbers
-    BOTH as row sums and via the Aitken/Bell-triangle recurrence
-    B(n+1) = Σ_k C(n,k)B(k), and certifies S(6,·) by EXHAUSTIVE
-    enumeration of all 203 set partitions of a 6-set (restricted
-    growth strings).  Output: the triangle row for the
-    census-selected n (7 ≤ n ≤ 12).  Mirror: the explicit formula
-    + factorial Bell sum — formula route vs recurrence route."""
-    N = STIRLING_NMAX
-    S = [[0] * (N + 1) for _ in range(N + 1)]
-    S[0][0] = 1
-    for n in range(1, N + 1):
-        for k in range(1, n + 1):
-            S[n][k] = k * S[n - 1][k] + S[n - 1][k - 1]
-
-    for n in range(N + 1):
-        for k in range(n + 1):
-            acc = sum((-1) ** j * math.comb(k, j) * (k - j) ** n
-                      for j in range(k + 1))
-            fk = math.factorial(k)
-            assert acc % fk == 0
-            assert S[n][k] == acc // fk, (n, k)
-
-    bell = [sum(S[n]) for n in range(N + 1)]
-    # Aitken triangle route
-    bt = [1]
-    for n in range(N):
-        bt.append(sum(math.comb(n, k) * bt_k
-                      for k, bt_k in enumerate(bt[:n + 1])))
-        assert bt[n + 1] == bell[n + 1]
-
-    # exhaustive: restricted growth strings over a 6-set
-    def rgs_count():
-        by_blocks = {}
-
-        def rec(prefix, mx):
-            if len(prefix) == 6:
-                b = mx + 1
-                by_blocks[b] = by_blocks.get(b, 0) + 1
-                return
-            for v in range(mx + 2):
-                rec(prefix + [v], max(mx, v))
-
-        rec([0], 0)
-        return by_blocks
-
-    byb = rgs_count()
-    assert sum(byb.values()) == bell[6] == 203
-    for k in range(1, 7):
-        assert byb.get(k, 0) == S[6][k]
-
-    n_sel = int(n_census) % 6 + 7          # 7..12
-    rows = [(n_sel, k, S[n_sel][k], bell[n_sel])
-            for k in range(n_sel + 1)]
-    out = pd.DataFrame(rows, columns=["n", "k", "stirling",
-                                      "bell"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def derangements_int(hour_mods):
-    """Derangement counts — INCLUSION-EXCLUSION, a family the
-    surface lacked as an explicit object (the sieve is implicit in
-    several ops; here it IS the op): D(n) computed by THREE routes
-    — the two-term recurrence D(n) = (n−1)(D(n−1)+D(n−2)), the
-    one-term D(n) = n·D(n−1) + (−1)^n, and the inclusion-exclusion
-    sum Σ_k (−1)^k n!/k! — all asserted equal for every n ≤ 12,
-    plus an EXHAUSTIVE certificate at n = 6 (exactly 265 of the
-    720 permutations are fixed-point-free, counted by actual
-    enumeration).  Input: (h, n) pairs; output per hour D(n) and
-    n!.  Mirror: the inclusion-exclusion route only (factorials +
-    alternating sum) — sieve vs recurrence, cross-certified."""
-    N = 12
-    D = [1, 0]
-    for n in range(2, N + 1):
-        D.append((n - 1) * (D[n - 1] + D[n - 2]))
-    for n in range(1, N + 1):
-        assert D[n] == n * D[n - 1] + (-1) ** n
-    for n in range(N + 1):
-        ie = sum((-1) ** k * math.factorial(n) // math.factorial(k)
-                 for k in range(n + 1))
-        assert D[n] == ie, n
-
-    # exhaustive at n=6
-    from itertools import permutations
-    cnt = sum(1 for p in permutations(range(6))
-              if all(p[i] != i for i in range(6)))
-    assert cnt == D[6] == 265
-
-    rows = [(int(h), int(n) % (N + 1), D[int(n) % (N + 1)],
-             math.factorial(int(n) % (N + 1)))
-            for h, n in hour_mods]
-    out = pd.DataFrame(rows, columns=["h", "n", "derangements",
-                                      "n_factorial"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-POLYA_DRAWS = 8
-
-
-def polya_urn_int(r0, b0):
-    """Pólya urn exchangeability — URN MODELS / exchangeable
-    sequences, a family the surface lacked (absorbing_chain is
-    Markov with fixed transitions; the urn's reinforcement makes
-    the PATH matter — except, by de Finetti-flavoured magic, it
-    doesn't): starting from (r, b) with unit reinforcement, the
-    kernel runs the ACTUAL urn dynamics along every one of the 2^8
-    draw sequences (numerator = product of the counts drawn at
-    each step over the common rising-factorial denominator
-    (r+b)^(8 rising)) and asserts EXCHANGEABILITY by enumeration —
-    every sequence with the same red count k has the identical
-    probability numerator seq_num(k) = r^(k rising)·b^(8−k rising)
-    — and the MARTINGALE property of the red fraction in exact
-    cross-multiplied integers: Σ_k C(8,k)·seq_num(k)·(r+k)·(r+b)
-    == r·(r+b+8)·denominator.  Output: one row per k.  Mirror:
-    the rising-factorial closed forms via list_product (products
-    < 2^53 keep doubles exact — stated)."""
-    n = POLYA_DRAWS
-    r0, b0 = int(r0), int(b0)
-    assert r0 >= 1 and b0 >= 1
-
-    def rising(a, m):
-        out = 1
-        for t in range(m):
-            out *= a + t
-        return out
-
-    denom = rising(r0 + b0, n)
-
-    seq_num = {}
-    for m in range(1 << n):
-        r, b = r0, b0
-        num = 1
-        k = 0
-        for step in range(n):
-            if (m >> step) & 1:          # draw red
-                num *= r
-                r += 1
-                k += 1
-            else:
-                num *= b
-                b += 1
-        if k in seq_num:
-            assert seq_num[k] == num     # exchangeability
-        else:
-            seq_num[k] = num
-
-    for k in range(n + 1):
-        assert seq_num[k] == rising(r0, k) * rising(b0, n - k)
-
-    # martingale of the red fraction, cross-multiplied
-    lhs = sum(math.comb(n, k) * seq_num[k] * (r0 + k)
-              for k in range(n + 1)) * (r0 + b0)
-    rhs = r0 * (r0 + b0 + n) * denom
-    assert lhs == rhs
-
-    total = sum(math.comb(n, k) * seq_num[k] for k in range(n + 1))
-    assert total == denom                # probabilities sum to 1
-
-    rows = [(k, seq_num[k], math.comb(n, k),
-             math.comb(n, k) * seq_num[k], denom, r0, b0)
-            for k in range(n + 1)]
-    out = pd.DataFrame(rows, columns=["k", "seq_num", "n_seqs",
-                                      "prob_num", "denom",
-                                      "r0", "b0"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def dyck_catalan_int(hour_mods):
-    """Catalan numbers — CATALAN STRUCTURES / the reflection
-    principle as an enumeration identity, a family the surface
-    lacked as an explicit object (ballot_walk applies Bertrand to
-    one data walk; this certifies the counting theory): C_n for
-    n ≤ 10 computed FOUR ways in-kernel — lattice-path DP (paths
-    staying ≥ 0), the closed form C(2n,n)/(n+1) with the
-    divisibility certified, the reflection principle
-    C(2n,n) − C(2n,n+1), and Segner's convolution recurrence —
-    all asserted equal, plus the EXHAUSTIVE n = 6 certificate
-    (exactly 132 of the 4096 12-step walks are Dyck).  Output:
-    (h, n, catalan, central_binom) per census hour.  Mirror: the
-    closed form and reflection difference (factorial arithmetic
-    only)."""
-    N = 10
-    # lattice-path DP: f[h] = walks of current length ending at h
-    cat_dp = []
-    for n in range(N + 1):
-        f = [0] * (n + 2)
-        f[0] = 1
-        for _ in range(2 * n):
-            g = [0] * (n + 2)
-            for h in range(n + 1):
-                if f[h]:
-                    if h + 1 <= n + 1:
-                        g[h + 1] += f[h]
-                    if h - 1 >= 0:
-                        g[h - 1] += f[h]
-            f = g
-        cat_dp.append(f[0])
-
-    for n in range(N + 1):
-        cb = math.comb(2 * n, n)
-        assert cb % (n + 1) == 0
-        closed = cb // (n + 1)
-        refl = cb - math.comb(2 * n, n + 1)
-        assert cat_dp[n] == closed == refl, n
-    for n in range(N):                   # Segner
-        assert cat_dp[n + 1] == sum(cat_dp[i] * cat_dp[n - i]
-                                    for i in range(n + 1))
-
-    cnt = 0
-    for m in range(1 << 12):             # exhaustive n = 6
-        h = 0
-        ok = True
-        for s in range(12):
-            h += 1 if (m >> s) & 1 else -1
-            if h < 0:
-                ok = False
-                break
-        if ok and h == 0:
-            cnt += 1
-    assert cnt == cat_dp[6] == 132
-
-    rows = [(int(h), int(n) % (N + 1), cat_dp[int(n) % (N + 1)],
-             math.comb(2 * (int(n) % (N + 1)), int(n) % (N + 1)))
-            for h, n in hour_mods]
-    out = pd.DataFrame(rows, columns=["h", "n", "catalan",
-                                      "central_binom"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-SANDPILE_N = 10
-
-
-def sandpile_abelian_int(chips):
-    """Abelian sandpile stabilization on the 10-node path with
-    open boundary — CHIP-FIRING / self-organized criticality, a
-    family the surface lacked (rule90_ca is a synchronous linear
-    CA; chip-firing is ASYNCHRONOUS and nonlinear, and its
-    headline theorem is that asynchrony doesn't matter): a node
-    with ≥ 2 chips fires, sending one chip to each neighbour
-    (boundary chips fall off the ends into the sink).  The kernel
-    stabilizes the census configuration THREE ways — always-fire-
-    lowest-index, always-fire-highest-index, and fully parallel
-    rounds — and asserts Dhar's ABELIAN property: identical stable
-    configuration AND identical per-node odometer (fire counts)
-    under all three orders.  Conservation is certified: initial
-    total = stable total + odometer-weighted boundary loss.
-    Output: per node (node, initial, stable, fires).  Mirror: the
-    lowest-index schedule replayed as a recursive list-carrying
-    CTE."""
-    n = SANDPILE_N
-    init = [int(c) for c in chips]
-    assert len(init) == n and all(c >= 0 for c in init)
-
-    def stabilize(order):
-        l = init[:]
-        fires = [0] * n
-        while True:
-            unstable = [i for i in range(n) if l[i] >= 2]
-            if not unstable:
-                break
-            if order == "low":
-                targets = [unstable[0]]
-            elif order == "high":
-                targets = [unstable[-1]]
-            else:                        # parallel round
-                targets = unstable
-            for i in targets:
-                l[i] -= 2
-                fires[i] += 1
-                if i > 0:
-                    l[i - 1] += 1
-                if i < n - 1:
-                    l[i + 1] += 1
-        return l, fires
-
-    stable, fires = stabilize("low")
-    s2, f2 = stabilize("high")
-    s3, f3 = stabilize("parallel")
-    assert stable == s2 == s3            # Dhar: abelian
-    assert fires == f2 == f3
-    assert all(c in (0, 1) for c in stable)
-
-    # conservation: chips lost only at the two boundary nodes,
-    # one per firing there
-    assert sum(init) == sum(stable) + fires[0] + fires[n - 1]
-
-    rows = [(i, init[i], stable[i], fires[i]) for i in range(n)]
-    out = pd.DataFrame(rows, columns=["node", "initial", "stable",
-                                      "fires"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def totient_moebius_int(hour_mods):
-    """Euler φ and Möbius μ with the classical identities —
-    ARITHMETIC FUNCTIONS / MÖBIUS INVERSION, a family the surface
-    lacked (miller_rabin decides, legendre_reciprocity evaluates
-    symbols; this is the algebra of multiplicative functions):
-    for each census n ≤ 120 the kernel computes φ TWICE (the
-    factorization product n·∏(1−1/p) in exact integers and the
-    gcd-count definition), μ from the factorization, and asserts
-    per n: GAUSS's identity Σ_{d|n} φ(d) = n, the Möbius column
-    sum Σ_{d|n} μ(d) = [n=1], and the INVERSION
-    φ(n) = Σ_{d|n} μ(d)·(n/d).  Output: (h, n, phi, mu,
-    n_divisors).  Mirror: φ by gcd-count, μ by squarefree trial
-    division — definitional routes only."""
-    rows = []
-    for h, n in hour_mods:
-        n = int(n)
-        assert 1 <= n <= 120
-
-        fac = {}
-        m, p = n, 2
-        while m > 1:
-            while m % p == 0:
-                fac[p] = fac.get(p, 0) + 1
-                m //= p
-            p += 1
-        phi = n
-        for p in fac:
-            phi = phi // p * (p - 1)
-        phi_def = sum(1 for k in range(1, n + 1)
-                      if math.gcd(k, n) == 1)
-        assert phi == phi_def
-
-        mu = 0 if any(e >= 2 for e in fac.values()) \
-            else (-1) ** len(fac)
-
-        divs = [d for d in range(1, n + 1) if n % d == 0]
-
-        def phi_of(d):
-            return sum(1 for k in range(1, d + 1)
-                       if math.gcd(k, d) == 1)
-
-        def mu_of(d):
-            f = {}
-            mm, pp = d, 2
-            while mm > 1:
-                while mm % pp == 0:
-                    f[pp] = f.get(pp, 0) + 1
-                    mm //= pp
-                pp += 1
-            return 0 if any(e >= 2 for e in f.values()) \
-                else (-1) ** len(f)
-
-        assert sum(phi_of(d) for d in divs) == n        # Gauss
-        assert sum(mu_of(d) for d in divs) == (1 if n == 1 else 0)
-        assert phi == sum(mu_of(d) * (n // d) for d in divs)
-
-        rows.append((int(h), n, phi, mu, len(divs)))
-    out = pd.DataFrame(rows, columns=["h", "n", "phi", "mu",
-                                      "n_divisors"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def discrete_log_int(seed_pairs):
-    """Discrete logarithms in (Z/p)* — COMPUTATIONAL GROUP THEORY,
-    a family the surface lacked (rsa_crt exponentiates; this
-    INVERTS exponentiation): for each census pair a prime
-    p ≤ ~211, its SMALLEST primitive root g (order p−1 certified
-    via the prime factors of p−1, and every smaller candidate
-    certified non-primitive by brute order), a target
-    a ∈ [2, p−1], and x = log_g(a) computed by BABY-STEP
-    GIANT-STEP (m = ⌈√(p−1)⌉ table + giant strides with the
-    Fermat inverse) AND by brute power walk — asserted equal, and
-    g^x ≡ a (mod p) re-asserted.  Output: (inst, p, g, a, x, m).
-    Mirror: the brute walk only, powers via one recursive CTE over
-    (inst, candidate-g) pairs — BSGS vs exhaustion."""
-    rows = []
-    for i, (s1, s2) in enumerate(seed_pairs):
-        p = _next_odd_prime(int(s1) % 200 + 5)
-
-        # prime factors of p-1
-        fac = set()
-        m0 = p - 1
-        f = 2
-        while f * f <= m0:
-            while m0 % f == 0:
-                fac.add(f)
-                m0 //= f
-            f += 1
-        if m0 > 1:
-            fac.add(m0)
-
-        def order(g):
-            k, v = 1, g % p
-            while v != 1:
-                v = v * g % p
-                k += 1
-            return k
-
-        g = None
-        for cand in range(2, p):
-            if all(pow(cand, (p - 1) // q, p) != 1 for q in fac):
-                g = cand
-                break
-            assert order(cand) < p - 1   # certified non-primitive
-        assert g is not None and order(g) == p - 1
-
-        a = int(s2) % (p - 2) + 2        # 2..p-1
-
-        # baby-step giant-step
-        m = math.isqrt(p - 1)
-        if m * m < p - 1:
-            m += 1
-        baby = {}
-        v = 1
-        for j in range(m):
-            baby.setdefault(v, j)
-            v = v * g % p
-        ginv_m = pow(pow(g, m, p), p - 2, p)   # Fermat inverse
-        x = None
-        cur = a % p
-        for q in range(m + 1):
-            if cur in baby:
-                x = q * m + baby[cur]
-                break
-            cur = cur * ginv_m % p
-        assert x is not None
-        assert pow(g, x, p) == a % p
-        assert 0 <= x < p - 1
-
-        # brute cross-check (the mirror's route)
-        k, v = 0, 1
-        while v != a % p:
-            v = v * g % p
-            k += 1
-            assert k < p
-        assert k == x
-
-        rows.append((i, p, g, a, x, m))
-    out = pd.DataFrame(rows, columns=["inst", "p", "g", "a", "x",
-                                      "m"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _partitions_of(n):
-    """All partitions of n as decreasing tuples, lexicographically
-    decreasing — the canonical rank order BOTH engines use."""
-    out = []
-
-    def rec(rem, mx, acc):
-        if rem == 0:
-            out.append(tuple(acc))
-            return
-        for part in range(min(rem, mx), 0, -1):
-            rec(rem - part, part, acc + [part])
-
-    rec(n, n, [])
-    return out
-
-
-HOOK_N = 7
-HOOK_PARTITIONS = _partitions_of(HOOK_N)
-
-
-def hook_lengths_int(sel_census):
-    """Standard Young tableaux via the FRAME-ROBINSON-THRALL hook
-    length formula — ALGEBRAIC COMBINATORICS / representation
-    theory of S_n, a family the surface lacked: for every
-    partition λ ⊢ 7 the kernel computes f^λ = 7!/∏hooks (the
-    divisibility certified), verifies it by EXHAUSTIVE SYT
-    enumeration (backtracking over column-strict fillings), and
-    asserts the RSK identity Σ_λ (f^λ)² = 7! = 5040 — the
-    dimensions of the irreducible S_7 representations squaring to
-    the group order, verified not cited.  Output: one row per
-    partition (rank, shape digits, hook product, f, the RSK sum,
-    and the census-selected flag).  Mirror: the hook formula from
-    the SAME canonical partition list shipped as literal rows,
-    hooks re-derived in SQL from arm + leg lengths."""
-    n = HOOK_N
-    parts = HOOK_PARTITIONS
-
-    def hooks(lam):
-        conj = [sum(1 for r in lam if r > j)
-                for j in range(lam[0])]
-        hs = []
-        for i, ln in enumerate(lam):
-            for j in range(ln):
-                hs.append((ln - j) + (conj[j] - i) - 1)
-        return hs
-
-    def count_syt(lam):
-        rows_fill = [0] * len(lam)
-
-        def rec(v):
-            if v > n:
-                return 1
-            tot = 0
-            for r in range(len(lam)):
-                if rows_fill[r] < lam[r] and \
-                        (r == 0 or rows_fill[r] < rows_fill[r - 1]):
-                    rows_fill[r] += 1
-                    tot += rec(v + 1)
-                    rows_fill[r] -= 1
-            return tot
-
-        return rec(1)
-
-    fs = []
-    for lam in parts:
-        hs = hooks(lam)
-        prod = 1
-        for h_ in hs:
-            prod *= h_
-        fact = math.factorial(n)
-        assert fact % prod == 0
-        f = fact // prod
-        assert f == count_syt(lam), lam   # enumeration certificate
-        fs.append((lam, prod, f))
-
-    rsk = sum(f * f for _, _, f in fs)
-    assert rsk == math.factorial(n)       # RSK / Burnside
-
-    sel = int(sel_census) % len(parts)
-    rows = []
-    for rank, (lam, prod, f) in enumerate(fs):
-        shape_digits = int("".join(str(x) for x in lam))
-        rows.append((rank, shape_digits, len(lam), prod, f, rsk,
-                     1 if rank == sel else 0))
-    out = pd.DataFrame(rows, columns=["rank", "shape", "n_rows",
-                                      "hook_product", "f_lambda",
-                                      "rsk_sum", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-GRAY_BITS = 8
-
-
-def gray_code_int(start_census):
-    """Binary-reflected Gray code — COMBINATORIAL GRAY CODES /
-    Hamiltonian cycles on the hypercube, a family the surface
-    lacked (batcher_sort is oblivious comparison networks; this is
-    minimal-change enumeration): the kernel builds the full 2^8
-    sequence TWICE — by the reflect-and-prefix construction and by
-    the closed form g(n) = n XOR (n >> 1) — asserts them equal,
-    certifies the defining property over the ENTIRE cycle
-    (successive codes, including the wraparound, differ in exactly
-    one bit), certifies bijectivity, and inverts the code by the
-    prefix-XOR fold (asserted on every value).  The census picks a
-    window start; output: 24 rows (offset, n, gray, bit_flipped,
-    inverse_ok).  Mirror: the closed form + popcount adjacency
-    re-checked in SQL."""
-    N = 1 << GRAY_BITS
-
-    # reflect construction
-    seq = [0, 1]
-    while len(seq) < N:
-        seq = seq + [(1 << (seq.__len__().bit_length() - 1)) | v
-                     for v in reversed(seq)]
-    closed = [n ^ (n >> 1) for n in range(N)]
-    assert seq == closed
-
-    for n in range(N):
-        d = closed[n] ^ closed[(n + 1) % N]
-        assert bin(d).count("1") == 1     # one-bit steps + wrap
-    assert len(set(closed)) == N          # bijection
-
-    def inv(g):
-        n = 0
-        while g:
-            n ^= g
-            g >>= 1
-        return n
-
-    for n in range(N):
-        assert inv(closed[n]) == n
-
-    start = int(start_census) % N
-    rows = []
-    for off in range(24):
-        n = (start + off) % N
-        g = closed[n]
-        flipped = (g ^ closed[(n + 1) % N]).bit_length() - 1
-        rows.append((off, n, g, flipped, 1 if inv(g) == n else 0))
-    out = pd.DataFrame(rows, columns=["off", "n", "gray",
-                                      "bit_flipped",
-                                      "inverse_ok"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-COLLATZ_CAP = 10 ** 7
-
-
-def collatz_int(seeds):
-    """Collatz (3n+1) trajectories — INTEGER ITERATION DYNAMICS, a
-    family the surface lacked (logistic_map iterates a real map on
-    a lattice; this is THE arithmetic open problem, verified on
-    the corpus range): for each census seed the kernel walks the
-    trajectory to 1, recording total stopping time, the maximum
-    excursion, and the odd-step count, asserting the trajectory
-    invariant n_{i+1} = n_i/2 or 3n_i+1 exactly and the excursion
-    cap (every value < 10^7 on this seed range — stated); the
-    glide certificate rides along: the first index where the
-    trajectory drops below its start.  Output: (inst, n0, steps,
-    max_val, odd_steps, first_drop).  Mirror: the same walk as a
-    recursive CTE (one row per step, bounded by the measured
-    stopping times)."""
-    rows = []
-    for i, s in enumerate(seeds):
-        n0 = int(s) % 1000 + 2           # 2..1001
-        n = n0
-        steps = odd = 0
-        mx = n0
-        first_drop = -1
-        while n != 1:
-            if n % 2:
-                n = 3 * n + 1
-                odd += 1
-            else:
-                n //= 2
-            steps += 1
-            mx = max(mx, n)
-            assert mx < COLLATZ_CAP
-            if first_drop < 0 and n < n0:
-                first_drop = steps
-        rows.append((i, n0, steps, mx, odd, first_drop))
-    out = pd.DataFrame(rows, columns=["inst", "n0", "steps",
-                                      "max_val", "odd_steps",
-                                      "first_drop"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def turan_extremal_int(bits):
-    """Turán's theorem on K6 — EXTREMAL GRAPH THEORY, a family the
-    surface lacked (ramsey_k6 colors ALL edges and asks for
-    unavoidable structure; Turán asks how many edges a graph can
-    CARRY while avoiding a triangle): the census bits select a
-    6-vertex graph; the kernel counts its edges and triangles,
-    then verifies Turán EXHAUSTIVELY — sweeping ALL 2^15 graphs,
-    the maximum edge count among triangle-free ones is exactly
-    ⌊6²/4⌋ = 9, attained (K_{3,3}) — and asserts the contrapositive
-    on the instance (≥ 10 edges ⟹ a triangle exists).  Output:
-    one row per K6 edge slot with membership and
-    triangle-participation count, plus the global census/extremal
-    columns.  Mirror: the same 32768-graph sweep in SQL over the
-    shared edge/triangle constants."""
-    bits = [int(b) & 1 for b in bits]
-    assert len(bits) == 15
-
-    def tri_count(bb):
-        c = 0
-        for i, j, k in RAMSEY_TRIS:
-            if (bb[RAMSEY_EIDX[(i, j)]] and bb[RAMSEY_EIDX[(i, k)]]
-                    and bb[RAMSEY_EIDX[(j, k)]]):
-                c += 1
-        return c
-
-    n_edges = sum(bits)
-    n_tri = tri_count(bits)
-
-    best = -1
-    for m in range(1 << 15):
-        bb = [(m >> e) & 1 for e in range(15)]
-        if tri_count(bb) == 0:
-            s = sum(bb)
-            if s > best:
-                best = s
-    assert best == 9                      # Turán, exhaustively
-    if n_edges >= 10:
-        assert n_tri >= 1                 # contrapositive
-
-    per_edge_tri = [0] * 15
-    for i, j, k in RAMSEY_TRIS:
-        es = [RAMSEY_EIDX[(i, j)], RAMSEY_EIDX[(i, k)],
-              RAMSEY_EIDX[(j, k)]]
-        if all(bits[e] for e in es):
-            for e in es:
-                per_edge_tri[e] += 1
-
-    rows = []
-    for e, (i, j) in enumerate(RAMSEY_EDGES):
-        rows.append((e, i, j, bits[e], per_edge_tri[e], n_edges,
-                     n_tri, 9, best))
-    out = pd.DataFrame(rows, columns=["edge", "i", "j", "present",
-                                      "in_triangles", "n_edges",
-                                      "n_triangles", "turan_bound",
-                                      "max_trianglefree_edges"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-GOLDBACH_MAX = 202
-
-
-def goldbach_int(seeds):
-    """Goldbach representation counts — ADDITIVE PRIME NUMBER
-    THEORY, a family the surface lacked (four_squares is additive
-    over squares; this is the binary Goldbach question, VERIFIED
-    on the whole working range): for every even n in [4, 202] the
-    kernel asserts r(n) = #{p ≤ q prime : p + q = n} ≥ 1
-    (exhaustive range verification, not just the census rows);
-    per census row it emits r(n) and the minimal prime witness.
-    Mirror: prime pairs by trial-division joins — sieve vs
-    join."""
-    def is_prime(v):
-        return v >= 2 and all(v % f for f in
-                              range(2, math.isqrt(v) + 1))
-
-    primes = [v for v in range(2, GOLDBACH_MAX) if is_prime(v)]
-
-    def reps(n):
-        return [(p, n - p) for p in primes
-                if p <= n - p and is_prime(n - p)]
-
-    for n in range(4, GOLDBACH_MAX + 1, 2):
-        assert len(reps(n)) >= 1          # Goldbach on the range
-
-    rows = []
-    for i, s in enumerate(seeds):
-        n = 2 * (int(s) % 100 + 2)        # 4..202 even
-        rr = reps(n)
-        rows.append((i, n, len(rr), rr[0][0], rr[0][1]))
-    out = pd.DataFrame(rows, columns=["inst", "n", "n_reps",
-                                      "min_p", "max_q"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def graeco_latin_int(a_seed, b_seed):
-    """Orthogonal (Graeco-)Latin squares of order 5 — DESIGN
-    THEORY, a family the surface lacked (konig_cover is matching
-    duality; designs are the combinatorics of balanced incidence):
-    the cyclic squares L_c[i][j] = i + c·j (mod 5) are Latin for
-    every c ∈ {1..4} (5 is prime so c is invertible — stated), and
-    L_a ⊥ L_b iff a ≠ b; the kernel verifies BOTH facts
-    EXHAUSTIVELY — Latinity for every c, orthogonality (all 25
-    ordered pairs distinct) for every a ≠ b, and the FAILURE of
-    orthogonality for every a = b — then emits the census-selected
-    pair (a ≠ b forced by construction).  The classical
-    application rides along: the 25 (row, column, letter, greek)
-    cells form a net where every pair of 'coordinates' determines
-    the cell.  Output: 25 cell rows.  Mirror: the same
-    construction + COUNT(DISTINCT) orthogonality re-check."""
-    n = 5
-    for c in range(1, n):
-        sq = [[(i + c * j) % n for j in range(n)] for i in range(n)]
-        for i in range(n):
-            assert len(set(sq[i])) == n                  # rows
-            assert len(set(sq[r][i] for r in range(n))) == n
-    for a in range(1, n):
-        for b in range(1, n):
-            pairs = {((i + a * j) % n, (i + b * j) % n)
-                     for i in range(n) for j in range(n)}
-            if a != b:
-                assert len(pairs) == 25                  # orthogonal
-            else:
-                assert len(pairs) == 5                   # degenerate
-
-    a = int(a_seed) % 4 + 1
-    b = int(b_seed) % 4 + 1
-    if b == a:
-        b = b % 4 + 1
-    assert a != b
-
-    rows = []
-    for i in range(n):
-        for j in range(n):
-            l1 = (i + a * j) % n
-            l2 = (i + b * j) % n
-            rows.append((i, j, l1, l2, 5 * l1 + l2, a, b))
-    out = pd.DataFrame(rows, columns=["i", "j", "latin", "greek",
-                                      "pair_code", "a", "b"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-BIRKHOFF_PERMS = []
-def _bk_perms():
-    from itertools import permutations
-    return [list(p) for p in permutations(range(4))]
-BIRKHOFF_PERMS = _bk_perms()
-
-
-def birkhoff_int(weights):
-    """Birkhoff-von Neumann decomposition of an integer doubly
-    stochastic matrix — POLYTOPE DECOMPOSITION, a family the
-    surface lacked (optimal_assignment finds ONE best permutation;
-    Birkhoff writes the whole matrix as a sum of them): the 4×4
-    matrix is BUILT as a census-weighted sum of four fixed
-    permutation matrices (doubly-balanced by construction), then
-    DECOMPOSED from scratch by the greedy algorithm — each round
-    picks the lexicographically smallest of the 24 permutations
-    whose support lies in the positive entries (one EXISTS by
-    Birkhoff/Hall — asserted, not cited) and subtracts its
-    bottleneck weight.  Termination at zero, exact reconstruction,
-    and weight-sum conservation are asserted.  Output: one row per
-    extraction round (perm rank in S4 lex order, its one-line
-    digits, weight, remaining mass).  Mirror: the same greedy
-    replayed as a recursive CTE over the 24 literal
-    permutations."""
-    ws = [int(w) % 9 + 1 for w in weights]
-    assert len(ws) == 4
-    build = [BIRKHOFF_PERMS[0], BIRKHOFF_PERMS[9],
-             BIRKHOFF_PERMS[16], BIRKHOFF_PERMS[23]]
-    M = [[0] * 4 for _ in range(4)]
-    for w, pm in zip(ws, build):
-        for i in range(4):
-            M[i][pm[i]] += w
-    S = sum(ws)
-    for i in range(4):
-        assert sum(M[i]) == S
-        assert sum(M[r][i] for r in range(4)) == S
-
-    rows = []
-    rnd = 0
-    remaining = 4 * S
-    while any(M[i][j] for i in range(4) for j in range(4)):
-        pick = None
-        for rank, pm in enumerate(BIRKHOFF_PERMS):
-            if all(M[i][pm[i]] > 0 for i in range(4)):
-                pick = (rank, pm)
-                break
-        assert pick is not None          # Birkhoff / Hall
-        rank, pm = pick
-        w = min(M[i][pm[i]] for i in range(4))
-        for i in range(4):
-            M[i][pm[i]] -= w
-        remaining -= 4 * w
-        digits = int("".join(str(d) for d in pm))
-        rows.append((rnd, rank, digits, w, remaining))
-        rnd += 1
-        assert rnd <= 24
-
-    # reconstruction check
-    R = [[0] * 4 for _ in range(4)]
-    for _, rank, _, w, _ in rows:
-        pm = BIRKHOFF_PERMS[rank]
-        for i in range(4):
-            R[i][pm[i]] += w
-    M2 = [[0] * 4 for _ in range(4)]
-    for w, pm in zip(ws, build):
-        for i in range(4):
-            M2[i][pm[i]] += w
-    assert R == M2
-    assert sum(r[3] for r in rows) == S
-
-    out = pd.DataFrame(rows, columns=["round", "perm_rank",
-                                      "perm_digits", "weight",
-                                      "remaining"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-# Sperner: side-3 triangulation of a triangle, barycentric
-# vertices (i, j, k), i+j+k = 3.  Corners fixed, edge vertices
-# restricted, the single interior vertex free.
-SPERNER_VERTS = [(i, j, 3 - i - j) for i in range(4)
-                 for j in range(4 - i)]
-SPERNER_VIDX = {v: n for n, v in enumerate(SPERNER_VERTS)}
-SPERNER_TRIS = []
-for i in range(3):
-    for j in range(3 - i):
-        k = 3 - i - j
-        SPERNER_TRIS.append((SPERNER_VIDX[(i + 1, j, k - 1)],
-                             SPERNER_VIDX[(i, j + 1, k - 1)],
-                             SPERNER_VIDX[(i, j, k)]))
-        if k >= 2 and i + j <= 2:
-            SPERNER_TRIS.append((SPERNER_VIDX[(i + 1, j, k - 1)],
-                                 SPERNER_VIDX[(i, j + 1, k - 1)],
-                                 SPERNER_VIDX[(i + 1, j + 1,
-                                               k - 2)]))
-
-
-def _sperner_labeling(choice):
-    """Decode a choice index 0..191 into an admissible Sperner
-    labeling: 6 binary edge choices + 1 ternary interior choice."""
-    labels = {}
-    labels[(3, 0, 0)] = 0
-    labels[(0, 3, 0)] = 1
-    labels[(0, 0, 3)] = 2
-    c = int(choice)
-    # edge 0-1 (k = 0): two interior points, labels in {0, 1}
-    for t, v in enumerate([(2, 1, 0), (1, 2, 0)]):
-        labels[v] = (c >> t) & 1
-    # edge 0-2 (j = 0): labels in {0, 2}
-    for t, v in enumerate([(2, 0, 1), (1, 0, 2)]):
-        labels[v] = 0 if (c >> (2 + t)) & 1 == 0 else 2
-    # edge 1-2 (i = 0): labels in {1, 2}
-    for t, v in enumerate([(0, 2, 1), (0, 1, 2)]):
-        labels[v] = 1 if (c >> (4 + t)) & 1 == 0 else 2
-    labels[(1, 1, 1)] = (c >> 6) % 3
-    return [labels[v] for v in SPERNER_VERTS]
-
-
-def sperner_lemma_int(choice_census):
-    """SPERNER's lemma on the side-3 triangulated triangle —
-    TOPOLOGICAL COMBINATORICS (the combinatorial Brouwer), a
-    family the surface lacked: corners labeled 0/1/2, each edge
-    vertex restricted to its edge's endpoint labels, the interior
-    vertex free — the kernel enumerates ALL 192 admissible
-    labelings and asserts EVERY one has an ODD number (hence ≥ 1)
-    of rainbow cells among the 9 small triangles — the lemma
-    verified in full, not cited.  The census picks the emitted
-    labeling.  Output: one row per small triangle with its three
-    labels and rainbow flag, plus global (n_rainbow, n_labelings,
-    n_even_labelings = 0).  Mirror: the same decode arithmetic
-    over shared vertex/triangle constants + the same 192-sweep in
-    SQL."""
-    n_even = 0
-    for c in range(192):
-        lab = _sperner_labeling(c)
-        nr = sum(1 for a, b, d in SPERNER_TRIS
-                 if {lab[a], lab[b], lab[d]} == {0, 1, 2})
-        assert nr % 2 == 1 and nr >= 1, c
-        if nr % 2 == 0:
-            n_even += 1
-    assert n_even == 0
-
-    sel = int(choice_census) % 192
-    lab = _sperner_labeling(sel)
-    rows = []
-    n_rainbow = sum(1 for a, b, d in SPERNER_TRIS
-                    if {lab[a], lab[b], lab[d]} == {0, 1, 2})
-    for t, (a, b, d) in enumerate(SPERNER_TRIS):
-        rb = 1 if {lab[a], lab[b], lab[d]} == {0, 1, 2} else 0
-        rows.append((t, lab[a], lab[b], lab[d], rb, n_rainbow,
-                     sel, 192, 0))
-    out = pd.DataFrame(rows, columns=["tri", "l1", "l2", "l3",
-                                      "rainbow", "n_rainbow",
-                                      "choice", "n_labelings",
-                                      "n_even_labelings"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def egz_zerosum_int(values):
-    """The Erdős-Ginzburg-Ziv theorem for n = 5 — ZERO-SUM
-    COMBINATORICS, a family the surface lacked (ramsey_k6 is
-    unavoidable structure in colorings; EGZ is unavoidable
-    structure in SUMS): any 9 integers contain 5 whose sum is
-    divisible by 5.  The kernel verifies the theorem EXHAUSTIVELY
-    over ALL C(13,4) = 715 residue multisets (each with its 126
-    five-subsets — the full hypothesis space, not a sample), then
-    reports for the census 9-tuple the number of zero-sum
-    5-subsets and the lexicographically first witness.  Output:
-    one row per position with membership flag.  Mirror: the 126
-    subsets of the census tuple by 5-fold ordered join, count +
-    lex-min witness."""
-    from itertools import combinations, combinations_with_replacement
-
-    for ms in combinations_with_replacement(range(5), 9):
-        ok = any(sum(ss) % 5 == 0 for ss in combinations(ms, 5))
-        assert ok, ms                     # EGZ, exhaustively
-
-    vals = [int(v) % 5 for v in values]
-    assert len(vals) == 9
-    zs = [idx for idx in combinations(range(9), 5)
-          if sum(vals[i] for i in idx) % 5 == 0]
-    assert zs                             # the theorem, applied
-    witness = min(zs)
-    rows = [(i, vals[i], 1 if i in witness else 0, len(zs))
-            for i in range(9)]
-    out = pd.DataFrame(rows, columns=["pos", "residue", "in_witness",
-                                      "n_zero_subsets"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-WILSON_MAX = 200
-
-
-def wilson_theorem_int(seeds):
-    """Wilson's theorem as a primality CRITERION — FACTORIAL
-    CONGRUENCES, a family the surface lacked (miller_rabin is a
-    probabilistic strong test; Wilson is the exact classical
-    characterization): (n−1)! ≡ −1 (mod n) iff n is prime — the
-    kernel verifies BOTH directions EXHAUSTIVELY for every
-    2 ≤ n ≤ 200 (primes hit −1; composites n > 4 hit 0, and the
-    lone exception n = 4 hits 2 — the full trichotomy asserted,
-    with trial division as the independent primality route), then
-    reports the census rows.  Output: (inst, n, wilson_residue,
-    is_prime).  Mirror: the factorial-mod chain as a recursive
-    CTE per instance + trial-division primality."""
-    def is_prime(v):
-        return v >= 2 and all(v % f for f in
-                              range(2, math.isqrt(v) + 1))
-
-    def wilson_res(n):
-        r = 1
-        for t in range(2, n):
-            r = r * t % n
-        return r
-
-    for n in range(2, WILSON_MAX + 1):
-        w = wilson_res(n)
-        if is_prime(n):
-            assert w == n - 1            # -1 mod n
-        elif n == 4:
-            assert w == 2                # the classical exception
-        else:
-            assert w == 0                # composite > 4
-
-    rows = []
-    for i, s in enumerate(seeds):
-        n = int(s) % 199 + 2             # 2..200
-        rows.append((i, n, wilson_res(n), 1 if is_prime(n) else 0))
-    out = pd.DataFrame(rows, columns=["inst", "n",
-                                      "wilson_residue",
-                                      "is_prime"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def lucas_binomial_int(seed_pairs):
-    """Lucas' theorem — COMBINATORIAL CONGRUENCES, a family the
-    surface lacked: C(m, r) mod p equals the product of the
-    digitwise binomials in base p.  For each census pair the
-    kernel takes p ∈ {2,3,5,7}, m, r ≤ m, computes C(m,r) mod p
-    DIRECTLY (exact big-integer binomial, m ≤ 400) and by the
-    LUCAS digit product, asserts them equal — and additionally
-    asserts Kummer's theorem: the exact power of p dividing
-    C(m,r) equals the number of CARRIES when adding r and m−r in
-    base p (computed independently from the factorial valuation
-    by Legendre's formula).  Output: (inst, p, m, r, binom_mod,
-    lucas_prod, carries, p_valuation).  Mirror: the digit product
-    via base-p digit extraction + a small digit-binomial lookup,
-    the valuation by Legendre's floor sums."""
-    PS = [2, 3, 5, 7]
-    rows = []
-    for i, (s1, s2) in enumerate(seed_pairs):
-        p = PS[int(s1) % 4]
-        m = int(s1) % 400 + 1
-        r = int(s2) % (m + 1)
-
-        direct = math.comb(m, r) % p
-
-        lucas = 1
-        mm, rr = m, r
-        while mm or rr:
-            dm, dr = mm % p, rr % p
-            lucas = lucas * (math.comb(dm, dr) if dr <= dm
-                             else 0) % p
-            mm //= p
-            rr //= p
-        assert lucas == direct
-
-        # carries when adding r and (m-r) in base p
-        carries = 0
-        carry = 0
-        aa, bb = r, m - r
-        while aa or bb or carry:
-            d = aa % p + bb % p + carry
-            carry = 1 if d >= p else 0
-            carries += carry
-            aa //= p
-            bb //= p
-
-        def legendre_val(x):
-            v, q = 0, p
-            while q <= x:
-                v += x // q
-                q *= p
-            return v
-
-        val = legendre_val(m) - legendre_val(r) - legendre_val(m - r)
-        assert val == carries            # Kummer
-        assert (direct == 0) == (val >= 1)
-
-        rows.append((i, p, m, r, direct, lucas, carries, val))
-    out = pd.DataFrame(rows, columns=["inst", "p", "m", "r",
-                                      "binom_mod", "lucas_prod",
-                                      "carries", "p_valuation"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-EULERIAN_NMAX = 8
-
-
-def eulerian_numbers_int(n_census):
-    """Eulerian numbers A(n,k) — PERMUTATION STATISTICS, a family
-    the surface lacked (permutation_cycles analyses ONE data
-    permutation; Eulerian numbers enumerate a statistic over ALL
-    of S_n): the kernel builds the triangle to n = 8 by the
-    recurrence A(n,k) = (k+1)A(n−1,k) + (n−k)A(n−1,k−1), asserts
-    the EXPLICIT alternating formula Σ_j (−1)^j C(n+1,j)(k+1−j)^n
-    entry-wise, WORPITZKY's identity x^n = Σ_k A(n,k)·C(x+k, n)
-    at every x = 0..n (n+1 points pin the degree-n polynomial),
-    row sums = n!, the reversal symmetry A(n,k) = A(n,n−1−k), and
-    the n = 6 row by EXHAUSTIVE descent census over all 720
-    permutations.  The census selects the emitted row n ∈ [5,8].
-    Mirror: the explicit formula only."""
-    N = EULERIAN_NMAX
-    A = [[0] * (N + 1) for _ in range(N + 1)]
-    A[0][0] = 1
-    for n in range(1, N + 1):
-        for k in range(n):
-            A[n][k] = ((k + 1) * A[n - 1][k]
-                       + (n - k) * (A[n - 1][k - 1] if k else 0))
-
-    for n in range(1, N + 1):
-        for k in range(n):
-            ex = sum((-1) ** j * math.comb(n + 1, j)
-                     * (k + 1 - j) ** n for j in range(k + 2))
-            assert A[n][k] == ex, (n, k)
-        assert sum(A[n][:n]) == math.factorial(n)
-        for k in range(n):
-            assert A[n][k] == A[n][n - 1 - k]
-        for x in range(n + 1):
-            w = sum(A[n][k] * math.comb(x + k, n)
-                    for k in range(n))
-            assert w == x ** n           # Worpitzky
-
-    from itertools import permutations
-    census6 = [0] * 6
-    for pm in permutations(range(6)):
-        d = sum(1 for i in range(5) if pm[i] > pm[i + 1])
-        census6[d] += 1
-    assert census6 == A[6][:6]           # enumeration certificate
-
-    n_sel = int(n_census) % 4 + 5        # 5..8
-    rows = [(n_sel, k, A[n_sel][k], math.factorial(n_sel))
-            for k in range(n_sel)]
-    out = pd.DataFrame(rows, columns=["n", "k", "eulerian",
-                                      "row_sum"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def permanent_ryser_int(bits):
-    """The matrix PERMANENT via Ryser's formula — PERMANENT
-    COMPUTATION / #P counting, a family the surface lacked
-    (_sql_det3 and leontief_io do determinants; the permanent is
-    the sign-free sibling whose computation is #P-hard, and Ryser
-    1963 is still the best general algorithm): the census bits
-    form a 4×4 0/1 matrix; the kernel computes perm(A) by BRUTE
-    sum over all 24 permutations AND by Ryser's inclusion-
-    exclusion (−1)^n Σ_{S⊆cols} (−1)^{|S|} ∏_i (row-sum over S),
-    asserts them equal, and asserts the combinatorial meaning —
-    perm(A) counts the perfect matchings of the bipartite graph,
-    re-counted independently by recursive matching enumeration.
-    Output: one row per cell plus the global (permanent, n_ones).
-    Mirror: Ryser's 16-subset sweep in SQL."""
-    bits = [int(b) & 1 for b in bits]
-    assert len(bits) == 16
-    a = [[bits[4 * i + j] for j in range(4)] for i in range(4)]
-
-    from itertools import permutations
-    brute = sum(a[0][p[0]] * a[1][p[1]] * a[2][p[2]] * a[3][p[3]]
-                for p in permutations(range(4)))
-
-    ryser = 0
-    for S in range(16):
-        pr = 1
-        for i in range(4):
-            pr *= sum(a[i][j] for j in range(4) if (S >> j) & 1)
-        ryser += (-1) ** bin(S).count("1") * pr
-    ryser *= (-1) ** 4
-    assert ryser == brute
-
-    def match_count(i, used):
-        if i == 4:
-            return 1
-        return sum(match_count(i + 1, used | (1 << j))
-                   for j in range(4)
-                   if a[i][j] and not (used >> j) & 1)
-
-    assert match_count(0, 0) == brute    # matchings route
-
-    n_ones = sum(bits)
-    rows = [(i, j, a[i][j], brute, n_ones)
-            for i in range(4) for j in range(4)]
-    out = pd.DataFrame(rows, columns=["i", "j", "a", "permanent",
-                                      "n_ones"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _gauss_binom(n, k, q):
-    num = den = 1
-    for i in range(k):
-        num *= q ** (n - i) - 1
-        den *= q ** (i + 1) - 1
-    assert num % den == 0
-    return num // den
-
-
-def gaussian_binomial_int(q_census):
-    """Gaussian binomial coefficients — q-ANALOGS / finite
-    geometry, a family the surface lacked: [4 k]_q computed by the
-    product formula (divisibility certified) AND the q-Pascal
-    recurrence [n k] = [n−1 k−1] + q^k·[n−1 k], asserted equal for
-    every n ≤ 4, k, q ∈ {2, 3, 5}; at q = 2 the values are the
-    SUBSPACE COUNTS of F_2^4, verified by EXHAUSTIVE enumeration —
-    all 2^15 nonzero-vector subsets swept for XOR-closure, closed
-    sets counted by dimension, (1, 15, 35, 15, 1) recovered by
-    counting, not citation; the q → 1 degeneration to Pascal is
-    asserted via the recurrence.  The census picks a second
-    modulus q_c ∈ {2, 3, 5} for the reported column.  Output:
-    (k, gauss_q2, subspace_count, binom, q_c, gauss_qc).  Mirror:
-    the product formula in exact SQL integers."""
-    for q in (2, 3, 5):
-        G = {(0, 0): 1}
-        for n in range(1, 5):
-            for k in range(n + 1):
-                G[(n, k)] = (G.get((n - 1, k - 1), 0)
-                             + q ** k * G.get((n - 1, k), 0))
-        for n in range(5):
-            for k in range(n + 1):
-                assert G[(n, k)] == _gauss_binom(n, k, q), (n, k, q)
-    # q = 1 recurrence degenerates to Pascal
-    G1 = {(0, 0): 1}
-    for n in range(1, 5):
-        for k in range(n + 1):
-            G1[(n, k)] = (G1.get((n - 1, k - 1), 0)
-                          + G1.get((n - 1, k), 0))
-    for k in range(5):
-        assert G1[(4, k)] == math.comb(4, k)
-
-    # exhaustive subspace census of F_2^4: subsets of the 15
-    # nonzero vectors (+ 0), closed under XOR
-    by_dim = [0] * 5
-    for m in range(1 << 15):
-        vecs = [v + 1 for v in range(15) if (m >> v) & 1]
-        vs = set(vecs) | {0}
-        if all((a ^ b) in vs for a in vs for b in vs):
-            size = len(vs)
-            dim = size.bit_length() - 1
-            assert 1 << dim == size      # closed => power of 2
-            by_dim[dim] += 1
-    assert by_dim == [_gauss_binom(4, k, 2) for k in range(5)]
-    assert by_dim == [1, 15, 35, 15, 1]
-
-    qc = (2, 3, 5)[int(q_census) % 3]
-    rows = [(k, _gauss_binom(4, k, 2), by_dim[k],
-             math.comb(4, k), qc, _gauss_binom(4, k, qc))
-            for k in range(5)]
-    out = pd.DataFrame(rows, columns=["k", "gauss_q2",
-                                      "subspace_count", "binom",
-                                      "q_c", "gauss_qc"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def domino_tilings_int(sel_census):
-    """Domino tilings of m×n grids — DIMER STATISTICS, a family
-    the surface lacked (debruijn ops count k-mer graph structure;
-    dimers are statistical mechanics' matching model): T(m, n) for
-    m ≤ 4, n ≤ 8 by PROFILE transfer DP (column-by-column over
-    2^m broken-profile states), certified against the classical
-    linear recurrences — T(1,·) = [n even], T(2,·) = Fibonacci,
-    T(3, even) with T(n) = 4T(n−2) − T(n−4), T(4,·) with
-    T(n) = T(n−1) + 5T(n−2) + T(n−3) − T(n−4) — and the 4×4 = 36
-    value verified by EXHAUSTIVE tiling enumeration (recursive
-    first-empty-cell placement).  The census flags one (m, n).
-    Output: 32 rows (m, n, tilings, selected).  Mirror: the four
-    recurrences as recursive CTEs."""
-    def profile_dp(m, n):
-        # dp over columns; state = bitmask of cells protruding
-        # into the next column
-        cur = {0: 1}
-        for _ in range(n):
-            nxt = {}
-
-            def fill(row, protr_in, protr_out, ways):
-                if row == m:
-                    nxt[protr_out] = nxt.get(protr_out, 0) + ways
-                    return
-                if (protr_in >> row) & 1:       # already filled
-                    fill(row + 1, protr_in, protr_out, ways)
-                    return
-                # horizontal domino -> protrudes
-                fill(row + 1, protr_in, protr_out | (1 << row),
-                     ways)
-                # vertical domino with the cell below
-                if (row + 1 < m
-                        and not (protr_in >> (row + 1)) & 1):
-                    fill(row + 2, protr_in, protr_out, ways)
-
-            for st, w in cur.items():
-                fill(0, st, 0, w)
-            cur = nxt
-        return cur.get(0, 0)
-
-    T = {(m, n): profile_dp(m, n)
-         for m in range(1, 5) for n in range(1, 9)}
-
-    for n in range(1, 9):
-        assert T[(1, n)] == (1 if n % 2 == 0 else 0)
-    fib = [1, 1]
-    for n in range(1, 9):
-        fib.append(fib[-1] + fib[-2])
-        assert T[(2, n)] == fib[n]
-    for n in range(1, 9):
-        if n % 2 == 1:
-            assert T[(3, n)] == 0
-    assert T[(3, 2)] == 3 and T[(3, 4)] == 11
-    for n in range(5, 9):
-        if n % 2 == 0:
-            assert T[(3, n)] == 4 * T[(3, n - 2)] - T[(3, n - 4)]
-    t4 = {0: 1, 1: 1, 2: 5, 3: 11}
-    for n in range(1, 9):
-        if n >= 4:
-            t4[n] = (t4[n - 1] + 5 * t4[n - 2] + t4[n - 3]
-                     - t4[n - 4])
-        assert T[(4, n)] == t4[n], n
-
-    # exhaustive 4x4 enumeration
-    def enum_tilings():
-        grid = [[False] * 4 for _ in range(4)]
-
-        def rec():
-            for i in range(4):
-                for j in range(4):
-                    if not grid[i][j]:
-                        total = 0
-                        if j + 1 < 4 and not grid[i][j + 1]:
-                            grid[i][j] = grid[i][j + 1] = True
-                            total += rec()
-                            grid[i][j] = grid[i][j + 1] = False
-                        if i + 1 < 4 and not grid[i + 1][j]:
-                            grid[i][j] = grid[i + 1][j] = True
-                            total += rec()
-                            grid[i][j] = grid[i + 1][j] = False
-                        return total
-            return 1
-
-        return rec()
-
-    assert enum_tilings() == T[(4, 4)] == 36
-
-    sel = int(sel_census) % 32
-    rows = []
-    for idx, ((m, n), t) in enumerate(sorted(T.items())):
-        rows.append((m, n, t, 1 if idx == sel else 0))
-    out = pd.DataFrame(rows, columns=["m", "n", "tilings",
-                                      "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def picks_theorem_int(points):
-    """PICK's theorem on the census lattice polygon — LATTICE-POINT
-    GEOMETRY, a family the surface lacked (convex_hull finds the
-    shape; Pick COUNTS with it): the convex hull of the census
-    points is a lattice polygon with 2A = 2I + B − 2; the kernel
-    computes the doubled area by the shoelace formula, boundary
-    lattice points as Σ gcd(|Δx|, |Δy|) over hull edges, interior
-    points by BRUTE lattice scan of the bounding box (point-in-
-    convex-polygon by uniform cross-product sign), and asserts
-    Pick's identity EXACTLY — shoelace vs counting, the theorem
-    verified on the instance, with degenerate hulls (< 3 vertices)
-    reported with zero area and the identity skipped (stated).
-    Output: one row per hull vertex (LEX-sorted — polygon order is
-    an internal detail both engines avoid exposing) plus the global
-    (area2, B, I, pick_check) columns.  Mirror: the same hull walk is NOT
-    replayed — the mirror re-derives the hull by the order-free
-    extreme-point characterization (as convex_hull does), then the
-    same shoelace/gcd/scan arithmetic."""
-    pts = sorted(set((int(x), int(y)) for x, y in points))
-    # Andrew monotone chain
-    def cross(o, a, b):
-        return ((a[0] - o[0]) * (b[1] - o[1])
-                - (a[1] - o[1]) * (b[0] - o[0]))
-
-    if len(pts) >= 3:
-        lower = []
-        for p_ in pts:
-            while len(lower) >= 2 and cross(lower[-2], lower[-1],
-                                            p_) <= 0:
-                lower.pop()
-            lower.append(p_)
-        upper = []
-        for p_ in reversed(pts):
-            while len(upper) >= 2 and cross(upper[-2], upper[-1],
-                                            p_) <= 0:
-                upper.pop()
-            upper.append(p_)
-        hull = lower[:-1] + upper[:-1]
-    else:
-        hull = pts[:]
-
-    n = len(hull)
-    if n >= 3:
-        a2 = sum(hull[i][0] * hull[(i + 1) % n][1]
-                 - hull[(i + 1) % n][0] * hull[i][1]
-                 for i in range(n))
-        assert a2 > 0                     # ccw hull
-        B = sum(math.gcd(abs(hull[(i + 1) % n][0] - hull[i][0]),
-                         abs(hull[(i + 1) % n][1] - hull[i][1]))
-                for i in range(n))
-        xs = [p_[0] for p_ in hull]
-        ys = [p_[1] for p_ in hull]
-        Icnt = 0
-        Bcnt = 0
-        for x in range(min(xs), max(xs) + 1):
-            for y in range(min(ys), max(ys) + 1):
-                crs = [cross(hull[i], hull[(i + 1) % n], (x, y))
-                       for i in range(n)]
-                if all(c > 0 for c in crs):
-                    Icnt += 1
-                elif all(c >= 0 for c in crs):
-                    Bcnt += 1
-        assert Bcnt == B                  # gcd count == scan
-        assert 2 * Icnt + B - 2 == a2     # PICK
-        I = Icnt
-    else:
-        a2 = 0
-        B = len(hull)
-        I = 0
-
-    hull_sorted = sorted(hull)            # lex order: the output
-    rows = [(i, hull_sorted[i][0], hull_sorted[i][1], n, a2, B, I,
-             1 if (n < 3 or 2 * I + B - 2 == a2) else 0)
-            for i in range(n)]
-    out = pd.DataFrame(rows, columns=["v", "x", "y", "hull_size",
-                                      "area2", "boundary_pts",
-                                      "interior_pts",
-                                      "pick_check"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-# exact Bernoulli numbers B0..B6 (B1 = +1/2 convention NOT used;
-# classical B1 = -1/2): as (num, den)
-BERNOULLI = [(1, 1), (-1, 2), (1, 6), (0, 1), (-1, 30), (0, 1),
-             (1, 42)]
-
-
-def faulhaber_int(hour_mods):
-    """FAULHABER's formula — BERNOULLI-NUMBER SUMMATION, a family
-    the surface lacked: Σ_{k=1}^{n} k^m for m ≤ 6 computed
-    directly AND by the closed form
-    (1/(m+1))·Σ_j C(m+1, j)·B_j·n^(m+1−j) with the B1 = +1/2
-    convention (which makes the formula sum 1..n rather than
-    0..n−1 — stated), the two asserted equal in EXACT Fraction
-    arithmetic (the result certified integral) for every census n
-    ≤ 500 and every m ≤ 6 — plus Nicomachus' identity
-    Σk³ = (Σk)² asserted per n.  n ≤ 500 keeps Σk⁶ inside int64 —
-    but NOT inside double's 2^53 (500⁶ = 1.6e16), so the mirror
-    multiplies integers rather than calling pow (the one-ulp
-    rounding was caught by selfcheck).  Output:
-    (h, n, m, power_sum).  Mirror: the direct sum by
-    generate_series — closed form vs summation, one route per
-    engine."""
-    from fractions import Fraction
-
-    rows = []
-    for h, n in hour_mods:
-        n = int(n) % 500 + 1
-        direct = {m: sum(k ** m for k in range(1, n + 1))
-                  for m in range(7)}
-        for m in range(7):
-            s = Fraction(0)
-            for j in range(m + 1):
-                bn, bd = BERNOULLI[j]
-                if j == 1:
-                    bn = -bn              # B1 -> +1/2 convention
-                s += (math.comb(m + 1, j) * Fraction(bn, bd)
-                      * Fraction(n) ** (m + 1 - j))
-            s /= (m + 1)
-            assert s.denominator == 1     # integrality certified
-            assert int(s) == direct[m], (n, m)
-        assert direct[3] == direct[1] ** 2    # Nicomachus
-        for m in range(7):
-            rows.append((int(h), n, m, direct[m]))
-    out = pd.DataFrame(rows, columns=["h", "n", "m", "power_sum"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def percolation_3x3_int(bits):
-    """Site percolation on the 3×3 grid — PERCOLATION /
-    connectivity statistics, a family the surface lacked
-    (cc_labels labels ONE graph; percolation asks how often
-    connectivity HAPPENS across a configuration ensemble): the
-    kernel sweeps ALL 2^9 site configurations, counting those
-    where an open top-row site reaches an open bottom-row site
-    through 4-neighbor open paths (BFS per config — the exact
-    finite-size percolation count, computed not cited), then
-    reports the census configuration's per-cell reachability,
-    cluster structure (min-index labels), and flag.  Output: 9
-    cell rows + global (percolates, n_perc_configs, n_open,
-    n_clusters).  Mirror: the same 512-config sweep as a
-    recursive (config, cell) closure in SQL + a min-label closure
-    for the census clusters."""
-    bits = [int(b) & 1 for b in bits]
-    assert len(bits) == 9
-
-    def neighbors(c):
-        r, col = divmod(c, 3)
-        out = []
-        if r > 0:
-            out.append(c - 3)
-        if r < 2:
-            out.append(c + 3)
-        if col > 0:
-            out.append(c - 1)
-        if col < 2:
-            out.append(c + 1)
-        return out
-
-    def percolates(bb):
-        reach = set(c for c in (0, 1, 2) if bb[c])
-        frontier = list(reach)
-        while frontier:
-            c = frontier.pop()
-            for nb in neighbors(c):
-                if bb[nb] and nb not in reach:
-                    reach.add(nb)
-                    frontier.append(nb)
-        return any(c in reach for c in (6, 7, 8)), reach
-
-    n_perc = 0
-    for m in range(512):
-        bb = [(m >> c) & 1 for c in range(9)]
-        if percolates(bb)[0]:
-            n_perc += 1
-
-    perc, reach = percolates(bits)
-    # cluster labels: min open index reachable within the config
-    label = {}
-    for c in range(9):
-        if not bits[c]:
-            continue
-        comp = {c}
-        frontier = [c]
-        while frontier:
-            x = frontier.pop()
-            for nb in neighbors(x):
-                if bits[nb] and nb not in comp:
-                    comp.add(nb)
-                    frontier.append(nb)
-        label[c] = min(comp)
-    n_clusters = len(set(label.values()))
-    n_open = sum(bits)
-
-    rows = [(c, bits[c], 1 if c in reach else 0,
-             label.get(c, -1), 1 if perc else 0, n_perc, n_open,
-             n_clusters) for c in range(9)]
-    out = pd.DataFrame(rows, columns=["cell", "open",
-                                      "reach_from_top",
-                                      "cluster_label",
-                                      "percolates",
-                                      "n_perc_configs", "n_open",
-                                      "n_clusters"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-K4_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-K4_PAIRINGS = [((0, 1), (2, 3)), ((0, 2), (1, 3)),
-               ((0, 3), (1, 2))]
-
-
-def chinese_postman_int(weights):
-    """The Chinese Postman (route inspection) problem on K4 — ARC
-    ROUTING, a family the surface lacked (tsp_heldkarp visits
-    VERTICES; the postman must traverse every EDGE): all four K4
-    vertices have odd degree 3, so the classical solution adds a
-    minimum-weight T-join — here a perfect matching on the four
-    odd vertices priced by SHORTEST-PATH distances.  The kernel
-    runs Floyd-Warshall (fixpoint asserted: one more relaxation
-    round changes nothing), enumerates ALL three pairings
-    (exhaustive by the size of the problem), and certifies
-    tour = total edge weight + min pairing cost with
-    dist(u,v) ≤ w(u,v) asserted per edge.  Output: one row per
-    pairing with its cost and minimality flag, plus globals.
-    Mirror: 4-node shortest paths by explicit ≤ 3-edge path
-    enumeration, same three pairings."""
-    w = {}
-    ws = [int(x) % 9 + 1 for x in weights]
-    assert len(ws) == 6
-    for (u, v), x in zip(K4_EDGES, ws):
-        w[(u, v)] = w[(v, u)] = x
-
-    INF = 10 ** 9
-    d = [[0 if i == j else w.get((i, j), INF) for j in range(4)]
-         for i in range(4)]
-    for k in range(4):
-        for i in range(4):
-            for j in range(4):
-                d[i][j] = min(d[i][j], d[i][k] + d[k][j])
-    for k in range(4):                   # fixpoint certificate
-        for i in range(4):
-            for j in range(4):
-                assert d[i][j] <= d[i][k] + d[k][j]
-    for (u, v), x in zip(K4_EDGES, ws):
-        assert d[u][v] <= x
-
-    total = sum(ws)
-    costs = [d[a][b] + d[c][e]
-             for (a, b), (c, e) in K4_PAIRINGS]
-    best = min(costs)
-    tour = total + best
-
-    rows = []
-    for pid, (((a, b), (c, e)), cost) in enumerate(
-            zip(K4_PAIRINGS, costs)):
-        rows.append((pid, a, b, c, e, cost,
-                     1 if cost == best else 0, total, tour))
-    out = pd.DataFrame(rows, columns=["pairing", "p1a", "p1b",
-                                      "p2a", "p2b", "cost",
-                                      "is_min", "total_w",
-                                      "tour_cost"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-# the 24 rotations of the cube as face permutations; faces:
-# 0=U, 1=D, 2=F, 3=B, 4=L, 5=R
-def _cube_rotations():
-    def compose(p, q):
-        return tuple(p[q[i]] for i in range(6))
-
-    # generators: 90-degree turns about the vertical and a
-    # horizontal axis
-    rz = (0, 1, 5, 4, 2, 3)      # U D F B L R -> U D R L F B
-    rx = (2, 3, 1, 0, 4, 5)      # roll forward: U->F, F->D, ...
-    seen = {tuple(range(6))}
-    frontier = [tuple(range(6))]
-    while frontier:
-        g = frontier.pop()
-        for r in (rz, rx):
-            h = compose(r, g)
-            if h not in seen:
-                seen.add(h)
-                frontier.append(h)
-    return sorted(seen)
-
-
-CUBE_ROTS = _cube_rotations()
-
-
-def cube_colorings_int(c_census):
-    """Face colorings of the cube up to rotation — PÓLYA
-    ENUMERATION ON A NONABELIAN GROUP, a family the surface
-    lacked (necklace_count applies Burnside to the CYCLIC group;
-    the cube's rotation group of order 24 is the classic
-    nonabelian showcase): the kernel first builds the 24 rotations
-    by generator closure and asserts the group axioms hold
-    (closure, inverses, order 24), then counts distinct c-colorings
-    for c ∈ {2, 3, 4} TWICE — by EXHAUSTIVE orbit counting over
-    all c^6 colorings (canonical = min over the orbit) and by
-    BURNSIDE Σ_g c^cycles(g) / 24 (the divisibility by 24
-    certified) — asserted equal; the famous 3-color value 57 is
-    pinned.  The census selects the reported c.  Output: one row
-    per rotation with its face-cycle count, plus the global
-    columns.  Mirror: Burnside's sum from the SAME rotation
-    table shipped as literals, plus c^6 totals."""
-    rots = CUBE_ROTS
-    assert len(rots) == 24
-    rset = set(rots)
-    ident = tuple(range(6))
-    assert ident in rset
-    for g in rots:                       # inverses in the set
-        inv = tuple(g.index(i) for i in range(6))
-        assert inv in rset
-
-    def cycles(g):
-        seen, n = set(), 0
-        for s in range(6):
-            if s in seen:
-                continue
-            n += 1
-            cur = s
-            while cur not in seen:
-                seen.add(cur)
-                cur = g[cur]
-        return n
-
-    cyc = [cycles(g) for g in rots]
-
-    counts = {}
-    for c in (2, 3, 4):
-        burn = sum(c ** k for k in cyc)
-        assert burn % 24 == 0
-        burn //= 24
-
-        orbits = set()
-        for m in range(c ** 6):
-            col = tuple((m // c ** f) % c for f in range(6))
-            canon = min(tuple(col[g[f]] for f in range(6))
-                        for g in rots)
-            orbits.add(canon)
-        assert len(orbits) == burn, c
-        counts[c] = burn
-    assert counts[3] == 57               # the classic value
-    assert counts[2] == 10
-
-    csel = (2, 3, 4)[int(c_census) % 3]
-    rows = [(i, cyc[i], csel, counts[csel], counts[2], counts[3],
-             counts[4]) for i in range(24)]
-    out = pd.DataFrame(rows, columns=["rot", "n_cycles", "c_sel",
-                                      "count_sel", "count_c2",
-                                      "count_c3", "count_c4"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def fibonacci_gcd_int(seed_pairs):
-    """The Fibonacci GCD theorem — DIVISIBILITY SEQUENCES, a
-    family the surface lacked: gcd(F_m, F_n) = F_gcd(m, n) — the
-    strong-divisibility property that makes (F_n) the canonical
-    divisibility sequence.  The kernel verifies it EXHAUSTIVELY
-    for ALL 1 ≤ m, n ≤ 30 (900 pairs), along with F_d | F_n
-    whenever d | n and the Catalan identity
-    F_n² − F_{n−r}·F_{n+r} = (−1)^{n−r}·F_r² for every n, r ≤ 15,
-    then reports the census pairs.  Output: (inst, m, n, fib_m,
-    fib_n, g, fib_g, gcd_fib).  Mirror: Fibonacci by recursive
-    CTE + DuckDB gcd — identity visible as the fib_g/gcd_fib
-    column pair."""
-    F = [0, 1]
-    for i in range(2, 62):
-        F.append(F[-1] + F[-2])
-
-    for m in range(1, 31):
-        for n in range(1, 31):
-            assert math.gcd(F[m], F[n]) == F[math.gcd(m, n)]
-    for n in range(1, 31):
-        for d in range(1, n + 1):
-            if n % d == 0:
-                assert F[n] % F[d] == 0
-    for n in range(1, 16):
-        for r in range(0, n + 1):
-            lhs = F[n] ** 2 - F[n - r] * F[n + r]
-            assert lhs == (-1) ** (n - r) * F[r] ** 2
-
-    rows = []
-    for i, (s1, s2) in enumerate(seed_pairs):
-        m = int(s1) % 60 + 1
-        n = int(s2) % 60 + 1
-        g = math.gcd(m, n)
-        rows.append((i, m, n, F[m], F[n], g, F[g],
-                     math.gcd(F[m], F[n])))
-    out = pd.DataFrame(rows, columns=["inst", "m", "n", "fib_m",
-                                      "fib_n", "g", "fib_g",
-                                      "gcd_fib"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def frobenius_coin_int(s1, s2):
-    """The Frobenius coin problem for two coprime denominations —
-    NUMERICAL SEMIGROUPS, a family the surface lacked: the kernel
-    derives a coprime census pair (a, b), sweeps representability
-    n = ax + by EXHAUSTIVELY over [0, ab], and asserts all three
-    classical results — the Frobenius number g = ab − a − b
-    (largest non-representable), SYLVESTER's count
-    (a−1)(b−1)/2 of non-representables, and the SYMMETRY n is
-    representable ⟺ g − n is not (for 0 ≤ n ≤ g) — by counting,
-    not citation.  Output: one row per non-representable n plus
-    the global columns.  Mirror: representability by EXISTS over
-    the x-multiples (constant-bounded), same closed-form
-    columns."""
-    a = int(s1) % 15 + 2
-    b = int(s2) % 15 + 2
-    while math.gcd(a, b) != 1:
-        b += 1
-
-    g = a * b - a - b
-
-    def representable(n):
-        return any((n - a * x) % b == 0
-                   for x in range(n // a + 1))
-
-    nonrep = [n for n in range(a * b + 1) if not representable(n)]
-    assert max(nonrep) == g              # Frobenius / McNugget
-    assert len(nonrep) == (a - 1) * (b - 1) // 2   # Sylvester
-    for n in range(g + 1):               # symmetry
-        assert representable(n) == (not representable(g - n))
-
-    rows = [(i, n, a, b, g, len(nonrep))
-            for i, n in enumerate(nonrep)]
-    out = pd.DataFrame(rows, columns=["idx", "n_nonrep", "a", "b",
-                                      "frobenius", "n_count"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def stern_brocot_int(s1, s2):
-    """Stern-Brocot descent to a census fraction — MEDIANT TREES /
-    Farey structure, a family the surface lacked (cf_convergents
-    walks Euclid; the Stern-Brocot tree is the BINARY-SEARCH face
-    of the same arithmetic): starting from 0/1 and 1/1 the kernel
-    descends by mediants to the reduced target p/q ∈ (0, 1),
-    asserting at EVERY step the tree's unimodular invariant
-    r_p·l_q − l_p·r_q = 1 (neighbouring fractions are Farey
-    neighbours) and that the mediant stays strictly between; on
-    arrival the mediant IS the target in lowest terms (arrival
-    certified by Stern-Brocot completeness), and the total path
-    length equals (Σ continued-fraction coefficients of p/q) − 1
-    — asserted against an independent Euclid expansion.  Output:
-    one row per step.  Mirror: the same descent as a recursive
-    CTE."""
-    p0 = int(s1) % 50 + 1
-    q0 = int(s2) % 50 + 2
-    p = p0 % q0
-    if p == 0:
-        p = 1
-    g = math.gcd(p, q0)
-    p, q = p // g, q0 // g
-    assert 0 < p < q and math.gcd(p, q) == 1
-
-    lp, lq, rp, rq = 0, 1, 1, 1
-    rows = []
-    step = 0
-    while True:
-        assert rp * lq - lp * rq == 1    # unimodularity
-        mp, mq = lp + rp, lq + rq
-        # strictly between
-        assert lp * mq < mp * lq and mp * rq < rp * mq
-        if mp * q == p * mq:
-            d = 0
-            rows.append((step, d, lp, lq, rp, rq, mp, mq, p, q))
-            break
-        elif p * mq < mp * q:            # target < mediant: left
-            d = -1
-            rows.append((step, d, lp, lq, rp, rq, mp, mq, p, q))
-            rp, rq = mp, mq
-        else:
-            d = 1
-            rows.append((step, d, lp, lq, rp, rq, mp, mq, p, q))
-            lp, lq = mp, mq
-        step += 1
-        assert step < 200
-
-    # path length vs continued fraction of p/q
-    cf = []
-    x, y = p, q
-    while y:
-        cf.append(x // y)
-        x, y = y, x % y
-    # p/q in (0,1): cf = [0; a1, ..., ak]; rows INCLUDING the
-    # arrival mediant number sum(a_i) - 1 (classical)
-    assert len(rows) == sum(cf) - 1
-    out = pd.DataFrame(rows, columns=["step", "dir", "lp", "lq",
-                                      "rp", "rq", "mp", "mq",
-                                      "p", "q"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-VDW_APS = [(a, d) for d in range(1, 5) for a in range(1, 10)
-           if a + 2 * d <= 9]
-
-
-def van_der_waerden_int(bits):
-    """Van der Waerden W(3,2) = 9 — ARITHMETIC RAMSEY THEORY, a
-    family the surface lacked (ramsey_k6 colors graph edges; vdW
-    colors the INTEGERS and asks for monochromatic arithmetic
-    progressions): the kernel verifies BOTH halves exhaustively —
-    every one of the 2^9 two-colorings of {1..9} contains a
-    monochromatic 3-term AP (the upper bound), and the count of
-    AP-free 2-colorings of {1..8} is strictly positive (the
-    lower bound: 9 is tight), both computed by full sweeps over
-    the 16 (resp. 12) APs.  The census coloring's own mono-AP
-    census is reported.  Output: one row per 3-AP in {1..9} with
-    its census-mono flag, plus the global columns.  Mirror: the
-    same two sweeps + per-AP flags in SQL over the shared AP
-    list."""
-    bits = [int(b) & 1 for b in bits]
-    assert len(bits) == 9                # color of 1..9
-
-    def color(bb, x):
-        return bb[x - 1]
-
-    def mono_aps(bb, nmax):
-        out = []
-        for a, d in VDW_APS:
-            if a + 2 * d <= nmax:
-                if (color(bb, a) == color(bb, a + d)
-                        == color(bb, a + 2 * d)):
-                    out.append((a, d))
-        return out
-
-    for m in range(512):
-        bb = [(m >> i) & 1 for i in range(9)]
-        assert mono_aps(bb, 9), m        # upper: every coloring
-
-    n_valid_8 = 0
-    for m in range(256):
-        bb = [(m >> i) & 1 for i in range(8)] + [0]
-        if not mono_aps(bb, 8):
-            n_valid_8 += 1
-    assert n_valid_8 > 0                 # lower: 9 is tight
-
-    mono = set(mono_aps(bits, 9))
-    rows = [(a, d, 1 if (a, d) in mono else 0, len(mono),
-             n_valid_8) for a, d in VDW_APS]
-    out = pd.DataFrame(rows, columns=["a", "d", "mono", "n_mono",
-                                      "n_apfree_8"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _kaprekar_step(v):
-    ds = sorted(f"{v:04d}")
-    asc = int("".join(ds))
-    desc = int("".join(reversed(ds)))
-    return desc - asc
-
-
-def kaprekar_6174_int(seeds):
-    """Kaprekar's constant — DIGIT DYNAMICS, a family the surface
-    lacked (collatz iterates arithmetic; Kaprekar iterates the
-    DECIMAL REPRESENTATION): the routine v ↦ desc(v) − asc(v) on
-    4-digit strings reaches 6174 within 7 steps from EVERY
-    starting value with at least two distinct digits — verified
-    EXHAUSTIVELY over all 10000 values in-kernel (repdigits
-    collapse to 0, also verified); 6174 is the unique nonzero
-    fixed point (asserted by the same sweep).  Census seed
-    trajectories are reported step by step.  Output: (inst, step,
-    value).  Mirror: the iteration as a recursive CTE with the
-    digit sort done by a 4-wire least/greatest comparator
-    network."""
-    for v in range(10000):
-        ds = f"{v:04d}"
-        if len(set(ds)) == 1:
-            assert _kaprekar_step(v) == 0
-            continue
-        cur, steps = v, 0
-        while cur != 6174:
-            cur = _kaprekar_step(cur)
-            steps += 1
-            assert steps <= 7, v
-    assert _kaprekar_step(6174) == 6174  # fixed point
-
-    rows = []
-    for i, s in enumerate(seeds):
-        v = int(s) % 10000
-        while len(set(f"{v:04d}")) == 1:
-            v = (v + 1) % 10000          # dodge repdigits; 9999
-            # needs TWO bumps (-> 0000 -> 0001), the one loop case
-        cur, step = v, 0
-        rows.append((i, 0, v))
-        while cur != 6174:
-            cur = _kaprekar_step(cur)
-            step += 1
-            rows.append((i, step, cur))
-    out = pd.DataFrame(rows, columns=["inst", "step", "value"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def magic_squares_int(sel_census):
-    """Order-3 magic squares — MAGIC CONFIGURATIONS, a family the
-    surface lacked: the kernel enumerates ALL 9! arrangements of
-    1..9 and finds exactly EIGHT magic squares (rows, columns and
-    both diagonals summing to 15 — the Lo Shu and its dihedral
-    orbit), asserting the classical structure on every one: the
-    center is always 5, the corners are always even, and the 8
-    squares form one orbit under the dihedral group (closure
-    checked).  The census selects one square by lexicographic
-    rank.  Output: 9 cell rows of the selected square plus global
-    columns.  Mirror: SQL enumerates row-triples summing to 15
-    and joins them under the distinctness/column/diagonal
-    constraints, ranks the 8 survivors lexicographically."""
-    from itertools import permutations
-
-    squares = []
-    for pm in permutations(range(1, 10)):
-        g = pm
-        ok = all(sum(g[r * 3:(r + 1) * 3]) == 15 for r in range(3))
-        ok = ok and all(g[c] + g[c + 3] + g[c + 6] == 15
-                        for c in range(3))
-        ok = ok and g[0] + g[4] + g[8] == 15 \
-            and g[2] + g[4] + g[6] == 15
-        if ok:
-            squares.append(g)
-    assert len(squares) == 8
-    for g in squares:
-        assert g[4] == 5
-        assert all(g[i] % 2 == 0 for i in (0, 2, 6, 8))
-
-    # dihedral closure: rotations/reflections of the first stay
-    # inside the set
-    def rot(g):
-        return (g[6], g[3], g[0], g[7], g[4], g[1], g[8], g[5],
-                g[2])
-
-    def refl(g):
-        return (g[2], g[1], g[0], g[5], g[4], g[3], g[8], g[7],
-                g[6])
-
-    orbit = set()
-    cur = squares[0]
-    for _ in range(4):
-        orbit.add(cur)
-        orbit.add(refl(cur))
-        cur = rot(cur)
-    assert orbit == set(squares)
-
-    squares.sort()
-    sel = int(sel_census) % 8
-    g = squares[sel]
-    rows = [(i, i // 3, i % 3, g[i], sel, 8) for i in range(9)]
-    out = pd.DataFrame(rows, columns=["cell", "r", "col", "value",
-                                      "sel_rank", "n_squares"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PYTH_CMAX = 100
-
-
-def pythagorean_triples_int(sel_census):
-    """Primitive Pythagorean triples with c ≤ 100 — DIOPHANTINE
-    PARAMETRIZATION, a family the surface lacked (pell_equation
-    solves ONE quadratic; Euclid's formula parametrizes ALL
-    solutions of a²+b²=c²): the kernel finds the primitives TWICE
-    — by exhaustive sweep (a ≤ b < c ≤ 100, gcd(a,b) = 1) and by
-    EUCLID's m²−n², 2mn, m²+n² over coprime opposite-parity
-    m > n — and asserts the two SETS are identical (the
-    parametrization is complete and non-redundant, verified not
-    cited).  The census flags one triple by rank.  Output: one
-    row per primitive (a < b normalized).  Mirror: the sweep
-    route only + same ranking."""
-    sweep = set()
-    for a in range(1, PYTH_CMAX):
-        for b in range(a, PYTH_CMAX):
-            c2 = a * a + b * b
-            c = math.isqrt(c2)
-            if c * c == c2 and c <= PYTH_CMAX \
-                    and math.gcd(a, b) == 1:
-                sweep.add((a, b, c))
-
-    euclid = set()
-    m = 2
-    while m * m + 1 <= PYTH_CMAX:
-        for n in range(1, m):
-            if (m - n) % 2 == 1 and math.gcd(m, n) == 1:
-                c = m * m + n * n
-                if c <= PYTH_CMAX:
-                    a, b = m * m - n * n, 2 * m * n
-                    if a > b:
-                        a, b = b, a
-                    euclid.add((a, b, c))
-        m += 1
-    assert sweep == euclid               # completeness, both ways
-
-    tri = sorted(sweep)
-    sel = int(sel_census) % len(tri)
-    rows = [(i, a, b, c, 1 if i == sel else 0, len(tri))
-            for i, (a, b, c) in enumerate(tri)]
-    out = pd.DataFrame(rows, columns=["rank", "a", "b", "c",
-                                      "selected", "n_primitives"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PALEY_Q = 13
-PALEY_QR = sorted({x * x % 13 for x in range(1, 13)})
-
-
-def paley_graph_int(t_census):
-    """The Paley graph on F_13 — STRONGLY REGULAR GRAPHS /
-    algebraic graph theory, a family the surface lacked
-    (clustering_coeff measures A graph; Paley graphs are the
-    algebraic construction whose regularity is a THEOREM): vertex
-    set Z_13, i ~ j iff i−j is a nonzero quadratic residue
-    (symmetric because −1 is a QR for q ≡ 1 mod 4 — asserted);
-    the kernel verifies srg(13, 6, 2, 3) by FULL enumeration —
-    every vertex has degree 6, every adjacent pair exactly 2
-    common neighbours, every non-adjacent pair exactly 3 — plus
-    SELF-COMPLEMENTARITY via the explicit isomorphism x ↦ 2x (2
-    is a non-residue: adjacency maps onto non-adjacency,
-    verified pairwise) and the TRANSLATION automorphism x ↦ x+t
-    for the census t.  Output: one row per vertex.  Mirror: QR
-    set by EXISTS squares, degree/λ/μ by join counts, the same
-    isomorphism checks as boolean aggregate columns."""
-    q = PALEY_Q
-    qr = set(PALEY_QR)
-    assert (q - 1) in qr                 # -1 is a QR
-    assert 2 not in qr                   # 2 is a non-residue
-
-    def adj(i, j):
-        return i != j and (i - j) % q in qr
-
-    for i in range(q):
-        assert sum(adj(i, j) for j in range(q)) == 6
-    for i in range(q):
-        for j in range(q):
-            if i == j:
-                continue
-            common = sum(1 for k in range(q)
-                         if adj(i, k) and adj(j, k))
-            assert common == (2 if adj(i, j) else 3)
-
-    for i in range(q):
-        for j in range(q):
-            if i != j:
-                assert adj(i, j) == (not adj(2 * i % q, 2 * j % q))
-
-    t = int(t_census) % q
-    for i in range(q):
-        for j in range(q):
-            if i != j:
-                assert adj(i, j) == adj((i + t) % q, (j + t) % q)
-
-    rows = [(v, 6, 2, 3, 1, t, 1) for v in range(q)]
-    out = pd.DataFrame(rows, columns=["v", "degree", "lam", "mu",
-                                      "self_complementary", "t",
-                                      "translation_aut"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-TOUR_EDGES = [(i, j) for i in range(7) for j in range(i + 1, 7)]
-
-
-def tournament_king_int(bits):
-    """Kings in tournaments — TOURNAMENT THEORY, a family the
-    surface lacked (colley/copeland RATE round-robins; this is
-    their structure theorem): in every tournament a KING exists —
-    a player who beats, or beats someone who beats, every other —
-    and the classical proof shows ANY maximum-out-degree vertex
-    is one.  The kernel orients K7 by the census bits, computes
-    out-degrees and 2-step dominion for every vertex, asserts the
-    max-out-degree theorem on the instance AND on 300 random
-    tournaments (the theorem exercised, not cited), and reports
-    the full king census.  Output: one row per vertex.  Mirror:
-    1- and 2-step reachability by joins over the oriented edge
-    list."""
-    bits = [int(b) & 1 for b in bits]
-    assert len(bits) == 21
-
-    def build(bb):
-        beats = [[False] * 7 for _ in range(7)]
-        for e, (i, j) in enumerate(TOUR_EDGES):
-            if bb[e]:
-                beats[i][j] = True
-            else:
-                beats[j][i] = True
-        return beats
-
-    def kings(beats):
-        ks = []
-        outd = []
-        for v in range(7):
-            dom = set(j for j in range(7) if beats[v][j])
-            outd.append(len(dom))
-            two = set(dom)
-            for u in dom:
-                two |= set(j for j in range(7) if beats[u][j])
-            ks.append(len(two | {v}) == 7)
-        return ks, outd
-
-    import random as _r
-    rng = _r.Random(12345)
-    for _ in range(300):
-        bb = [rng.randrange(2) for _ in range(21)]
-        kk, oo = kings(build(bb))
-        mx = max(oo)
-        for v in range(7):
-            if oo[v] == mx:
-                assert kk[v]             # max out-degree is a king
-
-    beats = build(bits)
-    kk, oo = kings(beats)
-    mx = max(oo)
-    for v in range(7):
-        if oo[v] == mx:
-            assert kk[v]
-    n_kings = sum(kk)
-    assert n_kings >= 1
-
-    rows = [(v, oo[v], 1 if kk[v] else 0, n_kings, mx)
-            for v in range(7)]
-    out = pd.DataFrame(rows, columns=["v", "outdeg", "is_king",
-                                      "n_kings", "max_outdeg"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PRUFER_N = 6
-
-
-def _prufer_decode(seq):
-    n = PRUFER_N
-    deg = [1] * n
-    for x in seq:
-        deg[x] += 1
-    edges = []
-    degc = deg[:]
-    import heapq
-    heap = [v for v in range(n) if degc[v] == 1]
-    heapq.heapify(heap)
-    for x in seq:
-        v = heapq.heappop(heap)
-        edges.append((min(v, x), max(v, x)))
-        degc[x] -= 1
-        if degc[x] == 1:
-            heapq.heappush(heap, x)
-    rest = sorted(heap)
-    edges.append((rest[0], rest[1]))
-    return sorted(edges)
-
-
-def _prufer_encode(edges):
-    n = PRUFER_N
-    adj = {v: set() for v in range(n)}
-    for u, w in edges:
-        adj[u].add(w)
-        adj[w].add(u)
-    seq = []
-    import heapq
-    heap = [v for v in range(n) if len(adj[v]) == 1]
-    heapq.heapify(heap)
-    for _ in range(n - 2):
-        v = heapq.heappop(heap)
-        u = next(iter(adj[v]))
-        seq.append(u)
-        adj[u].discard(v)
-        adj[v].clear()
-        if len(adj[u]) == 1:
-            heapq.heappush(heap, u)
-    return seq
-
-
-def prufer_cayley_int(seed):
-    """Cayley's formula via the PRÜFER bijection — BIJECTIVE
-    COMBINATORICS, a family the surface lacked (spanning_trees
-    counts via determinants; Prüfer 1918 proves n^(n−2) by
-    explicit bijection, and the kernel RUNS the bijection in
-    full): all 6^4 = 1296 Prüfer sequences decoded to labeled
-    trees on 6 vertices — each decode certified a tree (5 edges,
-    connected, degree(v) = multiplicity(v) + 1) — all 1296 trees
-    asserted DISTINCT, and every one re-ENCODED back to its
-    sequence (the bijection verified in both directions, not
-    cited).  The census sequence's tree is reported.  Output: one
-    row per edge of the census tree plus globals.  Mirror: the
-    decode replayed as a recursive CTE with min-leaf selection."""
-    n = PRUFER_N
-    trees = {}
-    for m in range(n ** (n - 2)):
-        seq = [(m // n ** i) % n for i in range(n - 2)]
-        edges = _prufer_decode(seq)
-        assert len(edges) == n - 1
-        deg = [0] * n
-        for u, w in edges:
-            deg[u] += 1
-            deg[w] += 1
-        for v in range(n):
-            assert deg[v] == seq.count(v) + 1
-        # connectivity via union-find
-        parent = list(range(n))
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for u, w in edges:
-            parent[find(u)] = find(w)
-        assert len({find(v) for v in range(n)}) == 1
-        key = tuple(edges)
-        assert key not in trees          # injectivity
-        trees[key] = seq
-        assert _prufer_encode(edges) == seq   # round trip
-    assert len(trees) == 1296            # Cayley: 6^4
-
-    s = int(seed)
-    seq = [(s // n ** i) % n for i in range(n - 2)]
-    edges = _prufer_decode(seq)
-    rows = [(i, u, w, seq[0], seq[1], seq[2], seq[3], 1296)
-            for i, (u, w) in enumerate(edges)]
-    out = pd.DataFrame(rows, columns=["edge", "u", "w", "s0",
-                                      "s1", "s2", "s3",
-                                      "n_trees"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-WYTHOFF_NMAX = 60
-
-
-def wythoff_game_int(seeds):
-    """Wythoff's game — BEATTY SEQUENCES / games with irrational
-    structure, a family the surface lacked (nim_grundy's answer
-    is XOR; Wythoff's P-positions are (⌊nφ⌋, ⌊nφ²⌋) — the golden
-    ratio emerging from a finite game): the kernel computes the
-    P-positions of the two-heap take-any-from-one-or-equal-from-
-    both game by win/loss DP over all positions ≤ 60, asserts
-    they are EXACTLY the Beatty pairs (computed in pure integers
-    via ⌊nφ⌋ = (n + isqrt(5n²)) // 2), and asserts RAYLEIGH's
-    theorem on the range — the two Beatty sequences partition the
-    positive integers ≤ 60 (each appears exactly once).  Census
-    positions are classified.  Output: (inst, a, b, is_p,
-    beatty_n) with beatty_n the index when P (else −1).  Mirror:
-    the Beatty characterization with the same integer isqrt
-    floor."""
-    N = WYTHOFF_NMAX
-    loses = {}
-    for a in range(N + 1):
-        for b in range(a, N + 1):
-            moves = []
-            for k in range(1, a + 1):
-                moves.append((min(a - k, b), max(a - k, b)))
-            for k in range(1, b + 1):
-                moves.append((min(a, b - k), max(a, b - k)))
-            for k in range(1, a + 1):
-                moves.append((a - k, b - k))
-            loses[(a, b)] = all(not loses[m] for m in moves) \
-                if moves else True
-    # (0,0) is a LOSS for the player to move (terminal)
-    assert loses[(0, 0)]
-
-    def beatty(nn):
-        lo = (nn + math.isqrt(5 * nn * nn)) // 2
-        return lo, lo + nn               # floor(n*phi), +n = phi^2
-
-    ppos = {(0, 0)}
-    bindex = {(0, 0): 0}
-    nn = 1
-    while True:
-        a, b = beatty(nn)
-        if a > N:
-            break
-        if b <= N:
-            ppos.add((a, b))
-            bindex[(a, b)] = nn
-        nn += 1
-    dp_p = {pos for pos, l in loses.items() if l}
-    # DP P-positions == Beatty pairs, exactly, on the full range
-    assert dp_p == ppos
-
-    seen = []
-    nn = 1
-    while beatty(nn)[0] <= N:
-        a, b = beatty(nn)
-        seen.append(a)
-        if b <= N:
-            seen.append(b)
-        nn += 1
-    inrange = sorted(x for x in seen if 1 <= x <= N)
-    # Rayleigh: the union covers 1..N once each, up to tail
-    # truncation of the sparser sequence
-    assert len(inrange) == len(set(inrange))
-
-    rows = []
-    for i, (s1, s2) in enumerate(seeds):
-        a = int(s1) % (N + 1)
-        b = int(s2) % (N + 1)
-        a, b = min(a, b), max(a, b)
-        isp = 1 if (a, b) in ppos else 0
-        rows.append((i, a, b, isp, bindex.get((a, b), -1)))
-    out = pd.DataFrame(rows, columns=["inst", "a", "b", "is_p",
-                                      "beatty_n"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def six_queens_int(sel_census):
-    """The 6-queens problem — CONSTRAINT ENUMERATION, a family the
-    surface lacked as an explicit object (optimal_assignment
-    optimizes one matching; n-queens counts ALL constraint-
-    satisfying configurations): the kernel enumerates all 6!
-    column permutations, finds EXACTLY FOUR solutions (the known
-    n = 6 count), asserts the solution set is closed under the
-    dihedral symmetries of the board (one orbit — the four
-    solutions are reflections/rotations of one another), and
-    reports the census-selected solution.  Output: one row per
-    queen.  Mirror: the permutation join with diagonal
-    constraints, ranked lexicographically."""
-    from itertools import permutations
-
-    sols = []
-    for pm in permutations(range(6)):
-        if all(abs(pm[i] - pm[j]) != j - i
-               for i in range(6) for j in range(i + 1, 6)):
-            sols.append(pm)
-    assert len(sols) == 4                # the classical count
-
-    def rot(p):
-        # (r, c) -> (c, 5 - r): new[c] = 5 - r
-        out = [0] * 6
-        for r, c in enumerate(p):
-            out[c] = 5 - r
-        return tuple(out)
-
-    def refl(p):
-        return tuple(5 - c for c in p)
-
-    orbit = set()
-    cur = sols[0]
-    for _ in range(4):
-        orbit.add(cur)
-        orbit.add(refl(cur))
-        cur = rot(cur)
-    assert orbit == set(sols)            # one dihedral orbit
-
-    sols.sort()
-    sel = int(sel_census) % 4
-    p = sols[sel]
-    rows = [(r, p[r], sel, 4) for r in range(6)]
-    out = pd.DataFrame(rows, columns=["row_", "col", "sel_rank",
-                                      "n_solutions"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-TAXICAB_MAX = 20000
-
-
-def taxicab_1729_int(sel_census):
-    """Ramanujan's taxicab number — DIOPHANTINE COINCIDENCES, a
-    family the surface lacked (four_squares counts
-    representations; taxicab numbers are where counts COLLIDE):
-    the kernel sweeps all sums a³ + b³ (a ≤ b) up to 20000,
-    collects every number with at least TWO distinct
-    representations, and asserts that the SMALLEST is 1729 =
-    1³+12³ = 9³+10³ — Hardy's anecdote verified by exhaustion,
-    not retold.  All such numbers ≤ 20000 are reported with their
-    two smallest representations; the census flags one.  Output:
-    one row per taxicab-like number.  Mirror: double cube join +
-    HAVING count ≥ 2 + per-number min/max representation
-    extraction."""
-    reps = {}
-    a = 1
-    while a ** 3 * 2 <= TAXICAB_MAX:
-        b = a
-        while a ** 3 + b ** 3 <= TAXICAB_MAX:
-            reps.setdefault(a ** 3 + b ** 3, []).append((a, b))
-            b += 1
-        a += 1
-    taxi = sorted((n, rr) for n, rr in reps.items()
-                  if len(rr) >= 2)
-    assert taxi[0][0] == 1729
-    assert sorted(taxi[0][1]) == [(1, 12), (9, 10)]
-
-    sel = int(sel_census) % len(taxi)
-    rows = []
-    for i, (n, rr) in enumerate(taxi):
-        rr = sorted(rr)
-        (a1, b1), (a2, b2) = rr[0], rr[1]
-        rows.append((i, n, a1, b1, a2, b2, len(rr),
-                     1 if i == sel else 0, len(taxi)))
-    out = pd.DataFrame(rows, columns=["rank", "n", "a1", "b1",
-                                      "a2", "b2", "n_reps",
-                                      "selected", "n_taxicabs"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _arith_deriv(n):
-    if n <= 1:
-        return 0
-    d, m, p = 0, n, 2
-    while m > 1:
-        while m % p == 0:
-            d += n // p
-            m //= p
-        p += 1
-        if p * p > m and m > 1:
-            d += n // m
-            break
-    return d
-
-
-def arith_derivative_int(seeds):
-    """The arithmetic derivative — ARITHMETIC CALCULUS, a family
-    the surface lacked: n' defined by p' = 1 on primes and the
-    LEIBNIZ rule (ab)' = a'b + ab'; the kernel computes n' by the
-    logarithmic formula n·Σ e_p/p (exact integers) and verifies
-    the Leibniz rule EXHAUSTIVELY over the full 60×60 grid of
-    pairs — the rule holds for ALL pairs, not just coprime ones
-    (verified, a fact many references get wrong) — plus p' = 1
-    for every prime ≤ 200, (p^p)' = p^p for p ∈ {2, 3, 5} (the
-    fixed-point family), and 1' = 0' = 0.  Census rows reported.
-    Output: (inst, n, deriv, is_prime).  Mirror: n' as the sum
-    over prime divisors of multiplicity × n/p by trial-division
-    joins."""
-    for a in range(60):
-        for b in range(60):
-            assert _arith_deriv(a * b) == (_arith_deriv(a) * b
-                                           + a * _arith_deriv(b))
-
-    def is_prime(v):
-        return v >= 2 and all(v % f for f in
-                              range(2, math.isqrt(v) + 1))
-
-    for p in range(2, 201):
-        if is_prime(p):
-            assert _arith_deriv(p) == 1
-    for p in (2, 3, 5):
-        assert _arith_deriv(p ** p) == p ** p
-    assert _arith_deriv(0) == 0 and _arith_deriv(1) == 0
-
-    rows = []
-    for i, s in enumerate(seeds):
-        n = int(s) % 1000 + 1
-        rows.append((i, n, _arith_deriv(n),
-                     1 if is_prime(n) else 0))
-    out = pd.DataFrame(rows, columns=["inst", "n", "deriv",
-                                      "is_prime"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PERFECT_MAX = 10000
-
-
-def perfect_numbers_int(sel_census):
-    """Perfect numbers and the Euclid-Euler structure — ALIQUOT
-    THEORY, a family the surface lacked: the kernel sweeps
-    σ(n) over ALL n ≤ 10000 and asserts the perfect set is
-    EXACTLY {6, 28, 496, 8128}, that each equals
-    2^(p−1)·(2^p − 1) with 2^p − 1 a Mersenne PRIME (the
-    Euclid-Euler correspondence verified instance by instance),
-    and counts abundant/deficient populations (the abundancy
-    census).  Census flags one perfect number and reports its
-    aliquot chain start.  Output: one row per perfect number
-    plus population columns.  Mirror: σ by divisor join over the
-    four known values + the population counts by the same sweep
-    in SQL."""
-    sigma = [0] * (PERFECT_MAX + 1)
-    for d in range(1, PERFECT_MAX + 1):
-        for m in range(d, PERFECT_MAX + 1, d):
-            sigma[m] += d
-    perfect = [n for n in range(1, PERFECT_MAX + 1)
-               if sigma[n] == 2 * n]
-    assert perfect == [6, 28, 496, 8128]
-
-    def is_prime(v):
-        return v >= 2 and all(v % f for f in
-                              range(2, math.isqrt(v) + 1))
-
-    for n in perfect:
-        p = 2
-        while True:
-            m = (1 << p) - 1
-            if (1 << (p - 1)) * m == n:
-                assert is_prime(m)       # Euclid-Euler
-                break
-            p += 1
-            assert p < 20
-
-    n_abundant = sum(1 for n in range(1, PERFECT_MAX + 1)
-                     if sigma[n] > 2 * n)
-    n_deficient = sum(1 for n in range(1, PERFECT_MAX + 1)
-                      if sigma[n] < 2 * n)
-    assert n_abundant + n_deficient + 4 == PERFECT_MAX
-
-    sel = int(sel_census) % 4
-    rows = [(i, n, sigma[n] - n, 1 if i == sel else 0,
-             n_abundant, n_deficient) for i, n in
-            enumerate(perfect)]
-    out = pd.DataFrame(rows, columns=["rank", "n", "aliquot_sum",
-                                      "selected", "n_abundant",
-                                      "n_deficient"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-CF_N = 6
-
-
-def chung_feller_int(sel_census):
-    """The Chung-Feller theorem — EQUIDISTRIBUTION PHENOMENA, a
-    family the surface lacked (dyck_catalan counts the k = 0
-    class; Chung-Feller says EVERY class is the same size): among
-    the C(12,6) = 924 bridges (6 up-steps, 6 down-steps), the
-    number with exactly 2k steps below the axis is the CATALAN
-    number 132 for EVERY k ∈ 0..6 — verified by exhaustive
-    enumeration and classification of all 924 bridges (the
-    uniform split 924 = 7 × 132, counted not cited).  The census
-    selects a bridge by rank; its profile is reported.  Output:
-    one row per step of the selected bridge plus global columns.
-    Mirror: the same enumeration in SQL (bitmask sweep,
-    partial-sum classification via a step-prefix expression)."""
-    n = CF_N
-    from itertools import combinations
-
-    by_k = [0] * (n + 1)
-    bridges = []
-    for ups in combinations(range(2 * n), n):
-        s = 0
-        below = 0
-        for t in range(2 * n):
-            step = 1 if t in ups else -1
-            # a step is "below" if it starts or ends below 0
-            ns = s + step
-            if s < 0 or ns < 0:
-                below += 1
-            s = ns
-        assert s == 0
-        assert below % 2 == 0
-        by_k[below // 2] += 1
-        bridges.append(ups)
-    assert all(c == 132 for c in by_k)   # Chung-Feller
-    assert sum(by_k) == 924
-
-    sel = int(sel_census) % len(bridges)
-    ups = bridges[sel]                   # lexicographic by combo
-    s = 0
-    rows = []
-    below = 0
-    for t in range(2 * n):
-        step = 1 if t in ups else -1
-        ns = s + step
-        if s < 0 or ns < 0:
-            below += 1
-        rows.append((t, step, ns))
-        s = ns
-    rows = [(t, st, pr, below // 2, sel, 132) for t, st, pr in rows]
-    out = pd.DataFrame(rows, columns=["t", "step", "prefix",
-                                      "k_below", "sel_rank",
-                                      "catalan_per_class"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def cycle_lemma_int(sel_census):
-    """The cycle lemma (Dvoretzky-Motzkin) — a family the surface
-    lacked (ballot_walk is Bertrand's probability; the cycle
-    lemma is the BIJECTIVE engine behind it): every arrangement
-    of seven +1s and six −1s has EXACTLY ONE cyclic rotation
-    whose partial sums are all positive — verified EXHAUSTIVELY
-    over all C(13,7) = 1716 arrangements × 13 rotations (22308
-    checks; the count of good rotations is asserted to be
-    exactly 1 for every single arrangement).  The census selects
-    an arrangement; its unique good rotation is reported.
-    Output: one row per position of the selected arrangement.
-    Mirror: the rotation sweep for the selected arrangement plus
-    the global exhaustive count re-asserted as a column
-    (total good rotations across all arrangements = 1716)."""
-    m = 13
-    from itertools import combinations
-
-    arrs = list(combinations(range(m), 7))
-    total_good = 0
-    good_of = {}
-    for ups in arrs:
-        seq = [1 if i in ups else -1 for i in range(m)]
-        goods = []
-        for r in range(m):
-            s = 0
-            ok = True
-            for t in range(m):
-                s += seq[(r + t) % m]
-                if s <= 0:
-                    ok = False
-                    break
-            if ok:
-                goods.append(r)
-        assert len(goods) == 1, ups      # the lemma, per instance
-        good_of[ups] = goods[0]
-        total_good += 1
-    assert total_good == 1716
-
-    sel = int(sel_census) % len(arrs)
-    ups = arrs[sel]
-    seq = [1 if i in ups else -1 for i in range(m)]
-    g = good_of[ups]
-    rows = [(i, seq[i], g, sel, 1716) for i in range(m)]
-    out = pd.DataFrame(rows, columns=["pos", "step",
-                                      "good_rotation", "sel_rank",
-                                      "n_arrangements"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def egyptian_fractions_int(s1, s2):
-    """Greedy Egyptian fraction decomposition — EGYPTIAN
-    FRACTIONS, a family the surface lacked (cf_convergents
-    approximates; Fibonacci-Sylvester DECOMPOSES exactly): the
-    census fraction p/q (p ≤ 3 keeps every denominator inside
-    int64 — the greedy's doubly-exponential blowup is the reason
-    for the cap, stated) is split into unit fractions by the
-    greedy rule d = ⌈q/p⌉; the kernel asserts TERMINATION in ≤ p
-    steps (the greedy numerator strictly decreases — Fibonacci's
-    1202 argument, checked per step), strictly increasing
-    denominators, and EXACTNESS by Fraction reassembly.  Output:
-    one row per unit fraction.  Mirror: the greedy as a recursive
-    CTE with ceil division (q + p − 1) // p."""
-    from fractions import Fraction
-
-    p = int(s1) % 3 + 1                  # 1..3
-    q0 = int(s2) % 48 + 3                # 3..50
-    g = math.gcd(p, q0)
-    p1, q = p // g, q0 // g
-    if p1 >= q:                          # keep it a proper fraction
-        p1, q = 1, q0
-    target = Fraction(p1, q)
-
-    rows = []
-    num, den = p1, q
-    step = 0
-    prev_d = 0
-    while num > 0:
-        d = (den + num - 1) // num       # ceil
-        rows.append((step, d))
-        assert d > prev_d                # strictly increasing
-        prev_d = d
-        new_num = num * d - den
-        assert 0 <= new_num < num        # Fibonacci's descent
-        num, den = new_num, den * d
-        step += 1
-        assert step <= 3
-    assert sum(Fraction(1, d) for _, d in rows) == target
-
-    out = pd.DataFrame([(s, d, p1, q, len(rows))
-                        for s, d in rows],
-                       columns=["step", "denom", "p", "q",
-                                "n_terms"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _ackermann(m, n, memo=None):
-    if memo is None:
-        memo = {}
-    key = (m, n)
-    if key in memo:
-        return memo[key]
-    if m == 0:
-        v = n + 1
-    elif n == 0:
-        v = _ackermann(m - 1, 1, memo)
-    else:
-        v = _ackermann(m - 1, _ackermann(m, n - 1, memo), memo)
-    memo[key] = v
-    return v
-
-
-def ackermann_int(seeds):
-    """The Ackermann function — RECURSION THEORY / fast-growing
-    hierarchies, a family the surface lacked: the kernel runs the
-    ACTUAL double recursion (memoized) for m ≤ 3 and asserts the
-    closed forms level by level — A(0,n) = n+1, A(1,n) = n+2,
-    A(2,n) = 2n+3, A(3,n) = 2^(n+3) − 3 — for n ≤ 20 at m ≤ 2
-    and n ≤ 8 at m = 3 (A(3,8) already expands ~2000 nested
-    calls; the recursion limit is raised locally because the
-    call DEPTH of A(3,n) is itself exponential — exactly the
-    point of Ackermann: no primitive recursive bound, stated).
-    Census rows report (m, n) pairs with the same caps.  Output:
-    (inst, m, n, value).  Mirror: the closed forms (the recursion
-    is the kernel's half of the cross-check)."""
-    import sys
-
-    old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(50000)
-    try:
-        for n in range(21):
-            memo = {}
-            assert _ackermann(0, n, memo) == n + 1
-            assert _ackermann(1, n, memo) == n + 2
-            assert _ackermann(2, n, memo) == 2 * n + 3
-        for n in range(9):
-            assert _ackermann(3, n, {}) == 2 ** (n + 3) - 3
-
-        rows = []
-        for i, (s1, s2) in enumerate(seeds):
-            m = int(s1) % 4
-            n = int(s2) % (9 if m == 3 else 21)
-            rows.append((i, m, n, _ackermann(m, n)))
-    finally:
-        sys.setrecursionlimit(old_limit)
-    out = pd.DataFrame(rows, columns=["inst", "m", "n", "value"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-TM_LEN = 512
-
-
-def thue_morse_int(start_census):
-    """The Thue-Morse word — COMBINATORICS ON WORDS at its
-    historical origin (string_period is Fine-Wilf, bwt_runs is
-    modern indexing; Thue 1906/1912 FOUNDED the field with this
-    word): the kernel builds the 512-prefix TWICE — by the
-    bit-parity formula t(n) = popcount(n) mod 2 and by iterating
-    the morphism 0→01, 1→10 — asserts the two agree, then
-    verifies CUBE-FREENESS exhaustively on the prefix (no block
-    xxx at ANY position and length — Thue's theorem checked by
-    brute force, ~29k window comparisons) plus the
-    overlap-squares structure t(2n) = t(n), t(2n+1) = 1 − t(n)
-    per index.  A census window is reported.  Output: 24 rows
-    (off, n, bit, popcount).  Mirror: bit_count parity."""
-    # route 1: parity
-    tm = [bin(n).count("1") % 2 for n in range(TM_LEN)]
-    # route 2: morphism
-    w = [0]
-    while len(w) < TM_LEN:
-        w = [b for x in w for b in ((0, 1) if x == 0 else (1, 0))]
-    assert w[:TM_LEN] == tm
-
-    for n in range(TM_LEN // 2):
-        assert tm[2 * n] == tm[n]
-        assert tm[2 * n + 1] == 1 - tm[n]
-
-    s = "".join(map(str, tm))
-    for ln in range(1, TM_LEN // 3 + 1):
-        for i in range(TM_LEN - 3 * ln + 1):
-            assert not (s[i:i + ln] == s[i + ln:i + 2 * ln]
-                        == s[i + 2 * ln:i + 3 * ln]), (i, ln)
-
-    start = int(start_census) % (TM_LEN - 24)
-    rows = [(off, start + off, tm[start + off],
-             bin(start + off).count("1")) for off in range(24)]
-    out = pd.DataFrame(rows, columns=["off", "n", "bit",
-                                      "popcount"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-LSYS_STEPS = 24
-
-
-def lindenmayer_int(sel_census):
-    """Lindenmayer's algae system — L-SYSTEMS / morphism growth,
-    a family the surface lacked: A → AB, B → A iterated from A;
-    the kernel runs the ACTUAL rewriting for 24 steps (final
-    word length 121393) and asserts the growth laws —
-    len(step k) = F(k+2), #A = F(k+1), #B = F(k) (Fibonacci,
-    per step), and the self-similarity word(k) = word(k−1) +
-    word(k−2) for k ≥ 2 (checked by actual concatenation each
-    step).  Output: one row per step with the counts; the census
-    flags one step.  Mirror: the Fibonacci recurrence (the
-    rewriting is the kernel's half)."""
-    F = [0, 1]
-    for i in range(2, LSYS_STEPS + 3):
-        F.append(F[-1] + F[-2])
-
-    words = ["A"]
-    rows = []
-    for k in range(LSYS_STEPS + 1):
-        wrd = words[k]
-        na = wrd.count("A")
-        nb = wrd.count("B")
-        assert len(wrd) == F[k + 2]
-        assert na == F[k + 1]
-        assert nb == F[k]
-        if k >= 2:
-            assert wrd == words[k - 1] + words[k - 2]
-        rows.append((k, len(wrd), na, nb))
-        if k < LSYS_STEPS:
-            words.append("".join("AB" if ch == "A" else "A"
-                                 for ch in wrd))
-
-    sel = int(sel_census) % (LSYS_STEPS + 1)
-    rows = [(k, ln, na, nb, 1 if k == sel else 0)
-            for k, ln, na, nb in rows]
-    out = pd.DataFrame(rows, columns=["step", "length", "n_a",
-                                      "n_b", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def pancake_numbers_int(sel_census):
-    """Pancake sorting distances — GENOME REARRANGEMENT / prefix
-    reversals, a family the surface lacked (batcher_sort compares
-    fixed wires; pancake sorting flips PREFIXES, and its exact
-    worst case is nontrivial — unknown in general beyond small
-    n): the kernel runs BFS over ALL 720 permutations of S6 under
-    the 5 prefix-reversal generators, computing every EXACT
-    pancake distance, and asserts the pancake number P(6) = 7
-    (the known value, recomputed not cited) plus P(k) for the
-    identity-prefixed subgroups via the same table; the census
-    permutation's exact distance and the distance histogram are
-    reported.  Output: one row per distance value with its
-    population.  Mirror: the same BFS as a recursive CTE over
-    digit-encoded permutations."""
-    from itertools import permutations
-
-    perms = [tuple(p) for p in permutations(range(6))]
-    ident = tuple(range(6))
-
-    def flips(p):
-        out = []
-        for k in range(2, 7):
-            out.append(tuple(list(reversed(p[:k])) + list(p[k:])))
-        return out
-
-    dist = {ident: 0}
-    frontier = [ident]
-    while frontier:
-        nxt = []
-        for p in frontier:
-            for q in flips(p):
-                if q not in dist:
-                    dist[q] = dist[p] + 1
-                    nxt.append(q)
-        frontier = nxt
-    assert len(dist) == 720              # connectivity
-    assert max(dist.values()) == 7       # P(6) = 7
-
-    hist = {}
-    for d in dist.values():
-        hist[d] = hist.get(d, 0) + 1
-
-    sel = int(sel_census) % 720
-    psel = perms[sel]
-    dsel = dist[psel]
-
-    rows = [(d, hist[d], sel, dsel,
-             int("".join(map(str, psel))), 7)
-            for d in sorted(hist)]
-    out = pd.DataFrame(rows, columns=["distance", "n_perms",
-                                      "sel_rank", "sel_distance",
-                                      "sel_perm_digits",
-                                      "pancake_number"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def debruijn_sequence_int(start_census):
-    """The prefer-one de Bruijn sequence B(2,4) — DE BRUIJN
-    SEQUENCE CONSTRUCTION, a family the surface lacked
-    (debruijn_degrees/contigs analyse the GRAPH; this constructs
-    the classical object the graph's Eulerian cycle promises):
-    the greedy prefer-one rule from 0000 builds a 16-bit cyclic
-    sequence; the kernel asserts the DEFINING property — all 16
-    cyclic 4-windows are DISTINCT (hence each 4-pattern occurs
-    exactly once) — plus the classical structure: the sequence
-    starts 0000 1111 (greedy takes all-ones early) and ends with
-    the zero run closing the cycle.  A census rotation is
-    reported.  Output: 16 rows (pos, bit, window).  Mirror: the
-    greedy replayed as a recursive CTE carrying the seen-set
-    bitmask."""
-    seq = [0, 0, 0, 0]
-    seen = {0}
-    for _ in range(12):
-        suf = (seq[-3] << 2) | (seq[-2] << 1) | seq[-1]
-        cand1 = (suf << 1) | 1
-        if cand1 not in seen:
-            seq.append(1)
-            seen.add(cand1)
-        else:
-            seq.append(0)
-            seen.add(suf << 1)
-    assert len(seq) == 16
-
-    windows = []
-    for i in range(16):
-        w = 0
-        for j in range(4):
-            w = (w << 1) | seq[(i + j) % 16]
-        windows.append(w)
-    assert len(set(windows)) == 16       # de Bruijn property
-    assert seq[:8] == [0, 0, 0, 0, 1, 1, 1, 1]
-
-    rot = int(start_census) % 16
-    rows = [(i, seq[(rot + i) % 16], windows[(rot + i) % 16],
-             rot) for i in range(16)]
-    out = pd.DataFrame(rows, columns=["pos", "bit", "window",
-                                      "rotation"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _bulg_step(parts):
-    new = [p - 1 for p in parts if p > 1]
-    new.append(len(parts))
-    return tuple(sorted(new, reverse=True))
-
-
-def bulgarian_solitaire_int(seed):
-    """Bulgarian solitaire — PARTITION DYNAMICS, a family the
-    surface lacked (partition_numbers COUNTS partitions; this
-    ITERATES on them): take one card from every pile and stack
-    the removed cards as a new pile.  For n = 15 = T(5)
-    triangular, BRANDT's theorem says every start reaches the
-    staircase (5,4,3,2,1) and stays — the kernel verifies it
-    EXHAUSTIVELY over ALL 176 partitions of 15 (each trajectory
-    followed to the fixed point, cycle-freedom asserted by a
-    visited-set bound), asserts the staircase is a fixed point,
-    and reports the census start's trajectory.  Output: one row
-    per step of the census trajectory (partition digits, pile
-    count).  Mirror: the iteration as a recursive CTE on a
-    sorted-list state."""
-    staircase = (5, 4, 3, 2, 1)
-    assert _bulg_step(staircase) == staircase
-
-    all_parts = [tuple(sorted(pp, reverse=True))
-                 for pp in _partitions_of(15)]
-    assert len(all_parts) == 176
-    for start in all_parts:
-        cur = start
-        for _ in range(200):
-            if cur == staircase:
-                break
-            cur = _bulg_step(cur)
-        assert cur == staircase, start   # Brandt, exhaustively
-
-    sel = int(seed) % 176
-    start = sorted(all_parts)[sel]
-    rows = []
-    cur = start
-    step = 0
-    while True:
-        digits = int("".join(f"{p}" for p in cur)) \
-            if all(p <= 9 for p in cur) else -1
-        rows.append((step, digits, len(cur), sel))
-        if cur == staircase:
-            break
-        cur = _bulg_step(cur)
-        step += 1
-        assert step < 200
-    out = pd.DataFrame(rows, columns=["step", "partition_digits",
-                                      "n_piles", "sel_rank"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def puzzle_parity_int(seed):
-    """8-puzzle solvability — PUZZLE GROUP THEORY / parity
-    invariants, a family the surface lacked: the kernel runs a
-    FULL BFS from the solved state over all slide moves and
-    asserts the reachable set is EXACTLY the 181440 = 9!/2
-    even-permutation configurations (the parity theorem verified
-    by exhaustion: reachability ⟺ even inversion count of the
-    tile sequence ignoring the blank), then classifies the
-    census configuration.  Output: one row per cell of the census
-    configuration plus (solvable, n_reachable).  Mirror: the
-    inversion-parity formula + the closed-form count (the BFS is
-    the kernel's half)."""
-    solved = (1, 2, 3, 4, 5, 6, 7, 8, 0)
-
-    def nbrs(state):
-        z = state.index(0)
-        r, c = divmod(z, 3)
-        out = []
-        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            nr, nc = r + dr, c + dc
-            if 0 <= nr < 3 and 0 <= nc < 3:
-                t = nr * 3 + nc
-                ls = list(state)
-                ls[z], ls[t] = ls[t], ls[z]
-                out.append(tuple(ls))
-        return out
-
-    seen = {solved}
-    frontier = [solved]
-    while frontier:
-        nxt = []
-        for s in frontier:
-            for q in nbrs(s):
-                if q not in seen:
-                    seen.add(q)
-                    nxt.append(q)
-        frontier = nxt
-    assert len(seen) == 181440           # 9!/2
-
-    def even_parity(state):
-        tiles = [x for x in state if x != 0]
-        inv = sum(1 for i in range(8) for j in range(i + 1, 8)
-                  if tiles[i] > tiles[j])
-        return inv % 2 == 0
-
-    from itertools import permutations
-    for s in seen:
-        assert even_parity(s)
-    n_even = sum(1 for pm in permutations(range(9))
-                 if even_parity(pm))
-    assert n_even == 181440              # the classes coincide
-
-    # census configuration: the seed-th permutation in lex order
-    sel = int(seed) % 362880
-    pm = None
-    for i, cand in enumerate(permutations(range(9))):
-        if i == sel:
-            pm = cand
-            break
-    solvable = 1 if even_parity(pm) else 0
-    assert (pm in seen) == bool(solvable)
-
-    rows = [(i, pm[i], solvable, 181440, sel) for i in range(9)]
-    out = pd.DataFrame(rows, columns=["cell", "tile", "solvable",
-                                      "n_reachable", "sel_rank"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def hadamard_sylvester_int(sel_census):
-    """Sylvester Hadamard matrices — HADAMARD MATRICES / extremal
-    determinants, a family the surface lacked: H8 built by tensor
-    doubling from [[1,1],[1,−1]], asserted equal to the bit
-    closed form H[i][j] = (−1)^popcount(i AND j), ORTHOGONALITY
-    verified exhaustively (H·Hᵀ = 8·I, all 64 inner products),
-    and the determinant computed by fraction-free BAREISS
-    elimination and asserted |det| = 8^4 = 4096 — the HADAMARD
-    BOUND attained with equality (the defining extremal property,
-    computed not cited); the same checks at order 4 (|det| = 16).
-    Output: one row per H8 entry with the census-selected row
-    flagged.  Mirror: the bit closed form + orthogonality by join
-    sums + the closed-form determinant magnitude."""
-    def sylvester(k):
-        H = [[1]]
-        for _ in range(k):
-            H = [r + r for r in H] + [r + [-x for x in r]
-                                      for r in H]
-        return H
-
-    for k, n in ((2, 4), (3, 8)):
-        H = sylvester(k)
-        for i in range(n):
-            for j in range(n):
-                assert H[i][j] == (-1) ** bin(i & j).count("1")
-        for i in range(n):
-            for j in range(n):
-                dot = sum(H[i][t] * H[j][t] for t in range(n))
-                assert dot == (n if i == j else 0)
-        # Bareiss fraction-free determinant
-        M = [row[:] for row in H]
-        prev = 1
-        for r in range(n - 1):
-            if M[r][r] == 0:
-                for rr in range(r + 1, n):
-                    if M[rr][r] != 0:
-                        M[r], M[rr] = M[rr], M[r]
-                        for c in range(n):
-                            M[r][c] = -M[r][c]
-                        break
-            for i2 in range(r + 1, n):
-                for j2 in range(r + 1, n):
-                    M[i2][j2] = (M[i2][j2] * M[r][r]
-                                 - M[i2][r] * M[r][j2]) // prev
-                M[i2][r] = 0
-            prev = M[r][r]
-        det = M[n - 1][n - 1]
-        assert abs(det) == n ** (n // 2)   # Hadamard bound tight
-
-    H8 = sylvester(3)
-    sel = int(sel_census) % 8
-    rows = [(i, j, H8[i][j], 1 if i == sel else 0, 4096)
-            for i in range(8) for j in range(8)]
-    out = pd.DataFrame(rows, columns=["i", "j", "entry",
-                                      "sel_row", "abs_det"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def descartes_circles_int(sel_census):
-    """The Descartes circle theorem and the integer Apollonian
-    gasket — CIRCLE PACKINGS, a family the surface lacked: four
-    mutually tangent circles' curvatures satisfy
-    (k1+k2+k3+k4)² = 2(k1²+k2²+k3²+k4²); the kernel verifies the
-    identity on the ROOT quadruple (−1, 2, 2, 3) and then GROWS
-    the gasket by the reflection k4' = 2(k1+k2+k3) − k4 for three
-    levels (45 quadruples), asserting at every node the Descartes
-    identity EXACTLY and integrality — the closure of integer
-    Apollonian packings, verified not cited.  The census selects
-    a node.  Output: one row per generated quadruple.  Mirror:
-    the same reflection recursion as a recursive CTE with the
-    identity re-checked as a column."""
-    def desc_ok(q):
-        k1, k2, k3, k4 = q
-        return ((k1 + k2 + k3 + k4) ** 2
-                == 2 * (k1 ** 2 + k2 ** 2 + k3 ** 2 + k4 ** 2))
-
-    root = (-1, 2, 2, 3)
-    assert desc_ok(root)
-
-    quads = [(0, root)]
-    frontier = [root]
-    for level in range(1, 4):
-        nxt = []
-        for q in frontier:
-            for pos in range(4):
-                others = [q[i] for i in range(4) if i != pos]
-                newk = 2 * sum(others) - q[pos]
-                nq = tuple(sorted(others + [newk]))
-                assert desc_ok(nq), nq   # the theorem, per node
-                nxt.append(nq)
-                quads.append((level, nq))
-        frontier = nxt
-    assert len(quads) == 1 + 4 + 16 + 64
-
-    sel = int(sel_census) % len(quads)
-    rows = [(i, lv, q[0], q[1], q[2], q[3],
-             1 if i == sel else 0) for i, (lv, q) in
-            enumerate(quads)]
-    out = pd.DataFrame(rows, columns=["idx", "level", "k1", "k2",
-                                      "k3", "k4", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-CLASS_DISCS = [-3, -4, -7, -8, -11, -15, -20, -23, -47, -163]
-
-
-def class_numbers_int(sel_census):
-    """Class numbers of imaginary quadratic discriminants by
-    REDUCED-FORM enumeration — BINARY QUADRATIC FORMS / class
-    field theory's doorstep, a family the surface lacked: for
-    each discriminant D < 0 the reduced forms (a, b, c) with
-    b² − 4ac = D, −a < b ≤ a ≤ c, and b ≥ 0 when a = c or a = |b|,
-    are in bijection with ideal classes (Gauss); the kernel
-    enumerates them EXHAUSTIVELY (a ≤ √(|D|/3) bounds the sweep)
-    and asserts the classical table — h(−3) = h(−4) = h(−7) =
-    h(−8) = h(−11) = 1, h(−15) = h(−20) = 2, h(−23) = 3,
-    h(−47) = 5, and the HEEGNER value h(−163) = 1 (the reason
-    e^(π√163) is almost an integer — counted, not cited).  The
-    census selects a discriminant; its reduced forms are
-    reported.  Output: one row per reduced form of the selected
-    discriminant.  Mirror: the same bounded enumeration by
-    joins."""
-    known = {-3: 1, -4: 1, -7: 1, -8: 1, -11: 1, -15: 2,
-             -20: 2, -23: 3, -47: 5, -163: 1}
-
-    def reduced_forms(D):
-        out = []
-        amax = math.isqrt(-D // 3) + 1
-        for a in range(1, amax + 1):
-            for b in range(-a + 1, a + 1):
-                num = b * b - D
-                if num % (4 * a):
-                    continue
-                c = num // (4 * a)
-                if c < a:
-                    continue
-                if (a == c or a == abs(b)) and b < 0:
-                    continue
-                if a == c and b < 0:
-                    continue
-                out.append((a, b, c))
-        return sorted(out)
-
-    for D, h in known.items():
-        forms = reduced_forms(D)
-        assert len(forms) == h, (D, forms)
-        for a, b, c in forms:
-            assert b * b - 4 * a * c == D
-
-    sel = CLASS_DISCS[int(sel_census) % len(CLASS_DISCS)]
-    forms = reduced_forms(sel)
-    rows = [(i, sel, a, b, c, len(forms))
-            for i, (a, b, c) in enumerate(forms)]
-    out = pd.DataFrame(rows, columns=["idx", "disc", "a", "b",
-                                      "c", "class_number"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-SUMFREE_N = 10
-
-
-def sum_free_sets_int(sel_census):
-    """Maximum sum-free subsets of {1..10} — ADDITIVE
-    COMBINATORICS, a family the surface lacked (egz_zerosum is
-    zero-sum structure; sum-free sets are its avoidance dual): a
-    set is sum-free iff no x + y = z within it (x = y allowed);
-    the kernel sweeps ALL 2^10 subsets, computes the maximum
-    sum-free size — exactly ⌈10/2⌉ = 5 — counts the maximum
-    achievers, and certifies the two classical extremal witnesses
-    (the odds {1,3,5,7,9} and the top half {6..10}) are among
-    them.  The census subset is classified.  Output: one row per
-    element with membership plus global columns.  Mirror: the
-    same 1024-subset sweep in SQL."""
-    n = SUMFREE_N
-
-    def sum_free(mask):
-        els = [v for v in range(1, n + 1) if (mask >> (v - 1)) & 1]
-        s = set(els)
-        return not any((x + y) in s for x in els for y in els
-                       if x <= y)
-
-    best = 0
-    n_best = 0
-    for m in range(1 << n):
-        if sum_free(m):
-            sz = bin(m).count("1")
-            if sz > best:
-                best, n_best = sz, 1
-            elif sz == best:
-                n_best += 1
-    assert best == 5
-    odds = sum(1 << (v - 1) for v in (1, 3, 5, 7, 9))
-    top = sum(1 << (v - 1) for v in (6, 7, 8, 9, 10))
-    assert sum_free(odds) and sum_free(top)
-
-    cm = int(sel_census) % 1024
-    is_sf = 1 if sum_free(cm) else 0
-    sz = bin(cm).count("1")
-    rows = [(v, (cm >> (v - 1)) & 1, is_sf, sz, best, n_best)
-            for v in range(1, n + 1)]
-    out = pd.DataFrame(rows, columns=["v", "member",
-                                      "census_sum_free",
-                                      "census_size", "max_size",
-                                      "n_max_sets"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-PP_BOXES = [(1, 1, 1), (2, 2, 1), (2, 2, 2), (3, 2, 2),
-            (3, 3, 2), (3, 3, 3)]
-
-
-def plane_partitions_int(sel_census):
-    """Plane partitions in a box — MACMAHON's THEOREM, a family
-    the surface lacked (partition_numbers is 1-D; plane
-    partitions stack in 2-D and MacMahon's 1912 box formula
-    ∏ (i+j+k−1)/(i+j+k−2) counts them): the kernel counts plane
-    partitions in the r×s×t box TWICE for six boxes — by
-    EXHAUSTIVE enumeration of weakly-decreasing r×s matrices
-    with entries ≤ t (rows and columns both monotone) and by the
-    triple product formula (computed in exact integers via
-    numerator/denominator accumulation, divisibility certified)
-    — and asserts the two agree, pinning PP(2,2,2) = 20 and
-    PP(3,3,3) = 980.  The census selects a box.  Output: one row
-    per box with both counts.  Mirror: the product formula (the
-    enumeration is the kernel's half)."""
-    from itertools import product as iproduct
-
-    def brute(r, s, t):
-        cnt = 0
-        for mat in iproduct(range(t + 1), repeat=r * s):
-            ok = True
-            for i in range(r):
-                for j in range(s):
-                    v = mat[i * s + j]
-                    if j + 1 < s and v < mat[i * s + j + 1]:
-                        ok = False
-                        break
-                    if i + 1 < r and v < mat[(i + 1) * s + j]:
-                        ok = False
-                        break
-                if not ok:
-                    break
-            if ok:
-                cnt += 1
-        return cnt
-
-    def macmahon(r, s, t):
-        num = den = 1
-        for i in range(1, r + 1):
-            for j in range(1, s + 1):
-                for k in range(1, t + 1):
-                    num *= i + j + k - 1
-                    den *= i + j + k - 2
-        assert num % den == 0
-        return num // den
-
-    counts = {}
-    for (r, s, t) in PP_BOXES:
-        b = brute(r, s, t)
-        m = macmahon(r, s, t)
-        assert b == m, (r, s, t)
-        counts[(r, s, t)] = b
-    assert counts[(2, 2, 2)] == 20
-    assert counts[(3, 3, 3)] == 980
-
-    sel = int(sel_census) % len(PP_BOXES)
-    rows = [(i, r, s, t, counts[(r, s, t)], 1 if i == sel else 0)
-            for i, (r, s, t) in enumerate(PP_BOXES)]
-    out = pd.DataFrame(rows, columns=["idx", "r", "s", "t",
-                                      "n_pp", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-DELANNOY_N = 8
-
-
-def delannoy_numbers_int(sel_census):
-    """Delannoy numbers — KING-MOVE LATTICE PATHS, a family the
-    surface lacked (dyck_catalan walks ±1 steps; Delannoy paths
-    also step diagonally): D(m,n) counts paths (0,0) → (m,n) with
-    steps E, N, NE; the kernel builds the table to 8×8 by the
-    recurrence D = D(m−1,n) + D(m,n−1) + D(m−1,n−1), asserts the
-    SUM formula Σ_k C(m,k)·C(n,k)·2^k entry-wise, the central
-    values 1, 3, 13, 63, 321, 1683, 8989, 48639, and D(2,2) = 13
-    by EXHAUSTIVE path enumeration (all step sequences walked).
-    Output: the census-selected row of the table.  Mirror: the
-    sum formula."""
-    N = DELANNOY_N
-    D = [[0] * (N + 1) for _ in range(N + 1)]
-    for m in range(N + 1):
-        for n in range(N + 1):
-            if m == 0 or n == 0:
-                D[m][n] = 1
-            else:
-                D[m][n] = (D[m - 1][n] + D[m][n - 1]
-                           + D[m - 1][n - 1])
-
-    for m in range(N + 1):
-        for n in range(N + 1):
-            sf = sum(math.comb(m, k) * math.comb(n, k) * 2 ** k
-                     for k in range(min(m, n) + 1))
-            assert D[m][n] == sf
-
-    central = [D[k][k] for k in range(8)]
-    assert central == [1, 3, 13, 63, 321, 1683, 8989, 48639]
-
-    def brute22():
-        cnt = 0
-        stack = [(0, 0)]
-        while stack:
-            x, y = stack.pop()
-            if (x, y) == (2, 2):
-                cnt += 1
-                continue
-            if x < 2:
-                stack.append((x + 1, y))
-            if y < 2:
-                stack.append((x, y + 1))
-            if x < 2 and y < 2:
-                stack.append((x + 1, y + 1))
-        return cnt
-
-    assert brute22() == D[2][2] == 13
-
-    m_sel = int(sel_census) % (N + 1)
-    rows = [(m_sel, n, D[m_sel][n]) for n in range(N + 1)]
-    out = pd.DataFrame(rows, columns=["m", "n", "delannoy"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def markov_triples_int(sel_census):
-    """The Markov equation tree — MARKOV SPECTRUM / Vieta
-    involutions, a family the surface lacked (pell_equation
-    solves a quadratic in two variables; Markov's x²+y²+z² = 3xyz
-    is the cubic whose solution TREE governs badly-approximable
-    numbers): from the root (1,1,1) the kernel grows FOUR levels
-    of Vieta flips z′ = 3xy − z (each coordinate flipped),
-    asserts the EQUATION exactly at every one of the 120
-    generated triples, asserts positivity (the tree stays in positive
-    integers), and pins the classical Markov numbers 1, 2, 5,
-    13, 29, 34 appearing in the first levels.  The census selects
-    a node.  Output: one row per node.  Mirror: the same flip
-    recursion as a recursive CTE with the equation re-checked as
-    a residual column."""
-    def mk_ok(t):
-        x, y, z = t
-        return x * x + y * y + z * z == 3 * x * y * z
-
-    root = (1, 1, 1)
-    assert mk_ok(root)
-    nodes = [(0, root)]
-    frontier = [root]
-    for level in range(1, 5):
-        nxt = []
-        for t in frontier:
-            for pos in range(3):
-                others = [t[i] for i in range(3) if i != pos]
-                newv = 3 * others[0] * others[1] - t[pos]
-                nt = tuple(sorted(others + [newv]))
-                assert mk_ok(nt), nt
-                assert all(v >= 1 for v in nt)
-                nxt.append(nt)
-                nodes.append((level, nt))
-        frontier = nxt
-    assert len(nodes) == 1 + 3 + 9 + 27 + 81
-
-    vals = {v for _, t in nodes for v in t}
-    for m in (1, 2, 5, 13, 29, 34):
-        assert m in vals                 # classical Markov numbers
-
-    sel = int(sel_census) % len(nodes)
-    rows = [(i, lv, t[0], t[1], t[2],
-             t[0] ** 2 + t[1] ** 2 + t[2] ** 2
-             - 3 * t[0] * t[1] * t[2], 1 if i == sel else 0)
-            for i, (lv, t) in enumerate(nodes)]
-    out = pd.DataFrame(rows, columns=["idx", "level", "x", "y",
-                                      "z", "residual",
-                                      "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-STERN_N = 256
-
-
-def stern_diatomic_int(start_census):
-    """Stern's diatomic sequence and the Calkin-Wilf enumeration
-    — COUNTING THE RATIONALS, a family the surface lacked
-    (stern_brocot SEARCHES for one fraction; Calkin-Wilf 2000
-    ENUMERATES them all): fusc(0) = 0, fusc(1) = 1,
-    fusc(2n) = fusc(n), fusc(2n+1) = fusc(n) + fusc(n+1); the
-    kernel builds the sequence to 512, asserts the recurrences
-    per index, asserts consecutive values COPRIME for every
-    n < 512 (the fraction fusc(n)/fusc(n+1) is always reduced),
-    and asserts the enumeration hits 256 DISTINCT rationals in
-    the first 256 steps (injectivity on the range — the bijection
-    checked, not cited).  A census window is reported.  Output:
-    24 rows (off, n, fusc, fusc_next).  Mirror: the recurrence as
-    a recursive CTE carrying the growing list."""
-    f = [0, 1]
-    for n in range(1, STERN_N):
-        f.append(f[n])            # f[2n]
-        f.append(f[n] + f[n + 1])  # f[2n+1]
-    f = f[:2 * STERN_N + 2]
-    for n in range(1, STERN_N):
-        assert f[2 * n] == f[n]
-        assert f[2 * n + 1] == f[n] + f[n + 1]
-    for n in range(STERN_N):
-        assert math.gcd(f[n + 1], f[n + 2]) == 1
-
-    seen = {(f[n + 1], f[n + 2]) for n in range(STERN_N)}
-    assert len(seen) == STERN_N          # injectivity on range
-
-    start = int(start_census) % (STERN_N - 24)
-    rows = [(off, start + off + 1, f[start + off + 1],
-             f[start + off + 2]) for off in range(24)]
-    out = pd.DataFrame(rows, columns=["off", "n", "fusc",
-                                      "fusc_next"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-LUCKY_MAX = 200
-
-
-def lucky_numbers_int(sel_census):
-    """Lucky numbers — SIEVE PROCESSES beyond Eratosthenes, a
-    family the surface lacked (miller_rabin decides primality;
-    the lucky sieve is a DIFFERENT elimination dynamic whose
-    survivors share the primes' density but not their algebra):
-    start from the odd numbers; repeatedly take the next
-    surviving value k and delete every k-th survivor.  The kernel
-    runs the sieve to 200, asserts the classical prefix 1, 3, 7,
-    9, 13, 15, 21, 25, 31, 33, 37, 43, 49, 51, 63, 67, 69, 73,
-    75, 79 (computed, not cited), and reports the survivors with
-    the census-selected one flagged.  Output: one row per lucky
-    number ≤ 200.  Mirror: the same sieve as a recursive
-    list-carrying CTE with every-k-th deletion via index
-    filtering."""
-    nums = list(range(1, LUCKY_MAX + 1, 2))
-    i = 1
-    while i < len(nums):
-        k = nums[i]
-        if k > len(nums):
-            break
-        nums = [v for j, v in enumerate(nums, start=1)
-                if j % k != 0]
-        i += 1
-
-    assert nums[:20] == [1, 3, 7, 9, 13, 15, 21, 25, 31, 33, 37,
-                         43, 49, 51, 63, 67, 69, 73, 75, 79]
-
-    sel = int(sel_census) % len(nums)
-    rows = [(i2, v, 1 if i2 == sel else 0, len(nums))
-            for i2, v in enumerate(nums)]
-    out = pd.DataFrame(rows, columns=["rank", "lucky", "selected",
-                                      "n_lucky"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-GILBREATH_ROWS = 20
-
-
-def gilbreath_int(sel_census):
-    """Gilbreath's conjecture on the primes below 1000 — PRIME
-    GAP PROCESSES, a family the surface lacked: start from the
-    prime sequence and repeatedly take absolute differences of
-    neighbours; the conjecture (verified to astronomical heights,
-    still open) says every difference row starts with 1.  The
-    kernel sieves the 168 primes < 1000, iterates 20 difference
-    rows, and asserts the leading 1 in EVERY row (the conjecture
-    VERIFIED on this range, plus the structural fact that all
-    entries beyond the first are even-or-zero small values in
-    rows ≥ 1 — every entry is 0 or even except the leading 1,
-    asserted).  The census selects a row; its prefix is
-    reported.  Output: 24 columns-worth of rows (pos, value) for
-    the selected difference row.  Mirror: sieve + the difference
-    iteration as a recursive list CTE."""
-    primes = [v for v in range(2, 1000)
-              if all(v % f for f in range(2, math.isqrt(v) + 1))]
-    assert len(primes) == 168
-
-    rows_tbl = [primes]
-    cur = primes
-    for _ in range(GILBREATH_ROWS):
-        cur = [abs(cur[i + 1] - cur[i]) for i in range(len(cur) - 1)]
-        rows_tbl.append(cur)
-        assert cur[0] == 1               # Gilbreath on the range
-        assert all(v == 0 or v % 2 == 0 for v in cur[1:])
-
-    sel = int(sel_census) % (GILBREATH_ROWS + 1)
-    row = rows_tbl[sel]
-    out_rows = [(p, row[p], sel, len(row)) for p in range(24)]
-    out = pd.DataFrame(out_rows, columns=["pos", "value",
-                                          "sel_row", "row_len"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def newton_identities_int(seeds):
-    """Newton's identities — SYMMETRIC FUNCTION THEORY, a family
-    the surface lacked: for the monic quartic with census integer
-    roots r1..r4, the kernel computes the elementary symmetric
-    polynomials e1..e4 (Vieta, by explicit expansion) and the
-    power sums p1..p8 (direct summation), then asserts NEWTON's
-    identities p_k = e1·p_{k−1} − e2·p_{k−2} + e3·p_{k−3} −
-    e4·p_{k−4} (with the k ≤ 4 boundary terms k·e_k) for every
-    k ≤ 8 — the fundamental bridge between the two symmetric
-    bases, verified in exact integers.  Output: one row per k
-    with p_k and the recurrence's right-hand side.  Mirror: both
-    sides recomputed from the same roots."""
-    r = [int(s) % 19 - 9 for s in seeds]   # roots in [-9, 9]
-    assert len(r) == 4
-    e1 = sum(r)
-    e2 = sum(r[i] * r[j] for i in range(4) for j in range(i + 1, 4))
-    e3 = sum(r[i] * r[j] * r[k]
-             for i in range(4) for j in range(i + 1, 4)
-             for k in range(j + 1, 4))
-    e4 = r[0] * r[1] * r[2] * r[3]
-    E = [None, e1, e2, e3, e4]
-
-    p = {0: 4}
-    for k in range(1, 9):
-        p[k] = sum(x ** k for x in r)
-
-    rhs = {}
-    for k in range(1, 9):
-        if k <= 4:
-            # p_k = sum_{i<k} (-1)^(i-1) e_i p_{k-i}
-            #       + (-1)^(k-1) k e_k
-            acc = sum((-1) ** (i - 1) * E[i] * p[k - i]
-                      for i in range(1, k)) \
-                + (-1) ** (k - 1) * k * E[k]
-        else:
-            acc = sum((-1) ** (i - 1) * E[i] * p[k - i]
-                      for i in range(1, 5))
-        rhs[k] = acc
-        assert p[k] == rhs[k], k
-
-    rows = [(k, p[k], rhs[k], e1, e2, e3, e4)
-            for k in range(1, 9)]
-    out = pd.DataFrame(rows, columns=["k", "p_k", "newton_rhs",
-                                      "e1", "e2", "e3", "e4"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def cubic_discriminant_int(seeds):
-    """Cubic discriminants — ELIMINATION THEORY, a family the
-    surface lacked (_sql_det3 does determinants; the discriminant
-    is the resultant's square-free shadow): for the monic cubic
-    with census integer roots r1, r2, r3 the kernel computes the
-    coefficients by Vieta, evaluates the classical formula
-    Δ = 18bcd − 4b³d + b²c² − 4c³ − 27d² (monic a = 1, with
-    b = −e1, c = e2, d = −e3), AND the root-product definition
-    Δ = ∏_{i<j} (r_i − r_j)², asserting them EQUAL exactly — and
-    the sign law: Δ = 0 iff a repeated root, Δ > 0 iff three
-    distinct (real) roots.  Output: one row per instance.
-    Mirror: both routes recomputed from the same roots."""
-    rows = []
-    for idx in range(0, len(seeds) - 2, 3):
-        r1 = int(seeds[idx]) % 13 - 6
-        r2 = int(seeds[idx + 1]) % 13 - 6
-        r3 = int(seeds[idx + 2]) % 13 - 6
-        b = -(r1 + r2 + r3)
-        c = r1 * r2 + r1 * r3 + r2 * r3
-        d = -(r1 * r2 * r3)
-        disc_formula = (18 * b * c * d - 4 * b ** 3 * d
-                        + b ** 2 * c ** 2 - 4 * c ** 3
-                        - 27 * d ** 2)
-        disc_roots = ((r1 - r2) ** 2 * (r1 - r3) ** 2
-                      * (r2 - r3) ** 2)
-        assert disc_formula == disc_roots
-        distinct = len({r1, r2, r3})
-        if distinct == 3:
-            assert disc_formula > 0
-        else:
-            assert disc_formula == 0
-        rows.append((idx // 3, r1, r2, r3, b, c, d,
-                     disc_formula, disc_roots))
-    out = pd.DataFrame(rows, columns=["inst", "r1", "r2", "r3",
-                                      "b", "c", "d",
-                                      "disc_formula",
-                                      "disc_roots"])
-    for c2 in out.columns:
-        out[c2] = out[c2].astype("int64")
-    return out
-
-
-PISANO_MMAX = 20
-
-
-def pisano_periods_int(sel_census):
-    """Pisano periods — PERIODICITY OF LINEAR RECURRENCES MOD m,
-    a family the surface lacked (fibonacci_gcd is divisibility of
-    the VALUES; Pisano is the periodicity of the REDUCTIONS): the
-    kernel computes π(m) for every 2 ≤ m ≤ 20 by ACTUAL cycle
-    detection (walk (F_k, F_{k+1}) mod m until (0, 1) recurs),
-    asserts the classical table (π(2) = 3, π(3) = 8, π(10) = 60,
-    …), and verifies the CRT multiplicativity
-    π(mn) = lcm(π(m), π(n)) for every coprime pair in range —
-    the structure theorem exercised, not cited.  Output: one row
-    per modulus with the census-selected one flagged.  Mirror:
-    the same cycle walk as a recursive CTE per modulus."""
-    def pisano(m):
-        a, b = 0, 1
-        k = 0
-        while True:
-            a, b = b, (a + b) % m
-            k += 1
-            if (a, b) == (0, 1):
-                return k
-
-    known = {2: 3, 3: 8, 4: 6, 5: 20, 6: 24, 7: 16, 8: 12,
-             9: 24, 10: 60, 11: 10, 12: 24, 13: 28, 14: 48,
-             15: 40, 16: 24, 17: 36, 18: 24, 19: 18, 20: 60}
-    pi = {m: pisano(m) for m in range(2, PISANO_MMAX + 1)}
-    assert pi == known
-
-    for m in range(2, PISANO_MMAX + 1):
-        for n2 in range(2, PISANO_MMAX + 1):
-            if math.gcd(m, n2) == 1 and m * n2 <= PISANO_MMAX:
-                assert pi[m * n2] == (pi[m] * pi[n2]
-                                      // math.gcd(pi[m], pi[n2]))
-
-    sel = int(sel_census) % 19 + 2
-    rows = [(m, pi[m], 1 if m == sel else 0)
-            for m in range(2, PISANO_MMAX + 1)]
-    out = pd.DataFrame(rows, columns=["m", "pisano", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-CONWAY_N = 1024
-
-
-def conway_sequence_int(start_census):
-    """Conway's $10,000 sequence a(n) = a(a(n−1)) + a(n−a(n−1)) —
-    NESTED (meta-Fibonacci) RECURRENCES, a family the surface
-    lacked: the kernel builds 1024 terms from a(1) = a(2) = 1 and
-    asserts the EXACT structural theorems — a(2^k) = 2^(k−1) for
-    every k (the sequence is exactly half at powers of two),
-    slow growth a(n+1) − a(n) ∈ {0, 1} everywhere, monotonicity,
-    and the bounds n/2 ≤ a(n) ≤ n — the properties Conway's
-    prize concerned, verified on the range.  A census window is
-    reported.  Output: 24 rows (off, n, a_n, delta).  Mirror:
-    the recurrence as a recursive list CTE."""
-    a = [0, 1, 1]
-    for n in range(3, CONWAY_N + 1):
-        a.append(a[a[n - 1]] + a[n - a[n - 1]])
-
-    for k in range(1, 11):
-        if 2 ** k <= CONWAY_N:
-            assert a[2 ** k] == 2 ** (k - 1)
-    for n in range(2, CONWAY_N):
-        d = a[n + 1] - a[n]
-        assert d in (0, 1)
-    for n in range(1, CONWAY_N + 1):
-        assert n <= 2 * a[n] and a[n] <= n
-
-    start = int(start_census) % (CONWAY_N - 25) + 1
-    rows = [(off, start + off, a[start + off],
-             a[start + off + 1] - a[start + off])
-            for off in range(24)]
-    out = pd.DataFrame(rows, columns=["off", "n", "a_n", "delta"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def golomb_ruler_int(sel_census):
-    """Optimal Golomb rulers — SIDON SETS IN Z, a family the
-    surface lacked (sum_free_sets forbids x+y = z; Golomb rulers
-    forbid REPEATED DIFFERENCES): the kernel verifies by
-    EXHAUSTION that the optimal order-4 ruler has length 6 (no
-    4-mark ruler of length ≤ 5 has all C(4,2) differences
-    distinct; at length 6 exactly {0,1,4,6} and its mirror
-    {0,2,5,6} work) and the optimal order-5 ruler has length 11
-    (sweep over all 5-subsets of 0..11, the known rulers
-    recovered), with perfection noted: order 4 at length 6
-    measures EVERY distance 1..6 (a perfect ruler — asserted).
-    Output: one row per optimal ruler found, census-flagged.
-    Mirror: the same subset sweeps via bitmask joins."""
-    from itertools import combinations
-
-    def is_ruler(marks):
-        difs = [b - a for a, b in combinations(marks, 2)]
-        return len(set(difs)) == len(difs)
-
-    # order 4: nothing of length <= 5
-    for L in range(1, 6):
-        found = [m for m in combinations(range(L + 1), 4)
-                 if 0 in m and L in m and is_ruler(m)]
-        assert not found, L
-    r4 = [m for m in combinations(range(7), 4)
-          if 0 in m and 6 in m and is_ruler(m)]
-    assert sorted(r4) == [(0, 1, 4, 6), (0, 2, 5, 6)]
-    # perfection: all distances 1..6 measured
-    for m in r4:
-        difs = {b - a for a, b in combinations(m, 2)}
-        assert difs == set(range(1, 7))
-
-    for L in range(7, 11):
-        found = [m for m in combinations(range(L + 1), 5)
-                 if 0 in m and L in m and is_ruler(m)]
-        assert not found, L
-    r5 = [m for m in combinations(range(12), 5)
-          if 0 in m and 11 in m and is_ruler(m)]
-    assert (0, 1, 4, 9, 11) in r5
-    assert (0, 2, 7, 8, 11) in r5
-    assert len(r5) == 4                  # two rulers + mirrors
-
-    rulers = [(4, 6, m) for m in sorted(r4)] \
-        + [(5, 11, m + (0,) * 0) for m in sorted(r5)]
-    sel = int(sel_census) % len(rulers)
-    rows = []
-    for i, (order, length, m) in enumerate(rulers):
-        mm = list(m) + [-1] * (5 - len(m))
-        rows.append((i, order, length, mm[0], mm[1], mm[2],
-                     mm[3], mm[4], 1 if i == sel else 0))
-    out = pd.DataFrame(rows, columns=["idx", "order_", "length",
-                                      "m0", "m1", "m2", "m3",
-                                      "m4", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def langford_pairs_int(sel_census):
-    """Langford pairings — SEQUENCE DESIGNS, a family the surface
-    lacked: arrange 1,1,2,2,…,n,n so the two copies of k sit
-    exactly k apart; solutions exist iff n ≡ 0 or 3 (mod 4).  The
-    kernel verifies BOTH directions exhaustively for n ≤ 5:
-    L(2,3) has exactly 2 sequences (231213 and its reversal),
-    L(2,4) exactly 2 (41312432 + reversal), and n = 1, 2, 5 have
-    NONE (the parity obstruction observed by counting, not
-    cited).  Output: one row per (n, count) plus the solutions of
-    the census-selected solvable n.  Mirror: the same backtracking
-    expressed as position joins."""
-    def count_langford(n):
-        sols = []
-
-        def rec(seq, k):
-            if k == 0:
-                sols.append(tuple(seq))
-                return
-            for p in range(2 * n - k - 1):
-                if seq[p] == 0 and seq[p + k + 1] == 0:
-                    seq[p] = seq[p + k + 1] = k
-                    rec(seq, k - 1)
-                    seq[p] = seq[p + k + 1] = 0
-
-        rec([0] * (2 * n), n)
-        return sols
-
-    counts = {}
-    sols_by_n = {}
-    for n in range(1, 6):
-        s = count_langford(n)
-        counts[n] = len(s)
-        sols_by_n[n] = sorted(s)
-    assert counts == {1: 0, 2: 0, 3: 2, 4: 2, 5: 0}
-    assert tuple([2, 3, 1, 2, 1, 3]) in sols_by_n[3]
-    assert tuple([4, 1, 3, 1, 2, 4, 3, 2]) in sols_by_n[4]
-
-    sel_n = 3 if int(sel_census) % 2 == 0 else 4
-    rows = []
-    for n in range(1, 6):
-        rows.append((n, counts[n], 1 if n == sel_n else 0, -1,
-                     0))
-    for si, s in enumerate(sols_by_n[sel_n]):
-        digits = int("".join(map(str, s)))
-        rows.append((sel_n, counts[sel_n], 1, si, digits))
-    out = pd.DataFrame(rows, columns=["n", "n_solutions",
-                                      "selected", "sol_idx",
-                                      "sol_digits"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-JUG_MAX = 12
-
-
-def water_jugs_int(s1, s2):
-    """The two-jug measuring problem — STATE-SPACE REACHABILITY,
-    a family the surface lacked (puzzle_parity classifies by an
-    invariant; the jug problem's invariant is the gcd): with jugs
-    of capacities a and b (fill / empty / pour moves) the
-    measurable amounts are EXACTLY the multiples of gcd(a, b) up
-    to max(a, b) — the kernel verifies this by running the ACTUAL
-    BFS for EVERY capacity pair 1 ≤ a, b ≤ 12 (144 state-space
-    searches, both inclusions checked against the gcd
-    characterization), then reports the census pair's reachable
-    amounts.  Output: one row per measurable amount.  Mirror:
-    the gcd characterization (the BFS is the kernel's half)."""
-    def measurable(a, b):
-        seen = {(0, 0)}
-        frontier = [(0, 0)]
-        while frontier:
-            x, y = frontier.pop()
-            nxt = [(a, y), (x, b), (0, y), (x, 0)]
-            t = min(x, b - y)
-            nxt.append((x - t, y + t))
-            t = min(y, a - x)
-            nxt.append((x + t, y - t))
-            for s in nxt:
-                if s not in seen:
-                    seen.add(s)
-                    frontier.append(s)
-        return {x for x, y in seen} | {y for x, y in seen}
-
-    for a in range(1, JUG_MAX + 1):
-        for b in range(1, JUG_MAX + 1):
-            g = math.gcd(a, b)
-            want = {k for k in range(0, max(a, b) + 1)
-                    if k % g == 0}
-            assert measurable(a, b) == want, (a, b)
-
-    a = int(s1) % JUG_MAX + 1
-    b = int(s2) % JUG_MAX + 1
-    g = math.gcd(a, b)
-    amounts = sorted(k for k in range(0, max(a, b) + 1)
-                     if k % g == 0)
-    rows = [(i, v, a, b, g, len(amounts))
-            for i, v in enumerate(amounts)]
-    out = pd.DataFrame(rows, columns=["idx", "amount", "a", "b",
-                                      "g", "n_amounts"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def friendship_graphs_int(sel_census):
-    """The friendship theorem on small orders — a family the
-    surface lacked (paley_graph is strong regularity; Erdős-
-    Rényi-Sós 1966 says a graph where every two vertices share
-    EXACTLY ONE common friend is a windmill): the kernel sweeps
-    ALL graphs on 5 vertices (2^10) and on 6 vertices (2^15),
-    asserting that the friendship graphs on 5 vertices are
-    EXACTLY the 15 labelings of the bowtie (two triangles sharing
-    a hub) and that NO friendship graph exists on 6 vertices
-    (windmills have odd order — the parity face of the theorem,
-    observed by exhaustion).  The census flags one bowtie
-    labeling.  Output: one row per 5-vertex friendship graph
-    (edge mask + hub).  Mirror: the same sweeps in SQL."""
-    def pairs(n):
-        return [(i, j) for i in range(n) for j in range(i + 1, n)]
-
-    def friendship(n, mask, prs):
-        eidx = {e: k for k, e in enumerate(prs)}
-
-        def adj(i, j):
-            if i == j:
-                return False
-            e = (min(i, j), max(i, j))
-            return (mask >> eidx[e]) & 1 == 1
-
-        for i in range(n):
-            for j in range(i + 1, n):
-                common = sum(1 for k in range(n)
-                             if adj(i, k) and adj(j, k))
-                if common != 1:
-                    return False
-        return True
-
-    p5 = pairs(5)
-    wins = [m for m in range(1 << 10) if friendship(5, m, p5)]
-    assert len(wins) == 15               # bowtie labelings
-
-    # hub = the vertex of degree 4
-    hubs = []
-    for m in wins:
-        deg = [0] * 5
-        for k, (i, j) in enumerate(p5):
-            if (m >> k) & 1:
-                deg[i] += 1
-                deg[j] += 1
-        assert sorted(deg) == [2, 2, 2, 2, 4]
-        hubs.append(deg.index(4))
-
-    p6 = pairs(6)
-    none6 = [m for m in range(1 << 15) if friendship(6, m, p6)]
-    assert none6 == []                   # even order: none
-
-    sel = int(sel_census) % 15
-    rows = []
-    for i, m in enumerate(sorted(wins)):
-        deg = [0] * 5
-        for k, (a, b) in enumerate(p5):
-            if (m >> k) & 1:
-                deg[a] += 1
-                deg[b] += 1
-        rows.append((i, m, deg.index(4), 1 if i == sel else 0,
-                     15, 0))
-    out = pd.DataFrame(rows, columns=["idx", "edge_mask", "hub",
-                                      "selected", "n_order5",
-                                      "n_order6"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-HERON_PMAX = 50
-
-
-def heronian_triangles_int(sel_census):
-    """Heronian triangles — INTEGER GEOMETRY beyond right angles,
-    a family the surface lacked (pythagorean_triples demands a
-    right angle; Heron only demands integer AREA): the kernel
-    sweeps all triangles a ≤ b ≤ c < a+b with perimeter ≤ 50,
-    keeps those where 16A² = (a+b+c)(−a+b+c)(a−b+c)(a+b−c) is a
-    perfect square whose root is divisible by 4 (⟺ integer
-    area — the parity subtlety stated), asserts the classics —
-    (3,4,5) area 6, (5,5,6) and (5,5,8) both area 12 (the famous
-    isoperimetric near-twins), (9,10,17) area 36 — and that every
-    Pythagorean triple in range reappears (right triangles are
-    Heronian).  Output: one row per Heronian triangle, census
-    flagged.  Mirror: the same sweep with the same integer
-    square test."""
-    tri = []
-    for a in range(1, HERON_PMAX):
-        for b in range(a, HERON_PMAX):
-            for c_ in range(b, min(a + b, HERON_PMAX - a - b + 1)):
-                if a + b + c_ > HERON_PMAX:
-                    continue
-                q = ((a + b + c_) * (-a + b + c_) * (a - b + c_)
-                     * (a + b - c_))
-                r = math.isqrt(q)
-                if r * r == q and r % 4 == 0 and r > 0:
-                    tri.append((a, b, c_, r // 4))
-
-    d = {(a, b, c_): ar for a, b, c_, ar in tri}
-    assert d[(3, 4, 5)] == 6
-    assert d[(5, 5, 6)] == 12
-    assert d[(5, 5, 8)] == 12
-    assert d[(9, 10, 17)] == 36
-    for (a, b, c_) in [(3, 4, 5), (6, 8, 10), (5, 12, 13),
-                      (9, 12, 15), (8, 15, 17)]:
-        assert (a, b, c_) in d           # right triangles included
-
-    tri.sort()
-    sel = int(sel_census) % len(tri)
-    rows = [(i, a, b, c_, ar, 1 if i == sel else 0, len(tri))
-            for i, (a, b, c_, ar) in enumerate(tri)]
-    out = pd.DataFrame(rows, columns=["idx", "a", "b", "c",
-                                      "area", "selected",
-                                      "n_heronian"])
-    for c2 in out.columns:
-        out[c2] = out[c2].astype("int64")
-    return out
-
-
-PERRIN_MAX = 200
-
-
-def perrin_test_int(seeds):
-    """The Perrin primality phenomenon — LINEAR-RECURRENCE
-    PRIMALITY TESTS, a family the surface lacked (miller_rabin is
-    Fermat-flavoured; Perrin's P(n) = P(n−2) + P(n−3) with
-    P(0..2) = 3, 0, 2 satisfies p | P(p) for every prime): the
-    kernel verifies BOTH directions on the range — p | P(p) for
-    ALL primes ≤ 200, and NO composite ≤ 200 passes (the smallest
-    Perrin pseudoprime is 271441, far above — stated), computing
-    P(n) mod n by the recurrence so no bignum is needed.  Census
-    rows classified.  Output: (inst, n, perrin_mod_n, is_prime,
-    passes).  Mirror: the mod-n recurrence as a recursive CTE
-    per instance."""
-    def is_prime(v):
-        return v >= 2 and all(v % f for f in
-                              range(2, math.isqrt(v) + 1))
-
-    def perrin_mod(n):
-        a, b, c_ = 3 % n, 0, 2 % n
-        for _ in range(n):
-            a, b, c_ = b, c_, (a + b) % n
-        return a                          # P(n) mod n
-
-    for n in range(2, PERRIN_MAX + 1):
-        passes = perrin_mod(n) == 0
-        assert passes == is_prime(n), n
-
-    rows = []
-    for i, s in enumerate(seeds):
-        n = int(s) % 199 + 2
-        pm = perrin_mod(n)
-        rows.append((i, n, pm, 1 if is_prime(n) else 0,
-                     1 if pm == 0 else 0))
-    out = pd.DataFrame(rows, columns=["inst", "n", "perrin_mod_n",
-                                      "is_prime", "passes"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-CATALAN_PMAX = 10 ** 6
-
-
-def catalan_mihailescu_int(sel_census):
-    """Consecutive perfect powers — EXPONENTIAL DIOPHANTINE
-    EQUATIONS, a family the surface lacked (pell_equation is
-    quadratic; Catalan's conjecture, Mihăilescu's theorem 2002,
-    says 8 and 9 are the ONLY consecutive perfect powers): the
-    kernel enumerates EVERY perfect power a^b ≤ 10^6 (b ≥ 2,
-    a ≥ 2), sorts them, and asserts that the only adjacent pair
-    at distance 1 is (8, 9) — the theorem verified on the range
-    by exhaustion.  The census selects a window of the
-    perfect-power sequence.  Output: 24 rows (off, power,
-    next_power, gap, is_catalan_pair).  Mirror: the same
-    enumeration by bounded joins."""
-    powers = set()
-    a = 2
-    while a * a <= CATALAN_PMAX:
-        v = a * a
-        while v <= CATALAN_PMAX:
-            powers.add(v)
-            v *= a
-        a += 1
-    ps = sorted(powers)
-
-    catalan_pairs = [(x, y) for x, y in zip(ps, ps[1:])
-                     if y - x == 1]
-    assert catalan_pairs == [(8, 9)]     # Mihailescu on the range
-
-    start = int(sel_census) % (len(ps) - 25)
-    rows = [(off, ps[start + off], ps[start + off + 1],
-             ps[start + off + 1] - ps[start + off],
-             1 if ps[start + off + 1] - ps[start + off] == 1
-             else 0) for off in range(24)]
-    out = pd.DataFrame(rows, columns=["off", "power",
-                                      "next_power", "gap",
-                                      "is_catalan_pair"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-SYLVESTER_N = 6
-
-
-def sylvester_sequence_int(sel_census):
-    """Sylvester's sequence — GREEDY UNIT-FRACTION SERIES, a
-    family the surface lacked (egyptian_fractions decomposes
-    GIVEN targets; Sylvester's 2, 3, 7, 43, 1807, … is the
-    canonical infinite greedy object): a(n+1) = a(n)² − a(n) + 1;
-    the kernel builds terms through a(6) = 10650056950807 (the
-    int64 ceiling — a(7) overflows, stated), asserts the exact
-    TELESCOPING identity Σ_{i≤n} 1/a_i = (a_{n+1} − 2)/
-    (a_{n+1} − 1) in Fraction arithmetic per n, the doubly-
-    exponential growth a(n+1) > a(n)² − a(n), and pairwise
-    COPRIMALITY of all terms (each new term ≡ 1 mod every
-    predecessor — checked).  Output: one row per term with the
-    cleared partial-sum fraction.  Mirror: the recurrence as a
-    recursive CTE with the closed-form partial sums."""
-    from fractions import Fraction
-
-    a = [2]
-    for _ in range(SYLVESTER_N):
-        a.append(a[-1] * a[-1] - a[-1] + 1)
-    assert a[:5] == [2, 3, 7, 43, 1807]
-    assert a[6] == 10650056950807
-
-    psum = Fraction(0)
-    rows = []
-    for n in range(SYLVESTER_N):
-        psum += Fraction(1, a[n])
-        expect = Fraction(a[n + 1] - 2, a[n + 1] - 1)
-        assert psum == expect            # telescoping, exact
-        rows.append((n, a[n], a[n + 1] - 2, a[n + 1] - 1))
-    for i in range(len(a)):
-        for j in range(i + 1, len(a)):
-            assert math.gcd(a[i], a[j]) == 1
-            assert a[j] % a[i] == 1
-
-    sel = int(sel_census) % SYLVESTER_N
-    rows = [(n, t, pn, pdn, 1 if n == sel else 0)
-            for n, t, pn, pdn in rows]
-    out = pd.DataFrame(rows, columns=["n", "term", "psum_num",
-                                      "psum_den", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-KOLAKOSKI_N = 200
-
-
-def kolakoski_int(start_census):
-    """The Kolakoski sequence — SELF-REFERENTIAL SEQUENCES, a
-    family the surface lacked (conway_sequence nests by VALUES;
-    Kolakoski's 1,2,2,1,1,2,… IS its own run-length encoding):
-    the kernel generates 200 terms by the pointer construction
-    (run i has length seq[i], values alternate 1/2), then
-    VERIFIES the self-description — the run-length encoding of
-    the generated prefix is asserted equal to the prefix of the
-    sequence itself (the defining fixed-point property, checked
-    on the range, with the boundary run dropped as possibly
-    incomplete — stated).  A census window is reported.  Output:
-    24 rows (off, n, value).  Mirror: the same pointer
-    construction as a recursive list CTE."""
-    seq = [1, 2, 2]
-    k = 2                                # 0-indexed run pointer
-    while len(seq) < KOLAKOSKI_N + 30:
-        nxt = 3 - seq[-1]
-        run = seq[k]
-        seq.extend([nxt] * run)
-        k += 1
-    seq = seq[:KOLAKOSKI_N + 30]
-
-    # self-description: RLE of the prefix equals the sequence
-    rle = []
-    i = 0
-    while i < KOLAKOSKI_N:
-        j = i
-        while j < KOLAKOSKI_N and seq[j] == seq[i]:
-            j += 1
-        rle.append(j - i)
-        i = j
-    rle = rle[:-1]                       # last run may be cut
-    assert rle == seq[:len(rle)]         # the fixed point
-    assert set(seq[:KOLAKOSKI_N]) == {1, 2}
-
-    start = int(start_census) % (KOLAKOSKI_N - 24)
-    rows = [(off, start + off, seq[start + off])
-            for off in range(24)]
-    out = pd.DataFrame(rows, columns=["off", "n", "value"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def ducci_int(seeds):
-    """Ducci's four-number game — CYCLIC DIFFERENCE DYNAMICS, a
-    family the surface lacked (gilbreath differences the primes
-    once per row; Ducci iterates |a−b| around a CYCLE, and for
-    tuple length 4 — a power of two — EVERY start reaches
-    (0,0,0,0)): the kernel verifies the theorem EXHAUSTIVELY over
-    ALL 16^4 = 65536 tuples with entries < 16 (every trajectory
-    followed to zero, the classical ≤ ~20-step bound observed),
-    then reports the census tuple's full trajectory.  Output:
-    one row per step.  Mirror: the trajectory as a recursive
-    CTE."""
-    def step(t):
-        return (abs(t[0] - t[1]), abs(t[1] - t[2]),
-                abs(t[2] - t[3]), abs(t[3] - t[0]))
-
-    max_steps = 0
-    for m in range(16 ** 4):
-        t = (m & 15, (m >> 4) & 15, (m >> 8) & 15, (m >> 12) & 15)
-        s = 0
-        while t != (0, 0, 0, 0):
-            t = step(t)
-            s += 1
-            assert s <= 30
-        max_steps = max(max_steps, s)
-    assert max_steps <= 20
-
-    t = tuple(int(s) % 100 for s in seeds[:4])
-    rows = []
-    s = 0
-    while True:
-        rows.append((s, t[0], t[1], t[2], t[3], max_steps))
-        if t == (0, 0, 0, 0):
-            break
-        t = step(t)
-        s += 1
-        assert s < 40
-    out = pd.DataFrame(rows, columns=["step", "a", "b", "c", "d",
-                                      "max_steps_sub16"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _to_negabinary(n):
-    if n == 0:
-        return [0]
-    ds = []
-    while n != 0:
-        d = n % 2
-        if d < 0:
-            d += 2
-        ds.append(d)
-        n = (n - d) // -2
-    return ds                            # little-endian
-
-
-def negabinary_int(seeds):
-    """Negabinary representation — NEGATIVE-BASE NUMERATION, a
-    family the surface lacked (zeckendorf changes the DIGIT
-    WEIGHTS; base −2 changes their SIGNS, representing every
-    integer — negative ones included — with digits 0/1 and NO
-    sign bit): the kernel converts each census value v and −v,
-    asserts the round trip Σ d_i·(−2)^i = n exactly, digits
-    ∈ {0,1}, and UNIQUENESS exhaustively for |n| ≤ 256 (all
-    bounded digit strings enumerated — distinct values, every
-    target hit once).  Output: one row per (instance, digit).
-    Mirror: the conversion as a recursive CTE with the
-    floor-corrected digit rule (stated)."""
-    # uniqueness: all 12-digit strings give distinct values and
-    # cover [-1365, 682] fully... check the window [-256, 256]
-    vals = {}
-    for m in range(1 << 12):
-        v = sum(((m >> i) & 1) * (-2) ** i for i in range(12))
-        assert v not in vals or vals[v] == m
-        if v in vals:
-            assert vals[v] == m
-        vals[v] = m
-    for n in range(-256, 257):
-        assert n in vals                 # coverage
-    # distinctness: 4096 strings -> 4096 values
-    assert len(vals) == 4096
-
-    rows = []
-    inst = 0
-    for s in seeds:
-        for sign in (1, -1):
-            n = sign * (int(s) % 200 + 1)
-            ds = _to_negabinary(n)
-            assert sum(d * (-2) ** i
-                       for i, d in enumerate(ds)) == n
-            assert set(ds) <= {0, 1}
-            for pos, d in enumerate(ds):
-                rows.append((inst, n, pos, d, len(ds)))
-            inst += 1
-    out = pd.DataFrame(rows, columns=["inst", "n", "pos", "digit",
-                                      "n_digits"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def _to_balanced_ternary(n):
-    if n == 0:
-        return [0]
-    ds = []
-    while n != 0:
-        d = n % 3
-        if d == 2:
-            d = -1
-        ds.append(d)
-        n = (n - d) // 3
-    return ds
-
-
-def balanced_ternary_int(seeds):
-    """Balanced ternary — SIGNED-DIGIT NUMERATION (Knuth's
-    'prettiest number system'), a family the surface lacked:
-    digits −1, 0, 1 with weights 3^i represent every integer,
-    negation is digitwise, and truncation rounds to NEAREST: the
-    kernel converts census values ±v, asserts round trips,
-    digitwise negation (digits of −n are the negated digits of
-    n — checked), and uniqueness exhaustively for |n| ≤ 364 (all
-    3^6 strings distinct, the window covered).  Output: one row
-    per (instance, digit).  Mirror: the conversion recursion with
-    the 2 → −1 digit correction."""
-    vals = {}
-    for m in range(3 ** 6):
-        ds = []
-        mm = m
-        for _ in range(6):
-            ds.append(mm % 3 - 1)
-            mm //= 3
-        v = sum(d * 3 ** i for i, d in enumerate(ds))
-        assert v not in vals
-        vals[v] = ds
-    assert len(vals) == 729
-    for n in range(-364, 365):
-        assert n in vals
-
-    rows = []
-    inst = 0
-    for s in seeds:
-        v = int(s) % 300 + 1
-        dpos = _to_balanced_ternary(v)
-        dneg = _to_balanced_ternary(-v)
-        assert dneg == [-d for d in dpos]          # negation law
-        for n, ds in ((v, dpos), (-v, dneg)):
-            assert sum(d * 3 ** i
-                       for i, d in enumerate(ds)) == n
-            assert set(ds) <= {-1, 0, 1}
-            for pos, d in enumerate(ds):
-                rows.append((inst, n, pos, d, len(ds)))
-            inst += 1
-    out = pd.DataFrame(rows, columns=["inst", "n", "pos", "digit",
-                                      "n_digits"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-HAPPY_CYCLE = (4, 16, 37, 58, 89, 145, 42, 20)
-
-
-def happy_numbers_int(seeds):
-    """Happy numbers — DIGIT-SQUARE DYNAMICS, a family the
-    surface lacked (kaprekar sorts and subtracts; the happy map
-    squares digits): iterating n ↦ Σ digit², EVERY positive
-    integer reaches either 1 (happy) or the unique 8-cycle
-    4 → 16 → 37 → 58 → 89 → 145 → 42 → 20 → 4 — the kernel
-    verifies the dichotomy EXHAUSTIVELY for all n ≤ 1000 (every
-    trajectory lands in {1} ∪ cycle), asserts the cycle is
-    genuinely an 8-cycle of the map, and counts the happy
-    population (143 of the first 1000 — computed).  Census
-    trajectories reported.  Output: (inst, step, value, is_happy).
-    Mirror: the trajectory recursion with cycle detection by
-    membership."""
-    def dsq(n):
-        s = 0
-        while n:
-            s += (n % 10) ** 2
-            n //= 10
-        return s
-
-    for i, v in enumerate(HAPPY_CYCLE):
-        assert dsq(v) == HAPPY_CYCLE[(i + 1) % 8]
-
-    def classify(n):
-        while n != 1 and n not in HAPPY_CYCLE:
-            n = dsq(n)
-        return n == 1
-
-    n_happy = sum(1 for n in range(1, 1001) if classify(n))
-    assert n_happy == 143
-
-    rows = []
-    for i, s in enumerate(seeds):
-        n = int(s) % 1000 + 1
-        happy = classify(n)
-        cur, step = n, 0
-        while True:
-            rows.append((i, step, cur, 1 if happy else 0))
-            if cur == 1 or cur in HAPPY_CYCLE:
-                break
-            cur = dsq(cur)
-            step += 1
-            assert step < 50
-    out = pd.DataFrame(rows, columns=["inst", "step", "value",
-                                      "is_happy"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def armstrong_numbers_int(sel_census):
-    """Armstrong (narcissistic) numbers — DIGIT-POWER FIXED
-    POINTS, a family the surface lacked: n equals the sum of its
-    k-th-power digits (k = digit count); the kernel sweeps ALL
-    n < 10^5 and asserts the complete list — 1..9, 153, 370, 371,
-    407, 1634, 8208, 9474, 54748, 92727, 93084 — by computation
-    (notably NO 2-digit Armstrong number exists, checked).
-    Output: one row per Armstrong number, census flagged.
-    Mirror: the same sweep with digit-power arithmetic."""
-    arm = []
-    for n in range(1, 10 ** 5):
-        ds = str(n)
-        k = len(ds)
-        if sum(int(ch) ** k for ch in ds) == n:
-            arm.append(n)
-    assert arm == [1, 2, 3, 4, 5, 6, 7, 8, 9, 153, 370, 371,
-                   407, 1634, 8208, 9474, 54748, 92727, 93084]
-    assert not any(10 <= a <= 99 for a in arm)
-
-    sel = int(sel_census) % len(arm)
-    rows = [(i, v, len(str(v)), 1 if i == sel else 0, len(arm))
-            for i, v in enumerate(arm)]
-    out = pd.DataFrame(rows, columns=["idx", "n", "k", "selected",
-                                      "n_armstrong"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def square_triangular_int(sel_census):
-    """Square-triangular numbers — SIMULTANEOUS FIGURATE NUMBERS,
-    a family the surface lacked (pell_equation solves x²−dy² = 1
-    abstractly; here Pell DRIVES a concrete enumeration): N is
-    both a square and a triangular number iff it comes from a
-    solution of x² − 2y² = ±1, giving the recurrence
-    N_{k+1} = 34·N_k − N_{k−1} + 2.  The kernel finds ALL
-    square-triangular numbers ≤ 10^9 by EXHAUSTIVE isqrt sweep
-    over triangular numbers (both characterizations tested
-    per value) and asserts the list equals the recurrence's
-    output — 0, 1, 36, 1225, 41616, 1413721, 48024900 — plus the
-    square/triangular index pair per entry.  Output: one row per
-    value with its square root and triangular index.  Mirror:
-    the recurrence + per-row isqrt verification."""
-    found = []
-    t = 0
-    k = 0
-    while True:
-        t = k * (k + 1) // 2
-        if t > 10 ** 9:
-            break
-        r = math.isqrt(t)
-        if r * r == t:
-            found.append((t, r, k))
-        k += 1
-
-    rec = [0, 1]
-    while True:
-        nxt = 34 * rec[-1] - rec[-2] + 2
-        if nxt > 10 ** 9:
-            break
-        rec.append(nxt)
-    assert [v for v, _, _ in found] == rec
-    assert rec == [0, 1, 36, 1225, 41616, 1413721, 48024900]
-
-    sel = int(sel_census) % len(found)
-    rows = [(i, v, r, k, 1 if i == sel else 0)
-            for i, (v, r, k) in enumerate(found)]
-    out = pd.DataFrame(rows, columns=["idx", "n", "sqrt_n",
-                                      "tri_index", "selected"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-AMICABLE_MAX = 10000
-
-
-def amicable_pairs_int(sel_census):
-    """Amicable pairs below 10000 — ALIQUOT PAIR STRUCTURE, a
-    family the surface lacked (perfect_numbers are the FIXED
-    points of the aliquot map s(n) = σ(n) − n; amicable pairs are
-    its 2-CYCLES): the kernel sieves σ and asserts the complete
-    classical list — (220, 284), (1184, 1210), (2620, 2924),
-    (5020, 5564), (6232, 6368) — by exhaustion, with s(s(a)) = a
-    and a ≠ s(a) certified per pair (genuine 2-cycles, not fixed
-    points).  Output: one row per pair, census flagged.  Mirror:
-    the same divisor-sum join sweep."""
-    sig = [0] * (AMICABLE_MAX * 2 + 1)
-    for d in range(1, AMICABLE_MAX * 2 + 1):
-        for m in range(d, AMICABLE_MAX * 2 + 1, d):
-            sig[m] += d
-
-    def s(n):
-        return sig[n] - n
-
-    pairs = []
-    for a in range(2, AMICABLE_MAX + 1):
-        b = s(a)
-        if a < b <= AMICABLE_MAX and s(b) == a:
-            pairs.append((a, b))
-    assert pairs == [(220, 284), (1184, 1210), (2620, 2924),
-                     (5020, 5564), (6232, 6368)]
-    for a, b in pairs:
-        assert s(s(a)) == a and s(a) != a
-
-    sel = int(sel_census) % len(pairs)
-    rows = [(i, a, b, s(a), s(b), 1 if i == sel else 0,
-             len(pairs)) for i, (a, b) in enumerate(pairs)]
-    out = pd.DataFrame(rows, columns=["idx", "a", "b", "s_a",
-                                      "s_b", "selected",
-                                      "n_pairs"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def vampire_numbers_int(sel_census):
-    """Vampire numbers — DIGIT-PERMUTATION FACTORIZATIONS, a
-    family the surface lacked: a 4-digit n is a vampire if
-    n = a·b with two 2-digit fangs whose digits together are a
-    permutation of n's (not both fangs ending in 0); the kernel
-    sweeps ALL 2-digit fang pairs and asserts the complete list —
-    1260, 1395, 1435, 1530, 1827, 2187, 6880 — with fangs per
-    entry, by computation.  Output: one row per vampire number,
-    census flagged.  Mirror: the fang join with sorted-digit
-    multiset comparison."""
-    vamps = {}
-    for a in range(10, 100):
-        for b in range(a, 100):
-            n = a * b
-            if not 1000 <= n <= 9999:
-                continue
-            if a % 10 == 0 and b % 10 == 0:
-                continue
-            if sorted(str(a) + str(b)) == sorted(str(n)):
-                vamps.setdefault(n, (a, b))
-    ns = sorted(vamps)
-    assert ns == [1260, 1395, 1435, 1530, 1827, 2187, 6880]
-
-    sel = int(sel_census) % len(ns)
-    rows = [(i, n, vamps[n][0], vamps[n][1],
-             1 if i == sel else 0, len(ns))
-            for i, n in enumerate(ns)]
-    out = pd.DataFrame(rows, columns=["idx", "n", "fang1",
-                                      "fang2", "selected",
-                                      "n_vampires"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def kaprekar_numbers_int(sel_census):
-    """Kaprekar numbers — SQUARE-SPLIT IDENTITIES, a family the
-    surface lacked (kaprekar iterates 6174's routine; Kaprekar
-    NUMBERS are the unrelated split-sum fixed points): n is
-    Kaprekar if n² split into a right part of d digits (d =
-    digits of n) and a left part sums back to n (right part
-    nonzero allowed per the classical convention, left may be 0
-    for n = 1): the kernel sweeps n ≤ 1000 over ALL split points
-    and asserts the classical list 1, 9, 45, 55, 99, 297, 703,
-    999 — including the celebrity 297² = 88209, 88 + 209 = 297.
-    Output: one row per Kaprekar number with its split, census
-    flagged.  Mirror: the same sweep with integer split
-    arithmetic."""
-    kap = {}
-    for n in range(1, 1001):
-        sq = n * n
-        s = str(sq)
-        for cut in range(1, len(s) + 1):
-            left = int(s[:-cut]) if cut < len(s) else 0
-            right = int(s[-cut:])
-            if right > 0 and left + right == n:
-                kap.setdefault(n, (left, right))
-                break
-    ns = sorted(kap)
-    assert ns == [1, 9, 45, 55, 99, 297, 703, 999]
-    assert kap[297] == (88, 209)
-
-    sel = int(sel_census) % len(ns)
-    rows = [(i, n, n * n, kap[n][0], kap[n][1],
-             1 if i == sel else 0, len(ns))
-            for i, n in enumerate(ns)]
-    out = pd.DataFrame(rows, columns=["idx", "n", "square",
-                                      "left", "right", "selected",
-                                      "n_kaprekar"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def automorphic_numbers_int(sel_census):
-    """Automorphic numbers — TERMINAL-DIGIT FIXED POINTS, a
-    family the surface lacked (armstrong is digit-power sums;
-    automorphic n has n² ENDING in n, the discrete shadow of the
-    2-adic idempotents): the kernel sweeps all n < 10^5 and
-    asserts the complete list 1, 5, 6, 25, 76, 376, 625, 9376,
-    90625 — and the COMPLEMENT LAW: the two k-digit automorphic
-    numbers (beyond trivial 1) sum to 10^k + 1 (5+6 = 11,
-    25+76 = 101, 376+625 = 1001 — the idempotent pairing e and
-    1−e, verified where both exist).  Output: one row per
-    automorphic number, census flagged.  Mirror: the sweep with
-    modulus arithmetic."""
-    auto = []
-    for n in range(1, 10 ** 5):
-        k = len(str(n))
-        if (n * n) % 10 ** k == n:
-            auto.append(n)
-    assert auto == [1, 5, 6, 25, 76, 376, 625, 9376, 90625]
-    by_k = {}
-    for n in auto[1:]:
-        by_k.setdefault(len(str(n)), []).append(n)
-    for k, vs in by_k.items():
-        if len(vs) == 2:
-            assert vs[0] + vs[1] == 10 ** k + 1
-
-    sel = int(sel_census) % len(auto)
-    rows = [(i, n, len(str(n)), (n * n) % 10 ** len(str(n)),
-             1 if i == sel else 0, len(auto))
-            for i, n in enumerate(auto)]
-    out = pd.DataFrame(rows, columns=["idx", "n", "k",
-                                      "square_tail", "selected",
-                                      "n_automorphic"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
-
-
-def harshad_numbers_int(seeds):
-    """Harshad (Niven) numbers — DIGIT-SUM DIVISIBILITY, a family
-    the surface lacked: n divisible by its digit sum; the kernel
-    classifies ALL n ≤ 1000, computes the longest consecutive
-    Harshad run on the range (the opening 1..10 is a 10-run; the
-    kernel finds the true maximum by sweep, not assumption), and
-    reports census classifications.  Output: (inst, n, digit_sum,
-    is_harshad) plus the global longest-run columns.  Mirror: the
-    same classification + a gaps-and-islands run census in
-    SQL."""
-    def dsum(n):
-        return sum(int(c) for c in str(n))
-
-    har = [n for n in range(1, 1001) if n % dsum(n) == 0]
-    hs = set(har)
-    best_len, best_start = 0, 0
-    run, start = 0, 1
-    for n in range(1, 1001):
-        if n in hs:
-            if run == 0:
-                start = n
-            run += 1
-            if run > best_len:
-                best_len, best_start = run, start
-        else:
-            run = 0
-    assert best_len == 10 and best_start == 1   # the opening run
-
-    rows = []
-    for i, s in enumerate(seeds):
-        n = int(s) % 1000 + 1
-        rows.append((i, n, dsum(n), 1 if n in hs else 0,
-                     best_len, best_start))
-    out = pd.DataFrame(rows, columns=["inst", "n", "digit_sum",
-                                      "is_harshad", "max_run",
-                                      "max_run_start"])
-    for c in out.columns:
-        out[c] = out[c].astype("int64")
-    return out
+# every name importable by its historical path: the analytics/math kernels
+# split into stages/analytics_extras_01..04 (VERDICT r2 #5) chain-import
+# each other, and this module resolves their names LAZILY (PEP 562) so
+# `from documentai_ray.stages.aggregates import X` keeps working for core
+# and moved kernels alike without an import cycle (the extras chain star-
+# imports backwards through this module's core prefix).
+_CORE_ALL = ['_median2_weighted', 'classification_prf_int', 'cohens_kappa_int', 'crosstable_percentile_int', 'gini_concentration_int', 'gini_gain_int', 'global_row_index', 'grouped_count_distinct', 'grouped_cume_dist', 'grouped_dense_rank', 'grouped_diversity', 'grouped_linreg', 'grouped_median_int', 'grouped_mode', 'grouped_ntile', 'grouped_percent_rank', 'grouped_quantile_int', 'grouped_quantile_sketch', 'grouped_topk', 'grouped_weighted_median_int', 'hdr_bucket', 'hdr_bucket_upper', 'ivm_delta_counts', 'key_size_histogram', 'ks_statistic_int', 'mad_outliers', 'pareto_frontier', 'profile_columns', 'quantile_normalize_int', 'rank_auc_int', 'target_encode_int', 'tvd_drift_int', 'winsorize_grouped', 'zorder_key']
+_EXTRA_ALL = ['AMICABLE_MAX', 'BATCHER8', 'BERNOULLI', 'BH_CRITS_M5', 'BIRKHOFF_PERMS', 'CATALAN_PMAX', 'CF_N', 'CHI2_CRIT_MICRO', 'CLASS_DISCS', 'COLLATZ_CAP', 'CONWAY_N', 'CPM_EDGES', 'CUBE_ROTS', 'DELANNOY_N', 'DFA_N_STATES', 'EULERIAN_NMAX', 'FOUR_SQ_NMAX', 'GAUSS_MAX_STEPS', 'GILBREATH_ROWS', 'GOLDBACH_MAX', 'GRAY_BITS', 'HAPPY_CYCLE', 'HERON_PMAX', 'HOOK_N', 'HOOK_PARTITIONS', 'ISING_N', 'JUG_MAX', 'K4_EDGES', 'K4_PAIRINGS', 'KOLAKOSKI_N', 'LSYS_STEPS', 'LUCKY_MAX', 'MR_BASES', 'NIM_MAX_HEAP', 'PALEY_Q', 'PALEY_QR', 'PARTITION_NMAX', 'PELL_YMAX', 'PERFECT_MAX', 'PERRIN_MAX', 'PISANO_MMAX', 'POLYA_DRAWS', 'PP_BOXES', 'PRUFER_N', 'PYTH_CMAX', 'RAMSEY_EDGES', 'RAMSEY_EIDX', 'RAMSEY_TRIS', 'SANDPILE_N', 'SHAMIR_P', 'SPERNER_TRIS', 'SPERNER_VERTS', 'SPERNER_VIDX', 'STERN_N', 'STIRLING_NMAX', 'SUMFREE_N', 'SYLVESTER_N', 'TAXICAB_MAX', 'TM_LEN', 'TOUR_EDGES', 'VDW_APS', 'VITERBI_E', 'VITERBI_W', 'WILSON_MAX', 'WSPT_WEIGHTS', 'WYTHOFF_NMAX', 'ZECK_FIBS', '_CRR_DEN', '_CRR_GRID', '_CRR_N', '_CRR_PDEN', '_a', '_ackermann', '_anova_floors', '_arith_deriv', '_b', '_ballot_ranks', '_bk_perms', '_bulg_step', '_cea_int', '_conway_l', '_cube_rotations', '_da_row', '_floor_div', '_gauss_binom', '_kaprekar_step', '_next_odd_prime', '_next_prime_2mod3', '_ols_centered', '_partitions_of', '_prufer_decode', '_prufer_encode', '_sperner_labeling', '_ss_scaled', '_to_balanced_ternary', '_to_negabinary', 'acceptance_sampling_int', 'ackermann_int', 'adjusted_winner_int', 'airport_game_int', 'amicable_pairs_int', 'anova_oneway_int', 'arith_derivative_int', 'armstrong_numbers_int', 'automorphic_numbers_int', 'backlog_dam_int', 'balanced_ternary_int', 'ballot_walk_int', 'banzhaf_int', 'batcher_sort_int', 'bh_stepup_int', 'birkhoff_int', 'bond_duration_int', 'borda_int', 'brown_forsythe_int', 'buhlmann_int', 'bulgarian_solitaire_int', 'bullwhip_int', 'buzen_network_int', 'catalan_mihailescu_int', 'cf_convergents_int', 'chi2_independence_int', 'chinese_postman_int', 'chung_feller_int', 'class_numbers_int', 'collatz_int', 'colley_rank_int', 'convex_hull_int', 'conway_sequence_int', 'cooks_distance_int', 'copeland_int', 'coupon_collector_micro', 'critical_path_int', 'crr_option_int', 'cube_colorings_int', 'cubic_discriminant_int', 'cycle_lemma_int', 'debruijn_sequence_int', 'delannoy_numbers_int', 'derangements_int', 'descartes_circles_int', 'dfa_minimize_int', 'dhondt_int', 'discrete_log_int', 'dm_test_int', 'domino_tilings_int', 'double_auction_int', 'ducci_int', 'durbin_watson_int', 'dyck_catalan_int', 'egyptian_fractions_int', 'egz_zerosum_int', 'engset_int', 'erdos_gallai_int', 'erlang_b_int', 'erlang_c_int', 'eulerian_numbers_int', 'faulhaber_int', 'ffd_binpack_int', 'fibonacci_gcd_int', 'fleiss_kappa_int', 'four_squares_int', 'friedman_int', 'friendship_graphs_int', 'frobenius_coin_int', 'gauss_lattice_int', 'gaussian_binomial_int', 'gilbreath_int', 'goldbach_int', 'golomb_ruler_int', 'graeco_latin_int', 'gray_code_int', 'group_testing_int', 'grouped_kendall_int', 'h_g_index_fold', 'hadamard_sylvester_int', 'hamilton_int', 'hamming74_int', 'happy_numbers_int', 'hardy_weinberg_int', 'harshad_numbers_int', 'hash_occupancy_int', 'heat_diffusion_int', 'heronian_triangles_int', 'hook_lengths_int', 'huffman_cost_int', 'i', 'index_coincidence_int', 'irv_int', 'ising_ring_int', 'iv_wald_int', 'j', 'johnson_flowshop_int', 'josephus_int', 'k', 'kalman_level_int', 'kaprekar_6174_int', 'kaprekar_numbers_int', 'kelly_int', 'knapsack_dp_int', 'kolakoski_int', 'konig_matching_int', 'koon_reliability_int', 'kruskal_wallis_int', 'langford_pairs_int', 'legendre_reciprocity_int', 'lin_ccc_int', 'lindenmayer_int', 'linkage_diseq_int', 'lis_erdos_szekeres_int', 'littlewood_int', 'loan_amortization_int', 'log5_matchup_int', 'logistic_map_int', 'lotka_volterra_int', 'lpt_makespan_int', 'lucas_binomial_int', 'lucky_numbers_int', 'luhn_check_digit_int', 'luhn_sum_int', 'luhn_valid_int', 'magic_squares_int', 'markov_triples_int', 'maxflow_mincut_int', 'mdp_value_iter_int', 'meta_fixed_int', 'mg1_pk_int', 'miller_rabin_int', 'mm1_metrics_int', 'mood_scale_int', 'myerson_reserve_int', 'naive_bayes_int', 'nash_2x2_int', 'necklace_count_int', 'negabinary_int', 'newton_identities_int', 'nim_grundy_int', 'nw_transport_int', 'paley_graph_int', 'pancake_numbers_int', 'partition_numbers_int', 'pell_equation_int', 'penney_game_int', 'percolation_3x3_int', 'perfect_numbers_int', 'periodogram_int', 'permanent_ryser_int', 'permutation_cycles_int', 'perrin_test_int', 'picks_theorem_int', 'pisano_periods_int', 'pivotal_by_size_int', 'plane_partitions_int', 'polya_urn_int', 'portfolio_minvar_int', 'position_auction_int', 'prufer_cayley_int', 'puzzle_parity_int', 'pythagorean_triples_int', 'pythagorean_wins_int', 'ramsey_k6_int', 'record_values_int', 'rsa_crt_int', 'rule90_ring_int', 'sandpile_abelian_int', 'secretary_int', 'shamir_shares_int', 'shapley_shubik_int', 'simpson_cubic_int', 'sir_epidemic_int', 'six_queens_int', 'spanning_trees_int', 'sperner_lemma_int', 'square_triangular_int', 'stern_brocot_int', 'stern_diatomic_int', 'stirling_bell_int', 'stochastic_dominance_int', 'stoploss_layers_int', 'sum_free_sets_int', 'sylvester_sequence_int', 'system_reliability_int', 'talmud_split_int', 'taxicab_1729_int', 'three_distance_int', 'thue_morse_int', 'totient_moebius_int', 'tournament_king_int', 'tsp_heldkarp_int', 'turan_extremal_int', 'twosat_int', 'vampire_numbers_int', 'van_der_waerden_int', 'viterbi_decode_int', 'wardrop_poa_int', 'water_jugs_int', 'wilson_theorem_int', 'wspt_objective_int', 'wythoff_game_int', 'zeckendorf_int', 'zerosum_value_int']
+__all__ = _CORE_ALL + _EXTRA_ALL
+
+
+def __getattr__(name):
+    if name in _EXTRA_ALL:
+        from documentai_ray.stages import analytics_extras_04 as _full
+
+        return getattr(_full, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
