@@ -293,6 +293,7 @@ def run_scaling() -> None:
     try:
         ensure_corpus()
         ensure_corpus(copies=1)
+        ensure_corpus(copies=16, pdf_mode=True)
     finally:
         ray.shutdown()
 
