@@ -50,9 +50,28 @@ def rasterize_first_page(payload: bytes, *, width: int = PAGE_W,
                          height: int = PAGE_H,
                          glyphs: bool = False) -> np.ndarray | None:
     """First-page raster (the reference's ``pdf2image(..., last_page=1)``
-    truncation); ``None`` for non-MINIPDF payloads (error rows)."""
-    from documentai_ray.functions import minipdf
+    truncation); ``None`` for unrecognized payloads (error rows).
 
+    Handles BOTH binary page formats: MINIPDF layout trees (span bboxes)
+    and real ``%PDF-`` payloads (page-1 text runs from the content-stream
+    parse, drawn with the bitfont at their PDF positions with the y axis
+    flipped — so the real-PDF path composes with the OCR stage exactly
+    like the MINIPDF glyphs path; pytest pins render → OCR == extracted
+    page text)."""
+    from documentai_ray.functions import minipdf, pdfread
+
+    if pdfread.is_pdf(payload):
+        try:
+            streams = pdfread.page_content_streams(payload)
+        except ValueError:
+            return None
+        img = np.full((height, width), 255, np.uint8)
+        if streams:
+            from documentai_ray.functions.bitfont import GLYPH_H, draw_text
+
+            for x, y, _size, text in pdfread.text_runs(streams[0]):
+                draw_text(img, int(x), int(height - y - GLYPH_H), text)
+        return img
     if not minipdf.is_minipdf(payload):
         return None
     pages = minipdf.decode(payload)

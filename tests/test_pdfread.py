@@ -103,3 +103,18 @@ def test_flagship_over_real_pdf_corpus(ray_session):
     assert kinds == {"pdf", "error"}
     assert sum(r["payload_kind"] == "error" for r in out) == \
         sum(1 for r in out if r["error"])
+
+
+def test_real_pdf_raster_ocr_roundtrip():
+    """Render → OCR closes on real %PDF payloads too (S3 for the real
+    format): rasterize_first_page draws page-1 text runs with the
+    bitfont; the OCR read-back equals the parser's page-1 extraction."""
+    from documentai_ray.functions.raster import rasterize_first_page
+    from documentai_ray.stages.ocr import ocr_image
+
+    text = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NUMBER 42 " * 12
+    pdf = text_to_pdf(wrap_text_lines(text), lines_per_page=10, shuffle_key=7)
+    got, _boxes = ocr_image(rasterize_first_page(pdf))
+    want, _ = pdfread.extract_text(pdf, max_pages=1)
+    assert got == want
+    assert rasterize_first_page(b"%PDF-1.4\n%%corrupt") is None
