@@ -91,6 +91,19 @@ def walk(payload: bytes, bbox_scale: float = 2.0,
     return "\n".join(page_texts), boxes
 
 
+def page_lines(page: dict[str, Any]) -> list[str]:
+    """Reading-order text LINES of one page dict — the per-page slice of
+    ``walk()``'s ordering (blocks by (y0, x0), lines by y0, spans by x0,
+    spans joined with a single space). Used by the M16 selective
+    reprocessor to re-emit an untouched page as text."""
+    out: list[str] = []
+    for block in sorted(page["blocks"], key=lambda b: (b["bbox"][1], b["bbox"][0])):
+        for line in sorted(block["lines"], key=lambda l: l["bbox"][1]):
+            spans = sorted(line["spans"], key=lambda s: s["bbox"][0])
+            out.append(" ".join(s["text"] for s in spans))
+    return out
+
+
 def build_from_text(
     text: str,
     *,

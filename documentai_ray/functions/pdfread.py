@@ -440,6 +440,55 @@ def assemble_page_text(
     return "\n".join(texts), boxes
 
 
+def page_images(pdf: bytes):
+    """Per-page decoded /DeviceGray Image XObjects → list (page order) of
+    lists of uint8 (h, w) arrays (empty list for text-only pages). The
+    image half of the mixed-PDF round-trip oracle (`pdfwrite.mixed_pdf`);
+    only uncompressed 8-bit grayscale XObjects decode (the writer's own
+    format) — anything else raises."""
+    import numpy as np
+
+    objects = parse_objects(pdf)
+    tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
+    kids: list[int] = []
+    if tm and int(tm.group(1)) in objects:
+        for pid in _ref_list(objects[int(tm.group(1))][0], rb"/Pages"):
+            stack = [pid]
+            while stack:
+                nid = stack.pop(0)
+                dct = objects.get(nid, (b"", None))[0]
+                if b"/Type /Pages" in dct or b"/Type/Pages" in dct:
+                    stack = _ref_list(dct, rb"/Kids") + stack
+                else:
+                    kids.append(nid)
+    if not kids:
+        raise ValueError("no pages")
+    out = []
+    for pid in kids:
+        dct = objects.get(pid, (b"", None))[0]
+        imgs = []
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", dct, re.S)
+        if xm:
+            for oid in re.findall(rb"(\d+)\s+0\s+R", xm.group(1)):
+                xd, xs = objects.get(int(oid), (b"", None))
+                if b"/Subtype /Image" not in xd and b"/Subtype/Image" not in xd:
+                    continue
+                wm = re.search(rb"/Width\s+(\d+)", xd)
+                hm = re.search(rb"/Height\s+(\d+)", xd)
+                if not (wm and hm) or xs is None:
+                    raise ValueError("malformed image XObject")
+                if (b"/ColorSpace /DeviceGray" not in xd
+                        or b"/BitsPerComponent 8" not in xd
+                        or b"/Filter" in xd):
+                    raise ValueError("unsupported image encoding")
+                w, h = int(wm.group(1)), int(hm.group(1))
+                if len(xs) != w * h:
+                    raise ValueError("image length mismatch")
+                imgs.append(np.frombuffer(xs, np.uint8).reshape(h, w))
+        out.append(imgs)
+    return out
+
+
 def extract_text(pdf: bytes, *, max_pages: int | None = None,
                  bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
     """``%PDF-`` payload → ``(text, word_boxes)`` per the canonical spec.

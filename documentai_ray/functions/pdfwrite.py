@@ -160,6 +160,76 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
     return bytes(out)
 
 
+def mixed_pdf(pages: list[tuple]) -> bytes:
+    """Mixed text/image PDF 1.4 — the M16 output format: each entry is
+    ``("text", [lines])`` (original page, text objects) or
+    ``("image", uint8 (h, w) array)`` (reprocessed page, /DeviceGray
+    Image XObject). This is the reference's ``preprocess_pdf_selective``
+    artifact — a PDF interleaving untouched original pages with
+    re-rasterized preprocessed pages
+    (/root/reference/microservices/preprocessing-service/app.py:333-474).
+    Deterministic bytes; text pages re-extract via ``pdfread`` and image
+    pages decode via ``pdfread.page_images`` (the round-trip oracle)."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"")  # 1: catalog
+    add(b"")  # 2: pages
+    font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    kid_ids: list[int] = []
+    for kind, payload in pages:
+        if kind == "text":
+            chunks = [b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+                      % (FONT_SIZE, TEXT_X, TEXT_TOP - LEADING * li,
+                         escape_pdf_string(line))
+                      for li, line in enumerate(payload)]
+            content = b"\n".join(chunks)
+            ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                        % (len(content), content))
+            pg_id = add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+                b" /Resources << /Font << /F1 %d 0 R >> >>"
+                b" /Contents %d 0 R >>" % (PAGE_W, PAGE_H, font_id, ct_id))
+        elif kind == "image":
+            img = payload
+            h, w = img.shape
+            raw = img.tobytes()
+            im_id = add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
+                b"stream\n%s\nendstream" % (w, h, len(raw), raw))
+            content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+            ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                        % (len(content), content))
+            pg_id = add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+                b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+                b" /Contents %d 0 R >>" % (w, h, im_id, ct_id))
+        else:
+            raise ValueError(f"unknown page kind {kind!r}")
+        kid_ids.append(pg_id)
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+               % (b" ".join(b"%d 0 R" % k for k in kid_ids), len(kid_ids)))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: list[int] = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
 def wrap_text_lines(text: str, *, words_per_line: int = 8) -> list[str]:
     """The deterministic text→lines layout shared by the PDF fixture and
     its oracle: whitespace-split words, 8 per line (same wrap as

@@ -2957,3 +2957,57 @@ def _q_harshad_numbers(sf_dir: str):
     return harshad_numbers_int([cen.get(h, 0) for h in range(24)])
 
 __all__ = ['_q_necklace_count', '_q_wardrop_poa', '_q_group_testing', '_q_bond_duration', '_q_linkage_diseq', '_q_index_coincidence', '_q_lpt_makespan', '_q_dft_period', '_q_maxflow_mincut', '_q_string_period', '_q_lz_complexity', '_q_spanning_trees', '_q_knapsack_dp', '_q_mdp_value_iter', '_q_heat_diffusion', '_q_lis_quantity', '_q_edit_distance', '_q_buzen_network', '_q_tsp_heldkarp', '_q_crc8_checksum', '_q_ffd_binpack', '_q_huffman_code', '_q_coupon_collector', '_q_bwt_runs', '_q_batcher_sort', '_q_viterbi_decode', '_q_rule90_ca', '_q_miller_rabin', '_q_konig_cover', '_q_convex_hull', '_q_josephus', '_q_rsa_crt', '_q_simpson_rule', '_q_ramsey_k6', '_q_shamir_secret', '_q_twosat_solve', '_q_nim_grundy', '_q_partition_numbers', '_q_four_squares', '_q_permutation_cycles', '_q_legendre_reciprocity', '_q_ising_ring', '_q_gauss_lattice', '_q_dfa_minimize', '_q_pell_equation', '_q_three_distance', '_q_zeckendorf', '_q_stirling_bell', '_q_derangements', '_q_polya_urn', '_q_dyck_catalan', '_q_sandpile_abelian', '_q_totient_moebius', '_q_discrete_log', '_q_hook_lengths', '_q_gray_code', '_q_collatz', '_q_turan_extremal', '_q_goldbach', '_q_graeco_latin', '_q_birkhoff', '_q_sperner_lemma', '_q_egz_zerosum', '_q_wilson_theorem', '_q_lucas_binomial', '_q_eulerian_numbers', '_q_permanent_ryser', '_q_gaussian_binomial', '_q_domino_tilings', '_q_picks_theorem', '_q_faulhaber', '_q_percolation_3x3', '_q_chinese_postman', '_q_cube_colorings', '_q_fibonacci_gcd', '_q_frobenius_coin', '_q_stern_brocot', '_q_van_der_waerden', '_q_kaprekar', '_q_magic_squares', '_q_pythagorean_triples', '_q_paley_graph', '_q_tournament_king', '_q_prufer_cayley', '_q_wythoff_game', '_q_six_queens', '_q_taxicab', '_q_arith_derivative', '_q_perfect_numbers', '_q_chung_feller', '_q_cycle_lemma', '_q_egyptian_fractions', '_q_ackermann', '_q_thue_morse', '_q_lindenmayer', '_q_pancake_numbers', '_q_debruijn_sequence', '_q_bulgarian_solitaire', '_q_puzzle_parity', '_q_hadamard_sylvester', '_q_descartes_circles', '_q_class_numbers', '_q_sum_free_sets', '_q_plane_partitions', '_q_delannoy_numbers', '_q_markov_triples', '_q_stern_diatomic', '_q_lucky_numbers', '_q_gilbreath', '_q_newton_identities', '_q_cubic_discriminant', '_q_pisano_periods', '_q_conway_sequence', '_q_golomb_ruler', '_q_langford_pairs', '_q_water_jugs', '_q_friendship_graphs', '_q_heronian_triangles', '_q_perrin_test', '_q_catalan_mihailescu', '_q_sylvester_sequence', '_q_kolakoski', '_q_ducci', '_q_negabinary', '_q_balanced_ternary', '_q_happy_numbers', '_q_armstrong_numbers', '_q_square_triangular', '_q_amicable_pairs', '_q_vampire_numbers', '_q_kaprekar_numbers', '_q_automorphic_numbers', '_q_harshad_numbers']
+
+
+def _q_selective_reprocess(sf_dir: str):
+    """M16 — selective page reprocessing (the last SURVEY-§2 partial,
+    VERDICT r2 coverage table): per-doc MINIPDF (multi-page) + planted
+    per-page verdicts (cycle ``(doc_id + page_idx) % 5`` over the five
+    decision verdicts) → ``preprocess.selective_reprocess_batch`` →
+    mixed real-PDF artifact with flagged pages re-rasterized through
+    adaptive preprocessing and untouched pages re-emitted as text
+    (reference preprocessing-service/app.py:333-474). ``roundtrip_ok``
+    carries the in-row artifact proof (text pages re-extract
+    byte-identically; image-page count matches); the oracle reconstructs
+    the page/flag census in closed form."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.minipdf import build_from_text
+    from documentai_ray.sources.pages import is_malformed, url_for
+    from documentai_ray.stages.preprocess import selective_reprocess_batch
+
+    verdict_keys = ["direct_analysis", "pre_processing", "deep_analysis",
+                    "reupload", "re_scan"]
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        from documentai_ray.functions import minipdf
+
+        urls, payloads, verdicts = [], [], []
+        for did, src, text in zip(batch.column("doc_id").to_pylist(),
+                                  batch.column("source").to_pylist(),
+                                  batch.column("text").to_pylist()):
+            if is_malformed(did):
+                continue
+            payload, _ = build_from_text(text or "", shuffle_key=did)
+            n_pages = len(minipdf.decode(payload))
+            urls.append(url_for(did, src))
+            payloads.append(payload)
+            verdicts.append([verdict_keys[(did + i) % 5]
+                             for i in range(n_pages)])
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(payloads, pa.large_binary()),
+            "page_verdicts": pa.array(verdicts, pa.list_(pa.string())),
+        })
+
+    ds = docs.map_batches(gen, batch_format="pyarrow", batch_size=64)
+    ds = ds.map_batches(selective_reprocess_batch, batch_format="pyarrow",
+                        batch_size=64)
+    return ds.select_columns(["url", "total_pages", "n_processed",
+                              "n_skipped", "roundtrip_ok"])
+
+
+__all__ = __all__ + ['_q_selective_reprocess']

@@ -211,3 +211,107 @@ def group_pages(categories: list[str], *, max_pages_per_group: int = 25,
         run += 1
         prev_cat = cat
     return groups
+
+
+# ---------------------------------------------------------------------------
+# M16: selective page reprocessing — mixed original/processed output PDF
+# ---------------------------------------------------------------------------
+
+def selective_reprocess(payload: bytes, page_verdicts: list[str]) -> dict:
+    """Rebuild one document as a MIXED real PDF: pages whose quality
+    verdict demands preprocessing are rasterized → adaptively
+    preprocessed → re-inserted as IMAGE pages, all other pages are
+    re-emitted untouched as TEXT pages — the reference's
+    ``preprocess_pdf_selective`` (preprocessing-service/app.py:333-474:
+    per-page ``needs_preprocessing`` gate, pixmap → adaptive_preprocess →
+    image page for flagged pages, ``insert_pdf`` passthrough for the
+    rest, plus a processing_info record).
+
+    Returns ``{processed_pdf, total_pages, n_processed, n_skipped,
+    deskewed_pages, roundtrip_ok}`` where ``roundtrip_ok`` is an in-row
+    proof of the mixed artifact: every text page re-extracts
+    byte-identically (functions/pdfread) and the image-page count
+    matches (functions/pdfread.page_images)."""
+    from documentai_ray.functions import minipdf, pdfread
+    from documentai_ray.functions.pdfwrite import mixed_pdf
+    from documentai_ray.functions.raster import rasterize_page
+
+    pages = sorted(minipdf.decode(payload), key=lambda p: p["page_num"])
+    entries: list[tuple] = []
+    expected_text_pages: list[str] = []
+    n_processed = n_skipped = deskewed = 0
+    for i, page in enumerate(pages):
+        verdict = page_verdicts[i] if i < len(page_verdicts) else "direct_analysis"
+        if preprocess_decision(verdict)["needs_preprocessing"]:
+            img = rasterize_page(page, glyphs=True)
+            processed, ops = adaptive_preprocess(img)
+            entries.append(("image", processed))
+            n_processed += 1
+            deskewed += int("deskew" in ops)
+        else:
+            lines = minipdf.page_lines(page)
+            entries.append(("text", lines))
+            expected_text_pages.append("\n".join(lines))
+            n_skipped += 1
+    out_pdf = mixed_pdf(entries)
+    # round-trip proof: text pages re-extract identically, image count holds
+    streams = pdfread.page_content_streams(out_pdf)
+    text_ok = True
+    ti = 0
+    for (kind, _p), stream in zip(entries, streams):
+        if kind != "text":
+            continue
+        page_text, _ = pdfread.assemble_page_text(pdfread.text_runs(stream))
+        if page_text != expected_text_pages[ti]:
+            text_ok = False
+            break
+        ti += 1
+    imgs = pdfread.page_images(out_pdf)
+    image_ok = sum(1 for pi in imgs if pi) == n_processed
+    return {
+        "processed_pdf": out_pdf,
+        "total_pages": len(pages),
+        "n_processed": n_processed,
+        "n_skipped": n_skipped,
+        "deskewed_pages": deskewed,
+        "roundtrip_ok": bool(text_ok and image_ok),
+    }
+
+
+def selective_reprocess_batch(batch: pa.Table) -> pa.Table:
+    """Arrow map over (url, html=MINIPDF payload, page_verdicts) rows →
+    per-doc M16 summary + the mixed-PDF artifact. Bad payloads degrade to
+    error rows (zero counts, roundtrip_ok=false, error reason) —
+    extract-stage row-degradation semantics."""
+    urls = batch.column("url").to_pylist()
+    payloads = batch.column("html").to_pylist()
+    verdicts = batch.column("page_verdicts").to_pylist()
+    cols: dict[str, list] = {k: [] for k in
+                             ("url", "processed_pdf", "total_pages",
+                              "n_processed", "n_skipped", "deskewed_pages",
+                              "roundtrip_ok", "error")}
+    for u, p, vs in zip(urls, payloads, verdicts):
+        cols["url"].append(u)
+        try:
+            r = selective_reprocess(p, list(vs or []))
+            for k in ("processed_pdf", "total_pages", "n_processed",
+                      "n_skipped", "deskewed_pages", "roundtrip_ok"):
+                cols[k].append(r[k])
+            cols["error"].append("")
+        except Exception as exc:  # row-level degradation
+            cols["processed_pdf"].append(b"")
+            for k in ("total_pages", "n_processed", "n_skipped",
+                      "deskewed_pages"):
+                cols[k].append(0)
+            cols["roundtrip_ok"].append(False)
+            cols["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+    return pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "processed_pdf": pa.array(cols["processed_pdf"], pa.large_binary()),
+        "total_pages": pa.array(cols["total_pages"], pa.int64()),
+        "n_processed": pa.array(cols["n_processed"], pa.int64()),
+        "n_skipped": pa.array(cols["n_skipped"], pa.int64()),
+        "deskewed_pages": pa.array(cols["deskewed_pages"], pa.int64()),
+        "roundtrip_ok": pa.array(cols["roundtrip_ok"], pa.bool_()),
+        "error": pa.array(cols["error"], pa.string()),
+    })
