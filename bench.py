@@ -209,6 +209,9 @@ def run_benchmarks() -> dict:
 
         return f
 
+    # mixed-payload dispatch (html + minipdf + real-PDF ±Flate + docx in
+    # one stream): times payload synthesis + the magic-byte dispatch parse
+    timed("extract_mixed", run_named("extract_mixed"))
     timed("line_dedup", run_named("line_dedup"))
     timed("repeated_passages", run_named("repeated_passages"))
     timed("web_curation", run_named("web_curation"))
