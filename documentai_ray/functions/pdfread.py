@@ -209,6 +209,14 @@ _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 def _parse_literal_string(buf: bytes, pos: int) -> tuple[bytes, int]:
     """``(...)`` with nesting + escapes → raw bytes, per ISO 32000 §7.3.4.2."""
     assert buf[pos] == 0x28
+    # fast path: no backslash and no nested paren before the first ')' —
+    # the overwhelmingly common case (escape-free ASCII strings) skips the
+    # byte-by-byte state machine entirely
+    close = buf.find(b")", pos + 1)
+    if close != -1:
+        body = buf[pos + 1:close]
+        if b"\\" not in body and b"(" not in body:
+            return body, close + 1
     out = bytearray()
     i = pos + 1
     nest = 1
