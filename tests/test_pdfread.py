@@ -118,3 +118,26 @@ def test_real_pdf_raster_ocr_roundtrip():
     want, _ = pdfread.extract_text(pdf, max_pages=1)
     assert got == want
     assert rasterize_first_page(b"%PDF-1.4\n%%corrupt") is None
+
+
+def test_mutation_fuzz_never_crashes_extract():
+    """Real-world robustness: random byte mutations of valid PDFs (and
+    truncations) must either extract or degrade to an error row — never
+    crash the batch or hang. 300 deterministic mutants."""
+    import random
+
+    rng = random.Random(42)
+    base = text_to_pdf(wrap_text_lines("lorem ipsum dolor sit amet " * 30),
+                       shuffle_key=1)
+    basec = text_to_pdf(wrap_text_lines("lorem ipsum dolor sit amet " * 30),
+                        compress=True)
+    for i in range(300):
+        src = bytearray(base if i % 2 else basec)
+        if i % 3 == 0:  # truncate
+            src = src[:rng.randrange(5, len(src))]
+        else:  # flip 1-8 bytes
+            for _ in range(rng.randrange(1, 9)):
+                src[rng.randrange(len(src))] = rng.randrange(256)
+        text, kind, err, boxes = extract_one(bytes(src))
+        assert kind in ("pdf", "error", "html", "docx", "xlsx")
+        assert isinstance(text, str) and isinstance(boxes, list)
