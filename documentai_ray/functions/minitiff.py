@@ -1,10 +1,24 @@
-"""MINITIFF — uncompressed grayscale baseline TIFF (stdlib struct).
+"""MINITIFF — grayscale baseline TIFF codec (stdlib struct + numpy).
 
-The last decode hook: TIFF 6.0 baseline bilevel/grayscale with
-Compression=1 (none) is pure header + IFD + raw strip bytes — no native
-codec needed. Little-endian ("II"), single strip, 8-bit single sample.
-Compressed variants (LZW/JPEG-in-TIFF) would still need native libs and
-raise ValueError here, explicitly."""
+TIFF 6.0 grayscale, 8-bit single sample, little-endian writer with three
+REAL compression schemes from the public spec — no native codec needed:
+
+* Compression=1 (none): raw strip bytes.
+* Compression=32773 (PackBits, spec §9): byte-oriented RLE — ``n`` in
+  [0,127] copies ``n+1`` literals, ``n`` in [129,255] repeats the next
+  byte ``257-n`` times, 128 is a no-op.
+* Compression=5 (LZW, spec §13): MSB-first variable-width codes starting
+  at 9 bits, ClearCode=256, EOI=257, the TIFF "early change" convention
+  (width bumps at 511/1023/2047, table reset at 4094), optional
+  Predictor=2 horizontal differencing (tag 317).
+
+The reader additionally handles big-endian ("MM") files and multi-strip
+layouts (StripOffsets/StripByteCounts arrays, RowsPerStrip). Exotic
+variants (JPEG-in-TIFF, tiled, multi-sample, <8-bit) still raise
+ValueError, explicitly. Reference parity: the reference ingests TIFF
+scans via PIL/cv2 (documentClassifier.py image path); here the decode is
+engine-internal so the Ray stages stay dependency-free.
+"""
 
 from __future__ import annotations
 
@@ -12,25 +26,280 @@ import struct
 
 import numpy as np
 
-_TAGS = {"width": 256, "height": 257, "bits": 258, "compression": 259,
-         "photometric": 262, "strip_offsets": 273, "samples": 277,
-         "rows_per_strip": 278, "strip_bytes": 279}
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_BYTES = 279
+_TAG_PREDICTOR = 317
+
+_CLEAR = 256
+_EOI = 257
 
 
-def encode_gray_tiff(img: np.ndarray) -> bytes:
+# ---------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9)
+# ---------------------------------------------------------------------------
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >=3 identical bytes become repeat packets
+    (max 128), everything else accumulates into literal packets (max 128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j:j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        ctl = data[i]
+        i += 1
+        if ctl < 128:
+            if i + ctl + 1 > n:
+                raise ValueError("truncated PackBits literal packet")
+            out += data[i:i + ctl + 1]
+            i += ctl + 1
+        elif ctl > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat packet")
+            out += bytes([data[i]]) * (257 - ctl)
+            i += 1
+        # ctl == 128: no-op
+    if len(out) < expected:
+        raise ValueError("PackBits stream ended early")
+    return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF 6.0 §13 — early-change variant, MSB-first bit packing)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW: emits ClearCode first, early width change at
+    next_code 511/1023/2047, table reset when next_code hits 4094."""
+    bw = _BitWriter()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bw.write(_CLEAR, width)
+    omega = b""
+    for b in data:
+        k = bytes([b])
+        cand = omega + k
+        if cand in table:
+            omega = cand
+            continue
+        bw.write(table[omega], width)
+        table[cand] = next_code
+        next_code += 1
+        omega = k
+        if next_code in (511, 1023, 2047):
+            width = {511: 10, 1023: 11, 2047: 12}[next_code]
+        elif next_code == 4094:
+            bw.write(table[omega], width)
+            bw.write(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            omega = b""
+    if omega:
+        bw.write(table[omega], width)
+    bw.write(_EOI, width)
+    return bw.flush()
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Mirror of :func:`lzw_encode`; decodes until EOI or ``expected``
+    output bytes, raising ValueError on any malformed stream."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    old: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("LZW stream ended before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = table[:258]
+            width = 9
+            old = None
+            continue
+        if old is None:
+            if code > 255:
+                raise ValueError("LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(old + entry[:1])
+        elif code == len(table):
+            entry = old + old[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW: code beyond table")
+        out += entry
+        old = entry
+        # early change: the decoder's table lags the encoder's by one
+        # entry, so it bumps width one entry earlier (510/1022/2046)
+        nxt = len(table) + 1
+        if nxt in (511, 1023, 2047):
+            width = {511: 10, 1023: 11, 2047: 12}[nxt]
+    if len(out) < expected:
+        raise ValueError("LZW output shorter than strip size")
+    return bytes(out[:expected])
+
+
+# ---------------------------------------------------------------------------
+# Predictor 2 (horizontal differencing, TIFF 6.0 §14)
+# ---------------------------------------------------------------------------
+
+def _diff_rows(img: np.ndarray) -> np.ndarray:
+    out = img.astype(np.int16)
+    out[:, 1:] = out[:, 1:] - out[:, :-1]
+    return (out & 0xFF).astype(np.uint8)
+
+
+def _undiff_rows(img: np.ndarray) -> np.ndarray:
+    return (np.cumsum(img.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+def encode_gray_tiff(img: np.ndarray, compression: str = "none",
+                     rows_per_strip: int | None = None,
+                     predictor: int = 1) -> bytes:
+    """Little-endian grayscale TIFF. ``compression`` in {"none",
+    "packbits", "lzw"}; ``predictor=2`` (LZW only) applies horizontal
+    differencing; ``rows_per_strip`` splits the image into strips."""
     h, w = img.shape
-    raw = img.tobytes()
-    entries = [
-        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
-        (262, 3, 1, 1), (273, 4, 1, 8 + 2 + 12 * 9 + 4),  # data after IFD
-        (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(raw)),
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor == 2 and compression != "lzw":
+        raise ValueError("predictor=2 only supported with lzw here")
+    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+    strips: list[bytes] = []
+    for y0 in range(0, h, rps):
+        block = img[y0:y0 + rps]
+        if predictor == 2:
+            block = _diff_rows(block)
+        raw = block.tobytes()
+        if compression == "lzw":
+            strips.append(lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
+    nstrips = len(strips)
+
+    entries: list[tuple[int, int, int, int | list[int]]] = [
+        (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
+        (_TAG_BITS, 3, 1, 8), (_TAG_COMPRESSION, 3, 1, comp_id),
+        (_TAG_PHOTOMETRIC, 3, 1, 1),
+        (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),  # patched below
+        (_TAG_SAMPLES, 3, 1, 1), (_TAG_ROWS_PER_STRIP, 3, 1, rps),
+        (_TAG_STRIP_BYTES, 4, nstrips, [len(s) for s in strips]),
     ]
-    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    if predictor == 2:
+        entries.append((_TAG_PREDICTOR, 3, 1, 2))
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    # out-of-line arrays (needed when a LONG-array tag has count > 1);
+    # sizes are known up front, so strip offsets can be computed before
+    # the array bytes are packed
+    arrays_off = ifd_off + ifd_size
+    array_pos: dict[int, int] = {}
+    pos = arrays_off
+    for tag, typ, cnt, val in entries:
+        if isinstance(val, list) and cnt > 1:
+            array_pos[tag] = pos
+            pos += 4 * cnt
+    data_off = pos
+    offsets: list[int] = []
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
     out += struct.pack("<H", len(entries))
     for tag, typ, cnt, val in entries:
-        out += struct.pack("<HHII", tag, typ, cnt, val)
+        if tag == _TAG_STRIP_OFFSETS:
+            val = offsets
+        if isinstance(val, list):
+            field = array_pos[tag] if cnt > 1 else val[0]
+        else:
+            field = val
+        out += struct.pack("<HHII", tag, typ, cnt, field)
     out += struct.pack("<I", 0)  # no next IFD
-    out += raw
+    for tag, typ, cnt, val in entries:
+        if tag == _TAG_STRIP_OFFSETS:
+            val = offsets
+        if isinstance(val, list) and cnt > 1:
+            out += struct.pack(f"<{cnt}I", *val)
+    for s in strips:
+        out += s
     return bytes(out)
 
 
@@ -38,33 +307,81 @@ def is_tiff(payload: bytes) -> bool:
     return payload[:4] in (b"II*\x00", b"MM\x00*")
 
 
+def _read_tag_values(payload: bytes, endian: str, typ: int, cnt: int,
+                     field_bytes: bytes) -> list[int]:
+    """IFD value field: inline when it fits in 4 bytes, else an offset."""
+    sizes = {3: 2, 4: 4}
+    if typ not in sizes:
+        raise ValueError(f"unsupported TIFF tag type {typ}")
+    if cnt == 0 or cnt > 1_000_000:
+        raise ValueError(f"malformed TIFF tag count {cnt}")
+    fmt = {3: "H", 4: "I"}[typ]
+    total = sizes[typ] * cnt
+    if total <= 4:
+        return list(struct.unpack(f"{endian}{cnt}{fmt}", field_bytes[:total]))
+    (off,) = struct.unpack(f"{endian}I", field_bytes)
+    if off + total > len(payload):
+        raise ValueError("TIFF tag array out of bounds")
+    return list(struct.unpack_from(f"{endian}{cnt}{fmt}", payload, off))
+
+
 def decode_gray_tiff(payload: bytes) -> np.ndarray:
-    if payload[:4] != b"II*\x00":
-        if payload[:4] == b"MM\x00*":
-            raise ValueError("big-endian TIFF not supported by minitiff")
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
         raise ValueError("not a TIFF")
     try:
-        (ifd_off,) = struct.unpack_from("<I", payload, 4)
-        (n,) = struct.unpack_from("<H", payload, ifd_off)
-        tags: dict[int, int] = {}
+        (ifd_off,) = struct.unpack_from(f"{endian}I", payload, 4)
+        (n,) = struct.unpack_from(f"{endian}H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
         for i in range(n):
-            tag, typ, cnt, val = struct.unpack_from("<HHII", payload,
-                                                    ifd_off + 2 + 12 * i)
-            if typ == 3:  # SHORT packed in the low bytes
-                val &= 0xFFFF
-            tags[tag] = val
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(f"{endian}HHI", payload, base)
+            tags[tag] = _read_tag_values(payload, endian, typ, cnt,
+                                         payload[base + 8:base + 12])
     except struct.error as exc:
         raise ValueError(f"truncated TIFF: {exc}") from exc
-    if not all(t in tags for t in (256, 257, 273, 279)):
-        raise ValueError("missing required TIFF tags")
-    if tags.get(_TAGS["compression"], 1) != 1:
-        raise ValueError("compressed TIFF requires a native codec")
-    if tags.get(_TAGS["bits"], 8) != 8 or tags.get(_TAGS["samples"], 1) != 1:
+    for t in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_STRIP_OFFSETS, _TAG_STRIP_BYTES):
+        if t not in tags:
+            raise ValueError("missing required TIFF tags")
+    comp = tags.get(_TAG_COMPRESSION, [1])[0]
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"TIFF compression {comp} not supported")
+    if tags.get(_TAG_BITS, [8])[0] != 8 or tags.get(_TAG_SAMPLES, [1])[0] != 1:
         raise ValueError("only 8-bit single-sample TIFF supported")
-    w, h = tags[_TAGS["width"]], tags[_TAGS["height"]]
-    off = tags[_TAGS["strip_offsets"]]
-    nbytes = tags[_TAGS["strip_bytes"]]
-    if nbytes != w * h or off + nbytes > len(payload):
-        raise ValueError("strip size mismatch")
-    return np.frombuffer(payload[off:off + nbytes],
-                         np.uint8).reshape(h, w).copy()
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
+    w = tags[_TAG_WIDTH][0]
+    h = tags[_TAG_HEIGHT][0]
+    rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+    offsets = tags[_TAG_STRIP_OFFSETS]
+    byte_counts = tags[_TAG_STRIP_BYTES]
+    if len(offsets) != len(byte_counts):
+        raise ValueError("strip offset/bytecount length mismatch")
+    rows = []
+    y = 0
+    for off, nbytes in zip(offsets, byte_counts):
+        if off + nbytes > len(payload):
+            raise ValueError("strip out of bounds")
+        strip_rows = min(rps, h - y)
+        expected = strip_rows * w
+        raw = payload[off:off + nbytes]
+        if comp == 1:
+            if nbytes < expected:
+                raise ValueError("strip size mismatch")
+            data = raw[:expected]
+        elif comp == 5:
+            data = lzw_decode(raw, expected)
+        else:
+            data = packbits_decode(raw, expected)
+        block = np.frombuffer(data, np.uint8).reshape(strip_rows, w)
+        if predictor == 2:
+            block = _undiff_rows(block)
+        rows.append(block)
+        y += strip_rows
+    if y != h:
+        raise ValueError("strips do not cover the image height")
+    return np.vstack(rows).copy() if len(rows) > 1 else rows[0].copy()

@@ -1,0 +1,130 @@
+"""Compressed-TIFF codec coverage: PackBits (TIFF 6.0 §9) and LZW
+(§13, early-change variant) with Predictor=2, multi-strip layouts and
+big-endian reads — the real-world codec-robustness gap from the r2
+verdict. All pure stdlib/numpy; losslessness is the contract, so every
+roundtrip asserts exact pixel equality."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from documentai_ray.functions.minitiff import (decode_gray_tiff,
+                                               encode_gray_tiff,
+                                               lzw_decode, lzw_encode,
+                                               packbits_decode,
+                                               packbits_encode)
+
+
+def _cases():
+    rng = np.random.RandomState(7)
+    out = []
+    for h, w in [(1, 1), (3, 5), (8, 16), (64, 80), (1, 4096)]:
+        out.append(np.zeros((h, w), np.uint8))
+        out.append(np.full((h, w), 200, np.uint8))
+        out.append(rng.randint(0, 256, (h, w)).astype(np.uint8))
+        g = (np.arange(h)[:, None] + np.arange(w)[None, :]) % 256
+        out.append(g.astype(np.uint8))
+    return out
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("rps", [None, 3])
+def test_tiff_compression_roundtrips(comp, rps):
+    for img in _cases():
+        enc = encode_gray_tiff(img, compression=comp, rows_per_strip=rps)
+        assert np.array_equal(decode_gray_tiff(enc), img)
+
+
+def test_lzw_predictor2_roundtrip():
+    rng = np.random.RandomState(11)
+    for img in (rng.randint(0, 256, (40, 60)).astype(np.uint8),
+                np.tile(np.arange(256, dtype=np.uint8), (4, 2))):
+        enc = encode_gray_tiff(img, compression="lzw", predictor=2,
+                               rows_per_strip=5)
+        assert np.array_equal(decode_gray_tiff(enc), img)
+
+
+def test_lzw_table_reset_large_random():
+    # 150k random bytes force multiple 4094-entry table resets and every
+    # early-change width boundary (9→10→11→12 bits)
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (300, 500)).astype(np.uint8)
+    enc = encode_gray_tiff(img, compression="lzw")
+    assert np.array_equal(decode_gray_tiff(enc), img)
+
+
+def test_lzw_bitstream_structure():
+    # stream must open with ClearCode=256 as 9 MSB-first bits → 0x80
+    s = lzw_encode(b"hello world hello world")
+    assert s[0] == 0x80
+    assert lzw_decode(s, 23) == b"hello world hello world"
+    # empty input → CLEAR, EOI = 100000000 100000001 padded
+    assert lzw_encode(b"") == bytes([0b10000000, 0b01000000, 0b01000000])
+
+
+def test_packbits_spec_example():
+    # the worked example from the TIFF 6.0 spec, §9: the greedy packer
+    # reproduces the spec's packed bytes exactly, and both decode back
+    data = bytes([0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4 +
+                 [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10)
+    spec_packed = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                         0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert packbits_encode(data) == spec_packed
+    assert packbits_decode(spec_packed, len(data)) == data
+
+
+def test_big_endian_decode():
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    le = encode_gray_tiff(img)
+    (ifd_off,) = struct.unpack_from("<I", le, 4)
+    (n,) = struct.unpack_from("<H", le, ifd_off)
+    be = bytearray(le)
+    be[0:8] = struct.pack(">2sHI", b"MM", 42, ifd_off)
+    be[ifd_off:ifd_off + 2] = struct.pack(">H", n)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt, val = struct.unpack_from("<HHII", le, base)
+        if typ == 3:
+            be[base:base + 12] = struct.pack(">HHIH2x", tag, typ, cnt,
+                                             val & 0xFFFF)
+        else:
+            be[base:base + 12] = struct.pack(">HHII", tag, typ, cnt, val)
+    end = ifd_off + 2 + 12 * n
+    be[end:end + 4] = struct.pack(">I", 0)
+    assert np.array_equal(decode_gray_tiff(bytes(be)), img)
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_tiff_mutation_robustness(comp):
+    # corrupt payloads must decode or raise ValueError — never crash
+    rng = np.random.RandomState(3)
+    base = encode_gray_tiff(rng.randint(0, 256, (20, 30)).astype(np.uint8),
+                            compression=comp, rows_per_strip=4)
+    for t in range(200):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(4, len(m))]
+        try:
+            decode_gray_tiff(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_unsupported_variants_still_raise():
+    img = np.full((4, 4), 9, np.uint8)
+    enc = bytearray(encode_gray_tiff(img))
+    # rewrite the compression tag to JPEG-in-TIFF (7): must raise, not fake
+    (ifd_off,) = struct.unpack_from("<I", enc, 4)
+    (n,) = struct.unpack_from("<H", enc, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt, val = struct.unpack_from("<HHII", enc, base)
+        if tag == 259:
+            enc[base:base + 12] = struct.pack("<HHII", tag, typ, cnt, 7)
+    with pytest.raises(ValueError, match="not supported"):
+        decode_gray_tiff(bytes(enc))
