@@ -4,7 +4,10 @@ Closes the last native-lib gap (S2's JPEG branch): a real ISO/IEC 10918
 baseline implementation — 8×8 DCT-II, Annex-K luminance quantization,
 zigzag, DC prediction, the spec's standard Huffman tables (K.3 DC / K.5
 AC), 0xFF byte stuffing, and full JFIF segment framing (SOI/APP0/DQT/
-SOF0/DHT/SOS/EOI). One component (grayscale), no subsampling.
+SOF0/DHT/SOS/EOI). The encoder here writes one grayscale component, no
+subsampling; DECODE delegates to the general T.81 decoder in
+functions/jpegdec.py (DHT-driven tables, color + subsampling, restart
+intervals, progressive SOF2 with successive approximation).
 
 Honesty note: with no reference codec in this container, interop cannot
 be cross-checked in-sandbox; what IS verified: segment framing matches
@@ -188,48 +191,12 @@ def encode_gray_jpeg(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy stream")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1  # unstuff
-                else:
-                    raise ValueError("unexpected marker in entropy stream")
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
 
 
-def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    enc = _build_codes(bits, vals)
-    return {(ln, code): val for val, (code, ln) in enc.items()}
 
 
-_DC_DEC = _build_decode(DC_BITS, DC_VALS)
-_AC_DEC = _build_decode(AC_BITS, AC_VALS)
 
 
-def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read(1)
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("bad huffman code")
 
 
 def _extend(bits: int, cat: int) -> int:
@@ -241,63 +208,23 @@ def _extend(bits: int, cat: int) -> int:
 
 
 def decode_gray_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF grayscale bytes → uint8 (h, w)."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (no SOI)")
-    pos = 2
-    h = w = None
-    qtab = None
-    scan = None
-    while pos < len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("bad marker")
-        marker = payload[pos + 1]
-        pos += 2
-        if marker == 0xD9:
-            break
-        ln = struct.unpack_from(">H", payload, pos)[0]
-        body = payload[pos + 2:pos + ln]
-        if marker == 0xDB:
-            qtab = np.zeros(64, np.int64)
-            qtab[ZIGZAG] = np.frombuffer(body[1:65], np.uint8)
-            qtab = qtab.reshape(8, 8)
-        elif marker == 0xC0:
-            _, h, w, _ = struct.unpack_from(">BHHB", body, 0)
-        elif marker == 0xDA:
-            scan = payload[pos + ln:]
-            break
-        pos += ln
-    if h is None or qtab is None or scan is None:
-        raise ValueError("missing JFIF segments")
-    end = scan.rfind(b"\xff\xd9")
-    br = _BitReader(scan[:end if end >= 0 else len(scan)])
-    ph, pw = -h % 8, -w % 8
-    out = np.zeros((h + ph, w + pw), np.float64)
-    prev_dc = 0
-    inv_zz = np.argsort(ZIGZAG)
-    for by in range(0, h + ph, 8):
-        for bx in range(0, w + pw, 8):
-            q = np.zeros(64, np.int64)
-            cat = _read_huff(br, _DC_DEC)
-            prev_dc += _extend(br.read(cat) if cat else 0, cat)
-            q[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _read_huff(br, _AC_DEC)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += rs >> 4
-                cat = rs & 0x0F
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                q[i] = _extend(br.read(cat), cat)
-                i += 1
-            coef = (q[inv_zz].reshape(8, 8)) * qtab
-            out[by:by + 8, bx:bx + 8] = _idct2(coef.astype(np.float64))
-    return np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    """JPEG bytes → uint8 (h, w) grayscale.
+
+    Delegates to the general T.81 decoder (functions/jpegdec.py), which
+    honors the stream's own DHT/DQT tables, sampling factors, restart
+    intervals and progressive scans — the earlier in-module decoder
+    *assumed* the Annex-K tables and would silently mis-decode foreign
+    baseline streams. Color output reduces to integer BT.601 luma (same
+    convention as minipng)."""
+    from documentai_ray.functions.jpegdec import decode_jpeg
+
+    img = decode_jpeg(payload)
+    if img.ndim == 2:
+        return img
+    r = img[:, :, 0].astype(np.uint32)
+    g = img[:, :, 1].astype(np.uint32)
+    b = img[:, :, 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
 
 
 def is_jpeg(payload: bytes) -> bool:

@@ -1,0 +1,148 @@
+"""General T.81 JPEG decoder coverage (functions/jpegdec.py): DHT-driven
+Huffman tables, color with 4:4:4 / 4:2:0 subsampling, restart intervals,
+and progressive SOF2 with successive approximation + EOB runs. The
+sharpest invariant: progressive scans are a reordering of the SAME
+quantized coefficients, so progressive decode must equal sequential
+decode BIT-FOR-BIT on every image."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from documentai_ray.functions.jpegdec import decode_jpeg, encode_jpeg
+from documentai_ray.functions.minijpeg import (decode_gray_jpeg,
+                                               encode_gray_jpeg)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _smooth_gray(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (128 + 60 * np.sin(yy / 9.0)
+            + 50 * np.cos(xx / 11.0)).clip(0, 255).astype(np.uint8)
+
+
+def _smooth_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.dstack([(128 + 70 * np.sin(yy / 7.0)).clip(0, 255),
+                      (128 + 70 * np.cos(xx / 9.0)).clip(0, 255),
+                      (yy * 3 + xx * 2) % 256]).astype(np.uint8)
+
+
+def test_engine_gray_stream_decodes_identically():
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (24, 33)).astype(np.uint8)
+    pay = encode_gray_jpeg(img)
+    assert np.array_equal(decode_jpeg(pay), decode_gray_jpeg(pay))
+
+
+@pytest.mark.parametrize("dri", [0, 2, 5])
+def test_gray_sequential_quality(dri):
+    src = _smooth_gray(40, 56)
+    out = decode_jpeg(encode_jpeg(src, restart_interval=dri))
+    assert out.shape == src.shape
+    assert _psnr(src, out) > 35
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("dri", [0, 3])
+def test_color_sequential_quality(sub, dri):
+    src = _smooth_rgb(41, 55)
+    out = decode_jpeg(encode_jpeg(src, subsampling=sub,
+                                  restart_interval=dri))
+    assert out.shape == src.shape
+    assert _psnr(src, out) > (30 if sub == "420" else 33)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_equals_sequential_color(sub):
+    src = _smooth_rgb(41, 55)
+    seq = decode_jpeg(encode_jpeg(src, subsampling=sub))
+    for dri in (0, 2):
+        prog = decode_jpeg(encode_jpeg(src, subsampling=sub,
+                                       progressive=True,
+                                       restart_interval=dri))
+        assert np.array_equal(prog, seq)
+
+
+def test_progressive_equals_sequential_noise():
+    # random content exercises ZRL, EOB runs and refinement correction
+    # bits far harder than smooth gradients
+    rng = np.random.RandomState(1)
+    for shape in [(8, 8), (7, 5), (16, 24, 3), (33, 17, 3)]:
+        src = rng.randint(0, 256, shape).astype(np.uint8)
+        seq = decode_jpeg(encode_jpeg(src))
+        assert np.array_equal(decode_jpeg(encode_jpeg(src,
+                                                      progressive=True)),
+                              seq)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(src, progressive=True,
+                                    restart_interval=1)), seq)
+
+
+def test_progressive_uses_non_annex_k_table():
+    # the scan script's AC table contains EOBn symbols Annex K.5 lacks;
+    # decoding it REQUIRES honoring DHT (the old decoder's blind spot)
+    pay = encode_jpeg(_smooth_gray(24, 24), progressive=True)
+    from documentai_ray.functions.jpegdec import _PROG_AC_VALS
+    assert 0x10 in _PROG_AC_VALS  # EOB1 — absent from K.5
+    assert decode_jpeg(pay).shape == (24, 24)
+
+
+def test_decode_gray_jpeg_handles_color_and_progressive():
+    src = _smooth_rgb(20, 28)
+    g = decode_gray_jpeg(encode_jpeg(src, subsampling="420",
+                                     progressive=True))
+    assert g.shape == (20, 28)
+    r = src[:, :, 0].astype(np.uint32)
+    gg = src[:, :, 1].astype(np.uint32)
+    b = src[:, :, 2].astype(np.uint32)
+    luma = ((299 * r + 587 * gg + 114 * b + 500) // 1000).astype(np.uint8)
+    assert _psnr(luma, g) > 30
+
+
+def test_unsupported_processes_raise():
+    src = _smooth_gray(8, 8)
+    pay = bytearray(encode_jpeg(src))
+    # flip SOF0 (0xFFC0) to lossless SOF3
+    i = pay.find(b"\xff\xc0")
+    pay[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_jpeg(bytes(pay))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+@pytest.mark.parametrize("kind", ["seq_gray", "seq_420", "prog_gray",
+                                  "prog_420"])
+def test_jpeg_mutation_robustness(kind):
+    rng = np.random.RandomState(3)
+    if kind == "seq_gray":
+        base = encode_jpeg(rng.randint(0, 256, (16, 20)).astype(np.uint8))
+    elif kind == "seq_420":
+        base = encode_jpeg(rng.randint(0, 256, (17, 21, 3)).astype(
+            np.uint8), subsampling="420", restart_interval=2)
+    elif kind == "prog_gray":
+        base = encode_jpeg(rng.randint(0, 256, (16, 20)).astype(np.uint8),
+                           progressive=True)
+    else:
+        base = encode_jpeg(rng.randint(0, 256, (17, 21, 3)).astype(
+            np.uint8), subsampling="420", progressive=True,
+            restart_interval=1)
+    for t in range(200):
+        m = bytearray(base)
+        if t % 3 == 0:
+            m = m[:rng.randint(4, len(m))]
+        elif t % 3 == 1:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            for _ in range(4):
+                m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        try:
+            decode_jpeg(bytes(m))
+        except ValueError:
+            pass
