@@ -154,13 +154,22 @@ def lzw_encode(data: bytes) -> bytes:
             omega = b""
     if omega:
         bw.write(table[omega], width)
+        # the decoder adds one more (phantom) entry on reading this final
+        # code; if that crosses an early-change boundary it widens before
+        # reading EOI, so the encoder must too (libtiff LZWPostEncode)
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            width = {511: 10, 1023: 11, 2047: 12}[next_code]
     bw.write(_EOI, width)
     return bw.flush()
 
 
-def lzw_decode(data: bytes, expected: int) -> bytes:
-    """Mirror of :func:`lzw_encode`; decodes until EOI or ``expected``
-    output bytes, raising ValueError on any malformed stream."""
+def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    """Mirror of :func:`lzw_encode`; decodes until EOI (or ``expected``
+    output bytes when given), raising ValueError on any malformed
+    stream. PDF's LZWDecode with the default EarlyChange=1 is this
+    exact variant (ISO 32000 §7.4.4), so pdfread reuses it with
+    ``expected=None``."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -169,7 +178,7 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
     pos = 0
     n = len(data)
     old: bytes | None = None
-    while len(out) < expected:
+    while expected is None or len(out) < expected:
         while nbits < width:
             if pos >= n:
                 raise ValueError("LZW stream ended before EOI")
@@ -204,6 +213,8 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         nxt = len(table) + 1
         if nxt in (511, 1023, 2047):
             width = {511: 10, 1023: 11, 2047: 12}[nxt]
+    if expected is None:
+        return bytes(out)
     if len(out) < expected:
         raise ValueError("LZW output shorter than strip size")
     return bytes(out[:expected])

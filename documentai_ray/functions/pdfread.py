@@ -141,6 +141,7 @@ def parse_objects(pdf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             break
     if not objects:
         raise ValueError("no PDF objects found")
+    expand_object_streams(objects)
     return objects
 
 
@@ -151,6 +152,192 @@ def _ref_list(dct: bytes, key: bytes) -> list[int]:
         return [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
     m = re.search(key + rb"\s+(\d+)\s+0\s+R", dct)
     return [int(m.group(1))] if m else []
+
+
+# ---------------------------------------------------------------------------
+# stream filters (ISO 32000 §7.4) — chains, predictors, the common five
+# ---------------------------------------------------------------------------
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    digits = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"bad ASCIIHexDecode data: {exc}") from exc
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    if data.startswith(b"<~"):
+        data = data[2:]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in b"\x00\t\n\x0c\r ":
+            continue
+        if b == 0x7A:  # 'z' — four zero bytes, only between groups
+            if group:
+                raise ValueError("ASCII85 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise ValueError(f"bad ASCII85 byte {b}")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 trailing single digit")
+        k = len(group)
+        group += [84] * (5 - k)
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[:k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ctl = data[i]
+        i += 1
+        if ctl == 128:  # EOD
+            break
+        if ctl < 128:
+            if i + ctl + 1 > n:
+                raise ValueError("truncated RunLength literal")
+            out += data[i:i + ctl + 1]
+            i += ctl + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated RunLength repeat")
+            out += bytes([data[i]]) * (257 - ctl)
+            i += 1
+    return bytes(out)
+
+
+def _parse_decode_parms(dct: bytes, nfilters: int) -> list[dict[str, int]]:
+    """Predictor/Columns/Colors/BitsPerComponent per filter position."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[[^\]]*\]|<<.*?>>|null)", dct,
+                  re.S)
+    parms: list[dict[str, int]] = [{} for _ in range(nfilters)]
+    if not m:
+        return parms
+    spec = m.group(1)
+    dicts = re.findall(rb"<<(.*?)>>|(null)", spec, re.S) \
+        if spec.startswith(b"[") else [(spec.strip(b"<>"), b"")]
+    for i, (body, _null) in enumerate(dicts[:nfilters]):
+        for key in (b"Predictor", b"Columns", b"Colors",
+                    b"BitsPerComponent", b"EarlyChange"):
+            km = re.search(rb"/" + key + rb"\s+(\d+)", body)
+            if km:
+                parms[i][key.decode()] = int(km.group(1))
+    return parms
+
+
+def _apply_predictor(data: bytes, pm: dict[str, int]) -> bytes:
+    pred = pm.get("Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = pm.get("Colors", 1)
+    bpc = pm.get("BitsPerComponent", 8)
+    columns = pm.get("Columns", 1)
+    bpp = max(1, (colors * bpc) // 8)
+    row_bytes = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit only here)
+        if bpc != 8:
+            raise ValueError("TIFF predictor needs 8-bit components")
+        arr = bytearray(data)
+        for r0 in range(0, len(arr) - row_bytes + 1, row_bytes):
+            for i in range(bpp, row_bytes):
+                arr[r0 + i] = (arr[r0 + i] + arr[r0 + i - bpp]) & 0xFF
+        return bytes(arr)
+    if pred >= 10:  # PNG predictors: 1 tag byte per row, PNG unfilter
+        from documentai_ray.functions.minipng import _unfilter
+
+        stride = row_bytes + 1
+        height = len(data) // stride
+        if height * stride != len(data):
+            raise ValueError("predictor row size mismatch")
+        return bytes(_unfilter(data, height, row_bytes, bpp))
+    raise ValueError(f"unsupported predictor {pred}")
+
+
+def decode_stream(dct: bytes, stream: bytes) -> bytes:
+    """Apply the ``/Filter`` chain (single name or array, decoding
+    order) with per-filter ``/DecodeParms``."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dct)
+    if not fm:
+        return stream
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    parms = _parse_decode_parms(dct, len(names))
+    data = stream
+    for name, pm in zip(names, parms):
+        if name == b"FlateDecode" or name == b"Fl":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+            data = _apply_predictor(data, pm)
+        elif name == b"LZWDecode" or name == b"LZW":
+            if pm.get("EarlyChange", 1) != 1:
+                raise ValueError("LZW EarlyChange=0 not supported")
+            from documentai_ray.functions.minitiff import lzw_decode
+
+            data = lzw_decode(data)
+            data = _apply_predictor(data, pm)
+        elif name == b"ASCIIHexDecode" or name == b"AHx":
+            data = _ascii_hex_decode(data)
+        elif name == b"ASCII85Decode" or name == b"A85":
+            data = _ascii85_decode(data)
+        elif name == b"RunLengthDecode" or name == b"RL":
+            data = _run_length_decode(data)
+        else:
+            raise ValueError(f"unsupported PDF filter /{name.decode()}")
+    return data
+
+
+def expand_object_streams(
+        objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Merge objects packed in `/Type /ObjStm` streams (PDF 1.5+,
+    ISO 32000 §7.5.7) into the map. Compressed objects are dict/value
+    only (streams are illegal inside ObjStm)."""
+    for _num, (dct, stream) in list(objects.items()):
+        if stream is None or not re.search(rb"/Type\s*/ObjStm\b", dct):
+            continue
+        data = decode_stream(dct, stream)
+        nm = re.search(rb"/N\s+(\d+)", dct)
+        fm = re.search(rb"/First\s+(\d+)", dct)
+        if not nm or not fm:
+            raise ValueError("ObjStm missing /N or /First")
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n_objs:
+            raise ValueError("short ObjStm header")
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(n_objs)]
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+            body = data[first + off:end].strip()
+            # a direct (uncompressed) definition wins per the spec's
+            # xref precedence; in-practice they never collide
+            objects.setdefault(onum, (body, None))
 
 
 def page_content_streams(pdf: bytes) -> list[bytes]:
@@ -187,12 +374,7 @@ def page_content_streams(pdf: bytes) -> list[bytes]:
             cdct, cstream = objects.get(cid, (b"", None))
             if cstream is None:
                 continue
-            if re.search(rb"/Filter\s*/FlateDecode\b", cdct):
-                try:
-                    cstream = zlib.decompress(cstream)
-                except zlib.error as exc:
-                    raise ValueError(f"bad FlateDecode stream: {exc}")
-            parts.append(cstream)
+            parts.append(decode_stream(cdct, cstream))
         out.append(b"\n".join(parts))
     return out
 

@@ -160,6 +160,172 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
     return bytes(out)
 
 
+def ascii85_encode(data: bytes) -> bytes:
+    """ASCII85 per ISO 32000 §7.4.3 (with the `z` shortcut and `~>`
+    EOD), the encoder mate of pdfread's decoder."""
+    out = bytearray()
+    for i in range(0, len(data) - 3, 4):
+        v = int.from_bytes(data[i:i + 4], "big")
+        if v == 0:
+            out += b"z"
+            continue
+        grp = bytearray(5)
+        for j in range(4, -1, -1):
+            grp[j] = 0x21 + v % 85
+            v //= 85
+        out += grp
+    rem = len(data) % 4
+    if rem:
+        v = int.from_bytes(data[-rem:] + b"\x00" * (4 - rem), "big")
+        grp = bytearray(5)
+        for j in range(4, -1, -1):
+            grp[j] = 0x21 + v % 85
+            v //= 85
+        out += grp[:rem + 1]
+    return bytes(out) + b"~>"
+
+
+def text_to_pdf_modern(lines: list[str], *, lines_per_page: int = 40,
+                       shuffle_key: int = 0,
+                       content_filter: str = "lzw") -> bytes:
+    """Text lines → PDF 1.5-style file: the non-stream objects (catalog,
+    page tree, page dicts, font) are packed into a `/Type /ObjStm`
+    object stream (FlateDecode), content streams are compressed with a
+    doc-selectable filter chain, and the file ends with a `/Type /XRef`
+    cross-reference STREAM (type-1/type-2 entries, PNG Up predictor) —
+    no classic `xref` table or `trailer` at all. Same page geometry and
+    rotated stream order as :func:`text_to_pdf`, so extraction output is
+    identical.
+
+    content_filter: "lzw" (`/LZWDecode`, TIFF early-change variant),
+    "a85flate" (`/Filter [/ASCII85Decode /FlateDecode]` chain),
+    "rl" (`/RunLengthDecode`), or "hexflate"
+    (`/Filter [/ASCIIHexDecode /FlateDecode]`)."""
+    import zlib
+
+    from documentai_ray.functions.minitiff import lzw_encode
+
+    page_lines = [lines[i:i + lines_per_page]
+                  for i in range(0, len(lines), lines_per_page)] or [[]]
+
+    def content_obj(content: bytes) -> bytes:
+        if content_filter == "lzw":
+            data = lzw_encode(content)
+            filt = b"/Filter /LZWDecode"
+        elif content_filter == "a85flate":
+            data = ascii85_encode(zlib.compress(content, 6))
+            filt = b"/Filter [/ASCII85Decode /FlateDecode]"
+        elif content_filter == "hexflate":
+            data = zlib.compress(content, 6).hex().encode() + b">"
+            filt = b"/Filter [/ASCIIHexDecode /FlateDecode]"
+        elif content_filter == "rl":
+            # simple literal-packet RunLength framing (valid, not tight)
+            data = bytearray()
+            for i in range(0, len(content), 128):
+                chunk = content[i:i + 128]
+                data += bytes([len(chunk) - 1]) + chunk
+            data += b"\x80"
+            data = bytes(data)
+            filt = b"/Filter /RunLengthDecode"
+        else:
+            raise ValueError(f"unknown content_filter {content_filter}")
+        return (b"<< /Length %d %s >>\nstream\n%s\nendstream"
+                % (len(data), filt, data))
+
+    # object layout: 1 catalog, 2 pages, 3 font (all compressed into the
+    # ObjStm), then per page: content stream (direct), page dict
+    # (compressed); finally the ObjStm and the XRef stream (direct).
+    compressed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    direct: dict[int, bytes] = {}
+    next_id = 4
+    kid_ids = []
+    for pi, plines in enumerate(page_lines):
+        chunks = []
+        for li, line in enumerate(plines):
+            y = TEXT_TOP - LEADING * li
+            chunks.append(b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+                          % (FONT_SIZE, TEXT_X, y, escape_pdf_string(line)))
+        rot = (shuffle_key + pi) % max(1, len(chunks))
+        chunks = chunks[rot:] + chunks[:rot]
+        ct_id = next_id
+        direct[ct_id] = content_obj(b"\n".join(chunks))
+        pg_id = next_id + 1
+        compressed[pg_id] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents %d 0 R >>" % (PAGE_W, PAGE_H, ct_id))
+        kid_ids.append(pg_id)
+        next_id += 2
+    compressed[2] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+                     % (b" ".join(b"%d 0 R" % k for k in kid_ids),
+                        len(kid_ids)))
+    objstm_id = next_id
+    xref_id = next_id + 1
+
+    # build the ObjStm payload: "num off num off ..." header + bodies
+    comp_items = sorted(compressed.items())
+    bodies = []
+    offs = []
+    off = 0
+    for _num, body in comp_items:
+        offs.append(off)
+        bodies.append(body)
+        off += len(body) + 1
+    header = b" ".join(b"%d %d" % (num, o)
+                       for (num, _b), o in zip(comp_items, offs))
+    payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+    first = len(header) + 1
+    zdata = zlib.compress(payload, 6)
+    direct[objstm_id] = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d"
+        b" /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(comp_items), first, len(zdata), zdata))
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(direct):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + direct[num] + b"\nendobj\n"
+
+    # XRef stream: W [1 4 2]; type 0 free, 1 direct@offset, 2 in-objstm
+    stm_index = {num: i for i, (num, _b) in enumerate(comp_items)}
+    xref_at = len(out)
+    nrows = xref_id + 1
+    rows = bytearray()
+    for num in range(nrows):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(
+                2, "big")
+        elif num in offsets:
+            rows += bytes([1]) + offsets[num].to_bytes(4, "big") + bytes(2)
+        elif num == xref_id:
+            rows += bytes([1]) + xref_at.to_bytes(4, "big") + bytes(2)
+        else:
+            rows += (bytes([2]) + objstm_id.to_bytes(4, "big")
+                     + stm_index[num].to_bytes(2, "big"))
+    # PNG Up predictor over 7-byte rows (what real writers emit)
+    row_bytes = 7
+    filtered = bytearray()
+    prev = bytes(row_bytes)
+    for r in range(nrows):
+        cur = bytes(rows[r * row_bytes:(r + 1) * row_bytes])
+        filtered.append(2)  # Up
+        filtered += bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+        prev = cur
+    xz = zlib.compress(bytes(filtered), 6)
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+            b" /Filter /FlateDecode"
+            b" /DecodeParms << /Predictor 12 /Columns 7 >> /Length %d"
+            b" >>\nstream\n" % (xref_id, nrows, len(xz)))
+    out += xz
+    out += b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
 def mixed_pdf(pages: list[tuple]) -> bytes:
     """Mixed text/image PDF 1.4 — the M16 output format: each entry is
     ``("text", [lines])`` (original page, text objects) or
