@@ -35,10 +35,12 @@ IMAGE_META_TYPE = pa.struct(
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decoder: grayscale PNG (minipng), baseline JFIF JPEG
-    (minijpeg), and uncompressed grayscale TIFF (minitiff) → (H, W, 1) —
-    every baseline format decodes with stdlib codecs. Compressed TIFF /
-    exotic formats still need a native lib and raise from the codec."""
+    """Real decoder → (H, W, 1) grayscale: full-baseline PNG (minipng —
+    color/palette/Adam7 reduce to BT.601 luma), general T.81 JPEG
+    (minijpeg/jpegdec — progressive, color, restart intervals), and
+    grayscale TIFF incl. LZW/PackBits compression (minitiff). Every
+    format decodes with stdlib/numpy codecs; only truly exotic variants
+    (JPEG-in-TIFF, CMYK JPEG, arithmetic coding) raise from the codec."""
     from documentai_ray.functions import minijpeg, minipng, minitiff
 
     if minipng.is_png(payload):
