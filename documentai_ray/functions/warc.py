@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import gzip as _gzip
+import re
 
 
 def _warc_date(ts: _dt.datetime) -> str:
@@ -35,12 +36,39 @@ def _parse_warc_date(s: str) -> _dt.datetime:
     return _dt.datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ")
 
 
+def _chunk_body(body: bytes, *, chunk: int = 997) -> bytes:
+    """RFC 9112 §7.1 chunked framing (odd chunk size so boundaries never
+    align with content structure)."""
+    out = bytearray()
+    for i in range(0, len(body), chunk):
+        part = body[i:i + chunk]
+        out += b"%x\r\n" % len(part) + part + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
 def build_record(url: str, ts: _dt.datetime, body: bytes, *,
-                 content_type: str = "text/html") -> bytes:
-    """One WARC response record (uncompressed bytes)."""
+                 content_type: str = "text/html",
+                 http_encoding: str = "identity") -> bytes:
+    """One WARC response record (uncompressed bytes).
+
+    ``http_encoding`` emits the capture-time wire form real crawls
+    contain: "identity", "chunked" (Transfer-Encoding), "gzip"
+    (Content-Encoding), or "gzip+chunked" (gzip then chunk — the order
+    on a real wire)."""
+    extra = b""
+    if http_encoding in ("gzip", "gzip+chunked"):
+        body = _gzip.compress(body, 6)
+        extra += b"Content-Encoding: gzip\r\n"
+    if http_encoding in ("chunked", "gzip+chunked"):
+        body = _chunk_body(body)
+        extra += b"Transfer-Encoding: chunked\r\n"
+        length_line = b""
+    else:
+        length_line = f"Content-Length: {len(body)}\r\n".encode()
     http = (b"HTTP/1.1 200 OK\r\n"
             + f"Content-Type: {content_type}\r\n".encode()
-            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + extra + length_line + b"\r\n"
             + body)
     head = (
         "WARC/1.0\r\n"
@@ -98,8 +126,65 @@ def iter_warc(blob: bytes):
         ts = _parse_warc_date(headers.get("warc-date", "1970-01-01T00:00:00Z"))
         # strip the HTTP envelope: body starts after its own blank line
         http_end = block.find(b"\r\n\r\n")
-        body = block[http_end + 4:] if http_end >= 0 else block
+        if http_end >= 0:
+            body = _decode_http_body(block[:http_end], block[http_end + 4:])
+        else:
+            body = block
         yield url, ts, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reverse RFC 9112 chunked framing; returns input unchanged if the
+    framing is malformed (degrade, don't drop the capture)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return bytes(body)
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break
+        start = eol + 2
+        if start + size > n:
+            return bytes(body)
+        out += body[start:start + size]
+        pos = start + size + 2  # skip trailing CRLF
+    return bytes(out)
+
+
+def _decode_http_body(head: bytes, body: bytes) -> bytes:
+    """Undo capture-time wire encodings (what warcio's recompression does
+    for real CC records): de-chunk Transfer-Encoding, then decompress
+    Content-Encoding gzip/x-gzip/deflate. Tolerant — a malformed layer
+    yields the bytes as captured rather than losing the record."""
+    hl = head.lower()
+    if re.search(rb"transfer-encoding\s*:\s*chunked", hl):
+        body = _dechunk(body)
+    m = re.search(rb"content-encoding\s*:\s*([a-z0-9-]+)", hl)
+    if m:
+        enc = m.group(1)
+        if enc in (b"gzip", b"x-gzip"):
+            try:
+                body = _gzip.decompress(body)
+            except (OSError, EOFError):
+                pass
+        elif enc == b"deflate":
+            import zlib as _zlib
+
+            try:
+                body = _zlib.decompress(body)
+            except _zlib.error:
+                try:  # raw-deflate servers (the classic interop wart)
+                    body = _zlib.decompress(body, -15)
+                except _zlib.error:
+                    pass
+    return body
 
 
 def read_warc(paths: list[str], *, num_cpus: float = 0.5):

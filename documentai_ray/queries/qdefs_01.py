@@ -3292,4 +3292,56 @@ def _q_warc_ingest(sf_dir: str):
                         batch_size=256)
     return _norm_strings_ds(ds.select_columns(["url", "text"]))
 
-__all__ = ['_q_extract_text', '_q_charset_extract', '_q_quality_pages', '_q_classify_pages', '_q_entities_po', '_q_entities_invoice', '_q_rules_po', '_q_preprocess_decision', '_q_wordbox_match', '_q_flagship_boxes', '_q_docs_exact_dedup', '_q_token_stats', '_q_doc_quality', '_q_events_hourly', '_q_events_sessions', '_q_q1_lineitem', '_q_orders_by_nation', '_q_minhash_neardup', '_q_minhash_dedup_keep', '_q_ppjoin_pairs', '_q_containment_pairs', '_q_jaccard_pairs', '_q_embedding_neardup', '_q_topk_similarity', '_q_pdf_layout_text', '_q_real_pdf_extract', '_q_lang_id', '_q_lang_kappa', '_q_lang_prf', '_q_token_count_bpe', '_q_bpe_pair_counts', '_q_bpe_train_merges', '_q_bpe_encode', '_q_fingerprint', '_q_simhash_hamming', '_q_group_pages', '_q_category_summary', '_q_vote_distribution', '_q_ann_ivf', '_q_q5_local_revenue', '_q_events_sliding', '_q_rnn_pairs', '_q_mean_embedding', '_q_kmv_intersect', '_q_kmv_difference', '_q_copurchase_pairs', '_q_grouped_mode', '_q_pareto_parts', '_q_band_join_balances', '_q_overlap_join_windows', '_q_q3_topn', '_q_retention_cohorts', '_q_sliding_unique_users', '_q_segment_digests', '_q_user_coverage', '_q_quantity_dense_rank', '_q_global_index', '_q_record_linkage', '_q_golden_record', '_q_cc_labels', '_q_dag_layers', '_q_ks_drift', '_q_quantity_percentile', '_q_quantity_cume_dist', '_q_gini_gain', '_q_rank_auc', '_q_waterfill_budget', '_q_target_encode', '_q_log2_p99', '_q_value_histogram', '_q_type_share', '_q_bag_intersect', '_q_bag_difference', '_q_event_pairs_window', '_q_path_rollup', '_q_cumulative_users', '_q_join_revenue', '_q_events_asof', '_q_entities_table', '_q_lc_tags', '_q_lc_tags_ocr', '_q_error_census', '_q_technique_stats', '_q_curate_corpus', '_q_group_split', '_q_schema_union', '_q_split_assign', '_q_cm_counts', '_q_feature_hash', '_q_top_tokens', '_q_decontaminate', '_q_sample_weighted', '_q_gopher_repetition', '_q_redact_pii', '_q_audio_frames', '_q_anti_join_customers', '_q_rollup_counts', '_q_topk_per_group', '_q_median_quantity', '_q_image_quality', '_q_image_preprocess', '_q_top_orders', '_q_line_dedup', '_q_c4_line_filter', '_q_normalize_text', '_q_chunk_documents', '_q_pack_sequences', '_q_inverted_index', '_q_tfidf_topk', '_q_canonical_url_dedup', '_q_host_stats', '_q_skew_join', '_q_host_template_strip', '_q_warc_ingest']
+
+def _q_warc_wire_encodings(sf_dir: str):
+    """HTTP wire-encoding transparency: the same corpus serialized as
+    WARC response records whose captured HTTP bodies carry the real
+    crawl wire forms — identity, Transfer-Encoding: chunked,
+    Content-Encoding: gzip, and gzip-then-chunked (doc_id % 4) — read
+    back through the envelope decoder (_decode_http_body: de-chunk then
+    content-decode, warcio recompression semantics). Oracle: the SAME
+    encoding-independent golden text as warc_ingest, so any framing
+    mistake in either direction shows as a text mismatch."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from documentai_ray.functions.warc import build_record, read_warc
+    from documentai_ray.sources.pages import (payload_for, url_for,
+                                              warc_ts_for)
+    from documentai_ray.stages.extract import extract_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/warc_wire_{tag}"
+    n_shards = 8
+    paths = [os.path.join(d, f"shard-{i:02d}.warc.gz")
+             for i in range(n_shards)]
+    marker = os.path.join(d, f"_done_{docs.num_rows}")
+    _ENCS = ["identity", "chunked", "gzip", "gzip+chunked"]
+    if not os.path.exists(marker):
+        import gzip as _g
+        os.makedirs(d, exist_ok=True)
+        shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+        for did, text, src in zip(docs.column("doc_id").to_pylist(),
+                                  docs.column("text").to_pylist(),
+                                  docs.column("source").to_pylist()):
+            rec = build_record(url_for(did, src), warc_ts_for(did),
+                               payload_for(did, text),
+                               http_encoding=_ENCS[did % 4])
+            shards[did % n_shards].append(rec)
+        for p, recs in zip(paths, shards):
+            with open(p, "wb") as f:
+                for rec in recs:
+                    f.write(_g.compress(rec))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_warc(paths)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return _norm_strings_ds(ds.select_columns(["url", "text"]))
+
+__all__ = ['_q_extract_text', '_q_charset_extract', '_q_quality_pages', '_q_classify_pages', '_q_entities_po', '_q_entities_invoice', '_q_rules_po', '_q_preprocess_decision', '_q_wordbox_match', '_q_flagship_boxes', '_q_docs_exact_dedup', '_q_token_stats', '_q_doc_quality', '_q_events_hourly', '_q_events_sessions', '_q_q1_lineitem', '_q_orders_by_nation', '_q_minhash_neardup', '_q_minhash_dedup_keep', '_q_ppjoin_pairs', '_q_containment_pairs', '_q_jaccard_pairs', '_q_embedding_neardup', '_q_topk_similarity', '_q_pdf_layout_text', '_q_real_pdf_extract', '_q_lang_id', '_q_lang_kappa', '_q_lang_prf', '_q_token_count_bpe', '_q_bpe_pair_counts', '_q_bpe_train_merges', '_q_bpe_encode', '_q_fingerprint', '_q_simhash_hamming', '_q_group_pages', '_q_category_summary', '_q_vote_distribution', '_q_ann_ivf', '_q_q5_local_revenue', '_q_events_sliding', '_q_rnn_pairs', '_q_mean_embedding', '_q_kmv_intersect', '_q_kmv_difference', '_q_copurchase_pairs', '_q_grouped_mode', '_q_pareto_parts', '_q_band_join_balances', '_q_overlap_join_windows', '_q_q3_topn', '_q_retention_cohorts', '_q_sliding_unique_users', '_q_segment_digests', '_q_user_coverage', '_q_quantity_dense_rank', '_q_global_index', '_q_record_linkage', '_q_golden_record', '_q_cc_labels', '_q_dag_layers', '_q_ks_drift', '_q_quantity_percentile', '_q_quantity_cume_dist', '_q_gini_gain', '_q_rank_auc', '_q_waterfill_budget', '_q_target_encode', '_q_log2_p99', '_q_value_histogram', '_q_type_share', '_q_bag_intersect', '_q_bag_difference', '_q_event_pairs_window', '_q_path_rollup', '_q_cumulative_users', '_q_join_revenue', '_q_events_asof', '_q_entities_table', '_q_lc_tags', '_q_lc_tags_ocr', '_q_error_census', '_q_technique_stats', '_q_curate_corpus', '_q_group_split', '_q_schema_union', '_q_split_assign', '_q_cm_counts', '_q_feature_hash', '_q_top_tokens', '_q_decontaminate', '_q_sample_weighted', '_q_gopher_repetition', '_q_redact_pii', '_q_audio_frames', '_q_anti_join_customers', '_q_rollup_counts', '_q_topk_per_group', '_q_median_quantity', '_q_image_quality', '_q_image_preprocess', '_q_top_orders', '_q_line_dedup', '_q_c4_line_filter', '_q_normalize_text', '_q_chunk_documents', '_q_pack_sequences', '_q_inverted_index', '_q_tfidf_topk', '_q_canonical_url_dedup', '_q_host_stats', '_q_skew_join', '_q_host_template_strip', '_q_warc_ingest', '_q_warc_wire_encodings']
