@@ -633,9 +633,12 @@ def assemble_page_text(
 def page_images(pdf: bytes):
     """Per-page decoded /DeviceGray Image XObjects → list (page order) of
     lists of uint8 (h, w) arrays (empty list for text-only pages). The
-    image half of the mixed-PDF round-trip oracle (`pdfwrite.mixed_pdf`);
-    only uncompressed 8-bit grayscale XObjects decode (the writer's own
-    format) — anything else raises."""
+    image half of the mixed-PDF round-trip oracle (`pdfwrite.mixed_pdf`).
+    8-bit grayscale XObjects decode raw, through the standard filter
+    chains (Flate/LZW/A85/AHx/RL via :func:`decode_stream`), or as
+    embedded JPEG (`/DCTDecode` → the engine's general T.81 decoder,
+    color reducing to BT.601 luma — the scanner/img2pdf layout);
+    JPXDecode/CCITTFax still raise."""
     import numpy as np
 
     objects = parse_objects(pdf)
@@ -667,14 +670,26 @@ def page_images(pdf: bytes):
                 hm = re.search(rb"/Height\s+(\d+)", xd)
                 if not (wm and hm) or xs is None:
                     raise ValueError("malformed image XObject")
-                if (b"/ColorSpace /DeviceGray" not in xd
-                        or b"/BitsPerComponent 8" not in xd
-                        or b"/Filter" in xd):
-                    raise ValueError("unsupported image encoding")
                 w, h = int(wm.group(1)), int(hm.group(1))
-                if len(xs) != w * h:
+                if re.search(rb"/Filter\s*\[?\s*/(?:DCTDecode|DCT)\b", xd):
+                    from documentai_ray.functions.minijpeg import \
+                        decode_gray_jpeg
+
+                    img = decode_gray_jpeg(xs)
+                    if img.shape != (h, w):
+                        raise ValueError("DCT image dimension mismatch")
+                    imgs.append(img)
+                    continue
+                if re.search(rb"/(?:JPXDecode|CCITTFaxDecode|JBIG2Decode)",
+                             xd):
+                    raise ValueError("unsupported image codec")
+                if (b"/ColorSpace /DeviceGray" not in xd
+                        or b"/BitsPerComponent 8" not in xd):
+                    raise ValueError("unsupported image encoding")
+                data = decode_stream(xd, xs)
+                if len(data) != w * h:
                     raise ValueError("image length mismatch")
-                imgs.append(np.frombuffer(xs, np.uint8).reshape(h, w))
+                imgs.append(np.frombuffer(data, np.uint8).reshape(h, w))
         out.append(imgs)
     return out
 

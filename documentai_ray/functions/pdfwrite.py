@@ -29,8 +29,14 @@ import re
 import numpy as np
 
 
-def images_to_pdf(images: list[np.ndarray]) -> bytes:
-    """Grayscale uint8 (h, w) arrays → one PDF page per image."""
+def images_to_pdf(images: list[np.ndarray], *,
+                  image_filter: str = "none") -> bytes:
+    """Grayscale uint8 (h, w) arrays → one PDF page per image.
+
+    ``image_filter``: "none" (raw samples, the engine's classic layout),
+    "flate" (`/Filter /FlateDecode` — the common lossless embed), or
+    "dct" (`/Filter /DCTDecode` — a REAL embedded JPEG, what scanners
+    and img2pdf produce)."""
     objs: list[bytes] = []  # object bodies, 1-indexed as 1..len(objs)
 
     def add(body: bytes) -> int:
@@ -44,11 +50,25 @@ def images_to_pdf(images: list[np.ndarray]) -> bytes:
     kid_ids: list[int] = []
     for img in images:
         h, w = img.shape
-        raw = img.tobytes()
+        if image_filter == "none":
+            raw = img.tobytes()
+            filt = b""
+        elif image_filter == "flate":
+            import zlib
+
+            raw = zlib.compress(img.tobytes(), 6)
+            filt = b" /Filter /FlateDecode"
+        elif image_filter == "dct":
+            from documentai_ray.functions.jpegdec import encode_jpeg
+
+            raw = encode_jpeg(img)
+            filt = b" /Filter /DCTDecode"
+        else:
+            raise ValueError(f"unknown image_filter {image_filter}")
         im_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
-            b"stream\n%s\nendstream" % (w, h, len(raw), raw))
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8%s /Length %d >>\n"
+            b"stream\n%s\nendstream" % (w, h, filt, len(raw), raw))
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
                     % (len(content), content))

@@ -1,0 +1,70 @@
+"""Embedded-image PDFs: page_images decodes XObjects through the
+standard filter chains (FlateDecode lossless) and as real embedded JPEG
+(`/DCTDecode` → the general T.81 decoder) — the scanner/img2pdf layout
+real PDFs actually use."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from documentai_ray.functions.pdfread import page_images
+from documentai_ray.functions.pdfwrite import images_to_pdf, validate
+
+
+def _imgs():
+    rng = np.random.RandomState(4)
+    return [rng.randint(0, 256, (24, 32)).astype(np.uint8),
+            ((np.arange(16)[:, None] + np.arange(20)) % 256).astype(
+                np.uint8)]
+
+
+@pytest.mark.parametrize("filt", ["none", "flate"])
+def test_lossless_embeds_roundtrip_exactly(filt):
+    imgs = _imgs()
+    back = page_images(images_to_pdf(imgs, image_filter=filt))
+    assert [len(p) for p in back] == [1, 1]
+    for src, (got,) in zip(imgs, back):
+        assert np.array_equal(got, src)
+
+
+def test_dct_embed_constant_is_exact():
+    const = np.full((16, 24), 90, np.uint8)  # even offset → DC-exact
+    (got,), = page_images(images_to_pdf([const], image_filter="dct"))
+    assert np.array_equal(got, const)
+
+
+def test_dct_embed_smooth_quality():
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = (128 + 60 * np.sin(yy / 9.0)
+              + 50 * np.cos(xx / 11.0)).clip(0, 255).astype(np.uint8)
+    (got,), = page_images(images_to_pdf([smooth], image_filter="dct"))
+    mse = np.mean((got.astype(float) - smooth.astype(float)) ** 2)
+    assert 10 * np.log10(255.0 ** 2 / mse) > 35
+
+
+def test_raw_writer_still_validates():
+    validate(images_to_pdf(_imgs()))
+
+
+def test_unsupported_image_codecs_raise():
+    pdf = images_to_pdf([np.full((8, 8), 5, np.uint8)])
+    bad = pdf.replace(b"/BitsPerComponent 8",
+                      b"/Filter /JPXDecode /BitsPerComponent 8")
+    with pytest.raises(ValueError, match="unsupported image codec"):
+        page_images(bad)
+
+
+def test_mutation_robustness_embedded():
+    rng = np.random.RandomState(3)
+    base = images_to_pdf(_imgs(), image_filter="dct")
+    for t in range(150):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(8, len(m))]
+        try:
+            page_images(bytes(m))
+        except ValueError:
+            pass
