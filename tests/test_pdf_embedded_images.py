@@ -68,3 +68,24 @@ def test_mutation_robustness_embedded():
             page_images(bytes(m))
         except ValueError:
             pass
+
+
+def test_scanned_pdf_ocr_byte_identity():
+    # the reference's pdf2image+tesseract loop composed in-engine:
+    # text → bitfont page scan → Flate-embedded PDF → page_images → OCR
+    from documentai_ray.functions.bitfont import CELL_W, GLYPH_H, draw_text
+    from documentai_ray.functions.pdfwrite import wrap_text_lines
+    from documentai_ray.stages.ocr import ocr_image
+
+    src = ("the quick brown fox jumps over the lazy dog " * 5).strip()
+    lines = wrap_text_lines(src)
+    w = max(len(ln) for ln in lines) * CELL_W + 8
+    h = len(lines) * (GLYPH_H + 3) + 8
+    page = np.full((h, w), 255, np.uint8)
+    for i, ln in enumerate(lines):
+        draw_text(page, 4, 4 + i * (GLYPH_H + 3), ln)
+    pdf = images_to_pdf([page], image_filter="flate")
+    (scan,), = page_images(pdf)
+    text, boxes = ocr_image(scan)
+    assert text == "\n".join(lines)
+    assert len(boxes) == len(src.split())
