@@ -1,0 +1,195 @@
+"""PDF standard security handler (ISO 32000-1 §7.6.3) — RC4 variants.
+
+Real crawls are full of "owner-locked" PDFs: encrypted with an OWNER
+password but an EMPTY user password, which conforming readers open
+transparently (the typical "you may read but not edit" document). This
+module implements the standard security handler's Algorithms 1-5 for
+V1/V2 (RC4 40..128-bit), revisions 2 and 3, so `pdfread` can extract
+text from such files: derive the file key from the empty user password,
+verify it against /U, then decrypt each object's streams with the
+per-object key. AES variants (V4 /AESV2, V5 /AESV3) and non-empty user
+passwords raise ValueError — honest unsupported, not faked.
+
+Everything here is the public spec: the 32-byte padding constant and the
+MD5/RC4 recipes are printed verbatim in ISO 32000-1 and the predecessor
+Adobe PDF references.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+# §7.6.3.3, the standard padding string
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (ARCFOUR) — symmetric, used for both directions."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + PAD)[:32]
+
+
+def compute_o(owner_pw: bytes, user_pw: bytes, *, r: int,
+              key_bytes: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    h = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_bytes]
+    o = rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(k ^ i for k in key), o)
+    return o
+
+
+def compute_key(user_pw: bytes, o: bytes, p: int, file_id: bytes, *,
+                r: int, key_bytes: int) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    m = hashlib.md5()
+    m.update(_pad_password(user_pw))
+    m.update(o[:32])
+    m.update(struct.pack("<i", p))
+    m.update(file_id)
+    h = m.digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_bytes]).digest()
+    return h[:key_bytes]
+
+
+def compute_u(key: bytes, file_id: bytes, *, r: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R3+): the /U entry."""
+    if r == 2:
+        return rc4(key, PAD)
+    h = hashlib.md5(PAD + file_id).digest()
+    u = rc4(key, h)
+    for i in range(1, 20):
+        u = rc4(bytes(k ^ i for k in key), u)
+    return u + b"\x00" * 16  # 16 arbitrary padding bytes
+
+
+def object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    m = hashlib.md5()
+    m.update(file_key)
+    m.update(struct.pack("<I", num)[:3])
+    m.update(struct.pack("<I", gen)[:2])
+    return m.digest()[:min(len(file_key) + 5, 16)]
+
+
+def _parse_crypt_string(raw: bytes) -> bytes:
+    """/O and /U values as written: literal ``(…)`` with escapes, or hex
+    ``<…>``."""
+    raw = raw.strip()
+    if raw.startswith(b"<") and not raw.startswith(b"<<"):
+        return bytes.fromhex(
+            re.sub(rb"[^0-9a-fA-F]", b"", raw[1:-1]).decode())
+    if raw.startswith(b"("):
+        out = bytearray()
+        i = 1
+        while i < len(raw) - 1:
+            c = raw[i]
+            if c == 0x5C and i + 1 < len(raw):
+                nxt = raw[i + 1]
+                esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                       0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+                if nxt in esc:
+                    out.append(esc[nxt])
+                    i += 2
+                    continue
+                if 0x30 <= nxt <= 0x37:  # octal
+                    j = i + 1
+                    oct_digits = b""
+                    while j < len(raw) - 1 and len(oct_digits) < 3 \
+                            and 0x30 <= raw[j] <= 0x37:
+                        oct_digits += bytes([raw[j]])
+                        j += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                    i = j
+                    continue
+                out.append(nxt)
+                i += 2
+                continue
+            out.append(c)
+            i += 1
+        return bytes(out)
+    raise ValueError("unparseable /O or /U string")
+
+
+def escape_crypt_string(raw: bytes) -> bytes:
+    """Binary string → hex PDF string (what encrypt dicts usually use)."""
+    return b"<" + raw.hex().encode() + b">"
+
+
+class Decryptor:
+    """File-key holder derived from an /Encrypt dictionary + file /ID,
+    verified against /U with the EMPTY user password."""
+
+    def __init__(self, encrypt_dct: bytes, file_id: bytes) -> None:
+        fm = re.search(rb"/Filter\s*/(\w+)", encrypt_dct)
+        if not fm or fm.group(1) != b"Standard":
+            raise ValueError("unsupported PDF security handler")
+        vm = re.search(rb"/V\s+(\d+)", encrypt_dct)
+        rm = re.search(rb"/R\s+(\d+)", encrypt_dct)
+        pm = re.search(rb"/P\s+(-?\d+)", encrypt_dct)
+        om = re.search(rb"/O\s*(\([^)]*(?:\\\)[^)]*)*\)|<[0-9a-fA-F\s]+>)",
+                       encrypt_dct)
+        um = re.search(rb"/U\s*(\([^)]*(?:\\\)[^)]*)*\)|<[0-9a-fA-F\s]+>)",
+                       encrypt_dct)
+        if not (vm and rm and pm and om and um):
+            raise ValueError("malformed /Encrypt dictionary")
+        v, r = int(vm.group(1)), int(rm.group(1))
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(
+                f"unsupported PDF encryption V={v} R={r} (AES needs V4/5)")
+        lm = re.search(rb"/Length\s+(\d+)", encrypt_dct)
+        nbits = int(lm.group(1)) if lm else 40
+        if nbits % 8 or not 40 <= nbits <= 128:
+            raise ValueError("bad key length")
+        key_bytes = 5 if r == 2 else nbits // 8
+        p = int(pm.group(1))
+        o = _parse_crypt_string(om.group(1))
+        u = _parse_crypt_string(um.group(1))
+        key = compute_key(b"", o, p, file_id, r=r, key_bytes=key_bytes)
+        expect = compute_u(key, file_id, r=r)
+        ok = expect == u if r == 2 else expect[:16] == u[:16]
+        if not ok:
+            raise ValueError(
+                "PDF requires a non-empty user password (not supported)")
+        self.key = key
+
+    def decrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
+        return rc4(object_key(self.key, num, gen), data)
+
+    encrypt = decrypt  # RC4 is symmetric
+
+
+def find_file_id(pdf: bytes) -> bytes:
+    """First 16 ID bytes from the trailer ``/ID [<hex> <hex>]`` (empty
+    bytes when absent — older files omit it)."""
+    m = re.search(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>", pdf)
+    return bytes.fromhex(m.group(1).decode()) if m else b""

@@ -141,8 +141,36 @@ def parse_objects(pdf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             break
     if not objects:
         raise ValueError("no PDF objects found")
+    _decrypt_if_needed(pdf, objects)
     expand_object_streams(objects)
     return objects
+
+
+def _decrypt_if_needed(pdf: bytes,
+                       objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Standard-security-handler decryption (ISO 32000 §7.6.3) for files
+    whose trailer carries ``/Encrypt`` — the empty-user-password RC4
+    case conforming readers open transparently. Stream bytes decrypt
+    with the per-object key BEFORE filters/ObjStm expansion; the encrypt
+    dictionary itself and /Type /XRef streams are never encrypted.
+    Unsupported schemes (AES, real user passwords) raise ValueError →
+    error row."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+0\s+R", pdf)
+    if not em:
+        return
+    from documentai_ray.functions.pdfcrypt import Decryptor, find_file_id
+
+    enc_num = int(em.group(1))
+    enc_dct = objects.get(enc_num, (b"", None))[0]
+    if not enc_dct:
+        raise ValueError("dangling /Encrypt reference")
+    dec = Decryptor(enc_dct, find_file_id(pdf))
+    for num, (dct, stream) in list(objects.items()):
+        if num == enc_num or stream is None:
+            continue
+        if b"/Type /XRef" in dct or b"/Type/XRef" in dct:
+            continue
+        objects[num] = (dct, dec.decrypt(stream, num))
 
 
 def _ref_list(dct: bytes, key: bytes) -> list[int]:

@@ -346,6 +346,74 @@ def text_to_pdf_modern(lines: list[str], *, lines_per_page: int = 40,
     return bytes(out)
 
 
+def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
+                permissions: int = -44) -> bytes:
+    """Re-emit an engine-written classic-layout PDF as an ENCRYPTED file
+    (ISO 32000 §7.6.3 standard security handler, RC4 V2, empty user AND
+    owner password — the ubiquitous "owner-locked" wild PDF). Every
+    stream is RC4-encrypted with its per-object key (RC4 preserves
+    length, so /Length entries stay valid); the trailer gains /Encrypt
+    and /ID. Input must be classic-layout (no ObjStm)."""
+    import hashlib
+
+    from documentai_ray.functions.pdfcrypt import (compute_key, compute_o,
+                                                   compute_u,
+                                                   escape_crypt_string,
+                                                   object_key, rc4)
+    from documentai_ray.functions.pdfread import parse_objects
+
+    if b"/Encrypt" in pdf:
+        raise ValueError("already encrypted")
+    if b"/ObjStm" in pdf:
+        raise ValueError("encrypt_pdf supports classic layout only")
+    objects = parse_objects(pdf)
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
+    if not rm:
+        raise ValueError("no /Root")
+    root_num = int(rm.group(1))
+    file_id = hashlib.md5(pdf).digest()
+    key_bytes = 5 if r == 2 else nbits // 8
+    o = compute_o(b"", b"", r=r, key_bytes=key_bytes)
+    key = compute_key(b"", o, permissions, file_id, r=r,
+                      key_bytes=key_bytes)
+    u = compute_u(key, file_id, r=r)
+
+    enc_num = max(objects) + 1
+    if r == 2:
+        enc_dct = (b"<< /Filter /Standard /V 1 /R 2 /P %d /O %s /U %s >>"
+                   % (permissions, escape_crypt_string(o),
+                      escape_crypt_string(u)))
+    else:
+        enc_dct = (b"<< /Filter /Standard /V 2 /R 3 /Length %d /P %d"
+                   b" /O %s /U %s >>"
+                   % (nbits, permissions, escape_crypt_string(o),
+                      escape_crypt_string(u)))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        dct, stream = objects[num]
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + dct
+        if stream is not None:
+            enc = rc4(object_key(key, num), stream)
+            out += b"\nstream\n" + enc + b"\nendstream"
+        out += b"\nendobj\n"
+    offsets[enc_num] = len(out)
+    out += b"%d 0 obj\n" % enc_num + enc_dct + b"\nendobj\n"
+    nobjs = enc_num
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (nobjs + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, nobjs + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+            b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+            % (nobjs + 1, root_num, enc_num,
+               file_id.hex().encode(), file_id.hex().encode(), xref_at))
+    return bytes(out)
+
+
 def mixed_pdf(pages: list[tuple]) -> bytes:
     """Mixed text/image PDF 1.4 — the M16 output format: each entry is
     ``("text", [lines])`` (original page, text objects) or

@@ -1,0 +1,96 @@
+"""Encrypted-PDF support (ISO 32000 §7.6.3 standard security handler,
+RC4 V1/V2 R2/R3, empty user password — the wild "owner-locked" PDF).
+The RC4 core is pinned against the classic public known-answer vectors;
+the whole path is proven by encrypt→extract equality with plaintext."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from documentai_ray.functions.pdfcrypt import (PAD, compute_key, compute_o,
+                                               compute_u, object_key, rc4)
+from documentai_ray.functions.pdfread import extract_text, page_images
+from documentai_ray.functions.pdfwrite import (encrypt_pdf, images_to_pdf,
+                                               text_to_pdf)
+
+LINES = [f"secret line {i} of the locked document" for i in range(60)]
+
+
+def test_rc4_known_answer_vectors():
+    # the classic published RC4 KATs (Schneier / cypherpunks test set)
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex() == \
+        "45a01f645fc35b383552544b9bf5"
+    # RC4 is symmetric
+    assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+
+def test_pad_constant_shape():
+    assert len(PAD) == 32 and PAD[0] == 0x28 and PAD[-1] == 0x7A
+
+
+def test_key_derivation_is_deterministic_and_length_correct():
+    o = compute_o(b"", b"", r=3, key_bytes=16)
+    assert len(o) == 32
+    key = compute_key(b"", o, -44, b"\x01" * 16, r=3, key_bytes=16)
+    assert len(key) == 16
+    u = compute_u(key, b"\x01" * 16, r=3)
+    assert len(u) == 32
+    assert len(object_key(key, 7)) == 16
+    assert len(object_key(b"\x00" * 5, 7)) == 10  # 40-bit → n+5
+
+
+@pytest.mark.parametrize("r,nbits,compress", [(2, 40, False),
+                                              (3, 128, True),
+                                              (3, 40, False)])
+def test_encrypted_text_pdf_extracts_identically(r, nbits, compress):
+    plain = text_to_pdf(LINES, shuffle_key=5, compress=compress)
+    enc = encrypt_pdf(plain, r=r, nbits=nbits)
+    assert b"/Encrypt" in enc and b"/ID [<" in enc
+    if not compress:
+        # ciphertext really is ciphertext: plaintext gone from the bytes
+        assert b"secret line" not in enc
+    assert extract_text(enc)[0] == extract_text(plain)[0]
+
+
+def test_encrypted_image_pdf_decodes_losslessly():
+    img = ((np.arange(24)[:, None] * 7 + np.arange(32) * 3)
+           % 256).astype(np.uint8)
+    enc = encrypt_pdf(images_to_pdf([img], image_filter="flate"))
+    (got,), = page_images(enc)
+    assert np.array_equal(got, img)
+
+
+def test_tampered_u_entry_raises():
+    enc = bytearray(encrypt_pdf(text_to_pdf(LINES)))
+    i = enc.find(b"/U <") + 4
+    enc[i:i + 4] = b"0000"
+    with pytest.raises(ValueError, match="user password"):
+        extract_text(bytes(enc))
+
+
+def test_unsupported_schemes_raise():
+    enc = encrypt_pdf(text_to_pdf(LINES))
+    aes = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(ValueError, match="unsupported PDF encryption"):
+        extract_text(aes)
+    foreign = enc.replace(b"/Filter /Standard", b"/Filter /MySecurity")
+    with pytest.raises(ValueError, match="security handler"):
+        extract_text(foreign)
+
+
+def test_mutation_robustness_encrypted():
+    rng = np.random.RandomState(3)
+    base = encrypt_pdf(text_to_pdf(LINES[:20], compress=True))
+    for t in range(200):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(8, len(m))]
+        try:
+            extract_text(bytes(m))
+        except ValueError:
+            pass
