@@ -145,9 +145,21 @@ def escape_crypt_string(raw: bytes) -> bytes:
     return b"<" + raw.hex().encode() + b">"
 
 
+def object_key_aes(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1 with the /AESV2 salt (ISO 32000 §7.6.2 step b)."""
+    m = hashlib.md5()
+    m.update(file_key)
+    m.update(struct.pack("<I", num)[:3])
+    m.update(struct.pack("<I", gen)[:2])
+    m.update(b"sAlT")
+    return m.digest()[:min(len(file_key) + 5, 16)]
+
+
 class Decryptor:
     """File-key holder derived from an /Encrypt dictionary + file /ID,
-    verified against /U with the EMPTY user password."""
+    verified against /U with the EMPTY user password. Handles V1/V2
+    (RC4, R2/R3) and V4 (R4) with the /StdCF crypt filter in /V2 (RC4)
+    or /AESV2 (AES-128-CBC, IV-prefixed streams) mode."""
 
     def __init__(self, encrypt_dct: bytes, file_id: bytes) -> None:
         fm = re.search(rb"/Filter\s*/(\w+)", encrypt_dct)
@@ -163,9 +175,21 @@ class Decryptor:
         if not (vm and rm and pm and om and um):
             raise ValueError("malformed /Encrypt dictionary")
         v, r = int(vm.group(1)), int(rm.group(1))
-        if v not in (1, 2) or r not in (2, 3):
+        self.aes = False
+        if v in (1, 2) and r in (2, 3):
+            pass
+        elif v == 4 and r == 4:
+            cfm = re.search(rb"/CFM\s*/(\w+)", encrypt_dct)
+            if not cfm:
+                raise ValueError("V4 encryption without /CFM")
+            if cfm.group(1) == b"AESV2":
+                self.aes = True
+            elif cfm.group(1) != b"V2":
+                raise ValueError(
+                    f"unsupported crypt filter /{cfm.group(1).decode()}")
+        else:
             raise ValueError(
-                f"unsupported PDF encryption V={v} R={r} (AES needs V4/5)")
+                f"unsupported PDF encryption V={v} R={r}")
         lm = re.search(rb"/Length\s+(\d+)", encrypt_dct)
         nbits = int(lm.group(1)) if lm else 40
         if nbits % 8 or not 40 <= nbits <= 128:
@@ -174,8 +198,14 @@ class Decryptor:
         p = int(pm.group(1))
         o = _parse_crypt_string(om.group(1))
         u = _parse_crypt_string(um.group(1))
-        key = compute_key(b"", o, p, file_id, r=r, key_bytes=key_bytes)
-        expect = compute_u(key, file_id, r=r)
+        # EncryptMetadata=false appends FFFFFFFF to the KEY hash input
+        # only (Algorithm 2 step f) — /U's Algorithm 5 hashes the plain ID
+        id_for_key = file_id
+        if re.search(rb"/EncryptMetadata\s+false", encrypt_dct):
+            id_for_key = file_id + b"\xff\xff\xff\xff"
+        key = compute_key(b"", o, p, id_for_key,
+                          r=min(r, 3), key_bytes=key_bytes)
+        expect = compute_u(key, file_id, r=min(r, 3))
         ok = expect == u if r == 2 else expect[:16] == u[:16]
         if not ok:
             raise ValueError(
@@ -183,9 +213,25 @@ class Decryptor:
         self.key = key
 
     def decrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
+        if self.aes:
+            from documentai_ray.functions.aes import cbc_decrypt
+
+            if len(data) < 32:
+                raise ValueError("AES stream too short for IV + block")
+            return cbc_decrypt(object_key_aes(self.key, num, gen),
+                               data[:16], data[16:])
         return rc4(object_key(self.key, num, gen), data)
 
-    encrypt = decrypt  # RC4 is symmetric
+    def encrypt(self, data: bytes, num: int, gen: int = 0,
+                iv: bytes | None = None) -> bytes:
+        if self.aes:
+            from documentai_ray.functions.aes import cbc_encrypt
+
+            if iv is None:
+                iv = hashlib.md5(struct.pack("<I", num) + data[:32]).digest()
+            return iv + cbc_encrypt(object_key_aes(self.key, num, gen),
+                                    iv, data)
+        return rc4(object_key(self.key, num, gen), data)
 
 
 def find_file_id(pdf: bytes) -> bytes:

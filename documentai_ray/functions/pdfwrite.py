@@ -347,19 +347,20 @@ def text_to_pdf_modern(lines: list[str], *, lines_per_page: int = 40,
 
 
 def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
-                permissions: int = -44) -> bytes:
+                permissions: int = -44, aes: bool = False) -> bytes:
     """Re-emit an engine-written classic-layout PDF as an ENCRYPTED file
-    (ISO 32000 §7.6.3 standard security handler, RC4 V2, empty user AND
-    owner password — the ubiquitous "owner-locked" wild PDF). Every
-    stream is RC4-encrypted with its per-object key (RC4 preserves
-    length, so /Length entries stay valid); the trailer gains /Encrypt
-    and /ID. Input must be classic-layout (no ObjStm)."""
+    (ISO 32000 §7.6.3 standard security handler, empty user AND owner
+    password — the ubiquitous "owner-locked" wild PDF). ``aes=False``:
+    RC4 V1/V2 R2/R3 (RC4 preserves length, /Length stays valid);
+    ``aes=True``: V4 R4 with the /StdCF /AESV2 crypt filter — streams
+    become IV + CBC ciphertext, so /Length is patched per object. The
+    trailer gains /Encrypt and /ID. Input must be classic-layout (no
+    ObjStm)."""
     import hashlib
 
-    from documentai_ray.functions.pdfcrypt import (compute_key, compute_o,
-                                                   compute_u,
-                                                   escape_crypt_string,
-                                                   object_key, rc4)
+    from documentai_ray.functions.pdfcrypt import (Decryptor, compute_key,
+                                                   compute_o, compute_u,
+                                                   escape_crypt_string)
     from documentai_ray.functions.pdfread import parse_objects
 
     if b"/Encrypt" in pdf:
@@ -372,14 +373,22 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
         raise ValueError("no /Root")
     root_num = int(rm.group(1))
     file_id = hashlib.md5(pdf).digest()
+    if aes:
+        r, nbits = 4, 128
     key_bytes = 5 if r == 2 else nbits // 8
-    o = compute_o(b"", b"", r=r, key_bytes=key_bytes)
-    key = compute_key(b"", o, permissions, file_id, r=r,
+    o = compute_o(b"", b"", r=min(r, 3), key_bytes=key_bytes)
+    key = compute_key(b"", o, permissions, file_id, r=min(r, 3),
                       key_bytes=key_bytes)
-    u = compute_u(key, file_id, r=r)
+    u = compute_u(key, file_id, r=min(r, 3))
 
     enc_num = max(objects) + 1
-    if r == 2:
+    if aes:
+        enc_dct = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d"
+                   b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                   b" /StmF /StdCF /StrF /StdCF /O %s /U %s >>"
+                   % (permissions, escape_crypt_string(o),
+                      escape_crypt_string(u)))
+    elif r == 2:
         enc_dct = (b"<< /Filter /Standard /V 1 /R 2 /P %d /O %s /U %s >>"
                    % (permissions, escape_crypt_string(o),
                       escape_crypt_string(u)))
@@ -388,16 +397,24 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                    b" /O %s /U %s >>"
                    % (nbits, permissions, escape_crypt_string(o),
                       escape_crypt_string(u)))
+    # a Decryptor on the final dict gives the exact cipher the reader
+    # will use (RC4 object keys or AESV2 salted keys + IV framing)
+    cipher = Decryptor(enc_dct, file_id)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
         dct, stream = objects[num]
         offsets[num] = len(out)
-        out += b"%d 0 obj\n" % num + dct
         if stream is not None:
-            enc = rc4(object_key(key, num), stream)
+            enc = cipher.encrypt(stream, num)
+            if len(enc) != len(stream):  # AES grew the stream
+                dct = re.sub(rb"/Length\s+\d+",
+                             b"/Length %d" % len(enc), dct, count=1)
+            out += b"%d 0 obj\n" % num + dct
             out += b"\nstream\n" + enc + b"\nendstream"
+        else:
+            out += b"%d 0 obj\n" % num + dct
         out += b"\nendobj\n"
     offsets[enc_num] = len(out)
     out += b"%d 0 obj\n" % enc_num + enc_dct + b"\nendobj\n"

@@ -73,9 +73,13 @@ def test_tampered_u_entry_raises():
 
 def test_unsupported_schemes_raise():
     enc = encrypt_pdf(text_to_pdf(LINES))
-    aes = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    v5 = enc.replace(b"/V 2 /R 3", b"/V 5 /R 5")
     with pytest.raises(ValueError, match="unsupported PDF encryption"):
-        extract_text(aes)
+        extract_text(v5)
+    # V4 without a crypt-filter spec is malformed
+    v4 = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(ValueError, match="without /CFM"):
+        extract_text(v4)
     foreign = enc.replace(b"/Filter /Standard", b"/Filter /MySecurity")
     with pytest.raises(ValueError, match="security handler"):
         extract_text(foreign)
@@ -85,6 +89,45 @@ def test_mutation_robustness_encrypted():
     rng = np.random.RandomState(3)
     base = encrypt_pdf(text_to_pdf(LINES[:20], compress=True))
     for t in range(200):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(8, len(m))]
+        try:
+            extract_text(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_aesv2_text_pdf_extracts_identically():
+    plain = text_to_pdf(LINES, shuffle_key=5, compress=False)
+    enc = encrypt_pdf(plain, aes=True)
+    assert b"/AESV2" in enc and b"/V 4" in enc and b"/R 4" in enc
+    assert b"secret line" not in enc  # genuinely ciphertext
+    assert extract_text(enc)[0] == extract_text(plain)[0]
+
+
+def test_aesv2_image_pdf_decodes_losslessly():
+    img = ((np.arange(24)[:, None] * 7 + np.arange(32) * 3)
+           % 256).astype(np.uint8)
+    enc = encrypt_pdf(images_to_pdf([img], image_filter="flate"), aes=True)
+    (got,), = page_images(enc)
+    assert np.array_equal(got, img)
+
+
+def test_aesv2_tampered_u_raises():
+    enc = bytearray(encrypt_pdf(text_to_pdf(LINES), aes=True))
+    i = enc.find(b"/U <") + 4
+    enc[i:i + 4] = b"0000"
+    with pytest.raises(ValueError, match="user password"):
+        extract_text(bytes(enc))
+
+
+def test_aesv2_mutation_robustness():
+    rng = np.random.RandomState(5)
+    base = encrypt_pdf(text_to_pdf(LINES[:20], compress=True), aes=True)
+    for t in range(150):
         m = bytearray(base)
         if t % 2:
             m[rng.randint(len(m))] ^= 1 << rng.randint(8)
