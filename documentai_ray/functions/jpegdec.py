@@ -152,6 +152,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     restart_interval = 0
     frame_seen = False
+    adobe_transform: int | None = None
     pos = 2
     n = len(payload)
     while pos < n:
@@ -219,7 +220,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("truncated SOF component list")
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise ValueError(f"unsupported component count {nc}")
             if height == 0 or width == 0:
                 raise ValueError("bad frame dimensions")
@@ -271,11 +272,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             _decode_scan(_SegReader(segs), scomps, dc_tabs, ac_tabs,
                          ss, se, ah, al, progressive, restart_interval)
             continue
-        # APPn / COM / others: skipped
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            if len(body) >= 12:
+                adobe_transform = body[11]
+        # other APPn / COM: skipped
         pos += ln
     if not comps or comps[0].coef is None:
         raise ValueError("no frame decoded")
-    return _reconstruct(comps, qtabs, height, width)
+    return _reconstruct(comps, qtabs, height, width, adobe_transform)
 
 
 def _decode_scan(br: _SegReader, scomps, dc_tabs, ac_tabs, ss, se, ah, al,
@@ -426,7 +430,8 @@ def _decode_ac_refine(br, coef, ac_tab, ss, se, al, eobrun) -> int:
     return eobrun
 
 
-def _reconstruct(comps, qtabs, height, width) -> np.ndarray:
+def _reconstruct(comps, qtabs, height, width,
+                 adobe_transform: int | None = None) -> np.ndarray:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -450,6 +455,18 @@ def _reconstruct(comps, qtabs, height, width) -> np.ndarray:
         planes.append(img[:height, :width] + 128.0)
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) == 4:
+        # CMYK (Adobe transform 0/absent: stored direct) or YCCK
+        # (transform 2: first three channels are YCbCr-coded) — output
+        # the 4 stored-CMYK channels; color-management is the caller's
+        c1, c2, c3, k = planes
+        if adobe_transform == 2:
+            r = c1 + 1.402 * (c3 - 128.0)
+            g = c1 - 0.344136 * (c2 - 128.0) - 0.714136 * (c3 - 128.0)
+            b = c1 + 1.772 * (c2 - 128.0)
+            c1, c2, c3 = r, g, b
+        return np.clip(np.round(np.dstack([c1, c2, c3, k])), 0,
+                       255).astype(np.uint8)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -643,9 +660,14 @@ def encode_jpeg(img: np.ndarray, *, subsampling: str = "444",
     with successive approximation; ``restart_interval`` adds DRI+RSTn."""
     gray = img.ndim == 2
     h, w = img.shape[0], img.shape[1]
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     if gray:
         planes = [img.astype(np.float64)]
         samps = [(1, 1)]
+    elif cmyk:
+        # Adobe APP14 transform 0: the four channels store direct
+        planes = [img[:, :, i].astype(np.float64) for i in range(4)]
+        samps = [(1, 1)] * 4
     else:
         y, cb, cr = _rgb_to_ycbcr(img)
         if subsampling == "420":
@@ -681,6 +703,8 @@ def encode_jpeg(img: np.ndarray, *, subsampling: str = "444",
 
     out = bytearray(struct.pack(">H", 0xFFD8))
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:  # Adobe APP14, transform 0 (direct CMYK)
+        out += _seg(0xFFEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0))
     out += _seg(0xFFDB, bytes([0]) + bytes(
         int(QTABLE.ravel()[ZIGZAG][i]) for i in range(64)))
     if not gray:

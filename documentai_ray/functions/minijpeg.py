@@ -221,9 +221,17 @@ def decode_gray_jpeg(payload: bytes) -> np.ndarray:
     img = decode_jpeg(payload)
     if img.ndim == 2:
         return img
-    r = img[:, :, 0].astype(np.uint32)
-    g = img[:, :, 1].astype(np.uint32)
-    b = img[:, :, 2].astype(np.uint32)
+    if img.shape[2] == 4:
+        # CMYK channels as stored; Adobe files store them inverted, so
+        # the standard viewer rendering is R = c1·k/255 per channel
+        k = img[:, :, 3].astype(np.uint32)
+        r = img[:, :, 0].astype(np.uint32) * k // 255
+        g = img[:, :, 1].astype(np.uint32) * k // 255
+        b = img[:, :, 2].astype(np.uint32) * k // 255
+    else:
+        r = img[:, :, 0].astype(np.uint32)
+        g = img[:, :, 1].astype(np.uint32)
+        b = img[:, :, 2].astype(np.uint32)
     return ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
 
 

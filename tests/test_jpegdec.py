@@ -146,3 +146,54 @@ def test_jpeg_mutation_robustness(kind):
             decode_jpeg(bytes(m))
         except ValueError:
             pass
+
+
+def test_cmyk_roundtrip():
+    # 4-component Adobe CMYK (APP14 transform 0): decodes to (H, W, 4)
+    yy, xx = np.mgrid[0:33, 0:41]
+    cmyk = np.dstack([(128 + 70 * np.sin(yy / 6.0)).clip(0, 255),
+                      (128 + 70 * np.cos(xx / 8.0)).clip(0, 255),
+                      (yy * 4 + xx) % 256,
+                      (200 - yy) % 256]).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(cmyk))
+    assert back.shape == (33, 41, 4)
+    assert _psnr(cmyk, back) > 33
+    # constant page: channel 0 uses the luma table (DC-exact at even
+    # offsets); chroma-table channels land within ±1
+    const = np.zeros((16, 24, 4), np.uint8)
+    const[:, :, 0] = 90
+    const[:, :, 1] = 130
+    const[:, :, 2] = 170
+    const[:, :, 3] = 210
+    back = decode_jpeg(encode_jpeg(const))
+    assert np.array_equal(back[:, :, 0], const[:, :, 0])
+    assert np.abs(back.astype(int) - const.astype(int)).max() <= 1
+
+
+def test_ycck_transform2_decodes():
+    # patch the Adobe transform byte to 2: decoder must un-YCbCr the
+    # first three channels
+    from documentai_ray.functions.jpegdec import _rgb_to_ycbcr
+
+    yy, xx = np.mgrid[0:33, 0:41]
+    rgb = np.dstack([(128 + 70 * np.sin(yy / 6.0)).clip(0, 255),
+                     (128 + 70 * np.cos(xx / 8.0)).clip(0, 255),
+                     (yy * 4 + xx) % 256]).astype(np.uint8)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    k = np.full(rgb.shape[:2], 180.0)
+    ycck = np.dstack([y, cb, cr, k]).round().clip(0, 255).astype(np.uint8)
+    pay = encode_jpeg(ycck)
+    i = pay.find(b"Adobe") + 11
+    pay = pay[:i] + bytes([2]) + pay[i + 1:]
+    want = np.dstack([rgb, np.full(rgb.shape[:2], 180, np.uint8)])
+    assert _psnr(want, decode_jpeg(pay)) > 30
+
+
+def test_cmyk_gray_reduction():
+    from documentai_ray.functions.minijpeg import decode_gray_jpeg
+
+    const = np.full((16, 24, 4), 200, np.uint8)
+    g = decode_gray_jpeg(encode_jpeg(const))
+    assert g.shape == (16, 24)
+    # stored-inverted viewer convention: 200*200//255 = 156 per channel
+    assert abs(int(g[0, 0]) - 156) <= 2
