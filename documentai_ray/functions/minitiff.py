@@ -240,21 +240,27 @@ def _undiff_rows(img: np.ndarray) -> np.ndarray:
 
 def encode_gray_tiff(img: np.ndarray, compression: str = "none",
                      rows_per_strip: int | None = None,
-                     predictor: int = 1) -> bytes:
+                     predictor: int = 1, bilevel: bool = False) -> bytes:
     """Little-endian grayscale TIFF. ``compression`` in {"none",
     "packbits", "lzw"}; ``predictor=2`` (LZW only) applies horizontal
-    differencing; ``rows_per_strip`` splits the image into strips."""
+    differencing; ``rows_per_strip`` splits the image into strips;
+    ``bilevel=True`` writes 1-bit rows (the scanned-fax layout: pixels
+    >= 128 become 1 = black-is-zero white, rows padded to byte
+    boundaries)."""
     h, w = img.shape
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
-    if predictor == 2 and compression != "lzw":
-        raise ValueError("predictor=2 only supported with lzw here")
+    if predictor == 2 and (compression != "lzw" or bilevel):
+        raise ValueError("predictor=2 only supported with 8-bit lzw here")
     rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
     strips: list[bytes] = []
     for y0 in range(0, h, rps):
         block = img[y0:y0 + rps]
-        if predictor == 2:
-            block = _diff_rows(block)
-        raw = block.tobytes()
+        if bilevel:
+            raw = np.packbits(block >= 128, axis=1).tobytes()
+        else:
+            if predictor == 2:
+                block = _diff_rows(block)
+            raw = block.tobytes()
         if compression == "lzw":
             strips.append(lzw_encode(raw))
         elif compression == "packbits":
@@ -265,7 +271,8 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
 
     entries: list[tuple[int, int, int, int | list[int]]] = [
         (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
-        (_TAG_BITS, 3, 1, 8), (_TAG_COMPRESSION, 3, 1, comp_id),
+        (_TAG_BITS, 3, 1, 1 if bilevel else 8),
+        (_TAG_COMPRESSION, 3, 1, comp_id),
         (_TAG_PHOTOMETRIC, 3, 1, 1),
         (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),  # patched below
         (_TAG_SAMPLES, 3, 1, 1), (_TAG_ROWS_PER_STRIP, 3, 1, rps),
@@ -360,10 +367,12 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
     if comp not in (1, 5, 32773):
         raise ValueError(f"TIFF compression {comp} not supported")
-    if tags.get(_TAG_BITS, [8])[0] != 8 or tags.get(_TAG_SAMPLES, [1])[0] != 1:
-        raise ValueError("only 8-bit single-sample TIFF supported")
+    bits = tags.get(_TAG_BITS, [8])[0]
+    if bits not in (1, 8) or tags.get(_TAG_SAMPLES, [1])[0] != 1:
+        raise ValueError("only 1/8-bit single-sample TIFF supported")
+    photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2) or (predictor == 2 and bits == 1):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
@@ -372,13 +381,14 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
     byte_counts = tags[_TAG_STRIP_BYTES]
     if len(offsets) != len(byte_counts):
         raise ValueError("strip offset/bytecount length mismatch")
+    row_bytes = (w * bits + 7) // 8
     rows = []
     y = 0
     for off, nbytes in zip(offsets, byte_counts):
         if off + nbytes > len(payload):
             raise ValueError("strip out of bounds")
         strip_rows = min(rps, h - y)
-        expected = strip_rows * w
+        expected = strip_rows * row_bytes
         raw = payload[off:off + nbytes]
         if comp == 1:
             if nbytes < expected:
@@ -388,9 +398,18 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
             data = lzw_decode(raw, expected)
         else:
             data = packbits_decode(raw, expected)
-        block = np.frombuffer(data, np.uint8).reshape(strip_rows, w)
-        if predictor == 2:
-            block = _undiff_rows(block)
+        if bits == 1:
+            packed = np.frombuffer(data, np.uint8).reshape(strip_rows,
+                                                           row_bytes)
+            unpacked = np.unpackbits(packed, axis=1)[:, :w]
+            # BlackIsZero: bit 1 = white; WhiteIsZero (fax default): invert
+            if photometric == 0:
+                unpacked = 1 - unpacked
+            block = (unpacked * 255).astype(np.uint8)
+        else:
+            block = np.frombuffer(data, np.uint8).reshape(strip_rows, w)
+            if predictor == 2:
+                block = _undiff_rows(block)
         rows.append(block)
         y += strip_rows
     if y != h:

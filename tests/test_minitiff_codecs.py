@@ -128,3 +128,49 @@ def test_unsupported_variants_still_raise():
             enc[base:base + 12] = struct.pack("<HHII", tag, typ, cnt, 7)
     with pytest.raises(ValueError, match="not supported"):
         decode_gray_tiff(bytes(enc))
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_bilevel_tiff_roundtrips(comp):
+    # 1-bit rows (the scanned-fax layout), byte-padded, across strip
+    # splits and all three compressions
+    rng = np.random.RandomState(8)
+    for h, w in [(1, 1), (7, 9), (13, 31), (40, 65), (8, 64)]:
+        src = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        want = np.where(src >= 128, 255, 0).astype(np.uint8)
+        for rps in (None, 3):
+            enc = encode_gray_tiff(src, compression=comp,
+                                   rows_per_strip=rps, bilevel=True)
+            assert np.array_equal(decode_gray_tiff(enc), want)
+
+
+def test_bilevel_whiteiszero_inverts():
+    # PhotometricInterpretation 0 (the fax default): bit 1 = black
+    src = np.where(np.indices((6, 11)).sum(0) % 3 == 0, 255,
+                   0).astype(np.uint8)
+    enc = bytearray(encode_gray_tiff(src, bilevel=True))
+    (ifd_off,) = struct.unpack_from("<I", enc, 4)
+    (n,) = struct.unpack_from("<H", enc, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt, _val = struct.unpack_from("<HHII", enc, base)
+        if tag == 262:
+            struct.pack_into("<HHII", enc, base, tag, typ, cnt, 0)
+    assert np.array_equal(decode_gray_tiff(bytes(enc)), 255 - src)
+
+
+def test_bilevel_mutation_robustness():
+    rng = np.random.RandomState(8)
+    base = encode_gray_tiff(rng.randint(0, 256, (20, 30)).astype(np.uint8),
+                            compression="lzw", bilevel=True,
+                            rows_per_strip=4)
+    for t in range(200):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(4, len(m))]
+        try:
+            decode_gray_tiff(bytes(m))
+        except ValueError:
+            pass
