@@ -1,0 +1,483 @@
+"""CCITT Group 4 (ITU-T T.6) bilevel codec — pure Python/numpy.
+
+The canonical scanned-fax compression: TIFF Compression=4 and PDF's
+``/CCITTFaxDecode`` with K<0. Pure 2-D MMR coding — every line is coded
+against the reference line above (an imaginary all-white line for the
+first) with pass (0001), horizontal (001 + two T.4 run-length codes)
+and vertical (V0/VR1-3/VL1-3) modes, ending with EOFB.
+
+The run-length Huffman tables below are the public ITU-T T.4 tables
+(white/black terminating 0-63, makeup 64-1728, shared extended makeup
+1792-2560). Honesty note (same contract as minijpeg): no reference
+codec exists in this container, so cross-implementation interop cannot
+be proven in-sandbox; what IS verified: encode→decode round-trips are
+exact on adversarial bitmaps, the mode codes and the table anchors
+(white-0 00110101, black-0 0000110111, black-1 010, V/P/H codes) match
+the published spec values, and the decoder rejects malformed streams
+with ValueError.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ITU-T T.4 run-length code tables: run -> (bits-string length, value)
+_WHITE_CODES: dict[int, tuple[int, int]] = {}
+_BLACK_CODES: dict[int, tuple[int, int]] = {}
+
+
+def _fill(table: dict[int, tuple[int, int]], spec: str) -> None:
+    for line in spec.strip().splitlines():
+        run_s, code = line.split()
+        table[int(run_s)] = (len(code), int(code, 2))
+
+
+_fill(_WHITE_CODES, """
+0 00110101
+1 000111
+2 0111
+3 1000
+4 1011
+5 1100
+6 1110
+7 1111
+8 10011
+9 10100
+10 00111
+11 01000
+12 001000
+13 000011
+14 110100
+15 110101
+16 101010
+17 101011
+18 0100111
+19 0001100
+20 0001000
+21 0010111
+22 0000011
+23 0000100
+24 0101000
+25 0101011
+26 0010011
+27 0100100
+28 0011000
+29 00000010
+30 00000011
+31 00011010
+32 00011011
+33 00010010
+34 00010011
+35 00010100
+36 00010101
+37 00010110
+38 00010111
+39 00101000
+40 00101001
+41 00101010
+42 00101011
+43 00101100
+44 00101101
+45 00000100
+46 00000101
+47 00001010
+48 00001011
+49 01010010
+50 01010011
+51 01010100
+52 01010101
+53 00100100
+54 00100101
+55 01011000
+56 01011001
+57 01011010
+58 01011011
+59 01001010
+60 01001011
+61 00110010
+62 00110011
+63 00110100
+64 11011
+128 10010
+192 010111
+256 0110111
+320 00110110
+384 00110111
+448 01100100
+512 01100101
+576 01101000
+640 01100111
+704 011001100
+768 011001101
+832 011010010
+896 011010011
+960 011010100
+1024 011010101
+1088 011010110
+1152 011010111
+1216 011011000
+1280 011011001
+1344 011011010
+1408 011011011
+1472 010011000
+1536 010011001
+1600 010011010
+1664 011000
+1728 010011011
+""")
+
+_fill(_BLACK_CODES, """
+0 0000110111
+1 010
+2 11
+3 10
+4 011
+5 0011
+6 0010
+7 00011
+8 000101
+9 000100
+10 0000100
+11 0000101
+12 0000111
+13 00000100
+14 00000111
+15 000011000
+16 0000010111
+17 0000011000
+18 0000001000
+19 00001100111
+20 00001101000
+21 00001101100
+22 00000110111
+23 00000101000
+24 00000010111
+25 00000011000
+26 000011001010
+27 000011001011
+28 000011001100
+29 000011001101
+30 000001101000
+31 000001101001
+32 000001101010
+33 000001101011
+34 000011010010
+35 000011010011
+36 000011010100
+37 000011010101
+38 000011010110
+39 000011010111
+40 000001101100
+41 000001101101
+42 000011011010
+43 000011011011
+44 000001010100
+45 000001010101
+46 000001010110
+47 000001010111
+48 000001100100
+49 000001100101
+50 000001010010
+51 000001010011
+52 000000100100
+53 000000110111
+54 000000111000
+55 000000100111
+56 000000101000
+57 000001011000
+58 000001011001
+59 000000101011
+60 000000101100
+61 000001011010
+62 000001100110
+63 000001100111
+64 0000001111
+128 000011001000
+192 000011001001
+256 000001011011
+320 000000110011
+384 000000110100
+448 000000110101
+512 0000001101100
+576 0000001101101
+640 0000001001010
+704 0000001001011
+768 0000001001100
+832 0000001001101
+896 0000001110010
+960 0000001110011
+1024 0000001110100
+1088 0000001110101
+1152 0000001110110
+1216 0000001110111
+1280 0000001010010
+1344 0000001010011
+1408 0000001010100
+1472 0000001010101
+1536 0000001011010
+1600 0000001011011
+1664 0000001100100
+1728 0000001100101
+""")
+
+# extended makeup codes, shared by both colors (T.4 table 3)
+_EXT = """
+1792 00000001000
+1856 00000001100
+1920 00000001101
+1984 000000010010
+2048 000000010011
+2112 000000010100
+2176 000000010101
+2240 000000010110
+2304 000000010111
+2368 000000011100
+2432 000000011101
+2496 000000011110
+2560 000000011111
+"""
+_fill(_WHITE_CODES, _EXT)
+_fill(_BLACK_CODES, _EXT)
+
+# decode dictionaries: (length, code) -> run
+_WHITE_DEC = {(ln, code): run for run, (ln, code) in _WHITE_CODES.items()}
+_BLACK_DEC = {(ln, code): run for run, (ln, code) in _BLACK_CODES.items()}
+
+_EOFB_BITS = "000000000001" * 2
+
+
+class _BitW:
+    __slots__ = ("buf", "acc", "nb")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def put(self, length: int, value: int) -> None:
+        self.acc = (self.acc << length) | value
+        self.nb += length
+        while self.nb >= 8:
+            self.nb -= 8
+            self.buf.append((self.acc >> self.nb) & 0xFF)
+
+    def done(self) -> bytes:
+        if self.nb:
+            self.buf.append((self.acc << (8 - self.nb)) & 0xFF)
+            self.acc = self.nb = 0
+        return bytes(self.buf)
+
+
+class _BitR:
+    __slots__ = ("data", "pos", "acc", "nb")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nb = 0
+
+    def bit(self) -> int:
+        if self.nb == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("G4 stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nb = 8
+        self.nb -= 1
+        return (self.acc >> self.nb) & 1
+
+
+def _transitions(row: np.ndarray) -> list[int]:
+    """Positions where the pixel color differs from the previous pixel
+    (line implicitly starts white)."""
+    padded = np.concatenate(([0], row.view(np.uint8)))
+    return list(np.flatnonzero(np.diff(padded)))
+
+
+def _emit_run(bw: _BitW, run: int, black: bool) -> None:
+    table = _BLACK_CODES if black else _WHITE_CODES
+    while run >= 64:
+        if run >= 2624:
+            mk = 2560
+        else:
+            mk = (run // 64) * 64
+        ln, code = table[mk]
+        bw.put(ln, code)
+        run -= mk
+    ln, code = table[run]
+    bw.put(ln, code)
+
+
+def _b1_b2(ref: list[int], threshold: int, black: bool) -> tuple[int, int]:
+    """b1: first ref transition > threshold with the right parity (a
+    transition TO the opposite of the current color — even index =
+    white→black); b2: the next one after it."""
+    want_parity = 1 if black else 0
+    # binary search then parity fix
+    import bisect
+
+    i = bisect.bisect_right(ref, threshold)
+    if (i & 1) != want_parity:
+        i += 1
+    b1 = ref[i] if i < len(ref) else None
+    b2 = ref[i + 1] if i + 1 < len(ref) else None
+    return b1, b2
+
+
+def g4_encode(img: np.ndarray) -> bytes:
+    """Bool (or 0/1) HxW array, True/1 = BLACK → G4 bytes (EOFB
+    terminated, byte-aligned)."""
+    img = np.ascontiguousarray(img.astype(bool))
+    h, w = img.shape
+    bw = _BitW()
+    ref: list[int] = []  # imaginary all-white reference line
+    for y in range(h):
+        cur = _transitions(img[y])
+        a0 = -1
+        black = False
+        ci = 0  # index into cur of the next transition > a0
+        while True:
+            a1 = cur[ci] if ci < len(cur) else w
+            b1, b2 = _b1_b2(ref, a0, black)
+            if b1 is None:
+                b1 = w
+                b2 = w
+            elif b2 is None:
+                b2 = w
+            if b2 < a1:
+                bw.put(4, 0b0001)  # pass
+                a0 = b2
+                while ci < len(cur) and cur[ci] <= a0:
+                    ci += 1
+            elif abs(a1 - b1) <= 3:
+                delta = a1 - b1
+                if delta == 0:
+                    bw.put(1, 0b1)
+                elif delta == 1:
+                    bw.put(3, 0b011)
+                elif delta == 2:
+                    bw.put(6, 0b000011)
+                elif delta == 3:
+                    bw.put(7, 0b0000011)
+                elif delta == -1:
+                    bw.put(3, 0b010)
+                elif delta == -2:
+                    bw.put(6, 0b000010)
+                else:
+                    bw.put(7, 0b0000010)
+                a0 = a1
+                black = not black
+                ci += 1
+                if a0 >= w:
+                    break
+            else:
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+                bw.put(3, 0b001)  # horizontal
+                start = 0 if a0 < 0 else a0
+                _emit_run(bw, a1 - start, black)
+                _emit_run(bw, a2 - a1, not black)
+                a0 = a2
+                ci += 2
+                if a0 >= w:
+                    break
+            if a0 >= w:
+                break
+        ref = cur
+    for _ in range(2):  # EOFB = two EOLs
+        bw.put(12, 0b000000000001)
+    return bw.done()
+
+
+def _read_run(br: _BitR, black: bool) -> int:
+    table = _BLACK_DEC if black else _WHITE_DEC
+    total = 0
+    while True:
+        code = 0
+        ln = 0
+        run = None
+        while ln < 14:
+            code = (code << 1) | br.bit()
+            ln += 1
+            run = table.get((ln, code))
+            if run is not None:
+                break
+        if run is None:
+            raise ValueError("bad G4 run-length code")
+        total += run
+        if run < 64:
+            return total
+
+
+def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """G4 bytes → bool HxW array (True = black). Decodes exactly
+    ``height`` lines; EOFB/padding beyond them is ignored."""
+    if width <= 0 or height <= 0:
+        raise ValueError("bad G4 dimensions")
+    br = _BitR(data)
+    out = np.zeros((height, width), bool)
+    ref: list[int] = []
+    for y in range(height):
+        cur: list[int] = []
+        a0 = -1
+        black = False
+        while True:
+            # mode code (prefix-free): 1, 011, 010, 001, 0001, 000011,
+            # 000010, 0000011, 0000010, else EOL/garbage
+            if br.bit():
+                mode = "v", 0
+            elif br.bit():
+                mode = ("v", 1) if br.bit() else ("v", -1)
+            elif br.bit():
+                mode = ("h", 0)
+            elif br.bit():
+                mode = ("p", 0)
+            elif br.bit():
+                mode = ("v", 2) if br.bit() else ("v", -2)
+            elif br.bit():
+                mode = ("v", 3) if br.bit() else ("v", -3)
+            else:
+                raise ValueError("unexpected G4 mode/EOL inside image")
+            kind, delta = mode
+            b1, b2 = _b1_b2(ref, a0, black)
+            if b1 is None:
+                b1 = width
+                b2 = width
+            elif b2 is None:
+                b2 = width
+            if kind == "p":
+                a0 = b2
+                if a0 > width:
+                    raise ValueError("G4 pass beyond line end")
+            elif kind == "v":
+                a1 = b1 + delta
+                if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
+                    raise ValueError("G4 vertical out of range")
+                cur.append(a1)
+                a0 = a1
+                black = not black
+                if a0 >= width:
+                    break
+            else:  # horizontal: two runs
+                start = 0 if a0 < 0 else a0
+                r1 = _read_run(br, black)
+                r2 = _read_run(br, not black)
+                a1 = start + r1
+                a2 = a1 + r2
+                if a2 > width or a1 > width:
+                    raise ValueError("G4 horizontal run overflow")
+                cur.append(a1)
+                cur.append(a2)
+                a0 = a2
+                if a0 >= width:
+                    break
+        # paint the line from its transitions
+        cur_sorted = [c for c in cur if c < width]
+        row = np.zeros(width, bool)
+        for i in range(0, len(cur_sorted), 2):
+            s = cur_sorted[i]
+            e = cur_sorted[i + 1] if i + 1 < len(cur_sorted) else width
+            row[s:e] = True
+        out[y] = row
+        ref = cur
+    return out

@@ -248,13 +248,21 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     >= 128 become 1 = black-is-zero white, rows padded to byte
     boundaries)."""
     h, w = img.shape
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4}[compression]
+    if compression == "g4":
+        bilevel = True  # G4 is inherently bilevel (ITU-T T.6)
     if predictor == 2 and (compression != "lzw" or bilevel):
         raise ValueError("predictor=2 only supported with 8-bit lzw here")
     rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
     strips: list[bytes] = []
     for y0 in range(0, h, rps):
         block = img[y0:y0 + rps]
+        if compression == "g4":
+            from documentai_ray.functions.faxg4 import g4_encode
+
+            # fax convention (PhotometricInterpretation 0): ink = dark
+            strips.append(g4_encode(block < 128))
+            continue
         if bilevel:
             raw = np.packbits(block >= 128, axis=1).tobytes()
         else:
@@ -273,7 +281,7 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
         (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
         (_TAG_BITS, 3, 1, 1 if bilevel else 8),
         (_TAG_COMPRESSION, 3, 1, comp_id),
-        (_TAG_PHOTOMETRIC, 3, 1, 1),
+        (_TAG_PHOTOMETRIC, 3, 1, 0 if compression == "g4" else 1),
         (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),  # patched below
         (_TAG_SAMPLES, 3, 1, 1), (_TAG_ROWS_PER_STRIP, 3, 1, rps),
         (_TAG_STRIP_BYTES, 4, nstrips, [len(s) for s in strips]),
@@ -365,9 +373,11 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         if t not in tags:
             raise ValueError("missing required TIFF tags")
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 4, 5, 32773):
         raise ValueError(f"TIFF compression {comp} not supported")
     bits = tags.get(_TAG_BITS, [8])[0]
+    if comp == 4 and bits != 1:
+        raise ValueError("G4 compression is bilevel only")
     if bits not in (1, 8) or tags.get(_TAG_SAMPLES, [1])[0] != 1:
         raise ValueError("only 1/8-bit single-sample TIFF supported")
     photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
@@ -390,6 +400,15 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         strip_rows = min(rps, h - y)
         expected = strip_rows * row_bytes
         raw = payload[off:off + nbytes]
+        if comp == 4:  # CCITT G4: ink (black run) = dark; photometric 1
+            from documentai_ray.functions.faxg4 import g4_decode
+
+            ink = g4_decode(raw, w, strip_rows)
+            if photometric == 1:
+                ink = ~ink
+            rows.append(np.where(ink, 0, 255).astype(np.uint8))
+            y += strip_rows
+            continue
         if comp == 1:
             if nbytes < expected:
                 raise ValueError("strip size mismatch")

@@ -272,10 +272,16 @@ def _parse_decode_parms(dct: bytes, nfilters: int) -> list[dict[str, int]]:
         if spec.startswith(b"[") else [(spec.strip(b"<>"), b"")]
     for i, (body, _null) in enumerate(dicts[:nfilters]):
         for key in (b"Predictor", b"Columns", b"Colors",
-                    b"BitsPerComponent", b"EarlyChange"):
+                    b"BitsPerComponent", b"EarlyChange", b"Rows"):
             km = re.search(rb"/" + key + rb"\s+(\d+)", body)
             if km:
                 parms[i][key.decode()] = int(km.group(1))
+        km = re.search(rb"/K\s+(-?\d+)", body)
+        if km:
+            parms[i]["K"] = int(km.group(1))
+        km = re.search(rb"/BlackIs1\s+(true|false)", body)
+        if km:
+            parms[i]["BlackIs1"] = int(km.group(1) == b"true")
     return parms
 
 
@@ -336,6 +342,21 @@ def decode_stream(dct: bytes, stream: bytes) -> bytes:
             data = _ascii85_decode(data)
         elif name == b"RunLengthDecode" or name == b"RL":
             data = _run_length_decode(data)
+        elif name == b"CCITTFaxDecode" or name == b"CCF":
+            import numpy as np
+
+            from documentai_ray.functions.faxg4 import g4_decode
+
+            if pm.get("K", 0) >= 0:
+                raise ValueError(
+                    "only Group 4 CCITT (K < 0) is supported")
+            cols = pm.get("Columns", 1728)
+            nrows = pm.get("Rows", 0)
+            if nrows <= 0:
+                raise ValueError("CCITTFaxDecode needs /Rows")
+            ink = g4_decode(data, cols, nrows)
+            bits = ink if pm.get("BlackIs1", 0) else ~ink
+            data = np.packbits(bits, axis=1).tobytes()
         else:
             raise ValueError(f"unsupported PDF filter /{name.decode()}")
     return data
@@ -708,11 +729,23 @@ def page_images(pdf: bytes):
                         raise ValueError("DCT image dimension mismatch")
                     imgs.append(img)
                     continue
-                if re.search(rb"/(?:JPXDecode|CCITTFaxDecode|JBIG2Decode)",
-                             xd):
+                if re.search(rb"/(?:JPXDecode|JBIG2Decode)", xd):
                     raise ValueError("unsupported image codec")
-                if (b"/ColorSpace /DeviceGray" not in xd
-                        or b"/BitsPerComponent 8" not in xd):
+                if b"/ColorSpace /DeviceGray" not in xd:
+                    raise ValueError("unsupported image encoding")
+                if b"/BitsPerComponent 1" in xd:
+                    # bilevel (incl. CCITTFaxDecode → packed rows);
+                    # DeviceGray 1-bit: sample 1 = 1.0 = white
+                    data = decode_stream(xd, xs)
+                    row_bytes = (w + 7) // 8
+                    if len(data) < row_bytes * h:
+                        raise ValueError("bilevel image length mismatch")
+                    packed = np.frombuffer(data[:row_bytes * h],
+                                           np.uint8).reshape(h, row_bytes)
+                    bits = np.unpackbits(packed, axis=1)[:, :w]
+                    imgs.append((bits * 255).astype(np.uint8))
+                    continue
+                if b"/BitsPerComponent 8" not in xd:
                     raise ValueError("unsupported image encoding")
                 data = decode_stream(xd, xs)
                 if len(data) != w * h:

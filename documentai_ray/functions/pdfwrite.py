@@ -63,12 +63,21 @@ def images_to_pdf(images: list[np.ndarray], *,
 
             raw = encode_jpeg(img)
             filt = b" /Filter /DCTDecode"
+        elif image_filter == "g4":
+            from documentai_ray.functions.faxg4 import g4_encode
+
+            # ink = dark; BlackIs1 false → black sample is 0 (DeviceGray)
+            raw = g4_encode(img < 128)
+            filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
+                    b" << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
+                    % (w, h))
         else:
             raise ValueError(f"unknown image_filter {image_filter}")
+        bpc = 1 if image_filter == "g4" else 8
         im_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 8%s /Length %d >>\n"
-            b"stream\n%s\nendstream" % (w, h, filt, len(raw), raw))
+            b" /ColorSpace /DeviceGray /BitsPerComponent %d%s /Length %d >>\n"
+            b"stream\n%s\nendstream" % (w, h, bpc, filt, len(raw), raw))
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
                     % (len(content), content))
