@@ -212,6 +212,11 @@ def run_benchmarks() -> dict:
     # mixed-payload dispatch (html + minipdf + real-PDF ±Flate + docx in
     # one stream): times payload synthesis + the magic-byte dispatch parse
     timed("extract_mixed", run_named("extract_mixed"))
+    # round-3 parse-surface representatives: encrypted-PDF open (RC4 +
+    # AESV2 key derivation, stream decrypt, relayout parse) and the
+    # scanned-fax loop (render → G4 encode → PDF → G4 decode → OCR)
+    timed("pdf_encrypted_extract", run_named("pdf_encrypted_extract"))
+    timed("fax_pdf_ocr", run_named("fax_pdf_ocr"))
     timed("line_dedup", run_named("line_dedup"))
     timed("repeated_passages", run_named("repeated_passages"))
     timed("web_curation", run_named("web_curation"))
