@@ -11,8 +11,10 @@ Extends minijpeg's engine codec to the real-world decode surface:
   first/refine, AC first/refine with EOB runs) per T.81 Annex G
 * 16-bit DQT precision, multiple tables, fill bytes between segments
 
-CMYK (4-component) and arithmetic coding (SOF9+) raise ValueError —
-honest unsupported, not faked. ``encode_jpeg`` exists to exercise every
+* CMYK/YCCK 4-component frames (Adobe APP14 transform 0/2) → (H, W, 4)
+
+Arithmetic coding (SOF9+), lossless/hierarchical processes and 12-bit
+precision raise ValueError — honest unsupported, not faked. ``encode_jpeg`` exists to exercise every
 decoder path in-sandbox (gray/RGB, 444/420, DRI, progressive with a
 non-Annex-K AC table so DHT-driven decode is actually tested); parity
 note: the reference ingests wild JPEGs via PIL/cv2 in its image path
