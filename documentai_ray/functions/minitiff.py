@@ -329,6 +329,76 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     return bytes(out)
 
 
+def encode_rgb_tiff(img: np.ndarray, compression: str = "none",
+                    rows_per_strip: int | None = None) -> bytes:
+    """(H, W, 3) uint8 → chunky RGB TIFF (PhotometricInterpretation 2,
+    SamplesPerPixel 3), little-endian, same compression options as the
+    grayscale writer. The engine's decode reduces RGB to BT.601 luma."""
+    h, w, nch = img.shape
+    if nch != 3:
+        raise ValueError("encode_rgb_tiff expects (H, W, 3)")
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+    strips: list[bytes] = []
+    for y0 in range(0, h, rps):
+        raw = img[y0:y0 + rps].tobytes()
+        if compression == "lzw":
+            strips.append(lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
+    nstrips = len(strips)
+    entries: list[tuple[int, int, int, int | list[int]]] = [
+        (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
+        (_TAG_BITS, 3, 3, [8, 8, 8]),
+        (_TAG_COMPRESSION, 3, 1, comp_id),
+        (_TAG_PHOTOMETRIC, 3, 1, 2),
+        (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),
+        (_TAG_SAMPLES, 3, 1, 3), (_TAG_ROWS_PER_STRIP, 3, 1, rps),
+        (_TAG_STRIP_BYTES, 4, nstrips, [len(s) for s in strips]),
+    ]
+    entries.sort(key=lambda e: e[0])
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    arrays_off = ifd_off + ifd_size
+    array_pos: dict[int, int] = {}
+    pos = arrays_off
+    for tag, typ, cnt, val in entries:
+        if isinstance(val, list) and (typ == 4 and cnt > 1
+                                      or typ == 3 and cnt > 2):
+            array_pos[tag] = pos
+            pos += (4 if typ == 4 else 2) * cnt
+    offsets: list[int] = []
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == _TAG_STRIP_OFFSETS:
+            val = offsets
+        if isinstance(val, list):
+            if tag in array_pos:
+                field = array_pos[tag]
+            elif typ == 3 and cnt == 2:
+                field = val[0] | (val[1] << 16)
+            else:
+                field = val[0]
+        else:
+            field = val
+        out += struct.pack("<HHII", tag, typ, cnt, field)
+    out += struct.pack("<I", 0)
+    for tag, typ, cnt, val in entries:
+        if tag == _TAG_STRIP_OFFSETS:
+            val = offsets
+        if tag in array_pos:
+            out += struct.pack(f"<{cnt}{'I' if typ == 4 else 'H'}", *val)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def is_tiff(payload: bytes) -> bool:
     return payload[:4] in (b"II*\x00", b"MM\x00*")
 
@@ -376,10 +446,13 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
     if comp not in (1, 4, 5, 32773):
         raise ValueError(f"TIFF compression {comp} not supported")
     bits = tags.get(_TAG_BITS, [8])[0]
-    if comp == 4 and bits != 1:
+    samples = tags.get(_TAG_SAMPLES, [1])[0]
+    if comp == 4 and (bits != 1 or samples != 1):
         raise ValueError("G4 compression is bilevel only")
-    if bits not in (1, 8) or tags.get(_TAG_SAMPLES, [1])[0] != 1:
-        raise ValueError("only 1/8-bit single-sample TIFF supported")
+    if bits not in (1, 8) or samples not in (1, 3):
+        raise ValueError("only 1/8-bit, 1/3-sample TIFF supported")
+    if samples == 3 and bits != 8:
+        raise ValueError("RGB TIFF requires 8-bit samples")
     photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2) or (predictor == 2 and bits == 1):
@@ -391,7 +464,7 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
     byte_counts = tags[_TAG_STRIP_BYTES]
     if len(offsets) != len(byte_counts):
         raise ValueError("strip offset/bytecount length mismatch")
-    row_bytes = (w * bits + 7) // 8
+    row_bytes = (w * bits * samples + 7) // 8
     rows = []
     y = 0
     for off, nbytes in zip(offsets, byte_counts):
@@ -425,6 +498,13 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
             if photometric == 0:
                 unpacked = 1 - unpacked
             block = (unpacked * 255).astype(np.uint8)
+        elif samples == 3:  # chunky RGB → integer BT.601 luma gray
+            rgb = np.frombuffer(data, np.uint8).reshape(
+                strip_rows, w, 3).astype(np.uint32)
+            if predictor == 2:  # per-sample horizontal differencing
+                rgb = (np.cumsum(rgb, axis=1) & 0xFF)
+            block = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                      + 114 * rgb[:, :, 2] + 500) // 1000).astype(np.uint8)
         else:
             block = np.frombuffer(data, np.uint8).reshape(strip_rows, w)
             if predictor == 2:

@@ -174,3 +174,17 @@ def test_bilevel_mutation_robustness():
             decode_gray_tiff(bytes(m))
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_rgb_tiff_reduces_to_luma(comp):
+    from documentai_ray.functions.minitiff import encode_rgb_tiff
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (33, 47, 3)).astype(np.uint8)
+    r, g, b = (rgb[:, :, i].astype(np.uint32) for i in range(3))
+    want = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+    for rps in (None, 4):
+        got = decode_gray_tiff(encode_rgb_tiff(rgb, compression=comp,
+                                               rows_per_strip=rps))
+        assert np.array_equal(got, want)
