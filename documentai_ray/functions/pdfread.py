@@ -391,6 +391,13 @@ def expand_object_streams(
 
 def page_content_streams(pdf: bytes) -> list[bytes]:
     """Decoded content-stream bytes per page, in document page order."""
+    return [s for s, _f in page_contents_and_fonts(pdf)]
+
+
+def page_contents_and_fonts(
+        pdf: bytes) -> list[tuple[bytes, dict[bytes, dict | None]]]:
+    """Per page (document order): decoded content-stream bytes + the
+    page's font map (name → /ToUnicode CMap or None)."""
     objects = parse_objects(pdf)
     page_ids: list[int] = []
     root_ids = []
@@ -415,7 +422,7 @@ def page_content_streams(pdf: bytes) -> list[bytes]:
             if re.search(rb"/Type\s*/Page\b", dct))
     if not page_ids:
         raise ValueError("no pages")
-    out: list[bytes] = []
+    out: list[tuple[bytes, dict[bytes, dict | None]]] = []
     for pid in page_ids:
         dct = objects.get(pid, (b"", None))[0]
         parts: list[bytes] = []
@@ -424,7 +431,7 @@ def page_content_streams(pdf: bytes) -> list[bytes]:
             if cstream is None:
                 continue
             parts.append(decode_stream(cdct, cstream))
-        out.append(b"\n".join(parts))
+        out.append((b"\n".join(parts), page_fonts(objects, dct)))
     return out
 
 
@@ -576,8 +583,77 @@ def tokenize_content(stream: bytes):
         i += 1  # unknown byte — tolerate
 
 
-def text_runs(stream: bytes) -> list[tuple[float, float, float, str]]:
-    """Execute the text-positioning subset → ``[(x, y, size, text)]`` runs."""
+def parse_tounicode(data: bytes) -> dict:
+    """/ToUnicode CMap (ISO 32000 §9.10.3) → ``{"width": n, "map":
+    {code: str}}``. Handles begincodespacerange (code byte width),
+    bfchar pairs and bfrange (incrementing-destination and array
+    forms); destinations are UTF-16BE hex strings."""
+    width = 1
+    m = re.search(rb"begincodespacerange\s*<([0-9a-fA-F]+)>", data)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    cmap: dict[int, str] = {}
+
+    def _u(hexs: bytes) -> str:
+        try:
+            return bytes.fromhex(hexs.decode()).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError):
+            return "�"
+
+    for block in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>", block):
+            cmap[int(src, 16)] = _u(dst)
+    for block in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, hi, dst in re.findall(
+                rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*"
+                rb"(<[0-9a-fA-F]+>|\[[^\]]*\])", block):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i - lo_i > 65535:
+                raise ValueError("oversized bfrange")
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9a-fA-F]+)>", dst)
+                for k, d in enumerate(dsts[:hi_i - lo_i + 1]):
+                    cmap[lo_i + k] = _u(d)
+            else:
+                base = int(dst[1:-1], 16)
+                nhex = len(dst) - 2
+                for k in range(hi_i - lo_i + 1):
+                    cmap[lo_i + k] = _u(b"%0*x" % (nhex, base + k))
+    return {"width": width, "map": cmap}
+
+
+def page_fonts(objects: dict[int, tuple[bytes, bytes | None]],
+               page_dct: bytes) -> dict[bytes, dict | None]:
+    """Per-page ``/Resources /Font`` → ``{b"/F1": cmap-or-None}``; fonts
+    with a /ToUnicode stream get their parsed CMap."""
+    res = page_dct
+    rm = re.search(rb"/Resources\s+(\d+)\s+0\s+R", page_dct)
+    if rm and int(rm.group(1)) in objects:
+        res = objects[int(rm.group(1))][0]
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    fonts: dict[bytes, dict | None] = {}
+    if not fm:
+        return fonts
+    for name, oid in re.findall(rb"(/\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
+        fdct = objects.get(int(oid), (b"", None))[0]
+        cmap = None
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fdct)
+        if tm:
+            cdct, cstream = objects.get(int(tm.group(1)), (b"", None))
+            if cstream is not None:
+                cmap = parse_tounicode(decode_stream(cdct, cstream))
+        fonts[name] = cmap
+    return fonts
+
+
+def text_runs(stream: bytes,
+              fonts: dict[bytes, dict | None] | None = None
+              ) -> list[tuple[float, float, float, str]]:
+    """Execute the text-positioning subset → ``[(x, y, size, text)]``
+    runs. When ``fonts`` is given, show-operator bytes route through the
+    current font's /ToUnicode CMap (code width from its codespace);
+    unmapped codes fall back to the byte's Latin-1 character."""
     runs: list[tuple[float, float, float, str]] = []
     stack: list[Any] = []
     x = y = 0.0
@@ -585,9 +661,20 @@ def text_runs(stream: bytes) -> list[tuple[float, float, float, str]]:
     size = 12.0
     leading = 0.0
     in_text = False
+    cur_cmap: dict | None = None
 
     def show(raw: bytes) -> None:
-        text = raw.decode("utf-8", errors="replace")
+        if cur_cmap is not None:
+            w = cur_cmap["width"]
+            mp = cur_cmap["map"]
+            chars = []
+            for i in range(0, len(raw) - (w - 1), w):
+                code = int.from_bytes(raw[i:i + w], "big")
+                chars.append(mp.get(code, chr(code) if code < 256
+                                    else "�"))
+            text = "".join(chars)
+        else:
+            text = raw.decode("utf-8", errors="replace")
         if text:
             runs.append((x, y, size, text))
 
@@ -604,6 +691,9 @@ def text_runs(stream: bytes) -> list[tuple[float, float, float, str]]:
                 in_text = False
             elif op == b"Tf" and len(stack) >= 1 and stack[-1][0] == "num":
                 size = float(stack[-1][1])
+                if fonts is not None and len(stack) >= 2 \
+                        and stack[-2][0] == "name":
+                    cur_cmap = fonts.get(stack[-2][1])
             elif op == b"TL" and stack and stack[-1][0] == "num":
                 leading = float(stack[-1][1])
             elif op == b"Td" and len(stack) >= 2:
@@ -764,13 +854,13 @@ def extract_text(pdf: bytes, *, max_pages: int | None = None,
     (documentClassifier.py:1369)."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF payload")
-    streams = page_content_streams(pdf)
+    pages = page_contents_and_fonts(pdf)
     if max_pages is not None:
-        streams = streams[:max_pages]
+        pages = pages[:max_pages]
     page_texts: list[str] = []
     boxes: list[dict[str, Any]] = []
-    for page_num, stream in enumerate(streams, start=1):
-        text, pboxes = assemble_page_text(text_runs(stream),
+    for page_num, (stream, fonts) in enumerate(pages, start=1):
+        text, pboxes = assemble_page_text(text_runs(stream, fonts),
                                           bbox_scale=bbox_scale)
         page_texts.append(text)
         for b in pboxes:

@@ -189,6 +189,133 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
     return bytes(out)
 
 
+def escape_pdf_bytes(raw: bytes) -> bytes:
+    """Literal-string escaping for raw code bytes (no UTF-8 pass)."""
+    out = bytearray()
+    for b in raw:
+        if b in (0x5C, 0x28, 0x29):
+            out += b"\\" + bytes([b])
+        elif 32 <= b < 127:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    return bytes(out)
+
+
+def text_to_pdf_cmap(lines: list[str], *, lines_per_page: int = 40,
+                     shuffle_key: int = 0) -> bytes:
+    """Text lines → PDF whose strings use a CUSTOM single-byte encoding
+    resolvable ONLY through the font's /ToUnicode CMap (the wild
+    subset-font layout): each distinct character maps to an arbitrary
+    code (1..n by first appearance), and the CMap mixes bfchar entries,
+    single-code bfranges and an array-form bfrange so every ISO 32000
+    §9.10.3 construct is exercised. Same page geometry as
+    :func:`text_to_pdf`, so extraction output must be identical —
+    byte-identity through the CMap is the contract."""
+    import zlib
+
+    page_lines = [lines[i:i + lines_per_page]
+                  for i in range(0, len(lines), lines_per_page)] or [[]]
+    charset: dict[str, int] = {}
+    for ln in lines:
+        for ch in ln:
+            if ch != " " and ch not in charset:
+                charset[ch] = len(charset) + 1
+    if len(charset) > 254:
+        raise ValueError("custom 1-byte encoding overflows")
+    space_code = len(charset) + 1
+
+    def enc_line(ln: str) -> bytes:
+        return bytes(space_code if ch == " " else charset[ch]
+                     for ch in ln)
+
+    # ToUnicode CMap: first third as bfchar, next as 1-code bfranges,
+    # the rest as one array-form bfrange (plus the space code)
+    items = sorted(charset.items(), key=lambda kv: kv[1])
+    items.append((" ", space_code))
+    third = max(1, len(items) // 3)
+    parts = [b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+             b"begincmap\n/CMapName /GraftCustom def\n/CMapType 2 def\n"
+             b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"]
+    bfchars = items[:third]
+    parts.append(b"%d beginbfchar\n" % len(bfchars))
+    for ch, code in bfchars:
+        parts.append(b"<%02x> <%s>\n"
+                     % (code, ch.encode("utf-16-be").hex().encode()))
+    parts.append(b"endbfchar\n")
+    singles = items[third:2 * third]
+    if singles:
+        parts.append(b"%d beginbfrange\n" % len(singles))
+        for ch, code in singles:
+            parts.append(b"<%02x> <%02x> <%s>\n"
+                         % (code, code,
+                            ch.encode("utf-16-be").hex().encode()))
+        parts.append(b"endbfrange\n")
+    rest = items[2 * third:]
+    if rest:
+        # array form covers a contiguous code span (codes are assigned
+        # densely, so rest is contiguous)
+        lo = rest[0][1]
+        hi = rest[-1][1]
+        arr = b" ".join(b"<%s>"
+                        % ch.encode("utf-16-be").hex().encode()
+                        for ch, _c in rest)
+        parts.append(b"1 beginbfrange\n<%02x> <%02x> [%s]\nendbfrange\n"
+                     % (lo, hi, arr))
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource "
+                 b"pop\nend\nend\n")
+    cmap_payload = b"".join(parts)
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"")  # 1: catalog
+    add(b"")  # 2: pages
+    zdata = zlib.compress(cmap_payload, 6)
+    cmap_id = add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\n"
+                  b"endstream" % (len(zdata), zdata))
+    font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont "
+                  b"/GraftCustom /ToUnicode %d 0 R >>" % cmap_id)
+    kid_ids: list[int] = []
+    for pi, plines in enumerate(page_lines):
+        chunks: list[bytes] = []
+        for li, line in enumerate(plines):
+            y = TEXT_TOP - LEADING * li
+            chunks.append(b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+                          % (FONT_SIZE, TEXT_X, y,
+                             escape_pdf_bytes(enc_line(line))))
+        rot = (shuffle_key + pi) % max(1, len(chunks))
+        chunks = chunks[rot:] + chunks[:rot]
+        content = b"\n".join(chunks)
+        ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+        pg_id = add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+            b" /Resources << /Font << /F1 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (PAGE_W, PAGE_H, font_id, ct_id))
+        kid_ids.append(pg_id)
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+               % (b" ".join(b"%d 0 R" % k for k in kid_ids),
+                  len(kid_ids)))
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: list[int] = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
 def ascii85_encode(data: bytes) -> bytes:
     """ASCII85 per ISO 32000 §7.4.3 (with the `z` shortcut and `~>`
     EOD), the encoder mate of pdfread's decoder."""
