@@ -60,8 +60,23 @@ def draw_text(img: np.ndarray, x: int, y: int, text: str,
         img[y:y + GLYPH_H, gx:gx + GLYPH_W][g] = ink
 
 
-def match_glyph(cell: np.ndarray) -> str | None:
-    """Exact 5×7 template lookup; None if the pattern is unknown."""
+_GLYPH_MATRIX = np.stack([GLYPHS[c] for c in CHARS]).reshape(len(CHARS), -1)
+
+
+def match_glyph(cell: np.ndarray, *, max_hamming: int = 3) -> str | None:
+    """5×7 template lookup: exact byte match first (the lossless path),
+    then a nearest-template fallback for scans that survived a LOSSY
+    channel (JPEG ringing, rescale dust) — accepted only when the best
+    Hamming distance is ≤ ``max_hamming`` AND uniquely best (ties are
+    ambiguity, not evidence). None if the pattern is unknown."""
     if cell.shape != (GLYPH_H, GLYPH_W):
         return None
-    return _LOOKUP.get(np.ascontiguousarray(cell).tobytes())
+    hit = _LOOKUP.get(np.ascontiguousarray(cell).tobytes())
+    if hit is not None or max_hamming <= 0:
+        return hit
+    d = (_GLYPH_MATRIX != cell.reshape(-1)[None, :]).sum(axis=1)
+    best = int(d.argmin())
+    bd = int(d[best])
+    if bd > max_hamming or int((d == bd).sum()) > 1:
+        return None
+    return CHARS[best]

@@ -89,3 +89,42 @@ def test_scanned_pdf_ocr_byte_identity():
     text, boxes = ocr_image(scan)
     assert text == "\n".join(lines)
     assert len(boxes) == len(src.split())
+
+
+def test_lossy_dct_scan_ocr_byte_identity():
+    # the LOSSY scanned-PDF loop: bitfont page → real JPEG (DCTDecode)
+    # → decode → OCR; binarization + the Hamming-tolerant glyph matcher
+    # absorb the quantization noise, so the text is still byte-exact
+    from documentai_ray.functions.bitfont import CELL_W, GLYPH_H, draw_text
+    from documentai_ray.functions.pdfwrite import wrap_text_lines
+    from documentai_ray.stages.ocr import ocr_image
+
+    src = ("the quick brown fox jumps over the lazy dog 0123456789 "
+           * 4).strip()
+    lines = wrap_text_lines(src)
+    w = max(len(ln) for ln in lines) * CELL_W + 8
+    h = len(lines) * (GLYPH_H + 3) + 8
+    page = np.full((h, w), 255, np.uint8)
+    for i, ln in enumerate(lines):
+        draw_text(page, 4, 4 + i * (GLYPH_H + 3), ln)
+    (scan,), = page_images(images_to_pdf([page], image_filter="dct"))
+    text, _boxes = ocr_image(scan)
+    assert text == "\n".join(lines)
+
+
+def test_match_glyph_hamming_tolerance():
+    from documentai_ray.functions.bitfont import (CHARS, GLYPH_H, GLYPH_W,
+                                                  GLYPHS, match_glyph)
+
+    rng = np.random.RandomState(4)
+    for ch in CHARS:
+        assert match_glyph(GLYPHS[ch]) == ch  # exact path unchanged
+        g = GLYPHS[ch].copy()
+        for _ in range(3):
+            gg = g.copy()
+            for _f in range(rng.randint(1, 4)):
+                r, c = rng.randint(GLYPH_H), rng.randint(GLYPH_W)
+                gg[r, c] = ~gg[r, c]
+            assert match_glyph(gg) == ch
+    # far-off patterns still refuse (no overeager matching)
+    assert match_glyph(np.zeros((GLYPH_H, GLYPH_W), bool)) is None
