@@ -97,9 +97,10 @@ def write_warc(path: str, records, *, compress: bool | None = None) -> int:
     return n
 
 
-def iter_warc(blob: bytes):
-    """Yield ``(url, ts, body_bytes)`` for every response record in one
-    shard's bytes (transparently gunzips multi-member ``.gz`` blobs)."""
+def _iter_warc_full(blob: bytes):
+    """Yield ``(url, ts, body_bytes, http_charset)`` for every response
+    record in one shard's bytes (transparently gunzips multi-member
+    ``.gz`` blobs and undoes HTTP wire encodings)."""
     if blob[:2] == b"\x1f\x8b":
         blob = _gzip.decompress(blob)  # concatenated members decompress whole
     pos = 0
@@ -127,9 +128,27 @@ def iter_warc(blob: bytes):
         # strip the HTTP envelope: body starts after its own blank line
         http_end = block.find(b"\r\n\r\n")
         if http_end >= 0:
-            body = _decode_http_body(block[:http_end], block[http_end + 4:])
+            head = block[:http_end]
+            body = _decode_http_body(head, block[http_end + 4:])
+            charset = _http_charset(head)
         else:
             body = block
+            charset = ""
+        yield url, ts, body, charset
+
+
+def _http_charset(head: bytes) -> str:
+    """``Content-Type: …; charset=X`` from the capture's HTTP headers —
+    the transport-layer encoding label (outranks content sniffing in
+    the WHATWG order)."""
+    m = re.search(rb"content-type\s*:[^\r\n]*;\s*charset=\"?([\w.-]+)",
+                  head.lower())
+    return m.group(1).decode("ascii", "ignore") if m else ""
+
+
+def iter_warc(blob: bytes):
+    """Yield ``(url, ts, body)`` — the classic 3-tuple API."""
+    for url, ts, body, _cs in _iter_warc_full(blob):
         yield url, ts, body
 
 
@@ -187,11 +206,14 @@ def _decode_http_body(head: bytes, body: bytes) -> bytes:
     return body
 
 
-def read_warc(paths: list[str], *, num_cpus: float = 0.5):
+def read_warc(paths: list[str], *, num_cpus: float = 0.5,
+              with_charset: bool = False):
     """Distributed WARC ingestion: one parse task per SHARD file (the CC
-    parallelism unit) → Dataset of ``(url, warc_ts, html)`` rows. The
-    shard list itself is tiny; payload bytes are read inside the tasks,
-    never on the driver."""
+    parallelism unit) → Dataset of ``(url, warc_ts, html)`` rows
+    (+ ``http_charset`` from the capture's Content-Type header when
+    ``with_charset`` — extract_batch honors it ahead of content
+    sniffing). The shard list itself is tiny; payload bytes are read
+    inside the tasks, never on the driver."""
     import pyarrow as pa
     import ray.data
 
@@ -199,18 +221,23 @@ def read_warc(paths: list[str], *, num_cpus: float = 0.5):
         urls: list[str] = []
         tss: list[_dt.datetime] = []
         bodies: list[bytes] = []
+        charsets: list[str] = []
         for p in batch.column("path").to_pylist():
             with open(p, "rb") as f:
                 blob = f.read()
-            for url, ts, body in iter_warc(blob):
+            for url, ts, body, cs in _iter_warc_full(blob):
                 urls.append(url)
                 tss.append(ts)
                 bodies.append(body)
-        return pa.table({
+                charsets.append(cs)
+        cols = {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(bodies, pa.large_binary()),
-        })
+        }
+        if with_charset:
+            cols["http_charset"] = pa.array(charsets, pa.string())
+        return pa.table(cols)
 
     ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
     return ds.repartition(len(paths)).map_batches(

@@ -293,6 +293,74 @@ def _q_scanned_pdf_ocr(sf_dir: str):
                           batch_size=64)
 
 
+def _q_warc_http_charset(sf_dir: str):
+    """Transport-layer charset: legacy-encoded captures whose encoding
+    is declared ONLY in the HTTP ``Content-Type: …; charset=`` header
+    (no BOM, no meta tag — the body alone is INVALID UTF-8 via a
+    planted head marker) must decode through the envelope's label
+    (``read_warc(with_charset=True)`` → per-row ``http_charset`` column
+    → extract). By doc_id % 4: utf-8 / iso-8859-1 (é) / windows-1252
+    (€) / cp1251 (Кафе). Oracle: the encoding-independent golden text."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from documentai_ray.functions.warc import build_record, read_warc
+    from documentai_ray.sources.pages import (payload_for, url_for,
+                                              warc_ts_for)
+    from documentai_ray.stages.extract import extract_batch
+
+    _ENCS = ["utf-8", "iso-8859-1", "windows-1252", "cp1251"]
+    _MARKS = ["", "Caf\xe9", "caf€", "Кафе"]
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/warc_httpcs_{tag}"
+    n_shards = 8
+    paths = [os.path.join(d, f"shard-{i:02d}.warc.gz")
+             for i in range(n_shards)]
+    marker = os.path.join(d, f"_done_{docs.num_rows}")
+    if not os.path.exists(marker):
+        import gzip as _g
+        os.makedirs(d, exist_ok=True)
+        shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+        for did, text, src in zip(docs.column("doc_id").to_pylist(),
+                                  docs.column("text").to_pylist(),
+                                  docs.column("source").to_pylist()):
+            raw = payload_for(did, text)
+            try:
+                html = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                html = None  # planted-malformed docs ship as captured
+            enc_i = did % 4
+            if (html is not None and enc_i and html.isascii()
+                    and "<head>" in html):
+                enc = _ENCS[enc_i]
+                html2 = html.replace(
+                    "<head>", f"<head><title>{_MARKS[enc_i]}</title>", 1)
+                body = html2.encode(enc)
+            else:
+                enc = "utf-8"
+                body = raw
+            rec = build_record(
+                url_for(did, src), warc_ts_for(did), body,
+                content_type=f"text/html; charset={enc}")
+            shards[did % n_shards].append(rec)
+        for p, recs in zip(paths, shards):
+            with open(p, "wb") as f:
+                for rec in recs:
+                    f.write(_g.compress(rec))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_warc(paths, with_charset=True)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return _norm_strings_ds(ds.select_columns(["url", "text"]))
+
+
 def _q_pdf_cmap_extract(sf_dir: str):
     """Subset-font PDF extraction (ISO 32000 §9.10.3): per-doc text
     renders to a PDF whose strings use a CUSTOM byte encoding that is
@@ -3726,4 +3794,4 @@ def _q_fifo_cogs(sf_dir: str):
             .map_groups(lambda x: fifo(x.drop(columns=["_pkey"])),
                         batch_format="pandas"))
 
-__all__ = ['_q_table_detect', '_q_field_validation', '_q_doc_type_autodetect', '_q_pq_codes', '_q_jpeg_roundtrip', '_q_tiff_roundtrip', '_q_tiff_compressed_roundtrip', '_q_png_color_roundtrip', '_q_jpeg_progressive_roundtrip', '_q_pdf_modern_extract', '_q_pdf_embedded_images', '_q_scanned_pdf_ocr', '_q_pdf_encrypted_extract', '_q_fax_pdf_ocr', '_q_flagship_warc', '_q_pdf_cmap_extract', '_q_incremental_dedup', '_q_bloom_dedup', '_q_url_filter', '_q_semdedup', '_q_shard_export', '_q_dsir_weights', '_q_heavy_hitters', '_q_web_curation', '_q_config_pipeline', '_q_ivm_counts', '_q_pseudonymize', '_q_customer_order_counts', '_q_incremental_session', '_q_f2_selfjoin', '_q_winsorize', '_q_hits', '_q_mix_assemble', '_q_mix_plan', '_q_seasonality_strength', '_q_theil_sen', '_q_interarrival_stats', '_q_changepoint_localize', '_q_bloom_semijoin', '_q_ngram_novelty', '_q_attribution_credit', '_q_fd_error', '_q_oov_rate', '_q_kendall_tau', '_q_max_concurrency', '_q_countmin_estimate', '_q_acf_lag', '_q_runs_test', '_q_frequent_triples', '_q_haar_energy', '_q_ewma_backtest', '_q_url_templates', '_q_conversion_lag', '_q_q17_decorrelated', '_q_relational_division', '_q_t_closeness', '_q_orders_all_ontime', '_q_minmax_scale', '_q_markov_kstep', '_q_rfm_segments', '_q_revenue_share', '_q_bm25_topk', '_q_dispersion_index', '_q_leadlag_beta', '_q_km_survival', '_q_mrr_eval', '_q_decayed_leaderboard', '_q_degree_assortativity', '_q_ndcg_eval', '_q_seasonal_anomaly', '_q_did_estimator', '_q_laspeyres_index', '_q_ab_conversion', '_q_assoc_rules', '_q_logrank_test', '_q_uplift_deciles', '_q_paasche_index', '_q_fd_mine', '_q_bounce_rate', '_q_rank_overlap', '_q_chain_index', '_q_lorenz_deciles', '_q_rmst_summary', '_q_q10_returns', '_q_q8_market_share', '_q_pinball_eval', '_q_cohort_ltv', '_q_post_stratify', '_q_lincoln_petersen', '_q_german_tank', '_q_fifo_cogs']
+__all__ = ['_q_table_detect', '_q_field_validation', '_q_doc_type_autodetect', '_q_pq_codes', '_q_jpeg_roundtrip', '_q_tiff_roundtrip', '_q_tiff_compressed_roundtrip', '_q_png_color_roundtrip', '_q_jpeg_progressive_roundtrip', '_q_pdf_modern_extract', '_q_pdf_embedded_images', '_q_scanned_pdf_ocr', '_q_pdf_encrypted_extract', '_q_fax_pdf_ocr', '_q_flagship_warc', '_q_pdf_cmap_extract', '_q_warc_http_charset', '_q_incremental_dedup', '_q_bloom_dedup', '_q_url_filter', '_q_semdedup', '_q_shard_export', '_q_dsir_weights', '_q_heavy_hitters', '_q_web_curation', '_q_config_pipeline', '_q_ivm_counts', '_q_pseudonymize', '_q_customer_order_counts', '_q_incremental_session', '_q_f2_selfjoin', '_q_winsorize', '_q_hits', '_q_mix_assemble', '_q_mix_plan', '_q_seasonality_strength', '_q_theil_sen', '_q_interarrival_stats', '_q_changepoint_localize', '_q_bloom_semijoin', '_q_ngram_novelty', '_q_attribution_credit', '_q_fd_error', '_q_oov_rate', '_q_kendall_tau', '_q_max_concurrency', '_q_countmin_estimate', '_q_acf_lag', '_q_runs_test', '_q_frequent_triples', '_q_haar_energy', '_q_ewma_backtest', '_q_url_templates', '_q_conversion_lag', '_q_q17_decorrelated', '_q_relational_division', '_q_t_closeness', '_q_orders_all_ontime', '_q_minmax_scale', '_q_markov_kstep', '_q_rfm_segments', '_q_revenue_share', '_q_bm25_topk', '_q_dispersion_index', '_q_leadlag_beta', '_q_km_survival', '_q_mrr_eval', '_q_decayed_leaderboard', '_q_degree_assortativity', '_q_ndcg_eval', '_q_seasonal_anomaly', '_q_did_estimator', '_q_laspeyres_index', '_q_ab_conversion', '_q_assoc_rules', '_q_logrank_test', '_q_uplift_deciles', '_q_paasche_index', '_q_fd_mine', '_q_bounce_rate', '_q_rank_overlap', '_q_chain_index', '_q_lorenz_deciles', '_q_rmst_summary', '_q_q10_returns', '_q_q8_market_share', '_q_pinball_eval', '_q_cohort_ltv', '_q_post_stratify', '_q_lincoln_petersen', '_q_german_tank', '_q_fifo_cogs']

@@ -288,7 +288,8 @@ _META_CHARSET_RE = re.compile(
     rb'<meta[^>]+charset\s*=\s*["\']?([A-Za-z0-9_\-]+)', re.I)
 
 
-def sniff_decode(payload: bytes) -> tuple[str, str]:
+def sniff_decode(payload: bytes,
+                 declared: str | None = None) -> tuple[str, str]:
     """Charset-sniffing decode — real Common-Crawl payloads are NOT all
     UTF-8 (~5-10% of the crawl is legacy-encoded). Detection order mirrors
     the WHATWG encoding sniff: BOM (UTF-8/UTF-16) → strict UTF-8 →
@@ -306,6 +307,15 @@ def sniff_decode(payload: bytes) -> tuple[str, str]:
             return payload.decode("utf-16"), "utf-16"
         except UnicodeDecodeError:
             return payload.decode("utf-16", errors="replace"), "utf-16"
+    if declared:
+        # transport-layer charset (HTTP Content-Type) outranks content
+        # sniffing in the WHATWG order; BOM above still wins
+        name = declared.strip().lower()
+        if name not in ("utf-8", "utf8"):
+            try:
+                return payload.decode(name), name
+            except (LookupError, UnicodeDecodeError):
+                pass  # bad/unknown label → fall through to sniffing
     try:
         return payload.decode("utf-8"), "utf-8"
     except UnicodeDecodeError:
@@ -326,7 +336,7 @@ def sniff_decode(payload: bytes) -> tuple[str, str]:
 
 def extract_one(
     payload: bytes, *, max_bytes: int = MAX_PAYLOAD_BYTES,
-    charset_sniff: bool = False,
+    charset_sniff: bool = False, declared_charset: str | None = None,
 ) -> tuple[str, str, str, list[dict[str, Any]]]:
     """→ (text, payload_kind, error, word_boxes) for a single payload.
 
@@ -351,8 +361,8 @@ def extract_one(
             return office.read_docx_text(payload), "docx", "", []
         if kind == "xlsx":
             return office.read_xlsx_text(payload), "xlsx", "", []
-        if charset_sniff:
-            html_text, _enc = sniff_decode(payload)
+        if charset_sniff or declared_charset:
+            html_text, _enc = sniff_decode(payload, declared_charset)
         else:
             html_text = payload.decode("utf-8")  # strict: bad bytes → error row
         return html_main_content(html_text), "html", "", []
@@ -542,19 +552,25 @@ def extract_batch(batch: pa.Table, *, keep_payload: bool = False,
     avoid write amplification of multi-MB binary rows).
     """
     payloads = batch.column("html").to_pylist()
+    # transport-layer charset labels (e.g. from the WARC HTTP envelope)
+    # ride an optional per-row column and outrank content sniffing
+    charsets = (batch.column("http_charset").to_pylist()
+                if "http_charset" in batch.column_names
+                else [None] * len(payloads))
     texts: list[str] = []
     kinds: list[str] = []
     errors: list[str] = []
     boxes: list[list[dict[str, Any]]] = []
-    for p in payloads:
-        t, k, e, b = extract_one(p, charset_sniff=charset_sniff)
+    for p, cs in zip(payloads, charsets):
+        t, k, e, b = extract_one(p, charset_sniff=charset_sniff,
+                                 declared_charset=cs or None)
         texts.append(t)
         kinds.append(k)
         errors.append(e)
         boxes.append(b)
     cols: dict[str, pa.Array] = {}
     for name in batch.column_names:
-        if name == "html" and not keep_payload:
+        if name in ("html", "http_charset") and not keep_payload:
             continue
         if name == "text":  # input golden column, replaced by extracted text
             continue

@@ -68,3 +68,37 @@ def test_header_case_insensitive():
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: CHUNKED",
         _chunk_body(b"abc")) == b"abc"
     assert _decode_http_body(head, _chunk_body(b"abc")) == b"abc"
+
+
+def test_http_charset_from_envelope():
+    from documentai_ray.functions.warc import _http_charset, _iter_warc_full
+
+    assert _http_charset(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1"
+    ) == "iso-8859-1"
+    assert _http_charset(
+        b'HTTP/1.1 200 OK\r\ncontent-type: text/html;charset="utf-8"'
+    ) == "utf-8"
+    assert _http_charset(b"HTTP/1.1 200 OK\r\nContent-Type: text/html") == ""
+    rec = build_record("https://x.example/a", TS, b"<html>x</html>",
+                       content_type="text/html; charset=windows-1252")
+    (_u, _t, _b, cs), = list(_iter_warc_full(rec))
+    assert cs == "windows-1252"
+
+
+def test_declared_charset_beats_sniffing():
+    from documentai_ray.stages.extract import extract_one, sniff_decode
+
+    body = ("<html><head><title>Caf\xe9</title></head>"
+            "<body>x</body></html>").encode("latin-1")
+    # strict path: invalid UTF-8 → error row
+    assert extract_one(body)[1] == "error"
+    # declared charset resolves it
+    assert extract_one(body, declared_charset="iso-8859-1")[1] == "html"
+    # precedence: BOM still outranks a (wrong) declared label
+    bom = "﻿plain".encode("utf-8")
+    text, enc = sniff_decode(bom, declared="cp1251")
+    assert enc == "utf-8-sig" and text == "plain"
+    # bad labels fall through to sniffing rather than failing
+    text, enc = sniff_decode(b"hello", declared="no-such-charset")
+    assert enc == "utf-8" and text == "hello"
