@@ -15,6 +15,11 @@ exact on adversarial bitmaps, the mode codes and the table anchors
 (white-0 00110101, black-0 0000110111, black-1 010, V/P/H codes) match
 the published spec values, and the decoder rejects malformed streams
 with ValueError.
+
+Reference parity: the reference ingests fax-class scans through
+PIL/cv2 + pdf2image (documentClassifier.py image path), whose TIFF/PDF
+backends decode exactly this codec; here the decode is engine-internal
+so the Ray stages stay dependency-free.
 """
 
 from __future__ import annotations

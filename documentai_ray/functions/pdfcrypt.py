@@ -4,15 +4,20 @@ Real crawls are full of "owner-locked" PDFs: encrypted with an OWNER
 password but an EMPTY user password, which conforming readers open
 transparently (the typical "you may read but not edit" document). This
 module implements the standard security handler's Algorithms 1-5 for
-V1/V2 (RC4 40..128-bit), revisions 2 and 3, so `pdfread` can extract
-text from such files: derive the file key from the empty user password,
+V1/V2 (RC4 40..128-bit, revisions 2-3) AND V4 R4 crypt filters (/V2
+RC4 and /AESV2 — AES-128-CBC via functions/aes.py, IV-prefixed
+streams, the salted per-object key), so `pdfread` can extract text
+from such files: derive the file key from the empty user password,
 verify it against /U, then decrypt each object's streams with the
-per-object key. AES variants (V4 /AESV2, V5 /AESV3) and non-empty user
-passwords raise ValueError — honest unsupported, not faked.
+per-object key. AES-256 (V5 /AESV3) and non-empty user passwords
+raise ValueError — honest unsupported, not faked.
 
 Everything here is the public spec: the 32-byte padding constant and the
 MD5/RC4 recipes are printed verbatim in ISO 32000-1 and the predecessor
-Adobe PDF references.
+Adobe PDF references. Reference parity: the reference's PDF path opens
+documents through PyMuPDF (``fitz.open`` — entity-extraction-service/
+app.py:515-533), which transparently decrypts exactly this
+empty-user-password class; here the same behavior is engine-internal.
 """
 
 from __future__ import annotations
