@@ -120,3 +120,28 @@ def test_modern_pdf_mutation_robustness(filt):
             extract_text(bytes(m))
         except ValueError:
             pass
+
+
+def test_incremental_update_last_revision_wins():
+    # appended-revision PDFs (how editors save): the sequential object
+    # scan's later-definition-wins matches ISO 32000 incremental-update
+    # semantics — the newest revision of an object is current
+    import re
+
+    base = text_to_pdf(["original first line", "second line"])
+    new_content = (b"BT /F1 12 Tf 72 720 Td (revised first line) Tj ET\n"
+                   b"BT /F1 12 Tf 72 706 Td (second line) Tj ET")
+    m = re.search(rb"(\d+) 0 obj\n<< /Length \d+ >>\nstream", base)
+    ct_num = int(m.group(1))
+    upd = bytearray(base)
+    off = len(upd)
+    upd += (b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (ct_num, len(new_content), new_content))
+    xref_at = len(upd)
+    upd += (b"xref\n%d 1\n%010d 00000 n \ntrailer\n"
+            b"<< /Size 7 /Root 1 0 R /Prev 0 >>\nstartxref\n%d\n%%%%EOF\n"
+            % (ct_num, off, xref_at))
+    assert extract_text(base)[0].startswith("original first line")
+    updated = extract_text(bytes(upd))[0]
+    assert updated.startswith("revised first line")
+    assert "second line" in updated
