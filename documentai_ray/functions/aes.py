@@ -160,6 +160,51 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     return bytes(out)
 
 
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC over an exact block multiple (no padding) — the PDF R6 key
+    machinery (Algorithm 2.B / UE / OE) uses this mode."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a block multiple")
+    words = key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = encrypt_block(block, words)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a block multiple")
+    words = key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(decrypt_block(blk, words), prev))
+        prev = blk
+    return bytes(out)
+
+
+def ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    """Single-shot ECB (block multiple) — PDF R6 /Perms only."""
+    if len(data) % 16:
+        raise ValueError("ECB needs a block multiple")
+    words = key_expansion(key)
+    return b"".join(encrypt_block(data[i:i + 16], words)
+                    for i in range(0, len(data), 16))
+
+
+def ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("ECB needs a block multiple")
+    words = key_expansion(key)
+    return b"".join(decrypt_block(data[i:i + 16], words)
+                    for i in range(0, len(data), 16))
+
+
 def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     if len(ciphertext) % 16 or not ciphertext:
         raise ValueError("CBC ciphertext must be a positive block multiple")

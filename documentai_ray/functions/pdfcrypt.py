@@ -150,6 +150,59 @@ def escape_crypt_string(raw: bytes) -> bytes:
     return b"<" + raw.hex().encode() + b">"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 iterated SHA-2/AES password
+    hash: start from SHA-256(pw+salt+udata), then repeat (≥64 rounds,
+    stop when the last byte of the round's AES output ≤ round−32):
+    K1 = (pw+K+udata)×64; E = AES-128-CBC(K[:16], iv=K[16:32], K1);
+    K = SHA-{256,384,512}(E) selected by (first 16 bytes of E) mod 3.
+    Deliberately expensive per the spec (an offline-guessing brake);
+    memoized because a batch pipeline re-derives the same (password,
+    salt) pair for every document of a corpus."""
+    import hashlib as _h
+
+    from documentai_ray.functions.aes import cbc_encrypt_nopad
+
+    k = _h.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (_h.sha256, _h.sha384, _h.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def r6_user_entries(file_key: bytes, *, vsalt: bytes,
+                    ksalt: bytes) -> tuple[bytes, bytes]:
+    """Algorithm 8: (/U 48 bytes, /UE 32 bytes) for the EMPTY user
+    password."""
+    from documentai_ray.functions.aes import cbc_encrypt_nopad
+
+    u = hash_2b(b"", vsalt) + vsalt + ksalt
+    inter = hash_2b(b"", ksalt)
+    ue = cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
+    return u, ue
+
+
+def r6_owner_entries(file_key: bytes, u48: bytes, *, vsalt: bytes,
+                     ksalt: bytes) -> tuple[bytes, bytes]:
+    """Algorithm 9: (/O 48, /OE 32) for the EMPTY owner password (hash
+    input includes the 48-byte /U)."""
+    from documentai_ray.functions.aes import cbc_encrypt_nopad
+
+    o = hash_2b(b"", vsalt, u48) + vsalt + ksalt
+    inter = hash_2b(b"", ksalt, u48)
+    oe = cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
+    return o, oe
+
+
 def object_key_aes(file_key: bytes, num: int, gen: int = 0) -> bytes:
     """Algorithm 1 with the /AESV2 salt (ISO 32000 §7.6.2 step b)."""
     m = hashlib.md5()
@@ -181,6 +234,7 @@ class Decryptor:
             raise ValueError("malformed /Encrypt dictionary")
         v, r = int(vm.group(1)), int(rm.group(1))
         self.aes = False
+        self.v5 = False
         if v in (1, 2) and r in (2, 3):
             pass
         elif v == 4 and r == 4:
@@ -192,6 +246,28 @@ class Decryptor:
             elif cfm.group(1) != b"V2":
                 raise ValueError(
                     f"unsupported crypt filter /{cfm.group(1).decode()}")
+        elif v == 5 and r == 6:
+            # AES-256 (ISO 32000-2 /AESV3): SHA-2 password machinery,
+            # the FILE key encrypts every stream directly (no per-object
+            # derivation); empty user password verified via Algorithm 11
+            from documentai_ray.functions.aes import cbc_decrypt_nopad
+
+            uem = re.search(rb"/UE\s*<([0-9a-fA-F\s]+)>", encrypt_dct)
+            if not uem:
+                raise ValueError("V5 encryption without /UE")
+            u = _parse_crypt_string(um.group(1))
+            if len(u) < 48:
+                raise ValueError("short V5 /U entry")
+            vsalt, ksalt = u[32:40], u[40:48]
+            if hash_2b(b"", vsalt) != u[:32]:
+                raise ValueError(
+                    "PDF requires a non-empty user password (not supported)")
+            ue = bytes.fromhex(re.sub(rb"\s", b"", uem.group(1)).decode())
+            inter = hash_2b(b"", ksalt)
+            self.key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue)
+            self.aes = True
+            self.v5 = True
+            return
         else:
             raise ValueError(
                 f"unsupported PDF encryption V={v} R={r}")
@@ -217,13 +293,18 @@ class Decryptor:
                 "PDF requires a non-empty user password (not supported)")
         self.key = key
 
+    def _stream_key(self, num: int, gen: int) -> bytes:
+        if self.v5:
+            return self.key  # V5: the file key itself, no derivation
+        return object_key_aes(self.key, num, gen)
+
     def decrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
         if self.aes:
             from documentai_ray.functions.aes import cbc_decrypt
 
             if len(data) < 32:
                 raise ValueError("AES stream too short for IV + block")
-            return cbc_decrypt(object_key_aes(self.key, num, gen),
+            return cbc_decrypt(self._stream_key(num, gen),
                                data[:16], data[16:])
         return rc4(object_key(self.key, num, gen), data)
 
@@ -234,8 +315,7 @@ class Decryptor:
 
             if iv is None:
                 iv = hashlib.md5(struct.pack("<I", num) + data[:32]).digest()
-            return iv + cbc_encrypt(object_key_aes(self.key, num, gen),
-                                    iv, data)
+            return iv + cbc_encrypt(self._stream_key(num, gen), iv, data)
         return rc4(object_key(self.key, num, gen), data)
 
 

@@ -483,7 +483,8 @@ def text_to_pdf_modern(lines: list[str], *, lines_per_page: int = 40,
 
 
 def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
-                permissions: int = -44, aes: bool = False) -> bytes:
+                permissions: int = -44, aes: bool = False,
+                aes256: bool = False) -> bytes:
     """Re-emit an engine-written classic-layout PDF as an ENCRYPTED file
     (ISO 32000 §7.6.3 standard security handler, empty user AND owner
     password — the ubiquitous "owner-locked" wild PDF). ``aes=False``:
@@ -509,6 +510,67 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
         raise ValueError("no /Root")
     root_num = int(rm.group(1))
     file_id = hashlib.md5(pdf).digest()
+    enc_num = max(objects) + 1
+    if aes256:
+        # V5 R6 (/AESV3, ISO 32000-2): SHA-2 password machinery, the
+        # 32-byte FILE key encrypts every stream directly
+        import struct as _st
+
+        from documentai_ray.functions.aes import ecb_encrypt
+        from documentai_ray.functions.pdfcrypt import (r6_owner_entries,
+                                                       r6_user_entries)
+
+        # fixed envelope (key + salts): Algorithm 2.B is deliberately
+        # slow, and with the hash memoized a constant envelope makes the
+        # whole password machinery a once-per-worker cost — stream
+        # ciphertexts still differ per document via per-stream IVs.
+        # (A production writer would draw a fresh key per file.)
+        key = hashlib.sha256(b"graft-aes256-shared-envelope").digest()
+        seed = hashlib.md5(b"graft-aes256-user-salts").digest()
+        u, ue = r6_user_entries(key, vsalt=seed[:8], ksalt=seed[8:16])
+        seed2 = hashlib.md5(b"graft-aes256-owner-salts").digest()
+        o, oe = r6_owner_entries(key, u, vsalt=seed2[:8],
+                                 ksalt=seed2[8:16])
+        perms = ecb_encrypt(key, _st.pack("<i", permissions)
+                            + b"\xff\xff\xff\xffTadbnoon")
+        enc_dct = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d"
+                   b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                   b" /StmF /StdCF /StrF /StdCF"
+                   b" /U %s /UE %s /O %s /OE %s /Perms %s >>"
+                   % (permissions, escape_crypt_string(u),
+                      escape_crypt_string(ue), escape_crypt_string(o),
+                      escape_crypt_string(oe),
+                      escape_crypt_string(perms)))
+        cipher = Decryptor(enc_dct, file_id)
+        assert cipher.key == key  # /UE round-trip sanity
+        out = bytearray(b"%PDF-1.7\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objects):
+            dct, stream = objects[num]
+            offsets[num] = len(out)
+            if stream is not None:
+                enc = cipher.encrypt(stream, num)
+                if len(enc) != len(stream):
+                    dct = re.sub(rb"/Length\s+\d+",
+                                 b"/Length %d" % len(enc), dct, count=1)
+                out += b"%d 0 obj\n" % num + dct
+                out += b"\nstream\n" + enc + b"\nendstream"
+            else:
+                out += b"%d 0 obj\n" % num + dct
+            out += b"\nendobj\n"
+        offsets[enc_num] = len(out)
+        out += b"%d 0 obj\n" % enc_num + enc_dct + b"\nendobj\n"
+        nobjs = enc_num
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (nobjs + 1)
+        out += b"0000000000 65535 f \n"
+        for num in range(1, nobjs + 1):
+            out += b"%010d 00000 n \n" % offsets.get(num, 0)
+        out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+                b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+                % (nobjs + 1, root_num, enc_num, file_id.hex().encode(),
+                   file_id.hex().encode(), xref_at))
+        return bytes(out)
     if aes:
         r, nbits = 4, 128
     key_bytes = 5 if r == 2 else nbits // 8
@@ -517,7 +579,6 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                       key_bytes=key_bytes)
     u = compute_u(key, file_id, r=min(r, 3))
 
-    enc_num = max(objects) + 1
     if aes:
         enc_dct = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d"
                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"

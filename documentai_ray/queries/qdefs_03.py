@@ -210,9 +210,10 @@ def _q_pdf_encrypted_extract(sf_dir: str):
     """Encrypted-PDF extraction (ISO 32000 §7.6.3 standard security
     handler): per-doc text renders to a real PDF and re-emits ENCRYPTED
     with an empty user password — RC4 R2/40-bit, RC4 R3/128-bit over
-    FlateDecode streams, RC4 R3/40-bit, or V4 /AESV2 (AES-128-CBC,
-    IV-prefixed streams) by doc_id % 4 — then extraction must derive
-    the file key, verify /U and decrypt every stream before the normal
+    FlateDecode streams, RC4 R3/40-bit, V4 /AESV2 (AES-128-CBC,
+    IV-prefixed streams), or V5 R6 /AESV3 (AES-256, SHA-2 Algorithm 2.B
+    password machinery) by doc_id % 5 — then extraction must derive the
+    file key, verify /U and decrypt every stream before the normal
     parse. Oracle: the same deterministic 8-words-per-line relayout;
     ciphertext-ness itself is pytest-pinned."""
     import pyarrow as pa
@@ -222,8 +223,10 @@ def _q_pdf_encrypted_extract(sf_dir: str):
     from documentai_ray.functions.pdfwrite import (encrypt_pdf, text_to_pdf,
                                                    wrap_text_lines)
 
-    _MODES = [(2, 40, False, False), (3, 128, True, False),
-              (3, 40, False, False), (3, 128, True, True)]
+    _MODES = [(2, 40, False, False, False), (3, 128, True, False, False),
+              (3, 40, False, False, False), (3, 128, True, True, False),
+              (3, 128, True, False, True)]
+    _NAMES = ["r2_40", "r3_128", "r3_40", "aesv2", "aesv3"]
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
@@ -233,12 +236,13 @@ def _q_pdf_encrypted_extract(sf_dir: str):
         modes = []
         ids = batch.column("doc_id").to_pylist()
         for did, txt in zip(ids, batch.column("text").to_pylist()):
-            r, nbits, compress, aes = _MODES[did % 4]
+            r, nbits, compress, aes, aes256 = _MODES[did % 5]
             pdf = encrypt_pdf(
                 text_to_pdf(wrap_text_lines(txt or ""), shuffle_key=did,
-                            compress=compress), r=r, nbits=nbits, aes=aes)
+                            compress=compress), r=r, nbits=nbits, aes=aes,
+                aes256=aes256)
             texts.append(extract_text(pdf)[0])
-            modes.append("aesv2" if aes else f"r{r}_{nbits}")
+            modes.append(_NAMES[did % 5])
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "text": pa.array(texts, pa.string()),
                          "enc_mode": pa.array(modes, pa.string())})
