@@ -137,3 +137,53 @@ def test_aesv2_mutation_robustness():
             extract_text(bytes(m))
         except ValueError:
             pass
+
+
+def test_aes256_v5r6_extracts_identically():
+    plain = text_to_pdf(LINES, shuffle_key=7, compress=False)
+    enc = encrypt_pdf(plain, aes256=True)
+    assert b"/AESV3" in enc and b"/V 5 /R 6" in enc
+    assert b"secret line" not in enc
+    assert extract_text(enc)[0] == extract_text(plain)[0]
+
+
+def test_aes256_image_pdf_lossless():
+    img = ((np.arange(24)[:, None] * 7 + np.arange(32) * 3)
+           % 256).astype(np.uint8)
+    enc = encrypt_pdf(images_to_pdf([img], image_filter="flate"),
+                      aes256=True)
+    (got,), = page_images(enc)
+    assert np.array_equal(got, img)
+
+
+def test_aes256_tampered_u_raises():
+    enc = bytearray(encrypt_pdf(text_to_pdf(LINES), aes256=True))
+    i = enc.find(b"/U <") + 4
+    enc[i:i + 4] = b"0000"
+    with pytest.raises(ValueError, match="user password"):
+        extract_text(bytes(enc))
+
+
+def test_hash_2b_deterministic_and_shaped():
+    from documentai_ray.functions.pdfcrypt import hash_2b
+
+    a = hash_2b(b"", b"saltsalt")
+    assert len(a) == 32
+    assert hash_2b(b"", b"saltsalt") == a          # deterministic
+    assert hash_2b(b"", b"other_sa") != a          # salt-sensitive
+    assert hash_2b(b"pw", b"saltsalt") != a        # password-sensitive
+
+
+def test_aes256_mutation_robustness():
+    rng = np.random.RandomState(6)
+    base = encrypt_pdf(text_to_pdf(LINES[:15], compress=True), aes256=True)
+    for t in range(120):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(8, len(m))]
+        try:
+            extract_text(bytes(m))
+        except ValueError:
+            pass
