@@ -106,3 +106,49 @@ def test_encrypted_pdf_text_roundtrip(words, aes):
     plain = text_to_pdf(lines, compress=True)
     assert extract_text(encrypt_pdf(plain, aes=aes))[0] == \
         extract_text(plain)[0]
+
+
+@given(st.lists(_WORD, min_size=0, max_size=24),
+       st.sampled_from(["rc4", "aesv2", "aesv3"]))
+@settings(max_examples=15, deadline=None)
+def test_encrypted_pdf_all_modes_roundtrip(words, mode):
+    from documentai_ray.functions.pdfread import extract_text
+    from documentai_ray.functions.pdfwrite import encrypt_pdf, text_to_pdf
+
+    lines = [" ".join(words[i:i + 8]) for i in range(0, len(words), 8)]
+    plain = text_to_pdf(lines, compress=True)
+    enc = encrypt_pdf(plain, aes=(mode == "aesv2"),
+                      aes256=(mode == "aesv3"))
+    assert extract_text(enc)[0] == extract_text(plain)[0]
+
+
+@given(_gray_images(max_h=20, max_w=40), st.integers(1, 9))
+@settings(max_examples=25, deadline=None)
+def test_g4_tiff_container_any_strips(img, rps):
+    want = np.where(img < 128, 0, 255).astype(np.uint8)
+    enc = encode_gray_tiff(img, compression="g4", rows_per_strip=rps)
+    assert np.array_equal(decode_gray_tiff(enc), want)
+
+
+@given(_gray_images(max_h=16, max_w=24),
+       st.sampled_from(["png", "png-rgb", "jpeg-prog", "tiff-lzw",
+                        "tiff-g4"]))
+@settings(max_examples=25, deadline=None)
+def test_image_dispatch_any_format(img, fmt):
+    from documentai_ray.functions.jpegdec import encode_jpeg
+    from documentai_ray.functions.minipng import encode_png
+    from documentai_ray.stages.multimodal import _decode_image_real
+
+    if fmt == "png":
+        payload = encode_png(img)
+    elif fmt == "png-rgb":
+        payload = encode_png(np.dstack([img, img, img]))
+    elif fmt == "jpeg-prog":
+        payload = encode_jpeg(img, progressive=True)
+    elif fmt == "tiff-lzw":
+        payload = encode_gray_tiff(img, compression="lzw")
+    else:
+        payload = encode_gray_tiff(img, compression="g4")
+    out = _decode_image_real(payload)
+    assert out.shape == (img.shape[0], img.shape[1], 1)
+    assert out.dtype == np.uint8
