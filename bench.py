@@ -217,6 +217,8 @@ def run_benchmarks() -> dict:
     # scanned-fax loop (render → G4 encode → PDF → G4 decode → OCR)
     timed("pdf_encrypted_extract", run_named("pdf_encrypted_extract"))
     timed("fax_pdf_ocr", run_named("fax_pdf_ocr"))
+    # the literal Common-Crawl entry path: .warc.gz shards → full chain
+    timed("flagship_warc", run_named("flagship_warc"))
     timed("line_dedup", run_named("line_dedup"))
     timed("repeated_passages", run_named("repeated_passages"))
     timed("web_curation", run_named("web_curation"))
