@@ -246,10 +246,15 @@ class Decryptor:
             elif cfm.group(1) != b"V2":
                 raise ValueError(
                     f"unsupported crypt filter /{cfm.group(1).decode()}")
-        elif v == 5 and r == 6:
-            # AES-256 (ISO 32000-2 /AESV3): SHA-2 password machinery,
-            # the FILE key encrypts every stream directly (no per-object
-            # derivation); empty user password verified via Algorithm 11
+        elif v == 5 and r in (5, 6):
+            # AES-256 (/AESV3): SHA-2 password machinery, the FILE key
+            # encrypts every stream directly (no per-object derivation);
+            # empty user password verified via Algorithm 11. R6 (ISO
+            # 32000-2) hashes with the iterated Algorithm 2.B; the
+            # deprecated Adobe R5 is the same machinery with a plain
+            # SHA-256(pw + salt [+ udata]) in its place.
+            import hashlib as _h
+
             from documentai_ray.functions.aes import cbc_decrypt_nopad
 
             uem = re.search(rb"/UE\s*<([0-9a-fA-F\s]+)>", encrypt_dct)
@@ -259,11 +264,16 @@ class Decryptor:
             if len(u) < 48:
                 raise ValueError("short V5 /U entry")
             vsalt, ksalt = u[32:40], u[40:48]
-            if hash_2b(b"", vsalt) != u[:32]:
+            if r == 6:
+                vhash = hash_2b(b"", vsalt)
+                inter = hash_2b(b"", ksalt)
+            else:
+                vhash = _h.sha256(vsalt).digest()  # pw is empty
+                inter = _h.sha256(ksalt).digest()
+            if vhash != u[:32]:
                 raise ValueError(
                     "PDF requires a non-empty user password (not supported)")
             ue = bytes.fromhex(re.sub(rb"\s", b"", uem.group(1)).decode())
-            inter = hash_2b(b"", ksalt)
             self.key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue)
             self.aes = True
             self.v5 = True

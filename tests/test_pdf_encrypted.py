@@ -73,8 +73,12 @@ def test_tampered_u_entry_raises():
 
 def test_unsupported_schemes_raise():
     enc = encrypt_pdf(text_to_pdf(LINES))
-    v5 = enc.replace(b"/V 2 /R 3", b"/V 5 /R 5")
+    v6 = enc.replace(b"/V 2 /R 3", b"/V 6 /R 7")  # unknown future rev
     with pytest.raises(ValueError, match="unsupported PDF encryption"):
+        extract_text(v6)
+    # V5 without the /UE key blob is malformed
+    v5 = enc.replace(b"/V 2 /R 3", b"/V 5 /R 5")
+    with pytest.raises(ValueError, match="without /UE"):
         extract_text(v5)
     # V4 without a crypt-filter spec is malformed
     v4 = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
@@ -187,3 +191,59 @@ def test_aes256_mutation_robustness():
             extract_text(bytes(m))
         except ValueError:
             pass
+
+
+def test_r5_deprecated_revision_decrypts():
+    # Adobe's deprecated R5: the R6 machinery with plain SHA-256 in
+    # place of Algorithm 2.B — built by hand since the writer only
+    # emits R6
+    import hashlib
+    import re
+
+    from documentai_ray.functions.aes import cbc_encrypt_nopad
+    from documentai_ray.functions.pdfcrypt import (Decryptor,
+                                                   escape_crypt_string)
+    from documentai_ray.functions.pdfread import parse_objects
+
+    plain = text_to_pdf(LINES[:30], compress=True)
+    want = extract_text(plain)[0]
+    key = hashlib.sha256(b"r5-test-key").digest()
+    vsalt, ksalt = b"vsalt678", b"ksalt678"
+    u = hashlib.sha256(vsalt).digest() + vsalt + ksalt
+    ue = cbc_encrypt_nopad(hashlib.sha256(ksalt).digest(), b"\x00" * 16,
+                           key)
+    enc_dct = (b"<< /Filter /Standard /V 5 /R 5 /Length 256 /P -44"
+               b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+               b" /StmF /StdCF /StrF /StdCF /U %s /UE %s /O %s /OE %s >>"
+               % (escape_crypt_string(u), escape_crypt_string(ue),
+                  escape_crypt_string(u), escape_crypt_string(ue)))
+    cipher = Decryptor(enc_dct, b"")
+    assert cipher.key == key
+    objects = parse_objects(plain)
+    root_num = int(re.search(rb"/Root\s+(\d+)\s+0\s+R", plain).group(1))
+    enc_num = max(objects) + 1
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for num in sorted(objects):
+        dct, stream = objects[num]
+        offsets[num] = len(out)
+        if stream is not None:
+            e = cipher.encrypt(stream, num)
+            if len(e) != len(stream):
+                dct = re.sub(rb"/Length\s+\d+", b"/Length %d" % len(e),
+                             dct, count=1)
+            out += (b"%d 0 obj\n" % num + dct + b"\nstream\n" + e
+                    + b"\nendstream")
+        else:
+            out += b"%d 0 obj\n" % num + dct
+        out += b"\nendobj\n"
+    offsets[enc_num] = len(out)
+    out += b"%d 0 obj\n" % enc_num + enc_dct + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (enc_num + 1)
+    for num in range(1, enc_num + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+            b" /ID [<00> <00>] >>\nstartxref\n%d\n%%%%EOF\n"
+            % (enc_num + 1, root_num, enc_num, xref_at))
+    assert extract_text(bytes(out))[0] == want
