@@ -845,6 +845,41 @@ def page_images(pdf: bytes):
     return out
 
 
+_INFO_KEYS = (b"Title", b"Author", b"Subject", b"Producer", b"Creator",
+              b"Keywords")
+
+
+def document_info(pdf: bytes) -> dict[str, str]:
+    """``/Info`` dictionary metadata (ISO 32000 §14.3.3): Title / Author
+    / Subject / Producer / Creator / Keywords as text. Handles literal
+    strings (with escapes) and hex strings, UTF-16BE-with-BOM or
+    PDFDocEncoding≈latin-1 per the spec's text-string rules. Returns
+    only the keys present."""
+    if not is_pdf(pdf):
+        raise ValueError("not a PDF payload")
+    objects = parse_objects(pdf)
+    im = re.search(rb"/Info\s+(\d+)\s+0\s+R", pdf)
+    if not im or int(im.group(1)) not in objects:
+        return {}
+    dct = objects[int(im.group(1))][0]
+    out: dict[str, str] = {}
+    for key in _INFO_KEYS:
+        m = re.search(rb"/" + key + rb"\s*(\(|<)", dct)
+        if not m:
+            continue
+        pos = m.end() - 1
+        if dct[pos:pos + 1] == b"(":
+            raw, _end = _parse_literal_string(dct, pos)
+        else:
+            raw, _end = _parse_hex_string(dct, pos)
+        if raw.startswith(b"\xfe\xff"):
+            text = raw[2:].decode("utf-16-be", errors="replace")
+        else:
+            text = raw.decode("latin-1")
+        out[key.decode()] = text
+    return out
+
+
 def extract_text(pdf: bytes, *, max_pages: int | None = None,
                  bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
     """``%PDF-`` payload → ``(text, word_boxes)`` per the canonical spec.

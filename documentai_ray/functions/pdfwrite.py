@@ -126,7 +126,8 @@ def escape_pdf_string(s: str) -> bytes:
 
 
 def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
-                shuffle_key: int = 0, compress: bool = False) -> bytes:
+                shuffle_key: int = 0, compress: bool = False,
+                info: dict[str, str] | None = None) -> bytes:
     """Text lines → genuine PDF 1.4, one `Tj` run per line.
 
     Line ``i`` of a page sits at ``(72, 720 − 14·i)`` in PDF user space
@@ -173,6 +174,12 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
     objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
                % (b" ".join(b"%d 0 R" % k for k in kid_ids), len(kid_ids)))
+    info_ref = b""
+    if info:
+        body = b"<< " + b" ".join(
+            b"/%s (%s)" % (k.encode("ascii"), escape_pdf_string(v))
+            for k, v in sorted(info.items())) + b" >>"
+        info_ref = b" /Info %d 0 R" % add(body)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: list[int] = []
@@ -184,8 +191,8 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
     out += b"0000000000 65535 f \n"
     for off in offsets:
         out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_at))
+    out += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, info_ref, xref_at))
     return bytes(out)
 
 

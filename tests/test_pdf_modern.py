@@ -145,3 +145,26 @@ def test_incremental_update_last_revision_wins():
     updated = extract_text(bytes(upd))[0]
     assert updated.startswith("revised first line")
     assert "second line" in updated
+
+
+def test_document_info_roundtrip():
+    from documentai_ray.functions.pdfread import document_info
+
+    pdf = text_to_pdf(["hello"], info={"Title": "Doc (42)",
+                                       "Author": "crawler\\test",
+                                       "Producer": "graft"})
+    assert document_info(pdf) == {"Title": "Doc (42)",
+                                  "Author": "crawler\\test",
+                                  "Producer": "graft"}
+    assert extract_text(pdf)[0] == "hello"
+    assert document_info(text_to_pdf(["x"])) == {}
+
+
+def test_document_info_utf16_hex_title():
+    from documentai_ray.functions.pdfread import document_info
+
+    pdf = text_to_pdf(["x"], info={"Title": "placeholder"})
+    raw = "Résumé ✓".encode("utf-16-be")
+    hexstr = b"<FEFF" + raw.hex().encode() + b">"
+    pdf2 = pdf.replace(b"/Title (placeholder)", b"/Title " + hexstr)
+    assert document_info(pdf2)["Title"] == "Résumé ✓"
