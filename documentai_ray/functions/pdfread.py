@@ -880,6 +880,58 @@ def document_info(pdf: bytes) -> dict[str, str]:
     return out
 
 
+def document_outline(pdf: bytes) -> list[str]:
+    """Bookmark (outline/TOC) titles in document order (ISO 32000
+    §12.3.3): walk /Root → /Outlines → /First → /Next chains, depth-
+    first (children before the next sibling). Cycle-guarded; returns []
+    when the document has no outline."""
+    if not is_pdf(pdf):
+        raise ValueError("not a PDF payload")
+    objects = parse_objects(pdf)
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
+    if not rm or int(rm.group(1)) not in objects:
+        return []
+    root = objects[int(rm.group(1))][0]
+    om = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", root)
+    if not om or int(om.group(1)) not in objects:
+        return []
+
+    titles: list[str] = []
+    seen: set[int] = set()
+
+    def _title(dct: bytes) -> str | None:
+        m = re.search(rb"/Title\s*(\(|<)", dct)
+        if not m:
+            return None
+        pos = m.end() - 1
+        if dct[pos:pos + 1] == b"(":
+            raw, _ = _parse_literal_string(dct, pos)
+        else:
+            raw, _ = _parse_hex_string(dct, pos)
+        if raw.startswith(b"\xfe\xff"):
+            return raw[2:].decode("utf-16-be", errors="replace")
+        return raw.decode("latin-1")
+
+    def _walk(num: int) -> None:
+        while num and num not in seen and num in objects:
+            seen.add(num)
+            dct = objects[num][0]
+            t = _title(dct)
+            if t is not None:
+                titles.append(t)
+            fm = re.search(rb"/First\s+(\d+)\s+0\s+R", dct)
+            if fm:
+                _walk(int(fm.group(1)))
+            nm = re.search(rb"/Next\s+(\d+)\s+0\s+R", dct)
+            num = int(nm.group(1)) if nm else 0
+
+    top = objects[int(om.group(1))][0]
+    fm = re.search(rb"/First\s+(\d+)\s+0\s+R", top)
+    if fm:
+        _walk(int(fm.group(1)))
+    return titles
+
+
 def extract_text(pdf: bytes, *, max_pages: int | None = None,
                  bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
     """``%PDF-`` payload → ``(text, word_boxes)`` per the canonical spec.

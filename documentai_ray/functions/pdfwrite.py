@@ -127,7 +127,8 @@ def escape_pdf_string(s: str) -> bytes:
 
 def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
                 shuffle_key: int = 0, compress: bool = False,
-                info: dict[str, str] | None = None) -> bytes:
+                info: dict[str, str] | None = None,
+                outline: list[str] | None = None) -> bytes:
     """Text lines → genuine PDF 1.4, one `Tj` run per line.
 
     Line ``i`` of a page sits at ``(72, 720 − 14·i)`` in PDF user space
@@ -171,7 +172,28 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
             b" /Resources << /Font << /F1 %d 0 R >> >>"
             b" /Contents %d 0 R >>" % (PAGE_W, PAGE_H, font_id, ct_id))
         kid_ids.append(pg_id)
-    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    catalog_extra = b""
+    if outline:
+        # flat one-level outline: /Outlines root + /First..Next chain
+        first_item = len(objs) + 2  # after the outlines root object
+        root_id = len(objs) + 1
+        items = []
+        for i, title in enumerate(outline):
+            prev_ref = (b" /Prev %d 0 R" % (first_item + i - 1)
+                        if i else b"")
+            next_ref = (b" /Next %d 0 R" % (first_item + i + 1)
+                        if i + 1 < len(outline) else b"")
+            items.append(
+                b"<< /Title (%s) /Parent %d 0 R%s%s"
+                b" /Dest [%d 0 R /Fit] >>"
+                % (escape_pdf_string(title), root_id, prev_ref, next_ref,
+                   kid_ids[min(i, len(kid_ids) - 1)]))
+        add(b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (first_item, first_item + len(outline) - 1, len(outline)))
+        for it in items:
+            add(it)
+        catalog_extra = b" /Outlines %d 0 R" % root_id
+    objs[0] = (b"<< /Type /Catalog /Pages 2 0 R%s >>" % catalog_extra)
     objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
                % (b" ".join(b"%d 0 R" % k for k in kid_ids), len(kid_ids)))
     info_ref = b""

@@ -168,3 +168,30 @@ def test_document_info_utf16_hex_title():
     hexstr = b"<FEFF" + raw.hex().encode() + b">"
     pdf2 = pdf.replace(b"/Title (placeholder)", b"/Title " + hexstr)
     assert document_info(pdf2)["Title"] == "Résumé ✓"
+
+
+def test_document_outline_roundtrip():
+    from documentai_ray.functions.pdfread import document_outline
+
+    pdf = text_to_pdf([f"line {i}" for i in range(90)],
+                      outline=["Intro", "Chapter (1)", "Appendix A"])
+    assert document_outline(pdf) == ["Intro", "Chapter (1)", "Appendix A"]
+    assert extract_text(pdf)[0].startswith("line 0")
+    assert document_outline(text_to_pdf(["x"])) == []
+
+
+def test_document_outline_cycle_guard():
+    from documentai_ray.functions.pdfread import document_outline
+
+    pdf = text_to_pdf(["x"], outline=["A", "B"])
+    # splice a cycle: B's /Next points back at A — walk must terminate
+    import re
+
+    m = list(re.finditer(rb"/Title \((\w)\)", pdf))
+    assert len(m) == 2
+    first_item = pdf[:m[0].start()].rfind(b" 0 obj")
+    first_num = int(pdf[:first_item].rsplit(b"\n", 1)[-1])
+    looped = pdf.replace(b"/Title (B) /Parent",
+                         b"/Title (B) /Next %d 0 R /Parent" % first_num)
+    toc = document_outline(looped)
+    assert toc[:2] == ["A", "B"] and len(toc) <= 3
