@@ -932,6 +932,45 @@ def document_outline(pdf: bytes) -> list[str]:
     return titles
 
 
+def document_links(pdf: bytes) -> list[str]:
+    """Outbound URIs from link annotations (ISO 32000 §12.5.6.5 /Link +
+    §12.6.4.7 /URI actions), page order then annotation order — the
+    PDF side of outlink extraction (crawl frontiers follow PDF links
+    too). Handles direct and indirect annotation objects."""
+    if not is_pdf(pdf):
+        raise ValueError("not a PDF payload")
+    objects = parse_objects(pdf)
+    rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
+    kids: list[int] = []
+    if rm and int(rm.group(1)) in objects:
+        for pid in _ref_list(objects[int(rm.group(1))][0], rb"/Pages"):
+            stack = [pid]
+            while stack:
+                nid = stack.pop(0)
+                dct = objects.get(nid, (b"", None))[0]
+                if b"/Type /Pages" in dct or b"/Type/Pages" in dct:
+                    stack = _ref_list(dct, rb"/Kids") + stack
+                else:
+                    kids.append(nid)
+    out: list[str] = []
+
+    def _uris(dct: bytes) -> None:
+        for m in re.finditer(rb"/URI\s*\(", dct):
+            raw, _ = _parse_literal_string(dct, m.end() - 1)
+            out.append(raw.decode("utf-8", errors="replace"))
+
+    for pid in kids:
+        dct = objects.get(pid, (b"", None))[0]
+        am = re.search(rb"/Annots\s*\[([^\]]*)\]", dct)
+        if not am:
+            continue
+        body = am.group(1)
+        _uris(body)  # direct annotation dicts inside the array
+        for oid in re.findall(rb"(\d+)\s+0\s+R", body):
+            _uris(objects.get(int(oid), (b"", None))[0])
+    return out
+
+
 def extract_text(pdf: bytes, *, max_pages: int | None = None,
                  bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
     """``%PDF-`` payload → ``(text, word_boxes)`` per the canonical spec.

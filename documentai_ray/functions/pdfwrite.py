@@ -128,7 +128,8 @@ def escape_pdf_string(s: str) -> bytes:
 def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
                 shuffle_key: int = 0, compress: bool = False,
                 info: dict[str, str] | None = None,
-                outline: list[str] | None = None) -> bytes:
+                outline: list[str] | None = None,
+                links: list[str] | None = None) -> bytes:
     """Text lines → genuine PDF 1.4, one `Tj` run per line.
 
     Line ``i`` of a page sits at ``(72, 720 − 14·i)`` in PDF user space
@@ -167,10 +168,24 @@ def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
         else:
             ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
                         % (len(content), content))
+        annots_ref = b""
+        if links and pi == 0:
+            ann_ids = []
+            for li2, url in enumerate(links):
+                y0 = TEXT_TOP - LEADING * li2
+                ann_ids.append(add(
+                    b"<< /Type /Annot /Subtype /Link"
+                    b" /Rect [%d %d %d %d] /Border [0 0 0]"
+                    b" /A << /S /URI /URI (%s) >> >>"
+                    % (TEXT_X, y0 - 2, TEXT_X + 200, y0 + 10,
+                       escape_pdf_string(url))))
+            annots_ref = (b" /Annots [%s]"
+                          % b" ".join(b"%d 0 R" % a for a in ann_ids))
         pg_id = add(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
-            b" /Resources << /Font << /F1 %d 0 R >> >>"
-            b" /Contents %d 0 R >>" % (PAGE_W, PAGE_H, font_id, ct_id))
+            b" /Resources << /Font << /F1 %d 0 R >> >>%s"
+            b" /Contents %d 0 R >>"
+            % (PAGE_W, PAGE_H, font_id, annots_ref, ct_id))
         kid_ids.append(pg_id)
     catalog_extra = b""
     if outline:

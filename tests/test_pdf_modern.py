@@ -195,3 +195,14 @@ def test_document_outline_cycle_guard():
                          b"/Title (B) /Next %d 0 R /Parent" % first_num)
     toc = document_outline(looped)
     assert toc[:2] == ["A", "B"] and len(toc) <= 3
+
+
+def test_document_links_roundtrip():
+    from documentai_ray.functions.pdfread import document_links
+
+    urls = ["https://a.example/x?q=1", "https://b.example/path(v)",
+            "mailto:x@y.example"]
+    pdf = text_to_pdf([f"line {i}" for i in range(10)], links=urls)
+    assert document_links(pdf) == urls
+    assert extract_text(pdf)[0].startswith("line 0")
+    assert document_links(text_to_pdf(["x"])) == []
