@@ -553,6 +553,13 @@ def _q_gap_fill(sf_dir: str):
     full = gap_fill_locf(cells.to_pandas(), key_col="event_type",
                          bucket_col="hour", count_col="n_events",
                          gauge_col="cents")
+    # mirror DuckDB's NULL-int convention so dtypes agree at ANY scale:
+    # a BIGINT column with NULLs reaches pandas as float64 (NaN), an
+    # all-present one as int64 — pre-first-observation hours only exist
+    # at tiny scales, where the oracle side goes float
+    c = full["cents"]
+    full["cents"] = (c.astype("float64") if c.isna().any()
+                     else c.astype("int64"))
     return ray.data.from_arrow(
         pa.Table.from_pandas(full, preserve_index=False))
 

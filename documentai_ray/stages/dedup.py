@@ -38,23 +38,39 @@ _MERSENNE = (1 << 31) - 1
 # ---------------------------------------------------------------------------
 
 def _add_pkey(ds, col: str, num_partitions: int, out: str = "_pkey"):
-    """Hash-partition key column: ``crc32(col) % P``. P is bounded (≈2-4×
+    """Hash-partition key column: ``hash(col) % P``. P is bounded (≈2-4×
     cores), so the downstream ``groupby(_pkey).map_groups`` sees few, large
     groups — per-group Python overhead amortizes and the group body stays
     vectorized pandas. (One ``map_groups`` call per *row-key* group is the
     classic Ray Data anti-pattern: ~ms of overhead × millions of keys.)
 
+    The hash is polars' vectorized 64-bit xxhash (seeded, process-stable —
+    every worker maps the same key to the same partition); the per-row
+    Python ``crc32`` loop it replaces was the hottest non-extract map in
+    front of every dedup exchange (VERDICT r3 #6). Any deterministic hash
+    is valid here: the partitioner only needs same-key → same-partition,
+    and no output ever depends on WHICH partition a group lands in.
+
     Sizing P at scale: a partition must fit one worker's heap, so choose
     ``P ≈ max(cluster_cores × 2, total_rows / rows_per_worker)`` — the
     single-node default (64) is NOT a constant to keep on a 256-node run."""
-    import zlib
 
     def f(batch: pa.Table) -> pa.Table:
-        keys = batch.column(col).to_pylist()
-        pk = np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
-            dtype=np.int32, count=len(keys),
-        )
+        try:
+            import polars as pl
+
+            s = pl.from_arrow(batch.select([col]))
+            if isinstance(s, pl.DataFrame):
+                s = s.to_series()
+            pk = (s.hash(seed=0) % num_partitions).cast(pl.Int32).to_numpy()
+        except Exception:  # pragma: no cover - non-polars-hashable dtype
+            import zlib
+
+            keys = batch.column(col).to_pylist()
+            pk = np.fromiter(
+                (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
+                dtype=np.int32, count=len(keys),
+            )
         return batch.append_column(out, pa.array(pk, pa.int32()))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -447,20 +463,43 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
     _ALLMAX = np.iinfo(np.uint64).max
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs = batch.column("minhash").to_pylist()
-        ids_out, keys = [], []
-        for i, sig in zip(ids, sigs):
-            if sig and sig[0] == _ALLMAX:  # shingle-less row: skip
-                continue
+        # Vectorized banding (VERDICT r3 #6 — replaces a per-signature md5
+        # loop): the fixed-width list<uint64> signature column flattens
+        # zero-copy to an (n, num_perm) matrix; each band folds its
+        # rows_per_band columns with an FNV-1a-style uint64 mix seeded by
+        # the band index. The band key is only a bucket label — any
+        # deterministic ~64-bit mix works; two signatures share a key iff
+        # they share the band's values (collisions ~2^-64, and candidates
+        # are exact-verified downstream anyway).
+        sig_col = batch.column("minhash").combine_chunks()
+        n = len(sig_col)
+        if n == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             "band_key": pa.array([], pa.uint64())})
+        M = np.asarray(sig_col.flatten(), dtype=np.uint64).reshape(
+            n, num_perm)
+        keep = M[:, 0] != _ALLMAX           # shingle-less rows: skip
+        M = M[keep]
+        ids_kept = batch.column(id_col).filter(pa.array(keep))
+        if isinstance(ids_kept, pa.Array):
+            ids_kept = pa.chunked_array([ids_kept])
+        FNV = np.uint64(0x100000001B3)
+        band_keys = []
+        with np.errstate(over="ignore"):    # uint64 wraparound is the mix
             for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                digest = hashlib.md5(
-                    (str(b) + ":" + ",".join(map(str, chunk))).encode()
-                ).hexdigest()[:16]
-                ids_out.append(i)
-                keys.append(digest)
-        return pa.table({id_col: pa.array(ids_out), "band_key": pa.array(keys)})
+                key = np.full(M.shape[0], 0xCBF29CE484222325 ^ (b + 1),
+                              dtype=np.uint64)
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+                    key = (key ^ M[:, j]) * FNV
+                band_keys.append(key)
+        ids_out = pa.chunked_array(
+            [c for _ in range(bands) for c in ids_kept.chunks],
+            type=ids_kept.type)
+        return pa.table({
+            id_col: ids_out,
+            "band_key": pa.array(np.concatenate(band_keys)
+                                 if band_keys else
+                                 np.empty(0, np.uint64), pa.uint64())})
 
     bandrows = _add_pkey(
         sigged.map_batches(explode, batch_format="pyarrow"),
@@ -1341,31 +1380,33 @@ def verify_containment_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
     """Exact containment verification: keep (sub, super) where
     ``inter · 10⁶ ≥ threshold_ppm · |S_sub|`` (integer compare — no
     float at the boundary), emitting ``inter`` and ``n_sub`` for
-    engine-independent value comparison. Broadcast path only (pair sets
-    are candidate-bounded; swap in the hash-join plan of
-    verify_jaccard_pairs beyond ``broadcast_limit`` texts)."""
+    engine-independent value comparison.
+
+    Two physical plans, auto-selected by corpus size (same contract as
+    ``verify_jaccard_pairs``):
+
+    - ``count(texts) ≤ broadcast_limit``: id→text dict broadcast once via
+      ``ray.put``; verification is a pure map over the pair set.
+    - larger: fully distributed — two partitioned hash joins attach
+      ``text_sub`` / ``text_super`` to the pair rows, then a per-batch
+      shingle-set compare. No driver materialization of texts; only the
+      pair rows (candidate-bounded) carry text across the exchange.
+    """
     import ray
 
     from documentai_ray.stages.sketches import _shingles
 
-    texts_ds = texts_ds.materialize()
-    if texts_ds.count() > broadcast_limit:
-        raise NotImplementedError(
-            "distributed verify path: join texts like verify_jaccard_pairs")
-    lookup = ray.put({r[id_col]: r[text_col]
-                      for r in texts_ds.take_all()})
+    def row_result(a, b, ta: str, tb: str):
+        sa = set(_shingles(ta or "", k))
+        sb = set(_shingles(tb or "", k))
+        if not sa:
+            return None
+        inter = len(sa & sb)
+        if inter * 1_000_000 >= threshold_ppm * len(sa):
+            return (a, b, inter, len(sa))
+        return None
 
-    def verify(batch: pd.DataFrame) -> pa.Table:
-        lk = ray.get(lookup)
-        rows = []
-        for a, b in zip(batch["id_sub"], batch["id_super"]):
-            sa = set(_shingles(lk.get(a, "") or "", k))
-            sb = set(_shingles(lk.get(b, "") or "", k))
-            if not sa:
-                continue
-            inter = len(sa & sb)
-            if inter * 1_000_000 >= threshold_ppm * len(sa):
-                rows.append((a, b, inter, len(sa)))
+    def rows_table(rows) -> pa.Table:
         # explicit schema: empty partitions must not degrade to null types
         return pa.table({
             "id_sub": pa.array([r[0] for r in rows], pa.string()),
@@ -1373,7 +1414,51 @@ def verify_containment_pairs(texts_ds, pairs_ds, *, id_col: str = "url",
             "inter": pa.array([r[2] for r in rows], pa.int64()),
             "n_sub": pa.array([r[3] for r in rows], pa.int64())})
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+    texts_ds = texts_ds.materialize()
+    if texts_ds.count() <= broadcast_limit:
+        lookup = ray.put({r[id_col]: r[text_col]
+                          for r in texts_ds.take_all()})
+
+        def verify(batch: pd.DataFrame) -> pa.Table:
+            lk = ray.get(lookup)
+            rows = [r for a, b in zip(batch["id_sub"], batch["id_super"])
+                    if (r := row_result(a, b, lk.get(a, ""), lk.get(b, "")))
+                    is not None]
+            return rows_table(rows)
+
+        return pairs_ds.map_batches(verify, batch_format="pandas")
+
+    from documentai_ray.stages.joins import hash_join
+
+    # normalize pair blocks to arrow so hash_join sees well-typed schema
+    # (see verify_jaccard_pairs for why)
+    pairs_ds = pairs_ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    def side(col_id, col_text):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({col_id: batch.column(id_col),
+                             col_text: batch.column(text_col)})
+        return f
+
+    with_sub = hash_join(
+        pairs_ds,
+        texts_ds.map_batches(side("id_sub", "text_sub"),
+                             batch_format="pyarrow"),
+        on="id_sub", num_partitions=64)
+    with_both = hash_join(
+        with_sub,
+        texts_ds.map_batches(side("id_super", "text_super"),
+                             batch_format="pyarrow"),
+        on="id_super", num_partitions=64)
+
+    def verify_joined(batch: pd.DataFrame) -> pa.Table:
+        rows = [r for a, b, ta, tb in zip(
+                    batch["id_sub"], batch["id_super"],
+                    batch["text_sub"], batch["text_super"])
+                if (r := row_result(a, b, ta or "", tb or "")) is not None]
+        return rows_table(rows)
+
+    return with_both.map_batches(verify_joined, batch_format="pandas")
 
 
 def capture_line_diff(ds, *, url_col: str = "url", ts_col: str = "warc_ts",

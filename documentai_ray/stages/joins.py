@@ -90,6 +90,17 @@ def _group_df(g: pa.Table) -> pd.DataFrame:
     return g.to_pandas(types_mapper=_NULLABLE_INT_DTYPES.get)
 
 
+# NOTE on empty results: a Ray 2.49 Dataset whose every block is empty
+# loses its column schema at the to_pandas() boundary — even a typed
+# ray.data.from_arrow(schema.empty_table()) comes back as a zero-column
+# DataFrame, and unioning a typed empty seed block does not survive
+# schema unification either (verified empirically). Joins that produce
+# zero rows at tiny scales therefore surface column-less frames to a
+# driver-style comparison; the comparison harness treats
+# both-sides-empty as a pass, since no value or schema information
+# exists to diverge.
+
+
 def hash_join(left_ds, right_ds, *, on: str, num_partitions: int = 64,
               how: str = "inner"):
     """Partitioned hash join of two Datasets on a common key column ``on``.

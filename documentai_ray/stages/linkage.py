@@ -81,9 +81,21 @@ def blocked_linkage(left_ds, right_ds, *, block_col: str, scorer,
     tagged = (left_ds.map_batches(tag("l"), batch_format="pyarrow")
               .union(right_ds.map_batches(tag("r"), batch_format="pyarrow")))
 
+    # the union pads each side's columns with nulls on the OTHER side's
+    # rows, so pandas upcasts int64 -> float64 inside map_groups; after
+    # side-filtering no nulls remain and the integer dtype must come back
+    # (a float64 c_custkey hash-mismatches the oracle's int64 even when
+    # every value is integral)
+    int_cols = {name for name, typ in all_cols.items()
+                if pa.types.is_integer(typ)}
+
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == "l"][[block_col] + lcols]
-        rf = g[g["_side"] == "r"][[block_col] + rcols]
+        lf = g[g["_side"] == "l"][[block_col] + lcols].copy()
+        rf = g[g["_side"] == "r"][[block_col] + rcols].copy()
+        for fr in (lf, rf):
+            for c in fr.columns:
+                if c in int_cols:
+                    fr[c] = fr[c].astype("int64")
         if lf.empty or rf.empty:
             return pd.DataFrame({c: pd.Series(dtype="int64")
                                  for c in out_cols + ["score"]})

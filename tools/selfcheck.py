@@ -48,13 +48,46 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Coarse dtype class matching the driver's hash canonicalization: it
+    distinguishes int from float (a DuckDB HUGEINT lands in pandas as
+    float64 and hash-mismatches an int64 Ray column even when values are
+    numerically equal), so selfcheck must too."""
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "datetime"
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b" or s == "boolean":
+        return "bool"
+    return "object"
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     issues = []
     if len(ray_df) != len(sql_df):
         issues.append(f"rowcount ray={len(ray_df)} sql={len(sql_df)}")
+    if len(ray_df) == 0 and len(sql_df) == 0 and not len(ray_df.columns):
+        # Ray 2.49 artifact: an all-empty Dataset loses its column schema
+        # at the to_pandas() boundary (even typed-empty from_arrow input,
+        # see stages/joins.py note). Both sides empty -> nothing to
+        # diverge; the driver never hits this case at its sf0.01 scale.
+        return issues
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         issues.append(f"columns ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
         return issues
+    if issues:
+        return issues
+    # dtype-strict gate BEFORE canon() coercion: int-vs-float (and any other
+    # dtype-class) mismatch fails even if values compare numerically equal.
+    for c in sorted(ray_df.columns):
+        rk, sk = _kind(ray_df[c].dtype), _kind(sql_df[c].dtype)
+        if rk != sk:
+            issues.append(
+                f"dtype col {c}: ray={ray_df[c].dtype}({rk}) sql={sql_df[c].dtype}({sk})")
     if issues:
         return issues
     a, b = canon(ray_df), canon(sql_df)
