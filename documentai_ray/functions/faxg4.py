@@ -330,6 +330,62 @@ def _b1_b2(ref: list[int], threshold: int, black: bool) -> tuple[int, int]:
     return b1, b2
 
 
+def _encode_2d_line(bw: _BitW, cur: list[int], ref: list[int],
+                    w: int) -> None:
+    """Code one line's transitions 2-D (pass/horizontal/vertical modes)
+    against the reference line — shared by G4 (every line) and G3 K>0
+    (lines whose tag bit says 2-D)."""
+    a0 = -1
+    black = False
+    ci = 0  # index into cur of the next transition > a0
+    while True:
+        a1 = cur[ci] if ci < len(cur) else w
+        b1, b2 = _b1_b2(ref, a0, black)
+        if b1 is None:
+            b1 = w
+            b2 = w
+        elif b2 is None:
+            b2 = w
+        if b2 < a1:
+            bw.put(4, 0b0001)  # pass
+            a0 = b2
+            while ci < len(cur) and cur[ci] <= a0:
+                ci += 1
+        elif abs(a1 - b1) <= 3:
+            delta = a1 - b1
+            if delta == 0:
+                bw.put(1, 0b1)
+            elif delta == 1:
+                bw.put(3, 0b011)
+            elif delta == 2:
+                bw.put(6, 0b000011)
+            elif delta == 3:
+                bw.put(7, 0b0000011)
+            elif delta == -1:
+                bw.put(3, 0b010)
+            elif delta == -2:
+                bw.put(6, 0b000010)
+            else:
+                bw.put(7, 0b0000010)
+            a0 = a1
+            black = not black
+            ci += 1
+            if a0 >= w:
+                break
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            bw.put(3, 0b001)  # horizontal
+            start = 0 if a0 < 0 else a0
+            _emit_run(bw, a1 - start, black)
+            _emit_run(bw, a2 - a1, not black)
+            a0 = a2
+            ci += 2
+            if a0 >= w:
+                break
+        if a0 >= w:
+            break
+
+
 def g4_encode(img: np.ndarray) -> bytes:
     """Bool (or 0/1) HxW array, True/1 = BLACK → G4 bytes (EOFB
     terminated, byte-aligned)."""
@@ -339,55 +395,7 @@ def g4_encode(img: np.ndarray) -> bytes:
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(h):
         cur = _transitions(img[y])
-        a0 = -1
-        black = False
-        ci = 0  # index into cur of the next transition > a0
-        while True:
-            a1 = cur[ci] if ci < len(cur) else w
-            b1, b2 = _b1_b2(ref, a0, black)
-            if b1 is None:
-                b1 = w
-                b2 = w
-            elif b2 is None:
-                b2 = w
-            if b2 < a1:
-                bw.put(4, 0b0001)  # pass
-                a0 = b2
-                while ci < len(cur) and cur[ci] <= a0:
-                    ci += 1
-            elif abs(a1 - b1) <= 3:
-                delta = a1 - b1
-                if delta == 0:
-                    bw.put(1, 0b1)
-                elif delta == 1:
-                    bw.put(3, 0b011)
-                elif delta == 2:
-                    bw.put(6, 0b000011)
-                elif delta == 3:
-                    bw.put(7, 0b0000011)
-                elif delta == -1:
-                    bw.put(3, 0b010)
-                elif delta == -2:
-                    bw.put(6, 0b000010)
-                else:
-                    bw.put(7, 0b0000010)
-                a0 = a1
-                black = not black
-                ci += 1
-                if a0 >= w:
-                    break
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-                bw.put(3, 0b001)  # horizontal
-                start = 0 if a0 < 0 else a0
-                _emit_run(bw, a1 - start, black)
-                _emit_run(bw, a2 - a1, not black)
-                a0 = a2
-                ci += 2
-                if a0 >= w:
-                    break
-            if a0 >= w:
-                break
+        _encode_2d_line(bw, cur, ref, w)
         ref = cur
     for _ in range(2):  # EOFB = two EOLs
         bw.put(12, 0b000000000001)
@@ -414,8 +422,78 @@ def _read_run(br: _BitR, black: bool) -> int:
             return total
 
 
+def _decode_2d_line(br: _BitR, ref: list[int], width: int) -> list[int]:
+    """Decode one 2-D-coded line against the reference transitions;
+    returns the line's transition list — shared by G4 and G3 K>0."""
+    cur: list[int] = []
+    a0 = -1
+    black = False
+    while True:
+        # mode code (prefix-free): 1, 011, 010, 001, 0001, 000011,
+        # 000010, 0000011, 0000010, else EOL/garbage
+        if br.bit():
+            mode = "v", 0
+        elif br.bit():
+            mode = ("v", 1) if br.bit() else ("v", -1)
+        elif br.bit():
+            mode = ("h", 0)
+        elif br.bit():
+            mode = ("p", 0)
+        elif br.bit():
+            mode = ("v", 2) if br.bit() else ("v", -2)
+        elif br.bit():
+            mode = ("v", 3) if br.bit() else ("v", -3)
+        else:
+            raise ValueError("unexpected G4 mode/EOL inside image")
+        kind, delta = mode
+        b1, b2 = _b1_b2(ref, a0, black)
+        if b1 is None:
+            b1 = width
+            b2 = width
+        elif b2 is None:
+            b2 = width
+        if kind == "p":
+            a0 = b2
+            if a0 > width:
+                raise ValueError("G4 pass beyond line end")
+        elif kind == "v":
+            a1 = b1 + delta
+            if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
+                raise ValueError("G4 vertical out of range")
+            cur.append(a1)
+            a0 = a1
+            black = not black
+            if a0 >= width:
+                break
+        else:  # horizontal: two runs
+            start = 0 if a0 < 0 else a0
+            r1 = _read_run(br, black)
+            r2 = _read_run(br, not black)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width or a1 > width:
+                raise ValueError("G4 horizontal run overflow")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+            if a0 >= width:
+                break
+    return cur
+
+
+def _paint(cur: list[int], width: int) -> np.ndarray:
+    """Transition list -> bool row (True = black)."""
+    cur_sorted = [c for c in cur if c < width]
+    row = np.zeros(width, bool)
+    for i in range(0, len(cur_sorted), 2):
+        s = cur_sorted[i]
+        e = cur_sorted[i + 1] if i + 1 < len(cur_sorted) else width
+        row[s:e] = True
+    return row
+
+
 def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
-    """G4 bytes → bool HxW array (True = black). Decodes exactly
+    """G4 bytes -> bool HxW array (True = black). Decodes exactly
     ``height`` lines; EOFB/padding beyond them is ignored."""
     if width <= 0 or height <= 0:
         raise ValueError("bad G4 dimensions")
@@ -423,66 +501,125 @@ def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), bool)
     ref: list[int] = []
     for y in range(height):
-        cur: list[int] = []
-        a0 = -1
-        black = False
-        while True:
-            # mode code (prefix-free): 1, 011, 010, 001, 0001, 000011,
-            # 000010, 0000011, 0000010, else EOL/garbage
-            if br.bit():
-                mode = "v", 0
-            elif br.bit():
-                mode = ("v", 1) if br.bit() else ("v", -1)
-            elif br.bit():
-                mode = ("h", 0)
-            elif br.bit():
-                mode = ("p", 0)
-            elif br.bit():
-                mode = ("v", 2) if br.bit() else ("v", -2)
-            elif br.bit():
-                mode = ("v", 3) if br.bit() else ("v", -3)
-            else:
-                raise ValueError("unexpected G4 mode/EOL inside image")
-            kind, delta = mode
-            b1, b2 = _b1_b2(ref, a0, black)
-            if b1 is None:
-                b1 = width
-                b2 = width
-            elif b2 is None:
-                b2 = width
-            if kind == "p":
-                a0 = b2
-                if a0 > width:
-                    raise ValueError("G4 pass beyond line end")
-            elif kind == "v":
-                a1 = b1 + delta
-                if a1 < 0 or a1 > width or (a0 >= 0 and a1 <= a0):
-                    raise ValueError("G4 vertical out of range")
-                cur.append(a1)
-                a0 = a1
-                black = not black
-                if a0 >= width:
-                    break
-            else:  # horizontal: two runs
-                start = 0 if a0 < 0 else a0
-                r1 = _read_run(br, black)
-                r2 = _read_run(br, not black)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width or a1 > width:
-                    raise ValueError("G4 horizontal run overflow")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-                if a0 >= width:
-                    break
-        # paint the line from its transitions
-        cur_sorted = [c for c in cur if c < width]
-        row = np.zeros(width, bool)
-        for i in range(0, len(cur_sorted), 2):
-            s = cur_sorted[i]
-            e = cur_sorted[i + 1] if i + 1 < len(cur_sorted) else width
-            row[s:e] = True
+        cur = _decode_2d_line(br, ref, width)
+        out[y] = _paint(cur, width)
+        ref = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Group 3 (ITU-T T.4): K=0 pure 1-D MH; K>0 mixed 1-D/2-D MR.
+#
+# PDF's /CCITTFaxDecode default (K=0) and the common pre-2005 scanner
+# output (K=4 at fine resolution). Wire format: each line preceded by an
+# EOL (000000000001, fill zeros tolerated); for K>0 the EOL carries a
+# tag bit (1 = next line 1-D MH, 0 = next line 2-D, coded with exactly
+# the G4 pass/horizontal/vertical modes against the previous line). PDF
+# streams with /EndOfLine false omit the EOLs (lines are consecutive
+# bit-packed runs) — supported for K=0 via eol=False. RTC trailer
+# ignored on decode (exactly `height` lines are read).
+# ---------------------------------------------------------------------------
+
+
+def _write_eol(bw: _BitW, tag: int | None = None) -> None:
+    bw.put(12, 0b000000000001)
+    if tag is not None:
+        bw.put(1, tag)
+
+
+def _read_eol(br: _BitR) -> None:
+    """Consume an EOL: >= 11 zeros then a 1 (extra zeros are T.4 fill)."""
+    zeros = 0
+    while True:
+        if br.bit():
+            if zeros >= 11:
+                return
+            raise ValueError("bad G3 EOL")
+        zeros += 1
+
+
+def _encode_1d_line(bw: _BitW, row: np.ndarray, w: int) -> None:
+    """MH-code one line: alternating T.4 runs starting white (a leading
+    black pixel is coded as a zero-length white run, per spec)."""
+    pos = 0
+    black = False
+    for b in [int(t) for t in _transitions(row)] + [w]:
+        _emit_run(bw, b - pos, black)
+        pos = b
+        black = not black
+
+
+def _decode_1d_line(br: _BitR, width: int) -> np.ndarray:
+    row = np.zeros(width, bool)
+    pos = 0
+    black = False
+    while pos < width:
+        r = _read_run(br, black)
+        if pos + r > width:
+            raise ValueError("G3 1-D run overflow")
+        if black:
+            row[pos:pos + r] = True
+        pos += r
+        black = not black
+    return row
+
+
+def g3_encode(img: np.ndarray, k: int = 0) -> bytes:
+    """Bool (or 0/1) HxW array, True/1 = BLACK -> G3 bytes with EOLs.
+
+    k <= 0: pure 1-D MH (every line EOL + runs). k > 0: MR — every k-th
+    line is 1-D, the rest 2-D against the line above, EOL tag bit says
+    which. Trailer: RTC (6 EOLs, tagged 1-D for k > 0)."""
+    img = np.ascontiguousarray(img.astype(bool))
+    h, w = img.shape
+    bw = _BitW()
+    ref: list[int] = []
+    for y in range(h):
+        cur = _transitions(img[y])
+        if k <= 0:
+            _write_eol(bw)
+            _encode_1d_line(bw, img[y], w)
+        elif y % k == 0:
+            _write_eol(bw, tag=1)
+            _encode_1d_line(bw, img[y], w)
+        else:
+            _write_eol(bw, tag=0)
+            _encode_2d_line(bw, cur, ref, w)
+        ref = cur
+    for _ in range(6):  # RTC
+        _write_eol(bw, tag=1 if k > 0 else None)
+    return bw.done()
+
+
+def g3_decode(data: bytes, width: int, height: int, k: int = 0,
+              eol: bool = True, byte_align: bool = False) -> np.ndarray:
+    """G3 bytes -> bool HxW array (True = black).
+
+    ``eol=False`` (PDF /EndOfLine false, K=0 only): lines are
+    consecutive bit-packed runs with no EOL framing.  ``byte_align``
+    (PDF /EncodedByteAlign): each line starts on a byte boundary."""
+    if width <= 0 or height <= 0:
+        raise ValueError("bad G3 dimensions")
+    if k > 0 and not eol:
+        raise ValueError("G3 2-D (K>0) requires EOL framing (tag bits)")
+    br = _BitR(data)
+    out = np.zeros((height, width), bool)
+    ref: list[int] = []
+    for y in range(height):
+        if byte_align:
+            br.nb = 0
+        if eol:
+            _read_eol(br)
+        if k > 0:
+            one_d = br.bit() == 1
+        else:
+            one_d = True
+        if one_d:
+            row = _decode_1d_line(br, width)
+            cur = _transitions(row)
+        else:
+            cur = _decode_2d_line(br, ref, width)
+            row = _paint(cur, width)
         out[y] = row
         ref = cur
     return out

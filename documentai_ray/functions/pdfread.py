@@ -279,9 +279,10 @@ def _parse_decode_parms(dct: bytes, nfilters: int) -> list[dict[str, int]]:
         km = re.search(rb"/K\s+(-?\d+)", body)
         if km:
             parms[i]["K"] = int(km.group(1))
-        km = re.search(rb"/BlackIs1\s+(true|false)", body)
-        if km:
-            parms[i]["BlackIs1"] = int(km.group(1) == b"true")
+        for bkey in (b"BlackIs1", b"EndOfLine", b"EncodedByteAlign"):
+            km = re.search(rb"/" + bkey + rb"\s+(true|false)", body)
+            if km:
+                parms[i][bkey.decode()] = int(km.group(1) == b"true")
     return parms
 
 
@@ -345,16 +346,20 @@ def decode_stream(dct: bytes, stream: bytes) -> bytes:
         elif name == b"CCITTFaxDecode" or name == b"CCF":
             import numpy as np
 
-            from documentai_ray.functions.faxg4 import g4_decode
+            from documentai_ray.functions.faxg4 import g3_decode, g4_decode
 
-            if pm.get("K", 0) >= 0:
-                raise ValueError(
-                    "only Group 4 CCITT (K < 0) is supported")
             cols = pm.get("Columns", 1728)
             nrows = pm.get("Rows", 0)
             if nrows <= 0:
                 raise ValueError("CCITTFaxDecode needs /Rows")
-            ink = g4_decode(data, cols, nrows)
+            k = pm.get("K", 0)
+            if k < 0:          # Group 4 (pure 2-D MMR)
+                ink = g4_decode(data, cols, nrows)
+            else:              # Group 3: K=0 pure 1-D MH, K>0 mixed MR
+                ink = g3_decode(
+                    data, cols, nrows, k=k,
+                    eol=bool(pm.get("EndOfLine", 0)) or k > 0,
+                    byte_align=bool(pm.get("EncodedByteAlign", 0)))
             bits = ink if pm.get("BlackIs1", 0) else ~ink
             data = np.packbits(bits, axis=1).tobytes()
         else:

@@ -71,9 +71,19 @@ def images_to_pdf(images: list[np.ndarray], *,
             filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
                     b" << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
                     % (w, h))
+        elif image_filter in ("g3", "g3_2d"):
+            from documentai_ray.functions.faxg4 import g3_encode
+
+            # Group 3: K=0 pure 1-D MH, K=4 mixed MR (the classic fine-
+            # resolution fax K); EOL-framed, so /EndOfLine true
+            g3k = 0 if image_filter == "g3" else 4
+            raw = g3_encode(img < 128, k=g3k)
+            filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
+                    b" << /K %d /Columns %d /Rows %d /BlackIs1 false"
+                    b" /EndOfLine true >>" % (g3k, w, h))
         else:
             raise ValueError(f"unknown image_filter {image_filter}")
-        bpc = 1 if image_filter == "g4" else 8
+        bpc = 1 if image_filter in ("g4", "g3", "g3_2d") else 8
         im_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
             b" /ColorSpace /DeviceGray /BitsPerComponent %d%s /Length %d >>\n"

@@ -125,8 +125,74 @@ def test_g4_mutation_robustness(container):
             pass
 
 
-def test_k_nonnegative_raises():
-    src = np.full((8, 8), 0, np.uint8)
-    pdf = images_to_pdf([src], image_filter="g4").replace(b"/K -1", b"/K 0")
-    with pytest.raises(ValueError, match="K < 0"):
-        page_images(pdf)
+def test_g3_roundtrip_k0_and_k4():
+    from documentai_ray.functions.faxg4 import g3_decode, g3_encode
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (5, 7), (40, 101), (64, 64)]:
+        img = rng.rand(*shape) < 0.3
+        for k in (0, 1, 2, 4):
+            enc = g3_encode(img, k)
+            assert np.array_equal(g3_decode(enc, shape[1], shape[0], k),
+                                  img), (shape, k)
+    # structured content (long runs exercise makeup codes)
+    img = np.zeros((30, 3000), bool)
+    img[5:10, 10:2900] = True
+    img[20, :] = True
+    for k in (0, 4):
+        assert np.array_equal(
+            g3_decode(g3_encode(img, k), 3000, 30, k), img)
+
+
+def test_g3_no_eol_and_byte_align_paths():
+    from documentai_ray.functions.faxg4 import (_BitW, _decode_1d_line,
+                                                _encode_1d_line, g3_decode)
+    rng = np.random.RandomState(11)
+    img = rng.rand(9, 33) < 0.4
+    # /EndOfLine false: consecutive bit-packed 1-D lines, no framing
+    bw = _BitW()
+    for y in range(9):
+        _encode_1d_line(bw, img[y], 33)
+    assert np.array_equal(g3_decode(bw.done(), 33, 9, k=0, eol=False), img)
+    # /EncodedByteAlign: each line starts on a byte boundary
+    bw = _BitW()
+    for y in range(9):
+        _encode_1d_line(bw, img[y], 33)
+        bw.done()  # flush pads to the byte boundary, buf is reused
+    data = bytes(bw.buf)
+    assert np.array_equal(
+        g3_decode(data, 33, 9, k=0, eol=False, byte_align=True), img)
+
+
+def test_g3_k_positive_requires_eol():
+    from documentai_ray.functions.faxg4 import g3_decode
+    with pytest.raises(ValueError, match="EOL"):
+        g3_decode(b"\x00", 8, 8, k=4, eol=False)
+
+
+def test_g3_pdf_roundtrip_both_modes():
+    src = np.full((12, 40), 255, np.uint8)
+    src[3:6, 5:30] = 0
+    src[9, ::3] = 0
+    for filt in ("g3", "g3_2d"):
+        pdf = images_to_pdf([src], image_filter=filt)
+        (page,), = page_images(pdf)
+        assert page.shape == src.shape
+        # bilevel: ink positions survive exactly
+        assert np.array_equal(page < 128, src < 128)
+
+
+def test_g3_mutation_robustness():
+    from documentai_ray.functions.faxg4 import g3_decode, g3_encode
+    rng = np.random.RandomState(5)
+    img = rng.rand(16, 24) < 0.35
+    base = g3_encode(img, 4)
+    for t in range(200):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(1, len(m))]
+        try:
+            g3_decode(bytes(m), 24, 16, 4)
+        except ValueError:
+            pass
