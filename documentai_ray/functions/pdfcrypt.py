@@ -150,6 +150,29 @@ def escape_crypt_string(raw: bytes) -> bytes:
     return b"<" + raw.hex().encode() + b">"
 
 
+# a PDF string object inside a dict body: literal with escapes, or hex
+# (the hex arm requires a leading hex digit so `<<`/`>>` never match)
+_PDF_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)"
+                         rb"|<[0-9a-fA-F][0-9a-fA-F\s]*>")
+
+
+def map_dict_strings(dct: bytes, fn) -> bytes:
+    """Apply ``fn(raw_bytes) -> raw_bytes`` to every string object in a
+    PDF dictionary body, re-embedding the result as a hex string.
+
+    ISO 32000 §7.6.2: the standard security handler encrypts ALL
+    strings in a document (with the per-object key), not just streams —
+    this is the shared rewrite both the reader (decrypt /Info values,
+    outline /Title, /URI actions) and the writer (encrypt them) use.
+    Streams are untouched (callers handle them wholesale); names,
+    numbers and references contain no strings and pass through."""
+
+    def repl(m: re.Match) -> bytes:
+        return escape_crypt_string(fn(_parse_crypt_string(m.group(0))))
+
+    return _PDF_STR_RE.sub(repl, dct)
+
+
 import functools
 
 
@@ -179,28 +202,46 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-def r6_user_entries(file_key: bytes, *, vsalt: bytes,
-                    ksalt: bytes) -> tuple[bytes, bytes]:
-    """Algorithm 8: (/U 48 bytes, /UE 32 bytes) for the EMPTY user
-    password."""
+def r6_user_entries(file_key: bytes, *, vsalt: bytes, ksalt: bytes,
+                    password: bytes = b"") -> tuple[bytes, bytes]:
+    """Algorithm 8: (/U 48 bytes, /UE 32 bytes) for the given user
+    password (empty by default — the common owner-locked wild case)."""
     from documentai_ray.functions.aes import cbc_encrypt_nopad
 
-    u = hash_2b(b"", vsalt) + vsalt + ksalt
-    inter = hash_2b(b"", ksalt)
+    u = hash_2b(password, vsalt) + vsalt + ksalt
+    inter = hash_2b(password, ksalt)
     ue = cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
     return u, ue
 
 
 def r6_owner_entries(file_key: bytes, u48: bytes, *, vsalt: bytes,
-                     ksalt: bytes) -> tuple[bytes, bytes]:
-    """Algorithm 9: (/O 48, /OE 32) for the EMPTY owner password (hash
+                     ksalt: bytes,
+                     password: bytes = b"") -> tuple[bytes, bytes]:
+    """Algorithm 9: (/O 48, /OE 32) for the given owner password (hash
     input includes the 48-byte /U)."""
     from documentai_ray.functions.aes import cbc_encrypt_nopad
 
-    o = hash_2b(b"", vsalt, u48) + vsalt + ksalt
-    inter = hash_2b(b"", ksalt, u48)
+    o = hash_2b(password, vsalt, u48) + vsalt + ksalt
+    inter = hash_2b(password, ksalt, u48)
     oe = cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
     return o, oe
+
+
+def recover_user_pw(owner_pw: bytes, o: bytes, *, r: int,
+                    key_bytes: int) -> bytes:
+    """Algorithm 7 core (R2-R4): decrypt /O with the owner-password RC4
+    key, recovering the PADDED user password that drives Algorithm 2."""
+    h = hashlib.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_bytes]
+    upw = o[:32]
+    if r == 2:
+        return rc4(key, upw)
+    for i in range(19, -1, -1):  # inverse of compute_o's 1..19 passes
+        upw = rc4(bytes(k ^ i for k in key), upw)
+    return upw
 
 
 def object_key_aes(file_key: bytes, num: int, gen: int = 0) -> bytes:
@@ -214,12 +255,19 @@ def object_key_aes(file_key: bytes, num: int, gen: int = 0) -> bytes:
 
 
 class Decryptor:
-    """File-key holder derived from an /Encrypt dictionary + file /ID,
-    verified against /U with the EMPTY user password. Handles V1/V2
-    (RC4, R2/R3) and V4 (R4) with the /StdCF crypt filter in /V2 (RC4)
-    or /AESV2 (AES-128-CBC, IV-prefixed streams) mode."""
+    """File-key holder derived from an /Encrypt dictionary + file /ID.
+    Handles V1/V2 (RC4, R2/R3) and V4 (R4) with the /StdCF crypt filter
+    in /V2 (RC4) or /AESV2 (AES-128-CBC, IV-prefixed streams) mode, and
+    V5 R5/R6 (/AESV3).
 
-    def __init__(self, encrypt_dct: bytes, file_id: bytes) -> None:
+    ``password`` is tried FIRST as the user password (Algorithm 6 /
+    Algorithm 11), then as the OWNER password (Algorithm 7: /O decrypts
+    to the padded user password for R2-R4; the /OE envelope for V5) —
+    the order ISO 32000 prescribes a conforming reader. Empty default
+    covers the ubiquitous owner-locked wild PDF."""
+
+    def __init__(self, encrypt_dct: bytes, file_id: bytes,
+                 password: bytes = b"") -> None:
         fm = re.search(rb"/Filter\s*/(\w+)", encrypt_dct)
         if not fm or fm.group(1) != b"Standard":
             raise ValueError("unsupported PDF security handler")
@@ -263,18 +311,42 @@ class Decryptor:
             u = _parse_crypt_string(um.group(1))
             if len(u) < 48:
                 raise ValueError("short V5 /U entry")
-            vsalt, ksalt = u[32:40], u[40:48]
-            if r == 6:
-                vhash = hash_2b(b"", vsalt)
-                inter = hash_2b(b"", ksalt)
-            else:
-                vhash = _h.sha256(vsalt).digest()  # pw is empty
-                inter = _h.sha256(ksalt).digest()
-            if vhash != u[:32]:
-                raise ValueError(
-                    "PDF requires a non-empty user password (not supported)")
             ue = bytes.fromhex(re.sub(rb"\s", b"", uem.group(1)).decode())
-            self.key = cbc_decrypt_nopad(inter, b"\x00" * 16, ue)
+
+            def _h2(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+                if r == 6:
+                    return hash_2b(pw, salt, udata)
+                return _h.sha256(pw + salt + udata).digest()  # R5
+
+            def try_user(pw: bytes) -> bytes | None:
+                vsalt, ksalt = u[32:40], u[40:48]
+                if _h2(pw, vsalt) != u[:32]:
+                    return None
+                return cbc_decrypt_nopad(_h2(pw, ksalt), b"\x00" * 16, ue)
+
+            def try_owner(pw: bytes) -> bytes | None:
+                o48 = _parse_crypt_string(om.group(1))
+                oem = re.search(rb"/OE\s*<([0-9a-fA-F\s]+)>", encrypt_dct)
+                if len(o48) < 48 or not oem:
+                    return None
+                u48 = u[:48]
+                if _h2(pw, o48[32:40], u48) != o48[:32]:
+                    return None
+                oe = bytes.fromhex(
+                    re.sub(rb"\s", b"", oem.group(1)).decode())
+                return cbc_decrypt_nopad(_h2(pw, o48[40:48], u48),
+                                         b"\x00" * 16, oe)
+
+            key = try_user(password)
+            if key is None:
+                key = try_owner(password)
+            if key is None and password:
+                key = try_user(b"")  # fall back to the no-password case
+            if key is None:
+                raise ValueError(
+                    "PDF password required or wrong (user and owner "
+                    "verification both failed)")
+            self.key = key
             self.aes = True
             self.v5 = True
             return
@@ -294,13 +366,25 @@ class Decryptor:
         id_for_key = file_id
         if re.search(rb"/EncryptMetadata\s+false", encrypt_dct):
             id_for_key = file_id + b"\xff\xff\xff\xff"
-        key = compute_key(b"", o, p, id_for_key,
-                          r=min(r, 3), key_bytes=key_bytes)
-        expect = compute_u(key, file_id, r=min(r, 3))
-        ok = expect == u if r == 2 else expect[:16] == u[:16]
-        if not ok:
+        def try_user_pw(pw: bytes) -> bytes | None:
+            key = compute_key(pw, o, p, id_for_key,
+                              r=min(r, 3), key_bytes=key_bytes)
+            expect = compute_u(key, file_id, r=min(r, 3))
+            ok = expect == u if r == 2 else expect[:16] == u[:16]
+            return key if ok else None
+
+        key = try_user_pw(password)
+        if key is None and password:
+            # Algorithm 7: the password as OWNER password — /O decrypts
+            # to the padded user password, which must then pass /U
+            key = try_user_pw(recover_user_pw(
+                password, o, r=min(r, 3), key_bytes=key_bytes))
+            if key is None:
+                key = try_user_pw(b"")  # fall back to the empty-pw case
+        if key is None:
             raise ValueError(
-                "PDF requires a non-empty user password (not supported)")
+                "PDF password required or wrong (user and owner "
+                "verification both failed)")
         self.key = key
 
     def _stream_key(self, num: int, gen: int) -> bytes:

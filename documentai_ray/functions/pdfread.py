@@ -94,7 +94,8 @@ def _match_dict(buf: bytes, pos: int) -> tuple[bytes, int]:
     raise ValueError("unterminated dictionary")
 
 
-def parse_objects(pdf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+def parse_objects(pdf: bytes, password: bytes = b""
+                  ) -> dict[int, tuple[bytes, bytes | None]]:
     """Sequential tolerant object scan → ``{num: (dict_bytes, stream|None)}``.
 
     Sequential (not finditer over the whole file) so binary stream bodies
@@ -141,13 +142,14 @@ def parse_objects(pdf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             break
     if not objects:
         raise ValueError("no PDF objects found")
-    _decrypt_if_needed(pdf, objects)
+    _decrypt_if_needed(pdf, objects, password)
     expand_object_streams(objects)
     return objects
 
 
 def _decrypt_if_needed(pdf: bytes,
-                       objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+                       objects: dict[int, tuple[bytes, bytes | None]],
+                       password: bytes = b"") -> None:
     """Standard-security-handler decryption (ISO 32000 §7.6.3) for files
     whose trailer carries ``/Encrypt`` — the empty-user-password RC4
     case conforming readers open transparently. Stream bytes decrypt
@@ -164,13 +166,22 @@ def _decrypt_if_needed(pdf: bytes,
     enc_dct = objects.get(enc_num, (b"", None))[0]
     if not enc_dct:
         raise ValueError("dangling /Encrypt reference")
-    dec = Decryptor(enc_dct, find_file_id(pdf))
+    from documentai_ray.functions.pdfcrypt import map_dict_strings
+
+    dec = Decryptor(enc_dct, find_file_id(pdf), password)
     for num, (dct, stream) in list(objects.items()):
-        if num == enc_num or stream is None:
+        if num == enc_num:
             continue
         if b"/Type /XRef" in dct or b"/Type/XRef" in dct:
             continue
-        objects[num] = (dct, dec.decrypt(stream, num))
+        # ISO 32000 encrypts ALL strings, not just streams: /Info
+        # values, outline /Title, /URI actions... decrypt them with the
+        # same per-object key so the metadata surfaces read plaintext
+        # (ADVICE r3: they previously surfaced ciphertext mojibake)
+        dct = map_dict_strings(dct, lambda raw: dec.decrypt(raw, num))
+        objects[num] = (dct,
+                        dec.decrypt(stream, num) if stream is not None
+                        else None)
 
 
 def _ref_list(dct: bytes, key: bytes) -> list[int]:
@@ -400,10 +411,11 @@ def page_content_streams(pdf: bytes) -> list[bytes]:
 
 
 def page_contents_and_fonts(
-        pdf: bytes) -> list[tuple[bytes, dict[bytes, dict | None]]]:
+        pdf: bytes, password: bytes = b""
+        ) -> list[tuple[bytes, dict[bytes, dict | None]]]:
     """Per page (document order): decoded content-stream bytes + the
     page's font map (name → /ToUnicode CMap or None)."""
-    objects = parse_objects(pdf)
+    objects = parse_objects(pdf, password)
     page_ids: list[int] = []
     root_ids = []
     tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
@@ -774,7 +786,7 @@ def assemble_page_text(
     return "\n".join(texts), boxes
 
 
-def page_images(pdf: bytes):
+def page_images(pdf: bytes, password: bytes = b""):
     """Per-page decoded /DeviceGray Image XObjects → list (page order) of
     lists of uint8 (h, w) arrays (empty list for text-only pages). The
     image half of the mixed-PDF round-trip oracle (`pdfwrite.mixed_pdf`).
@@ -785,7 +797,7 @@ def page_images(pdf: bytes):
     JPXDecode/CCITTFax still raise."""
     import numpy as np
 
-    objects = parse_objects(pdf)
+    objects = parse_objects(pdf, password)
     tm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
     kids: list[int] = []
     if tm and int(tm.group(1)) in objects:
@@ -854,7 +866,8 @@ _INFO_KEYS = (b"Title", b"Author", b"Subject", b"Producer", b"Creator",
               b"Keywords")
 
 
-def document_info(pdf: bytes) -> dict[str, str]:
+def document_info(pdf: bytes,
+                  password: bytes = b"") -> dict[str, str]:
     """``/Info`` dictionary metadata (ISO 32000 §14.3.3): Title / Author
     / Subject / Producer / Creator / Keywords as text. Handles literal
     strings (with escapes) and hex strings, UTF-16BE-with-BOM or
@@ -862,7 +875,7 @@ def document_info(pdf: bytes) -> dict[str, str]:
     only the keys present."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF payload")
-    objects = parse_objects(pdf)
+    objects = parse_objects(pdf, password)
     im = re.search(rb"/Info\s+(\d+)\s+0\s+R", pdf)
     if not im or int(im.group(1)) not in objects:
         return {}
@@ -885,14 +898,15 @@ def document_info(pdf: bytes) -> dict[str, str]:
     return out
 
 
-def document_outline(pdf: bytes) -> list[str]:
+def document_outline(pdf: bytes,
+                     password: bytes = b"") -> list[str]:
     """Bookmark (outline/TOC) titles in document order (ISO 32000
     §12.3.3): walk /Root → /Outlines → /First → /Next chains, depth-
     first (children before the next sibling). Cycle-guarded; returns []
     when the document has no outline."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF payload")
-    objects = parse_objects(pdf)
+    objects = parse_objects(pdf, password)
     rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
     if not rm or int(rm.group(1)) not in objects:
         return []
@@ -937,14 +951,15 @@ def document_outline(pdf: bytes) -> list[str]:
     return titles
 
 
-def document_links(pdf: bytes) -> list[str]:
+def document_links(pdf: bytes,
+                   password: bytes = b"") -> list[str]:
     """Outbound URIs from link annotations (ISO 32000 §12.5.6.5 /Link +
     §12.6.4.7 /URI actions), page order then annotation order — the
     PDF side of outlink extraction (crawl frontiers follow PDF links
     too). Handles direct and indirect annotation objects."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF payload")
-    objects = parse_objects(pdf)
+    objects = parse_objects(pdf, password)
     rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
     kids: list[int] = []
     if rm and int(rm.group(1)) in objects:
@@ -960,8 +975,12 @@ def document_links(pdf: bytes) -> list[str]:
     out: list[str] = []
 
     def _uris(dct: bytes) -> None:
-        for m in re.finditer(rb"/URI\s*\(", dct):
-            raw, _ = _parse_literal_string(dct, m.end() - 1)
+        # literal OR hex /URI strings (decrypted strings re-embed as hex)
+        for m in re.finditer(rb"/URI\s*(\(|<)", dct):
+            if m.group(1) == b"(":
+                raw, _ = _parse_literal_string(dct, m.end() - 1)
+            else:
+                raw, _ = _parse_hex_string(dct, m.end() - 1)
             out.append(raw.decode("utf-8", errors="replace"))
 
     for pid in kids:
@@ -977,7 +996,8 @@ def document_links(pdf: bytes) -> list[str]:
 
 
 def extract_text(pdf: bytes, *, max_pages: int | None = None,
-                 bbox_scale: float = 2.0) -> tuple[str, list[dict[str, Any]]]:
+                 bbox_scale: float = 2.0, password: bytes = b""
+                 ) -> tuple[str, list[dict[str, Any]]]:
     """``%PDF-`` payload → ``(text, word_boxes)`` per the canonical spec.
 
     Raises ``ValueError`` on structural damage (caller degrades to an
@@ -985,7 +1005,7 @@ def extract_text(pdf: bytes, *, max_pages: int | None = None,
     (documentClassifier.py:1369)."""
     if not is_pdf(pdf):
         raise ValueError("not a PDF payload")
-    pages = page_contents_and_fonts(pdf)
+    pages = page_contents_and_fonts(pdf, password=password)
     if max_pages is not None:
         pages = pages[:max_pages]
     page_texts: list[str] = []

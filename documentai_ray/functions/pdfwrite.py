@@ -538,10 +538,15 @@ def text_to_pdf_modern(lines: list[str], *, lines_per_page: int = 40,
 
 def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                 permissions: int = -44, aes: bool = False,
-                aes256: bool = False) -> bytes:
+                aes256: bool = False, user_pw: bytes = b"",
+                owner_pw: bytes = b"") -> bytes:
     """Re-emit an engine-written classic-layout PDF as an ENCRYPTED file
-    (ISO 32000 §7.6.3 standard security handler, empty user AND owner
-    password — the ubiquitous "owner-locked" wild PDF). ``aes=False``:
+    (ISO 32000 §7.6.3 standard security handler; empty user AND owner
+    password by default — the ubiquitous "owner-locked" wild PDF — or
+    real passwords via ``user_pw``/``owner_pw``). Object-level strings
+    (/Info values, outline /Title, /URI actions) are encrypted with the
+    per-object key alongside the streams, as §7.6.2 requires of a
+    conforming writer (ADVICE r3). ``aes=False``:
     RC4 V1/V2 R2/R3 (RC4 preserves length, /Length stays valid);
     ``aes=True``: V4 R4 with the /StdCF /AESV2 crypt filter — streams
     become IV + CBC ciphertext, so /Length is patched per object. The
@@ -551,7 +556,8 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
 
     from documentai_ray.functions.pdfcrypt import (Decryptor, compute_key,
                                                    compute_o, compute_u,
-                                                   escape_crypt_string)
+                                                   escape_crypt_string,
+                                                   map_dict_strings)
     from documentai_ray.functions.pdfread import parse_objects
 
     if b"/Encrypt" in pdf:
@@ -563,6 +569,8 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
     if not rm:
         raise ValueError("no /Root")
     root_num = int(rm.group(1))
+    im = re.search(rb"/Info\s+(\d+)\s+0\s+R", pdf)
+    info_ref = b" /Info %d 0 R" % int(im.group(1)) if im else b""
     file_id = hashlib.md5(pdf).digest()
     enc_num = max(objects) + 1
     if aes256:
@@ -581,10 +589,12 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
         # (A production writer would draw a fresh key per file.)
         key = hashlib.sha256(b"graft-aes256-shared-envelope").digest()
         seed = hashlib.md5(b"graft-aes256-user-salts").digest()
-        u, ue = r6_user_entries(key, vsalt=seed[:8], ksalt=seed[8:16])
+        u, ue = r6_user_entries(key, vsalt=seed[:8], ksalt=seed[8:16],
+                                password=user_pw)
         seed2 = hashlib.md5(b"graft-aes256-owner-salts").digest()
         o, oe = r6_owner_entries(key, u, vsalt=seed2[:8],
-                                 ksalt=seed2[8:16])
+                                 ksalt=seed2[8:16],
+                                 password=owner_pw or user_pw)
         perms = ecb_encrypt(key, _st.pack("<i", permissions)
                             + b"\xff\xff\xff\xffTadbnoon")
         enc_dct = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d"
@@ -595,13 +605,15 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                       escape_crypt_string(ue), escape_crypt_string(o),
                       escape_crypt_string(oe),
                       escape_crypt_string(perms)))
-        cipher = Decryptor(enc_dct, file_id)
+        cipher = Decryptor(enc_dct, file_id, password=user_pw)
         assert cipher.key == key  # /UE round-trip sanity
         out = bytearray(b"%PDF-1.7\n")
         offsets: dict[int, int] = {}
         for num in sorted(objects):
             dct, stream = objects[num]
             offsets[num] = len(out)
+            dct = map_dict_strings(
+                dct, lambda raw, n=num: cipher.encrypt(raw, n))
             if stream is not None:
                 enc = cipher.encrypt(stream, num)
                 if len(enc) != len(stream):
@@ -620,16 +632,17 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
         out += b"0000000000 65535 f \n"
         for num in range(1, nobjs + 1):
             out += b"%010d 00000 n \n" % offsets.get(num, 0)
-        out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+        out += (b"trailer\n<< /Size %d /Root %d 0 R%s /Encrypt %d 0 R"
                 b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
-                % (nobjs + 1, root_num, enc_num, file_id.hex().encode(),
-                   file_id.hex().encode(), xref_at))
+                % (nobjs + 1, root_num, info_ref, enc_num,
+                   file_id.hex().encode(), file_id.hex().encode(),
+                   xref_at))
         return bytes(out)
     if aes:
         r, nbits = 4, 128
     key_bytes = 5 if r == 2 else nbits // 8
-    o = compute_o(b"", b"", r=min(r, 3), key_bytes=key_bytes)
-    key = compute_key(b"", o, permissions, file_id, r=min(r, 3),
+    o = compute_o(owner_pw, user_pw, r=min(r, 3), key_bytes=key_bytes)
+    key = compute_key(user_pw, o, permissions, file_id, r=min(r, 3),
                       key_bytes=key_bytes)
     u = compute_u(key, file_id, r=min(r, 3))
 
@@ -650,13 +663,15 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                       escape_crypt_string(u)))
     # a Decryptor on the final dict gives the exact cipher the reader
     # will use (RC4 object keys or AESV2 salted keys + IV framing)
-    cipher = Decryptor(enc_dct, file_id)
+    cipher = Decryptor(enc_dct, file_id, password=user_pw)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
         dct, stream = objects[num]
         offsets[num] = len(out)
+        dct = map_dict_strings(
+            dct, lambda raw, n=num: cipher.encrypt(raw, n))
         if stream is not None:
             enc = cipher.encrypt(stream, num)
             if len(enc) != len(stream):  # AES grew the stream
@@ -675,9 +690,9 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
     out += b"0000000000 65535 f \n"
     for num in range(1, nobjs + 1):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
-    out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+    out += (b"trailer\n<< /Size %d /Root %d 0 R%s /Encrypt %d 0 R"
             b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
-            % (nobjs + 1, root_num, enc_num,
+            % (nobjs + 1, root_num, info_ref, enc_num,
                file_id.hex().encode(), file_id.hex().encode(), xref_at))
     return bytes(out)
 

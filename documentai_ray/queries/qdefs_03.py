@@ -251,6 +251,58 @@ def _q_pdf_encrypted_extract(sf_dir: str):
                           batch_size=64)
 
 
+def _q_pdf_password_extract(sf_dir: str):
+    """PASSWORD-protected PDF extraction (VERDICT r3 #7): per-doc text
+    renders to a real PDF and re-emits encrypted with a NON-EMPTY user
+    password (``pw{doc_id%3}``) and a distinct owner password — RC4
+    R3/128, V4 /AESV2 or V5 R6 /AESV3 by doc_id % 3 — then extraction
+    opens it with a PER-ROW password column: even doc_ids present the
+    user password (Algorithm 6 / 11), odd doc_ids the OWNER password
+    (Algorithm 7: /O → padded user password; the /OE envelope for V5).
+    Object-level strings (the /Info /Title) are encrypted and
+    decrypted alongside the streams per ISO 32000 §7.6.2. Oracle: the
+    deterministic relayout + closed-form mode/opened_with columns;
+    wrong-password rejection is pytest-pinned."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.pdfread import document_info, extract_text
+    from documentai_ray.functions.pdfwrite import (encrypt_pdf, text_to_pdf,
+                                                   wrap_text_lines)
+
+    _NAMES = ["r3_128", "aesv2", "aesv3"]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def build_extract(batch: pa.Table) -> pa.Table:
+        texts, modes, opened, title_ok = [], [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
+            m = did % 3
+            user_pw = b"pw%d" % m
+            owner_pw = user_pw + b"_own"
+            pdf = encrypt_pdf(
+                text_to_pdf(wrap_text_lines(txt or ""), shuffle_key=did,
+                            info={"Title": "doc-%d" % did}),
+                aes=(m == 1), aes256=(m == 2),
+                user_pw=user_pw, owner_pw=owner_pw)
+            password = owner_pw if did % 2 else user_pw
+            texts.append(extract_text(pdf, password=password)[0])
+            info = document_info(pdf, password=password)
+            title_ok.append(info.get("Title") == "doc-%d" % did)
+            modes.append(_NAMES[m])
+            opened.append("owner" if did % 2 else "user")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string()),
+                         "enc_mode": pa.array(modes, pa.string()),
+                         "opened_with": pa.array(opened, pa.string()),
+                         "title_ok": pa.array(title_ok, pa.bool_())})
+
+    return ds.map_batches(build_extract, batch_format="pyarrow",
+                          batch_size=64)
+
+
 def _q_scanned_pdf_ocr(sf_dir: str):
     """SCANNED-PDF ingestion — the reference's pdf2image + tesseract loop
     (documentClassifier.py OCR path) composed entirely in-engine: golden
@@ -3941,4 +3993,4 @@ def _q_fifo_cogs(sf_dir: str):
             .map_groups(lambda x: fifo(x.drop(columns=["_pkey"])),
                         batch_format="pandas"))
 
-__all__ = ['_q_table_detect', '_q_field_validation', '_q_doc_type_autodetect', '_q_pq_codes', '_q_jpeg_roundtrip', '_q_tiff_roundtrip', '_q_tiff_compressed_roundtrip', '_q_png_color_roundtrip', '_q_jpeg_progressive_roundtrip', '_q_pdf_modern_extract', '_q_pdf_embedded_images', '_q_scanned_pdf_ocr', '_q_pdf_encrypted_extract', '_q_fax_pdf_ocr', '_q_pdf_g3_ocr', '_q_flagship_warc', '_q_pdf_cmap_extract', '_q_warc_http_charset', '_q_pdf_metadata', '_q_pdf_outline', '_q_pdf_links', '_q_incremental_dedup', '_q_bloom_dedup', '_q_url_filter', '_q_semdedup', '_q_shard_export', '_q_dsir_weights', '_q_heavy_hitters', '_q_web_curation', '_q_config_pipeline', '_q_ivm_counts', '_q_pseudonymize', '_q_customer_order_counts', '_q_incremental_session', '_q_f2_selfjoin', '_q_winsorize', '_q_hits', '_q_mix_assemble', '_q_mix_plan', '_q_seasonality_strength', '_q_theil_sen', '_q_interarrival_stats', '_q_changepoint_localize', '_q_bloom_semijoin', '_q_ngram_novelty', '_q_attribution_credit', '_q_fd_error', '_q_oov_rate', '_q_kendall_tau', '_q_max_concurrency', '_q_countmin_estimate', '_q_acf_lag', '_q_runs_test', '_q_frequent_triples', '_q_haar_energy', '_q_ewma_backtest', '_q_url_templates', '_q_conversion_lag', '_q_q17_decorrelated', '_q_relational_division', '_q_t_closeness', '_q_orders_all_ontime', '_q_minmax_scale', '_q_markov_kstep', '_q_rfm_segments', '_q_revenue_share', '_q_bm25_topk', '_q_dispersion_index', '_q_leadlag_beta', '_q_km_survival', '_q_mrr_eval', '_q_decayed_leaderboard', '_q_degree_assortativity', '_q_ndcg_eval', '_q_seasonal_anomaly', '_q_did_estimator', '_q_laspeyres_index', '_q_ab_conversion', '_q_assoc_rules', '_q_logrank_test', '_q_uplift_deciles', '_q_paasche_index', '_q_fd_mine', '_q_bounce_rate', '_q_rank_overlap', '_q_chain_index', '_q_lorenz_deciles', '_q_rmst_summary', '_q_q10_returns', '_q_q8_market_share', '_q_pinball_eval', '_q_cohort_ltv', '_q_post_stratify', '_q_lincoln_petersen', '_q_german_tank', '_q_fifo_cogs']
+__all__ = ['_q_table_detect', '_q_field_validation', '_q_doc_type_autodetect', '_q_pq_codes', '_q_jpeg_roundtrip', '_q_tiff_roundtrip', '_q_tiff_compressed_roundtrip', '_q_png_color_roundtrip', '_q_jpeg_progressive_roundtrip', '_q_pdf_modern_extract', '_q_pdf_embedded_images', '_q_scanned_pdf_ocr', '_q_pdf_encrypted_extract', '_q_pdf_password_extract', '_q_fax_pdf_ocr', '_q_pdf_g3_ocr', '_q_flagship_warc', '_q_pdf_cmap_extract', '_q_warc_http_charset', '_q_pdf_metadata', '_q_pdf_outline', '_q_pdf_links', '_q_incremental_dedup', '_q_bloom_dedup', '_q_url_filter', '_q_semdedup', '_q_shard_export', '_q_dsir_weights', '_q_heavy_hitters', '_q_web_curation', '_q_config_pipeline', '_q_ivm_counts', '_q_pseudonymize', '_q_customer_order_counts', '_q_incremental_session', '_q_f2_selfjoin', '_q_winsorize', '_q_hits', '_q_mix_assemble', '_q_mix_plan', '_q_seasonality_strength', '_q_theil_sen', '_q_interarrival_stats', '_q_changepoint_localize', '_q_bloom_semijoin', '_q_ngram_novelty', '_q_attribution_credit', '_q_fd_error', '_q_oov_rate', '_q_kendall_tau', '_q_max_concurrency', '_q_countmin_estimate', '_q_acf_lag', '_q_runs_test', '_q_frequent_triples', '_q_haar_energy', '_q_ewma_backtest', '_q_url_templates', '_q_conversion_lag', '_q_q17_decorrelated', '_q_relational_division', '_q_t_closeness', '_q_orders_all_ontime', '_q_minmax_scale', '_q_markov_kstep', '_q_rfm_segments', '_q_revenue_share', '_q_bm25_topk', '_q_dispersion_index', '_q_leadlag_beta', '_q_km_survival', '_q_mrr_eval', '_q_decayed_leaderboard', '_q_degree_assortativity', '_q_ndcg_eval', '_q_seasonal_anomaly', '_q_did_estimator', '_q_laspeyres_index', '_q_ab_conversion', '_q_assoc_rules', '_q_logrank_test', '_q_uplift_deciles', '_q_paasche_index', '_q_fd_mine', '_q_bounce_rate', '_q_rank_overlap', '_q_chain_index', '_q_lorenz_deciles', '_q_rmst_summary', '_q_q10_returns', '_q_q8_market_share', '_q_pinball_eval', '_q_cohort_ltv', '_q_post_stratify', '_q_lincoln_petersen', '_q_german_tank', '_q_fifo_cogs']
