@@ -452,6 +452,14 @@ def _reconstruct(comps, qtabs, height, width,
         ch = (height * c.v + vmax - 1) // vmax
         img = img[:ch, :cw]
         if c.h != hmax or c.v != vmax:
+            # integer-ratio upsampling only: a legal-but-exotic JPEG with
+            # non-integral sampling (e.g. hmax=3, h=2) would otherwise
+            # produce an undersized plane and die in np.dstack with an
+            # opaque shape error (ADVICE r3) — raise the honest one here
+            if hmax % c.h or vmax % c.v:
+                raise ValueError(
+                    f"unsupported JPEG sampling ratio {c.h}x{c.v} "
+                    f"vs max {hmax}x{vmax} (non-integral upsample)")
             img = np.repeat(np.repeat(img, vmax // c.v, axis=0),
                             hmax // c.h, axis=1)
         planes.append(img[:height, :width] + 128.0)

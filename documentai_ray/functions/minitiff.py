@@ -404,11 +404,17 @@ def is_tiff(payload: bytes) -> bool:
 
 
 def _read_tag_values(payload: bytes, endian: str, typ: int, cnt: int,
-                     field_bytes: bytes) -> list[int]:
-    """IFD value field: inline when it fits in 4 bytes, else an offset."""
+                     field_bytes: bytes) -> list[int] | None:
+    """IFD value field: inline when it fits in 4 bytes, else an offset.
+
+    Only SHORT (3) and LONG (4) carry the geometry/layout values this
+    decoder consumes; any other type (RATIONAL XResolution, ASCII
+    Software/DateTime — near-universal in real scans) returns None and
+    the tag is IGNORED rather than rejecting the whole file (ADVICE r3:
+    required tags are re-checked by name after the scan)."""
     sizes = {3: 2, 4: 4}
     if typ not in sizes:
-        raise ValueError(f"unsupported TIFF tag type {typ}")
+        return None
     if cnt == 0 or cnt > 1_000_000:
         raise ValueError(f"malformed TIFF tag count {cnt}")
     fmt = {3: "H", 4: "I"}[typ]
@@ -435,8 +441,10 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         for i in range(n):
             base = ifd_off + 2 + 12 * i
             tag, typ, cnt = struct.unpack_from(f"{endian}HHI", payload, base)
-            tags[tag] = _read_tag_values(payload, endian, typ, cnt,
-                                         payload[base + 8:base + 12])
+            vals = _read_tag_values(payload, endian, typ, cnt,
+                                    payload[base + 8:base + 12])
+            if vals is not None:  # unhandled-type tags are ignored
+                tags[tag] = vals
     except struct.error as exc:
         raise ValueError(f"truncated TIFF: {exc}") from exc
     for t in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_STRIP_OFFSETS, _TAG_STRIP_BYTES):

@@ -188,3 +188,34 @@ def test_rgb_tiff_reduces_to_luma(comp):
         got = decode_gray_tiff(encode_rgb_tiff(rgb, compression=comp,
                                                rows_per_strip=rps))
         assert np.array_equal(got, want)
+
+
+def test_foreign_tag_types_are_ignored():
+    """RATIONAL XResolution + ASCII Software tags (near-universal in real
+    scanner output) must not reject the file (ADVICE r3)."""
+    import struct
+
+    import numpy as np
+    from documentai_ray.functions.minitiff import (decode_gray_tiff,
+                                                   encode_gray_tiff)
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    base = encode_gray_tiff(img)
+    # append a fresh IFD copy with extra RATIONAL(5) + ASCII(2) tags
+    endian = "<"
+    (ifd_off,) = struct.unpack_from(f"{endian}I", base, 4)
+    (n,) = struct.unpack_from(f"{endian}H", base, ifd_off)
+    entries = base[ifd_off + 2: ifd_off + 2 + 12 * n]
+    out = bytearray(base)
+    sw = b"scanner-9000\x00"
+    sw_off = len(out)
+    out += sw
+    rat_off = len(out)
+    out += struct.pack(f"{endian}II", 300, 1)  # 300/1 dpi
+    new_ifd = len(out)
+    extra = (struct.pack(f"{endian}HHII", 282, 5, 1, rat_off)   # XResolution RATIONAL
+             + struct.pack(f"{endian}HHII", 305, 2, len(sw), sw_off))  # Software ASCII
+    out += struct.pack(f"{endian}H", n + 2) + entries + extra
+    out += struct.pack(f"{endian}I", 0)
+    struct.pack_into(f"{endian}I", out, 4, new_ifd)
+    dec = decode_gray_tiff(bytes(out))
+    assert np.array_equal(dec, img)
