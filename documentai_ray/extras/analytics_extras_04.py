@@ -8,8 +8,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from documentai_ray.stages.analytics_extras_03 import *  # noqa: F401,F403,E402
-from documentai_ray.stages.analytics_extras_03 import __all__ as _PREV_ALL  # noqa: E402
+from documentai_ray.extras.analytics_extras_03 import *  # noqa: F401,F403,E402
+from documentai_ray.extras.analytics_extras_03 import __all__ as _PREV_ALL  # noqa: E402
 
 
 

@@ -1608,7 +1608,7 @@ __all__ = _CORE_ALL + _EXTRA_ALL
 
 def __getattr__(name):
     if name in _EXTRA_ALL:
-        from documentai_ray.stages import analytics_extras_04 as _full
+        from documentai_ray.extras import analytics_extras_04 as _full
 
         return getattr(_full, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
