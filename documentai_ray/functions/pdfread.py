@@ -354,6 +354,19 @@ def decode_stream(dct: bytes, stream: bytes) -> bytes:
             data = _ascii85_decode(data)
         elif name == b"RunLengthDecode" or name == b"RL":
             data = _run_length_decode(data)
+        elif name == b"JBIG2Decode":
+            import numpy as np
+
+            from documentai_ray.functions.jbig2 import jbig2_decode
+
+            if re.search(rb"/JBIG2Globals", dct):
+                # globals live in a separate indirect stream this
+                # filter-level decoder cannot dereference — raise
+                # honestly (symbol-dictionary files need them anyway)
+                raise ValueError("JBIG2Globals streams unsupported")
+            ink = jbig2_decode(data)          # JBIG2: 1 = black
+            # downstream bilevel convention: packed sample 1 = white
+            data = np.packbits(~ink, axis=1).tobytes()
         elif name == b"CCITTFaxDecode" or name == b"CCF":
             import numpy as np
 
@@ -794,7 +807,8 @@ def page_images(pdf: bytes, password: bytes = b""):
     chains (Flate/LZW/A85/AHx/RL via :func:`decode_stream`), or as
     embedded JPEG (`/DCTDecode` → the engine's general T.81 decoder,
     color reducing to BT.601 luma — the scanner/img2pdf layout);
-    JPXDecode/CCITTFax still raise."""
+    bilevel CCITT G3/G4 and JBIG2 generic-region XObjects decode
+    through the same packed-bit path; JPXDecode still raises."""
     import numpy as np
 
     objects = parse_objects(pdf, password)
@@ -836,7 +850,7 @@ def page_images(pdf: bytes, password: bytes = b""):
                         raise ValueError("DCT image dimension mismatch")
                     imgs.append(img)
                     continue
-                if re.search(rb"/(?:JPXDecode|JBIG2Decode)", xd):
+                if re.search(rb"/JPXDecode", xd):
                     raise ValueError("unsupported image codec")
                 if b"/ColorSpace /DeviceGray" not in xd:
                     raise ValueError("unsupported image encoding")

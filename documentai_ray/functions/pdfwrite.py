@@ -71,6 +71,14 @@ def images_to_pdf(images: list[np.ndarray], *,
             filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
                     b" << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
                     % (w, h))
+        elif image_filter in ("jbig2", "jbig2_mmr"):
+            from documentai_ray.functions.jbig2 import jbig2_encode
+
+            # JBIG2 wire: 1 = black (no BlackIs1 parm exists); the
+            # reader inverts to the packed 1=white bilevel convention
+            raw = jbig2_encode(img < 128,
+                               mmr=(image_filter == "jbig2_mmr"))
+            filt = b" /Filter /JBIG2Decode"
         elif image_filter in ("g3", "g3_2d"):
             from documentai_ray.functions.faxg4 import g3_encode
 
@@ -83,7 +91,8 @@ def images_to_pdf(images: list[np.ndarray], *,
                     b" /EndOfLine true >>" % (g3k, w, h))
         else:
             raise ValueError(f"unknown image_filter {image_filter}")
-        bpc = 1 if image_filter in ("g4", "g3", "g3_2d") else 8
+        bpc = (1 if image_filter in ("g4", "g3", "g3_2d", "jbig2",
+                                     "jbig2_mmr") else 8)
         im_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
             b" /ColorSpace /DeviceGray /BitsPerComponent %d%s /Length %d >>\n"

@@ -1,0 +1,167 @@
+"""JBIG2 (ITU-T T.88) generic-region codec tests.
+
+Same verification contract as faxg4/minijpeg: encode→decode exactness
+on adversarial bitmaps, spec-table anchors, malformed-stream rejection;
+cross-implementation interop is out of sandbox scope (no reference
+codec in the container)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from documentai_ray.functions.jbig2 import (MQDecoder, MQEncoder, _QE,
+                                            decode_generic_region,
+                                            encode_generic_region,
+                                            jbig2_decode, jbig2_encode)
+
+
+def test_qe_table_spec_anchors():
+    # published T.88 Table E.1 anchors
+    assert len(_QE) == 47
+    assert _QE[0] == (0x5601, 1, 1, 1)
+    assert _QE[46] == (0x5601, 46, 46, 0)
+    assert _QE[45][0] == 0x0001
+
+
+def test_mq_coder_bit_roundtrip():
+    rng = np.random.RandomState(9)
+    bits = list((rng.rand(5000) < 0.3).astype(int))
+    enc = MQEncoder()
+    cx = [0, 0]
+    for b in bits:
+        enc.encode(cx, int(b))
+    data = enc.flush()
+    dec = MQDecoder(data)
+    cx = [0, 0]
+    got = [dec.decode(cx) for _ in bits]
+    assert got == bits
+
+
+def test_generic_region_roundtrips():
+    rng = np.random.RandomState(4)
+    for shape in [(1, 1), (3, 5), (17, 23), (64, 64)]:
+        for p in (0.05, 0.5, 0.95):
+            img = rng.rand(*shape) < p
+            enc = encode_generic_region(img)
+            assert np.array_equal(
+                decode_generic_region(enc, shape[1], shape[0]), img)
+    for img in (np.zeros((40, 40), bool), np.ones((40, 40), bool),
+                np.indices((33, 47)).sum(0) % 2 == 0):
+        h, w = img.shape
+        assert np.array_equal(
+            decode_generic_region(encode_generic_region(img), w, h), img)
+
+
+def test_tpgdon_rows_decode():
+    """Typical-prediction: encode with a hand-rolled TPGDON encoder
+    (LTP bit through context 0x9B25, typical rows skipped) and check
+    the decoder's TPGDON path reproduces the bitmap."""
+    img = np.zeros((12, 20), bool)
+    img[3] = img[4] = img[5] = True       # identical runs -> typical rows
+    img[8, 5:15] = True
+    img[9, 5:15] = True
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << 16)]
+    cx_raw = cx  # shared context array, as in the decoder
+    h, w = img.shape
+    ltp = 0
+    for y in range(h):
+        typical = y > 0 and np.array_equal(img[y], img[y - 1])
+        enc.encode(cx_raw[0x9B25], 1 if typical != bool(ltp) else 0)
+        if typical != bool(ltp):
+            ltp ^= 1
+        if ltp:
+            continue
+        # plain row coding, identical shift registers to the codec
+        from documentai_ray.functions.jbig2 import _seed
+        r2 = img[y - 2].astype(np.uint8) if y >= 2 else None
+        r1 = img[y - 1].astype(np.uint8) if y >= 1 else None
+        row = img[y].astype(np.uint8)
+        w2 = _seed(r2, 3, w)
+        w1 = _seed(r1, 4, w)
+        w0 = 0
+        for x in range(w):
+            ctx = ((w2 & 0x1F) << 11) | ((w1 & 0x7F) << 4) | (w0 & 0xF)
+            bit = int(row[x])
+            enc.encode(cx_raw[ctx], bit)
+            nx2, nx1 = x + 3, x + 4
+            w2 = ((w2 << 1) | (int(r2[nx2]) if r2 is not None
+                               and nx2 < w else 0)) & 0x1F
+            w1 = ((w1 << 1) | (int(r1[nx1]) if r1 is not None
+                               and nx1 < w else 0)) & 0x7F
+            w0 = ((w0 << 1) | bit) & 0xF
+    data = enc.flush()
+    out = decode_generic_region(data, w, h, tpgdon=True)
+    assert np.array_equal(out, img)
+
+
+def test_general_at_path_matches_nominal():
+    """The general per-pixel context path must agree with the
+    shift-register fast path at the nominal AT positions."""
+    rng = np.random.RandomState(11)
+    img = rng.rand(15, 25) < 0.4
+    enc = encode_generic_region(img)
+    fast = decode_generic_region(enc, 25, 15)
+    # same positions via the general path: perturb the tuple identity
+    # (list -> tuple of same values still compares equal, so shift one
+    # AT through an equivalent route: pass a list copy that IS nominal
+    # -> to force the slow path we need a genuinely different AT; use
+    # the fast/general agreement ON NOMINAL via the private helper)
+    from documentai_ray.functions.jbig2 import _NOMINAL_AT, MQDecoder as D
+    from documentai_ray.functions.jbig2 import _make_general_ctx
+    dec = D(enc)
+    cx = [[0, 0] for _ in range(1 << 16)]
+    pix = _make_general_ctx(_NOMINAL_AT)
+    bmp = np.zeros((15, 25), np.uint8)
+    for y in range(15):
+        for x in range(25):
+            bmp[y, x] = dec.decode(cx[pix(bmp, x, y, 25, 15)])
+    assert np.array_equal(bmp.astype(bool), fast)
+    assert np.array_equal(fast, img)
+
+
+def test_segment_stream_roundtrip_and_rejection():
+    img = np.zeros((10, 30), bool)
+    img[2:5, 4:26] = True
+    for mmr in (False, True):
+        seg = jbig2_encode(img, mmr=mmr)
+        assert np.array_equal(jbig2_decode(seg), img)
+    with pytest.raises(ValueError):
+        jbig2_decode(b"")                      # no page
+    with pytest.raises(ValueError):
+        jbig2_decode(b"\x00" * 5)              # truncated header
+    # symbol-dictionary segment type (0) must raise, not fake output
+    bad = bytearray(jbig2_encode(img))
+    bad[4] = 0x00                              # segment type -> 0
+    with pytest.raises(ValueError, match="unsupported|symbol"):
+        jbig2_decode(bytes(bad))
+
+
+def test_mutation_robustness():
+    rng = np.random.RandomState(5)
+    img = rng.rand(16, 24) < 0.35
+    base = jbig2_encode(img)
+    for t in range(150):
+        m = bytearray(base)
+        if t % 2:
+            m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+        else:
+            m = m[:rng.randint(1, len(m))]
+        try:
+            jbig2_decode(bytes(m))
+        except (ValueError, struct.error):
+            pass
+
+
+def test_pdf_roundtrip_both_modes():
+    from documentai_ray.functions.pdfread import page_images
+    from documentai_ray.functions.pdfwrite import images_to_pdf
+    src = np.full((18, 60), 255, np.uint8)
+    src[3:7, 5:50] = 0
+    src[12, ::2] = 0
+    for filt in ("jbig2", "jbig2_mmr"):
+        pdf = images_to_pdf([src], image_filter=filt)
+        (page,), = page_images(pdf)
+        assert page.shape == src.shape
+        assert np.array_equal(page < 128, src < 128)
