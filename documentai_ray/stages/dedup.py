@@ -528,11 +528,10 @@ def lsh_candidate_pairs(ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
         return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_pair_pkey"])
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        import zlib
+        from documentai_ray.stages._hashutil import hash_pkey
 
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions for x, y in zip(a, b)]
+        pk = hash_pkey([batch.column("id_a"), batch.column("id_b")],
+                       num_partitions)
         return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
 
     return (
@@ -937,11 +936,10 @@ def simhash_candidate_pairs(ds, id_col: str, *, bands: int = 4,
                                                batch_format="pandas")
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        import zlib
+        from documentai_ray.stages._hashutil import hash_pkey
 
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions for x, y in zip(a, b)]
+        pk = hash_pkey([batch.column("id_a"), batch.column("id_b")],
+                       num_partitions)
         return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1277,12 +1275,10 @@ def prefix_filter_pairs(ds, *, id_col: str = "url", text_col: str = "text",
             .map_groups(pairs_in_partition, batch_format="pandas"))
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        import zlib
+        from documentai_ray.stages._hashutil import hash_pkey
 
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
-              for x, y in zip(a, b)]
+        pk = hash_pkey([batch.column("id_a"), batch.column("id_b")],
+                       num_partitions)
         return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -1359,11 +1355,10 @@ def containment_candidate_pairs(ds, *, id_col: str = "url",
                 g.drop(columns=["_pkey"])), batch_format="pandas"))
 
     def add_pair_pkey(batch: pa.Table) -> pa.Table:
-        import zlib
-        a = batch.column("id_sub").to_pylist()
-        b = batch.column("id_super").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
-              for x, y in zip(a, b)]
+        from documentai_ray.stages._hashutil import hash_pkey
+
+        pk = hash_pkey([batch.column("id_sub"),
+                        batch.column("id_super")], num_partitions)
         return batch.append_column("_pair_pkey", pa.array(pk, pa.int32()))
 
     return (cand.map_batches(add_pair_pkey, batch_format="pyarrow")

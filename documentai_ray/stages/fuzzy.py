@@ -81,11 +81,10 @@ def fuzzy_match_join(ds, *, col: str, canon: list[str], max_dist: int,
     import zlib
 
     def project(batch: pa.Table) -> pa.Table:
+        from documentai_ray.stages._hashutil import hash_pkey
+
         vals = batch.column(col)
-        pk = pa.array(
-            np.fromiter((zlib.crc32(str(v).encode()) % num_partitions
-                         for v in vals.to_pylist()),
-                        dtype=np.int32, count=len(vals)))
+        pk = pa.array(hash_pkey([vals], num_partitions))
         return pa.table({col: vals, "_pkey": pk})
 
     def distinct(g: pa.Table) -> pa.Table:
@@ -189,10 +188,10 @@ def symspell_join(left_ds, right_ds, *, left_col: str, right_col: str,
                         batch_format="pandas"))
 
     def pair_key(batch: pa.Table) -> pa.Table:
-        a = batch.column("val_l").to_pylist()
-        b = batch.column("val_r").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
-              for x, y in zip(a, b)]
+        from documentai_ray.stages._hashutil import hash_pkey
+
+        pk = hash_pkey([batch.column("val_l"), batch.column("val_r")],
+                       num_partitions)
         return batch.append_column("_ppk", pa.array(pk, pa.int32()))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:

@@ -465,11 +465,10 @@ def cooccurrence_pairs(ds, *, basket_col: str, item_col: str,
         return c[c["n"] >= min_support]
 
     def pair_key(batch: pa.Table) -> pa.Table:
-        import zlib
-        a = batch.column("item_a").to_pylist()
-        b = batch.column("item_b").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}".encode()) % num_partitions
-              for x, y in zip(a, b)]
+        from documentai_ray.stages._hashutil import hash_pkey
+
+        pk = hash_pkey([batch.column("item_a"), batch.column("item_b")],
+                       num_partitions)
         return batch.append_column("_ppk", pa.array(pk, pa.int32()))
 
     return (partials.map_batches(pair_key, batch_format="pyarrow")
@@ -839,11 +838,10 @@ def frequent_triples(ds, *, basket_col: str, item_col: str,
         return c[c["n"] >= min_support]
 
     def triple_key(batch: pa.Table) -> pa.Table:
-        a = batch.column("item_a").to_pylist()
-        b = batch.column("item_b").to_pylist()
-        c = batch.column("item_c").to_pylist()
-        pk = [zlib.crc32(f"{x}|{y}|{z}".encode()) % num_partitions
-              for x, y, z in zip(a, b, c)]
+        from documentai_ray.stages._hashutil import hash_pkey
+
+        pk = hash_pkey([batch.column("item_a"), batch.column("item_b"),
+                        batch.column("item_c")], num_partitions)
         return batch.append_column("_ppk", pa.array(pk, pa.int32()))
 
     return (partials.map_batches(triple_key, batch_format="pyarrow")

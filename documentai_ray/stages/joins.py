@@ -51,6 +51,8 @@ def _tag_and_key(ds, key: str, side: str, all_cols: dict[str, pa.DataType],
     side tag and the bucket pkey."""
 
     def f(batch: pa.Table) -> pa.Table:
+        from documentai_ray.stages._hashutil import hash_pkey
+
         n = batch.num_rows
         cols: dict[str, pa.Array] = {}
         for name, typ in all_cols.items():
@@ -58,11 +60,9 @@ def _tag_and_key(ds, key: str, side: str, all_cols: dict[str, pa.DataType],
                 cols[name] = batch.column(name).cast(typ)
             else:
                 cols[name] = pa.nulls(n, typ)
-        keys = batch.column(key).to_pylist()
-        pk = np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
-            dtype=np.int32, count=n,
-        )
+        # hash the POST-cast key column so both sides of the join hash
+        # the identical dtype (see _hashutil contract)
+        pk = hash_pkey([cols[key]], num_partitions)
         cols["_side"] = pa.array([side] * n, pa.string())
         cols["_pkey"] = pa.array(pk, pa.int32())
         return pa.table(cols)
@@ -517,13 +517,14 @@ def band_join(left_ds, right_ds, *, left_on: str, right_on: str,
             base = v // np.int64(delta)
             bys = (batch.column(by).to_pylist() if by is not None
                    else [""] * batch.num_rows)
+            from documentai_ray.stages._hashutil import hash_pkey
+
             parts = []
             for sh in shifts:
                 b = base + np.int64(sh)
-                pk = np.fromiter(
-                    (zlib.crc32(f"{y}|{x}".encode()) % num_partitions
-                     for x, y in zip(b.tolist(), bys)),
-                    dtype=np.int32, count=len(b))
+                pk = hash_pkey([pa.array([str(y) for y in bys],
+                                         pa.string()),
+                                pa.array(b, pa.int64())], num_partitions)
                 cols: dict[str, pa.Array] = {}
                 for name, typ in all_cols.items():
                     if name in batch.column_names:
@@ -618,10 +619,9 @@ def overlap_join(left_ds, right_ds, *, left_start: str, left_end: str,
             offs = np.arange(reps.sum()) - np.repeat(
                 np.cumsum(reps) - reps, reps)
             tiles = t0[idx] + offs
-            pk = np.fromiter(
-                (zlib.crc32(str(x).encode()) % num_partitions
-                 for x in tiles.tolist()),
-                dtype=np.int32, count=len(tiles))
+            from documentai_ray.stages._hashutil import hash_pkey
+
+            pk = hash_pkey([pa.array(tiles, pa.int64())], num_partitions)
             cols: dict[str, pa.Array] = {}
             for name, typ in all_cols.items():
                 if name in batch.column_names:

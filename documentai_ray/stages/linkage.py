@@ -60,10 +60,11 @@ def blocked_linkage(left_ds, right_ds, *, block_col: str, scorer,
 
     def tag(side: str):
         def f(batch: pa.Table) -> pa.Table:
+            from documentai_ray.stages._hashutil import hash_pkey
+
             blocks = [str(b) for b in batch.column(block_col).to_pylist()]
-            pk = np.fromiter(
-                (zlib.crc32(b.encode()) % num_partitions for b in blocks),
-                dtype=np.int32, count=len(blocks))
+            pk = hash_pkey([pa.array(blocks, pa.string())],
+                           num_partitions)
             cols: dict[str, pa.Array] = {
                 block_col: pa.array(blocks, pa.string())}
             for name, typ in all_cols.items():
@@ -167,10 +168,9 @@ def golden_record(ds, *, key_col: str, order_col: str,
     import ray.data  # noqa: F401
 
     def bucket(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        pk = np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_partitions for k in keys),
-            dtype=np.int32, count=len(keys))
+        from documentai_ray.stages._hashutil import hash_pkey
+
+        pk = hash_pkey([batch.column(key_col)], num_partitions)
         return batch.append_column("_pkey", pa.array(pk))
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
