@@ -217,6 +217,12 @@ def run_benchmarks() -> dict:
     # scanned-fax loop (render → G4 encode → PDF → G4 decode → OCR)
     timed("pdf_encrypted_extract", run_named("pdf_encrypted_extract"))
     timed("fax_pdf_ocr", run_named("fax_pdf_ocr"))
+    # round-4 parse-surface representatives: password-protected open
+    # (user/owner Algorithms 6/7/11 incl. AES-256 KDF), G3 fax (T.4
+    # 1-D MH + mixed MR) and JBIG2 (MQ arithmetic generic region)
+    timed("pdf_password_extract", run_named("pdf_password_extract"))
+    timed("pdf_g3_ocr", run_named("pdf_g3_ocr"))
+    timed("pdf_jbig2_ocr", run_named("pdf_jbig2_ocr"))
     # the literal Common-Crawl entry path: .warc.gz shards → full chain
     timed("flagship_warc", run_named("flagship_warc"))
     timed("line_dedup", run_named("line_dedup"))
