@@ -64,6 +64,19 @@ _QE = [
 ]
 
 
+class CtxState:
+    """MQ context bank: per-context (index, MPS) as two flat bytearrays
+    — one 128 KiB allocation pair per region instead of 65,536 Python
+    lists (the list-of-lists variant cost ~10 ms of allocation per
+    encode/decode call, dominating small-page workloads)."""
+
+    __slots__ = ("i", "m")
+
+    def __init__(self, n: int = 1 << 16) -> None:
+        self.i = bytearray(n)
+        self.m = bytearray(n)
+
+
 class MQDecoder:
     """T.88 Annex E.3 decoding procedure (software conventions)."""
 
@@ -95,21 +108,22 @@ class MQDecoder:
             self.c += nxt << 8
             self.ct = 8
 
-    def decode(self, cx: list) -> int:
-        """Decode one bit with context state cx = [index, mps]."""
-        icx, mps = cx
+    def decode(self, st: CtxState, ctx: int = 0) -> int:
+        """Decode one bit with context ``ctx`` of bank ``st``."""
+        icx = st.i[ctx]
+        mps = st.m[ctx]
         qe, nmps, nlps, switch = _QE[icx]
         self.a -= qe
         if ((self.c >> 16) & 0xFFFF) < qe:
             # LPS exchange path
             if self.a < qe:
                 d = mps
-                cx[0] = nmps
+                st.i[ctx] = nmps
             else:
                 d = 1 - mps
                 if switch:
-                    cx[1] = 1 - mps
-                cx[0] = nlps
+                    st.m[ctx] = 1 - mps
+                st.i[ctx] = nlps
             self.a = qe
         else:
             self.c -= qe << 16
@@ -118,11 +132,11 @@ class MQDecoder:
             if self.a < qe:
                 d = 1 - mps
                 if switch:
-                    cx[1] = 1 - mps
-                cx[0] = nlps
+                    st.m[ctx] = 1 - mps
+                st.i[ctx] = nlps
             else:
                 d = mps
-                cx[0] = nmps
+                st.i[ctx] = nmps
         # renormalize
         while True:
             if self.ct == 0:
@@ -185,8 +199,9 @@ class MQEncoder:
                 self.c &= 0x7FFFF
                 self.ct = 8
 
-    def encode(self, cx: list, d: int) -> None:
-        icx, mps = cx
+    def encode(self, st: CtxState, d: int, ctx: int = 0) -> None:
+        icx = st.i[ctx]
+        mps = st.m[ctx]
         qe, nmps, nlps, switch = _QE[icx]
         if d == mps:  # CODEMPS
             self.a -= qe
@@ -197,7 +212,7 @@ class MQEncoder:
                 self.a = qe
             else:
                 self.c += qe
-            cx[0] = nmps
+            st.i[ctx] = nmps
         else:  # CODELPS
             self.a -= qe
             if self.a < qe:
@@ -205,8 +220,8 @@ class MQEncoder:
             else:
                 self.a = qe
             if switch:
-                cx[1] = 1 - mps
-            cx[0] = nlps
+                st.m[ctx] = 1 - mps
+            st.i[ctx] = nlps
         while True:
             self.a = (self.a << 1) & 0xFFFF
             self.c = (self.c << 1) & 0xFFFFFFFF
@@ -266,14 +281,13 @@ def decode_generic_region(data: bytes, width: int, height: int,
     if width <= 0 or height <= 0:
         raise ValueError("bad JBIG2 region dimensions")
     dec = MQDecoder(data)
-    cx = [[0, 0] for _ in range(1 << 16)]
-    cx_ltp = [0, 0]
+    cx = CtxState()
     bmp = np.zeros((height, width), dtype=np.uint8)
     nominal = tuple(at) == _NOMINAL_AT
     ltp = 0
     for y in range(height):
         if tpgdon:
-            if dec.decode(cx[0x9B25]):
+            if dec.decode(cx, 0x9B25):
                 ltp ^= 1
             if ltp:  # typical row: copy the row above
                 if y > 0:
@@ -292,7 +306,7 @@ def decode_generic_region(data: bytes, width: int, height: int,
             w0 = 0
             for x in range(width):
                 ctx = ((w2 & 0x1F) << 11) | ((w1 & 0x7F) << 4) | (w0 & 0xF)
-                bit = dec.decode(cx[ctx])
+                bit = dec.decode(cx, ctx)
                 row[x] = bit
                 nx2 = x + 3
                 nx1 = x + 4
@@ -306,7 +320,7 @@ def decode_generic_region(data: bytes, width: int, height: int,
             row = bmp[y]
             for x in range(width):
                 ctx = pix(bmp, x, y, width, height)
-                row[x] = dec.decode(cx[ctx])
+                row[x] = dec.decode(cx, ctx)
     return bmp.astype(bool)
 
 
@@ -341,7 +355,7 @@ def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT) -> bytes:
     bmp = np.ascontiguousarray(img.astype(np.uint8))
     h, w = bmp.shape
     enc = MQEncoder()
-    cx = [[0, 0] for _ in range(1 << 16)]
+    cx = CtxState()
     for y in range(h):
         r2 = bmp[y - 2] if y >= 2 else None
         r1 = bmp[y - 1] if y >= 1 else None
@@ -352,7 +366,7 @@ def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT) -> bytes:
         for x in range(w):
             ctx = ((w2 & 0x1F) << 11) | ((w1 & 0x7F) << 4) | (w0 & 0xF)
             bit = int(row[x])
-            enc.encode(cx[ctx], bit)
+            enc.encode(cx, bit, ctx)
             nx2 = x + 3
             nx1 = x + 4
             w2 = ((w2 << 1) | (int(r2[nx2]) if r2 is not None

@@ -10,8 +10,8 @@ import struct
 import numpy as np
 import pytest
 
-from documentai_ray.functions.jbig2 import (MQDecoder, MQEncoder, _QE,
-                                            decode_generic_region,
+from documentai_ray.functions.jbig2 import (CtxState, MQDecoder, MQEncoder,
+                                            _QE, decode_generic_region,
                                             encode_generic_region,
                                             jbig2_decode, jbig2_encode)
 
@@ -28,12 +28,12 @@ def test_mq_coder_bit_roundtrip():
     rng = np.random.RandomState(9)
     bits = list((rng.rand(5000) < 0.3).astype(int))
     enc = MQEncoder()
-    cx = [0, 0]
+    cx = CtxState(1)
     for b in bits:
         enc.encode(cx, int(b))
     data = enc.flush()
     dec = MQDecoder(data)
-    cx = [0, 0]
+    cx = CtxState(1)
     got = [dec.decode(cx) for _ in bits]
     assert got == bits
 
@@ -62,13 +62,12 @@ def test_tpgdon_rows_decode():
     img[8, 5:15] = True
     img[9, 5:15] = True
     enc = MQEncoder()
-    cx = [[0, 0] for _ in range(1 << 16)]
-    cx_raw = cx  # shared context array, as in the decoder
+    cx_raw = CtxState()  # shared context bank, as in the decoder
     h, w = img.shape
     ltp = 0
     for y in range(h):
         typical = y > 0 and np.array_equal(img[y], img[y - 1])
-        enc.encode(cx_raw[0x9B25], 1 if typical != bool(ltp) else 0)
+        enc.encode(cx_raw, 1 if typical != bool(ltp) else 0, 0x9B25)
         if typical != bool(ltp):
             ltp ^= 1
         if ltp:
@@ -84,7 +83,7 @@ def test_tpgdon_rows_decode():
         for x in range(w):
             ctx = ((w2 & 0x1F) << 11) | ((w1 & 0x7F) << 4) | (w0 & 0xF)
             bit = int(row[x])
-            enc.encode(cx_raw[ctx], bit)
+            enc.encode(cx_raw, bit, ctx)
             nx2, nx1 = x + 3, x + 4
             w2 = ((w2 << 1) | (int(r2[nx2]) if r2 is not None
                                and nx2 < w else 0)) & 0x1F
@@ -111,12 +110,12 @@ def test_general_at_path_matches_nominal():
     from documentai_ray.functions.jbig2 import _NOMINAL_AT, MQDecoder as D
     from documentai_ray.functions.jbig2 import _make_general_ctx
     dec = D(enc)
-    cx = [[0, 0] for _ in range(1 << 16)]
+    cx = CtxState()
     pix = _make_general_ctx(_NOMINAL_AT)
     bmp = np.zeros((15, 25), np.uint8)
     for y in range(15):
         for x in range(25):
-            bmp[y, x] = dec.decode(cx[pix(bmp, x, y, 25, 15)])
+            bmp[y, x] = dec.decode(cx, pix(bmp, x, y, 25, 15))
     assert np.array_equal(bmp.astype(bool), fast)
     assert np.array_equal(fast, img)
 
