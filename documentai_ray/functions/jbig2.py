@@ -346,17 +346,29 @@ def _make_general_ctx(at):
     return ctx_at
 
 
-def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT) -> bytes:
+def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT,
+                          tpgdon: bool = False) -> bytes:
     """Bool/0-1 (h, w) array → MQ-coded generic-region data (template
-    0, nominal AT, no TPGDON) — the exact mirror of the decoder's fast
-    path."""
+    0, nominal AT) — the exact mirror of the decoder's fast path.
+    ``tpgdon=True`` codes the per-row typical-prediction toggle through
+    context 0x9B25 and SKIPS rows identical to the one above — scanned
+    text pages are mostly blank rows between lines, so this shrinks the
+    stream AND the per-pixel work on both ends."""
     if tuple(at) != _NOMINAL_AT:
         raise ValueError("encoder supports nominal AT positions only")
     bmp = np.ascontiguousarray(img.astype(np.uint8))
     h, w = bmp.shape
     enc = MQEncoder()
     cx = CtxState()
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            typical = y > 0 and bool((bmp[y] == bmp[y - 1]).all())
+            enc.encode(cx, 1 if typical != bool(ltp) else 0, 0x9B25)
+            if typical != bool(ltp):
+                ltp ^= 1
+            if ltp:
+                continue
         r2 = bmp[y - 2] if y >= 2 else None
         r1 = bmp[y - 1] if y >= 1 else None
         row = bmp[y]
@@ -417,10 +429,11 @@ def jbig2_encode(img: np.ndarray, *, mmr: bool = False) -> bytes:
         flags = bytes([0x01])       # MMR=1
         body = region_info + flags + g4_encode(bmp)
     else:
-        flags = bytes([0x00])       # MMR=0, template 0, TPGDON off
+        flags = bytes([0x08])       # MMR=0, template 0, TPGDON on
         at_bytes = b"".join(struct.pack("bb", dx, dy)
                             for dx, dy in _NOMINAL_AT)
-        body = region_info + flags + at_bytes + encode_generic_region(bmp)
+        body = (region_info + flags + at_bytes
+                + encode_generic_region(bmp, tpgdon=True))
     out += seg_header(1, 39, 1, len(body)) + body
     out += seg_header(2, _T_END_OF_PAGE, 1, 0)
     return bytes(out)

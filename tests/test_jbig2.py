@@ -164,3 +164,24 @@ def test_pdf_roundtrip_both_modes():
         (page,), = page_images(pdf)
         assert page.shape == src.shape
         assert np.array_equal(page < 128, src < 128)
+
+
+def test_tpgdon_encoder_roundtrip_and_wins():
+    """Encoder-side TPGDON: identical-row-heavy bitmaps round-trip and
+    produce strictly smaller streams than the non-TPGDON coding."""
+    img = np.zeros((60, 120), bool)
+    img[10, 5:100] = True
+    img[30:33, 20:80] = True       # three identical rows
+    plain = encode_generic_region(img)
+    tp = encode_generic_region(img, tpgdon=True)
+    assert np.array_equal(
+        decode_generic_region(tp, 120, 60, tpgdon=True), img)
+    assert len(tp) < len(plain)
+    # segment layer now carries TPGDON
+    seg = jbig2_encode(img)
+    assert np.array_equal(jbig2_decode(seg), img)
+    rng = np.random.RandomState(2)
+    noisy = rng.rand(20, 30) < 0.5  # no typical rows: still exact
+    assert np.array_equal(
+        decode_generic_region(encode_generic_region(noisy, tpgdon=True),
+                              30, 20, tpgdon=True), noisy)
