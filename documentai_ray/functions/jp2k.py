@@ -1,0 +1,847 @@
+"""JPEG 2000 (ITU-T T.800 / ISO 15444-1) — restricted LOSSLESS codec.
+
+Closes the last raising image filter in the PDF path (`/JPXDecode`).
+Scope: raw J2K codestream, single tile, single grayscale component,
+REVERSIBLE 5/3 wavelet with 0..32 decomposition levels, no
+quantization (Sqcd no-quant), one quality layer, LRCP progression,
+whole-subband precincts, default code-block style (no bypass/reset/
+termination/causal/segmentation-symbols), code-blocks up to 64x64.
+That is exactly the shape a lossless grayscale scan encoder emits.
+
+Pieces:
+- 5/3 reversible lifting DWT (symmetric extension, integer-exact) and
+  its inverse;
+- EBCOT Tier-1 code-block coder: the three coding passes
+  (significance propagation, magnitude refinement, cleanup with
+  run-length mode) over 4-row stripes, driven by the SAME MQ
+  arithmetic coder as JBIG2 (T.88 Annex E == T.800 Annex C) with the
+  19-context model (9 significance contexts per Table D.1 band
+  mapping, 5 sign contexts + XOR per Tables D.2/D.3, 3 magnitude
+  contexts, run-length and UNIFORM contexts with the published initial
+  states 4/3/46);
+- Tier-2 packet headers: inclusion + zero-bitplane tag trees, the
+  Table B.4 pass-count codeword, Lblock length signaling, 0xFF bit
+  stuffing;
+- codestream layer: SOC/SIZ/COD/QCD/SOT/SOD/EOC markers.
+
+Honesty note (same contract as minijpeg/faxg4/jbig2): no reference
+JPEG 2000 codec exists in this container, so cross-implementation
+interop cannot be proven in-sandbox; what IS verified: encode→decode
+round-trips are bit-exact on adversarial images across sizes/levels,
+the context tables and marker layouts match the published spec, and
+malformed streams raise ValueError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from documentai_ray.functions.jbig2 import CtxState, MQDecoder, MQEncoder
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible DWT (T.800 Annex F) — lifting with symmetric extension
+# ---------------------------------------------------------------------------
+
+
+def _fwd_53_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1-D forward 5/3: x (int array) → (low, high) subbands."""
+    n = x.shape[0]
+    if n == 1:
+        return x.copy(), np.empty((0,) + x.shape[1:], x.dtype)
+    ext = np.concatenate([x[1:2], x, x[-2:-1]])  # symmetric extension
+    even = ext[1:-1:2] if n % 2 == 0 else ext[1::2]
+    # interleaved positions: ext index i corresponds to sample i-1
+    e = x[0::2]
+    o = x[1::2]
+    # predict: d[i] = o[i] - floor((e[i] + e[i+1]) / 2), mirrored at edge
+    e_r = np.concatenate([e[1:], e[-1:]]) if n % 2 == 0 \
+        else e[1:]
+    if n % 2 == 0:
+        d = o - ((e + e_r) >> 1)
+    else:
+        d = o - ((e[:-1] + e_r) >> 1)
+    # update: s[i] = e[i] + floor((d[i-1] + d[i] + 2) / 4), mirrored
+    if d.shape[0]:
+        d_l = np.concatenate([d[0:1], d[:-1]])
+        if n % 2 == 0:
+            s = e + ((d_l + d + 2) >> 2)
+        else:
+            d_r = np.concatenate([d, d[-1:]])
+            d_l = np.concatenate([d[0:1], d])
+            s = e + ((d_l[: e.shape[0]] + d_r[: e.shape[0]] + 2) >> 2)
+    else:
+        s = e.copy()
+    return s, d
+
+
+def _inv_53_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _fwd_53_1d back to length n."""
+    if n == 1:
+        return s.copy()
+    if d.shape[0]:
+        if n % 2 == 0:
+            d_l = np.concatenate([d[0:1], d[:-1]])
+            e = s - ((d_l + d + 2) >> 2)
+        else:
+            d_r = np.concatenate([d, d[-1:]])
+            d_l = np.concatenate([d[0:1], d])
+            e = s - ((d_l[: s.shape[0]] + d_r[: s.shape[0]] + 2) >> 2)
+    else:
+        e = s.copy()
+    if n % 2 == 0:
+        e_r = np.concatenate([e[1:], e[-1:]])
+        o = d + ((e + e_r) >> 1)
+    else:
+        e_r = e[1:]
+        o = d + ((e[:-1] + e_r) >> 1)
+    out_shape = (n,) + s.shape[1:]
+    x = np.empty(out_shape, s.dtype)
+    x[0::2] = e
+    x[1::2] = o
+    return x
+
+
+def fwd_dwt53(img: np.ndarray, levels: int):
+    """2-D forward: returns (ll, [(hl, lh, hh) per level, coarsest
+    last])."""
+    ll = img.astype(np.int32)
+    bands = []
+    for _ in range(levels):
+        # columns (vertical) then rows (horizontal)
+        lo_v, hi_v = _fwd_53_1d(ll)
+        ll_, hl = _fwd_53_1d(lo_v.T)
+        lh, hh = _fwd_53_1d(hi_v.T)
+        bands.append((hl.T.copy(), lh.T.copy(), hh.T.copy()))
+        ll = ll_.T.copy()
+    return ll, bands
+
+
+def inv_dwt53(ll: np.ndarray, bands) -> np.ndarray:
+    """Inverse of fwd_dwt53 (bands as returned, coarsest last)."""
+    out = ll.astype(np.int32)
+    for hl, lh, hh in reversed(bands):
+        h = out.shape[0] + lh.shape[0]
+        w = out.shape[1] + hl.shape[1]
+        lo_v = _inv_53_1d(out.T, hl.T, w).T
+        hi_v = _inv_53_1d(lh.T, hh.T, w).T
+        out = _inv_53_1d(lo_v, hi_v, h)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 (T.800 Annex D) — code-block bit-plane coder
+# ---------------------------------------------------------------------------
+
+# Table D.1 significance context mapping, keyed (band, sh, sv, sd)
+# band: 0 = LL/LH, 1 = HL, 2 = HH
+
+
+def _sig_ctx(band: int, sh: int, sv: int, sd: int) -> int:
+    if band == 1:          # HL: swap roles of H and V
+        sh, sv = sv, sh
+        band = 0
+    if band == 0:          # LL / LH
+        if sh == 2:
+            return 8
+        if sh == 1:
+            return 7 if sv >= 1 else (6 if sd >= 1 else 5)
+        if sv == 2:
+            return 4
+        if sv == 1:
+            return 3
+        return 2 if sd >= 2 else (1 if sd == 1 else 0)
+    # HH
+    shv = sh + sv
+    if sd >= 3:
+        return 8
+    if sd == 2:
+        return 7 if shv >= 1 else 6
+    if sd == 1:
+        return 5 if shv >= 2 else (4 if shv == 1 else 3)
+    return 2 if shv >= 2 else (1 if shv == 1 else 0)
+
+
+# Tables D.2/D.3 sign coding: (ctx, xor) keyed (hc+1, vc+1)
+_SIGN_LUT = {
+    (2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
+    (1, 2): (10, 0), (1, 1): (9, 0), (1, 0): (10, 1),
+    (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1),
+}
+
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _fresh_ctx() -> CtxState:
+    st = CtxState(_N_CTX)
+    st.i[0] = 4          # all-zero-neighborhood significance ctx
+    st.i[_CTX_RL] = 3
+    st.i[_CTX_UNI] = 46
+    return st
+
+
+class _BlockCoder:
+    """Shared per-block state for encode/decode: significance map,
+    visited-in-sig-pass flags, first-refinement flags, neighbor sums."""
+
+    def __init__(self, h: int, w: int, band: int):
+        self.h, self.w, self.band = h, w, band
+        self.sig = np.zeros((h + 2, w + 2), np.uint8)   # 1-pad borders
+        self.sgn = np.zeros((h + 2, w + 2), np.int8)    # -1/+1 when sig
+        self.visited = np.zeros((h, w), bool)
+        self.refined = np.zeros((h, w), bool)
+
+    def neighbor_sums(self, y: int, x: int):
+        s = self.sig
+        yy, xx = y + 1, x + 1
+        sh = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
+        sv = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
+        sd = (int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
+              + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1]))
+        return sh, sv, sd
+
+    def sign_ctx(self, y: int, x: int):
+        s, g = self.sig, self.sgn
+        yy, xx = y + 1, x + 1
+        hc = int(g[yy, xx - 1]) + int(g[yy, xx + 1])
+        vc = int(g[yy - 1, xx]) + int(g[yy + 1, xx])
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        return _SIGN_LUT[(hc + 1, vc + 1)]
+
+    def mag_ctx(self, y: int, x: int) -> int:
+        if self.refined[y, x]:
+            return 16
+        sh, sv, sd = self.neighbor_sums(y, x)
+        return 15 if sh + sv + sd else 14
+
+
+def _stripes(h: int, w: int):
+    for y0 in range(0, h, 4):
+        for x in range(w):
+            for y in range(y0, min(y0 + 4, h)):
+                yield y, x, y0
+
+
+def encode_block(coefs: np.ndarray, band: int):
+    """Sign-magnitude code-block → (data, n_passes, n_zero_planes,
+    n_planes_total). ``coefs``: int32 (h, w)."""
+    h, w = coefs.shape
+    mag = np.abs(coefs).astype(np.int64)
+    neg = coefs < 0
+    maxmag = int(mag.max()) if mag.size else 0
+    nplanes = max(1, maxmag.bit_length()) if maxmag else 0
+    if nplanes == 0:
+        return b"", 0, 0
+    enc = MQEncoder()
+    cx = _fresh_ctx()
+    st = _BlockCoder(h, w, band)
+    npasses = 0
+    for p in range(nplanes - 1, -1, -1):
+        bit = 1 << p
+        first = p == nplanes - 1
+        if not first:
+            # significance propagation pass
+            for y, x, _y0 in _stripes(h, w):
+                if st.sig[y + 1, x + 1]:
+                    continue
+                sh, sv, sd = st.neighbor_sums(y, x)
+                if sh + sv + sd == 0:
+                    continue
+                st.visited[y, x] = True
+                d = 1 if mag[y, x] & bit else 0
+                enc.encode(cx, d, _sig_ctx(band, sh, sv, sd))
+                if d:
+                    sctx, xor = st.sign_ctx(y, x)
+                    enc.encode(cx, int(neg[y, x]) ^ xor, sctx)
+                    st.sig[y + 1, x + 1] = 1
+                    st.sgn[y + 1, x + 1] = -1 if neg[y, x] else 1
+            npasses += 1
+            # magnitude refinement pass
+            refine_now = []
+            for y, x, _y0 in _stripes(h, w):
+                if st.sig[y + 1, x + 1] and not st.visited[y, x] \
+                        and mag[y, x] >= (bit << 1):
+                    enc.encode(cx, 1 if mag[y, x] & bit else 0,
+                               st.mag_ctx(y, x))
+                    refine_now.append((y, x))
+            for y, x in refine_now:
+                st.refined[y, x] = True
+            npasses += 1
+        # cleanup pass
+        x = 0
+        while x < w:
+            y0 = 0
+            while y0 < h:
+                ylim = min(y0 + 4, h)
+                y = y0
+                # run-length mode: full stripe column, all four
+                # insignificant, unvisited, zero neighborhoods
+                if ylim - y0 == 4 and all(
+                        not st.visited[yy, x]
+                        and not st.sig[yy + 1, x + 1]
+                        and sum(st.neighbor_sums(yy, x)) == 0
+                        for yy in range(y0, ylim)):
+                    run_sig = [yy for yy in range(y0, ylim)
+                               if mag[yy, x] & bit]
+                    if not run_sig:
+                        enc.encode(cx, 0, _CTX_RL)
+                        y = ylim
+                    else:
+                        enc.encode(cx, 1, _CTX_RL)
+                        pos = run_sig[0] - y0
+                        enc.encode(cx, (pos >> 1) & 1, _CTX_UNI)
+                        enc.encode(cx, pos & 1, _CTX_UNI)
+                        y = y0 + pos
+                        # that sample becomes significant: sign next
+                        sctx, xor = st.sign_ctx(y, x)
+                        enc.encode(cx, int(neg[y, x]) ^ xor, sctx)
+                        st.sig[y + 1, x + 1] = 1
+                        st.sgn[y + 1, x + 1] = -1 if neg[y, x] else 1
+                        y += 1
+                while y < ylim:
+                    if not st.visited[y, x] and not st.sig[y + 1, x + 1]:
+                        sh, sv, sd = st.neighbor_sums(y, x)
+                        d = 1 if mag[y, x] & bit else 0
+                        enc.encode(cx, d, _sig_ctx(band, sh, sv, sd))
+                        if d:
+                            sctx, xor = st.sign_ctx(y, x)
+                            enc.encode(cx, int(neg[y, x]) ^ xor, sctx)
+                            st.sig[y + 1, x + 1] = 1
+                            st.sgn[y + 1, x + 1] = -1 if neg[y, x] else 1
+                    y += 1
+                y0 = ylim
+            x += 1
+        st.visited[:] = False
+        npasses += 1
+    return enc.flush(), npasses, nplanes
+
+
+def decode_block(data: bytes, h: int, w: int, band: int, nplanes: int,
+                 npasses: int) -> np.ndarray:
+    """Inverse of encode_block → int32 (h, w)."""
+    out_mag = np.zeros((h, w), np.int64)
+    neg = np.zeros((h, w), bool)
+    if nplanes == 0 or npasses == 0:
+        return np.zeros((h, w), np.int32)
+    dec = MQDecoder(data)
+    cx = _fresh_ctx()
+    st = _BlockCoder(h, w, band)
+    passes_done = 0
+    p = nplanes - 1
+    while passes_done < npasses and p >= 0:
+        bit = 1 << p
+        first = p == nplanes - 1
+        if not first:
+            if passes_done >= npasses:
+                break
+            for y, x, _y0 in _stripes(h, w):
+                if st.sig[y + 1, x + 1]:
+                    continue
+                sh, sv, sd = st.neighbor_sums(y, x)
+                if sh + sv + sd == 0:
+                    continue
+                st.visited[y, x] = True
+                if dec.decode(cx, _sig_ctx(band, sh, sv, sd)):
+                    sctx, xor = st.sign_ctx(y, x)
+                    sgn = dec.decode(cx, sctx) ^ xor
+                    out_mag[y, x] |= bit
+                    neg[y, x] = bool(sgn)
+                    st.sig[y + 1, x + 1] = 1
+                    st.sgn[y + 1, x + 1] = -1 if sgn else 1
+            passes_done += 1
+            if passes_done >= npasses:
+                break
+            refine_now = []
+            for y, x, _y0 in _stripes(h, w):
+                if st.sig[y + 1, x + 1] and not st.visited[y, x] \
+                        and out_mag[y, x] >= (bit << 1):
+                    if dec.decode(cx, st.mag_ctx(y, x)):
+                        out_mag[y, x] |= bit
+                    refine_now.append((y, x))
+            for y, x in refine_now:
+                st.refined[y, x] = True
+            passes_done += 1
+            if passes_done >= npasses:
+                break
+        # cleanup
+        x = 0
+        while x < w:
+            y0 = 0
+            while y0 < h:
+                ylim = min(y0 + 4, h)
+                y = y0
+                if ylim - y0 == 4 and all(
+                        not st.visited[yy, x]
+                        and not st.sig[yy + 1, x + 1]
+                        and sum(st.neighbor_sums(yy, x)) == 0
+                        for yy in range(y0, ylim)):
+                    if not dec.decode(cx, _CTX_RL):
+                        y = ylim
+                    else:
+                        pos = (dec.decode(cx, _CTX_UNI) << 1) \
+                            | dec.decode(cx, _CTX_UNI)
+                        y = y0 + pos
+                        sctx, xor = st.sign_ctx(y, x)
+                        sgn = dec.decode(cx, sctx) ^ xor
+                        out_mag[y, x] |= bit
+                        neg[y, x] = bool(sgn)
+                        st.sig[y + 1, x + 1] = 1
+                        st.sgn[y + 1, x + 1] = -1 if sgn else 1
+                        y += 1
+                while y < ylim:
+                    if not st.visited[y, x] and not st.sig[y + 1, x + 1]:
+                        sh, sv, sd = st.neighbor_sums(y, x)
+                        if dec.decode(cx, _sig_ctx(band, sh, sv, sd)):
+                            sctx, xor = st.sign_ctx(y, x)
+                            sgn = dec.decode(cx, sctx) ^ xor
+                            out_mag[y, x] |= bit
+                            neg[y, x] = bool(sgn)
+                            st.sig[y + 1, x + 1] = 1
+                            st.sgn[y + 1, x + 1] = -1 if sgn else 1
+                    y += 1
+                y0 = ylim
+            x += 1
+        st.visited[:] = False
+        passes_done += 1
+        p -= 1
+    out = out_mag.astype(np.int32)
+    out[neg] = -out[neg]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: tag trees, packet headers (T.800 Annex B)
+# ---------------------------------------------------------------------------
+
+
+class _HdrW:
+    """Packet-header bit writer with 0xFF stuffing (a byte of 0xFF is
+    followed by a 7-bit byte)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nb = 0
+        self.lim = 8    # bits in the CURRENT byte (7 right after 0xFF)
+
+    def bit(self, b: int) -> None:
+        self.acc = (self.acc << 1) | (b & 1)
+        self.nb += 1
+        if self.nb == self.lim:
+            self.buf.append(self.acc)
+            self.lim = 7 if self.acc == 0xFF else 8
+            self.acc = 0
+            self.nb = 0
+
+    def bits(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((value >> i) & 1)
+
+    def done(self) -> bytes:
+        if self.nb:
+            self.buf.append(self.acc << (self.lim - self.nb))
+            self.acc = self.nb = 0
+            self.lim = 8
+        if self.buf and self.buf[-1] == 0xFF:  # header must not end FF
+            self.buf.append(0)
+        return bytes(self.buf)
+
+
+class _HdrR:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nb = 0
+        self.prev_ff = False
+
+    def bit(self) -> int:
+        if self.nb == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPX packet header exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            self.acc = b
+            self.nb = 7 if self.prev_ff else 8
+            self.prev_ff = b == 0xFF
+        self.nb -= 1
+        return (self.acc >> self.nb) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> int:
+        """Byte-align and return the next byte position in data."""
+        self.nb = 0
+        # stuffed byte after a final 0xFF belongs to the header
+        if self.prev_ff and self.pos < len(self.data):
+            self.pos += 1
+            self.prev_ff = False
+        return self.pos
+
+
+class _TagTree:
+    """Standard JPEG 2000 tag tree (T.800 B.10.2) over an (h, w) leaf
+    grid — the canonical incremental algorithm: per node a lower bound
+    ``low`` and (encoder) the true minimum ``value`` with a ``known``
+    flag; a 0-bit means "value > low", a 1-bit "value == low"."""
+
+    _INF = 1 << 60
+
+    def __init__(self, h: int, w: int, encoder: bool):
+        self.dims = [(h, w)]
+        while h > 1 or w > 1:
+            h = (h + 1) // 2
+            w = (w + 1) // 2
+            self.dims.append((h, w))
+        self.value = [np.full(d, self._INF, np.int64) for d in self.dims]
+        self.low = [np.zeros(d, np.int64) for d in self.dims]
+        self.known = [np.zeros(d, bool) for d in self.dims]
+        self.encoder = encoder
+
+    def set(self, y: int, x: int, v: int) -> None:
+        assert self.encoder
+        self.value[0][y, x] = v
+        for li in range(1, len(self.dims)):
+            below = self.value[li - 1]
+            yy, xx = y >> li, x >> li
+            blk = below[yy * 2: yy * 2 + 2, xx * 2: xx * 2 + 2]
+            self.value[li][yy, xx] = blk.min()
+
+    def _path(self, y: int, x: int):
+        out = []
+        for li in range(len(self.dims) - 1, -1, -1):
+            out.append((li, y >> li, x >> li))
+        return out  # root first
+
+    def encode(self, w_out: _HdrW, y: int, x: int, threshold: int) -> None:
+        low = 0
+        for li, yy, xx in self._path(y, x):
+            if low > self.low[li][yy, xx]:
+                self.low[li][yy, xx] = low
+            else:
+                low = int(self.low[li][yy, xx])
+            val = int(self.value[li][yy, xx])
+            while low < threshold:
+                if low >= val:
+                    if not self.known[li][yy, xx]:
+                        w_out.bit(1)
+                        self.known[li][yy, xx] = True
+                    break
+                w_out.bit(0)
+                low += 1
+            self.low[li][yy, xx] = low
+
+    def decode(self, r: _HdrR, y: int, x: int, threshold: int) -> bool:
+        low = 0
+        for li, yy, xx in self._path(y, x):
+            if low > self.low[li][yy, xx]:
+                self.low[li][yy, xx] = low
+            else:
+                low = int(self.low[li][yy, xx])
+            while low < threshold and low < self.value[li][yy, xx]:
+                if r.bit():
+                    self.value[li][yy, xx] = low
+                else:
+                    low += 1
+            self.low[li][yy, xx] = low
+        return int(self.value[0][y, x]) < threshold
+
+
+def _passes_codeword(w_out: _HdrW, n: int) -> None:
+    """Table B.4 number-of-coding-passes codeword."""
+    if n == 1:
+        w_out.bit(0)
+    elif n == 2:
+        w_out.bit(1)
+        w_out.bit(0)
+    elif 3 <= n <= 5:
+        w_out.bits(0b11, 2)
+        w_out.bits(n - 3, 2)
+    elif 6 <= n <= 36:
+        w_out.bits(0b1111, 4)
+        w_out.bits(n - 6, 5)
+    elif 37 <= n <= 164:
+        w_out.bits(0b111111111, 9)
+        w_out.bits(n - 37, 7)
+    else:
+        raise ValueError("pass count out of range")
+
+
+def _passes_read(r: _HdrR) -> int:
+    if not r.bit():
+        return 1
+    if not r.bit():
+        return 2
+    v = r.bits(2)
+    if v != 3:
+        return 3 + v
+    v = r.bits(5)
+    if v != 31:
+        return 6 + v
+    return 37 + r.bits(7)
+
+
+# ---------------------------------------------------------------------------
+# codestream assembly / parse
+# ---------------------------------------------------------------------------
+
+_CB_EXP = 6           # 64x64 code-blocks
+_GUARD_BITS = 2
+
+
+def _band_geometry(h: int, w: int, levels: int):
+    """Per-resolution subband shapes. Returns list: entry 0 is the LL
+    at the coarsest level; entries r=1..levels are (hl, lh, hh) shapes
+    at that resolution, finest last — mirroring fwd_dwt53's outputs."""
+    shapes = []
+    hh, ww = h, w
+    per_level = []
+    for _ in range(levels):
+        lo_h, hi_h = (hh + 1) // 2, hh // 2
+        lo_w, hi_w = (ww + 1) // 2, ww // 2
+        per_level.append(((lo_h, hi_w), (hi_h, lo_w), (hi_h, hi_w)))
+        hh, ww = lo_h, lo_w
+    shapes.append((hh, ww))
+    return shapes[0], per_level
+
+
+def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
+    """uint8 grayscale (h, w) → lossless J2K codestream bytes."""
+    img = np.ascontiguousarray(img)
+    if img.ndim != 2:
+        raise ValueError("grayscale (h, w) input required")
+    h, w = img.shape
+    levels = max(0, min(levels, 32))
+    shifted = img.astype(np.int32) - 128       # DC level shift (8-bit)
+    ll, bands = fwd_dwt53(shifted, levels)
+
+    # band list in packet order: res 0 = LL; res r = HL, LH, HH of the
+    # (levels - r + 1)-th finest level... fwd returns finest first, so
+    # packets walk bands[] from coarsest (last) to finest (first)
+    packets = []
+
+    def one_band_packet(band_arrs):
+        """band_arrs: list of (arr, band_kind 0/1/2). One packet body
+        with one code-block per band (arrays are <= 64x64 when the
+        image is; larger arrays tile into code-blocks)."""
+        hdr = _HdrW()
+        hdr.bit(1)                             # packet non-empty
+        bodies = []
+        for arr, kind in band_arrs:
+            bh, bw = arr.shape
+            if bh == 0 or bw == 0:
+                continue
+            nby = -(-bh // (1 << _CB_EXP))
+            nbx = -(-bw // (1 << _CB_EXP))
+            incl = _TagTree(nby, nbx, encoder=True)
+            zbp = _TagTree(nby, nbx, encoder=True)
+            blocks = []
+            mb = 8 + _GUARD_BITS + (0 if kind == 0 else
+                                    (1 if kind < 2 else 2)) + 1
+            for by in range(nby):
+                for bx in range(nbx):
+                    sub = arr[by << _CB_EXP: (by + 1) << _CB_EXP,
+                              bx << _CB_EXP: (bx + 1) << _CB_EXP]
+                    data, npass, nplanes = encode_block(sub, kind)
+                    zb = mb - nplanes
+                    blocks.append((by, bx, data, npass, nplanes, zb))
+                    # an all-zero block contributes no passes: excluded
+                    # from the (single) layer via inclusion value >= 1
+                    incl.set(by, bx, 0 if npass else 1)
+                    zbp.set(by, bx, zb)
+            for by, bx, data, npass, nplanes, zb in blocks:
+                incl.encode(hdr, by, bx, 1)
+                if npass == 0:
+                    continue               # excluded: nothing further
+                # zero-bitplane tag tree: encode thresholds until
+                # decoder learns the exact value
+                t = 1
+                while True:
+                    zbp.encode(hdr, by, bx, t)
+                    if zb < t:
+                        break
+                    t += 1
+                _passes_codeword(hdr, npass)
+                # Lblock length signaling
+                lblock = 3
+                nbits = lblock + int(np.floor(np.log2(npass))) \
+                    if npass else lblock
+                need = max(1, len(data)).bit_length()
+                while need > nbits:
+                    hdr.bit(1)
+                    lblock += 1
+                    nbits += 1
+                hdr.bit(0)
+                hdr.bits(len(data), nbits)
+                bodies.append(data)
+        return hdr.done() + b"".join(bodies)
+
+    packets.append(one_band_packet([(ll, 0)]))
+    for hl, lh, hh_b in reversed(bands):
+        packets.append(one_band_packet([(hl, 1), (lh, 0), (hh_b, 2)]))
+
+    body = b"".join(packets)
+
+    out = bytearray()
+    out += b"\xff\x4f"                                     # SOC
+    siz = struct.pack(">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1)
+    siz += struct.pack(">BBB", 7, 1, 1)                    # 8-bit unsigned
+    out += b"\xff\x51" + siz
+    spcod = struct.pack(">BBBBB", levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1)
+    cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
+    out += b"\xff\x52" + cod
+    nsub = 3 * levels + 1
+    qcd = struct.pack(">HB", 3 + nsub, 0x40 | (_GUARD_BITS << 5))
+    gains = [0] + [g for _ in range(levels) for g in (1, 1, 2)]
+    for g in gains:
+        qcd += struct.pack(">B", (8 + g + 1) << 3)
+    out += b"\xff\x5c" + qcd
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"                                     # EOC
+    return bytes(out)
+
+
+def decode_jp2k(data: bytes) -> np.ndarray:
+    """J2K codestream (the subset encode_jp2k writes, incl. foreign
+    streams of the same restricted shape) → uint8 grayscale."""
+    if data[:4] == b"\x00\x00\x00\x0c" or data[:8].endswith(b"jP  "):
+        raise ValueError("JP2 container unsupported (raw J2K only)")
+    if data[:2] != b"\xff\x4f":
+        raise ValueError("not a J2K codestream")
+    try:
+        return _decode_jp2k_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed J2K stream: {exc}") from exc
+
+
+def _decode_jp2k_inner(data: bytes) -> np.ndarray:
+    pos = 2
+    w = h = None
+    levels = None
+    cb_exp = None
+    body = None
+    while pos + 2 <= len(data):
+        marker = data[pos:pos + 2]
+        pos += 2
+        if marker == b"\xff\x93":                          # SOD
+            body = data[pos:]
+            break
+        if marker == b"\xff\xd9":
+            break
+        if pos + 2 > len(data):
+            raise ValueError("truncated J2K marker")
+        (ln,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2: pos + ln]
+        if marker == b"\xff\x51":                          # SIZ
+            _r, xs, ys, xo, yo, *_rest = struct.unpack_from(
+                ">HIIII", seg, 0)
+            (csiz,) = struct.unpack_from(">H", seg, 34)
+            if csiz != 1:
+                raise ValueError("multi-component JPX unsupported")
+            ssiz = seg[36]
+            if ssiz & 0x80 or (ssiz & 0x7F) != 7:
+                raise ValueError("only 8-bit unsigned JPX supported")
+            w, h = xs - xo, ys - yo
+        elif marker == b"\xff\x52":                        # COD
+            scod = seg[0]
+            if scod & 0x01:
+                raise ValueError("precinct-partitioned JPX unsupported")
+            prog = seg[1]
+            layers = struct.unpack_from(">H", seg, 2)[0]
+            if layers != 1:
+                raise ValueError("multi-layer JPX unsupported")
+            if seg[4] != 0:
+                raise ValueError("MCT unsupported")
+            levels = seg[5]
+            cb_exp = seg[6] + 2
+            if seg[7] + 2 != cb_exp:
+                raise ValueError("non-square code-blocks unsupported")
+            if seg[8] != 0:
+                raise ValueError("code-block style flags unsupported")
+            if seg[9] != 1:
+                raise ValueError("only reversible 5/3 supported")
+            _ = prog
+        elif marker == b"\xff\x90":                        # SOT
+            pass
+        pos += ln
+    if body is None or w is None or levels is None:
+        raise ValueError("J2K stream missing SIZ/COD/SOD")
+    if body.endswith(b"\xff\xd9"):
+        body = body[:-2]
+    if max(w, h) > (1 << 16) or w * h > (1 << 26):
+        raise ValueError("implausible JPX geometry")
+
+    ll_shape, per_level = _band_geometry(h, w, levels)
+
+    offset = 0
+
+    def read_band_packet(band_shapes):
+        nonlocal offset
+        r = _HdrR(body[offset:])
+        out_arrays = []
+        if not r.bit():
+            raise ValueError("empty JPX packet unsupported")
+        metas = []
+        for (bh, bw), kind in band_shapes:
+            if bh == 0 or bw == 0:
+                out_arrays.append(np.zeros((bh, bw), np.int32))
+                metas.append([])
+                continue
+            nby = -(-bh // (1 << cb_exp))
+            nbx = -(-bw // (1 << cb_exp))
+            incl = _TagTree(nby, nbx, encoder=False)
+            zbp = _TagTree(nby, nbx, encoder=False)
+            mb = 8 + _GUARD_BITS + (0 if kind == 0 else
+                                    (1 if kind < 2 else 2)) + 1
+            band_meta = []
+            for by in range(nby):
+                for bx in range(nbx):
+                    if not incl.decode(r, by, bx, 1):
+                        continue           # excluded: all-zero block
+                    t = 1
+                    while not zbp.decode(r, by, bx, t):
+                        t += 1
+                    zb = t - 1
+                    npass = _passes_read(r)
+                    lblock = 3
+                    while r.bit():
+                        lblock += 1
+                    nbits = lblock + int(np.floor(np.log2(npass)))
+                    ln = r.bits(nbits)
+                    band_meta.append((by, bx, mb - zb, npass, ln))
+            metas.append(band_meta)
+            out_arrays.append(np.zeros((bh, bw), np.int32))
+        data_pos = offset + r.align()
+        for (bh, bw), kind, arr, band_meta in zip(
+                [s for s, _k in band_shapes],
+                [k for _s, k in band_shapes], out_arrays, metas):
+            for by, bx, nplanes, npass, ln in band_meta:
+                blk = decode_block(body[data_pos:data_pos + ln],
+                                   min(1 << cb_exp, bh - (by << cb_exp)),
+                                   min(1 << cb_exp, bw - (bx << cb_exp)),
+                                   kind, nplanes, npass)
+                arr[by << cb_exp: (by + 1) << cb_exp,
+                    bx << cb_exp: (bx + 1) << cb_exp] = blk
+                data_pos += ln
+        offset = data_pos
+        return out_arrays
+
+    (ll,) = read_band_packet([(ll_shape, 0)])
+    bands = []
+    for (hl_s, lh_s, hh_s) in reversed(per_level):
+        hl, lh, hh_b = read_band_packet([(hl_s, 1), (lh_s, 0),
+                                         (hh_s, 2)])
+        bands.append((hl, lh, hh_b))
+    bands.reverse()                    # back to finest-first order
+    out = inv_dwt53(ll, bands) + 128
+    return np.clip(out, 0, 255).astype(np.uint8)

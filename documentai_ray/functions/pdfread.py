@@ -808,7 +808,8 @@ def page_images(pdf: bytes, password: bytes = b""):
     embedded JPEG (`/DCTDecode` → the engine's general T.81 decoder,
     color reducing to BT.601 luma — the scanner/img2pdf layout);
     bilevel CCITT G3/G4 and JBIG2 generic-region XObjects decode
-    through the same packed-bit path; JPXDecode still raises."""
+    through the same packed-bit path; JPXDecode routes to the
+    engine's restricted lossless JPEG 2000 decoder."""
     import numpy as np
 
     objects = parse_objects(pdf, password)
@@ -850,8 +851,14 @@ def page_images(pdf: bytes, password: bytes = b""):
                         raise ValueError("DCT image dimension mismatch")
                     imgs.append(img)
                     continue
-                if re.search(rb"/JPXDecode", xd):
-                    raise ValueError("unsupported image codec")
+                if re.search(rb"/Filter\s*\[?\s*/JPXDecode\b", xd):
+                    from documentai_ray.functions.jp2k import decode_jp2k
+
+                    img = decode_jp2k(xs)
+                    if img.shape != (h, w):
+                        raise ValueError("JPX image dimension mismatch")
+                    imgs.append(img)
+                    continue
                 if b"/ColorSpace /DeviceGray" not in xd:
                     raise ValueError("unsupported image encoding")
                 if b"/BitsPerComponent 1" in xd:

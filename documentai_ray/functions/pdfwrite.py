@@ -71,6 +71,13 @@ def images_to_pdf(images: list[np.ndarray], *,
             filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
                     b" << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
                     % (w, h))
+        elif image_filter == "jpx":
+            from documentai_ray.functions.jp2k import encode_jp2k
+
+            # lossless reversible-5/3 J2K codestream; JPX streams carry
+            # their own geometry/depth, the dict repeats them per PDF
+            raw = encode_jp2k(img, levels=2)
+            filt = b" /Filter /JPXDecode"
         elif image_filter in ("jbig2", "jbig2_mmr"):
             from documentai_ray.functions.jbig2 import jbig2_encode
 

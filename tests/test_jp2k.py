@@ -1,0 +1,104 @@
+"""JPEG 2000 (ITU-T T.800) restricted-lossless codec tests.
+
+Same verification contract as jbig2/faxg4/minijpeg: encode→decode
+exactness on adversarial images, spec anchors, malformed-stream
+rejection; cross-implementation interop is out of sandbox scope."""
+
+import numpy as np
+import pytest
+
+from documentai_ray.functions.jp2k import (_fwd_53_1d, _inv_53_1d,
+                                           _sig_ctx, decode_block,
+                                           decode_jp2k, encode_block,
+                                           encode_jp2k, fwd_dwt53,
+                                           inv_dwt53)
+
+
+def test_dwt53_1d_roundtrips():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 4, 5, 8, 17, 64, 101):
+        x = rng.integers(-200, 200, size=n).astype(np.int32)
+        s, d = _fwd_53_1d(x)
+        assert s.shape[0] == (n + 1) // 2 and d.shape[0] == n // 2
+        assert np.array_equal(_inv_53_1d(s, d, n), x)
+
+
+def test_dwt53_2d_roundtrips():
+    rng = np.random.default_rng(1)
+    for shape in ((1, 1), (2, 2), (5, 7), (16, 16), (33, 47)):
+        img = rng.integers(-128, 128, size=shape).astype(np.int32)
+        for levels in (0, 1, 2, 3):
+            ll, bands = fwd_dwt53(img, levels)
+            assert np.array_equal(inv_dwt53(ll, bands), img)
+
+
+def test_sig_ctx_table_anchors():
+    # Table D.1 anchors: zero neighborhood -> 0; full H -> 8 (LL/LH);
+    # HL swaps H and V; HH keys off the diagonal sum
+    assert _sig_ctx(0, 0, 0, 0) == 0
+    assert _sig_ctx(0, 2, 0, 0) == 8
+    assert _sig_ctx(1, 0, 2, 0) == 8      # HL: V plays H's role
+    assert _sig_ctx(2, 0, 0, 3) == 8
+    assert _sig_ctx(2, 0, 0, 0) == 0
+    assert _sig_ctx(0, 1, 0, 0) == 5
+
+
+def test_tier1_block_roundtrips():
+    rng = np.random.default_rng(2)
+    for shape in ((1, 1), (3, 5), (8, 8), (17, 23), (64, 64)):
+        for band in (0, 1, 2):
+            for scale in (3, 50, 2000):
+                c = rng.integers(-scale, scale,
+                                 size=shape).astype(np.int32)
+                data, npass, nplanes = encode_block(c, band)
+                out = decode_block(data, shape[0], shape[1], band,
+                                   nplanes, npass)
+                assert np.array_equal(out, c), (shape, band, scale)
+    # all-zero block: zero passes, empty data
+    data, npass, nplanes = encode_block(np.zeros((8, 8), np.int32), 0)
+    assert (data, npass, nplanes) == (b"", 0, 0)
+
+
+def test_codestream_roundtrips():
+    rng = np.random.default_rng(3)
+    cases = [rng.integers(0, 256, size=(100, 150)).astype(np.uint8),
+             np.full((80, 90), 128, np.uint8),
+             np.zeros((33, 47), np.uint8),
+             np.full((16, 24), 255, np.uint8)]
+    y, x = np.indices((96, 200))
+    cases.append(((y * 3 + x * 5) % 256).astype(np.uint8))
+    for img in cases:
+        for levels in (0, 1, 2):
+            enc = encode_jp2k(img, levels=levels)
+            assert enc[:2] == b"\xff\x4f" and enc[-2:] == b"\xff\xd9"
+            assert np.array_equal(decode_jp2k(enc), img)
+
+
+def test_malformed_rejection():
+    img = np.full((8, 8), 7, np.uint8)
+    good = encode_jp2k(img)
+    with pytest.raises(ValueError):
+        decode_jp2k(b"\x00\x01\x02")            # not a codestream
+    with pytest.raises(ValueError):
+        decode_jp2k(good[:8])                   # truncated
+    rng = np.random.default_rng(4)
+    for t in range(100):
+        m = bytearray(good)
+        if t % 2:
+            m[rng.integers(len(m))] ^= 1 << rng.integers(8)
+        else:
+            m = m[: rng.integers(3, len(m))]
+        try:
+            decode_jp2k(bytes(m))
+        except ValueError:
+            pass
+
+
+def test_pdf_jpx_roundtrip():
+    from documentai_ray.functions.pdfread import page_images
+    from documentai_ray.functions.pdfwrite import images_to_pdf
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, size=(40, 70)).astype(np.uint8)
+    pdf = images_to_pdf([src], image_filter="jpx")
+    (page,), = page_images(pdf)
+    assert np.array_equal(page, src)
