@@ -223,6 +223,7 @@ def run_benchmarks() -> dict:
     timed("pdf_password_extract", run_named("pdf_password_extract"))
     timed("pdf_g3_ocr", run_named("pdf_g3_ocr"))
     timed("pdf_jbig2_ocr", run_named("pdf_jbig2_ocr"))
+    timed("pdf_jpx_extract", run_named("pdf_jpx_extract"))
     # the literal Common-Crawl entry path: .warc.gz shards → full chain
     timed("flagship_warc", run_named("flagship_warc"))
     timed("line_dedup", run_named("line_dedup"))
