@@ -614,21 +614,34 @@ def _band_geometry(h: int, w: int, levels: int):
 
 
 def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
-    """uint8 grayscale (h, w) → lossless J2K codestream bytes."""
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → lossless J2K
+    codestream. Color uses the REVERSIBLE color transform (RCT, T.800
+    G.2): Y = (R+2G+B)>>2, Cb = B−G, Cr = R−G after the DC level shift
+    — chroma components are 9-bit signed."""
     img = np.ascontiguousarray(img)
-    if img.ndim != 2:
-        raise ValueError("grayscale (h, w) input required")
-    h, w = img.shape
+    if img.ndim == 2:
+        comps = [img.astype(np.int32) - 128]   # DC level shift (8-bit)
+        depths = [8]
+        mct = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r = img[:, :, 0].astype(np.int32) - 128
+        g = img[:, :, 1].astype(np.int32) - 128
+        b = img[:, :, 2].astype(np.int32) - 128
+        comps = [(r + 2 * g + b) >> 2, b - g, r - g]
+        depths = [8, 9, 9]
+        mct = 1
+    else:
+        raise ValueError("(h, w) grayscale or (h, w, 3) RGB required")
+    h, w = img.shape[:2]
     levels = max(0, min(levels, 32))
-    shifted = img.astype(np.int32) - 128       # DC level shift (8-bit)
-    ll, bands = fwd_dwt53(shifted, levels)
+    decomposed = [fwd_dwt53(c, levels) for c in comps]
 
-    # band list in packet order: res 0 = LL; res r = HL, LH, HH of the
-    # (levels - r + 1)-th finest level... fwd returns finest first, so
-    # packets walk bands[] from coarsest (last) to finest (first)
+    # LRCP, one layer: for each resolution, one packet per component;
+    # fwd returns finest level first, so packets walk bands[] from the
+    # coarsest (last) to the finest (first)
     packets = []
 
-    def one_band_packet(band_arrs):
+    def one_band_packet(band_arrs, depth):
         """band_arrs: list of (arr, band_kind 0/1/2). One packet body
         with one code-block per band (arrays are <= 64x64 when the
         image is; larger arrays tile into code-blocks)."""
@@ -644,8 +657,8 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
             incl = _TagTree(nby, nbx, encoder=True)
             zbp = _TagTree(nby, nbx, encoder=True)
             blocks = []
-            mb = 8 + _GUARD_BITS + (0 if kind == 0 else
-                                    (1 if kind < 2 else 2)) + 1
+            mb = depth + _GUARD_BITS + (0 if kind == 0 else
+                                        (1 if kind < 2 else 2)) + 1
             for by in range(nby):
                 for bx in range(nbx):
                     sub = arr[by << _CB_EXP: (by + 1) << _CB_EXP,
@@ -684,19 +697,28 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
                 bodies.append(data)
         return hdr.done() + b"".join(bodies)
 
-    packets.append(one_band_packet([(ll, 0)]))
-    for hl, lh, hh_b in reversed(bands):
-        packets.append(one_band_packet([(hl, 1), (lh, 0), (hh_b, 2)]))
+    for ci, (ll, _bands) in enumerate(decomposed):
+        packets.append(one_band_packet([(ll, 0)], depths[ci]))
+    nlev = levels
+    for r_i in range(nlev):
+        for ci, (_ll, bands) in enumerate(decomposed):
+            hl, lh, hh_b = bands[nlev - 1 - r_i]   # coarsest first
+            packets.append(one_band_packet(
+                [(hl, 1), (lh, 0), (hh_b, 2)], depths[ci]))
 
     body = b"".join(packets)
 
+    ncomp = len(comps)
     out = bytearray()
     out += b"\xff\x4f"                                     # SOC
-    siz = struct.pack(">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1)
-    siz += struct.pack(">BBB", 7, 1, 1)                    # 8-bit unsigned
+    siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0,
+                      w, h, 0, 0, ncomp)
+    for d in depths:
+        ssiz = (d - 1) | (0x80 if d > 8 else 0)  # chroma: signed 9-bit
+        siz += struct.pack(">BBB", ssiz, 1, 1)
     out += b"\xff\x51" + siz
     spcod = struct.pack(">BBBBB", levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1)
-    cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, 0, 1, mct) + spcod
     out += b"\xff\x52" + cod
     nsub = 3 * levels + 1
     qcd = struct.pack(">HB", 3 + nsub, 0x40 | (_GUARD_BITS << 5))
@@ -730,6 +752,8 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
     levels = None
     cb_exp = None
     body = None
+    depths = [8]
+    mct = 0
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -746,11 +770,16 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             _r, xs, ys, xo, yo, *_rest = struct.unpack_from(
                 ">HIIII", seg, 0)
             (csiz,) = struct.unpack_from(">H", seg, 34)
-            if csiz != 1:
-                raise ValueError("multi-component JPX unsupported")
-            ssiz = seg[36]
-            if ssiz & 0x80 or (ssiz & 0x7F) != 7:
-                raise ValueError("only 8-bit unsigned JPX supported")
+            if csiz not in (1, 3):
+                raise ValueError("JPX component count unsupported")
+            depths = []
+            for ci in range(csiz):
+                ssiz = seg[36 + 3 * ci]
+                d = (ssiz & 0x7F) + 1
+                if d not in (8, 9) or (d == 8 and ssiz & 0x80):
+                    raise ValueError(
+                        "only 8-bit unsigned / 9-bit signed JPX comps")
+                depths.append(d)
             w, h = xs - xo, ys - yo
         elif marker == b"\xff\x52":                        # COD
             scod = seg[0]
@@ -760,8 +789,9 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             layers = struct.unpack_from(">H", seg, 2)[0]
             if layers != 1:
                 raise ValueError("multi-layer JPX unsupported")
-            if seg[4] != 0:
-                raise ValueError("MCT unsupported")
+            mct = seg[4]
+            if mct not in (0, 1):
+                raise ValueError("unknown MCT value")
             levels = seg[5]
             cb_exp = seg[6] + 2
             if seg[7] + 2 != cb_exp:
@@ -785,7 +815,7 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
 
     offset = 0
 
-    def read_band_packet(band_shapes):
+    def read_band_packet(band_shapes, depth):
         nonlocal offset
         r = _HdrR(body[offset:])
         out_arrays = []
@@ -801,8 +831,8 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             nbx = -(-bw // (1 << cb_exp))
             incl = _TagTree(nby, nbx, encoder=False)
             zbp = _TagTree(nby, nbx, encoder=False)
-            mb = 8 + _GUARD_BITS + (0 if kind == 0 else
-                                    (1 if kind < 2 else 2)) + 1
+            mb = depth + _GUARD_BITS + (0 if kind == 0 else
+                                        (1 if kind < 2 else 2)) + 1
             band_meta = []
             for by in range(nby):
                 for bx in range(nbx):
@@ -836,12 +866,29 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
         offset = data_pos
         return out_arrays
 
-    (ll,) = read_band_packet([(ll_shape, 0)])
-    bands = []
-    for (hl_s, lh_s, hh_s) in reversed(per_level):
-        hl, lh, hh_b = read_band_packet([(hl_s, 1), (lh_s, 0),
-                                         (hh_s, 2)])
-        bands.append((hl, lh, hh_b))
-    bands.reverse()                    # back to finest-first order
-    out = inv_dwt53(ll, bands) + 128
-    return np.clip(out, 0, 255).astype(np.uint8)
+    ncomp = len(depths)
+    lls = []
+    for ci in range(ncomp):
+        (ll,) = read_band_packet([(ll_shape, 0)], depths[ci])
+        lls.append(ll)
+    comp_bands = [[] for _ in range(ncomp)]
+    for (hl_s, lh_s, hh_s) in reversed(per_level):   # coarsest first
+        for ci in range(ncomp):
+            hl, lh, hh_b = read_band_packet(
+                [(hl_s, 1), (lh_s, 0), (hh_s, 2)], depths[ci])
+            comp_bands[ci].append((hl, lh, hh_b))
+    planes = []
+    for ci in range(ncomp):
+        comp_bands[ci].reverse()       # back to finest-first order
+        planes.append(inv_dwt53(lls[ci], comp_bands[ci]))
+    if ncomp == 1:
+        return np.clip(planes[0] + 128, 0, 255).astype(np.uint8)
+    yy, cb, cr = planes
+    if mct:
+        g = yy - ((cb + cr) >> 2)      # inverse RCT (T.800 G.2)
+        r_p = cr + g
+        b_p = cb + g
+    else:
+        r_p, g, b_p = yy, cb, cr
+    rgb = np.stack([r_p + 128, g + 128, b_p + 128], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)

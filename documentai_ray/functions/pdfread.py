@@ -855,8 +855,15 @@ def page_images(pdf: bytes, password: bytes = b""):
                     from documentai_ray.functions.jp2k import decode_jp2k
 
                     img = decode_jp2k(xs)
-                    if img.shape != (h, w):
+                    if img.shape[:2] != (h, w):
                         raise ValueError("JPX image dimension mismatch")
+                    if img.ndim == 3:
+                        # BT.601 luma reduction, same convention as the
+                        # DCT color path (and png_color_roundtrip)
+                        p32 = img.astype(np.int64)
+                        img = ((299 * p32[:, :, 0] + 587 * p32[:, :, 1]
+                                + 114 * p32[:, :, 2] + 500) // 1000
+                               ).astype(np.uint8)
                     imgs.append(img)
                     continue
                 if b"/ColorSpace /DeviceGray" not in xd:

@@ -49,7 +49,9 @@ def images_to_pdf(images: list[np.ndarray], *,
     add(b"")  # placeholder pages
     kid_ids: list[int] = []
     for img in images:
-        h, w = img.shape
+        h, w = img.shape[:2]
+        if img.ndim == 3 and image_filter != "jpx":
+            raise ValueError("color images require image_filter='jpx'")
         if image_filter == "none":
             raw = img.tobytes()
             filt = b""
@@ -100,10 +102,12 @@ def images_to_pdf(images: list[np.ndarray], *,
             raise ValueError(f"unknown image_filter {image_filter}")
         bpc = (1 if image_filter in ("g4", "g3", "g3_2d", "jbig2",
                                      "jbig2_mmr") else 8)
+        cspace = b"/DeviceRGB" if img.ndim == 3 else b"/DeviceGray"
         im_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent %d%s /Length %d >>\n"
-            b"stream\n%s\nendstream" % (w, h, bpc, filt, len(raw), raw))
+            b" /ColorSpace %s /BitsPerComponent %d%s /Length %d >>\n"
+            b"stream\n%s\nendstream" % (w, h, cspace, bpc, filt,
+                                         len(raw), raw))
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
                     % (len(content), content))

@@ -698,9 +698,12 @@ def _q_pdf_jpx_extract(sf_dir: str):
     """JPEG 2000 embedded-image extraction: each doc builds a PDF whose
     page embeds a deterministic gradient as a `/JPXDecode` XObject —
     a REAL restricted-lossless J2K codestream (reversible 5/3 DWT,
-    EBCOT MQ tier-1, tag-tree tier-2 packet headers) — and
-    `pdfread.page_images` routes it through the engine's T.800
-    decoder. Lossless, so the closed-form pixel-sum oracle is exact."""
+    EBCOT MQ tier-1, tag-tree tier-2 packet headers). Even doc_ids
+    embed GRAYSCALE; odd doc_ids a 3-component COLOR image through the
+    reversible color transform (RCT), which `pdfread.page_images`
+    reduces to BT.601 luma (same convention as the DCT color path).
+    Lossless end to end, so the closed-form pixel/luma-sum oracle is
+    exact."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -714,16 +717,26 @@ def _q_pdf_jpx_extract(sf_dir: str):
     def roundtrip(batch: pa.Table) -> pa.Table:
         sums = []
         ok = []
+        modes = []
         y = np.arange(16)[:, None]
         x = np.arange(24)[None, :]
         for did in batch.column("doc_id").to_pylist():
-            grad = ((did * 5 + 11 * y + 3 * x) % 256).astype(np.uint8)
-            pdf = images_to_pdf([grad], image_filter="jpx")
-            (g,), = page_images(pdf)
-            sums.append(int(g.astype(np.int64).sum()))
-            ok.append(bool(g.shape == (16, 24)))
+            if did % 2 == 0:
+                img = ((did * 5 + 11 * y + 3 * x) % 256).astype(np.uint8)
+                modes.append("gray")
+            else:
+                r = (did * 7 + y * 3 + x) % 256
+                g = (did * 11 + y * 5 + 2 * x) % 256
+                b = (did * 13 + 3 * y + x) % 256
+                img = np.stack([r, g, b], axis=-1).astype(np.uint8)
+                modes.append("rct")
+            pdf = images_to_pdf([img], image_filter="jpx")
+            (out,), = page_images(pdf)
+            sums.append(int(out.astype(np.int64).sum()))
+            ok.append(bool(out.shape == (16, 24)))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "jpx_pixel_sum": pa.array(sums, pa.int64()),
+                         "jpx_mode": pa.array(modes, pa.string()),
                          "dims_ok": pa.array(ok, pa.bool_())})
 
     return ds.map_batches(roundtrip, batch_format="pyarrow",

@@ -102,3 +102,34 @@ def test_pdf_jpx_roundtrip():
     pdf = images_to_pdf([src], image_filter="jpx")
     (page,), = page_images(pdf)
     assert np.array_equal(page, src)
+
+
+def test_color_rct_roundtrips():
+    rng = np.random.default_rng(7)
+    for shape in ((1, 1, 3), (5, 7, 3), (16, 24, 3), (65, 80, 3)):
+        for levels in (0, 1, 2):
+            img = rng.integers(0, 256, size=shape).astype(np.uint8)
+            dec = decode_jp2k(encode_jp2k(img, levels=levels))
+            assert dec.shape == img.shape
+            assert np.array_equal(dec, img), (shape, levels)
+
+
+def test_color_pdf_reduces_to_bt601_luma():
+    from documentai_ray.functions.pdfread import page_images
+    from documentai_ray.functions.pdfwrite import images_to_pdf
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 256, size=(20, 30, 3)).astype(np.uint8)
+    pdf = images_to_pdf([src], image_filter="jpx")
+    assert b"/DeviceRGB" in pdf
+    (page,), = page_images(pdf)
+    p32 = src.astype(np.int64)
+    luma = ((299 * p32[:, :, 0] + 587 * p32[:, :, 1]
+             + 114 * p32[:, :, 2] + 500) // 1000).astype(np.uint8)
+    assert np.array_equal(page, luma)
+
+
+def test_color_requires_jpx_filter():
+    from documentai_ray.functions.pdfwrite import images_to_pdf
+    src = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="jpx"):
+        images_to_pdf([src], image_filter="flate")
