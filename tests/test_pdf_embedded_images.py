@@ -47,12 +47,19 @@ def test_raw_writer_still_validates():
     validate(images_to_pdf(_imgs()))
 
 
-def test_unsupported_image_codecs_raise():
+def test_bad_image_codec_payloads_raise():
+    # /JPXDecode now decodes - but raw (non-J2K) bytes behind the
+    # filter must raise a clear error, not silently mis-decode
     pdf = images_to_pdf([np.full((8, 8), 5, np.uint8)])
     bad = pdf.replace(b"/BitsPerComponent 8",
                       b"/Filter /JPXDecode /BitsPerComponent 8")
-    with pytest.raises(ValueError, match="unsupported image codec"):
+    with pytest.raises(ValueError, match="J2K"):
         page_images(bad)
+    # an unknown filter name still raises in the filter chain
+    bad2 = pdf.replace(b"/BitsPerComponent 8",
+                       b"/Filter /BogusDecode /BitsPerComponent 8")
+    with pytest.raises(ValueError, match="unsupported PDF filter"):
+        page_images(bad2)
 
 
 def test_mutation_robustness_embedded():
