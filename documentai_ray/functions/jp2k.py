@@ -733,11 +733,37 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
     return bytes(out)
 
 
+def _unwrap_jp2_container(data: bytes) -> bytes:
+    """ISO base-media box walk: find the 'jp2c' contiguous-codestream
+    box inside a JP2 file (PDF /JPXDecode streams are often JP2-boxed,
+    not raw codestreams) and return its payload."""
+    pos = 0
+    n = len(data)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4: pos + 8]
+        hdr = 8
+        if ln == 1:
+            if pos + 16 > n:
+                raise ValueError("truncated JP2 XL box")
+            (ln,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif ln == 0:
+            ln = n - pos
+        if ln < hdr or pos + ln > n:
+            raise ValueError("malformed JP2 box")
+        if typ == b"jp2c":
+            return data[pos + hdr: pos + ln]
+        pos += ln
+    raise ValueError("JP2 container without a jp2c codestream box")
+
+
 def decode_jp2k(data: bytes) -> np.ndarray:
-    """J2K codestream (the subset encode_jp2k writes, incl. foreign
-    streams of the same restricted shape) → uint8 grayscale."""
-    if data[:4] == b"\x00\x00\x00\x0c" or data[:8].endswith(b"jP  "):
-        raise ValueError("JP2 container unsupported (raw J2K only)")
+    """J2K codestream or JP2-boxed file (the subset encode_jp2k
+    writes, incl. foreign streams of the same restricted shape) →
+    uint8 grayscale (h, w) or RGB (h, w, 3)."""
+    if data[:12] == (b"\x00\x00\x00\x0cjP  \r\n\x87\n"):
+        data = _unwrap_jp2_container(data)
     if data[:2] != b"\xff\x4f":
         raise ValueError("not a J2K codestream")
     try:

@@ -133,3 +133,22 @@ def test_color_requires_jpx_filter():
     src = np.zeros((4, 4, 3), np.uint8)
     with pytest.raises(ValueError, match="jpx"):
         images_to_pdf([src], image_filter="flate")
+
+
+def test_jp2_container_unwrap():
+    """PDF /JPXDecode streams are often JP2-boxed, not raw codestreams:
+    a minimal JP2 wrapper (signature + ftyp + jp2c) must decode."""
+    import struct as _st
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    cs = encode_jp2k(img)
+
+    def box(typ, payload):
+        return _st.pack(">I", 8 + len(payload)) + typ + payload
+
+    jp2 = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+           + box(b"ftyp", b"jp2 \x00\x00\x00\x00jp2 ")
+           + box(b"jp2c", cs))
+    assert np.array_equal(decode_jp2k(jp2), img)
+    with pytest.raises(ValueError, match="jp2c"):
+        decode_jp2k(b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+                    + box(b"ftyp", b"jp2 "))
