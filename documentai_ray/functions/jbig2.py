@@ -280,8 +280,16 @@ def decode_generic_region(data: bytes, width: int, height: int,
     0x9B25 per spec."""
     if width <= 0 or height <= 0:
         raise ValueError("bad JBIG2 region dimensions")
-    dec = MQDecoder(data)
-    cx = CtxState()
+    return _decode_generic_into(MQDecoder(data), CtxState(), width,
+                                height, at, tpgdon)
+
+
+def _decode_generic_into(dec: MQDecoder, cx: CtxState, width: int,
+                         height: int, at=_NOMINAL_AT,
+                         tpgdon: bool = False) -> np.ndarray:
+    """Generic-region decode on an EXISTING coder + context bank — the
+    form symbol dictionaries need (all symbols of a dictionary share
+    one MQ stream and one GB context bank)."""
     bmp = np.zeros((height, width), dtype=np.uint8)
     nominal = tuple(at) == _NOMINAL_AT
     ltp = 0
@@ -356,10 +364,16 @@ def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT,
     stream AND the per-pixel work on both ends."""
     if tuple(at) != _NOMINAL_AT:
         raise ValueError("encoder supports nominal AT positions only")
+    enc = MQEncoder()
+    _encode_generic_into(enc, CtxState(), img, tpgdon)
+    return enc.flush()
+
+
+def _encode_generic_into(enc: MQEncoder, cx: CtxState, img: np.ndarray,
+                         tpgdon: bool = False) -> None:
+    """Mirror of _decode_generic_into (shared coder + context bank)."""
     bmp = np.ascontiguousarray(img.astype(np.uint8))
     h, w = bmp.shape
-    enc = MQEncoder()
-    cx = CtxState()
     ltp = 0
     for y in range(h):
         if tpgdon:
@@ -386,7 +400,6 @@ def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT,
             w1 = ((w1 << 1) | (int(r1[nx1]) if r1 is not None
                                and nx1 < w else 0)) & 0x7F
             w0 = ((w0 << 1) | bit) & 0xF
-    return enc.flush()
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +475,16 @@ def _parse_segment_headers(data: bytes):
         # number (1/2/4 bytes) — we only wrote small numbers; read by
         # the spec rule using the segment number just parsed
         ref_size = 1 if _num <= 256 else (2 if _num <= 65536 else 4)
+        refs = []
+        for ri in range(count):
+            if ref_size == 1:
+                refs.append(data[pos + ri])
+            elif ref_size == 2:
+                refs.append(struct.unpack_from(">H", data,
+                                               pos + 2 * ri)[0])
+            else:
+                refs.append(struct.unpack_from(">I", data,
+                                               pos + 4 * ri)[0])
         pos += count * ref_size
         if page4:
             (page,) = struct.unpack_from(">I", data, pos)
@@ -475,7 +498,7 @@ def _parse_segment_headers(data: bytes):
             raise ValueError("unknown-length JBIG2 segment unsupported")
         if pos + length > n:
             raise ValueError("JBIG2 segment data out of bounds")
-        yield typ, page, data[pos:pos + length]
+        yield _num, typ, page, refs, data[pos:pos + length]
         pos += length
 
 
@@ -488,9 +511,25 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     scope this engine supports."""
     page_w = page_h = None
     page = None
-    for typ, _pg, payload in _parse_segment_headers(
+    sym_dicts: dict[int, list] = {}    # segment number -> exported syms
+    for num, typ, _pg, refs, payload in _parse_segment_headers(
             bytes(globals_data) + bytes(data)):
-        if typ == _T_PAGE_INFO:
+        if typ == 0:                   # symbol dictionary
+            sym_dicts[num] = _decode_symbol_dict(payload)
+        elif typ in (4, 6, 7):         # text region (imm./lossless)
+            symbols = []
+            for r in refs:
+                symbols.extend(sym_dicts.get(r, []))
+            if not symbols:
+                raise ValueError("text region without symbol dict")
+            region, rx, ry = _decode_text_region(payload, symbols)
+            rh, rw = region.shape
+            if page is None:
+                page = np.zeros((ry + rh, rx + rw), bool)
+            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
+                raise ValueError("JBIG2 region outside page")
+            page[ry:ry + rh, rx:rx + rw] |= region
+        elif typ == _T_PAGE_INFO:
             if len(payload) < 17:
                 raise ValueError("short JBIG2 page info segment")
             page_w, page_h = struct.unpack_from(">II", payload, 0)
@@ -536,12 +575,389 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             page[ry:ry + rh, rx:rx + rw] |= region  # OR composition
         elif typ in (_T_END_OF_PAGE, _T_END_OF_FILE, 50):
             continue  # end-of-page / end-of-file / end-of-stripe
-        elif typ in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43, 53, 62):
+        elif typ in (16, 20, 22, 23, 40, 42, 43, 53, 62):
             raise ValueError(
-                f"JBIG2 segment type {typ} (symbol/text/halftone/"
-                f"refinement) unsupported — generic-region scope only")
+                f"JBIG2 segment type {typ} (pattern/halftone/"
+                f"refinement) unsupported")
         else:
             raise ValueError(f"unknown JBIG2 segment type {typ}")
     if page is None:
         raise ValueError("JBIG2 stream carries no page")
     return page
+
+
+# ---------------------------------------------------------------------------
+# arithmetic integer decoding (T.88 Annex A) + symbol/text regions
+# (§6.4/6.5) — the coding real scanners use for TEXT pages: a symbol
+# DICTIONARY of glyph bitmaps (generic-coded, shared contexts) plus a
+# TEXT REGION placing symbol instances by (S, T, ID) deltas. Arithmetic
+# variants only (no Huffman), no refinement, TRANSPOSED=0, REPLACE/OR
+# composition — the common wire shape.
+# ---------------------------------------------------------------------------
+
+_OOB = object()
+
+
+def _int_ranges():
+    # (prefix_bits, value_bits, offset) per Annex A.2 interval row
+    return [(1, 2, 0), (2, 4, 4), (3, 6, 20), (4, 8, 84),
+            (5, 12, 340), (6, 32, 4436)]
+
+
+def decode_int(dec: MQDecoder, cx: CtxState):
+    """IAx integer decode: returns int or _OOB. ``cx`` is this
+    procedure's own 512-state bank; PREV tracks the coded bits with
+    the >=256 clamp rule."""
+    prev = 1
+
+    def bit():
+        nonlocal prev
+        b = dec.decode(cx, prev)
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    if not bit():
+        nbits, offset = 2, 0
+    elif not bit():
+        nbits, offset = 4, 4
+    elif not bit():
+        nbits, offset = 6, 20
+    elif not bit():
+        nbits, offset = 8, 84
+    elif not bit():
+        nbits, offset = 12, 340
+    else:
+        nbits, offset = 32, 4436
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | bit()
+    v += offset
+    if s:
+        if v == 0:
+            return _OOB
+        return -v
+    return v
+
+
+def encode_int(enc: MQEncoder, cx: CtxState, value) -> None:
+    """Mirror of decode_int; pass _OOB for the out-of-band marker."""
+    prev = 1
+
+    def bit(b):
+        nonlocal prev
+        enc.encode(cx, b, prev)
+        prev = ((prev << 1) | b) if prev < 256 \
+            else ((((prev << 1) | b) & 511) | 256)
+
+    if value is _OOB:
+        s, a = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        a = -value if value < 0 else value
+    bit(s)
+    rows = _int_ranges()
+    for i, (plen, nbits, offset) in enumerate(rows):
+        last = i == len(rows) - 1
+        hi = offset + (1 << nbits) - 1
+        if a <= hi or last:
+            for _ in range(i):
+                bit(1)
+            if not last:
+                bit(0)
+            v = a - offset
+            if v < 0 or (not last and v >= (1 << nbits)):
+                raise ValueError("integer out of range for row")
+            for j in range(nbits - 1, -1, -1):
+                bit((v >> j) & 1)
+            return
+    raise AssertionError
+
+
+def decode_iaid(dec: MQDecoder, cx: CtxState, symcodelen: int) -> int:
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(cx, prev)
+    return prev - (1 << symcodelen)
+
+
+def encode_iaid(enc: MQEncoder, cx: CtxState, symcodelen: int,
+                value: int) -> None:
+    prev = 1
+    for j in range(symcodelen - 1, -1, -1):
+        b = (value >> j) & 1
+        enc.encode(cx, b, prev)
+        prev = (prev << 1) | b
+
+
+def _symcodelen(nsyms: int) -> int:
+    return max(1, (max(1, nsyms - 1)).bit_length())
+
+
+def encode_symbol_text_page(symbols, placements, page_w: int,
+                            page_h: int) -> bytes:
+    """Glyph-based JBIG2 page — the way real scanners code text:
+
+    ``symbols``: list of bool (h, w) glyph bitmaps (the dictionary);
+    ``placements``: list of (symbol_index, x, y) instances, top-left
+    corners on the page, in raster order (sorted by y then x).
+
+    Emits: page info + symbol dictionary segment (arithmetic, template
+    0, shared GB contexts, one height class per distinct height) +
+    immediate lossless text region (SBSTRIPS=1, TRANSPOSED=0,
+    REFCORNER=TOPLEFT, OR composition) referring to the dictionary +
+    EOP."""
+    symbols = [np.ascontiguousarray(s.astype(bool)) for s in symbols]
+    nsyms = len(symbols)
+    if not nsyms or not placements:
+        raise ValueError("need at least one symbol and one placement")
+
+    # ---- symbol dictionary: sort by height (height classes), then
+    # export in dictionary order; remember old->new index map
+    order = sorted(range(nsyms), key=lambda i: (symbols[i].shape[0],
+                                                symbols[i].shape[1], i))
+    remap = {old: new for new, old in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+
+    enc = MQEncoder()
+    cx_gb = CtxState()
+    cx_iadh = CtxState(512)
+    cx_iadw = CtxState(512)
+    cx_iaex = CtxState(512)
+    hcheight = 0
+    i = 0
+    while i < nsyms:
+        h0 = sorted_syms[i].shape[0]
+        encode_int(enc, cx_iadh, h0 - hcheight)
+        hcheight = h0
+        symwidth = 0
+        while i < nsyms and sorted_syms[i].shape[0] == h0:
+            w0 = sorted_syms[i].shape[1]
+            encode_int(enc, cx_iadw, w0 - symwidth)
+            symwidth = w0
+            _encode_generic_into(enc, cx_gb, sorted_syms[i])
+            i += 1
+        encode_int(enc, cx_iadw, _OOB)       # end of height class
+    # export runs: run of 0 not-exported, then all exported
+    encode_int(enc, cx_iaex, 0)
+    encode_int(enc, cx_iaex, nsyms)
+    sd_arith = enc.flush()
+
+    sd_flags = 0x0000          # SDHUFF=0 REFAGG=0 template 0 ...
+    at_bytes = b"".join(struct.pack("bb", dx, dy) for dx, dy in
+                        _NOMINAL_AT)
+    sd_data = (struct.pack(">H", sd_flags) + at_bytes
+               + struct.pack(">II", nsyms, nsyms) + sd_arith)
+
+    # ---- text region (SBSTRIPS=1 -> LOG2SBSTRIPS=0, CURT always 0)
+    inst = sorted(((remap[si], x, y) for si, x, y in placements),
+                  key=lambda t: (t[2], t[1]))
+    symcodelen = _symcodelen(nsyms)
+    enc = MQEncoder()
+    cx_iadt = CtxState(512)
+    cx_iafs = CtxState(512)
+    cx_iads = CtxState(512)
+    cx_iaid = CtxState(1 << (symcodelen + 1))
+    encode_int(enc, cx_iadt, 0)   # initial STRIPT (spec: -DT*strips)
+    stript = 0
+    firsts = 0
+    n_done = 0
+    k = 0
+    while k < len(inst):
+        t0 = inst[k][2]
+        encode_int(enc, cx_iadt, t0 - stript)    # strip T delta
+        stript = t0
+        # strip = consecutive instances with this T
+        first = True
+        curs = 0
+        while k < len(inst) and inst[k][2] == t0:
+            sid, x0, _y0 = inst[k]
+            w            = sorted_syms[sid].shape[1]
+            if first:
+                encode_int(enc, cx_iafs, x0 - firsts)
+                firsts = x0
+                curs = x0
+                first = False
+            else:
+                encode_int(enc, cx_iads, x0 - curs)
+                curs = x0
+            encode_iaid(enc, cx_iaid, symcodelen, sid)
+            curs += w - 1
+            n_done += 1
+            k += 1
+        encode_int(enc, cx_iads, _OOB)           # end of strip
+    tr_arith = enc.flush()
+
+    region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
+    # flags: SBHUFF=0 REFINE=0 LOG2SBSTRIPS=0 REFCORNER=TOPLEFT(1)
+    # TRANSPOSED=0 SBCOMBOP=OR(0) SBDEFPIXEL=0 SBDSOFFSET=0 RTEMPLATE=0
+    tr_flags = 1 << 4
+    tr_data = (region_info + struct.pack(">H", tr_flags)
+               + struct.pack(">I", len(inst)) + tr_arith)
+
+    def seg_header(num, typ, page, length, refs=()):
+        out = struct.pack(">IB", num, typ & 0x3F)
+        out += struct.pack(">B", len(refs) << 5)
+        for rnum in refs:
+            out += struct.pack(">B", rnum)       # numbers <= 256: 1 byte
+        out += struct.pack(">B", page)
+        out += struct.pack(">I", length)
+        return out
+
+    page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
+    out = bytearray()
+    out += seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+    out += seg_header(1, 0, 1, len(sd_data)) + sd_data   # symbol dict
+    out += seg_header(2, 6, 1, len(tr_data), refs=(1,)) + tr_data
+    out += seg_header(3, _T_END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def _decode_symbol_dict(payload: bytes):
+    """Symbol dictionary segment data → list of bool bitmaps
+    (exported, in order). Arithmetic, template 0, no refinement."""
+    (flags,) = struct.unpack_from(">H", payload, 0)
+    if flags & 0x0001:
+        raise ValueError("Huffman symbol dictionaries unsupported")
+    if flags & 0x0002:
+        raise ValueError("refinement/aggregate dictionaries unsupported")
+    template = (flags >> 10) & 3
+    if template != 0:
+        raise ValueError("symbol dictionary template != 0 unsupported")
+    pos = 2
+    at = []
+    for _ in range(4):
+        dx, dy = struct.unpack_from("bb", payload, pos)
+        at.append((dx, dy))
+        pos += 2
+    nexp, nnew = struct.unpack_from(">II", payload, pos)
+    pos += 8
+    if nnew > 10_000 or nexp > nnew:
+        raise ValueError("implausible symbol dictionary")
+    dec = MQDecoder(payload[pos:])
+    cx_gb = CtxState()
+    cx_iadh = CtxState(512)
+    cx_iadw = CtxState(512)
+    cx_iaex = CtxState(512)
+    syms = []
+    hcheight = 0
+    while len(syms) < nnew:
+        dh = decode_int(dec, cx_iadh)
+        if dh is _OOB:
+            raise ValueError("unexpected OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > (1 << 14):
+            raise ValueError("implausible symbol height")
+        symwidth = 0
+        while True:
+            dw = decode_int(dec, cx_iadw)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > (1 << 14) \
+                    or len(syms) >= nnew:
+                raise ValueError("implausible symbol width/count")
+            syms.append(_decode_generic_into(
+                dec, cx_gb, symwidth, hcheight, at=tuple(at)))
+    # export flags: alternating runs starting not-exported
+    exported = []
+    curex = 0
+    idx = 0
+    while idx < len(syms) and len(exported) < nexp:
+        run = decode_int(dec, cx_iaex)
+        if run is _OOB or run < 0:
+            raise ValueError("bad export run")
+        if curex:
+            exported.extend(syms[idx: idx + run])
+        idx += run
+        curex ^= 1
+    if len(exported) != nexp:
+        raise ValueError("export count mismatch")
+    return exported
+
+
+def _decode_text_region(payload: bytes, symbols):
+    """Text region segment data + dictionary symbols → (region bool
+    bitmap, x, y)."""
+    rw, rh, rx, ry, _comb = struct.unpack_from(">IIIIB", payload, 0)
+    if max(rw, rh, rx, ry) > (1 << 20) or rw * rh > (1 << 26):
+        raise ValueError("implausible JBIG2 text region geometry")
+    (flags,) = struct.unpack_from(">H", payload, 17)
+    if flags & 0x0001:
+        raise ValueError("Huffman text regions unsupported")
+    if flags & 0x0002:
+        raise ValueError("refinement text regions unsupported")
+    log2strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32               # 5-bit signed
+    if transposed:
+        raise ValueError("transposed text regions unsupported")
+    if combop not in (0, 1):         # OR / AND(treated as OR on 0-page)
+        raise ValueError("text region comb-op unsupported")
+    strips = 1 << log2strips
+    (ninst,) = struct.unpack_from(">I", payload, 19)
+    if ninst > 1_000_000:
+        raise ValueError("implausible instance count")
+    dec = MQDecoder(payload[23:])
+    nsyms = len(symbols)
+    symcodelen = _symcodelen(nsyms)
+    cx_iadt = CtxState(512)
+    cx_iafs = CtxState(512)
+    cx_iads = CtxState(512)
+    cx_iait = CtxState(512)
+    cx_iaid = CtxState(1 << (symcodelen + 1))
+    region = np.full((rh, rw), bool(defpixel))
+    stript = -decode_int(dec, cx_iadt) * strips
+    firsts = 0
+    n_done = 0
+    while n_done < ninst:
+        dt = decode_int(dec, cx_iadt)
+        if dt is _OOB:
+            raise ValueError("unexpected OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = decode_int(dec, cx_iafs)
+                if dfs is _OOB:
+                    raise ValueError("unexpected OOB first-S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = decode_int(dec, cx_iads)
+                if ids is _OOB:
+                    break
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else decode_int(dec, cx_iait)
+            tt = stript + curt
+            sid = decode_iaid(dec, cx_iaid, symcodelen)
+            if not 0 <= sid < nsyms:
+                raise ValueError("symbol id out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            if refcorner in (0, 2):      # BOTTOMLEFT / BOTTOMRIGHT
+                y0 = tt - sh + 1
+            else:                        # TOPLEFT / TOPRIGHT
+                y0 = tt
+            x0 = curs if refcorner in (0, 1) else curs - sw + 1
+            if not (0 <= x0 and x0 + sw <= rw and 0 <= y0
+                    and y0 + sh <= rh):
+                raise ValueError("symbol instance outside region")
+            region[y0: y0 + sh, x0: x0 + sw] |= sym
+            curs += sw - 1
+            n_done += 1
+            if n_done >= ninst:
+                # spec still ends the strip with OOB; consume it
+                tail = decode_int(dec, cx_iads)
+                if tail is not _OOB:
+                    raise ValueError("strip not OOB-terminated")
+                break
+    return region, rx, ry

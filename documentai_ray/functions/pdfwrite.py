@@ -155,6 +155,54 @@ def escape_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
+def jbig2_text_pdf(symbols, placements, page_w: int,
+                   page_h: int) -> bytes:
+    """One-page PDF whose page image is a JBIG2 SYMBOL-CODED text
+    region — the wire shape real scanners emit for text pages: a
+    symbol dictionary of glyph bitmaps plus (S, T, ID) instance
+    placements, embedded as a 1-bit /JBIG2Decode image XObject."""
+    import numpy as np  # noqa: F401
+
+    from documentai_ray.functions.jbig2 import encode_symbol_text_page
+
+    raw = encode_symbol_text_page(symbols, placements, page_w, page_h)
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"")  # catalog placeholder
+    add(b"")  # pages placeholder
+    im_id = add(
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /JBIG2Decode /Length %d >>\n"
+        b"stream\n%s\nendstream" % (page_w, page_h, len(raw), raw))
+    content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (page_w, page_h)
+    ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content))
+    pg_id = add(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+        b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+        b" /Contents %d 0 R >>" % (page_w, page_h, im_id, ct_id))
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % pg_id)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: list[int] = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d"
+            b"\n%%%%EOF\n" % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
 def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
                 shuffle_key: int = 0, compress: bool = False,
                 info: dict[str, str] | None = None,

@@ -185,3 +185,103 @@ def test_tpgdon_encoder_roundtrip_and_wins():
     assert np.array_equal(
         decode_generic_region(encode_generic_region(noisy, tpgdon=True),
                               30, 20, tpgdon=True), noisy)
+
+
+class TestSymbolTextRegions:
+    """T.88 §6.4/6.5 symbol dictionary + text region (arithmetic)."""
+
+    def test_int_coder_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (_OOB, decode_int,
+                                                    encode_int)
+        vals = ([0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+                 100000, -4436, -100000, _OOB, 7, _OOB, -19] +
+                list(range(-40, 40)))
+        enc = MQEncoder()
+        cx = CtxState(512)
+        for v in vals:
+            encode_int(enc, cx, v)
+        dec = MQDecoder(enc.flush())
+        cx = CtxState(512)
+        got = [decode_int(dec, cx) for _ in vals]
+        assert got == vals
+
+    def test_iaid_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (decode_iaid,
+                                                    encode_iaid)
+        for symcodelen in (1, 3, 6):
+            ids = list(range(1 << symcodelen)) * 2
+            enc = MQEncoder()
+            cx = CtxState(1 << (symcodelen + 1))
+            for i in ids:
+                encode_iaid(enc, cx, symcodelen, i)
+            dec = MQDecoder(enc.flush())
+            cx = CtxState(1 << (symcodelen + 1))
+            assert [decode_iaid(dec, cx, symcodelen)
+                    for _ in ids] == ids
+
+    def test_randomized_pages(self):
+        from documentai_ray.functions.jbig2 import (
+            encode_symbol_text_page, jbig2_decode)
+        rng = np.random.RandomState(4)
+        for trial in range(15):
+            nsym = rng.randint(1, 10)
+            symbols = [rng.rand(rng.randint(1, 10),
+                                rng.randint(1, 10)) < rng.rand()
+                       for _ in range(nsym)]
+            pw, ph = 60, 50
+            placements = []
+            for _ in range(rng.randint(1, 20)):
+                si = rng.randint(nsym)
+                sh, sw = symbols[si].shape
+                placements.append((si, rng.randint(0, pw - sw + 1),
+                                   rng.randint(0, ph - sh + 1)))
+            seg = encode_symbol_text_page(symbols, placements, pw, ph)
+            out = jbig2_decode(seg)
+            expect = np.zeros((ph, pw), bool)
+            for si, x, y in placements:
+                s = symbols[si]
+                expect[y:y + s.shape[0], x:x + s.shape[1]] |= s
+            assert np.array_equal(out, expect), trial
+
+    def test_glyph_page_ocr_byte_identity(self):
+        from documentai_ray.functions.bitfont import (CELL_W, GLYPH_H,
+                                                      GLYPHS)
+        from documentai_ray.functions.pdfread import page_images
+        from documentai_ray.functions.pdfwrite import (jbig2_text_pdf,
+                                                       wrap_text_lines)
+        from documentai_ray.stages.ocr import ocr_image
+        src = ("the quick brown fox jumps over the lazy dog "
+               "0123456789 " * 3).strip()
+        lines = wrap_text_lines(src)
+        w = max(len(ln) for ln in lines) * CELL_W + 8
+        h = len(lines) * (GLYPH_H + 3) + 8
+        chars = sorted({c for ln in lines for c in ln
+                        if c != " " and c in GLYPHS})
+        sym_of = {c: i for i, c in enumerate(chars)}
+        symbols = [GLYPHS[c] for c in chars]
+        placements = [(sym_of[ch], 4 + i * CELL_W,
+                       4 + r * (GLYPH_H + 3))
+                      for r, ln in enumerate(lines)
+                      for i, ch in enumerate(ln) if ch != " "]
+        pdf = jbig2_text_pdf(symbols, placements, w, h)
+        (scan,), = page_images(pdf)
+        text, _ = ocr_image(scan)
+        assert text == "\n".join(lines)
+
+    def test_mutation_robustness_symbol(self):
+        from documentai_ray.functions.jbig2 import (
+            encode_symbol_text_page, jbig2_decode)
+        rng = np.random.RandomState(6)
+        symbols = [rng.rand(6, 5) < 0.5, rng.rand(6, 4) < 0.5]
+        base = encode_symbol_text_page(
+            symbols, [(0, 1, 1), (1, 10, 1), (0, 20, 8)], 30, 16)
+        for t in range(150):
+            m = bytearray(base)
+            if t % 2:
+                m[rng.randint(len(m))] ^= 1 << rng.randint(8)
+            else:
+                m = m[:rng.randint(1, len(m))]
+            try:
+                jbig2_decode(bytes(m))
+            except (ValueError, struct.error):
+                pass
