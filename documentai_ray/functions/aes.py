@@ -178,14 +178,9 @@ def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
 def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     if len(data) % 16:
         raise ValueError("nopad CBC needs a block multiple")
-    words = key_expansion(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = data[i:i + 16]
-        out += bytes(a ^ b for a, b in zip(decrypt_block(blk, words), prev))
-        prev = blk
-    return bytes(out)
+    if not data:
+        return b""
+    return _cbc_decrypt_np(key, iv, data)
 
 
 def ecb_encrypt(key: bytes, data: bytes) -> bytes:
@@ -208,14 +203,76 @@ def ecb_decrypt(key: bytes, data: bytes) -> bytes:
 def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     if len(ciphertext) % 16 or not ciphertext:
         raise ValueError("CBC ciphertext must be a positive block multiple")
-    words = key_expansion(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ciphertext), 16):
-        blk = ciphertext[i:i + 16]
-        out += bytes(a ^ b for a, b in zip(decrypt_block(blk, words), prev))
-        prev = blk
+    out = bytearray(_cbc_decrypt_np(key, iv, ciphertext))
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad CBC padding")
     return bytes(out[:-pad])
+
+
+# ---------------------------------------------------------------------------
+# vectorized block-parallel decryption (numpy)
+#
+# CBC DECRYPTION has no inter-block dependency (P_i = D(C_i) XOR
+# C_{i-1}, all ciphertext blocks known up front), so every block of a
+# stream decrypts in one numpy pass over an (n, 16) state matrix —
+# table-lookup SubBytes/round-key XOR/fixed-permutation ShiftRows/
+# table-built InvMixColumns. Encryption stays scalar: the CBC chain
+# feeds each block the previous CIPHERTEXT, which is inherently
+# sequential. Pinned bit-identical to the scalar path by test.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_INV_SBOX_NP = _np.array(_INV_SBOX, _np.uint8)
+_MUL9_NP = _np.array([_mul(9, i) for i in range(256)], _np.uint8)
+_MUL11_NP = _np.array([_mul(11, i) for i in range(256)], _np.uint8)
+_MUL13_NP = _np.array([_mul(13, i) for i in range(256)], _np.uint8)
+_MUL14_NP = _np.array([_mul(14, i) for i in range(256)], _np.uint8)
+# column-major state s[4c+r]: InvShiftRows source = 4*((c - r) % 4) + r
+_INV_SHIFT_IDX = _np.array([4 * ((j // 4 - j % 4) % 4) + j % 4
+                            for j in range(16)], _np.int64)
+
+
+def _round_keys_np(words) -> _np.ndarray:
+    nr = len(words) // 4 - 1
+    rk = _np.zeros((nr + 1, 16), _np.uint8)
+    for rnd in range(nr + 1):
+        for c in range(4):
+            for r in range(4):
+                rk[rnd, 4 * c + r] = words[4 * rnd + c][r]
+    return rk
+
+
+def _decrypt_blocks_np(data: bytes, words) -> _np.ndarray:
+    """AES-decrypt every 16-byte block of ``data`` at once → (n, 16)."""
+    nr = len(words) // 4 - 1
+    rk = _round_keys_np(words)
+    s = _np.frombuffer(data, _np.uint8).reshape(-1, 16).copy()
+    s ^= rk[nr]
+    for rnd in range(nr - 1, -1, -1):
+        s = s[:, _INV_SHIFT_IDX]            # InvShiftRows
+        s = _INV_SBOX_NP[s]                 # InvSubBytes
+        s ^= rk[rnd]
+        if rnd:                             # InvMixColumns
+            a = s.reshape(-1, 4, 4)
+            m9, m11 = _MUL9_NP[a], _MUL11_NP[a]
+            m13, m14 = _MUL13_NP[a], _MUL14_NP[a]
+            out = _np.empty_like(a)
+            out[:, :, 0] = (m14[:, :, 0] ^ m11[:, :, 1]
+                            ^ m13[:, :, 2] ^ m9[:, :, 3])
+            out[:, :, 1] = (m9[:, :, 0] ^ m14[:, :, 1]
+                            ^ m11[:, :, 2] ^ m13[:, :, 3])
+            out[:, :, 2] = (m13[:, :, 0] ^ m9[:, :, 1]
+                            ^ m14[:, :, 2] ^ m11[:, :, 3])
+            out[:, :, 3] = (m11[:, :, 0] ^ m13[:, :, 1]
+                            ^ m9[:, :, 2] ^ m14[:, :, 3])
+            s = out.reshape(-1, 16)
+    return s
+
+
+def _cbc_decrypt_np(key: bytes, iv: bytes, data: bytes) -> bytes:
+    words = key_expansion(key)
+    dec = _decrypt_blocks_np(data, words)
+    prev = _np.frombuffer(iv + data[:-16], _np.uint8).reshape(-1, 16)
+    return (dec ^ prev).tobytes()

@@ -65,3 +65,19 @@ def test_cbc_rejects_malformed():
         cbc_decrypt(k, iv, bytes(range(16)))
     with pytest.raises(ValueError):
         key_expansion(b"badlen")
+
+
+def test_vectorized_decrypt_pins_scalar_blocks():
+    """The numpy block-parallel decrypt path must be bit-identical to
+    the scalar decrypt_block for every key size."""
+    import numpy as np
+
+    from documentai_ray.functions import aes
+    rng = np.random.default_rng(0)
+    for klen in (16, 24, 32):
+        key = bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+        words = aes.key_expansion(key)
+        data = bytes(rng.integers(0, 256, 16 * 37, dtype=np.uint8))
+        scalar = b"".join(aes.decrypt_block(data[i:i + 16], words)
+                          for i in range(0, len(data), 16))
+        assert aes._decrypt_blocks_np(data, words).tobytes() == scalar
