@@ -248,9 +248,10 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     >= 128 become 1 = black-is-zero white, rows padded to byte
     boundaries)."""
     h, w = img.shape
-    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "g4": 4}[compression]
-    if compression == "g4":
-        bilevel = True  # G4 is inherently bilevel (ITU-T T.6)
+    comp_id = {"none": 1, "mh": 2, "g3": 3, "g3_2d": 3, "lzw": 5,
+               "packbits": 32773, "g4": 4}[compression]
+    if compression in ("g4", "mh", "g3", "g3_2d"):
+        bilevel = True  # fax codecs are inherently bilevel
     if predictor == 2 and (compression != "lzw" or bilevel):
         raise ValueError("predictor=2 only supported with 8-bit lzw here")
     rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
@@ -262,6 +263,26 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
 
             # fax convention (PhotometricInterpretation 0): ink = dark
             strips.append(g4_encode(block < 128))
+            continue
+        if compression == "mh":
+            # Compression=2 (Modified Huffman): per-row 1-D T.4 runs,
+            # NO EOLs, each row starting on a byte boundary (TIFF6)
+            from documentai_ray.functions.faxg4 import (_BitW,
+                                                        _encode_1d_line)
+
+            bw = _BitW()
+            for rrow in (block < 128):
+                _encode_1d_line(bw, rrow, w)
+                bw.done()          # flush pads the row to a byte edge
+            strips.append(bytes(bw.buf))
+            continue
+        if compression in ("g3", "g3_2d"):
+            # Compression=3 (T.4 / Group 3): EOL-framed; T4Options
+            # bit 0 signals 2-D (mixed MR) coding
+            from documentai_ray.functions.faxg4 import g3_encode
+
+            strips.append(g3_encode(block < 128,
+                                    k=0 if compression == "g3" else 4))
             continue
         if bilevel:
             raw = np.packbits(block >= 128, axis=1).tobytes()
@@ -281,13 +302,16 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
         (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
         (_TAG_BITS, 3, 1, 1 if bilevel else 8),
         (_TAG_COMPRESSION, 3, 1, comp_id),
-        (_TAG_PHOTOMETRIC, 3, 1, 0 if compression == "g4" else 1),
+        (_TAG_PHOTOMETRIC, 3, 1,
+         0 if compression in ("g4", "mh", "g3", "g3_2d") else 1),
         (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),  # patched below
         (_TAG_SAMPLES, 3, 1, 1), (_TAG_ROWS_PER_STRIP, 3, 1, rps),
         (_TAG_STRIP_BYTES, 4, nstrips, [len(s) for s in strips]),
     ]
     if predictor == 2:
         entries.append((_TAG_PREDICTOR, 3, 1, 2))
+    if compression in ("g3", "g3_2d"):
+        entries.append((292, 4, 1, 1 if compression == "g3_2d" else 0))
     entries.sort(key=lambda e: e[0])
 
     ifd_off = 8
@@ -451,12 +475,12 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         if t not in tags:
             raise ValueError("missing required TIFF tags")
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise ValueError(f"TIFF compression {comp} not supported")
     bits = tags.get(_TAG_BITS, [8])[0]
     samples = tags.get(_TAG_SAMPLES, [1])[0]
-    if comp == 4 and (bits != 1 or samples != 1):
-        raise ValueError("G4 compression is bilevel only")
+    if comp in (2, 3, 4) and (bits != 1 or samples != 1):
+        raise ValueError("fax compression is bilevel only")
     if bits not in (1, 8) or samples not in (1, 3):
         raise ValueError("only 1/8-bit, 1/3-sample TIFF supported")
     if samples == 3 and bits != 8:
@@ -481,10 +505,20 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         strip_rows = min(rps, h - y)
         expected = strip_rows * row_bytes
         raw = payload[off:off + nbytes]
-        if comp == 4:  # CCITT G4: ink (black run) = dark; photometric 1
-            from documentai_ray.functions.faxg4 import g4_decode
+        if comp in (2, 3, 4):  # fax family: ink (black run) = dark
+            from documentai_ray.functions.faxg4 import (g3_decode,
+                                                        g4_decode)
 
-            ink = g4_decode(raw, w, strip_rows)
+            if comp == 4:
+                ink = g4_decode(raw, w, strip_rows)
+            elif comp == 2:
+                # MH: per-row byte-aligned 1-D runs, no EOL framing
+                ink = g3_decode(raw, w, strip_rows, k=0, eol=False,
+                                byte_align=True)
+            else:
+                t4 = tags.get(292, [0])[0]       # T4Options
+                ink = g3_decode(raw, w, strip_rows,
+                                k=1 if t4 & 1 else 0, eol=True)
             if photometric == 1:
                 ink = ~ink
             rows.append(np.where(ink, 0, 255).astype(np.uint8))

@@ -170,11 +170,14 @@ def _q_tiff_roundtrip(sf_dir: str):
 
 
 def _q_tiff_compressed_roundtrip(sf_dir: str):
-    """COMPRESSED-TIFF path (minitiff LZW + PackBits, TIFF 6.0 §9/§13):
-    a per-doc deterministic texture encodes through BOTH real codecs
-    (LZW with Predictor=2 horizontal differencing, multi-strip PackBits)
-    and must decode losslessly — the exact pixel sum is the oracle and
-    the two codec outputs must agree cell-for-cell."""
+    """COMPRESSED-TIFF path (minitiff LZW + PackBits + the fax family,
+    TIFF 6.0 §9/§10/§11/§13): a per-doc deterministic texture encodes
+    through BOTH 8-bit codecs (LZW with Predictor=2 horizontal
+    differencing, multi-strip PackBits) and must decode losslessly —
+    the exact pixel sum is the oracle — while its >=128 bilevel mask
+    round-trips through all FOUR fax compressions (Compression=2 MH,
+    3 G3 1-D and 2-D via T4Options, 4 G4) and every output must agree
+    cell-for-cell."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -196,8 +199,13 @@ def _q_tiff_compressed_roundtrip(sf_dir: str):
                 img, compression="lzw", predictor=2, rows_per_strip=3))
             pb = decode_gray_tiff(encode_gray_tiff(
                 img, compression="packbits", rows_per_strip=5))
+            mask = (img >= 128).astype(np.uint8) * 255
+            fax_ok = all(
+                np.array_equal(decode_gray_tiff(encode_gray_tiff(
+                    img, compression=c, rows_per_strip=3)), mask)
+                for c in ("mh", "g3", "g3_2d", "g4"))
             agree.append(bool(np.array_equal(lzw, pb)
-                              and np.array_equal(lzw, img)))
+                              and np.array_equal(lzw, img) and fax_ok))
             sums.append(int(lzw.astype(np.int64).sum()))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "pixel_sum": pa.array(sums, pa.int64()),

@@ -219,3 +219,29 @@ def test_foreign_tag_types_are_ignored():
     struct.pack_into(f"{endian}I", out, 4, new_ifd)
     dec = decode_gray_tiff(bytes(out))
     assert np.array_equal(dec, img)
+
+
+def test_fax_tiff_family_roundtrips():
+    """Compression=2 (MH, per-row byte-aligned, no EOLs) and
+    Compression=3 (T.4 G3, T4Options bit 0 = 2-D) — the classic
+    fax-TIFF wire formats — round-trip exactly, incl. multi-strip."""
+    import numpy as np
+    from documentai_ray.functions.minitiff import (decode_gray_tiff,
+                                                   encode_gray_tiff)
+    rng = np.random.RandomState(8)
+    img = (rng.rand(40, 101) < 0.3).astype(np.uint8) * 255
+    structured = np.full((30, 64), 255, np.uint8)
+    structured[5:9, 4:60] = 0
+    structured[20, ::2] = 0
+    for src in (img, structured):
+        for comp in ("mh", "g3", "g3_2d"):
+            for rps in (None, 7):
+                t = encode_gray_tiff(src, compression=comp,
+                                     rows_per_strip=rps)
+                assert np.array_equal(decode_gray_tiff(t), src), \
+                    (comp, rps)
+    # T4Options tag present and correct for the G3 variants
+    t3 = encode_gray_tiff(img, compression="g3")
+    t3_2d = encode_gray_tiff(img, compression="g3_2d")
+    assert decode_gray_tiff(t3).shape == img.shape
+    assert len(t3_2d) != len(t3)  # genuinely different coding
