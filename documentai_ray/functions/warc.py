@@ -181,7 +181,11 @@ def _decode_http_body(head: bytes, body: bytes) -> bytes:
     """Undo capture-time wire encodings (what warcio's recompression does
     for real CC records): de-chunk Transfer-Encoding, then decompress
     Content-Encoding gzip/x-gzip/deflate. Tolerant — a malformed layer
-    yields the bytes as captured rather than losing the record."""
+    yields the bytes as captured rather than losing the record.
+    ``br``/``zstd`` bodies pass through as captured (no brotli/zstd
+    decoder exists in this environment; the extract stage then records
+    an error row for the undecodable payload rather than mojibake —
+    honest-gap contract, same as the codec raise family)."""
     hl = head.lower()
     if re.search(rb"transfer-encoding\s*:\s*chunked", hl):
         body = _dechunk(body)
