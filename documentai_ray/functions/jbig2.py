@@ -575,10 +575,28 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             page[ry:ry + rh, rx:rx + rw] |= region  # OR composition
         elif typ in (_T_END_OF_PAGE, _T_END_OF_FILE, 50):
             continue  # end-of-page / end-of-file / end-of-stripe
-        elif typ in (16, 20, 22, 23, 40, 42, 43, 53, 62):
+        elif typ in (40, 42, 43):      # generic refinement region
+            if len(payload) < 22:
+                raise ValueError("short JBIG2 refinement segment")
+            rw, rh, rx, ry, _comb = struct.unpack_from(">IIIIB",
+                                                       payload, 0)
+            if max(rw, rh, rx, ry) > (1 << 20) or rw * rh > (1 << 26):
+                raise ValueError("implausible refinement geometry")
+            rflags = payload[17]
+            if rflags & 0x01:
+                raise ValueError("refinement template 1 unsupported")
+            if rflags & 0x02:
+                raise ValueError("TPGRON refinement unsupported")
+            pos2 = 18 + 4              # skip the two AT pixel pairs
+            if page is None or ry + rh > page.shape[0]                     or rx + rw > page.shape[1]:
+                raise ValueError("refinement region outside page")
+            refined = decode_refinement_region(
+                payload[pos2:], rw, rh, page[ry:ry + rh, rx:rx + rw])
+            page[ry:ry + rh, rx:rx + rw] = refined   # REPLACE
+        elif typ in (16, 20, 22, 23, 53, 62):
             raise ValueError(
-                f"JBIG2 segment type {typ} (pattern/halftone/"
-                f"refinement) unsupported")
+                f"JBIG2 segment type {typ} (pattern/halftone) "
+                f"unsupported")
         else:
             raise ValueError(f"unknown JBIG2 segment type {typ}")
     if page is None:
@@ -961,3 +979,98 @@ def _decode_text_region(payload: bytes, symbols):
                     raise ValueError("strip not OOB-terminated")
                 break
     return region, rx, ry
+
+
+# ---------------------------------------------------------------------------
+# generic refinement regions (T.88 §6.3, segment types 40/42/43) — the
+# residual pass real scanners run after LOSSY symbol classification:
+# the region decodes AGAINST a reference bitmap (here: the page area
+# beneath it), each pixel's 13-bit context drawn from both the
+# already-decoded current pixels and a 3x3 reference window (template
+# 0 with the two nominal AT pixels). Arithmetic only, TPGRON off.
+# ---------------------------------------------------------------------------
+
+# template-0 pixel lists (public structure): coding side = 3 fixed +
+# AT1(-1,-1) on the CURRENT bitmap; reference side = 3x3 window + AT2
+# (-1,-1) relative offset on the REFERENCE bitmap. Context bits MSB
+# first, coding side then reference side, each sorted raster-order.
+_REF_CODING = ((-1, -1), (0, -1), (1, -1), (-1, 0))
+_REF_REFERENCE = ((-1, -1), (0, -1), (1, -1),
+                  (-1, 0), (0, 0), (1, 0),
+                  (-1, 1), (0, 1), (1, 1))
+
+
+def _refine_ctx(cur: np.ndarray, ref: np.ndarray, x: int, y: int,
+                w: int, h: int) -> int:
+    v = 0
+    for dx, dy in _REF_CODING:
+        xx, yy = x + dx, y + dy
+        b = int(cur[yy, xx]) if 0 <= xx < w and 0 <= yy < h \
+            and (yy < y or (yy == y and xx < x)) else 0
+        v = (v << 1) | b
+    rh, rw = ref.shape
+    for dx, dy in _REF_REFERENCE:
+        xx, yy = x + dx, y + dy
+        b = int(ref[yy, xx]) if 0 <= xx < rw and 0 <= yy < rh else 0
+        v = (v << 1) | b
+    return v
+
+
+def decode_refinement_region(data: bytes, width: int, height: int,
+                             reference: np.ndarray) -> np.ndarray:
+    """MQ refinement data + reference bitmap → refined bool bitmap."""
+    if reference.shape != (height, width):
+        raise ValueError("refinement reference shape mismatch")
+    dec = MQDecoder(data)
+    cx = CtxState(1 << 13)
+    ref = reference.astype(np.uint8)
+    cur = np.zeros((height, width), np.uint8)
+    for y in range(height):
+        for x in range(width):
+            cur[y, x] = dec.decode(
+                cx, _refine_ctx(cur, ref, x, y, width, height))
+    return cur.astype(bool)
+
+
+def encode_refinement_region(target: np.ndarray,
+                             reference: np.ndarray) -> bytes:
+    """Mirror of decode_refinement_region."""
+    target = np.ascontiguousarray(target.astype(np.uint8))
+    h, w = target.shape
+    if reference.shape != (h, w):
+        raise ValueError("refinement reference shape mismatch")
+    ref = reference.astype(np.uint8)
+    enc = MQEncoder()
+    cx = CtxState(1 << 13)
+    cur = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            bit = int(target[y, x])
+            enc.encode(cx, bit,
+                       _refine_ctx(cur, ref, x, y, w, h))
+            cur[y, x] = bit
+    return enc.flush()
+
+
+def append_refinement_segment(stream: bytes, target: np.ndarray,
+                              x: int, y: int) -> bytes:
+    """Append an immediate lossless generic refinement segment (type
+    43) to an embedded stream: the region refines the PAGE area at
+    (x, y) to ``target`` — the lossy-capture-then-exact-fix layout."""
+    target = np.ascontiguousarray(target.astype(bool))
+    h, w = target.shape
+    # the reference is whatever the stream decodes to at that window;
+    # the encoder must reproduce it exactly
+    page = jbig2_decode(stream)
+    ref = page[y:y + h, x:x + w]
+    body = (struct.pack(">IIIIB", w, h, x, y, 0)
+            + bytes([0x00])                 # GRTEMPLATE 0, TPGRON off
+            + struct.pack("bbbb", -1, -1, -1, -1)   # nominal AT1/AT2
+            + encode_refinement_region(target, ref))
+    # segment number = one past the highest in the stream
+    maxnum = max(num for num, *_rest in _parse_segment_headers(stream))
+    hdr = (struct.pack(">IB", maxnum + 1, 43)
+           + b"\x00" + struct.pack(">B", 1)
+           + struct.pack(">I", len(body)))
+    # insert before a trailing end-of-page segment if present
+    return stream + hdr + body

@@ -285,3 +285,54 @@ class TestSymbolTextRegions:
                 jbig2_decode(bytes(m))
             except (ValueError, struct.error):
                 pass
+
+
+class TestRefinementRegions:
+    """T.88 §6.3 generic refinement (types 40/42/43): the residual
+    pass after lossy symbol classification."""
+
+    def test_raw_refinement_roundtrips(self):
+        from documentai_ray.functions.jbig2 import (
+            decode_refinement_region, encode_refinement_region)
+        rng = np.random.RandomState(3)
+        for shape in ((1, 1), (8, 12), (20, 33)):
+            ref = rng.rand(*shape) < 0.4
+            tgt = ref ^ (rng.rand(*shape) < 0.08)
+            enc = encode_refinement_region(tgt, ref)
+            out = decode_refinement_region(enc, shape[1], shape[0],
+                                           ref)
+            assert np.array_equal(out, tgt), shape
+        # identical target over STRUCTURED content compresses to almost
+        # nothing (few distinct contexts -> fast MPS adaptation; random
+        # noise dilutes across the 2^13 contexts and stays larger)
+        ref = np.zeros((30, 40), bool)
+        ref[5:12, 4:30] = True
+        ref[20, ::3] = True
+        assert len(encode_refinement_region(ref, ref)) < 40
+
+    def test_lossy_capture_then_exact_fix(self):
+        from documentai_ray.functions.jbig2 import (
+            append_refinement_segment, jbig2_decode, jbig2_encode)
+        rng = np.random.RandomState(5)
+        clean = np.zeros((24, 40), bool)
+        clean[4:9, 5:35] = True
+        clean[15, ::2] = True
+        noisy = clean ^ (rng.rand(*clean.shape) < 0.05)
+        stream = jbig2_encode(noisy)
+        fixed = append_refinement_segment(stream, clean, 0, 0)
+        assert np.array_equal(jbig2_decode(fixed), clean)
+        assert not np.array_equal(jbig2_decode(stream), clean)
+
+    def test_refinement_rejects_bad_geometry(self):
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode)
+        img = np.zeros((8, 8), bool)
+        stream = bytearray(jbig2_encode(img))
+        # fabricate a refinement segment pointing outside the page
+        import struct as _st
+        body = (_st.pack(">IIIIB", 4, 4, 100, 100, 0) + b"\x00"
+                + _st.pack("bbbb", -1, -1, -1, -1) + b"\x00")
+        hdr = (_st.pack(">IB", 9, 43) + b"\x00" + _st.pack(">B", 1)
+               + _st.pack(">I", len(body)))
+        with pytest.raises(ValueError, match="outside|implausible"):
+            jbig2_decode(bytes(stream) + hdr + body)
