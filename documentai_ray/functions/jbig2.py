@@ -512,10 +512,26 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page_w = page_h = None
     page = None
     sym_dicts: dict[int, list] = {}    # segment number -> exported syms
+    pat_dicts: dict[int, list] = {}    # segment number -> patterns
     for num, typ, _pg, refs, payload in _parse_segment_headers(
             bytes(globals_data) + bytes(data)):
         if typ == 0:                   # symbol dictionary
             sym_dicts[num] = _decode_symbol_dict(payload)
+        elif typ == 16:                # pattern dictionary
+            pat_dicts[num] = decode_pattern_dict(payload)
+        elif typ in (20, 22, 23):      # halftone region
+            patterns = []
+            for r in refs:
+                patterns.extend(pat_dicts.get(r, []))
+            if not patterns:
+                raise ValueError("halftone region without patterns")
+            region, rx, ry = _decode_halftone_region(payload, patterns)
+            rh, rw = region.shape
+            if page is None:
+                page = np.zeros((ry + rh, rx + rw), bool)
+            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
+                raise ValueError("JBIG2 region outside page")
+            page[ry:ry + rh, rx:rx + rw] |= region
         elif typ in (4, 6, 7):         # text region (imm./lossless)
             symbols = []
             for r in refs:
@@ -593,9 +609,9 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             refined = decode_refinement_region(
                 payload[pos2:], rw, rh, page[ry:ry + rh, rx:rx + rw])
             page[ry:ry + rh, rx:rx + rw] = refined   # REPLACE
-        elif typ in (16, 20, 22, 23, 53, 62):
+        elif typ in (53, 62):
             raise ValueError(
-                f"JBIG2 segment type {typ} (pattern/halftone) "
+                f"JBIG2 segment type {typ} (tables/extension) "
                 f"unsupported")
         else:
             raise ValueError(f"unknown JBIG2 segment type {typ}")
@@ -1074,3 +1090,168 @@ def append_refinement_segment(stream: bytes, target: np.ndarray,
            + struct.pack(">I", len(body)))
     # insert before a trailing end-of-page segment if present
     return stream + hdr + body
+
+
+def _encode_generic_general(enc: MQEncoder, cx: CtxState,
+                            img: np.ndarray, at) -> None:
+    """Generic-region encode with ARBITRARY AT positions via the
+    per-pixel general context path (mirror of the decoder's slow path;
+    pattern dictionaries mandate A1 = (-HDPW, 0))."""
+    bmp = np.ascontiguousarray(img.astype(np.uint8))
+    h, w = bmp.shape
+    pix = _make_general_ctx(tuple(at))
+    for y in range(h):
+        for x in range(w):
+            enc.encode(cx, int(bmp[y, x]), pix(bmp, x, y, w, h))
+
+
+# ---------------------------------------------------------------------------
+# pattern dictionaries + halftone regions (T.88 §6.6/6.7, segment
+# types 16 and 20/22/23) — dithered-image coding: a dictionary of
+# (GRAYMAX+1) fixed-size patterns in ONE collective generic bitmap,
+# then a halftone region whose gray-code bitplanes select a pattern
+# per grid cell. Arithmetic only, no skip bitmap, orthogonal or
+# skewed grids per the public formula.
+# ---------------------------------------------------------------------------
+
+
+def _pattern_at(hdpw: int):
+    return ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
+
+
+def encode_pattern_dict(patterns) -> bytes:
+    """Patterns (equal-shape bool arrays) → pattern dictionary segment
+    DATA (flags, HDPW/HDPH, GRAYMAX, collective generic bitmap)."""
+    ph, pw = patterns[0].shape
+    if any(p.shape != (ph, pw) for p in patterns):
+        raise ValueError("patterns must share one shape")
+    if pw > 255 or ph > 255:
+        raise ValueError("pattern too large")
+    collective = np.concatenate(
+        [np.ascontiguousarray(p.astype(np.uint8)) for p in patterns],
+        axis=1)
+    enc = MQEncoder()
+    _encode_generic_general(enc, CtxState(), collective,
+                            _pattern_at(pw))
+    return (bytes([0x00, pw, ph])            # HDMMR=0, template 0
+            + struct.pack(">I", len(patterns) - 1)
+            + enc.flush())
+
+
+def decode_pattern_dict(payload: bytes):
+    flags = payload[0]
+    if flags & 0x01:
+        raise ValueError("MMR pattern dictionaries unsupported")
+    if (flags >> 1) & 3:
+        raise ValueError("pattern dictionary template != 0 unsupported")
+    pw, ph = payload[1], payload[2]
+    (graymax,) = struct.unpack_from(">I", payload, 3)
+    if pw == 0 or ph == 0 or graymax > 4095:
+        raise ValueError("implausible pattern dictionary")
+    total_w = (graymax + 1) * pw
+    collective = _decode_generic_into(
+        MQDecoder(payload[7:]), CtxState(), total_w, ph,
+        at=_pattern_at(pw))
+    return [collective[:, i * pw:(i + 1) * pw]
+            for i in range(graymax + 1)]
+
+
+def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
+                         page_h: int) -> bytes:
+    """Halftone page: ``gray`` (HGH, HGW) int cell indices into
+    ``patterns`` → embedded stream (page info + pattern dict +
+    immediate lossless halftone region + EOP). Orthogonal grid at
+    origin, cell step = pattern size."""
+    gray = np.ascontiguousarray(gray.astype(np.int64))
+    hgh, hgw = gray.shape
+    ph, pw = patterns[0].shape
+    graymax = len(patterns) - 1
+    if gray.min() < 0 or gray.max() > graymax:
+        raise ValueError("gray index out of pattern range")
+    pat_data = encode_pattern_dict(patterns)
+
+    # gray-code bitplanes, MSB first, each generic-coded with the
+    # halftone AT (A1 = (HRX? no: template 0 nominal is fine per spec
+    # when HTEMPLATE=0 uses A1=(3,-1)... the spec pins A1=(hgw? use
+    # nominal) — we emit template 0 with NOMINAL AT (written in the
+    # region header is not needed: halftone planes have fixed AT per
+    # spec; both our ends use nominal, documented).
+    bits = max(1, graymax.bit_length())
+    planes = []
+    prev = None
+    for j in range(bits - 1, -1, -1):
+        plain = (gray >> j) & 1
+        coded = plain if prev is None else plain ^ prev
+        planes.append(coded.astype(np.uint8))
+        prev = plain
+    enc = MQEncoder()
+    cx = CtxState()
+    for pl in planes:
+        _encode_generic_into(enc, cx, pl)
+    ht_bitmap = enc.flush()
+
+    region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
+    flags = 0x00                       # HMMR=0, template 0, no skip, OR
+    body = (region_info + bytes([flags])
+            + struct.pack(">II", hgw, hgh)
+            + struct.pack(">ii", 0, 0)             # HGX, HGY
+            + struct.pack(">HH", pw << 8, 0)       # HRX, HRY (1/256)
+            + ht_bitmap)
+
+    def seg_header(num, typ, page, length, refs=()):
+        out = struct.pack(">IB", num, typ & 0x3F)
+        out += struct.pack(">B", len(refs) << 5)
+        for rnum in refs:
+            out += struct.pack(">B", rnum)
+        out += struct.pack(">B", page)
+        out += struct.pack(">I", length)
+        return out
+
+    page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
+    out = bytearray()
+    out += seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+    out += seg_header(1, 16, 1, len(pat_data)) + pat_data
+    out += seg_header(2, 23, 1, len(body), refs=(1,)) + body
+    out += seg_header(3, _T_END_OF_PAGE, 1, 0)
+    return bytes(out)
+
+
+def _decode_halftone_region(payload: bytes, patterns):
+    rw, rh, rx, ry, _comb = struct.unpack_from(">IIIIB", payload, 0)
+    if max(rw, rh, rx, ry) > (1 << 20) or rw * rh > (1 << 26):
+        raise ValueError("implausible halftone region geometry")
+    flags = payload[17]
+    if flags & 0x01:
+        raise ValueError("MMR halftone unsupported")
+    if (flags >> 1) & 3:
+        raise ValueError("halftone template != 0 unsupported")
+    if flags & 0x08:
+        raise ValueError("halftone skip bitmap unsupported")
+    hgw, hgh = struct.unpack_from(">II", payload, 18)
+    hgx, hgy = struct.unpack_from(">ii", payload, 26)
+    hrx, hry = struct.unpack_from(">HH", payload, 34)
+    if hgw * hgh > (1 << 24):
+        raise ValueError("implausible halftone grid")
+    graymax = len(patterns) - 1
+    bits = max(1, graymax.bit_length())
+    dec = MQDecoder(payload[38:])
+    cx = CtxState()
+    gray = np.zeros((hgh, hgw), np.int64)
+    prev = None
+    for _j in range(bits):
+        coded = _decode_generic_into(dec, cx, hgw, hgh).astype(np.int64)
+        plain = coded if prev is None else coded ^ prev
+        gray = (gray << 1) | plain
+        prev = plain
+    if gray.max() > graymax:
+        raise ValueError("halftone gray index out of range")
+    ph, pw = patterns[0].shape
+    region = np.zeros((rh, rw), bool)
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            if x < 0 or y < 0 or x + pw > rw or y + ph > rh:
+                continue                 # clipped cells drop per spec
+            region[y:y + ph, x:x + pw] |= patterns[int(gray[m, n])]
+    return region, rx, ry

@@ -336,3 +336,65 @@ class TestRefinementRegions:
                + _st.pack(">I", len(body)))
         with pytest.raises(ValueError, match="outside|implausible"):
             jbig2_decode(bytes(stream) + hdr + body)
+
+
+class TestHalftoneRegions:
+    """T.88 §6.6/6.7 pattern dictionaries + halftone regions."""
+
+    def test_pattern_dict_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (decode_pattern_dict,
+                                                    encode_pattern_dict)
+        rng = np.random.RandomState(2)
+        pats = [rng.rand(5, 7) < p for p in (0.1, 0.4, 0.7, 0.95)]
+        got = decode_pattern_dict(encode_pattern_dict(pats))
+        assert len(got) == 4
+        for a, b in zip(got, pats):
+            assert np.array_equal(a, b)
+
+    def test_halftone_page_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (encode_halftone_page,
+                                                    jbig2_decode)
+        rng = np.random.RandomState(3)
+        # classic clustered-dot dither levels
+        pats = [np.zeros((4, 4), bool) for _ in range(4)]
+        pats[1][1::2, ::2] = True
+        pats[2][::2, :] = True
+        pats[3][:, :] = True
+        gray = rng.randint(0, 4, size=(6, 10))
+        seg = encode_halftone_page(pats, gray, 40, 24)
+        out = jbig2_decode(seg)
+        expect = np.zeros((24, 40), bool)
+        for m in range(6):
+            for n in range(10):
+                expect[m * 4:(m + 1) * 4,
+                       n * 4:(n + 1) * 4] |= pats[int(gray[m, n])]
+        assert np.array_equal(out, expect)
+        # 8-level grid exercises 3 gray-code bitplanes
+        pats8 = [np.zeros((3, 3), bool) for _ in range(8)]
+        for i in range(1, 8):
+            p = pats8[i]
+            p.flat[:i + 1] = True
+        gray8 = rng.randint(0, 8, size=(5, 5))
+        seg8 = encode_halftone_page(pats8, gray8, 15, 15)
+        out8 = jbig2_decode(seg8)
+        expect8 = np.zeros((15, 15), bool)
+        for m in range(5):
+            for n in range(5):
+                expect8[m * 3:(m + 1) * 3,
+                        n * 3:(n + 1) * 3] |= pats8[int(gray8[m, n])]
+        assert np.array_equal(out8, expect8)
+
+    def test_halftone_rejections(self):
+        from documentai_ray.functions.jbig2 import (encode_halftone_page,
+                                                    jbig2_decode)
+        pats = [np.zeros((2, 2), bool), np.ones((2, 2), bool)]
+        seg = bytearray(encode_halftone_page(
+            pats, np.zeros((2, 2), int), 8, 8))
+        # drop the referred-to pattern dict -> halftone must raise
+        import struct as _st
+        # flip the halftone segment's referred number to a missing one
+        idx = seg.find(_st.pack(">IB", 2, 23))
+        assert idx >= 0
+        seg[idx + 6] = 99              # refs=[99] (nonexistent)
+        with pytest.raises(ValueError, match="without patterns"):
+            jbig2_decode(bytes(seg))
