@@ -780,6 +780,9 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
     body = None
     depths = [8]
     mct = 0
+    transform = 1
+    qcd_eps: list[int] = []
+    qcd_mu: list[int] = []
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -824,9 +827,24 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
                 raise ValueError("non-square code-blocks unsupported")
             if seg[8] != 0:
                 raise ValueError("code-block style flags unsupported")
-            if seg[9] != 1:
-                raise ValueError("only reversible 5/3 supported")
+            transform = seg[9]
+            if transform not in (0, 1):
+                raise ValueError("unknown wavelet transformation")
             _ = prog
+        elif marker == b"\xff\x5c":                        # QCD
+            sqcd = seg[0]
+            qstyle = sqcd & 0x1F
+            if qstyle == 0:        # no quantization (reversible)
+                qcd_eps = [b >> 3 for b in seg[1:]]
+                qcd_mu = [0] * len(qcd_eps)
+            elif qstyle == 2:      # scalar expounded
+                vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
+                        for i in range((len(seg) - 1) // 2)]
+                qcd_eps = [v >> 11 for v in vals]
+                qcd_mu = [v & 0x7FF for v in vals]
+            else:
+                raise ValueError("scalar-derived quantization "
+                                 "unsupported")
         elif marker == b"\xff\x90":                        # SOT
             pass
         pos += ln
@@ -841,14 +859,14 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
 
     offset = 0
 
-    def read_band_packet(band_shapes, depth):
+    def read_band_packet(band_shapes, depth, mbs=None):
         nonlocal offset
         r = _HdrR(body[offset:])
         out_arrays = []
         if not r.bit():
             raise ValueError("empty JPX packet unsupported")
         metas = []
-        for (bh, bw), kind in band_shapes:
+        for bi, ((bh, bw), kind) in enumerate(band_shapes):
             if bh == 0 or bw == 0:
                 out_arrays.append(np.zeros((bh, bw), np.int32))
                 metas.append([])
@@ -857,8 +875,11 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             nbx = -(-bw // (1 << cb_exp))
             incl = _TagTree(nby, nbx, encoder=False)
             zbp = _TagTree(nby, nbx, encoder=False)
-            mb = depth + _GUARD_BITS + (0 if kind == 0 else
-                                        (1 if kind < 2 else 2)) + 1
+            if mbs is not None:
+                mb = mbs[bi]
+            else:
+                mb = depth + _GUARD_BITS + (0 if kind == 0 else
+                                            (1 if kind < 2 else 2)) + 1
             band_meta = []
             for by in range(nby):
                 for bx in range(nbx):
@@ -893,6 +914,42 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
         return out_arrays
 
     ncomp = len(depths)
+    if transform == 0:
+        # irreversible 9/7: spec Mb = G + eps_b - 1 per subband, then
+        # mid-interval dequantization and the float inverse transform
+        if ncomp != 1:
+            raise ValueError("lossy multi-component JPX unsupported")
+        if len(qcd_eps) < 3 * levels + 1:
+            raise ValueError("QCD bands missing for 9/7 stream")
+
+        def delta(bi):
+            return (2.0 ** (8 + (0 if bi == 0 else
+                                 (1 if (bi - 1) % 3 < 2 else 2))
+                            - qcd_eps[bi])
+                    * (1.0 + qcd_mu[bi] / 2048.0))
+
+        def dq(q, bi):
+            f = q.astype(np.float64)
+            nz = q != 0
+            f[nz] = (np.sign(f[nz]) * (np.abs(f[nz]) + 0.5)
+                     * delta(bi))
+            return f
+
+        mb0 = _GUARD_BITS + qcd_eps[0] - 1
+        (llq,) = read_band_packet([(ll_shape, 0)], 0, mbs=[mb0])
+        ll_f = dq(llq, 0)
+        bands97 = []
+        bi = 1
+        for (hl_s, lh_s, hh_s) in reversed(per_level):
+            mbs = [_GUARD_BITS + qcd_eps[bi + k] - 1 for k in range(3)]
+            hlq, lhq, hhq = read_band_packet(
+                [(hl_s, 1), (lh_s, 0), (hh_s, 2)], 0, mbs=mbs)
+            bands97.append((dq(hlq, bi), dq(lhq, bi + 1),
+                            dq(hhq, bi + 2)))
+            bi += 3
+        bands97.reverse()
+        outf = _inv_dwt97(ll_f, bands97) + 128.0
+        return np.clip(np.rint(outf), 0, 255).astype(np.uint8)
     lls = []
     for ci in range(ncomp):
         (ll,) = read_band_packet([(ll_shape, 0)], depths[ci])
@@ -918,3 +975,192 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
         r_p, g, b_p = yy, cb, cr
     rgb = np.stack([r_p + 128, g + 128, b_p + 128], axis=-1)
     return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# irreversible 9/7 path (T.800 Annex F.4 + E quantization) — what LOSSY
+# wild JPX scans actually use. Same EBCOT tier-1/tier-2 machinery; the
+# delta is the float lifting transform and scalar dequantization
+# (Sqcd = scalar-expounded, per-band 5-bit exponent + 11-bit mantissa,
+# reconstruction at mid-interval). The published lifting constants:
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd_97_1d(x: np.ndarray):
+    """Forward 9/7 lifting with whole-sample symmetric extension: the
+    extension mirrors the core and lifting preserves that symmetry, so
+    all four steps apply uniformly over the extended array."""
+    n = x.shape[0]
+    if n == 1:
+        return x.astype(np.float64).copy(), \
+            np.empty((0,) + x.shape[1:], np.float64)
+    M = 4
+    pad = ((M, M),) + ((0, 0),) * (x.ndim - 1)
+    y = np.pad(x.astype(np.float64), pad, mode="reflect")
+    ln = y.shape[0]
+    odd = np.arange(1, ln - 1, 2)
+    even = np.arange(2, ln - 1, 2)
+    y[odd] += _A97 * (y[odd - 1] + y[odd + 1])
+    y[even] += _B97 * (y[even - 1] + y[even + 1])
+    y[odd] += _G97 * (y[odd - 1] + y[odd + 1])
+    y[even] += _D97 * (y[even - 1] + y[even + 1])
+    core = y[M:M + n]
+    return core[0::2] * (1.0 / _K97), core[1::2] * _K97
+
+
+def _inv_97_1d(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return s.astype(np.float64).copy()
+    M = 4
+    core = np.empty((n,) + s.shape[1:], np.float64)
+    core[0::2] = s * _K97
+    core[1::2] = d * (1.0 / _K97)
+    pad = ((M, M),) + ((0, 0),) * (core.ndim - 1)
+    y = np.pad(core, pad, mode="reflect")
+    ln = y.shape[0]
+    odd = np.arange(1, ln - 1, 2)
+    even = np.arange(2, ln - 1, 2)
+    y[even] -= _D97 * (y[even - 1] + y[even + 1])
+    y[odd] -= _G97 * (y[odd - 1] + y[odd + 1])
+    y[even] -= _B97 * (y[even - 1] + y[even + 1])
+    y[odd] -= _A97 * (y[odd - 1] + y[odd + 1])
+    return y[M:M + n]
+
+
+def _fwd_dwt97(img: np.ndarray, levels: int):
+    ll = img.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        lo_v, hi_v = _fwd_97_1d(ll)
+        ll_, hl = _fwd_97_1d(lo_v.T)
+        lh, hh = _fwd_97_1d(hi_v.T)
+        bands.append((hl.T.copy(), lh.T.copy(), hh.T.copy()))
+        ll = ll_.T.copy()
+    return ll, bands
+
+
+def _inv_dwt97(ll: np.ndarray, bands) -> np.ndarray:
+    out = ll.astype(np.float64)
+    for hl, lh, hh in reversed(bands):
+        h = out.shape[0] + lh.shape[0]
+        w = out.shape[1] + hl.shape[1]
+        lo_v = _inv_97_1d(out.T, hl.T, w).T
+        hi_v = _inv_97_1d(lh.T, hh.T, w).T
+        out = _inv_97_1d(lo_v, hi_v, h)
+    return out
+
+
+def _q97_delta(band_gain_log2: int, base_exp: int = 10) -> float:
+    """Quantization step per band: Delta = 2^(R - eps) with R = 8 +
+    gain; a single knob (base_exp) trades rate for PSNR."""
+    return float(2.0 ** (8 + band_gain_log2 - base_exp))
+
+
+def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
+                      base_exp: int = 10) -> bytes:
+    """uint8 grayscale (h, w) → IRREVERSIBLE 9/7 J2K codestream
+    (COD transformation 0, QCD scalar-expounded)."""
+    img = np.ascontiguousarray(img)
+    if img.ndim != 2:
+        raise ValueError("grayscale (h, w) input required")
+    h, w = img.shape
+    levels = max(0, min(levels, 32))
+    ll, bands = _fwd_dwt97(img.astype(np.float64) - 128.0, levels)
+
+    packets = []
+
+    def quant(arr, gain):
+        delta = _q97_delta(gain, base_exp)
+        q = np.trunc(arr / delta).astype(np.int64)
+        # spec Mb = G + eps - 1 bounds the coded magnitude planes;
+        # Delta = 2^(R_b - eps) with R_b = 8 + gain means eps ==
+        # base_exp for EVERY band (the gain cancels)
+        mb = _GUARD_BITS + base_exp - 1
+        cap = (1 << mb) - 1
+        return np.clip(q, -cap, cap).astype(np.int32)
+
+    def one_band_packet(band_arrs, depth):
+        hdr = _HdrW()
+        hdr.bit(1)
+        bodies = []
+        for arr, kind, band_gain in band_arrs:
+            bh, bw = arr.shape
+            if bh == 0 or bw == 0:
+                continue
+            nby = -(-bh // (1 << _CB_EXP))
+            nbx = -(-bw // (1 << _CB_EXP))
+            incl = _TagTree(nby, nbx, encoder=True)
+            zbp = _TagTree(nby, nbx, encoder=True)
+            blocks = []
+            _ = band_gain
+            mb = _GUARD_BITS + base_exp - 1                 # spec Mb
+            for by in range(nby):
+                for bx in range(nbx):
+                    sub = arr[by << _CB_EXP: (by + 1) << _CB_EXP,
+                              bx << _CB_EXP: (bx + 1) << _CB_EXP]
+                    data, npass, nplanes = encode_block(sub, kind)
+                    zb = mb - nplanes
+                    blocks.append((by, bx, data, npass, nplanes, zb))
+                    incl.set(by, bx, 0 if npass else 1)
+                    zbp.set(by, bx, zb)
+            for by, bx, data, npass, nplanes, zb in blocks:
+                incl.encode(hdr, by, bx, 1)
+                if npass == 0:
+                    continue
+                t = 1
+                while True:
+                    zbp.encode(hdr, by, bx, t)
+                    if zb < t:
+                        break
+                    t += 1
+                _passes_codeword(hdr, npass)
+                lblock = 3
+                nbits = lblock + int(np.floor(np.log2(npass)))
+                need = max(1, len(data)).bit_length()
+                while need > nbits:
+                    hdr.bit(1)
+                    lblock += 1
+                    nbits += 1
+                hdr.bit(0)
+                hdr.bits(len(data), nbits)
+                bodies.append(data)
+        return hdr.done() + b"".join(bodies)
+
+    packets.append(one_band_packet([(quant(ll, 0), 0, 0)], 0))
+    for hl, lh, hh_b in reversed(bands):
+        # context kind (LL/LH share table 0) != quantizer gain (LH is
+        # a high band: gain 1) — pass them independently
+        packets.append(one_band_packet(
+            [(quant(hl, 1), 1, 1), (quant(lh, 1), 0, 1),
+             (quant(hh_b, 2), 2, 2)], 0))
+    body = b"".join(packets)
+
+    out = bytearray()
+    out += b"\xff\x4f"
+    siz = struct.pack(">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1)
+    siz += struct.pack(">BBB", 7, 1, 1)
+    out += b"\xff\x51" + siz
+    spcod = struct.pack(">BBBBB", levels, _CB_EXP - 2, _CB_EXP - 2,
+                        0, 0)                  # transformation 0 = 9/7
+    cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
+    out += b"\xff\x52" + cod
+    # QCD scalar expounded: Sqcd = 2 | guard<<5; per band (eps<<11|mu)
+    nsub = 3 * levels + 1
+    qcd = struct.pack(">HB", 3 + 2 * nsub, 0x02 | (_GUARD_BITS << 5))
+    band_gains = [0] + [g for _ in range(levels) for g in (1, 1, 2)]
+    for _g in band_gains:
+        # eps == base_exp for every band: Delta_b = 2^(R_b - eps) and
+        # R_b = 8 + gain_b, so the per-band gain cancels out of eps
+        qcd += struct.pack(">H", (base_exp << 11) | 0)
+    out += b"\xff\x5c" + qcd
+    psot = 12 + 2 + len(body)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + body
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -80,6 +80,12 @@ def images_to_pdf(images: list[np.ndarray], *,
             # their own geometry/depth, the dict repeats them per PDF
             raw = encode_jp2k(img, levels=2)
             filt = b" /Filter /JPXDecode"
+        elif image_filter == "jpx_lossy":
+            from documentai_ray.functions.jp2k import encode_jp2k_lossy
+
+            # irreversible 9/7 (what wild lossy JPX scans actually use)
+            raw = encode_jp2k_lossy(img, levels=2)
+            filt = b" /Filter /JPXDecode"
         elif image_filter in ("jbig2", "jbig2_mmr"):
             from documentai_ray.functions.jbig2 import jbig2_encode
 

@@ -152,3 +152,57 @@ def test_jp2_container_unwrap():
     with pytest.raises(ValueError, match="jp2c"):
         decode_jp2k(b"\x00\x00\x00\x0cjP  \r\n\x87\n"
                     + box(b"ftyp", b"jp2 "))
+
+
+class TestIrreversible97:
+    """T.800 irreversible 9/7 path — what LOSSY wild JPX scans use."""
+
+    def test_97_lifting_exact_inverse(self):
+        from documentai_ray.functions.jp2k import (_fwd_97_1d,
+                                                   _fwd_dwt97,
+                                                   _inv_97_1d,
+                                                   _inv_dwt97)
+        rng = np.random.default_rng(0)
+        for n in (2, 3, 4, 5, 8, 17, 64, 101):
+            x = rng.normal(size=n)
+            s, d = _fwd_97_1d(x)
+            assert np.abs(_inv_97_1d(s, d, n) - x).max() < 1e-9
+        img = rng.normal(size=(33, 47))
+        for levels in (1, 2, 3):
+            ll, b = _fwd_dwt97(img, levels)
+            assert np.abs(_inv_dwt97(ll, b) - img).max() < 1e-9
+
+    def test_lossy_quality_scales_with_step(self):
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k_lossy)
+        yy, xx = np.mgrid[0:40, 0:56]
+        smooth = (128 + 60 * np.sin(yy / 9.0)
+                  + 50 * np.cos(xx / 11.0)).clip(0, 255).astype(np.uint8)
+        psnrs = []
+        for be in (8, 10, 12):
+            dec = decode_jp2k(encode_jp2k_lossy(smooth, base_exp=be))
+            mse = np.mean((dec.astype(float)
+                           - smooth.astype(float)) ** 2)
+            psnrs.append(10 * np.log10(255.0 ** 2 / max(mse, 1e-9)))
+        assert psnrs[0] > 45           # already high quality
+        assert psnrs[1] > psnrs[0] + 5  # finer steps keep improving
+        assert psnrs[2] > psnrs[1] + 5
+
+    def test_lossy_constant_is_exact_and_gray_markers(self):
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k_lossy)
+        const = np.full((32, 40), 77, np.uint8)
+        enc = encode_jp2k_lossy(const)
+        assert enc[:2] == b"\xff\x4f"
+        assert np.array_equal(decode_jp2k(enc), const)
+
+    def test_lossy_pdf_roundtrip_quality(self):
+        from documentai_ray.functions.pdfread import page_images
+        from documentai_ray.functions.pdfwrite import images_to_pdf
+        yy, xx = np.mgrid[0:40, 0:56]
+        smooth = (128 + 60 * np.sin(yy / 9.0)
+                  + 50 * np.cos(xx / 11.0)).clip(0, 255).astype(np.uint8)
+        pdf = images_to_pdf([smooth], image_filter="jpx_lossy")
+        (page,), = page_images(pdf)
+        mse = np.mean((page.astype(float) - smooth.astype(float)) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 45
