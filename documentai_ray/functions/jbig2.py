@@ -466,6 +466,8 @@ def _parse_segment_headers(data: bytes):
         rts = data[pos]
         count = rts >> 5
         if count == 7:  # long form: 4-byte count + retain bits
+            if pos + 4 > n:
+                raise ValueError("truncated JBIG2 segment header")
             (count,) = struct.unpack_from(">I", data, pos)
             count &= 0x1FFFFFFF
             pos += 4 + (count + 8) // 8
@@ -475,6 +477,10 @@ def _parse_segment_headers(data: bytes):
         # number (1/2/4 bytes) — we only wrote small numbers; read by
         # the spec rule using the segment number just parsed
         ref_size = 1 if _num <= 256 else (2 if _num <= 65536 else 4)
+        if pos + count * ref_size > n:
+            # keep the malformed-stream contract: truncated wild headers
+            # surface as ValueError, not IndexError/struct.error
+            raise ValueError("truncated JBIG2 referred-to segment list")
         refs = []
         for ri in range(count):
             if ref_size == 1:
@@ -486,6 +492,8 @@ def _parse_segment_headers(data: bytes):
                 refs.append(struct.unpack_from(">I", data,
                                                pos + 4 * ri)[0])
         pos += count * ref_size
+        if pos + (4 if page4 else 1) + 4 > n:
+            raise ValueError("truncated JBIG2 segment header tail")
         if page4:
             (page,) = struct.unpack_from(">I", data, pos)
             pos += 4
@@ -554,6 +562,13 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if max(page_w, page_h) > (1 << 20) \
                     or page_w * page_h > (1 << 26):
                 raise ValueError("implausible JBIG2 page geometry")
+            # page-info flags bit 2 = default pixel value: this decoder
+            # composites regions with OR, under which a default-1 page
+            # would silently swallow every region — reject explicitly
+            # rather than decode inverted (ADVICE r4)
+            if len(payload) >= 17 and payload[16] & 0x04:
+                raise ValueError(
+                    "JBIG2 page default pixel value 1 unsupported")
             page = np.zeros((page_h, page_w), bool)
         elif typ in _GENERIC_REGION_TYPES:
             if len(payload) < 18:

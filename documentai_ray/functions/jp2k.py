@@ -783,6 +783,7 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
     transform = 1
     qcd_eps: list[int] = []
     qcd_mu: list[int] = []
+    sot_seen = False
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
         pos += 2
@@ -830,7 +831,15 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             transform = seg[9]
             if transform not in (0, 1):
                 raise ValueError("unknown wavelet transformation")
-            _ = prog
+            # the packet walk below assumes layer-major then
+            # resolution/component order (LRCP; RLCP is identical for
+            # our single-layer streams) — a CPRL/PCRL/RPCL stream has a
+            # different packet layout and would silently decode wrong
+            # pixels, so raise honestly (ADVICE r4)
+            if prog not in (0, 1):
+                raise ValueError(
+                    f"JPX progression order {prog} unsupported "
+                    "(only LRCP/RLCP)")
         elif marker == b"\xff\x5c":                        # QCD
             sqcd = seg[0]
             qstyle = sqcd & 0x1F
@@ -846,12 +855,25 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
                 raise ValueError("scalar-derived quantization "
                                  "unsupported")
         elif marker == b"\xff\x90":                        # SOT
-            pass
+            # single-tile decoder: the body reader below concatenates
+            # packets as one tile — a second tile-part or a nonzero
+            # tile index would decode with the wrong layout (ADVICE r4)
+            isot, _psot, tpsot, _tnsot = struct.unpack_from(
+                ">HIBB", seg, 0)
+            if isot != 0 or tpsot != 0:
+                raise ValueError("multi-tile JPX codestreams unsupported")
+            if sot_seen:
+                raise ValueError("multiple JPX tile-parts unsupported")
+            sot_seen = True
         pos += ln
     if body is None or w is None or levels is None:
         raise ValueError("J2K stream missing SIZ/COD/SOD")
     if body.endswith(b"\xff\xd9"):
         body = body[:-2]
+    # T.800 forbids 0xFF90+ codes inside entropy-coded data, so a SOT
+    # marker inside the body is reliably a second tile-part (ADVICE r4)
+    if b"\xff\x90" in body:
+        raise ValueError("multi-tile JPX codestreams unsupported")
     if max(w, h) > (1 << 16) or w * h > (1 << 26):
         raise ValueError("implausible JPX geometry")
 

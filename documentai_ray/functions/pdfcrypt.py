@@ -150,10 +150,34 @@ def escape_crypt_string(raw: bytes) -> bytes:
     return b"<" + raw.hex().encode() + b">"
 
 
-# a PDF string object inside a dict body: literal with escapes, or hex
-# (the hex arm requires a leading hex digit so `<<`/`>>` never match)
-_PDF_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)"
-                         rb"|<[0-9a-fA-F][0-9a-fA-F\s]*>")
+# a hex string object inside a dict body (the leading hex digit
+# requirement keeps `<<`/`>>` from matching); literal `(…)` strings are
+# located by the balance-aware scanner below, because ISO 32000
+# §7.3.4.2 allows UNESCAPED balanced parentheses inside literals — a
+# regex without recursion would truncate `(a (b) c)` at the first `)`
+_PDF_HEX_RE = re.compile(rb"<[0-9a-fA-F][0-9a-fA-F\s]*>")
+
+
+def _scan_literal_string(dct: bytes, start: int) -> int:
+    """End index (exclusive) of the literal string opening at
+    ``dct[start] == b'('``, honoring backslash escapes and nested
+    balanced parentheses (ISO 32000 §7.3.4.2)."""
+    depth = 0
+    i = start
+    n = len(dct)
+    while i < n:
+        c = dct[i]
+        if c == 0x5C:  # backslash — skip the escaped byte
+            i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unterminated PDF literal string")
 
 
 def map_dict_strings(dct: bytes, fn) -> bytes:
@@ -166,11 +190,30 @@ def map_dict_strings(dct: bytes, fn) -> bytes:
     outline /Title, /URI actions) and the writer (encrypt them) use.
     Streams are untouched (callers handle them wholesale); names,
     numbers and references contain no strings and pass through."""
-
-    def repl(m: re.Match) -> bytes:
-        return escape_crypt_string(fn(_parse_crypt_string(m.group(0))))
-
-    return _PDF_STR_RE.sub(repl, dct)
+    out = bytearray()
+    i = 0
+    n = len(dct)
+    while i < n:
+        c = dct[i]
+        if c == 0x28:  # ( — literal string, balance-aware
+            end = _scan_literal_string(dct, i)
+            out += escape_crypt_string(fn(_parse_crypt_string(dct[i:end])))
+            i = end
+            continue
+        if c == 0x3C and i + 1 < n and dct[i + 1] != 0x3C:  # < not <<
+            m = _PDF_HEX_RE.match(dct, i)
+            if m:
+                out += escape_crypt_string(
+                    fn(_parse_crypt_string(m.group(0))))
+                i = m.end()
+                continue
+        if c == 0x3C and dct[i:i + 2] == b"<<":
+            out += b"<<"
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return bytes(out)
 
 
 import functools
@@ -283,13 +326,28 @@ class Decryptor:
         v, r = int(vm.group(1)), int(rm.group(1))
         self.aes = False
         self.v5 = False
+        # V1/V2 have no crypt filters: every stream AND string encrypts
+        # with the file key. V4/V5 route through /StmF and /StrF —
+        # honoring an EXPLICIT `/StrF /Identity` (streams encrypted,
+        # strings plaintext, legal per ISO 32000 §7.6.5) fixes wild
+        # files whose strings were previously garbled by unconditional
+        # decryption (ADVICE r4). Absent entries keep the old
+        # encrypt-everything behavior, which is what wild writers mean.
+        self.streams_encrypted = True
+        self.strings_encrypted = True
         if v in (1, 2) and r in (2, 3):
             pass
         elif v == 4 and r == 4:
+            stmf = re.search(rb"/StmF\s*/(\w+)", encrypt_dct)
+            strf = re.search(rb"/StrF\s*/(\w+)", encrypt_dct)
+            self.streams_encrypted = (stmf is None
+                                      or stmf.group(1) != b"Identity")
+            self.strings_encrypted = (strf is None
+                                      or strf.group(1) != b"Identity")
             cfm = re.search(rb"/CFM\s*/(\w+)", encrypt_dct)
             if not cfm:
                 raise ValueError("V4 encryption without /CFM")
-            if cfm.group(1) == b"AESV2":
+            elif cfm.group(1) == b"AESV2":
                 self.aes = True
             elif cfm.group(1) != b"V2":
                 raise ValueError(
@@ -349,6 +407,12 @@ class Decryptor:
             self.key = key
             self.aes = True
             self.v5 = True
+            stmf = re.search(rb"/StmF\s*/(\w+)", encrypt_dct)
+            strf = re.search(rb"/StrF\s*/(\w+)", encrypt_dct)
+            self.streams_encrypted = (stmf is None
+                                      or stmf.group(1) != b"Identity")
+            self.strings_encrypted = (strf is None
+                                      or strf.group(1) != b"Identity")
             return
         else:
             raise ValueError(

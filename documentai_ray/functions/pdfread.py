@@ -169,19 +169,31 @@ def _decrypt_if_needed(pdf: bytes,
     from documentai_ray.functions.pdfcrypt import map_dict_strings
 
     dec = Decryptor(enc_dct, find_file_id(pdf), password)
+
+    def _dec_string(raw: bytes, num: int) -> bytes:
+        # Per-string tolerance: some wild writers leave individual
+        # strings unencrypted (e.g. a literal empty string shorter than
+        # an AES IV+block) — keep the original bytes rather than failing
+        # the whole document on one string (ADVICE r4).
+        try:
+            return dec.decrypt(raw, num)
+        except ValueError:
+            return raw
+
     for num, (dct, stream) in list(objects.items()):
         if num == enc_num:
             continue
         if b"/Type /XRef" in dct or b"/Type/XRef" in dct:
             continue
-        # ISO 32000 encrypts ALL strings, not just streams: /Info
-        # values, outline /Title, /URI actions... decrypt them with the
-        # same per-object key so the metadata surfaces read plaintext
-        # (ADVICE r3: they previously surfaced ciphertext mojibake)
-        dct = map_dict_strings(dct, lambda raw: dec.decrypt(raw, num))
-        objects[num] = (dct,
-                        dec.decrypt(stream, num) if stream is not None
-                        else None)
+        # ISO 32000 encrypts ALL strings routed through /StrF, not just
+        # streams: /Info values, outline /Title, /URI actions... decrypt
+        # them with the same per-object key so the metadata surfaces read
+        # plaintext (ADVICE r3) — unless /StrF is /Identity (ADVICE r4).
+        if dec.strings_encrypted:
+            dct = map_dict_strings(dct, lambda raw: _dec_string(raw, num))
+        if dec.streams_encrypted and stream is not None:
+            stream = dec.decrypt(stream, num)
+        objects[num] = (dct, stream)
 
 
 def _ref_list(dct: bytes, key: bytes) -> list[int]:

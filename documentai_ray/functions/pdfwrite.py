@@ -613,7 +613,8 @@ def text_to_pdf_modern(lines: list[str], *, lines_per_page: int = 40,
 def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                 permissions: int = -44, aes: bool = False,
                 aes256: bool = False, user_pw: bytes = b"",
-                owner_pw: bytes = b"") -> bytes:
+                owner_pw: bytes = b"",
+                encrypt_strings: bool = True) -> bytes:
     """Re-emit an engine-written classic-layout PDF as an ENCRYPTED file
     (ISO 32000 §7.6.3 standard security handler; empty user AND owner
     password by default — the ubiquitous "owner-locked" wild PDF — or
@@ -638,6 +639,10 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
         raise ValueError("already encrypted")
     if b"/ObjStm" in pdf:
         raise ValueError("encrypt_pdf supports classic layout only")
+    if not encrypt_strings and not (aes or aes256):
+        # /StrF routing only exists for V4/V5 crypt-filter files
+        raise ValueError("encrypt_strings=False requires aes or aes256")
+    strf = b"/StdCF" if encrypt_strings else b"/Identity"
     objects = parse_objects(pdf)
     rm = re.search(rb"/Root\s+(\d+)\s+0\s+R", pdf)
     if not rm:
@@ -673,9 +678,9 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
                             + b"\xff\xff\xff\xffTadbnoon")
         enc_dct = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d"
                    b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
-                   b" /StmF /StdCF /StrF /StdCF"
+                   b" /StmF /StdCF /StrF %s"
                    b" /U %s /UE %s /O %s /OE %s /Perms %s >>"
-                   % (permissions, escape_crypt_string(u),
+                   % (permissions, strf, escape_crypt_string(u),
                       escape_crypt_string(ue), escape_crypt_string(o),
                       escape_crypt_string(oe),
                       escape_crypt_string(perms)))
@@ -686,8 +691,9 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
         for num in sorted(objects):
             dct, stream = objects[num]
             offsets[num] = len(out)
-            dct = map_dict_strings(
-                dct, lambda raw, n=num: cipher.encrypt(raw, n))
+            if encrypt_strings:
+                dct = map_dict_strings(
+                    dct, lambda raw, n=num: cipher.encrypt(raw, n))
             if stream is not None:
                 enc = cipher.encrypt(stream, num)
                 if len(enc) != len(stream):
@@ -723,8 +729,8 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
     if aes:
         enc_dct = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d"
                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                   b" /StmF /StdCF /StrF /StdCF /O %s /U %s >>"
-                   % (permissions, escape_crypt_string(o),
+                   b" /StmF /StdCF /StrF %s /O %s /U %s >>"
+                   % (permissions, strf, escape_crypt_string(o),
                       escape_crypt_string(u)))
     elif r == 2:
         enc_dct = (b"<< /Filter /Standard /V 1 /R 2 /P %d /O %s /U %s >>"
@@ -744,8 +750,9 @@ def encrypt_pdf(pdf: bytes, *, r: int = 3, nbits: int = 128,
     for num in sorted(objects):
         dct, stream = objects[num]
         offsets[num] = len(out)
-        dct = map_dict_strings(
-            dct, lambda raw, n=num: cipher.encrypt(raw, n))
+        if encrypt_strings:
+            dct = map_dict_strings(
+                dct, lambda raw, n=num: cipher.encrypt(raw, n))
         if stream is not None:
             enc = cipher.encrypt(stream, num)
             if len(enc) != len(stream):  # AES grew the stream

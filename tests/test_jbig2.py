@@ -398,3 +398,31 @@ class TestHalftoneRegions:
         seg[idx + 6] = 99              # refs=[99] (nonexistent)
         with pytest.raises(ValueError, match="without patterns"):
             jbig2_decode(bytes(seg))
+
+
+class TestMalformedStreamContract:
+    """ADVICE r4: truncated wild headers surface as ValueError (the
+    malformed-stream contract), and a default-1 page is rejected
+    explicitly instead of decoding inverted."""
+
+    def _stream(self):
+        from documentai_ray.functions.jbig2 import jbig2_encode
+        rng = np.random.RandomState(7)
+        return jbig2_encode(rng.rand(24, 32) > 0.5)
+
+    def test_truncated_header_raises_valueerror(self):
+        from documentai_ray.functions.jbig2 import jbig2_decode
+        data = self._stream()
+        for cut in (3, 7, 9, 12, len(data) // 2, len(data) - 1):
+            with pytest.raises(ValueError):
+                jbig2_decode(data[:cut])
+
+    def test_default_pixel_one_page_rejected(self):
+        from documentai_ray.functions.jbig2 import jbig2_decode
+        data = bytearray(self._stream())
+        # page info segment: first segment; its payload starts after the
+        # 11-byte short-form header (num4+flags1+rts1+page1+len4)
+        flags_off = 11 + 16
+        data[flags_off] |= 0x04  # default pixel value = 1
+        with pytest.raises(ValueError, match="default pixel"):
+            jbig2_decode(bytes(data))

@@ -206,3 +206,47 @@ class TestIrreversible97:
         (page,), = page_images(pdf)
         mse = np.mean((page.astype(float) - smooth.astype(float)) ** 2)
         assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) > 45
+
+
+class TestUnsupportedCodestreamShapes:
+    """ADVICE r4: reject progression orders / tile layouts this decoder
+    cannot lay out correctly, instead of silently decoding wrong
+    pixels."""
+
+    def _stream(self):
+        from documentai_ray.functions.jp2k import encode_jp2k
+        rng = np.random.RandomState(11)
+        return encode_jp2k((rng.rand(20, 28) * 255).astype(np.uint8),
+                           levels=1)
+
+    def test_foreign_progression_order_rejected(self):
+        import struct as _st
+        from documentai_ray.functions.jp2k import decode_jp2k
+        data = bytearray(self._stream())
+        i = data.find(b"\xff\x52")  # COD marker
+        assert i != -1
+        # COD body: Lcod(2) Scod(1) SGcod: prog(1)...
+        data[i + 2 + 2 + 1] = 4  # CPRL
+        with pytest.raises(ValueError, match="progression order"):
+            decode_jp2k(bytes(data))
+
+    def test_nonzero_tile_index_rejected(self):
+        from documentai_ray.functions.jp2k import decode_jp2k
+        data = bytearray(self._stream())
+        i = data.find(b"\xff\x90")  # SOT marker
+        assert i != -1
+        data[i + 4] = 0  # Isot high byte
+        data[i + 5] = 2  # Isot = 2
+        with pytest.raises(ValueError, match="multi-tile"):
+            decode_jp2k(bytes(data))
+
+    def test_second_tile_part_in_body_rejected(self):
+        from documentai_ray.functions.jp2k import decode_jp2k
+        data = self._stream()
+        assert data.endswith(b"\xff\xd9")
+        # splice a second SOT+SOD right before EOC
+        fake = b"\xff\x90" + b"\x00\x0a" + b"\x00\x01" \
+            + b"\x00\x00\x00\x0e" + b"\x00\x01" + b"\xff\x93"
+        data2 = data[:-2] + fake + b"\xff\xd9"
+        with pytest.raises(ValueError, match="multi-tile"):
+            decode_jp2k(data2)

@@ -311,3 +311,56 @@ class TestPasswordsAndStringCrypt:
             assert b"Annual (Report) 2024" not in enc, kw
             assert b"https://example.com/a" not in enc, kw
             assert b"Chapter 1" not in enc, kw
+
+
+class TestStrFIdentityAndStringTolerance:
+    """ADVICE r4: honor an explicit ``/StrF /Identity`` (streams
+    encrypted, strings plaintext — legal per ISO 32000 §7.6.5), survive
+    individually-unencrypted strings, and locate literal strings with
+    nested balanced parentheses (§7.3.4.2)."""
+
+    def _doc(self):
+        return text_to_pdf(
+            ["strf identity body line"] * 30,
+            info={"Title": "Annual (Report) 2024", "Author": "J. Doe"},
+            outline=["Chapter 1"],
+            links=["https://example.com/a"])
+
+    @pytest.mark.parametrize("kw", [dict(aes=True), dict(aes256=True)])
+    def test_strf_identity_strings_stay_plaintext(self, kw):
+        from documentai_ray.functions.pdfread import document_info
+        pdf = self._doc()
+        base_info = document_info(pdf)
+        enc = encrypt_pdf(pdf, encrypt_strings=False, **kw)
+        assert b"/StrF /Identity" in enc
+        # body streams ARE encrypted...
+        assert b"strf identity body line" not in enc
+        assert extract_text(enc) == extract_text(pdf)
+        # ...but metadata strings are plaintext on the wire and must
+        # NOT be garbled by a spurious decryption pass
+        assert document_info(enc) == base_info
+
+    def test_rc4_rejects_encrypt_strings_false(self):
+        with pytest.raises(ValueError, match="requires aes"):
+            encrypt_pdf(self._doc(), encrypt_strings=False)
+
+    def test_short_plaintext_string_tolerated(self):
+        # a wild writer left one string unencrypted and shorter than an
+        # AES IV+block: per-string tolerance keeps the document parsing
+        from documentai_ray.functions.pdfread import document_info
+        enc = bytearray(encrypt_pdf(self._doc(), aes=True))
+        i = enc.find(b"/Author <")
+        assert i != -1
+        j = enc.index(b">", i) + 1
+        patched = bytes(enc[:i]) + b"/Author ()" + bytes(enc[j:])
+        info = document_info(patched)  # must not raise
+        assert info.get("Title") == "Annual (Report) 2024"
+
+    def test_map_dict_strings_nested_balanced_parens(self):
+        from documentai_ray.functions.pdfcrypt import map_dict_strings
+        d = b"<< /T (a (nested (deep)) lit) /H <4142> /N 5 >>"
+        seen = []
+        out = map_dict_strings(d, lambda raw: seen.append(raw) or raw)
+        assert seen == [b"a (nested (deep)) lit", b"AB"]
+        assert out == b"<< /T <6120286e6573746564202864656570292920" \
+                      b"6c6974> /H <4142> /N 5 >>"
