@@ -744,31 +744,21 @@ def _symcodelen(nsyms: int) -> int:
     return max(1, (max(1, nsyms - 1)).bit_length())
 
 
-def encode_symbol_text_page(symbols, placements, page_w: int,
-                            page_h: int) -> bytes:
-    """Glyph-based JBIG2 page — the way real scanners code text:
-
-    ``symbols``: list of bool (h, w) glyph bitmaps (the dictionary);
-    ``placements``: list of (symbol_index, x, y) instances, top-left
-    corners on the page, in raster order (sorted by y then x).
-
-    Emits: page info + symbol dictionary segment (arithmetic, template
-    0, shared GB contexts, one height class per distinct height) +
-    immediate lossless text region (SBSTRIPS=1, TRANSPOSED=0,
-    REFCORNER=TOPLEFT, OR composition) referring to the dictionary +
-    EOP."""
+def _sort_symbols(symbols):
+    """Height-class order (by height then width) + old->new index map."""
     symbols = [np.ascontiguousarray(s.astype(bool)) for s in symbols]
     nsyms = len(symbols)
-    if not nsyms or not placements:
-        raise ValueError("need at least one symbol and one placement")
-
-    # ---- symbol dictionary: sort by height (height classes), then
-    # export in dictionary order; remember old->new index map
     order = sorted(range(nsyms), key=lambda i: (symbols[i].shape[0],
                                                 symbols[i].shape[1], i))
     remap = {old: new for new, old in enumerate(order)}
-    sorted_syms = [symbols[i] for i in order]
+    return [symbols[i] for i in order], remap
 
+
+def _encode_symbol_dict_data(sorted_syms) -> bytes:
+    """Symbol-dictionary segment DATA (arithmetic, template 0, shared GB
+    contexts, one height class per distinct height) for height-sorted
+    glyph bitmaps."""
+    nsyms = len(sorted_syms)
     enc = MQEncoder()
     cx_gb = CtxState()
     cx_iadh = CtxState(512)
@@ -796,12 +786,16 @@ def encode_symbol_text_page(symbols, placements, page_w: int,
     sd_flags = 0x0000          # SDHUFF=0 REFAGG=0 template 0 ...
     at_bytes = b"".join(struct.pack("bb", dx, dy) for dx, dy in
                         _NOMINAL_AT)
-    sd_data = (struct.pack(">H", sd_flags) + at_bytes
-               + struct.pack(">II", nsyms, nsyms) + sd_arith)
+    return (struct.pack(">H", sd_flags) + at_bytes
+            + struct.pack(">II", nsyms, nsyms) + sd_arith)
 
-    # ---- text region (SBSTRIPS=1 -> LOG2SBSTRIPS=0, CURT always 0)
-    inst = sorted(((remap[si], x, y) for si, x, y in placements),
-                  key=lambda t: (t[2], t[1]))
+
+def _encode_text_region_data(inst, sorted_syms, page_w: int,
+                             page_h: int) -> bytes:
+    """Immediate-lossless text-region segment DATA (SBSTRIPS=1,
+    TRANSPOSED=0, REFCORNER=TOPLEFT, OR composition). ``inst`` is
+    (dict_index, x, y) placements sorted by (y, x)."""
+    nsyms = len(sorted_syms)
     symcodelen = _symcodelen(nsyms)
     enc = MQEncoder()
     cx_iadt = CtxState(512)
@@ -842,25 +836,85 @@ def encode_symbol_text_page(symbols, placements, page_w: int,
     # flags: SBHUFF=0 REFINE=0 LOG2SBSTRIPS=0 REFCORNER=TOPLEFT(1)
     # TRANSPOSED=0 SBCOMBOP=OR(0) SBDEFPIXEL=0 SBDSOFFSET=0 RTEMPLATE=0
     tr_flags = 1 << 4
-    tr_data = (region_info + struct.pack(">H", tr_flags)
-               + struct.pack(">I", len(inst)) + tr_arith)
+    return (region_info + struct.pack(">H", tr_flags)
+            + struct.pack(">I", len(inst)) + tr_arith)
 
-    def seg_header(num, typ, page, length, refs=()):
-        out = struct.pack(">IB", num, typ & 0x3F)
-        out += struct.pack(">B", len(refs) << 5)
-        for rnum in refs:
-            out += struct.pack(">B", rnum)       # numbers <= 256: 1 byte
-        out += struct.pack(">B", page)
-        out += struct.pack(">I", length)
-        return out
 
+def _seg_header(num, typ, page, length, refs=()):
+    out = struct.pack(">IB", num, typ & 0x3F)
+    out += struct.pack(">B", len(refs) << 5)
+    for rnum in refs:
+        out += struct.pack(">B", rnum)       # numbers <= 256: 1 byte
+    out += struct.pack(">B", page)
+    out += struct.pack(">I", length)
+    return out
+
+
+def encode_symbol_text_page(symbols, placements, page_w: int,
+                            page_h: int) -> bytes:
+    """Glyph-based JBIG2 page — the way real scanners code text:
+
+    ``symbols``: list of bool (h, w) glyph bitmaps (the dictionary);
+    ``placements``: list of (symbol_index, x, y) instances, top-left
+    corners on the page, in raster order (sorted by y then x).
+
+    Emits: page info + symbol dictionary segment + immediate lossless
+    text region referring to the dictionary + EOP."""
+    if not len(symbols) or not placements:
+        raise ValueError("need at least one symbol and one placement")
+    sorted_syms, remap = _sort_symbols(symbols)
+    sd_data = _encode_symbol_dict_data(sorted_syms)
+    inst = sorted(((remap[si], x, y) for si, x, y in placements),
+                  key=lambda t: (t[2], t[1]))
+    tr_data = _encode_text_region_data(inst, sorted_syms, page_w, page_h)
     page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
     out = bytearray()
-    out += seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
-    out += seg_header(1, 0, 1, len(sd_data)) + sd_data   # symbol dict
-    out += seg_header(2, 6, 1, len(tr_data), refs=(1,)) + tr_data
-    out += seg_header(3, _T_END_OF_PAGE, 1, 0)
+    out += _seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+    out += _seg_header(1, 0, 1, len(sd_data)) + sd_data   # symbol dict
+    out += _seg_header(2, 6, 1, len(tr_data), refs=(1,)) + tr_data
+    out += _seg_header(3, _T_END_OF_PAGE, 1, 0)
     return bytes(out)
+
+
+def encode_symbol_text_globals(symbols, pages):
+    """The STANDARD wild scanner layout for text PDFs (T.88 embedding,
+    ISO 32000 §7.4.7): ONE shared symbol dictionary in a JBIG2Globals
+    stream, per-page embedded streams holding only page info + a text
+    region that references the global dictionary + EOP.
+
+    ``symbols``: list of bool glyph bitmaps shared by every page;
+    ``pages``: list of (placements, page_w, page_h) with placements as
+    (symbol_index, x, y).
+
+    Returns ``(globals_stream, [page_stream, ...])``. Decode each page
+    with ``jbig2_decode(page_stream, globals_data=globals_stream)`` —
+    the decoder prepends the globals segments per the spec's
+    logical-concatenation rule. Reference parity: the reference's fitz
+    path reads exactly this layout
+    (document_classification_updated/documentClassifier.py:1361)."""
+    if not len(symbols) or not pages:
+        raise ValueError("need at least one symbol and one page")
+    sorted_syms, remap = _sort_symbols(symbols)
+    sd_data = _encode_symbol_dict_data(sorted_syms)
+    # globals segments carry page association 0 (T.88 §7.4.8.5); the
+    # dictionary takes segment number 1, page segments number from 16
+    # so numbers stay unique after logical concatenation
+    globals_stream = _seg_header(1, 0, 0, len(sd_data)) + sd_data
+    page_streams = []
+    for placements, page_w, page_h in pages:
+        if not placements:
+            raise ValueError("empty page placements")
+        inst = sorted(((remap[si], x, y) for si, x, y in placements),
+                      key=lambda t: (t[2], t[1]))
+        tr_data = _encode_text_region_data(inst, sorted_syms,
+                                           page_w, page_h)
+        page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
+        out = bytearray()
+        out += _seg_header(16, _T_PAGE_INFO, 1, len(page_data)) + page_data
+        out += _seg_header(17, 6, 1, len(tr_data), refs=(1,)) + tr_data
+        out += _seg_header(18, _T_END_OF_PAGE, 1, 0)
+        page_streams.append(bytes(out))
+    return bytes(globals_stream), page_streams
 
 
 def _decode_symbol_dict(payload: bytes):

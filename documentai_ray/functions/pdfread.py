@@ -337,9 +337,13 @@ def _apply_predictor(data: bytes, pm: dict[str, int]) -> bytes:
     raise ValueError(f"unsupported predictor {pred}")
 
 
-def decode_stream(dct: bytes, stream: bytes) -> bytes:
+def decode_stream(dct: bytes, stream: bytes,
+                  objects: dict[int, tuple[bytes, bytes | None]]
+                  | None = None) -> bytes:
     """Apply the ``/Filter`` chain (single name or array, decoding
-    order) with per-filter ``/DecodeParms``."""
+    order) with per-filter ``/DecodeParms``. ``objects`` (when the
+    caller has the document's object map) lets filters dereference
+    indirect DecodeParms streams — today that is ``/JBIG2Globals``."""
     fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dct)
     if not fm:
         return stream
@@ -371,12 +375,26 @@ def decode_stream(dct: bytes, stream: bytes) -> bytes:
 
             from documentai_ray.functions.jbig2 import jbig2_decode
 
-            if re.search(rb"/JBIG2Globals", dct):
-                # globals live in a separate indirect stream this
-                # filter-level decoder cannot dereference — raise
-                # honestly (symbol-dictionary files need them anyway)
-                raise ValueError("JBIG2Globals streams unsupported")
-            ink = jbig2_decode(data)          # JBIG2: 1 = black
+            globals_data = b""
+            gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+0\s+R", dct)
+            if gm:
+                # the STANDARD wild scanner layout: one shared symbol
+                # dictionary in an indirect Globals stream, per-page
+                # text regions referencing it (T.88 embedding rules /
+                # ISO 32000 §7.4.7) — logically prepended to the page's
+                # segment stream. Reference parity: fitz reads these
+                # (documentClassifier.py:1361).
+                if objects is None:
+                    raise ValueError(
+                        "JBIG2Globals needs the document object map")
+                gnum = int(gm.group(1))
+                if gnum not in objects:
+                    raise ValueError("dangling /JBIG2Globals reference")
+                gdct, gstream = objects[gnum]
+                if gstream is None:
+                    raise ValueError("/JBIG2Globals is not a stream")
+                globals_data = decode_stream(gdct, gstream, objects)
+            ink = jbig2_decode(data, globals_data)  # JBIG2: 1 = black
             # downstream bilevel convention: packed sample 1 = white
             data = np.packbits(~ink, axis=1).tobytes()
         elif name == b"CCITTFaxDecode" or name == b"CCF":
@@ -883,7 +901,7 @@ def page_images(pdf: bytes, password: bytes = b""):
                 if b"/BitsPerComponent 1" in xd:
                     # bilevel (incl. CCITTFaxDecode → packed rows);
                     # DeviceGray 1-bit: sample 1 = 1.0 = white
-                    data = decode_stream(xd, xs)
+                    data = decode_stream(xd, xs, objects)
                     row_bytes = (w + 7) // 8
                     if len(data) < row_bytes * h:
                         raise ValueError("bilevel image length mismatch")
@@ -894,7 +912,7 @@ def page_images(pdf: bytes, password: bytes = b""):
                     continue
                 if b"/BitsPerComponent 8" not in xd:
                     raise ValueError("unsupported image encoding")
-                data = decode_stream(xd, xs)
+                data = decode_stream(xd, xs, objects)
                 if len(data) != w * h:
                     raise ValueError("image length mismatch")
                 imgs.append(np.frombuffer(data, np.uint8).reshape(h, w))

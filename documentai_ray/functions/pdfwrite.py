@@ -209,6 +209,68 @@ def jbig2_text_pdf(symbols, placements, page_w: int,
     return bytes(out)
 
 
+def jbig2_globals_pdf(symbols, pages) -> bytes:
+    """Multi-page PDF in the STANDARD wild scanner layout (ISO 32000
+    §7.4.7): ONE shared JBIG2 symbol dictionary in a JBIG2Globals
+    stream object, and per-page 1-bit /JBIG2Decode image XObjects whose
+    ``/DecodeParms << /JBIG2Globals N 0 R >>`` reference it.
+
+    ``symbols``: shared bool glyph bitmaps; ``pages``: list of
+    (placements, page_w, page_h). The globals stream is emitted
+    Flate-compressed — wild writers compress it, and decoding it must
+    itself run the filter chain."""
+    import zlib
+
+    from documentai_ray.functions.jbig2 import encode_symbol_text_globals
+
+    glob, streams = encode_symbol_text_globals(symbols, pages)
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    add(b"")  # catalog placeholder
+    add(b"")  # pages placeholder
+    gz = zlib.compress(glob, 6)
+    glob_id = add(b"<< /Filter /FlateDecode /Length %d >>\n"
+                  b"stream\n%s\nendstream" % (len(gz), gz))
+    kid_ids: list[int] = []
+    for raw, (_pl, page_w, page_h) in zip(streams, pages):
+        im_id = add(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+            b" /Filter /JBIG2Decode"
+            b" /DecodeParms << /JBIG2Globals %d 0 R >>"
+            b" /Length %d >>\n"
+            b"stream\n%s\nendstream"
+            % (page_w, page_h, glob_id, len(raw), raw))
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (page_w, page_h)
+        ct_id = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+        kid_ids.append(add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %d %d]"
+            b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (page_w, page_h, im_id, ct_id)))
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = (b"<< /Type /Pages /Kids [%s] /Count %d >>"
+               % (b" ".join(b"%d 0 R" % k for k in kid_ids),
+                  len(kid_ids)))
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: list[int] = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d"
+            b"\n%%%%EOF\n" % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
 def text_to_pdf(lines: list[str], *, lines_per_page: int = 40,
                 shuffle_key: int = 0, compress: bool = False,
                 info: dict[str, str] | None = None,

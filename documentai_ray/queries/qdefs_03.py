@@ -758,6 +758,78 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
                           batch_size=64)
 
 
+def _q_pdf_jbig2_globals(sf_dir: str):
+    """JBIG2Globals shared symbol-dictionary ingestion — the STANDARD
+    layout scanners emit for text PDFs (ISO 32000 §7.4.7 / T.88
+    embedding): ONE symbol dictionary in a Flate-compressed Globals
+    stream, and per-page `/JBIG2Decode` XObjects whose text regions
+    reference it via `/DecodeParms << /JBIG2Globals N 0 R >>`. Each
+    doc's relayout text splits across TWO pages sharing the one
+    dictionary; the reader dereferences the Globals object, prepends
+    its segments per the logical-concatenation rule, decodes both
+    pages and OCRs them — BYTE-IDENTICAL relayout oracle plus
+    closed-form n_symbols / n_pages. Reference parity: the fitz path
+    reads this layout (documentClassifier.py:1361)."""
+    import pyarrow as pa
+    import ray.data
+
+    from documentai_ray.functions.bitfont import CELL_W, GLYPH_H, GLYPHS
+    from documentai_ray.functions.pdfread import page_images
+    from documentai_ray.functions.pdfwrite import (jbig2_globals_pdf,
+                                                   wrap_text_lines)
+    from documentai_ray.stages.ocr import ocr_image
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scan_roundtrip(batch: pa.Table) -> pa.Table:
+        out = []
+        nsyms = []
+        npages = []
+        ids = batch.column("doc_id").to_pylist()
+        for txt in batch.column("text").to_pylist():
+            lines = wrap_text_lines(txt or "")
+            chars = sorted({c for ln in lines for c in ln
+                            if c != " " and c in GLYPHS})
+            if not lines or not chars:
+                out.append("")
+                nsyms.append(0)
+                npages.append(0)
+                continue
+            w = max(len(ln) for ln in lines) * CELL_W + 8
+            sym_of = {c: i for i, c in enumerate(chars)}
+            symbols = [GLYPHS[c] for c in chars]
+            # split lines across two pages sharing ONE dictionary
+            k = (len(lines) + 1) // 2
+            pages = []
+            for chunk in (lines[:k], lines[k:]):
+                if not chunk:
+                    continue
+                h = len(chunk) * (GLYPH_H + 3) + 8
+                placements = [(sym_of[ch], 4 + i * CELL_W,
+                               4 + r * (GLYPH_H + 3))
+                              for r, ln in enumerate(chunk)
+                              for i, ch in enumerate(ln)
+                              if ch != " " and ch in GLYPHS]
+                if placements:
+                    pages.append((placements, w, h))
+            pdf = jbig2_globals_pdf(symbols, pages)
+            texts = []
+            for (scan,) in page_images(pdf):
+                text, _boxes = ocr_image(scan)
+                texts.append(text)
+            out.append("\n".join(texts))
+            nsyms.append(len(chars))
+            npages.append(len(pages))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string()),
+                         "n_symbols": pa.array(nsyms, pa.int64()),
+                         "n_pages": pa.array(npages, pa.int64())})
+
+    return ds.map_batches(scan_roundtrip, batch_format="pyarrow",
+                          batch_size=64)
+
+
 def _q_pdf_jpx_extract(sf_dir: str):
     """JPEG 2000 embedded-image extraction: each doc builds a PDF whose
     page embeds a deterministic gradient as a `/JPXDecode` XObject —
@@ -4157,4 +4229,4 @@ def _q_fifo_cogs(sf_dir: str):
             .map_groups(lambda x: fifo(x.drop(columns=["_pkey"])),
                         batch_format="pandas"))
 
-__all__ = ['_q_table_detect', '_q_field_validation', '_q_doc_type_autodetect', '_q_pq_codes', '_q_jpeg_roundtrip', '_q_tiff_roundtrip', '_q_tiff_compressed_roundtrip', '_q_png_color_roundtrip', '_q_jpeg_progressive_roundtrip', '_q_pdf_modern_extract', '_q_pdf_embedded_images', '_q_scanned_pdf_ocr', '_q_pdf_encrypted_extract', '_q_pdf_password_extract', '_q_fax_pdf_ocr', '_q_pdf_g3_ocr', '_q_pdf_jbig2_ocr', '_q_pdf_jbig2_text_ocr', '_q_pdf_jpx_extract', '_q_flagship_warc', '_q_pdf_cmap_extract', '_q_warc_http_charset', '_q_pdf_metadata', '_q_pdf_outline', '_q_pdf_links', '_q_incremental_dedup', '_q_bloom_dedup', '_q_url_filter', '_q_semdedup', '_q_shard_export', '_q_dsir_weights', '_q_heavy_hitters', '_q_web_curation', '_q_config_pipeline', '_q_ivm_counts', '_q_pseudonymize', '_q_customer_order_counts', '_q_incremental_session', '_q_f2_selfjoin', '_q_winsorize', '_q_hits', '_q_mix_assemble', '_q_mix_plan', '_q_seasonality_strength', '_q_theil_sen', '_q_interarrival_stats', '_q_changepoint_localize', '_q_bloom_semijoin', '_q_ngram_novelty', '_q_attribution_credit', '_q_fd_error', '_q_oov_rate', '_q_kendall_tau', '_q_max_concurrency', '_q_countmin_estimate', '_q_acf_lag', '_q_runs_test', '_q_frequent_triples', '_q_haar_energy', '_q_ewma_backtest', '_q_url_templates', '_q_conversion_lag', '_q_q17_decorrelated', '_q_relational_division', '_q_t_closeness', '_q_orders_all_ontime', '_q_minmax_scale', '_q_markov_kstep', '_q_rfm_segments', '_q_revenue_share', '_q_bm25_topk', '_q_dispersion_index', '_q_leadlag_beta', '_q_km_survival', '_q_mrr_eval', '_q_decayed_leaderboard', '_q_degree_assortativity', '_q_ndcg_eval', '_q_seasonal_anomaly', '_q_did_estimator', '_q_laspeyres_index', '_q_ab_conversion', '_q_assoc_rules', '_q_logrank_test', '_q_uplift_deciles', '_q_paasche_index', '_q_fd_mine', '_q_bounce_rate', '_q_rank_overlap', '_q_chain_index', '_q_lorenz_deciles', '_q_rmst_summary', '_q_q10_returns', '_q_q8_market_share', '_q_pinball_eval', '_q_cohort_ltv', '_q_post_stratify', '_q_lincoln_petersen', '_q_german_tank', '_q_fifo_cogs']
+__all__ = ['_q_table_detect', '_q_field_validation', '_q_doc_type_autodetect', '_q_pq_codes', '_q_jpeg_roundtrip', '_q_tiff_roundtrip', '_q_tiff_compressed_roundtrip', '_q_png_color_roundtrip', '_q_jpeg_progressive_roundtrip', '_q_pdf_modern_extract', '_q_pdf_embedded_images', '_q_scanned_pdf_ocr', '_q_pdf_encrypted_extract', '_q_pdf_password_extract', '_q_fax_pdf_ocr', '_q_pdf_g3_ocr', '_q_pdf_jbig2_ocr', '_q_pdf_jbig2_text_ocr', '_q_pdf_jbig2_globals', '_q_pdf_jpx_extract', '_q_flagship_warc', '_q_pdf_cmap_extract', '_q_warc_http_charset', '_q_pdf_metadata', '_q_pdf_outline', '_q_pdf_links', '_q_incremental_dedup', '_q_bloom_dedup', '_q_url_filter', '_q_semdedup', '_q_shard_export', '_q_dsir_weights', '_q_heavy_hitters', '_q_web_curation', '_q_config_pipeline', '_q_ivm_counts', '_q_pseudonymize', '_q_customer_order_counts', '_q_incremental_session', '_q_f2_selfjoin', '_q_winsorize', '_q_hits', '_q_mix_assemble', '_q_mix_plan', '_q_seasonality_strength', '_q_theil_sen', '_q_interarrival_stats', '_q_changepoint_localize', '_q_bloom_semijoin', '_q_ngram_novelty', '_q_attribution_credit', '_q_fd_error', '_q_oov_rate', '_q_kendall_tau', '_q_max_concurrency', '_q_countmin_estimate', '_q_acf_lag', '_q_runs_test', '_q_frequent_triples', '_q_haar_energy', '_q_ewma_backtest', '_q_url_templates', '_q_conversion_lag', '_q_q17_decorrelated', '_q_relational_division', '_q_t_closeness', '_q_orders_all_ontime', '_q_minmax_scale', '_q_markov_kstep', '_q_rfm_segments', '_q_revenue_share', '_q_bm25_topk', '_q_dispersion_index', '_q_leadlag_beta', '_q_km_survival', '_q_mrr_eval', '_q_decayed_leaderboard', '_q_degree_assortativity', '_q_ndcg_eval', '_q_seasonal_anomaly', '_q_did_estimator', '_q_laspeyres_index', '_q_ab_conversion', '_q_assoc_rules', '_q_logrank_test', '_q_uplift_deciles', '_q_paasche_index', '_q_fd_mine', '_q_bounce_rate', '_q_rank_overlap', '_q_chain_index', '_q_lorenz_deciles', '_q_rmst_summary', '_q_q10_returns', '_q_q8_market_share', '_q_pinball_eval', '_q_cohort_ltv', '_q_post_stratify', '_q_lincoln_petersen', '_q_german_tank', '_q_fifo_cogs']
