@@ -521,10 +521,15 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page = None
     sym_dicts: dict[int, list] = {}    # segment number -> exported syms
     pat_dicts: dict[int, list] = {}    # segment number -> patterns
+    huff_tables: dict[int, _HuffTable] = {}  # type-53 custom tables
     for num, typ, _pg, refs, payload in _parse_segment_headers(
             bytes(globals_data) + bytes(data)):
-        if typ == 0:                   # symbol dictionary
-            sym_dicts[num] = _decode_symbol_dict(payload)
+        if typ == 53:                  # custom Huffman table
+            huff_tables[num] = decode_table_segment(payload)
+        elif typ == 0:                 # symbol dictionary
+            sym_dicts[num] = _decode_symbol_dict(
+                payload, [huff_tables[t] for t in refs
+                          if t in huff_tables])
         elif typ == 16:                # pattern dictionary
             pat_dicts[num] = decode_pattern_dict(payload)
         elif typ in (20, 22, 23):      # halftone region
@@ -546,7 +551,9 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 symbols.extend(sym_dicts.get(r, []))
             if not symbols:
                 raise ValueError("text region without symbol dict")
-            region, rx, ry = _decode_text_region(payload, symbols)
+            region, rx, ry = _decode_text_region(
+                payload, symbols, [huff_tables[t] for t in refs
+                                   if t in huff_tables])
             rh, rw = region.shape
             if page is None:
                 page = np.zeros((ry + rh, rx + rw), bool)
@@ -744,6 +751,319 @@ def _symcodelen(nsyms: int) -> int:
     return max(1, (max(1, nsyms - 1)).bit_length())
 
 
+# ---------------------------------------------------------------------------
+# T.88 Annex B Huffman machinery — the minority wild encoding for
+# symbol dictionaries / text regions (SDHUFF=1 / SBHUFF=1). MSB-first
+# bit I/O, canonical prefix-code assignment per §B.3 (codes assigned in
+# increasing prefix-length order, ties in table-row order), and the
+# published standard tables B.1–B.13 (B.14/B.15 are refinement-only,
+# out of scope with REFINE=0). Table rows are transcribed from the
+# Annex: normal lines ascending by RANGELOW, then the lower-range line,
+# the upper-range line, and OOB last.
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader with byte alignment (T.88 §B.4 reading)."""
+
+    __slots__ = ("data", "pos", "bitpos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JBIG2 Huffman bitstream exhausted")
+        b = (self.data[self.pos] >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.bitpos = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def bytealign(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.pos += 1
+
+    def read_bytes(self, n: int) -> bytes:
+        self.bytealign()
+        if self.pos + n > len(self.data):
+            raise ValueError("JBIG2 Huffman bitstream exhausted")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+
+class _BitWriter:
+    """MSB-first bit writer (encoder counterpart of _BitReader)."""
+
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def bytealign(self) -> None:
+        if self.nbits:
+            self.cur <<= 8 - self.nbits
+            self.buf.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+
+    def write_bytes(self, data: bytes) -> None:
+        self.bytealign()
+        self.buf += data
+
+    def flush(self) -> bytes:
+        self.bytealign()
+        return bytes(self.buf)
+
+
+class _HuffTable:
+    """One Annex-B-shaped Huffman table: ``lines`` are
+    (rangelow, preflen, rangelen, kind) with kind in
+    {"norm", "lower", "upper"}; ``oob`` is the OOB prefix length or
+    None. Prefix codes assigned canonically per §B.3."""
+
+    def __init__(self, lines, oob: int | None = None) -> None:
+        # preflen 0 = unused line (custom tables mark gaps this way)
+        entries = [(pl, kind, low, rl)
+                   for low, pl, rl, kind in lines if pl > 0]
+        if oob is not None and oob > 0:
+            entries.append((oob, "oob", None, 0))
+        if not entries:
+            raise ValueError("empty Huffman table")
+        # canonical assignment: lengths ascending, ties in row order
+        maxlen = max(pl for pl, *_ in entries)
+        code = 0
+        self.decode_map: dict[tuple[int, int], tuple] = {}
+        self.encode_map: list[tuple] = []
+        for length in range(1, maxlen + 1):
+            for pl, kind, low, rl in entries:
+                if pl != length:
+                    continue
+                if code >= (1 << length):
+                    raise ValueError("Huffman table violates Kraft bound")
+                self.decode_map[(length, code)] = (kind, low, rl)
+                self.encode_map.append((kind, low, rl, length, code))
+                code += 1
+            code <<= 1
+
+    def decode(self, r: _BitReader):
+        acc = 0
+        for length in range(1, 33):
+            acc = (acc << 1) | r.bit()
+            hit = self.decode_map.get((length, acc))
+            if hit is None:
+                continue
+            kind, low, rl = hit
+            if kind == "oob":
+                return _OOB
+            off = r.bits(rl)
+            if kind == "lower":
+                return low - off
+            return low + off
+        raise ValueError("bad JBIG2 Huffman code")
+
+    def encode(self, w: _BitWriter, value) -> None:
+        if value is _OOB:
+            for kind, low, rl, length, code in self.encode_map:
+                if kind == "oob":
+                    w.write(code, length)
+                    return
+            raise ValueError("table has no OOB code")
+        # prefer the tightest normal line, then lower/upper overflow
+        for kind, low, rl, length, code in self.encode_map:
+            if kind == "norm" and low <= value < low + (1 << rl):
+                w.write(code, length)
+                w.write(value - low, rl)
+                return
+        for kind, low, rl, length, code in self.encode_map:
+            if kind == "upper" and value >= low:
+                w.write(code, length)
+                w.write(value - low, rl)
+                return
+            if kind == "lower" and value <= low:
+                w.write(code, length)
+                w.write(low - value, rl)
+                return
+        raise ValueError(f"value {value} not encodable by table")
+
+
+def _n(low, pl, rl):
+    return (low, pl, rl, "norm")
+
+
+_STD_TABLE_SPECS = {
+    1: ([_n(0, 1, 4), _n(16, 2, 8), _n(272, 3, 16),
+         (65808, 3, 32, "upper")], None),
+    2: ([_n(0, 1, 0), _n(1, 2, 0), _n(2, 3, 0), _n(3, 4, 3),
+         _n(11, 5, 6), (75, 6, 32, "upper")], 6),
+    3: ([_n(-256, 8, 8), _n(0, 1, 0), _n(1, 2, 0), _n(2, 3, 0),
+         _n(3, 4, 3), _n(11, 5, 6), (-257, 8, 32, "lower"),
+         (75, 7, 32, "upper")], 6),
+    4: ([_n(1, 1, 0), _n(2, 2, 0), _n(3, 3, 0), _n(4, 4, 3),
+         _n(12, 5, 7), (140, 5, 32, "upper")], None),
+    5: ([_n(-255, 7, 8), _n(1, 1, 0), _n(2, 2, 0), _n(3, 3, 0),
+         _n(4, 4, 3), _n(12, 5, 7), (-256, 7, 32, "lower"),
+         (140, 6, 32, "upper")], None),
+    # B.6 and B.7 (the first-S tables) are NOT included: every
+    # candidate transcription available in-sandbox fails the Kraft
+    # completeness check the other eleven tables pass exactly, so
+    # shipping one would silently misdecode wild files. Selectors 0/1
+    # for SBHUFFFS raise honestly; custom FS tables (the §B.2 table
+    # segment, fully implemented below) are the supported path.
+    8: ([_n(-15, 8, 3), _n(-7, 9, 1), _n(-5, 8, 1), _n(-3, 9, 0),
+         _n(-2, 7, 0), _n(-1, 4, 0), _n(0, 2, 1), _n(2, 5, 0),
+         _n(3, 6, 0), _n(4, 3, 4), _n(20, 6, 1), _n(22, 4, 4),
+         _n(38, 4, 5), _n(70, 5, 6), _n(134, 5, 7), _n(262, 6, 7),
+         _n(390, 7, 8), _n(646, 6, 10), (-16, 9, 32, "lower"),
+         (1670, 9, 32, "upper")], 2),
+    9: ([_n(-31, 8, 4), _n(-15, 9, 2), _n(-11, 8, 2), _n(-7, 9, 1),
+         _n(-5, 7, 1), _n(-3, 4, 1), _n(-1, 3, 1), _n(1, 3, 1),
+         _n(3, 5, 1), _n(5, 6, 1), _n(7, 3, 5), _n(39, 6, 2),
+         _n(43, 4, 5), _n(75, 4, 6), _n(139, 5, 7), _n(267, 5, 8),
+         _n(523, 6, 8), _n(779, 7, 9), _n(1291, 6, 11),
+         (-32, 9, 32, "lower"), (3339, 9, 32, "upper")], 2),
+    10: ([_n(-21, 7, 4), _n(-5, 8, 0), _n(-4, 7, 0), _n(-3, 5, 0),
+          _n(-2, 2, 2), _n(2, 5, 0), _n(3, 6, 0), _n(4, 7, 0),
+          _n(5, 8, 0), _n(6, 2, 6), _n(70, 5, 5), _n(102, 6, 5),
+          _n(134, 7, 6), _n(198, 8, 7), _n(326, 8, 8), _n(582, 8, 9),
+          _n(1094, 8, 10), _n(2118, 7, 11), (-22, 8, 32, "lower"),
+          (4166, 8, 32, "upper")], 2),
+    11: ([_n(1, 1, 0), _n(2, 2, 1), _n(4, 4, 0), _n(5, 4, 1),
+          _n(7, 5, 1), _n(9, 5, 2), _n(13, 6, 2), _n(17, 7, 2),
+          _n(21, 7, 3), _n(29, 7, 4), _n(45, 7, 5), _n(77, 7, 6),
+          (141, 7, 32, "upper")], None),
+    12: ([_n(1, 1, 0), _n(2, 2, 0), _n(3, 3, 1), _n(5, 5, 0),
+          _n(6, 5, 1), _n(8, 6, 1), _n(10, 7, 0), _n(11, 7, 1),
+          _n(13, 7, 2), _n(17, 7, 3), _n(25, 7, 4), _n(41, 8, 5),
+          (73, 8, 32, "upper")], None),
+    13: ([_n(1, 1, 0), _n(2, 3, 0), _n(3, 4, 0), _n(4, 5, 0),
+          _n(5, 4, 1), _n(7, 3, 3), _n(15, 6, 1), _n(17, 6, 2),
+          _n(21, 6, 3), _n(29, 6, 4), _n(45, 6, 5), _n(77, 7, 6),
+          (141, 7, 32, "upper")], None),
+}
+
+_STD_TABLES: dict[int, _HuffTable] = {}
+
+
+def _std_table(n: int) -> _HuffTable:
+    if n not in _STD_TABLE_SPECS:
+        raise ValueError(f"JBIG2 standard Huffman table B.{n} "
+                         "unsupported (use a custom table segment)")
+    t = _STD_TABLES.get(n)
+    if t is None:
+        lines, oob = _STD_TABLE_SPECS[n]
+        t = _STD_TABLES[n] = _HuffTable(lines, oob)
+    return t
+
+
+def decode_table_segment(payload: bytes) -> _HuffTable:
+    """Custom Huffman table segment data (type 53, T.88 §B.2):
+    flags byte (bit 0 HTOOB, bits 1-3 HTPS-1, bits 4-6 HTRS-1),
+    4-byte signed HTLOW/HTHIGH, then bit-packed (preflen, rangelen)
+    pairs tiling [HTLOW, HTHIGH), a lower-range prefix length
+    (rangelow HTLOW-1), an upper-range prefix length (rangelow HTHIGH)
+    and, when HTOOB, the OOB prefix length."""
+    if len(payload) < 9:
+        raise ValueError("short JBIG2 table segment")
+    flags = payload[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow, hthigh = struct.unpack_from(">ii", payload, 1)
+    if hthigh <= htlow:
+        raise ValueError("bad JBIG2 table range")
+    r = _BitReader(payload[9:])
+    lines = []
+    curval = htlow
+    while curval < hthigh:
+        pl = r.bits(htps)
+        rl = r.bits(htrs)
+        if rl > 32:
+            raise ValueError("bad JBIG2 table rangelen")
+        lines.append((curval, pl, rl, "norm"))
+        curval += 1 << rl
+    lines.append((htlow - 1, r.bits(htps), 32, "lower"))
+    lines.append((hthigh, r.bits(htps), 32, "upper"))
+    oob = r.bits(htps) if htoob else None
+    return _HuffTable(lines, oob)
+
+
+def encode_table_segment(lines, *, lower_pl: int, upper_pl: int,
+                         oob_pl: int | None = None) -> bytes:
+    """Custom table segment DATA from normal lines
+    (rangelow, preflen, rangelen) that tile [first low, last low +
+    2**rangelen) contiguously, plus lower/upper (and optional OOB)
+    prefix lengths."""
+    htlow = lines[0][0]
+    hthigh = lines[-1][0] + (1 << lines[-1][2])
+    cur = htlow
+    pls = [lower_pl, upper_pl] + ([oob_pl] if oob_pl else [])
+    for low, pl, rl in lines:
+        if low != cur:
+            raise ValueError("table lines must tile contiguously")
+        cur += 1 << rl
+        pls += [pl]
+    htps = max(max(pls).bit_length(), 1)
+    htrs = max(max(rl for _, _, rl in lines).bit_length(), 1)
+    flags = (1 if oob_pl else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    w = _BitWriter()
+    for _low, pl, rl in lines:
+        w.write(pl, htps)
+        w.write(rl, htrs)
+    w.write(lower_pl, htps)
+    w.write(upper_pl, htps)
+    if oob_pl:
+        w.write(oob_pl, htps)
+    return (struct.pack(">Bii", flags, htlow, hthigh) + w.flush())
+
+
+# the encoder's first-S table (B.6/B.7 stand-in, shipped as a custom
+# table segment): complete code (Kraft = 1) over [-1024, 1040)
+_FS_CUSTOM_LINES = [(-1024, 3, 10), (0, 1, 4), (16, 2, 10)]
+_FS_CUSTOM_KW = dict(lower_pl=4, upper_pl=4)
+
+
+def _fs_custom_table() -> _HuffTable:
+    return decode_table_segment(
+        encode_table_segment(_FS_CUSTOM_LINES, **_FS_CUSTOM_KW))
+
+
+def _canonical_codes(lengths: list[int]) -> list[tuple[int, int]]:
+    """(length, code) per symbol from code lengths (0 = unused), the
+    §B.3 canonical assignment in index order."""
+    maxlen = max(lengths) if lengths else 0
+    out: list[tuple[int, int]] = [(0, 0)] * len(lengths)
+    code = 0
+    for length in range(1, maxlen + 1):
+        for i, ln in enumerate(lengths):
+            if ln == length:
+                out[i] = (length, code)
+                code += 1
+        code <<= 1
+    return out
+
+
 def _sort_symbols(symbols):
     """Height-class order (by height then width) + old->new index map."""
     symbols = [np.ascontiguousarray(s.astype(bool)) for s in symbols]
@@ -840,6 +1160,100 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
             + struct.pack(">I", len(inst)) + tr_arith)
 
 
+def _encode_symbol_dict_data_huff(sorted_syms, *,
+                                  mmr_collective: bool = False) -> bytes:
+    """SDHUFF=1 REFAGG=0 symbol-dictionary segment DATA: standard
+    tables B.4 (DH) / B.2 (DW) / B.1 (BMSIZE, EX), one collective
+    bitmap per height class (§6.5.9) — uncompressed rows (BMSIZE=0)
+    or MMR/T.6 coded (``mmr_collective``, BMSIZE = byte count)."""
+    nsyms = len(sorted_syms)
+    w = _BitWriter()
+    t_dh, t_dw, t_bm = _std_table(4), _std_table(2), _std_table(1)
+    hcheight = 0
+    i = 0
+    while i < nsyms:
+        h0 = sorted_syms[i].shape[0]
+        t_dh.encode(w, h0 - hcheight)
+        hcheight = h0
+        symwidth = 0
+        cls = []
+        while i < nsyms and sorted_syms[i].shape[0] == h0:
+            w0 = sorted_syms[i].shape[1]
+            t_dw.encode(w, w0 - symwidth)
+            symwidth = w0
+            cls.append(sorted_syms[i])
+            i += 1
+        t_dw.encode(w, _OOB)
+        coll = np.concatenate(cls, axis=1)
+        if mmr_collective:
+            from documentai_ray.functions.faxg4 import g4_encode
+
+            raw = g4_encode(coll)
+            t_bm.encode(w, len(raw))
+            w.write_bytes(raw)
+        else:
+            t_bm.encode(w, 0)    # BMSIZE 0: uncompressed rows
+            w.write_bytes(np.packbits(coll, axis=1).tobytes())
+    t_bm.encode(w, 0)            # EX runs (Table B.1): 0 unexported,
+    t_bm.encode(w, nsyms)        # then all exported
+    # flags: SDHUFF=1, DH sel 0 (B.4), DW sel 0 (B.2), BMSIZE sel 0
+    return (struct.pack(">H", 0x0001)
+            + struct.pack(">II", nsyms, nsyms) + w.flush())
+
+
+def _encode_text_region_data_huff(inst, sorted_syms, page_w: int,
+                                  page_h: int) -> bytes:
+    """SBHUFF=1 text-region segment DATA: custom FS table (selector 3,
+    carried as a referenced type-53 segment), standard B.8 (DS) / B.11
+    (DT), fixed-length symbol ID codes carried as run-coded lengths
+    (§7.4.3.1.7)."""
+    nsyms = len(sorted_syms)
+    sl = _symcodelen(nsyms)
+    w = _BitWriter()
+    runlens = [0] * 35
+    runlens[sl] = 1              # single run code: 1-bit '0' = length sl
+    for rl_ in runlens:
+        w.write(rl_, 5)
+    for _ in range(nsyms):       # every symbol: code length sl
+        w.write(0, 1)
+    w.bytealign()
+    t_fs, t_ds, t_dt = _fs_custom_table(), _std_table(8), _std_table(11)
+    t_dt.encode(w, 1)            # initial: STRIPT = -SBSTRIPS
+    stript = -1
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t0 = inst[k][2]
+        t_dt.encode(w, t0 - stript)
+        stript = t0
+        first = True
+        curs = 0
+        while k < len(inst) and inst[k][2] == t0:
+            sid, x0, _y0 = inst[k]
+            sw_ = sorted_syms[sid].shape[1]
+            if first:
+                t_fs.encode(w, x0 - firsts)
+                firsts = x0
+                curs = x0
+                first = False
+            else:
+                t_ds.encode(w, x0 - curs)
+                curs = x0
+            w.write(sid, sl)     # equal-length canonical code == index
+            curs += sw_ - 1
+            k += 1
+        t_ds.encode(w, _OOB)
+    region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
+    # flags: SBHUFF=1, REFCORNER=TOPLEFT(1); huffman flags: FS sel 3
+    # (custom), DS sel 0 (B.8), DT sel 0 (B.11)
+    return (region_info + struct.pack(">HH", 0x0001 | (1 << 4), 3)
+            + struct.pack(">I", len(inst)) + w.flush())
+
+
+def _fs_table_segment_data() -> bytes:
+    return encode_table_segment(_FS_CUSTOM_LINES, **_FS_CUSTOM_KW)
+
+
 def _seg_header(num, typ, page, length, refs=()):
     out = struct.pack(">IB", num, typ & 0x3F)
     out += struct.pack(">B", len(refs) << 5)
@@ -851,7 +1265,9 @@ def _seg_header(num, typ, page, length, refs=()):
 
 
 def encode_symbol_text_page(symbols, placements, page_w: int,
-                            page_h: int) -> bytes:
+                            page_h: int, *,
+                            huffman: bool = False,
+                            mmr_collective: bool = False) -> bytes:
     """Glyph-based JBIG2 page — the way real scanners code text:
 
     ``symbols``: list of bool (h, w) glyph bitmaps (the dictionary);
@@ -859,24 +1275,39 @@ def encode_symbol_text_page(symbols, placements, page_w: int,
     corners on the page, in raster order (sorted by y then x).
 
     Emits: page info + symbol dictionary segment + immediate lossless
-    text region referring to the dictionary + EOP."""
+    text region referring to the dictionary + EOP. ``huffman=True``
+    codes both segments in the SDHUFF/SBHUFF Huffman variant (standard
+    tables B.1/B.2/B.4/B.8/B.11 + a custom FS table segment) instead
+    of arithmetic."""
     if not len(symbols) or not placements:
         raise ValueError("need at least one symbol and one placement")
     sorted_syms, remap = _sort_symbols(symbols)
-    sd_data = _encode_symbol_dict_data(sorted_syms)
     inst = sorted(((remap[si], x, y) for si, x, y in placements),
                   key=lambda t: (t[2], t[1]))
-    tr_data = _encode_text_region_data(inst, sorted_syms, page_w, page_h)
     page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
     out = bytearray()
     out += _seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+    if huffman:
+        sd_data = _encode_symbol_dict_data_huff(
+            sorted_syms, mmr_collective=mmr_collective)
+        tr_data = _encode_text_region_data_huff(inst, sorted_syms,
+                                                page_w, page_h)
+        tb_data = _fs_table_segment_data()
+        out += _seg_header(1, 0, 1, len(sd_data)) + sd_data
+        out += _seg_header(2, 53, 1, len(tb_data)) + tb_data
+        out += _seg_header(3, 6, 1, len(tr_data), refs=(1, 2)) + tr_data
+        out += _seg_header(4, _T_END_OF_PAGE, 1, 0)
+        return bytes(out)
+    sd_data = _encode_symbol_dict_data(sorted_syms)
+    tr_data = _encode_text_region_data(inst, sorted_syms, page_w, page_h)
     out += _seg_header(1, 0, 1, len(sd_data)) + sd_data   # symbol dict
     out += _seg_header(2, 6, 1, len(tr_data), refs=(1,)) + tr_data
     out += _seg_header(3, _T_END_OF_PAGE, 1, 0)
     return bytes(out)
 
 
-def encode_symbol_text_globals(symbols, pages):
+def encode_symbol_text_globals(symbols, pages, *,
+                               huffman: bool = False):
     """The STANDARD wild scanner layout for text PDFs (T.88 embedding,
     ISO 32000 §7.4.7): ONE shared symbol dictionary in a JBIG2Globals
     stream, per-page embedded streams holding only page info + a text
@@ -895,36 +1326,52 @@ def encode_symbol_text_globals(symbols, pages):
     if not len(symbols) or not pages:
         raise ValueError("need at least one symbol and one page")
     sorted_syms, remap = _sort_symbols(symbols)
-    sd_data = _encode_symbol_dict_data(sorted_syms)
     # globals segments carry page association 0 (T.88 §7.4.8.5); the
-    # dictionary takes segment number 1, page segments number from 16
-    # so numbers stay unique after logical concatenation
-    globals_stream = _seg_header(1, 0, 0, len(sd_data)) + sd_data
+    # dictionary takes segment number 1 (and, in huffman mode, the FS
+    # table segment number 2), page segments number from 16 so numbers
+    # stay unique after logical concatenation
+    if huffman:
+        sd_data = _encode_symbol_dict_data_huff(sorted_syms)
+        tb_data = _fs_table_segment_data()
+        globals_stream = (_seg_header(1, 0, 0, len(sd_data)) + sd_data
+                          + _seg_header(2, 53, 0, len(tb_data)) + tb_data)
+        tr_refs = (1, 2)
+    else:
+        sd_data = _encode_symbol_dict_data(sorted_syms)
+        globals_stream = _seg_header(1, 0, 0, len(sd_data)) + sd_data
+        tr_refs = (1,)
     page_streams = []
     for placements, page_w, page_h in pages:
         if not placements:
             raise ValueError("empty page placements")
         inst = sorted(((remap[si], x, y) for si, x, y in placements),
                       key=lambda t: (t[2], t[1]))
-        tr_data = _encode_text_region_data(inst, sorted_syms,
-                                           page_w, page_h)
+        if huffman:
+            tr_data = _encode_text_region_data_huff(inst, sorted_syms,
+                                                    page_w, page_h)
+        else:
+            tr_data = _encode_text_region_data(inst, sorted_syms,
+                                               page_w, page_h)
         page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
         out = bytearray()
         out += _seg_header(16, _T_PAGE_INFO, 1, len(page_data)) + page_data
-        out += _seg_header(17, 6, 1, len(tr_data), refs=(1,)) + tr_data
+        out += _seg_header(17, 6, 1, len(tr_data), refs=tr_refs) + tr_data
         out += _seg_header(18, _T_END_OF_PAGE, 1, 0)
         page_streams.append(bytes(out))
     return bytes(globals_stream), page_streams
 
 
-def _decode_symbol_dict(payload: bytes):
+def _decode_symbol_dict(payload: bytes, tables=()):
     """Symbol dictionary segment data → list of bool bitmaps
-    (exported, in order). Arithmetic, template 0, no refinement."""
+    (exported, in order). Arithmetic (template 0) or Huffman
+    (SDHUFF=1, REFAGG=0 — collective bitmaps per §6.5.9, raw or MMR);
+    ``tables`` are custom _HuffTables from referenced type-53 segments
+    in reference order, consumed by selector value 3."""
     (flags,) = struct.unpack_from(">H", payload, 0)
-    if flags & 0x0001:
-        raise ValueError("Huffman symbol dictionaries unsupported")
     if flags & 0x0002:
         raise ValueError("refinement/aggregate dictionaries unsupported")
+    if flags & 0x0001:
+        return _decode_symbol_dict_huff(payload, flags, tables)
     template = (flags >> 10) & 3
     if template != 0:
         raise ValueError("symbol dictionary template != 0 unsupported")
@@ -980,15 +1427,105 @@ def _decode_symbol_dict(payload: bytes):
     return exported
 
 
-def _decode_text_region(payload: bytes, symbols):
+def _decode_symbol_dict_huff(payload: bytes, flags: int, tables=()):
+    """SDHUFF=1 REFAGG=0 symbol dictionary (§6.5.9): per height class
+    DH/DW deltas through Huffman tables, then the class's symbols as
+    ONE collective bitmap — BMSIZE=0: uncompressed packed rows;
+    BMSIZE>0: MMR (T.6) coded — sliced apart by symbol widths."""
+    custom = list(tables)
+
+    def pick(sel: int, std0: int, std1: int) -> _HuffTable:
+        if sel == 0:
+            return _std_table(std0)
+        if sel == 1:
+            return _std_table(std1)
+        if sel == 3:
+            if not custom:
+                raise ValueError("missing custom Huffman table")
+            return custom.pop(0)
+        raise ValueError(f"bad Huffman table selector {sel}")
+
+    t_dh = pick((flags >> 2) & 3, 4, 5)
+    t_dw = pick((flags >> 4) & 3, 2, 3)
+    t_bm = _std_table(1) if not (flags & 0x40) else (
+        custom.pop(0) if custom else None)
+    if t_bm is None:
+        raise ValueError("missing custom BMSIZE table")
+    # AGGINST table (flags bit 7) is only read when REFAGG=1 — not here
+    nexp, nnew = struct.unpack_from(">II", payload, 2)
+    if nnew > 10_000 or nexp > nnew:
+        raise ValueError("implausible symbol dictionary")
+    r = _BitReader(payload[10:])
+    syms: list[np.ndarray] = []
+    hcheight = 0
+    while len(syms) < nnew:
+        dh = t_dh.decode(r)
+        if dh is _OOB:
+            raise ValueError("unexpected OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > (1 << 14):
+            raise ValueError("implausible symbol height")
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = t_dw.decode(r)
+            if dw is _OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > (1 << 14) \
+                    or len(syms) + len(widths) >= nnew + 1:
+                raise ValueError("implausible symbol width/count")
+            widths.append(symwidth)
+        if not widths:
+            continue
+        totwidth = sum(widths)
+        bmsize = t_bm.decode(r)
+        if bmsize is _OOB or bmsize < 0:
+            raise ValueError("bad collective bitmap size")
+        if bmsize == 0:          # uncompressed packed rows
+            rowbytes = (totwidth + 7) // 8
+            raw = r.read_bytes(rowbytes * hcheight)
+            packed = np.frombuffer(raw, np.uint8).reshape(hcheight,
+                                                          rowbytes)
+            coll = np.unpackbits(packed, axis=1)[:, :totwidth] \
+                .astype(bool)
+        else:                    # MMR (T.6) coded collective bitmap
+            from documentai_ray.functions.faxg4 import g4_decode
+
+            coll = g4_decode(r.read_bytes(bmsize), totwidth, hcheight)
+        x0 = 0
+        for w_ in widths:
+            syms.append(np.ascontiguousarray(coll[:, x0:x0 + w_]))
+            x0 += w_
+    # export flags: alternating runs starting not-exported (Table B.1)
+    t_ex = _std_table(1)
+    exported: list[np.ndarray] = []
+    curex = 0
+    idx = 0
+    while idx < len(syms) and len(exported) < nexp:
+        run = t_ex.decode(r)
+        if run is _OOB or run < 0:
+            raise ValueError("bad export run")
+        if curex:
+            exported.extend(syms[idx: idx + run])
+        idx += run
+        curex ^= 1
+    if len(exported) != nexp:
+        raise ValueError("export count mismatch")
+    return exported
+
+
+def _decode_text_region(payload: bytes, symbols, tables=()):
     """Text region segment data + dictionary symbols → (region bool
-    bitmap, x, y)."""
+    bitmap, x, y). Arithmetic or Huffman (SBHUFF=1); ``tables`` are
+    custom _HuffTables from referenced type-53 segments in order."""
     rw, rh, rx, ry, _comb = struct.unpack_from(">IIIIB", payload, 0)
     if max(rw, rh, rx, ry) > (1 << 20) or rw * rh > (1 << 26):
         raise ValueError("implausible JBIG2 text region geometry")
     (flags,) = struct.unpack_from(">H", payload, 17)
     if flags & 0x0001:
-        raise ValueError("Huffman text regions unsupported")
+        return _decode_text_region_huff(payload, symbols, flags, tables,
+                                        rw, rh, rx, ry)
     if flags & 0x0002:
         raise ValueError("refinement text regions unsupported")
     log2strips = (flags >> 2) & 3
@@ -1060,6 +1597,149 @@ def _decode_text_region(payload: bytes, symbols):
             if n_done >= ninst:
                 # spec still ends the strip with OOB; consume it
                 tail = decode_int(dec, cx_iads)
+                if tail is not _OOB:
+                    raise ValueError("strip not OOB-terminated")
+                break
+    return region, rx, ry
+
+
+def _decode_text_region_huff(payload: bytes, symbols, flags: int,
+                             tables, rw, rh, rx, ry):
+    """SBHUFF=1 text region (§6.4 + §7.4.3.1.7): 2-byte Huffman-flags
+    field selects FS/DS/DT tables (selector 3 = next referenced custom
+    table); the symbol ID code table is carried in-stream as 35
+    run-coded code lengths; strips then decode through the tables with
+    CURT as raw LOG2SBSTRIPS-bit values."""
+    if flags & 0x0002:
+        raise ValueError("refinement text regions unsupported")
+    log2strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    if transposed:
+        raise ValueError("transposed text regions unsupported")
+    if combop not in (0, 1):
+        raise ValueError("text region comb-op unsupported")
+    strips = 1 << log2strips
+    (hflags,) = struct.unpack_from(">H", payload, 19)
+    custom = list(tables)
+
+    def pick(sel: int, stds: tuple[int, ...]) -> _HuffTable:
+        if sel == 3:
+            if not custom:
+                raise ValueError("missing custom Huffman table")
+            return custom.pop(0)
+        if sel < len(stds):
+            return _std_table(stds[sel])
+        raise ValueError(f"bad Huffman table selector {sel}")
+
+    t_fs = pick(hflags & 3, (6, 7))
+    t_ds = pick((hflags >> 2) & 3, (8, 9, 10))
+    t_dt = pick((hflags >> 4) & 3, (11, 12, 13))
+    if hflags & 0x4000:
+        raise ValueError("RSIZE Huffman table with REFINE=0")
+    (ninst,) = struct.unpack_from(">I", payload, 21)
+    if ninst > 1_000_000:
+        raise ValueError("implausible instance count")
+    r = _BitReader(payload[25:])
+    nsyms = len(symbols)
+    # --- symbol ID code table (§7.4.3.1.7): 35 run-code lengths,
+    # run-coded symbol code lengths, canonical assignment, byte-align
+    runlens = [r.bits(5) for _ in range(35)]
+    runcodes = _canonical_codes(runlens)
+    rc_map = {lc: i for i, lc in enumerate(runcodes) if lc[0] > 0}
+
+    def read_runcode() -> int:
+        acc = 0
+        for length in range(1, 33):
+            acc = (acc << 1) | r.bit()
+            hit = rc_map.get((length, acc))
+            if hit is not None:
+                return hit
+        raise ValueError("bad symbol-ID run code")
+
+    symlens: list[int] = []
+    prev = 0
+    while len(symlens) < nsyms:
+        c = read_runcode()
+        if c < 32:
+            symlens.append(c)
+            prev = c
+        elif c == 32:
+            symlens.extend([prev] * (3 + r.bits(2)))
+        elif c == 33:
+            symlens.extend([0] * (3 + r.bits(3)))
+        else:
+            symlens.extend([0] * (11 + r.bits(7)))
+    if len(symlens) != nsyms:
+        raise ValueError("symbol code length overrun")
+    symcodes = _canonical_codes(symlens)
+    sym_map = {lc: i for i, lc in enumerate(symcodes) if lc[0] > 0}
+    maxsymlen = max(symlens)
+    r.bytealign()
+
+    def read_symid() -> int:
+        if maxsymlen == 0:       # single-symbol edge: zero bits read
+            return 0
+        acc = 0
+        for length in range(1, 33):
+            acc = (acc << 1) | r.bit()
+            hit = sym_map.get((length, acc))
+            if hit is not None:
+                return hit
+        raise ValueError("bad symbol ID code")
+
+    def read_val(t: _HuffTable):
+        return t.decode(r)
+
+    region = np.full((rh, rw), bool(defpixel))
+    stript = -read_val(t_dt) * strips
+    firsts = 0
+    n_done = 0
+    while n_done < ninst:
+        dt = read_val(t_dt)
+        if dt is _OOB:
+            raise ValueError("unexpected OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = read_val(t_fs)
+                if dfs is _OOB:
+                    raise ValueError("unexpected OOB first-S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = read_val(t_ds)
+                if ids is _OOB:
+                    break
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else r.bits(log2strips)
+            tt = stript + curt
+            sid = read_symid()
+            if not 0 <= sid < nsyms:
+                raise ValueError("symbol id out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            if refcorner in (0, 2):      # BOTTOMLEFT / BOTTOMRIGHT
+                y0 = tt - sh + 1
+            else:                        # TOPLEFT / TOPRIGHT
+                y0 = tt
+            x0 = curs if refcorner in (0, 1) else curs - sw + 1
+            if not (0 <= x0 and x0 + sw <= rw and 0 <= y0
+                    and y0 + sh <= rh):
+                raise ValueError("symbol instance outside region")
+            region[y0: y0 + sh, x0: x0 + sw] |= sym
+            curs += sw - 1
+            n_done += 1
+            if n_done >= ninst:
+                tail = read_val(t_ds)
                 if tail is not _OOB:
                     raise ValueError("strip not OOB-terminated")
                 break

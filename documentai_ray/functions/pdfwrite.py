@@ -162,16 +162,21 @@ def escape_pdf_string(s: str) -> bytes:
 
 
 def jbig2_text_pdf(symbols, placements, page_w: int,
-                   page_h: int) -> bytes:
+                   page_h: int, *, huffman: bool = False,
+                   mmr_collective: bool = False) -> bytes:
     """One-page PDF whose page image is a JBIG2 SYMBOL-CODED text
     region — the wire shape real scanners emit for text pages: a
     symbol dictionary of glyph bitmaps plus (S, T, ID) instance
-    placements, embedded as a 1-bit /JBIG2Decode image XObject."""
+    placements, embedded as a 1-bit /JBIG2Decode image XObject.
+    ``huffman=True`` emits the SDHUFF/SBHUFF variant (optionally with
+    MMR-coded collective bitmaps) instead of arithmetic coding."""
     import numpy as np  # noqa: F401
 
     from documentai_ray.functions.jbig2 import encode_symbol_text_page
 
-    raw = encode_symbol_text_page(symbols, placements, page_w, page_h)
+    raw = encode_symbol_text_page(symbols, placements, page_w, page_h,
+                                  huffman=huffman,
+                                  mmr_collective=mmr_collective)
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -209,7 +214,7 @@ def jbig2_text_pdf(symbols, placements, page_w: int,
     return bytes(out)
 
 
-def jbig2_globals_pdf(symbols, pages) -> bytes:
+def jbig2_globals_pdf(symbols, pages, *, huffman: bool = False) -> bytes:
     """Multi-page PDF in the STANDARD wild scanner layout (ISO 32000
     §7.4.7): ONE shared JBIG2 symbol dictionary in a JBIG2Globals
     stream object, and per-page 1-bit /JBIG2Decode image XObjects whose
@@ -223,7 +228,8 @@ def jbig2_globals_pdf(symbols, pages) -> bytes:
 
     from documentai_ray.functions.jbig2 import encode_symbol_text_globals
 
-    glob, streams = encode_symbol_text_globals(symbols, pages)
+    glob, streams = encode_symbol_text_globals(symbols, pages,
+                                                huffman=huffman)
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:

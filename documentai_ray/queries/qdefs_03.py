@@ -707,11 +707,15 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
     scanners emit for text (generic regions are the photo path): each
     doc's text renders as a JBIG2 symbol DICTIONARY of its distinct
     glyph bitmaps plus a TEXT REGION of (S, T, ID) instance placements
-    (T.88 §6.4/6.5, arithmetic integer coding per Annex A), embedded as
-    a `/JBIG2Decode` XObject; the reader decodes dictionary + region
-    through the segment machinery and OCRs the page — BYTE-IDENTICAL
-    relayout oracle plus the closed-form n_symbols column (distinct
-    non-space glyphs of the relayout text)."""
+    (T.88 §6.4/6.5), embedded as a `/JBIG2Decode` XObject; the reader
+    decodes dictionary + region through the segment machinery and OCRs
+    the page — BYTE-IDENTICAL relayout oracle plus the closed-form
+    n_symbols column (distinct non-space glyphs of the relayout text).
+    The coding cycles per doc_id % 3: arithmetic (Annex A integer
+    coding), Huffman (SDHUFF/SBHUFF, standard tables B.1/B.2/B.4/B.8/
+    B.11 + a custom FS table segment, §7.4.3.1.7 run-coded symbol ID
+    lengths), and Huffman with MMR-coded collective bitmaps (§6.5.9) —
+    the three wild wire shapes."""
     import pyarrow as pa
     import ray.data
 
@@ -724,11 +728,16 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
+    _MODES = ("arith", "huffman", "huffman_mmr")
+
     def scan_roundtrip(batch: pa.Table) -> pa.Table:
         out = []
         nsyms = []
+        codings = []
         ids = batch.column("doc_id").to_pylist()
-        for txt in batch.column("text").to_pylist():
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
+            coding = _MODES[did % 3]
+            codings.append(coding)
             lines = wrap_text_lines(txt or "")
             chars = sorted({c for ln in lines for c in ln
                             if c != " " and c in GLYPHS})
@@ -745,14 +754,17 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
                 for r, ln in enumerate(lines)
                 for i, ch in enumerate(ln)
                 if ch != " " and ch in GLYPHS]
-            pdf = jbig2_text_pdf(symbols, placements, w, h)
+            pdf = jbig2_text_pdf(symbols, placements, w, h,
+                                 huffman=(coding != "arith"),
+                                 mmr_collective=(coding == "huffman_mmr"))
             (scan,), = page_images(pdf)
             text, _boxes = ocr_image(scan)
             out.append(text)
             nsyms.append(len(chars))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "text": pa.array(out, pa.string()),
-                         "n_symbols": pa.array(nsyms, pa.int64())})
+                         "n_symbols": pa.array(nsyms, pa.int64()),
+                         "coding": pa.array(codings, pa.string())})
 
     return ds.map_batches(scan_roundtrip, batch_format="pyarrow",
                           batch_size=64)
@@ -786,8 +798,11 @@ def _q_pdf_jbig2_globals(sf_dir: str):
         out = []
         nsyms = []
         npages = []
+        codings = []
         ids = batch.column("doc_id").to_pylist()
-        for txt in batch.column("text").to_pylist():
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
+            coding = "arith" if did % 2 == 0 else "huffman"
+            codings.append(coding)
             lines = wrap_text_lines(txt or "")
             chars = sorted({c for ln in lines for c in ln
                             if c != " " and c in GLYPHS})
@@ -813,7 +828,8 @@ def _q_pdf_jbig2_globals(sf_dir: str):
                               if ch != " " and ch in GLYPHS]
                 if placements:
                     pages.append((placements, w, h))
-            pdf = jbig2_globals_pdf(symbols, pages)
+            pdf = jbig2_globals_pdf(symbols, pages,
+                                    huffman=(coding == "huffman"))
             texts = []
             for (scan,) in page_images(pdf):
                 text, _boxes = ocr_image(scan)
@@ -824,7 +840,8 @@ def _q_pdf_jbig2_globals(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "text": pa.array(out, pa.string()),
                          "n_symbols": pa.array(nsyms, pa.int64()),
-                         "n_pages": pa.array(npages, pa.int64())})
+                         "n_pages": pa.array(npages, pa.int64()),
+                         "coding": pa.array(codings, pa.string())})
 
     return ds.map_batches(scan_roundtrip, batch_format="pyarrow",
                           batch_size=64)

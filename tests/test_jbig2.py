@@ -497,3 +497,94 @@ class TestGlobalsStreams:
                b"<< /JBIG2Globals 3 0 R >> >>")
         with pytest.raises(ValueError, match="dangling"):
             decode_stream(dct, b"\x00" * 16, {})
+
+
+class TestHuffmanVariants:
+    """SDHUFF/SBHUFF Huffman coding (T.88 Annex B + §6.5.9 +
+    §7.4.3.1.7) — VERDICT r4 #3."""
+
+    def test_standard_tables_roundtrip_and_kraft(self):
+        from documentai_ray.functions.jbig2 import (_OOB, _BitReader,
+                                                    _BitWriter,
+                                                    _std_table)
+        for tn in (1, 2, 3, 4, 5, 8, 9, 10, 11, 12, 13):
+            t = _std_table(tn)  # Kraft bound asserted at construction
+            vals = []
+            for kind, low, rl, _l, _c in t.encode_map:
+                if kind == "norm":
+                    vals += [low, low + (1 << rl) - 1]
+                elif kind == "upper":
+                    vals += [low, low + 99999]
+                elif kind == "lower":
+                    vals += [low, low - 99999]
+                else:
+                    vals.append(_OOB)
+            w = _BitWriter()
+            for v in vals:
+                t.encode(w, v)
+            r = _BitReader(w.flush())
+            assert [t.decode(r) for _ in vals] == vals, tn
+
+    def test_fs_standard_tables_raise(self):
+        from documentai_ray.functions.jbig2 import _std_table
+        for tn in (6, 7):
+            with pytest.raises(ValueError, match="custom table"):
+                _std_table(tn)
+
+    def test_custom_table_segment_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (_OOB, _BitReader,
+                                                    _BitWriter,
+                                                    decode_table_segment,
+                                                    encode_table_segment)
+        seg = encode_table_segment([(-64, 2, 6), (0, 1, 3), (8, 3, 7)],
+                                   lower_pl=5, upper_pl=5, oob_pl=5)
+        t = decode_table_segment(seg)
+        vals = [-64, -1, 0, 7, 8, 135, 136, 9999, -65, -500, _OOB]
+        w = _BitWriter()
+        for v in vals:
+            t.encode(w, v)
+        r = _BitReader(w.flush())
+        assert [t.decode(r) for _ in vals] == vals
+
+    def _fixture(self):
+        rng = np.random.RandomState(9)
+        syms = [rng.rand(5 + i // 4, 4 + i % 5) > 0.5 for i in range(23)]
+        pl = [(i, 3 + 11 * (i % 9), 2 + 9 * (i // 9)) for i in range(23)]
+        return syms, pl
+
+    def test_huffman_decodes_identical_to_arithmetic(self):
+        from documentai_ray.functions.jbig2 import (
+            encode_symbol_text_page, jbig2_decode)
+        syms, pl = self._fixture()
+        a = jbig2_decode(encode_symbol_text_page(syms, pl, 120, 60))
+        h = jbig2_decode(encode_symbol_text_page(syms, pl, 120, 60,
+                                                 huffman=True))
+        assert np.array_equal(a, h)
+
+    def test_mmr_collective_bitmaps(self):
+        from documentai_ray.functions.jbig2 import (
+            encode_symbol_text_page, jbig2_decode)
+        syms, pl = self._fixture()
+        a = jbig2_decode(encode_symbol_text_page(syms, pl, 120, 60))
+        m = jbig2_decode(encode_symbol_text_page(
+            syms, pl, 120, 60, huffman=True, mmr_collective=True))
+        assert np.array_equal(a, m)
+
+    def test_single_symbol_edge(self):
+        from documentai_ray.functions.jbig2 import (
+            encode_symbol_text_page, jbig2_decode)
+        sym = np.ones((4, 3), bool)
+        out = jbig2_decode(encode_symbol_text_page(
+            [sym], [(0, 2, 2), (0, 10, 2)], 20, 10, huffman=True))
+        assert out[2:6, 2:5].all() and out[2:6, 10:13].all()
+
+    def test_huffman_globals(self):
+        from documentai_ray.functions.jbig2 import (
+            encode_symbol_text_globals, jbig2_decode)
+        syms, pl = self._fixture()
+        pages = [(pl, 120, 60), (pl[:11], 120, 40)]
+        ga, sa = encode_symbol_text_globals(syms, pages)
+        gh, sh = encode_symbol_text_globals(syms, pages, huffman=True)
+        for k in range(2):
+            assert np.array_equal(jbig2_decode(sa[k], globals_data=ga),
+                                  jbig2_decode(sh[k], globals_data=gh))
