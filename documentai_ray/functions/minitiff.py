@@ -12,10 +12,12 @@ REAL compression schemes from the public spec — no native codec needed:
   (width bumps at 511/1023/2047, table reset at 4094), optional
   Predictor=2 horizontal differencing (tag 317).
 
-The reader additionally handles big-endian ("MM") files and multi-strip
-layouts (StripOffsets/StripByteCounts arrays, RowsPerStrip). Exotic
-variants (JPEG-in-TIFF, tiled, multi-sample, <8-bit) still raise
-ValueError, explicitly. Reference parity: the reference ingests TIFF
+The reader additionally handles big-endian ("MM") files, multi-strip
+layouts (StripOffsets/StripByteCounts arrays, RowsPerStrip) and the
+TILED layout (TIFF6 §15: TileWidth/TileLength/TileOffsets/
+TileByteCounts, full-size padded edge tiles). Exotic variants
+(JPEG-in-TIFF, multi-sample beyond chunky RGB, <8-bit beyond bilevel)
+still raise ValueError, explicitly. Reference parity: the reference ingests TIFF
 scans via PIL/cv2 (documentClassifier.py image path); here the decode is
 engine-internal so the Ray stages stay dependency-free.
 """
@@ -36,6 +38,10 @@ _TAG_SAMPLES = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTES = 279
 _TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTES = 325
 
 _CLEAR = 256
 _EOI = 257
@@ -238,15 +244,58 @@ def _undiff_rows(img: np.ndarray) -> np.ndarray:
 # container
 # ---------------------------------------------------------------------------
 
+def _compress_tiff_block(block: np.ndarray, compression: str,
+                         predictor: int, bilevel: bool,
+                         w: int) -> bytes:
+    """One strip or tile of samples → compressed bytes (shared by the
+    stripped and tiled writers)."""
+    if compression == "g4":
+        from documentai_ray.functions.faxg4 import g4_encode
+
+        # fax convention (PhotometricInterpretation 0): ink = dark
+        return g4_encode(block < 128)
+    if compression == "mh":
+        # Compression=2 (Modified Huffman): per-row 1-D T.4 runs,
+        # NO EOLs, each row starting on a byte boundary (TIFF6)
+        from documentai_ray.functions.faxg4 import _BitW, _encode_1d_line
+
+        bw = _BitW()
+        for rrow in (block < 128):
+            _encode_1d_line(bw, rrow, w)
+            bw.done()          # flush pads the row to a byte edge
+        return bytes(bw.buf)
+    if compression in ("g3", "g3_2d"):
+        # Compression=3 (T.4 / Group 3): EOL-framed; T4Options
+        # bit 0 signals 2-D (mixed MR) coding
+        from documentai_ray.functions.faxg4 import g3_encode
+
+        return g3_encode(block < 128, k=0 if compression == "g3" else 4)
+    if bilevel:
+        raw = np.packbits(block >= 128, axis=1).tobytes()
+    else:
+        if predictor == 2:
+            block = _diff_rows(block)
+        raw = block.tobytes()
+    if compression == "lzw":
+        return lzw_encode(raw)
+    if compression == "packbits":
+        return packbits_encode(raw)
+    return raw
+
+
 def encode_gray_tiff(img: np.ndarray, compression: str = "none",
                      rows_per_strip: int | None = None,
-                     predictor: int = 1, bilevel: bool = False) -> bytes:
+                     predictor: int = 1, bilevel: bool = False,
+                     tile: tuple[int, int] | None = None) -> bytes:
     """Little-endian grayscale TIFF. ``compression`` in {"none",
     "packbits", "lzw"}; ``predictor=2`` (LZW only) applies horizontal
     differencing; ``rows_per_strip`` splits the image into strips;
     ``bilevel=True`` writes 1-bit rows (the scanned-fax layout: pixels
     >= 128 become 1 = black-is-zero white, rows padded to byte
-    boundaries)."""
+    boundaries). ``tile=(tw, th)`` writes the TILED layout (TIFF6 §15:
+    TileWidth/TileLength/TileOffsets/TileByteCounts, full-size padded
+    edge tiles, multiples of 16) instead of strips — the remaining
+    non-exotic layout in scanned-archive crawls."""
     h, w = img.shape
     comp_id = {"none": 1, "mh": 2, "g3": 3, "g3_2d": 3, "lzw": 5,
                "packbits": 32773, "g4": 4}[compression]
@@ -254,49 +303,41 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
         bilevel = True  # fax codecs are inherently bilevel
     if predictor == 2 and (compression != "lzw" or bilevel):
         raise ValueError("predictor=2 only supported with 8-bit lzw here")
-    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
-    strips: list[bytes] = []
-    for y0 in range(0, h, rps):
-        block = img[y0:y0 + rps]
-        if compression == "g4":
-            from documentai_ray.functions.faxg4 import g4_encode
-
-            # fax convention (PhotometricInterpretation 0): ink = dark
-            strips.append(g4_encode(block < 128))
-            continue
-        if compression == "mh":
-            # Compression=2 (Modified Huffman): per-row 1-D T.4 runs,
-            # NO EOLs, each row starting on a byte boundary (TIFF6)
-            from documentai_ray.functions.faxg4 import (_BitW,
-                                                        _encode_1d_line)
-
-            bw = _BitW()
-            for rrow in (block < 128):
-                _encode_1d_line(bw, rrow, w)
-                bw.done()          # flush pads the row to a byte edge
-            strips.append(bytes(bw.buf))
-            continue
-        if compression in ("g3", "g3_2d"):
-            # Compression=3 (T.4 / Group 3): EOL-framed; T4Options
-            # bit 0 signals 2-D (mixed MR) coding
-            from documentai_ray.functions.faxg4 import g3_encode
-
-            strips.append(g3_encode(block < 128,
-                                    k=0 if compression == "g3" else 4))
-            continue
-        if bilevel:
-            raw = np.packbits(block >= 128, axis=1).tobytes()
-        else:
-            if predictor == 2:
-                block = _diff_rows(block)
-            raw = block.tobytes()
-        if compression == "lzw":
-            strips.append(lzw_encode(raw))
-        elif compression == "packbits":
-            strips.append(packbits_encode(raw))
-        else:
-            strips.append(raw)
-    nstrips = len(strips)
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        across = -(-w // tw)
+        down = -(-h // th)
+        # pad to full tiles with white (cropped away on decode)
+        padded = np.full((down * th, across * tw), 255, np.uint8)
+        padded[:h, :w] = img
+        strips = [
+            _compress_tiff_block(
+                padded[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw],
+                compression, predictor, bilevel, tw)
+            for ty in range(down) for tx in range(across)]
+        geom_entries = [
+            (_TAG_TILE_WIDTH, 3, 1, tw), (_TAG_TILE_LENGTH, 3, 1, th),
+            (_TAG_TILE_OFFSETS, 4, len(strips), [0] * len(strips)),
+            (_TAG_TILE_BYTES, 4, len(strips),
+             [len(s) for s in strips]),
+        ]
+        offsets_tag = _TAG_TILE_OFFSETS
+    else:
+        rps = h if rows_per_strip is None \
+            else max(1, min(rows_per_strip, h))
+        strips = [
+            _compress_tiff_block(img[y0:y0 + rps], compression,
+                                 predictor, bilevel, w)
+            for y0 in range(0, h, rps)]
+        nstrips = len(strips)
+        geom_entries = [
+            (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),
+            (_TAG_ROWS_PER_STRIP, 3, 1, rps),
+            (_TAG_STRIP_BYTES, 4, nstrips, [len(s) for s in strips]),
+        ]
+        offsets_tag = _TAG_STRIP_OFFSETS
 
     entries: list[tuple[int, int, int, int | list[int]]] = [
         (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
@@ -304,10 +345,8 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
         (_TAG_COMPRESSION, 3, 1, comp_id),
         (_TAG_PHOTOMETRIC, 3, 1,
          0 if compression in ("g4", "mh", "g3", "g3_2d") else 1),
-        (_TAG_STRIP_OFFSETS, 4, nstrips, [0] * nstrips),  # patched below
-        (_TAG_SAMPLES, 3, 1, 1), (_TAG_ROWS_PER_STRIP, 3, 1, rps),
-        (_TAG_STRIP_BYTES, 4, nstrips, [len(s) for s in strips]),
-    ]
+        (_TAG_SAMPLES, 3, 1, 1),
+    ] + geom_entries
     if predictor == 2:
         entries.append((_TAG_PREDICTOR, 3, 1, 2))
     if compression in ("g3", "g3_2d"):
@@ -335,7 +374,7 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
     out += struct.pack("<H", len(entries))
     for tag, typ, cnt, val in entries:
-        if tag == _TAG_STRIP_OFFSETS:
+        if tag == offsets_tag:
             val = offsets
         if isinstance(val, list):
             field = array_pos[tag] if cnt > 1 else val[0]
@@ -344,7 +383,7 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
         out += struct.pack("<HHII", tag, typ, cnt, field)
     out += struct.pack("<I", 0)  # no next IFD
     for tag, typ, cnt, val in entries:
-        if tag == _TAG_STRIP_OFFSETS:
+        if tag == offsets_tag:
             val = offsets
         if isinstance(val, list) and cnt > 1:
             out += struct.pack(f"<{cnt}I", *val)
@@ -451,6 +490,57 @@ def _read_tag_values(payload: bytes, endian: str, typ: int, cnt: int,
     return list(struct.unpack_from(f"{endian}{cnt}{fmt}", payload, off))
 
 
+def _decode_tiff_block(raw: bytes, comp: int, bits: int, samples: int,
+                       photometric: int, predictor: int, w: int,
+                       nrows: int, tags: dict) -> np.ndarray:
+    """One strip or tile → uint8 gray (nrows, w) block, shared by the
+    stripped and tiled layouts (same codecs, different geometry)."""
+    row_bytes = (w * bits * samples + 7) // 8
+    expected = nrows * row_bytes
+    if comp in (2, 3, 4):  # fax family: ink (black run) = dark
+        from documentai_ray.functions.faxg4 import g3_decode, g4_decode
+
+        if comp == 4:
+            ink = g4_decode(raw, w, nrows)
+        elif comp == 2:
+            # MH: per-row byte-aligned 1-D runs, no EOL framing
+            ink = g3_decode(raw, w, nrows, k=0, eol=False,
+                            byte_align=True)
+        else:
+            t4 = tags.get(292, [0])[0]       # T4Options
+            ink = g3_decode(raw, w, nrows,
+                            k=1 if t4 & 1 else 0, eol=True)
+        if photometric == 1:
+            ink = ~ink
+        return np.where(ink, 0, 255).astype(np.uint8)
+    if comp == 1:
+        if len(raw) < expected:
+            raise ValueError("strip size mismatch")
+        data = raw[:expected]
+    elif comp == 5:
+        data = lzw_decode(raw, expected)
+    else:
+        data = packbits_decode(raw, expected)
+    if bits == 1:
+        packed = np.frombuffer(data, np.uint8).reshape(nrows, row_bytes)
+        unpacked = np.unpackbits(packed, axis=1)[:, :w]
+        # BlackIsZero: bit 1 = white; WhiteIsZero (fax default): invert
+        if photometric == 0:
+            unpacked = 1 - unpacked
+        return (unpacked * 255).astype(np.uint8)
+    if samples == 3:  # chunky RGB → integer BT.601 luma gray
+        rgb = np.frombuffer(data, np.uint8).reshape(
+            nrows, w, 3).astype(np.uint32)
+        if predictor == 2:  # per-sample horizontal differencing
+            rgb = (np.cumsum(rgb, axis=1) & 0xFF)
+        return ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                 + 114 * rgb[:, :, 2] + 500) // 1000).astype(np.uint8)
+    block = np.frombuffer(data, np.uint8).reshape(nrows, w)
+    if predictor == 2:
+        block = _undiff_rows(block)
+    return block
+
+
 def decode_gray_tiff(payload: bytes) -> np.ndarray:
     if payload[:4] == b"II*\x00":
         endian = "<"
@@ -471,7 +561,12 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
                 tags[tag] = vals
     except struct.error as exc:
         raise ValueError(f"truncated TIFF: {exc}") from exc
-    for t in (_TAG_WIDTH, _TAG_HEIGHT, _TAG_STRIP_OFFSETS, _TAG_STRIP_BYTES):
+    tiled = _TAG_TILE_OFFSETS in tags
+    need = ((_TAG_WIDTH, _TAG_HEIGHT, _TAG_TILE_WIDTH, _TAG_TILE_LENGTH,
+             _TAG_TILE_OFFSETS, _TAG_TILE_BYTES) if tiled else
+            (_TAG_WIDTH, _TAG_HEIGHT, _TAG_STRIP_OFFSETS,
+             _TAG_STRIP_BYTES))
+    for t in need:
         if t not in tags:
             raise ValueError("missing required TIFF tags")
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
@@ -491,67 +586,48 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         raise ValueError(f"TIFF predictor {predictor} not supported")
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
+    if tiled:
+        # TIFF6 §15: full-size padded tiles, left-to-right then
+        # top-to-bottom; each tile compresses independently with the
+        # same codec as a strip would
+        tw = tags[_TAG_TILE_WIDTH][0]
+        th = tags[_TAG_TILE_LENGTH][0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        offsets = tags[_TAG_TILE_OFFSETS]
+        byte_counts = tags[_TAG_TILE_BYTES]
+        if len(offsets) != len(byte_counts):
+            raise ValueError("tile offset/bytecount length mismatch")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) != across * down:
+            raise ValueError("tile count mismatch")
+        out = np.zeros((h, w), np.uint8)
+        for i, (off, nbytes) in enumerate(zip(offsets, byte_counts)):
+            if off + nbytes > len(payload):
+                raise ValueError("tile out of bounds")
+            tx = (i % across) * tw
+            ty = (i // across) * th
+            block = _decode_tiff_block(
+                payload[off:off + nbytes], comp, bits, samples,
+                photometric, predictor, tw, th, tags)
+            out[ty:ty + th, tx:tx + tw] = \
+                block[:h - ty, :w - tx]
+        return out
     rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
     offsets = tags[_TAG_STRIP_OFFSETS]
     byte_counts = tags[_TAG_STRIP_BYTES]
     if len(offsets) != len(byte_counts):
         raise ValueError("strip offset/bytecount length mismatch")
-    row_bytes = (w * bits * samples + 7) // 8
     rows = []
     y = 0
     for off, nbytes in zip(offsets, byte_counts):
         if off + nbytes > len(payload):
             raise ValueError("strip out of bounds")
         strip_rows = min(rps, h - y)
-        expected = strip_rows * row_bytes
-        raw = payload[off:off + nbytes]
-        if comp in (2, 3, 4):  # fax family: ink (black run) = dark
-            from documentai_ray.functions.faxg4 import (g3_decode,
-                                                        g4_decode)
-
-            if comp == 4:
-                ink = g4_decode(raw, w, strip_rows)
-            elif comp == 2:
-                # MH: per-row byte-aligned 1-D runs, no EOL framing
-                ink = g3_decode(raw, w, strip_rows, k=0, eol=False,
-                                byte_align=True)
-            else:
-                t4 = tags.get(292, [0])[0]       # T4Options
-                ink = g3_decode(raw, w, strip_rows,
-                                k=1 if t4 & 1 else 0, eol=True)
-            if photometric == 1:
-                ink = ~ink
-            rows.append(np.where(ink, 0, 255).astype(np.uint8))
-            y += strip_rows
-            continue
-        if comp == 1:
-            if nbytes < expected:
-                raise ValueError("strip size mismatch")
-            data = raw[:expected]
-        elif comp == 5:
-            data = lzw_decode(raw, expected)
-        else:
-            data = packbits_decode(raw, expected)
-        if bits == 1:
-            packed = np.frombuffer(data, np.uint8).reshape(strip_rows,
-                                                           row_bytes)
-            unpacked = np.unpackbits(packed, axis=1)[:, :w]
-            # BlackIsZero: bit 1 = white; WhiteIsZero (fax default): invert
-            if photometric == 0:
-                unpacked = 1 - unpacked
-            block = (unpacked * 255).astype(np.uint8)
-        elif samples == 3:  # chunky RGB → integer BT.601 luma gray
-            rgb = np.frombuffer(data, np.uint8).reshape(
-                strip_rows, w, 3).astype(np.uint32)
-            if predictor == 2:  # per-sample horizontal differencing
-                rgb = (np.cumsum(rgb, axis=1) & 0xFF)
-            block = ((299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
-                      + 114 * rgb[:, :, 2] + 500) // 1000).astype(np.uint8)
-        else:
-            block = np.frombuffer(data, np.uint8).reshape(strip_rows, w)
-            if predictor == 2:
-                block = _undiff_rows(block)
-        rows.append(block)
+        rows.append(_decode_tiff_block(
+            payload[off:off + nbytes], comp, bits, samples, photometric,
+            predictor, w, strip_rows, tags))
         y += strip_rows
     if y != h:
         raise ValueError("strips do not cover the image height")

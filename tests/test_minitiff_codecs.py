@@ -245,3 +245,55 @@ def test_fax_tiff_family_roundtrips():
     t3_2d = encode_gray_tiff(img, compression="g3_2d")
     assert decode_gray_tiff(t3).shape == img.shape
     assert len(t3_2d) != len(t3)  # genuinely different coding
+
+
+class TestTiledLayout:
+    """TIFF6 §15 tiled layout (VERDICT r4 #6): full-size padded edge
+    tiles, left-to-right/top-to-bottom, every codec per tile."""
+
+    def _img(self):
+        rng = np.random.RandomState(7)
+        return (rng.rand(45, 70) * 255).astype(np.uint8)
+
+    @pytest.mark.parametrize("comp", ["none", "lzw", "packbits"])
+    def test_gray_tile_roundtrip(self, comp):
+        img = self._img()
+        t = encode_gray_tiff(img, compression=comp, tile=(32, 16))
+        assert np.array_equal(decode_gray_tiff(t), img)
+
+    def test_predictor_in_tiles(self):
+        img = self._img()
+        t = encode_gray_tiff(img, compression="lzw", predictor=2,
+                             tile=(16, 16))
+        assert np.array_equal(decode_gray_tiff(t), img)
+
+    @pytest.mark.parametrize("comp", ["g4", "mh", "g3", "g3_2d"])
+    def test_fax_tile_roundtrip(self, comp):
+        bi = (self._img() > 128).astype(np.uint8) * 255
+        t = encode_gray_tiff(bi, compression=comp, tile=(48, 32))
+        assert np.array_equal(decode_gray_tiff(t), bi)
+
+    def test_bilevel_packbits_tiles(self):
+        bi = (self._img() > 128).astype(np.uint8) * 255
+        t = encode_gray_tiff(bi, bilevel=True, compression="packbits",
+                             tile=(16, 48))
+        assert np.array_equal(decode_gray_tiff(t), bi)
+
+    def test_exact_multiple_tiles(self):
+        img = self._img()[:32, :64]
+        t = encode_gray_tiff(img, compression="lzw", tile=(32, 16))
+        assert np.array_equal(decode_gray_tiff(t), img)
+
+    def test_bad_tile_size_rejected(self):
+        with pytest.raises(ValueError, match="multiple of 16"):
+            encode_gray_tiff(self._img(), tile=(20, 16))
+
+    def test_tile_count_mismatch_rejected(self):
+        img = self._img()
+        t = bytearray(encode_gray_tiff(img, tile=(16, 16)))
+        # corrupt ImageWidth upward so across*down no longer matches
+        i = t.find(struct.pack("<HHI", 256, 3, 1))
+        assert i != -1
+        t[i + 8:i + 10] = struct.pack("<H", 200)
+        with pytest.raises(ValueError, match="tile count mismatch"):
+            decode_gray_tiff(bytes(t))
