@@ -631,10 +631,8 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             refined = decode_refinement_region(
                 payload[pos2:], rw, rh, page[ry:ry + rh, rx:rx + rw])
             page[ry:ry + rh, rx:rx + rw] = refined   # REPLACE
-        elif typ in (53, 62):
-            raise ValueError(
-                f"JBIG2 segment type {typ} (tables/extension) "
-                f"unsupported")
+        elif typ == 62:
+            raise ValueError("JBIG2 extension segments unsupported")
         else:
             raise ValueError(f"unknown JBIG2 segment type {typ}")
     if page is None:
