@@ -15,9 +15,12 @@ REAL compression schemes from the public spec — no native codec needed:
 The reader additionally handles big-endian ("MM") files, multi-strip
 layouts (StripOffsets/StripByteCounts arrays, RowsPerStrip) and the
 TILED layout (TIFF6 §15: TileWidth/TileLength/TileOffsets/
-TileByteCounts, full-size padded edge tiles). Exotic variants
-(JPEG-in-TIFF, multi-sample beyond chunky RGB, <8-bit beyond bilevel)
-still raise ValueError, explicitly. Reference parity: the reference ingests TIFF
+TileByteCounts, full-size padded edge tiles), plus Compression=7
+new-style JPEG-in-TIFF (TIFF TechNote 2: self-contained JPEG strips or
+shared tables via the JPEGTables tag 347, merged ahead of each strip's
+stream). Exotic variants (old-style Compression=6 JPEG, multi-sample
+beyond chunky RGB, <8-bit beyond bilevel) still raise ValueError,
+explicitly. Reference parity: the reference ingests TIFF
 scans via PIL/cv2 (documentClassifier.py image path); here the decode is
 engine-internal so the Ray stages stay dependency-free.
 """
@@ -42,6 +45,7 @@ _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_BYTES = 325
+_TAG_JPEG_TABLES = 347
 
 _CLEAR = 256
 _EOI = 257
@@ -244,6 +248,37 @@ def _undiff_rows(img: np.ndarray) -> np.ndarray:
 # container
 # ---------------------------------------------------------------------------
 
+def _split_jpeg_tables(jpg: bytes) -> tuple[bytes, bytes]:
+    """Split a self-contained JPEG into (tables stream, stripped stream)
+    per TIFF TechNote 2: DQT/DHT segments move to a JPEGTables-style
+    SOI+tables+EOI stream; everything else (SOF/DRI/SOS+entropy data)
+    stays in the per-strip stream."""
+    if jpg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(jpg)
+    while pos + 4 <= n:
+        if jpg[pos] != 0xFF:
+            raise ValueError("bad JPEG marker byte")
+        marker = jpg[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xDA:        # SOS: entropy data through EOI
+            rest += jpg[pos:]
+            return (b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+                    bytes(rest))
+        (ln,) = struct.unpack_from(">H", jpg, pos + 2)
+        seg = jpg[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    raise ValueError("JPEG without SOS")
+
+
 def _compress_tiff_block(block: np.ndarray, compression: str,
                          predictor: int, bilevel: bool,
                          w: int) -> bytes:
@@ -270,6 +305,13 @@ def _compress_tiff_block(block: np.ndarray, compression: str,
         from documentai_ray.functions.faxg4 import g3_encode
 
         return g3_encode(block < 128, k=0 if compression == "g3" else 4)
+    if compression in ("jpeg", "jpeg_tables"):
+        # Compression=7 (new-style JPEG-in-TIFF): each strip/tile is a
+        # complete JPEG stream (tables split out afterwards for the
+        # jpeg_tables mode)
+        from documentai_ray.functions.jpegdec import encode_jpeg
+
+        return encode_jpeg(np.ascontiguousarray(block))
     if bilevel:
         raw = np.packbits(block >= 128, axis=1).tobytes()
     else:
@@ -298,7 +340,8 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     non-exotic layout in scanned-archive crawls."""
     h, w = img.shape
     comp_id = {"none": 1, "mh": 2, "g3": 3, "g3_2d": 3, "lzw": 5,
-               "packbits": 32773, "g4": 4}[compression]
+               "packbits": 32773, "g4": 4, "jpeg": 7,
+               "jpeg_tables": 7}[compression]
     if compression in ("g4", "mh", "g3", "g3_2d"):
         bilevel = True  # fax codecs are inherently bilevel
     if predictor == 2 and (compression != "lzw" or bilevel):
@@ -339,6 +382,20 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
         ]
         offsets_tag = _TAG_STRIP_OFFSETS
 
+    if compression == "jpeg_tables":
+        # shared tables: split each strip, carry ONE copy in tag 347
+        split = [_split_jpeg_tables(s) for s in strips]
+        tables0 = split[0][0]
+        if any(t != tables0 for t, _ in split):
+            raise ValueError("inconsistent JPEG tables across strips")
+        strips = [r for _, r in split]
+        # byte counts in geom_entries were computed pre-split: rebuild
+        for gi, (tag, typ, cnt, val) in enumerate(geom_entries):
+            if tag in (_TAG_STRIP_BYTES, _TAG_TILE_BYTES):
+                geom_entries[gi] = (tag, typ, cnt,
+                                    [len(s) for s in strips])
+        geom_entries.append((_TAG_JPEG_TABLES, 7, len(tables0),
+                             list(tables0)))
     entries: list[tuple[int, int, int, int | list[int]]] = [
         (_TAG_WIDTH, 3, 1, w), (_TAG_HEIGHT, 3, 1, h),
         (_TAG_BITS, 3, 1, 1 if bilevel else 8),
@@ -360,11 +417,13 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     # the array bytes are packed
     arrays_off = ifd_off + ifd_size
     array_pos: dict[int, int] = {}
+    esize = {1: 1, 3: 2, 4: 4, 7: 1}
+    efmt = {1: "B", 3: "H", 4: "I", 7: "B"}
     pos = arrays_off
     for tag, typ, cnt, val in entries:
-        if isinstance(val, list) and cnt > 1:
+        if isinstance(val, list) and esize[typ] * cnt > 4:
             array_pos[tag] = pos
-            pos += 4 * cnt
+            pos += esize[typ] * cnt
     data_off = pos
     offsets: list[int] = []
     for s in strips:
@@ -376,17 +435,20 @@ def encode_gray_tiff(img: np.ndarray, compression: str = "none",
     for tag, typ, cnt, val in entries:
         if tag == offsets_tag:
             val = offsets
-        if isinstance(val, list):
-            field = array_pos[tag] if cnt > 1 else val[0]
+        if isinstance(val, list) and tag in array_pos:
+            out += struct.pack("<HHII", tag, typ, cnt, array_pos[tag])
+        elif isinstance(val, list):
+            packed = struct.pack(f"<{cnt}{efmt[typ]}", *val)
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += packed + b"\x00" * (4 - len(packed))
         else:
-            field = val
-        out += struct.pack("<HHII", tag, typ, cnt, field)
+            out += struct.pack("<HHII", tag, typ, cnt, val)
     out += struct.pack("<I", 0)  # no next IFD
     for tag, typ, cnt, val in entries:
         if tag == offsets_tag:
             val = offsets
-        if isinstance(val, list) and cnt > 1:
-            out += struct.pack(f"<{cnt}I", *val)
+        if isinstance(val, list) and tag in array_pos:
+            out += struct.pack(f"<{cnt}{efmt[typ]}", *val)
     for s in strips:
         out += s
     return bytes(out)
@@ -471,16 +533,17 @@ def _read_tag_values(payload: bytes, endian: str, typ: int, cnt: int,
     """IFD value field: inline when it fits in 4 bytes, else an offset.
 
     Only SHORT (3) and LONG (4) carry the geometry/layout values this
-    decoder consumes; any other type (RATIONAL XResolution, ASCII
+    decoder consumes, plus BYTE/UNDEFINED (1/7) for the JPEGTables
+    blob; any other type (RATIONAL XResolution, ASCII
     Software/DateTime — near-universal in real scans) returns None and
     the tag is IGNORED rather than rejecting the whole file (ADVICE r3:
     required tags are re-checked by name after the scan)."""
-    sizes = {3: 2, 4: 4}
+    sizes = {1: 1, 3: 2, 4: 4, 7: 1}
     if typ not in sizes:
         return None
     if cnt == 0 or cnt > 1_000_000:
         raise ValueError(f"malformed TIFF tag count {cnt}")
-    fmt = {3: "H", 4: "I"}[typ]
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
     total = sizes[typ] * cnt
     if total <= 4:
         return list(struct.unpack(f"{endian}{cnt}{fmt}", field_bytes[:total]))
@@ -497,6 +560,29 @@ def _decode_tiff_block(raw: bytes, comp: int, bits: int, samples: int,
     stripped and tiled layouts (same codecs, different geometry)."""
     row_bytes = (w * bits * samples + 7) // 8
     expected = nrows * row_bytes
+    if comp == 7:  # new-style JPEG-in-TIFF (TechNote 2)
+        from documentai_ray.functions.jpegdec import decode_jpeg
+
+        raw = bytes(raw)
+        if raw[:2] != b"\xff\xd8":
+            raise ValueError("JPEG strip without SOI")
+        tables = bytes(tags.get(_TAG_JPEG_TABLES, []))
+        if tables:
+            # the JPEGTables stream is SOI + DQT/DHT... + EOI; its
+            # tables logically precede every strip's stream — merge by
+            # splicing them right after the strip's SOI (a later
+            # in-strip DQT/DHT legally redefines)
+            if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+                raise ValueError("malformed JPEGTables stream")
+            raw = raw[:2] + tables[2:-2] + raw[2:]
+        img = decode_jpeg(raw)
+        if img.ndim == 3:  # YCbCr/RGB strip → BT.601 luma gray
+            p32 = img.astype(np.int64)
+            img = ((299 * p32[:, :, 0] + 587 * p32[:, :, 1]
+                    + 114 * p32[:, :, 2] + 500) // 1000).astype(np.uint8)
+        if img.shape != (nrows, w):
+            raise ValueError("JPEG strip dimension mismatch")
+        return img
     if comp in (2, 3, 4):  # fax family: ink (black run) = dark
         from documentai_ray.functions.faxg4 import g3_decode, g4_decode
 
@@ -570,12 +656,14 @@ def decode_gray_tiff(payload: bytes) -> np.ndarray:
         if t not in tags:
             raise ValueError("missing required TIFF tags")
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 2, 3, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 32773):
         raise ValueError(f"TIFF compression {comp} not supported")
     bits = tags.get(_TAG_BITS, [8])[0]
     samples = tags.get(_TAG_SAMPLES, [1])[0]
     if comp in (2, 3, 4) and (bits != 1 or samples != 1):
         raise ValueError("fax compression is bilevel only")
+    if comp == 7 and bits != 8:
+        raise ValueError("JPEG-in-TIFF requires 8-bit samples")
     if bits not in (1, 8) or samples not in (1, 3):
         raise ValueError("only 1/8-bit, 1/3-sample TIFF supported")
     if samples == 3 and bits != 8:

@@ -179,7 +179,9 @@ def _q_tiff_compressed_roundtrip(sf_dir: str):
     3 G3 1-D and 2-D via T4Options, 4 G4) and every output must agree
     cell-for-cell. The 8-bit codecs additionally round-trip through the
     TILED layout (TIFF6 §15, 16x16 padded tiles — VERDICT r4 #6) and
-    must match the stripped decode bit-for-bit."""
+    must match the stripped decode bit-for-bit; Compression=7 JPEG-in-
+    TIFF (TechNote 2, self-contained and shared-JPEGTables) must match
+    the direct JPEG decode of the same stream exactly."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -210,9 +212,21 @@ def _q_tiff_compressed_roundtrip(sf_dir: str):
                 np.array_equal(decode_gray_tiff(encode_gray_tiff(
                     img, compression=c, tile=(16, 16))), img)
                 for c in ("lzw", "packbits", "none"))
+            # Compression=7 JPEG-in-TIFF (lossy): the TIFF decode must
+            # equal the direct JPEG decode of the same stream exactly,
+            # for both self-contained strips and shared JPEGTables
+            from documentai_ray.functions.jpegdec import (decode_jpeg,
+                                                          encode_jpeg)
+            jref = decode_jpeg(encode_jpeg(img))
+            jpeg_ok = (
+                np.array_equal(decode_gray_tiff(encode_gray_tiff(
+                    img, compression="jpeg")), jref)
+                and np.array_equal(decode_gray_tiff(encode_gray_tiff(
+                    img, compression="jpeg_tables", rows_per_strip=8)),
+                    jref))
             agree.append(bool(np.array_equal(lzw, pb)
                               and np.array_equal(lzw, img) and fax_ok
-                              and tiled_ok))
+                              and tiled_ok and jpeg_ok))
             sums.append(int(lzw.astype(np.int64).sum()))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "pixel_sum": pa.array(sums, pa.int64()),

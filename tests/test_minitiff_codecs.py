@@ -118,15 +118,24 @@ def test_tiff_mutation_robustness(comp):
 def test_unsupported_variants_still_raise():
     img = np.full((4, 4), 9, np.uint8)
     enc = bytearray(encode_gray_tiff(img))
-    # rewrite the compression tag to JPEG-in-TIFF (7): must raise, not fake
+    # rewrite the compression tag to OLD-style JPEG (6, deprecated):
+    # must raise, not fake (new-style 7 is now a real decode path)
     (ifd_off,) = struct.unpack_from("<I", enc, 4)
     (n,) = struct.unpack_from("<H", enc, ifd_off)
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         tag, typ, cnt, val = struct.unpack_from("<HHII", enc, base)
         if tag == 259:
-            enc[base:base + 12] = struct.pack("<HHII", tag, typ, cnt, 7)
+            enc[base:base + 12] = struct.pack("<HHII", tag, typ, cnt, 6)
     with pytest.raises(ValueError, match="not supported"):
+        decode_gray_tiff(bytes(enc))
+    # a compression-7 strip that is not a JPEG raises too, distinctly
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt, val = struct.unpack_from("<HHII", enc, base)
+        if tag == 259:
+            enc[base:base + 12] = struct.pack("<HHII", tag, typ, cnt, 7)
+    with pytest.raises(ValueError, match="SOI"):
         decode_gray_tiff(bytes(enc))
 
 
@@ -296,4 +305,50 @@ class TestTiledLayout:
         assert i != -1
         t[i + 8:i + 10] = struct.pack("<H", 200)
         with pytest.raises(ValueError, match="tile count mismatch"):
+            decode_gray_tiff(bytes(t))
+
+
+class TestJpegInTiff:
+    """Compression=7 new-style JPEG-in-TIFF (TIFF TechNote 2)."""
+
+    def _img(self):
+        rng = np.random.RandomState(11)
+        return (rng.rand(40, 64) * 255).astype(np.uint8)
+
+    def test_self_contained_strip_equals_direct_decode(self):
+        from documentai_ray.functions.jpegdec import (decode_jpeg,
+                                                      encode_jpeg)
+        img = self._img()
+        got = decode_gray_tiff(encode_gray_tiff(img, compression="jpeg"))
+        assert np.array_equal(got, decode_jpeg(encode_jpeg(img)))
+
+    def test_shared_jpegtables_multistrip(self):
+        from documentai_ray.functions.jpegdec import (decode_jpeg,
+                                                      encode_jpeg)
+        img = self._img()
+        t = encode_gray_tiff(img, compression="jpeg_tables",
+                             rows_per_strip=16)
+        # the per-strip streams carry no DQT/DHT of their own
+        from documentai_ray.functions.minitiff import _split_jpeg_tables
+        tables, _rest = _split_jpeg_tables(encode_jpeg(img))
+        assert tables in t  # one shared copy in tag 347
+        want = np.vstack([
+            decode_jpeg(encode_jpeg(np.ascontiguousarray(img[y:y + 16])))
+            for y in range(0, 40, 16)])
+        assert np.array_equal(decode_gray_tiff(t), want)
+
+    def test_tiled_jpeg(self):
+        img = self._img()
+        t = encode_gray_tiff(img, compression="jpeg_tables",
+                             tile=(32, 16))
+        assert decode_gray_tiff(t).shape == img.shape
+
+    def test_malformed_tables_rejected(self):
+        img = self._img()
+        t = bytearray(encode_gray_tiff(img, compression="jpeg_tables",
+                                       rows_per_strip=16))
+        i = t.find(b"\xff\xd8", 8)  # the JPEGTables blob's SOI
+        assert i != -1
+        t[i] = 0x00
+        with pytest.raises(ValueError, match="JPEGTables"):
             decode_gray_tiff(bytes(t))
