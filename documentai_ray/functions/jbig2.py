@@ -255,6 +255,32 @@ class MQEncoder:
 
 _NOMINAL_AT = ((3, -1), (-3, -1), (2, -2), (-2, -2))
 
+# templates 1-3 (T.88 §6.2.5.3 figures): fixed pixels in raster order
+# with the single AT pixel marked None at its figure slot; nominal A1
+# and the per-template TPGDON LTP context value (§6.2.5.7)
+_TEMPLATE_DEFS = {
+    1: ([(-1, -2), (0, -2), (1, -2), (2, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), None,
+         (-3, 0), (-2, 0), (-1, 0)], (3, -1), 0x0795),
+    2: ([(-1, -2), (0, -2), (1, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1), None,
+         (-2, 0), (-1, 0)], (2, -1), 0x00E5),
+    3: ([(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), None,
+         (-4, 0), (-3, 0), (-2, 0), (-1, 0)], (2, -1), 0x0195),
+}
+
+
+def _template_coords(template: int, at1) -> list[tuple[int, int]]:
+    coords, _nom, _ltp = _TEMPLATE_DEFS[template]
+    return [at1 if c is None else c for c in coords]
+
+
+def nominal_at(template: int):
+    """Nominal AT pixel(s) for a GB template (encoder default)."""
+    if template == 0:
+        return _NOMINAL_AT
+    return (_TEMPLATE_DEFS[template][1],)
+
 
 
 def _seed(row, n: int, width: int) -> int:
@@ -271,26 +297,45 @@ def _seed(row, n: int, width: int) -> int:
 
 
 def decode_generic_region(data: bytes, width: int, height: int,
-                          at=_NOMINAL_AT, tpgdon: bool = False
-                          ) -> np.ndarray:
-    """MQ data → bool (height, width) array (True = black), GB template
-    0. Nominal AT positions use the shift-register fast path; arbitrary
-    AT fall back to the general per-pixel context assembly. TPGDON
-    (typical-prediction) rows decode the LTP toggle through context
-    0x9B25 per spec."""
+                          at=_NOMINAL_AT, tpgdon: bool = False,
+                          template: int = 0) -> np.ndarray:
+    """MQ data → bool (height, width) array (True = black), GB
+    templates 0-3. Template-0 nominal AT positions use the
+    shift-register fast path; arbitrary AT and templates 1-3 use the
+    general per-pixel context assembly. TPGDON (typical-prediction)
+    rows decode the LTP toggle through the per-template context
+    (0x9B25 / 0x0795 / 0x00E5 / 0x0195, §6.2.5.7)."""
     if width <= 0 or height <= 0:
         raise ValueError("bad JBIG2 region dimensions")
     return _decode_generic_into(MQDecoder(data), CtxState(), width,
-                                height, at, tpgdon)
+                                height, at, tpgdon, template)
 
 
 def _decode_generic_into(dec: MQDecoder, cx: CtxState, width: int,
                          height: int, at=_NOMINAL_AT,
-                         tpgdon: bool = False) -> np.ndarray:
+                         tpgdon: bool = False,
+                         template: int = 0) -> np.ndarray:
     """Generic-region decode on an EXISTING coder + context bank — the
     form symbol dictionaries need (all symbols of a dictionary share
     one MQ stream and one GB context bank)."""
     bmp = np.zeros((height, width), dtype=np.uint8)
+    if template != 0:
+        coords = _template_coords(template, at[0])
+        pix = _coords_ctx(coords)
+        ltp_ctx = _TEMPLATE_DEFS[template][2]
+        ltp = 0
+        for y in range(height):
+            if tpgdon:
+                if dec.decode(cx, ltp_ctx):
+                    ltp ^= 1
+                if ltp:
+                    if y > 0:
+                        bmp[y] = bmp[y - 1]
+                    continue
+            row = bmp[y]
+            for x in range(width):
+                row[x] = dec.decode(cx, pix(bmp, x, y, width, height))
+        return bmp.astype(bool)
     nominal = tuple(at) == _NOMINAL_AT
     ltp = 0
     for y in range(height):
@@ -332,15 +377,9 @@ def _decode_generic_into(dec: MQDecoder, cx: CtxState, width: int,
     return bmp.astype(bool)
 
 
-def _make_general_ctx(at):
-    """General (non-nominal-AT) template-0 context assembly, spec raster
-    order: fixed pixels with the AT pixels substituted at their coded
-    positions."""
-    a1, a2, a3, a4 = at
-    # template 0 raster order with AT pixels in their nominal slots
-    coords = [a4, (-1, -2), (0, -2), (1, -2), a3,
-              a2, (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), a1,
-              (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
+def _coords_ctx(coords):
+    """Per-pixel context assembly from an explicit MSB-first coordinate
+    list (shared by arbitrary-AT template 0 and templates 1-3)."""
 
     def ctx_at(bmp, x, y, w, h):
         v = 0
@@ -354,26 +393,59 @@ def _make_general_ctx(at):
     return ctx_at
 
 
-def encode_generic_region(img: np.ndarray, at=_NOMINAL_AT,
-                          tpgdon: bool = False) -> bytes:
-    """Bool/0-1 (h, w) array → MQ-coded generic-region data (template
-    0, nominal AT) — the exact mirror of the decoder's fast path.
+def _make_general_ctx(at):
+    """General (non-nominal-AT) template-0 context assembly, spec raster
+    order: fixed pixels with the AT pixels substituted at their coded
+    positions."""
+    a1, a2, a3, a4 = at
+    # template 0 raster order with AT pixels in their nominal slots
+    return _coords_ctx([a4, (-1, -2), (0, -2), (1, -2), a3,
+                        a2, (-2, -1), (-1, -1), (0, -1), (1, -1),
+                        (2, -1), a1,
+                        (-4, 0), (-3, 0), (-2, 0), (-1, 0)])
+
+
+def encode_generic_region(img: np.ndarray, at=None,
+                          tpgdon: bool = False,
+                          template: int = 0) -> bytes:
+    """Bool/0-1 (h, w) array → MQ-coded generic-region data (GB
+    templates 0-3, nominal AT) — the exact mirror of the decoder.
     ``tpgdon=True`` codes the per-row typical-prediction toggle through
-    context 0x9B25 and SKIPS rows identical to the one above — scanned
-    text pages are mostly blank rows between lines, so this shrinks the
-    stream AND the per-pixel work on both ends."""
-    if tuple(at) != _NOMINAL_AT:
+    the per-template LTP context and SKIPS rows identical to the one
+    above — scanned text pages are mostly blank rows between lines, so
+    this shrinks the stream AND the per-pixel work on both ends."""
+    if at is None:
+        at = nominal_at(template)
+    if tuple(at) != tuple(nominal_at(template)):
         raise ValueError("encoder supports nominal AT positions only")
     enc = MQEncoder()
-    _encode_generic_into(enc, CtxState(), img, tpgdon)
+    _encode_generic_into(enc, CtxState(), img, tpgdon, template)
     return enc.flush()
 
 
 def _encode_generic_into(enc: MQEncoder, cx: CtxState, img: np.ndarray,
-                         tpgdon: bool = False) -> None:
+                         tpgdon: bool = False,
+                         template: int = 0) -> None:
     """Mirror of _decode_generic_into (shared coder + context bank)."""
     bmp = np.ascontiguousarray(img.astype(np.uint8))
     h, w = bmp.shape
+    if template != 0:
+        coords = _template_coords(template, nominal_at(template)[0])
+        pix = _coords_ctx(coords)
+        ltp_ctx = _TEMPLATE_DEFS[template][2]
+        ltp = 0
+        for y in range(h):
+            if tpgdon:
+                typical = y > 0 and bool((bmp[y] == bmp[y - 1]).all())
+                enc.encode(cx, 1 if typical != bool(ltp) else 0, ltp_ctx)
+                if typical != bool(ltp):
+                    ltp ^= 1
+                if ltp:
+                    continue
+            row = bmp[y]
+            for x in range(w):
+                enc.encode(cx, int(row[x]), pix(bmp, x, y, w, h))
+        return
     ltp = 0
     for y in range(h):
         if tpgdon:
@@ -412,11 +484,16 @@ _T_END_OF_FILE = 51
 _GENERIC_REGION_TYPES = (36, 38, 39)  # intermediate / immediate / lossless
 
 
-def jbig2_encode(img: np.ndarray, *, mmr: bool = False) -> bytes:
+def jbig2_encode(img: np.ndarray, *, mmr: bool = False,
+                 template: int = 0,
+                 stripe_h: int | None = None) -> bytes:
     """Bool/0-1 (h, w) array → embedded-organization JBIG2 segment
     stream: page info + immediate lossless generic region (+ EOP).
     ``mmr=True`` codes the region MMR (ITU-T T.6 via faxg4) instead of
-    arithmetic."""
+    arithmetic; ``template`` selects the GB context template (0-3);
+    ``stripe_h`` emits the STRIPED page layout (§7.4.8.2: page height
+    0xFFFFFFFF, one region + end-of-stripe segment per stripe) real
+    scanners stream pages in."""
     bmp = np.ascontiguousarray(img.astype(bool))
     h, w = bmp.shape
 
@@ -430,8 +507,37 @@ def jbig2_encode(img: np.ndarray, *, mmr: bool = False) -> bytes:
 
     # page information segment data (§7.4.8): w, h, xres, yres, flags,
     # striping
-    page_data = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
     out = bytearray()
+    if stripe_h is not None:
+        if stripe_h <= 0:
+            raise ValueError("bad stripe height")
+        page_data = struct.pack(">IIIIBH", w, 0xFFFFFFFF, 0, 0, 0x01,
+                                0x8000 | min(stripe_h, 0x7FFF))
+        out += seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+        num = 1
+        for y0 in range(0, h, stripe_h):
+            stripe = bmp[y0:y0 + stripe_h]
+            sh_, _sw = stripe.shape
+            region_info = struct.pack(">IIIIB", w, sh_, 0, y0, 0)
+            if mmr:
+                from documentai_ray.functions.faxg4 import g4_encode
+
+                body = region_info + bytes([0x01]) + g4_encode(stripe)
+            else:
+                flags_b = bytes([0x08 | (template << 1)])
+                at_bytes = b"".join(struct.pack("bb", dx, dy)
+                                    for dx, dy in nominal_at(template))
+                body = (region_info + flags_b + at_bytes
+                        + encode_generic_region(stripe, tpgdon=True,
+                                                template=template))
+            out += seg_header(num, 39, 1, len(body)) + body
+            num += 1
+            eos = struct.pack(">I", y0 + sh_ - 1)
+            out += seg_header(num, 50, 1, len(eos)) + eos
+            num += 1
+        out += seg_header(num, _T_END_OF_PAGE, 1, 0)
+        return bytes(out)
+    page_data = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
     out += seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
 
     # region segment info (§7.4.1): w, h, x, y, combination-op flags
@@ -442,11 +548,15 @@ def jbig2_encode(img: np.ndarray, *, mmr: bool = False) -> bytes:
         flags = bytes([0x01])       # MMR=1
         body = region_info + flags + g4_encode(bmp)
     else:
-        flags = bytes([0x08])       # MMR=0, template 0, TPGDON on
+        if not 0 <= template <= 3:
+            raise ValueError("bad GB template")
+        # MMR=0, GBTEMPLATE bits 1-2, TPGDON on (bit 3)
+        flags = bytes([0x08 | (template << 1)])
         at_bytes = b"".join(struct.pack("bb", dx, dy)
-                            for dx, dy in _NOMINAL_AT)
+                            for dx, dy in nominal_at(template))
         body = (region_info + flags + at_bytes
-                + encode_generic_region(bmp, tpgdon=True))
+                + encode_generic_region(bmp, tpgdon=True,
+                                        template=template))
     out += seg_header(1, 39, 1, len(body)) + body
     out += seg_header(2, _T_END_OF_PAGE, 1, 0)
     return bytes(out)
@@ -513,12 +623,36 @@ def _parse_segment_headers(data: bytes):
 def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-organization JBIG2 segment stream → bool page bitmap.
 
-    Handles page-information + generic-region segments (arithmetic
-    template 0 incl. TPGDON and arbitrary AT, or MMR). Symbol/text/
-    halftone/refinement segments raise — out of the generic-region
-    scope this engine supports."""
+    Handles page-information (fixed or striped) + generic regions (GB
+    templates 0-3 incl. TPGDON/arbitrary AT, or MMR), symbol
+    dictionaries + text regions (arithmetic and SDHUFF/SBHUFF Huffman
+    variants, incl. transposed regions and custom type-53 tables),
+    pattern dictionaries + halftone regions, and generic refinement
+    regions. ``globals_data`` is a JBIG2Globals stream logically
+    prepended per the T.88 embedding rules."""
     page_w = page_h = None
     page = None
+    striped = False
+
+    def compose(region, rx, ry):
+        """OR-composite a region, growing the page when striped."""
+        nonlocal page
+        rh, rw = region.shape
+        if page is None:
+            page = np.zeros((ry + rh, rx + rw), bool)
+        if ry + rh > page.shape[0]:
+            new_h = ry + rh
+            if not striped or rx + rw > page.shape[1] \
+                    or new_h > (1 << 20) \
+                    or new_h * page.shape[1] > (1 << 26):
+                raise ValueError("JBIG2 region outside page")
+            grown = np.zeros((new_h, page.shape[1]), bool)
+            grown[:page.shape[0]] = page
+            page = grown
+        if rx + rw > page.shape[1]:
+            raise ValueError("JBIG2 region outside page")
+        page[ry:ry + rh, rx:rx + rw] |= region
+
     sym_dicts: dict[int, list] = {}    # segment number -> exported syms
     pat_dicts: dict[int, list] = {}    # segment number -> patterns
     huff_tables: dict[int, _HuffTable] = {}  # type-53 custom tables
@@ -539,12 +673,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if not patterns:
                 raise ValueError("halftone region without patterns")
             region, rx, ry = _decode_halftone_region(payload, patterns)
-            rh, rw = region.shape
-            if page is None:
-                page = np.zeros((ry + rh, rx + rw), bool)
-            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
-                raise ValueError("JBIG2 region outside page")
-            page[ry:ry + rh, rx:rx + rw] |= region
+            compose(region, rx, ry)
         elif typ in (4, 6, 7):         # text region (imm./lossless)
             symbols = []
             for r in refs:
@@ -554,19 +683,19 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             region, rx, ry = _decode_text_region(
                 payload, symbols, [huff_tables[t] for t in refs
                                    if t in huff_tables])
-            rh, rw = region.shape
-            if page is None:
-                page = np.zeros((ry + rh, rx + rw), bool)
-            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
-                raise ValueError("JBIG2 region outside page")
-            page[ry:ry + rh, rx:rx + rw] |= region
+            compose(region, rx, ry)
         elif typ == _T_PAGE_INFO:
             if len(payload) < 17:
                 raise ValueError("short JBIG2 page info segment")
             page_w, page_h = struct.unpack_from(">II", payload, 0)
             if page_h == 0xFFFFFFFF:
-                raise ValueError("striped JBIG2 page unsupported")
-            if max(page_w, page_h) > (1 << 20) \
+                # striped page (§7.4.8.2): height unknown up front;
+                # regions and end-of-stripe segments grow the page
+                if page_w == 0 or page_w > (1 << 20):
+                    raise ValueError("implausible JBIG2 page geometry")
+                striped = True
+                page_h = 0
+            elif max(page_w, page_h) > (1 << 20) \
                     or page_w * page_h > (1 << 26):
                 raise ValueError("implausible JBIG2 page geometry")
             # page-info flags bit 2 = default pixel value: this decoder
@@ -592,27 +721,31 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             tpgdon = bool(flags & 8)
             pos = 18
             if not mmr:
-                if template != 0:
-                    raise ValueError(
-                        f"JBIG2 generic template {template} unsupported")
                 at = []
-                for _ in range(4):
+                for _ in range(4 if template == 0 else 1):
                     dx, dy = struct.unpack_from("bb", payload, pos)
                     at.append((dx, dy))
                     pos += 2
                 region = decode_generic_region(payload[pos:], rw, rh,
-                                               at=tuple(at), tpgdon=tpgdon)
+                                               at=tuple(at),
+                                               tpgdon=tpgdon,
+                                               template=template)
             else:
                 from documentai_ray.functions.faxg4 import g4_decode
 
                 region = g4_decode(payload[pos:], rw, rh)
-            if page is None:
-                page = np.zeros((ry + rh, rx + rw), bool)
-            if ry + rh > page.shape[0] or rx + rw > page.shape[1]:
-                raise ValueError("JBIG2 region outside page")
-            page[ry:ry + rh, rx:rx + rw] |= region  # OR composition
-        elif typ in (_T_END_OF_PAGE, _T_END_OF_FILE, 50):
-            continue  # end-of-page / end-of-file / end-of-stripe
+            compose(region, rx, ry)  # OR composition
+        elif typ == 50:                # end of stripe (§7.4.10)
+            if striped and len(payload) >= 4:
+                (row,) = struct.unpack_from(">I", payload, 0)
+                if row + 1 > (1 << 20):
+                    raise ValueError("implausible JBIG2 stripe row")
+                if page is None:
+                    page = np.zeros((row + 1, page_w or 1), bool)
+                elif row + 1 > page.shape[0]:
+                    compose(np.zeros((1, page.shape[1]), bool), 0, row)
+        elif typ in (_T_END_OF_PAGE, _T_END_OF_FILE):
+            continue  # end-of-page / end-of-file
         elif typ in (40, 42, 43):      # generic refinement region
             if len(payload) < 22:
                 raise ValueError("short JBIG2 refinement segment")
@@ -623,13 +756,13 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             rflags = payload[17]
             if rflags & 0x01:
                 raise ValueError("refinement template 1 unsupported")
-            if rflags & 0x02:
-                raise ValueError("TPGRON refinement unsupported")
+            tpgron = bool(rflags & 0x02)
             pos2 = 18 + 4              # skip the two AT pixel pairs
             if page is None or ry + rh > page.shape[0]                     or rx + rw > page.shape[1]:
                 raise ValueError("refinement region outside page")
             refined = decode_refinement_region(
-                payload[pos2:], rw, rh, page[ry:ry + rh, rx:rx + rw])
+                payload[pos2:], rw, rh, page[ry:ry + rh, rx:rx + rw],
+                tpgron=tpgron)
             page[ry:ry + rh, rx:rx + rw] = refined   # REPLACE
         elif typ == 62:
             raise ValueError("JBIG2 extension segments unsupported")
@@ -1072,10 +1205,10 @@ def _sort_symbols(symbols):
     return [symbols[i] for i in order], remap
 
 
-def _encode_symbol_dict_data(sorted_syms) -> bytes:
-    """Symbol-dictionary segment DATA (arithmetic, template 0, shared GB
-    contexts, one height class per distinct height) for height-sorted
-    glyph bitmaps."""
+def _encode_symbol_dict_data(sorted_syms, template: int = 0) -> bytes:
+    """Symbol-dictionary segment DATA (arithmetic, GB templates 0-3,
+    shared GB contexts, one height class per distinct height) for
+    height-sorted glyph bitmaps."""
     nsyms = len(sorted_syms)
     enc = MQEncoder()
     cx_gb = CtxState()
@@ -1093,7 +1226,8 @@ def _encode_symbol_dict_data(sorted_syms) -> bytes:
             w0 = sorted_syms[i].shape[1]
             encode_int(enc, cx_iadw, w0 - symwidth)
             symwidth = w0
-            _encode_generic_into(enc, cx_gb, sorted_syms[i])
+            _encode_generic_into(enc, cx_gb, sorted_syms[i],
+                                 template=template)
             i += 1
         encode_int(enc, cx_iadw, _OOB)       # end of height class
     # export runs: run of 0 not-exported, then all exported
@@ -1101,20 +1235,31 @@ def _encode_symbol_dict_data(sorted_syms) -> bytes:
     encode_int(enc, cx_iaex, nsyms)
     sd_arith = enc.flush()
 
-    sd_flags = 0x0000          # SDHUFF=0 REFAGG=0 template 0 ...
+    sd_flags = template << 10  # SDHUFF=0 REFAGG=0, SDTEMPLATE bits
     at_bytes = b"".join(struct.pack("bb", dx, dy) for dx, dy in
-                        _NOMINAL_AT)
+                        nominal_at(template))
     return (struct.pack(">H", sd_flags) + at_bytes
             + struct.pack(">II", nsyms, nsyms) + sd_arith)
 
 
 def _encode_text_region_data(inst, sorted_syms, page_w: int,
-                             page_h: int) -> bytes:
+                             page_h: int,
+                             transposed: bool = False) -> bytes:
     """Immediate-lossless text-region segment DATA (SBSTRIPS=1,
-    TRANSPOSED=0, REFCORNER=TOPLEFT, OR composition). ``inst`` is
-    (dict_index, x, y) placements sorted by (y, x)."""
+    REFCORNER=TOPLEFT, OR composition). ``inst`` is (dict_index, x, y)
+    placements sorted by (y, x). ``transposed=True`` codes the
+    TRANSPOSED=1 layout (strips along columns: T = x, S = y, advance
+    by symbol height)."""
     nsyms = len(sorted_syms)
     symcodelen = _symcodelen(nsyms)
+    if transposed:
+        # (sid, s, t): S runs along y, strips keyed by T = x
+        items = sorted(((sid, y, x) for sid, x, y in inst),
+                       key=lambda q: (q[2], q[1]))
+        adv_dim = 0            # advance by symbol HEIGHT
+    else:
+        items = [(sid, x, y) for sid, x, y in inst]
+        adv_dim = 1            # advance by symbol WIDTH
     enc = MQEncoder()
     cx_iadt = CtxState(512)
     cx_iafs = CtxState(512)
@@ -1125,26 +1270,26 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
     firsts = 0
     n_done = 0
     k = 0
-    while k < len(inst):
-        t0 = inst[k][2]
+    while k < len(items):
+        t0 = items[k][2]
         encode_int(enc, cx_iadt, t0 - stript)    # strip T delta
         stript = t0
         # strip = consecutive instances with this T
         first = True
         curs = 0
-        while k < len(inst) and inst[k][2] == t0:
-            sid, x0, _y0 = inst[k]
-            w            = sorted_syms[sid].shape[1]
+        while k < len(items) and items[k][2] == t0:
+            sid, s0, _t0 = items[k]
+            adv = sorted_syms[sid].shape[adv_dim]
             if first:
-                encode_int(enc, cx_iafs, x0 - firsts)
-                firsts = x0
-                curs = x0
+                encode_int(enc, cx_iafs, s0 - firsts)
+                firsts = s0
+                curs = s0
                 first = False
             else:
-                encode_int(enc, cx_iads, x0 - curs)
-                curs = x0
+                encode_int(enc, cx_iads, s0 - curs)
+                curs = s0
             encode_iaid(enc, cx_iaid, symcodelen, sid)
-            curs += w - 1
+            curs += adv - 1
             n_done += 1
             k += 1
         encode_int(enc, cx_iads, _OOB)           # end of strip
@@ -1152,8 +1297,8 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
 
     region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
     # flags: SBHUFF=0 REFINE=0 LOG2SBSTRIPS=0 REFCORNER=TOPLEFT(1)
-    # TRANSPOSED=0 SBCOMBOP=OR(0) SBDEFPIXEL=0 SBDSOFFSET=0 RTEMPLATE=0
-    tr_flags = 1 << 4
+    # TRANSPOSED per arg, SBCOMBOP=OR(0) SBDEFPIXEL=0 SBDSOFFSET=0
+    tr_flags = (1 << 4) | ((1 << 6) if transposed else 0)
     return (region_info + struct.pack(">H", tr_flags)
             + struct.pack(">I", len(inst)) + tr_arith)
 
@@ -1361,7 +1506,7 @@ def encode_symbol_text_globals(symbols, pages, *,
 
 def _decode_symbol_dict(payload: bytes, tables=()):
     """Symbol dictionary segment data → list of bool bitmaps
-    (exported, in order). Arithmetic (template 0) or Huffman
+    (exported, in order). Arithmetic (GB templates 0-3) or Huffman
     (SDHUFF=1, REFAGG=0 — collective bitmaps per §6.5.9, raw or MMR);
     ``tables`` are custom _HuffTables from referenced type-53 segments
     in reference order, consumed by selector value 3."""
@@ -1371,11 +1516,9 @@ def _decode_symbol_dict(payload: bytes, tables=()):
     if flags & 0x0001:
         return _decode_symbol_dict_huff(payload, flags, tables)
     template = (flags >> 10) & 3
-    if template != 0:
-        raise ValueError("symbol dictionary template != 0 unsupported")
     pos = 2
     at = []
-    for _ in range(4):
+    for _ in range(4 if template == 0 else 1):
         dx, dy = struct.unpack_from("bb", payload, pos)
         at.append((dx, dy))
         pos += 2
@@ -1407,7 +1550,8 @@ def _decode_symbol_dict(payload: bytes, tables=()):
                     or len(syms) >= nnew:
                 raise ValueError("implausible symbol width/count")
             syms.append(_decode_generic_into(
-                dec, cx_gb, symwidth, hcheight, at=tuple(at)))
+                dec, cx_gb, symwidth, hcheight, at=tuple(at),
+                template=template))
     # export flags: alternating runs starting not-exported
     exported = []
     curex = 0
@@ -1534,8 +1678,6 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32               # 5-bit signed
-    if transposed:
-        raise ValueError("transposed text regions unsupported")
     if combop not in (0, 1):         # OR / AND(treated as OR on 0-page)
         raise ValueError("text region comb-op unsupported")
     strips = 1 << log2strips
@@ -1581,16 +1723,22 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
             sh, sw = sym.shape
-            if refcorner in (0, 2):      # BOTTOMLEFT / BOTTOMRIGHT
-                y0 = tt - sh + 1
-            else:                        # TOPLEFT / TOPRIGHT
-                y0 = tt
-            x0 = curs if refcorner in (0, 1) else curs - sw + 1
+            if transposed:
+                # §6.4.5 step 3(c)(xi): S runs along the T axis's
+                # perpendicular — instance coord is (x=T, y=S), same
+                # glyph-corner semantics, advance by height
+                y0 = curs if refcorner in (1, 3) else curs - sh + 1
+                x0 = tt if refcorner in (0, 1) else tt - sw + 1
+                adv = sh - 1
+            else:
+                y0 = tt if refcorner in (1, 3) else tt - sh + 1
+                x0 = curs if refcorner in (0, 1) else curs - sw + 1
+                adv = sw - 1
             if not (0 <= x0 and x0 + sw <= rw and 0 <= y0
                     and y0 + sh <= rh):
                 raise ValueError("symbol instance outside region")
             region[y0: y0 + sh, x0: x0 + sw] |= sym
-            curs += sw - 1
+            curs += adv
             n_done += 1
             if n_done >= ninst:
                 # spec still ends the strip with OOB; consume it
@@ -1618,8 +1766,6 @@ def _decode_text_region_huff(payload: bytes, symbols, flags: int,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    if transposed:
-        raise ValueError("transposed text regions unsupported")
     if combop not in (0, 1):
         raise ValueError("text region comb-op unsupported")
     strips = 1 << log2strips
@@ -1725,16 +1871,19 @@ def _decode_text_region_huff(payload: bytes, symbols, flags: int,
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
             sh, sw = sym.shape
-            if refcorner in (0, 2):      # BOTTOMLEFT / BOTTOMRIGHT
-                y0 = tt - sh + 1
-            else:                        # TOPLEFT / TOPRIGHT
-                y0 = tt
-            x0 = curs if refcorner in (0, 1) else curs - sw + 1
+            if transposed:
+                y0 = curs if refcorner in (1, 3) else curs - sh + 1
+                x0 = tt if refcorner in (0, 1) else tt - sw + 1
+                adv = sh - 1
+            else:
+                y0 = tt if refcorner in (1, 3) else tt - sh + 1
+                x0 = curs if refcorner in (0, 1) else curs - sw + 1
+                adv = sw - 1
             if not (0 <= x0 and x0 + sw <= rw and 0 <= y0
                     and y0 + sh <= rh):
                 raise ValueError("symbol instance outside region")
             region[y0: y0 + sh, x0: x0 + sw] |= sym
-            curs += sw - 1
+            curs += adv
             n_done += 1
             if n_done >= ninst:
                 tail = read_val(t_ds)
@@ -1779,25 +1928,62 @@ def _refine_ctx(cur: np.ndarray, ref: np.ndarray, x: int, y: int,
     return v
 
 
+_TPGRON_CTX = 0x0100     # template-0 refinement LTP context (§6.3.5.6)
+
+
+def _ref_typical(ref: np.ndarray, x: int, y: int, w: int,
+                 h: int) -> int | None:
+    """The uniform value of the 3x3 reference neighborhood around
+    (x, y) (out-of-bounds = 0), or None when mixed — the TPGRON
+    "typical pixel" predicate."""
+    v0 = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xx, yy = x + dx, y + dy
+            v = int(ref[yy, xx]) if 0 <= xx < w and 0 <= yy < h else 0
+            if v0 is None:
+                v0 = v
+            elif v != v0:
+                return None
+    return v0
+
+
 def decode_refinement_region(data: bytes, width: int, height: int,
-                             reference: np.ndarray) -> np.ndarray:
-    """MQ refinement data + reference bitmap → refined bool bitmap."""
+                             reference: np.ndarray,
+                             tpgron: bool = False) -> np.ndarray:
+    """MQ refinement data + reference bitmap → refined bool bitmap.
+    ``tpgron`` decodes the per-row typical-prediction toggle; in LTP
+    rows, pixels with a uniform 3x3 reference neighborhood copy that
+    value without touching the coder (§6.3.5.6)."""
     if reference.shape != (height, width):
         raise ValueError("refinement reference shape mismatch")
     dec = MQDecoder(data)
     cx = CtxState(1 << 13)
     ref = reference.astype(np.uint8)
     cur = np.zeros((height, width), np.uint8)
+    ltp = 0
     for y in range(height):
+        if tpgron:
+            if dec.decode(cx, _TPGRON_CTX):
+                ltp ^= 1
         for x in range(width):
+            if ltp:
+                tv = _ref_typical(ref, x, y, width, height)
+                if tv is not None:
+                    cur[y, x] = tv
+                    continue
             cur[y, x] = dec.decode(
                 cx, _refine_ctx(cur, ref, x, y, width, height))
     return cur.astype(bool)
 
 
 def encode_refinement_region(target: np.ndarray,
-                             reference: np.ndarray) -> bytes:
-    """Mirror of decode_refinement_region."""
+                             reference: np.ndarray,
+                             tpgron: bool = False) -> bytes:
+    """Mirror of decode_refinement_region. With ``tpgron``, a row
+    enters LTP mode when every typical pixel's target already equals
+    its uniform reference value (the skip is then lossless) and at
+    least one pixel is typical."""
     target = np.ascontiguousarray(target.astype(np.uint8))
     h, w = target.shape
     if reference.shape != (h, w):
@@ -1806,9 +1992,24 @@ def encode_refinement_region(target: np.ndarray,
     enc = MQEncoder()
     cx = CtxState(1 << 13)
     cur = np.zeros((h, w), np.uint8)
+    ltp = 0
     for y in range(h):
+        if tpgron:
+            tvals = [(x, _ref_typical(ref, x, y, w, h))
+                     for x in range(w)]
+            eligible = all(tv is None or tv == int(target[y, x])
+                           for x, tv in tvals)
+            n_typ = sum(1 for _x, tv in tvals if tv is not None)
+            want = 1 if (eligible and n_typ > 0) else 0
+            enc.encode(cx, 1 if want != ltp else 0, _TPGRON_CTX)
+            ltp = want
         for x in range(w):
             bit = int(target[y, x])
+            if ltp:
+                tv = _ref_typical(ref, x, y, w, h)
+                if tv is not None:
+                    cur[y, x] = bit
+                    continue
             enc.encode(cx, bit,
                        _refine_ctx(cur, ref, x, y, w, h))
             cur[y, x] = bit
@@ -1816,7 +2017,8 @@ def encode_refinement_region(target: np.ndarray,
 
 
 def append_refinement_segment(stream: bytes, target: np.ndarray,
-                              x: int, y: int) -> bytes:
+                              x: int, y: int,
+                              tpgron: bool = False) -> bytes:
     """Append an immediate lossless generic refinement segment (type
     43) to an embedded stream: the region refines the PAGE area at
     (x, y) to ``target`` — the lossy-capture-then-exact-fix layout."""
@@ -1827,9 +2029,9 @@ def append_refinement_segment(stream: bytes, target: np.ndarray,
     page = jbig2_decode(stream)
     ref = page[y:y + h, x:x + w]
     body = (struct.pack(">IIIIB", w, h, x, y, 0)
-            + bytes([0x00])                 # GRTEMPLATE 0, TPGRON off
+            + bytes([0x02 if tpgron else 0x00])  # GRTEMPLATE 0
             + struct.pack("bbbb", -1, -1, -1, -1)   # nominal AT1/AT2
-            + encode_refinement_region(target, ref))
+            + encode_refinement_region(target, ref, tpgron=tpgron))
     # segment number = one past the highest in the stream
     maxnum = max(num for num, *_rest in _parse_segment_headers(stream))
     hdr = (struct.pack(">IB", maxnum + 1, 43)

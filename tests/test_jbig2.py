@@ -588,3 +588,140 @@ class TestHuffmanVariants:
         for k in range(2):
             assert np.array_equal(jbig2_decode(sa[k], globals_data=ga),
                                   jbig2_decode(sh[k], globals_data=gh))
+
+
+class TestExoticRegionVariants:
+    """r4 gap list #3: GB templates 1-3 (generic + symbol dicts),
+    transposed text regions, striped pages, TPGRON refinement."""
+
+    def _img(self):
+        rng = np.random.RandomState(3)
+        img = rng.rand(40, 56) > 0.6
+        img[5:8, 3:40] = True
+        return img
+
+    @pytest.mark.parametrize("t", [0, 1, 2, 3])
+    def test_generic_templates_roundtrip(self, t):
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode)
+        img = self._img()
+        assert np.array_equal(jbig2_decode(jbig2_encode(img, template=t)),
+                              img)
+
+    @pytest.mark.parametrize("t", [1, 2, 3])
+    def test_symbol_dict_templates(self, t):
+        from documentai_ray.functions.jbig2 import (
+            _decode_symbol_dict, _encode_symbol_dict_data, _sort_symbols)
+        rng = np.random.RandomState(5)
+        syms = [rng.rand(7, 4 + i % 4) > 0.5 for i in range(9)]
+        ss, _ = _sort_symbols(syms)
+        got = _decode_symbol_dict(_encode_symbol_dict_data(ss, template=t))
+        assert all(np.array_equal(a, b) for a, b in zip(got, ss))
+
+    def test_transposed_text_region_equals_normal(self):
+        import struct
+        from documentai_ray.functions.jbig2 import (
+            _T_END_OF_PAGE, _T_PAGE_INFO, _encode_symbol_dict_data,
+            _encode_text_region_data, _seg_header, _sort_symbols,
+            encode_symbol_text_page, jbig2_decode)
+        rng = np.random.RandomState(5)
+        syms = [rng.rand(6 + i % 3, 5) > 0.5 for i in range(5)]
+        pl = [(i % 5, 6 + 9 * i, 4 + 3 * (i % 4)) for i in range(8)]
+        ref = jbig2_decode(encode_symbol_text_page(syms, pl, 100, 40))
+        ss, remap = _sort_symbols(syms)
+        inst = sorted(((remap[si], x, y) for si, x, y in pl),
+                      key=lambda t: (t[2], t[1]))
+        sd = _encode_symbol_dict_data(ss)
+        tr = _encode_text_region_data(inst, ss, 100, 40, transposed=True)
+        page_data = struct.pack(">IIIIBH", 100, 40, 0, 0, 0x01, 0)
+        out = bytearray()
+        out += _seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+        out += _seg_header(1, 0, 1, len(sd)) + sd
+        out += _seg_header(2, 6, 1, len(tr), refs=(1,)) + tr
+        out += _seg_header(3, _T_END_OF_PAGE, 1, 0)
+        assert np.array_equal(jbig2_decode(bytes(out)), ref)
+
+    @pytest.mark.parametrize("kw", [dict(stripe_h=8),
+                                    dict(stripe_h=16, mmr=True),
+                                    dict(stripe_h=5, template=2)])
+    def test_striped_pages(self, kw):
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode)
+        img = self._img()
+        got = jbig2_decode(jbig2_encode(img, **kw))
+        assert got.shape == img.shape and np.array_equal(got, img)
+
+    def test_striped_trailing_blank_stripe_grows_page(self):
+        import struct
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode,
+                                                    _parse_segment_headers)
+        img = self._img()
+        stream = bytearray(jbig2_encode(img, stripe_h=8))
+        # append a further EOS claiming 10 extra blank rows
+        maxnum = max(n for n, *_ in _parse_segment_headers(bytes(stream)))
+        eos = struct.pack(">I", img.shape[0] + 9)
+        stream += (struct.pack(">IB", maxnum + 1, 50) + b"\x00"
+                   + struct.pack(">B", 1) + struct.pack(">I", 4) + eos)
+        got = jbig2_decode(bytes(stream))
+        assert got.shape == (img.shape[0] + 10, img.shape[1])
+        assert np.array_equal(got[:img.shape[0]], img)
+        assert not got[img.shape[0]:].any()
+
+    @pytest.mark.parametrize("tp", [False, True])
+    def test_tpgron_refinement_roundtrip(self, tp):
+        from documentai_ray.functions.jbig2 import (
+            decode_refinement_region, encode_refinement_region)
+        rng = np.random.RandomState(9)
+        ref = rng.rand(30, 40) > 0.5
+        tgt = ref.copy()
+        tgt[5, 7] = ~tgt[5, 7]
+        tgt[20, 33] = ~tgt[20, 33]
+        data = encode_refinement_region(tgt, ref, tpgron=tp)
+        assert np.array_equal(
+            decode_refinement_region(data, 40, 30, ref, tpgron=tp), tgt)
+
+    def test_tpgron_segment_loop(self):
+        from documentai_ray.functions.jbig2 import (
+            append_refinement_segment, jbig2_decode, jbig2_encode)
+        rng = np.random.RandomState(11)
+        base = rng.rand(25, 35) > 0.4
+        fix = base.copy()
+        fix[3:6, 4:9] = True
+        s2 = append_refinement_segment(jbig2_encode(base),
+                                       fix[2:10, 2:12], 2, 2,
+                                       tpgron=True)
+        want = base.copy()
+        want[2:10, 2:12] = fix[2:10, 2:12]
+        assert np.array_equal(jbig2_decode(s2), want)
+
+    def test_tpgron_skips_typical_pixels(self):
+        # the win is skipped per-pixel coder work on mostly-typical
+        # windows (byte size barely moves — MQ already codes a
+        # ref-equal pixel in ~0 bits); count coder decisions directly
+        from documentai_ray.functions import jbig2 as j
+        ref = np.zeros((60, 80), bool)
+        ref[10:20, 10:70] = True
+        tgt = ref.copy()
+        tgt[15, 15] = False
+        counts = []
+        orig = j.MQEncoder.encode
+        for tp in (False, True):
+            n = 0
+
+            def counting(self, cx, bit, ctx=0):
+                nonlocal n
+                n += 1
+                return orig(self, cx, bit, ctx)
+
+            j.MQEncoder.encode = counting
+            try:
+                data = j.encode_refinement_region(tgt, ref, tpgron=tp)
+            finally:
+                j.MQEncoder.encode = orig
+            counts.append(n)
+            assert np.array_equal(
+                j.decode_refinement_region(data, 80, 60, ref,
+                                           tpgron=tp), tgt)
+        plain_n, tp_n = counts
+        assert tp_n < plain_n / 4  # most pixels skipped
