@@ -2068,9 +2068,10 @@ def _pattern_at(hdpw: int):
     return ((-hdpw, 0), (-3, -1), (2, -2), (-2, -2))
 
 
-def encode_pattern_dict(patterns) -> bytes:
+def encode_pattern_dict(patterns, *, mmr: bool = False) -> bytes:
     """Patterns (equal-shape bool arrays) → pattern dictionary segment
-    DATA (flags, HDPW/HDPH, GRAYMAX, collective generic bitmap)."""
+    DATA (flags, HDPW/HDPH, GRAYMAX, collective bitmap — arithmetic
+    with the spec AT A1=(-HDPW,0), or MMR/T.6 when ``mmr``)."""
     ph, pw = patterns[0].shape
     if any(p.shape != (ph, pw) for p in patterns):
         raise ValueError("patterns must share one shape")
@@ -2079,6 +2080,12 @@ def encode_pattern_dict(patterns) -> bytes:
     collective = np.concatenate(
         [np.ascontiguousarray(p.astype(np.uint8)) for p in patterns],
         axis=1)
+    if mmr:
+        from documentai_ray.functions.faxg4 import g4_encode
+
+        body = g4_encode(collective.astype(bool))
+        return (bytes([0x01, pw, ph])        # HDMMR=1
+                + struct.pack(">I", len(patterns) - 1) + body)
     enc = MQEncoder()
     _encode_generic_general(enc, CtxState(), collective,
                             _pattern_at(pw))
@@ -2089,24 +2096,32 @@ def encode_pattern_dict(patterns) -> bytes:
 
 def decode_pattern_dict(payload: bytes):
     flags = payload[0]
-    if flags & 0x01:
-        raise ValueError("MMR pattern dictionaries unsupported")
-    if (flags >> 1) & 3:
-        raise ValueError("pattern dictionary template != 0 unsupported")
+    mmr = flags & 0x01
+    template = (flags >> 1) & 3
     pw, ph = payload[1], payload[2]
     (graymax,) = struct.unpack_from(">I", payload, 3)
     if pw == 0 or ph == 0 or graymax > 4095:
         raise ValueError("implausible pattern dictionary")
     total_w = (graymax + 1) * pw
-    collective = _decode_generic_into(
-        MQDecoder(payload[7:]), CtxState(), total_w, ph,
-        at=_pattern_at(pw))
+    if mmr:
+        from documentai_ray.functions.faxg4 import g4_decode
+
+        collective = g4_decode(payload[7:], total_w, ph)
+    elif template == 0:
+        collective = _decode_generic_into(
+            MQDecoder(payload[7:]), CtxState(), total_w, ph,
+            at=_pattern_at(pw))
+    else:
+        # templates 1-3: single AT pixel, spec-mandated A1 = (-pw, 0)
+        collective = _decode_generic_into(
+            MQDecoder(payload[7:]), CtxState(), total_w, ph,
+            at=((-pw, 0),), template=template)
     return [collective[:, i * pw:(i + 1) * pw]
             for i in range(graymax + 1)]
 
 
 def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
-                         page_h: int) -> bytes:
+                         page_h: int, *, mmr: bool = False) -> bytes:
     """Halftone page: ``gray`` (HGH, HGW) int cell indices into
     ``patterns`` → embedded stream (page info + pattern dict +
     immediate lossless halftone region + EOP). Orthogonal grid at
@@ -2117,7 +2132,7 @@ def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
     graymax = len(patterns) - 1
     if gray.min() < 0 or gray.max() > graymax:
         raise ValueError("gray index out of pattern range")
-    pat_data = encode_pattern_dict(patterns)
+    pat_data = encode_pattern_dict(patterns, mmr=mmr)
 
     # gray-code bitplanes, MSB first, each generic-coded with the
     # halftone AT (A1 = (HRX? no: template 0 nominal is fine per spec
@@ -2133,14 +2148,31 @@ def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
         coded = plain if prev is None else plain ^ prev
         planes.append(coded.astype(np.uint8))
         prev = plain
-    enc = MQEncoder()
-    cx = CtxState()
-    for pl in planes:
-        _encode_generic_into(enc, cx, pl)
-    ht_bitmap = enc.flush()
+    if mmr:
+        # one continuous MMR stream for every plane (§C.5): ref line
+        # resets per plane, single trailing EOFB
+        from documentai_ray.functions.faxg4 import (_BitW, _transitions,
+                                                    _encode_2d_line)
+
+        bw = _BitW()
+        for pl in planes:
+            ref: list[int] = []
+            for row in pl.astype(bool):
+                cur = _transitions(row)
+                _encode_2d_line(bw, cur, ref, hgw)
+                ref = cur
+        for _ in range(2):
+            bw.put(12, 0b000000000001)
+        ht_bitmap = bw.done()
+    else:
+        enc = MQEncoder()
+        cx = CtxState()
+        for pl in planes:
+            _encode_generic_into(enc, cx, pl)
+        ht_bitmap = enc.flush()
 
     region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
-    flags = 0x00                       # HMMR=0, template 0, no skip, OR
+    flags = 0x01 if mmr else 0x00      # HMMR, template 0, no skip, OR
     body = (region_info + bytes([flags])
             + struct.pack(">II", hgw, hgh)
             + struct.pack(">ii", 0, 0)             # HGX, HGY
@@ -2170,10 +2202,8 @@ def _decode_halftone_region(payload: bytes, patterns):
     if max(rw, rh, rx, ry) > (1 << 20) or rw * rh > (1 << 26):
         raise ValueError("implausible halftone region geometry")
     flags = payload[17]
-    if flags & 0x01:
-        raise ValueError("MMR halftone unsupported")
-    if (flags >> 1) & 3:
-        raise ValueError("halftone template != 0 unsupported")
+    mmr = flags & 0x01
+    template = (flags >> 1) & 3
     if flags & 0x08:
         raise ValueError("halftone skip bitmap unsupported")
     hgw, hgh = struct.unpack_from(">II", payload, 18)
@@ -2183,15 +2213,37 @@ def _decode_halftone_region(payload: bytes, patterns):
         raise ValueError("implausible halftone grid")
     graymax = len(patterns) - 1
     bits = max(1, graymax.bit_length())
-    dec = MQDecoder(payload[38:])
-    cx = CtxState()
     gray = np.zeros((hgh, hgw), np.int64)
     prev = None
-    for _j in range(bits):
-        coded = _decode_generic_into(dec, cx, hgw, hgh).astype(np.int64)
-        plain = coded if prev is None else coded ^ prev
-        gray = (gray << 1) | plain
-        prev = plain
+    if mmr:
+        # §C.5: all bitplanes ride ONE continuous MMR stream; the
+        # reference line resets per plane, no EOFB between planes
+        from documentai_ray.functions.faxg4 import (_BitR,
+                                                    _decode_2d_line,
+                                                    _paint)
+
+        br = _BitR(payload[38:])
+        for _j in range(bits):
+            plane = np.zeros((hgh, hgw), bool)
+            ref: list[int] = []
+            for y in range(hgh):
+                cur = _decode_2d_line(br, ref, hgw)
+                plane[y] = _paint(cur, hgw)
+                ref = cur
+            coded = plane.astype(np.int64)
+            plain = coded if prev is None else coded ^ prev
+            gray = (gray << 1) | plain
+            prev = plain
+    else:
+        dec = MQDecoder(payload[38:])
+        cx = CtxState()
+        for _j in range(bits):
+            coded = _decode_generic_into(
+                dec, cx, hgw, hgh,
+                template=template).astype(np.int64)
+            plain = coded if prev is None else coded ^ prev
+            gray = (gray << 1) | plain
+            prev = plain
     if gray.max() > graymax:
         raise ValueError("halftone gray index out of range")
     ph, pw = patterns[0].shape

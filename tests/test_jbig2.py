@@ -725,3 +725,32 @@ class TestExoticRegionVariants:
                                            tpgron=tp), tgt)
         plain_n, tp_n = counts
         assert tp_n < plain_n / 4  # most pixels skipped
+
+
+class TestMMRHalftone:
+    """HDMMR/HMMR=1 (T.88 §C.5): pattern dictionary and halftone
+    bitplanes MMR/T.6-coded — one continuous stream for all planes."""
+
+    def _fixture(self):
+        rng = np.random.RandomState(6)
+        pats = [np.zeros((4, 4), bool) for _ in range(4)]
+        pats[1][1:3, 1:3] = True
+        pats[2][:, ::2] = True
+        pats[3][:] = True
+        return pats, rng.randint(0, 4, (6, 9))
+
+    def test_mmr_halftone_equals_arithmetic(self):
+        from documentai_ray.functions.jbig2 import (encode_halftone_page,
+                                                    jbig2_decode)
+        pats, gray = self._fixture()
+        a = jbig2_decode(encode_halftone_page(pats, gray, 40, 28))
+        m = jbig2_decode(encode_halftone_page(pats, gray, 40, 28,
+                                              mmr=True))
+        assert np.array_equal(a, m)
+
+    def test_mmr_pattern_dict_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (decode_pattern_dict,
+                                                    encode_pattern_dict)
+        pats, _ = self._fixture()
+        got = decode_pattern_dict(encode_pattern_dict(pats, mmr=True))
+        assert all(np.array_equal(a, b) for a, b in zip(got, pats))
