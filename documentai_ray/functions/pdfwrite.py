@@ -86,13 +86,23 @@ def images_to_pdf(images: list[np.ndarray], *,
             # irreversible 9/7 (what wild lossy JPX scans actually use)
             raw = encode_jp2k_lossy(img, levels=2)
             filt = b" /Filter /JPXDecode"
-        elif image_filter in ("jbig2", "jbig2_mmr"):
+        elif image_filter.startswith("jbig2"):
             from documentai_ray.functions.jbig2 import jbig2_encode
 
             # JBIG2 wire: 1 = black (no BlackIs1 parm exists); the
-            # reader inverts to the packed 1=white bilevel convention
-            raw = jbig2_encode(img < 128,
-                               mmr=(image_filter == "jbig2_mmr"))
+            # reader inverts to the packed 1=white bilevel convention.
+            # Variants: _mmr (T.6 region), _striped (§7.4.8.2 page
+            # stripes), _t1/_t2/_t3 (GB context templates)
+            kw = {}
+            if image_filter == "jbig2_mmr":
+                kw["mmr"] = True
+            elif image_filter == "jbig2_striped":
+                kw["stripe_h"] = 16
+            elif image_filter in ("jbig2_t1", "jbig2_t2", "jbig2_t3"):
+                kw["template"] = int(image_filter[-1])
+            elif image_filter != "jbig2":
+                raise ValueError(f"unknown image_filter {image_filter}")
+            raw = jbig2_encode(img < 128, **kw)
             filt = b" /Filter /JBIG2Decode"
         elif image_filter in ("g3", "g3_2d"):
             from documentai_ray.functions.faxg4 import g3_encode
@@ -106,8 +116,8 @@ def images_to_pdf(images: list[np.ndarray], *,
                     b" /EndOfLine true >>" % (g3k, w, h))
         else:
             raise ValueError(f"unknown image_filter {image_filter}")
-        bpc = (1 if image_filter in ("g4", "g3", "g3_2d", "jbig2",
-                                     "jbig2_mmr") else 8)
+        bpc = (1 if image_filter in ("g4", "g3", "g3_2d")
+               or image_filter.startswith("jbig2") else 8)
         cspace = b"/DeviceRGB" if img.ndim == 3 else b"/DeviceGray"
         im_id = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"

@@ -920,13 +920,14 @@ def _q_pdf_jpx_extract(sf_dir: str):
 def _q_pdf_jbig2_ocr(sf_dir: str):
     """JBIG2 scanned-PDF ingestion (VERDICT r3 missing #2 — the default
     post-2005 scanned-PDF codec): the page scan embeds as a
-    `/JBIG2Decode` XObject — ITU-T T.88 generic region, MQ-arithmetic
-    template 0 for even doc_ids, the MMR (T.6-coded) variant for odd —
-    then the reader parses the embedded segment stream (page info +
-    immediate lossless generic region), MQ-decodes the bitmap and OCRs
-    it, with the BYTE-IDENTICAL relayout oracle plus a closed-form
-    jbig2_mode column. JBIG2 generic coding is lossless, so the OCR
-    must reproduce every token."""
+    `/JBIG2Decode` XObject — ITU-T T.88 generic region, cycling per
+    doc_id % 5 through MQ-arithmetic template 0, MMR (T.6), the STRIPED
+    page layout (§7.4.8.2, 16-row stripes + end-of-stripe segments),
+    and GB templates 2 and 3 — then the reader parses the embedded
+    segment stream, decodes the bitmap and OCRs it, with the
+    BYTE-IDENTICAL relayout oracle plus a closed-form jbig2_mode
+    column. JBIG2 generic coding is lossless, so the OCR must
+    reproduce every token."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -954,12 +955,15 @@ def _q_pdf_jbig2_ocr(sf_dir: str):
                     draw_text(page, 4, 4 + i * (GLYPH_H + 3), ln)
             else:
                 page = np.full((16, 16), 255, np.uint8)
-            filt = "jbig2" if did % 2 == 0 else "jbig2_mmr"
+            filts = ("jbig2", "jbig2_mmr", "jbig2_striped",
+                     "jbig2_t2", "jbig2_t3")
+            names = ("arith", "mmr", "striped", "t2", "t3")
+            filt = filts[did % 5]
             pdf = images_to_pdf([page], image_filter=filt)
             (scan,), = page_images(pdf)
             text, _boxes = ocr_image(scan)
             out.append(text)
-            modes.append("arith" if did % 2 == 0 else "mmr")
+            modes.append(names[did % 5])
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "text": pa.array(out, pa.string()),
                          "jbig2_mode": pa.array(modes, pa.string())})
