@@ -13,8 +13,10 @@ Extends minijpeg's engine codec to the real-world decode surface:
 
 * CMYK/YCCK 4-component frames (Adobe APP14 transform 0/2) → (H, W, 4)
 
-Arithmetic coding (SOF9+), lossless/hierarchical processes and 12-bit
-precision raise ValueError — honest unsupported, not faked. ``encode_jpeg`` exists to exercise every
+Lossless SOF3 (Annex H: predictors 1-7, 2-16-bit precision, point
+transform) decodes via its dedicated path. Arithmetic coding (SOF9+),
+hierarchical processes and 12-bit DCT precision raise ValueError —
+honest unsupported, not faked. ``encode_jpeg`` exists to exercise every
 decoder path in-sandbox (gray/RGB, 444/420, DRI, progressive with a
 non-Annex-K AC table so DHT-driven decode is actually tested); parity
 note: the reference ingests wild JPEGs via PIL/cv2 in its image path
@@ -245,7 +247,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 c.sbw = (cw + 7) // 8
                 c.sbh = (ch + 7) // 8
                 c.coef = np.zeros((c.bh, c.bw, 64), np.int32)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker == 0xC3:  # lossless (Annex H): dedicated path
+            return decode_lossless_jpeg(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0xFF{marker:02X})")
@@ -838,4 +842,191 @@ def encode_jpeg(img: np.ndarray, *, subsampling: str = "444",
                 out += run_scan([ci], unit_ac)
 
     out += struct.pack(">H", 0xFFD9)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, ITU T.81 Annex H) — the DNG/medical/old-scanner
+# process: per-sample prediction (selectors 1-7) with Huffman-coded
+# difference categories (DC-style SSSS + mantissa bits), 2-16 bit
+# precision, optional point transform.
+# ---------------------------------------------------------------------------
+
+def _lossless_predict(row, prev, x, sel, default):
+    """Predictor Px (T.81 Table H.1). ``row``/``prev`` are int arrays
+    of reconstructed samples for the current/previous line."""
+    if prev is None:
+        return row[x - 1] if x else default  # first line: a / default
+    if x == 0:
+        return prev[0]                       # first column: b
+    a = row[x - 1]
+    b = prev[x]
+    c = prev[x - 1]
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1                      # sel 7
+
+
+def decode_lossless_jpeg(payload: bytes) -> np.ndarray:
+    """SOF3 lossless JPEG → uint8/uint16 (H, W) or (H, W, N) samples.
+    Single-scan, interleaved, 1x1 sampling, no restarts (DRI raises
+    honestly)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    dc_tabs: dict[int, dict] = {}
+    prec = height = width = None
+    comps: list[tuple[int, int]] = []  # (cid, td)
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xC3:  # SOF3
+            prec = body[0]
+            height, width = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if not 2 <= prec <= 16:
+                raise ValueError("bad lossless precision")
+            if nc not in (1, 3):
+                raise ValueError("unsupported component count")
+            sof_comps = []
+            for ci in range(nc):
+                cid, hv, _tq = body[6 + 3 * ci:9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "lossless sampling factors != 1x1 unsupported")
+                sof_comps.append(cid)
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp < len(body):
+                tc_th = body[bp]
+                bits = list(body[bp + 1:bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17:bp + 17 + nv])
+                if (tc_th >> 4) == 0:
+                    dc_tabs[tc_th & 0xF] = _decode_table(bits, vals)
+                bp += 17 + nv
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise ValueError("lossless restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if prec is None:
+                raise ValueError("SOS before SOF3")
+            ns = body[0]
+            comps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si:3 + 2 * si]
+                comps.append((cs, tdta >> 4))
+            sel = body[1 + 2 * ns]           # Ss = predictor selector
+            pt = body[3 + 2 * ns] & 0xF      # Al = point transform
+            if not 1 <= sel <= 7:
+                raise ValueError("bad lossless predictor selector")
+            segs, _end = _split_scan(payload, pos)
+            br = _SegReader(segs)
+            default = 1 << (prec - pt - 1)
+            ncomp = len(comps)
+            out = np.zeros((height, width, ncomp), np.int64)
+            prev_rows = [None] * ncomp
+            for y in range(height):
+                rows = [np.zeros(width, np.int64) for _ in range(ncomp)]
+                for x in range(width):
+                    for k, (_cs, td) in enumerate(comps):
+                        tab = dc_tabs.get(td)
+                        if tab is None:
+                            raise ValueError("missing DC huffman table")
+                        ssss = br.huff(tab)
+                        if ssss == 16:
+                            diff = 32768
+                        else:
+                            diff = _extend(br.read(ssss), ssss)
+                        pred = _lossless_predict(rows[k], prev_rows[k],
+                                                 x, sel, default)
+                        rows[k][x] = (pred + diff) & 0xFFFF
+                for k in range(ncomp):
+                    out[y, :, k] = rows[k]
+                prev_rows = rows
+            out = (out << pt) & 0xFFFF
+            dt = np.uint8 if prec <= 8 else np.uint16
+            out = out.astype(dt)
+            return out[:, :, 0] if ncomp == 1 else out
+    raise ValueError("lossless JPEG without SOS")
+
+
+def encode_lossless_jpeg(img: np.ndarray, *, predictor: int = 1,
+                         point_transform: int = 0) -> bytes:
+    """Mirror encoder: uint8 (P=8) or uint16 (P=16) grayscale or
+    (H, W, 3) arrays → SOF3 stream with one optimal-order DC-style
+    Huffman table shared by all components."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("bad predictor")
+    arr = np.asarray(img)
+    prec = 8 if arr.dtype == np.uint8 else 16
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    pt = point_transform
+    if pt:
+        arr = arr >> pt
+    samples = arr.astype(np.int64)
+    default = 1 << (prec - pt - 1)
+    # category table for SSSS 0..16: Annex-K-shaped canonical code
+    # (1 len-2, 5 len-3, one each len 4..14; Kraft = 0.99993)
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+    vals = list(range(17))
+    codes = _build_codes(bits, vals)
+    bw = _BitWriterJ()
+    prev_rows = [None] * ncomp
+    for y in range(h):
+        rows = [samples[y, :, k] for k in range(ncomp)]
+        for x in range(w):
+            for k in range(ncomp):
+                pred = _lossless_predict(rows[k], prev_rows[k], x,
+                                         predictor, default)
+                diff = int(rows[k][x] - pred)
+                # wrap to 16-bit two's complement window
+                diff = ((diff + 32768) & 0xFFFF) - 32768
+                if diff == 32768 or diff == -32768:
+                    code, lncode = codes[16]
+                    bw.write(code, lncode)
+                else:
+                    cat, mant = _magnitude(diff)
+                    code, lncode = codes[cat]
+                    bw.write(code, lncode)
+                    if cat:
+                        bw.write(mant, cat)
+        prev_rows = rows
+    bw.flush()
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    sof = (bytes([prec]) + struct.pack(">HH", h, w) + bytes([ncomp])
+           + b"".join(bytes([k + 1, 0x11, 0]) for k in range(ncomp)))
+    sos = (bytes([ncomp])
+           + b"".join(bytes([k + 1, 0x00]) for k in range(ncomp))
+           + bytes([predictor, 0, pt]))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFC4, dht)
+    out += _seg(0xFFC3, sof)
+    out += _seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)

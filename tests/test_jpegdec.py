@@ -108,10 +108,16 @@ def test_decode_gray_jpeg_handles_color_and_progressive():
 def test_unsupported_processes_raise():
     src = _smooth_gray(8, 8)
     pay = bytearray(encode_jpeg(src))
-    # flip SOF0 (0xFFC0) to lossless SOF3
+    # flip SOF0 (0xFFC0) to arithmetic SOF9 (SOF3 lossless is now a
+    # real decode path, routed separately)
     i = pay.find(b"\xff\xc0")
-    pay[i + 1] = 0xC3
+    pay[i + 1] = 0xC9
     with pytest.raises(ValueError, match="unsupported JPEG process"):
+        decode_jpeg(bytes(pay))
+    # SOF3 routing: a DCT stream relabeled lossless is malformed and
+    # must still raise (its scan data is not Annex-H coded)
+    pay[i + 1] = 0xC3
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(pay))
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
@@ -197,3 +203,60 @@ def test_cmyk_gray_reduction():
     assert g.shape == (16, 24)
     # stored-inverted viewer convention: 200*200//255 = 156 per channel
     assert abs(int(g[0, 0]) - 156) <= 2
+
+
+class TestLosslessJpeg:
+    """SOF3 lossless process (T.81 Annex H): predictors 1-7, 8/16-bit
+    precision, RGB, point transform — bit-exact roundtrips."""
+
+    def _g8(self):
+        rng = np.random.RandomState(7)
+        return (rng.rand(30, 41) * 255).astype(np.uint8)
+
+    @pytest.mark.parametrize("pred", list(range(1, 8)))
+    def test_predictors_roundtrip(self, pred):
+        from documentai_ray.functions.jpegdec import (
+            decode_lossless_jpeg, encode_lossless_jpeg)
+        g = self._g8()
+        assert np.array_equal(decode_lossless_jpeg(
+            encode_lossless_jpeg(g, predictor=pred)), g)
+
+    def test_16bit_roundtrip(self):
+        from documentai_ray.functions.jpegdec import (
+            decode_lossless_jpeg, encode_lossless_jpeg)
+        rng = np.random.RandomState(8)
+        g16 = (rng.rand(20, 33) * 65535).astype(np.uint16)
+        out = decode_lossless_jpeg(encode_lossless_jpeg(g16))
+        assert out.dtype == np.uint16 and np.array_equal(out, g16)
+
+    def test_rgb_roundtrip(self):
+        from documentai_ray.functions.jpegdec import (
+            decode_lossless_jpeg, encode_lossless_jpeg)
+        rng = np.random.RandomState(9)
+        rgb = (rng.rand(18, 25, 3) * 255).astype(np.uint8)
+        assert np.array_equal(decode_lossless_jpeg(
+            encode_lossless_jpeg(rgb, predictor=4)), rgb)
+
+    def test_point_transform(self):
+        from documentai_ray.functions.jpegdec import (
+            decode_lossless_jpeg, encode_lossless_jpeg)
+        g = self._g8()
+        out = decode_lossless_jpeg(
+            encode_lossless_jpeg(g, point_transform=2))
+        assert np.array_equal(out >> 2, g >> 2)
+
+    def test_decode_jpeg_routes_sof3(self):
+        from documentai_ray.functions.jpegdec import (decode_jpeg,
+                                                      encode_lossless_jpeg)
+        g = self._g8()
+        assert np.array_equal(decode_jpeg(encode_lossless_jpeg(g)), g)
+
+    def test_restart_intervals_raise(self):
+        import struct as _st
+        from documentai_ray.functions.jpegdec import (
+            decode_lossless_jpeg, encode_lossless_jpeg)
+        enc = encode_lossless_jpeg(self._g8())
+        i = enc.index(b"\xff\xda")
+        dri = b"\xff\xdd" + _st.pack(">H", 4) + _st.pack(">H", 8)
+        with pytest.raises(ValueError, match="restart"):
+            decode_lossless_jpeg(enc[:i] + dri + enc[i:])
