@@ -14,9 +14,10 @@ Extends minijpeg's engine codec to the real-world decode surface:
 * CMYK/YCCK 4-component frames (Adobe APP14 transform 0/2) → (H, W, 4)
 
 Lossless SOF3 (Annex H: predictors 1-7, 2-16-bit precision, point
-transform) decodes via its dedicated path. Arithmetic coding (SOF9+),
-hierarchical processes and 12-bit DCT precision raise ValueError —
-honest unsupported, not faked. ``encode_jpeg`` exists to exercise every
+transform) decodes via its dedicated path; 12-bit extended sequential
+(SOF1 at precision 12) rides the normal scan machinery. Arithmetic
+coding (SOF9+) and hierarchical processes raise ValueError — honest
+unsupported, not faked. ``encode_jpeg`` exists to exercise every
 decoder path in-sandbox (gray/RGB, 444/420, DRI, progressive with a
 non-Annex-K AC table so DHT-driven decode is actually tested); parity
 note: the reference ingests wild JPEGs via PIL/cv2 in its image path
@@ -156,6 +157,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive = False
     restart_interval = 0
     frame_seen = False
+    precision = 8
     adobe_transform: int | None = None
     pos = 2
     n = len(payload)
@@ -222,8 +224,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if len(body) < 6 + 3 * nc:
                 raise ValueError("truncated SOF component list")
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported sample precision {prec}")
+            precision = prec
             if nc not in (1, 3, 4):
                 raise ValueError(f"unsupported component count {nc}")
             if height == 0 or width == 0:
@@ -285,7 +288,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += ln
     if not comps or comps[0].coef is None:
         raise ValueError("no frame decoded")
-    return _reconstruct(comps, qtabs, height, width, adobe_transform)
+    return _reconstruct(comps, qtabs, height, width, adobe_transform,
+                                precision)
 
 
 def _decode_scan(br: _SegReader, scomps, dc_tabs, ac_tabs, ss, se, ah, al,
@@ -437,7 +441,8 @@ def _decode_ac_refine(br, coef, ac_tab, ss, se, al, eobrun) -> int:
 
 
 def _reconstruct(comps, qtabs, height, width,
-                 adobe_transform: int | None = None) -> np.ndarray:
+                 adobe_transform: int | None = None,
+                 precision: int = 8) -> np.ndarray:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
@@ -466,26 +471,29 @@ def _reconstruct(comps, qtabs, height, width,
                     f"vs max {hmax}x{vmax} (non-integral upsample)")
             img = np.repeat(np.repeat(img, vmax // c.v, axis=0),
                             hmax // c.h, axis=1)
-        planes.append(img[:height, :width] + 128.0)
+        planes.append(img[:height, :width] + float(1 << (precision - 1)))
+    mid = float(1 << (precision - 1))
+    top = (1 << precision) - 1
+    dt = np.uint8 if precision == 8 else np.uint16
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, top).astype(dt)
     if len(planes) == 4:
         # CMYK (Adobe transform 0/absent: stored direct) or YCCK
         # (transform 2: first three channels are YCbCr-coded) — output
         # the 4 stored-CMYK channels; color-management is the caller's
         c1, c2, c3, k = planes
         if adobe_transform == 2:
-            r = c1 + 1.402 * (c3 - 128.0)
-            g = c1 - 0.344136 * (c2 - 128.0) - 0.714136 * (c3 - 128.0)
-            b = c1 + 1.772 * (c2 - 128.0)
+            r = c1 + 1.402 * (c3 - mid)
+            g = c1 - 0.344136 * (c2 - mid) - 0.714136 * (c3 - mid)
+            b = c1 + 1.772 * (c2 - mid)
             c1, c2, c3 = r, g, b
         return np.clip(np.round(np.dstack([c1, c2, c3, k])), 0,
-                       255).astype(np.uint8)
+                       top).astype(dt)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
+    return np.clip(np.round(np.dstack([r, g, b])), 0, top).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -1028,5 +1036,57 @@ def encode_lossless_jpeg(img: np.ndarray, *, predictor: int = 1,
     out += _seg(0xFFC3, sof)
     out += _seg(0xFFDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1, T.81 §4.11 "extended DCT") — the
+# medical/scientific-archive precision. Decode rides the normal scan
+# machinery (precision threaded into reconstruction); this encoder
+# emits grayscale test vectors with full-range DC (cat ≤ 15) / AC
+# (s ≤ 14) Huffman tables Annex K lacks.
+# ---------------------------------------------------------------------------
+
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_SYMS = ([0x00, 0xF0]
+              + [(r << 4) | s for r in range(16) for s in range(1, 15)])
+_AC12_BITS = [0] * 7 + [128, len(_AC12_SYMS) - 128] + [0] * 7
+_AC12_VALS = list(_AC12_SYMS)
+
+
+def encode_jpeg12(img: np.ndarray) -> bytes:
+    """uint16 grayscale (values 0..4095) → 12-bit SOF1 JPEG. A unit
+    quantization table keeps block-constant inputs bit-exact through
+    the float DCT (the DC-exact trick the 8-bit fixtures use)."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint16 or arr.ndim != 2 or arr.max() > 4095:
+        raise ValueError("encode_jpeg12 expects 12-bit uint16 grayscale")
+    h, w = arr.shape
+    bwn, bhn = (w + 7) // 8, (h + 7) // 8
+    pad = np.pad(arr.astype(np.float64),
+                 ((0, bhn * 8 - h), (0, bwn * 8 - w)), mode="edge")
+    blocks = (pad.reshape(bhn, 8, bwn, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8) - 2048.0)
+    coef = _C[None] @ blocks @ _C.T[None]
+    zz = np.round(coef).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    dc_enc = _build_codes(_DC12_BITS, _DC12_VALS)
+    ac_enc = _build_codes(_AC12_BITS, _AC12_VALS)
+    bw_ = _BitWriterJ()
+    pred = 0
+    for bi in range(zz.shape[0]):
+        pred = _encode_block_seq(bw_, zz[bi], pred, dc_enc, ac_enc)
+    bw_.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFDB, bytes([0]) + bytes([1] * 64))   # unit table
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC12_BITS)
+                + bytes(_DC12_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC12_BITS)
+                + bytes(_AC12_VALS))
+    out += _seg(0xFFC1, bytes([12]) + struct.pack(">HH", h, w)
+                + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -260,3 +260,31 @@ class TestLosslessJpeg:
         dri = b"\xff\xdd" + _st.pack(">H", 4) + _st.pack(">H", 8)
         with pytest.raises(ValueError, match="restart"):
             decode_lossless_jpeg(enc[:i] + dri + enc[i:])
+
+
+class TestTwelveBitJpeg:
+    """12-bit extended sequential (SOF1): decode rides the normal scan
+    machinery with the level shift / clip range / dtype at precision
+    12; block-constant inputs are bit-exact via the unit quant table."""
+
+    def test_block_constant_exact(self):
+        from documentai_ray.functions.jpegdec import (decode_jpeg,
+                                                      encode_jpeg12)
+        rng = np.random.RandomState(3)
+        cells = (rng.rand(3, 5) * 4096).astype(np.uint16)
+        img = np.repeat(np.repeat(cells, 8, 0), 8, 1)
+        out = decode_jpeg(encode_jpeg12(img))
+        assert out.dtype == np.uint16 and np.array_equal(out, img)
+
+    def test_smooth_gradient_near_exact(self):
+        from documentai_ray.functions.jpegdec import (decode_jpeg,
+                                                      encode_jpeg12)
+        y, x = np.mgrid[0:24, 0:40]
+        sm = ((y * 31 + x * 17) % 4096).astype(np.uint16)
+        out = decode_jpeg(encode_jpeg12(sm))
+        assert np.abs(out.astype(int) - sm.astype(int)).max() <= 4
+
+    def test_range_validation(self):
+        from documentai_ray.functions.jpegdec import encode_jpeg12
+        with pytest.raises(ValueError, match="12-bit"):
+            encode_jpeg12(np.full((8, 8), 5000, np.uint16))
