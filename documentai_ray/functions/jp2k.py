@@ -185,35 +185,75 @@ def _fresh_ctx() -> CtxState:
 
 class _BlockCoder:
     """Shared per-block state for encode/decode: significance map,
-    visited-in-sig-pass flags, first-refinement flags, neighbor sums."""
+    visited-in-sig-pass flags, first-refinement flags, neighbor sums.
+
+    Flat Python buffers (bytearray / list) instead of numpy arrays:
+    the per-pixel state reads here are THE tier-1 hot path, and a
+    bytearray index is ~5x cheaper than a numpy scalar index — the
+    coded bitstream is unchanged (r4 #8 stretch)."""
+
+    __slots__ = ("h", "w", "band", "stride", "sig", "sgn", "visited",
+                 "refined")
 
     def __init__(self, h: int, w: int, band: int):
         self.h, self.w, self.band = h, w, band
-        self.sig = np.zeros((h + 2, w + 2), np.uint8)   # 1-pad borders
-        self.sgn = np.zeros((h + 2, w + 2), np.int8)    # -1/+1 when sig
-        self.visited = np.zeros((h, w), bool)
-        self.refined = np.zeros((h, w), bool)
+        self.stride = w + 2
+        self.sig = bytearray((h + 2) * (w + 2))     # 1-pad borders
+        self.sgn = [0] * ((h + 2) * (w + 2))        # -1/+1 when sig
+        self.visited = bytearray(h * w)
+        self.refined = bytearray(h * w)
+
+    def set_sig(self, y: int, x: int, negative: bool) -> None:
+        i = (y + 1) * self.stride + (x + 1)
+        self.sig[i] = 1
+        self.sgn[i] = -1 if negative else 1
+
+    def is_sig(self, y: int, x: int) -> int:
+        return self.sig[(y + 1) * self.stride + (x + 1)]
+
+    def clear_visited(self) -> None:
+        self.visited = bytearray(self.h * self.w)
 
     def neighbor_sums(self, y: int, x: int):
         s = self.sig
-        yy, xx = y + 1, x + 1
-        sh = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
-        sv = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
-        sd = (int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
-              + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1]))
+        i = (y + 1) * self.stride + (x + 1)
+        st = self.stride
+        sh = s[i - 1] + s[i + 1]
+        sv = s[i - st] + s[i + st]
+        sd = (s[i - st - 1] + s[i - st + 1]
+              + s[i + st - 1] + s[i + st + 1])
         return sh, sv, sd
 
+    def stripe_clear(self, y0: int, x: int) -> bool:
+        """True when the full 4-row stripe column at (y0..y0+3, x) is
+        unvisited, insignificant and has an all-zero neighborhood —
+        the run-length-mode precondition (18 sig cells + 4 visited)."""
+        v = self.visited
+        w = self.w
+        j = y0 * w + x
+        if v[j] or v[j + w] or v[j + 2 * w] or v[j + 3 * w]:
+            return False
+        s = self.sig
+        st = self.stride
+        i = y0 * st + x          # padded (y0-1, x-1)
+        for _ in range(6):
+            if s[i] or s[i + 1] or s[i + 2]:
+                return False
+            i += st
+        return True
+
     def sign_ctx(self, y: int, x: int):
-        s, g = self.sig, self.sgn
-        yy, xx = y + 1, x + 1
-        hc = int(g[yy, xx - 1]) + int(g[yy, xx + 1])
-        vc = int(g[yy - 1, xx]) + int(g[yy + 1, xx])
-        hc = max(-1, min(1, hc))
-        vc = max(-1, min(1, vc))
+        g = self.sgn
+        i = (y + 1) * self.stride + (x + 1)
+        st = self.stride
+        hc = g[i - 1] + g[i + 1]
+        vc = g[i - st] + g[i + st]
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         return _SIGN_LUT[(hc + 1, vc + 1)]
 
     def mag_ctx(self, y: int, x: int) -> int:
-        if self.refined[y, x]:
+        if self.refined[y * self.w + x]:
             return 16
         sh, sv, sd = self.neighbor_sums(y, x)
         return 15 if sh + sv + sd else 14
@@ -239,6 +279,8 @@ def encode_block(coefs: np.ndarray, band: int):
     enc = MQEncoder()
     cx = _fresh_ctx()
     st = _BlockCoder(h, w, band)
+    magl = [[int(v) for v in row] for row in mag]
+    negl = [[bool(v) for v in row] for row in neg]
     npasses = 0
     for p in range(nplanes - 1, -1, -1):
         bit = 1 << p
@@ -246,30 +288,29 @@ def encode_block(coefs: np.ndarray, band: int):
         if not first:
             # significance propagation pass
             for y, x, _y0 in _stripes(h, w):
-                if st.sig[y + 1, x + 1]:
+                if st.is_sig(y, x):
                     continue
                 sh, sv, sd = st.neighbor_sums(y, x)
                 if sh + sv + sd == 0:
                     continue
-                st.visited[y, x] = True
-                d = 1 if mag[y, x] & bit else 0
+                st.visited[y * w + x] = 1
+                d = 1 if magl[y][x] & bit else 0
                 enc.encode(cx, d, _sig_ctx(band, sh, sv, sd))
                 if d:
                     sctx, xor = st.sign_ctx(y, x)
-                    enc.encode(cx, int(neg[y, x]) ^ xor, sctx)
-                    st.sig[y + 1, x + 1] = 1
-                    st.sgn[y + 1, x + 1] = -1 if neg[y, x] else 1
+                    enc.encode(cx, int(negl[y][x]) ^ xor, sctx)
+                    st.set_sig(y, x, negl[y][x])
             npasses += 1
             # magnitude refinement pass
             refine_now = []
             for y, x, _y0 in _stripes(h, w):
-                if st.sig[y + 1, x + 1] and not st.visited[y, x] \
-                        and mag[y, x] >= (bit << 1):
-                    enc.encode(cx, 1 if mag[y, x] & bit else 0,
+                if st.is_sig(y, x) and not st.visited[y * w + x] \
+                        and magl[y][x] >= (bit << 1):
+                    enc.encode(cx, 1 if magl[y][x] & bit else 0,
                                st.mag_ctx(y, x))
-                    refine_now.append((y, x))
-            for y, x in refine_now:
-                st.refined[y, x] = True
+                    refine_now.append(y * w + x)
+            for i in refine_now:
+                st.refined[i] = 1
             npasses += 1
         # cleanup pass
         x = 0
@@ -280,13 +321,9 @@ def encode_block(coefs: np.ndarray, band: int):
                 y = y0
                 # run-length mode: full stripe column, all four
                 # insignificant, unvisited, zero neighborhoods
-                if ylim - y0 == 4 and all(
-                        not st.visited[yy, x]
-                        and not st.sig[yy + 1, x + 1]
-                        and sum(st.neighbor_sums(yy, x)) == 0
-                        for yy in range(y0, ylim)):
+                if ylim - y0 == 4 and st.stripe_clear(y0, x):
                     run_sig = [yy for yy in range(y0, ylim)
-                               if mag[yy, x] & bit]
+                               if magl[yy][x] & bit]
                     if not run_sig:
                         enc.encode(cx, 0, _CTX_RL)
                         y = ylim
@@ -298,24 +335,22 @@ def encode_block(coefs: np.ndarray, band: int):
                         y = y0 + pos
                         # that sample becomes significant: sign next
                         sctx, xor = st.sign_ctx(y, x)
-                        enc.encode(cx, int(neg[y, x]) ^ xor, sctx)
-                        st.sig[y + 1, x + 1] = 1
-                        st.sgn[y + 1, x + 1] = -1 if neg[y, x] else 1
+                        enc.encode(cx, int(negl[y][x]) ^ xor, sctx)
+                        st.set_sig(y, x, negl[y][x])
                         y += 1
                 while y < ylim:
-                    if not st.visited[y, x] and not st.sig[y + 1, x + 1]:
+                    if not st.visited[y * w + x] and not st.is_sig(y, x):
                         sh, sv, sd = st.neighbor_sums(y, x)
-                        d = 1 if mag[y, x] & bit else 0
+                        d = 1 if magl[y][x] & bit else 0
                         enc.encode(cx, d, _sig_ctx(band, sh, sv, sd))
                         if d:
                             sctx, xor = st.sign_ctx(y, x)
-                            enc.encode(cx, int(neg[y, x]) ^ xor, sctx)
-                            st.sig[y + 1, x + 1] = 1
-                            st.sgn[y + 1, x + 1] = -1 if neg[y, x] else 1
+                            enc.encode(cx, int(negl[y][x]) ^ xor, sctx)
+                            st.set_sig(y, x, negl[y][x])
                     y += 1
                 y0 = ylim
             x += 1
-        st.visited[:] = False
+        st.clear_visited()
         npasses += 1
     return enc.flush(), npasses, nplanes
 
@@ -323,13 +358,13 @@ def encode_block(coefs: np.ndarray, band: int):
 def decode_block(data: bytes, h: int, w: int, band: int, nplanes: int,
                  npasses: int) -> np.ndarray:
     """Inverse of encode_block → int32 (h, w)."""
-    out_mag = np.zeros((h, w), np.int64)
-    neg = np.zeros((h, w), bool)
     if nplanes == 0 or npasses == 0:
         return np.zeros((h, w), np.int32)
     dec = MQDecoder(data)
     cx = _fresh_ctx()
     st = _BlockCoder(h, w, band)
+    magl = [[0] * w for _ in range(h)]
+    negl = [[False] * w for _ in range(h)]
     passes_done = 0
     p = nplanes - 1
     while passes_done < npasses and p >= 0:
@@ -339,31 +374,30 @@ def decode_block(data: bytes, h: int, w: int, band: int, nplanes: int,
             if passes_done >= npasses:
                 break
             for y, x, _y0 in _stripes(h, w):
-                if st.sig[y + 1, x + 1]:
+                if st.is_sig(y, x):
                     continue
                 sh, sv, sd = st.neighbor_sums(y, x)
                 if sh + sv + sd == 0:
                     continue
-                st.visited[y, x] = True
+                st.visited[y * w + x] = 1
                 if dec.decode(cx, _sig_ctx(band, sh, sv, sd)):
                     sctx, xor = st.sign_ctx(y, x)
                     sgn = dec.decode(cx, sctx) ^ xor
-                    out_mag[y, x] |= bit
-                    neg[y, x] = bool(sgn)
-                    st.sig[y + 1, x + 1] = 1
-                    st.sgn[y + 1, x + 1] = -1 if sgn else 1
+                    magl[y][x] |= bit
+                    negl[y][x] = bool(sgn)
+                    st.set_sig(y, x, bool(sgn))
             passes_done += 1
             if passes_done >= npasses:
                 break
             refine_now = []
             for y, x, _y0 in _stripes(h, w):
-                if st.sig[y + 1, x + 1] and not st.visited[y, x] \
-                        and out_mag[y, x] >= (bit << 1):
+                if st.is_sig(y, x) and not st.visited[y * w + x] \
+                        and magl[y][x] >= (bit << 1):
                     if dec.decode(cx, st.mag_ctx(y, x)):
-                        out_mag[y, x] |= bit
-                    refine_now.append((y, x))
-            for y, x in refine_now:
-                st.refined[y, x] = True
+                        magl[y][x] |= bit
+                    refine_now.append(y * w + x)
+            for i in refine_now:
+                st.refined[i] = 1
             passes_done += 1
             if passes_done >= npasses:
                 break
@@ -374,11 +408,7 @@ def decode_block(data: bytes, h: int, w: int, band: int, nplanes: int,
             while y0 < h:
                 ylim = min(y0 + 4, h)
                 y = y0
-                if ylim - y0 == 4 and all(
-                        not st.visited[yy, x]
-                        and not st.sig[yy + 1, x + 1]
-                        and sum(st.neighbor_sums(yy, x)) == 0
-                        for yy in range(y0, ylim)):
+                if ylim - y0 == 4 and st.stripe_clear(y0, x):
                     if not dec.decode(cx, _CTX_RL):
                         y = ylim
                     else:
@@ -387,29 +417,28 @@ def decode_block(data: bytes, h: int, w: int, band: int, nplanes: int,
                         y = y0 + pos
                         sctx, xor = st.sign_ctx(y, x)
                         sgn = dec.decode(cx, sctx) ^ xor
-                        out_mag[y, x] |= bit
-                        neg[y, x] = bool(sgn)
-                        st.sig[y + 1, x + 1] = 1
-                        st.sgn[y + 1, x + 1] = -1 if sgn else 1
+                        magl[y][x] |= bit
+                        negl[y][x] = bool(sgn)
+                        st.set_sig(y, x, bool(sgn))
                         y += 1
                 while y < ylim:
-                    if not st.visited[y, x] and not st.sig[y + 1, x + 1]:
+                    if not st.visited[y * w + x] and not st.is_sig(y, x):
                         sh, sv, sd = st.neighbor_sums(y, x)
                         if dec.decode(cx, _sig_ctx(band, sh, sv, sd)):
                             sctx, xor = st.sign_ctx(y, x)
                             sgn = dec.decode(cx, sctx) ^ xor
-                            out_mag[y, x] |= bit
-                            neg[y, x] = bool(sgn)
-                            st.sig[y + 1, x + 1] = 1
-                            st.sgn[y + 1, x + 1] = -1 if sgn else 1
+                            magl[y][x] |= bit
+                            negl[y][x] = bool(sgn)
+                            st.set_sig(y, x, bool(sgn))
                     y += 1
                 y0 = ylim
             x += 1
-        st.visited[:] = False
+        st.clear_visited()
         passes_done += 1
         p -= 1
-    out = out_mag.astype(np.int32)
-    out[neg] = -out[neg]
+    out = np.array(magl, np.int32).reshape(h, w)
+    negarr = np.array(negl, bool).reshape(h, w)
+    out[negarr] = -out[negarr]
     return out
 
 
