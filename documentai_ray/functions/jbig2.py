@@ -296,6 +296,19 @@ def _seed(row, n: int, width: int) -> int:
     return v << (n - take)
 
 
+
+# shift-register fast-path geometry for templates 1-3 at nominal AT:
+# per row, the context window is contiguous (the nominal A1 abuts the
+# fixed pixels), so the same three-register walk template 0 uses
+# applies — (r2_hi, r2_w, r1_hi, r1_w, r0_w); ctx = packed MSB-first
+# in _coords_ctx raster order
+_FAST_TPL = {
+    1: (2, 4, 3, 6, 3),
+    2: (1, 3, 2, 5, 2),
+    3: (None, 0, 2, 6, 4),
+}
+
+
 def decode_generic_region(data: bytes, width: int, height: int,
                           at=_NOMINAL_AT, tpgdon: bool = False,
                           template: int = 0) -> np.ndarray:
@@ -320,9 +333,46 @@ def _decode_generic_into(dec: MQDecoder, cx: CtxState, width: int,
     one MQ stream and one GB context bank)."""
     bmp = np.zeros((height, width), dtype=np.uint8)
     if template != 0:
+        ltp_ctx = _TEMPLATE_DEFS[template][2]
+        if tuple(at) == (nominal_at(template)[0],):
+            r2hi, r2w, r1hi, r1w, r0w = _FAST_TPL[template]
+            m2 = (1 << r2w) - 1
+            m1 = (1 << r1w) - 1
+            m0 = (1 << r0w) - 1
+            s2 = r1w + r0w
+            ltp = 0
+            for y in range(height):
+                if tpgdon:
+                    if dec.decode(cx, ltp_ctx):
+                        ltp ^= 1
+                    if ltp:
+                        if y > 0:
+                            bmp[y] = bmp[y - 1]
+                        continue
+                r2 = bmp[y - 2] if y >= 2 and r2w else None
+                r1 = bmp[y - 1] if y >= 1 else None
+                row = bmp[y]
+                w2 = _seed(r2, r2hi + 1, width) if r2w else 0
+                w1 = _seed(r1, r1hi + 1, width)
+                w0 = 0
+                for x in range(width):
+                    ctx = ((w2 & m2) << s2) | ((w1 & m1) << r0w) \
+                        | (w0 & m0)
+                    bit = dec.decode(cx, ctx)
+                    row[x] = bit
+                    if r2w:
+                        nx2 = x + r2hi + 1
+                        w2 = ((w2 << 1)
+                              | (int(r2[nx2]) if r2 is not None
+                                 and nx2 < width else 0)) & m2
+                    nx1 = x + r1hi + 1
+                    w1 = ((w1 << 1)
+                          | (int(r1[nx1]) if r1 is not None
+                             and nx1 < width else 0)) & m1
+                    w0 = ((w0 << 1) | bit) & m0
+            return bmp.astype(bool)
         coords = _template_coords(template, at[0])
         pix = _coords_ctx(coords)
-        ltp_ctx = _TEMPLATE_DEFS[template][2]
         ltp = 0
         for y in range(height):
             if tpgdon:
@@ -430,9 +480,12 @@ def _encode_generic_into(enc: MQEncoder, cx: CtxState, img: np.ndarray,
     bmp = np.ascontiguousarray(img.astype(np.uint8))
     h, w = bmp.shape
     if template != 0:
-        coords = _template_coords(template, nominal_at(template)[0])
-        pix = _coords_ctx(coords)
         ltp_ctx = _TEMPLATE_DEFS[template][2]
+        r2hi, r2w, r1hi, r1w, r0w = _FAST_TPL[template]
+        m2 = (1 << r2w) - 1
+        m1 = (1 << r1w) - 1
+        m0 = (1 << r0w) - 1
+        s2 = r1w + r0w
         ltp = 0
         for y in range(h):
             if tpgdon:
@@ -442,9 +495,24 @@ def _encode_generic_into(enc: MQEncoder, cx: CtxState, img: np.ndarray,
                     ltp ^= 1
                 if ltp:
                     continue
+            r2 = bmp[y - 2] if y >= 2 and r2w else None
+            r1 = bmp[y - 1] if y >= 1 else None
             row = bmp[y]
+            w2 = _seed(r2, r2hi + 1, w) if r2w else 0
+            w1 = _seed(r1, r1hi + 1, w)
+            w0 = 0
             for x in range(w):
-                enc.encode(cx, int(row[x]), pix(bmp, x, y, w, h))
+                ctx = ((w2 & m2) << s2) | ((w1 & m1) << r0w) | (w0 & m0)
+                bit = int(row[x])
+                enc.encode(cx, bit, ctx)
+                if r2w:
+                    nx2 = x + r2hi + 1
+                    w2 = ((w2 << 1) | (int(r2[nx2]) if r2 is not None
+                                       and nx2 < w else 0)) & m2
+                nx1 = x + r1hi + 1
+                w1 = ((w1 << 1) | (int(r1[nx1]) if r1 is not None
+                                   and nx1 < w else 0)) & m1
+                w0 = ((w0 << 1) | bit) & m0
         return
     ltp = 0
     for y in range(h):
