@@ -822,15 +822,15 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if max(rw, rh, rx, ry) > (1 << 20) or rw * rh > (1 << 26):
                 raise ValueError("implausible refinement geometry")
             rflags = payload[17]
-            if rflags & 0x01:
-                raise ValueError("refinement template 1 unsupported")
+            grtemplate = rflags & 0x01
             tpgron = bool(rflags & 0x02)
-            pos2 = 18 + 4              # skip the two AT pixel pairs
+            # template 0 carries two AT pixel pairs; template 1 none
+            pos2 = 18 + (0 if grtemplate else 4)
             if page is None or ry + rh > page.shape[0]                     or rx + rw > page.shape[1]:
                 raise ValueError("refinement region outside page")
             refined = decode_refinement_region(
                 payload[pos2:], rw, rh, page[ry:ry + rh, rx:rx + rw],
-                tpgron=tpgron)
+                tpgron=tpgron, template=grtemplate)
             page[ry:ry + rh, rx:rx + rw] = refined   # REPLACE
         elif typ == 62:
             raise ValueError("JBIG2 extension segments unsupported")
@@ -1996,7 +1996,30 @@ def _refine_ctx(cur: np.ndarray, ref: np.ndarray, x: int, y: int,
     return v
 
 
+# GRTEMPLATE 1 (§6.3.5.3): smaller fixed context, no AT pixels —
+# 4 coding + 5 reference pixels, raster order, MSB first
+_REF1_CODING = [(-1, -1), (0, -1), (1, -1), (-1, 0)]
+_REF1_REFERENCE = [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1)]
+
+
+def _refine_ctx1(cur: np.ndarray, ref: np.ndarray, x: int, y: int,
+                 w: int, h: int) -> int:
+    v = 0
+    for dx, dy in _REF1_CODING:
+        xx, yy = x + dx, y + dy
+        b = int(cur[yy, xx]) if 0 <= xx < w and 0 <= yy < h \
+            and (yy < y or (yy == y and xx < x)) else 0
+        v = (v << 1) | b
+    rh, rw = ref.shape
+    for dx, dy in _REF1_REFERENCE:
+        xx, yy = x + dx, y + dy
+        b = int(ref[yy, xx]) if 0 <= xx < rw and 0 <= yy < rh else 0
+        v = (v << 1) | b
+    return v
+
+
 _TPGRON_CTX = 0x0100     # template-0 refinement LTP context (§6.3.5.6)
+_TPGRON_CTX1 = 0x0080    # template-1 refinement LTP context
 
 
 def _ref_typical(ref: np.ndarray, x: int, y: int, w: int,
@@ -2018,13 +2041,17 @@ def _ref_typical(ref: np.ndarray, x: int, y: int, w: int,
 
 def decode_refinement_region(data: bytes, width: int, height: int,
                              reference: np.ndarray,
-                             tpgron: bool = False) -> np.ndarray:
-    """MQ refinement data + reference bitmap → refined bool bitmap.
-    ``tpgron`` decodes the per-row typical-prediction toggle; in LTP
-    rows, pixels with a uniform 3x3 reference neighborhood copy that
-    value without touching the coder (§6.3.5.6)."""
+                             tpgron: bool = False,
+                             template: int = 0) -> np.ndarray:
+    """MQ refinement data + reference bitmap → refined bool bitmap
+    (GRTEMPLATE 0 or 1). ``tpgron`` decodes the per-row
+    typical-prediction toggle; in LTP rows, pixels with a uniform 3x3
+    reference neighborhood copy that value without touching the coder
+    (§6.3.5.6)."""
     if reference.shape != (height, width):
         raise ValueError("refinement reference shape mismatch")
+    ctxfn = _refine_ctx1 if template else _refine_ctx
+    ltp_ctx = _TPGRON_CTX1 if template else _TPGRON_CTX
     dec = MQDecoder(data)
     cx = CtxState(1 << 13)
     ref = reference.astype(np.uint8)
@@ -2032,7 +2059,7 @@ def decode_refinement_region(data: bytes, width: int, height: int,
     ltp = 0
     for y in range(height):
         if tpgron:
-            if dec.decode(cx, _TPGRON_CTX):
+            if dec.decode(cx, ltp_ctx):
                 ltp ^= 1
         for x in range(width):
             if ltp:
@@ -2041,13 +2068,14 @@ def decode_refinement_region(data: bytes, width: int, height: int,
                     cur[y, x] = tv
                     continue
             cur[y, x] = dec.decode(
-                cx, _refine_ctx(cur, ref, x, y, width, height))
+                cx, ctxfn(cur, ref, x, y, width, height))
     return cur.astype(bool)
 
 
 def encode_refinement_region(target: np.ndarray,
                              reference: np.ndarray,
-                             tpgron: bool = False) -> bytes:
+                             tpgron: bool = False,
+                             template: int = 0) -> bytes:
     """Mirror of decode_refinement_region. With ``tpgron``, a row
     enters LTP mode when every typical pixel's target already equals
     its uniform reference value (the skip is then lossless) and at
@@ -2056,6 +2084,8 @@ def encode_refinement_region(target: np.ndarray,
     h, w = target.shape
     if reference.shape != (h, w):
         raise ValueError("refinement reference shape mismatch")
+    ctxfn = _refine_ctx1 if template else _refine_ctx
+    ltp_ctx = _TPGRON_CTX1 if template else _TPGRON_CTX
     ref = reference.astype(np.uint8)
     enc = MQEncoder()
     cx = CtxState(1 << 13)
@@ -2069,7 +2099,7 @@ def encode_refinement_region(target: np.ndarray,
                            for x, tv in tvals)
             n_typ = sum(1 for _x, tv in tvals if tv is not None)
             want = 1 if (eligible and n_typ > 0) else 0
-            enc.encode(cx, 1 if want != ltp else 0, _TPGRON_CTX)
+            enc.encode(cx, 1 if want != ltp else 0, ltp_ctx)
             ltp = want
         for x in range(w):
             bit = int(target[y, x])
@@ -2079,14 +2109,15 @@ def encode_refinement_region(target: np.ndarray,
                     cur[y, x] = bit
                     continue
             enc.encode(cx, bit,
-                       _refine_ctx(cur, ref, x, y, w, h))
+                       ctxfn(cur, ref, x, y, w, h))
             cur[y, x] = bit
     return enc.flush()
 
 
 def append_refinement_segment(stream: bytes, target: np.ndarray,
                               x: int, y: int,
-                              tpgron: bool = False) -> bytes:
+                              tpgron: bool = False,
+                              template: int = 0) -> bytes:
     """Append an immediate lossless generic refinement segment (type
     43) to an embedded stream: the region refines the PAGE area at
     (x, y) to ``target`` — the lossy-capture-then-exact-fix layout."""
@@ -2096,10 +2127,12 @@ def append_refinement_segment(stream: bytes, target: np.ndarray,
     # the encoder must reproduce it exactly
     page = jbig2_decode(stream)
     ref = page[y:y + h, x:x + w]
+    rflags = (0x02 if tpgron else 0x00) | (0x01 if template else 0x00)
+    at = b"" if template else struct.pack("bbbb", -1, -1, -1, -1)
     body = (struct.pack(">IIIIB", w, h, x, y, 0)
-            + bytes([0x02 if tpgron else 0x00])  # GRTEMPLATE 0
-            + struct.pack("bbbb", -1, -1, -1, -1)   # nominal AT1/AT2
-            + encode_refinement_region(target, ref, tpgron=tpgron))
+            + bytes([rflags]) + at
+            + encode_refinement_region(target, ref, tpgron=tpgron,
+                                       template=template))
     # segment number = one past the highest in the stream
     maxnum = max(num for num, *_rest in _parse_segment_headers(stream))
     hdr = (struct.pack(">IB", maxnum + 1, 43)
@@ -2162,6 +2195,61 @@ def encode_pattern_dict(patterns, *, mmr: bool = False) -> bytes:
             + enc.flush())
 
 
+def _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, pw, ph, rw, rh):
+    """Computed HSKIP mask (T.88 §6.6.5.1): cell (m, n) is skipped
+    when its pattern placement falls fully outside the region."""
+    skip = np.zeros((hgh, hgw), bool)
+    for m in range(hgh):
+        for n in range(hgw):
+            x = (hgx + m * hry + n * hrx) >> 8
+            y = (hgy + m * hrx - n * hry) >> 8
+            if x + pw <= 0 or x >= rw or y + ph <= 0 or y >= rh:
+                skip[m, n] = True
+    return skip
+
+
+def _decode_generic_skip(dec, cx, width, height, skip,
+                         template: int = 0, at=None) -> np.ndarray:
+    """Generic-region decode with a SKIP mask (T.88 §6.6.5.1 halftone
+    planes): skipped pixels are not decoded and stay 0."""
+    if at is None:
+        at = nominal_at(template)
+    coords = (_template_coords(template, at[0]) if template
+              else [at[3], (-1, -2), (0, -2), (1, -2), at[2],
+                    at[1], (-2, -1), (-1, -1), (0, -1), (1, -1),
+                    (2, -1), at[0],
+                    (-4, 0), (-3, 0), (-2, 0), (-1, 0)])
+    pix = _coords_ctx(coords)
+    bmp = np.zeros((height, width), np.uint8)
+    for y in range(height):
+        row = bmp[y]
+        for x in range(width):
+            if skip[y, x]:
+                continue
+            row[x] = dec.decode(cx, pix(bmp, x, y, width, height))
+    return bmp.astype(bool)
+
+
+def _encode_generic_skip(enc, cx, img, skip,
+                         template: int = 0) -> None:
+    """Mirror of _decode_generic_skip (skipped pixels not coded)."""
+    at = nominal_at(template)
+    coords = (_template_coords(template, at[0]) if template
+              else [at[3], (-1, -2), (0, -2), (1, -2), at[2],
+                    at[1], (-2, -1), (-1, -1), (0, -1), (1, -1),
+                    (2, -1), at[0],
+                    (-4, 0), (-3, 0), (-2, 0), (-1, 0)])
+    pix = _coords_ctx(coords)
+    bmp = np.ascontiguousarray(img.astype(np.uint8))
+    bmp = bmp * (~skip.astype(bool))   # skipped pixels read as 0
+    h, w = bmp.shape
+    for y in range(h):
+        for x in range(w):
+            if skip[y, x]:
+                continue
+            enc.encode(cx, int(bmp[y, x]), pix(bmp, x, y, w, h))
+
+
 def decode_pattern_dict(payload: bytes):
     flags = payload[0]
     mmr = flags & 0x01
@@ -2189,7 +2277,9 @@ def decode_pattern_dict(payload: bytes):
 
 
 def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
-                         page_h: int, *, mmr: bool = False) -> bytes:
+                         page_h: int, *, mmr: bool = False,
+                         hgx: int = 0, hgy: int = 0,
+                         enable_skip: bool = False) -> bytes:
     """Halftone page: ``gray`` (HGH, HGW) int cell indices into
     ``patterns`` → embedded stream (page info + pattern dict +
     immediate lossless halftone region + EOP). Orthogonal grid at
@@ -2216,6 +2306,11 @@ def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
         coded = plain if prev is None else plain ^ prev
         planes.append(coded.astype(np.uint8))
         prev = plain
+    if enable_skip and mmr:
+        raise ValueError("HENABLESKIP with HMMR is illegal (T.88)")
+    skip = (_halftone_skip(hgw, hgh, hgx, hgy, pw << 8, 0,
+                           pw, ph, page_w, page_h)
+            if enable_skip else None)
     if mmr:
         # one continuous MMR stream for every plane (§C.5): ref line
         # resets per plane, single trailing EOFB
@@ -2236,14 +2331,17 @@ def encode_halftone_page(patterns, gray: np.ndarray, page_w: int,
         enc = MQEncoder()
         cx = CtxState()
         for pl in planes:
-            _encode_generic_into(enc, cx, pl)
+            if skip is not None:
+                _encode_generic_skip(enc, cx, pl, skip)
+            else:
+                _encode_generic_into(enc, cx, pl)
         ht_bitmap = enc.flush()
 
     region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
-    flags = 0x01 if mmr else 0x00      # HMMR, template 0, no skip, OR
+    flags = (0x01 if mmr else 0x00) | (0x08 if enable_skip else 0x00)
     body = (region_info + bytes([flags])
             + struct.pack(">II", hgw, hgh)
-            + struct.pack(">ii", 0, 0)             # HGX, HGY
+            + struct.pack(">ii", hgx, hgy)
             + struct.pack(">HH", pw << 8, 0)       # HRX, HRY (1/256)
             + ht_bitmap)
 
@@ -2272,8 +2370,9 @@ def _decode_halftone_region(payload: bytes, patterns):
     flags = payload[17]
     mmr = flags & 0x01
     template = (flags >> 1) & 3
-    if flags & 0x08:
-        raise ValueError("halftone skip bitmap unsupported")
+    enable_skip = bool(flags & 0x08)
+    if enable_skip and mmr:
+        raise ValueError("HENABLESKIP with HMMR is illegal (T.88)")
     hgw, hgh = struct.unpack_from(">II", payload, 18)
     hgx, hgy = struct.unpack_from(">ii", payload, 26)
     hrx, hry = struct.unpack_from(">HH", payload, 34)
@@ -2305,10 +2404,19 @@ def _decode_halftone_region(payload: bytes, patterns):
     else:
         dec = MQDecoder(payload[38:])
         cx = CtxState()
+        ph_, pw_ = patterns[0].shape
+        skip = (_halftone_skip(hgw, hgh, hgx, hgy, hrx, hry,
+                               pw_, ph_, rw, rh)
+                if enable_skip else None)
         for _j in range(bits):
-            coded = _decode_generic_into(
-                dec, cx, hgw, hgh,
-                template=template).astype(np.int64)
+            if skip is not None:
+                coded = _decode_generic_skip(
+                    dec, cx, hgw, hgh, skip,
+                    template=template).astype(np.int64)
+            else:
+                coded = _decode_generic_into(
+                    dec, cx, hgw, hgh,
+                    template=template).astype(np.int64)
             plain = coded if prev is None else coded ^ prev
             gray = (gray << 1) | plain
             prev = plain

@@ -754,3 +754,74 @@ class TestMMRHalftone:
         pats, _ = self._fixture()
         got = decode_pattern_dict(encode_pattern_dict(pats, mmr=True))
         assert all(np.array_equal(a, b) for a, b in zip(got, pats))
+
+
+class TestHalftoneSkip:
+    """HENABLESKIP (T.88 §6.6.5.1): the computed skip mask — cells
+    placed fully outside the region decode no plane bits."""
+
+    def _fixture(self):
+        rng = np.random.RandomState(6)
+        pats = [np.zeros((4, 4), bool) for _ in range(4)]
+        pats[1][1:3, 1:3] = True
+        pats[2][:, ::2] = True
+        pats[3][:] = True
+        return pats, rng.randint(0, 4, (6, 9))
+
+    def test_skip_renders_identically(self):
+        from documentai_ray.functions.jbig2 import (encode_halftone_page,
+                                                    jbig2_decode)
+        pats, gray = self._fixture()
+        for hgx in (-1024, -2048):
+            sk = jbig2_decode(encode_halftone_page(
+                pats, gray, 40, 28, hgx=hgx, enable_skip=True))
+            plain = jbig2_decode(encode_halftone_page(
+                pats, gray, 40, 28, hgx=hgx))
+            assert np.array_equal(sk, plain)
+
+    def test_skip_stream_is_smaller(self):
+        from documentai_ray.functions.jbig2 import encode_halftone_page
+        pats, gray = self._fixture()
+        sk = encode_halftone_page(pats, gray, 40, 28, hgx=-2048,
+                                  enable_skip=True)
+        plain = encode_halftone_page(pats, gray, 40, 28, hgx=-2048)
+        assert len(sk) <= len(plain)
+
+    def test_skip_with_mmr_rejected(self):
+        from documentai_ray.functions.jbig2 import encode_halftone_page
+        pats, gray = self._fixture()
+        with pytest.raises(ValueError, match="HENABLESKIP"):
+            encode_halftone_page(pats, gray, 40, 28, mmr=True,
+                                 enable_skip=True)
+
+
+class TestRefinementTemplate1:
+    """GRTEMPLATE=1 (§6.3.5.3): the compact 9-pixel refinement context,
+    no AT bytes in the segment header, its own TPGRON LTP context."""
+
+    @pytest.mark.parametrize("tp", [False, True])
+    def test_segment_loop(self, tp):
+        from documentai_ray.functions.jbig2 import (
+            append_refinement_segment, jbig2_decode, jbig2_encode)
+        rng = np.random.RandomState(11)
+        base = rng.rand(25, 35) > 0.4
+        fix = base.copy()
+        fix[3:6, 4:9] = True
+        s2 = append_refinement_segment(jbig2_encode(base),
+                                       fix[2:10, 2:12], 2, 2,
+                                       tpgron=tp, template=1)
+        want = base.copy()
+        want[2:10, 2:12] = fix[2:10, 2:12]
+        assert np.array_equal(jbig2_decode(s2), want)
+
+    def test_region_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (
+            decode_refinement_region, encode_refinement_region)
+        rng = np.random.RandomState(4)
+        ref = rng.rand(20, 30) > 0.5
+        tgt = ref.copy()
+        tgt[7, 9] = ~tgt[7, 9]
+        data = encode_refinement_region(tgt, ref, template=1)
+        assert np.array_equal(
+            decode_refinement_region(data, 30, 20, ref, template=1),
+            tgt)
