@@ -731,7 +731,9 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         elif typ == 0:                 # symbol dictionary
             sym_dicts[num] = _decode_symbol_dict(
                 payload, [huff_tables[t] for t in refs
-                          if t in huff_tables])
+                          if t in huff_tables],
+                insyms=[s for r in refs
+                        for s in sym_dicts.get(r, [])])
         elif typ == 16:                # pattern dictionary
             pat_dicts[num] = decode_pattern_dict(payload)
         elif typ in (20, 22, 23):      # halftone region
@@ -1572,34 +1574,100 @@ def encode_symbol_text_globals(symbols, pages, *,
     return bytes(globals_stream), page_streams
 
 
-def _decode_symbol_dict(payload: bytes, tables=()):
+def encode_refagg_dict(new_syms, ref_ids, n_insyms: int,
+                      insyms) -> bytes:
+    """REFAGG=1 symbol-dictionary segment DATA (§6.5.8.2, single
+    refinement per symbol): ``new_syms`` are height-sorted bool
+    bitmaps, each coded as a refinement of ``(insyms + new-so-far)
+    [ref_ids[i]]`` at offset (0, 0); exports the new symbols only.
+    GRTEMPLATE 0, nominal AT."""
+    nnew = len(new_syms)
+    enc = MQEncoder()
+    cx_gr = CtxState(1 << 13)
+    cx_iadh = CtxState(512)
+    cx_iadw = CtxState(512)
+    cx_iaex = CtxState(512)
+    cx_iaai = CtxState(512)
+    cx_iardx = CtxState(512)
+    cx_iardy = CtxState(512)
+    symcodelen = _symcodelen(n_insyms + nnew)
+    cx_iaid = CtxState(1 << (symcodelen + 1))
+    hcheight = 0
+    i = 0
+    done: list[np.ndarray] = []
+    while i < nnew:
+        h0 = new_syms[i].shape[0]
+        encode_int(enc, cx_iadh, h0 - hcheight)
+        hcheight = h0
+        symwidth = 0
+        while i < nnew and new_syms[i].shape[0] == h0:
+            sym = new_syms[i]
+            w0 = sym.shape[1]
+            encode_int(enc, cx_iadw, w0 - symwidth)
+            symwidth = w0
+            encode_int(enc, cx_iaai, 1)          # REFAGGNINST = 1
+            sid = ref_ids[i]
+            encode_iaid(enc, cx_iaid, symcodelen, sid)
+            encode_int(enc, cx_iardx, 0)
+            encode_int(enc, cx_iardy, 0)
+            allsyms = list(insyms) + done
+            ref = _place_ref(allsyms[sid], h0, w0, 0, 0)
+            _refine_into_enc(enc, cx_gr, sym, ref)
+            done.append(sym)
+            i += 1
+        encode_int(enc, cx_iadw, _OOB)
+    # exports: skip the inputs, export all new symbols
+    encode_int(enc, cx_iaex, n_insyms)
+    encode_int(enc, cx_iaex, nnew)
+    # flags: SDHUFF=0 REFAGG=1, template 0, SDRTEMPLATE 0
+    at_bytes = b"".join(struct.pack("bb", dx, dy)
+                        for dx, dy in _NOMINAL_AT)
+    gr_at = struct.pack("bbbb", -1, -1, -1, -1)
+    return (struct.pack(">H", 0x0002) + at_bytes + gr_at
+            + struct.pack(">II", nnew, nnew) + enc.flush())
+
+
+def _decode_symbol_dict(payload: bytes, tables=(), insyms=()):
     """Symbol dictionary segment data → list of bool bitmaps
-    (exported, in order). Arithmetic (GB templates 0-3) or Huffman
-    (SDHUFF=1, REFAGG=0 — collective bitmaps per §6.5.9, raw or MMR);
+    (exported, in order). Arithmetic (GB templates 0-3; REFAGG=1
+    single-refinement coding per §6.5.8.2 against ``insyms`` — the
+    exports of referenced dictionaries — or earlier new symbols) or
+    Huffman (SDHUFF=1, REFAGG=0 — collective bitmaps per §6.5.9);
     ``tables`` are custom _HuffTables from referenced type-53 segments
     in reference order, consumed by selector value 3."""
     (flags,) = struct.unpack_from(">H", payload, 0)
-    if flags & 0x0002:
-        raise ValueError("refinement/aggregate dictionaries unsupported")
+    refagg = bool(flags & 0x0002)
     if flags & 0x0001:
+        if refagg:
+            raise ValueError("Huffman refinement dictionaries "
+                             "unsupported")
         return _decode_symbol_dict_huff(payload, flags, tables)
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     pos = 2
     at = []
     for _ in range(4 if template == 0 else 1):
         dx, dy = struct.unpack_from("bb", payload, pos)
         at.append((dx, dy))
         pos += 2
+    if refagg and rtemplate == 0:
+        pos += 4                      # two GR AT pairs (unused: nominal)
     nexp, nnew = struct.unpack_from(">II", payload, pos)
     pos += 8
-    if nnew > 10_000 or nexp > nnew:
+    if nnew > 10_000 or nexp > nnew + len(insyms):
         raise ValueError("implausible symbol dictionary")
     dec = MQDecoder(payload[pos:])
     cx_gb = CtxState()
+    cx_gr = CtxState(1 << 13)
     cx_iadh = CtxState(512)
     cx_iadw = CtxState(512)
     cx_iaex = CtxState(512)
-    syms = []
+    cx_iaai = CtxState(512)
+    cx_iardx = CtxState(512)
+    cx_iardy = CtxState(512)
+    symcodelen = _symcodelen(len(insyms) + nnew)
+    cx_iaid = CtxState(1 << (symcodelen + 1))
+    syms: list[np.ndarray] = []
     hcheight = 0
     while len(syms) < nnew:
         dh = decode_int(dec, cx_iadh)
@@ -1617,19 +1685,40 @@ def _decode_symbol_dict(payload: bytes, tables=()):
             if symwidth <= 0 or symwidth > (1 << 14) \
                     or len(syms) >= nnew:
                 raise ValueError("implausible symbol width/count")
-            syms.append(_decode_generic_into(
-                dec, cx_gb, symwidth, hcheight, at=tuple(at),
-                template=template))
-    # export flags: alternating runs starting not-exported
+            if refagg:
+                nrefs = decode_int(dec, cx_iaai)
+                if nrefs != 1:
+                    raise ValueError(
+                        "aggregate text-region symbol coding "
+                        "unsupported (REFAGGNINST > 1)")
+                allsyms = list(insyms) + syms
+                sid = decode_iaid(dec, cx_iaid, symcodelen)
+                if not 0 <= sid < len(allsyms):
+                    raise ValueError("refined symbol id out of range")
+                rdx = decode_int(dec, cx_iardx)
+                rdy = decode_int(dec, cx_iardy)
+                if rdx is _OOB or rdy is _OOB:
+                    raise ValueError("bad refinement offset")
+                ref = _place_ref(allsyms[sid], hcheight, symwidth,
+                                 rdx, rdy)
+                syms.append(_refine_into(dec, cx_gr, symwidth,
+                                         hcheight, ref, rtemplate))
+            else:
+                syms.append(_decode_generic_into(
+                    dec, cx_gb, symwidth, hcheight, at=tuple(at),
+                    template=template))
+    # export flags: alternating runs starting not-exported, over the
+    # CONCATENATION of input and new symbols (§6.5.10)
+    allsyms = list(insyms) + syms
     exported = []
     curex = 0
     idx = 0
-    while idx < len(syms) and len(exported) < nexp:
+    while idx < len(allsyms) and len(exported) < nexp:
         run = decode_int(dec, cx_iaex)
         if run is _OOB or run < 0:
             raise ValueError("bad export run")
         if curex:
-            exported.extend(syms[idx: idx + run])
+            exported.extend(allsyms[idx: idx + run])
         idx += run
         curex ^= 1
     if len(exported) != nexp:
@@ -1725,6 +1814,20 @@ def _decode_symbol_dict_huff(payload: bytes, flags: int, tables=()):
     return exported
 
 
+def _apply_combop(win: np.ndarray, sym: np.ndarray,
+                  op: int) -> None:
+    """In-place SBCOMBOP composition (T.88 Table 12): OR/AND/XOR/XNOR
+    of a symbol bitmap into the region window."""
+    if op == 0:
+        win |= sym
+    elif op == 1:
+        win &= sym
+    elif op == 2:
+        win ^= sym
+    else:
+        win[...] = ~(win ^ sym)
+
+
 def _decode_text_region(payload: bytes, symbols, tables=()):
     """Text region segment data + dictionary symbols → (region bool
     bitmap, x, y). Arithmetic or Huffman (SBHUFF=1); ``tables`` are
@@ -1746,8 +1849,6 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32               # 5-bit signed
-    if combop not in (0, 1):         # OR / AND(treated as OR on 0-page)
-        raise ValueError("text region comb-op unsupported")
     strips = 1 << log2strips
     (ninst,) = struct.unpack_from(">I", payload, 19)
     if ninst > 1_000_000:
@@ -1805,7 +1906,8 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
             if not (0 <= x0 and x0 + sw <= rw and 0 <= y0
                     and y0 + sh <= rh):
                 raise ValueError("symbol instance outside region")
-            region[y0: y0 + sh, x0: x0 + sw] |= sym
+            _apply_combop(region[y0: y0 + sh, x0: x0 + sw], sym,
+                          combop)
             curs += adv
             n_done += 1
             if n_done >= ninst:
@@ -1834,8 +1936,6 @@ def _decode_text_region_huff(payload: bytes, symbols, flags: int,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    if combop not in (0, 1):
-        raise ValueError("text region comb-op unsupported")
     strips = 1 << log2strips
     (hflags,) = struct.unpack_from(">H", payload, 19)
     custom = list(tables)
@@ -1950,7 +2050,8 @@ def _decode_text_region_huff(payload: bytes, symbols, flags: int,
             if not (0 <= x0 and x0 + sw <= rw and 0 <= y0
                     and y0 + sh <= rh):
                 raise ValueError("symbol instance outside region")
-            region[y0: y0 + sh, x0: x0 + sw] |= sym
+            _apply_combop(region[y0: y0 + sh, x0: x0 + sw], sym,
+                          combop)
             curs += adv
             n_done += 1
             if n_done >= ninst:
@@ -2037,6 +2138,50 @@ def _ref_typical(ref: np.ndarray, x: int, y: int, w: int,
             elif v != v0:
                 return None
     return v0
+
+
+def _refine_into(dec, cx, width: int, height: int,
+                 reference: np.ndarray, template: int = 0) -> np.ndarray:
+    """Refinement decode on an EXISTING coder + context bank (the form
+    REFAGG symbol dictionaries need — §6.5.8.2: every refined symbol
+    shares the dictionary's MQ stream and GR contexts)."""
+    ctxfn = _refine_ctx1 if template else _refine_ctx
+    ref = reference.astype(np.uint8)
+    cur = np.zeros((height, width), np.uint8)
+    for y in range(height):
+        for x in range(width):
+            cur[y, x] = dec.decode(
+                cx, ctxfn(cur, ref, x, y, width, height))
+    return cur.astype(bool)
+
+
+def _refine_into_enc(enc, cx, target: np.ndarray,
+                     reference: np.ndarray, template: int = 0) -> None:
+    """Mirror of _refine_into."""
+    ctxfn = _refine_ctx1 if template else _refine_ctx
+    target = np.ascontiguousarray(target.astype(np.uint8))
+    h, w = target.shape
+    ref = reference.astype(np.uint8)
+    cur = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            bit = int(target[y, x])
+            enc.encode(cx, bit, ctxfn(cur, ref, x, y, w, h))
+            cur[y, x] = bit
+
+
+def _place_ref(refsym: np.ndarray, h: int, w: int, rdx: int,
+               rdy: int) -> np.ndarray:
+    """Reference canvas for a refined symbol: the referenced symbol
+    placed at (RDX, RDY) on an (h, w) zero canvas, clipped."""
+    canvas = np.zeros((h, w), bool)
+    sh, sw = refsym.shape
+    y0, x0 = rdy, rdx
+    ys, xs = max(0, y0), max(0, x0)
+    ye, xe = min(h, y0 + sh), min(w, x0 + sw)
+    if ye > ys and xe > xs:
+        canvas[ys:ye, xs:xe] = refsym[ys - y0:ye - y0, xs - x0:xe - x0]
+    return canvas
 
 
 def decode_refinement_region(data: bytes, width: int, height: int,

@@ -825,3 +825,78 @@ class TestRefinementTemplate1:
         assert np.array_equal(
             decode_refinement_region(data, 30, 20, ref, template=1),
             tgt)
+
+
+class TestRefAggDictionaries:
+    """REFAGG=1 symbol dictionaries (§6.5.8.2, single refinement per
+    symbol): each new glyph refines an imported or earlier symbol on
+    the dictionary's shared MQ stream."""
+
+    def _fixture(self):
+        rng = np.random.RandomState(8)
+        from documentai_ray.functions.jbig2 import _sort_symbols
+        base, _ = _sort_symbols([rng.rand(8, 6) > 0.5 for _ in range(4)])
+        variants = []
+        for s in base:
+            v = s.copy()
+            v[2, 1] = ~v[2, 1]
+            v[5, 3] = ~v[5, 3]
+            variants.append(v)
+        return base, variants
+
+    def test_direct_decode(self):
+        from documentai_ray.functions.jbig2 import (_decode_symbol_dict,
+                                                    encode_refagg_dict)
+        base, variants = self._fixture()
+        sd = encode_refagg_dict(variants, [0, 1, 2, 3], len(base), base)
+        got = _decode_symbol_dict(sd, insyms=base)
+        assert all(np.array_equal(a, b) for a, b in zip(got, variants))
+
+    def test_full_stream_with_imported_dict(self):
+        import struct as _st
+        from documentai_ray.functions.jbig2 import (
+            _T_END_OF_PAGE, _T_PAGE_INFO, _encode_symbol_dict_data,
+            _encode_text_region_data, _seg_header, encode_refagg_dict,
+            jbig2_decode)
+        base, variants = self._fixture()
+        sdA = _encode_symbol_dict_data(base)
+        sdB = encode_refagg_dict(variants, [0, 1, 2, 3],
+                                 len(base), base)
+        allsyms = base + variants
+        pl = [(i, 3 + 8 * i, 2) for i in range(8)]
+        tr = _encode_text_region_data(sorted(pl,
+                                             key=lambda t: (t[2], t[1])),
+                                      allsyms, 80, 14)
+        page_data = _st.pack(">IIIIBH", 80, 14, 0, 0, 0x01, 0)
+        out = bytearray()
+        out += _seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+        out += _seg_header(1, 0, 1, len(sdA)) + sdA
+        out += _seg_header(2, 0, 1, len(sdB), refs=(1,)) + sdB
+        out += _seg_header(3, 6, 1, len(tr), refs=(1, 2)) + tr
+        out += _seg_header(4, _T_END_OF_PAGE, 1, 0)
+        page = jbig2_decode(bytes(out))
+        want = np.zeros((14, 80), bool)
+        for i, x, y in pl:
+            want[y:y + 8, x:x + 6] |= allsyms[i]
+        assert np.array_equal(page, want)
+
+    def test_aggregate_ninst_gt1_raises(self):
+        # hand-code a dictionary whose first symbol claims
+        # REFAGGNINST=2: the (unsupported) aggregate path must raise
+        import struct as _st
+        from documentai_ray.functions import jbig2 as j
+        enc = j.MQEncoder()
+        cx_iadh = j.CtxState(512)
+        cx_iadw = j.CtxState(512)
+        cx_iaai = j.CtxState(512)
+        j.encode_int(enc, cx_iadh, 5)   # height class 5
+        j.encode_int(enc, cx_iadw, 4)   # first symbol width 4
+        j.encode_int(enc, cx_iaai, 2)   # REFAGGNINST = 2
+        body = enc.flush()
+        at = b"".join(_st.pack("bb", dx, dy)
+                      for dx, dy in j._NOMINAL_AT)
+        sd = (_st.pack(">H", 0x0002) + at
+              + _st.pack("bbbb", -1, -1, -1, -1)
+              + _st.pack(">II", 1, 1) + body)
+        with pytest.raises(ValueError, match="aggregate"):
+            j._decode_symbol_dict(sd)
