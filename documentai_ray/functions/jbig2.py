@@ -1480,7 +1480,8 @@ def _seg_header(num, typ, page, length, refs=()):
 def encode_symbol_text_page(symbols, placements, page_w: int,
                             page_h: int, *,
                             huffman: bool = False,
-                            mmr_collective: bool = False) -> bytes:
+                            mmr_collective: bool = False,
+                            refagg: bool = False) -> bytes:
     """Glyph-based JBIG2 page — the way real scanners code text:
 
     ``symbols``: list of bool (h, w) glyph bitmaps (the dictionary);
@@ -1494,12 +1495,30 @@ def encode_symbol_text_page(symbols, placements, page_w: int,
     of arithmetic."""
     if not len(symbols) or not placements:
         raise ValueError("need at least one symbol and one placement")
+    if refagg and (huffman or mmr_collective):
+        raise ValueError("refagg mode is arithmetic-only")
     sorted_syms, remap = _sort_symbols(symbols)
     inst = sorted(((remap[si], x, y) for si, x, y in placements),
                   key=lambda t: (t[2], t[1]))
     page_data = struct.pack(">IIIIBH", page_w, page_h, 0, 0, 0x01, 0)
     out = bytearray()
     out += _seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+    if refagg:
+        # the wild two-dictionary shape: a generic BASE dictionary plus
+        # a REFAGG dictionary whose glyphs refine the imports (here:
+        # exact clones, the lossy-capture-then-refine layout), with the
+        # text region drawing from the refined exports only
+        sd_a = _encode_symbol_dict_data(sorted_syms)
+        n = len(sorted_syms)
+        sd_b = encode_refagg_dict(sorted_syms, list(range(n)), n,
+                                  sorted_syms)
+        tr_data = _encode_text_region_data(inst, sorted_syms,
+                                           page_w, page_h)
+        out += _seg_header(1, 0, 1, len(sd_a)) + sd_a
+        out += _seg_header(2, 0, 1, len(sd_b), refs=(1,)) + sd_b
+        out += _seg_header(3, 6, 1, len(tr_data), refs=(2,)) + tr_data
+        out += _seg_header(4, _T_END_OF_PAGE, 1, 0)
+        return bytes(out)
     if huffman:
         sd_data = _encode_symbol_dict_data_huff(
             sorted_syms, mmr_collective=mmr_collective)

@@ -173,7 +173,8 @@ def escape_pdf_string(s: str) -> bytes:
 
 def jbig2_text_pdf(symbols, placements, page_w: int,
                    page_h: int, *, huffman: bool = False,
-                   mmr_collective: bool = False) -> bytes:
+                   mmr_collective: bool = False,
+                   refagg: bool = False) -> bytes:
     """One-page PDF whose page image is a JBIG2 SYMBOL-CODED text
     region — the wire shape real scanners emit for text pages: a
     symbol dictionary of glyph bitmaps plus (S, T, ID) instance
@@ -186,7 +187,8 @@ def jbig2_text_pdf(symbols, placements, page_w: int,
 
     raw = encode_symbol_text_page(symbols, placements, page_w, page_h,
                                   huffman=huffman,
-                                  mmr_collective=mmr_collective)
+                                  mmr_collective=mmr_collective,
+                                  refagg=refagg)
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:

@@ -732,11 +732,13 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
     decodes dictionary + region through the segment machinery and OCRs
     the page — BYTE-IDENTICAL relayout oracle plus the closed-form
     n_symbols column (distinct non-space glyphs of the relayout text).
-    The coding cycles per doc_id % 3: arithmetic (Annex A integer
+    The coding cycles per doc_id % 4: arithmetic (Annex A integer
     coding), Huffman (SDHUFF/SBHUFF, standard tables B.1/B.2/B.4/B.8/
     B.11 + a custom FS table segment, §7.4.3.1.7 run-coded symbol ID
-    lengths), and Huffman with MMR-coded collective bitmaps (§6.5.9) —
-    the three wild wire shapes."""
+    lengths), Huffman with MMR-coded collective bitmaps (§6.5.9), and
+    the REFAGG two-dictionary layout (§6.5.8.2: a generic base dict
+    plus a refinement dict whose exports feed the text region) — the
+    four wild wire shapes."""
     import pyarrow as pa
     import ray.data
 
@@ -749,7 +751,7 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    _MODES = ("arith", "huffman", "huffman_mmr")
+    _MODES = ("arith", "huffman", "huffman_mmr", "refagg")
 
     def scan_roundtrip(batch: pa.Table) -> pa.Table:
         out = []
@@ -757,7 +759,7 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
         codings = []
         ids = batch.column("doc_id").to_pylist()
         for did, txt in zip(ids, batch.column("text").to_pylist()):
-            coding = _MODES[did % 3]
+            coding = _MODES[did % 4]
             codings.append(coding)
             lines = wrap_text_lines(txt or "")
             chars = sorted({c for ln in lines for c in ln
@@ -775,9 +777,11 @@ def _q_pdf_jbig2_text_ocr(sf_dir: str):
                 for r, ln in enumerate(lines)
                 for i, ch in enumerate(ln)
                 if ch != " " and ch in GLYPHS]
-            pdf = jbig2_text_pdf(symbols, placements, w, h,
-                                 huffman=(coding != "arith"),
-                                 mmr_collective=(coding == "huffman_mmr"))
+            pdf = jbig2_text_pdf(
+                symbols, placements, w, h,
+                huffman=coding.startswith("huffman"),
+                mmr_collective=(coding == "huffman_mmr"),
+                refagg=(coding == "refagg"))
             (scan,), = page_images(pdf)
             text, _boxes = ocr_image(scan)
             out.append(text)
