@@ -1314,7 +1314,8 @@ def _encode_symbol_dict_data(sorted_syms, template: int = 0) -> bytes:
 
 def _encode_text_region_data(inst, sorted_syms, page_w: int,
                              page_h: int,
-                             transposed: bool = False) -> bytes:
+                             transposed: bool = False,
+                             refined=None) -> bytes:
     """Immediate-lossless text-region segment DATA (SBSTRIPS=1,
     REFCORNER=TOPLEFT, OR composition). ``inst`` is (dict_index, x, y)
     placements sorted by (y, x). ``transposed=True`` codes the
@@ -1335,6 +1336,13 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
     cx_iafs = CtxState(512)
     cx_iads = CtxState(512)
     cx_iaid = CtxState(1 << (symcodelen + 1))
+    cx_iari = CtxState(512)
+    cx_iardw = CtxState(512)
+    cx_iardh = CtxState(512)
+    cx_iardx = CtxState(512)
+    cx_iardy = CtxState(512)
+    cx_gr = CtxState(1 << 13)
+    refine = refined is not None and any(r is not None for r in refined)
     encode_int(enc, cx_iadt, 0)   # initial STRIPT (spec: -DT*strips)
     stript = 0
     firsts = 0
@@ -1349,7 +1357,7 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
         curs = 0
         while k < len(items) and items[k][2] == t0:
             sid, s0, _t0 = items[k]
-            adv = sorted_syms[sid].shape[adv_dim]
+            target = refined[k] if refine else None
             if first:
                 encode_int(enc, cx_iafs, s0 - firsts)
                 firsts = s0
@@ -1359,6 +1367,26 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
                 encode_int(enc, cx_iads, s0 - curs)
                 curs = s0
             encode_iaid(enc, cx_iaid, symcodelen, sid)
+            if refine:
+                if target is None:
+                    encode_int(enc, cx_iari, 0)
+                    placed = sorted_syms[sid]
+                else:
+                    encode_int(enc, cx_iari, 1)
+                    base = sorted_syms[sid]
+                    nh, nw = target.shape
+                    rdh = nh - base.shape[0]
+                    rdw = nw - base.shape[1]
+                    encode_int(enc, cx_iardw, rdw)
+                    encode_int(enc, cx_iardh, rdh)
+                    encode_int(enc, cx_iardx, 0)
+                    encode_int(enc, cx_iardy, 0)
+                    ref = _place_ref(base, nh, nw, rdw >> 1, rdh >> 1)
+                    _refine_into_enc(enc, cx_gr, target, ref)
+                    placed = target
+            else:
+                placed = sorted_syms[sid]
+            adv = placed.shape[adv_dim]
             curs += adv - 1
             n_done += 1
             k += 1
@@ -1366,9 +1394,16 @@ def _encode_text_region_data(inst, sorted_syms, page_w: int,
     tr_arith = enc.flush()
 
     region_info = struct.pack(">IIIIB", page_w, page_h, 0, 0, 0)
-    # flags: SBHUFF=0 REFINE=0 LOG2SBSTRIPS=0 REFCORNER=TOPLEFT(1)
-    # TRANSPOSED per arg, SBCOMBOP=OR(0) SBDEFPIXEL=0 SBDSOFFSET=0
-    tr_flags = (1 << 4) | ((1 << 6) if transposed else 0)
+    # flags: SBHUFF=0, REFINE per arg, LOG2SBSTRIPS=0,
+    # REFCORNER=TOPLEFT(1), TRANSPOSED per arg, SBCOMBOP=OR(0),
+    # SBDEFPIXEL=0 SBDSOFFSET=0 SBRTEMPLATE=0
+    tr_flags = ((1 << 4) | ((1 << 6) if transposed else 0)
+                | (0x0002 if refine else 0))
+    if refine:
+        # two nominal refinement AT pairs follow the flags
+        return (region_info + struct.pack(">H", tr_flags)
+                + struct.pack("bbbb", -1, -1, -1, -1)
+                + struct.pack(">I", len(inst)) + tr_arith)
     return (region_info + struct.pack(">H", tr_flags)
             + struct.pack(">I", len(inst)) + tr_arith)
 
@@ -1858,8 +1893,8 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
     if flags & 0x0001:
         return _decode_text_region_huff(payload, symbols, flags, tables,
                                         rw, rh, rx, ry)
-    if flags & 0x0002:
-        raise ValueError("refinement text regions unsupported")
+    refine = bool(flags & 0x0002)
+    rtemplate = (flags >> 15) & 1
     log2strips = (flags >> 2) & 3
     refcorner = (flags >> 4) & 3
     transposed = (flags >> 6) & 1
@@ -1869,10 +1904,13 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
     if dsoffset > 15:
         dsoffset -= 32               # 5-bit signed
     strips = 1 << log2strips
-    (ninst,) = struct.unpack_from(">I", payload, 19)
+    pos0 = 19
+    if refine and rtemplate == 0:
+        pos0 += 4                    # two refinement AT pairs (nominal)
+    (ninst,) = struct.unpack_from(">I", payload, pos0)
     if ninst > 1_000_000:
         raise ValueError("implausible instance count")
-    dec = MQDecoder(payload[23:])
+    dec = MQDecoder(payload[pos0 + 4:])
     nsyms = len(symbols)
     symcodelen = _symcodelen(nsyms)
     cx_iadt = CtxState(512)
@@ -1880,6 +1918,12 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
     cx_iads = CtxState(512)
     cx_iait = CtxState(512)
     cx_iaid = CtxState(1 << (symcodelen + 1))
+    cx_iari = CtxState(512)
+    cx_iardw = CtxState(512)
+    cx_iardh = CtxState(512)
+    cx_iardx = CtxState(512)
+    cx_iardy = CtxState(512)
+    cx_gr = CtxState(1 << 13)
     region = np.full((rh, rw), bool(defpixel))
     stript = -decode_int(dec, cx_iadt) * strips
     firsts = 0
@@ -1910,6 +1954,23 @@ def _decode_text_region(payload: bytes, symbols, tables=()):
             if not 0 <= sid < nsyms:
                 raise ValueError("symbol id out of range")
             sym = symbols[sid]
+            if refine and decode_int(dec, cx_iari):
+                # §6.4.11: this instance refines the dictionary glyph
+                # (size deltas RDW/RDH, reference offset per the spec's
+                # floor(RDW/2)+RDX recipe)
+                rdw = decode_int(dec, cx_iardw)
+                rdh = decode_int(dec, cx_iardh)
+                rdx = decode_int(dec, cx_iardx)
+                rdy = decode_int(dec, cx_iardy)
+                if _OOB in (rdw, rdh, rdx, rdy):
+                    raise ValueError("bad instance refinement fields")
+                nh = sym.shape[0] + rdh
+                nw = sym.shape[1] + rdw
+                if nh <= 0 or nw <= 0 or max(nh, nw) > (1 << 14):
+                    raise ValueError("implausible refined instance")
+                ref = _place_ref(sym, nh, nw,
+                                 (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+                sym = _refine_into(dec, cx_gr, nw, nh, ref, rtemplate)
             sh, sw = sym.shape
             if transposed:
                 # §6.4.5 step 3(c)(xi): S runs along the T axis's

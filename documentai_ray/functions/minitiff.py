@@ -174,12 +174,14 @@ def lzw_encode(data: bytes) -> bytes:
     return bw.flush()
 
 
-def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+def lzw_decode(data: bytes, expected: int | None = None,
+               early_change: int = 1) -> bytes:
     """Mirror of :func:`lzw_encode`; decodes until EOI (or ``expected``
     output bytes when given), raising ValueError on any malformed
     stream. PDF's LZWDecode with the default EarlyChange=1 is this
     exact variant (ISO 32000 §7.4.4), so pdfread reuses it with
-    ``expected=None``."""
+    ``expected=None``; ``early_change=0`` widens codes one entry later
+    (the non-default PDF variant some writers emit)."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -219,8 +221,9 @@ def lzw_decode(data: bytes, expected: int | None = None) -> bytes:
         out += entry
         old = entry
         # early change: the decoder's table lags the encoder's by one
-        # entry, so it bumps width one entry earlier (510/1022/2046)
-        nxt = len(table) + 1
+        # entry, so it bumps width one entry earlier (510/1022/2046);
+        # EarlyChange=0 widens exactly at the table-size boundary
+        nxt = len(table) + early_change
         if nxt in (511, 1023, 2047):
             width = {511: 10, 1023: 11, 2047: 12}[nxt]
     if expected is None:

@@ -358,11 +358,10 @@ def decode_stream(dct: bytes, stream: bytes,
                 raise ValueError(f"bad FlateDecode stream: {exc}") from exc
             data = _apply_predictor(data, pm)
         elif name == b"LZWDecode" or name == b"LZW":
-            if pm.get("EarlyChange", 1) != 1:
-                raise ValueError("LZW EarlyChange=0 not supported")
             from documentai_ray.functions.minitiff import lzw_decode
 
-            data = lzw_decode(data)
+            data = lzw_decode(data,
+                              early_change=pm.get("EarlyChange", 1))
             data = _apply_predictor(data, pm)
         elif name == b"ASCIIHexDecode" or name == b"AHx":
             data = _ascii_hex_decode(data)

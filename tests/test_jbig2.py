@@ -900,3 +900,40 @@ class TestRefAggDictionaries:
               + _st.pack(">II", 1, 1) + body)
         with pytest.raises(ValueError, match="aggregate"):
             j._decode_symbol_dict(sd)
+
+
+class TestRefinedTextInstances:
+    """REFINE=1 text regions (§6.4.11): instances may refine the
+    dictionary glyph in place, including size deltas."""
+
+    def test_refined_instances_roundtrip(self):
+        import struct as _st
+        from documentai_ray.functions.jbig2 import (
+            _T_END_OF_PAGE, _T_PAGE_INFO, _encode_symbol_dict_data,
+            _encode_text_region_data, _seg_header, _sort_symbols,
+            jbig2_decode)
+        rng = np.random.RandomState(8)
+        ss, remap = _sort_symbols([rng.rand(8, 6) > 0.5
+                                   for _ in range(3)])
+        pl = [(0, 2, 2), (1, 12, 2), (2, 22, 2), (0, 32, 2)]
+        inst = sorted(((remap[si], x, y) for si, x, y in pl),
+                      key=lambda t: (t[2], t[1]))
+        mod = ss[inst[1][0]].copy()
+        mod[3, 2] = ~mod[3, 2]
+        grown = np.zeros((10, 8), bool)
+        grown[1:9, 1:7] = ss[inst[3][0]]
+        refined = [None, mod, None, grown]
+        sd = _encode_symbol_dict_data(ss)
+        tr = _encode_text_region_data(inst, ss, 45, 16, refined=refined)
+        page_data = _st.pack(">IIIIBH", 45, 16, 0, 0, 0x01, 0)
+        out = bytearray()
+        out += _seg_header(0, _T_PAGE_INFO, 1, len(page_data)) + page_data
+        out += _seg_header(1, 0, 1, len(sd)) + sd
+        out += _seg_header(2, 6, 1, len(tr), refs=(1,)) + tr
+        out += _seg_header(3, _T_END_OF_PAGE, 1, 0)
+        page = jbig2_decode(bytes(out))
+        want = np.zeros((16, 45), bool)
+        placed = [ss[inst[0][0]], mod, ss[inst[2][0]], grown]
+        for (sid, x, y), bmp in zip(inst, placed):
+            want[y:y + bmp.shape[0], x:x + bmp.shape[1]] |= bmp
+        assert np.array_equal(page, want)
