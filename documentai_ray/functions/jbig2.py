@@ -702,24 +702,32 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page = None
     striped = False
 
-    def compose(region, rx, ry):
-        """OR-composite a region, growing the page when striped."""
+    default_pixel = False
+
+    def compose(region, rx, ry, op: int = 0):
+        """Composite a region onto the page with its EXTERNAL
+        combination operator (§7.4.1: OR/AND/XOR/XNOR/REPLACE),
+        growing the page when striped."""
         nonlocal page
         rh, rw = region.shape
         if page is None:
-            page = np.zeros((ry + rh, rx + rw), bool)
+            page = np.full((ry + rh, rx + rw), default_pixel)
         if ry + rh > page.shape[0]:
             new_h = ry + rh
             if not striped or rx + rw > page.shape[1] \
                     or new_h > (1 << 20) \
                     or new_h * page.shape[1] > (1 << 26):
                 raise ValueError("JBIG2 region outside page")
-            grown = np.zeros((new_h, page.shape[1]), bool)
+            grown = np.full((new_h, page.shape[1]), default_pixel)
             grown[:page.shape[0]] = page
             page = grown
         if rx + rw > page.shape[1]:
             raise ValueError("JBIG2 region outside page")
-        page[ry:ry + rh, rx:rx + rw] |= region
+        win = page[ry:ry + rh, rx:rx + rw]
+        if op == 4:
+            win[...] = region
+        else:
+            _apply_combop(win, region, op)
 
     sym_dicts: dict[int, list] = {}    # segment number -> exported syms
     pat_dicts: dict[int, list] = {}    # segment number -> patterns
@@ -743,7 +751,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             if not patterns:
                 raise ValueError("halftone region without patterns")
             region, rx, ry = _decode_halftone_region(payload, patterns)
-            compose(region, rx, ry)
+            compose(region, rx, ry, payload[16] & 7)
         elif typ in (4, 6, 7):         # text region (imm./lossless)
             symbols = []
             for r in refs:
@@ -753,7 +761,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             region, rx, ry = _decode_text_region(
                 payload, symbols, [huff_tables[t] for t in refs
                                    if t in huff_tables])
-            compose(region, rx, ry)
+            compose(region, rx, ry, payload[16] & 7)
         elif typ == _T_PAGE_INFO:
             if len(payload) < 17:
                 raise ValueError("short JBIG2 page info segment")
@@ -768,18 +776,18 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             elif max(page_w, page_h) > (1 << 20) \
                     or page_w * page_h > (1 << 26):
                 raise ValueError("implausible JBIG2 page geometry")
-            # page-info flags bit 2 = default pixel value: this decoder
-            # composites regions with OR, under which a default-1 page
-            # would silently swallow every region — reject explicitly
-            # rather than decode inverted (ADVICE r4)
-            if len(payload) >= 17 and payload[16] & 0x04:
-                raise ValueError(
-                    "JBIG2 page default pixel value 1 unsupported")
-            page = np.zeros((page_h, page_w), bool)
+            # page-info flags bit 2 = default pixel value — honored
+            # now that regions composite with their external operator
+            # (a default-1 page + AND/REPLACE regions decodes right)
+            default_pixel = bool(payload[16] & 0x04) \
+                if len(payload) >= 17 else False
+            page = np.full((page_h, page_w), default_pixel)
         elif typ in _GENERIC_REGION_TYPES:
             if len(payload) < 18:
                 raise ValueError("short JBIG2 generic region segment")
-            rw, rh, rx, ry, _comb = struct.unpack_from(">IIIIB", payload, 0)
+            rw, rh, rx, ry, comb_byte = struct.unpack_from(
+                ">IIIIB", payload, 0)
+            flags_comb = comb_byte & 7
             # plausibility cap (also bounds work on corrupt headers): a
             # 1200-dpi A3 scan is ~2.8e8 px; this pure-Python decoder
             # tops out far below that, so reject absurd regions early
@@ -804,7 +812,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 from documentai_ray.functions.faxg4 import g4_decode
 
                 region = g4_decode(payload[pos:], rw, rh)
-            compose(region, rx, ry)  # OR composition
+            compose(region, rx, ry, flags_comb)
         elif typ == 50:                # end of stripe (§7.4.10)
             if striped and len(payload) >= 4:
                 (row,) = struct.unpack_from(">I", payload, 0)

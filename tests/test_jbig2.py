@@ -417,15 +417,24 @@ class TestMalformedStreamContract:
             with pytest.raises(ValueError):
                 jbig2_decode(data[:cut])
 
-    def test_default_pixel_one_page_rejected(self):
-        from documentai_ray.functions.jbig2 import jbig2_decode
-        data = bytearray(self._stream())
-        # page info segment: first segment; its payload starts after the
-        # 11-byte short-form header (num4+flags1+rts1+page1+len4)
-        flags_off = 11 + 16
-        data[flags_off] |= 0x04  # default pixel value = 1
-        with pytest.raises(ValueError, match="default pixel"):
-            jbig2_decode(bytes(data))
+    def test_default_pixel_one_page_honored(self):
+        # ADVICE r4 asked honor-or-reject; with external combination
+        # operators in place the page default pixel is now HONORED:
+        # an all-ones page with an AND/XNOR/REPLACE region decodes to
+        # exactly the region content
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode)
+        img = np.zeros((10, 30), bool)
+        img[2:5, 4:26] = True
+        data = bytearray(jbig2_encode(img))
+        data[11 + 16] |= 0x04        # page default pixel = 1
+        off2 = 11 + 19               # past the 19-byte page info
+        for op in (1, 3, 4):         # AND / XNOR / REPLACE
+            data[off2 + 11 + 16] = (data[off2 + 11 + 16] & ~7) | op
+            assert np.array_equal(jbig2_decode(bytes(data)), img), op
+        # OR onto all-ones stays all-ones (the op semantics, honored)
+        data[off2 + 11 + 16] &= ~7
+        assert jbig2_decode(bytes(data)).all()
 
 
 class TestGlobalsStreams:
