@@ -554,7 +554,8 @@ _GENERIC_REGION_TYPES = (36, 38, 39)  # intermediate / immediate / lossless
 
 def jbig2_encode(img: np.ndarray, *, mmr: bool = False,
                  template: int = 0,
-                 stripe_h: int | None = None) -> bytes:
+                 stripe_h: int | None = None,
+                 unknown_length: bool = False) -> bytes:
     """Bool/0-1 (h, w) array → embedded-organization JBIG2 segment
     stream: page info + immediate lossless generic region (+ EOP).
     ``mmr=True`` codes the region MMR (ITU-T T.6 via faxg4) instead of
@@ -622,9 +623,21 @@ def jbig2_encode(img: np.ndarray, *, mmr: bool = False,
         flags = bytes([0x08 | (template << 1)])
         at_bytes = b"".join(struct.pack("bb", dx, dy)
                             for dx, dy in nominal_at(template))
-        body = (region_info + flags + at_bytes
-                + encode_generic_region(bmp, tpgdon=True,
-                                        template=template))
+        coded = encode_generic_region(bmp, tpgdon=True,
+                                      template=template)
+        if unknown_length:
+            # §7.2.7 streaming shape: data length AND region height
+            # both 0xFFFFFFFF; FF AC terminator + true row count trail
+            region_info_u = struct.pack(">IIIIB", w, 0xFFFFFFFF,
+                                        0, 0, 0)
+            body = (region_info_u + flags + at_bytes + coded
+                    + b"\xff\xac" + struct.pack(">I", h))
+            out += (struct.pack(">IB", 1, 39) + b"\x00"
+                    + struct.pack(">B", 1)
+                    + struct.pack(">I", 0xFFFFFFFF)) + body
+            out += seg_header(2, _T_END_OF_PAGE, 1, 0)
+            return bytes(out)
+        body = region_info + flags + at_bytes + coded
     out += seg_header(1, 39, 1, len(body)) + body
     out += seg_header(2, _T_END_OF_PAGE, 1, 0)
     return bytes(out)
@@ -681,7 +694,24 @@ def _parse_segment_headers(data: bytes):
         (length,) = struct.unpack_from(">I", data, pos)
         pos += 4
         if length == 0xFFFFFFFF:
-            raise ValueError("unknown-length JBIG2 segment unsupported")
+            # §7.2.7: unknown data length, legal only for immediate
+            # generic regions. The MQ coder never emits 0xFF followed
+            # by a byte > 0x8F, so the arithmetic terminator FF AC is
+            # unambiguous; MMR's 00 00 is not locatable without
+            # decoding, so that variant stays unsupported.
+            if typ not in (36, 38, 39):
+                raise ValueError(
+                    "unknown-length JBIG2 segment unsupported "
+                    "(non-generic-region)")
+            if pos + 18 > n:
+                raise ValueError("truncated unknown-length region")
+            if data[pos + 17] & 1:
+                raise ValueError(
+                    "unknown-length MMR region unsupported")
+            idx = data.find(b"\xff\xac", pos + 18)
+            if idx == -1 or idx + 6 > n:
+                raise ValueError("unterminated unknown-length region")
+            length = idx + 6 - pos   # data + FF AC + 4-byte row count
         if pos + length > n:
             raise ValueError("JBIG2 segment data out of bounds")
         yield _num, typ, page, refs, data[pos:pos + length]
@@ -788,6 +818,11 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             rw, rh, rx, ry, comb_byte = struct.unpack_from(
                 ">IIIIB", payload, 0)
             flags_comb = comb_byte & 7
+            if rh == 0xFFFFFFFF:
+                # unknown-length region: the true height follows the
+                # FF AC terminator as the payload's last 4 bytes
+                (rh,) = struct.unpack_from(">I", payload, len(payload) - 4)
+                payload = payload[:-6]
             # plausibility cap (also bounds work on corrupt headers): a
             # 1200-dpi A3 scan is ~2.8e8 px; this pure-Python decoder
             # tops out far below that, so reject absurd regions early

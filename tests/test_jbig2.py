@@ -946,3 +946,29 @@ class TestRefinedTextInstances:
         for (sid, x, y), bmp in zip(inst, placed):
             want[y:y + bmp.shape[0], x:x + bmp.shape[1]] |= bmp
         assert np.array_equal(page, want)
+
+
+class TestUnknownLengthSegments:
+    """§7.2.7 unknown-data-length immediate generic regions (the
+    streaming-scanner shape): FF AC terminator + trailing row count;
+    MMR unknown-length stays honestly unsupported (its 00 00
+    terminator is not locatable without decoding)."""
+
+    def test_arith_unknown_length_roundtrip(self):
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode)
+        rng = np.random.RandomState(3)
+        img = rng.rand(25, 40) > 0.55
+        enc = jbig2_encode(img, unknown_length=True)
+        assert b"\xff\xff\xff\xff" in enc
+        assert np.array_equal(jbig2_decode(enc), img)
+
+    def test_mmr_unknown_length_raises(self):
+        import struct as _st
+        from documentai_ray.functions.jbig2 import (jbig2_decode,
+                                                    jbig2_encode)
+        rng = np.random.RandomState(3)
+        enc = bytearray(jbig2_encode(rng.rand(25, 40) > 0.55, mmr=True))
+        _st.pack_into(">I", enc, 11 + 19 + 7, 0xFFFFFFFF)
+        with pytest.raises(ValueError, match="MMR region"):
+            jbig2_decode(bytes(enc))
