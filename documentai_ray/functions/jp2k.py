@@ -812,6 +812,7 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
     transform = 1
     qcd_eps: list[int] = []
     qcd_mu: list[int] = []
+    qcd_derived = None
     sot_seen = False
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
@@ -875,14 +876,16 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             if qstyle == 0:        # no quantization (reversible)
                 qcd_eps = [b >> 3 for b in seg[1:]]
                 qcd_mu = [0] * len(qcd_eps)
+            elif qstyle == 1:      # scalar derived: one LL pair
+                (v,) = struct.unpack_from(">H", seg, 1)
+                qcd_derived = (v >> 11, v & 0x7FF)
             elif qstyle == 2:      # scalar expounded
                 vals = [struct.unpack_from(">H", seg, 1 + 2 * i)[0]
                         for i in range((len(seg) - 1) // 2)]
                 qcd_eps = [v >> 11 for v in vals]
                 qcd_mu = [v & 0x7FF for v in vals]
             else:
-                raise ValueError("scalar-derived quantization "
-                                 "unsupported")
+                raise ValueError(f"unknown quantization style {qstyle}")
         elif marker == b"\xff\x90":                        # SOT
             # single-tile decoder: the body reader below concatenates
             # packets as one tile — a second tile-part or a nonzero
@@ -897,6 +900,14 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
         pos += ln
     if body is None or w is None or levels is None:
         raise ValueError("J2K stream missing SIZ/COD/SOD")
+    if qcd_derived is not None:
+        # T.800 E.1.1 / the openjpeg SIQNT expansion: eps_b =
+        # max(0, eps_0 - floor((b-1)/3)) in [LL, then coarsest->finest
+        # HL/LH/HH] band order; mu shared
+        e0, m0 = qcd_derived
+        qcd_eps = [e0] + [max(0, e0 - k // 3)
+                          for k in range(3 * levels)]
+        qcd_mu = [m0] * (3 * levels + 1)
     if body.endswith(b"\xff\xd9"):
         body = body[:-2]
     # T.800 forbids 0xFF90+ codes inside entropy-coded data, so a SOT
@@ -1114,9 +1125,12 @@ def _q97_delta(band_gain_log2: int, base_exp: int = 10) -> float:
 
 
 def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
-                      base_exp: int = 10) -> bytes:
+                      base_exp: int = 10,
+                      derived: bool = False) -> bytes:
     """uint8 grayscale (h, w) → IRREVERSIBLE 9/7 J2K codestream
-    (COD transformation 0, QCD scalar-expounded)."""
+    (COD transformation 0; QCD scalar-expounded, or scalar-DERIVED —
+    the single-pair Sqcd style 1 whose per-band exponents expand as
+    eps_b = max(0, eps_0 - floor((b-1)/3)) — when ``derived``)."""
     img = np.ascontiguousarray(img)
     if img.ndim != 2:
         raise ValueError("grayscale (h, w) input required")
@@ -1126,13 +1140,20 @@ def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
 
     packets = []
 
-    def quant(arr, gain):
-        delta = _q97_delta(gain, base_exp)
+    # per-band eps: constant (expounded emission) or the derived
+    # expansion; band order [LL, coarsest->finest HL/LH/HH]
+    nsub_total = 3 * levels + 1
+    if derived:
+        band_eps = [base_exp] + [max(0, base_exp - k // 3)
+                                 for k in range(3 * levels)]
+    else:
+        band_eps = [base_exp] * nsub_total
+
+    def quant(arr, gain, eps_b):
+        delta = float(2.0 ** (8 + gain - eps_b))
         q = np.trunc(arr / delta).astype(np.int64)
-        # spec Mb = G + eps - 1 bounds the coded magnitude planes;
-        # Delta = 2^(R_b - eps) with R_b = 8 + gain means eps ==
-        # base_exp for EVERY band (the gain cancels)
-        mb = _GUARD_BITS + base_exp - 1
+        # spec Mb = G + eps_b - 1 bounds the coded magnitude planes
+        mb = _GUARD_BITS + eps_b - 1
         cap = (1 << mb) - 1
         return np.clip(q, -cap, cap).astype(np.int32)
 
@@ -1140,7 +1161,7 @@ def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
         hdr = _HdrW()
         hdr.bit(1)
         bodies = []
-        for arr, kind, band_gain in band_arrs:
+        for arr, kind, eps_b in band_arrs:
             bh, bw = arr.shape
             if bh == 0 or bw == 0:
                 continue
@@ -1149,8 +1170,7 @@ def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
             incl = _TagTree(nby, nbx, encoder=True)
             zbp = _TagTree(nby, nbx, encoder=True)
             blocks = []
-            _ = band_gain
-            mb = _GUARD_BITS + base_exp - 1                 # spec Mb
+            mb = _GUARD_BITS + eps_b - 1                    # spec Mb
             for by in range(nby):
                 for bx in range(nbx):
                     sub = arr[by << _CB_EXP: (by + 1) << _CB_EXP,
@@ -1183,13 +1203,17 @@ def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
                 bodies.append(data)
         return hdr.done() + b"".join(bodies)
 
-    packets.append(one_band_packet([(quant(ll, 0), 0, 0)], 0))
+    packets.append(one_band_packet(
+        [(quant(ll, 0, band_eps[0]), 0, band_eps[0])], 0))
+    bi = 1
     for hl, lh, hh_b in reversed(bands):
         # context kind (LL/LH share table 0) != quantizer gain (LH is
         # a high band: gain 1) — pass them independently
+        e1, e2, e3 = band_eps[bi], band_eps[bi + 1], band_eps[bi + 2]
         packets.append(one_band_packet(
-            [(quant(hl, 1), 1, 1), (quant(lh, 1), 0, 1),
-             (quant(hh_b, 2), 2, 2)], 0))
+            [(quant(hl, 1, e1), 1, e1), (quant(lh, 1, e2), 0, e2),
+             (quant(hh_b, 2, e3), 2, e3)], 0))
+        bi += 3
     body = b"".join(packets)
 
     out = bytearray()
@@ -1201,14 +1225,17 @@ def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
                         0, 0)                  # transformation 0 = 9/7
     cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
     out += b"\xff\x52" + cod
-    # QCD scalar expounded: Sqcd = 2 | guard<<5; per band (eps<<11|mu)
-    nsub = 3 * levels + 1
-    qcd = struct.pack(">HB", 3 + 2 * nsub, 0x02 | (_GUARD_BITS << 5))
-    band_gains = [0] + [g for _ in range(levels) for g in (1, 1, 2)]
-    for _g in band_gains:
-        # eps == base_exp for every band: Delta_b = 2^(R_b - eps) and
-        # R_b = 8 + gain_b, so the per-band gain cancels out of eps
-        qcd += struct.pack(">H", (base_exp << 11) | 0)
+    if derived:
+        # QCD scalar derived (Sqcd style 1): ONE (eps0, mu0) pair
+        qcd = struct.pack(">HBH", 5, 0x01 | (_GUARD_BITS << 5),
+                          base_exp << 11)
+    else:
+        # QCD scalar expounded: Sqcd = 2 | guard<<5; per band
+        # (eps<<11|mu)
+        qcd = struct.pack(">HB", 3 + 2 * nsub_total,
+                          0x02 | (_GUARD_BITS << 5))
+        for e in band_eps:
+            qcd += struct.pack(">H", (e << 11) | 0)
     out += b"\xff\x5c" + qcd
     psot = 12 + 2 + len(body)
     out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)

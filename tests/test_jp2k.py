@@ -250,3 +250,46 @@ class TestUnsupportedCodestreamShapes:
         data2 = data[:-2] + fake + b"\xff\xd9"
         with pytest.raises(ValueError, match="multi-tile"):
             decode_jp2k(data2)
+
+
+class TestDerivedQuantization:
+    """Sqcd style 1 (scalar derived, T.800 E.1.1): one (eps, mu) pair,
+    per-band exponents expanded as eps_b = max(0, eps_0 -
+    floor((b-1)/3))."""
+
+    def _img(self):
+        y, x = np.mgrid[0:48, 0:64]
+        return (128 + 60 * np.sin(y / 7.0)
+                + 50 * np.cos(x / 9.0)).clip(0, 255).astype(np.uint8)
+
+    def test_derived_stream_decodes(self):
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k_lossy)
+        img = self._img()
+        enc = encode_jp2k_lossy(img, levels=2, derived=True)
+        i = enc.find(b"\xff\x5c")
+        assert (enc[i + 4] & 0x1F) == 1      # Sqcd style 1 on the wire
+        out = decode_jp2k(enc)
+        mse = float(np.mean((out.astype(float) - img.astype(float)) ** 2))
+        assert 10 * np.log10(255 ** 2 / mse) > 40
+
+    def test_derived_expansion_matches_expounded(self):
+        # an expounded stream hand-built with the SAME derived eps
+        # pattern must decode identically to the style-1 stream
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k_lossy)
+        img = self._img()
+        der = encode_jp2k_lossy(img, levels=2, derived=True)
+        out_d = decode_jp2k(der)
+        # rebuild as expounded carrying the expansion explicitly
+        import struct as _st
+        from documentai_ray.functions.jp2k import _GUARD_BITS
+        i = der.find(b"\xff\x5c")
+        e0 = der[i + 5] >> 3
+        eps = [e0] + [max(0, e0 - k // 3) for k in range(6)]
+        qcd = _st.pack(">HB", 3 + 2 * len(eps),
+                       0x02 | (_GUARD_BITS << 5))
+        for e in eps:
+            qcd += _st.pack(">H", e << 11)
+        exp = der[:i] + b"\xff\x5c" + qcd + der[i + 2 + 5:]
+        assert np.array_equal(decode_jp2k(exp), out_d)
