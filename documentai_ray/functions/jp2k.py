@@ -978,9 +978,9 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
     ncomp = len(depths)
     if transform == 0:
         # irreversible 9/7: spec Mb = G + eps_b - 1 per subband, then
-        # mid-interval dequantization and the float inverse transform
-        if ncomp != 1:
-            raise ValueError("lossy multi-component JPX unsupported")
+        # mid-interval dequantization and the float inverse transform;
+        # 3-component streams interleave one packet per component per
+        # resolution (LRCP) and un-ICT when MCT is set (T.800 G.3)
         if len(qcd_eps) < 3 * levels + 1:
             raise ValueError("QCD bands missing for 9/7 stream")
 
@@ -998,20 +998,36 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             return f
 
         mb0 = _GUARD_BITS + qcd_eps[0] - 1
-        (llq,) = read_band_packet([(ll_shape, 0)], 0, mbs=[mb0])
-        ll_f = dq(llq, 0)
-        bands97 = []
+        lls_f = []
+        for _ci in range(ncomp):
+            (llq,) = read_band_packet([(ll_shape, 0)], 0, mbs=[mb0])
+            lls_f.append(dq(llq, 0))
+        comp_b97 = [[] for _ in range(ncomp)]
         bi = 1
         for (hl_s, lh_s, hh_s) in reversed(per_level):
             mbs = [_GUARD_BITS + qcd_eps[bi + k] - 1 for k in range(3)]
-            hlq, lhq, hhq = read_band_packet(
-                [(hl_s, 1), (lh_s, 0), (hh_s, 2)], 0, mbs=mbs)
-            bands97.append((dq(hlq, bi), dq(lhq, bi + 1),
-                            dq(hhq, bi + 2)))
+            for ci in range(ncomp):
+                hlq, lhq, hhq = read_band_packet(
+                    [(hl_s, 1), (lh_s, 0), (hh_s, 2)], 0, mbs=mbs)
+                comp_b97[ci].append((dq(hlq, bi), dq(lhq, bi + 1),
+                                     dq(hhq, bi + 2)))
             bi += 3
-        bands97.reverse()
-        outf = _inv_dwt97(ll_f, bands97) + 128.0
-        return np.clip(np.rint(outf), 0, 255).astype(np.uint8)
+        planes97 = []
+        for ci in range(ncomp):
+            comp_b97[ci].reverse()
+            planes97.append(_inv_dwt97(lls_f[ci], comp_b97[ci]))
+        if ncomp == 1:
+            return np.clip(np.rint(planes97[0] + 128.0),
+                           0, 255).astype(np.uint8)
+        yf, cbf, crf = planes97
+        if mct:                        # inverse ICT (T.800 G.3)
+            r_f = yf + 1.402 * crf
+            g_f = yf - 0.344136 * cbf - 0.714136 * crf
+            b_f = yf + 1.772 * cbf
+        else:
+            r_f, g_f, b_f = yf, cbf, crf
+        rgb = np.stack([r_f, g_f, b_f], axis=-1) + 128.0
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     lls = []
     for ci in range(ncomp):
         (ll,) = read_band_packet([(ll_shape, 0)], depths[ci])
@@ -1127,16 +1143,32 @@ def _q97_delta(band_gain_log2: int, base_exp: int = 10) -> float:
 def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
                       base_exp: int = 10,
                       derived: bool = False) -> bytes:
-    """uint8 grayscale (h, w) → IRREVERSIBLE 9/7 J2K codestream
-    (COD transformation 0; QCD scalar-expounded, or scalar-DERIVED —
-    the single-pair Sqcd style 1 whose per-band exponents expand as
-    eps_b = max(0, eps_0 - floor((b-1)/3)) — when ``derived``)."""
+    """uint8 grayscale (h, w) or RGB (h, w, 3) → IRREVERSIBLE 9/7 J2K
+    codestream (COD transformation 0; QCD scalar-expounded, or
+    scalar-DERIVED — the single-pair Sqcd style 1 whose per-band
+    exponents expand as eps_b = max(0, eps_0 - floor((b-1)/3)) — when
+    ``derived``). Color runs through the irreversible color transform
+    (ICT, T.800 G.2) with one packet per component per resolution."""
     img = np.ascontiguousarray(img)
-    if img.ndim != 2:
-        raise ValueError("grayscale (h, w) input required")
-    h, w = img.shape
+    if img.ndim not in (2, 3):
+        raise ValueError("grayscale (h, w) or (h, w, 3) input required")
+    h, w = img.shape[:2]
+    ncomp = 1 if img.ndim == 2 else img.shape[2]
+    if ncomp not in (1, 3):
+        raise ValueError("1 or 3 components required")
     levels = max(0, min(levels, 32))
-    ll, bands = _fwd_dwt97(img.astype(np.float64) - 128.0, levels)
+    if ncomp == 3:
+        rf = img[:, :, 0].astype(np.float64) - 128.0
+        gf = img[:, :, 1].astype(np.float64) - 128.0
+        bf = img[:, :, 2].astype(np.float64) - 128.0
+        # forward ICT (T.800 G.2)
+        yf = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cbf = -0.168736 * rf - 0.331264 * gf + 0.5 * bf
+        crf = 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+        comps97 = [_fwd_dwt97(c, levels) for c in (yf, cbf, crf)]
+    else:
+        comps97 = [_fwd_dwt97(img.astype(np.float64) - 128.0, levels)]
+    ll, bands = comps97[0]
 
     packets = []
 
@@ -1203,27 +1235,34 @@ def encode_jp2k_lossy(img: np.ndarray, levels: int = 2,
                 bodies.append(data)
         return hdr.done() + b"".join(bodies)
 
-    packets.append(one_band_packet(
-        [(quant(ll, 0, band_eps[0]), 0, band_eps[0])], 0))
-    bi = 1
-    for hl, lh, hh_b in reversed(bands):
-        # context kind (LL/LH share table 0) != quantizer gain (LH is
-        # a high band: gain 1) — pass them independently
-        e1, e2, e3 = band_eps[bi], band_eps[bi + 1], band_eps[bi + 2]
+    for cll, _cb in comps97:
         packets.append(one_band_packet(
-            [(quant(hl, 1, e1), 1, e1), (quant(lh, 1, e2), 0, e2),
-             (quant(hh_b, 2, e3), 2, e3)], 0))
+            [(quant(cll, 0, band_eps[0]), 0, band_eps[0])], 0))
+    bi = 1
+    nlev = len(comps97[0][1])
+    for li in range(nlev - 1, -1, -1):     # coarsest level first
+        e1, e2, e3 = band_eps[bi], band_eps[bi + 1], band_eps[bi + 2]
+        for _cll, cbands in comps97:
+            hl, lh, hh_b = cbands[li]
+            # context kind (LL/LH share table 0) != quantizer gain (LH
+            # is a high band: gain 1) — pass them independently
+            packets.append(one_band_packet(
+                [(quant(hl, 1, e1), 1, e1), (quant(lh, 1, e2), 0, e2),
+                 (quant(hh_b, 2, e3), 2, e3)], 0))
         bi += 3
     body = b"".join(packets)
 
     out = bytearray()
     out += b"\xff\x4f"
-    siz = struct.pack(">HHIIIIIIIIH", 41, 0, w, h, 0, 0, w, h, 0, 0, 1)
-    siz += struct.pack(">BBB", 7, 1, 1)
+    siz = struct.pack(">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0,
+                      w, h, 0, 0, ncomp)
+    for _ in range(ncomp):
+        siz += struct.pack(">BBB", 7, 1, 1)
     out += b"\xff\x51" + siz
     spcod = struct.pack(">BBBBB", levels, _CB_EXP - 2, _CB_EXP - 2,
                         0, 0)                  # transformation 0 = 9/7
-    cod = struct.pack(">HBBHB", 12, 0, 0, 1, 0) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, 0, 1,
+                      1 if ncomp == 3 else 0) + spcod
     out += b"\xff\x52" + cod
     if derived:
         # QCD scalar derived (Sqcd style 1): ONE (eps0, mu0) pair

@@ -50,8 +50,9 @@ def images_to_pdf(images: list[np.ndarray], *,
     kid_ids: list[int] = []
     for img in images:
         h, w = img.shape[:2]
-        if img.ndim == 3 and image_filter != "jpx":
-            raise ValueError("color images require image_filter='jpx'")
+        if img.ndim == 3 and image_filter not in ("jpx", "jpx_lossy"):
+            raise ValueError(
+                "color images require image_filter='jpx'/'jpx_lossy'")
         if image_filter == "none":
             raw = img.tobytes()
             filt = b""

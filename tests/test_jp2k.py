@@ -293,3 +293,38 @@ class TestDerivedQuantization:
             qcd += _st.pack(">H", e << 11)
         exp = der[:i] + b"\xff\x5c" + qcd + der[i + 2 + 5:]
         assert np.array_equal(decode_jp2k(exp), out_d)
+
+
+class TestLossyColorICT:
+    """3-component 9/7 via the irreversible color transform (T.800
+    G.2/G.3): one packet per component per resolution, MCT=1."""
+
+    def _rgb(self):
+        y, x = np.mgrid[0:40, 0:56]
+        return np.dstack([(128 + 60 * np.sin(y / 7.0)).clip(0, 255),
+                          (128 + 60 * np.cos(x / 9.0)).clip(0, 255),
+                          (y * 3 + x * 2) % 256]).astype(np.uint8)
+
+    @pytest.mark.parametrize("derived", [False, True])
+    def test_color_97_psnr(self, derived):
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k_lossy)
+        rgb = self._rgb()
+        out = decode_jp2k(encode_jp2k_lossy(rgb, levels=2,
+                                            derived=derived))
+        assert out.shape == rgb.shape
+        mse = float(np.mean((out.astype(float) - rgb.astype(float)) ** 2))
+        assert 10 * np.log10(255 ** 2 / mse) > 40
+
+    def test_pdf_embed_path(self):
+        from documentai_ray.functions.pdfread import page_images
+        from documentai_ray.functions.pdfwrite import images_to_pdf
+        rgb = self._rgb()
+        pdf = images_to_pdf([rgb], image_filter="jpx_lossy")
+        (got,), = page_images(pdf)
+        # color strips reduce to BT.601 luma in page_images
+        p32 = rgb.astype(np.int64)
+        luma = ((299 * p32[:, :, 0] + 587 * p32[:, :, 1]
+                 + 114 * p32[:, :, 2] + 500) // 1000).astype(np.uint8)
+        err = np.abs(got.astype(int) - luma.astype(int)).max()
+        assert got.shape == luma.shape and err <= 4
