@@ -659,8 +659,15 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
         comps = [(r + 2 * g + b) >> 2, b - g, r - g]
         depths = [8, 9, 9]
         mct = 1
+    elif img.ndim == 3 and img.shape[2] in (2, 4):
+        # gray+alpha / RGBA: components stored direct (no MCT — the
+        # RCT is defined for exactly three components)
+        comps = [img[:, :, k].astype(np.int32) - 128
+                 for k in range(img.shape[2])]
+        depths = [8] * img.shape[2]
+        mct = 0
     else:
-        raise ValueError("(h, w) grayscale or (h, w, 3) RGB required")
+        raise ValueError("(h, w) grayscale or (h, w, 2/3/4) required")
     h, w = img.shape[:2]
     levels = max(0, min(levels, 32))
     decomposed = [fwd_dwt53(c, levels) for c in comps]
@@ -830,7 +837,7 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             _r, xs, ys, xo, yo, *_rest = struct.unpack_from(
                 ">HIIII", seg, 0)
             (csiz,) = struct.unpack_from(">H", seg, 34)
-            if csiz not in (1, 3):
+            if csiz not in (1, 2, 3, 4):
                 raise ValueError("JPX component count unsupported")
             depths = []
             for ci in range(csiz):
@@ -1044,6 +1051,10 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
         planes.append(inv_dwt53(lls[ci], comp_bands[ci]))
     if ncomp == 1:
         return np.clip(planes[0] + 128, 0, 255).astype(np.uint8)
+    if ncomp in (2, 4):
+        # gray+alpha / RGBA: direct components, no color transform
+        out = np.stack([p + 128 for p in planes], axis=-1)
+        return np.clip(out, 0, 255).astype(np.uint8)
     yy, cb, cr = planes
     if mct:
         g = yy - ((cb + cr) >> 2)      # inverse RCT (T.800 G.2)

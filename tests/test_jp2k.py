@@ -328,3 +328,17 @@ class TestLossyColorICT:
                  + 114 * p32[:, :, 2] + 500) // 1000).astype(np.uint8)
         err = np.abs(got.astype(int) - luma.astype(int)).max()
         assert got.shape == luma.shape and err <= 4
+
+
+class TestMultiComponentAlpha:
+    """2- and 4-component codestreams (gray+alpha / RGBA): direct
+    components, no MCT — lossless bit-exact."""
+
+    @pytest.mark.parametrize("nc", [2, 4])
+    def test_lossless_roundtrip(self, nc):
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k)
+        rng = np.random.RandomState(3)
+        img = (rng.rand(30, 44, nc) * 255).astype(np.uint8)
+        out = decode_jp2k(encode_jp2k(img, levels=2))
+        assert out.shape == img.shape and np.array_equal(out, img)
