@@ -642,7 +642,8 @@ def _band_geometry(h: int, w: int, levels: int):
     return shapes[0], per_level
 
 
-def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
+def encode_jp2k(img: np.ndarray, levels: int = 2,
+                prog: int = 0) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → lossless J2K
     codestream. Color uses the REVERSIBLE color transform (RCT, T.800
     G.2): Y = (R+2G+B)>>2, Cb = B−G, Cr = R−G after the DC level shift
@@ -672,9 +673,11 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
     levels = max(0, min(levels, 32))
     decomposed = [fwd_dwt53(c, levels) for c in comps]
 
-    # LRCP, one layer: for each resolution, one packet per component;
-    # fwd returns finest level first, so packets walk bands[] from the
-    # coarsest (last) to the finest (first)
+    # one layer; resolution-major (LRCP/RLCP/RPCL) or component-major
+    # (PCRL/CPRL) packet emission; fwd returns finest level first, so
+    # packets walk bands[] from the coarsest (last) to the finest
+    if prog not in (0, 1, 2, 3, 4):
+        raise ValueError("bad progression order")
     packets = []
 
     def one_band_packet(band_arrs, depth):
@@ -733,14 +736,22 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
                 bodies.append(data)
         return hdr.done() + b"".join(bodies)
 
-    for ci, (ll, _bands) in enumerate(decomposed):
-        packets.append(one_band_packet([(ll, 0)], depths[ci]))
     nlev = levels
-    for r_i in range(nlev):
-        for ci, (_ll, bands) in enumerate(decomposed):
-            hl, lh, hh_b = bands[nlev - 1 - r_i]   # coarsest first
-            packets.append(one_band_packet(
-                [(hl, 1), (lh, 0), (hh_b, 2)], depths[ci]))
+    if prog in (3, 4):                 # PCRL/CPRL: component-major
+        for ci, (ll, bands) in enumerate(decomposed):
+            packets.append(one_band_packet([(ll, 0)], depths[ci]))
+            for r_i in range(nlev):
+                hl, lh, hh_b = bands[nlev - 1 - r_i]
+                packets.append(one_band_packet(
+                    [(hl, 1), (lh, 0), (hh_b, 2)], depths[ci]))
+    else:                              # LRCP/RLCP/RPCL: res-major
+        for ci, (ll, _bands) in enumerate(decomposed):
+            packets.append(one_band_packet([(ll, 0)], depths[ci]))
+        for r_i in range(nlev):
+            for ci, (_ll, bands) in enumerate(decomposed):
+                hl, lh, hh_b = bands[nlev - 1 - r_i]   # coarsest first
+                packets.append(one_band_packet(
+                    [(hl, 1), (lh, 0), (hh_b, 2)], depths[ci]))
 
     body = b"".join(packets)
 
@@ -754,7 +765,7 @@ def encode_jp2k(img: np.ndarray, levels: int = 2) -> bytes:
         siz += struct.pack(">BBB", ssiz, 1, 1)
     out += b"\xff\x51" + siz
     spcod = struct.pack(">BBBBB", levels, _CB_EXP - 2, _CB_EXP - 2, 0, 1)
-    cod = struct.pack(">HBBHB", 12, 0, 0, 1, mct) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, prog, 1, mct) + spcod
     out += b"\xff\x52" + cod
     nsub = 3 * levels + 1
     qcd = struct.pack(">HB", 3 + nsub, 0x40 | (_GUARD_BITS << 5))
@@ -820,6 +831,7 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
     qcd_eps: list[int] = []
     qcd_mu: list[int] = []
     qcd_derived = None
+    prog = 0
     sot_seen = False
     while pos + 2 <= len(data):
         marker = data[pos:pos + 2]
@@ -868,15 +880,15 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             transform = seg[9]
             if transform not in (0, 1):
                 raise ValueError("unknown wavelet transformation")
-            # the packet walk below assumes layer-major then
-            # resolution/component order (LRCP; RLCP is identical for
-            # our single-layer streams) — a CPRL/PCRL/RPCL stream has a
-            # different packet layout and would silently decode wrong
-            # pixels, so raise honestly (ADVICE r4)
-            if prog not in (0, 1):
+            # packet layout: with one layer and whole-subband
+            # precincts, LRCP / RLCP / RPCL all reduce to
+            # resolution-major (per resolution, per component) and
+            # PCRL / CPRL to component-major (per component, per
+            # resolution) — both walks are implemented below; anything
+            # else is unknown and raises
+            if prog not in (0, 1, 2, 3, 4):
                 raise ValueError(
-                    f"JPX progression order {prog} unsupported "
-                    "(only LRCP/RLCP)")
+                    f"JPX progression order {prog} unsupported")
         elif marker == b"\xff\x5c":                        # QCD
             sqcd = seg[0]
             qstyle = sqcd & 0x1F
@@ -1005,20 +1017,37 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             return f
 
         mb0 = _GUARD_BITS + qcd_eps[0] - 1
-        lls_f = []
-        for _ci in range(ncomp):
-            (llq,) = read_band_packet([(ll_shape, 0)], 0, mbs=[mb0])
-            lls_f.append(dq(llq, 0))
+        lls_f = [None] * ncomp
         comp_b97 = [[] for _ in range(ncomp)]
-        bi = 1
-        for (hl_s, lh_s, hh_s) in reversed(per_level):
-            mbs = [_GUARD_BITS + qcd_eps[bi + k] - 1 for k in range(3)]
+        if prog in (3, 4):             # PCRL/CPRL: component-major
             for ci in range(ncomp):
-                hlq, lhq, hhq = read_band_packet(
-                    [(hl_s, 1), (lh_s, 0), (hh_s, 2)], 0, mbs=mbs)
-                comp_b97[ci].append((dq(hlq, bi), dq(lhq, bi + 1),
-                                     dq(hhq, bi + 2)))
-            bi += 3
+                (llq,) = read_band_packet([(ll_shape, 0)], 0,
+                                          mbs=[mb0])
+                lls_f[ci] = dq(llq, 0)
+                bi = 1
+                for (hl_s, lh_s, hh_s) in reversed(per_level):
+                    mbs = [_GUARD_BITS + qcd_eps[bi + k] - 1
+                           for k in range(3)]
+                    hlq, lhq, hhq = read_band_packet(
+                        [(hl_s, 1), (lh_s, 0), (hh_s, 2)], 0, mbs=mbs)
+                    comp_b97[ci].append((dq(hlq, bi), dq(lhq, bi + 1),
+                                         dq(hhq, bi + 2)))
+                    bi += 3
+        else:                          # LRCP/RLCP/RPCL: res-major
+            for ci in range(ncomp):
+                (llq,) = read_band_packet([(ll_shape, 0)], 0,
+                                          mbs=[mb0])
+                lls_f[ci] = dq(llq, 0)
+            bi = 1
+            for (hl_s, lh_s, hh_s) in reversed(per_level):
+                mbs = [_GUARD_BITS + qcd_eps[bi + k] - 1
+                       for k in range(3)]
+                for ci in range(ncomp):
+                    hlq, lhq, hhq = read_band_packet(
+                        [(hl_s, 1), (lh_s, 0), (hh_s, 2)], 0, mbs=mbs)
+                    comp_b97[ci].append((dq(hlq, bi), dq(lhq, bi + 1),
+                                         dq(hhq, bi + 2)))
+                bi += 3
         planes97 = []
         for ci in range(ncomp):
             comp_b97[ci].reverse()
@@ -1035,16 +1064,25 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
             r_f, g_f, b_f = yf, cbf, crf
         rgb = np.stack([r_f, g_f, b_f], axis=-1) + 128.0
         return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    lls = []
-    for ci in range(ncomp):
-        (ll,) = read_band_packet([(ll_shape, 0)], depths[ci])
-        lls.append(ll)
+    lls = [None] * ncomp
     comp_bands = [[] for _ in range(ncomp)]
-    for (hl_s, lh_s, hh_s) in reversed(per_level):   # coarsest first
+    if prog in (3, 4):                 # PCRL/CPRL: component-major
         for ci in range(ncomp):
-            hl, lh, hh_b = read_band_packet(
-                [(hl_s, 1), (lh_s, 0), (hh_s, 2)], depths[ci])
-            comp_bands[ci].append((hl, lh, hh_b))
+            (ll,) = read_band_packet([(ll_shape, 0)], depths[ci])
+            lls[ci] = ll
+            for (hl_s, lh_s, hh_s) in reversed(per_level):
+                hl, lh, hh_b = read_band_packet(
+                    [(hl_s, 1), (lh_s, 0), (hh_s, 2)], depths[ci])
+                comp_bands[ci].append((hl, lh, hh_b))
+    else:                              # LRCP/RLCP/RPCL: res-major
+        for ci in range(ncomp):
+            (ll,) = read_band_packet([(ll_shape, 0)], depths[ci])
+            lls[ci] = ll
+        for (hl_s, lh_s, hh_s) in reversed(per_level):
+            for ci in range(ncomp):
+                hl, lh, hh_b = read_band_packet(
+                    [(hl_s, 1), (lh_s, 0), (hh_s, 2)], depths[ci])
+                comp_bands[ci].append((hl, lh, hh_b))
     planes = []
     for ci in range(ncomp):
         comp_bands[ci].reverse()       # back to finest-first order

@@ -220,13 +220,13 @@ class TestUnsupportedCodestreamShapes:
                            levels=1)
 
     def test_foreign_progression_order_rejected(self):
-        import struct as _st
         from documentai_ray.functions.jp2k import decode_jp2k
         data = bytearray(self._stream())
         i = data.find(b"\xff\x52")  # COD marker
         assert i != -1
-        # COD body: Lcod(2) Scod(1) SGcod: prog(1)...
-        data[i + 2 + 2 + 1] = 4  # CPRL
+        # COD body: Lcod(2) Scod(1) SGcod: prog(1)... — all five real
+        # orders are now decoded; only out-of-spec values reject
+        data[i + 2 + 2 + 1] = 7
         with pytest.raises(ValueError, match="progression order"):
             decode_jp2k(bytes(data))
 
@@ -342,3 +342,30 @@ class TestMultiComponentAlpha:
         img = (rng.rand(30, 44, nc) * 255).astype(np.uint8)
         out = decode_jp2k(encode_jp2k(img, levels=2))
         assert out.shape == img.shape and np.array_equal(out, img)
+
+
+class TestProgressionOrders:
+    """All five T.800 progression orders on single-layer whole-precinct
+    streams: LRCP/RLCP/RPCL are resolution-major, PCRL/CPRL
+    component-major — every one decodes bit-exactly."""
+
+    @pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+    def test_lossless_roundtrip_all_orders(self, prog):
+        from documentai_ray.functions.jp2k import (decode_jp2k,
+                                                   encode_jp2k)
+        rng = np.random.RandomState(3)
+        for img in ((rng.rand(20, 28) * 255).astype(np.uint8),
+                    (rng.rand(30, 44, 3) * 255).astype(np.uint8),
+                    (rng.rand(22, 31, 4) * 255).astype(np.uint8)):
+            out = decode_jp2k(encode_jp2k(img, levels=2, prog=prog))
+            assert np.array_equal(out, img)
+
+    def test_unknown_order_rejected(self):
+        from documentai_ray.functions.jp2k import decode_jp2k, encode_jp2k
+        rng = np.random.RandomState(3)
+        enc = bytearray(encode_jp2k(
+            (rng.rand(20, 28, 3) * 255).astype(np.uint8)))
+        i = enc.find(b"\xff\x52")
+        enc[i + 2 + 2 + 1] = 7   # invalid order
+        with pytest.raises(ValueError, match="progression order"):
+            decode_jp2k(bytes(enc))
