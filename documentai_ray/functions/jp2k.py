@@ -945,7 +945,12 @@ def _decode_jp2k_inner(data: bytes) -> np.ndarray:
         r = _HdrR(body[offset:])
         out_arrays = []
         if not r.bit():
-            raise ValueError("empty JPX packet unsupported")
+            # EMPTY packet (header bit 0, B.10.3): no code-block
+            # contributions — every band decodes all-zero and the
+            # packet is just the byte-aligned single-bit header
+            offset += r.align()
+            return [np.zeros((bh, bw), np.int32)
+                    for (bh, bw), _k in band_shapes]
         metas = []
         for bi, ((bh, bw), kind) in enumerate(band_shapes):
             if bh == 0 or bw == 0:

@@ -369,3 +369,27 @@ class TestProgressionOrders:
         enc[i + 2 + 2 + 1] = 7   # invalid order
         with pytest.raises(ValueError, match="progression order"):
             decode_jp2k(bytes(enc))
+
+
+def test_empty_packet_decodes_as_zero_bands():
+    """B.10.3 empty packets (header bit 0): every band of the packet
+    decodes all-zero; the packet body is the single aligned byte."""
+    from documentai_ray.functions.jp2k import decode_jp2k, encode_jp2k
+    rng = np.random.RandomState(3)
+    cells = (rng.rand(4, 4) * 255).astype(np.uint8)
+    img = np.repeat(np.repeat(cells, 2, 0), 2, 1)
+    enc = encode_jp2k(img, levels=1)
+    i = enc.find(b"\xff\x93") + 2
+    body = enc[i:-2]
+    # replace the detail packet with the 1-byte empty packet; find the
+    # LL/detail boundary by scanning for the first decodable cut
+    for cut in range(1, len(body)):
+        cand = enc[:i] + body[:cut] + b"\x00" + b"\xff\xd9"
+        try:
+            out = decode_jp2k(cand)
+        except ValueError:
+            continue
+        assert out.shape == img.shape
+        break
+    else:
+        raise AssertionError("no empty-packet variant decoded")
